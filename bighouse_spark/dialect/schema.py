@@ -1,0 +1,137 @@
+"""ClickHouse schema-string → Spark ``StructType``.
+
+The reference passes schemas as inline DDL strings in table functions
+(``'pickup_date Date, id UInt64, vendor_id String, ...'`` — reference
+``temporal/workflow_query_executor_test.go:44``). This parser covers
+every type that appears in the reference (SURVEY.md §1.2) plus the
+obvious recursive composites (Nullable, Array, LowCardinality, Map,
+Tuple, Decimal) so user schemas don't dead-end.
+
+Unsigned widening: Spark has no unsigned ints, so each UInt widens one
+size (UInt8→short, UInt16→int, UInt32→long). UInt64 maps to LongType —
+values above 2^63-1 would overflow; ``DecimalType(20,0)`` is the exact
+alternative, deliberately not the default because every fixture value
+fits int64 and decimals disable whole-stage codegen fast paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+_SIMPLE = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "date32": T.DateType(),
+    "datetime": T.TimestampType(),
+    "datetime64": T.TimestampType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "uuid": T.StringType(),
+    "ipv4": T.StringType(),
+    "ipv6": T.StringType(),
+}
+
+_DECIMAL = re.compile(r"^decimal\((\d+)\s*,\s*(\d+)\)$")
+_DATETIME64 = re.compile(r"^datetime64\(\d+(,.*)?\)$")
+_FIXED_STRING = re.compile(r"^fixedstring\(\d+\)$")
+
+
+def ch_type_to_spark(ch_type: str) -> T.DataType:
+    """Map one ClickHouse type name to a Spark ``DataType``."""
+    s = ch_type.strip()
+    low = s.lower()
+    if low.startswith("nullable(") and s.endswith(")"):
+        # Spark nullability is a field property, not a type wrapper;
+        # parse_schema_string marks all fields nullable anyway.
+        return ch_type_to_spark(s[9:-1])
+    if low.startswith("lowcardinality(") and s.endswith(")"):
+        # An encoding, not a logical type (SURVEY.md §1.2).
+        return ch_type_to_spark(s[15:-1])
+    if low.startswith("array(") and s.endswith(")"):
+        return T.ArrayType(ch_type_to_spark(s[6:-1]))
+    if low.startswith("map(") and s.endswith(")"):
+        k, v = _split_top_level(s[4:-1])
+        return T.MapType(ch_type_to_spark(k), ch_type_to_spark(v))
+    if low.startswith("tuple(") and s.endswith(")"):
+        parts = _split_commas(s[6:-1])
+        fields = []
+        for i, part in enumerate(parts):
+            name, _, typ = part.strip().partition(" ")
+            if typ:  # named tuple element
+                fields.append(T.StructField(name, ch_type_to_spark(typ)))
+            else:
+                fields.append(T.StructField(f"_{i + 1}", ch_type_to_spark(part)))
+        return T.StructType(fields)
+    if low.startswith("enum8(") or low.startswith("enum16("):
+        # CH stores enums as ints but renders strings; strings here.
+        return T.StringType()
+    m = _DECIMAL.match(low)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if _DATETIME64.match(low):
+        return T.TimestampType()
+    if _FIXED_STRING.match(low):
+        return T.StringType()
+    if low in _SIMPLE:
+        return _SIMPLE[low]
+    raise ValueError(f"unsupported ClickHouse type: {ch_type!r}")
+
+
+def parse_schema_string(schema: str) -> T.StructType:
+    """Parse ``'col Type, col Type, ...'`` into a ``StructType``.
+
+    Column names may be backquoted. All fields are nullable (CSV rows
+    can always be missing values; matches schema-on-read semantics).
+    """
+    fields = []
+    for item in _split_commas(schema):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(r"^(`[^`]+`|\"[^\"]+\"|\S+)\s+(.+)$", item)
+        if not m:
+            raise ValueError(f"cannot parse schema item: {item!r}")
+        name = m.group(1).strip('`"')
+        fields.append(T.StructField(name, ch_type_to_spark(m.group(2))))
+    if not fields:
+        raise ValueError("empty schema string")
+    return T.StructType(fields)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on commas not nested inside (), '', or ""."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, c in enumerate(s):
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _split_top_level(s: str) -> tuple[str, str]:
+    parts = _split_commas(s)
+    if len(parts) != 2:
+        raise ValueError(f"expected two type args in {s!r}")
+    return parts[0].strip(), parts[1].strip()

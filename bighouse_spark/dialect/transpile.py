@@ -1,0 +1,289 @@
+"""ClickHouse-dialect SQL → Spark SQL pre-pass.
+
+The only "frontend" the reference needed was none at all — it handed
+an opaque SQL string to ClickHouse
+(``temporal/workflow_query_executor.go:313``). To run those same
+strings on Spark we rewrite, purely textually, before ``spark.sql``:
+
+1. table functions ``s3/s3Cluster/url/urlCluster/file`` → a Spark read
+   registered as a temp view, with CH schema strings parsed and
+   ``{a..b}`` globs expanded (reference
+   ``temporal/workflow_query_executor_test.go:41-70``),
+2. ``{cluster}`` macro erased (Spark distributes splits natively),
+3. CH function spellings → Spark (``uniq`` → ``approx_count_distinct``,
+   ``cityHash64`` → ``xxhash64``, ``count()`` → ``count(*)``,
+   ``toUInt32(x)`` → ``CAST(x AS BIGINT)``, …),
+4. trailing ``SETTINGS k=v, ...`` stripped and mapped to Spark confs
+   (reference ``workflow_query_executor_test.go:86``),
+5. ``_file`` virtual column injected into table-function reads when
+   referenced (``GROUP BY _file``, reference ``test.go:42-49``).
+
+This is a pragmatic rewriter, not a full CH grammar: it covers the
+constructs the reference demonstrably exercises (SURVEY.md §2.B) and
+fails loudly otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from bighouse_spark.dialect.globs import expand_braces
+from bighouse_spark.sources.readers import read_source
+
+_TABLE_FUNCS = ("s3Cluster", "urlCluster", "s3", "url", "file")
+
+# CH 64-bit hash functions → xxhash64 (capability parity: any
+# deterministic 64-bit row hash). Wrapped in DECIMAL(38,0) because the
+# dominant usage is sum(cityHash64(*)) whole-table checksums
+# (reference README.md:106-121) and CH UInt64 sums wrap while Spark's
+# ANSI long sum overflows — decimal sums absorb the range.
+_HASH_FUNCS = ("cityHash64", "sipHash64", "farmHash64")
+
+# CH → Spark function renames applied as word-boundary rewrites of
+# call sites. Only functions whose argument shapes line up 1:1.
+_FUNC_RENAMES = {
+    "uniq": "approx_count_distinct",
+    "uniqExact": "count_distinct",
+    "toDate": "to_date",
+    "toDateTime": "to_timestamp",
+    "toYear": "year",
+    "toMonth": "month",
+    "toDayOfMonth": "day",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toStartOfDay": "date_trunc('day', ",  # handled specially below
+    "lcase": "lower",
+    "ucase": "upper",
+    "lengthUTF8": "length",
+    "notEmpty": "length",  # notEmpty(s) ~ length(s) > 0; best-effort
+    "ifNull": "coalesce",
+    "arrayJoin": "explode",
+    "has": "array_contains",
+    "empty": "isnull",
+}
+
+_CAST_FUNCS = {
+    "toUInt8": "SMALLINT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "BIGINT",
+    "toInt8": "TINYINT",
+    "toInt16": "SMALLINT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+# CH settings → Spark conf (SURVEY.md §2 B18). Unknown settings are
+# dropped with a note — they are tuning hints, not semantics.
+_SETTINGS_MAP = {
+    "max_parallel_replicas": "spark.sql.shuffle.partitions",
+    "max_threads": "spark.sql.shuffle.partitions",
+    "max_download_threads": "spark.hadoop.fs.s3a.threads.max",
+}
+
+
+@dataclass
+class TranspileResult:
+    sql: str
+    views: list[str] = field(default_factory=list)
+    settings: dict[str, str] = field(default_factory=dict)
+    dropped_settings: dict[str, str] = field(default_factory=dict)
+
+
+def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
+    """Rewrite ClickHouse-dialect ``sql`` to Spark SQL.
+
+    When ``spark`` is given, table-function sources are registered as
+    temp views (``__bh_src_N``); otherwise table functions raise.
+    """
+    out = sql.strip().rstrip(";")
+    out, settings, dropped = _strip_settings(out)
+    out = _strip_format(out)
+    uses_file = re.search(r"\b_file\b", out) is not None
+    out, views = _rewrite_table_functions(out, spark, uses_file)
+    out = _rewrite_functions(out)
+    if spark is not None:
+        for k, v in settings.items():
+            spark.conf.set(k, v)
+    return TranspileResult(sql=out, views=views, settings=settings, dropped_settings=dropped)
+
+
+def _strip_settings(sql: str) -> tuple[str, dict[str, str], dict[str, str]]:
+    m = re.search(r"\bSETTINGS\s+(.+)$", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return sql, {}, {}
+    mapped: dict[str, str] = {}
+    dropped: dict[str, str] = {}
+    for pair in m.group(1).split(","):
+        k, _, v = pair.partition("=")
+        k, v = k.strip(), v.strip().strip("'\"")
+        if k in _SETTINGS_MAP:
+            mapped[_SETTINGS_MAP[k]] = v
+        else:
+            dropped[k] = v
+    return sql[: m.start()].rstrip(), mapped, dropped
+
+
+def _strip_format(sql: str) -> str:
+    return re.sub(r"\bFORMAT\s+\w+\s*$", "", sql, flags=re.IGNORECASE).rstrip()
+
+
+def _rewrite_functions(sql: str) -> str:
+    out = sql
+    # count() → count(*)  (CH zero-arg count)
+    out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    for fn in _HASH_FUNCS:
+        out = _wrap_calls(
+            out, fn, "CAST(xxhash64(", ") AS DECIMAL(38,0))"
+        )
+    for ch, ty in _CAST_FUNCS.items():
+        out = re.sub(
+            rf"\b{ch}\(([^()]*)\)", rf"CAST(\1 AS {ty})", out
+        )
+    for ch, sp in _FUNC_RENAMES.items():
+        if "(" in sp:  # special rewrite like date_trunc
+            out = re.sub(rf"\b{ch}\(", sp, out)
+            continue
+        out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
+    return out
+
+
+def _rewrite_table_functions(
+    sql: str, spark: SparkSession | None, uses_file: bool
+) -> tuple[str, list[str]]:
+    views: list[str] = []
+    out = sql
+    for fn in _TABLE_FUNCS:
+        while True:
+            call = _find_call(out, fn)
+            if call is None:
+                break
+            start, end, args = call
+            if spark is None:
+                raise ValueError(
+                    f"table function {fn}() requires a SparkSession to transpile"
+                )
+            view = f"__bh_src_{len(views)}"
+            _register_source(spark, fn, args, view, uses_file)
+            views.append(view)
+            out = out[:start] + view + out[end:]
+    return out, views
+
+
+def _wrap_calls(sql: str, fn: str, prefix: str, suffix: str) -> str:
+    """Replace every ``fn(args)`` with ``{prefix}args{suffix}``,
+    respecting nested parens and quotes."""
+    out = sql
+    search_from = 0
+    while True:
+        call = _find_call(out[search_from:], fn)
+        if call is None:
+            return out
+        start, end, args = call
+        start, end = start + search_from, end + search_from
+        replacement = prefix + ", ".join(args) + suffix
+        out = out[:start] + replacement + out[end:]
+        search_from = start + len(replacement)
+
+
+def _find_call(sql: str, fn: str) -> tuple[int, int, list[str]] | None:
+    m = re.search(rf"\b{fn}\s*\(", sql)
+    if not m:
+        return None
+    i, depth, quote = m.end(), 1, None
+    args, cur = [], []
+    while i < len(sql) and depth > 0:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+            cur.append(c)
+        elif c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth > 0:
+                cur.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in {fn}() call")
+    if cur:
+        args.append("".join(cur).strip())
+    return m.start(), i, args
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    return s
+
+
+_FORMAT_MAP = {
+    "csvwithnames": ("csv", True),
+    "csv": ("csv", False),
+    "tsvwithnames": ("csv", True),
+    "tsv": ("csv", False),
+    "parquet": ("parquet", True),
+    "jsoneachrow": ("json", True),
+    "json": ("json", True),
+}
+
+
+def _register_source(
+    spark: SparkSession, fn: str, args: list[str], view: str, uses_file: bool
+) -> None:
+    """Interpret a CH table-function arg list and register the read.
+
+    Arg shapes (reference ``test.go:41-70``, ``README.md:148-163``):
+      s3(url[, format[, schema[, compression]]])
+      s3Cluster(cluster, url[, format[, schema[, compression]]])
+      url(url[, format[, schema]]) / urlCluster(cluster, url, ...)
+      file(path[, format[, schema]])
+    """
+    if fn.endswith("Cluster"):
+        args = args[1:]  # drop '{cluster}' — vacuous in Spark (B2)
+    if not args:
+        raise ValueError(f"{fn}() needs at least a URL argument")
+    url = _unquote(args[0])
+    fmt_name = _unquote(args[1]).lower() if len(args) > 1 else None
+    schema = _unquote(args[2]) if len(args) > 2 else None
+    compression = _unquote(args[3]) if len(args) > 3 else None
+
+    if fmt_name is None:
+        fmt_name = "parquet" if ".parquet" in url else "csvwithnames"
+    fmt, header = _FORMAT_MAP.get(fmt_name, ("parquet", True))
+    if fmt == "parquet":
+        schema = None  # self-describing
+
+    paths = expand_braces(url)
+    options = {}
+    if fmt_name in ("tsv", "tsvwithnames"):
+        options["sep"] = "\t"
+    df = read_source(
+        spark,
+        paths,
+        fmt=fmt,
+        schema=schema,
+        header=header,
+        compression=compression,
+        add_file_column=uses_file,
+        options=options,
+    )
+    df.createOrReplaceTempView(view)

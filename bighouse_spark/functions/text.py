@@ -1,0 +1,142 @@
+"""Text-analysis primitives for training-data pipelines.
+
+None of these exist in the reference (it delegates scalar functions to
+ClickHouse wholesale, reference ``ch/Dockerfile:1``); they are the
+extension surface a 100 TB document pipeline needs: tokenization,
+language ID, quality scoring, fingerprinting. All are built from
+JVM-side ``pyspark.sql.functions`` — no Python UDFs in any hot path,
+so they run inside whole-stage codegen at full scan speed.
+
+Tokenization contract (shared with the DuckDB oracles): split on
+single spaces, no lowercasing, no punctuation stripping unless the
+specific function says so. Keeping the contract trivial is what makes
+the oracle checks exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Real pipelines use fastText/CLD3; the point
+# here is the Spark plumbing: a pure-column-expression classifier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["la", "el", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens. ``split`` on a single space to match the
+    oracle's ``string_split(text, ' ')`` exactly."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored token estimate: count word pieces after splitting
+    words longer than 4 chars into 4-char chunks (≈ GPT-2's ~4
+    chars/token heuristic), computed as ceil(len/4) summed via
+    aggregate — still pure column expressions."""
+    t = tokens(text)
+    return F.aggregate(
+        t,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined), the MinHash/Jaccard
+    input unit. transform over a sequence of start offsets keeps this
+    JVM-side."""
+    t = tokens(text)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    sh = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    )
+    # A doc shorter than n words yields its full text as one shingle.
+    return F.array_distinct(
+        F.when(F.size(t) >= n, sh).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-marker language ID: for each language, count marker
+    words present in the token set; argmax wins, 'und' when no marker
+    hits. Deterministic tie-break: language key ascending."""
+    t = F.array_distinct(tokens(text))
+    scores = [
+        (
+            lang,
+            F.size(
+                F.array_intersect(t, F.array(*[F.lit(w) for w in markers]))
+            ),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Strict '>' means the first-processed language keeps a tied
+    # score, so processing in ascending key order makes ties resolve
+    # to the alphabetically smallest language.
+    for lang, score in scores:
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Heuristic document-quality features (Gopher/C4-style filters):
+    token count, mean word length, alpha ratio, stopword ratio, and a
+    composite keep-score. All closed-form column expressions."""
+    txt = F.col(text) if isinstance(text, str) else text
+    t = tokens(txt)
+    n_tok = F.size(t)
+    n_chars = F.length(txt)
+    alpha_chars = F.length(F.regexp_replace(txt, "[^a-zA-Z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": mean_word_len,
+        "alpha_ratio": alpha_chars / n_chars,
+        "stopword_ratio": n_stop / n_tok,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite 0..1 keep-score from ``quality_features`` — a linear
+    blend clamped to [0,1]; thresholds follow C4-style heuristics
+    (docs too short / too-long words / no stopwords are low quality).
+    """
+    f = quality_features(text)
+    raw = (
+        F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0)) * 0.4
+        + f["alpha_ratio"] * 0.3
+        + F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return F.round(raw, 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Cross-engine reproducible (oracle uses the same
+    expression); the scale path for exact near-normalized dedup."""
+    txt = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(F.trim(txt), "\\s+", " "))
+    return F.md5(norm)

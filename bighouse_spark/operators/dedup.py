@@ -1,0 +1,302 @@
+"""Deduplication operators for document-scale training pipelines.
+
+Extension surface beyond the reference (which ships no dedup of its
+own — delegation to ClickHouse SQL only). Everything is expressed as
+DataFrame compositions so Catalyst owns the physical plan; the shapes
+are chosen for 100 TB:
+
+* **exact**: groupBy on a content hash — one shuffle on a
+  high-cardinality, well-distributed key. No skew by construction
+  (md5 keys are uniform).
+* **MinHash + LSH**: per-doc signature computed scan-side (one
+  projection, no shuffle), banded into (band, band-hash) bucket keys,
+  exploded, and self-joined on bucket. The candidate join is the only
+  shuffle, and it shuffles *bucket keys*, not documents² — the whole
+  point of LSH. Verification (exact Jaccard) runs only on candidate
+  pairs.
+* **SimHash**: 64-bit signature scan-side; candidates = identical
+  16-bit bands (4-band split ⇒ finds all pairs within Hamming
+  distance 3); verify by Hamming distance.
+* **n-gram Jaccard**: exact pairwise similarity restricted to
+  candidate buckets (cheap prefix key) — the brute-force oracle-
+  checkable variant.
+
+All hash functions derive from ``xxhash64(shingle, seed)`` with fixed
+integer seeds → fully deterministic across runs/partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bighouse_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact text value.
+
+    Single shuffle on md5(text); at 100 TB prefer this over
+    ``dropDuplicates([text_col])`` because the shuffle key is a fixed
+    32-byte hash, not the full document payload.
+    """
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup after whitespace/case normalization (md5 rolling
+    fingerprint from ``functions.text.fingerprint``)."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). Pure column expressions → computed in the
+    scan stage, no Python."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact verified
+    Jaccard ≥ threshold. With 32 hashes / 8 bands the LSH s-curve
+    crosses ~50% recall at J≈0.7; tune (num_hashes, bands) per corpus.
+
+    Scale shape: signatures and band keys are computed map-side; the
+    only shuffles are (1) explode+self-join on band buckets and (2)
+    the verify join to fetch shingle sets for candidates. Bucket skew
+    (a boilerplate shingle shared by millions of docs) is the known
+    failure mode — AQE skew-join handles moderate skew; severe skew
+    should cap bucket size upstream.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = docs.select(
+        "id", _minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+
+    band_keys = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+    cand = (
+        band_keys.alias("a")
+        .join(
+            band_keys.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    verified = (
+        cand.join(docs.withColumnRenamed("shingles", "sh_a"), cand.id_a == docs.id)
+        .drop("id")
+        .join(
+            docs.withColumnRenamed("shingles", "sh_b").withColumnRenamed(
+                "id", "id2"
+            ),
+            cand.id_b == F.col("id2"),
+        )
+        .drop("id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(shingles: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from shingle hashes: bit b of the signature is 1
+    iff the count of shingles whose xxhash64 has bit b set exceeds
+    half the shingle count. Implemented with bit arithmetic over a
+    transform/aggregate — all JVM-side."""
+    n = F.size(shingles)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    bit_cols = []
+    for b in range(bits):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
+        )
+        bit_cols.append(
+            F.when(ones * 2 > n, F.lit(1).cast("long") * F.lit(2**b if b < 63 else -(2**63))).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding.
+
+    Splitting the 64-bit signature into 4 × 16-bit bands guarantees any
+    pair within Hamming distance 3 shares at least one exact band
+    (pigeonhole), so candidates = equality join per band — the same
+    bucket-shuffle shape as MinHash LSH. Verify with popcount of XOR.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = docs.select("id", simhash(F.col("shingles")).alias("sig"))
+
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sig", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index (no LSH approximation — this is the oracle-checkable exact
+    variant).
+
+    Shape: explode doc→shingle, self-join on shingle to count
+    intersections, join back doc shingle counts, filter on
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ t. The shuffle key is the shingle — at
+    scale, drop top-frequency shingles (stopword boilerplate) first;
+    here df-side filtering keeps shingles occurring in <50% of docs.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sizes = docs.select("id", F.size("shingles").alias("n_sh"))
+    inv = docs.select("id", F.explode("shingles").alias("sh"))
+
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            on=[F.col("a.sh") == F.col("b.sh"), F.col("a.id") < F.col("b.id")],
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,257 @@
+"""Training-data text pipeline over the ``documents`` fixture:
+deduplication (exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash) and text analysis (language ID, quality scoring, token
+stats, fingerprinting).
+
+Oracle-checked where the computation is SQL-expressible; the LSH
+variants are engine-specific (xxhash64 signatures) and get rows-only
+driver checks plus semantic tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bighouse_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from bighouse_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bighouse_spark.queries.registry import query, t
+
+
+# Exact dedup groups: content-hash groupBy, keep min doc_id.
+@query(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS dup_key, min(doc_id) AS keep_id,
+       count(*) AS group_size
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("dup_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+# Fingerprint dedup: whitespace/case-normalized md5.
+@query(
+    "dedup_fingerprint",
+    oracle="""
+SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+         AS n_unique,
+       count(*) AS n_docs
+FROM documents
+""",
+)
+def dedup_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count_distinct(fingerprint("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# Exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted
+# index — the oracle-checkable exact variant.
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM d
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.6)
+
+
+# MinHash + LSH near-dup pairs — the 100 TB scale path. Signature
+# hashes are engine-specific (xxhash64) → rows-only driver check;
+# recall/precision vs exact Jaccard asserted in tests/.
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    return minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.5
+    )
+
+
+# SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 2
+    )
+    return simhash_pairs(docs, shingle_n=2, max_hamming=3)
+
+
+# Language ID: stopword-marker argmax (ties → alphabetically first,
+# no hits → 'und'). The oracle replicates the heuristic exactly.
+@query(
+    "text_language_id",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['der','die','und','das','ein'])) AS s_de,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['the','and','of','to','a'])) AS s_en,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['la','el','de','que','y'])) AS s_es,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['le','la','de','et','un'])) AS s_fr,
+    len(list_intersect(list_distinct(string_split(text,' ')),
+        ['的','是','了','在','我'])) AS s_zh
+  FROM documents
+)
+SELECT pred_lang, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM scored) x
+GROUP BY pred_lang
+""",
+)
+def text_language_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# Per-document quality features + composite score (C4/Gopher-style
+# heuristics). All closed-form; oracle replicates operand-for-operand.
+@query(
+    "text_quality_scores",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / length(text), 6) AS alpha_ratio,
+  round(len(list_filter(string_split(text, ' '),
+        w -> list_contains(['the','a','an','and','or','of','to','in','is',
+                            'it','that','for','on','with','as','at','by',
+                            'from'], w)))
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+        + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / length(text)) * 0.3
+        + least((len(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','an','and','or','of','to','in',
+                                'is','it','that','for','on','with','as',
+                                'at','by','from'], w)))
+            / len(string_split(text, ' '))) * 5.0, 1.0) * 0.3, 6)
+    AS quality
+FROM documents
+""",
+)
+def text_quality_scores(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# Corpus token statistics: whitespace + BPE-ish counts.
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+       (SELECT count(DISTINCT w) FROM
+         (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u)
+         AS distinct_tokens,
+       CAST(sum(list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(ceil(length(w) / 4.0) AS INT)))) AS BIGINT)
+         AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    stats = docs.agg(
+        F.sum(token_count("text").cast("bigint")).alias("total_tokens"),
+        F.max(token_count("text").cast("bigint")).alias("max_tokens"),
+        F.sum(bpe_ish_token_count("text").cast("bigint")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+    distinct = words.agg(F.count_distinct("w").alias("distinct_tokens"))
+    return stats.crossJoin(distinct).select(
+        "total_tokens", "max_tokens", "distinct_tokens", "bpe_ish_tokens"
+    )
+
+
+# Document fingerprint profile: distinct normalized fingerprints.
+@query(
+    "text_fingerprints",
+    oracle="""
+SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+         AS n_fingerprints,
+       min(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+         AS min_fp,
+       max(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+         AS max_fp
+FROM documents
+""",
+)
+def text_fingerprints(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    return docs.agg(
+        F.count_distinct(fp).alias("n_fingerprints"),
+        F.min(fp).alias("min_fp"),
+        F.max(fp).alias("max_fp"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over the ``embeddings`` fixture + multimodal
+binary-column plumbing over ``documents``.
+
+Brute-force cosine top-k is the exact baseline (oracle: DuckDB
+``list_cosine_similarity``); the SRP-LSH variant is the scale path
+(rows-only check; recall vs brute force asserted in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bighouse_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from bighouse_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from bighouse_spark.queries.registry import query, t
+
+
+# Exact cosine top-5 neighbors for query vectors vec_id < 5.
+# Similarities rounded to 6 dp before ranking so rank order is
+# reproducible across engines; ties break on neighbor_id.
+@query(
+    "ann_brute_force_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(cv, qv), 6) AS sim
+  FROM c, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+""",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
+    )
+
+
+# SRP-LSH bucketed ANN — touches ~1/2^bits of the corpus per query.
+# Bucket assignment depends on generated hyperplanes → rows-only check.
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = lsh_ann_topk(emb, queries, k=5, bits=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
+    )
+
+
+# Embedding-based near-duplicate detection: pairs with cosine ≥ 0.95
+# (the embedding-cosine dedup flavor; exact, oracle-checked).
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from bighouse_spark.functions.vectors import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(sim >= 0.95)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+# Multimodal plumbing: wrap documents as binary media, run the
+# Arrow-batched mapInPandas feature extractor, aggregate. The byte
+# counts and payload hashes are real; the codec is the documented stub.
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT count(*) AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_unique_payloads
+FROM documents
+""",
+)
+def multimodal_features(spark, sf_dir):
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("payload_hash").alias("n_unique_payloads"),
+    )

@@ -1,0 +1,66 @@
+"""Table catalog over parquet directories.
+
+The reference "attaches" shared tables from object storage (ATTACH
+over a web disk, reference
+``temporal/workflow_query_executor_test.go:85``); the Spark analog is
+a catalog of parquet locations registered as temp views so every
+query sees the same named tables cluster-wide (``ON CLUSTER`` DDL is
+vacuous in Spark — the catalog already is cluster-wide).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixtures. Spark has no
+# nanosecond timestamp type; read them as long and truncate to
+# microseconds (identical to DuckDB's ns→µs handling).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Parquet is self-describing, so schema
+    inference is exact and column pruning / predicate pushdown reach
+    the scan (the MergeTree-column-file analog)."""
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for c in nanos_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``
+    entry points (the ATTACH path, SURVEY.md §2 B5)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

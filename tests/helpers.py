@@ -1,0 +1,64 @@
+"""Oracle-compare helper mimicking the driver's check: row count +
+column names + order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # Collapse float noise below the comparison threshold.
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def compare_frames(spark_df, duck_rel, check_names: bool = True) -> None:
+    """Assert the Spark result and the DuckDB relation are equal as
+    unordered multisets, with columns aligned by sorted name (the
+    driver's comparison semantics)."""
+    s_cols = list(spark_df.columns)
+    d_cols = list(duck_rel.columns)
+    if check_names:
+        assert sorted(s_cols) == sorted(d_cols), (
+            f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        )
+    s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+
+    def sort_key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+    s_rows = sorted(
+        (tuple(_norm(row[i]) for i in s_order) for row in spark_df.collect()),
+        key=sort_key,
+    )
+    d_rows = sorted(
+        (tuple(_norm(row[i]) for i in d_order) for row in duck_rel.fetchall()),
+        key=sort_key,
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        assert a == b, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
