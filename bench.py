@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set mirrors the reference's benchmark suite (BASELINE.md):
+sum/GROUP BY (github_events shape), uniq, whole-table hash checksum
+(cityHash64 shape), bare count (taxi shape) — plus the heavy extension
+operators (TPC-H joins, as-of, MinHash LSH, ANN, session windows) that
+define this engine's 100 TB posture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+HEADLINE = [
+    "sum_group_by",
+    "uniq_approx",
+    "checksum_xxhash64",
+    "count_star",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_topk_per_group",
+    "window_session_10m",
+    "asof_join_purchase_click",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+]
+
+
+def main() -> None:
+    from bighouse_spark.queries import all_queries
+    from bighouse_spark.session import get_spark
+
+    spark = get_spark(app_name="bighouse-bench", cpus=CPUS,
+                      shuffle_partitions=CPUS)
+    queries = all_queries()
+
+    # Warm the JVM + file listing once so per-query numbers measure
+    # execution, not first-touch JIT (the reference similarly reports
+    # warm-cache reruns, README.md:93-94).
+    queries["count_star"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        queries[name](spark, SF_DIR).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

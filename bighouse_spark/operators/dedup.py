@@ -66,12 +66,17 @@ def fingerprint_dedup(
 
 def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Pure column expressions → computed in the
-    scan stage, no Python."""
+    xxhash64(shingle, i). Built as ``F.array`` of independent min-hash
+    expressions — NOT ``transform(sequence(...))`` — so that downstream
+    ``element_at(sig, k)`` references constant-fold to the single k-th
+    expression (Catalyst's SimplifyExtractValueOps); with an opaque
+    transform every band-key reference would recompute all
+    ``num_hashes`` mins (measured 7× slower end-to-end). Pure column
+    expressions → computed in the scan stage, no Python."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
@@ -103,10 +108,18 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    # (id, shingles) is read 4× (both self-join sides + both verify
+    # sides); persist it so shingling runs once. At cluster scale this
+    # is the standard signature-table materialization (MEMORY_AND_DISK
+    # spills instead of OOMing on wide corpora).
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
     sigs = docs.select(
         "id", _minhash_signature(F.col("shingles"), num_hashes).alias("sig")
     )
@@ -210,7 +223,9 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    sigs = docs.select("id", simhash(F.col("shingles")).alias("sig"))
+    # Persist signatures: referenced by both sides of the band
+    # self-join, and the 64-bit-count expression is wide.
+    sigs = docs.select("id", simhash(F.col("shingles")).alias("sig")).persist()
 
     bands = sigs.select(
         "id",
@@ -274,10 +289,14 @@ def ngram_jaccard_pairs(
     scale, drop top-frequency shingles (stopword boilerplate) first;
     here df-side filtering keeps shingles occurring in <50% of docs.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .where(F.size("shingles") > 0)
+        .persist()  # feeds sizes once + the inverted index twice
+    )
     sizes = docs.select("id", F.size("shingles").alias("n_sh"))
     inv = docs.select("id", F.explode("shingles").alias("sh"))
 
