@@ -92,34 +92,60 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 4,
+    tables: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP-bucket both sides, join on bucket,
-    rank within. Recall < 1 by design; with 4 bits each query touches
-    ~1/16 of the corpus. Returns (query_id, neighbor_id, rank, sim).
+    """Approximate cosine top-k: multi-table SRP LSH.
+
+    ``tables`` independent hyperplane sets each bucket the corpus into
+    2^bits cells; a (query, vector) pair becomes a candidate if they
+    collide in ANY table — recall ≈ 1-(1-p^bits)^tables, the standard
+    L-tables recall lever. Each query touches ~tables/2^bits of the
+    corpus. Returns (query_id, neighbor_id, rank, sim).
+
+    Scale shape: bucket keys are computed scan-side; the join shuffles
+    (table, bucket) keys with the small query side broadcast, and the
+    candidate set is deduped before scoring so a pair colliding in
+    several tables is scored once.
     """
-    planes = _hyperplanes(dim, bits, seed)
+
+    def bucket_array(vec):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _srp_bucket(
+                        vec, _hyperplanes(dim, bits, seed + t)
+                    ).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        _srp_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
+        F.explode(bucket_array(F.col(vec_col))).alias("__bk"),
+    ).select("neighbor_id", "__cvec", "__bk.tbl", "__bk.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        _srp_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "__bucket")
+        F.explode(bucket_array(F.col(vec_col))).alias("__bk"),
+    ).select("query_id", "__qvec", "__bk.tbl", "__bk.bucket")
+
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
-            ).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", "__cvec", "__qvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

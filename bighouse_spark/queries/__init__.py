@@ -14,8 +14,10 @@ from bighouse_spark.queries.registry import all_queries, all_oracles, get
 
 # Side-effect imports: each module registers its queries.
 from bighouse_spark.queries import (  # noqa: F401
+    aggregates,
     reference_surface,
     relational,
+    relational2,
     timeseries,
     textops,
     vectorops,

@@ -1,0 +1,191 @@
+"""Unit + property tests for the ClickHouse-dialect frontend."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from bighouse_spark.dialect.globs import expand_braces
+from bighouse_spark.dialect.schema import ch_type_to_spark, parse_schema_string
+from bighouse_spark.dialect.transpile import (
+    _find_call,
+    _strip_settings,
+    _wrap_calls,
+    transpile,
+)
+
+
+class TestGlobs:
+    def test_no_braces(self):
+        assert expand_braces("s3a://b/x.parquet") == ["s3a://b/x.parquet"]
+
+    def test_simple_range(self):
+        assert expand_braces("f-{1..3}.csv") == [
+            "f-1.csv",
+            "f-2.csv",
+            "f-3.csv",
+        ]
+
+    def test_zero_padded(self):
+        # The reference uses data-{2009..2016}{01..12}.csv.gz
+        # (workflow_query_executor_test.go:63-65).
+        out = expand_braces("d-{2009..2010}{01..12}.csv.gz")
+        assert len(out) == 24
+        assert out[0] == "d-200901.csv.gz"
+        assert out[-1] == "d-201012.csv.gz"
+
+    def test_alternation_left_intact(self):
+        # {a,b} is Hadoop-native; only {a..b} expands here.
+        assert expand_braces("h_{0,1}.parquet") == ["h_{0,1}.parquet"]
+
+    @given(
+        lo=st.integers(0, 50),
+        n=st.integers(0, 30),
+        pad=st.booleans(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_range_property(self, lo, n, pad):
+        hi = lo + n
+        width = len(str(hi)) + (1 if pad else 0)
+        a, b = str(lo).zfill(width), str(hi).zfill(width)
+        out = expand_braces(f"x-{{{a}..{b}}}.csv")
+        assert len(out) == n + 1
+        assert len(set(out)) == n + 1  # all distinct
+        assert out[0] == f"x-{a}.csv"
+        assert out[-1] == f"x-{b}.csv"
+
+
+class TestSchemaParser:
+    def test_reference_taxi_schema(self):
+        # Subset of the NYC-taxi schema embedded in the reference
+        # (workflow_query_executor_test.go:44).
+        st_ = parse_schema_string(
+            "pickup_date Date, id UInt64, vendor_id String, "
+            "tpep_pickup_datetime DateTime, passenger_count UInt8, "
+            "trip_distance Float32, payment_type LowCardinality(String)"
+        )
+        assert st_["pickup_date"].dataType == T.DateType()
+        assert st_["id"].dataType == T.LongType()
+        assert st_["tpep_pickup_datetime"].dataType == T.TimestampType()
+        assert st_["passenger_count"].dataType == T.ShortType()  # widened
+        assert st_["trip_distance"].dataType == T.FloatType()
+        assert st_["payment_type"].dataType == T.StringType()
+
+    def test_github_events_types(self):
+        # From the ATTACH DDL (workflow_query_executor_test.go:85).
+        assert ch_type_to_spark("Enum8('CommitCommentEvent' = 1)") == T.StringType()
+        assert ch_type_to_spark("Array(LowCardinality(String))") == T.ArrayType(
+            T.StringType()
+        )
+        assert ch_type_to_spark("UInt32") == T.LongType()
+        assert ch_type_to_spark("Int32") == T.IntegerType()
+
+    def test_composites(self):
+        assert ch_type_to_spark("Nullable(Int64)") == T.LongType()
+        assert ch_type_to_spark("Map(String, UInt64)") == T.MapType(
+            T.StringType(), T.LongType()
+        )
+        assert ch_type_to_spark("Decimal(20, 4)") == T.DecimalType(20, 4)
+        tup = ch_type_to_spark("Tuple(a Int32, b String)")
+        assert isinstance(tup, T.StructType)
+        assert tup["a"].dataType == T.IntegerType()
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(ValueError, match="unsupported"):
+            ch_type_to_spark("Geo3DPolygonThing")
+
+    def test_empty_schema_raises(self):
+        with pytest.raises(ValueError):
+            parse_schema_string("   ")
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True),
+                st.sampled_from(
+                    ["Int32", "UInt64", "String", "Float64", "Date",
+                     "Array(String)", "Nullable(Int8)"]
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda kv: kv[0],
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_field_names(self, fields):
+        s = ", ".join(f"{name} {typ}" for name, typ in fields)
+        parsed = parse_schema_string(s)
+        assert [f.name for f in parsed.fields] == [name for name, _ in fields]
+
+
+class TestTranspileText:
+    def test_count_rewrite(self):
+        r = transpile("SELECT count() FROM x")
+        assert r.sql == "SELECT count(*) FROM x"
+
+    def test_function_renames(self):
+        r = transpile("SELECT uniq(a), toUInt32(b), toDate(c) FROM x")
+        assert "approx_count_distinct(a)" in r.sql
+        assert "CAST(b AS BIGINT)" in r.sql
+        assert "to_date(c)" in r.sql
+
+    def test_cityhash_checksum_wrapped(self):
+        r = transpile("SELECT sum(cityHash64(a, b)) FROM x")
+        assert "CAST(xxhash64(a, b) AS DECIMAL(38,0))" in r.sql
+
+    def test_settings_stripped_and_mapped(self):
+        sql, mapped, dropped = _strip_settings(
+            "SELECT 1 SETTINGS max_parallel_replicas=10, "
+            "use_hedged_requests=0"
+        )
+        assert sql == "SELECT 1"
+        assert mapped == {"spark.sql.shuffle.partitions": "10"}
+        assert dropped == {"use_hedged_requests": "0"}
+
+    def test_format_suffix_stripped(self):
+        assert transpile("SELECT 1 FORMAT JSONEachRow").sql == "SELECT 1"
+
+    def test_find_call_nested_parens_and_quotes(self):
+        sql = "SELECT s3('http://x/a(1).csv', 'CSV', 'a Int32, b String')"
+        start, end, args = _find_call(sql, "s3")
+        assert args == ["'http://x/a(1).csv'", "'CSV'", "'a Int32, b String'"]
+
+    def test_find_call_unbalanced_raises(self):
+        with pytest.raises(ValueError, match="unbalanced"):
+            _find_call("SELECT s3('x'", "s3")
+
+    def test_wrap_calls_multiple(self):
+        out = _wrap_calls(
+            "cityHash64(a) + cityHash64(b)", "cityHash64", "H(", ")"
+        )
+        assert out == "H(a) + H(b)"
+
+    def test_table_function_without_session_raises(self):
+        with pytest.raises(ValueError, match="requires a SparkSession"):
+            transpile("SELECT count(*) FROM s3('http://x/y.csv')")
+
+
+class TestTranspileWithSession:
+    def test_file_table_function(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        r = transpile(
+            f"SELECT count() AS c FROM file('file://{p}', 'CSVWithNames', "
+            "'a Int32, b String')",
+            spark,
+        )
+        assert r.views == ["__bh_src_0"]
+        assert spark.sql(r.sql).collect()[0][0] == 2
+
+    def test_s3cluster_macro_erased(self, spark, tmp_path):
+        p = tmp_path / "u.csv"
+        p.write_text("a\n5\n6\n7\n")
+        r = transpile(
+            "SELECT sum(a) AS s FROM s3Cluster('{cluster}', "
+            f"'file://{p}', 'CSVWithNames', 'a Int64')",
+            spark,
+        )
+        assert spark.sql(r.sql).collect()[0][0] == 18

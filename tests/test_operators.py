@@ -1,0 +1,237 @@
+"""Semantic tests for operators whose driver check is rows-only
+(engine-specific hashes / approximations): LSH recall vs exact
+Jaccard, SimHash, ANN recall vs brute force, approx-agg error bounds,
+as-of join edge cases, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bighouse_spark.operators.asof import asof_join
+from bighouse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bighouse_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from bighouse_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from bighouse_spark.sources.catalog import load_table
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)]
+    )
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _sentence(seed: int, n: int = 30) -> str:
+    # Deterministic pseudo-text without random module state leakage.
+    return " ".join(WORDS[(seed * 7 + i * 3) % len(WORDS)] for i in range(n))
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_duplicate_group(self, spark):
+        df = _docs(spark, ["same text", "same text", "other", "same text"])
+        out = exact_dedup(df).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [0, 2]
+
+    def test_no_dupes_passthrough(self, spark):
+        df = _docs(spark, ["a b", "c d", "e f"])
+        assert exact_dedup(df).count() == 3
+
+
+class TestMinHashLSH:
+    def test_finds_planted_near_duplicates(self, spark):
+        base = _sentence(1, 40)
+        near = base.rsplit(" ", 2)[0] + " zeta kappa"  # ~95% same shingles
+        far = _sentence(2, 40)
+        df = _docs(spark, [base, near, far, _sentence(3, 40)])
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
+        assert pairs[0].jaccard > 0.8
+
+    def test_recall_vs_exact_jaccard(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").where(
+            F.size(F.split("text", " ")) >= 3
+        )
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.5
+            ).collect()
+        }
+        if exact:
+            recall = len(exact & lsh) / len(exact)
+            # 32 hashes / 8 bands: s-curve is ~0.97 at J=0.7.
+            assert recall >= 0.8, f"LSH recall {recall} too low"
+
+    def test_precision_no_false_positives_above_threshold(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").where(
+            F.size(F.split("text", " ")) >= 3
+        )
+        # Verified Jaccard in the output must itself be >= threshold —
+        # LSH candidates below it are filtered by the verify step.
+        bad = (
+            minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+            .where(F.col("jaccard") < 0.5)
+            .count()
+        )
+        assert bad == 0
+
+
+class TestSimHash:
+    def test_identical_docs_distance_zero(self, spark):
+        # The far doc uses a disjoint vocabulary — same-vocab cyclic
+        # sentences share nearly all shingles and legitimately match.
+        far = " ".join(f"w{i % 17}x w{(i * 5) % 13}y" for i in range(15))
+        df = _docs(spark, [_sentence(5), _sentence(5), far])
+        out = simhash_pairs(df, max_hamming=3).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+        assert out[0].hamming == 0
+
+    def test_deterministic_across_runs(self, spark):
+        df = _docs(spark, [_sentence(i) for i in range(6)])
+        a = sorted(map(tuple, simhash_pairs(df).collect()))
+        b = sorted(map(tuple, simhash_pairs(df).collect()))
+        assert a == b
+
+
+class TestANN:
+    def test_lsh_recall_vs_brute_force(self, spark):
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        queries = emb.where(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_ann_topk(
+                emb, queries, k=5, bits=4, tables=4, dim=64
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # 4 tables × 4 bits touches ~25% of the corpus per query; the
+        # semantic contract is recall far above the ~6% chance line.
+        assert recall >= 0.35, f"ANN recall {recall} too low"
+
+    def test_brute_force_excludes_self_and_ranks(self, spark):
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        queries = emb.where(F.col("vec_id") == 0)
+        out = brute_force_topk(emb, queries, k=5).orderBy("rank").collect()
+        assert len(out) == 5
+        assert all(r.neighbor_id != 0 for r in out)
+        assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+        sims = [r.sim for r in out]
+        assert sims == sorted(sims, reverse=True)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                Row(k="a", t=10, lv="L10"),
+                Row(k="a", t=20, lv="L20"),
+                Row(k="b", t=5, lv="L5"),
+            ]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(k="a", t=10, rv="R10"),
+                Row(k="a", t=15, rv="R15"),
+                Row(k="b", t=9, rv="R9"),
+            ]
+        )
+        return left, right
+
+    def test_non_strict_includes_equal_timestamp(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            (r.k, r.t): r.rv
+            for r in asof_join(
+                left, right, on=["k"], left_time="t", right_time="t",
+                right_values=["rv"],
+            ).collect()
+        }
+        assert out[("a", 10)] == "R10"  # equal ts matches
+        assert out[("a", 20)] == "R15"  # latest prior
+        assert out[("b", 5)] is None  # right row is in the future
+
+    def test_strict_excludes_equal_timestamp(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            (r.k, r.t): r.rv
+            for r in asof_join(
+                left, right, on=["k"], left_time="t", right_time="t",
+                right_values=["rv"], strict=True,
+            ).collect()
+        }
+        assert out[("a", 10)] is None  # strictly-before only
+        assert out[("a", 20)] == "R15"
+
+    def test_left_rows_preserved(self, spark):
+        left, right = self._frames(spark)
+        joined = asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            right_values=["rv"],
+        )
+        assert joined.count() == left.count()
+
+
+class TestMultimodal:
+    def test_extract_features_schema_and_bytes(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+        feats = extract_features(documents_as_media(docs))
+        rows = feats.collect()
+        assert len(rows) == 50
+        r = rows[0]
+        assert r.modality == "image"
+        assert r.n_bytes > 0
+        assert len(r.payload_hash) == 32
+        assert len(r.feature) == 8  # stub feature dim
+
+    def test_feature_deterministic(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").limit(10)
+        media = documents_as_media(docs)
+        a = sorted((r.media_id, tuple(r.feature)) for r in extract_features(media).collect())
+        b = sorted((r.media_id, tuple(r.feature)) for r in extract_features(media).collect())
+        assert a == b
+
+    def test_frame_sample_explodes(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").limit(5)
+        frames = frame_sample(documents_as_media(docs), every_n=1)
+        assert frames.count() >= 5  # >=1 stub frame per payload
+        assert frames.columns == ["media_id", "frame_idx", "frame_hash"]
+
+
+class TestApproxBounds:
+    def test_approx_count_distinct_within_5pct(self, spark):
+        ev = load_table(spark, SF_CORRECT, "events")
+        exact = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+        approx = ev.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+        assert abs(approx - exact) / exact < 0.05
+
+    def test_percentile_approx_close_to_exact(self, spark):
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        exact = li.agg(
+            F.percentile("l_extendedprice", F.lit(0.5))
+        ).collect()[0][0]
+        approx = li.agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+        ).collect()[0][0]
+        assert abs(approx - exact) / exact < 0.02
