@@ -105,6 +105,42 @@ class BigHouseEngine:
             )
             raise
 
+    def execute_to_sink(
+        self,
+        request: QueryRequest | str,
+        path: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Run the query and write the result to a parquet/csv/json
+        directory instead of collecting — the reference's unbuilt
+        "TODO: Return S3 url" result sink
+        (``temporal/workflow_query_executor.go:94``).
+
+        This is the 100 TB-safe result path: ``collect()`` caps results
+        at driver memory; a distributed write doesn't. ``partition_by``
+        lays out the result for downstream partition pruning.
+        """
+        if isinstance(request, str):
+            request = QueryRequest(query=request)
+        t0 = time.monotonic()
+        for init in request.init_queries:
+            init_t = transpile(init, self.spark)
+            if init_t.sql.strip():
+                self.spark.sql(init_t.sql)
+        result = transpile(request.query, self.spark)
+        df = self.spark.sql(result.sql)
+        writer = df.write.format(fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(request.query, result.sql, elapsed, -1)
+        )
+        return {"path": path, "cols": df.columns, "elapsed_sec": elapsed}
+
     def health_check(self) -> bool:
         """``GET /hc`` analog (``http_server/http_server.go:50,83-85``)."""
         return self.spark.sql("SELECT 1").collect()[0][0] == 1

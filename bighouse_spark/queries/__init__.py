@@ -21,6 +21,7 @@ from bighouse_spark.queries import (  # noqa: F401
     timeseries,
     textops,
     vectorops,
+    windows2,
 )
 
 __all__ = ["all_queries", "all_oracles", "get"]
