@@ -20,6 +20,7 @@ from bighouse_spark.queries import (  # noqa: F401
     relational2,
     timeseries,
     textops,
+    tpch2,
     vectorops,
     windows2,
 )
