@@ -1,0 +1,143 @@
+"""HTTP service shell — the query endpoint the reference implies but
+never wired (its Echo server registers only ``GET /hc``,
+``http_server/http_server.go:50``; queries enter via Temporal with
+``QueryExecutorInput`` → ``{Cols, Rows}``,
+``temporal/workflow_query_executor.go:30-40``).
+
+Framework-free (stdlib ``http.server``) because the container has no
+web framework and the surface is three routes:
+
+- ``POST /query``  — body ``{"query": str, "init_queries": [str],
+  "num_nodes": int?, "cores": int?}`` → ``{"cols": [...], "rows":
+  [[...]], "elapsed_sec": f}``; errors → 400 with ``{"error": ...}``.
+- ``POST /query/sink`` — same body plus ``{"path": str, "format":
+  str?, "partition_by": [str]?}`` → distributed write, no collect —
+  the 100 TB result path (reference's "TODO: Return S3 url",
+  ``temporal/workflow_query_executor.go:94``).
+- ``GET /hc``      — health check (``http_server/http_server.go:83-85``).
+- ``GET /query_log`` — the ``system.query_log`` analog
+  (``ch/config.xml:932``).
+
+One process = one warm SparkSession (the reference's own numbers show
+per-query cluster spin-up halving fast-query throughput,
+``README.md:58,104``). The server is threaded; Spark's scheduler
+interleaves concurrent jobs on its own.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import asdict
+from datetime import date, datetime
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+
+def _json_default(o: Any) -> Any:
+    if isinstance(o, (datetime, date)):
+        return o.isoformat()
+    if isinstance(o, Decimal):
+        return float(o)
+    if isinstance(o, bytes):
+        return o.hex()
+    return str(o)
+
+
+def _dumps(payload: Any) -> bytes:
+    return json.dumps(payload, default=_json_default).encode("utf-8")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: BigHouseEngine  # set by make_server
+
+    def log_message(self, *args: Any) -> None:  # silence default stderr log
+        pass
+
+    def _send(self, code: int, payload: Any) -> None:
+        body = _dumps(payload)
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:
+        if self.path == "/hc":
+            ok = self.engine.health_check()
+            self._send(200 if ok else 500, {"ok": ok})
+        elif self.path == "/query_log":
+            self._send(200, [asdict(e) for e in self.engine.query_log])
+        else:
+            self._send(404, {"error": f"no route {self.path}"})
+
+    def _read_request(self) -> dict[str, Any]:
+        length = int(self.headers.get("Content-Length", "0"))
+        return json.loads(self.rfile.read(length) or b"{}")
+
+    def do_POST(self) -> None:
+        if self.path not in ("/query", "/query/sink"):
+            self._send(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            body = self._read_request()
+            req = QueryRequest(
+                query=body["query"],
+                init_queries=body.get("init_queries", []),
+                num_nodes=body.get("num_nodes"),
+                cores=body.get("cores"),
+            )
+        except (KeyError, json.JSONDecodeError) as e:
+            self._send(400, {"error": f"bad request: {e!r}"})
+            return
+        try:
+            if self.path == "/query":
+                self._send(200, self.engine.execute(req).to_dict())
+            else:
+                meta = self.engine.execute_to_sink(
+                    req,
+                    path=body["path"],
+                    fmt=body.get("format", "parquet"),
+                    partition_by=body.get("partition_by"),
+                )
+                self._send(200, meta)
+        except Exception as e:  # engine already logged it in query_log
+            self._send(400, {"error": str(e)[:2000]})
+
+
+def make_server(
+    engine: BigHouseEngine | None = None, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port.
+    Caller runs ``serve_forever`` (or ``start_in_background``)."""
+    engine = engine or BigHouseEngine()
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def start_in_background(
+    engine: BigHouseEngine | None = None, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    server = make_server(engine, host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    import argparse
+
+    ap = argparse.ArgumentParser(description="BigHouse-Spark query service")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8123)
+    args = ap.parse_args()
+    server = make_server(host=args.host, port=args.port)
+    print(f"bighouse-spark listening on {args.host}:{server.server_port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

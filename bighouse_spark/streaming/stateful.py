@@ -1,0 +1,103 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY.md §2: "Not present
+anywhere, in any form: streaming"); this is the extension surface a
+training-data pipeline needs: per-key running state across
+micro-batches (counters, rolling means for drift detection) and
+in-stream deduplication.
+
+Scale notes:
+- State lives in the state store partitioned by the grouping key —
+  the same hash partitioning as the shuffle that precedes it, so no
+  extra exchange. Per-key state here is O(1) (a few scalars), never a
+  buffer of rows, so a billion keys is bounded by keys × ~100 B.
+- ``streaming_dedup`` uses ``dropDuplicatesWithinWatermark``: state
+  is evicted once the watermark passes, which is what makes exact
+  streaming dedup feasible on an unbounded stream (the batch-side
+  exact/minhash dedup lives in ``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("mean_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def _running_stats_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (n, s) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            "mean_value": [s / n if n else None],
+        }
+    )
+
+
+def running_user_stats(
+    events: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Per-key running count/sum/mean maintained across micro-batches.
+
+    Arrow-batched (pandas per group-in-batch), constant-size state per
+    key. Output mode must be ``update``.
+    """
+    return events.groupBy(key).applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact in-stream dedup with bounded state: duplicates arriving
+    within ``watermark`` of each other are dropped; state for keys
+    older than the watermark is evicted."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

@@ -1,0 +1,113 @@
+"""Stateful streaming e2e: applyInPandasWithState running stats must
+converge (after all micro-batches) to the batch groupBy answer, and
+state must actually carry across micro-batches (forced via
+maxFilesPerTrigger=1 over a multi-file source)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bighouse_spark.sources.catalog import load_table
+from bighouse_spark.streaming.stateful import (
+    running_user_stats,
+    streaming_dedup,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stateful_events"))
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") < 20)
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _read_stream(spark, d, one_file_per_batch=False):
+    reader = spark.readStream.schema(spark.read.parquet(d).schema)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(d)
+
+
+def test_running_stats_converges_to_batch(spark, stream_dir):
+    batch = {
+        (r.user_id, r.n, round(r.s, 6))
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    # >1 file + maxFilesPerTrigger=1 → multiple micro-batches, so the
+    # final emitted row per key proves state carried across batches.
+    src = _read_stream(spark, stream_dir, one_file_per_batch=True)
+    q = (
+        running_user_stats(src)
+        .writeStream.format("memory")
+        .queryName("t_running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # memory sink in update mode appends every emission; keep the last
+    # emission per key (max n_events — monotone by construction).
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY n_events DESC) AS rn
+          FROM t_running_stats) WHERE rn = 1
+        """
+    )
+    streamed = {
+        (r.user_id, r.n_events, round(r.sum_value, 6)) for r in out.collect()
+    }
+    assert streamed == batch
+
+
+def test_running_stats_mean(spark, stream_dir):
+    src = _read_stream(spark, stream_dir)
+    q = (
+        running_user_stats(src)
+        .writeStream.format("memory")
+        .queryName("t_running_mean")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_running_mean").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.mean_value - r.sum_value / r.n_events) < 1e-9
+
+
+def test_streaming_dedup_drops_in_stream_duplicates(spark, tmp_path):
+    d = str(tmp_path / "dup_events")
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("user_id") < 10)
+    # Duplicate every row, then stream; exact dedup must halve it.
+    ev.union(ev).repartition(2).write.mode("overwrite").parquet(d)
+    n_unique = ev.select("event_id").distinct().count()
+
+    src = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    q = (
+        streaming_dedup(src, keys=["event_id"], watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0].n == n_unique
+
+
+def test_streaming_dedup_batch_fallback(spark, stream_dir):
+    ev = spark.read.parquet(stream_dir)
+    assert (
+        streaming_dedup(ev.union(ev), keys=["event_id"]).count()
+        == ev.select("event_id").distinct().count()
+    )
