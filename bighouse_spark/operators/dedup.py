@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bighouse_spark.functions.text import fingerprint, word_shingles
+from bighouse_spark.operators.parallel import ensure_min_parallelism
 
 
 def exact_dedup(
@@ -111,12 +112,14 @@ def minhash_lsh_pairs(
     # (id, shingles) is read 4× (both self-join sides + both verify
     # sides); persist it so shingling runs once. At cluster scale this
     # is the standard signature-table materialization (MEMORY_AND_DISK
-    # spills instead of OOMing on wide corpora).
+    # spills instead of OOMing on wide corpora). Shingling is the
+    # CPU-heavy step → guard input parallelism before it (no-op on a
+    # well-split big input; ~N× on a single-file local table).
     docs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         )
+        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .persist()
     )
@@ -219,10 +222,13 @@ def simhash_pairs(
     (pigeonhole), so candidates = equality join per band — the same
     bucket-shuffle shape as MinHash LSH. Verify with popcount of XOR.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    docs = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
+        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
     # Persist signatures: referenced by both sides of the band
     # self-join, and the 64-bit-count expression is wide.
     sigs = docs.select("id", simhash(F.col("shingles")).alias("sig")).persist()
@@ -290,10 +296,10 @@ def ngram_jaccard_pairs(
     here df-side filtering keeps shingles occurring in <50% of docs.
     """
     docs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         )
+        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .persist()  # feeds sizes once + the inverted index twice
     )

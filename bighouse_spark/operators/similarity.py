@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bighouse_spark.functions.vectors import cosine_similarity
+from bighouse_spark.operators.parallel import ensure_min_parallelism
 
 
 def brute_force_topk(
@@ -44,8 +45,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
     )
     sim = cosine_similarity(F.col("__cvec"), F.col("__qvec"))
     if round_digits is not None:
@@ -123,10 +126,14 @@ def lsh_ann_topk(
             ]
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.explode(bucket_array(F.col(vec_col))).alias("__bk"),
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
+    ).select(
+        "neighbor_id",
+        "__cvec",
+        F.explode(bucket_array(F.col("__cvec"))).alias("__bk"),
     ).select("neighbor_id", "__cvec", "__bk.tbl", "__bk.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
