@@ -40,7 +40,7 @@ _TABLE_FUNCS = ("s3Cluster", "urlCluster", "s3", "url", "file")
 # dominant usage is sum(cityHash64(*)) whole-table checksums
 # (reference README.md:106-121) and CH UInt64 sums wrap while Spark's
 # ANSI long sum overflows — decimal sums absorb the range.
-_HASH_FUNCS = ("cityHash64", "sipHash64", "farmHash64")
+_HASH_FUNCS = ("cityHash64", "sipHash64", "farmHash64", "intHash64")
 
 # CH → Spark function renames applied as word-boundary rewrites of
 # call sites. Only functions whose argument shapes line up 1:1.
@@ -55,7 +55,19 @@ _FUNC_RENAMES = {
     "toHour": "hour",
     "toMinute": "minute",
     "toSecond": "second",
-    "toStartOfDay": "date_trunc('day', ",  # handled specially below
+    "toStartOfDay": "date_trunc('day', ",  # special form: open paren
+    "toStartOfHour": "date_trunc('hour', ",
+    "toStartOfMinute": "date_trunc('minute', ",
+    "toStartOfWeek": "date_trunc('week', ",  # both Monday-based
+    "toStartOfMonth": "date_trunc('month', ",
+    "toStartOfQuarter": "date_trunc('quarter', ",
+    "toStartOfYear": "date_trunc('year', ",
+    "toDayOfYear": "dayofyear",
+    "toQuarter": "quarter",
+    "toUnixTimestamp": "unix_timestamp",
+    "fromUnixTimestamp": "from_unixtime",
+    "addDays": "date_add",
+    "subtractDays": "date_sub",
     "lcase": "lower",
     "ucase": "upper",
     "lengthUTF8": "length",
@@ -64,6 +76,44 @@ _FUNC_RENAMES = {
     "arrayJoin": "explode",
     "has": "array_contains",
     "empty": "isnull",
+    # NOTE: CH position()/extract() are NOT mapped — the rewrite would
+    # corrupt standard SQL POSITION(x IN y) / EXTRACT(unit FROM ts).
+    "match": "regexp_like",
+    "replaceAll": "replace",
+    "replaceRegexpAll": "regexp_replace",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "base64Encode": "base64",
+    "arrayStringConcat": "array_join",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "sort_array",
+    "arrayReverse": "reverse",
+    "arrayFlatten": "flatten",
+    "arraySlice": "slice",
+    "arrayConcat": "concat",
+    "indexOf": "array_position",
+    "modulo": "mod",
+    "intDiv": "div",  # Spark div(a, b): integral division
+}
+
+# Zero-argument CH date helpers (literal textual swap; now() parses
+# natively in Spark).
+_ZERO_ARG = {
+    "today()": "current_date()",
+    "yesterday()": "date_sub(current_date(), 1)",
+}
+
+# CH(arg) → wrapped Spark expression where a plain rename can't work.
+# toDayOfWeek: CH is Monday=1..Sunday=7; Spark weekday() is Monday=0.
+_WRAP_FUNCS = {
+    "toDayOfWeek": ("(weekday(", ") + 1)"),
+    "toYYYYMM": ("CAST(date_format(", ", 'yyyyMM') AS INT)"),
+    "toYYYYMMDD": ("CAST(date_format(", ", 'yyyyMMdd') AS INT)"),
+    # CH base64Decode returns String; Spark unbase64 returns BINARY.
+    "base64Decode": ("CAST(unbase64(", ") AS STRING)"),
 }
 
 _CAST_FUNCS = {
@@ -147,6 +197,10 @@ def _rewrite_functions(sql: str) -> str:
         out = re.sub(
             rf"\b{ch}\(([^()]*)\)", rf"CAST(\1 AS {ty})", out
         )
+    for ch, (pre, suf) in _WRAP_FUNCS.items():
+        out = _wrap_calls(out, ch, pre, suf)
+    for zero, repl in _ZERO_ARG.items():
+        out = out.replace(zero, repl)
     for ch, sp in _FUNC_RENAMES.items():
         if "(" in sp:  # special rewrite like date_trunc
             out = re.sub(rf"\b{ch}\(", sp, out)

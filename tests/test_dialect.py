@@ -189,3 +189,76 @@ class TestTranspileWithSession:
             spark,
         )
         assert spark.sql(r.sql).collect()[0][0] == 18
+
+
+class TestWidenedFunctionSurface:
+    """New CH spellings added beyond the reference's own queries —
+    each checked by executing the transpiled SQL."""
+
+    def _one(self, spark, ch_sql):
+        r = transpile(ch_sql, spark)
+        return spark.sql(r.sql).collect()[0][0]
+
+    def test_date_trunc_family(self, spark):
+        v = self._one(
+            spark, "SELECT toStartOfHour(toDateTime('2024-03-05 07:42:11'))"
+        )
+        assert str(v) == "2024-03-05 07:00:00"
+        v = self._one(
+            spark, "SELECT toStartOfMonth(toDateTime('2024-03-05 07:42:11'))"
+        )
+        assert str(v).startswith("2024-03-01")
+
+    def test_day_of_week_monday_is_1(self, spark):
+        # 2024-03-04 is a Monday → CH toDayOfWeek = 1.
+        assert self._one(spark, "SELECT toDayOfWeek(toDate('2024-03-04'))") == 1
+        assert self._one(spark, "SELECT toDayOfWeek(toDate('2024-03-10'))") == 7
+
+    def test_yyyymm(self, spark):
+        assert self._one(spark, "SELECT toYYYYMM(toDate('2024-03-05'))") == 202403
+        assert (
+            self._one(spark, "SELECT toYYYYMMDD(toDate('2024-03-05'))") == 20240305
+        )
+
+    def test_zero_arg_dates(self, spark):
+        assert self._one(spark, "SELECT today() - yesterday()") is not None
+
+    def test_string_functions(self, spark):
+        assert self._one(spark, "SELECT replaceAll('aXbXc', 'X', '-')") == "a-b-c"
+        assert (
+            self._one(spark, "SELECT replaceRegexpAll('a1b22c', '[0-9]+', '.')")
+            == "a.b.c"
+        )
+        assert self._one(spark, "SELECT match('hello42', '[0-9]+')") is True
+        assert self._one(spark, "SELECT trimBoth('  x  ')") == "x"
+        assert self._one(spark, "SELECT leftPad('7', 3, '0')") == "007"
+        assert self._one(spark, "SELECT base64Decode(base64Encode('hi'))" ) == "hi"
+
+    def test_array_functions(self, spark):
+        assert self._one(
+            spark, "SELECT arrayStringConcat(array('a', 'b'), '-')"
+        ) == "a-b"
+        assert self._one(
+            spark, "SELECT arraySort(arrayDistinct(array(3, 1, 3, 2)))"
+        ) == [1, 2, 3]
+        assert self._one(spark, "SELECT indexOf(array(10, 20, 30), 20)") == 2
+
+    def test_position_and_extract_not_corrupted(self, spark):
+        # Standard SQL forms must survive the rewrite untouched.
+        assert self._one(spark, "SELECT position('b' IN 'abc')") == 2
+        assert (
+            self._one(spark, "SELECT extract(year FROM toDate('2024-03-05'))")
+            == 2024
+        )
+
+    def test_arithmetic_and_unix_time(self, spark):
+        assert self._one(spark, "SELECT modulo(7, 3)") == 1
+        assert self._one(spark, "SELECT intDiv(7, 2)") == 3
+        assert (
+            self._one(spark, "SELECT fromUnixTimestamp(0)")
+            == "1970-01-01 00:00:00"
+        )
+
+    def test_add_days(self, spark):
+        v = self._one(spark, "SELECT addDays(toDate('2024-02-28'), 2)")
+        assert str(v) == "2024-03-01"
