@@ -21,6 +21,7 @@ across runs and partitions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,6 +155,123 @@ def lsh_ann_topk(
             cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
         ).alias("sim"),
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _train_centroids_spherical(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_size: int,
+    iters: int,
+    seed: int,
+):
+    """Deterministic spherical k-means centroids from a seeded sample.
+
+    The sample is a distributed top-``sample_size`` by ``xxhash64(id,
+    seed)`` — O(sample) driver memory regardless of corpus size — and
+    Lloyd iterations run in numpy on that sample only. At 100 TB the
+    expensive parts (assignment, scoring) stay distributed; only this
+    bounded sketch ever reaches the driver.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Centroids: spherical k-means on a seeded bounded sample (driver).
+    Corpus rows are assigned to their nearest cell with an
+    Arrow-vectorized pandas UDF (one matmul per batch); queries probe
+    their ``nprobe`` nearest cells. Candidates = corpus rows in probed
+    cells; scoring/ranking is JVM-side (same path as brute force).
+
+    ``nprobe = n_cells`` degenerates to exact brute force — the
+    recall/correctness anchor used in tests. Returns (query_id,
+    neighbor_id, rank, sim).
+
+    Scale shape: assignment is a scan-stage map (no shuffle); the
+    candidate join shuffles on cell id — ~nprobe/n_cells of the corpus
+    moves per query batch. Cell skew (one dense cluster) is the known
+    hazard: raise n_cells or pre-split hot cells.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = _train_centroids_spherical(
+        corpus, id_col, vec_col, n_cells, sample_size, kmeans_iters, seed
+    )
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ C.T).argmax(axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_of(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Mn @ C.T), axis=1)[:, : min(nprobe, len(C))]
+        return pd.Series([row.tolist() for row in order])
+
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
+    ).withColumn("__cell", cell_of(F.col("__cvec")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__cell", F.explode(probe_of(F.col("__qvec"))))
+    )
+
+    cand = c.join(F.broadcast(q), "__cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+        ).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

@@ -14,7 +14,11 @@ from bighouse_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
 )
-from bighouse_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from bighouse_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)
 from bighouse_spark.queries.registry import query, t
 
 
@@ -60,6 +64,20 @@ def ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     out = lsh_ann_topk(emb, queries, k=5, bits=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
+    )
+
+
+# IVF ANN — spherical-kmeans cells on a seeded sample; queries probe
+# nprobe nearest cells. Centroids are data/seed-deterministic but not
+# SQL-expressible → rows-only check; recall vs brute force asserted in
+# tests/test_operators.py.
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
     )

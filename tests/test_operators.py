@@ -235,3 +235,52 @@ class TestApproxBounds:
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
         ).collect()[0][0]
         assert abs(approx - exact) / exact < 0.02
+
+
+class TestIVF:
+    def test_ivf_full_probe_equals_brute_force(self, spark):
+        from bighouse_spark.operators.similarity import brute_force_topk, ivf_topk
+        from bighouse_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        # Probing every cell degenerates to exact search.
+        full = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk(emb, q, k=5, n_cells=8, nprobe=8).collect()
+        }
+        assert full == exact
+
+    def test_ivf_recall_reasonable(self, spark):
+        from bighouse_spark.operators.similarity import brute_force_topk, ivf_topk
+        from bighouse_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 10)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=5, n_cells=16, nprobe=6).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+    def test_ivf_deterministic(self, spark):
+        from bighouse_spark.operators.similarity import ivf_topk
+        from bighouse_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+        b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+        assert a == b
