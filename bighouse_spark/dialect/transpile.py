@@ -297,6 +297,7 @@ _FORMAT_MAP = {
     "parquet": ("parquet", True),
     "jsoneachrow": ("json", True),
     "json": ("json", True),
+    "orc": ("orc", True),
 }
 
 

@@ -18,6 +18,7 @@ reference) → ``collect``. Also keeps a ``query_log`` (the
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -61,6 +62,7 @@ class QueryLogEntry:
     elapsed_sec: float
     row_count: int
     error: str | None = None
+    cached: bool = False
 
 
 class BigHouseEngine:
@@ -72,6 +74,15 @@ class BigHouseEngine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.query_log: list[QueryLogEntry] = []
+        # Result cache (the CH query-cache analog, ch/config.xml:1348;
+        # SURVEY.md §2.C "Query result cache"). Opt-in per query via
+        # ``SETTINGS use_query_cache=1``; keyed by the raw SQL text.
+        # No source-version invalidation — callers clear_cache() after
+        # writes, same contract as CH's TTL-less cache default.
+        self._result_cache: dict[str, QueryResult] = {}
+
+    def clear_cache(self) -> None:
+        self._result_cache.clear()
 
     def execute(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):
@@ -82,6 +93,22 @@ class BigHouseEngine:
             parts = (request.num_nodes or 1) * (request.cores or 1)
             self.spark.conf.set("spark.sql.shuffle.partitions", str(max(parts, 1)))
         transpiled = ""
+        # Cache-hit fast path: checked on the RAW text before transpile
+        # so a hit skips view re-registration entirely.
+        use_cache = (
+            re.search(r"use_query_cache\s*=\s*'?(1|true)'?", request.query)
+            is not None
+        )
+        if use_cache and request.query in self._result_cache:
+            hit = self._result_cache[request.query]
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(
+                    request.query, "<cache hit>", elapsed,
+                    len(hit.rows), cached=True,
+                )
+            )
+            return QueryResult(hit.cols, hit.rows, elapsed)
         try:
             for init in request.init_queries:
                 init_t = transpile(init, self.spark)
@@ -96,7 +123,10 @@ class BigHouseEngine:
             self.query_log.append(
                 QueryLogEntry(request.query, transpiled, elapsed, len(rows))
             )
-            return QueryResult(cols=cols, rows=rows, elapsed_sec=elapsed)
+            out = QueryResult(cols=cols, rows=rows, elapsed_sec=elapsed)
+            if use_cache:
+                self._result_cache[request.query] = out
+            return out
         except Exception as e:
             self.query_log.append(
                 QueryLogEntry(

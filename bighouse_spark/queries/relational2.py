@@ -443,3 +443,37 @@ def cross_join_matrix(spark, sf_dir):
         .groupBy("r_name", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# UNPIVOT (wide→long reshaping): lineitem's four measures become
+# (measure, value) rows via stack() — the inverse of the PIVOT query.
+# Scan-side row generation, no shuffle.
+@query(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def unpivot_measures(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'l_quantity', CAST(l_quantity AS DOUBLE), "
+            "'l_extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'l_discount', CAST(l_discount AS DOUBLE), "
+            "'l_tax', CAST(l_tax AS DOUBLE)) AS (measure, value)"
+        ),
+    )

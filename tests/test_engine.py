@@ -98,3 +98,28 @@ def test_execute_to_sink_partitioned(engine, spark, tmp_path):
 
 def test_health_check(engine):
     assert engine.health_check() is True
+
+
+def test_result_cache_opt_in(engine):
+    engine.clear_cache()
+    q = "SELECT 1 + 1 AS two SETTINGS use_query_cache=1"
+    r1 = engine.execute(q)
+    r2 = engine.execute(q)
+    assert r1.rows == r2.rows == [[2]]
+    assert engine.query_log[-1].cached is True
+    assert engine.query_log[-2].cached is False
+    # Without the setting, no cache involvement.
+    engine.execute("SELECT 1 + 1 AS two")
+    assert engine.query_log[-1].cached is False
+    engine.clear_cache()
+    engine.execute(q)
+    assert engine.query_log[-1].cached is False
+
+
+def test_orc_table_function(engine, spark, tmp_path):
+    p = str(tmp_path / "orc_src")
+    spark.range(10).selectExpr("id AS a").write.orc(p)
+    out = engine.execute(
+        f"SELECT count() AS n FROM file('file://{p}/*.orc', 'ORC')"
+    )
+    assert out.rows == [[10]]
