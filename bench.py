@@ -37,6 +37,9 @@ HEADLINE = [
     "asof_join_purchase_click",
     "dedup_minhash_lsh",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
 ]
 
 
