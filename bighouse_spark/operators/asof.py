@@ -32,11 +32,22 @@ def asof_join(
     right_values: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time`` ≤ ``left_time`` (< if ``strict``), matching on
-    ``on`` keys. Right payload columns are suffixed on collision.
+    """For each left row, attach the nearest right row matching on
+    ``on`` keys: with ``direction="backward"`` (default) the greatest
+    ``right_time`` ≤ ``left_time`` (< if ``strict``); with
+    ``"forward"`` the smallest ``right_time`` ≥ ``left_time``
+    (> if ``strict``). ``tolerance`` (seconds for timestamp columns,
+    column units otherwise) nulls the right payload when the matched
+    row is further than that from the left time — the pandas
+    ``merge_asof`` contract, distributed.
+
+    Right payload columns are suffixed on collision.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     right_values = right_values or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -65,20 +76,47 @@ def asof_join(
 
     # Order right rows before left rows at equal timestamps so a
     # same-instant right row is visible (non-strict). Strict mode
-    # orders left first, hiding same-instant rights.
+    # orders left first, hiding same-instant rights. Forward direction
+    # traverses time descending — "last previous in traversal order"
+    # then means "nearest following in time".
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), side_order)
+        .orderBy(t_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
+        F.col("__t").alias("__lt"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
             for c in right_values
         ],
         F.last("__rt", ignorenulls=True).over(w).alias(rt_out),
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
+    out = carried.where(F.col("__side") == 1)
+    if tolerance is not None:
+        lt, rt = F.col("__lt"), F.col(rt_out)
+        is_ts = str(left.schema[left_time].dataType).startswith("Timestamp")
+        if is_ts:
+            gap = F.abs(
+                lt.cast("double") - rt.cast("double")
+            )  # timestamp → epoch seconds
+        else:
+            gap = F.abs(lt - rt)
+        keep = rt.isNotNull() & (gap <= F.lit(tolerance))
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            F.col("__side"),
+            F.col("__lt"),
+            *[
+                F.when(keep, F.col(out_names[c]))
+                .otherwise(F.lit(None))
+                .alias(out_names[c])
+                for c in right_values
+            ],
+            F.when(keep, rt).otherwise(F.lit(None)).alias(rt_out),
+        )
+    return out.drop("__side", "__lt")
