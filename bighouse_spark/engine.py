@@ -65,6 +65,33 @@ class QueryLogEntry:
     cached: bool = False
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in a parquet file/dir —
+    read from the footer via pyarrow (exact, no data touched)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    p = path[len("file://"):] if path.startswith("file://") else path
+    if _os.path.isdir(p):
+        candidates = _glob.glob(_os.path.join(p, "*.parquet"))
+        if not candidates:
+            return []
+        p = candidates[0]
+    try:
+        schema = _pq.read_schema(p)
+    except Exception:
+        return []
+    import pyarrow as _pa
+
+    return [
+        f.name
+        for f in schema
+        if _pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 class BigHouseEngine:
     """One engine ≈ one warm "cluster". The reference pays 3-5 s of
     machine spin-up per query (``README.md:141-144``); a shared
@@ -83,6 +110,59 @@ class BigHouseEngine:
 
     def clear_cache(self) -> None:
         self._result_cache.clear()
+
+    def attach_table(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "parquet",
+        schema: str | None = None,
+    ) -> None:
+        """Register a named table over a storage directory — the
+        capability behind the reference's web-disk ATTACH
+        (``temporal/workflow_query_executor_test.go:85``): a shared,
+        pre-existing dataset addressable by name in subsequent
+        queries. ``schema`` is a ClickHouse schema string (required
+        for CSV; parquet/orc self-describe). Registered as a temp
+        view → visible to every later ``execute`` on this engine.
+        """
+        from bighouse_spark.sources.readers import read_source
+
+        try:
+            df = read_source(self.spark, [path], fmt=fmt, schema=schema)
+            df.schema  # force analysis so type errors surface here
+        except Exception as e:
+            if "PARQUET_TYPE_ILLEGAL" not in str(e):
+                raise
+            # TIMESTAMP(NANOS) parquet (Spark reads µs max): fall back
+            # to raw int64 nanos and surface them as timestamps.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            from pyspark.sql import functions as F
+
+            df = read_source(self.spark, [path], fmt=fmt, schema=schema)
+            for col in _nanos_columns(path):
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                )
+        df.createOrReplaceTempView(name)
+
+    def refresh_system_views(self) -> None:
+        """Materialize engine bookkeeping as queryable views — the
+        ``system.query_log`` analog (reference enables query_log et
+        al. in ``ch/config.xml:932-1101``; B17 in SURVEY.md §2).
+        Registered as ``system_query_log`` (temp-view names cannot
+        contain dots)."""
+        schema = (
+            "query string, transpiled string, elapsed_sec double, "
+            "row_count bigint, error string, cached boolean"
+        )
+        rows = [
+            (e.query, e.transpiled, e.elapsed_sec, e.row_count, e.error, e.cached)
+            for e in self.query_log
+        ]
+        self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+            "system_query_log"
+        )
 
     def execute(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):

@@ -123,3 +123,42 @@ def test_orc_table_function(engine, spark, tmp_path):
         f"SELECT count() AS n FROM file('file://{p}/*.orc', 'ORC')"
     )
     assert out.rows == [[10]]
+
+
+def test_attach_table_then_query(engine, spark):
+    engine.attach_table("gh_events_like", f"{SF_CORRECT}/orders.parquet")
+    out = engine.execute(
+        "SELECT o_orderpriority, count() AS n FROM gh_events_like "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    assert out.cols == ["o_orderpriority", "n"]
+    assert len(out.rows) == 5
+
+
+def test_attach_csv_with_schema(engine, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("code,name\n1,alpha\n2,beta\n")
+    engine.attach_table(
+        "dim_codes", f"file://{p}", fmt="csv", schema="code UInt32, name String"
+    )
+    out = engine.execute("SELECT name FROM dim_codes WHERE code = 2")
+    assert out.rows == [["beta"]]
+
+
+def test_system_query_log_view(engine):
+    engine.execute("SELECT 1 AS one")
+    engine.refresh_system_views()
+    out = engine.execute(
+        "SELECT count() AS n FROM system_query_log WHERE error IS NULL"
+    )
+    assert out.rows[0][0] >= 1
+    # error rows visible too
+    try:
+        engine.execute("SELECT * FROM no_such_table_abc")
+    except Exception:
+        pass
+    engine.refresh_system_views()
+    out = engine.execute(
+        "SELECT count() AS n FROM system_query_log WHERE error IS NOT NULL"
+    )
+    assert out.rows[0][0] >= 1
