@@ -96,6 +96,7 @@ _FUNC_RENAMES = {
     "arrayConcat": "concat",
     "indexOf": "array_position",
     "modulo": "mod",
+    "medianExact": "median",
     "intDiv": "div",  # Spark div(a, b): integral division
 }
 
@@ -158,6 +159,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _strip_format(out)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
+    out = _rewrite_limit_by(out)
     out = _rewrite_functions(out)
     if spark is not None:
         for k, v in settings.items():
@@ -181,14 +183,95 @@ def _strip_settings(sql: str) -> tuple[str, dict[str, str], dict[str, str]]:
     return sql[: m.start()].rstrip(), mapped, dropped
 
 
+_LIMIT_BY_RE = re.compile(
+    r"\bLIMIT\s+(\d+)\s+BY\s+(.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """CH ``LIMIT n BY k1, k2`` → windowed row_number filter.
+
+    Keeps the first n rows per key group *in the query's ORDER BY
+    order* (ORDER BY required — without one CH's pick is arbitrary and
+    a distributed engine cannot reproduce it deterministically). A
+    trailing ``LIMIT m`` (applied after LIMIT BY, CH semantics) is
+    preserved outside the wrapper.
+    """
+    m = _LIMIT_BY_RE.search(sql)
+    if not m:
+        return sql
+    n, keys = m.group(1), m.group(2).strip()
+    head = sql[: m.start()].rstrip()
+    tail = sql[m.end():].strip()  # optional trailing LIMIT m
+    om = re.search(r"\bORDER\s+BY\s+(.+)$", head, re.IGNORECASE | re.DOTALL)
+    if not om:
+        raise ValueError(
+            "LIMIT BY requires an ORDER BY for deterministic semantics"
+        )
+    order = om.group(1).strip()
+    inner = head
+    out = (
+        f"SELECT * EXCEPT (__rn_lb) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order}) AS __rn_lb FROM "
+        f"({inner})) WHERE __rn_lb <= {n}"
+    )
+    if tail:
+        out += f" ORDER BY {order} {tail}"
+    return out
+
+
 def _strip_format(sql: str) -> str:
     return re.sub(r"\bFORMAT\s+\w+\s*$", "", sql, flags=re.IGNORECASE).rstrip()
+
+
+# CH parametric aggregates fname(params)(args) → Spark fname(args,
+# params). quantile* are the ones the CH docs lead with; Exact maps to
+# Spark's exact percentile, the default to the t-digest approximation
+# (same contract as CH's sampling-based quantile: approximate).
+_PARAMETRIC = {
+    "quantileExact": "percentile",
+    "quantilesExact": "percentile",
+    "quantileTDigest": "percentile_approx",
+    "quantilesTDigest": "percentile_approx",
+    "quantiles": "percentile_approx",
+    "quantile": "percentile_approx",
+    "medianExact": None,  # median(x) handled as plain rename below
+}
+
+
+def _rewrite_parametric(sql: str) -> str:
+    out = sql
+    for ch, sp in _PARAMETRIC.items():
+        if sp is None:
+            continue
+        while True:
+            call = _find_call(out, ch)
+            if call is None:
+                break
+            start, end, params = call
+            if end >= len(out) or out[end] != "(":
+                break  # not the parametric form; leave it
+            depth, i = 1, end + 1
+            while i < len(out) and depth > 0:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            col = out[end + 1:i - 1]
+            levels = ", ".join(params)
+            if len(params) > 1 or ch.startswith("quantiles"):
+                levels = f"array({levels})"
+            out = out[:start] + f"{sp}({col}, {levels})" + out[i:]
+    return out
 
 
 def _rewrite_functions(sql: str) -> str:
     out = sql
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    out = _rewrite_parametric(out)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(
             out, fn, "CAST(xxhash64(", ") AS DECIMAL(38,0))"

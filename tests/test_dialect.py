@@ -262,3 +262,52 @@ class TestWidenedFunctionSurface:
     def test_add_days(self, spark):
         v = self._one(spark, "SELECT addDays(toDate('2024-02-28'), 2)")
         assert str(v) == "2024-03-01"
+
+
+class TestParametricAndLimitBy:
+    def test_quantile_forms(self, spark):
+        r = transpile("SELECT quantile(0.5)(x) AS m FROM range(10)")
+        assert "percentile_approx(x, 0.5)" in r.sql
+        r = transpile("SELECT quantileExact(0.9)(x + 1) AS p FROM range(10)")
+        assert "percentile(x + 1, 0.9)" in r.sql
+        r = transpile("SELECT quantiles(0.25, 0.75)(x) AS q FROM range(10)")
+        assert "percentile_approx(x, array(0.25, 0.75))" in r.sql
+
+    def test_quantile_executes(self, spark):
+        r = transpile(
+            "SELECT quantileExact(0.5)(id) AS med FROM range(0, 101)", spark
+        )
+        assert spark.sql(r.sql).collect()[0][0] == 50.0
+
+    def test_limit_by(self, spark, duck):
+        # First 2 orders by key per priority — matches the DuckDB
+        # window formulation exactly.
+        from tests.conftest import SF_CORRECT
+        from bighouse_spark.sources.catalog import register_views
+
+        register_views(spark, SF_CORRECT)
+        r = transpile(
+            "SELECT o_orderpriority, o_orderkey FROM orders "
+            "ORDER BY o_orderkey LIMIT 2 BY o_orderpriority",
+            spark,
+        )
+        got = sorted(map(tuple, spark.sql(r.sql).collect()))
+        want = sorted(
+            map(
+                tuple,
+                duck.execute(
+                    """
+            SELECT o_orderpriority, o_orderkey FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_orderkey) AS rn
+              FROM orders) WHERE rn <= 2
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_limit_by_requires_order(self):
+        with pytest.raises(ValueError, match="ORDER BY"):
+            transpile("SELECT a FROM t LIMIT 2 BY a")
