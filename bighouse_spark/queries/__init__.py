@@ -14,6 +14,7 @@ from bighouse_spark.queries.registry import all_queries, all_oracles, get
 
 # Side-effect imports: each module registers its queries.
 from bighouse_spark.queries import (  # noqa: F401
+    pipeline,
     aggregates,
     reference_surface,
     relational,
