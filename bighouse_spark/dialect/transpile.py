@@ -159,6 +159,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _strip_format(out)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
+    out = _rewrite_ch_clauses(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_functions(out)
     if spark is not None:
@@ -223,6 +224,35 @@ def _rewrite_limit_by(sql: str) -> str:
 
 def _strip_format(sql: str) -> str:
     return re.sub(r"\bFORMAT\s+\w+\s*$", "", sql, flags=re.IGNORECASE).rstrip()
+
+
+def _rewrite_ch_clauses(sql: str) -> str:
+    """CH clause-level spellings:
+
+    * ``PREWHERE`` → ``WHERE`` — PREWHERE is a ClickHouse storage-read
+      optimization hint with WHERE semantics; Catalyst's predicate
+      pushdown already does the equivalent two-phase read on parquet.
+    * table ``FINAL`` modifier → erased — collapse-on-read is
+      MergeTree machinery; our sources have no pending merges.
+    * ``GROUP BY k1, k2 WITH TOTALS`` → ``GROUP BY GROUPING SETS
+      ((k1, k2), ())`` — exactly the per-group rows plus one grand
+      total (NULL group keys), matching CH's TOTALS row placement in
+      the row set (position differs; sets compare equal).
+    """
+    out = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
+    out = re.sub(r"\bFINAL\b", "", out, flags=re.IGNORECASE)
+    m = re.search(
+        r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", out,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        keys = m.group(1).strip()
+        out = (
+            out[: m.start()]
+            + f"GROUP BY GROUPING SETS (({keys}), ())"
+            + out[m.end():]
+        )
+    return out
 
 
 # CH parametric aggregates fname(params)(args) → Spark fname(args,

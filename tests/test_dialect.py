@@ -311,3 +311,22 @@ class TestParametricAndLimitBy:
     def test_limit_by_requires_order(self):
         with pytest.raises(ValueError, match="ORDER BY"):
             transpile("SELECT a FROM t LIMIT 2 BY a")
+
+
+class TestChClauses:
+    def test_prewhere_becomes_where(self):
+        r = transpile("SELECT a FROM t PREWHERE a > 1")
+        assert "PREWHERE" not in r.sql and "WHERE a > 1" in r.sql
+
+    def test_final_erased(self):
+        r = transpile("SELECT count(*) AS n FROM t FINAL WHERE a = 1")
+        assert "FINAL" not in r.sql
+
+    def test_with_totals(self, spark):
+        r = transpile(
+            "SELECT id % 2 AS par, count() AS n FROM range(10) "
+            "GROUP BY id % 2 WITH TOTALS",
+            spark,
+        )
+        rows = {tuple(x) for x in spark.sql(r.sql).collect()}
+        assert (None, 10) in rows and (0, 5) in rows and (1, 5) in rows

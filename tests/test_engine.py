@@ -162,3 +162,30 @@ def test_system_query_log_view(engine):
         "SELECT count() AS n FROM system_query_log WHERE error IS NOT NULL"
     )
     assert out.rows[0][0] >= 1
+
+
+def test_sink_partition_pruning(engine, spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "by_priority")
+    engine.execute_to_sink(
+        f"SELECT o_orderkey, o_orderpriority FROM "
+        f"file('file://{SF_CORRECT}/orders.parquet', 'Parquet')",
+        out,
+        partition_by=["o_orderpriority"],
+    )
+    back = spark.read.parquet(out).where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan.replace(
+        "#", ""
+    ) or "PartitionFilters" in plan
+    # Pruned read returns only the urgent slice.
+    assert back.count() == spark.read.parquet(out).where(
+        "o_orderpriority = '1-URGENT'"
+    ).count() > 0

@@ -132,3 +132,18 @@ def test_unknown_route_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server_url}/nope")
     assert ei.value.code == 404
+
+
+def test_concurrent_queries(server_url):
+    import concurrent.futures
+
+    def one(i):
+        status, body = _post(
+            f"{server_url}/query", {"query": f"SELECT {i} * 2 AS v"}
+        )
+        return status, body["rows"][0][0]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    assert all(s == 200 for s, _ in results)
+    assert [v for _, v in results] == [i * 2 for i in range(16)]
