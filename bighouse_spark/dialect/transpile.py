@@ -97,6 +97,11 @@ _FUNC_RENAMES = {
     "indexOf": "array_position",
     "modulo": "mod",
     "medianExact": "median",
+    "countIf": "count_if",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
     "intDiv": "div",  # Spark div(a, b): integral division
 }
 
@@ -115,7 +120,13 @@ _WRAP_FUNCS = {
     "toYYYYMMDD": ("CAST(date_format(", ", 'yyyyMMdd') AS INT)"),
     # CH base64Decode returns String; Spark unbase64 returns BINARY.
     "base64Decode": ("CAST(unbase64(", ") AS STRING)"),
+    # arrayUniq(x) counts distinct elements.
+    "arrayUniq": ("size(array_distinct(", "))"),
 }
+
+# CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond
+# THEN x END). (countIf is count_if natively; listed in renames.)
+_IF_COMBINATORS = ("sumIf", "avgIf", "minIf", "maxIf")
 
 _CAST_FUNCS = {
     "toUInt8": "SMALLINT",
@@ -312,6 +323,20 @@ def _rewrite_functions(sql: str) -> str:
         )
     for ch, (pre, suf) in _WRAP_FUNCS.items():
         out = _wrap_calls(out, ch, pre, suf)
+    for fn in _IF_COMBINATORS:
+        base = fn[:-2].lower()
+        while True:
+            call = _find_call(out, fn)
+            if call is None:
+                break
+            start, end, args = call
+            if len(args) != 2:
+                raise ValueError(f"{fn}() expects (expr, cond), got {args}")
+            out = (
+                out[:start]
+                + f"{base}(CASE WHEN ({args[1]}) THEN ({args[0]}) END)"
+                + out[end:]
+            )
     for zero, repl in _ZERO_ARG.items():
         out = out.replace(zero, repl)
     for ch, sp in _FUNC_RENAMES.items():

@@ -330,3 +330,25 @@ class TestChClauses:
         )
         rows = {tuple(x) for x in spark.sql(r.sql).collect()}
         assert (None, 10) in rows and (0, 5) in rows and (1, 5) in rows
+
+
+class TestAggregateCombinators:
+    def test_if_combinators(self, spark):
+        r = transpile(
+            "SELECT countIf(id > 5) AS c, sumIf(id, id % 2 = 0) AS s, "
+            "minIf(id, id > 3) AS mn, maxIf(id, id < 7) AS mx "
+            "FROM range(10)",
+            spark,
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert list(row) == [4, 20, 4, 6]
+
+    def test_arg_max_min_group_arrays(self, spark):
+        r = transpile(
+            "SELECT argMax(id, id % 3) AS am, argMin(id, id) AS an, "
+            "arrayUniq(groupArray(id % 2)) AS u FROM range(9)",
+            spark,
+        )
+        row = spark.sql(r.sql).collect()[0]
+        # argMax returns the id at the max of id%3 (ties: any of 2,5,8)
+        assert row.am in (2, 5, 8) and row.an == 0 and row.u == 2
