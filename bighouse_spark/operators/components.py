@@ -1,0 +1,116 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair operators (``minhash_lsh_pairs``, ``simhash_pairs``, …) emit
+edges; an actual dedup pass needs *clusters* — every document mapped
+to one representative so the pipeline can keep exactly one per group.
+This is iterative label propagation (large-star/small-star style):
+
+  label(v) ← min(label(v), min over neighbors' labels)
+
+repeated until a fixed point. Each iteration is one join + one
+aggregate — all DataFrame ops, distributed; the driver only runs the
+convergence loop (iteration count ~ graph diameter, which for
+near-dup graphs is tiny — dup clusters are dense cliques-ish, so 2-3
+iterations in practice; the cap bounds pathological chains).
+
+At 100 TB scale this is the standard map-reduce CC algorithm; each
+round shuffles the edge list once on vertex id. checkpoint/persist
+per round keeps lineage from growing unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Return (id, component) where ``component`` is the minimum
+    member id of the connected component — usable directly as the
+    "keep the representative" dedup key.
+
+    ``pairs`` is an undirected edge list; isolated vertices (present
+    only via self-information) are not required — any id appearing in
+    a pair appears in the output.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # Initial label: min neighbor (including self).
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # Propagate: each vertex takes the min label over itself and
+        # its neighbors' current labels.
+        neighbor_labels = (
+            edges.join(labels, edges.b == labels.id)
+            .select(F.col("a").alias("id"), "label")
+        )
+        propagated = (
+            labels.select("id", "label")
+            .union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # Pointer jumping: label ← label(label). Combined with the
+        # neighbor step this converges in O(log diameter) rounds
+        # instead of O(diameter) — a 10^6-long chain needs ~20 rounds.
+        lab_of_lab = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
+        # localCheckpoint truncates lineage — without it the logical
+        # plan doubles per iteration and planning itself OOMs long
+        # before the data does.
+        new_labels = (
+            propagated.join(lab_of_lab, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_keep_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every row whose id belongs to a near-dup component but is
+    not its minimum-id representative. Rows not in any pair survive
+    untouched (left-anti on the victims set — one broadcast-able join
+    when the dup set is small relative to the corpus, which is the
+    realistic regime)."""
+    comp = connected_components(pairs, id_a, id_b)
+    victims = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(victims, on=id_col, how="left_anti")
