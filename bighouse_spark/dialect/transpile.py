@@ -252,6 +252,17 @@ def _rewrite_ch_clauses(sql: str) -> str:
     """
     out = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
     out = re.sub(r"\bFINAL\b", "", out, flags=re.IGNORECASE)
+    # CH SAMPLE k: fraction (k<1) → TABLESAMPLE (p PERCENT); row count
+    # (k≥1 integer) → TABLESAMPLE (k ROWS). Approximate in both
+    # engines; acceptable drift by contract.
+    def _sample(m: "re.Match[str]") -> str:
+        k = m.group(1)
+        v = float(k)
+        if v < 1:
+            return f"TABLESAMPLE ({v * 100:g} PERCENT)"
+        return f"TABLESAMPLE ({int(v)} ROWS)"
+
+    out = re.sub(r"\bSAMPLE\s+(\d*\.?\d+)", _sample, out, flags=re.IGNORECASE)
     m = re.search(
         r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", out,
         re.IGNORECASE | re.DOTALL,

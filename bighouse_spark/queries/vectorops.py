@@ -137,3 +137,50 @@ def multimodal_features(spark, sf_dir):
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct("payload_hash").alias("n_unique_payloads"),
     )
+
+
+# Video frame-sampling plumbing over fake media blobs (codec stubbed,
+# Spark-side mapInPandas shape real). Frame counts/hashes derive
+# deterministically from payload bytes -> DuckDB-checkable.
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(DISTINCT media_id) AS BIGINT) AS n_videos,
+       CAST(max(frame_idx) AS BIGINT) AS max_frame_idx
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(range(0, CAST(greatest(octet_length(encode(text)) // 1024, 1)
+                AS BIGINT), 10)) AS frame_idx
+  FROM documents)
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from bighouse_spark.operators.multimodal import frame_sample
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n=10)
+    return frames.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.count_distinct("media_id").cast("bigint").alias("n_videos"),
+        F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+    )
+
+
+# MinHash pairs -> connected components -> per-cluster sizes. The
+# full near-dup grouping flow (LSH candidates, exact verify, graph
+# clustering); component ids depend on LSH banding -> rows-only check,
+# with the invariant tests in tests/test_components.py.
+@query("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark, sf_dir):
+    from bighouse_spark.operators.components import connected_components
+    from bighouse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .orderBy(F.col("cluster_size").desc(), F.col("component").asc())
+    )

@@ -352,3 +352,22 @@ class TestAggregateCombinators:
         row = spark.sql(r.sql).collect()[0]
         # argMax returns the id at the max of id%3 (ties: any of 2,5,8)
         assert row.am in (2, 5, 8) and row.an == 0 and row.u == 2
+
+
+class TestSampleClause:
+    def test_fraction(self, spark):
+        spark.range(1000).createOrReplaceTempView("t_sample_src")
+        r = transpile(
+            "SELECT count(*) AS n FROM t_sample_src SAMPLE 0.5", spark
+        )
+        assert "TABLESAMPLE (50 PERCENT)" in r.sql
+        n = spark.sql(r.sql).collect()[0][0]
+        assert 300 <= n <= 700  # Bernoulli sampling tolerance
+
+    def test_rows(self, spark):
+        spark.range(1000).createOrReplaceTempView("t_sample_src")
+        r = transpile(
+            "SELECT count(*) AS n FROM t_sample_src SAMPLE 10", spark
+        )
+        assert "TABLESAMPLE (10 ROWS)" in r.sql
+        assert spark.sql(r.sql).collect()[0][0] == 10
