@@ -166,6 +166,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
+    fn_ddl = _rewrite_create_function(out)
+    if fn_ddl is not None:
+        return TranspileResult(sql=fn_ddl)
     out, settings, dropped = _strip_settings(out)
     out = _strip_format(out)
     uses_file = re.search(r"\b_file\b", out) is not None
@@ -235,6 +238,50 @@ def _rewrite_limit_by(sql: str) -> str:
 
 def _strip_format(sql: str) -> str:
     return re.sub(r"\bFORMAT\s+\w+\s*$", "", sql, flags=re.IGNORECASE).rstrip()
+
+
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+FUNCTION\s+(\w+)\s+AS\s*\(([^)]*)\)\s*->\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# CH type names usable in CREATE FUNCTION parameter lists.
+_PARAM_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
+    "uint32": "BIGINT", "uint64": "BIGINT", "float32": "FLOAT",
+    "float64": "DOUBLE", "string": "STRING", "date": "DATE",
+    "datetime": "TIMESTAMP", "bool": "BOOLEAN",
+}
+
+
+def _rewrite_create_function(sql: str) -> str | None:
+    """CH SQL-lambda UDFs (the ``CREATE FUNCTION name AS (args) ->
+    expr`` form behind ``user_defined_executable_functions_config``,
+    reference ``ch/config.xml:1122-1126``) → Spark SQL UDFs
+    (``CREATE TEMPORARY FUNCTION ... RETURN expr``). CH params are
+    untyped; optional CH type annotations are honored, default DOUBLE
+    (return type is inferred by Spark).
+    """
+    m = _CREATE_FN_RE.match(sql)
+    if not m:
+        if re.match(r"^\s*DROP\s+FUNCTION\s+", sql, re.IGNORECASE):
+            name = sql.split()[-1].rstrip(";")
+            return f"DROP TEMPORARY FUNCTION IF EXISTS {name}"
+        return None
+    name, params, body = m.group(1), m.group(2).strip(), m.group(3).strip()
+    typed = []
+    for prm in filter(None, (x.strip() for x in params.split(","))):
+        parts = prm.split()
+        if len(parts) == 2:
+            ty = _PARAM_TYPES.get(parts[1].lower(), "DOUBLE")
+            typed.append(f"{parts[0]} {ty}")
+        else:
+            typed.append(f"{parts[0]} DOUBLE")
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+        f"({', '.join(typed)}) RETURN {body}"
+    )
 
 
 def _rewrite_ch_clauses(sql: str) -> str:

@@ -371,3 +371,25 @@ class TestSampleClause:
         )
         assert "TABLESAMPLE (10 ROWS)" in r.sql
         assert spark.sql(r.sql).collect()[0][0] == 10
+
+
+class TestCreateFunction:
+    def test_lambda_udf(self, spark):
+        r = transpile("CREATE FUNCTION tdl_lin AS (x, k, b) -> k*x + b")
+        assert "TEMPORARY FUNCTION tdl_lin(x DOUBLE, k DOUBLE, b DOUBLE)" in r.sql
+        spark.sql(r.sql)
+        assert spark.sql("SELECT tdl_lin(3, 2, 1) AS v").collect()[0][0] == 7.0
+
+    def test_typed_params(self, spark):
+        r = transpile(
+            "CREATE FUNCTION tdl_cat AS (a String, b String) -> concat(a, b)"
+        )
+        assert "(a STRING, b STRING)" in r.sql
+        spark.sql(r.sql)
+        assert spark.sql("SELECT tdl_cat('x','y') AS v").collect()[0][0] == "xy"
+
+    def test_drop(self, spark):
+        spark.sql(transpile("CREATE FUNCTION tdl_tmp AS (x) -> x").sql)
+        r = transpile("DROP FUNCTION tdl_tmp")
+        assert "DROP TEMPORARY FUNCTION IF EXISTS tdl_tmp" == r.sql
+        spark.sql(r.sql)
