@@ -497,6 +497,35 @@ _FORMAT_MAP = {
 }
 
 
+_HTTP_SPOOL: dict[str, str] = {}
+
+
+def _fetch_http(url: str) -> str:
+    """Download an http(s) source to a local spool file (cached per
+    URL for the process lifetime) and return a file:// path."""
+    if url in _HTTP_SPOOL:
+        return _HTTP_SPOOL[url]
+    import hashlib
+    import os
+    import tempfile
+    import urllib.request
+
+    spool_dir = os.path.join(tempfile.gettempdir(), "bighouse_http_spool")
+    os.makedirs(spool_dir, exist_ok=True)
+    name = hashlib.md5(url.encode()).hexdigest() + "_" + os.path.basename(
+        url.split("?")[0]
+    )
+    dest = os.path.join(spool_dir, name)
+    if not os.path.exists(dest):
+        with urllib.request.urlopen(url, timeout=60) as resp, open(
+            dest, "wb"
+        ) as f:
+            while chunk := resp.read(1 << 20):
+                f.write(chunk)
+    _HTTP_SPOOL[url] = f"file://{dest}"
+    return _HTTP_SPOOL[url]
+
+
 def _register_source(
     spark: SparkSession, fn: str, args: list[str], view: str, uses_file: bool
 ) -> None:
@@ -524,6 +553,13 @@ def _register_source(
         schema = None  # self-describing
 
     paths = expand_braces(url)
+    if paths and paths[0].startswith(("http://", "https://")):
+        # Plain-HTTP sources (the reference's url()/urlCluster() over
+        # public datasets, run.sh:17): no Hadoop FS speaks http, so
+        # fetch to a driver-local spool once and read from there.
+        # Fine for the reference's use (modest public CSVs); S3-hosted
+        # data should use s3a:// paths, which scan distributed.
+        paths = [_fetch_http(u) for u in paths]
     options = {}
     if fmt_name in ("tsv", "tsvwithnames"):
         options["sep"] = "\t"

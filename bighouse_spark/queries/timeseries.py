@@ -176,3 +176,54 @@ def json_extract_props(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     k = F.regexp_extract("props", '"k": (\\d+)', 1).cast("bigint")
     return ev.agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
+
+
+# Gap filling: dense hourly buckets per user spanning the user's
+# active range, zero-filled where no events — the hypertable
+# time_bucket_gapfill shape. The bucket spine generates from
+# sequence+explode (scan-side, no shuffle); counts join back on
+# (user, bucket).
+@query(
+    "window_gapfill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS t0,
+         date_trunc('hour', max(ts)) AS t1
+  FROM events WHERE user_id < 5 GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), counts AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 5 GROUP BY user_id, bucket
+)
+SELECT s.user_id, s.bucket, coalesce(c.n, 0) AS n_events
+FROM spine s LEFT JOIN counts c
+  ON s.user_id = c.user_id AND s.bucket = c.bucket
+ORDER BY s.user_id, s.bucket
+""",
+)
+def window_gapfill_hourly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    counts = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        spine.join(counts, ["user_id", "bucket"], "left")
+        .select(
+            "user_id", "bucket", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+        .orderBy("user_id", "bucket")
+    )

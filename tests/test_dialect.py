@@ -393,3 +393,29 @@ class TestCreateFunction:
         r = transpile("DROP FUNCTION tdl_tmp")
         assert "DROP TEMPORARY FUNCTION IF EXISTS tdl_tmp" == r.sql
         spark.sql(r.sql)
+
+
+class TestHttpUrlSource:
+    def test_url_over_http(self, spark, tmp_path):
+        # Serve a CSV over real HTTP (loopback) and read it through
+        # the url() table function — the reference's run.sh:17 flow.
+        import http.server
+        import threading
+
+        (tmp_path / "stock.csv").write_text("sym,price\nAAPL,3.0\nMSFT,2.0\n")
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_port
+            r = transpile(
+                f"SELECT sym, price FROM url('http://127.0.0.1:{port}/stock.csv', "
+                "'CSVWithNames', 'sym String, price Float64') ORDER BY sym",
+                spark,
+            )
+            rows = [tuple(x) for x in spark.sql(r.sql).collect()]
+            assert rows == [("AAPL", 3.0), ("MSFT", 2.0)]
+        finally:
+            srv.shutdown()
