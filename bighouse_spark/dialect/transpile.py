@@ -128,6 +128,37 @@ _WRAP_FUNCS = {
 # THEN x END). (countIf is count_if natively; listed in renames.)
 _IF_COMBINATORS = ("sumIf", "avgIf", "minIf", "maxIf")
 
+# CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
+# result cast. Key arg is a string literal; nested keys may be passed
+# pre-dotted ('a.b'). JSONHas → null-check on extraction.
+_JSON_FUNCS = {
+    "JSONExtractString": "STRING",
+    "JSONExtractInt": "BIGINT",
+    "JSONExtractFloat": "DOUBLE",
+    "JSONExtractBool": "BOOLEAN",
+    "JSONHas": None,
+}
+
+
+def _rewrite_json_funcs(sql: str) -> str:
+    out = sql
+    for fn, cast_to in _JSON_FUNCS.items():
+        while True:
+            call = _find_call(out, fn)
+            if call is None:
+                break
+            start, end, args = call
+            if len(args) != 2:
+                raise ValueError(f"{fn}() expects (json, key), got {args}")
+            key = _unquote(args[1])
+            expr = f"get_json_object({args[0]}, '$.{key}')"
+            if cast_to is None:
+                expr = f"({expr} IS NOT NULL)"
+            elif cast_to != "STRING":
+                expr = f"CAST({expr} AS {cast_to})"
+            out = out[:start] + expr + out[end:]
+    return out
+
 _CAST_FUNCS = {
     "toUInt8": "SMALLINT",
     "toUInt16": "INT",
@@ -381,6 +412,7 @@ def _rewrite_functions(sql: str) -> str:
         )
     for ch, (pre, suf) in _WRAP_FUNCS.items():
         out = _wrap_calls(out, ch, pre, suf)
+    out = _rewrite_json_funcs(out)
     for fn in _IF_COMBINATORS:
         base = fn[:-2].lower()
         while True:

@@ -419,3 +419,40 @@ class TestHttpUrlSource:
             assert rows == [("AAPL", 3.0), ("MSFT", 2.0)]
         finally:
             srv.shutdown()
+
+
+class TestJsonFunctions:
+    def test_extract_variants(self, spark):
+        j = '{"name": "ada", "age": 36, "score": 1.5, "ok": true}'
+        r = transpile(
+            f"SELECT JSONExtractString('{j}', 'name') AS n, "
+            f"JSONExtractInt('{j}', 'age') AS a, "
+            f"JSONExtractFloat('{j}', 'score') AS s, "
+            f"JSONExtractBool('{j}', 'ok') AS o, "
+            f"JSONHas('{j}', 'nope') AS h",
+            spark,
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert list(row) == ["ada", 36, 1.5, True, False]
+
+
+class TestTranspileIdempotence:
+    """ANSI SQL free of CH constructs must pass through unchanged."""
+
+    @given(
+        cols=st.lists(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz", min_size=3, max_size=8
+            ).filter(
+                lambda c: c
+                not in ("has", "match", "empty", "sample", "final", "any")
+            ),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_plain_select_unchanged(self, cols):
+        sql = f"SELECT {', '.join(cols)} FROM some_table WHERE {cols[0]} > 5"
+        assert transpile(sql).sql == sql
