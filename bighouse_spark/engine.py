@@ -164,10 +164,35 @@ class BigHouseEngine:
             "system_query_log"
         )
 
+    _INSERT_FN_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"
+        r"(?:,\s*'(\w+)'\s*)?\)\s*(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def execute(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):
             request = QueryRequest(query=request)
         t0 = time.monotonic()
+        # CH's INSERT INTO FUNCTION s3/file(...) SELECT ... sink form
+        # → distributed write (the engine's execute_to_sink), result =
+        # one row with the path (the reference's intended-but-unbuilt
+        # "Return S3 url", workflow_query_executor.go:94).
+        m = self._INSERT_FN_RE.match(request.query)
+        if m:
+            _, path, fmt_name, select_sql = m.groups()
+            fmt = {"parquet": "parquet", "csv": "csv", "csvwithnames": "csv",
+                   "json": "json", "jsoneachrow": "json", "orc": "orc",
+                   None: "parquet"}[(fmt_name or "parquet").lower() if fmt_name else None]
+            sink_req = QueryRequest(
+                query=select_sql, init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+            )
+            meta = self.execute_to_sink(sink_req, path=path, fmt=fmt)
+            return QueryResult(
+                cols=["path"], rows=[[meta["path"]]],
+                elapsed_sec=meta["elapsed_sec"],
+            )
         if request.num_nodes or request.cores:
             # Cluster-shape knobs → parallelism hint (B18).
             parts = (request.num_nodes or 1) * (request.cores or 1)

@@ -184,3 +184,49 @@ def dedup_minhash_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
         .orderBy(F.col("cluster_size").desc(), F.col("component").asc())
     )
+
+
+# Hybrid retrieval: keyword-filter the documents, then exact cosine
+# top-k over only the surviving embeddings — the filter-then-rank
+# flow of a retrieval pipeline. doc_id and vec_id are aligned in the
+# fixtures. Fully deterministic -> DuckDB oracle.
+@query(
+    "hybrid_keyword_ann",
+    oracle="""
+WITH hits AS (
+  SELECT doc_id FROM documents WHERE text LIKE '%data%'
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e JOIN hits h ON e.vec_id = h.doc_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(cv, qv), 6) AS sim
+  FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored) x
+WHERE rn <= 5
+""",
+)
+def hybrid_keyword_ann(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    hits = docs.where(F.col("text").like("%data%")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(hits, "vec_id")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(corpus, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -189,3 +189,17 @@ def test_sink_partition_pruning(engine, spark, tmp_path):
     assert back.count() == spark.read.parquet(out).where(
         "o_orderpriority = '1-URGENT'"
     ).count() > 0
+
+
+def test_insert_into_function_sink(engine, tmp_path):
+    out = str(tmp_path / "ins_out")
+    r = engine.execute(
+        f"INSERT INTO FUNCTION file('{out}', 'Parquet') "
+        f"SELECT r_regionkey FROM file('file://{SF_CORRECT}/region.parquet', "
+        "'Parquet')"
+    )
+    assert r.cols == ["path"] and r.rows == [[out]]
+    back = engine.execute(
+        f"SELECT count() AS n FROM file('file://{out}/*.parquet', 'Parquet')"
+    )
+    assert back.rows == [[5]]
