@@ -412,6 +412,25 @@ def _rewrite_functions(sql: str) -> str:
         )
     for ch, (pre, suf) in _WRAP_FUNCS.items():
         out = _wrap_calls(out, ch, pre, suf)
+    # numbers(N) → range(N); numbers(start, N) → range(start,
+    # start+N) (CH second arg is a COUNT, Spark's is an end bound).
+    # CH's column is `number`; range's is `id`.
+    while True:
+        call = _find_call(out, "numbers")
+        if call is None:
+            break
+        start, end, args = call
+        if len(args) == 1:
+            rng = f"range({args[0]})"
+        elif len(args) == 2:
+            rng = f"range({args[0]}, ({args[0]}) + ({args[1]}))"
+        else:
+            raise ValueError(f"numbers() takes 1-2 args, got {args}")
+        out = (
+            out[:start]
+            + f"(SELECT id AS number FROM {rng})"
+            + out[end:]
+        )
     out = _rewrite_json_funcs(out)
     for fn in _IF_COMBINATORS:
         base = fn[:-2].lower()

@@ -456,3 +456,18 @@ class TestTranspileIdempotence:
     def test_plain_select_unchanged(self, cols):
         sql = f"SELECT {', '.join(cols)} FROM some_table WHERE {cols[0]} > 5"
         assert transpile(sql).sql == sql
+
+
+class TestNumbersTableFunction:
+    def test_numbers(self, spark):
+        r = transpile("SELECT sum(number) AS s FROM numbers(10)", spark)
+        assert spark.sql(r.sql).collect()[0][0] == 45
+
+    def test_numbers_start_count(self, spark):
+        # CH numbers(start, count): numbers(2, 3) -> 2, 3, 4.
+        r = transpile(
+            "SELECT min(number) AS a, max(number) AS b, count(*) AS n "
+            "FROM numbers(2, 3)",
+            spark,
+        )
+        assert list(spark.sql(r.sql).collect()[0]) == [2, 4, 3]
