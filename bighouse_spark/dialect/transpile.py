@@ -46,6 +46,10 @@ _HASH_FUNCS = ("cityHash64", "sipHash64", "farmHash64", "intHash64")
 # call sites. Only functions whose argument shapes line up 1:1.
 _FUNC_RENAMES = {
     "uniq": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
     "uniqExact": "count_distinct",
     "toDate": "to_date",
     "toDateTime": "to_timestamp",

@@ -132,6 +132,13 @@ class TestTranspileText:
         assert "CAST(b AS BIGINT)" in r.sql
         assert "to_date(c)" in r.sql
 
+    def test_uniq_family_renames(self):
+        r = transpile(
+            "SELECT uniqCombined(a), uniqCombined64(b), uniqHLL12(c), "
+            "uniqTheta(d) FROM x"
+        )
+        assert r.sql.count("approx_count_distinct(") == 4
+
     def test_cityhash_checksum_wrapped(self):
         r = transpile("SELECT sum(cityHash64(a, b)) FROM x")
         assert "CAST(xxhash64(a, b) AS DECIMAL(38,0))" in r.sql
