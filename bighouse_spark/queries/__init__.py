@@ -16,6 +16,7 @@ from bighouse_spark.queries.registry import all_queries, all_oracles, get
 from bighouse_spark.queries import (  # noqa: F401
     pipeline,
     aggregates,
+    behavioral,
     reference_surface,
     relational,
     relational2,
