@@ -265,13 +265,16 @@ def ivf_topk(
     cand = c.join(F.broadcast(q), "__cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # No dedup needed: each corpus row sits in exactly one cell and a
+    # query's probed cells are distinct, so (query, neighbor) pairs are
+    # already unique — unlike the multi-table LSH path above.
     scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(
             cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
         ).alias("sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
