@@ -65,19 +65,23 @@ def fingerprint_dedup(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Built as ``F.array`` of independent min-hash
-    expressions — NOT ``transform(sequence(...))`` — so that downstream
-    ``element_at(sig, k)`` references constant-fold to the single k-th
-    expression (Catalyst's SimplifyExtractValueOps); with an opaque
-    transform every band-key reference would recompute all
-    ``num_hashes`` mins (measured 7× slower end-to-end). Pure column
-    expressions → computed in the scan stage, no Python."""
+def _minhash_signature(shingle_hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature over PRE-HASHED shingles: for seed i, min over
+    h of xxhash64(h, i) where h = xxhash64(shingle) was materialized
+    once upstream. Hashing the variable-length shingle string is the
+    expensive step; doing it once and seed-mixing the resulting longs
+    cuts signature CPU ~num_hashes×. Built as ``F.array`` of
+    independent min-hash expressions — NOT ``transform(sequence(...))``
+    — so that downstream ``element_at(sig, k)`` references
+    constant-fold to the single k-th expression (Catalyst's
+    SimplifyExtractValueOps); with an opaque transform every band-key
+    reference would recompute all ``num_hashes`` mins (measured 7×
+    slower end-to-end). Pure column expressions → computed in the scan
+    stage, no Python."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                F.transform(shingle_hashes, lambda h, i=i: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
@@ -121,10 +125,13 @@ def minhash_lsh_pairs(
         )
         .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
+        .withColumn(
+            "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
+        )
         .persist()
     )
     sigs = docs.select(
-        "id", _minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        "id", _minhash_signature(F.col("__sh_hashes"), num_hashes).alias("sig")
     )
 
     band_keys = sigs.select(
