@@ -107,6 +107,13 @@ _FUNC_RENAMES = {
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "intDiv": "div",  # Spark div(a, b): integral division
+    "hasAny": "arrays_overlap",
+    "arrayElement": "element_at",  # both support negative indices
+    "arrayPushBack": "array_append",
+    "arrayPushFront": "array_prepend",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "substringUTF8": "substring",
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -131,6 +138,93 @@ _WRAP_FUNCS = {
 # CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond
 # THEN x END). (countIf is count_if natively; listed in renames.)
 _IF_COMBINATORS = ("sumIf", "avgIf", "minIf", "maxIf")
+
+
+def _sql_regex_literal(quoted: str) -> str:
+    """A CH string literal used as a *literal* separator → a Spark SQL
+    string literal holding a regex that matches it exactly."""
+    raw = _unquote(quoted)
+    escaped = re.escape(raw).replace("\\", "\\\\").replace("'", "''")
+    return f"'{escaped}'"
+
+
+# CH formatDateTime %-specs (MySQL-style) → Spark date_format patterns.
+# Only unambiguous specs are mapped; anything else raises (the module
+# contract is fail-loudly, not silently-wrong).
+_DT_SPECS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%i": "mm", "%S": "ss", "%s": "ss", "%e": "d", "%j": "DDD",
+    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%p": "a", "%a": "EEE",
+    "%W": "EEEE", "%%": "%",
+}
+
+
+def _translate_dt_format(quoted: str) -> str:
+    fmt = _unquote(quoted)
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i : i + 2]
+            if spec not in _DT_SPECS:
+                raise ValueError(f"formatDateTime: unsupported spec {spec!r}")
+            out.append(_DT_SPECS[spec])
+            i += 2
+        else:
+            # Non-spec literal chars: quote letters so date_format
+            # doesn't interpret them as pattern symbols.
+            c = fmt[i]
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    # Merge adjacent quoted literal chars: 'a' + 't' → 'at'.
+    joined = "".join(out).replace("''", "")
+    return f"'{joined}'"
+
+
+def _multi_if(args: list[str]) -> str:
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError(f"multiIf() needs cond/value pairs + else, got {args}")
+    parts = ["CASE"]
+    for i in range(0, len(args) - 1, 2):
+        parts.append(f"WHEN ({args[i]}) THEN ({args[i + 1]})")
+    parts.append(f"ELSE ({args[-1]}) END")
+    return " ".join(parts)
+
+
+def _array_count(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"size(filter({args[0]}, x -> x != 0))"
+    if len(args) == 2:
+        return f"size(filter({args[1]}, {args[0]}))"
+    raise ValueError(f"arrayCount() takes 1-2 args, got {args}")
+
+
+# CH call shapes that need argument reordering / restructuring, not a
+# rename. CH higher-order functions put the lambda FIRST
+# (arrayMap(x -> ..., arr)); Spark puts the array first. Lambda syntax
+# (`x -> expr`, `(x, y) -> expr`) is identical in both dialects, so
+# the lambda text passes through untouched.
+_ARG_REWRITES: dict = {
+    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    "arrayCount": _array_count,
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ),
+    "arrayAvg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / size({a[0]}))"
+    ),
+    "hasAll": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    "splitByChar": lambda a: f"split({a[1]}, {_sql_regex_literal(a[0])})",
+    "splitByString": lambda a: f"split({a[1]}, {_sql_regex_literal(a[0])})",
+    "dateDiff": lambda a: f"timestampdiff({_unquote(a[0])}, {a[1]}, {a[2]})",
+    "formatDateTime": lambda a: (
+        f"date_format({a[0]}, {_translate_dt_format(a[1])})"
+    ),
+    "multiIf": _multi_if,
+}
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
@@ -401,8 +495,63 @@ def _rewrite_parametric(sql: str) -> str:
     return out
 
 
+def _rewrite_array_literals(sql: str) -> str:
+    """CH ``[1, 2, 3]`` array literals → ``array(1, 2, 3)``.
+
+    A ``[`` is a *subscript* (left alone) when the previous token ends
+    a value expression — an identifier that is not a SQL keyword,
+    ``)``, ``]`` or a quoted literal; otherwise it opens an array
+    literal. Nested literals and string contents are handled by one
+    quote-tracking scan with a bracket stack.
+    """
+    keywords = {
+        "select", "where", "when", "then", "else", "in", "and", "or",
+        "not", "by", "on", "as", "return", "case", "having", "union",
+        "all", "distinct", "between", "from", "end", "is", "like",
+    }
+    out: list[str] = []
+    stack: list[bool] = []  # True = converted to array(
+    quote = None
+    prev_sig = ""  # last non-whitespace char
+    prev_raw = ""  # last char, including whitespace
+    word: list[str] = []  # the identifier token ending at prev_sig
+    for c in sql:
+        if quote:
+            out.append(c)
+            if c == quote:
+                quote = None
+            prev_raw = c
+            continue
+        if c in "'\"":
+            quote = c
+            out.append(c)
+        elif c == "[":
+            is_subscript = bool(prev_sig) and (
+                prev_sig in ")]'\""
+                or (
+                    (prev_sig.isalnum() or prev_sig == "_")
+                    and "".join(word).lower() not in keywords
+                )
+            )
+            stack.append(not is_subscript)
+            out.append(c if is_subscript else "array(")
+        elif c == "]":
+            converted = stack.pop() if stack else False
+            out.append(")" if converted else c)
+        else:
+            out.append(c)
+        if c.isalnum() or c == "_":
+            word = word + [c] if (prev_raw.isalnum() or prev_raw == "_") else [c]
+        elif not c.isspace():
+            word = []
+        if not c.isspace():
+            prev_sig = c
+        prev_raw = c
+    return "".join(out)
+
+
 def _rewrite_functions(sql: str) -> str:
-    out = sql
+    out = _rewrite_array_literals(sql)
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     out = _rewrite_parametric(out)
@@ -436,6 +585,17 @@ def _rewrite_functions(sql: str) -> str:
             + out[end:]
         )
     out = _rewrite_json_funcs(out)
+    for fn, builder in _ARG_REWRITES.items():
+        while True:
+            call = _find_call(out, fn)
+            if call is None:
+                break
+            start, end, args = call
+            try:
+                repl = builder(args)
+            except IndexError:
+                raise ValueError(f"{fn}(): wrong number of arguments: {args}")
+            out = out[:start] + repl + out[end:]
     for fn in _IF_COMBINATORS:
         base = fn[:-2].lower()
         while True:
@@ -502,7 +662,7 @@ def _find_call(sql: str, fn: str) -> tuple[int, int, list[str]] | None:
     m = re.search(rf"\b{fn}\s*\(", sql)
     if not m:
         return None
-    i, depth, quote = m.end(), 1, None
+    i, depth, brackets, quote = m.end(), 1, 0, None
     args, cur = [], []
     while i < len(sql) and depth > 0:
         c = sql[i]
@@ -520,7 +680,13 @@ def _find_call(sql: str, fn: str) -> tuple[int, int, list[str]] | None:
             depth -= 1
             if depth > 0:
                 cur.append(c)
-        elif c == "," and depth == 1:
+        elif c == "[":
+            brackets += 1
+            cur.append(c)
+        elif c == "]":
+            brackets -= 1
+            cur.append(c)
+        elif c == "," and depth == 1 and brackets == 0:
             args.append("".join(cur).strip())
             cur = []
         else:

@@ -139,6 +139,62 @@ class TestTranspileText:
         )
         assert r.sql.count("approx_count_distinct(") == 4
 
+    def test_higher_order_array_rewrites(self):
+        r = transpile("SELECT arrayMap(x -> x + 1, arr) FROM t")
+        assert "transform(arr, x -> x + 1)" in r.sql
+        r = transpile("SELECT arrayFilter((x, y) -> x > y, a) FROM t")
+        assert "filter(a, (x, y) -> x > y)" in r.sql
+        r = transpile("SELECT arrayExists(x -> x = 1, a), arrayAll(x -> x, a) FROM t")
+        assert "exists(a, x -> x = 1)" in r.sql
+        assert "forall(a, x -> x)" in r.sql
+        r = transpile("SELECT arrayCount(a), arrayCount(x -> x > 2, a) FROM t")
+        assert "size(filter(a, x -> x != 0))" in r.sql
+        assert "size(filter(a, x -> x > 2))" in r.sql
+        r = transpile("SELECT arraySum(a) FROM t")
+        assert "aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x)" in r.sql
+
+    def test_multi_if(self):
+        r = transpile("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t")
+        assert (
+            "CASE WHEN (a > 1) THEN ('x') WHEN (a > 0) THEN ('y') "
+            "ELSE ('z') END" in r.sql
+        )
+
+    def test_split_escapes_regex_separator(self):
+        r = transpile("SELECT splitByChar('.', s) FROM t")
+        assert "split(s, '\\\\.')" in r.sql
+        r = transpile("SELECT splitByString('ab', s) FROM t")
+        assert "split(s, 'ab')" in r.sql
+
+    def test_datediff_and_format(self):
+        r = transpile("SELECT dateDiff('day', a, b) FROM t")
+        assert "timestampdiff(day, a, b)" in r.sql
+        r = transpile("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') FROM t")
+        assert "date_format(ts, 'yyyy-MM-dd HH:mm:ss')" in r.sql
+
+    def test_has_family_and_push(self):
+        r = transpile(
+            "SELECT hasAny(a, b), hasAll(a, b), arrayPushBack(a, 1) FROM t"
+        )
+        assert "arrays_overlap(a, b)" in r.sql
+        assert "(size(array_except(b, a)) = 0)" in r.sql
+        assert "array_append(a, 1)" in r.sql
+
+    def test_array_literals(self):
+        r = transpile("SELECT [1, 2, 3] AS a, [[1],[2]] AS n FROM t")
+        assert "array(1, 2, 3)" in r.sql
+        assert "array(array(1),array(2))" in r.sql
+
+    def test_array_subscripts_untouched(self):
+        r = transpile(
+            "SELECT arr[1], m['k'], f(x)[1], [10, 20][2], 'lit[eral]' FROM t"
+        )
+        assert "arr[1]" in r.sql
+        assert "m['k']" in r.sql
+        assert "f(x)[1]" in r.sql
+        assert "array(10, 20)[2]" in r.sql
+        assert "'lit[eral]'" in r.sql
+
     def test_cityhash_checksum_wrapped(self):
         r = transpile("SELECT sum(cityHash64(a, b)) FROM x")
         assert "CAST(xxhash64(a, b) AS DECIMAL(38,0))" in r.sql
