@@ -133,6 +133,12 @@ _WRAP_FUNCS = {
     "base64Decode": ("CAST(unbase64(", ") AS STRING)"),
     # arrayUniq(x) counts distinct elements.
     "arrayUniq": ("size(array_distinct(", "))"),
+    # CH partial-aggregate state combinators (AggregatingMergeTree
+    # rollups): uniqState builds a mergeable sketch, uniqMerge unions
+    # stored sketches and yields the estimate. Spark's DataSketches
+    # HLL functions are the direct equivalent.
+    "uniqState": ("hll_sketch_agg(", ")"),
+    "uniqMerge": ("hll_sketch_estimate(hll_union_agg(", "))"),
 }
 
 # CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond

@@ -187,3 +187,29 @@ def agg_distinct_multi(spark, sf_dir):
             "n_status_pri"
         ),
     )
+
+
+# Mergeable distinct-count sketches — the ClickHouse uniqState /
+# uniqMerge (AggregatingMergeTree rollup) pattern. Level 1 builds one
+# HLL sketch per (order-month, priority) partial; level 2 merges the
+# partials per priority WITHOUT rescanning rows. At 100 TB this is the
+# materialized-rollup shape: the expensive pass runs once, every
+# coarser rollup is a cheap sketch-union over |groups| rows. Estimates
+# are approximate -> rows-only driver check; tests assert ≤5% error vs
+# the exact twin.
+@query("uniq_state_merge_rollup")
+def uniq_state_merge_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    return (
+        partials.groupBy("priority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_custs"
+            )
+        )
+        .orderBy("priority")
+    )

@@ -180,6 +180,11 @@ class TestTranspileText:
         assert "(size(array_except(b, a)) = 0)" in r.sql
         assert "array_append(a, 1)" in r.sql
 
+    def test_uniq_state_merge(self):
+        r = transpile("SELECT uniqMerge(s) FROM (SELECT uniqState(x) AS s FROM t GROUP BY k)")
+        assert "hll_sketch_estimate(hll_union_agg(s))" in r.sql
+        assert "hll_sketch_agg(x)" in r.sql
+
     def test_array_literals(self):
         r = transpile("SELECT [1, 2, 3] AS a, [[1],[2]] AS n FROM t")
         assert "array(1, 2, 3)" in r.sql

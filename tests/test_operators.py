@@ -284,3 +284,26 @@ class TestIVF:
         a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
         b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
         assert a == b
+
+    def test_hll_rollup_merge_within_5pct(self, spark):
+        """uniq_state_merge_rollup (uniqState/uniqMerge shape): merged
+        per-month HLL partials must estimate per-priority distinct
+        custkeys within 5% of exact."""
+        from bighouse_spark.queries import all_queries
+
+        got = {
+            r.priority: r.approx_custs
+            for r in all_queries()["uniq_state_merge_rollup"](
+                spark, SF_CORRECT
+            ).collect()
+        }
+        o = load_table(spark, SF_CORRECT, "orders")
+        exact = {
+            r.priority: r.n
+            for r in o.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count_distinct("o_custkey").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for p, est in got.items():
+            assert abs(est - exact[p]) / exact[p] < 0.05
