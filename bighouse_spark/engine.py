@@ -247,6 +247,7 @@ class BigHouseEngine:
         fmt: str = "parquet",
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        order_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Run the query and write the result to a parquet/csv/json
         directory instead of collecting — the reference's unbuilt
@@ -256,6 +257,14 @@ class BigHouseEngine:
         This is the 100 TB-safe result path: ``collect()`` caps results
         at driver memory; a distributed write doesn't. ``partition_by``
         lays out the result for downstream partition pruning.
+
+        ``order_by`` is the MergeTree ``ORDER BY`` analog (the
+        reference's ATTACH DDL declares ``ENGINE = MergeTree ORDER BY
+        (event_type, repo_name, created_at)``,
+        ``workflow_query_executor_test.go:85``): rows are
+        range-repartitioned then sorted within each output file, so
+        parquet row-group min/max statistics prune reads on the sort
+        key — the same skip-index effect as a MergeTree primary key.
         """
         if isinstance(request, str):
             request = QueryRequest(query=request)
@@ -266,6 +275,13 @@ class BigHouseEngine:
                 self.spark.sql(init_t.sql)
         result = transpile(request.query, self.spark)
         df = self.spark.sql(result.sql)
+        if order_by:
+            # repartitionByRange clusters key ranges into files (tight
+            # per-file min/max); sortWithinPartitions orders row groups
+            # inside each file.
+            df = df.repartitionByRange(*order_by).sortWithinPartitions(
+                *order_by
+            )
         writer = df.write.format(fmt).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -203,3 +203,30 @@ def test_insert_into_function_sink(engine, tmp_path):
         f"SELECT count() AS n FROM file('file://{out}/*.parquet', 'Parquet')"
     )
     assert back.rows == [[5]]
+
+
+def test_sink_order_by_mergetree_layout(engine, tmp_path):
+    """order_by sink layout: each parquet file internally sorted with
+    non-overlapping key ranges across files (MergeTree ORDER BY
+    analog -> row-group min/max pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted_out")
+    engine.execute_to_sink(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"file('file://{SF_CORRECT}/orders.parquet', 'Parquet')",
+        path=out,
+        order_by=["o_orderkey"],
+    )
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert files
+    ranges = []
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert keys == sorted(keys), f"{f} not internally sorted"
+        ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap"
