@@ -434,6 +434,16 @@ def _rewrite_ch_clauses(sql: str) -> str:
     """
     out = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
     out = re.sub(r"\bFINAL\b", "", out, flags=re.IGNORECASE)
+    # CH GLOBAL IN / GLOBAL JOIN: ship-the-subquery-everywhere hint for
+    # distributed tables. Spark's optimizer owns the broadcast decision
+    # (Catalyst broadcast threshold / AQE), so the keyword is vacuous.
+    out = re.sub(
+        r"\bGLOBAL\s+(?=(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|SEMI|"
+        r"ANTI|JOIN|IN\b|NOT\s+IN\b))",
+        "",
+        out,
+        flags=re.IGNORECASE,
+    )
     # CH SAMPLE k: fraction (k<1) → TABLESAMPLE (p PERCENT); row count
     # (k≥1 integer) → TABLESAMPLE (k ROWS). Approximate in both
     # engines; acceptable drift by contract.

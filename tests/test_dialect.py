@@ -180,6 +180,14 @@ class TestTranspileText:
         assert "(size(array_except(b, a)) = 0)" in r.sql
         assert "array_append(a, 1)" in r.sql
 
+    def test_global_modifier_stripped(self):
+        r = transpile("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k")
+        assert "GLOBAL" not in r.sql and "JOIN b" in r.sql
+        r = transpile("SELECT * FROM a WHERE x GLOBAL IN (SELECT k FROM b)")
+        assert "GLOBAL" not in r.sql and "IN (SELECT" in r.sql
+        r = transpile("SELECT global_count FROM t")  # identifier untouched
+        assert "global_count" in r.sql
+
     def test_uniq_state_merge(self):
         r = transpile("SELECT uniqMerge(s) FROM (SELECT uniqState(x) AS s FROM t GROUP BY k)")
         assert "hll_sketch_estimate(hll_union_agg(s))" in r.sql
