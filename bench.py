@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
+    "funnel_window_3step",
+    "uniq_state_merge_rollup",
 ]
 
 

@@ -301,6 +301,12 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
+    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", out, re.IGNORECASE):
+        raise ValueError(
+            "ASOF JOIN is not SQL-transpiled yet; use "
+            "bighouse_spark.operators.asof.asof_join (single-shuffle "
+            "union+window implementation, backward/forward/tolerance)"
+        )
     fn_ddl = _rewrite_create_function(out)
     if fn_ddl is not None:
         return TranspileResult(sql=fn_ddl)

@@ -180,6 +180,12 @@ class TestTranspileText:
         assert "(size(array_except(b, a)) = 0)" in r.sql
         assert "array_append(a, 1)" in r.sql
 
+    def test_asof_join_raises_actionable(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="asof_join"):
+            transpile("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+
     def test_global_modifier_stripped(self):
         r = transpile("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k")
         assert "GLOBAL" not in r.sql and "JOIN b" in r.sql
