@@ -163,6 +163,29 @@ class BigHouseEngine:
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
             "system_query_log"
         )
+        # system.tables / system.columns analogs (CH exposes catalog
+        # introspection the same way; Spark's catalog is the source).
+        tables = [
+            (t.name, t.database or "", t.tableType, bool(t.isTemporary))
+            for t in self.spark.catalog.listTables()
+            if not t.name.startswith("__bh_src_")
+        ]
+        self.spark.createDataFrame(
+            tables, "name string, database string, engine string, "
+            "is_temporary boolean"
+        ).createOrReplaceTempView("system_tables")
+        cols = []
+        for tname, db, _, _ in tables:
+            if tname in ("system_tables", "system_columns"):
+                continue
+            try:
+                for c in self.spark.catalog.listColumns(tname):
+                    cols.append((tname, c.name, c.dataType, bool(c.nullable)))
+            except Exception:
+                continue  # view dropped concurrently; introspection is best-effort
+        self.spark.createDataFrame(
+            cols, "table string, name string, type string, nullable boolean"
+        ).createOrReplaceTempView("system_columns")
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"

@@ -230,3 +230,18 @@ def test_sink_order_by_mergetree_layout(engine, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file key ranges overlap"
+
+
+def test_system_tables_and_columns_views(engine):
+    """system.tables / system.columns introspection analogs (B17)."""
+    engine.attach_table("region", f"{SF_CORRECT}/region.parquet")
+    engine.refresh_system_views()
+    names = {
+        r[0]
+        for r in engine.execute("SELECT name FROM system_tables").rows
+    }
+    assert "region" in names
+    cols = engine.execute(
+        "SELECT name, type FROM system_columns WHERE table = 'region'"
+    ).rows
+    assert ["r_regionkey", "r_name"] == [c[0] for c in cols]
