@@ -108,6 +108,11 @@ _FUNC_RENAMES = {
     "groupUniqArray": "collect_set",
     "intDiv": "div",  # Spark div(a, b): integral division
     "hasAny": "arrays_overlap",
+    # anyLast/any pick SOME value per group in CH (explicitly
+    # nondeterministic there too); any_value is the Spark twin. Bare
+    # `any` is NOT mapped — it would collide with `> ANY(subquery)`.
+    "anyLast": "any_value",
+    "arrayZip": "arrays_zip",
     "arrayElement": "element_at",  # both support negative indices
     "arrayPushBack": "array_append",
     "arrayPushFront": "array_prepend",
@@ -139,6 +144,9 @@ _WRAP_FUNCS = {
     # HLL functions are the direct equivalent.
     "uniqState": ("hll_sketch_agg(", ")"),
     "uniqMerge": ("hll_sketch_estimate(hll_union_agg(", "))"),
+    # Nullability adapters are no-ops in Spark's type system.
+    "assumeNotNull": ("(", ")"),
+    "toNullable": ("(", ")"),
 }
 
 # CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond

@@ -180,6 +180,16 @@ class TestTranspileText:
         assert "(size(array_except(b, a)) = 0)" in r.sql
         assert "array_append(a, 1)" in r.sql
 
+    def test_nullability_and_misc_renames(self):
+        r = transpile(
+            "SELECT anyLast(x), arrayZip(a, b), assumeNotNull(c), "
+            "toNullable(d), x > ANY (SELECT k FROM t2) FROM t"
+        )
+        assert "any_value(x)" in r.sql
+        assert "arrays_zip(a, b)" in r.sql
+        assert "(c)" in r.sql and "assumeNotNull" not in r.sql
+        assert "ANY (SELECT" in r.sql  # subquery ANY untouched
+
     def test_asof_join_raises_actionable(self):
         import pytest
 
