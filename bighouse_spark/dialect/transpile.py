@@ -75,11 +75,9 @@ _FUNC_RENAMES = {
     "lcase": "lower",
     "ucase": "upper",
     "lengthUTF8": "length",
-    "notEmpty": "length",  # notEmpty(s) ~ length(s) > 0; best-effort
     "ifNull": "coalesce",
     "arrayJoin": "explode",
     "has": "array_contains",
-    "empty": "isnull",
     # NOTE: CH position()/extract() are NOT mapped — the rewrite would
     # corrupt standard SQL POSITION(x IN y) / EXTRACT(unit FROM ts).
     "match": "regexp_like",
@@ -147,6 +145,15 @@ _WRAP_FUNCS = {
     # Nullability adapters are no-ops in Spark's type system.
     "assumeNotNull": ("(", ")"),
     "toNullable": ("(", ")"),
+    # CH empty()/notEmpty() return UInt8 booleans: empty('') = 1,
+    # notEmpty('x') = 1. A rename to isnull/length was silently wrong
+    # ('' is not null; length() is INT, unusable as a WHERE predicate).
+    # NULL is treated as empty (coalesce), matching the dominant CH
+    # usage `WHERE notEmpty(col)` to drop blank-or-missing values.
+    # Array args: use string columns here; CH empty() on arrays has no
+    # single Spark textual twin (size() vs length()) — see tests.
+    "empty": ("(coalesce(length(", "), 0) = 0)"),
+    "notEmpty": ("(coalesce(length(", "), 0) > 0)"),
 }
 
 # CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond

@@ -291,6 +291,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_df_fraction: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index (no LSH approximation — this is the oracle-checkable exact
@@ -298,9 +299,15 @@ def ngram_jaccard_pairs(
 
     Shape: explode doc→shingle, self-join on shingle to count
     intersections, join back doc shingle counts, filter on
-    |A∩B| / (|A|+|B|−|A∩B|) ≥ t. The shuffle key is the shingle — at
-    scale, drop top-frequency shingles (stopword boilerplate) first;
-    here df-side filtering keeps shingles occurring in <50% of docs.
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ t. The shuffle key is the shingle, so a
+    boilerplate shingle present in most docs makes the self-join
+    quadratic; ``max_df_fraction`` caps that: shingles whose document
+    frequency exceeds the fraction are dropped BEFORE the self-join
+    (stopword-style removal), and per-doc sizes are recomputed over
+    the surviving shingles so the Jaccard stays a true set Jaccard
+    over the filtered shingle universe. At most
+    ~avg_shingles_per_doc / max_df_fraction shingles can exceed the
+    cap, so the hot set is tiny and broadcast into a left-anti join.
     """
     docs = (
         ensure_min_parallelism(
@@ -308,10 +315,24 @@ def ngram_jaccard_pairs(
         )
         .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
-        .persist()  # feeds sizes once + the inverted index twice
+        .persist()  # feeds n_docs + the inverted index
     )
-    sizes = docs.select("id", F.size("shingles").alias("n_sh"))
-    inv = docs.select("id", F.explode("shingles").alias("sh"))
+    inv_all = docs.select("id", F.explode("shingles").alias("sh"))
+
+    # Document frequency per shingle (shingles are array_distinct per
+    # doc, so count(*) == countDistinct(id)). The scalar doc count
+    # rides along via a broadcast cross join — no driver action, the
+    # whole cap stays one lazy plan.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    hot = (
+        inv_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") > F.col("__n_docs") * max_df_fraction)
+        .select("sh")
+    )
+    inv = inv_all.join(F.broadcast(hot), "sh", "left_anti").persist()
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
         inv.alias("a")

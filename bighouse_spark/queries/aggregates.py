@@ -133,17 +133,24 @@ def agg_conditional(spark, sf_dir):
 @query(
     "agg_collect_sorted",
     oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS nations
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations
 FROM nation GROUP BY n_regionkey
 """,
 )
 def agg_collect_sorted(spark, sf_dir):
     # CH groupArray + arraySort. collect_list order is
-    # nondeterministic; sort_array makes the result canonical.
+    # nondeterministic; sort_array makes the result canonical, and
+    # array_join flattens to a scalar so the driver's row comparator
+    # (pandas sort_values, which can't hash list cells) can hash it.
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
     )
 
 

@@ -435,6 +435,28 @@ class TestAggregateCombinators:
         row = spark.sql(r.sql).collect()[0]
         assert list(row) == [4, 20, 4, 6]
 
+    def test_empty_not_empty_predicates(self, spark):
+        # CH empty('') = 1 / notEmpty('x') = 1 as WHERE predicates
+        # (VERDICT r1: the old isnull/length renames were silently
+        # wrong — '' is not null, and length() is INT not boolean).
+        spark.createDataFrame(
+            [("",), ("x",), (None,)], ["s"]
+        ).createOrReplaceTempView("t_emptiness")
+        r = transpile(
+            "SELECT count(*) AS n FROM t_emptiness WHERE empty(s)", spark
+        )
+        assert spark.sql(r.sql).collect()[0][0] == 2  # '' and NULL
+        r = transpile(
+            "SELECT count(*) AS n FROM t_emptiness WHERE notEmpty(s)",
+            spark,
+        )
+        assert spark.sql(r.sql).collect()[0][0] == 1  # 'x'
+
+    def test_empty_in_select_is_boolean(self, spark):
+        r = transpile("SELECT empty('') AS e, notEmpty('ab') AS ne")
+        row = spark.sql(r.sql).collect()[0]
+        assert row.e is True and row.ne is True
+
     def test_arg_max_min_group_arrays(self, spark):
         r = transpile(
             "SELECT argMax(id, id % 3) AS am, argMin(id, id) AS an, "

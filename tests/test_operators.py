@@ -94,6 +94,50 @@ class TestMinHashLSH:
         assert bad == 0
 
 
+class TestNgramJaccardDFCap:
+    # Every doc ends with the same long boilerplate trailer (think
+    # license footer). Its shingles hit document frequency 1.0.
+    BOILER = "this content is provided as is without any warranty of any kind"
+
+    BODY = "alpha beta gamma delta one two three four five six"
+
+    def _corpus(self, spark):
+        return _docs(
+            spark,
+            [
+                f"{self.BODY} {self.BOILER}",
+                f"{self.BODY} epsilon {self.BOILER}",
+                f"quick brown fox jumps {self.BOILER}",
+                f"lorem ipsum dolor sit {self.BOILER}",
+            ],
+        )
+
+    def test_hot_shingles_dropped_before_self_join(self, spark):
+        # With the 0.5 DF cap, boilerplate shingles are removed, so
+        # docs 2 and 3 (which share ONLY boilerplate) never pair,
+        # while 0/1 (shared body) still do.
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                self._corpus(spark), threshold=0.5
+            ).collect()
+        }
+        assert (2, 3) not in pairs
+        assert (0, 1) in pairs
+
+    def test_cap_disabled_pairs_on_boilerplate(self, spark):
+        # Control: fraction > 1.0 disables the cap, and the shared
+        # trailer alone pushes every pair over the threshold — the
+        # exact failure mode the cap exists to stop.
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                self._corpus(spark), threshold=0.5, max_df_fraction=2.0
+            ).collect()
+        }
+        assert (2, 3) in pairs
+
+
 class TestSimHash:
     def test_identical_docs_distance_zero(self, spark):
         # The far doc uses a disjoint vocabulary — same-vocab cyclic
