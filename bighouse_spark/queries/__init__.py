@@ -23,6 +23,7 @@ from bighouse_spark.queries import (  # noqa: F401
     timeseries,
     textops,
     tpch2,
+    tpch3,
     vectorops,
     windows2,
 )
