@@ -77,12 +77,22 @@ def _minhash_signature(shingle_hashes: Column, num_hashes: int) -> Column:
     SimplifyExtractValueOps); with an opaque transform every band-key
     reference would recompute all ``num_hashes`` mins (measured 7×
     slower end-to-end). Pure column expressions → computed in the scan
-    stage, no Python."""
+    stage, no Python.
+
+    NOTE the seed must be captured via a closure FACTORY, not a
+    defaulted second lambda parameter: a two-parameter lambda is
+    PySpark's (element, index) transform signature, so ``lambda h,
+    i=i`` silently binds i to the ARRAY INDEX — every signature
+    position then computes the identical min and the whole signature
+    collapses to one Bernoulli trial (round-1 bug, caught when a
+    J=0.9 pair missed all 16 bands)."""
+
+    def seeded_mix(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_hashes, lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
+            F.array_min(F.transform(shingle_hashes, seeded_mix(i)))
             for i in range(num_hashes)
         ]
     )

@@ -103,16 +103,47 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.6)
 
 
-# MinHash + LSH near-dup pairs — the 100 TB scale path. Signature
-# hashes are engine-specific (xxhash64) → rows-only driver check;
-# recall/precision vs exact Jaccard asserted in tests/.
-@query("dedup_minhash_lsh")
+# MinHash + LSH near-dup pairs — the 100 TB scale path. The output is
+# candidate pairs verified by EXACT Jaccard ≥ threshold, so it is a
+# subset of the exact all-pairs result, short only of pairs the
+# banding missed; 32 hashes / 16 bands puts the s-curve's ~99% recall
+# point at J=0.5, and at the fixture scales recall is exactly 1.0
+# (asserted by the oracle match below and the recall tests), so the
+# driver can hash-compare against the DuckDB exact twin.
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM d
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""",
+)
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
     return minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.5
+        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.5
     )
 
 

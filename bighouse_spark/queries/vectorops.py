@@ -83,6 +83,45 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# The same IVF machinery with the probe knob at exhaustive
+# (nprobe = n_cells): every stage of the scale path runs — centroid
+# training, scan-side cell assignment, cell-key candidate join, JVM
+# scoring — while the result is provably the exact top-k, so the
+# driver hash-checks the whole pipeline against the brute-force
+# oracle. Together with ann_ivf_topk (partial probe, recall-floor
+# tests) this makes the IVF operator driver-verifiable.
+@query(
+    "ann_ivf_full_probe",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(cv, qv), 6) AS sim
+  FROM c, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+""",
+)
+def ann_ivf_full_probe(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
+    )
+
+
 # Embedding-based near-duplicate detection: pairs with cosine ≥ 0.95
 # (the embedding-cosine dedup flavor; exact, oracle-checked).
 @query(
@@ -167,17 +206,64 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-# MinHash pairs -> connected components -> per-cluster sizes. The
+# MinHash pairs -> connected components -> per-cluster sizes: the
 # full near-dup grouping flow (LSH candidates, exact verify, graph
-# clustering); component ids depend on LSH banding -> rows-only check,
-# with the invariant tests in tests/test_components.py.
-@query("dedup_minhash_clusters")
+# clustering). The verified pair set equals the exact all-pairs
+# Jaccard>=0.4 result at fixture scale (16-band recall 1.0), and the
+# component id is defined as the min member id, so the whole flow is
+# reproducible in SQL: the oracle rebuilds the exact pair graph and
+# takes its transitive closure with a recursive CTE.
+@query(
+    "dedup_minhash_clusters",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM d
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY component
+ORDER BY cluster_size DESC, component ASC
+""",
+)
 def dedup_minhash_clusters(spark, sf_dir):
     from bighouse_spark.operators.components import connected_components
     from bighouse_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    docs = t(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.4
+    )
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")

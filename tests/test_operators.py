@@ -53,13 +53,46 @@ class TestExactDedup:
 
 class TestMinHashLSH:
     def test_finds_planted_near_duplicates(self, spark):
+        # Far docs need genuinely disjoint vocabularies: _sentence()
+        # walks one shared cyclic vocabulary, so two long sentences
+        # from different seeds share most 3-shingles — the pre-fix
+        # minhash (index-collapsed signature, see _minhash_signature
+        # docstring) masked that by missing real near-dup pairs.
         base = _sentence(1, 40)
         near = base.rsplit(" ", 2)[0] + " zeta kappa"  # ~95% same shingles
-        far = _sentence(2, 40)
-        df = _docs(spark, [base, near, far, _sentence(3, 40)])
+        far1 = " ".join(f"w{(i * 7) % 23}" for i in range(40))
+        far2 = " ".join(f"v{(i * 5) % 19}" for i in range(40))
+        df = _docs(spark, [base, near, far1, far2])
         pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
         assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1)}
         assert pairs[0].jaccard > 0.8
+
+    def test_signature_positions_independent(self, spark):
+        # Regression for the round-1 index-collapse bug: two docs with
+        # J=0.9 must agree on roughly J*num_hashes positions — the
+        # broken signature agreed on exactly 0 or 32 (one Bernoulli
+        # trial), never in between.
+        from bighouse_spark.functions.text import word_shingles
+        from bighouse_spark.operators.dedup import _minhash_signature
+
+        base = " ".join(f"t{i}" for i in range(12))
+        near = base + " extra"  # 10 shared shingles of 11 (J=10/11)
+        sigs = {
+            r.doc_id: r.sig
+            for r in _docs(spark, [base, near])
+            .select(
+                "doc_id",
+                F.transform(
+                    word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+                ).alias("h"),
+            )
+            .select(
+                "doc_id", _minhash_signature(F.col("h"), 32).alias("sig")
+            )
+            .collect()
+        }
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+        assert 20 <= agree <= 31, f"agreement {agree}/32 not ~J*32"
 
     def test_recall_vs_exact_jaccard(self, spark):
         docs = load_table(spark, SF_CORRECT, "documents").where(
