@@ -25,6 +25,7 @@ fails loudly otherwise.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
 
@@ -657,6 +658,15 @@ def _rewrite_functions(sql: str) -> str:
     return out
 
 
+# Process-wide monotonic counter for table-function view names.
+# Naming views per-call (__bh_src_0, __bh_src_1, ...) raced under the
+# ThreadingHTTPServer: two concurrent queries both registered
+# __bh_src_0 and could silently read each other's source. Temp views
+# are session-scoped shared state, so uniqueness must be process-wide;
+# the engine drops them after execution.
+_VIEW_COUNTER = itertools.count()
+
+
 def _rewrite_table_functions(
     sql: str, spark: SparkSession | None, uses_file: bool
 ) -> tuple[str, list[str]]:
@@ -672,7 +682,7 @@ def _rewrite_table_functions(
                 raise ValueError(
                     f"table function {fn}() requires a SparkSession to transpile"
                 )
-            view = f"__bh_src_{len(views)}"
+            view = f"__bh_src_{next(_VIEW_COUNTER)}"
             _register_source(spark, fn, args, view, uses_file)
             views.append(view)
             out = out[:start] + view + out[end:]
@@ -760,13 +770,20 @@ _HTTP_SPOOL: dict[str, str] = {}
 
 def _fetch_http(url: str) -> str:
     """Download an http(s) source to a local spool file (cached per
-    URL for the process lifetime) and return a file:// path."""
+    URL for the process lifetime) and return a file:// path.
+
+    The download streams to a unique temp name and ``os.replace``s
+    into place only on success: a mid-stream failure can never leave a
+    truncated file that the exists-check on a later call would serve
+    as complete, and concurrent fetches of the same URL are safe (both
+    write whole files; the rename is atomic, last-one-wins)."""
     if url in _HTTP_SPOOL:
         return _HTTP_SPOOL[url]
     import hashlib
     import os
     import tempfile
     import urllib.request
+    import uuid
 
     spool_dir = os.path.join(tempfile.gettempdir(), "bighouse_http_spool")
     os.makedirs(spool_dir, exist_ok=True)
@@ -775,13 +792,31 @@ def _fetch_http(url: str) -> str:
     )
     dest = os.path.join(spool_dir, name)
     if not os.path.exists(dest):
-        with urllib.request.urlopen(url, timeout=60) as resp, open(
-            dest, "wb"
-        ) as f:
-            while chunk := resp.read(1 << 20):
-                f.write(chunk)
+        tmp = f"{dest}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            with urllib.request.urlopen(url, timeout=60) as resp, open(
+                tmp, "wb"
+            ) as f:
+                while chunk := resp.read(1 << 20):
+                    f.write(chunk)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     _HTTP_SPOOL[url] = f"file://{dest}"
     return _HTTP_SPOOL[url]
+
+
+def _fetch_http_many(urls: list[str]) -> list[str]:
+    """Spool many http(s) URLs concurrently (a `{2009..2016}{01..12}`
+    urlCluster expansion is ~100 files — serial driver fetches were
+    the round-1 bottleneck). Order-preserving; bounded pool."""
+    if len(urls) == 1:
+        return [_fetch_http(urls[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(urls))) as pool:
+        return list(pool.map(_fetch_http, urls))
 
 
 def _register_source(
@@ -814,10 +849,11 @@ def _register_source(
     if paths and paths[0].startswith(("http://", "https://")):
         # Plain-HTTP sources (the reference's url()/urlCluster() over
         # public datasets, run.sh:17): no Hadoop FS speaks http, so
-        # fetch to a driver-local spool once and read from there.
-        # Fine for the reference's use (modest public CSVs); S3-hosted
-        # data should use s3a:// paths, which scan distributed.
-        paths = [_fetch_http(u) for u in paths]
+        # fetch to a driver-local spool (concurrently across URLs) and
+        # read from there. Fine for the reference's use (modest public
+        # CSVs); S3-hosted data should use s3a:// paths, which scan
+        # distributed.
+        paths = _fetch_http_many(paths)
     options = {}
     if fmt_name in ("tsv", "tsvwithnames"):
         options["sep"] = "\t"

@@ -19,7 +19,9 @@ reference) → ``collect``. Also keeps a ``query_log`` (the
 from __future__ import annotations
 
 import re
+import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -98,18 +100,57 @@ class BigHouseEngine:
     SparkSession amortizes that to zero, which its own benchmarks
     argue for on fast queries (``README.md:58,104``)."""
 
+    # Result-cache bounds: a long-lived server must not leak memory
+    # one cached query at a time (CH bounds its query cache the same
+    # way: max_entries / max_size, ch/config.xml:1348).
+    CACHE_MAX_ENTRIES = 128
+    CACHE_MAX_ROWS = 1_000_000  # total rows across all entries
+
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.query_log: list[QueryLogEntry] = []
         # Result cache (the CH query-cache analog, ch/config.xml:1348;
         # SURVEY.md §2.C "Query result cache"). Opt-in per query via
         # ``SETTINGS use_query_cache=1``; keyed by the raw SQL text.
-        # No source-version invalidation — callers clear_cache() after
-        # writes, same contract as CH's TTL-less cache default.
-        self._result_cache: dict[str, QueryResult] = {}
+        # LRU with entry + row bounds; no source-version invalidation
+        # — callers clear_cache() after writes, same contract as CH's
+        # TTL-less cache default.
+        self._result_cache: OrderedDict[str, QueryResult] = OrderedDict()
+        self._cache_rows = 0
+        self._cache_lock = threading.Lock()
+        # Serializes queries that mutate session-global conf (the
+        # num_nodes/cores knobs): SQLConf is shared across the
+        # ThreadingHTTPServer's request threads.
+        self._conf_lock = threading.Lock()
 
     def clear_cache(self) -> None:
-        self._result_cache.clear()
+        with self._cache_lock:
+            self._result_cache.clear()
+            self._cache_rows = 0
+
+    def _cache_get(self, key: str) -> QueryResult | None:
+        with self._cache_lock:
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+            return hit
+
+    def _cache_put(self, key: str, result: QueryResult) -> None:
+        n_rows = len(result.rows)
+        if n_rows > self.CACHE_MAX_ROWS:
+            return  # larger than the whole budget; never cacheable
+        with self._cache_lock:
+            prev = self._result_cache.pop(key, None)
+            if prev is not None:
+                self._cache_rows -= len(prev.rows)
+            self._result_cache[key] = result
+            self._cache_rows += n_rows
+            while self._result_cache and (
+                len(self._result_cache) > self.CACHE_MAX_ENTRIES
+                or self._cache_rows > self.CACHE_MAX_ROWS
+            ):
+                _, evicted = self._result_cache.popitem(last=False)
+                self._cache_rows -= len(evicted.rows)
 
     def attach_table(
         self,
@@ -186,6 +227,48 @@ class BigHouseEngine:
         self.spark.createDataFrame(
             cols, "table string, name string, type string, nullable boolean"
         ).createOrReplaceTempView("system_columns")
+        # system.clusters analog (the reference's first smoke query is
+        # `SELECT * FROM system.clusters`, run.sh:5-6): one row per
+        # executor from the JVM status tracker — host, task activity,
+        # storage-memory use. On local[N] that's the driver executor;
+        # on a real cluster, one row per node, same code path.
+        clusters = []
+        try:
+            jtracker = self.spark.sparkContext._jsc.sc().statusTracker()
+            for ei in jtracker.getExecutorInfos():
+                clusters.append((
+                    "bighouse",  # cluster_name
+                    ei.host(),
+                    int(ei.port()),
+                    int(ei.numRunningTasks()),
+                    int(ei.cacheSize()),
+                ))
+        except Exception:
+            pass  # py4j surface moved; fall through to the driver row
+        if not clusters:
+            clusters = [("bighouse", "driver", 0, 0, 0)]
+        self.spark.createDataFrame(
+            clusters,
+            "cluster_name string, host_name string, port int, "
+            "num_running_tasks int, cache_size bigint",
+        ).createOrReplaceTempView("system_clusters")
+        # processors_profile_log analog (reference
+        # workflow_query_executor_test.go:98-107): per-query wall time
+        # + scheduler counters. Spark's per-operator timings live in
+        # the SQL UI; what's queryable headlessly is the job/stage
+        # counters, exposed per engine-query alongside elapsed_sec.
+        tracker = self.spark.sparkContext.statusTracker()
+        profile = [(
+            len(self.query_log),
+            float(sum(e.elapsed_sec for e in self.query_log)),
+            len(tracker.getActiveJobsIds() or []),
+            len(tracker.getActiveStageIds() or []),
+        )]
+        self.spark.createDataFrame(
+            profile,
+            "queries_executed bigint, total_elapsed_sec double, "
+            "active_jobs int, active_stages int",
+        ).createOrReplaceTempView("system_profile")
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"
@@ -216,19 +299,13 @@ class BigHouseEngine:
                 cols=["path"], rows=[[meta["path"]]],
                 elapsed_sec=meta["elapsed_sec"],
             )
-        if request.num_nodes or request.cores:
-            # Cluster-shape knobs → parallelism hint (B18).
-            parts = (request.num_nodes or 1) * (request.cores or 1)
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(max(parts, 1)))
-        transpiled = ""
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.
         use_cache = (
             re.search(r"use_query_cache\s*=\s*'?(1|true)'?", request.query)
             is not None
         )
-        if use_cache and request.query in self._result_cache:
-            hit = self._result_cache[request.query]
+        if use_cache and (hit := self._cache_get(request.query)) is not None:
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(
@@ -237,12 +314,28 @@ class BigHouseEngine:
                 )
             )
             return QueryResult(hit.cols, hit.rows, elapsed)
+        # Cluster-shape knobs → parallelism hint (B18). SQLConf is
+        # session-global, so a knob-bearing query holds _conf_lock for
+        # its duration and restores the prior value — two concurrent
+        # requests can't fight over shuffle.partitions. Knob-less
+        # queries don't serialize.
+        scoped_conf = bool(request.num_nodes or request.cores)
+        prev_parts = None
+        if scoped_conf:
+            parts = (request.num_nodes or 1) * (request.cores or 1)
+            self._conf_lock.acquire()
+            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(max(parts, 1)))
+        transpiled = ""
+        views: list[str] = []
         try:
             for init in request.init_queries:
                 init_t = transpile(init, self.spark)
+                views.extend(init_t.views)
                 if init_t.sql.strip():
                     self.spark.sql(init_t.sql)
             result = transpile(request.query, self.spark)
+            views.extend(result.views)
             transpiled = result.sql
             df = self.spark.sql(result.sql)
             cols = df.columns
@@ -253,7 +346,7 @@ class BigHouseEngine:
             )
             out = QueryResult(cols=cols, rows=rows, elapsed_sec=elapsed)
             if use_cache:
-                self._result_cache[request.query] = out
+                self._cache_put(request.query, out)
             return out
         except Exception as e:
             self.query_log.append(
@@ -262,6 +355,20 @@ class BigHouseEngine:
                 )
             )
             raise
+        finally:
+            # Table-function views are single-use per query: drop them
+            # so the session catalog doesn't accrete one per request.
+            for v in views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            if scoped_conf:
+                if prev_parts is not None:
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions", prev_parts
+                    )
+                self._conf_lock.release()
 
     def execute_to_sink(
         self,
@@ -292,28 +399,38 @@ class BigHouseEngine:
         if isinstance(request, str):
             request = QueryRequest(query=request)
         t0 = time.monotonic()
-        for init in request.init_queries:
-            init_t = transpile(init, self.spark)
-            if init_t.sql.strip():
-                self.spark.sql(init_t.sql)
-        result = transpile(request.query, self.spark)
-        df = self.spark.sql(result.sql)
-        if order_by:
-            # repartitionByRange clusters key ranges into files (tight
-            # per-file min/max); sortWithinPartitions orders row groups
-            # inside each file.
-            df = df.repartitionByRange(*order_by).sortWithinPartitions(
-                *order_by
+        views: list[str] = []
+        try:
+            for init in request.init_queries:
+                init_t = transpile(init, self.spark)
+                views.extend(init_t.views)
+                if init_t.sql.strip():
+                    self.spark.sql(init_t.sql)
+            result = transpile(request.query, self.spark)
+            views.extend(result.views)
+            df = self.spark.sql(result.sql)
+            if order_by:
+                # repartitionByRange clusters key ranges into files
+                # (tight per-file min/max); sortWithinPartitions orders
+                # row groups inside each file.
+                df = df.repartitionByRange(*order_by).sortWithinPartitions(
+                    *order_by
+                )
+            writer = df.write.format(fmt).mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(path)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, result.sql, elapsed, -1)
             )
-        writer = df.write.format(fmt).mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(path)
-        elapsed = time.monotonic() - t0
-        self.query_log.append(
-            QueryLogEntry(request.query, result.sql, elapsed, -1)
-        )
-        return {"path": path, "cols": df.columns, "elapsed_sec": elapsed}
+            return {"path": path, "cols": df.columns, "elapsed_sec": elapsed}
+        finally:
+            for v in views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
 
     def health_check(self) -> bool:
         """``GET /hc`` analog (``http_server/http_server.go:50,83-85``)."""

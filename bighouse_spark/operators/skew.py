@@ -35,13 +35,28 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the hot-key pressure spread over ``salts``
-    reducers. Output is identical to ``fact.join(dim, on, how)``; the
-    salt column never escapes.
+    reducers. Output is identical to ``fact.join(dim, on, how)`` for
+    ``how`` in {inner, left, left_semi, left_anti}; the salt column
+    never escapes.
+
+    right/full joins are rejected: the dim side is replicated
+    ``salts``×, so every UNMATCHED dim row would surface ``salts``
+    times in right/full output — silently duplicated rows. (Matched
+    rows are fine under any ``how``: each fact row carries exactly one
+    salt value.)
 
     The fact-side salt is a content hash (deterministic, no RNG state
     in the plan) — any assignment works for correctness since the dim
     side carries every salt value.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"dim-side rows {salts}x (dim is salt-replicated); "
+            f"use one of {sorted(allowed)} or a plain join"
+        )
     salt_src: list[Column] = [F.col(c) for c in fact.columns]
     fact_s = fact.withColumn(
         "__salt", F.pmod(F.abs(F.xxhash64(*salt_src)), F.lit(salts))

@@ -269,7 +269,10 @@ class TestTranspileWithSession:
             "'a Int32, b String')",
             spark,
         )
-        assert r.views == ["__bh_src_0"]
+        # View names are process-unique (monotonic counter), not
+        # per-call indices — concurrent transpiles must never collide.
+        assert len(r.views) == 1 and r.views[0].startswith("__bh_src_")
+        assert r.views[0] in r.sql
         assert spark.sql(r.sql).collect()[0][0] == 2
 
     def test_s3cluster_macro_erased(self, spark, tmp_path):
@@ -531,6 +534,33 @@ class TestHttpUrlSource:
             )
             rows = [tuple(x) for x in spark.sql(r.sql).collect()]
             assert rows == [("AAPL", 3.0), ("MSFT", 2.0)]
+        finally:
+            srv.shutdown()
+
+    def test_url_range_glob_fetches_all(self, spark, tmp_path):
+        # A {a..b} range expansion fetches every URL (concurrently —
+        # round 1 spooled serially) and unions the files.
+        import http.server
+        import threading
+
+        for m in (1, 2, 3):
+            (tmp_path / f"x-{m}.csv").write_text(f"v\n{m}0\n{m}1\n")
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_port
+            r = transpile(
+                f"SELECT count() AS n, sum(v) AS s FROM "
+                f"url('http://127.0.0.1:{port}/x-{{1..3}}.csv', "
+                "'CSVWithNames', 'v Int64')",
+                spark,
+            )
+            assert [tuple(x) for x in spark.sql(r.sql).collect()] == [
+                (6, 10 + 11 + 20 + 21 + 30 + 31)
+            ]
         finally:
             srv.shutdown()
 

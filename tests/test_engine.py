@@ -50,9 +50,19 @@ def test_init_queries_run_first(engine, spark):
 
 
 def test_cluster_shape_maps_to_partitions(engine, spark):
-    engine.execute(QueryRequest(query="SELECT 1 AS x", num_nodes=3, cores=4))
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # restore
+    # The knob applies DURING the query (visible via SQL SET output)
+    # and is restored afterwards — session conf is shared across the
+    # server's request threads, so leaks would cross-contaminate.
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = engine.execute(
+        QueryRequest(
+            query="SET spark.sql.shuffle.partitions",
+            num_nodes=3,
+            cores=4,
+        )
+    )
+    assert out.rows[0][1] == "12"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 def test_error_lands_in_query_log(engine):
@@ -114,6 +124,71 @@ def test_result_cache_opt_in(engine):
     engine.clear_cache()
     engine.execute(q)
     assert engine.query_log[-1].cached is False
+
+
+def test_result_cache_lru_eviction(engine):
+    engine.clear_cache()
+    old_entries = type(engine).CACHE_MAX_ENTRIES
+    type(engine).CACHE_MAX_ENTRIES = 3
+    try:
+        qs = [
+            f"SELECT {i} AS v SETTINGS use_query_cache=1" for i in range(5)
+        ]
+        for q in qs:
+            engine.execute(q)
+        assert len(engine._result_cache) == 3
+        # Oldest two evicted -> re-running them is a miss.
+        engine.execute(qs[0])
+        assert engine.query_log[-1].cached is False
+        # Most recent still cached.
+        engine.execute(qs[4])
+        assert engine.query_log[-1].cached is True
+    finally:
+        type(engine).CACHE_MAX_ENTRIES = old_entries
+        engine.clear_cache()
+
+
+def test_table_function_views_dropped_and_unique(engine, spark, tmp_path):
+    import csv as _csv
+
+    p = tmp_path / "vu.csv"
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["a", "b"])
+        w.writerows([[1, 2], [3, 4]])
+    q = (
+        f"SELECT count() AS c FROM file('{p}', 'CSVWithNames', "
+        "'a UInt64, b UInt64')"
+    )
+
+    def src_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__bh_src_")
+        }
+
+    # Single-use source views must not accrete in the session catalog
+    # (and per-query unique names mean concurrent requests can't read
+    # each other's sources). Relative check: transpile-only tests
+    # elsewhere register views without an engine to clean them up.
+    before = src_views()
+    engine.execute(q)
+    engine.execute(q)
+    assert src_views() == before
+
+
+def test_system_clusters_and_profile_views(engine, spark):
+    engine.execute("SELECT 1 AS x")
+    engine.refresh_system_views()
+    clusters = spark.sql(
+        "SELECT cluster_name, host_name FROM system_clusters"
+    ).collect()
+    assert len(clusters) >= 1
+    assert clusters[0].cluster_name == "bighouse"
+    prof = spark.sql("SELECT * FROM system_profile").collect()[0]
+    assert prof.queries_executed >= 1
+    assert prof.total_elapsed_sec > 0
 
 
 def test_orc_table_function(engine, spark, tmp_path):

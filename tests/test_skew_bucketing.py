@@ -60,6 +60,19 @@ class TestSaltedJoin:
         )
         assert plain.count() == salted.count() > 0
 
+    def test_right_full_rejected(self, spark, skewed):
+        # Unmatched dim rows would appear `salts` times under
+        # right/full (dim is salt-replicated) — must raise, not
+        # silently duplicate.
+        fact, dim = skewed
+        import pytest as _pytest
+
+        from bighouse_spark.operators.skew import salted_join
+
+        for how in ("right", "full", "right_outer", "full_outer"):
+            with _pytest.raises(ValueError, match="salted_join"):
+                salted_join(fact, dim, on="k", how=how)
+
     def test_salt_column_not_leaked(self, spark, skewed):
         fact, dim = skewed
         assert "__salt" not in salted_join(fact, dim, "k").columns
