@@ -131,7 +131,10 @@ def minhash_lsh_pairs(
     # well-split big input; ~N× on a single-file local table).
     docs = (
         ensure_min_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            # Shingling + per-shingle seed mixes cost ~100x more per
+            # byte than a columnar scan: size parallelism accordingly.
+            bytes_per_partition=8 << 10,
         )
         .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
@@ -241,7 +244,10 @@ def simhash_pairs(
     """
     docs = (
         ensure_min_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            # Shingling + per-shingle seed mixes cost ~100x more per
+            # byte than a columnar scan: size parallelism accordingly.
+            bytes_per_partition=8 << 10,
         )
         .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
@@ -321,7 +327,10 @@ def ngram_jaccard_pairs(
     """
     docs = (
         ensure_min_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            # Shingling + per-shingle seed mixes cost ~100x more per
+            # byte than a columnar scan: size parallelism accordingly.
+            bytes_per_partition=8 << 10,
         )
         .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
         .where(F.size("shingles") > 0)
