@@ -46,12 +46,15 @@ HEADLINE = [
 
 
 def main() -> None:
-    from bighouse_spark.queries import all_queries
+    import bighouse_spark.queries  # noqa: F401  (registers everything)
+    from bighouse_spark.queries.registry import get
     from bighouse_spark.session import get_spark
 
     spark = get_spark(app_name="bighouse-bench", cpus=CPUS,
                       shuffle_partitions=CPUS)
-    queries = all_queries()
+    # Registry names (rotation-agnostic): bench timings must stay
+    # comparable round-over-round regardless of driver-window prefixes.
+    queries = {n: get(n).fn for n in HEADLINE + ["count_star"]}
 
     # Warm the JVM + file listing + data pages of every table the
     # headline set touches, so per-query numbers measure execution,

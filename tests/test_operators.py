@@ -366,11 +366,11 @@ class TestIVF:
         """uniq_state_merge_rollup (uniqState/uniqMerge shape): merged
         per-month HLL partials must estimate per-priority distinct
         custkeys within 5% of exact."""
-        from bighouse_spark.queries import all_queries
+        from bighouse_spark.queries.registry import get
 
         got = {
             r.priority: r.approx_custs
-            for r in all_queries()["uniq_state_merge_rollup"](
+            for r in get("uniq_state_merge_rollup").fn(
                 spark, SF_CORRECT
             ).collect()
         }

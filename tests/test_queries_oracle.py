@@ -27,3 +27,26 @@ def test_rows_only(spark, name):
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
+
+
+def test_driver_window_rotation_shape():
+    """The driver records the first 50 exported names alphabetically;
+    the rotation must put exactly the intended 50 there, keep
+    queries()/oracle_sql() keys consistent, and never lose a query."""
+    from bighouse_spark.queries.registry import (
+        _REGISTRY,
+        DRIVER_WINDOW,
+        exposed_name,
+    )
+
+    assert len(DRIVER_WINDOW) == 50
+    assert DRIVER_WINDOW <= set(_REGISTRY), "rotation names must exist"
+    first50 = sorted(QUERIES)[:50]
+    assert all(n.startswith("a0_") for n in first50)
+    assert {n[3:] for n in first50} == DRIVER_WINDOW
+    # Exported keys map back to the same callables/oracles.
+    assert len(QUERIES) == len(_REGISTRY)
+    for name, rq in _REGISTRY.items():
+        assert QUERIES[exposed_name(name)] is rq.fn
+        if rq.oracle is not None:
+            assert ORACLES[exposed_name(name)] == rq.oracle
