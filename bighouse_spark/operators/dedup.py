@@ -205,13 +205,31 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(shingles: Column, bits: int = 64) -> Column:
-    """64-bit SimHash from shingle hashes: bit b of the signature is 1
-    iff the count of shingles whose xxhash64 has bit b set exceeds
-    half the shingle count. Implemented with bit arithmetic over a
-    transform/aggregate — all JVM-side."""
+def simhash(
+    shingles: Column, bits: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
+    """SimHash from shingle hashes: bit b of the signature is 1 iff
+    the count of shingles whose hash has bit b set exceeds half the
+    shingle count. Implemented with bit arithmetic over a
+    transform/aggregate — all JVM-side.
+
+    ``hash_fn``:
+      * ``"xxhash64"`` (default) — fastest, engine-specific.
+      * ``"md5_60"`` — 60-bit hash from the first 15 hex chars of
+        md5(shingle); bit-identical in DuckDB via
+        ``('0x'||substr(md5(s),1,15))::BIGINT``, which makes the
+        whole simhash pipeline oracle-checkable (pass bits=60).
+    """
     n = F.size(shingles)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if hash_fn == "md5_60":
+        hashes = F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     bit_cols = []
     for b in range(bits):
         ones = F.size(
@@ -234,14 +252,20 @@ def simhash_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding.
 
-    Splitting the 64-bit signature into 4 × 16-bit bands guarantees any
-    pair within Hamming distance 3 shares at least one exact band
-    (pigeonhole), so candidates = equality join per band — the same
-    bucket-shuffle shape as MinHash LSH. Verify with popcount of XOR.
+    Splitting the signature into 4 bands (16 bits for xxhash64's 64,
+    15 for md5_60's 60) guarantees any pair within Hamming distance 3
+    shares at least one exact band (pigeonhole), so candidates =
+    equality join per band — the same bucket-shuffle shape as MinHash
+    LSH — and recall at max_hamming<=3 is exactly 1.0, not
+    probabilistic. Verify with popcount of XOR.
     """
+    bits = 60 if hash_fn == "md5_60" else 64
+    band_width = bits // 4
+    band_mask = (1 << band_width) - 1
     docs = (
         ensure_min_parallelism(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
@@ -253,8 +277,10 @@ def simhash_pairs(
         .where(F.size("shingles") > 0)
     )
     # Persist signatures: referenced by both sides of the band
-    # self-join, and the 64-bit-count expression is wide.
-    sigs = docs.select("id", simhash(F.col("shingles")).alias("sig")).persist()
+    # self-join, and the per-bit-count expression is wide.
+    sigs = docs.select(
+        "id", simhash(F.col("shingles"), bits, hash_fn).alias("sig")
+    ).persist()
 
     bands = sigs.select(
         "id",
@@ -264,8 +290,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sig", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", b * band_width)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("key"),
                     )
                     for b in range(4)

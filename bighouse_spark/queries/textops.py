@@ -147,13 +147,50 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-# SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
-@query("dedup_simhash")
+# SimHash near-dup pairs (Hamming <= 3). The registry entry uses the
+# md5_60 hash family: 60-bit per-shingle hashes from the first 15 hex
+# chars of md5, which DuckDB computes bit-identically — and the
+# 4-band pigeonhole makes Hamming<=3 recall exactly 1.0, so the whole
+# pipeline (signature, banding, verify) is oracle-checked, not
+# rows-only. The xxhash64 family stays the scale default in
+# operators/dedup.py. The oracle's 60-term bit-majority expression is
+# generated below.
+_SIMHASH_SIG_EXPR = "\n      + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) "
+    f"> len(hs) THEN (1::BIGINT << {b}) ELSE 0 END)"
+    for b in range(60)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), h AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM d
+), s AS (
+  SELECT doc_id, {_SIMHASH_SIG_EXPR} AS sig FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+)
 def dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 2
     )
-    return simhash_pairs(docs, shingle_n=2, max_hamming=3)
+    return simhash_pairs(docs, shingle_n=2, max_hamming=3, hash_fn="md5_60")
 
 
 # Language ID: stopword-marker argmax (ties → alphabetically first,

@@ -187,6 +187,16 @@ class TestSimHash:
         b = sorted(map(tuple, simhash_pairs(df).collect()))
         assert a == b
 
+    def test_md5_60_family_same_semantics(self, spark):
+        # The oracle-checkable md5_60 family (60-bit sigs, 15-bit
+        # bands) must keep the pigeonhole guarantee: identical docs at
+        # hamming 0, disjoint-vocab docs absent.
+        far = " ".join(f"w{i % 17}x w{(i * 5) % 13}y" for i in range(15))
+        df = _docs(spark, [_sentence(5), _sentence(5), far])
+        out = simhash_pairs(df, max_hamming=3, hash_fn="md5_60").collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+        assert out[0].hamming == 0
+
 
 class TestANN:
     def test_lsh_recall_vs_brute_force(self, spark):
