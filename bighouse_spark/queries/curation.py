@@ -1,0 +1,156 @@
+"""Corpus-curation queries over the ``documents`` fixture:
+benchmark decontamination, deterministic stratified sampling,
+weighted source mixing, token-budget sequence packing.
+
+All four are exact and oracle-checked: sampling and packing decisions
+derive from the md5_60 bucket hash (``operators/curation.md5_bucket``)
+that DuckDB reproduces bit-for-bit, so there is no RNG anywhere in
+the pipeline — re-running a mix reproduces it exactly, which is the
+property a training-data pipeline actually needs from its sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bighouse_spark.operators.curation import (
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from bighouse_spark.queries.registry import query, t
+
+# DuckDB twin of functions.text.word_shingles (incl. the short-doc
+# fallback: a doc with fewer than n words contributes its full text
+# as one shingle).
+_SH3 = """
+CASE WHEN len(string_split(text, ' ')) >= 3
+     THEN list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 2 + 1),
+            i -> array_to_string(
+                   list_slice(string_split(text, ' '), i, i + 2), ' ')))
+     ELSE [text] END
+"""
+
+# DuckDB twin of operators.curation.md5_bucket.
+def _bucket(expr: str, buckets: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+# Benchmark decontamination: docs with id < 20 act as the held-out
+# eval set; the remaining corpus drops every doc sharing any 3-gram
+# with it. Output = the surviving corpus ids (the thing a pipeline
+# writes onward).
+@query(
+    "curation_decontaminate",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SH3}) AS sh FROM documents WHERE doc_id < 20
+), corpus AS (
+  SELECT doc_id, {_SH3} AS shs FROM documents WHERE doc_id >= 20
+), dirty AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(shs) AS sh FROM corpus) c
+  JOIN ev USING (sh)
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+""",
+)
+def curation_decontaminate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    return decontaminate(corpus, eval_set, shingle_n=3).select("doc_id")
+
+
+# Deterministic stratified sampling by language: en kept at 80%,
+# others per the map / 10% default. Content-hash sampling — the same
+# rows come back on every run and in the oracle.
+@query(
+    "curation_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket('doc_id', 100)} <
+      (CASE WHEN lang = 'en' THEN 80
+            WHEN lang = 'de' THEN 50
+            WHEN lang = 'es' THEN 50
+            ELSE 10 END)
+""",
+)
+def curation_stratified_sample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 80, "de": 50, "es": 50}, default_pct=10
+    ).select("doc_id", "lang")
+
+
+# Weighted source mixture: per-source keep fractions (a 75/25-style
+# training mix), reported as per-source doc/token totals.
+@query(
+    "curation_mixture_weighted",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+WHERE ({_bucket('doc_id', 100)} <
+       (CASE WHEN source = 'src0' THEN 75 ELSE 25 END))
+GROUP BY source
+ORDER BY source
+""",
+)
+def curation_mixture_weighted(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    mixed = hash_sample(docs.where(F.col("source") == "src0"), 75).unionAll(
+        hash_sample(docs.where(F.col("source") != "src0"), 25)
+    )
+    from bighouse_spark.functions.text import token_count
+
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# Token-budget sequence packing: contiguous greedy bins of 512 tokens
+# within 8 deterministic shards; per-bin stats.
+@query(
+    "curation_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT {_bucket('doc_id', 8)} AS shard, doc_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY shard, bin
+ORDER BY shard, bin
+""",
+)
+def curation_pack_sequences(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(docs, token_budget=512, n_shards=8)
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )

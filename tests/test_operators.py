@@ -171,6 +171,48 @@ class TestNgramJaccardDFCap:
         assert (2, 3) in pairs
 
 
+class TestCuration:
+    def test_decontaminate_drops_leaked_docs(self, spark):
+        ev = _docs(spark, ["secret benchmark question one"])
+        corpus = spark.createDataFrame(
+            [
+                Row(doc_id=10, text="totally clean training text here"),
+                Row(doc_id=11, text="contains secret benchmark question inside"),
+            ]
+        )
+        from bighouse_spark.operators.curation import decontaminate
+
+        out = [r.doc_id for r in decontaminate(corpus, ev).collect()]
+        assert out == [10]
+
+    def test_pack_sequences_budget_and_conservation(self, spark):
+        from bighouse_spark.operators.curation import pack_sequences
+
+        docs = _docs(spark, [" ".join(["w"] * (5 + i % 7)) for i in range(40)])
+        packed = pack_sequences(docs, token_budget=20, n_shards=4)
+        rows = packed.collect()
+        # Every doc appears exactly once (packing conserves the corpus).
+        assert sorted(r.doc_id for r in rows) == list(range(40))
+        # A bin only exceeds the budget by its final straddling doc:
+        # the running total before each doc stays under budget.
+        import collections
+
+        bins = collections.defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r.shard, r.bin, r.doc_id)):
+            bins[(r.shard, r.bin)].append(r.n_tokens)
+        for toks in bins.values():
+            assert sum(toks[:-1]) < 20
+
+    def test_hash_sample_deterministic(self, spark):
+        from bighouse_spark.operators.curation import hash_sample
+
+        docs = _docs(spark, [f"doc number {i}" for i in range(100)])
+        a = sorted(r.doc_id for r in hash_sample(docs, 30).collect())
+        b = sorted(r.doc_id for r in hash_sample(docs, 30).collect())
+        assert a == b
+        assert 10 < len(a) < 50  # ~30%
+
+
 class TestSimHash:
     def test_identical_docs_distance_zero(self, spark):
         # The far doc uses a disjoint vocabulary — same-vocab cyclic
