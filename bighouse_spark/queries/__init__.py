@@ -17,6 +17,7 @@ from bighouse_spark.queries import (  # noqa: F401
     pipeline,
     aggregates,
     behavioral,
+    checks,
     curation,
     reference_surface,
     relational,
