@@ -140,3 +140,32 @@ def fingerprint(text: Column | str) -> Column:
     txt = F.col(text) if isinstance(text, str) else text
     norm = F.lower(F.regexp_replace(F.trim(txt), "\\s+", " "))
     return F.md5(norm)
+
+
+# PII scrubbing. Patterns are deliberately restricted to syntax that
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — char
+# classes, \d, \b, bounded repetition — so the oracle reproduces the
+# redaction byte-for-byte. Order matters: emails are redacted before
+# IPs so the dotted domain of an already-matched email can never be
+# re-matched as an address fragment.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of occurrences of one PII kind (pure column expr)."""
+    txt = F.col(text) if isinstance(text, str) else text
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(txt, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email/IPv4/phone occurrence with a typed tag.
+    Chained global regexp_replace — stays inside codegen, no UDF."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, tag)
+    return out

@@ -24,6 +24,7 @@ from bighouse_spark.queries import (  # noqa: F401
     relational2,
     timeseries,
     textops,
+    textquality,
     tpch2,
     tpch3,
     vectorops,

@@ -272,6 +272,75 @@ def dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+# Topic-clustering assignment step: every embedding goes to its
+# nearest of K=8 fixed centroids (the first 8 vectors — deterministic
+# and SQL-expressible, unlike trained k-means centroids). The plan is
+# the one a 100 TB assignment wants: centroids ride along as a literal
+# array (driver collects exactly K rows, same bounded contract as IVF
+# training), the argmax runs per-row inside codegen with ZERO
+# pre-aggregation shuffle, and the only exchange is the final 8-key
+# rollup. Ties break to the smaller centroid id in both engines.
+@query(
+    "cluster_assign_topics",
+    oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_cosine_similarity(v.e, c.cv), 6) AS sim
+  FROM v, c
+), best AS (
+  SELECT vec_id, cid, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rn
+  FROM scored
+)
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       round(avg(sim), 6) AS avg_sim
+FROM best WHERE rn = 1 GROUP BY cid
+""",
+)
+def cluster_assign_topics(spark, sf_dir):
+    from bighouse_spark.functions.vectors import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.cv]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(cosine_similarity(F.col("e"), c["cv"]), 6).alias("sim"),
+            (-c["cid"]).alias("negid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # array_max on (sim, negid, cid) structs = lexicographic argmax:
+    # highest sim, then smallest cid.
+    best = base.select("vec_id", F.array_max(scored).alias("b"))
+    return best.groupBy(F.col("b.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.round(F.avg("b.sim"), 6).alias("avg_sim"),
+    )
+
+
 # Hybrid retrieval: keyword-filter the documents, then exact cosine
 # top-k over only the surviving embeddings — the filter-then-rank
 # flow of a retrieval pipeline. doc_id and vec_id are aligned in the
