@@ -191,6 +191,22 @@ def test_system_clusters_and_profile_views(engine, spark):
     assert prof.total_elapsed_sec > 0
 
 
+def test_introspection_passthrough(engine):
+    """CH's SHOW TABLES / DESCRIBE / EXPLAIN surface maps straight to
+    Spark SQL's own commands — the transpiler passes them through and
+    the result contract (cols+rows) holds."""
+    engine.attach_table("events", f"{SF_CORRECT}/events.parquet")
+    tables = engine.execute("SHOW TABLES")
+    assert "tableName" in tables.cols
+    assert any("events" in row for row in tables.rows)
+    desc = engine.execute("DESCRIBE events")
+    cols = {row[0] for row in desc.rows}
+    assert {"event_id", "ts", "user_id"} <= cols
+    plan = engine.execute("EXPLAIN SELECT count() FROM events")
+    assert plan.cols == ["plan"]
+    assert "Physical Plan" in plan.rows[0][0]
+
+
 def test_orc_table_function(engine, spark, tmp_path):
     p = str(tmp_path / "orc_src")
     spark.range(10).selectExpr("id AS a").write.orc(p)
