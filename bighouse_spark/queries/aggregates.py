@@ -196,6 +196,106 @@ def agg_distinct_multi(spark, sf_dir):
     )
 
 
+# CH quantileExactWeighted analog: weighted median via cumulative
+# weight crossing half the total, per group. Weights are
+# integer-valued doubles so cumulative sums are exact (no float-order
+# ambiguity at the threshold) and ties in the value column collapse to
+# the same answer regardless of intra-tie order — the result is
+# engine-deterministic without any tiebreak column. The per-group sort
+# is the unavoidable cost of an EXACT weighted quantile; the window
+# runs after a narrow (group, value) shuffle and never materializes
+# more than a partition.
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DOUBLE) AS wt
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, v,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag, min(v) AS weighted_median
+FROM c WHERE cw >= tw / 2 GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("double").alias("wt"),
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+# CH `entropy` aggregate analog: Shannon entropy (log2) of the
+# event-type and user distributions. Two tiny aggregations over the
+# grouped counts; the global-window total runs over |distinct keys|
+# rows, not the fact table.
+@query(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), u AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT
+  (SELECT round(sum(-(n / CAST(tot AS DOUBLE))
+                * log2(n / CAST(tot AS DOUBLE))), 6)
+   FROM c, (SELECT sum(n) AS tot FROM c)) AS type_entropy,
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_types,
+  (SELECT round(sum(-(n / CAST(tot AS DOUBLE))
+                * log2(n / CAST(tot AS DOUBLE))), 6)
+   FROM u, (SELECT sum(n) AS tot FROM u)) AS user_entropy
+""",
+)
+def agg_entropy(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+
+    def entropy(keyed, alias):
+        counts = keyed.agg(F.count(F.lit(1)).alias("n"))
+        tot = F.sum("n").over(Window.partitionBy())
+        p = F.col("n") / tot
+        return counts.select((-p * F.log2(p)).alias("h")).agg(
+            F.round(F.sum("h"), 6).alias(alias)
+        )
+
+    te = entropy(ev.groupBy("event_type"), "type_entropy")
+    ue = entropy(ev.groupBy("user_id"), "user_entropy")
+    nt = (
+        ev.select("event_type")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    return te.crossJoin(nt).crossJoin(ue).select(
+        "type_entropy", "n_types", "user_entropy"
+    )
+
+
 # Mergeable distinct-count sketches — the ClickHouse uniqState /
 # uniqMerge (AggregatingMergeTree rollup) pattern. Level 1 builds one
 # HLL sketch per (order-month, priority) partial; level 2 merges the
