@@ -79,9 +79,15 @@ _FUNC_RENAMES = {
     "ifNull": "coalesce",
     "arrayJoin": "explode",
     "has": "array_contains",
-    # NOTE: CH position()/extract() are NOT mapped — the rewrite would
-    # corrupt standard SQL POSITION(x IN y) / EXTRACT(unit FROM ts).
+    # NOTE: CH position()/extract()/any()/range() are handled in
+    # _rewrite_contextual — a blind rename here would corrupt standard
+    # SQL POSITION(x IN y) / EXTRACT(unit FROM ts) / > ANY(subq) /
+    # table-valued range().
     "match": "regexp_like",
+    "arrayMax": "array_max",
+    "arrayMin": "array_min",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
     "replaceAll": "replace",
     "replaceRegexpAll": "regexp_replace",
     "trimLeft": "ltrim",
@@ -246,6 +252,19 @@ _ARG_REWRITES: dict = {
         f"date_format({a[0]}, {_translate_dt_format(a[1])})"
     ),
     "multiIf": _multi_if,
+    # CH functional arithmetic spellings → operators. divide() is
+    # always Float64 in CH, hence the cast.
+    "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "multiply": lambda a: f"(({a[0]}) * ({a[1]}))",
+    "divide": lambda a: f"(CAST({a[0]} AS DOUBLE) / ({a[1]}))",
+    "negate": lambda a: f"(-({a[0]}))",
+    "bitAnd": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitOr": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitXor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitNot": lambda a: f"(~({a[0]}))",
+    # arrayEnumerate(arr) = [1..size(arr)]
+    "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
 }
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
@@ -508,6 +527,23 @@ _PARAMETRIC = {
 
 def _rewrite_parametric(sql: str) -> str:
     out = sql
+    # topK(k)(x) → exact most-frequent-k expression (see _topk_expr).
+    while True:
+        call = _find_call(out, "topK")
+        if call is None:
+            break
+        start, end, params = call
+        if end >= len(out) or out[end] != "(":
+            raise ValueError("topK(k) must be followed by (column)")
+        depth, i = 1, end + 1
+        while i < len(out) and depth > 0:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        col = out[end + 1:i - 1]
+        out = out[:start] + _topk_expr(col, params[0]) + out[i:]
     for ch, sp in _PARAMETRIC.items():
         if sp is None:
             continue
@@ -588,10 +624,108 @@ def _rewrite_array_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _topk_expr(col: str, k: str) -> str:
+    """Exact twin of CH ``topK(k)(x)``: the k most frequent values,
+    desc by count, ties asc by value. A frequency map is folded over
+    the collected group with an aggregate HOF (the ``first(col)``
+    seed only fixes the map's key type), then sorted and sliced.
+    Scale caveat: like ``groupArray``, this materializes each group's
+    values on one reducer — CH users point topK at low-cardinality
+    columns, and so should users of this twin; the distributed shape
+    is GROUP BY count ORDER BY LIMIT."""
+    freq = (
+        f"aggregate(collect_list({col}), "
+        f"map_filter(map(first({col}), cast(0 as bigint)), (k, v) -> false), "
+        f"(m, e) -> map_concat(map_filter(m, (k, v) -> k != e), "
+        f"map(e, coalesce(m[e], cast(0 as bigint)) + 1)))"
+    )
+    cmp = (
+        "(l, r) -> CASE WHEN l.value > r.value THEN -1 "
+        "WHEN l.value < r.value THEN 1 "
+        "WHEN l.key < r.key THEN -1 "
+        "WHEN l.key > r.key THEN 1 ELSE 0 END"
+    )
+    return (
+        f"slice(transform(array_sort(map_entries({freq}), {cmp}), "
+        f"s -> s.key), 1, {k})"
+    )
+
+
+def _rewrite_contextual(sql: str) -> str:
+    """Arity/context-sensitive rewrites where a blind rename would
+    corrupt standard SQL (the cases the NOTE in _FUNC_RENAMES
+    deliberately skips):
+
+    - ``any(x)`` → ``any_value(x)`` — except after a comparison
+      operator (quantified ``> ANY(subq)`` stays untouched). Unmapped,
+      Spark parses ``any`` as bool_or and fails or silently coerces.
+    - ``position(h, n[, p])`` → ``instr``/``locate`` with CH's
+      haystack-first order (unmapped two-arg position would run with
+      SWAPPED argument semantics — silently wrong); single-arg
+      ``POSITION(x IN y)`` passes through (same semantics in Spark).
+    - ``extract(x, 'pat')`` → ``regexp_extract`` (group 1 if the
+      pattern contains a group, else the whole match — CH behavior);
+      ``EXTRACT(unit FROM ts)`` passes through.
+    - ``range(...)`` → ``sequence(...)`` with CH's exclusive end
+      bound; in FROM position it is Spark's table-valued range() and
+      passes through (the numbers() rewrite emits exactly that).
+    """
+    out = sql
+
+    pos = 0
+    while (call := _find_call(out, "any", pos)) is not None:
+        start, end, args = call
+        prefix = out[:start].rstrip()
+        if prefix and prefix[-1] in "=<>!":
+            pos = end
+            continue
+        out = out[:start] + f"any_value({', '.join(args)})" + out[end:]
+
+    pos = 0
+    while (call := _find_call(out, "position", pos)) is not None:
+        start, end, args = call
+        if len(args) == 1:  # POSITION(x IN y)
+            pos = end
+            continue
+        if len(args) == 2:
+            repl = f"instr({args[0]}, {args[1]})"
+        else:
+            repl = f"locate({args[1]}, {args[0]}, {args[2]})"
+        out = out[:start] + repl + out[end:]
+
+    pos = 0
+    while (call := _find_call(out, "extract", pos)) is not None:
+        start, end, args = call
+        if len(args) == 1:  # EXTRACT(unit FROM ts)
+            pos = end
+            continue
+        group = "1" if "(" in args[1] else "0"
+        repl = f"regexp_extract({args[0]}, {args[1]}, {group})"
+        out = out[:start] + repl + out[end:]
+
+    pos = 0
+    while (call := _find_call(out, "range", pos)) is not None:
+        start, end, args = call
+        prefix = out[:start].rstrip()
+        if prefix.upper().endswith("FROM"):
+            pos = end
+            continue
+        if len(args) == 1:
+            repl = f"sequence(0, ({args[0]}) - 1)"
+        elif len(args) == 2:
+            repl = f"sequence({args[0]}, ({args[1]}) - 1)"
+        else:
+            repl = f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
+        out = out[:start] + repl + out[end:]
+
+    return out
+
+
 def _rewrite_functions(sql: str) -> str:
     out = _rewrite_array_literals(sql)
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    out = _rewrite_contextual(out)
     out = _rewrite_parametric(out)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(
@@ -705,8 +839,13 @@ def _wrap_calls(sql: str, fn: str, prefix: str, suffix: str) -> str:
         search_from = start + len(replacement)
 
 
-def _find_call(sql: str, fn: str) -> tuple[int, int, list[str]] | None:
-    m = re.search(rf"\b{fn}\s*\(", sql)
+def _find_call(
+    sql: str, fn: str, pos: int = 0
+) -> tuple[int, int, list[str]] | None:
+    """First ``fn(...)`` call at or after ``pos`` (absolute offsets).
+    ``pos`` lets context-sensitive rewrites skip an occurrence they
+    decided to leave alone without rescanning it forever."""
+    m = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE).search(sql, pos)
     if not m:
         return None
     i, depth, brackets, quote = m.end(), 1, 0, None

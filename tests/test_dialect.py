@@ -408,6 +408,63 @@ class TestParametricAndLimitBy:
             transpile("SELECT a FROM t LIMIT 2 BY a")
 
 
+class TestContextualRewrites:
+    """any/position/extract/range depend on arity or syntactic
+    position; the blind-rename hazard cases must pass through."""
+
+    def test_any_maps_to_any_value(self):
+        r = transpile("SELECT any(x), count(*) FROM t GROUP BY g")
+        assert "any_value(x)" in r.sql
+
+    def test_quantified_any_passthrough(self):
+        sql = "SELECT * FROM t WHERE a > ANY(SELECT b FROM u)"
+        assert "ANY(SELECT b FROM u)" in transpile(sql).sql
+
+    def test_position_two_arg_haystack_first(self):
+        r = transpile("SELECT position('hello', 'll')")
+        assert "instr('hello', 'll')" in r.sql
+
+    def test_position_three_arg(self):
+        r = transpile("SELECT position(h, n, 3) FROM t")
+        assert "locate(n, h, 3)" in r.sql
+
+    def test_position_in_syntax_passthrough(self):
+        sql = "SELECT position('ll' IN 'hello')"
+        assert "position('ll' IN 'hello')" in transpile(sql).sql
+
+    def test_extract_two_arg_regex(self):
+        r = transpile("SELECT extract(s, '[0-9]+') FROM t")
+        assert "regexp_extract(s, '[0-9]+', 0)" in r.sql
+        # a capture group selects group 1 (CH behavior)
+        r = transpile("SELECT extract(s, 'b([0-9]+)') FROM t")
+        assert "regexp_extract(s, 'b([0-9]+)', 1)" in r.sql
+
+    def test_extract_unit_passthrough(self):
+        sql = "SELECT EXTRACT(YEAR FROM ts) FROM t"
+        assert "EXTRACT(YEAR FROM ts)" in transpile(sql).sql
+
+    def test_range_scalar_to_sequence(self):
+        assert "sequence(0, (5) - 1)" in transpile("SELECT range(5)").sql
+        assert "sequence(2, (8) - 1, 3)" in transpile(
+            "SELECT range(2, 8, 3)"
+        ).sql
+
+    def test_range_table_function_passthrough(self):
+        sql = "SELECT count(*) FROM range(10)"
+        assert "FROM range(10)" in transpile(sql).sql
+
+    def test_topk_parametric(self):
+        r = transpile("SELECT topK(3)(ev) FROM t")
+        assert "slice(" in r.sql and "collect_list(ev)" in r.sql
+        assert ", 1, 3)" in r.sql
+
+    def test_functional_arithmetic_and_bits(self):
+        r = transpile("SELECT plus(a, 1), divide(b, 2), bitAnd(c, 7) FROM t")
+        assert "((a) + (1))" in r.sql
+        assert "(CAST(b AS DOUBLE) / (2))" in r.sql
+        assert "((c) & (7))" in r.sql
+
+
 class TestChClauses:
     def test_prewhere_becomes_where(self):
         r = transpile("SELECT a FROM t PREWHERE a > 1")
