@@ -51,7 +51,8 @@ _FUNC_RENAMES = {
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
-    "uniqExact": "count_distinct",
+    # NOTE: uniqExact is in _WRAP_FUNCS — `count_distinct` is the
+    # Python-API name only; Spark SQL needs count(DISTINCT x).
     "toDate": "to_date",
     "toDateTime": "to_timestamp",
     "toYear": "year",
@@ -147,6 +148,7 @@ _WRAP_FUNCS = {
     # rollups): uniqState builds a mergeable sketch, uniqMerge unions
     # stored sketches and yields the estimate. Spark's DataSketches
     # HLL functions are the direct equivalent.
+    "uniqExact": ("count(DISTINCT ", ")"),
     "uniqState": ("hll_sketch_agg(", ")"),
     "uniqMerge": ("hll_sketch_estimate(hll_union_agg(", "))"),
     # Nullability adapters are no-ops in Spark's type system.

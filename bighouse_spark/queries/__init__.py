@@ -19,6 +19,7 @@ from bighouse_spark.queries import (  # noqa: F401
     behavioral,
     checks,
     curation,
+    dialectq,
     reference_surface,
     relational,
     relational2,

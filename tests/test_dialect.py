@@ -132,6 +132,11 @@ class TestTranspileText:
         assert "CAST(b AS BIGINT)" in r.sql
         assert "to_date(c)" in r.sql
 
+    def test_uniq_exact_sql_form(self):
+        # count_distinct is Python-API-only; SQL needs count(DISTINCT)
+        r = transpile("SELECT uniqExact(a) FROM x")
+        assert "count(DISTINCT a)" in r.sql
+
     def test_uniq_family_renames(self):
         r = transpile(
             "SELECT uniqCombined(a), uniqCombined64(b), uniqHLL12(c), "
