@@ -154,3 +154,73 @@ def curation_pack_sequences(spark, sf_dir):
         )
         .orderBy("shard", "bin")
     )
+
+
+# Incremental snapshot dedup: an incoming batch (sources src3+) is
+# ingested against an existing snapshot (src0-src2); any incoming doc
+# whose normalized fingerprint already exists in the snapshot is
+# dropped, and exact duplicates inside the batch keep one
+# representative (min doc_id). This is the day-2 ingestion shape: the
+# snapshot side reduces to distinct fixed-width fingerprints, the
+# anti-join shuffles on that uniform key, and nothing ever compares
+# documents pairwise. At 100 TB the snapshot fingerprint set is
+# orders of magnitude smaller than the snapshot itself and both sides
+# partition-prune on the hash key.
+@query(
+    "curation_incremental_dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), snap AS (
+  SELECT DISTINCT fp FROM fp WHERE source IN ('src0', 'src1', 'src2')
+), batch AS (
+  SELECT * FROM fp WHERE source NOT IN ('src0', 'src1', 'src2')
+), fresh AS (
+  SELECT b.fp, min(b.doc_id) AS keep_id
+  FROM batch b LEFT JOIN snap s ON b.fp = s.fp
+  WHERE s.fp IS NULL
+  GROUP BY b.fp
+)
+SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS batch_docs,
+       CAST((SELECT count(*) FROM fresh) AS BIGINT) AS kept_docs,
+       CAST((SELECT count(*) FROM batch) - (SELECT count(*) FROM fresh)
+            AS BIGINT) AS dropped_docs,
+       CAST((SELECT coalesce(sum(keep_id), 0) FROM fresh) AS BIGINT)
+         AS kept_id_checksum
+""",
+)
+def curation_incremental_dedup(spark, sf_dir):
+    from bighouse_spark.functions.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    snapshot_sources = ["src0", "src1", "src2"]
+    snap = (
+        docs.where(F.col("source").isin(snapshot_sources))
+        .select("fp")
+        .distinct()
+    )
+    batch = docs.where(~F.col("source").isin(snapshot_sources))
+    fresh = (
+        batch.join(snap, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    n_batch = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("batch_docs")
+    )
+    stats = fresh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.coalesce(F.sum("keep_id"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_id_checksum"),
+    )
+    return n_batch.crossJoin(stats).select(
+        "batch_docs",
+        "kept_docs",
+        (F.col("batch_docs") - F.col("kept_docs")).alias("dropped_docs"),
+        "kept_id_checksum",
+    )
