@@ -125,6 +125,7 @@ _FUNC_RENAMES = {
     "startsWith": "startswith",
     "endsWith": "endswith",
     "substringUTF8": "substring",
+    "tuple": "struct",  # CH tuple(a, b) ≡ Spark struct (unnamed)
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -267,6 +268,25 @@ _ARG_REWRITES: dict = {
     "bitNot": lambda a: f"(~({a[0]}))",
     # arrayEnumerate(arr) = [1..size(arr)]
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
+    # multiSearchAny(haystack, [needles]) — any needle a substring?
+    "multiSearchAny": lambda a: (
+        f"exists({a[1]}, __n -> instr({a[0]}, __n) > 0)"
+    ),
+    "multiSearchAnyCaseInsensitive": lambda a: (
+        f"exists({a[1]}, __n -> instr(lower({a[0]}), lower(__n)) > 0)"
+    ),
+    # toInterval* constructors → make_interval slot-fills.
+    "toIntervalYear": lambda a: f"make_interval({a[0]})",
+    "toIntervalMonth": lambda a: f"make_interval(0, {a[0]})",
+    "toIntervalWeek": lambda a: f"make_interval(0, 0, {a[0]})",
+    "toIntervalDay": lambda a: f"make_interval(0, 0, 0, {a[0]})",
+    "toIntervalHour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]})",
+    "toIntervalMinute": lambda a: (
+        f"make_interval(0, 0, 0, 0, 0, {a[0]})"
+    ),
+    "toIntervalSecond": lambda a: (
+        f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})"
+    ),
 }
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
@@ -380,6 +400,85 @@ _LIMIT_BY_RE = re.compile(
     r"\bLIMIT\s+(\d+)\s+BY\s+(.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_AJ_TERMINATORS = (
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "SETTINGS", "UNION",
+    "EXCEPT", "INTERSECT", "FORMAT", "WINDOW", "QUALIFY",
+)
+
+
+def _rewrite_array_join_clause(sql: str) -> str:
+    """CH ``[LEFT] ARRAY JOIN arr [AS elem]`` clause → Spark
+    ``LATERAL VIEW explode[_outer](arr) __aj AS elem``.
+
+    LEFT ARRAY JOIN keeps rows with empty arrays (element NULL) —
+    explode_outer's semantics exactly. Without AS, CH exposes the
+    element under the array's own name; we emit that same alias (works
+    when the array is a computed expression or subquery column; if the
+    base relation also exposes the name, Spark reports the ambiguity —
+    add an AS, same as you would in CH).  Multiple lockstep arrays
+    (``ARRAY JOIN a, b``) are not transpiled — raise with the
+    arrays_zip spelling instead of silently cartesian-ing.
+    """
+    out = sql
+    while True:
+        m = re.search(
+            r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", out, re.IGNORECASE
+        )
+        if m is None:
+            return out
+        fn = "explode_outer" if m.group(1) else "explode"
+        # Scan the clause body: up to the next top-level terminator.
+        i, depth, brackets, quote = m.end(), 0, 0, None
+        parts, cur = [], []
+        while i < len(out):
+            c = out[i]
+            if quote:
+                cur.append(c)
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+                cur.append(c)
+            elif c in "([":
+                depth += 1
+                cur.append(c)
+            elif c in ")]":
+                if depth == 0:
+                    break  # closing a subquery that contains us
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                if depth == 0 and c.isalpha():
+                    word = re.match(r"[A-Za-z_]+", out[i:]).group(0)
+                    if word.upper() in _AJ_TERMINATORS:
+                        break
+                    cur.append(word)
+                    i += len(word)
+                    continue
+                cur.append(c)
+            i += 1
+        if cur:
+            parts.append("".join(cur).strip())
+        if len(parts) != 1 or not parts[0]:
+            raise ValueError(
+                "ARRAY JOIN with multiple lockstep arrays is not "
+                "transpiled; zip them first: ARRAY JOIN "
+                "arrayZip(a, b) AS ab, then ab.a / ab.b"
+            )
+        body = parts[0]
+        am = re.search(r"\s+AS\s+(\w+)\s*$", body, re.IGNORECASE)
+        if am:
+            arr, alias = body[: am.start()].strip(), am.group(1)
+        else:
+            arr = body
+            alias = re.sub(r"\W", "_", arr.strip())
+        repl = f" LATERAL VIEW {fn}({arr}) __aj AS {alias} "
+        out = out[: m.start()] + repl + out[i:]
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -498,6 +597,7 @@ def _rewrite_ch_clauses(sql: str) -> str:
         return f"TABLESAMPLE ({int(v)} ROWS)"
 
     out = re.sub(r"\bSAMPLE\s+(\d*\.?\d+)", _sample, out, flags=re.IGNORECASE)
+    out = _rewrite_array_join_clause(out)
     m = re.search(
         r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", out,
         re.IGNORECASE | re.DOTALL,
@@ -704,6 +804,26 @@ def _rewrite_contextual(sql: str) -> str:
         group = "1" if "(" in args[1] else "0"
         repl = f"regexp_extract({args[0]}, {args[1]}, {group})"
         out = out[:start] + repl + out[end:]
+
+    # CH value-remap transform(x, from[], to[][, default]) — collides
+    # with Spark's 2-arg HOF transform (which arrayMap also emits), so
+    # it is arity-guarded here. Missing keys keep x (3-arg) or take
+    # the default (4-arg); try_element_at returns NULL on a miss even
+    # under ANSI mode.
+    pos = 0
+    while (call := _find_call(out, "transform", pos)) is not None:
+        start, end, args = call
+        if len(args) not in (3, 4):
+            pos = end
+            continue
+        mapped = (
+            f"try_element_at(map_from_arrays({args[1]}, {args[2]}), "
+            f"{args[0]})"
+        )
+        fallback = args[3] if len(args) == 4 else args[0]
+        out = (
+            out[:start] + f"coalesce({mapped}, {fallback})" + out[end:]
+        )
 
     pos = 0
     while (call := _find_call(out, "range", pos)) is not None:

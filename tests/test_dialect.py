@@ -463,6 +463,38 @@ class TestContextualRewrites:
         assert "slice(" in r.sql and "collect_list(ev)" in r.sql
         assert ", 1, 3)" in r.sql
 
+    def test_array_join_clause(self):
+        r = transpile("SELECT x, e FROM t ARRAY JOIN arr AS e")
+        assert "LATERAL VIEW explode(arr) __aj AS e" in r.sql
+        r = transpile("SELECT x, e FROM t LEFT ARRAY JOIN arr AS e")
+        assert "explode_outer(arr)" in r.sql
+
+    def test_array_join_clause_keeps_tail(self):
+        r = transpile(
+            "SELECT e, count() FROM t ARRAY JOIN arr AS e "
+            "GROUP BY e ORDER BY e LIMIT 3"
+        )
+        assert "GROUP BY e ORDER BY e LIMIT 3" in r.sql
+
+    def test_array_join_multi_raises(self):
+        with pytest.raises(ValueError, match="arrayZip"):
+            transpile("SELECT * FROM t ARRAY JOIN a, b")
+
+    def test_transform_value_remap_arity_guard(self):
+        r = transpile("SELECT transform(x, [1], ['a'], 'z') FROM t")
+        assert (
+            "try_element_at(map_from_arrays(array(1), array('a'))" in r.sql
+        )
+        # 2-arg HOF transform (arrayMap output) is untouched
+        r = transpile("SELECT arrayMap(v -> v + 1, arr) FROM t")
+        assert "transform(arr, v -> v + 1)" in r.sql
+
+    def test_multisearch_and_intervals(self):
+        r = transpile("SELECT multiSearchAny(s, ['a','b']) FROM t")
+        assert "exists(array('a','b'), __n -> instr(s, __n) > 0)" in r.sql
+        r = transpile("SELECT ts + toIntervalDay(2) FROM t")
+        assert "make_interval(0, 0, 0, 2)" in r.sql
+
     def test_functional_arithmetic_and_bits(self):
         r = transpile("SELECT plus(a, 1), divide(b, 2), bitAnd(c, 7) FROM t")
         assert "((a) + (1))" in r.sql
