@@ -114,3 +114,33 @@ def dialect_limit_by_roundtrip(spark, sf_dir):
         LIMIT 2 BY o_orderpriority
         """,
     )
+
+
+# ARRAY JOIN clause + splitByChar through the dialect: word
+# frequencies over the documents table, the CH spelling of
+# explode_word_freq. Deterministic top-10 (count desc, word asc).
+@query(
+    "dialect_array_join_roundtrip",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, count(*) AS n FROM w GROUP BY word
+ORDER BY n DESC, word ASC LIMIT 10
+""",
+)
+def dialect_array_join_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs",
+        """
+        SELECT word, count() AS n
+        FROM (SELECT splitByChar(' ', text) AS ws FROM __dq_docs)
+        ARRAY JOIN ws AS word
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 10
+        """,
+    )
