@@ -122,6 +122,9 @@ class BigHouseEngine:
         # num_nodes/cores knobs): SQLConf is shared across the
         # ThreadingHTTPServer's request threads.
         self._conf_lock = threading.Lock()
+        # name → (path, fmt, schema) for attach_table targets, so
+        # INSERT INTO <name> can append to the backing storage.
+        self._attached: dict[str, tuple[str, str, str | None]] = {}
 
     def clear_cache(self) -> None:
         with self._cache_lock:
@@ -186,6 +189,7 @@ class BigHouseEngine:
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
                 )
         df.createOrReplaceTempView(name)
+        self._attached[name] = (path, fmt, schema)
 
     def refresh_system_views(self) -> None:
         """Materialize engine bookkeeping as queryable views — the
@@ -275,6 +279,46 @@ class BigHouseEngine:
         r"(?:,\s*'(\w+)'\s*)?\)\s*(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _INSERT_TBL_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
+        r"(SELECT\b|WITH\b|VALUES\b)",
+        re.IGNORECASE,
+    )
+
+    def _insert_into_attached(
+        self, request: QueryRequest, name: str, body_start: int, t0: float
+    ) -> QueryResult:
+        """``INSERT INTO <attached> SELECT/VALUES ...`` → append-write
+        to the table's backing storage, then re-attach so subsequent
+        reads see the new files. Columns align positionally (CH
+        INSERT semantics) and are renamed to the target's schema so
+        parquet/orc by-name reads stay consistent across files."""
+        if name not in self._attached:
+            raise ValueError(
+                f"INSERT INTO {name}: not an attached table — call "
+                "attach_table()/ATTACH first, or write files with "
+                "INSERT INTO FUNCTION s3/file(path[, format])"
+            )
+        path, fmt, schema = self._attached[name]
+        body = request.query[body_start:]
+        if body.upper().startswith("VALUES"):
+            body = f"SELECT * FROM ({body})"
+        result = transpile(body, self.spark)
+        df = self.spark.sql(result.sql)
+        target_cols = self.spark.table(name).columns
+        if len(df.columns) != len(target_cols):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(df.columns)} columns for a "
+                f"{len(target_cols)}-column table"
+            )
+        df.toDF(*target_cols).write.format(fmt).mode("append").save(path)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(request.query, result.sql, elapsed, -1)
+        )
+        return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
 
     def execute(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):
@@ -298,6 +342,13 @@ class BigHouseEngine:
             return QueryResult(
                 cols=["path"], rows=[[meta["path"]]],
                 elapsed_sec=meta["elapsed_sec"],
+            )
+        # CH's INSERT INTO <table> append form against ATTACHed
+        # storage (positional columns, like CH).
+        m_tbl = self._INSERT_TBL_RE.match(request.query)
+        if m_tbl:
+            return self._insert_into_attached(
+                request, m_tbl.group(1), m_tbl.start(2), t0
             )
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.

@@ -191,6 +191,25 @@ def test_system_clusters_and_profile_views(engine, spark):
     assert prof.total_elapsed_sec > 0
 
 
+def test_insert_into_attached_table(engine, spark, tmp_path):
+    """CH INSERT INTO <table> against ATTACHed storage: positional
+    columns, append to backing files, view refreshed, cache cleared."""
+    d = str(tmp_path / "ins_tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(d)
+    engine.attach_table("ins_tbl", d)
+    assert engine.execute("SELECT count() AS n FROM ins_tbl").rows == [[2]]
+    engine.execute("INSERT INTO ins_tbl SELECT 3 AS x, 'c' AS y")
+    engine.execute("INSERT INTO ins_tbl VALUES (4, 'd'), (5, 'e')")
+    out = engine.execute(
+        "SELECT count() AS n, max(id) AS m FROM ins_tbl"
+    )
+    assert out.rows == [[5, 5]]
+    with pytest.raises(ValueError, match="not an attached table"):
+        engine.execute("INSERT INTO never_attached SELECT 1")
+    with pytest.raises(ValueError, match="column"):
+        engine.execute("INSERT INTO ins_tbl SELECT 1 AS only_one")
+
+
 def test_introspection_passthrough(engine):
     """CH's SHOW TABLES / DESCRIBE / EXPLAIN surface maps straight to
     Spark SQL's own commands — the transpiler passes them through and
