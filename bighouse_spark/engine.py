@@ -31,6 +31,34 @@ from bighouse_spark.dialect.transpile import transpile
 from bighouse_spark.session import get_spark
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/brackets/quotes (for ALTER
+    UPDATE assignment lists)."""
+    parts, cur, depth, quote = [], [], 0, None
+    for c in s:
+        if quote:
+            cur.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
 @dataclass
 class QueryRequest:
     """Mirror of ``QueryExecutorInput``
@@ -284,6 +312,63 @@ class BigHouseEngine:
         r"(SELECT\b|WITH\b|VALUES\b)",
         re.IGNORECASE,
     )
+    _ALTER_DELETE_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+DELETE\s+WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_UPDATE_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_TRUNCATE_RE = re.compile(
+        r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _attached_path_or_raise(self, name: str, op: str) -> str:
+        if name not in self._attached:
+            raise ValueError(
+                f"{op} {name}: not an attached table — mutations "
+                "rewrite the backing storage, so the table must come "
+                "from attach_table()/ATTACH"
+            )
+        path = self._attached[name][0]
+        local = path[7:] if path.startswith("file://") else path
+        if "://" in local:
+            raise ValueError(
+                f"{op} {name}: storage rewrite is implemented for "
+                "local paths; for object storage run the SELECT "
+                "yourself and INSERT INTO FUNCTION s3(...) a new "
+                "prefix, then re-ATTACH"
+            )
+        return local
+
+    def _rewrite_attached(self, name: str, df, t0: float, query: str,
+                          transpiled: str) -> QueryResult:
+        """Materialize ``df`` as the new contents of an attached
+        table: write to a sibling temp dir, swap directories, then
+        re-attach. Like CH mutations, this is a whole-part rewrite
+        and is NOT atomic against concurrent readers of the same
+        files — single-writer semantics."""
+        import shutil
+        import uuid
+
+        path, fmt, schema = self._attached[name]
+        local = path[7:] if path.startswith("file://") else path
+        tmp = f"{local}.mutating-{uuid.uuid4().hex[:8]}"
+        df.write.format(fmt).mode("overwrite").save(tmp)
+        old = f"{local}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(local, old)
+        shutil.move(tmp, local)
+        shutil.rmtree(old)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(QueryLogEntry(query, transpiled, elapsed, -1))
+        return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
 
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int, t0: float
@@ -303,15 +388,23 @@ class BigHouseEngine:
         body = request.query[body_start:]
         if body.upper().startswith("VALUES"):
             body = f"SELECT * FROM ({body})"
+        from pyspark.sql import functions as F
+
         result = transpile(body, self.spark)
         df = self.spark.sql(result.sql)
-        target_cols = self.spark.table(name).columns
-        if len(df.columns) != len(target_cols):
+        target = self.spark.table(name).schema
+        if len(df.columns) != len(target.fields):
             raise ValueError(
                 f"INSERT INTO {name}: {len(df.columns)} columns for a "
-                f"{len(target_cols)}-column table"
+                f"{len(target.fields)}-column table"
             )
-        df.toDF(*target_cols).write.format(fmt).mode("append").save(path)
+        # Positional alignment AND type coercion to the target schema
+        # — an INT literal appended as INT32 next to INT64 files would
+        # poison later reads with a parquet type mismatch.
+        aligned = df.toDF(*[f.name for f in target.fields]).select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        aligned.write.format(fmt).mode("append").save(path)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
         elapsed = time.monotonic() - t0
@@ -349,6 +442,59 @@ class BigHouseEngine:
         if m_tbl:
             return self._insert_into_attached(
                 request, m_tbl.group(1), m_tbl.start(2), t0
+            )
+        # CH mutations: whole-part rewrites, async/non-atomic in CH
+        # too (docs: "mutations rewrite data parts").
+        m_del = self._ALTER_DELETE_RE.match(request.query)
+        if m_del:
+            name, cond = m_del.groups()
+            self._attached_path_or_raise(name, "ALTER TABLE DELETE")
+            sel = transpile(
+                f"SELECT * FROM {name} WHERE NOT ({cond})", self.spark
+            )
+            return self._rewrite_attached(
+                name, self.spark.sql(sel.sql), t0, request.query, sel.sql
+            )
+        m_upd = self._ALTER_UPDATE_RE.match(request.query)
+        if m_upd:
+            name, assigns, cond = m_upd.groups()
+            self._attached_path_or_raise(name, "ALTER TABLE UPDATE")
+            pairs: dict[str, str] = {}
+            for part in _split_top_level(assigns):
+                col, _, expr = part.partition("=")
+                pairs[col.strip().strip('`"')] = expr.strip()
+            items = [
+                f"CASE WHEN ({cond}) THEN ({pairs[c]}) ELSE `{c}` END"
+                f" AS `{c}`" if c in pairs else f"`{c}`"
+                for c in self.spark.table(name).columns
+            ]
+            sel = transpile(
+                f"SELECT {', '.join(items)} FROM {name}", self.spark
+            )
+            return self._rewrite_attached(
+                name, self.spark.sql(sel.sql), t0, request.query, sel.sql
+            )
+        m_dt = self._DROP_TRUNCATE_RE.match(request.query)
+        if m_dt:
+            op, name = m_dt.group(1).upper(), m_dt.group(2)
+            if op == "TRUNCATE":
+                self._attached_path_or_raise(name, "TRUNCATE TABLE")
+                return self._rewrite_attached(
+                    name, self.spark.table(name).limit(0), t0,
+                    request.query, "<truncate>",
+                )
+            # DROP detaches the view; the backing storage is shared
+            # (the reference ATTACHes a common web disk) and is never
+            # deleted from here.
+            self.spark.catalog.dropTempView(name)
+            self._attached.pop(name, None)
+            self.clear_cache()
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<drop>", elapsed, 0)
+            )
+            return QueryResult(
+                cols=["dropped"], rows=[[name]], elapsed_sec=elapsed
             )
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.

@@ -210,6 +210,34 @@ def test_insert_into_attached_table(engine, spark, tmp_path):
         engine.execute("INSERT INTO ins_tbl SELECT 1 AS only_one")
 
 
+def test_mutations_on_attached_table(engine, spark, tmp_path):
+    """CH mutation surface: ALTER DELETE / ALTER UPDATE / TRUNCATE
+    rewrite the backing storage; DROP detaches without deleting."""
+    d = str(tmp_path / "mut_tbl")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], ["id", "v"]
+    ).write.parquet(d)
+    engine.attach_table("mut_tbl", d)
+    engine.execute("ALTER TABLE mut_tbl DELETE WHERE id >= 7")
+    assert engine.execute(
+        "SELECT count() AS n, max(id) AS m FROM mut_tbl"
+    ).rows == [[7, 6]]
+    engine.execute("ALTER TABLE mut_tbl UPDATE v = v * 10 WHERE id = 1")
+    assert engine.execute(
+        "SELECT CAST(sum(v) AS INT) AS s FROM mut_tbl"
+    ).rows == [[30]]  # 0+10+2+3+4+5+6
+    engine.execute("TRUNCATE TABLE mut_tbl")
+    assert engine.execute("SELECT count() AS n FROM mut_tbl").rows == [[0]]
+    engine.execute("INSERT INTO mut_tbl VALUES (1, 2.0)")
+    assert engine.execute("SELECT count() AS n FROM mut_tbl").rows == [[1]]
+    engine.execute("DROP TABLE mut_tbl")
+    import os
+
+    assert os.path.exists(d)  # DROP detaches; shared storage kept
+    with pytest.raises(Exception):
+        engine.execute("SELECT count() FROM mut_tbl")
+
+
 def test_introspection_passthrough(engine):
     """CH's SHOW TABLES / DESCRIBE / EXPLAIN surface maps straight to
     Spark SQL's own commands — the transpiler passes them through and
