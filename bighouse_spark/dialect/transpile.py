@@ -126,6 +126,9 @@ _FUNC_RENAMES = {
     "endsWith": "endswith",
     "substringUTF8": "substring",
     "tuple": "struct",  # CH tuple(a, b) ≡ Spark struct (unnamed)
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "toTypeName": "typeof",
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -150,6 +153,30 @@ _WRAP_FUNCS = {
     # stored sketches and yields the estimate. Spark's DataSketches
     # HLL functions are the direct equivalent.
     "uniqExact": ("count(DISTINCT ", ")"),
+    "countDistinct": ("count(DISTINCT ", ")"),
+    # halfMD5: first 8 md5 bytes as a big-endian UInt64 (CH uses it
+    # for sharding keys); DECIMAL(38,0) carries the unsigned range.
+    "halfMD5": (
+        "CAST(conv(substr(md5(", "), 1, 16), 16, 10) AS DECIMAL(38,0))"
+    ),
+    "toStartOfFiveMinutes": (
+        "timestamp_seconds(CAST(floor(unix_timestamp(",
+        ") / 300) * 300 AS BIGINT))",
+    ),
+    "toStartOfTenMinutes": (
+        "timestamp_seconds(CAST(floor(unix_timestamp(",
+        ") / 600) * 600 AS BIGINT))",
+    ),
+    "toStartOfFifteenMinutes": (
+        "timestamp_seconds(CAST(floor(unix_timestamp(",
+        ") / 900) * 900 AS BIGINT))",
+    ),
+    "toRelativeHourNum": (
+        "CAST(floor(unix_timestamp(", ") / 3600) AS BIGINT)",
+    ),
+    "toRelativeMinuteNum": (
+        "CAST(floor(unix_timestamp(", ") / 60) AS BIGINT)",
+    ),
     "uniqState": ("hll_sketch_agg(", ")"),
     "uniqMerge": ("hll_sketch_estimate(hll_union_agg(", "))"),
     # Nullability adapters are no-ops in Spark's type system.
@@ -234,7 +261,27 @@ def _array_count(args: list[str]) -> str:
 # (arrayMap(x -> ..., arr)); Spark puts the array first. Lambda syntax
 # (`x -> expr`, `(x, y) -> expr`) is identical in both dialects, so
 # the lambda text passes through untouched.
+def _to_start_of_interval(a: list[str]) -> str:
+    m = re.match(
+        r"(?i)INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?$",
+        a[1].strip(),
+    )
+    if not m:
+        raise ValueError(
+            "toStartOfInterval: only INTERVAL n SECOND/MINUTE/HOUR/DAY "
+            "is transpiled (calendar units don't have fixed-second "
+            "floors — use toStartOfMonth/Quarter/Year)"
+        )
+    n, unit = int(m.group(1)), m.group(2).upper()
+    secs = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[unit]
+    return (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / {secs})"
+        f" * {secs} AS BIGINT))"
+    )
+
+
 _ARG_REWRITES: dict = {
+    "toStartOfInterval": _to_start_of_interval,
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
@@ -268,6 +315,36 @@ _ARG_REWRITES: dict = {
     "bitNot": lambda a: f"(~({a[0]}))",
     # arrayEnumerate(arr) = [1..size(arr)]
     "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
+    # ifEmpty(x, alt): alt when x is '' or NULL (CH empty() contract).
+    "ifEmpty": lambda a: (
+        f"(CASE WHEN coalesce(length({a[0]}), 0) = 0 "
+        f"THEN {a[1]} ELSE {a[0]} END)"
+    ),
+    # arrayCompact: drop CONSECUTIVE duplicates. filter's 2-arg lambda
+    # index is 0-based; element_at is 1-based, so element_at(a, i) IS
+    # the previous element. Null-safe compare keeps CH's behavior on
+    # null runs.
+    "arrayCompact": lambda a: (
+        f"filter({a[0]}, (__x, __i) -> __i = 0 "
+        f"OR NOT (__x <=> element_at({a[0]}, __i)))"
+    ),
+    # arrayDifference: [0, a[1]-a[0], ...]; element_at(a,1)*0 is a
+    # zero of the element's own type (keeps int arrays int).
+    "arrayDifference": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> CASE WHEN __i = 0 "
+        f"THEN element_at({a[0]}, 1) * 0 "
+        f"ELSE __x - element_at({a[0]}, __i) END)"
+    ),
+    # arrayCumSum: prefix sums via per-index fold (O(n²) — CH arrays
+    # here are row-local and small; the distributed cumsum is a
+    # window function, see window_running_sum). DOUBLE accumulator:
+    # decimal literals would otherwise grow precision per addition,
+    # which aggregate()'s fixed accumulator type rejects.
+    "arrayCumSum": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> "
+        f"aggregate(slice({a[0]}, 1, __i + 1), "
+        f"CAST(0 AS DOUBLE), (__acc, __v) -> __acc + __v))"
+    ),
     # multiSearchAny(haystack, [needles]) — any needle a substring?
     "multiSearchAny": lambda a: (
         f"exists({a[1]}, __n -> instr({a[0]}, __n) > 0)"
@@ -363,6 +440,12 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
             "ASOF JOIN is not SQL-transpiled yet; use "
             "bighouse_spark.operators.asof.asof_join (single-shuffle "
             "union+window implementation, backward/forward/tolerance)"
+        )
+    if re.search(r"\bWITH\s+FILL\b", out, re.IGNORECASE):
+        raise ValueError(
+            "ORDER BY ... WITH FILL is not transpiled; build the gap "
+            "fill explicitly: sequence()/range() date spine LEFT JOIN "
+            "the aggregate (the window_gapfill_hourly query shape)"
         )
     fn_ddl = _rewrite_create_function(out)
     if fn_ddl is not None:

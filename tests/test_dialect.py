@@ -495,6 +495,32 @@ class TestContextualRewrites:
         r = transpile("SELECT ts + toIntervalDay(2) FROM t")
         assert "make_interval(0, 0, 0, 2)" in r.sql
 
+    def test_array_sequence_functions(self):
+        r = transpile("SELECT arrayCompact(a), arrayDifference(a), "
+                      "arrayCumSum(a) FROM t")
+        assert "filter(a, (__x, __i) ->" in r.sql
+        assert "element_at(a, __i)" in r.sql
+        assert "CAST(0 AS DOUBLE), (__acc, __v) -> __acc + __v" in r.sql
+
+    def test_interval_floors(self):
+        r = transpile(
+            "SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) FROM t"
+        )
+        assert "/ 900) * 900" in r.sql
+        r = transpile("SELECT toStartOfFiveMinutes(ts) FROM t")
+        assert "/ 300) * 300" in r.sql
+        with pytest.raises(ValueError, match="toStartOfMonth"):
+            transpile("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH)")
+
+    def test_with_fill_raises(self):
+        with pytest.raises(ValueError, match="date spine"):
+            transpile("SELECT d FROM t ORDER BY d WITH FILL")
+
+    def test_count_distinct_and_if_empty(self):
+        r = transpile("SELECT countDistinct(x), ifEmpty(s, 'alt') FROM t")
+        assert "count(DISTINCT x)" in r.sql
+        assert "CASE WHEN coalesce(length(s), 0) = 0" in r.sql
+
     def test_functional_arithmetic_and_bits(self):
         r = transpile("SELECT plus(a, 1), divide(b, 2), bitAnd(c, 7) FROM t")
         assert "((a) + (1))" in r.sql
