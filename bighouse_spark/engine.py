@@ -301,6 +301,11 @@ class BigHouseEngine:
             "queries_executed bigint, total_elapsed_sec double, "
             "active_jobs int, active_stages int",
         ).createOrReplaceTempView("system_profile")
+        # system.settings analog: the session's SQL conf (the knobs
+        # the SETTINGS clause maps onto), name/value/meaning.
+        self.spark.sql("SET -v").createOrReplaceTempView(
+            "system_settings"
+        )
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"

@@ -189,6 +189,11 @@ def test_system_clusters_and_profile_views(engine, spark):
     prof = spark.sql("SELECT * FROM system_profile").collect()[0]
     assert prof.queries_executed >= 1
     assert prof.total_elapsed_sec > 0
+    settings = spark.sql(
+        "SELECT value FROM system_settings "
+        "WHERE key = 'spark.sql.shuffle.partitions'"
+    ).collect()
+    assert len(settings) == 1
 
 
 def test_insert_into_attached_table(engine, spark, tmp_path):
