@@ -341,6 +341,66 @@ def cluster_assign_topics(spark, sf_dir):
     )
 
 
+# Symmetric int8 quantization of the embedding column — the storage/
+# bandwidth path for vectors at 100 TB (4x smaller, SIMD-dot-able).
+# Pure per-row column math (zero shuffle before the row-level
+# projection); scale, quantized checksum, and max reconstruction
+# error are all exactly reproducible in DuckDB because every step is
+# element-local (no float summation-order ambiguity; q_sum is an
+# integer sum).
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 100
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(round(x * 127.0 / scale) AS INT))
+           AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_r,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       round(list_max(list_transform(range(1, len(e) + 1),
+         i -> abs(e[i] - qv[i] * scale / 127.0))), 6) AS max_err
+FROM q
+""",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    base = emb.select("vec_id", e.alias("e"), scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.round(x * 127.0 / F.col("scale")).cast("int"),
+    )
+    qd = base.select("vec_id", "e", "scale", q.alias("qv"))
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, qi: F.abs(x - qi * F.col("scale") / 127.0),
+        )
+    )
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.round(recon_err, 6).alias("max_err"),
+    )
+
+
 # Hybrid retrieval: keyword-filter the documents, then exact cosine
 # top-k over only the surviving embeddings — the filter-then-rank
 # flow of a retrieval pipeline. doc_id and vec_id are aligned in the
