@@ -74,6 +74,9 @@ _FUNC_RENAMES = {
     "fromUnixTimestamp": "from_unixtime",
     "addDays": "date_add",
     "subtractDays": "date_sub",
+    "addMonths": "add_months",
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
     "lcase": "lower",
     "ucase": "upper",
     "lengthUTF8": "length",
@@ -159,6 +162,7 @@ _WRAP_FUNCS = {
     "halfMD5": (
         "CAST(conv(substr(md5(", "), 1, 16), 16, 10) AS DECIMAL(38,0))"
     ),
+    "toMonday": ("CAST(date_trunc('week', ", ") AS DATE)"),
     "toStartOfFiveMinutes": (
         "timestamp_seconds(CAST(floor(unix_timestamp(",
         ") / 300) * 300 AS BIGINT))",
@@ -351,6 +355,31 @@ _ARG_REWRITES: dict = {
     ),
     "multiSearchAnyCaseInsensitive": lambda a: (
         f"exists({a[1]}, __n -> instr(lower({a[0]}), lower(__n)) > 0)"
+    ),
+    # add*/subtract* date arithmetic (CH spellings; days/months have
+    # direct Spark twins above).
+    "addYears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
+    "subtractYears": lambda a: f"add_months({a[0]}, -12 * ({a[1]}))",
+    "subtractMonths": lambda a: f"add_months({a[0]}, -({a[1]}))",
+    "addWeeks": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
+    "subtractWeeks": lambda a: f"date_sub({a[0]}, 7 * ({a[1]}))",
+    "addHours": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}))"
+    ),
+    "subtractHours": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}))"
+    ),
+    "addMinutes": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}))"
+    ),
+    "subtractMinutes": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}))"
+    ),
+    "addSeconds": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
+    ),
+    "subtractSeconds": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
     ),
     # toInterval* constructors → make_interval slot-fills.
     "toIntervalYear": lambda a: f"make_interval({a[0]})",
