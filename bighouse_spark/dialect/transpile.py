@@ -733,6 +733,9 @@ _PARAMETRIC = {
     "quantilesExact": "percentile",
     "quantileTDigest": "percentile_approx",
     "quantilesTDigest": "percentile_approx",
+    "quantileTiming": "percentile_approx",
+    "quantilesTiming": "percentile_approx",
+    "quantileBFloat16": "percentile_approx",
     "quantiles": "percentile_approx",
     "quantile": "percentile_approx",
     "medianExact": None,  # median(x) handled as plain rename below
