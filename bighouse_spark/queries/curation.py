@@ -224,3 +224,59 @@ def curation_incremental_dedup(spark, sf_dir):
         (F.col("batch_docs") - F.col("kept_docs")).alias("dropped_docs"),
         "kept_id_checksum",
     )
+
+
+# Data-quality constraint validation (Deequ-style): completeness,
+# key uniqueness, and range checks computed in ONE aggregate pass and
+# unpivoted to a (check, observed, passed) report — the pre-training
+# gate a corpus/warehouse job runs before shipping a snapshot. At
+# 100 TB this stays a single scan: every metric is a sum/count over
+# the same pass, and stack() is a projection of the one-row result.
+@query(
+    "quality_constraint_report",
+    oracle="""
+WITH m AS (
+  SELECT count(*) AS n,
+         count(l_orderkey) AS n_ok,
+         count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+         sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                  THEN 1 ELSE 0 END) AS n_qty,
+         sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS n_price
+  FROM lineitem
+)
+SELECT check_name, observed, observed >= 1.0 AS passed FROM (
+  SELECT 'orderkey_complete' AS check_name,
+         round(CAST(n_ok AS DOUBLE) / n, 6) AS observed FROM m
+  UNION ALL
+  SELECT 'linenumber_pk_unique', round(CAST(n_pk AS DOUBLE) / n, 6) FROM m
+  UNION ALL
+  SELECT 'quantity_in_1_50', round(CAST(n_qty AS DOUBLE) / n, 6) FROM m
+  UNION ALL
+  SELECT 'price_positive', round(CAST(n_price AS DOUBLE) / n, 6) FROM m
+)
+""",
+)
+def quality_constraint_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("n_ok"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("n_pk"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 1
+            ).otherwise(0)
+        ).alias("n_qty"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > 0, 1).otherwise(0)
+        ).alias("n_price"),
+    )
+    report = m.selectExpr(
+        """stack(4,
+             'orderkey_complete',    round(CAST(n_ok AS DOUBLE) / n, 6),
+             'linenumber_pk_unique', round(CAST(n_pk AS DOUBLE) / n, 6),
+             'quantity_in_1_50',     round(CAST(n_qty AS DOUBLE) / n, 6),
+             'price_positive',       round(CAST(n_price AS DOUBLE) / n, 6)
+           ) AS (check_name, observed)"""
+    )
+    return report.withColumn("passed", F.col("observed") >= 1.0)
