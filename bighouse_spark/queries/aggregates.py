@@ -320,3 +320,31 @@ def uniq_state_merge_rollup(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# CH `histogram(bins)(x)` analog with deterministic fixed-width
+# buckets (CH's adaptive bin edges are engine-specific; fixed-width
+# is the exact, engine-portable twin). One groupBy over a computed
+# bucket key — partial-aggregated, single shuffle of |buckets| keys.
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor((l_quantity - 1) / 5.0) AS INT) AS bucket,
+       count(*) AS n,
+       CAST(min(l_quantity) AS DOUBLE) AS lo,
+       CAST(max(l_quantity) AS DOUBLE) AS hi
+FROM lineitem GROUP BY bucket ORDER BY bucket
+""",
+)
+def agg_histogram(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_quantity") - 1) / 5.0).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").cast("double").alias("lo"),
+            F.max("l_quantity").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
