@@ -280,3 +280,39 @@ def quality_constraint_report(spark, sf_dir):
            ) AS (check_name, observed)"""
     )
     return report.withColumn("passed", F.col("observed") >= 1.0)
+
+
+# Deterministic train/val/test split (80/10/10): the doc_id's md5
+# bucket decides the split, so assignment is stable across runs,
+# engines, retried tasks, and future corpus versions (a doc keeps its
+# split when new docs arrive — no RNG, no global shuffle; pure
+# scan-side assignment, one tiny rollup).
+@query(
+    "curation_train_val_test_split",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_bucket('doc_id', 100)} < 80 THEN 'train'
+              WHEN {_bucket('doc_id', 100)} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def curation_train_val_test_split(spark, sf_dir):
+    from bighouse_spark.operators.curation import md5_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "split")
+    )
