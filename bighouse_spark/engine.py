@@ -332,6 +332,16 @@ class BigHouseEngine:
         r"[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
     )
+    _OPTIMIZE_RE = re.compile(
+        r"^\s*OPTIMIZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
+        re.IGNORECASE,
+    )
+
+    # OPTIMIZE compaction target: CH merges parts toward
+    # max_bytes_to_merge_at_max_space_in_pool; parquet's sweet spot is
+    # ~128 MiB files (one HDFS/S3 ranged read per task).
+    OPTIMIZE_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
     def _attached_path_or_raise(self, name: str, op: str) -> str:
         if name not in self._attached:
@@ -418,6 +428,51 @@ class BigHouseEngine:
         )
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
 
+    def _optimize_attached(
+        self, name: str, dedup: bool, t0: float, query: str
+    ) -> QueryResult:
+        """``OPTIMIZE TABLE <name> [FINAL] [DEDUPLICATE]`` — the CH
+        part-merge, re-expressed as small-file compaction: rewrite the
+        backing directory into ~OPTIMIZE_TARGET_FILE_BYTES files.
+        ``DEDUPLICATE`` drops fully-duplicate rows first (CH semantics
+        for OPTIMIZE ... DEDUPLICATE).
+
+        Scale shape: plain compaction uses ``coalesce`` (narrow — no
+        shuffle; each output task concatenates input files);
+        DEDUPLICATE requires the distinct shuffle anyway, so it uses
+        ``repartition`` to also fix skewed file sizes. At 100 TB this
+        is the nightly-compaction job every streaming-ingest table
+        needs — thousands of small files per day otherwise dominate
+        scan time with open/list overhead.
+        """
+        import math
+        import os
+
+        local = self._attached_path_or_raise(name, "OPTIMIZE TABLE")
+        total_bytes = 0
+        files_before = 0
+        for root, _dirs, files in os.walk(local):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS, checksums, hidden
+                files_before += 1
+                total_bytes += os.path.getsize(os.path.join(root, f))
+        n_out = max(1, math.ceil(total_bytes / self.OPTIMIZE_TARGET_FILE_BYTES))
+        df = self.spark.table(name)
+        df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
+        result = self._rewrite_attached(name, df, t0, query, "<optimize>")
+        files_after = sum(
+            1
+            for root, _dirs, files in os.walk(local)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        return QueryResult(
+            cols=["path", "files_before", "files_after"],
+            rows=[[result.rows[0][0], files_before, files_after]],
+            elapsed_sec=result.elapsed_sec,
+        )
+
     def execute(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):
             request = QueryRequest(query=request)
@@ -479,6 +534,10 @@ class BigHouseEngine:
             return self._rewrite_attached(
                 name, self.spark.sql(sel.sql), t0, request.query, sel.sql
             )
+        m_opt = self._OPTIMIZE_RE.match(request.query)
+        if m_opt:
+            name, _final, dedup = m_opt.groups()
+            return self._optimize_attached(name, bool(dedup), t0, request.query)
         m_dt = self._DROP_TRUNCATE_RE.match(request.query)
         if m_dt:
             op, name = m_dt.group(1).upper(), m_dt.group(2)

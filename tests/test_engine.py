@@ -243,6 +243,39 @@ def test_mutations_on_attached_table(engine, spark, tmp_path):
         engine.execute("SELECT count() FROM mut_tbl")
 
 
+def test_optimize_table_compaction(engine, spark, tmp_path):
+    """OPTIMIZE TABLE = CH part-merge → small-file compaction: many
+    tiny files in, ~target-size files out, identical contents;
+    DEDUPLICATE additionally drops exact duplicate rows."""
+    import glob
+
+    d = str(tmp_path / "opt_tbl")
+    spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(100)], ["id", "v"]
+    ).repartition(20).write.parquet(d)
+    engine.attach_table("opt_tbl", d)
+    assert len(glob.glob(f"{d}/*.parquet")) == 20
+    before = sorted(
+        tuple(r) for r in engine.execute("SELECT * FROM opt_tbl").rows
+    )
+    out = engine.execute("OPTIMIZE TABLE opt_tbl FINAL")
+    assert out.cols == ["path", "files_before", "files_after"]
+    assert out.rows[0][1] == 20
+    assert out.rows[0][2] == 1  # tiny table → one ~target-size file
+    assert len(glob.glob(f"{d}/*.parquet")) == 1
+    after = sorted(
+        tuple(r) for r in engine.execute("SELECT * FROM opt_tbl").rows
+    )
+    assert before == after
+    # DEDUPLICATE: duplicate every row, optimize away the copies.
+    engine.execute("INSERT INTO opt_tbl SELECT * FROM opt_tbl")
+    assert engine.execute("SELECT count() AS n FROM opt_tbl").rows == [[200]]
+    engine.execute("OPTIMIZE TABLE opt_tbl FINAL DEDUPLICATE")
+    assert engine.execute("SELECT count() AS n FROM opt_tbl").rows == [[100]]
+    with pytest.raises(ValueError, match="not an attached table"):
+        engine.execute("OPTIMIZE TABLE never_attached")
+
+
 def test_introspection_passthrough(engine):
     """CH's SHOW TABLES / DESCRIBE / EXPLAIN surface maps straight to
     Spark SQL's own commands — the transpiler passes them through and
