@@ -153,6 +153,12 @@ class BigHouseEngine:
         # name → (path, fmt, schema) for attach_table targets, so
         # INSERT INTO <name> can append to the backing storage.
         self._attached: dict[str, tuple[str, str, str | None]] = {}
+        # Materialized views: name → mutable state dict (see
+        # _create_materialized_view). CH MVs are insert-triggered
+        # incremental aggregates; here each refresh is a Structured
+        # Streaming availableNow batch whose checkpoint remembers
+        # which source files were already folded in.
+        self._mviews: dict[str, dict[str, Any]] = {}
 
     def clear_cache(self) -> None:
         with self._cache_lock:
@@ -332,6 +338,14 @@ class BigHouseEngine:
         r"[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
     )
+    _CREATE_MV_RE = re.compile(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"(?:\s+ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
+        r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\w+))?"
+        r"(?:\s+(POPULATE))?\s+AS\s+(SELECT\b.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _OPTIMIZE_RE = re.compile(
         r"^\s*OPTIMIZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
@@ -381,6 +395,16 @@ class BigHouseEngine:
         shutil.rmtree(old)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
+        # A part rewrite renames every backing file, which would make
+        # the next MV refresh re-fold old rows as "new" (double
+        # counting). Rebuild dependent MVs from the post-mutation
+        # table instead — diverges from CH (where mutations silently
+        # don't propagate) in the safe direction.
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
+                shutil.rmtree(mv["data"], ignore_errors=True)
+                self._refresh_mv(mv_name)
         elapsed = time.monotonic() - t0
         self.query_log.append(QueryLogEntry(query, transpiled, elapsed, -1))
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
@@ -422,11 +446,139 @@ class BigHouseEngine:
         aligned.write.format(fmt).mode("append").save(path)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
+        # CH MV semantics: INSERT into the source table triggers the
+        # view's incremental refresh (only the new files are read).
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                self._refresh_mv(mv_name)
         elapsed = time.monotonic() - t0
         self.query_log.append(
             QueryLogEntry(request.query, result.sql, elapsed, -1)
         )
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
+
+    def _create_materialized_view(
+        self, name: str, populate: bool, select_sql: str, t0: float,
+        query: str,
+    ) -> QueryResult:
+        """``CREATE MATERIALIZED VIEW mv [POPULATE] AS SELECT ... FROM
+        <attached>`` — CH's insert-maintained aggregate (CH docs:
+        "materialized views ... are triggered on INSERT").
+
+        Spark-first mapping: the attached directory IS the insert log,
+        so the MV is a Structured Streaming query over the file source
+        with ``trigger(availableNow)``. Each refresh reads ONLY files
+        the checkpoint hasn't seen (the insert-trigger semantics), and
+        running aggregation state lives in the checkpoint, so refresh
+        cost is O(new data), not O(table). Aggregate MVs write in
+        ``complete`` mode (result overwritten — aggregate results are
+        small); non-aggregate MVs append transformed rows.
+
+        Parity notes: like CH, mutations (ALTER DELETE/UPDATE,
+        TRUNCATE, OPTIMIZE) do NOT propagate to MVs — only INSERTs do.
+        Unlike CH, ``POPULATE`` is the default (the backlog of files
+        is folded into the first refresh); the keyword is accepted for
+        compatibility.
+        """
+        import tempfile
+
+        m = re.search(r"\bFROM\s+[`\"]?(\w+)[`\"]?", select_sql,
+                      re.IGNORECASE)
+        src = m.group(1) if m else ""
+        if src not in self._attached:
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW {name}: FROM must name an "
+                "attached table (the backing directory is the insert "
+                "log the view incrementally folds in)"
+            )
+        if name in self._mviews or name in self._attached:
+            raise ValueError(f"CREATE MATERIALIZED VIEW {name}: name in use")
+        transpiled = transpile(select_sql, self.spark).sql
+        base = tempfile.mkdtemp(prefix=f"bh_mv_{name}_")
+        self._mviews[name] = {
+            "source": src,
+            "select": transpiled,
+            "data": f"{base}/data",
+            "checkpoint": f"{base}/checkpoint",
+            "mode": None,  # resolved on first refresh
+        }
+        try:
+            self._refresh_mv(name)
+        except Exception:
+            del self._mviews[name]
+            raise
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, transpiled, elapsed, -1)
+        )
+        return QueryResult(cols=["view"], rows=[[name]], elapsed_sec=elapsed)
+
+    def _refresh_mv(self, name: str) -> None:
+        """One availableNow refresh of a materialized view: stream the
+        not-yet-seen source files through the view's plan, fold into
+        checkpointed state, republish the result as temp view
+        ``name``."""
+        import os
+        import uuid
+
+        mv = self._mviews[name]
+        path, fmt, _schema = self._attached[mv["source"]]
+        src_schema = self.spark.table(mv["source"]).schema
+        stream_view = f"__bh_mv_src_{uuid.uuid4().hex[:8]}"
+        reader = self.spark.readStream.schema(src_schema).format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        reader.load(path).createOrReplaceTempView(stream_view)
+        sql = re.sub(
+            rf"(?<![\w`.]){re.escape(mv['source'])}(?![\w`.])",
+            stream_view, mv["select"],
+        )
+        sdf = self.spark.sql(sql)
+        data_dir = mv["data"]
+
+        def _sink_complete(batch_df, _bid):
+            batch_df.write.mode("overwrite").parquet(data_dir)
+
+        def _sink_append(batch_df, _bid):
+            batch_df.write.mode("append").parquet(data_dir)
+
+        modes = [mv["mode"]] if mv["mode"] else ["complete", "append"]
+        last_err: Exception | None = None
+        for mode in modes:
+            sink = _sink_complete if mode == "complete" else _sink_append
+            try:
+                q = (
+                    sdf.writeStream.outputMode(mode)
+                    .foreachBatch(sink)
+                    .option("checkpointLocation", mv["checkpoint"])
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                mv["mode"] = mode
+                last_err = None
+                break
+            except Exception as e:
+                # Complete mode requires a streaming aggregation;
+                # projection/filter MVs fall through to append.
+                last_err = e
+                if mv["mode"] or "output mode" not in str(e).lower():
+                    raise
+        finally_view = stream_view
+        try:
+            self.spark.catalog.dropTempView(finally_view)
+        except Exception:
+            pass
+        if last_err is not None:
+            raise last_err
+        if os.path.isdir(data_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(data_dir)
+        ):
+            out = self.spark.read.parquet(data_dir)
+        else:  # zero batches ran (empty source): publish empty result
+            out = self.spark.createDataFrame([], sdf.schema)
+        out.createOrReplaceTempView(name)
+        self.clear_cache()
 
     def _optimize_attached(
         self, name: str, dedup: bool, t0: float, query: str
@@ -534,6 +686,12 @@ class BigHouseEngine:
             return self._rewrite_attached(
                 name, self.spark.sql(sel.sql), t0, request.query, sel.sql
             )
+        m_mv = self._CREATE_MV_RE.match(request.query)
+        if m_mv:
+            name, populate, select_sql = m_mv.groups()
+            return self._create_materialized_view(
+                name, bool(populate), select_sql, t0, request.query
+            )
         m_opt = self._OPTIMIZE_RE.match(request.query)
         if m_opt:
             name, _final, dedup = m_opt.groups()
@@ -549,9 +707,18 @@ class BigHouseEngine:
                 )
             # DROP detaches the view; the backing storage is shared
             # (the reference ATTACHes a common web disk) and is never
-            # deleted from here.
+            # deleted from here. Dropping a materialized view also
+            # discards its private data/checkpoint dirs (they belong
+            # to the engine, not the shared storage).
             self.spark.catalog.dropTempView(name)
             self._attached.pop(name, None)
+            mv = self._mviews.pop(name, None)
+            if mv is not None:
+                import os
+                import shutil
+
+                shutil.rmtree(os.path.dirname(mv["data"]),
+                              ignore_errors=True)
             self.clear_cache()
             elapsed = time.monotonic() - t0
             self.query_log.append(

@@ -276,6 +276,53 @@ def test_optimize_table_compaction(engine, spark, tmp_path):
         engine.execute("OPTIMIZE TABLE never_attached")
 
 
+def test_materialized_view_incremental(engine, spark, tmp_path):
+    """CH CREATE MATERIALIZED VIEW: insert-triggered incremental
+    aggregate. Backfill on create, INSERT into the source refreshes
+    the view by folding ONLY the new files into checkpointed state."""
+    d = str(tmp_path / "mv_src")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], ["k", "v"]
+    ).write.parquet(d)
+    engine.attach_table("mv_src", d)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv_sums POPULATE AS "
+        "SELECT k, sum(v) AS s FROM mv_src GROUP BY k"
+    )
+    out = engine.execute("SELECT k, s FROM mv_sums ORDER BY k")
+    assert out.rows == [["a", 4], ["b", 2]]
+    # Insert triggers incremental refresh (checkpoint has already seen
+    # the original files; only the appended file is read).
+    engine.execute("INSERT INTO mv_src VALUES ('a', 10), ('c', 7)")
+    out = engine.execute("SELECT k, s FROM mv_sums ORDER BY k")
+    assert out.rows == [["a", 14], ["b", 2], ["c", 7]]
+    # Mutations rewrite every backing file (new names), which would
+    # double-count on the next refresh — so they rebuild the MV from
+    # the post-mutation table (safe divergence from CH's "mutations
+    # don't propagate").
+    engine.execute("ALTER TABLE mv_src DELETE WHERE k = 'a'")
+    out = engine.execute("SELECT k, s FROM mv_sums ORDER BY k")
+    assert out.rows == [["b", 2], ["c", 7]]
+    # ...and incremental refresh still works after the rebuild.
+    engine.execute("INSERT INTO mv_src VALUES ('b', 5)")
+    out = engine.execute("SELECT k, s FROM mv_sums ORDER BY k")
+    assert out.rows == [["b", 7], ["c", 7]]
+    # Non-aggregate MV → append mode.
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv_proj AS "
+        "SELECT k, v * 2 AS v2 FROM mv_src WHERE v >= 2"
+    )
+    rows = engine.execute("SELECT k, v2 FROM mv_proj ORDER BY v2").rows
+    assert rows == [["b", 4], ["b", 10], ["c", 14]]
+    engine.execute("DROP TABLE mv_sums")
+    with pytest.raises(Exception):
+        engine.execute("SELECT count() FROM mv_sums")
+    with pytest.raises(ValueError, match="attached table"):
+        engine.execute(
+            "CREATE MATERIALIZED VIEW mv_bad AS SELECT 1 AS x FROM range(3)"
+        )
+
+
 def test_introspection_passthrough(engine):
     """CH's SHOW TABLES / DESCRIBE / EXPLAIN surface maps straight to
     Spark SQL's own commands — the transpiler passes them through and
