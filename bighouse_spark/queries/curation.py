@@ -316,3 +316,40 @@ def curation_train_val_test_split(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# Overlapping token-window chunking (context-window prep): chunk i
+# covers tokens [i*24, i*24+32) — size 32, overlap 8. Every chunk row
+# carries a content md5 so the oracle verifies chunk CONTENT, not
+# just counts, without shipping chunk text through the comparator.
+@query(
+    "curation_chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), counted AS (
+  SELECT doc_id, tk,
+         CASE WHEN n <= 32 THEN 1
+              ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+       CAST(len(list_slice(tk, u.i * 24 + 1, u.i * 24 + 32)) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(tk, u.i * 24 + 1, u.i * 24 + 32), ' '))
+         AS chunk_md5
+FROM counted, unnest(range(0, n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_id
+""",
+)
+def curation_chunk_documents(spark, sf_dir):
+    from bighouse_spark.operators.chunking import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, size=32, overlap=8)
+        .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -436,3 +436,44 @@ class TestIVF:
         assert set(got) == set(exact)
         for p, est in got.items():
             assert abs(est - exact[p]) / exact[p] < 0.05
+
+
+class TestChunking:
+    def test_overlap_and_reconstruction(self, spark):
+        """Chunks tile the token stream with the declared overlap:
+        chunk i starts at i*stride, adjacent chunks share `overlap`
+        tokens, and stitching non-overlap tails reconstructs the doc."""
+        from bighouse_spark.operators.chunking import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+        out = (
+            chunk_documents(df, size=4, overlap=2, keep_text=True)
+            .orderBy("doc_id", "chunk_id")
+            .collect()
+        )
+        one = [r for r in out if r.doc_id == 1]
+        # 10 tokens, size 4, stride 2 -> ceil((10-4)/2)+1 = 4 chunks
+        assert [r.chunk_id for r in one] == [0, 1, 2, 3]
+        assert [r.chunk_text.split() for r in one] == [
+            [f"t{i}" for i in range(0, 4)],
+            [f"t{i}" for i in range(2, 6)],
+            [f"t{i}" for i in range(4, 8)],
+            [f"t{i}" for i in range(6, 10)],
+        ]
+        # short doc -> exactly one chunk, itself
+        two = [r for r in out if r.doc_id == 2]
+        assert len(two) == 1 and two[0].chunk_text == "a b c"
+        # stitching chunk 0 + each subsequent chunk's last `stride`
+        # tokens reconstructs the doc
+        stitched = one[0].chunk_text.split()
+        for r in one[1:]:
+            stitched += r.chunk_text.split()[2:]
+        assert stitched == text.split()
+
+    def test_bad_overlap_raises(self, spark):
+        from bighouse_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, size=4, overlap=4)
