@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bighouse_spark.functions.text import token_count, word_shingles
+from bighouse_spark.functions.text import token_count, with_shingles
 
 
 def md5_bucket(col: Column, buckets: int) -> Column:
@@ -60,15 +60,15 @@ def decontaminate(
     exploded shingles. Returns the clean corpus (original columns).
     """
     eval_shingles = (
-        eval_set.select(
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
-        )
+        with_shingles(eval_set, text_col=text_col, n=shingle_n)
+        .select(F.explode("shingles").alias("__sh"))
         .distinct()
     )
     contaminated = (
-        corpus.select(
+        with_shingles(corpus, text_col=text_col, n=shingle_n)
+        .select(
             F.col(id_col).alias("__cid"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+            F.explode("shingles").alias("__sh"),
         )
         .join(F.broadcast(eval_shingles), "__sh", "left_semi")
         .select("__cid")

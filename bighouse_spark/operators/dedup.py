@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bighouse_spark.functions.text import fingerprint, word_shingles
+from bighouse_spark.functions.text import fingerprint, with_shingles
 from bighouse_spark.operators.parallel import ensure_min_parallelism
 
 
@@ -98,6 +98,29 @@ def _minhash_signature(shingle_hashes: Column, num_hashes: int) -> Column:
     )
 
 
+def _minhash_signature_sql(hashes_col: str, num_hashes: int) -> str:
+    """Value-identical twin of ``_minhash_signature`` (position i =
+    min over h of xxhash64(h, i); checksum-verified equal on the
+    fixtures) as ONE SQL string: a single-pass ``aggregate`` folding
+    each shingle hash into a running element-wise ``least`` via
+    ``zip_with``. Why this shape: (a) one ``F.expr`` parse instead of
+    ~2 s of py4j round-trips building the 32-wide Python DSL tree
+    (measured at sf0.1); (b) one traversal of the hash array instead
+    of ``num_hashes``; (c) O(1) generated-code size. The lambda var
+    ``i`` from ``sequence`` is an IntegerType value, so
+    ``xxhash64(h, i)`` hashes the same (long, int) pair as
+    ``F.xxhash64(h, F.lit(seed))`` did. The aggregate is opaque to
+    Catalyst (no per-element constant folding), so consumers MUST
+    read a materialized ``sig`` column — see the persist below."""
+    return (
+        f"aggregate({hashes_col}, "
+        f"array_repeat(9223372036854775807L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(h, i)), "
+        f"(a, m) -> least(a, m)))"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -136,38 +159,39 @@ def minhash_lsh_pairs(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
         )
-        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
+        .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
+        .select("id", "shingles")
         .where(F.size("shingles") > 0)
         .withColumn(
             "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
         )
         .persist()
     )
+    # Persist the signature table: the one-pass aggregate is opaque to
+    # Catalyst, so an unmaterialized `sig` would be recomputed in full
+    # by every element_at reference in the band-key projection.
+    # Materializing sigs (id + num_hashes longs, ~300 B/doc) computes
+    # the signature exactly once; every consumer reads a plain column.
     sigs = docs.select(
-        "id", _minhash_signature(F.col("__sh_hashes"), num_hashes).alias("sig")
-    )
-
-    band_keys = sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(_minhash_signature_sql("__sh_hashes", num_hashes)).alias("sig"),
+    ).persist()
+
+    # Band keys as one SQL expression (same py4j-cost argument as the
+    # signature), reading the materialized sig column.
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))"
+        .format(
+            b=b,
+            els=", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_keys = sigs.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("id", "bk.band", "bk.bucket")
 
     cand = (
@@ -273,7 +297,8 @@ def simhash_pairs(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
         )
-        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
+        .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
+        .select("id", "shingles")
         .where(F.size("shingles") > 0)
     )
     # Persist signatures: referenced by both sides of the band
@@ -358,7 +383,8 @@ def ngram_jaccard_pairs(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
         )
-        .select("id", word_shingles(F.col("__t"), shingle_n).alias("shingles"))
+        .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
+        .select("id", "shingles")
         .where(F.size("shingles") > 0)
         .persist()  # feeds n_docs + the inverted index
     )
