@@ -77,11 +77,26 @@ def main() -> None:
     ]:
         load_table(spark, SF_DIR, tbl).agg(col.alias("w")).collect()
 
+    # Each query runs twice: the first (cold) timing includes plan
+    # construction + codegen JIT + Python-worker spin-up; the second
+    # (warm) measures steady-state execution — the methodology the
+    # reference's own baselines quote ("The second run was 4.1s",
+    # README.md:93-94). The headline value stays the COLD total so the
+    # metric is comparable across rounds; warm numbers ride along.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
         queries[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        queries[name](spark, SF_DIR).collect()
+        warm[name] = round(time.monotonic() - t0, 3)
+        # Operators persist scratch tables (minhash signatures, IVF
+        # assignments) that only die with the session; drop them so
+        # later queries aren't measured under another query's storage
+        # pressure.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -95,6 +110,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": sf_val,
             }
         )

@@ -806,6 +806,7 @@ class BigHouseEngine:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Run the query and write the result to a parquet/csv/json
         directory instead of collecting — the reference's unbuilt
@@ -837,12 +838,27 @@ class BigHouseEngine:
             result = transpile(request.query, self.spark)
             views.extend(result.views)
             df = self.spark.sql(result.sql)
+            if order_by and zorder_by:
+                raise ValueError("order_by and zorder_by are exclusive")
             if order_by:
                 # repartitionByRange clusters key ranges into files
                 # (tight per-file min/max); sortWithinPartitions orders
                 # row groups inside each file.
                 df = df.repartitionByRange(*order_by).sortWithinPartitions(
                     *order_by
+                )
+            if zorder_by:
+                # Multi-dimensional layout: interleaved-bit key →
+                # min/max pruning on ANY of the listed dims (the
+                # MergeTree-ORDER-BY story without the prefix-only
+                # limitation). See sources/layout.py.
+                from bighouse_spark.sources.layout import zorder_key
+
+                df = (
+                    df.withColumn("__bh_z", zorder_key(df, zorder_by))
+                    .repartitionByRange("__bh_z")
+                    .sortWithinPartitions("__bh_z")
+                    .drop("__bh_z")
                 )
             writer = df.write.format(fmt).mode(mode)
             if partition_by:
