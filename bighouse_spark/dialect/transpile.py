@@ -464,12 +464,6 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
-    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", out, re.IGNORECASE):
-        raise ValueError(
-            "ASOF JOIN is not SQL-transpiled yet; use "
-            "bighouse_spark.operators.asof.asof_join (single-shuffle "
-            "union+window implementation, backward/forward/tolerance)"
-        )
     if re.search(r"\bWITH\s+FILL\b", out, re.IGNORECASE):
         raise ValueError(
             "ORDER BY ... WITH FILL is not transpiled; build the gap "
@@ -483,6 +477,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _strip_format(out)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
+    out = _rewrite_asof_join(out, spark, views)
     out = _rewrite_ch_clauses(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_functions(out)
@@ -1026,6 +1021,115 @@ def _rewrite_functions(sql: str) -> str:
             out = re.sub(rf"\b{ch}\(", sp, out)
             continue
         out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
+    return out
+
+
+# CH ASOF JOIN (reference surface: full-CH-SQL delegation family).
+# Canonical form:
+#   FROM t1 [AS a] ASOF [LEFT] JOIN t2 [AS b]
+#     ON a.k = b.k [AND ...] AND a.ts >= b.ts
+# The inequality picks direction/strictness (>= backward, > backward
+# strict, <= forward, < forward strict — CH semantics). The joined
+# pair is materialized through operators.asof.asof_join (single
+# shuffle, union+window) as a temp view, the FROM clause is rewritten
+# to it, and qualified a./b. references in the rest of the query are
+# re-pointed at the view's flat columns (right-side collisions carry
+# the operator's "_right" suffix).
+_ASOF_RE = re.compile(
+    r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+    r"(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+(.*?)"
+    r"(?=\s+(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS)\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASOF_COND_RE = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|<|>)\s*(\w+)\.(\w+)\s*$"
+)
+
+
+def _rewrite_asof_join(
+    sql: str, spark: SparkSession | None, views: list[str]
+) -> str:
+    if not re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+        return sql
+    unsupported = ValueError(
+        "ASOF JOIN: supported form is FROM t1 [AS a] ASOF [LEFT] JOIN "
+        "t2 [AS b] ON a.k = b.k [AND ...] AND a.ts >= b.ts (or >, <=, "
+        "<). For other shapes use "
+        "bighouse_spark.operators.asof.asof_join directly "
+        "(single-shuffle union+window; backward/forward/tolerance)."
+    )
+    out = sql
+    while (m := _ASOF_RE.search(out)) is not None:
+        if spark is None:
+            raise ValueError(
+                "ASOF JOIN requires a SparkSession to transpile"
+            )
+        t1, a1, left_kw, t2, a2, conds = m.groups()
+        la, ra = (a1 or t1), (a2 or t2)
+        keys: list[tuple[str, str]] = []
+        time_pair: tuple[str, str, str] | None = None  # lcol, rcol, op
+        for cond in re.split(r"\s+AND\s+", conds.strip(), flags=re.IGNORECASE):
+            cm = _ASOF_COND_RE.match(cond)
+            if cm is None:
+                raise unsupported
+            q1, c1, op, q2, c2 = cm.groups()
+            if {q1, q2} != {la, ra}:
+                raise unsupported
+            if q1 == ra:  # normalize to left-side-first
+                q1, c1, q2, c2 = q2, c2, q1, c1
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+            if op == "=":
+                keys.append((c1, c2))
+            elif time_pair is None:
+                time_pair = (c1, c2, op)
+            else:
+                raise unsupported  # two inequalities
+        if time_pair is None or not keys:
+            raise unsupported
+        lt, rt, op = time_pair
+        direction = "backward" if op in (">=", ">") else "forward"
+        strict = op in (">", "<")
+        from bighouse_spark.operators.asof import asof_join
+
+        left_df, right_df = spark.table(t1), spark.table(t2)
+        orig_right_cols = list(right_df.columns)
+        for lcol, rcol in keys:
+            if rcol != lcol:
+                right_df = right_df.withColumnRenamed(rcol, lcol)
+        rt_renamed = rt
+        joined = asof_join(
+            left_df, right_df, on=[k for k, _ in keys],
+            left_time=lt, right_time=rt_renamed,
+            strict=strict, direction=direction,
+        )
+        rt_out = rt_renamed + "_right" if rt_renamed in left_df.columns \
+            else rt_renamed
+        if not left_kw:  # CH ASOF JOIN (no LEFT) is inner: drop misses
+            joined = joined.where(f"{rt_out} IS NOT NULL")
+        view = f"__bh_asof_{next(_VIEW_COUNTER)}"
+        joined.createOrReplaceTempView(view)
+        views.append(view)
+        out = out[: m.start()] + f"FROM {view}" + out[m.end():]
+
+        # Re-point qualified references. Left alias: strip. Right
+        # alias: key cols map to the (possibly renamed) left name;
+        # value/time cols carry the operator's collision suffix.
+        r_key_map = {rc: lc for lc, rc in keys}
+        r_to_flat = {
+            c: r_key_map.get(
+                c, c + "_right" if c in left_df.columns else c
+            )
+            for c in orig_right_cols
+        }
+        out = re.sub(
+            rf"\b{re.escape(la)}\.(\w+)", lambda g: g.group(1), out
+        )
+        out = re.sub(
+            rf"\b{re.escape(ra)}\.(\w+)",
+            lambda g: r_to_flat.get(g.group(1), g.group(1)),
+            out,
+        )
     return out
 
 

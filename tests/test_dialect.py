@@ -195,10 +195,14 @@ class TestTranspileText:
         assert "(c)" in r.sql and "assumeNotNull" not in r.sql
         assert "ANY (SELECT" in r.sql  # subquery ANY untouched
 
-    def test_asof_join_raises_actionable(self):
+    def test_asof_join_needs_session(self):
+        # Canonical ASOF JOIN transpiles through the asof operator,
+        # which needs a session to resolve the tables; sessionless
+        # transpile stays an actionable error (TestAsofJoinSQL covers
+        # the executing path).
         import pytest
 
-        with pytest.raises(ValueError, match="asof_join"):
+        with pytest.raises(ValueError, match="SparkSession"):
             transpile("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
 
     def test_global_modifier_stripped(self):
@@ -735,3 +739,68 @@ class TestNumbersTableFunction:
             spark,
         )
         assert list(spark.sql(r.sql).collect()[0]) == [2, 4, 3]
+
+
+class TestAsofJoinSQL:
+    """CH ASOF JOIN through the SQL surface: canonical form routed
+    through operators.asof.asof_join via a temp view."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.createDataFrame(
+            [("A", 3, 10.0), ("A", 7, 11.0), ("B", 5, 20.0), ("C", 1, 30.0)],
+            ["sym", "t", "px"],
+        ).createOrReplaceTempView("trades")
+        spark.createDataFrame(
+            [("A", 2, 9.0), ("A", 7, 9.5), ("B", 6, 19.0)],
+            ["sym", "qt", "bid"],
+        ).createOrReplaceTempView("quotes")
+        return BigHouseEngine(spark)
+
+    def test_inner_backward(self, eng):
+        out = eng.execute(
+            "SELECT sym, t, px, bid, qt FROM trades ASOF JOIN quotes "
+            "ON trades.sym = quotes.sym AND trades.t >= quotes.qt "
+            "ORDER BY sym, t"
+        )
+        assert out.cols == ["sym", "t", "px", "bid", "qt"]
+        # A@3 -> qt2; A@7 -> qt7 (same instant visible, non-strict);
+        # B@5 has no quote <= 5 and C has none at all -> dropped (inner)
+        assert out.rows == [["A", 3, 10.0, 9.0, 2], ["A", 7, 11.0, 9.5, 7]]
+
+    def test_left_keeps_misses(self, eng):
+        out = eng.execute(
+            "SELECT a.sym, a.t, b.bid FROM trades AS a "
+            "ASOF LEFT JOIN quotes AS b "
+            "ON a.sym = b.sym AND a.t >= b.qt ORDER BY a.sym, a.t"
+        )
+        assert out.rows == [
+            ["A", 3, 9.0], ["A", 7, 9.5],
+            ["B", 5, None], ["C", 1, None],
+        ]
+
+    def test_strict_and_forward(self, eng):
+        strict = eng.execute(
+            "SELECT sym, t, qt FROM trades ASOF JOIN quotes "
+            "ON trades.sym = quotes.sym AND trades.t > quotes.qt "
+            "ORDER BY sym, t"
+        )
+        # strict backward: A@7 must skip the same-instant qt=7 -> qt=2
+        assert strict.rows == [["A", 3, 2], ["A", 7, 2]]
+        fwd = eng.execute(
+            "SELECT sym, t, qt, bid FROM trades ASOF JOIN quotes "
+            "ON trades.sym = quotes.sym AND trades.t <= quotes.qt "
+            "ORDER BY sym, t"
+        )
+        assert fwd.rows == [
+            ["A", 3, 7, 9.5], ["A", 7, 7, 9.5], ["B", 5, 6, 19.0]
+        ]
+
+    def test_unsupported_form_actionable(self, eng):
+        with pytest.raises(ValueError, match="supported form"):
+            eng.execute(
+                "SELECT 1 FROM trades ASOF JOIN quotes "
+                "ON trades.sym = quotes.sym AND trades.t >= quotes.qt + 1"
+            )
