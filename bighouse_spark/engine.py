@@ -312,6 +312,44 @@ class BigHouseEngine:
         self.spark.sql("SET -v").createOrReplaceTempView(
             "system_settings"
         )
+        # system.parts analog: one row per backing data file of each
+        # attached table (CH: one row per MergeTree part with
+        # bytes_on_disk/rows). Row counts come from parquet footers —
+        # no data pages are read. This is the view an operator checks
+        # before/after OPTIMIZE TABLE to see compaction state.
+        import os as _os
+
+        parts = []
+        for tname, (path, fmt, _schema) in self._attached.items():
+            local = path[7:] if path.startswith("file://") else path
+            if "://" in local:
+                continue  # object storage: listing needs a FS client
+            if _os.path.isfile(local):
+                entries = [local]
+            else:
+                entries = [
+                    _os.path.join(root, f)
+                    for root, _d, files in _os.walk(local)
+                    for f in files
+                    if not f.startswith(("_", "."))
+                ]
+            for fpath in entries:
+                n_rows = -1
+                if fmt == "parquet":
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        n_rows = _pq.ParquetFile(fpath).metadata.num_rows
+                    except Exception:
+                        pass
+                parts.append((
+                    tname, _os.path.basename(fpath),
+                    int(_os.path.getsize(fpath)), int(n_rows),
+                ))
+        self.spark.createDataFrame(
+            parts,
+            "table string, name string, bytes_on_disk bigint, rows bigint",
+        ).createOrReplaceTempView("system_parts")
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"

@@ -243,6 +243,29 @@ def test_mutations_on_attached_table(engine, spark, tmp_path):
         engine.execute("SELECT count() FROM mut_tbl")
 
 
+def test_system_parts_view(engine, spark, tmp_path):
+    """system.parts analog: one row per backing file with footer row
+    counts; reflects compaction after OPTIMIZE."""
+    d = str(tmp_path / "parts_tbl")
+    spark.createDataFrame(
+        [(i,) for i in range(40)], ["id"]
+    ).repartition(4).write.parquet(d)
+    engine.attach_table("parts_tbl", d)
+    engine.refresh_system_views()
+    out = engine.execute(
+        "SELECT count() AS files, sum(rows) AS total_rows FROM system_parts "
+        "WHERE table = 'parts_tbl'"
+    )
+    assert out.rows == [[4, 40]]
+    engine.execute("OPTIMIZE TABLE parts_tbl FINAL")
+    engine.refresh_system_views()
+    out = engine.execute(
+        "SELECT count() AS files, sum(rows) AS total_rows FROM system_parts "
+        "WHERE table = 'parts_tbl'"
+    )
+    assert out.rows == [[1, 40]]
+
+
 def test_optimize_table_compaction(engine, spark, tmp_path):
     """OPTIMIZE TABLE = CH part-merge → small-file compaction: many
     tiny files in, ~target-size files out, identical contents;
