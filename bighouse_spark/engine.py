@@ -361,6 +361,12 @@ class BigHouseEngine:
         r"(SELECT\b|WITH\b|VALUES\b)",
         re.IGNORECASE,
     )
+    _ALTER_COLUMN_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?\s*(.*?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _ALTER_DELETE_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"\s+DELETE\s+WHERE\s+(.+)$",
@@ -692,6 +698,65 @@ class BigHouseEngine:
         if m_tbl:
             return self._insert_into_attached(
                 request, m_tbl.group(1), m_tbl.start(2), t0
+            )
+        # CH column DDL. In CH these are metadata-only (old parts get
+        # the column materialized lazily on merge); here they rewrite
+        # storage eagerly — same observable semantics, mutation-cost
+        # model, and zero hidden per-file schema divergence (every
+        # backing file always matches the table schema, so plain
+        # parquet reads never need mergeSchema).
+        m_col = self._ALTER_COLUMN_RE.match(request.query)
+        if m_col:
+            name, op, col, rest = m_col.groups()
+            op = op.upper()
+            self._attached_path_or_raise(name, f"ALTER TABLE {op} COLUMN")
+            if self._attached[name][1] == "csv":
+                raise ValueError(
+                    f"ALTER TABLE {op} COLUMN on a csv-attached table "
+                    "is not supported (the attach-time schema string "
+                    "would go stale); rewrite via INSERT INTO FUNCTION "
+                    "and re-ATTACH"
+                )
+            tbl = self.spark.table(name)
+            from pyspark.sql import functions as F
+
+            from bighouse_spark.dialect.schema import ch_type_to_spark
+
+            if op == "ADD":
+                dm = re.match(
+                    r"^([\w()\s,]+?)(?:\s+DEFAULT\s+(.+))?$", rest.strip()
+                )
+                if not dm or not dm.group(1).strip():
+                    raise ValueError(
+                        f"ALTER TABLE ADD COLUMN {col}: need a type, got "
+                        f"{rest!r}"
+                    )
+                ch_type, default = dm.group(1).strip(), dm.group(2)
+                dt = ch_type_to_spark(ch_type)
+                expr = (
+                    transpile(f"SELECT {default}", self.spark).sql
+                    .removeprefix("SELECT ")
+                    if default else "NULL"
+                )
+                df = tbl.withColumn(col, F.expr(expr).cast(dt))
+            elif op == "DROP":
+                if col not in tbl.columns:
+                    raise ValueError(f"DROP COLUMN {col}: no such column")
+                df = tbl.drop(col)
+            elif op == "RENAME":
+                rm = re.match(r"^TO\s+[`\"]?(\w+)[`\"]?$", rest.strip(),
+                              re.IGNORECASE)
+                if not rm:
+                    raise ValueError(
+                        f"RENAME COLUMN {col}: expected TO <name>, got "
+                        f"{rest!r}"
+                    )
+                df = tbl.withColumnRenamed(col, rm.group(1))
+            else:  # MODIFY: retype in place
+                dt = ch_type_to_spark(rest.strip())
+                df = tbl.withColumn(col, F.col(col).cast(dt))
+            return self._rewrite_attached(
+                name, df, t0, request.query, f"<alter {op.lower()} column>"
             )
         # CH mutations: whole-part rewrites, async/non-atomic in CH
         # too (docs: "mutations rewrite data parts").

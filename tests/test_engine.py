@@ -243,6 +243,35 @@ def test_mutations_on_attached_table(engine, spark, tmp_path):
         engine.execute("SELECT count() FROM mut_tbl")
 
 
+def test_alter_column_ddl(engine, spark, tmp_path):
+    """CH column DDL (ADD/DROP/RENAME/MODIFY COLUMN) as eager storage
+    rewrites: every backing file always matches the table schema."""
+    d = str(tmp_path / "coltbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]
+    ).write.parquet(d)
+    engine.attach_table("coltbl", d)
+    engine.execute(
+        "ALTER TABLE coltbl ADD COLUMN score Float64 DEFAULT id * 10"
+    )
+    out = engine.execute("SELECT id, v, score FROM coltbl ORDER BY id")
+    assert out.rows == [[1, "a", 10.0], [2, "b", 20.0]]
+    # new column participates in INSERT positionally
+    engine.execute("INSERT INTO coltbl VALUES (3, 'c', 7.5)")
+    engine.execute("ALTER TABLE coltbl RENAME COLUMN v TO label")
+    engine.execute("ALTER TABLE coltbl MODIFY COLUMN score Int32")
+    out = engine.execute("SELECT id, label, score FROM coltbl ORDER BY id")
+    assert out.rows == [[1, "a", 10], [2, "b", 20], [3, "c", 7]]
+    engine.execute("ALTER TABLE coltbl DROP COLUMN label")
+    assert engine.execute("SELECT * FROM coltbl ORDER BY id").cols == [
+        "id", "score"
+    ]
+    with pytest.raises(ValueError, match="no such column"):
+        engine.execute("ALTER TABLE coltbl DROP COLUMN ghost")
+    with pytest.raises(ValueError, match="need a type"):
+        engine.execute("ALTER TABLE coltbl ADD COLUMN broken")
+
+
 def test_system_parts_view(engine, spark, tmp_path):
     """system.parts analog: one row per backing file with footer row
     counts; reflects compaction after OPTIMIZE."""
