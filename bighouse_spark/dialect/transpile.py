@@ -464,12 +464,6 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
-    if re.search(r"\bWITH\s+FILL\b", out, re.IGNORECASE):
-        raise ValueError(
-            "ORDER BY ... WITH FILL is not transpiled; build the gap "
-            "fill explicitly: sequence()/range() date spine LEFT JOIN "
-            "the aggregate (the window_gapfill_hourly query shape)"
-        )
     fn_ddl = _rewrite_create_function(out)
     if fn_ddl is not None:
         return TranspileResult(sql=fn_ddl)
@@ -481,6 +475,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_ch_clauses(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_functions(out)
+    out = _rewrite_with_fill(out, spark, views)
     if spark is not None:
         for k, v in settings.items():
             spark.conf.set(k, v)
@@ -1022,6 +1017,83 @@ def _rewrite_functions(sql: str) -> str:
             continue
         out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
     return out
+
+
+# CH ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s]: densify the
+# ordered result by inserting rows for missing key values, other
+# columns taking their type defaults (CH semantics: 0 / '' — here:
+# 0 for numerics, '' for strings, NULL otherwise). Spark-first
+# rewrite: a sequence() spine LEFT JOINed to the query, bounds
+# defaulting to the query's own min/max (one extra tiny aggregate
+# over the registered inner view — not an extra scan of the source,
+# Catalyst reuses the view plan). Integral and date/timestamp fill
+# columns only (Spark sequence()'s domain); single fill column (CH
+# allows several; rare, raises the actionable error).
+_WITH_FILL_RE = re.compile(
+    r"\bORDER\s+BY\s+([`\"]?\w+[`\"]?)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?"
+    r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|\S+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_with_fill(
+    sql: str, spark: SparkSession | None, views: list[str]
+) -> str:
+    if not re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+        return sql
+    m = _WITH_FILL_RE.search(sql)
+    if m is None or spark is None:
+        raise ValueError(
+            "WITH FILL: supported form is a final ORDER BY <col> WITH "
+            "FILL [FROM x] [TO y] [STEP s] (single fill column, with a "
+            "SparkSession); otherwise build the spine explicitly — "
+            "sequence()/range() LEFT JOIN the aggregate (the "
+            "window_gapfill_hourly query shape)"
+        )
+    col, frm, to, step = m.groups()
+    col = col.strip('`"')
+    inner_sql = sql[: m.start()].rstrip()
+    inner = spark.sql(inner_sql)
+    view = f"__bh_fill_{next(_VIEW_COUNTER)}"
+    inner.createOrReplaceTempView(view)
+    views.append(view)
+    dtypes = dict(inner.dtypes)
+    if col not in dtypes:
+        raise ValueError(f"WITH FILL: {col} is not in the select list")
+    kind = dtypes[col]
+    if kind not in ("tinyint", "smallint", "int", "bigint", "date",
+                    "timestamp", "timestamp_ntz"):
+        raise ValueError(
+            f"WITH FILL: fill column must be integral or date/"
+            f"timestamp (sequence() domain), got {col}: {kind}"
+        )
+    if step is None:
+        step = "INTERVAL 1 DAY" if kind == "date" else (
+            "INTERVAL 1 HOUR" if kind.startswith("timestamp") else "1"
+        )
+    # CH's TO bound is exclusive; min/max defaults are inclusive.
+    lo = frm if frm else f"(SELECT min({col}) FROM {view})"
+    hi = (f"{to} - {step}" if to else f"(SELECT max({col}) FROM {view})")
+    fills = []
+    for c, t in inner.dtypes:
+        if c == col:
+            continue
+        if t in ("tinyint", "smallint", "int", "bigint", "float",
+                 "double") or t.startswith("decimal"):
+            fills.append(f"coalesce({view}.`{c}`, 0) AS `{c}`")
+        elif t == "string":
+            fills.append(f"coalesce({view}.`{c}`, '') AS `{c}`")
+        else:
+            fills.append(f"{view}.`{c}`")
+    sel = ", ".join([f"__bh_spine.`{col}`"] + fills)
+    return (
+        f"SELECT {sel} FROM "
+        f"(SELECT explode(sequence({lo}, {hi}, {step})) AS `{col}`) "
+        f"AS __bh_spine LEFT JOIN {view} "
+        f"ON __bh_spine.`{col}` = {view}.`{col}` "
+        f"ORDER BY __bh_spine.`{col}`"
+    )
 
 
 # CH ASOF JOIN (reference surface: full-CH-SQL delegation family).

@@ -804,3 +804,41 @@ class TestAsofJoinSQL:
                 "SELECT 1 FROM trades ASOF JOIN quotes "
                 "ON trades.sym = quotes.sym AND trades.t >= quotes.qt + 1"
             )
+
+
+class TestWithFill:
+    """ORDER BY ... WITH FILL: sequence-spine densification with CH
+    type-default fills (0 for numerics)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.createDataFrame(
+            [(1, 10.0), (3, 5.0), (6, 1.0)], ["d", "v"]
+        ).createOrReplaceTempView("fill_t")
+        return BigHouseEngine(spark)
+
+    def test_fill_minmax_defaults(self, eng):
+        out = eng.execute(
+            "SELECT d, sum(v) AS s FROM fill_t GROUP BY d "
+            "ORDER BY d WITH FILL"
+        )
+        assert out.cols == ["d", "s"]
+        assert out.rows == [
+            [1, 10.0], [2, 0.0], [3, 5.0], [4, 0.0], [5, 0.0], [6, 1.0]
+        ]
+
+    def test_fill_from_to_step(self, eng):
+        out = eng.execute(
+            "SELECT d, sum(v) AS s FROM fill_t GROUP BY d "
+            "ORDER BY d WITH FILL FROM 0 TO 8 STEP 2"
+        )
+        # TO is exclusive (CH semantics): spine = 0,2,4,6
+        assert out.rows == [[0, 0.0], [2, 0.0], [4, 0.0], [6, 1.0]]
+
+    def test_fill_unsupported_column_type(self, eng):
+        with pytest.raises(ValueError, match="integral or date"):
+            eng.execute(
+                "SELECT v FROM fill_t ORDER BY v WITH FILL"
+            )
