@@ -199,3 +199,81 @@ def text_pii_redact(spark, sf_dir):
         F.sum(F.length("t2") - F.length("red")).alias("chars_removed"),
         (F.sum(residual) == 0).alias("all_clean"),
     )
+
+
+# Corpus-trained bigram-LM fluency score — the perplexity-filter
+# shape of a training-data pipeline (score each doc by how predictable
+# its bigrams are under a model fit on the corpus itself), kept in
+# EXACT integer arithmetic so the DuckDB oracle matches bit-for-bit:
+# per-bigram probability as (1e6 * c(w1,w2)) DIV c(w1) ppm, per-doc
+# average as (sum_ppm * 1e6) DIV n — no floating point anywhere.
+# Scale shape: two count aggregations (unigram, bigram) + a re-join
+# of the exploded bigram stream on its (w1, w2) key — all uniform
+# hash keys; the unigram side is vocabulary-sized and broadcasts
+# under AQE when small.
+@query(
+    "text_bigram_fluency",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), grams AS (
+  SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+  FROM docs, unnest(range(1, len(w))) AS u(i)
+), uni AS (
+  SELECT tok, count(*) AS cu
+  FROM (SELECT unnest(w) AS tok FROM docs) GROUP BY tok
+), big AS (
+  SELECT w1, w2, count(*) AS cb FROM grams GROUP BY w1, w2
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((1000000 * cb) // cu) AS BIGINT) AS sum_ppm,
+       CAST((sum((1000000 * cb) // cu) * 1000000) // count(*) AS BIGINT)
+         AS avg_ppm_micro
+FROM grams g
+JOIN big USING (w1, w2)
+JOIN uni ON uni.tok = g.w1
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def text_bigram_fluency(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, "
+                "element_at(w, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = (
+        docs.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    big = (
+        grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ppm = F.expr("(1000000 * cb) div cu")
+    return (
+        grams.join(big, ["w1", "w2"])
+        .join(uni, grams.w1 == uni.tok)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(ppm).cast("bigint").alias("sum_ppm"),
+            F.expr(
+                "CAST((sum((1000000 * cb) div cu) * 1000000) "
+                "div count(*) AS BIGINT)"
+            ).alias("avg_ppm_micro"),
+        )
+        .orderBy("doc_id")
+    )

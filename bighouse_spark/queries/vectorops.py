@@ -445,3 +445,76 @@ def hybrid_keyword_ann(spark, sf_dir):
         "sim",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+# Achlioptas sparse random projection (64 -> 8 dims): matrix entries
+# in {-1, 0, +1} with prob {1/6, 2/3, 1/6}, derived from md5 of the
+# (out_dim, in_dim) pair — generated ONCE here and embedded as
+# literals in BOTH the Spark expression and the DuckDB oracle, so the
+# projection is identical by construction. Input vectors are int8-
+# quantized first (the proven-deterministic embedding_quantize_int8
+# formula), making every dot product pure integer arithmetic — no
+# float summation-order ambiguity anywhere. Scale shape: zero-shuffle
+# row-local math; at 100 TB this is the cheap-projection front of an
+# ANN/cluster pipeline (4x bandwidth cut from int8, 8x from dims).
+def _achlioptas_matrix(out_dims: int = 8, in_dims: int = 64):
+    import hashlib
+
+    def entry(j: int, i: int) -> int:
+        h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:15], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    return [[entry(j, i) for i in range(in_dims)] for j in range(out_dims)]
+
+
+_RP_M = _achlioptas_matrix()
+_RP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 200
+), s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(round(x * 127.0 / scale) AS BIGINT))
+           AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+{",".join(
+    f"       CAST(list_sum(list_transform(range(1, 65), "
+    f"i -> qv[i] * ({_RP_M[j]})[i])) AS BIGINT) AS p{j}"
+    for j in range(8)
+)}
+FROM q ORDER BY vec_id
+"""
+
+
+@query("embedding_random_projection", oracle=_RP_ORACLE)
+def embedding_random_projection(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.round(x * 127.0 / F.col("scale")).cast("bigint"),
+    )
+    base = (
+        emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+        .where(F.col("scale") > 0)
+        .select("vec_id", q.alias("qv"))
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                "qv",
+                F.array(*[F.lit(x).cast("bigint") for x in _RP_M[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(8)
+    ]
+    return base.select("vec_id", *projs).orderBy("vec_id")
