@@ -132,6 +132,9 @@ _FUNC_RENAMES = {
     "lowerUTF8": "lower",
     "upperUTF8": "upper",
     "toTypeName": "typeof",
+    "bitCount": "bit_count",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -139,6 +142,16 @@ _FUNC_RENAMES = {
 _ZERO_ARG = {
     "today()": "current_date()",
     "yesterday()": "date_sub(current_date(), 1)",
+    **{
+        f"emptyArray{ch}()": f"CAST(array() AS ARRAY<{sp}>)"
+        for ch, sp in [
+            ("Int8", "TINYINT"), ("Int16", "SMALLINT"), ("Int32", "INT"),
+            ("Int64", "BIGINT"), ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+            ("UInt32", "BIGINT"), ("UInt64", "BIGINT"),
+            ("Float32", "FLOAT"), ("Float64", "DOUBLE"),
+            ("String", "STRING"), ("Date", "DATE"),
+        ]
+    },
 }
 
 # CH(arg) → wrapped Spark expression where a plain rename can't work.
@@ -195,6 +208,32 @@ _WRAP_FUNCS = {
     # single Spark textual twin (size() vs length()) — see tests.
     "empty": ("(coalesce(length(", "), 0) = 0)"),
     "notEmpty": ("(coalesce(length(", "), 0) > 0)"),
+    # timeSlot: floor to the half-hour (CH's fixed 1800 s slot).
+    "timeSlot": (
+        "timestamp_seconds(CAST(floor(unix_timestamp(",
+        ") / 1800) * 1800 AS BIGINT))",
+    ),
+    # ...OrNull/...OrZero parse-cast family → TRY_CAST.
+    "toInt8OrNull": ("TRY_CAST(", " AS TINYINT)"),
+    "toInt16OrNull": ("TRY_CAST(", " AS SMALLINT)"),
+    "toInt32OrNull": ("TRY_CAST(", " AS INT)"),
+    "toInt64OrNull": ("TRY_CAST(", " AS BIGINT)"),
+    "toUInt8OrNull": ("TRY_CAST(", " AS SMALLINT)"),
+    "toUInt16OrNull": ("TRY_CAST(", " AS INT)"),
+    "toUInt32OrNull": ("TRY_CAST(", " AS BIGINT)"),
+    "toUInt64OrNull": ("TRY_CAST(", " AS BIGINT)"),
+    "toFloat32OrNull": ("TRY_CAST(", " AS FLOAT)"),
+    "toFloat64OrNull": ("TRY_CAST(", " AS DOUBLE)"),
+    "toDateOrNull": ("TRY_CAST(", " AS DATE)"),
+    "toInt32OrZero": ("coalesce(TRY_CAST(", " AS INT), 0)"),
+    "toInt64OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
+    "toUInt32OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
+    "toUInt64OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
+    "toFloat32OrZero": ("coalesce(TRY_CAST(", " AS FLOAT), 0)"),
+    "toFloat64OrZero": ("coalesce(TRY_CAST(", " AS DOUBLE), 0)"),
+    "arrayProduct": (
+        "aggregate(", ", CAST(1 AS DOUBLE), (acc, __x) -> acc * __x)"
+    ),
 }
 
 # CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond
@@ -284,8 +323,60 @@ def _to_start_of_interval(a: list[str]) -> str:
     )
 
 
+def _tuple_element(a: list[str]) -> str:
+    if len(a) != 2 or not re.match(r"^\d+$", a[1].strip()):
+        raise ValueError(
+            "tupleElement: only a literal 1-based index is transpiled "
+            "(unnamed Spark structs expose col1, col2, ...); use dot "
+            "access for named tuples"
+        )
+    return f"({a[0]}).col{a[1].strip()}"
+
+
+def _date_name(a: list[str]) -> str:
+    fmt = {
+        "year": "yyyy", "month": "MMMM", "weekday": "EEEE",
+        "quarter": "QQQ", "hour": "H", "minute": "m", "second": "s",
+    }.get(_unquote(a[0]).lower())
+    if fmt is None:
+        raise ValueError(
+            f"dateName: unit {a[0]} not transpiled (year/month/weekday/"
+            "quarter/hour/minute/second are)"
+        )
+    return f"date_format({a[1]}, '{fmt}')"
+
+
+def _accurate_cast_or_null(a: list[str]) -> str:
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
+    t = ch_type_to_spark(_unquote(a[1])).simpleString()
+    return f"TRY_CAST({a[0]} AS {t})"
+
+
 _ARG_REWRITES: dict = {
     "toStartOfInterval": _to_start_of_interval,
+    "countEqual": lambda a: (
+        f"size(filter({a[0]}, __ce -> __ce <=> ({a[1]})))"
+    ),
+    "intDivOrZero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) div ({a[1]}) END)"
+    ),
+    "moduloOrZero": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END)"
+    ),
+    "bitTest": lambda a: f"(((({a[0]}) >> ({a[1]})) & 1))",
+    "tupleElement": _tuple_element,
+    "positionCaseInsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "dateName": _date_name,
+    "accurateCastOrNull": _accurate_cast_or_null,
+    # arrayResize(arr, n, pad): truncate or right-pad to length n.
+    "arrayResize": lambda a: (
+        f"(CASE WHEN size({a[0]}) >= ({a[1]}) THEN slice({a[0]}, 1, {a[1]}) "
+        f"ELSE concat({a[0]}, array_repeat({a[2]}, ({a[1]}) - size({a[0]}))) "
+        f"END)"
+    ),
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",

@@ -842,3 +842,48 @@ class TestWithFill:
             eng.execute(
                 "SELECT v FROM fill_t ORDER BY v WITH FILL"
             )
+
+
+class TestDialectBatch3:
+    """Round-2 spelling batch: OrNull/OrZero casts, bit ops, map
+    accessors, tuple/element helpers, dateName, emptyArray family."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_batch_values(self, eng):
+        cases = {
+            "SELECT countEqual([1,2,2,3], 2) AS x": 2,
+            "SELECT bitCount(7) AS x": 3,
+            "SELECT intDivOrZero(10, 0) AS x": 0,
+            "SELECT moduloOrZero(10, 3) AS x": 1,
+            "SELECT arrayProduct([2.0,3.0]) AS x": 6.0,
+            "SELECT tupleElement(tuple(1,'a'), 2) AS x": "a",
+            "SELECT positionCaseInsensitive('Hello','he') AS x": 1,
+            "SELECT dateName('weekday', toDate('2020-03-04')) AS x":
+                "Wednesday",
+            "SELECT emptyArrayInt64() AS x": [],
+            "SELECT arrayResize([1,2], 4, 0) AS x": [1, 2, 0, 0],
+            "SELECT bitTest(5, 1) AS x": 0,
+            "SELECT accurateCastOrNull('oops', 'UInt32') AS x": None,
+            "SELECT toInt64OrNull('42') AS x": 42,
+            "SELECT toFloat64OrZero('nope') AS x": 0.0,
+            "SELECT mapKeys(map('a', 1)) AS x": ["a"],
+        }
+        for q, want in cases.items():
+            assert eng.execute(q).rows[0][0] == want, q
+
+    def test_time_slot(self, eng):
+        got = eng.execute(
+            "SELECT timeSlot(toDateTime('2020-01-01 10:44:55')) AS x"
+        ).rows[0][0]
+        assert str(got).startswith("2020-01-01 10:30:00")
+
+    def test_unsupported_units_raise(self, eng):
+        with pytest.raises(Exception, match="dateName"):
+            eng.execute("SELECT dateName('century', toDate('2020-03-04'))")
+        with pytest.raises(Exception, match="tupleElement"):
+            eng.execute("SELECT tupleElement(tuple(1), n)")
