@@ -34,7 +34,10 @@ from pyspark.sql import SparkSession
 from bighouse_spark.dialect.globs import expand_braces
 from bighouse_spark.sources.readers import read_source
 
-_TABLE_FUNCS = ("s3Cluster", "urlCluster", "s3", "url", "file")
+_TABLE_FUNCS = (
+    "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
+    "clusterAllReplicas", "cluster",
+)
 
 # CH 64-bit hash functions → xxhash64 (capability parity: any
 # deterministic 64-bit row hash). Wrapped in DECIMAL(38,0) because the
@@ -1473,6 +1476,33 @@ def _register_source(
       url(url[, format[, schema]]) / urlCluster(cluster, url, ...)
       file(path[, format[, schema]])
     """
+    if fn in ("cluster", "clusterAllReplicas"):
+        # cluster('name', [db.]table): route a query at a named
+        # cluster. One Spark session IS the cluster, so this is the
+        # registered table itself (same erasure as s3Cluster's
+        # {cluster} macro).
+        if len(args) < 2:
+            raise ValueError(f"{fn}() needs (cluster, table) arguments")
+        tbl = _unquote(args[1]).split(".")[-1]
+        spark.table(tbl).createOrReplaceTempView(view)
+        return
+    if fn == "merge":
+        # merge([db,] 'tables_regexp'): union of every registered
+        # table whose name matches — CH's multi-table read. Strict
+        # by-name union (CH requires compatible structures too).
+        pat = _unquote(args[-1])
+        names = sorted(
+            t.name
+            for t in spark.catalog.listTables()
+            if re.fullmatch(pat, t.name) and not t.name.startswith("__bh_")
+        )
+        if not names:
+            raise ValueError(f"merge('{pat}'): no registered table matches")
+        out = spark.table(names[0])
+        for n in names[1:]:
+            out = out.unionByName(spark.table(n))
+        out.createOrReplaceTempView(view)
+        return
     if fn.endswith("Cluster"):
         args = args[1:]  # drop '{cluster}' — vacuous in Spark (B2)
     if not args:

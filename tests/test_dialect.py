@@ -887,3 +887,39 @@ class TestDialectBatch3:
             eng.execute("SELECT dateName('century', toDate('2020-03-04'))")
         with pytest.raises(Exception, match="tupleElement"):
             eng.execute("SELECT tupleElement(tuple(1), n)")
+
+
+class TestMergeClusterTableFuncs:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.createDataFrame([(1,), (2,)], ["v"]).createOrReplaceTempView(
+            "mlog_2024"
+        )
+        spark.createDataFrame([(3,)], ["v"]).createOrReplaceTempView(
+            "mlog_2025"
+        )
+        return BigHouseEngine(spark)
+
+    def test_merge_unions_matching_tables(self, eng):
+        out = eng.execute(
+            "SELECT count() AS n, sum(v) AS s FROM merge('mlog_.*')"
+        )
+        assert out.rows == [[3, 6]]
+        out = eng.execute(
+            "SELECT count() AS n FROM merge('default', 'mlog_2024')"
+        )
+        assert out.rows == [[2]]
+        with pytest.raises(ValueError, match="no registered table"):
+            eng.execute("SELECT 1 FROM merge('nope_.*')")
+
+    def test_cluster_reads_named_table(self, eng):
+        out = eng.execute(
+            "SELECT sum(v) AS s FROM cluster('bighouse', 'default.mlog_2024')"
+        )
+        assert out.rows == [[3]]
+        out = eng.execute(
+            "SELECT count() AS n FROM clusterAllReplicas('c', 'mlog_2025')"
+        )
+        assert out.rows == [[1]]
