@@ -516,8 +516,10 @@ class TestContextualRewrites:
         with pytest.raises(ValueError, match="toStartOfMonth"):
             transpile("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH)")
 
-    def test_with_fill_raises(self):
-        with pytest.raises(ValueError, match="date spine"):
+    def test_with_fill_needs_session(self):
+        # Canonical WITH FILL now transpiles (TestWithFill); without a
+        # session (or in unsupported shapes) the error stays actionable.
+        with pytest.raises(ValueError, match="spine"):
             transpile("SELECT d FROM t ORDER BY d WITH FILL")
 
     def test_count_distinct_and_if_empty(self):

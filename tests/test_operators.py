@@ -477,3 +477,41 @@ class TestChunking:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, size=4, overlap=4)
+
+    def test_chunk_count_formula_random_docs(self, spark):
+        """Property check over 60 random-length docs in one job: chunk
+        count matches ceil((n-size)/stride)+1, ids are dense, chunks
+        cover the doc exactly."""
+        import math
+        import random
+
+        from bighouse_spark.operators.chunking import chunk_documents
+
+        rng = random.Random(7)
+        docs = [
+            (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 90))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        size, overlap = 16, 4
+        stride = size - overlap
+        out = chunk_documents(df, size=size, overlap=overlap, keep_text=True)
+        rows = out.orderBy("doc_id", "chunk_id").collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == {i for i, _ in docs}
+        for i, text in docs:
+            n = len(text.split())
+            want = 1 if n <= size else math.ceil((n - size) / stride) + 1
+            chunks = by_doc[i]
+            assert [c.chunk_id for c in chunks] == list(range(want)), (i, n)
+            stitched = chunks[0].chunk_text.split()
+            for c in chunks[1:]:
+                toks = c.chunk_text.split()
+                assert toks == text.split()[
+                    c.chunk_id * stride: c.chunk_id * stride + size
+                ]
+                stitched += toks[overlap:] if len(toks) > overlap else []
+            # full coverage, no token lost
+            assert stitched == text.split(), i
