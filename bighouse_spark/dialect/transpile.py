@@ -568,6 +568,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_asof_join(out, spark, views)
     out = _rewrite_ch_clauses(out)
     out = _rewrite_limit_by(out)
+    out = _rewrite_limit_ties(out)
     out = _rewrite_functions(out)
     out = _rewrite_with_fill(out, spark, views)
     if spark is not None:
@@ -1111,6 +1112,38 @@ def _rewrite_functions(sql: str) -> str:
             continue
         out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
     return out
+
+
+# CH LIMIT n WITH TIES: keep every row tying with the n-th on the
+# ORDER BY key. Spark has no WITH TIES; the standard rewrite is a
+# rank() window + filter, with `* EXCEPT` hiding the helper column.
+# Scale note: the unpartitioned rank() window sorts on ONE reducer —
+# the same cliff as any global total-order op; fine for the top-n
+# shapes WITH TIES exists for (n is small), and the heavy lifting
+# (the filter's child) still runs distributed.
+_LIMIT_TIES_RE = re.compile(
+    r"\bORDER\s+BY\s+(.+?)\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_limit_ties(sql: str) -> str:
+    if not re.search(r"\bWITH\s+TIES\b", sql, re.IGNORECASE):
+        return sql
+    m = _LIMIT_TIES_RE.search(sql)
+    if m is None:
+        raise ValueError(
+            "WITH TIES: supported form is a final ORDER BY ... LIMIT n "
+            "WITH TIES"
+        )
+    order, n = m.group(1).strip(), int(m.group(2))
+    inner = sql[: m.start()].rstrip()
+    return (
+        f"SELECT * EXCEPT (__bh_rk) FROM ("
+        f"SELECT *, rank() OVER (ORDER BY {order}) AS __bh_rk "
+        f"FROM ({inner})"
+        f") WHERE __bh_rk <= {n} ORDER BY {order}"
+    )
 
 
 # CH ORDER BY <col> WITH FILL [FROM f] [TO t] [STEP s]: densify the

@@ -925,3 +925,29 @@ class TestMergeClusterTableFuncs:
             "SELECT count() AS n FROM clusterAllReplicas('c', 'mlog_2025')"
         )
         assert out.rows == [[1]]
+
+
+class TestLimitWithTies:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.createDataFrame(
+            [("a", 3), ("b", 2), ("c", 2), ("d", 1)], ["k", "score"]
+        ).createOrReplaceTempView("ties_t")
+        return BigHouseEngine(spark)
+
+    def test_ties_kept(self, eng):
+        out = eng.execute(
+            "SELECT k, score FROM ties_t ORDER BY score DESC LIMIT 2 WITH TIES"
+        )
+        # 2nd place (score=2) ties -> 3 rows, plain LIMIT 2 -> 2 rows
+        assert [r[1] for r in out.rows] == [3, 2, 2]
+        plain = eng.execute(
+            "SELECT k, score FROM ties_t ORDER BY score DESC LIMIT 2"
+        )
+        assert len(plain.rows) == 2
+
+    def test_unsupported_shape_raises(self, eng):
+        with pytest.raises(ValueError, match="WITH TIES"):
+            eng.execute("SELECT k FROM ties_t LIMIT 2 WITH TIES")

@@ -67,3 +67,30 @@ class TestPlanShapes:
             get("curation_decontaminate").fn(spark, SF_CORRECT)
         )
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+    def test_chunking_is_narrow(self, spark):
+        """Document chunking advertises zero-shuffle scan-side work:
+        no Exchange may appear in its plan."""
+        plan = physical_plan(
+            get("curation_chunk_documents").fn(spark, SF_CORRECT)
+            .limit(10)  # strip the final presentation sort
+        )
+        # the only allowed exchange is the orderBy's range partitioning;
+        # everything before it must be generate/project over the scan
+        before_sort = plan.split("Sort", 1)[0]
+        assert "Exchange hashpartitioning" not in before_sort
+
+    def test_bigram_fluency_no_cartesian(self, spark):
+        plan = physical_plan(
+            get("text_bigram_fluency").fn(spark, SF_CORRECT)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_random_projection_zero_shuffle(self, spark):
+        """Row-local integer math: nothing but scan -> project ->
+        (presentation sort)."""
+        plan = physical_plan(
+            get("embedding_random_projection").fn(spark, SF_CORRECT)
+        )
+        assert "Exchange hashpartitioning" not in plan
