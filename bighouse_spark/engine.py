@@ -382,6 +382,20 @@ class BigHouseEngine:
         r"[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
     )
+    _CREATE_TABLE_HEAD_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*\(",
+        re.IGNORECASE,
+    )
+    _CREATE_TABLE_TAIL_RE = re.compile(
+        r"^\s*(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
+        r"(?:\s+PARTITION\s+BY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+SETTINGS\s+.*)?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     _CREATE_MV_RE = re.compile(
         r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
@@ -789,6 +803,62 @@ class BigHouseEngine:
             return self._rewrite_attached(
                 name, self.spark.sql(sel.sql), t0, request.query, sel.sql
             )
+        # CH CREATE TABLE (MergeTree/Memory/Log — the engine name only
+        # affects CH-side storage internals, all of which parquet
+        # subsumes here): materialize an empty engine-owned parquet
+        # directory with the declared schema and attach it, so the
+        # whole write surface (INSERT, mutations, OPTIMIZE, MVs,
+        # system_parts) works on created tables exactly as on ATTACHed
+        # ones. ORDER BY / PARTITION BY / SETTINGS clauses are
+        # accepted and dropped (layout is a write-time concern here —
+        # execute_to_sink(order_by=/zorder_by=)).
+        m_ct = self._CREATE_TABLE_HEAD_RE.match(request.query)
+        if m_ct:
+            if_not_exists, name = m_ct.groups()
+            # balanced-paren scan for the column list (types like
+            # Decimal(20, 4) nest; a regex can't balance them)
+            i, depth, quote = m_ct.end(), 1, None
+            q = request.query
+            while i < len(q) and depth:
+                c = q[i]
+                if quote:
+                    quote = None if c == quote else quote
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            cols, tail = q[m_ct.end(): i - 1], q[i:]
+            if depth or not self._CREATE_TABLE_TAIL_RE.match(tail):
+                raise ValueError(
+                    f"CREATE TABLE {name}: unsupported trailing clause "
+                    f"{tail.strip()[:60]!r} (ENGINE/PARTITION BY/ORDER "
+                    "BY/PRIMARY KEY/SETTINGS are accepted and dropped)"
+                )
+            if name in self._attached or name in self._mviews:
+                if if_not_exists:
+                    elapsed = time.monotonic() - t0
+                    return QueryResult(cols=["table"], rows=[[name]],
+                                       elapsed_sec=elapsed)
+                raise ValueError(f"CREATE TABLE {name}: name in use")
+            import tempfile
+
+            from bighouse_spark.dialect.schema import parse_schema_string
+
+            schema = parse_schema_string(cols)
+            path = tempfile.mkdtemp(prefix=f"bh_tbl_{name}_")
+            self.spark.createDataFrame([], schema).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self.attach_table(name, path)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<create table>", elapsed, 0)
+            )
+            return QueryResult(cols=["table"], rows=[[name]],
+                               elapsed_sec=elapsed)
         m_mv = self._CREATE_MV_RE.match(request.query)
         if m_mv:
             name, populate, select_sql = m_mv.groups()

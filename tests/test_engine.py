@@ -243,6 +243,36 @@ def test_mutations_on_attached_table(engine, spark, tmp_path):
         engine.execute("SELECT count() FROM mut_tbl")
 
 
+def test_create_table_full_write_surface(engine):
+    """CREATE TABLE materializes an engine-owned parquet dir; the
+    whole write surface then composes: INSERT, mutation, OPTIMIZE,
+    materialized view, system_parts."""
+    engine.execute(
+        "CREATE TABLE metrics (name String, v Decimal(20, 4), n UInt32) "
+        "ENGINE = MergeTree() ORDER BY (name) SETTINGS index_granularity=8192"
+    )
+    assert engine.execute("SELECT count() AS c FROM metrics").rows == [[0]]
+    engine.execute("INSERT INTO metrics VALUES ('a', 1.5, 2), ('b', 2.0, 3)")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW metrics_sum AS "
+        "SELECT name, sum(n) AS total FROM metrics GROUP BY name"
+    )
+    engine.execute("INSERT INTO metrics VALUES ('a', 9.0, 10)")
+    out = engine.execute(
+        "SELECT name, total FROM metrics_sum ORDER BY name"
+    )
+    assert out.rows == [["a", 12], ["b", 3]]
+    engine.execute("ALTER TABLE metrics DELETE WHERE name = 'b'")
+    assert engine.execute("SELECT count() AS c FROM metrics").rows == [[2]]
+    engine.execute("OPTIMIZE TABLE metrics FINAL")
+    # IF NOT EXISTS no-op; duplicate without it raises
+    engine.execute("CREATE TABLE IF NOT EXISTS metrics (x UInt8)")
+    with pytest.raises(ValueError, match="name in use"):
+        engine.execute("CREATE TABLE metrics (x UInt8)")
+    with pytest.raises(ValueError, match="unsupported trailing"):
+        engine.execute("CREATE TABLE weird (x UInt8) AS SELECT 1")
+
+
 def test_alter_column_ddl(engine, spark, tmp_path):
     """CH column DDL (ADD/DROP/RENAME/MODIFY COLUMN) as eager storage
     rewrites: every backing file always matches the table schema."""
