@@ -558,6 +558,33 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
+    # CH EXPLAIN variants → the closest Spark EXPLAIN mode. EXPLAIN
+    # SYNTAX (CH: "the query after syntax optimizations") maps to the
+    # one transformation this engine owns — the dialect transpile —
+    # and returns the rewritten Spark SQL as a result row.
+    ex = re.match(
+        r"^EXPLAIN\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE)\s+(.*)$",
+        out, re.IGNORECASE | re.DOTALL,
+    )
+    if ex:
+        mode, rest = ex.group(1).upper(), ex.group(2)
+        inner = transpile(rest, spark)
+        if mode == "SYNTAX":
+            lit = inner.sql.replace("'", "''")
+            return TranspileResult(
+                sql=f"SELECT '{lit}' AS rewritten_sql",
+                views=inner.views, settings=inner.settings,
+                dropped_settings=inner.dropped_settings,
+            )
+        spark_mode = {
+            "AST": "EXTENDED", "PLAN": "FORMATTED",
+            "PIPELINE": "FORMATTED", "ESTIMATE": "COST",
+        }[mode]
+        return TranspileResult(
+            sql=f"EXPLAIN {spark_mode} {inner.sql}",
+            views=inner.views, settings=inner.settings,
+            dropped_settings=inner.dropped_settings,
+        )
     fn_ddl = _rewrite_create_function(out)
     if fn_ddl is not None:
         return TranspileResult(sql=fn_ddl)

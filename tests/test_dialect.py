@@ -951,3 +951,23 @@ class TestLimitWithTies:
     def test_unsupported_shape_raises(self, eng):
         with pytest.raises(ValueError, match="WITH TIES"):
             eng.execute("SELECT k FROM ties_t LIMIT 2 WITH TIES")
+
+
+class TestExplainVariants:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.range(5).selectExpr("id AS v").createOrReplaceTempView("ex_t")
+        return BigHouseEngine(spark)
+
+    def test_explain_syntax_returns_transpiled(self, eng):
+        out = eng.execute("EXPLAIN SYNTAX SELECT uniq(v) FROM ex_t")
+        assert out.cols == ["rewritten_sql"]
+        assert "approx_count_distinct(v)" in out.rows[0][0]
+
+    def test_explain_modes_map(self, eng):
+        for ch in ("EXPLAIN PLAN", "EXPLAIN PIPELINE", "EXPLAIN ESTIMATE",
+                   "EXPLAIN AST"):
+            out = eng.execute(f"{ch} SELECT count() FROM ex_t")
+            assert len(out.rows) >= 1 and out.rows[0][0], ch
