@@ -159,6 +159,11 @@ class BigHouseEngine:
         # Streaming availableNow batch whose checkpoint remembers
         # which source files were already folded in.
         self._mviews: dict[str, dict[str, Any]] = {}
+        # Dictionaries: name → (source view, primary-key column).
+        # dictGet calls rewrite to correlated scalar subqueries, which
+        # Catalyst decorrelates into the (broadcast) lookup join a CH
+        # in-memory dictionary is.
+        self._dicts: dict[str, tuple[str, str]] = {}
 
     def clear_cache(self) -> None:
         with self._cache_lock:
@@ -361,6 +366,13 @@ class BigHouseEngine:
         r"(SELECT\b|WITH\b|VALUES\b)",
         re.IGNORECASE,
     )
+    # CH wire-style INSERT with an inline data payload after FORMAT.
+    _INSERT_FMT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
+        r"FORMAT\s+(Values|JSONEachRow|CSV|CSVWithNames|TSV|TabSeparated)"
+        r"\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _ALTER_COLUMN_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
@@ -379,7 +391,7 @@ class BigHouseEngine:
     )
     _DROP_TRUNCATE_RE = re.compile(
         r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
-        r"[`\"]?(\w+)[`\"]?\s*$",
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
         re.IGNORECASE,
     )
     _CREATE_TABLE_HEAD_RE = re.compile(
@@ -638,6 +650,60 @@ class BigHouseEngine:
         out.createOrReplaceTempView(name)
         self.clear_cache()
 
+    _CREATE_DICT_RE = re.compile(
+        r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*\([^)]*\)\s*"
+        r"PRIMARY\s+KEY\s+[`\"]?(\w+)[`\"]?\s*"
+        r"SOURCE\s*\((.*?)\)\s*(?:LAYOUT\s*\(.*?\))?\s*"
+        r"(?:LIFETIME\s*\(.*?\))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_DICT_RE = re.compile(
+        r"^\s*DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_dict_calls(self, sql: str) -> str:
+        """Rewrite dictGet*/dictHas/dictGetOrDefault over registered
+        dictionaries into correlated scalar subqueries."""
+        if not self._dicts or "dict" not in sql:
+            return sql
+        from bighouse_spark.dialect.transpile import _find_call
+
+        out = sql
+        pat = re.compile(r"\bdict(Get\w*|Has)\s*\(", re.IGNORECASE)
+        while (m := pat.search(out)) is not None:
+            kind = m.group(1)
+            call = _find_call(out, f"dict{kind}", m.start())
+            if call is None:
+                break
+            start, end, args = call
+            dname = args[0].strip().strip("'\"")
+            if dname not in self._dicts:
+                raise ValueError(
+                    f"dict{kind}: no dictionary named {dname!r} — "
+                    "CREATE DICTIONARY first"
+                )
+            src, pk = self._dicts[dname]
+            if kind.lower() == "has":
+                key = args[1]
+                repl = (
+                    f"((SELECT count(*) FROM {src} "
+                    f"WHERE `{pk}` = ({key})) > 0)"
+                )
+            else:
+                attr = args[1].strip().strip("'\"")
+                key = args[2]
+                sub = (
+                    f"(SELECT `{attr}` FROM {src} WHERE `{pk}` = ({key}))"
+                )
+                if kind.lower() == "getordefault":
+                    repl = f"coalesce({sub}, {args[3]})"
+                else:
+                    repl = sub
+            out = out[:start] + repl + out[end:]
+        return out
+
     def _optimize_attached(
         self, name: str, dedup: bool, t0: float, query: str
     ) -> QueryResult:
@@ -706,6 +772,82 @@ class BigHouseEngine:
                 cols=["path"], rows=[[meta["path"]]],
                 elapsed_sec=meta["elapsed_sec"],
             )
+        # CH wire-style INSERT ... FORMAT <fmt> <payload>: the shape
+        # every CH client emits over HTTP. JSONEachRow matches columns
+        # BY NAME (CH semantics); Values/CSV/TSV are positional. The
+        # inline payload is driver-parsed — it arrived in the request
+        # body, so it is by construction request-sized, not data-lake
+        # sized; bulk loads use INSERT ... SELECT FROM s3()/file().
+        m_fmt = self._INSERT_FMT_RE.match(request.query)
+        if m_fmt:
+            name, fmt_name, payload = m_fmt.groups()
+            fmt_name = fmt_name.lower()
+            if name not in self._attached:
+                raise ValueError(
+                    f"INSERT INTO {name}: not an attached table"
+                )
+            target = self.spark.table(name).schema
+            if fmt_name == "values":
+                synth = QueryRequest(
+                    query=f"INSERT INTO {name} VALUES {payload}",
+                    init_queries=request.init_queries,
+                )
+                return self._insert_into_attached(
+                    synth, name, len(f"INSERT INTO {name} "), t0
+                )
+            if fmt_name == "jsoneachrow":
+                import json as _json
+
+                rows = [
+                    _json.loads(line)
+                    for line in payload.strip().splitlines()
+                    if line.strip()
+                ]
+                from pyspark.sql import functions as F
+
+                df = self.spark.createDataFrame(
+                    [
+                        tuple(r.get(f.name) for f in target.fields)
+                        for r in rows
+                    ],
+                    target,
+                )
+                aligned = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                )
+            else:  # csv / tsv (positional)
+                sep = "\t" if fmt_name in ("tsv", "tabseparated") else ","
+                lines = [
+                    line for line in payload.strip().splitlines()
+                    if line.strip()
+                ]
+                if fmt_name == "csvwithnames":
+                    lines = lines[1:]
+                from pyspark.sql import functions as F
+
+                df = self.spark.createDataFrame(
+                    [tuple(v.strip().strip("'\"") or None
+                           for v in line.split(sep))
+                     for line in lines],
+                    ", ".join(f"`{f.name}` string" for f in target.fields),
+                )
+                aligned = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                )
+            path, fmt, schema = self._attached[name]
+            aligned.write.format(fmt).mode("append").save(path)
+            self.clear_cache()
+            self.attach_table(name, path, fmt=fmt, schema=schema)
+            for mv_name, mv in self._mviews.items():
+                if mv["source"] == name:
+                    self._refresh_mv(mv_name)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, f"<insert {fmt_name}>",
+                              elapsed, -1)
+            )
+            return QueryResult(cols=["path"], rows=[[path]],
+                               elapsed_sec=elapsed)
         # CH's INSERT INTO <table> append form against ATTACHed
         # storage (positional columns, like CH).
         m_tbl = self._INSERT_TBL_RE.match(request.query)
@@ -859,6 +1001,43 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["table"], rows=[[name]],
                                elapsed_sec=elapsed)
+        # CH dictionary DDL: the dictionary IS its source view + key;
+        # LAYOUT/LIFETIME are in-memory/refresh tuning, dropped.
+        m_dict = self._CREATE_DICT_RE.match(request.query)
+        if m_dict:
+            name, pk, source = m_dict.groups()
+            sm = re.search(r"TABLE\s*\(?\s*'?([\w.]+)'?", source,
+                           re.IGNORECASE)
+            if not sm:
+                raise ValueError(
+                    f"CREATE DICTIONARY {name}: SOURCE must name a "
+                    "TABLE (SOURCE(CLICKHOUSE(TABLE 'x')))"
+                )
+            src = sm.group(1).split(".")[-1]
+            if pk not in self.spark.table(src).columns:
+                raise ValueError(
+                    f"CREATE DICTIONARY {name}: key {pk!r} not in {src}"
+                )
+            self._dicts[name] = (src, pk)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<create dictionary>",
+                              elapsed, 0)
+            )
+            return QueryResult(cols=["dictionary"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_dd = self._DROP_DICT_RE.match(request.query)
+        if m_dd:
+            self._dicts.pop(m_dd.group(1), None)
+            elapsed = time.monotonic() - t0
+            return QueryResult(cols=["dropped"], rows=[[m_dd.group(1)]],
+                               elapsed_sec=elapsed)
+        if self._dicts:
+            request = QueryRequest(
+                query=self._rewrite_dict_calls(request.query),
+                init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+            )
         m_mv = self._CREATE_MV_RE.match(request.query)
         if m_mv:
             name, populate, select_sql = m_mv.groups()

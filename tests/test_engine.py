@@ -243,6 +243,65 @@ def test_mutations_on_attached_table(engine, spark, tmp_path):
         engine.execute("SELECT count() FROM mut_tbl")
 
 
+def test_dictionary_lookups(engine):
+    """CH dictionaries: CREATE DICTIONARY over an attached table,
+    dictGet/dictHas/dictGetOrDefault rewrite to correlated scalar
+    subqueries (→ a broadcast lookup join under Catalyst)."""
+    engine.attach_table("nation_d", f"{SF_CORRECT}/nation.parquet")
+    engine.execute(
+        "CREATE DICTIONARY nations (n_nationkey UInt64, n_name String) "
+        "PRIMARY KEY n_nationkey "
+        "SOURCE(CLICKHOUSE(TABLE 'nation_d')) "
+        "LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 1000)"
+    )
+    out = engine.execute(
+        "SELECT dictGetString('nations', 'n_name', 3) AS name, "
+        "dictHas('nations', 3) AS has3, "
+        "dictHas('nations', 9999) AS has_none, "
+        "dictGetOrDefault('nations', 'n_name', 9999, 'missing') AS dflt"
+    )
+    assert out.rows[0][1] is True and out.rows[0][2] is False
+    assert out.rows[0][3] == "missing"
+    assert isinstance(out.rows[0][0], str) and out.rows[0][0]
+    # enrichment over a fact table (the CH dictionary join shape)
+    engine.attach_table("supplier_d", f"{SF_CORRECT}/supplier.parquet")
+    out = engine.execute(
+        "SELECT dictGet('nations', 'n_name', s_nationkey) AS nation, "
+        "count() AS n FROM supplier_d GROUP BY nation ORDER BY n DESC, "
+        "nation LIMIT 3"
+    )
+    assert len(out.rows) == 3 and all(r[0] for r in out.rows)
+    with pytest.raises(ValueError, match="no dictionary"):
+        engine.execute("SELECT dictGet('ghost', 'x', 1)")
+    engine.execute("DROP DICTIONARY nations")
+    with pytest.raises(Exception):
+        engine.execute("SELECT dictGet('nations', 'n_name', 3)")
+
+
+def test_insert_format_payloads(engine):
+    """CH wire-style INSERT ... FORMAT <fmt> <payload>: JSONEachRow by
+    name, Values/CSV/TSV positional."""
+    engine.execute("CREATE TABLE wires (id UInt32, name String, v Float64)")
+    engine.execute(
+        "INSERT INTO wires FORMAT Values (1, 'a', 1.5), (2, 'b', 2.5)"
+    )
+    engine.execute(
+        'INSERT INTO wires FORMAT JSONEachRow\n'
+        '{"name": "c", "id": 3, "v": 3.5}\n{"id": 4, "name": "d", "v": 4.5}'
+    )
+    engine.execute("INSERT INTO wires FORMAT CSV\n5,e,5.5\n6,f,6.5")
+    engine.execute("INSERT INTO wires FORMAT TSV\n7\tg\t7.5")
+    out = engine.execute(
+        "SELECT id, name, CAST(v * 10 AS INT) AS v10 FROM wires ORDER BY id"
+    )
+    assert out.rows == [
+        [1, "a", 15], [2, "b", 25], [3, "c", 35], [4, "d", 45],
+        [5, "e", 55], [6, "f", 65], [7, "g", 75],
+    ]
+    with pytest.raises(ValueError, match="not an attached"):
+        engine.execute("INSERT INTO ghost FORMAT CSV\n1")
+
+
 def test_create_table_full_write_surface(engine):
     """CREATE TABLE materializes an engine-owned parquet dir; the
     whole write surface then composes: INSERT, mutation, OPTIMIZE,
