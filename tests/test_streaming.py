@@ -94,3 +94,52 @@ def test_watermark_applied_only_when_streaming(spark, event_stream_dir):
     ).parquet(event_stream_dir)
     plan = tumbling_window_agg(stream_src)._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """interval_join produces identical pairs fed as two file streams
+    (watermarked stream-stream join, append mode) or as batch DFs."""
+    from bighouse_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = ev.where(F.col("event_type") == "view")
+    buys = ev.where(F.col("event_type") == "purchase")
+    # Late sentinel rows (distinct user) push the end-of-stream
+    # watermark past every real event so append mode flushes fully.
+    far = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).collect()[0]["ts"]
+    sentinel = spark.createDataFrame(
+        [(-1, far, -999, "x")], ev.schema
+    )
+    vdir, bdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.unionByName(sentinel).coalesce(2).write.parquet(vdir)
+    buys.unionByName(sentinel).coalesce(2).write.parquet(bdir)
+
+    def run(v, b):
+        out = interval_join(
+            v, b, on=["user_id"], lower_s=0, upper_s=1800,
+            watermark_s=60,
+        ).where(F.col("user_id") != -999)
+        if not out.isStreaming:
+            return {(r.event_id, r.event_id_r) for r in out.collect()}
+        q = (
+            out.writeStream.format("memory").queryName("ssj")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.event_id, r.event_id_r)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+
+    batch = run(spark.read.parquet(vdir), spark.read.parquet(bdir))
+    assert batch, "fixture must produce view->purchase pairs"
+    schema = spark.read.parquet(vdir).schema
+    stream = run(
+        spark.readStream.schema(schema).parquet(vdir),
+        spark.readStream.schema(schema).parquet(bdir),
+    )
+    assert stream == batch
