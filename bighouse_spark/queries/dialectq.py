@@ -144,3 +144,103 @@ def dialect_array_join_roundtrip(spark, sf_dir):
         LIMIT 10
         """,
     )
+
+
+# ORDER BY ... WITH FILL through the transpiler: gap-filled daily
+# order counts; DuckDB rebuilds the spine with generate_series.
+@query(
+    "dialect_with_fill_roundtrip",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders WHERE o_orderdate < '1995-03-01' GROUP BY d
+), spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT min(d) FROM agg), (SELECT max(d) FROM agg),
+           INTERVAL 1 DAY)) AS DATE) AS d
+)
+SELECT spine.d, coalesce(agg.n, 0) AS n
+FROM spine LEFT JOIN agg USING (d) ORDER BY spine.d
+""",
+)
+def dialect_with_fill_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_wf",
+        """
+        SELECT toDate(o_orderdate) AS d, count() AS n
+        FROM __dq_orders_wf WHERE o_orderdate < '1995-03-01'
+        GROUP BY d ORDER BY d WITH FILL
+        """,
+    )
+
+
+# LIMIT n WITH TIES through the transpiler; DuckDB recomputes the
+# tie-preserving top-3 with a rank window.
+@query(
+    "dialect_limit_ties_roundtrip",
+    oracle="""
+WITH c AS (
+  SELECT CAST(l_quantity AS INT) AS q, count(*) AS n
+  FROM lineitem GROUP BY q
+), r AS (SELECT q, n, rank() OVER (ORDER BY n DESC) AS rk FROM c)
+SELECT q, n FROM r WHERE rk <= 3
+""",
+)
+def dialect_limit_ties_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_lineitem_wt",
+        """
+        SELECT CAST(l_quantity AS INT) AS q, count() AS n
+        FROM __dq_lineitem_wt GROUP BY q
+        ORDER BY n DESC LIMIT 3 WITH TIES
+        """,
+    )
+
+
+# ASOF JOIN through the transpiler: each purchase matched to the
+# user's latest view at-or-before it; integer-ms lag sums keep the
+# comparison exact. DuckDB recomputes via max-over-range + self-join.
+@query(
+    "dialect_asof_roundtrip",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.event_id, p.ts, max(v.ts) AS vts
+  FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+  GROUP BY p.event_id, p.ts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(epoch_ms(ts) - epoch_ms(vts)) AS BIGINT) AS lag_ms
+FROM m
+""",
+)
+def dialect_asof_roundtrip(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    ).createOrReplaceTempView("__dq_asof_v")
+    ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("__dq_asof_p")
+    from bighouse_spark.dialect.transpile import transpile as _tp
+
+    r = _tp(
+        """
+        SELECT CAST(count() AS BIGINT) AS n_matched,
+               CAST(sum(unix_millis(p.ts) - unix_millis(v.ts)) AS BIGINT)
+                 AS lag_ms
+        FROM __dq_asof_p AS p ASOF JOIN __dq_asof_v AS v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        spark,
+    )
+    return spark.sql(r.sql)
