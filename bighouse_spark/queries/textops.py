@@ -323,3 +323,68 @@ def text_fingerprints(spark, sf_dir):
         F.min(fp).alias("min_fp"),
         F.max(fp).alias("max_fp"),
     )
+
+
+# Long-window substring dedup (the Lee et al. "deduplicating training
+# data makes language models better" shape, proxied at the 20-token
+# granularity): any two documents sharing a 20-token window are
+# near-certain partial copies. Inverted index on the window's md5 —
+# a fixed-width uniform key, so the candidate join shuffles hashes,
+# never text; windows unique to one doc drop out map-side via the
+# HAVING gate. At 100 TB this is the standard substring-contamination
+# sweep: one explode (~n_tokens rows/doc), one count aggregate, one
+# self-join on the surviving (rare) duplicate windows.
+@query(
+    "dedup_substring_20gram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+), wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(w, u.i, u.i + 19), ' ')) AS h
+  FROM toks, unnest(range(1, len(w) - 19 + 1)) AS u(i)
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) > 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM wins a JOIN dup USING (h) JOIN wins b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def dedup_substring_20gram(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 20)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(w) - 19), "
+                "i -> md5(array_join(slice(w, i, 20), ' '))))"
+            )
+        ).alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    pairs = (
+        wins.join(dup, "h")
+        .alias("a")
+        .join(wins.join(dup, "h").alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_windows"))
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
