@@ -596,6 +596,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_ch_clauses(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
+    out = _rewrite_qualify(out)
     out = _rewrite_functions(out)
     out = _rewrite_with_fill(out, spark, views)
     if spark is not None:
@@ -1139,6 +1140,29 @@ def _rewrite_functions(sql: str) -> str:
             continue
         out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
     return out
+
+
+# CH QUALIFY <cond>: filter on window-function results (the clause
+# Spark lacks). Standard rewrite: wrap the query and filter outside —
+# the condition must reference select-list ALIASES (e.g. `rn = 1`
+# after `row_number() OVER (...) AS rn`), which is also the readable
+# form. Trailing ORDER BY/LIMIT stay outside the wrap.
+_QUALIFY_RE = re.compile(
+    r"\bQUALIFY\s+(.+?)(?=\s+ORDER\s+BY\b|\s+LIMIT\b|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    if not re.search(r"\bQUALIFY\b", sql, re.IGNORECASE):
+        return sql
+    m = _QUALIFY_RE.search(sql)
+    if m is None:
+        return sql
+    cond = m.group(1).strip()
+    head, tail = sql[: m.start()].rstrip(), sql[m.end():].strip()
+    out = f"SELECT * FROM ({head}) AS __bh_qf WHERE {cond}"
+    return f"{out} {tail}" if tail else out
 
 
 # CH LIMIT n WITH TIES: keep every row tying with the n-th on the

@@ -971,3 +971,23 @@ class TestExplainVariants:
                    "EXPLAIN AST"):
             out = eng.execute(f"{ch} SELECT count() FROM ex_t")
             assert len(out.rows) >= 1 and out.rows[0][0], ch
+
+
+class TestQualify:
+    def test_qualify_filters_window_result(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 5), ("b", 3)], ["k", "v"]
+        ).createOrReplaceTempView("qf_t")
+        eng = BigHouseEngine(spark)
+        out = eng.execute(
+            "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) "
+            "AS rn FROM qf_t QUALIFY rn = 1 ORDER BY k"
+        )
+        assert out.rows == [["a", 1, 1], ["b", 3, 1]]
+        out2 = eng.execute(
+            "SELECT k, v, rank() OVER (ORDER BY v DESC) AS r FROM qf_t "
+            "QUALIFY r <= 2 ORDER BY r LIMIT 2"
+        )
+        assert [x[1] for x in out2.rows] == [5, 3]
