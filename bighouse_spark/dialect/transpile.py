@@ -138,6 +138,17 @@ _FUNC_RENAMES = {
     "bitCount": "bit_count",
     "mapKeys": "map_keys",
     "mapValues": "map_values",
+    "arrayIntersect": "array_intersect",
+    "generateUUIDv4": "uuid",
+    # CH randCanonical() is uniform [0,1) — exactly Spark's rand().
+    # (CH's bare rand() is a UInt32 and is deliberately NOT mapped.)
+    "randCanonical": "rand",
+    "concatWithSeparator": "concat_ws",
+    "arrayShuffle": "shuffle",
+    "isNaN": "isnan",
+    "toJSONString": "to_json",
+    "levenshteinDistance": "levenshtein",
+    "editDistance": "levenshtein",
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -356,8 +367,40 @@ def _accurate_cast_or_null(a: list[str]) -> str:
     return f"TRY_CAST({a[0]} AS {t})"
 
 
+def _format_readable_size(a: list[str]) -> str:
+    x = f"CAST({a[0]} AS DOUBLE)"
+    units = [("B", 1.0), ("KiB", 1024.0), ("MiB", 1024.0**2),
+             ("GiB", 1024.0**3), ("TiB", 1024.0**4)]
+    parts = ["CASE"]
+    for unit, div in units:
+        parts.append(
+            f"WHEN abs({x}) < {div * 1024} THEN "
+            f"concat(format_string('%.2f', {x} / {div}), ' {unit}')"
+        )
+    parts.append(
+        f"ELSE concat(format_string('%.2f', {x} / {1024.0**5}), ' PiB') END"
+    )
+    return "(" + " ".join(parts) + ")"
+
+
+def _format_readable_quantity(a: list[str]) -> str:
+    x = f"CAST({a[0]} AS DOUBLE)"
+    return (
+        f"(CASE WHEN abs({x}) < 1e3 THEN format_string('%.2f', {x}) "
+        f"WHEN abs({x}) < 1e6 THEN "
+        f"concat(format_string('%.2f', {x} / 1e3), ' thousand') "
+        f"WHEN abs({x}) < 1e9 THEN "
+        f"concat(format_string('%.2f', {x} / 1e6), ' million') "
+        f"WHEN abs({x}) < 1e12 THEN "
+        f"concat(format_string('%.2f', {x} / 1e9), ' billion') "
+        f"ELSE concat(format_string('%.2f', {x} / 1e12), ' trillion') END)"
+    )
+
+
 _ARG_REWRITES: dict = {
     "toStartOfInterval": _to_start_of_interval,
+    "formatReadableSize": _format_readable_size,
+    "formatReadableQuantity": _format_readable_quantity,
     "countEqual": lambda a: (
         f"size(filter({a[0]}, __ce -> __ce <=> ({a[1]})))"
     ),
@@ -374,6 +417,43 @@ _ARG_REWRITES: dict = {
     ),
     "dateName": _date_name,
     "accurateCastOrNull": _accurate_cast_or_null,
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
+    "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    # non-overlapping substring count, the CH contract
+    "countSubstrings": lambda a: (
+        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+        f"/ length({a[1]}) AS INT)"
+    ),
+    # CH tokens(): split on non-alphanumeric runs
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z0-9]+'), __t -> __t != '')"
+    ),
+    # CH ngrams(string, n): character n-grams
+    "ngrams": lambda a: (
+        f"transform(sequence(1, greatest(length({a[0]}) - {a[1]} + 1, 0)), "
+        f"__i -> substring({a[0]}, __i, {a[1]}))"
+    ),
+    "ifNotFinite": lambda a: (
+        f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('inf') "
+        f"THEN {a[1]} ELSE {a[0]} END)"
+    ),
+    "JSONLength": lambda a: (
+        f"coalesce(json_array_length({a[0]}), "
+        f"size(json_object_keys({a[0]})))"
+    ),
+    "visitParamExtractString": lambda a: (
+        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    ),
+    "visitParamExtractInt": lambda a: (
+        f"CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') AS BIGINT)"
+    ),
+    "visitParamExtractFloat": lambda a: (
+        f"CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') AS DOUBLE)"
+    ),
+    "visitParamHas": lambda a: (
+        f"(get_json_object({a[0]}, '$.{_unquote(a[1])}') IS NOT NULL)"
+    ),
     # arrayResize(arr, n, pad): truncate or right-pad to length n.
     "arrayResize": lambda a: (
         f"(CASE WHEN size({a[0]}) >= ({a[1]}) THEN slice({a[0]}, 1, {a[1]}) "

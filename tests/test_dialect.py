@@ -991,3 +991,47 @@ class TestQualify:
             "QUALIFY r <= 2 ORDER BY r LIMIT 2"
         )
         assert [x[1] for x in out2.rows] == [5, 3]
+
+
+class TestDialectBatch4:
+    """Round-2 spelling batch 2: decimals, readable formats, JSON
+    visitParam family, string metrics, char n-grams."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_batch_values(self, eng):
+        cases = {
+            "SELECT arrayIntersect([1,2,3],[2,3,4]) AS x": [2, 3],
+            "SELECT CAST(toDecimal64('3.14159', 2) AS STRING) AS x": "3.14",
+            "SELECT countSubstrings('ababa', 'ab') AS x": 2,
+            "SELECT tokens('hello, world! 42') AS x":
+                ["hello", "world", "42"],
+            "SELECT ngrams('abcd', 3) AS x": ["abc", "bcd"],
+            "SELECT ifNotFinite(double('inf'), 9.0) AS x": 9.0,
+            "SELECT JSONLength('{\"a\":1,\"b\":2}') AS x": 2,
+            "SELECT visitParamExtractString('{\"a\":\"b\"}', 'a') AS x": "b",
+            "SELECT visitParamHas('{\"a\":1}', 'z') AS x": False,
+            "SELECT levenshteinDistance('kitten', 'sitting') AS x": 3,
+            "SELECT formatReadableSize(123456789) AS x": "117.74 MiB",
+            "SELECT formatReadableQuantity(1234567) AS x": "1.23 million",
+            "SELECT concatWithSeparator('-', 'a', 'b') AS x": "a-b",
+            "SELECT isNaN(double('nan')) AS x": True,
+            "SELECT toJSONString(map('a', 1)) AS x": '{"a":1}',
+        }
+        for q, want in cases.items():
+            assert eng.execute(q).rows[0][0] == want, q
+
+    def test_nondeterministic_shapes(self, eng):
+        assert eng.execute(
+            "SELECT length(CAST(generateUUIDv4() AS String)) AS x"
+        ).rows[0][0] == 36
+        assert eng.execute(
+            "SELECT randCanonical() BETWEEN 0 AND 1 AS x"
+        ).rows[0][0] is True
+        assert eng.execute(
+            "SELECT sort_array(arrayShuffle([3,1,2])) AS x"
+        ).rows[0][0] == [1, 2, 3]
