@@ -52,6 +52,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # green CORRECTNESS_r01 rows or local pytest oracle coverage
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
+# ROUND-3 ROTATION PLAN (do not apply before the round-2 driver
+# snapshot): 36 queries have never had a driver row — everything in
+# neither CORRECTNESS_r01 nor this round-2 window: agg_entropy,
+# agg_histogram, agg_weighted_median, ann_ivf_recall, ann_lsh_recall,
+# checksum_invariance, cluster_assign_topics, curation_* (7),
+# dedup_substring_20gram, dialect_*_roundtrip (7),
+# embedding_quantize_int8, embedding_random_projection,
+# percentile_approx_check, quality_constraint_report,
+# scalar_functions, select_star, string_functions,
+# text_bigram_fluency, text_pii_redact, text_repetition_scores,
+# uniq_approx, uniq_approx_check, uniq_rollup_check,
+# uniq_state_merge_rollup. Round 3's window = those 36 + any round-3
+# additions + valuable repeats up to 50.
 DRIVER_WINDOW = {
     "agg_collect_sorted",
     "ann_ivf_full_probe",
