@@ -388,3 +388,60 @@ def dedup_substring_20gram(spark, sf_dir):
         .orderBy("id_a", "id_b")
     )
     return pairs
+
+
+# Ranked keyword retrieval — the keyword side of hybrid search as a
+# real scorer, not just a filter. TF x inverse-DF with the inverse
+# document frequency held as an integer ppm ((1e6 * N) DIV df), so
+# scores are exact integers in both engines (the log-idf variant is
+# rank-similar but float; a training-data pipeline cares that the
+# selected set is reproducible, which integers guarantee). Shape:
+# one token explode, one DF rollup over the corpus, one broadcast-
+# size term list, one per-doc aggregate — the inverted-index scan
+# every search engine runs, expressed relationally.
+@query(
+    "text_keyword_search",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), n_docs AS (SELECT count(*) AS n FROM documents),
+dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM words
+  WHERE tok IN ('vector', 'hash', 'merge') GROUP BY tok
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM words
+  WHERE tok IN ('vector', 'hash', 'merge') GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(tf * ((1000000 * n) // df)) AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM tf JOIN dfreq USING (tok) CROSS JOIN n_docs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def text_keyword_search(spark, sf_dir):
+    terms = ["vector", "hash", "merge"]
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok").isin(terms))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = words.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = words.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * ((1000000 * n) div df)"))
+            .cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
