@@ -417,6 +417,19 @@ _ARG_REWRITES: dict = {
     ),
     "dateName": _date_name,
     "accurateCastOrNull": _accurate_cast_or_null,
+    # IPv4 family: pure integer/octet math (CH stores IPv4 as UInt32)
+    "IPv4NumToString": lambda a: (
+        f"concat(CAST((({a[0]}) >> 24) & 255 AS STRING), '.', "
+        f"CAST((({a[0]}) >> 16) & 255 AS STRING), '.', "
+        f"CAST((({a[0]}) >> 8) & 255 AS STRING), '.', "
+        f"CAST(({a[0]}) & 255 AS STRING))"
+    ),
+    "IPv4StringToNum": lambda a: (
+        f"(CAST(element_at(split({a[0]}, '\\\\.'), 1) AS BIGINT) * 16777216"
+        f" + CAST(element_at(split({a[0]}, '\\\\.'), 2) AS BIGINT) * 65536"
+        f" + CAST(element_at(split({a[0]}, '\\\\.'), 3) AS BIGINT) * 256"
+        f" + CAST(element_at(split({a[0]}, '\\\\.'), 4) AS BIGINT))"
+    ),
     "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
     "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",

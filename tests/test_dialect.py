@@ -1035,3 +1035,15 @@ class TestDialectBatch4:
         assert eng.execute(
             "SELECT sort_array(arrayShuffle([3,1,2])) AS x"
         ).rows[0][0] == [1, 2, 3]
+
+
+def test_ipv4_functions(spark):
+    from bighouse_spark.engine import BigHouseEngine
+
+    eng = BigHouseEngine(spark)
+    out = eng.execute(
+        "SELECT IPv4NumToString(3232235777) AS a, "
+        "IPv4StringToNum('192.168.1.1') AS b, "
+        "IPv4NumToString(IPv4StringToNum('10.0.0.255')) AS c"
+    )
+    assert out.rows == [["192.168.1.1", 3232235777, "10.0.0.255"]]
