@@ -614,31 +614,32 @@ class BigHouseEngine:
 
         modes = [mv["mode"]] if mv["mode"] else ["complete", "append"]
         last_err: Exception | None = None
-        for mode in modes:
-            sink = _sink_complete if mode == "complete" else _sink_append
-            try:
-                q = (
-                    sdf.writeStream.outputMode(mode)
-                    .foreachBatch(sink)
-                    .option("checkpointLocation", mv["checkpoint"])
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-                mv["mode"] = mode
-                last_err = None
-                break
-            except Exception as e:
-                # Complete mode requires a streaming aggregation;
-                # projection/filter MVs fall through to append.
-                last_err = e
-                if mv["mode"] or "output mode" not in str(e).lower():
-                    raise
-        finally_view = stream_view
         try:
-            self.spark.catalog.dropTempView(finally_view)
-        except Exception:
-            pass
+            for mode in modes:
+                sink = _sink_complete if mode == "complete" else _sink_append
+                try:
+                    q = (
+                        sdf.writeStream.outputMode(mode)
+                        .foreachBatch(sink)
+                        .option("checkpointLocation", mv["checkpoint"])
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    mv["mode"] = mode
+                    last_err = None
+                    break
+                except Exception as e:
+                    # Complete mode requires a streaming aggregation;
+                    # projection/filter MVs fall through to append.
+                    last_err = e
+                    if mv["mode"] or "output mode" not in str(e).lower():
+                        raise
+        finally:
+            try:
+                self.spark.catalog.dropTempView(stream_view)
+            except Exception:
+                pass
         if last_err is not None:
             raise last_err
         if os.path.isdir(data_dir) and any(
