@@ -1160,6 +1160,7 @@ class BigHouseEngine:
         partition_by: list[str] | None = None,
         order_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        bloom_filter_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Run the query and write the result to a parquet/csv/json
         directory instead of collecting — the reference's unbuilt
@@ -1216,6 +1217,23 @@ class BigHouseEngine:
             writer = df.write.format(fmt).mode(mode)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
+            if bloom_filter_by:
+                # Parquet bloom filters: the point-lookup complement
+                # to min/max stats — min/max prune RANGE predicates on
+                # clustered columns; blooms prune EQUALITY probes on
+                # high-cardinality unclustered ones (the CH skip-index
+                # `bloom_filter` analog). Written per column chunk;
+                # readers skip row groups whose bloom rejects the
+                # probed value. parquet-mr correctly OMITS the bloom
+                # for chunks whose dictionary encoding is complete
+                # (the dictionary already answers membership exactly),
+                # so tiny row groups may carry no bloom bytes.
+                if fmt != "parquet":
+                    raise ValueError("bloom_filter_by requires parquet")
+                for c in bloom_filter_by:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{c}", "true"
+                    )
             writer.save(path)
             elapsed = time.monotonic() - t0
             self.query_log.append(

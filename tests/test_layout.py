@@ -114,3 +114,36 @@ def test_engine_sink_zorder(engine, tmp_path):
             "SELECT 1 AS a", path=str(tmp_path / "bad"),
             order_by=["a"], zorder_by=["a"],
         )
+
+
+def test_sink_bloom_filters_written(engine, tmp_path):
+    """bloom_filter_by materializes real bloom filter bytes: the
+    bloomed file is measurably larger than the identical data written
+    plain (this pyarrow build doesn't expose bloom offsets, so the
+    assertion is on the physical artifact), and the data reads back
+    identically."""
+    q = (
+        "SELECT number AS id, concat('u', CAST(number AS String)) AS uid "
+        "FROM numbers(20000)"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    engine.execute_to_sink(q, path=plain)
+    engine.execute_to_sink(q, path=bloomed, bloom_filter_by=["uid"])
+
+    import os
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+        )
+
+    delta = total(bloomed) - total(plain)
+    assert delta > 10_000, f"bloom bytes missing (delta={delta})"
+    a = engine.spark.read.parquet(plain).orderBy("id").collect()
+    b = engine.spark.read.parquet(bloomed).orderBy("id").collect()
+    assert a == b
+    with pytest.raises(ValueError, match="requires parquet"):
+        engine.execute_to_sink(
+            "SELECT 1 AS a", path=str(tmp_path / "bad"), fmt="csv",
+            bloom_filter_by=["a"],
+        )
