@@ -355,6 +355,11 @@ class BigHouseEngine:
             parts,
             "table string, name string, bytes_on_disk bigint, rows bigint",
         ).createOrReplaceTempView("system_parts")
+        # system.dictionaries analog.
+        self.spark.createDataFrame(
+            [(n, src, pk) for n, (src, pk) in self._dicts.items()],
+            "name string, source string, key string",
+        ).createOrReplaceTempView("system_dictionaries")
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"
@@ -1027,6 +1032,14 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["dictionary"], rows=[[name]],
                                elapsed_sec=elapsed)
+        if re.match(r"^\s*SHOW\s+DICTIONARIES\s*$", request.query,
+                    re.IGNORECASE):
+            elapsed = time.monotonic() - t0
+            return QueryResult(
+                cols=["name"],
+                rows=[[n] for n in sorted(self._dicts)],
+                elapsed_sec=elapsed,
+            )
         m_dd = self._DROP_DICT_RE.match(request.query)
         if m_dd:
             self._dicts.pop(m_dd.group(1), None)

@@ -271,6 +271,11 @@ def test_dictionary_lookups(engine):
         "nation LIMIT 3"
     )
     assert len(out.rows) == 3 and all(r[0] for r in out.rows)
+    assert engine.execute("SHOW DICTIONARIES").rows == [["nations"]]
+    engine.refresh_system_views()
+    assert engine.execute(
+        "SELECT source, key FROM system_dictionaries WHERE name = 'nations'"
+    ).rows == [["nation_d", "n_nationkey"]]
     with pytest.raises(ValueError, match="no dictionary"):
         engine.execute("SELECT dictGet('ghost', 'x', 1)")
     engine.execute("DROP DICTIONARY nations")
