@@ -190,3 +190,73 @@ def sequence_match_view_purchase(spark, sf_dir):
         .alias("n_matched"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+# sequenceCount('(?1)(?2)') — the COUNT of non-overlapping
+# view→purchase chains per user (CH counts greedy non-overlapping
+# matches). Closed form instead of a stateful scan: pairing each
+# purchase with an earlier unmatched view greedily leaves exactly
+# max_prefix(purchases_so_far - views_so_far) purchases unmatched
+# (ballot-problem argument), so
+#   chains(user) = total_purchases - max(0, max_prefix_deficit)
+# — one window cumsum + one rollup per user, no UDF, no iteration.
+# Deterministic tie order: (ts, event_id).
+@query(
+    "sequence_count_view_purchase",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
+  FROM events WHERE event_type IN ('view', 'purchase')
+), c AS (
+  SELECT user_id,
+         sum(is_p) OVER w AS cum_p,
+         sum(is_v) OVER w AS cum_v,
+         is_p
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(sum(is_p) - greatest(max(cum_p - cum_v), 0) AS BIGINT)
+         AS n_chains
+FROM c GROUP BY user_id ORDER BY user_id
+""",
+)
+def sequence_count_view_purchase(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id", "event_id", "ts",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            .alias("is_p"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+            .alias("is_v"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.select(
+        "user_id", "is_p",
+        F.sum("is_p").over(w).alias("cum_p"),
+        F.sum("is_v").over(w).alias("cum_v"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            (
+                F.sum("is_p")
+                - F.greatest(
+                    F.max(F.col("cum_p") - F.col("cum_v")), F.lit(0)
+                )
+            ).cast("bigint").alias("n_chains")
+        )
+        .orderBy("user_id")
+    )

@@ -515,3 +515,35 @@ class TestChunking:
                 stitched += toks[overlap:] if len(toks) > overlap else []
             # full coverage, no token lost
             assert stitched == text.split(), i
+
+
+def test_sequence_count_greedy_formula(spark, tmp_path):
+    """V P P V P → greedy non-overlapping view→purchase chains = 2
+    (P2 finds no free view). Validates the ballot-style closed form
+    behind sequence_count_view_purchase."""
+    import datetime as dt
+
+    from bighouse_spark.queries.registry import get
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, typ, 0.0, "{}")
+        for i, typ in enumerate(
+            ["view", "purchase", "purchase", "view", "purchase"]
+        )
+    ]
+    d = str(tmp_path / "seq_events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(d)
+
+    # point the fixture loader at a dir shaped like a sf dir
+    import os
+    import shutil
+
+    sfdir = str(tmp_path / "sfx")
+    os.makedirs(sfdir)
+    shutil.move(d, os.path.join(sfdir, "events.parquet"))
+    out = get("sequence_count_view_purchase").fn(spark, sfdir).collect()
+    assert [(r.user_id, r.n_chains) for r in out] == [(1, 2)]
