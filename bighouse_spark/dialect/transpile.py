@@ -1344,23 +1344,36 @@ def _rewrite_with_fill(
             "INTERVAL 1 HOUR" if kind.startswith("timestamp") else "1"
         )
     # CH's TO bound is exclusive; min/max defaults are inclusive.
+    # Generate the spine up to TO inclusive, then filter `< TO` —
+    # subtracting a whole step would drop the last spine value
+    # whenever step does not divide (to - from).
     lo = frm if frm else f"(SELECT min({col}) FROM {view})"
-    hi = (f"{to} - {step}" if to else f"(SELECT max({col}) FROM {view})")
+    hi = to if to else f"(SELECT max({col}) FROM {view})"
+    spine = f"(SELECT explode(sequence({lo}, {hi}, {step})) AS `{col}`)"
+    if to:
+        spine = f"(SELECT `{col}` FROM {spine} WHERE `{col}` < {to})"
+    # Type defaults (0 / '') apply ONLY to spine-inserted rows — CH
+    # leaves NULLs in original result rows untouched, so key on the
+    # join miss (view's fill column NULL), not on the value itself.
+    miss = f"{view}.`{col}` IS NULL"
     fills = []
     for c, t in inner.dtypes:
         if c == col:
             continue
         if t in ("tinyint", "smallint", "int", "bigint", "float",
                  "double") or t.startswith("decimal"):
-            fills.append(f"coalesce({view}.`{c}`, 0) AS `{c}`")
+            fills.append(
+                f"CASE WHEN {miss} THEN 0 ELSE {view}.`{c}` END AS `{c}`"
+            )
         elif t == "string":
-            fills.append(f"coalesce({view}.`{c}`, '') AS `{c}`")
+            fills.append(
+                f"CASE WHEN {miss} THEN '' ELSE {view}.`{c}` END AS `{c}`"
+            )
         else:
             fills.append(f"{view}.`{c}`")
     sel = ", ".join([f"__bh_spine.`{col}`"] + fills)
     return (
-        f"SELECT {sel} FROM "
-        f"(SELECT explode(sequence({lo}, {hi}, {step})) AS `{col}`) "
+        f"SELECT {sel} FROM {spine} "
         f"AS __bh_spine LEFT JOIN {view} "
         f"ON __bh_spine.`{col}` = {view}.`{col}` "
         f"ORDER BY __bh_spine.`{col}`"
@@ -1458,6 +1471,9 @@ def _rewrite_asof_join(
         # Re-point qualified references. Left alias: strip. Right
         # alias: key cols map to the (possibly renamed) left name;
         # value/time cols carry the operator's collision suffix.
+        # Substitution skips string literals and any subquery that
+        # rebinds the same alias, so `WHERE note = 'a.ts'` or an
+        # unrelated `(SELECT ... FROM other a ...)` stays untouched.
         r_key_map = {rc: lc for lc, rc in keys}
         r_to_flat = {
             c: r_key_map.get(
@@ -1465,15 +1481,71 @@ def _rewrite_asof_join(
             )
             for c in orig_right_cols
         }
-        out = re.sub(
-            rf"\b{re.escape(la)}\.(\w+)", lambda g: g.group(1), out
-        )
-        out = re.sub(
-            rf"\b{re.escape(ra)}\.(\w+)",
-            lambda g: r_to_flat.get(g.group(1), g.group(1)),
-            out,
-        )
+        out = _sub_alias_refs(out, la, lambda c: c)
+        out = _sub_alias_refs(out, ra, lambda c: r_to_flat.get(c, c))
     return out
+
+
+def _alias_protected_spans(sql: str, alias: str) -> list[tuple[int, int]]:
+    """Spans of parenthesized subqueries that rebind ``alias`` via
+    their own FROM/JOIN — qualified refs inside them belong to that
+    binding, not to the ASOF pair being flattened."""
+    rebind = re.compile(
+        rf"\b(?:FROM|JOIN)\s+[\w.]+\s+(?:AS\s+)?{re.escape(alias)}\b",
+        re.IGNORECASE,
+    )
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\(\s*SELECT\b", sql, re.IGNORECASE):
+        depth, i, quote = 0, m.start(), None
+        while i < len(sql):
+            c = sql[i]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        span = (m.start(), i + 1)
+        if rebind.search(sql[span[0]: span[1]]):
+            spans.append(span)
+    return spans
+
+
+def _sub_alias_refs(sql: str, alias: str, col_map) -> str:
+    """Replace ``alias.col`` with ``col_map(col)`` outside string
+    literals and outside subqueries that rebind ``alias``."""
+    protected = _alias_protected_spans(sql, alias)
+    pat = re.compile(rf"\b{re.escape(alias)}\.(\w+)")
+    pieces: list[str] = []
+    i, quote = 0, None
+    last = 0
+    while i < len(sql):
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            continue
+        m = pat.match(sql, i)
+        if m and not any(s <= i < e for s, e in protected):
+            pieces.append(sql[last: i])
+            pieces.append(col_map(m.group(1)))
+            i = m.end()
+            last = i
+        else:
+            i += 1
+    pieces.append(sql[last:])
+    return "".join(pieces)
 
 
 # Process-wide monotonic counter for table-function view names.
@@ -1671,7 +1743,9 @@ def _register_source(
         names = sorted(
             t.name
             for t in spark.catalog.listTables()
-            if re.fullmatch(pat, t.name) and not t.name.startswith("__bh_")
+            # re.search, not fullmatch: CH matches tables_regexp
+            # unanchored (its docs anchor explicitly with ^WatchLog).
+            if re.search(pat, t.name) and not t.name.startswith("__bh_")
         )
         if not names:
             raise ValueError(f"merge('{pat}'): no registered table matches")

@@ -672,7 +672,7 @@ class BigHouseEngine:
     def _rewrite_dict_calls(self, sql: str) -> str:
         """Rewrite dictGet*/dictHas/dictGetOrDefault over registered
         dictionaries into correlated scalar subqueries."""
-        if not self._dicts or "dict" not in sql:
+        if not self._dicts or "dict" not in sql.lower():
             return sql
         from bighouse_spark.dialect.transpile import _find_call
 

@@ -807,6 +807,30 @@ class TestAsofJoinSQL:
                 "ON trades.sym = quotes.sym AND trades.t >= quotes.qt + 1"
             )
 
+    def test_alias_repoint_skips_string_literals(self, eng):
+        # 'b.bid' inside a string literal is data, not a qualified
+        # reference — the flattening substitution must not touch it.
+        out = eng.execute(
+            "SELECT a.sym, 'b.bid' AS lit, b.bid FROM trades AS a "
+            "ASOF LEFT JOIN quotes AS b "
+            "ON a.sym = b.sym AND a.t >= b.qt ORDER BY a.sym, a.t LIMIT 1"
+        )
+        assert out.rows == [["A", "b.bid", 9.0]]
+
+    def test_alias_repoint_skips_rebinding_subquery(self, eng, spark):
+        # a subquery that rebinds alias `b` to another table keeps its
+        # own b.* references — only the outer ASOF pair is flattened.
+        spark.createDataFrame(
+            [("A", 1.0)], ["sym", "w"]
+        ).createOrReplaceTempView("weights")
+        out = eng.execute(
+            "SELECT a.sym, b.bid, "
+            "(SELECT max(b.w) FROM weights AS b) AS wmax "
+            "FROM trades AS a ASOF JOIN quotes AS b "
+            "ON a.sym = b.sym AND a.t >= b.qt ORDER BY a.sym, a.t LIMIT 1"
+        )
+        assert out.rows == [["A", 9.0, 1.0]]
+
 
 class TestWithFill:
     """ORDER BY ... WITH FILL: sequence-spine densification with CH
@@ -838,6 +862,26 @@ class TestWithFill:
         )
         # TO is exclusive (CH semantics): spine = 0,2,4,6
         assert out.rows == [[0, 0.0], [2, 0.0], [4, 0.0], [6, 1.0]]
+
+    def test_fill_to_nondivisible_step(self, eng):
+        # step does not divide (to - from): CH keeps every spine value
+        # strictly below the exclusive TO bound — 6 < 7 is inside.
+        out = eng.execute(
+            "SELECT d, sum(v) AS s FROM fill_t GROUP BY d "
+            "ORDER BY d WITH FILL FROM 0 TO 7 STEP 2"
+        )
+        assert out.rows == [[0, 0.0], [2, 0.0], [4, 0.0], [6, 1.0]]
+
+    def test_fill_preserves_original_nulls(self, eng, spark):
+        # CH substitutes type defaults only on INSERTED spine rows;
+        # a NULL sitting in an original result row stays NULL.
+        spark.createDataFrame(
+            [(1, 10.0), (3, None)], ["d", "v"]
+        ).createOrReplaceTempView("fill_null_t")
+        out = eng.execute(
+            "SELECT d, v FROM fill_null_t ORDER BY d WITH FILL"
+        )
+        assert out.rows == [[1, 10.0], [2, 0.0], [3, None]]
 
     def test_fill_unsupported_column_type(self, eng):
         with pytest.raises(ValueError, match="integral or date"):
@@ -915,6 +959,15 @@ class TestMergeClusterTableFuncs:
         assert out.rows == [[2]]
         with pytest.raises(ValueError, match="no registered table"):
             eng.execute("SELECT 1 FROM merge('nope_.*')")
+
+    def test_merge_unanchored_like_clickhouse(self, eng):
+        # CH matches tables_regexp unanchored (its docs anchor with
+        # ^WatchLog explicitly); '^mlog' must union both years.
+        out = eng.execute("SELECT sum(v) AS s FROM merge('^mlog')")
+        assert out.rows == [[6]]
+        # and a bare infix hits every table containing it
+        out = eng.execute("SELECT count() AS n FROM merge('log_202')")
+        assert out.rows == [[3]]
 
     def test_cluster_reads_named_table(self, eng):
         out = eng.execute(

@@ -278,6 +278,13 @@ def test_dictionary_lookups(engine):
     ).rows == [["nation_d", "n_nationkey"]]
     with pytest.raises(ValueError, match="no dictionary"):
         engine.execute("SELECT dictGet('ghost', 'x', 1)")
+    # upper/mixed-case spellings hit the same rewrite — the early-exit
+    # guard is case-insensitive like the pattern it guards (ADVICE r2)
+    up = engine.execute(
+        "SELECT DICTGETSTRING('nations', 'n_name', 3) AS name, "
+        "DictHas('nations', 3) AS has3"
+    )
+    assert isinstance(up.rows[0][0], str) and up.rows[0][1] is True
     engine.execute("DROP DICTIONARY nations")
     with pytest.raises(Exception):
         engine.execute("SELECT dictGet('nations', 'n_name', 3)")
