@@ -45,12 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     for c in nanos_cols:
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
+    # Normalize timestamp flavor: fixture writers vary between
+    # nanos-as-long, µs TZ-aware, and µs TZ-naive encodings. The
+    # session TZ is pinned UTC, so NTZ→TIMESTAMP is value-preserving,
+    # and downstream event-time ops (withWatermark, unix_millis)
+    # require TIMESTAMP — mirroring CH's encoding-agnostic DateTime
+    # ingestion (temporal/workflow_query_executor_test.go:44,85).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(TimestampType())
             )
     return df
 
