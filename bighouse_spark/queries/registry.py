@@ -44,78 +44,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # them with "a0_" (sorts before every natural name; the underlying
 # registry names and all internal callers are unchanged — only the
 # exported dict keys carry the prefix, identically in queries() and
-# oracle_sql()). Round 2 exposes the 46 queries round 1's window cut
-# off (all tpch_*/window_*/text_*/set_* + the flagship sum_group_by),
-# the round-1 red fix (agg_collect_sorted), the newly oracle-backed
-# conversions (dedup_minhash_lsh/clusters, ann_ivf_full_probe), and
-# the five new TPC-H queries. Queries rotated OUT this round all have
-# green CORRECTNESS_r01 rows or local pytest oracle coverage
+# oracle_sql()). Queries rotated OUT all have green driver rows from
+# an earlier round or local pytest oracle coverage
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
-# ROUND-3 ROTATION PLAN (do not apply before the round-2 driver
-# snapshot): 36 queries have never had a driver row — everything in
-# neither CORRECTNESS_r01 nor this round-2 window: agg_entropy,
-# agg_histogram, agg_weighted_median, ann_ivf_recall, ann_lsh_recall,
-# checksum_invariance, cluster_assign_topics, curation_* (7),
-# dedup_substring_20gram, dialect_*_roundtrip (7),
-# embedding_quantize_int8, embedding_random_projection,
-# percentile_approx_check, quality_constraint_report,
-# scalar_functions, select_star, string_functions,
-# text_bigram_fluency, text_pii_redact, text_repetition_scores,
-# uniq_approx, uniq_approx_check, uniq_rollup_check,
-# uniq_state_merge_rollup. Round 3's window = those 36 + any round-3
-# additions + valuable repeats up to 50.
+#
+# ROUND-4 WINDOW: the 38 queries that had never had a driver row
+# through r03 (all dialect_*_roundtrip, all curation_*, the approx-op
+# contracts in queries/checks.py, select_star/scalar/string functions,
+# the remaining text/agg/embedding ops, sequence_count,
+# uniq_state rollups) + 12 high-value repeats: the reference headline
+# queries (sum_group_by, uniq_exact, checksum_md5, count_by_file —
+# README.md:45-59), the ASOF family (red in r03, fixed by the NTZ
+# normalization), this round's rewritten simhash, and the flagship
+# dedup/ANN/TPC-H/window representatives.
 DRIVER_WINDOW = {
-    "agg_collect_sorted",
+    # -- never driver-checked through r03 (38) --
+    "agg_entropy",
+    "agg_histogram",
+    "agg_weighted_median",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "checksum_invariance",
+    "cluster_assign_topics",
+    "curation_chunk_documents",
+    "curation_decontaminate",
+    "curation_incremental_dedup",
+    "curation_mixture_weighted",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "curation_train_val_test_split",
+    "dedup_substring_20gram",
+    "dialect_agg_roundtrip",
+    "dialect_array_join_roundtrip",
+    "dialect_asof_roundtrip",
+    "dialect_limit_by_roundtrip",
+    "dialect_limit_ties_roundtrip",
+    "dialect_topk_roundtrip",
+    "dialect_with_fill_roundtrip",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "percentile_approx_check",
+    "quality_constraint_report",
+    "scalar_functions",
+    "select_star",
+    "sequence_count_view_purchase",
+    "string_functions",
+    "text_bigram_fluency",
+    "text_keyword_search",
+    "text_pii_redact",
+    "text_repetition_scores",
+    "uniq_approx",
+    "uniq_approx_check",
+    "uniq_rollup_check",
+    "uniq_state_merge_rollup",
+    # -- high-value repeats (12) --
     "ann_ivf_full_probe",
+    "asof_join_purchase_click",
+    "checksum_md5",
+    "count_by_file",
     "dedup_minhash_clusters",
     "dedup_minhash_lsh",
-    "scalar_subquery",
-    "sequence_match_view_purchase",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "set_union_all",
+    "dedup_simhash",
     "sum_group_by",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_relation",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
     "tpch_q1_pricing_summary",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_prospects",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "uniq_exact",
-    "unpivot_measures",
-    "window_daily_rollup",
-    "window_first_last_frame",
     "window_gapfill_hourly",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_sum",
     "window_session_10m",
-    "window_sliding_1h_30m",
-    "window_topk_per_group",
-    "window_tumbling_hourly",
 }
 
 
