@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from bighouse_spark.dialect.transpile import transpile
+from bighouse_spark.operators.caching import release_tracked
 from bighouse_spark.session import get_spark
 
 
@@ -1157,6 +1158,11 @@ class BigHouseEngine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
+            # Operator scratch caches (minhash signatures, inverted
+            # indexes, CC edge lists) are scoped to one request: the
+            # result rows are already collected, so releasing here
+            # keeps a long-lived server session's storage flat.
+            release_tracked()
             if scoped_conf:
                 if prev_parts is not None:
                     self.spark.conf.set(
@@ -1259,6 +1265,7 @@ class BigHouseEngine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
+            release_tracked()
 
     def health_check(self) -> bool:
         """``GET /hc`` analog (``http_server/http_server.go:50,83-85``)."""

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bighouse_spark.operators.caching import tracked_persist
+
 
 def connected_components(
     pairs: DataFrame,
@@ -38,20 +40,19 @@ def connected_components(
     only via self-information) are not required — any id appearing in
     a pair appears in the output.
     """
-    edges = (
+    edges = tracked_persist(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .persist()
     )
     # Initial label: min neighbor (including self).
-    labels = (
+    labels = tracked_persist(
         edges.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("label"))
         .select(F.col("a").alias("id"), "label")
-        .persist()
     )
-    for _ in range(max_iterations):
+    init_labels = labels
+    for it in range(max_iterations):
         # Propagate: each vertex takes the min label over itself and
         # its neighbors' current labels.
         neighbor_labels = (
@@ -91,6 +92,11 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        # The initial label table is dead the moment the first
+        # checkpointed round replaces it (it was leaking for the
+        # session's lifetime before).
+        if it == 0:
+            init_labels.unpersist()
         if changed == 0:
             break
     edges.unpersist()

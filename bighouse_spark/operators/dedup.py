@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bighouse_spark.functions.text import fingerprint, with_shingles
+from bighouse_spark.operators.caching import tracked_persist
 from bighouse_spark.operators.parallel import ensure_min_parallelism
 
 
@@ -165,8 +166,8 @@ def minhash_lsh_pairs(
         .withColumn(
             "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
         )
-        .persist()
     )
+    docs = tracked_persist(docs)
     # Persist the signature table: the one-pass aggregate is opaque to
     # Catalyst, so an unmaterialized `sig` would be recomputed in full
     # by every element_at reference in the band-key projection.
@@ -175,7 +176,8 @@ def minhash_lsh_pairs(
     sigs = docs.select(
         "id",
         F.expr(_minhash_signature_sql("__sh_hashes", num_hashes)).alias("sig"),
-    ).persist()
+    )
+    sigs = tracked_persist(sigs)
 
     # Band keys as one SQL expression (same py4j-cost argument as the
     # signature), reading the materialized sig column.
@@ -303,9 +305,11 @@ def simhash_pairs(
     )
     # Persist signatures: referenced by both sides of the band
     # self-join, and the per-bit-count expression is wide.
-    sigs = docs.select(
-        "id", simhash(F.col("shingles"), bits, hash_fn).alias("sig")
-    ).persist()
+    sigs = tracked_persist(
+        docs.select(
+            "id", simhash(F.col("shingles"), bits, hash_fn).alias("sig")
+        )
+    )
 
     bands = sigs.select(
         "id",
@@ -386,8 +390,8 @@ def ngram_jaccard_pairs(
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
         .where(F.size("shingles") > 0)
-        .persist()  # feeds n_docs + the inverted index
     )
+    docs = tracked_persist(docs)  # feeds n_docs + the inverted index
     inv_all = docs.select("id", F.explode("shingles").alias("sh"))
 
     # Document frequency per shingle (shingles are array_distinct per
@@ -402,7 +406,7 @@ def ngram_jaccard_pairs(
         .where(F.col("__df") > F.col("__n_docs") * max_df_fraction)
         .select("sh")
     )
-    inv = inv_all.join(F.broadcast(hot), "sh", "left_anti").persist()
+    inv = tracked_persist(inv_all.join(F.broadcast(hot), "sh", "left_anti"))
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (

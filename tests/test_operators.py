@@ -547,3 +547,54 @@ def test_sequence_count_greedy_formula(spark, tmp_path):
     shutil.move(d, os.path.join(sfdir, "events.parquet"))
     out = get("sequence_count_view_purchase").fn(spark, sfdir).collect()
     assert [(r.user_id, r.n_chains) for r in out] == [(1, 2)]
+
+
+class TestCacheLifecycle:
+    """Operator scratch persists must be releasable — a long-lived
+    server session must not accrete storage across requests
+    (dedup.py persisted docs/sigs forever before round 4)."""
+
+    def _persistent_rdd_count(self, spark):
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def test_minhash_lsh_releases_all_persists(self, spark):
+        from bighouse_spark.operators.caching import release_tracked
+
+        release_tracked()
+        spark.catalog.clearCache()
+        assert self._persistent_rdd_count(spark) == 0
+        df = load_table(spark, SF_CORRECT, "documents").limit(200)
+        minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+        assert self._persistent_rdd_count(spark) > 0, "persist expected"
+        released = release_tracked()
+        assert released >= 2  # docs + sigs
+        assert self._persistent_rdd_count(spark) == 0
+
+    def test_release_tracked_idempotent_and_safe_before_action(self, spark):
+        from bighouse_spark.operators.caching import release_tracked
+
+        df = load_table(spark, SF_CORRECT, "documents").limit(50)
+        lazy = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+        # Releasing BEFORE materialization must not break the plan —
+        # it just recomputes without the cache.
+        release_tracked()
+        assert lazy.count() >= 0
+        release_tracked()
+        assert release_tracked() == 0
+        assert self._persistent_rdd_count(spark) == 0
+
+    def test_engine_path_releases_after_execute(self, spark):
+        from bighouse_spark.operators.caching import release_tracked, tracked_persist
+        from bighouse_spark.engine import BigHouseEngine
+
+        release_tracked()
+        spark.catalog.clearCache()
+        eng = BigHouseEngine(spark=spark)
+        # Simulate an operator persisting scratch state mid-query: the
+        # engine's finally must drop it even though the query itself is
+        # plain SQL.
+        scratch = tracked_persist(load_table(spark, SF_CORRECT, "region"))
+        scratch.count()
+        assert self._persistent_rdd_count(spark) > 0
+        eng.execute("SELECT count() AS c FROM range(10)")
+        assert self._persistent_rdd_count(spark) == 0

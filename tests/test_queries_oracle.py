@@ -16,17 +16,27 @@ QUERIES = all_queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
+    from bighouse_spark.operators.caching import release_tracked
+
     df = QUERIES[name](spark, SF_CORRECT)
     rel = duck.sql(ORACLES[name])
-    compare_frames(df, rel)
+    try:
+        compare_frames(df, rel)
+    finally:
+        release_tracked()
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(spark, name):
+    from bighouse_spark.operators.caching import release_tracked
+
     df = QUERIES[name](spark, SF_CORRECT)
-    rows = df.collect()
-    assert rows is not None
-    assert len(df.columns) > 0
+    try:
+        rows = df.collect()
+        assert rows is not None
+        assert len(df.columns) > 0
+    finally:
+        release_tracked()
 
 
 def test_driver_window_rotation_shape():
