@@ -236,8 +236,13 @@ def simhash(
 ) -> Column:
     """SimHash from shingle hashes: bit b of the signature is 1 iff
     the count of shingles whose hash has bit b set exceeds half the
-    shingle count. Implemented with bit arithmetic over a
-    transform/aggregate — all JVM-side.
+    shingle count. Implemented as ONE ``aggregate`` pass over the
+    hash array folding into a per-bit popcount vector (the same
+    single-traversal shape as ``_minhash_signature_sql``), then one
+    ``zip_with`` against a constant bit-value array to assemble the
+    signature — all JVM-side, O(1) generated-code size. The previous
+    shape built ``bits`` separate filtered arrays (O(bits × shingles)
+    array materializations and a multi-thousand-node codegen unit).
 
     ``hash_fn``:
       * ``"xxhash64"`` (default) — fastest, engine-specific.
@@ -256,20 +261,36 @@ def simhash(
         )
     else:
         hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    bit_cols = []
-    for b in range(bits):
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
-        )
-        bit_cols.append(
-            F.when(ones * 2 > n, F.lit(1).cast("long") * F.lit(2**b if b < 63 else -(2**63))).otherwise(
+    # Signed-long bit values: bit 63 is the sign bit, so its "value"
+    # is long-min; summing distinct bit values can never overflow
+    # (every partial sum stays a valid 64-bit pattern).
+    bit_values = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(positions, lambda i: F.getbit(h, i).cast("long")),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bit_values,
+            lambda c, v: F.when(c * 2 > n, v).otherwise(
                 F.lit(0).cast("long")
-            )
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
 
 
 def simhash_pairs(
