@@ -26,7 +26,10 @@ fails loudly otherwise.
 from __future__ import annotations
 
 import itertools
+import os
 import re
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -1660,22 +1663,46 @@ _FORMAT_MAP = {
 }
 
 
-_HTTP_SPOOL: dict[str, str] = {}
+# url → (file:// path, bytes), most-recently-used last. Byte-capped:
+# unbounded spool growth was round-2/3 debt — a long-lived server
+# session fetching many urlCluster expansions would fill local disk.
+_HTTP_SPOOL: "OrderedDict[str, tuple[str, int]]" = OrderedDict()
+_HTTP_SPOOL_LOCK = threading.Lock()
+_HTTP_SPOOL_MAX_BYTES = int(
+    os.environ.get("BIGHOUSE_HTTP_SPOOL_MAX_BYTES", str(4 << 30))
+)
+
+
+def _spool_evict_locked() -> None:
+    """Evict least-recently-used spool files until under the byte cap.
+    The file(s) of the current query were just touched (MRU), so they
+    survive unless a single query's URLs alone exceed the cap — same
+    newest-wins posture as the engine's result-cache LRU."""
+    total = sum(b for _, b in _HTTP_SPOOL.values())
+    while total > _HTTP_SPOOL_MAX_BYTES and len(_HTTP_SPOOL) > 1:
+        _, (path, nbytes) = _HTTP_SPOOL.popitem(last=False)
+        total -= nbytes
+        try:
+            os.unlink(path.removeprefix("file://"))
+        except OSError:
+            pass
 
 
 def _fetch_http(url: str) -> str:
-    """Download an http(s) source to a local spool file (cached per
-    URL for the process lifetime) and return a file:// path.
+    """Download an http(s) source to a local spool file (LRU-cached
+    under a byte cap, ``BIGHOUSE_HTTP_SPOOL_MAX_BYTES``, default 4 GiB)
+    and return a file:// path.
 
     The download streams to a unique temp name and ``os.replace``s
     into place only on success: a mid-stream failure can never leave a
     truncated file that the exists-check on a later call would serve
     as complete, and concurrent fetches of the same URL are safe (both
     write whole files; the rename is atomic, last-one-wins)."""
-    if url in _HTTP_SPOOL:
-        return _HTTP_SPOOL[url]
+    with _HTTP_SPOOL_LOCK:
+        if url in _HTTP_SPOOL:
+            _HTTP_SPOOL.move_to_end(url)
+            return _HTTP_SPOOL[url][0]
     import hashlib
-    import os
     import tempfile
     import urllib.request
     import uuid
@@ -1698,8 +1725,11 @@ def _fetch_http(url: str) -> str:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-    _HTTP_SPOOL[url] = f"file://{dest}"
-    return _HTTP_SPOOL[url]
+    with _HTTP_SPOOL_LOCK:
+        _HTTP_SPOOL[url] = (f"file://{dest}", os.path.getsize(dest))
+        _HTTP_SPOOL.move_to_end(url)
+        _spool_evict_locked()
+        return _HTTP_SPOOL[url][0]
 
 
 def _fetch_http_many(urls: list[str]) -> list[str]:

@@ -1100,3 +1100,78 @@ def test_ipv4_functions(spark):
         "IPv4NumToString(IPv4StringToNum('10.0.0.255')) AS c"
     )
     assert out.rows == [["192.168.1.1", 3232235777, "10.0.0.255"]]
+
+
+class TestHttpSpoolEviction:
+    def test_lru_byte_cap_evicts_oldest(self, tmp_path, monkeypatch):
+        import importlib
+
+        tp = importlib.import_module("bighouse_spark.dialect.transpile")
+        import http.server
+        import threading
+
+        for i in range(4):
+            (tmp_path / f"f{i}.csv").write_text("v\n" + ("1\n" * 200))
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_port
+            size = len("v\n" + "1\n" * 200)
+            monkeypatch.setattr(tp, "_HTTP_SPOOL_MAX_BYTES", size * 2)
+            tp._HTTP_SPOOL.clear()
+            import os
+
+            paths = [
+                tp._fetch_http(f"http://127.0.0.1:{port}/f{i}.csv")
+                for i in range(4)
+            ]
+            # Cap = 2 files → only the 2 most recent survive.
+            assert len(tp._HTTP_SPOOL) == 2
+            assert [u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL] == [
+                "f2.csv",
+                "f3.csv",
+            ]
+            assert not os.path.exists(paths[0].removeprefix("file://"))
+            assert not os.path.exists(paths[1].removeprefix("file://"))
+            assert os.path.exists(paths[3].removeprefix("file://"))
+            # Touching f2 makes it MRU; fetching f0 again evicts f3.
+            tp._fetch_http(f"http://127.0.0.1:{port}/f2.csv")
+            tp._fetch_http(f"http://127.0.0.1:{port}/f0.csv")
+            assert [u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL] == [
+                "f2.csv",
+                "f0.csv",
+            ]
+        finally:
+            srv.shutdown()
+            tp._HTTP_SPOOL.clear()
+
+    def test_single_oversized_file_survives(self, tmp_path, monkeypatch):
+        import importlib
+
+        tp = importlib.import_module("bighouse_spark.dialect.transpile")
+        import http.server
+        import threading
+
+        (tmp_path / "big.csv").write_text("v\n" + ("9\n" * 5000))
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_port
+            monkeypatch.setattr(tp, "_HTTP_SPOOL_MAX_BYTES", 10)
+            tp._HTTP_SPOOL.clear()
+            import os
+
+            p = tp._fetch_http(f"http://127.0.0.1:{port}/big.csv")
+            # A file larger than the whole cap must still be readable
+            # by the query that fetched it.
+            assert os.path.exists(p.removeprefix("file://"))
+            assert len(tp._HTTP_SPOOL) == 1
+        finally:
+            srv.shutdown()
+            tp._HTTP_SPOOL.clear()
