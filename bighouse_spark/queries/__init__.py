@@ -23,6 +23,7 @@ from bighouse_spark.queries import (  # noqa: F401
     reference_surface,
     relational,
     relational2,
+    sinkq,
     timeseries,
     textops,
     textquality,

@@ -98,18 +98,19 @@ DRIVER_WINDOW = {
     "uniq_approx_check",
     "uniq_rollup_check",
     "uniq_state_merge_rollup",
-    # -- high-value repeats (12) --
+    # -- round-4 additions: the execute_to_sink proof (2) --
+    "sink_roundtrip_ordered",
+    "sink_roundtrip_zorder",
+    # -- high-value repeats (10) --
     "ann_ivf_full_probe",
     "asof_join_purchase_click",
     "checksum_md5",
-    "count_by_file",
     "dedup_minhash_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sum_group_by",
     "tpch_q1_pricing_summary",
     "uniq_exact",
-    "window_gapfill_hourly",
     "window_session_10m",
 }
 

@@ -1,0 +1,103 @@
+"""Sink round-trip queries — the driver-visible proof of the
+``execute_to_sink`` result path (the reference's unbuilt "TODO:
+Return S3 url" sink, ``temporal/workflow_query_executor.go:94``).
+
+Each query drives the FULL write path through ``BigHouseEngine``: a
+ClickHouse-dialect SELECT over a ``file()`` table function, written
+distributed (no collect) with a MergeTree-style layout — ``order_by``
+(range-repartition + in-file sort for min/max pruning) or
+``zorder_by`` (interleaved-bit multi-dim clustering) — then re-read
+and aggregated so DuckDB can check the round-trip preserved every row
+and value. The aggregate sums as DECIMAL so the result is independent
+of row order (doubles are order-dependent in the last ulps).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bighouse_spark.queries.registry import query
+
+
+def _sink_dir(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"bh_sink_{name}")
+
+
+@query(
+    "sink_roundtrip_ordered",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+    ),
+)
+def sink_roundtrip_ordered(spark, sf_dir):
+    """CH-dialect query → parquet sink with ``order_by`` (the
+    MergeTree ``ORDER BY`` analog: range-repartitioned, sorted within
+    files, per-column bloom filters) → re-read → aggregate. Green iff
+    the distributed write preserved every row and value."""
+    from bighouse_spark.engine import BigHouseEngine
+
+    dest = _sink_dir("ordered")
+    eng = BigHouseEngine(spark=spark)
+    eng.execute_to_sink(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+        f"o_totalprice FROM file('{sf_dir}/orders.parquet', 'Parquet') "
+        "WHERE o_orderstatus = 'F'",
+        path=dest,
+        fmt="parquet",
+        mode="overwrite",
+        order_by=["o_custkey"],
+        bloom_filter_by=["o_orderpriority"],
+    )
+    return (
+        spark.read.parquet(dest)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "sink_roundtrip_zorder",
+    oracle=(
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+        "FROM events WHERE user_id < 500 GROUP BY event_type"
+    ),
+)
+def sink_roundtrip_zorder(spark, sf_dir):
+    """Same round-trip through the ``zorder_by`` layout path:
+    interleaved-bit clustering on (user_id, event_type) so min/max
+    stats prune on EITHER dimension, then a pruning-shaped filter and
+    aggregate over the re-read."""
+    from bighouse_spark.engine import BigHouseEngine
+
+    dest = _sink_dir("zorder")
+    eng = BigHouseEngine(spark=spark)
+    eng.execute_to_sink(
+        "SELECT event_id, user_id, event_type, value "
+        f"FROM file('{sf_dir}/events.parquet', 'Parquet')",
+        path=dest,
+        fmt="parquet",
+        mode="overwrite",
+        zorder_by=["user_id", "event_type"],
+    )
+    return (
+        spark.read.parquet(dest)
+        .where(F.col("user_id") < 500)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

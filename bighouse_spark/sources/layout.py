@@ -25,15 +25,28 @@ from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 BITS_PER_DIM = 16
+
+
+def _dim_expr(df: DataFrame, col: str) -> Column:
+    """Numeric view of one z-order dimension. Strings quantize via
+    xxhash64: equal values land on one quantization level, so files
+    get tight min/max on the original string column and EQUALITY
+    probes prune; string RANGE predicates don't (the hash destroys
+    lexical order) — the same tradeoff as hash-based clustering in
+    lakehouse table formats."""
+    if isinstance(df.schema[col].dataType, StringType):
+        return F.xxhash64(F.col(col)).cast("double")
+    return F.col(col).cast("double")
 
 
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = BITS_PER_DIM
 ) -> Column:
     """Interleaved-bit z-value over ``cols`` (numeric/date/timestamp
-    castable to double).
+    castable to double, plus strings via hash quantization).
 
     Each column is min-max quantized to ``2^bits`` levels using
     bounds from a single aggregate over ``df``, then bit ``i`` of
@@ -49,8 +62,8 @@ def zorder_key(
             c
             for col in cols
             for c in (
-                F.min(F.col(col).cast("double")).alias(f"__mn_{col}"),
-                F.max(F.col(col).cast("double")).alias(f"__mx_{col}"),
+                F.min(_dim_expr(df, col)).alias(f"__mn_{col}"),
+                F.max(_dim_expr(df, col)).alias(f"__mx_{col}"),
             )
         ]
     ).collect()[0]
@@ -66,7 +79,7 @@ def zorder_key(
             F.greatest(
                 F.lit(0).cast("long"),
                 F.floor(
-                    (F.col(col).cast("double") - F.lit(mn))
+                    (_dim_expr(df, col) - F.lit(mn))
                     / F.lit(span)
                     * F.lit(levels + 1)
                 ).cast("long"),

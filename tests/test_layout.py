@@ -147,3 +147,28 @@ def test_sink_bloom_filters_written(engine, tmp_path):
             "SELECT 1 AS a", path=str(tmp_path / "bad"), fmt="csv",
             bloom_filter_by=["a"],
         )
+
+
+def test_zorder_key_string_dim_clusters_equal_values(spark):
+    from pyspark.sql import functions as F
+
+    from bighouse_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"][i % 3]) for i in range(90)],
+        "id long, kind string",
+    )
+    z = df.withColumn("z", zorder_key(df, ["id", "kind"], bits=8))
+    # Equal strings must land on ONE quantization level: for a fixed
+    # id, rows differing only by kind get distinct z keys, and each
+    # kind maps to exactly one key per id.
+    # kind occupies the odd interleave positions (dim index 1): mask
+    # out the id bits and every row of one kind shares the remainder.
+    kind_bits = (
+        z.withColumn("kb", F.col("z").bitwiseAND(F.lit(-6148914691236517206)))
+        .groupBy("kind")
+        .agg(F.countDistinct("kb").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in kind_bits)
+    assert len({r.kind for r in kind_bits}) == 3
