@@ -135,3 +135,59 @@ def _split_top_level(s: str) -> tuple[str, str]:
     if len(parts) != 2:
         raise ValueError(f"expected two type args in {s!r}")
     return parts[0].strip(), parts[1].strip()
+
+
+_SPARK_TO_CH = {
+    T.ByteType(): "Int8",
+    T.ShortType(): "Int16",
+    T.IntegerType(): "Int32",
+    T.LongType(): "Int64",
+    T.FloatType(): "Float32",
+    T.DoubleType(): "Float64",
+    T.StringType(): "String",
+    T.BinaryType(): "String",
+    T.DateType(): "Date",
+    T.TimestampType(): "DateTime64(6)",
+    T.TimestampNTZType(): "DateTime64(6)",
+    T.BooleanType(): "Bool",
+}
+
+
+def spark_type_to_ch(dt: T.DataType) -> str:
+    """Render one Spark ``DataType`` as a ClickHouse type name — the
+    inverse of ``ch_type_to_spark``, used by ``SHOW CREATE TABLE``.
+    Lossy where the forward map widens (UInt* all read back signed);
+    round-tripping a rendered DDL through ``parse_schema_string``
+    always reproduces the Spark schema."""
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"Array({spark_type_to_ch(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return (
+            f"Map({spark_type_to_ch(dt.keyType)}, "
+            f"{spark_type_to_ch(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {spark_type_to_ch(f.dataType)}" for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    ch = _SPARK_TO_CH.get(dt)
+    if ch is None:
+        raise ValueError(f"no ClickHouse rendering for Spark type {dt}")
+    return ch
+
+
+def render_create_table(name: str, schema: T.StructType) -> str:
+    """ClickHouse-flavor CREATE TABLE DDL for a Spark schema (the
+    ``SHOW CREATE TABLE`` statement body, reference introspection
+    family B17)."""
+    cols = ",\n".join(
+        f"    `{f.name}` {spark_type_to_ch(f.dataType)}"
+        for f in schema.fields
+    )
+    return (
+        f"CREATE TABLE {name}\n(\n{cols}\n)\n"
+        "ENGINE = MergeTree\nORDER BY tuple()"
+    )

@@ -1041,6 +1041,12 @@ class BigHouseEngine:
                 rows=[[n] for n in sorted(self._dicts)],
                 elapsed_sec=elapsed,
             )
+        m_sct = re.match(
+            r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?[`\"]?(\w+)[`\"]?\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_sct:
+            return self._show_create_table(m_sct.group(1), t0, request.query)
         m_dd = self._DROP_DICT_RE.match(request.query)
         if m_dd:
             self._dicts.pop(m_dd.group(1), None)
@@ -1266,6 +1272,49 @@ class BigHouseEngine:
                 except Exception:
                     pass
             release_tracked()
+
+    def _show_create_table(
+        self, name: str, t0: float, query: str
+    ) -> QueryResult:
+        """``SHOW CREATE TABLE`` (CH introspection family, B17): one
+        row, one ``statement`` column holding a ClickHouse-flavor DDL
+        reconstructed from live engine state — attached/created tables
+        render their Spark schema as MergeTree DDL (round-trippable
+        through the schema parser), materialized views render their
+        stored SELECT, and any other registered view renders as a
+        plain CREATE VIEW over its schema."""
+        from bighouse_spark.dialect.schema import render_create_table
+
+        if name in self._mviews:
+            stmt = (
+                f"CREATE MATERIALIZED VIEW {name}\n"
+                "ENGINE = MergeTree\nORDER BY tuple()\nAS "
+                f"{self._mviews[name]['select']}"
+            )
+        elif name in self._attached:
+            stmt = render_create_table(name, self.spark.table(name).schema)
+        else:
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                self.query_log.append(
+                    QueryLogEntry(
+                        query, "<show create table>",
+                        time.monotonic() - t0, 0,
+                        f"table {name} not found",
+                    )
+                )
+                raise ValueError(f"SHOW CREATE TABLE {name}: not found")
+            stmt = render_create_table(name, schema).replace(
+                f"CREATE TABLE {name}", f"CREATE VIEW {name}", 1
+            ).replace("\nENGINE = MergeTree\nORDER BY tuple()", "", 1)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, "<show create table>", elapsed, 1)
+        )
+        return QueryResult(
+            cols=["statement"], rows=[[stmt]], elapsed_sec=elapsed
+        )
 
     def health_check(self) -> bool:
         """``GET /hc`` analog (``http_server/http_server.go:50,83-85``)."""

@@ -621,3 +621,54 @@ def test_system_tables_and_columns_views(engine):
         "SELECT name, type FROM system_columns WHERE table = 'region'"
     ).rows
     assert ["r_regionkey", "r_name"] == [c[0] for c in cols]
+
+
+class TestShowCreateTable:
+    def test_attached_table_renders_roundtrippable_ddl(self, spark, tmp_path):
+        from bighouse_spark.dialect.schema import parse_schema_string
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute(
+            "CREATE TABLE sct_t (id UInt64, name String, score Float64, "
+            "tags Array(String)) ENGINE = MergeTree ORDER BY id"
+        )
+        try:
+            r = eng.execute("SHOW CREATE TABLE sct_t")
+            assert r.cols == ["statement"]
+            stmt = r.rows[0][0]
+            assert stmt.startswith("CREATE TABLE sct_t")
+            assert "ENGINE = MergeTree" in stmt
+            body = stmt.split("(", 1)[1].rsplit(")", 1)[0].rsplit(
+                "\n)", 1
+            )[0]
+            rt = parse_schema_string(body)
+            assert [f.dataType for f in rt] == [
+                f.dataType for f in spark.table("sct_t").schema
+            ]
+        finally:
+            eng.execute("DROP TABLE sct_t")
+
+    def test_mview_and_missing_table(self, spark, tmp_path):
+        import pytest
+
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute("CREATE TABLE sct_src (k UInt64, v Float64)")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW sct_mv AS SELECT k, sum(v) AS s "
+            "FROM sct_src GROUP BY k"
+        )
+        try:
+            stmt = eng.execute("SHOW CREATE TABLE sct_mv").rows[0][0]
+            assert stmt.startswith("CREATE MATERIALIZED VIEW sct_mv")
+            assert "SELECT" in stmt and "GROUP BY" in stmt
+            with pytest.raises(ValueError, match="not found"):
+                eng.execute("SHOW CREATE TABLE no_such_table_xyz")
+            assert any(
+                e.error and "not found" in e.error for e in eng.query_log
+            )
+        finally:
+            eng.execute("DROP TABLE sct_mv")
+            eng.execute("DROP TABLE sct_src")
