@@ -1,0 +1,257 @@
+"""PostgreSQL wire-protocol (v3) endpoint over ``BigHouseEngine``.
+
+The reference's ClickHouse node exposes MySQL and PostgreSQL
+compatibility ports (``ch/config.xml:138,143``); ClickHouse's
+postgresql endpoint speaks the PG *wire* protocol while executing
+queries in ClickHouse SQL. This module is the Spark analog: a
+framework-free (stdlib ``socketserver`` + ``struct``) PG v3 server
+that routes every simple-protocol ``Query`` through
+``BigHouseEngine.execute`` — so any PG client (psql, JDBC/psycopg in
+simple-query mode) can run the engine's full ClickHouse-dialect
+surface, table functions and SETTINGS included.
+
+Protocol scope (mirrors what ClickHouse's own endpoint supports):
+
+* StartupMessage (3.0) with SSLRequest/GSSENCRequest politely
+  declined (``N``) — cleartext only, like CH with SSL unconfigured.
+* AuthenticationOk (trust), ParameterStatus, BackendKeyData,
+  ReadyForQuery.
+* Simple ``Query`` ('Q'): RowDescription + DataRow* (text format) +
+  CommandComplete + ReadyForQuery; errors → ErrorResponse with a
+  SQLSTATE and the engine's message, then ReadyForQuery (the
+  connection survives, matching PG semantics).
+* ``Terminate`` ('X') closes; unsupported extended-protocol messages
+  get an ErrorResponse (0A000 feature_not_supported) so drivers that
+  probe extended mode fail soft.
+
+Results are rendered in text format with honest type OIDs for ints,
+floats, bools, dates and timestamps (everything else is ``text``),
+which every PG client accepts.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+from bighouse_spark.engine import BigHouseEngine
+
+_PROTO_V3 = 196608
+_SSL_REQUEST = 80877103
+_GSSENC_REQUEST = 80877104
+_CANCEL_REQUEST = 80877102
+
+# PG type OIDs (pg_type.dat — public catalog constants).
+_OID_BOOL = 16
+_OID_INT8 = 20
+_OID_FLOAT8 = 701
+_OID_NUMERIC = 1700
+_OID_DATE = 1082
+_OID_TIMESTAMP = 1114
+_OID_TEXT = 25
+
+
+def _oid_for(value: Any) -> int:
+    if isinstance(value, bool):
+        return _OID_BOOL
+    if isinstance(value, int):
+        return _OID_INT8
+    if isinstance(value, float):
+        return _OID_FLOAT8
+    if isinstance(value, Decimal):
+        return _OID_NUMERIC
+    if isinstance(value, datetime):
+        return _OID_TIMESTAMP
+    if isinstance(value, date):
+        return _OID_DATE
+    return _OID_TEXT
+
+
+def _render(value: Any) -> bytes | None:
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return b"t" if value else b"f"
+    if isinstance(value, bytes):
+        return b"\\x" + value.hex().encode()
+    if isinstance(value, (datetime, date)):
+        return value.isoformat(sep=" ").encode() if isinstance(
+            value, datetime
+        ) else value.isoformat().encode()
+    if isinstance(value, (list, dict)):
+        import json
+
+        return json.dumps(value, default=str).encode()
+    return str(value).encode()
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    # self.server is the ThreadingTCPServer subclass carrying .engine
+
+    def handle(self) -> None:  # noqa: C901 — one protocol loop
+        sock = self.request
+        try:
+            if not self._startup(sock):
+                return
+            self._send_ready(sock)
+            while True:
+                head = self._recv_exact(sock, 5)
+                if head is None:
+                    return
+                tag, length = head[0:1], struct.unpack("!I", head[1:5])[0]
+                payload = self._recv_exact(sock, length - 4)
+                if payload is None:
+                    return
+                if tag == b"X":
+                    return
+                if tag == b"Q":
+                    self._query(sock, payload[:-1].decode(errors="replace"))
+                    self._send_ready(sock)
+                elif tag in (b"P", b"B", b"D", b"E", b"C", b"S", b"F"):
+                    # Extended / copy protocol: declined, not broken —
+                    # drivers fall back or surface a clean error.
+                    self._send_error(
+                        sock, "0A000",
+                        "extended query protocol not supported; use "
+                        "simple query mode",
+                    )
+                    if tag == b"S":  # Sync expects ReadyForQuery
+                        self._send_ready(sock)
+                # anything else: ignore (Flush, etc.)
+        except (ConnectionError, BrokenPipeError, OSError):
+            pass
+
+    # -- startup ---------------------------------------------------
+
+    def _startup(self, sock) -> bool:
+        while True:
+            head = self._recv_exact(sock, 8)
+            if head is None:
+                return False
+            length, code = struct.unpack("!II", head)
+            if code in (_SSL_REQUEST, _GSSENC_REQUEST):
+                sock.sendall(b"N")
+                continue
+            if code == _CANCEL_REQUEST:
+                return False
+            body = self._recv_exact(sock, length - 8)
+            if body is None or code != _PROTO_V3:
+                return False
+            break
+        sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
+        for k, v in (
+            ("server_version", "16.0 (BigHouse Spark engine)"),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("DateStyle", "ISO, YMD"),
+            ("integer_datetimes", "on"),
+        ):
+            sock.sendall(_msg(b"S", _cstr(k) + _cstr(v)))
+        sock.sendall(
+            _msg(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF, 0))
+        )
+        return True
+
+    # -- query -----------------------------------------------------
+
+    def _query(self, sock, sql: str) -> None:
+        if not sql.strip():
+            sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
+            return
+        try:
+            result = self.server.engine.execute(sql)
+        except Exception as e:  # engine/transpile/Spark error
+            self._send_error(sock, "42601", str(e)[:2000])
+            return
+        sample = result.rows[0] if result.rows else [None] * len(result.cols)
+        desc = struct.pack("!H", len(result.cols))
+        for name, v in zip(result.cols, sample):
+            desc += (
+                _cstr(name)
+                + struct.pack("!IHIhih", 0, 0, _oid_for(v), -1, -1, 0)
+            )
+        sock.sendall(_msg(b"T", desc))
+        for row in result.rows:
+            body = struct.pack("!H", len(row))
+            for v in row:
+                data = _render(v)
+                if data is None:
+                    body += struct.pack("!i", -1)
+                else:
+                    body += struct.pack("!I", len(data)) + data
+            sock.sendall(_msg(b"D", body))
+        sock.sendall(_msg(b"C", _cstr(f"SELECT {len(result.rows)}")))
+
+    # -- plumbing --------------------------------------------------
+
+    def _send_ready(self, sock) -> None:
+        sock.sendall(_msg(b"Z", b"I"))
+
+    def _send_error(self, sock, sqlstate: str, message: str) -> None:
+        fields = (
+            b"S" + _cstr("ERROR")
+            + b"V" + _cstr("ERROR")
+            + b"C" + _cstr(sqlstate)
+            + b"M" + _cstr(message)
+            + b"\x00"
+        )
+        sock.sendall(_msg(b"E", fields))
+
+    @staticmethod
+    def _recv_exact(sock, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+
+class PGWireServer:
+    """Threaded PG-protocol listener bound to ``engine``. ``port=0``
+    picks a free port (exposed as ``.port``). One engine == one warm
+    SparkSession shared across connections, the same single-cluster
+    posture as the HTTP server."""
+
+    def __init__(
+        self,
+        engine: BigHouseEngine | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.engine = engine or BigHouseEngine()
+
+        outer = self
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+            engine = outer.engine
+
+        self._server = _Server((host, port), _Handler)
+        self.host, self.port = self._server.server_address
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "PGWireServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -1,0 +1,173 @@
+"""PG wire-protocol endpoint tests via a raw-socket v3 client (no PG
+driver in the container — the client below implements the public
+protocol: startup, simple query, message parsing)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.pgwire import PGWireServer
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class PGClient:
+    def __init__(self, host: str, port: int, ssl_probe: bool = False):
+        self.sock = socket.create_connection((host, port), timeout=30)
+        if ssl_probe:
+            self.sock.sendall(struct.pack("!II", 8, 80877103))
+            assert self.sock.recv(1) == b"N"
+        params = _cstr("user") + _cstr("test") + _cstr("database") + _cstr(
+            "default"
+        ) + b"\x00"
+        body = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        msgs = self.read_until(b"Z")
+        assert any(t == b"R" for t, _ in msgs), "AuthenticationOk expected"
+
+    def _read_msg(self):
+        head = self._exact(5)
+        tag = head[0:1]
+        (length,) = struct.unpack("!I", head[1:5])
+        return tag, self._exact(length - 4)
+
+    def _exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            assert chunk, "connection closed"
+            buf += chunk
+        return buf
+
+    def read_until(self, end_tag: bytes):
+        msgs = []
+        while True:
+            tag, payload = self._read_msg()
+            msgs.append((tag, payload))
+            if tag == end_tag:
+                return msgs
+
+    def query(self, sql: str):
+        body = _cstr(sql)
+        self.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        msgs = self.read_until(b"Z")
+        cols, rows, err = [], [], None
+        for tag, payload in msgs:
+            if tag == b"T":
+                (n,) = struct.unpack("!H", payload[:2])
+                off = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", off)
+                    cols.append(payload[off:end].decode())
+                    off = end + 1 + 18
+            elif tag == b"D":
+                (n,) = struct.unpack("!H", payload[:2])
+                off, row = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(payload[off:off + ln].decode())
+                        off += ln
+                rows.append(row)
+            elif tag == b"E":
+                fields = {}
+                off = 0
+                while off < len(payload) and payload[off:off + 1] != b"\x00":
+                    code = payload[off:off + 1]
+                    end = payload.index(b"\x00", off + 1)
+                    fields[code] = payload[off + 1:end].decode()
+                    off = end + 1
+                err = fields
+        return cols, rows, err
+
+    def close(self) -> None:
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    srv = PGWireServer(engine=BigHouseEngine(spark=spark)).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestPGWire:
+    def test_startup_ssl_probe_and_select(self, pg):
+        c = PGClient(pg.host, pg.port, ssl_probe=True)
+        try:
+            cols, rows, err = c.query(
+                "SELECT number AS n, number * 2 AS d FROM numbers(3) "
+                "ORDER BY n"
+            )
+            assert err is None
+            assert cols == ["n", "d"]
+            assert rows == [["0", "0"], ["1", "2"], ["2", "4"]]
+        finally:
+            c.close()
+
+    def test_ch_dialect_surface_over_pg(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            cols, rows, err = c.query(
+                "SELECT count() AS c, uniq(x) AS u FROM "
+                "(SELECT number % 5 AS x FROM numbers(100))"
+            )
+            assert err is None
+            assert cols == ["c", "u"]
+            assert rows == [["100", "5"]]
+        finally:
+            c.close()
+
+    def test_error_keeps_connection_alive(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            _, _, err = c.query("SELECT FROM WHERE nonsense")
+            assert err is not None and err[b"S"] == "ERROR"
+            assert err[b"C"]  # sqlstate present
+            cols, rows, err2 = c.query("SELECT 1 AS ok")
+            assert err2 is None and rows == [["1"]]
+        finally:
+            c.close()
+
+    def test_null_rendering_and_empty_result(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            _, rows, err = c.query("SELECT NULL AS v, 'x' AS s")
+            assert err is None and rows == [[None, "x"]]
+            cols, rows, err = c.query(
+                "SELECT number FROM numbers(5) WHERE number < 0"
+            )
+            assert err is None and rows == [] and cols == ["number"]
+        finally:
+            c.close()
+
+    def test_concurrent_connections(self, pg):
+        import threading
+
+        results = {}
+
+        def run(i):
+            c = PGClient(pg.host, pg.port)
+            try:
+                _, rows, err = c.query(f"SELECT {i} * 10 AS v")
+                results[i] = (rows, err)
+            finally:
+                c.close()
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert all(
+            err is None and rows == [[str(i * 10)]]
+            for i, (rows, err) in results.items()
+        )
