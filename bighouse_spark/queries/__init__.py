@@ -26,6 +26,7 @@ from bighouse_spark.queries import (  # noqa: F401
     sinkq,
     timeseries,
     textops,
+    textops2,
     textquality,
     tpch2,
     tpch3,

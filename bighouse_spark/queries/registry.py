@@ -98,20 +98,22 @@ DRIVER_WINDOW = {
     "uniq_approx_check",
     "uniq_rollup_check",
     "uniq_state_merge_rollup",
-    # -- round-4 additions: the execute_to_sink proof (2) --
+    # -- round-4 additions: sink proof + new curation ops (5) --
     "sink_roundtrip_ordered",
     "sink_roundtrip_zorder",
-    # -- high-value repeats (10) --
-    "ann_ivf_full_probe",
+    "text_gopher_rules",
+    "curation_domain_cap",
+    "text_tfidf_topk",
+    # -- high-value repeats (7): reference headliners, the ASOF family
+    # (red in r03, fixed by NTZ normalization), this round's rewritten
+    # simhash and persist-fixed LSH --
     "asof_join_purchase_click",
     "checksum_md5",
-    "dedup_minhash_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sum_group_by",
     "tpch_q1_pricing_summary",
     "uniq_exact",
-    "window_session_10m",
 }
 
 
