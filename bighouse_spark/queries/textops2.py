@@ -183,22 +183,25 @@ SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
 """,
 )
 def text_tfidf_topk(spark, sf_dir):
-    """Top-3 TF-IDF terms per document: term counts (one shuffle on
-    (doc_id, term)), document frequency (one shuffle on term,
-    vocabulary-sized result broadcast back), per-doc window for the
-    top-k. Deterministic term tiebreak keeps it oracle-exact."""
+    """Top-3 TF-IDF terms per document, from ONE corpus scan: the
+    (doc_id, term) count table is materialized once (the standard
+    inverted-index persist — tracked, released at the request
+    boundary), and BOTH document frequency (count per term: tf has
+    exactly one row per (doc, term)) and the document count derive
+    from it instead of rescanning the corpus. Deterministic term
+    tiebreak keeps it oracle-exact."""
+    from bighouse_spark.operators.caching import tracked_persist
+
     docs = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 300)
         .select("doc_id", F.explode(tokens("text")).alias("term"))
     )
-    tf = docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        docs.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    tf = tracked_persist(
+        docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.select("doc_id").distinct().agg(
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     scored = (

@@ -133,8 +133,33 @@ def main() -> None:  # pragma: no cover - manual entry point
     ap = argparse.ArgumentParser(description="BigHouse-Spark query service")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument(
+        "--pg-port", type=int, default=None,
+        help="also serve the PostgreSQL wire protocol on this port "
+        "(the reference's postgresql_port 9005, ch/config.xml:143)",
+    )
+    ap.add_argument(
+        "--mysql-port", type=int, default=None,
+        help="also serve the MySQL wire protocol on this port "
+        "(the reference's mysql_port 9004, ch/config.xml:138)",
+    )
     args = ap.parse_args()
-    server = make_server(host=args.host, port=args.port)
+    engine = BigHouseEngine()
+    server = make_server(engine=engine, host=args.host, port=args.port)
+    if args.pg_port is not None:
+        from bighouse_spark.pgwire import PGWireServer
+
+        pg = PGWireServer(engine=engine, host=args.host, port=args.pg_port)
+        pg.start()
+        print(f"pg wire protocol on {pg.host}:{pg.port}")
+    if args.mysql_port is not None:
+        from bighouse_spark.mysqlwire import MySQLWireServer
+
+        my = MySQLWireServer(
+            engine=engine, host=args.host, port=args.mysql_port
+        )
+        my.start()
+        print(f"mysql wire protocol on {my.host}:{my.port}")
     print(f"bighouse-spark listening on {args.host}:{server.server_port}")
     server.serve_forever()
 
