@@ -94,3 +94,52 @@ class TestPlanShapes:
             get("embedding_random_projection").fn(spark, SF_CORRECT)
         )
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestRound4PlanShapes:
+    def test_gopher_rules_single_pruned_scan(self, spark):
+        plan = physical_plan(get("text_gopher_rules").fn(spark, SF_CORRECT))
+        assert plan.count("Scan parquet") == 1
+        assert "PushedFilters: []" not in plan
+        read = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "lang" not in read and "source" not in read
+        assert "Exchange" not in plan  # pure scan-side column math
+        assert "BatchEvalPython" not in plan
+
+    def test_domain_cap_rank_pushdown(self, spark):
+        """row_number <= N must plan as WindowGroupLimit (partial
+        top-K before the shuffle) — the skew defence for hot domains."""
+        plan = physical_plan(get("curation_domain_cap").fn(spark, SF_CORRECT))
+        assert "WindowGroupLimit" in plan
+        assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+
+    def test_tfidf_single_corpus_scan(self, spark):
+        """tf, df, and n_docs all read the ONE persisted (doc, term)
+        count table: three InMemoryTableScans over a single cache —
+        the parquet text appearing only inside the cached relation's
+        child description, which executes once to populate it."""
+        from bighouse_spark.operators.caching import release_tracked
+
+        try:
+            plan = physical_plan(get("text_tfidf_topk").fn(spark, SF_CORRECT))
+            assert plan.count("InMemoryTableScan") == 3
+            assert "BroadcastHashJoin" in plan  # df joins broadcast
+            assert "SortMergeJoin" not in plan
+        finally:
+            release_tracked()
+
+    def test_simhash_plan_is_compact(self, spark):
+        """The single-pass fold keeps the signature one expression —
+        the old per-bit shape exploded into 64 filtered arrays and
+        blew codegen; a compact plan has no fallback markers."""
+        plan = physical_plan(get("dedup_simhash").fn(spark, SF_CORRECT))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_sink_reread_aggregates_pruned(self, spark):
+        plan = physical_plan(
+            get("sink_roundtrip_ordered").fn(spark, SF_CORRECT)
+        )
+        # The re-read scans only the 2 columns the aggregate touches.
+        read = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "o_orderkey" not in read and "o_custkey" not in read
