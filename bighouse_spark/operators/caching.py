@@ -20,24 +20,37 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_LOCK = threading.Lock()
-_TRACKED: list[DataFrame] = []
+# Per-thread tracking: the server handles requests on separate
+# threads, and operators persist on the thread that builds the plan —
+# so releasing in one request's ``finally`` must not drop a
+# concurrent request's scratch caches mid-flight (safe for
+# correctness — Spark recomputes dropped blocks — but a silent
+# recompute is exactly the perf hazard this module exists to avoid).
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "dfs", None)
+    if lst is None:
+        lst = _LOCAL.dfs = []
+    return lst
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register for later ``release_tracked()``."""
+    """``df.persist()`` + register for this thread's next
+    ``release_tracked()``."""
     df = df.persist()
-    with _LOCK:
-        _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked DataFrame (blocking=False); returns the
-    number released. Idempotent; exceptions from already-stopped
-    sessions are swallowed — release must never mask a query error."""
-    with _LOCK:
-        dfs, _TRACKED[:] = _TRACKED[:], []
+    """Unpersist every DataFrame tracked on THIS thread
+    (blocking=False); returns the number released. Idempotent;
+    exceptions from already-stopped sessions are swallowed — release
+    must never mask a query error."""
+    lst = _tracked()
+    dfs, lst[:] = lst[:], []
     n = 0
     for df in dfs:
         try:

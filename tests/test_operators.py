@@ -598,3 +598,28 @@ class TestCacheLifecycle:
         assert self._persistent_rdd_count(spark) > 0
         eng.execute("SELECT count() AS c FROM range(10)")
         assert self._persistent_rdd_count(spark) == 0
+
+    def test_release_is_thread_scoped(self, spark):
+        """A request thread releasing its caches must not drop another
+        thread's in-flight scratch tables."""
+        import threading
+
+        from bighouse_spark.operators.caching import (
+            release_tracked,
+            tracked_persist,
+        )
+
+        release_tracked()
+        spark.catalog.clearCache()
+        mine = tracked_persist(load_table(spark, SF_CORRECT, "region"))
+        mine.count()
+        released_elsewhere = []
+        t = threading.Thread(
+            target=lambda: released_elsewhere.append(release_tracked())
+        )
+        t.start()
+        t.join()
+        assert released_elsewhere == [0]  # other thread had nothing
+        assert self._persistent_rdd_count(spark) > 0  # mine survived
+        assert release_tracked() == 1
+        assert self._persistent_rdd_count(spark) == 0
