@@ -1175,3 +1175,45 @@ class TestHttpSpoolEviction:
         finally:
             srv.shutdown()
             tp._HTTP_SPOOL.clear()
+
+
+class TestSchemaRenderRoundtrip:
+    """Property: any Spark schema our parser can produce renders to CH
+    DDL (spark_type_to_ch / render_create_table) that re-parses to the
+    IDENTICAL Spark types — the SHOW CREATE TABLE fidelity contract."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True),
+                st.sampled_from(
+                    [
+                        "Int8", "Int16", "Int32", "Int64", "Float32",
+                        "Float64", "String", "Date", "DateTime", "Bool",
+                        "Decimal(20, 4)", "Array(String)",
+                        "Array(Array(Int64))", "Map(String, Int64)",
+                        "Nullable(Float64)", "LowCardinality(String)",
+                        "Tuple(a Int64, b String)",
+                    ]
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda kv: kv[0],
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_parse_render_parse_fixpoint(self, fields):
+        from bighouse_spark.dialect.schema import render_create_table
+
+        s = ", ".join(f"{name} {typ}" for name, typ in fields)
+        parsed = parse_schema_string(s)
+        ddl = render_create_table("t", parsed)
+        body = ddl.split("(\n", 1)[1].rsplit("\n)", 1)[0]
+        reparsed = parse_schema_string(body)
+        assert [f.name for f in reparsed.fields] == [
+            f.name for f in parsed.fields
+        ]
+        assert [f.dataType for f in reparsed.fields] == [
+            f.dataType for f in parsed.fields
+        ]
