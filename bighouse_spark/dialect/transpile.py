@@ -476,6 +476,30 @@ _ARG_REWRITES: dict = {
         f"ELSE concat({a[0]}, array_repeat({a[2]}, ({a[1]}) - size({a[0]}))) "
         f"END)"
     ),
+    # runningDifference is deprecated in CH itself (block-order
+    # dependent — undefined in any distributed engine). Refuse with
+    # the window-function replacement instead of an opaque
+    # UNRESOLVED_ROUTINE.
+    "runningDifference": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "runningDifference() is block-order dependent and "
+            "deprecated in ClickHouse; use "
+            f"{a[0]} - lag({a[0]}, 1, {a[0]}) OVER (ORDER BY <key>)"
+        )
+    ),
+    # JSONExtractRaw(json, key): the raw JSON value as a string —
+    # get_json_object already returns the raw fragment.
+    "JSONExtractRaw": lambda a: (
+        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    ),
+    # bar(x, min, max, width): CH's ASCII bar chart. Full-block
+    # rendering (CH adds eighth-block fractions; the full-block
+    # resolution is the monitoring use case).
+    "bar": lambda a: (
+        f"repeat('█', greatest(CAST(round(({a[0]} - ({a[1]})) "
+        f"/ (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else 80})) "
+        f"AS INT), 0))"
+    ),
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",

@@ -1217,3 +1217,30 @@ class TestSchemaRenderRoundtrip:
         assert [f.dataType for f in reparsed.fields] == [
             f.dataType for f in parsed.fields
         ]
+
+
+class TestRound4FunctionAdditions:
+    def test_bar(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute("SELECT bar(5, 0, 10, 10) AS r").rows == [["█████"]]
+        assert eng.execute("SELECT bar(-1, 0, 10, 10) AS r").rows == [[""]]
+
+    def test_json_extract_raw(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        r = eng.execute(
+            'SELECT JSONExtractRaw(\'{"a":{"b":1}}\', \'a\') AS r'
+        )
+        assert r.rows == [['{"b":1}']]
+
+    def test_running_difference_guided_error(self, spark):
+        import pytest
+
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        with pytest.raises(ValueError, match="lag"):
+            eng.execute("SELECT runningDifference(number) FROM numbers(3)")
