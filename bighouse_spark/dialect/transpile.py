@@ -1074,6 +1074,81 @@ def _rewrite_array_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_subscripts(sql: str) -> str:
+    """CH subscripts are 1-based (and negative-from-end); Spark's
+    ``x[i]`` is 0-based — silently off-by-one, the worst kind of
+    wrong. Rewrite every remaining ``base[idx]`` (all are subscripts
+    once ``_rewrite_array_literals`` converted literals) to
+    ``try_element_at(base, idx)``: 1-based, negative-from-end, NULL on
+    out-of-range / missing map key (CH returns the type default
+    there — NULL is the honest Spark spelling of "no such element").
+    """
+    while True:
+        # Forward scan for the first subscript '[' outside strings.
+        quote = None
+        pos = -1
+        for i, c in enumerate(sql):
+            if quote:
+                if c == quote:
+                    quote = None
+                continue
+            if c in "'\"":
+                quote = c
+            elif c == "[":
+                prev = sql[:i].rstrip()
+                if prev and (prev[-1] in ")]" or prev[-1].isalnum()
+                             or prev[-1] == "_"):
+                    pos = i
+                    break
+        if pos < 0:
+            return sql
+        # Matching ']' (subscript indexes contain no brackets after
+        # literal conversion, but track strings + parens anyway).
+        depth, quote, end = 1, None, -1
+        for j in range(pos + 1, len(sql)):
+            c = sql[j]
+            if quote:
+                if c == quote:
+                    quote = None
+                continue
+            if c in "'\"":
+                quote = c
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        if end < 0:
+            return sql  # unbalanced — leave for Spark's parser
+        # Backward walk for the base expression start.
+        k = pos - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if sql[k] in ")]":
+            closer, opener = sql[k], "(" if sql[k] == ")" else "["
+            d = 1
+            k -= 1
+            while k >= 0 and d:
+                if sql[k] == closer:
+                    d += 1
+                elif sql[k] == opener:
+                    d -= 1
+                k -= 1
+            # function name / identifier preceding the paren group
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+                k -= 1
+        else:
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+                k -= 1
+        start = k + 1
+        base, idx = sql[start:pos], sql[pos + 1:end]
+        sql = (
+            f"{sql[:start]}try_element_at({base}, {idx}){sql[end + 1:]}"
+        )
+
+
 def _topk_expr(col: str, k: str) -> str:
     """Exact twin of CH ``topK(k)(x)``: the k most frequent values,
     desc by count, ties asc by value. A frequency map is folded over
@@ -1193,6 +1268,7 @@ def _rewrite_contextual(sql: str) -> str:
 
 def _rewrite_functions(sql: str) -> str:
     out = _rewrite_array_literals(sql)
+    out = _rewrite_subscripts(out)
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     out = _rewrite_contextual(out)

@@ -223,14 +223,17 @@ class TestTranspileText:
         assert "array(1, 2, 3)" in r.sql
         assert "array(array(1),array(2))" in r.sql
 
-    def test_array_subscripts_untouched(self):
+    def test_array_subscripts_one_based(self):
+        # CH subscripts are 1-based / negative-from-end; Spark's x[i]
+        # is 0-based, so every subscript must become try_element_at
+        # (round-4 fix — [10,20,30][2] silently returned 30 before).
         r = transpile(
             "SELECT arr[1], m['k'], f(x)[1], [10, 20][2], 'lit[eral]' FROM t"
         )
-        assert "arr[1]" in r.sql
-        assert "m['k']" in r.sql
-        assert "f(x)[1]" in r.sql
-        assert "array(10, 20)[2]" in r.sql
+        assert "try_element_at(arr, 1)" in r.sql
+        assert "try_element_at(m, 'k')" in r.sql
+        assert "try_element_at(f(x), 1)" in r.sql
+        assert "try_element_at(array(10, 20), 2)" in r.sql
         assert "'lit[eral]'" in r.sql
 
     def test_cityhash_checksum_wrapped(self):
@@ -1244,3 +1247,20 @@ class TestRound4FunctionAdditions:
         eng = BigHouseEngine(spark=spark)
         with pytest.raises(ValueError, match="lag"):
             eng.execute("SELECT runningDifference(number) FROM numbers(3)")
+
+
+class TestSubscriptSemantics:
+    def test_one_based_and_negative(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute("SELECT [10,20,30][2] AS r").rows == [[20]]
+        assert eng.execute("SELECT [10,20,30][-1] AS r").rows == [[30]]
+        assert eng.execute("SELECT [[1,2],[3,4]][2][1] AS r").rows == [[3]]
+        assert eng.execute("SELECT map('a', 7)['a'] AS r").rows == [[7]]
+        # Out-of-range / missing key → NULL (CH returns the type
+        # default; NULL is the honest Spark spelling).
+        assert eng.execute("SELECT [10][99] AS r").rows == [[None]]
+        assert eng.execute(
+            "SELECT splitByChar(',', 'a,b,c')[2] AS r"
+        ).rows == [["b"]]
