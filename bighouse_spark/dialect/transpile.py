@@ -714,6 +714,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out, views = _rewrite_table_functions(out, spark, uses_file)
     out = _rewrite_asof_join(out, spark, views)
     out = _rewrite_ch_clauses(out)
+    out = _rewrite_ch_misc(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
     out = _rewrite_qualify(out)
@@ -723,6 +724,187 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         for k, v in settings.items():
             spark.conf.set(k, v)
     return TranspileResult(sql=out, views=views, settings=settings, dropped_settings=dropped)
+
+
+def _split_args_top(s: str) -> list[str]:
+    """Split on top-level commas (quotes and (), [] respected)."""
+    parts, cur, depth, quote = [], [], 0, None
+    for c in s:
+        if quote:
+            cur.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_ch_misc(sql: str) -> str:
+    """CH statement-level spellings with exact Spark equivalents:
+
+    * ``CAST(x, 'Type')`` → ``CAST(x AS <spark type>)`` (CH's
+      two-argument cast with a type string).
+    * ``LIMIT o, n`` → ``LIMIT n OFFSET o`` (MySQL-style offset).
+    * ``SELECT DISTINCT ON (k) ...`` → ``... LIMIT 1 BY k`` — CH
+      documents DISTINCT ON as equivalent to LIMIT 1 BY, and the
+      LIMIT BY rewrite (deterministic, ORDER-BY-required) already
+      exists.
+    * ``ALL JOIN`` strictness keyword erased (ALL is CH's default
+      multiplicity — identical to a plain join).
+    * ``ANY [LEFT|INNER] JOIN rhs USING (k)``: rhs deduplicated to
+      one row per key first (row_number window + ``* EXCEPT``), which
+      is CH's at-most-one-match semantics. ``ANY ... ON`` raises with
+      that spelling (the join key isn't recoverable from arbitrary ON
+      expressions).
+    * ``* REPLACE (expr AS col)`` → ``* EXCEPT (col), expr AS col``
+      (same contents; the replaced column moves to the end — CH keeps
+      its position, noted deviation).
+    * scalar ``WITH expr AS name`` aliases inlined (CTE form
+      ``WITH name AS (SELECT ...)`` is standard SQL and untouched).
+    """
+    out = sql
+    # -- CAST(x, 'Type') -------------------------------------------
+    pos = 0
+    while True:
+        found = _find_call(out, "CAST", pos)
+        if found is None:
+            break
+        start, end, args = found
+        if len(args) == 2 and re.fullmatch(r"'[^']*'", args[1].strip()):
+            from bighouse_spark.dialect.schema import ch_type_to_spark
+
+            spark_t = ch_type_to_spark(_unquote(args[1])).simpleString()
+            out = f"{out[:start]}CAST({args[0]} AS {spark_t}){out[end:]}"
+            pos = start + 1
+        else:
+            pos = start + 5  # standard CAST(x AS t) — skip past it
+    # -- LIMIT o, n ------------------------------------------------
+    out = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", out,
+        flags=re.IGNORECASE,
+    )
+    # -- DISTINCT ON (k, ...) --------------------------------------
+    m = re.search(r"\bDISTINCT\s+ON\s*\(", out, re.IGNORECASE)
+    if m:
+        depth, j = 1, m.end()
+        while j < len(out) and depth:
+            depth += out[j] == "("
+            depth -= out[j] == ")"
+            j += 1
+        keys = out[m.end():j - 1].strip()
+        body = out[:m.start()] + out[j:]
+        tail = re.search(r"\s+LIMIT\s+\d+(\s+OFFSET\s+\d+)?\s*$", body,
+                         re.IGNORECASE)
+        if tail:
+            body = (
+                body[:tail.start()] + f" LIMIT 1 BY {keys}" + body[tail.start():]
+            )
+        else:
+            body = body + f" LIMIT 1 BY {keys}"
+        out = body
+    # -- join strictness -------------------------------------------
+    out = re.sub(
+        r"\bALL\s+((?:LEFT|RIGHT|INNER|FULL)\s+(?:OUTER\s+)?JOIN|JOIN)\b",
+        r"\1", out, flags=re.IGNORECASE,
+    )
+    any_m = re.search(
+        r"\bANY\s+((?:LEFT|RIGHT|INNER)\s+)?JOIN\s+", out, re.IGNORECASE
+    )
+    if any_m:
+        rest = out[any_m.end():]
+        rhs_m = re.match(
+            r"(\(.*?\)|[\w.]+)(\s+(?:AS\s+)?(\w+))?\s+USING\s*\(([^)]+)\)",
+            rest, re.IGNORECASE | re.DOTALL,
+        )
+        if rhs_m is None:
+            raise ValueError(
+                "ANY JOIN is supported with USING (...); for ON-joins "
+                "deduplicate the right side explicitly (LIMIT 1 BY key)"
+            )
+        rhs, alias_clause, alias, keys = rhs_m.groups()
+        first_key = keys.split(",")[0].strip()
+        dedup = (
+            f"(SELECT * EXCEPT (__bh_any) FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY {keys} ORDER BY {first_key}) AS __bh_any "
+            f"FROM {rhs}) WHERE __bh_any = 1)"
+        )
+        join_kw = (any_m.group(1) or "") + "JOIN "
+        out = (
+            out[:any_m.start()] + join_kw + dedup
+            + (alias_clause or "") + f" USING ({keys})"
+            + rest[rhs_m.end():]
+        )
+    # -- * REPLACE (expr AS col, ...) ------------------------------
+    m = re.search(r"\*\s+REPLACE\s*\(", out, re.IGNORECASE)
+    if m:
+        depth, j = 1, m.end()
+        quote = None
+        while j < len(out) and depth:
+            c = out[j]
+            if quote:
+                quote = None if c == quote else quote
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        items = _split_args_top(out[m.end():j - 1])
+        names, exprs = [], []
+        for it in items:
+            em = re.match(r"(.+)\s+AS\s+(\w+)\s*$", it, re.IGNORECASE | re.DOTALL)
+            if em is None:
+                raise ValueError(f"* REPLACE item must be 'expr AS col': {it!r}")
+            exprs.append(f"{em.group(1).strip()} AS {em.group(2)}")
+            names.append(em.group(2))
+        out = (
+            out[:m.start()]
+            + f"* EXCEPT ({', '.join(names)}), {', '.join(exprs)}"
+            + out[j:]
+        )
+    # -- scalar WITH aliases ---------------------------------------
+    m = re.match(r"^\s*WITH\s+(.+?)\s+(SELECT\b.*)$", out,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        items = _split_args_top(m.group(1))
+        scalars: list[tuple[str, str]] = []
+        is_scalar_form = True
+        for it in items:
+            em = re.match(r"(.+)\s+AS\s+([A-Za-z_]\w*)\s*$", it,
+                          re.IGNORECASE | re.DOTALL)
+            if em is None or re.match(r"^[A-Za-z_]\w*\s+AS\s*\(", it,
+                                      re.IGNORECASE):
+                is_scalar_form = False  # standard CTE — leave alone
+                break
+            scalars.append((em.group(2), em.group(1).strip()))
+        if is_scalar_form and scalars:
+            body = m.group(2)
+            for name, expr in scalars:
+                # Quote-aware substitution: an alias inside a string
+                # literal is data, not a reference.
+                pat = re.compile(rf"\b{re.escape(name)}\b")
+                parts = re.split(r"('(?:[^']|'')*')", body)
+                body = "".join(
+                    p if i % 2 else pat.sub(f"({expr})", p)
+                    for i, p in enumerate(parts)
+                )
+            out = body
+    return out
 
 
 def _strip_settings(sql: str) -> tuple[str, dict[str, str], dict[str, str]]:

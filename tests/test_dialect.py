@@ -1264,3 +1264,86 @@ class TestSubscriptSemantics:
         assert eng.execute(
             "SELECT splitByChar(',', 'a,b,c')[2] AS r"
         ).rows == [["b"]]
+
+
+class TestRound4Constructs:
+    """CH statement-level spellings added in round 4 — each checked
+    end-to-end through the engine."""
+
+    def _eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark=spark)
+
+    def test_two_arg_cast(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "SELECT CAST(number, 'String') AS r FROM numbers(1)"
+        ).rows == [["0"]]
+        assert eng.execute("SELECT CAST('7', 'UInt64') + 1 AS r").rows == [[8]]
+        # standard CAST untouched
+        assert eng.execute(
+            "SELECT CAST(number AS STRING) AS r FROM numbers(1)"
+        ).rows == [["0"]]
+
+    def test_limit_comma_offset(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "SELECT number FROM numbers(10) ORDER BY number LIMIT 2, 3"
+        ).rows == [[2], [3], [4]]
+
+    def test_distinct_on_maps_to_limit_by(self, spark):
+        eng = self._eng(spark)
+        rows = eng.execute(
+            "SELECT DISTINCT ON (m) m, number FROM "
+            "(SELECT number, number % 3 AS m FROM numbers(9)) "
+            "ORDER BY m, number"
+        ).rows
+        assert rows == [[0, 0], [1, 1], [2, 2]]
+        # trailing LIMIT applies after the per-key dedup (CH order)
+        rows = eng.execute(
+            "SELECT DISTINCT ON (m) m, number FROM "
+            "(SELECT number, number % 3 AS m FROM numbers(9)) "
+            "ORDER BY m, number LIMIT 2"
+        ).rows
+        assert rows == [[0, 0], [1, 1]]
+
+    def test_join_strictness(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "SELECT a.n FROM (SELECT 1 AS n) a "
+            "ALL INNER JOIN (SELECT 1 AS n) b USING (n)"
+        ).rows == [[1]]
+        # ANY: at most one right match per left row
+        rows = eng.execute(
+            "SELECT n, m FROM (SELECT 1 AS n) a ANY LEFT JOIN "
+            "(SELECT 1 AS n, 5 AS m UNION ALL SELECT 1, 6) b USING (n)"
+        ).rows
+        assert len(rows) == 1
+        import pytest
+
+        with pytest.raises(ValueError, match="USING"):
+            eng.execute(
+                "SELECT 1 FROM t1 ANY JOIN t2 ON t1.a = t2.a"
+            )
+
+    def test_star_replace(self, spark):
+        eng = self._eng(spark)
+        r = eng.execute(
+            "SELECT * REPLACE (a * 2 AS a) FROM (SELECT 1 AS a, 2 AS b)"
+        )
+        assert sorted(zip(r.cols, r.rows[0])) == [("a", 2), ("b", 2)]
+
+    def test_scalar_with_aliases(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "WITH 5 AS k SELECT k + number AS r FROM numbers(2) ORDER BY r"
+        ).rows == [[5], [6]]
+        assert eng.execute("WITH 2 AS a, 3 AS b SELECT a * b AS r").rows == [[6]]
+        # alias inside a string literal is data
+        assert eng.execute("WITH 5 AS k SELECT 'k' AS r").rows == [["k"]]
+        # standard CTE form untouched
+        assert eng.execute(
+            "WITH t AS (SELECT number AS n FROM numbers(3)) "
+            "SELECT sum(n) AS s FROM t"
+        ).rows == [[3]]
