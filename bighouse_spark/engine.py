@@ -165,6 +165,34 @@ class BigHouseEngine:
         # Catalyst decorrelates into the (broadcast) lookup join a CH
         # in-memory dictionary is.
         self._dicts: dict[str, tuple[str, str]] = {}
+        # CREATE VIEW views: name → transpiled SELECT (for SHOW
+        # CREATE; the registered temp view is the live object).
+        self._user_views: dict[str, str] = {}
+
+    def _rename_table(self, old: str, new: str) -> None:
+        """RENAME TABLE: re-point the temp view and, for attached
+        tables, the backing-storage registration. Renaming a
+        materialized view is refused (its checkpoint state is bound to
+        the name)."""
+        if old in self._mviews:
+            raise ValueError(f"RENAME TABLE {old}: cannot rename an MV")
+        if new in self._attached or new in self._mviews or (
+            self.spark.catalog.tableExists(new)
+        ):
+            raise ValueError(f"RENAME TABLE: target {new} exists")
+        if old in self._attached:
+            path, fmt, schema = self._attached.pop(old)
+            self.spark.catalog.dropTempView(old)
+            self.attach_table(new, path, fmt=fmt, schema=schema)
+        elif self.spark.catalog.tableExists(old):
+            df = self.spark.table(old)
+            df.createOrReplaceTempView(new)
+            self.spark.catalog.dropTempView(old)
+            if old in self._user_views:
+                self._user_views[new] = self._user_views.pop(old)
+        else:
+            raise ValueError(f"RENAME TABLE {old}: not found")
+        self.clear_cache()
 
     def clear_cache(self) -> None:
         with self._cache_lock:
@@ -403,6 +431,40 @@ class BigHouseEngine:
     _CREATE_TABLE_HEAD_RE = re.compile(
         r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*\(",
+        re.IGNORECASE,
+    )
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"(?:\s+ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
+        r"(?:\s+PARTITION\s+BY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+(?:\s*\(\s*\))?))?"
+        r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
+        r"\s+AS\s+(SELECT\b.+|WITH\b.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _CREATE_VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+AS\s+(SELECT\b.+|WITH\b.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*$",
+        re.IGNORECASE,
+    )
+    _RENAME_RE = re.compile(
+        r"^\s*RENAME\s+TABLE\s+[`\"]?(\w+)[`\"]?\s+TO\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
+        re.IGNORECASE,
+    )
+    _EXCHANGE_RE = re.compile(
+        r"^\s*EXCHANGE\s+TABLES\s+[`\"]?(\w+)[`\"]?\s+AND\s+"
+        r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
+        re.IGNORECASE,
+    )
+    _EXISTS_RE = re.compile(
+        r"^\s*EXISTS\s+(?:TABLE\s+)?[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
     )
     _CREATE_TABLE_TAIL_RE = re.compile(
@@ -961,6 +1023,100 @@ class BigHouseEngine:
         # ones. ORDER BY / PARTITION BY / SETTINGS clauses are
         # accepted and dropped (layout is a write-time concern here —
         # execute_to_sink(order_by=/zorder_by=)).
+        m_ctas = (
+            None if self._CREATE_TABLE_HEAD_RE.match(request.query)
+            else self._CTAS_RE.match(request.query)
+        )
+        if m_ctas:
+            # CTAS: materialize the SELECT into an engine-owned parquet
+            # directory and attach — the result is a real table with
+            # the full write surface, same as CREATE TABLE + INSERT.
+            if_not_exists, name, select_sql = m_ctas.groups()
+            if name in self._attached or name in self._mviews:
+                if if_not_exists:
+                    return QueryResult(
+                        cols=["table"], rows=[[name]],
+                        elapsed_sec=time.monotonic() - t0,
+                    )
+                raise ValueError(f"CREATE TABLE {name}: name in use")
+            import tempfile
+
+            sel = transpile(select_sql, self.spark)
+            df = self.spark.sql(sel.sql)
+            path = tempfile.mkdtemp(prefix=f"bh_tbl_{name}_")
+            df.write.mode("overwrite").parquet(path)
+            for v in sel.views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+            self.attach_table(name, path)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<create table as>", elapsed, 0)
+            )
+            return QueryResult(cols=["table"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_cv = self._CREATE_VIEW_RE.match(request.query)
+        if m_cv:
+            # CH CREATE VIEW re-evaluates its SELECT per query — a
+            # Spark temp view has identical semantics. Session-scoped,
+            # like everything in this engine.
+            name, select_sql = m_cv.groups()
+            sel = transpile(select_sql, self.spark)
+            self.spark.sql(sel.sql).createOrReplaceTempView(name)
+            self._user_views[name] = sel.sql
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<create view>", elapsed, 0)
+            )
+            return QueryResult(cols=["view"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_dv = self._DROP_VIEW_RE.match(request.query)
+        if m_dv:
+            name = m_dv.group(1)
+            self.spark.catalog.dropTempView(name)
+            self._user_views.pop(name, None)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<drop view>", elapsed, 0)
+            )
+            return QueryResult(cols=["dropped"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_rn = self._RENAME_RE.match(request.query)
+        if m_rn:
+            old, new = m_rn.groups()
+            self._rename_table(old, new)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<rename>", elapsed, 0)
+            )
+            return QueryResult(cols=["renamed"], rows=[[new]],
+                               elapsed_sec=elapsed)
+        m_ex = self._EXCHANGE_RE.match(request.query)
+        if m_ex:
+            a, b = m_ex.groups()
+            tmp = f"__bh_xchg_{a}"
+            self._rename_table(a, tmp)
+            self._rename_table(b, a)
+            self._rename_table(tmp, b)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<exchange>", elapsed, 0)
+            )
+            return QueryResult(cols=["exchanged"], rows=[[a, b]],
+                               elapsed_sec=elapsed)
+        m_exists = self._EXISTS_RE.match(request.query)
+        if m_exists:
+            name = m_exists.group(1)
+            found = (
+                name in self._attached or name in self._mviews
+                or self.spark.catalog.tableExists(name)
+            )
+            return QueryResult(
+                cols=["result"], rows=[[1 if found else 0]],
+                elapsed_sec=time.monotonic() - t0,
+            )
         m_ct = self._CREATE_TABLE_HEAD_RE.match(request.query)
         if m_ct:
             if_not_exists, name = m_ct.groups()
@@ -1085,6 +1241,7 @@ class BigHouseEngine:
             # to the engine, not the shared storage).
             self.spark.catalog.dropTempView(name)
             self._attached.pop(name, None)
+            self._user_views.pop(name, None)
             mv = self._mviews.pop(name, None)
             if mv is not None:
                 import os
@@ -1291,6 +1448,8 @@ class BigHouseEngine:
                 "ENGINE = MergeTree\nORDER BY tuple()\nAS "
                 f"{self._mviews[name]['select']}"
             )
+        elif name in self._user_views:
+            stmt = f"CREATE VIEW {name}\nAS {self._user_views[name]}"
         elif name in self._attached:
             stmt = render_create_table(name, self.spark.table(name).schema)
         else:

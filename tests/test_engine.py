@@ -672,3 +672,72 @@ class TestShowCreateTable:
         finally:
             eng.execute("DROP TABLE sct_mv")
             eng.execute("DROP TABLE sct_src")
+
+
+class TestDDLSurface:
+    """CTAS / CREATE VIEW / RENAME / EXCHANGE / EXISTS (round 4)."""
+
+    def test_ctas_full_write_surface(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute(
+            "CREATE TABLE ddl_c ENGINE = MergeTree ORDER BY tuple() "
+            "AS SELECT number AS n FROM numbers(3)"
+        )
+        try:
+            assert eng.execute("SELECT sum(n) AS s FROM ddl_c").rows == [[3]]
+            eng.execute("INSERT INTO ddl_c SELECT 100")
+            assert eng.execute("SELECT sum(n) AS s FROM ddl_c").rows == [[103]]
+            # name collision honored
+            import pytest
+
+            with pytest.raises(ValueError, match="name in use"):
+                eng.execute("CREATE TABLE ddl_c AS SELECT 1 AS n")
+            r = eng.execute(
+                "CREATE TABLE IF NOT EXISTS ddl_c AS SELECT 1 AS n"
+            )
+            assert r.rows == [["ddl_c"]]
+        finally:
+            eng.execute("DROP TABLE ddl_c")
+
+    def test_create_view_and_show_create(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute("CREATE TABLE ddl_v_src (a UInt64)")
+        eng.execute("INSERT INTO ddl_v_src SELECT number FROM numbers(4)")
+        eng.execute("CREATE VIEW ddl_v AS SELECT a FROM ddl_v_src WHERE a > 1")
+        try:
+            assert eng.execute("SELECT count() AS c FROM ddl_v").rows == [[2]]
+            stmt = eng.execute("SHOW CREATE TABLE ddl_v").rows[0][0]
+            assert stmt.startswith("CREATE VIEW ddl_v")
+            assert "WHERE a > 1" in stmt
+        finally:
+            eng.execute("DROP VIEW ddl_v")
+            eng.execute("DROP TABLE ddl_v_src")
+        assert eng.execute("EXISTS TABLE ddl_v").rows == [[0]]
+
+    def test_rename_and_exchange(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute("CREATE TABLE ddl_a AS SELECT 1 AS x")
+        eng.execute("CREATE TABLE ddl_b AS SELECT 2 AS x UNION ALL SELECT 3")
+        try:
+            eng.execute("RENAME TABLE ddl_a TO ddl_a2")
+            assert eng.execute("EXISTS ddl_a").rows == [[0]]
+            assert eng.execute("SELECT count() AS c FROM ddl_a2").rows == [[1]]
+            # writes follow the rename (attachment re-pointed)
+            eng.execute("INSERT INTO ddl_a2 SELECT 9")
+            assert eng.execute("SELECT count() AS c FROM ddl_a2").rows == [[2]]
+            eng.execute("EXCHANGE TABLES ddl_a2 AND ddl_b")
+            assert eng.execute("SELECT count() AS c FROM ddl_a2").rows == [[2]]
+            assert eng.execute("SELECT count() AS c FROM ddl_b").rows == [[2]]
+            import pytest
+
+            with pytest.raises(ValueError, match="exists"):
+                eng.execute("RENAME TABLE ddl_b TO ddl_a2")
+        finally:
+            eng.execute("DROP TABLE ddl_a2")
+            eng.execute("DROP TABLE ddl_b")
