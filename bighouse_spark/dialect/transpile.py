@@ -57,6 +57,12 @@ _FUNC_RENAMES = {
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
     # NOTE: uniqExact is in _WRAP_FUNCS — `count_distinct` is the
     # Python-API name only; Spark SQL needs count(DISTINCT x).
     "toDate": "to_date",
@@ -253,9 +259,80 @@ _WRAP_FUNCS = {
     ),
 }
 
-# CH -If aggregate combinators: f_If(x, cond) → f(CASE WHEN cond
-# THEN x END). (countIf is count_if natively; listed in renames.)
-_IF_COMBINATORS = ("sumIf", "avgIf", "minIf", "maxIf")
+# CH -If aggregate combinators: f_If(x..., cond) → f(CASE WHEN cond
+# THEN x END, ...) — NULLed-out rows are ignored by every aggregate,
+# which is exactly the combinator's filter semantics, and the base
+# name still flows through the normal rename pipeline afterwards
+# (uniqIf → uniq(CASE...) → approx_count_distinct(CASE...)).
+# (countIf is count_if natively; listed in renames.)
+_IF_COMBINATOR_BASES = (
+    "sum", "avg", "min", "max", "anyLast", "any", "uniqExact",
+    "uniqCombined64", "uniqCombined", "uniqHLL12", "uniq",
+    "groupUniqArray", "groupArray", "argMax", "argMin", "stddevPop",
+    "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+    "medianExact", "median", "quantileExact", "quantileTDigest",
+    "quantilesExact", "quantiles", "quantile", "topK",
+)
+
+
+def _rewrite_if_combinators(sql: str) -> str:
+    """Generic ``<agg>If(args..., cond)`` rewrite, including the
+    parametric form ``quantileIf(p)(x, cond)`` — runs BEFORE the
+    parametric rewrite so the de-suffixed call is picked up there.
+    ``any``/``anyLast`` emit ``any_value`` directly: the contextual
+    any→any_value pass has already run by the time this rewrite
+    produces its output, and Spark's bare ``any()`` is boolean-OR."""
+    out = sql
+    for name in _IF_COMBINATOR_BASES:
+        fn = name + "If"
+        base = {"any": "any_value", "anyLast": "any_value"}.get(name, name)
+        pos = 0
+        while True:
+            call = _find_call(out, fn, pos)
+            if call is None:
+                break
+            start, end, args = call
+            # Parametric: fn(params)(real_args) — first group is the
+            # parameter list; the argument group follows immediately.
+            rest = out[end:]
+            pm = re.match(r"\s*\(", rest)
+            if pm:
+                j, depth, quote = end + pm.end(), 1, None
+                while j < len(out) and depth:
+                    c = out[j]
+                    if quote:
+                        quote = None if c == quote else quote
+                    elif c in "'\"":
+                        quote = c
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    j += 1
+                real = _split_args_top(out[end + pm.end():j - 1])
+                if len(real) < 2:
+                    raise ValueError(f"{fn}(...)(args, cond): missing cond")
+                cond = real[-1]
+                vals = ", ".join(
+                    f"CASE WHEN ({cond}) THEN ({v}) END" for v in real[:-1]
+                )
+                out = (
+                    f"{out[:start]}{base}({', '.join(args)})({vals})"
+                    f"{out[j:]}"
+                )
+            else:
+                if len(args) < 2:
+                    raise ValueError(f"{fn}() expects (expr..., cond)")
+                cond = args[-1]
+                vals = ", ".join(
+                    f"CASE WHEN ({cond}) THEN ({v}) END" for v in args[:-1]
+                )
+                # any_value keeps NULLs by default — the filtered-out
+                # rows must be skipped, so pass ignoreNulls.
+                tail = ", true" if base == "any_value" else ""
+                out = f"{out[:start]}{base}({vals}{tail}){out[end:]}"
+            pos = start + 1
+    return out
 
 
 def _sql_regex_literal(quoted: str) -> str:
@@ -499,6 +576,39 @@ _ARG_REWRITES: dict = {
         f"repeat('█', greatest(CAST(round(({a[0]} - ({a[1]})) "
         f"/ (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else 80})) "
         f"AS INT), 0))"
+    ),
+    # -Array aggregate combinators: aggregate over the concatenation
+    # of every row's array.
+    "sumArray": lambda a: (
+        f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__a, __x) -> __a + __x))"
+    ),
+    "minArray": lambda a: f"min(array_min({a[0]}))",
+    "maxArray": lambda a: f"max(array_max({a[0]}))",
+    "avgArray": lambda a: (
+        f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__a, __x) -> __a + __x)) / sum(size({a[0]})))"
+    ),
+    "uniqArray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    "avgWeighted": lambda a: (
+        f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+    ),
+    # boundingRatio(x, y): slope of the bounding segment — rise
+    # between the y values at max/min x over the x span.
+    "boundingRatio": lambda a: (
+        f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
+        f"/ (CAST(max({a[0]}) AS DOUBLE) - min({a[0]})))"
+    ),
+    # deltaSum is block-order dependent (like runningDifference):
+    # refuse with the window spelling.
+    "deltaSum": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "deltaSum() is block-order dependent; use "
+            f"sum(greatest({a[0]} - lag({a[0]}, 1, {a[0]}) "
+            "OVER (ORDER BY <key>), 0)) instead"
+        )
     ),
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
@@ -1454,6 +1564,7 @@ def _rewrite_functions(sql: str) -> str:
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     out = _rewrite_contextual(out)
+    out = _rewrite_if_combinators(out)
     out = _rewrite_parametric(out)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(
@@ -1496,20 +1607,6 @@ def _rewrite_functions(sql: str) -> str:
             except IndexError:
                 raise ValueError(f"{fn}(): wrong number of arguments: {args}")
             out = out[:start] + repl + out[end:]
-    for fn in _IF_COMBINATORS:
-        base = fn[:-2].lower()
-        while True:
-            call = _find_call(out, fn)
-            if call is None:
-                break
-            start, end, args = call
-            if len(args) != 2:
-                raise ValueError(f"{fn}() expects (expr, cond), got {args}")
-            out = (
-                out[:start]
-                + f"{base}(CASE WHEN ({args[1]}) THEN ({args[0]}) END)"
-                + out[end:]
-            )
     for zero, repl in _ZERO_ARG.items():
         out = out.replace(zero, repl)
     for ch, sp in _FUNC_RENAMES.items():

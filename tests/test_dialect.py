@@ -1347,3 +1347,69 @@ class TestRound4Constructs:
             "WITH t AS (SELECT number AS n FROM numbers(3)) "
             "SELECT sum(n) AS s FROM t"
         ).rows == [[3]]
+
+
+class TestAggregateCombinators:
+    """Generic -If combinator + -Array combinators (round 4)."""
+
+    def _eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark=spark)
+
+    def test_if_combinator_family(self, spark):
+        eng = self._eng(spark)
+        q = (
+            "SELECT sumIf(number, number % 2 = 0) AS s, "
+            "minIf(number, number > 3) AS mn, "
+            "anyIf(number, number = 4) AS a, "
+            "uniqExactIf(number % 3, number > 2) AS u, "
+            "argMaxIf(number, number, number < 5) AS am, "
+            "groupArrayIf(number, number % 2 = 0) AS g, "
+            "stddevPopIf(number, number < 2) AS sd "
+            "FROM numbers(10)"
+        )
+        r = eng.execute(q)
+        row = dict(zip(r.cols, r.rows[0]))
+        assert row["s"] == 20 and row["mn"] == 4 and row["a"] == 4
+        assert row["u"] == 3 and row["am"] == 4
+        assert sorted(row["g"]) == [0, 2, 4, 6, 8] and row["sd"] == 0.5
+
+    def test_parametric_if(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "SELECT topKIf(2)(number % 3, number < 9) AS r FROM numbers(12)"
+        ).rows == [[[0, 1]]]
+        assert eng.execute(
+            "SELECT quantileExactIf(0.5)(number, number < 5) AS r "
+            "FROM numbers(100)"
+        ).rows == [[2]]
+
+    def test_array_combinators(self, spark):
+        eng = self._eng(spark)
+        r = eng.execute(
+            "SELECT sumArray(arr) AS s, minArray(arr) AS mn, "
+            "maxArray(arr) AS mx, avgArray(arr) AS av, "
+            "uniqArray(arr) AS u FROM "
+            "(SELECT [1,2] AS arr UNION ALL SELECT [2,3])"
+        )
+        row = dict(zip(r.cols, r.rows[0]))
+        assert row["s"] == 8.0 and row["mn"] == 1 and row["mx"] == 3
+        assert row["av"] == 2.0 and row["u"] == 3
+
+    def test_misc_aggregates(self, spark):
+        eng = self._eng(spark)
+        assert eng.execute(
+            "SELECT avgWeighted(number, 2) AS r FROM numbers(4)"
+        ).rows == [[1.5]]
+        assert eng.execute(
+            "SELECT boundingRatio(number, number * 3) AS r FROM numbers(5)"
+        ).rows == [[3.0]]
+        assert eng.execute(
+            "SELECT stddevPop(number) >= 0 AS a, varSamp(number) >= 0 AS b, "
+            "covarPop(number, number) >= 0 AS c FROM numbers(10)"
+        ).rows == [[True, True, True]]
+        import pytest
+
+        with pytest.raises(ValueError, match="lag"):
+            eng.execute("SELECT deltaSum(number) FROM numbers(5)")
