@@ -165,6 +165,11 @@ _FUNC_RENAMES = {
 _ZERO_ARG = {
     "today()": "current_date()",
     "yesterday()": "date_sub(current_date(), 1)",
+    "currentDatabase()": "current_database()",
+    "currentUser()": "current_user()",
+    # One warm session is the whole "cluster": a stable literal is the
+    # honest answer (the reference's nodes answer with Fly VM names).
+    "hostName()": "'bighouse-spark'",
     **{
         f"emptyArray{ch}()": f"CAST(array() AS ARRAY<{sp}>)"
         for ch, sp in [
@@ -577,6 +582,15 @@ _ARG_REWRITES: dict = {
         f"/ (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else 80})) "
         f"AS INT), 0))"
     ),
+    # CH debug/plumbing no-ops: materialize() defeats CH
+    # constant-folding (meaningless under Catalyst — identity);
+    # ignore() always returns 0; sleep() returns 0 after sleeping
+    # (per-row sleeping is an anti-feature on a shared engine — the
+    # constant result is kept, the delay is not).
+    "materialize": lambda a: f"({a[0]})",
+    "ignore": lambda a: "0",
+    "sleep": lambda a: "0",
+    "sleepEachRow": lambda a: "0",
     # -Array aggregate combinators: aggregate over the concatenation
     # of every row's array.
     "sumArray": lambda a: (

@@ -1413,3 +1413,15 @@ class TestAggregateCombinators:
 
         with pytest.raises(ValueError, match="lag"):
             eng.execute("SELECT deltaSum(number) FROM numbers(5)")
+
+
+class TestIntrospectionNoops:
+    def test_plumbing_functions(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute("SELECT currentDatabase() AS r").rows == [["default"]]
+        assert eng.execute("SELECT hostName() AS r").rows == [["bighouse-spark"]]
+        assert eng.execute("SELECT materialize(5) AS r").rows == [[5]]
+        assert eng.execute("SELECT ignore(1, 2) AS r").rows == [[0]]
+        assert eng.execute("SELECT sleep(0) AS r").rows == [[0]]
