@@ -39,7 +39,7 @@ from bighouse_spark.sources.readers import read_source
 
 _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
-    "clusterAllReplicas", "cluster",
+    "clusterAllReplicas", "cluster", "values",
 )
 
 # CH 64-bit hash functions → xxhash64 (capability parity: any
@@ -1959,11 +1959,25 @@ def _rewrite_table_functions(
     views: list[str] = []
     out = sql
     for fn in _TABLE_FUNCS:
+        pos = 0
         while True:
-            call = _find_call(out, fn)
+            call = _find_call(out, fn, pos)
             if call is None:
                 break
             start, end, args = call
+            if fn == "values" and not (
+                args
+                and re.fullmatch(r"'[^']*'", args[0].strip())
+                and re.search(
+                    r"(?:\bFROM|\bJOIN)\s*$", out[:start], re.IGNORECASE
+                )
+            ):
+                # The CH table function only appears in FROM/JOIN
+                # position with a quoted schema first — everything
+                # else (Spark-native VALUES rows, INSERT VALUES and
+                # wire-format payloads) is untouched.
+                pos = start + 1
+                continue
             if spark is None:
                 raise ValueError(
                     f"table function {fn}() requires a SparkSession to transpile"
@@ -2157,6 +2171,22 @@ def _register_source(
             raise ValueError(f"{fn}() needs (cluster, table) arguments")
         tbl = _unquote(args[1]).split(".")[-1]
         spark.table(tbl).createOrReplaceTempView(view)
+        return
+    if fn == "values":
+        # values('a T, b U', (..), (..)): inline literal table. Spark's
+        # VALUES syntax provides the rows; the CH schema string names
+        # and types the columns.
+        if len(args) < 2:
+            raise ValueError("values() needs ('schema', row, ...)")
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        struct = parse_schema_string(_unquote(args[0]))
+        names = ", ".join(f.name for f in struct.fields)
+        rows = ", ".join(args[1:])
+        df = spark.sql(f"SELECT * FROM VALUES {rows} AS __v({names})")
+        for f in struct.fields:
+            df = df.withColumn(f.name, df[f.name].cast(f.dataType))
+        df.createOrReplaceTempView(view)
         return
     if fn == "merge":
         # merge([db,] 'tables_regexp'): union of every registered

@@ -1257,6 +1257,25 @@ class BigHouseEngine:
             return QueryResult(
                 cols=["dropped"], rows=[[name]], elapsed_sec=elapsed
             )
+        # CH's native dotted spelling for system tables: rewrite
+        # system.<name> to the registered system_<name> views (temp
+        # views can't hold dots) after refreshing them, and map the
+        # infinite system.numbers onto Spark's lazy range (LIMIT
+        # pushes into the first partition — nothing materializes).
+        if re.search(r"\bsystem\.\w+", request.query):
+            numbers_sub = (
+                "(SELECT id AS number FROM range(9223372036854775807))"
+            )
+            rewritten = re.sub(
+                r"\bsystem\.numbers(_mt)?\b", numbers_sub, request.query
+            )
+            if re.search(r"\bsystem\.\w+", rewritten):
+                self.refresh_system_views()
+            rewritten = re.sub(r"\bsystem\.(\w+)", r"system_\1", rewritten)
+            request = QueryRequest(
+                query=rewritten, init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+            )
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.
         use_cache = (

@@ -741,3 +741,40 @@ class TestDDLSurface:
         finally:
             eng.execute("DROP TABLE ddl_a2")
             eng.execute("DROP TABLE ddl_b")
+
+
+class TestSystemDottedSpelling:
+    def test_system_tables_and_numbers(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        eng.execute("SELECT 1")
+        assert eng.execute(
+            "SELECT count() >= 1 AS c FROM system.query_log"
+        ).rows == [[True]]
+        assert eng.execute(
+            "SELECT count() >= 1 AS c FROM system.clusters"
+        ).rows == [[True]]
+        # infinite numbers table: LIMIT pushes into the lazy range
+        assert eng.execute(
+            "SELECT number FROM system.numbers LIMIT 3"
+        ).rows == [[0], [1], [2]]
+
+    def test_values_table_function(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute(
+            "SELECT a, b FROM values('a Int64, b String', (1, 'x'), "
+            "(2, 'y')) ORDER BY a"
+        ).rows == [[1, "x"], [2, "y"]]
+        # Spark-native VALUES and INSERT VALUES are untouched
+        assert eng.execute(
+            "SELECT a FROM (SELECT * FROM VALUES (7) AS t(a))"
+        ).rows == [[7]]
+        eng.execute("CREATE TABLE sysv_t (a UInt64)")
+        try:
+            eng.execute("INSERT INTO sysv_t VALUES (5)")
+            assert eng.execute("SELECT a FROM sysv_t").rows == [[5]]
+        finally:
+            eng.execute("DROP TABLE sysv_t")
