@@ -224,6 +224,21 @@ _WRAP_FUNCS = {
     ),
     "uniqState": ("hll_sketch_agg(", ")"),
     "uniqMerge": ("hll_sketch_estimate(hll_union_agg(", "))"),
+    # The rest of the AggregatingMergeTree -State/-Merge family: for
+    # decomposable aggregates the partial state IS the partial value
+    # (sum of sums, min of mins, counts merge by summing); avg needs
+    # the (sum, count) pair carried explicitly.
+    "sumState": ("sum(", ")"),
+    "sumMerge": ("sum(", ")"),
+    "minState": ("min(", ")"),
+    "minMerge": ("min(", ")"),
+    "maxState": ("max(", ")"),
+    "maxMerge": ("max(", ")"),
+    "countState": ("count(", ")"),
+    "countMerge": ("sum(", ")"),
+    "avgState": (
+        "named_struct('sum', sum(CAST(", " AS DOUBLE)), 'count', count(1))"
+    ),
     # Nullability adapters are no-ops in Spark's type system.
     "assumeNotNull": ("(", ")"),
     "toNullable": ("(", ")"),
@@ -581,6 +596,10 @@ _ARG_REWRITES: dict = {
         f"repeat('█', greatest(CAST(round(({a[0]} - ({a[1]})) "
         f"/ (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else 80})) "
         f"AS INT), 0))"
+    ),
+    # avgMerge folds the (sum, count) pairs avgState emits.
+    "avgMerge": lambda a: (
+        f"(sum(({a[0]}).sum) / sum(({a[0]}).count))"
     ),
     # CH debug/plumbing no-ops: materialize() defeats CH
     # constant-folding (meaningless under Catalyst — identity);

@@ -1425,3 +1425,22 @@ class TestIntrospectionNoops:
         assert eng.execute("SELECT materialize(5) AS r").rows == [[5]]
         assert eng.execute("SELECT ignore(1, 2) AS r").rows == [[0]]
         assert eng.execute("SELECT sleep(0) AS r").rows == [[0]]
+
+
+class TestStateMergeFamily:
+    def test_two_level_rollup(self, spark):
+        """AggregatingMergeTree pattern: per-group partial states,
+        merged at the outer level — decomposable aggregates carry
+        their partial value, avg carries its (sum, count) pair."""
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        rows = eng.execute(
+            "SELECT sumMerge(s) AS total, countMerge(c) AS n, "
+            "minMerge(mn) AS mn, maxMerge(mx) AS mx, avgMerge(av) AS av "
+            "FROM (SELECT number % 3 AS g, sumState(number) AS s, "
+            "countState(number) AS c, minState(number) AS mn, "
+            "maxState(number) AS mx, avgState(number) AS av "
+            "FROM numbers(10) GROUP BY g)"
+        ).rows
+        assert rows == [[45, 10, 0, 9, 4.5]]
