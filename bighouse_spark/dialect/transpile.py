@@ -39,7 +39,7 @@ from bighouse_spark.sources.readers import read_source
 
 _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
-    "clusterAllReplicas", "cluster", "values",
+    "clusterAllReplicas", "cluster", "values", "generateRandom",
 )
 
 # CH 64-bit hash functions → xxhash64 (capability parity: any
@@ -2206,6 +2206,60 @@ def _register_source(
         for f in struct.fields:
             df = df.withColumn(f.name, df[f.name].cast(f.dataType))
         df.createOrReplaceTempView(view)
+        return
+    if fn == "generateRandom":
+        # generateRandom('schema'[, seed]): deterministic pseudorandom
+        # rows typed by the schema — hash-derived from a lazy infinite
+        # range, so LIMIT n materializes exactly n rows and the same
+        # seed reproduces the same data (CH's generator is likewise
+        # seed-deterministic). Used with LIMIT, like in CH.
+        if not args:
+            raise ValueError("generateRandom() needs a 'schema' argument")
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        struct = parse_schema_string(_unquote(args[0]))
+        seed = int(_unquote(args[1])) if len(args) > 1 else 0
+        base = spark.range(0, 9223372036854775807).select("id")
+
+        def rand_col(i: int, dt) -> "F.Column":
+            h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(i))
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                return F.abs(h % F.lit(1_000_000)).cast(dt)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return (F.abs(h % F.lit(1 << 30)) / F.lit(1 << 30)).cast(dt)
+            if isinstance(dt, T.DecimalType):
+                return F.abs(h % F.lit(10 ** min(dt.precision - dt.scale, 6))
+                             ).cast(dt)
+            if isinstance(dt, T.BooleanType):
+                return (h % 2 == 0)
+            if isinstance(dt, T.DateType):
+                return F.date_add(F.lit("2020-01-01").cast("date"),
+                                  F.abs(h % F.lit(3653)).cast("int"))
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                return F.timestamp_seconds(
+                    F.lit(1577836800) + F.abs(h % F.lit(315360000))
+                )
+            if isinstance(dt, T.StringType):
+                return F.concat(F.lit("s"), F.abs(h % F.lit(100000)))
+            if isinstance(dt, T.ArrayType):
+                return F.slice(
+                    F.array(*[rand_col(i * 7 + k + 1, dt.elementType)
+                              for k in range(3)]),
+                    1, F.abs(h % F.lit(4)).cast("int"),
+                )
+            raise ValueError(
+                f"generateRandom: unsupported type {dt.simpleString()}"
+            )
+
+        out_df = base.select(
+            *[rand_col(i, f.dataType).alias(f.name)
+              for i, f in enumerate(struct.fields)]
+        )
+        out_df.createOrReplaceTempView(view)
         return
     if fn == "merge":
         # merge([db,] 'tables_regexp'): union of every registered

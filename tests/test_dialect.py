@@ -1444,3 +1444,20 @@ class TestStateMergeFamily:
             "FROM numbers(10) GROUP BY g)"
         ).rows
         assert rows == [[45, 10, 0, 9, 4.5]]
+
+
+class TestGenerateRandom:
+    def test_deterministic_typed_rows(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        q = (
+            "SELECT * FROM generateRandom("
+            "'a Int64, s String, f Float64, arr Array(Int32)', 42) LIMIT 5"
+        )
+        r1, r2 = eng.execute(q), eng.execute(q)
+        assert len(r1.rows) == 5 and r1.cols == ["a", "s", "f", "arr"]
+        assert r1.rows == r2.rows  # same seed → same data
+        r3 = eng.execute(q.replace("42", "7"))
+        assert r1.rows != r3.rows  # seed-sensitive
+        assert all(isinstance(row[1], str) for row in r1.rows)
