@@ -497,7 +497,55 @@ def _format_readable_quantity(a: list[str]) -> str:
     )
 
 
+class _SkipRewrite(Exception):
+    """Raised by an _ARG_REWRITES builder to leave a call untouched
+    (the spelling is context-dependent and this shape is native)."""
+
+
+def _trunc_toward_zero(a: list) -> str:
+    if len(a) == 2:  # Spark's trunc(date, fmt) — native, keep
+        raise _SkipRewrite
+    return (
+        f"(CASE WHEN ({a[0]}) >= 0 THEN floor({a[0]}) "
+        f"ELSE ceil({a[0]}) END)"
+    )
+
+
+def _euclid(a: list) -> str:
+    """gcd via an unrolled Euclid fold — 96 steps covers the 64-bit
+    worst case (consecutive Fibonacci numbers need ~92)."""
+    return (
+        f"aggregate(sequence(1, 96), "
+        f"named_struct('a', abs({a[0]}), 'b', abs({a[1]})), "
+        f"(__g, __i) -> IF(__g.b = 0, __g, "
+        f"named_struct('a', __g.b, 'b', __g.a % __g.b))).a"
+    )
+
+
 _ARG_REWRITES: dict = {
+    "toISOWeek": lambda a: f"weekofyear({a[0]})",
+    "now64": lambda a: "now()",
+    # CH toTimeZone keeps the instant and changes the display zone;
+    # Spark timestamps carry no zone, so shift the wall-clock instead
+    # — the observable behavior (toHour etc. return zone-local parts)
+    # matches, the stored instant does not (documented deviation).
+    "toTimeZone": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    "age": lambda a: f"timestampdiff({_unquote(a[0])}, {a[1]}, {a[2]})",
+    "toLastDayOfMonth": lambda a: f"last_day({a[0]})",
+    "toFixedString": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
+    "roundBankers": lambda a: f"bround({', '.join(a)})",
+    "roundToExp2": lambda a: (
+        f"(CASE WHEN ({a[0]}) < 1 THEN 0 ELSE "
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(floor(log2({a[0]})) AS INT)) END)"
+    ),
+    "trunc": _trunc_toward_zero,
+    "truncate": _trunc_toward_zero,
+    "gcd": _euclid,
+    "lcm": lambda a: (
+        f"(CASE WHEN ({a[0]}) = 0 OR ({a[1]}) = 0 THEN 0 "
+        f"ELSE abs(({a[0]}) * ({a[1]})) DIV {_euclid(a)} END)"
+    ),
     "toStartOfInterval": _to_start_of_interval,
     "formatReadableSize": _format_readable_size,
     "formatReadableQuantity": _format_readable_quantity,
@@ -1630,16 +1678,23 @@ def _rewrite_functions(sql: str) -> str:
         )
     out = _rewrite_json_funcs(out)
     for fn, builder in _ARG_REWRITES.items():
+        pos = 0
         while True:
-            call = _find_call(out, fn)
+            call = _find_call(out, fn, pos)
             if call is None:
                 break
             start, end, args = call
             try:
                 repl = builder(args)
+            except _SkipRewrite:
+                # Builder decided this call shape is already valid
+                # Spark (e.g. two-arg trunc(date, fmt)) — leave it.
+                pos = start + 1
+                continue
             except IndexError:
                 raise ValueError(f"{fn}(): wrong number of arguments: {args}")
             out = out[:start] + repl + out[end:]
+            pos = start
     for zero, repl in _ZERO_ARG.items():
         out = out.replace(zero, repl)
     for ch, sp in _FUNC_RENAMES.items():

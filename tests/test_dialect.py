@@ -1461,3 +1461,45 @@ class TestGenerateRandom:
         r3 = eng.execute(q.replace("42", "7"))
         assert r1.rows != r3.rows  # seed-sensitive
         assert all(isinstance(row[1], str) for row in r1.rows)
+
+
+class TestRound4DateMathFunctions:
+    def test_date_family(self, spark):
+        import datetime
+
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute(
+            "SELECT toISOWeek(toDate('2024-03-07')) AS r"
+        ).rows == [[10]]
+        assert eng.execute(
+            "SELECT toLastDayOfMonth(toDate('2024-02-10')) AS r"
+        ).rows == [[datetime.date(2024, 2, 29)]]
+        assert eng.execute(
+            "SELECT age('day', toDate('2024-01-01'), toDate('2024-02-01')) "
+            "AS r"
+        ).rows == [[31]]
+        # toTimeZone: zone-local parts extract correctly
+        assert eng.execute(
+            "SELECT hour(toTimeZone(toDateTime('2024-01-01 12:00:00'), "
+            "'America/New_York')) AS r"
+        ).rows == [[7]]
+
+    def test_math_family(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute(
+            "SELECT roundBankers(2.5) AS r, roundBankers(3.5) AS s"
+        ).rows == [[2.0, 4.0]]
+        assert eng.execute(
+            "SELECT roundToExp2(100) AS r, roundToExp2(0) AS z"
+        ).rows == [[64, 0]]
+        # one-arg trunc is toward-zero; two-arg stays Spark date trunc
+        assert eng.execute(
+            "SELECT trunc(2.9) AS t, trunc(-2.9) AS u"
+        ).rows == [[2.0, -2.0]]
+        assert eng.execute(
+            "SELECT gcd(12, 18) AS r, lcm(4, 6) AS l, gcd(0, 5) AS z"
+        ).rows == [[6, 12, 5]]
