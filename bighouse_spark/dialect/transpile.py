@@ -497,6 +497,36 @@ def _format_readable_quantity(a: list[str]) -> str:
     )
 
 
+_ARRAY_REDUCE_MAP = {
+    "sum": lambda arr: (
+        f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+    ),
+    "min": lambda arr: f"array_min({arr})",
+    "max": lambda arr: f"array_max({arr})",
+    "avg": lambda arr: (
+        f"(aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+        f"/ size({arr}))"
+    ),
+    "count": lambda arr: f"size({arr})",
+    "any": lambda arr: f"try_element_at({arr}, 1)",
+    "anylast": lambda arr: f"try_element_at({arr}, -1)",
+    "uniqexact": lambda arr: f"size(array_distinct({arr}))",
+    "uniq": lambda arr: f"size(array_distinct({arr}))",
+}
+
+
+def _array_reduce(a: list) -> str:
+    """arrayReduce('agg', arr): apply a named aggregate to an array's
+    elements — supported for the decomposable aggregates above."""
+    name = _unquote(a[0]).lower()
+    if name not in _ARRAY_REDUCE_MAP:
+        raise ValueError(
+            f"arrayReduce: unsupported aggregate {name!r} "
+            f"(supported: {sorted(_ARRAY_REDUCE_MAP)})"
+        )
+    return _ARRAY_REDUCE_MAP[name](a[1])
+
+
 class _SkipRewrite(Exception):
     """Raised by an _ARG_REWRITES builder to leave a call untouched
     (the spelling is context-dependent and this shape is native)."""
@@ -691,6 +721,27 @@ _ARG_REWRITES: dict = {
             "OVER (ORDER BY <key>), 0)) instead"
         )
     ),
+    "arrayPopBack": lambda a: (
+        f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    ),
+    "arrayPopFront": lambda a: (
+        f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+    ),
+    # arrayFirst/arrayFirstIndex: NULL / 0 when nothing matches
+    # (CH returns the type default / 0).
+    "arrayFirst": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+    ),
+    "arrayFirstIndex": lambda a: (
+        f"CAST(coalesce(array_position("
+        f"transform({a[1]}, {a[0]}), true), 0) AS INT)"
+    ),
+    "arrayLast": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+    ),
+    "arrayReduce": _array_reduce,
+    "mapContains": lambda a: f"map_contains_key({a[0]}, {a[1]})",
+    "mapFromArrays": lambda a: f"map_from_arrays({a[0]}, {a[1]})",
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",

@@ -1503,3 +1503,35 @@ class TestRound4DateMathFunctions:
         assert eng.execute(
             "SELECT gcd(12, 18) AS r, lcm(4, 6) AS l, gcd(0, 5) AS z"
         ).rows == [[6, 12, 5]]
+
+
+class TestRound4ArrayMapFunctions:
+    def test_array_family(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute(
+            "SELECT arrayPopBack([1,2,3]) AS r, arrayPopFront([1,2,3]) AS s"
+        ).rows == [[[1, 2], [2, 3]]]
+        assert eng.execute(
+            "SELECT arrayFirst(x -> x > 1, [1,2,3]) AS a, "
+            "arrayLast(x -> x > 1, [1,2,3]) AS b, "
+            "arrayFirstIndex(x -> x > 9, [1,2,3]) AS c"
+        ).rows == [[2, 3, 0]]
+        assert eng.execute(
+            "SELECT arrayReduce('sum', [1,2,3]) AS s, "
+            "arrayReduce('uniqExact', [1,1,2]) AS u"
+        ).rows == [[6.0, 2]]
+        import pytest
+
+        with pytest.raises(ValueError, match="unsupported aggregate"):
+            eng.execute("SELECT arrayReduce('medianTiming', [1])")
+
+    def test_map_family(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark=spark)
+        assert eng.execute(
+            "SELECT mapContains(map('a',1), 'a') AS r, "
+            "mapFromArrays(['a'],[1])['a'] AS v"
+        ).rows == [[True, 1]]
