@@ -40,6 +40,10 @@ from bighouse_spark.sources.readers import read_source
 _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
     "clusterAllReplicas", "cluster", "values", "generateRandom",
+    # Operator-backed table functions (no CH equivalent — the
+    # LLM-pipeline operator library surfaced through SQL so the HTTP
+    # and wire-protocol endpoints reach it):
+    "dedupMinhashLSH", "tfidfTopK",
 )
 
 # CH 64-bit hash functions → xxhash64 (capability parity: any
@@ -2287,6 +2291,42 @@ def _register_source(
       url(url[, format[, schema]]) / urlCluster(cluster, url, ...)
       file(path[, format[, schema]])
     """
+    if fn in ("dedupMinhashLSH", "tfidfTopK"):
+        # Operator-backed table functions over an already-registered
+        # table/view:
+        #   dedupMinhashLSH(table, 'id_col', 'text_col'[, threshold])
+        #   tfidfTopK(table, 'id_col', 'text_col'[, k])
+        # The operator builds the DataFrame plan; the engine's
+        # request-scoped release drops its tracked scratch persists.
+        if len(args) < 3:
+            raise ValueError(
+                f"{fn}() needs (table, 'id_col', 'text_col'[, ...])"
+            )
+        tbl = _unquote(args[0])
+        src = spark.table(tbl)
+        id_col, text_col = _unquote(args[1]), _unquote(args[2])
+        if fn == "dedupMinhashLSH":
+            from bighouse_spark.operators.dedup import minhash_lsh_pairs
+
+            df = minhash_lsh_pairs(
+                src,
+                text_col=text_col,
+                id_col=id_col,
+                jaccard_threshold=(
+                    float(args[3]) if len(args) > 3 else 0.5
+                ),
+            )
+        else:
+            from bighouse_spark.operators.tfidf import tfidf_topk
+
+            df = tfidf_topk(
+                src,
+                id_col=id_col,
+                text_col=text_col,
+                k=int(args[3]) if len(args) > 3 else 3,
+            )
+        df.createOrReplaceTempView(view)
+        return
     if fn in ("cluster", "clusterAllReplicas"):
         # cluster('name', [db.]table): route a query at a named
         # cluster. One Spark session IS the cluster, so this is the

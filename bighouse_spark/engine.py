@@ -81,6 +81,11 @@ class QueryResult:
     cols: list[str]
     rows: list[list[Any]]
     elapsed_sec: float = 0.0
+    # ClickHouse-spelled result column types derived from the Spark
+    # schema (``formats.ch_type_names``); None on non-SELECT paths
+    # (DDL, INSERT acks). Consumed by the HTTP FORMAT renderers and
+    # the PG/MySQL wire protocols for honest result metadata.
+    types: list[str] | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return {"cols": self.cols, "rows": self.rows, "elapsed_sec": self.elapsed_sec}
@@ -1290,7 +1295,7 @@ class BigHouseEngine:
                     len(hit.rows), cached=True,
                 )
             )
-            return QueryResult(hit.cols, hit.rows, elapsed)
+            return QueryResult(hit.cols, hit.rows, elapsed, types=hit.types)
         # Cluster-shape knobs → parallelism hint (B18). SQLConf is
         # session-global, so a knob-bearing query holds _conf_lock for
         # its duration and restores the prior value — two concurrent
@@ -1316,12 +1321,17 @@ class BigHouseEngine:
             transpiled = result.sql
             df = self.spark.sql(result.sql)
             cols = df.columns
+            from bighouse_spark.formats import ch_type_names
+
+            types = ch_type_names(df.schema)
             rows = [list(r) for r in df.collect()]
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, transpiled, elapsed, len(rows))
             )
-            out = QueryResult(cols=cols, rows=rows, elapsed_sec=elapsed)
+            out = QueryResult(
+                cols=cols, rows=rows, elapsed_sec=elapsed, types=types
+            )
             if use_cache:
                 self._cache_put(request.query, out)
             return out

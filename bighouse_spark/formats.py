@@ -1,0 +1,351 @@
+"""ClickHouse-compatible result FORMAT renderers + type-name mapping.
+
+The reference's deployed nodes serve the ClickHouse HTTP interface on
+port 8123 (``ch/config.xml:133``): ``GET/POST /?query=...`` returning
+the result rendered in the requested ``FORMAT`` (TabSeparated by
+default, ``JSON``/``JSONEachRow``/``CSV``/... on demand). This module
+implements the result-side renderers for the Spark engine — the
+request side lives in ``server.py``.
+
+Renderers are pure functions over the engine's ``(cols, rows, types)``
+result shape; nothing here touches Spark. Type names are rendered in
+ClickHouse spelling (``Int64``, ``Float64``, ``DateTime64(6)``,
+``Array(String)``, ...) derived from the Spark result schema, so the
+``JSON`` format's ``meta`` block and the wire protocols (pgwire /
+mysqlwire) share one honest, schema-derived source of truth instead of
+sampling row values.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Sequence
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Spark schema → ClickHouse type names
+# ---------------------------------------------------------------------------
+
+
+def ch_type_name(dt: T.DataType, nullable: bool = False) -> str:
+    """ClickHouse spelling for a Spark ``DataType``. ``nullable``
+    wraps scalar types in ``Nullable(...)`` the way CH result meta
+    does; composite types are never wrapped (CH forbids
+    ``Nullable(Array)``)."""
+    name: str
+    if isinstance(dt, T.ByteType):
+        name = "Int8"
+    elif isinstance(dt, T.ShortType):
+        name = "Int16"
+    elif isinstance(dt, T.IntegerType):
+        name = "Int32"
+    elif isinstance(dt, T.LongType):
+        name = "Int64"
+    elif isinstance(dt, T.FloatType):
+        name = "Float32"
+    elif isinstance(dt, T.DoubleType):
+        name = "Float64"
+    elif isinstance(dt, T.DecimalType):
+        name = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, T.BooleanType):
+        name = "Bool"
+    elif isinstance(dt, T.DateType):
+        name = "Date"
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # Spark timestamps are microsecond precision.
+        name = "DateTime64(6)"
+    elif isinstance(dt, T.ArrayType):
+        return f"Array({ch_type_name(dt.elementType)})"
+    elif isinstance(dt, T.MapType):
+        return (
+            f"Map({ch_type_name(dt.keyType)}, "
+            f"{ch_type_name(dt.valueType)})"
+        )
+    elif isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {ch_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    elif isinstance(dt, T.NullType):
+        return "Nullable(Nothing)"
+    else:  # StringType, BinaryType, CharType, VarcharType, ...
+        name = "String"
+    return f"Nullable({name})" if nullable else name
+
+
+def ch_type_names(schema: T.StructType) -> list[str]:
+    return [ch_type_name(f.dataType, f.nullable) for f in schema.fields]
+
+
+def ch_base_type(name: str) -> str:
+    """Strip ``Nullable(...)`` and parameters: ``Nullable(Decimal(10,
+    2))`` → ``Decimal``. Used by the wire protocols to pick OIDs."""
+    m = re.match(r"Nullable\((.*)\)$", name)
+    if m:
+        name = m.group(1)
+    return re.split(r"\(", name, 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Trailing result-side FORMAT clause
+# ---------------------------------------------------------------------------
+
+_FORMAT_TAIL_RE = re.compile(r"\bFORMAT\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_INSERT_RE = re.compile(r"^\s*INSERT\b", re.IGNORECASE)
+
+
+def split_result_format(sql: str) -> tuple[str, str | None]:
+    """Split a trailing ``FORMAT <name>`` off a SELECT-ish query
+    (``SELECT 1 FORMAT JSONEachRow`` → ``("SELECT 1",
+    "JSONEachRow")``). INSERT statements are returned untouched —
+    there ``FORMAT`` introduces the inline data payload, which the
+    engine parses itself (``engine._INSERT_FMT_RE``)."""
+    if _INSERT_RE.match(sql):
+        return sql, None
+    m = _FORMAT_TAIL_RE.search(sql)
+    if not m or m.group(1).lower() not in _CANONICAL:
+        return sql, None
+    return sql[: m.start()].rstrip(), _CANONICAL[m.group(1).lower()]
+
+
+# ---------------------------------------------------------------------------
+# Value rendering (CH text conventions)
+# ---------------------------------------------------------------------------
+
+
+def _text(v: Any) -> str:
+    """CH text rendering shared by CSV/TSV/Pretty: DateTime with a
+    space separator, arrays in bracket-literal form."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond else (
+            v.strftime("%Y-%m-%d %H:%M:%S")
+        )
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_quoted_elem(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{" + ",".join(
+                f"{_quoted_elem(k)}:{_quoted_elem(x)}" for k, x in v.items()
+            ) + "}"
+        )
+    return str(v)
+
+
+def _quoted_elem(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple, dict)):
+        return _text(v)
+    return _text(v)
+
+
+def _json_value(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return _text(v)
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_value(x) for k, x in v.items()}
+    return v
+
+
+def _csv_cell(v: Any) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool):
+        return _text(v)
+    s = _text(v)
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _tsv_cell(v: Any) -> str:
+    if v is None:
+        return "\\N"
+    s = _text(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format renderers: (cols, rows, types, elapsed) → bytes
+# ---------------------------------------------------------------------------
+
+
+def _render_json(cols, rows, types, elapsed) -> bytes:
+    types = types or ["String"] * len(cols)
+    doc = {
+        "meta": [
+            {"name": c, "type": t} for c, t in zip(cols, types)
+        ],
+        "data": [
+            {c: _json_value(v) for c, v in zip(cols, row)} for row in rows
+        ],
+        "rows": len(rows),
+        "statistics": {
+            "elapsed": elapsed, "rows_read": len(rows), "bytes_read": 0
+        },
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode()
+
+
+def _render_json_compact(cols, rows, types, elapsed) -> bytes:
+    types = types or ["String"] * len(cols)
+    doc = {
+        "meta": [
+            {"name": c, "type": t} for c, t in zip(cols, types)
+        ],
+        "data": [[_json_value(v) for v in row] for row in rows],
+        "rows": len(rows),
+        "statistics": {
+            "elapsed": elapsed, "rows_read": len(rows), "bytes_read": 0
+        },
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode()
+
+
+def _render_json_each_row(cols, rows, types, elapsed) -> bytes:
+    out = [
+        json.dumps(
+            {c: _json_value(v) for c, v in zip(cols, row)},
+            ensure_ascii=False,
+        )
+        for row in rows
+    ]
+    return ("\n".join(out) + ("\n" if out else "")).encode()
+
+
+def _render_csv(header: bool):
+    def render(cols, rows, types, elapsed) -> bytes:
+        lines = []
+        if header:
+            lines.append(",".join(_csv_cell(c) for c in cols))
+        lines.extend(
+            ",".join(_csv_cell(v) for v in row) for row in rows
+        )
+        return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+    return render
+
+
+def _render_tsv(header: bool):
+    def render(cols, rows, types, elapsed) -> bytes:
+        lines = []
+        if header:
+            lines.append("\t".join(_tsv_cell(c) for c in cols))
+        lines.extend(
+            "\t".join(_tsv_cell(v) for v in row) for row in rows
+        )
+        return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+    return render
+
+
+def _render_values(cols, rows, types, elapsed) -> bytes:
+    return (
+        ",".join(
+            "(" + ",".join(_quoted_elem(v) for v in row) + ")"
+            for row in rows
+        )
+    ).encode() + (b"\n" if rows else b"")
+
+
+def _render_pretty(cols, rows, types, elapsed) -> bytes:
+    cells = [[_text(v) if v is not None else "ᴺᵁᴸᴸ" for v in row]
+             for row in rows]
+    widths = [
+        max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep,
+           "|" + "|".join(f" {c:<{w}} " for c, w in zip(cols, widths)) + "|",
+           sep]
+    for r in cells:
+        out.append(
+            "|" + "|".join(f" {v:<{w}} " for v, w in zip(r, widths)) + "|"
+        )
+    out.append(sep)
+    return ("\n".join(out) + "\n").encode()
+
+
+_RENDERERS = {
+    "JSON": (_render_json, "application/json; charset=UTF-8"),
+    "JSONCompact": (_render_json_compact, "application/json; charset=UTF-8"),
+    "JSONEachRow": (
+        _render_json_each_row, "application/x-ndjson; charset=UTF-8"
+    ),
+    "CSV": (_render_csv(False), "text/csv; charset=UTF-8"),
+    "CSVWithNames": (_render_csv(True), "text/csv; charset=UTF-8"),
+    "TabSeparated": (
+        _render_tsv(False), "text/tab-separated-values; charset=UTF-8"
+    ),
+    "TabSeparatedWithNames": (
+        _render_tsv(True), "text/tab-separated-values; charset=UTF-8"
+    ),
+    "Values": (_render_values, "text/plain; charset=UTF-8"),
+    "Pretty": (_render_pretty, "text/plain; charset=UTF-8"),
+}
+
+# Accepted spellings (lowercased) → canonical renderer name. TSV* are
+# CH's documented aliases for TabSeparated*.
+_CANONICAL = {
+    "json": "JSON",
+    "jsoncompact": "JSONCompact",
+    "jsoneachrow": "JSONEachRow",
+    "ndjson": "JSONEachRow",
+    "jsonlines": "JSONEachRow",
+    "csv": "CSV",
+    "csvwithnames": "CSVWithNames",
+    "tsv": "TabSeparated",
+    "tabseparated": "TabSeparated",
+    "tsvwithnames": "TabSeparatedWithNames",
+    "tabseparatedwithnames": "TabSeparatedWithNames",
+    "values": "Values",
+    "pretty": "Pretty",
+    "prettycompact": "Pretty",
+}
+
+DEFAULT_FORMAT = "TabSeparated"  # CH's HTTP default
+
+
+def normalize_format(name: str | None) -> str | None:
+    if name is None:
+        return None
+    return _CANONICAL.get(name.strip().lower())
+
+
+def render_result(
+    cols: Sequence[str],
+    rows: Sequence[Sequence[Any]],
+    fmt: str,
+    types: Sequence[str] | None = None,
+    elapsed: float = 0.0,
+) -> tuple[bytes, str]:
+    """Render to ``(body, content_type)``; ``fmt`` must be canonical
+    (use ``normalize_format`` first)."""
+    renderer, content_type = _RENDERERS[fmt]
+    return renderer(list(cols), rows, types, elapsed), content_type

@@ -31,16 +31,43 @@ from decimal import Decimal
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.formats import ch_base_type
 
 _CLIENT_PROTOCOL_41 = 0x0200
 _CLIENT_PLUGIN_AUTH = 0x80000
 
+_TYPE_TINY = 0x01
+_TYPE_SHORT = 0x02
+_TYPE_LONG = 0x03
+_TYPE_FLOAT = 0x04
 _TYPE_LONGLONG = 0x08
 _TYPE_DOUBLE = 0x05
 _TYPE_NEWDECIMAL = 0xF6
 _TYPE_DATE = 0x0A
 _TYPE_DATETIME = 0x0C
 _TYPE_VAR_STRING = 0xFD
+
+# Result-schema (ClickHouse-spelled) type → MySQL column type; the
+# primary typing path (schema-derived, NULL-proof). Value sampling
+# remains only for schema-less results (DDL acks).
+_CH_MYSQL_TYPES = {
+    "Bool": _TYPE_TINY,
+    "Int8": _TYPE_TINY,
+    "Int16": _TYPE_SHORT,
+    "Int32": _TYPE_LONG,
+    "Int64": _TYPE_LONGLONG,
+    "Float32": _TYPE_FLOAT,
+    "Float64": _TYPE_DOUBLE,
+    "Decimal": _TYPE_NEWDECIMAL,
+    "Date": _TYPE_DATE,
+    "DateTime": _TYPE_DATETIME,
+    "DateTime64": _TYPE_DATETIME,
+    "String": _TYPE_VAR_STRING,
+}
+
+
+def _mysql_type_for(ch_type: str) -> int:
+    return _CH_MYSQL_TYPES.get(ch_base_type(ch_type), _TYPE_VAR_STRING)
 
 
 def _mysql_type(value: Any) -> int:
@@ -135,7 +162,9 @@ class _Handler(socketserver.BaseRequestHandler):
             while True:
                 conn.seq = 0
                 pkt = conn.recv()
-                if pkt is None or pkt[0] == 0x01:  # COM_QUIT
+                # Empty packet: treat like a clean close (indexing
+                # pkt[0] on b"" would kill the handler thread).
+                if not pkt or pkt[0] == 0x01:  # COM_QUIT
                     return
                 cmd, arg = pkt[0], pkt[1:]
                 if cmd == 0x03:  # COM_QUERY
@@ -175,9 +204,15 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as e:
             self._send_err(conn, 1064, str(e)[:1500])
             return
-        sample = result.rows[0] if result.rows else [None] * len(result.cols)
+        if result.types:
+            col_types = [_mysql_type_for(t) for t in result.types]
+        else:
+            sample = (
+                result.rows[0] if result.rows else [None] * len(result.cols)
+            )
+            col_types = [_mysql_type(v) for v in sample]
         conn.send(_lenenc(len(result.cols)))
-        for name, v in zip(result.cols, sample):
+        for name, mtype in zip(result.cols, col_types):
             nb = name.encode()
             conn.send(
                 _lenenc_str(b"def")        # catalog
@@ -189,7 +224,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 + bytes([0x0C])             # fixed-length fields marker
                 + struct.pack("<H", 0x21)   # charset
                 + struct.pack("<I", 1 << 16)  # column length
-                + bytes([_mysql_type(v)])
+                + bytes([mtype])
                 + struct.pack("<H", 0)      # flags
                 + bytes([0x1F])             # decimals
                 + b"\x00\x00"

@@ -6,12 +6,25 @@ query plan re-read. Left unreleased, every call through a long-lived
 session (the server path, a bench loop, the pytest session) pins more
 executor storage — unbounded growth and eviction churn at scale.
 
-``tracked_persist`` registers each persist in a module-level list;
-``release_tracked`` unpersists everything registered. Callers that
+``tracked_persist`` registers each persist; ``release_tracked``
+unpersists everything registered by the calling thread. Callers that
 own a materialization boundary (engine.execute's ``finally``, the
 bench loop, the oracle-test fixture) release after the action
 completes — unpersist is safe then: collected results never recompute,
 and an un-materialized plan simply recomputes without the cache.
+
+Concurrency model: Spark's CacheManager keys cache entries by PLAN,
+not by DataFrame object — two server threads running the same
+operator over the same table share ONE cache entry. A naive
+per-thread ``df.unpersist()`` therefore yanks the shared entry while
+the other request is mid-execution (observed as ``CacheManager: Data
+has already been cached`` warnings followed by an orphaned
+re-materialized RDD that no one releases — a real storage leak caught
+by ``test_server.py``'s concurrent stress test). The fix is
+process-wide refcounting keyed by the plan's ``semanticHash``: the
+first ``tracked_persist`` of a plan persists it, later ones bump a
+refcount, and only the LAST ``release_tracked`` referencing the plan
+actually unpersists.
 """
 
 from __future__ import annotations
@@ -20,42 +33,65 @@ import threading
 
 from pyspark.sql import DataFrame
 
-# Per-thread tracking: the server handles requests on separate
-# threads, and operators persist on the thread that builds the plan —
-# so releasing in one request's ``finally`` must not drop a
-# concurrent request's scratch caches mid-flight (safe for
-# correctness — Spark recomputes dropped blocks — but a silent
-# recompute is exactly the perf hazard this module exists to avoid).
+# semanticHash -> [DataFrame, refcount]; guarded by _REG_LOCK.
+_REGISTRY: dict[int, list] = {}
+_REG_LOCK = threading.Lock()
+
+# Per-thread list of registry keys this thread's request registered.
 _LOCAL = threading.local()
 
 
-def _tracked() -> list[DataFrame]:
-    lst = getattr(_LOCAL, "dfs", None)
+def _tracked() -> list[int]:
+    lst = getattr(_LOCAL, "keys", None)
     if lst is None:
-        lst = _LOCAL.dfs = []
+        lst = _LOCAL.keys = []
     return lst
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register for this thread's next
-    ``release_tracked()``."""
-    df = df.persist()
-    _tracked().append(df)
+    """Persist ``df`` (or join an existing persist of the same plan)
+    and register it for this thread's next ``release_tracked()``."""
+    try:
+        key = df.semanticHash()
+    except Exception:
+        # No session / analysis failure: fall back to object identity
+        # (never shared, so plain refcount-of-one semantics).
+        key = id(df)
+    with _REG_LOCK:
+        entry = _REGISTRY.get(key)
+        if entry is None:
+            df = df.persist()
+            _REGISTRY[key] = [df, 1]
+        else:
+            # Same plan already persisted by a concurrent (or earlier
+            # same-thread) request: share its entry — calling persist
+            # again would only trip CacheManager warnings.
+            entry[1] += 1
+            df = entry[0]
+    _tracked().append(key)
     return df
 
 
 def release_tracked() -> int:
-    """Unpersist every DataFrame tracked on THIS thread
-    (blocking=False); returns the number released. Idempotent;
-    exceptions from already-stopped sessions are swallowed — release
-    must never mask a query error."""
+    """Release every persist tracked on THIS thread; a shared plan is
+    only unpersisted when its last referencing request releases.
+    Returns the number of actual unpersists. Idempotent; exceptions
+    from already-stopped sessions are swallowed — release must never
+    mask a query error."""
     lst = _tracked()
-    dfs, lst[:] = lst[:], []
+    keys, lst[:] = lst[:], []
     n = 0
-    for df in dfs:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
+    with _REG_LOCK:
+        for key in keys:
+            entry = _REGISTRY.get(key)
+            if entry is None:
+                continue
+            entry[1] -= 1
+            if entry[1] <= 0:
+                del _REGISTRY[key]
+                try:
+                    entry[0].unpersist()
+                    n += 1
+                except Exception:
+                    pass
     return n

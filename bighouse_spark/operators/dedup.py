@@ -130,6 +130,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding.
 
@@ -140,9 +141,16 @@ def minhash_lsh_pairs(
     Scale shape: signatures and band keys are computed map-side; the
     only shuffles are (1) explode+self-join on band buckets and (2)
     the verify join to fetch shingle sets for candidates. Bucket skew
-    (a boilerplate shingle shared by millions of docs) is the known
-    failure mode — AQE skew-join handles moderate skew; severe skew
-    should cap bucket size upstream.
+    (a boilerplate signature band shared by millions of docs) is the
+    known failure mode: an uncapped bucket of n members emits
+    n·(n−1)/2 candidate pairs — quadratic blowup concentrated in ONE
+    join partition. ``max_bucket_size`` caps membership per
+    (band, bucket) at N before the self-join (deterministic: the N
+    lowest ids win), bounding any bucket's contribution to N·(N−1)/2
+    pairs. Buckets at or under the cap — every bucket in a
+    non-degenerate corpus — are untouched, so normal-corpus results
+    are identical; docs dropped from a hot bucket can still pair in
+    their other ``bands − 1`` buckets. ``None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
@@ -195,6 +203,20 @@ def minhash_lsh_pairs(
     band_keys = sigs.select(
         "id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("id", "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        # Hot-bucket cap: rank members within each (band, bucket) and
+        # keep the first N. The window shuffles on exactly the keys
+        # the self-join below hashes on, so this adds one exchange
+        # whose output partitioning the join reuses — not a second
+        # shuffle of the full band-key table per join side.
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band", "bucket").orderBy("id")
+        band_keys = (
+            band_keys.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
 
     cand = (
         band_keys.alias("a")

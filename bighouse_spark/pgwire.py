@@ -39,6 +39,7 @@ from decimal import Decimal
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.formats import ch_base_type
 
 _PROTO_V3 = 196608
 _SSL_REQUEST = 80877103
@@ -47,15 +48,42 @@ _CANCEL_REQUEST = 80877102
 
 # PG type OIDs (pg_type.dat — public catalog constants).
 _OID_BOOL = 16
+_OID_INT2 = 21
+_OID_INT4 = 23
 _OID_INT8 = 20
+_OID_FLOAT4 = 700
 _OID_FLOAT8 = 701
 _OID_NUMERIC = 1700
 _OID_DATE = 1082
 _OID_TIMESTAMP = 1114
 _OID_TEXT = 25
 
+# Result-schema (ClickHouse-spelled) type → OID. This is the primary
+# typing path: derived from the DataFrame schema the engine already
+# carries, so a NULL in row 0 can't demote a column to text.
+_CH_OIDS = {
+    "Bool": _OID_BOOL,
+    "Int8": _OID_INT2,
+    "Int16": _OID_INT2,
+    "Int32": _OID_INT4,
+    "Int64": _OID_INT8,
+    "Float32": _OID_FLOAT4,
+    "Float64": _OID_FLOAT8,
+    "Decimal": _OID_NUMERIC,
+    "Date": _OID_DATE,
+    "DateTime": _OID_TIMESTAMP,
+    "DateTime64": _OID_TIMESTAMP,
+    "String": _OID_TEXT,
+}
+
+
+def _oid_for_type(ch_type: str) -> int:
+    return _CH_OIDS.get(ch_base_type(ch_type), _OID_TEXT)
+
 
 def _oid_for(value: Any) -> int:
+    """Value-sampling fallback for results without schema metadata
+    (DDL acks and other non-SELECT paths)."""
     if isinstance(value, bool):
         return _OID_BOOL
     if isinstance(value, int):
@@ -175,12 +203,18 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as e:  # engine/transpile/Spark error
             self._send_error(sock, "42601", str(e)[:2000])
             return
-        sample = result.rows[0] if result.rows else [None] * len(result.cols)
+        if result.types:
+            oids = [_oid_for_type(t) for t in result.types]
+        else:
+            sample = (
+                result.rows[0] if result.rows else [None] * len(result.cols)
+            )
+            oids = [_oid_for(v) for v in sample]
         desc = struct.pack("!H", len(result.cols))
-        for name, v in zip(result.cols, sample):
+        for name, oid in zip(result.cols, oids):
             desc += (
                 _cstr(name)
-                + struct.pack("!IHIhih", 0, 0, _oid_for(v), -1, -1, 0)
+                + struct.pack("!IHIhih", 0, 0, oid, -1, -1, 0)
             )
         sock.sendall(_msg(b"T", desc))
         for row in result.rows:

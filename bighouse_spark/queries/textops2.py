@@ -189,39 +189,10 @@ def text_tfidf_topk(spark, sf_dir):
     boundary), and BOTH document frequency (count per term: tf has
     exactly one row per (doc, term)) and the document count derive
     from it instead of rescanning the corpus. Deterministic term
-    tiebreak keeps it oracle-exact."""
-    from bighouse_spark.operators.caching import tracked_persist
+    tiebreak keeps it oracle-exact. The plan lives in
+    ``operators/tfidf.py`` so the ``tfidfTopK()`` SQL table function
+    runs the identical shape."""
+    from bighouse_spark.operators.tfidf import tfidf_topk
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 300)
-        .select("doc_id", F.explode(tokens("text")).alias("term"))
-    )
-    tf = tracked_persist(
-        docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                6,
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("doc_id", "term", "tfidf", "rk")
-    )
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return tfidf_topk(docs, id_col="doc_id", text_col="text", k=3)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 from dataclasses import asdict
 from datetime import date, datetime
 from decimal import Decimal
@@ -35,6 +36,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
+from bighouse_spark.formats import (
+    DEFAULT_FORMAT,
+    normalize_format,
+    render_result,
+    split_result_format,
+)
 
 
 def _json_default(o: Any) -> Any:
@@ -66,20 +73,112 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self) -> None:
-        if self.path == "/hc":
+        parsed = urllib.parse.urlsplit(self.path)
+        if parsed.path == "/hc":
             ok = self.engine.health_check()
             self._send(200 if ok else 500, {"ok": ok})
-        elif self.path == "/query_log":
+        elif parsed.path == "/query_log":
             self._send(200, [asdict(e) for e in self.engine.query_log])
+        elif parsed.path in ("/", "/ping"):
+            self._ch_http(parsed, body=b"")
         else:
             self._send(404, {"error": f"no route {self.path}"})
+
+    # -- ClickHouse-compatible HTTP interface ------------------------
+    # The reference's nodes serve CH HTTP on 8123 (ch/config.xml:133):
+    # GET/POST /?query=... with the result rendered per the trailing
+    # FORMAT clause / default_format param / X-ClickHouse-Format
+    # header (TabSeparated when unspecified — CH's HTTP default).
+    # INSERT payloads ride in the POST body after a query param
+    # carrying "INSERT INTO t FORMAT JSONEachRow" (CH concatenates
+    # the two) and are handled by the engine's INSERT-FORMAT parser.
+
+    def _send_text(
+        self, code: int, body: bytes, content_type: str,
+        extra: dict[str, str] | None = None,
+    ) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _ch_http(self, parsed, body: bytes) -> None:
+        params = urllib.parse.parse_qs(parsed.query)
+        sql = (params.get("query") or [""])[0]
+        if body:
+            # CH semantics: URL query + body are concatenated — the
+            # body is either the rest of the statement or an INSERT
+            # data payload.
+            sql = (sql + "\n" + body.decode("utf-8", "replace")) if sql \
+                else body.decode("utf-8", "replace")
+        if not sql.strip():
+            # CH answers bare GET / with "Ok." (the canonical ping).
+            self._send_text(200, b"Ok.\n", "text/plain; charset=UTF-8")
+            return
+        sql, fmt_in_sql = split_result_format(sql)
+        df_param = (params.get("default_format") or [None])[0]
+        if df_param is not None and normalize_format(df_param) is None:
+            self._send_text(
+                400,
+                f"Code: 73. DB::Exception: Unknown format "
+                f"{df_param!r}\n".encode(),
+                "text/plain; charset=UTF-8",
+            )
+            return
+        fmt = (
+            fmt_in_sql
+            or normalize_format(df_param)
+            or normalize_format(self.headers.get("X-ClickHouse-Format"))
+            or DEFAULT_FORMAT
+        )
+        # SET-able URL params (CH accepts settings as query params).
+        init = [
+            f"SET {k} = {v[0]}"
+            for k, v in params.items()
+            if k not in ("query", "default_format", "database", "user",
+                         "password", "session_id", "query_id")
+        ]
+        try:
+            result = self.engine.execute(
+                QueryRequest(query=sql, init_queries=init)
+            )
+        except Exception as e:
+            self._send_text(
+                400,
+                f"Code: 62. DB::Exception: {str(e)[:2000]}\n".encode(),
+                "text/plain; charset=UTF-8",
+                extra={"X-ClickHouse-Exception-Code": "62"},
+            )
+            return
+        rendered, content_type = render_result(
+            result.cols, result.rows, fmt,
+            types=result.types, elapsed=result.elapsed_sec,
+        )
+        self._send_text(
+            200, rendered, content_type,
+            extra={
+                "X-ClickHouse-Format": fmt,
+                "X-ClickHouse-Summary": json.dumps(
+                    {"read_rows": str(len(result.rows)),
+                     "elapsed_ns": str(int(result.elapsed_sec * 1e9))}
+                ),
+            },
+        )
 
     def _read_request(self) -> dict[str, Any]:
         length = int(self.headers.get("Content-Length", "0"))
         return json.loads(self.rfile.read(length) or b"{}")
 
     def do_POST(self) -> None:
-        if self.path not in ("/query", "/query/sink"):
+        parsed = urllib.parse.urlsplit(self.path)
+        if parsed.path == "/":
+            length = int(self.headers.get("Content-Length", "0"))
+            self._ch_http(parsed, body=self.rfile.read(length))
+            return
+        if parsed.path not in ("/query", "/query/sink"):
             self._send(404, {"error": f"no route {self.path}"})
             return
         try:
@@ -146,6 +245,18 @@ def main() -> None:  # pragma: no cover - manual entry point
     args = ap.parse_args()
     engine = BigHouseEngine()
     server = make_server(engine=engine, host=args.host, port=args.port)
+    non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
+    if non_loopback and (args.pg_port or args.mysql_port):
+        import sys
+
+        print(
+            "WARNING: the PG/MySQL wire endpoints accept ANY credentials "
+            "(trust auth) and expose full SQL including file() reads of "
+            f"the local filesystem; binding them to {args.host!r} makes "
+            "that reachable off-host. Put them behind a loopback bind or "
+            "a network boundary you control.",
+            file=sys.stderr,
+        )
     if args.pg_port is not None:
         from bighouse_spark.pgwire import PGWireServer
 

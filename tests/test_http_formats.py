@@ -1,0 +1,283 @@
+"""ClickHouse-compatible HTTP interface tests — ``GET/POST /?query=``
+with result-side FORMAT renderers, the surface a curl user expects
+from a CH endpoint (the reference's nodes serve CH HTTP on 8123,
+``ch/config.xml:133``)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.formats import (
+    ch_type_name,
+    normalize_format,
+    split_result_format,
+)
+from bighouse_spark.server import start_in_background
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def server_url(spark):
+    server, _ = start_in_background(BigHouseEngine(spark))
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def _get_raw(url: str):
+    with urllib.request.urlopen(url) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def _post_raw(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def _q(server_url: str, sql: str, **params: str) -> str:
+    qs = urllib.parse.urlencode({"query": sql, **params})
+    return f"{server_url}/?{qs}"
+
+
+def test_bare_get_is_ok_ping(server_url):
+    status, body, _ = _get_raw(f"{server_url}/")
+    assert status == 200 and body == b"Ok.\n"
+
+
+def test_default_format_is_tabseparated(server_url):
+    status, body, headers = _get_raw(
+        _q(server_url, "SELECT 1 AS a, 'x' AS b")
+    )
+    assert status == 200
+    assert body == b"1\tx\n"
+    assert headers["X-ClickHouse-Format"] == "TabSeparated"
+
+
+def test_format_clause_json(server_url):
+    status, body, _ = _get_raw(
+        _q(server_url, "SELECT 42 AS answer, 'hi' AS s FORMAT JSON")
+    )
+    doc = json.loads(body)
+    assert doc["meta"] == [
+        {"name": "answer", "type": "Int32"},
+        {"name": "s", "type": "String"},
+    ]
+    assert doc["data"] == [{"answer": 42, "s": "hi"}]
+    assert doc["rows"] == 1
+    assert "elapsed" in doc["statistics"]
+
+
+def test_format_jsoneachrow(server_url):
+    sql = (
+        f"SELECT r_regionkey, r_name FROM "
+        f"file('file://{SF_SMOKE}/region.parquet', 'Parquet') "
+        f"ORDER BY r_regionkey FORMAT JSONEachRow"
+    )
+    status, body, headers = _get_raw(_q(server_url, sql))
+    lines = [json.loads(ln) for ln in body.decode().splitlines()]
+    assert len(lines) == 5
+    assert lines[0]["r_regionkey"] == 0
+    assert headers["X-ClickHouse-Format"] == "JSONEachRow"
+
+
+def test_format_csv_with_names_and_quoting(server_url):
+    status, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT 1 AS n, 'a\"b' AS s, NULL AS missing "
+            "FORMAT CSVWithNames",
+        )
+    )
+    lines = body.decode().splitlines()
+    assert lines[0] == '"n","s","missing"'
+    assert lines[1] == '1,"a""b",\\N'
+
+
+def test_format_tsv_escaping(server_url):
+    status, body, _ = _get_raw(
+        _q(server_url, "SELECT 'a\\tb' AS s, NULL AS m FORMAT TSV")
+    )
+    assert body.decode() == "a\\tb\t\\N\n"
+
+
+def test_default_format_param(server_url):
+    status, body, headers = _get_raw(
+        _q(server_url, "SELECT 7 AS x", default_format="CSV")
+    )
+    assert body == b"7\n"
+    assert headers["X-ClickHouse-Format"] == "CSV"
+
+
+def test_format_header(server_url):
+    req = urllib.request.Request(
+        _q(server_url, "SELECT 7 AS x"),
+        headers={"X-ClickHouse-Format": "JSONEachRow"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert json.loads(resp.read()) == {"x": 7}
+
+
+def test_post_body_query(server_url):
+    status, body, _ = _post_raw(
+        f"{server_url}/", b"SELECT 1 + 1 AS two FORMAT JSONEachRow"
+    )
+    assert json.loads(body) == {"two": 2}
+
+
+def test_post_param_plus_body_concatenation(server_url):
+    # CH concatenates the query param and the body.
+    status, body, _ = _post_raw(
+        _q(server_url, "SELECT 40"), b"+ 2 AS answer FORMAT CSV"
+    )
+    assert body == b"42\n"
+
+
+def test_insert_payload_via_body(server_url):
+    # The canonical CH HTTP INSERT shape: statement in the query
+    # param, data rows in the POST body.
+    _get_raw(
+        _q(
+            server_url,
+            "CREATE TABLE http_ins (id Int64, v String) "
+            "ENGINE = MergeTree ORDER BY id",
+        )
+    )
+    _post_raw(
+        _q(server_url, "INSERT INTO http_ins FORMAT JSONEachRow"),
+        b'{"id": 1, "v": "seed"}\n',
+    )
+    _post_raw(
+        _q(server_url, "INSERT INTO http_ins FORMAT JSONEachRow"),
+        b'{"id": 2, "v": "from_http"}\n{"id": 3, "v": "more"}\n',
+    )
+    status, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT id, v FROM http_ins ORDER BY id FORMAT JSONEachRow",
+        )
+    )
+    rows = [json.loads(ln) for ln in body.decode().splitlines()]
+    assert rows == [
+        {"id": 1, "v": "seed"},
+        {"id": 2, "v": "from_http"},
+        {"id": 3, "v": "more"},
+    ]
+
+
+def test_types_in_json_meta_cover_dates_and_decimals(server_url):
+    status, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT DATE '2024-01-02' AS d, "
+            "CAST(1.5 AS DECIMAL(10,2)) AS m, "
+            "TIMESTAMP '2024-01-02 03:04:05' AS t FORMAT JSON",
+        )
+    )
+    doc = json.loads(body)
+    types = {m["name"]: m["type"] for m in doc["meta"]}
+    assert types["d"] == "Date"
+    assert types["m"] == "Decimal(10, 2)"
+    assert types["t"].startswith("DateTime64")
+    assert doc["data"][0]["d"] == "2024-01-02"
+
+
+def test_error_is_text_with_exception_code(server_url):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            _q(server_url, "SELECT * FROM no_such_table_fmt")
+        )
+    assert ei.value.code == 400
+    body = ei.value.read().decode()
+    assert "DB::Exception" in body
+    assert ei.value.headers["X-ClickHouse-Exception-Code"] == "62"
+
+
+def test_unknown_format_is_rejected(server_url):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(
+            _q(server_url, "SELECT 1", default_format="NopeFormat")
+        )
+    assert ei.value.code == 400
+    assert b"Unknown format" in ei.value.read()
+
+
+def test_settings_url_params_apply(server_url):
+    # CH accepts settings as URL params; ours map to init SET queries.
+    status, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT 5 AS v FORMAT CSV",
+            **{"spark.sql.shuffle.partitions": "8"},
+        )
+    )
+    assert body == b"5\n"
+
+
+def test_values_and_pretty_formats(server_url):
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT 1 AS a, 'x' AS b FORMAT Values")
+    )
+    assert body == b"(1,'x')\n"
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT 1 AS a FORMAT Pretty")
+    )
+    text = body.decode()
+    assert "| a " in text and "| 1 " in text
+
+
+def test_array_rendering_tsv_and_json(server_url):
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT array(1, 2, 3) AS xs FORMAT TSV")
+    )
+    assert body == b"[1,2,3]\n"
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT array('a', 'b') AS xs FORMAT JSONEachRow")
+    )
+    assert json.loads(body) == {"xs": ["a", "b"]}
+
+
+# -- unit coverage of the pure helpers --------------------------------
+
+
+def test_split_result_format_units():
+    assert split_result_format("SELECT 1 FORMAT JSON") == (
+        "SELECT 1", "JSON"
+    )
+    assert split_result_format("SELECT 1 FORMAT tsv;") == (
+        "SELECT 1", "TabSeparated"
+    )
+    # Unknown trailing word is not a format clause.
+    assert split_result_format("SELECT fmt FROM t WHERE x = FORMAT") == (
+        "SELECT fmt FROM t WHERE x = FORMAT", None,
+    )
+    # INSERT payloads keep their FORMAT clause (engine parses those).
+    sql = "INSERT INTO t FORMAT JSONEachRow"
+    assert split_result_format(sql) == (sql, None)
+
+
+def test_normalize_format_aliases():
+    assert normalize_format("tsv") == "TabSeparated"
+    assert normalize_format("TabSeparatedWithNames") == (
+        "TabSeparatedWithNames"
+    )
+    assert normalize_format("ndjson") == "JSONEachRow"
+    assert normalize_format("bogus") is None
+
+
+def test_ch_type_name_units():
+    from pyspark.sql import types as T
+
+    assert ch_type_name(T.LongType()) == "Int64"
+    assert ch_type_name(T.LongType(), nullable=True) == "Nullable(Int64)"
+    assert ch_type_name(T.ArrayType(T.StringType())) == "Array(String)"
+    assert (
+        ch_type_name(T.MapType(T.StringType(), T.IntegerType()))
+        == "Map(String, Int32)"
+    )
+    assert ch_type_name(T.DecimalType(20, 0)) == "Decimal(20, 0)"

@@ -157,3 +157,39 @@ class TestMySQLWire:
             assert err2 is None and rows == [["42"]]
         finally:
             c.close()
+
+
+class TestMySQLTyping:
+    def test_null_first_row_types_from_schema(self, my):
+        # Column type must come from the result schema, not row-0
+        # sampling: NULL leading an Int64 column still types LONGLONG.
+        c = MyClient(my.host, my.port)
+        try:
+            c.seq = 0
+            c._send(
+                b"\x03" + b"SELECT nullIf(number, 0) AS v FROM "
+                b"numbers(3) ORDER BY number"
+            )
+            first = c._recv()
+            assert first[0] != 0xFF
+            ncols, _ = c._lenenc(first, 0)
+            types = []
+            for _ in range(ncols):
+                pkt = c._recv()
+                off = 0
+                for _ in range(6):
+                    ln, off = c._lenenc(pkt, off)
+                    off += ln
+                # fixed block: 0x0C marker, charset(2), length(4),
+                # type(1), ...
+                types.append(pkt[off + 7])
+            assert types == [0x08]  # MYSQL_TYPE_LONGLONG
+            # drain: EOF, rows, EOF
+            eof = c._recv()
+            assert eof[0] == 0xFE
+            while True:
+                pkt = c._recv()
+                if pkt[0] == 0xFE and len(pkt) < 9:
+                    break
+        finally:
+            c.close()

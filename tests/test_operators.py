@@ -113,6 +113,53 @@ class TestMinHashLSH:
             # 32 hashes / 8 bands: s-curve is ~0.97 at J=0.7.
             assert recall >= 0.8, f"LSH recall {recall} too low"
 
+    def test_hot_bucket_cap_bounds_candidates(self, spark):
+        # Adversarial skew: every doc identical → every band hashes
+        # every doc into ONE bucket. Uncapped that's C(200,2) = 19900
+        # candidate pairs from a single join partition; the cap keeps
+        # the 8 lowest ids per bucket → exactly C(8,2) = 28 pairs.
+        rows = [(i, "the same boilerplate text repeated everywhere")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, max_bucket_size=8
+        ).collect()
+        assert len(pairs) == 28
+        # Deterministic keep-set: the lowest ids win.
+        ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+        assert ids == set(range(8))
+
+    def test_cap_is_identity_on_normal_corpus(self, spark):
+        docs = load_table(spark, SF_CORRECT, "documents").where(
+            F.size(F.split("text", " ")) >= 3
+        )
+        capped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.5, max_bucket_size=256
+            ).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.5, max_bucket_size=None
+            ).collect()
+        }
+        assert capped == uncapped
+
+    def test_cap_adds_no_shuffle(self, spark):
+        # Plan guard: the cap's window partitions on exactly the
+        # self-join keys (band, bucket), so the capped plan has the
+        # SAME number of exchanges as the uncapped one — the join
+        # reuses the window's partitioning.
+        df = _docs(spark, [_sentence(s, 20) for s in range(6)])
+        n_ex = lambda cap: (
+            minhash_lsh_pairs(df, max_bucket_size=cap)
+            ._jdf.queryExecution().executedPlan().toString()
+            .count("Exchange")
+        )
+        assert n_ex(8) == n_ex(None)
+
     def test_precision_no_false_positives_above_threshold(self, spark):
         docs = load_table(spark, SF_CORRECT, "documents").where(
             F.size(F.split("text", " ")) >= 3

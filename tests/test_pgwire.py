@@ -171,3 +171,55 @@ class TestPGWire:
             err is None and rows == [[str(i * 10)]]
             for i, (rows, err) in results.items()
         )
+
+    def test_null_first_row_types_from_schema(self, pg):
+        # Typing must come from the result schema, not row-0 value
+        # sampling: a NULL leading an Int64 column still types int8.
+        c = PGClient(pg.host, pg.port)
+        try:
+            body = _cstr(
+                "SELECT nullIf(number, 0) AS v FROM numbers(3) "
+                "ORDER BY number"
+            )
+            c.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+            msgs = c.read_until(b"Z")
+            oids = []
+            for tag, payload in msgs:
+                if tag == b"T":
+                    (n,) = struct.unpack("!H", payload[:2])
+                    off = 2
+                    for _ in range(n):
+                        end = payload.index(b"\x00", off)
+                        fixed = payload[end + 1:end + 1 + 18]
+                        oids.append(struct.unpack("!I", fixed[6:10])[0])
+                        off = end + 1 + 18
+            assert oids == [20]  # int8, despite NULL in row 0
+            rows = [
+                p for t, p in msgs if t == b"D"
+            ]
+            assert len(rows) == 3
+        finally:
+            c.close()
+
+    def test_date_and_float_oids_from_schema(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            body = _cstr(
+                "SELECT DATE '2024-01-01' AS d, "
+                "CAST(1.5 AS DOUBLE) AS f, CAST(NULL AS STRING) AS s"
+            )
+            c.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+            msgs = c.read_until(b"Z")
+            oids = []
+            for tag, payload in msgs:
+                if tag == b"T":
+                    (n,) = struct.unpack("!H", payload[:2])
+                    off = 2
+                    for _ in range(n):
+                        end = payload.index(b"\x00", off)
+                        fixed = payload[end + 1:end + 1 + 18]
+                        oids.append(struct.unpack("!I", fixed[6:10])[0])
+                        off = end + 1 + 18
+            assert oids == [1082, 701, 25]  # date, float8, text
+        finally:
+            c.close()

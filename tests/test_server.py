@@ -147,3 +147,99 @@ def test_concurrent_queries(server_url):
         results = list(ex.map(one, range(16)))
     assert all(s == 200 for s, _ in results)
     assert [v for _, v in results] == [i * 2 for i in range(16)]
+
+
+def test_operator_table_functions_over_http(server_url):
+    # The operator library surfaced through SQL: LSH dedup and TF-IDF
+    # as table functions over an engine-owned table.
+    status, body = _post(
+        f"{server_url}/query",
+        {"query": (
+            "CREATE TABLE stress_docs (doc_id Int64, text String) "
+            "ENGINE = MergeTree ORDER BY doc_id"
+        )},
+    )
+    assert status == 200
+    rows = ", ".join(
+        f"({i}, 'shared words alpha beta gamma delta doc{i // 2}')"
+        for i in range(20)
+    )
+    status, _ = _post(
+        f"{server_url}/query",
+        {"query": f"INSERT INTO stress_docs VALUES {rows}"},
+    )
+    assert status == 200
+    status, body = _post(
+        f"{server_url}/query",
+        {"query": (
+            "SELECT count() AS n FROM "
+            "dedupMinhashLSH(stress_docs, 'doc_id', 'text', 0.5)"
+        )},
+    )
+    assert status == 200 and body["rows"][0][0] > 0
+    status, body = _post(
+        f"{server_url}/query",
+        {"query": (
+            "SELECT count() AS n FROM "
+            "tfidfTopK(stress_docs, 'doc_id', 'text', 2)"
+        )},
+    )
+    assert status == 200 and body["rows"][0][0] == 40  # 20 docs * k=2
+
+
+def test_concurrent_cache_heavy_queries_release_all_persists(
+    server_url, spark
+):
+    # N threads hammer POST /query with operator-backed queries whose
+    # plans tracked_persist scratch tables (LSH signatures, TF-IDF
+    # term counts). The per-thread release design
+    # (operators/caching.py) must drop every scratch persist under
+    # real interleaving: a request's finally releases ITS caches only,
+    # and when all requests complete the session's storage is back to
+    # baseline.
+    import concurrent.futures
+
+    status, body = _post(
+        f"{server_url}/query", {"query": "EXISTS stress_docs"}
+    )
+    if body["rows"][0][0] != 1:
+        _post(
+            f"{server_url}/query",
+            {"query": (
+                "CREATE TABLE stress_docs (doc_id Int64, text String) "
+                "ENGINE = MergeTree ORDER BY doc_id"
+            )},
+        )
+        rows = ", ".join(
+            f"({i}, 'shared words alpha beta gamma delta doc{i // 2}')"
+            for i in range(20)
+        )
+        _post(
+            f"{server_url}/query",
+            {"query": f"INSERT INTO stress_docs VALUES {rows}"},
+        )
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def one(i):
+        q = (
+            "SELECT count() AS n FROM "
+            "dedupMinhashLSH(stress_docs, 'doc_id', 'text', 0.5)"
+            if i % 2
+            else "SELECT count() AS n FROM "
+                 "tfidfTopK(stress_docs, 'doc_id', 'text', 2)"
+        )
+        try:
+            return _post(f"{server_url}/query", {"query": q})
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(one, range(12)))
+    assert all(s == 200 for s, _ in results), [
+        b for s, b in results if s != 200
+    ]
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= baseline, (
+        f"storage leak: {after - baseline} persisted RDDs survived "
+        "concurrent request completion"
+    )
