@@ -179,15 +179,24 @@ def spark_type_to_ch(dt: T.DataType) -> str:
     return ch
 
 
-def render_create_table(name: str, schema: T.StructType) -> str:
+def render_create_table(
+    name: str,
+    schema: T.StructType,
+    partition_by: list[str] | None = None,
+) -> str:
     """ClickHouse-flavor CREATE TABLE DDL for a Spark schema (the
     ``SHOW CREATE TABLE`` statement body, reference introspection
-    family B17)."""
+    family B17). ``partition_by`` renders the engine's honored
+    MergeTree partition layout — the rendered DDL round-trips through
+    the CREATE TABLE parser including the partition spec."""
     cols = ",\n".join(
         f"    `{f.name}` {spark_type_to_ch(f.dataType)}"
         for f in schema.fields
     )
+    part = (
+        f"PARTITION BY ({', '.join(partition_by)})\n" if partition_by else ""
+    )
     return (
         f"CREATE TABLE {name}\n(\n{cols}\n)\n"
-        "ENGINE = MergeTree\nORDER BY tuple()"
+        f"ENGINE = MergeTree\n{part}ORDER BY tuple()"
     )

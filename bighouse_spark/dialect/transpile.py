@@ -537,8 +537,19 @@ class _SkipRewrite(Exception):
 
 
 def _trunc_toward_zero(a: list) -> str:
-    if len(a) == 2:  # Spark's trunc(date, fmt) — native, keep
-        raise _SkipRewrite
+    if len(a) == 2:
+        if re.fullmatch(r"'[^']*'|\"[^\"]*\"", a[1].strip()):
+            # Spark's trunc(date, 'fmt') — native, keep. Only a quoted
+            # format string selects this shape: CH's numeric
+            # trunc(x, n) (truncate to n decimals, toward zero) would
+            # otherwise silently evaluate to NULL in Spark.
+            raise _SkipRewrite
+        return (
+            f"(CASE WHEN ({a[0]}) >= 0 "
+            f"THEN floor(({a[0]}) * pow(10, {a[1]})) "
+            f"ELSE ceil(({a[0]}) * pow(10, {a[1]})) END "
+            f"/ pow(10, {a[1]}))"
+        )
     return (
         f"(CASE WHEN ({a[0]}) >= 0 THEN floor({a[0]}) "
         f"ELSE ceil({a[0]}) END)"
@@ -855,6 +866,95 @@ _ARG_REWRITES: dict = {
     ),
 }
 
+# Round-5 probe tranche: URL analysis, bitmap ops, IPv6, the rest of
+# the arrayEnumerate family. Bitmaps are represented as sorted
+# distinct arrays — every CH bitmap op maps to a built-in array
+# expression (JVM-side; a roaring-bitmap object would only matter for
+# the -State serialization surface, which the engine does not expose).
+_ARG_REWRITES.update({
+    # -- URL functions (Spark's parse_url does the parsing) --
+    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainWithoutWWW": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    "topLevelDomain": lambda a: (
+        f"element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), -1)"
+    ),
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "pathFull": lambda a: (
+        f"concat(parse_url({a[0]}, 'PATH'), "
+        f"coalesce(concat('?', parse_url({a[0]}, 'QUERY')), ''))"
+    ),
+    "queryString": lambda a: f"coalesce(parse_url({a[0]}, 'QUERY'), '')",
+    "fragment": lambda a: f"coalesce(parse_url({a[0]}, 'REF'), '')",
+    "extractURLParameter": lambda a: (
+        f"coalesce(parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+    ),
+    "extractURLParameters": lambda a: (
+        f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
+        f"__p -> __p != '')"
+    ),
+    "cutQueryString": lambda a: (
+        f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"
+    ),
+    "cutFragment": lambda a: f"regexp_replace({a[0]}, '#.*$', '')",
+    "netloc": lambda a: f"parse_url({a[0]}, 'AUTHORITY')",
+    # CH heuristic: the label left of the TLD, except one more label
+    # left when the second-level is a common registrar label.
+    "firstSignificantSubdomain": lambda a: (
+        f"(CASE WHEN element_at(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2) IN ('com', 'net', 'org', 'co', 'gov', 'edu', "
+        f"'mil', 'biz') THEN element_at(split(parse_url({a[0]}, "
+        f"'HOST'), '\\\\.'), -3) ELSE element_at(split(parse_url("
+        f"{a[0]}, 'HOST'), '\\\\.'), -2) END)"
+    ),
+    # -- bitmap family over sorted distinct arrays --
+    "bitmapBuild": lambda a: f"array_sort(array_distinct({a[0]}))",
+    "bitmapToArray": lambda a: f"({a[0]})",
+    "bitmapCardinality": lambda a: f"size({a[0]})",
+    "bitmapAnd": lambda a: (
+        f"array_sort(array_intersect({a[0]}, {a[1]}))"
+    ),
+    "bitmapOr": lambda a: f"array_sort(array_union({a[0]}, {a[1]}))",
+    "bitmapXor": lambda a: (
+        f"array_sort(array_except(array_union({a[0]}, {a[1]}), "
+        f"array_intersect({a[0]}, {a[1]})))"
+    ),
+    "bitmapAndnot": lambda a: (
+        f"array_sort(array_except({a[0]}, {a[1]}))"
+    ),
+    "bitmapContains": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "bitmapHasAll": lambda a: (
+        f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    ),
+    "bitmapHasAny": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "bitmapMin": lambda a: f"array_min({a[0]})",
+    "bitmapMax": lambda a: f"array_max({a[0]})",
+    "groupBitmap": lambda a: f"count(DISTINCT {a[0]})",
+    # -- arrayEnumerate family (arrayEnumerate itself is above) --
+    "arrayEnumerateUniq": lambda a: (
+        f"transform(sequence(1, size({a[0]})), __i -> CAST(1 + "
+        f"size(filter(slice({a[0]}, 1, __i - 1), "
+        f"__y -> __y = element_at({a[0]}, __i))) AS INT))"
+    ),
+    "arrayEnumerateDense": lambda a: (
+        f"transform({a[0]}, __x -> CAST(array_position("
+        f"array_distinct({a[0]}), __x) AS INT))"
+    ),
+    # -- IP family --
+    "isIPv4String": lambda a: (
+        f"(coalesce({a[0]}, '') RLIKE "
+        f"'^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){{3}}"
+        f"(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+    ),
+    "isIPv6String": lambda a: f"bh_is_ipv6({a[0]})",
+    "IPv6StringToNum": lambda a: f"bh_ipv6_ston({a[0]})",
+    "IPv6NumToString": lambda a: f"bh_ipv6_ntos({a[0]})",
+    "toIPv6": lambda a: f"bh_ipv6_norm({a[0]})",
+    "IPv4ToIPv6": lambda a: f"bh_ipv4_to_ipv6({a[0]})",
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -966,10 +1066,30 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_qualify(out)
     out = _rewrite_functions(out)
     out = _rewrite_with_fill(out, spark, views)
+    if spark is not None and re.search(r"\bbh_(ipv6|is_ipv6|ipv4_to)", out):
+        _ensure_ip_udfs(spark)
     if spark is not None:
         for k, v in settings.items():
             spark.conf.set(k, v)
     return TranspileResult(sql=out, views=views, settings=settings, dropped_settings=dropped)
+
+
+# IPv6 conversions need 128-bit parsing/formatting — not expressible
+# as built-in column expressions, so they run as Arrow-batched pandas
+# UDFs over the stdlib ``ipaddress`` module (vectorized transfer; the
+# per-value work is a tight C-accelerated parse). Registered once per
+# SparkSession, lazily, only when a query actually uses them.
+_IP_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_ip_udfs(spark: SparkSession) -> None:
+    if id(spark) in _IP_UDF_SESSIONS:
+        return
+    from bighouse_spark.functions.ipfuncs import ALL
+
+    for name, fn in ALL.items():
+        spark.udf.register(name, fn)
+    _IP_UDF_SESSIONS.add(id(spark))
 
 
 def _split_args_top(s: str) -> list[str]:
@@ -2207,16 +2327,61 @@ _HTTP_SPOOL_LOCK = threading.Lock()
 _HTTP_SPOOL_MAX_BYTES = int(
     os.environ.get("BIGHOUSE_HTTP_SPOOL_MAX_BYTES", str(4 << 30))
 )
+# url → count of in-flight requests whose registered url() views point
+# at the spool file. Eviction skips pinned entries: with the threaded
+# HTTP/wire servers, thread A's Spark action may read a file:// path
+# long after A's transpile returned — thread B's fetch evicting it
+# mid-query would fail A with FileNotFoundException. Pins are
+# per-thread (the request runs its transpile AND its action on one
+# handler thread) and released at the request boundary
+# (``engine.execute``'s finally), when eviction retries.
+_HTTP_SPOOL_PINS: dict[str, int] = {}
+_SPOOL_LOCAL = threading.local()
+
+
+def _pin_spool_locked(url: str) -> None:
+    urls = getattr(_SPOOL_LOCAL, "urls", None)
+    if urls is None:
+        urls = _SPOOL_LOCAL.urls = set()
+    if url not in urls:
+        urls.add(url)
+        _HTTP_SPOOL_PINS[url] = _HTTP_SPOOL_PINS.get(url, 0) + 1
+
+
+def release_spool_pins() -> None:
+    """Release the calling thread's spool pins and apply any eviction
+    deferred while they were held. Called at the same request
+    boundaries as ``release_tracked`` (idempotent; a thread with no
+    pins is a no-op)."""
+    urls = getattr(_SPOOL_LOCAL, "urls", None)
+    if not urls:
+        return
+    with _HTTP_SPOOL_LOCK:
+        for url in urls:
+            n = _HTTP_SPOOL_PINS.get(url, 0) - 1
+            if n <= 0:
+                _HTTP_SPOOL_PINS.pop(url, None)
+            else:
+                _HTTP_SPOOL_PINS[url] = n
+        urls.clear()
+        _spool_evict_locked()
 
 
 def _spool_evict_locked() -> None:
-    """Evict least-recently-used spool files until under the byte cap.
-    The file(s) of the current query were just touched (MRU), so they
-    survive unless a single query's URLs alone exceed the cap — same
-    newest-wins posture as the engine's result-cache LRU."""
+    """Evict least-recently-used UNPINNED spool files until under the
+    byte cap. The file(s) of the current query are pinned for the
+    request's duration (and just touched, so MRU besides); if every
+    entry is pinned the spool temporarily exceeds the cap and eviction
+    happens at the next pin release — correctness over cap strictness."""
     total = sum(b for _, b in _HTTP_SPOOL.values())
-    while total > _HTTP_SPOOL_MAX_BYTES and len(_HTTP_SPOOL) > 1:
-        _, (path, nbytes) = _HTTP_SPOOL.popitem(last=False)
+    if total <= _HTTP_SPOOL_MAX_BYTES:
+        return
+    for url in list(_HTTP_SPOOL):
+        if total <= _HTTP_SPOOL_MAX_BYTES or len(_HTTP_SPOOL) <= 1:
+            break
+        if _HTTP_SPOOL_PINS.get(url):
+            continue
+        path, nbytes = _HTTP_SPOOL.pop(url)
         total -= nbytes
         try:
             os.unlink(path.removeprefix("file://"))
@@ -2237,6 +2402,7 @@ def _fetch_http(url: str) -> str:
     with _HTTP_SPOOL_LOCK:
         if url in _HTTP_SPOOL:
             _HTTP_SPOOL.move_to_end(url)
+            _pin_spool_locked(url)
             return _HTTP_SPOOL[url][0]
     import hashlib
     import tempfile
@@ -2264,6 +2430,7 @@ def _fetch_http(url: str) -> str:
     with _HTTP_SPOOL_LOCK:
         _HTTP_SPOOL[url] = (f"file://{dest}", os.path.getsize(dest))
         _HTTP_SPOOL.move_to_end(url)
+        _pin_spool_locked(url)
         _spool_evict_locked()
         return _HTTP_SPOOL[url][0]
 

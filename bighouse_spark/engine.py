@@ -159,6 +159,11 @@ class BigHouseEngine:
         # name → (path, fmt, schema) for attach_table targets, so
         # INSERT INTO <name> can append to the backing storage.
         self._attached: dict[str, tuple[str, str, str | None]] = {}
+        # Engine-owned partition layout: table -> PARTITION BY columns
+        # (CH MergeTree partitioning, the reference's main pruning
+        # lever). Every write path (INSERT, mutations, OPTIMIZE)
+        # re-applies it so partition dirs survive rewrites.
+        self._partitioned: dict[str, list[str]] = {}
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -173,6 +178,19 @@ class BigHouseEngine:
         # CREATE VIEW views: name → transpiled SELECT (for SHOW
         # CREATE; the registered temp view is the live object).
         self._user_views: dict[str, str] = {}
+        # Tables promoted to catalog tables by ANALYZE TABLE so CBO
+        # statistics attach to them (temp views cannot carry stats).
+        # attach_table keeps the promotion across writes (REFRESH +
+        # NOSCAN re-analyze instead of re-registering a temp view).
+        self._analyzed: set[str] = set()
+        # Cost-based optimization: with table/column stats from
+        # ANALYZE, Catalyst reorders joins and sizes broadcasts from
+        # rowCount instead of raw file bytes. Harmless without stats.
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled"):
+            try:
+                self.spark.conf.set(k, "true")
+            except Exception:
+                pass
 
     def _rename_table(self, old: str, new: str) -> None:
         """RENAME TABLE: re-point the temp view and, for attached
@@ -188,6 +206,14 @@ class BigHouseEngine:
         if old in self._attached:
             path, fmt, schema = self._attached.pop(old)
             self.spark.catalog.dropTempView(old)
+            if old in self._analyzed:
+                # Demote on rename: statistics are bound to the
+                # catalog identifier. Re-ANALYZE under the new name to
+                # re-promote.
+                self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+                self._analyzed.discard(old)
+            if old in self._partitioned:
+                self._partitioned[new] = self._partitioned.pop(old)
             self.attach_table(new, path, fmt=fmt, schema=schema)
         elif self.spark.catalog.tableExists(old):
             df = self.spark.table(old)
@@ -261,6 +287,17 @@ class BigHouseEngine:
                 df = df.withColumn(
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
                 )
+        if name in self._analyzed:
+            # The table lives in the session catalog (promoted by
+            # ANALYZE TABLE). Point it at the (possibly rewritten)
+            # files and refresh cheap stats; a temp view here would
+            # shadow the catalog table and drop its statistics.
+            self._attached[name] = (path, fmt, schema)
+            self.spark.sql(f"REFRESH TABLE {name}")
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS NOSCAN"
+            )
+            return
         df.createOrReplaceTempView(name)
         self._attached[name] = (path, fmt, schema)
 
@@ -381,13 +418,21 @@ class BigHouseEngine:
                         n_rows = _pq.ParquetFile(fpath).metadata.num_rows
                     except Exception:
                         pass
+                # CH system.parts names the partition each part
+                # belongs to; here that's the Hive-style directory
+                # fragment ('p=3', 'y=2024/m=01'; '' unpartitioned).
+                rel_dir = _os.path.dirname(
+                    _os.path.relpath(fpath, local)
+                ) if not _os.path.isfile(local) else ""
                 parts.append((
                     tname, _os.path.basename(fpath),
+                    "" if rel_dir == "." else rel_dir,
                     int(_os.path.getsize(fpath)), int(n_rows),
                 ))
         self.spark.createDataFrame(
             parts,
-            "table string, name string, bytes_on_disk bigint, rows bigint",
+            "table string, name string, partition string, "
+            "bytes_on_disk bigint, rows bigint",
         ).createOrReplaceTempView("system_parts")
         # system.dictionaries analog.
         self.spark.createDataFrame(
@@ -442,7 +487,7 @@ class BigHouseEngine:
         r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"(?:\s+ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
-        r"(?:\s+PARTITION\s+BY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+PARTITION\s+BY\s+(\([^)]*\)|\S+))?"
         r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+(?:\s*\(\s*\))?))?"
         r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
         r"\s+AS\s+(SELECT\b.+|WITH\b.+)$",
@@ -474,7 +519,7 @@ class BigHouseEngine:
     )
     _CREATE_TABLE_TAIL_RE = re.compile(
         r"^\s*(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
-        r"(?:\s+PARTITION\s+BY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+PARTITION\s+BY\s+(\([^)]*\)|\S+))?"
         r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+))?"
         r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
         r"(?:\s+SETTINGS\s+.*)?\s*$",
@@ -492,6 +537,13 @@ class BigHouseEngine:
     _OPTIMIZE_RE = re.compile(
         r"^\s*OPTIMIZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
+        re.IGNORECASE,
+    )
+    _ANALYZE_RE = re.compile(
+        r"^\s*ANALYZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+COMPUTE\s+STATISTICS"
+        r"(\s+FOR\s+ALL\s+COLUMNS|\s+FOR\s+COLUMNS\s+[\w,\s`]+|\s+NOSCAN)?"
+        r")?\s*$",
         re.IGNORECASE,
     )
 
@@ -518,6 +570,45 @@ class BigHouseEngine:
             )
         return local
 
+    @staticmethod
+    def _parse_partition_by(spec: str, available: list[str]) -> list[str]:
+        """CH ``PARTITION BY`` clause → list of stored column names.
+        Supports a bare column, ``(a, b)``, and ``tuple(a, b)``.
+        Expression keys (``toYYYYMM(d)``) are refused loudly — CH
+        stores the expression result in part metadata; here partition
+        values must be stored columns so Spark's directory layout and
+        partition pruning line up with the declared schema. (The
+        idiomatic port of ``PARTITION BY toYYYYMM(d)`` is a
+        materialized month column.)"""
+        s = spec.strip()
+        m_tuple = re.fullmatch(r"tuple\s*\((.*)\)", s, re.IGNORECASE)
+        if m_tuple:
+            s = m_tuple.group(1)
+        elif s.startswith("(") and s.endswith(")"):
+            s = s[1:-1]
+        cols = [c.strip().strip('`"') for c in s.split(",") if c.strip()]
+        avail = {a.lower(): a for a in available}
+        out = []
+        for c in cols:
+            if not re.fullmatch(r"\w+", c) or c.lower() not in avail:
+                raise ValueError(
+                    f"PARTITION BY {spec}: partition keys must be "
+                    "stored columns (materialize an expression key as "
+                    "a column first)"
+                )
+            out.append(avail[c.lower()])
+        return out
+
+    def _table_writer(self, df, name: str, fmt: str, mode: str):
+        """A DataFrameWriter honoring the table's declared PARTITION
+        BY layout — every write path goes through here so partition
+        directories survive INSERTs, mutations, and OPTIMIZE."""
+        writer = df.write.format(fmt).mode(mode)
+        pcols = self._partitioned.get(name)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        return writer
+
     def _rewrite_attached(self, name: str, df, t0: float, query: str,
                           transpiled: str) -> QueryResult:
         """Materialize ``df`` as the new contents of an attached
@@ -531,7 +622,7 @@ class BigHouseEngine:
         path, fmt, schema = self._attached[name]
         local = path[7:] if path.startswith("file://") else path
         tmp = f"{local}.mutating-{uuid.uuid4().hex[:8]}"
-        df.write.format(fmt).mode("overwrite").save(tmp)
+        self._table_writer(df, name, fmt, "overwrite").save(tmp)
         old = f"{local}.old-{uuid.uuid4().hex[:8]}"
         shutil.move(local, old)
         shutil.move(tmp, local)
@@ -586,7 +677,7 @@ class BigHouseEngine:
         aligned = df.toDF(*[f.name for f in target.fields]).select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields]
         )
-        aligned.write.format(fmt).mode("append").save(path)
+        self._table_writer(aligned, name, fmt, "append").save(path)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
         # CH MV semantics: INSERT into the source table triggers the
@@ -909,7 +1000,7 @@ class BigHouseEngine:
                     *[F.col(f.name).cast(f.dataType) for f in target.fields]
                 )
             path, fmt, schema = self._attached[name]
-            aligned.write.format(fmt).mode("append").save(path)
+            self._table_writer(aligned, name, fmt, "append").save(path)
             self.clear_cache()
             self.attach_table(name, path, fmt=fmt, schema=schema)
             for mv_name, mv in self._mviews.items():
@@ -1025,8 +1116,12 @@ class BigHouseEngine:
         # directory with the declared schema and attach it, so the
         # whole write surface (INSERT, mutations, OPTIMIZE, MVs,
         # system_parts) works on created tables exactly as on ATTACHed
-        # ones. ORDER BY / PARTITION BY / SETTINGS clauses are
-        # accepted and dropped (layout is a write-time concern here —
+        # ones. PARTITION BY <stored column(s)> is HONORED — data
+        # lands in partition directories and partition-key predicates
+        # prune at the scan (CH MergeTree partitioning, the
+        # reference's main pruning lever; PartitionFilters proven in
+        # test_plan_shapes). ORDER BY / SETTINGS remain accepted and
+        # dropped (in-file order is a write-time concern —
         # execute_to_sink(order_by=/zorder_by=)).
         m_ctas = (
             None if self._CREATE_TABLE_HEAD_RE.match(request.query)
@@ -1036,7 +1131,7 @@ class BigHouseEngine:
             # CTAS: materialize the SELECT into an engine-owned parquet
             # directory and attach — the result is a real table with
             # the full write surface, same as CREATE TABLE + INSERT.
-            if_not_exists, name, select_sql = m_ctas.groups()
+            if_not_exists, name, part_spec, select_sql = m_ctas.groups()
             if name in self._attached or name in self._mviews:
                 if if_not_exists:
                     return QueryResult(
@@ -1049,13 +1144,26 @@ class BigHouseEngine:
             sel = transpile(select_sql, self.spark)
             df = self.spark.sql(sel.sql)
             path = tempfile.mkdtemp(prefix=f"bh_tbl_{name}_")
-            df.write.mode("overwrite").parquet(path)
+            decl_schema = None
+            if part_spec:
+                pcols = self._parse_partition_by(part_spec, df.columns)
+                self._partitioned[name] = pcols
+                # Re-reads of a partitioned dir would otherwise infer
+                # partition columns last (and the empty case not at
+                # all): register with the declared column order/types.
+                from bighouse_spark.dialect.schema import spark_type_to_ch
+
+                decl_schema = ", ".join(
+                    f"`{f.name}` {spark_type_to_ch(f.dataType)}"
+                    for f in df.schema.fields
+                )
+            self._table_writer(df, name, "parquet", "overwrite").save(path)
             for v in sel.views:
                 try:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
-            self.attach_table(name, path)
+            self.attach_table(name, path, schema=decl_schema)
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, "<create table as>", elapsed, 0)
@@ -1101,6 +1209,21 @@ class BigHouseEngine:
         m_ex = self._EXCHANGE_RE.match(request.query)
         if m_ex:
             a, b = m_ex.groups()
+            # Validate BOTH tables before any rename — the three-step
+            # swap below mutates state, so a failure mid-way (e.g. b
+            # is an MV, which _rename_table refuses) must be
+            # impossible once it starts, or a would be stranded under
+            # its temp name.
+            for nm in (a, b):
+                if nm in self._mviews:
+                    raise ValueError(
+                        f"EXCHANGE TABLES: {nm} is a materialized view"
+                    )
+                if not (
+                    nm in self._attached
+                    or self.spark.catalog.tableExists(nm)
+                ):
+                    raise ValueError(f"EXCHANGE TABLES: {nm} not found")
             tmp = f"__bh_xchg_{a}"
             self._rename_table(a, tmp)
             self._rename_table(b, a)
@@ -1141,11 +1264,15 @@ class BigHouseEngine:
                     depth -= 1
                 i += 1
             cols, tail = q[m_ct.end(): i - 1], q[i:]
-            if depth or not self._CREATE_TABLE_TAIL_RE.match(tail):
+            m_tail = (
+                None if depth else self._CREATE_TABLE_TAIL_RE.match(tail)
+            )
+            if m_tail is None:
                 raise ValueError(
                     f"CREATE TABLE {name}: unsupported trailing clause "
-                    f"{tail.strip()[:60]!r} (ENGINE/PARTITION BY/ORDER "
-                    "BY/PRIMARY KEY/SETTINGS are accepted and dropped)"
+                    f"{tail.strip()[:60]!r} (PARTITION BY is honored; "
+                    "ENGINE/ORDER BY/PRIMARY KEY/SETTINGS are accepted "
+                    "and dropped)"
                 )
             if name in self._attached or name in self._mviews:
                 if if_not_exists:
@@ -1159,10 +1286,21 @@ class BigHouseEngine:
 
             schema = parse_schema_string(cols)
             path = tempfile.mkdtemp(prefix=f"bh_tbl_{name}_")
-            self.spark.createDataFrame([], schema).write.mode(
-                "overwrite"
-            ).parquet(path)
-            self.attach_table(name, path)
+            decl_schema = None
+            if m_tail.group(1):
+                self._partitioned[name] = self._parse_partition_by(
+                    m_tail.group(1), [f.name for f in schema.fields]
+                )
+                # A partitioned dir stores partition values in dir
+                # names, not files — keep the declared schema on the
+                # registration so column order and types (and the
+                # empty-table read) stay exactly as declared.
+                decl_schema = cols
+            self._table_writer(
+                self.spark.createDataFrame([], schema), name, "parquet",
+                "overwrite",
+            ).save(path)
+            self.attach_table(name, path, schema=decl_schema)
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, "<create table>", elapsed, 0)
@@ -1230,6 +1368,11 @@ class BigHouseEngine:
         if m_opt:
             name, _final, dedup = m_opt.groups()
             return self._optimize_attached(name, bool(dedup), t0, request.query)
+        m_an = self._ANALYZE_RE.match(request.query)
+        if m_an:
+            return self._analyze_table(
+                m_an.group(1), m_an.group(2), t0, request.query
+            )
         m_dt = self._DROP_TRUNCATE_RE.match(request.query)
         if m_dt:
             op, name = m_dt.group(1).upper(), m_dt.group(2)
@@ -1245,7 +1388,11 @@ class BigHouseEngine:
             # discards its private data/checkpoint dirs (they belong
             # to the engine, not the shared storage).
             self.spark.catalog.dropTempView(name)
+            if name in self._analyzed:
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                self._analyzed.discard(name)
             self._attached.pop(name, None)
+            self._partitioned.pop(name, None)
             self._user_views.pop(name, None)
             mv = self._mviews.pop(name, None)
             if mv is not None:
@@ -1355,6 +1502,9 @@ class BigHouseEngine:
             # result rows are already collected, so releasing here
             # keeps a long-lived server session's storage flat.
             release_tracked()
+            from bighouse_spark.dialect.transpile import release_spool_pins
+
+            release_spool_pins()
             if scoped_conf:
                 if prev_parts is not None:
                     self.spark.conf.set(
@@ -1458,6 +1608,63 @@ class BigHouseEngine:
                 except Exception:
                     pass
             release_tracked()
+            from bighouse_spark.dialect.transpile import release_spool_pins
+
+            release_spool_pins()
+
+    def _analyze_table(
+        self, name: str, cols_clause: str | None, t0: float, query: str
+    ) -> QueryResult:
+        """``ANALYZE TABLE <name> [COMPUTE STATISTICS [NOSCAN | FOR
+        ALL COLUMNS | FOR COLUMNS c, ...]]`` — engine-owned table
+        statistics for the cost-based optimizer.
+
+        Temp views cannot carry statistics, so the first ANALYZE
+        promotes the attached parquet directory to a session-catalog
+        EXTERNAL table (same files, zero copy) and computes stats on
+        it; with ``spark.sql.cbo.enabled`` Catalyst then plans from
+        rowCount/column stats — join reordering and broadcast
+        selection without manual ``F.broadcast`` hints. Writes keep
+        the promotion (``attach_table`` refreshes + NOSCAN
+        re-analyzes instead of re-registering a temp view)."""
+        if name not in self._attached:
+            raise ValueError(
+                f"ANALYZE TABLE {name}: not an attached table"
+            )
+        path, fmt, schema = self._attached[name]
+        if fmt != "parquet":
+            raise ValueError(
+                f"ANALYZE TABLE {name}: statistics are implemented "
+                "for parquet-backed tables"
+            )
+        if name in self._partitioned:
+            raise ValueError(
+                f"ANALYZE TABLE {name}: partitioned engine tables "
+                "are not promotable yet (partition pruning already "
+                "gives the optimizer per-partition sizes)"
+            )
+        if name not in self._analyzed:
+            self.spark.catalog.dropTempView(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            self.spark.sql(
+                f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
+            )
+            self._analyzed.add(name)
+        stats = f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+        if cols_clause:
+            self.spark.sql(stats + " " + cols_clause.strip())
+        else:
+            # Default: row stats + all-column stats (histograms stay
+            # off — spark.sql.statistics.histogram.enabled default).
+            self.spark.sql(stats)
+            self.spark.sql(stats + " FOR ALL COLUMNS")
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, "<analyze>", elapsed, 0)
+        )
+        return QueryResult(
+            cols=["analyzed"], rows=[[name]], elapsed_sec=elapsed
+        )
 
     def _show_create_table(
         self, name: str, t0: float, query: str
@@ -1480,7 +1687,10 @@ class BigHouseEngine:
         elif name in self._user_views:
             stmt = f"CREATE VIEW {name}\nAS {self._user_views[name]}"
         elif name in self._attached:
-            stmt = render_create_table(name, self.spark.table(name).schema)
+            stmt = render_create_table(
+                name, self.spark.table(name).schema,
+                partition_by=self._partitioned.get(name),
+            )
         else:
             try:
                 schema = self.spark.table(name).schema

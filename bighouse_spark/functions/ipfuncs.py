@@ -1,0 +1,97 @@
+"""IPv6 conversion UDFs for the dialect layer.
+
+128-bit address parsing/formatting is not expressible as built-in
+column expressions, so these run as Arrow-batched pandas UDFs over the
+stdlib ``ipaddress`` module. NOTE: no ``from __future__ import
+annotations`` here — pandas_udf resolves the ``pd.Series`` type hints
+at registration time, which requires real (non-string) annotations
+with ``pd`` importable at module scope.
+
+Registered once per SparkSession by
+``dialect.transpile._ensure_ip_udfs`` and only when a query uses them.
+"""
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("binary")
+def bh_ipv6_ston(s: pd.Series) -> pd.Series:
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            return ipaddress.IPv6Address(x).packed
+        except Exception:
+            try:  # CH accepts dotted IPv4 → IPv4-mapped IPv6
+                return ipaddress.IPv6Address("::ffff:" + x).packed
+            except Exception:
+                return None
+
+    return s.map(conv)
+
+
+@pandas_udf("string")
+def bh_ipv6_ntos(b: pd.Series) -> pd.Series:
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            return str(ipaddress.IPv6Address(bytes(x)))
+        except Exception:
+            return None
+
+    return b.map(conv)
+
+
+@pandas_udf("string")
+def bh_ipv6_norm(s: pd.Series) -> pd.Series:
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            return str(ipaddress.IPv6Address(x))
+        except Exception:
+            return None
+
+    return s.map(conv)
+
+
+@pandas_udf("boolean")
+def bh_is_ipv6(s: pd.Series) -> pd.Series:
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            ipaddress.IPv6Address(x)
+            return True
+        except Exception:
+            return False
+
+    return s.map(conv)
+
+
+@pandas_udf("binary")
+def bh_ipv4_to_ipv6(n: pd.Series) -> pd.Series:
+    def conv(x):
+        if x is None or pd.isna(x):
+            return None
+        try:
+            return ipaddress.IPv6Address(
+                "::ffff:" + str(ipaddress.IPv4Address(int(x)))
+            ).packed
+        except Exception:
+            return None
+
+    return n.map(conv)
+
+
+ALL = {
+    "bh_ipv6_ston": bh_ipv6_ston,
+    "bh_ipv6_ntos": bh_ipv6_ntos,
+    "bh_ipv6_norm": bh_ipv6_norm,
+    "bh_is_ipv6": bh_is_ipv6,
+    "bh_ipv4_to_ipv6": bh_ipv4_to_ipv6,
+}

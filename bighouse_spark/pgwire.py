@@ -20,9 +20,16 @@ Protocol scope (mirrors what ClickHouse's own endpoint supports):
   CommandComplete + ReadyForQuery; errors → ErrorResponse with a
   SQLSTATE and the engine's message, then ReadyForQuery (the
   connection survives, matching PG semantics).
-* ``Terminate`` ('X') closes; unsupported extended-protocol messages
-  get an ErrorResponse (0A000 feature_not_supported) so drivers that
-  probe extended mode fail soft.
+* Extended protocol (what psycopg3 / JDBC emit by default): Parse /
+  Bind / Describe / Execute / Close / Sync / Flush. Prepared
+  statements are stored as SQL text; Bind substitutes text-format
+  ``$n`` parameters as quoted literals (the engine re-plans per
+  execution — honest for an analytics engine with no plan cache);
+  Describe-portal executes the query once to produce an accurate
+  RowDescription, and Execute replays the cached result rows.
+  Binary-format parameters and binary result codes are declined with
+  0A000 so drivers fall back or surface a clean error.
+* ``Terminate`` ('X') closes.
 
 Results are rendered in text format with honest type OIDs for ints,
 floats, bools, dates and timestamps (everything else is ``text``),
@@ -117,6 +124,19 @@ def _render(value: Any) -> bytes | None:
     return str(value).encode()
 
 
+def _substitute_params(sql: str, params: list) -> str:
+    """Bind text-format params: ``$n`` → quoted literal (NULL for
+    null). Descending order so ``$12`` isn't clobbered by ``$1``.
+    String literals are fine for numerics too — the engine's analyzer
+    coerces them against the column type (ANSI implicit cast)."""
+    out = sql
+    for i in range(len(params), 0, -1):
+        v = params[i - 1]
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        out = out.replace(f"${i}", lit)
+    return out
+
+
 def _msg(tag: bytes, payload: bytes) -> bytes:
     return tag + struct.pack("!I", len(payload) + 4) + payload
 
@@ -130,6 +150,11 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def handle(self) -> None:  # noqa: C901 — one protocol loop
         sock = self.request
+        # Extended-protocol state: named prepared statements (SQL
+        # text) and portals (bound SQL + cached execution result).
+        self._stmts: dict[str, str] = {}
+        self._portals: dict[str, dict[str, Any]] = {}
+        self._ext_error = False  # swallow until Sync after an error
         try:
             if not self._startup(sock):
                 return
@@ -147,17 +172,24 @@ class _Handler(socketserver.BaseRequestHandler):
                 if tag == b"Q":
                     self._query(sock, payload[:-1].decode(errors="replace"))
                     self._send_ready(sock)
-                elif tag in (b"P", b"B", b"D", b"E", b"C", b"S", b"F"):
-                    # Extended / copy protocol: declined, not broken —
-                    # drivers fall back or surface a clean error.
-                    self._send_error(
-                        sock, "0A000",
-                        "extended query protocol not supported; use "
-                        "simple query mode",
-                    )
-                    if tag == b"S":  # Sync expects ReadyForQuery
-                        self._send_ready(sock)
-                # anything else: ignore (Flush, etc.)
+                elif tag == b"S":  # Sync: clear error state, ready
+                    self._ext_error = False
+                    self._send_ready(sock)
+                elif self._ext_error:
+                    continue  # skip until Sync, per protocol
+                elif tag == b"P":
+                    self._ext_parse(sock, payload)
+                elif tag == b"B":
+                    self._ext_bind(sock, payload)
+                elif tag == b"D":
+                    self._ext_describe(sock, payload)
+                elif tag == b"E":
+                    self._ext_execute(sock, payload)
+                elif tag == b"C":
+                    self._ext_close(sock, payload)
+                elif tag == b"H":  # Flush — we always send eagerly
+                    pass
+                # anything else: ignore
         except (ConnectionError, BrokenPipeError, OSError):
             pass
 
@@ -203,6 +235,10 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as e:  # engine/transpile/Spark error
             self._send_error(sock, "42601", str(e)[:2000])
             return
+        self._send_row_description(sock, result)
+        self._send_data_rows(sock, result)
+
+    def _send_row_description(self, sock, result) -> None:
         if result.types:
             oids = [_oid_for_type(t) for t in result.types]
         else:
@@ -217,6 +253,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 + struct.pack("!IHIhih", 0, 0, oid, -1, -1, 0)
             )
         sock.sendall(_msg(b"T", desc))
+
+    def _send_data_rows(self, sock, result) -> None:
         for row in result.rows:
             body = struct.pack("!H", len(row))
             for v in row:
@@ -227,6 +265,127 @@ class _Handler(socketserver.BaseRequestHandler):
                     body += struct.pack("!I", len(data)) + data
             sock.sendall(_msg(b"D", body))
         sock.sendall(_msg(b"C", _cstr(f"SELECT {len(result.rows)}")))
+
+    # -- extended protocol -----------------------------------------
+
+    @staticmethod
+    def _read_cstr(payload: bytes, off: int) -> tuple[str, int]:
+        end = payload.index(b"\x00", off)
+        return payload[off:end].decode(errors="replace"), end + 1
+
+    def _ext_fail(self, sock, code: str, msg: str) -> None:
+        self._send_error(sock, code, msg)
+        self._ext_error = True  # skip messages until Sync
+
+    def _ext_parse(self, sock, payload: bytes) -> None:
+        name, off = self._read_cstr(payload, 0)
+        sql, off = self._read_cstr(payload, off)
+        # Declared parameter-type OIDs are accepted and ignored —
+        # parameters substitute as text literals and the engine's
+        # analyzer types them.
+        self._stmts[name] = sql
+        sock.sendall(_msg(b"1", b""))  # ParseComplete
+
+    def _ext_bind(self, sock, payload: bytes) -> None:
+        portal, off = self._read_cstr(payload, 0)
+        stmt, off = self._read_cstr(payload, off)
+        (nfmt,) = struct.unpack_from("!H", payload, off)
+        off += 2
+        fmts = struct.unpack_from(f"!{nfmt}H", payload, off)
+        off += 2 * nfmt
+        (nparams,) = struct.unpack_from("!H", payload, off)
+        off += 2
+        params: list[str | None] = []
+        for i in range(nparams):
+            (ln,) = struct.unpack_from("!i", payload, off)
+            off += 4
+            if ln == -1:
+                params.append(None)
+            else:
+                fmt = fmts[i] if i < len(fmts) else (
+                    fmts[0] if len(fmts) == 1 else 0
+                )
+                if fmt == 1:
+                    self._ext_fail(
+                        sock, "0A000",
+                        "binary-format parameters not supported",
+                    )
+                    return
+                params.append(
+                    payload[off:off + ln].decode(errors="replace")
+                )
+                off += ln
+        (nresfmt,) = struct.unpack_from("!H", payload, off)
+        off += 2
+        resfmts = struct.unpack_from(f"!{nresfmt}H", payload, off)
+        if any(f == 1 for f in resfmts):
+            self._ext_fail(
+                sock, "0A000", "binary result format not supported"
+            )
+            return
+        if stmt not in self._stmts:
+            self._ext_fail(
+                sock, "26000", f"prepared statement {stmt!r} not found"
+            )
+            return
+        self._portals[portal] = {
+            "sql": _substitute_params(self._stmts[stmt], params),
+            "result": None,
+        }
+        sock.sendall(_msg(b"2", b""))  # BindComplete
+
+    def _portal_result(self, sock, portal: dict) -> Any:
+        if portal["result"] is None:
+            portal["result"] = self.server.engine.execute(portal["sql"])
+        return portal["result"]
+
+    def _ext_describe(self, sock, payload: bytes) -> None:
+        kind = payload[0:1]
+        name, _ = self._read_cstr(payload, 1)
+        if kind == b"S":
+            if name not in self._stmts:
+                self._ext_fail(
+                    sock, "26000",
+                    f"prepared statement {name!r} not found",
+                )
+                return
+            # 0 declared parameters + NoData (schema is known only at
+            # portal time — the engine has no prepare-time analyzer
+            # pass separate from execution).
+            sock.sendall(_msg(b"t", struct.pack("!H", 0)))
+            sock.sendall(_msg(b"n", b""))
+            return
+        portal = self._portals.get(name)
+        if portal is None:
+            self._ext_fail(sock, "34000", f"portal {name!r} not found")
+            return
+        try:
+            result = self._portal_result(sock, portal)
+        except Exception as e:
+            self._ext_fail(sock, "42601", str(e)[:2000])
+            return
+        self._send_row_description(sock, result)
+
+    def _ext_execute(self, sock, payload: bytes) -> None:
+        name, off = self._read_cstr(payload, 0)
+        portal = self._portals.get(name)
+        if portal is None:
+            self._ext_fail(sock, "34000", f"portal {name!r} not found")
+            return
+        try:
+            result = self._portal_result(sock, portal)
+        except Exception as e:
+            self._ext_fail(sock, "42601", str(e)[:2000])
+            return
+        # max_rows (int32 at off) intentionally ignored: results are
+        # engine-bounded; portal suspension is not implemented.
+        self._send_data_rows(sock, result)
+
+    def _ext_close(self, sock, payload: bytes) -> None:
+        kind = payload[0:1]
+        name, _ = self._read_cstr(payload, 1)
+        (self._stmts if kind == b"S" else self._portals).pop(name, None)
+        sock.sendall(_msg(b"3", b""))  # CloseComplete
 
     # -- plumbing --------------------------------------------------
 

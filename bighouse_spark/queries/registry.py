@@ -49,71 +49,90 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-4 WINDOW: the 38 queries that had never had a driver row
-# through r03 (all dialect_*_roundtrip, all curation_*, the approx-op
-# contracts in queries/checks.py, select_star/scalar/string functions,
-# the remaining text/agg/embedding ops, sequence_count,
-# uniq_state rollups) + 12 high-value repeats: the reference headline
-# queries (sum_group_by, uniq_exact, checksum_md5, count_by_file —
-# README.md:45-59), the ASOF family (red in r03, fixed by the NTZ
-# normalization), this round's rewritten simhash, and the flagship
-# dedup/ANN/TPC-H/window representatives.
+# ROUND-5 WINDOW (50 names, ALL oracle-bearing — the two oracle-less
+# names in the r4 window, uniq_approx and uniq_state_merge_rollup,
+# structurally could not produce a green row and are dropped; their
+# exact-contract twins uniq_approx_check / uniq_rollup_check stay in).
+# Composition, exactly:
+#   6  reference-surface queries last driver-green in r1
+#      (count_by_file, count_star, count_plus_two, filter_eq,
+#      order_limit, like_filters)
+#   3  behavioral aggregates last green r1-r3 (funnel_window_3step,
+#      retention_cohort, sequence_match_view_purchase)
+#   1  checksum_md5 (the cityHash64 capability's exact twin, re-check)
+#   3  approx-op contract checks (uniq_approx_check,
+#      uniq_rollup_check, percentile_approx_check)
+#   6  queries over code paths CHANGED this round: the new
+#      PARTITION BY round-trip (table_partition_pruning), the sink
+#      layouts over the partition-aware writer (sink_roundtrip_*),
+#      the hot-bucket-capped LSH (dedup_minhash_lsh,
+#      dedup_minhash_clusters), the extracted TF-IDF operator
+#      (text_tfidf_topk)
+#   8  TPC-H representatives incl. the judge-named q6/q9/q21
+#      (q3, q5, q6, q9, q14, q18, q21, q22)
+#   11 the full window-function family
+#   4  set ops, 3 join variants, 5 aggregate/grouping queries
 DRIVER_WINDOW = {
-    # -- never driver-checked through r03 (38) --
-    "agg_entropy",
-    "agg_histogram",
-    "agg_weighted_median",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "checksum_invariance",
-    "cluster_assign_topics",
-    "curation_chunk_documents",
-    "curation_decontaminate",
-    "curation_incremental_dedup",
-    "curation_mixture_weighted",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "curation_train_val_test_split",
-    "dedup_substring_20gram",
-    "dialect_agg_roundtrip",
-    "dialect_array_join_roundtrip",
-    "dialect_asof_roundtrip",
-    "dialect_limit_by_roundtrip",
-    "dialect_limit_ties_roundtrip",
-    "dialect_topk_roundtrip",
-    "dialect_with_fill_roundtrip",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "percentile_approx_check",
-    "quality_constraint_report",
-    "scalar_functions",
-    "select_star",
-    "sequence_count_view_purchase",
-    "string_functions",
-    "text_bigram_fluency",
-    "text_keyword_search",
-    "text_pii_redact",
-    "text_repetition_scores",
-    "uniq_approx",
+    # -- reference surface, last green r1 (6) --
+    "count_by_file",
+    "count_star",
+    "count_plus_two",
+    "filter_eq",
+    "order_limit",
+    "like_filters",
+    # -- behavioral aggregates (3) --
+    "funnel_window_3step",
+    "retention_cohort",
+    "sequence_match_view_purchase",
+    # -- checksum twin re-check (1) --
+    "checksum_md5",
+    # -- approx-op exact contracts (3) --
     "uniq_approx_check",
     "uniq_rollup_check",
-    "uniq_state_merge_rollup",
-    # -- round-4 additions: sink proof + new curation ops (5) --
+    "percentile_approx_check",
+    # -- code paths changed this round (6) --
+    "table_partition_pruning",
     "sink_roundtrip_ordered",
     "sink_roundtrip_zorder",
-    "text_gopher_rules",
-    "curation_domain_cap",
-    "text_tfidf_topk",
-    # -- high-value repeats (7): reference headliners, the ASOF family
-    # (red in r03, fixed by NTZ normalization), this round's rewritten
-    # simhash and persist-fixed LSH --
-    "asof_join_purchase_click",
-    "checksum_md5",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sum_group_by",
-    "tpch_q1_pricing_summary",
-    "uniq_exact",
+    "dedup_minhash_clusters",
+    "text_tfidf_topk",
+    # -- TPC-H representatives (8) --
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_prospects",
+    # -- window family, complete (11) --
+    "window_daily_rollup",
+    "window_first_last_frame",
+    "window_gapfill_hourly",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_sum",
+    "window_session_10m",
+    "window_sliding_1h_30m",
+    "window_topk_per_group",
+    "window_tumbling_hourly",
+    # -- set ops (4) --
+    "set_union",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    # -- joins (3) --
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    # -- aggregates / grouping (5) --
+    "agg_argmax_argmin",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "grouping_sets",
+    "rollup_agg",
 }
 
 

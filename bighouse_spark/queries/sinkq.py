@@ -101,3 +101,42 @@ def sink_roundtrip_zorder(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "table_partition_pruning",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+    ),
+)
+def table_partition_pruning(spark, sf_dir):
+    """Engine-owned PARTITION BY round-trip: CTAS an orders subset
+    partitioned on o_orderstatus (the CH MergeTree partitioning the
+    reference's ATTACH DDL family implies), then aggregate through a
+    partition-key predicate — the scan prunes to the one matching
+    partition directory (PartitionFilters proven in
+    test_engine.TestPartitionBy) and the round-trip must preserve
+    every row and value."""
+    from bighouse_spark.engine import BigHouseEngine
+
+    eng = BigHouseEngine(spark=spark)
+    eng.execute("DROP TABLE IF EXISTS bh_part_orders")
+    eng.execute(
+        "CREATE TABLE bh_part_orders ENGINE = MergeTree "
+        "PARTITION BY o_orderstatus AS "
+        "SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice "
+        f"FROM file('{sf_dir}/orders.parquet', 'Parquet')"
+    )
+    return (
+        spark.table("bh_part_orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

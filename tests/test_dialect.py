@@ -1127,10 +1127,15 @@ class TestHttpSpoolEviction:
             tp._HTTP_SPOOL.clear()
             import os
 
-            paths = [
-                tp._fetch_http(f"http://127.0.0.1:{port}/f{i}.csv")
-                for i in range(4)
-            ]
+            paths = []
+            for i in range(4):
+                # One fetch + release per loop = four sequential
+                # requests (a request's own URLs are pinned until its
+                # boundary and never self-evict).
+                paths.append(
+                    tp._fetch_http(f"http://127.0.0.1:{port}/f{i}.csv")
+                )
+                tp.release_spool_pins()
             # Cap = 2 files → only the 2 most recent survive.
             assert len(tp._HTTP_SPOOL) == 2
             assert [u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL] == [
@@ -1143,12 +1148,14 @@ class TestHttpSpoolEviction:
             # Touching f2 makes it MRU; fetching f0 again evicts f3.
             tp._fetch_http(f"http://127.0.0.1:{port}/f2.csv")
             tp._fetch_http(f"http://127.0.0.1:{port}/f0.csv")
+            tp.release_spool_pins()
             assert [u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL] == [
                 "f2.csv",
                 "f0.csv",
             ]
         finally:
             srv.shutdown()
+            tp.release_spool_pins()
             tp._HTTP_SPOOL.clear()
 
     def test_single_oversized_file_survives(self, tmp_path, monkeypatch):
@@ -1177,6 +1184,82 @@ class TestHttpSpoolEviction:
             assert len(tp._HTTP_SPOOL) == 1
         finally:
             srv.shutdown()
+            tp.release_spool_pins()
+            tp._HTTP_SPOOL.clear()
+
+    def test_pinned_entry_survives_concurrent_eviction(
+        self, tmp_path, monkeypatch
+    ):
+        # The threaded-server hazard: thread A's url() view points at
+        # a spool file; thread B's fetches push the spool over cap
+        # BEFORE A's Spark action runs. A's entry is pinned until its
+        # request boundary, so B's evictions must skip it.
+        import importlib
+        import os
+
+        tp = importlib.import_module("bighouse_spark.dialect.transpile")
+        import http.server
+        import threading
+
+        for i in range(3):
+            (tmp_path / f"g{i}.csv").write_text("v\n" + ("1\n" * 200))
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_port
+            size = len("v\n" + "1\n" * 200)
+            monkeypatch.setattr(tp, "_HTTP_SPOOL_MAX_BYTES", size)
+            tp._HTTP_SPOOL.clear()
+
+            pinned_path = {}
+            fetched = threading.Event()
+            finish_a = threading.Event()
+
+            def request_a():  # fetch g0, hold the pin until signaled
+                pinned_path["p"] = tp._fetch_http(
+                    f"http://127.0.0.1:{port}/g0.csv"
+                )
+                fetched.set()
+                finish_a.wait(30)
+                tp.release_spool_pins()  # A's request boundary
+
+            ta = threading.Thread(target=request_a)
+            ta.start()
+            assert fetched.wait(30)
+            # Thread B runs two full request cycles, each over cap.
+            def requests_b():
+                for i in (1, 2):
+                    tp._fetch_http(f"http://127.0.0.1:{port}/g{i}.csv")
+                    tp.release_spool_pins()
+
+            tb = threading.Thread(target=requests_b)
+            tb.start()
+            tb.join()
+            # Cap fits ONE file and g0 is the LRU — but it is pinned
+            # by thread A's in-flight request, so it must survive.
+            assert os.path.exists(pinned_path["p"].removeprefix("file://"))
+            assert "g0.csv" in [
+                u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL
+            ]
+            # A's boundary releases the pin (on A's thread). g0 then
+            # fits the cap alone, so it stays until the NEXT request
+            # creates eviction pressure — now unpinned, it goes.
+            finish_a.set()
+            ta.join()
+            tp._fetch_http(f"http://127.0.0.1:{port}/g1.csv")
+            tp.release_spool_pins()
+            assert "g0.csv" not in [
+                u.rsplit("/", 1)[-1] for u in tp._HTTP_SPOOL
+            ]
+            assert not os.path.exists(
+                pinned_path["p"].removeprefix("file://")
+            )
+        finally:
+            srv.shutdown()
+            tp.release_spool_pins()
             tp._HTTP_SPOOL.clear()
 
 
@@ -1535,3 +1618,127 @@ class TestRound4ArrayMapFunctions:
             "SELECT mapContains(map('a',1), 'a') AS r, "
             "mapFromArrays(['a'],[1])['a'] AS v"
         ).rows == [[True, 1]]
+
+
+def test_numeric_two_arg_trunc(spark):
+    # CH trunc(x, n) truncates toward zero at n decimals; only a
+    # quoted format string selects Spark's trunc(date, 'fmt').
+    from bighouse_spark.engine import BigHouseEngine
+
+    eng = BigHouseEngine(spark)
+    out = eng.execute(
+        "SELECT trunc(1.777, 1) AS a, trunc(-1.777, 2) AS b, "
+        "trunc(CAST(2.9 AS DOUBLE), 0) AS c, "
+        "trunc(DATE '2024-03-15', 'MM') AS d"
+    )
+    assert out.rows[0][0] == 1.7
+    assert out.rows[0][1] == -1.77
+    assert out.rows[0][2] == 2.0
+    assert str(out.rows[0][3]) == "2024-03-01"
+
+
+class TestRound5FunctionAdditions:
+    """Tier-2 probe tranche: URL analysis, bitmap ops (sorted-distinct
+    array representation), IPv6 (Arrow-batched pandas UDFs over
+    stdlib ipaddress), the rest of arrayEnumerate*."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_url_functions(self, eng):
+        r = eng.execute(
+            "SELECT domain('https://www.example.com:8080/a/b?q=1#f') AS d, "
+            "domainWithoutWWW('https://www.example.com/a') AS dw, "
+            "topLevelDomain('https://www.example.co.uk/a') AS tld, "
+            "protocol('https://example.com/a') AS pr"
+        )
+        assert r.rows == [["www.example.com", "example.com", "uk", "https"]]
+
+    def test_url_path_query_fragment(self, eng):
+        r = eng.execute(
+            "SELECT path('https://e.com/a/b?q=1') AS p, "
+            "pathFull('https://e.com/a/b?q=1') AS pf, "
+            "queryString('https://e.com/a?q=1&r=2#z') AS qs, "
+            "fragment('https://e.com/a#sec') AS fr, "
+            "netloc('https://u:p@e.com:80/a') AS nl"
+        )
+        assert r.rows == [["/a/b", "/a/b?q=1", "q=1&r=2", "sec",
+                           "u:p@e.com:80"]]
+
+    def test_url_parameter_extraction_and_cuts(self, eng):
+        r = eng.execute(
+            "SELECT extractURLParameter('https://e.com/a?q=1&r=2', 'r') AS one, "
+            "extractURLParameters('https://e.com/a?q=1&r=2') AS all, "
+            "cutQueryString('https://e.com/a?q=1#f') AS cq, "
+            "cutFragment('https://e.com/a?q=1#f') AS cf"
+        )
+        assert r.rows == [["2", ["q=1", "r=2"], "https://e.com/a#f",
+                           "https://e.com/a?q=1"]]
+
+    def test_first_significant_subdomain(self, eng):
+        r = eng.execute(
+            "SELECT firstSignificantSubdomain('https://news.example.co.uk/') AS a, "
+            "firstSignificantSubdomain('https://news.example.com/') AS b"
+        )
+        assert r.rows == [["example", "example"]]
+
+    def test_bitmap_family(self, eng):
+        r = eng.execute(
+            "SELECT bitmapToArray(bitmapBuild([3,1,2])) AS b, "
+            "bitmapCardinality(bitmapBuild([1,2,2,3])) AS c, "
+            "bitmapToArray(bitmapAnd(bitmapBuild([1,2,3]), "
+            "bitmapBuild([2,3,4]))) AS i, "
+            "bitmapToArray(bitmapOr(bitmapBuild([1,2]), "
+            "bitmapBuild([2,4]))) AS u, "
+            "bitmapToArray(bitmapXor(bitmapBuild([1,2,3]), "
+            "bitmapBuild([2,3,4]))) AS x, "
+            "bitmapToArray(bitmapAndnot(bitmapBuild([1,2,3]), "
+            "bitmapBuild([2]))) AS an"
+        )
+        assert r.rows == [[[1, 2, 3], 3, [2, 3], [1, 2, 4], [1, 4],
+                           [1, 3]]]
+
+    def test_bitmap_predicates_and_bounds(self, eng):
+        r = eng.execute(
+            "SELECT bitmapContains(bitmapBuild([1,2]), 2) AS c, "
+            "bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([2,3])) AS ha, "
+            "bitmapHasAll(bitmapBuild([1,2]), bitmapBuild([2,9])) AS hn, "
+            "bitmapHasAny(bitmapBuild([1,2]), bitmapBuild([5,2])) AS hy, "
+            "bitmapMin(bitmapBuild([4,2,9])) AS mn, "
+            "bitmapMax(bitmapBuild([4,2,9])) AS mx"
+        )
+        assert r.rows == [[True, True, False, True, 2, 9]]
+
+    def test_group_bitmap_aggregate(self, eng):
+        r = eng.execute(
+            "SELECT groupBitmap(x) AS r FROM "
+            "(SELECT number % 3 AS x FROM numbers(10))"
+        )
+        assert r.rows == [[3]]
+
+    def test_array_enumerate_family(self, eng):
+        r = eng.execute(
+            "SELECT arrayEnumerateUniq([10,10,20,10]) AS u, "
+            "arrayEnumerateDense([10,20,10,30]) AS d"
+        )
+        assert r.rows == [[[1, 2, 1, 3], [1, 2, 1, 3]]]
+
+    def test_ipv6_roundtrip_and_checks(self, eng):
+        r = eng.execute(
+            "SELECT IPv6NumToString(IPv6StringToNum('2001:db8::1')) AS rt, "
+            "toIPv6('2001:0DB8:0000:0000:0000:0000:0000:0001') AS norm, "
+            "isIPv6String('::1') AS y, isIPv6String('nope') AS n, "
+            "isIPv4String('1.2.3.4') AS v4y, isIPv4String('999.1.1.1') AS v4n"
+        )
+        assert r.rows == [["2001:db8::1", "2001:db8::1", True, False,
+                           True, False]]
+
+    def test_ipv4_mapped_ipv6(self, eng):
+        r = eng.execute(
+            "SELECT IPv6NumToString(IPv4ToIPv6("
+            "IPv4StringToNum('1.2.3.4'))) AS r"
+        )
+        assert r.rows == [["::ffff:102:304"]]

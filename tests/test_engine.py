@@ -778,3 +778,189 @@ class TestSystemDottedSpelling:
             assert eng.execute("SELECT a FROM sysv_t").rows == [[5]]
         finally:
             eng.execute("DROP TABLE sysv_t")
+
+
+class TestPartitionBy:
+    """CREATE TABLE ... PARTITION BY is honored (not dropped): data
+    lands in partition directories, partition-key predicates prune at
+    the scan, every write path preserves the layout, and the spec
+    survives SHOW CREATE / system_parts introspection."""
+
+    def test_partition_dirs_and_pruning(self, engine, spark):
+        import os
+        import re as _re
+
+        engine.execute("DROP TABLE IF EXISTS part_tbl")
+        engine.execute(
+            "CREATE TABLE part_tbl (id Int64, v String, p Int32) "
+            "ENGINE = MergeTree PARTITION BY p ORDER BY tuple()"
+        )
+        engine.execute(
+            "INSERT INTO part_tbl VALUES (1,'a',1),(2,'b',2),(3,'c',1)"
+        )
+        path = engine._attached["part_tbl"][0]
+        assert {d for d in os.listdir(path) if d.startswith("p=")} == {
+            "p=1", "p=2"
+        }
+        plan = (
+            spark.table("part_tbl").where("p = 1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), plan
+        assert "(p" in m.group(1)
+        out = engine.execute(
+            "SELECT id, v, p FROM part_tbl WHERE p = 1 ORDER BY id"
+        )
+        assert out.rows == [[1, "a", 1], [3, "c", 1]]
+
+    def test_declared_column_order_survives(self, engine):
+        # Partition columns normally come back LAST from inference;
+        # the declared registration must keep (id, v, p).
+        out = engine.execute("SELECT * FROM part_tbl ORDER BY id")
+        assert out.cols == ["id", "v", "p"]
+
+    def test_mutation_preserves_partition_layout(self, engine, spark):
+        import os
+
+        engine.execute("ALTER TABLE part_tbl DELETE WHERE id = 3")
+        path = engine._attached["part_tbl"][0]
+        assert {d for d in os.listdir(path) if d.startswith("p=")} == {
+            "p=1", "p=2"
+        }
+        out = engine.execute(
+            "SELECT count() AS n FROM part_tbl WHERE p = 1"
+        )
+        assert out.rows == [[1]]
+
+    def test_show_create_and_system_parts_surface_partitions(
+        self, engine
+    ):
+        stmt = engine.execute("SHOW CREATE TABLE part_tbl").rows[0][0]
+        assert "PARTITION BY (p)" in stmt
+        # ... and the rendered DDL round-trips through CREATE TABLE.
+        engine.execute("DROP TABLE IF EXISTS part_tbl2")
+        engine.execute(stmt.replace("part_tbl", "part_tbl2", 1))
+        assert engine._partitioned["part_tbl2"] == ["p"]
+        engine.refresh_system_views()
+        out = engine.execute(
+            "SELECT DISTINCT partition FROM system_parts "
+            "WHERE table = 'part_tbl' AND partition != '' "
+            "ORDER BY partition"
+        )
+        assert out.rows == [["p=1"], ["p=2"]]
+
+    def test_ctas_partition_by(self, engine, spark):
+        import os
+
+        engine.execute("DROP TABLE IF EXISTS part_ctas")
+        engine.execute(
+            "CREATE TABLE part_ctas ENGINE = MergeTree PARTITION BY p "
+            "AS SELECT number AS id, number % 3 AS p FROM numbers(9)"
+        )
+        path = engine._attached["part_ctas"][0]
+        assert sum(
+            1 for d in os.listdir(path) if d.startswith("p=")
+        ) == 3
+        out = engine.execute(
+            "SELECT count() AS n FROM part_ctas WHERE p = 0"
+        )
+        assert out.rows == [[3]]
+        out = engine.execute("SELECT * FROM part_ctas LIMIT 1")
+        assert out.cols == ["id", "p"]
+
+    def test_expression_partition_key_refused_loudly(self, engine):
+        with pytest.raises(ValueError, match="stored columns"):
+            engine.execute(
+                "CREATE TABLE part_bad (d DateTime) ENGINE = MergeTree "
+                "PARTITION BY toYYYYMM(d) ORDER BY tuple()"
+            )
+
+    def test_truncate_keeps_schema_on_empty_partitioned_table(
+        self, engine
+    ):
+        engine.execute("TRUNCATE TABLE part_ctas")
+        out = engine.execute("SELECT * FROM part_ctas")
+        assert out.cols == ["id", "p"] and out.rows == []
+
+
+def test_exchange_validates_before_mutating(engine, spark, tmp_path):
+    # EXCHANGE must refuse up front (not mid-swap) when one side is an
+    # MV or missing — a mid-swap failure would strand the first table
+    # under its temp name.
+    d = str(tmp_path / "xchg_src")
+    spark.createDataFrame([(1, 2)], ["k", "v"]).write.parquet(d)
+    engine.attach_table("xchg_a", d)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW xchg_mv POPULATE AS "
+        "SELECT k, sum(v) AS s FROM xchg_a GROUP BY k"
+    )
+    with pytest.raises(ValueError, match="materialized view"):
+        engine.execute("EXCHANGE TABLES xchg_a AND xchg_mv")
+    with pytest.raises(ValueError, match="not found"):
+        engine.execute("EXCHANGE TABLES xchg_a AND xchg_nope")
+    # xchg_a must still be addressable under its own name.
+    out = engine.execute("SELECT k, v FROM xchg_a")
+    assert out.rows == [[1, 2]]
+    engine.execute("DROP TABLE xchg_mv")
+
+
+class TestAnalyzeStatistics:
+    """ANALYZE TABLE promotes the attached dir to a catalog table and
+    computes CBO statistics: Catalyst then plans from rowCount/column
+    stats, and an UNHINTED dimension join broadcasts."""
+
+    def test_analyze_attaches_stats_and_broadcasts(
+        self, engine, spark, tmp_path
+    ):
+        d = str(tmp_path / "stats_dim")
+        spark.range(25).selectExpr(
+            "id AS k", "concat('n', id) AS name"
+        ).write.parquet(d)
+        engine.attach_table("stats_dim", d)
+        engine.attach_table(
+            "stats_fact", f"{SF_CORRECT}/customer.parquet"
+        )
+        out = engine.execute("ANALYZE TABLE stats_dim")
+        assert out.rows == [["stats_dim"]]
+        # Catalyst must see the row count on the promoted table.
+        optimized = (
+            spark.table("stats_dim")
+            ._jdf.queryExecution().stringWithStats()
+        )
+        assert "rowCount=25" in optimized
+        # Unhinted dim join broadcasts the analyzed side.
+        plan = (
+            spark.sql(
+                "SELECT d.name, count(*) AS c FROM stats_fact f "
+                "JOIN stats_dim d ON f.c_nationkey = d.k GROUP BY d.name"
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_writes_keep_promotion_and_refresh_stats(self, engine, spark):
+        engine.execute("INSERT INTO stats_dim VALUES (100, 'n100')")
+        out = engine.execute(
+            "SELECT count() AS n FROM stats_dim"
+        )
+        assert out.rows == [[26]]
+        # Still a catalog table (not shadowed by a temp view) and the
+        # NOSCAN refresh kept sizeInBytes current; rowCount refreshes
+        # on the next explicit ANALYZE.
+        assert spark.catalog.tableExists("stats_dim")
+        engine.execute(
+            "ANALYZE TABLE stats_dim COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        optimized = (
+            spark.table("stats_dim")
+            ._jdf.queryExecution().stringWithStats()
+        )
+        assert "rowCount=26" in optimized
+
+    def test_drop_cleans_catalog_table(self, engine, spark):
+        engine.execute("DROP TABLE stats_dim")
+        assert not spark.catalog.tableExists("stats_dim")
+
+    def test_analyze_unattached_refused(self, engine):
+        with pytest.raises(ValueError, match="not an attached"):
+            engine.execute("ANALYZE TABLE never_attached_xyz")

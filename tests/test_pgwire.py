@@ -223,3 +223,103 @@ class TestPGWire:
             assert oids == [1082, 701, 25]  # date, float8, text
         finally:
             c.close()
+
+
+class TestPGExtendedProtocol:
+    """Parse/Bind/Describe/Execute/Close/Sync — the flow psycopg3 and
+    JDBC emit by default, driven over raw sockets."""
+
+    @staticmethod
+    def _send(c, tag: bytes, payload: bytes):
+        c.sock.sendall(tag + struct.pack("!I", len(payload) + 4) + payload)
+
+    def _parse(self, c, stmt: str, sql: str):
+        self._send(
+            c, b"P", _cstr(stmt) + _cstr(sql) + struct.pack("!H", 0)
+        )
+
+    def _bind(self, c, portal: str, stmt: str, params: list):
+        body = _cstr(portal) + _cstr(stmt) + struct.pack("!H", 0)
+        body += struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                b = p.encode()
+                body += struct.pack("!I", len(b)) + b
+        body += struct.pack("!H", 0)  # result formats: default text
+        self._send(c, b"B", body)
+
+    def _drain_until_ready(self, c):
+        self._send(c, b"S", b"")
+        return c.read_until(b"Z")
+
+    def test_parse_bind_describe_execute(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            self._parse(
+                c, "s1",
+                "SELECT number AS n, number * 3 AS t FROM numbers($1) "
+                "ORDER BY n",
+            )
+            self._bind(c, "", "s1", ["3"])
+            self._send(c, b"D", b"P" + _cstr(""))
+            self._send(c, b"E", _cstr("") + struct.pack("!i", 0))
+            msgs = self._drain_until_ready(c)
+            tags = [t for t, _ in msgs]
+            assert b"1" in tags  # ParseComplete
+            assert b"2" in tags  # BindComplete
+            assert b"T" in tags  # RowDescription (from Describe)
+            rows = [p for t, p in msgs if t == b"D"]
+            assert len(rows) == 3
+            # OID from schema in the extended path too.
+            tdesc = next(p for t, p in msgs if t == b"T")
+            (ncols,) = struct.unpack("!H", tdesc[:2])
+            assert ncols == 2
+            complete = next(p for t, p in msgs if t == b"C")
+            assert complete.startswith(b"SELECT 3")
+        finally:
+            c.close()
+
+    def test_null_param_and_reuse(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            self._parse(c, "s2", "SELECT coalesce($1, 'absent') AS v")
+            for param, want in ([None], b"absent"), (["x"], b"x"):
+                self._bind(c, "", "s2", param)
+                self._send(c, b"D", b"P" + _cstr(""))
+                self._send(c, b"E", _cstr("") + struct.pack("!i", 0))
+                msgs = self._drain_until_ready(c)
+                row = next(p for t, p in msgs if t == b"D")
+                assert want in row
+        finally:
+            c.close()
+
+    def test_error_skips_to_sync_and_recovers(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            self._bind(c, "", "never_parsed", [])
+            # These must be SKIPPED (no dangling responses).
+            self._send(c, b"E", _cstr("") + struct.pack("!i", 0))
+            msgs = self._drain_until_ready(c)
+            errs = [p for t, p in msgs if t == b"E"]
+            assert len(errs) == 1  # one error, Execute was swallowed
+            # Connection fully usable again after Sync.
+            cols, rows, err = c.query("SELECT 9 AS v")
+            assert err is None and rows == [["9"]]
+        finally:
+            c.close()
+
+    def test_close_statement(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            self._parse(c, "s3", "SELECT 1 AS one")
+            self._send(c, b"C", b"S" + _cstr("s3"))
+            msgs = self._drain_until_ready(c)
+            assert b"3" in [t for t, _ in msgs]  # CloseComplete
+            self._bind(c, "", "s3", [])
+            msgs = self._drain_until_ready(c)
+            errs = [p for t, p in msgs if t == b"E"]
+            assert errs and b"26000" in errs[0]
+        finally:
+            c.close()
