@@ -866,6 +866,18 @@ _ARG_REWRITES: dict = {
     ),
 }
 
+def _haversine_expr(a: list) -> str:
+    """CH greatCircleDistance(lon1, lat1, lon2, lat2) → meters via the
+    haversine formula on a 6371 km sphere."""
+    lon1, lat1, lon2, lat2 = a[0], a[1], a[2], a[3]
+    return (
+        f"(2 * 6371000.0 * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
 # Round-5 probe tranche: URL analysis, bitmap ops, IPv6, the rest of
 # the arrayEnumerate family. Bitmaps are represented as sorted
 # distinct arrays — every CH bitmap op maps to a built-in array
@@ -953,6 +965,79 @@ _ARG_REWRITES.update({
     "IPv6NumToString": lambda a: f"bh_ipv6_ntos({a[0]})",
     "toIPv6": lambda a: f"bh_ipv6_norm({a[0]})",
     "IPv4ToIPv6": lambda a: f"bh_ipv4_to_ipv6({a[0]})",
+    # -- vector math over Array columns (the embeddings surface) --
+    "dotProduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> __x * __y), "
+        f"CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
+    ),
+    "L1Norm": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + abs(__v))"
+    ),
+    "L2Norm": lambda a: (
+        f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v * __v))"
+    ),
+    "LpNorm": lambda a: (
+        f"pow(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + pow(abs(__v), {a[1]})), 1.0 / ({a[1]}))"
+    ),
+    "L1Distance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> abs(__x - __y)), CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v)"
+    ),
+    "L2Distance": lambda a: (
+        f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> (__x - __y) * (__x - __y)), CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v))"
+    ),
+    "cosineDistance": lambda a: (
+        f"(1.0 - aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> __x * __y), CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v) / "
+        f"(sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v * __v)) * "
+        f"sqrt(aggregate({a[1]}, CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s + __v * __v))))"
+    ),
+    # -- splits / search --
+    "splitByRegexp": lambda a: f"split({a[1]}, {a[0]})",
+    "splitByWhitespace": lambda a: (
+        f"filter(split({a[0]}, '\\\\s+'), __t -> __t != '')"
+    ),
+    "multiSearchFirstIndex": lambda a: (
+        f"CAST(array_position(transform({a[1]}, "
+        f"__n -> locate(__n, {a[0]}) > 0), true) AS INT)"
+    ),
+    "hasSubstr": lambda a: (
+        f"(size({a[1]}) = 0 OR (size({a[0]}) >= size({a[1]}) AND "
+        f"exists(sequence(1, size({a[0]}) - size({a[1]}) + 1), "
+        f"__i -> slice({a[0]}, __i, size({a[1]})) == {a[1]})))"
+    ),
+    # CH unhex returns the bytes AS a String (Spark's unhex is
+    # binary). to_binary spelling, NOT unhex: a replacement containing
+    # its own key would re-match forever (the rewrite loop rescans
+    # from the replacement start).
+    "unhex": lambda a: f"decode(to_binary({a[0]}, 'hex'), 'UTF-8')",
+    # -- best-effort datetime parsing --
+    "parseDateTimeBestEffort": lambda a: (
+        f"coalesce(try_cast({a[0]} AS TIMESTAMP), "
+        f"try_to_timestamp({a[0]}, 'dd/MM/yyyy HH:mm:ss'), "
+        f"try_to_timestamp({a[0]}, 'yyyyMMddHHmmss'), "
+        f"try_to_timestamp({a[0]}, 'dd-MM-yyyy'))"
+    ),
+    "parseDateTimeBestEffortOrNull": lambda a: (
+        f"coalesce(try_cast({a[0]} AS TIMESTAMP), "
+        f"try_to_timestamp({a[0]}, 'dd/MM/yyyy HH:mm:ss'), "
+        f"try_to_timestamp({a[0]}, 'yyyyMMddHHmmss'), "
+        f"try_to_timestamp({a[0]}, 'dd-MM-yyyy'))"
+    ),
+    # -- geo: haversine great-circle meters (CH uses R≈6371 km for
+    # greatCircleDistance; geoDistance's ellipsoid correction is
+    # within ~0.5% — documented approximation) --
+    "greatCircleDistance": _haversine_expr,
+    "geoDistance": _haversine_expr,
 })
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a

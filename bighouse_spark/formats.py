@@ -238,11 +238,25 @@ def _render_json_each_row(cols, rows, types, elapsed) -> bytes:
     return ("\n".join(out) + ("\n" if out else "")).encode()
 
 
-def _render_csv(header: bool):
+def _render_json_compact_each_row(cols, rows, types, elapsed) -> bytes:
+    out = [
+        json.dumps([_json_value(v) for v in row], ensure_ascii=False)
+        for row in rows
+    ]
+    return ("\n".join(out) + ("\n" if out else "")).encode()
+
+
+def _render_csv(header: bool, types_row: bool = False):
     def render(cols, rows, types, elapsed) -> bytes:
         lines = []
         if header:
             lines.append(",".join(_csv_cell(c) for c in cols))
+        if types_row:
+            lines.append(
+                ",".join(
+                    _csv_cell(t) for t in (types or ["String"] * len(cols))
+                )
+            )
         lines.extend(
             ",".join(_csv_cell(v) for v in row) for row in rows
         )
@@ -251,11 +265,17 @@ def _render_csv(header: bool):
     return render
 
 
-def _render_tsv(header: bool):
+def _render_tsv(header: bool, types_row: bool = False):
     def render(cols, rows, types, elapsed) -> bytes:
         lines = []
         if header:
             lines.append("\t".join(_tsv_cell(c) for c in cols))
+        if types_row:
+            lines.append(
+                "\t".join(
+                    _tsv_cell(t) for t in (types or ["String"] * len(cols))
+                )
+            )
         lines.extend(
             "\t".join(_tsv_cell(v) for v in row) for row in rows
         )
@@ -298,13 +318,24 @@ _RENDERERS = {
     "JSONEachRow": (
         _render_json_each_row, "application/x-ndjson; charset=UTF-8"
     ),
+    "JSONCompactEachRow": (
+        _render_json_compact_each_row,
+        "application/x-ndjson; charset=UTF-8",
+    ),
     "CSV": (_render_csv(False), "text/csv; charset=UTF-8"),
     "CSVWithNames": (_render_csv(True), "text/csv; charset=UTF-8"),
+    "CSVWithNamesAndTypes": (
+        _render_csv(True, True), "text/csv; charset=UTF-8"
+    ),
     "TabSeparated": (
         _render_tsv(False), "text/tab-separated-values; charset=UTF-8"
     ),
     "TabSeparatedWithNames": (
         _render_tsv(True), "text/tab-separated-values; charset=UTF-8"
+    ),
+    "TabSeparatedWithNamesAndTypes": (
+        _render_tsv(True, True),
+        "text/tab-separated-values; charset=UTF-8",
     ),
     "Values": (_render_values, "text/plain; charset=UTF-8"),
     "Pretty": (_render_pretty, "text/plain; charset=UTF-8"),
@@ -316,14 +347,18 @@ _CANONICAL = {
     "json": "JSON",
     "jsoncompact": "JSONCompact",
     "jsoneachrow": "JSONEachRow",
+    "jsoncompacteachrow": "JSONCompactEachRow",
     "ndjson": "JSONEachRow",
     "jsonlines": "JSONEachRow",
     "csv": "CSV",
     "csvwithnames": "CSVWithNames",
+    "csvwithnamesandtypes": "CSVWithNamesAndTypes",
     "tsv": "TabSeparated",
     "tabseparated": "TabSeparated",
     "tsvwithnames": "TabSeparatedWithNames",
     "tabseparatedwithnames": "TabSeparatedWithNames",
+    "tsvwithnamesandtypes": "TabSeparatedWithNamesAndTypes",
+    "tabseparatedwithnamesandtypes": "TabSeparatedWithNamesAndTypes",
     "values": "Values",
     "pretty": "Pretty",
     "prettycompact": "Pretty",

@@ -157,16 +157,22 @@ class _Handler(BaseHTTPRequestHandler):
             result.cols, result.rows, fmt,
             types=result.types, elapsed=result.elapsed_sec,
         )
-        self._send_text(
-            200, rendered, content_type,
-            extra={
-                "X-ClickHouse-Format": fmt,
-                "X-ClickHouse-Summary": json.dumps(
-                    {"read_rows": str(len(result.rows)),
-                     "elapsed_ns": str(int(result.elapsed_sec * 1e9))}
-                ),
-            },
-        )
+        extra = {
+            "X-ClickHouse-Format": fmt,
+            "X-ClickHouse-Summary": json.dumps(
+                {"read_rows": str(len(result.rows)),
+                 "elapsed_ns": str(int(result.elapsed_sec * 1e9))}
+            ),
+        }
+        # CH HTTP supports compressed responses (enable_http_compression
+        # semantics); honor gzip when the client advertises it.
+        accept = self.headers.get("Accept-Encoding", "")
+        if "gzip" in accept.lower():
+            import gzip
+
+            rendered = gzip.compress(rendered)
+            extra["Content-Encoding"] = "gzip"
+        self._send_text(200, rendered, content_type, extra=extra)
 
     def _read_request(self) -> dict[str, Any]:
         length = int(self.headers.get("Content-Length", "0"))

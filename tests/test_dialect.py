@@ -1742,3 +1742,76 @@ class TestRound5FunctionAdditions:
             "IPv4StringToNum('1.2.3.4'))) AS r"
         )
         assert r.rows == [["::ffff:102:304"]]
+
+
+class TestVectorAndMiscFunctions:
+    """Second round-5 tranche: vector math over Array columns (the
+    embeddings SQL surface), split/search helpers, best-effort
+    datetime parsing, haversine geo distance."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_vector_norms_and_distances(self, eng):
+        r = eng.execute(
+            "SELECT dotProduct([1.0,2.0], [3.0,4.0]) AS dp, "
+            "L2Norm([3.0,4.0]) AS l2, L1Norm([1.0,-2.0]) AS l1, "
+            "LpNorm([3.0,4.0], 2) AS lp, "
+            "L2Distance([1.0,2.0], [4.0,6.0]) AS d2, "
+            "L1Distance([1.0,2.0], [4.0,6.0]) AS d1"
+        )
+        assert r.rows == [[11.0, 5.0, 3.0, 5.0, 5.0, 7.0]]
+
+    def test_cosine_distance(self, eng):
+        r = eng.execute(
+            "SELECT round(cosineDistance([1.0,0.0], [0.0,1.0]), 6) AS o, "
+            "round(cosineDistance([1.0,2.0], [2.0,4.0]), 6) AS z"
+        )
+        assert r.rows == [[1.0, 0.0]]
+
+    def test_cosine_distance_on_embeddings_table(self, eng, spark):
+        # The vector surface composes with the fixtures: nearest
+        # neighbor of embedding 0 by SQL alone.
+        from tests.conftest import SF_SMOKE
+
+        r = eng.execute(
+            "SELECT count() AS n FROM "
+            f"file('file://{SF_SMOKE}/embeddings.parquet', 'Parquet') "
+            "WHERE L2Norm(embedding) > 0"
+        )
+        assert r.rows[0][0] > 0
+
+    def test_split_and_search(self, eng):
+        r = eng.execute(
+            "SELECT splitByRegexp('[0-9]+', 'a1b22c') AS s, "
+            "splitByWhitespace('a  b c') AS w, "
+            "multiSearchFirstIndex('hello world', ['xyz', 'wor']) AS i, "
+            "multiSearchFirstIndex('hello', ['xyz']) AS z, "
+            "hasSubstr([1,2,3,4], [2,3]) AS hy, "
+            "hasSubstr([1,2,3], [3,2]) AS hn"
+        )
+        assert r.rows == [[["a", "b", "c"], ["a", "b", "c"], 2, 0,
+                           True, False]]
+
+    def test_unhex_returns_string(self, eng):
+        assert eng.execute("SELECT unhex('414243') AS r").rows == [["ABC"]]
+
+    def test_parse_datetime_best_effort(self, eng):
+        r = eng.execute(
+            "SELECT parseDateTimeBestEffort('2024-01-02T03:04:05Z') "
+            "IS NOT NULL AS a, "
+            "parseDateTimeBestEffort('02/01/2024 03:04:05') "
+            "IS NOT NULL AS b, "
+            "parseDateTimeBestEffortOrNull('garbage') IS NULL AS c"
+        )
+        assert r.rows == [[True, True, True]]
+
+    def test_great_circle_distance(self, eng):
+        r = eng.execute(
+            "SELECT round(greatCircleDistance(-86.5, 38.8, -77.1, 38.9)"
+            " / 1000) AS km"
+        )
+        assert r.rows == [[814.0]]

@@ -281,3 +281,44 @@ def test_ch_type_name_units():
         == "Map(String, Int32)"
     )
     assert ch_type_name(T.DecimalType(20, 0)) == "Decimal(20, 0)"
+
+
+def test_with_names_and_types_formats(server_url):
+    _, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT 1 AS n, 'x' AS s FORMAT TabSeparatedWithNamesAndTypes",
+        )
+    )
+    lines = body.decode().splitlines()
+    assert lines[0] == "n\ts"
+    assert lines[1] == "Int32\tString"
+    assert lines[2] == "1\tx"
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT 1 AS n FORMAT CSVWithNamesAndTypes")
+    )
+    assert body.decode().splitlines()[:2] == ['"n"', '"Int32"']
+
+
+def test_json_compact_each_row(server_url):
+    _, body, _ = _get_raw(
+        _q(
+            server_url,
+            "SELECT number AS n, number * 2 AS d FROM numbers(2) "
+            "ORDER BY n FORMAT JSONCompactEachRow",
+        )
+    )
+    lines = [json.loads(ln) for ln in body.decode().splitlines()]
+    assert lines == [[0, 0], [1, 2]]
+
+
+def test_gzip_response(server_url):
+    import gzip
+
+    req = urllib.request.Request(
+        _q(server_url, "SELECT 42 AS v FORMAT JSONEachRow"),
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Encoding"] == "gzip"
+        assert json.loads(gzip.decompress(resp.read())) == {"v": 42}
