@@ -736,6 +736,57 @@ _ARG_REWRITES: dict = {
             "OVER (ORDER BY <key>), 0)) instead"
         )
     ),
+    # Moment statistics. CH skewPop is the population skewness Spark's
+    # skewness() computes; kurtPop is plain kurtosis μ4/σ⁴ (Spark's
+    # kurtosis() is EXCESS kurtosis, hence the +3); the Samp variants
+    # apply the standard bias corrections as compound aggregates.
+    "skewPop": lambda a: f"skewness({a[0]})",
+    "skewSamp": lambda a: (
+        f"(skewness({a[0]}) * sqrt(count({a[0]}) * (count({a[0]}) - 1))"
+        f" / (count({a[0]}) - 2))"
+    ),
+    "kurtPop": lambda a: f"(kurtosis({a[0]}) + 3)",
+    "kurtSamp": lambda a: (
+        f"((kurtosis({a[0]}) + 3) * pow(var_pop({a[0]}), 2) "
+        f"/ pow(var_samp({a[0]}), 2))"
+    ),
+    # anyHeavy: a frequently-occurring value — mode() is the honest
+    # deterministic twin.
+    "anyHeavy": lambda a: f"mode({a[0]})",
+    # sumKahan: Spark's sum over doubles is the capability twin
+    # (partial-aggregation order already differs from CH blocks; exact
+    # compensated summation would need a UDAF for ~1 ulp).
+    "sumKahan": lambda a: f"sum({a[0]})",
+    # Interval aggregates are sweep-line algorithms, not single
+    # aggregate expressions — refuse with the distributed spelling.
+    "intervalLengthSum": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "intervalLengthSum() needs a sweep: explode each interval "
+            "to (+start, -end) events, ORDER BY point, and sum "
+            "covered spans with a running-count window"
+        )
+    ),
+    "maxIntersections": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "maxIntersections() needs a sweep: explode (start, +1) / "
+            "(end, -1) events and take max(sum(delta) OVER "
+            "(ORDER BY point))"
+        )
+    ),
+    "sumMap": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "sumMap() aggregates per map key; rewrite as explode("
+            + (a[0] if a else "m")
+            + ") -> GROUP BY key -> map_from_entries(collect_list(...))"
+        )
+    ),
+    "groupArrayMovingSum": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "groupArrayMovingSum() is block-order dependent; use "
+            "sum(x) OVER (ORDER BY <key> ROWS BETWEEN k-1 PRECEDING "
+            "AND CURRENT ROW)"
+        )
+    ),
     "arrayPopBack": lambda a: (
         f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
     ),
@@ -1610,6 +1661,48 @@ _PARAMETRIC = {
 
 def _rewrite_parametric(sql: str) -> str:
     out = sql
+    # topKWeighted(k)(x, w) → the topK exact twin folding the weight
+    # instead of +1 per occurrence.
+    while True:
+        call = _find_call(out, "topKWeighted")
+        if call is None:
+            break
+        start, end, params = call
+        if end >= len(out) or out[end] != "(":
+            raise ValueError(
+                "topKWeighted(k) must be followed by (column, weight)"
+            )
+        depth, i = 1, end + 1
+        while i < len(out) and depth > 0:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        inner = out[end + 1:i - 1]
+        # split "x, w" at the top level
+        d = b = 0
+        cut = -1
+        for j, c in enumerate(inner):
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+            elif c == "[":
+                b += 1
+            elif c == "]":
+                b -= 1
+            elif c == "," and d == 0 and b == 0:
+                cut = j
+                break
+        if cut < 0:
+            raise ValueError("topKWeighted(k)(x, w) needs two arguments")
+        xcol, wcol = inner[:cut].strip(), inner[cut + 1:].strip()
+        out = (
+            out[:start]
+            + _topk_weighted_expr(xcol, wcol, params[0])
+            + out[i:]
+        )
     # topK(k)(x) → exact most-frequent-k expression (see _topk_expr).
     while True:
         call = _find_call(out, "topK")
@@ -1780,6 +1873,30 @@ def _rewrite_subscripts(sql: str) -> str:
         sql = (
             f"{sql[:start]}try_element_at({base}, {idx}){sql[end + 1:]}"
         )
+
+
+def _topk_weighted_expr(col: str, weight: str, k: str) -> str:
+    """Exact twin of CH ``topKWeighted(k)(x, w)``: values ranked by
+    summed weight desc, ties asc by value. Same collected-group fold
+    as ``_topk_expr`` with the weight folded instead of +1 (same
+    low-cardinality usage caveat)."""
+    freq = (
+        f"aggregate(collect_list(named_struct('k', {col}, 'w', "
+        f"CAST({weight} AS BIGINT))), "
+        f"map_filter(map(first({col}), cast(0 as bigint)), (k, v) -> false), "
+        f"(m, e) -> map_concat(map_filter(m, (k, v) -> k != e.k), "
+        f"map(e.k, coalesce(m[e.k], cast(0 as bigint)) + e.w)))"
+    )
+    cmp = (
+        "(l, r) -> CASE WHEN l.value > r.value THEN -1 "
+        "WHEN l.value < r.value THEN 1 "
+        "WHEN l.key < r.key THEN -1 "
+        "WHEN l.key > r.key THEN 1 ELSE 0 END"
+    )
+    return (
+        f"slice(transform(array_sort(map_entries({freq}), {cmp}), "
+        f"s -> s.key), 1, {k})"
+    )
 
 
 def _topk_expr(col: str, k: str) -> str:

@@ -1815,3 +1815,66 @@ class TestVectorAndMiscFunctions:
             " / 1000) AS km"
         )
         assert r.rows == [[814.0]]
+
+
+class TestMomentAndWeightedAggregates:
+    """Third round-5 tranche: moment statistics (CH skew/kurt
+    spellings over Spark's moments), anyHeavy/mode, topKWeighted
+    exact twin, and guided errors for sweep-line / block-order ops."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_moment_statistics(self, eng):
+        # numpy ground truth for 0..9: skew m3/m2^1.5 = 0,
+        # kurtosis m4/m2^2 = 1.775758 (plain, NOT excess).
+        r = eng.execute(
+            "SELECT round(skewPop(x), 6) AS sp, "
+            "round(kurtPop(x), 6) AS kp FROM "
+            "(SELECT number AS x FROM numbers(10))"
+        )
+        assert r.rows == [[0.0, 1.775758]]
+
+    def test_sample_variants_apply_bias_correction(self, eng):
+        r = eng.execute(
+            "SELECT round(skewSamp(x), 6) AS ss, "
+            "round(kurtSamp(x), 6) AS ks FROM "
+            "(SELECT number AS x FROM numbers(10))"
+        )
+        # kurtSamp = m4 / varSamp^2 = 1.775758 * (m2/s2)^2
+        assert r.rows == [[0.0, 1.438364]]
+
+    def test_any_heavy_and_sum_kahan(self, eng):
+        r = eng.execute(
+            "SELECT anyHeavy(x) AS h, sumKahan(x / 10) AS s FROM "
+            "(SELECT number % 2 AS x FROM numbers(11))"
+        )
+        assert r.rows[0][0] == 0  # 6 zeros vs 5 ones
+
+    def test_topk_weighted(self, eng):
+        # weights: x=0 -> 18, x=1 -> 12, x=2 -> 15
+        r = eng.execute(
+            "SELECT topKWeighted(2)(x, w) AS r FROM "
+            "(SELECT number % 3 AS x, number AS w FROM numbers(10))"
+        )
+        assert r.rows == [[[0, 2]]]
+
+    @pytest.mark.parametrize(
+        "sql,hint",
+        [
+            ("SELECT sumMap(m) FROM (SELECT map('a', 1) AS m)",
+             "explode"),
+            ("SELECT maxIntersections(a, b) FROM (SELECT 1 a, 2 b)",
+             "sweep"),
+            ("SELECT intervalLengthSum(a, b) FROM (SELECT 1 a, 2 b)",
+             "sweep"),
+            ("SELECT groupArrayMovingSum(2)(x) FROM numbers(3)",
+             "OVER"),
+        ],
+    )
+    def test_guided_errors(self, eng, sql, hint):
+        with pytest.raises(ValueError, match=hint):
+            eng.execute(sql)
