@@ -178,6 +178,10 @@ class BigHouseEngine:
         # CREATE VIEW views: name → transpiled SELECT (for SHOW
         # CREATE; the registered temp view is the live object).
         self._user_views: dict[str, str] = {}
+        # DETACHed tables: registration parked so a later plain
+        # ATTACH TABLE <name> can restore it (CH detach semantics —
+        # storage untouched, name released).
+        self._detached: dict[str, tuple] = {}
         # Tables promoted to catalog tables by ANALYZE TABLE so CBO
         # statistics attach to them (temp views cannot carry stats).
         # attach_table keeps the promotion across writes (REFRESH +
@@ -439,6 +443,34 @@ class BigHouseEngine:
             [(n, src, pk) for n, (src, pk) in self._dicts.items()],
             "name string, source string, key string",
         ).createOrReplaceTempView("system_dictionaries")
+        # system.functions analog: every ClickHouse function spelling
+        # the dialect layer maps, with the mapping kind — the
+        # introspection a CH user runs to ask "is X supported here?".
+        import importlib
+
+        _tp = importlib.import_module("bighouse_spark.dialect.transpile")
+
+        fn_rows: list[tuple[str, str]] = []
+        for mapping, kind in (
+            (_tp._FUNC_RENAMES, "rename"),
+            (_tp._ARG_REWRITES, "rewrite"),
+            (_tp._ZERO_ARG, "rewrite"),
+            (_tp._WRAP_FUNCS, "rewrite"),
+            (_tp._JSON_FUNCS, "rewrite"),
+            (_tp._PARAMETRIC, "parametric"),
+        ):
+            fn_rows.extend(
+                (name.rstrip("("), kind) for name in mapping
+            )
+        fn_rows.extend(
+            (name, "table_function") for name in _tp._TABLE_FUNCS
+        )
+        fn_rows.extend(
+            [("topK", "parametric"), ("topKWeighted", "parametric")]
+        )
+        self.spark.createDataFrame(
+            sorted(set(fn_rows)), "name string, kind string"
+        ).createOrReplaceTempView("system_functions")
 
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"
@@ -516,6 +548,28 @@ class BigHouseEngine:
     _EXISTS_RE = re.compile(
         r"^\s*EXISTS\s+(?:TABLE\s+)?[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
+    )
+    # CH ATTACH TABLE — the reference's init-query workhorse
+    # (workflow_query_executor_test.go:85 ATTACHes the shared
+    # github_events web disk). Engine spelling: ATTACH ... FROM
+    # '<path>' over parquet/csv/json/orc storage; the CH-native
+    # MergeTree-part web-disk form is refused with guidance (that
+    # format belongs to the delegated CH storage engine).
+    _ATTACH_RE = re.compile(
+        r"^\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"[`\"]?(\w+)[`\"]?(?:\s+UUID\s+'[^']*')?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DETACH_RE = re.compile(
+        r"^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*(?:PERMANENTLY\s*)?$",
+        re.IGNORECASE,
+    )
+    _ATTACH_FROM_RE = re.compile(
+        r"^(?:\(([^)]*)\)\s*)?FROM\s+'([^']+)'"
+        r"(?:\s+FORMAT\s+(\w+))?\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
     )
     _CREATE_TABLE_TAIL_RE = re.compile(
         r"^\s*(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
@@ -1234,6 +1288,29 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["exchanged"], rows=[[a, b]],
                                elapsed_sec=elapsed)
+        m_att = self._ATTACH_RE.match(request.query)
+        if m_att:
+            return self._attach_statement(m_att, t0, request.query)
+        m_det = self._DETACH_RE.match(request.query)
+        if m_det:
+            name = m_det.group(1)
+            if name in self._attached:
+                self._detached[name] = (
+                    self._attached[name], self._partitioned.get(name)
+                )
+                self.spark.catalog.dropTempView(name)
+                if name in self._analyzed:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    self._analyzed.discard(name)
+                self._attached.pop(name, None)
+                self._partitioned.pop(name, None)
+                self.clear_cache()
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<detach>", elapsed, 0)
+            )
+            return QueryResult(cols=["detached"], rows=[[name]],
+                               elapsed_sec=elapsed)
         m_exists = self._EXISTS_RE.match(request.query)
         if m_exists:
             name = m_exists.group(1)
@@ -1459,6 +1536,15 @@ class BigHouseEngine:
         views: list[str] = []
         try:
             for init in request.init_queries:
+                # Init queries are full engine statements (the
+                # reference's InitQueries carry ATTACH DDL + SET,
+                # workflow_query_executor.go:302-310) — route through
+                # execute so the whole DDL dispatch applies, not just
+                # the transpile surface. Recursion is shallow: the
+                # inner request carries no init queries of its own.
+                if self._looks_like_engine_statement(init):
+                    self.execute(QueryRequest(query=init))
+                    continue
                 init_t = transpile(init, self.spark)
                 views.extend(init_t.views)
                 if init_t.sql.strip():
@@ -1611,6 +1697,115 @@ class BigHouseEngine:
             from bighouse_spark.dialect.transpile import release_spool_pins
 
             release_spool_pins()
+
+    # Statement keywords owned by the engine's DDL dispatch (vs the
+    # transpile-then-spark.sql path). Init queries starting with one
+    # of these re-enter execute() so ATTACH/CREATE/INSERT/... work
+    # identically whether sent as the main query or as init DDL.
+    _ENGINE_STMT_RE = re.compile(
+        r"^\s*(ATTACH|DETACH|CREATE|DROP|TRUNCATE|RENAME|EXCHANGE|"
+        r"ALTER|INSERT|OPTIMIZE|ANALYZE|EXISTS|SHOW)\b",
+        re.IGNORECASE,
+    )
+
+    def _looks_like_engine_statement(self, sql: str) -> bool:
+        return self._ENGINE_STMT_RE.match(sql) is not None
+
+    _ATTACH_EXT_FMTS = (
+        (".csv", "csv"), (".csv.gz", "csv"), (".tsv", "csv"),
+        (".json", "json"), (".ndjson", "json"), (".jsonl", "json"),
+        (".orc", "orc"),
+    )
+
+    def _attach_statement(self, m, t0: float, query: str) -> QueryResult:
+        """``ATTACH TABLE [IF NOT EXISTS] name [(schema)] FROM
+        '<path>' [FORMAT <fmt>] [ENGINE ...]`` — the SQL spelling of
+        ``attach_table`` (the reference's init-queries are ATTACH DDL,
+        ``workflow_query_executor_test.go:85``). A bare ``ATTACH TABLE
+        name`` restores a DETACHed registration. The CH-native
+        web-disk MergeTree form is refused with guidance: MergeTree
+        part files belong to the delegated ClickHouse storage engine;
+        this engine's shared storage is parquet/csv/json/orc."""
+        if_not_exists, name, rest = m.groups()
+        rest = (rest or "").strip()
+        if name in self._attached:
+            if if_not_exists:
+                return QueryResult(
+                    cols=["attached"], rows=[[name]],
+                    elapsed_sec=time.monotonic() - t0,
+                )
+            raise ValueError(f"ATTACH TABLE {name}: already attached")
+        if not rest:
+            parked = self._detached.pop(name, None)
+            if parked is None:
+                raise ValueError(
+                    f"ATTACH TABLE {name}: nothing to re-attach — "
+                    f"use ATTACH TABLE {name} FROM '<path>'"
+                )
+            (path, fmt, schema), pcols = parked
+            if pcols:
+                self._partitioned[name] = pcols
+            self.attach_table(name, path, fmt=fmt, schema=schema)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(query, "<attach>", elapsed, 0)
+            )
+            return QueryResult(cols=["attached"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_from = self._ATTACH_FROM_RE.match(rest)
+        if m_from is None:
+            if re.search(
+                r"disk\s*\(\s*type\s*=\s*web", rest, re.IGNORECASE
+            ) or "ENGINE" in rest.upper():
+                raise ValueError(
+                    f"ATTACH TABLE {name}: ClickHouse-native MergeTree "
+                    "part storage is not readable by this engine — "
+                    "point the shared storage at parquet/csv files and "
+                    f"ATTACH TABLE {name} FROM '<path>' instead"
+                )
+            raise ValueError(
+                f"ATTACH TABLE {name}: unsupported clause "
+                f"{rest[:60]!r} (expected [(schema)] FROM '<path>' "
+                "[FORMAT <fmt>])"
+            )
+        cols, path, fmt_name, tail = m_from.groups()
+        m_tail = self._CREATE_TABLE_TAIL_RE.match(tail or "")
+        if m_tail is None:
+            raise ValueError(
+                f"ATTACH TABLE {name}: unsupported trailing clause "
+                f"{(tail or '').strip()[:60]!r}"
+            )
+        if fmt_name:
+            fmt = {
+                "csv": "csv", "csvwithnames": "csv", "tsv": "csv",
+                "tsvwithnames": "csv", "parquet": "parquet",
+                "json": "json", "jsoneachrow": "json", "orc": "orc",
+            }.get(fmt_name.lower())
+            if fmt is None:
+                raise ValueError(
+                    f"ATTACH TABLE {name}: unknown FORMAT {fmt_name}"
+                )
+        else:
+            low = path.lower()
+            fmt = next(
+                (f for ext, f in self._ATTACH_EXT_FMTS
+                 if low.endswith(ext)),
+                "parquet",
+            )
+        self.attach_table(name, path, fmt=fmt, schema=cols or None)
+        if m_tail.group(1):
+            try:
+                self._partitioned[name] = self._parse_partition_by(
+                    m_tail.group(1), self.spark.table(name).columns
+                )
+            except ValueError:
+                self.spark.catalog.dropTempView(name)
+                self._attached.pop(name, None)
+                raise
+        elapsed = time.monotonic() - t0
+        self.query_log.append(QueryLogEntry(query, "<attach>", elapsed, 0))
+        return QueryResult(cols=["attached"], rows=[[name]],
+                           elapsed_sec=elapsed)
 
     def _analyze_table(
         self, name: str, cols_clause: str | None, t0: float, query: str

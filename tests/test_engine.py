@@ -964,3 +964,121 @@ class TestAnalyzeStatistics:
     def test_analyze_unattached_refused(self, engine):
         with pytest.raises(ValueError, match="not an attached"):
             engine.execute("ANALYZE TABLE never_attached_xyz")
+
+
+def test_system_functions_inventory(engine):
+    out = engine.execute(
+        "SELECT count() AS n FROM system.functions"
+    )
+    assert out.rows[0][0] > 300  # the dialect maps 300+ spellings
+    out = engine.execute(
+        "SELECT kind FROM system.functions WHERE name = 'uniq'"
+    )
+    assert out.rows == [["rename"]]
+    out = engine.execute(
+        "SELECT count() AS n FROM system.functions "
+        "WHERE kind = 'table_function'"
+    )
+    assert out.rows[0][0] >= 10
+
+
+def test_describe_table_spellings(engine, spark, tmp_path):
+    d = str(tmp_path / "desc_tbl")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(d)
+    engine.attach_table("desc_tbl", d)
+    out = engine.execute("DESCRIBE TABLE desc_tbl")
+    names = [r[0] for r in out.rows]
+    assert "id" in names and "v" in names
+    out = engine.execute("DESCRIBE system.clusters")
+    assert any("host_name" in r for r in [r[0] for r in out.rows])
+
+
+class TestAttachDetachSQL:
+    """ATTACH/DETACH TABLE DDL — the reference's init-query shape
+    (workflow_query_executor_test.go:85), SQL-spelled over this
+    engine's parquet/csv shared storage."""
+
+    def test_attach_from_path(self, engine):
+        engine.execute("DROP TABLE IF EXISTS att_region")
+        out = engine.execute(
+            "ATTACH TABLE att_region FROM "
+            f"'{SF_CORRECT}/region.parquet'"
+        )
+        assert out.rows == [["att_region"]]
+        out = engine.execute("SELECT count() AS n FROM att_region")
+        assert out.rows == [[5]]
+
+    def test_attach_if_not_exists_idempotent(self, engine):
+        out = engine.execute(
+            "ATTACH TABLE IF NOT EXISTS att_region FROM "
+            f"'{SF_CORRECT}/region.parquet'"
+        )
+        assert out.rows == [["att_region"]]
+        with pytest.raises(ValueError, match="already attached"):
+            engine.execute(
+                "ATTACH TABLE att_region FROM "
+                f"'{SF_CORRECT}/region.parquet'"
+            )
+
+    def test_attach_csv_with_schema(self, engine, tmp_path):
+        p = tmp_path / "att.csv"
+        p.write_text("k,v\n1,a\n2,b\n")
+        out = engine.execute(
+            "ATTACH TABLE att_csv (k UInt32, v String) FROM "
+            f"'file://{p}' FORMAT CSVWithNames"
+        )
+        assert out.rows == [["att_csv"]]
+        out = engine.execute("SELECT k, v FROM att_csv ORDER BY k")
+        assert out.rows == [[1, "a"], [2, "b"]]
+
+    def test_detach_then_reattach(self, engine):
+        engine.execute("DETACH TABLE att_region")
+        with pytest.raises(Exception):
+            engine.execute("SELECT count() FROM att_region")
+        out = engine.execute("ATTACH TABLE att_region")
+        assert out.rows == [["att_region"]]
+        out = engine.execute("SELECT count() AS n FROM att_region")
+        assert out.rows == [[5]]
+
+    def test_web_disk_mergetree_form_guided_error(self, engine):
+        with pytest.raises(ValueError, match="MergeTree part storage"):
+            engine.execute(
+                "ATTACH TABLE github_events UUID 'abc' "
+                "(id UInt64) ENGINE = MergeTree ORDER BY id "
+                "SETTINGS disk = disk(type=web, "
+                "endpoint='http://example.com/web/')"
+            )
+
+    def test_attach_partitioned_dir(self, engine, spark, tmp_path):
+        d = str(tmp_path / "att_part")
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 2)], ["id", "v", "p"]
+        ).write.partitionBy("p").parquet(d)
+        out = engine.execute(
+            "ATTACH TABLE att_part (id Int64, v String, p Int32) "
+            f"FROM '{d}' ENGINE = MergeTree PARTITION BY p"
+        )
+        assert out.rows == [["att_part"]]
+        assert engine._partitioned["att_part"] == ["p"]
+        engine.execute("INSERT INTO att_part VALUES (3, 'c', 1)")
+        out = engine.execute(
+            "SELECT count() AS n FROM att_part WHERE p = 1"
+        )
+        assert out.rows == [[2]]
+
+
+def test_init_queries_run_attach_ddl(engine):
+    # The reference's actual init-query shape: ATTACH DDL + SET
+    # before the main query (workflow_query_executor.go:302-310).
+    engine.execute("DROP TABLE IF EXISTS init_att")
+    out = engine.execute(
+        QueryRequest(
+            query="SELECT count() AS n FROM init_att",
+            init_queries=[
+                f"ATTACH TABLE init_att FROM '{SF_CORRECT}/nation.parquet'",
+                "SET spark.sql.shuffle.partitions=8",
+            ],
+        )
+    )
+    assert out.rows == [[25]]
+    engine.execute("DROP TABLE init_att")
