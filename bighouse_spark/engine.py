@@ -297,6 +297,10 @@ class BigHouseEngine:
             # files and refresh cheap stats; a temp view here would
             # shadow the catalog table and drop its statistics.
             self._attached[name] = (path, fmt, schema)
+            if name in self._partitioned:
+                # A write may have created NEW partition directories;
+                # catalog tables need them registered explicitly.
+                self.spark.sql(f"MSCK REPAIR TABLE {name}")
             self.spark.sql(f"REFRESH TABLE {name}")
             self.spark.sql(
                 f"ANALYZE TABLE {name} COMPUTE STATISTICS NOSCAN"
@@ -1832,18 +1836,38 @@ class BigHouseEngine:
                 f"ANALYZE TABLE {name}: statistics are implemented "
                 "for parquet-backed tables"
             )
-        if name in self._partitioned:
-            raise ValueError(
-                f"ANALYZE TABLE {name}: partitioned engine tables "
-                "are not promotable yet (partition pruning already "
-                "gives the optimizer per-partition sizes)"
-            )
         if name not in self._analyzed:
+            # The registered view (temp, possibly schema-declared)
+            # knows the full column set — capture it BEFORE dropping.
+            fields = list(self.spark.table(name).schema.fields)
             self.spark.catalog.dropTempView(name)
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-            self.spark.sql(
-                f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
-            )
+            pcols = self._partitioned.get(name)
+            if pcols:
+                # Partitioned external table: declare the layout
+                # (data columns first, partition columns last — the
+                # catalog DDL contract) and let MSCK REPAIR discover
+                # the partition directories; catalog tables do not
+                # auto-discover the way path reads do.
+                part_set = {c.lower() for c in pcols}
+                ordered = (
+                    [f for f in fields if f.name.lower() not in part_set]
+                    + [f for f in fields if f.name.lower() in part_set]
+                )
+                col_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in ordered
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({col_ddl}) USING parquet "
+                    f"PARTITIONED BY ({', '.join(pcols)}) "
+                    f"LOCATION '{path}'"
+                )
+                self.spark.sql(f"MSCK REPAIR TABLE {name}")
+            else:
+                self.spark.sql(
+                    f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
+                )
             self._analyzed.add(name)
         stats = f"ANALYZE TABLE {name} COMPUTE STATISTICS"
         if cols_clause:

@@ -1082,3 +1082,37 @@ def test_init_queries_run_attach_ddl(engine):
     )
     assert out.rows == [[25]]
     engine.execute("DROP TABLE init_att")
+
+
+def test_analyze_partitioned_table(engine, spark):
+    engine.execute("DROP TABLE IF EXISTS part_stats")
+    engine.execute(
+        "CREATE TABLE part_stats ENGINE = MergeTree PARTITION BY p AS "
+        "SELECT number AS id, number % 3 AS p FROM numbers(9)"
+    )
+    out = engine.execute("ANALYZE TABLE part_stats")
+    assert out.rows == [["part_stats"]]
+    # Catalog table sees all partitions and carries stats.
+    assert spark.catalog.tableExists("part_stats")
+    out = engine.execute("SELECT count() AS n FROM part_stats")
+    assert out.rows == [[9]]
+    stats = (
+        spark.table("part_stats")
+        ._jdf.queryExecution().stringWithStats()
+    )
+    assert "rowCount=9" in stats
+    # Partition pruning still applies on the catalog table.
+    plan = (
+        spark.table("part_stats").where("p = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "p#" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # Writes into new partitions surface after the re-attach MSCK.
+    engine.execute("INSERT INTO part_stats VALUES (100, 7)")
+    out = engine.execute(
+        "SELECT count() AS n FROM part_stats WHERE p = 7"
+    )
+    assert out.rows == [[1]]
+    engine.execute("DROP TABLE part_stats")
