@@ -1089,6 +1089,69 @@ _ARG_REWRITES.update({
     # within ~0.5% — documented approximation) --
     "greatCircleDistance": _haversine_expr,
     "geoDistance": _haversine_expr,
+    # -- window-function spellings --
+    "firstValue": lambda a: f"first_value({', '.join(a)})",
+    "lastValue": lambda a: f"last_value({', '.join(a)})",
+    "nthValue": lambda a: f"nth_value({', '.join(a)})",
+    "denseRank": lambda a: "dense_rank()",
+    "neighbor": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "neighbor() is block-order dependent; use "
+            f"lag({a[0]}, -({a[1]})) / lead({a[0]}, {a[1]}) "
+            "OVER (ORDER BY <key>)"
+        )
+    ),
+    "runningAccumulate": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "runningAccumulate() is block-order dependent; use "
+            "sum(x) OVER (ORDER BY <key> ROWS UNBOUNDED PRECEDING)"
+        )
+    ),
+    "nonNegativeDerivative": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "nonNegativeDerivative(v, t) spells as greatest((v - "
+            "lag(v) OVER w) / (unix_timestamp(t) - "
+            "unix_timestamp(lag(t) OVER w)), 0) with w = "
+            "(ORDER BY t)"
+        )
+    ),
+    # -- array rotation / shifting / similarity --
+    "arrayRotateLeft": lambda a: (
+        f"(CASE WHEN size({a[0]}) <= 1 THEN {a[0]} ELSE "
+        f"concat(slice({a[0]}, ((({a[1]}) % size({a[0]}) + "
+        f"size({a[0]})) % size({a[0]})) + 1, size({a[0]})), "
+        f"slice({a[0]}, 1, (({a[1]}) % size({a[0]}) + size({a[0]})) "
+        f"% size({a[0]}))) END)"
+    ),
+    "arrayRotateRight": lambda a: (
+        f"(CASE WHEN size({a[0]}) <= 1 THEN {a[0]} ELSE "
+        f"concat(slice({a[0]}, (((-({a[1]})) % size({a[0]}) + "
+        f"size({a[0]})) % size({a[0]})) + 1, size({a[0]})), "
+        f"slice({a[0]}, 1, ((-({a[1]})) % size({a[0]}) + "
+        f"size({a[0]})) % size({a[0]}))) END)"
+    ),
+    "arrayShiftLeft": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN "
+        f"concat(slice({a[0]}, least(({a[1]}), size({a[0]})) + 1, "
+        f"size({a[0]})), array_repeat({a[2] if len(a) > 2 else '0'}, "
+        f"least(({a[1]}), size({a[0]})))) ELSE "
+        f"concat(array_repeat({a[2] if len(a) > 2 else '0'}, "
+        f"least(-({a[1]}), size({a[0]}))), slice({a[0]}, 1, "
+        f"greatest(size({a[0]}) + ({a[1]}), 0))) END)"
+    ),
+    "arrayShiftRight": lambda a: (
+        f"(CASE WHEN ({a[1]}) >= 0 THEN "
+        f"concat(array_repeat({a[2] if len(a) > 2 else '0'}, "
+        f"least(({a[1]}), size({a[0]}))), slice({a[0]}, 1, "
+        f"greatest(size({a[0]}) - ({a[1]}), 0))) ELSE "
+        f"concat(slice({a[0]}, least(-({a[1]}), size({a[0]})) + 1, "
+        f"size({a[0]})), array_repeat({a[2] if len(a) > 2 else '0'}, "
+        f"least(-({a[1]}), size({a[0]})))) END)"
+    ),
+    "arrayJaccardIndex": lambda a: (
+        f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
+        f"/ size(array_union({a[0]}, {a[1]})))"
+    ),
 })
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a

@@ -1878,3 +1878,69 @@ class TestMomentAndWeightedAggregates:
     def test_guided_errors(self, eng, sql, hint):
         with pytest.raises(ValueError, match=hint):
             eng.execute(sql)
+
+
+class TestWindowSpellingsAndArrayRotation:
+    """Fourth round-5 tranche: CH window-function spellings, array
+    rotation/shifting, Jaccard index, guided errors for block-order
+    window ops."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_window_value_spellings(self, eng):
+        r = eng.execute(
+            "SELECT number AS n, "
+            "firstValue(number) OVER w AS f, "
+            "lastValue(number) OVER (ORDER BY number ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l, "
+            "denseRank() OVER w AS d, "
+            "nthValue(number, 2) OVER (ORDER BY number ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth "
+            "FROM numbers(3) WINDOW w AS (ORDER BY number) ORDER BY n"
+        )
+        assert r.rows == [
+            [0, 0, 2, 1, 1], [1, 0, 2, 2, 1], [2, 0, 2, 3, 1]
+        ]
+
+    def test_array_rotation(self, eng):
+        r = eng.execute(
+            "SELECT arrayRotateLeft([1,2,3,4], 1) AS a, "
+            "arrayRotateLeft([1,2,3,4], -1) AS b, "
+            "arrayRotateRight([1,2,3,4], 1) AS c, "
+            "arrayRotateLeft([1,2,3,4], 5) AS d"
+        )
+        assert r.rows == [[[2, 3, 4, 1], [4, 1, 2, 3], [4, 1, 2, 3],
+                           [2, 3, 4, 1]]]
+
+    def test_array_shifting(self, eng):
+        r = eng.execute(
+            "SELECT arrayShiftLeft([1,2,3], 1, 0) AS a, "
+            "arrayShiftLeft([1,2,3], -1, 9) AS b, "
+            "arrayShiftRight([1,2,3], 1, 0) AS c, "
+            "arrayShiftRight([1,2,3], -1, 0) AS d"
+        )
+        assert r.rows == [[[2, 3, 0], [9, 1, 2], [0, 1, 2], [2, 3, 0]]]
+
+    def test_array_jaccard(self, eng):
+        r = eng.execute(
+            "SELECT round(arrayJaccardIndex([1,2,3], [2,3,4]), 6) AS r"
+        )
+        assert r.rows == [[0.5]]
+
+    @pytest.mark.parametrize(
+        "sql,hint",
+        [
+            ("SELECT neighbor(number, 1) FROM numbers(3)", "lag"),
+            ("SELECT runningAccumulate(x) FROM (SELECT 1 AS x)",
+             "OVER"),
+            ("SELECT nonNegativeDerivative(a, b) OVER (ORDER BY b) "
+             "FROM (SELECT 1 a, now() b)", "greatest"),
+        ],
+    )
+    def test_block_order_guided_errors(self, eng, sql, hint):
+        with pytest.raises(ValueError, match=hint):
+            eng.execute(sql)
