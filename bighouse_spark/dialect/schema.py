@@ -183,12 +183,13 @@ def render_create_table(
     name: str,
     schema: T.StructType,
     partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
 ) -> str:
     """ClickHouse-flavor CREATE TABLE DDL for a Spark schema (the
     ``SHOW CREATE TABLE`` statement body, reference introspection
-    family B17). ``partition_by`` renders the engine's honored
-    MergeTree partition layout — the rendered DDL round-trips through
-    the CREATE TABLE parser including the partition spec."""
+    family B17). ``partition_by`` / ``order_by`` render the engine's
+    honored MergeTree layout — the rendered DDL round-trips through
+    the CREATE TABLE parser including both specs."""
     cols = ",\n".join(
         f"    `{f.name}` {spark_type_to_ch(f.dataType)}"
         for f in schema.fields
@@ -196,7 +197,11 @@ def render_create_table(
     part = (
         f"PARTITION BY ({', '.join(partition_by)})\n" if partition_by else ""
     )
+    order = (
+        f"ORDER BY ({', '.join(order_by)})" if order_by
+        else "ORDER BY tuple()"
+    )
     return (
         f"CREATE TABLE {name}\n(\n{cols}\n)\n"
-        f"ENGINE = MergeTree\n{part}ORDER BY tuple()"
+        f"ENGINE = MergeTree\n{part}{order}"
     )

@@ -164,6 +164,12 @@ class BigHouseEngine:
         # lever). Every write path (INSERT, mutations, OPTIMIZE)
         # re-applies it so partition dirs survive rewrites.
         self._partitioned: dict[str, list[str]] = {}
+        # Engine-owned in-file sort order: table -> ORDER BY columns
+        # (CH MergeTree's primary sort — the min/max-pruning lever).
+        # Plain-column keys are honored on every write via
+        # sortWithinPartitions; expression keys are accepted and
+        # dropped (sorting is a performance property, not semantics).
+        self._ordered: dict[str, list[str]] = {}
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -218,6 +224,8 @@ class BigHouseEngine:
                 self._analyzed.discard(old)
             if old in self._partitioned:
                 self._partitioned[new] = self._partitioned.pop(old)
+            if old in self._ordered:
+                self._ordered[new] = self._ordered.pop(old)
             self.attach_table(new, path, fmt=fmt, schema=schema)
         elif self.spark.catalog.tableExists(old):
             df = self.spark.table(old)
@@ -523,9 +531,9 @@ class BigHouseEngine:
         r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"(?:\s+ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
-        r"(?:\s+PARTITION\s+BY\s+(\([^)]*\)|\S+))?"
-        r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+(?:\s*\(\s*\))?))?"
-        r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+PARTITION\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|\S+))?"
+        r"(?:\s+ORDER\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|\S+(?:\s*\(\s*\))?))?"
+        r"(?:\s+PRIMARY\s+KEY\s+(?:\((?:[^()]|\([^()]*\))*\)|\S+))?"
         r"\s+AS\s+(SELECT\b.+|WITH\b.+)$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -577,9 +585,9 @@ class BigHouseEngine:
     )
     _CREATE_TABLE_TAIL_RE = re.compile(
         r"^\s*(?:ENGINE\s*=\s*\w+(?:\([^)]*\))?)?"
-        r"(?:\s+PARTITION\s+BY\s+(\([^)]*\)|\S+))?"
-        r"(?:\s+ORDER\s+BY\s+(?:\([^)]*\)|\S+))?"
-        r"(?:\s+PRIMARY\s+KEY\s+(?:\([^)]*\)|\S+))?"
+        r"(?:\s+PARTITION\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|\S+))?"
+        r"(?:\s+ORDER\s+BY\s+(\((?:[^()]|\([^()]*\))*\)|\S+))?"
+        r"(?:\s+PRIMARY\s+KEY\s+(?:\((?:[^()]|\([^()]*\))*\)|\S+))?"
         r"(?:\s+SETTINGS\s+.*)?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -657,10 +665,36 @@ class BigHouseEngine:
             out.append(avail[c.lower()])
         return out
 
+    @staticmethod
+    def _parse_order_by(spec: str, available: list[str]) -> list[str] | None:
+        """CH ``ORDER BY`` clause → plain stored columns, or None
+        when the key contains expressions / ``tuple()`` (accepted and
+        dropped: in-file order is a pruning optimization, and CH users
+        routinely order by expressions we cannot sort files by)."""
+        s = spec.strip()
+        m_tuple = re.fullmatch(r"tuple\s*\((.*)\)", s, re.IGNORECASE)
+        if m_tuple:
+            s = m_tuple.group(1)
+        elif s.startswith("(") and s.endswith(")"):
+            s = s[1:-1]
+        cols = [c.strip().strip('`"') for c in s.split(",") if c.strip()]
+        avail = {a.lower(): a for a in available}
+        out = []
+        for c in cols:
+            if not re.fullmatch(r"\w+", c) or c.lower() not in avail:
+                return None
+            out.append(avail[c.lower()])
+        return out or None
+
     def _table_writer(self, df, name: str, fmt: str, mode: str):
         """A DataFrameWriter honoring the table's declared PARTITION
-        BY layout — every write path goes through here so partition
-        directories survive INSERTs, mutations, and OPTIMIZE."""
+        BY layout and ORDER BY in-file sort — every write path goes
+        through here so partition directories and MergeTree-style
+        min/max-prunable file order survive INSERTs, mutations, and
+        OPTIMIZE."""
+        ocols = self._ordered.get(name)
+        if ocols and all(c in df.columns for c in ocols):
+            df = df.sortWithinPartitions(*ocols)
         writer = df.write.format(fmt).mode(mode)
         pcols = self._partitioned.get(name)
         if pcols:
@@ -1189,7 +1223,9 @@ class BigHouseEngine:
             # CTAS: materialize the SELECT into an engine-owned parquet
             # directory and attach — the result is a real table with
             # the full write surface, same as CREATE TABLE + INSERT.
-            if_not_exists, name, part_spec, select_sql = m_ctas.groups()
+            if_not_exists, name, part_spec, order_spec, select_sql = (
+                m_ctas.groups()
+            )
             if name in self._attached or name in self._mviews:
                 if if_not_exists:
                     return QueryResult(
@@ -1215,6 +1251,10 @@ class BigHouseEngine:
                     f"`{f.name}` {spark_type_to_ch(f.dataType)}"
                     for f in df.schema.fields
                 )
+            if order_spec:
+                ocols = self._parse_order_by(order_spec, df.columns)
+                if ocols:
+                    self._ordered[name] = ocols
             self._table_writer(df, name, "parquet", "overwrite").save(path)
             for v in sel.views:
                 try:
@@ -1300,7 +1340,9 @@ class BigHouseEngine:
             name = m_det.group(1)
             if name in self._attached:
                 self._detached[name] = (
-                    self._attached[name], self._partitioned.get(name)
+                    self._attached[name],
+                    self._partitioned.get(name),
+                    self._ordered.get(name),
                 )
                 self.spark.catalog.dropTempView(name)
                 if name in self._analyzed:
@@ -1308,6 +1350,7 @@ class BigHouseEngine:
                     self._analyzed.discard(name)
                 self._attached.pop(name, None)
                 self._partitioned.pop(name, None)
+                self._ordered.pop(name, None)
                 self.clear_cache()
             elapsed = time.monotonic() - t0
             self.query_log.append(
@@ -1377,6 +1420,12 @@ class BigHouseEngine:
                 # registration so column order and types (and the
                 # empty-table read) stay exactly as declared.
                 decl_schema = cols
+            if m_tail.group(2):
+                ocols = self._parse_order_by(
+                    m_tail.group(2), [f.name for f in schema.fields]
+                )
+                if ocols:
+                    self._ordered[name] = ocols
             self._table_writer(
                 self.spark.createDataFrame([], schema), name, "parquet",
                 "overwrite",
@@ -1474,6 +1523,7 @@ class BigHouseEngine:
                 self._analyzed.discard(name)
             self._attached.pop(name, None)
             self._partitioned.pop(name, None)
+            self._ordered.pop(name, None)
             self._user_views.pop(name, None)
             mv = self._mviews.pop(name, None)
             if mv is not None:
@@ -1746,9 +1796,11 @@ class BigHouseEngine:
                     f"ATTACH TABLE {name}: nothing to re-attach — "
                     f"use ATTACH TABLE {name} FROM '<path>'"
                 )
-            (path, fmt, schema), pcols = parked
+            (path, fmt, schema), pcols, ocols = parked
             if pcols:
                 self._partitioned[name] = pcols
+            if ocols:
+                self._ordered[name] = ocols
             self.attach_table(name, path, fmt=fmt, schema=schema)
             elapsed = time.monotonic() - t0
             self.query_log.append(
@@ -1806,6 +1858,12 @@ class BigHouseEngine:
                 self.spark.catalog.dropTempView(name)
                 self._attached.pop(name, None)
                 raise
+        if m_tail.group(2):
+            ocols = self._parse_order_by(
+                m_tail.group(2), self.spark.table(name).columns
+            )
+            if ocols:
+                self._ordered[name] = ocols
         elapsed = time.monotonic() - t0
         self.query_log.append(QueryLogEntry(query, "<attach>", elapsed, 0))
         return QueryResult(cols=["attached"], rows=[[name]],
@@ -1909,6 +1967,7 @@ class BigHouseEngine:
             stmt = render_create_table(
                 name, self.spark.table(name).schema,
                 partition_by=self._partitioned.get(name),
+                order_by=self._ordered.get(name),
             )
         else:
             try:

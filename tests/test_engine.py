@@ -1116,3 +1116,63 @@ def test_analyze_partitioned_table(engine, spark):
     )
     assert out.rows == [[1]]
     engine.execute("DROP TABLE part_stats")
+
+
+class TestOrderByHonored:
+    """CREATE TABLE ... ORDER BY = MergeTree's primary sort: every
+    write lands files sorted by the key (sortWithinPartitions), so
+    parquet footer min/max ranges are narrow and range predicates
+    prune row groups — the CH data-skipping analog."""
+
+    def test_inserts_are_file_sorted(self, engine, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        engine.execute("DROP TABLE IF EXISTS ord_tbl")
+        engine.execute(
+            "CREATE TABLE ord_tbl (id Int64, v String) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        assert engine._ordered["ord_tbl"] == ["id"]
+        # Deliberately unsorted insert.
+        engine.execute(
+            "INSERT INTO ord_tbl VALUES (5,'e'),(1,'a'),(3,'c'),"
+            "(4,'d'),(2,'b')"
+        )
+        path = engine._attached["ord_tbl"][0]
+        for f in glob.glob(f"{path}/*.parquet"):
+            ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+            assert ids == sorted(ids), f"file {f} not sorted"
+        out = engine.execute("SELECT v FROM ord_tbl WHERE id = 3")
+        assert out.rows == [["c"]]
+
+    def test_order_survives_mutation_and_shows_in_ddl(
+        self, engine, spark
+    ):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        stmt = engine.execute("SHOW CREATE TABLE ord_tbl").rows[0][0]
+        assert "ORDER BY (id)" in stmt
+        engine.execute("ALTER TABLE ord_tbl DELETE WHERE id = 3")
+        path = engine._attached["ord_tbl"][0]
+        for f in glob.glob(f"{path}/*.parquet"):
+            ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
+            assert ids == sorted(ids)
+        # Round-trip: the rendered DDL re-parses with the order key.
+        engine.execute("DROP TABLE IF EXISTS ord_tbl2")
+        engine.execute(stmt.replace("ord_tbl", "ord_tbl2", 1))
+        assert engine._ordered["ord_tbl2"] == ["id"]
+        engine.execute("DROP TABLE ord_tbl")
+        engine.execute("DROP TABLE ord_tbl2")
+
+    def test_expression_order_key_dropped_silently(self, engine):
+        engine.execute("DROP TABLE IF EXISTS ord_expr")
+        engine.execute(
+            "CREATE TABLE ord_expr (d DateTime, v Int64) "
+            "ENGINE = MergeTree ORDER BY (toYYYYMM(d), v)"
+        )
+        assert "ord_expr" not in engine._ordered
+        engine.execute("DROP TABLE ord_expr")
