@@ -312,6 +312,59 @@ def _render_pretty(cols, rows, types, elapsed) -> bytes:
     return ("\n".join(out) + "\n").encode()
 
 
+def _arrow_table(cols, rows, types):
+    """Build a pyarrow Table from the collected result. Types come
+    from the row VALUES (pyarrow inference) — the CH type names in
+    ``types`` describe wire semantics, while the binary formats carry
+    their own exact schema."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            c: [
+                _json_value(row[i]) for row in rows
+            ]
+            for i, c in enumerate(cols)
+        }
+        if cols
+        else {}
+    )
+
+
+def _render_parquet(cols, rows, types, elapsed) -> bytes:
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(_arrow_table(cols, rows, types), buf)
+    return buf.getvalue()
+
+
+def _render_arrow_stream(cols, rows, types, elapsed) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    table = _arrow_table(cols, rows, types)
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, table.schema) as writer:
+        writer.write_table(table)
+    return buf.getvalue()
+
+
+def _render_arrow_file(cols, rows, types, elapsed) -> bytes:
+    import io
+
+    import pyarrow as pa
+
+    table = _arrow_table(cols, rows, types)
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, table.schema) as writer:
+        writer.write_table(table)
+    return buf.getvalue()
+
+
 _RENDERERS = {
     "JSON": (_render_json, "application/json; charset=UTF-8"),
     "JSONCompact": (_render_json_compact, "application/json; charset=UTF-8"),
@@ -339,6 +392,11 @@ _RENDERERS = {
     ),
     "Values": (_render_values, "text/plain; charset=UTF-8"),
     "Pretty": (_render_pretty, "text/plain; charset=UTF-8"),
+    # Binary interchange formats (CH serves these too): self-described
+    # schema, zero text parsing on the consumer side.
+    "Parquet": (_render_parquet, "application/octet-stream"),
+    "Arrow": (_render_arrow_file, "application/octet-stream"),
+    "ArrowStream": (_render_arrow_stream, "application/octet-stream"),
 }
 
 # Accepted spellings (lowercased) → canonical renderer name. TSV* are
@@ -362,6 +420,9 @@ _CANONICAL = {
     "values": "Values",
     "pretty": "Pretty",
     "prettycompact": "Pretty",
+    "parquet": "Parquet",
+    "arrow": "Arrow",
+    "arrowstream": "ArrowStream",
 }
 
 DEFAULT_FORMAT = "TabSeparated"  # CH's HTTP default

@@ -182,7 +182,14 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urllib.parse.urlsplit(self.path)
         if parsed.path == "/":
             length = int(self.headers.get("Content-Length", "0"))
-            self._ch_http(parsed, body=self.rfile.read(length))
+            body = self.rfile.read(length)
+            # CH accepts gzip-compressed request bodies (bulk INSERT
+            # payloads); mirror that.
+            if self.headers.get("Content-Encoding", "").lower() == "gzip":
+                import gzip
+
+                body = gzip.decompress(body)
+            self._ch_http(parsed, body=body)
             return
         if parsed.path not in ("/query", "/query/sink"):
             self._send(404, {"error": f"no route {self.path}"})

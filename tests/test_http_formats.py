@@ -322,3 +322,56 @@ def test_gzip_response(server_url):
     with urllib.request.urlopen(req) as resp:
         assert resp.headers["Content-Encoding"] == "gzip"
         assert json.loads(gzip.decompress(resp.read())) == {"v": 42}
+
+
+def test_parquet_and_arrow_formats(server_url):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, body, headers = _get_raw(
+        _q(
+            server_url,
+            "SELECT number AS n, concat('v', number) AS v "
+            "FROM numbers(3) ORDER BY n FORMAT Parquet",
+        )
+    )
+    t = pq.read_table(io.BytesIO(body))
+    assert t.column("n").to_pylist() == [0, 1, 2]
+    assert t.column("v").to_pylist() == ["v0", "v1", "v2"]
+    assert headers["Content-Type"] == "application/octet-stream"
+
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT 1 AS a FORMAT ArrowStream")
+    )
+    reader = pa.ipc.open_stream(io.BytesIO(body))
+    assert reader.read_all().column("a").to_pylist() == [1]
+
+    _, body, _ = _get_raw(_q(server_url, "SELECT 2 AS b FORMAT Arrow"))
+    reader = pa.ipc.open_file(io.BytesIO(body))
+    assert reader.read_all().column("b").to_pylist() == [2]
+
+
+def test_gzip_request_body(server_url):
+    import gzip
+
+    _get_raw(
+        _q(
+            server_url,
+            "CREATE TABLE IF NOT EXISTS gz_ins (id Int64, v String) "
+            "ENGINE = MergeTree ORDER BY id",
+        )
+    )
+    payload = gzip.compress(b'{"id": 1, "v": "zipped"}\n')
+    req = urllib.request.Request(
+        _q(server_url, "INSERT INTO gz_ins FORMAT JSONEachRow"),
+        data=payload,
+        headers={"Content-Encoding": "gzip"},
+        method="POST",
+    )
+    urllib.request.urlopen(req).read()
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT v FROM gz_ins FORMAT JSONEachRow")
+    )
+    assert json.loads(body) == {"v": "zipped"}
