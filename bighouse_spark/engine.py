@@ -517,6 +517,12 @@ class BigHouseEngine:
         r"\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _DROP_PARTITION_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$",
+        re.IGNORECASE,
+    )
     _DROP_TRUNCATE_RE = re.compile(
         r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
@@ -1170,6 +1176,68 @@ class BigHouseEngine:
                 df = tbl.withColumn(col, F.col(col).cast(dt))
             return self._rewrite_attached(
                 name, df, t0, request.query, f"<alter {op.lower()} column>"
+            )
+        # CH partition management: DROP PARTITION deletes the
+        # partition DIRECTORY — an O(metadata) retention operation, no
+        # data rewrite (the reason MergeTree users partition by month;
+        # at 100 TB this is the difference between rm -r one dir and
+        # rewriting the table).
+        m_dp = self._DROP_PARTITION_RE.match(request.query)
+        if m_dp:
+            name, verb, part_val = m_dp.group(1), m_dp.group(2), (
+                m_dp.group(3) or m_dp.group(4)
+            )
+            local = self._attached_path_or_raise(
+                name, f"ALTER TABLE {verb.upper()} PARTITION"
+            )
+            pcols = self._partitioned.get(name)
+            if not pcols:
+                raise ValueError(
+                    f"ALTER TABLE {name} {verb.upper()} PARTITION: "
+                    "table is not partitioned"
+                )
+            if len(pcols) != 1:
+                raise ValueError(
+                    f"ALTER TABLE {name} {verb.upper()} PARTITION: "
+                    "single-column partition keys only "
+                    f"(table has {pcols})"
+                )
+            import os
+            import shutil
+
+            frag = f"{pcols[0]}={part_val}"
+            live = os.path.join(local, frag)
+            # Dot-prefixed so Spark's file listing ignores parked
+            # partitions (same convention as _SUCCESS/_temporary).
+            parked_dir = os.path.join(local, ".detached")
+            parked = os.path.join(parked_dir, frag)
+            verb = verb.upper()
+            acted = False
+            if verb == "DROP" and os.path.isdir(live):
+                shutil.rmtree(live)
+                acted = True
+            elif verb == "DETACH" and os.path.isdir(live):
+                os.makedirs(parked_dir, exist_ok=True)
+                shutil.move(live, parked)
+                acted = True
+            elif verb == "ATTACH" and os.path.isdir(parked):
+                shutil.move(parked, live)
+                acted = True
+            if acted:
+                self.clear_cache()
+                path, fmt, schema = self._attached[name]
+                self.attach_table(name, path, fmt=fmt, schema=schema)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(
+                    request.query,
+                    f"<{verb.lower()} partition>", elapsed, 0,
+                )
+            )
+            return QueryResult(
+                cols=["partition"],
+                rows=[[frag if acted else ""]],
+                elapsed_sec=elapsed,
             )
         # CH mutations: whole-part rewrites, async/non-atomic in CH
         # too (docs: "mutations rewrite data parts").

@@ -1176,3 +1176,46 @@ class TestOrderByHonored:
         )
         assert "ord_expr" not in engine._ordered
         engine.execute("DROP TABLE ord_expr")
+
+
+class TestPartitionManagement:
+    """ALTER TABLE DROP/DETACH/ATTACH PARTITION — CH's O(metadata)
+    retention operations over the honored partition layout: a dropped
+    month is one directory removal, never a table rewrite."""
+
+    def test_drop_partition(self, engine):
+        engine.execute("DROP TABLE IF EXISTS pm_tbl")
+        engine.execute(
+            "CREATE TABLE pm_tbl ENGINE = MergeTree PARTITION BY p AS "
+            "SELECT number AS id, number % 3 AS p FROM numbers(9)"
+        )
+        out = engine.execute("ALTER TABLE pm_tbl DROP PARTITION '1'")
+        assert out.rows == [["p=1"]]
+        out = engine.execute(
+            "SELECT count() AS n, count(DISTINCT p) AS parts FROM pm_tbl"
+        )
+        assert out.rows == [[6, 2]]
+        # Dropping a nonexistent partition is a no-op, not an error.
+        out = engine.execute("ALTER TABLE pm_tbl DROP PARTITION '9'")
+        assert out.rows == [[""]]
+
+    def test_detach_then_attach_partition(self, engine):
+        out = engine.execute("ALTER TABLE pm_tbl DETACH PARTITION 2")
+        assert out.rows == [["p=2"]]
+        out = engine.execute("SELECT count() AS n FROM pm_tbl")
+        assert out.rows == [[3]]
+        out = engine.execute("ALTER TABLE pm_tbl ATTACH PARTITION 2")
+        assert out.rows == [["p=2"]]
+        out = engine.execute(
+            "SELECT count() AS n FROM pm_tbl WHERE p = 2"
+        )
+        assert out.rows == [[3]]
+
+    def test_partition_ddl_refused_on_unpartitioned(self, engine, spark, tmp_path):
+        d = str(tmp_path / "pm_flat")
+        spark.range(3).write.parquet(d)
+        engine.attach_table("pm_flat", d)
+        with pytest.raises(ValueError, match="not partitioned"):
+            engine.execute("ALTER TABLE pm_flat DROP PARTITION '1'")
+        engine.execute("DROP TABLE pm_tbl")
+        engine.execute("DROP TABLE pm_flat")
