@@ -1152,6 +1152,29 @@ _ARG_REWRITES.update({
         f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
         f"/ size(array_union({a[0]}, {a[1]})))"
     ),
+    # -- date/string tier 3 --
+    "toISOYear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
+    "timeDiff": lambda a: (
+        f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))"
+    ),
+    # CH toWeek default mode 0 is Sunday-first; weekofyear is the
+    # ISO mode-3 twin — documented approximation.
+    "toWeek": lambda a: f"weekofyear({a[0]})",
+    "toYYYYMMDDhhmmss": lambda a: (
+        f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+    ),
+    "positionUTF8": lambda a: f"locate({a[1]}, {a[0]})",
+    "positionCaseInsensitiveUTF8": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "reverseUTF8": lambda a: f"reverse({a[0]})",
+    "toValidUTF8": lambda a: f"({a[0]})",
+    # normalizeQuery: literals → placeholders (CH's query-log
+    # normalization — string literals then bare integer literals).
+    "normalizeQuery": lambda a: (
+        f"regexp_replace(regexp_replace({a[0]}, \"'[^']*'\", '?'), "
+        f"'\\\\b[0-9]+\\\\b', '?')"
+    ),
 })
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a

@@ -1944,3 +1944,39 @@ class TestWindowSpellingsAndArrayRotation:
     def test_block_order_guided_errors(self, eng, sql, hint):
         with pytest.raises(ValueError, match=hint):
             eng.execute(sql)
+
+
+class TestDateStringTier3:
+    """Fifth round-5 tranche: ISO-year/week spellings, timeDiff,
+    UTF8-suffixed string functions, query-log normalization."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_date_spellings(self, eng):
+        r = eng.execute(
+            "SELECT toISOYear(toDate('2024-12-30')) AS iy, "
+            "toWeek(toDate('2024-03-15')) AS w, "
+            "toYYYYMMDDhhmmss(toDateTime('2024-03-15 10:11:12')) AS c, "
+            "timeDiff(toDateTime('2024-01-01 00:00:00'), "
+            "toDateTime('2024-01-01 00:01:30')) AS td"
+        )
+        assert r.rows == [[2025, 11, 20240315101112, 90]]
+
+    def test_utf8_string_spellings(self, eng):
+        r = eng.execute(
+            "SELECT positionUTF8('hello', 'll') AS p, "
+            "positionCaseInsensitiveUTF8('Hello', 'hel') AS pc, "
+            "reverseUTF8('abc') AS rv, toValidUTF8('ok') AS tv"
+        )
+        assert r.rows == [[3, 1, "cba", "ok"]]
+
+    def test_normalize_query(self, eng):
+        r = eng.execute(
+            "SELECT normalizeQuery(\"SELECT * FROM t WHERE x = 5 "
+            "AND n = 'ab'\") AS r"
+        )
+        assert r.rows == [["SELECT * FROM t WHERE x = ? AND n = ?"]]
