@@ -29,12 +29,16 @@ import itertools
 import os
 import re
 import threading
+import time as _time
 from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from bighouse_spark.dialect.globs import expand_braces
+
+# Module import time = engine process start (uptime() anchor).
+_PROCESS_START = _time.time()
 from bighouse_spark.sources.readers import read_source
 
 _TABLE_FUNCS = (
@@ -1174,6 +1178,12 @@ _ARG_REWRITES.update({
     "normalizeQuery": lambda a: (
         f"regexp_replace(regexp_replace({a[0]}, \"'[^']*'\", '?'), "
         f"'\\\\b[0-9]+\\\\b', '?')"
+    ),
+    # uptime(): seconds since this engine process started (the
+    # single warm session IS the "server"); folded to a literal at
+    # transpile time like CH folds it per query.
+    "uptime": lambda a: (
+        f"CAST({int(_time.time() - _PROCESS_START)} AS BIGINT)"
     ),
 })
 

@@ -1426,6 +1426,17 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["detached"], rows=[[name]],
                                elapsed_sec=elapsed)
+        if re.match(r"^\s*SHOW\s+PROCESSLIST\s*$", request.query,
+                    re.IGNORECASE):
+            # CH lists in-flight queries; the Spark analog is the
+            # scheduler's live job/stage counters plus the session's
+            # query tally (system_profile).
+            self.refresh_system_views()
+            request = QueryRequest(
+                query="SELECT * FROM system_profile",
+                init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+            )
         m_exists = self._EXISTS_RE.match(request.query)
         if m_exists:
             name = m_exists.group(1)

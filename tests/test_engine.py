@@ -1219,3 +1219,10 @@ class TestPartitionManagement:
             engine.execute("ALTER TABLE pm_flat DROP PARTITION '1'")
         engine.execute("DROP TABLE pm_tbl")
         engine.execute("DROP TABLE pm_flat")
+
+
+def test_uptime_and_processlist(engine):
+    out = engine.execute("SELECT uptime() AS u")
+    assert out.rows[0][0] >= 0
+    out = engine.execute("SHOW PROCESSLIST")
+    assert "queries_executed" in out.cols
