@@ -29,6 +29,11 @@ from pyspark.sql import SparkSession
 
 from bighouse_spark.dialect.transpile import transpile
 from bighouse_spark.operators.caching import release_tracked
+
+# Per-thread request nesting depth: engine statements re-enter
+# execute() (init queries, DDL); resource release fires only when the
+# OUTERMOST call unwinds.
+_REQ_LOCAL = threading.local()
 from bighouse_spark.session import get_spark
 
 
@@ -220,7 +225,7 @@ class BigHouseEngine:
                 # Demote on rename: statistics are bound to the
                 # catalog identifier. Re-ANALYZE under the new name to
                 # re-promote.
-                self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {old}__bhcat")
                 self._analyzed.discard(old)
             if old in self._partitioned:
                 self._partitioned[new] = self._partitioned.pop(old)
@@ -300,20 +305,30 @@ class BigHouseEngine:
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
                 )
         if name in self._analyzed:
-            # The table lives in the session catalog (promoted by
-            # ANALYZE TABLE). Point it at the (possibly rewritten)
-            # files and refresh cheap stats; a temp view here would
-            # shadow the catalog table and drop its statistics.
-            self._attached[name] = (path, fmt, schema)
-            if name in self._partitioned:
-                # A write may have created NEW partition directories;
-                # catalog tables need them registered explicitly.
-                self.spark.sql(f"MSCK REPAIR TABLE {name}")
-            self.spark.sql(f"REFRESH TABLE {name}")
-            self.spark.sql(
-                f"ANALYZE TABLE {name} COMPUTE STATISTICS NOSCAN"
-            )
-            return
+            # The storage is promoted to a catalog table (ANALYZE
+            # TABLE) under an internal name; the user-visible name is
+            # a declared-order view over it. Re-point at the
+            # (possibly rewritten) files and refresh cheap stats —
+            # unless the schema drifted (ALTER COLUMN), which demotes
+            # back to a plain registration until the next ANALYZE.
+            cat = f"{name}__bhcat"
+            if set(df.columns) == set(self.spark.table(cat).columns):
+                self._attached[name] = (path, fmt, schema)
+                if name in self._partitioned:
+                    # A write may have created NEW partition dirs;
+                    # catalog tables need them registered explicitly.
+                    self.spark.sql(
+                        f"MSCK REPAIR TABLE {cat} SYNC PARTITIONS"
+                    )
+                self.spark.sql(f"REFRESH TABLE {cat}")
+                self.spark.sql(
+                    f"ANALYZE TABLE {cat} COMPUTE STATISTICS NOSCAN"
+                )
+                self.spark.table(cat).select(*df.columns) \
+                    .createOrReplaceTempView(name)
+                return
+            self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+            self._analyzed.discard(name)
         df.createOrReplaceTempView(name)
         self._attached[name] = (path, fmt, schema)
 
@@ -340,6 +355,7 @@ class BigHouseEngine:
             (t.name, t.database or "", t.tableType, bool(t.isTemporary))
             for t in self.spark.catalog.listTables()
             if not t.name.startswith("__bh_src_")
+            and not t.name.endswith("__bhcat")
         ]
         self.spark.createDataFrame(
             tables, "name string, database string, engine string, "
@@ -585,7 +601,10 @@ class BigHouseEngine:
         re.IGNORECASE,
     )
     _ATTACH_FROM_RE = re.compile(
-        r"^(?:\(([^)]*)\)\s*)?FROM\s+'([^']+)'"
+        # Schema group tolerates one nesting level of parens —
+        # parameterized types (Decimal(10,2), DateTime64(3)) are
+        # routine in CH DDL.
+        r"^(?:\(((?:[^()]|\([^()]*\))*)\)\s*)?FROM\s+'([^']+)'"
         r"(?:\s+FORMAT\s+(\w+))?\s*(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -1013,6 +1032,26 @@ class BigHouseEngine:
         )
 
     def execute(self, request: QueryRequest | str) -> QueryResult:
+        """Execute one statement. Request-boundary resource release
+        (operator scratch persists, HTTP spool pins) happens ONLY at
+        the OUTERMOST execute on this thread: init queries and DDL
+        re-enter execute() recursively, and a nested boundary must not
+        drop caches/pins the enclosing request still references."""
+        depth = getattr(_REQ_LOCAL, "depth", 0)
+        _REQ_LOCAL.depth = depth + 1
+        try:
+            return self._execute_inner(request)
+        finally:
+            _REQ_LOCAL.depth = depth
+            if depth == 0:
+                release_tracked()
+                from bighouse_spark.dialect.transpile import (
+                    release_spool_pins,
+                )
+
+                release_spool_pins()
+
+    def _execute_inner(self, request: QueryRequest | str) -> QueryResult:
         if isinstance(request, str):
             request = QueryRequest(query=request)
         t0 = time.monotonic()
@@ -1217,10 +1256,23 @@ class BigHouseEngine:
                 shutil.rmtree(live)
                 acted = True
             elif verb == "DETACH" and os.path.isdir(live):
+                if os.path.isdir(parked):
+                    # shutil.move into an existing dir would NEST the
+                    # partition inside it and corrupt the layout.
+                    raise ValueError(
+                        f"DETACH PARTITION {part_val!r}: a detached "
+                        "copy already exists; ATTACH or remove it first"
+                    )
                 os.makedirs(parked_dir, exist_ok=True)
                 shutil.move(live, parked)
                 acted = True
             elif verb == "ATTACH" and os.path.isdir(parked):
+                if os.path.isdir(live):
+                    raise ValueError(
+                        f"ATTACH PARTITION {part_val!r}: live partition "
+                        "already exists (INSERTed since the detach); "
+                        "DROP it first or keep the live data"
+                    )
                 shutil.move(parked, live)
                 acted = True
             if acted:
@@ -1414,7 +1466,7 @@ class BigHouseEngine:
                 )
                 self.spark.catalog.dropTempView(name)
                 if name in self._analyzed:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}__bhcat")
                     self._analyzed.discard(name)
                 self._attached.pop(name, None)
                 self._partitioned.pop(name, None)
@@ -1598,7 +1650,7 @@ class BigHouseEngine:
             # to the engine, not the shared storage).
             self.spark.catalog.dropTempView(name)
             if name in self._analyzed:
-                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}__bhcat")
                 self._analyzed.discard(name)
             self._attached.pop(name, None)
             self._partitioned.pop(name, None)
@@ -1716,14 +1768,10 @@ class BigHouseEngine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
-            # Operator scratch caches (minhash signatures, inverted
-            # indexes, CC edge lists) are scoped to one request: the
-            # result rows are already collected, so releasing here
-            # keeps a long-lived server session's storage flat.
-            release_tracked()
-            from bighouse_spark.dialect.transpile import release_spool_pins
-
-            release_spool_pins()
+            # Operator scratch caches and spool pins release at the
+            # OUTERMOST request boundary (see execute's wrapper) —
+            # not here, where a nested init-DDL execution would drop
+            # the enclosing request's resources mid-flight.
             if scoped_conf:
                 if prev_parts is not None:
                     self.spark.conf.set(
@@ -1731,7 +1779,22 @@ class BigHouseEngine:
                     )
                 self._conf_lock.release()
 
-    def execute_to_sink(
+    def execute_to_sink(self, *args, **kwargs) -> dict[str, Any]:
+        depth = getattr(_REQ_LOCAL, "depth", 0)
+        _REQ_LOCAL.depth = depth + 1
+        try:
+            return self._execute_to_sink_inner(*args, **kwargs)
+        finally:
+            _REQ_LOCAL.depth = depth
+            if depth == 0:
+                release_tracked()
+                from bighouse_spark.dialect.transpile import (
+                    release_spool_pins,
+                )
+
+                release_spool_pins()
+
+    def _execute_to_sink_inner(
         self,
         request: QueryRequest | str,
         path: str,
@@ -1826,10 +1889,6 @@ class BigHouseEngine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
-            release_tracked()
-            from bighouse_spark.dialect.transpile import release_spool_pins
-
-            release_spool_pins()
 
     # Statement keywords owned by the engine's DDL dispatch (vs the
     # transpile-then-spark.sql path). Init queries starting with one
@@ -1973,12 +2032,14 @@ class BigHouseEngine:
                 f"ANALYZE TABLE {name}: statistics are implemented "
                 "for parquet-backed tables"
             )
+        cat = f"{name}__bhcat"
         if name not in self._analyzed:
             # The registered view (temp, possibly schema-declared)
-            # knows the full column set — capture it BEFORE dropping.
+            # knows the declared column order — capture it BEFORE
+            # re-registering.
             fields = list(self.spark.table(name).schema.fields)
-            self.spark.catalog.dropTempView(name)
-            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            decl_order = [f.name for f in fields]
+            self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
             pcols = self._partitioned.get(name)
             if pcols:
                 # Partitioned external table: declare the layout
@@ -1996,17 +2057,19 @@ class BigHouseEngine:
                     for f in ordered
                 )
                 self.spark.sql(
-                    f"CREATE TABLE {name} ({col_ddl}) USING parquet "
+                    f"CREATE TABLE {cat} ({col_ddl}) USING parquet "
                     f"PARTITIONED BY ({', '.join(pcols)}) "
                     f"LOCATION '{path}'"
                 )
-                self.spark.sql(f"MSCK REPAIR TABLE {name}")
+                self.spark.sql(f"MSCK REPAIR TABLE {cat} SYNC PARTITIONS")
             else:
                 self.spark.sql(
-                    f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
+                    f"CREATE TABLE {cat} USING parquet LOCATION '{path}'"
                 )
             self._analyzed.add(name)
-        stats = f"ANALYZE TABLE {name} COMPUTE STATISTICS"
+        else:
+            decl_order = list(self.spark.table(name).columns)
+        stats = f"ANALYZE TABLE {cat} COMPUTE STATISTICS"
         if cols_clause:
             self.spark.sql(stats + " " + cols_clause.strip())
         else:
@@ -2014,6 +2077,15 @@ class BigHouseEngine:
             # off — spark.sql.statistics.histogram.enabled default).
             self.spark.sql(stats)
             self.spark.sql(stats + " FOR ALL COLUMNS")
+        # The user-visible name stays a view selecting the pre-ANALYZE
+        # column order from the catalog table (catalog tables force
+        # partition columns last; statistics flow through the view to
+        # its child relation) — ANALYZE must never change SELECT *
+        # shape. Created AFTER the stats run: a temp view freezes its
+        # relation snapshot, and a pre-stats snapshot would plan
+        # without the statistics just computed.
+        self.spark.table(cat).select(*decl_order) \
+            .createOrReplaceTempView(name)
         elapsed = time.monotonic() - t0
         self.query_log.append(
             QueryLogEntry(query, "<analyze>", elapsed, 0)

@@ -154,6 +154,10 @@ def _quoted_elem(v: Any) -> str:
 
 
 def _json_value(v: Any) -> Any:
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # Bare NaN/Infinity is not valid JSON (json.dumps would emit
+        # it anyway); CH renders denormals as null by default.
+        return None
     if isinstance(v, datetime):
         return _text(v)
     if isinstance(v, date):

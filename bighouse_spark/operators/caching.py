@@ -33,7 +33,12 @@ import threading
 
 from pyspark.sql import DataFrame
 
-# semanticHash -> [DataFrame, refcount]; guarded by _REG_LOCK.
+# semanticHash -> list of [DataFrame, refcount] buckets; guarded by
+# _REG_LOCK. A LIST per hash because semanticHash is a 32-bit hash,
+# not an equality proof: entry reuse additionally requires
+# df.sameSemantics(entry df) (the check Spark's own CacheManager
+# performs), so a hash collision degrades to a second persist instead
+# of silently returning another plan's DataFrame.
 _REGISTRY: dict[int, list] = {}
 _REG_LOCK = threading.Lock()
 
@@ -41,7 +46,7 @@ _REG_LOCK = threading.Lock()
 _LOCAL = threading.local()
 
 
-def _tracked() -> list[int]:
+def _tracked() -> list[tuple[int, int]]:
     lst = getattr(_LOCAL, "keys", None)
     if lst is None:
         lst = _LOCAL.keys = []
@@ -58,17 +63,26 @@ def tracked_persist(df: DataFrame) -> DataFrame:
         # (never shared, so plain refcount-of-one semantics).
         key = id(df)
     with _REG_LOCK:
-        entry = _REGISTRY.get(key)
+        buckets = _REGISTRY.setdefault(key, [])
+        entry = None
+        for b in buckets:
+            try:
+                if df is b[0] or df.sameSemantics(b[0]):
+                    entry = b
+                    break
+            except Exception:
+                continue
         if entry is None:
             df = df.persist()
-            _REGISTRY[key] = [df, 1]
+            entry = [df, 1]
+            buckets.append(entry)
         else:
             # Same plan already persisted by a concurrent (or earlier
             # same-thread) request: share its entry — calling persist
             # again would only trip CacheManager warnings.
             entry[1] += 1
             df = entry[0]
-    _tracked().append(key)
+    _tracked().append((key, id(entry[0])))
     return df
 
 
@@ -82,13 +96,20 @@ def release_tracked() -> int:
     keys, lst[:] = lst[:], []
     n = 0
     with _REG_LOCK:
-        for key in keys:
-            entry = _REGISTRY.get(key)
+        for key, df_id in keys:
+            buckets = _REGISTRY.get(key)
+            if not buckets:
+                continue
+            entry = next(
+                (b for b in buckets if id(b[0]) == df_id), None
+            )
             if entry is None:
                 continue
             entry[1] -= 1
             if entry[1] <= 0:
-                del _REGISTRY[key]
+                buckets.remove(entry)
+                if not buckets:
+                    del _REGISTRY[key]
                 try:
                     entry[0].unpersist()
                     n += 1

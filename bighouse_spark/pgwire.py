@@ -38,6 +38,7 @@ which every PG client accepts.
 
 from __future__ import annotations
 
+import re
 import socketserver
 import struct
 import threading
@@ -124,17 +125,52 @@ def _render(value: Any) -> bytes | None:
     return str(value).encode()
 
 
+_PARAM_TOKEN_RE = re.compile(r"\$(\d+)")
+
+
+def _pg_literal(v: str | None) -> str:
+    if v is None:
+        return "NULL"
+    # Escape BOTH quote styles Spark's parser honors: '' for quotes
+    # and \\ for backslashes (a trailing backslash must not swallow
+    # the closing quote — that was an injection-shaped bug).
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _substitute_params(sql: str, params: list) -> str:
     """Bind text-format params: ``$n`` → quoted literal (NULL for
-    null). Descending order so ``$12`` isn't clobbered by ``$1``.
-    String literals are fine for numerics too — the engine's analyzer
-    coerces them against the column type (ANSI implicit cast)."""
-    out = sql
-    for i in range(len(params), 0, -1):
-        v = params[i - 1]
-        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
-        out = out.replace(f"${i}", lit)
-    return out
+    null). Token-exact (``$13`` never partially matches ``$1``),
+    quote-aware (``$n`` inside a SQL string literal is data, not a
+    parameter), and out-of-range tokens are left untouched so the
+    engine reports them. String literals are fine for numerics too —
+    the engine's analyzer coerces them (ANSI implicit cast)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # copy the string literal verbatim ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "$":
+            m = _PARAM_TOKEN_RE.match(sql, i)
+            if m:
+                idx = int(m.group(1))
+                if 1 <= idx <= len(params):
+                    out.append(_pg_literal(params[idx - 1]))
+                    i = m.end()
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:

@@ -1226,3 +1226,101 @@ def test_uptime_and_processlist(engine):
     assert out.rows[0][0] >= 0
     out = engine.execute("SHOW PROCESSLIST")
     assert "queries_executed" in out.cols
+
+
+class TestReviewFindingsRound5:
+    """Regression tests for the round-5 self-review findings."""
+
+    def test_attach_schema_with_parameterized_types(self, engine, tmp_path):
+        # Decimal(10,2) in the ATTACH schema clause (nested parens).
+        p = tmp_path / "att_dec.csv"
+        p.write_text("k,m\n1,1.50\n2,2.25\n")
+        out = engine.execute(
+            "ATTACH TABLE att_dec (k UInt32, m Decimal(10, 2)) FROM "
+            f"'file://{p}' FORMAT CSVWithNames"
+        )
+        assert out.rows == [["att_dec"]]
+        out = engine.execute(
+            "SELECT CAST(sum(m) AS DOUBLE) AS s FROM att_dec"
+        )
+        assert out.rows == [[3.75]]
+        engine.execute("DROP TABLE att_dec")
+
+    def test_release_fires_once_per_outer_request(
+        self, engine, monkeypatch
+    ):
+        # Init queries re-enter execute(); resource release must fire
+        # exactly ONCE, at the outermost boundary — a nested release
+        # would drop the enclosing request's scratch caches and spool
+        # pins mid-flight.
+        import bighouse_spark.engine as eng_mod
+
+        calls = {"n": 0}
+        real = eng_mod.release_tracked
+
+        def counting():
+            calls["n"] += 1
+            return real()
+
+        monkeypatch.setattr(eng_mod, "release_tracked", counting)
+        engine.execute(
+            QueryRequest(
+                query="SELECT 1 AS x",
+                init_queries=[
+                    "EXISTS some_random_name",
+                    "EXISTS another_random_name",
+                ],
+            )
+        )
+        assert calls["n"] == 1
+
+    def test_analyze_keeps_declared_column_order(self, engine, spark):
+        engine.execute("DROP TABLE IF EXISTS ord_stats")
+        engine.execute(
+            "CREATE TABLE ord_stats (id Int64, p Int32, v String) "
+            "ENGINE = MergeTree PARTITION BY p"
+        )
+        engine.execute(
+            "INSERT INTO ord_stats VALUES (1, 1, 'a'), (2, 2, 'b')"
+        )
+        before = engine.execute("SELECT * FROM ord_stats LIMIT 0").cols
+        engine.execute("ANALYZE TABLE ord_stats")
+        after = engine.execute("SELECT * FROM ord_stats LIMIT 0").cols
+        # ANALYZE is a statistics-only operation: SELECT * shape must
+        # not change. (Partition columns surface last from Spark's
+        # partitioned reads regardless of declaration order — the
+        # invariant here is stability across ANALYZE, which used to
+        # silently reorder a declared-order registration.)
+        assert before == after
+        engine.execute("DROP TABLE ord_stats")
+
+    def test_drop_partition_on_analyzed_table(self, engine, spark):
+        engine.execute("DROP TABLE IF EXISTS adp_tbl")
+        engine.execute(
+            "CREATE TABLE adp_tbl ENGINE = MergeTree PARTITION BY p AS "
+            "SELECT number AS id, number % 3 AS p FROM numbers(9)"
+        )
+        engine.execute("ANALYZE TABLE adp_tbl")
+        engine.execute("ALTER TABLE adp_tbl DROP PARTITION '1'")
+        # SYNC PARTITIONS must have dropped the stale catalog
+        # partition — the scan may not fail on the missing dir.
+        out = engine.execute("SELECT count() AS n FROM adp_tbl")
+        assert out.rows == [[6]]
+        engine.execute("DROP TABLE adp_tbl")
+
+    def test_detach_partition_collision_refused(self, engine):
+        engine.execute("DROP TABLE IF EXISTS dpc_tbl")
+        engine.execute(
+            "CREATE TABLE dpc_tbl ENGINE = MergeTree PARTITION BY p AS "
+            "SELECT number AS id, number % 2 AS p FROM numbers(4)"
+        )
+        engine.execute("ALTER TABLE dpc_tbl DETACH PARTITION '1'")
+        engine.execute("INSERT INTO dpc_tbl VALUES (9, 1)")
+        # Re-attaching over a recreated live partition must refuse,
+        # not nest directories.
+        with pytest.raises(ValueError, match="already exists"):
+            engine.execute("ALTER TABLE dpc_tbl ATTACH PARTITION '1'")
+        # And detaching again while a detached copy exists: refused.
+        with pytest.raises(ValueError, match="already exists"):
+            engine.execute("ALTER TABLE dpc_tbl DETACH PARTITION '1'")
+        engine.execute("DROP TABLE dpc_tbl")

@@ -323,3 +323,52 @@ class TestPGExtendedProtocol:
             assert errs and b"26000" in errs[0]
         finally:
             c.close()
+
+
+class TestParamSubstitution:
+    def test_backslash_and_quote_escaping(self):
+        from bighouse_spark.pgwire import _substitute_params
+
+        out = _substitute_params("SELECT $1 AS v", ["C:\\"])
+        assert out == "SELECT 'C:\\\\' AS v"
+        out = _substitute_params("SELECT $1", ["it's"])
+        assert out == "SELECT 'it''s'"
+
+    def test_dollar_inside_string_literal_untouched(self):
+        from bighouse_spark.pgwire import _substitute_params
+
+        out = _substitute_params(
+            "SELECT '$1 discount', $1 AS v", ["x"]
+        )
+        assert out == "SELECT '$1 discount', 'x' AS v"
+
+    def test_out_of_range_token_not_partially_clobbered(self):
+        from bighouse_spark.pgwire import _substitute_params
+
+        out = _substitute_params("SELECT $13", ["a"])
+        assert out == "SELECT $13"  # left for the engine to reject
+
+    def test_null_and_multi_params(self):
+        from bighouse_spark.pgwire import _substitute_params
+
+        out = _substitute_params(
+            "SELECT $2, $1, $2", ["a", None]
+        )
+        assert out == "SELECT NULL, 'a', NULL"
+
+    def test_end_to_end_backslash_param(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            ext = TestPGExtendedProtocol()
+            ext._parse(c, "sp", "SELECT length($1) AS n")
+            ext._bind(c, "", "sp", ["a\\b"])
+            c.sock.sendall(
+                b"E" + struct.pack("!I", 4 + len(_cstr("")) + 4)
+                + _cstr("") + struct.pack("!i", 0)
+            )
+            msgs = ext._drain_until_ready(c)
+            row = next(p for t, p in msgs if t == b"D")
+            # length('a\\b') with escaped backslash = 3 chars
+            assert b"3" in row
+        finally:
+            c.close()
