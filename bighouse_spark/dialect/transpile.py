@@ -299,7 +299,9 @@ _IF_COMBINATOR_BASES = (
     "groupUniqArray", "groupArray", "argMax", "argMin", "stddevPop",
     "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
     "medianExact", "median", "quantileExact", "quantileTDigest",
-    "quantilesExact", "quantiles", "quantile", "topK",
+    "quantilesExact", "quantiles", "quantile", "topKWeighted", "topK",
+    "skewPop", "skewSamp", "kurtPop", "kurtSamp", "anyHeavy",
+    "sumKahan", "groupBitmap",
 )
 
 
@@ -1179,6 +1181,28 @@ _ARG_REWRITES.update({
         f"regexp_replace(regexp_replace({a[0]}, \"'[^']*'\", '?'), "
         f"'\\\\b[0-9]+\\\\b', '?')"
     ),
+    # Bitmap aggregate folds: AND/OR of all group bitmaps, then
+    # cardinality (CH contract). Collects the group's bitmaps on one
+    # reducer — same low-cardinality usage caveat as topK.
+    "groupBitmapAnd": lambda a: (
+        f"size(aggregate(collect_list({a[0]}), first({a[0]}), "
+        f"(__acc, __b) -> array_intersect(__acc, __b)))"
+    ),
+    "groupBitmapOr": lambda a: (
+        f"size(aggregate(collect_list({a[0]}), "
+        f"slice(first({a[0]}), 1, 0), "
+        f"(__acc, __b) -> array_union(__acc, __b)))"
+    ),
+    # arrayFold(fn, arr, acc) → aggregate(arr, acc, fn)
+    "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+    # arrayPartialSort(k, arr): first k sorted, rest unspecified —
+    # a fully sorted array satisfies the contract.
+    "arrayPartialSort": lambda a: f"array_sort({a[1]})",
+    "countMatches": lambda a: (
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
+    ),
+    "translateUTF8": lambda a: f"translate({', '.join(a)})",
+    "regexpExtract": lambda a: f"regexp_extract({', '.join(a)})",
     # uptime(): seconds since this engine process started (the
     # single warm session IS the "server"); folded to a literal at
     # transpile time like CH folds it per query.

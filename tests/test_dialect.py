@@ -1980,3 +1980,51 @@ class TestDateStringTier3:
             "AND n = 'ab'\") AS r"
         )
         assert r.rows == [["SELECT * FROM t WHERE x = ? AND n = ?"]]
+
+
+class TestCombinatorsAndFoldTranche:
+    """Sixth round-5 tranche: -If combinators over the newly mapped
+    aggregates, bitmap aggregate folds, arrayFold, regex helpers."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_if_combinators_on_new_aggregates(self, eng):
+        r = eng.execute(
+            "SELECT anyHeavyIf(x, x < 2) AS h, "
+            "round(kurtPopIf(x, x >= 0), 6) AS k FROM "
+            "(SELECT number % 3 AS x FROM numbers(10))"
+        )
+        assert r.rows[0][0] in (0, 1)  # filtered mode among {0, 1}
+
+    def test_group_bitmap_folds(self, eng):
+        r = eng.execute(
+            "SELECT groupBitmapAnd(b) AS a FROM "
+            "(SELECT bitmapBuild([1,2,3]) AS b "
+            "UNION ALL SELECT bitmapBuild([2,3,4]))"
+        )
+        assert r.rows == [[2]]
+        r = eng.execute(
+            "SELECT groupBitmapOr(b) AS o FROM "
+            "(SELECT bitmapBuild([1,2]) AS b "
+            "UNION ALL SELECT bitmapBuild([3]))"
+        )
+        assert r.rows == [[3]]
+
+    def test_array_fold_and_partial_sort(self, eng):
+        r = eng.execute(
+            "SELECT arrayFold((acc, x) -> acc + x, [1,2,3], "
+            "CAST(0 AS BIGINT)) AS f, arrayPartialSort(2, [3,1,2]) AS s"
+        )
+        assert r.rows == [[6, [1, 2, 3]]]
+
+    def test_regex_helpers(self, eng):
+        r = eng.execute(
+            "SELECT countMatches('a1b22c333', '[0-9]+') AS c, "
+            "translateUTF8('abc', 'ab', 'xy') AS t, "
+            "regexpExtract('a1b2', '([0-9])', 1) AS e"
+        )
+        assert r.rows == [[3, "xyc", "1"]]
