@@ -111,7 +111,12 @@ def release_tracked() -> int:
                 if not buckets:
                     del _REGISTRY[key]
                 try:
-                    entry[0].unpersist()
+                    # Blocking: a request boundary is exactly where
+                    # deterministic release matters — non-blocking
+                    # unpersist leaves blocks (and getPersistentRDDs
+                    # entries) draining asynchronously, which reads as
+                    # a leak to any observer that checks right after.
+                    entry[0].unpersist(blocking=True)
                     n += 1
                 except Exception:
                     pass

@@ -27,6 +27,7 @@ from bighouse_spark.queries import (  # noqa: F401
     timeseries,
     textops,
     textops2,
+    textops3,
     textquality,
     tpch2,
     tpch3,

@@ -1,0 +1,212 @@
+"""Round-5 corpus-curation additions: C4-style line-level cleaning
+(Raffel et al. 2020, the standard Common-Crawl page filter) and
+SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023).
+
+Scale shapes:
+
+* ``text_c4_filters`` — one corpus scan; the per-line predicates are
+  pure column expressions over an exploded derived-line stream, and
+  the page verdict is a single groupBy(doc_id). One narrow shuffle on
+  doc_id; no UDF anywhere. The fixture text has no newlines or
+  punctuation, so (exactly like ``text_pii_redact``) the lines are
+  DERIVED with a closed-form shared by Spark and the oracle — lines
+  of 8 tokens, with terminal punctuation, a "javascript" token, a
+  curly-brace line, and a "lorem ipsum" line injected on deterministic
+  doc_id/line-index conditions. The plumbing under test is the filter
+  scan, not the synthesis.
+* ``dedup_semantic_within_cluster`` — the SemDeDup contract: dedup
+  only WITHIN a cluster (here the fixture ``label``), never across the
+  corpus, so the join key is the cluster id and the all-pairs blowup
+  is bounded by the largest cluster, not the corpus. At 100 TB the
+  cluster count is chosen so n/k rows fit an executor (SemDeDup uses
+  k ~ sqrt(n)); a hot cluster caps via pre-aggregated counts the same
+  way the LSH hot-bucket cap does. Representative selection is the
+  deterministic min-id greedy rule (a vec is dropped iff a smaller-id
+  neighbor in its cluster clears the threshold), which is exactly
+  SQL-expressible, so the oracle is exact. θ=0.3 is calibrated to the
+  fixture geometry (the synthetic embeddings carry no ≥0.95 twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bighouse_spark.functions.text import tokens
+from bighouse_spark.queries.registry import query, t
+
+_LINE_W = 8  # tokens per derived line
+
+
+@query(
+    "text_c4_filters",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 1
+), lined AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           list_transform(
+             range(0, CAST(ceil(len(w) / {_LINE_W}.0) AS BIGINT)),
+             i -> (CASE WHEN (doc_id + i) % 11 = 0
+                        THEN 'javascript ' ELSE '' END)
+                  || array_to_string(
+                       list_slice(w, i * {_LINE_W} + 1,
+                                  i * {_LINE_W} + {_LINE_W}), ' ')
+                  || (CASE WHEN (doc_id + i) % 3 != 0
+                           THEN '.' ELSE '' END)),
+           CASE WHEN doc_id % 13 = 0
+                THEN ['function() {{'] ELSE [] END),
+           CASE WHEN doc_id % 17 = 0
+                THEN ['lorem ipsum dolor sit amet.'] ELSE [] END
+         ) AS lines
+  FROM d
+), ln AS (
+  SELECT doc_id, unnest(lines) AS line FROM lined
+), scored AS (
+  SELECT doc_id, line,
+         len(string_split(line, ' ')) AS wc,
+         right(line, 1) IN ('.', '!', '?', '"') AS ends_punct,
+         contains(lower(line), 'javascript') AS has_js,
+         contains(lower(line), 'lorem ipsum') AS is_lorem,
+         contains(line, '{{') AS has_brace
+  FROM ln
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         CAST(count(*) FILTER (ends_punct AND wc >= 3 AND NOT has_js)
+              AS BIGINT) AS n_kept_lines,
+         CAST(coalesce(sum(wc) FILTER
+              (ends_punct AND wc >= 3 AND NOT has_js), 0)
+              AS BIGINT) AS kept_words,
+         bool_or(is_lorem) AS has_lorem,
+         bool_or(has_brace) AS has_curly
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept_lines, kept_words, has_lorem, has_curly,
+       (NOT has_lorem AND NOT has_curly AND n_kept_lines >= 5) AS pass_c4
+FROM agg
+""",
+)
+def text_c4_filters(spark, sf_dir):
+    """C4 page cleaning (Raffel et al. 2020 §2.2): keep lines ending
+    in terminal punctuation with ≥3 words and no "javascript"; drop
+    pages containing "lorem ipsum" or a curly brace or fewer than 5
+    retained lines. Pure column expressions; one shuffle on doc_id."""
+    w = _LINE_W
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", tokens("text").alias("w"))
+        .where(F.size("w") >= 1)
+    )
+    body = F.expr(
+        f"""transform(
+              sequence(0, cast(ceil(size(w) / {w}.0) as bigint) - 1),
+              i -> concat(
+                CASE WHEN (doc_id + i) % 11 = 0
+                     THEN 'javascript ' ELSE '' END,
+                array_join(slice(w, cast(i * {w} + 1 as int), {w}), ' '),
+                CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END))"""
+    )
+    brace = F.when(
+        F.col("doc_id") % 13 == 0, F.array(F.lit("function() {"))
+    ).otherwise(F.array().cast("array<string>"))
+    lorem = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.array(F.lit("lorem ipsum dolor sit amet.")),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = d.select(
+        "doc_id",
+        F.explode(F.concat(body, brace, lorem)).alias("line"),
+    )
+    wc = F.size(F.split(F.col("line"), " "))
+    keep = (
+        F.substring(F.col("line"), -1, 1).isin(".", "!", "?", '"')
+        & (wc >= 3)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    agg = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("bigint")).alias("n_kept_lines"),
+        F.sum(F.when(keep, wc).otherwise(0)).cast("bigint").alias(
+            "kept_words"
+        ),
+        F.bool_or(F.lower(F.col("line")).contains("lorem ipsum")).alias(
+            "has_lorem"
+        ),
+        F.bool_or(F.col("line").contains("{")).alias("has_curly"),
+    )
+    return agg.withColumn(
+        "pass_c4",
+        ~F.col("has_lorem")
+        & ~F.col("has_curly")
+        & (F.col("n_kept_lines") >= 5),
+    )
+
+
+@query(
+    "dedup_semantic_within_cluster",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 2000
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM v a JOIN v b
+    ON a.label = b.label AND a.vec_id > b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+)
+SELECT v.label,
+       count(*) AS n_vecs,
+       CAST(count(dropped.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+FROM v LEFT JOIN dropped ON v.vec_id = dropped.vec_id
+GROUP BY v.label
+""",
+)
+def dedup_semantic_within_cluster(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to a
+    cluster — a vector is dropped iff a SMALLER-ID vector in the same
+    cluster has cosine ≥ θ (deterministic greedy keep-first). Join key
+    is (label), so candidate pairs are bounded per-cluster, never
+    corpus-all-pairs."""
+    from bighouse_spark.functions.vectors import cosine_similarity
+
+    v = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 2000)
+        .select("vec_id", "label", "embedding")
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") > F.col("id_b")))
+        .where(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.3)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        v.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

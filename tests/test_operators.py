@@ -604,12 +604,27 @@ class TestCacheLifecycle:
     def _persistent_rdd_count(self, spark):
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    def _settle_to_zero(self, spark, timeout_s: float = 10.0) -> int:
+        """clearCache()'s JVM-side unpersists are non-blocking, so
+        earlier tests' caches can still be draining from the
+        getPersistentRDDs map when this class starts under a loaded
+        full-suite run. Poll until the map is empty (or timeout)."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        n = self._persistent_rdd_count(spark)
+        while n != 0 and time.monotonic() < deadline:
+            time.sleep(0.2)
+            spark.catalog.clearCache()
+            n = self._persistent_rdd_count(spark)
+        return n
+
     def test_minhash_lsh_releases_all_persists(self, spark):
         from bighouse_spark.operators.caching import release_tracked
 
         release_tracked()
         spark.catalog.clearCache()
-        assert self._persistent_rdd_count(spark) == 0
+        assert self._settle_to_zero(spark) == 0
         df = load_table(spark, SF_CORRECT, "documents").limit(200)
         minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
         assert self._persistent_rdd_count(spark) > 0, "persist expected"
