@@ -53,6 +53,28 @@ def _tracked() -> list[tuple[int, int]]:
     return lst
 
 
+def _callbacks() -> list:
+    lst = getattr(_LOCAL, "callbacks", None)
+    if lst is None:
+        lst = _LOCAL.callbacks = []
+    return lst
+
+
+def tracked_callback(cb) -> None:
+    """Register an arbitrary release callback run (once) by this
+    thread's next ``release_tracked()``. Used for storage that is NOT
+    a plain DataFrame persist — e.g. the RDD behind a
+    ``localCheckpoint``, which ``clearCache()`` cannot see and which
+    otherwise lingers in executor storage until GC. Callbacks run
+    after the DataFrame unpersists; exceptions are swallowed.
+
+    Caveat: a localCheckpoint's lineage is truncated, so its release
+    callback must only run after the consumer has materialized its
+    result — which is exactly the ``release_tracked()`` contract
+    (engine ``finally``, oracle-test ``finally``, bench loop)."""
+    _callbacks().append(cb)
+
+
 def tracked_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` (or join an existing persist of the same plan)
     and register it for this thread's next ``release_tracked()``."""
@@ -94,6 +116,8 @@ def release_tracked() -> int:
     mask a query error."""
     lst = _tracked()
     keys, lst[:] = lst[:], []
+    cbs = _callbacks()
+    callbacks, cbs[:] = cbs[:], []
     n = 0
     with _REG_LOCK:
         for key, df_id in keys:
@@ -120,4 +144,10 @@ def release_tracked() -> int:
                     n += 1
                 except Exception:
                     pass
+    for cb in callbacks:
+        try:
+            cb()
+            n += 1
+        except Exception:
+            pass
     return n

@@ -23,7 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bighouse_spark.operators.caching import tracked_persist
+from bighouse_spark.operators.caching import tracked_callback, tracked_persist
+
+
+def _checkpoint_rdd(df: DataFrame):
+    """The persisted RDD behind an eager ``localCheckpoint`` — the
+    analyzed plan of a checkpointed Dataset is a ``LogicalRDD`` whose
+    ``rdd`` IS the persisted checkpoint (`clearCache()` cannot see it,
+    so it must be unpersisted explicitly or it pins executor storage
+    until GC)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
 
 
 def connected_components(
@@ -52,6 +64,7 @@ def connected_components(
         .select(F.col("a").alias("id"), "label")
     )
     init_labels = labels
+    prev_ckpt = None
     for it in range(max_iterations):
         # Propagate: each vertex takes the min label over itself and
         # its neighbors' current labels.
@@ -91,6 +104,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The previous round's checkpoint is dead once `changed` has
+        # been computed (the last job reading it) — unpersist NOW, or
+        # every iteration's label table stays pinned until GC.
+        if prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist(False)
+            except Exception:
+                pass
+        prev_ckpt = _checkpoint_rdd(new_labels)
         labels = new_labels
         # The initial label table is dead the moment the first
         # checkpointed round replaces it (it was leaking for the
@@ -100,6 +122,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    # The FINAL checkpoint backs the returned DataFrame — release it
+    # at the request boundary (after the caller's action), same
+    # lifecycle as every tracked persist. NOTE: a localCheckpoint
+    # cannot recompute after unpersist, so the result must be
+    # materialized before release — which is the release_tracked
+    # contract (engine/test/bench all release in a post-action
+    # ``finally``).
+    if prev_ckpt is not None:
+        tracked_callback(lambda r=prev_ckpt: r.unpersist(False))
     return labels.select("id", F.col("label").alias("component"))
 
 

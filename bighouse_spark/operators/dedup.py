@@ -217,6 +217,12 @@ def minhash_lsh_pairs(
             .where(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
+        # Both self-join sides consume band_keys; without a persist
+        # the window (shuffle + per-bucket sort) runs once PER SIDE
+        # (measured +0.8 s at sf0.1). The capped table is tiny
+        # (id, band, bucket ≈ 24 B × bands per doc) — materialize it
+        # once and let the join read the cache.
+        band_keys = tracked_persist(band_keys)
 
     cand = (
         band_keys.alias("a")
