@@ -1,0 +1,223 @@
+"""Dialect UDFs with no built-in Spark equivalent: string-distance
+metrics (Damerau-Levenshtein, Jaro, Jaro-Winkler), Base58 and
+Punycode codecs, and special math (erf family, gamma family).
+
+All are Arrow-batched pandas UDFs (vectorized transfer; per-value
+work is tight stdlib code) registered once per SparkSession by
+``dialect.transpile._ensure_misc_udfs`` and only when a query uses
+them — the built-in expression path stays UDF-free. NOTE: no
+``from __future__ import annotations`` here — pandas_udf resolves the
+``pd.Series`` hints at registration time.
+"""
+
+import math
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+# DataType INSTANCES, not DDL strings: the UDF bodies reference
+# module-level helpers, so the executor worker re-imports this module
+# when unpickling — and parsing a DDL return-type string needs an
+# active SparkContext, which workers don't have (ipfuncs dodges this
+# by closing over stdlib only).
+_INT = IntegerType()
+_DOUBLE = DoubleType()
+_STRING = StringType()
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _damerau(a: str, b: str) -> int:
+    """Restricted Damerau-Levenshtein (optimal string alignment, the
+    variant ClickHouse implements): edit distance with adjacent
+    transposition counted as one edit."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and a[i] == b[j]:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    trans = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                trans += 1
+            k += 1
+    trans //= 2
+    return (
+        matches / la + matches / lb + (matches - trans) / matches
+    ) / 3.0
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    j = _jaro(a, b)
+    prefix = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1.0 - j)
+
+
+def _b58_encode(data: bytes) -> str:
+    n = int.from_bytes(data, "big")
+    out = []
+    while n > 0:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for byte in data:
+        if byte == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def _b58_decode(s: str) -> bytes:
+    n = 0
+    for c in s:
+        n = n * 58 + _B58_ALPHABET.index(c)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = 0
+    for c in s:
+        if c == "1":
+            pad += 1
+        else:
+            break
+    return b"\x00" * pad + raw
+
+
+def _null_safe(fn):
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            return fn(x)
+        except Exception:
+            return None
+
+    return conv
+
+
+def _pair_map(s1: pd.Series, s2: pd.Series, fn):
+    return pd.Series(
+        [
+            None if a is None or b is None else fn(a, b)
+            for a, b in zip(s1, s2)
+        ]
+    )
+
+
+@pandas_udf(_INT)
+def bh_damerau(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pair_map(a, b, _damerau)
+
+
+@pandas_udf(_DOUBLE)
+def bh_jaro(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pair_map(a, b, _jaro)
+
+
+@pandas_udf(_DOUBLE)
+def bh_jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _pair_map(a, b, _jaro_winkler)
+
+
+@pandas_udf(_STRING)
+def bh_base58_encode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: _b58_encode(x.encode("utf-8"))))
+
+
+@pandas_udf(_STRING)
+def bh_base58_decode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: _b58_decode(x).decode("utf-8")))
+
+
+@pandas_udf(_STRING)
+def bh_punycode_encode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: x.encode("punycode").decode("ascii")))
+
+
+@pandas_udf(_STRING)
+def bh_punycode_decode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: bytes(x, "ascii").decode("punycode")))
+
+
+@pandas_udf(_DOUBLE)
+def bh_erf(x: pd.Series) -> pd.Series:
+    return x.map(_null_safe(math.erf))
+
+
+@pandas_udf(_DOUBLE)
+def bh_erfc(x: pd.Series) -> pd.Series:
+    return x.map(_null_safe(math.erfc))
+
+
+@pandas_udf(_DOUBLE)
+def bh_lgamma(x: pd.Series) -> pd.Series:
+    return x.map(_null_safe(math.lgamma))
+
+
+@pandas_udf(_DOUBLE)
+def bh_tgamma(x: pd.Series) -> pd.Series:
+    return x.map(_null_safe(math.gamma))
+
+
+ALL = {
+    "bh_damerau": bh_damerau,
+    "bh_jaro": bh_jaro,
+    "bh_jaro_winkler": bh_jaro_winkler,
+    "bh_base58_encode": bh_base58_encode,
+    "bh_base58_decode": bh_base58_decode,
+    "bh_punycode_encode": bh_punycode_encode,
+    "bh_punycode_decode": bh_punycode_decode,
+    "bh_erf": bh_erf,
+    "bh_erfc": bh_erfc,
+    "bh_lgamma": bh_lgamma,
+    "bh_tgamma": bh_tgamma,
+}

@@ -2028,3 +2028,184 @@ class TestCombinatorsAndFoldTranche:
             "regexpExtract('a1b2', '([0-9])', 1) AS e"
         )
         assert r.rows == [[3, "xyc", "1"]]
+
+
+class TestRound5ProbeTranche2:
+    """Seventh round-5 tranche: date/math/array/map/search spellings,
+    hash capability twins, UDF-backed string distances and codecs,
+    and guided refusals for two-pass statistics aggregates."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_date_tranche(self, eng):
+        r = eng.execute(
+            "SELECT makeDate(2024, 3, 5) AS d, "
+            "date_diff('day', toDate('2024-01-01'), "
+            "toDate('2024-03-05')) AS dd, "
+            "toRelativeDayNum(toDate('2024-03-05')) AS rd, "
+            "toRelativeSecondNum(toDateTime('1970-01-02 00:00:00')) AS rs"
+        )
+        assert [str(r.rows[0][0])] + list(r.rows[0][1:]) == [
+            "2024-03-05", 64, 19787, 86400
+        ]
+        r = eng.execute(
+            "SELECT parseDateTime('2024-03-05', '%Y-%m-%d') AS t"
+        )
+        assert str(r.rows[0][0]).startswith("2024-03-05")
+
+    def test_math_tranche(self, eng):
+        r = eng.execute(
+            "SELECT exp2(3) AS a, exp10(2) AS b, intExp2(10) AS c, "
+            "intExp10(3) AS d, min2(1, 2) AS e, max2(1, 2) AS f, "
+            "clamp(5, 1, 3) AS g, countDigits(1234) AS h, "
+            "widthBucket(3.5, 0, 10, 5) AS w"
+        )
+        assert r.rows == [[8.0, 100.0, 1024, 1000, 1, 2, 3, 4, 2]]
+
+    def test_finiteness_predicates(self, eng):
+        # double('Infinity') stands in for CH's 1/0 → inf (Spark ANSI
+        # raises on the division itself — documented deviation).
+        r = eng.execute(
+            "SELECT isFinite(1.0) AS a, isInfinite(1.0) AS b, "
+            "isFinite(double('Infinity')) AS c, "
+            "isInfinite(double('Infinity')) AS d, "
+            "isFinite(double('NaN')) AS e"
+        )
+        assert r.rows == [[True, False, False, True, False]]
+
+    def test_rounding_ladders(self, eng):
+        r = eng.execute(
+            "SELECT roundDuration(95) AS a, roundDuration(0) AS b, "
+            "roundDuration(40000) AS c, roundAge(35) AS d, "
+            "roundAge(3) AS e"
+        )
+        assert r.rows == [[60, 0, 36000, 35, 17]]
+
+    def test_string_search_tranche(self, eng):
+        r = eng.execute(
+            "SELECT substringIndex('a.b.c', '.', 2) AS a, "
+            "alphaTokens('ab1cd2ef') AS b, "
+            "countSubstringsCaseInsensitive('Ab_ab', 'ab') AS c, "
+            "multiSearchAllPositions('hello world', ['lo', 'world']) AS d, "
+            "multiMatchAny('hello', ['x', 'l+']) AS e, "
+            "hasSubsequence('hello', 'hlo') AS f, "
+            "hasSubsequence('hello', 'oh') AS g, "
+            "initcapUTF8('hello world') AS h"
+        )
+        assert r.rows == [[
+            "a.b", ["ab", "cd", "ef"], 2, [4, 7], True, True, False,
+            "Hello World",
+        ]]
+
+    def test_array_tranche(self, eng):
+        r = eng.execute(
+            "SELECT arrayShingles([1,2,3,4], 2) AS a, "
+            "arrayShingles([1,2], 5) AS b, "
+            "arrayCumSumNonNegative([1,-2,3]) AS c, "
+            "arrayAUC([0.1,0.4,0.35,0.8], [0,0,1,1]) AS d"
+        )
+        assert r.rows == [[
+            [[1, 2], [2, 3], [3, 4]], [], [1.0, 0.0, 3.0], 0.75
+        ]]
+
+    def test_map_tranche(self, eng):
+        r = eng.execute(
+            "SELECT mapAdd(map(1, 1), map(1, 2, 3, 4)) AS a, "
+            "mapSubtract(map(1, 5), map(1, 2)) AS b, "
+            "mapPopulateSeries(map(1, 10, 4, 40)) AS c"
+        )
+        a, b, c = r.rows[0]
+        assert dict(a) == {1: 3, 3: 4} and dict(b) == {1: 3}
+        assert dict(c) == {1: 10, 2: 0, 3: 0, 4: 40}
+
+    def test_sum_count_and_quantile_deterministic(self, eng):
+        r = eng.execute("SELECT sumCount(number) AS sc FROM numbers(10)")
+        assert list(r.rows[0][0]) == [45, 10]
+        r = eng.execute(
+            "SELECT quantileDeterministic(0.5)(number, number) AS q "
+            "FROM numbers(101)"
+        )
+        assert r.rows == [[50.0]]
+
+    def test_hash_capability_twins(self, eng):
+        r = eng.execute(
+            "SELECT metroHash64('abc') AS a, wyHash64('abc') AS b, "
+            "xxHash3('abc') AS c, xxHash32('abc') AS d, "
+            "murmurHash3_128('abc') AS e, sipHash128('abc') AS f"
+        )
+        row = r.rows[0]
+        assert row[0] == row[1] == row[2]  # all xxhash64 twins
+        assert isinstance(row[3], int)
+        assert row[4] == row[5] and len(row[4]) == 32  # md5 hex
+
+    def test_format_readable(self, eng):
+        r = eng.execute(
+            "SELECT formatReadableDecimalSize(123456789) AS a, "
+            "formatReadableTimeDelta(3661) AS b, "
+            "formatReadableTimeDelta(5) AS c"
+        )
+        assert r.rows == [[
+            "123.46 MB", "1 hours, 1 minutes, 1 seconds", "5 seconds"
+        ]]
+
+    def test_udf_backed_string_distances(self, eng):
+        r = eng.execute(
+            "SELECT damerauLevenshteinDistance('abc', 'acb') AS a, "
+            "round(jaroSimilarity('abc', 'abd'), 6) AS b, "
+            "round(jaroWinklerSimilarity('martha', 'marhta'), 6) AS c"
+        )
+        assert r.rows == [[1, 0.777778, 0.961111]]
+
+    def test_udf_backed_codecs(self, eng):
+        r = eng.execute(
+            "SELECT base58Encode('abc') AS a, "
+            "base58Decode(base58Encode('hello')) AS b, "
+            "punycodeEncode('münchen') AS c, "
+            "punycodeDecode('mnchen-3ya') AS d"
+        )
+        assert r.rows == [["ZiCa", "hello", "mnchen-3ya", "münchen"]]
+
+    def test_udf_backed_special_math(self, eng):
+        import math
+
+        r = eng.execute(
+            "SELECT erf(1.0) AS a, erfc(1.0) AS b, lgamma(5.0) AS c, "
+            "tgamma(5.0) AS d"
+        )
+        row = r.rows[0]
+        assert abs(row[0] - math.erf(1.0)) < 1e-12
+        assert abs(row[1] - math.erfc(1.0)) < 1e-12
+        assert abs(row[2] - math.lgamma(5.0)) < 1e-12
+        assert abs(row[3] - 24.0) < 1e-9
+
+    def test_untuple_expands(self, eng):
+        r = eng.execute(
+            "SELECT untuple(t) FROM (SELECT tuple(1, 2) AS t)"
+        )
+        assert r.rows == [[1, 2]] and len(r.cols) == 2
+
+    def test_guided_refusals(self, eng):
+        for expr, hint in [
+            ("maxMap(map(1, 2))", "GROUP BY key"),
+            ("minMap(map(1, 2))", "GROUP BY key"),
+            ("entropy(x)", "frequencies"),
+            ("cramersV(x, y)", "contingency"),
+            ("theilsU(x, y)", "contingency"),
+            ("contingency(x, y)", "contingency"),
+            ("mannWhitneyUTest(x, y)", "rank"),
+            ("studentTTest(x, y)", "conditional aggregates"),
+            ("welchTTest(x, y)", "conditional aggregates"),
+            ("largestTriangleThreeBuckets(4)(x, y)", "ntile"),
+            ("arraySplit(x -> x, [1])", "slice"),
+            ("stem('en', 'running')", "dictionary"),
+            ("byteSize(x)", "octet_length"),
+            ("formatRow('CSV', 1)", "FORMAT"),
+            ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "sqrt"),
+            ("wordShingleMinHash('x')", "dedup"),
+        ]:
+            with pytest.raises(ValueError, match=hint.replace("(", "")):
+                eng.execute(f"SELECT {expr} FROM (SELECT 1 AS x, 2 AS y)")
