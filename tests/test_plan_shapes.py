@@ -143,3 +143,22 @@ class TestRound4PlanShapes:
         # The re-read scans only the 2 columns the aggregate touches.
         read = plan.split("ReadSchema: ")[1].splitlines()[0]
         assert "o_orderkey" not in read and "o_custkey" not in read
+
+    def test_c4_filters_single_doc_shuffle(self, spark):
+        plan = physical_plan(get("text_c4_filters").fn(spark, SF_CORRECT))
+        # Line derivation + per-line predicates are scan-side column
+        # expressions; only the doc_id aggregation may shuffle (partial
+        # + final hash aggregate share one exchange).
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+        read = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "lang" not in read and "source" not in read
+
+    def test_semantic_dedup_joins_on_cluster_key(self, spark):
+        plan = physical_plan(
+            get("dedup_semantic_within_cluster").fn(spark, SF_CORRECT)
+        )
+        # The SemDeDup contract: candidate pairs come from a
+        # cluster-key equi-join, never a corpus cross join.
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
