@@ -210,3 +210,142 @@ def dedup_semantic_within_cluster(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+), lined AS (
+  SELECT doc_id, source,
+         list_concat(list_concat(
+           ['copyright ' || source || ' all rights reserved'],
+           list_transform(
+             range(0, CAST(ceil(len(w) / {_LINE_W}.0) AS BIGINT)),
+             i -> array_to_string(
+                    list_slice(w, i * {_LINE_W} + 1,
+                               i * {_LINE_W} + {_LINE_W}), ' '))),
+           ['subscribe to ' || source || ' newsletter']
+         ) AS lines
+  FROM d
+), ln AS (
+  SELECT doc_id, source, unnest(lines) AS line FROM lined
+)
+SELECT line,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT source) AS n_sources
+FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+""",
+)
+def text_boilerplate_lines(spark, sf_dir):
+    """Boilerplate detection (the CCNet/C4 header-footer pass): lines
+    shared by ≥5 distinct documents are boilerplate, reported with
+    their document and source spread. The fixture text carries no real
+    headers, so (same contract as the C4/PII queries) per-source
+    header/footer lines are DERIVED with a closed form shared with the
+    oracle; the detector itself — explode lines, group by line text,
+    distinct-doc counting — is the operator under test. One shuffle on
+    the line key; at 100 TB hash the line to a fixed-width key first
+    (same md5 trick as exact dedup) to keep shuffle rows narrow."""
+    w = _LINE_W
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", tokens("text").alias("w"))
+        .where(F.size("w") >= 1)
+    )
+    chunks = F.expr(
+        f"""transform(
+              sequence(0, cast(ceil(size(w) / {w}.0) as bigint) - 1),
+              i -> array_join(slice(w, cast(i * {w} + 1 as int), {w}), ' '))"""
+    )
+    hdr = F.array(
+        F.concat(F.lit("copyright "), F.col("source"),
+                 F.lit(" all rights reserved"))
+    )
+    ftr = F.array(
+        F.concat(F.lit("subscribe to "), F.col("source"),
+                 F.lit(" newsletter"))
+    )
+    lines = d.select(
+        "doc_id", "source",
+        F.explode(F.concat(hdr, chunks, ftr)).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= 5)
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         'HTTPS://WWW.' || source || '.Example.com/item/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || '?utm_source=s' || CAST(doc_id % 4 AS VARCHAR)
+           || '&ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_replace(url, '\\?.*$', '')),
+             '^https://www\\.', 'https://'),
+           '/$', '') AS canonical
+  FROM d
+), g AS (
+  SELECT source, canonical, count(*) AS n_urls,
+         min(doc_id) AS keep_doc
+  FROM c GROUP BY source, canonical
+)
+SELECT source,
+       CAST(sum(n_urls) AS BIGINT) AS n_docs,
+       count(*) AS n_canonical,
+       CAST(sum(n_urls) - count(*) AS BIGINT) AS n_dropped
+FROM g GROUP BY source
+""",
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup (the first pass of every web-corpus
+    pipeline): strip the query string (tracking params), lowercase,
+    drop a leading ``www.`` and a trailing slash, then keep one doc
+    per canonical URL (min doc_id). URLs are DERIVED (fixture docs
+    carry none) with the shared closed form; the canonicalizer and the
+    group-dedup are the operators under test. Pure column regexps +
+    one aggregation keyed (source, canonical) — narrow uniform keys."""
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.com/item/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("&ref=r"), (F.col("doc_id") % 7).cast("string"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(url, r"\?.*$", "")),
+            r"^https://www\.", "https://",
+        ),
+        "/$", "",
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", canonical.alias("canonical")
+    )
+    g = d.groupBy("source", "canonical").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+    return g.groupBy("source").agg(
+        F.sum("n_urls").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        (F.sum("n_urls") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
