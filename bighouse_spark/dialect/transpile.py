@@ -29,7 +29,9 @@ import itertools
 import os
 import re
 import threading
+import random as _random
 import time as _time
+import uuid as _uuid
 from collections import OrderedDict
 from dataclasses import dataclass, field
 
@@ -185,6 +187,12 @@ _ZERO_ARG = {
     # One warm session is the whole "cluster": a stable literal is the
     # honest answer (the reference's nodes answer with Fly VM names).
     "hostName()": "'bighouse-spark'",
+    "UTCTimestamp()": "to_utc_timestamp(now(), current_timezone())",
+    # Stable for the engine-process lifetime, like CH's server UUID.
+    "serverUUID()": f"'{_uuid.uuid4()}'",
+    "currentProfiles()": "array('default')",
+    "enabledProfiles()": "array('default')",
+    "currentRoles()": "array('default')",
     **{
         f"emptyArray{ch}()": f"CAST(array() AS ARRAY<{sp}>)"
         for ch, sp in [
@@ -368,6 +376,68 @@ def _rewrite_if_combinators(sql: str) -> str:
                 # rows must be skipped, so pass ignoreNulls.
                 tail = ", true" if base == "any_value" else ""
                 out = f"{out[:start]}{base}({vals}{tail}){out[end:]}"
+            pos = start + 1
+    return out
+
+
+def _rewrite_suffix_combinators(sql: str) -> str:
+    """CH ``-Distinct`` / ``-OrNull`` / ``-OrDefault`` aggregate
+    combinators over the same base list as ``-If``:
+
+    * ``fDistinct(x)`` → ``f(DISTINCT x)``.
+    * ``fOrNull(x)`` → ``f(x)`` — every Spark aggregate except count
+      already yields NULL over zero rows; ``countOrNull`` becomes
+      ``nullif(count(x), 0)``.
+    * ``fOrDefault(x)`` → ``coalesce(f(x), <default>)`` with 0 for
+      scalars and ``array()`` for the groupArray family (CH defaults
+      the aggregate's return type; numeric 0 / empty array covers the
+      types these bases produce).
+    """
+    out = sql
+    for name in _IF_COMBINATOR_BASES + ("count",):
+        base = {"any": "any_value", "anyLast": "any_value"}.get(name, name)
+        pos = 0
+        while True:
+            call = _find_call(out, name + "Distinct", pos)
+            if call is None:
+                break
+            start, end, args = call
+            if name.startswith("uniq"):
+                # Already distinct-valued; DISTINCT-of-DISTINCT is
+                # identity (and the uniqExact wrap emits its own
+                # DISTINCT keyword).
+                inner = f"{base}({', '.join(args)})"
+            else:
+                inner = f"{base}(DISTINCT {', '.join(args)})"
+            out = f"{out[:start]}{inner}{out[end:]}"
+            pos = start + 1
+        pos = 0
+        while True:
+            call = _find_call(out, name + "OrNull", pos)
+            if call is None:
+                break
+            start, end, args = call
+            if name == "count":
+                inner = f"nullif(count({', '.join(args) or '*'}), 0)"
+            else:
+                inner = f"{base}({', '.join(args)})"
+            out = f"{out[:start]}{inner}{out[end:]}"
+            pos = start + 1
+        pos = 0
+        while True:
+            call = _find_call(out, name + "OrDefault", pos)
+            if call is None:
+                break
+            start, end, args = call
+            dflt = (
+                "array()"
+                if name in ("groupArray", "groupUniqArray")
+                else "0"
+            )
+            out = (
+                f"{out[:start]}coalesce({base}({', '.join(args)}), "
+                f"{dflt}){out[end:]}"
+            )
             pos = start + 1
     return out
 
@@ -1528,6 +1598,183 @@ _ARG_REWRITES.update({
     ),
 })
 
+# Round-5 probe tranche 3: calendar epochs, UUID/bool conversions,
+# SHA/halfMD5, random distributions, time slots, dot products, geo,
+# Unicode normalization — plus refusals for dictionary-backed and
+# per-block spellings.
+_ARG_REWRITES.update({
+    # -- calendar epochs --
+    # Days since 0000-01-01 proleptic Gregorian; year 0 is a leap
+    # year, so the 0001-01-01 anchor Spark can represent is day 366.
+    "toDaysSinceYearZero": lambda a: (
+        f"(datediff(CAST({a[0]} AS DATE), DATE'0001-01-01') + 366)"
+    ),
+    "fromDaysSinceYearZero": lambda a: (
+        f"date_add(DATE'0001-01-01', CAST(({a[0]}) - 366 AS INT))"
+    ),
+    "toModifiedJulianDay": lambda a: (
+        f"datediff(CAST({a[0]} AS DATE), DATE'1858-11-17')"
+    ),
+    "fromModifiedJulianDay": lambda a: (
+        f"date_add(DATE'1858-11-17', CAST({a[0]} AS INT))"
+    ),
+    # ISO (CH mode-3) twin; CH's default mode 0 differs by week-start
+    # convention — documented deviation.
+    "toYearWeek": lambda a: (
+        f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + weekofyear({a[0]}))"
+    ),
+    "positiveModulo": lambda a: f"pmod({a[0]}, {a[1]})",
+    "positive_modulo": lambda a: f"pmod({a[0]}, {a[1]})",
+    # timeSlots(start, duration[, size=1800]): the rounded window
+    # starts the interval overlaps.
+    "timeSlots": lambda a: (
+        lambda sz: (
+            f"transform(sequence("
+            f"CAST(floor(unix_timestamp({a[0]}) / {sz}) AS BIGINT), "
+            f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / {sz}) "
+            f"AS BIGINT)), __i -> timestamp_seconds(__i * {sz}))"
+        )
+    )(a[2] if len(a) > 2 else 1800),
+    "singleValueOrNull": lambda a: (
+        f"(CASE WHEN count(DISTINCT {a[0]}) = 1 THEN max({a[0]}) END)"
+    ),
+    # -- UUID / bool conversions (UUIDs are strings here) --
+    "toUUID": lambda a: f"({a[0]})",
+    "toUUIDOrNull": lambda a: (
+        f"(CASE WHEN regexp_like({a[0]}, "
+        f"'^[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-"
+        f"[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}$') THEN {a[0]} END)"
+    ),
+    "UUIDStringToNum": lambda a: (
+        f"to_binary(replace({a[0]}, '-', ''), 'hex')"
+    ),
+    "UUIDNumToString": lambda a: (
+        f"lower(concat(substring(hex({a[0]}), 1, 8), '-', "
+        f"substring(hex({a[0]}), 9, 4), '-', "
+        f"substring(hex({a[0]}), 13, 4), '-', "
+        f"substring(hex({a[0]}), 17, 4), '-', "
+        f"substring(hex({a[0]}), 21, 12)))"
+    ),
+    "toBool": lambda a: f"CAST({a[0]} AS BOOLEAN)",
+    # -- digest functions (CH returns FixedString bytes) --
+    "SHA1": lambda a: f"to_binary(sha1({a[0]}), 'hex')",
+    "SHA224": lambda a: f"to_binary(sha2({a[0]}, 224), 'hex')",
+    "SHA256": lambda a: f"to_binary(sha2({a[0]}, 256), 'hex')",
+    "SHA384": lambda a: f"to_binary(sha2({a[0]}, 384), 'hex')",
+    "SHA512": lambda a: f"to_binary(sha2({a[0]}, 512), 'hex')",
+    # First 8 md5 bytes as an unsigned 64-bit integer.
+    "halfMD5": lambda a: (
+        f"CAST(conv(substring(md5({a[0]}), 1, 16), 16, 10) "
+        f"AS DECIMAL(20, 0))"
+    ),
+    # -- random distributions --
+    "randUniform": lambda a: (
+        f"(({a[0]}) + rand() * (({a[1]}) - ({a[0]})))"
+    ),
+    "randNormal": lambda a: (
+        f"(({a[0]}) + ({a[1]}) * sqrt(-2 * ln(rand())) "
+        f"* cos(2 * pi() * rand()))"
+    ),
+    "randExponential": lambda a: f"(-ln(rand()) / ({a[0]}))",
+    "randCanonical": lambda a: "rand()",
+    # Constant WITHIN a query, fresh across queries: fold to a
+    # literal at transpile time (a scalar subquery over rand() gets
+    # inlined per-row by Catalyst, breaking the constant contract).
+    "randConstant": lambda a: (
+        f"CAST({_random.randint(0, 4294967295)} AS BIGINT)"
+    ),
+    # -- vector products --
+    "arrayDotProduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), 0D, "
+        f"(__acc, __v) -> __acc + __v)"
+    ),
+    "scalarProduct": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), 0D, "
+        f"(__acc, __v) -> __acc + __v)"
+    ),
+    # pointInEllipses(x, y, x0, y0, a0, b0, ...): any ellipse holds.
+    "pointInEllipses": lambda a: (
+        "("
+        + " OR ".join(
+            f"(pow((({a[0]}) - ({a[i]})) / ({a[i + 2]}), 2) + "
+            f"pow((({a[1]}) - ({a[i + 1]})) / ({a[i + 3]}), 2) <= 1)"
+            for i in range(2, len(a), 4)
+        )
+        + ")"
+    ),
+    # cut variant: hostname truncated to the significant-subdomain
+    # label plus everything right of it.
+    "cutToFirstSignificantSubdomain": lambda a: (
+        f"(CASE WHEN element_at(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2) IN ('com', 'net', 'org', 'co', 'gov', 'edu', "
+        f"'mil', 'biz') THEN array_join(slice(split(parse_url({a[0]}, "
+        f"'HOST'), '\\\\.'), -3, 3), '.') "
+        f"ELSE array_join(slice(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.'), -2, 2), '.') END)"
+    ),
+    # -- UDF-backed: Unicode normalization, geohash --
+    "normalizeUTF8NFC": lambda a: f"bh_nfc({a[0]})",
+    "normalizeUTF8NFD": lambda a: f"bh_nfd({a[0]})",
+    "normalizeUTF8NFKC": lambda a: f"bh_nfkc({a[0]})",
+    "normalizeUTF8NFKD": lambda a: f"bh_nfkd({a[0]})",
+    "geohashEncode": lambda a: (
+        f"bh_geohash_encode(CAST({a[0]} AS DOUBLE), "
+        f"CAST({a[1]} AS DOUBLE), "
+        + (f"CAST({a[2]} AS INT))" if len(a) > 2 else "12)")
+    ),
+    "geohashDecode": lambda a: f"bh_geohash_decode({a[0]})",
+    # -- capability maps --
+    "blockNumber": lambda a: "spark_partition_id()",
+    # -- refusals: library-, dictionary-, or block-scoped --
+    "rowNumberInBlock": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "rowNumberInBlock() is block-scoped; use "
+            "row_number() OVER (ORDER BY <key>) for a deterministic "
+            "global row number"
+        )
+    ),
+    "regionToName": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "regionTo*() needs a geobase dictionary; attach one as a "
+            "dictGet lookup table instead"
+        )
+    ),
+    "getMacro": lambda a: (_ for _ in ()).throw(
+        ValueError("no server macros are configured on this engine")
+    ),
+    "filesystemAvailable": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "filesystem metrics are host introspection; query the "
+            "system_profile view instead"
+        )
+    ),
+    "filesystemCapacity": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "filesystem metrics are host introspection; query the "
+            "system_profile view instead"
+        )
+    ),
+    "h3ToGeo": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "H3 functions need the H3 index library, which does not "
+            "ship with the engine; geohashEncode/geohashDecode are "
+            "the supported spatial-bucketing twins"
+        )
+    ),
+    "geoToH3": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "H3 functions need the H3 index library, which does not "
+            "ship with the engine; geohashEncode/geohashDecode are "
+            "the supported spatial-bucketing twins"
+        )
+    ),
+    "aggThrow": lambda a: (_ for _ in ()).throw(
+        ValueError("aggThrow() is a CH fault-injection test aggregate")
+    ),
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -1642,7 +1889,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if spark is not None and re.search(r"\bbh_(ipv6|is_ipv6|ipv4_to)", out):
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
-        r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma)", out
+        r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma"
+        r"|nfc|nfd|nfkc|nfkd|geohash)",
+        out,
     ):
         _ensure_misc_udfs(spark)
     if spark is not None:
@@ -2207,6 +2456,49 @@ def _rewrite_parametric(sql: str) -> str:
                 + f"{plain}({', '.join(params)})({inner[0]})"
                 + out[i:]
             )
+    # uniqUpTo(N)(x): exact count-distinct saturating at N+1 — CH's
+    # contract ("N+1 means more than N") is exactly expressible.
+    while True:
+        call = _find_call(out, "uniqUpTo")
+        if call is None:
+            break
+        start, end, params = call
+        if end >= len(out) or out[end] != "(":
+            raise ValueError("uniqUpTo(N) must be followed by (column)")
+        depth, i = 1, end + 1
+        while i < len(out) and depth > 0:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        col = out[end + 1:i - 1]
+        out = (
+            out[:start]
+            + f"least(count(DISTINCT {col}), ({params[0]}) + 1)"
+            + out[i:]
+        )
+    # Parametric aggregates that are order-dependent state machines —
+    # refuse with the window/rewrite hint before Spark's opaque
+    # UNRESOLVED_ROUTINE.
+    for refuse_name, hint in (
+        (
+            "exponentialMovingAverage",
+            "exponentialMovingAverage() is order-dependent; use "
+            "avg(x) OVER (ORDER BY t ROWS BETWEEN k-1 PRECEDING AND "
+            "CURRENT ROW) or an explicit EMA fold over "
+            "collect_list(x ORDER BY t)",
+        ),
+        (
+            "sequenceNextNode",
+            "sequenceNextNode() is a per-user event-order state "
+            "machine; use the behavioral operators "
+            "(sequenceMatch/windowFunnel) or a window over "
+            "(user, ORDER BY ts) with lead()",
+        ),
+    ):
+        if _find_call(out, refuse_name) is not None:
+            raise ValueError(hint)
     for ch, sp in _PARAMETRIC.items():
         if sp is None:
             continue
@@ -2510,6 +2802,7 @@ def _rewrite_functions(sql: str) -> str:
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     out = _rewrite_contextual(out)
     out = _rewrite_if_combinators(out)
+    out = _rewrite_suffix_combinators(out)
     out = _rewrite_parametric(out)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(

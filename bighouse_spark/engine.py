@@ -1742,6 +1742,26 @@ class BigHouseEngine:
             from bighouse_spark.formats import ch_type_names
 
             types = ch_type_names(df.schema)
+            # CalendarIntervalType has no Python converter (PySpark
+            # raises NOT_IMPLEMENTED at collect) — render interval
+            # columns as their string form, which is also how CH
+            # prints Interval values.
+            from pyspark.sql.types import CalendarIntervalType
+
+            if any(
+                isinstance(f.dataType, CalendarIntervalType)
+                for f in df.schema.fields
+            ):
+                from pyspark.sql import functions as _F
+
+                df = df.select(
+                    *[
+                        _F.col(f.name).cast("string").alias(f.name)
+                        if isinstance(f.dataType, CalendarIntervalType)
+                        else _F.col(f.name)
+                        for f in df.schema.fields
+                    ]
+                )
             rows = [list(r) for r in df.collect()]
             elapsed = time.monotonic() - t0
             self.query_log.append(

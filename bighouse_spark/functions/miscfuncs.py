@@ -14,7 +14,13 @@ import math
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType, StringType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # DataType INSTANCES, not DDL strings: the UDF bodies reference
 # module-level helpers, so the executor worker re-imports this module
@@ -208,6 +214,108 @@ def bh_tgamma(x: pd.Series) -> pd.Series:
     return x.map(_null_safe(math.gamma))
 
 
+def _make_normalizer(form):
+    @pandas_udf(_STRING)
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata as _u
+
+        return s.map(
+            lambda x: None if x is None else _u.normalize(form, x)
+        )
+
+    return norm
+
+
+bh_nfc = _make_normalizer("NFC")
+bh_nfd = _make_normalizer("NFD")
+bh_nfkc = _make_normalizer("NFKC")
+bh_nfkd = _make_normalizer("NFKD")
+
+_GEO32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon: float, lat: float, precision: int = 12) -> str:
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bit, ch, even = 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GEO32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def _geohash_decode(h: str):
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in h:
+        cd = _GEO32.index(c)
+        for mask in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if cd & mask:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if cd & mask:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return (lon_lo + lon_hi) / 2, (lat_lo + lat_hi) / 2
+
+
+@pandas_udf(_STRING)
+def bh_geohash_encode(
+    lon: pd.Series, lat: pd.Series, prec: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if lo is None or la is None
+            else _geohash_encode(float(lo), float(la), int(p or 12))
+            for lo, la, p in zip(lon, lat, prec)
+        ]
+    )
+
+
+@pandas_udf(
+    StructType(
+        [
+            StructField("longitude", DoubleType()),
+            StructField("latitude", DoubleType()),
+        ]
+    )
+)
+def bh_geohash_decode(h: pd.Series) -> pd.DataFrame:
+    vals = [
+        (None, None) if x is None else _geohash_decode(x) for x in h
+    ]
+    return pd.DataFrame(vals, columns=["longitude", "latitude"])
+
+
 ALL = {
     "bh_damerau": bh_damerau,
     "bh_jaro": bh_jaro,
@@ -220,4 +328,10 @@ ALL = {
     "bh_erfc": bh_erfc,
     "bh_lgamma": bh_lgamma,
     "bh_tgamma": bh_tgamma,
+    "bh_nfc": bh_nfc,
+    "bh_nfd": bh_nfd,
+    "bh_nfkc": bh_nfkc,
+    "bh_nfkd": bh_nfkd,
+    "bh_geohash_encode": bh_geohash_encode,
+    "bh_geohash_decode": bh_geohash_decode,
 }

@@ -2209,3 +2209,131 @@ class TestRound5ProbeTranche2:
         ]:
             with pytest.raises(ValueError, match=hint.replace("(", "")):
                 eng.execute(f"SELECT {expr} FROM (SELECT 1 AS x, 2 AS y)")
+
+
+class TestRound5ProbeTranche3:
+    """Eighth round-5 tranche: -Distinct/-OrNull/-OrDefault
+    combinators, uniqUpTo, calendar epochs, UUID/digest conversions,
+    random distributions, geohash, Unicode normalization."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_suffix_combinators(self, eng):
+        r = eng.execute(
+            "SELECT sumOrNull(number) AS a, maxOrDefault(number) AS b, "
+            "countOrNull(number) AS c FROM numbers(10) WHERE number > 100"
+        )
+        assert r.rows == [[None, 0, None]]
+        r = eng.execute(
+            "SELECT sumDistinct(x) AS a, avgDistinct(x) AS b, "
+            "uniqExactDistinct(x) AS c "
+            "FROM (SELECT number % 3 AS x FROM numbers(12))"
+        )
+        assert r.rows == [[3, 1.0, 3]]
+        r = eng.execute(
+            "SELECT groupArrayOrDefault(number) AS v FROM numbers(3) "
+            "WHERE number > 9"
+        )
+        assert r.rows == [[[]]]
+
+    def test_uniq_up_to(self, eng):
+        r = eng.execute(
+            "SELECT uniqUpTo(3)(x) AS saturated, uniqUpTo(5)(y) AS exact "
+            "FROM (SELECT number % 10 AS x, number % 2 AS y "
+            "FROM numbers(100))"
+        )
+        # 10 distinct saturates at N+1=4; 2 distinct is exact.
+        assert r.rows == [[4, 2]]
+
+    def test_calendar_epochs(self, eng):
+        r = eng.execute(
+            # 739136 is ClickHouse's documented example value.
+            "SELECT toDaysSinceYearZero(toDate('2023-09-08')) AS a, "
+            "toModifiedJulianDay('2020-01-01') AS b, "
+            "CAST(fromModifiedJulianDay(58849) AS STRING) AS c, "
+            "toYearWeek(toDate('2024-01-04')) AS d, "
+            "positiveModulo(-5, 3) AS e"
+        )
+        assert r.rows == [[739136, 58849, "2020-01-01", 202401, 1]]
+        r = eng.execute(
+            "SELECT CAST(fromDaysSinceYearZero("
+            "toDaysSinceYearZero(toDate('2023-09-08'))) AS STRING) AS v"
+        )
+        assert r.rows == [["2023-09-08"]]
+
+    def test_uuid_and_digests(self, eng):
+        u = "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+        r = eng.execute(
+            f"SELECT toUUID('{u}') AS a, "
+            f"UUIDNumToString(UUIDStringToNum('{u}')) AS b, "
+            f"toUUIDOrNull('nope') AS c, toBool('true') AS d, "
+            f"length(SHA256('abc')) AS e, halfMD5('abc') > 0 AS f"
+        )
+        assert r.rows == [[u, u, None, True, 32, True]]
+
+    def test_random_distributions(self, eng):
+        # Aggregate over a materialized subquery — Spark (correctly)
+        # refuses non-deterministic expressions inside aggregates.
+        r = eng.execute(
+            "SELECT bool_and(u BETWEEN 5 AND 6) AS a, "
+            "bool_and(abs(n) < 50) AS b, bool_and(e >= 0) AS c, "
+            "count(DISTINCT k) AS d FROM ("
+            "SELECT randUniform(5, 6) AS u, randNormal(0, 1) AS n, "
+            "randExponential(2) AS e, randConstant() AS k "
+            "FROM numbers(100))"
+        )
+        assert r.rows == [[True, True, True, 1]]
+
+    def test_geohash_roundtrip(self, eng):
+        r = eng.execute(
+            "SELECT geohashEncode(-5.60302734375, 42.593994140625, 5) AS g"
+        )
+        assert r.rows == [["ezs42"]]
+        r = eng.execute("SELECT geohashDecode('ezs42') AS g")
+        lon, lat = r.rows[0][0]
+        assert abs(lon - -5.60302734375) < 0.05
+        assert abs(lat - 42.593994140625) < 0.05
+
+    def test_unicode_normalization(self, eng):
+        # NFD decomposes the precomposed a-acute into two codepoints.
+        r = eng.execute(
+            "SELECT length(normalizeUTF8NFD('á')) AS d, "
+            "length(normalizeUTF8NFC(normalizeUTF8NFD('á'))) AS c"
+        )
+        assert r.rows == [[2, 1]]
+
+    def test_vector_products_and_ellipses(self, eng):
+        r = eng.execute(
+            "SELECT arrayDotProduct([1,2],[3,4]) AS a, "
+            "pointInEllipses(10, 10, 10, 9.1, 1, 0.9999) AS b, "
+            "pointInEllipses(100, 100, 10, 9.1, 1, 0.9999) AS c"
+        )
+        assert r.rows == [[11.0, True, False]]
+
+    def test_interval_results_render(self, eng):
+        r = eng.execute("SELECT toIntervalDay(3) AS v")
+        assert "3 days" in r.rows[0][0]
+
+    def test_server_introspection_literals(self, eng):
+        r = eng.execute(
+            "SELECT length(serverUUID()) AS a, "
+            "UTCTimestamp() IS NOT NULL AS b, currentProfiles() AS c"
+        )
+        assert r.rows == [[36, True, ["default"]]]
+
+    def test_tranche3_refusals(self, eng):
+        for expr, hint in [
+            ("exponentialMovingAverage(5)(x, x)", "order-dependent"),
+            ("sequenceNextNode('forward', 'head')(x, x, x = 1)",
+             "state"),
+            ("h3ToGeo(x)", "geohash"),
+            ("regionToName(x)", "geobase"),
+            ("rowNumberInBlock()", "row_number"),
+            ("filesystemAvailable()", "system_profile"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM (SELECT 1 AS x)")

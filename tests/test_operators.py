@@ -147,18 +147,26 @@ class TestMinHashLSH:
         }
         assert capped == uncapped
 
-    def test_cap_adds_no_shuffle(self, spark):
-        # Plan guard: the cap's window partitions on exactly the
-        # self-join keys (band, bucket), so the capped plan has the
-        # SAME number of exchanges as the uncapped one — the join
-        # reuses the window's partitioning.
+    def test_cap_window_materialized_once(self, spark):
+        # Plan guard: the cap's row_number window (one shuffle + sort
+        # on the self-join keys) must be computed ONCE and persisted —
+        # both join sides read the materialization instead of each
+        # re-running the window (which doubled its cost at sf0.1).
+        from bighouse_spark.operators.caching import release_tracked
+
         df = _docs(spark, [_sentence(s, 20) for s in range(6)])
-        n_ex = lambda cap: (
-            minhash_lsh_pairs(df, max_bucket_size=cap)
-            ._jdf.queryExecution().executedPlan().toString()
-            .count("Exchange")
-        )
-        assert n_ex(8) == n_ex(None)
+        try:
+            plan = (
+                minhash_lsh_pairs(df, max_bucket_size=8)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            release_tracked()
+        assert plan.count("InMemoryTableScan") >= 2
+        # The window must live inside the cached subtree, not in the
+        # outer (per-side) plan.
+        outer = plan.split("InMemoryRelation")[0]
+        assert "Window" not in outer
 
     def test_precision_no_false_positives_above_threshold(self, spark):
         docs = load_table(spark, SF_CORRECT, "documents").where(
