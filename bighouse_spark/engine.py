@@ -198,6 +198,14 @@ class BigHouseEngine:
         # attach_table keeps the promotion across writes (REFRESH +
         # NOSCAN re-analyze instead of re-registering a temp view).
         self._analyzed: set[str] = set()
+        # In-flight queries: query_id -> (sql, start_monotonic). Each
+        # SELECT runs under a Spark job group named by its query_id,
+        # so KILL QUERY and SETTINGS max_execution_time can cancel the
+        # group (thread-scoped: PySpark pins one JVM thread per Python
+        # thread, so concurrent server requests don't cross-cancel).
+        self._inflight: dict[str, tuple[str, float]] = {}
+        self._killed: set[str] = set()
+        self._inflight_lock = threading.Lock()
         # Cost-based optimization: with table/column stats from
         # ANALYZE, Catalyst reorders joins and sizes broadcasts from
         # rowCount instead of raw file bytes. Harmless without stats.
@@ -349,6 +357,16 @@ class BigHouseEngine:
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
             "system_query_log"
         )
+        # system.processes analog: in-flight queries with their
+        # cancellable query ids (KILL QUERY WHERE query_id = '...').
+        with self._inflight_lock:
+            procs = [
+                (qid, sql, time.monotonic() - t0)
+                for qid, (sql, t0) in self._inflight.items()
+            ]
+        self.spark.createDataFrame(
+            procs, "query_id string, query string, elapsed_sec double"
+        ).createOrReplaceTempView("system_processes")
         # system.tables / system.columns analogs (CH exposes catalog
         # introspection the same way; Spark's catalog is the source).
         tables = [
@@ -1478,6 +1496,45 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["detached"], rows=[[name]],
                                elapsed_sec=elapsed)
+        m_kill = re.match(
+            r"^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'"
+            r"\s*(?:SYNC|ASYNC)?\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_kill:
+            qid = m_kill.group(1)
+            with self._inflight_lock:
+                known = qid in self._inflight
+            if known:
+                with self._inflight_lock:
+                    self._killed.add(qid)
+                # Sticky cancel (Spark 4): also cancels jobs the
+                # victim submits AFTER this call — plain
+                # cancelJobGroup is a no-op if the kill lands while
+                # the victim is still planning. Fallback: re-cancel
+                # until the victim's inflight entry disappears.
+                sc = self.spark.sparkContext
+                try:
+                    sc.cancelJobGroupAndFutureJobs(qid)
+                except Exception:
+                    def _reaper() -> None:
+                        deadline = time.monotonic() + 30
+                        while time.monotonic() < deadline:
+                            with self._inflight_lock:
+                                if qid not in self._inflight:
+                                    return
+                            try:
+                                sc.cancelJobGroup(qid)
+                            except Exception:
+                                pass
+                            time.sleep(0.3)
+
+                    threading.Thread(target=_reaper, daemon=True).start()
+            return QueryResult(
+                cols=["kill_status", "query_id"],
+                rows=[["waiting", qid]] if known else [],
+                elapsed_sec=time.monotonic() - t0,
+            )
         if re.match(r"^\s*SHOW\s+PROCESSLIST\s*$", request.query,
                     re.IGNORECASE):
             # CH lists in-flight queries; the Spark analog is the
@@ -1739,6 +1796,41 @@ class BigHouseEngine:
             transpiled = result.sql
             df = self.spark.sql(result.sql)
             cols = df.columns
+            # Per-query job group (CH query_id analog): names every
+            # Spark job this query submits so KILL QUERY / the
+            # max_execution_time watchdog can cancel exactly this
+            # query. SETTINGS max_execution_time=N (CH seconds) is
+            # enforced by a timer that cancels the group.
+            import uuid as _uuid_mod
+
+            qid = f"bh-{_uuid_mod.uuid4().hex[:12]}"
+            self.spark.sparkContext.setJobGroup(
+                qid, request.query[:200], interruptOnCancel=True
+            )
+            with self._inflight_lock:
+                self._inflight[qid] = (request.query, time.monotonic())
+            timeout_s = None
+            raw_timeout = result.dropped_settings.get(
+                "max_execution_time"
+            )
+            if raw_timeout is not None:
+                try:
+                    timeout_s = float(str(raw_timeout).strip("'\" "))
+                except ValueError:
+                    timeout_s = None
+            timed_out = threading.Event()
+            timer = None
+            if timeout_s and timeout_s > 0:
+                def _cancel() -> None:
+                    timed_out.set()
+                    try:
+                        self.spark.sparkContext.cancelJobGroup(qid)
+                    except Exception:
+                        pass
+
+                timer = threading.Timer(timeout_s, _cancel)
+                timer.daemon = True
+                timer.start()
             from bighouse_spark.formats import ch_type_names
 
             types = ch_type_names(df.schema)
@@ -1762,7 +1854,34 @@ class BigHouseEngine:
                         for f in df.schema.fields
                     ]
                 )
-            rows = [list(r) for r in df.collect()]
+            try:
+                rows = [list(r) for r in df.collect()]
+            except Exception as collect_err:
+                if timed_out.is_set():
+                    raise TimeoutError(
+                        f"query {qid} exceeded max_execution_time="
+                        f"{timeout_s:g}s (TIMEOUT_EXCEEDED)"
+                    ) from collect_err
+                with self._inflight_lock:
+                    was_killed = qid in self._killed
+                if was_killed or "cancelled job group" in str(
+                    collect_err
+                ):
+                    raise RuntimeError(
+                        f"query {qid} was cancelled (KILL QUERY / "
+                        "QUERY_WAS_CANCELLED)"
+                    ) from collect_err
+                raise
+            finally:
+                if timer is not None:
+                    timer.cancel()
+                with self._inflight_lock:
+                    self._inflight.pop(qid, None)
+                    self._killed.discard(qid)
+                try:
+                    self.spark.sparkContext.setJobGroup("", "")
+                except Exception:
+                    pass
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, transpiled, elapsed, len(rows))

@@ -206,9 +206,11 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         # Hot-bucket cap: rank members within each (band, bucket) and
         # keep the first N. The window shuffles on exactly the keys
-        # the self-join below hashes on, so this adds one exchange
-        # whose output partitioning the join reuses — not a second
-        # shuffle of the full band-key table per join side.
+        # the self-join hashes on. NOTE a data-dependent variant
+        # (pre-count buckets, window only when one exceeds the cap)
+        # was measured SLOWER at sf0.1 (5.1 s vs 1.9 s warm): the
+        # existence check is an extra eager job that costs more than
+        # the per-bucket sort it tries to skip.
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy("band", "bucket").orderBy("id")

@@ -1324,3 +1324,73 @@ class TestReviewFindingsRound5:
         with pytest.raises(ValueError, match="already exists"):
             engine.execute("ALTER TABLE dpc_tbl DETACH PARTITION '1'")
         engine.execute("DROP TABLE dpc_tbl")
+
+
+class TestQueryLifecycleControl:
+    """max_execution_time enforcement, KILL QUERY, system_processes —
+    the CH query-lifecycle surface (each SELECT runs in its own Spark
+    job group named by a query_id)."""
+
+    def test_max_execution_time_cancels(self, engine):
+        import time
+
+        t0 = time.time()
+        with pytest.raises(TimeoutError, match="TIMEOUT_EXCEEDED"):
+            engine.execute(
+                "SELECT count() AS c FROM numbers(500000000) a, "
+                "numbers(10000) b SETTINGS max_execution_time=2"
+            )
+        # cancelled promptly, not after the full cross join
+        assert time.time() - t0 < 30
+
+    def test_max_execution_time_noop_when_fast(self, engine):
+        out = engine.execute(
+            "SELECT count() AS c FROM numbers(100) "
+            "SETTINGS max_execution_time=60"
+        )
+        assert out.rows == [[100]]
+
+    def test_kill_query_cancels_other_thread(self, engine):
+        import threading
+        import time
+
+        res = {}
+
+        def victim():
+            try:
+                engine.execute(
+                    "SELECT count() AS c FROM numbers(500000000) a, "
+                    "numbers(10000) b"
+                )
+                res["r"] = "finished"
+            except Exception as e:
+                res["r"] = f"{type(e).__name__}: {e}"
+
+        th = threading.Thread(target=victim)
+        th.start()
+        deadline = time.time() + 30
+        qid = None
+        while time.time() < deadline and qid is None:
+            with engine._inflight_lock:
+                for k, (sql, _) in engine._inflight.items():
+                    if "500000000" in sql:
+                        qid = k
+            time.sleep(0.1)
+        assert qid, "victim query never registered in-flight"
+        out = engine.execute(f"KILL QUERY WHERE query_id = '{qid}'")
+        assert out.rows == [["waiting", qid]]
+        th.join(60)
+        assert "cancelled" in res.get("r", "")
+
+    def test_kill_unknown_query_id_empty(self, engine):
+        out = engine.execute("KILL QUERY WHERE query_id = 'nope'")
+        assert out.cols == ["kill_status", "query_id"]
+        assert out.rows == []
+
+    def test_system_processes_view(self, engine):
+        engine.refresh_system_views()
+        out = engine.execute(
+            "SELECT query_id, query, elapsed_sec FROM system_processes"
+        )
+        # Idle at refresh time: the snapshot is empty but queryable.
+        assert out.cols == ["query_id", "query", "elapsed_sec"]
