@@ -76,6 +76,9 @@ class QueryRequest:
     init_queries: list[str] = field(default_factory=list)
     num_nodes: int | None = None
     cores: int | None = None
+    # Client-supplied query id (CH HTTP ?query_id= semantics): names
+    # this query's Spark job group so the client can KILL QUERY it.
+    query_id: str | None = None
 
 
 @dataclass
@@ -1803,7 +1806,7 @@ class BigHouseEngine:
             # enforced by a timer that cancels the group.
             import uuid as _uuid_mod
 
-            qid = f"bh-{_uuid_mod.uuid4().hex[:12]}"
+            qid = request.query_id or f"bh-{_uuid_mod.uuid4().hex[:12]}"
             self.spark.sparkContext.setJobGroup(
                 qid, request.query[:200], interruptOnCancel=True
             )

@@ -141,9 +141,10 @@ class _Handler(BaseHTTPRequestHandler):
             if k not in ("query", "default_format", "database", "user",
                          "password", "session_id", "query_id")
         ]
+        qid = (params.get("query_id") or [None])[0]
         try:
             result = self.engine.execute(
-                QueryRequest(query=sql, init_queries=init)
+                QueryRequest(query=sql, init_queries=init, query_id=qid)
             )
         except Exception as e:
             self._send_text(
@@ -164,6 +165,8 @@ class _Handler(BaseHTTPRequestHandler):
                  "elapsed_ns": str(int(result.elapsed_sec * 1e9))}
             ),
         }
+        if qid:
+            extra["X-ClickHouse-Query-Id"] = qid
         # CH HTTP supports compressed responses (enable_http_compression
         # semantics); honor gzip when the client advertises it.
         accept = self.headers.get("Accept-Encoding", "")

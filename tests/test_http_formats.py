@@ -375,3 +375,55 @@ def test_gzip_request_body(server_url):
         _q(server_url, "SELECT v FROM gz_ins FORMAT JSONEachRow")
     )
     assert json.loads(body) == {"v": "zipped"}
+
+
+def test_client_query_id_names_job_group_and_kill(server_url, spark):
+    import threading
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine  # noqa: F401
+
+    # Client-supplied query_id echoes back and is KILL-able.
+    status, body, headers = _get_raw(
+        _q(server_url, "SELECT 1 AS a", query_id="my-query-7")
+    )
+    assert status == 200
+    assert headers.get("X-ClickHouse-Query-Id") == "my-query-7"
+
+    res = {}
+
+    def victim():
+        try:
+            _get_raw(
+                _q(
+                    server_url,
+                    "SELECT count() AS c FROM numbers(500000000) a, "
+                    "numbers(10000) b",
+                    query_id="kill-me-1",
+                )
+            )
+            res["r"] = "finished"
+        except urllib.error.HTTPError as e:
+            res["r"] = e.read().decode()
+
+    th = threading.Thread(target=victim)
+    th.start()
+    time.sleep(2)
+    status, body, _ = _get_raw(
+        _q(server_url, "KILL QUERY WHERE query_id = 'kill-me-1'")
+    )
+    assert status == 200
+    th.join(60)
+    assert "cancelled" in res.get("r", "")
+
+
+def test_max_execution_time_over_http(server_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get_raw(
+            _q(
+                server_url,
+                "SELECT count() AS c FROM numbers(500000000) a, "
+                "numbers(10000) b SETTINGS max_execution_time=2",
+            )
+        )
+    assert "TIMEOUT_EXCEEDED" in err.value.read().decode()
