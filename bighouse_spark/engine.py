@@ -1821,6 +1821,22 @@ class BigHouseEngine:
                     timeout_s = float(str(raw_timeout).strip("'\" "))
                 except ValueError:
                     timeout_s = None
+            # SETTINGS max_result_rows (+ result_overflow_mode):
+            # enforced via limit(N+1) so an oversized result never
+            # reaches the driver — 'throw' (CH default) raises
+            # TOO_MANY_ROWS, 'break' truncates to N.
+            max_rows = None
+            raw_mr = result.dropped_settings.get("max_result_rows")
+            if raw_mr is not None:
+                try:
+                    max_rows = int(str(raw_mr).strip("'\" "))
+                except ValueError:
+                    max_rows = None
+            overflow_mode = str(
+                result.dropped_settings.get("result_overflow_mode", "throw")
+            ).strip("'\" ").lower()
+            if max_rows is not None and max_rows >= 0:
+                df = df.limit(max_rows + 1)
             timed_out = threading.Event()
             timer = None
             if timeout_s and timeout_s > 0:
@@ -1885,6 +1901,15 @@ class BigHouseEngine:
                     self.spark.sparkContext.setJobGroup("", "")
                 except Exception:
                     pass
+            if max_rows is not None and len(rows) > max_rows:
+                if overflow_mode == "break":
+                    rows = rows[:max_rows]
+                else:
+                    raise ValueError(
+                        f"result exceeds max_result_rows={max_rows} "
+                        "(TOO_MANY_ROWS); set "
+                        "result_overflow_mode='break' to truncate"
+                    )
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, transpiled, elapsed, len(rows))

@@ -1394,3 +1394,30 @@ class TestQueryLifecycleControl:
         )
         # Idle at refresh time: the snapshot is empty but queryable.
         assert out.cols == ["query_id", "query", "elapsed_sec"]
+
+
+class TestResultRowLimits:
+    """SETTINGS max_result_rows / result_overflow_mode — enforced via
+    limit(N+1) so oversized results never reach the driver."""
+
+    def test_throw_mode_default(self, engine):
+        with pytest.raises(ValueError, match="TOO_MANY_ROWS"):
+            engine.execute(
+                "SELECT number FROM numbers(100) "
+                "SETTINGS max_result_rows=10"
+            )
+
+    def test_break_mode_truncates(self, engine):
+        out = engine.execute(
+            "SELECT number FROM numbers(100) ORDER BY number "
+            "SETTINGS max_result_rows=10, result_overflow_mode='break'"
+        )
+        assert len(out.rows) == 10
+        assert out.rows[0] == [0]
+
+    def test_under_limit_untouched(self, engine):
+        out = engine.execute(
+            "SELECT number FROM numbers(5) "
+            "SETTINGS max_result_rows=10"
+        )
+        assert len(out.rows) == 5
