@@ -1540,12 +1540,12 @@ class BigHouseEngine:
             )
         if re.match(r"^\s*SHOW\s+PROCESSLIST\s*$", request.query,
                     re.IGNORECASE):
-            # CH lists in-flight queries; the Spark analog is the
-            # scheduler's live job/stage counters plus the session's
-            # query tally (system_profile).
+            # CH lists in-flight queries — exactly the job-group
+            # registry (killable query_ids + elapsed). The session's
+            # scheduler counters stay available as system_profile.
             self.refresh_system_views()
             request = QueryRequest(
-                query="SELECT * FROM system_profile",
+                query="SELECT * FROM system_processes",
                 init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
             )

@@ -1225,6 +1225,9 @@ def test_uptime_and_processlist(engine):
     out = engine.execute("SELECT uptime() AS u")
     assert out.rows[0][0] >= 0
     out = engine.execute("SHOW PROCESSLIST")
+    # CH semantics: the in-flight query list (killable ids).
+    assert out.cols == ["query_id", "query", "elapsed_sec"]
+    out = engine.execute("SELECT * FROM system_profile")
     assert "queries_executed" in out.cols
 
 
