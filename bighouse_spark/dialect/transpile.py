@@ -90,6 +90,7 @@ _FUNC_RENAMES = {
     "toHour": "hour",
     "toMinute": "minute",
     "toSecond": "second",
+    "toStartOfSecond": "date_trunc('second', ",  # special form
     "toStartOfDay": "date_trunc('day', ",  # special form: open paren
     "toStartOfHour": "date_trunc('hour', ",
     "toStartOfMinute": "date_trunc('minute', ",
@@ -1775,6 +1776,180 @@ _ARG_REWRITES.update({
     ),
 })
 
+
+def _l1(arr: str) -> str:
+    return (
+        f"aggregate({arr}, 0D, (__a, __x) -> __a + abs(CAST(__x AS DOUBLE)))"
+    )
+
+
+def _l2sq(x: str, y: str) -> str:
+    return (
+        f"aggregate(zip_with({x}, {y}, (__p, __q) -> "
+        f"pow(CAST(__p AS DOUBLE) - __q, 2)), 0D, "
+        f"(__a, __v) -> __a + __v)"
+    )
+
+
+# Round-5 probe tranche 4: the rest of the vector-norm family, bit
+# rotation/Hamming, map higher-order functions, calendar field
+# changes, and refusals for struct-arithmetic spellings (structs are
+# not iterable in Spark expressions — arrays are the supported form).
+_ARG_REWRITES.update({
+    "LinfNorm": lambda a: (
+        f"array_max(transform({a[0]}, __x -> abs(CAST(__x AS DOUBLE))))"
+    ),
+    "LinfDistance": lambda a: (
+        f"array_max(zip_with({a[0]}, {a[1]}, "
+        f"(__p, __q) -> abs(CAST(__p AS DOUBLE) - __q)))"
+    ),
+    "L2SquaredDistance": lambda a: _l2sq(a[0], a[1]),
+    "normalizeL1": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / {_l1(a[0])})"
+    ),
+    "normalizeL2": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"sqrt(aggregate({a[0]}, 0D, (__a, __y) -> "
+        f"__a + CAST(__y AS DOUBLE) * __y)))"
+    ),
+    # 64-bit rotation (CH rotates at the argument's width; Int64 is
+    # this dialect's integer carrier).
+    "bitRotateLeft": lambda a: (
+        f"(shiftleft(CAST({a[0]} AS BIGINT), {a[1]}) | "
+        f"shiftrightunsigned(CAST({a[0]} AS BIGINT), 64 - ({a[1]})))"
+    ),
+    "bitRotateRight": lambda a: (
+        f"(shiftrightunsigned(CAST({a[0]} AS BIGINT), {a[1]}) | "
+        f"shiftleft(CAST({a[0]} AS BIGINT), 64 - ({a[1]})))"
+    ),
+    "bitHammingDistance": lambda a: (
+        f"bit_count(({a[0]}) ^ ({a[1]}))"
+    ),
+    # Byte-set Jaccard over the two strings' characters.
+    "stringJaccardIndex": lambda a: (
+        f"(CAST(size(array_intersect(array_distinct(split({a[0]}, '')), "
+        f"array_distinct(split({a[1]}, '')))) AS DOUBLE) / "
+        f"size(array_union(array_distinct(split({a[0]}, '')), "
+        f"array_distinct(split({a[1]}, '')))))"
+    ),
+    "arrayRandomSample": lambda a: (
+        f"slice(shuffle({a[0]}), 1, {a[1]})"
+    ),
+    # Sparse position-indexed collect: positions carry their values,
+    # holes are NULL (CH fills the type default — deviation noted).
+    "groupArrayInsertAt": lambda a: (
+        f"transform(sequence(0, max({a[1]})), __i -> element_at("
+        f"map_from_entries(collect_list(struct(CAST({a[1]} AS INT), "
+        f"{a[0]}))), CAST(__i AS INT)))"
+    ),
+    "toDecimalString": lambda a: (
+        f"CAST(CAST({a[0]} AS DECIMAL(38, {a[1]})) AS STRING)"
+    ),
+    # Map higher-order family: CH is lambda-first, Spark map-first.
+    "mapFilter": lambda a: f"map_filter({a[1]}, {a[0]})",
+    "mapExists": lambda a: (
+        f"(cardinality(map_filter({a[1]}, {a[0]})) > 0)"
+    ),
+    "mapAll": lambda a: (
+        f"(cardinality(map_filter({a[1]}, {a[0]})) = "
+        f"cardinality({a[1]}))"
+    ),
+    "mapConcat": lambda a: f"map_concat({', '.join(a)})",
+    "mapUpdate": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]}, "
+        f"(__k, __v1, __v2) -> coalesce(__v2, __v1))"
+    ),
+    # Key-ordered rebuild (Spark maps are semantically unordered;
+    # array_sort on entries orders by key).
+    "mapSort": lambda a: (
+        f"map_from_entries(array_sort(map_entries({a[0]})))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "mapSort(lambda, m) custom orderings are cosmetic on "
+                "unordered Spark maps; sort map_entries() explicitly"
+            )
+        )
+    ),
+    # Calendar field changes; invalid results fail loudly (ANSI).
+    "changeYear": lambda a: (
+        f"make_date({a[1]}, month({a[0]}), day({a[0]}))"
+    ),
+    "changeMonth": lambda a: (
+        f"make_date(year({a[0]}), {a[1]}, day({a[0]}))"
+    ),
+    "changeDay": lambda a: (
+        f"make_date(year({a[0]}), month({a[0]}), {a[1]})"
+    ),
+    "toMillisecond": lambda a: (
+        f"CAST(date_format({a[0]}, 'SSS') AS INT)"
+    ),
+    "getSubcolumn": lambda a: {
+        "'size0'": lambda: f"size({a[0]})",
+        "'keys'": lambda: f"map_keys({a[0]})",
+        "'values'": lambda: f"map_values({a[0]})",
+        "'null'": lambda: f"({a[0]} IS NULL)",
+    }.get(
+        a[1].strip().lower(),
+        lambda: (_ for _ in ()).throw(
+            ValueError(
+                f"getSubcolumn: unsupported subcolumn {a[1]} "
+                "(size0/keys/values/null)"
+            )
+        ),
+    )(),
+    # -- refusals --
+    "byteSwap": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "byteSwap() is width-dependent on the CH integer type; "
+            "reverse bytes explicitly via conv()/hex() at a chosen "
+            "width"
+        )
+    ),
+    "mapApply": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "mapApply() joint key+value remap: use map_from_entries("
+            "transform(map_entries(m), e -> struct(<new key>, "
+            "<new value>)))"
+        )
+    ),
+    "mapPartialSort": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "map ordering is cosmetic on unordered Spark maps; sort "
+            "map_entries() explicitly"
+        )
+    ),
+    "tupleHammingDistance": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "tuple arithmetic needs per-field expansion; use arrays "
+            "(zip_with + filter) or compare fields explicitly"
+        )
+    ),
+    "arrayLevenshteinDistance": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "array edit distance needs dynamic programming; "
+            "editDistance() covers strings — join array elements "
+            "with a separator if element-level distance is needed"
+        )
+    ),
+    "kql": lambda a: (_ for _ in ()).throw(
+        ValueError("KQL dialect is not supported; use ClickHouse SQL")
+    ),
+    **{
+        name: (lambda nm: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{nm}() tuple arithmetic needs per-field expansion; "
+                "use arrays (arrayDotProduct, zip_with) instead"
+            )
+        ))(name)
+        for name in (
+            "tuplePlus", "tupleMinus", "tupleNegate",
+            "tupleMultiplyByNumber", "tupleDivideByNumber",
+            "tupleMultiply", "tupleDivide", "flattenTuple",
+        )
+    },
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -2495,6 +2670,12 @@ def _rewrite_parametric(sql: str) -> str:
             "machine; use the behavioral operators "
             "(sequenceMatch/windowFunnel) or a window over "
             "(user, ORDER BY ts) with lead()",
+        ),
+        (
+            "sumMapFiltered",
+            "sumMapFiltered() aggregates per map key; rewrite as "
+            "explode(m) -> WHERE key IN (...) -> GROUP BY key -> "
+            "map_from_entries(collect_list(...))",
         ),
     ):
         if _find_call(out, refuse_name) is not None:

@@ -2337,3 +2337,98 @@ class TestRound5ProbeTranche3:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM (SELECT 1 AS x)")
+
+
+class TestRound5ProbeTranche4:
+    """Ninth round-5 tranche: vector norms, bit rotation/Hamming,
+    map higher-order functions, calendar field changes."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_norms_and_distances(self, eng):
+        r = eng.execute(
+            "SELECT LinfNorm([1,-5,3]) AS a, "
+            "LinfDistance([1,2],[4,6]) AS b, "
+            "L2SquaredDistance([0,0],[3,4]) AS c, "
+            "normalizeL1([1,3]) AS d, normalizeL2([3,4]) AS e"
+        )
+        assert r.rows == [[
+            5.0, 4.0, 25.0, [0.25, 0.75], [0.6, 0.8]
+        ]]
+
+    def test_bit_rotation_and_hamming(self, eng):
+        r = eng.execute(
+            "SELECT bitRotateLeft(1, 2) AS a, "
+            "bitRotateRight(4, 2) AS b, "
+            "bitHammingDistance(111, 121) AS c"
+        )
+        # CH docs example: bitHammingDistance(111, 121) = 3.
+        assert r.rows == [[4, 1, 3]]
+
+    def test_string_jaccard_and_random_sample(self, eng):
+        r = eng.execute(
+            "SELECT round(stringJaccardIndex('abc', 'bcd'), 6) AS a, "
+            "size(arrayRandomSample([1,2,3,4], 2)) AS b"
+        )
+        assert r.rows == [[0.5, 2]]
+
+    def test_group_array_insert_at(self, eng):
+        r = eng.execute(
+            "SELECT groupArrayInsertAt(number * 10, number * 2) AS v "
+            "FROM numbers(3)"
+        )
+        # positions 0,2,4 carry values; odd holes are NULL.
+        assert r.rows == [[[0, None, 10, None, 20]]]
+
+    def test_map_higher_order(self, eng):
+        r = eng.execute(
+            "SELECT mapFilter((k, v) -> v > 5, map(1, 3, 2, 8)) AS a, "
+            "mapExists((k, v) -> v > 5, map(1, 3, 2, 8)) AS b, "
+            "mapAll((k, v) -> v > 5, map(1, 6, 2, 8)) AS c, "
+            "mapConcat(map(1, 'a'), map(2, 'b')) AS d, "
+            "mapUpdate(map(1, 'a', 2, 'x'), map(1, 'b')) AS e, "
+            "map_keys(mapSort(map(2, 'b', 1, 'a'))) AS f"
+        )
+        a, b, c, d, e, f = r.rows[0]
+        assert dict(a) == {2: 8} and b is True and c is True
+        assert dict(d) == {1: "a", 2: "b"}
+        assert dict(e) == {1: "b", 2: "x"}
+        assert f == [1, 2]
+
+    def test_calendar_field_changes(self, eng):
+        r = eng.execute(
+            "SELECT CAST(changeYear(toDate('2024-03-05'), 2020) "
+            "AS STRING) AS a, "
+            "CAST(changeMonth(toDate('2024-03-05'), 1) AS STRING) AS b, "
+            "CAST(changeDay(toDate('2024-03-05'), 28) AS STRING) AS c, "
+            "CAST(toStartOfSecond(toDateTime('2024-01-01 01:02:03')) "
+            "AS STRING) AS d, toDecimalString(3.14159, 2) AS e"
+        )
+        assert r.rows == [[
+            "2020-03-05", "2024-01-05", "2024-03-28",
+            "2024-01-01 01:02:03", "3.14",
+        ]]
+
+    def test_get_subcolumn(self, eng):
+        r = eng.execute(
+            "SELECT getSubcolumn([1,2,3], 'size0') AS a, "
+            "getSubcolumn(map(1, 'x'), 'keys') AS b"
+        )
+        assert r.rows == [[3, [1]]]
+
+    def test_tranche4_refusals(self, eng):
+        for expr, hint in [
+            ("tuplePlus((1,2),(3,4))", "arrays"),
+            ("flattenTuple((1,(2,3)))", "arrays"),
+            ("byteSwap(5)", "width"),
+            ("mapApply((k, v) -> (k, v), map(1, 2))", "map_entries"),
+            ("arrayLevenshteinDistance([1],[2])", "editDistance"),
+            ("sumMapFiltered([1])(map(1, 2))", "GROUP BY key"),
+            ("kql('x')", "ClickHouse SQL"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr}")
