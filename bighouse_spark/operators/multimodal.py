@@ -134,6 +134,34 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(run, schema=frame_schema)
 
 
+def resize_media(media: DataFrame, target_bytes: int = 4096) -> DataFrame:
+    """Image-resize plumbing: rewrite each payload to its resized
+    form, preserving the media schema and annotating ``meta``. The
+    codec is the documented STUB (deterministic byte truncation to
+    ``target_bytes`` — a real deployment decodes, resizes WxH, and
+    re-encodes here); the mapInPandas iterator shape, schema
+    round-trip, and meta update are the real deliverable. Streaming
+    Arrow batches keep one task from materializing its partition of
+    blobs at once — the property that matters when payloads are
+    megapixel images at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(
+                lambda b: None if b is None else bytes(b)[:target_bytes]
+            )
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {
+                    **(dict(m) if m is not None else {}),
+                    "resized_to": str(target_bytes),
+                }
+            )
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: wrap the fixtures' text documents
     as fake media blobs so the binary plumbing is exercised without

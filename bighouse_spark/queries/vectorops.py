@@ -206,6 +206,41 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# Image-resize plumbing over fake media blobs: payloads rewritten to
+# the (stub-)resized form through the schema-preserving mapInPandas
+# pass. The stub truncates to target_bytes, so byte counts and
+# payload hashes are closed-form over the ASCII fixture text
+# (chars == bytes) -> DuckDB-checkable.
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(least(length(text), 4096)) AS BIGINT) AS resized_bytes,
+       CAST(count(DISTINCT md5(left(text, 4096))) AS BIGINT)
+         AS n_unique_resized,
+       bool_and(resized_flag = '4096') AS all_annotated
+FROM (SELECT text, '4096' AS resized_flag FROM documents)
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    from bighouse_spark.operators.multimodal import resize_media
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    resized = resize_media(media, target_bytes=4096)
+    return resized.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias(
+            "resized_bytes"
+        ),
+        F.count_distinct(F.md5("payload")).cast("bigint").alias(
+            "n_unique_resized"
+        ),
+        F.bool_and(
+            F.element_at(F.col("meta"), "resized_to") == "4096"
+        ).alias("all_annotated"),
+    )
+
+
 # MinHash pairs -> connected components -> per-cluster sizes: the
 # full near-dup grouping flow (LSH candidates, exact verify, graph
 # clustering). The verified pair set equals the exact all-pairs
