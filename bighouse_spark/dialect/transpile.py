@@ -191,6 +191,7 @@ _ZERO_ARG = {
     "UTCTimestamp()": "to_utc_timestamp(now(), current_timezone())",
     # Stable for the engine-process lifetime, like CH's server UUID.
     "serverUUID()": f"'{_uuid.uuid4()}'",
+    "nothing()": "NULL",
     "currentProfiles()": "array('default')",
     "enabledProfiles()": "array('default')",
     "currentRoles()": "array('default')",
@@ -292,6 +293,17 @@ _WRAP_FUNCS = {
     "toFloat32OrNull": ("TRY_CAST(", " AS FLOAT)"),
     "toFloat64OrNull": ("TRY_CAST(", " AS DOUBLE)"),
     "toDateOrNull": ("TRY_CAST(", " AS DATE)"),
+    "toInt8OrZero": ("coalesce(TRY_CAST(", " AS TINYINT), 0)"),
+    "toInt16OrZero": ("coalesce(TRY_CAST(", " AS SMALLINT), 0)"),
+    "toUInt8OrZero": ("coalesce(TRY_CAST(", " AS SMALLINT), 0)"),
+    "toUInt16OrZero": ("coalesce(TRY_CAST(", " AS INT), 0)"),
+    "toDateTimeOrNull": ("TRY_CAST(", " AS TIMESTAMP)"),
+    "toDateTimeOrZero": (
+        "coalesce(TRY_CAST(", " AS TIMESTAMP), TIMESTAMP'1970-01-01')"
+    ),
+    "toDateOrZero": (
+        "coalesce(TRY_CAST(", " AS DATE), DATE'1970-01-01')"
+    ),
     "toInt32OrZero": ("coalesce(TRY_CAST(", " AS INT), 0)"),
     "toInt64OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
     "toUInt32OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
@@ -1950,6 +1962,217 @@ _ARG_REWRITES.update({
     },
 })
 
+def _spark_type_ddl(ch_type: str) -> str:
+    """CH type name → Spark DDL type string (via the schema parser)."""
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
+    return ch_type_to_spark(ch_type).simpleString()
+
+
+# Thread-local current query id, set by the engine around transpile
+# so queryID()/initialQueryID() fold to this query's killable id.
+_QUERY_ID_LOCAL = threading.local()
+
+
+def set_current_query_id(qid: str | None) -> None:
+    _QUERY_ID_LOCAL.qid = qid
+
+
+def _current_query_id() -> str:
+    return getattr(_QUERY_ID_LOCAL, "qid", None) or "unknown"
+
+
+# Round-5 probe tranche 5: conversion-suffix completion, JSON
+# introspection, array OrNull accessors, base64/idna codecs, Z-order
+# morton encoding, query-id introspection.
+_ARG_REWRITES.update({
+    # to<T>OrDefault(x, d) → coalesce(TRY_CAST, d), every cast base.
+    **{
+        f"{base}OrDefault": (lambda ty: lambda a: (
+            f"coalesce(TRY_CAST({a[0]} AS {ty}), {a[1]})"
+        ))(ty)
+        for base, ty in (
+            ("toInt8", "TINYINT"), ("toInt16", "SMALLINT"),
+            ("toInt32", "INT"), ("toInt64", "BIGINT"),
+            ("toUInt8", "SMALLINT"), ("toUInt16", "INT"),
+            ("toUInt32", "BIGINT"), ("toUInt64", "BIGINT"),
+            ("toFloat32", "FLOAT"), ("toFloat64", "DOUBLE"),
+            ("toDate", "DATE"), ("toDateTime", "TIMESTAMP"),
+            ("toString", "STRING"),
+        )
+    },
+    **{
+        f"toDecimal{bits}Or{suffix}": (
+            lambda prec, null: lambda a: (
+                f"TRY_CAST({a[0]} AS DECIMAL({prec}, {a[1]}))"
+                if null
+                else (
+                    f"coalesce(TRY_CAST({a[0]} AS "
+                    f"DECIMAL({prec}, {a[1]})), 0)"
+                )
+            )
+        )(prec, suffix == "Null")
+        for bits, prec in (("32", 9), ("64", 18), ("128", 38))
+        for suffix in ("Null", "Zero")
+    },
+    # accurateCast(x, 'T'): CH errors on lossy casts; ANSI CAST is
+    # exactly that contract. OrNull → TRY_CAST.
+    "accurateCast": lambda a: (
+        f"CAST({a[0]} AS {_spark_type_ddl(_unquote(a[1]))})"
+    ),
+    "accurateCastOrNull": lambda a: (
+        f"TRY_CAST({a[0]} AS {_spark_type_ddl(_unquote(a[1]))})"
+    ),
+    # -- JSON introspection --
+    "JSONArrayLength": lambda a: f"json_array_length({a[0]})",
+    "JSONExtractKeys": lambda a: f"json_object_keys({a[0]})",
+    "JSONType": lambda a: (
+        f"(CASE WHEN {a[0]} IS NULL THEN 'Null' "
+        f"WHEN trim({a[0]}) LIKE '{{%' THEN 'Object' "
+        f"WHEN trim({a[0]}) LIKE '[%' THEN 'Array' "
+        f"WHEN trim({a[0]}) LIKE '\"%' THEN 'String' "
+        f"WHEN trim({a[0]}) IN ('true', 'false') THEN 'Bool' "
+        f"WHEN trim({a[0]}) = 'null' THEN 'Null' "
+        f"WHEN trim({a[0]}) RLIKE '^-?[0-9]+$' THEN 'Int64' "
+        f"ELSE 'Double' END)"
+    ),
+    "JSONExtractKeysAndValues": lambda a: (
+        f"map_entries(from_json({a[0]}, 'map<string, "
+        + {
+            "'Int64'": "bigint", "'Int32'": "int",
+            "'Float64'": "double", "'Float32'": "float",
+            "'String'": "string", "'Bool'": "boolean",
+        }.get(a[1].strip() if len(a) > 1 else "'String'", "string")
+        + ">'))"
+    ),
+    # Raw array elements via per-index get_json_object (fragments for
+    # nested values; scalars come back unquoted — deviation noted).
+    "JSONExtractArrayRaw": lambda a: (
+        f"transform(sequence(0, "
+        f"CAST(json_array_length({a[0]}) AS INT) - 1), "
+        f"__i -> get_json_object({a[0]}, concat('$[', __i, ']')))"
+    ),
+    "JSON_VALUE": lambda a: f"get_json_object({a[0]}, {a[1]})",
+    "JSON_QUERY": lambda a: f"get_json_object({a[0]}, {a[1]})",
+    "JSON_EXISTS": lambda a: (
+        f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)"
+    ),
+    "isValidJSON": lambda a: (
+        f"(get_json_object({a[0]}, '$') IS NOT NULL)"
+    ),
+    # -- array accessors --
+    "arrayFirstOrNull": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+    ),
+    "arrayLastOrNull": lambda a: (
+        f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+    ),
+    "arrayElementOrNull": lambda a: (
+        f"try_element_at({a[0]}, {a[1]})"
+    ),
+    "countEqual": lambda a: (
+        f"size(filter({a[0]}, __e -> __e <=> {a[1]}))"
+    ),
+    # CH fills the element-type default; NULL is the honest fill when
+    # the type is unknown at rewrite time (documented deviation).
+    "emptyArrayToSingle": lambda a: (
+        f"(CASE WHEN size({a[0]}) = 0 "
+        f"THEN array(try_element_at({a[0]}, 1)) ELSE {a[0]} END)"
+    ),
+    "identity": lambda a: f"({a[0]})",
+    # Transpile-time literal detection (the engine constant-folds the
+    # same literals CH would).
+    "isConstant": lambda a: (
+        "1"
+        if re.fullmatch(
+            r"\s*(-?\d+(\.\d+)?|'[^']*'|true|false|null)\s*",
+            a[0], re.IGNORECASE,
+        )
+        else "0"
+    ),
+    # caseWithExpression(x, k1, v1, ..., else) → CASE x WHEN ... END
+    "caseWithExpression": lambda a: (
+        f"(CASE {a[0]} "
+        + " ".join(
+            f"WHEN {a[i]} THEN {a[i + 1]}"
+            for i in range(1, len(a) - 1, 2)
+        )
+        + f" ELSE {a[-1]} END)"
+    ),
+    # toString(datetime, tz): render in the given zone.
+    "toString": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) == 1
+        else (
+            f"date_format(from_utc_timestamp({a[0]}, {a[1]}), "
+            f"'yyyy-MM-dd HH:mm:ss')"
+        )
+    ),
+    # char(c1, c2, ...): string from code points (Spark char is
+    # single-argument).
+    "char": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) == 1
+        else f"concat({', '.join(f'char({x})' for x in a)})"
+    ),
+    # Guarded base64 decode: '' on malformed input (CH try semantics).
+    "tryBase64Decode": lambda a: (
+        f"(CASE WHEN length({a[0]}) % 4 = 0 AND {a[0]} RLIKE "
+        f"'^[A-Za-z0-9+/]*={{0,2}}$' "
+        f"THEN CAST(unbase64({a[0]}) AS STRING) ELSE '' END)"
+    ),
+    "base64UrlEncode": lambda a: (
+        f"translate(base64(encode({a[0]}, 'utf-8')), '+/', '-_')"
+    ),
+    "base64UrlDecode": lambda a: (
+        f"CAST(unbase64(translate({a[0]}, '-_', '+/')) AS STRING)"
+    ),
+    "idnaEncode": lambda a: f"bh_idna_encode({a[0]})",
+    "idnaDecode": lambda a: f"bh_idna_decode({a[0]})",
+    # 2-D morton (Z-order) interleave over 32 bits per coordinate.
+    "mortonEncode": lambda a: (
+        (
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(__acc, __i) -> __acc "
+            f"| shiftleft(shiftrightunsigned(CAST({a[0]} AS BIGINT), "
+            f"__i) & 1, 2 * __i) "
+            f"| shiftleft(shiftrightunsigned(CAST({a[1]} AS BIGINT), "
+            f"__i) & 1, 2 * __i + 1))"
+        )
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("mortonEncode supports the 2-argument form")
+        )
+    ),
+    "mortonDecode": lambda a: (
+        (
+            f"array(aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(__acc, __i) -> __acc | shiftleft("
+            f"shiftrightunsigned(CAST({a[1]} AS BIGINT), 2 * __i) & 1, "
+            f"__i)), "
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+            f"(__acc, __i) -> __acc | shiftleft("
+            f"shiftrightunsigned(CAST({a[1]} AS BIGINT), 2 * __i + 1) "
+            f"& 1, __i)))"
+        )
+        if len(a) == 2 and a[0].strip() == "2"
+        else (_ for _ in ()).throw(
+            ValueError("mortonDecode supports mortonDecode(2, code)")
+        )
+    ),
+    "queryID": lambda a: f"'{_current_query_id()}'",
+    "initialQueryID": lambda a: f"'{_current_query_id()}'",
+    "hilbertEncode": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "hilbertEncode() needs the Hilbert-curve state machine; "
+            "mortonEncode() is the supported space-filling key"
+        )
+    ),
+    "sqidEncode": lambda a: (_ for _ in ()).throw(
+        ValueError("sqids need the sqids alphabet library")
+    ),
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -2065,7 +2288,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma"
-        r"|nfc|nfd|nfkc|nfkd|geohash)",
+        r"|nfc|nfd|nfkc|nfkd|geohash|idna)",
         out,
     ):
         _ensure_misc_udfs(spark)

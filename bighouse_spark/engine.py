@@ -1794,19 +1794,29 @@ class BigHouseEngine:
                 views.extend(init_t.views)
                 if init_t.sql.strip():
                     self.spark.sql(init_t.sql)
-            result = transpile(request.query, self.spark)
-            views.extend(result.views)
-            transpiled = result.sql
-            df = self.spark.sql(result.sql)
-            cols = df.columns
             # Per-query job group (CH query_id analog): names every
             # Spark job this query submits so KILL QUERY / the
             # max_execution_time watchdog can cancel exactly this
             # query. SETTINGS max_execution_time=N (CH seconds) is
-            # enforced by a timer that cancels the group.
+            # enforced by a timer that cancels the group. Generated
+            # BEFORE transpile so queryID()/initialQueryID() fold to
+            # this id inside the query text.
             import uuid as _uuid_mod
 
+            from bighouse_spark.dialect.transpile import (
+                set_current_query_id,
+            )
+
             qid = request.query_id or f"bh-{_uuid_mod.uuid4().hex[:12]}"
+            set_current_query_id(qid)
+            try:
+                result = transpile(request.query, self.spark)
+            finally:
+                set_current_query_id(None)
+            views.extend(result.views)
+            transpiled = result.sql
+            df = self.spark.sql(result.sql)
+            cols = df.columns
             self.spark.sparkContext.setJobGroup(
                 qid, request.query[:200], interruptOnCancel=True
             )

@@ -226,6 +226,16 @@ def _make_normalizer(form):
     return norm
 
 
+@pandas_udf(_STRING)
+def bh_idna_encode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: x.encode("idna").decode("ascii")))
+
+
+@pandas_udf(_STRING)
+def bh_idna_decode(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(lambda x: bytes(x, "ascii").decode("idna")))
+
+
 bh_nfc = _make_normalizer("NFC")
 bh_nfd = _make_normalizer("NFD")
 bh_nfkc = _make_normalizer("NFKC")
@@ -334,4 +344,6 @@ ALL = {
     "bh_nfkd": bh_nfkd,
     "bh_geohash_encode": bh_geohash_encode,
     "bh_geohash_decode": bh_geohash_decode,
+    "bh_idna_encode": bh_idna_encode,
+    "bh_idna_decode": bh_idna_decode,
 }

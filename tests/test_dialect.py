@@ -2432,3 +2432,103 @@ class TestRound5ProbeTranche4:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr}")
+
+
+class TestRound5ProbeTranche5:
+    """Tenth round-5 tranche: conversion-suffix completion, JSON
+    introspection, array OrNull accessors, codecs, morton Z-order,
+    query-id introspection."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_conversion_suffixes(self, eng):
+        r = eng.execute(
+            "SELECT toUInt8OrZero('x') AS a, "
+            "toInt64OrDefault('12x', 7) AS b, "
+            "toInt64OrDefault('12', 7) AS c, "
+            "toDateTimeOrNull('bogus') AS d, "
+            "toDecimal64OrNull('x', 2) AS e, "
+            "CAST(toDecimal64OrZero('x', 2) AS STRING) AS f, "
+            "accurateCast(1, 'Int64') AS g, "
+            "accurateCastOrNull('x', 'UInt8') AS h"
+        )
+        assert r.rows == [[0, 7, 12, None, None, "0.00", 1, None]]
+
+    def test_json_introspection(self, eng):
+        r = eng.execute(
+            'SELECT JSONArrayLength(\'[1,2,3]\') AS a, '
+            'JSONType(\'{"a": 1}\') AS b, JSONType(\'[1]\') AS c, '
+            'JSONType(\'3\') AS d, '
+            'JSONExtractKeys(\'{"a":1,"b":2}\') AS e, '
+            'JSON_VALUE(\'{"a":1}\', \'$.a\') AS f, '
+            'JSON_EXISTS(\'{"a":1}\', \'$.b\') AS g, '
+            'isValidJSON(\'{"a":1}\') AS h, isValidJSON(\'no{\') AS i'
+        )
+        assert r.rows == [[
+            3, "Object", "Array", "Int64", ["a", "b"], "1", False,
+            True, False,
+        ]]
+        r = eng.execute(
+            'SELECT JSONExtractArrayRaw(\'[1,"a",{"b":2}]\') AS v'
+        )
+        assert r.rows[0][0][2] == '{"b":2}'
+
+    def test_array_ornull_accessors(self, eng):
+        r = eng.execute(
+            "SELECT arrayFirstOrNull(x -> x > 1, [1,2,3]) AS a, "
+            "arrayFirstOrNull(x -> x > 9, [1]) AS b, "
+            "arrayLastOrNull(x -> x > 1, [1,2,3]) AS c, "
+            "arrayElementOrNull([1,2], 5) AS d, "
+            "countEqual([1,2,1], 1) AS e"
+        )
+        assert r.rows == [[2, None, 3, None, 2]]
+
+    def test_misc_scalars(self, eng):
+        r = eng.execute(
+            "SELECT identity(5) AS a, nothing() AS b, "
+            "isConstant(3) AS c, "
+            "caseWithExpression(2, 1, 'a', 2, 'b', 'z') AS d, "
+            "char(72, 105) AS e"
+        )
+        assert r.rows == [[5, None, 1, "b", "Hi"]]
+
+    def test_codecs(self, eng):
+        r = eng.execute(
+            "SELECT tryBase64Decode('##') AS a, "
+            "tryBase64Decode('YWJj') AS b, "
+            "base64UrlDecode(base64UrlEncode('a+b/c')) AS c, "
+            "idnaEncode('münchen.de') AS d, "
+            "idnaDecode('xn--mnchen-3ya.de') AS e"
+        )
+        assert r.rows == [[
+            "", "abc", "a+b/c", "xn--mnchen-3ya.de", "münchen.de"
+        ]]
+
+    def test_morton_z_order(self, eng):
+        r = eng.execute(
+            "SELECT mortonEncode(3, 1) AS a, mortonDecode(2, 7) AS b"
+        )
+        assert r.rows == [[7, [3, 1]]]
+
+    def test_query_id_introspection(self, eng):
+        r = eng.execute("SELECT queryID() AS v")
+        assert r.rows[0][0].startswith("bh-")
+        # Client-supplied ids surface through queryID().
+        from bighouse_spark.engine import QueryRequest
+
+        r = eng.execute(
+            QueryRequest(query="SELECT queryID() AS v", query_id="q-42")
+        )
+        assert r.rows == [["q-42"]]
+
+    def test_tranche5_refusals(self, eng):
+        for expr, hint in [
+            ("hilbertEncode(1, 2)", "morton"),
+            ("sqidEncode(1, 2)", "sqids"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr}")
