@@ -406,52 +406,117 @@ def _rewrite_suffix_combinators(sql: str) -> str:
       the aggregate's return type; numeric 0 / empty array covers the
       types these bases produce).
     """
+    # Bases whose CH return-type default is numeric 0 — safe to
+    # coalesce. Value-carrying bases (min/max/any/arg*) default to the
+    # COLUMN type's zero value, which the rewriter cannot spell
+    # without type info — those refuse with the explicit coalesce.
+    numeric_default = {
+        "sum", "avg", "count", "uniq", "uniqExact", "uniqCombined",
+        "uniqCombined64", "uniqHLL12", "stddevPop", "stddevSamp",
+        "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+        "skewPop", "skewSamp", "kurtPop", "kurtSamp", "sumKahan",
+        "median", "medianExact", "quantile", "quantileExact",
+        "quantileTDigest",
+    }
+
+    def _parametric_span(s: str, end: int):
+        """(args_start, args_end_excl, args) of a following (...)
+        group, or None if the call is not parametric."""
+        pm = re.match(r"\s*\(", s[end:])
+        if not pm:
+            return None
+        j, depth, quote = end + pm.end(), 1, None
+        while j < len(s) and depth:
+            c = s[j]
+            if quote:
+                quote = None if c == quote else quote
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        return end + pm.end(), j, _split_args_top(s[end + pm.end():j - 1])
+
     out = sql
     for name in _IF_COMBINATOR_BASES + ("count",):
         base = {"any": "any_value", "anyLast": "any_value"}.get(name, name)
-        pos = 0
-        while True:
-            call = _find_call(out, name + "Distinct", pos)
-            if call is None:
-                break
-            start, end, args = call
-            if name.startswith("uniq"):
-                # Already distinct-valued; DISTINCT-of-DISTINCT is
-                # identity (and the uniqExact wrap emits its own
-                # DISTINCT keyword).
-                inner = f"{base}({', '.join(args)})"
-            else:
-                inner = f"{base}(DISTINCT {', '.join(args)})"
-            out = f"{out[:start]}{inner}{out[end:]}"
-            pos = start + 1
-        pos = 0
-        while True:
-            call = _find_call(out, name + "OrNull", pos)
-            if call is None:
-                break
-            start, end, args = call
-            if name == "count":
-                inner = f"nullif(count({', '.join(args) or '*'}), 0)"
-            else:
-                inner = f"{base}({', '.join(args)})"
-            out = f"{out[:start]}{inner}{out[end:]}"
-            pos = start + 1
-        pos = 0
-        while True:
-            call = _find_call(out, name + "OrDefault", pos)
-            if call is None:
-                break
-            start, end, args = call
-            dflt = (
-                "array()"
-                if name in ("groupArray", "groupUniqArray")
-                else "0"
-            )
-            out = (
-                f"{out[:start]}coalesce({base}({', '.join(args)}), "
-                f"{dflt}){out[end:]}"
-            )
-            pos = start + 1
+        for suffix in ("Distinct", "OrNull", "OrDefault"):
+            pos = 0
+            while True:
+                call = _find_call(out, name + suffix, pos)
+                if call is None:
+                    break
+                start, end, args = call
+                span = _parametric_span(out, end)
+                if span is not None:
+                    # fn(params)(args): the suffix applies to the
+                    # ARGUMENT list; params pass through to the
+                    # parametric machinery under the base name.
+                    _, j, real = span
+                    params = args
+                    if suffix == "Distinct":
+                        inner_args = (
+                            ", ".join(real)
+                            if name.startswith("uniq")
+                            else f"DISTINCT {', '.join(real)}"
+                        )
+                        repl = (
+                            f"{base}({', '.join(params)})({inner_args})"
+                        )
+                    elif suffix == "OrNull":
+                        repl = (
+                            f"{base}({', '.join(params)})"
+                            f"({', '.join(real)})"
+                        )
+                    else:  # OrDefault
+                        if name not in numeric_default:
+                            raise ValueError(
+                                f"{name}OrDefault: the default is the "
+                                "column type's zero value; spell it "
+                                f"as coalesce({name}(...), <default>)"
+                            )
+                        repl = (
+                            f"coalesce({base}({', '.join(params)})"
+                            f"({', '.join(real)}), 0)"
+                        )
+                    out = out[:start] + repl + out[j:]
+                    pos = start + 1
+                    continue
+                if suffix == "Distinct":
+                    if name.startswith("uniq"):
+                        # Already distinct-valued; DISTINCT-of-DISTINCT
+                        # is identity (the uniqExact wrap emits its own
+                        # DISTINCT keyword).
+                        inner = f"{base}({', '.join(args)})"
+                    else:
+                        inner = f"{base}(DISTINCT {', '.join(args)})"
+                elif suffix == "OrNull":
+                    if name == "count":
+                        inner = (
+                            f"nullif(count({', '.join(args) or '*'}), 0)"
+                        )
+                    else:
+                        inner = f"{base}({', '.join(args)})"
+                else:  # OrDefault
+                    if name in ("groupArray", "groupUniqArray"):
+                        inner = (
+                            f"coalesce({base}({', '.join(args)}), "
+                            f"array())"
+                        )
+                    elif name in numeric_default:
+                        inner = (
+                            f"coalesce({base}({', '.join(args)}), 0)"
+                        )
+                    else:
+                        raise ValueError(
+                            f"{name}OrDefault: the default is the "
+                            "column type's zero value; spell it as "
+                            f"coalesce({name}(...), <default>)"
+                        )
+                out = f"{out[:start]}{inner}{out[end:]}"
+                pos = start + 1
     return out
 
 
@@ -1061,11 +1126,13 @@ _ARG_REWRITES.update({
     "netloc": lambda a: f"parse_url({a[0]}, 'AUTHORITY')",
     # CH heuristic: the label left of the TLD, except one more label
     # left when the second-level is a common registrar label.
+    # try_element_at: a dotless host (localhost) has no -2/-3 labels
+    # and must yield NULL, not an ANSI INVALID_ARRAY_INDEX error.
     "firstSignificantSubdomain": lambda a: (
-        f"(CASE WHEN element_at(split(parse_url({a[0]}, 'HOST'), "
+        f"(CASE WHEN try_element_at(split(parse_url({a[0]}, 'HOST'), "
         f"'\\\\.'), -2) IN ('com', 'net', 'org', 'co', 'gov', 'edu', "
-        f"'mil', 'biz') THEN element_at(split(parse_url({a[0]}, "
-        f"'HOST'), '\\\\.'), -3) ELSE element_at(split(parse_url("
+        f"'mil', 'biz') THEN try_element_at(split(parse_url({a[0]}, "
+        f"'HOST'), '\\\\.'), -3) ELSE try_element_at(split(parse_url("
         f"{a[0]}, 'HOST'), '\\\\.'), -2) END)"
     ),
     # -- bitmap family over sorted distinct arrays --
@@ -1643,9 +1710,9 @@ _ARG_REWRITES.update({
     "timeSlots": lambda a: (
         lambda sz: (
             f"transform(sequence("
-            f"CAST(floor(unix_timestamp({a[0]}) / {sz}) AS BIGINT), "
-            f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / {sz}) "
-            f"AS BIGINT)), __i -> timestamp_seconds(__i * {sz}))"
+            f"CAST(floor(unix_timestamp({a[0]}) / ({sz})) AS BIGINT), "
+            f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / ({sz})) "
+            f"AS BIGINT)), __i -> timestamp_seconds(__i * ({sz})))"
         )
     )(a[2] if len(a) > 2 else 1800),
     "singleValueOrNull": lambda a: (
@@ -1718,9 +1785,13 @@ _ARG_REWRITES.update({
         + ")"
     ),
     # cut variant: hostname truncated to the significant-subdomain
-    # label plus everything right of it.
+    # label plus everything right of it. Short hosts (one or two
+    # labels) pass through unchanged instead of tripping ANSI
+    # negative-index errors.
     "cutToFirstSignificantSubdomain": lambda a: (
-        f"(CASE WHEN element_at(split(parse_url({a[0]}, 'HOST'), "
+        f"(CASE WHEN size(split(parse_url({a[0]}, 'HOST'), "
+        f"'\\\\.')) <= 2 THEN parse_url({a[0]}, 'HOST') "
+        f"WHEN try_element_at(split(parse_url({a[0]}, 'HOST'), "
         f"'\\\\.'), -2) IN ('com', 'net', 'org', 'co', 'gov', 'edu', "
         f"'mil', 'biz') THEN array_join(slice(split(parse_url({a[0]}, "
         f"'HOST'), '\\\\.'), -3, 3), '.') "
@@ -1849,10 +1920,15 @@ _ARG_REWRITES.update({
     ),
     # Sparse position-indexed collect: positions carry their values,
     # holes are NULL (CH fills the type default — deviation noted).
+    # Per-index filter over the collected pairs instead of
+    # map_from_entries, which throws DUPLICATED_MAP_KEY when two rows
+    # share a position (CH keeps one value; we keep the first
+    # collected).
     "groupArrayInsertAt": lambda a: (
-        f"transform(sequence(0, max({a[1]})), __i -> element_at("
-        f"map_from_entries(collect_list(struct(CAST({a[1]} AS INT), "
-        f"{a[0]}))), CAST(__i AS INT)))"
+        f"transform(sequence(0, max({a[1]})), __i -> "
+        f"try_element_at(filter(collect_list(named_struct("
+        f"'p', CAST({a[1]} AS INT), 'v', {a[0]})), "
+        f"__e -> __e.p = CAST(__i AS INT)), 1).v)"
     ),
     "toDecimalString": lambda a: (
         f"CAST(CAST({a[0]} AS DECIMAL(38, {a[1]})) AS STRING)"

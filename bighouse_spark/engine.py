@@ -1506,11 +1506,15 @@ class BigHouseEngine:
         )
         if m_kill:
             qid = m_kill.group(1)
+            # Check-and-mark under ONE lock hold: if the victim
+            # finishes between a separate check and mark, the _killed
+            # entry would outlive it and misclassify a later query
+            # reusing the id.
             with self._inflight_lock:
                 known = qid in self._inflight
-            if known:
-                with self._inflight_lock:
+                if known:
                     self._killed.add(qid)
+            if known:
                 # Sticky cancel (Spark 4): also cancels jobs the
                 # victim submits AFTER this call — plain
                 # cancelJobGroup is a no-op if the kill lands while
@@ -1817,11 +1821,6 @@ class BigHouseEngine:
             transpiled = result.sql
             df = self.spark.sql(result.sql)
             cols = df.columns
-            self.spark.sparkContext.setJobGroup(
-                qid, request.query[:200], interruptOnCancel=True
-            )
-            with self._inflight_lock:
-                self._inflight[qid] = (request.query, time.monotonic())
             timeout_s = None
             raw_timeout = result.dropped_settings.get(
                 "max_execution_time"
@@ -1834,7 +1833,8 @@ class BigHouseEngine:
             # SETTINGS max_result_rows (+ result_overflow_mode):
             # enforced via limit(N+1) so an oversized result never
             # reaches the driver — 'throw' (CH default) raises
-            # TOO_MANY_ROWS, 'break' truncates to N.
+            # TOO_MANY_ROWS, 'break' truncates to N. CH semantics:
+            # 0 means unlimited.
             max_rows = None
             raw_mr = result.dropped_settings.get("max_result_rows")
             if raw_mr is not None:
@@ -1842,24 +1842,13 @@ class BigHouseEngine:
                     max_rows = int(str(raw_mr).strip("'\" "))
                 except ValueError:
                     max_rows = None
+                if max_rows is not None and max_rows <= 0:
+                    max_rows = None
             overflow_mode = str(
                 result.dropped_settings.get("result_overflow_mode", "throw")
             ).strip("'\" ").lower()
-            if max_rows is not None and max_rows >= 0:
+            if max_rows is not None:
                 df = df.limit(max_rows + 1)
-            timed_out = threading.Event()
-            timer = None
-            if timeout_s and timeout_s > 0:
-                def _cancel() -> None:
-                    timed_out.set()
-                    try:
-                        self.spark.sparkContext.cancelJobGroup(qid)
-                    except Exception:
-                        pass
-
-                timer = threading.Timer(timeout_s, _cancel)
-                timer.daemon = True
-                timer.start()
             from bighouse_spark.formats import ch_type_names
 
             types = ch_type_names(df.schema)
@@ -1883,8 +1872,53 @@ class BigHouseEngine:
                         for f in df.schema.fields
                     ]
                 )
+            # Register in-flight LAST, immediately before the only
+            # job-submitting action, inside one try/finally — an
+            # analysis error above must not leak a ghost entry that
+            # SHOW PROCESSLIST lists forever. Duplicate client ids
+            # are rejected like CH (QUERY_WITH_SAME_ID...).
+            with self._inflight_lock:
+                if qid in self._inflight:
+                    raise ValueError(
+                        f"query_id {qid!r} is already running "
+                        "(QUERY_WITH_SAME_ID_IS_ALREADY_RUNNING)"
+                    )
+                self._inflight[qid] = (request.query, time.monotonic())
+            timed_out = threading.Event()
+            timer = None
             try:
+                self.spark.sparkContext.setJobGroup(
+                    qid, request.query[:200], interruptOnCancel=True
+                )
+                if timeout_s and timeout_s > 0:
+                    def _cancel() -> None:
+                        timed_out.set()
+                        sc = self.spark.sparkContext
+                        try:
+                            # Sticky (Spark 4): also cancels jobs the
+                            # query submits after the timer fires —
+                            # plain cancelJobGroup no-ops between
+                            # jobs (e.g. mid-AQE replanning).
+                            sc.cancelJobGroupAndFutureJobs(qid)
+                        except Exception:
+                            try:
+                                sc.cancelJobGroup(qid)
+                            except Exception:
+                                pass
+
+                    timer = threading.Timer(timeout_s, _cancel)
+                    timer.daemon = True
+                    timer.start()
                 rows = [list(r) for r in df.collect()]
+                if timed_out.is_set():
+                    # The cancel raced a completing job: the deadline
+                    # is still exceeded — CH errors here too.
+                    raise TimeoutError(
+                        f"query {qid} exceeded max_execution_time="
+                        f"{timeout_s:g}s (TIMEOUT_EXCEEDED)"
+                    )
+            except TimeoutError:
+                raise
             except Exception as collect_err:
                 if timed_out.is_set():
                     raise TimeoutError(

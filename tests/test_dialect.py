@@ -2224,10 +2224,29 @@ class TestRound5ProbeTranche3:
 
     def test_suffix_combinators(self, eng):
         r = eng.execute(
-            "SELECT sumOrNull(number) AS a, maxOrDefault(number) AS b, "
+            "SELECT sumOrNull(number) AS a, sumOrDefault(number) AS b, "
             "countOrNull(number) AS c FROM numbers(10) WHERE number > 100"
         )
         assert r.rows == [[None, 0, None]]
+        # Value-carrying bases can't spell the column type's zero
+        # value — they refuse with the explicit coalesce rewrite.
+        with pytest.raises(ValueError, match="coalesce"):
+            eng.execute(
+                "SELECT maxOrDefault(number) AS v FROM numbers(1)"
+            )
+        # Parametric forms: suffix applies to the ARGUMENT list.
+        r = eng.execute(
+            "SELECT quantileExactDistinct(0.5)(x) AS q, "
+            "quantileOrDefault(0.5)(x) AS d "
+            "FROM (SELECT number % 3 AS x FROM numbers(10) "
+            "WHERE number > 100)"
+        )
+        assert r.rows == [[None, 0]]
+        r = eng.execute(
+            "SELECT quantileExactDistinct(0.5)(x) AS q "
+            "FROM (SELECT number % 3 AS x FROM numbers(10))"
+        )
+        assert r.rows == [[1]]
         r = eng.execute(
             "SELECT sumDistinct(x) AS a, avgDistinct(x) AS b, "
             "uniqExactDistinct(x) AS c "
@@ -2532,3 +2551,91 @@ class TestRound5ProbeTranche5:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr}")
+
+
+class TestSessionReviewRegressions:
+    """Regressions for the round-5 session self-review findings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_subdomain_functions_safe_on_short_hosts(self, eng):
+        r = eng.execute(
+            "SELECT firstSignificantSubdomain('http://localhost/x') AS a, "
+            "cutToFirstSignificantSubdomain('http://localhost/x') AS b, "
+            "cutToFirstSignificantSubdomain('https://ab.cd/x') AS c"
+        )
+        assert r.rows == [[None, "localhost", "ab.cd"]]
+
+    def test_group_array_insert_at_duplicate_positions(self, eng):
+        # Two rows share position 0 — must keep one, not throw
+        # DUPLICATED_MAP_KEY.
+        r = eng.execute(
+            "SELECT groupArrayInsertAt(number, number % 2) AS v "
+            "FROM numbers(4)"
+        )
+        row = r.rows[0][0]
+        assert len(row) == 2
+        assert row[0] in (0, 2) and row[1] in (1, 3)
+
+    def test_time_slots_expression_size_arg(self, eng):
+        a = eng.execute(
+            "SELECT timeSlots(toDateTime('2024-01-01 00:05:00'), "
+            "600, 300 + 300) AS v"
+        ).rows[0][0]
+        b = eng.execute(
+            "SELECT timeSlots(toDateTime('2024-01-01 00:05:00'), "
+            "600, 600) AS v"
+        ).rows[0][0]
+        assert a == b
+
+    def test_max_result_rows_zero_is_unlimited(self, eng):
+        out = eng.execute(
+            "SELECT number FROM numbers(10) SETTINGS max_result_rows=0"
+        )
+        assert len(out.rows) == 10
+
+    def test_duplicate_query_id_rejected(self, eng, spark):
+        import threading
+        import time
+
+        from bighouse_spark.engine import QueryRequest
+
+        res = {}
+
+        def victim():
+            try:
+                eng.execute(QueryRequest(
+                    query="SELECT count() AS c FROM numbers(200000000) "
+                          "a, numbers(1000) b",
+                    query_id="dup-1",
+                ))
+                res["r"] = "finished"
+            except Exception as e:
+                res["r"] = f"{type(e).__name__}"
+
+        th = threading.Thread(target=victim)
+        th.start()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with eng._inflight_lock:
+                if "dup-1" in eng._inflight:
+                    break
+            time.sleep(0.05)
+        with pytest.raises(ValueError, match="ALREADY_RUNNING"):
+            eng.execute(QueryRequest(
+                query="SELECT 1 AS x", query_id="dup-1"
+            ))
+        eng.execute("KILL QUERY WHERE query_id = 'dup-1'")
+        th.join(60)
+
+    def test_no_inflight_leak_on_analysis_error(self, eng):
+        # A query that fails AFTER transpile but BEFORE collect (bad
+        # column) must not leave a ghost in-flight entry.
+        with pytest.raises(Exception):
+            eng.execute("SELECT no_such_column FROM numbers(3)")
+        with eng._inflight_lock:
+            assert not eng._inflight
