@@ -143,3 +143,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         spark.readStream.schema(schema).parquet(bdir),
     )
     assert stream == batch
+
+
+def test_streaming_corpus_quality_filter_matches_batch(spark, tmp_path):
+    """Corpus quality filtering is stream-safe: the Gopher/C4-style
+    per-document column expressions are stateless projections, so the
+    identical code path runs over readStream and emits exactly the
+    batch result — the shape of a continuously-ingesting training-data
+    pipeline (filter on arrival, no re-scans)."""
+    from pyspark.sql import functions as F
+
+    from bighouse_spark.functions.text import tokens
+
+    d = str(tmp_path / "docs_stream")
+    load_table(spark, SF_SMOKE, "documents").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def quality_filter(df):
+        toks = tokens("text")
+        n = F.size(toks)
+        mean_len = F.aggregate(
+            toks, F.lit(0), lambda a, x: a + F.length(x)
+        ) / n.cast("double")
+        return (
+            df.select("doc_id", n.alias("n_words"),
+                      F.round(mean_len, 6).alias("mean_word_len"))
+            .where((F.col("n_words") >= 10) & mean_len.between(2, 12))
+        )
+
+    batch = quality_filter(spark.read.parquet(d)).collect()
+    q = (
+        quality_filter(spark.readStream.schema(schema).parquet(d))
+        .writeStream.format("memory")
+        .queryName("corpus_qf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM corpus_qf").collect()
+    assert len(got) > 0
+    assert sorted((r.doc_id, r.n_words, r.mean_word_len) for r in got) \
+        == sorted((r.doc_id, r.n_words, r.mean_word_len) for r in batch)
