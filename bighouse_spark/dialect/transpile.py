@@ -192,6 +192,7 @@ _ZERO_ARG = {
     # Stable for the engine-process lifetime, like CH's server UUID.
     "serverUUID()": f"'{_uuid.uuid4()}'",
     "nothing()": "NULL",
+    "nowInBlock()": "now()",
     "currentProfiles()": "array('default')",
     "enabledProfiles()": "array('default')",
     "currentRoles()": "array('default')",
@@ -2247,6 +2248,172 @@ _ARG_REWRITES.update({
     "sqidEncode": lambda a: (_ for _ in ()).throw(
         ValueError("sqids need the sqids alphabet library")
     ),
+})
+
+
+def _char_ngrams(s: str, n: int = 4) -> str:
+    """Distinct character n-grams of a string expression."""
+    return (
+        f"array_distinct(transform(sequence(1, "
+        f"greatest(length({s}) - {n - 1}, 1)), "
+        f"__i -> substring({s}, __i, {n})))"
+    )
+
+
+def _regex_group_count(pattern_lit: str) -> int:
+    """Capture-group count of a LITERAL regex (unescaped '(' not
+    followed by '?')."""
+    pat = _unquote(pattern_lit)
+    n, i = 0, 0
+    while i < len(pat):
+        if pat[i] == "\\":
+            i += 2
+            continue
+        if pat[i] == "(" and not pat[i + 1:i + 2] == "?":
+            n += 1
+        i += 1
+    if n == 0:
+        raise ValueError(
+            "extract*Groups: pattern has no capture groups"
+        )
+    return n
+
+
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+# Round-5 probe tranche 6: epoch-precision conversions, snowflake
+# ids, n-gram fuzzy match, token search, regex group extraction,
+# Joda-syntax date formatting.
+_ARG_REWRITES.update({
+    "fromUnixTimestamp64Milli": lambda a: f"timestamp_millis({a[0]})",
+    "fromUnixTimestamp64Micro": lambda a: f"timestamp_micros({a[0]})",
+    "fromUnixTimestamp64Nano": lambda a: (
+        f"timestamp_micros(CAST(({a[0]}) DIV 1000 AS BIGINT))"
+    ),
+    "fromUnixTimestamp64Second": lambda a: f"timestamp_seconds({a[0]})",
+    "toUnixTimestamp64Milli": lambda a: f"unix_millis({a[0]})",
+    "toUnixTimestamp64Micro": lambda a: f"unix_micros({a[0]})",
+    "toUnixTimestamp64Nano": lambda a: f"(unix_micros({a[0]}) * 1000)",
+    "toUnixTimestamp64Second": lambda a: f"unix_seconds({a[0]})",
+    # Twitter snowflake epoch 2010-11-04T01:42:54.657Z.
+    "snowflakeToDateTime": lambda a: (
+        f"timestamp_millis(shiftrightunsigned(CAST({a[0]} AS BIGINT), "
+        f"22) + 1288834974657)"
+    ),
+    "snowflakeToDateTime64": lambda a: (
+        f"timestamp_millis(shiftrightunsigned(CAST({a[0]} AS BIGINT), "
+        f"22) + 1288834974657)"
+    ),
+    "snowflakeIDToDateTime": lambda a: (
+        f"timestamp_millis(shiftrightunsigned(CAST({a[0]} AS BIGINT), "
+        f"22) + 1288834974657)"
+    ),
+    "dateTimeToSnowflake": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+    ),
+    "dateTime64ToSnowflake": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+    ),
+    # 4-gram set distance/search (CH uses multisets; the distinct-set
+    # form keeps the [0,1] contract and ordering — documented
+    # deviation).
+    "ngramDistance": lambda a: (
+        f"(1.0 - 2.0 * size(array_intersect({_char_ngrams(a[0])}, "
+        f"{_char_ngrams(a[1])})) / (size({_char_ngrams(a[0])}) "
+        f"+ size({_char_ngrams(a[1])})))"
+    ),
+    "ngramSearch": lambda a: (
+        f"(CAST(size(filter({_char_ngrams(a[1])}, "
+        f"__g -> contains({a[0]}, __g))) AS DOUBLE) "
+        f"/ size({_char_ngrams(a[1])}))"
+    ),
+    "hasToken": lambda a: (
+        f"array_contains(split({a[0]}, '[^A-Za-z0-9_]+'), {a[1]})"
+    ),
+    "hasTokenCaseInsensitive": lambda a: (
+        f"array_contains(split(lower({a[0]}), '[^a-z0-9_]+'), "
+        f"lower({a[1]}))"
+    ),
+    # Literal-pattern group extraction (group count read from the
+    # pattern text).
+    "extractGroups": lambda a: (
+        "array("
+        + ", ".join(
+            f"regexp_extract({a[0]}, {a[1]}, {g})"
+            for g in range(1, _regex_group_count(a[1]) + 1)
+        )
+        + ")"
+    ),
+    "extractAllGroups": lambda a: (
+        "array("
+        + ", ".join(
+            f"regexp_extract_all({a[0]}, {a[1]}, {g})"
+            for g in range(1, _regex_group_count(a[1]) + 1)
+        )
+        + ")"
+    ),
+    "extractAllGroupsHorizontal": lambda a: (
+        "array("
+        + ", ".join(
+            f"regexp_extract_all({a[0]}, {a[1]}, {g})"
+            for g in range(1, _regex_group_count(a[1]) + 1)
+        )
+        + ")"
+    ),
+    "extractAllGroupsVertical": lambda a: (
+        f"transform(sequence(1, size(regexp_extract_all({a[0]}, "
+        f"{a[1]}, 0))), __m -> array("
+        + ", ".join(
+            f"element_at(regexp_extract_all({a[0]}, {a[1]}, {g}), __m)"
+            for g in range(1, _regex_group_count(a[1]) + 1)
+        )
+        + "))"
+    ),
+    "toLowCardinality": lambda a: f"({a[0]})",
+    "formatDateTimeInJodaSyntax": lambda a: (
+        f"date_format({a[0]}, {a[1]})"
+    ),
+    "parseDateTimeInJodaSyntax": lambda a: (
+        f"to_timestamp({a[0]}, {a[1]})"
+    ),
+    "parseDateTimeInJodaSyntaxOrNull": lambda a: (
+        f"try_to_timestamp({a[0]}, {a[1]})"
+    ),
+    "fromUnixTimestampInJodaSyntax": lambda a: (
+        f"date_format(timestamp_seconds({a[0]}), {a[1]})"
+    ),
+    "arrayJoin": lambda a: f"explode({a[0]})",
+    "indexHint": lambda a: "1",
+    # ULID: first 10 Crockford-base32 chars are the ms timestamp.
+    "ULIDStringToDateTime": lambda a: (
+        f"timestamp_millis(aggregate(split(substring({a[0]}, 1, 10), "
+        f"''), CAST(0 AS BIGINT), (__acc, __c) -> __acc * 32 + "
+        f"instr('{_CROCKFORD}', upper(__c)) - 1))"
+    ),
+    "notILike": lambda a: f"(NOT ({a[0]} ILIKE {a[1]}))",
+    "startsWithUTF8": lambda a: f"startswith({a[0]}, {a[1]})",
+    "endsWithUTF8": lambda a: f"endswith({a[0]}, {a[1]})",
+    "transactionID": lambda a: (_ for _ in ()).throw(
+        ValueError("transactions are not supported by this engine")
+    ),
+    "generateULID": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "generateULID() is not supported; uuid() provides unique "
+            "ids, ULIDStringToDateTime() decodes existing ULIDs"
+        )
+    ),
+    **{
+        name: (lambda nm: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{nm}() per-value sketch tuples are served by the "
+                "dedup operator library (operators/dedup.py)"
+            )
+        ))(name)
+        for name in (
+            "ngramMinHash", "ngramSimHash", "wordShingleSimHash",
+            "ngramMinHashCaseInsensitive", "wordShingleMinHashArg",
+        )
+    },
 })
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a

@@ -2639,3 +2639,99 @@ class TestSessionReviewRegressions:
             eng.execute("SELECT no_such_column FROM numbers(3)")
         with eng._inflight_lock:
             assert not eng._inflight
+
+
+class TestRound5ProbeTranche6:
+    """Eleventh round-5 tranche: epoch-precision conversions,
+    snowflake ids, n-gram fuzzy match, token search, regex group
+    extraction, Joda-syntax dates."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_epoch_precision_roundtrips(self, eng):
+        r = eng.execute(
+            "SELECT toUnixTimestamp64Milli("
+            "fromUnixTimestamp64Milli(1704067200123)) AS a, "
+            "toUnixTimestamp64Micro("
+            "fromUnixTimestamp64Micro(1704067200123456)) AS b, "
+            "toUnixTimestamp64Nano("
+            "fromUnixTimestamp64Nano(1704067200123456000)) AS c"
+        )
+        assert r.rows == [[
+            1704067200123, 1704067200123456, 1704067200123456000
+        ]]
+
+    def test_snowflake_roundtrip(self, eng):
+        r = eng.execute(
+            "SELECT snowflakeToDateTime(dateTimeToSnowflake("
+            "toDateTime('2021-08-15 18:57:56'))) = "
+            "toDateTime('2021-08-15 18:57:56') AS v"
+        )
+        assert r.rows == [[True]]
+
+    def test_ngram_fuzzy_match(self, eng):
+        r = eng.execute(
+            "SELECT round(ngramDistance('clickhouse', 'clickhouse'), 6) "
+            "AS a, ngramDistance('abc', 'xyz') AS b, "
+            "ngramSearch('clickhouse', 'house') AS c"
+        )
+        assert r.rows == [[0.0, 1.0, 1.0]]
+
+    def test_token_search(self, eng):
+        r = eng.execute(
+            "SELECT hasToken('hello world test', 'world') AS a, "
+            "hasToken('helloworld', 'world') AS b, "
+            "hasTokenCaseInsensitive('Hello World', 'world') AS c"
+        )
+        assert r.rows == [[True, False, True]]
+
+    def test_regex_group_extraction(self, eng):
+        r = eng.execute(
+            "SELECT extractGroups('a1b2', '([a-z])([0-9])') AS a, "
+            "extractAllGroups('a1b2', '([a-z])([0-9])') AS b, "
+            "extractAllGroupsVertical('a1b2', '([a-z])([0-9])') AS c"
+        )
+        assert r.rows == [[
+            ["a", "1"], [["a", "b"], ["1", "2"]],
+            [["a", "1"], ["b", "2"]],
+        ]]
+
+    def test_joda_syntax_dates(self, eng):
+        r = eng.execute(
+            "SELECT formatDateTimeInJodaSyntax("
+            "toDateTime('2024-01-01 02:03:04'), "
+            "'yyyy-MM-dd HH:mm:ss') AS a, "
+            "fromUnixTimestampInJodaSyntax(1704067200, 'yyyy-MM-dd') AS b"
+        )
+        assert r.rows == [["2024-01-01 02:03:04", "2024-01-01"]]
+
+    def test_misc_tranche6(self, eng):
+        r = eng.execute(
+            "SELECT toLowCardinality('x') AS a, indexHint(1) AS b, "
+            "notILike('abc', 'AB%') AS c, "
+            "startsWithUTF8('hello', 'he') AS d, "
+            "arrayJoin([10, 20]) AS e ORDER BY e"
+        )
+        assert [row[4] for row in r.rows] == [10, 20]
+        assert r.rows[0][:4] == ["x", 1, False, True]
+
+    def test_ulid_timestamp_decodes(self, eng):
+        r = eng.execute(
+            "SELECT year(ULIDStringToDateTime("
+            "'01GNB2S2FGN2P93QPXDNB4EN2R')) AS v"
+        )
+        assert r.rows == [[2022]]
+
+    def test_tranche6_refusals(self, eng):
+        for expr, hint in [
+            ("transactionID()", "transactions"),
+            ("generateULID()", "uuid"),
+            ("ngramMinHash('x')", "dedup"),
+            ("wordShingleSimHash('x')", "dedup"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr}")
