@@ -2416,6 +2416,136 @@ _ARG_REWRITES.update({
     },
 })
 
+
+def _xml_encode(s: str) -> str:
+    out = f"replace({s}, '&', '&amp;')"
+    for ch, ent in (("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+                    ("''", "&apos;")):
+        out = f"replace({out}, '{ch}', '{ent}')"
+    return out
+
+
+def _xml_decode(s: str) -> str:
+    out = s
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return out
+
+
+# Round-5 probe tranche 7: string/URL/HTML helpers — the URL
+# hierarchy, XML/HTML entity codecs, and tag-stripping text
+# extraction every web-corpus pipeline leans on.
+_ARG_REWRITES.update({
+    "arrayWithConstant": lambda a: f"array_repeat({a[1]}, {a[0]})",
+    "bitmaskToArray": lambda a: (
+        f"filter(transform(sequence(0, 62), __i -> "
+        f"shiftleft(CAST(1 AS BIGINT), __i)), "
+        f"__p -> (CAST({a[0]} AS BIGINT) & __p) != 0)"
+    ),
+    "bitmaskToList": lambda a: (
+        f"array_join(transform(filter(transform(sequence(0, 62), "
+        f"__i -> shiftleft(CAST(1 AS BIGINT), __i)), "
+        f"__p -> (CAST({a[0]} AS BIGINT) & __p) != 0), "
+        f"__v -> CAST(__v AS STRING)), ',')"
+    ),
+    "visibleWidth": lambda a: f"length(CAST({a[0]} AS STRING))",
+    "dumpColumnStructure": lambda a: f"typeof({a[0]})",
+    # Same-hash-for-literal-variants contract: hash the
+    # literal-normalized text.
+    "normalizedQueryHash": lambda a: (
+        f"CAST(xxhash64(regexp_replace(regexp_replace({a[0]}, "
+        f"\"'[^']*'\", '?'), '\\\\b[0-9]+\\\\b', '?')) "
+        f"AS DECIMAL(38, 0))"
+    ),
+    # First-occurrence literal replace via locate/splice.
+    "replaceOne": lambda a: (
+        f"(CASE WHEN locate({a[1]}, {a[0]}) > 0 THEN "
+        f"concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
+        f"{a[2]}, substring({a[0]}, "
+        f"locate({a[1]}, {a[0]}) + length({a[1]}))) "
+        f"ELSE {a[0]} END)"
+    ),
+    # First-only regex replace: anchor a lazy prefix group and keep
+    # it. Literal replacement only (backrefs would collide with the
+    # injected $1).
+    "replaceRegexpOne": lambda a: (
+        (
+            f"regexp_replace({a[0]}, "
+            f"concat('^((?s).*?)(?:', {a[1]}, ')'), "
+            f"concat('$1', {a[2]}))"
+        )
+        if "$" not in a[2] and "\\" not in a[2]
+        else (_ for _ in ()).throw(
+            ValueError(
+                "replaceRegexpOne: backreference replacements need "
+                "regexp_replace with an explicit first-match anchor"
+            )
+        )
+    ),
+    "appendTrailingCharIfAbsent": lambda a: (
+        f"(CASE WHEN endswith({a[0]}, {a[1]}) THEN {a[0]} "
+        f"ELSE concat({a[0]}, {a[1]}) END)"
+    ),
+    # Spark strings are Unicode; byte-charset conversion happens at
+    # I/O boundaries — in-engine conversion is identity.
+    "convertCharset": lambda a: f"({a[0]})",
+    "firstLine": lambda a: f"element_at(split({a[0]}, '\\n'), 1)",
+    "basename": lambda a: f"element_at(split({a[0]}, '[/\\\\\\\\]'), -1)",
+    "queryStringAndFragment": lambda a: (
+        f"concat(coalesce(parse_url({a[0]}, 'QUERY'), ''), "
+        f"CASE WHEN parse_url({a[0]}, 'REF') IS NOT NULL "
+        f"THEN concat('#', parse_url({a[0]}, 'REF')) ELSE '' END)"
+    ),
+    "cutQueryStringAndFragment": lambda a: (
+        f"regexp_replace({a[0]}, '[?#].*$', '')"
+    ),
+    "cutWWW": lambda a: f"regexp_replace({a[0]}, '//www\\\\.', '//')",
+    # CH decodeURLComponent does NOT treat '+' as space (the Form
+    # variants do); Spark's url_decode is form-decoding, so shield
+    # the plus signs.
+    "decodeURLComponent": lambda a: (
+        f"url_decode(replace({a[0]}, '+', '%2B'))"
+    ),
+    "decodeURLFormComponent": lambda a: f"url_decode({a[0]})",
+    "encodeURLComponent": lambda a: (
+        f"replace(url_encode({a[0]}), '+', '%20')"
+    ),
+    "encodeURLFormComponent": lambda a: f"url_encode({a[0]})",
+    # Progressive path prefixes. CH also cuts at ? and #; the
+    # path-segment form covers the hierarchy use (facet drill-down).
+    "URLHierarchy": lambda a: (
+        f"transform(sequence(1, size(filter(split("
+        f"parse_url({a[0]}, 'PATH'), '/'), __s -> __s != ''))), "
+        f"__i -> concat(regexp_replace({a[0]}, '(//[^/]+).*$', '$1'), "
+        f"'/', array_join(slice(filter(split(parse_url({a[0]}, "
+        f"'PATH'), '/'), __s -> __s != ''), 1, __i), '/')))"
+    ),
+    "URLPathHierarchy": lambda a: (
+        f"transform(sequence(1, size(filter(split("
+        f"parse_url({a[0]}, 'PATH'), '/'), __s -> __s != ''))), "
+        f"__i -> concat('/', array_join(slice(filter(split("
+        f"parse_url({a[0]}, 'PATH'), '/'), __s -> __s != ''), "
+        f"1, __i), '/')))"
+    ),
+    "encodeXMLComponent": lambda a: _xml_encode(a[0]),
+    "decodeXMLComponent": lambda a: _xml_decode(a[0]),
+    "decodeHTMLComponent": lambda a: _xml_decode(a[0]),
+    # Tag stripping for corpus text extraction: drop script/style
+    # blocks, strip tags, decode basic entities, collapse whitespace.
+    "extractTextFromHTML": lambda a: _xml_decode(
+        f"trim(regexp_replace(regexp_replace(regexp_replace({a[0]}, "
+        f"'(?is)<(script|style)[^>]*>.*?</(script|style)>', ' '), "
+        f"'<[^>]*>', ' '), '\\\\s+', ' '))"
+    ),
+    "lineAsString": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "lineAsString is a FORMAT input column, not a scalar; "
+            "read with FORMAT LineAsString instead"
+        )
+    ),
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.

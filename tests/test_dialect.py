@@ -2735,3 +2735,69 @@ class TestRound5ProbeTranche6:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr}")
+
+
+class TestRound5ProbeTranche7:
+    """Twelfth round-5 tranche: string/URL/HTML helpers — URL
+    hierarchy, entity codecs, tag-stripping text extraction."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_bitmask_and_array_helpers(self, eng):
+        r = eng.execute(
+            "SELECT arrayWithConstant(3, 'x') AS a, "
+            "bitmaskToArray(50) AS b, bitmaskToList(50) AS c, "
+            "visibleWidth('abc') AS d"
+        )
+        assert r.rows == [[["x", "x", "x"], [2, 16, 32], "2,16,32", 3]]
+
+    def test_replace_one_semantics(self, eng):
+        r = eng.execute(
+            "SELECT replaceOne('aaa', 'a', 'b') AS a, "
+            "replaceOne('xyz', 'q', 'b') AS b, "
+            "replaceRegexpOne('a1a2', '[0-9]', 'N') AS c, "
+            "appendTrailingCharIfAbsent('dir', '/') AS d"
+        )
+        assert r.rows == [["baa", "xyz", "aNa2", "dir/"]]
+
+    def test_normalized_query_hash_ignores_literals(self, eng):
+        r = eng.execute(
+            "SELECT normalizedQueryHash('SELECT 1 WHERE x = 5') = "
+            "normalizedQueryHash('SELECT 1 WHERE x = 9') AS v"
+        )
+        assert r.rows == [[True]]
+
+    def test_url_helpers(self, eng):
+        r = eng.execute(
+            "SELECT queryStringAndFragment('https://x.com/a?q=1#f') AS a, "
+            "cutQueryStringAndFragment('https://x.com/a?q=1#f') AS b, "
+            "cutWWW('https://www.x.com/a') AS c, "
+            "decodeURLComponent('a%20b+c') AS d, "
+            "decodeURLFormComponent('a+b') AS e, "
+            "encodeURLComponent('a b') AS f, "
+            "URLHierarchy('https://x.com/a/b') AS g, "
+            "URLPathHierarchy('https://x.com/a/b') AS h"
+        )
+        assert r.rows == [[
+            "q=1#f", "https://x.com/a", "https://x.com/a",
+            "a b+c", "a b", "a%20b",
+            ["https://x.com/a", "https://x.com/a/b"],
+            ["/a", "/a/b"],
+        ]]
+
+    def test_xml_html_codecs_and_extraction(self, eng):
+        r = eng.execute(
+            "SELECT encodeXMLComponent('<a>') AS a, "
+            "decodeXMLComponent('&lt;a&gt;') AS b, "
+            "decodeHTMLComponent('&amp;x') AS c, "
+            "extractTextFromHTML('<html><style>p{}</style>"
+            "<p>hi <b>you</b></p></html>') AS d, "
+            "firstLine('a\\nb') AS e, basename('/a/b/c.txt') AS f"
+        )
+        assert r.rows == [[
+            "&lt;a&gt;", "<a>", "&x", "hi you", "a", "c.txt"
+        ]]
