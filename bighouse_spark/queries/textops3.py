@@ -349,3 +349,65 @@ def dedup_url_canonical(spark, sf_dir):
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+@query(
+    "text_html_extract",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><style>p {color: red}</style></head><body><h1>'
+           || source || '</h1><p>' || text
+           || ' &amp; more</p><script>var x = 1;</script></body></html>'
+           AS html,
+         text, source
+  FROM documents WHERE doc_id < 200
+), e AS (
+  SELECT doc_id, text, source,
+         trim(regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+           '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS stripped
+  FROM d
+), f AS (
+  SELECT doc_id,
+         replace(stripped, '&amp;', '&') AS extracted,
+         source || ' ' || text || ' & more' AS expected
+  FROM e
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(length(extracted)) AS BIGINT) AS total_chars,
+       bool_and(extracted = expected) AS all_exact
+FROM f
+""",
+)
+def text_html_extract(spark, sf_dir):
+    """HTML → text extraction through the dialect's
+    ``extractTextFromHTML`` expression (script/style removal, tag
+    stripping, entity decode, whitespace collapse) — the first pass of
+    every web-corpus pipeline. Fixture docs carry no markup, so the
+    HTML is DERIVED with the shared closed form; the proof is that
+    extraction recovers exactly the original text (headline + body +
+    decoded entity). Pure column regexps; one scan, zero UDFs."""
+    from bighouse_spark.dialect.transpile import transpile
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs.createOrReplaceTempView("__bh_html_docs")
+    sql = transpile(
+        "SELECT doc_id, "
+        "extractTextFromHTML(concat("
+        "'<html><head><style>p {color: red}</style></head><body><h1>', "
+        "source, '</h1><p>', text, "
+        "' &amp; more</p><script>var x = 1;</script></body></html>'"
+        ")) AS extracted, "
+        "concat(source, ' ', text, ' & more') AS expected "
+        "FROM __bh_html_docs",
+        spark,
+    ).sql
+    f = spark.sql(sql)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("extracted")).cast("bigint").alias("total_chars"),
+        F.bool_and(F.col("extracted") == F.col("expected")).alias(
+            "all_exact"
+        ),
+    )
