@@ -969,7 +969,10 @@ class BigHouseEngine:
     def _rewrite_dict_calls(self, sql: str) -> str:
         """Rewrite dictGet*/dictHas/dictGetOrDefault over registered
         dictionaries into correlated scalar subqueries."""
-        if not self._dicts or "dict" not in sql.lower():
+        # Run even with zero registered dictionaries: an unknown-dict
+        # dictGet must fail with the CREATE DICTIONARY hint, not
+        # Spark's opaque UNRESOLVED_ROUTINE.
+        if "dict" not in sql.lower():
             return sql
         from bighouse_spark.dialect.transpile import _find_call
 
@@ -1677,11 +1680,13 @@ class BigHouseEngine:
             elapsed = time.monotonic() - t0
             return QueryResult(cols=["dropped"], rows=[[m_dd.group(1)]],
                                elapsed_sec=elapsed)
-        if self._dicts:
+        rewritten_q = self._rewrite_dict_calls(request.query)
+        if rewritten_q != request.query:
             request = QueryRequest(
-                query=self._rewrite_dict_calls(request.query),
+                query=rewritten_q,
                 init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
             )
         m_mv = self._CREATE_MV_RE.match(request.query)
         if m_mv:
@@ -1753,6 +1758,7 @@ class BigHouseEngine:
             request = QueryRequest(
                 query=rewritten, init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
             )
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.

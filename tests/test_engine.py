@@ -1424,3 +1424,8 @@ class TestResultRowLimits:
             "SETTINGS max_result_rows=10"
         )
         assert len(out.rows) == 5
+
+
+def test_dictget_unknown_dictionary_guided_error(engine):
+    with pytest.raises(ValueError, match="CREATE DICTIONARY"):
+        engine.execute("SELECT dictGet('nope', 'attr', 1) AS v")
