@@ -73,6 +73,21 @@ _FUNC_RENAMES = {
     "varSamp": "var_samp",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
+    # *Stable variants: numerically-stable implementations of the
+    # same statistics (Spark's are already Welford-style).
+    "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp",
+    "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp",
+    "corrStable": "corr",
+    "medianTiming": "median",
+    "medianTDigest": "median",
+    "medianBFloat16": "median",
+    "any_respect_nulls": "any_value",
+    "anyLast_respect_nulls": "any_value",
+    "sumWithOverflow": "sum",
     # NOTE: uniqExact is in _WRAP_FUNCS — `count_distinct` is the
     # Python-API name only; Spark SQL needs count(DISTINCT x).
     "substringIndex": "substring_index",
@@ -2544,6 +2559,34 @@ _ARG_REWRITES.update({
             "read with FORMAT LineAsString instead"
         )
     ),
+    # groupConcat direct form (the parametric (sep)(x) form is
+    # handled in the parametric pre-pass).
+    "groupConcat": lambda a: (
+        f"array_join(collect_list({a[0]}), "
+        + (a[1] if len(a) > 1 else "''")
+        + ")"
+    ),
+    "maxIntersectionsPosition": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "maxIntersectionsPosition() needs a sweep: explode "
+            "(start, +1) / (end, -1) events and take the point of "
+            "max(sum(delta) OVER (ORDER BY point))"
+        )
+    ),
+    "analysisOfVariance": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "analysisOfVariance() p-value needs the F CDF; compute "
+            "the F statistic from per-group means/variances with "
+            "conditional aggregates"
+        )
+    ),
+    "anova": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "anova() p-value needs the F CDF; compute the F "
+            "statistic from per-group means/variances with "
+            "conditional aggregates"
+        )
+    ),
 })
 
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
@@ -3249,6 +3292,73 @@ def _rewrite_parametric(sql: str) -> str:
             + f"least(count(DISTINCT {col}), ({params[0]}) + 1)"
             + out[i:]
         )
+    # Table-driven parametric rewrites: name(params)(args) → template.
+    for pname, builder in (
+        # Greenwald-Khanna: accuracy param dropped, t-digest twin.
+        ("quantilesGK", lambda p, a: (
+            f"quantilesTDigest({', '.join(p[1:])})({', '.join(a)})"
+        )),
+        ("quantileGK", lambda p, a: (
+            f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
+        )),
+        # Weighted quantiles → Spark percentile's frequency argument.
+        ("quantileExactWeighted", lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantileInterpolatedWeighted", lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantileTimingWeighted", lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        )),
+        # Exact discrete quantiles: lower/upper element of the sorted
+        # group (bounded-group materialization, same memory profile
+        # as CH's quantileExact).
+        ("quantileExactLow", lambda p, a: (
+            f"element_at(array_sort(collect_list({a[0]})), "
+            f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
+        )),
+        ("quantileExactHigh", lambda p, a: (
+            f"element_at(array_sort(collect_list({a[0]})), "
+            f"CAST(ceil(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
+        )),
+        ("groupArraySorted", lambda p, a: (
+            f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
+        )),
+        ("groupArraySample", lambda p, a: (
+            f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})"
+        )),
+        ("groupConcat", lambda p, a: (
+            f"array_join(collect_list({a[0]}), {p[0]})"
+        )),
+        # Adaptive histogram → histogram_numeric (bin centers +
+        # counts; CH emits (lo, hi, height) triples — capability).
+        ("histogram", lambda p, a: (
+            f"histogram_numeric({a[0]}, CAST({p[0]} AS INT))"
+        )),
+    ):
+        while True:
+            call = _find_call(out, pname)
+            if call is None:
+                break
+            start, end, params = call
+            span_m = re.match(r"\s*\(", out[end:])
+            if not span_m:
+                break  # not the parametric form
+            j, depth, quote = end + span_m.end(), 1, None
+            while j < len(out) and depth:
+                c = out[j]
+                if quote:
+                    quote = None if c == quote else quote
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                j += 1
+            real = _split_args_top(out[end + span_m.end():j - 1])
+            out = out[:start] + builder(params, real) + out[j:]
     # Parametric aggregates that are order-dependent state machines —
     # refuse with the window/rewrite hint before Spark's opaque
     # UNRESOLVED_ROUTINE.
@@ -3272,6 +3382,22 @@ def _rewrite_parametric(sql: str) -> str:
             "sumMapFiltered() aggregates per map key; rewrite as "
             "explode(m) -> WHERE key IN (...) -> GROUP BY key -> "
             "map_from_entries(collect_list(...))",
+        ),
+        (
+            "groupArrayLast",
+            "groupArrayLast() is block-order dependent; use "
+            "slice(array_sort(collect_list(struct(ts, x))), -k, k) "
+            "over an explicit order key",
+        ),
+        (
+            "sparkbar",
+            "sparkbar() renders per-bucket bars; GROUP BY the bucket "
+            "and render with bar()",
+        ),
+        (
+            "flameGraph",
+            "flameGraph() consumes profiler trace samples, which this "
+            "engine does not collect",
         ),
     ):
         if _find_call(out, refuse_name) is not None:

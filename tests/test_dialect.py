@@ -2801,3 +2801,62 @@ class TestRound5ProbeTranche7:
         assert r.rows == [[
             "&lt;a&gt;", "<a>", "&x", "hi you", "a", "c.txt"
         ]]
+
+
+class TestRound5ProbeTranche8:
+    """Thirteenth round-5 tranche: quantile flavors, groupArray
+    variants, stable statistics, histogram."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_quantile_flavors(self, eng):
+        r = eng.execute(
+            "SELECT quantileExactLow(0.5)(number) AS a, "
+            "quantileExactHigh(0.5)(number) AS b, "
+            "quantileGK(100, 0.5)(number) AS c, "
+            "quantileExactWeighted(0.5)(number, 1) AS d, "
+            "medianTiming(number) AS e FROM numbers(101)"
+        )
+        assert r.rows == [[50, 50, 50, 50.0, 50.0]]
+        r = eng.execute(
+            "SELECT quantileExactLow(0.5)(number) AS a, "
+            "quantileExactHigh(0.5)(number) AS b FROM numbers(10)"
+        )
+        assert r.rows == [[4, 5]]
+
+    def test_group_array_variants(self, eng):
+        r = eng.execute(
+            "SELECT groupArraySorted(3)(number) AS a, "
+            "size(groupArraySample(3)(number)) AS b, "
+            "groupConcat(',')(CAST(number AS String)) AS c, "
+            "groupConcat(CAST(number AS String), '-') AS d "
+            "FROM numbers(10)"
+        )
+        assert r.rows[0][0] == [0, 1, 2]
+        assert r.rows[0][1] == 3
+        assert r.rows[0][2] == "0,1,2,3,4,5,6,7,8,9"
+        assert r.rows[0][3] == "0-1-2-3-4-5-6-7-8-9"
+
+    def test_stable_statistics_and_histogram(self, eng):
+        r = eng.execute(
+            "SELECT corrStable(number, number) AS a, "
+            "varPopStable(number) = varPop(number) AS b, "
+            "sumWithOverflow(number) AS c, "
+            "size(histogram(3)(number)) AS d FROM numbers(10)"
+        )
+        assert r.rows == [[1.0, True, 45, 3]]
+
+    def test_tranche8_refusals(self, eng):
+        for expr, hint in [
+            ("groupArrayLast(3)(number)", "order"),
+            ("sparkbar(5)(number, number)", "bar"),
+            ("flameGraph(number)", "profiler"),
+            ("maxIntersectionsPosition(number, number)", "sweep"),
+            ("analysisOfVariance(number, number % 2)", "F "),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM numbers(5)")
