@@ -2689,6 +2689,12 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if fn_ddl is not None:
         return TranspileResult(sql=fn_ddl)
     out, settings, dropped = _strip_settings(out)
+    # exact_cityhash=1 is OUR setting (no CH analog): flip cityHash64
+    # from the xxhash64 capability path to the bit-exact v1.0.2 UDF.
+    exact_cityhash = str(dropped.pop("exact_cityhash", "0")).lower() in (
+        "1",
+        "true",
+    )
     out = _strip_format(out)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
@@ -2698,8 +2704,10 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
     out = _rewrite_qualify(out)
-    out = _rewrite_functions(out)
+    out = _rewrite_functions(out, exact_cityhash=exact_cityhash)
     out = _rewrite_with_fill(out, spark, views)
+    if spark is not None and "bh_cityhash64_row" in out:
+        _ensure_cityhash_udfs(spark)
     if spark is not None and re.search(r"\bbh_(ipv6|is_ipv6|ipv4_to)", out):
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
@@ -2722,12 +2730,22 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
 _IP_UDF_SESSIONS: set[int] = set()
 
 
+def _pickle_udf_module_by_value(module) -> None:
+    """Ship a UDF module's code INSIDE the pickled function instead of
+    by import reference — see functions/_shipping.py. (The UDF modules
+    self-register at import; this keeps the ensure sites explicit.)"""
+    from bighouse_spark.functions._shipping import ship_by_value
+
+    ship_by_value(module)
+
+
 def _ensure_ip_udfs(spark: SparkSession) -> None:
     if id(spark) in _IP_UDF_SESSIONS:
         return
-    from bighouse_spark.functions.ipfuncs import ALL
+    from bighouse_spark.functions import ipfuncs
 
-    for name, fn in ALL.items():
+    _pickle_udf_module_by_value(ipfuncs)
+    for name, fn in ipfuncs.ALL.items():
         spark.udf.register(name, fn)
     _IP_UDF_SESSIONS.add(id(spark))
 
@@ -2741,11 +2759,28 @@ _MISC_UDF_SESSIONS: set[int] = set()
 def _ensure_misc_udfs(spark: SparkSession) -> None:
     if id(spark) in _MISC_UDF_SESSIONS:
         return
-    from bighouse_spark.functions.miscfuncs import ALL
+    from bighouse_spark.functions import miscfuncs
 
-    for name, fn in ALL.items():
+    _pickle_udf_module_by_value(miscfuncs)
+    for name, fn in miscfuncs.ALL.items():
         spark.udf.register(name, fn)
     _MISC_UDF_SESSIONS.add(id(spark))
+
+
+# Bit-exact CityHash64 v1.0.2 (the fidelity path behind
+# cityHash64Exact / SETTINGS exact_cityhash=1) — lazy like the others.
+_CITYHASH_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_cityhash_udfs(spark: SparkSession) -> None:
+    if id(spark) in _CITYHASH_UDF_SESSIONS:
+        return
+    from bighouse_spark.functions import cityhash
+
+    _pickle_udf_module_by_value(cityhash)
+    for name, fn in cityhash.ALL.items():
+        spark.udf.register(name, fn)
+    _CITYHASH_UDF_SESSIONS.add(id(spark))
 
 
 def _split_args_top(s: str) -> list[str]:
@@ -3698,7 +3733,29 @@ def _rewrite_contextual(sql: str) -> str:
     return out
 
 
-def _rewrite_functions(sql: str) -> str:
+def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
+    """``cityHash64Exact(args...)`` (always) and plain ``cityHash64``
+    (under SETTINGS exact_cityhash=1) → the bit-exact v1.0.2 pandas
+    UDF. The struct carries the arguments in call order; ``*`` passes
+    the whole row, matching CH's per-column left-fold combine."""
+    out = sql
+    names = ["cityHash64Exact"] + (["cityHash64"] if exact else [])
+    for fn in names:
+        while True:
+            call = _find_call(out, fn)
+            if call is None:
+                break
+            start, end, args = call
+            if not args:
+                # Zero-arg fold default: CityHash64 of nothing == k2.
+                repl = "CAST(11160318154034397263 AS DECIMAL(20,0))"
+            else:
+                repl = f"bh_cityhash64_row(struct({', '.join(args)}))"
+            out = out[:start] + repl + out[end:]
+    return out
+
+
+def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_array_literals(sql)
     out = _rewrite_subscripts(out)
     # count() → count(*)  (CH zero-arg count)
@@ -3707,6 +3764,7 @@ def _rewrite_functions(sql: str) -> str:
     out = _rewrite_if_combinators(out)
     out = _rewrite_suffix_combinators(out)
     out = _rewrite_parametric(out)
+    out = _rewrite_cityhash_exact(out, exact=exact_cityhash)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(
             out, fn, "CAST(xxhash64(", ") AS DECIMAL(38,0))"

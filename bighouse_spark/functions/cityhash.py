@@ -1,0 +1,277 @@
+"""Bit-exact ``cityHash64`` — the last deferred reference-fidelity item.
+
+The reference's heaviest benchmark is ``SELECT sum(cityHash64(*))``
+(reference ``README.md:106-121``). ClickHouse's ``cityHash64`` is
+Google CityHash **v1.0.2** (CH pins that version because v1.1 changed
+hash values) applied per argument, with multi-argument results folded
+left-to-right through ``Hash128to64(uint128(acc, next))``. This module
+is a from-scratch Python port of the public-domain v1.0.2 algorithm
+(Google, 2010 — the ``city.cc`` everyone vendors), NOT a copy of any
+ClickHouse source.
+
+Fidelity status, honestly stated:
+- The algorithm is transcribed from the published CityHash v1.0.2
+  specification; the one value ClickHouse documents that we can assert
+  offline is ``cityHash64('') = 11160318154034397263`` (the k2
+  constant), which this port satisfies, plus self-consistent coverage
+  of every length-class code path (0, 1-3, 4-8, 9-16, 17-32, 33-64,
+  >64 incl. multi-block).
+- ``tests/test_cityhash.py`` carries an exact cross-check against the
+  ``clickhouse_cityhash`` wheel that runs whenever that package is
+  importable (it is not baked into this container, so the test skips
+  here; install it to turn the gate on).
+
+Argument encoding matches ClickHouse's "hash the raw little-endian
+bytes" contract for the types our fixtures use: String/Binary hash
+their bytes, integers hash 8-byte LE two's complement (CH
+UInt64/Int64 — our engine widens every CH int to 64-bit, so narrower
+CH columns hash at their native width in CH but at 8 bytes here;
+apply ``toInt64`` on the CH side for cross-engine comparisons),
+Float64 ``<d``, Float32 ``<f``, Date ``<H`` epoch days, DateTime
+``<I`` epoch seconds, Bool one byte. NULL in any argument yields
+NULL (SQL propagation; CH's Nullable hashing keys the null mask —
+divergence documented, fixtures are non-nullable).
+
+This is the FIDELITY path, row-at-a-time Python inside an
+Arrow-batched pandas UDF — use it for checksums against a live
+ClickHouse. The SCALE path stays ``xxhash64`` (JVM codegen), which is
+what the plain ``cityHash64`` spelling maps to unless
+``SETTINGS exact_cityhash=1`` asks for bit parity.
+
+NOTE: no ``from __future__ import annotations`` — pandas_udf resolves
+the hints at registration time (same contract as miscfuncs.py).
+"""
+
+import struct
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DecimalType
+
+_M64 = (1 << 64) - 1
+K0 = 0xC3A5C85C97CB3127
+K1 = 0xB492B66FBE98F273
+K2 = 0x9AE16A3B2F90404F  # == cityHash64('') == 11160318154034397263
+K3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _rot(v: int, s: int) -> int:
+    return v if s == 0 else ((v >> s) | (v << (64 - s))) & _M64
+
+
+def _rot1(v: int, s: int) -> int:
+    # RotateByAtLeast1 — only ever called with 8 < s <= 16 here.
+    return ((v >> s) | (v << (64 - s))) & _M64
+
+
+def _shiftmix(v: int) -> int:
+    return v ^ (v >> 47)
+
+
+def _f64(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 8], "little")
+
+
+def _f32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 4], "little")
+
+
+def hash128to64(lo: int, hi: int) -> int:
+    """CityHash's Murmur-inspired 128→64 fold; also CH's pairwise
+    hash combiner (``combineHashes`` in its hashing frontend)."""
+    a = ((lo ^ hi) * _KMUL) & _M64
+    a ^= a >> 47
+    b = ((hi ^ a) * _KMUL) & _M64
+    b ^= b >> 47
+    return (b * _KMUL) & _M64
+
+
+def _hashlen0to16(s: bytes) -> int:
+    n = len(s)
+    if n > 8:
+        a = _f64(s, 0)
+        b = _f64(s, n - 8)
+        return hash128to64(a, _rot1((b + n) & _M64, n)) ^ b
+    if n >= 4:
+        a = _f32(s, 0)
+        return hash128to64((n + (a << 3)) & _M64, _f32(s, n - 4))
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = a + (b << 8)
+        z = n + (c << 2)
+        return (_shiftmix((y * K2 ^ z * K3) & _M64) * K2) & _M64
+    return K2
+
+
+def _hashlen17to32(s: bytes) -> int:
+    n = len(s)
+    a = (_f64(s, 0) * K1) & _M64
+    b = _f64(s, 8)
+    c = (_f64(s, n - 8) * K2) & _M64
+    d = (_f64(s, n - 16) * K0) & _M64
+    return hash128to64(
+        (_rot((a - b) & _M64, 43) + _rot(c, 30) + d) & _M64,
+        (a + _rot(b ^ K3, 20) - c + n) & _M64,
+    )
+
+
+def _weak32(s: bytes, i: int, a: int, b: int) -> tuple:
+    w, x, y, z = _f64(s, i), _f64(s, i + 8), _f64(s, i + 16), _f64(s, i + 24)
+    a = (a + w) & _M64
+    b = _rot((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _rot(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def _hashlen33to64(s: bytes) -> int:
+    n = len(s)
+    z = _f64(s, 24)
+    a = (_f64(s, 0) + (n + _f64(s, n - 16)) * K0) & _M64
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, 8)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, 16)) & _M64
+    vf = (a + z) & _M64
+    vs = (b + _rot(a, 31) + c) & _M64
+    a = (_f64(s, 16) + _f64(s, n - 32)) & _M64
+    z = _f64(s, n - 8)
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, n - 24)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, n - 16)) & _M64
+    wf = (a + z) & _M64
+    ws = (b + _rot(a, 31) + c) & _M64
+    r = _shiftmix(((vf + ws) * K2 + (wf + vs) * K0) & _M64)
+    return (_shiftmix((r * K0 + vs) & _M64) * K2) & _M64
+
+
+def cityhash64(s: bytes) -> int:
+    """CityHash64 v1.0.2 of a byte string (the CH ``cityHash64``
+    primitive for one String argument)."""
+    n = len(s)
+    if n <= 32:
+        return _hashlen0to16(s) if n <= 16 else _hashlen17to32(s)
+    if n <= 64:
+        return _hashlen33to64(s)
+    # > 64 bytes: hash the tail first, then 64-byte blocks with
+    # 56 bytes of rolling state (v, w, x, y, z).
+    x = _f64(s, 0)
+    y = _f64(s, n - 16) ^ K1
+    z = _f64(s, n - 56) ^ K0
+    v = _weak32(s, n - 64, n, y)
+    w = _weak32(s, n - 32, (n * K1) & _M64, K0)
+    z = (z + _shiftmix(v[1]) * K1) & _M64
+    x = (_rot((z + x) & _M64, 39) * K1) & _M64
+    y = (_rot(y, 33) * K1) & _M64
+    t = (n - 1) & ~63
+    i = 0
+    while True:
+        x = (_rot((x + y + v[0] + _f64(s, i + 16)) & _M64, 37) * K1) & _M64
+        y = (_rot((y + v[1] + _f64(s, i + 48)) & _M64, 42) * K1) & _M64
+        x ^= w[1]
+        y ^= v[0]
+        z = _rot(z ^ w[0], 33)
+        v = _weak32(s, i, (v[1] * K1) & _M64, (x + w[0]) & _M64)
+        w = _weak32(s, i + 32, (z + w[1]) & _M64, y)
+        z, x = x, z
+        i += 64
+        t -= 64
+        if t == 0:
+            break
+    return hash128to64(
+        (hash128to64(v[0], w[0]) + _shiftmix(y) * K1 + z) & _M64,
+        (hash128to64(v[1], w[1]) + x) & _M64,
+    )
+
+
+def _encode_value(v) -> bytes:
+    """One argument value → the byte string CH would hash for it
+    (LE native bytes; see module docstring for the width contract)."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, bool):
+        return b"\x01" if v else b"\x00"
+    if isinstance(v, int):
+        return struct.pack("<q", v) if v < 0 else struct.pack("<Q", v & _M64)
+    if isinstance(v, float):
+        return struct.pack("<d", v)
+    if isinstance(v, Decimal):
+        iv = int(v)
+        return struct.pack("<q", iv) if iv < 0 else struct.pack("<Q", iv & _M64)
+    # pandas Timestamp / datetime → CH DateTime (UInt32 epoch seconds)
+    if isinstance(v, pd.Timestamp):
+        return struct.pack("<I", int(v.timestamp()) & 0xFFFFFFFF)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return struct.pack(
+            "<I",
+            int(v.replace(tzinfo=_dt.timezone.utc).timestamp()) & 0xFFFFFFFF,
+        )
+    if isinstance(v, _dt.date):
+        return struct.pack("<H", (v - _dt.date(1970, 1, 1)).days & 0xFFFF)
+    raise TypeError(f"cityHash64Exact: unhashable argument type {type(v)!r}")
+
+
+def cityhash64_values(values) -> int:
+    """CH multi-argument semantics: per-value CityHash64, folded
+    left-to-right with Hash128to64(uint128(acc, next))."""
+    acc = None
+    for v in values:
+        h = cityhash64(_encode_value(v))
+        acc = h if acc is None else hash128to64(acc, h)
+    return K2 if acc is None else acc
+
+
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays etc.
+        return False
+
+
+@pandas_udf(DecimalType(20, 0))
+def bh_cityhash64_row(cols: pd.DataFrame) -> pd.Series:
+    """Struct of the call's arguments → exact CH cityHash64 per row.
+    DECIMAL(20,0) carries the full UInt64 range losslessly (sums widen
+    automatically)."""
+    import numpy as np
+
+    out = []
+    # Normalize numpy scalars up front so _encode_value sees Python
+    # types; field order == argument order (struct preserves it).
+    rows = cols.itertuples(index=False, name=None)
+    for row in rows:
+        vals = []
+        null = False
+        for v in row:
+            if _is_null(v):
+                null = True
+                break
+            if isinstance(v, np.generic):
+                v = v.item()
+            vals.append(v)
+        out.append(None if null else Decimal(cityhash64_values(vals)))
+    return pd.Series(out, dtype=object)
+
+
+ALL = {"bh_cityhash64_row": bh_cityhash64_row}
+
+
+# Executor-side closures live here: ship this module's code by value
+# so workers need not import the package (see functions/_shipping.py).
+import sys as _sys
+
+from bighouse_spark.functions._shipping import ship_by_value as _ship
+
+_ship(_sys.modules[__name__])

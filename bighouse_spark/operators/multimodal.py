@@ -173,3 +173,12 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+# Executor-side closures live here: ship this module's code by value
+# so workers need not import the package (see functions/_shipping.py).
+import sys as _sys
+
+from bighouse_spark.functions._shipping import ship_by_value as _ship
+
+_ship(_sys.modules[__name__])

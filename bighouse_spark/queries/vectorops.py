@@ -553,3 +553,12 @@ def embedding_random_projection(spark, sf_dir):
         for j in range(8)
     ]
     return base.select("vec_id", *projs).orderBy("vec_id")
+
+
+# Executor-side closures live here: ship this module's code by value
+# so workers need not import the package (see functions/_shipping.py).
+import sys as _sys
+
+from bighouse_spark.functions._shipping import ship_by_value as _ship
+
+_ship(_sys.modules[__name__])

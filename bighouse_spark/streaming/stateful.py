@@ -101,3 +101,12 @@ def streaming_dedup(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+# Executor-side closures live here: ship this module's code by value
+# so workers need not import the package (see functions/_shipping.py).
+import sys as _sys
+
+from bighouse_spark.functions._shipping import ship_by_value as _ship
+
+_ship(_sys.modules[__name__])
