@@ -67,6 +67,9 @@ _FUNC_RENAMES = {
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
     "stddevPop": "stddev_pop",
     "stddevSamp": "stddev_samp",
     "varPop": "var_pop",
@@ -2589,6 +2592,149 @@ _ARG_REWRITES.update({
     ),
 })
 
+def _point_in_polygon(a: list) -> str:
+    """CH ``pointInPolygon((x, y), [(x1,y1), ...])`` → ray-casting
+    fold over the vertex arrays (Franke's even-odd rule, pure column
+    expression). The polygon must be a tuple-literal list (CH's
+    overwhelmingly dominant call shape — polygons are constants);
+    a polygon column would need a struct-array fold with known field
+    names, which we refuse with guidance."""
+    pt = a[0].strip()
+    if pt.startswith("(") and pt.endswith(")"):
+        inner = pt[1:-1]
+    elif pt.lower().startswith("struct(") and pt.endswith(")"):
+        inner = pt[pt.index("(") + 1 : -1]
+    else:
+        raise ValueError(
+            "pointInPolygon: pass the point as a (x, y) tuple"
+        )
+    px, py = (s.strip() for s in _split_args_top(inner))
+    poly = a[1].strip()
+    if poly.startswith("[") and poly.endswith("]"):
+        body = poly[1:-1]
+    elif poly.lower().startswith("array(") and poly.endswith(")"):
+        body = poly[poly.index("(") + 1 : -1]
+    else:
+        raise ValueError(
+            "pointInPolygon: the polygon must be a literal "
+            "[(x1,y1), ...] list; for a polygon column, explode the "
+            "vertices and apply the even-odd rule with a windowed fold"
+        )
+    xs, ys = [], []
+    for v in _split_args_top(body):
+        v = v.strip()
+        if not (v.startswith("(") and v.endswith(")")):
+            raise ValueError(
+                "pointInPolygon: polygon vertices must be (x, y) tuples"
+            )
+        x, y = (s.strip() for s in _split_args_top(v[1:-1]))
+        xs.append(f"CAST({x} AS DOUBLE)")
+        ys.append(f"CAST({y} AS DOUBLE)")
+    n = len(xs)
+    if n < 3:
+        raise ValueError("pointInPolygon: need at least 3 vertices")
+    xa = f"array({', '.join(xs)})"
+    ya = f"array({', '.join(ys)})"
+    pxe = f"CAST({px} AS DOUBLE)"
+    pye = f"CAST({py} AS DOUBLE)"
+    # Even-odd crossing count: edge i runs vertex i → i%n+1 (1-based).
+    return (
+        f"CAST(aggregate(sequence(1, {n}), false, (__in, __i) -> "
+        f"CASE WHEN (element_at({ya}, __i) > {pye}) != "
+        f"(element_at({ya}, __i % {n} + 1) > {pye}) "
+        f"AND {pxe} < (element_at({xa}, __i % {n} + 1) - "
+        f"element_at({xa}, __i)) * ({pye} - element_at({ya}, __i)) / "
+        f"(element_at({ya}, __i % {n} + 1) - element_at({ya}, __i)) + "
+        f"element_at({xa}, __i) "
+        f"THEN NOT __in ELSE __in END) AS INT)"
+    )
+
+
+# Round-5 probe tranche 9: aggregate bit ops, simpleJSON (the
+# log-scraping JSON fast path — alias family of visitParam),
+# YYYYMMDD numeric date codecs, regex quoting, random strings,
+# consistent hashing, and literal-polygon containment.
+_ARG_REWRITES.update({
+    "simpleJSONExtractString": lambda a: (
+        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    ),
+    "simpleJSONExtractInt": lambda a: (
+        f"CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') AS BIGINT)"
+    ),
+    "simpleJSONExtractFloat": lambda a: (
+        f"CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') AS DOUBLE)"
+    ),
+    "simpleJSONExtractBool": lambda a: (
+        f"CAST(CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') "
+        f"AS BOOLEAN) AS INT)"
+    ),
+    "simpleJSONExtractRaw": lambda a: (
+        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    ),
+    "simpleJSONHas": lambda a: (
+        f"(get_json_object({a[0]}, '$.{_unquote(a[1])}') IS NOT NULL)"
+    ),
+    "visitParamExtractBool": lambda a: (
+        f"CAST(CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') "
+        f"AS BOOLEAN) AS INT)"
+    ),
+    "visitParamExtractRaw": lambda a: (
+        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    ),
+    # Numeric-encoded calendar codecs (CH stores yyyymmdd ints).
+    "YYYYMMDDToDate": lambda a: (
+        f"to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING), 'yyyyMMdd')"
+    ),
+    "YYYYMMDDToDate32": lambda a: (
+        f"to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING), 'yyyyMMdd')"
+    ),
+    "YYYYMMDDhhmmssToDateTime": lambda a: (
+        f"to_timestamp(CAST(CAST({a[0]} AS BIGINT) AS STRING), "
+        f"'yyyyMMddHHmmss')"
+    ),
+    "YYYYMMDDhhmmssToDateTime64": lambda a: (
+        f"to_timestamp(CAST(CAST({a[0]} AS BIGINT) AS STRING), "
+        f"'yyyyMMddHHmmss')"
+    ),
+    # Escape regex metacharacters (CH's set: \0 | ( ) ^ $ . [ ] ? * + { : -
+    # plus backslash). $1 keeps the char, prefixed with a backslash.
+    "regexpQuoteMeta": lambda a: (
+        f"regexp_replace({a[0]}, "
+        r"'([\\\\|()^$.\\[\\]?*+{:-])', '\\\\$1')"
+    ),
+    # Nondeterministic generators (CH's are too). Printable draws
+    # chars 32..126; randomString draws 1..255 (no NUL — Spark
+    # strings are not byte-transparent; use for payload synthesis).
+    "randomString": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 THEN '' ELSE "
+        f"array_join(transform(sequence(1, {a[0]}), "
+        f"__i -> char(1 + CAST(rand() * 255 AS INT))), '') END)"
+    ),
+    "randomPrintableASCII": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 THEN '' ELSE "
+        f"array_join(transform(sequence(1, {a[0]}), "
+        f"__i -> char(32 + CAST(rand() * 95 AS INT))), '') END)"
+    ),
+    "jumpConsistentHash": lambda a: (
+        f"bh_jumphash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+    ),
+    "kostikConsistentHash": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "kostikConsistentHash() (Yandex consistent hashing) is "
+            "not implemented; jumpConsistentHash(key, n) provides "
+            "the same minimal-reshuffle bucket assignment"
+        )
+    ),
+    "deltaSumTimestamp": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "deltaSumTimestamp() is block-order dependent; use "
+            "sum(greatest(v - lag(v, 1, v) OVER (ORDER BY ts), 0)) "
+            "for the timestamp-ordered positive-delta sum"
+        )
+    ),
+    "pointInPolygon": _point_in_polygon,
+})
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -2711,7 +2857,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if spark is not None and re.search(r"\bbh_(ipv6|is_ipv6|ipv4_to)", out):
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
-        r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma"
+        r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna)",
         out,
     ):

@@ -326,7 +326,36 @@ def bh_geohash_decode(h: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(vals, columns=["longitude", "latitude"])
 
 
+def _jump_hash(key: int, buckets: int) -> int:
+    """Jump consistent hash (Lamport & Veach 2014, public algorithm):
+    maps a 64-bit key to one of ``buckets`` slots with minimal
+    remapping when the bucket count changes. CH's
+    ``jumpConsistentHash`` is the same published algorithm."""
+    if buckets <= 0:
+        return 0
+    key &= (1 << 64) - 1
+    b, j = -1, 0
+    while j < buckets:
+        b = j
+        key = (key * 2862933555777941757 + 1) & ((1 << 64) - 1)
+        j = int((b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
+@pandas_udf(IntegerType())
+def bh_jumphash(key: pd.Series, buckets: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if k is None or pd.isna(k) or n is None or pd.isna(n)
+            else _jump_hash(int(k), int(n))
+            for k, n in zip(key, buckets)
+        ],
+        dtype="object",
+    )
+
+
 ALL = {
+    "bh_jumphash": bh_jumphash,
     "bh_damerau": bh_damerau,
     "bh_jaro": bh_jaro,
     "bh_jaro_winkler": bh_jaro_winkler,

@@ -2860,3 +2860,116 @@ class TestRound5ProbeTranche8:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM numbers(5)")
+
+
+class TestRound5Tranche9:
+    """Probe tranche 9: aggregate bit ops, simpleJSON aliases,
+    YYYYMMDD numeric date codecs, regexpQuoteMeta, random-string
+    generators, jump consistent hashing, literal-polygon
+    containment."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_group_bit_aggregates(self, eng):
+        r = eng.execute(
+            "SELECT groupBitAnd(v) AS a, groupBitOr(v) AS o, "
+            "groupBitXor(v) AS x FROM "
+            "values('v Int64', (7),(6),(14))"
+        )
+        assert r.rows == [[6, 15, 15]]
+
+    def test_simple_json_family(self, eng):
+        r = eng.execute(
+            'SELECT simpleJSONExtractString(\'{"a":"x"}\', \'a\') AS s, '
+            'simpleJSONExtractInt(\'{"a":3}\', \'a\') AS i, '
+            'simpleJSONExtractFloat(\'{"a":2.5}\', \'a\') AS f, '
+            'simpleJSONExtractBool(\'{"a":true}\', \'a\') AS b, '
+            'simpleJSONExtractRaw(\'{"a":[1,2]}\', \'a\') AS r, '
+            'simpleJSONHas(\'{"a":1}\', \'b\') AS h'
+        )
+        assert r.rows == [["x", 3, 2.5, 1, "[1,2]", False]]
+
+    def test_visit_param_bool_raw(self, eng):
+        r = eng.execute(
+            'SELECT visitParamExtractBool(\'{"a":true}\', \'a\') AS b, '
+            'visitParamExtractRaw(\'{"a":{"n":1}}\', \'a\') AS r'
+        )
+        assert r.rows == [[1, '{"n":1}']]
+
+    def test_yyyymmdd_codecs_roundtrip(self, eng):
+        r = eng.execute(
+            "SELECT YYYYMMDDToDate(20240315) AS d, "
+            "toYYYYMMDD(YYYYMMDDToDate(20240315)) AS rt, "
+            "YYYYMMDDhhmmssToDateTime(20240315123456) AS t"
+        )
+        assert str(r.rows[0][0]) == "2024-03-15"
+        assert r.rows[0][1] == 20240315
+        assert str(r.rows[0][2]) == "2024-03-15 12:34:56"
+
+    def test_regexp_quote_meta(self, eng):
+        r = eng.execute(
+            "SELECT regexpQuoteMeta('a.b*c[d]') AS q, "
+            "'a.b*c[d]' RLIKE regexpQuoteMeta('a.b*c[d]') AS m"
+        )
+        assert r.rows == [["a\\.b\\*c\\[d\\]", True]]
+
+    def test_random_strings(self, eng):
+        r = eng.execute(
+            "SELECT length(randomString(16)) AS a, "
+            "length(randomPrintableASCII(16)) AS b, "
+            "randomPrintableASCII(0) AS z, "
+            "randomPrintableASCII(100) RLIKE '^[ -~]+$' AS printable"
+        )
+        assert r.rows == [[16, 16, "", True]]
+
+    def test_jump_consistent_hash_properties(self, eng):
+        # Deterministic per key, in range, and minimal remapping when
+        # the bucket count grows (the algorithm's defining property:
+        # only ~1/(n+1) of keys move from n to n+1 buckets).
+        r = eng.execute(
+            "SELECT sum(CAST(jumpConsistentHash(number, 8) != "
+            "jumpConsistentHash(number, 9) AS INT)) AS moved, "
+            "max(jumpConsistentHash(number, 8)) AS hi, "
+            "min(jumpConsistentHash(number, 8)) AS lo "
+            "FROM numbers(900)"
+        )
+        moved, hi, lo = r.rows[0]
+        assert 0 <= lo and hi <= 7
+        # Expected moved ≈ 900/9 = 100; allow generous noise.
+        assert 40 <= moved <= 180
+
+    def test_point_in_polygon(self, eng):
+        r = eng.execute(
+            "SELECT pointInPolygon((0.5, 0.5), "
+            "[(0,0),(1,0),(1,1),(0,1)]) AS inside, "
+            "pointInPolygon((3.0, 0.5), "
+            "[(0,0),(1,0),(1,1),(0,1)]) AS outside, "
+            "pointInPolygon((1.5, 0.2), "
+            "[(0,0),(2,0),(2,1),(1,0.1),(0,1)]) AS concave_in, "
+            "pointInPolygon((1.0, 0.8), "
+            "[(0,0),(2,0),(2,1),(1,0.1),(0,1)]) AS concave_notch"
+        )
+        assert r.rows == [[1, 0, 1, 0]]
+
+    def test_point_in_polygon_refusals(self, eng):
+        with pytest.raises(ValueError, match="literal"):
+            eng.execute(
+                "SELECT pointInPolygon((0.5, 0.5), poly) AS r FROM "
+                "values('poly String', ('x'))"
+            )
+        with pytest.raises(ValueError, match="3 vertices"):
+            eng.execute(
+                "SELECT pointInPolygon((0.5, 0.5), [(0,0),(1,0)]) AS r"
+            )
+
+    def test_tranche9_refusals(self, eng):
+        for expr, hint in [
+            ("kostikConsistentHash(42, 8)", "jumpConsistentHash"),
+            ("deltaSumTimestamp(number, number)", "order"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM numbers(5)")
