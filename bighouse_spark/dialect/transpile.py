@@ -25,6 +25,7 @@ fails loudly otherwise.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 import re
@@ -2735,6 +2736,121 @@ _ARG_REWRITES.update({
     "pointInPolygon": _point_in_polygon,
 })
 
+def _mac_num_to_string(a: list) -> str:
+    parts = ", ".join(
+        f"lpad(lower(hex(shiftright(CAST({a[0]} AS BIGINT), {s}) & 255)), "
+        f"2, '0')"
+        for s in (40, 32, 24, 16, 8, 0)
+    )
+    return f"concat_ws(':', {parts})"
+
+
+def _ipv4_cidr_to_range(a: list) -> str:
+    """CH ``IPv4CIDRToRange(addr, prefix)`` → struct(lo, hi) of
+    dotted strings. The address arrives as a dotted string (our IPv4
+    carrier type); pure integer mask math, no UDF."""
+    num = _ARG_REWRITES["IPv4StringToNum"]([a[0]])
+    span = f"(shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]})) - 1)"
+    lo = f"({num} - ({num} & {span}))"
+    hi = f"(({num} - ({num} & {span})) + {span})"
+    lo_s = _ARG_REWRITES["IPv4NumToString"]([lo])
+    hi_s = _ARG_REWRITES["IPv4NumToString"]([hi])
+    return f"named_struct('lo', {lo_s}, 'hi', {hi_s})"
+
+
+# Round-5 probe tranche 10: MAC address codecs, CIDR containment and
+# ranges, binary-string codec, bucketed rounding, UTC shifts,
+# timestampDiff spelling, UUID v7/byte codecs, array set difference.
+_ARG_REWRITES.update({
+    "MACNumToString": _mac_num_to_string,
+    "MACStringToNum": lambda a: (
+        f"CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT)"
+    ),
+    "MACStringToOUI": lambda a: (
+        f"CAST(conv(substring(replace({a[0]}, ':', ''), 1, 6), 16, 10) "
+        f"AS BIGINT)"
+    ),
+    "isIPAddressInRange": lambda a: f"bh_ip_in_range({a[0]}, {a[1]})",
+    "IPv4CIDRToRange": _ipv4_cidr_to_range,
+    "IPv6CIDRToRange": lambda a: f"bh_ipv6_cidr_range({a[0]}, {a[1]})",
+    "toIPv4": lambda a: "__TOIPV4__",  # replaced below (self-reference)
+    # unbin: binary-digit string → text (inverse of bin). Left-pad to
+    # whole octets, decode each 8-bit chunk.
+    "unbin": lambda a: (
+        f"array_join(transform(sequence(1, CAST(ceil(length({a[0]}) / 8.0) "
+        f"AS INT)), __i -> char(conv(substring(lpad({a[0]}, "
+        f"CAST(ceil(length({a[0]}) / 8.0) AS INT) * 8, '0'), "
+        f"(__i - 1) * 8 + 1, 8), 2, 10))), '')"
+    ),
+    # roundDown(x, [b1, b2, ...]): largest bound <= x, else the
+    # lowest bound (CH's clamp-to-first contract).
+    "roundDown": lambda a: (
+        f"coalesce(array_max(filter({a[1]}, __b -> __b <= ({a[0]}))), "
+        f"element_at({a[1]}, 1))"
+    ),
+    "timestampDiff": lambda a: (
+        f"timestampdiff({_unquote(a[0])}, {a[1]}, {a[2]})"
+    ),
+    "timeDiff": lambda a: f"timestampdiff(second, {a[0]}, {a[1]})",
+    "toUTCTimestamp": lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
+    "fromUTCTimestamp": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    "arraySymmetricDifference": lambda a: (
+        f"array_distinct(concat(array_except({a[0]}, {a[1]}), "
+        f"array_except({a[1]}, {a[0]})))"
+    ),
+    "UUIDToNum": lambda a: (
+        f"unhex(replace(CAST({a[0]} AS STRING), '-', ''))"
+    ),
+    # UUIDv7: unix-millis timestamp in the top 48 bits, version 7,
+    # RFC 4122 variant, random tail (CH's is random there too).
+    "generateUUIDv7": lambda a: (
+        "concat(substring(lpad(lower(hex(unix_millis(now()))), 12, '0'), "
+        "1, 8), '-', "
+        "substring(lpad(lower(hex(unix_millis(now()))), 12, '0'), 9, 4), "
+        "'-7', substring(lower(md5(CAST(rand() AS STRING))), 1, 3), '-', "
+        "element_at(array('8','9','a','b'), "
+        "1 + CAST(rand() * 4 AS INT)), "
+        "substring(lower(md5(CAST(rand() AS STRING))), 4, 3), '-', "
+        "substring(lower(md5(CAST(rand() AS STRING))), 7, 12))"
+    ),
+    # -- guided refusals --
+    "arrayNormalizedGini": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "arrayNormalizedGini() is not implemented; compute the "
+            "Gini of sorted cumulative shares with aggregate() over "
+            "array_sort, normalized by the perfect-equality curve"
+        )
+    ),
+    "minSampleSizeConversion": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "minSampleSizeConversion() needs normal quantiles "
+            "(probit); compute n = ((z_a + z_b)^2 * (p1(1-p1) + "
+            "p2(1-p2))) / mde^2 with your z values as literals"
+        )
+    ),
+    "minSampleSizeContinuous": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "minSampleSizeContinuous() needs normal quantiles "
+            "(probit); compute n = ((z_a + z_b)^2 * 2 * variance) / "
+            "mde^2 with your z values as literals"
+        )
+    ),
+    "rankCorr": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "rankCorr() (Spearman) needs global ranks; compute "
+            "corr(rx, ry) over rank() OVER (ORDER BY x) AS rx, "
+            "rank() OVER (ORDER BY y) AS ry in a subquery"
+        )
+    ),
+})
+
+# toIPv4 canonicalizes through the num round-trip (drops leading
+# zeros, validates shape) — composed from the existing builders.
+_ARG_REWRITES["toIPv4"] = lambda a: _ARG_REWRITES["IPv4NumToString"](
+    [_ARG_REWRITES["IPv4StringToNum"]([a[0]])]
+)
+
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -2854,7 +2970,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_with_fill(out, spark, views)
     if spark is not None and "bh_cityhash64_row" in out:
         _ensure_cityhash_udfs(spark)
-    if spark is not None and re.search(r"\bbh_(ipv6|is_ipv6|ipv4_to)", out):
+    if spark is not None and re.search(
+        r"\bbh_(ipv6|is_ipv6|ipv4_to|ip_in_range)", out
+    ):
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
@@ -3901,6 +4019,54 @@ def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
     return out
 
 
+_IN_FRAME_UNBOUNDED_RE = re.compile(
+    r"\s*(ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+    r"UNBOUNDED\s+FOLLOWING\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_in_frame(sql: str) -> str:
+    """CH ``lagInFrame``/``leadInFrame`` → ``lag``/``lead``. CH's
+    variants respect the window frame; Spark's lag/lead reject one.
+    With the conventional UNBOUNDED/UNBOUNDED frame the semantics are
+    identical, so strip it; any other frame changes results — refuse
+    with the offset spelling."""
+    out = sql
+    for ch, sp in (("lagInFrame", "lag"), ("leadInFrame", "lead")):
+        while True:
+            call = _find_call(out, ch)
+            if call is None:
+                break
+            start, end, args = call
+            m = re.match(r"\s*OVER\s*\(", out[end:], re.IGNORECASE)
+            if not m:
+                raise ValueError(f"{ch}() requires an OVER clause")
+            spec_start = end + m.end()
+            depth, i = 1, spec_start
+            while i < len(out) and depth > 0:
+                if out[i] == "(":
+                    depth += 1
+                elif out[i] == ")":
+                    depth -= 1
+                i += 1
+            spec = out[spec_start : i - 1]
+            stripped = _IN_FRAME_UNBOUNDED_RE.sub("", spec)
+            if re.search(r"\b(ROWS|RANGE)\s+BETWEEN\b", stripped,
+                         re.IGNORECASE):
+                raise ValueError(
+                    f"{ch}() with a bounded frame has no Spark "
+                    "equivalent; express the frame bound as the "
+                    f"{sp} offset instead"
+                )
+            out = (
+                out[:start]
+                + f"{sp}({', '.join(args)}) OVER ({stripped})"
+                + out[i:]
+            )
+    return out
+
+
 def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_array_literals(sql)
     out = _rewrite_subscripts(out)
@@ -3910,17 +4076,28 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_if_combinators(out)
     out = _rewrite_suffix_combinators(out)
     out = _rewrite_parametric(out)
+    if "InFrame" in out:
+        out = _rewrite_in_frame(out)
     out = _rewrite_cityhash_exact(out, exact=exact_cityhash)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(
             out, fn, "CAST(xxhash64(", ") AS DECIMAL(38,0))"
         )
+    # Cheap substring gates before each per-function pass: the
+    # tables hold hundreds of names, a given query uses a handful.
+    low = out.lower()
     for ch, ty in _CAST_FUNCS.items():
-        out = re.sub(
-            rf"\b{ch}\(([^()]*)\)", rf"CAST(\1 AS {ty})", out
-        )
+        if ch.lower() not in low:
+            continue
+        out2 = _cast_pattern(ch).sub(rf"CAST(\1 AS {ty})", out)
+        if out2 != out:
+            out, low = out2, out2.lower()
     for ch, (pre, suf) in _WRAP_FUNCS.items():
-        out = _wrap_calls(out, ch, pre, suf)
+        if ch.lower() not in low:
+            continue
+        out2 = _wrap_calls(out, ch, pre, suf)
+        if out2 != out:
+            out, low = out2, out2.lower()
     # numbers(N) → range(N); numbers(start, N) → range(start,
     # start+N) (CH second arg is a COUNT, Spark's is an end bound).
     # CH's column is `number`; range's is `id`.
@@ -3941,12 +4118,17 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             + out[end:]
         )
     out = _rewrite_json_funcs(out)
+    low = out.lower()
     for fn, builder in _ARG_REWRITES.items():
+        if fn.lower() not in low:
+            continue
+        changed = False
         pos = 0
         while True:
             call = _find_call(out, fn, pos)
             if call is None:
                 break
+            changed = True
             start, end, args = call
             try:
                 repl = builder(args)
@@ -3958,14 +4140,25 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             except IndexError:
                 raise ValueError(f"{fn}(): wrong number of arguments: {args}")
             out = out[:start] + repl + out[end:]
-            pos = start
+            # Resume just past the match start: nested calls inside
+            # repl still get found, but a replacement that begins
+            # with a case-variant of fn itself (timestampDiff →
+            # timestampdiff) cannot re-match forever.
+            pos = start + 1
+        if changed:
+            low = out.lower()
     for zero, repl in _ZERO_ARG.items():
         out = out.replace(zero, repl)
+    low = out.lower()
     for ch, sp in _FUNC_RENAMES.items():
-        if "(" in sp:  # special rewrite like date_trunc
-            out = re.sub(rf"\b{ch}\(", sp, out)
+        if ch.lower() not in low:
             continue
-        out = re.sub(rf"\b{ch}\(", f"{sp}(", out)
+        if "(" in sp:  # special rewrite like date_trunc
+            out2 = _rename_pattern(ch).sub(sp, out)
+        else:
+            out2 = _rename_pattern(ch).sub(f"{sp}(", out)
+        if out2 != out:
+            out, low = out2, out2.lower()
     return out
 
 
@@ -4343,13 +4536,32 @@ def _wrap_calls(sql: str, fn: str, prefix: str, suffix: str) -> str:
         search_from = start + len(replacement)
 
 
+# Compiled-pattern caches. The rewrite tables hold ~900 distinct
+# function names; compiling each name's pattern per call blows
+# re's 512-entry internal cache, turning every transpile into ~900
+# full regex compiles (profiled at >95 % of transpile latency).
+@functools.lru_cache(maxsize=None)
+def _call_pattern(fn: str) -> "re.Pattern[str]":
+    return re.compile(rf"\b{fn}\s*\(", re.IGNORECASE)
+
+
+@functools.lru_cache(maxsize=None)
+def _rename_pattern(fn: str) -> "re.Pattern[str]":
+    return re.compile(rf"\b{fn}\(")
+
+
+@functools.lru_cache(maxsize=None)
+def _cast_pattern(fn: str) -> "re.Pattern[str]":
+    return re.compile(rf"\b{fn}\(([^()]*)\)")
+
+
 def _find_call(
     sql: str, fn: str, pos: int = 0
 ) -> tuple[int, int, list[str]] | None:
     """First ``fn(...)`` call at or after ``pos`` (absolute offsets).
     ``pos`` lets context-sensitive rewrites skip an occurrence they
     decided to leave alone without rescanning it forever."""
-    m = re.compile(rf"\b{fn}\s*\(", re.IGNORECASE).search(sql, pos)
+    m = _call_pattern(fn).search(sql, pos)
     if not m:
         return None
     i, depth, brackets, quote = m.end(), 1, 0, None

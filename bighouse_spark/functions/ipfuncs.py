@@ -88,12 +88,53 @@ def bh_ipv4_to_ipv6(n: pd.Series) -> pd.Series:
     return n.map(conv)
 
 
+@pandas_udf("boolean")
+def bh_ip_in_range(addr: pd.Series, cidr: pd.Series) -> pd.Series:
+    """CH ``isIPAddressInRange`` — v4 and v6 via stdlib networks.
+    Mixed families are False (CH raises; NULL-free False keeps the
+    filter usable over mixed logs)."""
+
+    def conv(a, c):
+        if a is None or c is None:
+            return None
+        try:
+            return ipaddress.ip_address(a) in ipaddress.ip_network(
+                c, strict=False
+            )
+        except Exception:
+            return False
+
+    return pd.Series([conv(a, c) for a, c in zip(addr, cidr)])
+
+
+@pandas_udf("struct<lo: string, hi: string>")
+def bh_ipv6_cidr_range(addr: pd.Series, prefix: pd.Series) -> pd.DataFrame:
+    """CH ``IPv6CIDRToRange(addr, prefix)`` → (first, last) of the
+    /prefix network containing addr, canonical-formatted. Struct
+    return → the UDF yields a DataFrame with one column per field."""
+
+    los, his = [], []
+    for a, p in zip(addr, prefix):
+        try:
+            if a is None or p is None or pd.isna(p):
+                raise ValueError
+            net = ipaddress.IPv6Network((a, int(p)), strict=False)
+            los.append(str(net.network_address))
+            his.append(str(net.broadcast_address))
+        except Exception:
+            los.append(None)
+            his.append(None)
+    return pd.DataFrame({"lo": los, "hi": his})
+
+
 ALL = {
     "bh_ipv6_ston": bh_ipv6_ston,
     "bh_ipv6_ntos": bh_ipv6_ntos,
     "bh_ipv6_norm": bh_ipv6_norm,
     "bh_is_ipv6": bh_is_ipv6,
     "bh_ipv4_to_ipv6": bh_ipv4_to_ipv6,
+    "bh_ip_in_range": bh_ip_in_range,
+    "bh_ipv6_cidr_range": bh_ipv6_cidr_range,
 }
 
 

@@ -2973,3 +2973,130 @@ class TestRound5Tranche9:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM numbers(5)")
+
+
+class TestRound5Tranche10:
+    """Probe tranche 10: MAC codecs, CIDR containment/ranges, unbin,
+    bucketed rounding, UTC shifts, timestampDiff (whose rewrite also
+    hardened the rewrite loop against self-matching replacements),
+    UUID v7/byte codecs, frame-tolerant lag/lead."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_mac_codecs_roundtrip(self, eng):
+        r = eng.execute(
+            "SELECT MACNumToString(1099511627775) AS a, "
+            "MACStringToNum('00:ff:ff:ff:ff:ff') AS b, "
+            "MACNumToString(MACStringToNum('12:34:56:78:9a:bc')) AS rt, "
+            "MACStringToOUI('ab:cd:ef:11:22:33') AS oui"
+        )
+        assert r.rows == [["00:ff:ff:ff:ff:ff", 1099511627775,
+                           "12:34:56:78:9a:bc", 11259375]]
+
+    def test_ip_address_in_range_both_families(self, eng):
+        r = eng.execute(
+            "SELECT isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS a, "
+            "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS b, "
+            "isIPAddressInRange('2001:db8::1', '2001:db8::/32') AS c, "
+            "isIPAddressInRange('2001:db9::1', '2001:db8::/32') AS d"
+        )
+        assert r.rows == [[True, False, True, False]]
+
+    def test_cidr_to_range(self, eng):
+        r = eng.execute(
+            "SELECT IPv4CIDRToRange(toIPv4('192.168.5.2'), 16) AS v4, "
+            "IPv6CIDRToRange('2001:db8::1', 32) AS v6"
+        )
+        v4, v6 = r.rows[0]
+        assert list(v4) == ["192.168.0.0", "192.168.255.255"]
+        assert list(v6) == ["2001:db8::",
+                            "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff"]
+
+    def test_to_ipv4_canonicalizes(self, eng):
+        r = eng.execute("SELECT toIPv4('192.168.001.001') AS r")
+        assert r.rows == [["192.168.1.1"]]
+
+    def test_unbin_inverse_of_bin(self, eng):
+        r = eng.execute(
+            "SELECT unbin('00110000') AS a, unbin(bin(53)) AS b"
+        )
+        assert r.rows == [["0", "5"]]
+
+    def test_round_down_buckets(self, eng):
+        r = eng.execute(
+            "SELECT roundDown(7, [1, 5, 10]) AS a, "
+            "roundDown(0, [1, 5, 10]) AS b, "
+            "roundDown(10, [1, 5, 10]) AS c"
+        )
+        assert r.rows == [[5, 1, 10]]
+
+    def test_timestamp_diff_and_time_diff(self, eng):
+        # timestampDiff's replacement spelling (timestampdiff) matches
+        # its own pattern case-insensitively — this is the regression
+        # test for the rewrite loop's self-match guard.
+        r = eng.execute(
+            "SELECT timestampDiff('hour', "
+            "toDateTime('2024-01-01 00:00:00'), "
+            "toDateTime('2024-01-01 05:00:00')) AS h, "
+            "timeDiff(toDateTime('2024-01-01 00:00:00'), "
+            "toDateTime('2024-01-01 00:01:30')) AS s"
+        )
+        assert r.rows == [[5, 90]]
+
+    def test_utc_shifts(self, eng):
+        r = eng.execute(
+            "SELECT toUTCTimestamp(toDateTime('2024-01-01 08:00:00'), "
+            "'Asia/Shanghai') AS a, "
+            "fromUTCTimestamp(toDateTime('2024-01-01 00:00:00'), "
+            "'Asia/Shanghai') AS b"
+        )
+        assert str(r.rows[0][0]) == "2024-01-01 00:00:00"
+        assert str(r.rows[0][1]) == "2024-01-01 08:00:00"
+
+    def test_array_symmetric_difference(self, eng):
+        r = eng.execute(
+            "SELECT arraySort(arraySymmetricDifference([1,2], [2,3])) AS r"
+        )
+        assert r.rows == [[[1, 3]]]
+
+    def test_uuid_v7_shape_and_bytes(self, eng):
+        r = eng.execute(
+            "SELECT CAST(generateUUIDv7() AS String) RLIKE "
+            "'^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+            "-[0-9a-f]{12}$' AS shape, "
+            "length(UUIDToNum(toUUID("
+            "'612f3c40-5d3b-217e-707b-6a546a3d7b29'))) AS nbytes"
+        )
+        assert r.rows == [[True, 16]]
+
+    def test_lag_lead_in_frame(self, eng):
+        r = eng.execute(
+            "SELECT lagInFrame(v) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l, "
+            "leadInFrame(v, 1, -1) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS d "
+            "FROM values('v Int64', (1),(2)) ORDER BY v"
+        )
+        assert r.rows == [[None, 2], [1, -1]]
+
+    def test_lag_in_frame_bounded_refusal(self, eng):
+        with pytest.raises(ValueError, match="bounded frame"):
+            eng.execute(
+                "SELECT lagInFrame(v) OVER (ORDER BY v ROWS BETWEEN "
+                "1 PRECEDING AND CURRENT ROW) AS r "
+                "FROM values('v Int64', (1))"
+            )
+
+    def test_tranche10_refusals(self, eng):
+        for expr, hint in [
+            ("rankCorr(a, a)", "Spearman"),
+            ("minSampleSizeConversion(0.1, 0.05, 0.8, 0.05)", "probit"),
+            ("minSampleSizeContinuous(0.1, 0.05)", "probit"),
+            ("arrayNormalizedGini([1],[1])", "Gini"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
