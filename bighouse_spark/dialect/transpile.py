@@ -3997,6 +3997,91 @@ def _rewrite_contextual(sql: str) -> str:
     return out
 
 
+_COLONCOLON_TYPE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\([^()]*\))?")
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """CH type names inside standard casts → Spark DDL types:
+    ``CAST(x AS Int64)`` → ``CAST(x AS bigint)``, ``x::Float64`` →
+    ``x::double``. Types the schema parser doesn't recognize (already
+    Spark spellings like BIGINT) pass through untouched; the ``::``
+    scan is quote-aware so IPv6 literals ('::ffff:1.2.3.4') survive."""
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
+    out = sql
+    for kw in ("CAST", "TRY_CAST"):
+        if kw.lower() not in out.lower():
+            continue
+        pos = 0
+        while True:
+            call = _find_call(out, kw, pos)
+            if call is None:
+                break
+            start, end, args = call
+            pos = start + 1
+            if len(args) != 1:
+                continue
+            body = args[0]
+            # Rightmost top-level ` AS ` splits expr from the type.
+            depth, quote, as_at = 0, None, -1
+            i = 0
+            while i < len(body):
+                c = body[i]
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif depth == 0 and body[i : i + 4].upper() == " AS ":
+                    as_at = i
+                i += 1
+            if as_at < 0:
+                continue
+            expr, ty = body[:as_at], body[as_at + 4 :].strip()
+            try:
+                spark_ty = ch_type_to_spark(ty).simpleString()
+            except Exception:
+                continue
+            out = out[:start] + f"{kw}({expr} AS {spark_ty})" + out[end:]
+    # expr::Type postfix casts.
+    if "::" in out:
+        res, i, quote = [], 0, None
+        while i < len(out):
+            c = out[i]
+            if quote:
+                res.append(c)
+                if c == quote:
+                    quote = None
+                i += 1
+            elif c in "'\"":
+                quote = c
+                res.append(c)
+                i += 1
+            elif c == ":" and out[i : i + 2] == "::":
+                m = _COLONCOLON_TYPE_RE.match(out, i + 2)
+                if m:
+                    try:
+                        spark_ty = ch_type_to_spark(
+                            m.group(0)
+                        ).simpleString()
+                        res.append(f"::{spark_ty}")
+                        i = m.end()
+                        continue
+                    except Exception:
+                        pass
+                res.append("::")
+                i += 2
+            else:
+                res.append(c)
+                i += 1
+        out = "".join(res)
+    return out
+
+
 def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
     """``cityHash64Exact(args...)`` (always) and plain ``cityHash64``
     (under SETTINGS exact_cityhash=1) → the bit-exact v1.0.2 pandas
@@ -4078,6 +4163,8 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_parametric(out)
     if "InFrame" in out:
         out = _rewrite_in_frame(out)
+    if "::" in out or re.search(r"\b(TRY_)?CAST\s*\(", out, re.IGNORECASE):
+        out = _rewrite_cast_types(out)
     out = _rewrite_cityhash_exact(out, exact=exact_cityhash)
     for fn in _HASH_FUNCS:
         out = _wrap_calls(

@@ -3100,3 +3100,51 @@ class TestRound5Tranche10:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
+
+
+class TestCastTypeTranslation:
+    """CH type names inside standard casts: CAST(x AS Int64) and
+    x::Float64 — the spellings every CH query uses interchangeably
+    with toInt64(x). Unknown (already-Spark) types pass through;
+    the :: scan is quote-aware (IPv6 literals contain '::')."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_cast_as_ch_types(self, eng):
+        r = eng.execute(
+            "SELECT CAST(1.9 AS Int64) AS a, CAST('7' AS UInt32) AS b, "
+            "CAST(3 AS Float64) AS c, CAST(1 AS Nullable(Int64)) AS d, "
+            "CAST('x' AS LowCardinality(String)) AS e"
+        )
+        assert r.rows == [[1, 7, 3.0, 1, "x"]]
+
+    def test_cast_spark_types_untouched(self, eng):
+        r = eng.execute(
+            "SELECT CAST(1.9 AS BIGINT) AS a, CAST('2.5' AS DOUBLE) AS b"
+        )
+        assert r.rows == [[1, 2.5]]
+
+    def test_nested_cast(self, eng):
+        r = eng.execute(
+            "SELECT CAST(CAST(200 AS UInt8) AS String) AS a"
+        )
+        # UInt8 widens to smallint (no unsigned bytes) — 200 survives.
+        assert r.rows == [["200"]]
+
+    def test_coloncolon_cast_and_ipv6_literal(self, eng):
+        r = eng.execute(
+            "SELECT 2.5::Float64 AS a, '9'::Int64 AS b, "
+            "'::ffff:1.2.3.4' AS s, 1::BIGINT AS d"
+        )
+        assert r.rows == [[2.5, 9, "::ffff:1.2.3.4", 1]]
+
+    def test_try_cast_ch_type(self, eng):
+        r = eng.execute(
+            "SELECT TRY_CAST('x' AS Int64) AS a, "
+            "TRY_CAST('5' AS Int64) AS b"
+        )
+        assert r.rows == [[None, 5]]
