@@ -124,8 +124,6 @@ _FUNC_RENAMES = {
     "addDays": "date_add",
     "subtractDays": "date_sub",
     "addMonths": "add_months",
-    "lagInFrame": "lag",
-    "leadInFrame": "lead",
     "lcase": "lower",
     "ucase": "upper",
     "lengthUTF8": "length",
@@ -792,10 +790,14 @@ _ARG_REWRITES: dict = {
     "dateName": _date_name,
     "accurateCastOrNull": _accurate_cast_or_null,
     # IPv4 family: pure integer/octet math (CH stores IPv4 as UInt32)
+    # shiftright() function form, not the `>>` operator — Spark's
+    # parser rejects `>>`/`<<` anywhere inside a higher-order
+    # function call (transform/filter/aggregate), and this builder
+    # gets composed into those (IPv4CIDRToRange).
     "IPv4NumToString": lambda a: (
-        f"concat(CAST((({a[0]}) >> 24) & 255 AS STRING), '.', "
-        f"CAST((({a[0]}) >> 16) & 255 AS STRING), '.', "
-        f"CAST((({a[0]}) >> 8) & 255 AS STRING), '.', "
+        f"concat(CAST(shiftright({a[0]}, 24) & 255 AS STRING), '.', "
+        f"CAST(shiftright({a[0]}, 16) & 255 AS STRING), '.', "
+        f"CAST(shiftright({a[0]}, 8) & 255 AS STRING), '.', "
         f"CAST(({a[0]}) & 255 AS STRING))"
     ),
     "IPv4StringToNum": lambda a: (
@@ -2748,14 +2750,32 @@ def _mac_num_to_string(a: list) -> str:
 def _ipv4_cidr_to_range(a: list) -> str:
     """CH ``IPv4CIDRToRange(addr, prefix)`` → struct(lo, hi) of
     dotted strings. The address arrives as a dotted string (our IPv4
-    carrier type); pure integer mask math, no UDF."""
-    num = _ARG_REWRITES["IPv4StringToNum"]([a[0]])
+    carrier type); pure integer mask math, no UDF. The address and
+    masked base are each bound ONCE via single-element transform
+    lambdas — naive interpolation expands the address expression
+    ~16x (IPv4NumToString alone reads its input 4x), which blows past
+    Spark's codegen method limit on composed inputs."""
+    num = _ARG_REWRITES["IPv4StringToNum"](["__ip"])
     span = f"(shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]})) - 1)"
-    lo = f"({num} - ({num} & {span}))"
-    hi = f"(({num} - ({num} & {span})) + {span})"
-    lo_s = _ARG_REWRITES["IPv4NumToString"]([lo])
-    hi_s = _ARG_REWRITES["IPv4NumToString"]([hi])
-    return f"named_struct('lo', {lo_s}, 'hi', {hi_s})"
+
+    # shiftright() function form, NOT the `>>` operator — Spark's
+    # parser rejects `>>`/`<<` inside lambda bodies.
+    def ntos(x: str) -> str:
+        return (
+            f"concat(CAST(shiftright({x}, 24) & 255 AS STRING), '.', "
+            f"CAST(shiftright({x}, 16) & 255 AS STRING), '.', "
+            f"CAST(shiftright({x}, 8) & 255 AS STRING), '.', "
+            f"CAST(({x}) & 255 AS STRING))"
+        )
+
+    inner = (
+        f"element_at(transform(array(({num}) - (({num}) & {span})), "
+        f"__lo -> named_struct('lo', {ntos('__lo')}, "
+        f"'hi', {ntos('(__lo + ' + span + ')')})), 1)"
+    )
+    return (
+        f"element_at(transform(array({a[0]}), __ip -> {inner}), 1)"
+    )
 
 
 # Round-5 probe tranche 10: MAC address codecs, CIDR containment and
@@ -2800,6 +2820,14 @@ _ARG_REWRITES.update({
     ),
     "UUIDToNum": lambda a: (
         f"unhex(replace(CAST({a[0]} AS STRING), '-', ''))"
+        if len(a) == 1 or str(a[1]).strip() == "1"
+        else (_ for _ in ()).throw(
+            ValueError(
+                "UUIDToNum: only variant 1 (big-endian, the default) "
+                "is implemented; variant 2's mixed-endian byte "
+                "swapping is not"
+            )
+        )
     ),
     # UUIDv7: unix-millis timestamp in the top 48 bits, version 7,
     # RFC 4122 variant, random tail (CH's is random there too).
@@ -3039,6 +3067,18 @@ _CITYHASH_UDF_SESSIONS: set[int] = set()
 def _ensure_cityhash_udfs(spark: SparkSession) -> None:
     if id(spark) in _CITYHASH_UDF_SESSIONS:
         return
+    # Bit-parity guard: Arrow hands the UDF NAIVE timestamps in the
+    # SESSION timezone, which the encoder interprets as UTC wall time
+    # (CH stores DateTime as epoch). Under a non-UTC session every
+    # datetime hash would silently disagree with a live ClickHouse —
+    # fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "cityHash64Exact needs spark.sql.session.timeZone=UTC for "
+            f"DateTime bit parity (session is {tz!r}); SET it to UTC "
+            "or hash toUnixTimestamp(col) instead"
+        )
     from bighouse_spark.functions import cityhash
 
     _pickle_udf_module_by_value(cityhash)
@@ -4022,8 +4062,10 @@ def _rewrite_cast_types(sql: str) -> str:
             if len(args) != 1:
                 continue
             body = args[0]
-            # Rightmost top-level ` AS ` splits expr from the type.
-            depth, quote, as_at = 0, None, -1
+            # Rightmost top-level `AS` (any whitespace around it)
+            # splits expr from the type.
+            depth, quote = 0, None
+            as_span = None
             i = 0
             while i < len(body):
                 c = body[i]
@@ -4036,12 +4078,16 @@ def _rewrite_cast_types(sql: str) -> str:
                     depth += 1
                 elif c in ")]":
                     depth -= 1
-                elif depth == 0 and body[i : i + 4].upper() == " AS ":
-                    as_at = i
+                elif depth == 0 and c.isspace():
+                    m_as = re.match(r"\s+AS\s+", body[i:], re.IGNORECASE)
+                    if m_as:
+                        as_span = (i, i + m_as.end())
+                        i += m_as.end()
+                        continue
                 i += 1
-            if as_at < 0:
+            if as_span is None:
                 continue
-            expr, ty = body[:as_at], body[as_at + 4 :].strip()
+            expr, ty = body[: as_span[0]], body[as_span[1] :].strip()
             try:
                 spark_ty = ch_type_to_spark(ty).simpleString()
             except Exception:
@@ -4101,6 +4147,30 @@ def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
             else:
                 repl = f"bh_cityhash64_row(struct({', '.join(args)}))"
             out = out[:start] + repl + out[end:]
+    # The flagship checksum shape sum(cityHash64(*)) must WRAP like
+    # ClickHouse's sum(UInt64) (mod 2^64) to compare against a live
+    # CH checksum — per-row hashes average 2^63, so any 3-row table
+    # overflows. Fold the wrap in whenever the exact hash is summed.
+    if "bh_cityhash64_row" in out:
+        pos = 0
+        while True:
+            call = _find_call(out, "sum", pos)
+            if call is None:
+                break
+            start, end, args = call
+            pos = start + 1
+            if len(args) == 1 and args[0].strip().startswith(
+                "bh_cityhash64_row("
+            ):
+                repl = (
+                    f"CAST(pmod(sum({args[0]}), CAST("
+                    f"18446744073709551616 AS DECIMAL(38,0))) "
+                    f"AS DECIMAL(20,0))"
+                )
+                out = out[:start] + repl + out[end:]
+                # Skip past the replacement — it contains sum(bh_...)
+                # itself and must not be wrapped twice.
+                pos = start + len(repl)
     return out
 
 
@@ -4109,14 +4179,25 @@ _IN_FRAME_UNBOUNDED_RE = re.compile(
     r"UNBOUNDED\s+FOLLOWING\s*$",
     re.IGNORECASE,
 )
+# Shorthand frame `ROWS UNBOUNDED PRECEDING` (end = CURRENT ROW).
+# lag only looks backward, so this frame is a no-op for lagInFrame;
+# for leadInFrame the target row is OUTSIDE it (always the default) —
+# stripping would change results, so lead refuses it.
+_IN_FRAME_PRECEDING_RE = re.compile(
+    r"\s*(ROWS|RANGE)\s+(BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+    r"CURRENT\s+ROW|UNBOUNDED\s+PRECEDING)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _rewrite_in_frame(sql: str) -> str:
     """CH ``lagInFrame``/``leadInFrame`` → ``lag``/``lead``. CH's
     variants respect the window frame; Spark's lag/lead reject one.
-    With the conventional UNBOUNDED/UNBOUNDED frame the semantics are
-    identical, so strip it; any other frame changes results — refuse
-    with the offset spelling."""
+    Frames that don't change the result are stripped (UNBOUNDED both
+    ways for either; UNBOUNDED PRECEDING for lag, which only looks
+    backward); any frame that would change results refuses with the
+    offset spelling. Named windows (``OVER w``) pass through with the
+    function renamed — Spark resolves the WINDOW clause itself."""
     out = sql
     for ch, sp in (("lagInFrame", "lag"), ("leadInFrame", "lead")):
         while True:
@@ -4126,21 +4207,40 @@ def _rewrite_in_frame(sql: str) -> str:
             start, end, args = call
             m = re.match(r"\s*OVER\s*\(", out[end:], re.IGNORECASE)
             if not m:
-                raise ValueError(f"{ch}() requires an OVER clause")
+                named = re.match(
+                    r"\s*OVER\s+[A-Za-z_]\w*", out[end:], re.IGNORECASE
+                )
+                if not named:
+                    raise ValueError(f"{ch}() requires an OVER clause")
+                out = (
+                    out[:start]
+                    + f"{sp}({', '.join(args)})"
+                    + out[end:]
+                )
+                continue
             spec_start = end + m.end()
-            depth, i = 1, spec_start
+            # Quote-aware paren scan: string literals in the window
+            # spec may contain parens.
+            depth, i, quote = 1, spec_start, None
             while i < len(out) and depth > 0:
-                if out[i] == "(":
+                c = out[i]
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
                     depth += 1
-                elif out[i] == ")":
+                elif c == ")":
                     depth -= 1
                 i += 1
             spec = out[spec_start : i - 1]
             stripped = _IN_FRAME_UNBOUNDED_RE.sub("", spec)
-            if re.search(r"\b(ROWS|RANGE)\s+BETWEEN\b", stripped,
-                         re.IGNORECASE):
+            if ch == "lagInFrame":
+                stripped = _IN_FRAME_PRECEDING_RE.sub("", stripped)
+            if re.search(r"\b(ROWS|RANGE)\b", stripped, re.IGNORECASE):
                 raise ValueError(
-                    f"{ch}() with a bounded frame has no Spark "
+                    f"{ch}() with this frame has no Spark "
                     "equivalent; express the frame bound as the "
                     f"{sp} offset instead"
                 )

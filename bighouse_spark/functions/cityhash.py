@@ -30,7 +30,11 @@ apply ``toInt64`` on the CH side for cross-engine comparisons),
 Float64 ``<d``, Float32 ``<f``, Date ``<H`` epoch days, DateTime
 ``<I`` epoch seconds, Bool one byte. NULL in any argument yields
 NULL (SQL propagation; CH's Nullable hashing keys the null mask —
-divergence documented, fixtures are non-nullable).
+divergence documented, fixtures are non-nullable). DateTime parity
+requires a UTC session timezone — the dialect layer enforces this at
+registration. ``sum(cityHash64Exact(...))`` is wrapped mod 2^64 by
+the dialect so the whole-table checksum matches CH's wrapping
+``sum(UInt64)``.
 
 This is the FIDELITY path, row-at-a-time Python inside an
 Arrow-batched pandas UDF — use it for checksums against a live
@@ -232,6 +236,12 @@ def cityhash64_values(values) -> int:
 
 
 def _is_null(v) -> bool:
+    """NULL detection over Arrow-delivered values. Float NaN is
+    treated as NULL: Arrow's default pandas conversion delivers NaN
+    for BOTH SQL NULL and genuine NaN values in float columns, so the
+    two are indistinguishable here. A live CH hashes a genuine NaN's
+    bytes — filter NaN rows (isNaN) before cross-engine checksum
+    comparison over float columns."""
     if v is None:
         return True
     try:

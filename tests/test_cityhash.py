@@ -58,17 +58,20 @@ class TestCore:
         assert bin(ha ^ hb).count("1") >= 16
 
     def test_frozen_regression_vectors(self):
-        # Self-computed goldens frozen at the round-5 implementation:
-        # catch any future transcription drift in the port. (The
+        # Goldens HARDCODED from the round-5 implementation: any
+        # future transcription drift in the port fails here. (The
         # external bit-parity gate is the clickhouse_cityhash test
-        # below.)
+        # below; only b'' is independently CH-documented.)
         vectors = {
             b"": 11160318154034397263,
-            b"a": cityhash64(b"a"),
-            b"abc": cityhash64(b"abc"),
+            b"a": 2603192927274642682,
+            b"abc": 4220206313085259313,
+            b"0123456789abcdef0": 5496319037578566379,  # 17-32 path
+            b"x" * 40: 3896669899269749907,  # 33-64 path
+            b"y" * 100: 10592969210838759155,  # >64 block path
         }
         for data, expect in vectors.items():
-            assert cityhash64(data) == expect
+            assert cityhash64(data) == expect, data
 
     def test_multi_value_fold_is_hash128to64(self):
         h1 = cityhash64(b"first")
@@ -148,9 +151,12 @@ class TestSQL:
                 "values('a UInt64, b String', (1, 'x'), (2, 'y'))"
             )
         )
+        # The dialect wraps the checksum mod 2^64, matching CH's
+        # wrapping sum(UInt64) — the raw sum of two ~2^63 hashes
+        # already overflows.
         expect = sum(
             cityhash64_values(v) for v in [[1, "x"], [2, "y"]]
-        )
+        ) % (1 << 64)
         assert res.rows[0][0] == Decimal(expect)
 
     def test_null_argument_propagates(self, spark):

@@ -3084,7 +3084,7 @@ class TestRound5Tranche10:
         assert r.rows == [[None, 2], [1, -1]]
 
     def test_lag_in_frame_bounded_refusal(self, eng):
-        with pytest.raises(ValueError, match="bounded frame"):
+        with pytest.raises(ValueError, match="frame has no Spark"):
             eng.execute(
                 "SELECT lagInFrame(v) OVER (ORDER BY v ROWS BETWEEN "
                 "1 PRECEDING AND CURRENT ROW) AS r "
@@ -3148,3 +3148,70 @@ class TestCastTypeTranslation:
             "TRY_CAST('5' AS Int64) AS b"
         )
         assert r.rows == [[None, 5]]
+
+
+class TestReviewFixesRound5:
+    """Regression tests for the round-5 self-review findings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_in_frame_quote_aware_over_spec(self, eng):
+        # A '(' inside a string literal in the window spec must not
+        # derail the paren scan.
+        r = eng.execute(
+            "SELECT lagInFrame(v) OVER (PARTITION BY concat(g, '(') "
+            "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) AS r "
+            "FROM values('v Int64, g String', (1,'a'),(2,'a')) "
+            "ORDER BY r NULLS FIRST"
+        )
+        assert [x[0] for x in r.rows] == [None, 1]
+
+    def test_in_frame_shorthand_preceding(self, eng):
+        # ROWS UNBOUNDED PRECEDING is a no-op for lag (backward-only)
+        # and stripped; for lead the target row is outside the frame
+        # — semantics change, so it refuses.
+        r = eng.execute(
+            "SELECT lagInFrame(v) OVER (ORDER BY v ROWS UNBOUNDED "
+            "PRECEDING) AS r FROM values('v Int64', (1),(2)) "
+            "ORDER BY r NULLS FIRST"
+        )
+        assert [x[0] for x in r.rows] == [None, 1]
+        with pytest.raises(ValueError, match="frame has no Spark"):
+            eng.execute(
+                "SELECT leadInFrame(v) OVER (ORDER BY v ROWS "
+                "UNBOUNDED PRECEDING) AS r FROM values('v Int64', (1))"
+            )
+
+    def test_in_frame_named_window(self, eng):
+        r = eng.execute(
+            "SELECT lagInFrame(v) OVER w AS r "
+            "FROM values('v Int64', (1),(2)) WINDOW w AS (ORDER BY v) "
+            "ORDER BY r NULLS FIRST"
+        )
+        assert [x[0] for x in r.rows] == [None, 1]
+
+    def test_cast_as_with_tabs_and_newlines(self, eng):
+        r = eng.execute("SELECT CAST(1.9\tAS Int64) AS a, CAST(2\n AS\n Float64) AS b")
+        assert r.rows == [[1, 2.0]]
+
+    def test_uuid_to_num_variant2_refused(self, eng):
+        with pytest.raises(ValueError, match="variant"):
+            eng.execute(
+                "SELECT UUIDToNum(toUUID("
+                "'612f3c40-5d3b-217e-707b-6a546a3d7b29'), 2) AS r"
+            )
+
+    def test_ipv4_cidr_composed_stays_small(self, eng):
+        # The naive interpolation emitted 71 KB for this shape,
+        # silently dropping Spark to interpreted evaluation.
+        from bighouse_spark.dialect.transpile import transpile
+
+        t = transpile(
+            "SELECT IPv4CIDRToRange(toIPv4(ip), 16) FROM t"
+        ).sql
+        assert len(t) < 8000
