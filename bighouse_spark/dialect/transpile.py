@@ -150,6 +150,7 @@ _FUNC_RENAMES = {
     "arrayStringConcat": "array_join",
     "arrayDistinct": "array_distinct",
     "arraySort": "sort_array",
+    "dateTrunc": "date_trunc",
     "arrayReverse": "reverse",
     "arrayFlatten": "flatten",
     "arraySlice": "slice",
@@ -2879,6 +2880,225 @@ _ARG_REWRITES["toIPv4"] = lambda a: _ARG_REWRITES["IPv4NumToString"](
 )
 
 
+def _rewrite_has_column_in_table(sql: str, spark) -> str:
+    """CH ``hasColumnInTable([host, user, pwd,] db, table, column)``
+    → constant-folded boolean against the live catalog (the last two
+    arguments are the table and column; database qualifiers beyond
+    the registered view name are ignored). Unknown table → FALSE,
+    matching CH's behavior for missing remote tables."""
+    out = sql
+    pos = 0
+    while True:
+        call = _find_call(out, "hasColumnInTable", pos)
+        if call is None:
+            return out
+        start, end, args = call
+        if len(args) < 2:
+            raise ValueError(
+                "hasColumnInTable needs (.., table, column) arguments"
+            )
+        tbl, col = _unquote(args[-2]), _unquote(args[-1])
+        try:
+            names = [f.name for f in spark.table(tbl).schema.fields]
+            lit = "TRUE" if col in names else "FALSE"
+        except Exception:
+            lit = "FALSE"
+        out = out[:start] + lit + out[end:]
+        pos = start + 1
+
+
+_CH_AES_MODE_RE = re.compile(r"aes-(128|192|256)-(ecb|cbc|gcm)")
+
+
+def _ch_cipher(fn_name: str, spark_fn: str, a: list) -> str:
+    """CH ``encrypt/decrypt('aes-NNN-mode', data, key[, iv[, aad]])``
+    → Spark ``aes_encrypt/aes_decrypt(data, key, MODE, 'DEFAULT'
+    [, iv[, aad]])``. Spark infers the key size from the key itself,
+    so the NNN in the mode string is advisory (CH validates it;
+    mismatched key lengths error in both engines, just with
+    different messages). Literal modes only."""
+    mode = _unquote(a[0]).lower()
+    m = _CH_AES_MODE_RE.fullmatch(mode)
+    if not m:
+        raise ValueError(
+            f"{fn_name}: unsupported cipher {mode!r} — aes-NNN-ecb/"
+            "cbc/gcm (literal) are implemented"
+        )
+    args = [a[1], a[2], f"'{m.group(2).upper()}'", "'DEFAULT'"]
+    args.extend(a[3:5])
+    return f"{spark_fn}({', '.join(args)})"
+
+
+def _default_value_of_type(a: list) -> str:
+    """CH ``defaultValueOfTypeName('Int64')`` → that type's zero
+    value (CH defaults: 0 / '' / epoch / empty collection)."""
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
+    s = ch_type_to_spark(_unquote(a[0])).simpleString()
+    if s == "string":
+        return "''"
+    if s == "date":
+        return "DATE '1970-01-01'"
+    if s == "timestamp":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if s == "binary":
+        return "CAST('' AS BINARY)"
+    if s == "boolean":
+        return "false"
+    if s.startswith("array"):
+        return f"CAST(array() AS {s})"
+    if s.startswith("map"):
+        return f"CAST(map() AS {s})"
+    return f"CAST(0 AS {s})"
+
+
+# Round-5 probe tranche 11: AES ciphers, reverse sorts, type
+# defaults, dateTrunc spelling, plus guided refusals for the
+# dictionary/model/geometry families that genuinely need libraries
+# the engine does not ship.
+_ARG_REWRITES.update({
+    "encrypt": lambda a: _ch_cipher("encrypt", "aes_encrypt", a),
+    "decrypt": lambda a: (
+        f"CAST({_ch_cipher('decrypt', 'aes_decrypt', a)} AS STRING)"
+    ),
+    # MySQL flavor: for standard 16/24/32-byte keys identical to
+    # encrypt; MySQL's fold-longer-keys quirk is not reproduced.
+    "aes_encrypt_mysql": lambda a: _ch_cipher(
+        "aes_encrypt_mysql", "aes_encrypt", a
+    ),
+    "aes_decrypt_mysql": lambda a: (
+        f"CAST({_ch_cipher('aes_decrypt_mysql', 'aes_decrypt', a)} "
+        f"AS STRING)"
+    ),
+    "arrayReverseSort": lambda a: (
+        f"reverse(sort_array({a[0]}))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "arrayReverseSort(f, arr): compose reverse("
+                "arraySort(f, arr)) explicitly"
+            )
+        )
+    ),
+    "defaultValueOfTypeName": _default_value_of_type,
+    "defaultValueOfArgumentType": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "defaultValueOfArgumentType needs expression typing; "
+            "spell the type: defaultValueOfTypeName('Int64')"
+        )
+    ),
+    "sumArgMin": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "sumArgMin(x, k) needs the group minimum first; use "
+            "sum(CASE WHEN k = mk THEN x END) after a window "
+            "min(k) OVER (PARTITION BY <group>) AS mk"
+        )
+    ),
+    "sumArgMax": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "sumArgMax(x, k) needs the group maximum first; use "
+            "sum(CASE WHEN k = mk THEN x END) after a window "
+            "max(k) OVER (PARTITION BY <group>) AS mk"
+        )
+    ),
+    "tupleConcat": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "tupleConcat: struct concatenation needs field-name "
+            "merging; use arrays (concat) or named_struct explicitly"
+        )
+    ),
+    "arrayReverseSplit": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "arrayReverseSplit() has no Spark equivalent; derive cut "
+            "positions with filter(sequence(...), i -> pred) and "
+            "slice between them (cuts BEFORE the matching element)"
+        )
+    ),
+    "geohashesInBox": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "geohashesInBox() grid enumeration is not implemented; "
+            "geohashEncode covers point encoding"
+        )
+    ),
+    "detectLanguage": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "detectLanguage() models don't ship with the engine; the "
+            "text_language_id operator (functions/text.py "
+            "language_id) provides stopword-marker language ID"
+        )
+    ),
+    "detectCharset": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "detectCharset() models don't ship with the engine; "
+            "corpus text is UTF-8 by contract (toValidUTF8 scrubs)"
+        )
+    ),
+    "lemmatize": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "lemmatize() needs language dictionaries that don't "
+            "ship; stem/lemmatize upstream or use a tokenizer UDF"
+        )
+    ),
+    "synonyms": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "synonyms() needs extension dictionaries that don't ship"
+        )
+    ),
+    "seriesDecomposeSTL": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "seriesDecomposeSTL() (iterative STL) is not "
+            "implemented; window moving averages cover trend/"
+            "seasonal extraction"
+        )
+    ),
+    "seriesOutliersDetectTukey": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "seriesOutliersDetectTukey(): compute quartiles with "
+            "percentile() and flag x < q1-1.5*iqr OR x > q3+1.5*iqr"
+        )
+    ),
+    "seriesPeriodDetectFFT": lambda a: (_ for _ in ()).throw(
+        ValueError("seriesPeriodDetectFFT() (FFT) is not implemented")
+    ),
+    "getSetting": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "getSetting(): session settings surface through the "
+            "system_settings view (SELECT * FROM system_settings)"
+        )
+    ),
+    "transactionLatestSnapshot": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "experimental CH transactions are not implemented "
+            "(single-statement semantics only)"
+        )
+    ),
+    "polygonAreaCartesian": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "polygon geometry functions need a geometry library "
+            "that doesn't ship; pointInPolygon covers containment"
+        )
+    ),
+    "polygonPerimeterCartesian": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "polygon geometry functions need a geometry library "
+            "that doesn't ship; pointInPolygon covers containment"
+        )
+    ),
+    "countResample": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "-Resample combinators: GROUP BY the bucket instead — "
+            "floor((key - start) / step) — then aggregate per bucket"
+        )
+    ),
+    "sumResample": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "-Resample combinators: GROUP BY the bucket instead — "
+            "floor((key - start) / step) — then aggregate per bucket"
+        )
+    ),
+})
+
+
 # CH JSONExtract*(json, key) → get_json_object(json, '$.key') with a
 # result cast. Key arg is a string literal; nested keys may be passed
 # pre-dotted ('a.b'). JSONHas → null-check on extraction.
@@ -2986,6 +3206,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         "true",
     )
     out = _strip_format(out)
+    if spark is not None and "hasColumnInTable" in out:
+        out = _rewrite_has_column_in_table(out, spark)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
     out = _rewrite_asof_join(out, spark, views)

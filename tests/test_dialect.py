@@ -3215,3 +3215,83 @@ class TestReviewFixesRound5:
             "SELECT IPv4CIDRToRange(toIPv4(ip), 16) FROM t"
         ).sql
         assert len(t) < 8000
+
+
+class TestRound5Tranche11:
+    """Probe tranche 11: AES ciphers over Spark's aes_encrypt/
+    aes_decrypt, reverse sorts, type-default literals, dateTrunc
+    spelling, catalog-folded hasColumnInTable, and guided refusals
+    for families needing libraries that don't ship."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_encrypt_decrypt_roundtrip_modes(self, eng):
+        r = eng.execute(
+            "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb', "
+            "'secret text', 'keykeykeykeykeyk'), 'keykeykeykeykeyk') AS a, "
+            "decrypt('aes-256-gcm', encrypt('aes-256-gcm', 'msg', "
+            "'kkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkk'), "
+            "'kkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkk') AS b, "
+            "aes_decrypt_mysql('aes-128-ecb', aes_encrypt_mysql("
+            "'aes-128-ecb', 'abc', '0123456789abcdef'), "
+            "'0123456789abcdef') AS c"
+        )
+        assert r.rows == [["secret text", "msg", "abc"]]
+
+    def test_encrypt_unsupported_mode_refused(self, eng):
+        with pytest.raises(ValueError, match="unsupported cipher"):
+            eng.execute("SELECT encrypt('rot13', 'x', 'k')")
+
+    def test_array_reverse_sort(self, eng):
+        r = eng.execute("SELECT arrayReverseSort([3,1,2]) AS r")
+        assert r.rows == [[[3, 2, 1]]]
+
+    def test_date_trunc_spelling(self, eng):
+        r = eng.execute(
+            "SELECT dateTrunc('quarter', "
+            "toDateTime('2024-05-05 00:00:00')) AS r"
+        )
+        assert str(r.rows[0][0]) == "2024-04-01 00:00:00"
+
+    def test_default_value_of_type_name(self, eng):
+        r = eng.execute(
+            "SELECT defaultValueOfTypeName('Int64') AS a, "
+            "defaultValueOfTypeName('String') AS b, "
+            "defaultValueOfTypeName('Date') AS c, "
+            "defaultValueOfTypeName('Array(Int64)') AS d"
+        )
+        assert r.rows[0][0] == 0
+        assert r.rows[0][1] == ""
+        assert str(r.rows[0][2]) == "1970-01-01"
+        assert r.rows[0][3] == []
+
+    def test_has_column_in_table_constant_folds(self, eng, spark):
+        spark.createDataFrame([(1, "x")], ["k", "v"]).createOrReplaceTempView(
+            "hct_probe"
+        )
+        r = eng.execute(
+            "SELECT hasColumnInTable('hct_probe', 'k') AS a, "
+            "hasColumnInTable('hct_probe', 'nope') AS b, "
+            "hasColumnInTable('no_such_table', 'x') AS c"
+        )
+        assert r.rows == [[True, False, False]]
+
+    def test_tranche11_refusals(self, eng):
+        for expr, hint in [
+            ("sumArgMin(a, a)", "window"),
+            ("sumArgMax(a, a)", "window"),
+            ("tupleConcat((1,2),(3,4))", "named_struct"),
+            ("countResample(0,10,5)(a)", "bucket"),
+            ("defaultValueOfArgumentType(a)", "defaultValueOfTypeName"),
+            ("detectLanguage('x')", "language_id"),
+            ("lemmatize('en', 'x')", "dictionaries"),
+            ("seriesPeriodDetectFFT([1.0])", "FFT"),
+            ("getSetting('max_threads')", "system_settings"),
+            ("polygonAreaCartesian([[(0.,0.)]])", "pointInPolygon"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
