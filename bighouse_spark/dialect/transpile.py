@@ -4259,7 +4259,9 @@ def _rewrite_contextual(sql: str) -> str:
     return out
 
 
-_COLONCOLON_TYPE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\([^()]*\))?")
+_COLONCOLON_TYPE_RE = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*(\([^()]*\))?)"
+)
 
 
 def _rewrite_cast_types(sql: str) -> str:
@@ -4334,7 +4336,7 @@ def _rewrite_cast_types(sql: str) -> str:
                 if m:
                     try:
                         spark_ty = ch_type_to_spark(
-                            m.group(0)
+                            m.group(1)
                         ).simpleString()
                         res.append(f"::{spark_ty}")
                         i = m.end()

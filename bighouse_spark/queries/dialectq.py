@@ -244,3 +244,99 @@ def dialect_asof_roundtrip(spark, sf_dir):
         spark,
     )
     return spark.sql(r.sql)
+
+
+# Round-5 frontend features under oracle check: CH type names inside
+# standard casts (CAST AS Int64 / ::Float64 — round-5 rewrite), the
+# IPv4 codec + CIDR containment math, and the AES round-trip. DuckDB
+# recomputes the IP arithmetic from first principles (shift/mask on
+# the same integers), so the dotted-quad rendering and in-range rule
+# get value-level verification, not just unit tests.
+@query(
+    "dialect_cast_types_roundtrip",
+    oracle="""
+SELECT l_returnflag AS flag,
+       sum(CAST(l_quantity AS BIGINT)) AS qty_int,
+       CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_sum,
+       max(CAST(l_orderkey AS BIGINT)) AS max_key
+FROM lineitem GROUP BY l_returnflag ORDER BY flag
+""",
+)
+def dialect_cast_types_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_li_cast",
+        """
+        SELECT l_returnflag AS flag,
+               sum(CAST(l_quantity AS Int64)) AS qty_int,
+               CAST(sum(l_tax :: Decimal(18,2)) AS Float64) AS tax_sum,
+               max(l_orderkey :: Int64) AS max_key
+        FROM __dq_li_cast GROUP BY flag ORDER BY flag
+        """,
+    )
+
+
+@query(
+    "dialect_ipv4_roundtrip",
+    oracle="""
+SELECT o_orderkey AS k,
+       concat(
+         CAST((o_orderkey >> 24) & 255 AS VARCHAR), '.',
+         CAST((o_orderkey >> 16) & 255 AS VARCHAR), '.',
+         CAST((o_orderkey >> 8) & 255 AS VARCHAR), '.',
+         CAST(o_orderkey & 255 AS VARCHAR)) AS ip,
+       (o_orderkey >> 5) = 1 AS in_slash27,
+       concat_ws(':',
+         lpad(lower(to_hex((o_orderkey >> 40) & 255)), 2, '0'),
+         lpad(lower(to_hex((o_orderkey >> 32) & 255)), 2, '0'),
+         lpad(lower(to_hex((o_orderkey >> 24) & 255)), 2, '0'),
+         lpad(lower(to_hex((o_orderkey >> 16) & 255)), 2, '0'),
+         lpad(lower(to_hex((o_orderkey >> 8) & 255)), 2, '0'),
+         lpad(lower(to_hex(o_orderkey & 255)), 2, '0')) AS mac
+FROM orders WHERE o_orderkey <= 100 ORDER BY k
+""",
+)
+def dialect_ipv4_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_ord_ip",
+        """
+        SELECT o_orderkey AS k,
+               IPv4NumToString(o_orderkey) AS ip,
+               isIPAddressInRange(IPv4NumToString(o_orderkey),
+                                  '0.0.0.32/27') AS in_slash27,
+               MACNumToString(o_orderkey) AS mac
+        FROM __dq_ord_ip WHERE o_orderkey <= 100 ORDER BY k
+        """,
+    )
+
+
+@query(
+    "dialect_crypto_roundtrip",
+    oracle="""
+SELECT doc_id, true AS ok, substring(text, 1, 48) AS head
+FROM documents ORDER BY doc_id LIMIT 50
+""",
+)
+def dialect_crypto_roundtrip(spark, sf_dir):
+    # decrypt(encrypt(x)) == x proves the cipher pair end-to-end; the
+    # oracle pins which rows were checked (ids + plaintext heads).
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_doc_aes",
+        """
+        SELECT doc_id,
+               decrypt('aes-128-ecb',
+                       encrypt('aes-128-ecb', substring(text, 1, 48),
+                               'k0123456789abcde'),
+                       'k0123456789abcde') = substring(text, 1, 48) AS ok,
+               substring(text, 1, 48) AS head
+        FROM __dq_doc_aes ORDER BY doc_id LIMIT 50
+        """,
+    )
