@@ -3090,6 +3090,34 @@ _ARG_REWRITES.update({
             "floor((key - start) / step) — then aggregate per bucket"
         )
     ),
+    "isNotDistinctFrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
+    # KeepNames flavors: our normalizeQuery already keeps
+    # identifiers (it only replaces literals), so they alias.
+    "normalizeQueryKeepNames": lambda a: _ARG_REWRITES[
+        "normalizeQuery"
+    ](a),
+    "normalizedQueryHashKeepNames": lambda a: _ARG_REWRITES[
+        "normalizedQueryHash"
+    ](a),
+    "isNullable": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "isNullable(): per-expression Nullable() typing is "
+            "erased by this engine (Spark nullability lives in the "
+            "schema — DESCRIBE the table)"
+        )
+    ),
+    "bitSlice": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "bitSlice() (bit-level substring) is not implemented; "
+            "substring() covers byte slices"
+        )
+    ),
+    "formatQuery": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "formatQuery(): use EXPLAIN SYNTAX <query> to see the "
+            "engine's rewritten form of a statement"
+        )
+    ),
     "sumResample": lambda a: (_ for _ in ()).throw(
         ValueError(
             "-Resample combinators: GROUP BY the bucket instead — "

@@ -3295,3 +3295,40 @@ class TestRound5Tranche11:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
+
+
+class TestRound5Tranche12:
+    """Final round-5 mini-probe: null-semantics spellings and
+    KeepNames normalization aliases (34-name probe; 27 already
+    served natively or by prior tranches)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_is_not_distinct_from(self, eng):
+        r = eng.execute(
+            "SELECT isNotDistinctFrom(NULL, NULL) AS a, "
+            "isNotDistinctFrom(1, NULL) AS b, "
+            "isNotDistinctFrom(1, 1) AS c"
+        )
+        assert r.rows == [[True, False, True]]
+
+    def test_keep_names_normalization_aliases(self, eng):
+        r = eng.execute(
+            "SELECT normalizeQueryKeepNames('SELECT a + 1') AS q, "
+            "normalizedQueryHashKeepNames('SELECT 1') = "
+            "normalizedQueryHashKeepNames('SELECT 2') AS same"
+        )
+        assert r.rows == [["SELECT a + ?", True]]
+
+    def test_tranche12_refusals(self, eng):
+        for expr, hint in [
+            ("isNullable(1)", "schema"),
+            ("bitSlice('x', 1, 4)", "substring"),
+            ("formatQuery('select 1')", "EXPLAIN SYNTAX"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr}")
