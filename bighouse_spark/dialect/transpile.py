@@ -150,7 +150,6 @@ _FUNC_RENAMES = {
     "arrayStringConcat": "array_join",
     "arrayDistinct": "array_distinct",
     "arraySort": "sort_array",
-    "dateTrunc": "date_trunc",
     "arrayReverse": "reverse",
     "arrayFlatten": "flatten",
     "arraySlice": "slice",
@@ -2758,21 +2757,11 @@ def _ipv4_cidr_to_range(a: list) -> str:
     Spark's codegen method limit on composed inputs."""
     num = _ARG_REWRITES["IPv4StringToNum"](["__ip"])
     span = f"(shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]})) - 1)"
-
-    # shiftright() function form, NOT the `>>` operator — Spark's
-    # parser rejects `>>`/`<<` inside lambda bodies.
-    def ntos(x: str) -> str:
-        return (
-            f"concat(CAST(shiftright({x}, 24) & 255 AS STRING), '.', "
-            f"CAST(shiftright({x}, 16) & 255 AS STRING), '.', "
-            f"CAST(shiftright({x}, 8) & 255 AS STRING), '.', "
-            f"CAST(({x}) & 255 AS STRING))"
-        )
-
+    ntos = _ARG_REWRITES["IPv4NumToString"]
     inner = (
         f"element_at(transform(array(({num}) - (({num}) & {span})), "
-        f"__lo -> named_struct('lo', {ntos('__lo')}, "
-        f"'hi', {ntos('(__lo + ' + span + ')')})), 1)"
+        f"__lo -> named_struct('lo', {ntos(['__lo'])}, "
+        f"'hi', {ntos(['(__lo + ' + span + ')'])})), 1)"
     )
     return (
         f"element_at(transform(array({a[0]}), __ip -> {inner}), 1)"
@@ -2914,9 +2903,10 @@ def _ch_cipher(fn_name: str, spark_fn: str, a: list) -> str:
     """CH ``encrypt/decrypt('aes-NNN-mode', data, key[, iv[, aad]])``
     → Spark ``aes_encrypt/aes_decrypt(data, key, MODE, 'DEFAULT'
     [, iv[, aad]])``. Spark infers the key size from the key itself,
-    so the NNN in the mode string is advisory (CH validates it;
-    mismatched key lengths error in both engines, just with
-    different messages). Literal modes only."""
+    so the declared NNN is ENFORCED with a runtime assert — CH
+    rejects a key whose length doesn't match the declared variant,
+    and silently running a different AES variant would produce
+    ciphertext no ClickHouse could ever produce. Literal modes only."""
     mode = _unquote(a[0]).lower()
     m = _CH_AES_MODE_RE.fullmatch(mode)
     if not m:
@@ -2924,17 +2914,32 @@ def _ch_cipher(fn_name: str, spark_fn: str, a: list) -> str:
             f"{fn_name}: unsupported cipher {mode!r} — aes-NNN-ecb/"
             "cbc/gcm (literal) are implemented"
         )
-    args = [a[1], a[2], f"'{m.group(2).upper()}'", "'DEFAULT'"]
+    key_bytes = int(m.group(1)) // 8
+    # CASE/raise_error (not assert_true with equal branches, which
+    # Catalyst's SimplifyConditionals folds away): wrong-length keys
+    # raise instead of silently running a different AES variant.
+    key = (
+        f"(CASE WHEN octet_length(CAST({a[2]} AS BINARY)) = "
+        f"{key_bytes} THEN {a[2]} ELSE raise_error('{fn_name}: "
+        f"{mode} needs a {key_bytes}-byte key') END)"
+    )
+    args = [a[1], key, f"'{m.group(2).upper()}'", "'DEFAULT'"]
     args.extend(a[3:5])
     return f"{spark_fn}({', '.join(args)})"
 
 
-def _default_value_of_type(a: list) -> str:
-    """CH ``defaultValueOfTypeName('Int64')`` → that type's zero
-    value (CH defaults: 0 / '' / epoch / empty collection)."""
-    from bighouse_spark.dialect.schema import ch_type_to_spark
+def _default_for_spark_type(dt) -> str:
+    """Default-value literal for a Spark type (CH zero semantics:
+    0 / '' / epoch / empty collection; tuples default per-field)."""
+    from pyspark.sql import types as T
 
-    s = ch_type_to_spark(_unquote(a[0])).simpleString()
+    if isinstance(dt, T.StructType):
+        fields = ", ".join(
+            f"'{f.name}', {_default_for_spark_type(f.dataType)}"
+            for f in dt.fields
+        )
+        return f"named_struct({fields})"
+    s = dt.simpleString()
     if s == "string":
         return "''"
     if s == "date":
@@ -2950,6 +2955,18 @@ def _default_value_of_type(a: list) -> str:
     if s.startswith("map"):
         return f"CAST(map() AS {s})"
     return f"CAST(0 AS {s})"
+
+
+def _default_value_of_type(a: list) -> str:
+    """CH ``defaultValueOfTypeName('Int64')`` → that type's zero
+    value. ``Nullable(T)`` defaults to NULL (typed), like CH."""
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
+    raw = _unquote(a[0]).strip()
+    dt = ch_type_to_spark(raw)
+    if re.match(r"Nullable\s*\(", raw):
+        return f"CAST(NULL AS {dt.simpleString()})"
+    return _default_for_spark_type(dt)
 
 
 # Round-5 probe tranche 11: AES ciphers, reverse sorts, type
@@ -3091,6 +3108,14 @@ _ARG_REWRITES.update({
         )
     ),
     "isNotDistinctFrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
+    # dateTrunc: 2-arg maps directly; the 3-arg timezone form
+    # truncates in that zone (shift in, truncate, shift back).
+    "dateTrunc": lambda a: (
+        f"date_trunc({a[0]}, {a[1]})"
+        if len(a) == 2
+        else f"to_utc_timestamp(date_trunc({a[0]}, "
+        f"from_utc_timestamp({a[1]}, {a[2]})), {a[2]})"
+    ),
     # KeepNames flavors: our normalizeQuery already keeps
     # identifiers (it only replaces literals), so they alias.
     "normalizeQueryKeepNames": lambda a: _ARG_REWRITES[
@@ -3314,26 +3339,44 @@ def _ensure_misc_udfs(spark: SparkSession) -> None:
 _CITYHASH_UDF_SESSIONS: set[int] = set()
 
 
+def _tz_is_utc_equivalent(tz: str) -> bool:
+    if tz in (
+        "UTC", "Etc/UTC", "GMT", "GMT0", "Etc/GMT", "Etc/GMT0",
+        "Etc/GMT+0", "Etc/GMT-0", "Greenwich", "Etc/Greenwich",
+        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "UCT",
+        "Etc/UCT", "+00:00", "+0000", "Z",
+    ):
+        return True
+    try:
+        import datetime as _dt
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        return all(
+            _dt.datetime(2024, m, 1, tzinfo=z).utcoffset()
+            == _dt.timedelta(0)
+            for m in (1, 7)  # winter + summer → catches DST zones
+        )
+    except Exception:
+        return False
+
+
 def _ensure_cityhash_udfs(spark: SparkSession) -> None:
     if id(spark) in _CITYHASH_UDF_SESSIONS:
         return
     # Bit-parity guard: Arrow hands the UDF NAIVE timestamps in the
     # SESSION timezone, which the encoder interprets as UTC wall time
-    # (CH stores DateTime as epoch). Under a non-UTC session every
-    # datetime hash would silently disagree with a live ClickHouse —
-    # fail loudly instead.
-    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-        raise ValueError(
-            "cityHash64Exact needs spark.sql.session.timeZone=UTC for "
-            f"DateTime bit parity (session is {tz!r}); SET it to UTC "
-            "or hash toUnixTimestamp(col) instead"
-        )
+    # (CH stores DateTime as epoch). Under a non-UTC session the
+    # registered variant REFUSES datetime arguments (loudly, with
+    # the fix) while timezone-independent strings/ints keep parity.
     from bighouse_spark.functions import cityhash
 
     _pickle_udf_module_by_value(cityhash)
-    for name, fn in cityhash.ALL.items():
-        spark.udf.register(name, fn)
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    fn = cityhash.make_cityhash64_row_udf(
+        allow_datetime=_tz_is_utc_equivalent(tz)
+    )
+    spark.udf.register("bh_cityhash64_row", fn)
     _CITYHASH_UDF_SESSIONS.add(id(spark))
 
 
@@ -4402,7 +4445,10 @@ def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
     # The flagship checksum shape sum(cityHash64(*)) must WRAP like
     # ClickHouse's sum(UInt64) (mod 2^64) to compare against a live
     # CH checksum — per-row hashes average 2^63, so any 3-row table
-    # overflows. Fold the wrap in whenever the exact hash is summed.
+    # overflows. The wrap applies to ANY sum whose argument contains
+    # the exact hash (plain, sumIf's CASE form, DISTINCT), and goes
+    # OUTSIDE a windowed sum's OVER clause (Spark's grammar only
+    # allows OVER directly after the aggregate call).
     if "bh_cityhash64_row" in out:
         pos = 0
         while True:
@@ -4411,18 +4457,41 @@ def _rewrite_cityhash_exact(sql: str, exact: bool = False) -> str:
                 break
             start, end, args = call
             pos = start + 1
-            if len(args) == 1 and args[0].strip().startswith(
-                "bh_cityhash64_row("
-            ):
-                repl = (
-                    f"CAST(pmod(sum({args[0]}), CAST("
-                    f"18446744073709551616 AS DECIMAL(38,0))) "
-                    f"AS DECIMAL(20,0))"
-                )
-                out = out[:start] + repl + out[end:]
-                # Skip past the replacement — it contains sum(bh_...)
-                # itself and must not be wrapped twice.
-                pos = start + len(repl)
+            if len(args) != 1 or "bh_cityhash64_row(" not in args[0]:
+                continue
+            expr_end = end
+            m_over = re.match(r"\s*OVER\s*", out[end:], re.IGNORECASE)
+            if m_over:
+                j = end + m_over.end()
+                if j < len(out) and out[j] == "(":
+                    depth, i, quote = 1, j + 1, None
+                    while i < len(out) and depth > 0:
+                        c = out[i]
+                        if quote:
+                            if c == quote:
+                                quote = None
+                        elif c in "'\"":
+                            quote = c
+                        elif c == "(":
+                            depth += 1
+                        elif c == ")":
+                            depth -= 1
+                        i += 1
+                    expr_end = i
+                else:
+                    m_name = re.match(r"[A-Za-z_]\w*", out[j:])
+                    if m_name:
+                        expr_end = j + m_name.end()
+            inner = out[start:expr_end]
+            repl = (
+                f"CAST(pmod({inner}, CAST("
+                f"18446744073709551616 AS DECIMAL(38,0))) "
+                f"AS DECIMAL(20,0))"
+            )
+            out = out[:start] + repl + out[expr_end:]
+            # Skip past the replacement — it contains sum(bh_...)
+            # itself and must not be wrapped twice.
+            pos = start + len(repl)
     return out
 
 
@@ -4438,6 +4507,12 @@ _IN_FRAME_UNBOUNDED_RE = re.compile(
 _IN_FRAME_PRECEDING_RE = re.compile(
     r"\s*(ROWS|RANGE)\s+(BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
     r"CURRENT\s+ROW|UNBOUNDED\s+PRECEDING)\s*$",
+    re.IGNORECASE,
+)
+# A genuine frame clause (not just a column NAMED rows/range): the
+# keyword must be followed by a frame-boundary token.
+_FRAME_CLAUSE_RE = re.compile(
+    r"\b(ROWS|RANGE)\s+(BETWEEN|UNBOUNDED|CURRENT|\d)",
     re.IGNORECASE,
 )
 
@@ -4460,10 +4535,26 @@ def _rewrite_in_frame(sql: str) -> str:
             m = re.match(r"\s*OVER\s*\(", out[end:], re.IGNORECASE)
             if not m:
                 named = re.match(
-                    r"\s*OVER\s+[A-Za-z_]\w*", out[end:], re.IGNORECASE
+                    r"\s*OVER\s+([A-Za-z_]\w*)", out[end:], re.IGNORECASE
                 )
                 if not named:
                     raise ValueError(f"{ch}() requires an OVER clause")
+                # If the referenced WINDOW definition carries a frame,
+                # Spark will reject lag/lead over it — and stripping
+                # there would change OTHER users of the same window.
+                wname = named.group(1)
+                wdef = re.search(
+                    rf"\bWINDOW\s+{wname}\s+AS\s*\(([^()]*)\)",
+                    out,
+                    re.IGNORECASE,
+                )
+                if wdef and _FRAME_CLAUSE_RE.search(wdef.group(1)):
+                    raise ValueError(
+                        f"{ch}() OVER {wname}: the named window "
+                        "carries a frame; inline the OVER (...) spec "
+                        f"for {sp} so the frame can be stripped "
+                        "without affecting other users of the window"
+                    )
                 out = (
                     out[:start]
                     + f"{sp}({', '.join(args)})"
@@ -4490,7 +4581,7 @@ def _rewrite_in_frame(sql: str) -> str:
             stripped = _IN_FRAME_UNBOUNDED_RE.sub("", spec)
             if ch == "lagInFrame":
                 stripped = _IN_FRAME_PRECEDING_RE.sub("", stripped)
-            if re.search(r"\b(ROWS|RANGE)\b", stripped, re.IGNORECASE):
+            if _FRAME_CLAUSE_RE.search(stripped):
                 raise ValueError(
                     f"{ch}() with this frame has no Spark "
                     "equivalent; express the frame bound as the "

@@ -250,30 +250,51 @@ def _is_null(v) -> bool:
         return False
 
 
-@pandas_udf(DecimalType(20, 0))
-def bh_cityhash64_row(cols: pd.DataFrame) -> pd.Series:
-    """Struct of the call's arguments → exact CH cityHash64 per row.
-    DECIMAL(20,0) carries the full UInt64 range losslessly (sums widen
-    automatically)."""
-    import numpy as np
+def make_cityhash64_row_udf(allow_datetime: bool = True):
+    """Build the row-hash pandas UDF. ``allow_datetime=False`` is the
+    non-UTC-session variant: DateTime encoding needs UTC wall times
+    (Arrow delivers naive timestamps in the SESSION zone), so under a
+    non-UTC session datetime arguments raise with guidance while
+    timezone-independent strings/ints/floats keep bit parity."""
 
-    out = []
-    # Normalize numpy scalars up front so _encode_value sees Python
-    # types; field order == argument order (struct preserves it).
-    rows = cols.itertuples(index=False, name=None)
-    for row in rows:
-        vals = []
-        null = False
-        for v in row:
-            if _is_null(v):
-                null = True
-                break
-            if isinstance(v, np.generic):
-                v = v.item()
-            vals.append(v)
-        out.append(None if null else Decimal(cityhash64_values(vals)))
-    return pd.Series(out, dtype=object)
+    @pandas_udf(DecimalType(20, 0))
+    def bh_cityhash64_row(cols: pd.DataFrame) -> pd.Series:
+        import datetime as _dt
 
+        import numpy as np
+
+        out = []
+        # Normalize numpy scalars up front so _encode_value sees
+        # Python types; field order == argument order.
+        rows = cols.itertuples(index=False, name=None)
+        for row in rows:
+            vals = []
+            null = False
+            for v in row:
+                if _is_null(v):
+                    null = True
+                    break
+                if isinstance(v, np.generic):
+                    v = v.item()
+                if not allow_datetime and isinstance(
+                    v, (pd.Timestamp, _dt.datetime, _dt.date)
+                ):
+                    raise ValueError(
+                        "cityHash64Exact over DateTime needs "
+                        "spark.sql.session.timeZone=UTC for bit "
+                        "parity; SET it to UTC or hash "
+                        "toUnixTimestamp(col) instead"
+                    )
+                vals.append(v)
+            out.append(
+                None if null else Decimal(cityhash64_values(vals))
+            )
+        return pd.Series(out, dtype=object)
+
+    return bh_cityhash64_row
+
+
+bh_cityhash64_row = make_cityhash64_row_udf(allow_datetime=True)
 
 ALL = {"bh_cityhash64_row": bh_cityhash64_row}
 

@@ -3332,3 +3332,85 @@ class TestRound5Tranche12:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr}")
+
+
+class TestReviewFixesRound5B:
+    """Regression tests for the second self-review pass."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_checksum_wrap_covers_sumif_and_window(self, eng):
+        # The mod-2^64 wrap must reach sumIf's CASE form and sit
+        # OUTSIDE a windowed sum's OVER clause.
+        r = eng.execute(
+            "SELECT sumIf(cityHash64Exact(v), v > 0) AS a "
+            "FROM values('v Int64', (1),(2),(3))"
+        )
+        assert int(r.rows[0][0]) < (1 << 64)
+        r2 = eng.execute(
+            "SELECT sum(cityHash64Exact(v)) OVER (PARTITION BY g) AS a "
+            "FROM values('v Int64, g Int64', (1,1),(2,1),(3,1)) LIMIT 1"
+        )
+        assert r2.rows[0][0] == r.rows[0][0]
+
+    def test_aes_key_size_enforced(self, eng):
+        # CH rejects a key whose length mismatches the declared
+        # variant; silently running AES-256-as-128 would produce
+        # ciphertext no ClickHouse could produce.
+        with pytest.raises(Exception, match="32-byte key"):
+            eng.execute(
+                "SELECT encrypt('aes-256-ecb', 'x', '0123456789abcdef')"
+            )
+
+    def test_default_value_nullable_and_tuple(self, eng):
+        r = eng.execute(
+            "SELECT defaultValueOfTypeName('Nullable(Int64)') AS a, "
+            "defaultValueOfTypeName('Tuple(Int64, String)') AS b"
+        )
+        assert r.rows[0][0] is None
+        assert list(r.rows[0][1]) == [0, ""]
+
+    def test_date_trunc_timezone_form(self, eng):
+        # Truncate-in-zone: midnight Asia/Shanghai == 16:00 UTC prev day.
+        r = eng.execute(
+            "SELECT dateTrunc('day', "
+            "toDateTime('2024-01-01 03:00:00'), 'Asia/Shanghai') AS r"
+        )
+        assert str(r.rows[0][0]) == "2023-12-31 16:00:00"
+
+    def test_column_named_rows_not_a_frame(self, eng):
+        r = eng.execute(
+            "SELECT lagInFrame(v) OVER (PARTITION BY rows ORDER BY v) "
+            "AS r FROM values('v Int64, rows Int64', (1,1),(2,1)) "
+            "ORDER BY r NULLS FIRST"
+        )
+        assert [x[0] for x in r.rows] == [None, 1]
+
+    def test_named_window_with_frame_guided(self, eng):
+        with pytest.raises(ValueError, match="inline the OVER"):
+            eng.execute(
+                "SELECT lagInFrame(v) OVER w AS r "
+                "FROM values('v Int64', (1)) WINDOW w AS "
+                "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "UNBOUNDED FOLLOWING)"
+            )
+
+    def test_non_utc_session_refuses_datetime_only(self, spark):
+        # Non-UTC variant: strings/ints keep bit parity, datetime
+        # raises with the fix instead of silently shifting epochs.
+        from bighouse_spark.functions.cityhash import (
+            cityhash64_values,
+            make_cityhash64_row_udf,
+        )
+        from decimal import Decimal
+        import pandas as pd
+
+        fn = make_cityhash64_row_udf(allow_datetime=False).func
+        ok = fn(pd.DataFrame({"a": ["x"], "b": [3]}))
+        assert ok[0] == Decimal(cityhash64_values(["x", 3]))
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            fn(pd.DataFrame({"a": [pd.Timestamp("2024-01-01")]}))
