@@ -196,6 +196,14 @@ class BigHouseEngine:
         # ATTACH TABLE <name> can restore it (CH detach semantics —
         # storage untouched, name released).
         self._detached: dict[str, tuple] = {}
+        # DROP tombstones: our DROP keeps the shared backing storage,
+        # so UNDROP TABLE (CH 23.3+) can genuinely restore — the
+        # registration tuple is parked here at drop time. MVs are
+        # excluded (their private data dirs are deleted on drop).
+        self._dropped_tables: dict[str, tuple] = {}
+        # Column comments (ALTER TABLE ... COMMENT COLUMN) — pure
+        # metadata, surfaced through system_columns.
+        self._comments: dict[tuple[str, str], str] = {}
         # Tables promoted to catalog tables by ANALYZE TABLE so CBO
         # statistics attach to them (temp views cannot carry stats).
         # attach_table keeps the promotion across writes (REFRESH +
@@ -388,11 +396,16 @@ class BigHouseEngine:
                 continue
             try:
                 for c in self.spark.catalog.listColumns(tname):
-                    cols.append((tname, c.name, c.dataType, bool(c.nullable)))
+                    cols.append((
+                        tname, c.name, c.dataType, bool(c.nullable),
+                        self._comments.get((tname, c.name), ""),
+                    ))
             except Exception:
                 continue  # view dropped concurrently; introspection is best-effort
         self.spark.createDataFrame(
-            cols, "table string, name string, type string, nullable boolean"
+            cols,
+            "table string, name string, type string, nullable boolean, "
+            "comment string",
         ).createOrReplaceTempView("system_columns")
         # system.clusters analog (the reference's first smoke query is
         # `SELECT * FROM system.clusters`, run.sh:5-6): one row per
@@ -619,6 +632,17 @@ class BigHouseEngine:
     _DETACH_RE = re.compile(
         r"^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*(?:PERMANENTLY\s*)?$",
+        re.IGNORECASE,
+    )
+    _UNDROP_RE = re.compile(
+        r"^\s*UNDROP\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
+        re.IGNORECASE,
+    )
+    _COMMENT_COLUMN_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+COMMENT\s+COLUMN\s+"
+        r"(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s+'([^']*)'\s*$",
         re.IGNORECASE,
     )
     _ATTACH_FROM_RE = re.compile(
@@ -1479,6 +1503,52 @@ class BigHouseEngine:
         m_att = self._ATTACH_RE.match(request.query)
         if m_att:
             return self._attach_statement(m_att, t0, request.query)
+        m_ud = self._UNDROP_RE.match(request.query)
+        if m_ud:
+            name = m_ud.group(1)
+            parked = self._dropped_tables.pop(name, None)
+            if parked is None:
+                raise ValueError(
+                    f"UNDROP TABLE {name}: no dropped table of that "
+                    "name is restorable (materialized views and "
+                    "never-attached names cannot be undropped)"
+                )
+            if name in self._attached:
+                raise ValueError(
+                    f"UNDROP TABLE {name}: the name is in use"
+                )
+            (path, fmt, schema), pcols, ocols = parked
+            if pcols:
+                self._partitioned[name] = pcols
+            if ocols:
+                self._ordered[name] = ocols
+            self.attach_table(name, path, fmt=fmt, schema=schema)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<undrop>", elapsed, 0)
+            )
+            return QueryResult(cols=["undropped"], rows=[[name]],
+                               elapsed_sec=elapsed)
+        m_cc = self._COMMENT_COLUMN_RE.match(request.query)
+        if m_cc:
+            name, col, comment = m_cc.groups()
+            try:
+                cols = self.spark.table(name).columns
+            except Exception:
+                raise ValueError(
+                    f"COMMENT COLUMN: table {name} not found"
+                )
+            if col not in cols:
+                raise ValueError(
+                    f"COMMENT COLUMN: {name} has no column {col}"
+                )
+            self._comments[(name, col)] = comment
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<comment>", elapsed, 0)
+            )
+            return QueryResult(cols=["commented"], rows=[[f"{name}.{col}"]],
+                               elapsed_sec=elapsed)
         m_det = self._DETACH_RE.match(request.query)
         if m_det:
             name = m_det.group(1)
@@ -1714,9 +1784,16 @@ class BigHouseEngine:
                 )
             # DROP detaches the view; the backing storage is shared
             # (the reference ATTACHes a common web disk) and is never
-            # deleted from here. Dropping a materialized view also
-            # discards its private data/checkpoint dirs (they belong
-            # to the engine, not the shared storage).
+            # deleted from here — so park a tombstone for UNDROP.
+            # Dropping a materialized view also discards its private
+            # data/checkpoint dirs (they belong to the engine, not
+            # the shared storage), so MVs are not undroppable.
+            if name in self._attached and name not in self._mviews:
+                self._dropped_tables[name] = (
+                    self._attached[name],
+                    self._partitioned.get(name),
+                    self._ordered.get(name),
+                )
             self.spark.catalog.dropTempView(name)
             if name in self._analyzed:
                 self.spark.sql(f"DROP TABLE IF EXISTS {name}__bhcat")

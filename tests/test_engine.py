@@ -1429,3 +1429,64 @@ class TestResultRowLimits:
 def test_dictget_unknown_dictionary_guided_error(engine):
     with pytest.raises(ValueError, match="CREATE DICTIONARY"):
         engine.execute("SELECT dictGet('nope', 'attr', 1) AS v")
+
+
+class TestUndropAndComments:
+    """UNDROP TABLE (possible here because DROP keeps the shared
+    backing storage — only a tombstone re-attach is needed) and
+    ALTER TABLE ... COMMENT COLUMN metadata via system_columns."""
+
+    def test_drop_then_undrop_restores(self, engine, spark, tmp_path):
+        import pandas as pd
+
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}).to_parquet(
+            tmp_path / "ud.parquet"
+        )
+        engine.attach_table("ud_tbl", str(tmp_path / "ud.parquet"))
+        engine.execute(QueryRequest(query="DROP TABLE ud_tbl"))
+        assert (
+            engine.execute(QueryRequest(query="EXISTS ud_tbl")).rows
+            == [[0]]
+        )
+        r = engine.execute(QueryRequest(query="UNDROP TABLE ud_tbl"))
+        assert r.rows == [["ud_tbl"]]
+        assert engine.execute(
+            QueryRequest(query="SELECT count() AS c FROM ud_tbl")
+        ).rows == [[3]]
+        engine.execute(QueryRequest(query="DROP TABLE ud_tbl"))
+
+    def test_undrop_unknown_refused(self, engine):
+        import pytest
+
+        with pytest.raises(ValueError, match="restorable"):
+            engine.execute(QueryRequest(query="UNDROP TABLE never_was_zz"))
+
+    def test_comment_column_surfaces_in_system_columns(
+        self, engine, spark, tmp_path
+    ):
+        import pandas as pd
+
+        pd.DataFrame({"k": [1]}).to_parquet(tmp_path / "cc.parquet")
+        engine.attach_table("cc_tbl", str(tmp_path / "cc.parquet"))
+        engine.execute(
+            QueryRequest(
+                query="ALTER TABLE cc_tbl COMMENT COLUMN k 'the key'"
+            )
+        )
+        engine.refresh_system_views()
+        r = engine.execute(
+            QueryRequest(
+                query="SELECT comment FROM system_columns "
+                "WHERE table = 'cc_tbl' AND name = 'k'"
+            )
+        )
+        assert r.rows == [["the key"]]
+        import pytest
+
+        with pytest.raises(ValueError, match="no column"):
+            engine.execute(
+                QueryRequest(
+                    query="ALTER TABLE cc_tbl COMMENT COLUMN zz 'x'"
+                )
+            )
+        engine.execute(QueryRequest(query="DROP TABLE cc_tbl"))
