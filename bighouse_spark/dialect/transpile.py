@@ -2896,6 +2896,20 @@ def _rewrite_has_column_in_table(sql: str, spark) -> str:
         pos = start + 1
 
 
+def _tuple_of_intervals(a: list, op: str) -> str:
+    """CH ``addTupleOfIntervals(ts, (INTERVAL .., ...))`` → chained
+    interval arithmetic. Literal tuples only (the dominant shape)."""
+    t = a[1].strip()
+    if not (t.startswith("(") and t.endswith(")")):
+        raise ValueError(
+            "addTupleOfIntervals: pass a literal tuple of INTERVALs"
+        )
+    out = f"({a[0]})"
+    for iv in _split_args_top(t[1:-1]):
+        out = f"({out} {op} ({iv.strip()}))"
+    return out
+
+
 _CH_AES_MODE_RE = re.compile(r"aes-(128|192|256)-(ecb|cbc|gcm)")
 
 
@@ -3108,6 +3122,69 @@ _ARG_REWRITES.update({
         )
     ),
     "isNotDistinctFrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
+    # -ForEach combinators: element-wise aggregation across the
+    # rows' arrays. Expression form folds the group's collected
+    # arrays with zip_with (ragged lengths behave like CH: missing
+    # positions contribute the identity). SCALE NOTE: state is
+    # O(rows_in_group × array_len) at the collect — for huge groups
+    # use the posexplode + GROUP BY pos spelling instead.
+    "sumForEach": lambda a: (
+        f"aggregate(slice(collect_list({a[0]}), 2, "
+        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
+        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
+        f"zip_with(__acc, __x, (a, b) -> "
+        f"coalesce(a, 0) + coalesce(b, 0)))"
+    ),
+    "maxForEach": lambda a: (
+        f"aggregate(slice(collect_list({a[0]}), 2, "
+        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
+        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
+        f"zip_with(__acc, __x, (a, b) -> CASE WHEN a IS NULL THEN b "
+        f"WHEN b IS NULL THEN a ELSE greatest(a, b) END))"
+    ),
+    "minForEach": lambda a: (
+        f"aggregate(slice(collect_list({a[0]}), 2, "
+        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
+        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
+        f"zip_with(__acc, __x, (a, b) -> CASE WHEN a IS NULL THEN b "
+        f"WHEN b IS NULL THEN a ELSE least(a, b) END))"
+    ),
+    "avgForEach": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "avgForEach: divide sumForEach by the per-position "
+            "counts — posexplode the arrays and GROUP BY pos for "
+            "the general (ragged) case"
+        )
+    ),
+    # Sub-second truncation: Spark timestamps are µs-precision, so
+    # micro/nano truncation is the identity; milli truncates.
+    "toStartOfMicrosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toStartOfNanosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toStartOfMillisecond": lambda a: (
+        f"timestamp_millis(unix_millis(CAST({a[0]} AS TIMESTAMP)))"
+    ),
+    "addInterval": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "subtractInterval": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "addTupleOfIntervals": lambda a: _tuple_of_intervals(a, "+"),
+    "subtractTupleOfIntervals": lambda a: _tuple_of_intervals(a, "-"),
+    "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
+    # Random generators at CH's widths/distributions.
+    "rand32": lambda a: "CAST(rand() * 4294967296 AS BIGINT)",
+    "rand64": lambda a: "xxhash64(uuid())",
+    "randBernoulli": lambda a: f"CAST(rand() < ({a[0]}) AS INT)",
+    "blockSize": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "blockSize() is block-scoped (no blocks here); "
+            "count(*) OVER () gives the result-set size per row"
+        )
+    ),
+    "rowNumberInAllBlocks": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "rowNumberInAllBlocks() is block-order dependent; use "
+            "row_number() OVER (ORDER BY <key>) - 1 for a "
+            "deterministic global row number"
+        )
+    ),
     # dateTrunc: 2-arg maps directly; the 3-arg timezone form
     # truncates in that zone (shift in, truncate, shift back).
     "dateTrunc": lambda a: (
@@ -4600,6 +4677,14 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_subscripts(out)
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    # -SimpleState is the identity combinator (a
+    # SimpleAggregateFunction's state IS its value); strip it BEFORE
+    # the contextual pass so anySimpleState → any gets the CH-any →
+    # any_value treatment.
+    if "SimpleState" in out:
+        out = re.sub(
+            r"\b([A-Za-z_]\w*)SimpleState\s*\(", r"\1(", out
+        )
     out = _rewrite_contextual(out)
     out = _rewrite_if_combinators(out)
     out = _rewrite_suffix_combinators(out)

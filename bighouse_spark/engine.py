@@ -534,6 +534,11 @@ class BigHouseEngine:
             sorted(set(fn_rows)), "name string, kind string"
         ).createOrReplaceTempView("system_functions")
 
+    _INTO_OUTFILE_RE = re.compile(
+        r"^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
+        r"(?:\s+FORMAT\s+(\w+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _INSERT_FN_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+FUNCTION\s+(s3|file|url)\s*\(\s*'([^']+)'\s*"
         r"(?:,\s*'(\w+)'\s*)?\)\s*(.+)$",
@@ -1103,6 +1108,42 @@ class BigHouseEngine:
         if isinstance(request, str):
             request = QueryRequest(query=request)
         t0 = time.monotonic()
+        # SELECT ... INTO OUTFILE '<path>' [FORMAT <fmt>]: run the
+        # inner query and write the rendered result to a local file
+        # (clickhouse-local semantics; default format TabSeparated
+        # like CH). Result = one row with (path, rows_written).
+        m_of = self._INTO_OUTFILE_RE.match(request.query)
+        if m_of:
+            inner_sql, out_path, fmt_name = m_of.groups()
+            inner = self._execute_inner(
+                QueryRequest(
+                    query=inner_sql,
+                    init_queries=request.init_queries,
+                    num_nodes=request.num_nodes, cores=request.cores,
+                )
+            )
+            from bighouse_spark.formats import (
+                normalize_format,
+                render_result,
+            )
+
+            fmt = normalize_format(fmt_name or "TabSeparated")
+            body, _ = render_result(
+                inner.cols, inner.rows, fmt, types=inner.types,
+                elapsed=inner.elapsed_sec,
+            )
+            with open(out_path, "wb") as fh:
+                fh.write(body)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<outfile>", elapsed,
+                              len(inner.rows))
+            )
+            return QueryResult(
+                cols=["path", "rows"],
+                rows=[[out_path, len(inner.rows)]],
+                elapsed_sec=elapsed,
+            )
         # CH's INSERT INTO FUNCTION s3/file(...) SELECT ... sink form
         # → distributed write (the engine's execute_to_sink), result =
         # one row with the path (the reference's intended-but-unbuilt

@@ -3414,3 +3414,88 @@ class TestReviewFixesRound5B:
         assert ok[0] == Decimal(cityhash64_values(["x", 3]))
         with pytest.raises(ValueError, match="timeZone=UTC"):
             fn(pd.DataFrame({"a": [pd.Timestamp("2024-01-01")]}))
+
+
+class TestRound5Tranche13:
+    """Probe tranche 13: INTO OUTFILE, -ForEach / -SimpleState
+    combinators, interval helpers, sub-second truncation, CH random
+    generators (37-name probe; 21 already served natively)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_into_outfile_writes_and_reports(self, eng, tmp_path):
+        p = str(tmp_path / "out.csv")
+        r = eng.execute(
+            f"SELECT 1 AS x, 'a' AS y INTO OUTFILE '{p}' "
+            "FORMAT CSVWithNames"
+        )
+        assert r.rows == [[p, 1]]
+        assert open(p).read().strip().splitlines() == ['"x","y"', '1,"a"']
+        # default format = TabSeparated, like clickhouse-local
+        p2 = str(tmp_path / "out.tsv")
+        eng.execute(f"SELECT 2 AS x INTO OUTFILE '{p2}'")
+        assert open(p2).read().strip() == "2"
+
+    def test_for_each_combinators(self, eng, spark):
+        spark.createDataFrame(
+            [([1, 2],), ([10, 20],)], "arr array<bigint>"
+        ).createOrReplaceTempView("fe_even")
+        spark.createDataFrame(
+            [([5, 2, 9],), ([1],)], "arr array<bigint>"
+        ).createOrReplaceTempView("fe_ragged")
+        assert eng.execute(
+            "SELECT sumForEach(arr) AS r FROM fe_even"
+        ).rows == [[[11, 22]]]
+        assert eng.execute(
+            "SELECT maxForEach(arr) AS r FROM fe_even"
+        ).rows == [[[10, 20]]]
+        # Ragged arrays: missing positions contribute the identity,
+        # matching CH (pos 0 min(5,1); pos 1/2 only from the long row).
+        assert eng.execute(
+            "SELECT minForEach(arr) AS r FROM fe_ragged"
+        ).rows == [[[1, 2, 9]]]
+        with pytest.raises(ValueError, match="posexplode"):
+            eng.execute("SELECT avgForEach(arr) FROM fe_even")
+
+    def test_simple_state_is_identity(self, eng):
+        r = eng.execute(
+            "SELECT sumSimpleState(v) AS a, anySimpleState(v) AS b, "
+            "maxSimpleState(v) AS c FROM values('v Int64', (7),(3))"
+        )
+        assert r.rows == [[10, 7, 7]]
+
+    def test_interval_helpers(self, eng):
+        r = eng.execute(
+            "SELECT addInterval(toDateTime('2024-01-01 00:00:00'), "
+            "INTERVAL 1 DAY) AS a, "
+            "addTupleOfIntervals(DATE '2024-01-01', "
+            "(INTERVAL 1 DAY, INTERVAL 1 MONTH)) AS b, "
+            "subtractTupleOfIntervals(DATE '2024-02-02', "
+            "(INTERVAL 1 DAY, INTERVAL 1 MONTH)) AS c"
+        )
+        assert str(r.rows[0][0]) == "2024-01-02 00:00:00"
+        assert str(r.rows[0][1]) == "2024-02-02"
+        assert str(r.rows[0][2]) == "2024-01-01"
+
+    def test_subsecond_truncation_and_random(self, eng):
+        r = eng.execute(
+            "SELECT toStartOfMicrosecond(toDateTime("
+            "'2024-01-01 00:00:00')) AS a, "
+            "toStartOfMillisecond(toDateTime('2024-01-01 00:00:00')) AS b, "
+            "rand32() BETWEEN 0 AND 4294967296 AS c, "
+            "randBernoulli(0.5) IN (0, 1) AS d, "
+            "concatAssumeInjective('a', 'b', 'c') AS e"
+        )
+        assert r.rows[0][2:] == [True, True, "abc"]
+
+    def test_tranche13_refusals(self, eng):
+        for expr, hint in [
+            ("blockSize()", "OVER"),
+            ("rowNumberInAllBlocks()", "row_number"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
