@@ -3135,19 +3135,18 @@ _ARG_REWRITES.update({
         f"zip_with(__acc, __x, (a, b) -> "
         f"coalesce(a, 0) + coalesce(b, 0)))"
     ),
+    # greatest/least already skip NULLs (ragged positions).
     "maxForEach": lambda a: (
         f"aggregate(slice(collect_list({a[0]}), 2, "
         f"greatest(size(collect_list({a[0]})) - 1, 0)), "
         f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
-        f"zip_with(__acc, __x, (a, b) -> CASE WHEN a IS NULL THEN b "
-        f"WHEN b IS NULL THEN a ELSE greatest(a, b) END))"
+        f"zip_with(__acc, __x, (a, b) -> greatest(a, b)))"
     ),
     "minForEach": lambda a: (
         f"aggregate(slice(collect_list({a[0]}), 2, "
         f"greatest(size(collect_list({a[0]})) - 1, 0)), "
         f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
-        f"zip_with(__acc, __x, (a, b) -> CASE WHEN a IS NULL THEN b "
-        f"WHEN b IS NULL THEN a ELSE least(a, b) END))"
+        f"zip_with(__acc, __x, (a, b) -> least(a, b)))"
     ),
     "avgForEach": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -3170,7 +3169,12 @@ _ARG_REWRITES.update({
     "concatAssumeInjective": lambda a: f"concat({', '.join(a)})",
     # Random generators at CH's widths/distributions.
     "rand32": lambda a: "CAST(rand() * 4294967296 AS BIGINT)",
-    "rand64": lambda a: "xxhash64(uuid())",
+    # CH rand64() is uniform over [0, 2^64); shift the signed
+    # xxhash64 into the unsigned range as DECIMAL(20,0).
+    "rand64": lambda a: (
+        "(CAST(xxhash64(uuid()) AS DECIMAL(20,0)) + "
+        "CAST(9223372036854775808 AS DECIMAL(20,0)))"
+    ),
     "randBernoulli": lambda a: f"CAST(rand() < ({a[0]}) AS INT)",
     "blockSize": lambda a: (_ for _ in ()).throw(
         ValueError(

@@ -79,6 +79,11 @@ class QueryRequest:
     # Client-supplied query id (CH HTTP ?query_id= semantics): names
     # this query's Spark job group so the client can KILL QUERY it.
     query_id: str | None = None
+    # True when the request arrived over a network endpoint (HTTP /
+    # PG wire / MySQL wire). Gates server-side-file features: INTO
+    # OUTFILE is a client-side feature in ClickHouse, and honoring it
+    # from a network client would be an arbitrary-file-write hole.
+    remote: bool = False
 
 
 @dataclass
@@ -536,7 +541,7 @@ class BigHouseEngine:
 
     _INTO_OUTFILE_RE = re.compile(
         r"^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
-        r"(?:\s+FORMAT\s+(\w+))?\s*$",
+        r"(?:\s+(TRUNCATE))?(?:\s+FORMAT\s+(\w+))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_FN_RE = re.compile(
@@ -647,7 +652,7 @@ class BigHouseEngine:
     _COMMENT_COLUMN_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+COMMENT\s+COLUMN\s+"
-        r"(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s+'([^']*)'\s*$",
+        r"(IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s+'([^']*)'\s*$",
         re.IGNORECASE,
     )
     _ATTACH_FROM_RE = re.compile(
@@ -1114,20 +1119,42 @@ class BigHouseEngine:
         # like CH). Result = one row with (path, rows_written).
         m_of = self._INTO_OUTFILE_RE.match(request.query)
         if m_of:
-            inner_sql, out_path, fmt_name = m_of.groups()
-            inner = self._execute_inner(
-                QueryRequest(
-                    query=inner_sql,
-                    init_queries=request.init_queries,
-                    num_nodes=request.num_nodes, cores=request.cores,
+            inner_sql, out_path, truncate, fmt_name = m_of.groups()
+            if request.remote:
+                raise ValueError(
+                    "INTO OUTFILE is a client-side feature and is not "
+                    "served over network endpoints (ClickHouse "
+                    "servers reject it too); fetch the result and "
+                    "write locally, or use INSERT INTO FUNCTION "
+                    "file(...) for an engine-owned sink path"
                 )
-            )
             from bighouse_spark.formats import (
                 normalize_format,
                 render_result,
             )
 
+            # Validate format and overwrite policy BEFORE running the
+            # (possibly expensive) inner query.
             fmt = normalize_format(fmt_name or "TabSeparated")
+            if fmt is None:
+                raise ValueError(
+                    f"INTO OUTFILE: unknown FORMAT {fmt_name!r}"
+                )
+            import os as _os
+
+            if _os.path.exists(out_path) and not truncate:
+                raise ValueError(
+                    f"INTO OUTFILE: {out_path} exists — add the "
+                    "TRUNCATE modifier to overwrite (CH semantics)"
+                )
+            inner = self._execute_inner(
+                QueryRequest(
+                    query=inner_sql,
+                    init_queries=request.init_queries,
+                    num_nodes=request.num_nodes, cores=request.cores,
+                    query_id=request.query_id,
+                )
+            )
             body, _ = render_result(
                 inner.cols, inner.rows, fmt, types=inner.types,
                 elapsed=inner.elapsed_sec,
@@ -1547,22 +1574,33 @@ class BigHouseEngine:
         m_ud = self._UNDROP_RE.match(request.query)
         if m_ud:
             name = m_ud.group(1)
-            parked = self._dropped_tables.pop(name, None)
-            if parked is None:
+            if name not in self._dropped_tables:
                 raise ValueError(
                     f"UNDROP TABLE {name}: no dropped table of that "
                     "name is restorable (materialized views and "
                     "never-attached names cannot be undropped)"
                 )
-            if name in self._attached:
+            # In-use check BEFORE consuming the tombstone — a failed
+            # UNDROP must stay retryable — and covering every object
+            # class that could occupy the name, not just attached
+            # tables (CH errors whenever the name is taken).
+            if (
+                name in self._attached
+                or name in self._user_views
+                or name in self._mviews
+                or name in self._detached
+                or self.spark.catalog.tableExists(name)
+            ):
                 raise ValueError(
                     f"UNDROP TABLE {name}: the name is in use"
                 )
-            (path, fmt, schema), pcols, ocols = parked
+            parked = self._dropped_tables.pop(name)
+            (path, fmt, schema), pcols, ocols, comments = parked
             if pcols:
                 self._partitioned[name] = pcols
             if ocols:
                 self._ordered[name] = ocols
+            self._comments.update(comments)
             self.attach_table(name, path, fmt=fmt, schema=schema)
             elapsed = time.monotonic() - t0
             self.query_log.append(
@@ -1572,7 +1610,7 @@ class BigHouseEngine:
                                elapsed_sec=elapsed)
         m_cc = self._COMMENT_COLUMN_RE.match(request.query)
         if m_cc:
-            name, col, comment = m_cc.groups()
+            name, if_exists, col, comment = m_cc.groups()
             try:
                 cols = self.spark.table(name).columns
             except Exception:
@@ -1580,6 +1618,12 @@ class BigHouseEngine:
                     f"COMMENT COLUMN: table {name} not found"
                 )
             if col not in cols:
+                if if_exists:
+                    elapsed = time.monotonic() - t0
+                    return QueryResult(
+                        cols=["commented"], rows=[],
+                        elapsed_sec=elapsed,
+                    )
                 raise ValueError(
                     f"COMMENT COLUMN: {name} has no column {col}"
                 )
@@ -1829,12 +1873,22 @@ class BigHouseEngine:
             # Dropping a materialized view also discards its private
             # data/checkpoint dirs (they belong to the engine, not
             # the shared storage), so MVs are not undroppable.
+            dropped_comments = {
+                k: v for k, v in self._comments.items() if k[0] == name
+            }
             if name in self._attached and name not in self._mviews:
                 self._dropped_tables[name] = (
                     self._attached[name],
                     self._partitioned.get(name),
                     self._ordered.get(name),
+                    dropped_comments,
                 )
+            # Comments describe THIS table's columns — clear them so
+            # a different dataset later attached under the same name
+            # doesn't inherit stale metadata (UNDROP restores them
+            # from the tombstone).
+            for k in dropped_comments:
+                self._comments.pop(k, None)
             self.spark.catalog.dropTempView(name)
             if name in self._analyzed:
                 self.spark.sql(f"DROP TABLE IF EXISTS {name}__bhcat")

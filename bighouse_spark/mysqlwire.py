@@ -30,7 +30,7 @@ from datetime import date, datetime
 from decimal import Decimal
 from typing import Any
 
-from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.engine import BigHouseEngine, QueryRequest
 from bighouse_spark.formats import ch_base_type
 
 _CLIENT_PROTOCOL_41 = 0x0200
@@ -200,7 +200,9 @@ class _Handler(socketserver.BaseRequestHandler):
             self._send_ok(conn)
             return
         try:
-            result = self.server.engine.execute(sql)  # type: ignore[attr-defined]
+            result = self.server.engine.execute(  # type: ignore[attr-defined]
+                QueryRequest(query=sql, remote=True)
+            )
         except Exception as e:
             self._send_err(conn, 1064, str(e)[:1500])
             return

@@ -46,7 +46,7 @@ from datetime import date, datetime
 from decimal import Decimal
 from typing import Any
 
-from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.engine import BigHouseEngine, QueryRequest
 from bighouse_spark.formats import ch_base_type
 
 _PROTO_V3 = 196608
@@ -267,7 +267,9 @@ class _Handler(socketserver.BaseRequestHandler):
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
             return
         try:
-            result = self.server.engine.execute(sql)
+            result = self.server.engine.execute(
+                QueryRequest(query=sql, remote=True)
+            )
         except Exception as e:  # engine/transpile/Spark error
             self._send_error(sock, "42601", str(e)[:2000])
             return
@@ -372,7 +374,9 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def _portal_result(self, sock, portal: dict) -> Any:
         if portal["result"] is None:
-            portal["result"] = self.server.engine.execute(portal["sql"])
+            portal["result"] = self.server.engine.execute(
+                QueryRequest(query=portal["sql"], remote=True)
+            )
         return portal["result"]
 
     def _ext_describe(self, sock, payload: bytes) -> None:

@@ -144,7 +144,8 @@ class _Handler(BaseHTTPRequestHandler):
         qid = (params.get("query_id") or [None])[0]
         try:
             result = self.engine.execute(
-                QueryRequest(query=sql, init_queries=init, query_id=qid)
+                QueryRequest(query=sql, init_queries=init, query_id=qid,
+                             remote=True)
             )
         except Exception as e:
             self._send_text(
@@ -204,6 +205,7 @@ class _Handler(BaseHTTPRequestHandler):
                 init_queries=body.get("init_queries", []),
                 num_nodes=body.get("num_nodes"),
                 cores=body.get("cores"),
+                remote=True,
             )
         except (KeyError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e!r}"})

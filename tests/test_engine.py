@@ -1490,3 +1490,77 @@ class TestUndropAndComments:
                 )
             )
         engine.execute(QueryRequest(query="DROP TABLE cc_tbl"))
+
+
+class TestOutfileAndUndropHardening:
+    """Third-review hardening: INTO OUTFILE is refused over network
+    endpoints (arbitrary-file-write hole otherwise — CH servers
+    reject it too), validates format and overwrite policy BEFORE
+    running the inner query; UNDROP is retryable after a failed
+    attempt and refuses names held by any object class."""
+
+    def test_outfile_refused_for_remote_requests(self, engine):
+        import pytest
+
+        with pytest.raises(ValueError, match="network"):
+            engine.execute(
+                QueryRequest(
+                    query="SELECT 1 INTO OUTFILE '/tmp/evil_zz'",
+                    remote=True,
+                )
+            )
+
+    def test_outfile_overwrite_needs_truncate(self, engine, tmp_path):
+        import pytest
+
+        p = str(tmp_path / "o.csv")
+        engine.execute(f"SELECT 1 AS x INTO OUTFILE '{p}' FORMAT CSV")
+        with pytest.raises(ValueError, match="TRUNCATE"):
+            engine.execute(f"SELECT 2 AS x INTO OUTFILE '{p}' FORMAT CSV")
+        engine.execute(
+            f"SELECT 2 AS x INTO OUTFILE '{p}' TRUNCATE FORMAT CSV"
+        )
+        assert open(p).read().strip() == "2"
+
+    def test_outfile_bad_format_fails_before_running(self, engine, tmp_path):
+        import os
+
+        import pytest
+
+        p = str(tmp_path / "never.csv")
+        with pytest.raises(ValueError, match="unknown FORMAT"):
+            engine.execute(f"SELECT 1 INTO OUTFILE '{p}' FORMAT Bogus")
+        assert not os.path.exists(p)
+
+    def test_undrop_retryable_and_clobber_guard(
+        self, engine, spark, tmp_path
+    ):
+        import pandas as pd
+        import pytest
+
+        pd.DataFrame({"k": [1]}).to_parquet(tmp_path / "a.parquet")
+        engine.attach_table("uh_t", str(tmp_path / "a.parquet"))
+        engine.execute(QueryRequest(query="DROP TABLE uh_t"))
+        # Name occupied by a user view → refused, tombstone KEPT.
+        engine.execute(
+            QueryRequest(query="CREATE VIEW uh_t AS SELECT 1 AS x")
+        )
+        with pytest.raises(ValueError, match="in use"):
+            engine.execute(QueryRequest(query="UNDROP TABLE uh_t"))
+        engine.execute(QueryRequest(query="DROP VIEW uh_t"))
+        r = engine.execute(QueryRequest(query="UNDROP TABLE uh_t"))
+        assert r.rows == [["uh_t"]]
+        engine.execute(QueryRequest(query="DROP TABLE uh_t"))
+
+    def test_comment_if_exists_noop(self, engine, spark, tmp_path):
+        import pandas as pd
+
+        pd.DataFrame({"k": [1]}).to_parquet(tmp_path / "c.parquet")
+        engine.attach_table("uh_c", str(tmp_path / "c.parquet"))
+        r = engine.execute(
+            QueryRequest(
+                query="ALTER TABLE uh_c COMMENT COLUMN IF EXISTS ghost 'x'"
+            )
+        )
+        assert r.rows == []
+        engine.execute(QueryRequest(query="DROP TABLE uh_c"))
