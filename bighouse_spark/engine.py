@@ -255,6 +255,8 @@ class BigHouseEngine:
                 self._partitioned[new] = self._partitioned.pop(old)
             if old in self._ordered:
                 self._ordered[new] = self._ordered.pop(old)
+            for (t, c) in [k for k in self._comments if k[0] == old]:
+                self._comments[(new, c)] = self._comments.pop((t, c))
             self.attach_table(new, path, fmt=fmt, schema=schema)
         elif self.spark.catalog.tableExists(old):
             df = self.spark.table(old)
