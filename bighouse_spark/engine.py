@@ -1713,6 +1713,81 @@ class BigHouseEngine:
                 init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
             )
+        # CH ops surface: SYSTEM ... maintenance statements map onto
+        # the engine's own caches/views; mutations here are eager
+        # (synchronous rewrites), so KILL MUTATION has nothing to
+        # kill by construction.
+        m_sys = re.match(
+            r"^\s*SYSTEM\s+(FLUSH\s+LOGS|DROP\s+QUERY\s+CACHE|"
+            r"RELOAD\s+DICTIONAR(?:Y\s+\w+|IES)|DROP\s+MARK\s+CACHE|"
+            r"DROP\s+UNCOMPRESSED\s+CACHE|DROP\s+FILESYSTEM\s+CACHE)"
+            r"\s*$",
+            request.query,
+            re.IGNORECASE,
+        )
+        if m_sys:
+            action = re.sub(r"\s+", " ", m_sys.group(1).upper())
+            if action == "FLUSH LOGS":
+                self.refresh_system_views()
+            elif action == "DROP QUERY CACHE":
+                with self._cache_lock:
+                    self._result_cache.clear()
+            elif action.startswith("RELOAD DICTIONAR"):
+                pass  # dictGet reads live views — always current
+            else:  # mark / uncompressed / filesystem cache analogs
+                self.spark.catalog.clearCache()
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<system>", elapsed, 0)
+            )
+            return QueryResult(cols=["ok"], rows=[[1]],
+                               elapsed_sec=elapsed)
+        if re.match(r"^\s*KILL\s+MUTATION\b", request.query,
+                    re.IGNORECASE):
+            return QueryResult(
+                cols=["kill_status", "mutation_id"], rows=[],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        m_shs = re.match(
+            r"^\s*SHOW\s+SETTINGS\s+(?:I?LIKE\s+)?'([^']*)'\s*$",
+            request.query,
+            re.IGNORECASE,
+        )
+        if m_shs:
+            self.refresh_system_views()
+            request = QueryRequest(
+                query="SELECT * FROM system_settings WHERE key LIKE "
+                f"'{m_shs.group(1)}'",
+                init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+            )
+        if re.match(r"^\s*SHOW\s+GRANTS\b", request.query,
+                    re.IGNORECASE):
+            # Trust auth model (documented in the wire modules): one
+            # implicit all-privileges default user.
+            return QueryResult(
+                cols=["grants"],
+                rows=[["GRANT ALL ON *.* TO default"]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        m_chk = re.match(
+            r"^\s*CHECK\s+TABLE\s+[`\"]?(\w+)[`\"]?\s*$",
+            request.query,
+            re.IGNORECASE,
+        )
+        if m_chk:
+            name = m_chk.group(1)
+            try:
+                # Full-scan readability probe — every file opens and
+                # decodes (CH CHECK TABLE verifies part integrity).
+                self.spark.table(name).count()
+                ok = 1
+            except Exception:
+                ok = 0
+            return QueryResult(
+                cols=["result"], rows=[[ok]],
+                elapsed_sec=time.monotonic() - t0,
+            )
         m_exists = self._EXISTS_RE.match(request.query)
         if m_exists:
             name = m_exists.group(1)

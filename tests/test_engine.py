@@ -1564,3 +1564,48 @@ class TestOutfileAndUndropHardening:
         )
         assert r.rows == []
         engine.execute(QueryRequest(query="DROP TABLE uh_c"))
+
+
+class TestSystemOpsStatements:
+    """CH ops surface: SYSTEM maintenance statements, KILL MUTATION
+    (vacuous — mutations here are eager synchronous rewrites),
+    SHOW SETTINGS/GRANTS, CHECK TABLE readability probe."""
+
+    def test_system_statements_succeed(self, engine):
+        for q in (
+            "SYSTEM FLUSH LOGS",
+            "SYSTEM DROP QUERY CACHE",
+            "SYSTEM RELOAD DICTIONARIES",
+            "SYSTEM DROP MARK CACHE",
+            "SYSTEM DROP UNCOMPRESSED CACHE",
+        ):
+            assert engine.execute(QueryRequest(query=q)).rows == [[1]]
+
+    def test_kill_mutation_vacuous(self, engine):
+        r = engine.execute(
+            QueryRequest(query="KILL MUTATION WHERE mutation_id = 'x'")
+        )
+        assert r.rows == []
+
+    def test_show_settings_filters(self, engine):
+        r = engine.execute(
+            QueryRequest(query="SHOW SETTINGS LIKE 'max%'")
+        )
+        assert all(row[0].startswith("max") for row in r.rows)
+
+    def test_show_grants_trust_model(self, engine):
+        r = engine.execute(QueryRequest(query="SHOW GRANTS"))
+        assert "GRANT ALL" in r.rows[0][0]
+
+    def test_check_table(self, engine, spark, tmp_path):
+        import pandas as pd
+
+        pd.DataFrame({"k": [1]}).to_parquet(tmp_path / "ok.parquet")
+        engine.attach_table("chk_t", str(tmp_path / "ok.parquet"))
+        assert engine.execute(
+            QueryRequest(query="CHECK TABLE chk_t")
+        ).rows == [[1]]
+        assert engine.execute(
+            QueryRequest(query="CHECK TABLE missing_zz")
+        ).rows == [[0]]
+        engine.execute(QueryRequest(query="DROP TABLE chk_t"))
