@@ -2869,6 +2869,60 @@ _ARG_REWRITES["toIPv4"] = lambda a: _ARG_REWRITES["IPv4NumToString"](
 )
 
 
+def _rewrite_column_matchers(sql: str, spark) -> str:
+    """CH ``COLUMNS('regex') [APPLY(fn)]`` and ``* APPLY(fn)`` —
+    SELECT-list matchers expanded against the (single, simple) FROM
+    table's live schema. Joins/subqueries/table functions can't be
+    resolved at transpile time and refuse with the explicit-columns
+    guidance. ``* EXCEPT/REPLACE`` are native Spark and untouched."""
+
+    def _base_columns() -> list[str]:
+        m = re.search(r"\bFROM\s+[`\"]?([A-Za-z_]\w*)[`\"]?", sql,
+                      re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                "COLUMNS()/APPLY() need a resolvable FROM <table>; "
+                "spell the columns explicitly otherwise"
+            )
+        try:
+            return spark.table(m.group(1)).columns
+        except Exception:
+            raise ValueError(
+                f"COLUMNS()/APPLY(): cannot resolve table "
+                f"{m.group(1)!r} at rewrite time; spell the columns "
+                "explicitly"
+            )
+
+    out = sql
+    while True:
+        m = re.search(
+            r"\bCOLUMNS\s*\(\s*'([^']*)'\s*\)"
+            r"(?:\s+APPLY\s*\(\s*(\w+)\s*\))?",
+            out,
+        )
+        if m is None:
+            break
+        pat, fn = m.groups()
+        cols = [c for c in _base_columns() if re.search(pat, c)]
+        if not cols:
+            raise ValueError(f"COLUMNS('{pat}') matched no columns")
+        if fn:
+            repl = ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in cols)
+        else:
+            repl = ", ".join(cols)
+        out = out[: m.start()] + repl + out[m.end() :]
+    while True:
+        m = re.search(r"\*\s+APPLY\s*\(\s*(\w+)\s*\)", out)
+        if m is None:
+            break
+        fn = m.group(1)
+        repl = ", ".join(
+            f"{fn}({c}) AS `{fn}({c})`" for c in _base_columns()
+        )
+        out = out[: m.start()] + repl + out[m.end() :]
+    return out
+
+
 def _rewrite_has_column_in_table(sql: str, spark) -> str:
     """CH ``hasColumnInTable([host, user, pwd,] db, table, column)``
     → constant-folded boolean against the live catalog (the last two
@@ -3342,6 +3396,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _strip_format(out)
     if spark is not None and "hasColumnInTable" in out:
         out = _rewrite_has_column_in_table(out, spark)
+    if spark is not None and ("COLUMNS" in out or "APPLY" in out):
+        out = _rewrite_column_matchers(out, spark)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)
     out = _rewrite_asof_join(out, spark, views)

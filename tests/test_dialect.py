@@ -3499,3 +3499,41 @@ class TestRound5Tranche13:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
+
+
+class TestColumnMatchers:
+    """CH SELECT-list matchers: COLUMNS('regex') [APPLY(fn)] and
+    * APPLY(fn), expanded against the FROM table's live schema at
+    transpile. (* EXCEPT / * REPLACE are native Spark.)"""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+        from bighouse_spark.sources.catalog import load_table
+
+        load_table(
+            spark, "/root/testdata/sf0.001", "region"
+        ).createOrReplaceTempView("cm_region")
+        return BigHouseEngine(spark)
+
+    def test_columns_regex(self, eng):
+        r = eng.execute(
+            "SELECT COLUMNS('key') FROM cm_region ORDER BY 1 LIMIT 1"
+        )
+        assert r.cols == ["r_regionkey"]
+        assert r.rows == [[0]]
+
+    def test_star_apply(self, eng):
+        r = eng.execute("SELECT * APPLY(max) FROM cm_region")
+        assert r.cols == ["max(r_regionkey)", "max(r_name)"]
+        assert r.rows[0][0] == 4
+
+    def test_columns_apply_composition(self, eng):
+        r = eng.execute(
+            "SELECT COLUMNS('r_.*') APPLY(count) FROM cm_region"
+        )
+        assert r.rows == [[5, 5]]
+
+    def test_no_match_refused(self, eng):
+        with pytest.raises(ValueError, match="matched no columns"):
+            eng.execute("SELECT COLUMNS('zzz') FROM cm_region")
