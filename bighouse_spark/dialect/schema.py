@@ -41,7 +41,27 @@ _SIMPLE = {
     "uuid": T.StringType(),
     "ipv4": T.StringType(),
     "ipv6": T.StringType(),
+    # 128/256-bit CH integers: widened to Spark's widest exact
+    # integer carrier, DECIMAL(38,0) — values beyond 38 digits
+    # overflow LOUDLY at read/write (ANSI), never silently wrap.
+    "int128": T.DecimalType(38, 0),
+    "uint128": T.DecimalType(38, 0),
+    "int256": T.DecimalType(38, 0),
+    "uint256": T.DecimalType(38, 0),
+    # JSON / Object('json'): raw text carrier — the JSON function
+    # family (JSONExtract*, simpleJSON*) operates on strings.
+    "json": T.StringType(),
+    "object('json')": T.StringType(),
+    # Geo types (CH: Point = tuple of Float64; Ring/Polygon/
+    # MultiPolygon nest arrays of it).
+    "point": T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]),
 }
+_SIMPLE["ring"] = T.ArrayType(_SIMPLE["point"])
+_SIMPLE["polygon"] = T.ArrayType(_SIMPLE["ring"])
+_SIMPLE["multipolygon"] = T.ArrayType(_SIMPLE["polygon"])
 
 _DECIMAL = re.compile(r"^decimal\((\d+)\s*,\s*(\d+)\)$")
 _DATETIME64 = re.compile(r"^datetime64\(\d+(,.*)?\)$")
@@ -77,9 +97,46 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
     if low.startswith("enum8(") or low.startswith("enum16("):
         # CH stores enums as ints but renders strings; strings here.
         return T.StringType()
+    if low.startswith("nested(") and s.endswith(")"):
+        # CH Nested ≡ parallel arrays of a tuple: array<struct<...>>.
+        fields = []
+        for part in _split_commas(s[7:-1]):
+            name, _, typ = part.strip().partition(" ")
+            fields.append(T.StructField(name, ch_type_to_spark(typ)))
+        return T.ArrayType(T.StructType(fields))
+    if low.startswith("simpleaggregatefunction(") and s.endswith(")"):
+        # The state IS the value (same contract as the -SimpleState
+        # combinator): type is the wrapped value type.
+        _, typ = _split_top_level(s[24:-1])
+        return ch_type_to_spark(typ)
+    if low.startswith("aggregatefunction("):
+        raise ValueError(
+            f"unsupported ClickHouse type: {ch_type!r} — opaque "
+            "aggregate states are engine-internal; store the "
+            "finalized value (or use uniqState/uniqMerge through "
+            "the dialect for mergeable sketch rollups)"
+        )
     m = _DECIMAL.match(low)
     if m:
-        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        p, sc = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            raise ValueError(
+                f"Decimal({p},{sc}): Spark decimals cap at 38 digits "
+                "of precision — reduce the precision or store as "
+                "String for exact wide values"
+            )
+        return T.DecimalType(p, sc)
+    m = re.match(r"^decimal256\((\d+)\)$", low)
+    if m:
+        sc = int(m.group(1))
+        if sc > 37:
+            raise ValueError(
+                f"Decimal256({sc}): scale exceeds Spark's 38-digit "
+                "decimal; store as String for exact wide values"
+            )
+        # 76-digit CH precision capped at Spark's 38 — documented
+        # narrowing, loud overflow at write time if exceeded.
+        return T.DecimalType(38, sc)
     if _DATETIME64.match(low):
         return T.TimestampType()
     if _FIXED_STRING.match(low):

@@ -3537,3 +3537,63 @@ class TestColumnMatchers:
     def test_no_match_refused(self, eng):
         with pytest.raises(ValueError, match="matched no columns"):
             eng.execute("SELECT COLUMNS('zzz') FROM cm_region")
+
+
+class TestWideAndStructuredTypes:
+    """Round-5 schema-parser closure: 128/256-bit integers (widened
+    to DECIMAL(38,0) — loud ANSI overflow, never silent wrap),
+    Decimal256 (precision capped at Spark's 38), precision >38
+    refused with guidance, JSON/Object('json') as raw-text carriers,
+    geo types (Point/Ring/Polygon/MultiPolygon as nested structs),
+    Nested (array-of-struct), SimpleAggregateFunction unwrapping."""
+
+    def test_wide_integers_and_decimals(self):
+        from bighouse_spark.dialect.schema import ch_type_to_spark
+
+        assert ch_type_to_spark("Int128").simpleString() == "decimal(38,0)"
+        assert ch_type_to_spark("UInt256").simpleString() == "decimal(38,0)"
+        assert (
+            ch_type_to_spark("Decimal256(10)").simpleString()
+            == "decimal(38,10)"
+        )
+        with pytest.raises(ValueError, match="38 digits"):
+            ch_type_to_spark("Decimal(45, 10)")
+
+    def test_json_geo_nested_types(self):
+        from bighouse_spark.dialect.schema import ch_type_to_spark
+
+        assert ch_type_to_spark("JSON").simpleString() == "string"
+        assert (
+            ch_type_to_spark("Point").simpleString()
+            == "struct<x:double,y:double>"
+        )
+        assert ch_type_to_spark("Ring").simpleString().startswith("array<")
+        assert (
+            ch_type_to_spark("Nested(a Int64, b String)").simpleString()
+            == "array<struct<a:bigint,b:string>>"
+        )
+        assert (
+            ch_type_to_spark(
+                "SimpleAggregateFunction(sum, Int64)"
+            ).simpleString()
+            == "bigint"
+        )
+        with pytest.raises(ValueError, match="uniqState"):
+            ch_type_to_spark("AggregateFunction(uniq, Int64)")
+
+    def test_wide_types_usable_in_ddl(self, spark):
+        from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+        eng = BigHouseEngine(spark)
+        eng.execute(
+            QueryRequest(
+                query="CREATE TABLE wide_t (big Int128, j JSON, "
+                "pt Point) ENGINE = Memory"
+            )
+        )
+        r = eng.execute(QueryRequest(query="DESCRIBE wide_t"))
+        types = {row[0]: row[1] for row in r.rows}
+        assert types["big"] == "decimal(38,0)"
+        assert types["j"] == "string"
+        assert types["pt"].startswith("struct")
+        eng.execute(QueryRequest(query="DROP TABLE wide_t"))
