@@ -2869,57 +2869,122 @@ _ARG_REWRITES["toIPv4"] = lambda a: _ARG_REWRITES["IPv4NumToString"](
 )
 
 
+def _pos_in_string(sql: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted literal
+    (''-escapes handled by parity: each quote flips state, so the
+    doubled quote flips twice and stays inside)."""
+    in_q = False
+    for i in range(pos):
+        if sql[i] == "'":
+            in_q = not in_q
+    return in_q
+
+
 def _rewrite_column_matchers(sql: str, spark) -> str:
-    """CH ``COLUMNS('regex') [APPLY(fn)]`` and ``* APPLY(fn)`` —
-    SELECT-list matchers expanded against the (single, simple) FROM
-    table's live schema. Joins/subqueries/table functions can't be
-    resolved at transpile time and refuse with the explicit-columns
-    guidance. ``* EXCEPT/REPLACE`` are native Spark and untouched."""
+    """CH ``COLUMNS('regex') [APPLY(fn)]`` and ``[t.]* APPLY(fn)`` —
+    SELECT-list matchers expanded against the single simple FROM
+    table's live schema. Joins, subquery sources, and table functions
+    cannot be resolved at rewrite time and refuse with the
+    explicit-columns guidance. Expanded names are backquoted (a
+    column literally named ``max(c)`` must not re-parse as a call).
+    ``* EXCEPT/REPLACE`` are native Spark and untouched."""
 
     def _base_columns() -> list[str]:
-        m = re.search(r"\bFROM\s+[`\"]?([A-Za-z_]\w*)[`\"]?", sql,
-                      re.IGNORECASE)
-        if not m:
+        if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
             raise ValueError(
-                "COLUMNS()/APPLY() need a resolvable FROM <table>; "
-                "spell the columns explicitly otherwise"
+                "COLUMNS()/APPLY() over joins cannot be resolved at "
+                "rewrite time; spell the columns explicitly"
+            )
+        m = re.search(r"\bFROM\s+(\()?[`\"]?([A-Za-z_]\w*)?", sql,
+                      re.IGNORECASE)
+        if not m or m.group(1) or not m.group(2):
+            raise ValueError(
+                "COLUMNS()/APPLY() need a single resolvable "
+                "FROM <table>; spell the columns explicitly otherwise"
             )
         try:
-            return spark.table(m.group(1)).columns
+            return spark.table(m.group(2)).columns
         except Exception:
             raise ValueError(
                 f"COLUMNS()/APPLY(): cannot resolve table "
-                f"{m.group(1)!r} at rewrite time; spell the columns "
+                f"{m.group(2)!r} at rewrite time; spell the columns "
                 "explicitly"
             )
 
+    def _guard_tail(out: str, at: int) -> None:
+        if re.match(r"\s*APPLY\s*\(", out[at:], re.IGNORECASE):
+            raise ValueError(
+                "chained APPLY is not supported; nest the calls "
+                "explicitly (f(g(col)))"
+            )
+
     out = sql
+    pos = 0
     while True:
-        m = re.search(
+        m = re.compile(
             r"\bCOLUMNS\s*\(\s*'([^']*)'\s*\)"
             r"(?:\s+APPLY\s*\(\s*(\w+)\s*\))?",
-            out,
-        )
+            re.IGNORECASE,
+        ).search(out, pos)
         if m is None:
             break
+        if _pos_in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
         pat, fn = m.groups()
+        if out[m.end(1) + 1 : m.end(1) + 2] == "'":
+            raise ValueError(
+                "COLUMNS(): patterns with escaped quotes are not "
+                "supported; match on a simpler pattern"
+            )
         cols = [c for c in _base_columns() if re.search(pat, c)]
         if not cols:
             raise ValueError(f"COLUMNS('{pat}') matched no columns")
         if fn:
-            repl = ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in cols)
+            repl = ", ".join(
+                f"{fn}(`{c}`) AS `{fn}({c})`" for c in cols
+            )
         else:
-            repl = ", ".join(cols)
+            repl = ", ".join(f"`{c}`" for c in cols)
         out = out[: m.start()] + repl + out[m.end() :]
+        _guard_tail(out, m.start() + len(repl))
+        pos = m.start() + len(repl)
+    # Any COLUMNS( left outside string literals is a shape the
+    # pattern above couldn't parse (escaped quotes, non-literal
+    # argument) — guide rather than leak UNRESOLVED_ROUTINE.
+    scan = 0
     while True:
-        m = re.search(r"\*\s+APPLY\s*\(\s*(\w+)\s*\)", out)
+        m_res = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE).search(
+            out, scan
+        )
+        if m_res is None:
+            break
+        if _pos_in_string(out, m_res.start()):
+            scan = m_res.start() + 1
+            continue
+        raise ValueError(
+            "COLUMNS() takes a single-quoted literal regex with no "
+            "escaped quotes; spell the columns explicitly for "
+            "anything else"
+        )
+    pos = 0
+    while True:
+        m = re.compile(
+            r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\*\s+APPLY\s*\(\s*(\w+)\s*\)",
+            re.IGNORECASE,
+        ).search(out, pos)
         if m is None:
             break
+        if _pos_in_string(out, m.start()):
+            pos = m.start() + 1
+            continue
         fn = m.group(1)
         repl = ", ".join(
-            f"{fn}({c}) AS `{fn}({c})`" for c in _base_columns()
+            f"{fn}(`{c}`) AS `{fn}({c})`" for c in _base_columns()
         )
         out = out[: m.start()] + repl + out[m.end() :]
+        _guard_tail(out, m.start() + len(repl))
+        pos = m.start() + len(repl)
     return out
 
 
@@ -3396,7 +3461,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _strip_format(out)
     if spark is not None and "hasColumnInTable" in out:
         out = _rewrite_has_column_in_table(out, spark)
-    if spark is not None and ("COLUMNS" in out or "APPLY" in out):
+    if spark is not None and re.search(
+        r"\bCOLUMNS\s*\(|\*\s+APPLY\s*\(", out, re.IGNORECASE
+    ):
         out = _rewrite_column_matchers(out, spark)
     uses_file = re.search(r"\b_file\b", out) is not None
     out, views = _rewrite_table_functions(out, spark, uses_file)

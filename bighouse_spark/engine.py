@@ -264,6 +264,8 @@ class BigHouseEngine:
             self.spark.catalog.dropTempView(old)
             if old in self._user_views:
                 self._user_views[new] = self._user_views.pop(old)
+            for (t, c) in [k for k in self._comments if k[0] == old]:
+                self._comments[(new, c)] = self._comments.pop((t, c))
         else:
             raise ValueError(f"RENAME TABLE {old}: not found")
         self.clear_cache()
@@ -1712,6 +1714,7 @@ class BigHouseEngine:
                 query="SELECT * FROM system_processes",
                 init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
             )
         # CH ops surface: SYSTEM ... maintenance statements map onto
         # the engine's own caches/views; mutations here are eager
@@ -1749,17 +1752,23 @@ class BigHouseEngine:
                 elapsed_sec=time.monotonic() - t0,
             )
         m_shs = re.match(
-            r"^\s*SHOW\s+SETTINGS\s+(?:I?LIKE\s+)?'([^']*)'\s*$",
+            r"^\s*SHOW\s+SETTINGS\s+(?:(I)?LIKE\s+)?'([^']*)'\s*$",
             request.query,
             re.IGNORECASE,
         )
         if m_shs:
             self.refresh_system_views()
+            ci, pat = m_shs.groups()
+            cond = (
+                f"lower(key) LIKE lower('{pat}')"
+                if ci
+                else f"key LIKE '{pat}'"
+            )
             request = QueryRequest(
-                query="SELECT * FROM system_settings WHERE key LIKE "
-                f"'{m_shs.group(1)}'",
+                query=f"SELECT * FROM system_settings WHERE {cond}",
                 init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
             )
         if re.match(r"^\s*SHOW\s+GRANTS\b", request.query,
                     re.IGNORECASE):
@@ -1778,9 +1787,14 @@ class BigHouseEngine:
         if m_chk:
             name = m_chk.group(1)
             try:
-                # Full-scan readability probe — every file opens and
-                # decodes (CH CHECK TABLE verifies part integrity).
-                self.spark.table(name).count()
+                # Decode-proving probe: per-column count() forces
+                # every column's data pages to decode — a bare
+                # count(*) on parquet is answered from footer
+                # metadata and would miss corrupt pages.
+                df = self.spark.table(name)
+                df.selectExpr(
+                    *[f"count(`{c}`)" for c in df.columns]
+                ).collect()
                 ok = 1
             except Exception:
                 ok = 0

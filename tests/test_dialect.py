@@ -3508,12 +3508,14 @@ class TestColumnMatchers:
 
     @pytest.fixture(scope="class")
     def eng(self, spark):
+        from tests.conftest import SF_SMOKE
+
         from bighouse_spark.engine import BigHouseEngine
         from bighouse_spark.sources.catalog import load_table
 
-        load_table(
-            spark, "/root/testdata/sf0.001", "region"
-        ).createOrReplaceTempView("cm_region")
+        load_table(spark, SF_SMOKE, "region").createOrReplaceTempView(
+            "cm_region"
+        )
         return BigHouseEngine(spark)
 
     def test_columns_regex(self, eng):
@@ -3597,3 +3599,57 @@ class TestWideAndStructuredTypes:
         assert types["j"] == "string"
         assert types["pt"].startswith("struct")
         eng.execute(QueryRequest(query="DROP TABLE wide_t"))
+
+
+class TestColumnMatcherHardening:
+    """Fourth-review hardening of COLUMNS()/APPLY(): joins and
+    subquery sources refuse (a heuristic FROM scan expanded the
+    wrong table before), names are backquoted, string literals are
+    skipped, lowercase keywords work, qualified stars are consumed,
+    chained APPLY and escaped-quote patterns get guided refusals."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from tests.conftest import SF_SMOKE
+
+        from bighouse_spark.engine import BigHouseEngine
+        from bighouse_spark.sources.catalog import load_table
+
+        load_table(spark, SF_SMOKE, "region").createOrReplaceTempView(
+            "cmh_region"
+        )
+        return BigHouseEngine(spark)
+
+    def test_join_and_subquery_refused(self, eng):
+        with pytest.raises(ValueError, match="joins"):
+            eng.execute(
+                "SELECT * APPLY(max) FROM cmh_region "
+                "JOIN cmh_region r2 ON 1=1"
+            )
+        with pytest.raises(ValueError, match="single resolvable"):
+            eng.execute(
+                "SELECT COLUMNS('key') FROM (SELECT * FROM cmh_region)"
+            )
+
+    def test_lowercase_and_qualified_star(self, eng):
+        r = eng.execute(
+            "select columns('key') from cmh_region order by 1 limit 1"
+        )
+        assert r.rows == [[0]]
+        r2 = eng.execute("SELECT r.* APPLY(max) FROM cmh_region AS r")
+        assert r2.rows[0][0] == 4
+
+    def test_string_literal_untouched(self, eng):
+        r = eng.execute(
+            "SELECT 'see COLUMNS(''x'')' AS doc FROM cmh_region LIMIT 1"
+        )
+        assert r.rows == [["see COLUMNS('x')"]]
+
+    def test_guided_refusals(self, eng):
+        with pytest.raises(ValueError, match="escaped quotes"):
+            eng.execute("SELECT COLUMNS('a''b') FROM cmh_region")
+        with pytest.raises(ValueError, match="chained APPLY"):
+            eng.execute(
+                "SELECT COLUMNS('key') APPLY(max) APPLY(round) "
+                "FROM cmh_region"
+            )

@@ -1589,9 +1589,17 @@ class TestSystemOpsStatements:
 
     def test_show_settings_filters(self, engine):
         r = engine.execute(
-            QueryRequest(query="SHOW SETTINGS LIKE 'max%'")
+            QueryRequest(query="SHOW SETTINGS LIKE 'spark.sql.adaptive%'")
         )
-        assert all(row[0].startswith("max") for row in r.rows)
+        assert r.rows  # AQE knobs always present
+        assert all(
+            row[0].startswith("spark.sql.adaptive") for row in r.rows
+        )
+        # ILIKE is case-insensitive (CH semantics).
+        r2 = engine.execute(
+            QueryRequest(query="SHOW SETTINGS ILIKE 'SPARK.SQL.ADAPTIVE%'")
+        )
+        assert len(r2.rows) == len(r.rows)
 
     def test_show_grants_trust_model(self, engine):
         r = engine.execute(QueryRequest(query="SHOW GRANTS"))
