@@ -554,6 +554,15 @@ _DT_SPECS = {
     "%i": "mm", "%S": "ss", "%s": "ss", "%e": "d", "%j": "DDD",
     "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%p": "a", "%a": "EEE",
     "%W": "EEEE", "%%": "%",
+    # Modern CH defaults (formatdatetime_..._m_is_month_name=1,
+    # the 23.x MySQL-compat behavior): %M = full month name
+    # (minute is %i), %b = abbreviated month, %c = numeric month,
+    # %k = 24h hour, %l/%h = 12h hour, %D = mm/dd/yy, %R = HH:mm,
+    # %n = newline, %t = tab, %G/%g ISO week-year, %u/%w weekday.
+    "%M": "MMMM", "%b": "MMM", "%c": "MM", "%k": "HH", "%l": "hh",
+    "%h": "hh", "%I": "hh", "%D": "MM/dd/yy", "%R": "HH:mm",
+    "%n": "\n", "%t": "\t", "%G": "YYYY", "%g": "YY",
+    "%V": "ww", "%u": "u",
 }
 
 
@@ -3421,6 +3430,16 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
+    # CH EXPLAIN flag syntax (`EXPLAIN indexes = 1, header = 0 ...`)
+    # → the flags select detail CH-side; Spark's FORMATTED plan
+    # carries the scan detail (PushedFilters/PartitionFilters), so
+    # fold any flag list into the PLAN variant.
+    out = re.sub(
+        r"^(EXPLAIN)\s+(?:\w+\s*=\s*\w+\s*,?\s*)+(?=SELECT|WITH)",
+        r"\1 PLAN ",
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     # CH EXPLAIN variants → the closest Spark EXPLAIN mode. EXPLAIN
     # SYNTAX (CH: "the query after syntax optimizations") maps to the
     # one transformation this engine owns — the dialect transpile —

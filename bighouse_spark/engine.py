@@ -1716,6 +1716,31 @@ class BigHouseEngine:
                 num_nodes=request.num_nodes, cores=request.cores,
                 query_id=request.query_id,
             )
+        # ALTER TABLE ... MODIFY/RESET SETTING: MergeTree storage
+        # knobs — accepted and dropped like the CREATE-time SETTINGS
+        # clause (parquet storage has no per-table knobs to honor).
+        m_ms = re.match(
+            r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+            r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+            r"(?:MODIFY|RESET)\s+SETTING\s+.+$",
+            request.query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m_ms:
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<alter-setting>",
+                              elapsed, 0)
+            )
+            return QueryResult(cols=["ok"], rows=[[1]],
+                               elapsed_sec=elapsed)
+        if re.match(r"^\s*SHOW\s+CREATE\s+DATABASE\b", request.query,
+                    re.IGNORECASE):
+            return QueryResult(
+                cols=["statement"],
+                rows=[["CREATE DATABASE default"]],
+                elapsed_sec=time.monotonic() - t0,
+            )
         # CH ops surface: SYSTEM ... maintenance statements map onto
         # the engine's own caches/views; mutations here are eager
         # (synchronous rewrites), so KILL MUTATION has nothing to

@@ -3653,3 +3653,40 @@ class TestColumnMatcherHardening:
                 "SELECT COLUMNS('key') APPLY(max) APPLY(round) "
                 "FROM cmh_region"
             )
+
+
+class TestRound5FinalStatements:
+    """Final statement-shape closure: ALTER TABLE MODIFY/RESET
+    SETTING accepted (MergeTree knobs — dropped like CREATE-time
+    SETTINGS), CH EXPLAIN flag syntax folded into the PLAN variant,
+    SHOW CREATE DATABASE, and formatDateTime's modern CH specs
+    (%M = month name, %i = minute, %b/%c/%D/%R/%G...)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_modify_setting_accepted(self, eng):
+        r = eng.execute(
+            "ALTER TABLE whatever MODIFY SETTING index_granularity = 8192"
+        )
+        assert r.rows == [[1]]
+
+    def test_explain_flag_syntax(self, eng):
+        r = eng.execute("EXPLAIN indexes = 1 SELECT 1")
+        assert "Physical Plan" in r.rows[0][0]
+
+    def test_show_create_database(self, eng):
+        r = eng.execute("SHOW CREATE DATABASE default")
+        assert r.rows == [["CREATE DATABASE default"]]
+
+    def test_format_datetime_modern_specs(self, eng):
+        r = eng.execute(
+            "SELECT formatDateTime(toDateTime('2024-01-01 12:30:00'), "
+            "'%Y-%m-%d %H:%i') AS a, "
+            "formatDateTime(toDateTime('2024-03-15 00:00:00'), "
+            "'%M %b %D %R') AS b"
+        )
+        assert r.rows == [["2024-01-01 12:30", "March Mar 03/15/24 00:00"]]
