@@ -558,20 +558,40 @@ _DT_SPECS = {
     # the 23.x MySQL-compat behavior): %M = full month name
     # (minute is %i), %b = abbreviated month, %c = numeric month,
     # %k = 24h hour, %l/%h = 12h hour, %D = mm/dd/yy, %R = HH:mm,
-    # %n = newline, %t = tab, %G/%g ISO week-year, %u/%w weekday.
+    # %n = newline, %t = tab.
     "%M": "MMMM", "%b": "MMM", "%c": "MM", "%k": "HH", "%l": "hh",
     "%h": "hh", "%I": "hh", "%D": "MM/dd/yy", "%R": "HH:mm",
-    "%n": "\n", "%t": "\t", "%G": "YYYY", "%g": "YY",
-    "%V": "ww", "%u": "u",
+    "%n": "\n", "%t": "\t",
+}
+
+# Week-based specs (%G/%g ISO week-year, %V ISO week, %u ISO weekday)
+# have NO valid date_format pattern: Spark 3+ rejects the Java
+# week-based letters (YYYY/ww/u) outright. They compose as extract()
+# expressions concat'd between the date_format pieces instead.
+_DT_WEEK_SPECS = {
+    "%G": "cast(extract(YEAROFWEEK FROM {x}) AS STRING)",
+    "%g": "lpad(cast(extract(YEAROFWEEK FROM {x}) % 100 AS STRING), 2, '0')",
+    "%V": "lpad(cast(extract(WEEK FROM {x}) AS STRING), 2, '0')",
+    "%u": "cast(extract(DAYOFWEEK_ISO FROM {x}) AS STRING)",
 }
 
 
 def _translate_dt_format(quoted: str) -> str:
+    """Pattern-only translation (the PARSE direction: to_timestamp
+    needs a single pattern literal, so week-based specs that only
+    exist as extract() expressions are refused with guidance)."""
     fmt = _unquote(quoted)
     out, i = [], 0
     while i < len(fmt):
         if fmt[i] == "%":
             spec = fmt[i : i + 2]
+            if spec in _DT_WEEK_SPECS:
+                raise ValueError(
+                    f"parseDateTime: week-based spec {spec!r} has no "
+                    "Spark parse pattern; parse a full date and "
+                    "derive the week with extract(WEEK/YEAROFWEEK/"
+                    "DAYOFWEEK_ISO ...) instead"
+                )
             if spec not in _DT_SPECS:
                 raise ValueError(f"formatDateTime: unsupported spec {spec!r}")
             out.append(_DT_SPECS[spec])
@@ -582,9 +602,55 @@ def _translate_dt_format(quoted: str) -> str:
             c = fmt[i]
             out.append(f"'{c}'" if c.isalpha() else c)
             i += 1
-    # Merge adjacent quoted literal chars: 'a' + 't' → 'at'.
+    # Merge adjacent quoted literal chars ('a' + 't' → 'at'), then
+    # escape the pattern-level quotes for the SQL literal.
     joined = "".join(out).replace("''", "")
-    return f"'{joined}'"
+    return "'" + joined.replace("'", "''") + "'"
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(x, fmt) → date_format(...), or a concat of
+    date_format pieces and extract() expressions when the format
+    mixes in week-based specs (%G/%g/%V/%u) that Spark's pattern
+    language rejects."""
+    x, quoted = args[0], args[1]
+    fmt = _unquote(quoted)
+    pieces: list[tuple[str, str]] = []  # ("fmt", pattern) | ("wk", spec)
+    cur: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i : i + 2]
+            if spec in _DT_WEEK_SPECS:
+                if cur:
+                    pieces.append(("fmt", "".join(cur)))
+                    cur = []
+                pieces.append(("wk", spec))
+            elif spec in _DT_SPECS:
+                cur.append(_DT_SPECS[spec])
+            else:
+                raise ValueError(f"formatDateTime: unsupported spec {spec!r}")
+            i += 2
+        else:
+            c = fmt[i]
+            cur.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    if cur:
+        pieces.append(("fmt", "".join(cur)))
+    def _fmt_piece(val: str) -> str:
+        # Merge adjacent quoted literal chars at the PATTERN level,
+        # then double pattern-internal quotes for the SQL literal.
+        pat = val.replace("''", "")
+        return f"date_format({x}, '" + pat.replace("'", "''") + "')"
+
+    parts = [
+        _fmt_piece(val) if kind == "fmt"
+        else _DT_WEEK_SPECS[val].format(x=x)
+        for kind, val in pieces
+    ]
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
 
 
 def _multi_if(args: list[str]) -> str:
@@ -595,6 +661,20 @@ def _multi_if(args: list[str]) -> str:
         parts.append(f"WHEN ({args[i]}) THEN ({args[i + 1]})")
     parts.append(f"ELSE ({args[-1]}) END")
     return " ".join(parts)
+
+
+def _foreach_fold(x: str, merge: str) -> str:
+    """-ForEach combinator body: fold the group's collected arrays
+    element-wise with ``merge``; empty input → array() (not an ANSI
+    INVALID_ARRAY_INDEX from the element_at seed). Catalyst dedups
+    the repeated collect_list aggregate, so it's computed once."""
+    cl = f"collect_list({x})"
+    return (
+        f"CASE WHEN size({cl}) = 0 THEN array() "
+        f"ELSE aggregate(slice({cl}, 2, greatest(size({cl}) - 1, 0)), "
+        f"element_at({cl}, 1), (__acc, __x) -> "
+        f"zip_with(__acc, __x, {merge})) END"
+    )
 
 
 def _array_count(args: list[str]) -> str:
@@ -1016,9 +1096,7 @@ _ARG_REWRITES: dict = {
     "splitByChar": lambda a: f"split({a[1]}, {_sql_regex_literal(a[0])})",
     "splitByString": lambda a: f"split({a[1]}, {_sql_regex_literal(a[0])})",
     "dateDiff": lambda a: f"timestampdiff({_unquote(a[0])}, {a[1]}, {a[2]})",
-    "formatDateTime": lambda a: (
-        f"date_format({a[0]}, {_translate_dt_format(a[1])})"
-    ),
+    "formatDateTime": _format_datetime,
     "multiIf": _multi_if,
     # CH functional arithmetic spellings → operators. divide() is
     # always Float64 in CH, hence the cast.
@@ -2662,14 +2740,43 @@ def _point_in_polygon(a: list) -> str:
     )
 
 
+def _simple_json_raw(a: list[str]) -> str:
+    """simpleJSONExtractRaw semantics: the value's raw JSON text
+    (strings WITH quotes), '' when the key is absent. simpleJSON /
+    visitParam tolerate sloppy non-JSON input in CH; this variant
+    needs the document to parse (try_parse_json → '' otherwise),
+    which all well-formed logs satisfy."""
+    raw = (
+        f"to_json(variant_get(try_parse_json({a[0]}), "
+        f"'$.{_unquote(a[1])}', 'variant'))"
+    )
+    return f"coalesce({raw}, '')"
+
+
+def _simple_json_string(a: list[str]) -> str:
+    """simpleJSONExtractString: the unescaped string value when the
+    key holds a string, else '' (CH returns '' for numbers, objects,
+    missing keys)."""
+    raw = (
+        f"to_json(variant_get(try_parse_json({a[0]}), "
+        f"'$.{_unquote(a[1])}', 'variant'))"
+    )
+    unquoted = f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
+    return (
+        f"CASE WHEN startswith({raw}, '\"') THEN {unquoted} "
+        f"ELSE '' END"
+    )
+
+
 # Round-5 probe tranche 9: aggregate bit ops, simpleJSON (the
 # log-scraping JSON fast path — alias family of visitParam),
 # YYYYMMDD numeric date codecs, regex quoting, random strings,
 # consistent hashing, and literal-polygon containment.
 _ARG_REWRITES.update({
-    "simpleJSONExtractString": lambda a: (
-        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
-    ),
+    # CH returns '' (not the value text) when the key's value is not
+    # a string, and '' for a missing key; the variant probe detects
+    # the string case by its leading quote in the raw JSON.
+    "simpleJSONExtractString": lambda a: _simple_json_string(a),
     "simpleJSONExtractInt": lambda a: (
         f"CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') AS BIGINT)"
     ),
@@ -2680,9 +2787,11 @@ _ARG_REWRITES.update({
         f"CAST(CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') "
         f"AS BOOLEAN) AS INT)"
     ),
-    "simpleJSONExtractRaw": lambda a: (
-        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
-    ),
+    # Raw keeps the value's raw JSON text — strings KEEP their
+    # quotes ('"b"', unlike get_json_object's unquoted 'b'); objects
+    # and arrays come back verbatim. Spark 4's VARIANT round-trip
+    # gives exactly that. Missing key → '' like CH.
+    "simpleJSONExtractRaw": lambda a: _simple_json_raw(a),
     "simpleJSONHas": lambda a: (
         f"(get_json_object({a[0]}, '$.{_unquote(a[1])}') IS NOT NULL)"
     ),
@@ -2690,9 +2799,7 @@ _ARG_REWRITES.update({
         f"CAST(CAST(get_json_object({a[0]}, '$.{_unquote(a[1])}') "
         f"AS BOOLEAN) AS INT)"
     ),
-    "visitParamExtractRaw": lambda a: (
-        f"get_json_object({a[0]}, '$.{_unquote(a[1])}')"
-    ),
+    "visitParamExtractRaw": lambda a: _simple_json_raw(a),
     # Numeric-encoded calendar codecs (CH stores yyyymmdd ints).
     "YYYYMMDDToDate": lambda a: (
         f"to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING), 'yyyyMMdd')"
@@ -3253,29 +3360,18 @@ _ARG_REWRITES.update({
     # -ForEach combinators: element-wise aggregation across the
     # rows' arrays. Expression form folds the group's collected
     # arrays with zip_with (ragged lengths behave like CH: missing
-    # positions contribute the identity). SCALE NOTE: state is
-    # O(rows_in_group × array_len) at the collect — for huge groups
-    # use the posexplode + GROUP BY pos spelling instead.
-    "sumForEach": lambda a: (
-        f"aggregate(slice(collect_list({a[0]}), 2, "
-        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
-        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
-        f"zip_with(__acc, __x, (a, b) -> "
-        f"coalesce(a, 0) + coalesce(b, 0)))"
+    # positions contribute the identity). Empty input (e.g. a global
+    # aggregate over zero rows) returns array() like CH — the CASE
+    # guard keeps the element_at(…, 1) seed from throwing
+    # INVALID_ARRAY_INDEX under Spark 4's ANSI mode. SCALE NOTE:
+    # state is O(rows_in_group × array_len) at the collect — for
+    # huge groups use the posexplode + GROUP BY pos spelling instead.
+    "sumForEach": lambda a: _foreach_fold(
+        a[0], "(a, b) -> coalesce(a, 0) + coalesce(b, 0)"
     ),
     # greatest/least already skip NULLs (ragged positions).
-    "maxForEach": lambda a: (
-        f"aggregate(slice(collect_list({a[0]}), 2, "
-        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
-        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
-        f"zip_with(__acc, __x, (a, b) -> greatest(a, b)))"
-    ),
-    "minForEach": lambda a: (
-        f"aggregate(slice(collect_list({a[0]}), 2, "
-        f"greatest(size(collect_list({a[0]})) - 1, 0)), "
-        f"element_at(collect_list({a[0]}), 1), (__acc, __x) -> "
-        f"zip_with(__acc, __x, (a, b) -> least(a, b)))"
-    ),
+    "maxForEach": lambda a: _foreach_fold(a[0], "(a, b) -> greatest(a, b)"),
+    "minForEach": lambda a: _foreach_fold(a[0], "(a, b) -> least(a, b)"),
     "avgForEach": lambda a: (_ for _ in ()).throw(
         ValueError(
             "avgForEach: divide sumForEach by the per-position "
@@ -3558,8 +3654,11 @@ def _ensure_misc_udfs(spark: SparkSession) -> None:
 
 
 # Bit-exact CityHash64 v1.0.2 (the fidelity path behind
-# cityHash64Exact / SETTINGS exact_cityhash=1) — lazy like the others.
-_CITYHASH_UDF_SESSIONS: set[int] = set()
+# cityHash64Exact / SETTINGS exact_cityhash=1) — lazy like the
+# others, but keyed on the UTC-equivalence answer too: a later SET
+# of spark.sql.session.timeZone must re-register the UDF or
+# datetime hashing keeps a stale parity assumption.
+_CITYHASH_UDF_SESSIONS: dict[int, bool] = {}
 
 
 def _tz_is_utc_equivalent(tz: str) -> bool:
@@ -3585,22 +3684,24 @@ def _tz_is_utc_equivalent(tz: str) -> bool:
 
 
 def _ensure_cityhash_udfs(spark: SparkSession) -> None:
-    if id(spark) in _CITYHASH_UDF_SESSIONS:
-        return
     # Bit-parity guard: Arrow hands the UDF NAIVE timestamps in the
     # SESSION timezone, which the encoder interprets as UTC wall time
     # (CH stores DateTime as epoch). Under a non-UTC session the
     # registered variant REFUSES datetime arguments (loudly, with
     # the fix) while timezone-independent strings/ints keep parity.
+    # The timezone is re-read on EVERY transpile that reaches here:
+    # SET spark.sql.session.timeZone mid-session flips the answer
+    # and must re-register the UDF (stale-parity fix, ADVICE r6).
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    allow_dt = _tz_is_utc_equivalent(tz)
+    if _CITYHASH_UDF_SESSIONS.get(id(spark)) == allow_dt:
+        return
     from bighouse_spark.functions import cityhash
 
     _pickle_udf_module_by_value(cityhash)
-    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    fn = cityhash.make_cityhash64_row_udf(
-        allow_datetime=_tz_is_utc_equivalent(tz)
-    )
+    fn = cityhash.make_cityhash64_row_udf(allow_datetime=allow_dt)
     spark.udf.register("bh_cityhash64_row", fn)
-    _CITYHASH_UDF_SESSIONS.add(id(spark))
+    _CITYHASH_UDF_SESSIONS[id(spark)] = allow_dt
 
 
 def _split_args_top(s: str) -> list[str]:

@@ -1452,9 +1452,11 @@ class BigHouseEngine:
         # lands in partition directories and partition-key predicates
         # prune at the scan (CH MergeTree partitioning, the
         # reference's main pruning lever; PartitionFilters proven in
-        # test_plan_shapes). ORDER BY / SETTINGS remain accepted and
-        # dropped (in-file order is a write-time concern —
-        # execute_to_sink(order_by=/zorder_by=)).
+        # test_plan_shapes). ORDER BY is HONORED too: every write to
+        # the table sorts rows by the declared key before landing
+        # (see _ordered / the table-meta order_by record below).
+        # SETTINGS (MergeTree storage knobs) are accepted and
+        # dropped — they have no Spark-side meaning.
         m_ctas = (
             None if self._CREATE_TABLE_HEAD_RE.match(request.query)
             else self._CTAS_RE.match(request.query)

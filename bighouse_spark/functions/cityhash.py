@@ -49,6 +49,7 @@ the hints at registration time (same contract as miscfuncs.py).
 import struct
 from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DecimalType
@@ -205,8 +206,19 @@ def _encode_value(v) -> bytes:
         return b"\x01" if v else b"\x00"
     if isinstance(v, int):
         return struct.pack("<q", v) if v < 0 else struct.pack("<Q", v & _M64)
-    if isinstance(v, float):
-        return struct.pack("<d", v)
+    # Narrow numpy floats BEFORE the Python-float branch: CH hashes
+    # Float32 at its native 4 bytes ('<f'); silently widening to
+    # '<d' would produce non-CH hashes (ADVICE r6). Other narrow
+    # dtypes (float16) have no CH type — refuse, don't widen.
+    if isinstance(v, np.float32):
+        return struct.pack("<f", float(v))
+    if isinstance(v, np.floating) and not isinstance(v, np.float64):
+        raise TypeError(
+            f"cityHash64Exact: {type(v).__name__} has no ClickHouse "
+            "parity mapping; cast to FLOAT/DOUBLE explicitly"
+        )
+    if isinstance(v, (float, np.float64)):
+        return struct.pack("<d", float(v))
     if isinstance(v, Decimal):
         iv = int(v)
         return struct.pack("<q", iv) if iv < 0 else struct.pack("<Q", iv & _M64)
@@ -264,17 +276,34 @@ def make_cityhash64_row_udf(allow_datetime: bool = True):
         import numpy as np
 
         out = []
+        # Float32 columns: itertuples boxes float32 values to Python
+        # float, erasing the width — but CH hashes Float32 at its
+        # native 4 bytes ('<f'), so track which POSITIONS are
+        # float32 from the batch dtypes and re-narrow (exact: f64 is
+        # a superset of f32, the round-trip is lossless). float16
+        # has no CH type — refuse, don't silently widen (ADVICE r6).
+        f32_pos = set()
+        for j, dt in enumerate(cols.dtypes):
+            if dt == np.float32:
+                f32_pos.add(j)
+            elif dt == np.float16:
+                raise TypeError(
+                    "cityHash64Exact: float16 has no ClickHouse "
+                    "parity mapping; cast to FLOAT/DOUBLE explicitly"
+                )
         # Normalize numpy scalars up front so _encode_value sees
         # Python types; field order == argument order.
         rows = cols.itertuples(index=False, name=None)
         for row in rows:
             vals = []
             null = False
-            for v in row:
+            for j, v in enumerate(row):
                 if _is_null(v):
                     null = True
                     break
-                if isinstance(v, np.generic):
+                if j in f32_pos:
+                    v = np.float32(v)
+                elif isinstance(v, np.generic):
                     v = v.item()
                 if not allow_datetime and isinstance(
                     v, (pd.Timestamp, _dt.datetime, _dt.date)

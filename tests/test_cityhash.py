@@ -186,3 +186,49 @@ class TestSQL:
         a = eng.execute(QueryRequest(query=q)).rows[0][0]
         b = eng.execute(QueryRequest(query=q)).rows[0][0]
         assert a == b and a is not None
+
+
+class TestRound6AdviceFixes:
+    def test_float32_hashes_at_native_width(self, spark):
+        # CH hashes Float32 at 4 bytes ('<f'); widening to '<d'
+        # would silently diverge from a live CH (ADVICE r6).
+        import struct
+
+        from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+        eng = BigHouseEngine(spark)
+        res = eng.execute(
+            QueryRequest(
+                query="SELECT cityHash64Exact(toFloat32(1.5)) AS f, "
+                "cityHash64Exact(toFloat64(1.5)) AS d"
+            )
+        )
+        f, d = res.rows[0]
+        assert f == Decimal(cityhash64(struct.pack("<f", 1.5)))
+        assert d == Decimal(cityhash64(struct.pack("<d", 1.5)))
+        assert f != d
+
+    def test_timezone_flip_reregisters_udf(self, spark):
+        # SET spark.sql.session.timeZone mid-session must flip the
+        # datetime-parity guard (stale id(spark) cache, ADVICE r6).
+        from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+        eng = BigHouseEngine(spark)
+        q = QueryRequest(
+            query="SELECT cityHash64Exact("
+            "toDateTime('2024-01-01 00:00:00')) AS h"
+        )
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            assert eng.execute(q).rows[0][0] is not None
+            spark.conf.set(
+                "spark.sql.session.timeZone", "America/New_York"
+            )
+            with pytest.raises(Exception, match="UTC"):
+                eng.execute(q)
+            # ... and back: UTC restores the datetime path.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            assert eng.execute(q).rows[0][0] is not None
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -3690,3 +3690,61 @@ class TestRound5FinalStatements:
             "'%M %b %D %R') AS b"
         )
         assert r.rows == [["2024-01-01 12:30", "March Mar 03/15/24 00:00"]]
+
+
+class TestRound6AdviceFixes:
+    """Round-6 ADVICE closure: week-based formatDateTime specs
+    rewritten as extract() expressions (Spark 3+ rejects the Java
+    week-based pattern letters at runtime), -ForEach over empty
+    input, simpleJSON Raw/String ClickHouse semantics."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_format_datetime_week_specs(self, eng):
+        # 2021-01-01 is ISO week 53 of ISO year 2020, weekday 5 (Fri);
+        # 2024-03-15 is ISO week 11.
+        r = eng.execute(
+            "SELECT formatDateTime(toDateTime('2021-01-01 12:00:00'), "
+            "'%G-%V-%u') AS a, "
+            "formatDateTime(toDateTime('2021-01-01 12:00:00'), "
+            "'wk %V of %g') AS b, "
+            "formatDateTime(toDateTime('2024-03-15 00:00:00'), "
+            "'%Y w%V') AS c"
+        )
+        assert r.rows == [["2020-53-5", "wk 53 of 20", "2024 w11"]]
+
+    def test_parse_datetime_week_spec_refused(self, eng):
+        with pytest.raises(ValueError, match="week-based"):
+            eng.execute("SELECT parseDateTime('2021-53', '%G-%V')")
+
+    def test_foreach_empty_input_is_empty_array(self, eng, spark):
+        spark.createDataFrame(
+            [([1, 2],)], "arr array<bigint>"
+        ).createOrReplaceTempView("fe_adv6")
+        for fn in ("sumForEach", "maxForEach", "minForEach"):
+            r = eng.execute(
+                f"SELECT {fn}(arr) AS r FROM fe_adv6 WHERE 1 = 0"
+            )
+            assert r.rows == [[[]]], fn
+
+    def test_simple_json_raw_keeps_string_quotes(self, eng):
+        r = eng.execute(
+            'SELECT simpleJSONExtractRaw(\'{"a":"b"}\', \'a\') AS s, '
+            'simpleJSONExtractRaw(\'{"a":123}\', \'a\') AS n, '
+            'simpleJSONExtractRaw(\'{"a":{"x":1}}\', \'a\') AS o, '
+            'simpleJSONExtractRaw(\'{"a":1}\', \'b\') AS m, '
+            'visitParamExtractRaw(\'{"a":"b"}\', \'a\') AS v'
+        )
+        assert r.rows == [['"b"', "123", '{"x":1}', "", '"b"']]
+
+    def test_simple_json_string_non_string_is_empty(self, eng):
+        r = eng.execute(
+            'SELECT simpleJSONExtractString(\'{"a":"x"}\', \'a\') AS s, '
+            'simpleJSONExtractString(\'{"a":3}\', \'a\') AS n, '
+            'simpleJSONExtractString(\'{"a":1}\', \'b\') AS m'
+        )
+        assert r.rows == [["x", "", ""]]
