@@ -49,91 +49,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-5 WINDOW (50 names, ALL oracle-bearing — the two oracle-less
-# names in the r4 window, uniq_approx and uniq_state_merge_rollup,
-# structurally could not produce a green row and are dropped; their
-# exact-contract twins uniq_approx_check / uniq_rollup_check stay in).
-# Composition, exactly:
-#   6  reference-surface queries last driver-green in r1
-#      (count_by_file, count_star, count_plus_two, filter_eq,
-#      order_limit, like_filters)
-#   3  behavioral aggregates last green r1-r3 (funnel_window_3step,
-#      retention_cohort, sequence_match_view_purchase)
-#   1  checksum_md5 (the cityHash64 capability's exact twin, re-check)
-#   3  approx-op contract checks (uniq_approx_check,
-#      uniq_rollup_check, percentile_approx_check)
-#   6  queries over code paths CHANGED this round: the new
-#      PARTITION BY round-trip (table_partition_pruning), the sink
-#      layouts over the partition-aware writer (sink_roundtrip_*),
-#      the hot-bucket-capped LSH (dedup_minhash_lsh,
-#      dedup_minhash_clusters), the extracted TF-IDF operator
-#      (text_tfidf_topk)
-#   8  TPC-H representatives incl. the judge-named q6/q9/q21
-#      (q3, q5, q6, q9, q14, q18, q21, q22)
-#   11 the full window-function family
-#   4  set ops, 3 join variants, 5 aggregate/grouping queries
+# ROUND-6 WINDOW (50 names, ALL oracle-bearing). The rotation
+# contract: new code paths get driver rows the round after they
+# land, then fill with the OLDEST-green names. Composition, exactly:
+#   10 round-5 additions that have never had a driver row (the
+#      judge-named list, VERDICT r5 "Next #1")
+#   5  r2-era TPC-H without a recent row (q2, q11, q16, q20, plus
+#      flagship q1 re-check)
+#   2  pivot / unpivot
+#   4  scalar/string/date/array function rows
+#   9  curation suite incl. the constraint report
+#   9  more oldest-green TPC-H (q4, q7, q8, q10, q12, q13, q15,
+#      q17, q19)
+#   1  asof_join_purchase_click (ASOF flagship re-check)
+#   6  r1-era dedup family (exact, fingerprint, simhash, ngram,
+#      embedding-cosine, substring-20gram)
+#   3  ANN family (brute-force + IVF/LSH recall contracts)
+#   1  sum_group_by (the reference's flagship aggregation)
 DRIVER_WINDOW = {
-    # -- reference surface, last green r1 (6) --
-    "count_by_file",
-    "count_star",
-    "count_plus_two",
-    "filter_eq",
-    "order_limit",
-    "like_filters",
-    # -- behavioral aggregates (3) --
-    "funnel_window_3step",
-    "retention_cohort",
-    "sequence_match_view_purchase",
-    # -- checksum twin re-check (1) --
-    "checksum_md5",
-    # -- approx-op exact contracts (3) --
-    "uniq_approx_check",
-    "uniq_rollup_check",
-    "percentile_approx_check",
-    # -- code paths changed this round (6) --
-    "table_partition_pruning",
-    "sink_roundtrip_ordered",
-    "sink_roundtrip_zorder",
-    "dedup_minhash_lsh",
-    "dedup_minhash_clusters",
-    "text_tfidf_topk",
-    # -- TPC-H representatives (8) --
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_prospects",
-    # -- window family, complete (11) --
-    "window_daily_rollup",
-    "window_first_last_frame",
-    "window_gapfill_hourly",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_sum",
-    "window_session_10m",
-    "window_sliding_1h_30m",
-    "window_topk_per_group",
-    "window_tumbling_hourly",
-    # -- set ops (4) --
-    "set_union",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    # -- joins (3) --
-    "join_semi",
-    "join_anti",
-    "join_left_outer",
-    # -- aggregates / grouping (5) --
-    "agg_argmax_argmin",
-    "agg_percentiles",
-    "agg_stats_moments",
-    "grouping_sets",
-    "rollup_agg",
+    # -- round-5 additions, first driver check (10) --
+    "text_c4_filters",
+    "dedup_semantic_within_cluster",
+    "text_boilerplate_lines",
+    "dedup_url_canonical",
+    "text_html_extract",
+    "multimodal_resize",
+    "hybrid_keyword_ann",
+    "dialect_cast_types_roundtrip",
+    "dialect_crypto_roundtrip",
+    "dialect_ipv4_roundtrip",
+    # -- r2-era TPC-H + flagship q1 (5) --
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_part_supplier_relation",
+    "tpch_q20_excess_stock",
+    # -- pivot family (2) --
+    "pivot_event_counts",
+    "unpivot_measures",
+    # -- function rows (4) --
+    "scalar_functions",
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    # -- curation suite (9) --
+    "curation_chunk_documents",
+    "curation_decontaminate",
+    "curation_domain_cap",
+    "curation_incremental_dedup",
+    "curation_mixture_weighted",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "curation_train_val_test_split",
+    "quality_constraint_report",
+    # -- more oldest-green TPC-H (9) --
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    # -- ASOF flagship (1) --
+    "asof_join_purchase_click",
+    # -- r1-era dedup family (6) --
+    "dedup_exact_groups",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_substring_20gram",
+    # -- ANN family (3) --
+    "ann_brute_force_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    # -- flagship aggregation (1) --
+    "sum_group_by",
 }
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 
 
 def exposed_name(name: str) -> str:
