@@ -26,10 +26,13 @@ interleaves concurrent jobs on its own.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import re
 import threading
+import time
 import urllib.parse
-from dataclasses import asdict
+from dataclasses import asdict, dataclass, field
 from datetime import date, datetime
 from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -58,8 +61,185 @@ def _dumps(payload: Any) -> bytes:
     return json.dumps(payload, default=_json_default).encode("utf-8")
 
 
+# -- CH HTTP sessions (?session_id=...) ------------------------------
+# ClickHouse's HTTP interface (the port the reference's nodes expose,
+# ch/config.xml:133) gives cross-request session scope: SET in a
+# session persists to later requests, CREATE TEMPORARY TABLE lives
+# until the session expires (sliding ?session_timeout= TTL, default
+# 60 s), ?session_check=1 errors on a missing session (code 372), and
+# concurrent use of one session errors (code 373). Temp tables are
+# namespaced per session by name-mangling: the engine table is
+# "bh_tmp_<sid-hash>_<name>" and in-session SQL references to the
+# bare name are rewritten outside string literals, so another session
+# (or no session) never resolves them.
+
+_SET_STMT_RE = re.compile(r"^\s*SET\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_SET_PAIR_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", re.DOTALL)
+_CREATE_TMP_RE = re.compile(
+    r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+_DROP_TMP_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class _Session:
+    settings: dict[str, str] = field(default_factory=dict)
+    temp_tables: dict[str, str] = field(default_factory=dict)  # name -> mangled
+    expires_at: float = 0.0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class SessionStore:
+    """TTL-bounded ``session_id`` → session state, engine-dropping a
+    session's temp tables when it expires. One store per server."""
+
+    DEFAULT_TIMEOUT = 60.0
+
+    def __init__(self) -> None:
+        self._sessions: dict[str, _Session] = {}
+        self._mu = threading.Lock()
+
+    def sweep(self, engine: BigHouseEngine) -> None:
+        now = time.monotonic()
+        with self._mu:
+            dead = [
+                (sid, s) for sid, s in self._sessions.items()
+                if s.expires_at <= now
+            ]
+            for sid, _ in dead:
+                del self._sessions[sid]
+        for _, s in dead:
+            _drop_temp_tables(engine, s)
+
+    def get_or_create(
+        self, sid: str, *, create: bool
+    ) -> _Session | None:
+        with self._mu:
+            s = self._sessions.get(sid)
+            if s is None and create:
+                s = self._sessions[sid] = _Session()
+            return s
+
+    def close(self, engine: BigHouseEngine, sid: str) -> bool:
+        with self._mu:
+            s = self._sessions.pop(sid, None)
+        if s is not None:
+            _drop_temp_tables(engine, s)
+        return s is not None
+
+
+def _drop_temp_tables(engine: BigHouseEngine, s: _Session) -> None:
+    for mangled in s.temp_tables.values():
+        try:
+            engine.execute(
+                QueryRequest(query=f"DROP TABLE IF EXISTS {mangled}")
+            )
+        except Exception:
+            pass  # expiry cleanup is best-effort
+
+
+def _mangle(sid: str, name: str) -> str:
+    h = hashlib.md5(sid.encode("utf-8")).hexdigest()[:8]
+    return f"bh_tmp_{h}_{name}"
+
+
+def _rewrite_names_outside_strings(sql: str, names: dict[str, str]) -> str:
+    """Replace word-bounded table names with their mangled forms,
+    skipping single-quoted string literals."""
+    if not names:
+        return sql
+    pat = re.compile(
+        r"'(?:[^']|'')*'|\b(" + "|".join(re.escape(n) for n in names) + r")\b"
+    )
+
+    def sub(m: re.Match) -> str:
+        return names[m.group(1)] if m.group(1) else m.group(0)
+
+    return pat.sub(sub, sql)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, cur, quote = [], [], None
+    for c in s:
+        if quote:
+            cur.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c == ",":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _apply_session_sql(
+    sql: str, sid: str, sess: _Session
+) -> tuple[str, tuple[str, str] | None, str | None]:
+    """Session-scope a statement: CREATE TEMPORARY TABLE → mangled
+    engine table (returned as pending_create, registered only after
+    the engine succeeds), DROP of a session temp table → mangled +
+    pending_drop, anything else → temp names rewritten."""
+    m = _CREATE_TMP_RE.match(sql)
+    if m:
+        ine, name = m.group(1) or "", m.group(2)
+        mangled = _mangle(sid, name)
+        head = f"CREATE TABLE {ine}{mangled}"
+        rest = sql[m.end():]
+        others = {k: v for k, v in sess.temp_tables.items() if k != name}
+        return head + _rewrite_names_outside_strings(rest, others), \
+            (name, mangled), None
+    dm = _DROP_TMP_RE.match(sql)
+    if dm and dm.group(2) in sess.temp_tables:
+        name = dm.group(2)
+        return (
+            f"DROP TABLE {dm.group(1) or ''}{sess.temp_tables[name]}",
+            None, name,
+        )
+    return _rewrite_names_outside_strings(sql, sess.temp_tables), None, None
+
+
+_TRAILING_SETTINGS_RE = re.compile(
+    r"\bSETTINGS\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_SELECTISH_RE = re.compile(r"^\s*(\(|SELECT\b|WITH\b)", re.IGNORECASE)
+
+
+def _merge_session_settings(sql: str, settings: dict[str, str]) -> str:
+    """Inject the session's persisted settings as a trailing SETTINGS
+    clause (the engine's per-query settings channel — covers both the
+    conf-mapped and the engine-enforced names). The query's own
+    SETTINGS win on key conflict. Only SELECT-ish statements take a
+    clause; DDL/INSERT settings have no CH session meaning here."""
+    if not settings or not _SELECTISH_RE.match(sql):
+        return sql
+    merged = dict(settings)
+    base = sql
+    m = _TRAILING_SETTINGS_RE.search(sql)
+    if m:
+        base = sql[: m.start()].rstrip()
+        for pair in m.group(1).split(","):
+            k, _, v = pair.partition("=")
+            if k.strip():
+                merged[k.strip()] = v.strip()
+    clause = ", ".join(f"{k} = {v}" for k, v in merged.items())
+    return f"{base} SETTINGS {clause}"
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: BigHouseEngine  # set by make_server
+    sessions: SessionStore  # set by make_server
 
     def log_message(self, *args: Any) -> None:  # silence default stderr log
         pass
@@ -134,27 +314,92 @@ class _Handler(BaseHTTPRequestHandler):
             or normalize_format(self.headers.get("X-ClickHouse-Format"))
             or DEFAULT_FORMAT
         )
-        # SET-able URL params (CH accepts settings as query params).
+        # SET-able URL params (CH accepts settings as query params;
+        # per-request, even inside a session — only SET statements
+        # persist to the session, matching CH).
         init = [
             f"SET {k} = {v[0]}"
             for k, v in params.items()
             if k not in ("query", "default_format", "database", "user",
-                         "password", "session_id", "query_id")
+                         "password", "session_id", "query_id",
+                         "session_timeout", "session_check")
         ]
         qid = (params.get("query_id") or [None])[0]
+        sid = (params.get("session_id") or [None])[0]
+        sess = None
+        timeout = SessionStore.DEFAULT_TIMEOUT
+        if sid:
+            self.sessions.sweep(self.engine)
+            raw_timeout = (params.get("session_timeout") or [""])[0]
+            try:
+                timeout = float(raw_timeout) if raw_timeout else timeout
+            except ValueError:
+                self._send_text(
+                    400,
+                    f"Code: 36. DB::Exception: Invalid session_timeout "
+                    f"{raw_timeout!r}\n".encode(),
+                    "text/plain; charset=UTF-8",
+                )
+                return
+            check = (params.get("session_check") or ["0"])[0]
+            sess = self.sessions.get_or_create(
+                sid, create=check not in ("1", "true")
+            )
+            if sess is None:
+                self._send_text(
+                    404,
+                    f"Code: 372. DB::Exception: Session {sid} not "
+                    f"found.\n".encode(),
+                    "text/plain; charset=UTF-8",
+                    extra={"X-ClickHouse-Exception-Code": "372"},
+                )
+                return
+            if not sess.lock.acquire(blocking=False):
+                self._send_text(
+                    403,
+                    b"Code: 373. DB::Exception: Session is locked by a "
+                    b"concurrent client.\n",
+                    "text/plain; charset=UTF-8",
+                    extra={"X-ClickHouse-Exception-Code": "373"},
+                )
+                return
+        pending_create: tuple[str, str] | None = None
+        pending_drop: str | None = None
         try:
-            result = self.engine.execute(
-                QueryRequest(query=sql, init_queries=init, query_id=qid,
-                             remote=True)
-            )
-        except Exception as e:
-            self._send_text(
-                400,
-                f"Code: 62. DB::Exception: {str(e)[:2000]}\n".encode(),
-                "text/plain; charset=UTF-8",
-                extra={"X-ClickHouse-Exception-Code": "62"},
-            )
-            return
+            if sess is not None:
+                sql, pending_create, pending_drop = _apply_session_sql(
+                    sql, sid, sess
+                )
+                sql = _merge_session_settings(sql, sess.settings)
+            try:
+                result = self.engine.execute(
+                    QueryRequest(query=sql, init_queries=init,
+                                 query_id=qid, remote=True)
+                )
+            except Exception as e:
+                self._send_text(
+                    400,
+                    f"Code: 62. DB::Exception: {str(e)[:2000]}\n".encode(),
+                    "text/plain; charset=UTF-8",
+                    extra={"X-ClickHouse-Exception-Code": "62"},
+                )
+                return
+            if sess is not None:
+                if pending_create:
+                    sess.temp_tables[pending_create[0]] = pending_create[1]
+                if pending_drop:
+                    sess.temp_tables.pop(pending_drop, None)
+                m_set = _SET_STMT_RE.match(sql)
+                if m_set:
+                    for part in _split_top_commas(m_set.group(1)):
+                        pm = _SET_PAIR_RE.match(part)
+                        if pm:
+                            sess.settings[pm.group(1)] = pm.group(2)
+        finally:
+            if sess is not None:
+                # Sliding TTL: every request in the session renews it.
+                sess.expires_at = time.monotonic() + timeout
+                sess.lock.release()
         rendered, content_type = render_result(
             result.cols, result.rows, fmt,
             types=result.types, elapsed=result.elapsed_sec,
@@ -231,7 +476,10 @@ def make_server(
     """Build (not start) the server; ``port=0`` picks a free port.
     Caller runs ``serve_forever`` (or ``start_in_background``)."""
     engine = engine or BigHouseEngine()
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    handler = type(
+        "BoundHandler", (_Handler,),
+        {"engine": engine, "sessions": SessionStore()},
+    )
     return ThreadingHTTPServer((host, port), handler)
 
 
