@@ -14,6 +14,14 @@ Protocol scope:
 * ``COM_QUERY`` → column-count, ColumnDefinition41 packets, EOF,
   text rows (length-encoded; NULL = 0xFB), EOF. Errors → ERR packet
   (code 1064) with the engine's message; the connection survives.
+* ``COM_STMT_PREPARE``/``EXECUTE``/``CLOSE``/``RESET`` — prepared
+  statements, the default path of Connector/J and
+  mysql-connector-python for parameterized queries. ``?``
+  placeholders are counted outside string literals at prepare,
+  bound binary-protocol values are decoded at execute (NULL bitmap,
+  rebound types, the common type set), substituted as SQL literals,
+  and the result returns as a BINARY resultset (typed LONGLONG/
+  DOUBLE/DATE/DATETIME encodings, NULL bitmap).
 * ``COM_PING``/``COM_INIT_DB`` → OK; ``COM_QUIT`` closes; anything
   else → ERR 1047 (unknown command), connection survives.
 
@@ -42,10 +50,18 @@ _TYPE_LONG = 0x03
 _TYPE_FLOAT = 0x04
 _TYPE_LONGLONG = 0x08
 _TYPE_DOUBLE = 0x05
+_TYPE_NULL = 0x06
+_TYPE_TIMESTAMP = 0x07
+_TYPE_INT24 = 0x09
+_TYPE_TIME = 0x0B
+_TYPE_YEAR = 0x0D
+_TYPE_VARCHAR = 0x0F
 _TYPE_NEWDECIMAL = 0xF6
+_TYPE_BLOB = 0xFC
 _TYPE_DATE = 0x0A
 _TYPE_DATETIME = 0x0C
 _TYPE_VAR_STRING = 0xFD
+_TYPE_STRING = 0xFE
 
 # Result-schema (ClickHouse-spelled) type → MySQL column type; the
 # primary typing path (schema-derived, NULL-proof). Value sampling
@@ -116,6 +132,175 @@ def _lenenc_str(b: bytes) -> bytes:
     return _lenenc(len(b)) + b
 
 
+def _read_lenenc(buf: bytes, pos: int) -> tuple[int, int]:
+    first = buf[pos]
+    if first < 0xFB:
+        return first, pos + 1
+    if first == 0xFC:
+        return int.from_bytes(buf[pos + 1 : pos + 3], "little"), pos + 3
+    if first == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    return int.from_bytes(buf[pos + 1 : pos + 9], "little"), pos + 9
+
+
+# -- prepared statements ---------------------------------------------
+# ``?`` placeholders live OUTSIDE string literals / quoted
+# identifiers; the scan respects '...', "..." and `...` quoting.
+
+def _placeholder_positions(sql: str) -> list[int]:
+    out, quote, i = [], None, 0
+    while i < len(sql):
+        c = sql[i]
+        if quote:
+            if c == quote:
+                # doubled quote inside a literal stays inside it
+                if i + 1 < len(sql) and sql[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = None
+            elif c == "\\" and quote != "`":
+                i += 1
+        elif c in "'\"`":
+            quote = c
+        elif c == "?":
+            out.append(i)
+        i += 1
+    return out
+
+
+def _sql_literal(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, bytes):
+        return "X'" + v.hex() + "'"
+    if isinstance(v, datetime):
+        s = v.isoformat(sep=" ")
+        return f"'{s}'"
+    if isinstance(v, date):
+        return f"'{v.isoformat()}'"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _substitute_params(sql: str, params: list[Any]) -> str:
+    positions = _placeholder_positions(sql)
+    if len(positions) != len(params):
+        raise ValueError(
+            f"statement has {len(positions)} placeholders, "
+            f"{len(params)} values bound"
+        )
+    out, last = [], 0
+    for pos, v in zip(positions, params):
+        out.append(sql[last:pos])
+        out.append(_sql_literal(v))
+        last = pos + 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _decode_binary_param(
+    buf: bytes, pos: int, ptype: int, unsigned: bool
+) -> tuple[Any, int]:
+    """One bound value off the COM_STMT_EXECUTE payload (binary
+    protocol value encoding — the common client-sent type set)."""
+    if ptype == _TYPE_NULL:
+        return None, pos
+    if ptype == _TYPE_TINY:
+        v = buf[pos]
+        return (v if unsigned else struct.unpack("<b", buf[pos:pos + 1])[0],
+                pos + 1)
+    if ptype in (_TYPE_SHORT, _TYPE_YEAR):
+        fmt = "<H" if unsigned else "<h"
+        return struct.unpack(fmt, buf[pos:pos + 2])[0], pos + 2
+    if ptype in (_TYPE_LONG, _TYPE_INT24):
+        fmt = "<I" if unsigned else "<i"
+        return struct.unpack(fmt, buf[pos:pos + 4])[0], pos + 4
+    if ptype == _TYPE_LONGLONG:
+        fmt = "<Q" if unsigned else "<q"
+        return struct.unpack(fmt, buf[pos:pos + 8])[0], pos + 8
+    if ptype == _TYPE_FLOAT:
+        return struct.unpack("<f", buf[pos:pos + 4])[0], pos + 4
+    if ptype == _TYPE_DOUBLE:
+        return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
+    if ptype in (_TYPE_DATE, _TYPE_DATETIME, _TYPE_TIMESTAMP):
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            v: Any = date(1970, 1, 1) if ptype == _TYPE_DATE else \
+                datetime(1970, 1, 1)
+            return v, pos
+        y, mo, d = struct.unpack("<HBB", buf[pos:pos + 4])
+        if n == 4:
+            val = date(y, mo, d) if ptype == _TYPE_DATE else \
+                datetime(y, mo, d)
+            return val, pos + 4
+        h, mi, s = buf[pos + 4], buf[pos + 5], buf[pos + 6]
+        if n == 7:
+            return datetime(y, mo, d, h, mi, s), pos + 7
+        us = struct.unpack("<I", buf[pos + 7:pos + 11])[0]
+        return datetime(y, mo, d, h, mi, s, us), pos + 11
+    if ptype == _TYPE_TIME:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return "00:00:00", pos
+        neg = buf[pos]
+        days = struct.unpack("<I", buf[pos + 1:pos + 5])[0]
+        h, mi, s = buf[pos + 5], buf[pos + 6], buf[pos + 7]
+        frac = ""
+        if n == 12:
+            us = struct.unpack("<I", buf[pos + 8:pos + 12])[0]
+            frac = f".{us:06d}"
+        sign = "-" if neg else ""
+        return f"{sign}{days * 24 + h:02d}:{mi:02d}:{s:02d}{frac}", pos + n
+    # Everything else (VARCHAR/VAR_STRING/STRING/BLOB/NEWDECIMAL/
+    # JSON/ENUM...) is a length-encoded string.
+    ln, pos = _read_lenenc(buf, pos)
+    raw = buf[pos:pos + ln]
+    try:
+        return raw.decode("utf-8"), pos + ln
+    except UnicodeDecodeError:
+        return raw, pos + ln
+
+
+def _encode_binary_value(v: Any, mtype: int) -> bytes:
+    """One result value in binary-resultset encoding, matching the
+    column type we declared for it."""
+    if mtype == _TYPE_TINY:
+        return struct.pack("<b", max(-128, min(127, int(v))))
+    if mtype == _TYPE_SHORT:
+        return struct.pack("<h", int(v))
+    if mtype == _TYPE_LONG:
+        return struct.pack("<i", int(v))
+    if mtype == _TYPE_LONGLONG:
+        return struct.pack("<q", int(v))
+    if mtype == _TYPE_FLOAT:
+        return struct.pack("<f", float(v))
+    if mtype == _TYPE_DOUBLE:
+        return struct.pack("<d", float(v))
+    if mtype == _TYPE_DATE:
+        if isinstance(v, datetime):
+            v = v.date()
+        return bytes([4]) + struct.pack("<HBB", v.year, v.month, v.day)
+    if mtype in (_TYPE_DATETIME, _TYPE_TIMESTAMP):
+        if isinstance(v, date) and not isinstance(v, datetime):
+            v = datetime(v.year, v.month, v.day)
+        if v.microsecond:
+            return bytes([11]) + struct.pack(
+                "<HBBBBBI", v.year, v.month, v.day,
+                v.hour, v.minute, v.second, v.microsecond,
+            )
+        return bytes([7]) + struct.pack(
+            "<HBBBBB", v.year, v.month, v.day, v.hour, v.minute, v.second
+        )
+    data = _render(v)
+    return _lenenc_str(data if data is not None else b"")
+
+
 class _Conn:
     """Packet framing: 3-byte little-endian length + sequence id."""
 
@@ -154,6 +339,8 @@ class _Conn:
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         conn = _Conn(self.request)
+        self._stmts: dict[int, dict[str, Any]] = {}
+        self._next_stmt_id = 1
         try:
             self._handshake(conn)
             if conn.recv() is None:  # HandshakeResponse41 — trust all
@@ -169,6 +356,17 @@ class _Handler(socketserver.BaseRequestHandler):
                 cmd, arg = pkt[0], pkt[1:]
                 if cmd == 0x03:  # COM_QUERY
                     self._query(conn, arg.decode(errors="replace"))
+                elif cmd == 0x16:  # COM_STMT_PREPARE
+                    self._stmt_prepare(conn, arg.decode(errors="replace"))
+                elif cmd == 0x17:  # COM_STMT_EXECUTE
+                    self._stmt_execute(conn, arg)
+                elif cmd == 0x19:  # COM_STMT_CLOSE — no response
+                    if len(arg) >= 4:
+                        self._stmts.pop(
+                            struct.unpack("<I", arg[:4])[0], None
+                        )
+                elif cmd == 0x1A:  # COM_STMT_RESET
+                    self._send_ok(conn)
                 elif cmd in (0x0E, 0x02):  # COM_PING / COM_INIT_DB
                     self._send_ok(conn)
                 else:
@@ -206,6 +404,28 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as e:
             self._send_err(conn, 1064, str(e)[:1500])
             return
+        self._send_resultset(conn, result, binary=False)
+
+    @staticmethod
+    def _coldef(name: str, mtype: int) -> bytes:
+        nb = name.encode()
+        return (
+            _lenenc_str(b"def")        # catalog
+            + _lenenc_str(b"")          # schema
+            + _lenenc_str(b"")          # table
+            + _lenenc_str(b"")          # org_table
+            + _lenenc_str(nb)           # name
+            + _lenenc_str(nb)           # org_name
+            + bytes([0x0C])             # fixed-length fields marker
+            + struct.pack("<H", 0x21)   # charset
+            + struct.pack("<I", 1 << 16)  # column length
+            + bytes([mtype])
+            + struct.pack("<H", 0)      # flags
+            + bytes([0x1F])             # decimals
+            + b"\x00\x00"
+        )
+
+    def _send_resultset(self, conn: _Conn, result, binary: bool) -> None:
         if result.types:
             col_types = [_mysql_type_for(t) for t in result.types]
         else:
@@ -215,30 +435,106 @@ class _Handler(socketserver.BaseRequestHandler):
             col_types = [_mysql_type(v) for v in sample]
         conn.send(_lenenc(len(result.cols)))
         for name, mtype in zip(result.cols, col_types):
-            nb = name.encode()
-            conn.send(
-                _lenenc_str(b"def")        # catalog
-                + _lenenc_str(b"")          # schema
-                + _lenenc_str(b"")          # table
-                + _lenenc_str(b"")          # org_table
-                + _lenenc_str(nb)           # name
-                + _lenenc_str(nb)           # org_name
-                + bytes([0x0C])             # fixed-length fields marker
-                + struct.pack("<H", 0x21)   # charset
-                + struct.pack("<I", 1 << 16)  # column length
-                + bytes([mtype])
-                + struct.pack("<H", 0)      # flags
-                + bytes([0x1F])             # decimals
-                + b"\x00\x00"
+            conn.send(self._coldef(name, mtype))
+        self._send_eof(conn)
+        if binary:
+            # Binary-resultset rows: 0x00 header, NULL bitmap with
+            # bit offset 2, then values in binary encoding.
+            ncols = len(result.cols)
+            for row in result.rows:
+                bitmap = bytearray((ncols + 7 + 2) // 8)
+                body = bytearray()
+                for i, (v, mtype) in enumerate(zip(row, col_types)):
+                    if v is None:
+                        bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+                    else:
+                        body += _encode_binary_value(v, mtype)
+                conn.send(b"\x00" + bytes(bitmap) + bytes(body))
+        else:
+            for row in result.rows:
+                tbody = b""
+                for v in row:
+                    data = _render(v)
+                    tbody += b"\xfb" if data is None else _lenenc_str(data)
+                conn.send(tbody)
+        self._send_eof(conn)
+
+    def _stmt_prepare(self, conn: _Conn, sql: str) -> None:
+        sql = sql.strip().rstrip(";")
+        nparams = len(_placeholder_positions(sql))
+        sid = self._next_stmt_id
+        self._next_stmt_id += 1
+        self._stmts[sid] = {"sql": sql, "nparams": nparams, "types": None}
+        # COM_STMT_PREPARE_OK. num_columns=0: the result schema is
+        # only known at execute time (we don't dry-run the query);
+        # clients take the execute-time resultset metadata.
+        conn.send(
+            b"\x00"
+            + struct.pack("<I", sid)
+            + struct.pack("<H", 0)          # num_columns
+            + struct.pack("<H", nparams)
+            + b"\x00"
+            + struct.pack("<H", 0)          # warnings
+        )
+        if nparams:
+            for _ in range(nparams):
+                conn.send(self._coldef("?", _TYPE_VAR_STRING))
+            self._send_eof(conn)
+
+    def _stmt_execute(self, conn: _Conn, payload: bytes) -> None:
+        if len(payload) < 9:
+            self._send_err(conn, 1064, "malformed COM_STMT_EXECUTE")
+            return
+        sid = struct.unpack("<I", payload[:4])[0]
+        st = self._stmts.get(sid)
+        if st is None:
+            self._send_err(
+                conn, 1243, f"Unknown prepared statement handler ({sid})"
             )
-        self._send_eof(conn)
-        for row in result.rows:
-            body = b""
-            for v in row:
-                data = _render(v)
-                body += b"\xfb" if data is None else _lenenc_str(data)
-            conn.send(body)
-        self._send_eof(conn)
+            return
+        pos = 9  # id(4) + flags(1) + iteration_count(4)
+        params: list[Any] = []
+        n = st["nparams"]
+        try:
+            if n:
+                nb = (n + 7) // 8
+                null_bitmap = payload[pos:pos + nb]
+                pos += nb
+                if payload[pos]:  # new_params_bound_flag
+                    pos += 1
+                    types = []
+                    for _ in range(n):
+                        types.append(
+                            (payload[pos], bool(payload[pos + 1] & 0x80))
+                        )
+                        pos += 2
+                    st["types"] = types
+                else:
+                    pos += 1
+                types = st["types"]
+                if types is None:
+                    self._send_err(conn, 1210, "parameters not bound")
+                    return
+                for i in range(n):
+                    if null_bitmap[i // 8] & (1 << (i % 8)):
+                        params.append(None)
+                    else:
+                        v, pos = _decode_binary_param(
+                            payload, pos, *types[i]
+                        )
+                        params.append(v)
+            sql = _substitute_params(st["sql"], params)
+        except (IndexError, ValueError, struct.error) as e:
+            self._send_err(conn, 1064, f"bad parameter block: {e}")
+            return
+        try:
+            result = self.server.engine.execute(  # type: ignore[attr-defined]
+                QueryRequest(query=sql, remote=True)
+            )
+        except Exception as e:
+            self._send_err(conn, 1064, str(e)[:1500])
+            return
+        self._send_resultset(conn, result, binary=True)
 
     def _send_ok(self, conn: _Conn) -> None:
         conn.send(b"\x00" + _lenenc(0) + _lenenc(0)
