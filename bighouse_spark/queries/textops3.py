@@ -19,12 +19,19 @@ Scale shapes:
   corpus, so the join key is the cluster id and the all-pairs blowup
   is bounded by the largest cluster, not the corpus. At 100 TB the
   cluster count is chosen so n/k rows fit an executor (SemDeDup uses
-  k ~ sqrt(n)); a hot cluster caps via pre-aggregated counts the same
-  way the LSH hot-bucket cap does. Representative selection is the
-  deterministic min-id greedy rule (a vec is dropped iff a smaller-id
-  neighbor in its cluster clears the threshold), which is exactly
-  SQL-expressible, so the oracle is exact. θ=0.3 is calibrated to the
-  fixture geometry (the synthetic embeddings carry no ≥0.95 twins).
+  k ~ sqrt(n)). A DEGENERATE cluster (k-means collapse, constant
+  embeddings) is additionally capped: only the first
+  ``max_cluster_size`` members by id enter the pairwise step
+  (deterministic keep-first subsample, same rule as the LSH
+  hot-bucket cap), bounding any one cluster's pair count at
+  N·(N−1)/2 no matter how many rows share the label; members beyond
+  the cap are kept verbatim (never compared, never dropped). The cap
+  (512) exceeds every fixture cluster, so the exact SQL oracle is
+  unaffected. Representative selection is the deterministic min-id
+  greedy rule (a vec is dropped iff a smaller-id neighbor in its
+  cluster clears the threshold), which is exactly SQL-expressible,
+  so the oracle is exact. θ=0.3 is calibrated to the fixture
+  geometry (the synthetic embeddings carry no ≥0.95 twins).
 """
 
 from __future__ import annotations
@@ -145,6 +152,9 @@ def text_c4_filters(spark, sf_dir):
     )
 
 
+SEMDEDUP_MAX_CLUSTER = 512
+
+
 @query(
     "dedup_semantic_within_cluster",
     oracle="""
@@ -165,25 +175,44 @@ FROM v LEFT JOIN dropped ON v.vec_id = dropped.vec_id
 GROUP BY v.label
 """,
 )
-def dedup_semantic_within_cluster(spark, sf_dir):
+def dedup_semantic_within_cluster(
+    spark, sf_dir, max_cluster_size: int = SEMDEDUP_MAX_CLUSTER
+):
     """SemDeDup (Abbas et al. 2023): semantic dedup scoped to a
     cluster — a vector is dropped iff a SMALLER-ID vector in the same
     cluster has cosine ≥ θ (deterministic greedy keep-first). Join key
     is (label), so candidate pairs are bounded per-cluster, never
-    corpus-all-pairs."""
+    corpus-all-pairs — and a degenerate cluster is further bounded by
+    ``max_cluster_size``: only its first N members by id enter the
+    pairwise step (keep-first, like the LSH hot-bucket cap), so one
+    collapsed cluster costs at most N²/2 cosine pairs instead of
+    going quadratic in its own size."""
+    from pyspark.sql import Window
+
     from bighouse_spark.functions.vectors import cosine_similarity
+    from bighouse_spark.operators.caching import tracked_persist
 
     v = (
         t(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 2000)
         .select("vec_id", "label", "embedding")
     )
-    a = v.select(
+    # The rank window shuffles on exactly the key the self-join
+    # hashes on; both join sides consume the capped table, so
+    # materialize it once (same measured argument as the LSH cap,
+    # operators/dedup.py).
+    w = Window.partitionBy("label").orderBy("vec_id")
+    capped = tracked_persist(
+        v.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_cluster_size)
+        .drop("__rk")
+    )
+    a = capped.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("la"),
         F.col("embedding").alias("ea"),
     )
-    b = v.select(
+    b = capped.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("eb"),

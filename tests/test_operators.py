@@ -693,3 +693,60 @@ class TestCacheLifecycle:
         assert self._persistent_rdd_count(spark) > 0  # mine survived
         assert release_tracked() == 1
         assert self._persistent_rdd_count(spark) == 0
+
+
+class TestSemDeDupCap:
+    def test_degenerate_cluster_is_capped(self, spark, tmp_path):
+        """Adversarial SemDeDup input: every vector identical, ONE
+        label — uncapped this is quadratic in the corpus. With
+        max_cluster_size=16 only the first 16 ids enter the pairwise
+        step: ids 1-15 are dropped (cosine 1.0 against smaller-id 0),
+        ids 16+ are kept verbatim (never compared)."""
+        from bighouse_spark.operators.caching import release_tracked
+        from bighouse_spark.queries.textops3 import (
+            dedup_semantic_within_cluster,
+        )
+
+        rows = [(i, 0, [1.0, 0.0, 0.0, 0.0]) for i in range(100)]
+        spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<float>"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+        try:
+            out = dedup_semantic_within_cluster(
+                spark, str(tmp_path), max_cluster_size=16
+            ).collect()
+        finally:
+            release_tracked()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_vecs, r.n_dropped, r.n_kept) == (100, 15, 85)
+
+    def test_cap_above_cluster_sizes_is_noop(self, spark, tmp_path):
+        """When no cluster exceeds the cap the result is identical to
+        the uncapped greedy rule (the fixture-oracle contract)."""
+        from bighouse_spark.operators.caching import release_tracked
+        from bighouse_spark.queries.textops3 import (
+            dedup_semantic_within_cluster,
+        )
+
+        # Two labels; label 1 has a near-duplicate pair (ids 10, 11).
+        rows = [
+            (0, 0, [1.0, 0.0, 0.0, 0.0]),
+            (1, 0, [0.0, 1.0, 0.0, 0.0]),
+            (10, 1, [0.0, 0.0, 1.0, 0.0]),
+            (11, 1, [0.0, 0.0, 0.9, 0.1]),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<float>"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+        try:
+            out = {
+                r.label: (r.n_vecs, r.n_dropped, r.n_kept)
+                for r in dedup_semantic_within_cluster(
+                    spark, str(tmp_path)
+                ).collect()
+            }
+        finally:
+            release_tracked()
+        assert out[0] == (2, 0, 2)   # orthogonal: nothing dropped
+        assert out[1] == (2, 1, 1)   # 11 dropped against keeper 10

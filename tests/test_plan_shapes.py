@@ -159,6 +159,9 @@ class TestRound4PlanShapes:
             get("dedup_semantic_within_cluster").fn(spark, SF_CORRECT)
         )
         # The SemDeDup contract: candidate pairs come from a
-        # cluster-key equi-join, never a corpus cross join.
+        # cluster-key equi-join, never a corpus cross join — and the
+        # pairwise step reads the rank-capped (keep-first-by-id)
+        # member table, so a degenerate cluster stays bounded.
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        assert "row_number" in plan  # the cluster-size cap window
