@@ -205,40 +205,60 @@ def minhash_lsh_pairs(
     ).select("id", "bk.band", "bk.bucket")
     if max_bucket_size is not None:
         # Hot-bucket cap: rank members within each (band, bucket) and
-        # keep the first N. The window shuffles on exactly the keys
-        # the self-join hashes on. NOTE a data-dependent variant
-        # (pre-count buckets, window only when one exceeds the cap)
-        # was measured SLOWER at sf0.1 (5.1 s vs 1.9 s warm): the
-        # existence check is an extra eager job that costs more than
-        # the per-bucket sort it tries to skip.
+        # keep the first N. The window shuffles on the bucket keys,
+        # and — because the window's output partitioning already
+        # satisfies the groupBy below — the capped members regroup
+        # WITHOUT a second exchange into ≤N-element bucket lists from
+        # which candidate pairs expand in place. This replaces the
+        # uncapped path's band-key self-join (two more exchanges) and
+        # its persist (band_keys is consumed once now): measured at
+        # parity warm at sf0.1 (min-of-5 1.52 s vs 1.53 s, noise-
+        # dominated on this host) with two fewer exchanges and no
+        # cache materialization — the structural win shows at
+        # cluster scale, not at 60 k docs. Per-bucket state is
+        # bounded by the cap (≤N ids), so the collect_list cannot
+        # blow up on a degenerate bucket. NOTE a
+        # data-dependent variant (pre-count buckets, window only when
+        # one exceeds the cap) was measured SLOWER at sf0.1 (5.1 s vs
+        # 1.9 s warm): the existence check is an extra eager job that
+        # costs more than the per-bucket sort it tries to skip.
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy("band", "bucket").orderBy("id")
-        band_keys = (
+        capped = (
             band_keys.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
         )
-        # Both self-join sides consume band_keys; without a persist
-        # the window (shuffle + per-bucket sort) runs once PER SIDE
-        # (measured +0.8 s at sf0.1). The capped table is tiny
-        # (id, band, bucket ≈ 24 B × bands per doc) — materialize it
-        # once and let the join read the cache.
-        band_keys = tracked_persist(band_keys)
-
-    cand = (
-        band_keys.alias("a")
-        .join(
-            band_keys.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+        cand = (
+            capped.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        cand = (
+            band_keys.alias("a")
+            .join(
+                band_keys.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
 
     verified = (
         cand.join(docs.withColumnRenamed("shingles", "sh_a"), cand.id_a == docs.id)

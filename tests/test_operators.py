@@ -147,11 +147,15 @@ class TestMinHashLSH:
         }
         assert capped == uncapped
 
-    def test_cap_window_materialized_once(self, spark):
-        # Plan guard: the cap's row_number window (one shuffle + sort
-        # on the self-join keys) must be computed ONCE and persisted —
-        # both join sides read the materialization instead of each
-        # re-running the window (which doubled its cost at sf0.1).
+    def test_cap_fused_single_bucket_shuffle(self, spark):
+        # Plan guard for the fused cap (round 6): the row_number
+        # window shuffles on (band, bucket) ONCE, the pair-expansion
+        # groupBy reuses that partitioning (no second bucket
+        # exchange), and the capped path has no band-key self-join —
+        # candidate pairs expand in place from the ≤N-element bucket
+        # lists.
+        import re as _re
+
         from bighouse_spark.operators.caching import release_tracked
 
         df = _docs(spark, [_sentence(s, 20) for s in range(6)])
@@ -162,11 +166,13 @@ class TestMinHashLSH:
             )
         finally:
             release_tracked()
-        assert plan.count("InMemoryTableScan") >= 2
-        # The window must live inside the cached subtree, not in the
-        # outer (per-side) plan.
-        outer = plan.split("InMemoryRelation")[0]
-        assert "Window" not in outer
+        # One Window operator (WindowGroupLimit Partial/Final around
+        # it is Spark's rank-limit pushdown — the cap even prunes
+        # map-side before the exchange).
+        assert plan.count("Window [") == 1
+        assert (
+            len(_re.findall(r"Exchange hashpartitioning\(band", plan)) == 1
+        )
 
     def test_precision_no_false_positives_above_threshold(self, spark):
         docs = load_table(spark, SF_CORRECT, "documents").where(
