@@ -1093,16 +1093,28 @@ class BigHouseEngine:
             elapsed_sec=result.elapsed_sec,
         )
 
-    def execute(self, request: QueryRequest | str) -> QueryResult:
+    def execute(
+        self, request: QueryRequest | str, stream_to=None
+    ) -> QueryResult:
         """Execute one statement. Request-boundary resource release
         (operator scratch persists, HTTP spool pins) happens ONLY at
         the OUTERMOST execute on this thread: init queries and DDL
         re-enter execute() recursively, and a nested boundary must not
-        drop caches/pins the enclosing request still references."""
+        drop caches/pins the enclosing request still references.
+
+        ``stream_to``: optional sink with ``start(cols, types)`` and
+        ``write_row(row)``. When the statement is a plain transpiled
+        query with nothing forcing driver materialization (no result
+        cache, no max_result_rows), rows are fed to the sink from
+        ``toLocalIterator`` instead of being collected — the returned
+        ``QueryResult`` then has ``rows=[]``. When materialization IS
+        forced (or the statement takes a DDL/ack path), the sink is
+        never started and the full result returns as usual — callers
+        check ``sink.started``."""
         depth = getattr(_REQ_LOCAL, "depth", 0)
         _REQ_LOCAL.depth = depth + 1
         try:
-            return self._execute_inner(request)
+            return self._execute_inner(request, stream_to=stream_to)
         finally:
             _REQ_LOCAL.depth = depth
             if depth == 0:
@@ -1113,7 +1125,9 @@ class BigHouseEngine:
 
                 release_spool_pins()
 
-    def _execute_inner(self, request: QueryRequest | str) -> QueryResult:
+    def _execute_inner(
+        self, request: QueryRequest | str, stream_to=None
+    ) -> QueryResult:
         if isinstance(request, str):
             request = QueryRequest(query=request)
         t0 = time.monotonic()
@@ -2205,7 +2219,23 @@ class BigHouseEngine:
                     timer = threading.Timer(timeout_s, _cancel)
                     timer.daemon = True
                     timer.start()
-                rows = [list(r) for r in df.collect()]
+                # Stream when nothing forces driver materialization:
+                # the result cache needs full rows and max_result_rows
+                # needs the count before the first byte leaves.
+                if (
+                    stream_to is not None
+                    and not use_cache
+                    and max_rows is None
+                ):
+                    stream_to.start(cols, types)
+                    n_rows = 0
+                    for r in df.toLocalIterator(prefetchPartitions=True):
+                        stream_to.write_row(list(r))
+                        n_rows += 1
+                    rows = []
+                else:
+                    rows = [list(r) for r in df.collect()]
+                    n_rows = len(rows)
                 if timed_out.is_set():
                     # The cancel raced a completing job: the deadline
                     # is still exceeded — CH errors here too.
@@ -2252,7 +2282,7 @@ class BigHouseEngine:
                     )
             elapsed = time.monotonic() - t0
             self.query_log.append(
-                QueryLogEntry(request.query, transpiled, elapsed, len(rows))
+                QueryLogEntry(request.query, transpiled, elapsed, n_rows)
             )
             out = QueryResult(
                 cols=cols, rows=rows, elapsed_sec=elapsed, types=types

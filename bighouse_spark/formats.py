@@ -369,6 +369,66 @@ def _render_arrow_file(cols, rows, types, elapsed) -> bytes:
     return buf.getvalue()
 
 
+# Line-based formats render per-row with bytes IDENTICAL to the
+# collected renderers above (each emits line + "\n"; the collected
+# path joins lines with "\n" and appends a trailing "\n" when any
+# line exists — same concatenation). Used by the HTTP server's
+# chunked streaming path (toLocalIterator, no driver materialization).
+STREAMABLE_FORMATS = {
+    "JSONEachRow", "JSONCompactEachRow",
+    "CSV", "CSVWithNames", "CSVWithNamesAndTypes",
+    "TabSeparated", "TabSeparatedWithNames",
+    "TabSeparatedWithNamesAndTypes",
+}
+
+
+class StreamRenderer:
+    """Per-row renderer for one of ``STREAMABLE_FORMATS``."""
+
+    def __init__(self, fmt: str) -> None:
+        if fmt not in STREAMABLE_FORMATS:
+            raise ValueError(f"format {fmt!r} is not streamable")
+        self.fmt = fmt
+        self.content_type = _RENDERERS[fmt][1]
+        self._cols: list[str] = []
+
+    def header_bytes(self, cols: list[str], types: list[str] | None) -> bytes:
+        self._cols = list(cols)
+        lines = []
+        if self.fmt in ("CSVWithNames", "CSVWithNamesAndTypes"):
+            lines.append(",".join(_csv_cell(c) for c in cols))
+        if self.fmt == "CSVWithNamesAndTypes":
+            lines.append(
+                ",".join(_csv_cell(t) for t in (types or ["String"] * len(cols)))
+            )
+        if self.fmt in (
+            "TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes"
+        ):
+            lines.append("\t".join(_tsv_cell(c) for c in cols))
+        if self.fmt == "TabSeparatedWithNamesAndTypes":
+            lines.append(
+                "\t".join(_tsv_cell(t) for t in (types or ["String"] * len(cols)))
+            )
+        return ("".join(line + "\n" for line in lines)).encode()
+
+    def row_bytes(self, row: list) -> bytes:
+        f = self.fmt
+        if f == "JSONEachRow":
+            line = json.dumps(
+                {c: _json_value(v) for c, v in zip(self._cols, row)},
+                ensure_ascii=False,
+            )
+        elif f == "JSONCompactEachRow":
+            line = json.dumps(
+                [_json_value(v) for v in row], ensure_ascii=False
+            )
+        elif f.startswith("CSV"):
+            line = ",".join(_csv_cell(v) for v in row)
+        else:  # TabSeparated family
+            line = "\t".join(_tsv_cell(v) for v in row)
+        return (line + "\n").encode()
+
+
 _RENDERERS = {
     "JSON": (_render_json, "application/json; charset=UTF-8"),
     "JSONCompact": (_render_json_compact, "application/json; charset=UTF-8"),

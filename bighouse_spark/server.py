@@ -41,6 +41,8 @@ from typing import Any
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
 from bighouse_spark.formats import (
     DEFAULT_FORMAT,
+    STREAMABLE_FORMATS,
+    StreamRenderer,
     normalize_format,
     render_result,
     split_result_format,
@@ -237,9 +239,84 @@ def _merge_session_settings(sql: str, settings: dict[str, str]) -> str:
     return f"{base} SETTINGS {clause}"
 
 
+class _HTTPStreamSink:
+    """Engine → chunked-HTTP row sink: headers go out when the engine
+    calls ``start``, rows accumulate into ≤64 KiB chunks (the ONLY
+    driver-side row buffer on this path — the engine feeds it from
+    ``toLocalIterator``, never materializing the result)."""
+
+    CHUNK = 64 * 1024
+
+    def __init__(self, handler, renderer: StreamRenderer, fmt: str,
+                 qid: str | None) -> None:
+        self._h = handler
+        self._r = renderer
+        self._fmt = fmt
+        self._qid = qid
+        self.started = False       # engine chose the streaming path
+        self.headers_sent = False  # first byte is on the wire
+        self.rows_sent = 0
+        self._buf = bytearray()
+
+    def start(self, cols: list[str], types: list[str] | None) -> None:
+        # Defer the 200 + headers until the first ROW: a query that
+        # fails before producing output (timeout/kill/runtime error
+        # while the first partition computes) still gets a clean 400
+        # from the normal error path.
+        self.started = True
+        self._head = self._r.header_bytes(cols, types)
+
+    def _send_headers(self) -> None:
+        h = self._h
+        h.send_response(200)
+        h.send_header("Content-Type", self._r.content_type)
+        h.send_header("Transfer-Encoding", "chunked")
+        h.send_header("X-ClickHouse-Format", self._fmt)
+        if self._qid:
+            h.send_header("X-ClickHouse-Query-Id", self._qid)
+        h.end_headers()
+        self.headers_sent = True
+        if self._head:
+            self._buf += self._head
+
+    def write_row(self, row: list) -> None:
+        if not self.headers_sent:
+            self._send_headers()
+        self._buf += self._r.row_bytes(row)
+        self.rows_sent += 1
+        if len(self._buf) >= self.CHUNK:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self._h.wfile.write(
+                f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n"
+            )
+
+    def finish(self) -> None:
+        if not self.headers_sent:  # empty result: headers + header rows
+            self._send_headers()
+        self._flush()
+        self._h.wfile.write(b"0\r\n\r\n")
+
+    def abort(self, err_text: bytes) -> None:
+        """Mid-stream failure: flush the error text as a final chunk
+        and DON'T write the terminal 0-chunk — the truncated chunked
+        encoding is the client's error signal (CH does the same when
+        an exception fires after the first result byte)."""
+        self._buf += err_text
+        self._flush()
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: BigHouseEngine  # set by make_server
     sessions: SessionStore  # set by make_server
+    # Chunked transfer-encoding (the streamed-result path) needs 1.1;
+    # every non-streamed response carries Content-Length, so
+    # keep-alive stays correct.
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, *args: Any) -> None:  # silence default stderr log
         pass
@@ -371,18 +448,54 @@ class _Handler(BaseHTTPRequestHandler):
                     sql, sid, sess
                 )
                 sql = _merge_session_settings(sql, sess.settings)
+            # Streamed results: line-based formats render from
+            # toLocalIterator with chunked transfer-encoding — no
+            # driver-side materialization. The engine falls back to
+            # the collected path (sink never started) when the result
+            # cache or max_result_rows forces it; gzip responses stay
+            # on the collected path too.
+            accept_gzip = "gzip" in self.headers.get(
+                "Accept-Encoding", ""
+            ).lower()
+            sink = None
+            if (
+                fmt in STREAMABLE_FORMATS
+                and not accept_gzip
+                and _SELECTISH_RE.match(sql)  # SET/DDL keep ack paths
+            ):
+                sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
             try:
                 result = self.engine.execute(
                     QueryRequest(query=sql, init_queries=init,
-                                 query_id=qid, remote=True)
+                                 query_id=qid, remote=True),
+                    stream_to=sink,
                 )
             except Exception as e:
+                if sink is not None and sink.headers_sent:
+                    # Result bytes are on the wire (CH hits this
+                    # too): append the exception text to the stream,
+                    # then abort the chunked encoding WITHOUT the
+                    # terminal 0-chunk — clients see both the message
+                    # and a hard truncation error instead of a
+                    # silently short result.
+                    try:
+                        sink.abort(
+                            f"\nCode: 62. DB::Exception: "
+                            f"{str(e)[:2000]}\n".encode()
+                        )
+                    except Exception:
+                        pass
+                    self.close_connection = True
+                    return
                 self._send_text(
                     400,
                     f"Code: 62. DB::Exception: {str(e)[:2000]}\n".encode(),
                     "text/plain; charset=UTF-8",
                     extra={"X-ClickHouse-Exception-Code": "62"},
                 )
+                return
+            if sink is not None and sink.started:
+                sink.finish()
                 return
             if sess is not None:
                 if pending_create:
