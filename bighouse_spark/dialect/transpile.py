@@ -1199,6 +1199,72 @@ def _haversine_expr(a: list) -> str:
     )
 
 
+def _central_angle_expr(a: list) -> str:
+    """CH greatCircleAngle(lon1, lat1, lon2, lat2) → central angle in
+    DEGREES (same haversine core as greatCircleDistance)."""
+    lon1, lat1, lon2, lat2 = a[0], a[1], a[2], a[3]
+    return (
+        f"degrees(2 * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _enum_uniq_ranked(a: list) -> str:
+    """arrayEnumerateUniqRanked: the single-array form equals
+    arrayEnumerateUniq (Spark array equality handles nested-array
+    elements); the depth-parameter form has no Spark mapping."""
+    if len(a) != 1:
+        raise ValueError(
+            "arrayEnumerateUniqRanked: only the single-array form is "
+            "supported; for a custom depth, flatten() to the target "
+            "level and use arrayEnumerateUniq"
+        )
+    return _ARG_REWRITES["arrayEnumerateUniq"](a)
+
+
+# Round-6 probe tranche: tuple expansion, ranked enumeration, geo
+# central angle, relative-time stragglers, week-end rounding, CH
+# month naming.
+_ARG_REWRITES.update({
+    "greatCircleAngle": _central_angle_expr,
+    "arrayEnumerateUniqRanked": _enum_uniq_ranked,
+    # CH descending partial sort: full descending sort satisfies the
+    # contract (first k sorted; CH leaves the tail unspecified).
+    "arrayPartialReverseSort": lambda a: f"sort_array({a[1]}, false)",
+    # Monotonic epoch-ish bucket numbers, matching CH DateLUT's
+    # formulas: month = y*12+m, quarter = y*4+q-1, week counted from
+    # the Monday-based week of 1970-01-01 (Thursday → week 0).
+    "toRelativeMonthNum": lambda a: (
+        f"(extract(YEAR FROM {a[0]}) * 12 + extract(MONTH FROM {a[0]}))"
+    ),
+    "toRelativeQuarterNum": lambda a: (
+        f"(extract(YEAR FROM {a[0]}) * 4 + extract(QUARTER FROM {a[0]}) - 1)"
+    ),
+    "toRelativeWeekNum": lambda a: (
+        f"CAST(floor((datediff(CAST({a[0]} AS DATE), DATE'1970-01-01') "
+        f"+ 8 - extract(DAYOFWEEK_ISO FROM {a[0]})) / 7) AS BIGINT)"
+    ),
+    # Monday-based week (the toStartOfWeek convention above): the
+    # week's last day is Sunday.
+    "toLastDayOfWeek": lambda a: (
+        f"date_add(CAST({a[0]} AS DATE), "
+        f"7 - extract(DAYOFWEEK_ISO FROM {a[0]}))"
+    ),
+    # CH monthName returns the FULL name ('March'); Spark's native
+    # monthname() is the 3-letter abbreviation.
+    "monthName": lambda a: f"date_format({a[0]}, 'MMMM')",
+    "tupleToNameValuePairs": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "tupleToNameValuePairs: tuple field names are "
+            "schema-level; use to_json(tuple) for a name→value "
+            "document or map_entries(map(...)) for explicit pairs"
+        )
+    ),
+})
+
+
 # Round-5 probe tranche: URL analysis, bitmap ops, IPv6, the rest of
 # the arrayEnumerate family. Bitmaps are represented as sorted
 # distinct arrays — every CH bitmap op maps to a built-in array
@@ -1593,7 +1659,10 @@ _ARG_REWRITES.update({
         f"size(filter({a[1]}, __l -> __l = 0))))"
     ),
     # -- tuples / maps --
-    "untuple": lambda a: f"{a[0]}.*",
+    # Star-expansion of an arbitrary struct EXPRESSION isn't legal in
+    # Spark ("expr.*" needs an attribute); inline(array(x)) expands
+    # any struct into its fields as columns.
+    "untuple": lambda a: f"inline(array({a[0]}))",
     "mapAdd": lambda a: (
         f"map_zip_with({a[0]}, {a[1]}, "
         f"(__k, __v1, __v2) -> coalesce(__v1, 0) + coalesce(__v2, 0))"

@@ -3748,3 +3748,64 @@ class TestRound6AdviceFixes:
             'simpleJSONExtractString(\'{"a":1}\', \'b\') AS m'
         )
         assert r.rows == [["x", "", ""]]
+
+
+class TestRound6ProbeTranche:
+    """Round-6 probe tranche: tuple expansion, ranked enumeration,
+    geo central angle, relative-time stragglers, week-end rounding,
+    CH month naming (full name, not Spark's 3-letter monthname())."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_untuple_expands_fields(self, eng):
+        r = eng.execute("SELECT untuple(tuple(1, 'a')) FROM numbers(1)")
+        assert r.rows == [[1, "a"]]
+
+    def test_great_circle_angle(self, eng):
+        r = eng.execute("SELECT greatCircleAngle(0, 0, 45, 0) AS a")
+        assert abs(r.rows[0][0] - 45.0) < 1e-9
+
+    def test_enumerate_uniq_ranked(self, eng):
+        r = eng.execute(
+            "SELECT arrayEnumerateUniqRanked([[1,2],[1,2],[3]]) AS r"
+        )
+        assert r.rows == [[[1, 2, 1]]]
+        with pytest.raises(ValueError, match="flatten"):
+            eng.execute("SELECT arrayEnumerateUniqRanked(1, [[1]], 1)")
+
+    def test_partial_reverse_sort(self, eng):
+        r = eng.execute(
+            "SELECT arrayPartialReverseSort(2, [3,1,2]) AS r"
+        )
+        assert r.rows == [[[3, 2, 1]]]
+
+    def test_relative_num_stragglers(self, eng):
+        r = eng.execute(
+            "SELECT toRelativeMonthNum(toDate('2024-01-01')) AS m, "
+            "toRelativeQuarterNum(toDate('2024-01-01')) AS q, "
+            "toRelativeWeekNum(toDate('1970-01-05')) AS w0, "
+            "toRelativeWeekNum(toDate('1970-01-01')) AS we"
+        )
+        # DateLUT formulas: y*12+m, y*4+q-1, Monday-based weeks with
+        # the epoch Thursday in week 0 (Mon 1970-01-05 starts week 1).
+        assert r.rows == [[24289, 8096, 1, 0]]
+
+    def test_last_day_of_week(self, eng):
+        r = eng.execute(
+            "SELECT toLastDayOfWeek(toDate('2024-03-15')) AS d, "
+            "toLastDayOfWeek(toDate('2024-03-17')) AS s"
+        )
+        # Friday -> the following Sunday; Sunday is its own last day.
+        assert [str(v) for v in r.rows[0]] == ["2024-03-17", "2024-03-17"]
+
+    def test_month_name_is_full(self, eng):
+        r = eng.execute("SELECT monthName(toDate('2024-03-15')) AS m")
+        assert r.rows == [["March"]]
+
+    def test_tuple_name_value_pairs_guided(self, eng):
+        with pytest.raises(ValueError, match="to_json"):
+            eng.execute("SELECT tupleToNameValuePairs(tuple(1,2))")
