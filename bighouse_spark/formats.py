@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import re
+import struct
 from datetime import date, datetime
 from decimal import Decimal
 from typing import Any, Sequence
@@ -369,6 +370,170 @@ def _render_arrow_file(cols, rows, types, elapsed) -> bytes:
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# RowBinary — CH's compact scripting format (curl | parse): values in
+# native LE binary, strings/arrays length-prefixed with LEB128
+# varints. WithNames adds a varint column count + name list;
+# WithNamesAndTypes adds the CH type names too. Encoders key off the
+# ANNOUNCED type string, so what the header declares is exactly what
+# the bytes contain.
+# ---------------------------------------------------------------------------
+
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1)
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _leb128_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _leb128(len(b)) + b
+
+
+def _split_type_args(s: str) -> list[str]:
+    parts, cur, depth = [], [], 0
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _rb_string(v: Any) -> bytes:
+    if isinstance(v, bytes):
+        return _leb128(len(v)) + v
+    s = v if isinstance(v, str) else str(v)
+    b = s.encode("utf-8")
+    return _leb128(len(b)) + b
+
+
+def _rb_dt64(v: Any, precision: int) -> bytes:
+    d = v - _EPOCH_DT
+    micros = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+    ticks = micros * (10 ** precision) // 1_000_000
+    return struct.pack("<q", ticks)
+
+
+def rowbinary_encoder(ch_type: str):
+    """value → RowBinary bytes for one CH-spelled result type."""
+    t = ch_type.strip()
+    if t.startswith("Nullable("):
+        inner = rowbinary_encoder(t[9:-1])
+        return lambda v: b"\x01" if v is None else b"\x00" + inner(v)
+    if t in ("Int8",):
+        return lambda v: struct.pack("<b", int(v))
+    if t in ("UInt8",):
+        return lambda v: struct.pack("<B", int(v))
+    if t == "Bool":
+        return lambda v: b"\x01" if v else b"\x00"
+    if t == "Int16":
+        return lambda v: struct.pack("<h", int(v))
+    if t == "UInt16":
+        return lambda v: struct.pack("<H", int(v))
+    if t == "Int32":
+        return lambda v: struct.pack("<i", int(v))
+    if t == "UInt32":
+        return lambda v: struct.pack("<I", int(v))
+    if t == "Int64":
+        return lambda v: struct.pack("<q", int(v))
+    if t == "UInt64":
+        return lambda v: struct.pack("<Q", int(v))
+    if t == "Float32":
+        return lambda v: struct.pack("<f", float(v))
+    if t == "Float64":
+        return lambda v: struct.pack("<d", float(v))
+    if t == "Date":
+        return lambda v: struct.pack(
+            "<H", (v - _EPOCH_DATE).days & 0xFFFF
+        )
+    if t == "Date32":
+        return lambda v: struct.pack("<i", (v - _EPOCH_DATE).days)
+    if t == "DateTime":
+        return lambda v: struct.pack(
+            "<I", int((v - _EPOCH_DT).total_seconds()) & 0xFFFFFFFF
+        )
+    m = re.match(r"DateTime64\((\d+)", t)
+    if m:
+        p = int(m.group(1))
+        return lambda v: _rb_dt64(v, p)
+    m = re.match(r"Decimal\((\d+),\s*(\d+)\)$", t)
+    if m:
+        prec, scale = int(m.group(1)), int(m.group(2))
+        width = 4 if prec <= 9 else 8 if prec <= 18 else \
+            16 if prec <= 38 else 32
+        mul = 10 ** scale
+
+        def enc_dec(v, width=width, mul=mul):
+            iv = int(Decimal(v) * mul)
+            return iv.to_bytes(width, "little", signed=True)
+
+        return enc_dec
+    if t.startswith("Array("):
+        inner = rowbinary_encoder(t[6:-1])
+        return lambda v: _leb128(len(v)) + b"".join(inner(x) for x in v)
+    if t.startswith("Map("):
+        k_t, v_t = _split_type_args(t[4:-1])
+        ek, ev = rowbinary_encoder(k_t), rowbinary_encoder(v_t)
+        return lambda v: _leb128(len(v)) + b"".join(
+            ek(k) + ev(val) for k, val in v.items()
+        )
+    if t.startswith("Tuple("):
+        # Fields are "name Type" pairs (our ch_type_name emits names);
+        # a bare-type field has no leading identifier token.
+        def _field_type(f: str) -> str:
+            head, _, rest = f.partition(" ")
+            if rest and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head):
+                return rest
+            return f
+
+        encs = [
+            rowbinary_encoder(_field_type(f))
+            for f in _split_type_args(t[6:-1])
+        ]
+        return lambda v: b"".join(e(x) for e, x in zip(encs, v))
+    # String / FixedString / UUID / IPv4-as-text / everything else:
+    # length-prefixed UTF-8 of the value's text form.
+    return _rb_string
+
+
+def _render_rowbinary(names: bool, types_row: bool):
+    def render(cols, rows, types, elapsed) -> bytes:
+        tl = types or ["String"] * len(cols)
+        encs = [rowbinary_encoder(t) for t in tl]
+        out = bytearray()
+        if names:
+            out += _leb128(len(cols))
+            for c in cols:
+                out += _leb128_str(c)
+        if types_row:
+            for t in tl:
+                out += _leb128_str(t)
+        for row in rows:
+            for enc, v in zip(encs, row):
+                out += enc(v)
+        return bytes(out)
+
+    return render
+
+
 # Line-based formats render per-row with bytes IDENTICAL to the
 # collected renderers above (each emits line + "\n"; the collected
 # path joins lines with "\n" and appends a trailing "\n" when any
@@ -379,6 +544,7 @@ STREAMABLE_FORMATS = {
     "CSV", "CSVWithNames", "CSVWithNamesAndTypes",
     "TabSeparated", "TabSeparatedWithNames",
     "TabSeparatedWithNamesAndTypes",
+    "RowBinary", "RowBinaryWithNames", "RowBinaryWithNamesAndTypes",
 }
 
 
@@ -391,9 +557,22 @@ class StreamRenderer:
         self.fmt = fmt
         self.content_type = _RENDERERS[fmt][1]
         self._cols: list[str] = []
+        self._encs = None  # RowBinary column encoders
 
     def header_bytes(self, cols: list[str], types: list[str] | None) -> bytes:
         self._cols = list(cols)
+        if self.fmt.startswith("RowBinary"):
+            tl = types or ["String"] * len(cols)
+            self._encs = [rowbinary_encoder(t) for t in tl]
+            out = bytearray()
+            if self.fmt != "RowBinary":
+                out += _leb128(len(cols))
+                for c in cols:
+                    out += _leb128_str(c)
+            if self.fmt == "RowBinaryWithNamesAndTypes":
+                for t in tl:
+                    out += _leb128_str(t)
+            return bytes(out)
         lines = []
         if self.fmt in ("CSVWithNames", "CSVWithNamesAndTypes"):
             lines.append(",".join(_csv_cell(c) for c in cols))
@@ -413,6 +592,8 @@ class StreamRenderer:
 
     def row_bytes(self, row: list) -> bytes:
         f = self.fmt
+        if self._encs is not None:
+            return b"".join(e(v) for e, v in zip(self._encs, row))
         if f == "JSONEachRow":
             line = json.dumps(
                 {c: _json_value(v) for c, v in zip(self._cols, row)},
@@ -461,6 +642,15 @@ _RENDERERS = {
     "Parquet": (_render_parquet, "application/octet-stream"),
     "Arrow": (_render_arrow_file, "application/octet-stream"),
     "ArrowStream": (_render_arrow_stream, "application/octet-stream"),
+    "RowBinary": (
+        _render_rowbinary(False, False), "application/octet-stream"
+    ),
+    "RowBinaryWithNames": (
+        _render_rowbinary(True, False), "application/octet-stream"
+    ),
+    "RowBinaryWithNamesAndTypes": (
+        _render_rowbinary(True, True), "application/octet-stream"
+    ),
 }
 
 # Accepted spellings (lowercased) → canonical renderer name. TSV* are
@@ -487,6 +677,9 @@ _CANONICAL = {
     "parquet": "Parquet",
     "arrow": "Arrow",
     "arrowstream": "ArrowStream",
+    "rowbinary": "RowBinary",
+    "rowbinarywithnames": "RowBinaryWithNames",
+    "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
 }
 
 DEFAULT_FORMAT = "TabSeparated"  # CH's HTTP default

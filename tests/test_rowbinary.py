@@ -1,0 +1,177 @@
+"""RowBinary / RowBinaryWithNames / RowBinaryWithNamesAndTypes — CH's
+compact binary scripting format, decoded here by an independent
+reader to prove the wire bytes match the announced types."""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import urllib.parse
+import urllib.request
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.formats import render_result, rowbinary_encoder
+from bighouse_spark.server import start_in_background
+
+
+def _read_leb128(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _read_str(buf: bytes, pos: int) -> tuple[str, int]:
+    ln, pos = _read_leb128(buf, pos)
+    return buf[pos:pos + ln].decode(), pos + ln
+
+
+def _read_value(buf: bytes, pos: int, t: str):
+    if t.startswith("Nullable("):
+        flag = buf[pos]
+        pos += 1
+        if flag:
+            return None, pos
+        return _read_value(buf, pos, t[9:-1])
+    if t == "Int64":
+        return struct.unpack("<q", buf[pos:pos + 8])[0], pos + 8
+    if t == "UInt64":
+        return struct.unpack("<Q", buf[pos:pos + 8])[0], pos + 8
+    if t == "Int32":
+        return struct.unpack("<i", buf[pos:pos + 4])[0], pos + 4
+    if t == "Float64":
+        return struct.unpack("<d", buf[pos:pos + 8])[0], pos + 8
+    if t == "Bool":
+        return bool(buf[pos]), pos + 1
+    if t == "Date":
+        days = struct.unpack("<H", buf[pos:pos + 2])[0]
+        return date(1970, 1, 1).fromordinal(719163 + days), pos + 2
+    if t.startswith("DateTime64("):
+        p = int(t.split("(")[1].split(")")[0].split(",")[0])
+        ticks = struct.unpack("<q", buf[pos:pos + 8])[0]
+        micros = ticks * 1_000_000 // (10 ** p)
+        return (
+            datetime(1970, 1, 1)
+            + __import__("datetime").timedelta(microseconds=micros),
+            pos + 8,
+        )
+    if t.startswith("Decimal("):
+        prec, scale = (
+            int(x) for x in t[8:-1].replace(" ", "").split(",")
+        )
+        width = 4 if prec <= 9 else 8 if prec <= 18 else \
+            16 if prec <= 38 else 32
+        iv = int.from_bytes(buf[pos:pos + width], "little", signed=True)
+        return Decimal(iv) / (10 ** scale), pos + width
+    if t.startswith("Array("):
+        ln, pos = _read_leb128(buf, pos)
+        out = []
+        for _ in range(ln):
+            v, pos = _read_value(buf, pos, t[6:-1])
+            out.append(v)
+        return out, pos
+    # String fallback
+    return _read_str(buf, pos)
+
+
+def decode_with_names_and_types(buf: bytes):
+    ncols, pos = _read_leb128(buf, 0)
+    cols, types = [], []
+    for _ in range(ncols):
+        c, pos = _read_str(buf, pos)
+        cols.append(c)
+    for _ in range(ncols):
+        t, pos = _read_str(buf, pos)
+        types.append(t)
+    rows = []
+    while pos < len(buf):
+        row = []
+        for t in types:
+            v, pos = _read_value(buf, pos, t)
+            row.append(v)
+        rows.append(row)
+    return cols, types, rows
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    srv, _ = start_in_background(BigHouseEngine(spark))
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _get(base: str, sql: str, headers=None, **params):
+    qs = urllib.parse.urlencode({"query": sql, **params})
+    req = urllib.request.Request(f"{base}/?{qs}", headers=headers or {})
+    with urllib.request.urlopen(req) as resp:
+        return resp.read(), dict(resp.headers)
+
+
+def test_renderer_units():
+    cols = ["i", "s", "f", "b", "a"]
+    types = ["Int64", "String", "Float64", "Bool", "Array(Int64)"]
+    rows = [[1, "héllo", 2.5, True, [1, 2]], [-7, "", 0.0, False, []]]
+    buf = render_result(cols, rows, "RowBinaryWithNamesAndTypes",
+                        types=types, elapsed=0.0)[0]
+    c2, t2, r2 = decode_with_names_and_types(buf)
+    assert c2 == cols and t2 == types and r2 == rows
+
+
+def test_nullable_and_decimal_roundtrip():
+    cols, types = ["n", "d"], ["Nullable(Int64)", "Decimal(20, 2)"]
+    rows = [[None, Decimal("12.34")], [5, Decimal("-0.01")]]
+    buf = render_result(cols, rows, "RowBinaryWithNamesAndTypes",
+                        types=types, elapsed=0.0)[0]
+    _, _, r2 = decode_with_names_and_types(buf)
+    assert r2 == rows
+
+
+def test_http_roundtrip_typed(base):
+    body, h = _get(
+        base,
+        "SELECT number AS n, concat('x', toString(number)) AS s, "
+        "number / 2 AS f, toDate('2024-03-15') AS d "
+        "FROM numbers(1000) ORDER BY n "
+        "FORMAT RowBinaryWithNamesAndTypes",
+    )
+    assert h.get("X-ClickHouse-Format") == "RowBinaryWithNamesAndTypes"
+    cols, types, rows = decode_with_names_and_types(body)
+    assert cols == ["n", "s", "f", "d"]
+    assert len(rows) == 1000
+    assert rows[3][0] == 3 and rows[3][1] == "x3"
+    assert rows[5][2] == 2.5
+    assert str(rows[0][3]) == "2024-03-15"
+
+
+def test_streamed_identical_to_collected(base):
+    sql = (
+        "SELECT number AS n, toString(number) AS s FROM numbers(20000) "
+        "ORDER BY n FORMAT RowBinaryWithNamesAndTypes"
+    )
+    streamed, sh = _get(base, sql)
+    assert sh.get("Transfer-Encoding") == "chunked"
+    collected, _ = _get(base, sql, headers={"Accept-Encoding": "gzip"})
+    assert gzip.decompress(collected) == streamed
+
+
+def test_plain_rowbinary_has_no_header(base):
+    body, _ = _get(base, "SELECT toInt32(7) AS x FORMAT RowBinary")
+    assert body == struct.pack("<i", 7)
+
+
+def test_encoder_announced_type_is_wire_truth():
+    # Whatever the header announces is exactly what the bytes hold —
+    # DateTime64(6) ticks are microseconds since epoch.
+    enc = rowbinary_encoder("DateTime64(6)")
+    b = enc(datetime(2024, 1, 1, 0, 0, 1, 500000))
+    ticks = struct.unpack("<q", b)[0]
+    assert ticks == (datetime(2024, 1, 1, 0, 0, 1, 500000)
+                     - datetime(1970, 1, 1)).total_seconds() * 1e6
