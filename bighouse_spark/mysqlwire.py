@@ -39,6 +39,11 @@ from decimal import Decimal
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
+from bighouse_spark.session_settings import (
+    merge_settings_clause,
+    normalize_set_statement,
+    parse_set_statement,
+)
 from bighouse_spark.formats import ch_base_type
 
 _CLIENT_PROTOCOL_41 = 0x0200
@@ -341,6 +346,10 @@ class _Handler(socketserver.BaseRequestHandler):
         conn = _Conn(self.request)
         self._stmts: dict[int, dict[str, Any]] = {}
         self._next_stmt_id = 1
+        # Per-connection settings (MySQL semantics: SET is
+        # session-scoped): re-injected into later SELECTs as a
+        # trailing SETTINGS clause.
+        self._settings: dict[str, str] = {}
         try:
             self._handshake(conn)
             if conn.recv() is None:  # HandshakeResponse41 — trust all
@@ -399,11 +408,19 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         try:
             result = self.server.engine.execute(  # type: ignore[attr-defined]
-                QueryRequest(query=sql, remote=True)
+                QueryRequest(
+                    query=(normalize_set_statement(sql)
+                           or merge_settings_clause(
+                               sql, self._settings)),
+                    remote=True,
+                )
             )
         except Exception as e:
             self._send_err(conn, 1064, str(e)[:1500])
             return
+        set_pairs = parse_set_statement(sql)
+        if set_pairs:
+            self._settings.update(set_pairs)
         self._send_resultset(conn, result, binary=False)
 
     @staticmethod
@@ -529,11 +546,19 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         try:
             result = self.server.engine.execute(  # type: ignore[attr-defined]
-                QueryRequest(query=sql, remote=True)
+                QueryRequest(
+                    query=(normalize_set_statement(sql)
+                           or merge_settings_clause(
+                               sql, self._settings)),
+                    remote=True,
+                )
             )
         except Exception as e:
             self._send_err(conn, 1064, str(e)[:1500])
             return
+        set_pairs = parse_set_statement(sql)
+        if set_pairs:
+            self._settings.update(set_pairs)
         self._send_resultset(conn, result, binary=True)
 
     def _send_ok(self, conn: _Conn) -> None:

@@ -47,6 +47,11 @@ from decimal import Decimal
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
+from bighouse_spark.session_settings import (
+    merge_settings_clause,
+    normalize_set_statement,
+    parse_set_statement,
+)
 from bighouse_spark.formats import ch_base_type
 
 _PROTO_V3 = 196608
@@ -191,6 +196,10 @@ class _Handler(socketserver.BaseRequestHandler):
         self._stmts: dict[str, str] = {}
         self._portals: dict[str, dict[str, Any]] = {}
         self._ext_error = False  # swallow until Sync after an error
+        # Per-connection settings (PG semantics: SET lasts for the
+        # session/connection): re-injected into later SELECTs as a
+        # trailing SETTINGS clause; 'SET k TO v' accepted too.
+        self._settings: dict[str, str] = {}
         try:
             if not self._startup(sock):
                 return
@@ -268,11 +277,19 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         try:
             result = self.server.engine.execute(
-                QueryRequest(query=sql, remote=True)
+                QueryRequest(
+                    query=(normalize_set_statement(sql)
+                           or merge_settings_clause(
+                               sql, self._settings)),
+                    remote=True,
+                )
             )
         except Exception as e:  # engine/transpile/Spark error
             self._send_error(sock, "42601", str(e)[:2000])
             return
+        set_pairs = parse_set_statement(sql)
+        if set_pairs:
+            self._settings.update(set_pairs)
         self._send_row_description(sock, result)
         self._send_data_rows(sock, result)
 
@@ -375,8 +392,16 @@ class _Handler(socketserver.BaseRequestHandler):
     def _portal_result(self, sock, portal: dict) -> Any:
         if portal["result"] is None:
             portal["result"] = self.server.engine.execute(
-                QueryRequest(query=portal["sql"], remote=True)
+                QueryRequest(
+                    query=merge_settings_clause(
+                        portal["sql"], self._settings
+                    ),
+                    remote=True,
+                )
             )
+            set_pairs = parse_set_statement(portal["sql"])
+            if set_pairs:
+                self._settings.update(set_pairs)
         return portal["result"]
 
     def _ext_describe(self, sock, payload: bytes) -> None:

@@ -39,6 +39,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
+from bighouse_spark.session_settings import (
+    SELECTISH_RE,
+    merge_settings_clause,
+    parse_set_statement,
+)
 from bighouse_spark.formats import (
     DEFAULT_FORMAT,
     STREAMABLE_FORMATS,
@@ -75,8 +80,6 @@ def _dumps(payload: Any) -> bytes:
 # bare name are rewritten outside string literals, so another session
 # (or no session) never resolves them.
 
-_SET_STMT_RE = re.compile(r"^\s*SET\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
-_SET_PAIR_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", re.DOTALL)
 _CREATE_TMP_RE = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*)",
@@ -166,26 +169,6 @@ def _rewrite_names_outside_strings(sql: str, names: dict[str, str]) -> str:
     return pat.sub(sub, sql)
 
 
-def _split_top_commas(s: str) -> list[str]:
-    parts, cur, quote = [], [], None
-    for c in s:
-        if quote:
-            cur.append(c)
-            if c == quote:
-                quote = None
-        elif c in "'\"":
-            quote = c
-            cur.append(c)
-        elif c == ",":
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(c)
-    if cur:
-        parts.append("".join(cur))
-    return parts
-
-
 def _apply_session_sql(
     sql: str, sid: str, sess: _Session
 ) -> tuple[str, tuple[str, str] | None, str | None]:
@@ -210,33 +193,6 @@ def _apply_session_sql(
             None, name,
         )
     return _rewrite_names_outside_strings(sql, sess.temp_tables), None, None
-
-
-_TRAILING_SETTINGS_RE = re.compile(
-    r"\bSETTINGS\s+(.+)$", re.IGNORECASE | re.DOTALL
-)
-_SELECTISH_RE = re.compile(r"^\s*(\(|SELECT\b|WITH\b)", re.IGNORECASE)
-
-
-def _merge_session_settings(sql: str, settings: dict[str, str]) -> str:
-    """Inject the session's persisted settings as a trailing SETTINGS
-    clause (the engine's per-query settings channel — covers both the
-    conf-mapped and the engine-enforced names). The query's own
-    SETTINGS win on key conflict. Only SELECT-ish statements take a
-    clause; DDL/INSERT settings have no CH session meaning here."""
-    if not settings or not _SELECTISH_RE.match(sql):
-        return sql
-    merged = dict(settings)
-    base = sql
-    m = _TRAILING_SETTINGS_RE.search(sql)
-    if m:
-        base = sql[: m.start()].rstrip()
-        for pair in m.group(1).split(","):
-            k, _, v = pair.partition("=")
-            if k.strip():
-                merged[k.strip()] = v.strip()
-    clause = ", ".join(f"{k} = {v}" for k, v in merged.items())
-    return f"{base} SETTINGS {clause}"
 
 
 class _HTTPStreamSink:
@@ -447,7 +403,7 @@ class _Handler(BaseHTTPRequestHandler):
                 sql, pending_create, pending_drop = _apply_session_sql(
                     sql, sid, sess
                 )
-                sql = _merge_session_settings(sql, sess.settings)
+                sql = merge_settings_clause(sql, sess.settings)
             # Streamed results: line-based formats render from
             # toLocalIterator with chunked transfer-encoding — no
             # driver-side materialization. The engine falls back to
@@ -461,7 +417,7 @@ class _Handler(BaseHTTPRequestHandler):
             if (
                 fmt in STREAMABLE_FORMATS
                 and not accept_gzip
-                and _SELECTISH_RE.match(sql)  # SET/DDL keep ack paths
+                and SELECTISH_RE.match(sql)  # SET/DDL keep ack paths
             ):
                 sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
             try:
@@ -502,12 +458,9 @@ class _Handler(BaseHTTPRequestHandler):
                     sess.temp_tables[pending_create[0]] = pending_create[1]
                 if pending_drop:
                     sess.temp_tables.pop(pending_drop, None)
-                m_set = _SET_STMT_RE.match(sql)
-                if m_set:
-                    for part in _split_top_commas(m_set.group(1)):
-                        pm = _SET_PAIR_RE.match(part)
-                        if pm:
-                            sess.settings[pm.group(1)] = pm.group(2)
+                set_pairs = parse_set_statement(sql)
+                if set_pairs:
+                    sess.settings.update(set_pairs)
         finally:
             if sess is not None:
                 # Sliding TTL: every request in the session renews it.

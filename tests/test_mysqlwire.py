@@ -410,3 +410,19 @@ class TestMySQLPreparedStatements:
             assert c.ping()
         finally:
             c.close()
+
+
+class TestMySQLConnectionSettings:
+    def test_set_persists_per_connection(self, my):
+        K2 = "11160318154034397263"
+        c1 = MyClient(my.host, my.port)
+        c2 = MyClient(my.host, my.port)
+        try:
+            c1.query("SET exact_cityhash = 1")
+            _, rows, err = c1.query("SELECT cityHash64('') AS h")
+            assert err is None and rows[0][0] == K2
+            _, rows2, err2 = c2.query("SELECT cityHash64('') AS h")
+            assert err2 is None and rows2[0][0] != K2
+        finally:
+            c1.close()
+            c2.close()

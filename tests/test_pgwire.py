@@ -372,3 +372,27 @@ class TestParamSubstitution:
             assert b"3" in row
         finally:
             c.close()
+
+
+class TestPGConnectionSettings:
+    def test_set_persists_per_connection(self, pg):
+        # PG semantics: SET lasts for the connection. exact_cityhash
+        # flips cityHash64 to the bit-exact path — observable proof
+        # of which settings were in effect.
+        K2 = "11160318154034397263"
+        c1 = PGClient(pg.host, pg.port)
+        c2 = PGClient(pg.host, pg.port)
+        try:
+            c1.query("SET exact_cityhash = 1")
+            cols, rows, err = c1.query("SELECT cityHash64('') AS h")
+            assert err is None and rows[0][0] == K2
+            # Another connection is unaffected.
+            _, rows2, err2 = c2.query("SELECT cityHash64('') AS h")
+            assert err2 is None and rows2[0][0] != K2
+            # PG's SET ... TO spelling works too.
+            c2.query("SET exact_cityhash TO 1")
+            _, rows3, _ = c2.query("SELECT cityHash64('') AS h")
+            assert rows3[0][0] == K2
+        finally:
+            c1.close()
+            c2.close()
