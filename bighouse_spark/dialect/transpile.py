@@ -47,6 +47,7 @@ from bighouse_spark.sources.readers import read_source
 _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
     "clusterAllReplicas", "cluster", "values", "generateRandom",
+    "remoteSecure", "remote",
     # Operator-backed table functions (no CH equivalent — the
     # LLM-pipeline operator library surfaced through SQL so the HTTP
     # and wire-protocol endpoints reach it):
@@ -651,6 +652,163 @@ def _format_datetime(args: list[str]) -> str:
     if not parts:
         return "''"
     return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
+
+
+def _match_paren_back(s: str, close_idx: int) -> int | None:
+    """Index of the '(' matching ``s[close_idx] == ')'`` (quote-aware
+    backward scan); None when unbalanced."""
+    depth, i = 0, close_idx
+    while i >= 0:
+        c = s[i]
+        if c == "'":
+            i -= 1
+            while i >= 0 and s[i] != "'":
+                i -= 1
+        elif c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+        i -= 1
+    return None
+
+
+def _match_paren_fwd(s: str, open_idx: int) -> int | None:
+    depth, i, quote = 0, open_idx, None
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+_TUPLE_IN_RE = re.compile(r"\)\s*(NOT\s+)?IN\s*\(", re.IGNORECASE)
+_TUPLE_EQ_RE = re.compile(r"\)\s*(=|!=|<>)\s*\(")
+
+# Keywords that can directly precede a bare tuple '(' — a '(' after
+# one of these is grouping/tuple syntax, not a function's arg list.
+_TUPLE_CTX_KEYWORDS = {
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+    "HAVING", "SELECT", "BY", "IN", "CASE", "END", "QUALIFY",
+    "PREWHERE", "RETURNING", "SET", "BETWEEN", "IS", "AS",
+}
+
+
+def _rewrite_tuple_ops(sql: str) -> str:
+    """CH tuple comparisons → field-wise Boolean expansion. Spark's
+    struct IN/equality needs EXACT element types (an INT literal never
+    matches a BIGINT column inside a struct), so ``(a, b) IN ((1, 1),
+    (2, 2))`` expands to ``((a)=(1) AND (b)=(1)) OR (...)`` — plain
+    equality gets normal numeric coercion, and NULL propagation
+    matches SQL IN semantics exactly. Function-call argument lists
+    (``f(a, b) IN ...``) are left untouched (the char before the
+    left '(' is an identifier)."""
+
+    def _is_call(open_idx: int) -> bool:
+        # A '(' directly after an identifier is an argument list —
+        # UNLESS that identifier is a SQL keyword (WHERE (a,b) IN …).
+        j = open_idx - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0:
+            return False
+        if sql[j] in ")]'\"`":
+            return True
+        if not (sql[j].isalnum() or sql[j] == "_"):
+            return False
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+            k -= 1
+        return sql[k + 1 : j + 1].upper() not in _TUPLE_CTX_KEYWORDS
+
+    def _is_subquery(parts: list[str]) -> bool:
+        head = parts[0].lstrip().upper() if parts else ""
+        return head.startswith("SELECT") or head.startswith("WITH")
+
+    changed = True
+    while changed:
+        changed = False
+        for m in _TUPLE_IN_RE.finditer(sql):
+            close_l = m.start()
+            open_l = _match_paren_back(sql, close_l)
+            if open_l is None or _is_call(open_l):
+                continue
+            left = _split_args_top(sql[open_l + 1 : close_l])
+            if len(left) < 2 or _is_subquery(left):
+                continue
+            open_r = m.end() - 1
+            close_r = _match_paren_fwd(sql, open_r)
+            if close_r is None:
+                continue
+            elems = _split_args_top(sql[open_r + 1 : close_r])
+            tuples = []
+            ok = True
+            for e in elems:
+                e = e.strip()
+                if not (e.startswith("(") and e.endswith(")")
+                        and _match_paren_fwd(e, 0) == len(e) - 1):
+                    ok = False
+                    break
+                vals = _split_args_top(e[1:-1])
+                if len(vals) != len(left):
+                    ok = False
+                    break
+                tuples.append(vals)
+            if not ok or not tuples:
+                continue
+            ors = " OR ".join(
+                "(" + " AND ".join(
+                    f"({l.strip()}) = ({v.strip()})"
+                    for l, v in zip(left, vals)
+                ) + ")"
+                for vals in tuples
+            )
+            repl = f"({ors})"
+            if m.group(1):
+                repl = f"(NOT {repl})"
+            sql = sql[:open_l] + repl + sql[close_r + 1:]
+            changed = True
+            break
+    changed = True
+    while changed:
+        changed = False
+        for m in _TUPLE_EQ_RE.finditer(sql):
+            close_l = m.start()
+            open_l = _match_paren_back(sql, close_l)
+            if open_l is None or _is_call(open_l):
+                continue
+            left = _split_args_top(sql[open_l + 1 : close_l])
+            if len(left) < 2 or _is_subquery(left):
+                continue
+            open_r = m.end() - 1
+            close_r = _match_paren_fwd(sql, open_r)
+            if close_r is None:
+                continue
+            right = _split_args_top(sql[open_r + 1 : close_r])
+            if len(right) != len(left) or _is_subquery(right):
+                continue
+            conj = " AND ".join(
+                f"({l.strip()}) = ({r.strip()})"
+                for l, r in zip(left, right)
+            )
+            repl = f"({conj})"
+            if m.group(1) in ("!=", "<>"):
+                repl = f"(NOT {repl})"
+            sql = sql[:open_l] + repl + sql[close_r + 1:]
+            changed = True
+            break
+    return sql
 
 
 def _multi_if(args: list[str]) -> str:
@@ -3654,6 +3812,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_asof_join(out, spark, views)
     out = _rewrite_ch_clauses(out)
     out = _rewrite_ch_misc(out)
+    out = _rewrite_tuple_ops(out)
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
     out = _rewrite_qualify(out)
@@ -5734,6 +5893,31 @@ def _register_source(
         if len(args) < 2:
             raise ValueError(f"{fn}() needs (cluster, table) arguments")
         tbl = _unquote(args[1]).split(".")[-1]
+        spark.table(tbl).createOrReplaceTempView(view)
+        return
+    if fn in ("remote", "remoteSecure"):
+        # remote('addrs', [db,] table [, user, password]): read a
+        # table on another server. One warm session serves every
+        # address (the same erasure as cluster()); the address list,
+        # credentials and sharding key are accepted and dropped.
+        # CH db.table spellings and the (addr, db, table) arg form
+        # both resolve; the system db maps to the engine's
+        # system_* views.
+        if len(args) < 2:
+            raise ValueError(
+                f"{fn}() needs (addresses, [db,] table) arguments"
+            )
+        parts = _unquote(args[1]).split(".")
+        if len(parts) == 1 and len(args) >= 3:
+            nxt = _unquote(args[2])
+            # Third arg is a table name (not a credential) when the
+            # second had no dot and the third is a bare identifier.
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nxt):
+                parts = [parts[0], nxt]
+        db = parts[0] if len(parts) > 1 else None
+        tbl = parts[-1]
+        if db == "system":
+            tbl = f"system_{tbl}"
         spark.table(tbl).createOrReplaceTempView(view)
         return
     if fn == "values":

@@ -377,6 +377,11 @@ class BigHouseEngine:
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
             "system_query_log"
         )
+        # system.one: CH's canonical dummy table (one row, dummy=0) —
+        # the implicit FROM of bare SELECTs and the remote()/cluster()
+        # smoke target.
+        self.spark.sql("SELECT CAST(0 AS TINYINT) AS dummy") \
+            .createOrReplaceTempView("system_one")
         # system.processes analog: in-flight queries with their
         # cancellable query ids (KILL QUERY WHERE query_id = '...').
         with self._inflight_lock:

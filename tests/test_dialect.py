@@ -3809,3 +3809,81 @@ class TestRound6ProbeTranche:
     def test_tuple_name_value_pairs_guided(self, eng):
         with pytest.raises(ValueError, match="to_json"):
             eng.execute("SELECT tupleToNameValuePairs(tuple(1,2))")
+
+
+class TestTupleOpsAndRemote:
+    """CH tuple comparisons + the remote()/remoteSecure() table
+    function. Spark's struct IN needs exact element types (INT
+    literal vs BIGINT column inside a struct never matches), so
+    tuple IN / equality expand field-wise where plain numeric
+    coercion applies; remote() reads the named table on the one warm
+    session (the cluster() erasure), with system.one available as
+    CH's canonical dummy table."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_tuple_in(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM numbers(10) "
+            "WHERE (number, number) IN ((1,1),(2,2))"
+        )
+        assert r.rows == [[2]]
+
+    def test_tuple_not_in_and_arity_3(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM numbers(10) "
+            "WHERE (number, number + 1) NOT IN ((1,2),(3,4))"
+        )
+        assert r.rows == [[8]]
+        r2 = eng.execute(
+            "SELECT count() AS c FROM numbers(10) "
+            "WHERE (number, number, number) IN ((1,1,1))"
+        )
+        assert r2.rows == [[1]]
+
+    def test_tuple_equality(self, eng):
+        r = eng.execute(
+            "SELECT ((1, 'a') = (1, 'a')) AS x, ((1, 2) != (1, 3)) AS y"
+        )
+        assert r.rows == [[True, True]]
+
+    def test_tuple_in_subquery_untouched(self, eng):
+        # Multi-column IN-subquery is native Spark — must NOT expand.
+        r = eng.execute(
+            "SELECT count() AS c FROM numbers(10) WHERE "
+            "(number, number) IN (SELECT number, number FROM numbers(3))"
+        )
+        assert r.rows == [[3]]
+
+    def test_function_args_and_scalar_subquery_untouched(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM numbers(10) "
+            "WHERE greatest(number, 1) IN (1, 2)"
+        )
+        assert r.rows == [[3]]
+        r2 = eng.execute(
+            "SELECT ((SELECT max(number) FROM numbers(3)) = 2) AS x"
+        )
+        assert r2.rows == [[True]]
+
+    def test_remote_and_system_one(self, eng, spark):
+        eng.refresh_system_views()
+        r = eng.execute(
+            "SELECT count() AS c FROM remote('127.0.0.1', system, one)"
+        )
+        assert r.rows == [[1]]
+        r2 = eng.execute(
+            "SELECT dummy FROM remoteSecure('h1:9440,h2:9440', system.one)"
+        )
+        assert r2.rows == [[0]]
+        spark.createDataFrame([(7,)], "v bigint") \
+            .createOrReplaceTempView("remote_probe_t")
+        r3 = eng.execute(
+            "SELECT v FROM remote('127.0.0.1:9000', default, "
+            "remote_probe_t)"
+        )
+        assert r3.rows == [[7]]
