@@ -341,6 +341,39 @@ class _Conn:
         return buf
 
 
+class _MySQLStreamSink:
+    """Engine → MySQL-wire row sink (COM_QUERY text resultsets):
+    column definitions go out when the engine calls ``start``
+    (schema-derived types), each row is one text-protocol packet; the
+    caller closes with EOF. A mid-stream failure becomes an ERR
+    packet, which legally terminates a resultset."""
+
+    def __init__(self, handler, conn: "_Conn") -> None:
+        self._handler = handler
+        self._conn = conn
+        self.started = False
+        self.rows_sent = 0
+
+    def start(self, cols: list[str], types: list[str] | None) -> None:
+        self.started = True
+        col_types = (
+            [_mysql_type_for(t) for t in types]
+            if types else [_TYPE_VAR_STRING] * len(cols)
+        )
+        self._conn.send(_lenenc(len(cols)))
+        for name, mtype in zip(cols, col_types):
+            self._conn.send(self._handler._coldef(name, mtype))
+        self._handler._send_eof(self._conn)
+
+    def write_row(self, row: list) -> None:
+        body = b""
+        for v in row:
+            data = _render(v)
+            body += b"\xfb" if data is None else _lenenc_str(data)
+        self._conn.send(body)
+        self.rows_sent += 1
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         conn = _Conn(self.request)
@@ -406,6 +439,10 @@ class _Handler(socketserver.BaseRequestHandler):
         if not sql:
             self._send_ok(conn)
             return
+        # SELECT rows stream straight off toLocalIterator (the driver
+        # never materializes the result); the engine falls back to
+        # the collected path for DDL/acks, cached and capped results.
+        sink = _MySQLStreamSink(self, conn)
         try:
             result = self.server.engine.execute(  # type: ignore[attr-defined]
                 QueryRequest(
@@ -413,14 +450,19 @@ class _Handler(socketserver.BaseRequestHandler):
                            or merge_settings_clause(
                                sql, self._settings)),
                     remote=True,
-                )
+                ),
+                stream_to=sink,
             )
         except Exception as e:
+            # An ERR packet legally terminates an in-flight resultset.
             self._send_err(conn, 1064, str(e)[:1500])
             return
         set_pairs = parse_set_statement(sql)
         if set_pairs:
             self._settings.update(set_pairs)
+        if sink.started:
+            self._send_eof(conn)
+            return
         self._send_resultset(conn, result, binary=False)
 
     @staticmethod

@@ -186,6 +186,53 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
 
+class _PGStreamSink:
+    """Engine → PG-wire row sink: RowDescription goes out when the
+    engine calls ``start`` (schema-derived OIDs — the types are known
+    before the first row), each row is one DataRow message."""
+
+    CHUNK = 64 * 1024  # socket-write batch; the only row buffer
+
+    def __init__(self, handler, sock) -> None:
+        self._handler = handler
+        self._sock = sock
+        self.started = False
+        self.rows_sent = 0
+        self._buf = bytearray()
+
+    def start(self, cols: list[str], types: list[str] | None) -> None:
+        self.started = True
+        oids = (
+            [_oid_for_type(t) for t in types]
+            if types else [_OID_TEXT] * len(cols)
+        )
+        desc = struct.pack("!H", len(cols))
+        for name, oid in zip(cols, oids):
+            desc += (
+                _cstr(name)
+                + struct.pack("!IHIhih", 0, 0, oid, -1, -1, 0)
+            )
+        self._buf += _msg(b"T", desc)
+
+    def write_row(self, row: list) -> None:
+        body = struct.pack("!H", len(row))
+        for v in row:
+            data = _render(v)
+            if data is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!I", len(data)) + data
+        self._buf += _msg(b"D", body)
+        self.rows_sent += 1
+        if len(self._buf) >= self.CHUNK:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            self._sock.sendall(bytes(self._buf))
+            self._buf.clear()
+
+
 class _Handler(socketserver.BaseRequestHandler):
     # self.server is the ThreadingTCPServer subclass carrying .engine
 
@@ -275,6 +322,14 @@ class _Handler(socketserver.BaseRequestHandler):
         if not sql.strip():
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
             return
+        # Stream SELECT rows straight off toLocalIterator: the PG
+        # protocol is row-framed (DataRow per row), so the driver
+        # never materializes the result; a mid-stream failure is a
+        # clean ErrorResponse (PG clients handle errors after
+        # RowDescription). The engine falls back to the collected
+        # path (sink never started) for DDL/acks, cached results and
+        # capped results.
+        sink = _PGStreamSink(self, sock)
         try:
             result = self.server.engine.execute(
                 QueryRequest(
@@ -282,14 +337,23 @@ class _Handler(socketserver.BaseRequestHandler):
                            or merge_settings_clause(
                                sql, self._settings)),
                     remote=True,
-                )
+                ),
+                stream_to=sink,
             )
         except Exception as e:  # engine/transpile/Spark error
+            # Mid-stream failures are clean in PG: flush any DataRows
+            # already queued, then ErrorResponse — the client discards
+            # the partial resultset.
+            sink.flush()
             self._send_error(sock, "42601", str(e)[:2000])
             return
         set_pairs = parse_set_statement(sql)
         if set_pairs:
             self._settings.update(set_pairs)
+        if sink.started:
+            sink.flush()
+            sock.sendall(_msg(b"C", _cstr(f"SELECT {sink.rows_sent}")))
+            return
         self._send_row_description(sock, result)
         self._send_data_rows(sock, result)
 

@@ -426,3 +426,18 @@ class TestMySQLConnectionSettings:
         finally:
             c1.close()
             c2.close()
+
+
+class TestMySQLStreaming:
+    def test_large_result_streams_identically(self, my):
+        c = MyClient(my.host, my.port)
+        try:
+            cols, rows, err = c.query(
+                "SELECT number AS n FROM numbers(20000) ORDER BY n"
+            )
+            assert err is None and cols == ["n"]
+            assert len(rows) == 20000
+            assert rows[0] == ["0"] and rows[-1] == ["19999"]
+            assert c.ping()
+        finally:
+            c.close()

@@ -396,3 +396,27 @@ class TestPGConnectionSettings:
         finally:
             c1.close()
             c2.close()
+
+
+class TestPGStreaming:
+    def test_large_result_streams_identically(self, pg):
+        # The PG protocol is row-framed, so the streamed path emits
+        # byte-identical messages to the collected one — the client
+        # just sees all rows. 20k rows exercises multiple 64 KiB
+        # flush batches and the engine-side toLocalIterator path
+        # (rows=[] driver-side, proven in test_http_streaming).
+        c = PGClient(pg.host, pg.port)
+        try:
+            cols, rows, err = c.query(
+                "SELECT number AS n, concat('r', toString(number)) AS s "
+                "FROM numbers(20000) ORDER BY n"
+            )
+            assert err is None
+            assert cols == ["n", "s"]
+            assert len(rows) == 20000
+            assert rows[0] == ["0", "r0"] and rows[-1] == ["19999", "r19999"]
+            # connection stays healthy for the next query
+            _, r2, e2 = c.query("SELECT 1 AS x")
+            assert e2 is None and r2 == [["1"]]
+        finally:
+            c.close()
