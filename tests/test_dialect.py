@@ -3887,3 +3887,34 @@ class TestTupleOpsAndRemote:
             "remote_probe_t)"
         )
         assert r3.rows == [[7]]
+
+
+class TestWeekSpecBoundarySweep:
+    """Property sweep: formatDateTime's %G/%V/%u must agree with
+    Python's isocalendar() on every day around each ISO year
+    boundary 2015-2027 (the dates where week-of-year logic breaks)."""
+
+    def test_iso_week_fields_match_python(self, spark):
+        import datetime as dt
+
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        days = []
+        for year in range(2015, 2028):
+            for delta in range(-5, 6):
+                days.append(dt.date(year, 1, 1) + dt.timedelta(days=delta))
+        in_list = ", ".join(f"toDate('{d}')" for d in days)
+        r = eng.execute(
+            "SELECT formatDateTime(d, '%G|%V|%u') AS f FROM "
+            f"(SELECT arrayJoin([{in_list}]) AS d)"
+        )
+        got = [row[0] for row in r.rows]
+        want = [
+            "|".join(
+                str(x).zfill(2) if i == 1 else str(x)
+                for i, x in enumerate(d.isocalendar())
+            )
+            for d in days
+        ]
+        assert got == want

@@ -175,3 +175,39 @@ def test_encoder_announced_type_is_wire_truth():
     ticks = struct.unpack("<q", b)[0]
     assert ticks == (datetime(2024, 1, 1, 0, 0, 1, 500000)
                      - datetime(1970, 1, 1)).total_seconds() * 1e6
+
+
+class TestRowBinaryProperty:
+    """Property: render → independent decode is the identity for
+    every supported type, on hypothesis-generated rows."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+    _row = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        st.text(max_size=40),
+        _finite,
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                 max_size=8),
+        st.dates(min_value=date(1970, 1, 1), max_value=date(2105, 12, 31)),
+    )
+
+    @given(rows=st.lists(_row, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, rows):
+        cols = ["i", "n", "s", "f", "a", "d"]
+        types = [
+            "Int64", "Nullable(Int64)", "String", "Float64",
+            "Array(Int32)", "Date",
+        ]
+        rows = [list(r) for r in rows]
+        buf = render_result(
+            cols, rows, "RowBinaryWithNamesAndTypes",
+            types=types, elapsed=0.0,
+        )[0]
+        c2, t2, r2 = decode_with_names_and_types(buf)
+        assert c2 == cols and t2 == types
+        assert r2 == rows
