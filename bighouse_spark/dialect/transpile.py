@@ -821,6 +821,34 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
+def _map_agg_fold(a: list[str], merge: str) -> str:
+    """sum/min/maxMap over a MAP column: fold the group's collected
+    maps with map_zip_with (missing keys behave like CH: they take
+    the other side's value via coalesce/greatest/least NULL-skip),
+    result keys sorted like CH. Same group-state caveat as -ForEach
+    (O(rows_in_group × map size) at the collect — posexplode +
+    GROUP BY key for huge groups). The CH two-argument
+    ``sumMap(keys, vals)`` form returns a TUPLE of arrays; only the
+    Map form maps 1:1, so the array form is refused with guidance."""
+    if len(a) != 1:
+        raise ValueError(
+            "sumMap/minMap/maxMap: the (keys, values) two-array form "
+            "returns a tuple of arrays in ClickHouse with no Spark "
+            "1:1; pass a Map column (map_from_arrays(keys, vals)) "
+            "and read map_keys()/map_values() of the result"
+        )
+    cl = f"collect_list({a[0]})"
+    folded = (
+        f"aggregate(slice({cl}, 2, greatest(size({cl}) - 1, 0)), "
+        f"element_at({cl}, 1), (__acc, __m) -> "
+        f"map_zip_with(__acc, __m, {merge}))"
+    )
+    return (
+        f"CASE WHEN size({cl}) = 0 THEN map() "
+        f"ELSE map_from_entries(array_sort(map_entries({folded}))) END"
+    )
+
+
 def _foreach_fold(x: str, merge: str) -> str:
     """-ForEach combinator body: fold the group's collected arrays
     element-wise with ``merge``; empty input → array() (not an ANSI
@@ -1203,12 +1231,8 @@ _ARG_REWRITES: dict = {
             "(ORDER BY point))"
         )
     ),
-    "sumMap": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "sumMap() aggregates per map key; rewrite as explode("
-            + (a[0] if a else "m")
-            + ") -> GROUP BY key -> map_from_entries(collect_list(...))"
-        )
+    "sumMap": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
     ),
     "groupArrayMovingSum": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -1900,21 +1924,13 @@ _ARG_REWRITES.update({
     "erfc": lambda a: f"bh_erfc(CAST({a[0]} AS DOUBLE))",
     "lgamma": lambda a: f"bh_lgamma(CAST({a[0]} AS DOUBLE))",
     "tgamma": lambda a: f"bh_tgamma(CAST({a[0]} AS DOUBLE))",
+    "maxMap": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> greatest(__a, __b)"
+    ),
+    "minMap": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> least(__a, __b)"
+    ),
     # -- guided refusals: genuinely not single-pass expressions --
-    "maxMap": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "maxMap() aggregates per map key; rewrite as explode("
-            + (a[0] if a else "m")
-            + ") -> GROUP BY key -> max(value) -> map_from_entries"
-        )
-    ),
-    "minMap": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "minMap() aggregates per map key; rewrite as explode("
-            + (a[0] if a else "m")
-            + ") -> GROUP BY key -> min(value) -> map_from_entries"
-        )
-    ),
     "entropy": lambda a: (_ for _ in ()).throw(
         ValueError(
             "entropy() needs value frequencies (two aggregation "

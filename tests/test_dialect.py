@@ -3918,3 +3918,44 @@ class TestWeekSpecBoundarySweep:
             for d in days
         ]
         assert got == want
+
+
+class TestMapAggregates:
+    """sum/min/maxMap over a MAP column: per-key aggregation across
+    the group's maps, keys sorted like CH; empty input → {}; the CH
+    two-array form (tuple-of-arrays result) refused with guidance."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_sum_min_max_map(self, eng):
+        r = eng.execute(
+            "SELECT sumMap(map(number % 2, number)) AS s, "
+            "minMap(map(number % 3, number)) AS mn, "
+            "maxMap(map(number % 3, number)) AS mx FROM numbers(6)"
+        )
+        s, mn, mx = r.rows[0]
+        assert s == {0: 6, 1: 9}
+        assert mn == {0: 0, 1: 1, 2: 2}
+        assert mx == {0: 3, 1: 4, 2: 5}
+
+    def test_grouped_and_empty(self, eng):
+        r = eng.execute(
+            "SELECT number % 2 AS g, sumMap(map(number % 3, 1)) AS m "
+            "FROM numbers(6) GROUP BY g ORDER BY g"
+        )
+        assert [row[1] for row in r.rows] == [
+            {0: 1, 1: 1, 2: 1}, {0: 1, 1: 1, 2: 1},
+        ]
+        r2 = eng.execute(
+            "SELECT sumMap(map(number, number)) AS m FROM numbers(5) "
+            "WHERE 1 = 0"
+        )
+        assert r2.rows == [[{}]]
+
+    def test_two_array_form_guided(self, eng):
+        with pytest.raises(ValueError, match="map_from_arrays"):
+            eng.execute("SELECT sumMap([1,2],[10,20])")
