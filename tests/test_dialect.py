@@ -1865,8 +1865,9 @@ class TestMomentAndWeightedAggregates:
     @pytest.mark.parametrize(
         "sql,hint",
         [
-            ("SELECT sumMap(m) FROM (SELECT map('a', 1) AS m)",
-             "explode"),
+            # sumMap over a Map column is IMPLEMENTED since round 6
+            # (TestMapAggregates); only the two-array form refuses.
+            ("SELECT sumMap([1], [2])", "map_from_arrays"),
             ("SELECT maxIntersections(a, b) FROM (SELECT 1 a, 2 b)",
              "sweep"),
             ("SELECT intervalLengthSum(a, b) FROM (SELECT 1 a, 2 b)",
@@ -2190,8 +2191,9 @@ class TestRound5ProbeTranche2:
 
     def test_guided_refusals(self, eng):
         for expr, hint in [
-            ("maxMap(map(1, 2))", "GROUP BY key"),
-            ("minMap(map(1, 2))", "GROUP BY key"),
+            # max/minMap over Map columns implemented in round 6;
+            # the two-array tuple form still refuses.
+            ("maxMap([1], [2])", "map_from_arrays"),
             ("entropy(x)", "frequencies"),
             ("cramersV(x, y)", "contingency"),
             ("theilsU(x, y)", "contingency"),
