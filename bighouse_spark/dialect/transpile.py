@@ -4536,6 +4536,15 @@ def _rewrite_parametric(sql: str) -> str:
         ("histogram", lambda p, a: (
             f"histogram_numeric({a[0]}, CAST({p[0]} AS INT))"
         )),
+        # Keep-list map sum: filter each map to the kept keys, then
+        # the sumMap fold.
+        ("sumMapFiltered", lambda p, a: _map_agg_fold(
+            [
+                f"map_filter({a[0]}, (__k, __v) -> "
+                f"array_contains({p[0]}, __k))"
+            ],
+            "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)",
+        )),
     ):
         while True:
             call = _find_call(out, pname)
@@ -4576,12 +4585,6 @@ def _rewrite_parametric(sql: str) -> str:
             "machine; use the behavioral operators "
             "(sequenceMatch/windowFunnel) or a window over "
             "(user, ORDER BY ts) with lead()",
-        ),
-        (
-            "sumMapFiltered",
-            "sumMapFiltered() aggregates per map key; rewrite as "
-            "explode(m) -> WHERE key IN (...) -> GROUP BY key -> "
-            "map_from_entries(collect_list(...))",
         ),
         (
             "groupArrayLast",

@@ -2448,7 +2448,6 @@ class TestRound5ProbeTranche4:
             ("byteSwap(5)", "width"),
             ("mapApply((k, v) -> (k, v), map(1, 2))", "map_entries"),
             ("arrayLevenshteinDistance([1],[2])", "editDistance"),
-            ("sumMapFiltered([1])(map(1, 2))", "GROUP BY key"),
             ("kql('x')", "ClickHouse SQL"),
         ]:
             with pytest.raises(ValueError, match=hint):
@@ -3961,3 +3960,15 @@ class TestMapAggregates:
     def test_two_array_form_guided(self, eng):
         with pytest.raises(ValueError, match="map_from_arrays"):
             eng.execute("SELECT sumMap([1,2],[10,20])")
+
+
+class TestSumMapFiltered:
+    def test_keep_list_filter(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        r = eng.execute(
+            "SELECT sumMapFiltered([0, 2])(map(number % 3, number)) "
+            "AS m FROM numbers(6)"
+        )
+        assert r.rows == [[{0: 3, 2: 7}]]
