@@ -821,6 +821,32 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
+def _ema_builder(p: list[str], a: list[str]) -> str:
+    """exponentialMovingAverage(halflife)(value, time) → the decayed
+    weighted mean anchored at the latest sample: Σ v·2^(−(T−t)/h) /
+    Σ 2^(−(T−t)/h) with T = max(t). Order-free (weights depend on
+    the timestamps, not arrival order)."""
+    if len(a) != 2:
+        raise ValueError(
+            "exponentialMovingAverage(halflife)(value, timeunit) "
+            "takes exactly two arguments"
+        )
+    lst = (
+        f"collect_list(named_struct('t', CAST({a[1]} AS DOUBLE), "
+        f"'v', CAST({a[0]} AS DOUBLE)))"
+    )
+    tm = f"array_max(transform({lst}, __e -> __e.t))"
+    num = (
+        f"aggregate({lst}, CAST(0 AS DOUBLE), (__acc, __e) -> "
+        f"__acc + __e.v * pow(2, (__e.t - {tm}) / ({p[0]})))"
+    )
+    den = (
+        f"aggregate({lst}, CAST(0 AS DOUBLE), (__acc, __e) -> "
+        f"__acc + pow(2, (__e.t - {tm}) / ({p[0]})))"
+    )
+    return f"(({num}) / ({den}))"
+
+
 def _map_agg_fold(a: list[str], merge: str) -> str:
     """sum/min/maxMap over a MAP column: fold the group's collected
     maps with map_zip_with (missing keys behave like CH: they take
@@ -4536,6 +4562,12 @@ def _rewrite_parametric(sql: str) -> str:
         ("histogram", lambda p, a: (
             f"histogram_numeric({a[0]}, CAST({p[0]} AS INT))"
         )),
+        # exponentialMovingAverage(halflife)(v, t): the decayed
+        # weighted mean at the LATEST sample — weights
+        # 2^(-(t_max - t_i)/halflife) — which is order-free (no
+        # block-order dependence: the weights anchor on max(t), not
+        # arrival order).
+        ("exponentialMovingAverage", _ema_builder),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(
@@ -4572,13 +4604,6 @@ def _rewrite_parametric(sql: str) -> str:
     # refuse with the window/rewrite hint before Spark's opaque
     # UNRESOLVED_ROUTINE.
     for refuse_name, hint in (
-        (
-            "exponentialMovingAverage",
-            "exponentialMovingAverage() is order-dependent; use "
-            "avg(x) OVER (ORDER BY t ROWS BETWEEN k-1 PRECEDING AND "
-            "CURRENT ROW) or an explicit EMA fold over "
-            "collect_list(x ORDER BY t)",
-        ),
         (
             "sequenceNextNode",
             "sequenceNextNode() is a per-user event-order state "

@@ -2348,7 +2348,6 @@ class TestRound5ProbeTranche3:
 
     def test_tranche3_refusals(self, eng):
         for expr, hint in [
-            ("exponentialMovingAverage(5)(x, x)", "order-dependent"),
             ("sequenceNextNode('forward', 'head')(x, x, x = 1)",
              "state"),
             ("h3ToGeo(x)", "geohash"),
@@ -3972,3 +3971,18 @@ class TestSumMapFiltered:
             "AS m FROM numbers(6)"
         )
         assert r.rows == [[{0: 3, 2: 7}]]
+
+
+class TestExponentialMovingAverage:
+    def test_decayed_weighted_mean(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        # halflife 1: weights at T=1 are 2^-1 for t=0 and 1 for t=1 →
+        # (1·0.5 + 2·1) / 1.5. Order-free: shuffled input, same value.
+        for rows in ("(1.0, 0.0), (2.0, 1.0)", "(2.0, 1.0), (1.0, 0.0)"):
+            r = eng.execute(
+                "SELECT exponentialMovingAverage(1)(v, t) AS e FROM "
+                f"values('v Float64, t Float64', {rows})"
+            )
+            assert abs(r.rows[0][0] - 5 / 3) < 1e-12
