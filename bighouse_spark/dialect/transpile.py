@@ -4612,6 +4612,37 @@ def _rewrite_parametric(sql: str) -> str:
             "(user, ORDER BY ts) with lead()",
         ),
         (
+            "exponentialTimeDecayedSum",
+            "exponentialTimeDecayed* window functions have no "
+            "O(1)-state Spark mapping; for a small time axis spell "
+            "exp(-(t)/x) * sum(v * exp(t/x)) OVER w (factored "
+            "weights — overflows for epoch-scale t), or fold "
+            "aggregate(collect_list(struct(t, v)) OVER w, ...) for "
+            "exact semantics at O(frame) state; "
+            "exponentialMovingAverage(h)(v, t) IS supported as an "
+            "aggregate",
+        ),
+        (
+            "exponentialTimeDecayedAvg",
+            "exponentialTimeDecayed* window functions have no "
+            "O(1)-state Spark mapping — see "
+            "exponentialTimeDecayedSum's hint; "
+            "exponentialMovingAverage(h)(v, t) IS supported as an "
+            "aggregate",
+        ),
+        (
+            "exponentialTimeDecayedCount",
+            "exponentialTimeDecayed* window functions have no "
+            "O(1)-state Spark mapping — see "
+            "exponentialTimeDecayedSum's hint",
+        ),
+        (
+            "exponentialTimeDecayedMax",
+            "exponentialTimeDecayed* window functions have no "
+            "O(1)-state Spark mapping — see "
+            "exponentialTimeDecayedSum's hint",
+        ),
+        (
             "groupArrayLast",
             "groupArrayLast() is block-order dependent; use "
             "slice(array_sort(collect_list(struct(ts, x))), -k, k) "

@@ -195,6 +195,12 @@ def _tsv_cell(v: Any) -> str:
     )
 
 
+def _tsv_raw_cell(v: Any) -> str:
+    # TabSeparatedRaw: values verbatim, NO escaping (CH's Raw
+    # variant — the caller guarantees no tabs/newlines in the data).
+    return "\\N" if v is None else _text(v)
+
+
 # ---------------------------------------------------------------------------
 # Format renderers: (cols, rows, types, elapsed) → bytes
 # ---------------------------------------------------------------------------
@@ -287,6 +293,20 @@ def _render_tsv(header: bool, types_row: bool = False):
         return ("\n".join(lines) + ("\n" if lines else "")).encode()
 
     return render
+
+
+def _render_tsv_raw(cols, rows, types, elapsed) -> bytes:
+    lines = [
+        "\t".join(_tsv_raw_cell(v) for v in row) for row in rows
+    ]
+    return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+
+def _render_null(cols, rows, types, elapsed) -> bytes:
+    # FORMAT Null: execute fully, emit nothing (CH's benchmarking
+    # format). The streaming path pairs it with toLocalIterator, so
+    # the result is never materialized anywhere.
+    return b""
 
 
 def _render_values(cols, rows, types, elapsed) -> bytes:
@@ -545,6 +565,7 @@ STREAMABLE_FORMATS = {
     "TabSeparated", "TabSeparatedWithNames",
     "TabSeparatedWithNamesAndTypes",
     "RowBinary", "RowBinaryWithNames", "RowBinaryWithNamesAndTypes",
+    "TabSeparatedRaw", "Null",
 }
 
 
@@ -592,6 +613,12 @@ class StreamRenderer:
 
     def row_bytes(self, row: list) -> bytes:
         f = self.fmt
+        if f == "Null":
+            return b""
+        if f == "TabSeparatedRaw":
+            return (
+                "\t".join(_tsv_raw_cell(v) for v in row) + "\n"
+            ).encode()
         if self._encs is not None:
             return b"".join(e(v) for e, v in zip(self._encs, row))
         if f == "JSONEachRow":
@@ -642,6 +669,10 @@ _RENDERERS = {
     "Parquet": (_render_parquet, "application/octet-stream"),
     "Arrow": (_render_arrow_file, "application/octet-stream"),
     "ArrowStream": (_render_arrow_stream, "application/octet-stream"),
+    "TabSeparatedRaw": (
+        _render_tsv_raw, "text/tab-separated-values; charset=UTF-8"
+    ),
+    "Null": (_render_null, "text/plain; charset=UTF-8"),
     "RowBinary": (
         _render_rowbinary(False, False), "application/octet-stream"
     ),
@@ -677,6 +708,10 @@ _CANONICAL = {
     "parquet": "Parquet",
     "arrow": "Arrow",
     "arrowstream": "ArrowStream",
+    "tabseparatedraw": "TabSeparatedRaw",
+    "tsvraw": "TabSeparatedRaw",
+    "raw": "TabSeparatedRaw",
+    "null": "Null",
     "rowbinary": "RowBinary",
     "rowbinarywithnames": "RowBinaryWithNames",
     "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",

@@ -427,3 +427,17 @@ def test_max_execution_time_over_http(server_url):
             )
         )
     assert "TIMEOUT_EXCEEDED" in err.value.read().decode()
+
+
+def test_format_null_and_tsv_raw(server_url):
+    # FORMAT Null: executes fully, returns no data (CH's benchmark
+    # format) — streamed, so nothing materializes anywhere.
+    status, body, headers = _get_raw(
+        _q(server_url, "SELECT number FROM numbers(1000) FORMAT Null")
+    )
+    assert status == 200 and body == b""
+    # TabSeparatedRaw: verbatim values, no escaping.
+    status, body, _ = _get_raw(
+        _q(server_url, "SELECT 'a\\tb' AS x FORMAT TabSeparatedRaw")
+    )
+    assert status == 200 and body == b"a\tb\n"
