@@ -194,6 +194,7 @@ _FUNC_RENAMES = {
     "toJSONString": "to_json",
     "levenshteinDistance": "levenshtein",
     "editDistance": "levenshtein",
+    "editDistanceUTF8": "levenshtein",
 }
 
 # Zero-argument CH date helpers (literal textual swap; now() parses
@@ -872,6 +873,16 @@ def _map_agg_fold(a: list[str], merge: str) -> str:
     return (
         f"CASE WHEN size({cl}) = 0 THEN map() "
         f"ELSE map_from_entries(array_sort(map_entries({folded}))) END"
+    )
+
+
+def _foreach_intersect(x: str) -> str:
+    cl = f"collect_list({x})"
+    return (
+        f"CASE WHEN size({cl}) = 0 THEN array() "
+        f"ELSE aggregate(slice({cl}, 2, greatest(size({cl}) - 1, 0)), "
+        f"element_at({cl}, 1), (__acc, __x) -> "
+        f"array_intersect(__acc, __x)) END"
     )
 
 
@@ -1866,6 +1877,11 @@ _ARG_REWRITES.update({
         f"/ (size(filter({a[1]}, __l -> __l != 0)) * "
         f"size(filter({a[1]}, __l -> __l = 0))))"
     ),
+    # arrayROCAUC is the renamed modern spelling of arrayAUC.
+    "arrayROCAUC": lambda a: _ARG_REWRITES["arrayAUC"](a),
+    # groupArrayIntersect: intersection of the group's arrays —
+    # -ForEach-style fold with array_intersect (empty input → []).
+    "groupArrayIntersect": lambda a: _foreach_intersect(a[0]),
     # -- tuples / maps --
     # Star-expansion of an arbitrary struct EXPRESSION isn't legal in
     # Spark ("expr.*" needs an attribute); inline(array(x)) expands
@@ -1992,6 +2008,43 @@ _ARG_REWRITES.update({
             "mannWhitneyUTest() needs global ranks; compute "
             "rank() OVER (ORDER BY value), sum ranks per sample with "
             "a conditional aggregate, then U = R1 - n1(n1+1)/2"
+        )
+    ),
+    "kolmogorovSmirnovTest": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "kolmogorovSmirnovTest() needs both ECDFs at every "
+            "sample point; compute cume_dist() OVER (PARTITION BY "
+            "sample ORDER BY value) and take max(abs(diff)); the "
+            "p-value needs the KS CDF"
+        )
+    ),
+    "meanZTest": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "meanZTest() is a closed-form scalar over conditional "
+            "aggregates: z = (avg0-avg1)/sqrt(var0/n0+var1/n1) with "
+            "avg(CASE WHEN idx=0 THEN x END) etc.; the p-value is "
+            "2*(1-Phi(|z|))"
+        )
+    ),
+    "andersonDarlingTest": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "andersonDarlingTest() needs the ordered ECDF weighted "
+            "sum; sort with rank() OVER (ORDER BY value) and fold "
+            "the A2 statistic; the p-value needs the AD CDF"
+        )
+    ),
+    "categoricalInformationValue": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "categoricalInformationValue() is two aggregation "
+            "levels: GROUP BY category -> WoE = ln(pct_good/"
+            "pct_bad), IV = sum((pct_good-pct_bad)*WoE)"
+        )
+    ),
+    "estimateCompressionRatio": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "estimateCompressionRatio() needs the codec libraries "
+            "at aggregate time; write a sample with "
+            "execute_to_sink(fmt='parquet') and compare bytes"
         )
     ),
     "studentTTest": lambda a: (_ for _ in ()).throw(
@@ -4527,6 +4580,11 @@ def _rewrite_parametric(sql: str) -> str:
         ("quantileGK", lambda p, a: (
             f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
         )),
+        # DDSketch-relative-error quantile -> t-digest capability
+        # (first param is the relative error, dropped).
+        ("quantileDD", lambda p, a: (
+            f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
+        )),
         # Weighted quantiles → Spark percentile's frequency argument.
         ("quantileExactWeighted", lambda p, a: (
             f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
@@ -6005,7 +6063,9 @@ def _register_source(
 
         struct = parse_schema_string(_unquote(args[0]))
         names = ", ".join(f.name for f in struct.fields)
-        rows = ", ".join(args[1:])
+        # CH [..] array literals inside the row payload → array(..)
+        # (VALUES rows otherwise pass to Spark verbatim).
+        rows = ", ".join(_rewrite_array_literals(r) for r in args[1:])
         df = spark.sql(f"SELECT * FROM VALUES {rows} AS __v({names})")
         for f in struct.fields:
             df = df.withColumn(f.name, df[f.name].cast(f.dataType))

@@ -3986,3 +3986,61 @@ class TestExponentialMovingAverage:
                 f"values('v Float64, t Float64', {rows})"
             )
             assert abs(r.rows[0][0] - 5 / 3) < 1e-12
+
+
+class TestRound6ProbeTranche2:
+    """Second round-6 tranche: statistical-test refusals upgraded
+    from opaque UNRESOLVED_ROUTINE to guided errors, plus the
+    mappable stragglers."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_mapped_stragglers(self, eng):
+        r = eng.execute(
+            "SELECT editDistanceUTF8('abc', 'abd') AS e, "
+            "arrayROCAUC([0.1, 0.9], [0, 1]) AS auc, "
+            "quantileDD(0.01, 0.5)(number) AS q FROM numbers(100)"
+        )
+        e, auc, q = r.rows[0]
+        assert e == 1 and auc == 1.0 and 45 <= q <= 55
+
+    def test_group_array_intersect(self, eng):
+        r = eng.execute(
+            "SELECT groupArrayIntersect(a) AS r FROM "
+            "values('a Array(Int64)', ([1,2,3]), ([2,3,4]), ([3,2]))"
+        )
+        assert sorted(r.rows[0][0]) == [2, 3]
+        r2 = eng.execute(
+            "SELECT groupArrayIntersect(a) AS r FROM "
+            "values('a Array(Int64)', ([1])) WHERE 1 = 0"
+        )
+        assert r2.rows == [[[]]]
+
+    def test_values_array_rows(self, eng):
+        # CH [..] literals inside values() row payloads now rewrite.
+        r = eng.execute(
+            "SELECT a FROM values('a Array(Int64)', ([1,2]), ([3]))"
+        )
+        assert [row[0] for row in r.rows] == [[1, 2], [3]]
+
+    @pytest.mark.parametrize(
+        "expr,hint",
+        [
+            ("kolmogorovSmirnovTest(x, g)", "cume_dist"),
+            ("meanZTest(1,1,0.95)(x, g)", "conditional"),
+            ("andersonDarlingTest(x)", "ECDF"),
+            ("categoricalInformationValue(x, g)", "WoE"),
+            ("estimateCompressionRatio('lz4')(x)", "execute_to_sink"),
+            ("exponentialTimeDecayedSum(5)(x, g)", "state Spark mapping"),
+        ],
+    )
+    def test_guided_statistical_refusals(self, eng, expr, hint):
+        with pytest.raises(ValueError, match=hint):
+            eng.execute(
+                f"SELECT {expr} FROM "
+                "values('x Float64, g UInt8', (1.0, 0))"
+            )
