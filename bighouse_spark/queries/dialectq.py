@@ -340,3 +340,181 @@ def dialect_crypto_roundtrip(spark, sf_dir):
         FROM __dq_doc_aes ORDER BY doc_id LIMIT 50
         """,
     )
+
+
+# -- round-6 dialect features, driver-checkable -----------------------
+
+# Tuple-IN expansion: Spark's struct IN demands exact element types,
+# so the dialect expands (a, b) IN ((..), ..) field-wise; DuckDB
+# evaluates the tuple IN natively — same rows proves the expansion.
+@query(
+    "dialect_tuple_in_roundtrip",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE (o_orderpriority, o_orderstatus) IN
+      (('1-URGENT', 'O'), ('2-HIGH', 'F'), ('5-LOW', 'P'))
+GROUP BY o_orderpriority
+""",
+)
+def dialect_tuple_in_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_tin",
+        """
+        SELECT o_orderpriority, count() AS n
+        FROM __dq_orders_tin
+        WHERE (o_orderpriority, o_orderstatus) IN
+              (('1-URGENT', 'O'), ('2-HIGH', 'F'), ('5-LOW', 'P'))
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+# sumMap over a Map column: per-key sums across the group, keys
+# sorted — exported as (keys, values) arrays so the driver's
+# value-hash comparison sees plain arrays on both engines.
+@query(
+    "dialect_summap_roundtrip",
+    oracle="""
+WITH c AS (
+  SELECT user_id % 10 AS g, event_type, count(*) AS n
+  FROM events GROUP BY user_id % 10, event_type
+)
+SELECT g,
+       list(event_type ORDER BY event_type) AS ks,
+       list(n ORDER BY event_type) AS vs
+FROM c GROUP BY g
+""",
+)
+def dialect_summap_roundtrip(spark, sf_dir):
+    out = _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_sm",
+        """
+        SELECT user_id % 10 AS g,
+               sumMap(map(event_type, 1)) AS m
+        FROM __dq_events_sm GROUP BY user_id % 10
+        """,
+    )
+    return out.select(
+        "g",
+        F.map_keys("m").alias("ks"),
+        F.expr(
+            "transform(map_values(m), __x -> CAST(__x AS BIGINT))"
+        ).alias("vs"),
+    )
+
+
+# Week-based formatDateTime specs (%G ISO year, %V ISO week) — the
+# extract()-composed path — against DuckDB's native isoyear/weekofyear.
+@query(
+    "dialect_week_format_roundtrip",
+    oracle="""
+SELECT CAST(isoyear(ts) AS VARCHAR) || '-' ||
+       lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS wk,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def dialect_week_format_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_wk",
+        """
+        SELECT formatDateTime(ts, '%G-%V') AS wk, count() AS n
+        FROM __dq_events_wk GROUP BY wk
+        """,
+    )
+
+
+# toRelative{Month,Quarter,Week}Num bucket keys (DateLUT formulas)
+# recomputed closed-form by DuckDB.
+@query(
+    "dialect_relative_num_roundtrip",
+    oracle="""
+SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+       CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS q,
+       CAST(floor((datediff('day', DATE '1970-01-01', o_orderdate)
+                   + 8 - isodow(o_orderdate)) / 7) AS BIGINT) AS w,
+       count(*) AS n
+FROM orders GROUP BY 1, 2, 3
+""",
+)
+def dialect_relative_num_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_rel",
+        """
+        SELECT CAST(toRelativeMonthNum(o_orderdate) AS Int64) AS m,
+               CAST(toRelativeQuarterNum(o_orderdate) AS Int64) AS q,
+               toRelativeWeekNum(o_orderdate) AS w,
+               count() AS n
+        FROM __dq_orders_rel GROUP BY m, q, w
+        """,
+    )
+
+
+# exponentialMovingAverage(h)(v, t): the decayed weighted mean
+# anchored at the latest sample, recomputed closed-form by DuckDB
+# (weights 2^((t - t_max)/h); 1e-6 rounding per the repo float
+# policy).
+@query(
+    "agg_ema_check",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), m AS (
+  SELECT event_type, max(t) AS tm FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       round(sum(e.value * pow(2, (e.t - m.tm) / 3600.0))
+             / sum(pow(2, (e.t - m.tm) / 3600.0)), 6) AS ema
+FROM e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
+""",
+)
+def agg_ema_check(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ema",
+        """
+        SELECT event_type,
+               round(exponentialMovingAverage(3600)(
+                   value, toUnixTimestamp(ts)), 6) AS ema
+        FROM __dq_events_ema GROUP BY event_type
+        """,
+    )
+
+
+# remote() table-function erasure: the named table on the one warm
+# session — DuckDB reads the table directly.
+@query(
+    "dialect_remote_roundtrip",
+    oracle="""
+SELECT r_name, CAST(r_regionkey AS BIGINT) AS k
+FROM region
+""",
+)
+def dialect_remote_roundtrip(spark, sf_dir):
+    t(spark, sf_dir, "region").createOrReplaceTempView("__dq_region_rm")
+    from bighouse_spark.dialect.transpile import transpile as _tp
+
+    sql = _tp(
+        "SELECT r_name, CAST(r_regionkey AS Int64) AS k "
+        "FROM remote('127.0.0.1:9000', default, __dq_region_rm)",
+        spark,
+    ).sql
+    return spark.sql(sql)
