@@ -72,7 +72,11 @@ def normalize_set_statement(sql: str) -> str | None:
 def merge_settings_clause(sql: str, settings: dict[str, str]) -> str:
     """Inject persisted settings as a trailing SETTINGS clause on a
     SELECT-ish statement; the query's own SETTINGS win on conflict.
-    Non-SELECT statements pass through unchanged."""
+    Appending at the very END is deliberate: the engine's transpile
+    strips SETTINGS first and FORMAT second, so its supported clause
+    order is ``... [FORMAT x] SETTINGS ...`` — a wire statement with
+    a trailing FORMAT keeps working. Non-SELECT statements pass
+    through unchanged."""
     if not settings or not SELECTISH_RE.match(sql):
         return sql
     merged = dict(settings)
