@@ -457,9 +457,9 @@ class _Handler(socketserver.BaseRequestHandler):
         if portal["result"] is None:
             portal["result"] = self.server.engine.execute(
                 QueryRequest(
-                    query=merge_settings_clause(
-                        portal["sql"], self._settings
-                    ),
+                    query=(normalize_set_statement(portal["sql"])
+                           or merge_settings_clause(
+                               portal["sql"], self._settings)),
                     remote=True,
                 )
             )

@@ -420,3 +420,20 @@ class TestPGStreaming:
             assert e2 is None and r2 == [["1"]]
         finally:
             c.close()
+
+
+class TestPGExtendedProtocolSettings(TestPGExtendedProtocol):
+    def test_set_to_persists_via_extended_protocol(self, pg):
+        # psycopg3 sends SET through Parse/Bind/Execute; the TO
+        # spelling must normalize and persist for the connection.
+        K2 = "11160318154034397263"
+        c = PGClient(pg.host, pg.port)
+        try:
+            self._parse(c, "", "SET exact_cityhash TO 1")
+            self._bind(c, "", "", [])
+            self._send(c, b"E", _cstr("") + struct.pack("!i", 0))
+            self._drain_until_ready(c)
+            _, rows, err = c.query("SELECT cityHash64('') AS h")
+            assert err is None and rows[0][0] == K2
+        finally:
+            c.close()
