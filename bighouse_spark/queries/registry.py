@@ -49,6 +49,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
+# ROUND-7 ROTATION CANDIDATES (per the contract, new code paths get
+# driver rows the round after they land): the seven round-6
+# additions dialect_tuple_in_roundtrip, dialect_summap_roundtrip,
+# dialect_week_format_roundtrip, dialect_relative_num_roundtrip,
+# agg_ema_check, dialect_remote_roundtrip, plus re-checks of the
+# queries whose plans changed (dedup_minhash_lsh fused cap,
+# dedup_semantic_within_cluster cluster cap). Fill with the oldest
+# names below.
+#
 # ROUND-6 WINDOW (50 names, ALL oracle-bearing). The rotation
 # contract: new code paths get driver rows the round after they
 # land, then fill with the OLDEST-green names. Composition, exactly:
