@@ -165,3 +165,20 @@ class TestRound4PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "row_number" in plan  # the cluster-size cap window
+
+
+class TestRound6PlanShapes:
+    def test_tuple_in_expansion_reaches_the_scan(self, spark):
+        # The field-wise tuple-IN expansion must stay a scan-side
+        # filter (DataFilters on the parquet scan, pruned ReadSchema,
+        # one aggregation exchange) — not a join or a post-shuffle
+        # filter.
+        plan = physical_plan(
+            get("dialect_tuple_in_roundtrip").fn(spark, SF_CORRECT)
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        scan = plan.split("FileScan parquet")[1].splitlines()[0]
+        assert "o_orderstatus" in scan and "o_orderpriority" in scan
+        assert "1-URGENT" in scan  # the expanded predicate, scan-side
+        read = plan.split("ReadSchema: ")[1].splitlines()[0]
+        assert "o_totalprice" not in read and "o_custkey" not in read
