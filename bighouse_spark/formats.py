@@ -554,6 +554,78 @@ def _render_rowbinary(names: bool, types_row: bool):
     return render
 
 
+# ---------------------------------------------------------------------------
+# Native — ClickHouse's columnar block format (what clickhouse-connect
+# and clickhouse-driver request over HTTP). One block per render:
+# [ncols uvarint][nrows uvarint] then per column: name (leb128 str),
+# type (leb128 str), values column-contiguous in the same LE binary
+# encodings as RowBinary. Nullable columns write the null-mask bytes
+# (1 per row) first, then every value slot (defaults for NULL).
+# Array columns write cumulative UInt64 offsets then the flattened
+# inner data. An empty result is a header-only block (ncols, 0,
+# names+types, no data) — CH sends the same so clients learn the
+# schema.
+# ---------------------------------------------------------------------------
+
+_NATIVE_DEFAULTS = {
+    "Int8": 0, "Int16": 0, "Int32": 0, "Int64": 0,
+    "UInt8": 0, "UInt16": 0, "UInt32": 0, "UInt64": 0,
+    "Float32": 0.0, "Float64": 0.0, "Bool": False, "String": "",
+    "Date": _EPOCH_DATE, "Date32": _EPOCH_DATE, "DateTime": _EPOCH_DT,
+}
+
+
+def _native_default(t: str):
+    if t.startswith("DateTime64"):
+        return _EPOCH_DT
+    if t.startswith("Decimal"):
+        return Decimal(0)
+    if t.startswith("Array"):
+        return []
+    return _NATIVE_DEFAULTS.get(t, "")
+
+
+def _native_column(values: list, t: str) -> bytes:
+    """One column's Native data block (no name/type header)."""
+    t = t.strip()
+    out = bytearray()
+    if t.startswith("Nullable("):
+        inner = t[9:-1]
+        out += bytes(1 if v is None else 0 for v in values)
+        dflt = _native_default(inner)
+        out += _native_column(
+            [dflt if v is None else v for v in values], inner
+        )
+        return bytes(out)
+    if t.startswith("Array("):
+        inner = t[6:-1]
+        flat: list = []
+        total = 0
+        for v in values:
+            total += len(v)
+            out += struct.pack("<Q", total)
+            flat.extend(v)
+        out += _native_column(flat, inner)
+        return bytes(out)
+    enc = rowbinary_encoder(t)
+    for v in values:
+        out += enc(v)
+    return bytes(out)
+
+
+def _render_native(cols, rows, types, elapsed) -> bytes:
+    tl = types or ["String"] * len(cols)
+    out = bytearray()
+    out += _leb128(len(cols))
+    out += _leb128(len(rows))
+    for i, (name, t) in enumerate(zip(cols, tl)):
+        out += _leb128_str(name)
+        out += _leb128_str(t)
+        if rows:
+            out += _native_column([r[i] for r in rows], t)
+    return bytes(out)
+
+
 # Line-based formats render per-row with bytes IDENTICAL to the
 # collected renderers above (each emits line + "\n"; the collected
 # path joins lines with "\n" and appends a trailing "\n" when any
@@ -672,6 +744,7 @@ _RENDERERS = {
     "TabSeparatedRaw": (
         _render_tsv_raw, "text/tab-separated-values; charset=UTF-8"
     ),
+    "Native": (_render_native, "application/octet-stream"),
     "Null": (_render_null, "text/plain; charset=UTF-8"),
     "RowBinary": (
         _render_rowbinary(False, False), "application/octet-stream"
@@ -709,6 +782,7 @@ _CANONICAL = {
     "arrow": "Arrow",
     "arrowstream": "ArrowStream",
     "tabseparatedraw": "TabSeparatedRaw",
+    "native": "Native",
     "tsvraw": "TabSeparatedRaw",
     "raw": "TabSeparatedRaw",
     "null": "Null",

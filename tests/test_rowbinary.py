@@ -211,3 +211,77 @@ class TestRowBinaryProperty:
         c2, t2, r2 = decode_with_names_and_types(buf)
         assert c2 == cols and t2 == types
         assert r2 == rows
+
+
+# -- Native (columnar blocks) ----------------------------------------
+
+def _native_read_column(buf, pos, t, nrows):
+    t = t.strip()
+    if t.startswith("Nullable("):
+        mask = list(buf[pos:pos + nrows])
+        pos += nrows
+        vals, pos = _native_read_column(buf, pos, t[9:-1], nrows)
+        return [None if m else v for m, v in zip(mask, vals)], pos
+    if t.startswith("Array("):
+        offsets = []
+        for _ in range(nrows):
+            offsets.append(struct.unpack("<Q", buf[pos:pos + 8])[0])
+            pos += 8
+        total = offsets[-1] if offsets else 0
+        flat, pos = _native_read_column(buf, pos, t[6:-1], total)
+        out, start = [], 0
+        for off in offsets:
+            out.append(flat[start:off])
+            start = off
+        return out, pos
+    out = []
+    for _ in range(nrows):
+        v, pos = _read_value(buf, pos, t)
+        out.append(v)
+    return out, pos
+
+
+def decode_native(buf):
+    ncols, pos = _read_leb128(buf, 0)
+    nrows, pos = _read_leb128(buf, pos)
+    cols, types, columns = [], [], []
+    for _ in range(ncols):
+        c, pos = _read_str(buf, pos)
+        t, pos = _read_str(buf, pos)
+        cols.append(c)
+        types.append(t)
+        vals, pos = _native_read_column(buf, pos, t, nrows)
+        columns.append(vals)
+    rows = [list(r) for r in zip(*columns)] if nrows else []
+    return cols, types, rows
+
+
+def test_native_roundtrip_units():
+    from bighouse_spark.formats import render_result as rr
+
+    cols = ["i", "n", "s", "a"]
+    types = ["Int64", "Nullable(Int64)", "String", "Array(Int32)"]
+    rows = [[1, None, "x", [1, 2]], [2, 7, "", []], [3, 8, "héllo", [5]]]
+    buf = rr(cols, rows, "Native", types=types, elapsed=0.0)[0]
+    c2, t2, r2 = decode_native(buf)
+    assert c2 == cols and t2 == types and r2 == rows
+
+
+def test_native_empty_result_is_schema_only():
+    from bighouse_spark.formats import render_result as rr
+
+    buf = rr(["x"], [], "Native", types=["Int64"], elapsed=0.0)[0]
+    cols, types, rows = decode_native(buf)
+    assert cols == ["x"] and types == ["Int64"] and rows == []
+
+
+def test_native_over_http(base):
+    body, h = _get(
+        base,
+        "SELECT number AS n, toString(number) AS s FROM numbers(100) "
+        "ORDER BY n FORMAT Native",
+    )
+    assert h.get("X-ClickHouse-Format") == "Native"
+    cols, types, rows = decode_native(body)
+    assert cols == ["n", "s"] and len(rows) == 100
+    assert rows[42] == [42, "42"]
