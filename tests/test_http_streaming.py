@@ -150,3 +150,47 @@ def test_engine_stream_sink_never_materializes(spark):
     )
     assert not sink2.started
     assert res2.rows == [[1]]
+
+
+def test_concurrent_streamed_and_session_queries(base):
+    """8 threads × mixed traffic: chunked streaming, collected gzip,
+    session SETs and session reads — all against one engine. Proves
+    the sink/session/inflight locking composes under concurrency."""
+    import threading
+
+    errors: list[str] = []
+
+    def worker(i: int) -> None:
+        try:
+            sid = f"conc_{i}"
+            _get(base, f"SET max_threads = {i + 1}", session_id=sid)
+            body, h = _get(
+                base,
+                f"SELECT number AS n FROM numbers({1000 * (i + 1)}) "
+                "ORDER BY n",
+            )
+            lines = body.decode().strip().splitlines()
+            if len(lines) != 1000 * (i + 1) or lines[-1] != str(
+                1000 * (i + 1) - 1
+            ):
+                errors.append(f"worker {i}: bad streamed result")
+            gz, _ = _get(
+                base, "SELECT count() AS c FROM numbers(5000)",
+                headers={"Accept-Encoding": "gzip"},
+            )
+            if gzip.decompress(gz).strip() != b"5000":
+                errors.append(f"worker {i}: bad collected result")
+            body2, _ = _get(base, "SELECT 1 AS x", session_id=sid)
+            if body2.strip() != b"1":
+                errors.append(f"worker {i}: bad session read")
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"worker {i}: {e}")
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert errors == []
