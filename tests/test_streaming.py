@@ -187,3 +187,59 @@ def test_streaming_corpus_quality_filter_matches_batch(spark, tmp_path):
     assert len(got) > 0
     assert sorted((r.doc_id, r.n_words, r.mean_word_len) for r in got) \
         == sorted((r.doc_id, r.n_words, r.mean_word_len) for r in batch)
+
+
+def test_streaming_url_canonical_dedup_matches_batch(spark, tmp_path):
+    """URL-canonicalization dedup is stream-safe end-to-end: the
+    canonicalizer is a stateless projection and the keep-first rule
+    is streaming dropDuplicates keyed on the canonical URL — the
+    shape of a continuously-ingesting crawl pipeline (dedup on
+    arrival). Batch keep-set == streamed keep-set. (At cluster scale
+    the state is bounded with a watermark on the ingest timestamp;
+    availableNow here drains the fixture completely.)"""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "docs_url_stream")
+    load_table(spark, SF_SMOKE, "documents").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def canonicalize(df):
+        url = F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.com/item/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+        )
+        canon = F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(url, r"\?.*$", "")),
+                r"^https://www\.", "https://",
+            ),
+            "/$", "",
+        )
+        return df.select("doc_id", "source", canon.alias("canonical"))
+
+    batch_keys = {
+        (r.source, r.canonical)
+        for r in canonicalize(spark.read.parquet(d))
+        .dropDuplicates(["source", "canonical"]).collect()
+    }
+    q = (
+        canonicalize(spark.readStream.schema(schema).parquet(d))
+        .dropDuplicates(["source", "canonical"])
+        .writeStream.format("memory")
+        .queryName("url_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT source, canonical FROM url_dedup_stream"
+    ).collect()
+    assert len(got) == len(batch_keys) > 0
+    assert {(r.source, r.canonical) for r in got} == batch_keys
