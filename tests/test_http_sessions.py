@@ -155,3 +155,16 @@ def test_concurrent_session_use_is_locked_373(server, base):
         sess.lock.release()
     # Released → usable again.
     assert _q(base, "SELECT 2 AS x", session_id="s_lock").strip() == "2"
+
+
+def test_drop_temporary_table_spelling(base):
+    _q(
+        base,
+        "CREATE TEMPORARY TABLE IF NOT EXISTS ttds ENGINE = Memory "
+        "AS SELECT 3 AS v",
+        session_id="s_dts",
+    )
+    assert _q(base, "SELECT v FROM ttds", session_id="s_dts").strip() == "3"
+    _q(base, "DROP TEMPORARY TABLE ttds", session_id="s_dts")
+    code, _, _ = _q_err(base, "SELECT v FROM ttds", session_id="s_dts")
+    assert code == 400

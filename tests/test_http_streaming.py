@@ -194,3 +194,41 @@ def test_concurrent_streamed_and_session_queries(base):
     for t in threads:
         t.join(120)
     assert errors == []
+
+
+def test_keepalive_reuse_after_chunked_response(base):
+    """Two requests on ONE HTTP/1.1 connection, the first streamed:
+    the chunked framing must terminate exactly (0-chunk) or the
+    second response never parses — the keep-alive contract
+    clickhouse-connect style clients rely on."""
+    import socket
+
+    host, port = base.replace("http://", "").split(":")
+    q1 = urllib.parse.urlencode(
+        {"query": "SELECT number FROM numbers(5000)"}
+    )
+    q2 = urllib.parse.urlencode({"query": "SELECT 42 AS x"})
+    with socket.create_connection((host, int(port)), timeout=60) as s:
+        s.sendall(
+            f"GET /?{q1} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()
+        )
+        buf = b""
+        while b"0\r\n\r\n" not in buf:
+            chunk = s.recv(65536)
+            assert chunk, "closed before the terminal chunk"
+            buf += chunk
+        assert b"Transfer-Encoding: chunked" in buf
+        s.sendall(
+            f"GET /?{q2} HTTP/1.1\r\nHost: {host}\r\n"
+            f"Connection: close\r\n\r\n".encode()
+        )
+        buf2 = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf2 += chunk
+    assert b"200" in buf2.split(b"\r\n", 1)[0]
+    # The second response streams too: one "42\n" chunk + terminal.
+    assert b"\r\n42\n\r\n" in buf2
+    assert buf2.rstrip().endswith(b"0")
