@@ -824,6 +824,105 @@ class BigHouseEngine:
         self.query_log.append(QueryLogEntry(query, transpiled, elapsed, -1))
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
 
+    def _append_aligned(
+        self, aligned, name: str, query: str, desc: str, t0: float
+    ) -> QueryResult:
+        """Shared tail of every payload-INSERT path: append-write the
+        aligned rows to the attached storage, refresh caches/MVs, log."""
+        path, fmt, schema = self._attached[name]
+        self._table_writer(aligned, name, fmt, "append").save(path)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                self._refresh_mv(mv_name)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, desc, elapsed, -1)
+        )
+        return QueryResult(cols=["path"], rows=[[path]],
+                           elapsed_sec=elapsed)
+
+    def insert_rowbinary(
+        self, name: str, payload: bytes, named: bool = False
+    ) -> QueryResult:
+        """``INSERT INTO <attached> FORMAT RowBinary`` with a BINARY
+        payload (the scripting write path — text INSERT formats ride
+        ``execute``; binary bytes cannot survive the query-string
+        decode). Plain RowBinary decodes positionally against the
+        table schema's CH type names; WithNamesAndTypes decodes per
+        its own header and aligns columns BY NAME."""
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.formats import (
+            ch_type_names,
+            parse_rowbinary,
+            parse_rowbinary_with_names_and_types,
+        )
+
+        t0 = time.monotonic()
+        if name not in self._attached:
+            raise ValueError(
+                f"INSERT INTO {name}: not an attached table"
+            )
+        target = self.spark.table(name).schema
+        if named:
+            cols, _types, rows = parse_rowbinary_with_names_and_types(
+                payload
+            )
+            idx = {c: i for i, c in enumerate(cols)}
+            missing = [f.name for f in target.fields if f.name not in idx]
+            if missing:
+                raise ValueError(
+                    f"INSERT INTO {name}: payload lacks columns "
+                    f"{missing}"
+                )
+            tuples = [
+                tuple(r[idx[f.name]] for f in target.fields)
+                for r in rows
+            ]
+        else:
+            # Positional decode types come from the table's DECLARED
+            # CH schema when we have it (a client encodes per the
+            # DDL: `a Int64` has no null flags even though the
+            # parquet field is Spark-nullable); schema-derived
+            # Nullable(...) spellings are only the fallback.
+            from bighouse_spark.formats import (
+                _split_type_args,
+                ch_type_name,
+            )
+
+            _, _, ch_schema = self._attached[name]
+            types = []
+            if ch_schema:
+                types = [
+                    f.partition(" ")[2].strip() or "String"
+                    for f in _split_type_args(ch_schema)
+                ]
+            if len(types) != len(target.fields):
+                # Parquet-backed tables store no CH schema string;
+                # CH DDL types are non-nullable unless declared
+                # Nullable, so the positional wire layout has no
+                # null flags.
+                types = [
+                    ch_type_name(f.dataType, nullable=False)
+                    for f in target.fields
+                ]
+            rows = parse_rowbinary(payload, types)
+            tuples = [tuple(r) for r in rows]
+        df = self.spark.createDataFrame(tuples, target)
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        fmt_desc = (
+            "rowbinarywithnamesandtypes" if named else "rowbinary"
+        )
+        return self._append_aligned(
+            aligned, name,
+            f"INSERT INTO {name} FORMAT RowBinary <binary>",
+            f"<insert {fmt_desc}>", t0,
+        )
+
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int, t0: float
     ) -> QueryResult:
@@ -1275,20 +1374,9 @@ class BigHouseEngine:
                 aligned = df.select(
                     *[F.col(f.name).cast(f.dataType) for f in target.fields]
                 )
-            path, fmt, schema = self._attached[name]
-            self._table_writer(aligned, name, fmt, "append").save(path)
-            self.clear_cache()
-            self.attach_table(name, path, fmt=fmt, schema=schema)
-            for mv_name, mv in self._mviews.items():
-                if mv["source"] == name:
-                    self._refresh_mv(mv_name)
-            elapsed = time.monotonic() - t0
-            self.query_log.append(
-                QueryLogEntry(request.query, f"<insert {fmt_name}>",
-                              elapsed, -1)
+            return self._append_aligned(
+                aligned, name, request.query, f"<insert {fmt_name}>", t0
             )
-            return QueryResult(cols=["path"], rows=[[path]],
-                               elapsed_sec=elapsed)
         # CH's INSERT INTO <table> append form against ATTACHed
         # storage (positional columns, like CH).
         m_tbl = self._INSERT_TBL_RE.match(request.query)

@@ -554,6 +554,158 @@ def _render_rowbinary(names: bool, types_row: bool):
     return render
 
 
+def _read_leb128(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def rowbinary_decoder(ch_type: str):
+    """RowBinary bytes → value for one CH-spelled type (the INSERT
+    payload direction; inverse of ``rowbinary_encoder``)."""
+    t = ch_type.strip()
+    if t.startswith("Nullable("):
+        inner = rowbinary_decoder(t[9:-1])
+
+        def dec_null(buf: bytes, pos: int):
+            flag = buf[pos]
+            pos += 1
+            if flag:
+                return None, pos
+            return inner(buf, pos)
+
+        return dec_null
+    simple = {
+        "Int8": ("<b", 1), "UInt8": ("<B", 1), "Int16": ("<h", 2),
+        "UInt16": ("<H", 2), "Int32": ("<i", 4), "UInt32": ("<I", 4),
+        "Int64": ("<q", 8), "UInt64": ("<Q", 8),
+        "Float32": ("<f", 4), "Float64": ("<d", 8),
+    }
+    if t in simple:
+        fmt, width = simple[t]
+        return lambda buf, pos: (
+            struct.unpack(fmt, buf[pos:pos + width])[0], pos + width
+        )
+    if t == "Bool":
+        return lambda buf, pos: (bool(buf[pos]), pos + 1)
+    if t == "Date":
+        return lambda buf, pos: (
+            _EPOCH_DATE
+            + __import__("datetime").timedelta(
+                days=struct.unpack("<H", buf[pos:pos + 2])[0]
+            ),
+            pos + 2,
+        )
+    if t == "Date32":
+        return lambda buf, pos: (
+            _EPOCH_DATE
+            + __import__("datetime").timedelta(
+                days=struct.unpack("<i", buf[pos:pos + 4])[0]
+            ),
+            pos + 4,
+        )
+    if t == "DateTime":
+        return lambda buf, pos: (
+            _EPOCH_DT
+            + __import__("datetime").timedelta(
+                seconds=struct.unpack("<I", buf[pos:pos + 4])[0]
+            ),
+            pos + 4,
+        )
+    m = re.match(r"DateTime64\((\d+)", t)
+    if m:
+        p = int(m.group(1))
+
+        def dec_dt64(buf: bytes, pos: int, p=p):
+            ticks = struct.unpack("<q", buf[pos:pos + 8])[0]
+            micros = ticks * 1_000_000 // (10 ** p)
+            return (
+                _EPOCH_DT
+                + __import__("datetime").timedelta(microseconds=micros),
+                pos + 8,
+            )
+
+        return dec_dt64
+    m = re.match(r"Decimal\((\d+),\s*(\d+)\)$", t)
+    if m:
+        prec, scale = int(m.group(1)), int(m.group(2))
+        width = 4 if prec <= 9 else 8 if prec <= 18 else \
+            16 if prec <= 38 else 32
+
+        def dec_dec(buf: bytes, pos: int, width=width, scale=scale):
+            iv = int.from_bytes(
+                buf[pos:pos + width], "little", signed=True
+            )
+            return Decimal(iv) / (10 ** scale), pos + width
+
+        return dec_dec
+    if t.startswith("Array("):
+        inner = rowbinary_decoder(t[6:-1])
+
+        def dec_arr(buf: bytes, pos: int):
+            n, pos = _read_leb128(buf, pos)
+            out = []
+            for _ in range(n):
+                v, pos = inner(buf, pos)
+                out.append(v)
+            return out, pos
+
+        return dec_arr
+    # String & default: length-prefixed UTF-8.
+
+    def dec_str(buf: bytes, pos: int):
+        ln, pos = _read_leb128(buf, pos)
+        return buf[pos:pos + ln].decode("utf-8", "replace"), pos + ln
+
+    return dec_str
+
+
+def parse_rowbinary(
+    data: bytes, types: list[str]
+) -> list[list]:
+    """Decode a RowBinary payload (no header) against the target
+    types; raises on trailing garbage so a width mismatch fails
+    loudly instead of inserting shifted values."""
+    decs = [rowbinary_decoder(t) for t in types]
+    rows: list[list] = []
+    pos = 0
+    while pos < len(data):
+        row = []
+        for dec in decs:
+            v, pos = dec(data, pos)
+            row.append(v)
+        rows.append(row)
+    if pos != len(data):
+        raise ValueError(
+            f"RowBinary payload has {len(data) - pos} trailing bytes"
+        )
+    return rows
+
+
+def parse_rowbinary_with_names_and_types(
+    data: bytes,
+) -> tuple[list[str], list[str], list[list]]:
+    """Decode a RowBinaryWithNamesAndTypes payload: leb128 column
+    count, names, CH type names, then rows per the declared types."""
+    ncols, pos = _read_leb128(data, 0)
+    names: list[str] = []
+    types: list[str] = []
+    for _ in range(ncols):
+        ln, pos = _read_leb128(data, pos)
+        names.append(data[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    for _ in range(ncols):
+        ln, pos = _read_leb128(data, pos)
+        types.append(data[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return names, types, parse_rowbinary(data[pos:], types)
+
+
 # ---------------------------------------------------------------------------
 # Native — ClickHouse's columnar block format (what clickhouse-connect
 # and clickhouse-driver request over HTTP). One block per render:

@@ -80,6 +80,12 @@ def _dumps(payload: Any) -> bytes:
 # bare name are rewritten outside string literals, so another session
 # (or no session) never resolves them.
 
+_INSERT_RB_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FORMAT\s+"
+    r"(RowBinary|RowBinaryWithNamesAndTypes)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _CREATE_TMP_RE = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*)",
@@ -321,7 +327,18 @@ class _Handler(BaseHTTPRequestHandler):
     def _ch_http(self, parsed, body: bytes) -> None:
         params = urllib.parse.parse_qs(parsed.query)
         sql = (params.get("query") or [""])[0]
-        if body:
+        # Binary INSERT payloads (FORMAT RowBinary*) must NOT ride the
+        # text concatenation below — a utf-8 decode corrupts them.
+        rb_insert: tuple[str, bool] | None = None
+        rb_body = b""
+        m_rb = _INSERT_RB_RE.match(sql) if body else None
+        if m_rb:
+            rb_insert = (
+                m_rb.group(1),
+                m_rb.group(2).lower() == "rowbinarywithnamesandtypes",
+            )
+            rb_body = body
+        elif body:
             # CH semantics: URL query + body are concatenated — the
             # body is either the rest of the statement or an INSERT
             # data payload.
@@ -421,11 +438,19 @@ class _Handler(BaseHTTPRequestHandler):
             ):
                 sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
             try:
-                result = self.engine.execute(
-                    QueryRequest(query=sql, init_queries=init,
-                                 query_id=qid, remote=True),
-                    stream_to=sink,
-                )
+                if rb_insert is not None:
+                    nm = rb_insert[0]
+                    if sess is not None:
+                        nm = sess.temp_tables.get(nm, nm)
+                    result = self.engine.insert_rowbinary(
+                        nm, rb_body, named=rb_insert[1]
+                    )
+                else:
+                    result = self.engine.execute(
+                        QueryRequest(query=sql, init_queries=init,
+                                     query_id=qid, remote=True),
+                        stream_to=sink,
+                    )
             except Exception as e:
                 if sink is not None and sink.headers_sent:
                     # Result bytes are on the wire (CH hits this

@@ -285,3 +285,78 @@ def test_native_over_http(base):
     cols, types, rows = decode_native(body)
     assert cols == ["n", "s"] and len(rows) == 100
     assert rows[42] == [42, "42"]
+
+
+# -- binary INSERT payloads ------------------------------------------
+
+@pytest.fixture(scope="module")
+def server_and_base(spark):
+    from bighouse_spark.server import start_in_background
+
+    srv, _ = start_in_background(BigHouseEngine(spark))
+    yield srv, f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _post_binary(base: str, sql: str, payload: bytes):
+    qs = urllib.parse.urlencode({"query": sql})
+    req = urllib.request.Request(
+        f"{base}/?{qs}", data=payload, method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read()
+
+
+def test_rowbinary_insert_over_http(server_and_base):
+    from bighouse_spark.formats import _leb128
+
+    srv, base = server_and_base
+    eng = srv.RequestHandlerClass.engine
+    eng.execute("CREATE TABLE rb_ins (a Int64, s String) ENGINE = Memory")
+    try:
+        # Plain RowBinary: positional per the DECLARED DDL types
+        # (Int64 without null flags, leb128 string).
+        payload = b"".join(
+            struct.pack("<q", i) + _leb128(len(f"v{i}")) +
+            f"v{i}".encode()
+            for i in range(5)
+        )
+        status, _ = _post_binary(
+            base, "INSERT INTO rb_ins FORMAT RowBinary", payload
+        )
+        assert status == 200
+        r = eng.execute("SELECT a, s FROM rb_ins ORDER BY a")
+        assert r.rows == [[i, f"v{i}"] for i in range(5)]
+
+        # WithNamesAndTypes: self-described header, columns aligned
+        # BY NAME (reversed column order on the wire).
+        head = _leb128(2)
+        for nm in ("s", "a"):
+            head += _leb128(len(nm)) + nm.encode()
+        for t in ("String", "Int64"):
+            head += _leb128(len(t)) + t.encode()
+        body = _leb128(3) + b"wnt" + struct.pack("<q", 99)
+        status, _ = _post_binary(
+            base,
+            "INSERT INTO rb_ins FORMAT RowBinaryWithNamesAndTypes",
+            head + body,
+        )
+        assert status == 200
+        r2 = eng.execute(
+            "SELECT a, s FROM rb_ins WHERE a = 99"
+        )
+        assert r2.rows == [[99, "wnt"]]
+
+        # A truncated payload fails loudly, nothing half-inserted.
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            _post_binary(
+                base, "INSERT INTO rb_ins FORMAT RowBinary",
+                struct.pack("<q", 1) + b"\x05ab",  # short string
+            )
+        n = eng.execute("SELECT count() AS c FROM rb_ins").rows[0][0]
+        assert n == 6
+    finally:
+        eng.execute("DROP TABLE rb_ins")
