@@ -843,6 +843,40 @@ class BigHouseEngine:
         return QueryResult(cols=["path"], rows=[[path]],
                            elapsed_sec=elapsed)
 
+    def insert_native(self, name: str, payload: bytes) -> QueryResult:
+        """``INSERT INTO <attached> FORMAT Native`` with a binary
+        columnar-block payload (clickhouse-connect's write path).
+        Blocks self-describe names and types; columns align BY NAME."""
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.formats import parse_native
+
+        t0 = time.monotonic()
+        if name not in self._attached:
+            raise ValueError(
+                f"INSERT INTO {name}: not an attached table"
+            )
+        target = self.spark.table(name).schema
+        cols, _types, rows = parse_native(payload)
+        idx = {c: i for i, c in enumerate(cols)}
+        missing = [f.name for f in target.fields if f.name not in idx]
+        if missing:
+            raise ValueError(
+                f"INSERT INTO {name}: payload lacks columns {missing}"
+            )
+        tuples = [
+            tuple(r[idx[f.name]] for f in target.fields) for r in rows
+        ]
+        df = self.spark.createDataFrame(tuples, target)
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
+        return self._append_aligned(
+            aligned, name,
+            f"INSERT INTO {name} FORMAT Native <binary>",
+            "<insert native>", t0,
+        )
+
     def insert_rowbinary(
         self, name: str, payload: bytes, named: bool = False
     ) -> QueryResult:

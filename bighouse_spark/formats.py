@@ -765,6 +765,76 @@ def _native_column(values: list, t: str) -> bytes:
     return bytes(out)
 
 
+def _native_read_column(
+    data: bytes, pos: int, t: str, nrows: int
+) -> tuple[list, int]:
+    t = t.strip()
+    if t.startswith("Nullable("):
+        mask = list(data[pos:pos + nrows])
+        pos += nrows
+        vals, pos = _native_read_column(data, pos, t[9:-1], nrows)
+        return [None if m else v for m, v in zip(mask, vals)], pos
+    if t.startswith("Array("):
+        offsets = []
+        for _ in range(nrows):
+            offsets.append(struct.unpack("<Q", data[pos:pos + 8])[0])
+            pos += 8
+        total = offsets[-1] if offsets else 0
+        flat, pos = _native_read_column(data, pos, t[6:-1], total)
+        out, start = [], 0
+        for off in offsets:
+            out.append(flat[start:off])
+            start = off
+        return out, pos
+    dec = rowbinary_decoder(t)
+    out = []
+    for _ in range(nrows):
+        v, pos = dec(data, pos)
+        out.append(v)
+    return out, pos
+
+
+def parse_native(
+    data: bytes,
+) -> tuple[list[str], list[str], list[list]]:
+    """Decode a Native payload (one or more columnar blocks — CH
+    clients send INSERT data in several) into (cols, types, rows).
+    Later blocks must repeat the first block's column set."""
+    cols: list[str] = []
+    types: list[str] = []
+    all_rows: list[list] = []
+    first = True
+    pos = 0
+    while pos < len(data):
+        ncols, pos = _read_leb128(data, pos)
+        nrows, pos = _read_leb128(data, pos)
+        block_cols: list[str] = []
+        columns: list[list] = []
+        for _ in range(ncols):
+            ln, pos = _read_leb128(data, pos)
+            name = data[pos:pos + ln].decode("utf-8")
+            pos += ln
+            ln, pos = _read_leb128(data, pos)
+            t = data[pos:pos + ln].decode("utf-8")
+            pos += ln
+            block_cols.append(name)
+            if first:
+                types.append(t)
+            vals, pos = _native_read_column(data, pos, t, nrows)
+            columns.append(vals)
+        if first:
+            cols = block_cols
+            first = False
+        elif block_cols != cols:
+            raise ValueError(
+                "Native payload blocks disagree on columns: "
+                f"{block_cols} vs {cols}"
+            )
+        if nrows:
+            all_rows.extend(list(r) for r in zip(*columns))
+    return cols, types, all_rows
+
+
 def _render_native(cols, rows, types, elapsed) -> bytes:
     tl = types or ["String"] * len(cols)
     out = bytearray()

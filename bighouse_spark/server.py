@@ -82,7 +82,7 @@ def _dumps(payload: Any) -> bytes:
 
 _INSERT_RB_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FORMAT\s+"
-    r"(RowBinary|RowBinaryWithNamesAndTypes)\s*;?\s*$",
+    r"(RowBinary|RowBinaryWithNamesAndTypes|Native)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -333,10 +333,7 @@ class _Handler(BaseHTTPRequestHandler):
         rb_body = b""
         m_rb = _INSERT_RB_RE.match(sql) if body else None
         if m_rb:
-            rb_insert = (
-                m_rb.group(1),
-                m_rb.group(2).lower() == "rowbinarywithnamesandtypes",
-            )
+            rb_insert = (m_rb.group(1), m_rb.group(2).lower())
             rb_body = body
         elif body:
             # CH semantics: URL query + body are concatenated — the
@@ -439,12 +436,16 @@ class _Handler(BaseHTTPRequestHandler):
                 sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
             try:
                 if rb_insert is not None:
-                    nm = rb_insert[0]
+                    nm, bfmt = rb_insert
                     if sess is not None:
                         nm = sess.temp_tables.get(nm, nm)
-                    result = self.engine.insert_rowbinary(
-                        nm, rb_body, named=rb_insert[1]
-                    )
+                    if bfmt == "native":
+                        result = self.engine.insert_native(nm, rb_body)
+                    else:
+                        result = self.engine.insert_rowbinary(
+                            nm, rb_body,
+                            named=(bfmt == "rowbinarywithnamesandtypes"),
+                        )
                 else:
                     result = self.engine.execute(
                         QueryRequest(query=sql, init_queries=init,

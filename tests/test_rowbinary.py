@@ -360,3 +360,36 @@ def test_rowbinary_insert_over_http(server_and_base):
         assert n == 6
     finally:
         eng.execute("DROP TABLE rb_ins")
+
+
+def test_native_insert_over_http(server_and_base):
+    from bighouse_spark.formats import _leb128, _leb128_str
+
+    srv, base = server_and_base
+    eng = srv.RequestHandlerClass.engine
+    eng.execute(
+        "CREATE TABLE nat_ins (a Int64, s String) ENGINE = Memory"
+    )
+    try:
+        def block(rows):
+            out = bytearray()
+            out += _leb128(2) + _leb128(len(rows))
+            out += _leb128_str("s") + _leb128_str("String")
+            for _, sv in rows:
+                out += _leb128_str(sv)
+            out += _leb128_str("a") + _leb128_str("Int64")
+            for av, _ in rows:
+                out += struct.pack("<q", av)
+            return bytes(out)
+
+        # Two blocks (CH clients chunk inserts), columns by NAME in a
+        # different order from the DDL.
+        payload = block([(1, "one"), (2, "two")]) + block([(3, "three")])
+        status, _ = _post_binary(
+            base, "INSERT INTO nat_ins FORMAT Native", payload
+        )
+        assert status == 200
+        r = eng.execute("SELECT a, s FROM nat_ins ORDER BY a")
+        assert r.rows == [[1, "one"], [2, "two"], [3, "three"]]
+    finally:
+        eng.execute("DROP TABLE nat_ins")
