@@ -843,12 +843,86 @@ class BigHouseEngine:
         return QueryResult(cols=["path"], rows=[[path]],
                            elapsed_sec=elapsed)
 
+    def _declared_ch_types(self, name: str, target) -> dict[str, str]:
+        """Column → CH type spelling for binary payload decode: the
+        DECLARED DDL types when the attach stored a CH schema string
+        (a client encodes per the DDL — `a Int64` has no null flags
+        even though the parquet field is Spark-nullable), falling
+        back to non-nullable schema-derived spellings."""
+        from bighouse_spark.formats import _split_type_args, ch_type_name
+
+        _, _, ch_schema = self._attached[name]
+        out: dict[str, str] = {}
+        if ch_schema:
+            for f in _split_type_args(ch_schema):
+                nm, _, tp = f.strip().partition(" ")
+                if tp:
+                    out[nm.strip('`"')] = tp.strip()
+        for f in target.fields:
+            out.setdefault(
+                f.name, ch_type_name(f.dataType, nullable=False)
+            )
+        return out
+
+    def _append_by_name(
+        self, name: str, target, cols: list[str], rows: list[list],
+        query: str, desc: str, t0: float,
+    ) -> QueryResult:
+        """Align decoded (cols, rows) to the target schema by NAME —
+        columns absent from the payload become NULL (CH fills
+        defaults there) — then cast-coerce and append. The DataFrame
+        is built with INFERRED types so a String payload column can
+        still cast into an Int64 target (CH coerces on insert)."""
+        from pyspark.sql import functions as F
+
+        idx = {c: i for i, c in enumerate(cols)}
+        field_names = [f.name for f in target.fields]
+        unknown = [c for c in cols if c not in field_names]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {name}: payload columns {unknown} do "
+                "not exist in the table"
+            )
+        if not rows:
+            return self._append_aligned(
+                self.spark.createDataFrame([], target), name, query,
+                desc, t0,
+            )
+        present = [f.name for f in target.fields if f.name in idx]
+        tuples = [
+            tuple(r[idx[f]] for f in present) for r in rows
+        ]
+        try:
+            # Inferred types so a String payload column cast-coerces
+            # into an Int64 target (CH coerces on insert)...
+            df = self.spark.createDataFrame(tuples, present)
+        except Exception:
+            # ...falling back to the target's declared types when
+            # inference can't decide (e.g. an all-NULL column).
+            from pyspark.sql.types import StructField, StructType
+
+            df = self.spark.createDataFrame(
+                tuples,
+                StructType([
+                    StructField(f.name, f.dataType, True)
+                    for f in target.fields if f.name in idx
+                ]),
+            )
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in idx
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+        return self._append_aligned(aligned, name, query, desc, t0)
+
     def insert_native(self, name: str, payload: bytes) -> QueryResult:
         """``INSERT INTO <attached> FORMAT Native`` with a binary
         columnar-block payload (clickhouse-connect's write path).
-        Blocks self-describe names and types; columns align BY NAME."""
-        from pyspark.sql import functions as F
-
+        Blocks self-describe names and types; columns align BY NAME,
+        with absent columns inserted as NULL."""
         from bighouse_spark.formats import parse_native
 
         t0 = time.monotonic()
@@ -858,38 +932,31 @@ class BigHouseEngine:
             )
         target = self.spark.table(name).schema
         cols, _types, rows = parse_native(payload)
-        idx = {c: i for i, c in enumerate(cols)}
-        missing = [f.name for f in target.fields if f.name not in idx]
-        if missing:
-            raise ValueError(
-                f"INSERT INTO {name}: payload lacks columns {missing}"
-            )
-        tuples = [
-            tuple(r[idx[f.name]] for f in target.fields) for r in rows
-        ]
-        df = self.spark.createDataFrame(tuples, target)
-        aligned = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in target.fields]
-        )
-        return self._append_aligned(
-            aligned, name,
+        return self._append_by_name(
+            name, target, cols, rows,
             f"INSERT INTO {name} FORMAT Native <binary>",
             "<insert native>", t0,
         )
 
     def insert_rowbinary(
-        self, name: str, payload: bytes, named: bool = False
+        self,
+        name: str,
+        payload: bytes,
+        named: bool = False,
+        with_names: bool = False,
+        columns: list[str] | None = None,
     ) -> QueryResult:
-        """``INSERT INTO <attached> FORMAT RowBinary`` with a BINARY
-        payload (the scripting write path — text INSERT formats ride
-        ``execute``; binary bytes cannot survive the query-string
+        """``INSERT INTO <attached> [(cols)] FORMAT RowBinary`` with a
+        BINARY payload (the scripting write path — text INSERT formats
+        ride ``execute``; binary bytes cannot survive the query-string
         decode). Plain RowBinary decodes positionally against the
-        table schema's CH type names; WithNamesAndTypes decodes per
-        its own header and aligns columns BY NAME."""
-        from pyspark.sql import functions as F
-
+        DECLARED types of the listed columns (the whole table when no
+        list); ``with_names`` (RowBinaryWithNames) reads the name
+        header and types each column from the schema; ``named``
+        (RowBinaryWithNamesAndTypes) decodes per its own header.
+        All variants align BY NAME; unlisted columns become NULL."""
         from bighouse_spark.formats import (
-            ch_type_names,
+            _read_leb128,
             parse_rowbinary,
             parse_rowbinary_with_names_and_types,
         )
@@ -900,59 +967,41 @@ class BigHouseEngine:
                 f"INSERT INTO {name}: not an attached table"
             )
         target = self.spark.table(name).schema
+        type_of = self._declared_ch_types(name, target)
         if named:
             cols, _types, rows = parse_rowbinary_with_names_and_types(
                 payload
             )
-            idx = {c: i for i, c in enumerate(cols)}
-            missing = [f.name for f in target.fields if f.name not in idx]
+            fmt_desc = "rowbinarywithnamesandtypes"
+        elif with_names:
+            ncols, pos = _read_leb128(payload, 0)
+            cols = []
+            for _ in range(ncols):
+                ln, pos = _read_leb128(payload, pos)
+                cols.append(payload[pos:pos + ln].decode("utf-8"))
+                pos += ln
+            missing = [c for c in cols if c not in type_of]
             if missing:
                 raise ValueError(
-                    f"INSERT INTO {name}: payload lacks columns "
-                    f"{missing}"
+                    f"INSERT INTO {name}: unknown columns {missing}"
                 )
-            tuples = [
-                tuple(r[idx[f.name]] for f in target.fields)
-                for r in rows
-            ]
-        else:
-            # Positional decode types come from the table's DECLARED
-            # CH schema when we have it (a client encodes per the
-            # DDL: `a Int64` has no null flags even though the
-            # parquet field is Spark-nullable); schema-derived
-            # Nullable(...) spellings are only the fallback.
-            from bighouse_spark.formats import (
-                _split_type_args,
-                ch_type_name,
+            rows = parse_rowbinary(
+                payload[pos:], [type_of[c] for c in cols]
             )
-
-            _, _, ch_schema = self._attached[name]
-            types = []
-            if ch_schema:
-                types = [
-                    f.partition(" ")[2].strip() or "String"
-                    for f in _split_type_args(ch_schema)
-                ]
-            if len(types) != len(target.fields):
-                # Parquet-backed tables store no CH schema string;
-                # CH DDL types are non-nullable unless declared
-                # Nullable, so the positional wire layout has no
-                # null flags.
-                types = [
-                    ch_type_name(f.dataType, nullable=False)
-                    for f in target.fields
-                ]
-            rows = parse_rowbinary(payload, types)
-            tuples = [tuple(r) for r in rows]
-        df = self.spark.createDataFrame(tuples, target)
-        aligned = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in target.fields]
-        )
-        fmt_desc = (
-            "rowbinarywithnamesandtypes" if named else "rowbinary"
-        )
-        return self._append_aligned(
-            aligned, name,
+            fmt_desc = "rowbinarywithnames"
+        else:
+            cols = columns or [f.name for f in target.fields]
+            missing = [c for c in cols if c not in type_of]
+            if missing:
+                raise ValueError(
+                    f"INSERT INTO {name}: unknown columns {missing}"
+                )
+            rows = parse_rowbinary(
+                payload, [type_of[c] for c in cols]
+            )
+            fmt_desc = "rowbinary"
+        return self._append_by_name(
+            name, target, cols, rows,
             f"INSERT INTO {name} FORMAT RowBinary <binary>",
             f"<insert {fmt_desc}>", t0,
         )

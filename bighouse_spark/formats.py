@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import re
 import struct
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 from typing import Any, Sequence
 
@@ -596,25 +596,19 @@ def rowbinary_decoder(ch_type: str):
     if t == "Date":
         return lambda buf, pos: (
             _EPOCH_DATE
-            + __import__("datetime").timedelta(
-                days=struct.unpack("<H", buf[pos:pos + 2])[0]
-            ),
+            + timedelta(days=struct.unpack("<H", buf[pos:pos + 2])[0]),
             pos + 2,
         )
     if t == "Date32":
         return lambda buf, pos: (
             _EPOCH_DATE
-            + __import__("datetime").timedelta(
-                days=struct.unpack("<i", buf[pos:pos + 4])[0]
-            ),
+            + timedelta(days=struct.unpack("<i", buf[pos:pos + 4])[0]),
             pos + 4,
         )
     if t == "DateTime":
         return lambda buf, pos: (
             _EPOCH_DT
-            + __import__("datetime").timedelta(
-                seconds=struct.unpack("<I", buf[pos:pos + 4])[0]
-            ),
+            + timedelta(seconds=struct.unpack("<I", buf[pos:pos + 4])[0]),
             pos + 4,
         )
     m = re.match(r"DateTime64\((\d+)", t)
@@ -624,11 +618,7 @@ def rowbinary_decoder(ch_type: str):
         def dec_dt64(buf: bytes, pos: int, p=p):
             ticks = struct.unpack("<q", buf[pos:pos + 8])[0]
             micros = ticks * 1_000_000 // (10 ** p)
-            return (
-                _EPOCH_DT
-                + __import__("datetime").timedelta(microseconds=micros),
-                pos + 8,
-            )
+            return _EPOCH_DT + timedelta(microseconds=micros), pos + 8
 
         return dec_dt64
     m = re.match(r"Decimal\((\d+),\s*(\d+)\)$", t)
@@ -656,34 +646,106 @@ def rowbinary_decoder(ch_type: str):
             return out, pos
 
         return dec_arr
-    # String & default: length-prefixed UTF-8.
+    if t.startswith("Map("):
+        k_t, v_t = _split_type_args(t[4:-1])
+        dk, dv = rowbinary_decoder(k_t), rowbinary_decoder(v_t)
 
-    def dec_str(buf: bytes, pos: int):
-        ln, pos = _read_leb128(buf, pos)
-        return buf[pos:pos + ln].decode("utf-8", "replace"), pos + ln
+        def dec_map(buf: bytes, pos: int):
+            n, pos = _read_leb128(buf, pos)
+            out = {}
+            for _ in range(n):
+                k, pos = dk(buf, pos)
+                v, pos = dv(buf, pos)
+                out[k] = v
+            return out, pos
 
-    return dec_str
+        return dec_map
+    if t.startswith("Tuple("):
+        def _field_type(f: str) -> str:
+            head, _, rest = f.partition(" ")
+            if rest and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head):
+                return rest
+            return f
+
+        decs = [
+            rowbinary_decoder(_field_type(f))
+            for f in _split_type_args(t[6:-1])
+        ]
+
+        def dec_tuple(buf: bytes, pos: int):
+            out = []
+            for d in decs:
+                v, pos = d(buf, pos)
+                out.append(v)
+            return tuple(out), pos
+
+        return dec_tuple
+    m = re.match(r"FixedString\((\d+)\)$", t)
+    if m:
+        width = int(m.group(1))
+        return lambda buf, pos: (
+            buf[pos:pos + width].rstrip(b"\x00").decode("utf-8", "replace"),
+            pos + width,
+        )
+    if t.startswith("LowCardinality("):
+        # RowBinary serializes LowCardinality as its plain inner type.
+        return rowbinary_decoder(t[15:-1])
+    if t.startswith("Enum8("):
+        return lambda buf, pos: (
+            struct.unpack("<b", buf[pos:pos + 1])[0], pos + 1
+        )
+    if t.startswith("Enum16("):
+        return lambda buf, pos: (
+            struct.unpack("<h", buf[pos:pos + 2])[0], pos + 2
+        )
+    if t in ("String", "UUID", "IPv4", "IPv6", "JSON") or "(" not in t:
+        # String & parameterless spellings: length-prefixed UTF-8.
+
+        def dec_str(buf: bytes, pos: int):
+            ln, pos = _read_leb128(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError(
+                    f"RowBinary string length {ln} overruns the "
+                    "payload (type/width mismatch?)"
+                )
+            return buf[pos:pos + ln].decode("utf-8", "replace"), pos + ln
+
+        return dec_str
+    raise ValueError(
+        f"RowBinary decode: unsupported type {ch_type!r}; supported: "
+        "ints/floats/Bool/String/FixedString/Date*/DateTime*/Decimal/"
+        "Enum/LowCardinality/Nullable/Array/Map/Tuple"
+    )
 
 
 def parse_rowbinary(
     data: bytes, types: list[str]
 ) -> list[list]:
     """Decode a RowBinary payload (no header) against the target
-    types; raises on trailing garbage so a width mismatch fails
-    loudly instead of inserting shifted values."""
+    types; a truncated or misaligned payload fails loudly with the
+    row/column position instead of inserting shifted values."""
     decs = [rowbinary_decoder(t) for t in types]
     rows: list[list] = []
     pos = 0
     while pos < len(data):
         row = []
-        for dec in decs:
-            v, pos = dec(data, pos)
+        for ci, dec in enumerate(decs):
+            try:
+                v, pos = dec(data, pos)
+            except (struct.error, IndexError, ValueError) as e:
+                raise ValueError(
+                    f"RowBinary payload truncated/misaligned at byte "
+                    f"{pos} (row {len(rows)}, column {ci} "
+                    f"{types[ci]!r}): {e}"
+                ) from e
+            if pos > len(data):
+                raise ValueError(
+                    f"RowBinary payload truncated at row {len(rows)}, "
+                    f"column {ci} {types[ci]!r} (value overruns the "
+                    "payload — type/width mismatch?)"
+                )
             row.append(v)
         rows.append(row)
-    if pos != len(data):
-        raise ValueError(
-            f"RowBinary payload has {len(data) - pos} trailing bytes"
-        )
     return rows
 
 

@@ -80,11 +80,23 @@ def _dumps(payload: Any) -> bytes:
 # bare name are rewritten outside string literals, so another session
 # (or no session) never resolves them.
 
+# Binary INSERT head: optional TABLE keyword, optionally
+# db-qualified and/or quoted table name, optional column list — the
+# spellings real clients emit (clickhouse-connect sends a column
+# list and the Native format).
 _INSERT_RB_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FORMAT\s+"
-    r"(RowBinary|RowBinaryWithNamesAndTypes|Native)\s*;?\s*$",
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?"
+    r"((?:[`\"]?[A-Za-z_][A-Za-z0-9_]*[`\"]?\.)?"
+    r"[`\"]?[A-Za-z_][A-Za-z0-9_]*[`\"]?)"
+    r"\s*(?:\(([^)]*)\))?\s*"
+    r"FORMAT\s+(RowBinary|RowBinaryWithNames|"
+    r"RowBinaryWithNamesAndTypes|Native)\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _rb_table_name(raw: str) -> str:
+    return raw.split(".")[-1].strip('`"')
 
 _CREATE_TMP_RE = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
@@ -119,9 +131,12 @@ class SessionStore:
     def sweep(self, engine: BigHouseEngine) -> None:
         now = time.monotonic()
         with self._mu:
+            # A held lock means a request is mid-flight in that
+            # session (its TTL renews only in the request's finally);
+            # never reap a live session out from under it.
             dead = [
                 (sid, s) for sid, s in self._sessions.items()
-                if s.expires_at <= now
+                if s.expires_at <= now and not s.lock.locked()
             ]
             for sid, _ in dead:
                 del self._sessions[sid]
@@ -134,7 +149,11 @@ class SessionStore:
         with self._mu:
             s = self._sessions.get(sid)
             if s is None and create:
-                s = self._sessions[sid] = _Session()
+                s = self._sessions[sid] = _Session(
+                    # Born alive: a fresh session must survive until
+                    # its first request's finally renews it.
+                    expires_at=time.monotonic() + self.DEFAULT_TIMEOUT
+                )
             return s
 
     def close(self, engine: BigHouseEngine, sid: str) -> bool:
@@ -161,16 +180,25 @@ def _mangle(sid: str, name: str) -> str:
 
 
 def _rewrite_names_outside_strings(sql: str, names: dict[str, str]) -> str:
-    """Replace word-bounded table names with their mangled forms,
-    skipping single-quoted string literals."""
+    """Replace temp-table names with their mangled forms — only in
+    TABLE positions (after FROM/JOIN/INTO/TABLE/EXISTS/DESCRIBE/
+    UPDATE), never in column/alias positions that merely share the
+    name, and never inside single-quoted string literals."""
     if not names:
         return sql
+    lower = {k.lower(): v for k, v in names.items()}
+    alt = "|".join(re.escape(n) for n in names)
     pat = re.compile(
-        r"'(?:[^']|'')*'|\b(" + "|".join(re.escape(n) for n in names) + r")\b"
+        r"'(?:[^']|'')*'"
+        r"|\b(FROM|JOIN|INTO|TABLE|EXISTS|DESC|DESCRIBE|UPDATE)"
+        rf"(\s+)({alt})\b",
+        re.IGNORECASE,
     )
 
     def sub(m: re.Match) -> str:
-        return names[m.group(1)] if m.group(1) else m.group(0)
+        if m.group(3):
+            return m.group(1) + m.group(2) + lower[m.group(3).lower()]
+        return m.group(0)
 
     return pat.sub(sub, sql)
 
@@ -333,7 +361,17 @@ class _Handler(BaseHTTPRequestHandler):
         rb_body = b""
         m_rb = _INSERT_RB_RE.match(sql) if body else None
         if m_rb:
-            rb_insert = (m_rb.group(1), m_rb.group(2).lower())
+            col_list = None
+            if m_rb.group(2):
+                col_list = [
+                    c.strip().strip('`"')
+                    for c in m_rb.group(2).split(",") if c.strip()
+                ]
+            rb_insert = (
+                _rb_table_name(m_rb.group(1)),
+                m_rb.group(3).lower(),
+                col_list,
+            )
             rb_body = body
         elif body:
             # CH semantics: URL query + body are concatenated — the
@@ -436,7 +474,7 @@ class _Handler(BaseHTTPRequestHandler):
                 sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
             try:
                 if rb_insert is not None:
-                    nm, bfmt = rb_insert
+                    nm, bfmt, col_list = rb_insert
                     if sess is not None:
                         nm = sess.temp_tables.get(nm, nm)
                     if bfmt == "native":
@@ -445,6 +483,8 @@ class _Handler(BaseHTTPRequestHandler):
                         result = self.engine.insert_rowbinary(
                             nm, rb_body,
                             named=(bfmt == "rowbinarywithnamesandtypes"),
+                            with_names=(bfmt == "rowbinarywithnames"),
+                            columns=col_list,
                         )
                 else:
                     result = self.engine.execute(

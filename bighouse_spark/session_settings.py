@@ -19,10 +19,37 @@ _SET_PAIR_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-TRAILING_SETTINGS_RE = re.compile(
-    r"\bSETTINGS\s+(.+)$", re.IGNORECASE | re.DOTALL
-)
 SELECTISH_RE = re.compile(r"^\s*(\(|SELECT\b|WITH\b)", re.IGNORECASE)
+
+
+def _find_trailing_settings(sql: str) -> int | None:
+    """Index of the LAST word-bounded ``SETTINGS`` keyword that sits
+    OUTSIDE string literals/backticks, or None. A quote-aware scan —
+    ``WHERE msg = 'see SETTINGS docs'`` has no clause."""
+    best = None
+    quote = None
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+            elif c == "\\" and quote != "`":
+                i += 1
+        elif c in "'\"`":
+            quote = c
+        elif c in "Ss" and sql[i:i + 8].upper() == "SETTINGS":
+            before_ok = i == 0 or not (
+                sql[i - 1].isalnum() or sql[i - 1] == "_"
+            )
+            after = sql[i + 8: i + 9]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                best = i
+            i += 7
+        i += 1
+    return best
 
 
 def split_top_commas(s: str) -> list[str]:
@@ -81,12 +108,11 @@ def merge_settings_clause(sql: str, settings: dict[str, str]) -> str:
         return sql
     merged = dict(settings)
     base = sql
-    m = TRAILING_SETTINGS_RE.search(sql)
-    if m:
-        base = sql[: m.start()].rstrip()
-        for pair in m.group(1).split(","):
-            k, _, v = pair.partition("=")
-            if k.strip():
-                merged[k.strip()] = v.strip()
+    idx = _find_trailing_settings(sql)
+    if idx is not None:
+        existing = parse_set_statement("SET " + sql[idx + 8:])
+        if existing:
+            base = sql[:idx].rstrip()
+            merged.update(existing)
     clause = ", ".join(f"{k} = {v}" for k, v in merged.items())
     return f"{base} SETTINGS {clause}"

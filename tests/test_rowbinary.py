@@ -393,3 +393,92 @@ def test_native_insert_over_http(server_and_base):
         assert r.rows == [[1, "one"], [2, "two"], [3, "three"]]
     finally:
         eng.execute("DROP TABLE nat_ins")
+
+
+def test_map_tuple_decode_roundtrip():
+    from bighouse_spark.formats import parse_rowbinary
+
+    enc_m = rowbinary_encoder("Map(Int64, String)")
+    enc_t = rowbinary_encoder("Tuple(a Int64, b String)")
+    payload = enc_m({1: "x", 2: "y"}) + enc_t((7, "z"))
+    rows = parse_rowbinary(
+        payload, ["Map(Int64, String)", "Tuple(a Int64, b String)"]
+    )
+    assert rows == [[{1: "x", 2: "y"}, (7, "z")]]
+
+
+def test_truncated_payload_fails_with_position():
+    import pytest as _pytest
+
+    from bighouse_spark.formats import parse_rowbinary
+
+    with _pytest.raises(ValueError, match="row 1, column 0"):
+        parse_rowbinary(
+            struct.pack("<q", 1) + b"\x01",  # second row truncated
+            ["Int64"],
+        )
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_rowbinary(b"\x05ab", ["String"])  # short string
+
+
+def test_unknown_type_refused():
+    import pytest as _pytest
+
+    from bighouse_spark.formats import rowbinary_decoder
+
+    with _pytest.raises(ValueError, match="unsupported type"):
+        rowbinary_decoder("AggregateFunction(uniq, UInt64)")
+
+
+def test_insert_client_spellings(server_and_base):
+    """The INSERT heads real clients emit: column list (reordered,
+    partial), quoted + db-qualified names, RowBinaryWithNames, and a
+    String->Int64 cast coercion on insert."""
+    from bighouse_spark.formats import _leb128, _leb128_str
+
+    srv, base = server_and_base
+    eng = srv.RequestHandlerClass.engine
+    eng.execute(
+        "CREATE TABLE rb_cl (a Int64, s String, x Float64) "
+        "ENGINE = Memory"
+    )
+    try:
+        # Column list, reordered + partial: x is unlisted -> NULL.
+        payload = _leb128_str("hey") + struct.pack("<q", 5)
+        status, _ = _post_binary(
+            base,
+            'INSERT INTO "rb_cl" (s, a) FORMAT RowBinary',
+            payload,
+        )
+        assert status == 200
+        r = eng.execute("SELECT a, s, x FROM rb_cl")
+        assert r.rows == [[5, "hey", None]]
+
+        # RowBinaryWithNames: name header, types from the schema;
+        # db-qualified table spelling.
+        head = _leb128(2) + _leb128_str("a") + _leb128_str("s")
+        body = struct.pack("<q", 6) + _leb128_str("ho")
+        status, _ = _post_binary(
+            base,
+            "INSERT INTO default.rb_cl FORMAT RowBinaryWithNames",
+            head + body,
+        )
+        assert status == 200
+        r2 = eng.execute("SELECT a, s FROM rb_cl WHERE a = 6")
+        assert r2.rows == [[6, "ho"]]
+
+        # WithNamesAndTypes declaring String for the Int64 column:
+        # cast-coerced on insert (CH behavior), not a hard error.
+        head = _leb128(1) + _leb128_str("a")
+        head += _leb128_str("String")
+        body = _leb128_str("77")
+        status, _ = _post_binary(
+            base,
+            "INSERT INTO rb_cl FORMAT RowBinaryWithNamesAndTypes",
+            head + body,
+        )
+        assert status == 200
+        r3 = eng.execute("SELECT a FROM rb_cl WHERE a = 77")
+        assert r3.rows == [[77]]
+    finally:
+        eng.execute("DROP TABLE rb_cl")
