@@ -2716,6 +2716,12 @@ _CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
 # Joda-syntax date formatting.
 _ARG_REWRITES.update({
     "fromUnixTimestamp64Milli": lambda a: f"timestamp_millis({a[0]})",
+    # DateTime64 constructor/accessors: Spark timestamps are µs, so
+    # precision beyond 6 truncates (documented; CH stores up to ns).
+    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toUnixTimestamp64Milli": lambda a: f"unix_millis({a[0]})",
+    "toUnixTimestamp64Micro": lambda a: f"unix_micros({a[0]})",
+    "toUnixTimestamp64Nano": lambda a: f"(unix_micros({a[0]}) * 1000)",
     "fromUnixTimestamp64Micro": lambda a: f"timestamp_micros({a[0]})",
     "fromUnixTimestamp64Nano": lambda a: (
         f"timestamp_micros(CAST(({a[0]}) DIV 1000 AS BIGINT))"
@@ -4615,6 +4621,17 @@ def _rewrite_parametric(sql: str) -> str:
         ("groupConcat", lambda p, a: (
             f"array_join(collect_list({a[0]}), {p[0]})"
         )),
+        # groupUniqArray(max_size)(x): bounded distinct collection.
+        ("groupUniqArray", lambda p, a: (
+            f"slice(collect_set({a[0]}), 1, {p[0]})"
+        )),
+        # Exact INCLUSIVE quantiles are Spark's percentile (type R-7).
+        ("quantileExactInclusive", lambda p, a: (
+            f"percentile({a[0]}, {p[0]})"
+        )),
+        ("quantilesExactInclusive", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}))"
+        )),
         # Adaptive histogram → histogram_numeric (bin centers +
         # counts; CH emits (lo, hi, height) triples — capability).
         ("histogram", lambda p, a: (
@@ -4710,6 +4727,35 @@ def _rewrite_parametric(sql: str) -> str:
             "sparkbar",
             "sparkbar() renders per-bucket bars; GROUP BY the bucket "
             "and render with bar()",
+        ),
+        (
+            "quantilesExactExclusive",
+            "quantilesExactExclusive uses the R-6 estimator; Spark's "
+            "percentile is R-7 (inclusive) — use "
+            "quantilesExactInclusive, or interpolate R-6 manually "
+            "from the sorted group",
+        ),
+        (
+            "quantileExactExclusive",
+            "quantileExactExclusive uses the R-6 estimator; Spark's "
+            "percentile is R-7 (inclusive) — use "
+            "quantileExactInclusive, or interpolate R-6 manually "
+            "from the sorted group",
+        ),
+        (
+            "corrMatrix",
+            "corrMatrix() returns an N×N matrix; compute the pairs "
+            "with corr(a, b) per column pair",
+        ),
+        (
+            "covarSampMatrix",
+            "covarSampMatrix() returns an N×N matrix; compute the "
+            "pairs with covarSamp(a, b) per column pair",
+        ),
+        (
+            "covarPopMatrix",
+            "covarPopMatrix() returns an N×N matrix; compute the "
+            "pairs with covarPop(a, b) per column pair",
         ),
         (
             "flameGraph",

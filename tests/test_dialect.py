@@ -4044,3 +4044,48 @@ class TestRound6ProbeTranche2:
                 f"SELECT {expr} FROM "
                 "values('x Float64, g UInt8', (1.0, 0))"
             )
+
+
+class TestRound6ProbeTranche3:
+    """Third round-6 tranche: DateTime64 constructors/epochs,
+    bounded distinct collection, exact-inclusive quantiles, matrix
+    aggregates guided."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_datetime64_family(self, eng):
+        r = eng.execute(
+            "SELECT toDateTime64('2024-01-01 00:00:00.123', 3) AS t, "
+            "toUnixTimestamp64Milli("
+            "toDateTime64('2024-01-01 00:00:00.123', 3)) AS ms, "
+            "toUnixTimestamp64Nano("
+            "toDateTime64('2024-01-01 00:00:00', 3)) AS ns"
+        )
+        t, ms, ns = r.rows[0]
+        assert t.microsecond == 123000
+        assert ms == 1704067200123
+        assert ns == 1704067200000000000
+
+    def test_bounded_distinct_and_inclusive_quantiles(self, eng):
+        r = eng.execute(
+            "SELECT size(groupUniqArray(2)(number % 5)) AS n, "
+            "quantilesExactInclusive(0.5, 1.0)(number) AS q, "
+            "quantileExactInclusive(0.5)(number) AS m "
+            "FROM numbers(101)"
+        )
+        n, q, m = r.rows[0]
+        assert n == 2 and q == [50.0, 100.0] and m == 50.0
+
+    def test_matrix_and_exclusive_guided(self, eng):
+        for expr, hint in [
+            ("corrMatrix(x, x)", "per column pair"),
+            ("quantilesExactExclusive(0.5)(x)", "R-6"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(
+                    f"SELECT {expr} FROM values('x Float64', (1.0))"
+                )
