@@ -956,9 +956,9 @@ class BigHouseEngine:
         (RowBinaryWithNamesAndTypes) decodes per its own header.
         All variants align BY NAME; unlisted columns become NULL."""
         from bighouse_spark.formats import (
-            _read_leb128,
             parse_rowbinary,
             parse_rowbinary_with_names_and_types,
+            read_rowbinary_names,
         )
 
         t0 = time.monotonic()
@@ -974,12 +974,7 @@ class BigHouseEngine:
             )
             fmt_desc = "rowbinarywithnamesandtypes"
         elif with_names:
-            ncols, pos = _read_leb128(payload, 0)
-            cols = []
-            for _ in range(ncols):
-                ln, pos = _read_leb128(payload, pos)
-                cols.append(payload[pos:pos + ln].decode("utf-8"))
-                pos += ln
+            cols, pos = read_rowbinary_names(payload)
             missing = [c for c in cols if c not in type_of]
             if missing:
                 raise ValueError(

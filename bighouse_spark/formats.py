@@ -452,6 +452,16 @@ def _rb_dt64(v: Any, precision: int) -> bytes:
     return struct.pack("<q", ticks)
 
 
+def _parse_enum_values(spec: str) -> dict[str, int]:
+    """``'a' = 1, 'b' = 2`` → {'a': 1, 'b': 2}."""
+    out: dict[str, int] = {}
+    for part in _split_type_args(spec):
+        m = re.match(r"\s*'((?:[^']|'')*)'\s*=\s*(-?\d+)\s*$", part)
+        if m:
+            out[m.group(1).replace("''", "'")] = int(m.group(2))
+    return out
+
+
 def rowbinary_encoder(ch_type: str):
     """value → RowBinary bytes for one CH-spelled result type."""
     t = ch_type.strip()
@@ -529,6 +539,17 @@ def rowbinary_encoder(ch_type: str):
             for f in _split_type_args(t[6:-1])
         ]
         return lambda v: b"".join(e(x) for e, x in zip(encs, v))
+    m = re.match(r"Enum(8|16)\((.*)\)$", t, re.DOTALL)
+    if m:
+        # CH wires enums as their numeric ids, not strings.
+        fmt = "<b" if m.group(1) == "8" else "<h"
+        name_to_id = _parse_enum_values(m.group(2))
+
+        def enc_enum(v, fmt=fmt, name_to_id=name_to_id):
+            iv = v if isinstance(v, int) else name_to_id[str(v)]
+            return struct.pack(fmt, iv)
+
+        return enc_enum
     # String / FixedString / UUID / IPv4-as-text / everything else:
     # length-prefixed UTF-8 of the value's text form.
     return _rb_string
@@ -690,14 +711,38 @@ def rowbinary_decoder(ch_type: str):
     if t.startswith("LowCardinality("):
         # RowBinary serializes LowCardinality as its plain inner type.
         return rowbinary_decoder(t[15:-1])
-    if t.startswith("Enum8("):
+    m = re.match(r"Enum(8|16)\((.*)\)$", t, re.DOTALL)
+    if m:
+        width = 1 if m.group(1) == "8" else 2
+        fmt = "<b" if width == 1 else "<h"
+        id_to_name = {
+            v: k for k, v in _parse_enum_values(m.group(2)).items()
+        }
+
+        def dec_enum(buf: bytes, pos: int):
+            iv = struct.unpack(fmt, buf[pos:pos + width])[0]
+            return id_to_name.get(iv, iv), pos + width
+
+        return dec_enum
+    # CH wide integers: fixed-width little-endian two's complement.
+    if t in ("Int128", "Int256", "UInt128", "UInt256"):
+        width = 16 if "128" in t else 32
+        signed = t.startswith("Int")
         return lambda buf, pos: (
-            struct.unpack("<b", buf[pos:pos + 1])[0], pos + 1
+            int.from_bytes(buf[pos:pos + width], "little", signed=signed),
+            pos + width,
         )
-    if t.startswith("Enum16("):
+    m = re.match(r"Decimal256\((\d+)\)$", t)
+    if m:
+        scale = int(m.group(1))
         return lambda buf, pos: (
-            struct.unpack("<h", buf[pos:pos + 2])[0], pos + 2
+            Decimal(int.from_bytes(buf[pos:pos + 32], "little",
+                                   signed=True)) / (10 ** scale),
+            pos + 32,
         )
+    # Zoned DateTime spellings carry the same UInt32 epoch seconds.
+    if re.match(r"DateTime\(", t):
+        return rowbinary_decoder("DateTime")
     if t in ("String", "UUID", "IPv4", "IPv6", "JSON") or "(" not in t:
         # String & parameterless spellings: length-prefixed UTF-8.
 
@@ -749,20 +794,33 @@ def parse_rowbinary(
     return rows
 
 
+def read_rowbinary_names(
+    data: bytes, pos: int = 0
+) -> tuple[list[str], int]:
+    """Read the leb128 column-count + name list header shared by the
+    RowBinaryWithNames* variants."""
+    ncols, pos = _read_leb128(data, pos)
+    names: list[str] = []
+    for _ in range(ncols):
+        ln, pos = _read_leb128(data, pos)
+        if pos + ln > len(data):
+            raise ValueError("RowBinary header overruns the payload")
+        names.append(data[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return names, pos
+
+
 def parse_rowbinary_with_names_and_types(
     data: bytes,
 ) -> tuple[list[str], list[str], list[list]]:
     """Decode a RowBinaryWithNamesAndTypes payload: leb128 column
     count, names, CH type names, then rows per the declared types."""
-    ncols, pos = _read_leb128(data, 0)
-    names: list[str] = []
+    names, pos = read_rowbinary_names(data)
     types: list[str] = []
-    for _ in range(ncols):
+    for _ in range(len(names)):
         ln, pos = _read_leb128(data, pos)
-        names.append(data[pos:pos + ln].decode("utf-8"))
-        pos += ln
-    for _ in range(ncols):
-        ln, pos = _read_leb128(data, pos)
+        if pos + ln > len(data):
+            raise ValueError("RowBinary header overruns the payload")
         types.append(data[pos:pos + ln].decode("utf-8"))
         pos += ln
     return names, types, parse_rowbinary(data[pos:], types)
@@ -799,8 +857,19 @@ def _native_default(t: str):
     return _NATIVE_DEFAULTS.get(t, "")
 
 
+def _native_field_type(f: str) -> str:
+    head, _, rest = f.partition(" ")
+    if rest and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head):
+        return rest
+    return f
+
+
 def _native_column(values: list, t: str) -> bytes:
-    """One column's Native data block (no name/type header)."""
+    """One column's Native data block (no name/type header).
+    Composite layouts are COLUMNAR, matching CH's Native format:
+    Nullable = mask bytes then values, Array/Map = cumulative UInt64
+    offsets then flattened element columns, Tuple = per-element
+    columns."""
     t = t.strip()
     out = bytearray()
     if t.startswith("Nullable("):
@@ -821,6 +890,26 @@ def _native_column(values: list, t: str) -> bytes:
             flat.extend(v)
         out += _native_column(flat, inner)
         return bytes(out)
+    if t.startswith("Map("):
+        k_t, v_t = _split_type_args(t[4:-1])
+        keys: list = []
+        vals: list = []
+        total = 0
+        for m_ in values:
+            total += len(m_)
+            out += struct.pack("<Q", total)
+            keys.extend(m_.keys())
+            vals.extend(m_.values())
+        out += _native_column(keys, k_t)
+        out += _native_column(vals, v_t)
+        return bytes(out)
+    if t.startswith("Tuple("):
+        fts = [
+            _native_field_type(f) for f in _split_type_args(t[6:-1])
+        ]
+        for i, ft in enumerate(fts):
+            out += _native_column([v[i] for v in values], ft)
+        return bytes(out)
     enc = rowbinary_encoder(t)
     for v in values:
         out += enc(v)
@@ -833,26 +922,65 @@ def _native_read_column(
     t = t.strip()
     if t.startswith("Nullable("):
         mask = list(data[pos:pos + nrows])
+        if len(mask) < nrows:
+            raise ValueError(
+                "Native payload truncated inside a Nullable mask"
+            )
         pos += nrows
         vals, pos = _native_read_column(data, pos, t[9:-1], nrows)
         return [None if m else v for m, v in zip(mask, vals)], pos
-    if t.startswith("Array("):
+    if t.startswith("Array(") or t.startswith("Map("):
         offsets = []
         for _ in range(nrows):
+            if pos + 8 > len(data):
+                raise ValueError(
+                    "Native payload truncated inside an offsets column"
+                )
             offsets.append(struct.unpack("<Q", data[pos:pos + 8])[0])
             pos += 8
         total = offsets[-1] if offsets else 0
-        flat, pos = _native_read_column(data, pos, t[6:-1], total)
-        out, start = [], 0
+        if t.startswith("Array("):
+            flat, pos = _native_read_column(data, pos, t[6:-1], total)
+            out: list = []
+            start = 0
+            for off in offsets:
+                out.append(flat[start:off])
+                start = off
+            return out, pos
+        k_t, v_t = _split_type_args(t[4:-1])
+        keys, pos = _native_read_column(data, pos, k_t, total)
+        vals, pos = _native_read_column(data, pos, v_t, total)
+        out = []
+        start = 0
         for off in offsets:
-            out.append(flat[start:off])
+            out.append(dict(zip(keys[start:off], vals[start:off])))
             start = off
         return out, pos
+    if t.startswith("Tuple("):
+        fts = [
+            _native_field_type(f) for f in _split_type_args(t[6:-1])
+        ]
+        cols = []
+        for ft in fts:
+            vals, pos = _native_read_column(data, pos, ft, nrows)
+            cols.append(vals)
+        return [tuple(r) for r in zip(*cols)] if nrows else [], pos
+    if t.startswith("LowCardinality("):
+        raise ValueError(
+            "Native LowCardinality columns use dictionary encoding "
+            "this parser does not implement; declare the plain inner "
+            "type or send RowBinary"
+        )
     dec = rowbinary_decoder(t)
     out = []
     for _ in range(nrows):
         v, pos = dec(data, pos)
         out.append(v)
+    if pos > len(data):
+        raise ValueError(
+            f"Native payload truncated inside a {t} column "
+            "(value overruns the payload)"
+        )
     return out, pos
 
 
@@ -868,22 +996,32 @@ def parse_native(
     first = True
     pos = 0
     while pos < len(data):
-        ncols, pos = _read_leb128(data, pos)
-        nrows, pos = _read_leb128(data, pos)
-        block_cols: list[str] = []
-        columns: list[list] = []
-        for _ in range(ncols):
-            ln, pos = _read_leb128(data, pos)
-            name = data[pos:pos + ln].decode("utf-8")
-            pos += ln
-            ln, pos = _read_leb128(data, pos)
-            t = data[pos:pos + ln].decode("utf-8")
-            pos += ln
-            block_cols.append(name)
-            if first:
-                types.append(t)
-            vals, pos = _native_read_column(data, pos, t, nrows)
-            columns.append(vals)
+        try:
+            ncols, pos = _read_leb128(data, pos)
+            nrows, pos = _read_leb128(data, pos)
+            if ncols == 0:
+                # Zero-column terminal block: some clients append an
+                # end-of-stream marker. Skip it.
+                continue
+            block_cols: list[str] = []
+            columns: list[list] = []
+            for _ in range(ncols):
+                ln, pos = _read_leb128(data, pos)
+                name = data[pos:pos + ln].decode("utf-8")
+                pos += ln
+                ln, pos = _read_leb128(data, pos)
+                t = data[pos:pos + ln].decode("utf-8")
+                pos += ln
+                block_cols.append(name)
+                if first:
+                    types.append(t)
+                vals, pos = _native_read_column(data, pos, t, nrows)
+                columns.append(vals)
+        except (struct.error, IndexError) as e:
+            raise ValueError(
+                f"Native payload truncated/misaligned at byte {pos}: "
+                f"{e}"
+            ) from e
         if first:
             cols = block_cols
             first = False

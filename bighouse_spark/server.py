@@ -179,28 +179,74 @@ def _mangle(sid: str, name: str) -> str:
     return f"bh_tmp_{h}_{name}"
 
 
+_TABLE_POS_KEYWORDS = {
+    "FROM", "JOIN", "INTO", "TABLE", "EXISTS", "DESC", "DESCRIBE",
+    "UPDATE", "TRUNCATE", "RENAME", "TO",
+}
+# Clause keywords that end a FROM-list (commas after these are no
+# longer table positions).
+_FROM_LIST_ENDERS = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "SETTINGS", "UNION",
+    "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY", "SELECT", "ON",
+    "USING", "PREWHERE", "FORMAT",
+}
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def _rewrite_names_outside_strings(sql: str, names: dict[str, str]) -> str:
     """Replace temp-table names with their mangled forms — only in
     TABLE positions (after FROM/JOIN/INTO/TABLE/EXISTS/DESCRIBE/
-    UPDATE), never in column/alias positions that merely share the
-    name, and never inside single-quoted string literals."""
+    UPDATE/TRUNCATE/RENAME…TO, and across comma-separated FROM
+    lists), never in column/alias positions that merely share the
+    name (exact-case: CH identifiers are case-sensitive), and never
+    inside single-quoted string literals."""
     if not names:
         return sql
-    lower = {k.lower(): v for k, v in names.items()}
-    alt = "|".join(re.escape(n) for n in names)
-    pat = re.compile(
-        r"'(?:[^']|'')*'"
-        r"|\b(FROM|JOIN|INTO|TABLE|EXISTS|DESC|DESCRIBE|UPDATE)"
-        rf"(\s+)({alt})\b",
-        re.IGNORECASE,
-    )
-
-    def sub(m: re.Match) -> str:
-        if m.group(3):
-            return m.group(1) + m.group(2) + lower[m.group(3).lower()]
-        return m.group(0)
-
-    return pat.sub(sub, sql)
+    out: list[str] = []
+    i, n = 0, len(sql)
+    expect_table = False   # next identifier is a table reference
+    in_from_list = False   # commas re-arm expect_table
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "," and in_from_list:
+            expect_table = True
+            out.append(c)
+            i += 1
+            continue
+        m = _IDENT_RE.match(sql, i)
+        if m:
+            word = m.group(0)
+            upper = word.upper()
+            if upper in _TABLE_POS_KEYWORDS:
+                expect_table = True
+                if upper == "FROM":
+                    in_from_list = True
+                out.append(word)
+            elif expect_table and word in names:
+                out.append(names[word])
+                expect_table = False
+            else:
+                if upper in _FROM_LIST_ENDERS:
+                    in_from_list = False
+                expect_table = False
+                out.append(word)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _apply_session_sql(
@@ -357,7 +403,7 @@ class _Handler(BaseHTTPRequestHandler):
         sql = (params.get("query") or [""])[0]
         # Binary INSERT payloads (FORMAT RowBinary*) must NOT ride the
         # text concatenation below — a utf-8 decode corrupts them.
-        rb_insert: tuple[str, bool] | None = None
+        rb_insert: tuple[str, str, list[str] | None] | None = None
         rb_body = b""
         m_rb = _INSERT_RB_RE.match(sql) if body else None
         if m_rb:

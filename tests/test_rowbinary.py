@@ -482,3 +482,59 @@ def test_insert_client_spellings(server_and_base):
         assert r3.rows == [[77]]
     finally:
         eng.execute("DROP TABLE rb_cl")
+
+
+def test_enum_maps_ids_to_names_both_directions():
+    from bighouse_spark.formats import parse_rowbinary
+
+    t = "Enum8('a' = 1, 'b' = 2)"
+    enc = rowbinary_encoder(t)
+    # name -> wire id -> name; raw int accepted on encode too
+    assert enc("b") == b"\x02" and enc(1) == b"\x01"
+    assert parse_rowbinary(b"\x01\x02", [t]) == [["a"], ["b"]]
+
+
+def test_wide_ints_and_zoned_datetime_decode():
+    from bighouse_spark.formats import parse_rowbinary
+
+    v = (123456789012345678901234567890).to_bytes(16, "little")
+    rows = parse_rowbinary(v, ["Int128"])
+    assert rows == [[123456789012345678901234567890]]
+    rows2 = parse_rowbinary(
+        struct.pack("<I", 1704067200), ["DateTime('UTC')"]
+    )
+    assert rows2[0][0] == datetime(2024, 1, 1)
+
+
+def test_native_columnar_map_and_tuple_roundtrip():
+    from bighouse_spark.formats import parse_native, render_result as rr
+
+    cols = ["m", "t"]
+    types = ["Map(Int64, String)", "Tuple(a Int64, b String)"]
+    rows = [
+        [{1: "x", 2: "y"}, (7, "p")],
+        [{}, (8, "q")],
+    ]
+    buf = rr(cols, rows, "Native", types=types, elapsed=0.0)[0]
+    c2, t2, r2 = parse_native(buf)
+    assert c2 == cols and t2 == types
+    assert r2 == rows
+
+
+def test_native_truncation_and_terminal_block():
+    import pytest as _pytest
+
+    from bighouse_spark.formats import (
+        _leb128,
+        _leb128_str,
+        parse_native,
+        render_result as rr,
+    )
+
+    buf = rr(["d"], [[Decimal("1.50")]], "Native",
+             types=["Decimal(10, 2)"], elapsed=0.0)[0]
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_native(buf[:-3])
+    # A zero-column terminal block after valid data is skipped.
+    cols, types, rows = parse_native(buf + _leb128(0) + _leb128(0))
+    assert rows == [[Decimal("1.50")]]

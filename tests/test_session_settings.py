@@ -110,3 +110,37 @@ class TestTempNameRewriteScope:
             )
             == "SELECT 'from status' AS s"  # literal untouched
         )
+
+
+class TestTempNameRewriteScope2:
+    def test_comma_from_list_and_case_sensitivity(self):
+        from bighouse_spark.server import _rewrite_names_outside_strings
+
+        names = {"status": "bh_tmp_x_status"}
+        # CH cross-join comma spelling rewrites...
+        assert (
+            _rewrite_names_outside_strings(
+                "SELECT * FROM events, status WHERE x = 1", names
+            )
+            == "SELECT * FROM events, bh_tmp_x_status WHERE x = 1"
+        )
+        # ...but select-list commas do not.
+        assert (
+            _rewrite_names_outside_strings(
+                "SELECT a, status FROM events", names
+            )
+            == "SELECT a, status FROM events"
+        )
+        # CH identifiers are case-sensitive: STATUS is another table.
+        assert (
+            _rewrite_names_outside_strings(
+                "SELECT * FROM STATUS", names
+            )
+            == "SELECT * FROM STATUS"
+        )
+        assert (
+            _rewrite_names_outside_strings(
+                "TRUNCATE TABLE status", names
+            )
+            == "TRUNCATE TABLE bh_tmp_x_status"
+        )
