@@ -1481,6 +1481,12 @@ _ARG_REWRITES.update({
             "document or map_entries(map(...)) for explicit pairs"
         )
     ),
+    "JSONAllPaths": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "JSONAllPaths needs recursive path enumeration; use "
+            "JSONExtractKeys per level or json_object_keys()"
+        )
+    ),
 })
 
 
@@ -2533,16 +2539,7 @@ _ARG_REWRITES.update({
     # -- JSON introspection --
     "JSONArrayLength": lambda a: f"json_array_length({a[0]})",
     "JSONExtractKeys": lambda a: f"json_object_keys({a[0]})",
-    "JSONType": lambda a: (
-        f"(CASE WHEN {a[0]} IS NULL THEN 'Null' "
-        f"WHEN trim({a[0]}) LIKE '{{%' THEN 'Object' "
-        f"WHEN trim({a[0]}) LIKE '[%' THEN 'Array' "
-        f"WHEN trim({a[0]}) LIKE '\"%' THEN 'String' "
-        f"WHEN trim({a[0]}) IN ('true', 'false') THEN 'Bool' "
-        f"WHEN trim({a[0]}) = 'null' THEN 'Null' "
-        f"WHEN trim({a[0]}) RLIKE '^-?[0-9]+$' THEN 'Int64' "
-        f"ELSE 'Double' END)"
-    ),
+    "JSONType": lambda a: _json_type_expr(a),
     "JSONExtractKeysAndValues": lambda a: (
         f"map_entries(from_json({a[0]}, 'map<string, "
         + {
@@ -2554,11 +2551,15 @@ _ARG_REWRITES.update({
     ),
     # Raw array elements via per-index get_json_object (fragments for
     # nested values; scalars come back unquoted — deviation noted).
+    # With path keys, the array is extracted at the path first.
     "JSONExtractArrayRaw": lambda a: (
         f"transform(sequence(0, "
-        f"CAST(json_array_length({a[0]}) AS INT) - 1), "
-        f"__i -> get_json_object({a[0]}, concat('$[', __i, ']')))"
+        f"CAST(json_array_length({_json_at_path(a)}) AS INT) - 1), "
+        f"__i -> get_json_object({_json_at_path(a)}, "
+        f"concat('$[', __i, ']')))"
     ),
+    # Typed extraction: JSONExtract(json, key..., 'Type').
+    "JSONExtract": lambda a: _json_extract_typed(a),
     "JSON_VALUE": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "JSON_QUERY": lambda a: f"get_json_object({a[0]}, {a[1]})",
     "JSON_EXISTS": lambda a: (
@@ -3066,6 +3067,73 @@ def _point_in_polygon(a: list) -> str:
         f"element_at({xa}, __i) "
         f"THEN NOT __in ELSE __in END) AS INT)"
     )
+
+
+def _json_at_path(a: list[str]) -> str:
+    """The JSON text at the key path: the document itself for the
+    single-argument form, get_json_object at ``$.k1.k2`` otherwise."""
+    if len(a) == 1:
+        return a[0]
+    path = ".".join(_unquote(k) for k in a[1:])
+    return f"get_json_object({a[0]}, '$.{path}')"
+
+
+def _json_type_expr(a: list[str]) -> str:
+    """JSONType(json[, keys...]): the CH type-name of the value. The
+    path form inspects the RAW extracted text (variant round-trip —
+    strings keep their quotes, so the String branch works)."""
+    if len(a) == 1:
+        target = a[0]
+    else:
+        path = ".".join(_unquote(k) for k in a[1:])
+        target = (
+            f"to_json(variant_get(try_parse_json({a[0]}), "
+            f"'$.{path}', 'variant'))"
+        )
+    return (
+        f"(CASE WHEN {target} IS NULL THEN 'Null' "
+        f"WHEN trim({target}) LIKE '{{%' THEN 'Object' "
+        f"WHEN trim({target}) LIKE '[%' THEN 'Array' "
+        f"WHEN trim({target}) LIKE '\"%' THEN 'String' "
+        f"WHEN trim({target}) IN ('true', 'false') THEN 'Bool' "
+        f"WHEN trim({target}) = 'null' THEN 'Null' "
+        f"WHEN trim({target}) RLIKE '^-?[0-9]+$' THEN 'Int64' "
+        f"ELSE 'Double' END)"
+    )
+
+
+_JSON_EXTRACT_SPARK_TYPES = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+    "Int64": "BIGINT", "UInt8": "INT", "UInt16": "INT",
+    "UInt32": "BIGINT", "UInt64": "BIGINT", "Float32": "FLOAT",
+    "Float64": "DOUBLE", "String": "STRING", "Bool": "BOOLEAN",
+    "Date": "DATE", "DateTime": "TIMESTAMP",
+}
+
+
+def _json_extract_typed(a: list[str]) -> str:
+    """JSONExtract(json, key..., 'Type') → CAST of the extracted
+    value; Array(T) forms parse with from_json."""
+    if len(a) < 2:
+        raise ValueError("JSONExtract(json, [keys...,] 'Type')")
+    ch_t = _unquote(a[-1]).strip()
+    inner_a = a[:-1]
+    raw = _json_at_path(inner_a)
+    m = re.match(r"Array\((\w+)\)$", ch_t)
+    if m:
+        el = _JSON_EXTRACT_SPARK_TYPES.get(m.group(1))
+        if el is None:
+            raise ValueError(
+                f"JSONExtract: unsupported element type {m.group(1)!r}"
+            )
+        return f"from_json({raw}, 'array<{el.lower()}>')"
+    sp = _JSON_EXTRACT_SPARK_TYPES.get(ch_t)
+    if sp is None:
+        raise ValueError(
+            f"JSONExtract: unsupported type {ch_t!r}; supported: "
+            f"{sorted(_JSON_EXTRACT_SPARK_TYPES)} and Array(T)"
+        )
+    return f"CAST({raw} AS {sp})"
 
 
 def _simple_json_raw(a: list[str]) -> str:

@@ -4089,3 +4089,44 @@ class TestRound6ProbeTranche3:
                 eng.execute(
                     f"SELECT {expr} FROM values('x Float64', (1.0))"
                 )
+
+
+class TestRound6ProbeTranche4:
+    """Fourth round-6 tranche: JSON path-argument forms (JSONType /
+    JSONExtractArrayRaw at a key path), typed JSONExtract."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_json_type_at_path(self, eng):
+        r = eng.execute(
+            'SELECT JSONType(\'{"a":1}\', \'a\') AS i, '
+            'JSONType(\'{"a":"s"}\', \'a\') AS s, '
+            'JSONType(\'{"a":[1]}\', \'a\') AS arr, '
+            'JSONType(\'{"a":1.5}\', \'a\') AS d, '
+            'JSONType(\'{"a":1}\') AS root'
+        )
+        assert r.rows == [["Int64", "String", "Array", "Double",
+                           "Object"]]
+
+    def test_json_extract_array_raw_at_path(self, eng):
+        r = eng.execute(
+            'SELECT JSONExtractArrayRaw(\'{"a": [1,2]}\', \'a\') AS p, '
+            "JSONExtractArrayRaw('[3,4]') AS root"
+        )
+        assert r.rows == [[["1", "2"], ["3", "4"]]]
+
+    def test_json_extract_typed(self, eng):
+        r = eng.execute(
+            'SELECT JSONExtract(\'{"a":1}\', \'a\', \'Int64\') AS x, '
+            'JSONExtract(\'{"a":[1,2]}\', \'a\', \'Array(Int64)\') AS arr, '
+            'JSONExtract(\'{"a":{"b":7}}\', \'a\', \'b\', \'Int64\') AS n'
+        )
+        assert r.rows == [[1, [1, 2], 7]]
+        with pytest.raises(ValueError, match="unsupported type"):
+            eng.execute(
+                "SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')"
+            )
