@@ -170,7 +170,9 @@ _FUNC_RENAMES = {
     # `any` is NOT mapped — it would collide with `> ANY(subquery)`.
     "anyLast": "any_value",
     "arrayZip": "arrays_zip",
-    "arrayElement": "element_at",  # both support negative indices
+    # try_: CH returns the type default for out-of-bounds indices;
+    # NULL is the honest Spark analog (ANSI element_at throws).
+    "arrayElement": "try_element_at",
     "arrayPushBack": "array_append",
     "arrayPushFront": "array_prepend",
     "startsWith": "startswith",
@@ -1893,6 +1895,9 @@ _ARG_REWRITES.update({
     # Spark ("expr.*" needs an attribute); inline(array(x)) expands
     # any struct into its fields as columns.
     "untuple": lambda a: f"inline(array({a[0]}))",
+    "mapExtractKeyLike": lambda a: (
+        f"map_filter({a[0]}, (__k, __v) -> __k LIKE {a[1]})"
+    ),
     "mapAdd": lambda a: (
         f"map_zip_with({a[0]}, {a[1]}, "
         f"(__k, __v1, __v2) -> coalesce(__v1, 0) + coalesce(__v2, 0))"

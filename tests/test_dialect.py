@@ -4130,3 +4130,18 @@ class TestRound6ProbeTranche4:
             eng.execute(
                 "SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')"
             )
+
+
+class TestRound6ProbeTranche5:
+    def test_array_element_oob_and_map_key_like(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        r = eng.execute(
+            "SELECT arrayElement([1,2,3], 9) AS oob, "
+            "arrayElement([1,2,3], -1) AS neg, "
+            "mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%') AS mk"
+        )
+        # CH returns the type default out-of-bounds; NULL is the
+        # honest Spark analog (ANSI element_at would throw).
+        assert r.rows == [[None, 3, {"abc": 1}]]
