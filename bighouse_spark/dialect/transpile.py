@@ -1836,6 +1836,13 @@ _ARG_REWRITES.update({
     "alphaTokens": lambda a: (
         f"filter(split({a[0]}, '[^a-zA-Z]+'), __t -> __t != '')"
     ),
+    "splitByNonAlpha": lambda a: (
+        f"filter(split({a[0]}, '[^a-zA-Z0-9]+'), __t -> __t != '')"
+    ),
+    # arrays_zip pads the shorter arrays with NULL natively.
+    "arrayZipUnaligned": lambda a: f"arrays_zip({', '.join(a)})",
+    "leftPadUTF8": lambda a: f"lpad({', '.join(a)})",
+    "rightPadUTF8": lambda a: f"rpad({', '.join(a)})",
     "countSubstringsCaseInsensitive": lambda a: (
         f"CAST((length({a[0]}) - length(replace(lower({a[0]}), "
         f"lower({a[1]}), ''))) / length({a[1]}) AS INT)"

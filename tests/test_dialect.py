@@ -4145,3 +4145,20 @@ class TestRound6ProbeTranche5:
         # CH returns the type default out-of-bounds; NULL is the
         # honest Spark analog (ANSI element_at would throw).
         assert r.rows == [[None, 3, {"abc": 1}]]
+
+
+class TestRound6ProbeTranche6:
+    def test_split_pad_zip_stragglers(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        r = eng.execute(
+            "SELECT splitByNonAlpha('ab.c1 d') AS s, "
+            "leftPadUTF8('x', 3, '_') AS l, "
+            "rightPadUTF8('x', 3, '_') AS rp, "
+            "arrayZipUnaligned([1,2,3], ['a']) AS z"
+        )
+        s, l, rp, z = r.rows[0]
+        assert s == ["ab", "c1", "d"]
+        assert l == "__x" and rp == "x__"
+        assert len(z) == 3 and z[0][0] == 1 and z[1][1] is None
