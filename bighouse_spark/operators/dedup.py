@@ -122,6 +122,68 @@ def _minhash_signature_sql(hashes_col: str, num_hashes: int) -> str:
     )
 
 
+def _lsh_prep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash/LSH front half: (docs(id, shingles, hashes),
+    band_keys(id, band, bucket)).
+
+    (id, shingles) is read by the verify join on top of the band-key
+    consumers; persist it so shingling runs once. At cluster scale
+    this is the standard signature-table materialization
+    (MEMORY_AND_DISK spills instead of OOMing on wide corpora).
+    Shingling is the CPU-heavy step → guard input parallelism before
+    it (no-op on a well-split big input; ~N× on a single-file local
+    table). The signature table persists too: the one-pass aggregate
+    is opaque to Catalyst, so an unmaterialized ``sig`` would be
+    recomputed in full by every element_at reference in the band-key
+    projection."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    docs = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            # Shingling + per-shingle seed mixes cost ~100x more per
+            # byte than a columnar scan: size parallelism accordingly.
+            bytes_per_partition=8 << 10,
+        )
+        .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
+        .select("id", "shingles")
+        .where(F.size("shingles") > 0)
+        .withColumn(
+            "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
+        )
+    )
+    docs = tracked_persist(docs)
+    sigs = docs.select(
+        "id",
+        F.expr(_minhash_signature_sql("__sh_hashes", num_hashes)).alias("sig"),
+    )
+    sigs = tracked_persist(sigs)
+    # Band keys as one SQL expression (same py4j-cost argument as the
+    # signature), reading the materialized sig column.
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))"
+        .format(
+            b=b,
+            els=", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_keys = sigs.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("bk")
+    ).select("id", "bk.band", "bk.bucket")
+    return docs, band_keys
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -152,57 +214,9 @@ def minhash_lsh_pairs(
     are identical; docs dropped from a hot bucket can still pair in
     their other ``bands − 1`` buckets. ``None`` disables the cap.
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-
-    # (id, shingles) is read 4× (both self-join sides + both verify
-    # sides); persist it so shingling runs once. At cluster scale this
-    # is the standard signature-table materialization (MEMORY_AND_DISK
-    # spills instead of OOMing on wide corpora). Shingling is the
-    # CPU-heavy step → guard input parallelism before it (no-op on a
-    # well-split big input; ~N× on a single-file local table).
-    docs = (
-        ensure_min_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
-            # Shingling + per-shingle seed mixes cost ~100x more per
-            # byte than a columnar scan: size parallelism accordingly.
-            bytes_per_partition=8 << 10,
-        )
-        .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
-        .select("id", "shingles")
-        .where(F.size("shingles") > 0)
-        .withColumn(
-            "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
-        )
+    docs, band_keys = _lsh_prep(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    docs = tracked_persist(docs)
-    # Persist the signature table: the one-pass aggregate is opaque to
-    # Catalyst, so an unmaterialized `sig` would be recomputed in full
-    # by every element_at reference in the band-key projection.
-    # Materializing sigs (id + num_hashes longs, ~300 B/doc) computes
-    # the signature exactly once; every consumer reads a plain column.
-    sigs = docs.select(
-        "id",
-        F.expr(_minhash_signature_sql("__sh_hashes", num_hashes)).alias("sig"),
-    )
-    sigs = tracked_persist(sigs)
-
-    # Band keys as one SQL expression (same py4j-cost argument as the
-    # signature), reading the materialized sig column.
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))"
-        .format(
-            b=b,
-            els=", ".join(
-                f"element_at(sig, {b * rows_per_band + r + 1})"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    band_keys = sigs.select(
-        "id", F.expr(f"explode(array({band_structs}))").alias("bk")
-    ).select("id", "bk.band", "bk.bucket")
     if max_bucket_size is not None:
         # Hot-bucket cap: rank members within each (band, bucket) and
         # keep the first N. The window shuffles on the bucket keys,
@@ -270,6 +284,86 @@ def minhash_lsh_pairs(
             cand.id_b == F.col("id2"),
         )
         .drop("id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def minhash_lsh_pairs_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate pairs — the bipartite LSH used for
+    contamination detection: which documents of corpus A (training
+    data) near-duplicate documents of corpus B (a benchmark set).
+
+    Returns (id_a, id_b, jaccard) with id_a from ``df_a``, id_b from
+    ``df_b``, exact verified Jaccard ≥ threshold. Unlike the
+    within-corpus self-join, candidates come from an EQUI-JOIN of the
+    two sides' band buckets — A-side band keys never pair with each
+    other, so cost is |A∩bucket|·|B∩bucket| per bucket, not
+    quadratic in either corpus. ``max_bucket_size`` caps each SIDE's
+    membership per (band, bucket) at N (keep-first by id), bounding
+    any bucket at N² pairs — the same boilerplate-bucket defence as
+    the within-corpus cap. At 100 TB × small benchmark the B side is
+    tiny; Catalyst broadcast-joins it under the threshold and the A
+    side never shuffles on the bucket keys at all."""
+    docs_a, bk_a = _lsh_prep(
+        df_a, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    docs_b, bk_b = _lsh_prep(
+        df_b, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band", "bucket").orderBy("id")
+        bk_a, bk_b = (
+            bk.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+            for bk in (bk_a, bk_b)
+        )
+    cand = (
+        bk_a.alias("a")
+        .join(
+            bk_b.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            docs_a.select(
+                F.col("id").alias("__ida"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            cand.id_a == F.col("__ida"),
+        )
+        .join(
+            docs_b.select(
+                F.col("id").alias("__idb"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            cand.id_b == F.col("__idb"),
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -445,3 +445,49 @@ def text_keyword_search(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "dedup_cross_corpus_lsh",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM d
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b
+    ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_cross_corpus_lsh(spark, sf_dir):
+    """Contamination detection: bipartite MinHash/LSH between two
+    corpora (here the even/odd doc_id halves of ``documents`` stand
+    in for training data vs a benchmark set). Candidates come from an
+    equi-join of the two sides' band buckets — never a within-corpus
+    self-join — and every emitted pair is verify-joined to exact
+    shingle Jaccard, so the oracle is the true cross-pair set."""
+    from bighouse_spark.operators.dedup import minhash_lsh_pairs_between
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_between(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        jaccard_threshold=0.5,
+    )

@@ -756,3 +756,76 @@ class TestSemDeDupCap:
             release_tracked()
         assert out[0] == (2, 0, 2)   # orthogonal: nothing dropped
         assert out[1] == (2, 1, 1)   # 11 dropped against keeper 10
+
+
+class TestCrossCorpusLSH:
+    def test_sides_never_self_pair(self, spark):
+        """Bipartite contract: within-corpus duplicates must NOT
+        appear — only cross pairs, each exact-verified."""
+        from bighouse_spark.operators.caching import release_tracked
+        from bighouse_spark.operators.dedup import (
+            minhash_lsh_pairs_between,
+        )
+
+        sent = lambda s, n: " ".join(f"w{s + i}" for i in range(n))
+        a = spark.createDataFrame(
+            [(1, sent(0, 30)), (2, sent(0, 30)), (3, sent(200, 30))],
+            "doc_id bigint, text string",
+        )  # 1 and 2 are identical WITHIN corpus A
+        b = spark.createDataFrame(
+            [(10, sent(0, 30)), (11, sent(500, 30))],
+            "doc_id bigint, text string",
+        )
+        try:
+            out = sorted(
+                (r.id_a, r.id_b, r.jaccard)
+                for r in minhash_lsh_pairs_between(
+                    a, b, jaccard_threshold=0.8
+                ).collect()
+            )
+        finally:
+            release_tracked()
+        assert out == [(1, 10, 1.0), (2, 10, 1.0)]
+
+    def test_bucket_cap_bounds_each_side(self, spark):
+        """Degenerate buckets (identical docs on both sides) stay
+        bounded at cap² candidate pairs per bucket."""
+        from bighouse_spark.operators.caching import release_tracked
+        from bighouse_spark.operators.dedup import (
+            minhash_lsh_pairs_between,
+        )
+
+        text = " ".join(f"w{i}" for i in range(30))
+        a = spark.createDataFrame(
+            [(i, text) for i in range(40)], "doc_id bigint, text string"
+        )
+        b = spark.createDataFrame(
+            [(100 + i, text) for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        try:
+            out = minhash_lsh_pairs_between(
+                a, b, jaccard_threshold=0.5, max_bucket_size=4
+            ).collect()
+        finally:
+            release_tracked()
+        # Only the first 4 ids of each side per bucket pair up
+        # (every band has the same single bucket here): 4×4 pairs.
+        assert len(out) == 16
+        assert max(r.id_a for r in out) == 3
+        assert max(r.id_b for r in out) == 103
+
+    def test_no_cartesian_in_plan(self, spark):
+        from bighouse_spark.operators.caching import release_tracked
+        from bighouse_spark.queries.registry import get
+        from tests.conftest import SF_CORRECT
+
+        try:
+            plan = (
+                get("dedup_cross_corpus_lsh").fn(spark, SF_CORRECT)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            release_tracked()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
