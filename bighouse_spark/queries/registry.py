@@ -53,7 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver rows the round after they land): the seven round-6
 # additions dialect_tuple_in_roundtrip, dialect_summap_roundtrip,
 # dialect_week_format_roundtrip, dialect_relative_num_roundtrip,
-# agg_ema_check, dialect_remote_roundtrip, plus re-checks of the
+# agg_ema_check, dialect_remote_roundtrip, dedup_cross_corpus_lsh
+# (bipartite contamination LSH), plus re-checks of the
 # queries whose plans changed (dedup_minhash_lsh fused cap,
 # dedup_semantic_within_cluster cluster cap). Fill with the oldest
 # names below.
