@@ -78,8 +78,8 @@ def main() -> None:
         load_table(spark, SF_DIR, tbl).agg(col.alias("w")).collect()
 
     # Each query runs four times: one cold run (plan construction +
-    # codegen JIT + Python-worker spin-up) and three warm runs whose
-    # MEDIAN is reported — the methodology the reference's own
+    # codegen JIT + Python-worker spin-up) and three warm runs; the
+    # MEDIAN and the MIN are both reported — the methodology the reference's own
     # baselines quote ("The second run was 4.1s", README.md:93-94),
     # hardened against host noise (round-3's 43 s artifact was ~30%
     # whole-host slowdown + transient ANN spikes). The headline value
@@ -95,6 +95,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_min3: dict[str, float] = {}
     plans: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
@@ -110,6 +111,11 @@ def main() -> None:
             release_tracked()
             spark.catalog.clearCache()
         warm[name] = round(statistics.median(samples), 3)
+        # Min-of-3 is the steal-robust statistic on this class of host
+        # (two rounds produced false-alarm "regressions" from single
+        # samples): CPU-steal only ever ADDS time, so the minimum is
+        # the best estimator of true cost. Protocol in SCALE.md.
+        warm_min3[name] = round(min(samples), 3)
         # Physical-plan fingerprint: lets the judge separate host noise
         # (hash stable, time moved) from plan regressions (hash moved).
         # Node ids / stats / codegen-stage numbers churn per session,
@@ -150,6 +156,8 @@ def main() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "warm_min3_total": round(sum(warm_min3.values()), 3),
+                "queries_warm_min3": warm_min3,
                 "plans": plans,
                 "sf": sf_val,
             }

@@ -256,7 +256,7 @@ def dialect_asof_roundtrip(spark, sf_dir):
     "dialect_cast_types_roundtrip",
     oracle="""
 SELECT l_returnflag AS flag,
-       sum(CAST(l_quantity AS BIGINT)) AS qty_int,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_int,
        CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_sum,
        max(CAST(l_orderkey AS BIGINT)) AS max_key
 FROM lineitem GROUP BY l_returnflag ORDER BY flag

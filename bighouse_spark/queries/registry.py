@@ -49,94 +49,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-7 ROTATION CANDIDATES (per the contract, new code paths get
-# driver rows the round after they land): the seven round-6
-# additions dialect_tuple_in_roundtrip, dialect_summap_roundtrip,
-# dialect_week_format_roundtrip, dialect_relative_num_roundtrip,
-# agg_ema_check, dialect_remote_roundtrip, dedup_cross_corpus_lsh
-# (bipartite contamination LSH), plus re-checks of the
-# queries whose plans changed (dedup_minhash_lsh fused cap,
-# dedup_semantic_within_cluster cluster cap). Fill with the oldest
-# names below.
+# ROUND-8 ROTATION CANDIDATES (per the contract, new code paths get
+# driver rows the round after they land): any round-7 oracle-backed
+# additions, plus the four r4-era names deferred from the r7 fill
+# (text_keyword_search, text_pii_redact, text_repetition_scores,
+# uniq_exact), then fill with oldest-green (r5-era) names.
 #
-# ROUND-6 WINDOW (50 names, ALL oracle-bearing). The rotation
-# contract: new code paths get driver rows the round after they
-# land, then fill with the OLDEST-green names. Composition, exactly:
-#   10 round-5 additions that have never had a driver row (the
-#      judge-named list, VERDICT r5 "Next #1")
-#   5  r2-era TPC-H without a recent row (q2, q11, q16, q20, plus
-#      flagship q1 re-check)
-#   2  pivot / unpivot
-#   4  scalar/string/date/array function rows
-#   9  curation suite incl. the constraint report
-#   9  more oldest-green TPC-H (q4, q7, q8, q10, q12, q13, q15,
-#      q17, q19)
-#   1  asof_join_purchase_click (ASOF flagship re-check)
-#   6  r1-era dedup family (exact, fingerprint, simhash, ngram,
-#      embedding-cosine, substring-20gram)
-#   3  ANN family (brute-force + IVF/LSH recall contracts)
-#   1  sum_group_by (the reference's flagship aggregation)
+# ROUND-7 WINDOW (50 names, ALL oracle-bearing). Composition:
+#   7  round-6 additions, first driver check (VERDICT r6 Next #2)
+#   2  plan-changed re-checks: dedup_minhash_lsh (fused hot-bucket
+#      cap), dedup_semantic_within_cluster (cluster-size cap)
+#   1  dialect_cast_types_roundtrip — r6's single red row; oracle
+#      fixed with outer CAST(sum(...) AS BIGINT) (VERDICT r6 Next #1)
+#   40 oldest-green fills: all 15 r1-era, all 7 r3-era, 18 of the
+#      20 r4-era names
 DRIVER_WINDOW = {
-    # -- round-5 additions, first driver check (10) --
-    "text_c4_filters",
+    # -- round-6 additions, first driver check (7) --
+    "dedup_cross_corpus_lsh",
+    "dialect_tuple_in_roundtrip",
+    "dialect_summap_roundtrip",
+    "dialect_week_format_roundtrip",
+    "dialect_relative_num_roundtrip",
+    "agg_ema_check",
+    "dialect_remote_roundtrip",
+    # -- plan-changed re-checks (2): fused LSH cap, SemDeDup cap --
+    "dedup_minhash_lsh",
     "dedup_semantic_within_cluster",
-    "text_boilerplate_lines",
-    "dedup_url_canonical",
-    "text_html_extract",
-    "multimodal_resize",
-    "hybrid_keyword_ann",
+    # -- oracle-fix re-prove (1): r6's one red row, outer CAST added --
     "dialect_cast_types_roundtrip",
-    "dialect_crypto_roundtrip",
-    "dialect_ipv4_roundtrip",
-    # -- r2-era TPC-H + flagship q1 (5) --
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_part_supplier_relation",
-    "tpch_q20_excess_stock",
-    # -- pivot family (2) --
-    "pivot_event_counts",
-    "unpivot_measures",
-    # -- function rows (4) --
-    "scalar_functions",
-    "string_functions",
-    "date_functions",
-    "array_functions",
-    # -- curation suite (9) --
-    "curation_chunk_documents",
-    "curation_decontaminate",
-    "curation_domain_cap",
-    "curation_incremental_dedup",
-    "curation_mixture_weighted",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "curation_train_val_test_split",
-    "quality_constraint_report",
-    # -- more oldest-green TPC-H (9) --
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
-    # -- ASOF flagship (1) --
-    "asof_join_purchase_click",
-    # -- r1-era dedup family (6) --
-    "dedup_exact_groups",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_substring_20gram",
-    # -- ANN family (3) --
-    "ann_brute_force_topk",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    # -- flagship aggregation (1) --
-    "sum_group_by",
+    # -- oldest-green fills: r1 era (15) --
+    "agg_conditional",
+    "agg_correlation",
+    "agg_distinct_multi",
+    "case_when_agg",
+    "cross_join_matrix",
+    "cube_agg",
+    "distinct_projection",
+    "explode_word_freq",
+    "having_filter",
+    "json_extract_props",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "null_handling",
+    "pipeline_training_corpus",
+    "range_join_conversions",
+    # -- oldest-green fills: r3 era (7) --
+    "agg_collect_sorted",
+    "ann_ivf_full_probe",
+    "scalar_subquery",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    # -- oldest-green fills: r4 era (18 of 20; text_keyword_search,
+    #    text_pii_redact, text_repetition_scores, uniq_exact rotate r8) --
+    "agg_entropy",
+    "agg_histogram",
+    "agg_weighted_median",
+    "checksum_invariance",
+    "cluster_assign_topics",
+    "dialect_agg_roundtrip",
+    "dialect_array_join_roundtrip",
+    "dialect_asof_roundtrip",
+    "dialect_limit_by_roundtrip",
+    "dialect_limit_ties_roundtrip",
+    "dialect_topk_roundtrip",
+    "dialect_with_fill_roundtrip",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "select_star",
+    "sequence_count_view_purchase",
+    "text_bigram_fluency",
+    "text_gopher_rules",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

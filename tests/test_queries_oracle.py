@@ -39,6 +39,16 @@ def test_rows_only(spark, name):
         release_tracked()
 
 
+def test_hugeint_lint_catches_uncast_sum(spark, duck):
+    """compare_frames must REJECT an oracle whose integer sum was left
+    uncast (DuckDB widens it to HUGEINT → driver typed-hash mismatch
+    even with equal values; r6's only red row)."""
+    df = spark.sql("SELECT CAST(1 AS BIGINT) AS s")
+    rel = duck.sql("SELECT CAST(sum(x) AS HUGEINT) AS s FROM (SELECT 1 AS x)")
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        compare_frames(df, rel)
+
+
 def test_driver_window_rotation_shape():
     """The driver records the first 50 exported names alphabetically;
     the rotation must put exactly the intended 50 there, keep
