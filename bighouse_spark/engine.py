@@ -1001,6 +1001,46 @@ class BigHouseEngine:
             f"<insert {fmt_desc}>", t0,
         )
 
+    def insert_header(
+        self, name: str, columns: list[str] | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(cols, declared CH types) for a client-streamed INSERT —
+        the native TCP protocol's sample block: the structure the
+        client encodes its Data blocks against (reference clients
+        learn it this way, ``workflow_query_executor.go:222-235``)."""
+        if name not in self._attached:
+            raise ValueError(
+                f"INSERT INTO {name}: not an attached table — call "
+                "attach_table()/ATTACH first"
+            )
+        target = self.spark.table(name).schema
+        type_of = self._declared_ch_types(name, target)
+        cols = columns or [f.name for f in target.fields]
+        missing = [c for c in cols if c not in type_of]
+        if missing:
+            raise ValueError(
+                f"INSERT INTO {name}: unknown columns {missing}"
+            )
+        return cols, [type_of[c] for c in cols]
+
+    def insert_decoded(
+        self, name: str, cols: list[str], rows: list[list]
+    ) -> QueryResult:
+        """Append already-decoded (cols, rows) — the native TCP wire's
+        INSERT tail (blocks are decoded stream-side in ``chwire``);
+        same by-name alignment/coercion as every payload-INSERT."""
+        t0 = time.monotonic()
+        if name not in self._attached:
+            raise ValueError(
+                f"INSERT INTO {name}: not an attached table"
+            )
+        target = self.spark.table(name).schema
+        return self._append_by_name(
+            name, target, cols, rows,
+            f"INSERT INTO {name} FORMAT Native <tcp>",
+            "<insert native tcp>", t0,
+        )
+
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int, t0: float
     ) -> QueryResult:

@@ -195,6 +195,106 @@ def cityhash64(s: bytes) -> int:
     )
 
 
+def _city_murmur(s: bytes, seed_lo: int, seed_hi: int) -> tuple:
+    """CityMurmur (v1.0.2) — the <128-byte path of CityHash128."""
+    n = len(s)
+    a, b = seed_lo, seed_hi
+    c = d = 0
+    if n <= 16:
+        a = (_shiftmix((a * K1) & _M64) * K1) & _M64
+        c = (b * K1 + _hashlen0to16(s)) & _M64
+        d = _shiftmix((a + (_f64(s, 0) if n >= 8 else c)) & _M64)
+    else:
+        c = hash128to64((_f64(s, n - 8) + K1) & _M64, a)
+        d = hash128to64((b + n) & _M64, (c + _f64(s, n - 16)) & _M64)
+        a = (a + d) & _M64
+        i = 0
+        remain = n - 16
+        while remain > 0:
+            a ^= (_shiftmix((_f64(s, i) * K1) & _M64) * K1) & _M64
+            a = (a * K1) & _M64
+            b ^= a
+            c ^= (_shiftmix((_f64(s, i + 8) * K1) & _M64) * K1) & _M64
+            c = (c * K1) & _M64
+            d ^= c
+            i += 16
+            remain -= 16
+    a = hash128to64(a, c)
+    b = hash128to64(d, b)
+    return a ^ b, hash128to64(b, a)
+
+
+def _cityhash128_seeded(s: bytes, seed_lo: int, seed_hi: int) -> tuple:
+    """CityHash128WithSeed, CityHash v1.0.2 (public-domain Google
+    algorithm — the version ClickHouse pins for its compressed-frame
+    checksums). Returns ``(low64, high64)``."""
+    n = len(s)
+    if n < 128:
+        return _city_murmur(s, seed_lo, seed_hi)
+    x, y = seed_lo, seed_hi
+    z = (n * K1) & _M64
+    v0 = (_rot(y ^ K1, 49) * K1 + _f64(s, 0)) & _M64
+    v1 = (_rot(v0, 42) * K1 + _f64(s, 8)) & _M64
+    w0 = (_rot((y + z) & _M64, 35) * K1 + x) & _M64
+    w1 = (_rot((x + _f64(s, 88)) & _M64, 53) * K1) & _M64
+    v, w = (v0, v1), (w0, w1)
+    i = 0
+    remain = n
+    while True:
+        for _ in range(2):  # the reference loop is manually unrolled 2x
+            x = (_rot((x + y + v[0] + _f64(s, i + 16)) & _M64, 37) * K1) & _M64
+            y = (_rot((y + v[1] + _f64(s, i + 48)) & _M64, 42) * K1) & _M64
+            x ^= w[1]
+            y ^= v[0]
+            z = _rot(z ^ w[0], 33)
+            v = _weak32(s, i, (v[1] * K1) & _M64, (x + w[0]) & _M64)
+            w = _weak32(s, i + 32, (z + w[1]) & _M64, y)
+            z, x = x, z
+            i += 64
+        remain -= 128
+        if remain < 128:
+            break
+    y = (y + _rot(w[0], 37) * K0 + z) & _M64
+    x = (x + _rot((v[0] + z) & _M64, 49) * K0) & _M64
+    # 0 < remain < 128: up to 4 chunks of 32 bytes from the tail.
+    tail_done = 0
+    while tail_done < remain:
+        tail_done += 32
+        y = (_rot((y - x) & _M64, 42) * K0 + v[1]) & _M64
+        w = ((w[0] + _f64(s, i + remain - tail_done + 16)) & _M64, w[1])
+        x = (_rot(x, 49) * K0 + w[0]) & _M64
+        w = ((w[0] + v[0]) & _M64, w[1])
+        v = _weak32(s, i + remain - tail_done, v[0], v[1])
+    x = hash128to64(x, v[0])
+    y = hash128to64(y, w[0])
+    return (
+        (hash128to64((x + v[1]) & _M64, w[1]) + y) & _M64,
+        hash128to64((x + w[1]) & _M64, (y + v[1]) & _M64),
+    )
+
+
+def cityhash128(s: bytes) -> tuple:
+    """CityHash128 v1.0.2 → ``(low64, high64)`` — the checksum CH's
+    compressed wire frames carry (16 bytes = low LE ++ high LE).
+
+    Fidelity posture mirrors ``cityhash64`` above: transcribed from
+    the published public-domain v1.0.2 algorithm; offline tests cover
+    every length-class path for self-consistency, and
+    ``tests/test_cityhash.py`` carries an exact cross-check against
+    the ``clickhouse_cityhash`` wheel that activates whenever that
+    package is importable (not baked into this container)."""
+    n = len(s)
+    if n >= 16:
+        return _cityhash128_seeded(
+            s[16:], _f64(s, 0) ^ K3, _f64(s, 8)
+        )
+    if n >= 8:
+        return _cityhash128_seeded(
+            b"", _f64(s, 0) ^ ((n * K0) & _M64), _f64(s, n - 8) ^ K1
+        )
+    return _cityhash128_seeded(s, K0, K1)
+
+
 def _encode_value(v) -> bytes:
     """One argument value → the byte string CH would hash for it
     (LE native bytes; see module docstring for the width contract)."""

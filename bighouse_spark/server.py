@@ -686,11 +686,18 @@ def main() -> None:  # pragma: no cover - manual entry point
         help="also serve the MySQL wire protocol on this port "
         "(the reference's mysql_port 9004, ch/config.xml:138)",
     )
+    ap.add_argument(
+        "--ch-port", type=int, default=None,
+        help="also serve the ClickHouse native TCP protocol on this "
+        "port (the reference's tcp_port 9000 — its only client path, "
+        "temporal/workflow_query_executor.go:222-235)",
+    )
     args = ap.parse_args()
     engine = BigHouseEngine()
     server = make_server(engine=engine, host=args.host, port=args.port)
     non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
-    if non_loopback and (args.pg_port or args.mysql_port):
+    if non_loopback and (args.pg_port or args.mysql_port
+                         or args.ch_port):
         import sys
 
         print(
@@ -715,6 +722,14 @@ def main() -> None:  # pragma: no cover - manual entry point
         )
         my.start()
         print(f"mysql wire protocol on {my.host}:{my.port}")
+    if args.ch_port is not None:
+        from bighouse_spark.chwire import CHWireServer
+
+        ch = CHWireServer(
+            engine=engine, host=args.host, port=args.ch_port
+        )
+        ch.start()
+        print(f"clickhouse native protocol on {ch.host}:{ch.port}")
     print(f"bighouse-spark listening on {args.host}:{server.server_port}")
     server.serve_forever()
 
