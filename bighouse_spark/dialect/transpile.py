@@ -6034,7 +6034,10 @@ def _spool_evict_locked() -> None:
         path, nbytes = _HTTP_SPOOL.pop(url)
         total -= nbytes
         try:
-            os.unlink(path.removeprefix("file://"))
+            local = path.removeprefix("file://")
+            os.unlink(local)
+            # Each spool file lives in its own hash directory.
+            os.rmdir(os.path.dirname(local))
         except OSError:
             pass
 
@@ -6059,11 +6062,16 @@ def _fetch_http(url: str) -> str:
     import urllib.request
     import uuid
 
-    spool_dir = os.path.join(tempfile.gettempdir(), "bighouse_http_spool")
-    os.makedirs(spool_dir, exist_ok=True)
-    name = hashlib.md5(url.encode()).hexdigest() + "_" + os.path.basename(
-        url.split("?")[0]
+    # Hash goes in a SUBDIRECTORY, not the file name: the basename
+    # must stay the URL's own so the `_file` virtual column reads as
+    # CH's (resource name, not a spool artifact).
+    spool_dir = os.path.join(
+        tempfile.gettempdir(),
+        "bighouse_http_spool",
+        hashlib.md5(url.encode()).hexdigest(),
     )
+    os.makedirs(spool_dir, exist_ok=True)
+    name = os.path.basename(url.split("?")[0]) or "index"
     dest = os.path.join(spool_dir, name)
     if not os.path.exists(dest):
         tmp = f"{dest}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -6287,12 +6295,37 @@ def _register_source(
 
     paths = expand_braces(url)
     if paths and paths[0].startswith(("http://", "https://")):
-        # Plain-HTTP sources (the reference's url()/urlCluster() over
-        # public datasets, run.sh:17): no Hadoop FS speaks http, so
-        # fetch to a driver-local spool (concurrently across URLs) and
-        # read from there. Fine for the reference's use (modest public
-        # CSVs); S3-hosted data should use s3a:// paths, which scan
-        # distributed.
+        from bighouse_spark.sources.urlfanout import (
+            can_fanout,
+            read_urls_distributed,
+        )
+
+        if can_fanout(paths, fmt):
+            # Many-file glob: EXECUTOR-side fetch+parse (mapInPandas)
+            # — payload bytes never touch the driver, matching the
+            # reference's urlCluster fan-out
+            # (workflow_query_executor_test.go:63-65).
+            options = {}
+            if fmt_name in ("tsv", "tsvwithnames"):
+                options["sep"] = "\t"
+            df = read_urls_distributed(
+                spark,
+                paths,
+                fmt=fmt,
+                schema=schema,
+                header=header,
+                compression=compression,
+                add_file_column=uses_file,
+                options=options,
+            )
+            df.createOrReplaceTempView(view)
+            return
+        # Small sets / other formats: driver-local spool (concurrent
+        # fetch, LRU + pin-refcounted). No Hadoop FS speaks http, and
+        # for a handful of public CSVs (the reference's use, run.sh:17)
+        # the spool keeps Spark's native reader — including formats
+        # the executor-side parser doesn't cover. S3-hosted data
+        # should use s3a:// paths, which scan distributed.
         paths = _fetch_http_many(paths)
     options = {}
     if fmt_name in ("tsv", "tsvwithnames"):

@@ -1,0 +1,171 @@
+"""Executor-side ``url()`` fan-out.
+
+The reference's ``urlCluster`` distributes URL reads across nodes
+(reference ``workflow_query_executor_test.go:63-65``); our small-set
+path spools http(s) files through the driver (no Hadoop http FS in
+this environment), which is fine for a handful of public CSVs but
+becomes a driver funnel when a brace glob expands to hundreds of
+files. This module is the scale path: the URL list becomes a
+one-column DataFrame, and each EXECUTOR fetches and parses its URLs
+inside ``mapInPandas`` (Arrow-batched) — the payload bytes never
+touch the driver, matching the reference's fan-out semantics.
+
+Schema contract: a declared CH schema string (the common reference
+shape, ``s3/url(.., 'CSVWithNames', 'a UInt64, b String')``) is
+authoritative — parse columns are cast to it via Arrow. Without one,
+a single bounded driver fetch of the FIRST url infers the schema that
+every executor parse is then cast to (a 1000-file scan costs one
+driver-side file, not a thousand).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import sys
+import urllib.request
+
+from bighouse_spark.functions._shipping import ship_by_value
+
+FANOUT_THRESHOLD = int(
+    os.environ.get("BIGHOUSE_URL_FANOUT_THRESHOLD", "8")
+)
+MAX_FILE_BYTES = int(
+    os.environ.get(
+        "BIGHOUSE_URL_FANOUT_MAX_FILE_BYTES", str(4 << 30)
+    )
+)
+_FANOUT_FORMATS = {"csv", "parquet"}
+
+
+def can_fanout(paths: list[str], fmt: str) -> bool:
+    """True when the url() read should bypass the driver spool: more
+    files than the threshold, an executor-parseable format, and all
+    plain-http sources (s3a:// etc. already scan distributed)."""
+    return (
+        len(paths) > FANOUT_THRESHOLD
+        and fmt in _FANOUT_FORMATS
+        and all(p.startswith(("http://", "https://")) for p in paths)
+    )
+
+
+def _fetch_bytes(url: str, cap: int = MAX_FILE_BYTES) -> bytes:
+    out = io.BytesIO()
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+            if out.tell() > cap:
+                raise ValueError(
+                    f"url() file {url} exceeds the per-file cap "
+                    f"({cap} bytes); raise "
+                    "BIGHOUSE_URL_FANOUT_MAX_FILE_BYTES"
+                )
+    data = out.getvalue()
+    if url.split("?", 1)[0].endswith(".gz"):
+        data = gzip.decompress(data)
+    return data
+
+
+def _parse_table(data: bytes, fmt: str, header: bool, sep: str | None,
+                 arrow_schema):
+    """bytes → pyarrow Table, cast to ``arrow_schema`` when given."""
+    import pyarrow as pa
+
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(pa.BufferReader(data))
+    else:
+        from pyarrow import csv as pacsv
+
+        names = None
+        column_types = {}
+        if arrow_schema is not None:
+            column_types = {f.name: f.type for f in arrow_schema}
+            if not header:
+                names = [f.name for f in arrow_schema]
+        read_opts = pacsv.ReadOptions(
+            column_names=names,
+            autogenerate_column_names=(not header and names is None),
+        )
+        parse_opts = pacsv.ParseOptions(delimiter=sep or ",")
+        conv_opts = pacsv.ConvertOptions(column_types=column_types)
+        tbl = pacsv.read_csv(
+            pa.BufferReader(data),
+            read_options=read_opts,
+            parse_options=parse_opts,
+            convert_options=conv_opts,
+        )
+    if arrow_schema is not None:
+        tbl = tbl.select([f.name for f in arrow_schema])
+        tbl = tbl.cast(arrow_schema)
+    return tbl
+
+
+def _file_name(url: str) -> str:
+    return url.split("?", 1)[0].rstrip("/").rsplit("/", 1)[-1]
+
+
+def read_urls_distributed(
+    spark,
+    urls: list[str],
+    fmt: str = "csv",
+    schema=None,
+    header: bool = True,
+    compression: str | None = None,  # noqa: ARG001 — gzip is sniffed
+    add_file_column: bool = False,
+    options: dict[str, str] | None = None,
+):
+    from pyspark.sql.pandas.types import (
+        from_arrow_schema,
+        to_arrow_schema,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sep = (options or {}).get("sep")
+    if isinstance(schema, str):
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        schema = parse_schema_string(schema)
+    if schema is None:
+        # One bounded driver fetch to pin the schema all executors
+        # cast to (parquet is self-describing per file but files may
+        # disagree; CSV needs types).
+        first = _parse_table(
+            _fetch_bytes(urls[0]), fmt, header, sep, None
+        )
+        arrow_schema = first.schema
+        spark_schema = from_arrow_schema(arrow_schema)
+    else:
+        spark_schema = schema
+        arrow_schema = to_arrow_schema(schema)
+    fields = list(spark_schema.fields)
+    if add_file_column:
+        fields = fields + [StructField("_file", StringType())]
+    out_schema = StructType(fields)
+
+    def fetch_parse(batches):
+        for pdf in batches:
+            for u in pdf["u"]:
+                tbl = _parse_table(
+                    _fetch_bytes(u), fmt, header, sep, arrow_schema
+                )
+                out = tbl.to_pandas()
+                if add_file_column:
+                    out["_file"] = _file_name(u)
+                yield out
+
+    n_parts = min(
+        len(urls), max(spark.sparkContext.defaultParallelism, 8)
+    )
+    urls_df = spark.createDataFrame(
+        [(u,) for u in urls], ["u"]
+    ).repartition(n_parts)
+    return urls_df.mapInPandas(fetch_parse, schema=out_schema)
+
+
+ship_by_value(sys.modules[__name__])

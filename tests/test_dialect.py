@@ -694,6 +694,115 @@ class TestHttpUrlSource:
             srv.shutdown()
 
 
+class TestUrlFanout:
+    """Executor-side url() fan-out: >threshold files fetch+parse on
+    executors (mapInPandas) and NEVER through the driver spool."""
+
+    @staticmethod
+    def _serve(tmp_path):
+        import http.server
+        import threading
+
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+            *a, directory=str(tmp_path), **kw
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_many_file_scan_bypasses_driver_spool(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import importlib
+
+        tp = importlib.import_module("bighouse_spark.dialect.transpile")
+
+        for m in range(12):
+            (tmp_path / f"f-{m}.csv").write_text(f"v,w\n{m},a{m}\n")
+        srv = self._serve(tmp_path)
+
+        def boom(*a, **kw):  # any spool write is a failure
+            raise AssertionError("driver spool used for fanout scan")
+
+        monkeypatch.setattr(tp, "_fetch_http", boom)
+        monkeypatch.setattr(tp, "_fetch_http_many", boom)
+        try:
+            port = srv.server_port
+            r = transpile(
+                f"SELECT count() AS n, sum(v) AS s, uniqExact(_file) "
+                f"AS files FROM "
+                f"url('http://127.0.0.1:{port}/f-{{0..11}}.csv', "
+                "'CSVWithNames', 'v Int64, w String')",
+                spark,
+            )
+            assert [tuple(x) for x in spark.sql(r.sql).collect()] == [
+                (12, sum(range(12)), 12)
+            ]
+        finally:
+            srv.shutdown()
+
+    def test_fanout_matches_spool_path(self, spark, tmp_path,
+                                       monkeypatch):
+        import bighouse_spark.sources.urlfanout as uf
+
+        for m in range(10):
+            (tmp_path / f"g-{m}.csv").write_text(
+                f"v\n{m * 10}\n{m * 10 + 1}\n"
+            )
+        srv = self._serve(tmp_path)
+        try:
+            port = srv.server_port
+            sql = (
+                f"SELECT _file, sum(v) AS s FROM "
+                f"url('http://127.0.0.1:{port}/g-{{0..9}}.csv', "
+                "'CSVWithNames', 'v Int64') GROUP BY _file "
+                "ORDER BY _file"
+            )
+            monkeypatch.setattr(uf, "FANOUT_THRESHOLD", 1000)
+            spool_rows = [
+                tuple(x)
+                for x in spark.sql(transpile(sql, spark).sql).collect()
+            ]
+            monkeypatch.setattr(uf, "FANOUT_THRESHOLD", 2)
+            fan_rows = [
+                tuple(x)
+                for x in spark.sql(transpile(sql, spark).sql).collect()
+            ]
+            assert fan_rows == spool_rows
+            assert len(fan_rows) == 10
+        finally:
+            srv.shutdown()
+
+    def test_fanout_parquet_schema_from_first_file(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import bighouse_spark.sources.urlfanout as uf
+
+        for m in range(4):
+            pq.write_table(
+                pa.table({"k": [m, m + 100], "s": [f"r{m}", "x"]}),
+                tmp_path / f"p-{m}.parquet",
+            )
+        srv = self._serve(tmp_path)
+        try:
+            port = srv.server_port
+            monkeypatch.setattr(uf, "FANOUT_THRESHOLD", 2)
+            r = transpile(
+                f"SELECT count() AS n, sum(k) AS s FROM "
+                f"url('http://127.0.0.1:{port}/p-{{0..3}}.parquet', "
+                "'Parquet')",
+                spark,
+            )
+            assert [tuple(x) for x in spark.sql(r.sql).collect()] == [
+                (8, sum(range(4)) + 4 * 100 + sum(range(4)))
+            ]
+        finally:
+            srv.shutdown()
+
+
 class TestJsonFunctions:
     def test_extract_variants(self, spark):
         j = '{"name": "ada", "age": 36, "score": 1.5, "ok": true}'
