@@ -850,6 +850,182 @@ def _ema_builder(p: list[str], a: list[str]) -> str:
     return f"(({num}) / ({den}))"
 
 
+def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
+    """kolmogorovSmirnovTest([alternative, method])(x, sample_idx) →
+    ``(d_statistic, p_value)`` as a named struct.
+
+    One sorted collect per group, then a single O(n) fold over the
+    pooled ranks: the ECDF difference is taken only at distinct-value
+    BOUNDARIES (tie-aware — comparing mid-tie overstates D), with the
+    sample sizes coming from two scalar conditional-count aggregates
+    that Spark computes once and binds into the lambda (not an O(n²)
+    in-lambda rescan). The p-value is the asymptotic Kolmogorov
+    series 2·Σ(-1)^(k-1)·exp(-2k²λ²), λ = D·√(n0·n1/(n0+n1)) — CH's
+    large-sample method; the small-sample 'exact' method is refused
+    with guidance."""
+    if len(a) != 2:
+        raise ValueError(
+            "kolmogorovSmirnovTest(x, sample_index) takes exactly "
+            "two arguments (sample_index 0/1)"
+        )
+    if params:
+        alt = params[0].strip("'\" ").lower()
+        if alt not in ("two-sided", "twosided"):
+            raise ValueError(
+                f"kolmogorovSmirnovTest: alternative {params[0]} is "
+                "not supported; only 'two-sided' is implemented"
+            )
+        if len(params) > 1:
+            method = params[1].strip("'\" ").lower()
+            if method == "exact":
+                raise ValueError(
+                    "kolmogorovSmirnovTest: method 'exact' "
+                    "(small-sample enumeration) is not implemented; "
+                    "use 'asymp' (or 'auto', which resolves to the "
+                    "asymptotic series here)"
+                )
+    arr = (
+        f"sort_array(collect_list(named_struct("
+        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT))))"
+    )
+    n0 = f"sum(CAST(IF(CAST({a[1]} AS INT) = 0, 1, 0) AS DOUBLE))"
+    n1 = f"sum(CAST(IF(CAST({a[1]} AS INT) <> 0, 1, 0) AS DOUBLE))"
+    diff = f"abs(__acc.c0 / {n0} - __acc.c1 / {n1})"
+    d = (
+        f"aggregate({arr}, "
+        f"named_struct('c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS "
+        f"DOUBLE), 'd', CAST(0 AS DOUBLE), 'prev', CAST(NULL AS "
+        f"DOUBLE)), "
+        f"(__acc, __e) -> named_struct("
+        f"'c0', CAST(__acc.c0 + IF(__e.i = 0, 1, 0) AS DOUBLE), "
+        f"'c1', CAST(__acc.c1 + IF(__e.i <> 0, 1, 0) AS DOUBLE), "
+        f"'d', CAST(IF(__acc.prev IS NULL OR __e.v = __acc.prev, "
+        f"__acc.d, greatest(__acc.d, {diff})) AS DOUBLE), "
+        f"'prev', CAST(__e.v AS DOUBLE)), "
+        f"__acc -> greatest(__acc.d, {diff}))"
+    )
+    lam2 = f"(({d}) * ({d}) * ({n0}) * ({n1}) / (({n0}) + ({n1})))"
+    p = (
+        f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"2 * aggregate(sequence(1, 100), CAST(0 AS DOUBLE), "
+        f"(__a, __k) -> __a + pow(-1, __k - 1) * "
+        f"exp(-2 * __k * __k * {lam2}), __a -> __a)))"
+    )
+    return (
+        f"named_struct('d_statistic', ({d}), 'p_value', ({p}))"
+    )
+
+
+def _byte_size_builder(a: list[str]) -> str:
+    """byteSize(x) → the ENGINE's per-value storage width (Spark
+    widths — CH widths differ where the engine widens: Date is 4
+    here vs CH's 2; documented divergence). Strings/blobs follow the
+    CH convention length + 9; Decimal maps precision → 4/8/16 bytes
+    (Decimal32/64/128). Composite types raise a guided error. The
+    type dispatch is ``typeof()``-driven so one spelling covers every
+    scalar column without transpile-time schema access."""
+    if len(a) != 1:
+        raise ValueError("byteSize(x) takes exactly one argument")
+    x = a[0]
+    t = f"typeof({x})"
+    prec = f"CAST(regexp_extract({t}, 'decimal\\\\((\\\\d+)', 1) AS INT)"
+    return (
+        f"CAST(CASE "
+        f"WHEN {t} IN ('tinyint', 'boolean') THEN 1 "
+        f"WHEN {t} = 'smallint' THEN 2 "
+        f"WHEN {t} IN ('int', 'float', 'date') THEN 4 "
+        f"WHEN {t} IN ('bigint', 'double', 'timestamp', "
+        f"'timestamp_ntz') THEN 8 "
+        # CAST AS STRING is identity for the strings/blobs that can
+        # reach this branch (the typeof gate) but keeps ANALYSIS
+        # valid for composite types so they fall through to the
+        # guided raise_error instead of an opaque octet_length
+        # mismatch.
+        f"WHEN {t} IN ('string', 'binary') THEN "
+        f"octet_length(CAST({x} AS STRING)) + 9 "
+        f"WHEN {t} LIKE 'decimal%' THEN "
+        f"CASE WHEN {prec} <= 9 THEN 4 WHEN {prec} <= 18 THEN 8 "
+        f"ELSE 16 END "
+        # NB: the message must not spell the function name with a
+        # paren — the rewrite loop would re-match it inside the
+        # string literal (same trap as the _ARG_REWRITES case-variant
+        # gotcha).
+        f"ELSE raise_error(concat('byte size unsupported for type ', "
+        f"{t}, ' — composite types need per-field expansion')) "
+        f"END AS BIGINT)"
+    )
+
+
+def _struct_literal_fields(s: str) -> list[str] | None:
+    """Field expressions of an inline tuple spelling — ``struct(...)``
+    (what ``tuple()`` transpiles to) or a bare parenthesized list —
+    else None (column-typed tuples can't expand at string level)."""
+    s = s.strip()
+    for head in ("struct(", "tuple("):  # pre- and post-rewrite forms
+        if s.lower().startswith(head) and s.endswith(")"):
+            return _split_args_top(s[len(head):-1])
+    if s.startswith("(") and s.endswith(")"):
+        parts = _split_args_top(s[1:-1])
+        return parts if len(parts) > 1 else None
+    return None
+
+
+def _tuple_arith_builder(name: str):
+    """tuplePlus/Minus/Multiply/Divide/Negate/…ByNumber/tupleConcat →
+    field-wise struct expansion. Works on INLINE tuple spellings
+    (``tuple(a, b)`` / ``(a, b)``); tuple-typed column refs keep the
+    guided refusal (arity unknown at string level)."""
+    ops = {"tuplePlus": "+", "tupleMinus": "-",
+           "tupleMultiply": "*", "tupleDivide": "/"}
+
+    def build(a: list[str]) -> str:
+        refusal = ValueError(
+            f"{name}() expands field-wise only for inline tuples — "
+            f"spell the operands as tuple(a, b, ...); a tuple-typed "
+            "column reference has unknown arity at transpile time "
+            "(use arrays: arrayDotProduct / zip_with)"
+        )
+        if name == "tupleConcat":
+            fields: list[str] = []
+            for arg in a:
+                fs = _struct_literal_fields(arg)
+                if fs is None:
+                    raise refusal
+                fields.extend(fs)
+            return f"struct({', '.join(fields)})"
+        if name == "tupleNegate":
+            fs = _struct_literal_fields(a[0]) if a else None
+            if len(a) != 1 or fs is None:
+                raise refusal
+            return f"struct({', '.join(f'-({f})' for f in fs)})"
+        if name in ("tupleMultiplyByNumber", "tupleDivideByNumber"):
+            if len(a) != 2:
+                raise refusal
+            fs = _struct_literal_fields(a[0])
+            if fs is None:
+                raise refusal
+            op = "*" if name == "tupleMultiplyByNumber" else "/"
+            return (
+                "struct("
+                + ", ".join(f"({f}) {op} ({a[1]})" for f in fs)
+                + ")"
+            )
+        op = ops[name]
+        if len(a) != 2:
+            raise refusal
+        f1 = _struct_literal_fields(a[0])
+        f2 = _struct_literal_fields(a[1])
+        if f1 is None or f2 is None or len(f1) != len(f2):
+            raise refusal
+        return (
+            "struct("
+            + ", ".join(f"({x}) {op} ({y})" for x, y in zip(f1, f2))
+            + ")"
+        )
+
+    return build
+
+
 def _map_agg_fold(a: list[str], merge: str) -> str:
     """sum/min/maxMap over a MAP column: fold the group's collected
     maps with map_zip_with (missing keys behave like CH: they take
@@ -2028,14 +2204,7 @@ _ARG_REWRITES.update({
             "a conditional aggregate, then U = R1 - n1(n1+1)/2"
         )
     ),
-    "kolmogorovSmirnovTest": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "kolmogorovSmirnovTest() needs both ECDFs at every "
-            "sample point; compute cume_dist() OVER (PARTITION BY "
-            "sample ORDER BY value) and take max(abs(diff)); the "
-            "p-value needs the KS CDF"
-        )
-    ),
+    "kolmogorovSmirnovTest": lambda a: _ks_test_builder(a),
     "meanZTest": lambda a: (_ for _ in ()).throw(
         ValueError(
             "meanZTest() is a closed-form scalar over conditional "
@@ -2107,12 +2276,7 @@ _ARG_REWRITES.update({
             "with the engine — apply a tokenizer UDF upstream"
         )
     ),
-    "byteSize": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "byteSize() depends on CH storage widths; use "
-            "octet_length() for strings/binary"
-        )
-    ),
+    "byteSize": lambda a: _byte_size_builder(a),
     "formatRow": lambda a: (_ for _ in ()).throw(
         ValueError(
             "formatRow() renders FORMAT output per row; use the HTTP "
@@ -2473,18 +2637,20 @@ _ARG_REWRITES.update({
         ValueError("KQL dialect is not supported; use ClickHouse SQL")
     ),
     **{
-        name: (lambda nm: lambda a: (_ for _ in ()).throw(
-            ValueError(
-                f"{nm}() tuple arithmetic needs per-field expansion; "
-                "use arrays (arrayDotProduct, zip_with) instead"
-            )
-        ))(name)
+        name: _tuple_arith_builder(name)
         for name in (
             "tuplePlus", "tupleMinus", "tupleNegate",
             "tupleMultiplyByNumber", "tupleDivideByNumber",
-            "tupleMultiply", "tupleDivide", "flattenTuple",
+            "tupleMultiply", "tupleDivide",
         )
     },
+    "flattenTuple": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "flattenTuple() needs the nested struct's full type to "
+            "expand; flatten explicitly with named_struct over the "
+            "nested fields"
+        )
+    ),
 })
 
 def _spark_type_ddl(ch_type: str) -> str:
@@ -3675,12 +3841,7 @@ _ARG_REWRITES.update({
             "max(k) OVER (PARTITION BY <group>) AS mk"
         )
     ),
-    "tupleConcat": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "tupleConcat: struct concatenation needs field-name "
-            "merging; use arrays (concat) or named_struct explicitly"
-        )
-    ),
+    "tupleConcat": _tuple_arith_builder("tupleConcat"),
     "arrayReverseSplit": lambda a: (_ for _ in ()).throw(
         ValueError(
             "arrayReverseSplit() has no Spark equivalent; derive cut "
@@ -4723,6 +4884,10 @@ def _rewrite_parametric(sql: str) -> str:
         # block-order dependence: the weights anchor on max(t), not
         # arrival order).
         ("exponentialMovingAverage", _ema_builder),
+        # kolmogorovSmirnovTest('two-sided'[, 'asymp'])(x, idx):
+        # parameterized form — validates the alternative/method.
+        ("kolmogorovSmirnovTest",
+         lambda p, a: _ks_test_builder(a, p)),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(

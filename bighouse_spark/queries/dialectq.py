@@ -518,3 +518,98 @@ def dialect_remote_roundtrip(spark, sf_dir):
         spark,
     ).sql
     return spark.sql(sql)
+
+
+# Round-7 probe tranche (VERDICT r6 Next #7): kolmogorovSmirnovTest
+# as a real aggregate (O(n) tie-aware pooled-rank fold + asymptotic
+# p series), byteSize type-walk, tuple arithmetic expansion. The
+# DuckDB oracle recomputes the KS ECDFs from first principles with
+# RANGE-frame cumulative counts (ties included by RANGE semantics)
+# and the same 100-term Kolmogorov series.
+@query(
+    "dialect_ks_test_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i
+  FROM events WHERE event_type IN ('purchase', 'click')
+), b AS (
+  SELECT CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) OVER
+           (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+            ROW) AS DOUBLE) AS c0,
+         CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) OVER
+           (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
+            ROW) AS DOUBLE) AS c1
+  FROM s
+), n AS (
+  SELECT CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+  FROM s
+), ks AS (
+  SELECT max(abs(b.c0 / n.n0 - b.c1 / n.n1)) AS d,
+         any_value(n.n0) AS n0, any_value(n.n1) AS n1
+  FROM b, n
+)
+SELECT round(d, 9) AS d_stat,
+       round(least(1.0, greatest(0.0,
+         2 * (SELECT sum(power(-1, k - 1) *
+                         exp(-2 * k * k *
+                             (ks.d * ks.d * ks.n0 * ks.n1 /
+                              (ks.n0 + ks.n1))))
+              FROM generate_series(1, 100) AS g(k)))), 6) AS p_val
+FROM ks
+""",
+)
+def dialect_ks_test_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ks",
+        """
+        SELECT round(__ks.d_statistic, 9) AS d_stat,
+               round(__ks.p_value, 6) AS p_val
+        FROM (
+          SELECT kolmogorovSmirnovTest(
+                   value, if(event_type = 'purchase', 1, 0)) AS __ks
+          FROM __dq_events_ks
+          WHERE event_type IN ('purchase', 'click')
+        )
+        """,
+    )
+
+
+# byteSize + inline tuple arithmetic, value-verified: byteSize of a
+# String is octet_length + 9 (CH String convention), Int64 is 8;
+# tuplePlus/MultiplyByNumber expand field-wise over inline tuples.
+@query(
+    "dialect_bytesize_tuple_roundtrip",
+    oracle="""
+SELECT n_regionkey AS grp,
+       CAST(sum(strlen(n_name) + 9) AS BIGINT) AS name_b,
+       CAST(count(*) * 8 AS BIGINT) AS key_b,
+       CAST(sum(n_nationkey + 100) AS BIGINT) AS t_plus,
+       CAST(sum(n_nationkey * 3) AS BIGINT) AS t_mul
+FROM nation GROUP BY n_regionkey ORDER BY grp
+""",
+)
+def dialect_bytesize_tuple_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "nation",
+        "__dq_nation_bs",
+        """
+        SELECT n_regionkey AS grp,
+               CAST(sum(byteSize(n_name)) AS Int64) AS name_b,
+               CAST(sum(byteSize(CAST(n_nationkey AS Int64)))
+                    AS Int64) AS key_b,
+               CAST(sum(tupleElement(
+                 tuplePlus(tuple(n_nationkey, 0), tuple(100, 0)), 1))
+                    AS Int64) AS t_plus,
+               CAST(sum(tupleElement(
+                 tupleMultiplyByNumber(tuple(n_nationkey, 1), 3), 1))
+                    AS Int64) AS t_mul
+        FROM __dq_nation_bs GROUP BY grp ORDER BY grp
+        """,
+    )

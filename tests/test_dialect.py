@@ -2313,13 +2313,118 @@ class TestRound5ProbeTranche2:
             ("largestTriangleThreeBuckets(4)(x, y)", "ntile"),
             ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
-            ("byteSize(x)", "octet_length"),
             ("formatRow('CSV', 1)", "FORMAT"),
             ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "sqrt"),
             ("wordShingleMinHash('x')", "dedup"),
         ]:
             with pytest.raises(ValueError, match=hint.replace("(", "")):
                 eng.execute(f"SELECT {expr} FROM (SELECT 1 AS x, 2 AS y)")
+
+
+class TestRound7ProbeTranche:
+    """Round-7 tranche (VERDICT r6 Next #7): kolmogorovSmirnovTest as
+    a real O(n) tie-aware aggregate, byteSize via typeof type-walk,
+    tuple-arithmetic field-wise expansion over inline tuples."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_ks_test_values(self, eng):
+        import math
+
+        r = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, i) AS ks FROM (SELECT "
+            "arrayJoin([1.0, 2.0, 3.0, 2.5]) AS v, 0 AS i UNION ALL "
+            "SELECT arrayJoin([2.5, 3.5, 4.0]) AS v, 1 AS i)"
+        )
+        d, p = r.rows[0][0]
+        assert abs(d - 2 / 3) < 1e-12
+        lam2 = d * d * 4 * 3 / 7
+        expect_p = 2 * sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam2)
+            for k in range(1, 101)
+        )
+        assert abs(p - min(1.0, max(0.0, expect_p))) < 1e-12
+
+    def test_ks_test_tie_awareness(self, eng):
+        # All values identical → D must be 0 (a mid-tie comparison
+        # would report |c0/n0 - c1/n1| > 0 part-way through).
+        r = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, i) AS ks FROM (SELECT "
+            "1.0 AS v, 0 AS i UNION ALL SELECT 1.0, 1 "
+            "UNION ALL SELECT 1.0, 0)"
+        )
+        assert r.rows[0][0][0] == 0.0
+
+    def test_ks_test_parameterized_and_refusals(self, eng):
+        r = eng.execute(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'asymp')"
+            "(number, number % 2) AS ks FROM numbers(20)"
+        )
+        assert 0.0 <= r.rows[0][0][1] <= 1.0
+        with pytest.raises(ValueError, match="exact"):
+            eng.execute(
+                "SELECT kolmogorovSmirnovTest('two-sided', 'exact')"
+                "(number, number % 2) FROM numbers(4)"
+            )
+        with pytest.raises(ValueError, match="two-sided"):
+            eng.execute(
+                "SELECT kolmogorovSmirnovTest('greater')"
+                "(number, number % 2) FROM numbers(4)"
+            )
+
+    def test_byte_size_widths(self, eng):
+        r = eng.execute(
+            "SELECT byteSize(CAST(1 AS Int64)) AS a, "
+            "byteSize('hello') AS b, "
+            "byteSize(toDate('2024-01-02')) AS c, "
+            "byteSize(CAST(1.5 AS Decimal(18,2))) AS d, "
+            "byteSize(CAST(1 AS Int8)) AS e, "
+            "byteSize(CAST(1.5 AS Float32)) AS f"
+        )
+        # ENGINE widths (documented divergence: Date is 4 here, 2 in
+        # CH); String follows CH's length+9.
+        assert r.rows == [[8, 14, 4, 8, 1, 4]]
+
+    def test_byte_size_composite_guided(self, eng):
+        with pytest.raises(Exception, match="per-field expansion"):
+            eng.execute("SELECT byteSize(array(1, 2)) AS z")
+
+    def test_tuple_arithmetic(self, eng):
+        r = eng.execute(
+            "SELECT tuplePlus(tuple(1, 2), tuple(10, 20)) AS a, "
+            "tupleMinus(tuple(10, 20), tuple(1, 2)) AS b, "
+            "tupleMultiply(tuple(2, 3), tuple(4, 5)) AS c, "
+            "tupleNegate(tuple(1, 2)) AS d, "
+            "tupleMultiplyByNumber(tuple(1, 2), 3) AS e, "
+            "tupleDivideByNumber(tuple(9.0, 6.0), 3) AS f"
+        )
+        row = r.rows[0]
+        assert tuple(row[0]) == (11, 22)
+        assert tuple(row[1]) == (9, 18)
+        assert tuple(row[2]) == (8, 15)
+        assert tuple(row[3]) == (-1, -2)
+        assert tuple(row[4]) == (3, 6)
+        assert tuple(row[5]) == (3.0, 2.0)
+
+    def test_tuple_concat(self, eng):
+        r = eng.execute(
+            "SELECT tupleConcat(tuple(1), tuple('a', 2)) AS t"
+        )
+        assert tuple(r.rows[0][0]) == (1, "a", 2)
+
+    def test_tuple_column_ref_guided(self, eng):
+        with pytest.raises(ValueError, match="inline"):
+            eng.execute(
+                "SELECT tuplePlus(t, t) FROM (SELECT tuple(1,2) AS t)"
+            )
+        with pytest.raises(ValueError, match="flatten"):
+            eng.execute(
+                "SELECT flattenTuple(tuple(tuple(1, 2), 3)) AS t"
+            )
 
 
 class TestRound5ProbeTranche3:
@@ -2551,8 +2656,9 @@ class TestRound5ProbeTranche4:
 
     def test_tranche4_refusals(self, eng):
         for expr, hint in [
-            ("tuplePlus((1,2),(3,4))", "arrays"),
-            ("flattenTuple((1,(2,3)))", "arrays"),
+            # tuplePlus/tupleConcat implemented round 7 (inline
+            # expansion); flattenTuple still refuses with guidance.
+            ("flattenTuple((1,(2,3)))", "named_struct"),
             ("byteSwap(5)", "width"),
             ("mapApply((k, v) -> (k, v), map(1, 2))", "map_entries"),
             ("arrayLevenshteinDistance([1],[2])", "editDistance"),
@@ -3393,7 +3499,6 @@ class TestRound5Tranche11:
         for expr, hint in [
             ("sumArgMin(a, a)", "window"),
             ("sumArgMax(a, a)", "window"),
-            ("tupleConcat((1,2),(3,4))", "named_struct"),
             ("countResample(0,10,5)(a)", "bucket"),
             ("defaultValueOfArgumentType(a)", "defaultValueOfTypeName"),
             ("detectLanguage('x')", "language_id"),
@@ -4139,7 +4244,6 @@ class TestRound6ProbeTranche2:
     @pytest.mark.parametrize(
         "expr,hint",
         [
-            ("kolmogorovSmirnovTest(x, g)", "cume_dist"),
             ("meanZTest(1,1,0.95)(x, g)", "conditional"),
             ("andersonDarlingTest(x)", "ECDF"),
             ("categoricalInformationValue(x, g)", "WoE"),
