@@ -31,6 +31,7 @@ protocol description and the packet layouts every client implements.
 
 from __future__ import annotations
 
+import os
 import re
 import socketserver
 import struct
@@ -77,6 +78,12 @@ S_TABLES_STATUS = 9
 BLOCK_INFO = b"\x01\x00\x02" + struct.pack("<i", -1) + b"\x00"
 
 ROWS_PER_BLOCK = 65409  # CH's default max_block_size
+
+# Client-streamed INSERTs append to storage every N decoded rows so
+# an unbounded native-protocol ingest never accumulates on the driver.
+INSERT_FLUSH_ROWS = int(
+    os.environ.get("BIGHOUSE_TCP_INSERT_FLUSH_ROWS", "1000000")
+)
 
 _INSERT_NEEDS_DATA = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[`\"\w.$]+)\s*"
@@ -265,6 +272,21 @@ class _Conn:
         self.client_revision = 0
         self.revision = 0  # negotiated
         self.settings: dict[str, str] = {}  # SET persists per conn
+        self.compressed = False  # last-negotiated (per Query packet)
+        self._csource: _CompressedSource | None = None
+
+    def _block_source(self, compressed: bool) -> _Source:
+        """The read source for incoming blocks. The compressed source
+        PERSISTS across packets (one per connection, like CH's
+        CompressedReadBuffer): the compressed stream is a transport-
+        level frame sequence with no guarantee that frames end exactly
+        at block boundaries, so leftover decompressed bytes must carry
+        over to the next block instead of being discarded."""
+        if not compressed:
+            return self.wire
+        if self._csource is None:
+            self._csource = _CompressedSource(self.wire)
+        return self._csource
 
     # -- low-level send helpers ------------------------------------
 
@@ -395,7 +417,7 @@ class _Conn:
         self.read_client_info()
         packet_settings = self.read_query_settings()
         w.read_varint()  # stage (always run to Complete)
-        compressed = bool(w.read_varint())
+        compressed = self.compressed = bool(w.read_varint())
         query = w.read_str()
         w.compact()
 
@@ -404,14 +426,18 @@ class _Conn:
         while True:
             ptype = w.read_varint()
             if ptype == C_CANCEL:
+                # A cancelled query still terminates its response —
+                # clients block on EndOfStream (CH semantics).
+                self.send_end_of_stream()
                 return
             if ptype != C_DATA:
                 raise ProtocolError(
                     f"expected Data packet after Query, got {ptype}"
                 )
             name = w.read_str()
-            src = _CompressedSource(w) if compressed else w
-            cols, _types, rows = _read_block(src)
+            cols, _types, rows = _read_block(
+                self._block_source(compressed)
+            )
             if not cols:
                 break
             externals.append((name, cols, rows))
@@ -420,19 +446,12 @@ class _Conn:
         settings.update(packet_settings)
 
         m = _INSERT_NEEDS_DATA.match(query)
-        try:
-            if m:
-                self.handle_insert(m, query, compressed)
-            else:
-                self.handle_select(
-                    query, query_id, settings, compressed, externals
-                )
-        finally:
-            for name, _c, _r in externals:
-                try:
-                    self.engine.spark.catalog.dropTempView(name)
-                except Exception:
-                    pass
+        if m:
+            self.handle_insert(m, query, compressed)
+        else:
+            self.handle_select(
+                query, query_id, settings, compressed, externals
+            )
 
     # -- SELECT / DDL ----------------------------------------------
 
@@ -444,9 +463,17 @@ class _Conn:
         compressed: bool,
         externals: list[tuple[str, list[str], list[list]]],
     ) -> None:
+        # CH external tables are QUERY-scoped named datasets, but
+        # Spark temp views are session-global on the one shared
+        # SparkSession — so register each under a connection-unique
+        # mangled name and rewrite the query's references (the HTTP
+        # sessions' temp-table mechanism), keeping concurrent
+        # connections that use the same external name isolated.
+        mangled: dict[str, str] = {}
         for name, cols, rows in externals:
-            # CH external tables are query-scoped named datasets;
-            # type inference mirrors the INSERT coercion path (an
+            m_name = f"__bh_ext_{id(self) & 0xFFFFFF:x}_{name}"
+            mangled[name] = m_name
+            # Type inference mirrors the INSERT coercion path (an
             # empty table falls back to all-String columns).
             if rows:
                 df = self.engine.spark.createDataFrame(
@@ -465,7 +492,13 @@ class _Conn:
                         [StructField(c, StringType()) for c in cols]
                     ),
                 )
-            df.createOrReplaceTempView(name)
+            df.createOrReplaceTempView(m_name)
+        if mangled:
+            from bighouse_spark.server import (
+                _rewrite_names_outside_strings,
+            )
+
+            query = _rewrite_names_outside_strings(query, mangled)
 
         conn = self
 
@@ -503,29 +536,36 @@ class _Conn:
         sql = normalize_set_statement(query) or merge_settings_clause(
             query, settings
         )
-        result = self.engine.execute(
-            QueryRequest(query=sql, query_id=query_id, remote=True),
-            stream_to=sink,
-        )
-        set_pairs = parse_set_statement(query)
-        if set_pairs:
-            self.settings.update(set_pairs)
-        if sink.started:
-            sink.flush()
-            rows_sent, nblocks = sink.rows_sent, sink.blocks
-        else:
-            types = result.types
-            self.send_block(result.cols, [], types, compressed)
-            rows_sent = len(result.rows)
-            nblocks = 0
-            for i in range(0, rows_sent, ROWS_PER_BLOCK):
-                self.send_block(
-                    result.cols,
-                    result.rows[i:i + ROWS_PER_BLOCK],
-                    types,
-                    compressed,
-                )
-                nblocks += 1
+        try:
+            result = self.engine.execute(
+                QueryRequest(query=sql, query_id=query_id, remote=True),
+                stream_to=sink,
+            )
+            set_pairs = parse_set_statement(query)
+            if set_pairs:
+                self.settings.update(set_pairs)
+            if sink.started:
+                sink.flush()
+                rows_sent, nblocks = sink.rows_sent, sink.blocks
+            else:
+                types = result.types
+                self.send_block(result.cols, [], types, compressed)
+                rows_sent = len(result.rows)
+                nblocks = 0
+                for i in range(0, rows_sent, ROWS_PER_BLOCK):
+                    self.send_block(
+                        result.cols,
+                        result.rows[i:i + ROWS_PER_BLOCK],
+                        types,
+                        compressed,
+                    )
+                    nblocks += 1
+        finally:
+            for m_name in mangled.values():
+                try:
+                    self.engine.spark.catalog.dropTempView(m_name)
+                except Exception:
+                    pass
         self.send_progress(rows_sent, 0)
         self.send_profile_info(rows_sent, nblocks, 0)
         self.send_end_of_stream()
@@ -549,17 +589,22 @@ class _Conn:
         self.send_block(cols, [], types, compressed)
         all_cols: list[str] = []
         all_rows: list[list] = []
+        flushed = 0
         while True:
             ptype = self.wire.read_varint()
             if ptype == C_CANCEL:
+                # Terminate the response; already-flushed batches
+                # stay (CH cancel mid-INSERT is not transactional).
+                self.send_end_of_stream()
                 return
             if ptype != C_DATA:
                 raise ProtocolError(
                     f"expected Data packet during INSERT, got {ptype}"
                 )
             self.wire.read_str()  # table name
-            src = _CompressedSource(self.wire) if compressed else self.wire
-            bcols, _btypes, brows = _read_block(src)
+            bcols, _btypes, brows = _read_block(
+                self._block_source(compressed)
+            )
             if not bcols:
                 break
             if not all_cols:
@@ -570,7 +615,16 @@ class _Conn:
                     f"{all_cols}"
                 )
             all_rows.extend(brows)
-        self.engine.insert_decoded(name, all_cols or cols, all_rows)
+            # Bound driver memory: the native protocol streams
+            # unbounded block sequences (unlike the size-bounded
+            # HTTP POST payload), so append in batches instead of
+            # accumulating the whole ingest.
+            if len(all_rows) >= INSERT_FLUSH_ROWS:
+                self.engine.insert_decoded(name, all_cols, all_rows)
+                flushed += len(all_rows)
+                all_rows = []
+        if all_rows or not flushed:
+            self.engine.insert_decoded(name, all_cols or cols, all_rows)
         self.send_end_of_stream()
 
     # -- misc packets ----------------------------------------------
@@ -605,9 +659,11 @@ class _Conn:
             elif ptype == C_TABLES_STATUS:
                 self.handle_tables_status()
             elif ptype == C_DATA:
-                # Stray data outside a query: drain one block.
+                # Stray data outside a query (e.g. blocks in flight
+                # behind a Cancel): drain one block with the same
+                # framing the aborted query negotiated.
                 self.wire.read_str()
-                _read_block(self.wire)
+                _read_block(self._block_source(self.compressed))
             else:
                 self.send_exception(
                     f"unexpected client packet {ptype}", code=101

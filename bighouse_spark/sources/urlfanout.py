@@ -110,6 +110,24 @@ def _file_name(url: str) -> str:
     return url.split("?", 1)[0].rstrip("/").rsplit("/", 1)[-1]
 
 
+def _to_pandas_nullsafe(tbl):
+    """Arrow → pandas keeping integer columns integral: plain
+    ``to_pandas()`` turns an int column containing any null into
+    float64, silently corrupting values above 2^53. Map integer Arrow
+    types to pandas nullable extension dtypes (Arrow-roundtrip-safe
+    in mapInPandas)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    mapper = {
+        pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+        pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+        pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+    }.get
+    return tbl.to_pandas(types_mapper=mapper)
+
+
 def read_urls_distributed(
     spark,
     urls: list[str],
@@ -154,7 +172,7 @@ def read_urls_distributed(
                 tbl = _parse_table(
                     _fetch_bytes(u), fmt, header, sep, arrow_schema
                 )
-                out = tbl.to_pandas()
+                out = _to_pandas_nullsafe(tbl)
                 if add_file_column:
                     out["_file"] = _file_name(u)
                 yield out

@@ -506,3 +506,112 @@ def test_compressed_insert_roundtrip(ch_server, spark, tmp_path):
         assert out["rows"] == [[10, 1.5], [11, 2.5]]
     finally:
         c.close()
+
+
+def test_cancel_sends_end_of_stream(client):
+    # Query packet, then Cancel instead of the external-table
+    # terminator: the server must still terminate the response
+    # (clients block on EndOfStream after cancelling).
+    out_pkt = bytearray(_leb(1) + _s(""))
+    out_pkt += b"\x01" + _s("") + _s("") + _s("0:0") + b"\x01"
+    out_pkt += _s("u") + _s("h") + _s("cli")
+    out_pkt += _leb(23) + _leb(8) + _leb(54470) + _s("") + _leb(0)
+    out_pkt += _s("") + _leb(2) + _leb(0) + _s("SELECT 1")
+    client.sock.sendall(bytes(out_pkt))
+    client.sock.sendall(_leb(3))  # Cancel
+    assert client._leb128() == 5  # EndOfStream
+    out = client.query("SELECT 7 AS x")  # connection still usable
+    assert out["rows"] == [[7]]
+
+
+def test_external_tables_isolated_across_connections(ch_server):
+    # Two connections use the SAME external-table name with different
+    # data; each must see its own rows (query-scoped, CH semantics).
+    import threading
+
+    results = {}
+
+    def run(tag, rows):
+        c = CHClient(ch_server.host, ch_server.port)
+        c.read_hello()
+        try:
+            for _ in range(5):  # repeat to give interleaving a chance
+                out_pkt = bytearray(_leb(1) + _s(""))
+                out_pkt += b"\x01" + _s("") + _s("") + _s("0:0")
+                out_pkt += b"\x01" + _s("u") + _s("h") + _s("cli")
+                out_pkt += _leb(23) + _leb(8) + _leb(54470)
+                out_pkt += _s("") + _leb(0) + _s("")
+                out_pkt += _leb(2) + _leb(0)
+                out_pkt += _s("SELECT sum(n) AS s FROM shared_ext")
+                c.sock.sendall(bytes(out_pkt))
+                body = c._block_bytes(["n"], ["Int64"], rows)
+                c.sock.sendall(_leb(2) + _s("shared_ext") + body)
+                c._send_block()
+                out = c.read_response()
+                assert out["error"] is None, out["error"]
+                results.setdefault(tag, []).append(out["rows"][0][0])
+        finally:
+            c.close()
+
+    t1 = threading.Thread(target=run, args=("a", [[1], [2]]))
+    t2 = threading.Thread(target=run, args=("b", [[100], [200]]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results["a"] == [3] * 5
+    assert results["b"] == [300] * 5
+
+
+def test_compressed_frame_spanning_two_blocks(ch_server, spark,
+                                              tmp_path):
+    # One LZ4 frame carrying the bytes of TWO insert blocks: the
+    # server's compressed source must keep the leftover decompressed
+    # bytes across the packet boundary (CH CompressedReadBuffer
+    # semantics) instead of discarding them.
+    from bighouse_spark.compress import compress_frame
+
+    df = spark.createDataFrame([(0, "z")], ["id", "s"])
+    path = str(tmp_path / "chw_span")
+    df.write.parquet(path)
+    ch_server.engine.attach_table("chw_span", path)
+    c = CHClient(ch_server.host, ch_server.port, compressed=True)
+    c.read_hello()
+    try:
+        c.send_query("INSERT INTO chw_span VALUES")
+        assert c._leb128() == 1
+        c._str()
+        cols, types, _rows, _raw = c._read_block()
+        b1 = c._block_bytes(cols, types, [[1, "a"]])
+        b2 = c._block_bytes(cols, types, [[2, "b"]])
+        frame = compress_frame(b1 + b2)  # both blocks, ONE frame
+        c.sock.sendall(_leb(2) + _s("") + frame)
+        c.sock.sendall(_leb(2) + _s(""))  # block 2: bytes already sent
+        c._send_block()  # empty terminator (its own frame)
+        assert c._leb128() == 5
+        out = c.query("SELECT id, s FROM chw_span ORDER BY id")
+        assert out["rows"] == [[0, "z"], [1, "a"], [2, "b"]]
+    finally:
+        c.close()
+
+
+def test_insert_flush_batches(ch_server, spark, tmp_path, monkeypatch):
+    import bighouse_spark.chwire as chw
+
+    monkeypatch.setattr(chw, "INSERT_FLUSH_ROWS", 2)
+    df = spark.createDataFrame([(0,)], ["k"])
+    path = str(tmp_path / "chw_flush")
+    df.write.parquet(path)
+    ch_server.engine.attach_table("chw_flush", path)
+    c = CHClient(ch_server.host, ch_server.port)
+    c.read_hello()
+    try:
+        c.send_query("INSERT INTO chw_flush VALUES")
+        assert c._leb128() == 1
+        c._str()
+        cols, types, _rows, _raw = c._read_block()
+        for batch in ([[1]], [[2]], [[3]], [[4]], [[5]]):
+            c._send_block(cols, types, batch)
+        c._send_block()
+        assert c._leb128() == 5
+        out = c.query("SELECT k FROM chw_flush ORDER BY k")
+        assert out["rows"] == [[0], [1], [2], [3], [4], [5]]
+    finally:
+        c.close()

@@ -773,6 +773,33 @@ class TestUrlFanout:
         finally:
             srv.shutdown()
 
+    def test_fanout_nullable_int_keeps_width(self, spark, tmp_path,
+                                              monkeypatch):
+        # A null in an Int64 column must NOT route through float64
+        # (values above 2^53 would silently lose low bits).
+        import bighouse_spark.sources.urlfanout as uf
+
+        big = (1 << 60) + 1
+        for m in range(3):
+            (tmp_path / f"n-{m}.csv").write_text(
+                f"h\n{big + m}\n\n"  # one real value, one null
+            )
+        srv = self._serve(tmp_path)
+        try:
+            port = srv.server_port
+            monkeypatch.setattr(uf, "FANOUT_THRESHOLD", 1)
+            r = transpile(
+                f"SELECT count(h) AS n, max(h) AS mx, min(h) AS mn "
+                f"FROM url('http://127.0.0.1:{port}/n-{{0..2}}.csv', "
+                "'CSVWithNames', 'h Nullable(Int64)')",
+                spark,
+            )
+            assert [tuple(x) for x in spark.sql(r.sql).collect()] == [
+                (3, big + 2, big)
+            ]
+        finally:
+            srv.shutdown()
+
     def test_fanout_parquet_schema_from_first_file(
         self, spark, tmp_path, monkeypatch
     ):
