@@ -916,6 +916,93 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
     )
 
 
+def _mwu_builder(a: list[str], params: list[str] | None = None) -> str:
+    """mannWhitneyUTest([alternative[, continuity]])(x, sample_idx) →
+    ``(u_statistic, p_value)``.
+
+    Same shape as ``_ks_test_builder``: one sorted collect, one O(n)
+    fold over the pooled order computing tie-run average ranks (a run
+    of length t at positions [s, s+t-1] contributes avg rank
+    s+(t-1)/2 to each member) plus the tie term Σ(t³−t). Then
+    U₀ = R₀ − n₀(n₀+1)/2, u = min(U₀, U₁) (the two-sided statistic),
+    and the large-sample normal approximation with tie-corrected
+    variance and 0.5 continuity correction (disable by passing
+    continuity=0) — p = erfc((μ−u−cc)/√(2σ²)), the standard method;
+    small-sample exact enumeration is refused with guidance."""
+    if len(a) != 2:
+        raise ValueError(
+            "mannWhitneyUTest(x, sample_index) takes exactly two "
+            "arguments (sample_index 0/1)"
+        )
+    cc = "0.5"
+    if params:
+        alt = params[0].strip("'\" ").lower()
+        if alt not in ("two-sided", "twosided"):
+            raise ValueError(
+                f"mannWhitneyUTest: alternative {params[0]} is not "
+                "supported; only 'two-sided' is implemented"
+            )
+        if len(params) > 1:
+            cc_raw = params[1].strip("'\" ").lower()
+            cc = "0.0" if cc_raw in ("0", "false") else "0.5"
+    arr = (
+        f"sort_array(collect_list(named_struct("
+        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT))))"
+    )
+    n0 = f"sum(CAST(IF(CAST({a[1]} AS INT) = 0, 1, 0) AS DOUBLE))"
+    n1 = f"sum(CAST(IF(CAST({a[1]} AS INT) <> 0, 1, 0) AS DOUBLE))"
+    commit_r0 = (
+        "__acc.r0 + __acc.run_n0 * "
+        "(__acc.idx - (__acc.run_n - 1) / 2)"
+    )
+    commit_ties = "__acc.ties + pow(__acc.run_n, 3) - __acc.run_n"
+    fold = (
+        f"aggregate({arr}, "
+        f"named_struct('idx', CAST(0 AS DOUBLE), 'run_n', CAST(0 AS "
+        f"DOUBLE), 'run_n0', CAST(0 AS DOUBLE), 'r0', CAST(0 AS "
+        f"DOUBLE), 'ties', CAST(0 AS DOUBLE), 'prev', CAST(NULL AS "
+        f"DOUBLE)), "
+        f"(__acc, __e) -> IF(__acc.prev IS NULL OR __e.v = __acc.prev, "
+        f"named_struct("
+        f"'idx', CAST(__acc.idx + 1 AS DOUBLE), "
+        f"'run_n', CAST(__acc.run_n + 1 AS DOUBLE), "
+        f"'run_n0', CAST(__acc.run_n0 + IF(__e.i = 0, 1, 0) AS "
+        f"DOUBLE), "
+        f"'r0', CAST(__acc.r0 AS DOUBLE), "
+        f"'ties', CAST(__acc.ties AS DOUBLE), "
+        f"'prev', CAST(__e.v AS DOUBLE)), "
+        f"named_struct("
+        f"'idx', CAST(__acc.idx + 1 AS DOUBLE), "
+        f"'run_n', CAST(1 AS DOUBLE), "
+        f"'run_n0', CAST(IF(__e.i = 0, 1, 0) AS DOUBLE), "
+        f"'r0', CAST({commit_r0} AS DOUBLE), "
+        f"'ties', CAST({commit_ties} AS DOUBLE), "
+        f"'prev', CAST(__e.v AS DOUBLE))), "
+        f"__acc -> named_struct("
+        f"'r0', CAST({commit_r0} AS DOUBLE), "
+        f"'ties', CAST({commit_ties} AS DOUBLE)))"
+    )
+    u0 = f"(({fold}).r0 - ({n0}) * (({n0}) + 1) / 2)"
+    u = f"least({u0}, ({n0}) * ({n1}) - {u0})"
+    nt = f"(({n0}) + ({n1}))"
+    sigma2 = (
+        f"(({n0}) * ({n1}) / 12) * (({nt} + 1) - "
+        f"({fold}).ties / ({nt} * ({nt} - 1)))"
+    )
+    # NB: bh_erfc is a pandas UDF — Spark extracts Python UDFs into
+    # an eager projection, so an IF around the call does NOT guard
+    # its argument from DIVIDE_BY_ZERO; the denominator itself must
+    # be safe (greatest with a tiny floor), with the outer IF still
+    # picking p=1 for the degenerate all-tied/under-2-sample cases.
+    p = (
+        f"IF({nt} < 2 OR ({sigma2}) <= 0, CAST(1 AS DOUBLE), "
+        f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"bh_erfc(((({n0}) * ({n1}) / 2) - ({u}) - {cc}) / "
+        f"sqrt(2 * greatest(({sigma2}), CAST(1e-300 AS DOUBLE)))))))"
+    )
+    return f"named_struct('u_statistic', ({u}), 'p_value', ({p}))"
+
+
 def _byte_size_builder(a: list[str]) -> str:
     """byteSize(x) → the ENGINE's per-value storage width (Spark
     widths — CH widths differ where the engine widens: Date is 4
@@ -2197,13 +2284,7 @@ _ARG_REWRITES.update({
             "coefficient over the counts"
         )
     ),
-    "mannWhitneyUTest": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "mannWhitneyUTest() needs global ranks; compute "
-            "rank() OVER (ORDER BY value), sum ranks per sample with "
-            "a conditional aggregate, then U = R1 - n1(n1+1)/2"
-        )
-    ),
+    "mannWhitneyUTest": lambda a: _mwu_builder(a),
     "kolmogorovSmirnovTest": lambda a: _ks_test_builder(a),
     "meanZTest": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -4888,6 +4969,8 @@ def _rewrite_parametric(sql: str) -> str:
         # parameterized form — validates the alternative/method.
         ("kolmogorovSmirnovTest",
          lambda p, a: _ks_test_builder(a, p)),
+        # mannWhitneyUTest('two-sided'[, continuity])(x, idx).
+        ("mannWhitneyUTest", lambda p, a: _mwu_builder(a, p)),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(

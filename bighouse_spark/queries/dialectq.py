@@ -613,3 +613,58 @@ def dialect_bytesize_tuple_roundtrip(spark, sf_dir):
         FROM __dq_nation_bs GROUP BY grp ORDER BY grp
         """,
     )
+
+
+# mannWhitneyUTest (round-7): the U statistic is an exact rational of
+# tie-run counts, so DuckDB recomputes it from first principles
+# (rank() + tie-run averaging). The p-value needs erfc, which DuckDB
+# lacks — it is value-verified in pytest against math.erfc
+# (tests/test_dialect.py::TestRound7ProbeTranche); the driver row
+# proves the rank/tie machinery on real data.
+@query(
+    "dialect_mwu_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT i,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS avgrank
+  FROM s
+), n AS (
+  SELECT CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+  FROM s
+), agg AS (
+  SELECT sum(CASE WHEN i = 0 THEN avgrank ELSE 0 END) AS r0 FROM r
+)
+SELECT round(least(agg.r0 - n.n0 * (n.n0 + 1) / 2,
+                   n.n0 * n.n1 -
+                   (agg.r0 - n.n0 * (n.n0 + 1) / 2)), 6) AS u_stat,
+       CAST(n.n0 AS BIGINT) AS n0,
+       CAST(n.n1 AS BIGINT) AS n1
+FROM agg, n
+""",
+)
+def dialect_mwu_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_mwu",
+        """
+        SELECT round(__m.u_statistic, 6) AS u_stat, n0, n1
+        FROM (
+          SELECT mannWhitneyUTest(
+                   value, if(event_type = 'purchase', 1, 0)) AS __m,
+                 CAST(countIf(event_type != 'purchase') AS Int64)
+                   AS n0,
+                 CAST(countIf(event_type = 'purchase') AS Int64)
+                   AS n1
+          FROM __dq_events_mwu
+          WHERE event_type IN ('purchase', 'click')
+        )
+        """,
+    )

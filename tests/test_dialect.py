@@ -2334,7 +2334,6 @@ class TestRound5ProbeTranche2:
             ("cramersV(x, y)", "contingency"),
             ("theilsU(x, y)", "contingency"),
             ("contingency(x, y)", "contingency"),
-            ("mannWhitneyUTest(x, y)", "rank"),
             ("studentTTest(x, y)", "conditional aggregates"),
             ("welchTTest(x, y)", "conditional aggregates"),
             ("largestTriangleThreeBuckets(4)(x, y)", "ntile"),
@@ -2401,6 +2400,47 @@ class TestRound7ProbeTranche:
             eng.execute(
                 "SELECT kolmogorovSmirnovTest('greater')"
                 "(number, number % 2) FROM numbers(4)"
+            )
+
+    def test_mwu_values(self, eng):
+        import math
+
+        # samples: [1,2,3] vs [2,4] → R0 = 1 + 2.5 + 4 = 7.5,
+        # U0 = 1.5, u = min(1.5, 4.5); one tie run of 2 → Σ(t³−t)=6.
+        r = eng.execute(
+            "SELECT mannWhitneyUTest(v, i) AS m FROM (SELECT "
+            "arrayJoin([1.0, 2.0, 3.0]) AS v, 0 AS i UNION ALL "
+            "SELECT arrayJoin([2.0, 4.0]) AS v, 1 AS i)"
+        )
+        u, p = r.rows[0][0]
+        assert u == 1.5
+        sigma2 = (6 / 12) * (6 - 6 / 20)
+        expect = math.erfc((3 - 1.5 - 0.5) / math.sqrt(2 * sigma2))
+        assert abs(p - min(1.0, max(0.0, expect))) < 1e-12
+
+    def test_mwu_no_continuity_and_degenerate(self, eng):
+        import math
+
+        r = eng.execute(
+            "SELECT mannWhitneyUTest('two-sided', 0)(v, i) AS m "
+            "FROM (SELECT arrayJoin([1.0, 2.0, 3.0]) AS v, 0 AS i "
+            "UNION ALL SELECT arrayJoin([2.0, 4.0]) AS v, 1 AS i)"
+        )
+        _u, p = r.rows[0][0]
+        sigma2 = (6 / 12) * (6 - 6 / 20)
+        expect = math.erfc((3 - 1.5) / math.sqrt(2 * sigma2))
+        assert abs(p - min(1.0, max(0.0, expect))) < 1e-12
+        # all-tied: σ² = 0 → p = 1, no divide-by-zero (the pandas-UDF
+        # eager-projection trap).
+        r = eng.execute(
+            "SELECT mannWhitneyUTest(v, i) AS m FROM (SELECT 1.0 AS "
+            "v, 0 AS i UNION ALL SELECT 1.0, 1)"
+        )
+        assert r.rows[0][0][1] == 1.0
+        with pytest.raises(ValueError, match="two-sided"):
+            eng.execute(
+                "SELECT mannWhitneyUTest('less')(v, i) FROM "
+                "(SELECT 1.0 AS v, 0 AS i)"
             )
 
     def test_byte_size_widths(self, eng):
