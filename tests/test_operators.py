@@ -829,3 +829,71 @@ class TestCrossCorpusLSH:
             release_tracked()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPQ:
+    def test_pq_refined_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk,
+        )
+        from bighouse_spark.sources.catalog import load_table
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk(emb, q, k=5, dim=64).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.5
+
+    def test_pq_deterministic_and_shapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.operators.similarity import pq_topk
+        from bighouse_spark.sources.catalog import load_table
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 3)
+        out1 = pq_topk(emb, q, k=4, dim=64).collect()
+        out2 = pq_topk(emb, q, k=4, dim=64).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        per_query = {}
+        for r in out1:
+            per_query.setdefault(r.query_id, []).append(r)
+            assert r.neighbor_id != r.query_id
+        for rows in per_query.values():
+            assert sorted(x.rank for x in rows) == [1, 2, 3, 4]
+
+    def test_pq_unrefined_is_adc_ranked(self, spark):
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.operators.similarity import pq_topk
+        from bighouse_spark.sources.catalog import load_table
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 2)
+        rows = pq_topk(
+            emb, q, k=3, dim=64, refine_factor=None
+        ).collect()
+        for r in rows:
+            assert -1.5 <= r.sim <= 1.5  # ADC approximates cosine
+
+    def test_pq_dim_mismatch_guided(self, spark):
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.operators.similarity import pq_topk
+        from bighouse_spark.sources.catalog import load_table
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        q = emb.where(F.col("vec_id") < 2)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_topk(emb, q, k=3, dim=64, m=7)
