@@ -916,6 +916,20 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
     )
 
 
+def _ecr_builder(params: list[str], a: list[str]) -> str:
+    """estimateCompressionRatio([codec[, block_size]])(x) — see the
+    plain-name mapping; codec validation lives here."""
+    codec = params[0].strip("'\" ").lower() if params else "lz4"
+    if codec in ("lz4", "lz4hc"):
+        return f"bh_lz4_ratio({a[0]})"
+    if codec == "none":
+        return "CAST(1.0 AS DOUBLE)"
+    raise ValueError(
+        f"estimateCompressionRatio: codec {codec!r} is not available "
+        "in this build; use 'lz4' (the wire codec) or 'none'"
+    )
+
+
 def _mwu_builder(a: list[str], params: list[str] | None = None) -> str:
     """mannWhitneyUTest([alternative[, continuity]])(x, sample_idx) →
     ``(u_statistic, p_value)``.
@@ -2308,13 +2322,10 @@ _ARG_REWRITES.update({
             "pct_bad), IV = sum((pct_good-pct_bad)*WoE)"
         )
     ),
-    "estimateCompressionRatio": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "estimateCompressionRatio() needs the codec libraries "
-            "at aggregate time; write a sample with "
-            "execute_to_sink(fmt='parquet') and compare bytes"
-        )
-    ),
+    # estimateCompressionRatio(x) (bare form defaults to lz4, CH's
+    # default codec): the wire LZ4 codec measured over the group's
+    # serialized values — a grouped-agg pandas UDF.
+    "estimateCompressionRatio": lambda a: f"bh_lz4_ratio({a[0]})",
     "studentTTest": lambda a: (_ for _ in ()).throw(
         ValueError(
             "studentTTest() p-value needs the t CDF; the t statistic "
@@ -4249,7 +4260,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
-        r"|nfc|nfd|nfkc|nfkd|geohash|idna)",
+        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio)",
         out,
     ):
         _ensure_misc_udfs(spark)
@@ -4971,6 +4982,10 @@ def _rewrite_parametric(sql: str) -> str:
          lambda p, a: _ks_test_builder(a, p)),
         # mannWhitneyUTest('two-sided'[, continuity])(x, idx).
         ("mannWhitneyUTest", lambda p, a: _mwu_builder(a, p)),
+        # estimateCompressionRatio('lz4'[, block])(x): the wire LZ4
+        # codec as a grouped-agg UDF; other codecs refuse (no zstd
+        # in this build; 'none' is the constant 1 by definition).
+        ("estimateCompressionRatio", lambda p, a: _ecr_builder(p, a)),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(

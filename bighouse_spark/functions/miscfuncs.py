@@ -354,6 +354,33 @@ def bh_jumphash(key: pd.Series, buckets: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(_DOUBLE)
+def bh_lz4_ratio(v: pd.Series) -> float:
+    """GROUPED-AGG UDF (Series → scalar): estimateCompressionRatio
+    backed by the engine's own LZ4 block codec (``compress.py``) —
+    uncompressed/compressed byte ratio of the group's values
+    serialized as newline-joined UTF-8 (strings/blobs verbatim,
+    other types via str). Per-group values collect in the worker,
+    the same caveat as every collect-based aggregate; compress in
+    1 MiB blocks like the wire codec so huge groups stay bounded."""
+    from bighouse_spark.compress import MAX_BLOCK, lz4_compress
+
+    vals = v.dropna()
+    if not len(vals):
+        return float("nan")
+    data = b"\n".join(
+        x if isinstance(x, (bytes, bytearray)) else str(x).encode()
+        for x in vals
+    )
+    if not data:
+        return 1.0
+    compressed = sum(
+        len(lz4_compress(data[i:i + MAX_BLOCK]))
+        for i in range(0, len(data), MAX_BLOCK)
+    )
+    return len(data) / max(1, compressed)
+
+
 ALL = {
     "bh_jumphash": bh_jumphash,
     "bh_damerau": bh_damerau,
@@ -375,6 +402,7 @@ ALL = {
     "bh_geohash_decode": bh_geohash_decode,
     "bh_idna_encode": bh_idna_encode,
     "bh_idna_decode": bh_idna_decode,
+    "bh_lz4_ratio": bh_lz4_ratio,
 }
 
 

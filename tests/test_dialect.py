@@ -2483,6 +2483,30 @@ class TestRound7ProbeTranche:
         )
         assert tuple(r.rows[0][0]) == (1, "a", 2)
 
+    def test_estimate_compression_ratio(self, eng):
+        # Backed by the round-7 wire LZ4 codec as a grouped-agg UDF.
+        r = eng.execute(
+            "SELECT estimateCompressionRatio(s) AS r FROM "
+            "(SELECT repeat('abc', 100) AS s FROM numbers(50))"
+        )
+        assert r.rows[0][0] > 5  # highly repetitive input compresses
+        r = eng.execute(
+            "SELECT estimateCompressionRatio('none')(number) AS r "
+            "FROM numbers(10)"
+        )
+        assert r.rows[0][0] == 1.0
+        r = eng.execute(
+            "SELECT number % 2 AS g, "
+            "estimateCompressionRatio('lz4')(toString(number)) AS r "
+            "FROM numbers(100) GROUP BY g ORDER BY g"
+        )
+        assert len(r.rows) == 2 and all(row[1] > 0 for row in r.rows)
+        with pytest.raises(ValueError, match="lz4"):
+            eng.execute(
+                "SELECT estimateCompressionRatio('zstd')(number) "
+                "FROM numbers(10)"
+            )
+
     def test_tuple_column_ref_guided(self, eng):
         with pytest.raises(ValueError, match="inline"):
             eng.execute(
@@ -4314,7 +4338,6 @@ class TestRound6ProbeTranche2:
             ("meanZTest(1,1,0.95)(x, g)", "conditional"),
             ("andersonDarlingTest(x)", "ECDF"),
             ("categoricalInformationValue(x, g)", "WoE"),
-            ("estimateCompressionRatio('lz4')(x)", "execute_to_sink"),
             ("exponentialTimeDecayedSum(5)(x, g)", "state Spark mapping"),
         ],
     )
