@@ -916,6 +916,126 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
     )
 
 
+def _ttest_builder(kind: str):
+    """studentTTest / welchTTest (x, sample_idx) → ``(t_statistic,
+    p_value)``. Closed form over conditional aggregates (JVM-side
+    avg/var_samp/count per sample — no collect, no fold); the
+    two-sided p comes from ``bh_t_pvalue2`` (regularized incomplete
+    beta, continued-fraction evaluation — anchors verified against
+    published t-tables). Student pools the variance with
+    df = n0+n1−2; Welch uses the Satterthwaite df. Every denominator
+    is floor-guarded: ANSI Spark raises DIVIDE_BY_ZERO even for
+    doubles, and the p UDF is extracted into an eager projection that
+    an IF cannot lazily protect (same trap as ``_mwu_builder``);
+    degenerate inputs (a sample with <2 rows) surface as NaN. The
+    parameterized confidence-interval form needs a t-distribution
+    quantile this build does not ship — use meanZTest for a
+    normal-approximation CI."""
+
+    def build(a: list[str], params: list[str] | None = None) -> str:
+        if params:
+            raise ValueError(
+                f"{kind}(confidence_level)(...) needs the "
+                "t-distribution quantile for its confidence "
+                "interval, which this build does not implement; "
+                "use the plain two-argument form for (t, p), or "
+                "meanZTest(v0, v1, conf) for a normal-approximation "
+                "CI"
+            )
+        if len(a) != 2:
+            raise ValueError(
+                f"{kind}(x, sample_index) takes exactly two "
+                "arguments (sample_index 0/1)"
+            )
+        x, i = a
+        m0 = f"avg(CASE WHEN CAST({i} AS INT) = 0 THEN CAST({x} AS DOUBLE) END)"
+        m1 = f"avg(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
+        s0 = f"var_samp(CASE WHEN CAST({i} AS INT) = 0 THEN CAST({x} AS DOUBLE) END)"
+        s1 = f"var_samp(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
+        n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN 1 END) AS DOUBLE)"
+        n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN 1 END) AS DOUBLE)"
+        g = "greatest({}, CAST(1e-300 AS DOUBLE))"
+        if kind == "studentTTest":
+            sp2 = (
+                f"((({n0}) - 1) * ({s0}) + (({n1}) - 1) * ({s1})) / "
+                + g.format(f"(({n0}) + ({n1}) - 2)")
+            )
+            se = (
+                f"sqrt(({sp2}) * (1 / {g.format(n0)} + "
+                f"1 / {g.format(n1)}))"
+            )
+            df = f"(({n0}) + ({n1}) - 2)"
+        else:  # welchTTest
+            v0n = f"(({s0}) / {g.format(n0)})"
+            v1n = f"(({s1}) / {g.format(n1)})"
+            se = f"sqrt({v0n} + {v1n})"
+            df = (
+                f"(pow({v0n} + {v1n}, 2) / "
+                + g.format(
+                    f"(pow({v0n}, 2) / {g.format(f'(({n0}) - 1)')} + "
+                    f"pow({v1n}, 2) / {g.format(f'(({n1}) - 1)')})"
+                )
+                + ")"
+            )
+        t = f"((({m0}) - ({m1})) / {g.format(f'({se})')})"
+        ok = f"(({n0}) >= 2 AND ({n1}) >= 2)"
+        nan = "CAST('NaN' AS DOUBLE)"
+        return (
+            f"named_struct("
+            f"'t_statistic', IF({ok}, ({t}), {nan}), "
+            f"'p_value', IF({ok}, bh_t_pvalue2(({t}), ({df})), {nan}))"
+        )
+
+    return build
+
+
+def _mean_z_builder(params: list[str], a: list[str]) -> str:
+    """meanZTest(pop_var0, pop_var1, confidence)(x, sample_idx) →
+    ``(z_statistic, p_value, confidence_interval_low,
+    confidence_interval_high)``: the closed-form two-sample z with
+    KNOWN population variances; p = erfc(|z|/√2), CI on the mean
+    difference via the inverse-normal quantile (Acklam approximation,
+    |rel err| < 1.2e-9)."""
+    if len(params) != 3:
+        raise ValueError(
+            "meanZTest takes (population_variance_x, "
+            "population_variance_y, confidence_level) parameters"
+        )
+    if len(a) != 2:
+        raise ValueError(
+            "meanZTest(...)(x, sample_index) takes exactly two "
+            "arguments"
+        )
+    v0, v1, conf = params
+    x, i = a
+    m0 = f"avg(CASE WHEN CAST({i} AS INT) = 0 THEN CAST({x} AS DOUBLE) END)"
+    m1 = f"avg(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
+    n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN 1 END) AS DOUBLE)"
+    n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN 1 END) AS DOUBLE)"
+    g = "greatest({}, CAST(1e-300 AS DOUBLE))"
+    se = (
+        f"sqrt(({v0}) / {g.format(n0)} + ({v1}) / {g.format(n1)})"
+    )
+    d = f"(({m0}) - ({m1}))"
+    z = f"({d} / {g.format(f'({se})')})"
+    zq = f"bh_norm_ppf(CAST((1 + ({conf})) / 2 AS DOUBLE))"
+    ok = f"(({n0}) >= 1 AND ({n1}) >= 1)"
+    nan = "CAST('NaN' AS DOUBLE)"
+    p = (
+        f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"bh_erfc(abs({z}) / sqrt(CAST(2 AS DOUBLE)))))"
+    )
+    return (
+        f"named_struct("
+        f"'z_statistic', IF({ok}, {z}, {nan}), "
+        f"'p_value', IF({ok}, {p}, {nan}), "
+        f"'confidence_interval_low', IF({ok}, {d} - {zq} * ({se}), "
+        f"{nan}), "
+        f"'confidence_interval_high', IF({ok}, {d} + {zq} * ({se}), "
+        f"{nan}))"
+    )
+
+
 def _ecr_builder(params: list[str], a: list[str]) -> str:
     """estimateCompressionRatio([codec[, block_size]])(x) — see the
     plain-name mapping; codec validation lives here."""
@@ -2302,10 +2422,9 @@ _ARG_REWRITES.update({
     "kolmogorovSmirnovTest": lambda a: _ks_test_builder(a),
     "meanZTest": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "meanZTest() is a closed-form scalar over conditional "
-            "aggregates: z = (avg0-avg1)/sqrt(var0/n0+var1/n1) with "
-            "avg(CASE WHEN idx=0 THEN x END) etc.; the p-value is "
-            "2*(1-Phi(|z|))"
+            "meanZTest requires its parameters: "
+            "meanZTest(population_variance_x, population_variance_y, "
+            "confidence_level)(x, sample_index)"
         )
     ),
     "andersonDarlingTest": lambda a: (_ for _ in ()).throw(
@@ -2326,21 +2445,8 @@ _ARG_REWRITES.update({
     # default codec): the wire LZ4 codec measured over the group's
     # serialized values — a grouped-agg pandas UDF.
     "estimateCompressionRatio": lambda a: f"bh_lz4_ratio({a[0]})",
-    "studentTTest": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "studentTTest() p-value needs the t CDF; the t statistic "
-            "itself is one pass of conditional aggregates: "
-            "(avg0-avg1)/sqrt(pooled_var*(1/n0+1/n1)) with "
-            "avg(CASE WHEN idx=0 THEN x END) etc."
-        )
-    ),
-    "welchTTest": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "welchTTest() p-value needs the t CDF; the statistic is "
-            "one pass of conditional aggregates over per-sample "
-            "mean/variance/count"
-        )
-    ),
+    "studentTTest": lambda a: _ttest_builder("studentTTest")(a),
+    "welchTTest": lambda a: _ttest_builder("welchTTest")(a),
     "largestTriangleThreeBuckets": lambda a: (_ for _ in ()).throw(
         ValueError(
             "largestTriangleThreeBuckets() is order-dependent "
@@ -4260,7 +4366,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
-        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio)",
+        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|norm_ppf)",
         out,
     ):
         _ensure_misc_udfs(spark)
@@ -4986,6 +5092,13 @@ def _rewrite_parametric(sql: str) -> str:
         # codec as a grouped-agg UDF; other codecs refuse (no zstd
         # in this build; 'none' is the constant 1 by definition).
         ("estimateCompressionRatio", lambda p, a: _ecr_builder(p, a)),
+        # t-tests' parameterized (CI) form refuses with guidance;
+        # meanZTest's CI is implemented (normal quantile).
+        ("studentTTest",
+         lambda p, a: _ttest_builder("studentTTest")(a, p)),
+        ("welchTTest",
+         lambda p, a: _ttest_builder("welchTTest")(a, p)),
+        ("meanZTest", _mean_z_builder),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(

@@ -354,6 +354,118 @@ def bh_jumphash(key: pd.Series, buckets: pd.Series) -> pd.Series:
     )
 
 
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (the classic
+    modified-Lentz evaluation of the published expansion)."""
+    maxit, eps, fpmin = 300, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < fpmin:
+        d = fpmin
+    d = 1.0 / d
+    h = d
+    for m in range(1, maxit + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_pvalue2(t: float, df: float) -> float:
+    """Two-sided Student-t survival: P(|T| > |t|) =
+    I_{df/(df+t²)}(df/2, 1/2)."""
+    if df is None or t is None or not df > 0 or math.isnan(t):
+        return float("nan")
+    if math.isinf(t):
+        return 0.0
+    return min(1.0, max(0.0, _betainc(df / 2.0, 0.5, df / (df + t * t))))
+
+
+# Acklam's rational approximation to the inverse standard-normal CDF
+# (public algorithm; |relative error| < 1.15e-9 over (0, 1)).
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def _norm_ppf(p: float) -> float:
+    if p is None or not 0.0 < p < 1.0:
+        return float("nan")
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                 + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                  + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+             + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+@pandas_udf(_DOUBLE)
+def bh_t_pvalue2(t: pd.Series, df: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_t_pvalue2(tv, dv) for tv, dv in zip(t, df)], dtype="float64"
+    )
+
+
+@pandas_udf(_DOUBLE)
+def bh_norm_ppf(p: pd.Series) -> pd.Series:
+    return p.map(_null_safe(_norm_ppf))
+
+
 @pandas_udf(_DOUBLE)
 def bh_lz4_ratio(v: pd.Series) -> float:
     """GROUPED-AGG UDF (Series → scalar): estimateCompressionRatio
@@ -403,6 +515,8 @@ ALL = {
     "bh_idna_encode": bh_idna_encode,
     "bh_idna_decode": bh_idna_decode,
     "bh_lz4_ratio": bh_lz4_ratio,
+    "bh_t_pvalue2": bh_t_pvalue2,
+    "bh_norm_ppf": bh_norm_ppf,
 }
 
 

@@ -2334,8 +2334,6 @@ class TestRound5ProbeTranche2:
             ("cramersV(x, y)", "contingency"),
             ("theilsU(x, y)", "contingency"),
             ("contingency(x, y)", "contingency"),
-            ("studentTTest(x, y)", "conditional aggregates"),
-            ("welchTTest(x, y)", "conditional aggregates"),
             ("largestTriangleThreeBuckets(4)(x, y)", "ntile"),
             ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
@@ -2482,6 +2480,74 @@ class TestRound7ProbeTranche:
             "SELECT tupleConcat(tuple(1), tuple('a', 2)) AS t"
         )
         assert tuple(r.rows[0][0]) == (1, "a", 2)
+
+    @pytest.fixture(scope="class")
+    def ttview(self, eng):
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __tt7 AS SELECT * FROM "
+            "VALUES (1.0,0),(2.0,0),(3.0,0),(4.0,0),(2.5,1),(3.5,1),"
+            "(4.5,1) AS t(v,i)"
+        )
+        return "__tt7"
+
+    def test_student_t_test(self, eng, ttview):
+        import math
+
+        t_, p_ = eng.execute(
+            f"SELECT studentTTest(v, i) AS r FROM {ttview}"
+        ).rows[0][0]
+        m0, m1, n0, n1, s0, s1 = 2.5, 3.5, 4, 3, 5 / 3, 1.0
+        sp2 = ((n0 - 1) * s0 + (n1 - 1) * s1) / (n0 + n1 - 2)
+        expect_t = (m0 - m1) / math.sqrt(sp2 * (1 / n0 + 1 / n1))
+        assert abs(t_ - expect_t) < 1e-12
+        assert 0.31 < p_ < 0.33  # two-sided p at t=-1.107, df=5
+
+    def test_welch_t_test_and_published_anchor(self, eng, ttview):
+        import math
+
+        from bighouse_spark.functions.miscfuncs import _t_pvalue2
+
+        tw, pw = eng.execute(
+            f"SELECT welchTTest(v, i) AS r FROM {ttview}"
+        ).rows[0][0]
+        m0, m1, n0, n1, s0, s1 = 2.5, 3.5, 4, 3, 5 / 3, 1.0
+        se = math.sqrt(s0 / n0 + s1 / n1)
+        assert abs(tw - (m0 - m1) / se) < 1e-12
+        df = (s0 / n0 + s1 / n1) ** 2 / (
+            (s0 / n0) ** 2 / (n0 - 1) + (s1 / n1) ** 2 / (n1 - 1)
+        )
+        assert abs(pw - _t_pvalue2(tw, df)) < 1e-12
+        # Published t-table anchor: P(|T|>2.228) at df=10 is 0.05.
+        assert abs(_t_pvalue2(2.228, 10) - 0.05) < 1e-4
+
+    def test_mean_z_test(self, eng, ttview):
+        import math
+
+        z, p, lo, hi = eng.execute(
+            f"SELECT meanZTest(1.5, 1.2, 0.95)(v, i) AS r "
+            f"FROM {ttview}"
+        ).rows[0][0]
+        se = math.sqrt(1.5 / 4 + 1.2 / 3)
+        assert abs(z - (-1.0) / se) < 1e-12
+        assert abs(p - math.erfc(abs(z) / math.sqrt(2))) < 1e-12
+        # CI uses the z-quantile (Acklam approx, ~1e-9): 1.959964.
+        assert abs(lo - (-1.0 - 1.959963985 * se)) < 1e-7
+        assert abs(hi - (-1.0 + 1.959963985 * se)) < 1e-7
+        with pytest.raises(ValueError, match="t-distribution"):
+            eng.execute(
+                f"SELECT studentTTest(0.95)(v, i) FROM {ttview}"
+            )
+        with pytest.raises(ValueError, match="parameters"):
+            eng.execute(f"SELECT meanZTest(v, i) FROM {ttview}")
+
+    def test_t_test_degenerate_is_nan(self, eng):
+        import math
+
+        t_, p_ = eng.execute(
+            "SELECT studentTTest(v, i) AS r FROM "
+            "(SELECT 1.0 AS v, 0 AS i UNION ALL SELECT 2.0, 1)"
+        ).rows[0][0]
+        assert math.isnan(t_) and math.isnan(p_)
 
     def test_estimate_compression_ratio(self, eng):
         # Backed by the round-7 wire LZ4 codec as a grouped-agg UDF.
@@ -4335,7 +4401,6 @@ class TestRound6ProbeTranche2:
     @pytest.mark.parametrize(
         "expr,hint",
         [
-            ("meanZTest(1,1,0.95)(x, g)", "conditional"),
             ("andersonDarlingTest(x)", "ECDF"),
             ("categoricalInformationValue(x, g)", "WoE"),
             ("exponentialTimeDecayedSum(5)(x, g)", "state Spark mapping"),
