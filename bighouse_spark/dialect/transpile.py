@@ -1036,6 +1036,85 @@ def _mean_z_builder(params: list[str], a: list[str]) -> str:
     )
 
 
+def _lttb_builder(params: list[str], a: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y) → Array(Tuple(x, y)) —
+    the published LTTB downsampling algorithm as one O(N) expression:
+    sorted collect, then a fold over the n−2 middle buckets where
+    each step binds (previous selected point, next bucket's average)
+    once via a single-element ``transform`` (a LET — keeps the
+    per-bucket argmax O(bucket), not O(bucket²)) and appends the
+    max-triangle-area point. First/last points always kept; n ≥ N
+    returns every point, n ≤ 2 degenerates to first/last."""
+    if len(params) != 1:
+        raise ValueError(
+            "largestTriangleThreeBuckets takes exactly one parameter "
+            "(the output point count)"
+        )
+    if len(a) != 2:
+        raise ValueError(
+            "largestTriangleThreeBuckets(n)(x, y) takes exactly two "
+            "arguments"
+        )
+    n = f"CAST({params[0]} AS INT)"
+    arr = (
+        f"sort_array(collect_list(named_struct("
+        f"'x', CAST({a[0]} AS DOUBLE), 'y', CAST({a[1]} AS DOUBLE))))"
+    )
+    nn = f"size({arr})"
+    every = f"((CAST({nn} AS DOUBLE) - 2) / ({n} - 2))"
+    # Bucket i of the fold covers 1-based arr indices
+    # [2+floor(i·every), 2+floor((i+1)·every)); the "next" range ends
+    # at min(2+floor((i+2)·every), N+1) so the final bucket's next is
+    # exactly the last point.
+    bs = f"CAST(2 + floor(CAST(__i AS DOUBLE) * {every}) AS INT)"
+    be = f"CAST(2 + floor((CAST(__i AS DOUBLE) + 1) * {every}) AS INT)"
+    ns = be
+    ne = (
+        f"CAST(least(2 + floor((CAST(__i AS DOUBLE) + 2) * {every}), "
+        f"CAST({nn} AS DOUBLE) + 1) AS INT)"
+    )
+    cavg = (
+        f"aggregate(slice({arr}, {ns}, {ne} - {ns}), "
+        f"named_struct('sx', CAST(0 AS DOUBLE), 'sy', CAST(0 AS "
+        f"DOUBLE), 'c', CAST(0 AS DOUBLE)), "
+        f"(__s3, __q) -> named_struct('sx', __s3.sx + __q.x, "
+        f"'sy', __s3.sy + __q.y, 'c', __s3.c + 1), "
+        f"__s3 -> named_struct('x', __s3.sx / __s3.c, "
+        f"'y', __s3.sy / __s3.c))"
+    )
+    area = (
+        "abs((__ctx.pa.x - __ctx.pc.x) * (__p.y - __ctx.pa.y) - "
+        "(__ctx.pa.x - __p.x) * (__ctx.pc.y - __ctx.pa.y))"
+    )
+    argmax = (
+        f"aggregate(slice({arr}, {bs}, {be} - {bs}), "
+        f"named_struct('x', CAST(0 AS DOUBLE), 'y', CAST(0 AS "
+        f"DOUBLE), 'ar', CAST(-1 AS DOUBLE)), "
+        f"(__ba, __p) -> IF({area} > __ba.ar, "
+        f"named_struct('x', __p.x, 'y', __p.y, 'ar', {area}), __ba), "
+        f"__ba -> named_struct('x', __ba.x, 'y', __ba.y))"
+    )
+    merge = (
+        f"(__sel, __i) -> concat(__sel, array(element_at("
+        f"transform(array(named_struct('pa', element_at(__sel, -1), "
+        f"'pc', {cavg})), __ctx -> {argmax}), 1)))"
+    )
+    fold = (
+        f"aggregate(sequence(0, {n} - 3), "
+        f"array(element_at({arr}, 1)), "
+        f"{merge}, "
+        f"__sel -> concat(__sel, array(element_at({arr}, {nn}))))"
+    )
+    return (
+        f"IF({nn} <= {n}, {arr}, "
+        f"CASE WHEN {n} <= 0 THEN slice({arr}, 1, 0) "
+        f"WHEN {n} = 1 THEN slice({arr}, 1, 1) "
+        f"WHEN {n} = 2 THEN array(element_at({arr}, 1), "
+        f"element_at({arr}, {nn})) "
+        f"ELSE ({fold}) END)"
+    )
+
+
 def _ecr_builder(params: list[str], a: list[str]) -> str:
     """estimateCompressionRatio([codec[, block_size]])(x) — see the
     plain-name mapping; codec validation lives here."""
@@ -2449,9 +2528,8 @@ _ARG_REWRITES.update({
     "welchTTest": lambda a: _ttest_builder("welchTTest")(a),
     "largestTriangleThreeBuckets": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "largestTriangleThreeBuckets() is order-dependent "
-            "downsampling; bucket by ntile(k) OVER (ORDER BY x) and "
-            "pick max-area points per bucket"
+            "largestTriangleThreeBuckets requires its parameter: "
+            "largestTriangleThreeBuckets(n)(x, y)"
         )
     ),
     "arraySplit": lambda a: (_ for _ in ()).throw(
@@ -5099,6 +5177,9 @@ def _rewrite_parametric(sql: str) -> str:
         ("welchTTest",
          lambda p, a: _ttest_builder("welchTTest")(a, p)),
         ("meanZTest", _mean_z_builder),
+        # largestTriangleThreeBuckets(n)(x, y): published LTTB
+        # downsampling as an O(N) fold (see _lttb_builder).
+        ("largestTriangleThreeBuckets", _lttb_builder),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         ("sumMapFiltered", lambda p, a: _map_agg_fold(

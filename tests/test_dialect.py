@@ -2334,7 +2334,6 @@ class TestRound5ProbeTranche2:
             ("cramersV(x, y)", "contingency"),
             ("theilsU(x, y)", "contingency"),
             ("contingency(x, y)", "contingency"),
-            ("largestTriangleThreeBuckets(4)(x, y)", "ntile"),
             ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
             ("formatRow('CSV', 1)", "FORMAT"),
@@ -2548,6 +2547,62 @@ class TestRound7ProbeTranche:
             "(SELECT 1.0 AS v, 0 AS i UNION ALL SELECT 2.0, 1)"
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
+
+    def test_lttb_matches_reference(self, eng):
+        import math
+
+        def lttb_ref(pts, n):
+            pts = sorted(pts)
+            big_n = len(pts)
+            if big_n <= n:
+                return pts
+            if n <= 0:
+                return []
+            if n == 1:
+                return [pts[0]]
+            if n == 2:
+                return [pts[0], pts[-1]]
+            every = (big_n - 2) / (n - 2)
+            sel = [pts[0]]
+            for i in range(n - 2):
+                bs = 2 + int(i * every)
+                be = 2 + int((i + 1) * every)
+                ne = min(int(2 + (i + 2) * every), big_n + 1)
+                nxt = pts[be - 1:ne - 1]
+                cx = sum(p[0] for p in nxt) / len(nxt)
+                cy = sum(p[1] for p in nxt) / len(nxt)
+                ax, ay = sel[-1]
+                best, best_a = None, -1.0
+                for p in pts[bs - 1:be - 1]:
+                    area = abs(
+                        (ax - cx) * (p[1] - ay) - (ax - p[0]) * (cy - ay)
+                    )
+                    if area > best_a:
+                        best, best_a = p, area
+                sel.append(best)
+            sel.append(pts[-1])
+            return sel
+
+        pts = [
+            (float(i), math.sin(i / 3.0) * 10 + (i % 7))
+            for i in range(50)
+        ]
+        vals = ", ".join(f"({x}, {y})" for x, y in pts)
+        eng.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW __lttb7 AS SELECT * FROM "
+            f"VALUES {vals} AS t(x, y)"
+        )
+        for n in (3, 10, 25, 50, 60, 2, 1, 0):
+            r = eng.execute(
+                f"SELECT largestTriangleThreeBuckets({n})(x, y) "
+                f"AS d FROM __lttb7"
+            )
+            got = [(p[0], p[1]) for p in r.rows[0][0]]
+            assert got == lttb_ref(pts, n), n
+        with pytest.raises(ValueError, match="parameter"):
+            eng.execute(
+                "SELECT largestTriangleThreeBuckets(x, y) FROM __lttb7"
+            )
 
     def test_estimate_compression_ratio(self, eng):
         # Backed by the round-7 wire LZ4 codec as a grouped-agg UDF.
