@@ -1036,6 +1036,36 @@ def _mean_z_builder(params: list[str], a: list[str]) -> str:
     )
 
 
+def _entropy_builder(a: list[str]) -> str:
+    """entropy(x) → Shannon entropy (log2) of the value distribution:
+    one sorted collect, one O(n) index-fold accumulating
+    (c/n)·log2(n/c) at run boundaries. Index-based comparison
+    (``element_at(arr, i) <=> element_at(arr, i-1)``) keeps the fold
+    type-agnostic — no prev-value field whose type we'd have to guess
+    at transpile time. Same group-state caveat as every
+    collect-based aggregate."""
+    if len(a) != 1:
+        raise ValueError("entropy(x) takes exactly one argument")
+    arr = f"sort_array(collect_list({a[0]}))"
+    n = f"CAST(size({arr}) AS DOUBLE)"
+    f_run = "((__acc.c / {n}) * log2({n} / __acc.c))".format(n=n)
+    fold = (
+        f"aggregate(sequence(2, size({arr})), "
+        f"named_struct('c', CAST(1 AS DOUBLE), 'h', CAST(0 AS "
+        f"DOUBLE)), "
+        f"(__acc, __i) -> IF(element_at({arr}, __i) <=> "
+        f"element_at({arr}, __i - 1), "
+        f"named_struct('c', __acc.c + 1, 'h', __acc.h), "
+        f"named_struct('c', CAST(1 AS DOUBLE), "
+        f"'h', __acc.h + {f_run})), "
+        f"__acc -> __acc.h + {f_run})"
+    )
+    return (
+        f"CASE WHEN size({arr}) <= 1 THEN CAST(0 AS DOUBLE) "
+        f"ELSE ({fold}) END"
+    )
+
+
 def _lttb_builder(params: list[str], a: list[str]) -> str:
     """largestTriangleThreeBuckets(n)(x, y) → Array(Tuple(x, y)) —
     the published LTTB downsampling algorithm as one O(N) expression:
@@ -2467,15 +2497,7 @@ _ARG_REWRITES.update({
         a, "(__k, __a, __b) -> least(__a, __b)"
     ),
     # -- guided refusals: genuinely not single-pass expressions --
-    "entropy": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "entropy() needs value frequencies (two aggregation "
-            "levels); rewrite as GROUP BY "
-            + (a[0] if a else "x")
-            + " -> count() AS c, then "
-            "-sum((c / total) * log2(c / total)) over the counts"
-        )
-    ),
+    "entropy": lambda a: _entropy_builder(a),
     "cramersV": lambda a: (_ for _ in ()).throw(
         ValueError(
             "cramersV() needs the full contingency table; build it "

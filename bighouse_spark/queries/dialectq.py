@@ -668,3 +668,32 @@ def dialect_mwu_roundtrip(spark, sf_dir):
         )
         """,
     )
+
+
+# entropy() as a real CH-spelling aggregate (round-7): Shannon
+# entropy of the event_type distribution; DuckDB recomputes from
+# first principles with the two-level GROUP BY.
+@query(
+    "dialect_entropy_roundtrip",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY event_type
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events)
+SELECT round(sum((c.c / n.n) * log2(n.n / c.c)), 9) AS h,
+       CAST(n.n AS BIGINT) AS total
+FROM c, n GROUP BY n.n
+""",
+)
+def dialect_entropy_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ent",
+        """
+        SELECT round(entropy(event_type), 9) AS h,
+               CAST(count() AS Int64) AS total
+        FROM __dq_events_ent
+        """,
+    )

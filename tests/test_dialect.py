@@ -2330,7 +2330,6 @@ class TestRound5ProbeTranche2:
             # max/minMap over Map columns implemented in round 6;
             # the two-array tuple form still refuses.
             ("maxMap([1], [2])", "map_from_arrays"),
-            ("entropy(x)", "frequencies"),
             ("cramersV(x, y)", "contingency"),
             ("theilsU(x, y)", "contingency"),
             ("contingency(x, y)", "contingency"),
@@ -2547,6 +2546,22 @@ class TestRound7ProbeTranche:
             "(SELECT 1.0 AS v, 0 AS i UNION ALL SELECT 2.0, 1)"
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
+
+    def test_entropy_values(self, eng):
+        import math
+
+        r = eng.execute(
+            "SELECT entropy(number % 4) AS h FROM numbers(8)"
+        )
+        assert abs(r.rows[0][0] - 2.0) < 1e-12  # uniform over 4
+        r = eng.execute(
+            "SELECT entropy(v) AS h FROM "
+            "(SELECT explode(array('a','a','a','b')) AS v)"
+        )
+        expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        assert abs(r.rows[0][0] - expect) < 1e-12
+        r = eng.execute("SELECT entropy(number) AS h FROM numbers(1)")
+        assert r.rows[0][0] == 0.0
 
     def test_lttb_matches_reference(self, eng):
         import math
