@@ -1036,6 +1036,148 @@ def _mean_z_builder(params: list[str], a: list[str]) -> str:
     )
 
 
+def _contingency_builder(stat: str):
+    """cramersV / cramersVBiasCorrected / theilsU / contingency
+    (x, y) — the categorical-association family from ONE pass:
+
+    * joint cell counts: sorted collect of (x, y) as strings, then an
+      O(n) index-fold emitting (x, y, count) at run boundaries
+      (append-per-CELL, not per row — O(cells²) array copies bound by
+      the category cardinality, the same in-memory contingency table
+      CH's own implementations hold);
+    * marginals as ``map_from_entries`` of boundary folds (x runs are
+      contiguous in the (x,y) sort; y gets its own sorted collect);
+    * every large sub-expression is bound ONCE via a single-element
+      ``transform`` LET, so χ² / marginal-entropy consumers reference
+      cheap struct fields instead of re-inlining the folds.
+
+    χ² = Σ(c−e)²/e with e = row·col/n; contingency = √(χ²/(n+χ²));
+    Cramér's V = √(χ²/(n·(min(r,c)−1))), bias-corrected per the
+    published φ̃²/r̃/c̃ correction; Theil's U = (H(x) − H(x|y))/H(x)
+    (log-base invariant). Degenerate inputs (n<2, a single category
+    where the statistic is undefined) return NaN."""
+
+    def build(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(f"{stat}(x, y) takes exactly two arguments")
+        jx = f"CAST({a[0]} AS STRING)"
+        jy = f"CAST({a[1]} AS STRING)"
+        J = (
+            f"sort_array(collect_list(named_struct("
+            f"'x', {jx}, 'y', {jy})))"
+        )
+        Y = f"sort_array(collect_list({jy}))"
+
+        def runs_fold(arr: str, key_of: str, entry: str) -> str:
+            """array → array of (key, count) at run boundaries.
+            ``key_of`` extracts the run key from an element expr
+            ``{e}``; ``entry`` renders the emitted struct given
+            ``{k}`` (key expr) and ``{c}`` (count expr)."""
+            prev = key_of.format(e=f"element_at({arr}, __i - 1)")
+            cur = key_of.format(e=f"element_at({arr}, __i)")
+            last = key_of.format(e=f"element_at({arr}, size({arr}))")
+            first = key_of.format(e=f"element_at({arr}, 1)")
+            empty = (
+                f"slice(array({entry.format(k=first, c='CAST(0 AS DOUBLE)')}), 1, 0)"
+            )
+            return (
+                f"aggregate(sequence(2, size({arr})), "
+                f"named_struct('a', {empty}, 'c', CAST(1 AS DOUBLE)), "
+                f"(__st, __i) -> IF(({cur}) <=> ({prev}), "
+                f"named_struct('a', __st.a, 'c', __st.c + 1), "
+                f"named_struct('a', concat(__st.a, "
+                f"array({entry.format(k=prev, c='__st.c')})), "
+                f"'c', CAST(1 AS DOUBLE))), "
+                f"__st -> concat(__st.a, "
+                f"array({entry.format(k=last, c='__st.c')})))"
+            )
+
+        # The sorted arrays must be LET-bound BEFORE any fold whose
+        # lambda indexes into them: a `sort_array(collect_list(...))`
+        # spelled inside a lambda re-sorts the whole array on every
+        # fold step (O(n²·log n) — found the hard way).
+        cells = runs_fold(
+            "__s.j", "{e}",
+            "named_struct('x', ({k}).x, 'y', ({k}).y, 'c', {c})",
+        )
+        rowm = (
+            "map_from_entries("
+            + runs_fold(
+                "__s.j", "({e}).x", "named_struct('k', {k}, 'v', {c})"
+            )
+            + ")"
+        )
+        colm = (
+            "map_from_entries("
+            + runs_fold(
+                "__s.ys", "{e}", "named_struct('k', {k}, 'v', {c})"
+            )
+            + ")"
+        )
+        # Bind the shared intermediates once (nested LETs: sorted
+        # arrays first, then the folds computed from them).
+        ctx = (
+            f"named_struct('cells', {cells}, 'rowm', {rowm}, "
+            f"'colm', {colm}, 'n', CAST(size(__s.j) AS DOUBLE))"
+        )
+        e_cell = (
+            "(element_at(__t.rowm, __ce.x) * "
+            "element_at(__t.colm, __ce.y) / __t.n)"
+        )
+        chi2 = (
+            f"aggregate(__t.cells, CAST(0 AS DOUBLE), "
+            f"(__x2, __ce) -> __x2 + pow(__ce.c - {e_cell}, 2) / "
+            f"{e_cell})"
+        )
+        r = "CAST(size(__t.rowm) AS DOUBLE)"
+        c = "CAST(size(__t.colm) AS DOUBLE)"
+        nan = "CAST('NaN' AS DOUBLE)"
+        if stat == "contingency":
+            final = f"sqrt(({chi2}) / (__t.n + ({chi2})))"
+        elif stat == "cramersV":
+            final = (
+                f"IF(least({r}, {c}) < 2, {nan}, "
+                f"sqrt(({chi2}) / (__t.n * (least({r}, {c}) - 1))))"
+            )
+        elif stat == "cramersVBiasCorrected":
+            phi2t = (
+                f"greatest(CAST(0 AS DOUBLE), ({chi2}) / __t.n - "
+                f"(({r}) - 1) * (({c}) - 1) / (__t.n - 1))"
+            )
+            rt = f"(({r}) - pow(({r}) - 1, 2) / (__t.n - 1))"
+            ct = f"(({c}) - pow(({c}) - 1, 2) / (__t.n - 1))"
+            final = (
+                f"IF(least({rt}, {ct}) <= 1, {nan}, "
+                f"sqrt(({phi2t}) / (least({rt}, {ct}) - 1)))"
+            )
+        elif stat == "theilsU":
+            hx = (
+                "aggregate(map_entries(__t.rowm), CAST(0 AS DOUBLE), "
+                "(__h, __en) -> __h + (__en.value / __t.n) * "
+                "log2(__t.n / __en.value))"
+            )
+            hxy = (
+                "aggregate(__t.cells, CAST(0 AS DOUBLE), "
+                "(__h, __ce) -> __h + (__ce.c / __t.n) * "
+                "log2(element_at(__t.colm, __ce.y) / __ce.c))"
+            )
+            final = (
+                f"IF(({hx}) = 0, {nan}, "
+                f"((({hx}) - ({hxy})) / ({hx})))"
+            )
+        else:  # pragma: no cover - builder wired per name
+            raise ValueError(stat)
+        return (
+            f"IF(size({J}) < 2, {nan}, "
+            f"element_at(transform(array(named_struct("
+            f"'j', {J}, 'ys', {Y})), "
+            f"__s -> element_at(transform(array({ctx}), "
+            f"__t -> ({final})), 1)), 1))"
+        )
+
+    return build
+
+
 def _entropy_builder(a: list[str]) -> str:
     """entropy(x) → Shannon entropy (log2) of the value distribution:
     one sorted collect, one O(n) index-fold accumulating
@@ -1047,14 +1189,16 @@ def _entropy_builder(a: list[str]) -> str:
     if len(a) != 1:
         raise ValueError("entropy(x) takes exactly one argument")
     arr = f"sort_array(collect_list({a[0]}))"
-    n = f"CAST(size({arr}) AS DOUBLE)"
+    # The sorted array is LET-bound (__ea): indexing it inside the
+    # fold lambda must hit an attribute, not re-sort per element.
+    n = "CAST(size(__ea) AS DOUBLE)"
     f_run = "((__acc.c / {n}) * log2({n} / __acc.c))".format(n=n)
     fold = (
-        f"aggregate(sequence(2, size({arr})), "
+        f"aggregate(sequence(2, size(__ea)), "
         f"named_struct('c', CAST(1 AS DOUBLE), 'h', CAST(0 AS "
         f"DOUBLE)), "
-        f"(__acc, __i) -> IF(element_at({arr}, __i) <=> "
-        f"element_at({arr}, __i - 1), "
+        f"(__acc, __i) -> IF(element_at(__ea, __i) <=> "
+        f"element_at(__ea, __i - 1), "
         f"named_struct('c', __acc.c + 1, 'h', __acc.h), "
         f"named_struct('c', CAST(1 AS DOUBLE), "
         f"'h', __acc.h + {f_run})), "
@@ -1062,7 +1206,8 @@ def _entropy_builder(a: list[str]) -> str:
     )
     return (
         f"CASE WHEN size({arr}) <= 1 THEN CAST(0 AS DOUBLE) "
-        f"ELSE ({fold}) END"
+        f"ELSE element_at(transform(array({arr}), "
+        f"__ea -> ({fold})), 1) END"
     )
 
 
@@ -1090,7 +1235,7 @@ def _lttb_builder(params: list[str], a: list[str]) -> str:
         f"sort_array(collect_list(named_struct("
         f"'x', CAST({a[0]} AS DOUBLE), 'y', CAST({a[1]} AS DOUBLE))))"
     )
-    nn = f"size({arr})"
+    nn = "size(__la)"
     every = f"((CAST({nn} AS DOUBLE) - 2) / ({n} - 2))"
     # Bucket i of the fold covers 1-based arr indices
     # [2+floor(i·every), 2+floor((i+1)·every)); the "next" range ends
@@ -1131,17 +1276,19 @@ def _lttb_builder(params: list[str], a: list[str]) -> str:
     )
     fold = (
         f"aggregate(sequence(0, {n} - 3), "
-        f"array(element_at({arr}, 1)), "
+        f"array(element_at(__la, 1)), "
         f"{merge}, "
-        f"__sel -> concat(__sel, array(element_at({arr}, {nn}))))"
+        f"__sel -> concat(__sel, array(element_at(__la, {nn}))))"
     )
+    outer_nn = f"size({arr})"
     return (
-        f"IF({nn} <= {n}, {arr}, "
+        f"IF({outer_nn} <= {n}, {arr}, "
         f"CASE WHEN {n} <= 0 THEN slice({arr}, 1, 0) "
         f"WHEN {n} = 1 THEN slice({arr}, 1, 1) "
         f"WHEN {n} = 2 THEN array(element_at({arr}, 1), "
-        f"element_at({arr}, {nn})) "
-        f"ELSE ({fold}) END)"
+        f"element_at({arr}, {outer_nn})) "
+        f"ELSE element_at(transform(array({arr}), "
+        f"__la -> ({fold})), 1) END)"
     )
 
 
@@ -2498,27 +2645,12 @@ _ARG_REWRITES.update({
     ),
     # -- guided refusals: genuinely not single-pass expressions --
     "entropy": lambda a: _entropy_builder(a),
-    "cramersV": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "cramersV() needs the full contingency table; build it "
-            "with GROUP BY x, y -> count(), then compute chi² and "
-            "sqrt(chi²/(n*min(r-1,c-1))) over the counts"
-        )
+    "cramersV": _contingency_builder("cramersV"),
+    "cramersVBiasCorrected": _contingency_builder(
+        "cramersVBiasCorrected"
     ),
-    "theilsU": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "theilsU() needs the full contingency table; build it "
-            "with GROUP BY x, y -> count() and compute the "
-            "conditional entropies over the counts"
-        )
-    ),
-    "contingency": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "contingency() needs the full contingency table; build "
-            "it with GROUP BY x, y -> count() and compute the "
-            "coefficient over the counts"
-        )
-    ),
+    "theilsU": _contingency_builder("theilsU"),
+    "contingency": _contingency_builder("contingency"),
     "mannWhitneyUTest": lambda a: _mwu_builder(a),
     "kolmogorovSmirnovTest": lambda a: _ks_test_builder(a),
     "meanZTest": lambda a: (_ for _ in ()).throw(

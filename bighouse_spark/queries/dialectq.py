@@ -697,3 +697,60 @@ def dialect_entropy_roundtrip(spark, sf_dir):
         FROM __dq_events_ent
         """,
     )
+
+
+# Categorical-association family (round-7): cramersV / contingency /
+# theilsU over (event_type, user_id mod 5); DuckDB recomputes chi²
+# and the conditional entropies from the GROUP BY contingency table.
+@query(
+    "dialect_cramers_roundtrip",
+    oracle="""
+WITH j AS (
+  SELECT event_type AS x, CAST(user_id % 5 AS VARCHAR) AS y
+  FROM events
+), cells AS (
+  SELECT x, y, CAST(count(*) AS DOUBLE) AS c FROM j GROUP BY x, y
+), rm AS (
+  SELECT x, CAST(count(*) AS DOUBLE) AS rc FROM j GROUP BY x
+), cm AS (
+  SELECT y, CAST(count(*) AS DOUBLE) AS cc FROM j GROUP BY y
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+x2 AS (
+  SELECT sum(pow(cells.c - rm.rc * cm.cc / n.n, 2) /
+             (rm.rc * cm.cc / n.n)) AS chi2,
+         any_value(n.n) AS n
+  FROM cells
+  JOIN rm ON cells.x = rm.x
+  JOIN cm ON cells.y = cm.y
+  CROSS JOIN n
+), hh AS (
+  SELECT sum((rm.rc / n.n) * log2(n.n / rm.rc)) AS hx
+  FROM rm CROSS JOIN n
+), hc AS (
+  SELECT sum((cells.c / n.n) * log2(cm.cc / cells.c)) AS hxy
+  FROM cells JOIN cm ON cells.y = cm.y CROSS JOIN n
+)
+SELECT round(sqrt(x2.chi2 / (x2.n *
+         (least((SELECT count(*) FROM rm),
+                (SELECT count(*) FROM cm)) - 1))), 9) AS v,
+       round(sqrt(x2.chi2 / (x2.n + x2.chi2)), 9) AS cont,
+       round((hh.hx - hc.hxy) / hh.hx, 9) AS u
+FROM x2, hh, hc
+""",
+)
+def dialect_cramers_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_cv",
+        """
+        SELECT round(cramersV(event_type, toString(user_id % 5)), 9)
+                 AS v,
+               round(contingency(event_type,
+                                 toString(user_id % 5)), 9) AS cont,
+               round(theilsU(event_type, toString(user_id % 5)), 9)
+                 AS u
+        FROM __dq_events_cv
+        """,
+    )
