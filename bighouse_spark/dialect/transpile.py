@@ -1178,6 +1178,62 @@ def _contingency_builder(stat: str):
     return build
 
 
+def _civ_builder(a: list[str]) -> str:
+    """categoricalInformationValue(cat1, …, catN, tag) →
+    Array(Float64): per category column, the information value
+    IV = Σ_x (p1(x) − p0(x)) · ln(p1(x)/p0(x)) with
+    p_t(x) = count(cat=x, tag=t)/count(tag=t). One sorted collect of
+    (value, tag) per column, one O(n) boundary fold accumulating the
+    per-value (c0, c1) pair (LET-bound array — see
+    ``_contingency_builder``). Zero-cell convention: a value absent
+    from either class contributes 0 (the ln would be ±∞; documented
+    smoothing-free choice)."""
+    if len(a) < 2:
+        raise ValueError(
+            "categoricalInformationValue(cat1, ..., catN, tag) needs "
+            "at least one category column and the 0/1 tag"
+        )
+    tag = a[-1]
+    n1 = f"sum(CAST(IF(CAST({tag} AS INT) <> 0, 1, 0) AS DOUBLE))"
+    n0 = f"sum(CAST(IF(CAST({tag} AS INT) = 0, 1, 0) AS DOUBLE))"
+    term = (
+        "IF(__acc.c0 = 0 OR __acc.c1 = 0, CAST(0 AS DOUBLE), "
+        "(__acc.c1 / ({n1}) - __acc.c0 / ({n0})) * "
+        "ln((__acc.c1 * ({n0})) / (__acc.c0 * ({n1}))))"
+    ).format(n0=n0, n1=n1)
+    ivs = []
+    for cat in a[:-1]:
+        arr = (
+            f"sort_array(collect_list(named_struct("
+            f"'v', CAST({cat} AS STRING), "
+            f"'t', CAST({tag} AS INT))))"
+        )
+        inc0 = "IF(element_at(__ca, __i).t = 0, 1, 0)"
+        inc1 = "IF(element_at(__ca, __i).t <> 0, 1, 0)"
+        first0 = "IF(element_at(__ca, 1).t = 0, 1, 0)"
+        first1 = "IF(element_at(__ca, 1).t <> 0, 1, 0)"
+        fold = (
+            f"aggregate(sequence(2, size(__ca)), "
+            f"named_struct('iv', CAST(0 AS DOUBLE), "
+            f"'c0', CAST({first0} AS DOUBLE), "
+            f"'c1', CAST({first1} AS DOUBLE)), "
+            f"(__acc, __i) -> IF(element_at(__ca, __i).v <=> "
+            f"element_at(__ca, __i - 1).v, "
+            f"named_struct('iv', __acc.iv, "
+            f"'c0', __acc.c0 + {inc0}, 'c1', __acc.c1 + {inc1}), "
+            f"named_struct('iv', __acc.iv + {term}, "
+            f"'c0', CAST({inc0} AS DOUBLE), "
+            f"'c1', CAST({inc1} AS DOUBLE))), "
+            f"__acc -> __acc.iv + {term})"
+        )
+        ivs.append(
+            f"CASE WHEN size({arr}) < 2 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE element_at(transform(array({arr}), "
+            f"__ca -> ({fold})), 1) END"
+        )
+    return f"array({', '.join(ivs)})"
+
+
 def _entropy_builder(a: list[str]) -> str:
     """entropy(x) → Shannon entropy (log2) of the value distribution:
     one sorted collect, one O(n) index-fold accumulating
@@ -2667,13 +2723,7 @@ _ARG_REWRITES.update({
             "the A2 statistic; the p-value needs the AD CDF"
         )
     ),
-    "categoricalInformationValue": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "categoricalInformationValue() is two aggregation "
-            "levels: GROUP BY category -> WoE = ln(pct_good/"
-            "pct_bad), IV = sum((pct_good-pct_bad)*WoE)"
-        )
-    ),
+    "categoricalInformationValue": lambda a: _civ_builder(a),
     # estimateCompressionRatio(x) (bare form defaults to lz4, CH's
     # default codec): the wire LZ4 codec measured over the group's
     # serialized values — a grouped-agg pandas UDF.

@@ -2330,9 +2330,6 @@ class TestRound5ProbeTranche2:
             # max/minMap over Map columns implemented in round 6;
             # the two-array tuple form still refuses.
             ("maxMap([1], [2])", "map_from_arrays"),
-            ("cramersV(x, y)", "contingency"),
-            ("theilsU(x, y)", "contingency"),
-            ("contingency(x, y)", "contingency"),
             ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
             ("formatRow('CSV', 1)", "FORMAT"),
@@ -2546,6 +2543,75 @@ class TestRound7ProbeTranche:
             "(SELECT 1.0 AS v, 0 AS i UNION ALL SELECT 2.0, 1)"
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
+
+    def test_contingency_family_known_2x2(self, eng):
+        import math
+
+        rows = []
+        for x, y, c in [("a", "p", 30), ("a", "q", 10),
+                        ("b", "p", 10), ("b", "q", 30)]:
+            rows += [(x, y)] * c
+        vals = ", ".join(f"('{x}','{y}')" for x, y in rows)
+        eng.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW __ct7 AS SELECT * FROM "
+            f"VALUES {vals} AS t(x, y)"
+        )
+        # e = 20 everywhere → χ² = 20; V = √(20/80); C = √(20/100).
+        v = eng.execute(
+            "SELECT cramersV(x, y) AS v FROM __ct7"
+        ).rows[0][0]
+        assert abs(v - 0.5) < 1e-12
+        c = eng.execute(
+            "SELECT contingency(x, y) AS v FROM __ct7"
+        ).rows[0][0]
+        assert abs(c - math.sqrt(0.2)) < 1e-12
+        phi2t = max(0, 0.25 - 1 / 79)
+        rt = 2 - 1 / 79
+        vb = eng.execute(
+            "SELECT cramersVBiasCorrected(x, y) AS v FROM __ct7"
+        ).rows[0][0]
+        assert abs(vb - math.sqrt(phi2t / (rt - 1))) < 1e-12
+        hcond = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        u = eng.execute(
+            "SELECT theilsU(x, y) AS v FROM __ct7"
+        ).rows[0][0]
+        assert abs(u - (1 - hcond)) < 1e-12
+        import math as _m
+
+        deg = eng.execute(
+            "SELECT cramersV(x, y) AS v FROM "
+            "(SELECT 'a' AS x, 'p' AS y)"
+        ).rows[0][0]
+        assert _m.isnan(deg)
+
+    def test_categorical_information_value(self, eng):
+        import math
+
+        rows = []
+        for v, t, c in [("a", 1, 30), ("a", 0, 10),
+                        ("b", 1, 10), ("b", 0, 30)]:
+            rows += [(v, t)] * c
+        vals = ", ".join(f"('{x}',{t})" for x, t in rows)
+        eng.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW __civ7 AS SELECT * FROM "
+            f"VALUES {vals} AS t(v, tag)"
+        )
+        out = eng.execute(
+            "SELECT categoricalInformationValue(v, tag) AS iv "
+            "FROM __civ7"
+        ).rows[0][0]
+        assert abs(out[0] - math.log(3)) < 1e-12
+        multi = eng.execute(
+            "SELECT categoricalInformationValue(v, v, tag) AS iv "
+            "FROM __civ7"
+        ).rows[0][0]
+        assert len(multi) == 2
+        # Zero-cell convention: absent-from-one-class values add 0.
+        z = eng.execute(
+            "SELECT categoricalInformationValue(v, tag) AS iv FROM "
+            "(SELECT 'a' AS v, 1 AS tag UNION ALL SELECT 'b', 1)"
+        ).rows[0][0]
+        assert z == [0.0]
 
     def test_entropy_values(self, eng):
         import math
@@ -4472,7 +4538,6 @@ class TestRound6ProbeTranche2:
         "expr,hint",
         [
             ("andersonDarlingTest(x)", "ECDF"),
-            ("categoricalInformationValue(x, g)", "WoE"),
             ("exponentialTimeDecayedSum(5)(x, g)", "state Spark mapping"),
         ],
     )
