@@ -1178,6 +1178,69 @@ def _contingency_builder(stat: str):
     return build
 
 
+def _proportions_z_builder(a: list[str]) -> str:
+    """proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    confidence_level, usevar) → (z_statistic, p_value,
+    confidence_interval_low, confidence_interval_high) — a pure
+    closed-form SCALAR (no aggregation): usevar 'pooled' uses the
+    combined proportion's variance for z; 'unpooled' the per-sample
+    variances. The CI on p1−p2 uses the unpooled standard error (the
+    standard construction) with the Acklam inverse-normal quantile.
+    Denominators floor-guarded (ANSI + eager-UDF extraction, same as
+    the other stats builders)."""
+    if len(a) != 6:
+        raise ValueError(
+            "proportionsZTest takes exactly (successes_x, "
+            "successes_y, trials_x, trials_y, confidence_level, "
+            "usevar)"
+        )
+    sx, sy, tx, ty, conf, usevar = a
+    uv = usevar.strip().strip("'\"").lower()
+    if uv not in ("pooled", "unpooled"):
+        raise ValueError(
+            f"proportionsZTest: usevar {usevar} must be 'pooled' or "
+            "'unpooled'"
+        )
+    g = "greatest({}, CAST(1e-300 AS DOUBLE))"
+    txd = f"CAST({tx} AS DOUBLE)"
+    tyd = f"CAST({ty} AS DOUBLE)"
+    p1 = f"(CAST({sx} AS DOUBLE) / {g.format(txd)})"
+    p2 = f"(CAST({sy} AS DOUBLE) / {g.format(tyd)})"
+    se_unpooled = (
+        f"sqrt({p1} * (1 - {p1}) / {g.format(txd)} + "
+        f"{p2} * (1 - {p2}) / {g.format(tyd)})"
+    )
+    if uv == "pooled":
+        pp = (
+            f"((CAST({sx} AS DOUBLE) + CAST({sy} AS DOUBLE)) / "
+            f"{g.format(f'({txd} + {tyd})')})"
+        )
+        se_z = (
+            f"sqrt({pp} * (1 - {pp}) * "
+            f"(1 / {g.format(txd)} + 1 / {g.format(tyd)}))"
+        )
+    else:
+        se_z = se_unpooled
+    d = f"({p1} - {p2})"
+    z = f"({d} / {g.format(f'({se_z})')})"
+    p = (
+        f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"bh_erfc(abs({z}) / sqrt(CAST(2 AS DOUBLE)))))"
+    )
+    zq = f"bh_norm_ppf(CAST((1 + ({conf})) / 2 AS DOUBLE))"
+    ok = f"({txd} > 0 AND {tyd} > 0)"
+    nan = "CAST('NaN' AS DOUBLE)"
+    return (
+        f"named_struct("
+        f"'z_statistic', IF({ok}, {z}, {nan}), "
+        f"'p_value', IF({ok}, {p}, {nan}), "
+        f"'confidence_interval_low', IF({ok}, "
+        f"{d} - {zq} * ({se_unpooled}), {nan}), "
+        f"'confidence_interval_high', IF({ok}, "
+        f"{d} + {zq} * ({se_unpooled}), {nan}))"
+    )
+
+
 def _civ_builder(a: list[str]) -> str:
     """categoricalInformationValue(cat1, …, catN, tag) →
     Array(Float64): per category column, the information value
@@ -2763,12 +2826,7 @@ _ARG_REWRITES.update({
             "interface's FORMAT renderers instead"
         )
     ),
-    "proportionsZTest": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "proportionsZTest() is a closed-form scalar: compute "
-            "z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) directly"
-        )
-    ),
+    "proportionsZTest": lambda a: _proportions_z_builder(a),
 })
 
 # Round-5 probe tranche 3: calendar epochs, UUID/bool conversions,

@@ -2333,7 +2333,6 @@ class TestRound5ProbeTranche2:
             ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
             ("formatRow('CSV', 1)", "FORMAT"),
-            ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "sqrt"),
             ("wordShingleMinHash('x')", "dedup"),
         ]:
             with pytest.raises(ValueError, match=hint.replace("(", "")):
@@ -2543,6 +2542,30 @@ class TestRound7ProbeTranche:
             "(SELECT 1.0 AS v, 0 AS i UNION ALL SELECT 2.0, 1)"
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
+
+    def test_proportions_z_test(self, eng):
+        import math
+
+        z, p, lo, hi = eng.execute(
+            "SELECT proportionsZTest(30, 10, 40, 40, 0.95, "
+            "'pooled') AS r"
+        ).rows[0][0]
+        p1, p2, pp = 0.75, 0.25, 0.5
+        se = math.sqrt(pp * (1 - pp) * (2 / 40))
+        assert abs(z - (p1 - p2) / se) < 1e-12
+        assert abs(p - math.erfc(abs(z) / math.sqrt(2))) < 1e-12
+        seu = math.sqrt(p1 * 0.25 / 40 + p2 * 0.75 / 40)
+        assert abs(lo - (0.5 - 1.959963986 * seu)) < 1e-7
+        assert abs(hi - (0.5 + 1.959963986 * seu)) < 1e-7
+        un = eng.execute(
+            "SELECT proportionsZTest(30, 10, 40, 40, 0.95, "
+            "'unpooled') AS r"
+        ).rows[0][0]
+        assert abs(un[0] - 0.5 / seu) < 1e-12
+        with pytest.raises(ValueError, match="pooled"):
+            eng.execute(
+                "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'weird')"
+            )
 
     def test_contingency_family_known_2x2(self, eng):
         import math
