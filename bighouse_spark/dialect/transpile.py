@@ -884,13 +884,29 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
                     "use 'asymp' (or 'auto', which resolves to the "
                     "asymptotic series here)"
                 )
+    # NULL rows (value or index) are skipped, CH aggregate semantics:
+    # the CASE yields NULL so collect_list drops the row, and the
+    # counts carry the same predicate.
     arr = (
-        f"sort_array(collect_list(named_struct("
-        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT))))"
+        f"sort_array(collect_list(CASE WHEN ({a[0]}) IS NOT NULL "
+        f"AND ({a[1]}) IS NOT NULL THEN named_struct("
+        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT)) "
+        f"END))"
     )
-    n0 = f"sum(CAST(IF(CAST({a[1]} AS INT) = 0, 1, 0) AS DOUBLE))"
-    n1 = f"sum(CAST(IF(CAST({a[1]} AS INT) <> 0, 1, 0) AS DOUBLE))"
-    diff = f"abs(__acc.c0 / {n0} - __acc.c1 / {n1})"
+    n0 = (
+        f"sum(CAST(CASE WHEN ({a[0]}) IS NOT NULL AND "
+        f"CAST({a[1]} AS INT) = 0 THEN 1 ELSE 0 END AS DOUBLE))"
+    )
+    n1 = (
+        f"sum(CAST(CASE WHEN ({a[0]}) IS NOT NULL AND "
+        f"CAST({a[1]} AS INT) <> 0 THEN 1 ELSE 0 END AS DOUBLE))"
+    )
+    # Floor-guard every n0/n1 division: a group with rows in only one
+    # sample would otherwise DIVIDE_BY_ZERO inside the fold (ANSI
+    # raises for doubles too).
+    gn0 = f"greatest({n0}, CAST(1e-300 AS DOUBLE))"
+    gn1 = f"greatest({n1}, CAST(1e-300 AS DOUBLE))"
+    diff = f"abs(__acc.c0 / {gn0} - __acc.c1 / {gn1})"
     d = (
         f"aggregate({arr}, "
         f"named_struct('c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS "
@@ -904,7 +920,10 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
         f"'prev', CAST(__e.v AS DOUBLE)), "
         f"__acc -> greatest(__acc.d, {diff}))"
     )
-    lam2 = f"(({d}) * ({d}) * ({n0}) * ({n1}) / (({n0}) + ({n1})))"
+    lam2 = (
+        f"(({d}) * ({d}) * ({n0}) * ({n1}) / "
+        f"greatest(({n0}) + ({n1}), CAST(1e-300 AS DOUBLE)))"
+    )
     p = (
         f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
         f"2 * aggregate(sequence(1, 100), CAST(0 AS DOUBLE), "
@@ -952,8 +971,8 @@ def _ttest_builder(kind: str):
         m1 = f"avg(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
         s0 = f"var_samp(CASE WHEN CAST({i} AS INT) = 0 THEN CAST({x} AS DOUBLE) END)"
         s1 = f"var_samp(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
-        n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN 1 END) AS DOUBLE)"
-        n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN 1 END) AS DOUBLE)"
+        n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN {x} END) AS DOUBLE)"
+        n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN {x} END) AS DOUBLE)"
         g = "greatest({}, CAST(1e-300 AS DOUBLE))"
         if kind == "studentTTest":
             sp2 = (
@@ -1010,8 +1029,8 @@ def _mean_z_builder(params: list[str], a: list[str]) -> str:
     x, i = a
     m0 = f"avg(CASE WHEN CAST({i} AS INT) = 0 THEN CAST({x} AS DOUBLE) END)"
     m1 = f"avg(CASE WHEN CAST({i} AS INT) <> 0 THEN CAST({x} AS DOUBLE) END)"
-    n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN 1 END) AS DOUBLE)"
-    n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN 1 END) AS DOUBLE)"
+    n0 = f"CAST(count(CASE WHEN CAST({i} AS INT) = 0 THEN {x} END) AS DOUBLE)"
+    n1 = f"CAST(count(CASE WHEN CAST({i} AS INT) <> 0 THEN {x} END) AS DOUBLE)"
     g = "greatest({}, CAST(1e-300 AS DOUBLE))"
     se = (
         f"sqrt(({v0}) / {g.format(n0)} + ({v1}) / {g.format(n1)})"
@@ -1062,11 +1081,17 @@ def _contingency_builder(stat: str):
             raise ValueError(f"{stat}(x, y) takes exactly two arguments")
         jx = f"CAST({a[0]} AS STRING)"
         jy = f"CAST({a[1]} AS STRING)"
+        # Pairwise deletion: a row with NULL in EITHER column is
+        # skipped in both collects (a NULL key would also crash
+        # map_from_entries with NULL_MAP_KEY).
+        ok = f"({jx}) IS NOT NULL AND ({jy}) IS NOT NULL"
         J = (
-            f"sort_array(collect_list(named_struct("
-            f"'x', {jx}, 'y', {jy})))"
+            f"sort_array(collect_list(CASE WHEN {ok} THEN "
+            f"named_struct('x', {jx}, 'y', {jy}) END))"
         )
-        Y = f"sort_array(collect_list({jy}))"
+        Y = (
+            f"sort_array(collect_list(CASE WHEN {ok} THEN {jy} END))"
+        )
 
         def runs_fold(arr: str, key_of: str, entry: str) -> str:
             """array → array of (key, count) at run boundaries.
@@ -1257,8 +1282,16 @@ def _civ_builder(a: list[str]) -> str:
             "at least one category column and the 0/1 tag"
         )
     tag = a[-1]
-    n1 = f"sum(CAST(IF(CAST({tag} AS INT) <> 0, 1, 0) AS DOUBLE))"
-    n0 = f"sum(CAST(IF(CAST({tag} AS INT) = 0, 1, 0) AS DOUBLE))"
+    # NULL-tag rows are skipped (a NULL condition would otherwise
+    # fall into the else branch and silently count as tag 0).
+    n1 = (
+        f"sum(CAST(CASE WHEN ({tag}) IS NOT NULL AND "
+        f"CAST({tag} AS INT) <> 0 THEN 1 ELSE 0 END AS DOUBLE))"
+    )
+    n0 = (
+        f"sum(CAST(CASE WHEN CAST({tag} AS INT) = 0 "
+        f"THEN 1 ELSE 0 END AS DOUBLE))"
+    )
     term = (
         "IF(__acc.c0 = 0 OR __acc.c1 = 0, CAST(0 AS DOUBLE), "
         "(__acc.c1 / ({n1}) - __acc.c0 / ({n0})) * "
@@ -1267,9 +1300,9 @@ def _civ_builder(a: list[str]) -> str:
     ivs = []
     for cat in a[:-1]:
         arr = (
-            f"sort_array(collect_list(named_struct("
-            f"'v', CAST({cat} AS STRING), "
-            f"'t', CAST({tag} AS INT))))"
+            f"sort_array(collect_list(CASE WHEN ({tag}) IS NOT NULL "
+            f"THEN named_struct('v', CAST({cat} AS STRING), "
+            f"'t', CAST({tag} AS INT)) END))"
         )
         inc0 = "IF(element_at(__ca, __i).t = 0, 1, 0)"
         inc1 = "IF(element_at(__ca, __i).t <> 0, 1, 0)"
@@ -1414,6 +1447,11 @@ def _lttb_builder(params: list[str], a: list[str]) -> str:
 def _ecr_builder(params: list[str], a: list[str]) -> str:
     """estimateCompressionRatio([codec[, block_size]])(x) — see the
     plain-name mapping; codec validation lives here."""
+    if len(a) != 1:
+        raise ValueError(
+            "estimateCompressionRatio([codec])(x) takes exactly one "
+            "column argument"
+        )
     codec = params[0].strip("'\" ").lower() if params else "lz4"
     if codec in ("lz4", "lz4hc"):
         return f"bh_lz4_ratio({a[0]})"
@@ -1453,13 +1491,28 @@ def _mwu_builder(a: list[str], params: list[str] | None = None) -> str:
             )
         if len(params) > 1:
             cc_raw = params[1].strip("'\" ").lower()
-            cc = "0.0" if cc_raw in ("0", "false") else "0.5"
+            try:  # any numeric zero spelling ('0', '0.0') disables
+                cc = "0.0" if float(cc_raw) == 0 else "0.5"
+            except ValueError:
+                cc = "0.0" if cc_raw == "false" else "0.5"
+    # NULL rows (value or index) are skipped — CH aggregate
+    # semantics; a NULL v would otherwise sort first and merge into
+    # the smallest real value's tie run (prev IS NULL doubles as the
+    # first-element sentinel).
     arr = (
-        f"sort_array(collect_list(named_struct("
-        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT))))"
+        f"sort_array(collect_list(CASE WHEN ({a[0]}) IS NOT NULL "
+        f"AND ({a[1]}) IS NOT NULL THEN named_struct("
+        f"'v', CAST({a[0]} AS DOUBLE), 'i', CAST({a[1]} AS INT)) "
+        f"END))"
     )
-    n0 = f"sum(CAST(IF(CAST({a[1]} AS INT) = 0, 1, 0) AS DOUBLE))"
-    n1 = f"sum(CAST(IF(CAST({a[1]} AS INT) <> 0, 1, 0) AS DOUBLE))"
+    n0 = (
+        f"sum(CAST(CASE WHEN ({a[0]}) IS NOT NULL AND "
+        f"CAST({a[1]} AS INT) = 0 THEN 1 ELSE 0 END AS DOUBLE))"
+    )
+    n1 = (
+        f"sum(CAST(CASE WHEN ({a[0]}) IS NOT NULL AND "
+        f"CAST({a[1]} AS INT) <> 0 THEN 1 ELSE 0 END AS DOUBLE))"
+    )
     commit_r0 = (
         "__acc.r0 + __acc.run_n0 * "
         "(__acc.idx - (__acc.run_n - 1) / 2)"
@@ -1496,7 +1549,8 @@ def _mwu_builder(a: list[str], params: list[str] | None = None) -> str:
     nt = f"(({n0}) + ({n1}))"
     sigma2 = (
         f"(({n0}) * ({n1}) / 12) * (({nt} + 1) - "
-        f"({fold}).ties / ({nt} * ({nt} - 1)))"
+        f"({fold}).ties / greatest({nt} * ({nt} - 1), "
+        f"CAST(1e-300 AS DOUBLE)))"
     )
     # NB: bh_erfc is a pandas UDF — Spark extracts Python UDFs into
     # an eager projection, so an IF around the call does NOT guard
@@ -2790,7 +2844,7 @@ _ARG_REWRITES.update({
     # estimateCompressionRatio(x) (bare form defaults to lz4, CH's
     # default codec): the wire LZ4 codec measured over the group's
     # serialized values — a grouped-agg pandas UDF.
-    "estimateCompressionRatio": lambda a: f"bh_lz4_ratio({a[0]})",
+    "estimateCompressionRatio": lambda a: _ecr_builder([], a),
     "studentTTest": lambda a: _ttest_builder("studentTTest")(a),
     "welchTTest": lambda a: _ttest_builder("welchTTest")(a),
     "largestTriangleThreeBuckets": lambda a: (_ for _ in ()).throw(

@@ -349,6 +349,11 @@ def _train_pq_codebooks(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "PQ codebook training: the corpus sample is empty — "
+            "pq_topk needs a non-empty corpus"
+        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dsub = dim // m
@@ -404,7 +409,7 @@ def pq_topk(
       is the JVM-side sum of ``m`` LUT lookups (``zip_with`` +
       ``aggregate`` — whole-stage codegen, no Python in the hot
       loop). Queries broadcast, corpus never shuffles.
-    * refine (default ×4): the top ``k·refine_factor`` ADC candidates
+    * refine (default ×8): the top ``k·refine_factor`` ADC candidates
       per query re-score with exact cosine — only queries×k·factor
       rows join back to full vectors (broadcast), recovering most of
       the recall PQ loses.
@@ -468,13 +473,14 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # The sweep carries ONLY (query_id, neighbor_id, adc) through the
+    # top-k window — the point of PQ is that the candidate shuffle
+    # moves m-code-sized rows, never the full vectors (those join
+    # back below for the bounded exact re-rank).
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q.select("query_id", "__lut")))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", "__cvec", "__qvec",
-            F.round(adc, 6).alias("__adc"),
-        )
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("__adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col("neighbor_id").asc()
@@ -488,12 +494,24 @@ def pq_topk(
             "query_id", "neighbor_id", "rank",
             F.col("__adc").alias("sim"),
         )
-    exact = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
-        ).alias("sim"),
+    # queries×k·factor surviving ids broadcast back against the
+    # corpus/query vectors for the exact re-score.
+    exact = (
+        c.select("neighbor_id", "__cvec")
+        .join(
+            F.broadcast(cand.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(q.select("query_id", "__qvec")), "query_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+            ).alias("sim"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -2543,6 +2543,80 @@ class TestRound7ProbeTranche:
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
 
+    def test_stats_null_handling(self, eng):
+        import math
+
+        # NULL value/idx rows are SKIPPED (CH semantics), never
+        # merged into tie runs, counted into n, or crashed on as
+        # map keys. Results must equal the NULL-free equivalents.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __nh7 AS "
+            "SELECT * FROM VALUES "
+            "(1.0, 0), (2.0, 0), (3.0, 0), (2.5, 0), "
+            "(CAST(NULL AS DOUBLE), 0), "
+            "(2.5, 1), (3.5, 1), (4.0, 1), "
+            "(CAST(NULL AS DOUBLE), 1) AS t(v, i)"
+        )
+        ks = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, i) AS r FROM __nh7"
+        ).rows[0][0]
+        assert abs(ks[0] - 2 / 3) < 1e-12  # same D as the null-free set
+        mwu_with = eng.execute(
+            "SELECT mannWhitneyUTest(v, i) AS r FROM __nh7"
+        ).rows[0][0]
+        mwu_clean = eng.execute(
+            "SELECT mannWhitneyUTest(v, i) AS r FROM __nh7 "
+            "WHERE v IS NOT NULL"
+        ).rows[0][0]
+        assert mwu_with == mwu_clean
+        t_with = eng.execute(
+            "SELECT studentTTest(v, i) AS r FROM __nh7"
+        ).rows[0][0]
+        t_clean = eng.execute(
+            "SELECT studentTTest(v, i) AS r FROM __nh7 "
+            "WHERE v IS NOT NULL"
+        ).rows[0][0]
+        assert t_with == t_clean
+        # single-sample group: p = 1, no DIVIDE_BY_ZERO
+        deg = eng.execute(
+            "SELECT mannWhitneyUTest(v, i) AS r FROM "
+            "(SELECT 1.0 AS v, 0 AS i)"
+        ).rows[0][0]
+        assert deg[1] == 1.0
+        ks_deg = eng.execute(
+            "SELECT kolmogorovSmirnovTest(v, i) AS r FROM "
+            "(SELECT 1.0 AS v, 0 AS i)"
+        ).rows[0][0]
+        assert not math.isinf(ks_deg[0])
+        # contingency family: NULL categories are pairwise-deleted,
+        # not NULL map keys.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __nhct7 AS SELECT * FROM "
+            "VALUES ('a', 'p'), ('a', 'q'), ('b', 'p'), ('b', 'q'), "
+            "(CAST(NULL AS STRING), 'p'), "
+            "('a', CAST(NULL AS STRING)) AS t(x, y)"
+        )
+        v = eng.execute(
+            "SELECT cramersV(x, y) AS v FROM __nhct7"
+        ).rows[0][0]  # executes without NULL_MAP_KEY
+        v_clean = eng.execute(
+            "SELECT cramersV(x, y) AS v FROM __nhct7 "
+            "WHERE x IS NOT NULL AND y IS NOT NULL"
+        ).rows[0][0]
+        assert (v == v_clean) or (
+            math.isnan(v) and math.isnan(v_clean)
+        )
+        # mwu continuity: numeric zero spellings disable the 0.5.
+        p_00 = eng.execute(
+            "SELECT mannWhitneyUTest('two-sided', 0.0)(v, i) AS r "
+            "FROM __nh7 WHERE v IS NOT NULL"
+        ).rows[0][0][1]
+        p_0 = eng.execute(
+            "SELECT mannWhitneyUTest('two-sided', 0)(v, i) AS r "
+            "FROM __nh7 WHERE v IS NOT NULL"
+        ).rows[0][0][1]
+        assert p_00 == p_0
+
     def test_proportions_z_test(self, eng):
         import math
 
