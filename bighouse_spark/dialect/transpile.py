@@ -1203,6 +1203,138 @@ def _contingency_builder(stat: str):
     return build
 
 
+_TIME_DECAYED_KINDS = {
+    "exponentialTimeDecayedSum": "sum",
+    "exponentialTimeDecayedAvg": "avg",
+    "exponentialTimeDecayedCount": "count",
+    "exponentialTimeDecayedMax": "max",
+}
+
+
+def _scan_balanced(s: str, i: int) -> int:
+    """``s[i]`` is '(' — return the index just past its match
+    (quote-aware)."""
+    depth, quote = 0, None
+    while i < len(s):
+        c = s[i]
+        if quote:
+            quote = None if c == quote else quote
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses")
+
+
+def _rewrite_time_decayed(out: str) -> str:
+    """``exponentialTimeDecayed{Sum,Avg,Count,Max}(x)(args) OVER w`` —
+    CH's time-decayed WINDOW functions: for each row, the frame's
+    values weighted by exp((t_i − t_max)/x), anchored at the frame's
+    LATEST time. Spark has no O(1)-state equivalent, so the frame is
+    materialized with ``collect_list(...) OVER w`` and folded —
+    O(frame) state per row, exact semantics (the array and its max-t
+    are LET-bound so the fold stays O(frame), not O(frame²)). NULL
+    rows are skipped. Non-window use keeps a guided error naming
+    ``exponentialMovingAverage`` (the supported aggregate)."""
+    if "exponentialTimeDecayed" not in out:  # cheap gate (hot path)
+        return out
+    for name, kind in _TIME_DECAYED_KINDS.items():
+        pos = 0
+        while True:
+            call = _find_call(out, name, pos)
+            if call is None:
+                break
+            start, end, params = call
+            m_args = re.match(r"\s*\(", out[end:])
+            if not m_args or len(params) != 1:
+                raise ValueError(
+                    f"{name} takes one parameter and a window: "
+                    f"{name}(x)(...) OVER (...); as a plain "
+                    "aggregate use exponentialMovingAverage(h)(v, t)"
+                )
+            args_start = end + m_args.end() - 1
+            args_end = _scan_balanced(out, args_start)
+            args = _split_args_top(out[args_start + 1:args_end - 1])
+            m_over = re.match(r"\s+OVER\s+", out[args_end:], re.I)
+            if not m_over:
+                raise ValueError(
+                    f"{name} is a window function: append "
+                    f"OVER (PARTITION BY ... ORDER BY ...); as a "
+                    "plain aggregate use "
+                    "exponentialMovingAverage(h)(v, t)"
+                )
+            w_start = args_end + m_over.end()
+            if out[w_start] == "(":
+                w_end = _scan_balanced(out, w_start)
+            else:  # named window reference
+                m_name = re.match(r"\w+", out[w_start:])
+                w_end = w_start + m_name.end()
+            window = out[w_start:w_end]
+            x = params[0]
+            if kind == "count":
+                if len(args) != 1:
+                    raise ValueError(f"{name}(x)(time) takes one argument")
+                coll = (
+                    f"collect_list(CASE WHEN ({args[0]}) IS NOT NULL "
+                    f"THEN CAST({args[0]} AS DOUBLE) END) OVER {window}"
+                )
+                tmax = "array_max(__wa)"
+                fold = (
+                    f"aggregate(__wa, CAST(0 AS DOUBLE), "
+                    f"(__ac, __e) -> __ac + exp((__e - __tm) / ({x})))"
+                )
+            else:
+                if len(args) != 2:
+                    raise ValueError(
+                        f"{name}(x)(value, time) takes two arguments"
+                    )
+                v, t = args
+                coll = (
+                    f"collect_list(CASE WHEN ({v}) IS NOT NULL AND "
+                    f"({t}) IS NOT NULL THEN named_struct("
+                    f"'v', CAST({v} AS DOUBLE), "
+                    f"'t', CAST({t} AS DOUBLE)) END) OVER {window}"
+                )
+                tmax = "array_max(transform(__wa, __e -> __e.t))"
+                if kind == "sum":
+                    fold = (
+                        f"aggregate(__wa, CAST(0 AS DOUBLE), "
+                        f"(__ac, __e) -> __ac + __e.v * "
+                        f"exp((__e.t - __tm) / ({x})))"
+                    )
+                elif kind == "max":
+                    fold = (
+                        f"aggregate(__wa, CAST('-Infinity' AS "
+                        f"DOUBLE), (__ac, __e) -> greatest(__ac, "
+                        f"__e.v * exp((__e.t - __tm) / ({x}))))"
+                    )
+                else:  # avg: decayed sum / decayed weight mass
+                    wsum = (
+                        f"aggregate(__wa, CAST(0 AS DOUBLE), "
+                        f"(__ac, __e) -> __ac + "
+                        f"exp((__e.t - __tm) / ({x})))"
+                    )
+                    fold = (
+                        f"(aggregate(__wa, CAST(0 AS DOUBLE), "
+                        f"(__ac, __e) -> __ac + __e.v * "
+                        f"exp((__e.t - __tm) / ({x}))) / "
+                        f"greatest({wsum}, CAST(1e-300 AS DOUBLE)))"
+                    )
+            repl = (
+                f"element_at(transform(array({coll}), __wa -> "
+                f"element_at(transform(array({tmax}), __tm -> "
+                f"({fold})), 1)), 1)"
+            )
+            out = out[:start] + repl + out[w_end:]
+            pos = start + len(repl)
+    return out
+
+
 def _proportions_z_builder(a: list[str]) -> str:
     """proportionsZTest(successes_x, successes_y, trials_x, trials_y,
     confidence_level, usevar) → (z_statistic, p_value,
@@ -5528,6 +5660,7 @@ def _rewrite_parametric(sql: str) -> str:
                 j += 1
             real = _split_args_top(out[end + span_m.end():j - 1])
             out = out[:start] + builder(params, real) + out[j:]
+    out = _rewrite_time_decayed(out)
     # Parametric aggregates that are order-dependent state machines —
     # refuse with the window/rewrite hint before Spark's opaque
     # UNRESOLVED_ROUTINE.
@@ -5538,37 +5671,6 @@ def _rewrite_parametric(sql: str) -> str:
             "machine; use the behavioral operators "
             "(sequenceMatch/windowFunnel) or a window over "
             "(user, ORDER BY ts) with lead()",
-        ),
-        (
-            "exponentialTimeDecayedSum",
-            "exponentialTimeDecayed* window functions have no "
-            "O(1)-state Spark mapping; for a small time axis spell "
-            "exp(-(t)/x) * sum(v * exp(t/x)) OVER w (factored "
-            "weights — overflows for epoch-scale t), or fold "
-            "aggregate(collect_list(struct(t, v)) OVER w, ...) for "
-            "exact semantics at O(frame) state; "
-            "exponentialMovingAverage(h)(v, t) IS supported as an "
-            "aggregate",
-        ),
-        (
-            "exponentialTimeDecayedAvg",
-            "exponentialTimeDecayed* window functions have no "
-            "O(1)-state Spark mapping — see "
-            "exponentialTimeDecayedSum's hint; "
-            "exponentialMovingAverage(h)(v, t) IS supported as an "
-            "aggregate",
-        ),
-        (
-            "exponentialTimeDecayedCount",
-            "exponentialTimeDecayed* window functions have no "
-            "O(1)-state Spark mapping — see "
-            "exponentialTimeDecayedSum's hint",
-        ),
-        (
-            "exponentialTimeDecayedMax",
-            "exponentialTimeDecayed* window functions have no "
-            "O(1)-state Spark mapping — see "
-            "exponentialTimeDecayedSum's hint",
         ),
         (
             "groupArrayLast",

@@ -2543,6 +2543,42 @@ class TestRound7ProbeTranche:
         ).rows[0][0]
         assert math.isnan(t_) and math.isnan(p_)
 
+    def test_exponential_time_decayed_windows(self, eng):
+        import math
+
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __etd7 AS SELECT * FROM "
+            "VALUES (0.0, 1.0), (1.0, 2.0), (2.0, 4.0), (3.0, 8.0) "
+            "AS t(t, v)"
+        )
+        frame = (
+            "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)"
+        )
+        r = eng.execute(
+            f"SELECT t, exponentialTimeDecayedSum(2)(v, t) {frame} "
+            f"AS s, exponentialTimeDecayedAvg(2)(v, t) {frame} AS a, "
+            f"exponentialTimeDecayedCount(2)(t) {frame} AS c, "
+            f"exponentialTimeDecayedMax(2)(v, t) {frame} AS m "
+            f"FROM __etd7 ORDER BY t"
+        )
+        pts = [(0, 1), (1, 2), (2, 4), (3, 8)]
+        num = sum(v * math.exp((t - 3) / 2) for t, v in pts)
+        den = sum(math.exp((t - 3) / 2) for t, _v in pts)
+        last = r.rows[-1]
+        assert abs(last[1] - num) < 1e-12
+        assert abs(last[2] - num / den) < 1e-12
+        assert abs(last[3] - den) < 1e-12
+        assert abs(
+            last[4] - max(v * math.exp((t - 3) / 2) for t, v in pts)
+        ) < 1e-12
+        # first row: frame = itself → weight 1
+        assert r.rows[0][1] == 1.0
+        with pytest.raises(ValueError, match="window function"):
+            eng.execute(
+                "SELECT exponentialTimeDecayedSum(2)(v, t) FROM __etd7"
+            )
+
     def test_stats_null_handling(self, eng):
         import math
 
@@ -4635,7 +4671,10 @@ class TestRound6ProbeTranche2:
         "expr,hint",
         [
             ("andersonDarlingTest(x)", "ECDF"),
-            ("exponentialTimeDecayedSum(5)(x, g)", "state Spark mapping"),
+            # exponentialTimeDecayed* implemented as WINDOW functions
+            # in round 7; the non-window spelling now guides to the
+            # OVER form / exponentialMovingAverage.
+            ("exponentialTimeDecayedSum(5)(x, g)", "window function"),
         ],
     )
     def test_guided_statistical_refusals(self, eng, expr, hint):
