@@ -924,14 +924,26 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
         f"(({d}) * ({d}) * ({n0}) * ({n1}) / "
         f"greatest(({n0}) + ({n1}), CAST(1e-300 AS DOUBLE)))"
     )
-    p = (
+    series = (
         f"least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
         f"2 * aggregate(sequence(1, 100), CAST(0 AS DOUBLE), "
         f"(__a, __k) -> __a + pow(-1, __k - 1) * "
         f"exp(-2 * __k * __k * {lam2}), __a -> __a)))"
     )
+    # λ² ≈ 0 breaks the truncated alternating series (all terms ≈ 1,
+    # partial sum after an even count ≈ 0) — but Q(λ→0) is 1, so
+    # identical samples / degenerate groups must report p = 1 (and a
+    # NaN statistic when a sample is empty), matching the MWU
+    # builder's degenerate behavior.
+    ok = f"(({n0}) >= 1 AND ({n1}) >= 1)"
+    nan = "CAST('NaN' AS DOUBLE)"
+    p = (
+        f"IF(NOT {ok} OR ({lam2}) < CAST(1e-6 AS DOUBLE), "
+        f"CAST(1 AS DOUBLE), {series})"
+    )
     return (
-        f"named_struct('d_statistic', ({d}), 'p_value', ({p}))"
+        f"named_struct('d_statistic', IF({ok}, ({d}), {nan}), "
+        f"'p_value', ({p}))"
     )
 
 
@@ -1234,12 +1246,14 @@ def _scan_balanced(s: str, i: int) -> int:
 def _rewrite_time_decayed(out: str) -> str:
     """``exponentialTimeDecayed{Sum,Avg,Count,Max}(x)(args) OVER w`` —
     CH's time-decayed WINDOW functions: for each row, the frame's
-    values weighted by exp((t_i − t_max)/x), anchored at the frame's
-    LATEST time. Spark has no O(1)-state equivalent, so the frame is
-    materialized with ``collect_list(...) OVER w`` and folded —
-    O(frame) state per row, exact semantics (the array and its max-t
-    are LET-bound so the fold stays O(frame), not O(frame²)). NULL
-    rows are skipped. Non-window use keeps a guided error naming
+    values weighted by exp((t_i − t_row)/x), anchored at the CURRENT
+    ROW's time (CH semantics — rows later than the current row, in a
+    FOLLOWING frame, weight ABOVE 1). Spark has no O(1)-state
+    equivalent, so the frame is materialized with
+    ``collect_list(...) OVER w`` and folded — O(frame) state per row
+    (the array is LET-bound so the fold stays O(frame)). NULL rows
+    are skipped; an all-NULL frame yields 0 (Sum/Avg/Count) or NULL
+    (Max). Non-window use keeps a guided error naming
     ``exponentialMovingAverage`` (the supported aggregate)."""
     if "exponentialTimeDecayed" not in out:  # cheap gate (hot path)
         return out
@@ -1260,7 +1274,7 @@ def _rewrite_time_decayed(out: str) -> str:
             args_start = end + m_args.end() - 1
             args_end = _scan_balanced(out, args_start)
             args = _split_args_top(out[args_start + 1:args_end - 1])
-            m_over = re.match(r"\s+OVER\s+", out[args_end:], re.I)
+            m_over = re.match(r"\s*OVER\b\s*", out[args_end:], re.I)
             if not m_over:
                 raise ValueError(
                     f"{name} is a window function: append "
@@ -1269,21 +1283,26 @@ def _rewrite_time_decayed(out: str) -> str:
                     "exponentialMovingAverage(h)(v, t)"
                 )
             w_start = args_end + m_over.end()
-            if out[w_start] == "(":
+            if w_start < len(out) and out[w_start] == "(":
                 w_end = _scan_balanced(out, w_start)
             else:  # named window reference
                 m_name = re.match(r"\w+", out[w_start:])
+                if m_name is None:
+                    raise ValueError(
+                        f"{name}: OVER must be followed by a "
+                        "parenthesized window spec or a named window"
+                    )
                 w_end = w_start + m_name.end()
             window = out[w_start:w_end]
             x = params[0]
             if kind == "count":
                 if len(args) != 1:
                     raise ValueError(f"{name}(x)(time) takes one argument")
+                t_anchor = f"CAST({args[0]} AS DOUBLE)"
                 coll = (
                     f"collect_list(CASE WHEN ({args[0]}) IS NOT NULL "
                     f"THEN CAST({args[0]} AS DOUBLE) END) OVER {window}"
                 )
-                tmax = "array_max(__wa)"
                 fold = (
                     f"aggregate(__wa, CAST(0 AS DOUBLE), "
                     f"(__ac, __e) -> __ac + exp((__e - __tm) / ({x})))"
@@ -1294,13 +1313,13 @@ def _rewrite_time_decayed(out: str) -> str:
                         f"{name}(x)(value, time) takes two arguments"
                     )
                 v, t = args
+                t_anchor = f"CAST({t} AS DOUBLE)"
                 coll = (
                     f"collect_list(CASE WHEN ({v}) IS NOT NULL AND "
                     f"({t}) IS NOT NULL THEN named_struct("
                     f"'v', CAST({v} AS DOUBLE), "
                     f"'t', CAST({t} AS DOUBLE)) END) OVER {window}"
                 )
-                tmax = "array_max(transform(__wa, __e -> __e.t))"
                 if kind == "sum":
                     fold = (
                         f"aggregate(__wa, CAST(0 AS DOUBLE), "
@@ -1308,10 +1327,12 @@ def _rewrite_time_decayed(out: str) -> str:
                         f"exp((__e.t - __tm) / ({x})))"
                     )
                 elif kind == "max":
+                    # NULL (not a -Inf sentinel) for an all-NULL frame.
                     fold = (
+                        f"IF(size(__wa) = 0, CAST(NULL AS DOUBLE), "
                         f"aggregate(__wa, CAST('-Infinity' AS "
                         f"DOUBLE), (__ac, __e) -> greatest(__ac, "
-                        f"__e.v * exp((__e.t - __tm) / ({x}))))"
+                        f"__e.v * exp((__e.t - __tm) / ({x})))))"
                     )
                 else:  # avg: decayed sum / decayed weight mass
                     wsum = (
@@ -1325,9 +1346,11 @@ def _rewrite_time_decayed(out: str) -> str:
                         f"exp((__e.t - __tm) / ({x}))) / "
                         f"greatest({wsum}, CAST(1e-300 AS DOUBLE)))"
                     )
+            # Anchor = the CURRENT ROW's time (CH semantics), a plain
+            # column expression — not the frame max.
             repl = (
                 f"element_at(transform(array({coll}), __wa -> "
-                f"element_at(transform(array({tmax}), __tm -> "
+                f"element_at(transform(array({t_anchor}), __tm -> "
                 f"({fold})), 1)), 1)"
             )
             out = out[:start] + repl + out[w_end:]
@@ -1414,14 +1437,17 @@ def _civ_builder(a: list[str]) -> str:
             "at least one category column and the 0/1 tag"
         )
     tag = a[-1]
-    # NULL-tag rows are skipped (a NULL condition would otherwise
-    # fall into the else branch and silently count as tag 0).
+    # Rows with NULL in ANY argument are skipped — CH aggregate
+    # semantics, the same policy as the contingency family (a NULL
+    # tag would otherwise silently count as tag 0, and a NULL
+    # category would become its own IV bucket).
+    ok = " AND ".join(f"({arg}) IS NOT NULL" for arg in a)
     n1 = (
-        f"sum(CAST(CASE WHEN ({tag}) IS NOT NULL AND "
+        f"sum(CAST(CASE WHEN {ok} AND "
         f"CAST({tag} AS INT) <> 0 THEN 1 ELSE 0 END AS DOUBLE))"
     )
     n0 = (
-        f"sum(CAST(CASE WHEN CAST({tag} AS INT) = 0 "
+        f"sum(CAST(CASE WHEN {ok} AND CAST({tag} AS INT) = 0 "
         f"THEN 1 ELSE 0 END AS DOUBLE))"
     )
     term = (
@@ -1432,7 +1458,7 @@ def _civ_builder(a: list[str]) -> str:
     ivs = []
     for cat in a[:-1]:
         arr = (
-            f"sort_array(collect_list(CASE WHEN ({tag}) IS NOT NULL "
+            f"sort_array(collect_list(CASE WHEN {ok} "
             f"THEN named_struct('v', CAST({cat} AS STRING), "
             f"'t', CAST({tag} AS INT)) END))"
         )

@@ -2375,7 +2375,10 @@ class TestRound7ProbeTranche:
             "1.0 AS v, 0 AS i UNION ALL SELECT 1.0, 1 "
             "UNION ALL SELECT 1.0, 0)"
         )
+        # D = 0 AND p = 1 (λ²→0 breaks the truncated alternating
+        # series — the builder must special-case it, not report ~0).
         assert r.rows[0][0][0] == 0.0
+        assert r.rows[0][0][1] == 1.0
 
     def test_ks_test_parameterized_and_refusals(self, eng):
         r = eng.execute(
@@ -2578,6 +2581,33 @@ class TestRound7ProbeTranche:
             eng.execute(
                 "SELECT exponentialTimeDecayedSum(2)(v, t) FROM __etd7"
             )
+        # Anchor is the CURRENT ROW's time (CH semantics): with a
+        # whole-partition frame, each row sees a different value
+        # (future rows weighted ABOVE 1). Also: OVER( without a
+        # space parses.
+        r2 = eng.execute(
+            "SELECT t, exponentialTimeDecayedSum(2)(v, t) "
+            "OVER(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING) AS s FROM __etd7 ORDER BY t"
+        )
+        for trow, s in r2.rows:
+            expect = sum(
+                v * math.exp((t - float(trow)) / 2) for t, v in pts
+            )
+            assert abs(s - expect) < 1e-12
+        assert len({round(s, 9) for _t, s in r2.rows}) == 4
+        # All-NULL frame: Max yields NULL, not a -Infinity sentinel.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __etdn7 AS SELECT * FROM "
+            "VALUES (0.0, CAST(NULL AS DOUBLE)), (1.0, 2.0) AS t(t, v)"
+        )
+        rn = eng.execute(
+            "SELECT t, exponentialTimeDecayedMax(2)(v, t) "
+            "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS m FROM __etdn7 ORDER BY t"
+        )
+        assert rn.rows[0][1] is None
+        assert abs(rn.rows[1][1] - 2.0) < 1e-12
 
     def test_stats_null_handling(self, eng):
         import math
@@ -2745,6 +2775,15 @@ class TestRound7ProbeTranche:
             "(SELECT 'a' AS v, 1 AS tag UNION ALL SELECT 'b', 1)"
         ).rows[0][0]
         assert z == [0.0]
+        # Rows with NULL in ANY argument are skipped entirely (same
+        # policy as the contingency family).
+        with_null = eng.execute(
+            "SELECT categoricalInformationValue(v, tag) AS iv FROM "
+            "(SELECT v, tag FROM __civ7 UNION ALL "
+            "SELECT CAST(NULL AS STRING), 1 UNION ALL "
+            "SELECT 'a', CAST(NULL AS INT))"
+        ).rows[0][0]
+        assert abs(with_null[0] - math.log(3)) < 1e-12
 
     def test_entropy_values(self, eng):
         import math
