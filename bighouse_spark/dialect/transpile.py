@@ -1421,6 +1421,106 @@ def _proportions_z_builder(a: list[str]) -> str:
     )
 
 
+def _min_sample_size_builder(kind: str, a: list[str]) -> str:
+    """minSampleSizeConversion(baseline, mde, power, alpha) /
+    minSampleSizeContinous|Continuous(baseline, sigma, mde, power,
+    alpha) → ``(minimum_sample_size, detect_range_lower,
+    detect_range_upper)``.
+
+    The published A/B power-analysis closed forms (CH docs cite the
+    same derivation): with z_α = Φ⁻¹(1 − α/2) and z_β = Φ⁻¹(power),
+      conversion: n = (z_α + z_β)² · (p1(1−p1) + p2(1−p2)) / mde²
+        with p1 = baseline, p2 = baseline + mde; detectable range
+        baseline ± mde.
+      continuous: mde is RELATIVE to the mean: n = (z_α + z_β)² ·
+        2σ² / (baseline·mde)²; detectable range baseline·(1 ± mde).
+    Pure row-wise scalar expression over ``bh_norm_ppf`` (Acklam
+    probit); degenerate inputs (mde ≤ 0, α/power outside (0,1))
+    propagate NaN from the quantile / division guards."""
+    if kind == "conversion":
+        if len(a) != 4:
+            raise ValueError(
+                "minSampleSizeConversion(baseline, mde, power, "
+                "alpha) takes exactly four arguments"
+            )
+        base, mde, power, alpha = (
+            f"CAST({x} AS DOUBLE)" for x in a
+        )
+    else:
+        if len(a) != 5:
+            raise ValueError(
+                "minSampleSizeContinous(baseline, sigma, mde, "
+                "power, alpha) takes exactly five arguments"
+            )
+        base, sigma, mde, power, alpha = (
+            f"CAST({x} AS DOUBLE)" for x in a
+        )
+    zsum = (
+        f"(bh_norm_ppf(1 - ({alpha}) / 2) + bh_norm_ppf({power}))"
+    )
+    nan = "CAST('NaN' AS DOUBLE)"
+    if kind == "conversion":
+        p1, p2 = base, f"(({base}) + ({mde}))"
+        n = (
+            f"({zsum} * {zsum} * "
+            f"({p1} * (1 - {p1}) + {p2} * (1 - {p2})) / "
+            f"(({mde}) * ({mde})))"
+        )
+        lo, hi = f"(({base}) - ({mde}))", f"(({base}) + ({mde}))"
+    else:
+        n = (
+            f"({zsum} * {zsum} * 2 * ({sigma}) * ({sigma}) / "
+            f"((({base}) * ({mde})) * (({base}) * ({mde}))))"
+        )
+        lo = f"(({base}) * (1 - ({mde})))"
+        hi = f"(({base}) * (1 + ({mde})))"
+    ok = f"(({mde}) > 0)"
+    if kind != "conversion":
+        # baseline·mde is the denominator — a zero baseline would
+        # DIVIDE_BY_ZERO inside the taken branch (ANSI raises for
+        # doubles too).
+        ok = f"(({mde}) > 0 AND ({base}) <> 0)"
+    return (
+        f"named_struct("
+        f"'minimum_sample_size', IF({ok}, {n}, {nan}), "
+        f"'detect_range_lower', IF({ok}, {lo}, {nan}), "
+        f"'detect_range_upper', IF({ok}, {hi}, {nan}))"
+    )
+
+
+def _sum_arg_builder(name: str, ext: str, a: list[str]) -> str:
+    """sumArgMin/sumArgMax(x, k) → Σ x over the rows whose k equals
+    the group's min/max k (ALL tied rows sum, which is why plain
+    ``min_by``/``max_by`` — single-row winners — don't express it).
+
+    One collected fold, all JVM-side: collect (k, x) pairs (NULL in
+    either side skips the row, CH aggregate semantics), LET-bind the
+    array, take the extreme of k, then a single O(n) fold summing the
+    matching x's. The accumulator's TYPE is the input's: the typed
+    zero ``get(arr, 0).x - get(arr, 0).x`` keeps integer sums
+    integral (no silent double widening; ANSI overflow raises, same
+    as Spark's own sum). Empty/all-NULL groups yield NULL."""
+    if len(a) != 2:
+        raise ValueError(f"{name}(x, k) takes exactly two arguments")
+    x, k = a
+    arr = (
+        f"collect_list(CASE WHEN ({x}) IS NOT NULL AND "
+        f"({k}) IS NOT NULL THEN named_struct("
+        f"'k', ({k}), 'x', ({x})) END)"
+    )
+    km = f"array_{ext}(transform(__bsa, __e -> __e.k))"
+    zero = "(get(__bsa, 0).x - get(__bsa, 0).x)"
+    fold = (
+        f"aggregate(__bsa, {zero}, (__ac, __e) -> "
+        f"__ac + IF(__e.k <=> __bkm, __e.x, {zero}))"
+    )
+    return (
+        f"element_at(transform(array({arr}), __bsa -> "
+        f"element_at(transform(array({km}), __bkm -> ({fold})), "
+        f"1)), 1)"
+    )
+
+
 def _civ_builder(a: list[str]) -> str:
     """categoricalInformationValue(cat1, …, catN, tag) →
     Array(Float64): per category column, the information value
@@ -4279,25 +4379,26 @@ _ARG_REWRITES.update({
             "array_sort, normalized by the perfect-equality curve"
         )
     ),
-    "minSampleSizeConversion": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "minSampleSizeConversion() needs normal quantiles "
-            "(probit); compute n = ((z_a + z_b)^2 * (p1(1-p1) + "
-            "p2(1-p2))) / mde^2 with your z values as literals"
-        )
+    "minSampleSizeConversion": lambda a: _min_sample_size_builder(
+        "conversion", a
     ),
-    "minSampleSizeContinuous": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "minSampleSizeContinuous() needs normal quantiles "
-            "(probit); compute n = ((z_a + z_b)^2 * 2 * variance) / "
-            "mde^2 with your z values as literals"
-        )
+    "minSampleSizeContinous": lambda a: _min_sample_size_builder(
+        "continuous", a
     ),
-    "rankCorr": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "rankCorr() (Spearman) needs global ranks; compute "
-            "corr(rx, ry) over rank() OVER (ORDER BY x) AS rx, "
-            "rank() OVER (ORDER BY y) AS ry in a subquery"
+    "minSampleSizeContinuous": lambda a: _min_sample_size_builder(
+        "continuous", a
+    ),
+    # Spearman's ρ with tie-averaged ranks. Rank-pairing is a rank
+    # JOIN — no single Catalyst aggregate expresses it without an
+    # O(n²) in-lambda rescan — so this is the Arrow-batched
+    # grouped-agg pandas UDF (vectorized pandas rank + numpy
+    # moments), the same tier as estimateCompressionRatio.
+    "rankCorr": lambda a: (
+        f"coalesce(bh_spearman(CAST({a[0]} AS DOUBLE), "
+        f"CAST({a[1]} AS DOUBLE)), CAST('NaN' AS DOUBLE))"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("rankCorr(x, y) takes exactly two arguments")
         )
     ),
 })
@@ -4577,20 +4678,8 @@ _ARG_REWRITES.update({
             "spell the type: defaultValueOfTypeName('Int64')"
         )
     ),
-    "sumArgMin": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "sumArgMin(x, k) needs the group minimum first; use "
-            "sum(CASE WHEN k = mk THEN x END) after a window "
-            "min(k) OVER (PARTITION BY <group>) AS mk"
-        )
-    ),
-    "sumArgMax": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "sumArgMax(x, k) needs the group maximum first; use "
-            "sum(CASE WHEN k = mk THEN x END) after a window "
-            "max(k) OVER (PARTITION BY <group>) AS mk"
-        )
-    ),
+    "sumArgMin": lambda a: _sum_arg_builder("sumArgMin", "min", a),
+    "sumArgMax": lambda a: _sum_arg_builder("sumArgMax", "max", a),
     "tupleConcat": _tuple_arith_builder("tupleConcat"),
     "arrayReverseSplit": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -4918,7 +5007,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
-        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|norm_ppf)",
+        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|norm_ppf"
+        r"|spearman)",
         out,
     ):
         _ensure_misc_udfs(spark)

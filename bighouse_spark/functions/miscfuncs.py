@@ -467,6 +467,33 @@ def bh_norm_ppf(p: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_DOUBLE)
+def bh_spearman(x: pd.Series, y: pd.Series) -> float:
+    """GROUPED-AGG UDF (Series → scalar): rankCorr — Spearman's ρ
+    with average ranks for ties (CH semantics): Pearson correlation
+    of the tie-averaged rank vectors. Vectorized pandas ``rank``
+    (O(n log n)) + numpy moments; pairs with NaN in either side are
+    dropped (SQL NULL arrives as NaN through Arrow — documented
+    indistinguishability). n < 2 or a zero-variance side → None
+    (Arrow's ``from_pandas`` would flatten a returned NaN to null
+    anyway; the rankCorr BUILDER coalesces the null back to a real
+    NaN JVM-side, where it survives, matching CH). Rank-pairing is a
+    rank JOIN, which no single Catalyst aggregate expresses without
+    an O(n²) in-lambda rescan — the Arrow-batched grouped aggregate
+    is the fast path here."""
+    ok = x.notna() & y.notna()
+    xs, ys = x[ok], y[ok]
+    if len(xs) < 2:
+        return None
+    rx = xs.rank(method="average").to_numpy(dtype="float64")
+    ry = ys.rank(method="average").to_numpy(dtype="float64")
+    dx, dy = rx - rx.mean(), ry - ry.mean()
+    den = math.sqrt(float((dx * dx).sum()) * float((dy * dy).sum()))
+    if den <= 0.0:
+        return None
+    return float((dx * dy).sum()) / den
+
+
+@pandas_udf(_DOUBLE)
 def bh_lz4_ratio(v: pd.Series) -> float:
     """GROUPED-AGG UDF (Series → scalar): estimateCompressionRatio
     backed by the engine's own LZ4 block codec (``compress.py``) —
@@ -515,6 +542,7 @@ ALL = {
     "bh_idna_encode": bh_idna_encode,
     "bh_idna_decode": bh_idna_decode,
     "bh_lz4_ratio": bh_lz4_ratio,
+    "bh_spearman": bh_spearman,
     "bh_t_pvalue2": bh_t_pvalue2,
     "bh_norm_ppf": bh_norm_ppf,
 }

@@ -754,3 +754,79 @@ def dialect_cramers_roundtrip(spark, sf_dir):
         FROM __dq_events_cv
         """,
     )
+
+
+# rankCorr (Spearman with tie-averaged ranks, round-7 graduation):
+# per event_type, ρ(value, user_id % 97). DuckDB recomputes the
+# average ranks with window SQL (min-rank + (ties−1)/2) and takes
+# Pearson corr() of the rank pairs — the scaling in corr() cancels,
+# so it equals the UDF's moment formula. Rounded to 6: rank sums
+# reach ~n³ intermediates, where double addition order matters.
+@query(
+    "dialect_rankcorr_roundtrip",
+    oracle="""
+WITH j AS (
+  SELECT event_type AS g, value AS x,
+         CAST(user_id % 97 AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), r AS (
+  SELECT g,
+         RANK() OVER (PARTITION BY g ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY g ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+  FROM j
+)
+SELECT g AS event_type, round(corr(rx, ry), 6) AS rho
+FROM r GROUP BY g
+""",
+)
+def dialect_rankcorr_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_rc",
+        """
+        SELECT event_type,
+               round(rankCorr(value, toFloat64(user_id % 97)), 6)
+                 AS rho
+        FROM __dq_events_rc GROUP BY event_type
+        """,
+    )
+
+
+# sumArgMin/sumArgMax (round-7 graduation): Σ l_quantity over the
+# rows holding the group's min/max l_linestatus — ALL tied rows sum
+# (min_by/max_by keep one winner, which is why these need the fold).
+# DuckDB recomputes with a window extreme + FILTERed sums.
+@query(
+    "dialect_sumargminmax_roundtrip",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS rf, l_quantity AS q, l_linestatus AS ls,
+         min(l_linestatus) OVER (PARTITION BY l_returnflag) AS mn,
+         max(l_linestatus) OVER (PARTITION BY l_returnflag) AS mx
+  FROM lineitem
+)
+SELECT rf AS l_returnflag,
+       round(sum(q) FILTER (WHERE ls = mn), 4) AS q_at_min_ls,
+       round(sum(q) FILTER (WHERE ls = mx), 4) AS q_at_max_ls
+FROM w GROUP BY rf
+""",
+)
+def dialect_sumargminmax_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_li_sam",
+        """
+        SELECT l_returnflag,
+               round(sumArgMin(l_quantity, l_linestatus), 4)
+                 AS q_at_min_ls,
+               round(sumArgMax(l_quantity, l_linestatus), 4)
+                 AS q_at_max_ls
+        FROM __dq_li_sam GROUP BY l_returnflag
+        """,
+    )

@@ -50,10 +50,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every oracle-bearing query each round). See COVERAGE.md.
 #
 # ROUND-8 ROTATION CANDIDATES (per the contract, new code paths get
-# driver rows the round after they land): ALL six round-7
+# driver rows the round after they land): ALL eight round-7
 # oracle-backed additions — dialect_ks_test_roundtrip,
 # dialect_mwu_roundtrip, dialect_bytesize_tuple_roundtrip,
 # dialect_entropy_roundtrip, dialect_cramers_roundtrip,
+# dialect_rankcorr_roundtrip, dialect_sumargminmax_roundtrip,
 # ann_pq_recall — plus the four r4-era names deferred from the r7
 # fill (text_keyword_search, text_pii_redact,
 # text_repetition_scores, uniq_exact), then fill with oldest-green

@@ -2892,6 +2892,149 @@ class TestRound7ProbeTranche:
             )
 
 
+class TestRound7StatsGraduations:
+    """Round-7 second tranche: rankCorr (Spearman), sumArgMin/Max,
+    minSampleSizeConversion/Continous — former guided refusals
+    graduated to implementations."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_rankcorr_values(self, eng):
+        # Monotone relation → ρ = 1 exactly, anti-monotone → −1.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __rc7 AS SELECT * FROM VALUES "
+            "(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 70.0) "
+            "AS t(x, y)"
+        )
+        r = eng.execute(
+            "SELECT rankCorr(x, y) AS up, rankCorr(x, -y) AS down "
+            "FROM __rc7"
+        )
+        assert abs(r.rows[0][0] - 1.0) < 1e-12
+        assert abs(r.rows[0][1] + 1.0) < 1e-12
+        # Tie-averaged ranks: hand-computed Spearman on a tied set.
+        # x = [1,2,2,3], y = [10,30,20,40]:
+        # rx = [1, 2.5, 2.5, 4], ry = [1, 3, 2, 4] → ρ = 27/(√4.5·√5)
+        r = eng.execute(
+            "SELECT rankCorr(x, y) AS r FROM (SELECT * FROM VALUES "
+            "(1.0, 10.0), (2.0, 30.0), (2.0, 20.0), (3.0, 40.0) "
+            "AS t(x, y))"
+        )
+        import math
+
+        rx = [1, 2.5, 2.5, 4]
+        ry = [1, 3, 2, 4]
+        mx, my = 2.5, 2.5
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx)
+            * sum((b - my) ** 2 for b in ry)
+        )
+        assert abs(r.rows[0][0] - num / den) < 1e-12
+        # NULL pairs are dropped; n < 2 or constant side → NaN.
+        r = eng.execute(
+            "SELECT rankCorr(x, y) AS a FROM (SELECT * FROM VALUES "
+            "(1.0, 10.0), (2.0, 20.0), (CAST(NULL AS DOUBLE), 99.0), "
+            "(3.0, CAST(NULL AS DOUBLE)), (3.0, 30.0) AS t(x, y))"
+        )
+        assert abs(r.rows[0][0] - 1.0) < 1e-12
+        r = eng.execute(
+            "SELECT rankCorr(x, y) AS a FROM "
+            "(SELECT 1.0 AS x, 2.0 AS y)"
+        )
+        import math as _m
+
+        assert _m.isnan(r.rows[0][0])
+        r = eng.execute(
+            "SELECT rankCorr(x, y) AS a FROM (SELECT * FROM VALUES "
+            "(1.0, 5.0), (2.0, 5.0), (3.0, 5.0) AS t(x, y))"
+        )
+        assert _m.isnan(r.rows[0][0])
+        # Grouped: per-group independent ρ.
+        r = eng.execute(
+            "SELECT g, rankCorr(x, y) AS r FROM (SELECT * FROM VALUES "
+            "(0, 1.0, 1.0), (0, 2.0, 2.0), (1, 1.0, 2.0), "
+            "(1, 2.0, 1.0) AS t(g, x, y)) GROUP BY g ORDER BY g"
+        )
+        assert abs(r.rows[0][1] - 1.0) < 1e-12
+        assert abs(r.rows[1][1] + 1.0) < 1e-12
+
+    def test_sum_arg_min_max(self, eng):
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __sam7 AS SELECT * FROM VALUES "
+            "(1, 10, 'a'), (1, 20, 'a'), (2, 30, 'a'), "
+            "(1, 5, 'b'), (3, 7, 'b') AS t(k, x, g)"
+        )
+        # ALL rows tied at the extreme sum (min_by/max_by would keep
+        # only one winner).
+        r = eng.execute(
+            "SELECT g, sumArgMin(x, k) AS lo, sumArgMax(x, k) AS hi "
+            "FROM __sam7 GROUP BY g ORDER BY g"
+        )
+        assert r.rows == [["a", 30, 30], ["b", 5, 7]]
+        # Integer sums stay integral (no double widening).
+        assert isinstance(r.rows[0][1], int)
+        # String keys compare lexicographically; NULL k/x rows skip.
+        r = eng.execute(
+            "SELECT sumArgMin(x, s) AS lo FROM (SELECT * FROM VALUES "
+            "(CAST(1.5 AS DOUBLE), 'b'), (2.5, 'a'), (3.5, 'a'), "
+            "(9.0, CAST(NULL AS STRING)), "
+            "(CAST(NULL AS DOUBLE), 'a') AS t(x, s))"
+        )
+        assert abs(r.rows[0][0] - 6.0) < 1e-12
+        # All-NULL group → NULL.
+        r = eng.execute(
+            "SELECT sumArgMax(x, k) AS v FROM (SELECT "
+            "CAST(NULL AS BIGINT) AS x, 1 AS k)"
+        )
+        assert r.rows[0][0] is None
+
+    def test_min_sample_size(self, eng):
+        import math
+
+        # z_{0.975} = 1.959964, z_{0.8} = 0.841621 (Acklam probit is
+        # accurate to ~1e-9, anchors to 6 significant digits).
+        z = 1.9599639845400545 + 0.8416212335729143
+        r = eng.execute(
+            "SELECT minSampleSizeConversion(0.25, 0.05, 0.80, 0.05) "
+            "AS m"
+        )
+        row = r.rows[0][0]
+        p1, p2 = 0.25, 0.30
+        expect = z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / 0.05**2
+        assert abs(row[0] - expect) < 1e-6 * expect
+        assert abs(row[1] - 0.20) < 1e-12
+        assert abs(row[2] - 0.30) < 1e-12
+        # Continuous (CH spells it Continous; both accepted): mde is
+        # relative to the baseline mean.
+        for name in (
+            "minSampleSizeContinous", "minSampleSizeContinuous"
+        ):
+            r = eng.execute(
+                f"SELECT {name}(112.25, 21.1, 0.03, 0.80, 0.05) AS m"
+            )
+            row = r.rows[0][0]
+            expect = (
+                z * z * 2 * 21.1**2 / (112.25 * 0.03) ** 2
+            )
+            assert abs(row[0] - expect) < 1e-6 * expect
+            assert abs(row[1] - 112.25 * 0.97) < 1e-9
+            assert abs(row[2] - 112.25 * 1.03) < 1e-9
+        # Degenerate: mde = 0 (division guard) and zero baseline on
+        # the continuous form → NaN struct, no DIVIDE_BY_ZERO.
+        r = eng.execute(
+            "SELECT minSampleSizeConversion(0.25, 0.0, 0.8, 0.05) "
+            "AS a, minSampleSizeContinuous(0.0, 1.0, 0.03, 0.8, "
+            "0.05) AS b"
+        )
+        assert math.isnan(r.rows[0][0][0])
+        assert math.isnan(r.rows[0][1][0])
+
+
 class TestRound5ProbeTranche3:
     """Eighth round-5 tranche: -Distinct/-OrNull/-OrDefault
     combinators, uniqUpTo, calendar epochs, UUID/digest conversions,
@@ -3772,10 +3915,13 @@ class TestRound5Tranche10:
             )
 
     def test_tranche10_refusals(self, eng):
+        # rankCorr / minSampleSize* graduated to implementations in
+        # round 7 (TestRound7StatsGraduations); wrong arity still
+        # refuses loudly.
         for expr, hint in [
-            ("rankCorr(a, a)", "Spearman"),
-            ("minSampleSizeConversion(0.1, 0.05, 0.8, 0.05)", "probit"),
-            ("minSampleSizeContinuous(0.1, 0.05)", "probit"),
+            ("rankCorr(a)", "two arguments"),
+            ("minSampleSizeConversion(0.1, 0.05)", "four arguments"),
+            ("minSampleSizeContinuous(0.1, 0.05)", "five arguments"),
             ("arrayNormalizedGini([1],[1])", "Gini"),
         ]:
             with pytest.raises(ValueError, match=hint):
@@ -3961,9 +4107,11 @@ class TestRound5Tranche11:
         assert r.rows == [[True, False, False]]
 
     def test_tranche11_refusals(self, eng):
+        # sumArgMin/sumArgMax graduated to one-fold implementations
+        # in round 7 (TestRound7StatsGraduations); arity still checks.
         for expr, hint in [
-            ("sumArgMin(a, a)", "window"),
-            ("sumArgMax(a, a)", "window"),
+            ("sumArgMin(a)", "two arguments"),
+            ("sumArgMax(a, a, a)", "two arguments"),
             ("countResample(0,10,5)(a)", "bucket"),
             ("defaultValueOfArgumentType(a)", "defaultValueOfTypeName"),
             ("detectLanguage('x')", "language_id"),
