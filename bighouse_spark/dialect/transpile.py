@@ -47,7 +47,7 @@ from bighouse_spark.sources.readers import read_source
 _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
     "clusterAllReplicas", "cluster", "values", "generateRandom",
-    "remoteSecure", "remote",
+    "remoteSecure", "remote", "postgresql", "mysql",
     # Operator-backed table functions (no CH equivalent — the
     # LLM-pipeline operator library surfaced through SQL so the HTTP
     # and wire-protocol endpoints reach it):
@@ -7142,6 +7142,76 @@ def _register_source(
                 k=int(args[3]) if len(args) > 3 else 3,
             )
         df.createOrReplaceTempView(view)
+        return
+    if fn in ("postgresql", "mysql"):
+        # postgresql('host:port', 'database', 'table', 'user',
+        # 'password'[, 'schema']) / mysql(same, no schema): federated
+        # read over this package's own wire-protocol CLIENTS
+        # (sources/dbclients.py). Like ClickHouse's implementations,
+        # the remote table streams through ONE connection on the
+        # initiator (an OLTP table has no free partitioning key);
+        # dbclients.ROW_CAP bounds the driver-side materialization
+        # with a loud error pointing big tables at object storage.
+        from bighouse_spark.sources.dbclients import (
+            mysql_fetch,
+            pg_fetch,
+        )
+
+        if len(args) < 5:
+            raise ValueError(
+                f"{fn}() needs ('host:port', 'database', 'table', "
+                "'user', 'password')"
+            )
+        hostport = _unquote(args[0])
+        host, _, port_s = hostport.partition(":")
+        port = int(port_s) if port_s else (5432 if fn == "postgresql" else 3306)
+        database, table = _unquote(args[1]), _unquote(args[2])
+        user, password = _unquote(args[3]), _unquote(args[4])
+
+        def _q(ident: str, quote: str) -> str:
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+                return ident
+            return quote + ident.replace(quote, quote * 2) + quote
+
+        if fn == "postgresql":
+            qualified = _q(table, '"')
+            if len(args) > 5:
+                sch = _q(_unquote(args[5]), '"')
+                qualified = f"{sch}.{qualified}"
+            names, kinds, rows = pg_fetch(
+                host, port, database, user, password,
+                f"SELECT * FROM {qualified}",
+            )
+        else:
+            names, kinds, rows = mysql_fetch(
+                host, port, database, user, password,
+                f"SELECT * FROM {_q(table, '`')}",
+            )
+        from decimal import Decimal as _Dec
+
+        from pyspark.sql import types as T
+
+        spark_types = {
+            "int": T.LongType(), "float": T.DoubleType(),
+            "decimal": T.DoubleType(), "bool": T.BooleanType(),
+            "date": T.DateType(), "datetime": T.TimestampType(),
+            "bytes": T.BinaryType(), "str": T.StringType(),
+        }
+        schema = T.StructType([
+            T.StructField(n, spark_types[k], True)
+            for n, k in zip(names, kinds)
+        ])
+        if any(k == "decimal" for k in kinds):
+            # Remote NUMERIC without reliable typmod metadata maps to
+            # DOUBLE (documented lossy beyond 2^53) — convert values.
+            dec_idx = [i for i, k in enumerate(kinds) if k == "decimal"]
+            for row in rows:
+                for i in dec_idx:
+                    if isinstance(row[i], _Dec):
+                        row[i] = float(row[i])
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(
+            view
+        )
         return
     if fn in ("cluster", "clusterAllReplicas"):
         # cluster('name', [db.]table): route a query at a named

@@ -1,0 +1,484 @@
+"""Minimal PostgreSQL / MySQL wire-protocol CLIENTS backing the CH
+``postgresql()`` / ``mysql()`` table functions (reference surface:
+ClickHouse core table functions; the reference's CH image ships both).
+
+Scope mirrors what ClickHouse's own implementations do on the
+initiator: ONE streaming connection fetches the remote table's rows
+into the local plan (no parallel split — the remote table has no
+free partitioning key; CH reads these single-stream too). That makes
+the fetch driver-local by design; the documented 100× posture is a
+row cap (``ROW_CAP``) with a loud error telling the user to land big
+tables in object storage instead of tunneling them through a single
+OLTP connection.
+
+Protocol implementations are from the public wire documentation:
+
+* PostgreSQL frontend/backend protocol v3 (StartupMessage,
+  Authentication{Ok,CleartextPassword,MD5Password}, simple Query,
+  RowDescription/DataRow text format). SCRAM is refused with
+  guidance (no TLS channel binding here).
+* MySQL client/server protocol 4.1 (Handshake v10,
+  HandshakeResponse41 with ``mysql_native_password`` scramble,
+  COM_QUERY text resultsets, lenenc integers/strings).
+
+Both return ``(col_names, col_kinds, rows)`` where ``col_kinds`` are
+engine-neutral kind strings (``int/float/decimal/bool/date/
+datetime/bytes/str``) that the transpile layer maps onto a Spark
+schema.
+
+Tested end-to-end against this package's OWN ``pgwire``/``mysqlwire``
+servers (loopback) — each client is an independent implementation of
+the opposite side of the same public protocol, so the pair
+cross-checks both.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Callable
+
+ROW_CAP = 5_000_000
+
+__all__ = ["pg_fetch", "mysql_fetch", "ROW_CAP"]
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError(
+                "remote server closed the connection mid-message"
+            )
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------- PG
+
+
+_PG_KINDS = {
+    16: "bool",
+    17: "bytes",
+    20: "int",
+    21: "int",
+    23: "int",
+    26: "int",  # oid
+    700: "float",
+    701: "float",
+    1700: "decimal",
+    1082: "date",
+    1114: "datetime",
+    1184: "datetime",
+}
+
+
+def _pg_msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _pg_read(sock: socket.socket) -> tuple[bytes, bytes]:
+    head = _recv_exact(sock, 5)
+    tag, ln = head[:1], struct.unpack("!I", head[1:])[0]
+    return tag, _recv_exact(sock, ln - 4)
+
+
+def _pg_error(payload: bytes) -> str:
+    parts: dict[str, str] = {}
+    i = 0
+    while i < len(payload) and payload[i] != 0:
+        code = chr(payload[i])
+        end = payload.index(b"\x00", i + 1)
+        parts[code] = payload[i + 1:end].decode("utf-8", "replace")
+        i = end + 1
+    return parts.get("M", "unknown server error") + (
+        f" (SQLSTATE {parts['C']})" if "C" in parts else ""
+    )
+
+
+def _pg_convert(kind: str) -> Callable[[str], Any]:
+    if kind == "int":
+        return int
+    if kind == "float":
+        return float
+    if kind == "decimal":
+        return Decimal
+    if kind == "bool":
+        return lambda s: s in ("t", "true", "1")
+    if kind == "date":
+        return date.fromisoformat
+    if kind == "datetime":
+        # PG renders "YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]"; strip a
+        # trailing numeric zone offset (timestamptz) if present.
+        def conv(s: str) -> datetime:
+            if len(s) > 3 and s[-3] in "+-" and s[-2:].isdigit():
+                s = s[:-3]
+            return datetime.fromisoformat(s)
+
+        return conv
+    if kind == "bytes":
+        return lambda s: (
+            bytes.fromhex(s[2:]) if s.startswith("\\x") else s.encode()
+        )
+    return lambda s: s
+
+
+def pg_fetch(
+    host: str,
+    port: int,
+    database: str,
+    user: str,
+    password: str,
+    query: str,
+    timeout: float = 30.0,
+) -> tuple[list[str], list[str], list[list]]:
+    """Run ``query`` over the PostgreSQL simple protocol; return
+    (col_names, col_kinds, rows) with text values converted per the
+    column's type OID."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        params = (
+            b"user\x00" + user.encode() + b"\x00"
+            b"database\x00" + database.encode() + b"\x00"
+            b"client_encoding\x00UTF8\x00\x00"
+        )
+        body = struct.pack("!I", 196608) + params  # protocol 3.0
+        sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        # -- authentication loop --
+        while True:
+            tag, payload = _pg_read(sock)
+            if tag == b"E":
+                raise ValueError(f"postgresql(): {_pg_error(payload)}")
+            if tag != b"R":
+                raise ValueError(
+                    f"postgresql(): expected Authentication, got "
+                    f"{tag!r}"
+                )
+            code = struct.unpack("!I", payload[:4])[0]
+            if code == 0:
+                break
+            if code == 3:  # cleartext
+                sock.sendall(_pg_msg(b"p", password.encode() + b"\x00"))
+            elif code == 5:  # md5(md5(pw+user)+salt)
+                salt = payload[4:8]
+                inner = hashlib.md5(
+                    password.encode() + user.encode()
+                ).hexdigest().encode()
+                outer = hashlib.md5(inner + salt).hexdigest()
+                sock.sendall(
+                    _pg_msg(b"p", b"md5" + outer.encode() + b"\x00")
+                )
+            else:
+                raise ValueError(
+                    f"postgresql(): authentication method {code} "
+                    "(SCRAM/GSS) is not supported by this client; "
+                    "configure md5 or password auth for this role"
+                )
+        # -- drain startup chatter to ReadyForQuery --
+        while True:
+            tag, payload = _pg_read(sock)
+            if tag == b"Z":
+                break
+            if tag == b"E":
+                raise ValueError(f"postgresql(): {_pg_error(payload)}")
+            # S (ParameterStatus), K (BackendKeyData), N (Notice)
+        # -- simple query --
+        sock.sendall(_pg_msg(b"Q", query.encode() + b"\x00"))
+        names: list[str] = []
+        kinds: list[str] = []
+        convs: list[Callable[[str], Any]] = []
+        rows: list[list] = []
+        err: str | None = None
+        while True:
+            tag, payload = _pg_read(sock)
+            if tag == b"T":
+                (ncols,) = struct.unpack("!H", payload[:2])
+                off = 2
+                for _ in range(ncols):
+                    end = payload.index(b"\x00", off)
+                    names.append(payload[off:end].decode())
+                    oid = struct.unpack(
+                        "!I", payload[end + 7:end + 11]
+                    )[0]
+                    kind = _PG_KINDS.get(oid, "str")
+                    kinds.append(kind)
+                    convs.append(_pg_convert(kind))
+                    off = end + 19
+            elif tag == b"D":
+                (ncols,) = struct.unpack("!H", payload[:2])
+                off = 2
+                row: list = []
+                for c in range(ncols):
+                    (ln,) = struct.unpack(
+                        "!i", payload[off:off + 4]
+                    )
+                    off += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(
+                            convs[c](
+                                payload[off:off + ln].decode()
+                            )
+                        )
+                        off += ln
+                rows.append(row)
+                if len(rows) > ROW_CAP:
+                    raise ValueError(
+                        f"postgresql(): remote result exceeds the "
+                        f"{ROW_CAP}-row single-connection cap; land "
+                        "large tables in object storage (s3/file) "
+                        "instead of tunneling them through one OLTP "
+                        "connection"
+                    )
+            elif tag == b"E":
+                err = _pg_error(payload)
+            elif tag == b"Z":
+                break
+            # C (CommandComplete), N (Notice) — skip
+        if err is not None:
+            raise ValueError(f"postgresql(): {err}")
+        return names, kinds, rows
+    finally:
+        try:
+            sock.sendall(_pg_msg(b"X", b""))  # Terminate
+        except OSError:
+            pass
+        sock.close()
+
+
+# ------------------------------------------------------------- MySQL
+
+
+_MY_KINDS = {
+    0x01: "int",  # TINY
+    0x02: "int",  # SHORT
+    0x03: "int",  # LONG
+    0x08: "int",  # LONGLONG
+    0x09: "int",  # INT24
+    0x0D: "int",  # YEAR
+    0x04: "float",
+    0x05: "float",
+    0x00: "decimal",
+    0xF6: "decimal",  # NEWDECIMAL
+    0x0A: "date",
+    0x07: "datetime",  # TIMESTAMP
+    0x0C: "datetime",  # DATETIME
+    0x10: "int",  # BIT
+    0xFB: "bytes",  # BLOB — see _BINARY_CHARSET below
+}
+
+_CLIENT_PROTOCOL_41 = 0x0200
+_CLIENT_SECURE_CONNECTION = 0x8000
+_CLIENT_PLUGIN_AUTH = 0x80000
+_BINARY_CHARSET = 63
+
+
+def _my_read_packet(sock: socket.socket) -> bytes:
+    head = _recv_exact(sock, 4)
+    ln = head[0] | (head[1] << 8) | (head[2] << 16)
+    return _recv_exact(sock, ln)
+
+
+def _my_send_packet(sock: socket.socket, seq: int, payload: bytes) -> None:
+    ln = len(payload)
+    sock.sendall(
+        bytes((ln & 0xFF, (ln >> 8) & 0xFF, (ln >> 16) & 0xFF, seq))
+        + payload
+    )
+
+
+def _lenenc_int(buf: bytes, off: int) -> tuple[int | None, int]:
+    first = buf[off]
+    if first < 0xFB:
+        return first, off + 1
+    if first == 0xFB:
+        return None, off + 1  # NULL marker in row packets
+    if first == 0xFC:
+        return struct.unpack_from("<H", buf, off + 1)[0], off + 3
+    if first == 0xFD:
+        b = buf[off + 1:off + 4]
+        return b[0] | (b[1] << 8) | (b[2] << 16), off + 4
+    return struct.unpack_from("<Q", buf, off + 1)[0], off + 9
+
+
+def _lenenc_str(buf: bytes, off: int) -> tuple[bytes | None, int]:
+    ln, off = _lenenc_int(buf, off)
+    if ln is None:
+        return None, off
+    return buf[off:off + ln], off + ln
+
+
+def _native_scramble(password: str, nonce: bytes) -> bytes:
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def _my_error(payload: bytes) -> str:
+    code = struct.unpack_from("<H", payload, 1)[0]
+    msg = payload[3:]
+    if msg[:1] == b"#":  # SQL-state marker
+        msg = msg[6:]
+    return f"{msg.decode('utf-8', 'replace')} (MySQL error {code})"
+
+
+def _my_convert(kind: str) -> Callable[[bytes], Any]:
+    if kind == "int":
+        return lambda b: int(b)
+    if kind == "float":
+        return lambda b: float(b)
+    if kind == "decimal":
+        return lambda b: Decimal(b.decode())
+    if kind == "date":
+        return lambda b: date.fromisoformat(b.decode())
+    if kind == "datetime":
+        return lambda b: datetime.fromisoformat(b.decode())
+    if kind == "bytes":
+        return bytes
+    return lambda b: b.decode("utf-8", "replace")
+
+
+def mysql_fetch(
+    host: str,
+    port: int,
+    database: str,
+    user: str,
+    password: str,
+    query: str,
+    timeout: float = 30.0,
+) -> tuple[list[str], list[str], list[list]]:
+    """Run ``query`` over the MySQL text protocol; return
+    (col_names, col_kinds, rows)."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        hello = _my_read_packet(sock)
+        if hello[:1] == b"\xff":
+            raise ValueError(f"mysql(): {_my_error(hello)}")
+        if hello[0] != 10:
+            raise ValueError(
+                f"mysql(): unsupported handshake protocol {hello[0]}"
+            )
+        off = 1
+        off = hello.index(b"\x00", off) + 1  # server version
+        off += 4  # thread id
+        nonce = hello[off:off + 8]
+        off += 8 + 1  # auth-plugin-data-1 + filler
+        cap_low = struct.unpack_from("<H", hello, off)[0]
+        off += 2
+        plugin = "mysql_native_password"
+        if len(hello) > off:
+            off += 1 + 2  # charset + status
+            cap_high = struct.unpack_from("<H", hello, off)[0]
+            off += 2
+            caps = cap_low | (cap_high << 16)
+            auth_len = hello[off]
+            off += 1 + 10  # auth data len + reserved
+            # Part 2 of the nonce is spec-gated on SECURE_CONNECTION,
+            # but some servers (ours included) advertise a >8-byte
+            # auth-data length without the flag — honor either signal.
+            if (caps & _CLIENT_SECURE_CONNECTION) or auth_len > 8:
+                part2 = hello[off:off + max(13, auth_len - 8)]
+                nonce = nonce + part2.rstrip(b"\x00")[:12]
+                off += max(13, auth_len - 8)
+            if caps & _CLIENT_PLUGIN_AUTH:
+                end = hello.find(b"\x00", off)
+                if end != -1:
+                    plugin = hello[off:end].decode()
+        if plugin not in ("mysql_native_password", ""):
+            raise ValueError(
+                f"mysql(): server auth plugin {plugin!r} is not "
+                "supported by this client; create the user WITH "
+                "mysql_native_password"
+            )
+        auth = _native_scramble(password, nonce)
+        flags = (
+            _CLIENT_PROTOCOL_41
+            | _CLIENT_SECURE_CONNECTION
+            | _CLIENT_PLUGIN_AUTH
+        )
+        resp = (
+            struct.pack("<IIB", flags, 1 << 24, 33)
+            + b"\x00" * 23
+            + user.encode() + b"\x00"
+            + bytes((len(auth),)) + auth
+            + b"mysql_native_password\x00"
+        )
+        _my_send_packet(sock, 1, resp)
+        ok = _my_read_packet(sock)
+        if ok[:1] == b"\xff":
+            raise ValueError(f"mysql(): {_my_error(ok)}")
+        if ok[:1] == b"\xfe":
+            raise ValueError(
+                "mysql(): server requested an auth-method switch "
+                "this client does not implement; create the user "
+                "WITH mysql_native_password"
+            )
+        if database:
+            _my_send_packet(sock, 0, b"\x02" + database.encode())
+            ok = _my_read_packet(sock)
+            if ok[:1] == b"\xff":
+                raise ValueError(f"mysql(): {_my_error(ok)}")
+        _my_send_packet(sock, 0, b"\x03" + query.encode())
+        first = _my_read_packet(sock)
+        if first[:1] == b"\xff":
+            raise ValueError(f"mysql(): {_my_error(first)}")
+        if first[:1] == b"\x00":
+            return [], [], []  # OK packet: statement with no resultset
+        ncols, _ = _lenenc_int(first, 0)
+        names: list[str] = []
+        kinds: list[str] = []
+        convs: list[Callable[[bytes], Any]] = []
+        for _ in range(ncols or 0):
+            col = _my_read_packet(sock)
+            o = 0
+            parts = []
+            for _f in range(6):  # catalog schema table org_table name org_name
+                s, o = _lenenc_str(col, o)
+                parts.append(s)
+            name = (parts[4] or b"").decode()
+            o += 1  # fixed-length fields marker (0x0c)
+            charset = struct.unpack_from("<H", col, o)[0]
+            o += 2 + 4  # charset + column length
+            type_byte = col[o]
+            kind = _MY_KINDS.get(type_byte, "str")
+            if kind == "bytes" and charset != _BINARY_CHARSET:
+                kind = "str"  # TEXT columns are BLOB-typed + text charset
+            names.append(name)
+            kinds.append(kind)
+            convs.append(_my_convert(kind))
+        pkt = _my_read_packet(sock)  # EOF after column definitions
+        rows: list[list] = []
+        while True:
+            pkt = _my_read_packet(sock)
+            if pkt[:1] == b"\xfe" and len(pkt) < 9:
+                break  # EOF
+            if pkt[:1] == b"\xff":
+                raise ValueError(f"mysql(): {_my_error(pkt)}")
+            o = 0
+            row: list = []
+            for c in range(len(names)):
+                s, o = _lenenc_str(pkt, o)
+                row.append(None if s is None else convs[c](s))
+            rows.append(row)
+            if len(rows) > ROW_CAP:
+                raise ValueError(
+                    f"mysql(): remote result exceeds the {ROW_CAP}-"
+                    "row single-connection cap; land large tables "
+                    "in object storage (s3/file) instead of "
+                    "tunneling them through one OLTP connection"
+                )
+        return names, kinds, rows
+    finally:
+        try:
+            _my_send_packet(sock, 0, b"\x01")  # COM_QUIT
+        except OSError:
+            pass
+        sock.close()

@@ -1,0 +1,128 @@
+"""postgresql() / mysql() table functions — federated reads over the
+package's own wire-protocol CLIENTS (sources/dbclients.py), tested
+loopback against the package's own pgwire / mysqlwire SERVERS: client
+and server are independent implementations of the two sides of the
+same public protocol, so the pair cross-checks both (the same gate the
+RowBinary/Native codecs use — no client wheels exist in this
+container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bighouse_spark.engine import BigHouseEngine
+from bighouse_spark.mysqlwire import MySQLWireServer
+from bighouse_spark.pgwire import PGWireServer
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = BigHouseEngine(spark=spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW dbc_src AS SELECT * FROM VALUES "
+        "(1, 1.5, 'alpha', DATE'2024-01-05', "
+        " TIMESTAMP'2024-01-05 10:30:00', true), "
+        "(2, -2.25, 'beta', DATE'2023-12-31', "
+        " TIMESTAMP'2023-12-31 23:59:59', false), "
+        "(3, CAST(NULL AS DOUBLE), CAST(NULL AS STRING), "
+        " CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP), "
+        " CAST(NULL AS BOOLEAN)) "
+        "AS t(id, val, name, d, ts, ok)"
+    )
+    return e
+
+
+@pytest.fixture(scope="module")
+def pg(eng):
+    srv = PGWireServer(engine=eng).start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def my(eng):
+    srv = MySQLWireServer(engine=eng).start()
+    yield srv
+    srv.shutdown()
+
+
+class TestPostgresqlTableFunction:
+    def test_roundtrip_typed(self, eng, pg):
+        r = eng.execute(
+            f"SELECT * FROM postgresql('127.0.0.1:{pg.port}', "
+            f"'default', 'dbc_src', 'u', 'p') ORDER BY id"
+        )
+        src = [
+            list(row)
+            for row in eng.spark.table("dbc_src")
+            .orderBy("id")
+            .collect()
+        ]
+        assert r.cols == ["id", "val", "name", "d", "ts", "ok"]
+        assert r.rows == src  # ints stay int, dates stay date, ...
+
+    def test_filter_and_agg_over_fetch(self, eng, pg):
+        r = eng.execute(
+            f"SELECT count() AS n, sum(id) AS s FROM "
+            f"postgresql('127.0.0.1:{pg.port}', 'default', "
+            f"'dbc_src', 'u', 'p') WHERE val IS NOT NULL"
+        )
+        assert r.rows == [[2, 3]]
+
+    def test_remote_error_propagates(self, eng, pg):
+        with pytest.raises(ValueError, match="postgresql"):
+            eng.execute(
+                f"SELECT * FROM postgresql('127.0.0.1:{pg.port}', "
+                f"'default', 'no_such_tbl_xyz', 'u', 'p')"
+            )
+
+    def test_arity_guard(self, eng, pg):
+        with pytest.raises(ValueError, match="needs"):
+            eng.execute(
+                f"SELECT * FROM postgresql('127.0.0.1:{pg.port}', "
+                f"'default', 'dbc_src')"
+            )
+
+    def test_row_cap(self, eng, pg, monkeypatch):
+        from bighouse_spark.sources import dbclients
+
+        monkeypatch.setattr(dbclients, "ROW_CAP", 2)
+        with pytest.raises(ValueError, match="row single-connection cap"):
+            eng.execute(
+                f"SELECT * FROM postgresql('127.0.0.1:{pg.port}', "
+                f"'default', 'dbc_src', 'u', 'p')"
+            )
+
+
+class TestMysqlTableFunction:
+    def test_roundtrip_typed(self, eng, my):
+        r = eng.execute(
+            f"SELECT * FROM mysql('127.0.0.1:{my.port}', "
+            f"'default', 'dbc_src', 'u', 'p') ORDER BY id"
+        )
+        # MySQL text protocol has no boolean type — our server sends
+        # honest typed columns; booleans arrive as the server renders
+        # them. Everything else must round-trip typed.
+        assert r.cols == ["id", "val", "name", "d", "ts", "ok"]
+        assert [row[:5] for row in r.rows] == [
+            [1, 1.5, "alpha", __import__("datetime").date(2024, 1, 5),
+             __import__("datetime").datetime(2024, 1, 5, 10, 30)],
+            [2, -2.25, "beta",
+             __import__("datetime").date(2023, 12, 31),
+             __import__("datetime").datetime(2023, 12, 31, 23, 59, 59)],
+            [3, None, None, None, None],
+        ]
+
+    def test_agg_over_fetch(self, eng, my):
+        r = eng.execute(
+            f"SELECT count() AS n FROM mysql('127.0.0.1:{my.port}', "
+            f"'default', 'dbc_src', 'u', 'p') WHERE name = 'alpha'"
+        )
+        assert r.rows == [[1]]
+
+    def test_remote_error_propagates(self, eng, my):
+        with pytest.raises(ValueError, match="mysql"):
+            eng.execute(
+                f"SELECT * FROM mysql('127.0.0.1:{my.port}', "
+                f"'default', 'no_such_tbl_xyz', 'u', 'p')"
+            )
