@@ -1496,10 +1496,24 @@ def _sum_arg_builder(name: str, ext: str, a: list[str]) -> str:
     One collected fold, all JVM-side: collect (k, x) pairs (NULL in
     either side skips the row, CH aggregate semantics), LET-bind the
     array, take the extreme of k, then a single O(n) fold summing the
-    matching x's. The accumulator's TYPE is the input's: the typed
-    zero ``get(arr, 0).x - get(arr, 0).x`` keeps integer sums
-    integral (no silent double widening; ANSI overflow raises, same
-    as Spark's own sum). Empty/all-NULL groups yield NULL."""
+    matching x's. The accumulator keeps the INPUT's numeric family
+    (integer sums stay integral — no silent double widening; ANSI
+    overflow raises, same as Spark's own sum). Two type traps, both
+    found by review and regression-tested:
+
+    * The typed zero is ``IF(size(arr)=0, get(arr,0).x, 0)`` — a
+      LITERAL 0 coerced to x's type, never ``x − x`` (which is NaN
+      when the first collected x is NaN/±Inf, poisoning every
+      non-matching fold step).
+    * DECIMAL addition grows precision per step (p,s)+(p,s)→(p+1,s),
+      so a naive init makes the fold accumulator type unstable and
+      Catalyst rejects the lambda. The init SATURATES the precision
+      first: a 38-term ``z+z+…+z`` chain caps any decimal at
+      DECIMAL(38,s) — its own fixpoint under addition — while
+      int/bigint/double pass through unchanged (their addition is
+      type-stable already).
+
+    Empty/all-NULL groups yield NULL (Spark sum convention)."""
     if len(a) != 2:
         raise ValueError(f"{name}(x, k) takes exactly two arguments")
     x, k = a
@@ -1509,15 +1523,17 @@ def _sum_arg_builder(name: str, ext: str, a: list[str]) -> str:
         f"'k', ({k}), 'x', ({x})) END)"
     )
     km = f"array_{ext}(transform(__bsa, __e -> __e.k))"
-    zero = "(get(__bsa, 0).x - get(__bsa, 0).x)"
+    zero0 = "IF(size(__bsa) = 0, get(__bsa, 0).x, 0)"
+    init = "(" + " + ".join(["__bz"] * 38) + ")"
     fold = (
-        f"aggregate(__bsa, {zero}, (__ac, __e) -> "
-        f"__ac + IF(__e.k <=> __bkm, __e.x, {zero}))"
+        f"aggregate(__bsa, {init}, (__ac, __e) -> "
+        f"__ac + IF(__e.k <=> __bkm, __e.x, 0))"
     )
     return (
         f"element_at(transform(array({arr}), __bsa -> "
-        f"element_at(transform(array({km}), __bkm -> ({fold})), "
-        f"1)), 1)"
+        f"element_at(transform(array({km}), __bkm -> "
+        f"element_at(transform(array({zero0}), __bz -> ({fold})), "
+        f"1)), 1)), 1)"
     )
 
 
@@ -7096,6 +7112,21 @@ def _fetch_http_many(urls: list[str]) -> list[str]:
         return list(pool.map(_fetch_http, urls))
 
 
+# PostgreSQL's RESERVED keyword class (cannot appear unquoted in
+# table-name position; from the public keyword table in the PG docs).
+_PG_RESERVED = frozenset(
+    """all analyse analyze and any array as asc asymmetric both case
+    cast check collate column constraint create current_catalog
+    current_date current_role current_time current_timestamp
+    current_user default deferrable desc distinct do else end except
+    false fetch for foreign from grant group having in initially
+    intersect into lateral leading limit localtime localtimestamp not
+    null offset on only or order placing primary references returning
+    select session_user some symmetric table then to trailing true
+    union unique user using variadic when where window with""".split()
+)
+
+
 def _register_source(
     spark: SparkSession, fn: str, args: list[str], view: str, uses_file: bool
 ) -> None:
@@ -7168,16 +7199,29 @@ def _register_source(
         database, table = _unquote(args[1]), _unquote(args[2])
         user, password = _unquote(args[3]), _unquote(args[4])
 
-        def _q(ident: str, quote: str) -> str:
-            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+        def _q_pg(ident: str) -> str:
+            # PG folds unquoted identifiers to lowercase, so any
+            # uppercase (or reserved/non-identifier) name MUST be
+            # quoted or it silently resolves to the wrong relation.
+            # Lowercase unreserved names stay unquoted so the
+            # loopback CH-dialect server (backtick-only) parses them
+            # too; quoted behaves identically on real PG.
+            if (
+                re.fullmatch(r"[a-z_][a-z0-9_]*", ident)
+                and ident not in _PG_RESERVED
+            ):
                 return ident
-            return quote + ident.replace(quote, quote * 2) + quote
+            return '"' + ident.replace('"', '""') + '"'
+
+        def _q_my(ident: str) -> str:
+            # Backticks are valid everywhere MySQL SQL is (and in
+            # the engine behind the loopback server) — quote always.
+            return "`" + ident.replace("`", "``") + "`"
 
         if fn == "postgresql":
-            qualified = _q(table, '"')
+            qualified = _q_pg(table)
             if len(args) > 5:
-                sch = _q(_unquote(args[5]), '"')
-                qualified = f"{sch}.{qualified}"
+                qualified = f"{_q_pg(_unquote(args[5]))}.{qualified}"
             names, kinds, rows = pg_fetch(
                 host, port, database, user, password,
                 f"SELECT * FROM {qualified}",
@@ -7185,14 +7229,15 @@ def _register_source(
         else:
             names, kinds, rows = mysql_fetch(
                 host, port, database, user, password,
-                f"SELECT * FROM {_q(table, '`')}",
+                f"SELECT * FROM {_q_my(table)}",
             )
         from decimal import Decimal as _Dec
 
         from pyspark.sql import types as T
 
         spark_types = {
-            "int": T.LongType(), "float": T.DoubleType(),
+            "int": T.LongType(), "bit": T.LongType(),
+            "float": T.DoubleType(),
             "decimal": T.DoubleType(), "bool": T.BooleanType(),
             "date": T.DateType(), "datetime": T.TimestampType(),
             "bytes": T.BinaryType(), "str": T.StringType(),

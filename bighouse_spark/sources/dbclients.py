@@ -112,14 +112,13 @@ def _pg_convert(kind: str) -> Callable[[str], Any]:
     if kind == "date":
         return date.fromisoformat
     if kind == "datetime":
-        # PG renders "YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]"; strip a
-        # trailing numeric zone offset (timestamptz) if present.
-        def conv(s: str) -> datetime:
-            if len(s) > 3 and s[-3] in "+-" and s[-2:].isdigit():
-                s = s[:-3]
-            return datetime.fromisoformat(s)
-
-        return conv
+        # PG renders "YYYY-MM-DD HH:MM:SS[.ffffff][±TZ]" where the
+        # zone suffix may be +HH, +HH:MM or absent (timestamp vs
+        # timestamptz). Python 3.11+ fromisoformat parses all three;
+        # aware values stay aware (Spark converts them to the
+        # session zone correctly — stripping the offset would
+        # silently reinterpret the instant).
+        return datetime.fromisoformat
     if kind == "bytes":
         return lambda s: (
             bytes.fromhex(s[2:]) if s.startswith("\\x") else s.encode()
@@ -153,6 +152,8 @@ def pg_fetch(
             tag, payload = _pg_read(sock)
             if tag == b"E":
                 raise ValueError(f"postgresql(): {_pg_error(payload)}")
+            if tag == b"N":  # NoticeResponse — legal at any time
+                continue
             if tag != b"R":
                 raise ValueError(
                     f"postgresql(): expected Authentication, got "
@@ -268,7 +269,7 @@ _MY_KINDS = {
     0x0A: "date",
     0x07: "datetime",  # TIMESTAMP
     0x0C: "datetime",  # DATETIME
-    0x10: "int",  # BIT
+    0x10: "bit",  # BIT — raw binary bytes on the text protocol
     0xFB: "bytes",  # BLOB — see _BINARY_CHARSET below
 }
 
@@ -279,9 +280,15 @@ _BINARY_CHARSET = 63
 
 
 def _my_read_packet(sock: socket.socket) -> bytes:
-    head = _recv_exact(sock, 4)
-    ln = head[0] | (head[1] << 8) | (head[2] << 16)
-    return _recv_exact(sock, ln)
+    """One logical packet: a 0xFFFFFF-byte payload signals splitting
+    — continuation packets concatenate until one arrives short."""
+    out = bytearray()
+    while True:
+        head = _recv_exact(sock, 4)
+        ln = head[0] | (head[1] << 8) | (head[2] << 16)
+        out.extend(_recv_exact(sock, ln))
+        if ln < 0xFFFFFF:
+            return bytes(out)
 
 
 def _my_send_packet(sock: socket.socket, seq: int, payload: bytes) -> None:
@@ -333,6 +340,10 @@ def _my_error(payload: bytes) -> str:
 def _my_convert(kind: str) -> Callable[[bytes], Any]:
     if kind == "int":
         return lambda b: int(b)
+    if kind == "bit":
+        # BIT(n) travels as raw binary bytes even on the text
+        # protocol — int(b) would crash on b'\\x01'.
+        return lambda b: int.from_bytes(b, "big")
     if kind == "float":
         return lambda b: float(b)
     if kind == "decimal":
@@ -385,8 +396,12 @@ def mysql_fetch(
             # but some servers (ours included) advertise a >8-byte
             # auth-data length without the flag — honor either signal.
             if (caps & _CLIENT_SECURE_CONNECTION) or auth_len > 8:
+                # Part 2 is 12 scramble bytes + a NUL terminator.
+                # Take exactly 12 — rstrip would eat legitimate
+                # trailing 0x00 scramble bytes, corrupting the
+                # native-password response.
                 part2 = hello[off:off + max(13, auth_len - 8)]
-                nonce = nonce + part2.rstrip(b"\x00")[:12]
+                nonce = nonce + part2[:12]
                 off += max(13, auth_len - 8)
             if caps & _CLIENT_PLUGIN_AUTH:
                 end = hello.find(b"\x00", off)

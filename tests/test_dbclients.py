@@ -126,3 +126,15 @@ class TestMysqlTableFunction:
                 f"SELECT * FROM mysql('127.0.0.1:{my.port}', "
                 f"'default', 'no_such_tbl_xyz', 'u', 'p')"
             )
+
+    def test_reserved_word_table_quoted(self, eng, my):
+        # The client always backtick-quotes the remote table name —
+        # a table named `order` must read, not syntax-error.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW `order` AS SELECT 7 AS a"
+        )
+        r = eng.execute(
+            f"SELECT * FROM mysql('127.0.0.1:{my.port}', "
+            f"'default', 'order', 'u', 'p')"
+        )
+        assert r.rows == [[7]]

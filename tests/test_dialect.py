@@ -2993,6 +2993,30 @@ class TestRound7StatsGraduations:
         )
         assert r.rows[0][0] is None
 
+    def test_sum_arg_decimal_and_nonfinite(self, eng):
+        # DECIMAL input: the fold accumulator must be type-stable
+        # (decimal addition grows precision per step — the init
+        # chain saturates it at 38 first). Review finding, verified
+        # live before the fix: AnalysisException DATATYPE_MISMATCH.
+        r = eng.execute(
+            "SELECT sumArgMin(x, k) AS lo, sumArgMax(x, k) AS hi "
+            "FROM (SELECT * FROM VALUES "
+            "(CAST(1.25 AS DECIMAL(15,2)), 1), "
+            "(CAST(2.50 AS DECIMAL(15,2)), 1), "
+            "(CAST(9.75 AS DECIMAL(15,2)), 2) AS t(x, k))"
+        )
+        assert float(r.rows[0][0]) == 3.75
+        assert float(r.rows[0][1]) == 9.75
+        # An Inf/NaN x OUTSIDE the extreme-k rows must not poison
+        # the sum (the old x−x typed zero became NaN).
+        r = eng.execute(
+            "SELECT sumArgMin(x, k) AS lo FROM (SELECT * FROM VALUES "
+            "(CAST('Infinity' AS DOUBLE), 5), "
+            "(CAST('NaN' AS DOUBLE), 4), (1.0, 1), (2.5, 1) "
+            "AS t(x, k))"
+        )
+        assert abs(r.rows[0][0] - 3.5) < 1e-12
+
     def test_min_sample_size(self, eng):
         import math
 
