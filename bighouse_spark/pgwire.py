@@ -38,6 +38,10 @@ which every PG client accepts.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import re
 import socketserver
 import struct
@@ -302,6 +306,16 @@ class _Handler(socketserver.BaseRequestHandler):
             if body is None or code != _PROTO_V3:
                 return False
             break
+        # Startup parameters: NUL-separated key/value pairs, NUL end.
+        params: dict[str, str] = {}
+        fields = body.split(b"\x00")
+        for i in range(0, len(fields) - 1, 2):
+            if fields[i]:
+                params[fields[i].decode(errors="replace")] = fields[
+                    i + 1
+                ].decode(errors="replace")
+        if not self._authenticate(sock, params.get("user", "")):
+            return False
         sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
         for k, v in (
             ("server_version", "16.0 (BigHouse Spark engine)"),
@@ -313,6 +327,143 @@ class _Handler(socketserver.BaseRequestHandler):
             sock.sendall(_msg(b"S", _cstr(k) + _cstr(v)))
         sock.sendall(
             _msg(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF, 0))
+        )
+        return True
+
+    # -- authentication ---------------------------------------------
+    #
+    # Optional: PGWireServer(auth=(mode, user, password)) with mode in
+    # {"password", "md5", "scram-sha-256"}. Default (None) stays
+    # trust, matching the reference's in-VPC posture. SCRAM follows
+    # RFC 5802/7677 over the PG SASL framing (AuthenticationSASL /
+    # SASLContinue / SASLFinal); no TLS here so only the base
+    # mechanism (not -PLUS channel binding) is offered.
+
+    def _auth_fail(self, sock, user: str) -> bool:
+        self._send_error(
+            sock, "28P01",
+            f'password authentication failed for user "{user}"',
+        )
+        return False
+
+    def _read_password_msg(self, sock) -> bytes | None:
+        head = self._recv_exact(sock, 5)
+        if head is None or head[0:1] != b"p":
+            return None
+        (length,) = struct.unpack("!I", head[1:5])
+        return self._recv_exact(sock, length - 4)
+
+    def _authenticate(self, sock, startup_user: str) -> bool:
+        auth = getattr(self.server, "auth", None)
+        if auth is None:
+            return True
+        mode, want_user, want_pw = auth
+        if startup_user != want_user:
+            return self._auth_fail(sock, startup_user)
+        if mode == "password":
+            sock.sendall(_msg(b"R", struct.pack("!I", 3)))
+            body = self._read_password_msg(sock)
+            if body is None or not hmac.compare_digest(
+                body.rstrip(b"\x00"), want_pw.encode()
+            ):
+                return self._auth_fail(sock, startup_user)
+            return True
+        if mode == "md5":
+            salt = os.urandom(4)
+            sock.sendall(_msg(b"R", struct.pack("!I", 5) + salt))
+            body = self._read_password_msg(sock)
+            inner = hashlib.md5(
+                want_pw.encode() + want_user.encode()
+            ).hexdigest().encode()
+            want = b"md5" + hashlib.md5(inner + salt).hexdigest().encode()
+            if body is None or not hmac.compare_digest(
+                body.rstrip(b"\x00"), want
+            ):
+                return self._auth_fail(sock, startup_user)
+            return True
+        if mode == "scram-sha-256":
+            return self._scram(sock, startup_user, want_pw)
+        raise ValueError(f"unknown pg auth mode: {mode}")
+
+    def _scram(self, sock, user: str, want_pw: str) -> bool:
+        sock.sendall(
+            _msg(b"R", struct.pack("!I", 10) + _cstr("SCRAM-SHA-256") + b"\x00")
+        )
+        body = self._read_password_msg(sock)  # SASLInitialResponse
+        if body is None:
+            return False
+        nul = body.index(b"\x00")
+        mech = body[:nul].decode(errors="replace")
+        (ilen,) = struct.unpack("!I", body[nul + 1:nul + 5])
+        client_first = body[nul + 5:nul + 5 + ilen].decode()
+        if mech != "SCRAM-SHA-256":
+            self._send_error(
+                sock, "28000",
+                f"SASL mechanism {mech} not offered (channel binding "
+                "requires TLS; use SCRAM-SHA-256)",
+            )
+            return False
+        # gs2-header = cbind-flag "," [authzid] ","  — e.g. "n,,"
+        if client_first.startswith("p="):
+            self._send_error(
+                sock, "28000",
+                "channel binding requested but no TLS channel exists",
+            )
+            return False
+        second_comma = client_first.index(",", client_first.index(",") + 1)
+        gs2_header = client_first[: second_comma + 1]
+        client_first_bare = client_first[second_comma + 1:]
+        attrs = dict(
+            kv.split("=", 1) for kv in client_first_bare.split(",")
+        )
+        client_nonce = attrs["r"]
+        nonce = client_nonce + base64.b64encode(os.urandom(18)).decode()
+        salt = os.urandom(16)
+        iterations = 4096
+        server_first = (
+            f"r={nonce},s={base64.b64encode(salt).decode()},i={iterations}"
+        )
+        sock.sendall(
+            _msg(b"R", struct.pack("!I", 11) + server_first.encode())
+        )
+        final = self._read_password_msg(sock)  # SASLResponse
+        if final is None:
+            return False
+        client_final = final.decode()
+        without_proof, _, proof_b64 = client_final.rpartition(",p=")
+        fattrs = dict(kv.split("=", 1) for kv in without_proof.split(","))
+        if fattrs.get("r") != nonce or base64.b64decode(
+            fattrs.get("c", "")
+        ) != gs2_header.encode():
+            return self._auth_fail(sock, user)
+        auth_message = (
+            f"{client_first_bare},{server_first},{without_proof}".encode()
+        )
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", want_pw.encode(), salt, iterations
+        )
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        client_sig = hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+        try:
+            proof = base64.b64decode(proof_b64, validate=True)
+        except Exception:
+            return self._auth_fail(sock, user)
+        if len(proof) != len(client_sig):
+            return self._auth_fail(sock, user)
+        recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if not hmac.compare_digest(
+            hashlib.sha256(recovered).digest(), stored_key
+        ):
+            return self._auth_fail(sock, user)
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = hmac.new(server_key, auth_message, hashlib.sha256).digest()
+        sock.sendall(
+            _msg(
+                b"R",
+                struct.pack("!I", 12)
+                + b"v=" + base64.b64encode(server_sig),
+            )
         )
         return True
 
@@ -553,8 +704,19 @@ class PGWireServer:
         engine: BigHouseEngine | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth: tuple[str, str, str] | None = None,
     ) -> None:
+        """``auth``: optional ``(mode, user, password)`` with mode in
+        {"password", "md5", "scram-sha-256"}; None = trust."""
+        if auth is not None and auth[0] not in (
+            "password", "md5", "scram-sha-256"
+        ):
+            raise ValueError(
+                f"unknown pg auth mode {auth[0]!r}; use 'password', "
+                "'md5' or 'scram-sha-256'"
+            )
         self.engine = engine or BigHouseEngine()
+        self.auth = auth
 
         outer = self
 
@@ -562,6 +724,7 @@ class PGWireServer:
             allow_reuse_address = True
             daemon_threads = True
             engine = outer.engine
+            auth = outer.auth
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

@@ -692,12 +692,23 @@ def main() -> None:  # pragma: no cover - manual entry point
         "port (the reference's tcp_port 9000 — its only client path, "
         "temporal/workflow_query_executor.go:222-235)",
     )
+    ap.add_argument(
+        "--pg-auth", default=None, metavar="MODE:USER:PASSWORD",
+        help="require authentication on the PG wire endpoint; MODE is "
+        "password, md5 or scram-sha-256 (default: trust)",
+    )
     args = ap.parse_args()
+    pg_auth: tuple[str, str, str] | None = None
+    if args.pg_auth is not None:
+        parts = args.pg_auth.split(":", 2)
+        if len(parts) != 3:
+            ap.error("--pg-auth must be MODE:USER:PASSWORD")
+        pg_auth = (parts[0], parts[1], parts[2])
     engine = BigHouseEngine()
     server = make_server(engine=engine, host=args.host, port=args.port)
     non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
-    if non_loopback and (args.pg_port or args.mysql_port
-                         or args.ch_port):
+    if non_loopback and ((args.pg_port is not None and pg_auth is None)
+                         or args.mysql_port or args.ch_port):
         import sys
 
         print(
@@ -711,7 +722,10 @@ def main() -> None:  # pragma: no cover - manual entry point
     if args.pg_port is not None:
         from bighouse_spark.pgwire import PGWireServer
 
-        pg = PGWireServer(engine=engine, host=args.host, port=args.pg_port)
+        pg = PGWireServer(
+            engine=engine, host=args.host, port=args.pg_port,
+            auth=pg_auth,
+        )
         pg.start()
         print(f"pg wire protocol on {pg.host}:{pg.port}")
     if args.mysql_port is not None:

@@ -14,9 +14,13 @@ OLTP connection.
 Protocol implementations are from the public wire documentation:
 
 * PostgreSQL frontend/backend protocol v3 (StartupMessage,
-  Authentication{Ok,CleartextPassword,MD5Password}, simple Query,
-  RowDescription/DataRow text format). SCRAM is refused with
-  guidance (no TLS channel binding here).
+  Authentication{Ok,CleartextPassword,MD5Password,SASL}, simple
+  Query, RowDescription/DataRow text format). SASL implements
+  SCRAM-SHA-256 per RFC 5802/7677 — client proof via
+  PBKDF2/HMAC-SHA-256, server-signature verification on the final
+  message (spoofed servers are rejected). Channel-binding (-PLUS)
+  variants are refused with guidance: there is no TLS channel here
+  to bind to.
 * MySQL client/server protocol 4.1 (Handshake v10,
   HandshakeResponse41 with ``mysql_native_password`` scramble,
   COM_QUERY text resultsets, lenenc integers/strings).
@@ -34,7 +38,10 @@ cross-checks both.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac
+import os
 import socket
 import struct
 from datetime import date, datetime
@@ -148,6 +155,9 @@ def pg_fetch(
         body = struct.pack("!I", 196608) + params  # protocol 3.0
         sock.sendall(struct.pack("!I", len(body) + 4) + body)
         # -- authentication loop --
+        # SCRAM state persists across the SASL round trips (RFC
+        # 5802/7677 over PG's AuthenticationSASL framing).
+        scram: dict[str, Any] = {}
         while True:
             tag, payload = _pg_read(sock)
             if tag == b"E":
@@ -173,11 +183,100 @@ def pg_fetch(
                 sock.sendall(
                     _pg_msg(b"p", b"md5" + outer.encode() + b"\x00")
                 )
+            elif code == 10:  # AuthenticationSASL: mechanism list
+                mechs = payload[4:].split(b"\x00")
+                if b"SCRAM-SHA-256" not in mechs:
+                    offered = ", ".join(
+                        m.decode() for m in mechs if m
+                    )
+                    raise ValueError(
+                        "postgresql(): server offered only SASL "
+                        f"mechanisms [{offered}]; this client speaks "
+                        "SCRAM-SHA-256 (channel-binding -PLUS "
+                        "variants need TLS, which this plaintext "
+                        "client does not provide)"
+                    )
+                cnonce = base64.b64encode(os.urandom(18)).decode()
+                # PG convention: username comes from the startup
+                # packet, so client-first carries an empty n=.
+                cf_bare = f"n=,r={cnonce}"
+                cf = b"n,," + cf_bare.encode()
+                sock.sendall(
+                    _pg_msg(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack("!I", len(cf))
+                        + cf,
+                    )
+                )
+                scram = {"cf_bare": cf_bare, "cnonce": cnonce}
+            elif code == 11:  # AuthenticationSASLContinue
+                server_first = payload[4:].decode()
+                attrs = dict(
+                    kv.split("=", 1) for kv in server_first.split(",")
+                )
+                nonce, b64salt = attrs["r"], attrs["s"]
+                iterations = int(attrs["i"])
+                if not nonce.startswith(scram.get("cnonce", "\x00")):
+                    raise ValueError(
+                        "postgresql(): SCRAM server nonce does not "
+                        "extend the client nonce (possible replay)"
+                    )
+                salted = hashlib.pbkdf2_hmac(
+                    "sha256",
+                    password.encode(),
+                    base64.b64decode(b64salt),
+                    iterations,
+                )
+                without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+                auth_message = (
+                    f"{scram['cf_bare']},{server_first},{without_proof}"
+                ).encode()
+                ckey = hmac.new(
+                    salted, b"Client Key", hashlib.sha256
+                ).digest()
+                csig = hmac.new(
+                    hashlib.sha256(ckey).digest(),
+                    auth_message,
+                    hashlib.sha256,
+                ).digest()
+                proof = bytes(a ^ b for a, b in zip(ckey, csig))
+                skey = hmac.new(
+                    salted, b"Server Key", hashlib.sha256
+                ).digest()
+                scram["server_sig"] = hmac.new(
+                    skey, auth_message, hashlib.sha256
+                ).digest()
+                sock.sendall(
+                    _pg_msg(
+                        b"p",
+                        (
+                            without_proof
+                            + ",p="
+                            + base64.b64encode(proof).decode()
+                        ).encode(),
+                    )
+                )
+            elif code == 12:  # AuthenticationSASLFinal: verify v=
+                fattrs = dict(
+                    kv.split("=", 1)
+                    for kv in payload[4:].decode().split(",")
+                )
+                got = base64.b64decode(fattrs.get("v", ""))
+                if not hmac.compare_digest(
+                    got, scram.get("server_sig", b"")
+                ):
+                    raise ValueError(
+                        "postgresql(): SCRAM server signature "
+                        "mismatch — the server does not hold this "
+                        "password (possible spoofed server)"
+                    )
             else:
                 raise ValueError(
                     f"postgresql(): authentication method {code} "
-                    "(SCRAM/GSS) is not supported by this client; "
-                    "configure md5 or password auth for this role"
+                    "(GSS/SSPI/KerberosV5) is not supported by this "
+                    "client; configure scram-sha-256, md5 or "
+                    "password auth for this role"
                 )
         # -- drain startup chatter to ReadyForQuery --
         while True:

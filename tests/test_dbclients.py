@@ -138,3 +138,124 @@ class TestMysqlTableFunction:
             f"'default', 'order', 'u', 'p')"
         )
         assert r.rows == [[7]]
+
+
+class TestPGAuth:
+    """Auth handshakes, client vs server: both sides are this
+    package's own from-scratch implementations of the public PG
+    protocol (RFC 5802/7677 for SCRAM-SHA-256), so a green loopback
+    round-trip cross-checks the pair. Trust mode stays the default."""
+
+    def _fetch(self, srv, user="u", pw="sekrit"):
+        from bighouse_spark.sources.dbclients import pg_fetch
+
+        return pg_fetch(
+            "127.0.0.1", srv.port, "default", user, pw,
+            "SELECT id, name FROM dbc_src ORDER BY id",
+        )
+
+    @pytest.fixture(scope="class", params=["password", "md5", "scram-sha-256"])
+    def authed(self, request, eng):
+        srv = PGWireServer(
+            engine=eng, auth=(request.param, "u", "sekrit")
+        ).start()
+        yield srv
+        srv.shutdown()
+
+    def test_roundtrip(self, authed):
+        names, kinds, rows = self._fetch(authed)
+        assert names == ["id", "name"]
+        assert [r[0] for r in rows] == [1, 2, 3]
+
+    def test_wrong_password_rejected(self, authed):
+        with pytest.raises(ValueError, match="authentication failed"):
+            self._fetch(authed, pw="wrong")
+
+    def test_wrong_user_rejected(self, authed):
+        with pytest.raises(ValueError, match="authentication failed"):
+            self._fetch(authed, user="mallory")
+
+    def test_table_function_through_scram(self, eng):
+        srv = PGWireServer(
+            engine=eng, auth=("scram-sha-256", "u", "sekrit")
+        ).start()
+        try:
+            r = eng.execute(
+                f"SELECT count() AS n FROM postgresql("
+                f"'127.0.0.1:{srv.port}', 'default', 'dbc_src', "
+                f"'u', 'sekrit')"
+            )
+            assert r.rows == [[3]]
+        finally:
+            srv.shutdown()
+
+    def test_unknown_auth_mode_rejected(self, eng):
+        with pytest.raises(ValueError, match="auth mode"):
+            PGWireServer(engine=eng, auth=("kerberos", "u", "p"))
+
+    def test_spoofed_server_signature_rejected(self):
+        """A malicious server that accepts any proof but cannot
+        compute the RFC 5802 server signature must be rejected by the
+        client BEFORE any query is sent."""
+        import base64
+        import socket
+        import struct
+        import threading
+
+        def cstr_parts(b):
+            return b.split(b"\x00")
+
+        def msg(tag, payload):
+            return tag + struct.pack("!I", len(payload) + 4) + payload
+
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def evil():
+            conn, _ = srv.accept()
+            with conn:
+                head = conn.recv(4)
+                (ln,) = struct.unpack("!I", head)
+                conn.recv(ln - 4)  # startup body
+                conn.sendall(
+                    msg(b"R", struct.pack("!I", 10)
+                        + b"SCRAM-SHA-256\x00\x00")
+                )
+                h = conn.recv(5)
+                (ln,) = struct.unpack("!I", h[1:5])
+                body = conn.recv(ln - 4)
+                nul = body.index(b"\x00")
+                (clen,) = struct.unpack("!I", body[nul + 1:nul + 5])
+                cf = body[nul + 5:nul + 5 + clen].decode()
+                cnonce = dict(
+                    kv.split("=", 1) for kv in cf[3:].split(",")
+                )["r"]
+                sf = (
+                    f"r={cnonce}XYZ,"
+                    f"s={base64.b64encode(b'0123456789abcdef').decode()},"
+                    "i=4096"
+                )
+                conn.sendall(
+                    msg(b"R", struct.pack("!I", 11) + sf.encode())
+                )
+                conn.recv(4096)  # client-final; accept blindly
+                conn.sendall(
+                    msg(b"R", struct.pack("!I", 12)
+                        + b"v=" + base64.b64encode(b"not-the-sig")))
+                conn.sendall(msg(b"R", struct.pack("!I", 0)))
+                conn.sendall(msg(b"Z", b"I"))
+
+        t = threading.Thread(target=evil, daemon=True)
+        t.start()
+        try:
+            from bighouse_spark.sources.dbclients import pg_fetch
+
+            with pytest.raises(ValueError, match="server signature"):
+                pg_fetch(
+                    "127.0.0.1", port, "default", "u", "sekrit",
+                    "SELECT 1 AS x",
+                )
+        finally:
+            srv.close()
