@@ -1020,6 +1020,80 @@ def _ttest_builder(kind: str):
     return build
 
 
+def _anova_builder(a: list[str]) -> str:
+    """analysisOfVariance / anova (x, group_id) → ``(f_statistic,
+    p_value)``: one-way ANOVA (CH AggregateFunctions/AggregateFunctionAnalysisOfVariance).
+
+    Grand-total moments (N, Σx, Σx²) are plain conditional aggregates
+    (JVM-side). The between-group term Σ_g (Σx_g)²/n_g and the group
+    count k need per-group subtotals — computed with the same
+    one-sorted-collect + O(n) boundary-fold technique as the
+    contingency/entropy builders: collect (group, x) sorted by group,
+    accumulate each run's sum/count, flush (Σx_g)²/n_g at run
+    boundaries. Then SSB = Σ_g (Σx_g)²/n_g − T²/N with df1 = k−1, and
+    SSW = Σx² − Σ_g (Σx_g)²/n_g with df2 = N−k; F = (SSB/df1)/
+    (SSW/df2) and p = P(F_{df1,df2} > F) via ``bh_f_pvalue`` (the
+    same regularized-incomplete-beta engine as the t-tests). Groups
+    key on the value's string form (boundary equality only — works
+    for any group type, no overflow); NULL x or group rows are
+    skipped per CH aggregate semantics; k < 2 or N ≤ k → NaN."""
+    if len(a) != 2:
+        raise ValueError(
+            "analysisOfVariance(x, group_id) takes exactly two "
+            "arguments"
+        )
+    x, g = a
+    both = f"({x}) IS NOT NULL AND ({g}) IS NOT NULL"
+    arr = (
+        f"sort_array(collect_list(CASE WHEN {both} THEN named_struct("
+        f"'g', CAST({g} AS STRING), 'v', CAST({x} AS DOUBLE)) END))"
+    )
+    n = f"sum(CASE WHEN {both} THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+    t = f"sum(CASE WHEN {both} THEN CAST({x} AS DOUBLE) END)"
+    sxx = (
+        f"sum(CASE WHEN {both} THEN CAST({x} AS DOUBLE) * "
+        f"CAST({x} AS DOUBLE) END)"
+    )
+    # Fold state: s = Σ flushed (Σx_g)²/n_g, cur run's (g, sum, n),
+    # k = runs seen. Finish flushes the last run.
+    fold = (
+        f"aggregate({arr}, "
+        f"named_struct('s', CAST(0 AS DOUBLE), 'g', CAST(NULL AS "
+        f"STRING), 'sum', CAST(0 AS DOUBLE), 'n', CAST(0 AS DOUBLE), "
+        f"'k', CAST(0 AS INT)), "
+        f"(__acc, __e) -> IF(__acc.g IS NULL OR __e.g <> __acc.g, "
+        f"named_struct("
+        f"'s', __acc.s + IF(__acc.g IS NULL, CAST(0 AS DOUBLE), "
+        f"__acc.sum * __acc.sum / __acc.n), "
+        f"'g', __e.g, 'sum', __e.v, 'n', CAST(1 AS DOUBLE), "
+        f"'k', __acc.k + 1), "
+        f"named_struct('s', __acc.s, 'g', __acc.g, "
+        f"'sum', __acc.sum + __e.v, 'n', __acc.n + 1, 'k', __acc.k)), "
+        f"__acc -> named_struct("
+        f"'s', __acc.s + IF(__acc.g IS NULL, CAST(0 AS DOUBLE), "
+        f"__acc.sum * __acc.sum / __acc.n), 'k', __acc.k))"
+    )
+    s = f"({fold}).s"
+    k = f"CAST(({fold}).k AS DOUBLE)"
+    gd = "greatest({}, CAST(1e-300 AS DOUBLE))"
+    ssb = f"(({s}) - ({t}) * ({t}) / {gd.format(n)})"
+    ssw = f"(({sxx}) - ({s}))"
+    df1 = f"(({k}) - 1)"
+    df2 = f"(({n}) - ({k}))"
+    f_stat = (
+        f"((({ssb}) / {gd.format(df1)}) / "
+        f"{gd.format(f'(({ssw}) / {gd.format(df2)})')})"
+    )
+    ok = f"(({k}) >= 2 AND ({n}) > ({k}))"
+    nan = "CAST('NaN' AS DOUBLE)"
+    return (
+        f"named_struct("
+        f"'f_statistic', IF({ok}, {f_stat}, {nan}), "
+        f"'p_value', IF({ok}, "
+        f"bh_f_pvalue({f_stat}, {df1}, {df2}), {nan}))"
+    )
+
+
 def _mean_z_builder(params: list[str], a: list[str]) -> str:
     """meanZTest(pop_var0, pop_var1, confidence)(x, sample_idx) →
     ``(z_statistic, p_value, confidence_interval_low,
@@ -4039,20 +4113,8 @@ _ARG_REWRITES.update({
             "max(sum(delta) OVER (ORDER BY point))"
         )
     ),
-    "analysisOfVariance": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "analysisOfVariance() p-value needs the F CDF; compute "
-            "the F statistic from per-group means/variances with "
-            "conditional aggregates"
-        )
-    ),
-    "anova": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "anova() p-value needs the F CDF; compute the F "
-            "statistic from per-group means/variances with "
-            "conditional aggregates"
-        )
-    ),
+    "analysisOfVariance": lambda a: _anova_builder(a),
+    "anova": lambda a: _anova_builder(a),
 })
 
 def _point_in_polygon(a: list) -> str:
@@ -5023,8 +5085,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
-        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|norm_ppf"
-        r"|spearman)",
+        r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
+        r"|norm_ppf|spearman)",
         out,
     ):
         _ensure_misc_udfs(spark)

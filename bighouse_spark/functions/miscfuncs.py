@@ -461,6 +461,31 @@ def bh_t_pvalue2(t: pd.Series, df: pd.Series) -> pd.Series:
     )
 
 
+def _f_pvalue(f: float, df1: float, df2: float) -> float:
+    """F-distribution survival P(F > f) = I_{df2/(df2+df1·f)}
+    (df2/2, df1/2) — same regularized incomplete beta as the t
+    p-value (one-way ANOVA's upper-tail probability)."""
+    if (
+        f is None or df1 is None or df2 is None
+        or not df1 > 0 or not df2 > 0 or math.isnan(f)
+    ):
+        return float("nan")
+    if f <= 0.0:
+        return 1.0
+    if math.isinf(f):
+        return 0.0
+    x = df2 / (df2 + df1 * f)
+    return min(1.0, max(0.0, _betainc(df2 / 2.0, df1 / 2.0, x)))
+
+
+@pandas_udf(_DOUBLE)
+def bh_f_pvalue(f: pd.Series, df1: pd.Series, df2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_f_pvalue(fv, d1, d2) for fv, d1, d2 in zip(f, df1, df2)],
+        dtype="float64",
+    )
+
+
 @pandas_udf(_DOUBLE)
 def bh_norm_ppf(p: pd.Series) -> pd.Series:
     return p.map(_null_safe(_norm_ppf))
@@ -544,6 +569,7 @@ ALL = {
     "bh_lz4_ratio": bh_lz4_ratio,
     "bh_spearman": bh_spearman,
     "bh_t_pvalue2": bh_t_pvalue2,
+    "bh_f_pvalue": bh_f_pvalue,
     "bh_norm_ppf": bh_norm_ppf,
 }
 

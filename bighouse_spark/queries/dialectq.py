@@ -830,3 +830,50 @@ def dialect_sumargminmax_roundtrip(spark, sf_dir):
         FROM __dq_li_sam GROUP BY l_returnflag
         """,
     )
+
+
+# analysisOfVariance / anova (round-7 graduation): one-way ANOVA of
+# l_quantity across the three l_returnflag groups. DuckDB recomputes
+# F from first principles (per-group subtotals → SSB/SSW) and — since
+# df1 = k−1 = 2 — the p-value in closed form: P(F_{2,df2} > f) =
+# (1 + 2f/df2)^(−df2/2). That checks BOTH struct fields, including
+# the regularized-incomplete-beta path, value-level against an
+# independent computation. Rounded: double summation order differs.
+@query(
+    "dialect_anova_roundtrip",
+    oracle="""
+WITH g AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+         CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem
+), per AS (
+  SELECT g, sum(x) AS s, count(*) AS n FROM g GROUP BY g
+), tot AS (
+  SELECT sum(x) AS t, count(*) AS n, sum(x*x) AS sxx FROM g
+), agg AS (
+  SELECT sum(s*s/n) AS sg, count(*) AS k FROM per
+), f AS (
+  SELECT ((agg.sg - tot.t*tot.t/tot.n) / (agg.k - 1))
+         / ((tot.sxx - agg.sg) / (tot.n - agg.k)) AS f_stat,
+         CAST(agg.k - 1 AS DOUBLE) AS df1,
+         CAST(tot.n - agg.k AS DOUBLE) AS df2
+  FROM tot, agg
+)
+SELECT round(f_stat, 6) AS f_statistic,
+       round(power(1 + df1 * f_stat / df2, -df2 / 2), 6) AS p_value
+FROM f
+""",
+)
+def dialect_anova_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_li_anova",
+        """
+        SELECT round(a.f_statistic, 6) AS f_statistic,
+               round(a.p_value, 6) AS p_value
+        FROM (SELECT anova(l_quantity, l_returnflag) AS a
+              FROM __dq_li_anova)
+        """,
+    )

@@ -3058,6 +3058,65 @@ class TestRound7StatsGraduations:
         assert math.isnan(r.rows[0][0][0])
         assert math.isnan(r.rows[0][1][0])
 
+    def test_anova(self, eng):
+        import math
+
+        # Hand-computed one-way ANOVA: groups [1,2,3], [2,3,4],
+        # [5,6,7] → SSB = 26, SSW = 6, F = (26/2)/(6/6) = 13; with
+        # df1 = 2 the survival has the closed form
+        # (1 + 2F/df2)^(−df2/2) = (6/32)³.
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __av7 AS SELECT * FROM VALUES "
+            "(0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 3.0), "
+            "(1, 4.0), (2, 5.0), (2, 6.0), (2, 7.0) AS t(g, x)"
+        )
+        for name in ("analysisOfVariance", "anova"):
+            r = eng.execute(f"SELECT {name}(x, g) AS a FROM __av7")
+            f, p = r.rows[0][0]
+            assert abs(f - 13.0) < 1e-9
+            assert abs(p - (6.0 / 32.0) ** 3) < 1e-9
+        # NULL x or group rows skip (CH aggregate semantics).
+        r = eng.execute(
+            "SELECT anova(x, g) AS a FROM (SELECT * FROM VALUES "
+            "(0, 1.0), (0, CAST(NULL AS DOUBLE)), (1, 2.0), "
+            "(CAST(NULL AS INT), 9.0), (1, 4.0) AS t(g, x))"
+        )
+        f, p = r.rows[0][0]
+        # groups {0:[1]}, {1:[2,4]}: SSB = 8/3, SSW = 2, F = 4/3.
+        # df1 = df2 = 1: F = t² with t ~ Cauchy, so the survival is
+        # the two-sided Cauchy tail (2/π)·arctan(1/√F).
+        assert abs(f - 4.0 / 3.0) < 1e-9
+        assert abs(
+            p - (2 / math.pi) * math.atan(1 / math.sqrt(4.0 / 3.0))
+        ) < 1e-9
+        # Degenerates: one group, and N == k (no within df) → NaN.
+        r = eng.execute(
+            "SELECT anova(x, 0) AS one, "
+            "(SELECT anova(x, g) FROM (SELECT * FROM VALUES "
+            "(0, 1.0), (1, 5.0) AS t(g, x))) AS sat FROM __av7"
+        )
+        assert math.isnan(r.rows[0][0][0])
+        assert math.isnan(r.rows[0][1][1])
+        # Grouped outer GROUP BY: per-group independent ANOVA. (The
+        # inner VALUES keeps numeric firsts — a leading string
+        # literal is a schema string in CH's values() semantics.)
+        r = eng.execute(
+            "SELECT k, anova(x, g) AS a FROM (SELECT * FROM VALUES "
+            "(7, 0, 1.0), (7, 0, 2.0), (7, 1, 9.0), "
+            "(7, 1, 10.0), (8, 0, 5.0), (8, 1, 5.0), "
+            "(8, 0, 5.0), (8, 1, 5.0) AS t(k, g, x)) "
+            "GROUP BY k ORDER BY k"
+        )
+        assert r.rows[0][1][0] > 100  # well-separated means
+        assert r.rows[1][1][0] < 1e-9  # identical means → F ≈ 0
+        # String group ids work (boundary equality on string form).
+        r = eng.execute(
+            "SELECT anova(x, s) AS a FROM (SELECT "
+            "IF(x < 5, 'lo', 'hi') AS s, x FROM (SELECT * FROM "
+            "VALUES (1.0), (2.0), (8.0), (9.0) AS t(x)))"
+        )
+        assert r.rows[0][0][0] > 10
+
 
 class TestRound5ProbeTranche3:
     """Eighth round-5 tranche: -Distinct/-OrNull/-OrDefault
