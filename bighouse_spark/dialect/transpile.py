@@ -2024,6 +2024,302 @@ def _tuple_arith_builder(name: str):
     return build
 
 
+def _array_split_builder(reverse: bool):
+    """arraySplit / arrayReverseSplit(λ, arr[, arr2]) →
+    ``Array(Array(T))`` (CH Functions/array/arraySplit). The λ is
+    evaluated once per element (``transform``, or ``zip_with`` for
+    the two-source form); cut positions come from an index-aware
+    transform (O(n), no per-element re-scan), the bounds array is
+    LET-bound via a single-element transform, and slices are taken
+    between consecutive bounds. arraySplit starts a new group AT a
+    flagged element (the first element never cuts); arrayReverseSplit
+    ENDS the group at a flagged element (a flag on the last element
+    is a no-op). A NULL λ result counts as no-cut; empty input → []
+    (the size>0 filter drops the single empty slice); NULL input →
+    NULL."""
+    name = "arrayReverseSplit" if reverse else "arraySplit"
+
+    def build(a: list[str]) -> str:
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"{name}(lambda, arr[, arr2]) takes a lambda and one "
+                "or two source arrays"
+            )
+        lam, arr = a[0], a[1]
+        flags = (
+            f"transform({arr}, {lam})"
+            if len(a) == 2
+            else f"zip_with({arr}, {a[2]}, {lam})"
+        )
+        truthy = "coalesce(CAST(__f AS BOOLEAN), false)"
+        if reverse:
+            # flag at 1-based position p < n ends the group after p:
+            # boundary p+1 (0-based __i → p = __i+1 → boundary __i+2).
+            cuts = (
+                f"filter(transform({flags}, (__f, __i) -> "
+                f"IF(__i < size({arr}) - 1 AND {truthy}, "
+                f"__i + 2, -1)), __c -> __c > 0)"
+            )
+        else:
+            # flag at position p ≥ 2 starts a new group: boundary p.
+            cuts = (
+                f"filter(transform({flags}, (__f, __i) -> "
+                f"IF(__i >= 1 AND {truthy}, __i + 1, -1)), "
+                f"__c -> __c > 0)"
+            )
+        bounds = f"concat(array(1), {cuts}, array(size({arr}) + 1))"
+        return (
+            f"element_at(transform(array({bounds}), __b -> "
+            f"filter(transform(sequence(1, size(__b) - 1), __j -> "
+            f"slice({arr}, element_at(__b, __j), "
+            f"element_at(__b, __j + 1) - element_at(__b, __j))), "
+            f"__g -> size(__g) > 0)), 1)"
+        )
+
+    return build
+
+
+def _tuple_hamming_builder(a: list[str]) -> str:
+    """tupleHammingDistance(t1, t2): count of differing components,
+    expanded field-wise for inline tuples (null-safe compare — a
+    NULL-vs-value component counts as different, NULL-vs-NULL as
+    equal)."""
+    if len(a) != 2:
+        raise ValueError(
+            "tupleHammingDistance(t1, t2) takes exactly two tuples"
+        )
+    f1 = _struct_literal_fields(a[0])
+    f2 = _struct_literal_fields(a[1])
+    if f1 is None or f2 is None or len(f1) != len(f2):
+        raise ValueError(
+            "tupleHammingDistance() expands field-wise only for "
+            "inline tuples of equal arity — spell the operands as "
+            "tuple(a, b, ...); tuple-typed column refs have unknown "
+            "arity at transpile time"
+        )
+    terms = " + ".join(
+        f"CAST(NOT (({x}) <=> ({y})) AS INT)" for x, y in zip(f1, f2)
+    )
+    return f"({terms})"
+
+
+def _flatten_tuple_builder(a: list[str]) -> str:
+    """flattenTuple(t): recursively inline nested tuple fields into
+    one flat tuple. Inline tuples only (arity unknown for columns)."""
+    if len(a) != 1:
+        raise ValueError("flattenTuple(t) takes exactly one tuple")
+
+    def flat(expr: str) -> list[str]:
+        sub = _struct_literal_fields(expr)
+        if sub is None:
+            return [expr]
+        out: list[str] = []
+        for f in sub:
+            out.extend(flat(f))
+        return out
+
+    fields = _struct_literal_fields(a[0])
+    if fields is None:
+        raise ValueError(
+            "flattenTuple() expands only inline tuples — spell the "
+            "operand as tuple(a, tuple(b, c), ...); a tuple-typed "
+            "column ref has unknown shape at transpile time"
+        )
+    flat_fields: list[str] = []
+    for f in fields:
+        flat_fields.extend(flat(f))
+    return f"struct({', '.join(flat_fields)})"
+
+
+def _array_levenshtein_builder(a: list[str]) -> str:
+    """arrayLevenshteinDistance(a, b): classic DP, one fold over
+    ``a`` carrying the DP row for ``b`` (row rebuilt with an inner
+    fold — the new cell depends on the previous new cell, so a plain
+    transform can't express it). Element equality is null-safe. Cost
+    O(|a|·|b|²) from array append; CH arrays here are row-local and
+    small. Empty sides degrade to the other side's length."""
+    if len(a) != 2:
+        raise ValueError(
+            "arrayLevenshteinDistance(a, b) takes exactly two arrays"
+        )
+    x, y = a
+    # Inner fold guarded: sequence(1, 0) DESCENDS in Spark, so the
+    # empty-b case short-circuits to the single-cell row.
+    inner = (
+        f"IF(size({y}) = 0, array(element_at(__row, 1) + 1), "
+        f"aggregate(sequence(1, size({y})), "
+        f"array(element_at(__row, 1) + 1), "
+        f"(__nr, __j) -> concat(__nr, array(least("
+        f"element_at(__row, __j + 1) + 1, "
+        f"element_at(__nr, -1) + 1, "
+        f"element_at(__row, __j) + "
+        f"IF(element_at({y}, __j) <=> __x, 0, 1)))), "
+        f"__nr -> __nr))"
+    )
+    return (
+        f"aggregate({x}, sequence(0, size({y})), "
+        f"(__row, __x) -> {inner}, "
+        f"__row -> element_at(__row, -1))"
+    )
+
+
+def _byte_swap_builder(a: list[str]) -> str:
+    """byteSwap(x): reverse the integer's bytes — a ``typeof()``
+    width walk like byteSize. 8-bit values are identity; 16/32-bit
+    reassemble in a wider lane then reinterpret the sign bit; 64-bit
+    uses shiftrightunsigned so the sign never smears. The result is
+    BIGINT carrying the swapped two's-complement bit pattern (CH
+    returns the input's own width; a CASE has one output type, and
+    the signed-64 pattern is the honest common carrier — CH UInt64
+    displays the same bits unsigned)."""
+    if len(a) != 1:
+        raise ValueError("byteSwap(x) takes exactly one argument")
+    x = a[0]
+    t = f"typeof({x})"
+    xi = f"CAST({x} AS INT)"
+    v16 = (
+        f"(shiftleft(({xi}) & 255, 8) | (shiftright({xi}, 8) & 255))"
+    )
+    r16 = f"CAST(IF({v16} >= 32768, {v16} - 65536, {v16}) AS BIGINT)"
+    xb = f"CAST({x} AS BIGINT)"
+    v32 = (
+        f"(shiftleft(({xb}) & 255, 24) | "
+        f"shiftleft(shiftright({xb}, 8) & 255, 16) | "
+        f"shiftleft(shiftright({xb}, 16) & 255, 8) | "
+        f"(shiftright({xb}, 24) & 255))"
+    )
+    r32 = f"IF({v32} >= 2147483648, {v32} - 4294967296, {v32})"
+    r64 = " | ".join(
+        f"shiftleft(shiftrightunsigned({xb}, {8 * i}) & 255, {8 * (7 - i)})"
+        if i < 7
+        else f"(shiftrightunsigned({xb}, 56) & 255)"
+        for i in range(8)
+    )
+    return (
+        f"CAST(CASE "
+        f"WHEN {t} IN ('tinyint', 'boolean') THEN {xb} "
+        f"WHEN {t} = 'smallint' THEN {r16} "
+        f"WHEN {t} = 'int' THEN {r32} "
+        f"WHEN {t} = 'bigint' THEN ({r64}) "
+        f"ELSE raise_error(concat('byte swap unsupported for type ', "
+        f"{t}, ' — integers only')) END AS BIGINT)"
+    )
+
+
+def _map_apply_builder(a: list[str]) -> str:
+    """mapApply((k, v) -> (k', v'), m): the λ body must be an inline
+    2-tuple; it is split into two single-expression lambdas sharing
+    the original parameter names and applied with zip_with over
+    map_keys/map_values (same traversal order), re-assembled with
+    map_from_arrays — no string substitution of the parameters."""
+    if len(a) != 2:
+        raise ValueError(
+            "mapApply(lambda, map) takes a lambda and one map"
+        )
+    lam, m = a[0], a[1]
+    if "->" not in lam:
+        raise ValueError(
+            "mapApply() first argument must be a lambda: "
+            "(k, v) -> (k_expr, v_expr)"
+        )
+    params, body = lam.split("->", 1)
+    params = params.strip()
+    fields = _struct_literal_fields(body.strip())
+    if fields is None or len(fields) != 2:
+        raise ValueError(
+            "mapApply() lambda must return an inline 2-tuple "
+            "(k_expr, v_expr) so the key/value rewrites can split"
+        )
+    keys = f"zip_with(map_keys({m}), map_values({m}), {params} -> ({fields[0]}))"
+    vals = f"zip_with(map_keys({m}), map_values({m}), {params} -> ({fields[1]}))"
+    return f"map_from_arrays({keys}, {vals})"
+
+
+def _interval_sweep_builder(kind: str):
+    """maxIntersections / maxIntersectionsPosition / intervalLengthSum
+    (start, end) — interval aggregates as ONE sorted sweep: each row
+    contributes (start,+1)/(end,−1) events (flatten of a per-row
+    2-array), sort_array orders by (position, delta) so an end sorts
+    before a coincident start — half-open [L, R) semantics, touching
+    intervals do not intersect — then a single O(n) fold runs the
+    sweep. intervalLengthSum instead sorts (start, end) pairs and
+    merges overlaps in one fold. NULL start/end rows are skipped."""
+
+    def build(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(f"{kind}(start, end) takes two arguments")
+        s, e = a
+        both = f"({s}) IS NOT NULL AND ({e}) IS NOT NULL"
+        if kind == "intervalLengthSum":
+            ivs = (
+                f"sort_array(collect_list(CASE WHEN {both} THEN "
+                f"named_struct('s', CAST({s} AS DOUBLE), "
+                f"'e', CAST({e} AS DOUBLE)) END))"
+            )
+            return (
+                f"aggregate({ivs}, "
+                f"named_struct('t', CAST(0 AS DOUBLE), "
+                f"'cur', CAST(-1.7976931348623157E308 AS DOUBLE)), "
+                f"(__acc, __iv) -> named_struct("
+                f"'t', __acc.t + greatest(CAST(0 AS DOUBLE), "
+                f"__iv.e - greatest(__iv.s, __acc.cur)), "
+                f"'cur', greatest(__acc.cur, __iv.e)), "
+                f"__acc -> __acc.t)"
+            )
+        events = (
+            f"sort_array(flatten(collect_list(CASE WHEN {both} THEN "
+            f"array(named_struct('p', CAST({s} AS DOUBLE), "
+            f"'d', 1), named_struct('p', CAST({e} AS DOUBLE), "
+            f"'d', -1)) END)))"
+        )
+        # sort is (p, d) ascending: d=-1 first at equal p. The fold
+        # tracks the running count, its max, and the first position
+        # achieving the max.
+        fold = (
+            f"aggregate({events}, "
+            f"named_struct('cur', 0, 'mx', 0, "
+            f"'pos', CAST(NULL AS DOUBLE)), "
+            f"(__acc, __ev) -> named_struct("
+            f"'cur', __acc.cur + __ev.d, "
+            f"'mx', greatest(__acc.mx, __acc.cur + __ev.d), "
+            f"'pos', IF(__acc.cur + __ev.d > __acc.mx, __ev.p, "
+            f"__acc.pos)), "
+            f"__acc -> __acc)"
+        )
+        if kind == "maxIntersections":
+            return f"CAST(({fold}).mx AS BIGINT)"
+        return f"({fold}).pos"
+
+    return build
+
+
+def _delta_sum_timestamp_builder(a: list[str]) -> str:
+    """deltaSumTimestamp(value, timestamp): sum of POSITIVE
+    consecutive deltas in timestamp order — one sorted collect +
+    O(n) fold (ties keep the (ts, value) sort order, deterministic
+    where CH's block order is not). NULL value/ts rows skip."""
+    if len(a) != 2:
+        raise ValueError(
+            "deltaSumTimestamp(value, timestamp) takes two arguments"
+        )
+    v, ts = a
+    both = f"({v}) IS NOT NULL AND ({ts}) IS NOT NULL"
+    arr = (
+        f"sort_array(collect_list(CASE WHEN {both} THEN "
+        f"named_struct('t', {ts}, 'v', CAST({v} AS DOUBLE)) END))"
+    )
+    return (
+        f"aggregate({arr}, "
+        f"named_struct('acc', CAST(0 AS DOUBLE), "
+        f"'prev', CAST(NULL AS DOUBLE)), "
+        f"(__a, __e) -> named_struct("
+        f"'acc', __a.acc + IF(__a.prev IS NOT NULL AND "
+        f"__e.v > __a.prev, __e.v - __a.prev, CAST(0 AS DOUBLE)), "
+        f"'prev', __e.v), "
+        f"__a -> __a.acc)"
+    )
+
+
 def _map_agg_fold(a: list[str], merge: str) -> str:
     """sum/min/maxMap over a MAP column: fold the group's collected
     maps with map_zip_with (missing keys behave like CH: they take
@@ -2430,20 +2726,8 @@ _ARG_REWRITES: dict = {
     "sumKahan": lambda a: f"sum({a[0]})",
     # Interval aggregates are sweep-line algorithms, not single
     # aggregate expressions — refuse with the distributed spelling.
-    "intervalLengthSum": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "intervalLengthSum() needs a sweep: explode each interval "
-            "to (+start, -end) events, ORDER BY point, and sum "
-            "covered spans with a running-count window"
-        )
-    ),
-    "maxIntersections": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "maxIntersections() needs a sweep: explode (start, +1) / "
-            "(end, -1) events and take max(sum(delta) OVER "
-            "(ORDER BY point))"
-        )
-    ),
+    "intervalLengthSum": _interval_sweep_builder("intervalLengthSum"),
+    "maxIntersections": _interval_sweep_builder("maxIntersections"),
     "sumMap": lambda a: _map_agg_fold(
         a, "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
     ),
@@ -3201,13 +3485,7 @@ _ARG_REWRITES.update({
             "largestTriangleThreeBuckets(n)(x, y)"
         )
     ),
-    "arraySplit": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "arraySplit() has no Spark equivalent; derive cut "
-            "positions with filter(sequence(...), i -> pred) and "
-            "slice between consecutive cuts"
-        )
-    ),
+    "arraySplit": _array_split_builder(False),
     "wordShingleMinHash": lambda a: (_ for _ in ()).throw(
         ValueError(
             "wordShingleMinHash() is served by the dedup operator "
@@ -3540,39 +3818,16 @@ _ARG_REWRITES.update({
         ),
     )(),
     # -- refusals --
-    "byteSwap": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "byteSwap() is width-dependent on the CH integer type; "
-            "reverse bytes explicitly via conv()/hex() at a chosen "
-            "width"
-        )
-    ),
-    "mapApply": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "mapApply() joint key+value remap: use map_from_entries("
-            "transform(map_entries(m), e -> struct(<new key>, "
-            "<new value>)))"
-        )
-    ),
+    "byteSwap": lambda a: _byte_swap_builder(a),
+    "mapApply": lambda a: _map_apply_builder(a),
     "mapPartialSort": lambda a: (_ for _ in ()).throw(
         ValueError(
             "map ordering is cosmetic on unordered Spark maps; sort "
             "map_entries() explicitly"
         )
     ),
-    "tupleHammingDistance": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "tuple arithmetic needs per-field expansion; use arrays "
-            "(zip_with + filter) or compare fields explicitly"
-        )
-    ),
-    "arrayLevenshteinDistance": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "array edit distance needs dynamic programming; "
-            "editDistance() covers strings — join array elements "
-            "with a separator if element-level distance is needed"
-        )
-    ),
+    "tupleHammingDistance": lambda a: _tuple_hamming_builder(a),
+    "arrayLevenshteinDistance": lambda a: _array_levenshtein_builder(a),
     "kql": lambda a: (_ for _ in ()).throw(
         ValueError("KQL dialect is not supported; use ClickHouse SQL")
     ),
@@ -3584,13 +3839,7 @@ _ARG_REWRITES.update({
             "tupleMultiply", "tupleDivide",
         )
     },
-    "flattenTuple": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "flattenTuple() needs the nested struct's full type to "
-            "expand; flatten explicitly with named_struct over the "
-            "nested fields"
-        )
-    ),
+    "flattenTuple": lambda a: _flatten_tuple_builder(a),
 })
 
 def _spark_type_ddl(ch_type: str) -> str:
@@ -4106,13 +4355,7 @@ _ARG_REWRITES.update({
         + (a[1] if len(a) > 1 else "''")
         + ")"
     ),
-    "maxIntersectionsPosition": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "maxIntersectionsPosition() needs a sweep: explode "
-            "(start, +1) / (end, -1) events and take the point of "
-            "max(sum(delta) OVER (ORDER BY point))"
-        )
-    ),
+    "maxIntersectionsPosition": _interval_sweep_builder("maxIntersectionsPosition"),
     "analysisOfVariance": lambda a: _anova_builder(a),
     "anova": lambda a: _anova_builder(a),
 })
@@ -4346,13 +4589,7 @@ _ARG_REWRITES.update({
             "the same minimal-reshuffle bucket assignment"
         )
     ),
-    "deltaSumTimestamp": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "deltaSumTimestamp() is block-order dependent; use "
-            "sum(greatest(v - lag(v, 1, v) OVER (ORDER BY ts), 0)) "
-            "for the timestamp-ordered positive-delta sum"
-        )
-    ),
+    "deltaSumTimestamp": lambda a: _delta_sum_timestamp_builder(a),
     "pointInPolygon": _point_in_polygon,
 })
 
@@ -4759,13 +4996,7 @@ _ARG_REWRITES.update({
     "sumArgMin": lambda a: _sum_arg_builder("sumArgMin", "min", a),
     "sumArgMax": lambda a: _sum_arg_builder("sumArgMax", "max", a),
     "tupleConcat": _tuple_arith_builder("tupleConcat"),
-    "arrayReverseSplit": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "arrayReverseSplit() has no Spark equivalent; derive cut "
-            "positions with filter(sequence(...), i -> pred) and "
-            "slice between them (cuts BEFORE the matching element)"
-        )
-    ),
+    "arrayReverseSplit": _array_split_builder(True),
     "geohashesInBox": lambda a: (_ for _ in ()).throw(
         ValueError(
             "geohashesInBox() grid enumeration is not implemented; "

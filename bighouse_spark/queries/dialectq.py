@@ -877,3 +877,89 @@ def dialect_anova_roundtrip(spark, sf_dir):
               FROM __dq_li_anova)
         """,
     )
+
+
+# Interval-sweep aggregates (round-7 graduation): per event_type,
+# intervals [value, value+5) built from the events table. DuckDB
+# recomputes maxIntersections with an exploded (+1/−1) event sweep
+# (running SUM ordered by (position, delta) — delta −1 first at
+# ties = the same half-open convention as the fold) and
+# intervalLengthSum with the running-max-of-end overlap merge.
+@query(
+    "dialect_intervalsweep_roundtrip",
+    oracle="""
+WITH iv AS (
+  SELECT event_type AS g, value AS s, value + 5 AS e
+  FROM events WHERE value IS NOT NULL
+), ev AS (
+  SELECT g, s AS p, 1 AS d FROM iv
+  UNION ALL
+  SELECT g, e AS p, -1 AS d FROM iv
+), sweep AS (
+  SELECT g, sum(d) OVER (PARTITION BY g ORDER BY p, d
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev
+), merged AS (
+  SELECT g, s, e,
+         max(e) OVER (PARTITION BY g ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv
+)
+SELECT m.g AS event_type,
+       CAST(mx.mi AS BIGINT) AS max_inter,
+       round(sum(greatest(0, m.e - greatest(m.s,
+             coalesce(m.prev_max, -1e308)))), 4) AS union_len
+FROM merged m
+JOIN (SELECT g, max(c) AS mi FROM sweep GROUP BY g) mx
+  ON mx.g = m.g
+GROUP BY m.g, mx.mi
+""",
+)
+def dialect_intervalsweep_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_ev_iv",
+        """
+        SELECT event_type,
+               maxIntersections(value, value + 5) AS max_inter,
+               round(intervalLengthSum(value, value + 5), 4)
+                 AS union_len
+        FROM __dq_ev_iv WHERE value IS NOT NULL
+        GROUP BY event_type
+        """,
+    )
+
+
+# deltaSumTimestamp (round-7 graduation): positive consecutive value
+# deltas in (ts, value) order per event_type. DuckDB recomputes with
+# lag() over the same ordering.
+@query(
+    "dialect_deltasumts_roundtrip",
+    oracle="""
+WITH o AS (
+  SELECT event_type AS g, value AS v,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, value) AS pv
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT g AS event_type,
+       round(sum(CASE WHEN pv IS NOT NULL AND v > pv
+                      THEN v - pv ELSE 0 END), 4) AS dsum
+FROM o GROUP BY g
+""",
+)
+def dialect_deltasumts_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_ev_dst",
+        """
+        SELECT event_type,
+               round(deltaSumTimestamp(value, ts), 4) AS dsum
+        FROM __dq_ev_dst GROUP BY event_type
+        """,
+    )

@@ -2003,11 +2003,9 @@ class TestMomentAndWeightedAggregates:
         [
             # sumMap over a Map column is IMPLEMENTED since round 6
             # (TestMapAggregates); only the two-array form refuses.
+            # maxIntersections / intervalLengthSum graduated to sweep
+            # folds in round 7 (TestRound7ArrayIntervalTranche).
             ("SELECT sumMap([1], [2])", "map_from_arrays"),
-            ("SELECT maxIntersections(a, b) FROM (SELECT 1 a, 2 b)",
-             "sweep"),
-            ("SELECT intervalLengthSum(a, b) FROM (SELECT 1 a, 2 b)",
-             "sweep"),
             ("SELECT groupArrayMovingSum(2)(x) FROM numbers(3)",
              "OVER"),
         ],
@@ -2329,8 +2327,9 @@ class TestRound5ProbeTranche2:
         for expr, hint in [
             # max/minMap over Map columns implemented in round 6;
             # the two-array tuple form still refuses.
+            # arraySplit graduated to the bounds-slice expansion in
+            # round 7 (TestRound7ArrayIntervalTranche).
             ("maxMap([1], [2])", "map_from_arrays"),
-            ("arraySplit(x -> x, [1])", "slice"),
             ("stem('en', 'running')", "dictionary"),
             ("formatRow('CSV', 1)", "FORMAT"),
             ("wordShingleMinHash('x')", "dedup"),
@@ -2886,10 +2885,12 @@ class TestRound7ProbeTranche:
             eng.execute(
                 "SELECT tuplePlus(t, t) FROM (SELECT tuple(1,2) AS t)"
             )
-        with pytest.raises(ValueError, match="flatten"):
-            eng.execute(
-                "SELECT flattenTuple(tuple(tuple(1, 2), 3)) AS t"
-            )
+        # flattenTuple graduated in round 7: nested inline tuples
+        # flatten field-wise.
+        r = eng.execute(
+            "SELECT flattenTuple(tuple(tuple(1, 2), 3)) AS t"
+        )
+        assert list(r.rows[0][0]) == [1, 2, 3]
 
 
 class TestRound7StatsGraduations:
@@ -3348,11 +3349,9 @@ class TestRound5ProbeTranche4:
     def test_tranche4_refusals(self, eng):
         for expr, hint in [
             # tuplePlus/tupleConcat implemented round 7 (inline
-            # expansion); flattenTuple still refuses with guidance.
-            ("flattenTuple((1,(2,3)))", "named_struct"),
-            ("byteSwap(5)", "width"),
-            ("mapApply((k, v) -> (k, v), map(1, 2))", "map_entries"),
-            ("arrayLevenshteinDistance([1],[2])", "editDistance"),
+            # expansion); flattenTuple/byteSwap/mapApply/
+            # arrayLevenshteinDistance graduated later in round 7
+            # (TestRound7ArrayIntervalTranche).
             ("kql('x')", "ClickHouse SQL"),
         ]:
             with pytest.raises(ValueError, match=hint):
@@ -3761,8 +3760,8 @@ class TestRound5ProbeTranche8:
             ("groupArrayLast(3)(number)", "order"),
             ("sparkbar(5)(number, number)", "bar"),
             ("flameGraph(number)", "profiler"),
-            ("maxIntersectionsPosition(number, number)", "sweep"),
-            ("analysisOfVariance(number, number % 2)", "F "),
+            # maxIntersectionsPosition and analysisOfVariance both
+            # graduated in round 7.
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM numbers(5)")
@@ -3874,8 +3873,8 @@ class TestRound5Tranche9:
 
     def test_tranche9_refusals(self, eng):
         for expr, hint in [
+            # deltaSumTimestamp graduated to the sorted fold (r7).
             ("kostikConsistentHash(42, 8)", "jumpConsistentHash"),
-            ("deltaSumTimestamp(number, number)", "order"),
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM numbers(5)")
@@ -5071,3 +5070,171 @@ class TestRound6ProbeTranche6:
         assert s == ["ab", "c1", "d"]
         assert l == "__x" and rp == "x__"
         assert len(z) == 3 and z[0][0] == 1 and z[1][1] is None
+
+
+class TestRound7ArrayIntervalTranche:
+    """Round-7 third tranche: arraySplit/arrayReverseSplit,
+    tupleHammingDistance, flattenTuple, arrayLevenshteinDistance,
+    byteSwap, mapApply, maxIntersections(Position),
+    intervalLengthSum, deltaSumTimestamp — former guided refusals
+    graduated to expression/fold implementations."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_array_split(self, eng):
+        # CH docs anchor: two-source lambda form.
+        r = eng.execute(
+            "SELECT arraySplit((x, y) -> y, [1, 2, 3, 4, 5], "
+            "[1, 0, 0, 1, 0]) AS a, "
+            "arrayReverseSplit((x, y) -> y, [1, 2, 3, 4, 5], "
+            "[1, 0, 0, 1, 0]) AS b"
+        )
+        assert r.rows[0][0] == [[1, 2, 3], [4, 5]]
+        assert r.rows[0][1] == [[1], [2, 3, 4], [5]]
+        # Single-array lambda; cut at zeros (first element never cuts).
+        r = eng.execute(
+            "SELECT arraySplit(x -> x = 0, [1, 2, 0, 3, 0, 4]) AS a, "
+            "arraySplit(x -> x = 0, [0, 1, 2]) AS leading, "
+            "arraySplit(x -> true, [7]) AS single, "
+            "arraySplit(x -> true, CAST(array() AS ARRAY<INT>)) AS mt"
+        )
+        assert r.rows[0][0] == [[1, 2], [0, 3], [0, 4]]
+        assert r.rows[0][1] == [[0, 1, 2]]
+        assert r.rows[0][2] == [[7]]
+        assert r.rows[0][3] == []
+        # Reverse split: flag on the LAST element is a no-op.
+        r = eng.execute(
+            "SELECT arrayReverseSplit(x -> x = 0, [1, 0, 2, 3, 0]) "
+            "AS a"
+        )
+        assert r.rows[0][0] == [[1, 0], [2, 3, 0]]
+
+    def test_tuple_hamming_and_flatten(self, eng):
+        r = eng.execute(
+            "SELECT tupleHammingDistance(tuple(1, 2, 3), "
+            "tuple(3, 2, 1)) AS h, "
+            "tupleHammingDistance((1, 'a'), (1, 'b')) AS h2, "
+            "tupleHammingDistance(tuple(NULL, 1), tuple(NULL, 2)) "
+            "AS hn"
+        )
+        assert r.rows[0][:3] == [2, 1, 1]  # NULL <=> NULL is equal
+        r = eng.execute(
+            "SELECT flattenTuple(tuple(1, tuple(2, tuple(3, 4)), 5)) "
+            "AS f"
+        )
+        assert list(r.rows[0][0]) == [1, 2, 3, 4, 5]
+        # Column-typed tuples keep the guided refusal.
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="inline tuples"):
+            eng.execute(
+                "SELECT tupleHammingDistance(t, t) FROM "
+                "(SELECT tuple(1, 2) AS t)"
+            )
+
+    def test_array_levenshtein(self, eng):
+        r = eng.execute(
+            "SELECT arrayLevenshteinDistance([1, 2, 4], [1, 2, 3]) "
+            "AS a, "
+            "arrayLevenshteinDistance(['k','i','t','t','e','n'], "
+            "['s','i','t','t','i','n','g']) AS b, "
+            "arrayLevenshteinDistance(CAST(array() AS ARRAY<INT>), "
+            "[1, 2]) AS c, "
+            "arrayLevenshteinDistance([1, 2], "
+            "CAST(array() AS ARRAY<INT>)) AS d, "
+            "arrayLevenshteinDistance(CAST(array() AS ARRAY<INT>), "
+            "CAST(array() AS ARRAY<INT>)) AS e"
+        )
+        assert r.rows[0] == [1, 3, 2, 2, 0]
+
+    def test_byte_swap(self, eng):
+        import struct
+
+        def swap(v, width, signed=True):
+            raw = int(v).to_bytes(width, "little", signed=signed)
+            return int.from_bytes(raw, "big", signed=signed)
+
+        r = eng.execute(
+            "SELECT byteSwap(CAST(258 AS SMALLINT)) AS s16, "
+            "byteSwap(CAST(305419896 AS INT)) AS s32, "
+            "byteSwap(CAST(-2 AS INT)) AS neg32, "
+            "byteSwap(CAST(123456789012345678 AS BIGINT)) AS s64, "
+            "byteSwap(CAST(7 AS TINYINT)) AS s8"
+        )
+        assert r.rows[0][0] == swap(258, 2)
+        assert r.rows[0][1] == swap(305419896, 4)
+        assert r.rows[0][2] == swap(-2, 4)
+        assert r.rows[0][3] == swap(123456789012345678, 8)
+        assert r.rows[0][4] == 7
+
+    def test_map_apply(self, eng):
+        r = eng.execute(
+            "SELECT mapApply((k, v) -> (concat(k, '!'), v * 2), "
+            "map('a', 1, 'b', 2)) AS m"
+        )
+        assert r.rows[0][0] == {"a!": 2, "b!": 4}
+        # keys may depend on values and vice versa
+        r = eng.execute(
+            "SELECT mapApply((k, v) -> (v, k), map('a', 1)) AS m"
+        )
+        assert r.rows[0][0] == {1: "a"}
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="2-tuple"):
+            eng.execute(
+                "SELECT mapApply((k, v) -> k, map('a', 1)) AS m"
+            )
+
+    def test_interval_sweeps(self, eng):
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __iv7 AS SELECT * FROM VALUES "
+            "(1.0, 3.0), (2.0, 5.0), (4.0, 6.0), (7.0, 8.0) AS t(s, e)"
+        )
+        r = eng.execute(
+            "SELECT maxIntersections(s, e) AS mi, "
+            "maxIntersectionsPosition(s, e) AS mp, "
+            "intervalLengthSum(s, e) AS ls FROM __iv7"
+        )
+        # overlaps: [2,3) and [4,5) both have 2; first max at s=2.
+        assert r.rows[0][0] == 2
+        assert abs(r.rows[0][1] - 2.0) < 1e-12
+        # union [1,6] ∪ [7,8] = 5 + 1
+        assert abs(r.rows[0][2] - 6.0) < 1e-12
+        # Half-open: touching intervals do not intersect.
+        r = eng.execute(
+            "SELECT maxIntersections(s, e) AS mi FROM (SELECT * FROM "
+            "VALUES (1.0, 2.0), (2.0, 3.0) AS t(s, e))"
+        )
+        assert r.rows[0][0] == 1
+        # NULL rows skip; empty group → 0 / NULL / 0.
+        r = eng.execute(
+            "SELECT maxIntersections(s, e) AS mi, "
+            "maxIntersectionsPosition(s, e) AS mp, "
+            "intervalLengthSum(s, e) AS ls FROM (SELECT "
+            "CAST(NULL AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS e)"
+        )
+        assert r.rows[0][0] == 0
+        assert r.rows[0][1] is None
+        assert abs(r.rows[0][2]) < 1e-12
+
+    def test_delta_sum_timestamp(self, eng):
+        r = eng.execute(
+            "SELECT deltaSumTimestamp(v, t) AS d FROM (SELECT * FROM "
+            "VALUES (1, 1.0), (2, 3.0), (3, 2.0), (4, 5.0) AS t(t, v))"
+        )
+        # diffs in t order: +2, −1 (ignored), +3 → 5
+        assert abs(r.rows[0][0] - 5.0) < 1e-12
+        # grouped, NULLs skipped
+        r = eng.execute(
+            "SELECT g, deltaSumTimestamp(v, t) AS d FROM (SELECT * "
+            "FROM VALUES (0, 1, 10.0), (0, 2, 12.0), "
+            "(0, 3, CAST(NULL AS DOUBLE)), (0, 4, 11.0), "
+            "(1, 1, 5.0), (1, 2, 9.0) AS t(g, t, v)) "
+            "GROUP BY g ORDER BY g"
+        )
+        assert abs(r.rows[0][1] - 2.0) < 1e-12
+        assert abs(r.rows[1][1] - 4.0) < 1e-12
