@@ -2320,6 +2320,133 @@ def _delta_sum_timestamp_builder(a: list[str]) -> str:
     )
 
 
+def _hilbert_encode_builder(a: list[str]) -> str:
+    """hilbertEncode(x[, y]): 2-D Hilbert curve index — the published
+    xy2d bit-interleaving walk (rx/ry quadrant bits, quadrant
+    contribution s²·((3·rx)⊕ry), flip+swap rotation) as ONE fold
+    over the 31 bit levels. Coordinates are capped at 2³¹−1 so the
+    index (≤ 62 bits) stays inside the signed-64 lane — the CH doc
+    anchor hilbertEncode(3, 4) = 31 is reproduced exactly. The 1-D
+    form is the identity, as in CH."""
+    if len(a) == 1:
+        return f"CAST({a[0]} AS BIGINT)"
+    if len(a) != 2:
+        raise ValueError(
+            "hilbertEncode supports 1 or 2 coordinate arguments"
+        )
+    x, y = a
+    n1 = "2147483647"  # n−1 for n = 2^31
+    guard = (
+        f"IF(({x}) < 0 OR ({y}) < 0 OR ({x}) > {n1} OR ({y}) > {n1}, "
+        f"raise_error('hilbert encode supports coordinates in "
+        f"[0, 2147483647] — the 62-bit index fits the signed-64 "
+        f"lane'), CAST(0 AS BIGINT))"
+    )
+    s = "shiftleft(CAST(1 AS BIGINT), __k)"
+    rx = f"IF((__st.x & {s}) > 0, 1, 0)"
+    ry = f"IF((__st.y & {s}) > 0, 1, 0)"
+    flip = f"({rx} = 1)"
+    return (
+        f"aggregate(sequence(30, 0, -1), "
+        f"named_struct('x', CAST({x} AS BIGINT) + {guard}, "
+        f"'y', CAST({y} AS BIGINT), 'd', CAST(0 AS BIGINT)), "
+        f"(__st, __k) -> named_struct("
+        f"'x', IF({ry} = 0, IF({flip}, {n1} - __st.y, __st.y), "
+        f"__st.x), "
+        f"'y', IF({ry} = 0, IF({flip}, {n1} - __st.x, __st.x), "
+        f"__st.y), "
+        f"'d', __st.d + shiftleft(CAST(1 AS BIGINT), 2 * __k) * "
+        f"CAST((3 * {rx}) ^ {ry} AS BIGINT)), "
+        f"__st -> __st.d)"
+    )
+
+
+def _hilbert_decode_builder(a: list[str]) -> str:
+    """hilbertDecode(2, code): the published d2xy inverse walk as one
+    fold over the 31 bit levels (rotation with the CURRENT quadrant
+    size, then quadrant offsets). Returns [x, y] — the same array
+    convention as mortonDecode. The 1-D form is the identity."""
+    if len(a) == 2 and a[0].strip() == "1":
+        return f"array(CAST({a[1]} AS BIGINT))"
+    if len(a) != 2 or a[0].strip() != "2":
+        raise ValueError(
+            "hilbertDecode(dimensions, code) supports dimensions "
+            "1 or 2 with a literal dimension count"
+        )
+    code = a[1]
+    s = "shiftleft(CAST(1 AS BIGINT), __k)"
+    rx = "((__st.t div 2) & 1)"
+    ry = f"((__st.t ^ {rx}) & 1)"
+    fold = (
+        f"aggregate(sequence(0, 30), "
+        f"named_struct('x', CAST(0 AS BIGINT), 'y', CAST(0 AS "
+        f"BIGINT), 't', CAST({code} AS BIGINT)), "
+        f"(__st, __k) -> named_struct("
+        f"'x', IF({ry} = 0, IF({rx} = 1, {s} - 1 - __st.y, __st.y), "
+        f"__st.x) + {s} * {rx}, "
+        f"'y', IF({ry} = 0, IF({rx} = 1, {s} - 1 - __st.x, __st.x), "
+        f"__st.y) + {s} * {ry}, "
+        f"'t', __st.t div 4), "
+        f"__st -> __st)"
+    )
+    return f"array(({fold}).x, ({fold}).y)"
+
+
+def _polygon_fold_builder(kind: str):
+    """polygonAreaCartesian / polygonPerimeterCartesian over a CH
+    polygon — Array(ring), ring = Array((x, y)) with ring[1] the
+    outer boundary and later rings holes. Area = |shoelace(outer)|
+    − Σ |shoelace(hole)| (one fold per ring, folded over rings);
+    perimeter sums every ring's closed edge lengths (holes included,
+    boost::geometry's convention). Vertex fields are read as
+    col1/col2 — the default names Spark gives inline (x, y) tuple
+    literals, which is how CH polygons are spelled; a polygon column
+    with differently-named struct fields needs a rename upstream."""
+
+    def build(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ValueError(f"{kind}(polygon) takes one argument")
+        poly = a[0]
+        # Per-ring fold over vertex index i (1-based): pairs
+        # (v_i, v_{i+1 mod n}). Positional struct access via
+        # element_at on the ring's zipped selves is type-fragile;
+        # instead fold the INDEX sequence and read both vertices.
+        if kind == "polygonAreaCartesian":
+            ring_val = (
+                "abs(aggregate(sequence(1, size(__r)), "
+                "CAST(0 AS DOUBLE), (__a, __i) -> __a + "
+                "(CAST(element_at(__r, __i).col1 AS DOUBLE) * "
+                "element_at(__r, IF(__i = size(__r), 1, __i + 1)).col2"
+                " - CAST(element_at(__r, IF(__i = size(__r), 1, "
+                "__i + 1)).col1 AS DOUBLE) * element_at(__r, __i).col2"
+                "), __a -> __a / 2))"
+            )
+            combine = (
+                f"(__acc, __r) -> named_struct('v', __acc.v + "
+                f"IF(__acc.first, {ring_val}, -({ring_val})), "
+                f"'first', false)"
+            )
+            return (
+                f"aggregate({poly}, named_struct('v', CAST(0 AS "
+                f"DOUBLE), 'first', true), {combine}, __acc -> __acc.v)"
+            )
+        ring_val = (
+            "aggregate(sequence(1, size(__r)), CAST(0 AS DOUBLE), "
+            "(__a, __i) -> __a + sqrt("
+            "pow(CAST(element_at(__r, __i).col1 AS DOUBLE) - "
+            "element_at(__r, IF(__i = size(__r), 1, __i + 1)).col1, 2)"
+            " + pow(CAST(element_at(__r, __i).col2 AS DOUBLE) - "
+            "element_at(__r, IF(__i = size(__r), 1, __i + 1)).col2, 2)"
+            "))"
+        )
+        return (
+            f"aggregate({poly}, CAST(0 AS DOUBLE), "
+            f"(__acc, __r) -> __acc + {ring_val})"
+        )
+
+    return build
+
+
 def _map_agg_fold(a: list[str], merge: str) -> str:
     """sum/min/maxMap over a MAP column: fold the group's collected
     maps with map_zip_with (missing keys behave like CH: they take
@@ -4037,12 +4164,8 @@ _ARG_REWRITES.update({
     ),
     "queryID": lambda a: f"'{_current_query_id()}'",
     "initialQueryID": lambda a: f"'{_current_query_id()}'",
-    "hilbertEncode": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "hilbertEncode() needs the Hilbert-curve state machine; "
-            "mortonEncode() is the supported space-filling key"
-        )
-    ),
+    "hilbertEncode": lambda a: _hilbert_encode_builder(a),
+    "hilbertDecode": lambda a: _hilbert_decode_builder(a),
     "sqidEncode": lambda a: (_ for _ in ()).throw(
         ValueError("sqids need the sqids alphabet library")
     ),
@@ -5055,18 +5178,8 @@ _ARG_REWRITES.update({
             "(single-statement semantics only)"
         )
     ),
-    "polygonAreaCartesian": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "polygon geometry functions need a geometry library "
-            "that doesn't ship; pointInPolygon covers containment"
-        )
-    ),
-    "polygonPerimeterCartesian": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "polygon geometry functions need a geometry library "
-            "that doesn't ship; pointInPolygon covers containment"
-        )
-    ),
+    "polygonAreaCartesian": _polygon_fold_builder("polygonAreaCartesian"),
+    "polygonPerimeterCartesian": _polygon_fold_builder("polygonPerimeterCartesian"),
     "countResample": lambda a: (_ for _ in ()).throw(
         ValueError(
             "-Resample combinators: GROUP BY the bucket instead — "
@@ -5089,12 +5202,22 @@ _ARG_REWRITES.update({
     # greatest/least already skip NULLs (ragged positions).
     "maxForEach": lambda a: _foreach_fold(a[0], "(a, b) -> greatest(a, b)"),
     "minForEach": lambda a: _foreach_fold(a[0], "(a, b) -> least(a, b)"),
-    "avgForEach": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "avgForEach: divide sumForEach by the per-position "
-            "counts — posexplode the arrays and GROUP BY pos for "
-            "the general (ragged) case"
+    # avgForEach = element-wise sum / element-wise non-NULL count
+    # (ragged arrays: positions missing from a row neither add nor
+    # count, matching the sum/min/max -ForEach padding behavior).
+    "avgForEach": lambda a: (
+        f"zip_with("
+        + _foreach_fold(
+            f"transform({a[0]}, __v -> CAST(coalesce(__v, 0) AS DOUBLE))",
+            "(a, b) -> coalesce(a, CAST(0 AS DOUBLE)) + "
+            "coalesce(b, CAST(0 AS DOUBLE))",
         )
+        + ", "
+        + _foreach_fold(
+            f"transform({a[0]}, __v -> IF(__v IS NULL, 0, 1))",
+            "(a, b) -> coalesce(a, 0) + coalesce(b, 0)",
+        )
+        + ", (__s, __c) -> IF(__c = 0, CAST(NULL AS DOUBLE), __s / __c))"
     ),
     # Sub-second truncation: Spark timestamps are µs-precision, so
     # micro/nano truncation is the identity; milli truncates.

@@ -3451,7 +3451,7 @@ class TestRound5ProbeTranche5:
 
     def test_tranche5_refusals(self, eng):
         for expr, hint in [
-            ("hilbertEncode(1, 2)", "morton"),
+            # hilbertEncode graduated to the xy2d fold in round 7.
             ("sqidEncode(1, 2)", "sqids"),
         ]:
             with pytest.raises(ValueError, match=hint):
@@ -4199,8 +4199,9 @@ class TestRound5Tranche11:
             ("detectLanguage('x')", "language_id"),
             ("lemmatize('en', 'x')", "dictionaries"),
             ("seriesPeriodDetectFFT([1.0])", "FFT"),
+            # polygonAreaCartesian graduated to the shoelace fold
+            # in round 7 (TestRound7GeoHilbertTranche).
             ("getSetting('max_threads')", "system_settings"),
-            ("polygonAreaCartesian([[(0.,0.)]])", "pointInPolygon"),
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr} FROM values('a Int64', (1))")
@@ -4367,8 +4368,10 @@ class TestRound5Tranche13:
         assert eng.execute(
             "SELECT minForEach(arr) AS r FROM fe_ragged"
         ).rows == [[[1, 2, 9]]]
-        with pytest.raises(ValueError, match="posexplode"):
-            eng.execute("SELECT avgForEach(arr) FROM fe_even")
+        # avgForEach graduated in round 7: element-wise sum/count.
+        assert eng.execute(
+            "SELECT avgForEach(arr) AS r FROM fe_even"
+        ).rows == [[[5.5, 11.0]]]
 
     def test_simple_state_is_identity(self, eng):
         r = eng.execute(
@@ -5238,3 +5241,95 @@ class TestRound7ArrayIntervalTranche:
         )
         assert abs(r.rows[0][1] - 2.0) < 1e-12
         assert abs(r.rows[1][1] - 4.0) < 1e-12
+
+
+class TestRound7GeoHilbertTranche:
+    """Round-7 fourth tranche: hilbertEncode/hilbertDecode (published
+    xy2d/d2xy walks as bit-level folds), polygonAreaCartesian /
+    polygonPerimeterCartesian (shoelace + edge-length ring folds),
+    avgForEach."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_hilbert_anchors_and_roundtrip(self, eng):
+        # CH docs: hilbertEncode(3, 4) = 31; hilbertDecode(2, 31) =
+        # (3, 4); 1-D forms are the identity.
+        r = eng.execute(
+            "SELECT hilbertEncode(3, 4) AS h, hilbertEncode(5) AS i1, "
+            "hilbertDecode(2, 31) AS d, hilbertDecode(1, 9) AS d1, "
+            "hilbertEncode(0, 0) AS q0, hilbertEncode(1, 0) AS q3, "
+            "hilbertEncode(1, 1) AS q2, hilbertEncode(0, 1) AS q1"
+        )
+        assert r.rows[0] == [31, 5, [3, 4], [9], 0, 3, 2, 1]
+        # Round-trip across the supported 31-bit coordinate range.
+        r = eng.execute(
+            "SELECT hilbertDecode(2, hilbertEncode(123456789, "
+            "987654321)) AS a, hilbertDecode(2, hilbertEncode("
+            "2147483647, 2147483647)) AS b, "
+            "hilbertDecode(2, hilbertEncode(0, 2147483647)) AS c"
+        )
+        assert r.rows[0][0] == [123456789, 987654321]
+        assert r.rows[0][1] == [2147483647, 2147483647]
+        assert r.rows[0][2] == [0, 2147483647]
+        # Guard: coordinates beyond 2^31−1 raise with guidance.
+        with pytest.raises(Exception, match="2147483647"):
+            eng.execute("SELECT hilbertEncode(2147483648, 0) AS x")
+
+    def test_polygon_cartesian(self, eng):
+        r = eng.execute(
+            "SELECT polygonAreaCartesian([[(0., 0.), (0., 5.), "
+            "(5., 5.), (5., 0.)]]) AS a, "
+            "polygonPerimeterCartesian([[(0., 0.), (0., 5.), "
+            "(5., 5.), (5., 0.)]]) AS p"
+        )
+        assert abs(r.rows[0][0] - 25.0) < 1e-9
+        assert abs(r.rows[0][1] - 20.0) < 1e-9
+        # Holes subtract from area; their boundary adds to perimeter.
+        r = eng.execute(
+            "SELECT polygonAreaCartesian([[(0.,0.),(0.,10.),"
+            "(10.,10.),(10.,0.)],[(4.,4.),(4.,6.),(6.,6.),(6.,4.)]]) "
+            "AS a, polygonPerimeterCartesian([[(0.,0.),(0.,10.),"
+            "(10.,10.),(10.,0.)],[(4.,4.),(4.,6.),(6.,6.),(6.,4.)]]) "
+            "AS p"
+        )
+        assert abs(r.rows[0][0] - 96.0) < 1e-9
+        assert abs(r.rows[0][1] - 48.0) < 1e-9
+        # Winding-direction independent (shoelace is |abs|'d): a
+        # clockwise outer ring gives the same area.
+        r = eng.execute(
+            "SELECT polygonAreaCartesian([[(0., 0.), (5., 0.), "
+            "(5., 5.), (0., 5.)]]) AS a"
+        )
+        assert abs(r.rows[0][0] - 25.0) < 1e-9
+        # Triangle: non-axis-aligned anchor.
+        r = eng.execute(
+            "SELECT polygonAreaCartesian([[(0., 0.), (4., 0.), "
+            "(0., 3.)]]) AS a, polygonPerimeterCartesian([[(0., 0.), "
+            "(4., 0.), (0., 3.)]]) AS p"
+        )
+        assert abs(r.rows[0][0] - 6.0) < 1e-9
+        assert abs(r.rows[0][1] - 12.0) < 1e-9
+
+    def test_avg_foreach(self, eng):
+        r = eng.execute(
+            "SELECT avgForEach(arr) AS a FROM (SELECT * FROM VALUES "
+            "(array(1, 2)), (array(3, 4, 10)) AS t(arr))"
+        )
+        # ragged: position 3 averages over the single array having it
+        assert r.rows[0][0] == [2.0, 3.0, 10.0]
+        # NULL elements neither add nor count.
+        r = eng.execute(
+            "SELECT avgForEach(arr) AS a FROM (SELECT * FROM VALUES "
+            "(array(CAST(NULL AS INT), 2)), (array(4, 4)) AS t(arr))"
+        )
+        assert r.rows[0][0] == [4.0, 3.0]
+        # Empty group → empty array (same contract as sumForEach).
+        r = eng.execute(
+            "SELECT avgForEach(arr) AS a FROM (SELECT array(1) AS "
+            "arr) WHERE 1 = 0"
+        )
+        assert r.rows[0][0] == []
