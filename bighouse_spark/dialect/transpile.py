@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import math
 import os
 import re
 import threading
@@ -2320,6 +2321,91 @@ def _delta_sum_timestamp_builder(a: list[str]) -> str:
     )
 
 
+def _tuple_nvp_builder(a: list[str]) -> str:
+    """tupleToNameValuePairs(t): inline tuple → array of ('index',
+    value) pairs — CH names unnamed tuple fields by 1-based index.
+    Values must share a type (Spark arrays are homogeneous; CH's
+    mixed-type tuples have no Spark carrier)."""
+    if len(a) != 1:
+        raise ValueError(
+            "tupleToNameValuePairs(t) takes exactly one tuple"
+        )
+    fields = _struct_literal_fields(a[0])
+    if fields is None:
+        raise ValueError(
+            "tupleToNameValuePairs() expands only inline tuples — "
+            "spell the operand as tuple(a, b, ...)"
+        )
+    pairs = ", ".join(
+        f"struct('{i + 1}', {f})" for i, f in enumerate(fields)
+    )
+    return f"array({pairs})"
+
+
+def _resample_builder(agg: str):
+    """<agg>Resample(start, end, step)(x[, key]) → Array of per-bucket
+    aggregates over [start + i·step, start + (i+1)·step) ∩ [start,
+    end). With literal parameters the buckets expand to PLAIN
+    conditional aggregates (JVM-side, no collect, no fold — the plan
+    is an ordinary hash aggregate with nb extra columns); bucket
+    count is capped. Empty buckets: 0 for sum/count (CH's additive
+    default), NULL for min/max/avg (CH emits the type default there —
+    NULL is the honest Spark spelling, documented divergence)."""
+
+    def build(p: list[str], a: list[str]) -> str:
+        if len(p) != 3:
+            raise ValueError(
+                f"{agg}Resample(start, end, step)(...) takes exactly "
+                "three parameters"
+            )
+        try:
+            start, end, step = (float(v) for v in p)
+        except ValueError:
+            raise ValueError(
+                f"{agg}Resample parameters must be numeric literals"
+            ) from None
+        if step <= 0 or end <= start:
+            raise ValueError(
+                f"{agg}Resample: need step > 0 and end > start"
+            )
+        nb = int(math.ceil((end - start) / step))
+        if nb > 1024:
+            raise ValueError(
+                f"{agg}Resample: {nb} buckets exceed the expansion "
+                "cap (1024); GROUP BY floor((key - start) / step) "
+                "instead"
+            )
+        want = 1 if agg == "count" else 2
+        if len(a) != want:
+            raise ValueError(
+                f"{agg}Resample(start, end, step)"
+                + ("(key)" if want == 1 else "(x, key)")
+                + f" takes {want} argument(s)"
+            )
+        key = a[-1]
+        exprs = []
+        for i in range(nb):
+            lo = start + i * step
+            hi = min(lo + step, end)
+            cond = f"(({key}) >= {lo} AND ({key}) < {hi})"
+            if agg == "count":
+                exprs.append(
+                    f"coalesce(sum(CASE WHEN {cond} THEN 1 END), 0)"
+                )
+            elif agg == "sum":
+                exprs.append(
+                    f"coalesce(sum(CASE WHEN {cond} THEN {a[0]} END), "
+                    f"sum(({a[0]}) * 0))"
+                )
+            else:
+                exprs.append(
+                    f"{agg}(CASE WHEN {cond} THEN {a[0]} END)"
+                )
+        return f"array({', '.join(exprs)})"
+
+    return build
+
+
 def _hilbert_encode_builder(a: list[str]) -> str:
     """hilbertEncode(x[, y]): 2-D Hilbert curve index — the published
     xy2d bit-interleaving walk (rx/ry quadrant bits, quadrant
@@ -2454,14 +2540,22 @@ def _map_agg_fold(a: list[str], merge: str) -> str:
     result keys sorted like CH. Same group-state caveat as -ForEach
     (O(rows_in_group × map size) at the collect — posexplode +
     GROUP BY key for huge groups). The CH two-argument
-    ``sumMap(keys, vals)`` form returns a TUPLE of arrays; only the
-    Map form maps 1:1, so the array form is refused with guidance."""
+    ``sumMap(keys, vals)`` form returns a TUPLE of arrays: it folds
+    the same map built per-row with map_from_arrays and splits the
+    result back into (keys, values). Per-row duplicate keys raise
+    (Spark's map-key policy) — CH merges them; dedupe upstream."""
+    if len(a) == 2:
+        inner = _map_agg_fold(
+            [f"map_from_arrays({a[0]}, {a[1]})"], merge
+        )
+        return (
+            f"named_struct('keys', map_keys({inner}), "
+            f"'values', map_values({inner}))"
+        )
     if len(a) != 1:
         raise ValueError(
-            "sumMap/minMap/maxMap: the (keys, values) two-array form "
-            "returns a tuple of arrays in ClickHouse with no Spark "
-            "1:1; pass a Map column (map_from_arrays(keys, vals)) "
-            "and read map_keys()/map_values() of the result"
+            "sumMap/minMap/maxMap take a Map column or the "
+            "(keys, values) two-array form"
         )
     cl = f"collect_list({a[0]})"
     folded = (
@@ -3061,13 +3155,7 @@ _ARG_REWRITES.update({
     # CH monthName returns the FULL name ('March'); Spark's native
     # monthname() is the 3-letter abbreviation.
     "monthName": lambda a: f"date_format({a[0]}, 'MMMM')",
-    "tupleToNameValuePairs": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "tupleToNameValuePairs: tuple field names are "
-            "schema-level; use to_json(tuple) for a name→value "
-            "document or map_entries(map(...)) for explicit pairs"
-        )
-    ),
+    "tupleToNameValuePairs": lambda a: _tuple_nvp_builder(a),
     "JSONAllPaths": lambda a: (_ for _ in ()).throw(
         ValueError(
             "JSONAllPaths needs recursive path enumeration; use "
@@ -5120,10 +5208,18 @@ _ARG_REWRITES.update({
     "sumArgMax": lambda a: _sum_arg_builder("sumArgMax", "max", a),
     "tupleConcat": _tuple_arith_builder("tupleConcat"),
     "arrayReverseSplit": _array_split_builder(True),
-    "geohashesInBox": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "geohashesInBox() grid enumeration is not implemented; "
-            "geohashEncode covers point encoding"
+    # geohashesInBox: cell-grid enumeration in the shared geohash
+    # helper module (Arrow-batched; per-row cell cap with guidance).
+    "geohashesInBox": lambda a: (
+        f"bh_geohashes_in_box(CAST({a[0]} AS DOUBLE), "
+        f"CAST({a[1]} AS DOUBLE), CAST({a[2]} AS DOUBLE), "
+        f"CAST({a[3]} AS DOUBLE), CAST({a[4]} AS INT))"
+        if len(a) == 5
+        else (_ for _ in ()).throw(
+            ValueError(
+                "geohashesInBox(lon_min, lat_min, lon_max, lat_max, "
+                "precision) takes exactly five arguments"
+            )
         )
     ),
     "detectLanguage": lambda a: (_ for _ in ()).throw(
@@ -5182,8 +5278,7 @@ _ARG_REWRITES.update({
     "polygonPerimeterCartesian": _polygon_fold_builder("polygonPerimeterCartesian"),
     "countResample": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "-Resample combinators: GROUP BY the bucket instead — "
-            "floor((key - start) / step) — then aggregate per bucket"
+            "countResample needs its parameters: countResample(start, end, step)(...)"
         )
     ),
     "isNotDistinctFrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
@@ -5290,8 +5385,7 @@ _ARG_REWRITES.update({
     ),
     "sumResample": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "-Resample combinators: GROUP BY the bucket instead — "
-            "floor((key - start) / step) — then aggregate per bucket"
+            "sumResample needs its parameters: sumResample(start, end, step)(...)"
         )
     ),
 })
@@ -6178,6 +6272,13 @@ def _rewrite_parametric(sql: str) -> str:
         ("largestTriangleThreeBuckets", _lttb_builder),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
+        # -Resample combinators: literal buckets expand to plain
+        # conditional aggregates (see _resample_builder).
+        ("countResample", _resample_builder("count")),
+        ("sumResample", _resample_builder("sum")),
+        ("avgResample", _resample_builder("avg")),
+        ("minResample", _resample_builder("min")),
+        ("maxResample", _resample_builder("max")),
         ("sumMapFiltered", lambda p, a: _map_agg_fold(
             [
                 f"map_filter({a[0]}, (__k, __v) -> "

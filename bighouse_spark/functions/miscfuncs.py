@@ -15,6 +15,7 @@ import math
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     StringType,
@@ -491,6 +492,71 @@ def bh_norm_ppf(p: pd.Series) -> pd.Series:
     return p.map(_null_safe(_norm_ppf))
 
 
+_GEOHASH_BOX_CAP = 200_000
+
+
+def _geohashes_in_box(
+    lon_min, lat_min, lon_max, lat_max, precision
+) -> list[str] | None:
+    """Enumerate the precision-p geohash cells intersecting the box
+    (CH geohashesInBox): the grid pitch at precision p is
+    360/2^ceil(5p/2) × 180/2^floor(5p/2); cells are emitted from
+    their centers via the shared encoder. Boundary-touching cells are
+    included (CH's contract); an empty/inverted box → []. The cell
+    count is capped so one row can't materialize millions of strings
+    — raise with guidance instead."""
+    if any(
+        v is None
+        for v in (lon_min, lat_min, lon_max, lat_max, precision)
+    ):
+        return None
+    p = max(1, min(12, int(precision)))
+    if lon_max < lon_min or lat_max < lat_min:
+        return []
+    lon_bits = (5 * p + 1) // 2
+    lat_bits = (5 * p) // 2
+    dlon = 360.0 / (1 << lon_bits)
+    dlat = 180.0 / (1 << lat_bits)
+    i0 = int(math.floor((max(lon_min, -180.0) + 180.0) / dlon))
+    i1 = int(math.floor((min(lon_max, 180.0) + 180.0) / dlon))
+    j0 = int(math.floor((max(lat_min, -90.0) + 90.0) / dlat))
+    j1 = int(math.floor((min(lat_max, 90.0) + 90.0) / dlat))
+    i1 = min(i1, (1 << lon_bits) - 1)
+    j1 = min(j1, (1 << lat_bits) - 1)
+    count = max(0, i1 - i0 + 1) * max(0, j1 - j0 + 1)
+    if count > _GEOHASH_BOX_CAP:
+        raise ValueError(
+            f"geohashesInBox: {count} cells exceed the per-row cap "
+            f"({_GEOHASH_BOX_CAP}); lower the precision or shrink "
+            "the box"
+        )
+    out = []
+    for j in range(j0, j1 + 1):
+        lat_c = -90.0 + (j + 0.5) * dlat
+        for i in range(i0, i1 + 1):
+            lon_c = -180.0 + (i + 0.5) * dlon
+            out.append(_geohash_encode(lon_c, lat_c, p))
+    return out
+
+
+@pandas_udf(ArrayType(StringType()))
+def bh_geohashes_in_box(
+    lon_min: pd.Series,
+    lat_min: pd.Series,
+    lon_max: pd.Series,
+    lat_max: pd.Series,
+    precision: pd.Series,
+) -> pd.Series:
+    return pd.Series(
+        [
+            _geohashes_in_box(a, b, c, d, p)
+            for a, b, c, d, p in zip(
+                lon_min, lat_min, lon_max, lat_max, precision
+            )
+        ]
+    )
+
+
 @pandas_udf(_DOUBLE)
 def bh_spearman(x: pd.Series, y: pd.Series) -> float:
     """GROUPED-AGG UDF (Series → scalar): rankCorr — Spearman's ρ
@@ -571,6 +637,7 @@ ALL = {
     "bh_t_pvalue2": bh_t_pvalue2,
     "bh_f_pvalue": bh_f_pvalue,
     "bh_norm_ppf": bh_norm_ppf,
+    "bh_geohashes_in_box": bh_geohashes_in_box,
 }
 
 

@@ -2002,10 +2002,10 @@ class TestMomentAndWeightedAggregates:
         "sql,hint",
         [
             # sumMap over a Map column is IMPLEMENTED since round 6
-            # (TestMapAggregates); only the two-array form refuses.
+            # (TestMapAggregates).
             # maxIntersections / intervalLengthSum graduated to sweep
-            # folds in round 7 (TestRound7ArrayIntervalTranche).
-            ("SELECT sumMap([1], [2])", "map_from_arrays"),
+            # folds in round 7; the sumMap two-array form graduated
+            # to the map fold + key/value split (TestRound7MapResample).
             ("SELECT groupArrayMovingSum(2)(x) FROM numbers(3)",
              "OVER"),
         ],
@@ -2327,9 +2327,8 @@ class TestRound5ProbeTranche2:
         for expr, hint in [
             # max/minMap over Map columns implemented in round 6;
             # the two-array tuple form still refuses.
-            # arraySplit graduated to the bounds-slice expansion in
-            # round 7 (TestRound7ArrayIntervalTranche).
-            ("maxMap([1], [2])", "map_from_arrays"),
+            # arraySplit (bounds-slice expansion) and the maxMap
+            # two-array form graduated in round 7.
             ("stem('en', 'running')", "dictionary"),
             ("formatRow('CSV', 1)", "FORMAT"),
             ("wordShingleMinHash('x')", "dedup"),
@@ -4194,7 +4193,10 @@ class TestRound5Tranche11:
         for expr, hint in [
             ("sumArgMin(a)", "two arguments"),
             ("sumArgMax(a, a, a)", "two arguments"),
-            ("countResample(0,10,5)(a)", "bucket"),
+            # countResample graduated to conditional-aggregate bucket
+            # expansion (TestRound7MapResample); the bare un-
+            # parameterized spelling still guides.
+            ("countResample(a)", "parameters"),
             ("defaultValueOfArgumentType(a)", "defaultValueOfTypeName"),
             ("detectLanguage('x')", "language_id"),
             ("lemmatize('en', 'x')", "dictionaries"),
@@ -4718,9 +4720,13 @@ class TestRound6ProbeTranche:
         r = eng.execute("SELECT monthName(toDate('2024-03-15')) AS m")
         assert r.rows == [["March"]]
 
-    def test_tuple_name_value_pairs_guided(self, eng):
-        with pytest.raises(ValueError, match="to_json"):
-            eng.execute("SELECT tupleToNameValuePairs(tuple(1,2))")
+    def test_tuple_name_value_pairs(self, eng):
+        # Graduated later in round 7: inline tuples expand to
+        # ('index', value) pairs.
+        r = eng.execute(
+            "SELECT tupleToNameValuePairs(tuple(1,2)) AS p"
+        )
+        assert [list(x) for x in r.rows[0][0]] == [["1", 1], ["2", 2]]
 
 
 class TestTupleOpsAndRemote:
@@ -4868,9 +4874,11 @@ class TestMapAggregates:
         )
         assert r2.rows == [[{}]]
 
-    def test_two_array_form_guided(self, eng):
-        with pytest.raises(ValueError, match="map_from_arrays"):
-            eng.execute("SELECT sumMap([1,2],[10,20])")
+    def test_two_array_form(self, eng):
+        # Graduated later in round 7: the (keys, values) form folds
+        # the per-row map and splits back into a tuple of arrays.
+        r = eng.execute("SELECT sumMap([1,2],[10,20]) AS s")
+        assert list(r.rows[0][0]) == [[1, 2], [10, 20]]
 
 
 class TestSumMapFiltered:
@@ -5333,3 +5341,98 @@ class TestRound7GeoHilbertTranche:
             "arr) WHERE 1 = 0"
         )
         assert r.rows[0][0] == []
+
+
+class TestRound7MapResample:
+    """Round-7 fifth tranche: two-array sum/min/maxMap forms,
+    tupleToNameValuePairs, the -Resample combinators, and
+    geohashesInBox."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_two_array_map_forms(self, eng):
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __mr7 AS SELECT * FROM VALUES "
+            "(array(1, 2), array(10, 20)), "
+            "(array(2, 3), array(5, 7)) AS t(k, v)"
+        )
+        r = eng.execute(
+            "SELECT sumMap(k, v) AS s, minMap(k, v) AS lo, "
+            "maxMap(k, v) AS hi FROM __mr7"
+        )
+        s, lo, hi = r.rows[0]
+        assert list(s) == [[1, 2, 3], [10, 25, 7]]
+        assert list(lo) == [[1, 2, 3], [10, 5, 7]]
+        assert list(hi) == [[1, 2, 3], [10, 20, 7]]
+
+    def test_tuple_to_name_value_pairs(self, eng):
+        r = eng.execute(
+            "SELECT tupleToNameValuePairs(tuple(10, 20, 30)) AS p"
+        )
+        assert [list(x) for x in r.rows[0][0]] == [
+            ["1", 10], ["2", 20], ["3", 30]
+        ]
+        with pytest.raises(ValueError, match="inline"):
+            eng.execute(
+                "SELECT tupleToNameValuePairs(t) FROM "
+                "(SELECT tuple(1) AS t)"
+            )
+
+    def test_resample_combinators(self, eng):
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __rs7 AS SELECT * FROM VALUES "
+            "(5, CAST(1 AS DOUBLE)), (15, 2.0), (17, 4.0), "
+            "(29, 8.0), (35, 99.0) AS t(k, v)"
+        )
+        r = eng.execute(
+            "SELECT sumResample(0, 30, 10)(v, k) AS s, "
+            "countResample(0, 30, 10)(k) AS c, "
+            "avgResample(0, 30, 10)(v, k) AS a, "
+            "minResample(0, 30, 10)(v, k) AS lo, "
+            "maxResample(0, 30, 10)(v, k) AS hi FROM __rs7"
+        )
+        s, c, a, lo, hi = r.rows[0]
+        assert [float(x) for x in s] == [1.0, 6.0, 8.0]  # 35 excluded
+        assert c == [1, 2, 1]
+        assert [float(x) for x in a] == [1.0, 3.0, 8.0]
+        assert [float(x) for x in lo] == [1.0, 2.0, 8.0]
+        assert [float(x) for x in hi] == [1.0, 4.0, 8.0]
+        # Partial last bucket: [0,25) step 10 → [20,25) cuts at end.
+        r = eng.execute(
+            "SELECT countResample(0, 25, 10)(k) AS c FROM (SELECT * "
+            "FROM VALUES (24), (26) AS t(k))"
+        )
+        assert r.rows[0][0] == [0, 0, 1]
+        # Guards: bucket cap and non-literal parameters.
+        with pytest.raises(ValueError, match="cap"):
+            eng.execute(
+                "SELECT sumResample(0, 1000000, 1)(v, k) FROM __rs7"
+            )
+        with pytest.raises(ValueError, match="numeric literals"):
+            eng.execute(
+                "SELECT sumResample(k, 10, 1)(v, k) FROM __rs7"
+            )
+
+    def test_geohashes_in_box(self, eng):
+        r = eng.execute(
+            "SELECT geohashesInBox(-1.0, -1.0, 1.0, 1.0, 2) AS four, "
+            "geohashesInBox(0.0, 0.0, 0.0, 0.0, 6) AS pt, "
+            "geohashesInBox(1.0, 1.0, -1.0, -1.0, 3) AS inverted"
+        )
+        four, pt, inverted = r.rows[0]
+        assert len(four) == 4 and len(set(four)) == 4
+        assert all(len(h) == 2 for h in four)
+        assert inverted == []
+        # The cell containing a point inside the box IS in the set.
+        r2 = eng.execute("SELECT geohashEncode(0.001, 0.001, 6) AS h")
+        assert r2.rows[0][0] in pt
+        # Oversize → guided error, not an OOM.
+        with pytest.raises(Exception, match="cap"):
+            eng.execute(
+                "SELECT geohashesInBox(-180.0, -90.0, 180.0, 90.0, "
+                "12) AS g"
+            )
