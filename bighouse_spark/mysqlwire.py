@@ -31,6 +31,9 @@ DOUBLE, DATE, DATETIME, VAR_STRING) so clients coerce correctly.
 
 from __future__ import annotations
 
+import hashlib
+import hmac
+import os
 import socketserver
 import struct
 import threading
@@ -47,6 +50,7 @@ from bighouse_spark.session_settings import (
 from bighouse_spark.formats import ch_base_type
 
 _CLIENT_PROTOCOL_41 = 0x0200
+_CLIENT_SECURE_CONNECTION = 0x8000
 _CLIENT_PLUGIN_AUTH = 0x80000
 
 _TYPE_TINY = 0x01
@@ -385,7 +389,10 @@ class _Handler(socketserver.BaseRequestHandler):
         self._settings: dict[str, str] = {}
         try:
             self._handshake(conn)
-            if conn.recv() is None:  # HandshakeResponse41 — trust all
+            resp = conn.recv()  # HandshakeResponse41
+            if resp is None:
+                return
+            if not self._authenticate(conn, resp):
                 return
             self._send_ok(conn)
             while True:
@@ -417,22 +424,84 @@ class _Handler(socketserver.BaseRequestHandler):
             pass
 
     def _handshake(self, conn: _Conn) -> None:
-        caps = _CLIENT_PROTOCOL_41 | _CLIENT_PLUGIN_AUTH
+        caps = (
+            _CLIENT_PROTOCOL_41 | _CLIENT_PLUGIN_AUTH
+            | _CLIENT_SECURE_CONNECTION
+        )
+        # Per-connection 20-byte scramble nonce, NUL-free (the parts
+        # are NUL-terminated on the wire; a 0x00 inside would
+        # truncate naive clients).
+        self._nonce = bytes((b % 255) + 1 for b in os.urandom(20))
         payload = (
             bytes([10])
             + b"8.0.0-BigHouseSpark\x00"
             + struct.pack("<I", threading.get_ident() & 0x7FFFFFFF)
-            + b"12345678\x00"  # auth-plugin-data part 1 + filler
+            + self._nonce[:8] + b"\x00"  # auth-data part 1 + filler
             + struct.pack("<H", caps & 0xFFFF)
             + bytes([0x21])  # charset utf8_general_ci
             + struct.pack("<H", 0x0002)  # status: autocommit
             + struct.pack("<H", (caps >> 16) & 0xFFFF)
             + bytes([21])  # auth data total length
             + b"\x00" * 10
-            + b"901234567890\x00"  # part 2 (13 bytes incl NUL)
+            + self._nonce[8:20] + b"\x00"  # part 2 (13 B incl NUL)
             + b"mysql_native_password\x00"
         )
         conn.send(payload)
+
+    # -- authentication ---------------------------------------------
+    #
+    # Optional: MySQLWireServer(auth=(user, password)) verifies the
+    # mysql_native_password scramble — SHA1(pw) XOR SHA1(nonce +
+    # SHA1(SHA1(pw))) — against the per-connection nonce. Default
+    # (None) stays trust. The scramble check here and the client's
+    # scramble construction in sources/dbclients.py are independent
+    # implementations of the two protocol sides.
+
+    def _authenticate(self, conn: _Conn, resp: bytes) -> bool:
+        auth = getattr(self.server, "auth", None)
+        if auth is None:
+            return True
+        want_user, want_pw = auth
+        try:
+            caps = struct.unpack_from("<I", resp, 0)[0]
+            off = 4 + 4 + 1 + 23
+            end = resp.index(b"\x00", off)
+            user = resp[off:end].decode(errors="replace")
+            off = end + 1
+            if caps & 0x00200000:  # PLUGIN_AUTH_LENENC_CLIENT_DATA
+                n, off = _read_lenenc(resp, off)
+                token = resp[off:off + n]
+            elif caps & _CLIENT_SECURE_CONNECTION:
+                n = resp[off]
+                off += 1
+                token = resp[off:off + n]
+            else:  # legacy NUL-terminated
+                end = resp.find(b"\x00", off)
+                token = resp[off:end if end >= 0 else len(resp)]
+        except (IndexError, ValueError, struct.error):
+            self._send_err(conn, 1045, "malformed handshake response")
+            return False
+        if want_pw == "":
+            expect = b""
+        else:
+            pw_sha = hashlib.sha1(want_pw.encode()).digest()
+            expect = bytes(
+                a ^ b
+                for a, b in zip(
+                    pw_sha,
+                    hashlib.sha1(
+                        self._nonce + hashlib.sha1(pw_sha).digest()
+                    ).digest(),
+                )
+            )
+        if user != want_user or not hmac.compare_digest(token, expect):
+            self._send_err(
+                conn, 1045,
+                f"Access denied for user '{user}' (using password: "
+                + ("YES" if token else "NO") + ")",
+            )
+            return False
+        return True
 
     def _query(self, conn: _Conn, sql: str) -> None:
         sql = sql.strip().rstrip(";")
@@ -626,8 +695,12 @@ class MySQLWireServer:
         engine: BigHouseEngine | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth: tuple[str, str] | None = None,
     ) -> None:
+        """``auth``: optional ``(user, password)`` verified with the
+        mysql_native_password scramble; None = trust."""
         self.engine = engine or BigHouseEngine()
+        self.auth = auth
 
         outer = self
 
@@ -635,6 +708,7 @@ class MySQLWireServer:
             allow_reuse_address = True
             daemon_threads = True
             engine = outer.engine
+            auth = outer.auth
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

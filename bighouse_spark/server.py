@@ -697,6 +697,11 @@ def main() -> None:  # pragma: no cover - manual entry point
         help="require authentication on the PG wire endpoint; MODE is "
         "password, md5 or scram-sha-256 (default: trust)",
     )
+    ap.add_argument(
+        "--mysql-auth", default=None, metavar="USER:PASSWORD",
+        help="require mysql_native_password authentication on the "
+        "MySQL wire endpoint (default: trust)",
+    )
     args = ap.parse_args()
     pg_auth: tuple[str, str, str] | None = None
     if args.pg_auth is not None:
@@ -704,11 +709,19 @@ def main() -> None:  # pragma: no cover - manual entry point
         if len(parts) != 3:
             ap.error("--pg-auth must be MODE:USER:PASSWORD")
         pg_auth = (parts[0], parts[1], parts[2])
+    my_auth: tuple[str, str] | None = None
+    if args.mysql_auth is not None:
+        parts = args.mysql_auth.split(":", 1)
+        if len(parts) != 2:
+            ap.error("--mysql-auth must be USER:PASSWORD")
+        my_auth = (parts[0], parts[1])
     engine = BigHouseEngine()
     server = make_server(engine=engine, host=args.host, port=args.port)
     non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
     if non_loopback and ((args.pg_port is not None and pg_auth is None)
-                         or args.mysql_port or args.ch_port):
+                         or (args.mysql_port is not None
+                             and my_auth is None)
+                         or args.ch_port):
         import sys
 
         print(
@@ -732,7 +745,8 @@ def main() -> None:  # pragma: no cover - manual entry point
         from bighouse_spark.mysqlwire import MySQLWireServer
 
         my = MySQLWireServer(
-            engine=engine, host=args.host, port=args.mysql_port
+            engine=engine, host=args.host, port=args.mysql_port,
+            auth=my_auth,
         )
         my.start()
         print(f"mysql wire protocol on {my.host}:{my.port}")

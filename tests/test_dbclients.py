@@ -259,3 +259,76 @@ class TestPGAuth:
                 )
         finally:
             srv.close()
+
+
+class TestMySQLAuth:
+    """mysql_native_password verification: the server-side scramble
+    check (mysqlwire) and the client-side scramble construction
+    (dbclients) are independent implementations — a green loopback
+    round-trip cross-checks both. Trust stays the default."""
+
+    @pytest.fixture(scope="class")
+    def authed(self, eng):
+        srv = MySQLWireServer(
+            engine=eng, auth=("u", "sekrit")
+        ).start()
+        yield srv
+        srv.shutdown()
+
+    def _fetch(self, srv, user="u", pw="sekrit"):
+        from bighouse_spark.sources.dbclients import mysql_fetch
+
+        return mysql_fetch(
+            "127.0.0.1", srv.port, "default", user, pw,
+            "SELECT id FROM dbc_src ORDER BY id",
+        )
+
+    def test_roundtrip(self, authed):
+        names, kinds, rows = self._fetch(authed)
+        assert [r[0] for r in rows] == [1, 2, 3]
+
+    def test_wrong_password_rejected(self, authed):
+        with pytest.raises(ValueError, match="Access denied"):
+            self._fetch(authed, pw="wrong")
+
+    def test_wrong_user_rejected(self, authed):
+        with pytest.raises(ValueError, match="Access denied"):
+            self._fetch(authed, user="mallory")
+
+    def test_empty_password_mode(self, eng):
+        srv = MySQLWireServer(engine=eng, auth=("u", "")).start()
+        try:
+            names, kinds, rows = self._fetch(srv, pw="")
+            assert len(rows) == 3
+            with pytest.raises(ValueError, match="Access denied"):
+                self._fetch(srv, pw="nonempty")
+        finally:
+            srv.shutdown()
+
+    def test_table_function_through_auth(self, eng, authed):
+        r = eng.execute(
+            f"SELECT count() AS n FROM mysql("
+            f"'127.0.0.1:{authed.port}', 'default', 'dbc_src', "
+            f"'u', 'sekrit')"
+        )
+        assert r.rows == [[3]]
+
+    def test_nonce_varies_per_connection(self, authed):
+        import socket
+        import struct as st
+
+        def read_nonce():
+            s = socket.create_connection(("127.0.0.1", authed.port))
+            try:
+                head = s.recv(4)
+                ln = head[0] | (head[1] << 8) | (head[2] << 16)
+                pkt = b""
+                while len(pkt) < ln:
+                    pkt += s.recv(ln - len(pkt))
+                off = pkt.index(b"\x00", 1) + 1 + 4
+                part1 = pkt[off:off + 8]
+                return part1
+            finally:
+                s.close()
+
+        assert read_nonce() != read_nonce()
