@@ -266,9 +266,13 @@ def _read_block(src: _Source) -> tuple[list[str], list[str], list[list]]:
 class _Conn:
     """One client connection's protocol state machine."""
 
-    def __init__(self, sock, engine: BigHouseEngine) -> None:
+    def __init__(
+        self, sock, engine: BigHouseEngine,
+        auth: tuple[str, str] | None = None,
+    ) -> None:
         self.wire = _Wire(sock)
         self.engine = engine
+        self.auth = auth
         self.client_revision = 0
         self.revision = 0  # negotiated
         self.settings: dict[str, str] = {}  # SET persists per conn
@@ -349,8 +353,27 @@ class _Conn:
         self.wire.read_varint()  # version minor
         self.client_revision = self.wire.read_varint()
         self.wire.read_str()  # database (single-catalog engine)
-        self.wire.read_str()  # user — trust auth, same as PG/MySQL
-        self.wire.read_str()  # password
+        # CH's native protocol carries cleartext credentials in the
+        # Hello packet; with auth configured they are verified here
+        # (constant-time), else trust — same default as PG/MySQL.
+        user = self.wire.read_str()
+        password = self.wire.read_str()
+        if self.auth is not None:
+            import hmac as _hmac
+
+            want_user, want_pw = self.auth
+            if not (
+                _hmac.compare_digest(user.encode(), want_user.encode())
+                and _hmac.compare_digest(
+                    password.encode(), want_pw.encode()
+                )
+            ):
+                self.send_exception(
+                    f"{user}: Authentication failed: password is "
+                    "incorrect, or there is no user with such name",
+                    code=516,
+                )
+                return False
         self.revision = min(self.client_revision, SERVER_REVISION)
         if self.revision < REV_SETTINGS_AS_STRINGS:
             self.send_exception(
@@ -674,7 +697,10 @@ class _Conn:
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         try:
-            _Conn(self.request, self.server.engine).run()
+            _Conn(
+                self.request, self.server.engine,
+                auth=getattr(self.server, "auth", None),
+            ).run()
         except (ConnectionError, BrokenPipeError, OSError,
                 ProtocolError):
             pass
@@ -690,14 +716,19 @@ class CHWireServer:
         engine: BigHouseEngine | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth: tuple[str, str] | None = None,
     ) -> None:
+        """``auth``: optional ``(user, password)`` checked against
+        the Hello packet's cleartext credentials; None = trust."""
         self.engine = engine or BigHouseEngine()
+        self.auth = auth
         outer = self
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
             engine = outer.engine
+            auth = outer.auth
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

@@ -26,7 +26,9 @@ interleaves concurrent jobs on its own.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac
 import json
 import re
 import threading
@@ -349,6 +351,7 @@ class _HTTPStreamSink:
 class _Handler(BaseHTTPRequestHandler):
     engine: BigHouseEngine  # set by make_server
     sessions: SessionStore  # set by make_server
+    auth: tuple[str, str] | None = None  # set by make_server
     # Chunked transfer-encoding (the streamed-result path) needs 1.1;
     # every non-streamed response carries Content-Length, so
     # keep-alive stays correct.
@@ -365,14 +368,68 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # -- authentication ---------------------------------------------
+    # Optional (None = trust): the CH HTTP credential surfaces —
+    # ?user=&password= URL params, X-ClickHouse-User/-Key headers, or
+    # HTTP Basic auth — checked constant-time; failures answer 403
+    # with CH's code 516, matching what clickhouse-connect expects.
+    # /ping and /hc stay open (CH's /ping is unauthenticated).
+
+    def _check_auth(self, parsed) -> bool:
+        auth = getattr(self, "auth", None)
+        if auth is None:
+            return True
+        want_user, want_pw = auth
+        params = urllib.parse.parse_qs(parsed.query)
+        user = (params.get("user") or [None])[0]
+        pw = (params.get("password") or [None])[0]
+        if user is None and pw is None:
+            hu = self.headers.get("X-ClickHouse-User")
+            hk = self.headers.get("X-ClickHouse-Key")
+            if hu is not None or hk is not None:
+                user, pw = hu, hk
+            else:
+                h = self.headers.get("Authorization", "")
+                if h.startswith("Basic "):
+                    try:
+                        dec = base64.b64decode(h[6:]).decode()
+                        user, _, pw = dec.partition(":")
+                    except Exception:
+                        pass
+        if hmac.compare_digest(
+            (user or "").encode(), want_user.encode()
+        ) and hmac.compare_digest((pw or "").encode(), want_pw.encode()):
+            return True
+        self._send_text(
+            403,
+            (
+                f"Code: 516. DB::Exception: {user or 'default'}: "
+                "Authentication failed: password is incorrect, or "
+                "there is no user with such name.\n"
+            ).encode(),
+            "text/plain; charset=UTF-8",
+            extra={"X-ClickHouse-Exception-Code": "516"},
+        )
+        return False
+
     def do_GET(self) -> None:
         parsed = urllib.parse.urlsplit(self.path)
         if parsed.path == "/hc":
             ok = self.engine.health_check()
             self._send(200 if ok else 500, {"ok": ok})
         elif parsed.path == "/query_log":
+            if not self._check_auth(parsed):
+                return
             self._send(200, [asdict(e) for e in self.engine.query_log])
-        elif parsed.path in ("/", "/ping"):
+        elif parsed.path == "/ping":
+            self._ch_http(parsed, body=b"")
+        elif parsed.path == "/":
+            # the bare ping (no query) stays open, like CH's /ping
+            has_query = bool(
+                urllib.parse.parse_qs(parsed.query).get("query")
+            )
+            if has_query and not self._check_auth(parsed):
+                return
             self._ch_http(parsed, body=b"")
         else:
             self._send(404, {"error": f"no route {self.path}"})
@@ -607,6 +664,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:
         parsed = urllib.parse.urlsplit(self.path)
+        if not self._check_auth(parsed):
+            return
         if parsed.path == "/":
             length = int(self.headers.get("Content-Length", "0"))
             body = self.rfile.read(length)
@@ -649,14 +708,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    engine: BigHouseEngine | None = None, host: str = "127.0.0.1", port: int = 0
+    engine: BigHouseEngine | None = None, host: str = "127.0.0.1",
+    port: int = 0, auth: tuple[str, str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server; ``port=0`` picks a free port.
-    Caller runs ``serve_forever`` (or ``start_in_background``)."""
+    Caller runs ``serve_forever`` (or ``start_in_background``).
+    ``auth``: optional (user, password) for the CH HTTP credential
+    surfaces; None = trust."""
     engine = engine or BigHouseEngine()
     handler = type(
         "BoundHandler", (_Handler,),
-        {"engine": engine, "sessions": SessionStore()},
+        {"engine": engine, "sessions": SessionStore(), "auth": auth},
     )
     return ThreadingHTTPServer((host, port), handler)
 
@@ -702,6 +764,17 @@ def main() -> None:  # pragma: no cover - manual entry point
         help="require mysql_native_password authentication on the "
         "MySQL wire endpoint (default: trust)",
     )
+    ap.add_argument(
+        "--http-auth", default=None, metavar="USER:PASSWORD",
+        help="require credentials on the HTTP endpoint (URL params, "
+        "X-ClickHouse-User/-Key headers, or Basic auth; /ping and "
+        "/hc stay open; default: trust)",
+    )
+    ap.add_argument(
+        "--ch-auth", default=None, metavar="USER:PASSWORD",
+        help="require credentials in the native-protocol Hello "
+        "packet (default: trust)",
+    )
     args = ap.parse_args()
     pg_auth: tuple[str, str, str] | None = None
     if args.pg_auth is not None:
@@ -715,21 +788,38 @@ def main() -> None:  # pragma: no cover - manual entry point
         if len(parts) != 2:
             ap.error("--mysql-auth must be USER:PASSWORD")
         my_auth = (parts[0], parts[1])
+
+    def _user_pw(flag: str, value: str | None) -> tuple[str, str] | None:
+        if value is None:
+            return None
+        parts = value.split(":", 1)
+        if len(parts) != 2:
+            ap.error(f"{flag} must be USER:PASSWORD")
+        return (parts[0], parts[1])
+
+    http_auth = _user_pw("--http-auth", args.http_auth)
+    ch_auth = _user_pw("--ch-auth", args.ch_auth)
     engine = BigHouseEngine()
-    server = make_server(engine=engine, host=args.host, port=args.port)
+    server = make_server(
+        engine=engine, host=args.host, port=args.port, auth=http_auth
+    )
     non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
     if non_loopback and ((args.pg_port is not None and pg_auth is None)
                          or (args.mysql_port is not None
                              and my_auth is None)
-                         or args.ch_port):
+                         or (args.ch_port is not None
+                             and ch_auth is None)
+                         or http_auth is None):
         import sys
 
         print(
-            "WARNING: the PG/MySQL wire endpoints accept ANY credentials "
-            "(trust auth) and expose full SQL including file() reads of "
-            f"the local filesystem; binding them to {args.host!r} makes "
-            "that reachable off-host. Put them behind a loopback bind or "
-            "a network boundary you control.",
+            "WARNING: one or more endpoints (HTTP/PG/MySQL/native) "
+            "have no authentication configured (trust) and expose "
+            "full SQL including file() reads of the local "
+            f"filesystem; binding them to {args.host!r} makes that "
+            "reachable off-host. Configure --http-auth/--pg-auth/"
+            "--mysql-auth/--ch-auth, or keep a loopback bind / a "
+            "network boundary you control.",
             file=sys.stderr,
         )
     if args.pg_port is not None:
@@ -754,7 +844,8 @@ def main() -> None:  # pragma: no cover - manual entry point
         from bighouse_spark.chwire import CHWireServer
 
         ch = CHWireServer(
-            engine=engine, host=args.host, port=args.ch_port
+            engine=engine, host=args.host, port=args.ch_port,
+            auth=ch_auth,
         )
         ch.start()
         print(f"clickhouse native protocol on {ch.host}:{ch.port}")

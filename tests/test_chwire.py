@@ -102,14 +102,15 @@ class CHClient:
     """Raw-socket native-protocol client, revision 54470."""
 
     def __init__(self, host: str, port: int, compressed: bool = False,
-                 revision: int = 54470):
+                 revision: int = 54470, user: str = "tester",
+                 password: str = "pw"):
         self.sock = socket.create_connection((host, port), timeout=60)
         self.buf = b""
         self.pos = 0
         self.compressed = compressed
         self.sock.sendall(
             _leb(0) + _s("test-raw-client") + _leb(23) + _leb(8)
-            + _leb(revision) + _s("default") + _s("tester") + _s("pw")
+            + _leb(revision) + _s("default") + _s(user) + _s(password)
         )
 
     def read_hello(self):
