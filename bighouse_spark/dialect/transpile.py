@@ -5222,13 +5222,7 @@ _ARG_REWRITES.update({
             )
         )
     ),
-    "detectLanguage": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "detectLanguage() models don't ship with the engine; the "
-            "text_language_id operator (functions/text.py "
-            "language_id) provides stopword-marker language ID"
-        )
-    ),
+    "detectLanguage": lambda a: f"bh_detect_language(CAST({a[0]} AS STRING))",
     "detectCharset": lambda a: (_ for _ in ()).throw(
         ValueError(
             "detectCharset() models don't ship with the engine; "
@@ -5259,8 +5253,14 @@ _ARG_REWRITES.update({
             "percentile() and flag x < q1-1.5*iqr OR x > q3+1.5*iqr"
         )
     ),
-    "seriesPeriodDetectFFT": lambda a: (_ for _ in ()).throw(
-        ValueError("seriesPeriodDetectFFT() (FFT) is not implemented")
+    # seriesPeriodDetectFFT: numpy rfft dominant-period (see
+    # miscfuncs._series_period_fft for the contract). Degenerate
+    # series re-coalesce to NaN JVM-side (Arrow flattens a returned
+    # NaN to null — same trap as rankCorr); a NULL input stays NULL.
+    "seriesPeriodDetectFFT": lambda a: (
+        f"IF(({a[0]}) IS NULL, CAST(NULL AS DOUBLE), "
+        f"coalesce(bh_series_period_fft({a[0]}), "
+        f"CAST('NaN' AS DOUBLE)))"
     ),
     "getSetting": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -5534,7 +5534,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
-        r"|norm_ppf|spearman)",
+        r"|norm_ppf|spearman|detect_language|series_period)",
         out,
     ):
         _ensure_misc_udfs(spark)

@@ -539,6 +539,71 @@ def _geohashes_in_box(
     return out
 
 
+# Mirrors functions/text.py LANG_MARKERS (tests assert the two stay
+# identical) — duplicated here because this module ships by value to
+# executors and must not import sibling package modules at unpickle.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["la", "el", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _detect_language(text: str) -> str:
+    """Stopword-marker language ID — the same heuristic as
+    functions/text.py language_id (marker-hit argmax, 'und' when no
+    marker matches, alphabetical tie-break). CH's detectLanguage uses
+    CLD2 models that do not ship; this is the documented in-engine
+    substitute and agrees with the text_language_id operator."""
+    toks = set(text.split(" "))
+    best, best_score = "und", 0
+    for lang in sorted(_LANG_MARKERS):
+        score = sum(1 for w in _LANG_MARKERS[lang] if w in toks)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+@pandas_udf(_STRING)
+def bh_detect_language(text: pd.Series) -> pd.Series:
+    return text.map(_null_safe(_detect_language))
+
+
+def _series_period_fft(arr) -> float:
+    """Dominant-period detection via the real FFT (CH
+    seriesPeriodDetectFFT's contract: a Float64 period, NaN when no
+    period is detectable): mean-detrend, rfft, argmax magnitude over
+    the non-DC bins, period = round(n / k). Needs ≥ 4 points and a
+    non-constant series."""
+    import numpy as np
+
+    if arr is None:
+        return None
+    x = np.asarray(
+        [float(v) for v in arr if v is not None], dtype="float64"
+    )
+    n = x.size
+    if n < 4 or not np.isfinite(x).all():
+        return float("nan")
+    x = x - x.mean()
+    if not x.any():
+        return float("nan")
+    mags = np.abs(np.fft.rfft(x))
+    k = int(mags[1:].argmax()) + 1  # skip the DC bin
+    if mags[k] <= 0:
+        return float("nan")
+    return float(round(n / k))
+
+
+@pandas_udf(_DOUBLE)
+def bh_series_period_fft(arr: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_series_period_fft(v) for v in arr], dtype="float64"
+    )
+
+
 @pandas_udf(ArrayType(StringType()))
 def bh_geohashes_in_box(
     lon_min: pd.Series,
@@ -638,6 +703,8 @@ ALL = {
     "bh_f_pvalue": bh_f_pvalue,
     "bh_norm_ppf": bh_norm_ppf,
     "bh_geohashes_in_box": bh_geohashes_in_box,
+    "bh_detect_language": bh_detect_language,
+    "bh_series_period_fft": bh_series_period_fft,
 }
 
 

@@ -4198,9 +4198,9 @@ class TestRound5Tranche11:
             # parameterized spelling still guides.
             ("countResample(a)", "parameters"),
             ("defaultValueOfArgumentType(a)", "defaultValueOfTypeName"),
-            ("detectLanguage('x')", "language_id"),
+            # detectLanguage (stopword-marker heuristic) and
+            # seriesPeriodDetectFFT (numpy rfft) graduated in r7.
             ("lemmatize('en', 'x')", "dictionaries"),
-            ("seriesPeriodDetectFFT([1.0])", "FFT"),
             # polygonAreaCartesian graduated to the shoelace fold
             # in round 7 (TestRound7GeoHilbertTranche).
             ("getSetting('max_threads')", "system_settings"),
@@ -5436,3 +5436,49 @@ class TestRound7MapResample:
                 "SELECT geohashesInBox(-180.0, -90.0, 180.0, 90.0, "
                 "12) AS g"
             )
+
+
+class TestRound7SeriesLangTranche:
+    """Round-7 sixth tranche: seriesPeriodDetectFFT (numpy rfft
+    dominant period) and detectLanguage (the in-engine stopword
+    heuristic standing in for CH's CLD2 models, documented)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_series_period_fft(self, eng):
+        import math
+
+        r = eng.execute(
+            "SELECT seriesPeriodDetectFFT([1.0,4,6,1,4,6,1,4,6,"
+            "1,4,6,1,4,6]) AS p3, "
+            "seriesPeriodDetectFFT([0.0,1,0,1,0,1,0,1]) AS p2, "
+            "seriesPeriodDetectFFT([5.0,5,5,5,5]) AS flat, "
+            "seriesPeriodDetectFFT([1.0,2]) AS short, "
+            "seriesPeriodDetectFFT(CAST(NULL AS ARRAY<DOUBLE>)) AS n"
+        )
+        p3, p2, flat, short, n = r.rows[0]
+        assert p3 == 3.0  # CH docs anchor
+        assert p2 == 2.0
+        assert math.isnan(flat) and math.isnan(short)
+        assert n is None
+
+    def test_detect_language(self, eng):
+        r = eng.execute(
+            "SELECT detectLanguage('the cat and the dog of a to') "
+            "AS en, detectLanguage('la el de que y') AS es, "
+            "detectLanguage('der hund und die katze') AS de, "
+            "detectLanguage('xyzzy qwerty') AS und"
+        )
+        assert r.rows[0] == ["en", "es", "de", "und"]
+
+    def test_markers_match_text_module(self):
+        # The UDF module duplicates LANG_MARKERS (ships by value, no
+        # sibling imports at unpickle) — they must stay identical.
+        from bighouse_spark.functions.miscfuncs import _LANG_MARKERS
+        from bighouse_spark.functions.text import LANG_MARKERS
+
+        assert _LANG_MARKERS == LANG_MARKERS
