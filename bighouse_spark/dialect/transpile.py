@@ -2321,6 +2321,74 @@ def _delta_sum_timestamp_builder(a: list[str]) -> str:
     )
 
 
+def _tukey_outliers_builder(a: list[str]) -> str:
+    """seriesOutliersDetectTukey(series[, min_q, max_q, k]) → array
+    of anomaly scores, same length: 0 inside the Tukey fences
+    [q_min − k·IQR, q_max + k·IQR], else the distance beyond the
+    nearest fence (documented convention; CH flags the same points).
+    Quantiles are linear-interpolated over the sorted non-NULL
+    values (percentile_cont's rule). The sorted array and fences are
+    LET-bound via single-element transforms — one sort, O(n) scoring.
+    NULL elements score NULL; fewer than 4 points raise, as in CH.
+    Percentile params accept fractions (0.25) or percents (25)."""
+    if len(a) not in (1, 4):
+        raise ValueError(
+            "seriesOutliersDetectTukey(series[, min_percentile, "
+            "max_percentile, k]) takes 1 or 4 arguments"
+        )
+    arr = a[0]
+    if len(a) == 4:
+        try:
+            p_lo, p_hi, k = (float(v) for v in a[1:])
+        except ValueError:
+            raise ValueError(
+                "seriesOutliersDetectTukey: the percentile/k "
+                "parameters must be numeric literals"
+            ) from None
+        if p_lo > 1:
+            p_lo /= 100.0
+        if p_hi > 1:
+            p_hi /= 100.0
+        if not (0.0 < p_lo < p_hi < 1.0) or k < 0:
+            raise ValueError(
+                "seriesOutliersDetectTukey: need 0 < min < max < 1 "
+                "(fraction or percent) and k >= 0"
+            )
+    else:
+        p_lo, p_hi, k = 0.25, 0.75, 1.5
+
+    def q(p: float) -> str:
+        pos = f"(1 + (size(__s) - 1) * CAST({p} AS DOUBLE))"
+        lo = f"CAST(floor({pos}) AS INT)"
+        return (
+            f"(element_at(__s, {lo}) + ({pos} - floor({pos})) * "
+            f"(element_at(__s, least({lo} + 1, size(__s))) - "
+            f"element_at(__s, {lo})))"
+        )
+
+    sorted_arr = (
+        f"sort_array(transform(filter({arr}, __x -> __x IS NOT NULL), "
+        f"__x -> CAST(__x AS DOUBLE)))"
+    )
+    iqr = f"({q(p_hi)} - {q(p_lo)})"
+    fences = (
+        f"named_struct('lo', {q(p_lo)} - {k} * {iqr}, "
+        f"'hi', {q(p_hi)} + {k} * {iqr})"
+    )
+    score = (
+        f"IF(__x IS NULL, CAST(NULL AS DOUBLE), "
+        f"greatest(CAST(0 AS DOUBLE), __f.lo - __x, __x - __f.hi))"
+    )
+    return (
+        f"element_at(transform(array(element_at(transform("
+        f"array({sorted_arr}), __s -> IF(size(__s) < 4, "
+        f"named_struct('lo', CAST(raise_error('seriesOutliersDetect"
+        f"Tukey needs at least 4 non-NULL points') AS DOUBLE), "
+        f"'hi', CAST(0 AS DOUBLE)), {fences})), 1)), "
+        f"__f -> transform({arr}, __x -> {score})), 1)"
+    )
+
+
 def _tuple_nvp_builder(a: list[str]) -> str:
     """tupleToNameValuePairs(t): inline tuple → array of ('index',
     value) pairs — CH names unnamed tuple fields by 1-based index.
@@ -4005,6 +4073,30 @@ _ARG_REWRITES.update({
             )
         )
     ),
+    "mapReverseSort": lambda a: (
+        f"map_from_entries(reverse(array_sort(map_entries({a[0]}))))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(
+            ValueError(
+                "mapReverseSort(lambda, m) custom orderings are "
+                "cosmetic on unordered Spark maps; sort "
+                "map_entries() explicitly"
+            )
+        )
+    ),
+    # Byte-level Hamming distance: differing bytes over the common
+    # prefix (BINARY substring is byte-addressed, unlike STRING's
+    # code points) plus the length difference — CH's convention for
+    # unequal lengths.
+    "byteHammingDistance": lambda a: (
+        # sequence(1, 0) DESCENDS in Spark — guard the empty prefix.
+        f"(IF(least(octet_length({a[0]}), octet_length({a[1]})) = 0, "
+        f"0, aggregate(sequence(1, least(octet_length({a[0]}), "
+        f"octet_length({a[1]}))), 0, (__acc, __i) -> __acc + "
+        f"IF(substring(CAST({a[0]} AS BINARY), __i, 1) = "
+        f"substring(CAST({a[1]} AS BINARY), __i, 1), 0, 1))) + "
+        f"abs(octet_length({a[0]}) - octet_length({a[1]})))"
+    ),
     # Calendar field changes; invalid results fail loudly (ANSI).
     "changeYear": lambda a: (
         f"make_date({a[1]}, month({a[0]}), day({a[0]}))"
@@ -4327,6 +4419,11 @@ _ARG_REWRITES.update({
         f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
     ),
     "dateTime64ToSnowflake": lambda a: (
+        f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+    ),
+    # Inverse of snowflakeIDToDateTime (same Twitter-epoch
+    # convention as the deprecated pair above).
+    "dateTimeToSnowflakeID": lambda a: (
         f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
     ),
     # 4-gram set distance/search (CH uses multisets; the distinct-set
@@ -5247,12 +5344,7 @@ _ARG_REWRITES.update({
             "seasonal extraction"
         )
     ),
-    "seriesOutliersDetectTukey": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "seriesOutliersDetectTukey(): compute quartiles with "
-            "percentile() and flag x < q1-1.5*iqr OR x > q3+1.5*iqr"
-        )
-    ),
+    "seriesOutliersDetectTukey": lambda a: _tukey_outliers_builder(a),
     # seriesPeriodDetectFFT: numpy rfft dominant-period (see
     # miscfuncs._series_period_fft for the contract). Degenerate
     # series re-coalesce to NaN JVM-side (Arrow flattens a returned

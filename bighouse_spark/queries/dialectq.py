@@ -963,3 +963,46 @@ def dialect_deltasumts_roundtrip(spark, sf_dir):
         FROM __dq_ev_dst GROUP BY event_type
         """,
     )
+
+
+# seriesOutliersDetectTukey (round-7 graduation): per event_type,
+# outlier count and total anomaly score over the group's value
+# series. Order-invariant reductions make the collect order moot;
+# DuckDB recomputes the fences from quantile_cont (same (n−1)·p
+# linear interpolation as the builder) and the same
+# distance-beyond-fence score.
+@query(
+    "dialect_tukey_outliers_roundtrip",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS g, value AS x FROM events
+  WHERE value IS NOT NULL
+), q AS (
+  SELECT g, quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+  FROM g GROUP BY g
+)
+SELECT g.g AS event_type,
+       CAST(sum(CASE WHEN x < q1 - 1.5*(q3-q1)
+                       OR x > q3 + 1.5*(q3-q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(greatest(0, (q1 - 1.5*(q3-q1)) - x,
+                          x - (q3 + 1.5*(q3-q1)))), 4) AS score_sum
+FROM g JOIN q ON q.g = g.g GROUP BY g.g
+""",
+)
+def dialect_tukey_outliers_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_ev_tk",
+        """
+        SELECT event_type,
+               CAST(arrayCount(x -> x > 0, s) AS Int64) AS n_outliers,
+               round(arraySum(s), 4) AS score_sum
+        FROM (SELECT event_type,
+                     seriesOutliersDetectTukey(groupArray(value)) AS s
+              FROM __dq_ev_tk WHERE value IS NOT NULL
+              GROUP BY event_type)
+        """,
+    )

@@ -5482,3 +5482,77 @@ class TestRound7SeriesLangTranche:
         from bighouse_spark.functions.text import LANG_MARKERS
 
         assert _LANG_MARKERS == LANG_MARKERS
+
+
+class TestRound7OutlierBytesTranche:
+    """Round-7 seventh tranche: seriesOutliersDetectTukey,
+    byteHammingDistance, mapReverseSort, dateTimeToSnowflakeID."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_tukey_outliers(self, eng):
+        xs = [-3.0, 2.4, 15, 3.9, 5, 6, 4.5, 5.2, 3, 4, 5, 16, 7,
+              5.8, 3.5, 4.5, 4.7, 3.2, 3.25, 3.7]
+        arr = ", ".join(str(v) for v in xs)
+        r = eng.execute(
+            f"SELECT seriesOutliersDetectTukey([{arr}]) AS s"
+        )
+        # Independent recompute: linear-interpolated quartiles,
+        # k = 1.5 fences, score = distance beyond the nearest fence.
+        s = sorted(xs)
+        n = len(s)
+
+        def q(p):
+            pos = (n - 1) * p
+            lo = int(pos)
+            return s[lo] + (pos - lo) * (s[min(lo + 1, n - 1)] - s[lo])
+
+        q1, q3 = q(0.25), q(0.75)
+        lo_f, hi_f = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        expect = [max(0.0, lo_f - x, x - hi_f) for x in xs]
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(r.rows[0][0], expect)
+        )
+        # Only the three true outliers score non-zero.
+        assert [i for i, v in enumerate(r.rows[0][0]) if v > 0] == [
+            0, 2, 11
+        ]
+        # Percent spelling == fraction spelling; <4 points raise.
+        r = eng.execute(
+            "SELECT seriesOutliersDetectTukey([1.0,2,3,100,2,3,1,2], "
+            "0.25, 0.75, 1.5) AS a, "
+            "seriesOutliersDetectTukey([1.0,2,3,100,2,3,1,2], "
+            "25, 75, 1.5) AS b"
+        )
+        assert r.rows[0][0] == r.rows[0][1]
+        with pytest.raises(Exception, match="at least 4"):
+            eng.execute(
+                "SELECT seriesOutliersDetectTukey([1.0, 2, 3]) AS s"
+            )
+
+    def test_byte_hamming(self, eng):
+        r = eng.execute(
+            "SELECT byteHammingDistance('abc', 'abd') AS a, "
+            "byteHammingDistance('', 'ab') AS b, "
+            "byteHammingDistance('münch', 'munch') AS c, "
+            "byteHammingDistance('same', 'same') AS d"
+        )
+        # 'münch' vs 'munch' at BYTE level: ü is 2 bytes (0xC3 0xBC),
+        # shifting the suffix — 4 differing bytes + 1 length byte.
+        assert r.rows[0] == [1, 2, 5, 0]
+
+    def test_map_reverse_sort_and_snowflake_inverse(self, eng):
+        r = eng.execute(
+            "SELECT map_keys(mapReverseSort(map('a', 1, 'c', 3, "
+            "'b', 2))) AS k, "
+            "snowflakeIDToDateTime(dateTimeToSnowflakeID("
+            "TIMESTAMP'2024-01-02 03:04:05')) AS rt"
+        )
+        assert r.rows[0][0] == ["c", "b", "a"]
+        import datetime
+
+        assert r.rows[0][1] == datetime.datetime(2024, 1, 2, 3, 4, 5)
