@@ -5354,9 +5354,13 @@ _ARG_REWRITES.update({
         f"coalesce(bh_series_period_fft({a[0]}), "
         f"CAST('NaN' AS DOUBLE)))"
     ),
+    # getSetting('k') for a k that WAS set resolves to its literal
+    # before this map runs (_rewrite_get_setting); reaching here
+    # means the name was never SET in this query/session.
     "getSetting": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "getSetting(): session settings surface through the "
+            "getSetting(): that setting was not SET in this query "
+            "or session; engine defaults surface through the "
             "system_settings view (SELECT * FROM system_settings)"
         )
     ),
@@ -5600,6 +5604,16 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         "true",
     )
     out = _strip_format(out)
+    if "getSetting" in out:
+        raw_settings = dict(dropped)
+        if exact_cityhash:
+            raw_settings["exact_cityhash"] = "1"
+        inv = {v: k for k, v in _SETTINGS_MAP.items()}
+        for sk, sv in settings.items():
+            ch_name = inv.get(sk)
+            if ch_name is not None:
+                raw_settings[ch_name] = sv
+        out = _rewrite_get_setting(out, raw_settings)
     if spark is not None and "hasColumnInTable" in out:
         out = _rewrite_has_column_in_table(out, spark)
     if spark is not None and re.search(
@@ -5911,6 +5925,34 @@ def _rewrite_ch_misc(sql: str) -> str:
                 )
             out = body
     return out
+
+
+_GET_SETTING_RE = re.compile(
+    r"\bgetSetting\s*\(\s*'([^']+)'\s*\)"
+)
+
+
+def _rewrite_get_setting(out: str, raw: dict[str, str]) -> str:
+    """getSetting('name') → the literal value the query (or the
+    wire session, which merges its SET state into the SETTINGS
+    clause) assigned — numerics inline, everything else as a string
+    literal. A name never SET falls through to the guided error
+    (CH would return the server default; this engine's defaults
+    live in the system_settings view)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name in raw:
+            v = raw[name]
+            if re.fullmatch(r"-?\d+(\.\d+)?", v):
+                return v
+            # The SETTINGS parser strips the outer quotes but keeps
+            # the '' escape — collapse it before re-escaping.
+            v = v.replace("''", "'")
+            return "'" + v.replace("'", "''") + "'"
+        return m.group(0)
+
+    return _GET_SETTING_RE.sub(sub, out)
 
 
 def _strip_settings(sql: str) -> tuple[str, dict[str, str], dict[str, str]]:

@@ -5556,3 +5556,46 @@ class TestRound7OutlierBytesTranche:
         import datetime
 
         assert r.rows[0][1] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+
+class TestGetSetting:
+    """getSetting('k') resolves to the literal value assigned by the
+    query's SETTINGS clause (or a wire session's merged SET state);
+    never-set names keep the guided error naming system_settings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_set_values_resolve(self, eng):
+        r = eng.execute(
+            "SELECT getSetting('my_tag') AS t, "
+            "getSetting('custom_n') AS n "
+            "SETTINGS my_tag = 'abc', custom_n = 42"
+        )
+        assert r.rows == [["abc", 42]]
+
+    def test_quoting_is_injection_safe(self, eng):
+        r = eng.execute(
+            "SELECT getSetting('v') AS t SETTINGS v = 'a''b'"
+        )
+        assert r.rows == [["a'b"]]
+
+    def test_unset_name_guides(self, eng):
+        with pytest.raises(ValueError, match="system_settings"):
+            eng.execute("SELECT getSetting('never_set_xyz')")
+
+    def test_session_set_persists_into_get_setting(self, eng):
+        # The wire layers merge per-connection SET state into the
+        # SETTINGS clause — same mechanism, exercised engine-level
+        # via merge_settings_clause.
+        from bighouse_spark.session_settings import (
+            merge_settings_clause,
+        )
+
+        sql = merge_settings_clause(
+            "SELECT getSetting('mood') AS m", {"mood": "'calm'"}
+        )
+        assert eng.execute(sql).rows == [["calm"]]
