@@ -3511,6 +3511,188 @@ _ARG_REWRITES.update({
     ),
 })
 
+
+def _ipv4_valid(s: str) -> str:
+    return (
+        f"(regexp_like({s}, '^([0-9]{{1,3}}\\\\.){{3}}[0-9]{{1,3}}$') "
+        f"AND forall(split({s}, '\\\\.'), "
+        f"__o -> CAST(__o AS INT) <= 255))"
+    )
+
+
+def _parse_readable_size(mode: str):
+    """parseReadableSize[OrNull|OrZero]('1.5 KiB') → bytes (BIGINT,
+    rounded): decimal (KB=1000ⁿ) and binary (KiB=1024ⁿ) units. The
+    base form raises on malformed input; OrNull/OrZero substitute."""
+    units = {"B": 1}
+    for i, u in enumerate("KMGTPE", start=1):
+        units[f"{u}IB"] = 1024 ** i
+        units[f"{u}B"] = 1000 ** i
+
+    def build(a: list[str]) -> str:
+        s = a[0]
+        num = f"CAST(regexp_extract({s}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE)"
+        unit = (
+            f"upper(regexp_extract({s}, "
+            f"'^\\\\s*[0-9.]+\\\\s*([A-Za-z]+)\\\\s*$', 1))"
+        )
+        mult = "CASE " + " ".join(
+            f"WHEN {unit} = '{u}' THEN CAST({m} AS DOUBLE)"
+            for u, m in units.items()
+        ) + " END"
+        valid = (
+            f"(regexp_like({s}, '^\\\\s*[0-9.]+\\\\s*[A-Za-z]+\\\\s*$') "
+            f"AND {mult} IS NOT NULL)"
+        )
+        good = f"CAST(round({num} * {mult}) AS BIGINT)"
+        if mode == "null":
+            return f"IF({valid}, {good}, CAST(NULL AS BIGINT))"
+        if mode == "zero":
+            return f"IF({valid}, {good}, CAST(0 AS BIGINT))"
+        return (
+            f"IF({valid}, {good}, CAST(raise_error(concat("
+            f"'parse readable size: cannot parse ', {s}, "
+            f"' — expected <number> <unit> with unit in "
+            f"B/KiB..EiB/KB..EB')) AS BIGINT))"
+        )
+
+    return build
+
+
+def _bit_test_multi(op: str):
+    def build(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError(
+                "bitTestAll/bitTestAny take a value and at least "
+                "one bit position"
+            )
+        bits = [
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({p} AS INT)) & 1)"
+            for p in a[1:]
+        ]
+        return f"CAST(({(' ' + op + ' ').join(bits)}) AS INT)"
+
+    return build
+
+
+def _extract_kvp_builder(a: list[str]) -> str:
+    """extractKeyValuePairs(s[, kv_sep, pair_seps]) → Map(String,
+    String) via str_to_map. Defaults mirror CH (':' key/value, ',',
+    ';' and space pair separators). Custom separators must be string
+    literals (they compile into the split regexes); the quoting
+    argument is refused — Spark's str_to_map has no quote-aware
+    mode."""
+    if len(a) > 3:
+        raise ValueError(
+            "extractKeyValuePairs quoting_character is not supported "
+            "(str_to_map has no quote-aware split); pre-clean the "
+            "input or use 3 or fewer arguments"
+        )
+
+    def lit_chars(arg: str, what: str) -> str:
+        v = arg.strip()
+        if not (v.startswith("'") and v.endswith("'")):
+            raise ValueError(
+                f"extractKeyValuePairs: {what} must be a string "
+                "literal"
+            )
+        return re.escape(v[1:-1]).replace("\\", "\\\\")
+
+    kv = lit_chars(a[1], "key_value_delimiter") if len(a) > 1 else ":"
+    pairs = (
+        f"[{lit_chars(a[2], 'pair_delimiters')}]+"
+        if len(a) > 2
+        else "[,;\\\\s]+"
+    )
+    return f"str_to_map({a[0]}, '{pairs}', '{kv}')"
+
+
+_ARG_REWRITES.update({
+    # -- round-7 probe tranche 2: search/parse/server/bit/UUID gaps --
+    # Leftmost match position among the needles (0 when none) — the
+    # transform evaluates each needle's locate once.
+    "multiSearchFirstPosition": lambda a: (
+        f"coalesce(array_min(filter(transform({a[1]}, "
+        f"__n -> locate(__n, {a[0]})), __p -> __p > 0)), 0)"
+    ),
+    "extractKeyValuePairs": _extract_kvp_builder,
+    "parseReadableSize": _parse_readable_size("raise"),
+    "parseReadableSizeOrNull": _parse_readable_size("null"),
+    "parseReadableSizeOrZero": _parse_readable_size("zero"),
+    "bitTestAll": _bit_test_multi("&"),
+    "bitTestAny": _bit_test_multi("|"),
+    # erfinv(x) = Φ⁻¹((x+1)/2)/√2 over the Acklam probit UDF.
+    "erfInv": lambda a: (
+        f"(bh_norm_ppf((CAST({a[0]} AS DOUBLE) + 1) / 2) "
+        f"/ 1.4142135623730951)"
+    ),
+    # UUIDv7's first 48 bits are the Unix-epoch milliseconds.
+    "UUIDv7ToDateTime": lambda a: (
+        f"timestamp_millis(CAST(conv(substring(replace({a[0]}, "
+        f"'-', ''), 1, 12), 16, 10) AS BIGINT))"
+    ),
+    "toUUIDOrZero": lambda a: (
+        f"(CASE WHEN regexp_like({a[0]}, "
+        f"'^[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-"
+        f"[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}$') THEN {a[0]} "
+        f"ELSE '00000000-0000-0000-0000-000000000000' END)"
+    ),
+    # Server-identity constants, folded per query like uptime().
+    "getOSKernelVersion": lambda a: (
+        "'" + __import__("platform").release() + "'"
+    ),
+    "displayName": lambda a: "'bighouse'",
+    # chwire.SERVER_REVISION — hardcoded to avoid a transpile→chwire
+    # import cycle; test_dialect pins the two together.
+    "revision": lambda a: "CAST(54429 AS BIGINT)",
+    # Guided refusals for the genuinely unshippable tails.
+    "multiFuzzyMatchAny": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "multiFuzzyMatchAny() needs a fuzzy regex engine "
+            "(hyperscan) that does not ship; combine multiMatchAny "
+            "with editDistance checks"
+        )
+    ),
+    "firstSignificantSubdomainCustom": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "firstSignificantSubdomainCustom() needs a configured "
+            "public-suffix list; firstSignificantSubdomain uses the "
+            "built-in heuristic"
+        )
+    ),
+    "zookeeperSessionUptime": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "zookeeperSessionUptime(): no ZooKeeper in this engine; "
+            "uptime() reports the server process uptime"
+        )
+    ),
+    "nested": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "nested() Nested-type assembly: build arrays of structs "
+            "with arrayZip(names, values) / named_struct instead"
+        )
+    ),
+})
+
+
+_ARG_REWRITES.update({
+    "toIPv4OrNull": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["toIPv4"]([a[0]])
+        + ", CAST(NULL AS STRING))"
+    ),
+    "IPv4StringToNumOrNull": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["IPv4StringToNum"]([a[0]])
+        + ", CAST(NULL AS BIGINT))"
+    ),
+    "IPv4StringToNumOrDefault": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["IPv4StringToNum"]([a[0]])
+        + ", CAST(0 AS BIGINT))"
+    ),
+})
+
 # Round-5 probe tranche: date/math/array/map/search spellings with
 # exact Spark expression equivalents, plus guided refusals for the
 # genuinely two-pass aggregates (contingency-table statistics).

@@ -5599,3 +5599,106 @@ class TestGetSetting:
             "SELECT getSetting('mood') AS m", {"mood": "'calm'"}
         )
         assert eng.execute(sql).rows == [["calm"]]
+
+
+class TestRound7ProbeTranche2:
+    """Round-7 eighth tranche, from the broad probe sweep:
+    multiSearchFirstPosition, extractKeyValuePairs,
+    parseReadableSize family, bitTestAll/Any, erfInv,
+    UUIDv7ToDateTime, toUUIDOrZero, IPv4 OrNull/OrDefault variants,
+    server-identity constants, and guided refusals for the
+    unshippable tails."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_multi_search_first_position(self, eng):
+        r = eng.execute(
+            "SELECT multiSearchFirstPosition('hello world', "
+            "['wor', 'ell']) AS p, "
+            "multiSearchFirstPosition('abc', ['xyz']) AS z"
+        )
+        assert r.rows == [[2, 0]]
+
+    def test_extract_key_value_pairs(self, eng):
+        r = eng.execute(
+            "SELECT extractKeyValuePairs("
+            "'name:neymar, age:31; team:psg') AS m"
+        )
+        assert r.rows[0][0] == {
+            "name": "neymar", "age": "31", "team": "psg"
+        }
+        r = eng.execute(
+            "SELECT extractKeyValuePairs('a=1|b=2', '=', '|') AS m"
+        )
+        assert r.rows[0][0] == {"a": "1", "b": "2"}
+        with pytest.raises(ValueError, match="quot"):
+            eng.execute(
+                "SELECT extractKeyValuePairs('x', ':', ',', '\"')"
+            )
+
+    def test_parse_readable_size(self, eng):
+        r = eng.execute(
+            "SELECT parseReadableSize('1 KiB') AS a, "
+            "parseReadableSize('1.5 MB') AS b, "
+            "parseReadableSizeOrNull('junk') AS c, "
+            "parseReadableSizeOrZero('junk') AS d, "
+            "parseReadableSize('3 B') AS e"
+        )
+        assert r.rows == [[1024, 1500000, None, 0, 3]]
+        with pytest.raises(Exception, match="cannot parse"):
+            eng.execute("SELECT parseReadableSize('nope')")
+
+    def test_bit_tests_and_erfinv(self, eng):
+        r = eng.execute(
+            "SELECT bitTestAll(7, 0, 1, 2) AS a, "
+            "bitTestAll(5, 0, 1) AS b, bitTestAny(4, 0, 2) AS c, "
+            "bitTestAny(4, 0, 1) AS d, round(erfInv(0.5), 6) AS e"
+        )
+        assert r.rows == [[1, 0, 1, 0, 0.476936]]
+
+    def test_uuid7_and_or_variants(self, eng):
+        import datetime
+
+        r = eng.execute(
+            # RFC 9562's UUIDv7 example — timestamp 2022-02-22
+            # 14:22:22-05:00 (19:22:22 UTC).
+            "SELECT UUIDv7ToDateTime("
+            "'017f22e2-79b0-7cc3-98c4-dc0c0c07398f') AS t, "
+            "toUUIDOrZero('bad') AS z, "
+            "toIPv4OrNull('1.2.3.999') AS bad_ip, "
+            "toIPv4OrNull('001.2.3.4') AS norm, "
+            "IPv4StringToNumOrDefault('nope') AS dflt, "
+            "IPv4StringToNumOrNull('nope') AS nul"
+        )
+        assert r.rows[0] == [
+            datetime.datetime(2022, 2, 22, 19, 22, 22),
+            "00000000-0000-0000-0000-000000000000",
+            None, "1.2.3.4", 0, None,
+        ]
+
+    def test_server_identity(self, eng):
+        from bighouse_spark.chwire import SERVER_REVISION
+
+        r = eng.execute(
+            "SELECT revision() AS r, displayName() AS d, "
+            "getOSKernelVersion() AS k"
+        )
+        # revision() is hardcoded (import-cycle avoidance) — pin it
+        # to the chwire constant here.
+        assert r.rows[0][0] == SERVER_REVISION
+        assert r.rows[0][1] == "bighouse"
+        assert isinstance(r.rows[0][2], str) and r.rows[0][2]
+
+    def test_refusal_tail(self, eng):
+        for expr, hint in [
+            ("multiFuzzyMatchAny('x', 1, ['x'])", "fuzzy"),
+            ("firstSignificantSubdomainCustom('x', 'l')", "suffix"),
+            ("zookeeperSessionUptime()", "ZooKeeper"),
+            ("nested(['k'], [1])", "arrayZip"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr}")
