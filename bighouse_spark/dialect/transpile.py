@@ -3676,6 +3676,24 @@ _ARG_REWRITES.update({
 
 
 _ARG_REWRITES.update({
+    # simpleLinearRegression(x, y) → (k, b): closed-form least
+    # squares over plain JVM aggregates (Catalyst dedups them);
+    # degenerate x-variance floor-guards to avoid ANSI
+    # DIVIDE_BY_ZERO (slope → huge, matching the limit, not a crash).
+    "simpleLinearRegression": lambda a: (
+        lambda x, y: (
+        lambda k: (
+            f"named_struct('k', {k}, "
+            f"'b', avg(CAST({y} AS DOUBLE)) - ({k}) * "
+            f"avg(CAST({x} AS DOUBLE)))"
+        ))(
+            f"((avg(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) - "
+            f"avg(CAST({x} AS DOUBLE)) * avg(CAST({y} AS DOUBLE))) / "
+            f"greatest(avg(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE))"
+            f" - avg(CAST({x} AS DOUBLE)) * avg(CAST({x} AS DOUBLE)), "
+            f"CAST(1e-300 AS DOUBLE)))"
+        )
+    )(a[0], a[1]),
     "toIPv4OrNull": lambda a: (
         f"IF({_ipv4_valid(a[0])}, "
         + _ARG_REWRITES["toIPv4"]([a[0]])
@@ -6389,6 +6407,35 @@ _PARAMETRIC = {
 
 def _rewrite_parametric(sql: str) -> str:
     out = sql
+    # approx_top_sum is topKWeighted's alias: the parametric form
+    # re-spells to topKWeighted(N)(…) for the loop below; the plain
+    # two-argument form carries CH's default N = 10.
+    while True:
+        call = _find_call(out, "approx_top_sum")
+        if call is None:
+            break
+        start, end, params = call
+        if end < len(out) and out[end] == "(":
+            if len(params) != 1:
+                raise ValueError(
+                    "approx_top_sum(N)(column, weight) takes one "
+                    "parameter"
+                )
+            out = out[:start] + f"topKWeighted({params[0]})" + out[end:]
+        else:
+            if len(params) != 2:
+                raise ValueError(
+                    "approx_top_sum(column, weight) takes two "
+                    "arguments (or the approx_top_sum(N)(column, "
+                    "weight) parametric form)"
+                )
+            out = (
+                out[:start]
+                + _topk_weighted_expr(
+                    params[0].strip(), params[1].strip(), "10"
+                )
+                + out[end:]
+            )
     # topKWeighted(k)(x, w) → the topK exact twin folding the weight
     # instead of +1 per occurrence.
     while True:

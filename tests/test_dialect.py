@@ -5702,3 +5702,38 @@ class TestRound7ProbeTranche2:
         ]:
             with pytest.raises(ValueError, match=hint):
                 eng.execute(f"SELECT {expr}")
+
+
+class TestRound7AggSweepAdditions:
+    """Aggregate-probe additions: simpleLinearRegression and the
+    approx_top_sum alias of topKWeighted."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_simple_linear_regression(self, eng):
+        r = eng.execute(
+            "SELECT simpleLinearRegression(x, y) AS r FROM (SELECT * "
+            "FROM VALUES (0.0, 3.0), (1.0, 5.0), (2.0, 7.0), "
+            "(3.0, 9.0) AS t(x, y))"
+        )
+        k, b = r.rows[0][0]
+        assert abs(k - 2.0) < 1e-12 and abs(b - 3.0) < 1e-12
+        # Constant x: slope floor-guard, no DIVIDE_BY_ZERO.
+        r = eng.execute(
+            "SELECT simpleLinearRegression(1.0, y) AS r FROM "
+            "(SELECT CAST(5.0 AS DOUBLE) AS y)"
+        )
+        assert r.rows[0][0] is not None
+
+    def test_approx_top_sum(self, eng):
+        r = eng.execute(
+            "SELECT approx_top_sum(2)(number % 3, number) AS a, "
+            "approx_top_sum(number % 3, number) AS b FROM numbers(7)"
+        )
+        # weights: value 0 → 9, 2 → 7, 1 → 5
+        assert r.rows[0][0] == [0, 2]
+        assert r.rows[0][1] == [0, 2, 1]
