@@ -1025,19 +1025,20 @@ def _anova_builder(a: list[str]) -> str:
     """analysisOfVariance / anova (x, group_id) → ``(f_statistic,
     p_value)``: one-way ANOVA (CH AggregateFunctions/AggregateFunctionAnalysisOfVariance).
 
-    Grand-total moments (N, Σx, Σx²) are plain conditional aggregates
-    (JVM-side). The between-group term Σ_g (Σx_g)²/n_g and the group
-    count k need per-group subtotals — computed with the same
-    one-sorted-collect + O(n) boundary-fold technique as the
-    contingency/entropy builders: collect (group, x) sorted by group,
-    accumulate each run's sum/count, flush (Σx_g)²/n_g at run
-    boundaries. Then SSB = Σ_g (Σx_g)²/n_g − T²/N with df1 = k−1, and
-    SSW = Σx² − Σ_g (Σx_g)²/n_g with df2 = N−k; F = (SSB/df1)/
-    (SSW/df2) and p = P(F_{df1,df2} > F) via ``bh_f_pvalue`` (the
-    same regularized-incomplete-beta engine as the t-tests). Groups
-    key on the value's string form (boundary equality only — works
-    for any group type, no overflow); NULL x or group rows are
-    skipped per CH aggregate semantics; k < 2 or N ≤ k → NaN."""
+    One ``collect_list`` of (group, x) per output group, then a
+    single Arrow-batched pass (``bh_anova``, miscfuncs) accumulates
+    per-group subtotals and evaluates SSB = Σ_g (Σx_g)²/n_g − T²/N
+    (df1 = k−1), SSW = Σx² − Σ_g (Σx_g)²/n_g (df2 = N−k),
+    F = (SSB/df1)/(SSW/df2), and p = P(F_{df1,df2} > F) via the same
+    regularized-incomplete-beta engine as the t-tests. (An earlier
+    pure-SQL fold formulation textually re-embedded the O(n log n)
+    sorted fold at every reference — ~10 copies per projection — and
+    a LET-binding rewrite can't reach the p-value because Python
+    UDFs are unsupported inside lambda bodies; the one-UDF shape
+    evaluates everything exactly once.) Groups key on the value's
+    string form (works for any group type, no overflow); NULL x or
+    group rows are skipped per CH aggregate semantics; k < 2 or
+    N ≤ k → NaN."""
     if len(a) != 2:
         raise ValueError(
             "analysisOfVariance(x, group_id) takes exactly two "
@@ -1046,52 +1047,18 @@ def _anova_builder(a: list[str]) -> str:
     x, g = a
     both = f"({x}) IS NOT NULL AND ({g}) IS NOT NULL"
     arr = (
-        f"sort_array(collect_list(CASE WHEN {both} THEN named_struct("
-        f"'g', CAST({g} AS STRING), 'v', CAST({x} AS DOUBLE)) END))"
+        f"collect_list(CASE WHEN {both} THEN named_struct("
+        f"'g', CAST({g} AS STRING), 'v', CAST({x} AS DOUBLE)) END)"
     )
-    n = f"sum(CASE WHEN {both} THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
-    t = f"sum(CASE WHEN {both} THEN CAST({x} AS DOUBLE) END)"
-    sxx = (
-        f"sum(CASE WHEN {both} THEN CAST({x} AS DOUBLE) * "
-        f"CAST({x} AS DOUBLE) END)"
-    )
-    # Fold state: s = Σ flushed (Σx_g)²/n_g, cur run's (g, sum, n),
-    # k = runs seen. Finish flushes the last run.
-    fold = (
-        f"aggregate({arr}, "
-        f"named_struct('s', CAST(0 AS DOUBLE), 'g', CAST(NULL AS "
-        f"STRING), 'sum', CAST(0 AS DOUBLE), 'n', CAST(0 AS DOUBLE), "
-        f"'k', CAST(0 AS INT)), "
-        f"(__acc, __e) -> IF(__acc.g IS NULL OR __e.g <> __acc.g, "
-        f"named_struct("
-        f"'s', __acc.s + IF(__acc.g IS NULL, CAST(0 AS DOUBLE), "
-        f"__acc.sum * __acc.sum / __acc.n), "
-        f"'g', __e.g, 'sum', __e.v, 'n', CAST(1 AS DOUBLE), "
-        f"'k', __acc.k + 1), "
-        f"named_struct('s', __acc.s, 'g', __acc.g, "
-        f"'sum', __acc.sum + __e.v, 'n', __acc.n + 1, 'k', __acc.k)), "
-        f"__acc -> named_struct("
-        f"'s', __acc.s + IF(__acc.g IS NULL, CAST(0 AS DOUBLE), "
-        f"__acc.sum * __acc.sum / __acc.n), 'k', __acc.k))"
-    )
-    s = f"({fold}).s"
-    k = f"CAST(({fold}).k AS DOUBLE)"
-    gd = "greatest({}, CAST(1e-300 AS DOUBLE))"
-    ssb = f"(({s}) - ({t}) * ({t}) / {gd.format(n)})"
-    ssw = f"(({sxx}) - ({s}))"
-    df1 = f"(({k}) - 1)"
-    df2 = f"(({n}) - ({k}))"
-    f_stat = (
-        f"((({ssb}) / {gd.format(df1)}) / "
-        f"{gd.format(f'(({ssw}) / {gd.format(df2)})')})"
-    )
-    ok = f"(({k}) >= 2 AND ({n}) > ({k}))"
+    # Arrow's pandas→JVM conversion delivers the UDF's NaNs as NULLs;
+    # LET-bind the one UDF call and restore CH's NaN convention (the
+    # UDF never returns a legitimate NULL, so coalesce is safe).
     nan = "CAST('NaN' AS DOUBLE)"
     return (
+        f"element_at(transform(array(bh_anova({arr})), __ar -> "
         f"named_struct("
-        f"'f_statistic', IF({ok}, {f_stat}, {nan}), "
-        f"'p_value', IF({ok}, "
-        f"bh_f_pvalue({f_stat}, {df1}, {df2}), {nan}))"
+        f"'f_statistic', coalesce(__ar.f_statistic, {nan}), "
+        f"'p_value', coalesce(__ar.p_value, {nan}))), 1)"
     )
 
 
@@ -3529,19 +3496,29 @@ def _parse_readable_size(mode: str):
         units[f"{u}IB"] = 1024 ** i
         units[f"{u}B"] = 1000 ** i
 
+    # A strict number shape ('1', '1.5', '.5' — NOT '1.2.3'): the
+    # valid-check must never admit a string whose CAST to DOUBLE can
+    # fail, or the Or-variants error under ANSI instead of
+    # substituting.
+    num_re = "(?:[0-9]+(?:\\\\.[0-9]*)?|\\\\.[0-9]+)"
+
     def build(a: list[str]) -> str:
         s = a[0]
-        num = f"CAST(regexp_extract({s}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE)"
+        num = (
+            f"CAST(regexp_extract({s}, '^\\\\s*({num_re})', 1) "
+            f"AS DOUBLE)"
+        )
         unit = (
             f"upper(regexp_extract({s}, "
-            f"'^\\\\s*[0-9.]+\\\\s*([A-Za-z]+)\\\\s*$', 1))"
+            f"'^\\\\s*{num_re}\\\\s*([A-Za-z]+)\\\\s*$', 1))"
         )
         mult = "CASE " + " ".join(
             f"WHEN {unit} = '{u}' THEN CAST({m} AS DOUBLE)"
             for u, m in units.items()
         ) + " END"
         valid = (
-            f"(regexp_like({s}, '^\\\\s*[0-9.]+\\\\s*[A-Za-z]+\\\\s*$') "
+            f"(regexp_like({s}, "
+            f"'^\\\\s*{num_re}\\\\s*[A-Za-z]+\\\\s*$') "
             f"AND {mult} IS NOT NULL)"
         )
         good = f"CAST(round({num} * {mult}) AS BIGINT)"
@@ -5840,7 +5817,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
-        r"|norm_ppf|spearman|detect_language|series_period)",
+        r"|anova|norm_ppf|spearman|detect_language|series_period)",
         out,
     ):
         _ensure_misc_udfs(spark)
@@ -6407,9 +6384,10 @@ _PARAMETRIC = {
 
 def _rewrite_parametric(sql: str) -> str:
     out = sql
-    # approx_top_sum is topKWeighted's alias: the parametric form
-    # re-spells to topKWeighted(N)(…) for the loop below; the plain
-    # two-argument form carries CH's default N = 10.
+    # approx_top_sum shares topKWeighted's weighted ranking but NOT
+    # its result shape: CH returns Array(Tuple(item, count, error)),
+    # not a bare values array, so both forms use the tuple-shaped
+    # fold. The plain two-argument form carries CH's default N = 10.
     while True:
         call = _find_call(out, "approx_top_sum")
         if call is None:
@@ -6421,7 +6399,32 @@ def _rewrite_parametric(sql: str) -> str:
                     "approx_top_sum(N)(column, weight) takes one "
                     "parameter"
                 )
-            out = out[:start] + f"topKWeighted({params[0]})" + out[end:]
+            depth, i, quote = 1, end + 1, None
+            while i < len(out) and depth > 0:
+                c = out[i]
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            args = _split_args_top(out[end + 1:i - 1])
+            if len(args) != 2:
+                raise ValueError(
+                    "approx_top_sum(N)(column, weight) takes two "
+                    "arguments"
+                )
+            out = (
+                out[:start]
+                + _topk_weighted_expr(
+                    args[0], args[1], params[0].strip(), tuples=True
+                )
+                + out[i:]
+            )
         else:
             if len(params) != 2:
                 raise ValueError(
@@ -6432,7 +6435,8 @@ def _rewrite_parametric(sql: str) -> str:
             out = (
                 out[:start]
                 + _topk_weighted_expr(
-                    params[0].strip(), params[1].strip(), "10"
+                    params[0].strip(), params[1].strip(), "10",
+                    tuples=True,
                 )
                 + out[end:]
             )
@@ -6887,11 +6891,15 @@ def _rewrite_subscripts(sql: str) -> str:
         )
 
 
-def _topk_weighted_expr(col: str, weight: str, k: str) -> str:
+def _topk_weighted_expr(
+    col: str, weight: str, k: str, tuples: bool = False
+) -> str:
     """Exact twin of CH ``topKWeighted(k)(x, w)``: values ranked by
     summed weight desc, ties asc by value. Same collected-group fold
     as ``_topk_expr`` with the weight folded instead of +1 (same
-    low-cardinality usage caveat)."""
+    low-cardinality usage caveat). ``tuples=True`` yields
+    ``approx_top_sum``'s shape — Array(Tuple(item, count, error)) —
+    with error 0 since this twin is exact."""
     freq = (
         f"aggregate(collect_list(named_struct('k', {col}, 'w', "
         f"CAST({weight} AS BIGINT))), "
@@ -6905,9 +6913,15 @@ def _topk_weighted_expr(col: str, weight: str, k: str) -> str:
         "WHEN l.key < r.key THEN -1 "
         "WHEN l.key > r.key THEN 1 ELSE 0 END"
     )
+    shape = (
+        "s -> named_struct('item', s.key, 'count', s.value, "
+        "'error', cast(0 as bigint))"
+        if tuples
+        else "s -> s.key"
+    )
     return (
         f"slice(transform(array_sort(map_entries({freq}), {cmp}), "
-        f"s -> s.key), 1, {k})"
+        f"{shape}), 1, {k})"
     )
 
 

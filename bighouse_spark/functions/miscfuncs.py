@@ -492,6 +492,53 @@ def bh_norm_ppf(p: pd.Series) -> pd.Series:
     return p.map(_null_safe(_norm_ppf))
 
 
+_ANOVA_RESULT = StructType([
+    StructField("f_statistic", DoubleType()),
+    StructField("p_value", DoubleType()),
+])
+
+
+def _anova(pairs) -> tuple[float, float]:
+    """One-way ANOVA over one group's collected (g, v) pairs: the
+    per-group subtotal accumulation, F statistic, and upper-tail
+    p-value in a single pass (the SQL-fold formulation re-evaluated
+    this O(n log n) work once per textual reference; one Arrow batch
+    computes it exactly once). NULL pairs never arrive
+    (collect_list skips them); k < 2 or N ≤ k → (NaN, NaN)."""
+    nan = float("nan")
+    sums: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    tot = 0.0
+    sxx = 0.0
+    n = 0
+    for e in pairs if pairs is not None else []:
+        g, v = e["g"], e["v"]
+        sums[g] = sums.get(g, 0.0) + v
+        counts[g] = counts.get(g, 0) + 1
+        tot += v
+        sxx += v * v
+        n += 1
+    k = len(sums)
+    if k < 2 or n <= k:
+        return (nan, nan)
+    s = sum(sg * sg / counts[g] for g, sg in sums.items())
+    ssb = s - tot * tot / n
+    ssw = sxx - s
+    df1 = float(k - 1)
+    df2 = float(n - k)
+    f = (ssb / df1) / max(ssw / df2, 1e-300)
+    return (f, _f_pvalue(f, df1, df2))
+
+
+@pandas_udf(_ANOVA_RESULT)
+def bh_anova(pairs: pd.Series) -> pd.DataFrame:
+    out = [_anova(p) for p in pairs]
+    return pd.DataFrame(
+        {"f_statistic": [o[0] for o in out],
+         "p_value": [o[1] for o in out]}
+    )
+
+
 _GEOHASH_BOX_CAP = 200_000
 
 
@@ -701,6 +748,7 @@ ALL = {
     "bh_spearman": bh_spearman,
     "bh_t_pvalue2": bh_t_pvalue2,
     "bh_f_pvalue": bh_f_pvalue,
+    "bh_anova": bh_anova,
     "bh_norm_ppf": bh_norm_ppf,
     "bh_geohashes_in_box": bh_geohashes_in_box,
     "bh_detect_language": bh_detect_language,

@@ -494,7 +494,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     ).digest(),
                 )
             )
-        if user != want_user or not hmac.compare_digest(token, expect):
+        user_ok = hmac.compare_digest(user.encode(), want_user.encode())
+        pw_ok = hmac.compare_digest(token, expect)
+        if not (user_ok and pw_ok):
             self._send_err(
                 conn, 1045,
                 f"Access denied for user '{user}' (using password: "

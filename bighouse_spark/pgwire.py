@@ -358,8 +358,14 @@ class _Handler(socketserver.BaseRequestHandler):
         if auth is None:
             return True
         mode, want_user, want_pw = auth
-        if startup_user != want_user:
-            return self._auth_fail(sock, startup_user)
+        # Never reject on username alone — run the full password
+        # exchange with an unguessable doomed password instead, so the
+        # response shape can't be used as a username-existence oracle
+        # (real PostgreSQL behaves the same way).
+        if not hmac.compare_digest(
+            startup_user.encode(), want_user.encode()
+        ):
+            want_pw = base64.b64encode(os.urandom(18)).decode()
         if mode == "password":
             sock.sendall(_msg(b"R", struct.pack("!I", 3)))
             body = self._read_password_msg(sock)
@@ -386,6 +392,16 @@ class _Handler(socketserver.BaseRequestHandler):
         raise ValueError(f"unknown pg auth mode: {mode}")
 
     def _scram(self, sock, user: str, want_pw: str) -> bool:
+        # Untrusted SASL payloads: any malformed framing/attr parse
+        # below must answer 28P01, not dump a traceback (the MySQL
+        # wire's _authenticate takes the same posture).
+        try:
+            return self._scram_exchange(sock, user, want_pw)
+        except (ValueError, KeyError, IndexError, struct.error,
+                UnicodeDecodeError):
+            return self._auth_fail(sock, user)
+
+    def _scram_exchange(self, sock, user: str, want_pw: str) -> bool:
         sock.sendall(
             _msg(b"R", struct.pack("!I", 10) + _cstr("SCRAM-SHA-256") + b"\x00")
         )

@@ -422,6 +422,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._send(200, [asdict(e) for e in self.engine.query_log])
         elif parsed.path == "/ping":
+            # the bare ping stays open (CH's /ping is unauthenticated),
+            # but a ?query= rider executes SQL and must be gated like /
+            has_query = bool(
+                urllib.parse.parse_qs(parsed.query).get("query")
+            )
+            if has_query and not self._check_auth(parsed):
+                return
             self._ch_http(parsed, body=b"")
         elif parsed.path == "/":
             # the bare ping (no query) stays open, like CH's /ping
@@ -776,18 +783,6 @@ def main() -> None:  # pragma: no cover - manual entry point
         "packet (default: trust)",
     )
     args = ap.parse_args()
-    pg_auth: tuple[str, str, str] | None = None
-    if args.pg_auth is not None:
-        parts = args.pg_auth.split(":", 2)
-        if len(parts) != 3:
-            ap.error("--pg-auth must be MODE:USER:PASSWORD")
-        pg_auth = (parts[0], parts[1], parts[2])
-    my_auth: tuple[str, str] | None = None
-    if args.mysql_auth is not None:
-        parts = args.mysql_auth.split(":", 1)
-        if len(parts) != 2:
-            ap.error("--mysql-auth must be USER:PASSWORD")
-        my_auth = (parts[0], parts[1])
 
     def _user_pw(flag: str, value: str | None) -> tuple[str, str] | None:
         if value is None:
@@ -797,6 +792,13 @@ def main() -> None:  # pragma: no cover - manual entry point
             ap.error(f"{flag} must be USER:PASSWORD")
         return (parts[0], parts[1])
 
+    pg_auth: tuple[str, str, str] | None = None
+    if args.pg_auth is not None:
+        parts = args.pg_auth.split(":", 2)
+        if len(parts) != 3:
+            ap.error("--pg-auth must be MODE:USER:PASSWORD")
+        pg_auth = (parts[0], parts[1], parts[2])
+    my_auth = _user_pw("--mysql-auth", args.mysql_auth)
     http_auth = _user_pw("--http-auth", args.http_auth)
     ch_auth = _user_pw("--ch-auth", args.ch_auth)
     engine = BigHouseEngine()

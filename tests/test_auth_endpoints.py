@@ -56,6 +56,17 @@ class TestHTTPAuth:
         assert code == 403
         assert b"516" in body and b"Authentication failed" in body
 
+    def test_ping_query_rider_requires_credentials(self, base):
+        # /ping itself is open, but a ?query= rider executes SQL and
+        # must be gated exactly like / (bypass regression).
+        code, body = _get(base + "/ping?query=SELECT+1")
+        assert code == 403
+        assert b"Authentication failed" in body
+        code, body = _get(
+            base + "/ping?query=SELECT+1+AS+x&user=alice&password=pw1"
+        )
+        assert (code, body) == (200, b"1\n")
+
     def test_url_params(self, base):
         code, body = _get(
             base + "/?query=SELECT+1+AS+x&user=alice&password=pw1"

@@ -175,6 +175,71 @@ class TestPGAuth:
         with pytest.raises(ValueError, match="authentication failed"):
             self._fetch(authed, user="mallory")
 
+    def test_wrong_user_gets_password_challenge(self, authed):
+        """No username-existence oracle: an unknown user must receive
+        the same password challenge shape as the configured user (the
+        doomed exchange then fails) — never an instant error."""
+        import socket
+        import struct
+
+        body = (
+            struct.pack("!I", 196608)
+            + b"user\x00mallory\x00database\x00default\x00\x00"
+        )
+        with socket.create_connection(("127.0.0.1", authed.port)) as s:
+            s.sendall(struct.pack("!I", len(body) + 4) + body)
+            head = s.recv(5)
+            assert head[0:1] == b"R", (
+                "expected an authentication request, got "
+                f"{head[0:1]!r} (instant rejection leaks that the "
+                "username is unknown)"
+            )
+            (ln,) = struct.unpack("!I", head[1:5])
+            (code,) = struct.unpack("!I", s.recv(ln - 4)[:4])
+            assert code in (3, 5, 10)  # cleartext / md5 / SASL
+
+    def test_malformed_sasl_payload_gets_auth_error(self, eng):
+        """Untrusted SASL bytes that don't parse must answer 28P01,
+        not drop the connection with a server-side traceback."""
+        import socket
+        import struct
+
+        srv = PGWireServer(
+            engine=eng, auth=("scram-sha-256", "u", "sekrit")
+        ).start()
+        try:
+            body = (
+                struct.pack("!I", 196608)
+                + b"user\x00u\x00database\x00default\x00\x00"
+            )
+            for evil in (
+                # no NUL mechanism terminator / truncated length
+                b"junk",
+                # valid mechanism, garbage client-first (no attrs)
+                b"SCRAM-SHA-256\x00" + struct.pack("!I", 4) + b"n,,x",
+            ):
+                with socket.create_connection(
+                    ("127.0.0.1", srv.port)
+                ) as s:
+                    s.sendall(struct.pack("!I", len(body) + 4) + body)
+                    head = s.recv(5)
+                    assert head[0:1] == b"R"  # SASL mechanisms offer
+                    (ln,) = struct.unpack("!I", head[1:5])
+                    s.recv(ln - 4)
+                    s.sendall(
+                        b"p" + struct.pack("!I", len(evil) + 4) + evil
+                    )
+                    head = s.recv(5)
+                    assert head[0:1] == b"E", (
+                        f"expected ErrorResponse for {evil!r}, got "
+                        f"{head[0:1]!r}"
+                    )
+                    (ln,) = struct.unpack("!I", head[1:5])
+                    err = s.recv(ln - 4)
+                    assert b"28P01" in err
+        finally:
+            srv.shutdown()
+
     def test_table_function_through_scram(self, eng):
         srv = PGWireServer(
             engine=eng, auth=("scram-sha-256", "u", "sekrit")

@@ -5651,6 +5651,15 @@ class TestRound7ProbeTranche2:
         assert r.rows == [[1024, 1500000, None, 0, 3]]
         with pytest.raises(Exception, match="cannot parse"):
             eng.execute("SELECT parseReadableSize('nope')")
+        # '1.2.3 KiB' passes a naive [0-9.]+ shape check but is not a
+        # castable number — the Or-variants must substitute, not
+        # raise an ANSI CAST error (review regression).
+        r = eng.execute(
+            "SELECT parseReadableSizeOrNull('1.2.3 KiB') AS a, "
+            "parseReadableSizeOrZero('1.2.3 KiB') AS b, "
+            "parseReadableSizeOrNull('.5 KiB') AS c"
+        )
+        assert r.rows == [[None, 0, 512]]
 
     def test_bit_tests_and_erfinv(self, eng):
         r = eng.execute(
@@ -5734,6 +5743,16 @@ class TestRound7AggSweepAdditions:
             "SELECT approx_top_sum(2)(number % 3, number) AS a, "
             "approx_top_sum(number % 3, number) AS b FROM numbers(7)"
         )
-        # weights: value 0 → 9, 2 → 7, 1 → 5
+        # weights: value 0 → 9, 2 → 7, 1 → 5. CH's approx_top_sum
+        # returns Array(Tuple(item, count, error)), NOT topKWeighted's
+        # bare values array; the exact twin reports error = 0.
+        assert [tuple(t) for t in r.rows[0][0]] == [(0, 9, 0), (2, 7, 0)]
+        assert [tuple(t) for t in r.rows[0][1]] == [
+            (0, 9, 0), (2, 7, 0), (1, 5, 0)
+        ]
+        # topKWeighted itself keeps the bare-array shape.
+        r = eng.execute(
+            "SELECT topKWeighted(2)(number % 3, number) AS a "
+            "FROM numbers(7)"
+        )
         assert r.rows[0][0] == [0, 2]
-        assert r.rows[0][1] == [0, 2, 1]
