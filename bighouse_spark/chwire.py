@@ -696,9 +696,18 @@ class _Conn:
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
+        sock = self.request
         try:
+            # tcp_port_secure semantics: when the server carries a
+            # TLS context the connection is TLS from the first byte
+            # (no STARTTLS in the native protocol). The handshake
+            # runs here, in the per-connection thread, so a stalled
+            # client can't block the accept loop.
+            ctx = getattr(self.server, "tls_ctx", None)
+            if ctx is not None:
+                sock = ctx.wrap_socket(sock, server_side=True)
             _Conn(
-                self.request, self.server.engine,
+                sock, self.server.engine,
                 auth=getattr(self.server, "auth", None),
             ).run()
         except (ConnectionError, BrokenPipeError, OSError,
@@ -717,11 +726,20 @@ class CHWireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auth: tuple[str, str] | None = None,
+        tls: tuple[str, str] | None = None,
     ) -> None:
         """``auth``: optional ``(user, password)`` checked against
-        the Hello packet's cleartext credentials; None = trust."""
+        the Hello packet's cleartext credentials; None = trust.
+        ``tls``: optional ``(certfile, keyfile)`` — the listener
+        becomes CH's ``tcp_port_secure`` (9440): TLS from the first
+        byte, plaintext clients are rejected at handshake."""
         self.engine = engine or BigHouseEngine()
         self.auth = auth
+        tls_ctx = None
+        if tls is not None:
+            from bighouse_spark.tlsutil import server_context
+
+            tls_ctx = server_context(*tls)
         outer = self
 
         class _Server(socketserver.ThreadingTCPServer):
@@ -729,6 +747,8 @@ class CHWireServer:
             daemon_threads = True
             engine = outer.engine
             auth = outer.auth
+
+        _Server.tls_ctx = tls_ctx
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

@@ -50,6 +50,7 @@ from bighouse_spark.session_settings import (
 from bighouse_spark.formats import ch_base_type
 
 _CLIENT_PROTOCOL_41 = 0x0200
+_CLIENT_SSL = 0x0800
 _CLIENT_SECURE_CONNECTION = 0x8000
 _CLIENT_PLUGIN_AUTH = 0x80000
 
@@ -389,9 +390,24 @@ class _Handler(socketserver.BaseRequestHandler):
         self._settings: dict[str, str] = {}
         try:
             self._handshake(conn)
-            resp = conn.recv()  # HandshakeResponse41
+            resp = conn.recv()  # HandshakeResponse41 (or SSLRequest)
             if resp is None:
                 return
+            # CLIENT_SSL upgrade: the short SSLRequest packet is the
+            # HandshakeResponse prefix only (caps + max-packet +
+            # charset + 23 filler = 32 bytes, no username). Wrap the
+            # socket and read the real HandshakeResponse over TLS —
+            # the packet sequence continues across the handshake.
+            ctx = getattr(self.server, "tls_ctx", None)
+            if (
+                ctx is not None
+                and len(resp) == 32
+                and struct.unpack_from("<I", resp, 0)[0] & _CLIENT_SSL
+            ):
+                conn.sock = ctx.wrap_socket(conn.sock, server_side=True)
+                resp = conn.recv()
+                if resp is None:
+                    return
             if not self._authenticate(conn, resp):
                 return
             self._send_ok(conn)
@@ -428,6 +444,8 @@ class _Handler(socketserver.BaseRequestHandler):
             _CLIENT_PROTOCOL_41 | _CLIENT_PLUGIN_AUTH
             | _CLIENT_SECURE_CONNECTION
         )
+        if getattr(self.server, "tls_ctx", None) is not None:
+            caps |= _CLIENT_SSL
         # Per-connection 20-byte scramble nonce, NUL-free (the parts
         # are NUL-terminated on the wire; a 0x00 inside would
         # truncate naive clients).
@@ -698,11 +716,21 @@ class MySQLWireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auth: tuple[str, str] | None = None,
+        tls: tuple[str, str] | None = None,
     ) -> None:
         """``auth``: optional ``(user, password)`` verified with the
-        mysql_native_password scramble; None = trust."""
+        mysql_native_password scramble; None = trust. ``tls``:
+        optional ``(certfile, keyfile)`` — the handshake advertises
+        CLIENT_SSL; a client that replies with the short SSLRequest
+        packet upgrades before sending its real HandshakeResponse
+        (plaintext clients remain accepted, MySQL's own default)."""
         self.engine = engine or BigHouseEngine()
         self.auth = auth
+        tls_ctx = None
+        if tls is not None:
+            from bighouse_spark.tlsutil import server_context
+
+            tls_ctx = server_context(*tls)
 
         outer = self
 
@@ -711,6 +739,8 @@ class MySQLWireServer:
             daemon_threads = True
             engine = outer.engine
             auth = outer.auth
+
+        _Server.tls_ctx = tls_ctx
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

@@ -12,8 +12,11 @@ surface, table functions and SETTINGS included.
 
 Protocol scope (mirrors what ClickHouse's own endpoint supports):
 
-* StartupMessage (3.0) with SSLRequest/GSSENCRequest politely
-  declined (``N``) — cleartext only, like CH with SSL unconfigured.
+* StartupMessage (3.0). SSLRequest upgrades to TLS when the server
+  was built with ``tls=(cert, key)`` (``S`` + handshake before the
+  startup packet — the sslmode=require path); otherwise it is
+  politely declined (``N``), like CH with SSL unconfigured.
+  GSSENCRequest is always declined.
 * AuthenticationOk (trust), ParameterStatus, BackendKeyData,
   ReadyForQuery.
 * Simple ``Query`` ('Q'): RowDescription + DataRow* (text format) +
@@ -252,7 +255,8 @@ class _Handler(socketserver.BaseRequestHandler):
         # trailing SETTINGS clause; 'SET k TO v' accepted too.
         self._settings: dict[str, str] = {}
         try:
-            if not self._startup(sock):
+            sock = self._startup(sock)
+            if sock is None:
                 return
             self._send_ready(sock)
             while True:
@@ -291,20 +295,34 @@ class _Handler(socketserver.BaseRequestHandler):
 
     # -- startup ---------------------------------------------------
 
-    def _startup(self, sock) -> bool:
+    def _startup(self, sock):
+        """Run the startup negotiation; returns the (possibly
+        TLS-wrapped) socket, or None to drop the connection."""
         while True:
             head = self._recv_exact(sock, 8)
             if head is None:
-                return False
+                return None
             length, code = struct.unpack("!II", head)
-            if code in (_SSL_REQUEST, _GSSENC_REQUEST):
+            if code == _SSL_REQUEST:
+                # PG's STARTTLS: 'S' + handshake when the server has
+                # a TLS context (sslmode=require/verify-*), else the
+                # polite 'N' and the client may continue plaintext.
+                ctx = getattr(self.server, "tls_ctx", None)
+                if ctx is None:
+                    sock.sendall(b"N")
+                    continue
+                sock.sendall(b"S")
+                sock = ctx.wrap_socket(sock, server_side=True)
+                self.request = sock
+                continue
+            if code == _GSSENC_REQUEST:
                 sock.sendall(b"N")
                 continue
             if code == _CANCEL_REQUEST:
-                return False
+                return None
             body = self._recv_exact(sock, length - 8)
             if body is None or code != _PROTO_V3:
-                return False
+                return None
             break
         # Startup parameters: NUL-separated key/value pairs, NUL end.
         params: dict[str, str] = {}
@@ -315,7 +333,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     i + 1
                 ].decode(errors="replace")
         if not self._authenticate(sock, params.get("user", "")):
-            return False
+            return None
         sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
         for k, v in (
             ("server_version", "16.0 (BigHouse Spark engine)"),
@@ -328,7 +346,7 @@ class _Handler(socketserver.BaseRequestHandler):
         sock.sendall(
             _msg(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF, 0))
         )
-        return True
+        return sock
 
     # -- authentication ---------------------------------------------
     #
@@ -721,9 +739,14 @@ class PGWireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auth: tuple[str, str, str] | None = None,
+        tls: tuple[str, str] | None = None,
     ) -> None:
         """``auth``: optional ``(mode, user, password)`` with mode in
-        {"password", "md5", "scram-sha-256"}; None = trust."""
+        {"password", "md5", "scram-sha-256"}; None = trust.
+        ``tls``: optional ``(certfile, keyfile)`` — SSLRequest is
+        answered ``S`` and the connection upgrades before the
+        StartupMessage; plaintext startups remain accepted (PG's
+        own default; pair with auth to force credentials)."""
         if auth is not None and auth[0] not in (
             "password", "md5", "scram-sha-256"
         ):
@@ -733,6 +756,11 @@ class PGWireServer:
             )
         self.engine = engine or BigHouseEngine()
         self.auth = auth
+        tls_ctx = None
+        if tls is not None:
+            from bighouse_spark.tlsutil import server_context
+
+            tls_ctx = server_context(*tls)
 
         outer = self
 
@@ -741,6 +769,8 @@ class PGWireServer:
             daemon_threads = True
             engine = outer.engine
             auth = outer.auth
+
+        _Server.tls_ctx = tls_ctx
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

@@ -360,6 +360,17 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args: Any) -> None:  # silence default stderr log
         pass
 
+    def setup(self) -> None:
+        # Deferred TLS handshake (see make_server): the listener
+        # wraps with do_handshake_on_connect=False, so the handshake
+        # runs here in the connection's own thread. Failures (e.g. a
+        # plain-HTTP client on the HTTPS port) raise SSLError, which
+        # the server's handle_error treats as a clean close.
+        hs = getattr(self.request, "do_handshake", None)
+        if hs is not None:
+            hs()
+        super().setup()
+
     def _send(self, code: int, payload: Any) -> None:
         body = _dumps(payload)
         self.send_response(code)
@@ -717,17 +728,42 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(
     engine: BigHouseEngine | None = None, host: str = "127.0.0.1",
     port: int = 0, auth: tuple[str, str] | None = None,
+    tls: tuple[str, str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the server; ``port=0`` picks a free port.
     Caller runs ``serve_forever`` (or ``start_in_background``).
     ``auth``: optional (user, password) for the CH HTTP credential
-    surfaces; None = trust."""
+    surfaces; None = trust. ``tls``: optional (certfile, keyfile) —
+    the port serves HTTPS only (CH's ``https_port`` 8443 model; run
+    a second plain ``make_server`` for an 8123 twin if needed)."""
     engine = engine or BigHouseEngine()
     handler = type(
         "BoundHandler", (_Handler,),
         {"engine": engine, "sessions": SessionStore(), "auth": auth},
     )
-    return ThreadingHTTPServer((host, port), handler)
+    class _Srv(ThreadingHTTPServer):
+        def handle_error(self, request, client_address):  # noqa: D401
+            # Connection-level failures (broken pipes, TLS handshake
+            # rejections) are routine; only genuine bugs deserve the
+            # default traceback dump.
+            import sys
+
+            exc = sys.exc_info()[0]
+            if exc is not None and issubclass(exc, OSError):
+                return
+            super().handle_error(request, client_address)
+
+    srv = _Srv((host, port), handler)
+    if tls is not None:
+        from bighouse_spark.tlsutil import server_context
+
+        # Handshake is deferred to the per-connection handler thread
+        # (_Handler.setup) so a stalled TLS client can't block the
+        # accept loop.
+        srv.socket = server_context(*tls).wrap_socket(
+            srv.socket, server_side=True, do_handshake_on_connect=False
+        )
+    return srv
 
 
 def start_in_background(
@@ -782,6 +818,15 @@ def main() -> None:  # pragma: no cover - manual entry point
         help="require credentials in the native-protocol Hello "
         "packet (default: trust)",
     )
+    ap.add_argument(
+        "--tls", default=None, metavar="CERTFILE:KEYFILE",
+        help="serve TLS on every endpoint with this certificate: "
+        "the HTTP port becomes HTTPS (CH https_port model), the "
+        "native port becomes tcp_port_secure (TLS from the first "
+        "byte), and the PG/MySQL ports accept their protocols' "
+        "STARTTLS upgrades (SSLRequest / CLIENT_SSL) while still "
+        "allowing plaintext clients",
+    )
     args = ap.parse_args()
 
     def _user_pw(flag: str, value: str | None) -> tuple[str, str] | None:
@@ -801,9 +846,18 @@ def main() -> None:  # pragma: no cover - manual entry point
     my_auth = _user_pw("--mysql-auth", args.mysql_auth)
     http_auth = _user_pw("--http-auth", args.http_auth)
     ch_auth = _user_pw("--ch-auth", args.ch_auth)
+    tls = None
+    if args.tls is not None:
+        from bighouse_spark.tlsutil import parse_tls_flag
+
+        try:
+            tls = parse_tls_flag(args.tls)
+        except ValueError as e:
+            ap.error(str(e))
     engine = BigHouseEngine()
     server = make_server(
-        engine=engine, host=args.host, port=args.port, auth=http_auth
+        engine=engine, host=args.host, port=args.port, auth=http_auth,
+        tls=tls,
     )
     non_loopback = args.host not in ("127.0.0.1", "::1", "localhost")
     if non_loopback and ((args.pg_port is not None and pg_auth is None)
@@ -829,7 +883,7 @@ def main() -> None:  # pragma: no cover - manual entry point
 
         pg = PGWireServer(
             engine=engine, host=args.host, port=args.pg_port,
-            auth=pg_auth,
+            auth=pg_auth, tls=tls,
         )
         pg.start()
         print(f"pg wire protocol on {pg.host}:{pg.port}")
@@ -838,7 +892,7 @@ def main() -> None:  # pragma: no cover - manual entry point
 
         my = MySQLWireServer(
             engine=engine, host=args.host, port=args.mysql_port,
-            auth=my_auth,
+            auth=my_auth, tls=tls,
         )
         my.start()
         print(f"mysql wire protocol on {my.host}:{my.port}")
@@ -847,7 +901,7 @@ def main() -> None:  # pragma: no cover - manual entry point
 
         ch = CHWireServer(
             engine=engine, host=args.host, port=args.ch_port,
-            auth=ch_auth,
+            auth=ch_auth, tls=tls,
         )
         ch.start()
         print(f"clickhouse native protocol on {ch.host}:{ch.port}")

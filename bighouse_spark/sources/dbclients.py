@@ -141,12 +141,30 @@ def pg_fetch(
     password: str,
     query: str,
     timeout: float = 30.0,
+    tls: bool = False,
+    tls_ca: str | None = None,
 ) -> tuple[list[str], list[str], list[list]]:
     """Run ``query`` over the PostgreSQL simple protocol; return
     (col_names, col_kinds, rows) with text values converted per the
-    column's type OID."""
+    column's type OID. ``tls=True`` sends SSLRequest and upgrades
+    before the startup packet (``tls_ca`` pins a trust root and
+    enables certificate + hostname verification; without it the
+    channel is encrypted but unauthenticated, sslmode=require)."""
     sock = socket.create_connection((host, port), timeout=timeout)
     try:
+        if tls:
+            sock.sendall(struct.pack("!II", 8, 80877103))  # SSLRequest
+            if _recv_exact(sock, 1) != b"S":
+                raise ValueError(
+                    "postgresql(): server declined TLS (answered 'N' "
+                    "to SSLRequest); drop tls=True or configure the "
+                    "server with a certificate"
+                )
+            from bighouse_spark.tlsutil import client_context
+
+            sock = client_context(
+                tls_ca, verify=tls_ca is not None
+            ).wrap_socket(sock, server_hostname=host)
         params = (
             b"user\x00" + user.encode() + b"\x00"
             b"database\x00" + database.encode() + b"\x00"
@@ -373,6 +391,7 @@ _MY_KINDS = {
 }
 
 _CLIENT_PROTOCOL_41 = 0x0200
+_CLIENT_SSL = 0x0800
 _CLIENT_SECURE_CONNECTION = 0x8000
 _CLIENT_PLUGIN_AUTH = 0x80000
 _BINARY_CHARSET = 63
@@ -464,9 +483,13 @@ def mysql_fetch(
     password: str,
     query: str,
     timeout: float = 30.0,
+    tls: bool = False,
+    tls_ca: str | None = None,
 ) -> tuple[list[str], list[str], list[list]]:
     """Run ``query`` over the MySQL text protocol; return
-    (col_names, col_kinds, rows)."""
+    (col_names, col_kinds, rows). ``tls=True`` sends the short
+    SSLRequest packet after the server handshake and upgrades before
+    the real HandshakeResponse (``tls_ca`` as in ``pg_fetch``)."""
     sock = socket.create_connection((host, port), timeout=timeout)
     try:
         hello = _my_read_packet(sock)
@@ -518,6 +541,28 @@ def mysql_fetch(
             | _CLIENT_SECURE_CONNECTION
             | _CLIENT_PLUGIN_AUTH
         )
+        resp_seq = 1
+        if tls:
+            if not cap_low & _CLIENT_SSL:
+                raise ValueError(
+                    "mysql(): server does not advertise CLIENT_SSL; "
+                    "drop tls=True or configure the server with a "
+                    "certificate"
+                )
+            flags |= _CLIENT_SSL
+            # SSLRequest: the HandshakeResponse prefix only (no
+            # username); the TLS handshake runs next and the packet
+            # sequence continues across it.
+            _my_send_packet(
+                sock, resp_seq,
+                struct.pack("<IIB", flags, 1 << 24, 33) + b"\x00" * 23,
+            )
+            from bighouse_spark.tlsutil import client_context
+
+            sock = client_context(
+                tls_ca, verify=tls_ca is not None
+            ).wrap_socket(sock, server_hostname=host)
+            resp_seq = 2
         resp = (
             struct.pack("<IIB", flags, 1 << 24, 33)
             + b"\x00" * 23
@@ -525,7 +570,7 @@ def mysql_fetch(
             + bytes((len(auth),)) + auth
             + b"mysql_native_password\x00"
         )
-        _my_send_packet(sock, 1, resp)
+        _my_send_packet(sock, resp_seq, resp)
         ok = _my_read_packet(sock)
         if ok[:1] == b"\xff":
             raise ValueError(f"mysql(): {_my_error(ok)}")

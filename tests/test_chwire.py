@@ -103,8 +103,10 @@ class CHClient:
 
     def __init__(self, host: str, port: int, compressed: bool = False,
                  revision: int = 54470, user: str = "tester",
-                 password: str = "pw"):
-        self.sock = socket.create_connection((host, port), timeout=60)
+                 password: str = "pw", sock: socket.socket | None = None):
+        # ``sock``: an already-connected (e.g. TLS-wrapped) socket —
+        # the tcp_port_secure tests hand one in.
+        self.sock = sock or socket.create_connection((host, port), timeout=60)
         self.buf = b""
         self.pos = 0
         self.compressed = compressed
