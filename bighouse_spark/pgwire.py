@@ -354,8 +354,11 @@ class _Handler(socketserver.BaseRequestHandler):
     # {"password", "md5", "scram-sha-256"}. Default (None) stays
     # trust, matching the reference's in-VPC posture. SCRAM follows
     # RFC 5802/7677 over the PG SASL framing (AuthenticationSASL /
-    # SASLContinue / SASLFinal); no TLS here so only the base
-    # mechanism (not -PLUS channel binding) is offered.
+    # SASLContinue / SASLFinal). Over a TLS-upgraded connection the
+    # server also offers SCRAM-SHA-256-PLUS with tls-server-end-point
+    # channel binding (RFC 5929) and enforces the RFC 5802 'y'-flag
+    # downgrade check; plaintext connections offer only the base
+    # mechanism.
 
     def _auth_fail(self, sock, user: str) -> bool:
         self._send_error(
@@ -420,8 +423,23 @@ class _Handler(socketserver.BaseRequestHandler):
             return self._auth_fail(sock, user)
 
     def _scram_exchange(self, sock, user: str, want_pw: str) -> bool:
+        # Channel binding is offered iff THIS connection runs over
+        # TLS (the server may accept plaintext startups too, where
+        # there is no channel to bind). Binding data is
+        # tls-server-end-point (RFC 5929): a hash of our own
+        # certificate, precomputed by PGWireServer from the PEM.
+        import ssl as _ssl
+
+        cb_data = (
+            getattr(self.server, "cb_data", None)
+            if isinstance(sock, _ssl.SSLSocket) else None
+        )
+        if cb_data is not None:
+            mechs = _cstr("SCRAM-SHA-256-PLUS") + _cstr("SCRAM-SHA-256")
+        else:
+            mechs = _cstr("SCRAM-SHA-256")
         sock.sendall(
-            _msg(b"R", struct.pack("!I", 10) + _cstr("SCRAM-SHA-256") + b"\x00")
+            _msg(b"R", struct.pack("!I", 10) + mechs + b"\x00")
         )
         body = self._read_password_msg(sock)  # SASLInitialResponse
         if body is None:
@@ -430,18 +448,43 @@ class _Handler(socketserver.BaseRequestHandler):
         mech = body[:nul].decode(errors="replace")
         (ilen,) = struct.unpack("!I", body[nul + 1:nul + 5])
         client_first = body[nul + 5:nul + 5 + ilen].decode()
-        if mech != "SCRAM-SHA-256":
+        if mech == "SCRAM-SHA-256-PLUS" and cb_data is None:
             self._send_error(
                 sock, "28000",
-                f"SASL mechanism {mech} not offered (channel binding "
-                "requires TLS; use SCRAM-SHA-256)",
+                "SASL mechanism SCRAM-SHA-256-PLUS not offered "
+                "(channel binding requires TLS; use SCRAM-SHA-256)",
             )
             return False
-        # gs2-header = cbind-flag "," [authzid] ","  — e.g. "n,,"
-        if client_first.startswith("p="):
+        if mech not in ("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS"):
+            self._send_error(
+                sock, "28000", f"SASL mechanism {mech} not offered",
+            )
+            return False
+        plus = mech == "SCRAM-SHA-256-PLUS"
+        # gs2-header = cbind-flag "," [authzid] ","  — e.g. "n,," or
+        # "p=tls-server-end-point,,"
+        if plus:
+            if not client_first.startswith("p=tls-server-end-point,"):
+                self._send_error(
+                    sock, "28000",
+                    "SCRAM-SHA-256-PLUS requires channel binding "
+                    "type tls-server-end-point",
+                )
+                return False
+        elif client_first.startswith("p="):
             self._send_error(
                 sock, "28000",
-                "channel binding requested but no TLS channel exists",
+                "channel binding requested on the non-PLUS mechanism",
+            )
+            return False
+        elif client_first.startswith("y") and cb_data is not None:
+            # RFC 5802 downgrade detection: 'y' claims the server
+            # offered no -PLUS mechanism — but we did, so a MITM
+            # stripped it from the list.
+            self._send_error(
+                sock, "28000",
+                "channel binding flag 'y' but SCRAM-SHA-256-PLUS was "
+                "offered (possible downgrade attack)",
             )
             return False
         second_comma = client_first.index(",", client_first.index(",") + 1)
@@ -466,9 +509,14 @@ class _Handler(socketserver.BaseRequestHandler):
         client_final = final.decode()
         without_proof, _, proof_b64 = client_final.rpartition(",p=")
         fattrs = dict(kv.split("=", 1) for kv in without_proof.split(","))
+        # c= carries base64(gs2-header || cbind-data): the binding
+        # data is empty for the base mechanism, our certificate hash
+        # for -PLUS — a MITM terminating TLS with its own cert can't
+        # reproduce it.
+        expected_cbind = gs2_header.encode() + (cb_data if plus else b"")
         if fattrs.get("r") != nonce or base64.b64decode(
             fattrs.get("c", "")
-        ) != gs2_header.encode():
+        ) != expected_cbind:
             return self._auth_fail(sock, user)
         auth_message = (
             f"{client_first_bare},{server_first},{without_proof}".encode()
@@ -756,11 +804,18 @@ class PGWireServer:
             )
         self.engine = engine or BigHouseEngine()
         self.auth = auth
-        tls_ctx = None
+        tls_ctx = cb_data = None
         if tls is not None:
-            from bighouse_spark.tlsutil import server_context
+            from bighouse_spark.tlsutil import (
+                cert_cb_hash,
+                pem_cert_der,
+                server_context,
+            )
 
             tls_ctx = server_context(*tls)
+            # tls-server-end-point binding data for SCRAM -PLUS: a
+            # hash of our own certificate (RFC 5929 §4).
+            cb_data = cert_cb_hash(pem_cert_der(tls[0]))
 
         outer = self
 
@@ -771,6 +826,7 @@ class PGWireServer:
             auth = outer.auth
 
         _Server.tls_ctx = tls_ctx
+        _Server.cb_data = cb_data
 
         self._server = _Server((host, port), _Handler)
         self.host, self.port = self._server.server_address

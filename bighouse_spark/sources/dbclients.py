@@ -18,9 +18,12 @@ Protocol implementations are from the public wire documentation:
   Query, RowDescription/DataRow text format). SASL implements
   SCRAM-SHA-256 per RFC 5802/7677 — client proof via
   PBKDF2/HMAC-SHA-256, server-signature verification on the final
-  message (spoofed servers are rejected). Channel-binding (-PLUS)
-  variants are refused with guidance: there is no TLS channel here
-  to bind to.
+  message (spoofed servers are rejected). Over TLS
+  (``tls=True``) the client prefers SCRAM-SHA-256-PLUS with
+  tls-server-end-point channel binding (RFC 5929), hashing the
+  certificate the handshake actually produced; plaintext
+  connections use the base mechanism with the honest ``n``/``y``
+  gs2 flags.
 * MySQL client/server protocol 4.1 (Handshake v10,
   HandshakeResponse41 with ``mysql_native_password`` scramble,
   COM_QUERY text resultsets, lenenc integers/strings).
@@ -203,31 +206,50 @@ def pg_fetch(
                 )
             elif code == 10:  # AuthenticationSASL: mechanism list
                 mechs = payload[4:].split(b"\x00")
-                if b"SCRAM-SHA-256" not in mechs:
+                # Over TLS, prefer the channel-bound -PLUS variant
+                # (binding data = hash of the server cert we actually
+                # handshook with, RFC 5929 tls-server-end-point); a
+                # TLS server offering only the base mechanism gets
+                # the 'y' gs2 flag, RFC 5802's honest "I support
+                # binding, you don't offer it".
+                on_tls = hasattr(sock, "getpeercert")
+                if on_tls and b"SCRAM-SHA-256-PLUS" in mechs:
+                    from bighouse_spark.tlsutil import cert_cb_hash
+
+                    cb = cert_cb_hash(sock.getpeercert(binary_form=True))
+                    mech = b"SCRAM-SHA-256-PLUS"
+                    gs2 = b"p=tls-server-end-point,,"
+                elif b"SCRAM-SHA-256" in mechs:
+                    cb = b""
+                    mech = b"SCRAM-SHA-256"
+                    gs2 = b"y,," if on_tls else b"n,,"
+                else:
                     offered = ", ".join(
                         m.decode() for m in mechs if m
                     )
                     raise ValueError(
                         "postgresql(): server offered only SASL "
                         f"mechanisms [{offered}]; this client speaks "
-                        "SCRAM-SHA-256 (channel-binding -PLUS "
-                        "variants need TLS, which this plaintext "
-                        "client does not provide)"
+                        "SCRAM-SHA-256 and, over TLS, "
+                        "SCRAM-SHA-256-PLUS"
                     )
                 cnonce = base64.b64encode(os.urandom(18)).decode()
                 # PG convention: username comes from the startup
                 # packet, so client-first carries an empty n=.
                 cf_bare = f"n=,r={cnonce}"
-                cf = b"n,," + cf_bare.encode()
+                cf = gs2 + cf_bare.encode()
                 sock.sendall(
                     _pg_msg(
                         b"p",
-                        b"SCRAM-SHA-256\x00"
+                        mech + b"\x00"
                         + struct.pack("!I", len(cf))
                         + cf,
                     )
                 )
-                scram = {"cf_bare": cf_bare, "cnonce": cnonce}
+                scram = {
+                    "cf_bare": cf_bare, "cnonce": cnonce,
+                    "cbind": base64.b64encode(gs2 + cb).decode(),
+                }
             elif code == 11:  # AuthenticationSASLContinue
                 server_first = payload[4:].decode()
                 attrs = dict(
@@ -246,7 +268,7 @@ def pg_fetch(
                     base64.b64decode(b64salt),
                     iterations,
                 )
-                without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+                without_proof = f"c={scram['cbind']},r={nonce}"
                 auth_message = (
                     f"{scram['cf_bare']},{server_first},{without_proof}"
                 ).encode()

@@ -207,6 +207,114 @@ class TestPGTLS:
                 "SELECT 1 AS one", tls=True, tls_ca=other_ca,
             )
 
+    # -- SCRAM-SHA-256-PLUS channel binding --------------------------
+
+    @staticmethod
+    def _tls_startup(srv, ca):
+        """Connect, upgrade to TLS, send startup; return the socket
+        positioned at the AuthenticationSASL mechanism list."""
+        import struct
+
+        sock = socket.create_connection((srv.host, srv.port), timeout=30)
+        sock.sendall(struct.pack("!II", 8, 80877103))
+        assert sock.recv(1) == b"S"
+        sock = client_context(ca).wrap_socket(
+            sock, server_hostname=srv.host
+        )
+        body = (
+            struct.pack("!I", 196608)
+            + b"user\x00alice\x00database\x00default\x00\x00"
+        )
+        sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        head = b""
+        while len(head) < 5:
+            head += sock.recv(5 - len(head))
+        assert head[0:1] == b"R"
+        (ln,) = struct.unpack("!I", head[1:5])
+        payload = b""
+        while len(payload) < ln - 4:
+            payload += sock.recv(ln - 4 - len(payload))
+        assert struct.unpack("!I", payload[:4])[0] == 10  # SASL
+        return sock, payload[4:]
+
+    @staticmethod
+    def _sasl_initial(sock, mech: bytes, gs2_and_bare: bytes):
+        import struct
+
+        body = (
+            mech + b"\x00"
+            + struct.pack("!I", len(gs2_and_bare)) + gs2_and_bare
+        )
+        sock.sendall(
+            b"p" + struct.pack("!I", len(body) + 4) + body
+        )
+        tag = sock.recv(1)
+        return tag
+
+    def test_plus_mechanism_offered_over_tls(self, pg_srv):
+        srv, ca = pg_srv
+        sock, mech_list = self._tls_startup(srv, ca)
+        try:
+            assert b"SCRAM-SHA-256-PLUS\x00" in mech_list
+        finally:
+            sock.close()
+
+    def test_y_flag_downgrade_rejected(self, pg_srv):
+        # RFC 5802: 'y' claims no -PLUS was offered; over TLS we DID
+        # offer it, so the server must treat 'y' as a MITM stripping
+        # the mechanism list and fail authentication.
+        srv, ca = pg_srv
+        sock, _ = self._tls_startup(srv, ca)
+        try:
+            tag = self._sasl_initial(
+                sock, b"SCRAM-SHA-256", b"y,,n=,r=abcdef"
+            )
+            assert tag == b"E"  # ErrorResponse, not SASLContinue
+        finally:
+            sock.close()
+
+    def test_wrong_cb_type_rejected(self, pg_srv):
+        srv, ca = pg_srv
+        sock, _ = self._tls_startup(srv, ca)
+        try:
+            tag = self._sasl_initial(
+                sock, b"SCRAM-SHA-256-PLUS", b"p=tls-unique,,n=,r=ab"
+            )
+            assert tag == b"E"
+        finally:
+            sock.close()
+
+
+class TestChannelBindingHash:
+    def test_sha256_cert(self, tls_pair):
+        import hashlib
+
+        from bighouse_spark.tlsutil import cert_cb_hash, pem_cert_der
+
+        der = pem_cert_der(tls_pair[0])
+        # openssl default signs RSA certs with SHA-256 → the binding
+        # is sha256(DER) per RFC 5929.
+        assert cert_cb_hash(der) == hashlib.sha256(der).digest()
+
+    def test_sha384_cert(self, tmp_path):
+        import hashlib
+        import subprocess as sp
+
+        from bighouse_spark.tlsutil import cert_cb_hash, pem_cert_der
+
+        cert = str(tmp_path / "c384.pem")
+        key = str(tmp_path / "c384.key")
+        sp.run(
+            [
+                "openssl", "req", "-x509", "-newkey", "rsa:2048",
+                "-sha384", "-keyout", key, "-out", cert, "-days", "2",
+                "-nodes", "-subj", "/CN=127.0.0.1",
+            ],
+            check=True, capture_output=True,
+        )
+        der = pem_cert_der(cert)
+        assert cert_cb_hash(der) == hashlib.sha384(der).digest()
+
 
 class TestMySQLTLS:
     @pytest.fixture(scope="class")
