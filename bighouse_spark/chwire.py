@@ -705,7 +705,9 @@ class _Handler(socketserver.BaseRequestHandler):
             # client can't block the accept loop.
             ctx = getattr(self.server, "tls_ctx", None)
             if ctx is not None:
-                sock = ctx.wrap_socket(sock, server_side=True)
+                from bighouse_spark.tlsutil import wrap_server_side
+
+                sock = wrap_server_side(ctx, sock)
             _Conn(
                 sock, self.server.engine,
                 auth=getattr(self.server, "auth", None),

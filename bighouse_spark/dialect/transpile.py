@@ -8070,13 +8070,17 @@ def _register_source(
         return
     if fn in ("postgresql", "mysql"):
         # postgresql('host:port', 'database', 'table', 'user',
-        # 'password'[, 'schema']) / mysql(same, no schema): federated
-        # read over this package's own wire-protocol CLIENTS
-        # (sources/dbclients.py). Like ClickHouse's implementations,
-        # the remote table streams through ONE connection on the
-        # initiator (an OLTP table has no free partitioning key);
-        # dbclients.ROW_CAP bounds the driver-side materialization
-        # with a loud error pointing big tables at object storage.
+        # 'password'[, 'schema'][, 'tls'|'tls_ca=/path']) /
+        # mysql(same, no schema): federated read over this package's
+        # own wire-protocol CLIENTS (sources/dbclients.py). Like
+        # ClickHouse's implementations, the remote table streams
+        # through ONE connection on the initiator (an OLTP table has
+        # no free partitioning key); dbclients.ROW_CAP bounds the
+        # driver-side materialization with a loud error pointing big
+        # tables at object storage. A trailing 'tls' argument
+        # upgrades the connection (SSLRequest / CLIENT_SSL);
+        # 'tls_ca=/path' additionally pins a trust root and turns on
+        # certificate + hostname verification.
         from bighouse_spark.sources.dbclients import (
             mysql_fetch,
             pg_fetch,
@@ -8092,6 +8096,25 @@ def _register_source(
         port = int(port_s) if port_s else (5432 if fn == "postgresql" else 3306)
         database, table = _unquote(args[1]), _unquote(args[2])
         user, password = _unquote(args[3]), _unquote(args[4])
+        # Trailing options: 'tls' / 'tls_ca=/path' anywhere after the
+        # credentials; for postgresql() the first non-TLS trailing
+        # argument is the schema.
+        use_tls, tls_ca, pg_schema = False, None, None
+        for extra in args[5:]:
+            val = _unquote(extra)
+            if val == "tls":
+                use_tls = True
+            elif val.startswith("tls_ca="):
+                use_tls = True
+                tls_ca = val[len("tls_ca="):]
+            elif fn == "postgresql" and pg_schema is None:
+                pg_schema = val
+            else:
+                raise ValueError(
+                    f"{fn}(): unrecognized trailing argument "
+                    f"{val!r}; expected 'tls', 'tls_ca=/path'"
+                    + (" or a schema name" if fn == "postgresql" else "")
+                )
 
         def _q_pg(ident: str) -> str:
             # PG folds unquoted identifiers to lowercase, so any
@@ -8114,16 +8137,18 @@ def _register_source(
 
         if fn == "postgresql":
             qualified = _q_pg(table)
-            if len(args) > 5:
-                qualified = f"{_q_pg(_unquote(args[5]))}.{qualified}"
+            if pg_schema is not None:
+                qualified = f"{_q_pg(pg_schema)}.{qualified}"
             names, kinds, rows = pg_fetch(
                 host, port, database, user, password,
                 f"SELECT * FROM {qualified}",
+                tls=use_tls, tls_ca=tls_ca,
             )
         else:
             names, kinds, rows = mysql_fetch(
                 host, port, database, user, password,
                 f"SELECT * FROM {_q_my(table)}",
+                tls=use_tls, tls_ca=tls_ca,
             )
         from decimal import Decimal as _Dec
 

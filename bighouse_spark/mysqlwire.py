@@ -404,7 +404,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 and len(resp) == 32
                 and struct.unpack_from("<I", resp, 0)[0] & _CLIENT_SSL
             ):
-                conn.sock = ctx.wrap_socket(conn.sock, server_side=True)
+                from bighouse_spark.tlsutil import wrap_server_side
+
+                conn.sock = wrap_server_side(ctx, conn.sock)
                 resp = conn.recv()
                 if resp is None:
                     return

@@ -312,7 +312,9 @@ class _Handler(socketserver.BaseRequestHandler):
                     sock.sendall(b"N")
                     continue
                 sock.sendall(b"S")
-                sock = ctx.wrap_socket(sock, server_side=True)
+                from bighouse_spark.tlsutil import wrap_server_side
+
+                sock = wrap_server_side(ctx, sock)
                 self.request = sock
                 continue
             if code == _GSSENC_REQUEST:

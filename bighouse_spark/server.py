@@ -365,10 +365,19 @@ class _Handler(BaseHTTPRequestHandler):
         # wraps with do_handshake_on_connect=False, so the handshake
         # runs here in the connection's own thread. Failures (e.g. a
         # plain-HTTP client on the HTTPS port) raise SSLError, which
-        # the server's handle_error treats as a clean close.
+        # the server's handle_error treats as a clean close. The
+        # handshake itself is deadline-bounded so a silent client
+        # can't pin this thread forever.
         hs = getattr(self.request, "do_handshake", None)
         if hs is not None:
-            hs()
+            from bighouse_spark.tlsutil import HANDSHAKE_TIMEOUT
+
+            prev = self.request.gettimeout()
+            self.request.settimeout(HANDSHAKE_TIMEOUT)
+            try:
+                hs()
+            finally:
+                self.request.settimeout(prev)
         super().setup()
 
     def _send(self, code: int, payload: Any) -> None:
@@ -743,13 +752,17 @@ def make_server(
     )
     class _Srv(ThreadingHTTPServer):
         def handle_error(self, request, client_address):  # noqa: D401
-            # Connection-level failures (broken pipes, TLS handshake
-            # rejections) are routine; only genuine bugs deserve the
-            # default traceback dump.
+            # Connection-level noise (broken pipes, resets, TLS
+            # handshake rejections/timeouts) is routine; anything
+            # else (EMFILE, ENOSPC, genuine bugs) keeps the default
+            # traceback so operators see it.
+            import ssl
             import sys
 
             exc = sys.exc_info()[0]
-            if exc is not None and issubclass(exc, OSError):
+            if exc is not None and issubclass(
+                exc, (ssl.SSLError, ConnectionError, TimeoutError)
+            ):
                 return
             super().handle_error(request, client_address)
 

@@ -24,6 +24,21 @@ from __future__ import annotations
 
 import ssl
 
+# Deadline for a server-side TLS handshake: a client that connects
+# and never sends a ClientHello is dropped instead of pinning its
+# handler thread forever. (Post-handshake protocol reads keep each
+# wire's own timeout posture.)
+HANDSHAKE_TIMEOUT = 30.0
+
+
+def wrap_server_side(ctx: ssl.SSLContext, sock):
+    """Server-side TLS wrap with a bounded handshake."""
+    prev = sock.gettimeout()
+    sock.settimeout(HANDSHAKE_TIMEOUT)
+    wrapped = ctx.wrap_socket(sock, server_side=True)
+    wrapped.settimeout(prev)
+    return wrapped
+
 
 def server_context(certfile: str, keyfile: str) -> ssl.SSLContext:
     """Server-side context: TLS 1.2+ with the given cert chain."""
@@ -121,7 +136,8 @@ def cert_cb_hash(der: bytes) -> bytes:
 
 def pem_cert_der(certfile: str) -> bytes:
     """First certificate in a PEM file, as DER bytes."""
-    pem = open(certfile, "r", encoding="utf-8").read()
+    with open(certfile, "r", encoding="utf-8") as f:
+        pem = f.read()
     begin = pem.index("-----BEGIN CERTIFICATE-----")
     end = pem.index("-----END CERTIFICATE-----", begin)
     body = pem[begin + len("-----BEGIN CERTIFICATE-----"):end]

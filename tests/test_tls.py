@@ -207,6 +207,25 @@ class TestPGTLS:
                 "SELECT 1 AS one", tls=True, tls_ca=other_ca,
             )
 
+    def test_table_function_tls_args(self, pg_srv, eng):
+        # The SQL surface reaches the TLS client: a trailing
+        # 'tls_ca=/path' argument upgrades the federated read.
+        srv, ca = pg_srv
+        r = eng.execute(
+            f"SELECT count(*) AS c FROM postgresql("
+            f"'{srv.host}:{srv.port}', 'default', 'tls_nation', "
+            f"'alice', 'pw1', 'tls_ca={ca}')"
+        )
+        assert r.rows == [[25]]
+
+    def test_table_function_bad_trailing_arg(self, pg_srv, eng):
+        srv, _ = pg_srv
+        with pytest.raises(Exception, match="unrecognized trailing"):
+            eng.execute(
+                f"SELECT * FROM mysql('{srv.host}:{srv.port}', 'd', "
+                f"'t', 'u', 'p', 'bogus_option')"
+            )
+
     # -- SCRAM-SHA-256-PLUS channel binding --------------------------
 
     @staticmethod
