@@ -2568,6 +2568,33 @@ def _polygon_fold_builder(kind: str):
     return build
 
 
+def _stem_builder(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ValueError("stem() needs (language, value) arguments")
+    lang = a[0].strip().strip("'\"").lower()
+    if lang not in ("en", "english"):
+        raise ValueError(
+            f"stem(): language {lang!r} needs Snowball rule files "
+            "that don't ship with the engine; only 'en' (the "
+            "published Porter 1980 algorithm) is implemented"
+        )
+    return f"bh_porter_stem({a[1]})"
+
+
+def _one_str_arg(fn: str, a: list[str]) -> str:
+    """Single-argument contract for the bit-exact interop hashes:
+    their value IS the spec, and CH's multi-argument combining rule
+    differs per function — refuse rather than guess."""
+    if len(a) != 1:
+        raise ValueError(
+            f"{fn}() is implemented bit-exact for ONE String "
+            f"argument; for a multi-column key, concatenate "
+            f"explicitly (e.g. {fn}(concat_ws('\\\\0', a, b))) so "
+            f"the bytes being hashed are unambiguous"
+        )
+    return a[0]
+
+
 def _map_agg_fold(a: list[str], merge: str) -> str:
     """sum/min/maxMap over a MAP column: fold the group's collected
     maps with map_zip_with (missing keys behave like CH: they take
@@ -2991,6 +3018,13 @@ _ARG_REWRITES: dict = {
         ValueError(
             "groupArrayMovingSum() is block-order dependent; use "
             "sum(x) OVER (ORDER BY <key> ROWS BETWEEN k-1 PRECEDING "
+            "AND CURRENT ROW)"
+        )
+    ),
+    "groupArrayMovingAvg": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "groupArrayMovingAvg() is block-order dependent; use "
+            "avg(x) OVER (ORDER BY <key> ROWS BETWEEN k-1 PRECEDING "
             "AND CURRENT ROW)"
         )
     ),
@@ -3843,6 +3877,19 @@ _ARG_REWRITES.update({
     "sumCount": lambda a: (
         f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
     ),
+    # Interop hashes whose ONLY use is their exact value — bit-exact
+    # UDF implementations (functions/miscfuncs.py), string input only
+    # like CH's string-hash path: javaHash/hiveHash (JVM),
+    # kafkaMurmurHash (Kafka partition parity, high bit dropped),
+    # gccMurmurHash (libstdc++ std::hash parity).
+    "javaHash": lambda a: f"bh_java_hash({_one_str_arg('javaHash', a)})",
+    "hiveHash": lambda a: f"bh_hive_hash({_one_str_arg('hiveHash', a)})",
+    "gccMurmurHash": lambda a: (
+        f"bh_gcc_murmur({_one_str_arg('gccMurmurHash', a)})"
+    ),
+    "kafkaMurmurHash": lambda a: (
+        f"bh_kafka_murmur({_one_str_arg('kafkaMurmurHash', a)})"
+    ),
     # 64-bit capability twins (same contract as cityHash64→xxhash64:
     # deterministic 64-bit hash, bit-compat out of scope).
     "metroHash64": lambda a: f"xxhash64({', '.join(a)})",
@@ -3953,12 +4000,11 @@ _ARG_REWRITES.update({
             "per-value minhash tuples are not exposed as a scalar"
         )
     ),
-    "stem": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "stem() needs a language dictionary; no stemmer ships "
-            "with the engine — apply a tokenizer UDF upstream"
-        )
-    ),
+    # stem('en', x): the published Porter (1980) algorithm, English
+    # only (functions/porter.py — CH links Snowball/Porter2, a later
+    # revision; divergence documented there). Other languages need
+    # Snowball rule files that don't ship → guided error.
+    "stem": lambda a: _stem_builder(a),
     "byteSize": lambda a: _byte_size_builder(a),
     "formatRow": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -5817,10 +5863,13 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
-        r"|anova|norm_ppf|spearman|detect_language|series_period)",
+        r"|anova|norm_ppf|spearman|detect_language|series_period"
+        r"|java_hash|hive_hash|gcc_murmur|kafka_murmur)",
         out,
     ):
         _ensure_misc_udfs(spark)
+    if spark is not None and "bh_porter_stem" in out:
+        _ensure_porter_udfs(spark)
     if spark is not None:
         for k, v in settings.items():
             spark.conf.set(k, v)
@@ -5870,6 +5919,20 @@ def _ensure_misc_udfs(spark: SparkSession) -> None:
     for name, fn in miscfuncs.ALL.items():
         spark.udf.register(name, fn)
     _MISC_UDF_SESSIONS.add(id(spark))
+
+
+_PORTER_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_porter_udfs(spark: SparkSession) -> None:
+    if id(spark) in _PORTER_UDF_SESSIONS:
+        return
+    from bighouse_spark.functions import porter
+
+    _pickle_udf_module_by_value(porter)
+    for name, fn in porter.ALL.items():
+        spark.udf.register(name, fn)
+    _PORTER_UDF_SESSIONS.add(id(spark))
 
 
 # Bit-exact CityHash64 v1.0.2 (the fidelity path behind

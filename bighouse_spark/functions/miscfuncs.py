@@ -16,8 +16,10 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    DecimalType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -723,6 +725,115 @@ def bh_lz4_ratio(v: pd.Series) -> float:
     return len(data) / max(1, compressed)
 
 
+# -- JVM / GCC / Kafka interop hashes (bit-exact) ---------------------
+#
+# Unlike the 64-bit "capability twin" hash spellings (murmurHash2_64
+# et al. → xxhash64 — deterministic but not bit-compatible), these
+# four exist ONLY for their exact values — javaHash/hiveHash for JVM
+# interop, kafkaMurmurHash for Kafka partition parity, gccMurmurHash
+# for libstdc++ std::hash parity — so they are implemented from the
+# published algorithms and verified against published anchors
+# (String.hashCode vectors; hand-derived MurmurHash2 finalizers).
+# String (UTF-8 byte) input only, like CH's own string-hash path.
+
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _java_hash(s: str) -> int:
+    """Java String.hashCode(): h = 31*h + c over UTF-16 code units,
+    wrapping at 32 bits, sign-extended."""
+    h = 0
+    b = s.encode("utf-16-be")
+    for i in range(0, len(b), 2):
+        h = (31 * h + ((b[i] << 8) | b[i + 1])) & _M32
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _murmur64a(data: bytes, seed: int) -> int:
+    """MurmurHash64A (public domain reference; also the exact loop
+    libstdc++'s _Hash_bytes runs — shift_mix(k*m)*m is k*=m, k^=k>>47,
+    k*=m in its algebra)."""
+    m = 0xC6A4A7935BD1E995
+    h = (seed ^ ((len(data) * m) & _M64)) & _M64
+    n = len(data) - (len(data) % 8)
+    for i in range(0, n, 8):
+        k = int.from_bytes(data[i:i + 8], "little")
+        k = (k * m) & _M64
+        k ^= k >> 47
+        k = (k * m) & _M64
+        h ^= k
+        h = (h * m) & _M64
+    tail = data[n:]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _M64
+    h ^= h >> 47
+    h = (h * m) & _M64
+    h ^= h >> 47
+    return h
+
+
+def _murmur2_32(data: bytes, seed: int) -> int:
+    """MurmurHash2 32-bit (public domain reference)."""
+    m = 0x5BD1E995
+    h = (seed ^ len(data)) & _M32
+    n = len(data) - (len(data) % 4)
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & _M32
+        k ^= k >> 24
+        k = (k * m) & _M32
+        h = (h * m) & _M32
+        h ^= k
+    left = len(data) % 4
+    if left >= 3:
+        h ^= data[n + 2] << 16
+    if left >= 2:
+        h ^= data[n + 1] << 8
+    if left >= 1:
+        h ^= data[n]
+        h = (h * m) & _M32
+    h ^= h >> 13
+    h = (h * m) & _M32
+    h ^= h >> 15
+    return h
+
+
+@pandas_udf(IntegerType())
+def bh_java_hash(s: pd.Series) -> pd.Series:
+    return s.map(_null_safe(_java_hash))
+
+
+@pandas_udf(IntegerType())
+def bh_hive_hash(s: pd.Series) -> pd.Series:
+    # hiveHash = javaHash with the sign bit zeroed.
+    return s.map(_null_safe(lambda v: _java_hash(v) & 0x7FFFFFFF))
+
+
+@pandas_udf(DecimalType(20, 0))
+def bh_gcc_murmur(s: pd.Series) -> pd.Series:
+    # libstdc++ _Hash_bytes seed (0xc70f6907) over UTF-8 bytes;
+    # DECIMAL(20,0) carries the UInt64 range like cityHash64Exact.
+    from decimal import Decimal as _D
+
+    return s.map(
+        _null_safe(lambda v: _D(_murmur64a(v.encode("utf-8"), 0xC70F6907)))
+    )
+
+
+@pandas_udf(LongType())
+def bh_kafka_murmur(s: pd.Series) -> pd.Series:
+    # Kafka's partitioner hash: MurmurHash2/32 with seed 0x9747b28c,
+    # highest bit dropped (Kafka's toPositive), like CH.
+    return s.map(
+        _null_safe(
+            lambda v: _murmur2_32(v.encode("utf-8"), 0x9747B28C)
+            & 0x7FFFFFFF
+        )
+    )
+
+
 ALL = {
     "bh_jumphash": bh_jumphash,
     "bh_damerau": bh_damerau,
@@ -753,6 +864,10 @@ ALL = {
     "bh_geohashes_in_box": bh_geohashes_in_box,
     "bh_detect_language": bh_detect_language,
     "bh_series_period_fft": bh_series_period_fft,
+    "bh_java_hash": bh_java_hash,
+    "bh_hive_hash": bh_hive_hash,
+    "bh_gcc_murmur": bh_gcc_murmur,
+    "bh_kafka_murmur": bh_kafka_murmur,
 }
 
 

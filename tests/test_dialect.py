@@ -2328,8 +2328,10 @@ class TestRound5ProbeTranche2:
             # max/minMap over Map columns implemented in round 6;
             # the two-array tuple form still refuses.
             # arraySplit (bounds-slice expansion) and the maxMap
-            # two-array form graduated in round 7.
-            ("stem('en', 'running')", "dictionary"),
+            # two-array form graduated in round 7; stem('en', ...)
+            # graduated late-r7 (Porter 1980) — non-English keeps
+            # the Snowball guided error.
+            ("stem('de', 'laufen')", "Snowball"),
             ("formatRow('CSV', 1)", "FORMAT"),
             ("wordShingleMinHash('x')", "dedup"),
         ]:
@@ -5756,3 +5758,155 @@ class TestRound7AggSweepAdditions:
             "FROM numbers(7)"
         )
         assert r.rows[0][0] == [0, 2]
+
+
+class TestRound7HashStemTranche:
+    """Bit-exact interop hashes (javaHash/hiveHash/gccMurmurHash/
+    kafkaMurmurHash — published algorithms, externally-anchored
+    vectors) and stem('en', x) via the published Porter 1980
+    algorithm, with guided errors for the unshippable tails."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_java_hash_known_vectors(self, eng):
+        # Java String.hashCode published values: "".hashCode()==0,
+        # "abc"==96354, "hello"==99162322, "Hello"==69609650.
+        r = eng.execute(
+            "SELECT javaHash('') AS e, javaHash('abc') AS a, "
+            "javaHash('hello') AS h, javaHash('Hello') AS hh, "
+            "javaHash(NULL) AS n"
+        )
+        assert r.rows[0] == [0, 96354, 99162322, 69609650, None]
+
+    def test_java_hash_non_bmp(self, eng):
+        # Surrogate-pair path: U+1F600 hashes as its two UTF-16
+        # units (0xD83D, 0xDE00) -> 31*0xD83D + 0xDE00.
+        r = eng.execute("SELECT javaHash('\U0001F600') AS v")
+        want = (31 * 0xD83D + 0xDE00) & 0xFFFFFFFF
+        want = want - (1 << 32) if want >= (1 << 31) else want
+        assert r.rows[0][0] == want
+
+    def test_hive_hash_sign_zeroed(self, eng):
+        # hiveHash == javaHash & 0x7FFFFFFF: pick a string whose
+        # javaHash is negative to see the difference.
+        r = eng.execute(
+            "SELECT javaHash('hello world!') AS j, "
+            "hiveHash('hello world!') AS h"
+        )
+        j, h = r.rows[0]
+        assert h == j & 0x7FFFFFFF and h >= 0
+
+    def test_kafka_murmur_finalizer_hand_derived(self, eng):
+        # Empty input: h = seed ^ 0, then the three finalizer steps —
+        # independently hand-computed arithmetic, no shared code.
+        m, mask = 0x5BD1E995, 0xFFFFFFFF
+        h = 0x9747B28C
+        h ^= h >> 13
+        h = (h * m) & mask
+        h ^= h >> 15
+        r = eng.execute("SELECT kafkaMurmurHash('') AS v")
+        assert r.rows[0][0] == h & 0x7FFFFFFF
+
+    def test_kafka_murmur_positive_and_stable(self, eng):
+        r = eng.execute(
+            "SELECT kafkaMurmurHash('key-1') AS a, "
+            "kafkaMurmurHash('key-1') AS b, kafkaMurmurHash('key-2') AS c"
+        )
+        a, b, c = r.rows[0]
+        assert a == b and a != c and 0 <= a <= 0x7FFFFFFF
+
+    def test_gcc_murmur_hand_derived_one_chunk(self, eng):
+        # 8-byte input exercises exactly one MurmurHash64A round;
+        # recompute it here with independent inline arithmetic.
+        data = b"abcdefgh"
+        m, mask = 0xC6A4A7935BD1E995, (1 << 64) - 1
+        h = (0xC70F6907 ^ (8 * m)) & mask
+        k = int.from_bytes(data, "little")
+        k = (k * m) & mask
+        k ^= k >> 47
+        k = (k * m) & mask
+        h = ((h ^ k) * m) & mask
+        h ^= h >> 47
+        h = (h * m) & mask
+        h ^= h >> 47
+        r = eng.execute("SELECT gccMurmurHash('abcdefgh') AS v")
+        assert int(r.rows[0][0]) == h
+
+    def test_interop_hash_multi_arg_guided(self, eng):
+        for fn in ("javaHash", "hiveHash", "gccMurmurHash",
+                   "kafkaMurmurHash"):
+            with pytest.raises(Exception, match="ONE String"):
+                eng.execute(f"SELECT {fn}('a', 'b') AS v")
+
+    def test_stem_porter_paper_examples(self, eng):
+        r = eng.execute(
+            "SELECT stem('en', 'relational') AS a, "
+            "stem('en', 'conditional') AS b, "
+            "stem('english', 'CONNECTIONS') AS c, "
+            "stem('en', 'hopping') AS d, stem('en', 'controlling') AS e, "
+            "stem('en', NULL) AS n"
+        )
+        assert r.rows[0] == [
+            "relat", "condit", "connect", "hop", "control", None,
+        ]
+
+    def test_stem_language_and_arity_guided(self, eng):
+        with pytest.raises(Exception, match="Snowball"):
+            eng.execute("SELECT stem('fr', 'mot') AS v")
+        with pytest.raises(Exception, match="language, value"):
+            eng.execute("SELECT stem('en') AS v")
+
+    def test_moving_avg_guided_matches_moving_sum(self, eng):
+        with pytest.raises(Exception, match="block-order"):
+            eng.execute(
+                "SELECT groupArrayMovingAvg(2)(number) AS v "
+                "FROM numbers(4)"
+            )
+
+
+def test_porter_stem_canonical_corpus():
+    """The paper's own step examples plus well-known full stems —
+    pure-python check of the algorithm, no Spark session needed."""
+    from bighouse_spark.functions.porter import porter_stem as p
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valency": "valenc", "hesitancy": "hesit",
+        "digitizer": "digit", "conformably": "conform",
+        "radically": "radic", "differently": "differ",
+        "vilely": "vile", "analogously": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formality": "formal",
+        "sensitivity": "sensit", "sensibility": "sensibl",
+        "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electricity": "electr",
+        "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controlling": "control", "rolling": "roll",
+        "connected": "connect", "connecting": "connect",
+        "connection": "connect", "connections": "connect",
+    }
+    bad = {w: (p(w), want) for w, want in cases.items() if p(w) != want}
+    assert not bad, bad
