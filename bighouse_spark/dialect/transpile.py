@@ -1941,8 +1941,25 @@ def _tuple_arith_builder(name: str):
     field-wise struct expansion. Works on INLINE tuple spellings
     (``tuple(a, b)`` / ``(a, b)``); tuple-typed column refs keep the
     guided refusal (arity unknown at string level)."""
-    ops = {"tuplePlus": "+", "tupleMinus": "-",
-           "tupleMultiply": "*", "tupleDivide": "/"}
+    # Element-wise combiners: name → (x, y) -> SQL. intDiv pairs use
+    # Spark's integer `div`; the OrZero twins map a zero divisor to 0
+    # (CH's contract) via nullif+coalesce.
+    ops = {
+        "tuplePlus": lambda x, y: f"({x}) + ({y})",
+        "tupleMinus": lambda x, y: f"({x}) - ({y})",
+        "tupleMultiply": lambda x, y: f"({x}) * ({y})",
+        "tupleDivide": lambda x, y: f"({x}) / ({y})",
+        "tupleIntDiv": lambda x, y: f"({x}) div ({y})",
+        "tupleIntDivOrZero": lambda x, y: (
+            f"coalesce(({x}) div nullif({y}, 0), 0)"
+        ),
+        "tupleModulo": lambda x, y: f"({x}) % ({y})",
+        "tupleModuloByNumber": lambda x, y: f"({x}) % ({y})",
+        "tupleIntDivByNumber": lambda x, y: f"({x}) div ({y})",
+        "tupleIntDivOrZeroByNumber": lambda x, y: (
+            f"coalesce(({x}) div nullif({y}, 0), 0)"
+        ),
+    }
 
     def build(a: list[str]) -> str:
         refusal = ValueError(
@@ -1964,19 +1981,24 @@ def _tuple_arith_builder(name: str):
             if len(a) != 1 or fs is None:
                 raise refusal
             return f"struct({', '.join(f'-({f})' for f in fs)})"
-        if name in ("tupleMultiplyByNumber", "tupleDivideByNumber"):
+        if name in ("tupleMultiplyByNumber", "tupleDivideByNumber",
+                    "tupleModuloByNumber", "tupleIntDivByNumber",
+                    "tupleIntDivOrZeroByNumber"):
             if len(a) != 2:
                 raise refusal
             fs = _struct_literal_fields(a[0])
             if fs is None:
                 raise refusal
-            op = "*" if name == "tupleMultiplyByNumber" else "/"
+            combine = {
+                "tupleMultiplyByNumber": lambda x, y: f"({x}) * ({y})",
+                "tupleDivideByNumber": lambda x, y: f"({x}) / ({y})",
+            }.get(name, ops.get(name))
             return (
                 "struct("
-                + ", ".join(f"({f}) {op} ({a[1]})" for f in fs)
+                + ", ".join(combine(f, a[1]) for f in fs)
                 + ")"
             )
-        op = ops[name]
+        combine = ops[name]
         if len(a) != 2:
             raise refusal
         f1 = _struct_literal_fields(a[0])
@@ -1985,7 +2007,7 @@ def _tuple_arith_builder(name: str):
             raise refusal
         return (
             "struct("
-            + ", ".join(f"({x}) {op} ({y})" for x, y in zip(f1, f2))
+            + ", ".join(combine(x, y) for x, y in zip(f1, f2))
             + ")"
         )
 
@@ -2566,6 +2588,36 @@ def _polygon_fold_builder(kind: str):
         )
 
     return build
+
+
+def _cut_url_parameter(a: list[str]) -> str:
+    """cutURLParameter(url, 'name'): drop the named query parameter.
+    Two regex passes — interior occurrences keep their leading
+    delimiter (lookbehind, trailing '&' consumed so the next pair
+    slides left), then a final/only occurrence takes its leading
+    '?'/'&' with it. The name must be a string literal: it is
+    compiled into the pattern regex-escaped."""
+    if len(a) != 2:
+        raise ValueError("cutURLParameter() needs (url, name)")
+    raw = a[1].strip()
+    if not (len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\""):
+        raise ValueError(
+            "cutURLParameter(): the parameter name must be a string "
+            "literal (it is compiled into the match pattern); for a "
+            "dynamic name rebuild the query string with "
+            "extractURLParameters + filter + concat"
+        )
+    import re as _re
+
+    esc = _re.escape(raw[1:-1]).replace("\\", "\\\\").replace("'", "''")
+    inner = (
+        f"regexp_replace({a[0]}, "
+        f"'(?<=[?&]){esc}(=[^&#]*)?&', '')"
+    )
+    return (
+        f"regexp_replace({inner}, "
+        f"'[?&]{esc}(=[^&#]*)?(?=#|$)', '')"
+    )
 
 
 def _stem_builder(a: list[str]) -> str:
@@ -3263,6 +3315,12 @@ _ARG_REWRITES.update({
         f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
         f"__p -> __p != '')"
     ),
+    "extractURLParameterNames": lambda a: (
+        f"transform(filter(split(coalesce(parse_url({a[0]}, 'QUERY'), "
+        f"''), '&'), __p -> __p != ''), "
+        f"__p -> element_at(split(__p, '='), 1))"
+    ),
+    "cutURLParameter": lambda a: _cut_url_parameter(a),
     "cutQueryString": lambda a: (
         f"regexp_replace({a[0]}, '\\\\?[^#]*', '')"
     ),
@@ -3943,6 +4001,8 @@ _ARG_REWRITES.update({
     ),
     "base58Encode": lambda a: f"bh_base58_encode({a[0]})",
     "base58Decode": lambda a: f"bh_base58_decode({a[0]})",
+    "base32Encode": lambda a: f"bh_base32_encode({a[0]})",
+    "base32Decode": lambda a: f"bh_base32_decode({a[0]})",
     "punycodeEncode": lambda a: f"bh_punycode_encode({a[0]})",
     "punycodeDecode": lambda a: f"bh_punycode_decode({a[0]})",
     "erf": lambda a: f"bh_erf(CAST({a[0]} AS DOUBLE))",
@@ -4367,6 +4427,9 @@ _ARG_REWRITES.update({
             "tuplePlus", "tupleMinus", "tupleNegate",
             "tupleMultiplyByNumber", "tupleDivideByNumber",
             "tupleMultiply", "tupleDivide",
+            "tupleIntDiv", "tupleIntDivOrZero", "tupleModulo",
+            "tupleModuloByNumber", "tupleIntDivByNumber",
+            "tupleIntDivOrZeroByNumber",
         )
     },
     "flattenTuple": lambda a: _flatten_tuple_builder(a),
@@ -5641,6 +5704,12 @@ _ARG_REWRITES.update({
         f"timestamp_millis(unix_millis(CAST({a[0]} AS TIMESTAMP)))"
     ),
     "addInterval": lambda a: f"(({a[0]}) + ({a[1]}))",
+    # timestampAdd/timestampSub aliases of the INTERVAL arithmetic
+    # (CH also spells them timestamp_add/timestamp_sub, which the
+    # case-insensitive rename pass folds here).
+    "timestampAdd": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "timestampSub": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "subtractInterval": lambda a: f"(({a[0]}) - ({a[1]}))",
     "subtractInterval": lambda a: f"(({a[0]}) - ({a[1]}))",
     "addTupleOfIntervals": lambda a: _tuple_of_intervals(a, "+"),
     "subtractTupleOfIntervals": lambda a: _tuple_of_intervals(a, "-"),
@@ -5861,7 +5930,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     ):
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
-        r"\bbh_(damerau|jaro|base58|punycode|erf|erfc|lgamma|tgamma|jumphash"
+        r"\bbh_(damerau|jaro|base58|base32|punycode|erf|erfc|lgamma|tgamma"
+        r"|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
         r"|anova|norm_ppf|spearman|detect_language|series_period"
         r"|java_hash|hive_hash|gcc_murmur|kafka_murmur)",

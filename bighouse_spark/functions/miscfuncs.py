@@ -188,6 +188,30 @@ def bh_base58_decode(s: pd.Series) -> pd.Series:
 
 
 @pandas_udf(_STRING)
+def bh_base32_encode(s: pd.Series) -> pd.Series:
+    # RFC 4648 base32, padded uppercase (CH's convention).
+    import base64 as _b64
+
+    return s.map(
+        _null_safe(
+            lambda x: _b64.b32encode(x.encode("utf-8")).decode("ascii")
+        )
+    )
+
+
+@pandas_udf(_STRING)
+def bh_base32_decode(s: pd.Series) -> pd.Series:
+    # Invalid input → NULL via _null_safe, the base58Decode contract.
+    import base64 as _b64
+
+    return s.map(
+        _null_safe(
+            lambda x: _b64.b32decode(x.encode("ascii")).decode("utf-8")
+        )
+    )
+
+
+@pandas_udf(_STRING)
 def bh_punycode_encode(s: pd.Series) -> pd.Series:
     return s.map(_null_safe(lambda x: x.encode("punycode").decode("ascii")))
 
@@ -864,6 +888,8 @@ ALL = {
     "bh_geohashes_in_box": bh_geohashes_in_box,
     "bh_detect_language": bh_detect_language,
     "bh_series_period_fft": bh_series_period_fft,
+    "bh_base32_encode": bh_base32_encode,
+    "bh_base32_decode": bh_base32_decode,
     "bh_java_hash": bh_java_hash,
     "bh_hive_hash": bh_hive_hash,
     "bh_gcc_murmur": bh_gcc_murmur,

@@ -5910,3 +5910,87 @@ def test_porter_stem_canonical_corpus():
     }
     bad = {w: (p(w), want) for w, want in cases.items() if p(w) != want}
     assert not bad, bad
+
+
+class TestRound7UrlTupleSweep:
+    """Late-r7 probe-sweep graduations: URL parameter surgery,
+    timestampAdd/Sub interval aliases, RFC 4648 base32, and the
+    tuple intDiv/modulo family."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_extract_url_parameter_names(self, eng):
+        r = eng.execute(
+            "SELECT extractURLParameterNames("
+            "'http://a/?k=v&z=2&flag') AS v"
+        )
+        assert r.rows[0][0] == ["k", "z", "flag"]
+
+    def test_cut_url_parameter(self, eng):
+        cases = [
+            ("http://a/?k=v&z=2", "k", "http://a/?z=2"),
+            ("http://a/?k=v&z=2", "z", "http://a/?k=v"),
+            ("http://a/?z=2", "z", "http://a/"),         # lone param takes '?'
+            ("http://a/?k=1&k=2&z=3", "k", "http://a/?z=3"),  # duplicates
+            ("http://a/?k=v#frag", "k", "http://a/#frag"),    # fragment kept
+            ("http://a/?kk=v&k=2", "k", "http://a/?kk=v"),    # no prefix match
+            ("http://a/?z=2", "missing", "http://a/?z=2"),
+        ]
+        for url, name, want in cases:
+            r = eng.execute(
+                f"SELECT cutURLParameter('{url}', '{name}') AS v"
+            )
+            assert r.rows[0][0] == want, (url, name)
+
+    def test_cut_url_parameter_dynamic_name_guided(self, eng):
+        with pytest.raises(Exception, match="string literal"):
+            eng.execute(
+                "SELECT cutURLParameter('http://a/?k=v', x) AS v "
+                "FROM (SELECT 'k' AS x)"
+            )
+
+    def test_timestamp_add_sub(self, eng):
+        r = eng.execute(
+            "SELECT timestampAdd(toDate('2020-01-01'), "
+            "INTERVAL 1 DAY) AS a, "
+            "timestampSub(toDate('2020-01-05'), INTERVAL 1 MONTH) AS b"
+        )
+        import datetime
+
+        assert r.rows[0] == [
+            datetime.date(2020, 1, 2), datetime.date(2019, 12, 5),
+        ]
+
+    def test_base32_roundtrip(self, eng):
+        r = eng.execute(
+            "SELECT base32Encode('hi') AS e, "
+            "base32Decode(base32Encode('hello world')) AS d, "
+            "base32Decode('not base32!') AS bad"
+        )
+        # RFC 4648 anchor: b32('hi') == NBUQ====
+        assert r.rows[0] == ["NBUQ====", "hello world", None]
+
+    def test_tuple_intdiv_modulo_family(self, eng):
+        r = eng.execute(
+            "SELECT tupleIntDiv((10, 20), (3, 4)) AS a, "
+            "tupleIntDivOrZero((10, 20), (0, 4)) AS b, "
+            "tupleModulo((10, 20), (3, 6)) AS c, "
+            "tupleModuloByNumber((10, 20), 3) AS d, "
+            "tupleIntDivByNumber((10, 20), 3) AS e, "
+            "tupleIntDivOrZeroByNumber((10, 20), 0) AS f"
+        )
+        row = [tuple(v) for v in r.rows[0]]
+        assert row == [
+            (3, 5), (0, 5), (1, 2), (1, 2), (3, 6), (0, 0),
+        ]
+
+    def test_tuple_intdiv_column_ref_guided(self, eng):
+        with pytest.raises(Exception, match="inline tuples"):
+            eng.execute(
+                "SELECT tupleIntDiv(t, (1, 2)) AS v "
+                "FROM (SELECT (1, 2) AS t)"
+            )
