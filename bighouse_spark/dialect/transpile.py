@@ -187,6 +187,7 @@ _FUNC_RENAMES = {
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "arrayIntersect": "array_intersect",
+    "arrayUnion": "array_union",
     "generateUUIDv4": "uuid",
     # CH randCanonical() is uniform [0,1) — exactly Spark's rand().
     # (CH's bare rand() is a UInt32 and is deliberately NOT mapped.)
@@ -2588,6 +2589,91 @@ def _polygon_fold_builder(kind: str):
         )
 
     return build
+
+
+def _array_fill_builder(a: list[str], reverse: bool) -> str:
+    """arrayFill / arrayReverseFill(λ, arr[, arr2]) (CH
+    Functions/array): scan arr; where λ is falsy the element is
+    replaced by the nearest PRECEDING element where λ was truthy
+    (arrayFill) or the nearest FOLLOWING one (arrayReverseFill);
+    leading (resp. trailing) falsy elements stay unchanged. One
+    O(n) fold carrying (acc, seen, last); the flag array is
+    LET-bound via the single-element-transform trick so the λ runs
+    once per element; the reverse form folds the reversed arrays and
+    reverses the result."""
+    name = "arrayReverseFill" if reverse else "arrayFill"
+    if len(a) not in (2, 3):
+        raise ValueError(
+            f"{name}(lambda, arr[, arr2]) takes a lambda and one or "
+            "two source arrays"
+        )
+    lam, arr = a[0], a[1]
+    flags = (
+        f"transform({arr}, {lam})"
+        if len(a) == 2
+        else f"zip_with({arr}, {a[2]}, {lam})"
+    )
+    if reverse:
+        flags = f"reverse({flags})"
+        src = f"reverse({arr})"
+    else:
+        src = arr
+    truthy = "coalesce(CAST(element_at(__fl, __i) AS BOOLEAN), false)"
+    fold = (
+        f"aggregate(sequence(1, size({src})), "
+        # typed empty acc / typed last via slices of the source;
+        # try_element_at: ANSI mode throws on index-1 of an EMPTY
+        # array, and the init value is eagerly folded even though
+        # seen=false guards its use.
+        f"named_struct('acc', slice({src}, 1, 0), 'seen', false, "
+        f"'last', try_element_at({src}, 1)), "
+        f"(__s, __i) -> IF({truthy}, "
+        f"named_struct('acc', concat(__s.acc, slice({src}, __i, 1)), "
+        f"'seen', true, 'last', element_at({src}, __i)), "
+        f"named_struct('acc', concat(__s.acc, IF(__s.seen, "
+        f"array(__s.last), slice({src}, __i, 1))), "
+        f"'seen', __s.seen, 'last', __s.last)), "
+        f"__s -> __s.acc)"
+    )
+    # sequence(1, 0) DESCENDS in Spark, so an empty input must skip
+    # the fold entirely (same guard as arrayLevenshteinDistance).
+    out = (
+        f"IF(size({src}) = 0, slice({src}, 1, 0), "
+        f"element_at(transform(array({flags}), __fl -> {fold}), 1))"
+    )
+    return f"reverse({out})" if reverse else out
+
+
+_TIME_DELTA_UNITS = (
+    "'ns', CAST(0.000000001 AS DOUBLE), 'us', 0.000001D, "
+    "'ms', 0.001D, "
+    "'s', 1D, 'sec', 1D, 'second', 1D, 'seconds', 1D, "
+    "'m', 60D, 'min', 60D, 'minute', 60D, 'minutes', 60D, "
+    "'h', 3600D, 'hr', 3600D, 'hour', 3600D, 'hours', 3600D, "
+    "'d', 86400D, 'day', 86400D, 'days', 86400D, "
+    "'w', 604800D, 'week', 604800D, 'weeks', 604800D"
+)
+
+
+def _parse_time_delta(a: list[str]) -> str:
+    """parseTimeDelta('1h 30m') → Float64 seconds. Unambiguous units
+    only (ns…weeks); month/year spellings have no fixed length and
+    yield NULL (an unknown unit nulls the whole result), as does a
+    string with no number+unit token."""
+    if len(a) != 1:
+        raise ValueError("parseTimeDelta() takes one string argument")
+    pat = "'([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([a-zA-Z]+)'"
+    nums = f"regexp_extract_all({a[0]}, {pat}, 1)"
+    units = f"regexp_extract_all({a[0]}, {pat}, 2)"
+    terms = (
+        f"zip_with({nums}, {units}, (__n, __u) -> "
+        f"CAST(__n AS DOUBLE) * element_at("
+        f"map({_TIME_DELTA_UNITS}), lower(__u)))"
+    )
+    return (
+        f"IF(size({nums}) = 0, CAST(NULL AS DOUBLE), "
+        f"aggregate({terms}, 0D, (__a, __x) -> __a + __x))"
+    )
 
 
 def _cut_url_parameter(a: list[str]) -> str:
@@ -5257,6 +5343,17 @@ _ARG_REWRITES.update({
         f"array_distinct(concat(array_except({a[0]}, {a[1]}), "
         f"array_except({a[1]}, {a[0]})))"
     ),
+    "arrayFill": lambda a: _array_fill_builder(a, reverse=False),
+    "arrayReverseFill": lambda a: _array_fill_builder(a, reverse=True),
+    "bitPositionsToArray": lambda a: (
+        f"filter(sequence(0, 63), __b -> "
+        f"(shiftright(CAST({a[0]} AS BIGINT), __b) & 1) = 1)"
+    ),
+    # Column types carry no zone in Spark — every DateTime lives in
+    # the session timezone, which is what timezoneOf can honestly
+    # report.
+    "timezoneOf": lambda a: "current_timezone()",
+    "parseTimeDelta": lambda a: _parse_time_delta(a),
     "UUIDToNum": lambda a: (
         f"unhex(replace(CAST({a[0]} AS STRING), '-', ''))"
         if len(a) == 1 or str(a[1]).strip() == "1"

@@ -5994,3 +5994,62 @@ class TestRound7UrlTupleSweep:
                 "SELECT tupleIntDiv(t, (1, 2)) AS v "
                 "FROM (SELECT (1, 2) AS t)"
             )
+
+
+class TestRound7ArrayFillSweep:
+    """arrayFill/arrayReverseFill carry-forward folds, arrayUnion,
+    bitPositionsToArray, timezoneOf, parseTimeDelta."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_array_fill_docs_example(self, eng):
+        # The CH documentation's own example, reproduced exactly.
+        r = eng.execute(
+            "SELECT arrayFill(x -> isNotNull(x), "
+            "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL]) "
+            "AS v"
+        )
+        assert r.rows[0][0] == [1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14]
+
+    def test_array_fill_leading_falsy_and_predicate(self, eng):
+        r = eng.execute(
+            "SELECT arrayFill(x -> x > 1, [0, 5, 1, 9]) AS a, "
+            "arrayReverseFill(x -> isNotNull(x), [1, NULL, 3, NULL]) AS b, "
+            "arrayFill((x, y) -> y, [1, 2, 3], [true, false, true]) AS c, "
+            "arrayFill(x -> x, CAST(array() AS ARRAY<BOOLEAN>)) AS e"
+        )
+        a, b, c, e = r.rows[0]
+        assert a == [0, 5, 5, 9]       # leading falsy kept
+        assert b == [1, 3, 3, None]    # trailing falsy kept (reverse)
+        assert c == [1, 1, 3]          # two-array lambda form
+        assert e == []
+
+    def test_array_union(self, eng):
+        r = eng.execute("SELECT arrayUnion([1,2],[2,3]) AS v")
+        assert sorted(r.rows[0][0]) == [1, 2, 3]
+
+    def test_bit_positions_to_array(self, eng):
+        r = eng.execute(
+            "SELECT bitPositionsToArray(10) AS a, "
+            "bitPositionsToArray(0) AS z, bitPositionsToArray(1) AS o"
+        )
+        assert r.rows[0] == [[1, 3], [], [0]]
+
+    def test_timezone_of(self, eng):
+        r = eng.execute("SELECT timezoneOf(now()) AS v")
+        assert r.rows[0][0] == "UTC"  # tests pin the session to UTC
+
+    def test_parse_time_delta(self, eng):
+        r = eng.execute(
+            "SELECT parseTimeDelta('1h 30m') AS a, "
+            "parseTimeDelta('2.5s') AS b, "
+            "parseTimeDelta('1w 1d') AS c, "
+            "parseTimeDelta('250ms') AS d, "
+            "parseTimeDelta('1mo') AS amb, "    # ambiguous unit -> NULL
+            "parseTimeDelta('junk') AS junk"
+        )
+        assert r.rows[0] == [5400.0, 2.5, 691200.0, 0.25, None, None]
