@@ -2676,6 +2676,95 @@ def _parse_time_delta(a: list[str]) -> str:
     )
 
 
+def _format_builder(a: list[str]) -> str:
+    """format('{} and {}', x, y) / format('{1}-{0}', x, y): CH's
+    fmt-style placeholder substitution, compiled at transpile time —
+    the pattern must be a string literal (it defines the expression
+    tree). Auto ``{}`` and positional ``{n}`` placeholders; ``{{``
+    and ``}}`` escape literal braces."""
+    if len(a) < 1:
+        raise ValueError("format() needs a pattern argument")
+    raw = a[0].strip()
+    if not (len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\""):
+        raise ValueError(
+            "format(): the pattern must be a string literal (it is "
+            "compiled into a concat expression); for dynamic "
+            "patterns build the string with concat/replaceOne"
+        )
+    pat = raw[1:-1]
+    args = a[1:]
+    parts: list[str] = []
+    lit = ""
+    i, auto = 0, 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "{" and i + 1 < len(pat) and pat[i + 1] == "{":
+            lit += "{"
+            i += 2
+            continue
+        if c == "}" and i + 1 < len(pat) and pat[i + 1] == "}":
+            lit += "}"
+            i += 2
+            continue
+        if c == "{":
+            end = pat.index("}", i)
+            spec = pat[i + 1:end]
+            idx = int(spec) if spec else auto
+            if not spec:
+                auto += 1
+            if idx >= len(args):
+                raise ValueError(
+                    f"format(): placeholder {{{spec}}} has no "
+                    f"argument (got {len(args)})"
+                )
+            if lit:
+                parts.append("'" + lit.replace("'", "''") + "'")
+                lit = ""
+            parts.append(f"CAST({args[idx]} AS STRING)")
+            i = end + 1
+            continue
+        lit += c
+        i += 1
+    if lit:
+        parts.append("'" + lit.replace("'", "''") + "'")
+    if not parts:
+        return "''"
+    return f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+
+
+def _reinterpret_uint_builder(width_bytes: int, signed: bool):
+    """reinterpretAs{U}Int8/16/32/64(s): the string's first N bytes
+    as a little-endian integer (missing bytes are zero, CH's
+    contract). Byte order flips by reassembling the hex pairs in
+    reverse; the hex string is LET-bound so the source expression
+    renders once."""
+
+    def build(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ValueError("reinterpret functions take one argument")
+        hx = f"substr(concat(hex({a[0]}), repeat('00', {width_bytes})), 1, {width_bytes * 2})"
+        le = (
+            f"aggregate(sequence(1, {width_bytes}), '', "
+            f"(__acc, __i) -> concat(substr(__hx, 2 * __i - 1, 2), __acc))"
+        )
+        out = (
+            f"element_at(transform(array({hx}), __hx -> "
+            f"CAST(conv({le}, 16, 10) AS DECIMAL(20,0))), 1)"
+        )
+        if signed:
+            # two's-complement re-interpretation of the top bit
+            mod = 1 << (width_bytes * 8)
+            out = (
+                f"CAST(IF({out} >= {mod // 2}, {out} - {mod}, {out}) "
+                f"AS BIGINT)"
+            )
+        elif width_bytes < 8:
+            out = f"CAST({out} AS BIGINT)"
+        return out
+
+    return build
+
+
 def _cut_url_parameter(a: list[str]) -> str:
     """cutURLParameter(url, 'name'): drop the named query parameter.
     Two regex passes — interior occurrences keep their leading
@@ -5343,6 +5432,73 @@ _ARG_REWRITES.update({
         f"array_distinct(concat(array_except({a[0]}, {a[1]}), "
         f"array_except({a[1]}, {a[0]})))"
     ),
+    "format": lambda a: _format_builder(a),
+    # JSONMergePatch(a, b, ...): RFC 7386 merge patch, folded left
+    # over the UDF pair-merge.
+    "JSONMergePatch": lambda a: (
+        (_ for _ in ()).throw(
+            ValueError("JSONMergePatch() needs at least two arguments")
+        )
+        if len(a) < 2
+        else __import__("functools").reduce(
+            lambda acc, nxt: f"bh_json_merge_patch({acc}, {nxt})", a
+        )
+    ),
+    # CH decimal arithmetic with an explicit result scale; the 2-arg
+    # forms fall through to Spark's decimal math.
+    "multiplyDecimal": lambda a: (
+        f"CAST(({a[0]}) * ({a[1]}) AS DECIMAL(38, {int(_unquote(a[2]))}))"
+        if len(a) > 2 else f"(({a[0]}) * ({a[1]}))"
+    ),
+    "divideDecimal": lambda a: (
+        f"CAST(({a[0]}) / ({a[1]}) AS DECIMAL(38, {int(_unquote(a[2]))}))"
+        if len(a) > 2 else f"(({a[0]}) / ({a[1]}))"
+    ),
+    # 128-bit ints fit DECIMAL(38,0) up to 10^38-1 — beyond that ANSI
+    # raises loudly (Int128's true ceiling is 1.7e38). 256-bit has no
+    # Spark carrier at all.
+    "toInt128": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+    "toUInt128": lambda a: f"CAST({a[0]} AS DECIMAL(38, 0))",
+    "toInt256": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "toInt256/toUInt256: no Spark numeric carries 256 bits "
+            "(DECIMAL caps at 38 digits); keep the value as a string "
+            "or split it into hi/lo UInt64 halves"
+        )
+    ),
+    "toUInt256": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "toInt256/toUInt256: no Spark numeric carries 256 bits "
+            "(DECIMAL caps at 38 digits); keep the value as a string "
+            "or split it into hi/lo UInt64 halves"
+        )
+    ),
+    "runningConcurrency": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "runningConcurrency() is block-order dependent; the "
+            "deterministic spelling is the interval sweep — "
+            "maxIntersections(start, end) for the peak, or a window "
+            "sum over +1/-1 events ORDER BY time for the running "
+            "value"
+        )
+    ),
+    "reinterpretAsUInt8": _reinterpret_uint_builder(1, False),
+    "reinterpretAsUInt16": _reinterpret_uint_builder(2, False),
+    "reinterpretAsUInt32": _reinterpret_uint_builder(4, False),
+    "reinterpretAsUInt64": _reinterpret_uint_builder(8, False),
+    "reinterpretAsInt8": _reinterpret_uint_builder(1, True),
+    "reinterpretAsInt16": _reinterpret_uint_builder(2, True),
+    "reinterpretAsInt32": _reinterpret_uint_builder(4, True),
+    "reinterpretAsInt64": _reinterpret_uint_builder(8, True),
+    # reinterpretAsString(n): the integer's little-endian bytes with
+    # high-order zero bytes dropped (CH's contract).
+    "reinterpretAsString": lambda a: (
+        f"element_at(transform(array(lpad(hex(CAST({a[0]} AS BIGINT)), "
+        f"16, '0')), __hx -> decode(unhex(regexp_replace("
+        f"aggregate(sequence(1, 8), '', (__a, __i) -> "
+        f"concat(substr(__hx, 2 * __i - 1, 2), __a)), "
+        f"'(00)+$', '')), 'UTF-8')), 1)"
+    ),
     "arrayFill": lambda a: _array_fill_builder(a, reverse=False),
     "arrayReverseFill": lambda a: _array_fill_builder(a, reverse=True),
     "bitPositionsToArray": lambda a: (
@@ -6031,7 +6187,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         r"|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
         r"|anova|norm_ppf|spearman|detect_language|series_period"
-        r"|java_hash|hive_hash|gcc_murmur|kafka_murmur)",
+        r"|java_hash|hive_hash|gcc_murmur|kafka_murmur"
+        r"|json_merge_patch)",
         out,
     ):
         _ensure_misc_udfs(spark)

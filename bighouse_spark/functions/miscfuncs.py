@@ -824,6 +824,36 @@ def _murmur2_32(data: bytes, seed: int) -> int:
     return h
 
 
+def _json_merge_patch(target, patch):
+    """RFC 7386: objects merge recursively, null deletes, anything
+    else replaces."""
+    if not isinstance(patch, dict):
+        return patch
+    out = dict(target) if isinstance(target, dict) else {}
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = _json_merge_patch(out.get(k), v)
+    return out
+
+
+@pandas_udf(_STRING)
+def bh_json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+    import json as _json
+
+    def merge(x, y):
+        try:
+            return _json.dumps(
+                _json_merge_patch(_json.loads(x), _json.loads(y)),
+                separators=(",", ":"),
+            )
+        except Exception:
+            return None
+
+    return _pair_map(a, b, merge)
+
+
 @pandas_udf(IntegerType())
 def bh_java_hash(s: pd.Series) -> pd.Series:
     return s.map(_null_safe(_java_hash))
@@ -888,6 +918,7 @@ ALL = {
     "bh_geohashes_in_box": bh_geohashes_in_box,
     "bh_detect_language": bh_detect_language,
     "bh_series_period_fft": bh_series_period_fft,
+    "bh_json_merge_patch": bh_json_merge_patch,
     "bh_base32_encode": bh_base32_encode,
     "bh_base32_decode": bh_base32_decode,
     "bh_java_hash": bh_java_hash,

@@ -6053,3 +6053,86 @@ class TestRound7ArrayFillSweep:
             "parseTimeDelta('junk') AS junk"
         )
         assert r.rows[0] == [5400.0, 2.5, 691200.0, 0.25, None, None]
+
+
+class TestRound7FormatReinterpretSweep:
+    """format() placeholder compilation, RFC 7386 JSONMergePatch,
+    decimal arithmetic with result scale, 128-bit casts, and the
+    reinterpretAs* little-endian byte views."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_format_placeholders(self, eng):
+        r = eng.execute(
+            "SELECT format('{} and {}', 'a', 'b') AS a, "
+            "format('{1}-{0}', 'x', 'y') AS b, "
+            "format('{{}} ok {0}', 7) AS c, format('none') AS d"
+        )
+        assert r.rows[0] == ["a and b", "y-x", "{} ok 7", "none"]
+
+    def test_format_guided_errors(self, eng):
+        with pytest.raises(Exception, match="string literal"):
+            eng.execute(
+                "SELECT format(x, 1) AS v FROM (SELECT '{}' AS x)"
+            )
+        with pytest.raises(Exception, match="no.*argument"):
+            eng.execute("SELECT format('{} {}', 1) AS v")
+
+    def test_json_merge_patch_rfc7386(self, eng):
+        r = eng.execute(
+            "SELECT JSONMergePatch("
+            "'{\"a\":1,\"b\":{\"c\":2}}', '{\"b\":{\"d\":3},\"e\":4}') AS m, "
+            "JSONMergePatch('{\"a\":1,\"b\":2}', '{\"b\":null}') AS del, "
+            "JSONMergePatch('{\"a\":1}', '{\"b\":2}', '{\"c\":3}') AS tri, "
+            "JSONMergePatch('not json', '{}') AS bad"
+        )
+        import json
+
+        m, deleted, tri, bad = r.rows[0]
+        assert json.loads(m) == {"a": 1, "b": {"c": 2, "d": 3}, "e": 4}
+        assert json.loads(deleted) == {"a": 1}
+        assert json.loads(tri) == {"a": 1, "b": 2, "c": 3}
+        assert bad is None
+
+    def test_decimal_ops_and_wide_casts(self, eng):
+        r = eng.execute(
+            "SELECT multiplyDecimal(toDecimal64(2.5, 2), "
+            "toDecimal64(4.0, 2), 4) AS m, toUInt128(5) AS w"
+        )
+        from decimal import Decimal
+
+        assert r.rows[0][0] == Decimal("10.0000")
+        assert int(r.rows[0][1]) == 5
+        with pytest.raises(Exception, match="256 bits"):
+            eng.execute("SELECT toUInt256(5) AS v")
+
+    def test_reinterpret_little_endian(self, eng):
+        r = eng.execute(
+            "SELECT reinterpretAsUInt32('abcd') AS a, "
+            "reinterpretAsUInt16('ab') AS b, "
+            "reinterpretAsUInt8('a') AS c, "
+            "reinterpretAsUInt32('ab') AS pad, "
+            "reinterpretAsUInt64('abcdefgh') AS w"
+        )
+        assert r.rows[0][:4] == [0x64636261, 0x6261, 97, 0x6261]
+        assert int(r.rows[0][4]) == 0x6867666564636261
+
+    def test_reinterpret_signed_and_string(self, eng):
+        # 'é' encodes UTF-8 as C3 A9: first byte 0xC3 → -61 signed.
+        r = eng.execute(
+            "SELECT reinterpretAsInt8('é') AS s, "
+            "reinterpretAsString(toUInt32(97)) AS a, "
+            "reinterpretAsString(6579297) AS add"
+        )
+        assert r.rows[0] == [-61, "a", "add"]
+
+    def test_running_concurrency_guided(self, eng):
+        with pytest.raises(Exception, match="maxIntersections"):
+            eng.execute(
+                "SELECT runningConcurrency(toDateTime(1), "
+                "toDateTime(2)) AS v"
+            )
