@@ -1006,3 +1006,57 @@ def dialect_tukey_outliers_roundtrip(spark, sf_dir):
               GROUP BY event_type)
         """,
     )
+
+
+# Round-7 format/reinterpret tranche, driver-provable: format()
+# placeholder compilation (auto + positional), the reinterpretAs*
+# little-endian byte views both directions, RFC 7386 JSONMergePatch
+# (recursive merge + null-delete), multiplyDecimal with an explicit
+# result scale, and the DECIMAL(38,0)-carried toInt128. The DuckDB
+# oracle rebuilds each value from first principles (byte codes via
+# code_points, JSON string assembly, decimal renders via VARCHAR
+# casts). Nation is 25 rows — pure column expressions, no shuffle
+# beyond the scan.
+@query(
+    "dialect_format_reinterpret_roundtrip",
+    oracle="""
+SELECT n_nationkey AS nk,
+       CAST(n_regionkey AS VARCHAR) || ':' || n_name AS fmt,
+       CAST(
+         list_sum(list_transform(range(1, 5),
+           i -> CASE WHEN strlen(n_name) >= i
+                     THEN unicode(substr(n_name, CAST(i AS INT), 1))
+                          * CAST(power(256, i - 1) AS BIGINT)
+                     ELSE 0 END))
+         AS BIGINT) AS le32,
+       CAST(unicode(substr(n_name, 1, 1)) AS BIGINT) AS s8,
+       chr(CAST(n_nationkey + 65 AS INT)) AS chr1,
+       '{"a":1,"b":' || CAST(n_nationkey AS VARCHAR) || '}' AS jm,
+       CAST(CAST(n_nationkey * 1.5 AS DECIMAL(38,3)) AS VARCHAR) AS md,
+       CAST(CAST(n_nationkey * 1000000 AS DECIMAL(38,0)) AS VARCHAR)
+         AS i128
+FROM nation ORDER BY nk
+""",
+)
+def dialect_format_reinterpret_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "nation",
+        "__dq_nation_fr",
+        """
+        SELECT n_nationkey AS nk,
+               format('{1}:{0}', n_name, n_regionkey) AS fmt,
+               CAST(reinterpretAsUInt32(substring(n_name, 1, 4))
+                    AS Int64) AS le32,
+               CAST(reinterpretAsInt8(n_name) AS Int64) AS s8,
+               reinterpretAsString(n_nationkey + 65) AS chr1,
+               JSONMergePatch('{"a":1,"keep":true}',
+                 format('{{"b":{},"keep":null}}', n_nationkey)) AS jm,
+               CAST(multiplyDecimal(toDecimal64(n_nationkey, 2),
+                                    toDecimal64(1.5, 2), 3)
+                    AS String) AS md,
+               CAST(toInt128(n_nationkey * 1000000) AS String) AS i128
+        FROM __dq_nation_fr ORDER BY nk
+        """,
+    )

@@ -491,3 +491,82 @@ def dedup_cross_corpus_lsh(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1),
         jaccard_threshold=0.5,
     )
+
+
+# BM25 ranked retrieval — the saturating cousin of
+# text_keyword_search's integer TF-IDF. Okapi BM25 with k1=1.2,
+# b=0.75 and the Robertson-Sparck-Jones idf ln((N-df+0.5)/(df+0.5)+1):
+# term-frequency saturation plus document-length normalization, the
+# scorer most retrieval stacks default to. Scale shape identical to
+# the TF-IDF query (the one every-search-engine plan): token explode
+# filtered to the query terms at the scan, one doc-keyed aggregate;
+# df (3 rows) and the corpus stats (1 row) broadcast. Scores are
+# DOUBLE, rounded to 6 places in BOTH engines and used as the sort
+# key post-rounding so the top-10 selection is engine-invariant
+# (doc_id breaks ties deterministically).
+@query(
+    "text_bm25_rank",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM docs
+), words AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, tok, count(*) AS tf FROM words
+  WHERE tok IN ('vector', 'hash', 'merge') GROUP BY doc_id, dl, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM words
+  WHERE tok IN ('vector', 'hash', 'merge') GROUP BY tok
+)
+SELECT doc_id,
+       round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+             6) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+def text_bm25_rank(spark, sf_dir):
+    terms = ["vector", "hash", "merge"]
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("w")).alias("avgdl")
+    )
+    words = docs.select(
+        "doc_id", F.size("w").alias("dl"), F.explode("w").alias("tok")
+    ).where(F.col("tok").isin(terms))
+    tf = words.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = words.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "ln((n - df + 0.5) / (df + 0.5) + 1) "
+                        "* tf * (1.2 + 1) "
+                        "/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
