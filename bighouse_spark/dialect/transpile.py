@@ -7372,7 +7372,7 @@ def _rewrite_contextual(sql: str) -> str:
     pos = 0
     while (call := _find_call(out, "position", pos)) is not None:
         start, end, args = call
-        if len(args) == 1:  # POSITION(x IN y)
+        if len(args) <= 1:  # POSITION(x IN y) / malformed bare call
             pos = end
             continue
         if len(args) == 2:
@@ -7384,7 +7384,7 @@ def _rewrite_contextual(sql: str) -> str:
     pos = 0
     while (call := _find_call(out, "extract", pos)) is not None:
         start, end, args = call
-        if len(args) == 1:  # EXTRACT(unit FROM ts)
+        if len(args) <= 1:  # EXTRACT(unit FROM ts) / malformed bare call
             pos = end
             continue
         group = "1" if "(" in args[1] else "0"
@@ -7415,7 +7415,7 @@ def _rewrite_contextual(sql: str) -> str:
     while (call := _find_call(out, "range", pos)) is not None:
         start, end, args = call
         prefix = out[:start].rstrip()
-        if prefix.upper().endswith("FROM"):
+        if prefix.upper().endswith("FROM") or not args:
             pos = end
             continue
         if len(args) == 1:

@@ -6136,3 +6136,51 @@ class TestRound7FormatReinterpretSweep:
                 "SELECT runningConcurrency(toDateTime(1), "
                 "toDateTime(2)) AS v"
             )
+
+
+class TestTranspileFuzz:
+    """Seeded structural fuzz over the rewrite frontend: randomly
+    nested CH-ish calls (parametric forms, wrong arities, literal
+    soup) must either transpile to a string or raise the guided
+    ValueError — never an unhandled IndexError/KeyError/TypeError.
+    Found the zero-arg position()/extract() IndexError this guards."""
+
+    def test_fuzz_only_guided_errors(self):
+        import random
+
+        from bighouse_spark.dialect.transpile import transpile
+
+        random.seed(7)
+        funcs = [
+            "toString", "arrayMap", "sumIf", "format",
+            "reinterpretAsUInt32", "JSONExtractInt", "splitByChar",
+            "tupleElement", "mapApply", "topK", "quantile", "argMax",
+            "substring", "position", "multiIf", "transform",
+            "toDateTime", "toStartOfInterval", "arrayJoin", "uniq",
+            "cityHash64", "countIf", "if", "plus", "coalesce",
+            "extract", "leftPad", "range", "locate", "lagInFrame",
+        ]
+        lits = [
+            "1", "'a'", "0.5", "NULL", "[1,2]", "(1,2)", "x", "''",
+            "-3", "map('k',1)", "today()", "'{}'", "'%'", "1e10",
+            "x.y",
+        ]
+
+        def rand_expr(d=0):
+            if d > 3 or random.random() < 0.3:
+                return random.choice(lits)
+            f = random.choice(funcs)
+            args = ", ".join(
+                rand_expr(d + 1) for _ in range(random.randint(0, 3))
+            )
+            if random.random() < 0.15:
+                return f"{f}({random.randint(1, 3)})({args})"
+            return f"{f}({args})"
+
+        for _ in range(2500):
+            sql = f"SELECT {rand_expr()} AS v FROM t"
+            try:
+                out = transpile(sql).sql
+                assert isinstance(out, str) and out
+            except ValueError:
+                pass  # guided refusal/arity error — the contract
