@@ -6863,6 +6863,8 @@ def _rewrite_parametric(sql: str) -> str:
                 break
         if cut < 0:
             raise ValueError("topKWeighted(k)(x, w) needs two arguments")
+        if not params:
+            raise ValueError("topKWeighted(k)(x, w) needs the k parameter")
         xcol, wcol = inner[:cut].strip(), inner[cut + 1:].strip()
         out = (
             out[:start]
@@ -6877,6 +6879,8 @@ def _rewrite_parametric(sql: str) -> str:
         start, end, params = call
         if end >= len(out) or out[end] != "(":
             raise ValueError("topK(k) must be followed by (column)")
+        if not params:
+            raise ValueError("topK(k)(column) needs the k parameter")
         depth, i = 1, end + 1
         while i < len(out) and depth > 0:
             if out[i] == "(":
@@ -6925,6 +6929,8 @@ def _rewrite_parametric(sql: str) -> str:
         start, end, params = call
         if end >= len(out) or out[end] != "(":
             raise ValueError("uniqUpTo(N) must be followed by (column)")
+        if not params:
+            raise ValueError("uniqUpTo(N)(column) needs the N parameter")
         depth, i = 1, end + 1
         while i < len(out) and depth > 0:
             if out[i] == "(":
@@ -7062,7 +7068,15 @@ def _rewrite_parametric(sql: str) -> str:
                     depth -= 1
                 j += 1
             real = _split_args_top(out[end + span_m.end():j - 1])
-            out = out[:start] + builder(params, real) + out[j:]
+            try:
+                built = builder(params, real)
+            except IndexError:
+                raise ValueError(
+                    f"{pname}(params)(args): missing required "
+                    f"parameters or arguments (got {len(params)} "
+                    f"parameter(s), {len(real)} argument(s))"
+                ) from None
+            out = out[:start] + built + out[j:]
     out = _rewrite_time_decayed(out)
     # Parametric aggregates that are order-dependent state machines —
     # refuse with the window/rewrite hint before Spark's opaque

@@ -6159,6 +6159,9 @@ class TestTranspileFuzz:
             "toDateTime", "toStartOfInterval", "arrayJoin", "uniq",
             "cityHash64", "countIf", "if", "plus", "coalesce",
             "extract", "leftPad", "range", "locate", "lagInFrame",
+            "topKWeighted", "uniqUpTo", "histogram",
+            "exponentialMovingAverage", "groupArraySample",
+            "quantileGK", "groupArraySorted", "sumMapFiltered",
         ]
         lits = [
             "1", "'a'", "0.5", "NULL", "[1,2]", "(1,2)", "x", "''",
@@ -6174,7 +6177,11 @@ class TestTranspileFuzz:
                 rand_expr(d + 1) for _ in range(random.randint(0, 3))
             )
             if random.random() < 0.15:
-                return f"{f}({random.randint(1, 3)})({args})"
+                # parametric form, sometimes with empty params/args
+                p = "" if random.random() < 0.3 else str(
+                    random.randint(1, 3)
+                )
+                return f"{f}({p})({args})"
             return f"{f}({args})"
 
         for _ in range(2500):
