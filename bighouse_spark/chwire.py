@@ -79,6 +79,10 @@ BLOCK_INFO = b"\x01\x00\x02" + struct.pack("<i", -1) + b"\x00"
 
 ROWS_PER_BLOCK = 65409  # CH's default max_block_size
 
+# Per-string read cap (see _Source.read_str): generous for query
+# text, fatal for length-declared memory exhaustion.
+MAX_WIRE_STR = 64 * 1024 * 1024
+
 # Client-streamed INSERTs append to storage every N decoded rows so
 # an unbounded native-protocol ingest never accumulates on the driver.
 INSERT_FLUSH_ROWS = int(
@@ -142,7 +146,16 @@ class _Source:
                 raise ProtocolError("varint too long")
 
     def read_str(self) -> str:
-        return self.read_exact(self.read_varint()).decode("utf-8")
+        n = self.read_varint()
+        if n > MAX_WIRE_STR:
+            # The declared length is attacker data; reading it
+            # verbatim lets one client make the server buffer
+            # arbitrary bytes. 64 MiB passes any real query text.
+            raise ProtocolError(
+                f"wire string of {n} bytes exceeds the "
+                f"{MAX_WIRE_STR}-byte protocol cap"
+            )
+        return self.read_exact(n).decode("utf-8")
 
     def decode(self, dec) -> Any:
         while True:

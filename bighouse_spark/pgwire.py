@@ -63,6 +63,14 @@ from bighouse_spark.formats import ch_base_type
 
 _PROTO_V3 = 196608
 _SSL_REQUEST = 80877103
+
+# Wire-safety caps: a message's declared length is attacker data —
+# reading it verbatim lets one connection make the server buffer
+# gigabytes. 64 MiB passes any real query text / COPY chunk; startup
+# packets are key=value pairs and never approach 64 KiB (PG itself
+# rejects oversized startup packets).
+MAX_MSG_LEN = 64 * 1024 * 1024
+MAX_STARTUP_LEN = 64 * 1024
 _GSSENC_REQUEST = 80877104
 _CANCEL_REQUEST = 80877102
 
@@ -264,6 +272,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 if head is None:
                     return
                 tag, length = head[0:1], struct.unpack("!I", head[1:5])[0]
+                if not 4 <= length <= MAX_MSG_LEN:
+                    return  # malformed or hostile framing: drop
                 payload = self._recv_exact(sock, length - 4)
                 if payload is None:
                     return
@@ -303,6 +313,8 @@ class _Handler(socketserver.BaseRequestHandler):
             if head is None:
                 return None
             length, code = struct.unpack("!II", head)
+            if not 8 <= length <= MAX_STARTUP_LEN:
+                return None  # malformed or hostile framing: drop
             if code == _SSL_REQUEST:
                 # PG's STARTTLS: 'S' + handshake when the server has
                 # a TLS context (sslmode=require/verify-*), else the
