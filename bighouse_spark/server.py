@@ -348,6 +348,13 @@ class _HTTPStreamSink:
         self._flush()
 
 
+# Request-body safety caps: Content-Length is attacker data, and a
+# gzip body is a decompression bomb unless the inflated size is
+# bounded too. 256 MiB passes any sane bulk-INSERT payload; bigger
+# loads belong on shared storage + ATTACH.
+MAX_HTTP_BODY = 256 * 1024 * 1024
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: BigHouseEngine  # set by make_server
     sessions: SessionStore  # set by make_server
@@ -685,23 +692,56 @@ class _Handler(BaseHTTPRequestHandler):
             extra["Content-Encoding"] = "gzip"
         self._send_text(200, rendered, content_type, extra=extra)
 
-    def _read_request(self) -> dict[str, Any]:
-        length = int(self.headers.get("Content-Length", "0"))
-        return json.loads(self.rfile.read(length) or b"{}")
+    def _read_body(self) -> bytes | None:
+        """Bounded request-body read; answers 413 and returns None
+        when the declared or inflated size breaks the cap."""
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._send(400, {"error": "malformed Content-Length"})
+            return None
+        if not 0 <= length <= MAX_HTTP_BODY:
+            self._send(413, {
+                "error": f"request body of {length} bytes exceeds "
+                f"the {MAX_HTTP_BODY}-byte cap; stage bulk loads on "
+                "shared storage and ATTACH instead"
+            })
+            return None
+        body = self.rfile.read(length)
+        if self.headers.get("Content-Encoding", "").lower() == "gzip":
+            import gzip
+            import io
+
+            try:
+                with gzip.GzipFile(fileobj=io.BytesIO(body)) as gz:
+                    body = gz.read(MAX_HTTP_BODY + 1)
+            except OSError:
+                self._send(400, {"error": "malformed gzip body"})
+                return None
+            if len(body) > MAX_HTTP_BODY:
+                self._send(413, {
+                    "error": "gzip body inflates past the "
+                    f"{MAX_HTTP_BODY}-byte cap"
+                })
+                return None
+        return body
+
+    def _read_request(self) -> dict[str, Any] | None:
+        body = self._read_body()
+        if body is None:
+            return None
+        return json.loads(body or b"{}")
 
     def do_POST(self) -> None:
         parsed = urllib.parse.urlsplit(self.path)
         if not self._check_auth(parsed):
             return
         if parsed.path == "/":
-            length = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(length)
             # CH accepts gzip-compressed request bodies (bulk INSERT
-            # payloads); mirror that.
-            if self.headers.get("Content-Encoding", "").lower() == "gzip":
-                import gzip
-
-                body = gzip.decompress(body)
+            # payloads); _read_body mirrors that, bounded.
+            body = self._read_body()
+            if body is None:
+                return
             self._ch_http(parsed, body=body)
             return
         if parsed.path not in ("/query", "/query/sink"):
@@ -709,6 +749,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             body = self._read_request()
+            if body is None:
+                return  # 413/400 already sent
             req = QueryRequest(
                 query=body["query"],
                 init_queries=body.get("init_queries", []),

@@ -289,3 +289,70 @@ class TestHostileLengths:
         finally:
             s.close()
         _ch_alive(ch_srv)
+
+
+class TestHTTPBodyCaps:
+    """Content-Length and gzip-inflation bounds on the CH HTTP
+    endpoint."""
+
+    def _url(self, srv, path="/"):
+        h, p = srv.server_address[:2]
+        return f"http://{h}:{p}{path}"
+
+    def test_huge_content_length_rejected(self, http_srv):
+        import urllib.error
+
+        req = urllib.request.Request(
+            self._url(http_srv, "/?query=SELECT+1"),
+            data=b"x",
+            method="POST",
+        )
+        req.add_header("Content-Length", str(1 << 40))
+        try:
+            urllib.request.urlopen(req, timeout=IO_DEADLINE)
+            raise AssertionError("expected rejection")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        except OSError:
+            pass  # connection dropped mid-body is also acceptable
+
+    def test_gzip_bomb_rejected(self, http_srv):
+        import gzip
+        import urllib.error
+
+        from bighouse_spark.server import MAX_HTTP_BODY
+
+        # ~300 MiB of zeros compresses to ~300 KiB
+        bomb = gzip.compress(b"\x00" * (MAX_HTTP_BODY + 1024))
+        assert len(bomb) < 1 << 20
+        req = urllib.request.Request(
+            self._url(http_srv, "/?query=SELECT+1"), data=bomb,
+            method="POST",
+        )
+        req.add_header("Content-Encoding", "gzip")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=IO_DEADLINE)
+        assert ei.value.code == 413
+
+    def test_malformed_gzip_rejected(self, http_srv):
+        import urllib.error
+
+        req = urllib.request.Request(
+            self._url(http_srv, "/?query=SELECT+1"),
+            data=b"not gzip at all", method="POST",
+        )
+        req.add_header("Content-Encoding", "gzip")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=IO_DEADLINE)
+        assert ei.value.code == 400
+
+    def test_normal_gzip_insert_still_works(self, http_srv):
+        import gzip
+
+        body = gzip.compress(b"SELECT 41 + 1 AS v FORMAT JSONEachRow")
+        req = urllib.request.Request(
+            self._url(http_srv, "/"), data=body, method="POST",
+        )
+        req.add_header("Content-Encoding", "gzip")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert b'"v":42' in r.read().replace(b" ", b"")
