@@ -55,7 +55,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--cpus", type=int, default=None,
                     help="local parallelism (default: all cores)")
+    ap.add_argument(
+        "--param", action="append", default=[], metavar="NAME=VALUE",
+        help="bind a {name:Type} query parameter (clickhouse-client "
+        "--param_name analog); repeatable",
+    )
     args = ap.parse_args(argv)
+
+    params: dict[str, str] = {}
+    for p in args.param:
+        if "=" not in p:
+            ap.error(f"--param needs NAME=VALUE, got {p!r}")
+        k, v = p.split("=", 1)
+        params[k.strip()] = v
 
     scripts = args.query or []
     if not scripts:
@@ -64,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("no --query given and stdin is empty")
         scripts = [data]
 
-    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.engine import BigHouseEngine, QueryRequest
     from bighouse_spark.formats import (
         normalize_format,
         render_result,
@@ -82,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
             sql, fmt_in_sql = split_result_format(stmt)
             fmt = fmt_in_sql or default_fmt
             try:
-                r = eng.execute(sql)
+                r = eng.execute(QueryRequest(query=sql, params=params))
             except Exception as e:
                 print(f"Error: {e}", file=sys.stderr)
                 return 1

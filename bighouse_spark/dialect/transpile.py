@@ -6086,6 +6086,165 @@ _SETTINGS_MAP = {
 }
 
 
+_PARAM_PLACEHOLDER_RE = re.compile(
+    r"\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([^{}]+?)\s*\}"
+)
+_PARAM_INT_RE = re.compile(r"^[+-]?\d+$")
+_PARAM_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_PARAM_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+_PARAM_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def _param_sql_str(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _render_param(name: str, ch_type: str, raw: str) -> str:
+    """One ``{name:Type}`` substitution as a safely-typed SQL literal.
+    Every value is validated or quote-escaped — a parameter can never
+    splice SQL (the injection-safety contract CH's own substitution
+    keeps)."""
+    t = ch_type.strip()
+    tl = t.lower()
+    while True:
+        m = re.match(r"^(nullable|lowcardinality)\((.*)\)$", tl)
+        if not m:
+            break
+        t = t[t.index("(") + 1:-1].strip()
+        tl = t.lower()
+    if raw is None or (tl != "string" and raw.upper() == "NULL"):
+        return "NULL"
+    if tl == "identifier":
+        if not _PARAM_IDENT_RE.match(raw):
+            raise ValueError(
+                f"query parameter {{{name}:Identifier}}: {raw!r} is "
+                "not a valid identifier"
+            )
+        return raw
+    if tl.startswith("array("):
+        inner = t[t.index("(") + 1:-1].strip()
+        body = raw.strip()
+        if not (body.startswith("[") and body.endswith("]")):
+            raise ValueError(
+                f"query parameter {{{name}:{ch_type}}}: expected a "
+                f"[...] array literal, got {raw!r}"
+            )
+        elems = _split_args_top(body[1:-1])
+        rendered = []
+        for e in elems:
+            e = e.strip()
+            if not e:
+                continue
+            if len(e) >= 2 and e[0] == e[-1] and e[0] in "'\"":
+                e = e[1:-1].replace("\\'", "'").replace("''", "'")
+            rendered.append(_render_param(name, inner, e))
+        return f"array({', '.join(rendered)})"
+    if tl.startswith(("map(", "tuple(")):
+        raise ValueError(
+            f"query parameter {{{name}:{ch_type}}}: Map/Tuple "
+            "parameters are not supported; pass scalar or Array "
+            "parameters, or inline the literal"
+        )
+    if tl in ("bool", "boolean"):
+        if raw.lower() in ("true", "1"):
+            return "true"
+        if raw.lower() in ("false", "0"):
+            return "false"
+        raise ValueError(
+            f"query parameter {{{name}:Bool}}: {raw!r} is not a bool"
+        )
+    if tl.startswith(("int", "uint")):
+        if not _PARAM_INT_RE.match(raw):
+            raise ValueError(
+                f"query parameter {{{name}:{ch_type}}}: {raw!r} is "
+                "not an integer"
+            )
+        v = int(raw)
+        if tl in ("uint64", "int128", "uint128") and v > (1 << 63) - 1:
+            return f"CAST('{v}' AS DECIMAL(38, 0))"
+        return f"CAST({v} AS BIGINT)"
+    if tl.startswith("float") or tl.startswith("decimal"):
+        if not _PARAM_FLOAT_RE.match(raw):
+            raise ValueError(
+                f"query parameter {{{name}:{ch_type}}}: {raw!r} is "
+                "not a number"
+            )
+        if tl.startswith("decimal"):
+            from bighouse_spark.dialect.schema import ch_type_to_spark
+
+            return (
+                f"CAST({raw} AS "
+                f"{ch_type_to_spark(t).simpleString().upper()})"
+            )
+        return f"CAST({raw} AS DOUBLE)"
+    if tl in ("date", "date32"):
+        return f"CAST({_param_sql_str(raw)} AS DATE)"
+    if tl.startswith(("datetime", "timestamp")):
+        return f"CAST({_param_sql_str(raw)} AS TIMESTAMP)"
+    if tl == "uuid":
+        if not _PARAM_UUID_RE.match(raw):
+            raise ValueError(
+                f"query parameter {{{name}:UUID}}: {raw!r} is not a "
+                "UUID"
+            )
+        return _param_sql_str(raw.lower())
+    if tl in ("string", "fixedstring") or tl.startswith("fixedstring"):
+        return _param_sql_str(raw)
+    raise ValueError(
+        f"query parameter {{{name}:{ch_type}}}: unsupported parameter "
+        "type; supported: Int*/UInt*/Float*/Decimal/String/"
+        "FixedString/Date/DateTime/UUID/Bool/Identifier/Array(T)"
+    )
+
+
+def substitute_parameters(sql: str, params: dict[str, str]) -> str:
+    """ClickHouse query parameters: replace ``{name:Type}``
+    placeholders with typed literals from ``params`` (the public
+    ``param_<name>`` HTTP / ``--param`` CLI surface). Quote-aware —
+    placeholders inside string literals or backtick identifiers are
+    left alone, like CH. Unbound placeholders raise the guided error
+    CH raises (UNKNOWN_QUERY_PARAMETER)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'`\"":
+            q = c
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and q == "'":
+                    j += 2
+                    continue
+                if sql[j] == q:
+                    if j + 1 < n and sql[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "{":
+            m = _PARAM_PLACEHOLDER_RE.match(sql, i)
+            if m:
+                name, ch_type = m.group(1), m.group(2)
+                if name not in params:
+                    raise ValueError(
+                        f"query parameter {{{name}:{ch_type}}} has no "
+                        f"bound value; pass it as param_{name} (HTTP) "
+                        f"or --param {name}=... (CLI)"
+                    )
+                out.append(_render_param(name, ch_type, params[name]))
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @dataclass
 class TranspileResult:
     sql: str

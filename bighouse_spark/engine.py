@@ -22,7 +22,7 @@ import re
 import threading
 import time
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -84,6 +84,11 @@ class QueryRequest:
     # OUTFILE is a client-side feature in ClickHouse, and honoring it
     # from a network client would be an arbitrary-file-write hole.
     remote: bool = False
+    # CH query parameters: {name:Type} placeholders in the query bind
+    # to these values (HTTP param_<name>, CLI --param). Substitution
+    # is typed and injection-safe (dialect.transpile
+    # substitute_parameters).
+    params: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -1352,6 +1357,26 @@ class BigHouseEngine:
     ) -> QueryResult:
         if isinstance(request, str):
             request = QueryRequest(query=request)
+        if request.params or "{" in request.query:
+            from bighouse_spark.dialect.transpile import (
+                _PARAM_PLACEHOLDER_RE,
+                substitute_parameters,
+            )
+
+            # Run substitution whenever a placeholder-shaped token
+            # exists, even with zero bound params — an unbound
+            # {name:Type} must raise CH's UNKNOWN_QUERY_PARAMETER
+            # analog, not a downstream parse error. (Quote-aware:
+            # '{n:UInt64}' inside a string literal never triggers.)
+            if request.params or _PARAM_PLACEHOLDER_RE.search(
+                request.query
+            ):
+                request = replace(
+                    request,
+                    query=substitute_parameters(
+                        request.query, request.params
+                    ),
+                )
         t0 = time.monotonic()
         # SELECT ... INTO OUTFILE '<path>' [FORMAT <fmt>]: run the
         # inner query and write the rendered result to a local file

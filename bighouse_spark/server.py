@@ -539,12 +539,20 @@ class _Handler(BaseHTTPRequestHandler):
         # SET-able URL params (CH accepts settings as query params;
         # per-request, even inside a session — only SET statements
         # persist to the session, matching CH).
+        # CH query parameters: ?param_<name>=value binds {name:Type}
+        # placeholders (substituted engine-side, injection-safe).
+        qparams = {
+            k[len("param_"):]: v[0]
+            for k, v in params.items()
+            if k.startswith("param_")
+        }
         init = [
             f"SET {k} = {v[0]}"
             for k, v in params.items()
             if k not in ("query", "default_format", "database", "user",
                          "password", "session_id", "query_id",
                          "session_timeout", "session_check")
+            and not k.startswith("param_")
         ]
         qid = (params.get("query_id") or [None])[0]
         sid = (params.get("session_id") or [None])[0]
@@ -626,7 +634,8 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     result = self.engine.execute(
                         QueryRequest(query=sql, init_queries=init,
-                                     query_id=qid, remote=True),
+                                     query_id=qid, remote=True,
+                                     params=qparams),
                         stream_to=sink,
                     )
             except Exception as e:
@@ -757,6 +766,10 @@ class _Handler(BaseHTTPRequestHandler):
                 num_nodes=body.get("num_nodes"),
                 cores=body.get("cores"),
                 remote=True,
+                params={
+                    str(k): str(v)
+                    for k, v in (body.get("params") or {}).items()
+                },
             )
         except (KeyError, json.JSONDecodeError) as e:
             self._send(400, {"error": f"bad request: {e!r}"})
