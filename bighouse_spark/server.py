@@ -600,7 +600,21 @@ class _Handler(BaseHTTPRequestHandler):
                 sql, pending_create, pending_drop = _apply_session_sql(
                     sql, sid, sess
                 )
-                sql = merge_settings_clause(sql, sess.settings)
+                # SET param_<name> in a session binds {name:Type}
+                # placeholders in later requests (CH's session query
+                # parameters); URL param_<name> wins on collision.
+                for k, v in sess.settings.items():
+                    if k.startswith("param_"):
+                        raw = v.strip()
+                        if (len(raw) >= 2 and raw[0] == raw[-1]
+                                and raw[0] in "'\""):
+                            raw = raw[1:-1].replace("''", "'")
+                        qparams.setdefault(k[len("param_"):], raw)
+                sql = merge_settings_clause(
+                    sql,
+                    {k: v for k, v in sess.settings.items()
+                     if not k.startswith("param_")},
+                )
             # Streamed results: line-based formats render from
             # toLocalIterator with chunked transfer-encoding — no
             # driver-side materialization. The engine falls back to

@@ -160,3 +160,41 @@ class TestCLIParam:
             _sys.stdout = old
         assert rc == 0
         assert json.loads(out)["v"] == 42
+
+
+class TestSessionParams:
+    """SET param_<name> inside an HTTP session binds {name:Type} in
+    later requests; an explicit URL param_<name> wins."""
+
+    def _q(self, http, sql, extra=""):
+        h, p = http.server_address[:2]
+        u = (f"http://{h}:{p}/?query="
+             f"{urllib.parse.quote(sql)}{extra}")
+        with urllib.request.urlopen(u, timeout=60) as r:
+            return r.read()
+
+    def test_set_param_persists_and_url_wins(self, http):
+        self._q(http, "SET param_x = 7", "&session_id=qp1")
+        self._q(http, "SET param_s = 'he''llo'", "&session_id=qp1")
+        out = self._q(
+            http,
+            "SELECT {x:UInt8} AS v, {s:String} AS s "
+            "FORMAT JSONEachRow",
+            "&session_id=qp1",
+        )
+        assert json.loads(out) == {"v": 7, "s": "he'llo"}
+        out2 = self._q(
+            http,
+            "SELECT {x:UInt8} AS v FORMAT JSONEachRow",
+            "&session_id=qp1&param_x=9",
+        )
+        assert json.loads(out2)["v"] == 9
+
+    def test_param_setting_not_leaked_to_settings_clause(self, http):
+        # a param_ setting must not ride SETTINGS into the engine
+        self._q(http, "SET param_z = 3", "&session_id=qp2")
+        out = self._q(
+            http, "SELECT 1 AS ok FORMAT JSONEachRow",
+            "&session_id=qp2",
+        )
+        assert json.loads(out)["ok"] == 1
