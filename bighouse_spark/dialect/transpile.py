@@ -8043,13 +8043,70 @@ _WITH_FILL_RE = re.compile(
     r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|\S+))?\s*$",
     re.IGNORECASE,
 )
+_INTERPOLATE_TAIL_RE = re.compile(
+    r"\bINTERPOLATE\s*(\()?", re.IGNORECASE
+)
+
+
+def _detach_interpolate(sql: str) -> tuple[str, list[tuple[str, str]] | None]:
+    """Split a trailing ``INTERPOLATE [(col [AS expr], ...)]`` clause
+    off the statement. Returns (sql_without_clause, items) where
+    items is None when absent, [] for the bare form (= carry every
+    non-fill column forward), else [(col, expr)] pairs."""
+    m = _INTERPOLATE_TAIL_RE.search(sql)
+    if m is None:
+        return sql, None
+    if m.group(1) is None:
+        if sql[m.end():].strip():
+            raise ValueError(
+                "INTERPOLATE must be the final clause of the "
+                "statement"
+            )
+        return sql[: m.start()].rstrip(), []
+    depth, j = 1, m.end()
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    if depth or sql[j:].strip():
+        raise ValueError(
+            "INTERPOLATE (...) must be the balanced final clause of "
+            "the statement"
+        )
+    body = sql[m.end():j - 1]
+    items: list[tuple[str, str]] = []
+    for part in _split_args_top(body):
+        part = part.strip()
+        if not part:
+            continue
+        mm = re.match(
+            r"^([`\"]?\w+[`\"]?)(?:\s+AS\s+(.+))?$",
+            part,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not mm:
+            raise ValueError(
+                f"INTERPOLATE: cannot parse item {part!r}; the "
+                "supported form is col [AS expr]"
+            )
+        name = mm.group(1).strip('`"')
+        items.append((name, (mm.group(2) or name).strip()))
+    return sql[: m.start()].rstrip(), items
 
 
 def _rewrite_with_fill(
     sql: str, spark: SparkSession | None, views: list[str]
 ) -> str:
     if not re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+        if re.search(r"\bINTERPOLATE\b", sql, re.IGNORECASE):
+            raise ValueError(
+                "INTERPOLATE is only meaningful after ORDER BY ... "
+                "WITH FILL"
+            )
         return sql
+    sql, interpolate = _detach_interpolate(sql)
     m = _WITH_FILL_RE.search(sql)
     if m is None or spark is None:
         raise ValueError(
@@ -8109,11 +8166,102 @@ def _rewrite_with_fill(
         else:
             fills.append(f"{view}.`{c}`")
     sel = ", ".join([f"__bh_spine.`{col}`"] + fills)
-    return (
-        f"SELECT {sel} FROM {spine} "
+    if interpolate is None:
+        return (
+            f"SELECT {sel} FROM {spine} "
+            f"AS __bh_spine LEFT JOIN {view} "
+            f"ON __bh_spine.`{col}` = {view}.`{col}` "
+            f"ORDER BY __bh_spine.`{col}`"
+        )
+    # INTERPOLATE (c [AS expr], ...): spine-inserted rows take, for
+    # each listed column, expr applied to the PREVIOUS row's value —
+    # a per-gap recurrence. Spark-first shape: one running count of
+    # real rows assigns each filled row to the gap opened by the last
+    # real row (__bh_grp); within the gap, the k-th filled row folds
+    # expr k times over the gap-opening real value
+    # (aggregate(sequence(1, k), base, acc -> expr[c := acc])) — no
+    # collect, two window passes, O(gap) per row only when expr is
+    # non-identity. Exprs may reference ONLY the interpolated column
+    # (CH evaluates them over the previous row, whose other columns
+    # may themselves be interpolated — that general recurrence has no
+    # bounded plan). Bare INTERPOLATE carries every non-fill column
+    # forward unchanged. Filled rows BEFORE the first real row keep
+    # the type default (no previous row — CH semantics).
+    other_cols = [c for c, _ in inner.dtypes if c != col]
+    if interpolate == []:
+        interpolate = [(c, c) for c in other_cols]
+    for c, _ in interpolate:
+        if c == col:
+            raise ValueError(
+                "INTERPOLATE: the WITH FILL column itself cannot be "
+                "interpolated"
+            )
+        if c not in dtypes:
+            raise ValueError(
+                f"INTERPOLATE: {c} is not in the select list"
+            )
+    interp_names = {c for c, _ in interpolate}
+    base_sel = sel + f", CASE WHEN {miss} THEN 1 ELSE 0 END AS __bh_miss"
+    filled = (
+        f"SELECT {base_sel} FROM {spine} "
         f"AS __bh_spine LEFT JOIN {view} "
-        f"ON __bh_spine.`{col}` = {view}.`{col}` "
-        f"ORDER BY __bh_spine.`{col}`"
+        f"ON __bh_spine.`{col}` = {view}.`{col}`"
+    )
+    grp = (
+        f"SELECT *, sum(1 - __bh_miss) OVER (ORDER BY `{col}` "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"AS __bh_grp FROM ({filled})"
+    )
+    base_exprs = [
+        "*",
+        f"row_number() OVER (PARTITION BY __bh_grp ORDER BY `{col}`) "
+        f"- 1 AS __bh_k",
+    ]
+    for i, (c, _) in enumerate(interpolate):
+        base_exprs.append(
+            f"first_value(`{c}`) OVER (PARTITION BY __bh_grp "
+            f"ORDER BY `{col}`) AS __bh_base_{i}"
+        )
+    staged = f"SELECT {', '.join(base_exprs)} FROM ({grp})"
+    out_cols = []
+    for c in [col] + other_cols:
+        if c not in interp_names:
+            out_cols.append(f"`{c}`")
+            continue
+        i = next(i for i, (n, _) in enumerate(interpolate) if n == c)
+        expr = interpolate[i][1]
+        t_sql = dtypes[c].upper()
+        if expr.strip().strip('`"') == c:
+            fold = f"CAST(__bh_base_{i} AS {t_sql})"
+        else:
+            sub = re.sub(
+                rf"(?<![\w`\"]){re.escape(c)}(?![\w`\"])",
+                "__bh_acc",
+                expr,
+            )
+            for other in dtypes:
+                if other != c and re.search(
+                    rf"(?<![\w`\"]){re.escape(other)}(?![\w`\"])", sub
+                ):
+                    raise ValueError(
+                        f"INTERPOLATE: expression for {c} references "
+                        f"column {other}; only the interpolated "
+                        "column itself may appear (the previous "
+                        "row's other columns may themselves be "
+                        "interpolated — an unbounded recurrence)"
+                    )
+            fold = (
+                f"aggregate(sequence(1, __bh_k), "
+                f"CAST(__bh_base_{i} AS {t_sql}), "
+                f"(__bh_acc, __bh_i) -> CAST(({sub}) AS {t_sql}))"
+            )
+        out_cols.append(
+            f"CASE WHEN __bh_miss = 1 AND __bh_grp >= 1 "
+            f"THEN {fold} ELSE `{c}` END AS `{c}`"
+        )
+    return (
+        f"SELECT {', '.join(out_cols)} FROM ({staged}) "
+        f"ORDER BY `{col}`"
     )
 
 

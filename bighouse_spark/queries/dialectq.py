@@ -1060,3 +1060,51 @@ def dialect_format_reinterpret_roundtrip(spark, sf_dir):
         FROM __dq_nation_fr ORDER BY nk
         """,
     )
+
+
+# WITH FILL ... INTERPOLATE through the dialect frontend: densify a
+# gapped integer key and run the per-gap +1 recurrence on inserted
+# rows. The DuckDB oracle rebuilds the same semantics from first
+# principles — spine via range(), gap ids as a running real-row
+# count, the k-th filled row of a gap as base + k (the closed form of
+# the +1 fold).
+@query(
+    "dialect_with_fill_interpolate_roundtrip",
+    oracle="""
+WITH src AS (
+  SELECT n_nationkey AS k, CAST(n_nationkey * 10 AS BIGINT) AS v
+  FROM nation WHERE n_nationkey % 3 = 0
+), spine AS (
+  SELECT unnest(range(0, 25)) AS k
+), joined AS (
+  SELECT s.k AS k, src.v AS v,
+         CASE WHEN src.k IS NULL THEN 1 ELSE 0 END AS miss
+  FROM spine s LEFT JOIN src ON s.k = src.k
+), grp AS (
+  SELECT *, sum(1 - miss) OVER (ORDER BY k) AS g FROM joined
+), staged AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY k) - 1 AS kk,
+         first_value(v) OVER (PARTITION BY g ORDER BY k) AS base
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(CASE WHEN miss = 1 AND g >= 1 THEN base + kk ELSE v END
+            AS BIGINT) AS v
+FROM staged ORDER BY k
+""",
+)
+def dialect_with_fill_interpolate_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "nation",
+        "__dq_nation_wfi",
+        """
+        SELECT CAST(k AS Int64) AS k, v FROM (
+          SELECT n_nationkey AS k,
+                 CAST(n_nationkey * 10 AS Int64) AS v
+          FROM __dq_nation_wfi WHERE n_nationkey % 3 = 0
+        ) ORDER BY k WITH FILL FROM 0 TO 25
+        INTERPOLATE (v AS v + 1)
+        """,
+    )

@@ -6191,3 +6191,65 @@ class TestTranspileFuzz:
                 assert isinstance(out, str) and out
             except ValueError:
                 pass  # guided refusal/arity error — the contract
+
+
+class TestWithFillInterpolate:
+    """ORDER BY ... WITH FILL ... INTERPOLATE (col [AS expr]):
+    spine-inserted rows take expr applied to the previous row's value
+    (per-gap recurrence via window + fold); bare INTERPOLATE carries
+    every non-fill column forward; rows before the first real row
+    keep the type default (no previous row)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_carry_forward(self, eng):
+        r = eng.execute(
+            "SELECT n, v FROM (SELECT 0 AS n, 10 AS v UNION ALL "
+            "SELECT 3, 40) ORDER BY n WITH FILL FROM 0 TO 6 "
+            "INTERPOLATE (v AS v)"
+        )
+        assert r.rows == [[0, 10], [1, 10], [2, 10], [3, 40],
+                          [4, 40], [5, 40]]
+
+    def test_recurrence(self, eng):
+        r = eng.execute(
+            "SELECT n, v FROM (SELECT 0 AS n, 10 AS v UNION ALL "
+            "SELECT 3, 40) ORDER BY n WITH FILL FROM 0 TO 6 "
+            "INTERPOLATE (v AS v + 1)"
+        )
+        assert r.rows == [[0, 10], [1, 11], [2, 12], [3, 40],
+                          [4, 41], [5, 42]]
+
+    def test_bare_interpolate_and_leading_defaults(self, eng):
+        r = eng.execute(
+            "SELECT n, v, s FROM (SELECT 1 AS n, 5 AS v, 'a' AS s "
+            "UNION ALL SELECT 4, 9, 'b') ORDER BY n WITH FILL "
+            "INTERPOLATE"
+        )
+        assert r.rows == [[1, 5, "a"], [2, 5, "a"], [3, 5, "a"],
+                          [4, 9, "b"]]
+        r2 = eng.execute(
+            "SELECT n, v FROM (SELECT 3 AS n, 7 AS v) ORDER BY n "
+            "WITH FILL FROM 0 TO 5 INTERPOLATE (v AS v * 2)"
+        )
+        assert r2.rows == [[0, 0], [1, 0], [2, 0], [3, 7], [4, 14]]
+
+    def test_guided_errors(self, eng):
+        with pytest.raises(Exception, match="only the interpolated"):
+            eng.execute(
+                "SELECT n, v FROM (SELECT 1 AS n, 2 AS v) ORDER BY n "
+                "WITH FILL INTERPOLATE (v AS n + 1)"
+            )
+        with pytest.raises(Exception, match="WITH FILL"):
+            eng.execute(
+                "SELECT n FROM (SELECT 1 AS n) INTERPOLATE (n AS n)"
+            )
+        with pytest.raises(Exception, match="cannot be interpolated"):
+            eng.execute(
+                "SELECT n, v FROM (SELECT 1 AS n, 2 AS v) ORDER BY n "
+                "WITH FILL INTERPOLATE (n AS n)"
+            )
