@@ -49,6 +49,7 @@ _TABLE_FUNCS = (
     "s3Cluster", "urlCluster", "s3", "url", "file", "merge",
     "clusterAllReplicas", "cluster", "values", "generateRandom",
     "remoteSecure", "remote", "postgresql", "mysql",
+    "format", "null", "zeros_mt", "zeros",
     # Operator-backed table functions (no CH equivalent — the
     # LLM-pipeline operator library surfaced through SQL so the HTTP
     # and wire-protocol endpoints reach it):
@@ -7908,6 +7909,32 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
         out2 = _wrap_calls(out, ch, pre, suf)
         if out2 != out:
             out, low = out2, out2.lower()
+    # ORDER BY <expr> COLLATE 'locale': CH's ICU locale sort maps to
+    # Spark 4 collations — 'en_US'-style tags normalize to their
+    # language ('en'), which Spark's ICU table accepts; unknown tags
+    # fall back to root UNICODE ordering at runtime via the language
+    # normalization, never a silent drop of the clause.
+    def _collate_sub(m: "re.Match[str]") -> str:
+        loc = m.group(2).strip().strip("'\"")
+        lang = loc.split("_")[0].split("-")[0] or "UNICODE"
+        return f"collate(CAST({m.group(1)} AS STRING), '{lang}')"
+
+    out = re.sub(
+        r"([A-Za-z_][\w.]*|`[^`]+`)\s+COLLATE\s+('[^']*'|\"[^\"]*\")",
+        _collate_sub,
+        out,
+    )
+    # view(SELECT ...) table function: a transparent subquery wrapper
+    # (CH uses it to force a subquery where a table is expected) —
+    # drop the wrapper. numbers_mt is numbers with CH's multithreaded
+    # reader; parallelism is Spark's job here, so it is an alias.
+    out = re.sub(
+        r"(\bFROM\s+|\bJOIN\s+)view\s*\(", r"\1(", out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\bnumbers_mt\s*\(", "numbers(", out, flags=re.IGNORECASE
+    )
     # numbers(N) → range(N); numbers(start, N) → range(start,
     # start+N) (CH second arg is a COUNT, Spark's is an end bound).
     # CH's column is `number`; range's is `id`.
@@ -8467,6 +8494,16 @@ def _rewrite_table_functions(
                 # wire-format payloads) is untouched.
                 pos = start + 1
                 continue
+            if fn in ("format", "null", "zeros", "zeros_mt") and not (
+                re.search(
+                    r"(?:\bFROM|\bJOIN)\s*$", out[:start], re.IGNORECASE
+                )
+            ):
+                # These names double as scalar spellings (the format()
+                # expression builder, NULL-adjacent calls) — only the
+                # FROM/JOIN position is the table function.
+                pos = start + 1
+                continue
             if spark is None:
                 raise ValueError(
                     f"table function {fn}() requires a SparkSession to transpile"
@@ -8920,6 +8957,107 @@ def _register_source(
             tbl = f"system_{tbl}"
         spark.table(tbl).createOrReplaceTempView(view)
         return
+    if fn == "format":
+        # format(Format[, 'structure'], '<data>'): inline data as a
+        # table — the clickhouse-local idiom for querying a pasted
+        # payload. The data lives inside the SQL text, so it is small
+        # by construction; parsing happens driver-side / single-task
+        # and the plan beyond the leaf is ordinary Spark.
+        if len(args) < 2:
+            raise ValueError(
+                "format(Format[, 'structure'], '<data>') needs the "
+                "format name and the data payload"
+            )
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        fmt_name = _unquote(args[0]).strip()
+        struct = (
+            parse_schema_string(_unquote(args[1]))
+            if len(args) > 2 else None
+        )
+        raw_arg = args[-1].strip()
+        was_quoted = (
+            len(raw_arg) >= 2 and raw_arg[0] == raw_arg[-1]
+            and raw_arg[0] in "'\""
+        )
+        data = _unquote(args[-1])
+        if was_quoted:
+            # inside a quoted SQL literal, '' is the escaped quote
+            data = data.replace("''", "'")
+        # CH string literals carry \n/\t escapes for inline payloads.
+        data = (
+            data.replace("\\\\", "\x00")
+            .replace("\\n", "\n").replace("\\t", "\t")
+            .replace("\x00", "\\")
+        )
+        fl = fmt_name.lower()
+        lines = [ln for ln in data.splitlines() if ln.strip()]
+        if fl in ("jsoneachrow", "ndjson", "jsonlines"):
+            rows = [_json.loads(ln) for ln in lines]
+            df = (spark.createDataFrame(rows, struct) if struct
+                  else spark.createDataFrame(rows))
+        elif fl in ("csv", "csvwithnames", "tsv", "tabseparated",
+                    "tsvwithnames", "tabseparatedwithnames"):
+            sep = "," if fl.startswith("csv") else "\t"
+            header = fl.endswith("withnames")
+            rdd = spark.sparkContext.parallelize(lines)
+            reader = (spark.read.option("header", header)
+                      .option("sep", sep))
+            if struct is not None:
+                df = reader.schema(struct).csv(rdd)
+            else:
+                df = reader.option("inferSchema", True).csv(rdd)
+        elif fl == "values":
+            if struct is None:
+                raise ValueError(
+                    "format(Values, 'structure', '<data>') needs the "
+                    "structure argument (Values rows carry no names)"
+                )
+            names = ", ".join(f.name for f in struct.fields)
+            # re-escape embedded quotes for Spark's parser (\'
+            # form; Spark single-quoted literals do not accept '')
+            rows_sql = ", ".join(
+                _rewrite_array_literals(r)
+                for r in _split_args_top(data)
+            )
+            df = spark.sql(
+                f"SELECT * FROM VALUES {rows_sql} AS __v({names})"
+            )
+            for f in struct.fields:
+                df = df.withColumn(f.name, df[f.name].cast(f.dataType))
+        else:
+            raise ValueError(
+                f"format(): inline data format {fmt_name!r} is not "
+                "supported; use JSONEachRow, CSV[WithNames], "
+                "TabSeparated[WithNames], or Values"
+            )
+        df.createOrReplaceTempView(view)
+        return
+    if fn == "null":
+        # null('schema'): typed empty table (CH's Null-engine
+        # blackhole as a source reads zero rows).
+        if not args:
+            raise ValueError("null() needs a 'schema' argument")
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        struct = parse_schema_string(_unquote(args[0]))
+        spark.createDataFrame([], struct).createOrReplaceTempView(view)
+        return
+    if fn in ("zeros", "zeros_mt"):
+        # zeros(N): N rows of a single UInt8 `zero` column (CH's
+        # cheapest row generator; _mt parallelism is Spark's job).
+        if len(args) != 1:
+            raise ValueError(f"{fn}() takes exactly one argument")
+        from pyspark.sql import functions as F
+
+        spark.range(0, int(_unquote(args[0]))).select(
+            F.lit(0).cast("smallint").alias("zero")
+        ).createOrReplaceTempView(view)
+        return
     if fn == "values":
         # values('a T, b U', (..), (..)): inline literal table. Spark's
         # VALUES syntax provides the rows; the CH schema string names
@@ -8959,7 +9097,12 @@ def _register_source(
             h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(i))
             if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                                T.LongType)):
-                return F.abs(h % F.lit(1_000_000)).cast(dt)
+                # modulo within the type's range — ANSI mode makes an
+                # overflowing cast a runtime error, not a wrap
+                mod = (100 if isinstance(dt, T.ByteType)
+                       else 10_000 if isinstance(dt, T.ShortType)
+                       else 1_000_000)
+                return F.abs(h % F.lit(mod)).cast(dt)
             if isinstance(dt, (T.FloatType, T.DoubleType)):
                 return (F.abs(h % F.lit(1 << 30)) / F.lit(1 << 30)).cast(dt)
             if isinstance(dt, T.DecimalType):

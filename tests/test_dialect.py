@@ -6253,3 +6253,101 @@ class TestWithFillInterpolate:
                 "SELECT n, v FROM (SELECT 1 AS n, 2 AS v) ORDER BY n "
                 "WITH FILL INTERPOLATE (n AS n)"
             )
+
+
+class TestInlineTableFunctions:
+    """format() inline-data table function, view() wrapper, null()/
+    zeros()/numbers_mt generators, and ORDER BY ... COLLATE."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_format_jsoneachrow(self, eng):
+        r = eng.execute(
+            "SELECT * FROM format(JSONEachRow, "
+            "'{\"a\": 1, \"b\": \"x\"}\\n{\"a\": 2, \"b\": \"y\"}') "
+            "ORDER BY a"
+        )
+        assert r.rows == [[1, "x"], [2, "y"]]
+
+    def test_format_csv_variants(self, eng):
+        r = eng.execute(
+            "SELECT * FROM format(CSVWithNames, 'a,b\\n1,x\\n2,y') "
+            "ORDER BY a"
+        )
+        assert r.rows == [[1, "x"], [2, "y"]]
+        r2 = eng.execute(
+            "SELECT * FROM format(CSV, 'a UInt8, b String', "
+            "'1,x\\n2,y') ORDER BY a"
+        )
+        assert r2.rows == [[1, "x"], [2, "y"]]
+        r3 = eng.execute(
+            "SELECT * FROM format(TSVWithNames, 'a\\tb\\n5\\tz')"
+        )
+        assert r3.rows == [[5, "z"]]
+
+    def test_format_values_with_quote_escapes(self, eng):
+        r = eng.execute(
+            "SELECT * FROM format(Values, 'a UInt8, b String', "
+            "'(1, ''x''), (2, ''y'')') ORDER BY a"
+        )
+        assert r.rows == [[1, "x"], [2, "y"]]
+
+    def test_format_scalar_still_works(self, eng):
+        r = eng.execute("SELECT format('{}-{}', 1, 2) AS f")
+        assert r.rows == [["1-2"]]
+
+    def test_format_unknown_format_guided(self, eng):
+        with pytest.raises(Exception, match="not.*supported"):
+            eng.execute("SELECT * FROM format(Protobuf, 'x')")
+
+    def test_view_null_zeros_numbers_mt(self, eng):
+        r = eng.execute(
+            "SELECT * FROM view(SELECT 1 AS x UNION ALL SELECT 2) "
+            "ORDER BY x"
+        )
+        assert r.rows == [[1], [2]]
+        assert eng.execute("SELECT * FROM null('a UInt8')").rows == []
+        r2 = eng.execute(
+            "SELECT count() AS c, sum(zero) AS z FROM zeros(5)"
+        )
+        assert r2.rows == [[5, 0]]
+        assert eng.execute(
+            "SELECT count() AS c FROM zeros_mt(7)"
+        ).rows == [[7]]
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers_mt(10)"
+        ).rows == [[10]]
+
+    def test_generate_random_narrow_types(self, eng):
+        r = eng.execute(
+            "SELECT max(a) <= 9999 AND min(a) >= 0 AS ok FROM "
+            "(SELECT * FROM generateRandom('a UInt8', 42) LIMIT 100)"
+        )
+        assert r.rows == [[True]]
+        # same seed -> same data
+        a = eng.execute(
+            "SELECT * FROM generateRandom('a UInt8, b String', 7) "
+            "LIMIT 5"
+        ).rows
+        b = eng.execute(
+            "SELECT * FROM generateRandom('a UInt8, b String', 7) "
+            "LIMIT 5"
+        ).rows
+        assert a == b
+
+    def test_collate_locale_order(self, eng):
+        r = eng.execute(
+            "SELECT v FROM (SELECT 'b' AS v UNION ALL SELECT 'A' "
+            "UNION ALL SELECT 'a') ORDER BY v COLLATE 'en'"
+        )
+        assert [x[0] for x in r.rows] == ["a", "A", "b"]
+        # 'en_US'-style tags normalize to the language
+        r2 = eng.execute(
+            "SELECT v FROM (SELECT 'b' AS v UNION ALL SELECT 'A') "
+            "ORDER BY v COLLATE 'en_US'"
+        )
+        assert [x[0] for x in r2.rows] == ["A", "b"]
