@@ -8766,6 +8766,65 @@ _PG_RESERVED = frozenset(
 )
 
 
+def parse_inline_payload(spark, fmt_name: str, data: str, struct=None):
+    """Inline text payload → DataFrame: the parser behind the
+    ``format(...)`` table function and ``input()`` INSERT transforms.
+    ``data`` arrives fully decoded (no SQL-literal escapes).
+    Supported: JSONEachRow/NDJSON, CSV[WithNames],
+    TabSeparated[WithNames]/TSV[WithNames], Values (needs a
+    structure). Payloads live inside the statement/request, so they
+    are small by construction; parsing is driver-side or single-task
+    and everything beyond the leaf is an ordinary Spark plan."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    fl = fmt_name.strip().lower()
+    lines = [ln for ln in data.splitlines() if ln.strip()]
+    if fl in ("jsoneachrow", "ndjson", "jsonlines"):
+        rows = [_json.loads(ln) for ln in lines]
+        df = spark.createDataFrame(rows)
+        if struct is not None:
+            # cast after inference: a JSON 1 must land in a Float64
+            # column (createDataFrame's strict checker rejects it)
+            df = df.select(*[
+                (F.col(f.name) if f.name in df.columns
+                 else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in struct.fields
+            ])
+        return df
+    if fl in ("csv", "csvwithnames", "tsv", "tabseparated",
+              "tsvwithnames", "tabseparatedwithnames"):
+        sep = "," if fl.startswith("csv") else "\t"
+        header = fl.endswith("withnames")
+        rdd = spark.sparkContext.parallelize(lines)
+        reader = spark.read.option("header", header).option("sep", sep)
+        if struct is not None:
+            return reader.schema(struct).csv(rdd)
+        return reader.option("inferSchema", True).csv(rdd)
+    if fl == "values":
+        if struct is None:
+            raise ValueError(
+                "Values payloads need a structure argument (rows "
+                "carry no names)"
+            )
+        names = ", ".join(f.name for f in struct.fields)
+        rows_sql = ", ".join(
+            _rewrite_array_literals(r) for r in _split_args_top(data)
+        )
+        df = spark.sql(
+            f"SELECT * FROM VALUES {rows_sql} AS __v({names})"
+        )
+        for f in struct.fields:
+            df = df.withColumn(f.name, df[f.name].cast(f.dataType))
+        return df
+    raise ValueError(
+        f"inline data format {fmt_name!r} is not supported; use "
+        "JSONEachRow, CSV[WithNames], TabSeparated[WithNames], or "
+        "Values"
+    )
+
+
 def _register_source(
     spark: SparkSession, fn: str, args: list[str], view: str, uses_file: bool
 ) -> None:
@@ -8968,10 +9027,6 @@ def _register_source(
                 "format(Format[, 'structure'], '<data>') needs the "
                 "format name and the data payload"
             )
-        import json as _json
-
-        from pyspark.sql import functions as F
-
         from bighouse_spark.dialect.schema import parse_schema_string
 
         fmt_name = _unquote(args[0]).strip()
@@ -8994,48 +9049,9 @@ def _register_source(
             .replace("\\n", "\n").replace("\\t", "\t")
             .replace("\x00", "\\")
         )
-        fl = fmt_name.lower()
-        lines = [ln for ln in data.splitlines() if ln.strip()]
-        if fl in ("jsoneachrow", "ndjson", "jsonlines"):
-            rows = [_json.loads(ln) for ln in lines]
-            df = (spark.createDataFrame(rows, struct) if struct
-                  else spark.createDataFrame(rows))
-        elif fl in ("csv", "csvwithnames", "tsv", "tabseparated",
-                    "tsvwithnames", "tabseparatedwithnames"):
-            sep = "," if fl.startswith("csv") else "\t"
-            header = fl.endswith("withnames")
-            rdd = spark.sparkContext.parallelize(lines)
-            reader = (spark.read.option("header", header)
-                      .option("sep", sep))
-            if struct is not None:
-                df = reader.schema(struct).csv(rdd)
-            else:
-                df = reader.option("inferSchema", True).csv(rdd)
-        elif fl == "values":
-            if struct is None:
-                raise ValueError(
-                    "format(Values, 'structure', '<data>') needs the "
-                    "structure argument (Values rows carry no names)"
-                )
-            names = ", ".join(f.name for f in struct.fields)
-            # re-escape embedded quotes for Spark's parser (\'
-            # form; Spark single-quoted literals do not accept '')
-            rows_sql = ", ".join(
-                _rewrite_array_literals(r)
-                for r in _split_args_top(data)
-            )
-            df = spark.sql(
-                f"SELECT * FROM VALUES {rows_sql} AS __v({names})"
-            )
-            for f in struct.fields:
-                df = df.withColumn(f.name, df[f.name].cast(f.dataType))
-        else:
-            raise ValueError(
-                f"format(): inline data format {fmt_name!r} is not "
-                "supported; use JSONEachRow, CSV[WithNames], "
-                "TabSeparated[WithNames], or Values"
-            )
-        df.createOrReplaceTempView(view)
+        parse_inline_payload(
+            spark, fmt_name, data, struct
+        ).createOrReplaceTempView(view)
         return
     if fn == "null":
         # null('schema'): typed empty table (CH's Null-engine

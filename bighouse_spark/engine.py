@@ -568,6 +568,16 @@ class BigHouseEngine:
         r"(SELECT\b|WITH\b|VALUES\b)",
         re.IGNORECASE,
     )
+    # INSERT-time transform: INSERT INTO t SELECT ... FROM
+    # input('schema') [WHERE ...] FORMAT <fmt>\n<payload> — the CH
+    # idiom for reshaping client data as it lands.
+    _INSERT_INPUT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
+        r"(?:\(([^)]*)\)\s*)?"
+        r"((?:SELECT|WITH)\b.*?\binput\s*\(\s*('[^']*')\s*\).*?)"
+        r"\s+FORMAT\s+(\w+)\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     # CH wire-style INSERT with an inline data payload after FORMAT.
     _INSERT_FMT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
@@ -1455,6 +1465,41 @@ class BigHouseEngine:
                 cols=["path"], rows=[[meta["path"]]],
                 elapsed_sec=meta["elapsed_sec"],
             )
+        # input('schema') INSERT transform: parse the payload with
+        # the declared structure, expose it as a temp view, and
+        # re-enter as an ordinary INSERT ... SELECT.
+        m_inp = self._INSERT_INPUT_RE.match(request.query)
+        if m_inp:
+            name, col_list, select_part, schema_str, fmt_name, payload \
+                = m_inp.groups()
+            from bighouse_spark.dialect.schema import (
+                parse_schema_string,
+            )
+            from bighouse_spark.dialect.transpile import (
+                parse_inline_payload,
+            )
+
+            struct = parse_schema_string(schema_str.strip("'"))
+            df = parse_inline_payload(
+                self.spark, fmt_name, payload, struct
+            )
+            view = f"__bh_input_{id(df) & 0xFFFFFF:x}"
+            df.createOrReplaceTempView(view)
+            try:
+                select_rw = re.sub(
+                    r"\binput\s*\(\s*'[^']*'\s*\)", view,
+                    select_part, count=1,
+                )
+                cols = f"({col_list})" if col_list else ""
+                return self._execute_inner(
+                    replace(
+                        request,
+                        query=f"INSERT INTO {name} {cols} {select_rw}",
+                    ),
+                    stream_to=stream_to,
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
         # CH wire-style INSERT ... FORMAT <fmt> <payload>: the shape
         # every CH client emits over HTTP. JSONEachRow matches columns
         # BY NAME (CH semantics); Values/CSV/TSV are positional. The

@@ -1617,3 +1617,53 @@ class TestSystemOpsStatements:
             QueryRequest(query="CHECK TABLE missing_zz")
         ).rows == [[0]]
         engine.execute(QueryRequest(query="DROP TABLE chk_t"))
+
+
+class TestInsertInputTransform:
+    """INSERT INTO t SELECT ... FROM input('schema') FORMAT fmt
+    <payload>: CH's INSERT-time reshape. The payload parses with the
+    declared structure, the SELECT transforms it (expressions, WHERE),
+    and the write re-enters the ordinary INSERT ... SELECT path."""
+
+    @pytest.fixture()
+    def eng_t(self, spark, tmp_path):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        spark.createDataFrame(
+            [(0, "seed", 0.0)], "k int, s string, v double"
+        ).write.parquet(str(tmp_path / "t"))
+        eng.attach_table("inp_tf_t", str(tmp_path / "t"))
+        yield eng
+        eng.execute("DROP TABLE IF EXISTS inp_tf_t")
+
+    def test_csv_transform_and_filter(self, eng_t):
+        eng_t.execute(
+            "INSERT INTO inp_tf_t SELECT k, upper(s) AS s, v * 2 AS v "
+            "FROM input('k Int32, s String, v Float64') WHERE v > 0 "
+            "FORMAT CSV\n1,abc,1.5\n2,def,0\n3,ghi,2.5"
+        )
+        rows = sorted(eng_t.execute("SELECT * FROM inp_tf_t").rows)
+        assert rows == [[0, "seed", 0.0], [1, "ABC", 3.0],
+                        [3, "GHI", 5.0]]
+
+    def test_jsoneachrow_numeric_coercion(self, eng_t):
+        # JSON integer 1 must land in the Float64 column
+        eng_t.execute(
+            "INSERT INTO inp_tf_t SELECT k, s, v + 100 "
+            "FROM input('k Int32, s String, v Float64') "
+            'FORMAT JSONEachRow\n{"k": 9, "s": "j", "v": 1}'
+        )
+        assert eng_t.execute(
+            "SELECT * FROM inp_tf_t WHERE k = 9"
+        ).rows == [[9, "j", 101.0]]
+
+    def test_column_list_form(self, eng_t):
+        eng_t.execute(
+            "INSERT INTO inp_tf_t (k, s, v) SELECT k + 10, s, 0.5 "
+            "FROM input('k Int32, s String') "
+            "FORMAT CSV\n5,five"
+        )
+        assert eng_t.execute(
+            "SELECT * FROM inp_tf_t WHERE k = 15"
+        ).rows == [[15, "five", 0.5]]
