@@ -7534,13 +7534,58 @@ def _rewrite_contextual(sql: str) -> str:
     """
     out = sql
 
+    # Quantified subquery comparisons — Spark's parser has no
+    # op ANY/ALL/SOME (subquery). Equality forms are IN/NOT IN;
+    # ordering forms reduce to one scalar aggregate over the subquery
+    # (x > ALL s == x > max(s), x > ANY s == x > min(s) — standard
+    # identities, exact when the subquery has rows; empty-subquery
+    # NULL-vs-TRUE divergence is documented in the guided error for
+    # the forms that need row-wise semantics).
+    _qpos = 0
+    while True:
+        qm = _QUANTIFIED_CMP_RE.search(out, _qpos)
+        if qm is None:
+            break
+        op, quant = qm.group(1), qm.group(2).upper()
+        depth, j = 1, qm.end()
+        while j < len(out) and depth:
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+            j += 1
+        sub = out[qm.end():j - 1]
+        if not re.match(r"\s*(SELECT|WITH)\b", sub, re.IGNORECASE):
+            # `x = any(col)` is the any() AGGREGATE, not a quantified
+            # comparison — only subqueries take this path.
+            _qpos = qm.end()
+            continue
+        if op == "=" and quant in ("ANY", "SOME"):
+            repl = f" IN ({sub})"
+        elif op in ("!=", "<>") and quant == "ALL":
+            repl = f" NOT IN ({sub})"
+        elif op in (">", ">=", "<", "<="):
+            agg = ("max" if (op in (">", ">=")) == (quant == "ALL")
+                   else "min")
+            repl = (
+                f" {op} (SELECT {agg}(__bh_q0) FROM ({sub}) "
+                f"AS __bh_qt(__bh_q0))"
+            )
+        else:
+            raise ValueError(
+                f"{op} {quant} (subquery) has row-wise NULL semantics "
+                "with no single-aggregate rewrite; spell it with "
+                "IN/NOT IN or an EXISTS correlated subquery"
+            )
+        out = out[:qm.start()] + repl + out[j:]
+        _qpos = qm.start() + len(repl)
+
     pos = 0
     while (call := _find_call(out, "any", pos)) is not None:
         start, end, args = call
-        prefix = out[:start].rstrip()
-        if prefix and prefix[-1] in "=<>!":
-            pos = end
-            continue
+        # Quantified `op ANY (subquery)` forms were rewritten above,
+        # so any remaining any(...) is the aggregate — including in
+        # comparison position (max(x) = any(x)).
         out = out[:start] + f"any_value({', '.join(args)})" + out[end:]
 
     pos = 0
@@ -7603,6 +7648,9 @@ def _rewrite_contextual(sql: str) -> str:
     return out
 
 
+_QUANTIFIED_CMP_RE = re.compile(
+    r"(=|!=|<>|>=|<=|>|<)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
 _COLONCOLON_TYPE_RE = re.compile(
     r"\s*([A-Za-z_][A-Za-z0-9_]*(\([^()]*\))?)"
 )

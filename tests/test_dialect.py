@@ -193,7 +193,8 @@ class TestTranspileText:
         assert "any_value(x)" in r.sql
         assert "arrays_zip(a, b)" in r.sql
         assert "(c)" in r.sql and "assumeNotNull" not in r.sql
-        assert "ANY (SELECT" in r.sql  # subquery ANY untouched
+        # subquery ANY is rewritten to the scalar-aggregate form
+        assert "min(__bh_q0)" in r.sql and "ANY (SELECT" not in r.sql
 
     def test_asof_join_needs_session(self):
         # Canonical ASOF JOIN transpiles through the asof operator,
@@ -428,9 +429,12 @@ class TestContextualRewrites:
         r = transpile("SELECT any(x), count(*) FROM t GROUP BY g")
         assert "any_value(x)" in r.sql
 
-    def test_quantified_any_passthrough(self):
+    def test_quantified_any_rewritten(self):
+        # Spark has no quantified comparisons: > ANY (subquery)
+        # becomes a scalar min() aggregate over the subquery.
         sql = "SELECT * FROM t WHERE a > ANY(SELECT b FROM u)"
-        assert "ANY(SELECT b FROM u)" in transpile(sql).sql
+        out = transpile(sql).sql
+        assert "min(__bh_q0)" in out and "ANY(" not in out
 
     def test_position_two_arg_haystack_first(self):
         r = transpile("SELECT position('hello', 'll')")
@@ -6351,3 +6355,56 @@ class TestInlineTableFunctions:
             "ORDER BY v COLLATE 'en_US'"
         )
         assert [x[0] for x in r2.rows] == ["A", "b"]
+
+
+class TestQuantifiedComparisons:
+    """op ANY/ALL/SOME (subquery): Spark's parser lacks quantified
+    comparisons — equality forms map to IN/NOT IN, ordering forms to
+    one scalar min/max aggregate over the subquery; any(...) over a
+    plain column stays the aggregate (now also in comparison
+    position, previously a Spark boolean-any type error)."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_equality_forms(self, eng):
+        assert eng.execute(
+            "SELECT 1 AS v WHERE 1 = ANY (SELECT 1 UNION ALL SELECT 2)"
+        ).rows == [[1]]
+        assert eng.execute(
+            "SELECT 1 AS v WHERE 2 = SOME (SELECT 2)"
+        ).rows == [[1]]
+        assert eng.execute(
+            "SELECT number AS n FROM numbers(4) WHERE number != ALL "
+            "(SELECT 1 UNION ALL SELECT 3) ORDER BY n"
+        ).rows == [[0], [2]]
+
+    def test_ordering_forms(self, eng):
+        assert eng.execute(
+            "SELECT number AS n FROM numbers(5) WHERE number > ALL "
+            "(SELECT number FROM numbers(3)) ORDER BY n"
+        ).rows == [[3], [4]]
+        assert eng.execute(
+            "SELECT number AS n FROM numbers(5) WHERE number > ANY "
+            "(SELECT number + 2 FROM numbers(2)) ORDER BY n"
+        ).rows == [[3], [4]]
+        assert eng.execute(
+            "SELECT number AS n FROM numbers(5) WHERE number <= ALL "
+            "(SELECT number + 1 FROM numbers(3)) ORDER BY n"
+        ).rows == [[0], [1]]
+
+    def test_any_aggregate_untouched(self, eng):
+        assert eng.execute(
+            "SELECT max(number) = any(number) AS eq "
+            "FROM (SELECT 5 AS number)"
+        ).rows == [[True]]
+        assert eng.execute(
+            "SELECT any(number) AS v FROM numbers(3)"
+        ).rows == [[0]]
+
+    def test_eq_all_guided(self, eng):
+        with pytest.raises(Exception, match="row-wise NULL semantics"):
+            eng.execute("SELECT 1 AS v WHERE 1 = ALL (SELECT 1)")
