@@ -188,6 +188,10 @@ class BigHouseEngine:
         # sortWithinPartitions; expression keys are accepted and
         # dropped (sorting is a performance property, not semantics).
         self._ordered: dict[str, list[str]] = {}
+        # ENGINE = Null tables: INSERTs fan out to dependent MVs and
+        # are then DISCARDED (CH's Null+MV ingestion pattern); reads
+        # always see an empty table.
+        self._null_tables: set[str] = set()
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -839,6 +843,22 @@ class BigHouseEngine:
         self.query_log.append(QueryLogEntry(query, transpiled, elapsed, -1))
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
 
+    def _discard_if_null(self, name: str) -> None:
+        """ENGINE = Null: after dependent MVs folded the new files,
+        reset the table to empty (schema-preserving overwrite). The MV
+        checkpoints already recorded the discarded files as processed,
+        so nothing double-counts."""
+        if name not in self._null_tables:
+            return
+        path, fmt, schema = self._attached[name]
+        target = self.spark.table(name).schema
+        self._table_writer(
+            self.spark.createDataFrame([], target), name, fmt,
+            "overwrite",
+        ).save(path)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+
     def _append_aligned(
         self, aligned, name: str, query: str, desc: str, t0: float
     ) -> QueryResult:
@@ -851,6 +871,7 @@ class BigHouseEngine:
         for mv_name, mv in self._mviews.items():
             if mv["source"] == name:
                 self._refresh_mv(mv_name)
+        self._discard_if_null(name)
         elapsed = time.monotonic() - t0
         self.query_log.append(
             QueryLogEntry(query, desc, elapsed, -1)
@@ -1098,6 +1119,7 @@ class BigHouseEngine:
         for mv_name, mv in self._mviews.items():
             if mv["source"] == name:
                 self._refresh_mv(mv_name)
+        self._discard_if_null(name)
         elapsed = time.monotonic() - t0
         self.query_log.append(
             QueryLogEntry(request.query, result.sql, elapsed, -1)
@@ -1793,12 +1815,19 @@ class BigHouseEngine:
                 if ocols:
                     self._ordered[name] = ocols
             self._table_writer(df, name, "parquet", "overwrite").save(path)
+            m_eng = re.search(
+                r"ENGINE\s*=\s*(\w+)", request.query, re.IGNORECASE
+            )
+            self._null_tables.discard(name)
+            if m_eng and m_eng.group(1).lower() == "null":
+                self._null_tables.add(name)
             for v in sel.views:
                 try:
                     self.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
             self.attach_table(name, path, schema=decl_schema)
+            self._discard_if_null(name)  # CTAS into Null keeps nothing
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, "<create table as>", elapsed, 0)
@@ -1949,6 +1978,7 @@ class BigHouseEngine:
                     self.spark.sql(f"DROP TABLE IF EXISTS {name}__bhcat")
                     self._analyzed.discard(name)
                 self._attached.pop(name, None)
+                self._null_tables.discard(name)
                 self._partitioned.pop(name, None)
                 self._ordered.pop(name, None)
                 self.clear_cache()
@@ -2197,6 +2227,12 @@ class BigHouseEngine:
                 "overwrite",
             ).save(path)
             self.attach_table(name, path, schema=decl_schema)
+            m_eng = re.search(
+                r"ENGINE\s*=\s*(\w+)", request.query, re.IGNORECASE
+            )
+            self._null_tables.discard(name)
+            if m_eng and m_eng.group(1).lower() == "null":
+                self._null_tables.add(name)
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, "<create table>", elapsed, 0)

@@ -1667,3 +1667,65 @@ class TestInsertInputTransform:
         assert eng_t.execute(
             "SELECT * FROM inp_tf_t WHERE k = 15"
         ).rows == [[15, "five", 0.5]]
+
+
+class TestNullEngineTables:
+    """ENGINE = Null: INSERTs fan out to dependent materialized views
+    and are then discarded — the CH Null+MV ingestion pattern. Reads
+    always see an empty table; other engines are untouched."""
+
+    def test_null_mv_ingestion_pattern(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng.execute(
+            "CREATE TABLE nulleng_src (k UInt64, v Float64) "
+            "ENGINE = Null"
+        )
+        eng.execute(
+            "CREATE MATERIALIZED VIEW nulleng_mv AS "
+            "SELECT k, sum(v) AS s FROM nulleng_src GROUP BY k"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO nulleng_src VALUES (1, 2.5), (1, 1.5), "
+                "(2, 1.0)"
+            )
+            assert eng.execute(
+                "SELECT count() AS c FROM nulleng_src"
+            ).rows == [[0]]
+            assert sorted(
+                eng.execute("SELECT * FROM nulleng_mv").rows
+            ) == [[1, 4.0], [2, 1.0]]
+            # second insert keeps accumulating, still discards
+            eng.execute("INSERT INTO nulleng_src VALUES (2, 9.0)")
+            assert eng.execute(
+                "SELECT count() AS c FROM nulleng_src"
+            ).rows == [[0]]
+            assert sorted(
+                eng.execute("SELECT * FROM nulleng_mv").rows
+            ) == [[1, 4.0], [2, 10.0]]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS nulleng_src")
+
+    def test_ctas_into_null_and_other_engines(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        try:
+            eng.execute(
+                "CREATE TABLE nulleng_c ENGINE = Null AS SELECT 1 AS a"
+            )
+            assert eng.execute(
+                "SELECT count() AS c FROM nulleng_c"
+            ).rows == [[0]]
+            eng.execute(
+                "CREATE TABLE nulleng_m (k UInt64) ENGINE = Memory"
+            )
+            eng.execute("INSERT INTO nulleng_m VALUES (1)")
+            assert eng.execute(
+                "SELECT count() AS c FROM nulleng_m"
+            ).rows == [[1]]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS nulleng_c")
+            eng.execute("DROP TABLE IF EXISTS nulleng_m")
