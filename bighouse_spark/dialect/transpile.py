@@ -2692,7 +2692,10 @@ def _format_builder(a: list[str]) -> str:
             "compiled into a concat expression); for dynamic "
             "patterns build the string with concat/replaceOne"
         )
-    pat = raw[1:-1]
+    # collapse the SQL-literal quote escape so the emitted concat
+    # literal does not double it again (it''s -> it's, re-escaped
+    # once on output)
+    pat = raw[1:-1].replace(raw[0] * 2, raw[0])
     args = a[1:]
     parts: list[str] = []
     lit = ""
@@ -2708,7 +2711,12 @@ def _format_builder(a: list[str]) -> str:
             i += 2
             continue
         if c == "{":
-            end = pat.index("}", i)
+            end = pat.find("}", i)
+            if end < 0:
+                raise ValueError(
+                    "format(): unmatched '{' in the pattern; escape "
+                    "a literal brace as '{{'"
+                )
             spec = pat[i + 1:end]
             idx = int(spec) if spec else auto
             if not spec:
@@ -7546,6 +7554,9 @@ def _rewrite_contextual(sql: str) -> str:
         qm = _QUANTIFIED_CMP_RE.search(out, _qpos)
         if qm is None:
             break
+        if _inside_string_literal(out, qm.start()):
+            _qpos = qm.end()
+            continue
         op, quant = qm.group(1), qm.group(2).upper()
         depth, j = 1, qm.end()
         while j < len(out) and depth:
@@ -7567,8 +7578,21 @@ def _rewrite_contextual(sql: str) -> str:
         elif op in (">", ">=", "<", "<="):
             agg = ("max" if (op in (">", ">=")) == (quant == "ALL")
                    else "min")
+            # The min/max identity is exact only for non-empty,
+            # NULL-free subqueries (x > ALL(empty) is TRUE, and a
+            # NULL element can flip the three-valued result) — an
+            # in-plan assert makes the divergent cases a loud error
+            # instead of a silent wrong answer, at zero extra passes.
+            guard = (
+                f"assert_true(count(*) > 0 AND count(*) = "
+                f"count(__bh_q0), '{op} {quant} (subquery): empty or "
+                f"NULL-containing subqueries need row-wise "
+                f"semantics; spell with IN/NOT IN or NOT EXISTS') "
+                f"IS NULL"
+            )
             repl = (
-                f" {op} (SELECT {agg}(__bh_q0) FROM ({sub}) "
+                f" {op} (SELECT CASE WHEN {guard} THEN "
+                f"{agg}(__bh_q0) END FROM ({sub}) "
                 f"AS __bh_qt(__bh_q0))"
             )
         else:
@@ -7646,6 +7670,29 @@ def _rewrite_contextual(sql: str) -> str:
         out = out[:start] + repl + out[end:]
 
     return out
+
+
+def _inside_string_literal(s: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted SQL string
+    ('' and backslash escapes honored) — the guard every textual
+    rewrite pass needs before touching a match."""
+    in_q = False
+    i = 0
+    while i < pos:
+        c = s[i]
+        if in_q:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = False
+        elif c == "'":
+            in_q = True
+        i += 1
+    return in_q
 
 
 _QUANTIFIED_CMP_RE = re.compile(
@@ -7968,10 +8015,19 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
         return f"collate(CAST({m.group(1)} AS STRING), '{lang}')"
 
     out = re.sub(
-        r"([A-Za-z_][\w.]*|`[^`]+`)\s+COLLATE\s+('[^']*'|\"[^\"]*\")",
+        r"((?:[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\))"
+        r"|[A-Za-z_][\w.]*|`[^`]+`)"
+        r"\s+COLLATE\s+('[^']*'|\"[^\"]*\")",
         _collate_sub,
         out,
     )
+    leftover = re.search(r"\bCOLLATE\s+['\"]", out, re.IGNORECASE)
+    if leftover and not _inside_string_literal(out, leftover.start()):
+        raise ValueError(
+            "COLLATE after this expression shape is not rewritten; "
+            "spell it directly as collate(<expr>, '<lang>') in the "
+            "ORDER BY"
+        )
     # view(SELECT ...) table function: a transparent subquery wrapper
     # (CH uses it to force a subquery where a table is expected) —
     # drop the wrapper. numbers_mt is numbers with CH's multithreaded
@@ -8124,33 +8180,35 @@ _INTERPOLATE_TAIL_RE = re.compile(
 
 
 def _detach_interpolate(sql: str) -> tuple[str, list[tuple[str, str]] | None]:
-    """Split a trailing ``INTERPOLATE [(col [AS expr], ...)]`` clause
+    """Split a TRAILING ``INTERPOLATE [(col [AS expr], ...)]`` clause
     off the statement. Returns (sql_without_clause, items) where
-    items is None when absent, [] for the bare form (= carry every
-    non-fill column forward), else [(col, expr)] pairs."""
-    m = _INTERPOLATE_TAIL_RE.search(sql)
-    if m is None:
+    items is None when no trailing clause exists (the word appearing
+    mid-statement — a literal, a column name — is NOT a clause), []
+    for the bare form (= carry every non-fill column forward), else
+    [(col, expr)] pairs."""
+    last = None
+    for cand in re.finditer(r"\bINTERPOLATE\b", sql, re.IGNORECASE):
+        last = cand
+    if last is None or _inside_string_literal(sql, last.start()):
         return sql, None
-    if m.group(1) is None:
-        if sql[m.end():].strip():
-            raise ValueError(
-                "INTERPOLATE must be the final clause of the "
-                "statement"
-            )
-        return sql[: m.start()].rstrip(), []
-    depth, j = 1, m.end()
-    while j < len(sql) and depth:
-        if sql[j] == "(":
+    rest = sql[last.end():]
+    if not rest.strip():
+        return sql[: last.start()].rstrip(), []
+    r = rest.lstrip()
+    if not r.startswith("("):
+        return sql, None  # mid-statement word, not a clause
+    depth = 0
+    j = 0
+    for j, c in enumerate(r):
+        if c == "(":
             depth += 1
-        elif sql[j] == ")":
+        elif c == ")":
             depth -= 1
-        j += 1
-    if depth or sql[j:].strip():
-        raise ValueError(
-            "INTERPOLATE (...) must be the balanced final clause of "
-            "the statement"
-        )
-    body = sql[m.end():j - 1]
+            if depth == 0:
+                break
+    if depth != 0 or r[j + 1:].strip():
+        return sql, None  # not a balanced final clause
+    body = r[1:j]
     items: list[tuple[str, str]] = []
     for part in _split_args_top(body):
         part = part.strip()
@@ -8168,18 +8226,16 @@ def _detach_interpolate(sql: str) -> tuple[str, list[tuple[str, str]] | None]:
             )
         name = mm.group(1).strip('`"')
         items.append((name, (mm.group(2) or name).strip()))
-    return sql[: m.start()].rstrip(), items
+    return sql[: last.start()].rstrip(), items
 
 
 def _rewrite_with_fill(
     sql: str, spark: SparkSession | None, views: list[str]
 ) -> str:
     if not re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
-        if re.search(r"\bINTERPOLATE\b", sql, re.IGNORECASE):
-            raise ValueError(
-                "INTERPOLATE is only meaningful after ORDER BY ... "
-                "WITH FILL"
-            )
+        # A bare INTERPOLATE word (a literal, a column named
+        # interpolate) is NOT a clause — pass through untouched; a
+        # real misused clause surfaces Spark's parse error.
         return sql
     sql, interpolate = _detach_interpolate(sql)
     m = _WITH_FILL_RE.search(sql)
@@ -8843,13 +8899,61 @@ def parse_inline_payload(spark, fmt_name: str, data: str, struct=None):
         return df
     if fl in ("csv", "csvwithnames", "tsv", "tabseparated",
               "tsvwithnames", "tabseparatedwithnames"):
+        import csv as _csv
+        import io as _io
+
+        from pyspark.sql import types as T
+
+        # csv.reader (not a line split) so quoted fields keep
+        # embedded newlines/separators — CH's CSV reader accepts them
         sep = "," if fl.startswith("csv") else "\t"
         header = fl.endswith("withnames")
-        rdd = spark.sparkContext.parallelize(lines)
-        reader = spark.read.option("header", header).option("sep", sep)
-        if struct is not None:
-            return reader.schema(struct).csv(rdd)
-        return reader.option("inferSchema", True).csv(rdd)
+        recs = [
+            r for r in _csv.reader(_io.StringIO(data), delimiter=sep)
+            if r
+        ]
+        names = None
+        if header and recs:
+            names = [c.strip() for c in recs[0]]
+            recs = recs[1:]
+        ncols = (len(struct.fields) if struct is not None
+                 else max((len(r) for r in recs), default=0))
+        recs = [
+            [r[i] if i < len(r) else None for i in range(ncols)]
+            for r in recs
+        ]
+        if struct is None:
+            names = names or [f"_c{i}" for i in range(ncols)]
+
+            def _infer(i: int) -> str:
+                vals = [r[i] for r in recs if r[i] not in (None, "")]
+                for probe, t in ((int, "bigint"), (float, "double")):
+                    try:
+                        for v in vals:
+                            probe(v)
+                        return t
+                    except ValueError:
+                        continue
+                return "string"
+
+            struct = T.StructType([
+                T.StructField(n, T._parse_datatype_string(_infer(i)))
+                for i, n in enumerate(names)
+            ])
+        str_struct = T.StructType([
+            T.StructField(f.name, T.StringType(), True)
+            for f in struct.fields
+        ])
+        df = spark.createDataFrame(recs, str_struct)
+        # '' is CSV's empty field → NULL before the typed cast (ANSI
+        # would otherwise error casting '' to a numeric)
+        return df.select(*[
+            F.expr(f"CAST(nullif(`{f.name}`, '') AS "
+                   f"{f.dataType.simpleString()}) AS `{f.name}`")
+            if not isinstance(f.dataType, T.StringType)
+            else F.col(f.name)
+            for f in struct.fields
+        ])
     if fl == "values":
         if struct is None:
             raise ValueError(

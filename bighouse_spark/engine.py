@@ -262,6 +262,9 @@ class BigHouseEngine:
                 self._analyzed.discard(old)
             if old in self._partitioned:
                 self._partitioned[new] = self._partitioned.pop(old)
+            if old in self._null_tables:
+                self._null_tables.discard(old)
+                self._null_tables.add(new)
             if old in self._ordered:
                 self._ordered[new] = self._ordered.pop(old)
             for (t, c) in [k for k in self._comments if k[0] == old]:
@@ -1395,19 +1398,29 @@ class BigHouseEngine:
                 substitute_parameters,
             )
 
+            # Parameters bind in STATEMENT text only — an inline
+            # INSERT data payload after FORMAT <fmt> is data, not
+            # SQL: a CSV value shaped like {word:Word} must be
+            # neither substituted nor rejected. Split the payload
+            # off, substitute the head, reattach.
+            head, payload = request.query, ""
+            m_pl = re.match(
+                r"(?is)^(\s*INSERT\s+INTO\b.*?\bFORMAT\s+\w+)"
+                r"(\s.+)$",
+                request.query,
+            )
+            if m_pl:
+                head, payload = m_pl.groups()
             # Run substitution whenever a placeholder-shaped token
             # exists, even with zero bound params — an unbound
             # {name:Type} must raise CH's UNKNOWN_QUERY_PARAMETER
             # analog, not a downstream parse error. (Quote-aware:
             # '{n:UInt64}' inside a string literal never triggers.)
-            if request.params or _PARAM_PLACEHOLDER_RE.search(
-                request.query
-            ):
+            if request.params or _PARAM_PLACEHOLDER_RE.search(head):
                 request = replace(
                     request,
-                    query=substitute_parameters(
-                        request.query, request.params
-                    ),
+                    query=substitute_parameters(head, request.params)
+                    + payload,
                 )
         t0 = time.monotonic()
         # SELECT ... INTO OUTFILE '<path>' [FORMAT <fmt>]: run the
@@ -1899,6 +1912,11 @@ class BigHouseEngine:
             return QueryResult(cols=["exchanged"], rows=[[a, b]],
                                elapsed_sec=elapsed)
         m_att = self._ATTACH_RE.match(request.query)
+        if m_att:
+            # ATTACH defines the table from storage — any stale
+            # ENGINE=Null flag from a previously dropped/renamed name
+            # must not survive onto the new attachment.
+            self._null_tables.discard(m_att.group(2))
         if m_att:
             return self._attach_statement(m_att, t0, request.query)
         m_ud = self._UNDROP_RE.match(request.query)

@@ -735,10 +735,15 @@ class _Handler(BaseHTTPRequestHandler):
             import gzip
             import io
 
+            import zlib
+
             try:
                 with gzip.GzipFile(fileobj=io.BytesIO(body)) as gz:
                     body = gz.read(MAX_HTTP_BODY + 1)
-            except OSError:
+            except (OSError, EOFError, zlib.error):
+                # BadGzipFile is OSError, but a TRUNCATED member
+                # raises EOFError and a corrupt deflate stream
+                # zlib.error — all are the same malformed-body case.
                 self._send(400, {"error": "malformed gzip body"})
                 return None
             if len(body) > MAX_HTTP_BODY:

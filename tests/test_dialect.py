@@ -6248,7 +6248,10 @@ class TestWithFillInterpolate:
                 "SELECT n, v FROM (SELECT 1 AS n, 2 AS v) ORDER BY n "
                 "WITH FILL INTERPOLATE (v AS n + 1)"
             )
-        with pytest.raises(Exception, match="WITH FILL"):
+        # without WITH FILL the clause is not ours to interpret —
+        # it surfaces Spark's parse error (and a bare word passes,
+        # see TestReviewFindingsRound7)
+        with pytest.raises(Exception):
             eng.execute(
                 "SELECT n FROM (SELECT 1 AS n) INTERPOLATE (n AS n)"
             )
@@ -6408,3 +6411,60 @@ class TestQuantifiedComparisons:
     def test_eq_all_guided(self, eng):
         with pytest.raises(Exception, match="row-wise NULL semantics"):
             eng.execute("SELECT 1 AS v WHERE 1 = ALL (SELECT 1)")
+
+
+class TestReviewFindingsRound7:
+    """Regression pins for the round-7 code-review findings."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_quantified_pass_is_quote_aware(self, eng):
+        r = eng.execute("SELECT 'score > ALL (SELECT hi)' AS s")
+        assert r.rows == [["score > ALL (SELECT hi)"]]
+
+    def test_quantified_null_or_empty_raises_loudly(self, eng):
+        for q in (
+            "SELECT 1 AS v WHERE 1 > ALL "
+            "(SELECT NULL UNION ALL SELECT 0)",
+            "SELECT 1 AS v WHERE 1 > ALL (SELECT 5 WHERE 1 = 0)",
+        ):
+            with pytest.raises(Exception, match="row-wise semantics"):
+                eng.execute(q)
+        # non-empty NULL-free stays exact
+        assert eng.execute(
+            "SELECT 1 AS v WHERE 1 > ALL (SELECT 0)"
+        ).rows == [[1]]
+
+    def test_interpolate_bare_word_passes(self, eng):
+        assert eng.execute(
+            "SELECT 'do not INTERPOLATE me' AS s"
+        ).rows == [["do not INTERPOLATE me"]]
+        from bighouse_spark.dialect.transpile import transpile
+
+        assert "interpolate" in transpile(
+            "SELECT interpolate FROM t"
+        ).sql
+
+    def test_format_builder_quote_collapse_and_unmatched_brace(self, eng):
+        r = eng.execute("SELECT format('it''s {}', 1) AS v")
+        assert r.rows == [["it's 1"]]
+        with pytest.raises(Exception, match="unmatched"):
+            eng.execute("SELECT format('oops {', 1) AS v")
+
+    def test_inline_csv_quoted_embedded_newline(self, eng):
+        r = eng.execute(
+            "SELECT * FROM format(CSV, 'a String, b UInt8', "
+            "'\"l1\nl2\",1')"
+        )
+        assert r.rows == [["l1\nl2", 1]]
+
+    def test_collate_on_expression(self, eng):
+        r = eng.execute(
+            "SELECT v FROM (SELECT 'B' AS v UNION ALL SELECT 'a') "
+            "ORDER BY lower(v) COLLATE 'en'"
+        )
+        assert [x[0] for x in r.rows] == ["a", "B"]

@@ -1729,3 +1729,53 @@ class TestNullEngineTables:
         finally:
             eng.execute("DROP TABLE IF EXISTS nulleng_c")
             eng.execute("DROP TABLE IF EXISTS nulleng_m")
+
+
+class TestReviewFindingsRound7Engine:
+    """Regression pins for the engine-side round-7 review findings."""
+
+    def test_params_never_touch_insert_payload(self, spark, tmp_path):
+        from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+        eng = BigHouseEngine(spark)
+        spark.createDataFrame([(0, "x")], "k int, s string") \
+            .write.parquet(str(tmp_path / "t"))
+        eng.attach_table("rf_pay_t", str(tmp_path / "t"))
+        try:
+            # a CSV value shaped like a placeholder must pass through
+            # verbatim — neither substituted nor rejected
+            eng.execute(QueryRequest(
+                query="INSERT INTO rf_pay_t FORMAT CSV\n"
+                "1,{level:String}\n2,plain"
+            ))
+            rows = sorted(eng.execute("SELECT * FROM rf_pay_t").rows)
+            assert rows == [[0, "x"], [1, "{level:String}"],
+                            [2, "plain"]]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS rf_pay_t")
+
+    def test_rename_migrates_null_engine_flag(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        try:
+            eng.execute(
+                "CREATE TABLE rf_null (k UInt64) ENGINE = Null"
+            )
+            eng.execute("RENAME TABLE rf_null TO rf_null_renamed")
+            eng.execute("INSERT INTO rf_null_renamed VALUES (1)")
+            assert eng.execute(
+                "SELECT count() AS c FROM rf_null_renamed"
+            ).rows == [[0]]
+            # re-creating the old name as Memory must NOT inherit
+            # the stale discard flag
+            eng.execute(
+                "CREATE TABLE rf_null (k UInt64) ENGINE = Memory"
+            )
+            eng.execute("INSERT INTO rf_null VALUES (7)")
+            assert eng.execute(
+                "SELECT count() AS c FROM rf_null"
+            ).rows == [[1]]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS rf_null")
+            eng.execute("DROP TABLE IF EXISTS rf_null_renamed")

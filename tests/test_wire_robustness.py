@@ -356,3 +356,22 @@ class TestHTTPBodyCaps:
         req.add_header("Content-Encoding", "gzip")
         with urllib.request.urlopen(req, timeout=60) as r:
             assert b'"v":42' in r.read().replace(b" ", b"")
+
+
+class TestTruncatedGzipBody:
+    def test_truncated_gzip_member_is_400(self, http_srv):
+        import gzip
+        import urllib.error
+
+        whole = gzip.compress(b"SELECT 1")
+        truncated = whole[:-4]  # cut mid-member -> EOFError path
+        h, p = http_srv.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{h}:{p}/?query=SELECT+1", data=truncated,
+            method="POST",
+        )
+        req.add_header("Content-Encoding", "gzip")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=IO_DEADLINE)
+        assert ei.value.code == 400
+        assert b"malformed gzip" in ei.value.read()
