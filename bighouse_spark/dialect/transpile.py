@@ -358,6 +358,73 @@ _IF_COMBINATOR_BASES = (
 )
 
 
+def _rewrite_stacked_combinators(sql: str) -> str:
+    """Stacked CH combinators — the orders users actually write:
+    ``<agg>IfOrNull`` / ``<agg>OrNullIf`` (filter, NULL over an empty
+    filtered set), ``<agg>IfOrDefault`` / ``<agg>OrDefaultIf``
+    (filter, type default over empty), ``<agg>DistinctIf`` (distinct
+    over the filtered values). Runs BEFORE the single-suffix passes
+    so the emitted base names are final. Non-parametric forms only —
+    parametric stacks surface the unresolved-routine error with the
+    single-suffix spellings available."""
+    out = sql
+    numeric_default = {
+        "sum", "avg", "count", "uniq", "uniqExact", "stddevPop",
+        "stddevSamp", "varPop", "varSamp", "median",
+    }
+    for name in _IF_COMBINATOR_BASES + ("count",):
+        base = {"any": "any_value", "anyLast": "any_value"}.get(name, name)
+        for stack in ("IfOrNull", "OrNullIf", "IfOrDefault",
+                      "OrDefaultIf", "DistinctIf"):
+            fn = name + stack
+            pos = 0
+            while True:
+                call = _find_call(out, fn, pos)
+                if call is None:
+                    break
+                start, end, args = call
+                if name == "count" and len(args) == 1:
+                    # countIf's one-arg form: the arg IS the cond
+                    args = ["1"] + args
+                if len(args) < 2:
+                    raise ValueError(f"{fn}() expects (expr..., cond)")
+                cond = args[-1]
+                vals = [
+                    f"CASE WHEN ({cond}) THEN ({v}) END"
+                    for v in args[:-1]
+                ]
+                joined = ", ".join(vals)
+                if stack == "DistinctIf":
+                    if name == "count":
+                        inner = f"count(DISTINCT {joined})"
+                    elif name.startswith("uniq"):
+                        inner = f"{base}({joined})"
+                    else:
+                        inner = f"{base}(DISTINCT {joined})"
+                elif stack in ("IfOrNull", "OrNullIf"):
+                    if name == "count":
+                        inner = f"nullif(count({joined}), 0)"
+                    else:
+                        tail = ", true" if base == "any_value" else ""
+                        inner = f"{base}({joined}{tail})"
+                else:  # IfOrDefault / OrDefaultIf
+                    if name in ("groupArray", "groupUniqArray"):
+                        dflt = "array()"
+                    elif name in numeric_default:
+                        dflt = "0"
+                    else:
+                        raise ValueError(
+                            f"{fn}: the default is the column type's "
+                            "zero value; spell it as "
+                            f"coalesce({name}If(...), <default>)"
+                        )
+                    tail = ", true" if base == "any_value" else ""
+                    inner = f"coalesce({base}({joined}{tail}), {dflt})"
+                out = f"{out[:start]}{inner}{out[end:]}"
+                pos = start + 1
+    return out
+
+
 def _rewrite_if_combinators(sql: str) -> str:
     """Generic ``<agg>If(args..., cond)`` rewrite, including the
     parametric form ``quantileIf(p)(x, cond)`` — runs BEFORE the
@@ -7977,6 +8044,7 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             r"\b([A-Za-z_]\w*)SimpleState\s*\(", r"\1(", out
         )
     out = _rewrite_contextual(out)
+    out = _rewrite_stacked_combinators(out)
     out = _rewrite_if_combinators(out)
     out = _rewrite_suffix_combinators(out)
     out = _rewrite_parametric(out)

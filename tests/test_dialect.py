@@ -6468,3 +6468,45 @@ class TestReviewFindingsRound7:
             "ORDER BY lower(v) COLLATE 'en'"
         )
         assert [x[0] for x in r.rows] == ["a", "B"]
+
+
+class TestStackedCombinators:
+    """Stacked CH combinators: <agg>IfOrNull / OrNullIf (filter then
+    NULL-over-empty), <agg>IfOrDefault / OrDefaultIf (filter then
+    type default), <agg>DistinctIf (distinct over filtered values),
+    incl. countIf's one-arg condition form."""
+
+    @pytest.fixture(scope="class")
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_if_or_null(self, eng):
+        r = eng.execute(
+            "SELECT sumIfOrNull(number, number > 99) AS a, "
+            "sumIfOrNull(number, number > 1) AS b, "
+            "countIfOrNull(number > 99) AS c, "
+            "anyIfOrNull(number, number > 1) AS d FROM numbers(3)"
+        )
+        assert r.rows == [[None, 2, None, 2]]
+
+    def test_if_or_default(self, eng):
+        r = eng.execute(
+            "SELECT sumOrDefaultIf(number, number > 99) AS a, "
+            "avgIfOrDefault(number, number > 99) AS b FROM numbers(3)"
+        )
+        assert r.rows == [[0, 0.0]]
+        with pytest.raises(Exception, match="coalesce"):
+            eng.execute(
+                "SELECT minIfOrDefault(number, number > 0) AS v "
+                "FROM numbers(3)"
+            )
+
+    def test_distinct_if(self, eng):
+        r = eng.execute(
+            "SELECT countDistinctIf(x, x > 0) AS a, "
+            "sumDistinctIf(x, x > 0) AS b "
+            "FROM (SELECT number % 3 AS x FROM numbers(9))"
+        )
+        assert r.rows == [[2, 3]]
