@@ -1108,3 +1108,44 @@ def dialect_with_fill_interpolate_roundtrip(spark, sf_dir):
         INTERPOLATE (v AS v + 1)
         """,
     )
+
+
+# Stacked combinators through the dialect frontend: IfOrNull (NULL
+# over the empty filtered set), one-arg countIfOrNull, DistinctIf,
+# and OrDefaultIf (filter, 0 over empty). The DuckDB oracle spells
+# each as FILTER + nullif/coalesce. value > 2 never matches (values
+# are [0,1]) so the default path is provably exercised; the 0.999
+# cut leaves some groups empty so the NULL path is too.
+@query(
+    "dialect_stacked_combinators_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+            FILTER (WHERE value > 0.9) AS BIGINT) AS s_hi,
+       CAST(nullif(count(*) FILTER (WHERE value > 0.999), 0)
+            AS BIGINT) AS c_rare,
+       CAST(count(DISTINCT user_id) FILTER (WHERE value > 0.5)
+            AS BIGINT) AS u_hi,
+       CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT))
+                     FILTER (WHERE value > 2), 0) AS BIGINT) AS s_dflt
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def dialect_stacked_combinators_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_sc",
+        """
+        SELECT event_type,
+               CAST(sumIfOrNull(CAST(floor(value * 100) AS Int64),
+                                value > 0.9) AS Int64) AS s_hi,
+               CAST(countIfOrNull(value > 0.999) AS Int64) AS c_rare,
+               CAST(countDistinctIf(user_id, value > 0.5)
+                    AS Int64) AS u_hi,
+               CAST(sumOrDefaultIf(CAST(floor(value * 100) AS Int64),
+                                   value > 2) AS Int64) AS s_dflt
+        FROM __dq_events_sc GROUP BY event_type ORDER BY event_type
+        """,
+    )

@@ -59,7 +59,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dialect_intervalsweep_roundtrip, dialect_deltasumts_roundtrip,
 # dialect_tukey_outliers_roundtrip,
 # dialect_format_reinterpret_roundtrip, text_bm25_rank,
-# dialect_with_fill_interpolate_roundtrip —
+# dialect_with_fill_interpolate_roundtrip,
+# dialect_stacked_combinators_roundtrip —
 # plus the four r4-era names deferred from the r7
 # fill (text_keyword_search, text_pii_redact,
 # text_repetition_scores, uniq_exact), then fill with oldest-green
