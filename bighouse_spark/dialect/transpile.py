@@ -8096,6 +8096,17 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             "spell it directly as collate(<expr>, '<lang>') in the "
             "ORDER BY"
         )
+    # SHOW FUNCTIONS LIKE '<pat>': CH's pattern is SQL LIKE, Spark's
+    # is a glob — translate % -> * and _ -> ? so the filter actually
+    # matches instead of silently returning nothing.
+    m_sf = re.match(
+        r"^(\s*SHOW\s+FUNCTIONS\s+(?:I?LIKE)\s+)'([^']*)'\s*$",
+        out,
+        re.IGNORECASE,
+    )
+    if m_sf:
+        glob = m_sf.group(2).replace("%", "*").replace("_", "?")
+        out = f"{m_sf.group(1).replace('ILIKE', 'LIKE')}'{glob}'"
     # view(SELECT ...) table function: a transparent subquery wrapper
     # (CH uses it to force a subquery where a table is expected) —
     # drop the wrapper. numbers_mt is numbers with CH's multithreaded

@@ -6510,3 +6510,18 @@ class TestStackedCombinators:
             "FROM (SELECT number % 3 AS x FROM numbers(9))"
         )
         assert r.rows == [[2, 3]]
+
+
+class TestShowFunctionsLike:
+    def test_like_pattern_translated_to_glob(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        names = [r[0] for r in eng.execute(
+            "SHOW FUNCTIONS LIKE 'sum%'"
+        ).rows]
+        assert "sum" in names
+        names2 = [r[0] for r in eng.execute(
+            "SHOW FUNCTIONS ILIKE 'avg%'"
+        ).rows]
+        assert "avg" in names2
