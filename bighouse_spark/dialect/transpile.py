@@ -6341,8 +6341,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     # carries the scan detail (PushedFilters/PartitionFilters), so
     # fold any flag list into the PLAN variant.
     out = re.sub(
-        r"^(EXPLAIN)\s+(?:\w+\s*=\s*\w+\s*,?\s*)+(?=SELECT|WITH)",
-        r"\1 PLAN ",
+        r"^(EXPLAIN)(\s+(?:SYNTAX|AST|PLAN|PIPELINE|ESTIMATE))?"
+        r"\s+(?:\w+\s*=\s*\w+\s*,?\s*)+(?=SELECT|WITH)",
+        lambda m: f"{m.group(1)}{m.group(2) or ' PLAN'} ",
         out,
         flags=re.IGNORECASE | re.DOTALL,
     )

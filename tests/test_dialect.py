@@ -6525,3 +6525,17 @@ class TestShowFunctionsLike:
             "SHOW FUNCTIONS ILIKE 'avg%'"
         ).rows]
         assert "avg" in names2
+
+
+class TestExplainVariantFlags:
+    def test_flags_after_variant_keyword(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        for q in (
+            "EXPLAIN PLAN indexes = 1 SELECT 1",
+            "EXPLAIN PIPELINE header = 0 SELECT 1",
+            "EXPLAIN indexes = 1, header = 0 SELECT 1",
+        ):
+            rows = eng.execute(q).rows
+            assert rows and "Physical Plan" in rows[0][0]
