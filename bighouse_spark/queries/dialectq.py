@@ -374,8 +374,11 @@ def dialect_tuple_in_roundtrip(spark, sf_dir):
 
 
 # sumMap over a Map column: per-key sums across the group, keys
-# sorted — exported as (keys, values) arrays so the driver's
-# value-hash comparison sees plain arrays on both engines.
+# sorted — keys/values flattened to comma-joined STRINGS, because the
+# driver's pandas canonicalizer sort_values() cannot factorize list
+# cells (unhashable) — same constraint queries/aggregates.py flattens
+# agg_collect_sorted for. Never export Array/Map columns from a
+# DRIVER_WINDOW query (lint: tests/test_queries_oracle.py).
 @query(
     "dialect_summap_roundtrip",
     oracle="""
@@ -384,8 +387,9 @@ WITH c AS (
   FROM events GROUP BY user_id % 10, event_type
 )
 SELECT g,
-       list(event_type ORDER BY event_type) AS ks,
-       list(n ORDER BY event_type) AS vs
+       array_to_string(list(event_type ORDER BY event_type), ',') AS ks,
+       array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type),
+                       ',') AS vs
 FROM c GROUP BY g
 """,
 )
@@ -403,9 +407,12 @@ def dialect_summap_roundtrip(spark, sf_dir):
     )
     return out.select(
         "g",
-        F.map_keys("m").alias("ks"),
-        F.expr(
-            "transform(map_values(m), __x -> CAST(__x AS BIGINT))"
+        F.array_join(F.map_keys("m"), ",").alias("ks"),
+        F.array_join(
+            F.expr(
+                "transform(map_values(m), __x -> CAST(__x AS STRING))"
+            ),
+            ",",
         ).alias("vs"),
     )
 

@@ -49,89 +49,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-8 ROTATION CANDIDATES (per the contract, new code paths get
-# driver rows the round after they land): ALL eight round-7
-# oracle-backed additions — dialect_ks_test_roundtrip,
-# dialect_mwu_roundtrip, dialect_bytesize_tuple_roundtrip,
-# dialect_entropy_roundtrip, dialect_cramers_roundtrip,
-# dialect_rankcorr_roundtrip, dialect_sumargminmax_roundtrip,
-# ann_pq_recall, dialect_anova_roundtrip,
-# dialect_intervalsweep_roundtrip, dialect_deltasumts_roundtrip,
-# dialect_tukey_outliers_roundtrip,
-# dialect_format_reinterpret_roundtrip, text_bm25_rank,
-# dialect_with_fill_interpolate_roundtrip,
-# dialect_stacked_combinators_roundtrip —
-# plus the four r4-era names deferred from the r7
-# fill (text_keyword_search, text_pii_redact,
-# text_repetition_scores, uniq_exact), then fill with oldest-green
-# (r5-era) names.
+# ROUND-9 ROTATION CANDIDATES: any round-8 oracle-backed additions
+# land first, then the 20 r5-era names not refreshed in the r8 fill —
+# tpch_q18_large_orders, tpch_q21_waiting_suppliers,
+# tpch_q22_prospects, tpch_q3_shipping_priority,
+# tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
+# tpch_q9_product_profit, uniq_approx_check, uniq_rollup_check,
+# window_daily_rollup, window_first_last_frame,
+# window_gapfill_hourly, window_lag_lead, window_range_frame,
+# window_rank_family, window_running_sum, window_session_10m,
+# window_sliding_1h_30m, window_topk_per_group,
+# window_tumbling_hourly — then oldest-green (r6-era) fills.
 #
-# ROUND-7 WINDOW (50 names, ALL oracle-bearing). Composition:
-#   7  round-6 additions, first driver check (VERDICT r6 Next #2)
-#   2  plan-changed re-checks: dedup_minhash_lsh (fused hot-bucket
-#      cap), dedup_semantic_within_cluster (cluster-size cap)
-#   1  dialect_cast_types_roundtrip — r6's single red row; oracle
-#      fixed with outer CAST(sum(...) AS BIGINT) (VERDICT r6 Next #1)
-#   40 oldest-green fills: all 15 r1-era, all 7 r3-era, 18 of the
-#      20 r4-era names
+# ROUND-8 WINDOW (50 names, ALL oracle-bearing). Composition:
+#   1  dialect_summap_roundtrip — r7's single red row; arrays
+#      flattened to comma-joined strings on BOTH sides (the driver's
+#      pandas canonicalizer cannot sort list cells; VERDICT r7 #1)
+#   16 round-7 oracle-backed additions, first driver check
+#      (VERDICT r7 Next #2)
+#    4 r4-era names deferred from the r7 fill
+#   29 oldest-green fills: first 29 of the 49 r5-era names
+#      (alphabetical; the remaining 20 rotate r9)
 DRIVER_WINDOW = {
-    # -- round-6 additions, first driver check (7) --
-    "dedup_cross_corpus_lsh",
-    "dialect_tuple_in_roundtrip",
+    # -- flatten-fix re-prove (1): r7's one red row --
     "dialect_summap_roundtrip",
-    "dialect_week_format_roundtrip",
-    "dialect_relative_num_roundtrip",
-    "agg_ema_check",
-    "dialect_remote_roundtrip",
-    # -- plan-changed re-checks (2): fused LSH cap, SemDeDup cap --
-    "dedup_minhash_lsh",
-    "dedup_semantic_within_cluster",
-    # -- oracle-fix re-prove (1): r6's one red row, outer CAST added --
-    "dialect_cast_types_roundtrip",
-    # -- oldest-green fills: r1 era (15) --
-    "agg_conditional",
-    "agg_correlation",
-    "agg_distinct_multi",
-    "case_when_agg",
-    "cross_join_matrix",
-    "cube_agg",
-    "distinct_projection",
-    "explode_word_freq",
-    "having_filter",
-    "json_extract_props",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "null_handling",
-    "pipeline_training_corpus",
-    "range_join_conversions",
-    # -- oldest-green fills: r3 era (7) --
-    "agg_collect_sorted",
-    "ann_ivf_full_probe",
-    "scalar_subquery",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    # -- oldest-green fills: r4 era (18 of 20; text_keyword_search,
-    #    text_pii_redact, text_repetition_scores, uniq_exact rotate r8) --
-    "agg_entropy",
-    "agg_histogram",
-    "agg_weighted_median",
-    "checksum_invariance",
-    "cluster_assign_topics",
-    "dialect_agg_roundtrip",
-    "dialect_array_join_roundtrip",
-    "dialect_asof_roundtrip",
-    "dialect_limit_by_roundtrip",
-    "dialect_limit_ties_roundtrip",
-    "dialect_topk_roundtrip",
-    "dialect_with_fill_roundtrip",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "select_star",
-    "sequence_count_view_purchase",
-    "text_bigram_fluency",
-    "text_gopher_rules",
+    # -- round-7 additions, first driver check (16) --
+    "ann_pq_recall",
+    "dialect_anova_roundtrip",
+    "dialect_bytesize_tuple_roundtrip",
+    "dialect_cramers_roundtrip",
+    "dialect_deltasumts_roundtrip",
+    "dialect_entropy_roundtrip",
+    "dialect_format_reinterpret_roundtrip",
+    "dialect_intervalsweep_roundtrip",
+    "dialect_ks_test_roundtrip",
+    "dialect_mwu_roundtrip",
+    "dialect_rankcorr_roundtrip",
+    "dialect_stacked_combinators_roundtrip",
+    "dialect_sumargminmax_roundtrip",
+    "dialect_tukey_outliers_roundtrip",
+    "dialect_with_fill_interpolate_roundtrip",
+    "text_bm25_rank",
+    # -- r4-era names deferred from the r7 fill (4) --
+    "text_keyword_search",
+    "text_pii_redact",
+    "text_repetition_scores",
+    "uniq_exact",
+    # -- oldest-green fills: r5 era, first 29 alphabetically (29) --
+    "agg_argmax_argmin",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "checksum_md5",
+    "count_by_file",
+    "count_plus_two",
+    "count_star",
+    "dedup_minhash_clusters",
+    "filter_eq",
+    "funnel_window_3step",
+    "grouping_sets",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "like_filters",
+    "order_limit",
+    "percentile_approx_check",
+    "retention_cohort",
+    "rollup_agg",
+    "sequence_match_view_purchase",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "set_union_all",
+    "sink_roundtrip_ordered",
+    "sink_roundtrip_zorder",
+    "table_partition_pruning",
+    "text_tfidf_topk",
+    "tpch_q14_promo_revenue",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

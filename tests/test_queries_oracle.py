@@ -49,6 +49,48 @@ def test_hugeint_lint_catches_uncast_sum(spark, duck):
         compare_frames(df, rel)
 
 
+def _assert_scalar_columns(schema, name: str) -> None:
+    """Driver-window queries must export SCALAR columns only: the
+    driver canonicalizes with pandas sort_values over all columns,
+    which cannot factorize list/dict cells (TypeError: unhashable
+    type) — r7's only red row, a0_dialect_summap_roundtrip, was an
+    Array export. Flatten with array_join/to_json on BOTH sides."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"DRIVER_WINDOW query {name!r} exports non-scalar column "
+            f"{field.name!r} ({field.dataType.simpleString()}); the "
+            "driver's pandas canonicalizer cannot sort list cells — "
+            "flatten with array_join/to_json in query AND oracle"
+        )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n.startswith("a0_"))
+)
+def test_driver_window_scalar_columns_lint(spark, name):
+    """No DRIVER_WINDOW query may return an Array/Map/Struct column
+    (schema-only check; plan is built, not executed)."""
+    from bighouse_spark.operators.caching import release_tracked
+
+    try:
+        df = QUERIES[name](spark, SF_CORRECT)
+        _assert_scalar_columns(df.schema, name)
+    finally:
+        release_tracked()
+
+
+def test_scalar_lint_catches_array_column(spark):
+    """The lint must REJECT an intentionally array-returning query."""
+    df = spark.sql("SELECT array(1, 2) AS xs, 1 AS n")
+    with pytest.raises(AssertionError, match="non-scalar"):
+        _assert_scalar_columns(df.schema, "a0_fake_array_query")
+    df2 = spark.sql("SELECT map('k', 1) AS m")
+    with pytest.raises(AssertionError, match="non-scalar"):
+        _assert_scalar_columns(df2.schema, "a0_fake_map_query")
+
+
 def test_driver_window_rotation_shape():
     """The driver records the first 50 exported names alphabetically;
     the rotation must put exactly the intended 50 there, keep
