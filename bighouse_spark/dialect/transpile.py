@@ -8107,7 +8107,9 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     )
     if m_sf:
         glob = m_sf.group(2).replace("%", "*").replace("_", "?")
-        out = f"{m_sf.group(1).replace('ILIKE', 'LIKE')}'{glob}'"
+        # ILIKE may arrive in any case — rebuild the prefix outright
+        # (Spark only parses SHOW FUNCTIONS LIKE).
+        out = f"SHOW FUNCTIONS LIKE '{glob}'"
     # view(SELECT ...) table function: a transparent subquery wrapper
     # (CH uses it to force a subquery where a table is expected) —
     # drop the wrapper. numbers_mt is numbers with CH's multithreaded
@@ -9006,14 +9008,16 @@ def parse_inline_payload(spark, fmt_name: str, data: str, struct=None):
             names = names or [f"_c{i}" for i in range(ncols)]
 
             def _infer(i: int) -> str:
+                # Strict regexes, not Python int()/float(): those
+                # accept '1_0' / ' 1 ', which Spark's CAST then turns
+                # into NULL — the column must stay string instead.
                 vals = [r[i] for r in recs if r[i] not in (None, "")]
-                for probe, t in ((int, "bigint"), (float, "double")):
-                    try:
-                        for v in vals:
-                            probe(v)
+                for rx, t in (
+                    (_PARAM_INT_RE, "bigint"),
+                    (_PARAM_FLOAT_RE, "double"),
+                ):
+                    if vals and all(rx.match(v) for v in vals):
                         return t
-                    except ValueError:
-                        continue
                 return "string"
 
             struct = T.StructType([

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 import threading
 import time
+import uuid
 from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 from typing import Any
@@ -1518,7 +1519,9 @@ class BigHouseEngine:
             df = parse_inline_payload(
                 self.spark, fmt_name, payload, struct
             )
-            view = f"__bh_input_{id(df) & 0xFFFFFF:x}"
+            # uuid, not id(df): truncated object addresses can collide
+            # across concurrent INSERTs and clobber each other's view.
+            view = f"__bh_input_{uuid.uuid4().hex}"
             df.createOrReplaceTempView(view)
             try:
                 select_rw = re.sub(

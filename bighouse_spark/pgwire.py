@@ -71,6 +71,10 @@ _SSL_REQUEST = 80877103
 # rejects oversized startup packets).
 MAX_MSG_LEN = 64 * 1024 * 1024
 MAX_STARTUP_LEN = 64 * 1024
+# Pre-auth messages (PasswordMessage / SASLInitialResponse /
+# SASLResponse) are tiny; cap them so an unauthenticated client cannot
+# declare a ~4 GiB length and exhaust server memory.
+MAX_AUTH_MSG_LEN = 64 * 1024
 _GSSENC_REQUEST = 80877104
 _CANCEL_REQUEST = 80877102
 
@@ -386,6 +390,11 @@ class _Handler(socketserver.BaseRequestHandler):
         if head is None or head[0:1] != b"p":
             return None
         (length,) = struct.unpack("!I", head[1:5])
+        # Attacker-declared length: bound it BEFORE buffering, same as
+        # the main loop's MAX_MSG_LEN check — an auth payload (password
+        # or SCRAM message) never legitimately approaches even this.
+        if not 4 <= length <= MAX_AUTH_MSG_LEN:
+            return None
         return self._recv_exact(sock, length - 4)
 
     def _authenticate(self, sock, startup_user: str) -> bool:

@@ -6296,6 +6296,16 @@ class TestInlineTableFunctions:
         )
         assert r3.rows == [[5, "z"]]
 
+    def test_format_csv_inference_is_strict(self, eng):
+        # Python int() accepts '1_0' (underscore separators) but Spark
+        # CAST does not — inference must keep such columns string
+        # instead of silently NULLing every value.
+        r = eng.execute(
+            "SELECT * FROM format(CSVWithNames, "
+            "'a,b\\n1_0,7\\n2_5,8') ORDER BY b"
+        )
+        assert r.rows == [["1_0", 7], ["2_5", 8]]
+
     def test_format_values_with_quote_escapes(self, eng):
         r = eng.execute(
             "SELECT * FROM format(Values, 'a UInt8, b String', "
@@ -6525,6 +6535,18 @@ class TestShowFunctionsLike:
             "SHOW FUNCTIONS ILIKE 'avg%'"
         ).rows]
         assert "avg" in names2
+
+    def test_lowercase_ilike_translated(self, spark):
+        # ILIKE can arrive in any case; the rewrite must still emit
+        # Spark's LIKE spelling (lowercase ilike used to pass through
+        # untranslated and fail to parse).
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        names = [r[0] for r in eng.execute(
+            "show functions ilike 'avg%'"
+        ).rows]
+        assert "avg" in names
 
 
 class TestExplainVariantFlags:

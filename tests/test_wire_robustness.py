@@ -280,6 +280,39 @@ class TestHostileLengths:
             s.close()
         _pg_alive(pg_srv)
 
+    def test_pg_huge_password_length(self, engine):
+        # Pre-auth DoS: a PasswordMessage declaring ~4 GiB must be
+        # dropped before buffering (pgwire.MAX_AUTH_MSG_LEN), on a
+        # server in password-auth mode — the one path the main-loop
+        # MAX_MSG_LEN check does not cover.
+        srv = PGWireServer(
+            engine=engine, auth=("password", "u", "pw")
+        ).start()
+        try:
+            s = _conn(srv.host, srv.port)
+            try:
+                params = b"user\x00u\x00\x00"
+                body = struct.pack("!I", 196608) + params
+                s.sendall(struct.pack("!I", len(body) + 4) + body)
+                _recv_some(s)  # AuthenticationCleartextPassword
+                s.sendall(b"p" + struct.pack("!I", 0xFFFFFFF0))
+                _drain(s)  # dropped, never buffered — must not hang
+            finally:
+                s.close()
+            # endpoint still authenticates a well-formed client
+            s2 = _conn(srv.host, srv.port)
+            try:
+                s2.sendall(struct.pack("!I", len(body) + 4) + body)
+                _recv_some(s2)
+                pw = b"pw\x00"
+                s2.sendall(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+                buf = _recv_some(s2)
+                assert b"R" in buf  # AuthenticationOk
+            finally:
+                s2.close()
+        finally:
+            srv.shutdown()
+
     def test_ch_huge_string_varint(self, ch_srv):
         s = _conn(ch_srv.host, ch_srv.port)
         try:
