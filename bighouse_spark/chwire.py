@@ -708,6 +708,20 @@ class _Conn:
 
 
 class _Handler(socketserver.BaseRequestHandler):
+    def setup(self) -> None:
+        super().setup()
+        from bighouse_spark import metrics as _metrics
+
+        _metrics.connection_opened("clickhouse")
+
+    def finish(self) -> None:
+        from bighouse_spark import metrics as _metrics
+
+        try:
+            super().finish()
+        finally:
+            _metrics.connection_closed("clickhouse")
+
     def handle(self) -> None:
         sock = self.request
         try:

@@ -232,6 +232,9 @@ class BigHouseEngine:
         self._inflight: dict[str, tuple[str, float]] = {}
         self._killed: set[str] = set()
         self._inflight_lock = threading.Lock()
+        # Monotonic count of cancellations (KILL QUERY + watchdog),
+        # surfaced by the Prometheus /metrics endpoint.
+        self.kill_count = 0
         # Cost-based optimization: with table/column stats from
         # ANALYZE, Catalyst reorders joins and sizes broadcasts from
         # rowCount instead of raw file bytes. Harmless without stats.
@@ -2024,6 +2027,7 @@ class BigHouseEngine:
                 known = qid in self._inflight
                 if known:
                     self._killed.add(qid)
+                    self.kill_count += 1
             if known:
                 # Sticky cancel (Spark 4): also cancels jobs the
                 # victim submits AFTER this call — plain
@@ -2541,6 +2545,7 @@ class BigHouseEngine:
                 if timeout_s and timeout_s > 0:
                     def _cancel() -> None:
                         timed_out.set()
+                        self.kill_count += 1
                         sc = self.spark.sparkContext
                         try:
                             # Sticky (Spark 4): also cancels jobs the

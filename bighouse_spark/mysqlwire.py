@@ -380,6 +380,20 @@ class _MySQLStreamSink:
 
 
 class _Handler(socketserver.BaseRequestHandler):
+    def setup(self) -> None:
+        super().setup()
+        from bighouse_spark import metrics as _metrics
+
+        _metrics.connection_opened("mysql")
+
+    def finish(self) -> None:
+        from bighouse_spark import metrics as _metrics
+
+        try:
+            super().finish()
+        finally:
+            _metrics.connection_closed("mysql")
+
     def handle(self) -> None:
         conn = _Conn(self.request)
         self._stmts: dict[int, dict[str, Any]] = {}

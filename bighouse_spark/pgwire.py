@@ -255,6 +255,20 @@ class _PGStreamSink:
 class _Handler(socketserver.BaseRequestHandler):
     # self.server is the ThreadingTCPServer subclass carrying .engine
 
+    def setup(self) -> None:
+        super().setup()
+        from bighouse_spark import metrics as _metrics
+
+        _metrics.connection_opened("postgresql")
+
+    def finish(self) -> None:
+        from bighouse_spark import metrics as _metrics
+
+        try:
+            super().finish()
+        finally:
+            _metrics.connection_closed("postgresql")
+
     def handle(self) -> None:  # noqa: C901 — one protocol loop
         sock = self.request
         # Extended-protocol state: named prepared statements (SQL

@@ -386,6 +386,17 @@ class _Handler(BaseHTTPRequestHandler):
             finally:
                 self.request.settimeout(prev)
         super().setup()
+        from bighouse_spark import metrics as _metrics
+
+        _metrics.connection_opened("http")
+
+    def finish(self) -> None:
+        from bighouse_spark import metrics as _metrics
+
+        try:
+            super().finish()
+        finally:
+            _metrics.connection_closed("http")
 
     def _send(self, code: int, payload: Any) -> None:
         body = _dumps(payload)
@@ -448,6 +459,24 @@ class _Handler(BaseHTTPRequestHandler):
             if not self._check_auth(parsed):
                 return
             self._send(200, [asdict(e) for e in self.engine.query_log])
+        elif parsed.path == "/metrics":
+            # Prometheus scrape target (reference serves Prometheus on
+            # an internal port, observability/internal_http.go:17-29).
+            # Open like /hc: a scraper is infra, not a SQL client.
+            from bighouse_spark import metrics as _metrics
+
+            with self.sessions._mu:
+                n_sessions = len(self.sessions._sessions)
+            body = _metrics.render(
+                self.engine, active_sessions=n_sessions
+            ).encode()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/plain; version=0.0.4"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif parsed.path == "/ping":
             # the bare ping stays open (CH's /ping is unauthenticated),
             # but a ?query= rider executes SQL and must be gated like /
