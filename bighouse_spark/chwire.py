@@ -38,7 +38,14 @@ import struct
 import threading
 from typing import Any
 
-from bighouse_spark.compress import MAX_BLOCK, compress_frame, read_frame
+from bighouse_spark.compress import (
+    MAX_BLOCK,
+    METHOD_LZ4,
+    METHOD_NONE,
+    METHOD_ZSTD,
+    compress_frame,
+    read_frame,
+)
 from bighouse_spark.engine import BigHouseEngine, QueryRequest
 from bighouse_spark.formats import (
     _leb128,
@@ -290,6 +297,7 @@ class _Conn:
         self.revision = 0  # negotiated
         self.settings: dict[str, str] = {}  # SET persists per conn
         self.compressed = False  # last-negotiated (per Query packet)
+        self.comp_method = METHOD_LZ4  # output codec (CH default)
         self._csource: _CompressedSource | None = None
 
     def _block_source(self, compressed: bool) -> _Source:
@@ -327,9 +335,11 @@ class _Conn:
         out = bytearray(_leb128(S_DATA) + _leb128_str(""))
         if compressed:
             for i in range(0, len(body), MAX_BLOCK):
-                out += compress_frame(body[i:i + MAX_BLOCK])
+                out += compress_frame(
+                    body[i:i + MAX_BLOCK], self.comp_method
+                )
             if not body:  # pragma: no cover - body is never empty
-                out += compress_frame(b"")
+                out += compress_frame(b"", self.comp_method)
         else:
             out += body
         self.wire.send(bytes(out))
@@ -480,6 +490,19 @@ class _Conn:
 
         settings = dict(self.settings)
         settings.update(packet_settings)
+        # CH's network_compression_method picks the server's OUTPUT
+        # codec (each frame is self-describing via its method byte, so
+        # the read side needs no negotiation — it dispatches per
+        # frame). lz4 is CH's default.
+        meth = str(
+            settings.get("network_compression_method", "lz4")
+        ).strip("'\"").lower()
+        if meth == "zstd":
+            self.comp_method = METHOD_ZSTD
+        elif meth == "none":
+            self.comp_method = METHOD_NONE
+        else:
+            self.comp_method = METHOD_LZ4
 
         m = _INSERT_NEEDS_DATA.match(query)
         if m:

@@ -19,8 +19,17 @@ offsets, minimum match 4, literals-only final sequence). Decompression
 is complete; compression is a greedy single-probe hash-table matcher
 (the classic LZ4-fast strategy) that falls back to a literals-only
 sequence for incompressible/short input — always valid LZ4, never
-claims ratios it didn't earn. ZSTD frames are refused with a guided
-error (negotiate LZ4 or none).
+claims ratios it didn't earn.
+
+ZSTD (method 0x90) wraps a standard ZSTD frame (RFC 8878) in the CH
+frame header. The codec is pyarrow's bundled zstd when present (the
+repo already depends on pyarrow for Parquet/Arrow formats — full
+decode of anything a real client emits, C-speed). Without pyarrow the
+from-scratch fallback still interoperates: the encoder emits
+spec-valid single-segment frames made of Raw blocks (any conformant
+decoder reads them), and the decoder handles Raw/RLE-block and
+skippable frames, refusing FSE/Huffman-compressed blocks with a
+guided error naming LZ4 as the negotiation that always works.
 """
 
 from __future__ import annotations
@@ -144,6 +153,137 @@ def lz4_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+# -- ZSTD (RFC 8878) ---------------------------------------------
+
+ZSTD_MAGIC = 0xFD2FB528
+ZSTD_SKIPPABLE_LO = 0x184D2A50  # 0x184D2A5? are skippable frames
+_ZSTD_RAW_BLOCK_MAX = 128 * 1024  # Block_Maximum_Size upper bound
+
+
+def _zstd_codec():
+    """pyarrow's bundled zstd, or None. Import-gated: the fallback
+    below keeps the wire working without it."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return pa.Codec("zstd")
+    except Exception:  # pragma: no cover - pyarrow is baked in here
+        pass
+    return None  # pragma: no cover
+
+
+def zstd_raw_frame(data: bytes) -> bytes:
+    """A spec-valid ZSTD frame holding ``data`` as Raw blocks —
+    single-segment, Frame_Content_Size present, no dictionary, no
+    content checksum. Any conformant decoder reads this; it trades
+    ratio for zero third-party code."""
+    n = len(data)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    # Frame_Header_Descriptor: bits 6-7 FCS code, bit 5 Single_Segment
+    # (window = FCS, no Window_Descriptor byte). With Single_Segment
+    # set, FCS is present even at code 0 (1 byte).
+    if n < 256:
+        out += bytes([0x20]) + struct.pack("<B", n)
+    elif n <= 65535 + 256:
+        out += bytes([0x60]) + struct.pack("<H", n - 256)
+    elif n < (1 << 32):
+        out += bytes([0xA0]) + struct.pack("<I", n)
+    else:  # pragma: no cover - a CH wire block never approaches 4 GiB
+        out += bytes([0xE0]) + struct.pack("<Q", n)
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, Raw, size 0
+        return bytes(out)
+    for i in range(0, n, _ZSTD_RAW_BLOCK_MAX):
+        chunk = data[i:i + _ZSTD_RAW_BLOCK_MAX]
+        last = 1 if i + _ZSTD_RAW_BLOCK_MAX >= n else 0
+        # Block_Header (3B LE): bit0 last, bits1-2 type (0 = Raw),
+        # bits3-23 size.
+        out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+        out += chunk
+    return bytes(out)
+
+
+def _zstd_decode_fallback(src: bytes, expected: int) -> bytes:
+    """Raw/RLE-block subset decoder for when pyarrow is absent.
+    Compressed (FSE/Huffman) blocks get a guided error."""
+    out = bytearray()
+    pos, n = 0, len(src)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("ZSTD frame truncated at magic")
+        (magic,) = struct.unpack_from("<I", src, pos)
+        pos += 4
+        if (magic & 0xFFFFFFF0) == ZSTD_SKIPPABLE_LO:
+            (skip,) = struct.unpack_from("<I", src, pos)
+            pos += 4 + skip
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"not a ZSTD frame (magic {magic:#x})")
+        fhd = src[pos]
+        pos += 1
+        single_segment = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        dict_id_code = fhd & 0x03
+        fcs_code = fhd >> 6
+        if not single_segment:
+            pos += 1  # Window_Descriptor
+        pos += (0, 1, 2, 4)[dict_id_code]
+        fcs_size = (
+            (1 if single_segment else 0, 2, 4, 8)[fcs_code]
+        )
+        pos += fcs_size  # content size is advisory; we track actual
+        while True:
+            if pos + 3 > n:
+                raise ValueError("ZSTD frame truncated at block header")
+            hdr = int.from_bytes(src[pos:pos + 3], "little")
+            pos += 3
+            last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if btype == 0:  # Raw
+                out += src[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE: one byte repeated bsize times
+                out += src[pos:pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                raise ValueError(
+                    "ZSTD compressed (FSE/Huffman) blocks need the "
+                    "pyarrow codec, which is unavailable in this "
+                    "build; connect with LZ4 or compression disabled"
+                )
+            else:
+                raise ValueError("ZSTD reserved block type")
+            if last:
+                break
+        if checksum:
+            pos += 4  # xxh64 low 32 bits; size-checked below instead
+    if len(out) != expected:
+        raise ValueError(
+            f"ZSTD frame decoded to {len(out)} bytes, CH frame header "
+            f"declared {expected}"
+        )
+    return bytes(out)
+
+
+def zstd_compress(data: bytes) -> bytes:
+    codec = _zstd_codec()
+    if codec is not None:
+        return bytes(codec.compress(data))
+    return zstd_raw_frame(data)  # pragma: no cover - pyarrow present
+
+
+def zstd_decompress(src: bytes, uncompressed_size: int) -> bytes:
+    codec = _zstd_codec()
+    if codec is not None:
+        try:
+            return bytes(codec.decompress(src, uncompressed_size))
+        except Exception as e:
+            raise ValueError(f"ZSTD frame decode failed: {e}") from e
+    return _zstd_decode_fallback(  # pragma: no cover
+        src, uncompressed_size
+    )
+
+
 def compress_frame(data: bytes, method: int = METHOD_LZ4) -> bytes:
     """data → one checksummed CH frame (callers split at MAX_BLOCK)."""
     if method == METHOD_LZ4:
@@ -151,12 +291,14 @@ def compress_frame(data: bytes, method: int = METHOD_LZ4) -> bytes:
         if len(payload) >= len(data):
             # Incompressible: still a valid LZ4 literals-only block.
             payload = _lz4_literal_run(data)
+    elif method == METHOD_ZSTD:
+        payload = zstd_compress(data)
     elif method == METHOD_NONE:
         payload = data
     else:
         raise ValueError(
             f"unsupported compression method 0x{method:02x}; this "
-            "server emits LZ4 (0x82) or None (0x02)"
+            "server emits LZ4 (0x82), ZSTD (0x90) or None (0x02)"
         )
     body = (
         bytes([method])
@@ -181,10 +323,7 @@ def decompress_frame(frame_body: bytes, method: int,
             )
         return frame_body
     if method == METHOD_ZSTD:
-        raise ValueError(
-            "ZSTD wire compression is not available in this build; "
-            "connect with LZ4 or compression disabled"
-        )
+        return zstd_decompress(frame_body, uncompressed_size)
     raise ValueError(f"unknown compression method 0x{method:02x}")
 
 

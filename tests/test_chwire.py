@@ -110,6 +110,8 @@ class CHClient:
         self.buf = b""
         self.pos = 0
         self.compressed = compressed
+        self.seen_methods: set[int] = set()  # frame method bytes read
+        self.send_zstd = False  # client→server frames use zstd
         self.sock.sendall(
             _leb(0) + _s("test-raw-client") + _leb(23) + _leb(8)
             + _leb(revision) + _s("default") + _s(user) + _s(password)
@@ -198,8 +200,15 @@ class CHClient:
         payload = self._exact(csize - 9)
         lo, hi = cityhash128(head + payload)
         assert struct.pack("<QQ", lo, hi) == checksum, "bad checksum"
+        self.seen_methods.add(method)
         if method == 0x82:
             return _lz4_decode_indep(payload, usize)
+        if method == 0x90:
+            # independent zstd: pyarrow's bundled C decoder, not the
+            # repo's codec path
+            import pyarrow as pa
+
+            return bytes(pa.Codec("zstd").decompress(payload, usize))
         assert method == 0x02
         return payload
 
@@ -238,7 +247,22 @@ class CHClient:
     def _send_block(self, cols=(), types=(), rows=()):
         body = self._block_bytes(list(cols), list(types), list(rows))
         out = _leb(2) + _s("")
-        if self.compressed:
+        if self.compressed and self.send_zstd:
+            # build the ZSTD frame independently: pyarrow zstd payload
+            # + hand-rolled CH frame header
+            import pyarrow as pa
+
+            from bighouse_spark.functions.cityhash import cityhash128
+
+            payload = bytes(pa.Codec("zstd").compress(body))
+            fb = (
+                b"\x90"
+                + struct.pack("<ii", 9 + len(payload), len(body))
+                + payload
+            )
+            lo, hi = cityhash128(fb)
+            out += struct.pack("<QQ", lo, hi) + fb
+        elif self.compressed:
             from bighouse_spark.compress import compress_frame
 
             out += compress_frame(body)
@@ -486,6 +510,51 @@ def test_compressed_select_roundtrip(ch_server, method):
         )
         assert len(out["rows"]) == 1000
         assert out["rows"][17] == [17, "17"]
+    finally:
+        c.close()
+
+
+def test_zstd_select_negotiated_via_setting(ch_server):
+    # network_compression_method='zstd' switches the server's OUTPUT
+    # frames to method 0x90; the client decodes them with pyarrow's
+    # independent zstd (not the repo codec).
+    c = CHClient(ch_server.host, ch_server.port, compressed=True)
+    c.read_hello()
+    try:
+        out = c.query(
+            "SELECT number AS n, toString(number) AS s "
+            "FROM numbers(1000) ORDER BY n",
+            settings={"network_compression_method": "zstd"},
+        )
+        assert len(out["rows"]) == 1000
+        assert out["rows"][42] == [42, "42"]
+        assert 0x90 in c.seen_methods, c.seen_methods
+        assert 0x82 not in c.seen_methods  # every data frame switched
+    finally:
+        c.close()
+
+
+def test_zstd_insert_frames_accepted(ch_server, spark, tmp_path):
+    # client→server frames carry their own method byte: a ZSTD
+    # INSERT payload must decode with no negotiation at all
+    df = spark.createDataFrame([(1, "a")], ["k", "s"])
+    path = str(tmp_path / "chw_inszstd")
+    df.write.parquet(path)
+    ch_server.engine.attach_table("chw_inszstd", path)
+    c = CHClient(ch_server.host, ch_server.port, compressed=True)
+    c.read_hello()
+    try:
+        c.send_query("INSERT INTO chw_inszstd VALUES")
+        assert c._leb128() == 1
+        c._str()
+        cols, types, _rows, _raw = c._read_block()
+        c.send_zstd = True
+        c._send_block(cols, types, [[2, "b"]])
+        c._send_block()
+        assert c._leb128() == 5
+        c.send_zstd = False
+        out = c.query("SELECT k, s FROM chw_inszstd ORDER BY k")
+        assert out["rows"] == [[1, "a"], [2, "b"]]
     finally:
         c.close()
 
