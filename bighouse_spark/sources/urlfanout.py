@@ -50,24 +50,89 @@ def can_fanout(paths: list[str], fmt: str) -> bool:
     )
 
 
-def _fetch_bytes(url: str, cap: int = MAX_FILE_BYTES) -> bytes:
-    out = io.BytesIO()
-    with urllib.request.urlopen(url, timeout=120) as resp:
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-            if out.tell() > cap:
-                raise ValueError(
-                    f"url() file {url} exceeds the per-file cap "
-                    f"({cap} bytes); raise "
-                    "BIGHOUSE_URL_FANOUT_MAX_FILE_BYTES"
-                )
-    data = out.getvalue()
+class _CappedResponse(io.RawIOBase):
+    """Sequential file-like over an HTTP response enforcing the
+    per-file byte cap AS the bytes stream past — the violating read
+    raises before the next chunk is fetched, so a hostile
+    Content-Length costs one chunk, not the declared size."""
+
+    def __init__(self, resp, url: str, cap: int) -> None:
+        self._resp = resp
+        self._url = url
+        self._cap = cap
+        self._seen = 0
+
+    def readable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._resp.read(len(b))
+        self._seen += len(data)
+        if self._seen > self._cap:
+            raise ValueError(
+                f"url() file {self._url} exceeds the per-file cap "
+                f"({self._cap} bytes); raise "
+                "BIGHOUSE_URL_FANOUT_MAX_FILE_BYTES"
+            )
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        try:
+            self._resp.close()
+        finally:
+            super().close()
+
+
+def _open_stream(url: str, cap: int = MAX_FILE_BYTES):
+    """url → sequential decompressed byte stream; peak memory is
+    O(buffer), not O(file). The cap counts WIRE bytes (pre-gunzip),
+    same contract as the old buffered fetch."""
+    resp = urllib.request.urlopen(url, timeout=120)
+    raw = io.BufferedReader(_CappedResponse(resp, url, cap), 1 << 20)
     if url.split("?", 1)[0].endswith(".gz"):
-        data = gzip.decompress(data)
-    return data
+        return gzip.GzipFile(fileobj=raw)
+    return raw
+
+
+def _fetch_bytes(url: str, cap: int = MAX_FILE_BYTES) -> bytes:
+    """Fully-buffered fetch — only for formats that need random
+    access (parquet footers) and the one bounded driver-side schema
+    probe; the executor CSV path streams via ``_open_stream``."""
+    with _open_stream(url, cap) as f:
+        return f.read()
+
+
+def _csv_options(header: bool, sep: str | None, arrow_schema,
+                 block_size: int | None = None,
+                 use_threads: bool = True):
+    from pyarrow import csv as pacsv
+
+    names = None
+    column_types = {}
+    if arrow_schema is not None:
+        column_types = {f.name: f.type for f in arrow_schema}
+        if not header:
+            names = [f.name for f in arrow_schema]
+    read_kw = dict(
+        column_names=names,
+        autogenerate_column_names=(not header and names is None),
+        use_threads=use_threads,
+    )
+    if block_size is not None:
+        read_kw["block_size"] = block_size
+    return (
+        pacsv.ReadOptions(**read_kw),
+        pacsv.ParseOptions(delimiter=sep or ","),
+        pacsv.ConvertOptions(column_types=column_types),
+    )
+
+
+def _cast_to(tbl, arrow_schema):
+    if arrow_schema is not None:
+        tbl = tbl.select([f.name for f in arrow_schema])
+        tbl = tbl.cast(arrow_schema)
+    return tbl
 
 
 def _parse_table(data: bytes, fmt: str, header: bool, sep: str | None,
@@ -82,28 +147,45 @@ def _parse_table(data: bytes, fmt: str, header: bool, sep: str | None,
     else:
         from pyarrow import csv as pacsv
 
-        names = None
-        column_types = {}
-        if arrow_schema is not None:
-            column_types = {f.name: f.type for f in arrow_schema}
-            if not header:
-                names = [f.name for f in arrow_schema]
-        read_opts = pacsv.ReadOptions(
-            column_names=names,
-            autogenerate_column_names=(not header and names is None),
+        read_opts, parse_opts, conv_opts = _csv_options(
+            header, sep, arrow_schema
         )
-        parse_opts = pacsv.ParseOptions(delimiter=sep or ",")
-        conv_opts = pacsv.ConvertOptions(column_types=column_types)
         tbl = pacsv.read_csv(
             pa.BufferReader(data),
             read_options=read_opts,
             parse_options=parse_opts,
             convert_options=conv_opts,
         )
-    if arrow_schema is not None:
-        tbl = tbl.select([f.name for f in arrow_schema])
-        tbl = tbl.cast(arrow_schema)
-    return tbl
+    return _cast_to(tbl, arrow_schema)
+
+
+def _iter_csv_batches(url: str, header: bool, sep: str | None,
+                      arrow_schema, block_size: int | None = None):
+    """Streaming CSV parse: HTTP bytes → (capped, gunzipped) stream →
+    Arrow incremental reader → one pyarrow Table per ~1 MiB block.
+    Peak memory is O(block), not O(file) — the whole file is never
+    held, compressed or decompressed."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    # use_threads=False: the threaded incremental reader races ahead
+    # of the consumer and buffers the WHOLE stream (measured 27 MB
+    # peak for a 27 MB file vs 4.6 MB single-threaded; SCALE.md).
+    # Executors already parallelize across files, so per-file parse
+    # threads buy nothing here.
+    read_opts, parse_opts, conv_opts = _csv_options(
+        header, sep, arrow_schema, block_size, use_threads=False
+    )
+    with _open_stream(url) as fobj:
+        with pacsv.open_csv(
+            fobj,
+            read_options=read_opts,
+            parse_options=parse_opts,
+            convert_options=conv_opts,
+        ) as reader:
+            for batch in reader:
+                yield _cast_to(pa.Table.from_batches([batch]),
+                               arrow_schema)
 
 
 def _file_name(url: str) -> str:
@@ -169,13 +251,26 @@ def read_urls_distributed(
     def fetch_parse(batches):
         for pdf in batches:
             for u in pdf["u"]:
-                tbl = _parse_table(
-                    _fetch_bytes(u), fmt, header, sep, arrow_schema
-                )
-                out = _to_pandas_nullsafe(tbl)
-                if add_file_column:
-                    out["_file"] = _file_name(u)
-                yield out
+                if fmt == "csv":
+                    # streamed: one yielded frame per Arrow block, so
+                    # executor peak memory is O(block) not O(file)
+                    for tbl in _iter_csv_batches(
+                        u, header, sep, arrow_schema
+                    ):
+                        out = _to_pandas_nullsafe(tbl)
+                        if add_file_column:
+                            out["_file"] = _file_name(u)
+                        yield out
+                else:
+                    # parquet needs random access to its footer —
+                    # buffered under the per-file cap
+                    tbl = _parse_table(
+                        _fetch_bytes(u), fmt, header, sep, arrow_schema
+                    )
+                    out = _to_pandas_nullsafe(tbl)
+                    if add_file_column:
+                        out["_file"] = _file_name(u)
+                    yield out
 
     n_parts = min(
         len(urls), max(spark.sparkContext.defaultParallelism, 8)

@@ -1,0 +1,228 @@
+"""Golden-bytes conformance corpus for the native TCP wire.
+
+Real client wheels (clickhouse-driver / clickhouse-connect /
+clickhouse-go) are not installable in this container (environment
+contract: no installs), so the server cannot be driven by a client it
+didn't write. This suite is the next-strongest pin: byte-exact
+Hello / Query / Data / Progress / ProfileInfo / EndOfStream exchanges
+hand-assembled from the PUBLIC protocol layout (the packet framing
+every client implements; revision gates as documented in
+``chwire.py``), frozen as hex.
+
+Three independent guarantees:
+
+1. The frozen CLIENT bytes are built here from the documented layout
+   with no repo helpers — if the server misparses a conformant
+   client, these fail.
+2. The server's reply must equal the frozen SERVER bytes EXACTLY —
+   any framing regression (field order, varint width, revision gate)
+   breaks the comparison even if the repo's own client/decoder pair
+   drifted in lockstep.
+3. The frozen server bytes are re-parsed field-by-field by a minimal
+   in-test reader asserting each documented field — so the freeze
+   itself is checked against the public layout, not just against
+   what the server happened to emit.
+
+The golden exchanges are uncompressed: compressed frames embed this
+repo's LZ4 encoder output, whose exact bytes may legitimately change
+with the matcher (any valid LZ4 stream is conformant), so pinning
+them would freeze an implementation detail rather than the protocol.
+Compressed-path conformance lives in test_chwire / test_chcompress
+(independent decoders).
+
+Reference client path: ``temporal/workflow_query_executor.go:222-235``
+(clickhouse-go against port 9000).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from bighouse_spark.chwire import CHWireServer
+from bighouse_spark.engine import BigHouseEngine
+
+# -- the corpus ------------------------------------------------------
+# Client Hello: [0 varint][client name][ver major][ver minor]
+# [protocol revision][database][user][password]
+CLIENT_HELLO = bytes.fromhex(
+    "000d676f6c64656e2d636c69656e7414039da9030764656661756c74"
+    "0764656661756c7400"
+)
+# Server Hello: [0][server name][major][minor][revision]
+# [timezone (rev>=54058)][display name (rev>=54372)][patch (rev>=54401)]
+SERVER_HELLO = bytes.fromhex(
+    "000e426967486f75736520537061726b17089da90303555443"
+    "08626967686f75736500"
+)
+# Query packet: [1][query id][ClientInfo: kind=1, initial user/id/
+# address, interface=TCP, os user, hostname, client name, ver, quota
+# key (rev>=54060), patch (rev>=54401)][settings terminator ""]
+# [stage=2 Complete][compression=0][query text], then the external-
+# tables terminator: an empty Data block [2][table name ""][BlockInfo
+# 01 00 02 ffffffff 00][0 cols][0 rows].
+CLIENT_QUERY = bytes.fromhex(
+    "0109676f6c64656e2d713101000009302e302e302e303a300106676f6c64656e"
+    "0a676f6c64656e686f73740d676f6c64656e2d636c69656e7414039da9030000"
+    "0002002253454c454354206e756d626572204153206e2046524f4d206e756d62"
+    "6572732833290200010002ffffffff000000"
+)
+# Reply: header Data block (0 rows, schema only) + Data block (3×Int64)
+# + Progress(rows=3, bytes=0, total=3, written 0/0)
+# + ProfileInfo(rows=3, blocks=1, bytes=0, no LIMIT bookkeeping)
+# + EndOfStream.
+SERVER_QUERY_REPLY = bytes.fromhex(
+    "0100010002ffffffff000100016e05496e743634"
+    "0100010002ffffffff000103016e05496e743634"
+    "000000000000000001000000000000000200000000000000"
+    "0303000300000603010000000005"
+)
+CLIENT_PING = bytes.fromhex("04")
+SERVER_PONG = bytes.fromhex("04")
+
+
+@pytest.fixture(scope="module")
+def srv(spark):
+    server = CHWireServer(engine=BigHouseEngine(spark)).start()
+    yield server
+    server.shutdown()
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        assert chunk, f"peer closed after {len(buf)}/{n} bytes"
+        buf += chunk
+    return buf
+
+
+def _assert_no_trailing(sock: socket.socket) -> None:
+    sock.settimeout(0.5)
+    try:
+        extra = sock.recv(4096)
+    except TimeoutError:
+        return
+    assert not extra, f"unexpected trailing bytes: {extra.hex()}"
+
+
+# -- a minimal independent reader over the FROZEN bytes --------------
+
+
+class _R:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def string(self) -> str:
+        n = self.varint()
+        v = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return v.decode()
+
+    def exact(self, n: int) -> bytes:
+        v = self.buf[self.pos:self.pos + n]
+        assert len(v) == n
+        self.pos += n
+        return v
+
+    def block_info(self) -> None:
+        assert self.exact(3) == b"\x01\x00\x02"
+        (bucket,) = struct.unpack("<i", self.exact(4))
+        assert bucket == -1
+        assert self.exact(1) == b"\x00"
+
+    def done(self) -> bool:
+        return self.pos == len(self.buf)
+
+
+def test_frozen_hello_parses_per_public_layout():
+    r = _R(SERVER_HELLO)
+    assert r.varint() == 0  # Hello packet
+    assert r.string() == "BigHouse Spark"
+    assert r.varint() == 23  # version major
+    assert r.varint() == 8  # version minor
+    assert r.varint() == 54429  # SETTINGS_SERIALIZED_AS_STRINGS
+    assert r.string() == "UTC"  # rev >= 54058
+    assert r.string() == "bighouse"  # display name, rev >= 54372
+    assert r.varint() == 0  # version patch, rev >= 54401
+    assert r.done()
+
+
+def test_frozen_reply_parses_per_public_layout():
+    r = _R(SERVER_QUERY_REPLY)
+    # header block: schema, zero rows
+    assert r.varint() == 1 and r.string() == ""
+    r.block_info()
+    assert (r.varint(), r.varint()) == (1, 0)
+    assert r.string() == "n" and r.string() == "Int64"
+    # data block: 3 Int64 values
+    assert r.varint() == 1 and r.string() == ""
+    r.block_info()
+    assert (r.varint(), r.varint()) == (1, 3)
+    assert r.string() == "n" and r.string() == "Int64"
+    assert struct.unpack("<3q", r.exact(24)) == (0, 1, 2)
+    # progress: rows, bytes, total rows, written rows/bytes
+    assert r.varint() == 3
+    assert [r.varint() for _ in range(5)] == [3, 0, 3, 0, 0]
+    # profile info: rows, blocks, bytes, applied_limit,
+    # rows_before_limit, calculated_rows_before_limit
+    assert r.varint() == 6
+    assert [r.varint() for _ in range(6)] == [3, 1, 0, 0, 0, 0]
+    # end of stream
+    assert r.varint() == 5
+    assert r.done()
+
+
+def test_hello_exchange_bytes_exact(srv):
+    s = socket.create_connection((srv.host, srv.port), timeout=60)
+    try:
+        s.sendall(CLIENT_HELLO)
+        assert _recv_exact(s, len(SERVER_HELLO)) == SERVER_HELLO
+        _assert_no_trailing(s)
+    finally:
+        s.close()
+
+
+def test_query_exchange_bytes_exact(srv):
+    s = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        s.sendall(CLIENT_HELLO)
+        _recv_exact(s, len(SERVER_HELLO))
+        s.sendall(CLIENT_QUERY)
+        s.settimeout(120)
+        got = _recv_exact(s, len(SERVER_QUERY_REPLY))
+        assert got == SERVER_QUERY_REPLY, (
+            f"wire drift:\n got {got.hex()}\nwant "
+            f"{SERVER_QUERY_REPLY.hex()}"
+        )
+        _assert_no_trailing(s)
+        # the connection stays usable: ping/pong after a query
+        s.sendall(CLIENT_PING)
+        assert _recv_exact(s, 1) == SERVER_PONG
+    finally:
+        s.close()
+
+
+def test_pong_bytes_exact(srv):
+    s = socket.create_connection((srv.host, srv.port), timeout=60)
+    try:
+        s.sendall(CLIENT_HELLO)
+        _recv_exact(s, len(SERVER_HELLO))
+        s.sendall(CLIENT_PING)
+        assert _recv_exact(s, 1) == SERVER_PONG
+        _assert_no_trailing(s)
+    finally:
+        s.close()

@@ -834,6 +834,124 @@ class TestUrlFanout:
             srv.shutdown()
 
 
+class TestUrlFanoutStreaming:
+    """The executor CSV path streams: HTTP → capped gunzip stream →
+    Arrow incremental reader — peak memory O(block), never O(file)."""
+
+    _serve = staticmethod(TestUrlFanout._serve)
+
+    def test_stream_yields_multiple_batches_and_matches_buffered(
+        self, tmp_path
+    ):
+        import gzip as _gz
+
+        import pyarrow as pa
+
+        import bighouse_spark.sources.urlfanout as uf
+
+        rows = "\n".join(f"{i},name-{i}" for i in range(20000))
+        data = ("a,b\n" + rows + "\n").encode()
+        (tmp_path / "big.csv.gz").write_bytes(_gz.compress(data))
+        srv = self._serve(tmp_path)
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}/big.csv.gz"
+            schema = pa.schema(
+                [("a", pa.int64()), ("b", pa.string())]
+            )
+            # small block size to force many batches from one file
+            tables = list(
+                uf._iter_csv_batches(
+                    url, True, None, schema, block_size=16 * 1024
+                )
+            )
+            assert len(tables) > 3, "expected multiple O(block) batches"
+            streamed = pa.concat_tables(tables)
+            buffered = uf._parse_table(
+                uf._fetch_bytes(url), "csv", True, None, schema
+            )
+            assert streamed.equals(buffered)
+            assert streamed.num_rows == 20000
+        finally:
+            srv.shutdown()
+
+    def test_stream_peak_memory_is_o_block_not_o_file(self, tmp_path):
+        # the load-bearing claim: Arrow live allocation while
+        # consuming a ~20 MB file stays bounded by a few 1 MiB blocks
+        # (use_threads=False keeps the reader from racing ahead and
+        # buffering the whole stream — measured 27 MB peak otherwise)
+        import gzip as _gz
+
+        import pyarrow as pa
+
+        import bighouse_spark.sources.urlfanout as uf
+
+        rows = "\n".join(
+            f"{i},padpadpad-{i % 997}-{'y' * 40}" for i in range(300000)
+        )
+        data = ("a,b\n" + rows + "\n").encode()
+        assert len(data) > 15_000_000
+        (tmp_path / "mem.csv.gz").write_bytes(_gz.compress(data, 1))
+        srv = self._serve(tmp_path)
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}/mem.csv.gz"
+            schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+            base = pa.total_allocated_bytes()
+            peak = 0
+            n_rows = 0
+            for tbl in uf._iter_csv_batches(url, True, None, schema):
+                n_rows += tbl.num_rows
+                del tbl
+                peak = max(peak, pa.total_allocated_bytes() - base)
+            assert n_rows == 300000
+            assert peak < 8_000_000, (
+                f"streaming parse held {peak} bytes live — "
+                "O(file), not O(block)"
+            )
+        finally:
+            srv.shutdown()
+
+    def test_cap_trips_mid_stream(self, tmp_path, monkeypatch):
+        import bighouse_spark.sources.urlfanout as uf
+
+        (tmp_path / "cap.csv").write_bytes(
+            b"a\n" + b"1234567890\n" * 5000
+        )
+        srv = self._serve(tmp_path)
+        try:
+            url = f"http://127.0.0.1:{srv.server_port}/cap.csv"
+            with pytest.raises(ValueError, match="per-file cap"):
+                with uf._open_stream(url, cap=1024) as f:
+                    f.read()
+        finally:
+            srv.shutdown()
+
+    def test_fanout_gzip_csv_end_to_end(self, spark, tmp_path,
+                                        monkeypatch):
+        import gzip as _gz
+
+        import bighouse_spark.sources.urlfanout as uf
+
+        for m in range(6):
+            (tmp_path / f"z-{m}.csv.gz").write_bytes(
+                _gz.compress(f"v\n{m}\n{m + 50}\n".encode())
+            )
+        srv = self._serve(tmp_path)
+        try:
+            port = srv.server_port
+            monkeypatch.setattr(uf, "FANOUT_THRESHOLD", 2)
+            r = transpile(
+                f"SELECT count() AS n, sum(v) AS s FROM "
+                f"url('http://127.0.0.1:{port}/z-{{0..5}}.csv.gz', "
+                "'CSVWithNames', 'v Int64')",
+                spark,
+            )
+            assert [tuple(x) for x in spark.sql(r.sql).collect()] == [
+                (12, sum(range(6)) + sum(range(50, 56)))
+            ]
+        finally:
+            srv.shutdown()
+
+
 class TestJsonFunctions:
     def test_extract_variants(self, spark):
         j = '{"name": "ada", "age": 36, "score": 1.5, "ok": true}'
