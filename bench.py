@@ -45,7 +45,11 @@ HEADLINE = [
 ]
 
 
+LOAD_BEFORE: list[float] = []
+
+
 def main() -> None:
+    LOAD_BEFORE.extend(round(x, 2) for x in os.getloadavg())
     import bighouse_spark.queries  # noqa: F401  (registers everything)
     from bighouse_spark.queries.registry import get
     from bighouse_spark.session import get_spark
@@ -147,22 +151,34 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "warm_min3_total": round(sum(warm_min3.values()), 3),
-                "queries_warm_min3": warm_min3,
-                "plans": plans,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "warm_min3_total": round(sum(warm_min3.values()), 3),
+        "queries_warm_min3": warm_min3,
+        "plans": plans,
+        # Host-noise context: 1/5/15-min load BEFORE this run started
+        # (captured in main() prologue) and right after, so noise
+        # adjudication doesn't need a judge re-run.
+        "loadavg_before": LOAD_BEFORE,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "cpus": CPUS,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    # The driver captures the stdout TAIL; a truncated capture once
+    # lost the headline number (BENCH_r07) — also persist the full
+    # JSON next to the script so the artifact is self-contained.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"), "w"
+    ) as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

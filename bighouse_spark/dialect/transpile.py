@@ -948,11 +948,28 @@ def _ks_test_builder(a: list[str], params: list[str] | None = None) -> str:
         if len(params) > 1:
             method = params[1].strip("'\" ").lower()
             if method == "exact":
-                raise ValueError(
-                    "kolmogorovSmirnovTest: method 'exact' "
-                    "(small-sample enumeration) is not implemented; "
-                    "use 'asymp' (or 'auto', which resolves to the "
-                    "asymptotic series here)"
+                # Small-sample exact enumeration: one collect, one
+                # Arrow-batched UDF doing the tie-aware D walk + the
+                # lattice path-count DP (bh_ks_exact, miscfuncs.py;
+                # capped at n0+n1 <= 1000 with a guided runtime
+                # error). 'auto' stays asymptotic — group sizes are
+                # unknown at transpile time.
+                x, idx = a
+                both = (
+                    f"({x}) IS NOT NULL AND ({idx}) IS NOT NULL"
+                )
+                arr_x = (
+                    f"collect_list(CASE WHEN {both} THEN "
+                    f"named_struct('v', CAST({x} AS DOUBLE), "
+                    f"'i', CAST({idx} AS INT)) END)"
+                )
+                nan_e = "CAST('NaN' AS DOUBLE)"
+                return (
+                    f"element_at(transform(array("
+                    f"bh_ks_exact({arr_x})), __kr -> named_struct("
+                    f"'d_statistic', coalesce(__kr.d_statistic, "
+                    f"{nan_e}), "
+                    f"'p_value', coalesce(__kr.p_value, {nan_e}))), 1)"
                 )
     # NULL rows (value or index) are skipped, CH aggregate semantics:
     # the CASE yields NULL so collect_list drops the row, and the
@@ -1846,6 +1863,110 @@ def _ecr_builder(params: list[str], a: list[str]) -> str:
         f"estimateCompressionRatio: codec {codec!r} is not available "
         "in this build; use 'lz4' (the wire codec) or 'none'"
     )
+
+
+def _sequence_next_node_builder(p: list[str], a: list[str]) -> str:
+    """sequenceNextNode(direction, base)(timestamp, event_column,
+    base_condition, event1[, event2, ...]) → the event_column value of
+    the event immediately AFTER the matched chain (NULL when the chain
+    does not match), per the public CH signature.
+
+    Shape: one sorted collect (CH buffers the group identically), the
+    array let-bound ONCE via ``transform(array(...), __a -> ...)`` so
+    the aggregate is evaluated a single time, then pure index
+    arithmetic — base point 1/size for head/tail, first/last position
+    of ``base ∧ event1`` for first_match/last_match (first_match
+    follows the scan direction: walking backward, the first match is
+    the largest index). ANSI-safe: ``try_element_at`` + explicit
+    lower-bound guards (negative indexes would otherwise wrap to
+    from-the-end semantics)."""
+    if len(p) != 2:
+        raise ValueError(
+            "sequenceNextNode takes exactly two parameters: "
+            "(direction, base)"
+        )
+    direction = p[0].strip("'\" ").lower()
+    base = p[1].strip("'\" ").lower()
+    if direction not in ("forward", "backward"):
+        raise ValueError(
+            f"sequenceNextNode: direction {p[0]} is not "
+            "'forward'/'backward'"
+        )
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(
+            f"sequenceNextNode: base {p[1]} is not one of "
+            "head/tail/first_match/last_match"
+        )
+    if base == "head" and direction != "forward":
+        raise ValueError(
+            "sequenceNextNode: base 'head' requires direction "
+            "'forward' (CH enforces the same pairing)"
+        )
+    if base == "tail" and direction != "backward":
+        raise ValueError(
+            "sequenceNextNode: base 'tail' requires direction "
+            "'backward' (CH enforces the same pairing)"
+        )
+    if len(a) < 4:
+        raise ValueError(
+            "sequenceNextNode(direction, base)(timestamp, "
+            "event_column, base_condition, event1[, ...]) needs at "
+            "least four arguments"
+        )
+    ts, val, bcond = a[0], a[1], a[2]
+    events = a[3:]
+    n_ev = len(events)
+    step = 1 if direction == "forward" else -1
+    fields = [
+        f"'t', {ts}",
+        f"'v', CAST({val} AS STRING)",
+        f"'b', coalesce(CAST({bcond} AS BOOLEAN), false)",
+    ]
+    for k, e in enumerate(events, 1):
+        fields.append(f"'e{k}', coalesce(CAST({e} AS BOOLEAN), false)")
+    arr = (
+        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+        f"named_struct({', '.join(fields)}) END))"
+    )
+    if base == "head":
+        pos = "1"
+    elif base == "tail":
+        pos = "size(__a)"
+    else:
+        flags = "transform(__a, __x -> __x.b AND __x.e1)"
+        first = f"array_position({flags}, true)"
+        last = (
+            f"IF(array_position(reverse({flags}), true) = 0, 0, "
+            f"size(__a) + 1 - array_position(reverse({flags}), true))"
+        )
+        if (base == "first_match") == (direction == "forward"):
+            pos = first
+        else:
+            pos = last
+    checks = [
+        "__p > 0",
+        "coalesce(try_element_at(__a, __p).b, false)",
+        "coalesce(try_element_at(__a, __p).e1, false)",
+    ]
+    for k in range(2, n_ev + 1):
+        checks.append(
+            f"coalesce(try_element_at(__a, "
+            f"CAST(__p + {step * (k - 1)} AS INT)).e{k}, false)"
+        )
+    if step < 0:
+        # backward indexes must stay >= 1, else try_element_at's
+        # negative-index from-the-end semantics would false-match
+        checks.append(f"__p - {n_ev} >= 1")
+    res_idx = f"CAST(__p + {step * n_ev} AS INT)"
+    inner = (
+        f"CASE WHEN {' AND '.join(checks)} "
+        f"THEN try_element_at(__a, {res_idx}).v ELSE NULL END"
+    )
+    let_p = (
+        f"element_at(transform(array(CAST({pos} AS INT)), "
+        f"__p -> {inner}), 1)"
+    )
+    return f"element_at(transform(array({arr}), __a -> {let_p}), 1)"
 
 
 def _mwu_builder(a: list[str], params: list[str] | None = None) -> str:
@@ -6422,7 +6543,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         r"\bbh_(damerau|jaro|base58|base32|punycode|erf|erfc|lgamma|tgamma"
         r"|jumphash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
-        r"|anova|norm_ppf|spearman|detect_language|series_period"
+        r"|anova|ks_exact|norm_ppf|spearman|detect_language"
+        r"|series_period"
         r"|java_hash|hive_hash|gcc_murmur|kafka_murmur"
         r"|json_merge_patch)",
         out,
@@ -7252,6 +7374,9 @@ def _rewrite_parametric(sql: str) -> str:
          lambda p, a: _ks_test_builder(a, p)),
         # mannWhitneyUTest('two-sided'[, continuity])(x, idx).
         ("mannWhitneyUTest", lambda p, a: _mwu_builder(a, p)),
+        # sequenceNextNode(direction, base)(ts, event, base_cond,
+        # e1[, ...]): next-event lookup after a matched chain.
+        ("sequenceNextNode", _sequence_next_node_builder),
         # estimateCompressionRatio('lz4'[, block])(x): the wire LZ4
         # codec as a grouped-agg UDF; other codecs refuse (no zstd
         # in this build; 'none' is the constant 1 by definition).
@@ -7304,6 +7429,17 @@ def _rewrite_parametric(sql: str) -> str:
                     depth -= 1
                 j += 1
             real = _split_args_top(out[end + span_m.end():j - 1])
+            if j < len(out) and out[j] == "(":
+                # name(a)(b)(c): a THIRD paren group would splice into
+                # malformed SQL (e.g. quantileGK written with the
+                # level split out) — refuse with the documented shape.
+                raise ValueError(
+                    f"{pname} takes parameters and arguments as "
+                    f"{pname}(params)(args) — a third parenthesized "
+                    "group is not part of the signature (write the "
+                    "level inside the parameter list, e.g. "
+                    f"{pname}(accuracy, level)(expr))"
+                )
             try:
                 built = builder(params, real)
             except IndexError:
@@ -7318,13 +7454,6 @@ def _rewrite_parametric(sql: str) -> str:
     # refuse with the window/rewrite hint before Spark's opaque
     # UNRESOLVED_ROUTINE.
     for refuse_name, hint in (
-        (
-            "sequenceNextNode",
-            "sequenceNextNode() is a per-user event-order state "
-            "machine; use the behavioral operators "
-            "(sequenceMatch/windowFunnel) or a window over "
-            "(user, ORDER BY ts) with lead()",
-        ),
         (
             "groupArrayLast",
             "groupArrayLast() is block-order dependent; use "

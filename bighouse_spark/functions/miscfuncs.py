@@ -556,6 +556,107 @@ def _anova(pairs) -> tuple[float, float]:
     return (f, _f_pvalue(f, df1, df2))
 
 
+_KS_RESULT = StructType([
+    StructField("d_statistic", DoubleType()),
+    StructField("p_value", DoubleType()),
+])
+
+# Path-count DP is O(n0·n1) bigint adds; beyond this the asymptotic
+# series is indistinguishable anyway (CH's 'auto' switches the same
+# way for large samples).
+_KS_EXACT_CAP = 1000
+
+
+def _ks_exact(pairs) -> tuple[float, float]:
+    """Two-sample Kolmogorov-Smirnov with the EXACT small-sample
+    p-value over the TRUE permutation distribution, ties included.
+
+    D comes from a tie-aware merge walk (ECDF differences at
+    distinct-value boundaries only; h = D·n·m as an exact integer).
+    The p-value counts label placements: process distinct pooled
+    values in order, splitting each tie-group of size c into a copies
+    to sample 0 (weight C(c, a)), and prune any state whose boundary
+    statistic |i·m − j·n| reaches h — what survives are the
+    placements with max < h, so P(D ≥ d) = 1 − A/C(n+m, n). With no
+    ties this collapses to the classic lattice path-count. Exact
+    integer DP (no float drift); Fraction for the final ratio.
+    Cross-checked against full C(n+m, n) enumeration in
+    tests/test_dialect.py::TestKsExactMethod."""
+    nan = float("nan")
+    vals0 = sorted(
+        e["v"] for e in (pairs if pairs is not None else [])
+        if e is not None and e["i"] == 0
+    )
+    vals1 = sorted(
+        e["v"] for e in (pairs if pairs is not None else [])
+        if e is not None and e["i"] != 0
+    )
+    n, m = len(vals0), len(vals1)
+    if n == 0 or m == 0:
+        return (nan, nan)
+    if n + m > _KS_EXACT_CAP:
+        raise ValueError(
+            "kolmogorovSmirnovTest method 'exact' is capped at "
+            f"n0+n1 <= {_KS_EXACT_CAP} rows per group (the "
+            "path-count DP is O(n0*n1)); use method 'asymp'"
+        )
+    # tie-group sizes over the pooled sample + observed h
+    i = j = 0
+    h = 0
+    groups: list[int] = []
+    while i < n or j < m:
+        if j >= m or (i < n and vals0[i] <= vals1[j]):
+            x = vals0[i]
+        else:
+            x = vals1[j]
+        c = 0
+        while i < n and vals0[i] == x:
+            i += 1
+            c += 1
+        while j < m and vals1[j] == x:
+            j += 1
+            c += 1
+        groups.append(c)
+        h = max(h, abs(i * m - j * n))
+    d = h / (n * m)
+    if h == 0:
+        return (0.0, 1.0)
+    from fractions import Fraction
+    from math import comb
+
+    # A[i] = weighted count of placements with i pooled items in
+    # sample 0 so far, all boundaries strictly below h
+    a_cnt: dict[int, int] = {0: 1}
+    done = 0
+    for c in groups:
+        nxt: dict[int, int] = {}
+        done += c
+        for i_prev, ways in a_cnt.items():
+            for a in range(0, min(c, n - i_prev) + 1):
+                i_new = i_prev + a
+                j_new = done - i_new
+                if j_new > m:
+                    continue
+                if abs(i_new * m - j_new * n) >= h:
+                    continue
+                nxt[i_new] = nxt.get(i_new, 0) + ways * comb(c, a)
+        a_cnt = nxt
+        if not a_cnt:
+            break
+    surviving = a_cnt.get(n, 0)
+    p = float(1 - Fraction(surviving, comb(n + m, n)))
+    return (d, min(max(p, 0.0), 1.0))
+
+
+@pandas_udf(_KS_RESULT)
+def bh_ks_exact(pairs: pd.Series) -> pd.DataFrame:
+    out = [_ks_exact(p) for p in pairs]
+    return pd.DataFrame(
+        {"d_statistic": [o[0] for o in out],
+         "p_value": [o[1] for o in out]}
+    )
+
+
 @pandas_udf(_ANOVA_RESULT)
 def bh_anova(pairs: pd.Series) -> pd.DataFrame:
     out = [_anova(p) for p in pairs]
@@ -914,6 +1015,7 @@ ALL = {
     "bh_t_pvalue2": bh_t_pvalue2,
     "bh_f_pvalue": bh_f_pvalue,
     "bh_anova": bh_anova,
+    "bh_ks_exact": bh_ks_exact,
     "bh_norm_ppf": bh_norm_ppf,
     "bh_geohashes_in_box": bh_geohashes_in_box,
     "bh_detect_language": bh_detect_language,

@@ -1156,3 +1156,46 @@ def dialect_stacked_combinators_roundtrip(spark, sf_dir):
         FROM __dq_events_sc GROUP BY event_type ORDER BY event_type
         """,
     )
+
+
+# sequenceNextNode: per-group ordered event-chain lookup (the value
+# AFTER the first view→click chain). The Spark side sorts the
+# collected group by (ts, event_type) — the oracle's row_number uses
+# the identical tie-break so positions agree exactly.
+@query(
+    "dialect_seqnextnode_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id % 20 AS g, event_type,
+         row_number() OVER (PARTITION BY user_id % 20
+                            ORDER BY ts, event_type) AS rn
+  FROM events
+),
+p AS (
+  SELECT g, min(CASE WHEN event_type = 'view' THEN rn END) AS bp
+  FROM s GROUP BY g
+)
+SELECT p.g,
+       CASE WHEN EXISTS (SELECT 1 FROM s s2 WHERE s2.g = p.g
+                         AND s2.rn = p.bp + 1
+                         AND s2.event_type = 'click')
+            THEN (SELECT s3.event_type FROM s s3
+                  WHERE s3.g = p.g AND s3.rn = p.bp + 2)
+       END AS nxt
+FROM p
+""",
+)
+def dialect_seqnextnode_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_snn",
+        """
+        SELECT user_id % 20 AS g,
+               sequenceNextNode('forward', 'first_match')(
+                   ts, event_type, true,
+                   event_type = 'view', event_type = 'click') AS nxt
+        FROM __dq_events_snn GROUP BY user_id % 20
+        """,
+    )

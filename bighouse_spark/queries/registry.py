@@ -49,8 +49,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-9 ROTATION CANDIDATES: any round-8 oracle-backed additions
-# land first, then the 20 r5-era names not refreshed in the r8 fill —
+# ROUND-9 ROTATION CANDIDATES: round-8 oracle-backed additions land
+# first (dialect_seqnextnode_roundtrip), then the 20 r5-era names not
+# refreshed in the r8 fill —
 # tpch_q18_large_orders, tpch_q21_waiting_suppliers,
 # tpch_q22_prospects, tpch_q3_shipping_priority,
 # tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,

@@ -2508,11 +2508,13 @@ class TestRound7ProbeTranche:
             "(number, number % 2) AS ks FROM numbers(20)"
         )
         assert 0.0 <= r.rows[0][0][1] <= 1.0
-        with pytest.raises(ValueError, match="exact"):
-            eng.execute(
-                "SELECT kolmogorovSmirnovTest('two-sided', 'exact')"
-                "(number, number % 2) FROM numbers(4)"
-            )
+        # method 'exact' graduated in round 8 (TestKsExactMethod);
+        # it must execute, not refuse
+        r2 = eng.execute(
+            "SELECT kolmogorovSmirnovTest('two-sided', 'exact')"
+            "(number * 1.0, number % 2) AS ks FROM numbers(4)"
+        )
+        assert 0.0 <= r2.rows[0][0][1] <= 1.0
         with pytest.raises(ValueError, match="two-sided"):
             eng.execute(
                 "SELECT kolmogorovSmirnovTest('greater')"
@@ -3377,8 +3379,11 @@ class TestRound5ProbeTranche3:
 
     def test_tranche3_refusals(self, eng):
         for expr, hint in [
+            # sequenceNextNode graduated to a real implementation in
+            # round 8; the 3-arg spelling now fails ARITY with
+            # guidance instead of a blanket refusal
             ("sequenceNextNode('forward', 'head')(x, x, x = 1)",
-             "state"),
+             "at least four"),
             ("h3ToGeo(x)", "geohash"),
             ("regionToName(x)", "geobase"),
             ("rowNumberInBlock()", "row_number"),
@@ -6665,6 +6670,191 @@ class TestShowFunctionsLike:
             "show functions ilike 'avg%'"
         ).rows]
         assert "avg" in names
+
+
+class TestSequenceNextNode:
+    """sequenceNextNode(direction, base)(ts, event, base_cond, e1...):
+    next-event lookup after a matched chain — one sorted collect,
+    let-bound once, pure index arithmetic (no UDF)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    BASE = (
+        "FROM (SELECT * FROM format(CSVWithNames, "
+        "'u,t,e\\n1,1,A\\n1,2,B\\n1,3,C\\n1,4,D\\n"
+        "2,1,B\\n2,2,A\\n2,3,C\\n3,1,A\\n3,2,B'))"
+    )
+
+    def _run(self, eng, call):
+        return eng.execute(
+            f"SELECT u, {call} AS r {self.BASE} GROUP BY u ORDER BY u"
+        ).rows
+
+    def test_forward_head(self, eng):
+        # u1 matches A,B at head → next is C; u3 matches but has no
+        # next event; u2's head is B
+        got = self._run(
+            eng,
+            "sequenceNextNode('forward','head')"
+            "(t, e, true, e='A', e='B')",
+        )
+        assert got == [[1, "C"], [2, None], [3, None]]
+
+    def test_forward_first_match(self, eng):
+        got = self._run(
+            eng,
+            "sequenceNextNode('forward','first_match')"
+            "(t, e, true, e='A')",
+        )
+        assert got == [[1, "B"], [2, "C"], [3, "B"]]
+
+    def test_backward_tail(self, eng):
+        # u2's tail is C → value before it is A
+        got = self._run(
+            eng,
+            "sequenceNextNode('backward','tail')(t, e, true, e='C')",
+        )
+        assert got == [[1, None], [2, "A"], [3, None]]
+
+    def test_backward_last_match(self, eng):
+        got = self._run(
+            eng,
+            "sequenceNextNode('backward','last_match')"
+            "(t, e, true, e='A')",
+        )
+        assert got == [[1, None], [2, "B"], [3, None]]
+
+    def test_base_condition_gates_base_point(self, eng):
+        got = self._run(
+            eng,
+            "sequenceNextNode('forward','head')"
+            "(t, e, e='B', e='A', e='B')",
+        )
+        assert got == [[1, None], [2, None], [3, None]]
+
+    def test_invalid_combo_and_arity_guided(self, eng):
+        with pytest.raises(ValueError, match="requires direction"):
+            eng.execute(
+                "SELECT sequenceNextNode('backward','head')"
+                f"(t, e, true, e='A') AS r {self.BASE}"
+            )
+        with pytest.raises(ValueError, match="at least four"):
+            eng.execute(
+                "SELECT sequenceNextNode('forward','head')(t, e) "
+                f"AS r {self.BASE}"
+            )
+
+
+class TestKsExactMethod:
+    """kolmogorovSmirnovTest(..., 'exact'): the small-sample lattice
+    path-count, cross-checked against an INDEPENDENT brute force that
+    enumerates all C(n+m, n) label placements."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    @staticmethod
+    def _brute(x, y):
+        from itertools import combinations
+
+        pooled = x + y
+        n, m = len(x), len(y)
+
+        def dmax(xs, ys):
+            xs, ys = sorted(xs), sorted(ys)
+            i = j = h = 0
+            while i < len(xs) and j < len(ys):
+                v = min(xs[i], ys[j])
+                while i < len(xs) and xs[i] == v:
+                    i += 1
+                while j < len(ys) and ys[j] == v:
+                    j += 1
+                h = max(h, abs(i * len(ys) - j * len(xs)))
+            return h / (n * m)
+
+        d_obs = dmax(x, y)
+        cnt = tot = 0
+        for pos in combinations(range(n + m), n):
+            s = set(pos)
+            xs = [pooled[k] for k in range(n + m) if k in s]
+            ys = [pooled[k] for k in range(n + m) if k not in s]
+            tot += 1
+            if dmax(xs, ys) >= d_obs - 1e-12:
+                cnt += 1
+        return d_obs, cnt / tot
+
+    @pytest.mark.parametrize(
+        "x,y",
+        [
+            ([1, 2, 3], [4, 5, 6]),  # full separation: p = 2/C(6,3)
+            ([1, 3], [2, 4]),
+            ([1.5, 2.5, 3.5, 9], [2, 3, 4, 5, 6]),
+            ([1, 2, 2, 3], [2, 3, 4]),  # ties
+            ([1, 1, 1, 2], [1, 2, 2]),  # heavy ties
+            ([5, 5, 5], [5, 5, 5, 5]),  # all one value: D=0, p=1
+            ([10, 20, 30, 40, 50], [15, 25, 35]),
+        ],
+    )
+    def test_matches_brute_force_enumeration(self, eng, x, y):
+        vals = ", ".join(f"({v}, 0)" for v in x) + ", " + ", ".join(
+            f"({v}, 1)" for v in y
+        )
+        row = eng.execute(
+            "SELECT kolmogorovSmirnovTest('two-sided','exact')(v, i) "
+            f"AS r FROM (SELECT col1 AS v, col2 AS i "
+            f"FROM (VALUES {vals}))"
+        ).rows[0][0]
+        d_want, p_want = self._brute(x, y)
+        assert abs(row[0] - d_want) < 1e-12
+        assert abs(row[1] - p_want) < 1e-12
+
+    def test_cap_is_a_guided_runtime_error(self, eng):
+        with pytest.raises(Exception, match="capped at"):
+            eng.execute(
+                "SELECT kolmogorovSmirnovTest('two-sided','exact')"
+                "(number*1.0, number%2) AS r FROM numbers(2000)"
+            )
+
+    def test_asymp_path_unchanged(self, eng):
+        row = eng.execute(
+            "SELECT kolmogorovSmirnovTest('two-sided','asymp')"
+            "(number*1.0, number%2) AS r FROM numbers(200)"
+        ).rows[0][0]
+        assert 0.0 <= row[0] <= 1.0 and 0.0 <= row[1] <= 1.0
+
+
+class TestParametricThirdParenGroup:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_triple_paren_guided_not_parse_error(self, eng):
+        # quantileGK written with the level split into a third group
+        # used to splice malformed SQL (percentile_approx(0.5, )) and
+        # crash with a raw ParseException
+        with pytest.raises(ValueError, match="third parenthesized"):
+            eng.execute(
+                "SELECT quantileGK(100)(0.5)(number) AS r "
+                "FROM numbers(101)"
+            )
+
+    def test_documented_two_group_forms_work(self, eng):
+        assert eng.execute(
+            "SELECT quantileGK(100, 0.5)(number) AS r FROM numbers(101)"
+        ).rows == [[50]]
+        assert eng.execute(
+            "SELECT quantileDD(0.01, 0.5)(number) AS r "
+            "FROM numbers(101)"
+        ).rows == [[50]]
 
 
 class TestExplainVariantFlags:
