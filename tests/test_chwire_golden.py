@@ -81,6 +81,32 @@ SERVER_QUERY_REPLY = bytes.fromhex(
 )
 CLIENT_PING = bytes.fromhex("04")
 SERVER_PONG = bytes.fromhex("04")
+# Hello with wrong credentials (server started with auth): Exception
+# packet [2][int32 LE code 516]["DB::Exception"][message][stack ""]
+# [nested 0x00], then the server closes.
+BAD_AUTH_CLIENT = bytes.fromhex(
+    "000d676f6c64656e2d636c69656e7414039da9030764656661756c74"
+    "076d616c6c6f72790577726f6e67"
+)
+BAD_AUTH_REPLY = bytes.fromhex(
+    "02040200000d44423a3a457863657074696f6e596d616c6c6f72793a2041"
+    "757468656e7469636174696f6e206661696c65643a2070617373776f7264"
+    "20697320696e636f72726563742c206f72207468657265206973206e6f20"
+    "7573657220776974682073756368206e616d650000"
+)
+# Hello from a pre-54429 client (typed-binary settings): guided
+# Exception code 102 at Hello, before any query parsing.
+OLD_REV_CLIENT = bytes.fromhex(
+    "000d676f6c64656e2d636c69656e741301aaa6030764656661756c7407"
+    "64656661756c7400"
+)
+OLD_REV_REPLY = bytes.fromhex(
+    "02660000000d44423a3a457863657074696f6e6c636c69656e742070726f"
+    "746f636f6c207265766973696f6e203534303538206973206f6c64657220"
+    "7468616e203534343239202873657474696e67732073657269616c697a65"
+    "642061732074797065642062696e617279293b20757067726164652074686520"
+    "636c69656e740000"
+)
 
 
 @pytest.fixture(scope="module")
@@ -212,6 +238,52 @@ def test_query_exchange_bytes_exact(srv):
         # the connection stays usable: ping/pong after a query
         s.sendall(CLIENT_PING)
         assert _recv_exact(s, 1) == SERVER_PONG
+    finally:
+        s.close()
+
+
+def _parse_exception(buf: bytes, want_code: int) -> str:
+    r = _R(buf)
+    assert r.varint() == 2  # Exception packet
+    (code,) = struct.unpack("<i", r.exact(4))
+    assert code == want_code
+    assert r.string() == "DB::Exception"
+    msg = r.string()
+    assert r.string() == ""  # stack trace
+    assert r.exact(1) == b"\x00"  # no nested exception
+    assert r.done()
+    return msg
+
+
+def test_frozen_exceptions_parse_per_public_layout():
+    msg = _parse_exception(BAD_AUTH_REPLY, 516)
+    assert msg.startswith("mallory: Authentication failed")
+    msg2 = _parse_exception(OLD_REV_REPLY, 102)
+    assert "54058" in msg2 and "54429" in msg2
+
+
+def test_bad_auth_exchange_bytes_exact(spark):
+    server = CHWireServer(
+        engine=BigHouseEngine(spark), auth=("alice", "pw1")
+    ).start()
+    try:
+        s = socket.create_connection(
+            (server.host, server.port), timeout=60
+        )
+        try:
+            s.sendall(BAD_AUTH_CLIENT)
+            assert _recv_exact(s, len(BAD_AUTH_REPLY)) == BAD_AUTH_REPLY
+        finally:
+            s.close()
+    finally:
+        server.shutdown()
+
+
+def test_old_revision_exchange_bytes_exact(srv):
+    s = socket.create_connection((srv.host, srv.port), timeout=60)
+    try:
+        s.sendall(OLD_REV_CLIENT)
+        assert _recv_exact(s, len(OLD_REV_REPLY)) == OLD_REV_REPLY
     finally:
         s.close()
 
