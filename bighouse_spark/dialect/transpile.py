@@ -4444,7 +4444,31 @@ _ARG_REWRITES.update({
             "interface's FORMAT renderers instead"
         )
     ),
+    "formatRowNoNewline": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "formatRowNoNewline() renders FORMAT output per row; use "
+            "the HTTP interface's FORMAT renderers instead"
+        )
+    ),
     "proportionsZTest": lambda a: _proportions_z_builder(a),
+    # WKT geometry text I/O: the engine's geo surface is numeric
+    # (greatCircle*/pointInPolygon/polygon*Cartesian/geohash*); WKT
+    # parsing/rendering of Ring/Polygon/MultiPolygon needs a geometry
+    # type system that doesn't ship. Same posture as h3.
+    **{
+        name: (lambda n: lambda a: (_ for _ in ()).throw(
+            ValueError(
+                f"{n} needs a WKT geometry type system that does not "
+                "ship with the engine; use the numeric geo functions "
+                "(pointInPolygon, polygonAreaCartesian, geohashEncode/"
+                "Decode) on coordinate tuples instead"
+            )
+        ))(name)
+        for name in (
+            "wkt", "readWKTPoint", "readWKTRing", "readWKTPolygon",
+            "readWKTMultiPolygon", "readWKTLineString",
+        )
+    },
 })
 
 # Round-5 probe tranche 3: calendar epochs, UUID/bool conversions,
@@ -8160,8 +8184,47 @@ def _rewrite_in_frame(sql: str) -> str:
     return out
 
 
+# CH function heads that always return Array — used to dispatch the
+# overloaded CH ``length()`` (strings AND arrays) at transpile time,
+# since Spark splits it into length()/size() and the wrong pick fails
+# analysis. Prefix match on the lowercased head; bare column refs stay
+# on the string path (CH's dominant use; arrays on columns should be
+# written with the unambiguous size()/arraySize() spellings).
+_ARRAY_HEADS = (
+    "array", "splitby", "range(", "sequence(", "extractall(",
+    "grouparray", "collect_list(", "collect_set(", "topk",
+    "map_keys(", "map_values(", "mapkeys(", "mapvalues(", "slice(",
+    "ngrams(", "alphatokens(", "tokens(", "geohashesinbox(",
+    "bitmaptoarray(", "timeslots(",
+)
+
+
+def _rewrite_length_arrays(sql: str) -> str:
+    """CH ``length(x)`` is overloaded over String AND Array; Spark is
+    not (length=chars, size=array). When the argument is SYNTACTICALLY
+    an array — a ``[...]`` literal or a call to a known array-returning
+    head — dispatch to size() here, before array literals are
+    rewritten."""
+    out = sql
+    pos = 0
+    while True:
+        call = _find_call(out, "length", pos)
+        if call is None:
+            return out
+        start, end, args = call
+        if len(args) != 1:
+            pos = end
+            continue
+        arg = args[0].strip().lower()
+        if arg.startswith("[") or arg.startswith(_ARRAY_HEADS):
+            out = out[:start] + f"size({args[0]})" + out[end:]
+        else:
+            pos = end
+
+
 def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
-    out = _rewrite_array_literals(sql)
+    out = _rewrite_length_arrays(sql)
+    out = _rewrite_array_literals(out)
     out = _rewrite_subscripts(out)
     # count() → count(*)  (CH zero-arg count)
     out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
@@ -8193,9 +8256,23 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     for ch, ty in _CAST_FUNCS.items():
         if ch.lower() not in low:
             continue
-        out2 = _cast_pattern(ch).sub(rf"CAST(\1 AS {ty})", out)
-        if out2 != out:
-            out, low = out2, out2.lower()
+        # Paren-balanced walk, not a [^()]* regex: the cast wrappers
+        # routinely take nested calls (toString(generateUUIDv4())),
+        # which a flat pattern silently leaves unrewritten.
+        pos = 0
+        changed = False
+        while True:
+            call = _find_call(out, ch, pos)
+            if call is None:
+                break
+            start, end, args = call
+            if len(args) != 1:
+                pos = end  # multi-arg forms are handled elsewhere
+                continue
+            out = out[:start] + f"CAST({args[0]} AS {ty})" + out[end:]
+            changed = True
+        if changed:
+            low = out.lower()
     for ch, (pre, suf) in _WRAP_FUNCS.items():
         if ch.lower() not in low:
             continue

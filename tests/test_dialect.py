@@ -6857,6 +6857,76 @@ class TestParametricThirdParenGroup:
         ).rows == [[50]]
 
 
+class TestCastWrappersNested:
+    """Cast wrappers (toString/toInt64/...) must rewrite over NESTED
+    call arguments — the old flat [^()]* pattern silently left
+    toString(generateUUIDv4()) unrewritten."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_nested_args_rewrite(self, eng):
+        assert eng.execute(
+            "SELECT length(toString(generateUUIDv4())) AS r"
+        ).rows == [[36]]
+        assert eng.execute(
+            "SELECT toInt64(toString(40 + 2)) AS r"
+        ).rows == [[42]]
+
+    def test_two_arg_tostring_still_handled(self, eng):
+        r = eng.execute(
+            "SELECT toString(toDateTime('2024-01-01 00:00:00'), "
+            "'UTC') AS r"
+        )
+        assert r.rows == [["2024-01-01 00:00:00"]]
+
+
+class TestLengthOverload:
+    """CH length() is overloaded over String AND Array; syntactically
+    array-shaped arguments dispatch to size()."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_array_shapes_go_to_size(self, eng):
+        for sql, want in [
+            ("SELECT length([1,2,3]) AS r", 3),
+            ("SELECT length(splitByChar(',', 'a,b')) AS r", 2),
+            ("SELECT length(arrayShuffle([1,2,3])) AS r", 3),
+            ("SELECT length(range(5)) AS r", 5),
+        ]:
+            assert eng.execute(sql).rows == [[want]], sql
+
+    def test_string_shapes_stay_on_length(self, eng):
+        assert eng.execute("SELECT length('héllo') AS r").rows == [[5]]
+        assert eng.execute(
+            "SELECT length(toString(number)) AS r FROM numbers(1)"
+        ).rows == [[1]]
+
+
+class TestRound8Refusals:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_wkt_family_and_formatrow_guided(self, eng):
+        for expr, hint in [
+            ("wkt((1., 2.))", "geometry type system"),
+            ("readWKTPoint('POINT (1 2)')", "geometry type system"),
+            ("formatRowNoNewline('CSV', 1)", "FORMAT renderers"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                eng.execute(f"SELECT {expr} AS r")
+
+
 class TestExplainVariantFlags:
     def test_flags_after_variant_keyword(self, spark):
         from bighouse_spark.engine import BigHouseEngine
