@@ -45,6 +45,10 @@ METHOD_ZSTD = 0x90
 # CH splits the uncompressed stream into blocks of at most
 # max_compress_block_size (1 MiB default) per frame.
 MAX_BLOCK = 1 << 20
+# Receive-side bound on a frame's DECLARED uncompressed size: well
+# above any real client block (1 MiB default, settable to a few MiB)
+# but far below the int32 range a decompression bomb would declare.
+MAX_UNCOMPRESSED_FRAME = 256 << 20
 
 
 def lz4_decompress(src: bytes, uncompressed_size: int) -> bytes:
@@ -67,6 +71,14 @@ def lz4_decompress(src: bytes, uncompressed_size: int) -> bytes:
                 raise ValueError("LZ4 block truncated inside literals")
             out += src[pos:pos + lit_len]
             pos += lit_len
+        if len(out) > uncompressed_size:
+            # Bomb guard: stop the moment output EXCEEDS the declared
+            # size, not at the end — match-copies can amplify a
+            # 100-byte input to gigabytes before the final check.
+            raise ValueError(
+                "LZ4 block expands past its declared "
+                f"uncompressed size {uncompressed_size}"
+            )
         if pos >= n:
             break  # final sequence: literals only, no match
         if pos + 2 > n:
@@ -83,6 +95,11 @@ def lz4_decompress(src: bytes, uncompressed_size: int) -> bytes:
                 match_len += b
                 if b != 255:
                     break
+        if len(out) + match_len > uncompressed_size:
+            raise ValueError(
+                "LZ4 block expands past its declared "
+                f"uncompressed size {uncompressed_size}"
+            )
         start = len(out) - offset
         for i in range(match_len):  # byte-wise: overlap is legal
             out.append(out[start + i])
@@ -338,6 +355,16 @@ def read_frame(read_exact) -> bytes:
     if compressed_size < 9 or compressed_size > (1 << 30):
         raise ValueError(
             f"implausible compressed frame size {compressed_size}"
+        )
+    if not 0 <= uncompressed_size <= MAX_UNCOMPRESSED_FRAME:
+        # The declared size is attacker-controlled and drives the
+        # decoder's output allocation (zstd especially: a ~100-byte
+        # RLE-ish payload can legally expand to the full int32 range)
+        # — bound it BEFORE decoding, like every other wire cap.
+        raise ValueError(
+            f"frame declares {uncompressed_size} uncompressed bytes, "
+            f"above the {MAX_UNCOMPRESSED_FRAME} per-frame cap "
+            "(clients send <= max_compress_block_size, 1 MiB default)"
         )
     payload = read_exact(compressed_size - 9)
     lo, hi = cityhash128(head + payload)

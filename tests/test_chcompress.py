@@ -72,6 +72,47 @@ def test_frame_roundtrip(method):
     assert read_frame(_frame_reader(frame)) == data
 
 
+class TestBombGuards:
+    """Declared sizes are attacker-controlled: the decoder must stop
+    BEFORE materializing a bomb, not after."""
+
+    def test_frame_declared_size_capped(self):
+        # a tiny zstd payload legally expanding to ~1 GiB: the frame
+        # cap must reject on the DECLARED size before decoding
+        import pyarrow as pa
+
+        bomb_plain = 1 << 30
+        payload = bytes(pa.Codec("zstd").compress(b"\x00" * (1 << 20)))
+        # hand-build the frame header with a huge declared size
+        from bighouse_spark.functions.cityhash import cityhash128
+
+        body = (
+            bytes([0x90])
+            + struct.pack("<ii", 9 + len(payload), bomb_plain)
+            + payload
+        )
+        lo, hi = cityhash128(body)
+        frame = struct.pack("<QQ", lo, hi) + body
+        with pytest.raises(ValueError, match="per-frame cap"):
+            read_frame(_frame_reader(frame))
+
+    def test_lz4_match_amplification_stops_early(self):
+        # classic LZ4 bomb: 4 literals then one huge overlapping
+        # match; declared size small → must raise, not build the
+        # oversized buffer first
+        bomb = bytes([0x4F]) + b"ABCD" + struct.pack("<H", 4)
+        bomb += b"\xff" * 200 + b"\x00"  # match_len ≈ 51k
+        with pytest.raises(ValueError, match="expands past"):
+            lz4_decompress(bomb, 100)
+
+    def test_honest_frames_still_roundtrip(self):
+        for method in (METHOD_LZ4, METHOD_ZSTD, METHOD_NONE):
+            data = b"x" * 50000
+            assert read_frame(
+                _frame_reader(compress_frame(data, method))
+            ) == data
+
+
 class TestZstd:
     """ZSTD wire frames (RFC 8878). The pyarrow codec is the runtime
     path; the from-scratch raw-block encoder and Raw/RLE subset
