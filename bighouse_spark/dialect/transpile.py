@@ -6901,24 +6901,96 @@ def _rewrite_get_setting(out: str, raw: dict[str, str]) -> str:
     return _GET_SETTING_RE.sub(sub, out)
 
 
+def _settings_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) of every SETTINGS clause, quote- and paren-aware:
+    a top-level clause runs to end-of-statement, a subquery-level one
+    stops at the ``)`` that closes its subquery — the old ``(.+)$``
+    regex swallowed that paren into the last value AND stripped the
+    rest of the outer query."""
+    spans: list[tuple[int, int]] = []
+    low = sql.lower()
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            continue
+        if (
+            low.startswith("settings", i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (
+                i + 8 >= n
+                or not (low[i + 8].isalnum() or low[i + 8] == "_")
+            )
+        ):
+            j, d, q = i + 8, 0, None
+            while j < n:
+                cj = sql[j]
+                if q:
+                    q = None if cj == q else q
+                elif cj in "'\"":
+                    q = cj
+                elif cj == "(":
+                    d += 1
+                elif cj == ")":
+                    if d == 0:
+                        break  # closes the enclosing subquery
+                    d -= 1
+                j += 1
+            spans.append((i, j))
+            i = j
+            continue
+        i += 1
+    return spans
+
+
 def _strip_settings(sql: str) -> tuple[str, dict[str, str], dict[str, str]]:
-    m = re.search(r"\bSETTINGS\s+(.+)$", sql, re.IGNORECASE | re.DOTALL)
-    if not m:
+    spans = _settings_spans(sql)
+    if not spans:
         return sql, {}, {}
     mapped: dict[str, str] = {}
     dropped: dict[str, str] = {}
-    for pair in m.group(1).split(","):
-        k, _, v = pair.partition("=")
-        k, v = k.strip(), v.strip().strip("'\"")
-        if k in _SETTINGS_MAP:
-            mapped[_SETTINGS_MAP[k]] = v
-        else:
-            dropped[k] = v
-    return sql[: m.start()].rstrip(), mapped, dropped
+    spans2: list[tuple[int, int]] = []
+    for start, end in spans:
+        # CH grammar puts FORMAT after SETTINGS — keep it in the SQL
+        # instead of leaking it into the last setting's value
+        fm = re.search(
+            r"\s+FORMAT\s+\w+\s*$", sql[start + 8:end], re.IGNORECASE
+        )
+        if fm:
+            end = start + 8 + fm.start()
+        spans2.append((start, end))
+    spans = spans2
+    for start, end in spans:
+        for pair in sql[start + 8:end].split(","):
+            k, _, v = pair.partition("=")
+            k, v = k.strip(), v.strip().strip("'\"")
+            if not k:
+                continue
+            if k in _SETTINGS_MAP:
+                mapped[_SETTINGS_MAP[k]] = v
+            else:
+                dropped[k] = v
+    out = sql
+    for start, end in reversed(spans):
+        out = out[:start].rstrip() + " " + out[end:].lstrip() \
+            if end < len(out) else out[:start].rstrip()
+    return out, mapped, dropped
 
 
+# CH forms: LIMIT n BY k | LIMIT off, n BY k | LIMIT n OFFSET off BY k
 _LIMIT_BY_RE = re.compile(
-    r"\bLIMIT\s+(\d+)\s+BY\s+(.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
+    r"\bLIMIT\s+(?:"
+    r"(?P<off1>\d+)\s*,\s*(?P<n1>\d+)"
+    r"|(?P<n2>\d+)(?:\s+OFFSET\s+(?P<off2>\d+))?"
+    r")\s+BY\s+(?P<keys>.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -7014,7 +7086,9 @@ def _rewrite_limit_by(sql: str) -> str:
     m = _LIMIT_BY_RE.search(sql)
     if not m:
         return sql
-    n, keys = m.group(1), m.group(2).strip()
+    n = m.group("n1") or m.group("n2")
+    off = int(m.group("off1") or m.group("off2") or 0)
+    keys = m.group("keys").strip()
     head = sql[: m.start()].rstrip()
     tail = sql[m.end():].strip()  # optional trailing LIMIT m
     om = re.search(r"\bORDER\s+BY\s+(.+)$", head, re.IGNORECASE | re.DOTALL)
@@ -7024,10 +7098,15 @@ def _rewrite_limit_by(sql: str) -> str:
         )
     order = om.group(1).strip()
     inner = head
+    cond = (
+        f"__rn_lb > {off} AND __rn_lb <= {off + int(n)}"
+        if off
+        else f"__rn_lb <= {n}"
+    )
     out = (
         f"SELECT * EXCEPT (__rn_lb) FROM (SELECT *, row_number() OVER "
         f"(PARTITION BY {keys} ORDER BY {order}) AS __rn_lb FROM "
-        f"({inner})) WHERE __rn_lb <= {n}"
+        f"({inner})) WHERE {cond}"
     )
     if tail:
         out += f" ORDER BY {order} {tail}"
@@ -7095,7 +7174,7 @@ def _rewrite_ch_clauses(sql: str) -> str:
       total (NULL group keys), matching CH's TOTALS row placement in
       the row set (position differs; sets compare equal).
     """
-    out = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
+    out = _rewrite_prewhere(sql)
     out = re.sub(r"\bFINAL\b", "", out, flags=re.IGNORECASE)
     # CH GLOBAL IN / GLOBAL JOIN: ship-the-subquery-everywhere hint for
     # distributed tables. Spark's optimizer owns the broadcast decision
@@ -7137,6 +7216,61 @@ def _rewrite_ch_clauses(sql: str) -> str:
 # params). quantile* are the ones the CH docs lead with; Exact maps to
 # Spark's exact percentile, the default to the t-digest approximation
 # (same contract as CH's sampling-based quantile: approximate).
+_PW_CLAUSE_RE = re.compile(
+    r"(WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|UNION|EXCEPT"
+    r"|INTERSECT|FORMAT|WINDOW|QUALIFY)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    """``PREWHERE p [WHERE w]`` → ``WHERE (p) AND (w)`` — PREWHERE is
+    a storage-read hint with WHERE semantics, and CH allows BOTH
+    clauses on one SELECT (they AND together). A blind keyword sub
+    produced two WHERE clauses. The predicate end is found by a
+    quote/paren-aware scan so subqueries inside the predicate keep
+    their own WHEREs."""
+    out = sql
+    while True:
+        m = re.search(r"\bPREWHERE\b", out, re.IGNORECASE)
+        if not m:
+            return out
+        i, n = m.end(), len(out)
+        quote: str | None = None
+        depth = 0
+        end, merge = n, False
+        while i < n:
+            c = out[i]
+            if quote:
+                quote = None if c == quote else quote
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and out[i - 1].isspace():
+                mm = _PW_CLAUSE_RE.match(out, i)
+                if mm:
+                    end = i
+                    merge = mm.group(1).upper() == "WHERE"
+                    break
+            i += 1
+        pred = out[m.end():end].strip()
+        if merge:
+            after = re.sub(
+                r"^WHERE\s+", "", out[end:], flags=re.IGNORECASE
+            )
+            out = out[:m.start()] + f"WHERE ({pred}) AND " + after
+        else:
+            out = (
+                out[:m.start()] + f"WHERE {pred} " + out[end:]
+            ).rstrip()
+
+
 _PARAMETRIC = {
     "quantileExact": "percentile",
     "quantilesExact": "percentile",
@@ -8279,6 +8413,9 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
         out2 = _wrap_calls(out, ch, pre, suf)
         if out2 != out:
             out, low = out2, out2.lower()
+    # countState() unwraps to a bare count() AFTER the early
+    # count() → count(*) pass already ran — repeat it here.
+    out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
     # ORDER BY <expr> COLLATE 'locale': CH's ICU locale sort maps to
     # Spark 4 collations — 'en_US'-style tags normalize to their
     # language ('en'), which Spark's ICU table accepts; unknown tags

@@ -6910,6 +6910,115 @@ class TestLengthOverload:
         ).rows == [[1]]
 
 
+class TestPrewhereWithWhere:
+    """CH allows PREWHERE and WHERE on one SELECT (they AND); the old
+    blind keyword sub emitted two WHERE clauses."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_both_clauses_and_together(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(100)) PREWHERE x > 10 WHERE x < 50"
+        )
+        assert r.rows == [[39]]
+
+    def test_prewhere_alone_unchanged(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(100)) PREWHERE x > 10"
+        )
+        assert r.rows == [[89]]
+
+    def test_subquery_where_inside_predicate_survives(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(20) WHERE number > 1) PREWHERE x IN (SELECT "
+            "number FROM numbers(30) WHERE number < 10) WHERE x < 8"
+        )
+        assert r.rows == [[6]]
+
+
+class TestLimitByOffset:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_offset_comma_form(self, eng):
+        r = eng.execute(
+            "SELECT g, n FROM (SELECT number%3 AS g, number AS n "
+            "FROM numbers(12)) ORDER BY g, n LIMIT 1, 2 BY g"
+        )
+        assert r.rows == [[0, 3], [0, 6], [1, 4], [1, 7], [2, 5], [2, 8]]
+
+    def test_offset_keyword_form(self, eng):
+        r = eng.execute(
+            "SELECT g, n FROM (SELECT number%3 AS g, number AS n "
+            "FROM numbers(12)) ORDER BY g, n LIMIT 2 OFFSET 1 BY g"
+        )
+        assert r.rows == [[0, 3], [0, 6], [1, 4], [1, 7], [2, 5], [2, 8]]
+
+
+class TestSettingsInSubquery:
+    """SETTINGS inside a subquery must strip to the closing paren —
+    the old (.+)$ regex swallowed the paren into the conf value AND
+    deleted the rest of the outer query."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_subquery_settings_stripped(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number FROM numbers(5) "
+            "SETTINGS max_threads=2)"
+        )
+        assert r.rows == [[5]]
+
+    def test_outer_clause_after_subquery_settings_survives(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(10) SETTINGS max_threads=2) WHERE x < 4"
+        )
+        assert r.rows == [[4]]
+
+    def test_settings_word_in_string_literal_untouched(self, eng):
+        r = eng.execute("SELECT 'use SETTINGS x=1 wisely' AS s")
+        assert r.rows == [["use SETTINGS x=1 wisely"]]
+
+    def test_trailing_format_not_eaten_into_value(self, eng):
+        # CH grammar: SETTINGS then FORMAT — the FORMAT clause used to
+        # leak into the last setting's value
+        r = eng.execute(
+            "SELECT 41 + 1 AS x SETTINGS max_threads=2 "
+            "FORMAT JSONEachRow"
+        )
+        assert r.rows == [[42]]
+
+
+class TestCountStateMerge:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_zero_arg_count_state_merges(self, eng):
+        r = eng.execute(
+            "SELECT countMerge(s) AS c FROM (SELECT countState() AS s "
+            "FROM numbers(5))"
+        )
+        assert r.rows == [[5]]
+
+
 class TestRound8Refusals:
     @pytest.fixture
     def eng(self, spark):
