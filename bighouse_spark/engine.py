@@ -1793,6 +1793,27 @@ class BigHouseEngine:
         # (see _ordered / the table-meta order_by record below).
         # SETTINGS (MergeTree storage knobs) are accepted and
         # dropped — they have no Spark-side meaning.
+        # CREATE OR REPLACE TABLE: drop-if-exists, then re-enter as a
+        # plain CREATE (CH's atomic swap collapses to this in a
+        # single-writer engine).
+        m_cor = re.match(
+            r"^(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+[`\"]?(\w+))",
+            request.query, re.IGNORECASE,
+        )
+        if m_cor:
+            nm = m_cor.group(3)
+            if nm in self._attached or self.spark.catalog.tableExists(
+                nm
+            ):
+                self._execute_inner(
+                    replace(
+                        request, query=f"DROP TABLE IF EXISTS {nm}"
+                    )
+                )
+            request = replace(
+                request,
+                query=m_cor.group(1) + request.query[m_cor.start(2):],
+            )
         m_ctas = (
             None if self._CREATE_TABLE_HEAD_RE.match(request.query)
             else self._CTAS_RE.match(request.query)
@@ -1892,6 +1913,18 @@ class BigHouseEngine:
         m_ex = self._EXCHANGE_RE.match(request.query)
         if m_ex:
             a, b = m_ex.groups()
+            if a == b:
+                # degenerate self-exchange: a no-op, NOT the 3-step
+                # rename (which would strand the table under its temp
+                # name when step 2 finds the original gone)
+                elapsed = time.monotonic() - t0
+                self.query_log.append(
+                    QueryLogEntry(request.query, "", elapsed, 0)
+                )
+                return QueryResult(
+                    cols=["status"], rows=[["OK"]],
+                    elapsed_sec=elapsed,
+                )
             # Validate BOTH tables before any rename — the three-step
             # swap below mutates state, so a failure mid-way (e.g. b
             # is an MV, which _rename_table refuses) must be

@@ -734,6 +734,22 @@ class TestDDLSurface:
             eng.execute("EXCHANGE TABLES ddl_a2 AND ddl_b")
             assert eng.execute("SELECT count() AS c FROM ddl_a2").rows == [[2]]
             assert eng.execute("SELECT count() AS c FROM ddl_b").rows == [[2]]
+            # degenerate self-exchange: no-op, must NOT strand the
+            # table under the 3-step swap's temp name
+            eng.execute("EXCHANGE TABLES ddl_b AND ddl_b")
+            assert eng.execute("SELECT count() AS c FROM ddl_b").rows == [[2]]
+            # CREATE OR REPLACE drops and recreates (plain + CTAS)
+            eng.execute(
+                "CREATE OR REPLACE TABLE ddl_b (s String) "
+                "ENGINE = Memory"
+            )
+            eng.execute("INSERT INTO ddl_b VALUES ('z')")
+            assert eng.execute("SELECT * FROM ddl_b").rows == [["z"]]
+            eng.execute(
+                "CREATE OR REPLACE TABLE ddl_b ENGINE = Memory "
+                "AS SELECT 5 AS a"
+            )
+            assert eng.execute("SELECT * FROM ddl_b").rows == [[5]]
             import pytest
 
             with pytest.raises(ValueError, match="exists"):
