@@ -91,7 +91,11 @@ def main(argv: list[str] | None = None) -> int:
                                    cpus=args.cpus))
     for script in scripts:
         for stmt in _split_statements(script):
-            sql, fmt_in_sql = split_result_format(stmt)
+            try:
+                sql, fmt_in_sql = split_result_format(stmt)
+            except ValueError as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
             fmt = fmt_in_sql or default_fmt
             try:
                 r = eng.execute(QueryRequest(query=sql, params=params))

@@ -108,9 +108,17 @@ def split_result_format(sql: str) -> tuple[str, str | None]:
     if _INSERT_RE.match(sql):
         return sql, None
     m = _FORMAT_TAIL_RE.search(sql)
-    if not m or m.group(1).lower() not in _CANONICAL:
+    if not m:
         return sql, None
-    return sql[: m.start()].rstrip(), _CANONICAL[m.group(1).lower()]
+    name = m.group(1)
+    if name.lower() not in _CANONICAL:
+        # CH errors on unknown format names; silently stripping the
+        # clause would hand the client TabSeparated it didn't ask for
+        raise ValueError(
+            f"Unknown format {name!r} (code 73); supported: "
+            + ", ".join(sorted(_RENDERERS))
+        )
+    return sql[: m.start()].rstrip(), _CANONICAL[name.lower()]
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +342,187 @@ def _render_pretty(cols, rows, types, elapsed) -> bytes:
             "|" + "|".join(f" {v:<{w}} " for v, w in zip(r, widths)) + "|"
         )
     out.append(sep)
+    return ("\n".join(out) + "\n").encode()
+
+
+def _render_vertical(cols, rows, types, elapsed) -> bytes:
+    out: list[str] = []
+    for i, row in enumerate(rows, 1):
+        head = f"Row {i}:"
+        out.append(head)
+        out.append("─" * len(head))
+        for c, v in zip(cols, row):
+            out.append(
+                f"{c}: {_text(v) if v is not None else 'ᴺᵁᴸᴸ'}"
+            )
+        out.append("")
+    return ("\n".join(out)).encode()
+
+
+_NUMERIC_CH_PREFIXES = (
+    "Int", "UInt", "Float", "Decimal", "Nullable(Int",
+    "Nullable(UInt", "Nullable(Float", "Nullable(Decimal",
+)
+
+
+def _render_markdown(cols, rows, types, elapsed) -> bytes:
+    types = types or ["String"] * len(cols)
+
+    def cell(v):
+        s = _text(v) if v is not None else "ᴺᵁᴸᴸ"
+        return s.replace("|", "\\|")
+
+    out = ["| " + " | ".join(cols) + " |"]
+    out.append(
+        "|"
+        + "|".join(
+            "---:" if t.startswith(_NUMERIC_CH_PREFIXES) else ":---"
+            for t in types
+        )
+        + "|"
+    )
+    for row in rows:
+        out.append("| " + " | ".join(cell(v) for v in row) + " |")
+    return ("\n".join(out) + "\n").encode()
+
+
+def _render_tskv(cols, rows, types, elapsed) -> bytes:
+    out = [
+        "\t".join(f"{c}={_tsv_cell(v)}" for c, v in zip(cols, row))
+        for row in rows
+    ]
+    return ("\n".join(out) + ("\n" if out else "")).encode()
+
+
+def _render_json_strings(cols, rows, types, elapsed) -> bytes:
+    types = types or ["String"] * len(cols)
+    doc = {
+        "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
+        "data": [
+            {
+                c: (None if v is None else _text(v))
+                for c, v in zip(cols, row)
+            }
+            for row in rows
+        ],
+        "rows": len(rows),
+        "statistics": {
+            "elapsed": elapsed, "rows_read": len(rows), "bytes_read": 0
+        },
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode()
+
+
+def _render_json_strings_each_row(cols, rows, types, elapsed) -> bytes:
+    out = [
+        json.dumps(
+            {
+                c: (None if v is None else _text(v))
+                for c, v in zip(cols, row)
+            },
+            ensure_ascii=False,
+        )
+        for row in rows
+    ]
+    return ("\n".join(out) + ("\n" if out else "")).encode()
+
+
+def _render_json_columns(cols, rows, types, elapsed) -> bytes:
+    doc = {
+        c: [_json_value(row[i]) for row in rows]
+        for i, c in enumerate(cols)
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode()
+
+
+def _render_json_compact_columns(cols, rows, types, elapsed) -> bytes:
+    doc = [
+        [_json_value(row[i]) for row in rows] for i in range(len(cols))
+    ]
+    return (json.dumps(doc, ensure_ascii=False) + "\n").encode()
+
+
+def _render_json_object_each_row(cols, rows, types, elapsed) -> bytes:
+    doc = {
+        f"row_{i}": {c: _json_value(v) for c, v in zip(cols, row)}
+        for i, row in enumerate(rows, 1)
+    }
+    return (json.dumps(doc, ensure_ascii=False, indent=1) + "\n").encode()
+
+
+_XML_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _render_xml(cols, rows, types, elapsed) -> bytes:
+    types = types or ["String"] * len(cols)
+    out = ["<?xml version='1.0' encoding='UTF-8' ?>", "<result>",
+           "\t<meta>", "\t\t<columns>"]
+    for c, t in zip(cols, types):
+        out.append("\t\t\t<column>")
+        out.append(f"\t\t\t\t<name>{_xml_escape(c)}</name>")
+        out.append(f"\t\t\t\t<type>{_xml_escape(t)}</type>")
+        out.append("\t\t\t</column>")
+    out += ["\t\t</columns>", "\t</meta>", "\t<data>"]
+    for row in rows:
+        out.append("\t\t<row>")
+        for c, v in zip(cols, row):
+            tag = c if _XML_NAME_RE.match(c) else "field"
+            if v is None:
+                out.append(f"\t\t\t<{tag} xsi:nil=\"true\" />")
+            else:
+                out.append(
+                    f"\t\t\t<{tag}>{_xml_escape(_text(v))}</{tag}>"
+                )
+        out.append("\t\t</row>")
+    out += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>"]
+    return ("\n".join(out) + "\n").encode()
+
+
+def _render_line_as_string(cols, rows, types, elapsed) -> bytes:
+    if len(cols) != 1:
+        raise ValueError(
+            "LineAsString needs exactly one column in the result, got "
+            f"{len(cols)}"
+        )
+    out = [
+        "" if row[0] is None else _text(row[0]) for row in rows
+    ]
+    return ("\n".join(out) + ("\n" if out else "")).encode()
+
+
+def _render_raw_blob(cols, rows, types, elapsed) -> bytes:
+    if len(cols) != 1:
+        raise ValueError(
+            "RawBLOB needs exactly one column in the result, got "
+            f"{len(cols)}"
+        )
+    parts = []
+    for row in rows:
+        v = row[0]
+        if v is None:
+            continue
+        parts.append(v if isinstance(v, bytes) else _text(v).encode())
+    return b"".join(parts)
+
+
+def _render_pretty_space(cols, rows, types, elapsed) -> bytes:
+    cells = [[_text(v) if v is not None else "ᴺᵁᴸᴸ" for v in row]
+             for row in rows]
+    widths = [
+        max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    out = [" " + "   ".join(f"{c:<{w}}" for c, w in zip(cols, widths))]
+    for r in cells:
+        out.append(
+            " " + "   ".join(f"{v:<{w}}" for v, w in zip(r, widths))
+        )
     return ("\n".join(out) + "\n").encode()
 
 
@@ -1177,6 +1366,33 @@ _RENDERERS = {
     "RowBinaryWithNamesAndTypes": (
         _render_rowbinary(True, True), "application/octet-stream"
     ),
+    "Vertical": (_render_vertical, "text/plain; charset=UTF-8"),
+    "Markdown": (_render_markdown, "text/markdown; charset=UTF-8"),
+    "TSKV": (_render_tskv, "text/plain; charset=UTF-8"),
+    "JSONStrings": (
+        _render_json_strings, "application/json; charset=UTF-8"
+    ),
+    "JSONStringsEachRow": (
+        _render_json_strings_each_row,
+        "application/x-ndjson; charset=UTF-8",
+    ),
+    "JSONColumns": (
+        _render_json_columns, "application/json; charset=UTF-8"
+    ),
+    "JSONCompactColumns": (
+        _render_json_compact_columns,
+        "application/json; charset=UTF-8",
+    ),
+    "JSONObjectEachRow": (
+        _render_json_object_each_row,
+        "application/json; charset=UTF-8",
+    ),
+    "XML": (_render_xml, "application/xml; charset=UTF-8"),
+    "LineAsString": (
+        _render_line_as_string, "text/plain; charset=UTF-8"
+    ),
+    "RawBLOB": (_render_raw_blob, "application/octet-stream"),
+    "PrettySpace": (_render_pretty_space, "text/plain; charset=UTF-8"),
 }
 
 # Accepted spellings (lowercased) → canonical renderer name. TSV* are
@@ -1211,6 +1427,30 @@ _CANONICAL = {
     "rowbinary": "RowBinary",
     "rowbinarywithnames": "RowBinaryWithNames",
     "rowbinarywithnamesandtypes": "RowBinaryWithNamesAndTypes",
+    "vertical": "Vertical",
+    "markdown": "Markdown",
+    "tskv": "TSKV",
+    "jsonstrings": "JSONStrings",
+    "jsonstringseachrow": "JSONStringsEachRow",
+    "jsoncolumns": "JSONColumns",
+    "jsoncompactcolumns": "JSONCompactColumns",
+    "jsonobjecteachrow": "JSONObjectEachRow",
+    "xml": "XML",
+    "lineasstring": "LineAsString",
+    "rawblob": "RawBLOB",
+    "prettyspace": "PrettySpace",
+    "prettyspacenoescapes": "PrettySpace",
+    # Pretty variants: one box renderer covers the family (the
+    # variants tweak ANSI escapes / block batching, not content)
+    "prettynoescapes": "Pretty",
+    "prettycompactnoescapes": "Pretty",
+    "prettycompactmonoblock": "Pretty",
+    "prettymonoblock": "Pretty",
+    # CustomSeparated's DEFAULT separators (escape rule Escaped,
+    # field \t, row \n) are exactly TabSeparated; custom separator
+    # SETTINGS are not honored (guided: use TSV/CSV variants)
+    "customseparated": "TabSeparated",
+    "customseparatedwithnames": "TabSeparatedWithNames",
 }
 
 DEFAULT_FORMAT = "TabSeparated"  # CH's HTTP default

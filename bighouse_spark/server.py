@@ -549,7 +549,16 @@ class _Handler(BaseHTTPRequestHandler):
             # CH answers bare GET / with "Ok." (the canonical ping).
             self._send_text(200, b"Ok.\n", "text/plain; charset=UTF-8")
             return
-        sql, fmt_in_sql = split_result_format(sql)
+        try:
+            sql, fmt_in_sql = split_result_format(sql)
+        except ValueError as e:
+            # unknown FORMAT name: CH answers code 73
+            self._send_text(
+                400,
+                f"Code: 73. DB::Exception: {e}\n".encode(),
+                "text/plain; charset=UTF-8",
+            )
+            return
         df_param = (params.get("default_format") or [None])[0]
         if df_param is not None and normalize_format(df_param) is None:
             self._send_text(
@@ -721,10 +730,21 @@ class _Handler(BaseHTTPRequestHandler):
                 # Sliding TTL: every request in the session renews it.
                 sess.expires_at = time.monotonic() + timeout
                 sess.lock.release()
-        rendered, content_type = render_result(
-            result.cols, result.rows, fmt,
-            types=result.types, elapsed=result.elapsed_sec,
-        )
+        try:
+            rendered, content_type = render_result(
+                result.cols, result.rows, fmt,
+                types=result.types, elapsed=result.elapsed_sec,
+            )
+        except ValueError as e:
+            # renderer-level shape errors (e.g. LineAsString/RawBLOB
+            # need exactly one column) answer 400, not a dropped
+            # connection
+            self._send_text(
+                400,
+                f"Code: 73. DB::Exception: {e}\n".encode(),
+                "text/plain; charset=UTF-8",
+            )
+            return
         extra = {
             "X-ClickHouse-Format": fmt,
             "X-ClickHouse-Summary": json.dumps(

@@ -441,3 +441,107 @@ def test_format_null_and_tsv_raw(server_url):
         _q(server_url, "SELECT 'a\\tb' AS x FORMAT TabSeparatedRaw")
     )
     assert status == 200 and body == b"a\tb\n"
+
+
+class TestRound8Formats:
+    """Text formats that used to FALL BACK to TabSeparated silently:
+    each now has a real renderer, and unknown names answer 400/73."""
+
+    def _body(self, server_url, sql):
+        status, body, _ = _get_raw(_q(server_url, sql))
+        assert status == 200
+        return body
+
+    def test_vertical(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x, 'a' AS s FORMAT Vertical")
+        assert b.decode().startswith("Row 1:\n──────\nx: 1\ns: a")
+
+    def test_markdown(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x, 'a' AS s FORMAT Markdown")
+        assert b == b"| x | s |\n|---:|:---|\n| 1 | a |\n"
+
+    def test_tskv(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x, 'a' AS s FORMAT TSKV")
+        assert b == b"x=1\ts=a\n"
+
+    def test_json_strings(self, server_url):
+        b = self._body(server_url, "SELECT 1 AS x FORMAT JSONStrings")
+        doc = json.loads(b)
+        assert doc["data"] == [{"x": "1"}]
+
+    def test_json_columns_shapes(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x, 'a' AS s FORMAT JSONColumns")
+        assert json.loads(b) == {"x": [1], "s": ["a"]}
+        b2 = self._body(
+            server_url,
+            "SELECT 1 AS x, 'a' AS s FORMAT JSONCompactColumns",
+        )
+        assert json.loads(b2) == [[1], ["a"]]
+
+    def test_json_object_each_row(self, server_url):
+        b = self._body(
+            server_url,
+            "SELECT number AS n FROM numbers(2) ORDER BY n "
+            "FORMAT JSONObjectEachRow",
+        )
+        assert json.loads(b) == {"row_1": {"n": 0}, "row_2": {"n": 1}}
+
+    def test_xml(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x, 'a&b' AS s FORMAT XML")
+        t = b.decode()
+        assert t.startswith("<?xml version")
+        assert "<x>1</x>" in t and "<s>a&amp;b</s>" in t
+        assert "<rows>1</rows>" in t
+
+    def test_line_as_string_and_rawblob(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 'hi' AS s FORMAT LineAsString")
+        assert b == b"hi\n"
+        b2 = self._body(server_url, "SELECT 'ab' AS s FORMAT RawBLOB")
+        assert b2 == b"ab"
+
+    def test_line_as_string_multi_column_is_400(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get_raw(_q(server_url,
+                        "SELECT 1 AS x, 2 AS y FORMAT LineAsString"))
+        assert ei.value.code == 400
+        assert b"exactly one column" in ei.value.read()
+
+    def test_pretty_space_and_aliases(self, server_url):
+        b = self._body(server_url,
+                       "SELECT 1 AS x FORMAT PrettySpace")
+        assert b == b" x\n 1\n"
+        # Pretty variants render through the box renderer
+        b2 = self._body(
+            server_url, "SELECT 1 AS x FORMAT PrettyCompactMonoBlock"
+        )
+        assert b2.startswith(b"+---+")
+        # CustomSeparated's defaults ARE TabSeparated
+        b3 = self._body(server_url,
+                        "SELECT 1 AS x FORMAT CustomSeparated")
+        assert b3 == b"1\n"
+
+    def test_unknown_format_is_400_code_73(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get_raw(_q(server_url, "SELECT 1 FORMAT Bogus123"))
+        assert ei.value.code == 400
+        body = ei.value.read()
+        assert b"Code: 73" in body and b"Bogus123" in body
+
+    def test_null_values_render(self, server_url):
+        b = self._body(
+            server_url,
+            "SELECT CAST(NULL AS Nullable(Int64)) AS x FORMAT TSKV",
+        )
+        assert b == b"x=\\N\n"
+        b2 = self._body(
+            server_url,
+            "SELECT CAST(NULL AS Nullable(Int64)) AS x "
+            "FORMAT Vertical",
+        )
+        assert "ᴺᵁᴸᴸ" in b2.decode()
