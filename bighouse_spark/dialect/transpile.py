@@ -4963,6 +4963,32 @@ _ARG_REWRITES.update({
         )
         + f" ELSE {a[-1]} END)"
     ),
+    # toDateTime(x, tz): the wall-clock string is interpreted IN that
+    # zone; the stored instant renders as its UTC equivalent under the
+    # engine's fixed UTC session (what a UTC-session CH client sees).
+    # Spark's to_timestamp(x, fmt) second arg is a FORMAT PATTERN —
+    # the plain rename used to pass the tz there and crash.
+    "toDateTime": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) == 1
+        else f"to_utc_timestamp(to_timestamp({a[0]}), {a[1]})"
+    ),
+    # toDate(x, tz): calendar date of the instant in that zone.
+    "toDate": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) == 1
+        else (
+            f"to_date(from_utc_timestamp(to_timestamp({a[0]}), "
+            f"{a[1]}))"
+        )
+    ),
+    # toDate32: same DATE surface (Spark DATE already spans 1900-2299
+    # and beyond; CH's Date32 exists to widen Date's 1970-2149 range).
+    "toDate32": lambda a: f"CAST({a[0]} AS DATE)",
+    "toDate32OrNull": lambda a: f"TRY_CAST({a[0]} AS DATE)",
+    "toDate32OrZero": lambda a: (
+        f"coalesce(TRY_CAST({a[0]} AS DATE), DATE'1900-01-01')"
+    ),
     # toString(datetime, tz): render in the given zone.
     "toString": lambda a: (
         (_ for _ in ()).throw(_SkipRewrite())
@@ -8106,6 +8132,17 @@ def _rewrite_cast_types(sql: str) -> str:
             if as_span is None:
                 continue
             expr, ty = body[: as_span[0]], body[as_span[1] :].strip()
+            tyl = ty.lower()
+            if tyl.startswith(("variant(", "dynamic", "nothing")):
+                # known CH types with no Spark analog: refuse with
+                # guidance instead of letting Spark's parser throw an
+                # opaque ParseException
+                raise ValueError(
+                    f"CAST AS {ty}: Variant/Dynamic/Nothing have no "
+                    "Spark column type; model the union explicitly "
+                    "(separate typed columns, or a String column with "
+                    "a type tag)"
+                )
             try:
                 spark_ty = ch_type_to_spark(ty).simpleString()
             except Exception:
@@ -9367,6 +9404,11 @@ def parse_inline_payload(spark, fmt_name: str, data: str, struct=None):
                 T.StructField(n, T._parse_datatype_string(_infer(i)))
                 for i, n in enumerate(names)
             ])
+        if not recs:
+            # empty payload: skip the string-cast pipeline entirely —
+            # CAST('' AS array<struct<...>>) fails ANALYSIS even with
+            # zero rows (Nested/Array schemas over an empty format())
+            return spark.createDataFrame([], struct)
         str_struct = T.StructType([
             T.StructField(f.name, T.StringType(), True)
             for f in struct.fields

@@ -7019,12 +7019,66 @@ class TestCountStateMerge:
         assert r.rows == [[5]]
 
 
+class TestDateTimeTzArg:
+    """toDateTime/toDate second-argument TIMEZONE forms — the plain
+    rename used to pass the tz into Spark's format-pattern slot and
+    crash with a week-based-pattern error."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_todatetime_tz_parses_wall_clock_in_zone(self, eng):
+        r = eng.execute(
+            "SELECT toDateTime('2024-01-01 00:00:00', "
+            "'America/New_York') AS r"
+        )
+        assert str(r.rows[0][0]) == "2024-01-01 05:00:00"
+
+    def test_todate_tz_takes_date_in_zone(self, eng):
+        r = eng.execute(
+            "SELECT toDate(toDateTime('2024-01-01 03:00:00'), "
+            "'America/New_York') AS r"
+        )
+        assert str(r.rows[0][0]) == "2023-12-31"
+
+    def test_one_arg_forms_unchanged(self, eng):
+        r = eng.execute("SELECT toDateTime('2024-01-01 00:00:00') AS r")
+        assert str(r.rows[0][0]) == "2024-01-01 00:00:00"
+
+    def test_todate32_family(self, eng):
+        assert str(eng.execute(
+            "SELECT toDate32('2024-01-01') AS r"
+        ).rows[0][0]) == "2024-01-01"
+        assert eng.execute(
+            "SELECT toDate32OrNull('bogus') AS r"
+        ).rows == [[None]]
+        assert str(eng.execute(
+            "SELECT toDate32OrZero('bogus') AS r"
+        ).rows[0][0]) == "1900-01-01"
+
+
 class TestRound8Refusals:
     @pytest.fixture
     def eng(self, spark):
         from bighouse_spark.engine import BigHouseEngine
 
         return BigHouseEngine(spark)
+
+    def test_variant_dynamic_guided(self, eng):
+        for expr in ("CAST(1 AS Variant(Int64, String))",
+                     "CAST(1 AS Dynamic)"):
+            with pytest.raises(ValueError, match="no Spark column"):
+                eng.execute(f"SELECT {expr} AS r")
+
+    def test_empty_payload_complex_schema_zero_rows(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c FROM "
+            "format(CSV, 'n Nested(a Int32, b String)', '')"
+        )
+        assert r.rows == [[0]]
 
     def test_wkt_family_and_formatrow_guided(self, eng):
         for expr, hint in [
