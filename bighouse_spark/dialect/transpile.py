@@ -3206,6 +3206,31 @@ class _SkipRewrite(Exception):
     (the spelling is context-dependent and this shape is native)."""
 
 
+def _array_flatten_builder(a: list) -> str:
+    """CH arrayFlatten flattens to ANY depth; Spark's flatten peels
+    one level. When the argument is a (rewritten) nested array
+    literal the depth is visible syntactically — apply flatten
+    depth-1 times. Columns get the single-level flatten (their type
+    depth is unknown at transpile; nest the call for deeper)."""
+    if len(a) != 1:
+        raise _SkipRewrite()
+    arg = a[0].strip()
+    depth = 0
+    pos = 0
+    while True:
+        m = re.match(r"array\s*\(\s*", arg[pos:], re.IGNORECASE)
+        if not m:
+            break
+        depth += 1
+        pos += m.end()
+    if depth <= 2:
+        raise _SkipRewrite()  # plain rename handles 1 level
+    out = a[0]
+    for _ in range(depth - 1):
+        out = f"flatten({out})"
+    return out
+
+
 def _trunc_toward_zero(a: list) -> str:
     if len(a) == 2:
         if re.fullmatch(r"'[^']*'|\"[^\"]*\"", a[1].strip()):
@@ -4962,6 +4987,21 @@ _ARG_REWRITES.update({
             for i in range(1, len(a) - 1, 2)
         )
         + f" ELSE {a[-1]} END)"
+    ),
+    # CH arrayFlatten flattens to ANY depth; Spark's flatten peels
+    # one level. For a bracket-literal argument the nesting depth is
+    # visible syntactically — apply flatten depth-1 times. Non-literal
+    # args (columns) get the single-level flatten (their type depth is
+    # unknown at transpile; nest the call explicitly for deeper).
+    "arrayFlatten": lambda a: _array_flatten_builder(a),
+    # arrayIntersect is VARIADIC in CH; Spark's array_intersect is
+    # binary — left-fold the extra arguments.
+    "arrayIntersect": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) <= 2
+        else functools.reduce(
+            lambda acc, x: f"array_intersect({acc}, {x})", a[1:], a[0]
+        )
     ),
     # toDateTime(x, tz): the wall-clock string is interpreted IN that
     # zone; the stored instant renders as its UTC equivalent under the

@@ -7080,6 +7080,25 @@ class TestRound8Refusals:
         )
         assert r.rows == [[0]]
 
+    def test_array_flatten_deep_literals(self, eng):
+        # CH arrayFlatten is recursive; nested literals flatten fully
+        assert eng.execute(
+            "SELECT arrayFlatten([[[1,2]],[[3]]]) AS r"
+        ).rows == [[[1, 2, 3]]]
+        assert eng.execute(
+            "SELECT arrayFlatten([[[[9]]]]) AS r"
+        ).rows == [[[9]]]
+        assert eng.execute(
+            "SELECT arrayFlatten([[1,2],[3]]) AS r"
+        ).rows == [[[1, 2, 3]]]
+
+    def test_array_intersect_variadic(self, eng):
+        # CH arrayIntersect is variadic; Spark's is binary — folded
+        r = eng.execute(
+            "SELECT arrayIntersect([1,2,3],[2,3,4],[3,4,5]) AS r"
+        )
+        assert r.rows == [[[3]]]
+
     def test_wkt_family_and_formatrow_guided(self, eng):
         for expr, hint in [
             ("wkt((1., 2.))", "geometry type system"),
