@@ -3206,6 +3206,197 @@ class _SkipRewrite(Exception):
     (the spelling is context-dependent and this shape is native)."""
 
 
+def _retention_builder(a: list) -> str:
+    """retention(cond1, ..., condN) → Array(UInt8): element 1 is
+    whether cond1 held on ANY row of the group; element k is
+    cond1-anywhere AND condk-anywhere (CH AggregateFunctionRetention
+    ORs each condition across rows, then ANDs with the first)."""
+    if not a:
+        raise ValueError("retention() needs at least one condition")
+    flags = [
+        f"max(IF(coalesce(CAST({c} AS BOOLEAN), false), 1, 0))"
+        for c in a
+    ]
+    elems = [f"CAST({flags[0]} AS TINYINT)"]
+    elems += [
+        f"CAST(least({flags[0]}, {f}) AS TINYINT)" for f in flags[1:]
+    ]
+    return f"array({', '.join(elems)})"
+
+
+def _window_funnel_builder(p: list[str], a: list[str]) -> str:
+    """windowFunnel(window[, mode])(ts, cond1, ..., condN) → the
+    deepest funnel level reached by an ordered chain whose k-th event
+    satisfies cond_k and whose span t_k − t_1 stays within ``window``.
+
+    One sorted collect per group, then a single aggregate() fold: the
+    state carries, per level k, the LATEST chain-anchor timestamp t_1
+    that has completed levels 1..k — the latest anchor dominates
+    (every remaining within-window check t − t_1 ≤ window is easiest
+    for the most recent t_1, so a chain that restarts on a later
+    cond_1 event is never lost). An event advances level k when
+    cond_k holds, level k−1 is reached, and the event is within
+    window of that chain's anchor (pre-event state for every level,
+    so one event advances each level at most once). Modes
+    (strict_order/strict_dedup/strict_increase) are refused with
+    guidance — default-mode semantics only."""
+    if not p:
+        raise ValueError(
+            "windowFunnel needs a window parameter: "
+            "windowFunnel(window)(ts, cond1, ...)"
+        )
+    if len(p) > 1:
+        raise ValueError(
+            "windowFunnel modes (strict_order/strict_dedup/"
+            "strict_increase) are not implemented; default-mode "
+            "windowFunnel(window)(...) is supported"
+        )
+    if len(a) < 2:
+        raise ValueError(
+            "windowFunnel(window)(timestamp, cond1[, ...]) needs a "
+            "timestamp and at least one condition"
+        )
+    window = p[0]
+    ts, conds = a[0], a[1:]
+    n = len(conds)
+    ninf = "CAST('-Infinity' AS DOUBLE)"
+    fields = [f"'t', CAST({ts} AS DOUBLE)"]
+    for k, c in enumerate(conds, 1):
+        fields.append(
+            f"'c{k}', coalesce(CAST({c} AS BOOLEAN), false)"
+        )
+    arr = (
+        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+        f"named_struct({', '.join(fields)}) END))"
+    )
+    init = "named_struct(" + ", ".join(
+        f"'a{k}', {ninf}" for k in range(1, n + 1)
+    ) + ")"
+    upd = [
+        "'a1', IF(__e.c1, greatest(__acc.a1, __e.t), __acc.a1)"
+    ]
+    for k in range(2, n + 1):
+        upd.append(
+            f"'a{k}', IF(__e.c{k} AND __acc.a{k - 1} > {ninf} AND "
+            f"__e.t - __acc.a{k - 1} <= ({window}), "
+            f"greatest(__acc.a{k}, __acc.a{k - 1}), __acc.a{k})"
+        )
+    level = "CASE " + " ".join(
+        f"WHEN __acc.a{k} > {ninf} THEN {k}"
+        for k in range(n, 0, -1)
+    ) + " ELSE 0 END"
+    return (
+        f"aggregate({arr}, {init}, "
+        f"(__acc, __e) -> named_struct({', '.join(upd)}), "
+        f"__acc -> CAST({level} AS INT))"
+    )
+
+
+_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)|\.\*|\(\?t\s*[<>=]")
+
+
+def _parse_seq_pattern(pattern: str, n_conds: int) -> list[int]:
+    """Parse the sequenceMatch/Count pattern SUBSET this engine
+    serves: condition refs ``(?k)`` separated by ``.*``. Adjacent
+    refs (no ``.*``) and time constraints ``(?t...)`` are refused
+    with guidance — they need the stored-event-stream semantics."""
+    pat = pattern.strip().strip("'\"")
+    refs: list[int] = []
+    pos = 0
+    prev_was_ref = False
+    while pos < len(pat):
+        m = _SEQ_PATTERN_RE.match(pat, pos)
+        if not m:
+            raise ValueError(
+                f"sequenceMatch/sequenceCount pattern {pat!r}: "
+                "unsupported token at position "
+                f"{pos} — supported subset is (?N) refs separated "
+                "by .*"
+            )
+        tok = m.group(0)
+        if tok.startswith("(?t"):
+            raise ValueError(
+                "sequenceMatch/sequenceCount time constraints "
+                "(?t op N) are not implemented; the (?N).*(?M) "
+                "subset is supported"
+            )
+        if tok == ".*":
+            prev_was_ref = False
+        else:
+            if prev_was_ref:
+                raise ValueError(
+                    "sequenceMatch/sequenceCount ADJACENT refs "
+                    f"((?N)(?M) with no .*) in {pat!r} require "
+                    "stored-event adjacency semantics; separate the "
+                    "refs with .* for the subsequence form"
+                )
+            k = int(m.group(1))
+            if not 1 <= k <= n_conds:
+                raise ValueError(
+                    f"pattern refers to (?{k}) but only {n_conds} "
+                    "condition(s) were passed"
+                )
+            refs.append(k)
+            prev_was_ref = True
+        pos = m.end()
+    if not refs:
+        raise ValueError("pattern contains no (?N) condition refs")
+    return refs
+
+
+def _sequence_fold(a: list[str], refs: list[int], count: bool) -> str:
+    """Shared fold for sequenceMatch (existence) / sequenceCount
+    (greedy non-overlapping): sorted collect, then a level counter
+    that advances on each next needed condition; completing the chain
+    increments the count and resets (sequenceCount), or latches
+    (sequenceMatch)."""
+    ts, conds = a[0], a[1:]
+    fields = [f"'t', CAST({ts} AS DOUBLE)"]
+    for k, c in enumerate(conds, 1):
+        fields.append(
+            f"'c{k}', coalesce(CAST({c} AS BOOLEAN), false)"
+        )
+    arr = (
+        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+        f"named_struct({', '.join(fields)}) END))"
+    )
+    m = len(refs)
+    # need[l] = condition index required to advance from level l
+    adv = " ".join(
+        f"WHEN __acc.lvl = {lv} AND __e.c{refs[lv]} "
+        f"THEN {lv + 1}"
+        for lv in range(m)
+    )
+    step = f"CASE {adv} ELSE __acc.lvl END"
+    if count:
+        body = (
+            f"named_struct('lvl', IF(({step}) = {m}, 0, {step}), "
+            f"'n', __acc.n + IF(({step}) = {m}, 1, 0))"
+        )
+        init = "named_struct('lvl', 0, 'n', CAST(0 AS BIGINT))"
+        final = "__acc -> __acc.n"
+    else:
+        body = (
+            f"named_struct('lvl', IF(__acc.lvl = {m}, {m}, {step}))"
+        )
+        init = "named_struct('lvl', 0)"
+        final = f"__acc -> CAST(__acc.lvl = {m} AS BOOLEAN)"
+    return f"aggregate({arr}, {init}, (__acc, __e) -> {body}, {final})"
+
+
+def _sequence_match_builder(p: list[str], a: list[str],
+                            count: bool) -> str:
+    name = "sequenceCount" if count else "sequenceMatch"
+    if len(p) != 1:
+        raise ValueError(f"{name}('pattern')(ts, cond1, ...)")
+    if len(a) < 2:
+        raise ValueError(
+            f"{name} needs a timestamp and at least one condition"
+        )
+    refs = _parse_seq_pattern(p[0], len(a) - 1)
+    return _sequence_fold(a, refs, count)
+
+
 def _array_flatten_builder(a: list) -> str:
     """CH arrayFlatten flattens to ANY depth; Spark's flatten peels
     one level. When the argument is a (rewritten) nested array
@@ -4994,6 +5185,8 @@ _ARG_REWRITES.update({
     # args (columns) get the single-level flatten (their type depth is
     # unknown at transpile; nest the call explicitly for deeper).
     "arrayFlatten": lambda a: _array_flatten_builder(a),
+    # retention(cond1..condN) → Array(UInt8) of cross-row flags.
+    "retention": lambda a: _retention_builder(a),
     # arrayIntersect is VARIADIC in CH; Spark's array_intersect is
     # binary — left-fold the extra arguments.
     "arrayIntersect": lambda a: (
@@ -7601,6 +7794,13 @@ def _rewrite_parametric(sql: str) -> str:
         # sequenceNextNode(direction, base)(ts, event, base_cond,
         # e1[, ...]): next-event lookup after a matched chain.
         ("sequenceNextNode", _sequence_next_node_builder),
+        # Behavioral SQL spellings (the operator library in
+        # queries/behavioral.py serves the registry twins):
+        ("windowFunnel", _window_funnel_builder),
+        ("sequenceMatch",
+         lambda p, a: _sequence_match_builder(p, a, count=False)),
+        ("sequenceCount",
+         lambda p, a: _sequence_match_builder(p, a, count=True)),
         # estimateCompressionRatio('lz4'[, block])(x): the wire LZ4
         # codec as a grouped-agg UDF; other codecs refuse (no zstd
         # in this build; 'none' is the constant 1 by definition).

@@ -1199,3 +1199,103 @@ def dialect_seqnextnode_roundtrip(spark, sf_dir):
         FROM __dq_events_snn GROUP BY user_id % 20
         """,
     )
+
+
+# windowFunnel SQL spelling: max funnel depth per user for
+# view→click→purchase within one hour of the chain's FIRST event.
+# Oracle: exact EXISTS-join recomputation — a level-k user has
+# DISTINCT events e1..ek with the right types, non-decreasing ts,
+# all within [t1, t1 + 1h] (precisely the default-mode chain the
+# fold finds; fixture has no per-user ts ties, checked, so sorted
+# order is unambiguous).
+@query(
+    "dialect_windowfunnel_roundtrip",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+),
+l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v JOIN ev c ON c.user_id = v.user_id
+   AND c.event_type = 'click' AND c.event_id <> v.event_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v
+  JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.event_id <> v.event_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+  JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.event_id <> v.event_id AND p.event_id <> c.event_id
+   AND p.ts >= c.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+)
+SELECT lvl, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+              ELSE 0 END AS lvl
+  FROM (SELECT DISTINCT user_id FROM ev) u
+) GROUP BY lvl
+""",
+)
+def dialect_windowfunnel_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_wf",
+        """
+        SELECT lvl, CAST(count() AS Int64) AS n_users FROM (
+          SELECT user_id,
+                 windowFunnel(3600)(ts, event_type = 'view',
+                                    event_type = 'click',
+                                    event_type = 'purchase') AS lvl
+          FROM __dq_events_wf GROUP BY user_id
+        ) GROUP BY lvl
+        """,
+    )
+
+
+# retention SQL spelling, flattened to scalars for the driver window:
+# share of users whose first-day activity carried into later event
+# types (cross-row OR per CH AggregateFunctionRetention).
+@query(
+    "dialect_retention_roundtrip",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(f1) AS BIGINT) AS r1,
+       CAST(sum(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS r2,
+       CAST(sum(CASE WHEN f1 = 1 AND f3 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS r3
+FROM per_user
+""",
+)
+def dialect_retention_roundtrip(spark, sf_dir):
+    out = _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ret",
+        """
+        SELECT retention(event_type = 'view', event_type = 'click',
+                         event_type = 'purchase') AS r
+        FROM __dq_events_ret GROUP BY user_id
+        """,
+    )
+    return out.select(
+        F.expr("CAST(sum(r[0]) AS BIGINT)").alias("r1"),
+        F.expr("CAST(sum(r[1]) AS BIGINT)").alias("r2"),
+        F.expr("CAST(sum(r[2]) AS BIGINT)").alias("r3"),
+    )

@@ -50,7 +50,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every oracle-bearing query each round). See COVERAGE.md.
 #
 # ROUND-9 ROTATION CANDIDATES: round-8 oracle-backed additions land
-# first (dialect_seqnextnode_roundtrip), then the 20 r5-era names not
+# first (dialect_seqnextnode_roundtrip, dialect_windowfunnel_roundtrip,
+# dialect_retention_roundtrip), then the 20 r5-era names not
 # refreshed in the r8 fill —
 # tpch_q18_large_orders, tpch_q21_waiting_suppliers,
 # tpch_q22_prospects, tpch_q3_shipping_priority,

@@ -6830,6 +6830,74 @@ class TestKsExactMethod:
         assert 0.0 <= row[0] <= 1.0 and 0.0 <= row[1] <= 1.0
 
 
+class TestBehavioralSqlSpellings:
+    """windowFunnel/retention/sequenceMatch/sequenceCount as SQL
+    aggregates (the operator library twins live in behavioral.py)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    BASE = (
+        "FROM (SELECT * FROM format(CSVWithNames, "
+        "'u,t,e\\n1,1,A\\n1,2,B\\n1,3,C\\n2,1,A\\n2,2,A\\n2,50,B\\n"
+        "3,1,B\\n3,2,A\\n4,0,A\\n4,95,A\\n4,100,B'))"
+    )
+
+    def _run(self, eng, call):
+        return eng.execute(
+            f"SELECT u, {call} AS r {self.BASE} GROUP BY u ORDER BY u"
+        ).rows
+
+    def test_window_funnel_levels(self, eng):
+        got = self._run(
+            eng, "windowFunnel(10)(t, e='A', e='B', e='C')"
+        )
+        # u4 is the restart-anchor case: the chain re-anchors on the
+        # A@95 so B@100 lands within the 10-unit window
+        assert got == [[1, 3], [2, 1], [3, 1], [4, 2]]
+        got2 = self._run(
+            eng, "windowFunnel(100)(t, e='A', e='B', e='C')"
+        )
+        assert got2 == [[1, 3], [2, 2], [3, 1], [4, 2]]
+
+    def test_retention_flags(self, eng):
+        got = self._run(eng, "retention(e='A', e='B', e='C')")
+        assert got == [
+            [1, [1, 1, 1]], [2, [1, 1, 0]],
+            [3, [1, 1, 0]], [4, [1, 1, 0]],
+        ]
+
+    def test_sequence_match_and_count(self, eng):
+        got = self._run(
+            eng, "sequenceMatch('(?1).*(?2)')(t, e='A', e='B')"
+        )
+        assert got == [[1, True], [2, True], [3, False], [4, True]]
+        got2 = self._run(
+            eng, "sequenceCount('(?1).*(?2)')(t, e='A', e='B')"
+        )
+        assert got2 == [[1, 1], [2, 1], [3, 0], [4, 1]]
+
+    def test_unsupported_pattern_features_guided(self, eng):
+        with pytest.raises(ValueError, match="ADJACENT"):
+            eng.execute(
+                "SELECT sequenceMatch('(?1)(?2)')(t, e='A', e='B') "
+                f"AS r {self.BASE}"
+            )
+        with pytest.raises(ValueError, match="time constraints"):
+            eng.execute(
+                "SELECT sequenceMatch('(?1)(?t>10)(?2)')"
+                f"(t, e='A', e='B') AS r {self.BASE}"
+            )
+        with pytest.raises(ValueError, match="modes"):
+            eng.execute(
+                "SELECT windowFunnel(10, 'strict_order')(t, e='A') "
+                f"AS r {self.BASE}"
+            )
+
+
 class TestParametricThirdParenGroup:
     @pytest.fixture
     def eng(self, spark):
