@@ -5187,6 +5187,45 @@ _ARG_REWRITES.update({
     "arrayFlatten": lambda a: _array_flatten_builder(a),
     # retention(cond1..condN) → Array(UInt8) of cross-row flags.
     "retention": lambda a: _retention_builder(a),
+    # toTime: keep the time-of-day, snap the date to 1970-01-02 (the
+    # CH convention for time-only arithmetic).
+    "toTime": lambda a: (
+        f"to_timestamp(concat('1970-01-02 ', "
+        f"date_format({a[0]}, 'HH:mm:ss')))"
+    ),
+    # fromUnixTimestamp(n, fmt): the 2-arg form takes a CH %-pattern,
+    # not a Spark pattern — route through the formatDateTime
+    # translator (week-based specs compose via extract()).
+    "fromUnixTimestamp": lambda a: (
+        (_ for _ in ()).throw(_SkipRewrite())
+        if len(a) == 1
+        else _format_datetime(
+            [f"to_timestamp(from_unixtime({a[0]}))", a[1]]
+        )
+    ),
+    # makeDateTime64(y, m, d, h, mi, s[, fraction[, precision]]):
+    # fraction is in units of 10^-precision seconds (precision
+    # defaults to 3, CH's DateTime64 default).
+    "makeDateTime64": lambda a: (
+        (_ for _ in ()).throw(
+            ValueError(
+                "makeDateTime64 takes 6-8 arguments "
+                "(y, m, d, h, mi, s[, fraction[, precision]])"
+            )
+        )
+        if not 6 <= len(a) <= 8
+        else (
+            f"make_timestamp({a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]}, "
+            f"CAST({a[5]} AS DOUBLE)"
+            + (
+                f" + CAST({a[6]} AS DOUBLE) / "
+                f"pow(10, {a[7] if len(a) == 8 else 3})"
+                if len(a) >= 7
+                else ""
+            )
+            + ")"
+        )
+    ),
     # arrayIntersect is VARIADIC in CH; Spark's array_intersect is
     # binary — left-fold the extra arguments.
     "arrayIntersect": lambda a: (
@@ -6524,6 +6563,32 @@ _JSON_FUNCS = {
 }
 
 
+def _json_path(parts: list[str], fn: str) -> str:
+    """(key-or-index)* → a JSONPath: quoted strings become ``.key``,
+    integer literals become 1-based array indexes (CH convention;
+    negative counts from the end, which JSONPath lacks — refused)."""
+    path = "$"
+    for p in parts:
+        raw = p.strip()
+        if re.fullmatch(r"-?\d+", raw):
+            idx = int(raw)
+            if idx == 0:
+                raise ValueError(
+                    f"{fn}: index 0 is invalid (CH indexes are "
+                    "1-based)"
+                )
+            if idx < 0:
+                raise ValueError(
+                    f"{fn}: negative (from-the-end) indexes have no "
+                    "JSONPath form; compute the length with "
+                    "JSONLength() and index forward"
+                )
+            path += f"[{idx - 1}]"
+        else:
+            path += f".{_unquote(raw)}"
+    return path
+
+
 def _rewrite_json_funcs(sql: str) -> str:
     out = sql
     for fn, cast_to in _JSON_FUNCS.items():
@@ -6532,10 +6597,13 @@ def _rewrite_json_funcs(sql: str) -> str:
             if call is None:
                 break
             start, end, args = call
-            if len(args) != 2:
-                raise ValueError(f"{fn}() expects (json, key), got {args}")
-            key = _unquote(args[1])
-            expr = f"get_json_object({args[0]}, '$.{key}')"
+            if len(args) < 2:
+                raise ValueError(
+                    f"{fn}() expects (json, key[, key_or_index...]), "
+                    f"got {args}"
+                )
+            path = _json_path(args[1:], fn)
+            expr = f"get_json_object({args[0]}, '{path}')"
             if cast_to is None:
                 expr = f"({expr} IS NOT NULL)"
             elif cast_to != "STRING":

@@ -6830,6 +6830,51 @@ class TestKsExactMethod:
         assert 0.0 <= row[0] <= 1.0 and 0.0 <= row[1] <= 1.0
 
 
+class TestRound8DatetimeJson:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_totime_snaps_date(self, eng):
+        r = eng.execute(
+            "SELECT toTime(toDateTime('2024-03-05 13:47:11')) AS r"
+        )
+        assert str(r.rows[0][0]) == "1970-01-02 13:47:11"
+
+    def test_fromunixtimestamp_ch_pattern(self, eng):
+        r = eng.execute(
+            "SELECT fromUnixTimestamp(1704067200, '%Y-%m-%d') AS r"
+        )
+        assert r.rows == [["2024-01-01"]]
+
+    def test_makedatetime64_fraction_and_precision(self, eng):
+        r = eng.execute(
+            "SELECT makeDateTime64(2024, 3, 5, 13, 47, 11, 123) AS r"
+        )
+        assert str(r.rows[0][0]) == "2024-03-05 13:47:11.123000"
+        r2 = eng.execute(
+            "SELECT makeDateTime64(2024, 3, 5, 13, 47, 11, 5, 1) AS r"
+        )
+        assert str(r2.rows[0][0]) == "2024-03-05 13:47:11.500000"
+
+    def test_json_extract_multikey_paths(self, eng):
+        j = '\'{"a": 1, "b": {"c": [10,20,30]}}\''
+        assert eng.execute(
+            f"SELECT JSONExtractInt({j}, 'b', 'c', 2) AS r"
+        ).rows == [[20]]
+        assert eng.execute(
+            f"SELECT JSONExtractInt({j}, 'a') AS r"
+        ).rows == [[1]]
+        with pytest.raises(ValueError, match="1-based"):
+            eng.execute(f"SELECT JSONExtractInt({j}, 'b', 'c', 0) AS r")
+        with pytest.raises(ValueError, match="negative"):
+            eng.execute(
+                f"SELECT JSONExtractInt({j}, 'b', 'c', -1) AS r"
+            )
+
+
 class TestBehavioralSqlSpellings:
     """windowFunnel/retention/sequenceMatch/sequenceCount as SQL
     aggregates (the operator library twins live in behavioral.py)."""
