@@ -256,6 +256,15 @@ def _zstd_decode_fallback(src: bytes, expected: int) -> bytes:
             hdr = int.from_bytes(src[pos:pos + 3], "little")
             pos += 3
             last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            # Bomb guard IN the loop (mirrors lz4_decompress): an RLE
+            # block turns 4 header bytes into up to ~2 MiB of output,
+            # so a size-capped payload could otherwise allocate far
+            # past the declared size before the final check fires.
+            if btype in (0, 1) and len(out) + bsize > expected:
+                raise ValueError(
+                    f"ZSTD frame decodes past the declared "
+                    f"{expected} bytes"
+                )
             if btype == 0:  # Raw
                 out += src[pos:pos + bsize]
                 pos += bsize

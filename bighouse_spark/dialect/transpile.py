@@ -5188,10 +5188,15 @@ _ARG_REWRITES.update({
     # retention(cond1..condN) → Array(UInt8) of cross-row flags.
     "retention": lambda a: _retention_builder(a),
     # toTime: keep the time-of-day, snap the date to 1970-01-02 (the
-    # CH convention for time-only arithmetic).
+    # CH convention for time-only arithmetic). The 2-arg form's
+    # timezone shifts the wall clock before extraction.
     "toTime": lambda a: (
         f"to_timestamp(concat('1970-01-02 ', "
         f"date_format({a[0]}, 'HH:mm:ss')))"
+        if len(a) == 1
+        else f"to_timestamp(concat('1970-01-02 ', "
+        f"date_format(from_utc_timestamp({a[0]}, {a[1]}), "
+        f"'HH:mm:ss')))"
     ),
     # fromUnixTimestamp(n, fmt): the 2-arg form takes a CH %-pattern,
     # not a Spark pattern — route through the formatDateTime
@@ -7591,7 +7596,37 @@ def _rewrite_prewhere(sql: str) -> str:
             after = re.sub(
                 r"^WHERE\s+", "", out[end:], flags=re.IGNORECASE
             )
-            out = out[:m.start()] + f"WHERE ({pred}) AND " + after
+            # Parenthesize the WHERE predicate too: with a top-level
+            # OR in w, `(p) AND w` would regroup as ((p) AND x) OR y.
+            # Same quote/paren/clause-keyword walk finds w's end.
+            j, nn = 0, len(after)
+            wq: str | None = None
+            wdepth = 0
+            wend = nn
+            while j < nn:
+                c = after[j]
+                if wq:
+                    wq = None if c == wq else wq
+                elif c in "'\"":
+                    wq = c
+                elif c == "(":
+                    wdepth += 1
+                elif c == ")":
+                    if wdepth == 0:
+                        wend = j
+                        break
+                    wdepth -= 1
+                elif wdepth == 0 and (j == 0 or after[j - 1].isspace()):
+                    if _PW_CLAUSE_RE.match(after, j):
+                        wend = j
+                        break
+                j += 1
+            w = after[:wend].strip()
+            out = (
+                out[:m.start()]
+                + f"WHERE ({pred}) AND ({w}) "
+                + after[wend:]
+            ).rstrip()
         else:
             out = (
                 out[:m.start()] + f"WHERE {pred} " + out[end:]
@@ -8666,15 +8701,30 @@ def _rewrite_in_frame(sql: str) -> str:
 # CH function heads that always return Array — used to dispatch the
 # overloaded CH ``length()`` (strings AND arrays) at transpile time,
 # since Spark splits it into length()/size() and the wrong pick fails
-# analysis. Prefix match on the lowercased head; bare column refs stay
-# on the string path (CH's dominant use; arrays on columns should be
-# written with the unambiguous size()/arraySize() spellings).
-_ARRAY_HEADS = (
-    "array", "splitby", "range(", "sequence(", "extractall(",
-    "grouparray", "collect_list(", "collect_set(", "topk",
-    "map_keys(", "map_values(", "mapkeys(", "mapvalues(", "slice(",
-    "ngrams(", "alphatokens(", "tokens(", "geohashesinbox(",
-    "bitmaptoarray(", "timeslots(",
+# analysis. Every head requires its "(" so bare column refs (and
+# columns named array_* / topk_*) stay on the string path, and the
+# array* family is ENUMERATED: scalar/String-returning heads
+# (arrayStringConcat, arraySum, arrayExists, arrayCount, arrayUniq,
+# arrayReduce, arrayFold, ...) must NOT match. splitBy*/groupArray*/
+# topK* are array-returning across their whole families, so those
+# take a \w* tail.
+_ARRAY_HEAD_RE = re.compile(
+    r"^(?:"
+    r"array|arraymap|arrayfilter|arraysort|arrayreversesort"
+    r"|arrayconcat|arraydistinct|arrayslice|arrayflatten"
+    r"|arraycompact|arrayresize|arraypushback|arraypushfront"
+    r"|arraypopback|arraypopfront|arrayreverse|arrayintersect"
+    r"|arrayenumerate|arrayenumeratedense|arrayenumerateuniq"
+    r"|arrayzip|arraydifference|arraycumsum|arraycumsumnonnegative"
+    r"|arrayfill|arrayreversefill|arraysplit|arrayreversesplit"
+    r"|arrayshuffle|arraypartialsort|arraypartialreversesort"
+    r"|arrayrotateleft|arrayrotateright|arrayshiftleft"
+    r"|arrayshiftright|arraywithconstant"
+    r"|splitby\w+|grouparray\w*|topk\w*"
+    r"|range|sequence|extractall|collect_list|collect_set"
+    r"|map_keys|map_values|mapkeys|mapvalues|slice|ngrams"
+    r"|alphatokens|tokens|geohashesinbox|bitmaptoarray|timeslots"
+    r")\(",
 )
 
 
@@ -8695,7 +8745,7 @@ def _rewrite_length_arrays(sql: str) -> str:
             pos = end
             continue
         arg = args[0].strip().lower()
-        if arg.startswith("[") or arg.startswith(_ARRAY_HEADS):
+        if arg.startswith("[") or _ARRAY_HEAD_RE.match(arg):
             out = out[:start] + f"size({args[0]})" + out[end:]
         else:
             pos = end

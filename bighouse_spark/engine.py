@@ -2578,7 +2578,12 @@ class BigHouseEngine:
                 if timeout_s and timeout_s > 0:
                     def _cancel() -> None:
                         timed_out.set()
-                        self.kill_count += 1
+                        # Under the lock: += on an int is a
+                        # read-modify-write; concurrent timer fires
+                        # would lose increments (the KILL QUERY path
+                        # already increments under this lock).
+                        with self._inflight_lock:
+                            self.kill_count += 1
                         sc = self.spark.sparkContext
                         try:
                             # Sticky (Spark 4): also cancels jobs the

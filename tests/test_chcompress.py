@@ -150,6 +150,21 @@ class TestZstd:
         frame += b"Z"
         assert _zstd_decode_fallback(frame, 300) == b"Z" * 300
 
+    def test_fallback_decoder_rle_bomb_stops_in_loop(self):
+        # An RLE block declares up to ~2 MiB of output from 4 bytes;
+        # the guard must fire AT the offending block, before the
+        # whole multi-frame payload is materialized past `expected`.
+        bomb = 1 << 20
+        frame = struct.pack("<I", 0xFD2FB528)
+        frame += bytes([0x60]) + struct.pack("<H", 0)  # fcs ignored
+        # two RLE blocks of 1 MiB each, declared size only 10 bytes
+        frame += (0 | (1 << 1) | (bomb << 3)).to_bytes(3, "little")
+        frame += b"Z"
+        frame += (1 | (1 << 1) | (bomb << 3)).to_bytes(3, "little")
+        frame += b"Z"
+        with pytest.raises(ValueError, match="decodes past"):
+            _zstd_decode_fallback(frame, 10)
+
     def test_fallback_decoder_guided_error_on_compressed_block(self):
         import pyarrow as pa
 

@@ -6843,6 +6843,15 @@ class TestRound8DatetimeJson:
         )
         assert str(r.rows[0][0]) == "1970-01-02 13:47:11"
 
+    def test_totime_timezone_arg_shifts_wall_clock(self, eng):
+        # CH toTime(x, tz) extracts the time-of-day AS SEEN in tz;
+        # the 2-arg form previously dropped the zone silently.
+        r = eng.execute(
+            "SELECT toTime(toDateTime('2024-03-05 13:47:11'), "
+            "'Asia/Tokyo') AS r"
+        )
+        assert str(r.rows[0][0]) == "1970-01-02 22:47:11"
+
     def test_fromunixtimestamp_ch_pattern(self, eng):
         r = eng.execute(
             "SELECT fromUnixTimestamp(1704067200, '%Y-%m-%d') AS r"
@@ -7022,6 +7031,29 @@ class TestLengthOverload:
             "SELECT length(toString(number)) AS r FROM numbers(1)"
         ).rows == [[1]]
 
+    def test_scalar_returning_array_heads_stay_on_length(self, eng):
+        # arrayStringConcat returns String — length() must count its
+        # CHARS, not try size() (which fails analysis on a string).
+        r = eng.execute(
+            "SELECT length(arrayStringConcat(['ab', 'cde'], '-')) "
+            "AS r"
+        )
+        assert r.rows == [[6]]
+
+    def test_columns_named_array_stay_on_length(self, eng):
+        # A column whose NAME starts with an array head prefix is not
+        # an array expression; the bare-prefix match rewrote these.
+        r = eng.execute(
+            "SELECT length(array_name) AS r FROM (SELECT 'abcd' AS "
+            "array_name)"
+        )
+        assert r.rows == [[4]]
+        r2 = eng.execute(
+            "SELECT length(topk_label) AS r FROM (SELECT 'xyz' AS "
+            "topk_label)"
+        )
+        assert r2.rows == [[3]]
+
 
 class TestPrewhereWithWhere:
     """CH allows PREWHERE and WHERE on one SELECT (they AND); the old
@@ -7054,6 +7086,34 @@ class TestPrewhereWithWhere:
             "number FROM numbers(30) WHERE number < 10) WHERE x < 8"
         )
         assert r.rows == [[6]]
+
+    def test_where_top_level_or_parenthesized(self, eng):
+        # (p) AND w with unparenthesized w regrouped a top-level OR:
+        # ((p) AND x) OR y — the second query below distinguishes
+        # the correct grouping (9 rows) from the buggy one (19).
+        r = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(100)) PREWHERE x > 50 WHERE x < 10 OR x >= 90"
+        )
+        # x>50 AND (x<10 OR x>=90) → 90..99 = 10 rows; the buggy
+        # regroup gives (x>50 AND x<10) OR x>=90 = same 10 here, so
+        # pick bounds where they differ:
+        assert r.rows == [[10]]
+        r2 = eng.execute(
+            "SELECT count() AS c FROM (SELECT number AS x FROM "
+            "numbers(100)) PREWHERE x > 50 WHERE x < 60 OR x < 10"
+        )
+        # correct: x>50 AND (x<60 OR x<10) = 51..59 → 9 rows;
+        # buggy regroup: (x>50 AND x<60) OR x<10 → 19 rows.
+        assert r2.rows == [[9]]
+
+    def test_where_or_then_group_by(self, eng):
+        r = eng.execute(
+            "SELECT x % 2 AS p, count() AS c FROM (SELECT number AS "
+            "x FROM numbers(100)) PREWHERE x > 50 WHERE x < 60 OR "
+            "x < 10 GROUP BY p ORDER BY p"
+        )
+        assert r.rows == [[0, 4], [1, 5]]
 
 
 class TestLimitByOffset:
