@@ -49,84 +49,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-9 ROTATION CANDIDATES: round-8 oracle-backed additions land
-# first (dialect_seqnextnode_roundtrip, dialect_windowfunnel_roundtrip,
-# dialect_retention_roundtrip), then the 20 r5-era names not
-# refreshed in the r8 fill —
-# tpch_q18_large_orders, tpch_q21_waiting_suppliers,
-# tpch_q22_prospects, tpch_q3_shipping_priority,
-# tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
-# tpch_q9_product_profit, uniq_approx_check, uniq_rollup_check,
-# window_daily_rollup, window_first_last_frame,
-# window_gapfill_hourly, window_lag_lead, window_range_frame,
-# window_rank_family, window_running_sum, window_session_10m,
-# window_sliding_1h_30m, window_topk_per_group,
-# window_tumbling_hourly — then oldest-green (r6-era) fills.
+# ROUND-10 ROTATION CANDIDATES: any round-9 oracle-backed additions
+# land first (dialect_windowfunnel_strict_roundtrip,
+# dialect_seqmatch_time_roundtrip if shipped), then the remaining 18
+# r6-era names not refreshed in the r9 fill —
+# scalar_functions, string_functions, sum_group_by,
+# text_boilerplate_lines, text_c4_filters, text_html_extract,
+# tpch_q10_returned_items, tpch_q11_important_stock,
+# tpch_q12_priority_shipping, tpch_q13_customer_distribution,
+# tpch_q15_top_supplier, tpch_q16_part_supplier_relation,
+# tpch_q17_small_quantity, tpch_q19_discounted_revenue,
+# tpch_q20_potential_promotion, and the rest of the r6 cohort in
+# alphabetical order — then oldest-green (r7-era) fills.
 #
-# ROUND-8 WINDOW (50 names, ALL oracle-bearing). Composition:
-#   1  dialect_summap_roundtrip — r7's single red row; arrays
-#      flattened to comma-joined strings on BOTH sides (the driver's
-#      pandas canonicalizer cannot sort list cells; VERDICT r7 #1)
-#   16 round-7 oracle-backed additions, first driver check
-#      (VERDICT r7 Next #2)
-#    4 r4-era names deferred from the r7 fill
-#   29 oldest-green fills: first 29 of the 49 r5-era names
-#      (alphabetical; the remaining 20 rotate r9)
+# ROUND-9 WINDOW (50 names, ALL oracle-bearing). Composition per the
+# r8 staging comment (VERDICT r8 Next #1):
+#    3 round-8 oracle-backed behavioral additions, first driver check
+#   20 r5-era names not refreshed in the r8 fill (tpch/uniq/window)
+#   27 oldest-green fills: first 27 of the 45 r6-era names
+#      (alphabetical; the remaining 18 rotate r10)
 DRIVER_WINDOW = {
-    # -- flatten-fix re-prove (1): r7's one red row --
-    "dialect_summap_roundtrip",
-    # -- round-7 additions, first driver check (16) --
-    "ann_pq_recall",
-    "dialect_anova_roundtrip",
-    "dialect_bytesize_tuple_roundtrip",
-    "dialect_cramers_roundtrip",
-    "dialect_deltasumts_roundtrip",
-    "dialect_entropy_roundtrip",
-    "dialect_format_reinterpret_roundtrip",
-    "dialect_intervalsweep_roundtrip",
-    "dialect_ks_test_roundtrip",
-    "dialect_mwu_roundtrip",
-    "dialect_rankcorr_roundtrip",
-    "dialect_stacked_combinators_roundtrip",
-    "dialect_sumargminmax_roundtrip",
-    "dialect_tukey_outliers_roundtrip",
-    "dialect_with_fill_interpolate_roundtrip",
-    "text_bm25_rank",
-    # -- r4-era names deferred from the r7 fill (4) --
-    "text_keyword_search",
-    "text_pii_redact",
-    "text_repetition_scores",
-    "uniq_exact",
-    # -- oldest-green fills: r5 era, first 29 alphabetically (29) --
-    "agg_argmax_argmin",
-    "agg_percentiles",
-    "agg_stats_moments",
-    "checksum_md5",
-    "count_by_file",
-    "count_plus_two",
-    "count_star",
-    "dedup_minhash_clusters",
-    "filter_eq",
-    "funnel_window_3step",
-    "grouping_sets",
-    "join_anti",
-    "join_left_outer",
-    "join_semi",
-    "like_filters",
-    "order_limit",
-    "percentile_approx_check",
-    "retention_cohort",
-    "rollup_agg",
-    "sequence_match_view_purchase",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "set_union_all",
-    "sink_roundtrip_ordered",
-    "sink_roundtrip_zorder",
-    "table_partition_pruning",
-    "text_tfidf_topk",
-    "tpch_q14_promo_revenue",
+    # -- round-8 behavioral additions, first driver check (3) --
+    "dialect_retention_roundtrip",
+    "dialect_seqnextnode_roundtrip",
+    "dialect_windowfunnel_roundtrip",
+    # -- r5-era names deferred from the r8 fill (20) --
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_prospects",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "uniq_approx_check",
+    "uniq_rollup_check",
+    "window_daily_rollup",
+    "window_first_last_frame",
+    "window_gapfill_hourly",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_sum",
+    "window_session_10m",
+    "window_sliding_1h_30m",
+    "window_topk_per_group",
+    "window_tumbling_hourly",
+    # -- oldest-green fills: r6 era, first 27 alphabetically (27) --
+    "ann_brute_force_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "array_functions",
+    "asof_join_purchase_click",
+    "curation_chunk_documents",
+    "curation_decontaminate",
+    "curation_domain_cap",
+    "curation_incremental_dedup",
+    "curation_mixture_weighted",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "curation_train_val_test_split",
+    "date_functions",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_20gram",
+    "dedup_url_canonical",
+    "dialect_crypto_roundtrip",
+    "dialect_ipv4_roundtrip",
+    "hybrid_keyword_ann",
+    "multimodal_resize",
+    "pivot_event_counts",
+    "quality_constraint_report",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
