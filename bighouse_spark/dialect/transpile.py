@@ -3224,8 +3224,17 @@ def _retention_builder(a: list) -> str:
     return f"array({', '.join(elems)})"
 
 
+_WF_MODES = {
+    "strict_order": "strict_order",
+    "strict_deduplication": "strict_deduplication",
+    "strict_dedup": "strict_deduplication",
+    "strict": "strict_deduplication",  # pre-21.x CH alias
+    "strict_increase": "strict_increase",
+}
+
+
 def _window_funnel_builder(p: list[str], a: list[str]) -> str:
-    """windowFunnel(window[, mode])(ts, cond1, ..., condN) → the
+    """windowFunnel(window[, modes...])(ts, cond1, ..., condN) → the
     deepest funnel level reached by an ordered chain whose k-th event
     satisfies cond_k and whose span t_k − t_1 stays within ``window``.
 
@@ -3237,20 +3246,47 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     cond_1 event is never lost). An event advances level k when
     cond_k holds, level k−1 is reached, and the event is within
     window of that chain's anchor (pre-event state for every level,
-    so one event advances each level at most once). Modes
-    (strict_order/strict_dedup/strict_increase) are refused with
-    guidance — default-mode semantics only."""
+    so one event advances each level at most once). Rows matching NO
+    condition are filtered out of the collect (CH feeds the
+    aggregate only rows with a set condition bit) — except under
+    strict_order, where such rows are chain-breakers and must be
+    seen.
+
+    Modes (CH AggregateFunctionWindowFunnel semantics):
+    - strict_order: an event matching no condition, arriving after
+      the chain has started, STOPS processing; levels reached so far
+      stand.
+    - strict_deduplication (aliases strict_dedup, strict): a repeat
+      of a condition whose level is already reached stops processing
+      and the result is that condition's level — even if a deeper
+      level was reached before (CH returns the repeated event's
+      number). A fully completed funnel is immune (CH early-returns
+      N before seeing the repeat).
+    - strict_increase: each chain step needs a strictly larger
+      timestamp than the previous step's own event (not the anchor).
+
+    Documented deviation: one row matching SEVERAL conditions
+    advances each level against the pre-row state, where CH walks
+    that row's conditions sequentially; results differ only when a
+    single row must advance two consecutive levels at once."""
     if not p:
         raise ValueError(
             "windowFunnel needs a window parameter: "
             "windowFunnel(window)(ts, cond1, ...)"
         )
-    if len(p) > 1:
-        raise ValueError(
-            "windowFunnel modes (strict_order/strict_dedup/"
-            "strict_increase) are not implemented; default-mode "
-            "windowFunnel(window)(...) is supported"
-        )
+    modes: set[str] = set()
+    for mp in p[1:]:
+        mm = _unquote(mp.strip()).lower()
+        if mm not in _WF_MODES:
+            raise ValueError(
+                f"windowFunnel mode {mm!r} is not one of "
+                "strict_order, strict_deduplication (strict_dedup), "
+                "strict_increase"
+            )
+        modes.add(_WF_MODES[mm])
+    s_order = "strict_order" in modes
+    s_dedup = "strict_deduplication" in modes
+    s_incr = "strict_increase" in modes
     if len(a) < 2:
         raise ValueError(
             "windowFunnel(window)(timestamp, cond1[, ...]) needs a "
@@ -3261,105 +3297,239 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     n = len(conds)
     ninf = "CAST('-Infinity' AS DOUBLE)"
     fields = [f"'t', CAST({ts} AS DOUBLE)"]
-    for k, c in enumerate(conds, 1):
-        fields.append(
-            f"'c{k}', coalesce(CAST({c} AS BOOLEAN), false)"
-        )
+    flag = [
+        f"coalesce(CAST({c} AS BOOLEAN), false)" for c in conds
+    ]
+    # Tie-break field: CH sorts (ts, condition number) pairs, so at
+    # equal timestamps the LOWER condition processes first (and a
+    # no-condition row — kept only under strict_order — sorts ahead,
+    # like CH's event number 0). Without this, struct sort on the
+    # boolean flags puts higher conditions first at ties.
+    kexpr = "CASE " + " ".join(
+        f"WHEN {flag[i]} THEN {i + 1}" for i in range(n)
+    ) + " ELSE 0 END"
+    fields.append(f"'k', {kexpr}")
+    for k in range(1, n + 1):
+        fields.append(f"'c{k}', {flag[k - 1]}")
+    keep = f"({ts}) IS NOT NULL"
+    if not s_order:
+        keep += f" AND ({' OR '.join(flag)})"
     arr = (
-        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
+        f"array_sort(collect_list(CASE WHEN {keep} THEN "
         f"named_struct({', '.join(fields)}) END))"
     )
-    init = "named_struct(" + ", ".join(
-        f"'a{k}', {ninf}" for k in range(1, n + 1)
-    ) + ")"
+    init_fields = [f"'a{k}', {ninf}" for k in range(1, n + 1)]
+    if s_incr:
+        init_fields += [f"'b{k}', {ninf}" for k in range(2, n + 1)]
+    if s_order or s_dedup:
+        init_fields.append("'done', false")
+    if s_dedup:
+        init_fields.append("'ret', 0")
+    init = f"named_struct({', '.join(init_fields)})"
+    # Repeated-condition truncation check (pre-row state; cond1
+    # repeats only refresh the anchor in CH, so k starts at 2).
+    if s_dedup and n >= 2:
+        trunc = "CASE " + " ".join(
+            f"WHEN __e.c{k} AND __acc.a{k} > {ninf} THEN {k}"
+            for k in range(2, n + 1)
+        ) + " ELSE 0 END"
+    else:
+        trunc = "0"
+    halt = None
+    if s_order or s_dedup:
+        halt = f"(__acc.done OR __acc.a{n} > {ninf})"
+    guard = halt
+    if s_dedup:
+        guard = f"({halt} OR ({trunc}) > 0)"
+
+    def gated(update: str, keep_expr: str) -> str:
+        return (
+            f"IF({guard}, {keep_expr}, {update})" if guard else update
+        )
+
     upd = [
-        "'a1', IF(__e.c1, greatest(__acc.a1, __e.t), __acc.a1)"
+        "'a1', " + gated(
+            "IF(__e.c1, __e.t, __acc.a1)", "__acc.a1"
+        )
     ]
+    adv: dict[int, str] = {}
     for k in range(2, n + 1):
+        parts = [
+            f"__e.c{k}", f"__acc.a{k - 1} > {ninf}",
+            f"__e.t - __acc.a{k - 1} <= ({window})",
+        ]
+        if s_incr:
+            prev_b = "__acc.a1" if k == 2 else f"__acc.b{k - 1}"
+            parts.append(f"__e.t > {prev_b}")
+        adv[k] = " AND ".join(parts)
         upd.append(
-            f"'a{k}', IF(__e.c{k} AND __acc.a{k - 1} > {ninf} AND "
-            f"__e.t - __acc.a{k - 1} <= ({window}), "
-            f"greatest(__acc.a{k}, __acc.a{k - 1}), __acc.a{k})"
+            f"'a{k}', " + gated(
+                f"IF({adv[k]}, __acc.a{k - 1}, __acc.a{k})",
+                f"__acc.a{k}",
+            )
+        )
+    if s_incr:
+        for k in range(2, n + 1):
+            upd.append(
+                f"'b{k}', " + gated(
+                    f"IF({adv[k]}, __e.t, __acc.b{k})",
+                    f"__acc.b{k}",
+                )
+            )
+    if s_order or s_dedup:
+        done_parts = ["__acc.done", f"__acc.a{n} > {ninf}"]
+        if s_order:
+            nomatch = " OR ".join(
+                f"__e.c{k}" for k in range(1, n + 1)
+            )
+            done_parts.append(
+                f"(NOT ({nomatch}) AND __acc.a1 > {ninf})"
+            )
+        if s_dedup:
+            done_parts.append(f"({trunc}) > 0")
+        upd.append(f"'done', {' OR '.join(done_parts)}")
+    if s_dedup:
+        upd.append(
+            f"'ret', IF(__acc.ret > 0 OR {halt}, __acc.ret, {trunc})"
         )
     level = "CASE " + " ".join(
         f"WHEN __acc.a{k} > {ninf} THEN {k}"
         for k in range(n, 0, -1)
     ) + " ELSE 0 END"
+    if s_dedup:
+        final = (
+            f"CASE WHEN __acc.ret > 0 THEN __acc.ret "
+            f"ELSE {level} END"
+        )
+    else:
+        final = level
     return (
         f"aggregate({arr}, {init}, "
         f"(__acc, __e) -> named_struct({', '.join(upd)}), "
-        f"__acc -> CAST({level} AS INT))"
+        f"__acc -> CAST({final} AS INT))"
     )
 
 
-_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)|\.\*|\(\?t\s*[<>=]")
+_SEQ_PATTERN_RE = re.compile(
+    r"\(\?(\d+)\)|\.\*"
+    r"|\(\?t\s*(<=|>=|==|<|>|=)\s*(\d+(?:\.\d+)?)\)"
+)
 
 
-def _parse_seq_pattern(pattern: str, n_conds: int) -> list[int]:
-    """Parse the sequenceMatch/Count pattern SUBSET this engine
-    serves: condition refs ``(?k)`` separated by ``.*``. Adjacent
-    refs (no ``.*``) and time constraints ``(?t...)`` are refused
-    with guidance — they need the stored-event-stream semantics."""
+def _parse_seq_pattern(
+    pattern: str, n_conds: int
+) -> tuple[list[int], list[dict]]:
+    """Parse a sequenceMatch/Count pattern into condition refs plus
+    per-transition specs. Tokens (the full CH grammar): ``(?N)``
+    condition refs, ``.*`` (any number of intervening events),
+    ``(?t op secs)`` time constraints between the two neighboring
+    refs. Refs with NOTHING between them are ADJACENT in the stored
+    event stream — which, per CH, contains only rows matching at
+    least one listed condition (undescribed events are invisible;
+    the documented (?1)(?2) example).
+
+    Returns (refs, transitions) where transitions[i] constrains how
+    ref i+1 follows ref i: {"gap": bool, "op": str|None,
+    "secs": str|None}."""
     pat = pattern.strip().strip("'\"")
     refs: list[int] = []
+    trans: list[dict] = []
+    pending = {"gap": False, "op": None, "secs": None}
     pos = 0
-    prev_was_ref = False
     while pos < len(pat):
+        if pat[pos].isspace():
+            pos += 1
+            continue
         m = _SEQ_PATTERN_RE.match(pat, pos)
         if not m:
             raise ValueError(
                 f"sequenceMatch/sequenceCount pattern {pat!r}: "
-                "unsupported token at position "
-                f"{pos} — supported subset is (?N) refs separated "
-                "by .*"
+                f"unsupported token at position {pos} — the grammar "
+                "is (?N) refs, .* separators and (?t op secs) time "
+                "constraints"
             )
         tok = m.group(0)
-        if tok.startswith("(?t"):
-            raise ValueError(
-                "sequenceMatch/sequenceCount time constraints "
-                "(?t op N) are not implemented; the (?N).*(?M) "
-                "subset is supported"
-            )
         if tok == ".*":
-            prev_was_ref = False
-        else:
-            if prev_was_ref:
+            pending["gap"] = True
+        elif tok.startswith("(?t"):
+            if pending["op"] is not None:
                 raise ValueError(
-                    "sequenceMatch/sequenceCount ADJACENT refs "
-                    f"((?N)(?M) with no .*) in {pat!r} require "
-                    "stored-event adjacency semantics; separate the "
-                    "refs with .* for the subsequence form"
+                    "sequenceMatch/sequenceCount: at most one "
+                    "(?t op N) time constraint between two refs is "
+                    "supported (an existential scan can serve one "
+                    "bound, not an intersection)"
                 )
+            op = m.group(2)
+            pending["op"] = "=" if op == "==" else op
+            pending["secs"] = m.group(3)
+        else:
             k = int(m.group(1))
             if not 1 <= k <= n_conds:
                 raise ValueError(
                     f"pattern refers to (?{k}) but only {n_conds} "
                     "condition(s) were passed"
                 )
+            if refs:
+                trans.append(pending)
+            elif pending["op"] is not None:
+                raise ValueError(
+                    "sequenceMatch/sequenceCount: a (?t op N) time "
+                    "constraint needs a condition ref on BOTH sides"
+                )
+            pending = {"gap": False, "op": None, "secs": None}
             refs.append(k)
-            prev_was_ref = True
         pos = m.end()
+    if pending["op"] is not None:
+        raise ValueError(
+            "sequenceMatch/sequenceCount: a (?t op N) time "
+            "constraint needs a condition ref on BOTH sides"
+        )
     if not refs:
         raise ValueError("pattern contains no (?N) condition refs")
-    return refs
+    for t in trans:
+        if t["gap"] and t["op"] == "=":
+            raise ValueError(
+                "sequenceMatch/sequenceCount: (?t==N) across a .* "
+                "gap is not supported (needs the full end-position "
+                "set); drop the .* for the adjacent form"
+            )
+    return refs, trans
+
+
+def _seq_event_array(ts: str, conds: list[str]) -> str:
+    """Sorted per-group event array for the sequence folds, filtered
+    to rows matching at least one condition — exactly CH's stored
+    stream (undescribed events are invisible to the pattern), and it
+    keeps per-group fold state proportional to RELEVANT events, not
+    the whole event stream."""
+    fields = [f"'t', CAST({ts} AS DOUBLE)"]
+    flag = [
+        f"coalesce(CAST({c} AS BOOLEAN), false)" for c in conds
+    ]
+    # Deterministic tie-break at equal timestamps: lowest matching
+    # condition first (CH's tie order is unspecified; this is the
+    # same choice the windowFunnel fold makes).
+    kexpr = "CASE " + " ".join(
+        f"WHEN {flag[i]} THEN {i + 1}" for i in range(len(conds))
+    ) + " ELSE 0 END"
+    fields.append(f"'k', {kexpr}")
+    for k in range(1, len(conds) + 1):
+        fields.append(f"'c{k}', {flag[k - 1]}")
+    return (
+        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL "
+        f"AND ({' OR '.join(flag)}) THEN "
+        f"named_struct({', '.join(fields)}) END))"
+    )
 
 
 def _sequence_fold(a: list[str], refs: list[int], count: bool) -> str:
     """Shared fold for sequenceMatch (existence) / sequenceCount
-    (greedy non-overlapping): sorted collect, then a level counter
-    that advances on each next needed condition; completing the chain
-    increments the count and resets (sequenceCount), or latches
-    (sequenceMatch)."""
+    (greedy non-overlapping) over the ``.*``-separated subset: sorted
+    collect, then a level counter that advances on each next needed
+    condition; completing the chain increments the count and resets
+    (sequenceCount), or latches (sequenceMatch)."""
     ts, conds = a[0], a[1:]
-    fields = [f"'t', CAST({ts} AS DOUBLE)"]
-    for k, c in enumerate(conds, 1):
-        fields.append(
-            f"'c{k}', coalesce(CAST({c} AS BOOLEAN), false)"
-        )
-    arr = (
-        f"array_sort(collect_list(CASE WHEN ({ts}) IS NOT NULL THEN "
-        f"named_struct({', '.join(fields)}) END))"
-    )
+    arr = _seq_event_array(ts, conds)
     m = len(refs)
     # need[l] = condition index required to advance from level l
     adv = " ".join(
@@ -3384,6 +3554,74 @@ def _sequence_fold(a: list[str], refs: list[int], count: bool) -> str:
     return f"aggregate({arr}, {init}, (__acc, __e) -> {body}, {final})"
 
 
+def _sequence_reach_fold(
+    a: list[str], refs: list[int], trans: list[dict]
+) -> str:
+    """sequenceMatch fold for patterns with ADJACENT refs and/or
+    (?t op N) time constraints: a reachability DP over the sorted
+    per-group stream. For each pattern prefix of length k the state
+    carries the earliest end timestamp (``e``), the latest end
+    timestamp (``l``), and whether the prefix ended exactly at the
+    previous stream position (``p`` — when true, that end's
+    timestamp IS ``l``, the latest). That triple decides every
+    supported transition existentially:
+
+    - adjacency: prefix k−1 ended at the previous position
+      (optionally with t − l op secs);
+    - ``.*`` gap, no time bound: ever reached (l > −inf);
+    - gap with < / <=: the LATEST end is the easiest witness;
+    - gap with > / >=: the EARLIEST end is the easiest witness.
+
+    All new prefix-ends at the current position derive from the
+    pre-event state, so a ref never consumes the same event as its
+    predecessor — one event per pattern element, as in CH's
+    backtracking matcher."""
+    ts, conds = a[0], a[1:]
+    arr = _seq_event_array(ts, conds)
+    m = len(refs)
+    ninf = "CAST('-Infinity' AS DOUBLE)"
+    pinf = "CAST('Infinity' AS DOUBLE)"
+    init = "named_struct(" + ", ".join(
+        f"'e{k}', {pinf}, 'l{k}', {ninf}, 'p{k}', false"
+        for k in range(1, m + 1)
+    ) + ")"
+    new_end = {1: f"__e.c{refs[0]}"}
+    for k in range(2, m + 1):
+        t = trans[k - 2]
+        op, secs = t["op"], t["secs"]
+        if t["gap"]:
+            if op is None:
+                chk = f"__acc.l{k - 1} > {ninf}"
+            elif op in ("<", "<="):
+                chk = (
+                    f"__acc.l{k - 1} > {ninf} AND "
+                    f"__e.t - __acc.l{k - 1} {op} ({secs})"
+                )
+            else:  # > or >=
+                chk = (
+                    f"__acc.e{k - 1} < {pinf} AND "
+                    f"__e.t - __acc.e{k - 1} {op} ({secs})"
+                )
+        else:
+            chk = f"__acc.p{k - 1}"
+            if op is not None:
+                chk += f" AND __e.t - __acc.l{k - 1} {op} ({secs})"
+        new_end[k] = f"(__e.c{refs[k - 1]} AND {chk})"
+    upd = []
+    for k in range(1, m + 1):
+        ne = new_end[k]
+        upd.append(
+            f"'e{k}', IF({ne}, least(__acc.e{k}, __e.t), __acc.e{k})"
+        )
+        upd.append(f"'l{k}', IF({ne}, __e.t, __acc.l{k})")
+        upd.append(f"'p{k}', {ne}")
+    return (
+        f"aggregate({arr}, {init}, "
+        f"(__acc, __e) -> named_struct({', '.join(upd)}), "
+        f"__acc -> CAST(__acc.l{m} > {ninf} AS BOOLEAN))"
+    )
+
+
 def _sequence_match_builder(p: list[str], a: list[str],
                             count: bool) -> str:
     name = "sequenceCount" if count else "sequenceMatch"
@@ -3393,8 +3631,19 @@ def _sequence_match_builder(p: list[str], a: list[str],
         raise ValueError(
             f"{name} needs a timestamp and at least one condition"
         )
-    refs = _parse_seq_pattern(p[0], len(a) - 1)
-    return _sequence_fold(a, refs, count)
+    refs, trans = _parse_seq_pattern(p[0], len(a) - 1)
+    simple = all(t["gap"] and t["op"] is None for t in trans)
+    if simple:
+        return _sequence_fold(a, refs, count)
+    if count:
+        raise ValueError(
+            "sequenceCount with adjacent refs or (?t op N) time "
+            "constraints is not implemented (greedy non-overlapping "
+            "counting needs a backtracking matcher); sequenceMatch "
+            "supports them, and sequenceCount serves the "
+            "(?N).*(?M) subset"
+        )
+    return _sequence_reach_fold(a, refs, trans)
 
 
 def _array_flatten_builder(a: list) -> str:

@@ -1299,3 +1299,159 @@ def dialect_retention_roundtrip(spark, sf_dir):
         F.expr("CAST(sum(r[1]) AS BIGINT)").alias("r2"),
         F.expr("CAST(sum(r[2]) AS BIGINT)").alias("r3"),
     )
+
+
+# windowFunnel strict_order SQL spelling: signup/error events match
+# no funnel condition, so under strict_order the first one AFTER a
+# user's first view freezes that user's funnel. Oracle: number the
+# per-user event stream, cut it at the first non-funnel event past
+# the first view, and recompute the default chain (r8 EXISTS-join
+# style) over the surviving prefix — the fixture has no per-user ts
+# ties, so row order is unambiguous.
+@query(
+    "dialect_windowfunnel_strict_roundtrip",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+fv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN rn END) AS first_view
+  FROM ev GROUP BY user_id
+),
+st AS (
+  SELECT e.user_id,
+         coalesce(min(CASE WHEN e.event_type IN ('signup', 'error')
+                           AND e.rn > f.first_view
+                      THEN e.rn END), 1000000000) AS stop_rn
+  FROM ev e JOIN fv f ON f.user_id = e.user_id
+  GROUP BY e.user_id
+),
+pe AS (
+  SELECT e.* FROM ev e JOIN st ON st.user_id = e.user_id
+  WHERE e.rn < st.stop_rn
+),
+l1 AS (SELECT DISTINCT user_id FROM pe WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM pe v JOIN pe c ON c.user_id = v.user_id
+   AND c.event_type = 'click' AND c.event_id <> v.event_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM pe v
+  JOIN pe c ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.event_id <> v.event_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+  JOIN pe p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.event_id <> v.event_id AND p.event_id <> c.event_id
+   AND p.ts >= c.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+)
+SELECT lvl, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+              ELSE 0 END AS lvl
+  FROM (SELECT DISTINCT user_id FROM ev) u
+) GROUP BY lvl
+""",
+)
+def dialect_windowfunnel_strict_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_wfs",
+        """
+        SELECT lvl, CAST(count() AS Int64) AS n_users FROM (
+          SELECT user_id,
+                 windowFunnel(3600, 'strict_order')(
+                     ts, event_type = 'view',
+                     event_type = 'click',
+                     event_type = 'purchase') AS lvl
+          FROM __dq_events_wfs GROUP BY user_id
+        ) GROUP BY lvl
+        """,
+    )
+
+
+# sequenceMatch adjacency + (?t op N): users whose view is
+# IMMEDIATELY followed (in the view/click-only stream — undescribed
+# events are invisible, per CH) by a click within 10 minutes. The
+# oracle numbers the filtered stream with the same (ts, condition
+# index) tie-break the fold's sort uses.
+@query(
+    "dialect_seqmatch_time_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 2 END) AS rn
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched FROM (
+  SELECT DISTINCT a.user_id
+  FROM s a JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND epoch(b.ts) - epoch(a.ts) < 600
+)
+""",
+)
+def dialect_seqmatch_time_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_smt",
+        """
+        SELECT CAST(count() AS Int64) AS n_matched FROM (
+          SELECT user_id,
+                 sequenceMatch('(?1)(?t<600)(?2)')(
+                     ts, event_type = 'view',
+                     event_type = 'click') AS m
+          FROM __dq_events_smt GROUP BY user_id
+        ) WHERE m
+        """,
+    )
+
+
+# sequenceMatch plain adjacency (no time bound): the same stream cut,
+# any immediately-following click.
+@query(
+    "dialect_seqmatch_adjacent_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 2 END) AS rn
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched FROM (
+  SELECT DISTINCT a.user_id
+  FROM s a JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+)
+""",
+)
+def dialect_seqmatch_adjacent_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_sma",
+        """
+        SELECT CAST(count() AS Int64) AS n_matched FROM (
+          SELECT user_id,
+                 sequenceMatch('(?1)(?2)')(
+                     ts, event_type = 'view',
+                     event_type = 'click') AS m
+          FROM __dq_events_sma GROUP BY user_id
+        ) WHERE m
+        """,
+    )

@@ -49,9 +49,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-10 ROTATION CANDIDATES: any round-9 oracle-backed additions
+# ROUND-10 ROTATION CANDIDATES: the round-9 oracle-backed additions
 # land first (dialect_windowfunnel_strict_roundtrip,
-# dialect_seqmatch_time_roundtrip if shipped), then the remaining 18
+# dialect_seqmatch_time_roundtrip,
+# dialect_seqmatch_adjacent_roundtrip — all three shipped with green
+# local oracle rows), then the remaining 18
 # r6-era names not refreshed in the r9 fill —
 # scalar_functions, string_functions, sum_group_by,
 # text_boilerplate_lines, text_c4_filters, text_html_extract,

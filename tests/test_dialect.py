@@ -6934,22 +6934,160 @@ class TestBehavioralSqlSpellings:
         )
         assert got2 == [[1, 1], [2, 1], [3, 0], [4, 1]]
 
-    def test_unsupported_pattern_features_guided(self, eng):
-        with pytest.raises(ValueError, match="ADJACENT"):
+    def test_remaining_unsupported_guided(self, eng):
+        # sequenceCount keeps the .*-separated subset; adjacency /
+        # time constraints need a backtracking matcher there.
+        with pytest.raises(ValueError, match="sequenceCount"):
             eng.execute(
-                "SELECT sequenceMatch('(?1)(?2)')(t, e='A', e='B') "
+                "SELECT sequenceCount('(?1)(?2)')(t, e='A', e='B') "
                 f"AS r {self.BASE}"
             )
-        with pytest.raises(ValueError, match="time constraints"):
+        with pytest.raises(ValueError, match="at most one"):
             eng.execute(
-                "SELECT sequenceMatch('(?1)(?t>10)(?2)')"
+                "SELECT sequenceMatch('(?1)(?t>10)(?t<99)(?2)')"
                 f"(t, e='A', e='B') AS r {self.BASE}"
             )
-        with pytest.raises(ValueError, match="modes"):
+        with pytest.raises(ValueError, match="BOTH sides"):
             eng.execute(
-                "SELECT windowFunnel(10, 'strict_order')(t, e='A') "
+                "SELECT sequenceMatch('(?t>10)(?1)')(t, e='A') "
                 f"AS r {self.BASE}"
             )
+        with pytest.raises(ValueError, match="strict_order"):
+            eng.execute(
+                "SELECT windowFunnel(10, 'bogus_mode')(t, e='A') "
+                f"AS r {self.BASE}"
+            )
+
+
+class TestWindowFunnelStrictModes:
+    """CH AggregateFunctionWindowFunnel strict modes, one fixture
+    stream per semantic corner."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def _wf(self, eng, events, spec):
+        vals = ", ".join(f"({t}, '{e}')" for t, e in events)
+        q = (
+            f"SELECT windowFunnel({spec})(CAST(t AS TIMESTAMP), "
+            f"e='A', e='B', e='C') AS lvl "
+            f"FROM (SELECT * FROM VALUES {vals} AS t(t, e))"
+        )
+        return eng.execute(q).rows[0][0]
+
+    def test_strict_order_breaker_after_start(self, eng):
+        # X matches no condition: after the first A it halts the scan
+        ev = [(1, 'A'), (2, 'X'), (3, 'B'), (4, 'C')]
+        assert self._wf(eng, ev, "3600, 'strict_order'") == 1
+        assert self._wf(eng, ev, "3600") == 3  # default ignores X
+
+    def test_strict_order_breaker_before_start_ignored(self, eng):
+        ev = [(1, 'X'), (2, 'A'), (3, 'B')]
+        assert self._wf(eng, ev, "3600, 'strict_order'") == 2
+
+    def test_strict_dedup_truncates_at_repeat(self, eng):
+        # second B repeats an already-reached level: CH returns that
+        # level and stops — the later C is never seen
+        ev = [(1, 'A'), (2, 'B'), (3, 'B'), (4, 'C')]
+        assert self._wf(eng, ev, "3600, 'strict_deduplication'") == 2
+        assert self._wf(eng, ev, "3600, 'strict_dedup'") == 2
+        assert self._wf(eng, ev, "3600") == 3
+
+    def test_strict_dedup_completed_funnel_immune(self, eng):
+        # CH early-returns N on completion, before the repeat
+        ev = [(1, 'A'), (2, 'B'), (3, 'C'), (4, 'B')]
+        assert self._wf(eng, ev, "3600, 'strict_dedup'") == 3
+
+    def test_strict_increase_needs_larger_ts(self, eng):
+        ev = [(1, 'A'), (1, 'B'), (2, 'C')]
+        assert self._wf(eng, ev, "3600, 'strict_increase'") == 1
+        assert self._wf(eng, ev, "3600") == 3  # tie ok by default
+
+    def test_equal_ts_processes_lower_condition_first(self, eng):
+        # CH sorts (ts, condition number): at a tie A runs before B
+        # regardless of row order
+        assert self._wf(
+            eng, [(1, 'B'), (1, 'A'), (2, 'C')], "3600"
+        ) == 3
+
+    def test_modes_combine(self, eng):
+        # strict_order + strict_increase: X halts AND ties don't
+        # advance
+        ev = [(1, 'A'), (1, 'B'), (2, 'B'), (3, 'X'), (4, 'C')]
+        got = self._wf(
+            eng, ev, "3600, 'strict_order', 'strict_increase'"
+        )
+        assert got == 2  # B@2 advances (2>1); X@3 halts before C
+
+
+class TestSequenceMatchAdjacencyAndTime:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def _sm(self, eng, events, pattern, conds="e='A', e='B'"):
+        vals = ", ".join(f"({t}, '{e}')" for t, e in events)
+        q = (
+            f"SELECT sequenceMatch('{pattern}')(CAST(t AS "
+            f"TIMESTAMP), {conds}) AS m "
+            f"FROM (SELECT * FROM VALUES {vals} AS t(t, e))"
+        )
+        return eng.execute(q).rows[0][0]
+
+    def test_adjacent_skips_undescribed_events(self, eng):
+        # the documented CH example: an event matching no listed
+        # condition is invisible to the pattern
+        ev = [(1, 'A'), (2, 'X'), (3, 'B')]
+        assert self._sm(eng, ev, "(?1)(?2)") is True
+        # ...but describing it as a condition makes it break
+        # adjacency
+        assert self._sm(
+            eng, ev, "(?1)(?2)", conds="e='A', e='B', e='X'"
+        ) is False
+        assert self._sm(
+            eng, ev, "(?1).*(?2)", conds="e='A', e='B', e='X'"
+        ) is True
+
+    def test_adjacent_restarts_on_later_anchor(self, eng):
+        assert self._sm(
+            eng, [(1, 'A'), (2, 'A'), (3, 'B')], "(?1)(?2)"
+        ) is True
+
+    def test_time_constraint_adjacent(self, eng):
+        assert self._sm(
+            eng, [(1, 'A'), (100, 'B')], "(?1)(?t<3600)(?2)"
+        ) is True
+        assert self._sm(
+            eng, [(1, 'A'), (5000, 'B')], "(?1)(?t<3600)(?2)"
+        ) is False
+
+    def test_time_constraint_gap_uses_right_witness(self, eng):
+        # (?t>N) across .* needs the EARLIEST prefix end
+        assert self._sm(
+            eng, [(1, 'A'), (2, 'A'), (3000, 'B')],
+            "(?1).*(?t>2000)(?2)",
+        ) is True
+        assert self._sm(
+            eng, [(2500, 'A'), (2600, 'A'), (3000, 'B')],
+            "(?1).*(?t>2000)(?2)",
+        ) is False
+        # (?t<N) across .* needs the LATEST prefix end
+        assert self._sm(
+            eng, [(1, 'A'), (2900, 'A'), (3000, 'B')],
+            "(?1).*(?t<200)(?2)",
+        ) is True
+
+    def test_three_refs_mixed_transitions(self, eng):
+        assert self._sm(
+            eng, [(1, 'A'), (2, 'B'), (3, 'X'), (50, 'C')],
+            "(?1)(?2).*(?t<100)(?3)",
+            conds="e='A', e='B', e='C'",
+        ) is True
 
 
 class TestParametricThirdParenGroup:
