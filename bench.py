@@ -50,6 +50,18 @@ LOAD_BEFORE: list[float] = []
 
 def main() -> None:
     LOAD_BEFORE.extend(round(x, 2) for x in os.getloadavg())
+    # Noise gate (judge r8 Next #8): warn INTO the artifact when the
+    # box is already busy at start — r8's recording began at loadavg
+    # 2.3 and produced bidirectional per-query noise that cost a
+    # verdict paragraph to adjudicate. The run proceeds either way
+    # (the driver calls this unattended); the annotation makes the
+    # noise floor part of the record.
+    if LOAD_BEFORE and LOAD_BEFORE[0] > 1.5:
+        print(
+            f"WARNING: loadavg {LOAD_BEFORE[0]} > 1.5 at start; "
+            "timings will include host noise",
+            file=sys.stderr,
+        )
     import bighouse_spark.queries  # noqa: F401  (registers everything)
     from bighouse_spark.queries.registry import get
     from bighouse_spark.session import get_spark
@@ -166,6 +178,7 @@ def main() -> None:
         # adjudication doesn't need a judge re-run.
         "loadavg_before": LOAD_BEFORE,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "noisy_start": bool(LOAD_BEFORE and LOAD_BEFORE[0] > 1.5),
         "cpus": CPUS,
         "sf": sf_val,
     }

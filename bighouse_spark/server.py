@@ -97,6 +97,42 @@ _INSERT_RB_RE = re.compile(
 )
 
 
+def _debug_threads(engine: BigHouseEngine) -> str:
+    """On-demand stack dump for ``GET /debug/threads`` — the
+    pprof-analog counterpart of /metrics (the reference serves
+    /debug/pprof/* on its internal HTTP port). Plain text: the
+    engine's in-flight queries (id, elapsed, SQL prefix) followed by
+    every Python thread's current stack."""
+    import sys
+    import traceback
+
+    frames = sys._current_frames()
+    by_ident = {t.ident: t for t in threading.enumerate()}
+    with engine._inflight_lock:
+        inflight = [
+            (qid, sql[:200], time.monotonic() - t0)
+            for qid, (sql, t0) in engine._inflight.items()
+        ]
+    out = [f"=== in-flight queries ({len(inflight)}) ==="]
+    for qid, sql, elapsed in sorted(
+        inflight, key=lambda x: -x[2]
+    ):
+        out.append(f"{qid} elapsed={elapsed:.1f}s {sql}")
+    out.append("")
+    out.append(f"=== python threads ({len(frames)}) ===")
+    for ident, frame in sorted(frames.items()):
+        t = by_ident.get(ident)
+        name = t.name if t else "?"
+        daemon = " daemon" if t is not None and t.daemon else ""
+        out.append(f"--- {name} (ident {ident}{daemon}) ---")
+        out.extend(
+            line.rstrip()
+            for line in traceback.format_stack(frame)
+        )
+    out.append("")
+    return "\n".join(out)
+
+
 def _rb_table_name(raw: str) -> str:
     return raw.split(".")[-1].strip('`"')
 
@@ -474,6 +510,21 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header(
                 "Content-Type", "text/plain; version=0.0.4"
             )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif parsed.path == "/debug/threads":
+            # pprof analog (the reference registers /debug/pprof/*
+            # next to Prometheus, observability/internal_http.go:22-26).
+            # Gated like /query_log: stacks and in-flight SQL leak
+            # query text. JVM-side executor stacks live in the Spark
+            # UI / api/v1 status REST instead; this dumps the Python
+            # driver side.
+            if not self._check_auth(parsed):
+                return
+            body = _debug_threads(self.engine).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

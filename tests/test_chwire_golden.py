@@ -298,3 +298,162 @@ def test_pong_bytes_exact(srv):
         _assert_no_trailing(s)
     finally:
         s.close()
+
+
+# -- compressed path (round 9) ---------------------------------------
+# The same golden Query, but with the compression flag set and the
+# external-tables terminator block wrapped in HAND-ASSEMBLED frames:
+# [16B CityHash128][method][4B LE compressed size incl 9B header]
+# [4B LE uncompressed size][payload]. The LZ4 payload is a spec-built
+# literals-only block (token 0xA0 = 10 literals, no sequences); the
+# ZSTD payload is a spec-built RFC 8878 single-segment frame with one
+# Raw block. Neither embeds repo encoder output, so these pin the
+# server's DECODE path against the public layouts. (The 16-byte
+# checksums were computed with CityHash128 v1.0.2, which the repo
+# implements from scratch and pins bit-exact in test_cityhash.py's
+# offline parity gate; the structural test below re-verifies them.)
+CLIENT_QUERY_COMPRESSED = bytes.fromhex(
+    "0109676f6c64656e2d713101000009302e302e302e303a300106676f6c64656e"
+    "0a676f6c64656e686f73740d676f6c64656e2d636c69656e7414039da9030000"
+    "0002012253454c454354206e756d626572204153206e2046524f4d206e756d62"
+    "657273283329"
+)
+EMPTY_BLOCK_BODY = bytes.fromhex("010002ffffffff000000")
+EXT_BLOCK_LZ4 = bytes.fromhex(
+    "0200a783ac6cd55c7a7cb5ac46bddb86e21482140000000a000000a0"
+    "010002ffffffff000000"
+)
+EXT_BLOCK_ZSTD = bytes.fromhex(
+    "020090ced47c8d4e82f9aeb0fb84d3bc38d2901c0000000a00000028"
+    "b52ffd200a510000010002ffffffff000000"
+)
+
+
+def test_frozen_compressed_frames_parse_per_public_layout():
+    from bighouse_spark.functions.cityhash import cityhash128
+
+    for blob, method in ((EXT_BLOCK_LZ4, 0x82), (EXT_BLOCK_ZSTD, 0x90)):
+        r = _R(blob)
+        assert r.varint() == 2 and r.string() == ""  # Data packet
+        checksum = r.exact(16)
+        rest = blob[r.pos:]
+        lo, hi = struct.unpack("<QQ", checksum)
+        assert cityhash128(rest) == (lo, hi)
+        assert r.exact(1)[0] == method
+        csize, usize = struct.unpack("<ii", r.exact(8))
+        assert csize == 9 + len(blob) - r.pos
+        assert usize == len(EMPTY_BLOCK_BODY)
+        payload = r.exact(csize - 9)
+        assert r.done()
+        if method == 0x82:
+            # LZ4 block format: one literals-only sequence
+            assert payload[0] == len(EMPTY_BLOCK_BODY) << 4
+            assert payload[1:] == EMPTY_BLOCK_BODY
+        else:
+            # RFC 8878: magic, FHD (single-segment, 1B FCS), FCS,
+            # 3B block header (last=1, type=Raw, size), raw bytes
+            assert payload[:4] == bytes.fromhex("28b52ffd")
+            assert payload[4] == 0x20
+            assert payload[5] == len(EMPTY_BLOCK_BODY)
+            hdr = int.from_bytes(payload[6:9], "little")
+            assert hdr & 1 == 1 and (hdr >> 1) & 3 == 0
+            assert hdr >> 3 == len(EMPTY_BLOCK_BODY)
+            assert payload[9:] == EMPTY_BLOCK_BODY
+
+
+class _SockR:
+    """Incremental packet reader over the live socket; Data-packet
+    frames are decompressed with PYARROW's lz4 raw-block codec — an
+    implementation independent of bighouse_spark.compress."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+
+    def exact(self, n: int) -> bytes:
+        return _recv_exact(self.sock, n)
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.exact(1)[0]
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def string(self) -> bytes:
+        n = self.varint()
+        return self.exact(n)
+
+    def frame_decompressed(self) -> bytes:
+        import pyarrow as pa
+
+        self.exact(16)  # checksum (the server side computes it)
+        head = self.exact(9)
+        method = head[0]
+        csize, usize = struct.unpack("<ii", head[1:9])
+        payload = self.exact(csize - 9)
+        assert method == 0x82, f"expected LZ4 reply frames, {method:#x}"
+        return pa.Codec("lz4_raw").decompress(
+            payload, decompressed_size=usize
+        ).to_pybytes()
+
+
+def _varint_bytes(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _read_compressed_reply(s: socket.socket) -> bytes:
+    """Read the server reply to a compression=1 query and rebuild the
+    LOGICAL byte stream (Data-packet bodies decompressed in place);
+    for a conformant server it must equal the frozen uncompressed
+    reply byte-for-byte."""
+    r = _SockR(s)
+    logical = b""
+    while True:
+        ptype = r.varint()
+        logical += _varint_bytes(ptype)
+        if ptype == 1:  # Data: name + one compressed frame
+            name = r.string()
+            logical += _varint_bytes(len(name)) + name
+            logical += r.frame_decompressed()
+        elif ptype == 3:  # Progress: 5 varints at this revision
+            for _ in range(5):
+                logical += _varint_bytes(r.varint())
+        elif ptype == 6:  # ProfileInfo: 6 varints
+            for _ in range(6):
+                logical += _varint_bytes(r.varint())
+        elif ptype == 5:  # EndOfStream
+            return logical
+        else:
+            raise AssertionError(f"unexpected packet type {ptype}")
+
+
+@pytest.mark.parametrize(
+    "ext_block", [EXT_BLOCK_LZ4, EXT_BLOCK_ZSTD],
+    ids=["lz4_stored", "zstd_stored"],
+)
+def test_compressed_query_exchange_decodes_spec_frames(srv, ext_block):
+    s = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        s.sendall(CLIENT_HELLO)
+        _recv_exact(s, len(SERVER_HELLO))
+        s.sendall(CLIENT_QUERY_COMPRESSED + ext_block)
+        s.settimeout(120)
+        logical = _read_compressed_reply(s)
+        assert logical == SERVER_QUERY_REPLY, (
+            f"logical reply drift:\n got {logical.hex()}\nwant "
+            f"{SERVER_QUERY_REPLY.hex()}"
+        )
+        _assert_no_trailing(s)
+        s.sendall(CLIENT_PING)
+        assert _recv_exact(s, 1) == SERVER_PONG
+    finally:
+        s.close()

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import urllib.error
 import urllib.request
 
 import pytest
@@ -128,5 +129,64 @@ def test_metrics_open_without_auth(eng):
         url = f"http://127.0.0.1:{server.server_port}/metrics"
         with urllib.request.urlopen(url) as resp:
             assert resp.status == 200  # scraper is infra, like /hc
+    finally:
+        server.shutdown()
+
+
+def test_debug_threads_dump(eng, srv):
+    url = f"http://127.0.0.1:{srv.server_port}/debug/threads"
+    with urllib.request.urlopen(url) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    # the dump includes this very request handler's thread stack
+    assert "=== python threads (" in text
+    assert "=== in-flight queries (" in text
+    assert "do_GET" in text or "_debug_threads" in text
+
+
+def test_debug_threads_shows_inflight_query(eng, srv):
+    import threading
+
+    started = threading.Event()
+    orig = dict(eng._inflight)
+
+    def slow():
+        # fake an in-flight entry (a real long query would race the
+        # scrape); the lock discipline is what the dump exercises
+        import time as _t
+
+        with eng._inflight_lock:
+            eng._inflight["dbg-q1"] = ("SELECT sleepy FROM t", _t.monotonic())
+        started.set()
+
+    slow()
+    started.wait(5)
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/debug/threads"
+        with urllib.request.urlopen(url) as resp:
+            text = resp.read().decode()
+        assert "dbg-q1" in text and "SELECT sleepy" in text
+        assert "elapsed=" in text
+    finally:
+        with eng._inflight_lock:
+            eng._inflight.pop("dbg-q1", None)
+            assert set(eng._inflight) == set(orig)
+
+
+def test_debug_threads_gated_by_auth(eng):
+    import threading
+
+    from bighouse_spark.server import make_server
+
+    server = make_server(engine=eng, auth=("u", "pw"))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/debug/threads"
+        try:
+            urllib.request.urlopen(url)
+            raise AssertionError("expected 401/403")
+        except urllib.error.HTTPError as e:
+            assert e.code in (401, 403)
     finally:
         server.shutdown()
