@@ -61,7 +61,10 @@ _TABLE_FUNCS = (
 # dominant usage is sum(cityHash64(*)) whole-table checksums
 # (reference README.md:106-121) and CH UInt64 sums wrap while Spark's
 # ANSI long sum overflows — decimal sums absorb the range.
-_HASH_FUNCS = ("cityHash64", "sipHash64", "farmHash64", "intHash64")
+_HASH_FUNCS = (
+    "cityHash64", "sipHash64", "farmHash64", "farmFingerprint64",
+    "intHash64",
+)
 
 # CH → Spark function renames applied as word-boundary rewrites of
 # call sites. Only functions whose argument shapes line up 1:1.
@@ -2126,6 +2129,64 @@ def _struct_literal_fields(s: str) -> list[str] | None:
     return None
 
 
+def _dot_product_builder(a: list[str]) -> str:
+    """dotProduct/scalarProduct: Array columns get the zip_with fold;
+    INLINE tuple spellings (CH's tuple overload) expand field-wise —
+    a struct is not iterable in Spark expressions, so the array path
+    fails analysis on tuples."""
+    if len(a) != 2:
+        raise ValueError("dotProduct(a, b) takes two arguments")
+    f1 = _struct_literal_fields(a[0])
+    f2 = _struct_literal_fields(a[1])
+    if f1 is not None and f2 is not None:
+        if len(f1) != len(f2):
+            raise ValueError(
+                "dotProduct: tuple operands have different arities"
+            )
+        return "(" + " + ".join(
+            f"CAST({x} AS DOUBLE) * ({y})" for x, y in zip(f1, f2)
+        ) + ")"
+    return (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), 0D, "
+        f"(__acc, __v) -> __acc + __v)"
+    )
+
+
+def _map_populate_series_builder(a: list[str]) -> str:
+    """mapPopulateSeries: fill missing integer keys with step 1 and
+    value 0. Map form ``(map[, max])`` returns a Map; array form
+    ``(keys, values[, max])`` returns the CH Tuple(Array, Array) as a
+    struct. The bound expressions repeat textually (Catalyst dedups
+    common subexpressions)."""
+    def looks_array(s: str) -> bool:
+        t = s.strip().lower()
+        return t.startswith("[") or t.startswith("array(")
+
+    if len(a) == 1 or (len(a) == 2 and not looks_array(a[1])):
+        m = a[0]
+        mx = a[1] if len(a) == 2 else f"array_max(map_keys({m}))"
+        seq = f"sequence(array_min(map_keys({m})), {mx})"
+        return (
+            f"map_from_arrays({seq}, transform({seq}, "
+            f"__k -> coalesce(element_at({m}, __k), 0)))"
+        )
+    if len(a) not in (2, 3):
+        raise ValueError(
+            "mapPopulateSeries(map[, max]) or "
+            "mapPopulateSeries(keys, values[, max])"
+        )
+    keys, vals = a[0], a[1]
+    mx = a[2] if len(a) == 3 else f"array_max({keys})"
+    seq = f"sequence(array_min({keys}), {mx})"
+    filled = (
+        f"transform({seq}, __k -> IF(array_position({keys}, __k) > 0, "
+        f"element_at({vals}, CAST(array_position({keys}, __k) AS INT)),"
+        f" 0))"
+    )
+    return f"struct({seq}, {filled})"
+
+
 def _tuple_arith_builder(name: str):
     """tuplePlus/Minus/Multiply/Divide/Negate/…ByNumber/tupleConcat →
     field-wise struct expansion. Works on INLINE tuple spellings
@@ -2740,6 +2801,34 @@ def _polygon_fold_builder(kind: str):
         if len(a) != 1:
             raise ValueError(f"{kind}(polygon) takes one argument")
         poly = a[0]
+        # Literal nesting depth decides Polygon vs MultiPolygon (the
+        # CH docs spell these as triple-nested literals): count the
+        # leading [ / array( wrappers down to the vertex tuples. A
+        # column argument (no visible nesting) keeps the documented
+        # Polygon contract.
+        s = poly.strip()
+        depth = 0
+        while True:
+            low = s.lower()
+            if s.startswith("["):
+                depth += 1
+                s = s[1:].lstrip()
+            elif low.startswith("array("):
+                depth += 1
+                s = s[6:].lstrip()
+            else:
+                break
+        if depth >= 3:
+            # MultiPolygon: sum the per-polygon values. Outer lambda
+            # vars must not collide with the ring fold's __acc/__r.
+            inner = build([f"__mp"])
+            inner = inner.replace("__acc", "__pacc").replace(
+                "__mp", "__poly"
+            )
+            return (
+                f"aggregate({poly}, CAST(0 AS DOUBLE), "
+                f"(__macc, __poly) -> __macc + {inner})"
+            )
         # Per-ring fold over vertex index i (1-based): pairs
         # (v_i, v_{i+1 mod n}). Positional struct access via
         # element_at on the ring's zipped selves is type-fragile;
@@ -4219,10 +4308,7 @@ _ARG_REWRITES.update({
     "toIPv6": lambda a: f"bh_ipv6_norm({a[0]})",
     "IPv4ToIPv6": lambda a: f"bh_ipv4_to_ipv6({a[0]})",
     # -- vector math over Array columns (the embeddings surface) --
-    "dotProduct": lambda a: (
-        f"aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> __x * __y), "
-        f"CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
-    ),
+    "dotProduct": lambda a: _dot_product_builder(a),
     "L1Norm": lambda a: (
         f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
         f"(__s, __v) -> __s + abs(__v))"
@@ -5027,11 +5113,7 @@ _ARG_REWRITES.update({
         f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), 0D, "
         f"(__acc, __v) -> __acc + __v)"
     ),
-    "scalarProduct": lambda a: (
-        f"aggregate(zip_with({a[0]}, {a[1]}, "
-        f"(__x, __y) -> CAST(__x AS DOUBLE) * __y), 0D, "
-        f"(__acc, __v) -> __acc + __v)"
-    ),
+    "scalarProduct": lambda a: _dot_product_builder(a),
     # pointInEllipses(x, y, x0, y0, a0, b0, ...): any ellipse holds.
     "pointInEllipses": lambda a: (
         "("
@@ -5130,6 +5212,90 @@ def _l2sq(x: str, y: str) -> str:
         f"pow(CAST(__p AS DOUBLE) - __q, 2)), 0D, "
         f"(__a, __v) -> __a + __v)"
     )
+
+
+def _l2sq_norm(arr: str) -> str:
+    return (
+        f"aggregate({arr}, 0D, (__a, __x) -> "
+        f"__a + CAST(__x AS DOUBLE) * __x)"
+    )
+
+
+def _linf(arr: str) -> str:
+    return (
+        f"array_max(transform({arr}, "
+        f"__x -> abs(CAST(__x AS DOUBLE))))"
+    )
+
+
+def _lp_norm(arr: str, p: str) -> str:
+    return (
+        f"pow(aggregate({arr}, 0D, (__a, __x) -> "
+        f"__a + pow(abs(CAST(__x AS DOUBLE)), {p})), 1.0 / ({p}))"
+    )
+
+
+# Round-9 probe tranche: the rest of the vector norm/normalize family
+# (CH canonical L*Normalize spellings + the norm*/distance* aliases),
+# LpDistance, L2SquaredNorm, mapPopulateSeries, tryBase58Decode.
+_ARG_REWRITES.update({
+    "L2SquaredNorm": lambda a: _l2sq_norm(a[0]),
+    "normL2Squared": lambda a: _l2sq_norm(a[0]),
+    "normL1": lambda a: _l1(a[0]),
+    "normL2": lambda a: f"sqrt({_l2sq_norm(a[0])})",
+    "normLinf": lambda a: _linf(a[0]),
+    "normLp": lambda a: _lp_norm(a[0], a[1]),
+    "distanceL1": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (__p, __q) -> "
+        f"abs(CAST(__p AS DOUBLE) - __q)), 0D, "
+        f"(__a, __v) -> __a + __v)"
+    ),
+    "distanceL2": lambda a: f"sqrt({_l2sq(a[0], a[1])})",
+    "distanceL2Squared": lambda a: _l2sq(a[0], a[1]),
+    "distanceLinf": lambda a: (
+        f"array_max(zip_with({a[0]}, {a[1]}, "
+        f"(__p, __q) -> abs(CAST(__p AS DOUBLE) - __q)))"
+    ),
+    "LpDistance": lambda a: (
+        f"pow(aggregate(zip_with({a[0]}, {a[1]}, (__p, __q) -> "
+        f"pow(abs(CAST(__p AS DOUBLE) - __q), {a[2]})), 0D, "
+        f"(__a, __v) -> __a + __v), 1.0 / ({a[2]}))"
+    ),
+    "distanceLp": lambda a: (
+        f"pow(aggregate(zip_with({a[0]}, {a[1]}, (__p, __q) -> "
+        f"pow(abs(CAST(__p AS DOUBLE) - __q), {a[2]})), 0D, "
+        f"(__a, __v) -> __a + __v), 1.0 / ({a[2]}))"
+    ),
+    "L1Normalize": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / {_l1(a[0])})"
+    ),
+    "L2Normalize": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"sqrt({_l2sq_norm(a[0])}))"
+    ),
+    "LinfNormalize": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"{_linf(a[0])})"
+    ),
+    "normalizeLinf": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"{_linf(a[0])})"
+    ),
+    "LpNormalize": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"{_lp_norm(a[0], a[1])})"
+    ),
+    "normalizeLp": lambda a: (
+        f"transform({a[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"{_lp_norm(a[0], a[1])})"
+    ),
+    "mapPopulateSeries": lambda a: _map_populate_series_builder(a),
+    # CH tryBase58Decode returns '' on invalid input (the repo's
+    # base58 decoder yields NULL there).
+    "tryBase58Decode": lambda a: (
+        f"coalesce(bh_base58_decode({a[0]}), '')"
+    ),
+})
 
 
 # Round-5 probe tranche 4: the rest of the vector-norm family, bit

@@ -7432,3 +7432,110 @@ class TestExplainVariantFlags:
         ):
             rows = eng.execute(q).rows
             assert rows and "Physical Plan" in rows[0][0]
+
+
+class TestRound9ProbeTranche:
+    """Vector norm/normalize family completion, tuple dotProduct,
+    MultiPolygon-literal geo folds, mapPopulateSeries,
+    tryBase58Decode."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_norm_family_and_aliases(self, eng):
+        for q, want in [
+            ("SELECT L2SquaredNorm([3,4]) AS r", 25.0),
+            ("SELECT normL2Squared([3,4]) AS r", 25.0),
+            ("SELECT normL1([1,-2]) AS r", 3.0),
+            ("SELECT normL2([3,4]) AS r", 5.0),
+            ("SELECT normLinf([1,-5]) AS r", 5.0),
+            ("SELECT LpDistance([0,0],[3,4], 2) AS r", 5.0),
+            ("SELECT distanceLp([0,0],[3,4], 2) AS r", 5.0),
+            ("SELECT distanceL2Squared([0,0],[3,4]) AS r", 25.0),
+            ("SELECT distanceLinf([1,2],[4,3]) AS r", 3.0),
+        ]:
+            got = eng.execute(q).rows[0][0]
+            assert abs(got - want) < 1e-9, q
+
+    def test_normalize_family(self, eng):
+        for q, want in [
+            ("SELECT L1Normalize([1,3]) AS r", [0.25, 0.75]),
+            ("SELECT L2Normalize([3,4]) AS r", [0.6, 0.8]),
+            ("SELECT LinfNormalize([2,-4]) AS r", [0.5, -1.0]),
+            ("SELECT normalizeLinf([2,-4]) AS r", [0.5, -1.0]),
+            ("SELECT LpNormalize([3,4], 2) AS r", [0.6, 0.8]),
+        ]:
+            got = eng.execute(q).rows[0][0]
+            assert all(
+                abs(g - w) < 1e-9 for g, w in zip(got, want)
+            ), q
+
+    def test_dot_product_tuple_overload(self, eng):
+        assert eng.execute(
+            "SELECT dotProduct((1,2),(3,4)) AS r"
+        ).rows == [[11.0]]
+        assert eng.execute(
+            "SELECT scalarProduct((1,2,3),(4,5,6)) AS r"
+        ).rows == [[32.0]]
+        # the array path is untouched
+        assert eng.execute(
+            "SELECT dotProduct([1,2,3],[4,5,6]) AS r"
+        ).rows == [[32.0]]
+
+    def test_polygon_multipolygon_literals(self, eng):
+        # the CH docs examples: triple-nested MultiPolygon literals
+        got = eng.execute(
+            "SELECT polygonAreaCartesian([[[(0., 0.), (10., 0.), "
+            "(10., 10.), (0., 10.)]]]) AS r"
+        ).rows[0][0]
+        assert got == 100.0
+        # Polygon (double-nested) still served
+        got2 = eng.execute(
+            "SELECT polygonAreaCartesian([[(0., 0.), (10., 0.), "
+            "(10., 10.), (0., 10.)]]) AS r"
+        ).rows[0][0]
+        assert got2 == 100.0
+        # hole subtracts
+        got3 = eng.execute(
+            "SELECT polygonAreaCartesian([[[(0.,0.),(10.,0.),"
+            "(10.,10.),(0.,10.)], [(2.,2.),(4.,2.),(4.,4.),"
+            "(2.,4.)]]]) AS r"
+        ).rows[0][0]
+        assert got3 == 96.0
+        got4 = eng.execute(
+            "SELECT polygonPerimeterCartesian([[[(0., 0.), (0., 5.),"
+            " (5., 5.), (5., 0.)]]]) AS r"
+        ).rows[0][0]
+        assert got4 == 20.0
+
+    def test_map_populate_series(self, eng):
+        got = eng.execute(
+            "SELECT mapPopulateSeries(map(1, 10, 3, 30)) AS r"
+        ).rows[0][0]
+        assert got == {1: 10, 2: 0, 3: 30}
+        got2 = eng.execute(
+            "SELECT mapPopulateSeries(map(1, 10, 3, 30), 5) AS r"
+        ).rows[0][0]
+        assert got2 == {1: 10, 2: 0, 3: 30, 4: 0, 5: 0}
+        got3 = eng.execute(
+            "SELECT mapPopulateSeries([1, 3], [10, 30]) AS r"
+        ).rows[0][0]
+        assert list(got3) == [[1, 2, 3], [10, 0, 30]]
+
+    def test_try_base58_decode(self, eng):
+        # the CH docs pair: valid input decodes, junk yields ''
+        assert eng.execute(
+            "SELECT tryBase58Decode('3dc8KtHrwM') AS r"
+        ).rows == [["Encoded"]]
+        assert eng.execute(
+            "SELECT tryBase58Decode('invalid!!') AS r"
+        ).rows == [[""]]
+
+    def test_farm_fingerprint_is_capability_twin(self, eng):
+        r = eng.execute(
+            "SELECT farmFingerprint64('x') AS a, farmHash64('x') AS b"
+        ).rows[0]
+        assert r[0] is not None and r[1] is not None
