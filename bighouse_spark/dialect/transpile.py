@@ -3644,7 +3644,8 @@ def _sequence_fold(a: list[str], refs: list[int], count: bool) -> str:
 
 
 def _sequence_reach_fold(
-    a: list[str], refs: list[int], trans: list[dict]
+    a: list[str], refs: list[int], trans: list[dict],
+    count: bool = False,
 ) -> str:
     """sequenceMatch fold for patterns with ADJACENT refs and/or
     (?t op N) time constraints: a reachability DP over the sorted
@@ -3664,16 +3665,26 @@ def _sequence_reach_fold(
     All new prefix-ends at the current position derive from the
     pre-event state, so a ref never consumes the same event as its
     predecessor — one event per pattern element, as in CH's
-    backtracking matcher."""
+    backtracking matcher.
+
+    ``count=True`` (sequenceCount) adds a match counter with
+    RESET-ON-COMPLETE: when the full pattern first completes, the
+    counter increments and every prefix state clears, so no event is
+    reused across matches — earliest-end greedy non-overlapping
+    counting, the same statistic the ``.*``-subset level fold
+    computes (and CH's lazy KleeneStar matcher yields)."""
     ts, conds = a[0], a[1:]
     arr = _seq_event_array(ts, conds)
     m = len(refs)
     ninf = "CAST('-Infinity' AS DOUBLE)"
     pinf = "CAST('Infinity' AS DOUBLE)"
-    init = "named_struct(" + ", ".join(
+    init_fields = [
         f"'e{k}', {pinf}, 'l{k}', {ninf}, 'p{k}', false"
         for k in range(1, m + 1)
-    ) + ")"
+    ]
+    if count:
+        init_fields.append("'n', CAST(0 AS BIGINT)")
+    init = "named_struct(" + ", ".join(init_fields) + ")"
     new_end = {1: f"__e.c{refs[0]}"}
     for k in range(2, m + 1):
         t = trans[k - 2]
@@ -3697,17 +3708,28 @@ def _sequence_reach_fold(
                 chk += f" AND __e.t - __acc.l{k - 1} {op} ({secs})"
         new_end[k] = f"(__e.c{refs[k - 1]} AND {chk})"
     upd = []
+    complete = new_end[m] if count else None
     for k in range(1, m + 1):
         ne = new_end[k]
-        upd.append(
-            f"'e{k}', IF({ne}, least(__acc.e{k}, __e.t), __acc.e{k})"
-        )
-        upd.append(f"'l{k}', IF({ne}, __e.t, __acc.l{k})")
-        upd.append(f"'p{k}', {ne}")
+        e_u = f"IF({ne}, least(__acc.e{k}, __e.t), __acc.e{k})"
+        l_u = f"IF({ne}, __e.t, __acc.l{k})"
+        p_u = ne
+        if count:
+            # the completing event is consumed: clear every prefix
+            e_u = f"IF({complete}, {pinf}, {e_u})"
+            l_u = f"IF({complete}, {ninf}, {l_u})"
+            p_u = f"(NOT ({complete}) AND {ne})"
+        upd.append(f"'e{k}', {e_u}")
+        upd.append(f"'l{k}', {l_u}")
+        upd.append(f"'p{k}', {p_u}")
+    if count:
+        upd.append(f"'n', __acc.n + IF({complete}, 1, 0)")
+        final = "__acc -> __acc.n"
+    else:
+        final = f"__acc -> CAST(__acc.l{m} > {ninf} AS BOOLEAN)"
     return (
         f"aggregate({arr}, {init}, "
-        f"(__acc, __e) -> named_struct({', '.join(upd)}), "
-        f"__acc -> CAST(__acc.l{m} > {ninf} AS BOOLEAN))"
+        f"(__acc, __e) -> named_struct({', '.join(upd)}), {final})"
     )
 
 
@@ -3724,15 +3746,7 @@ def _sequence_match_builder(p: list[str], a: list[str],
     simple = all(t["gap"] and t["op"] is None for t in trans)
     if simple:
         return _sequence_fold(a, refs, count)
-    if count:
-        raise ValueError(
-            "sequenceCount with adjacent refs or (?t op N) time "
-            "constraints is not implemented (greedy non-overlapping "
-            "counting needs a backtracking matcher); sequenceMatch "
-            "supports them, and sequenceCount serves the "
-            "(?N).*(?M) subset"
-        )
-    return _sequence_reach_fold(a, refs, trans)
+    return _sequence_reach_fold(a, refs, trans, count=count)
 
 
 def _array_flatten_builder(a: list) -> str:

@@ -1455,3 +1455,41 @@ def dialect_seqmatch_adjacent_roundtrip(spark, sf_dir):
         ) WHERE m
         """,
     )
+
+
+# sequenceCount plain adjacency: total immediately-following
+# view→click pairs across users. Adjacent (view, click) pairs over
+# distinct event types can never share an event, so the greedy
+# non-overlapping count equals the plain pair count — which the
+# oracle computes relationally on the same (ts, condition-index)
+# ordered stream.
+@query(
+    "dialect_seqcount_adjacent_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 2 END) AS rn
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs
+FROM s a JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+""",
+)
+def dialect_seqcount_adjacent_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_sca",
+        """
+        SELECT CAST(sum(c) AS Int64) AS n_pairs FROM (
+          SELECT user_id,
+                 sequenceCount('(?1)(?2)')(
+                     ts, event_type = 'view',
+                     event_type = 'click') AS c
+          FROM __dq_events_sca GROUP BY user_id
+        )
+        """,
+    )

@@ -52,7 +52,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND-10 ROTATION CANDIDATES: the round-9 oracle-backed additions
 # land first (dialect_windowfunnel_strict_roundtrip,
 # dialect_seqmatch_time_roundtrip,
-# dialect_seqmatch_adjacent_roundtrip — all three shipped with green
+# dialect_seqmatch_adjacent_roundtrip,
+# dialect_seqcount_adjacent_roundtrip — all four shipped with green
 # local oracle rows), then the remaining 18
 # r6-era names not refreshed in the r9 fill —
 # scalar_functions, string_functions, sum_group_by,

@@ -6935,13 +6935,6 @@ class TestBehavioralSqlSpellings:
         assert got2 == [[1, 1], [2, 1], [3, 0], [4, 1]]
 
     def test_remaining_unsupported_guided(self, eng):
-        # sequenceCount keeps the .*-separated subset; adjacency /
-        # time constraints need a backtracking matcher there.
-        with pytest.raises(ValueError, match="sequenceCount"):
-            eng.execute(
-                "SELECT sequenceCount('(?1)(?2)')(t, e='A', e='B') "
-                f"AS r {self.BASE}"
-            )
         with pytest.raises(ValueError, match="at most one"):
             eng.execute(
                 "SELECT sequenceMatch('(?1)(?t>10)(?t<99)(?2)')"
@@ -7088,6 +7081,54 @@ class TestSequenceMatchAdjacencyAndTime:
             "(?1)(?2).*(?t<100)(?3)",
             conds="e='A', e='B', e='C'",
         ) is True
+
+
+class TestSequenceCountAdjacencyAndTime:
+    """sequenceCount over the extended grammar: reset-on-complete
+    greedy non-overlapping counting in the same reachability DP."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def _sc(self, eng, events, pattern, conds="e='A', e='B'"):
+        vals = ", ".join(f"({t}, '{e}')" for t, e in events)
+        q = (
+            f"SELECT sequenceCount('{pattern}')(CAST(t AS "
+            f"TIMESTAMP), {conds}) AS m "
+            f"FROM (SELECT * FROM VALUES {vals} AS t(t, e))"
+        )
+        return eng.execute(q).rows[0][0]
+
+    def test_adjacent_pairs_counted(self, eng):
+        assert self._sc(
+            eng, [(1, 'A'), (2, 'B'), (3, 'A'), (4, 'B')], "(?1)(?2)"
+        ) == 2
+        # A A B B: only (A@2, B@3) is adjacent; the completing match
+        # consumes its events, the trailing B has no fresh A
+        assert self._sc(
+            eng, [(1, 'A'), (2, 'A'), (3, 'B'), (4, 'B')], "(?1)(?2)"
+        ) == 1
+
+    def test_no_event_reuse_across_matches(self, eng):
+        # both conditions match every event: A A A pairs as (1,2)
+        # and then 3 alone — reuse of event 2 would count 2
+        assert self._sc(
+            eng, [(1, 'A'), (2, 'A'), (3, 'A')], "(?1)(?2)",
+            conds="e='A', e='A'",
+        ) == 1
+
+    def test_time_constraints_counted(self, eng):
+        assert self._sc(
+            eng, [(1, 'A'), (100, 'B'), (200, 'B')],
+            "(?1)(?t<600)(?2)",
+        ) == 1
+        assert self._sc(
+            eng, [(0, 'A'), (3000, 'B'), (4000, 'A'), (8000, 'B')],
+            "(?1).*(?t>2000)(?2)",
+        ) == 2
 
 
 class TestParametricThirdParenGroup:
