@@ -710,13 +710,12 @@ class _Handler(BaseHTTPRequestHandler):
             # the collected path (sink never started) when the result
             # cache or max_result_rows forces it; gzip responses stay
             # on the collected path too.
-            accept_gzip = "gzip" in self.headers.get(
-                "Accept-Encoding", ""
-            ).lower()
+            _accept = self.headers.get("Accept-Encoding", "").lower()
+            accept_compressed = "gzip" in _accept or "zstd" in _accept
             sink = None
             if (
                 fmt in STREAMABLE_FORMATS
-                and not accept_gzip
+                and not accept_compressed
                 and SELECTISH_RE.match(sql)  # SET/DDL keep ack paths
             ):
                 sink = _HTTPStreamSink(self, StreamRenderer(fmt), fmt, qid)
@@ -806,13 +805,20 @@ class _Handler(BaseHTTPRequestHandler):
         if qid:
             extra["X-ClickHouse-Query-Id"] = qid
         # CH HTTP supports compressed responses (enable_http_compression
-        # semantics); honor gzip when the client advertises it.
-        accept = self.headers.get("Accept-Encoding", "")
-        if "gzip" in accept.lower():
+        # semantics, gzip AND zstd content codings); gzip wins when a
+        # client advertises both — the pre-round-9 behavior, and the
+        # coding every HTTP client handles.
+        accept = self.headers.get("Accept-Encoding", "").lower()
+        if "gzip" in accept:
             import gzip
 
             rendered = gzip.compress(rendered)
             extra["Content-Encoding"] = "gzip"
+        elif "zstd" in accept:
+            import pyarrow as pa
+
+            rendered = bytes(pa.Codec("zstd").compress(rendered))
+            extra["Content-Encoding"] = "zstd"
         self._send_text(200, rendered, content_type, extra=extra)
 
     def _read_body(self) -> bytes | None:
@@ -849,6 +855,28 @@ class _Handler(BaseHTTPRequestHandler):
             if len(body) > MAX_HTTP_BODY:
                 self._send(413, {
                     "error": "gzip body inflates past the "
+                    f"{MAX_HTTP_BODY}-byte cap"
+                })
+                return None
+        elif self.headers.get(
+            "Content-Encoding", ""
+        ).lower() == "zstd":
+            # CH also accepts zstd request bodies; stream-decompress
+            # (pyarrow's zstd needs no declared size on the streaming
+            # path) with the same inflated-size bomb guard as gzip.
+            import pyarrow as pa
+
+            try:
+                with pa.CompressedInputStream(
+                    pa.BufferReader(body), "zstd"
+                ) as st:
+                    body = st.read(MAX_HTTP_BODY + 1)
+            except (OSError, pa.ArrowInvalid):
+                self._send(400, {"error": "malformed zstd body"})
+                return None
+            if len(body) > MAX_HTTP_BODY:
+                self._send(413, {
+                    "error": "zstd body inflates past the "
                     f"{MAX_HTTP_BODY}-byte cap"
                 })
                 return None

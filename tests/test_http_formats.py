@@ -545,3 +545,71 @@ class TestRound8Formats:
             "FORMAT Vertical",
         )
         assert "ᴺᵁᴸᴸ" in b2.decode()
+
+
+def test_zstd_response(server_url):
+    import pyarrow as pa
+
+    req = urllib.request.Request(
+        _q(server_url, "SELECT 42 AS v FORMAT JSONEachRow"),
+        headers={"Accept-Encoding": "zstd"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Encoding"] == "zstd"
+        raw = resp.read()
+    with pa.CompressedInputStream(pa.BufferReader(raw), "zstd") as st:
+        assert json.loads(st.read()) == {"v": 42}
+
+
+def test_zstd_response_gzip_preferred_when_both(server_url):
+    import gzip
+
+    req = urllib.request.Request(
+        _q(server_url, "SELECT 1 AS v FORMAT JSONEachRow"),
+        headers={"Accept-Encoding": "zstd, gzip"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Encoding"] == "gzip"
+        assert json.loads(gzip.decompress(resp.read())) == {"v": 1}
+
+
+def test_zstd_request_body(server_url):
+    import pyarrow as pa
+
+    _get_raw(
+        _q(
+            server_url,
+            "CREATE TABLE IF NOT EXISTS zst_ins (id Int64, v String) "
+            "ENGINE = MergeTree ORDER BY id",
+        )
+    )
+    payload = bytes(
+        pa.Codec("zstd").compress(b'{"id": 1, "v": "zstded"}\n')
+    )
+    req = urllib.request.Request(
+        _q(server_url, "INSERT INTO zst_ins FORMAT JSONEachRow"),
+        data=payload,
+        headers={"Content-Encoding": "zstd"},
+        method="POST",
+    )
+    urllib.request.urlopen(req).read()
+    _, body, _ = _get_raw(
+        _q(server_url, "SELECT v FROM zst_ins FORMAT JSONEachRow")
+    )
+    assert json.loads(body) == {"v": "zstded"}
+
+
+def test_zstd_malformed_body_is_400(server_url):
+    import urllib.error
+
+    req = urllib.request.Request(
+        _q(server_url, "INSERT INTO zst_ins FORMAT JSONEachRow"),
+        data=b"\x28\xb5\x2f\xfdjunkjunkjunk",
+        headers={"Content-Encoding": "zstd"},
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req).read()
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
