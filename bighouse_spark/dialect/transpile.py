@@ -3354,10 +3354,11 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     - strict_increase: each chain step needs a strictly larger
       timestamp than the previous step's own event (not the anchor).
 
-    Documented deviation: one row matching SEVERAL conditions
-    advances each level against the pre-row state, where CH walks
-    that row's conditions sequentially; results differ only when a
-    single row must advance two consecutive levels at once."""
+    One row matching SEVERAL conditions advances its levels
+    sequentially in condition order (let-bound per-level state), as
+    CH's entry walk does — a row satisfying cond_{k-1} AND cond_k
+    advances both levels in default mode, and strict_increase blocks
+    the same-row chain (t > t fails), also as CH."""
     if not p:
         raise ValueError(
             "windowFunnel needs a window parameter: "
@@ -3431,56 +3432,73 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     if s_dedup:
         guard = f"({halt} OR ({trunc}) > 0)"
 
-    def gated(update: str, keep_expr: str) -> str:
-        return (
-            f"IF({guard}, {keep_expr}, {update})" if guard else update
-        )
-
-    upd = [
-        "'a1', " + gated(
-            "IF(__e.c1, __e.t, __acc.a1)", "__acc.a1"
-        )
-    ]
-    adv: dict[int, str] = {}
+    # CH walks one ROW's matched conditions sequentially (entries
+    # (ts, 1..n) in condition order), so a row matching cond_{k-1}
+    # AND cond_k advances BOTH levels: level k's check reads the
+    # anchor the same row just wrote. Thread that with let-bound
+    # per-level state (the single-element-transform idiom keeps the
+    # generated SQL linear in n instead of doubling per level):
+    # __s{k} = struct('a', new a_k[, 'b', new b_k]).
+    lvl_bind: list[tuple[str, str]] = []  # (var, bound struct expr)
+    a1u = "IF(__e.c1, __e.t, __acc.a1)"
+    lvl_bind.append(("__s1", f"named_struct('a', {a1u})"))
     for k in range(2, n + 1):
+        prev_a = f"__s{k - 1}.a"
         parts = [
-            f"__e.c{k}", f"__acc.a{k - 1} > {ninf}",
-            f"__e.t - __acc.a{k - 1} <= ({window})",
+            f"__e.c{k}", f"{prev_a} > {ninf}",
+            f"__e.t - {prev_a} <= ({window})",
         ]
         if s_incr:
-            prev_b = "__acc.a1" if k == 2 else f"__acc.b{k - 1}"
+            # level-1's step timestamp IS its anchor; deeper levels
+            # carry it in b. Same-row chaining then needs t > t and
+            # correctly fails under strict_increase.
+            prev_b = "__s1.a" if k == 2 else f"__s{k - 1}.b"
             parts.append(f"__e.t > {prev_b}")
-        adv[k] = " AND ".join(parts)
-        upd.append(
-            f"'a{k}', " + gated(
-                f"IF({adv[k]}, __acc.a{k - 1}, __acc.a{k})",
-                f"__acc.a{k}",
+        adv_k = " AND ".join(parts)
+        fields = [f"'a', IF({adv_k}, {prev_a}, __acc.a{k})"]
+        if s_incr:
+            fields.append(f"'b', IF({adv_k}, __e.t, __acc.b{k})")
+        lvl_bind.append((f"__s{k}", f"named_struct({', '.join(fields)})"))
+
+    def state_struct(updated: bool) -> str:
+        out = []
+        for k in range(1, n + 1):
+            out.append(
+                f"'a{k}', " + (f"__s{k}.a" if updated else f"__acc.a{k}")
             )
-        )
-    if s_incr:
-        for k in range(2, n + 1):
-            upd.append(
-                f"'b{k}', " + gated(
-                    f"IF({adv[k]}, __e.t, __acc.b{k})",
-                    f"__acc.b{k}",
+        if s_incr:
+            for k in range(2, n + 1):
+                out.append(
+                    f"'b{k}', "
+                    + (f"__s{k}.b" if updated else f"__acc.b{k}")
                 )
-            )
-    if s_order or s_dedup:
-        done_parts = ["__acc.done", f"__acc.a{n} > {ninf}"]
-        if s_order:
-            nomatch = " OR ".join(
-                f"__e.c{k}" for k in range(1, n + 1)
-            )
-            done_parts.append(
-                f"(NOT ({nomatch}) AND __acc.a1 > {ninf})"
-            )
+        if s_order or s_dedup:
+            done_parts = ["__acc.done", f"__acc.a{n} > {ninf}"]
+            if s_order:
+                nomatch = " OR ".join(
+                    f"__e.c{k}" for k in range(1, n + 1)
+                )
+                done_parts.append(
+                    f"(NOT ({nomatch}) AND __acc.a1 > {ninf})"
+                )
+            if s_dedup:
+                done_parts.append(f"({trunc}) > 0")
+            out.append(f"'done', {' OR '.join(done_parts)}")
         if s_dedup:
-            done_parts.append(f"({trunc}) > 0")
-        upd.append(f"'done', {' OR '.join(done_parts)}")
-    if s_dedup:
-        upd.append(
-            f"'ret', IF(__acc.ret > 0 OR {halt}, __acc.ret, {trunc})"
+            out.append(
+                f"'ret', IF(__acc.ret > 0 OR {halt}, __acc.ret, "
+                f"{trunc})"
+            )
+        return f"named_struct({', '.join(out)})"
+
+    body = state_struct(updated=True)
+    for var, bound in reversed(lvl_bind):
+        body = (
+            f"element_at(transform(array({bound}), "
+            f"{var} -> {body}), 1)"
         )
+    if guard:
+        body = f"IF({guard}, {state_struct(updated=False)}, {body})"
     level = "CASE " + " ".join(
         f"WHEN __acc.a{k} > {ninf} THEN {k}"
         for k in range(n, 0, -1)
@@ -3494,7 +3512,7 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
         final = level
     return (
         f"aggregate({arr}, {init}, "
-        f"(__acc, __e) -> named_struct({', '.join(upd)}), "
+        f"(__acc, __e) -> {body}, "
         f"__acc -> CAST({final} AS INT))"
     )
 

@@ -7015,6 +7015,26 @@ class TestWindowFunnelStrictModes:
         )
         assert got == 2  # B@2 advances (2>1); X@3 halts before C
 
+    def _wfv(self, eng, events, spec):
+        vals = ", ".join(f"({t}, {v})" for t, v in events)
+        q = (
+            f"SELECT windowFunnel({spec})(CAST(t AS TIMESTAMP), "
+            f"v>=1, v>=2, v>=3) AS lvl "
+            f"FROM (SELECT * FROM VALUES {vals} AS t(t, v))"
+        )
+        return eng.execute(q).rows[0][0]
+
+    def test_one_row_advances_consecutive_levels(self, eng):
+        # CH walks a row's matched conditions sequentially: a single
+        # row satisfying all three OVERLAPPING conditions completes
+        # the funnel (was the documented pre-r9 deviation)
+        assert self._wfv(eng, [(1, 3)], "3600") == 3
+        assert self._wfv(eng, [(1, 2)], "3600") == 2
+        # strict_increase blocks the same-row chain (t > t fails)
+        assert self._wfv(
+            eng, [(1, 3)], "3600, 'strict_increase'"
+        ) == 1
+
 
 class TestSequenceMatchAdjacencyAndTime:
     @pytest.fixture
