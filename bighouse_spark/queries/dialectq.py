@@ -1493,3 +1493,81 @@ def dialect_seqcount_adjacent_roundtrip(spark, sf_dir):
         )
         """,
     )
+
+
+# windowFunnel strict_deduplication: a repeated already-reached
+# condition truncates the funnel at that condition's level (completed
+# funnels are immune — CH early-returns N at the completing event).
+# Relational oracle: for a 3-level funnel only a CLICK repeat can
+# truncate (a purchase repeat needs level 3 set, which already
+# halted), so the first-completion positions decide everything —
+# l2_rn (first window-valid view→click), l3_rn (first completed
+# chain), tr_rn (first click after l2_rn); whichever of l3_rn/tr_rn
+# comes first in stream order wins. Soundness: the latest-anchor DP
+# reaches a level at exactly the first chain-existence position
+# (later anchors only make the window check easier).
+@query(
+    "dialect_windowfunnel_dedup_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+l2 AS (
+  SELECT c.user_id, min(c.rn) AS l2_rn
+  FROM s v JOIN s c ON c.user_id = v.user_id
+   AND c.event_type = 'click'
+   AND c.rn > v.rn AND c.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+  GROUP BY c.user_id
+),
+l3 AS (
+  SELECT p.user_id, min(p.rn) AS l3_rn
+  FROM s v
+  JOIN s c ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.rn > v.rn AND c.ts <= v.ts + INTERVAL 1 HOUR
+  JOIN s p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.rn > c.rn AND p.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+  GROUP BY p.user_id
+),
+tr AS (
+  SELECT s.user_id, min(s.rn) AS tr_rn
+  FROM s JOIN l2 ON l2.user_id = s.user_id
+  WHERE s.event_type = 'click' AND s.rn > l2.l2_rn
+  GROUP BY s.user_id
+)
+SELECT lvl, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT u.user_id,
+    CASE WHEN l3.l3_rn IS NOT NULL
+              AND (tr.tr_rn IS NULL OR l3.l3_rn < tr.tr_rn) THEN 3
+         WHEN tr.tr_rn IS NOT NULL THEN 2
+         WHEN l2.l2_rn IS NOT NULL THEN 2
+         WHEN EXISTS (SELECT 1 FROM s WHERE s.user_id = u.user_id
+                      AND s.event_type = 'view') THEN 1
+         ELSE 0 END AS lvl
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN l2 ON l2.user_id = u.user_id
+  LEFT JOIN l3 ON l3.user_id = u.user_id
+  LEFT JOIN tr ON tr.user_id = u.user_id
+) GROUP BY lvl
+""",
+)
+def dialect_windowfunnel_dedup_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_wfd",
+        """
+        SELECT lvl, CAST(count() AS Int64) AS n_users FROM (
+          SELECT user_id,
+                 windowFunnel(3600, 'strict_deduplication')(
+                     ts, event_type = 'view',
+                     event_type = 'click',
+                     event_type = 'purchase') AS lvl
+          FROM __dq_events_wfd GROUP BY user_id
+        ) GROUP BY lvl
+        """,
+    )

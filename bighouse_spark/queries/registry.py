@@ -53,7 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # land first (dialect_windowfunnel_strict_roundtrip,
 # dialect_seqmatch_time_roundtrip,
 # dialect_seqmatch_adjacent_roundtrip,
-# dialect_seqcount_adjacent_roundtrip — all four shipped with green
+# dialect_seqcount_adjacent_roundtrip,
+# dialect_windowfunnel_dedup_roundtrip — all five shipped with green
 # local oracle rows), then the remaining 18
 # r6-era names not refreshed in the r9 fill —
 # scalar_functions, string_functions, sum_group_by,
