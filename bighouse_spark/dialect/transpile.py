@@ -8501,6 +8501,47 @@ def _rewrite_parametric(sql: str) -> str:
     return out
 
 
+def _unknown_parametric_guard(sql: str) -> None:
+    """Any ``name(params)(args)`` call still standing after every
+    parametric rewrite is a CH parametric aggregate this engine does
+    not serve — Spark has no call-of-call syntax, so letting it
+    through yields a raw PARSE_SYNTAX_ERROR with no hint. Raise the
+    guided error instead, naming the head. String literals are
+    masked first so pattern arguments like '(?1)(?2)' can't trip
+    the scan."""
+    masked = []
+    quote: str | None = None
+    for c in sql:
+        if quote:
+            masked.append(" ")
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            masked.append(" ")
+        else:
+            masked.append(c)
+    s = "".join(masked)
+    for m in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", s):
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        j = i
+        while j < len(s) and s[j].isspace():
+            j += 1
+        if depth == 0 and j < len(s) and s[j] == "(":
+            raise ValueError(
+                f"parametric aggregate {m.group(1)}() is not "
+                "implemented by this engine; see SHOW FUNCTIONS for "
+                "the served parametric forms (quantile*/topK/"
+                "windowFunnel/sequenceMatch/histogram/...)"
+            )
+
+
 def _rewrite_array_literals(sql: str) -> str:
     """CH ``[1, 2, 3]`` array literals → ``array(1, 2, 3)``.
 
@@ -9367,6 +9408,10 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             out2 = _rename_pattern(ch).sub(f"{sp}(", out)
         if out2 != out:
             out, low = out2, out2.lower()
+    # LAST resort, after every specific rewrite and refusal has had
+    # its chance: any name(params)(args) still standing is an
+    # unserved CH parametric aggregate.
+    _unknown_parametric_guard(out)
     return out
 
 

@@ -7600,3 +7600,35 @@ class TestRound9ProbeTranche:
             "SELECT farmFingerprint64('x') AS a, farmHash64('x') AS b"
         ).rows[0]
         assert r[0] is not None and r[1] is not None
+
+
+class TestUnknownParametricGuard:
+    """Any name(params)(args) left standing after the parametric
+    rewrites is a CH aggregate this engine doesn't serve; it must
+    raise the guided error, not Spark's bare PARSE_SYNTAX_ERROR."""
+
+    def test_unknown_parametric_guided(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        for q in [
+            "SELECT sequenceMatchEvents('(?1)(?2)')(ts, a=1, b=2) "
+            "FROM t",
+            "SELECT windowFunnelArray(10)(ts, a=1) FROM t",
+        ]:
+            with pytest.raises(ValueError, match="parametric"):
+                transpile(q)
+
+    def test_served_forms_unaffected(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        for q in [
+            "SELECT quantile(0.5)(x) FROM t",
+            "SELECT topK(3)(x) FROM t",
+            "SELECT windowFunnel(10)(ts, a=1, b=2) FROM t GROUP BY u",
+            "SELECT rank() OVER (ORDER BY x) FROM t",
+            "SELECT count() FROM t WHERE (a, b) IN ((1,1),(2,2))",
+            # a string literal containing ')(' must not trip the scan
+            "SELECT sequenceMatch('(?1)(?2)')(ts, a=1, b=2) FROM t "
+            "GROUP BY u",
+        ]:
+            transpile(q)
