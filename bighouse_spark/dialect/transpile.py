@@ -2161,20 +2161,40 @@ def _map_populate_series_builder(a: list[str]) -> str:
     common subexpressions)."""
     def looks_array(s: str) -> bool:
         t = s.strip().lower()
-        return t.startswith("[") or t.startswith("array(")
+        return t.startswith("[") or t.startswith("array")
 
-    if len(a) == 1 or (len(a) == 2 and not looks_array(a[1])):
+    def looks_map(s: str) -> bool:
+        t = s.strip().lower()
+        return t.startswith("map")
+
+    if len(a) not in (1, 2, 3):
+        raise ValueError(
+            "mapPopulateSeries(map[, max]) or "
+            "mapPopulateSeries(keys, values[, max])"
+        )
+    # Dispatch: 1 arg → map form, 3 args → array form; the 2-arg
+    # shape is (map, max) OR (keys, values) and only the argument
+    # SPELLINGS can distinguish them at transpile time.
+    if len(a) == 2 and not (
+        looks_array(a[0]) or looks_array(a[1]) or looks_map(a[0])
+    ):
+        raise ValueError(
+            "mapPopulateSeries with two column arguments is "
+            "ambiguous between (map, max) and (keys, values) at "
+            "transpile time; spell the map as map(...) / the arrays "
+            "as array literals, or pass the 3-argument "
+            "(keys, values, max) form"
+        )
+    map_form = len(a) == 1 or (
+        len(a) == 2 and looks_map(a[0]) and not looks_array(a[1])
+    )
+    if map_form:
         m = a[0]
         mx = a[1] if len(a) == 2 else f"array_max(map_keys({m}))"
         seq = f"sequence(array_min(map_keys({m})), {mx})"
         return (
             f"map_from_arrays({seq}, transform({seq}, "
             f"__k -> coalesce(element_at({m}, __k), 0)))"
-        )
-    if len(a) not in (2, 3):
-        raise ValueError(
-            "mapPopulateSeries(map[, max]) or "
-            "mapPopulateSeries(keys, values[, max])"
         )
     keys, vals = a[0], a[1]
     mx = a[2] if len(a) == 3 else f"array_max({keys})"
@@ -3358,7 +3378,12 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     sequentially in condition order (let-bound per-level state), as
     CH's entry walk does — a row satisfying cond_{k-1} AND cond_k
     advances both levels in default mode, and strict_increase blocks
-    the same-row chain (t > t fails), also as CH."""
+    the same-row chain (t > t fails), also as CH. Remaining tie
+    corner (documented): CH sorts per-CONDITION entries, so at an
+    exactly equal timestamp entries from two different multi-
+    condition rows can interleave by condition number; this fold
+    processes whole rows at a tie (lower first-condition first) and
+    cannot split a row's entries around another row's."""
     if not p:
         raise ValueError(
             "windowFunnel needs a window parameter: "
@@ -3481,6 +3506,24 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
                 done_parts.append(
                     f"(NOT ({nomatch}) AND __acc.a1 > {ninf})"
                 )
+                if updated:
+                    # CH's second strict_order halt: after the chain
+                    # has started, an OUT-OF-ORDER funnel event — a
+                    # condition whose predecessor level is unreached
+                    # at its entry — stops processing and the level
+                    # stands (AggregateFunctionWindowFunnel's
+                    # events_timestamp[event_idx-1]-empty branch).
+                    # Set slots form a prefix, so no later entry of
+                    # the same row can advance past the gap; the
+                    # same-row __s state gives each entry's view.
+                    ooo = " OR ".join(
+                        f"(__e.c{k} AND NOT (__s{k - 1}.a > {ninf}))"
+                        for k in range(2, n + 1)
+                    )
+                    if ooo:
+                        done_parts.append(
+                            f"(__s1.a > {ninf} AND ({ooo}))"
+                        )
             if s_dedup:
                 done_parts.append(f"({trunc}) > 0")
             out.append(f"'done', {' OR '.join(done_parts)}")
@@ -8511,10 +8554,15 @@ def _unknown_parametric_guard(sql: str) -> None:
     the scan."""
     masked = []
     quote: str | None = None
+    skip = False
     for c in sql:
         if quote:
             masked.append(" ")
-            if c == quote:
+            if skip:
+                skip = False
+            elif c == "\\":
+                skip = True  # \' stays inside the literal
+            elif c == quote:
                 quote = None
         elif c in "'\"":
             quote = c
@@ -9207,11 +9255,23 @@ _ARRAY_HEAD_RE = re.compile(
     r"|arrayfill|arrayreversefill|arraysplit|arrayreversesplit"
     r"|arrayshuffle|arraypartialsort|arraypartialreversesort"
     r"|arrayrotateleft|arrayrotateright|arrayshiftleft"
-    r"|arrayshiftright|arraywithconstant"
+    r"|arrayshiftright|arraywithconstant|arrayrandomsample"
+    r"|arraysymmetricdifference"
     r"|splitby\w+|grouparray\w*|topk\w*"
     r"|range|sequence|extractall|collect_list|collect_set"
     r"|map_keys|map_values|mapkeys|mapvalues|slice|ngrams"
     r"|alphatokens|tokens|geohashesinbox|bitmaptoarray|timeslots"
+    # Spark-spelled array-returning heads (mixed spellings are
+    # accepted everywhere else, so length() must dispatch them too);
+    # scalar-returning array_* (array_contains/position/max/min/
+    # size/join) stay on the string path.
+    r"|array_distinct|array_sort|array_union|array_intersect"
+    r"|array_except|array_remove|array_compact|array_repeat"
+    r"|array_insert|array_prepend|array_append|arrays_zip"
+    # (transform( is EXCLUDED: CH's 3/4-arg transform is the scalar
+    # value-mapping function, not Spark's array transform)
+    r"|array_agg|sort_array|shuffle|flatten|filter"
+    r"|zip_with|split"
     r")\(",
 )
 

@@ -1301,13 +1301,19 @@ def dialect_retention_roundtrip(spark, sf_dir):
     )
 
 
-# windowFunnel strict_order SQL spelling: signup/error events match
-# no funnel condition, so under strict_order the first one AFTER a
-# user's first view freezes that user's funnel. Oracle: number the
-# per-user event stream, cut it at the first non-funnel event past
-# the first view, and recompute the default chain (r8 EXISTS-join
-# style) over the surviving prefix — the fixture has no per-user ts
-# ties, so row order is unambiguous.
+# windowFunnel strict_order SQL spelling. CH halts a strict_order
+# scan on TWO kinds of events after the chain starts: one matching
+# NO condition (signup/error here), and an OUT-OF-ORDER funnel event
+# — a condition whose predecessor level is unreached at its entry.
+# For view→click→purchase only a purchase can be out-of-order (a
+# click's predecessor is "any view seen", which is exactly the
+# chain-started precondition), so the halt candidates are: first
+# signup/error after the first view, and first purchase after the
+# first view but before the first window-valid view→click
+# completion. Oracle: cut the numbered stream at the earliest
+# candidate and recompute the default chain (r8 EXISTS-join style)
+# over the surviving prefix — the fixture has no per-user ts ties,
+# so row order is unambiguous.
 @query(
     "dialect_windowfunnel_strict_roundtrip",
     oracle="""
@@ -1321,12 +1327,28 @@ fv AS (
          min(CASE WHEN event_type = 'view' THEN rn END) AS first_view
   FROM ev GROUP BY user_id
 ),
+l2g AS (
+  SELECT c.user_id, min(c.rn) AS l2_rn
+  FROM ev v JOIN ev c ON c.user_id = v.user_id
+   AND c.event_type = 'click' AND c.rn > v.rn
+   AND c.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view'
+  GROUP BY c.user_id
+),
 st AS (
   SELECT e.user_id,
-         coalesce(min(CASE WHEN e.event_type IN ('signup', 'error')
-                           AND e.rn > f.first_view
-                      THEN e.rn END), 1000000000) AS stop_rn
-  FROM ev e JOIN fv f ON f.user_id = e.user_id
+         coalesce(min(CASE
+             WHEN e.rn > f.first_view
+                  AND e.event_type IN ('signup', 'error')
+               THEN e.rn
+             WHEN e.rn > f.first_view
+                  AND e.event_type = 'purchase'
+                  AND (l2g.l2_rn IS NULL OR e.rn < l2g.l2_rn)
+               THEN e.rn
+         END), 1000000000) AS stop_rn
+  FROM ev e
+  JOIN fv f ON f.user_id = e.user_id
+  LEFT JOIN l2g ON l2g.user_id = e.user_id
   GROUP BY e.user_id
 ),
 pe AS (

@@ -815,9 +815,13 @@ class _Handler(BaseHTTPRequestHandler):
             rendered = gzip.compress(rendered)
             extra["Content-Encoding"] = "gzip"
         elif "zstd" in accept:
-            import pyarrow as pa
+            # compress.zstd_compress wraps pyarrow's codec with the
+            # from-scratch raw-frame fallback, so a pyarrow-less
+            # build still answers a valid (if uncompressed-ratio)
+            # zstd frame instead of a 500.
+            from bighouse_spark.compress import zstd_compress
 
-            rendered = bytes(pa.Codec("zstd").compress(rendered))
+            rendered = zstd_compress(rendered)
             extra["Content-Encoding"] = "zstd"
         self._send_text(200, rendered, content_type, extra=extra)
 
@@ -864,8 +868,15 @@ class _Handler(BaseHTTPRequestHandler):
             # CH also accepts zstd request bodies; stream-decompress
             # (pyarrow's zstd needs no declared size on the streaming
             # path) with the same inflated-size bomb guard as gzip.
-            import pyarrow as pa
-
+            try:
+                import pyarrow as pa
+            except ImportError:
+                self._send(400, {
+                    "error": "zstd request bodies need the pyarrow "
+                    "codec, which this build lacks; send gzip or an "
+                    "uncompressed body"
+                })
+                return None
             try:
                 with pa.CompressedInputStream(
                     pa.BufferReader(body), "zstd"

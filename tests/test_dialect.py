@@ -7632,3 +7632,64 @@ class TestUnknownParametricGuard:
             "GROUP BY u",
         ]:
             transpile(q)
+
+
+class TestRound9ReviewFindings:
+    """Fixes from the round-9 self-review pass."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_strict_order_out_of_order_event_halts(self, eng):
+        # CH's SECOND strict_order halt: after the chain starts, an
+        # event matching a condition whose predecessor level is
+        # unreached stops processing (not just no-match events)
+        def wf(events, spec="3600, 'strict_order'"):
+            vals = ", ".join(f"({t}, '{e}')" for t, e in events)
+            q = (
+                f"SELECT windowFunnel({spec})(CAST(t AS TIMESTAMP), "
+                f"v='A', v='B', v='C') AS lvl "
+                f"FROM (SELECT * FROM VALUES {vals} AS t(t, v))"
+            )
+            return eng.execute(q).rows[0][0]
+
+        assert wf([(1, 'A'), (2, 'C'), (3, 'B'), (4, 'C')]) == 1
+        # before the chain starts, out-of-order events are ignored
+        assert wf([(1, 'C'), (2, 'A'), (3, 'B'), (4, 'C')]) == 3
+        assert wf([(1, 'B'), (2, 'A'), (3, 'B'), (4, 'C')]) == 3
+        # a repeat whose predecessor IS reached takes the advance
+        # branch — no halt
+        assert wf([(1, 'A'), (2, 'B'), (3, 'B'), (4, 'C')]) == 3
+
+    def test_spark_spelled_array_heads_dispatch_in_length(self, eng):
+        for q, want in [
+            ("SELECT length(array_distinct([1,2,2])) AS r", 2),
+            ("SELECT length(array_sort([3,1,2])) AS r", 3),
+            ("SELECT length(split('a,b,c', ',')) AS r", 3),
+            ("SELECT length(filter([1,2,3], x -> x > 1)) AS r", 2),
+        ]:
+            assert eng.execute(q).rows == [[want]], q
+        # array_join returns a STRING — stays on length()
+        assert eng.execute(
+            "SELECT length(array_join([1,2], '-')) AS r"
+        ).rows == [[3]]
+
+    def test_parametric_guard_backslash_escape(self, eng):
+        # a backslash-escaped quote inside a literal containing ')('
+        # must not desync the guard's string masking
+        assert eng.execute("SELECT 'a\\')(b' AS s").rows == [["a')(b"]]
+
+    def test_map_populate_series_dispatch(self, eng):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="ambiguous"):
+            transpile(
+                "SELECT mapPopulateSeries(keys_col, vals_col) FROM t"
+            )
+        got = eng.execute(
+            "SELECT mapPopulateSeries([1,3],[10,30],4) AS r"
+        ).rows[0][0]
+        assert list(got) == [[1, 2, 3, 4], [10, 0, 30, 0]]
