@@ -103,6 +103,98 @@ def streaming_dedup(
     return events.dropDuplicates(keys)
 
 
+def streaming_funnel(
+    events: DataFrame,
+    conds: list[str],
+    window_s: float,
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key windowFunnel level maintained ACROSS micro-batches —
+    the streaming twin of the batch ``windowFunnel`` fold (same
+    latest-anchor DP, same sequential per-row condition walk), with
+    the per-key anchor vector as the state-store record.
+
+    State is n doubles per key (the latest chain-anchor timestamp per
+    funnel level) — constant size, never a buffer of events, so the
+    state store holds keys × ~8n bytes regardless of stream length.
+    Rows are folded in (micro-batch, within-batch timestamp) order:
+    events that arrive LATE relative to an already-processed batch
+    fold as if they happened at arrival — the standard streaming
+    trade-off; the exact-order answer is the batch fold. Output mode
+    ``update``: one (key, level) row per key per batch that touched
+    it, monotonically non-decreasing per key.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(conds)
+    if n == 0:
+        raise ValueError("streaming_funnel needs at least one condition")
+    proj = [F.col(key), F.col(ts_col).cast("double").alias("__t")]
+    for i, c in enumerate(conds, 1):
+        proj.append(
+            F.coalesce(F.expr(c).cast("boolean"), F.lit(False)).alias(
+                f"__c{i}"
+            )
+        )
+    src = events.select(*proj)
+    key_field = src.schema[key]
+    out_schema = StructType(
+        [key_field, StructField("level", LongType())]
+    )
+    state_schema = StructType(
+        [StructField(f"a{k}", DoubleType()) for k in range(1, n + 1)]
+    )
+    ninf = float("-inf")
+    window = float(window_s)
+    ccols = [f"__c{i}" for i in range(1, n + 1)]
+
+    def fn(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        anchors = (
+            list(state.get) if state.exists else [ninf] * n
+        )
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames).sort_values("__t")
+            ts = batch["__t"].to_numpy()
+            cs = [
+                batch[c].fillna(False).to_numpy(dtype=bool)
+                for c in ccols
+            ]
+            for i in range(len(ts)):
+                t = float(ts[i])
+                # sequential walk, like the batch fold: level k reads
+                # the anchor level k-1 just wrote for this row
+                if cs[0][i]:
+                    anchors[0] = t
+                for k in range(1, n):
+                    if (
+                        cs[k][i]
+                        and anchors[k - 1] > ninf
+                        and t - anchors[k - 1] <= window
+                    ):
+                        anchors[k] = anchors[k - 1]
+        state.update(tuple(anchors))
+        level = 0
+        for k in range(n, 0, -1):
+            if anchors[k - 1] > ninf:
+                level = k
+                break
+        yield pd.DataFrame({key: [key_t[0]], "level": [level]})
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Executor-side closures live here: ship this module's code by value
 # so workers need not import the package (see functions/_shipping.py).
 import sys as _sys

