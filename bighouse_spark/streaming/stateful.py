@@ -195,6 +195,139 @@ def streaming_funnel(
     )
 
 
+def streaming_retention(
+    events: DataFrame,
+    conds: list[str],
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key ``retention()`` flags across micro-batches: flag k is
+    cond1-seen AND condk-seen (CH's cross-row OR then AND-with-first
+    — order-free, so late data cannot change a set flag). State is n
+    booleans per key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    n = len(conds)
+    if n == 0:
+        raise ValueError(
+            "streaming_retention needs at least one condition"
+        )
+    proj = [F.col(key)]
+    for i, c in enumerate(conds, 1):
+        proj.append(
+            F.coalesce(F.expr(c).cast("boolean"), F.lit(False)).alias(
+                f"__c{i}"
+            )
+        )
+    src = events.select(*proj)
+    key_field = src.schema[key]
+    out_schema = StructType(
+        [key_field]
+        + [StructField(f"r{k}", LongType()) for k in range(1, n + 1)]
+    )
+    state_schema = StructType(
+        [StructField(f"s{k}", BooleanType()) for k in range(1, n + 1)]
+    )
+    ccols = [f"__c{i}" for i in range(1, n + 1)]
+
+    def fn(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = list(state.get) if state.exists else [False] * n
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for i, c in enumerate(ccols):
+                if not seen[i] and bool(
+                    pdf[c].fillna(False).any()
+                ):
+                    seen[i] = True
+        state.update(tuple(seen))
+        flags = [1 if seen[0] else 0]
+        flags += [
+            1 if (seen[0] and seen[k]) else 0 for k in range(1, n)
+        ]
+        out = {key: [key_t[0]]}
+        for k in range(1, n + 1):
+            out[f"r{k}"] = [flags[k - 1]]
+        yield pd.DataFrame(out)
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_sequence_match(
+    events: DataFrame,
+    conds: list[str],
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key ``sequenceMatch('(?1).*(?2)...')`` (the ``.*``-
+    separated subset) across micro-batches: the greedy level counter
+    is the state (one long per key) — level k latches once conds
+    1..k were seen in order; ``matched`` is level == n. Rows fold in
+    (batch, within-batch timestamp) order, the same arrival-order
+    contract as streaming_funnel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    n = len(conds)
+    if n == 0:
+        raise ValueError(
+            "streaming_sequence_match needs at least one condition"
+        )
+    proj = [F.col(key), F.col(ts_col).cast("double").alias("__t")]
+    for i, c in enumerate(conds, 1):
+        proj.append(
+            F.coalesce(F.expr(c).cast("boolean"), F.lit(False)).alias(
+                f"__c{i}"
+            )
+        )
+    src = events.select(*proj)
+    key_field = src.schema[key]
+    out_schema = StructType(
+        [key_field, StructField("matched", BooleanType())]
+    )
+    state_schema = StructType([StructField("lvl", LongType())])
+    ccols = [f"__c{i}" for i in range(1, n + 1)]
+
+    def fn(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        lvl = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if frames and lvl < n:
+            batch = pd.concat(frames).sort_values("__t")
+            cs = [
+                batch[c].fillna(False).to_numpy(dtype=bool)
+                for c in ccols
+            ]
+            for i in range(len(batch)):
+                if lvl < n and cs[lvl][i]:
+                    lvl += 1
+        state.update((lvl,))
+        yield pd.DataFrame(
+            {key: [key_t[0]], "matched": [lvl >= n]}
+        )
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # Executor-side closures live here: ship this module's code by value
 # so workers need not import the package (see functions/_shipping.py).
 import sys as _sys

@@ -185,3 +185,135 @@ def test_streaming_funnel_converges_to_batch(spark, tmp_path):
     # needs events from both halves, so a single-file-only fold of
     # the SECOND half must differ somewhere
     assert len(out) > 0
+
+
+def test_streaming_retention_converges_to_batch(spark, tmp_path):
+    import os
+    import time
+
+    from bighouse_spark.streaming.stateful import streaming_retention
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    d = str(tmp_path / "ret_stream")
+    os.makedirs(d)
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    batch = {
+        (r[0], r[1], r[2], r[3])
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("f1"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("f2"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+            ).alias("f3"),
+        )
+        .selectExpr(
+            "user_id", "f1 AS r1",
+            "CAST(f1 = 1 AND f2 = 1 AS INT) AS r2",
+            "CAST(f1 = 1 AND f3 = 1 AS INT) AS r3",
+        )
+        .collect()
+    }
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_retention(
+            src,
+            ["event_type = 'view'", "event_type = 'click'",
+             "event_type = 'purchase'"],
+        )
+        .writeStream.format("memory")
+        .queryName("t_stream_ret")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {
+        (r[0], r[1], r[2], r[3])
+        for r in spark.sql(
+            "SELECT user_id, max(r1), max(r2), max(r3) FROM "
+            "t_stream_ret GROUP BY user_id"
+        ).collect()
+    }
+    assert out == batch
+
+
+def test_streaming_sequence_match_converges_to_batch(spark, tmp_path):
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import (
+        streaming_sequence_match,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    d = str(tmp_path / "sm_stream")
+    os.makedirs(d)
+    ev.where(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)
+    ev.where(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    eng = BigHouseEngine(spark)
+    spark.read.parquet(d).createOrReplaceTempView("__sm_ev")
+    batch = {
+        (row[0], bool(row[1]))
+        for row in eng.execute(
+            "SELECT user_id, sequenceMatch('(?1).*(?2)')(CAST(ts AS "
+            "TIMESTAMP), event_type = 'view', "
+            "event_type = 'purchase') AS m "
+            "FROM __sm_ev GROUP BY user_id"
+        ).rows
+    }
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_sequence_match(
+            src, ["event_type = 'view'", "event_type = 'purchase'"]
+        )
+        .writeStream.format("memory")
+        .queryName("t_stream_sm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {
+        (r[0], bool(r[1]))
+        for r in spark.sql(
+            "SELECT user_id, max(CAST(matched AS INT)) FROM "
+            "t_stream_sm GROUP BY user_id"
+        ).collect()
+    }
+    assert out == batch
