@@ -9407,6 +9407,31 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = re.sub(
         r"\bnumbers_mt\s*\(", "numbers(", out, flags=re.IGNORECASE
     )
+    # generate_series/generateSeries(start, stop[, step]): INCLUSIVE
+    # stop (CH matches postgres here), column named generate_series.
+    while True:
+        call = _find_call(out, "generate_series") or _find_call(
+            out, "generateSeries"
+        )
+        if call is None:
+            break
+        start, end, args = call
+        if len(args) == 2:
+            rng = f"range({args[0]}, ({args[1]}) + 1)"
+        elif len(args) == 3:
+            rng = (
+                f"range({args[0]}, ({args[1]}) + 1, {args[2]})"
+            )
+        else:
+            raise ValueError(
+                "generate_series(start, stop[, step]) takes 2-3 "
+                f"arguments, got {len(args)}"
+            )
+        out = (
+            out[:start]
+            + f"(SELECT id AS generate_series FROM {rng})"
+            + out[end:]
+        )
     # numbers(N) → range(N); numbers(start, N) → range(start,
     # start+N) (CH second arg is a COUNT, Spark's is an end bound).
     # CH's column is `number`; range's is `id`.

@@ -7693,3 +7693,28 @@ class TestRound9ReviewFindings:
             "SELECT mapPopulateSeries([1,3],[10,30],4) AS r"
         ).rows[0][0]
         assert list(got) == [[1, 2, 3, 4], [10, 0, 30, 0]]
+
+
+class TestGenerateSeries:
+    """generate_series/generateSeries(start, stop[, step]) — CH's
+    postgres-flavor INCLUSIVE-stop generator table function."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_inclusive_stop_and_step(self, eng):
+        r = eng.execute(
+            "SELECT count() AS c, min(generate_series) AS a, "
+            "max(generate_series) AS b FROM generate_series(1, 10)"
+        )
+        assert r.rows == [[10, 1, 10]]
+        assert eng.execute(
+            "SELECT count() AS c FROM generateSeries(0, 10, 2)"
+        ).rows == [[6]]
+
+    def test_bad_arity_guided(self, eng):
+        with pytest.raises(ValueError, match="2-3"):
+            eng.execute("SELECT * FROM generate_series(5)")
