@@ -457,3 +457,86 @@ def test_compressed_query_exchange_decodes_spec_frames(srv, ext_block):
         assert _recv_exact(s, 1) == SERVER_PONG
     finally:
         s.close()
+
+
+# -- multi-block INSERT (round 9) -------------------------------------
+# The full native INSERT exchange, frozen: Query("INSERT INTO
+# golden_ins (n) VALUES") + empty external block → server replies the
+# SAMPLE block (schema, zero rows) → client streams TWO data blocks
+# (1 row, then 2 rows — state must persist across blocks) → empty
+# terminator → EndOfStream. Client bytes hand-assembled from the
+# public layout (client Data packet type 2; Native column = name,
+# type, little-endian values).
+CLIENT_INSERT_QUERY = bytes.fromhex(
+    "0109676f6c64656e2d693101000009302e302e302e303a300106676f6c64656e"
+    "0a676f6c64656e686f73740d676f6c64656e2d636c69656e7414039da9030000"
+    "00020021494e5345525420494e544f20676f6c64656e5f696e7320286e292056"
+    "414c5545530200010002ffffffff000000"
+)
+CLIENT_INSERT_BLOCK1 = bytes.fromhex(
+    "0200010002ffffffff000101016e05496e7436340700000000000000"
+)
+CLIENT_INSERT_BLOCK2 = bytes.fromhex(
+    "0200010002ffffffff000102016e05496e743634"
+    "08000000000000000900000000000000"
+)
+CLIENT_INSERT_TERM = bytes.fromhex("0200010002ffffffff000000")
+SERVER_SAMPLE_BLOCK = bytes.fromhex(
+    "0100010002ffffffff000100016e05496e743634"
+)
+SERVER_EOS = bytes.fromhex("05")
+
+
+def test_frozen_insert_blocks_parse_per_public_layout():
+    for blob, nrows, vals in (
+        (CLIENT_INSERT_BLOCK1, 1, (7,)),
+        (CLIENT_INSERT_BLOCK2, 2, (8, 9)),
+    ):
+        r = _R(blob)
+        assert r.varint() == 2 and r.string() == ""  # client Data
+        r.block_info()
+        assert (r.varint(), r.varint()) == (1, nrows)
+        assert r.string() == "n" and r.string() == "Int64"
+        assert struct.unpack(f"<{nrows}q", r.exact(8 * nrows)) == vals
+        assert r.done()
+    r = _R(SERVER_SAMPLE_BLOCK)
+    assert r.varint() == 1 and r.string() == ""
+    r.block_info()
+    assert (r.varint(), r.varint()) == (1, 0)
+    assert r.string() == "n" and r.string() == "Int64"
+    assert r.done()
+
+
+def test_multiblock_insert_exchange_bytes_exact(srv):
+    # the target table is engine state, not protocol — create it
+    # through the server's own engine, outside the frozen pin
+    srv.engine.execute(
+        "CREATE OR REPLACE TABLE golden_ins (n Int64) ENGINE = Memory"
+    )
+    s = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        s.sendall(CLIENT_HELLO)
+        _recv_exact(s, len(SERVER_HELLO))
+        s.settimeout(120)
+        s.sendall(CLIENT_INSERT_QUERY)
+        got = _recv_exact(s, len(SERVER_SAMPLE_BLOCK))
+        assert got == SERVER_SAMPLE_BLOCK, (
+            f"sample-block drift: {got.hex()}"
+        )
+        s.sendall(
+            CLIENT_INSERT_BLOCK1
+            + CLIENT_INSERT_BLOCK2
+            + CLIENT_INSERT_TERM
+        )
+        assert _recv_exact(s, len(SERVER_EOS)) == SERVER_EOS
+        _assert_no_trailing(s)
+        # the connection survives an INSERT
+        s.sendall(CLIENT_PING)
+        assert _recv_exact(s, 1) == SERVER_PONG
+    finally:
+        s.close()
+    rows = srv.engine.execute(
+        "SELECT CAST(sum(n) AS BIGINT) AS s, count() AS c "
+        "FROM golden_ins"
+    ).rows
+    assert rows == [[24, 3]]
