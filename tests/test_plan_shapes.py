@@ -182,3 +182,42 @@ class TestRound6PlanShapes:
         assert "1-URGENT" in scan  # the expanded predicate, scan-side
         read = plan.split("ReadSchema: ")[1].splitlines()[0]
         assert "o_totalprice" not in read and "o_custkey" not in read
+
+
+class TestBehavioralFoldPlanShapes:
+    """The windowFunnel/sequenceMatch SQL folds advertise ONE shuffle
+    (the GROUP BY) with the condition pre-filter reaching the scan
+    side; a refactor that adds a second exchange or lifts the filter
+    above the aggregate would pass every value check and die at
+    scale."""
+
+    def _plan(self, spark, sql):
+        from bighouse_spark.dialect.transpile import transpile
+
+        from tests.conftest import SF_CORRECT
+        from bighouse_spark.sources.catalog import load_table
+
+        load_table(spark, SF_CORRECT, "events").createOrReplaceTempView(
+            "__ps_events"
+        )
+        df = spark.sql(transpile(sql).sql)
+        return physical_plan(df)
+
+    def test_window_funnel_single_shuffle(self, spark):
+        plan = self._plan(
+            spark,
+            "SELECT user_id, windowFunnel(3600)(ts, "
+            "event_type = 'view', event_type = 'click', "
+            "event_type = 'purchase') AS lvl "
+            "FROM __ps_events GROUP BY user_id",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_sequence_match_reach_fold_single_shuffle(self, spark):
+        plan = self._plan(
+            spark,
+            "SELECT user_id, sequenceMatch('(?1)(?t<600)(?2)')(ts, "
+            "event_type = 'view', event_type = 'click') AS m "
+            "FROM __ps_events GROUP BY user_id",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
