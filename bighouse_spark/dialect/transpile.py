@@ -5921,6 +5921,38 @@ _ARG_REWRITES.update({
         f"array_contains(split(lower({a[0]}), '[^a-z0-9_]+'), "
         f"lower({a[1]}))"
     ),
+    # OrNull twins: CH returns NULL (instead of throwing) when the
+    # needle is not a single token (contains separator characters).
+    "hasTokenOrNull": lambda a: (
+        f"IF({a[1]} RLIKE '^[A-Za-z0-9_]+$', "
+        f"array_contains(split({a[0]}, '[^A-Za-z0-9_]+'), {a[1]}), "
+        f"CAST(NULL AS BOOLEAN))"
+    ),
+    "hasTokenCaseInsensitiveOrNull": lambda a: (
+        f"IF({a[1]} RLIKE '^[A-Za-z0-9_]+$', "
+        f"array_contains(split(lower({a[0]}), '[^a-z0-9_]+'), "
+        f"lower({a[1]})), CAST(NULL AS BOOLEAN))"
+    ),
+    # tupleNames: inline tuples are unnamed — CH reports positional
+    # names '1'..'n'.
+    "tupleNames": lambda a: (
+        (_ for _ in ()).throw(
+            ValueError(
+                "tupleNames() expands only for inline tuples — a "
+                "tuple-typed column's names are unknown at "
+                "transpile time"
+            )
+        )
+        if len(a) != 1 or _struct_literal_fields(a[0]) is None
+        else "array("
+        + ", ".join(
+            f"'{i}'"
+            for i in range(
+                1, len(_struct_literal_fields(a[0])) + 1
+            )
+        )
+        + ")"
+    ),
     # Literal-pattern group extraction (group count read from the
     # pattern text).
     "extractGroups": lambda a: (

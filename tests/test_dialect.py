@@ -7718,3 +7718,32 @@ class TestGenerateSeries:
     def test_bad_arity_guided(self, eng):
         with pytest.raises(ValueError, match="2-3"):
             eng.execute("SELECT * FROM generate_series(5)")
+
+
+class TestRound9LateSweep:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_has_token_or_null(self, eng):
+        assert eng.execute(
+            "SELECT hasTokenOrNull('a b c', 'b') AS r"
+        ).rows == [[True]]
+        # a needle with separators is not a token: NULL, not false
+        assert eng.execute(
+            "SELECT hasTokenOrNull('a b c', 'b c') AS r"
+        ).rows == [[None]]
+        assert eng.execute(
+            "SELECT hasTokenCaseInsensitiveOrNull('A B', 'b') AS r"
+        ).rows == [[True]]
+
+    def test_tuple_names(self, eng):
+        assert eng.execute(
+            "SELECT tupleNames((1, 'x', 3.0)) AS r"
+        ).rows == [[["1", "2", "3"]]]
+        with pytest.raises(ValueError, match="inline tuples"):
+            eng.execute(
+                "SELECT tupleNames(t) FROM (SELECT (1,2) AS t)"
+            )
