@@ -5370,6 +5370,13 @@ _ARG_REWRITES.update({
     "tryBase58Decode": lambda a: (
         f"coalesce(bh_base58_decode({a[0]}), '')"
     ),
+    "isZeroOrNull": lambda a: (
+        f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)"
+    ),
+    # arrayPartialShuffle(arr, n): CH guarantees the first n elements
+    # are a random sample and leaves the tail order UNSPECIFIED — a
+    # full shuffle satisfies that contract.
+    "arrayPartialShuffle": lambda a: f"shuffle({a[0]})",
 })
 
 
@@ -9309,26 +9316,36 @@ _ARRAY_HEAD_RE = re.compile(
 
 
 def _rewrite_length_arrays(sql: str) -> str:
-    """CH ``length(x)`` is overloaded over String AND Array; Spark is
-    not (length=chars, size=array). When the argument is SYNTACTICALLY
-    an array — a ``[...]`` literal or a call to a known array-returning
-    head — dispatch to size() here, before array literals are
-    rewritten."""
+    """CH ``length(x)`` / ``empty(x)`` / ``notEmpty(x)`` are
+    overloaded over String AND Array; Spark is not (length=chars,
+    size=array). When the argument is SYNTACTICALLY an array — a
+    ``[...]`` literal or a call to a known array-returning head —
+    dispatch to size() here, before array literals are rewritten and
+    before the string-flavor wrap rewrites run. notEmpty processes
+    before empty (shared suffix)."""
     out = sql
-    pos = 0
-    while True:
-        call = _find_call(out, "length", pos)
-        if call is None:
-            return out
-        start, end, args = call
-        if len(args) != 1:
-            pos = end
-            continue
-        arg = args[0].strip().lower()
-        if arg.startswith("[") or _ARRAY_HEAD_RE.match(arg):
-            out = out[:start] + f"size({args[0]})" + out[end:]
-        else:
-            pos = end
+    for head, tmpl in (
+        ("length", "size({0})"),
+        ("notEmpty", "(size({0}) > 0)"),
+        ("empty", "(size({0}) = 0)"),
+    ):
+        pos = 0
+        while True:
+            call = _find_call(out, head, pos)
+            if call is None:
+                break
+            start, end, args = call
+            if len(args) != 1:
+                pos = end
+                continue
+            arg = args[0].strip().lower()
+            if arg.startswith("[") or _ARRAY_HEAD_RE.match(arg):
+                out = (
+                    out[:start] + tmpl.format(args[0]) + out[end:]
+                )
+            else:
+                pos = end
+    return out
 
 
 def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
@@ -9438,6 +9455,14 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     )
     out = re.sub(
         r"\bnumbers_mt\s*\(", "numbers(", out, flags=re.IGNORECASE
+    )
+    # INTERVAL n QUARTER: Spark's interval grammar has no QUARTER
+    # unit — fold literal counts into months.
+    out = re.sub(
+        r"\bINTERVAL\s+(\d+)\s+QUARTERS?\b",
+        lambda m: f"INTERVAL {3 * int(m.group(1))} MONTH",
+        out,
+        flags=re.IGNORECASE,
     )
     # generate_series/generateSeries(start, stop[, step]): INCLUSIVE
     # stop (CH matches postgres here), column named generate_series.

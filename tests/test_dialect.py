@@ -7747,3 +7747,35 @@ class TestRound9LateSweep:
             eng.execute(
                 "SELECT tupleNames(t) FROM (SELECT (1,2) AS t)"
             )
+
+
+class TestRound9LateSweep2:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_empty_dispatches_arrays(self, eng):
+        r = eng.execute(
+            "SELECT empty([]) AS a, notEmpty([1]) AS b, "
+            "empty('') AS c, notEmpty('x') AS d, "
+            "empty(array_distinct([1,1])) AS e"
+        )
+        assert r.rows == [[True, True, True, True, False]]
+
+    def test_is_zero_or_null(self, eng):
+        assert eng.execute(
+            "SELECT isZeroOrNull(0) AS a, isZeroOrNull(NULL) AS b, "
+            "isZeroOrNull(5) AS c"
+        ).rows == [[True, True, False]]
+
+    def test_interval_quarter(self, eng):
+        assert str(eng.execute(
+            "SELECT toDate('2024-01-01') + INTERVAL 2 QUARTERS AS r"
+        ).rows[0][0]) == "2024-07-01"
+
+    def test_array_partial_shuffle(self, eng):
+        assert eng.execute(
+            "SELECT size(arrayPartialShuffle([1,2,3,4], 2)) AS r"
+        ).rows == [[4]]
