@@ -49,83 +49,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-10 ROTATION CANDIDATES: the round-9 oracle-backed additions
-# land first (dialect_windowfunnel_strict_roundtrip,
-# dialect_seqmatch_time_roundtrip,
-# dialect_seqmatch_adjacent_roundtrip,
-# dialect_seqcount_adjacent_roundtrip,
-# dialect_windowfunnel_dedup_roundtrip — all five shipped with green
-# local oracle rows), then the remaining 18
-# r6-era names not refreshed in the r9 fill —
-# scalar_functions, string_functions, sum_group_by,
-# text_boilerplate_lines, text_c4_filters, text_html_extract,
-# tpch_q10_returned_items, tpch_q11_important_stock,
-# tpch_q12_priority_shipping, tpch_q13_customer_distribution,
-# tpch_q15_top_supplier, tpch_q16_part_supplier_relation,
-# tpch_q17_small_quantity, tpch_q19_discounted_revenue,
-# tpch_q20_potential_promotion, and the rest of the r6 cohort in
-# alphabetical order — then oldest-green (r7-era) fills.
+# ROUND-11 ROTATION CANDIDATES: any round-10 oracle-backed additions
+# land first, then the remaining 25 r7-era names not refreshed in the
+# r10 fill (alphabetically from dialect_remote_roundtrip onward:
+# dialect_remote_roundtrip, dialect_topk_roundtrip,
+# dialect_tuple_in_roundtrip, dialect_week_format_roundtrip,
+# dialect_with_fill_roundtrip, distinct_projection,
+# embedding_quantize_int8, embedding_random_projection,
+# explode_word_freq, having_filter, json_extract_props,
+# multimodal_features, multimodal_frame_sample, null_handling,
+# pipeline_training_corpus, range_join_conversions, scalar_subquery,
+# select_star, sequence_count_view_purchase, text_bigram_fluency,
+# text_fingerprints, text_gopher_rules, text_language_id,
+# text_quality_scores, text_token_stats), then oldest-green (r8-era)
+# fills to 50.
 #
-# ROUND-9 WINDOW (50 names, ALL oracle-bearing). Composition per the
-# r8 staging comment (VERDICT r8 Next #1):
-#    3 round-8 oracle-backed behavioral additions, first driver check
-#   20 r5-era names not refreshed in the r8 fill (tpch/uniq/window)
-#   27 oldest-green fills: first 27 of the 45 r6-era names
-#      (alphabetical; the remaining 18 rotate r10)
+# ROUND-10 WINDOW (50 names, ALL oracle-bearing). Composition per the
+# r9 staging comment (VERDICT r9 Next #1):
+#    5 round-9 oracle-backed behavioral additions, first driver check
+#   21 r6-era names not refreshed in the r9 fill (the whole remaining
+#      r6 cohort — last green in CORRECTNESS_r06)
+#   24 oldest-green fills: first 24 of the 49 r7-era names
+#      (alphabetical; the remaining 25 rotate r11)
 DRIVER_WINDOW = {
-    # -- round-8 behavioral additions, first driver check (3) --
-    "dialect_retention_roundtrip",
-    "dialect_seqnextnode_roundtrip",
-    "dialect_windowfunnel_roundtrip",
-    # -- r5-era names deferred from the r8 fill (20) --
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_prospects",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "uniq_approx_check",
-    "uniq_rollup_check",
-    "window_daily_rollup",
-    "window_first_last_frame",
-    "window_gapfill_hourly",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_sum",
-    "window_session_10m",
-    "window_sliding_1h_30m",
-    "window_topk_per_group",
-    "window_tumbling_hourly",
-    # -- oldest-green fills: r6 era, first 27 alphabetically (27) --
-    "ann_brute_force_topk",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "array_functions",
-    "asof_join_purchase_click",
-    "curation_chunk_documents",
-    "curation_decontaminate",
-    "curation_domain_cap",
-    "curation_incremental_dedup",
-    "curation_mixture_weighted",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "curation_train_val_test_split",
-    "date_functions",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_20gram",
-    "dedup_url_canonical",
-    "dialect_crypto_roundtrip",
-    "dialect_ipv4_roundtrip",
-    "hybrid_keyword_ann",
-    "multimodal_resize",
-    "pivot_event_counts",
-    "quality_constraint_report",
+    # -- round-9 behavioral additions, first driver check (5) --
+    "dialect_seqcount_adjacent_roundtrip",
+    "dialect_seqmatch_adjacent_roundtrip",
+    "dialect_seqmatch_time_roundtrip",
+    "dialect_windowfunnel_dedup_roundtrip",
+    "dialect_windowfunnel_strict_roundtrip",
+    # -- r6-era names not refreshed since CORRECTNESS_r06 (21) --
+    "scalar_functions",
+    "string_functions",
+    "sum_group_by",
+    "text_boilerplate_lines",
+    "text_c4_filters",
+    "text_html_extract",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relation",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_stock",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "unpivot_measures",
+    # -- oldest-green fills: r7 era, first 24 alphabetically (24) --
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_correlation",
+    "agg_distinct_multi",
+    "agg_ema_check",
+    "agg_entropy",
+    "agg_histogram",
+    "agg_weighted_median",
+    "ann_ivf_full_probe",
+    "case_when_agg",
+    "checksum_invariance",
+    "cluster_assign_topics",
+    "cross_join_matrix",
+    "cube_agg",
+    "dedup_cross_corpus_lsh",
+    "dedup_minhash_lsh",
+    "dedup_semantic_within_cluster",
+    "dialect_agg_roundtrip",
+    "dialect_array_join_roundtrip",
+    "dialect_asof_roundtrip",
+    "dialect_cast_types_roundtrip",
+    "dialect_limit_by_roundtrip",
+    "dialect_limit_ties_roundtrip",
+    "dialect_relative_num_roundtrip",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
