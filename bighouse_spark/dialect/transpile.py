@@ -2153,6 +2153,12 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+def _refuse(msg: str) -> str:
+    """Expression-position guided refusal — lets builder lambdas
+    refuse one arity inline (``cond if ok else _refuse(...)``)."""
+    raise ValueError(msg)
+
+
 def _map_populate_series_builder(a: list[str]) -> str:
     """mapPopulateSeries: fill missing integer keys with step 1 and
     value 0. Map form ``(map[, max])`` returns a Map; array form
@@ -2160,12 +2166,14 @@ def _map_populate_series_builder(a: list[str]) -> str:
     struct. The bound expressions repeat textually (Catalyst dedups
     common subexpressions)."""
     def looks_array(s: str) -> bool:
+        # Literal spellings only — a column NAMED ``array_keys`` must
+        # not silently pick a form (ADVICE r9).
         t = s.strip().lower()
-        return t.startswith("[") or t.startswith("array")
+        return t.startswith("[") or t.startswith("array(")
 
     def looks_map(s: str) -> bool:
         t = s.strip().lower()
-        return t.startswith("map")
+        return t.startswith("map(")
 
     if len(a) not in (1, 2, 3):
         raise ValueError(
@@ -2188,17 +2196,31 @@ def _map_populate_series_builder(a: list[str]) -> str:
     map_form = len(a) == 1 or (
         len(a) == 2 and looks_map(a[0]) and not looks_array(a[1])
     )
+    def safe_seq(mn: str, mx: str) -> str:
+        # sequence(mn, mx) DESCENDS when mx < mn and NULLs on an
+        # empty operand; CH fills nothing in either case. slice to
+        # the non-negative span, coalescing bounds so an empty map
+        # yields a typed empty array instead of NULL (ADVICE r9).
+        return (
+            f"slice(sequence(coalesce({mn}, 0), "
+            f"greatest(coalesce({mn}, 0), coalesce({mx}, 0))), 1, "
+            f"CAST(greatest(coalesce(({mx}) - ({mn}) + 1, 0), 0) "
+            f"AS INT))"
+        )
+
     if map_form:
         m = a[0]
+        mn = f"array_min(map_keys({m}))"
         mx = a[1] if len(a) == 2 else f"array_max(map_keys({m}))"
-        seq = f"sequence(array_min(map_keys({m})), {mx})"
+        seq = safe_seq(mn, mx)
         return (
             f"map_from_arrays({seq}, transform({seq}, "
             f"__k -> coalesce(element_at({m}, __k), 0)))"
         )
     keys, vals = a[0], a[1]
+    mn = f"array_min({keys})"
     mx = a[2] if len(a) == 3 else f"array_max({keys})"
-    seq = f"sequence(array_min({keys}), {mx})"
+    seq = safe_seq(mn, mx)
     filled = (
         f"transform({seq}, __k -> IF(array_position({keys}, __k) > 0, "
         f"element_at({vals}, CAST(array_position({keys}, __k) AS INT)),"
@@ -5375,8 +5397,20 @@ _ARG_REWRITES.update({
     ),
     # arrayPartialShuffle(arr, n): CH guarantees the first n elements
     # are a random sample and leaves the tail order UNSPECIFIED — a
-    # full shuffle satisfies that contract.
-    "arrayPartialShuffle": lambda a: f"shuffle({a[0]})",
+    # full shuffle satisfies that contract. The SEEDED 3-arg form is
+    # deterministic in CH; shuffle() is not, so refuse rather than
+    # silently drop the seed (ADVICE r9).
+    "arrayPartialShuffle": lambda a: (
+        f"shuffle({a[0]})"
+        if len(a) <= 2
+        else _refuse(
+            "arrayPartialShuffle(arr, n, seed): the seeded form is "
+            "deterministic in ClickHouse; this engine's shuffle() is "
+            "not seedable — drop the seed for a non-deterministic "
+            "shuffle, or sort with a keyed hash (arraySort with "
+            "cityHash64) for a deterministic permutation"
+        )
+    ),
 })
 
 
@@ -8609,7 +8643,18 @@ def _unknown_parametric_guard(sql: str) -> None:
         else:
             masked.append(c)
     s = "".join(masked)
+    # SQL keywords can legitimately precede two adjacent paren groups
+    # (``WITH t AS (SELECT 1) (SELECT * FROM t)``, ``x IN (...) (...)``
+    # inside a larger expression) — they are never parametric heads.
+    keyword_heads = {
+        "as", "in", "on", "values", "union", "except", "intersect",
+        "when", "then", "else", "and", "or", "not", "where", "from",
+        "select", "having", "by", "all", "distinct", "exists", "any",
+        "between", "like", "ilike", "using", "join", "over",
+    }
     for m in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", s):
+        if m.group(1).lower() in keyword_heads:
+            continue
         depth, i = 1, m.end()
         while i < len(s) and depth:
             if s[i] == "(":
@@ -8621,6 +8666,13 @@ def _unknown_parametric_guard(sql: str) -> None:
         while j < len(s) and s[j].isspace():
             j += 1
         if depth == 0 and j < len(s) and s[j] == "(":
+            # A second group opening a subquery is a parenthesized
+            # SELECT following a value/paren group, not parametric args.
+            k = j + 1
+            while k < len(s) and (s[k].isspace() or s[k] == "("):
+                k += 1
+            if re.match(r"(?i)(select|with)\b", s[k:]):
+                continue
             raise ValueError(
                 f"parametric aggregate {m.group(1)}() is not "
                 "implemented by this engine; see SHOW FUNCTIONS for "
@@ -9292,7 +9344,8 @@ _ARRAY_HEAD_RE = re.compile(
     r"|arrayenumerate|arrayenumeratedense|arrayenumerateuniq"
     r"|arrayzip|arraydifference|arraycumsum|arraycumsumnonnegative"
     r"|arrayfill|arrayreversefill|arraysplit|arrayreversesplit"
-    r"|arrayshuffle|arraypartialsort|arraypartialreversesort"
+    r"|arrayshuffle|arraypartialshuffle"
+    r"|arraypartialsort|arraypartialreversesort"
     r"|arrayrotateleft|arrayrotateright|arrayshiftleft"
     r"|arrayshiftright|arraywithconstant|arrayrandomsample"
     r"|arraysymmetricdifference"

@@ -7779,3 +7779,69 @@ class TestRound9LateSweep2:
         assert eng.execute(
             "SELECT size(arrayPartialShuffle([1,2,3,4], 2)) AS r"
         ).rows == [[4]]
+
+
+class TestAdviceR9Fixes:
+    """ADVICE round-9 findings: parametric-guard false positives on
+    keyword heads / parenthesized subqueries, mapPopulateSeries
+    2-arg dispatch + empty/descending edges, seeded
+    arrayPartialShuffle refusal."""
+
+    @pytest.fixture
+    def eng(self):
+        from bighouse_spark import BigHouseEngine
+
+        return BigHouseEngine()
+
+    def test_cte_then_parenthesized_select(self, eng):
+        # valid CH and Spark SQL; previously tripped the parametric
+        # guard ("AS (...)(SELECT ...)")
+        assert eng.execute(
+            "WITH t AS (SELECT 1 AS x) (SELECT * FROM t)"
+        ).rows == [[1]]
+
+    def test_keyword_heads_not_parametric(self, eng):
+        assert eng.execute(
+            "SELECT 1 AS r WHERE 1 IN (1, 2) AND (2) IN (2)"
+        ).rows == [[1]]
+
+    def test_unknown_parametric_still_refused(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="parametric"):
+            transpile("SELECT unknownParam(0.5)(x) FROM t")
+
+    def test_map_populate_series_ambiguous_columns_refused(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        # column SPELLINGS that merely look array/map-ish must not
+        # silently pick a form
+        for q in [
+            "SELECT mapPopulateSeries(mapping, max_key) FROM t",
+            "SELECT mapPopulateSeries(map_keys_arr, vals) FROM t",
+            "SELECT mapPopulateSeries(array_col, n) FROM t",
+        ]:
+            with pytest.raises(ValueError, match="ambiguous"):
+                transpile(q)
+
+    def test_map_populate_series_edges(self, eng):
+        # max < min key -> nothing to fill (no descending sequence)
+        assert eng.execute(
+            "SELECT mapPopulateSeries(map(5, 1), 2) AS r"
+        ).rows == [[{}]]
+        # empty map -> empty map, not NULL
+        assert eng.execute(
+            "SELECT mapPopulateSeries("
+            "map_filter(map(1, 1), (k, v) -> false)) AS r"
+        ).rows == [[{}]]
+
+    def test_array_partial_shuffle_seeded_refused(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="seeded"):
+            transpile("SELECT arrayPartialShuffle([1,2,3], 2, 42)")
+
+    def test_length_dispatches_array_partial_shuffle(self, eng):
+        assert eng.execute(
+            "SELECT length(arrayPartialShuffle([1,2,3], 2)) AS r"
+        ).rows == [[3]]
