@@ -25,6 +25,7 @@ fails loudly otherwise.
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import itertools
 import math
@@ -3363,49 +3364,61 @@ _WF_MODES = {
     "strict_increase": "strict_increase",
 }
 
+# strict_order must buffer EVERY event of a group (non-matching
+# events are chain-breakers), so a skewed key buffers its whole
+# stream — unlike the other modes, whose collect is pre-filtered to
+# relevant events. Guard that documented hazard at runtime: when a
+# group exceeds this many events the query raises a guided error
+# instead of silently ballooning executor memory. OUR setting (no CH
+# analog): SETTINGS max_funnel_group_events=N per query; 0 disables.
+_FUNNEL_GROUP_CAP: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "bh_funnel_group_cap", default=10_000_000
+)
+
 
 def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     """windowFunnel(window[, modes...])(ts, cond1, ..., condN) → the
     deepest funnel level reached by an ordered chain whose k-th event
     satisfies cond_k and whose span t_k − t_1 stays within ``window``.
 
-    One sorted collect per group, then a single aggregate() fold: the
-    state carries, per level k, the LATEST chain-anchor timestamp t_1
-    that has completed levels 1..k — the latest anchor dominates
-    (every remaining within-window check t − t_1 ≤ window is easiest
-    for the most recent t_1, so a chain that restarts on a later
-    cond_1 event is never lost). An event advances level k when
-    cond_k holds, level k−1 is reached, and the event is within
-    window of that chain's anchor (pre-event state for every level,
-    so one event advances each level at most once). Rows matching NO
-    condition are filtered out of the collect (CH feeds the
-    aggregate only rows with a set condition bit) — except under
-    strict_order, where such rows are chain-breakers and must be
-    seen.
+    Mirrors ClickHouse AggregateFunctionWindowFunnel's ENTRY model:
+    each row contributes one (t, k) entry per matched condition k
+    (plus a k=0 entry for no-match rows under strict_order, like
+    CH's event number 0), the entries sort by (t, k), and a single
+    aggregate() fold walks them. The state carries, per level k, the
+    LATEST chain-anchor timestamp t_1 that has completed levels
+    1..k — the latest anchor dominates (every remaining
+    within-window check t − t_1 ≤ window is easiest for the most
+    recent t_1, so a chain that restarts on a later cond_1 entry is
+    never lost). An entry advances level k when level k−1 is reached
+    and the entry is within window of that chain's anchor. Rows
+    matching NO condition contribute no entries (CH feeds the
+    aggregate only set condition bits) — except under strict_order.
+
+    The per-condition explode gives CH's exact tie semantics for
+    free: a row matching cond_{k−1} AND cond_k advances both levels
+    (its k−1 entry processes first), strict_increase blocks the
+    same-row chain (t > t fails), and at an exactly equal timestamp
+    entries from two different multi-condition rows interleave by
+    condition number, just as CH's sorted (timestamp, event) walk
+    does.
 
     Modes (CH AggregateFunctionWindowFunnel semantics):
-    - strict_order: an event matching no condition, arriving after
+    - strict_order: an entry matching no condition, arriving after
       the chain has started, STOPS processing; levels reached so far
-      stand.
+      stand. Likewise an OUT-OF-ORDER funnel entry — a condition
+      whose predecessor level is unreached — after the chain start
+      (CH's events_timestamp[event_idx-1]-empty branch).
     - strict_deduplication (aliases strict_dedup, strict): a repeat
       of a condition whose level is already reached stops processing
       and the result is that condition's level — even if a deeper
       level was reached before (CH returns the repeated event's
       number). A fully completed funnel is immune (CH early-returns
-      N before seeing the repeat).
+      N before seeing the repeat). cond_1 repeats only refresh the
+      anchor.
     - strict_increase: each chain step needs a strictly larger
-      timestamp than the previous step's own event (not the anchor).
-
-    One row matching SEVERAL conditions advances its levels
-    sequentially in condition order (let-bound per-level state), as
-    CH's entry walk does — a row satisfying cond_{k-1} AND cond_k
-    advances both levels in default mode, and strict_increase blocks
-    the same-row chain (t > t fails), also as CH. Remaining tie
-    corner (documented): CH sorts per-CONDITION entries, so at an
-    exactly equal timestamp entries from two different multi-
-    condition rows can interleave by condition number; this fold
-    processes whole rows at a tie (lower first-condition first) and
-    cannot split a row's entries around another row's."""
+      timestamp than the previous step's own entry (not the anchor).
+    """
     if not p:
         raise ValueError(
             "windowFunnel needs a window parameter: "
@@ -3433,27 +3446,30 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     ts, conds = a[0], a[1:]
     n = len(conds)
     ninf = "CAST('-Infinity' AS DOUBLE)"
-    fields = [f"'t', CAST({ts} AS DOUBLE)"]
     flag = [
         f"coalesce(CAST({c} AS BOOLEAN), false)" for c in conds
     ]
-    # Tie-break field: CH sorts (ts, condition number) pairs, so at
-    # equal timestamps the LOWER condition processes first (and a
-    # no-condition row — kept only under strict_order — sorts ahead,
-    # like CH's event number 0). Without this, struct sort on the
-    # boolean flags puts higher conditions first at ties.
-    kexpr = "CASE " + " ".join(
-        f"WHEN {flag[i]} THEN {i + 1}" for i in range(n)
-    ) + " ELSE 0 END"
-    fields.append(f"'k', {kexpr}")
-    for k in range(1, n + 1):
-        fields.append(f"'c{k}', {flag[k - 1]}")
-    keep = f"({ts}) IS NOT NULL"
-    if not s_order:
-        keep += f" AND ({' OR '.join(flag)})"
+    # Per-row candidate entries: (t, k) for each condition k the row
+    # matches, filtered to the matched ones; under strict_order a
+    # k=0 entry stands in for a no-match row (sorts ahead at equal
+    # t, like CH's event number 0). flatten(collect_list(...)) then
+    # array_sort gives CH's sorted (timestamp, event) entry list.
+    tcast = f"CAST({ts} AS DOUBLE)"
+    notnull = f"({ts}) IS NOT NULL"
+    cand = [
+        f"named_struct('t', {tcast}, 'k', {k}, "
+        f"'m', {notnull} AND {flag[k - 1]})"
+        for k in range(1, n + 1)
+    ]
+    if s_order:
+        nomatch = " OR ".join(flag)
+        cand.append(
+            f"named_struct('t', {tcast}, 'k', 0, "
+            f"'m', {notnull} AND NOT ({nomatch}))"
+        )
     arr = (
-        f"array_sort(collect_list(CASE WHEN {keep} THEN "
-        f"named_struct({', '.join(fields)}) END))"
+        f"array_sort(flatten(collect_list("
+        f"filter(array({', '.join(cand)}), __m -> __m.m))))"
     )
     init_fields = [f"'a{k}', {ninf}" for k in range(1, n + 1)]
     if s_incr:
@@ -3463,13 +3479,16 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     if s_dedup:
         init_fields.append("'ret', 0")
     init = f"named_struct({', '.join(init_fields)})"
-    # Repeated-condition truncation check (pre-row state; cond1
-    # repeats only refresh the anchor in CH, so k starts at 2).
+    a_list = ", ".join(f"__acc.a{k}" for k in range(1, n + 1))
+    # Repeated-condition truncation (pre-entry state; CH checks the
+    # entry's OWN slot before advancing — cond1 repeats exempt).
+    # Nested CASE keeps element_at's index in 1..n under ANSI mode.
     if s_dedup and n >= 2:
-        trunc = "CASE " + " ".join(
-            f"WHEN __e.c{k} AND __acc.a{k} > {ninf} THEN {k}"
-            for k in range(2, n + 1)
-        ) + " ELSE 0 END"
+        trunc = (
+            f"(CASE WHEN __e.k >= 2 THEN "
+            f"IF(element_at(array({a_list}), __e.k) > {ninf}, "
+            f"__e.k, 0) ELSE 0 END)"
+        )
     else:
         trunc = "0"
     halt = None
@@ -3479,73 +3498,55 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     if s_dedup:
         guard = f"({halt} OR ({trunc}) > 0)"
 
-    # CH walks one ROW's matched conditions sequentially (entries
-    # (ts, 1..n) in condition order), so a row matching cond_{k-1}
-    # AND cond_k advances BOTH levels: level k's check reads the
-    # anchor the same row just wrote. Thread that with let-bound
-    # per-level state (the single-element-transform idiom keeps the
-    # generated SQL linear in n instead of doubling per level):
-    # __s{k} = struct('a', new a_k[, 'b', new b_k]).
-    lvl_bind: list[tuple[str, str]] = []  # (var, bound struct expr)
-    a1u = "IF(__e.c1, __e.t, __acc.a1)"
-    lvl_bind.append(("__s1", f"named_struct('a', {a1u})"))
-    for k in range(2, n + 1):
-        prev_a = f"__s{k - 1}.a"
-        parts = [
-            f"__e.c{k}", f"{prev_a} > {ninf}",
-            f"__e.t - {prev_a} <= ({window})",
-        ]
-        if s_incr:
-            # level-1's step timestamp IS its anchor; deeper levels
-            # carry it in b. Same-row chaining then needs t > t and
-            # correctly fails under strict_increase.
-            prev_b = "__s1.a" if k == 2 else f"__s{k - 1}.b"
-            parts.append(f"__e.t > {prev_b}")
-        adv_k = " AND ".join(parts)
-        fields = [f"'a', IF({adv_k}, {prev_a}, __acc.a{k})"]
-        if s_incr:
-            fields.append(f"'b', IF({adv_k}, __e.t, __acc.b{k})")
-        lvl_bind.append((f"__s{k}", f"named_struct({', '.join(fields)})"))
-
     def state_struct(updated: bool) -> str:
         out = []
-        for k in range(1, n + 1):
-            out.append(
-                f"'a{k}', " + (f"__s{k}.a" if updated else f"__acc.a{k}")
-            )
+        if updated:
+            out.append("'a1', IF(__e.k = 1, __e.t, __acc.a1)")
+        else:
+            out.append("'a1', __acc.a1")
+        advs: dict[int, str] = {}
+        for k in range(2, n + 1):
+            prev_a = f"__acc.a{k - 1}"
+            parts = [
+                f"__e.k = {k}", f"{prev_a} > {ninf}",
+                f"__e.t - {prev_a} <= ({window})",
+            ]
+            if s_incr:
+                prev_b = "__acc.a1" if k == 2 else f"__acc.b{k - 1}"
+                parts.append(f"__e.t > {prev_b}")
+            advs[k] = "(" + " AND ".join(parts) + ")"
+            if updated:
+                out.append(
+                    f"'a{k}', IF({advs[k]}, {prev_a}, __acc.a{k})"
+                )
+            else:
+                out.append(f"'a{k}', __acc.a{k}")
         if s_incr:
             for k in range(2, n + 1):
-                out.append(
-                    f"'b{k}', "
-                    + (f"__s{k}.b" if updated else f"__acc.b{k}")
-                )
+                if updated:
+                    out.append(
+                        f"'b{k}', IF({advs[k]}, __e.t, __acc.b{k})"
+                    )
+                else:
+                    out.append(f"'b{k}', __acc.b{k}")
         if s_order or s_dedup:
             done_parts = ["__acc.done", f"__acc.a{n} > {ninf}"]
             if s_order:
-                nomatch = " OR ".join(
-                    f"__e.c{k}" for k in range(1, n + 1)
-                )
+                # No-match entry after the chain start halts; before
+                # the start it is ignored (CH continues).
                 done_parts.append(
-                    f"(NOT ({nomatch}) AND __acc.a1 > {ninf})"
+                    f"(__e.k = 0 AND __acc.a1 > {ninf})"
                 )
-                if updated:
-                    # CH's second strict_order halt: after the chain
-                    # has started, an OUT-OF-ORDER funnel event — a
-                    # condition whose predecessor level is unreached
-                    # at its entry — stops processing and the level
-                    # stands (AggregateFunctionWindowFunnel's
-                    # events_timestamp[event_idx-1]-empty branch).
-                    # Set slots form a prefix, so no later entry of
-                    # the same row can advance past the gap; the
-                    # same-row __s state gives each entry's view.
-                    ooo = " OR ".join(
-                        f"(__e.c{k} AND NOT (__s{k - 1}.a > {ninf}))"
-                        for k in range(2, n + 1)
+                if updated and n >= 2:
+                    # CH's second strict_order halt: an out-of-order
+                    # funnel entry (predecessor level unreached)
+                    # after the chain start stops processing.
+                    done_parts.append(
+                        f"(CASE WHEN __e.k >= 2 "
+                        f"AND __acc.a1 > {ninf} THEN "
+                        f"NOT (element_at(array({a_list}), "
+                        f"__e.k - 1) > {ninf}) ELSE false END)"
                     )
-                    if ooo:
-                        done_parts.append(
-                            f"(__s1.a > {ninf} AND ({ooo}))"
-                        )
             if s_dedup:
                 done_parts.append(f"({trunc}) > 0")
             out.append(f"'done', {' OR '.join(done_parts)}")
@@ -3557,11 +3558,6 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
         return f"named_struct({', '.join(out)})"
 
     body = state_struct(updated=True)
-    for var, bound in reversed(lvl_bind):
-        body = (
-            f"element_at(transform(array({bound}), "
-            f"{var} -> {body}), 1)"
-        )
     if guard:
         body = f"IF({guard}, {state_struct(updated=False)}, {body})"
     level = "CASE " + " ".join(
@@ -3575,11 +3571,27 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
         )
     else:
         final = level
-    return (
+    agg = (
         f"aggregate({arr}, {init}, "
         f"(__acc, __e) -> {body}, "
         f"__acc -> CAST({final} AS INT))"
     )
+    cap = _FUNNEL_GROUP_CAP.get()
+    if s_order and cap > 0:
+        msg = (
+            "windowFunnel strict_order buffers every event of a "
+            "group (non-matching events are chain-breakers); a group "
+            f"exceeded max_funnel_group_events={cap} — raise the "
+            "setting (SETTINGS max_funnel_group_events=N, 0 "
+            "disables) or drop strict_order"
+        )
+        agg = (
+            f"IF(count(CASE WHEN {notnull} THEN 1 END) > {cap}, "
+            f"CAST(raise_error('{msg}') AS INT), {agg})"
+        )
+    return agg
+
+
 
 
 _SEQ_PATTERN_RE = re.compile(
@@ -7424,11 +7436,25 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         "1",
         "true",
     )
+    # max_funnel_group_events=N is OUR setting (no CH analog): the
+    # strict_order funnel's per-group buffer cap; 0 disables.
+    funnel_cap_raw = dropped.pop("max_funnel_group_events", None)
+    funnel_cap: int | None = None
+    if funnel_cap_raw is not None:
+        try:
+            funnel_cap = int(str(funnel_cap_raw).strip().strip("'\""))
+        except ValueError:
+            raise ValueError(
+                "SETTINGS max_funnel_group_events expects an integer "
+                f"(got {funnel_cap_raw!r})"
+            )
     out = _strip_format(out)
     if "getSetting" in out:
         raw_settings = dict(dropped)
         if exact_cityhash:
             raw_settings["exact_cityhash"] = "1"
+        if funnel_cap is not None:
+            raw_settings["max_funnel_group_events"] = str(funnel_cap)
         inv = {v: k for k, v in _SETTINGS_MAP.items()}
         for sk, sv in settings.items():
             ch_name = inv.get(sk)
@@ -7450,7 +7476,14 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out = _rewrite_limit_by(out)
     out = _rewrite_limit_ties(out)
     out = _rewrite_qualify(out)
-    out = _rewrite_functions(out, exact_cityhash=exact_cityhash)
+    if funnel_cap is not None:
+        tok = _FUNNEL_GROUP_CAP.set(funnel_cap)
+        try:
+            out = _rewrite_functions(out, exact_cityhash=exact_cityhash)
+        finally:
+            _FUNNEL_GROUP_CAP.reset(tok)
+    else:
+        out = _rewrite_functions(out, exact_cityhash=exact_cityhash)
     out = _rewrite_with_fill(out, spark, views)
     if spark is not None and "bh_cityhash64_row" in out:
         _ensure_cityhash_udfs(spark)

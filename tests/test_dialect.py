@@ -7845,3 +7845,140 @@ class TestAdviceR9Fixes:
         assert eng.execute(
             "SELECT length(arrayPartialShuffle([1,2,3], 2)) AS r"
         ).rows == [[3]]
+
+
+class TestWindowFunnelTieCorner:
+    """Equal-timestamp entries from two multi-condition rows must
+    interleave by condition number, exactly as CH's sorted
+    (timestamp, event) entry walk — the round-10 per-condition
+    explode closed the documented row-walk deviation."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def _wf(self, eng, events, spec):
+        # conditions are substring matches so one row can match
+        # several conditions ('12' matches cond1 AND cond2)
+        vals = ", ".join(f"({t}, '{e}')" for t, e in events)
+        q = (
+            f"SELECT windowFunnel({spec})(CAST(t AS TIMESTAMP), "
+            f"e LIKE '%1%', e LIKE '%2%', e LIKE '%3%') AS lvl "
+            f"FROM (SELECT * FROM VALUES {vals} AS t(t, e))"
+        )
+        return eng.execute(q).rows[0][0]
+
+    def test_default_mode_interleave(self, eng):
+        # entries (10,1)x2, (10,2), (10,3) -> level 3; the old
+        # row-walk processed row '13' first (flag sort) and got 2
+        assert self._wf(eng, [(10, "12"), (10, "13")], "100") == 3
+
+    def test_dedup_mode_interleave_no_truncation(self, eng):
+        # entries (10,1), (10,1), (10,2), (10,3): each level reached
+        # once, completion is immune -> 3 (row-walk reached only 2)
+        assert (
+            self._wf(
+                eng, [(10, "13"), (10, "12")],
+                "100, 'strict_deduplication'",
+            )
+            == 3
+        )
+
+    def test_dedup_mode_tie_truncates(self, eng):
+        # entries (10,1), (10,2), (10,2): the second cond2 entry is
+        # a repeat of a reached level -> CH returns 2
+        assert (
+            self._wf(
+                eng, [(10, "12"), (10, "2")],
+                "100, 'strict_deduplication'",
+            )
+            == 2
+        )
+
+    def test_strict_increase_blocks_same_timestamp(self, eng):
+        assert self._wf(eng, [(10, "12")], "100") == 2
+        assert (
+            self._wf(eng, [(10, "12")], "100, 'strict_increase'") == 1
+        )
+        # a later distinct-timestamp cond2 still advances
+        assert (
+            self._wf(
+                eng, [(10, "12"), (11, "2")], "100, 'strict_increase'"
+            )
+            == 2
+        )
+
+    def test_strict_order_nomatch_sorts_ahead_at_tie(self, eng):
+        # (10, X) sorts before (10, 1) like CH's event number 0:
+        # before the chain starts it is ignored
+        assert (
+            self._wf(eng, [(10, "X"), (10, "1")], "100, 'strict_order'")
+            == 1
+        )
+        # after the chain starts, the tie-ahead breaker halts before
+        # the same-timestamp cond2 entry is seen
+        assert (
+            self._wf(
+                eng, [(5, "1"), (10, "X"), (10, "2")],
+                "100, 'strict_order'",
+            )
+            == 1
+        )
+
+    def test_strict_order_out_of_order_entry_pre_chain_ignored(
+        self, eng
+    ):
+        # cond2 before any cond1: no chain yet -> ignored, not a halt
+        assert (
+            self._wf(eng, [(5, "2"), (10, "1")], "100, 'strict_order'")
+            == 1
+        )
+
+
+class TestStrictOrderGroupCap:
+    """strict_order's full-group buffer hazard is guarded at runtime:
+    a group over max_funnel_group_events raises a guided error
+    instead of silently ballooning executor state (SCALE.md)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    Q = (
+        "SELECT windowFunnel(100, 'strict_order')"
+        "(CAST(t AS TIMESTAMP), e='A', e='B') AS lvl "
+        "FROM (SELECT * FROM VALUES (1,'A'), (2,'A'), (3,'A'), "
+        "(4,'B') AS t(t, e))"
+    )
+
+    def test_group_over_cap_raises_guided(self, eng):
+        with pytest.raises(Exception, match="max_funnel_group_events"):
+            eng.execute(self.Q + " SETTINGS max_funnel_group_events=2")
+
+    def test_group_under_cap_unaffected(self, eng):
+        assert eng.execute(
+            self.Q + " SETTINGS max_funnel_group_events=10"
+        ).rows == [[2]]
+
+    def test_default_cap_and_disable(self, eng):
+        # the default 10M cap never bites a sane group; 0 disables
+        assert eng.execute(self.Q).rows == [[2]]
+        assert eng.execute(
+            self.Q + " SETTINGS max_funnel_group_events=0"
+        ).rows == [[2]]
+
+    def test_non_strict_order_ignores_cap(self, eng):
+        # other modes pre-filter the buffer to relevant events; the
+        # full-group hazard (and its guard) is strict_order-only
+        q = self.Q.replace(", 'strict_order'", "")
+        assert eng.execute(
+            q + " SETTINGS max_funnel_group_events=2"
+        ).rows == [[2]]
+
+    def test_bad_value_refused(self, eng):
+        with pytest.raises(ValueError, match="max_funnel_group_events"):
+            eng.execute(self.Q + " SETTINGS max_funnel_group_events=abc")
