@@ -1769,6 +1769,83 @@ def _entropy_builder(a: list[str]) -> str:
     )
 
 
+_SPARKBAR_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+def _sparkbar_builder(params: list[str], a: list[str]) -> str:
+    """sparkbar(width[, min_x, max_x])(x, y) → a ``width``-character
+    bar string: the x window splits into ``width`` equal buckets, y
+    sums per bucket, and each bucket renders one of the eight block
+    glyphs ▁▂▃▄▅▆▇█ scaled against the tallest bucket — empty or
+    non-positive buckets render a space, matching the shape of CH's
+    documented example ('▂▅▂▃▆█  ▂'). min_x/max_x default to the
+    group's min/max; out-of-window values are ignored
+    (AggregateFunctionSparkbar semantics). Bucketing uses
+    floor((x − min) · width / (max − min + 1)) — uniform over
+    integer-valued x such as toUnixTimestamp/day numbers; glyph
+    rounding is ceil(8·s/max), capability-level vs CH 23.6's
+    renderer (deviation listed in COVERAGE.md). x must be numeric —
+    wrap dates in toUnixTimestamp()."""
+    if len(params) not in (1, 3):
+        raise ValueError(
+            "sparkbar(width) or sparkbar(width, min_x, max_x)"
+        )
+    try:
+        w = int(_unquote(params[0].strip()))
+    except ValueError:
+        raise ValueError(
+            "sparkbar: width must be a literal integer"
+        ) from None
+    if not 1 <= w <= 1024:
+        raise ValueError(
+            "sparkbar: width must be in [1, 1024] (ClickHouse's own "
+            "limit)"
+        )
+    if len(a) != 2:
+        raise ValueError("sparkbar(width)(x, y) takes two arguments")
+    x, y = a
+    xe = f"CAST({x} AS DOUBLE)"
+    ye = f"CAST({y} AS DOUBLE)"
+    mn = (
+        f"CAST({params[1]} AS DOUBLE)"
+        if len(params) == 3
+        else f"CAST(min({xe}) AS DOUBLE)"
+    )
+    mx = (
+        f"CAST({params[2]} AS DOUBLE)"
+        if len(params) == 3
+        else f"CAST(max({xe}) AS DOUBLE)"
+    )
+    entries = (
+        f"collect_list(CASE WHEN ({x}) IS NOT NULL AND "
+        f"({y}) IS NOT NULL THEN named_struct('x', {xe}, 'y', {ye}) "
+        f"END)"
+    )
+    idx = (
+        f"CAST(least(floor((__e.x - ({mn})) * {w} / "
+        f"(({mx}) - ({mn}) + 1)), {w - 1}) AS INT)"
+    )
+    sums = (
+        f"aggregate({entries}, array_repeat(0D, {w}), "
+        f"(__acc, __e) -> IF(__e.x >= ({mn}) AND __e.x <= ({mx}), "
+        f"transform(__acc, (__v, __i) -> "
+        f"IF(__i = {idx}, __v + __e.y, __v)), __acc))"
+    )
+    glyphs = ", ".join(f"'{g}'" for g in _SPARKBAR_GLYPHS)
+    render = (
+        f"concat_ws('', transform(__ss, __s -> IF(__s <= 0, ' ', "
+        f"element_at(array({glyphs}), CAST(least(8, greatest(1, "
+        f"ceiling(__s * 8 / array_max(__ss)))) AS INT)))))"
+    )
+    # bind the bucket sums once (__ss) via the single-element
+    # transform LET idiom; empty group (min NULL) renders ''.
+    return (
+        f"CASE WHEN ({mn}) IS NULL OR ({mx}) IS NULL THEN '' "
+        f"ELSE element_at(transform(array({sums}), "
+        f"__ss -> {render}), 1) END"
+    )
+
+
 def _lttb_builder(params: list[str], a: list[str]) -> str:
     """largestTriangleThreeBuckets(n)(x, y) → Array(Tuple(x, y)) —
     the published LTTB downsampling algorithm as one O(N) expression:
@@ -6450,12 +6527,21 @@ _ARG_REWRITES.update({
     "jumpConsistentHash": lambda a: (
         f"bh_jumphash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
     ),
-    "kostikConsistentHash": lambda a: (_ for _ in ()).throw(
-        ValueError(
-            "kostikConsistentHash() (Yandex consistent hashing) is "
-            "not implemented; jumpConsistentHash(key, n) provides "
-            "the same minimal-reshuffle bucket assignment"
-        )
+    # Capability twin (see miscfuncs._kostik_hash): the same
+    # consistent-hashing contract as CH's Oblakov algorithm —
+    # deterministic, uniform, minimal remaps, n ≤ 32768 — but a
+    # DIFFERENT bucket permutation (splitmix64 finalizer + jump
+    # hash; the Oblakov C++ has no published spec and bit-parity is
+    # unverifiable offline). Deviation listed in COVERAGE.md.
+    "kostikConsistentHash": lambda a: (
+        f"bh_kostikhash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+        if len(a) == 2
+        else _refuse("kostikConsistentHash(key, n) takes two arguments")
+    ),
+    "yandexConsistentHash": lambda a: (
+        f"bh_kostikhash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+        if len(a) == 2
+        else _refuse("yandexConsistentHash(key, n) takes two arguments")
     ),
     "deltaSumTimestamp": lambda a: _delta_sum_timestamp_builder(a),
     "pointInPolygon": _point_in_polygon,
@@ -7493,7 +7579,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         _ensure_ip_udfs(spark)
     if spark is not None and re.search(
         r"\bbh_(damerau|jaro|base58|base32|punycode|erf|erfc|lgamma|tgamma"
-        r"|jumphash"
+        r"|jumphash|kostikhash"
         r"|nfc|nfd|nfkc|nfkd|geohash|idna|lz4_ratio|t_pvalue2|f_pvalue"
         r"|anova|ks_exact|norm_ppf|spearman|detect_language"
         r"|series_period"
@@ -8514,6 +8600,9 @@ def _rewrite_parametric(sql: str) -> str:
         # largestTriangleThreeBuckets(n)(x, y): published LTTB
         # downsampling as an O(N) fold (see _lttb_builder).
         ("largestTriangleThreeBuckets", _lttb_builder),
+        # sparkbar(width[, min, max])(x, y): bucketed block-glyph
+        # bar string (see _sparkbar_builder).
+        ("sparkbar", _sparkbar_builder),
         # Keep-list map sum: filter each map to the kept keys, then
         # the sumMap fold.
         # -Resample combinators: literal buckets expand to plain
@@ -8582,11 +8671,6 @@ def _rewrite_parametric(sql: str) -> str:
             "groupArrayLast() is block-order dependent; use "
             "slice(array_sort(collect_list(struct(ts, x))), -k, k) "
             "over an explicit order key",
-        ),
-        (
-            "sparkbar",
-            "sparkbar() renders per-bucket bars; GROUP BY the bucket "
-            "and render with bar()",
         ),
         (
             "quantilesExactExclusive",

@@ -381,6 +381,47 @@ def bh_jumphash(key: pd.Series, buckets: pd.Series) -> pd.Series:
     )
 
 
+def _kostik_hash(key: int, buckets: int) -> int:
+    """Capability twin of CH ``kostikConsistentHash`` (Oblakov's
+    O(1) consistent hashing, reference ``ch`` image CH 23.6): the
+    same CONTRACT — deterministic, uniform over [0, n), minimal
+    remaps when n grows, n ≤ 32768 — built from the published
+    splitmix64 finalizer (Steele/Lea/Flood, "Fast Splittable
+    Pseudorandom Number Generators") feeding the published jump
+    consistent hash (Lamping & Veach 2014). NOT bit-exact to CH's
+    bucket permutation: the Oblakov algorithm has no published spec
+    beyond its C++ source (which this from-scratch repo does not
+    copy) and bit-parity is unverifiable offline — documented in
+    COVERAGE.md beside the other capability twins
+    (farmFingerprint64, default-mode cityHash64)."""
+    if buckets > 32768:
+        raise ValueError(
+            "kostikConsistentHash: n must be at most 32768 "
+            "(ClickHouse's own limit); use jumpConsistentHash for "
+            "larger bucket counts"
+        )
+    mask = (1 << 64) - 1
+    x = key & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    x ^= x >> 31
+    return _jump_hash(x, buckets)
+
+
+@pandas_udf(IntegerType())
+def bh_kostikhash(key: pd.Series, buckets: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if k is None or pd.isna(k) or n is None or pd.isna(n)
+            else _kostik_hash(int(k), int(n))
+            for k, n in zip(key, buckets)
+        ],
+        dtype="object",
+    )
+
+
 def _betacf(a: float, b: float, x: float) -> float:
     """Continued fraction for the incomplete beta (the classic
     modified-Lentz evaluation of the published expansion)."""
@@ -991,6 +1032,7 @@ def bh_kafka_murmur(s: pd.Series) -> pd.Series:
 
 ALL = {
     "bh_jumphash": bh_jumphash,
+    "bh_kostikhash": bh_kostikhash,
     "bh_damerau": bh_damerau,
     "bh_jaro": bh_jaro,
     "bh_jaro_winkler": bh_jaro_winkler,

@@ -1593,3 +1593,56 @@ def dialect_windowfunnel_dedup_roundtrip(spark, sf_dir):
         ) GROUP BY lvl
         """,
     )
+
+
+# sparkbar(width)(x, y): the bucketed block-glyph bar aggregate,
+# graduated from the probe refusals in round 10. The oracle
+# recomputes the rendering relationally: bucket index
+# floor((x−min)·w/(max−min+1)) clamped to w−1, per-bucket y sums,
+# glyph level ceil(8·s/max) over the ▁▂▃▄▅▆▇█ ramp, spaces for
+# empty buckets, string_agg in bucket order.
+@query(
+    "dialect_sparkbar_roundtrip",
+    oracle="""
+WITH ext AS (
+  SELECT event_type, min(user_id) AS mn, max(user_id) AS mx
+  FROM events GROUP BY event_type
+),
+sums AS (
+  SELECT e.event_type,
+         LEAST(CAST(FLOOR((e.user_id - x.mn) * 16.0
+                          / (x.mx - x.mn + 1)) AS INT), 15) AS bkt,
+         CAST(count(*) AS DOUBLE) AS s
+  FROM events e JOIN ext x ON e.event_type = x.event_type
+  GROUP BY e.event_type, bkt
+),
+peaks AS (
+  SELECT event_type, max(s) AS m FROM sums GROUP BY event_type
+),
+grid AS (
+  SELECT p.event_type, g.bkt, coalesce(s.s, 0) AS s, p.m
+  FROM peaks p
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bkt) g
+  LEFT JOIN sums s ON s.event_type = p.event_type AND s.bkt = g.bkt
+)
+SELECT event_type,
+       string_agg(
+         CASE WHEN s <= 0 THEN ' '
+              ELSE list_extract(
+                ['▁','▂','▃','▄','▅','▆','▇','█'],
+                CAST(LEAST(8, GREATEST(1, CEIL(s * 8 / m))) AS INT))
+         END, '' ORDER BY bkt) AS bar
+FROM grid GROUP BY event_type ORDER BY event_type
+""",
+)
+def dialect_sparkbar_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_sb",
+        """
+        SELECT event_type, sparkbar(16)(user_id, 1) AS bar
+        FROM __dq_events_sb GROUP BY event_type ORDER BY event_type
+        """,
+    )

@@ -49,8 +49,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-11 ROTATION CANDIDATES: any round-10 oracle-backed additions
-# land first, then the remaining 25 r7-era names not refreshed in the
+# ROUND-11 ROTATION CANDIDATES: the round-10 oracle-backed additions
+# land first (dialect_sparkbar_roundtrip — shipped with a green local
+# oracle row), then the remaining 25 r7-era names not refreshed in the
 # r10 fill (alphabetically from dialect_remote_roundtrip onward:
 # dialect_remote_roundtrip, dialect_topk_roundtrip,
 # dialect_tuple_in_roundtrip, dialect_week_format_roundtrip,

@@ -3886,7 +3886,7 @@ class TestRound5ProbeTranche8:
     def test_tranche8_refusals(self, eng):
         for expr, hint in [
             ("groupArrayLast(3)(number)", "order"),
-            ("sparkbar(5)(number, number)", "bar"),
+            # sparkbar graduated in round 10 (TestSparkbarKostik).
             ("flameGraph(number)", "profiler"),
             # maxIntersectionsPosition and analysisOfVariance both
             # graduated in round 7.
@@ -4000,12 +4000,12 @@ class TestRound5Tranche9:
             )
 
     def test_tranche9_refusals(self, eng):
-        for expr, hint in [
-            # deltaSumTimestamp graduated to the sorted fold (r7).
-            ("kostikConsistentHash(42, 8)", "jumpConsistentHash"),
-        ]:
-            with pytest.raises(ValueError, match=hint):
-                eng.execute(f"SELECT {expr} FROM numbers(5)")
+        # deltaSumTimestamp graduated to the sorted fold (r7);
+        # kostikConsistentHash graduated to the capability twin
+        # (r10, TestSparkbarKostik) — nothing left in this tranche.
+        assert eng.execute(
+            "SELECT kostikConsistentHash(42, 8) >= 0 AS ok"
+        ).rows == [[True]]
 
 
 class TestRound5Tranche10:
@@ -7982,3 +7982,92 @@ class TestStrictOrderGroupCap:
     def test_bad_value_refused(self, eng):
         with pytest.raises(ValueError, match="max_funnel_group_events"):
             eng.execute(self.Q + " SETTINGS max_funnel_group_events=abc")
+
+
+class TestSparkbarKostik:
+    """Round-10 graduations of the last cheaply-expressible probe
+    refusals: sparkbar (bucketed block-glyph bar aggregate) and
+    kostikConsistentHash (capability twin — same consistent-hashing
+    contract, documented non-bit-exact permutation)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_sparkbar_ramp(self, eng):
+        r = eng.execute(
+            "SELECT sparkbar(4)(x, y) AS bar FROM (SELECT * FROM "
+            "VALUES (1,1),(2,1),(3,2),(4,2),(5,4),(6,4),(7,8),(8,8) "
+            "AS t(x, y))"
+        )
+        assert r.rows == [["▁▂▄█"]]
+
+    def test_sparkbar_empty_buckets_render_spaces(self, eng):
+        r = eng.execute(
+            "SELECT sparkbar(4)(x, y) AS bar FROM "
+            "(SELECT * FROM VALUES (1,5),(8,5) AS t(x, y))"
+        )
+        assert r.rows == [["█  █"]]
+
+    def test_sparkbar_window_ignores_out_of_range(self, eng):
+        r = eng.execute(
+            "SELECT sparkbar(2, 1, 4)(x, y) AS bar FROM "
+            "(SELECT * FROM VALUES (1,3),(4,3),(99,100) AS t(x, y))"
+        )
+        assert r.rows == [["██"]]
+
+    def test_sparkbar_empty_group(self, eng):
+        r = eng.execute(
+            "SELECT sparkbar(3)(x, y) AS bar FROM "
+            "(SELECT * FROM VALUES (1,1) AS t(x, y)) WHERE x > 5"
+        )
+        assert r.rows == [[""]]
+
+    def test_sparkbar_refusals(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        for q, hint in [
+            ("SELECT sparkbar(0)(x, y) FROM t", "1, 1024"),
+            ("SELECT sparkbar(2000)(x, y) FROM t", "1, 1024"),
+            ("SELECT sparkbar(w)(x, y) FROM t", "literal integer"),
+            ("SELECT sparkbar(3, 1)(x, y) FROM t", "min_x, max_x"),
+        ]:
+            with pytest.raises(ValueError, match=hint):
+                transpile(q)
+
+    def test_kostik_deterministic_in_range(self, eng):
+        r = eng.execute(
+            "SELECT kostikConsistentHash(12345, 8) AS a, "
+            "kostikConsistentHash(12345, 8) AS b, "
+            "yandexConsistentHash(12345, 8) AS y, "
+            "kostikConsistentHash(-5, 8) AS neg"
+        ).rows[0]
+        assert r[0] == r[1] == r[2]
+        assert 0 <= r[0] < 8 and 0 <= r[3] < 8
+
+    def test_kostik_minimal_remap_and_coverage(self, eng):
+        # growing n from 8 to 9 must move keys ONLY into the new
+        # bucket; all 9 buckets populated over 9000 sequential keys
+        r = eng.execute(
+            "SELECT count(DISTINCT b9) AS nb, "
+            "sum(IF(b8 = b9 OR b9 = 8, 0, 1)) AS viol "
+            "FROM (SELECT kostikConsistentHash(number, 8) AS b8, "
+            "kostikConsistentHash(number, 9) AS b9 "
+            "FROM (SELECT number FROM system.numbers LIMIT 9000))"
+        )
+        assert r.rows == [[9, 0]]
+
+    def test_kostik_differs_from_jump(self, eng):
+        # a distinct permutation (the mixed key), not a rename
+        r = eng.execute(
+            "SELECT sum(IF(kostikConsistentHash(number, 16) = "
+            "jumpConsistentHash(number, 16), 1, 0)) AS same "
+            "FROM (SELECT number FROM system.numbers LIMIT 256)"
+        )
+        assert r.rows[0][0] < 256
+
+    def test_kostik_bucket_cap_guided(self, eng):
+        with pytest.raises(Exception, match="32768"):
+            eng.execute("SELECT kostikConsistentHash(1, 40000) AS b")
