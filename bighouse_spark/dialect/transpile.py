@@ -3504,6 +3504,13 @@ def _window_funnel_builder(p: list[str], a: list[str]) -> str:
     modes: set[str] = set()
     for mp in p[1:]:
         mm = _unquote(mp.strip()).lower()
+        if mm == "strict_once":
+            raise ValueError(
+                "windowFunnel 'strict_once' ships in ClickHouse >= "
+                "24.1, newer than the reference's pinned CH 23.6 — "
+                "not served; strict_deduplication is the closest "
+                "23.6 mode (truncates on a repeated condition)"
+            )
         if mm not in _WF_MODES:
             raise ValueError(
                 f"windowFunnel mode {mm!r} is not one of "
@@ -8671,6 +8678,14 @@ def _rewrite_parametric(sql: str) -> str:
             "groupArrayLast() is block-order dependent; use "
             "slice(array_sort(collect_list(struct(ts, x))), -k, k) "
             "over an explicit order key",
+        ),
+        (
+            "sequenceMatchEvents",
+            "sequenceMatchEvents() (matched-event timestamps) ships "
+            "in ClickHouse >= 23.10, newer than the reference's "
+            "pinned CH 23.6 — not served; sequenceMatch gives the "
+            "boolean, and min/max over per-condition timestamps "
+            "recover the chain endpoints",
         ),
         (
             "quantilesExactExclusive",

@@ -7611,7 +7611,9 @@ class TestUnknownParametricGuard:
         from bighouse_spark.dialect.transpile import transpile
 
         for q in [
-            "SELECT sequenceMatchEvents('(?1)(?2)')(ts, a=1, b=2) "
+            # (sequenceMatchEvents now has its own version-guidance
+            # refusal — TestFunnelFamilyVersionGuidance)
+            "SELECT totallyUnknownAgg('(?1)(?2)')(ts, a=1, b=2) "
             "FROM t",
             "SELECT windowFunnelArray(10)(ts, a=1) FROM t",
         ]:
@@ -8071,3 +8073,38 @@ class TestSparkbarKostik:
     def test_kostik_bucket_cap_guided(self, eng):
         with pytest.raises(Exception, match="32768"):
             eng.execute("SELECT kostikConsistentHash(1, 40000) AS b")
+
+
+class TestFunnelFamilyVersionGuidance:
+    """CH funnel-family members NEWER than the reference's pinned
+    CH 23.6 (ch/Dockerfile:1) refuse with version guidance (VERDICT
+    r9 Next #5): strict_once (>= 24.1), sequenceMatchEvents
+    (>= 23.10). maxIntersections/Position are 23.6 functions and
+    graduated in round 7."""
+
+    def test_strict_once_version_refusal(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="24.1"):
+            transpile(
+                "SELECT windowFunnel(10, 'strict_once')"
+                "(ts, a=1, b=2) FROM t GROUP BY u"
+            )
+
+    def test_sequence_match_events_version_refusal(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="23.10"):
+            transpile(
+                "SELECT sequenceMatchEvents('(?1)(?2)')"
+                "(ts, a=1, b=2) FROM t GROUP BY u"
+            )
+
+    def test_max_intersections_still_served(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        assert eng.execute(
+            "SELECT maxIntersections(s, e) AS m FROM (SELECT * FROM "
+            "VALUES (1, 5), (2, 7), (6, 9) AS t(s, e))"
+        ).rows == [[2]]
