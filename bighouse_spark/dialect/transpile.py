@@ -198,7 +198,6 @@ _FUNC_RENAMES = {
     # (CH's bare rand() is a UInt32 and is deliberately NOT mapped.)
     "randCanonical": "rand",
     "concatWithSeparator": "concat_ws",
-    "arrayShuffle": "shuffle",
     "isNaN": "isnan",
     "toJSONString": "to_json",
     "levenshteinDistance": "levenshtein",
@@ -5501,10 +5500,28 @@ _ARG_REWRITES.update({
         if len(a) <= 2
         else _refuse(
             "arrayPartialShuffle(arr, n, seed): the seeded form is "
-            "deterministic in ClickHouse; this engine's shuffle() is "
-            "not seedable — drop the seed for a non-deterministic "
-            "shuffle, or sort with a keyed hash (arraySort with "
-            "cityHash64) for a deterministic permutation"
+            "deterministic PER ROW in ClickHouse; Spark's seeded "
+            "shuffle advances its RNG per row and partition, so "
+            "results would change under repartitioning — drop the "
+            "seed for a non-deterministic shuffle, or sort with a "
+            "keyed hash (arraySort with cityHash64) for a "
+            "deterministic permutation"
+        )
+    ),
+    # arrayShuffle(arr[, seed]): same seeded-form hazard as
+    # arrayPartialShuffle (ADVICE r9) — the 1:1 rename used to pass
+    # the seed through to Spark's per-row-advancing RNG silently.
+    "arrayShuffle": lambda a: (
+        f"shuffle({a[0]})"
+        if len(a) == 1
+        else _refuse(
+            "arrayShuffle(arr, seed): the seeded form is "
+            "deterministic PER ROW in ClickHouse; Spark's seeded "
+            "shuffle advances its RNG per row and partition, so "
+            "results would change under repartitioning — drop the "
+            "seed for a non-deterministic shuffle, or sort with a "
+            "keyed hash (arraySort with cityHash64) for a "
+            "deterministic permutation"
         )
     ),
 })

@@ -8108,3 +8108,29 @@ class TestFunnelFamilyVersionGuidance:
             "SELECT maxIntersections(s, e) AS m FROM (SELECT * FROM "
             "VALUES (1, 5), (2, 7), (6, 9) AS t(s, e))"
         ).rows == [[2]]
+
+
+class TestSeededShuffleRefusals:
+    """CH's seeded arrayShuffle/arrayPartialShuffle are deterministic
+    per row; Spark's seeded shuffle advances its RNG per row AND per
+    partition, so a silent mapping would change results under
+    repartitioning (ADVICE r9 + the matching arrayShuffle hole)."""
+
+    def test_seeded_forms_refuse_with_guidance(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        for q in [
+            "SELECT arrayShuffle([1,2,3], 42)",
+            "SELECT arrayPartialShuffle([1,2,3], 2, 42)",
+        ]:
+            with pytest.raises(ValueError, match="repartitioning"):
+                transpile(q)
+
+    def test_unseeded_forms_serve(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        assert eng.execute(
+            "SELECT sort_array(arrayShuffle([3,1,2])) AS a, "
+            "size(arrayPartialShuffle([1,2,3], 2)) AS n"
+        ).rows == [[[1, 2, 3], 3]]
