@@ -4478,6 +4478,36 @@ _ARG_REWRITES.update({
     "bitmapMin": lambda a: f"array_min({a[0]})",
     "bitmapMax": lambda a: f"array_max({a[0]})",
     "groupBitmap": lambda a: f"count(DISTINCT {a[0]})",
+    # Binary-op cardinalities: the operands are already distinct
+    # (bitmapBuild sorts+dedups) and Spark's set ops dedup anyway, so
+    # size() over the set op is exact. |A xor B| = |A∪B| − |A∩B|.
+    "bitmapAndCardinality": lambda a: (
+        f"size(array_intersect({a[0]}, {a[1]}))"
+    ),
+    "bitmapOrCardinality": lambda a: (
+        f"size(array_union({a[0]}, {a[1]}))"
+    ),
+    "bitmapXorCardinality": lambda a: (
+        f"(size(array_union({a[0]}, {a[1]})) - "
+        f"size(array_intersect({a[0]}, {a[1]})))"
+    ),
+    "bitmapAndnotCardinality": lambda a: (
+        f"size(array_except({a[0]}, {a[1]}))"
+    ),
+    # Subset selectors over the sorted-array representation.
+    # bitmapSubsetInRange: range_start inclusive, range_end EXCLUSIVE
+    # (CH contract); bitmapSubsetLimit: first ``limit`` values ≥
+    # range_start; subBitmap: 0-based offset slice.
+    "bitmapSubsetInRange": lambda a: (
+        f"filter({a[0]}, __v -> __v >= ({a[1]}) AND __v < ({a[2]}))"
+    ),
+    "bitmapSubsetLimit": lambda a: (
+        f"slice(filter({a[0]}, __v -> __v >= ({a[1]})), 1, "
+        f"CAST({a[2]} AS INT))"
+    ),
+    "subBitmap": lambda a: (
+        f"slice({a[0]}, CAST({a[1]} AS INT) + 1, CAST({a[2]} AS INT))"
+    ),
     # -- arrayEnumerate family (arrayEnumerate itself is above) --
     "arrayEnumerateUniq": lambda a: (
         f"transform(sequence(1, size({a[0]})), __i -> CAST(1 + "
@@ -8624,6 +8654,30 @@ def _rewrite_parametric(sql: str) -> str:
         # largestTriangleThreeBuckets(n)(x, y): published LTTB
         # downsampling as an O(N) fold (see _lttb_builder).
         ("largestTriangleThreeBuckets", _lttb_builder),
+        # groupArrayInsertAt(default[, size])(x, pos): the parametric
+        # form of the sparse position-indexed collect — holes get the
+        # explicit default (the bare 2-arg form leaves NULL holes,
+        # deviation documented there); with size, the result is
+        # exactly size long (positions beyond truncate, CH contract).
+        ("groupArrayInsertAt", lambda p, a: (
+            _refuse(
+                "groupArrayInsertAt(default[, size])(x, pos) — one "
+                "or two parameters, two arguments"
+            )
+            if len(p) not in (1, 2) or len(a) != 2
+            else (
+                f"transform(sequence(0, "
+                + (
+                    f"CAST({p[1]} AS INT)"
+                    if len(p) == 2
+                    else f"CAST(max({a[1]}) + 1 AS INT)"
+                )
+                + f" - 1), __i -> coalesce("
+                f"try_element_at(filter(collect_list(named_struct("
+                f"'p', CAST({a[1]} AS INT), 'v', {a[0]})), "
+                f"__e -> __e.p = CAST(__i AS INT)), 1).v, {p[0]}))"
+            )
+        )),
         # sparkbar(width[, min, max])(x, y): bucketed block-glyph
         # bar string (see _sparkbar_builder).
         ("sparkbar", _sparkbar_builder),
@@ -10241,19 +10295,35 @@ def _rewrite_table_functions(
             if call is None:
                 break
             start, end, args = call
-            if fn == "values" and not (
-                args
-                and re.fullmatch(r"'[^']*'", args[0].strip())
-                and re.search(
-                    r"(?:\bFROM|\bJOIN)\s*$", out[:start], re.IGNORECASE
+            if fn == "values":
+                looks_ch = (
+                    args
+                    and re.fullmatch(r"'[^']*'", args[0].strip())
+                    and re.search(
+                        r"(?:\bFROM|\bJOIN)\s*$",
+                        out[:start],
+                        re.IGNORECASE,
+                    )
                 )
-            ):
-                # The CH table function only appears in FROM/JOIN
-                # position with a quoted schema first — everything
-                # else (Spark-native VALUES rows, INSERT VALUES and
-                # wire-format payloads) is untouched.
-                pos = start + 1
-                continue
+                if looks_ch:
+                    # A quoted first arg in FROM position is only the
+                    # CH table function when it PARSES as a schema —
+                    # Spark VALUES rows may open with a plain string
+                    # literal too (``FROM VALUES ('a', 0), ...``).
+                    from bighouse_spark.dialect.schema import (
+                        parse_schema_string,
+                    )
+
+                    try:
+                        parse_schema_string(_unquote(args[0].strip()))
+                    except ValueError:
+                        looks_ch = False
+                if not looks_ch:
+                    # Everything else (Spark-native VALUES rows,
+                    # INSERT VALUES and wire-format payloads) is
+                    # untouched.
+                    pos = start + 1
+                    continue
             if fn in ("format", "null", "zeros", "zeros_mt") and not (
                 re.search(
                     r"(?:\bFROM|\bJOIN)\s*$", out[:start], re.IGNORECASE

@@ -8134,3 +8134,69 @@ class TestSeededShuffleRefusals:
             "SELECT sort_array(arrayShuffle([3,1,2])) AS a, "
             "size(arrayPartialShuffle([1,2,3], 2)) AS n"
         ).rows == [[[1, 2, 3], 3]]
+
+
+class TestRound10ProbeTranche:
+    """Round-10 sweep (~60 names): almost everything already served;
+    the graduations here are the holes it found — bitmap binary
+    cardinalities + subset selectors, parametric groupArrayInsertAt,
+    and Spark-VALUES rows opening with a string literal no longer
+    misparsed as the CH values('schema', ...) table function."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_bitmap_binary_cardinalities(self, eng):
+        assert eng.execute(
+            "SELECT bitmapAndCardinality(bitmapBuild([1,2]), "
+            "bitmapBuild([2,3])) AS a, "
+            "bitmapOrCardinality(bitmapBuild([1,2]), "
+            "bitmapBuild([2,3])) AS b, "
+            "bitmapXorCardinality(bitmapBuild([1,2]), "
+            "bitmapBuild([2,3])) AS c, "
+            "bitmapAndnotCardinality(bitmapBuild([1,2]), "
+            "bitmapBuild([2,3])) AS d"
+        ).rows == [[1, 3, 2, 1]]
+
+    def test_bitmap_subset_selectors(self, eng):
+        assert eng.execute(
+            "SELECT bitmapToArray(bitmapSubsetInRange("
+            "bitmapBuild([1,2,5]), 1, 3)) AS a, "
+            "bitmapToArray(bitmapSubsetLimit("
+            "bitmapBuild([1,2,5]), 2, 2)) AS b, "
+            "bitmapToArray(subBitmap("
+            "bitmapBuild([1,2,5]), 1, 2)) AS c"
+        ).rows == [[[1, 2], [2, 5], [2, 5]]]
+
+    def test_group_array_insert_at_parametric(self, eng):
+        base = (
+            " FROM (SELECT * FROM VALUES ('a', 0),('b', 2) "
+            "AS t(x, i))"
+        )
+        # explicit default fills holes; explicit size pads/truncates
+        assert eng.execute(
+            "SELECT groupArrayInsertAt('d', 4)(x, i) AS r" + base
+        ).rows == [[["a", "d", "b", "d"]]]
+        assert eng.execute(
+            "SELECT groupArrayInsertAt('-')(x, i) AS r" + base
+        ).rows == [[["a", "-", "b"]]]
+        # bare form keeps NULL holes (documented deviation)
+        assert eng.execute(
+            "SELECT groupArrayInsertAt(x, i) AS r" + base
+        ).rows == [[["a", None, "b"]]]
+
+    def test_spark_values_with_leading_string_literal(self, eng):
+        # previously misparsed as CH values('schema', ...) and died
+        # with "cannot parse schema item"
+        assert eng.execute(
+            "SELECT * FROM VALUES ('only', 'strings') AS t(x, y)"
+        ).rows == [[ "only", "strings" ]]
+
+    def test_ch_values_table_function_still_served(self, eng):
+        assert eng.execute(
+            "SELECT * FROM values('a UInt64, b String', (1, 'x'), "
+            "(2, 'y')) ORDER BY a"
+        ).rows == [[1, "x"], [2, "y"]]
