@@ -4859,6 +4859,12 @@ _ARG_REWRITES.update({
     # chwire.SERVER_REVISION — hardcoded to avoid a transpile→chwire
     # import cycle; test_dialect pins the two together.
     "revision": lambda a: "CAST(54429 AS BIGINT)",
+    # PostgreSQL/MySQL-compat introspection CH also ships:
+    # currentSchemas → the one-database search path; connectionId is
+    # 0 (per-query sessions have no persistent MySQL thread id).
+    "currentSchemas": lambda a: "array(current_database())",
+    "connectionId": lambda a: "CAST(0 AS BIGINT)",
+    "connection_id": lambda a: "CAST(0 AS BIGINT)",
     # Guided refusals for the genuinely unshippable tails.
     "multiFuzzyMatchAny": lambda a: (_ for _ in ()).throw(
         ValueError(

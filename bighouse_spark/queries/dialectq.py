@@ -1646,3 +1646,61 @@ def dialect_sparkbar_roundtrip(spark, sf_dir):
         FROM __dq_events_sb GROUP BY event_type ORDER BY event_type
         """,
     )
+
+
+# Bitmap family over the sorted-distinct-array representation,
+# graduated binary cardinalities + subset selectors (round 10). The
+# oracle recomputes each cardinality relationally over DISTINCT
+# user_id sets: AND = join, OR = union, XOR = |OR| − |AND|,
+# ANDNOT = |A| − |AND|; the range subset is a plain filter and
+# subBitmap(a, 10, 100) is rows 11..110 of the ordered distinct set.
+@query(
+    "dialect_bitmap_roundtrip",
+    oracle="""
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase'),
+     a AS (SELECT count(*) AS c FROM v JOIN p USING (user_id)),
+     o AS (SELECT count(*) AS c FROM
+           (SELECT user_id FROM v UNION SELECT user_id FROM p))
+SELECT CAST(a.c AS BIGINT) AS and_c,
+       CAST(o.c AS BIGINT) AS or_c,
+       CAST(o.c - a.c AS BIGINT) AS xor_c,
+       CAST((SELECT count(*) FROM v) - a.c AS BIGINT) AS andnot_c,
+       CAST((SELECT count(*) FROM v
+             WHERE user_id >= 0 AND user_id < 500) AS BIGINT)
+           AS range_c,
+       CAST((SELECT count(*) FROM
+             (SELECT user_id, row_number() OVER (ORDER BY user_id)
+                     AS rn FROM v)
+             WHERE rn > 10 AND rn <= 110) AS BIGINT) AS sub_c
+FROM a, o
+""",
+)
+def dialect_bitmap_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_bm",
+        """
+        SELECT CAST(bitmapAndCardinality(a, b) AS Int64) AS and_c,
+               CAST(bitmapOrCardinality(a, b) AS Int64) AS or_c,
+               CAST(bitmapXorCardinality(a, b) AS Int64) AS xor_c,
+               CAST(bitmapAndnotCardinality(a, b) AS Int64)
+                   AS andnot_c,
+               CAST(bitmapCardinality(
+                   bitmapSubsetInRange(a, 0, 500)) AS Int64)
+                   AS range_c,
+               CAST(bitmapCardinality(
+                   subBitmap(a, 10, 100)) AS Int64) AS sub_c
+        FROM (
+          SELECT bitmapBuild(groupArrayIf(user_id,
+                     event_type = 'view')) AS a,
+                 bitmapBuild(groupArrayIf(user_id,
+                     event_type = 'purchase')) AS b
+          FROM __dq_events_bm
+        )
+        """,
+    )

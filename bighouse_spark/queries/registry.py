@@ -50,8 +50,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every oracle-bearing query each round). See COVERAGE.md.
 #
 # ROUND-11 ROTATION CANDIDATES: the round-10 oracle-backed additions
-# land first (dialect_sparkbar_roundtrip — shipped with a green local
-# oracle row), then the remaining 25 r7-era names not refreshed in the
+# land first (dialect_sparkbar_roundtrip, dialect_bitmap_roundtrip —
+# both shipped with green local oracle rows), then the remaining 25
+# r7-era names not refreshed in the
 # r10 fill (alphabetically from dialect_remote_roundtrip onward:
 # dialect_remote_roundtrip, dialect_topk_roundtrip,
 # dialect_tuple_in_roundtrip, dialect_week_format_roundtrip,
