@@ -314,17 +314,45 @@ _WRAP_FUNCS = {
     "toInt16OrNull": ("TRY_CAST(", " AS SMALLINT)"),
     "toInt32OrNull": ("TRY_CAST(", " AS INT)"),
     "toInt64OrNull": ("TRY_CAST(", " AS BIGINT)"),
-    "toUInt8OrNull": ("TRY_CAST(", " AS SMALLINT)"),
-    "toUInt16OrNull": ("TRY_CAST(", " AS INT)"),
-    "toUInt32OrNull": ("TRY_CAST(", " AS BIGINT)"),
-    "toUInt64OrNull": ("TRY_CAST(", " AS BIGINT)"),
+    # Unsigned parse-casts RANGE-CHECK like CH (toUInt8OrZero('300')
+    # is 0, not 300): the parsed value binds once via the
+    # single-element transform LET, then the UIntN bounds gate it.
+    # UInt64's upper half is the documented widening deviation.
+    "toUInt8OrNull": (
+        "element_at(transform(array(TRY_CAST(",
+        " AS SMALLINT)), __v -> IF(__v >= 0 AND __v <= 255, __v, "
+        "CAST(NULL AS SMALLINT))), 1)",
+    ),
+    "toUInt16OrNull": (
+        "element_at(transform(array(TRY_CAST(",
+        " AS INT)), __v -> IF(__v >= 0 AND __v <= 65535, __v, "
+        "CAST(NULL AS INT))), 1)",
+    ),
+    "toUInt32OrNull": (
+        "element_at(transform(array(TRY_CAST(",
+        " AS BIGINT)), __v -> IF(__v >= 0 AND __v <= 4294967295, "
+        "__v, CAST(NULL AS BIGINT))), 1)",
+    ),
+    "toUInt64OrNull": (
+        "element_at(transform(array(TRY_CAST(",
+        " AS BIGINT)), __v -> IF(__v >= 0, __v, "
+        "CAST(NULL AS BIGINT))), 1)",
+    ),
     "toFloat32OrNull": ("TRY_CAST(", " AS FLOAT)"),
     "toFloat64OrNull": ("TRY_CAST(", " AS DOUBLE)"),
     "toDateOrNull": ("TRY_CAST(", " AS DATE)"),
     "toInt8OrZero": ("coalesce(TRY_CAST(", " AS TINYINT), 0)"),
     "toInt16OrZero": ("coalesce(TRY_CAST(", " AS SMALLINT), 0)"),
-    "toUInt8OrZero": ("coalesce(TRY_CAST(", " AS SMALLINT), 0)"),
-    "toUInt16OrZero": ("coalesce(TRY_CAST(", " AS INT), 0)"),
+    "toUInt8OrZero": (
+        "coalesce(element_at(transform(array(TRY_CAST(",
+        " AS SMALLINT)), __v -> IF(__v >= 0 AND __v <= 255, __v, "
+        "CAST(NULL AS SMALLINT))), 1), 0)",
+    ),
+    "toUInt16OrZero": (
+        "coalesce(element_at(transform(array(TRY_CAST(",
+        " AS INT)), __v -> IF(__v >= 0 AND __v <= 65535, __v, "
+        "CAST(NULL AS INT))), 1), 0)",
+    ),
     "toDateTimeOrNull": ("TRY_CAST(", " AS TIMESTAMP)"),
     "toDateTimeOrZero": (
         "coalesce(TRY_CAST(", " AS TIMESTAMP), TIMESTAMP'1970-01-01')"
@@ -334,8 +362,16 @@ _WRAP_FUNCS = {
     ),
     "toInt32OrZero": ("coalesce(TRY_CAST(", " AS INT), 0)"),
     "toInt64OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
-    "toUInt32OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
-    "toUInt64OrZero": ("coalesce(TRY_CAST(", " AS BIGINT), 0)"),
+    "toUInt32OrZero": (
+        "coalesce(element_at(transform(array(TRY_CAST(",
+        " AS BIGINT)), __v -> IF(__v >= 0 AND __v <= 4294967295, "
+        "__v, CAST(NULL AS BIGINT))), 1), 0)",
+    ),
+    "toUInt64OrZero": (
+        "coalesce(element_at(transform(array(TRY_CAST(",
+        " AS BIGINT)), __v -> IF(__v >= 0, __v, "
+        "CAST(NULL AS BIGINT))), 1), 0)",
+    ),
     "toFloat32OrZero": ("coalesce(TRY_CAST(", " AS FLOAT), 0)"),
     "toFloat64OrZero": ("coalesce(TRY_CAST(", " AS DOUBLE), 0)"),
     "arrayProduct": (
@@ -2230,6 +2266,18 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+def _url_hierarchy_expr(u: str) -> str:
+    """CH URLHierarchy(url): scheme://host, then each added path
+    segment — shared by the URLHierarchy spelling and URLHash(u, N)."""
+    return (
+        f"transform(sequence(1, size(filter(split("
+        f"parse_url({u}, 'PATH'), '/'), __s -> __s != ''))), "
+        f"__i -> concat(regexp_replace({u}, '(//[^/]+).*$', '$1'), "
+        f"'/', array_join(slice(filter(split(parse_url({u}, "
+        f"'PATH'), '/'), __s -> __s != ''), 1, __i), '/')))"
+    )
+
+
 def _refuse(msg: str) -> str:
     """Expression-position guided refusal — lets builder lambdas
     refuse one arity inline (``cond if ok else _refuse(...)``)."""
@@ -3342,11 +3390,47 @@ def _date_name(a: list[str]) -> str:
     return f"date_format({a[1]}, '{fmt}')"
 
 
+_UINT_MAX = {
+    "uint8": 255,
+    "uint16": 65535,
+    "uint32": 4294967295,
+    "uint64": None,  # >= 0 only; the upper half is the documented
+    # UInt64-widening deviation
+}
+
+
 def _accurate_cast_or_null(a: list[str]) -> str:
     from bighouse_spark.dialect.schema import ch_type_to_spark
 
+    ch_t = _unquote(a[1])
+    t = ch_type_to_spark(ch_t).simpleString()
+    base = f"TRY_CAST({a[0]} AS {t})"
+    # CH range-checks unsigned targets (accurateCastOrNull(300,
+    # 'UInt8') is NULL); Spark's widened signed type would let the
+    # value through, so gate it like the toUIntNOr* family.
+    hi = _UINT_MAX.get(ch_t.strip().lower(), -1)
+    if hi != -1:
+        cond = "__v >= 0" + (f" AND __v <= {hi}" if hi else "")
+        return (
+            f"element_at(transform(array({base}), "
+            f"__v -> IF({cond}, __v, CAST(NULL AS {t}))), 1)"
+        )
+    return base
+
+
+def _accurate_cast_or_default(a: list[str]) -> str:
+    if len(a) != 3:
+        raise ValueError(
+            "accurateCastOrDefault(x, 'Type', default) takes three "
+            "arguments"
+        )
+    from bighouse_spark.dialect.schema import ch_type_to_spark
+
     t = ch_type_to_spark(_unquote(a[1])).simpleString()
-    return f"TRY_CAST({a[0]} AS {t})"
+    return (
+        f"coalesce({_accurate_cast_or_null(a[:2])}, "
+        f"CAST({a[2]} AS {t}))"
+    )
 
 
 def _format_readable_size(a: list[str]) -> str:
@@ -4026,6 +4110,7 @@ _ARG_REWRITES: dict = {
     ),
     "dateName": _date_name,
     "accurateCastOrNull": _accurate_cast_or_null,
+    "accurateCastOrDefault": _accurate_cast_or_default,
     # IPv4 family: pure integer/octet math (CH stores IPv4 as UInt32)
     # shiftright() function form, not the `>>` operator — Spark's
     # parser rejects `>>`/`<<` anywhere inside a higher-order
@@ -5092,6 +5177,14 @@ _ARG_REWRITES.update({
     # kafkaMurmurHash (Kafka partition parity, high bit dropped),
     # gccMurmurHash (libstdc++ std::hash parity).
     "javaHash": lambda a: f"bh_java_hash({_one_str_arg('javaHash', a)})",
+    # Over TEXT the UTF16LE variant IS Java String.hashCode (UTF-16
+    # code units — bh_java_hash already walks them), and
+    # convertCharset is identity here, so CH's documented
+    # javaHashUTF16LE(convertCharset(s, 'utf-8', 'utf-16le')) idiom
+    # lands on the same value ('test' → 3556498).
+    "javaHashUTF16LE": lambda a: (
+        f"bh_java_hash({_one_str_arg('javaHashUTF16LE', a)})"
+    ),
     "hiveHash": lambda a: f"bh_hive_hash({_one_str_arg('hiveHash', a)})",
     "gccMurmurHash": lambda a: (
         f"bh_gcc_murmur({_one_str_arg('gccMurmurHash', a)})"
@@ -5104,6 +5197,22 @@ _ARG_REWRITES.update({
     "metroHash64": lambda a: f"xxhash64({', '.join(a)})",
     "wyHash64": lambda a: f"xxhash64({', '.join(a)})",
     "murmurHash2_64": lambda a: f"xxhash64({', '.join(a)})",
+    "intHash64": lambda a: f"xxhash64(CAST({a[0]} AS BIGINT))",
+    # intHash32 returns UInt32: fold the 64-bit twin into [0, 2^32).
+    "intHash32": lambda a: (
+        f"pmod(xxhash64(CAST({a[0]} AS BIGINT)), 4294967296)"
+    ),
+    # URLHash normalizes by trimming ONE trailing /, ? or # before
+    # hashing; the 2-arg form hashes the N-th URL-hierarchy prefix.
+    "URLHash": lambda a: (
+        f"xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))"
+        if len(a) == 1
+        else (
+            f"xxhash64(regexp_replace(try_element_at("
+            + _url_hierarchy_expr(a[0])
+            + f", CAST({a[1]} AS INT)), '[/?#]$', ''))"
+        )
+    ),
     "murmurHash3_64": lambda a: f"xxhash64({', '.join(a)})",
     "xxHash3": lambda a: f"xxhash64({', '.join(a)})",
     "xxHash32": lambda a: f"hash({', '.join(a)})",
@@ -5785,9 +5894,9 @@ _ARG_REWRITES.update({
     "accurateCast": lambda a: (
         f"CAST({a[0]} AS {_spark_type_ddl(_unquote(a[1]))})"
     ),
-    "accurateCastOrNull": lambda a: (
-        f"TRY_CAST({a[0]} AS {_spark_type_ddl(_unquote(a[1]))})"
-    ),
+    # (accurateCastOrNull is served by _accurate_cast_or_null, which
+    # range-gates unsigned targets — a plain TRY_CAST here would
+    # shadow it and let 300 through a UInt8.)
     # -- JSON introspection --
     "JSONArrayLength": lambda a: f"json_array_length({a[0]})",
     "JSONExtractKeys": lambda a: f"json_object_keys({a[0]})",
@@ -6323,13 +6432,7 @@ _ARG_REWRITES.update({
     "encodeURLFormComponent": lambda a: f"url_encode({a[0]})",
     # Progressive path prefixes. CH also cuts at ? and #; the
     # path-segment form covers the hierarchy use (facet drill-down).
-    "URLHierarchy": lambda a: (
-        f"transform(sequence(1, size(filter(split("
-        f"parse_url({a[0]}, 'PATH'), '/'), __s -> __s != ''))), "
-        f"__i -> concat(regexp_replace({a[0]}, '(//[^/]+).*$', '$1'), "
-        f"'/', array_join(slice(filter(split(parse_url({a[0]}, "
-        f"'PATH'), '/'), __s -> __s != ''), 1, __i), '/')))"
-    ),
+    "URLHierarchy": lambda a: _url_hierarchy_expr(a[0]),
     "URLPathHierarchy": lambda a: (
         f"transform(sequence(1, size(filter(split("
         f"parse_url({a[0]}, 'PATH'), '/'), __s -> __s != ''))), "

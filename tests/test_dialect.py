@@ -8200,3 +8200,73 @@ class TestRound10ProbeTranche:
             "SELECT * FROM values('a UInt64, b String', (1, 'x'), "
             "(2, 'y')) ORDER BY a"
         ).rows == [[1, "x"], [2, "y"]]
+
+
+class TestRound10ProbeTranche2:
+    """Second round-10 sweep (~45 conversion/hash/bit/date names):
+    graduations are unsigned range-checks on the OrZero/OrNull/
+    accurateCast families (toUInt8OrZero('300') is 0 in CH, not
+    300), accurateCastOrDefault, javaHashUTF16LE, intHash32/64 +
+    URLHash capability twins, currentSchemas/connectionId."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_unsigned_parse_casts_range_check(self, eng):
+        assert eng.execute(
+            "SELECT toUInt8OrZero('300') AS a, toUInt8OrZero('-5') "
+            "AS b, toUInt8OrZero('200') AS c, toUInt8OrZero('x') AS d"
+        ).rows == [[0, 0, 200, 0]]
+        assert eng.execute(
+            "SELECT toUInt8OrNull('300') AS a, "
+            "toUInt16OrNull('70000') AS b, toUInt32OrNull('-1') AS c,"
+            " toUInt64OrNull('-1') AS d"
+        ).rows == [[None, None, None, None]]
+        # in-range values still pass at each width's boundary
+        assert eng.execute(
+            "SELECT toUInt16OrZero('65535') AS a, "
+            "toUInt32OrZero('4294967295') AS b"
+        ).rows == [[65535, 4294967295]]
+
+    def test_accurate_cast_family_range_checks(self, eng):
+        assert eng.execute(
+            "SELECT accurateCastOrNull(300, 'UInt8') AS a, "
+            "accurateCastOrNull(200, 'UInt8') AS b"
+        ).rows == [[None, 200]]
+        assert eng.execute(
+            "SELECT accurateCastOrDefault(300, 'UInt8', 7) AS a, "
+            "accurateCastOrDefault(200, 'UInt8', 7) AS b"
+        ).rows == [[7, 200]]
+
+    def test_java_hash_utf16le(self, eng):
+        # CH docs example: both spellings land on Java
+        # "test".hashCode() = 3556498 (convertCharset is identity)
+        assert eng.execute(
+            "SELECT javaHashUTF16LE('test') AS a, javaHashUTF16LE("
+            "convertCharset('test', 'utf-8', 'utf-16le')) AS b"
+        ).rows == [[3556498, 3556498]]
+
+    def test_int_hash_twins(self, eng):
+        r = eng.execute(
+            "SELECT intHash64(42) AS a, intHash32(42) AS b, "
+            "intHash32(42) >= 0 AND intHash32(42) < 4294967296 AS ok"
+        ).rows[0]
+        assert r[0] is not None and r[2] is True
+
+    def test_url_hash(self, eng):
+        # trailing /?# trimmed before hashing; level form hashes the
+        # N-th hierarchy prefix
+        assert eng.execute(
+            "SELECT URLHash('http://x.com/a/') = "
+            "URLHash('http://x.com/a') AS a, "
+            "URLHash('http://x.com/a/b', 1) = "
+            "URLHash('http://x.com/a/') AS b"
+        ).rows == [[True, True]]
+
+    def test_current_schemas_connection_id(self, eng):
+        assert eng.execute(
+            "SELECT currentSchemas(true) AS a, connectionId() AS b"
+        ).rows == [[["default"], 0]]
