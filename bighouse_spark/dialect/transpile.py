@@ -4223,6 +4223,31 @@ _ARG_REWRITES: dict = {
     "uniqArray": lambda a: (
         f"size(array_distinct(flatten(collect_list({a[0]}))))"
     ),
+    "countArray": lambda a: f"sum(size({a[0]}))",
+    # Stacked -ArrayIf: the condition gates the whole row's array
+    # (NULL arrays vanish from sum/min/max/collect_list alike).
+    "sumArrayIf": lambda a: (
+        f"sum(aggregate(CASE WHEN ({a[1]}) THEN ({a[0]}) END, "
+        f"CAST(0 AS DOUBLE), (__a, __x) -> __a + __x))"
+    ),
+    "minArrayIf": lambda a: (
+        f"min(array_min(CASE WHEN ({a[1]}) THEN ({a[0]}) END))"
+    ),
+    "maxArrayIf": lambda a: (
+        f"max(array_max(CASE WHEN ({a[1]}) THEN ({a[0]}) END))"
+    ),
+    "avgArrayIf": lambda a: (
+        f"(sum(aggregate(CASE WHEN ({a[1]}) THEN ({a[0]}) END, "
+        f"CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)) / "
+        f"sum(CASE WHEN ({a[1]}) THEN size({a[0]}) END))"
+    ),
+    "uniqArrayIf": lambda a: (
+        f"size(array_distinct(flatten(collect_list("
+        f"CASE WHEN ({a[1]}) THEN ({a[0]}) END))))"
+    ),
+    "countArrayIf": lambda a: (
+        f"sum(CASE WHEN ({a[1]}) THEN size({a[0]}) ELSE 0 END)"
+    ),
     "avgWeighted": lambda a: (
         f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
     ),

@@ -8270,3 +8270,36 @@ class TestRound10ProbeTranche2:
         assert eng.execute(
             "SELECT currentSchemas(true) AS a, connectionId() AS b"
         ).rows == [[["default"], 0]]
+
+
+class TestArrayIfCombinators:
+    """Stacked -ArrayIf combinators (round-10 sweep hole): the
+    condition gates the whole row's array before the -Array fold;
+    countArray joins the fixed -Array spellings."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    BASE = (
+        " FROM (SELECT * FROM VALUES ([1,2], 1),([3,4], 0) "
+        "AS t(arr, f))"
+    )
+
+    def test_array_if_family(self, eng):
+        assert eng.execute(
+            "SELECT sumArrayIf(arr, f = 1) AS a, "
+            "minArrayIf(arr, f = 1) AS b, "
+            "maxArrayIf(arr, f = 1) AS c, "
+            "avgArrayIf(arr, f = 1) AS d, "
+            "uniqArrayIf(arr, f = 1) AS e, "
+            "countArrayIf(arr, f = 1) AS f, "
+            "countArray(arr) AS g" + self.BASE
+        ).rows == [[3.0, 1, 2, 1.5, 2, 2, 4]]
+
+    def test_array_if_empty_filter_is_null(self, eng):
+        assert eng.execute(
+            "SELECT sumArrayIf(arr, f = 9) AS r" + self.BASE
+        ).rows == [[None]]
