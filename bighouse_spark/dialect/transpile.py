@@ -1841,15 +1841,19 @@ def _sparkbar_builder(params: list[str], a: list[str]) -> str:
     x, y = a
     xe = f"CAST({x} AS DOUBLE)"
     ye = f"CAST({y} AS DOUBLE)"
+    # The implicit window skips rows any of whose ARGUMENTS is NULL
+    # (CH aggregates never see them), so a NULL-y row must not
+    # stretch min/max either.
+    seen_x = f"CASE WHEN ({y}) IS NOT NULL THEN {xe} END"
     mn = (
         f"CAST({params[1]} AS DOUBLE)"
         if len(params) == 3
-        else f"CAST(min({xe}) AS DOUBLE)"
+        else f"CAST(min({seen_x}) AS DOUBLE)"
     )
     mx = (
         f"CAST({params[2]} AS DOUBLE)"
         if len(params) == 3
-        else f"CAST(max({xe}) AS DOUBLE)"
+        else f"CAST(max({seen_x}) AS DOUBLE)"
     )
     entries = (
         f"collect_list(CASE WHEN ({x}) IS NOT NULL AND "
@@ -1873,9 +1877,12 @@ def _sparkbar_builder(params: list[str], a: list[str]) -> str:
         f"ceiling(__s * 8 / array_max(__ss)))) AS INT)))))"
     )
     # bind the bucket sums once (__ss) via the single-element
-    # transform LET idiom; empty group (min NULL) renders ''.
+    # transform LET idiom; an empty group renders '' for BOTH window
+    # forms (the explicit min/max are never NULL, so gate on the
+    # collected entries too).
     return (
-        f"CASE WHEN ({mn}) IS NULL OR ({mx}) IS NULL THEN '' "
+        f"CASE WHEN size({entries}) = 0 OR ({mn}) IS NULL "
+        f"OR ({mx}) IS NULL THEN '' "
         f"ELSE element_at(transform(array({sums}), "
         f"__ss -> {render}), 1) END"
     )
@@ -3399,6 +3406,20 @@ _UINT_MAX = {
 }
 
 
+def _strip_type_wrappers(ch_t: str) -> str:
+    """Peel Nullable(...)/LowCardinality(...) down to the inner CH
+    type name (the range gate must see 'uint8' inside
+    'Nullable(UInt8)')."""
+    t = ch_t.strip()
+    while True:
+        m = re.match(
+            r"^(?:nullable|lowcardinality)\((.*)\)$", t, re.IGNORECASE
+        )
+        if not m:
+            return t
+        t = m.group(1).strip()
+
+
 def _accurate_cast_or_null(a: list[str]) -> str:
     from bighouse_spark.dialect.schema import ch_type_to_spark
 
@@ -3407,8 +3428,9 @@ def _accurate_cast_or_null(a: list[str]) -> str:
     base = f"TRY_CAST({a[0]} AS {t})"
     # CH range-checks unsigned targets (accurateCastOrNull(300,
     # 'UInt8') is NULL); Spark's widened signed type would let the
-    # value through, so gate it like the toUIntNOr* family.
-    hi = _UINT_MAX.get(ch_t.strip().lower(), -1)
+    # value through, so gate it like the toUIntNOr* family —
+    # including Nullable/LowCardinality-wrapped spellings.
+    hi = _UINT_MAX.get(_strip_type_wrappers(ch_t).lower(), -1)
     if hi != -1:
         cond = "__v >= 0" + (f" AND __v <= {hi}" if hi else "")
         return (
@@ -3419,18 +3441,41 @@ def _accurate_cast_or_null(a: list[str]) -> str:
 
 
 def _accurate_cast_or_default(a: list[str]) -> str:
-    if len(a) != 3:
+    if len(a) not in (2, 3):
         raise ValueError(
-            "accurateCastOrDefault(x, 'Type', default) takes three "
-            "arguments"
+            "accurateCastOrDefault(x, 'Type'[, default]) takes two "
+            "or three arguments"
         )
     from bighouse_spark.dialect.schema import ch_type_to_spark
 
-    t = ch_type_to_spark(_unquote(a[1])).simpleString()
-    return (
-        f"coalesce({_accurate_cast_or_null(a[:2])}, "
-        f"CAST({a[2]} AS {t}))"
-    )
+    spark_t = ch_type_to_spark(_unquote(a[1]))
+    t = spark_t.simpleString()
+    if len(a) == 3:
+        dflt = f"CAST({a[2]} AS {t})"
+    else:
+        # CH's 2-arg form falls back to the TYPE's default value.
+        inner = _strip_type_wrappers(_unquote(a[1])).lower()
+        if inner.startswith(("uint", "int", "float", "decimal")):
+            dflt = f"CAST(0 AS {t})"
+        elif inner in ("string", "fixedstring") or inner.startswith(
+            "fixedstring"
+        ):
+            dflt = "''"
+        elif inner.startswith("date"):
+            dflt = (
+                f"CAST(TIMESTAMP'1970-01-01' AS {t})"
+                if "time" in inner
+                else f"CAST(DATE'1970-01-01' AS {t})"
+            )
+        elif inner in ("bool", "boolean"):
+            dflt = "false"
+        else:
+            raise ValueError(
+                f"accurateCastOrDefault: no type default for "
+                f"{a[1]}; pass the 3-argument form with an explicit "
+                "default"
+            )
+    return f"coalesce({_accurate_cast_or_null(a[:2])}, {dflt})"
 
 
 def _format_readable_size(a: list[str]) -> str:
@@ -3529,8 +3574,12 @@ _WF_MODES = {
 # stream — unlike the other modes, whose collect is pre-filtered to
 # relevant events. Guard that documented hazard at runtime: when a
 # group exceeds this many events the query raises a guided error
-# instead of silently ballooning executor memory. OUR setting (no CH
-# analog): SETTINGS max_funnel_group_events=N per query; 0 disables.
+# naming the setting. NOTE the guard is a detector, not a memory
+# bound — both IF branches are aggregates, so the group is fully
+# buffered before the count is compared; it turns a silently-slow
+# (or OOM-adjacent) query into a loud, attributable failure. OUR
+# setting (no CH analog): SETTINGS max_funnel_group_events=N per
+# query; 0 disables.
 _FUNNEL_GROUP_CAP: contextvars.ContextVar[int] = contextvars.ContextVar(
     "bh_funnel_group_cap", default=10_000_000
 )
@@ -4216,14 +4265,16 @@ _ARG_REWRITES: dict = {
     ),
     "minArray": lambda a: f"min(array_min({a[0]}))",
     "maxArray": lambda a: f"max(array_max({a[0]}))",
+    # nullif(denominator): all-empty arrays would otherwise hit
+    # ANSI DIVIDE_BY_ZERO; NULL is this engine's empty-avg value.
     "avgArray": lambda a: (
         f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), "
-        f"(__a, __x) -> __a + __x)) / sum(size({a[0]})))"
+        f"(__a, __x) -> __a + __x)) / nullif(sum(size({a[0]})), 0))"
     ),
     "uniqArray": lambda a: (
         f"size(array_distinct(flatten(collect_list({a[0]}))))"
     ),
-    "countArray": lambda a: f"sum(size({a[0]}))",
+    "countArray": lambda a: f"coalesce(sum(size({a[0]})), 0)",
     # Stacked -ArrayIf: the condition gates the whole row's array
     # (NULL arrays vanish from sum/min/max/collect_list alike).
     "sumArrayIf": lambda a: (
@@ -4239,14 +4290,15 @@ _ARG_REWRITES: dict = {
     "avgArrayIf": lambda a: (
         f"(sum(aggregate(CASE WHEN ({a[1]}) THEN ({a[0]}) END, "
         f"CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)) / "
-        f"sum(CASE WHEN ({a[1]}) THEN size({a[0]}) END))"
+        f"nullif(sum(CASE WHEN ({a[1]}) THEN size({a[0]}) END), 0))"
     ),
     "uniqArrayIf": lambda a: (
         f"size(array_distinct(flatten(collect_list("
         f"CASE WHEN ({a[1]}) THEN ({a[0]}) END))))"
     ),
     "countArrayIf": lambda a: (
-        f"sum(CASE WHEN ({a[1]}) THEN size({a[0]}) ELSE 0 END)"
+        f"coalesce(sum(CASE WHEN ({a[1]}) THEN size({a[0]}) "
+        f"ELSE 0 END), 0)"
     ),
     "avgWeighted": lambda a: (
         f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
@@ -8800,13 +8852,22 @@ def _rewrite_parametric(sql: str) -> str:
             )
             if len(p) not in (1, 2) or len(a) != 2
             else (
-                f"transform(sequence(0, "
+                # slice-clamp so size 0 yields [] instead of the
+                # descending sequence(0, -1) (the mapPopulateSeries
+                # safe_seq hazard).
+                f"transform(slice(sequence(0, greatest("
                 + (
                     f"CAST({p[1]} AS INT)"
                     if len(p) == 2
                     else f"CAST(max({a[1]}) + 1 AS INT)"
                 )
-                + f" - 1), __i -> coalesce("
+                + " - 1, 0)), 1, greatest("
+                + (
+                    f"CAST({p[1]} AS INT)"
+                    if len(p) == 2
+                    else f"CAST(max({a[1]}) + 1 AS INT)"
+                )
+                + f", 0)), __i -> coalesce("
                 f"try_element_at(filter(collect_list(named_struct("
                 f"'p', CAST({a[1]} AS INT), 'v', {a[0]})), "
                 f"__e -> __e.p = CAST(__i AS INT)), 1).v, {p[0]}))"

@@ -8303,3 +8303,76 @@ class TestArrayIfCombinators:
         assert eng.execute(
             "SELECT sumArrayIf(arr, f = 9) AS r" + self.BASE
         ).rows == [[None]]
+
+
+class TestRound10ReviewFindings:
+    """Fixes from the round-10 self-review pass (8 confirmed
+    findings: Nullable-wrapped range gates, ArrayIf zero-division/
+    NULL-count edges, sparkbar NULL-y window + explicit-window empty
+    group, groupArrayInsertAt size-0 descending sequence, 2-arg
+    accurateCastOrDefault type defaults)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_nullable_wrapped_unsigned_range_gate(self, eng):
+        assert eng.execute(
+            "SELECT accurateCastOrNull(300, 'Nullable(UInt8)') AS a,"
+            " accurateCastOrNull(200, 'Nullable(UInt8)') AS b"
+        ).rows == [[None, 200]]
+
+    def test_accurate_cast_or_default_two_arg_type_defaults(self, eng):
+        assert eng.execute(
+            "SELECT accurateCastOrDefault(300, 'UInt8') AS a, "
+            "accurateCastOrDefault('x', 'String') AS b, "
+            "accurateCastOrDefault('x', 'Int32') AS c"
+        ).rows == [[0, "x", 0]]
+
+    def test_avg_array_all_empty_is_null_not_div_zero(self, eng):
+        assert eng.execute(
+            "SELECT avgArrayIf(arr, f = 1) AS a FROM (SELECT * FROM "
+            "VALUES (array(), 1),(array(3,4), 0) AS t(arr, f))"
+        ).rows == [[None]]
+        assert eng.execute(
+            "SELECT avgArray(arr) AS r FROM (SELECT array() AS arr)"
+        ).rows == [[None]]
+
+    def test_count_array_empty_relation_is_zero(self, eng):
+        assert eng.execute(
+            "SELECT countArray(arr) AS a FROM "
+            "(SELECT array(1) AS arr) WHERE 1 = 0"
+        ).rows == [[0]]
+        assert eng.execute(
+            "SELECT countArrayIf(arr, false) AS a FROM "
+            "(SELECT array(1) AS arr)"
+        ).rows == [[0]]
+
+    def test_sparkbar_null_y_rows_do_not_stretch_window(self, eng):
+        # the NULL-y row at x=0 must not widen the implicit window
+        assert eng.execute(
+            "SELECT sparkbar(2)(x, y) AS r FROM (SELECT * FROM "
+            "VALUES (0, CAST(NULL AS INT)),(8, 1),(9, 1) AS t(x, y))"
+        ).rows == [["██"]]
+
+    def test_sparkbar_explicit_window_empty_group(self, eng):
+        # both window forms agree: empty group renders ''
+        assert eng.execute(
+            "SELECT sparkbar(3, 1, 9)(x, y) AS r FROM "
+            "(SELECT * FROM VALUES (1, 1) AS t(x, y)) WHERE 1 = 0"
+        ).rows == [[""]]
+
+    def test_group_array_insert_at_size_clamps(self, eng):
+        base = (
+            " FROM (SELECT * FROM VALUES ('a', 0),('b', 3) "
+            "AS t(x, i))"
+        )
+        assert eng.execute(
+            "SELECT groupArrayInsertAt('d', 0)(x, i) AS r" + base
+        ).rows == [[[]]]
+        # size truncates positions beyond it
+        assert eng.execute(
+            "SELECT groupArrayInsertAt('d', 2)(x, i) AS r" + base
+        ).rows == [[["a", "d"]]]
