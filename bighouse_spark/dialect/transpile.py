@@ -2273,6 +2273,18 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+def _agg_matrix(fn: str, a: list[str]) -> str:
+    """corrMatrix/covar*Matrix(x1..xn) → Array(Array(Float64)): the
+    column list is static, so emit n² aggregate cells."""
+    if not a:
+        raise ValueError("aggregate matrix needs at least one column")
+    rows = ", ".join(
+        "array(" + ", ".join(f"{fn}({x}, {y})" for y in a) + ")"
+        for x in a
+    )
+    return f"array({rows})"
+
+
 def _url_hierarchy_expr(u: str) -> str:
     """CH URLHierarchy(url): scheme://host, then each added path
     segment — shared by the URLHierarchy spelling and URLHash(u, N)."""
@@ -4275,6 +4287,12 @@ _ARG_REWRITES: dict = {
         f"size(array_distinct(flatten(collect_list({a[0]}))))"
     ),
     "countArray": lambda a: f"coalesce(sum(size({a[0]})), 0)",
+    # N×N aggregate matrices: the column list is static at transpile
+    # time, so the matrix is n² plain aggregate cells (graduated
+    # from the round-9 refusals).
+    "corrMatrix": lambda a: _agg_matrix("corr", a),
+    "covarSampMatrix": lambda a: _agg_matrix("covar_samp", a),
+    "covarPopMatrix": lambda a: _agg_matrix("covar_pop", a),
     # Stacked -ArrayIf: the condition gates the whole row's array
     # (NULL arrays vanish from sum/min/max/collect_list alike).
     "sumArrayIf": lambda a: (
@@ -8966,21 +8984,6 @@ def _rewrite_parametric(sql: str) -> str:
             "percentile is R-7 (inclusive) — use "
             "quantileExactInclusive, or interpolate R-6 manually "
             "from the sorted group",
-        ),
-        (
-            "corrMatrix",
-            "corrMatrix() returns an N×N matrix; compute the pairs "
-            "with corr(a, b) per column pair",
-        ),
-        (
-            "covarSampMatrix",
-            "covarSampMatrix() returns an N×N matrix; compute the "
-            "pairs with covarSamp(a, b) per column pair",
-        ),
-        (
-            "covarPopMatrix",
-            "covarPopMatrix() returns an N×N matrix; compute the "
-            "pairs with covarPop(a, b) per column pair",
         ),
         (
             "flameGraph",

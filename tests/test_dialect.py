@@ -8376,3 +8376,34 @@ class TestRound10ReviewFindings:
         assert eng.execute(
             "SELECT groupArrayInsertAt('d', 2)(x, i) AS r" + base
         ).rows == [[["a", "d"]]]
+
+
+class TestAggregateMatrices:
+    """corrMatrix/covarSampMatrix/covarPopMatrix graduated (round
+    10): the column list is static at transpile time, so the N×N
+    matrix is n² plain aggregate cells."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    BASE = (
+        " FROM (SELECT * FROM VALUES (1.0, 2.0, 1.0),"
+        "(2.0, 4.0, 0.0),(3.0, 6.0, 1.0) AS t(a, b, c))"
+    )
+
+    def test_corr_matrix(self, eng):
+        r = eng.execute("SELECT corrMatrix(a, b) AS r" + self.BASE)
+        assert r.rows == [[[[1.0, 1.0], [1.0, 1.0]]]]
+
+    def test_covar_matrices(self, eng):
+        r = eng.execute(
+            "SELECT covarSampMatrix(a, b, c) AS r" + self.BASE
+        ).rows[0][0]
+        assert r[0][0] == 1.0 and r[0][1] == 2.0 and r[1][1] == 4.0
+        r2 = eng.execute(
+            "SELECT covarPopMatrix(a, b) AS r" + self.BASE
+        ).rows[0][0]
+        assert abs(r2[0][0] - 2.0 / 3.0) < 1e-12
