@@ -2273,6 +2273,44 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+def _quantile_exclusive_expr(
+    x: str, levels: list[str], single: bool = False
+) -> str:
+    """quantile(s)ExactExclusive — the R-6 estimator (Excel
+    PERCENTILE.EXC): over the sorted group of size n, rank
+    h = (n+1)·p; h < 1 clamps to the minimum, h ≥ n to the maximum,
+    else linear interpolation between the floor(h)-th and next
+    values (1-indexed). One sorted collect, the array let-bound via
+    the single-element transform idiom."""
+    if not levels:
+        raise ValueError(
+            "quantileExactExclusive(level[, ...])(x) needs at least "
+            "one level"
+        )
+
+    def cell(p: str) -> str:
+        h = f"((size(__qa) + 1) * CAST({p} AS DOUBLE))"
+        lo = f"element_at(__qa, CAST(floor({h}) AS INT))"
+        hi = f"element_at(__qa, CAST(floor({h}) AS INT) + 1)"
+        return (
+            f"CASE WHEN size(__qa) = 0 THEN NULL "
+            f"WHEN {h} < 1 THEN CAST(element_at(__qa, 1) AS DOUBLE) "
+            f"WHEN {h} >= size(__qa) THEN "
+            f"CAST(element_at(__qa, size(__qa)) AS DOUBLE) "
+            f"ELSE {lo} + ({h} - floor({h})) * ({hi} - {lo}) END"
+        )
+
+    body = (
+        cell(levels[0])
+        if single
+        else "array(" + ", ".join(cell(p) for p in levels) + ")"
+    )
+    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    return (
+        f"element_at(transform(array({arr}), __qa -> {body}), 1)"
+    )
+
+
 def _agg_matrix(fn: str, a: list[str]) -> str:
     """corrMatrix/covar*Matrix(x1..xn) → Array(Array(Float64)): the
     column list is static, so emit n² aggregate cells."""
@@ -8817,6 +8855,16 @@ def _rewrite_parametric(sql: str) -> str:
         ("quantilesExactInclusive", lambda p, a: (
             f"percentile({a[0]}, array({', '.join(p)}))"
         )),
+        # Exact EXCLUSIVE quantiles are the R-6 estimator (Excel
+        # PERCENTILE.EXC): h = (n+1)·p over the sorted group,
+        # clamped to the ends — one sorted collect + interpolation
+        # (graduated from the round-9 refusals).
+        ("quantilesExactExclusive", lambda p, a: (
+            _quantile_exclusive_expr(a[0], p)
+        )),
+        ("quantileExactExclusive", lambda p, a: (
+            _quantile_exclusive_expr(a[0], p, single=True)
+        )),
         # Adaptive histogram → histogram_numeric (bin centers +
         # counts; CH emits (lo, hi, height) triples — capability).
         ("histogram", lambda p, a: (
@@ -8970,20 +9018,6 @@ def _rewrite_parametric(sql: str) -> str:
             "pinned CH 23.6 — not served; sequenceMatch gives the "
             "boolean, and min/max over per-condition timestamps "
             "recover the chain endpoints",
-        ),
-        (
-            "quantilesExactExclusive",
-            "quantilesExactExclusive uses the R-6 estimator; Spark's "
-            "percentile is R-7 (inclusive) — use "
-            "quantilesExactInclusive, or interpolate R-6 manually "
-            "from the sorted group",
-        ),
-        (
-            "quantileExactExclusive",
-            "quantileExactExclusive uses the R-6 estimator; Spark's "
-            "percentile is R-7 (inclusive) — use "
-            "quantileExactInclusive, or interpolate R-6 manually "
-            "from the sorted group",
         ),
         (
             "flameGraph",

@@ -8407,3 +8407,40 @@ class TestAggregateMatrices:
             "SELECT covarPopMatrix(a, b) AS r" + self.BASE
         ).rows[0][0]
         assert abs(r2[0][0] - 2.0 / 3.0) < 1e-12
+
+
+class TestExclusiveQuantiles:
+    """quantile(s)ExactExclusive graduated (round 10): the R-6
+    estimator (Excel PERCENTILE.EXC) over one sorted collect —
+    values pinned to PERCENTILE.EXC([1..10], p)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    BASE = " FROM (SELECT explode(sequence(1, 10)) AS x)"
+
+    def test_r6_values(self, eng):
+        assert eng.execute(
+            "SELECT quantileExactExclusive(0.25)(x) AS a, "
+            "quantileExactExclusive(0.5)(x) AS b" + self.BASE
+        ).rows == [[2.75, 5.5]]
+        assert eng.execute(
+            "SELECT quantilesExactExclusive(0.25, 0.5, 0.9)(x) AS r"
+            + self.BASE
+        ).rows == [[[2.75, 5.5, 9.9]]]
+
+    def test_rank_clamps_to_ends(self, eng):
+        assert eng.execute(
+            "SELECT quantileExactExclusive(0.01)(x) AS a, "
+            "quantileExactExclusive(0.99)(x) AS b" + self.BASE
+        ).rows == [[1.0, 10.0]]
+
+    def test_differs_from_inclusive(self, eng):
+        # R-6 vs R-7 disagree off the median: .EXC=2.75, .INC=3.25
+        assert eng.execute(
+            "SELECT quantileExactExclusive(0.25)(x) AS a, "
+            "quantileExactInclusive(0.25)(x) AS b" + self.BASE
+        ).rows == [[2.75, 3.25]]
