@@ -2273,6 +2273,69 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+def _rewrite_double_quoted_identifiers(sql: str) -> str:
+    """`"name"` → `` `name` `` outside single-quoted literals and
+    backtick quotes. CH follows the SQL standard (double quotes are
+    identifiers; `""` escapes a quote inside one; string literals
+    are single-quoted with backslash or `''` escapes)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            out.append(c)
+            i += 1
+            while i < n:
+                ch = sql[i]
+                if ch == "\\" and i + 1 < n:
+                    out.append(ch)
+                    out.append(sql[i + 1])
+                    i += 2
+                    continue
+                out.append(ch)
+                i += 1
+                if ch == "'":
+                    if i < n and sql[i] == "'":  # '' stays inside
+                        out.append("'")
+                        i += 1
+                        continue
+                    break
+        elif c == "`":
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(sql[i])
+                i += 1
+                if sql[i - 1] == "`":
+                    break
+        elif c == '"':
+            ident: list[str] = []
+            j = i + 1
+            closed = False
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    closed = True
+                    j += 1
+                    break
+                ident.append(sql[j])
+                j += 1
+            if not closed:
+                out.append(c)
+                i += 1
+                continue
+            name = "".join(ident).replace("`", "``")
+            out.append(f"`{name}`")
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _quantile_exclusive_expr(
     x: str, levels: list[str], single: bool = False
 ) -> str:
@@ -7770,6 +7833,11 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     temp views (``__bh_src_N``); otherwise table functions raise.
     """
     out = sql.strip().rstrip(";")
+    # CH (ANSI) double-quoted strings are IDENTIFIERS; Spark's
+    # default treats them as string literals, silently returning the
+    # literal column name for every row. Convert to backticks first
+    # so every later rewrite sees one identifier spelling.
+    out = _rewrite_double_quoted_identifiers(out)
     # CH EXPLAIN flag syntax (`EXPLAIN indexes = 1, header = 0 ...`)
     # → the flags select detail CH-side; Spark's FORMATTED plan
     # carries the scan detail (PushedFilters/PartitionFilters), so

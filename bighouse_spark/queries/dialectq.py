@@ -1704,3 +1704,51 @@ def dialect_bitmap_roundtrip(spark, sf_dir):
         )
         """,
     )
+
+
+# quantile(s)ExactExclusive — the R-6 estimator (Excel
+# PERCENTILE.EXC), graduated round 10. The oracle recomputes R-6
+# relationally in DuckDB from order statistics: h = (n+1)·p,
+# end-clamped, linear interpolation between the floor(h)-th and
+# next ordered values.
+@query(
+    "dialect_quantile_exclusive_roundtrip",
+    oracle="""
+WITH ranked AS (
+  SELECT value AS v,
+         row_number() OVER (ORDER BY value) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+params(p) AS (VALUES (0.25), (0.5), (0.9)),
+h AS (
+  SELECT p, (SELECT max(n) FROM ranked) AS n,
+         ((SELECT max(n) FROM ranked) + 1) * p AS hr
+  FROM params
+)
+SELECT h.p AS p,
+       CASE
+         WHEN h.hr < 1 THEN (SELECT v FROM ranked WHERE rn = 1)
+         WHEN h.hr >= h.n THEN (SELECT v FROM ranked WHERE rn = h.n)
+         ELSE (SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT))
+              + (h.hr - FLOOR(h.hr)) *
+                ((SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT) + 1)
+                 - (SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT)))
+       END AS q
+FROM h ORDER BY p
+""",
+)
+def dialect_quantile_exclusive_roundtrip(spark, sf_dir):
+    out = _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_qex",
+        """
+        SELECT quantilesExactExclusive(0.25, 0.5, 0.9)(`value`) AS qs
+        FROM __dq_events_qex
+        """,
+    )
+    return out.selectExpr(
+        "explode(arrays_zip(array(0.25D, 0.5D, 0.9D), qs)) AS z"
+    ).selectExpr("z.`0` AS p", "z.qs AS q")

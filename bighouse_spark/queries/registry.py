@@ -50,8 +50,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # every oracle-bearing query each round). See COVERAGE.md.
 #
 # ROUND-11 ROTATION CANDIDATES: the round-10 oracle-backed additions
-# land first (dialect_sparkbar_roundtrip, dialect_bitmap_roundtrip —
-# both shipped with green local oracle rows), then the remaining 25
+# land first (dialect_sparkbar_roundtrip, dialect_bitmap_roundtrip,
+# dialect_quantile_exclusive_roundtrip — all shipped with green local
+# oracle rows), then the remaining 25
 # r7-era names not refreshed in the
 # r10 fill (alphabetically from dialect_remote_roundtrip onward:
 # dialect_remote_roundtrip, dialect_topk_roundtrip,

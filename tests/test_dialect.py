@@ -2232,9 +2232,12 @@ class TestDateStringTier3:
         assert r.rows == [[3, 1, "cba", "ok"]]
 
     def test_normalize_query(self, eng):
+        # single-quoted literal with a doubled inner quote — the
+        # double-quoted spelling is an IDENTIFIER in CH (and, since
+        # round 10, here too)
         r = eng.execute(
-            "SELECT normalizeQuery(\"SELECT * FROM t WHERE x = 5 "
-            "AND n = 'ab'\") AS r"
+            "SELECT normalizeQuery('SELECT * FROM t WHERE x = 5 "
+            "AND n = ''ab''') AS r"
         )
         assert r.rows == [["SELECT * FROM t WHERE x = ? AND n = ?"]]
 
@@ -5128,15 +5131,14 @@ class TestRound6ProbeTranche3:
         n, q, m = r.rows[0]
         assert n == 2 and q == [50.0, 100.0] and m == 50.0
 
-    def test_matrix_and_exclusive_guided(self, eng):
-        for expr, hint in [
-            ("corrMatrix(x, x)", "per column pair"),
-            ("quantilesExactExclusive(0.5)(x)", "R-6"),
-        ]:
-            with pytest.raises(ValueError, match=hint):
-                eng.execute(
-                    f"SELECT {expr} FROM values('x Float64', (1.0))"
-                )
+    def test_matrix_and_exclusive_graduated(self, eng):
+        # both refused until round 10 (TestAggregateMatrices /
+        # TestExclusiveQuantiles carry the value pins)
+        assert eng.execute(
+            "SELECT corrMatrix(x, x) IS NOT NULL AS a, "
+            "quantilesExactExclusive(0.5)(x) IS NOT NULL AS b "
+            "FROM values('x Float64', (1.0), (2.0))"
+        ).rows == [[True, True]]
 
 
 class TestRound6ProbeTranche4:
@@ -8444,3 +8446,37 @@ class TestExclusiveQuantiles:
             "SELECT quantileExactExclusive(0.25)(x) AS a, "
             "quantileExactInclusive(0.25)(x) AS b" + self.BASE
         ).rows == [[2.75, 3.25]]
+
+
+class TestDoubleQuotedIdentifiers:
+    """CH follows the SQL standard: double quotes are IDENTIFIERS.
+    Spark's default reads them as string literals — silently
+    returning the column NAME for every row — so the transpiler
+    converts them to backticks before any other rewrite."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_identifier_not_string_literal(self, eng):
+        assert eng.execute(
+            'SELECT "x", sum("x") OVER () AS s FROM (SELECT 7 AS x)'
+        ).rows == [[7, 7]]
+
+    def test_literals_and_json_payloads_untouched(self, eng):
+        assert eng.execute("SELECT 'say \"hi\"' AS s").rows == [
+            ['say "hi"']
+        ]
+        assert eng.execute(
+            "SELECT JSONExtractInt('{\"a\": 3}', 'a') AS r"
+        ).rows == [[3]]
+
+    def test_escaped_quote_inside_identifier(self, eng):
+        assert eng.execute('SELECT 1 AS "odd""name"').rows == [[1]]
+
+    def test_parametric_arg(self, eng):
+        assert eng.execute(
+            'SELECT quantile(0.5)("x") AS q FROM (SELECT 4 AS x)'
+        ).rows == [[4.0]]
