@@ -4388,6 +4388,63 @@ _ARG_REWRITES: dict = {
         f"size(array_distinct(flatten(collect_list({a[0]}))))"
     ),
     "countArray": lambda a: f"coalesce(sum(size({a[0]})), 0)",
+    # Random-distribution family (CH 22.10+, in the pinned 23.6):
+    # rand()/randn() evaluate PER ELEMENT inside higher-order
+    # lambdas (verified), so bounded simulation folds work.
+    # randBinomial: n Bernoulli trials.
+    "randBinomial": lambda a: (
+        f"aggregate(sequence(1, CAST({a[0]} AS INT)), 0, "
+        f"(__a, __i) -> __a + IF(rand() < ({a[1]}), 1, 0))"
+    ),
+    # randNegativeBinomial: failures before the r-th success — sum
+    # of r geometric draws floor(ln U / ln(1−p)).
+    "randNegativeBinomial": lambda a: (
+        f"aggregate(sequence(1, CAST({a[0]} AS INT)), 0L, "
+        f"(__a, __i) -> __a + CAST(floor(ln(rand()) / "
+        f"ln(1 - ({a[1]}))) AS BIGINT))"
+    ),
+    # randPoisson: Knuth's product-of-uniforms walk, capped at
+    # λ + 20√λ + 20 steps (≈20σ beyond the mean).
+    "randPoisson": lambda a: (
+        f"(aggregate(sequence(1, CAST(ceil(({a[0]}) + "
+        f"20 * sqrt({a[0]}) + 20) AS INT)), "
+        f"named_struct('p', CAST(1 AS DOUBLE), 'k', 0), "
+        f"(__s, __i) -> IF(__s.p > exp(-({a[0]})), "
+        f"named_struct('p', __s.p * rand(), 'k', __s.k + 1), __s), "
+        f"__s -> __s.k - 1))"
+    ),
+    "randChiSquared": lambda a: (
+        f"aggregate(sequence(1, CAST({a[0]} AS INT)), "
+        f"CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2))"
+    ),
+    "randStudentT": lambda a: (
+        f"(randn() / sqrt(aggregate(sequence(1, CAST({a[0]} AS "
+        f"INT)), CAST(0 AS DOUBLE), (__a, __i) -> __a + "
+        f"pow(randn(), 2)) / ({a[0]})))"
+    ),
+    "randFisherF": lambda a: (
+        f"((aggregate(sequence(1, CAST({a[0]} AS INT)), "
+        f"CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2)) "
+        f"/ ({a[0]})) / (aggregate(sequence(1, CAST({a[1]} AS INT)),"
+        f" CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2)) "
+        f"/ ({a[1]})))"
+    ),
+    "randLogNormal": lambda a: (
+        f"exp(({a[0]}) + ({a[1]}) * randn())"
+    ),
+    # toStartOfWeek(d[, mode]): the bare form keeps the Monday-based
+    # date_trunc; modes 0/2 are Sunday-first, 1/3 Monday-first (CH
+    # week modes), both returning Date like CH.
+    "toStartOfWeek": lambda a: (
+        f"date_trunc('week', {a[0]})"
+        if len(a) == 1
+        else (
+            f"date_sub(CAST({a[0]} AS DATE), "
+            f"CASE WHEN ({a[1]}) IN (1, 3) THEN "
+            f"pmod(dayofweek({a[0]}) + 5, 7) "
+            f"ELSE dayofweek({a[0]}) - 1 END)"
+        )
+    ),
     # N×N aggregate matrices: the column list is static at transpile
     # time, so the matrix is n² plain aggregate cells (graduated
     # from the round-9 refusals).

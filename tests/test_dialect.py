@@ -8480,3 +8480,78 @@ class TestDoubleQuotedIdentifiers:
         assert eng.execute(
             'SELECT quantile(0.5)("x") AS q FROM (SELECT 4 AS x)'
         ).rows == [[4.0]]
+
+
+class TestRandDistributions:
+    """randPoisson/Binomial/NegativeBinomial/ChiSquared/StudentT/
+    FisherF/LogNormal (CH 22.10+, in the pinned 23.6) as bounded
+    simulation folds — rand()/randn() evaluate per element inside
+    higher-order lambdas. Statistical pins over 4000 draws with
+    generous tolerances."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_distribution_moments(self, eng):
+        r = eng.execute(
+            "SELECT avg(p) AS pm, stddev_pop(p) AS ps, avg(b) AS bm,"
+            " avg(c) AS cm, avg(l) AS lm, avg(nb) AS nbm, "
+            "avg(t) AS tm FROM ("
+            "SELECT randPoisson(5.0) AS p, randBinomial(10, 0.5) AS "
+            "b, randChiSquared(4) AS c, randLogNormal(0.0, 0.5) AS "
+            "l, randNegativeBinomial(3, 0.5) AS nb, "
+            "randStudentT(10) AS t "
+            "FROM (SELECT number FROM system.numbers LIMIT 4000))"
+        ).rows[0]
+        pm, ps, bm, cm, lm, nbm, tm = (float(x) for x in r)
+        assert abs(pm - 5) < 0.35 and abs(ps - 5 ** 0.5) < 0.35
+        assert abs(bm - 5) < 0.35
+        assert abs(cm - 4) < 0.5
+        assert abs(lm - 1.133) < 0.2   # e^(sigma^2/2)
+        assert abs(nbm - 3) < 0.5      # r(1-p)/p
+        assert abs(tm) < 0.3
+
+    def test_fisher_f_mean(self, eng):
+        r = eng.execute(
+            "SELECT avg(f) AS fm FROM (SELECT randFisherF(5, 10) AS "
+            "f FROM (SELECT number FROM system.numbers LIMIT 4000))"
+        ).rows[0][0]
+        assert abs(float(r) - 1.25) < 0.3  # d2/(d2-2)
+
+    def test_binomial_range(self, eng):
+        r = eng.execute(
+            "SELECT min(b) >= 0 AND max(b) <= 10 AS ok FROM ("
+            "SELECT randBinomial(10, 0.5) AS b FROM "
+            "(SELECT number FROM system.numbers LIMIT 1000))"
+        ).rows
+        assert r == [[True]]
+
+
+class TestToStartOfWeekModes:
+    """toStartOfWeek(d, mode): CH week modes 0/2 Sunday-first, 1/3
+    Monday-first; the bare form keeps the Monday date_trunc."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_modes(self, eng):
+        # 2024-01-18 is a Thursday; 2024-01-14 a Sunday
+        assert [str(v) for v in eng.execute(
+            "SELECT toStartOfWeek(toDate('2024-01-18'), 0) AS a, "
+            "toStartOfWeek(toDate('2024-01-18'), 1) AS b, "
+            "toStartOfWeek(toDate('2024-01-14'), 0) AS c, "
+            "toStartOfWeek(toDate('2024-01-14'), 1) AS d"
+        ).rows[0]] == [
+            "2024-01-14", "2024-01-15", "2024-01-14", "2024-01-08"
+        ]
+
+    def test_bare_form_unchanged(self, eng):
+        assert str(eng.execute(
+            "SELECT toStartOfWeek(toDate('2024-01-18')) AS r"
+        ).rows[0][0]) == "2024-01-15 00:00:00"
