@@ -221,3 +221,42 @@ class TestBehavioralFoldPlanShapes:
             "FROM __ps_events GROUP BY user_id",
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestFunnelEntryExplodeShapes:
+    """Round-10 entry-explode refactor pins: the per-condition
+    filter(array(...)) stays inside the aggregate projection (still
+    ONE exchange), strict_order's cap-guard count() shares the same
+    aggregate (no second exchange), and the strict modes add no
+    exchange either."""
+
+    def _plan(self, spark, sql):
+        from bighouse_spark.dialect.transpile import transpile
+
+        from tests.conftest import SF_CORRECT
+        from bighouse_spark.sources.catalog import load_table
+
+        load_table(spark, SF_CORRECT, "events").createOrReplaceTempView(
+            "__ps_events2"
+        )
+        df = spark.sql(transpile(sql).sql)
+        return physical_plan(df)
+
+    def test_strict_order_with_cap_single_shuffle(self, spark):
+        plan = self._plan(
+            spark,
+            "SELECT user_id, windowFunnel(3600, 'strict_order')(ts, "
+            "event_type = 'view', event_type = 'click') AS lvl "
+            "FROM __ps_events2 GROUP BY user_id",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_strict_modes_composed_single_shuffle(self, spark):
+        plan = self._plan(
+            spark,
+            "SELECT user_id, windowFunnel(3600, 'strict_increase', "
+            "'strict_deduplication')(ts, event_type = 'view', "
+            "event_type = 'click', event_type = 'purchase') AS lvl "
+            "FROM __ps_events2 GROUP BY user_id",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
