@@ -2374,6 +2374,22 @@ def _quantile_exclusive_expr(
     )
 
 
+def _parse_best_effort(a: list[str]) -> str:
+    """parseDateTime(64)BestEffort(OrNull): a cast attempt plus the
+    common non-ISO spellings CH's best-effort parser documents —
+    Apache-log dd/MMM/yyyy:HH:mm:ss, compact digits, dd/MM and
+    dd-MM forms. The 64 variants keep sub-second precision via the
+    plain cast arm."""
+    x = a[0]
+    return (
+        f"coalesce(try_cast({x} AS TIMESTAMP), "
+        f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss'), "
+        f"try_to_timestamp({x}, 'dd/MM/yyyy HH:mm:ss'), "
+        f"try_to_timestamp({x}, 'yyyyMMddHHmmss'), "
+        f"try_to_timestamp({x}, 'dd-MM-yyyy'))"
+    )
+
+
 def _agg_matrix(fn: str, a: list[str]) -> str:
     """corrMatrix/covar*Matrix(x1..xn) → Array(Array(Float64)): the
     column list is static, so emit n² aggregate cells."""
@@ -4919,19 +4935,12 @@ _ARG_REWRITES.update({
     # its own key would re-match forever (the rewrite loop rescans
     # from the replacement start).
     "unhex": lambda a: f"decode(to_binary({a[0]}, 'hex'), 'UTF-8')",
-    # -- best-effort datetime parsing --
-    "parseDateTimeBestEffort": lambda a: (
-        f"coalesce(try_cast({a[0]} AS TIMESTAMP), "
-        f"try_to_timestamp({a[0]}, 'dd/MM/yyyy HH:mm:ss'), "
-        f"try_to_timestamp({a[0]}, 'yyyyMMddHHmmss'), "
-        f"try_to_timestamp({a[0]}, 'dd-MM-yyyy'))"
-    ),
-    "parseDateTimeBestEffortOrNull": lambda a: (
-        f"coalesce(try_cast({a[0]} AS TIMESTAMP), "
-        f"try_to_timestamp({a[0]}, 'dd/MM/yyyy HH:mm:ss'), "
-        f"try_to_timestamp({a[0]}, 'yyyyMMddHHmmss'), "
-        f"try_to_timestamp({a[0]}, 'dd-MM-yyyy'))"
-    ),
+    # -- best-effort datetime parsing (the Apache-log
+    # dd/MMM/yyyy:HH:mm:ss spelling is CH's documented example) --
+    "parseDateTimeBestEffort": _parse_best_effort,
+    "parseDateTimeBestEffortOrNull": _parse_best_effort,
+    "parseDateTime64BestEffort": _parse_best_effort,
+    "parseDateTime64BestEffortOrNull": _parse_best_effort,
     # -- geo: haversine great-circle meters (CH uses R≈6371 km for
     # greatCircleDistance; geoDistance's ellipsoid correction is
     # within ~0.5% — documented approximation) --
@@ -5628,6 +5637,14 @@ _ARG_REWRITES.update({
     ),
     "toModifiedJulianDay": lambda a: (
         f"datediff(CAST({a[0]} AS DATE), DATE'1858-11-17')"
+    ),
+    "toModifiedJulianDayOrNull": lambda a: (
+        f"datediff(TRY_CAST({a[0]} AS DATE), DATE'1858-11-17')"
+    ),
+    # CH String holds bytes; CutToZero trims at the first NUL (the
+    # FixedString padding byte).
+    "toStringCutToZero": lambda a: (
+        f"substring_index({a[0]}, chr(0), 1)"
     ),
     "fromModifiedJulianDay": lambda a: (
         f"date_add(DATE'1858-11-17', CAST({a[0]} AS INT))"

@@ -8555,3 +8555,37 @@ class TestToStartOfWeekModes:
         assert str(eng.execute(
             "SELECT toStartOfWeek(toDate('2024-01-18')) AS r"
         ).rows[0][0]) == "2024-01-15 00:00:00"
+
+
+class TestRound10ProbeTranche3:
+    """Third round-10 sweep: best-effort parser gains the Apache-log
+    spelling + 64-bit variants; toStringCutToZero;
+    toModifiedJulianDayOrNull."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_best_effort_family(self, eng):
+        r = eng.execute(
+            "SELECT parseDateTimeBestEffort('05/Mar/2024:10:20:30') "
+            "AS a, parseDateTime64BestEffort("
+            "'2024-03-05 10:20:30.123') AS b, "
+            "parseDateTime64BestEffortOrNull('junk') AS c"
+        ).rows[0]
+        assert str(r[0]) == "2024-03-05 10:20:30"
+        assert str(r[1]) == "2024-03-05 10:20:30.123000"
+        assert r[2] is None
+
+    def test_string_cut_to_zero(self, eng):
+        assert eng.execute(
+            "SELECT toStringCutToZero(toFixedString('ab', 4)) AS r"
+        ).rows == [["ab"]]
+
+    def test_modified_julian_or_null(self, eng):
+        assert eng.execute(
+            "SELECT toModifiedJulianDayOrNull('bad') AS a, "
+            "toModifiedJulianDayOrNull('2024-01-15') AS b"
+        ).rows == [[None, 60324]]
