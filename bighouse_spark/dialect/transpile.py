@@ -4309,6 +4309,27 @@ _ARG_REWRITES: dict = {
     "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
     "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    # Decimal256 narrows to Spark's widest DECIMAL(38, s) — same
+    # widening posture as UInt64 (deviation ledger); values beyond
+    # 38 digits raise Spark's ANSI overflow rather than wrapping.
+    "toDecimal256": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    # dateSub(unit, n, d) / addDate(d, interval) / subDate(d,
+    # interval): CH alias spellings of the served dateAdd family.
+    "dateSub": lambda a: (
+        f"dateadd({a[0]}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else f"(({a[0]}) - ({a[1]}))"
+    ),
+    "addDate": lambda a: (
+        f"dateadd({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 3
+        else f"(({a[0]}) + ({a[1]}))"
+    ),
+    "subDate": lambda a: (
+        f"dateadd({a[0]}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else f"(({a[0]}) - ({a[1]}))"
+    ),
     # non-overlapping substring count, the CH contract
     "countSubstrings": lambda a: (
         f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "

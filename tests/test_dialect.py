@@ -8589,3 +8589,30 @@ class TestRound10ProbeTranche3:
             "SELECT toModifiedJulianDayOrNull('bad') AS a, "
             "toModifiedJulianDayOrNull('2024-01-15') AS b"
         ).rows == [[None, 60324]]
+
+
+class TestRound10ProbeTranche4:
+    """Fourth round-10 sweep: dateSub/addDate/subDate alias
+    spellings, toDecimal256 narrowing (the DECIMAL(38) widening
+    posture, like UInt64)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_date_alias_spellings(self, eng):
+        r = eng.execute(
+            "SELECT dateSub(YEAR, 1, toDate('2024-01-01')) AS a, "
+            "addDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS b, "
+            "subDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS c"
+        ).rows[0]
+        assert [str(v) for v in r] == [
+            "2023-01-01 00:00:00", "2024-01-13", "2024-01-07"
+        ]
+
+    def test_decimal256_narrows(self, eng):
+        assert str(eng.execute(
+            "SELECT toDecimal256('3.14', 2) AS r"
+        ).rows[0][0]) == "3.14"
