@@ -5073,6 +5073,10 @@ _ARG_REWRITES.update({
     "countMatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
+    "countMatchesCaseInsensitive": lambda a: (
+        f"size(regexp_extract_all({a[0]}, "
+        f"concat('(?i)', {a[1]}), 0))"
+    ),
     "translateUTF8": lambda a: f"translate({', '.join(a)})",
     "regexpExtract": lambda a: f"regexp_extract({', '.join(a)})",
     # uptime(): seconds since this engine process started (the

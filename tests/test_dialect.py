@@ -8616,3 +8616,17 @@ class TestRound10ProbeTranche4:
         assert str(eng.execute(
             "SELECT toDecimal256('3.14', 2) AS r"
         ).rows[0][0]) == "3.14"
+
+
+class TestRound10ProbeTranche5:
+    """Fifth round-10 sweep: everything served except
+    countMatchesCaseInsensitive — the (?i)-prefixed regexp count."""
+
+    def test_count_matches_case_insensitive(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        assert eng.execute(
+            "SELECT countMatchesCaseInsensitive('AaA', 'a') AS a, "
+            "countMatches('AaA', 'a') AS b"
+        ).rows == [[3, 1]]
