@@ -2374,19 +2374,106 @@ def _quantile_exclusive_expr(
     )
 
 
-def _parse_best_effort(a: list[str]) -> str:
+def _parse_best_effort_builder(is64: bool, or_null: bool):
     """parseDateTime(64)BestEffort(OrNull): a cast attempt plus the
     common non-ISO spellings CH's best-effort parser documents —
     Apache-log dd/MMM/yyyy:HH:mm:ss, compact digits, dd/MM and
     dd-MM forms. The 64 variants keep sub-second precision via the
-    plain cast arm."""
+    plain cast arm and honor the precision parameter (truncating to
+    10^-p seconds, p ≤ 6 — Spark timestamps are µs); the timezone
+    argument parses the string as wall time in that zone (the
+    toDateTime(x, tz) convention). The throwing forms raise on
+    unparseable non-NULL input like CH; OrNull yields NULL."""
+    name = (
+        "parseDateTime64BestEffort" if is64 else "parseDateTimeBestEffort"
+    ) + ("OrNull" if or_null else "")
+
+    def build(a: list[str]) -> str:
+        x = a[0]
+        tz = prec = None
+        if is64:
+            if len(a) >= 2:
+                prec = a[1]
+            if len(a) == 3:
+                tz = a[2]
+            if len(a) > 3:
+                raise ValueError(
+                    f"{name}(x[, precision[, timezone]]) takes one "
+                    "to three arguments"
+                )
+        else:
+            if len(a) == 2:
+                tz = a[1]
+            if len(a) > 2:
+                raise ValueError(
+                    f"{name}(x[, timezone]) takes one or two "
+                    "arguments"
+                )
+        parsed = (
+            f"coalesce(try_cast({x} AS TIMESTAMP), "
+            f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss'), "
+            f"try_to_timestamp({x}, 'dd/MM/yyyy HH:mm:ss'), "
+            f"try_to_timestamp({x}, 'yyyyMMddHHmmss'), "
+            f"try_to_timestamp({x}, 'dd-MM-yyyy'))"
+        )
+        if tz is not None:
+            parsed = f"to_utc_timestamp({parsed}, {tz})"
+        if prec is not None:
+            try:
+                p = int(_unquote(prec.strip()))
+            except ValueError:
+                raise ValueError(
+                    f"{name}: precision must be a literal integer"
+                ) from None
+            if p < 0 or p > 9:
+                raise ValueError(f"{name}: precision must be 0–9")
+            if p < 6:
+                pw = 10 ** (6 - p)
+                parsed = (
+                    f"timestamp_micros(CAST(floor(unix_micros("
+                    f"{parsed}) / {pw}) * {pw} AS BIGINT))"
+                )
+            # p in 6..9: Spark's µs is the representable maximum
+        if not or_null:
+            msg = (
+                f"{name}: cannot parse the input as a datetime "
+                "(use the OrNull form to map bad rows to NULL)"
+            )
+            parsed = (
+                f"IF(({x}) IS NOT NULL AND ({parsed}) IS NULL, "
+                f"CAST(raise_error('{msg}') AS TIMESTAMP), {parsed})"
+            )
+        return parsed
+
+    return build
+
+
+def _to_start_of_week_mode(a: list[str]) -> str:
+    """toStartOfWeek(d, mode[, tz]): CH/MySQL week modes — every ODD
+    mode is Monday-first, EVEN Sunday-first. A timezone argument
+    shifts the instant to that zone's wall time before truncation."""
+    if len(a) > 3:
+        raise ValueError(
+            "toStartOfWeek(date[, mode[, timezone]]) takes one to "
+            "three arguments"
+        )
     x = a[0]
+    if len(a) == 3:
+        x = f"from_utc_timestamp({a[0]}, {a[2]})"
     return (
-        f"coalesce(try_cast({x} AS TIMESTAMP), "
-        f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss'), "
-        f"try_to_timestamp({x}, 'dd/MM/yyyy HH:mm:ss'), "
-        f"try_to_timestamp({x}, 'yyyyMMddHHmmss'), "
-        f"try_to_timestamp({x}, 'dd-MM-yyyy'))"
+        f"date_sub(CAST({x} AS DATE), "
+        f"CASE WHEN pmod(CAST({a[1]} AS INT), 2) = 1 THEN "
+        f"pmod(dayofweek({x}) + 5, 7) "
+        f"ELSE dayofweek({x}) - 1 END)"
+    )
+
+
+def _trials(n: str) -> str:
+    """1..n as an array that is EMPTY for n ≤ 0 (Spark's
+    sequence(1, 0) descends instead)."""
+    return (
+        f"slice(sequence(1, greatest(CAST({n} AS INT), 1)), 1, "
+        f"greatest(CAST({n} AS INT), 0))"
     )
 
 
@@ -4427,60 +4514,63 @@ _ARG_REWRITES: dict = {
     "countArray": lambda a: f"coalesce(sum(size({a[0]})), 0)",
     # Random-distribution family (CH 22.10+, in the pinned 23.6):
     # rand()/randn() evaluate PER ELEMENT inside higher-order
-    # lambdas (verified), so bounded simulation folds work.
+    # lambdas (verified), so bounded simulation folds work. Trial
+    # sequences slice-clamp so 0 trials fold over an EMPTY array
+    # (sequence(1, 0) descends — the mapPopulateSeries hazard).
     # randBinomial: n Bernoulli trials.
     "randBinomial": lambda a: (
-        f"aggregate(sequence(1, CAST({a[0]} AS INT)), 0, "
+        f"aggregate({_trials(a[0])}, 0, "
         f"(__a, __i) -> __a + IF(rand() < ({a[1]}), 1, 0))"
     ),
     # randNegativeBinomial: failures before the r-th success — sum
     # of r geometric draws floor(ln U / ln(1−p)).
     "randNegativeBinomial": lambda a: (
-        f"aggregate(sequence(1, CAST({a[0]} AS INT)), 0L, "
+        f"aggregate({_trials(a[0])}, 0L, "
         f"(__a, __i) -> __a + CAST(floor(ln(rand()) / "
         f"ln(1 - ({a[1]}))) AS BIGINT))"
     ),
     # randPoisson: Knuth's product-of-uniforms walk, capped at
-    # λ + 20√λ + 20 steps (≈20σ beyond the mean).
+    # λ + 20√λ + 20 steps (≈20σ beyond the mean); the finish clamps
+    # the do-while off-by-one so λ=0 yields 0, not −1.
     "randPoisson": lambda a: (
         f"(aggregate(sequence(1, CAST(ceil(({a[0]}) + "
         f"20 * sqrt({a[0]}) + 20) AS INT)), "
         f"named_struct('p', CAST(1 AS DOUBLE), 'k', 0), "
         f"(__s, __i) -> IF(__s.p > exp(-({a[0]})), "
         f"named_struct('p', __s.p * rand(), 'k', __s.k + 1), __s), "
-        f"__s -> __s.k - 1))"
+        f"__s -> greatest(__s.k - 1, 0)))"
     ),
     "randChiSquared": lambda a: (
-        f"aggregate(sequence(1, CAST({a[0]} AS INT)), "
+        f"aggregate({_trials(a[0])}, "
         f"CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2))"
     ),
+    # StudentT/FisherF divide by the SAME truncated trial count the
+    # chi-squared sum uses (fractional df would otherwise skew the
+    # scale); CH accepts Float64 df — integer-df approximation.
     "randStudentT": lambda a: (
-        f"(randn() / sqrt(aggregate(sequence(1, CAST({a[0]} AS "
-        f"INT)), CAST(0 AS DOUBLE), (__a, __i) -> __a + "
-        f"pow(randn(), 2)) / ({a[0]})))"
+        f"(randn() / sqrt(aggregate({_trials(a[0])}, "
+        f"CAST(0 AS DOUBLE), (__a, __i) -> __a + "
+        f"pow(randn(), 2)) / CAST({a[0]} AS INT)))"
     ),
     "randFisherF": lambda a: (
-        f"((aggregate(sequence(1, CAST({a[0]} AS INT)), "
+        f"((aggregate({_trials(a[0])}, "
         f"CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2)) "
-        f"/ ({a[0]})) / (aggregate(sequence(1, CAST({a[1]} AS INT)),"
+        f"/ CAST({a[0]} AS INT)) / (aggregate({_trials(a[1])},"
         f" CAST(0 AS DOUBLE), (__a, __i) -> __a + pow(randn(), 2)) "
-        f"/ ({a[1]})))"
+        f"/ CAST({a[1]} AS INT)))"
     ),
     "randLogNormal": lambda a: (
         f"exp(({a[0]}) + ({a[1]}) * randn())"
     ),
-    # toStartOfWeek(d[, mode]): the bare form keeps the Monday-based
-    # date_trunc; modes 0/2 are Sunday-first, 1/3 Monday-first (CH
-    # week modes), both returning Date like CH.
+    # toStartOfWeek(d[, mode[, timezone]]): the bare form keeps the
+    # Monday-based date_trunc; EVEN modes are Sunday-first, ODD
+    # Monday-first (the CH/MySQL week-mode table), returning Date
+    # like CH. A timezone shifts the instant to that zone's wall
+    # time first.
     "toStartOfWeek": lambda a: (
         f"date_trunc('week', {a[0]})"
         if len(a) == 1
-        else (
-            f"date_sub(CAST({a[0]} AS DATE), "
-            f"CASE WHEN ({a[1]}) IN (1, 3) THEN "
-            f"pmod(dayofweek({a[0]}) + 5, 7) "
-            f"ELSE dayofweek({a[0]}) - 1 END)"
-        )
+        else _to_start_of_week_mode(a)
     ),
     # N×N aggregate matrices: the column list is static at transpile
     # time, so the matrix is n² plain aggregate cells (graduated
@@ -4958,10 +5048,14 @@ _ARG_REWRITES.update({
     "unhex": lambda a: f"decode(to_binary({a[0]}, 'hex'), 'UTF-8')",
     # -- best-effort datetime parsing (the Apache-log
     # dd/MMM/yyyy:HH:mm:ss spelling is CH's documented example) --
-    "parseDateTimeBestEffort": _parse_best_effort,
-    "parseDateTimeBestEffortOrNull": _parse_best_effort,
-    "parseDateTime64BestEffort": _parse_best_effort,
-    "parseDateTime64BestEffortOrNull": _parse_best_effort,
+    "parseDateTimeBestEffort": _parse_best_effort_builder(False, False),
+    "parseDateTimeBestEffortOrNull": _parse_best_effort_builder(
+        False, True
+    ),
+    "parseDateTime64BestEffort": _parse_best_effort_builder(True, False),
+    "parseDateTime64BestEffortOrNull": _parse_best_effort_builder(
+        True, True
+    ),
     # -- geo: haversine great-circle meters (CH uses R≈6371 km for
     # greatCircleDistance; geoDistance's ellipsoid correction is
     # within ~0.5% — documented approximation) --
@@ -5076,6 +5170,21 @@ _ARG_REWRITES.update({
     "countMatchesCaseInsensitive": lambda a: (
         f"size(regexp_extract_all({a[0]}, "
         f"concat('(?i)', {a[1]}), 0))"
+    ),
+    # Bare (non-parametric) exclusive-quantile forms: CH defaults
+    # the level to 0.5; the parametric rewrite handled only the
+    # name(levels)(x) shape, so these fell to UNRESOLVED_ROUTINE.
+    "quantileExactExclusive": lambda a: (
+        _quantile_exclusive_expr(a[0], ["0.5"], single=True)
+        if len(a) == 1
+        else _refuse(
+            "quantileExactExclusive takes one argument; spell "
+            "levels parametrically: quantileExactExclusive(p)(x)"
+        )
+    ),
+    "quantilesExactExclusive": lambda a: _refuse(
+        "quantilesExactExclusive needs its levels parametrically: "
+        "quantilesExactExclusive(p1, p2, ...)(x)"
     ),
     "translateUTF8": lambda a: f"translate({', '.join(a)})",
     "regexpExtract": lambda a: f"regexp_extract({', '.join(a)})",

@@ -8630,3 +8630,64 @@ class TestRound10ProbeTranche5:
             "SELECT countMatchesCaseInsensitive('AaA', 'a') AS a, "
             "countMatches('AaA', 'a') AS b"
         ).rows == [[3, 1]]
+
+
+class TestRound10ReviewFindings2:
+    """Second round-10 self-review pass (8 confirmed findings on the
+    newer additions): zero-parameter edges of the rand family, odd
+    week modes, the 3-arg timezone forms, the bare exclusive
+    quantile, and the throwing best-effort parsers."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_rand_family_zero_params(self, eng):
+        assert eng.execute(
+            "SELECT randPoisson(0) AS a, randBinomial(0, 0.5) AS b, "
+            "randNegativeBinomial(0, 0.5) AS c, "
+            "randChiSquared(0) AS d"
+        ).rows == [[0, 0, 0, 0.0]]
+
+    def test_odd_week_modes_are_monday_first(self, eng):
+        # CH/MySQL week-mode table: every odd mode is Monday-first
+        assert [str(v) for v in eng.execute(
+            "SELECT toStartOfWeek(toDate('2024-01-18'), 5) AS a, "
+            "toStartOfWeek(toDate('2024-01-18'), 7) AS b, "
+            "toStartOfWeek(toDate('2024-01-18'), 6) AS c"
+        ).rows[0]] == ["2024-01-15", "2024-01-15", "2024-01-14"]
+
+    def test_week_mode_timezone(self, eng):
+        # 2024-01-15 01:00 UTC is Sunday evening in New York
+        assert str(eng.execute(
+            "SELECT toStartOfWeek(toDateTime('2024-01-15 01:00:00'),"
+            " 1, 'America/New_York') AS r"
+        ).rows[0][0]) == "2024-01-08"
+
+    def test_bare_exclusive_quantile_defaults_to_median(self, eng):
+        assert eng.execute(
+            "SELECT quantileExactExclusive(x) AS r FROM "
+            "(SELECT explode(sequence(1, 10)) AS x)"
+        ).rows == [[5.5]]
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="parametrically"):
+            transpile("SELECT quantilesExactExclusive(x) FROM t")
+
+    def test_best_effort_timezone_and_precision(self, eng):
+        r = eng.execute(
+            "SELECT parseDateTimeBestEffort('2024-03-05 10:20:30', "
+            "'America/New_York') AS a, parseDateTime64BestEffort("
+            "'2024-03-05 10:20:30.123456', 3) AS b"
+        ).rows[0]
+        assert str(r[0]) == "2024-03-05 15:20:30"
+        assert str(r[1]) == "2024-03-05 10:20:30.123000"
+
+    def test_best_effort_throwing_vs_ornull(self, eng):
+        with pytest.raises(Exception, match="OrNull"):
+            eng.execute("SELECT parseDateTimeBestEffort('junk') AS r")
+        assert eng.execute(
+            "SELECT parseDateTime64BestEffortOrNull('junk') AS r"
+        ).rows == [[None]]

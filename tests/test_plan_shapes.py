@@ -184,6 +184,16 @@ class TestRound6PlanShapes:
         assert "o_totalprice" not in read and "o_custkey" not in read
 
 
+def _ch_events_plan(spark, sql, view):
+    """Transpile a CH-dialect query over the events fixture loaded
+    as ``view`` and return its physical plan."""
+    from bighouse_spark.dialect.transpile import transpile
+    from bighouse_spark.sources.catalog import load_table
+
+    load_table(spark, SF_CORRECT, "events").createOrReplaceTempView(view)
+    return physical_plan(spark.sql(transpile(sql).sql))
+
+
 class TestBehavioralFoldPlanShapes:
     """The windowFunnel/sequenceMatch SQL folds advertise ONE shuffle
     (the GROUP BY) with the condition pre-filter reaching the scan
@@ -192,16 +202,7 @@ class TestBehavioralFoldPlanShapes:
     scale."""
 
     def _plan(self, spark, sql):
-        from bighouse_spark.dialect.transpile import transpile
-
-        from tests.conftest import SF_CORRECT
-        from bighouse_spark.sources.catalog import load_table
-
-        load_table(spark, SF_CORRECT, "events").createOrReplaceTempView(
-            "__ps_events"
-        )
-        df = spark.sql(transpile(sql).sql)
-        return physical_plan(df)
+        return _ch_events_plan(spark, sql, "__ps_events")
 
     def test_window_funnel_single_shuffle(self, spark):
         plan = self._plan(
@@ -231,16 +232,7 @@ class TestFunnelEntryExplodeShapes:
     exchange either."""
 
     def _plan(self, spark, sql):
-        from bighouse_spark.dialect.transpile import transpile
-
-        from tests.conftest import SF_CORRECT
-        from bighouse_spark.sources.catalog import load_table
-
-        load_table(spark, SF_CORRECT, "events").createOrReplaceTempView(
-            "__ps_events2"
-        )
-        df = spark.sql(transpile(sql).sql)
-        return physical_plan(df)
+        return _ch_events_plan(spark, sql, "__ps_events2")
 
     def test_strict_order_with_cap_single_shuffle(self, spark):
         plan = self._plan(
