@@ -2413,20 +2413,39 @@ def _parse_best_effort_builder(is64: bool, or_null: bool):
             f"coalesce(try_cast({x} AS TIMESTAMP), "
             f"try_to_timestamp({x}, 'dd/MMM/yyyy:HH:mm:ss'), "
             f"try_to_timestamp({x}, 'dd/MM/yyyy HH:mm:ss'), "
+            f"try_to_timestamp({x}, 'dd MMM yyyy'), "
             f"try_to_timestamp({x}, 'yyyyMMddHHmmss'), "
-            f"try_to_timestamp({x}, 'dd-MM-yyyy'))"
+            f"try_to_timestamp({x}, 'yyyyMMdd'), "
+            f"try_to_timestamp({x}, 'dd-MM-yyyy'), "
+            # CH's documented 9/10-digit unix-timestamp spelling
+            f"CASE WHEN ({x}) RLIKE '^[0-9]{{9,10}}$' THEN "
+            f"timestamp_seconds(CAST({x} AS BIGINT)) END)"
         )
         if tz is not None:
-            parsed = f"to_utc_timestamp({parsed}, {tz})"
-        if prec is not None:
-            try:
-                p = int(_unquote(prec.strip()))
-            except ValueError:
-                raise ValueError(
-                    f"{name}: precision must be a literal integer"
-                ) from None
-            if p < 0 or p > 9:
-                raise ValueError(f"{name}: precision must be 0–9")
+            # CH applies the tz argument only to strings WITHOUT
+            # their own offset; inputs carrying Z/±hh:mm are already
+            # absolute instants (let-bind to evaluate the arms once).
+            has_off = (
+                f"({x}) RLIKE '(Z|z|UTC|[+-][0-9]{{2}}:?[0-9]{{2}})"
+                f"\\\\s*$'"
+            )
+            parsed = (
+                f"element_at(transform(array({parsed}), "
+                f"__pt -> IF({has_off}, __pt, "
+                f"to_utc_timestamp(__pt, {tz}))), 1)"
+            )
+        if is64:
+            # CH's default DateTime64 scale is 3 (milliseconds)
+            p = 3
+            if prec is not None:
+                try:
+                    p = int(_unquote(prec.strip()))
+                except ValueError:
+                    raise ValueError(
+                        f"{name}: precision must be a literal integer"
+                    ) from None
+                if p < 0 or p > 9:
+                    raise ValueError(f"{name}: precision must be 0–9")
             if p < 6:
                 pw = 10 ** (6 - p)
                 parsed = (
@@ -2439,9 +2458,12 @@ def _parse_best_effort_builder(is64: bool, or_null: bool):
                 f"{name}: cannot parse the input as a datetime "
                 "(use the OrNull form to map bad rows to NULL)"
             )
+            # single evaluation of the parsed arms: NULL input stays
+            # NULL, an unparseable non-NULL input raises like CH
             parsed = (
-                f"IF(({x}) IS NOT NULL AND ({parsed}) IS NULL, "
-                f"CAST(raise_error('{msg}') AS TIMESTAMP), {parsed})"
+                f"coalesce({parsed}, IF(({x}) IS NULL, "
+                f"CAST(NULL AS TIMESTAMP), "
+                f"CAST(raise_error('{msg}') AS TIMESTAMP)))"
             )
         return parsed
 
@@ -2451,20 +2473,29 @@ def _parse_best_effort_builder(is64: bool, or_null: bool):
 def _to_start_of_week_mode(a: list[str]) -> str:
     """toStartOfWeek(d, mode[, tz]): CH/MySQL week modes — every ODD
     mode is Monday-first, EVEN Sunday-first. A timezone argument
-    shifts the instant to that zone's wall time before truncation."""
+    shifts a TIMESTAMP to that zone's wall time before truncation;
+    a pure Date carries no instant, so the shift must not touch it
+    (typeof branches at runtime — both arms return Date)."""
     if len(a) > 3:
         raise ValueError(
             "toStartOfWeek(date[, mode[, timezone]]) takes one to "
             "three arguments"
         )
-    x = a[0]
-    if len(a) == 3:
-        x = f"from_utc_timestamp({a[0]}, {a[2]})"
+
+    def week_start(x: str) -> str:
+        return (
+            f"date_sub(CAST({x} AS DATE), "
+            f"CASE WHEN pmod(CAST({a[1]} AS INT), 2) = 1 THEN "
+            f"pmod(dayofweek({x}) + 5, 7) "
+            f"ELSE dayofweek({x}) - 1 END)"
+        )
+
+    if len(a) < 3:
+        return week_start(a[0])
+    shifted = f"from_utc_timestamp({a[0]}, {a[2]})"
     return (
-        f"date_sub(CAST({x} AS DATE), "
-        f"CASE WHEN pmod(CAST({a[1]} AS INT), 2) = 1 THEN "
-        f"pmod(dayofweek({x}) + 5, 7) "
-        f"ELSE dayofweek({x}) - 1 END)"
+        f"CASE WHEN typeof({a[0]}) = 'date' THEN {week_start(a[0])} "
+        f"ELSE {week_start(shifted)} END"
     )
 
 
@@ -4562,13 +4593,13 @@ _ARG_REWRITES: dict = {
     "randLogNormal": lambda a: (
         f"exp(({a[0]}) + ({a[1]}) * randn())"
     ),
-    # toStartOfWeek(d[, mode[, timezone]]): the bare form keeps the
-    # Monday-based date_trunc; EVEN modes are Sunday-first, ODD
-    # Monday-first (the CH/MySQL week-mode table), returning Date
-    # like CH. A timezone shifts the instant to that zone's wall
-    # time first.
+    # toStartOfWeek(d[, mode[, timezone]]): the bare form is the
+    # Monday-based date_trunc CAST to Date (CH returns Date); EVEN
+    # modes are Sunday-first, ODD Monday-first (the CH/MySQL
+    # week-mode table). A timezone shifts a TIMESTAMP to that
+    # zone's wall time first (a pure Date is not shifted).
     "toStartOfWeek": lambda a: (
-        f"date_trunc('week', {a[0]})"
+        f"CAST(date_trunc('week', {a[0]}) AS DATE)"
         if len(a) == 1
         else _to_start_of_week_mode(a)
     ),
@@ -9235,14 +9266,19 @@ def _rewrite_parametric(sql: str) -> str:
             "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)",
         )),
     ):
+        pos = 0
         while True:
-            call = _find_call(out, pname)
+            call = _find_call(out, pname, pos)
             if call is None:
                 break
             start, end, params = call
             span_m = re.match(r"\s*\(", out[end:])
             if not span_m:
-                break  # not the parametric form
+                # not the parametric form HERE — a bare occurrence
+                # must not stop the scan from reaching a later
+                # parametric one in the same query
+                pos = end
+                continue
             j, depth, quote = end + span_m.end(), 1, None
             while j < len(out) and depth:
                 c = out[j]
@@ -9276,6 +9312,7 @@ def _rewrite_parametric(sql: str) -> str:
                     f"parameter(s), {len(real)} argument(s))"
                 ) from None
             out = out[:start] + built + out[j:]
+            pos = 0  # rescan; the built text has no (p)(a) shape
     out = _rewrite_time_decayed(out)
     # Parametric aggregates that are order-dependent state machines —
     # refuse with the window/rewrite hint before Spark's opaque

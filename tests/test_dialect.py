@@ -8551,10 +8551,12 @@ class TestToStartOfWeekModes:
             "2024-01-14", "2024-01-15", "2024-01-14", "2024-01-08"
         ]
 
-    def test_bare_form_unchanged(self, eng):
+    def test_bare_form_returns_date(self, eng):
+        # CH returns Date; the third review pass aligned the bare
+        # form with the mode forms
         assert str(eng.execute(
             "SELECT toStartOfWeek(toDate('2024-01-18')) AS r"
-        ).rows[0][0]) == "2024-01-15 00:00:00"
+        ).rows[0][0]) == "2024-01-15"
 
 
 class TestRound10ProbeTranche3:
@@ -8691,3 +8693,58 @@ class TestRound10ReviewFindings2:
         assert eng.execute(
             "SELECT parseDateTime64BestEffortOrNull('junk') AS r"
         ).rows == [[None]]
+
+
+class TestRound10ReviewFindings3:
+    """Third self-review pass (7 findings on the second pass's own
+    fixes): Date-vs-timestamp tz semantics, offset-aware best-effort
+    tz fallback, CH's extra best-effort spellings, DateTime64
+    default scale 3, bare+parametric mixing in one query."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_date_with_timezone_not_shifted(self, eng):
+        # a pure Date carries no instant — the tz must not move it
+        # into the previous week (typeof branches at runtime)
+        assert str(eng.execute(
+            "SELECT toStartOfWeek(toDate('2024-01-15'), 1, "
+            "'America/New_York') AS r"
+        ).rows[0][0]) == "2024-01-15"
+
+    def test_best_effort_offset_bearing_input(self, eng):
+        # an explicit +02:00 is already absolute; the tz argument is
+        # a fallback for offset-free strings only (CH semantics)
+        assert str(eng.execute(
+            "SELECT parseDateTimeBestEffort("
+            "'2024-03-05 08:20:30+02:00', 'America/New_York') AS r"
+        ).rows[0][0]) == "2024-03-05 06:20:30"
+
+    def test_best_effort_unix_digits_and_compact(self, eng):
+        r = eng.execute(
+            "SELECT parseDateTimeBestEffort('1718291000') AS a, "
+            "parseDateTimeBestEffort('20240305') AS b"
+        ).rows[0]
+        assert str(r[0]) == "2024-06-13 15:03:20"
+        assert str(r[1]) == "2024-03-05 00:00:00"
+
+    def test_datetime64_default_scale_is_3(self, eng):
+        r = eng.execute(
+            "SELECT parseDateTime64BestEffort("
+            "'2024-03-05 10:20:30.123456') AS a, "
+            "parseDateTime64BestEffort("
+            "'2024-03-05 10:20:30.123456', 6) AS b"
+        ).rows[0]
+        assert str(r[0]) == "2024-03-05 10:20:30.123000"
+        assert str(r[1]) == "2024-03-05 10:20:30.123456"
+
+    def test_bare_and_parametric_in_one_query(self, eng):
+        # the bare occurrence must not stop the parametric scan
+        assert eng.execute(
+            "SELECT quantileExactExclusive(x) AS a, "
+            "quantileExactExclusive(0.9)(x) AS b "
+            "FROM (SELECT explode(sequence(1, 10)) AS x)"
+        ).rows == [[5.5, 9.9]]
