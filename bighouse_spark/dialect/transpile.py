@@ -5692,6 +5692,10 @@ _ARG_REWRITES.update({
     "base32Decode": lambda a: f"bh_base32_decode({a[0]})",
     "punycodeEncode": lambda a: f"bh_punycode_encode({a[0]})",
     "punycodeDecode": lambda a: f"bh_punycode_decode({a[0]})",
+    # '' on invalid input, the tryBase58Decode contract
+    "tryPunycodeDecode": lambda a: (
+        f"coalesce(bh_punycode_decode({a[0]}), '')"
+    ),
     "erf": lambda a: f"bh_erf(CAST({a[0]} AS DOUBLE))",
     "erfc": lambda a: f"bh_erfc(CAST({a[0]} AS DOUBLE))",
     "lgamma": lambda a: f"bh_lgamma(CAST({a[0]} AS DOUBLE))",
@@ -7596,6 +7600,12 @@ _ARG_REWRITES.update({
     "encrypt": lambda a: _ch_cipher("encrypt", "aes_encrypt", a),
     "decrypt": lambda a: (
         f"CAST({_ch_cipher('decrypt', 'aes_decrypt', a)} AS STRING)"
+    ),
+    # tryDecrypt: NULL on bad input instead of an error (CH
+    # contract; Spark ships try_aes_decrypt).
+    "tryDecrypt": lambda a: (
+        f"CAST({_ch_cipher('tryDecrypt', 'try_aes_decrypt', a)} "
+        f"AS STRING)"
     ),
     # MySQL flavor: for standard 16/24/32-byte keys identical to
     # encrypt; MySQL's fold-longer-keys quirk is not reproduced.

@@ -8748,3 +8748,30 @@ class TestRound10ReviewFindings3:
             "quantileExactExclusive(0.9)(x) AS b "
             "FROM (SELECT explode(sequence(1, 10)) AS x)"
         ).rows == [[5.5, 9.9]]
+
+
+class TestRound10ProbeTranche6:
+    """Sixth round-10 sweep (crypto/base64/JSON/punycode): only two
+    holes — tryDecrypt (Spark's try_aes_decrypt) and
+    tryPunycodeDecode ('' on invalid, the tryBase58Decode
+    contract)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_try_decrypt(self, eng):
+        assert eng.execute(
+            "SELECT tryDecrypt('aes-128-ecb', encrypt('aes-128-ecb',"
+            " 'text', '0123456789abcdef'), '0123456789abcdef') AS a,"
+            " tryDecrypt('aes-128-ecb', unhex('00'), "
+            "'0123456789abcdef') AS b"
+        ).rows == [["text", None]]
+
+    def test_try_punycode_decode(self, eng):
+        assert eng.execute(
+            "SELECT tryPunycodeDecode('mnchen-3ya') AS a, "
+            "tryPunycodeDecode('!!bad??') AS b"
+        ).rows == [["münchen", ""]]
