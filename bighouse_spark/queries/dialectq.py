@@ -1752,3 +1752,36 @@ def dialect_quantile_exclusive_roundtrip(spark, sf_dir):
     return out.selectExpr(
         "explode(arrays_zip(array(0.25D, 0.5D, 0.9D), qs)) AS z"
     ).selectExpr("z.`0` AS p", "z.qs AS q")
+
+
+# toStartOfWeek week modes (round-10): even modes Sunday-first, odd
+# Monday-first, Date never tz-shifted. The oracle recomputes both
+# week starts from DuckDB's dayofweek (0=Sunday) over event days.
+@query(
+    "dialect_week_modes_roundtrip",
+    oracle="""
+SELECT CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INT)
+           AS sun_start,
+       CAST(ts AS DATE) - CAST(((dayofweek(CAST(ts AS DATE)) + 6)
+           % 7) AS INT) AS mon_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY sun_start, mon_start
+ORDER BY sun_start, mon_start
+""",
+)
+def dialect_week_modes_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_wk",
+        """
+        SELECT toStartOfWeek(CAST(ts AS TIMESTAMP), 0) AS sun_start,
+               toStartOfWeek(CAST(ts AS TIMESTAMP), 1) AS mon_start,
+               CAST(count() AS Int64) AS n
+        FROM __dq_events_wk
+        GROUP BY sun_start, mon_start
+        ORDER BY sun_start, mon_start
+        """,
+    )

@@ -51,8 +51,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # ROUND-11 ROTATION CANDIDATES: the round-10 oracle-backed additions
 # land first (dialect_sparkbar_roundtrip, dialect_bitmap_roundtrip,
-# dialect_quantile_exclusive_roundtrip — all shipped with green local
-# oracle rows), then the remaining 25
+# dialect_quantile_exclusive_roundtrip, dialect_week_modes_roundtrip
+# — all shipped with green local oracle rows), then the remaining 25
 # r7-era names not refreshed in the
 # r10 fill (alphabetically from dialect_remote_roundtrip onward:
 # dialect_remote_roundtrip, dialect_topk_roundtrip,
