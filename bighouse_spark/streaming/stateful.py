@@ -109,27 +109,41 @@ def streaming_funnel(
     window_s: float,
     ts_col: str = "ts",
     key: str = "user_id",
+    modes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-key windowFunnel level maintained ACROSS micro-batches —
-    the streaming twin of the batch ``windowFunnel`` fold (same
-    latest-anchor DP, same sequential per-row condition walk), with
-    the per-key anchor vector as the state-store record.
+    the streaming twin of the batch ``windowFunnel`` fold: the SAME
+    per-condition entry walk (each row contributes one (t, k) entry
+    per matched condition, sorted by (t, k) within the batch — the
+    round-10 batch model, equal-timestamp ties included) and the
+    same strict modes (``strict_order``, ``strict_deduplication``,
+    ``strict_increase``).
 
-    State is n doubles per key (the latest chain-anchor timestamp per
-    funnel level) — constant size, never a buffer of events, so the
-    state store holds keys × ~8n bytes regardless of stream length.
-    Rows are folded in (micro-batch, within-batch timestamp) order:
-    events that arrive LATE relative to an already-processed batch
-    fold as if they happened at arrival — the standard streaming
-    trade-off; the exact-order answer is the batch fold. Output mode
-    ``update``: one (key, level) row per key per batch that touched
-    it, monotonically non-decreasing per key.
+    State is constant per key regardless of stream length: n anchor
+    doubles, n step-timestamp doubles, a halted flag and the dedup
+    truncation level — never a buffer of events (even strict_order,
+    whose batch fold must buffer the group, streams with O(n) state
+    because the fold is sequential anyway). Rows fold in
+    (micro-batch, within-batch (t, k)) order: events that arrive
+    LATE relative to an already-processed batch fold as if they
+    happened at arrival — the standard streaming trade-off; the
+    exact-order answer is the batch fold. Output mode ``update``:
+    one (key, level) row per key per batch that touched it.
     """
     from pyspark.sql import functions as F
 
     n = len(conds)
     if n == 0:
         raise ValueError("streaming_funnel needs at least one condition")
+    allowed = {"strict_order", "strict_deduplication", "strict_increase"}
+    bad = set(modes) - allowed
+    if bad:
+        raise ValueError(
+            f"streaming_funnel modes {sorted(bad)} not in {sorted(allowed)}"
+        )
+    s_order = "strict_order" in modes
+    s_dedup = "strict_deduplication" in modes
+    s_incr = "strict_increase" in modes
     proj = [F.col(key), F.col(ts_col).cast("double").alias("__t")]
     for i, c in enumerate(conds, 1):
         proj.append(
@@ -144,6 +158,11 @@ def streaming_funnel(
     )
     state_schema = StructType(
         [StructField(f"a{k}", DoubleType()) for k in range(1, n + 1)]
+        + [StructField(f"b{k}", DoubleType()) for k in range(1, n + 1)]
+        + [
+            StructField("done", LongType()),
+            StructField("ret", LongType()),
+        ]
     )
     ninf = float("-inf")
     window = float(window_s)
@@ -154,36 +173,77 @@ def streaming_funnel(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        anchors = (
-            list(state.get) if state.exists else [ninf] * n
-        )
+        if state.exists:
+            st = list(state.get)
+            anchors = st[:n]
+            steps = st[n:2 * n]
+            done = bool(st[2 * n])
+            ret = int(st[2 * n + 1])
+        else:
+            anchors = [ninf] * n
+            steps = [ninf] * n
+            done = False
+            ret = 0
         frames = [p for p in pdfs if len(p)]
-        if frames:
-            batch = pd.concat(frames).sort_values("__t")
+        if frames and not done:
+            batch = pd.concat(frames)
             ts = batch["__t"].to_numpy()
             cs = [
                 batch[c].fillna(False).to_numpy(dtype=bool)
                 for c in ccols
             ]
+            # the batch fold's entry list: one (t, k) per matched
+            # condition; k=0 stands in for a no-match row under
+            # strict_order (sorts ahead at equal t, like CH)
+            entries: list[tuple[float, int]] = []
             for i in range(len(ts)):
                 t = float(ts[i])
-                # sequential walk, like the batch fold: level k reads
-                # the anchor level k-1 just wrote for this row
-                if cs[0][i]:
+                any_c = False
+                for k in range(n):
+                    if cs[k][i]:
+                        entries.append((t, k + 1))
+                        any_c = True
+                if s_order and not any_c:
+                    entries.append((t, 0))
+            entries.sort()
+            for t, k in entries:
+                if done or anchors[n - 1] > ninf:
+                    break
+                if k == 0:  # strict_order chain-breaker
+                    if anchors[0] > ninf:
+                        done = True
+                    continue
+                if s_dedup and k >= 2 and anchors[k - 1] > ninf:
+                    ret = k
+                    done = True
+                    break
+                if k == 1:
                     anchors[0] = t
-                for k in range(1, n):
-                    if (
-                        cs[k][i]
-                        and anchors[k - 1] > ninf
-                        and t - anchors[k - 1] <= window
-                    ):
-                        anchors[k] = anchors[k - 1]
-        state.update(tuple(anchors))
-        level = 0
-        for k in range(n, 0, -1):
-            if anchors[k - 1] > ninf:
-                level = k
-                break
+                    steps[0] = t
+                    continue
+                prev_a = anchors[k - 2]
+                if (
+                    prev_a > ninf
+                    and t - prev_a <= window
+                    and (not s_incr or t > steps[k - 2])
+                ):
+                    anchors[k - 1] = prev_a
+                    steps[k - 1] = t
+                elif s_order and anchors[0] > ninf and prev_a <= ninf:
+                    # out-of-order funnel entry after the chain start
+                    done = True
+                    break
+        state.update(
+            tuple(anchors) + tuple(steps) + (int(done), int(ret))
+        )
+        if s_dedup and ret > 0:
+            level = ret
+        else:
+            level = 0
+            for k in range(n, 0, -1):
+                if anchors[k - 1] > ninf:
+                    level = k
+                    break
         yield pd.DataFrame({key: [key_t[0]], "level": [level]})
 
     return src.groupBy(key).applyInPandasWithState(

@@ -317,3 +317,76 @@ def test_streaming_sequence_match_converges_to_batch(spark, tmp_path):
         ).collect()
     }
     assert out == batch
+
+
+def test_streaming_funnel_strict_modes_converge(spark, tmp_path):
+    """The streaming twin's strict modes (round-10 entry-walk
+    parity): per-user final levels under strict_deduplication and
+    strict_order must equal the batch SQL fold over the same
+    time-split files."""
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import streaming_funnel
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    d = str(tmp_path / "funnel_strict_stream")
+    os.makedirs(d)
+    ev.where(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)
+    ev.where(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    conds = [
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ]
+    eng = BigHouseEngine(spark)
+    spark.read.parquet(d).createOrReplaceTempView("__sf_ev_strict")
+
+    for mode in ("strict_deduplication", "strict_order"):
+        batch = {
+            (row[0], row[1])
+            for row in eng.execute(
+                f"SELECT user_id, windowFunnel(3600, '{mode}')("
+                "CAST(ts AS TIMESTAMP), event_type = 'view', "
+                "event_type = 'click', event_type = 'purchase') AS "
+                "lvl FROM __sf_ev_strict GROUP BY user_id"
+            ).rows
+        }
+        src = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_funnel(src, conds, 3600.0, modes=(mode,))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"__sf_strict_{mode[:12]}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last emission per user (update mode emits once per touched
+        # batch; levels only move forward, and a dedup truncation
+        # emits its final ret)
+        final = {
+            (r[0], r[1])
+            for r in spark.sql(
+                "SELECT user_id, max_by(level, rn) FROM (SELECT *, "
+                "monotonically_increasing_id() AS rn FROM "
+                f"__sf_strict_{mode[:12]}) GROUP BY user_id"
+            ).collect()
+        }
+        assert final == batch, f"mode {mode}: {final ^ batch}"
