@@ -5526,6 +5526,16 @@ _ARG_REWRITES.update({
     "multiMatchAny": lambda a: (
         f"exists({a[1]}, __p -> regexp_like({a[0]}, __p))"
     ),
+    # Index twins: 1-based first-matching-pattern index (0 when
+    # none, the CH contract) and the array of ALL matching indices.
+    "multiMatchAnyIndex": lambda a: (
+        f"coalesce(CAST(array_position(transform({a[1]}, "
+        f"__p -> regexp_like({a[0]}, __p)), true) AS INT), 0)"
+    ),
+    "multiMatchAllIndices": lambda a: (
+        f"filter(transform({a[1]}, (__p, __i) -> "
+        f"IF(regexp_like({a[0]}, __p), __i + 1, -1)), __x -> __x > 0)"
+    ),
     # Subsequence check as a single left-to-right fold over the
     # haystack's characters (greedy matching is exact here).
     "hasSubsequence": lambda a: (

@@ -8775,3 +8775,20 @@ class TestRound10ProbeTranche6:
             "SELECT tryPunycodeDecode('mnchen-3ya') AS a, "
             "tryPunycodeDecode('!!bad??') AS b"
         ).rows == [["münchen", ""]]
+
+
+class TestRound10ProbeTranche7:
+    """Seventh round-10 sweep (relative nums, multiSearch/Match,
+    extract groups, WKT, UTF8): the only holes were the multiMatch
+    index twins. (ngramSearch('hello','hallo') = 0 was confirmed
+    CH-correct — the words share no 4-grams.)"""
+
+    def test_multi_match_index_twins(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        assert eng.execute(
+            "SELECT multiMatchAnyIndex('hello', ['xx', 'h.*o']) AS "
+            "a, multiMatchAnyIndex('hello', ['xx']) AS b, "
+            "multiMatchAllIndices('hello', ['h.*', 'xx', 'l+']) AS c"
+        ).rows == [[2, 0, [1, 3]]]
