@@ -328,13 +328,22 @@ def streaming_sequence_match(
     conds: list[str],
     ts_col: str = "ts",
     key: str = "user_id",
+    pattern: str | None = None,
 ) -> DataFrame:
-    """Per-key ``sequenceMatch('(?1).*(?2)...')`` (the ``.*``-
-    separated subset) across micro-batches: the greedy level counter
-    is the state (one long per key) — level k latches once conds
-    1..k were seen in order; ``matched`` is level == n. Rows fold in
-    (batch, within-batch timestamp) order, the same arrival-order
-    contract as streaming_funnel."""
+    """Per-key ``sequenceMatch`` across micro-batches. Without a
+    ``pattern``, the ``'(?1).*(?2)...'`` subset streams as a greedy
+    level counter (one long per key). With a ``pattern``, the FULL
+    grammar the batch fold serves — adjacency and ``(?t op N)``
+    time constraints — streams via the same per-prefix reachability
+    DP (transpile._sequence_reach_fold): per prefix k the state
+    carries the earliest end timestamp, the latest end timestamp,
+    and whether the prefix ended at the previous RELEVANT stream
+    position — O(pattern) doubles per key, never an event buffer.
+    The stored stream is rows matching ≥1 condition (undescribed
+    events invisible, the CH contract); adjacency spans batch
+    boundaries because the previous-position flags persist in
+    state. Rows fold in (batch, within-batch timestamp) order, the
+    same arrival-order contract as streaming_funnel."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
@@ -343,6 +352,12 @@ def streaming_sequence_match(
         raise ValueError(
             "streaming_sequence_match needs at least one condition"
         )
+    refs: list[int] = []
+    trans: list[dict] = []
+    if pattern is not None:
+        from bighouse_spark.dialect.transpile import _parse_seq_pattern
+
+        refs, trans = _parse_seq_pattern(pattern, n)
     proj = [F.col(key), F.col(ts_col).cast("double").alias("__t")]
     for i, c in enumerate(conds, 1):
         proj.append(
@@ -355,29 +370,114 @@ def streaming_sequence_match(
     out_schema = StructType(
         [key_field, StructField("matched", BooleanType())]
     )
-    state_schema = StructType([StructField("lvl", LongType())])
     ccols = [f"__c{i}" for i in range(1, n + 1)]
 
-    def fn(
-        key_t: tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        lvl = state.get[0] if state.exists else 0
-        frames = [p for p in pdfs if len(p)]
-        if frames and lvl < n:
-            batch = pd.concat(frames).sort_values("__t")
-            cs = [
-                batch[c].fillna(False).to_numpy(dtype=bool)
-                for c in ccols
+    if pattern is None:
+        state_schema = StructType([StructField("lvl", LongType())])
+
+        def fn(
+            key_t: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            lvl = state.get[0] if state.exists else 0
+            frames = [p for p in pdfs if len(p)]
+            if frames and lvl < n:
+                batch = pd.concat(frames).sort_values("__t")
+                cs = [
+                    batch[c].fillna(False).to_numpy(dtype=bool)
+                    for c in ccols
+                ]
+                for i in range(len(batch)):
+                    if lvl < n and cs[lvl][i]:
+                        lvl += 1
+            state.update((lvl,))
+            yield pd.DataFrame(
+                {key: [key_t[0]], "matched": [lvl >= n]}
+            )
+
+    else:
+        m = len(refs)
+        ninf = float("-inf")
+        pinf = float("inf")
+        state_schema = StructType(
+            [StructField(f"e{k}", DoubleType()) for k in range(1, m + 1)]
+            + [
+                StructField(f"l{k}", DoubleType())
+                for k in range(1, m + 1)
             ]
-            for i in range(len(batch)):
-                if lvl < n and cs[lvl][i]:
-                    lvl += 1
-        state.update((lvl,))
-        yield pd.DataFrame(
-            {key: [key_t[0]], "matched": [lvl >= n]}
+            + [StructField(f"p{k}", LongType()) for k in range(1, m + 1)]
         )
+
+        def fn(
+            key_t: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                st = list(state.get)
+                e = st[:m]
+                lt = st[m:2 * m]
+                pp = [bool(v) for v in st[2 * m:3 * m]]
+            else:
+                e = [pinf] * m
+                lt = [ninf] * m
+                pp = [False] * m
+            frames = [p for p in pdfs if len(p)]
+            if frames:
+                batch = pd.concat(frames).sort_values("__t")
+                ts = batch["__t"].to_numpy()
+                cs = [
+                    batch[c].fillna(False).to_numpy(dtype=bool)
+                    for c in ccols
+                ]
+                for i in range(len(ts)):
+                    if not any(cs[k][i] for k in range(n)):
+                        continue  # undescribed events are invisible
+                    t = float(ts[i])
+                    # new prefix-ends derive from the PRE-event state
+                    ne = [False] * m
+                    ne[0] = bool(cs[refs[0] - 1][i])
+                    for k in range(2, m + 1):
+                        tr = trans[k - 2]
+                        op, secs = tr["op"], tr["secs"]
+                        def cmp(d: float, o: str) -> bool:
+                            s = float(secs)
+                            return (
+                                d < s if o == "<"
+                                else d <= s if o == "<="
+                                else d > s if o == ">"
+                                else d >= s if o == ">="
+                                else d == s  # = / ==, as the batch
+                            )
+
+                        if tr["gap"]:
+                            if op is None:
+                                chk = lt[k - 2] > ninf
+                            elif op in ("<", "<="):
+                                chk = lt[k - 2] > ninf and cmp(
+                                    t - lt[k - 2], op
+                                )
+                            else:
+                                chk = e[k - 2] < pinf and cmp(
+                                    t - e[k - 2], op
+                                )
+                        else:
+                            chk = pp[k - 2]
+                            if op is not None and chk:
+                                chk = cmp(t - lt[k - 2], op)
+                        ne[k - 1] = bool(cs[refs[k - 1] - 1][i]) and chk
+                    for k in range(m):
+                        if ne[k]:
+                            e[k] = min(e[k], t)
+                            lt[k] = t
+                        pp[k] = ne[k]
+            state.update(
+                tuple(e) + tuple(lt) + tuple(int(v) for v in pp)
+            )
+            yield pd.DataFrame(
+                {key: [key_t[0]], "matched": [lt[m - 1] > ninf]}
+            )
 
     return src.groupBy(key).applyInPandasWithState(
         fn,

@@ -390,3 +390,74 @@ def test_streaming_funnel_strict_modes_converge(spark, tmp_path):
             ).collect()
         }
         assert final == batch, f"mode {mode}: {final ^ batch}"
+
+
+def test_streaming_sequence_match_pattern_converges(spark, tmp_path):
+    """The pattern-mode streaming twin (adjacency + time constraint
+    via the per-prefix reachability DP) must match the batch
+    sequenceMatch fold over the same time-split files — the
+    previous-position flags must survive the batch boundary."""
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import (
+        streaming_sequence_match,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    d = str(tmp_path / "seq_pattern_stream")
+    os.makedirs(d)
+    ev.where(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)
+    ev.where(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    conds = ["event_type = 'view'", "event_type = 'click'"]
+    eng = BigHouseEngine(spark)
+    spark.read.parquet(d).createOrReplaceTempView("__sm_ev_pat")
+
+    for pat in ["(?1)(?2)", "(?1)(?t<600)(?2)", "(?1).*(?t>60)(?2)"]:
+        batch = {
+            (row[0], bool(row[1]))
+            for row in eng.execute(
+                f"SELECT user_id, sequenceMatch('{pat}')("
+                "CAST(ts AS TIMESTAMP), event_type = 'view', "
+                "event_type = 'click') AS m "
+                "FROM __sm_ev_pat GROUP BY user_id"
+            ).rows
+        }
+        src = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_sequence_match(
+            src, conds, pattern=pat
+        )
+        qn = f"__sm_pat_{abs(hash(pat)) % 10**6}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final = {
+            (r[0], bool(r[1]))
+            for r in spark.sql(
+                "SELECT user_id, max_by(matched, rn) FROM (SELECT *,"
+                " monotonically_increasing_id() AS rn FROM "
+                f"{qn}) GROUP BY user_id"
+            ).collect()
+        }
+        assert final == batch, f"pattern {pat}: {final ^ batch}"
