@@ -5527,14 +5527,20 @@ _ARG_REWRITES.update({
         f"exists({a[1]}, __p -> regexp_like({a[0]}, __p))"
     ),
     # Index twins: 1-based first-matching-pattern index (0 when
-    # none, the CH contract) and the array of ALL matching indices.
+    # none, the CH contract); NULL haystack/patterns propagate NULL
+    # like the sibling multiMatchAny.
     "multiMatchAnyIndex": lambda a: (
+        f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+        f"CAST(NULL AS INT), "
         f"coalesce(CAST(array_position(transform({a[1]}, "
-        f"__p -> regexp_like({a[0]}, __p)), true) AS INT), 0)"
+        f"__p -> regexp_like({a[0]}, __p)), true) AS INT), 0))"
     ),
     "multiMatchAllIndices": lambda a: (
+        f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+        f"CAST(NULL AS ARRAY<INT>), "
         f"filter(transform({a[1]}, (__p, __i) -> "
-        f"IF(regexp_like({a[0]}, __p), __i + 1, -1)), __x -> __x > 0)"
+        f"IF(regexp_like({a[0]}, __p), __i + 1, -1)), "
+        f"__x -> __x > 0))"
     ),
     # Subsequence check as a single left-to-right fold over the
     # haystack's characters (greedy matching is exact here).
@@ -5702,9 +5708,11 @@ _ARG_REWRITES.update({
     "base32Decode": lambda a: f"bh_base32_decode({a[0]})",
     "punycodeEncode": lambda a: f"bh_punycode_encode({a[0]})",
     "punycodeDecode": lambda a: f"bh_punycode_decode({a[0]})",
-    # '' on invalid input, the tryBase58Decode contract
+    # '' on invalid input; NULL input stays NULL (the decode UDF
+    # passes None through, so coalesce alone cannot tell them apart)
     "tryPunycodeDecode": lambda a: (
-        f"coalesce(bh_punycode_decode({a[0]}), '')"
+        f"IF(({a[0]}) IS NULL, CAST(NULL AS STRING), "
+        f"coalesce(bh_punycode_decode({a[0]}), ''))"
     ),
     "erf": lambda a: f"bh_erf(CAST({a[0]} AS DOUBLE))",
     "erfc": lambda a: f"bh_erfc(CAST({a[0]} AS DOUBLE))",
@@ -6079,7 +6087,8 @@ _ARG_REWRITES.update({
     # CH tryBase58Decode returns '' on invalid input (the repo's
     # base58 decoder yields NULL there).
     "tryBase58Decode": lambda a: (
-        f"coalesce(bh_base58_decode({a[0]}), '')"
+        f"IF(({a[0]}) IS NULL, CAST(NULL AS STRING), "
+        f"coalesce(bh_base58_decode({a[0]}), ''))"
     ),
     "isZeroOrNull": lambda a: (
         f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)"

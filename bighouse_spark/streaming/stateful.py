@@ -103,6 +103,20 @@ def streaming_dedup(
     return events.dropDuplicates(keys)
 
 
+def _time_cmp(d: float, op: str, s: float) -> bool:
+    """One (?t op N) comparison — shared by the streaming sequence
+    DP; '='/'==' mirror the batch fold's raw-op embedding."""
+    if op == "<":
+        return d < s
+    if op == "<=":
+        return d <= s
+    if op == ">":
+        return d > s
+    if op == ">=":
+        return d >= s
+    return d == s
+
+
 def streaming_funnel(
     events: DataFrame,
     conds: list[str],
@@ -117,19 +131,23 @@ def streaming_funnel(
     per matched condition, sorted by (t, k) within the batch — the
     round-10 batch model, equal-timestamp ties included) and the
     same strict modes (``strict_order``, ``strict_deduplication``,
-    ``strict_increase``).
+    ``strict_increase``). NULL timestamps are invisible, like the
+    batch folds' notnull filter.
 
-    State is constant per key regardless of stream length: n anchor
-    doubles, n step-timestamp doubles, a halted flag and the dedup
-    truncation level — never a buffer of events (even strict_order,
-    whose batch fold must buffer the group, streams with O(n) state
-    because the fold is sequential anyway). Rows fold in
-    (micro-batch, within-batch (t, k)) order: events that arrive
-    LATE relative to an already-processed batch fold as if they
-    happened at arrival — the standard streaming trade-off; the
+    State is constant per key regardless of stream length. With no
+    modes it is exactly the pre-round-10 record — n anchor doubles —
+    so existing checkpoints keep restoring; strict modes add n step
+    timestamps, a halted flag and the dedup truncation level. Rows
+    fold in (micro-batch, within-batch (t, k)) order: events that
+    arrive LATE relative to an already-processed batch fold as if
+    they happened at arrival — the standard streaming trade-off; the
     exact-order answer is the batch fold. Output mode ``update``:
-    one (key, level) row per key per batch that touched it.
+    one (key, level) row per key per batch that touched it (in
+    strict_deduplication mode a later truncation can LOWER the
+    emitted level to the repeat's, like the batch fold).
     """
+    import math
+
     from pyspark.sql import functions as F
 
     n = len(conds)
@@ -156,95 +174,137 @@ def streaming_funnel(
     out_schema = StructType(
         [key_field, StructField("level", LongType())]
     )
-    state_schema = StructType(
-        [StructField(f"a{k}", DoubleType()) for k in range(1, n + 1)]
-        + [StructField(f"b{k}", DoubleType()) for k in range(1, n + 1)]
-        + [
-            StructField("done", LongType()),
-            StructField("ret", LongType()),
-        ]
-    )
     ninf = float("-inf")
     window = float(window_s)
     ccols = [f"__c{i}" for i in range(1, n + 1)]
 
-    def fn(
-        key_t: tuple[Any, ...],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            st = list(state.get)
-            anchors = st[:n]
-            steps = st[n:2 * n]
-            done = bool(st[2 * n])
-            ret = int(st[2 * n + 1])
-        else:
-            anchors = [ninf] * n
-            steps = [ninf] * n
-            done = False
-            ret = 0
+    def batch_entries(pdfs, with_zero: bool) -> list[tuple[float, int]]:
         frames = [p for p in pdfs if len(p)]
-        if frames and not done:
-            batch = pd.concat(frames)
-            ts = batch["__t"].to_numpy()
-            cs = [
-                batch[c].fillna(False).to_numpy(dtype=bool)
-                for c in ccols
-            ]
-            # the batch fold's entry list: one (t, k) per matched
-            # condition; k=0 stands in for a no-match row under
-            # strict_order (sorts ahead at equal t, like CH)
-            entries: list[tuple[float, int]] = []
-            for i in range(len(ts)):
-                t = float(ts[i])
-                any_c = False
-                for k in range(n):
-                    if cs[k][i]:
-                        entries.append((t, k + 1))
-                        any_c = True
-                if s_order and not any_c:
-                    entries.append((t, 0))
-            entries.sort()
-            for t, k in entries:
-                if done or anchors[n - 1] > ninf:
-                    break
-                if k == 0:  # strict_order chain-breaker
-                    if anchors[0] > ninf:
-                        done = True
-                    continue
-                if s_dedup and k >= 2 and anchors[k - 1] > ninf:
-                    ret = k
-                    done = True
-                    break
+        if not frames:
+            return []
+        batch = pd.concat(frames)
+        ts = batch["__t"].to_numpy()
+        cs = [
+            batch[c].fillna(False).to_numpy(dtype=bool) for c in ccols
+        ]
+        entries: list[tuple[float, int]] = []
+        for i in range(len(ts)):
+            t = float(ts[i])
+            if math.isnan(t):  # NULL ts: invisible, like the batch
+                continue
+            any_c = False
+            for k in range(n):
+                if cs[k][i]:
+                    entries.append((t, k + 1))
+                    any_c = True
+            if with_zero and not any_c:
+                entries.append((t, 0))
+        entries.sort()
+        return entries
+
+    if not modes:
+        # pre-round-10 state record (n anchor doubles) — existing
+        # checkpoints keep restoring; the walk itself is the entry
+        # model (default mode needs no step/halt state).
+        state_schema = StructType(
+            [StructField(f"a{k}", DoubleType()) for k in range(1, n + 1)]
+        )
+
+        def fn(
+            key_t: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            anchors = list(state.get) if state.exists else [ninf] * n
+            for t, k in batch_entries(pdfs, with_zero=False):
                 if k == 1:
                     anchors[0] = t
-                    steps[0] = t
-                    continue
-                prev_a = anchors[k - 2]
-                if (
-                    prev_a > ninf
-                    and t - prev_a <= window
-                    and (not s_incr or t > steps[k - 2])
+                elif (
+                    anchors[k - 2] > ninf
+                    and t - anchors[k - 2] <= window
                 ):
-                    anchors[k - 1] = prev_a
-                    steps[k - 1] = t
-                elif s_order and anchors[0] > ninf and prev_a <= ninf:
-                    # out-of-order funnel entry after the chain start
-                    done = True
-                    break
-        state.update(
-            tuple(anchors) + tuple(steps) + (int(done), int(ret))
-        )
-        if s_dedup and ret > 0:
-            level = ret
-        else:
+                    anchors[k - 1] = anchors[k - 2]
+            state.update(tuple(anchors))
             level = 0
             for k in range(n, 0, -1):
                 if anchors[k - 1] > ninf:
                     level = k
                     break
-        yield pd.DataFrame({key: [key_t[0]], "level": [level]})
+            yield pd.DataFrame({key: [key_t[0]], "level": [level]})
+
+    else:
+        state_schema = StructType(
+            [StructField(f"a{k}", DoubleType()) for k in range(1, n + 1)]
+            + [
+                StructField(f"b{k}", DoubleType())
+                for k in range(1, n + 1)
+            ]
+            + [
+                StructField("done", LongType()),
+                StructField("ret", LongType()),
+            ]
+        )
+
+        def fn(
+            key_t: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                st = list(state.get)
+                anchors = st[:n]
+                steps = st[n:2 * n]
+                done = bool(st[2 * n])
+                ret = int(st[2 * n + 1])
+            else:
+                anchors = [ninf] * n
+                steps = [ninf] * n
+                done = False
+                ret = 0
+            if not done:
+                for t, k in batch_entries(pdfs, with_zero=s_order):
+                    if done or anchors[n - 1] > ninf:
+                        break
+                    if k == 0:  # strict_order chain-breaker
+                        if anchors[0] > ninf:
+                            done = True
+                        continue
+                    if s_dedup and k >= 2 and anchors[k - 1] > ninf:
+                        ret = k
+                        done = True
+                        break
+                    if k == 1:
+                        anchors[0] = t
+                        steps[0] = t
+                        continue
+                    prev_a = anchors[k - 2]
+                    if (
+                        prev_a > ninf
+                        and t - prev_a <= window
+                        and (not s_incr or t > steps[k - 2])
+                    ):
+                        anchors[k - 1] = prev_a
+                        steps[k - 1] = t
+                    elif (
+                        s_order
+                        and anchors[0] > ninf
+                        and prev_a <= ninf
+                    ):
+                        # out-of-order funnel entry after chain start
+                        done = True
+                        break
+            state.update(
+                tuple(anchors) + tuple(steps) + (int(done), int(ret))
+            )
+            if s_dedup and ret > 0:
+                level = ret
+            else:
+                level = 0
+                for k in range(n, 0, -1):
+                    if anchors[k - 1] > ninf:
+                        level = k
+                        break
+            yield pd.DataFrame({key: [key_t[0]], "level": [level]})
 
     return src.groupBy(key).applyInPandasWithState(
         fn,
@@ -253,6 +313,8 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
 
 
 def streaming_retention(
@@ -409,11 +471,23 @@ def streaming_sequence_match(
             + [StructField(f"p{k}", LongType()) for k in range(1, m + 1)]
         )
 
+        # hoisted per-transition constants: (gap, op, secs_float)
+        trans_c = [
+            (
+                tr["gap"],
+                tr["op"],
+                float(tr["secs"]) if tr["secs"] is not None else None,
+            )
+            for tr in trans
+        ]
+
         def fn(
             key_t: tuple[Any, ...],
             pdfs: Iterator[pd.DataFrame],
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
+            import math
+
             if state.exists:
                 st = list(state.get)
                 e = st[:m]
@@ -425,48 +499,48 @@ def streaming_sequence_match(
                 pp = [False] * m
             frames = [p for p in pdfs if len(p)]
             if frames:
-                batch = pd.concat(frames).sort_values("__t")
+                batch = pd.concat(frames)
                 ts = batch["__t"].to_numpy()
                 cs = [
                     batch[c].fillna(False).to_numpy(dtype=bool)
                     for c in ccols
                 ]
+                # the batch fold's stream order at ties:
+                # (t, lowest matching k, c1..cn); NULL ts invisible
+                rows: list[tuple[float, int, tuple[bool, ...]]] = []
                 for i in range(len(ts)):
-                    if not any(cs[k][i] for k in range(n)):
+                    flags = tuple(bool(cs[k][i]) for k in range(n))
+                    if not any(flags):
                         continue  # undescribed events are invisible
                     t = float(ts[i])
+                    if math.isnan(t):
+                        continue
+                    rows.append((t, flags.index(True) + 1, flags))
+                rows.sort()
+                for t, _lk, flags in rows:
                     # new prefix-ends derive from the PRE-event state
                     ne = [False] * m
-                    ne[0] = bool(cs[refs[0] - 1][i])
+                    ne[0] = flags[refs[0] - 1]
                     for k in range(2, m + 1):
-                        tr = trans[k - 2]
-                        op, secs = tr["op"], tr["secs"]
-                        def cmp(d: float, o: str) -> bool:
-                            s = float(secs)
-                            return (
-                                d < s if o == "<"
-                                else d <= s if o == "<="
-                                else d > s if o == ">"
-                                else d >= s if o == ">="
-                                else d == s  # = / ==, as the batch
-                            )
-
-                        if tr["gap"]:
+                        gap, op, secs = trans_c[k - 2]
+                        if gap:
                             if op is None:
                                 chk = lt[k - 2] > ninf
                             elif op in ("<", "<="):
-                                chk = lt[k - 2] > ninf and cmp(
-                                    t - lt[k - 2], op
+                                chk = lt[k - 2] > ninf and _time_cmp(
+                                    t - lt[k - 2], op, secs
                                 )
                             else:
-                                chk = e[k - 2] < pinf and cmp(
-                                    t - e[k - 2], op
+                                chk = e[k - 2] < pinf and _time_cmp(
+                                    t - e[k - 2], op, secs
                                 )
                         else:
                             chk = pp[k - 2]
                             if op is not None and chk:
-                                chk = cmp(t - lt[k - 2], op)
-                        ne[k - 1] = bool(cs[refs[k - 1] - 1][i]) and chk
+                                chk = _time_cmp(
+                                    t - lt[k - 2], op, secs
+                                )
+                        ne[k - 1] = flags[refs[k - 1] - 1] and chk
                     for k in range(m):
                         if ne[k]:
                             e[k] = min(e[k], t)

@@ -8792,3 +8792,30 @@ class TestRound10ProbeTranche7:
             "a, multiMatchAnyIndex('hello', ['xx']) AS b, "
             "multiMatchAllIndices('hello', ['h.*', 'xx', 'l+']) AS c"
         ).rows == [[2, 0, [1, 3]]]
+
+
+class TestRound10ReviewFindings4:
+    """Fourth self-review pass (streaming parity + NULL edges):
+    multiMatch index twins and the try-decoders propagate NULL
+    input as NULL (invalid non-NULL input keeps its 0/'' contract)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_multi_match_index_null_propagation(self, eng):
+        assert eng.execute(
+            "SELECT multiMatchAnyIndex(NULL, ['a']) AS a, "
+            "multiMatchAllIndices(NULL, ['a']) AS b, "
+            "multiMatchAnyIndex('x', ['y']) AS c"
+        ).rows == [[None, None, 0]]
+
+    def test_try_decoders_null_in_null_out(self, eng):
+        assert eng.execute(
+            "SELECT tryPunycodeDecode(NULL) AS a, "
+            "tryBase58Decode(NULL) AS b, "
+            "tryPunycodeDecode('!!bad??') AS c, "
+            "tryBase58Decode('bad!') AS d"
+        ).rows == [[None, None, "", ""]]

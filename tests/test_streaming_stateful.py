@@ -461,3 +461,51 @@ def test_streaming_sequence_match_pattern_converges(spark, tmp_path):
             ).collect()
         }
         assert final == batch, f"pattern {pat}: {final ^ batch}"
+
+
+def test_streaming_folds_skip_null_timestamps(spark, tmp_path):
+    """NULL timestamps are invisible to the streaming folds, like
+    the batch folds' notnull filter — a NaN entry must not clobber
+    anchors or DP state."""
+    from bighouse_spark.streaming.stateful import (
+        streaming_funnel,
+        streaming_sequence_match,
+    )
+
+    rows = [
+        (1, 100.0, "view"),
+        (1, None, "view"),
+        (1, 150.0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    d = str(tmp_path / "null_ts")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    conds = ["event_type = 'view'", "event_type = 'click'"]
+
+    q = (
+        streaming_funnel(src, conds, 3600.0)
+        .writeStream.format("memory")
+        .queryName("t_null_ts_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql(
+        "SELECT max(level) FROM t_null_ts_funnel"
+    ).collect()[0][0] == 2
+
+    src2 = spark.readStream.schema(df.schema).parquet(d)
+    q2 = (
+        streaming_sequence_match(src2, conds, pattern="(?1).*(?2)")
+        .writeStream.format("memory")
+        .queryName("t_null_ts_seq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql(
+        "SELECT max(matched) FROM t_null_ts_seq"
+    ).collect()[0][0] is True
