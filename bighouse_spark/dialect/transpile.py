@@ -120,7 +120,6 @@ _FUNC_RENAMES = {
     "toStartOfDay": "date_trunc('day', ",  # special form: open paren
     "toStartOfHour": "date_trunc('hour', ",
     "toStartOfMinute": "date_trunc('minute', ",
-    "toStartOfWeek": "date_trunc('week', ",  # both Monday-based
     "toStartOfMonth": "date_trunc('month', ",
     "toStartOfQuarter": "date_trunc('quarter', ",
     "toStartOfYear": "date_trunc('year', ",
@@ -2499,6 +2498,25 @@ def _to_start_of_week_mode(a: list[str]) -> str:
     )
 
 
+def _guard_prob(fn: str, p: str) -> str:
+    """Clamp a probability argument to the OPEN interval (0, 1):
+    a literal outside it refuses at transpile time with CH's clear
+    argument error; a column/expression gets a runtime raise_error
+    guard instead of the opaque ANSI overflow the degenerate
+    ln(1-p) values would otherwise produce (ADVICE r10)."""
+    msg = f"{fn}: probability must be in the open interval (0, 1)"
+    try:
+        val = float(p.strip())
+    except ValueError:
+        return (
+            f"IF(({p}) > 0 AND ({p}) < 1, {p}, "
+            f"CAST(raise_error('{msg}') AS DOUBLE))"
+        )
+    if not 0.0 < val < 1.0:
+        raise ValueError(msg)
+    return p
+
+
 def _trials(n: str) -> str:
     """1..n as an array that is EMPTY for n ≤ 0 (Spark's
     sequence(1, 0) descends instead)."""
@@ -2521,14 +2539,20 @@ def _agg_matrix(fn: str, a: list[str]) -> str:
 
 
 def _url_hierarchy_expr(u: str) -> str:
-    """CH URLHierarchy(url): scheme://host, then each added path
-    segment — shared by the URLHierarchy spelling and URLHash(u, N)."""
+    """CH URLHierarchy(url): the hierarchy STARTS at the bare
+    scheme://host level (ADVICE r10 — URLHash(u, 0) hashes the host
+    level), then adds one path segment per element. The 1..n segment
+    sequence goes through _trials so a path-less URL yields just the
+    host element (bare sequence(1, 0) would descend)."""
+    host = f"regexp_replace({u}, '(//[^/]+).*$', '$1')"
+    segs = (
+        f"filter(split(parse_url({u}, 'PATH'), '/'), __s -> __s != '')"
+    )
     return (
-        f"transform(sequence(1, size(filter(split("
-        f"parse_url({u}, 'PATH'), '/'), __s -> __s != ''))), "
-        f"__i -> concat(regexp_replace({u}, '(//[^/]+).*$', '$1'), "
-        f"'/', array_join(slice(filter(split(parse_url({u}, "
-        f"'PATH'), '/'), __s -> __s != ''), 1, __i), '/')))"
+        f"concat(array({host}), "
+        f"transform({_trials(f'size({segs})')}, "
+        f"__i -> concat({host}, "
+        f"'/', array_join(slice({segs}, 1, __i), '/'))))"
     )
 
 
@@ -4554,11 +4578,15 @@ _ARG_REWRITES: dict = {
         f"(__a, __i) -> __a + IF(rand() < ({a[1]}), 1, 0))"
     ),
     # randNegativeBinomial: failures before the r-th success — sum
-    # of r geometric draws floor(ln U / ln(1−p)).
+    # of r geometric draws floor(ln U / ln(1−p)). p is guarded to
+    # (0, 1): p=0 divides by ln(1)=0 and p=1 takes ln(0), both of
+    # which would surface as an opaque ANSI cast/divide error where
+    # CH raises a clear argument error (ADVICE r10).
     "randNegativeBinomial": lambda a: (
         f"aggregate({_trials(a[0])}, 0L, "
         f"(__a, __i) -> __a + CAST(floor(ln(rand()) / "
-        f"ln(1 - ({a[1]}))) AS BIGINT))"
+        f"ln(1 - ({_guard_prob('randNegativeBinomial', a[1])}))) "
+        f"AS BIGINT))"
     ),
     # randPoisson: Knuth's product-of-uniforms walk, capped at
     # λ + 20√λ + 20 steps (≈20σ beyond the mean); the finish clamps
@@ -4593,13 +4621,14 @@ _ARG_REWRITES: dict = {
     "randLogNormal": lambda a: (
         f"exp(({a[0]}) + ({a[1]}) * randn())"
     ),
-    # toStartOfWeek(d[, mode[, timezone]]): the bare form is the
-    # Monday-based date_trunc CAST to Date (CH returns Date); EVEN
-    # modes are Sunday-first, ODD Monday-first (the CH/MySQL
+    # toStartOfWeek(d[, mode[, timezone]]): CH's default mode is 0
+    # (Sunday-first), so the bare form routes through the mode table
+    # with mode 0 — bare and explicit-default now agree (ADVICE r10).
+    # EVEN modes are Sunday-first, ODD Monday-first (the CH/MySQL
     # week-mode table). A timezone shifts a TIMESTAMP to that
     # zone's wall time first (a pure Date is not shifted).
     "toStartOfWeek": lambda a: (
-        f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+        _to_start_of_week_mode([a[0], "0"])
         if len(a) == 1
         else _to_start_of_week_mode(a)
     ),
@@ -5646,14 +5675,16 @@ _ARG_REWRITES.update({
         f"pmod(xxhash64(CAST({a[0]} AS BIGINT)), 4294967296)"
     ),
     # URLHash normalizes by trimming ONE trailing /, ? or # before
-    # hashing; the 2-arg form hashes the N-th URL-hierarchy prefix.
+    # hashing; the 2-arg form hashes level N of the URL hierarchy,
+    # where level 0 is the bare scheme://host (hierarchy element 1 —
+    # ADVICE r10 closed the one-level shift and the N=0 crash).
     "URLHash": lambda a: (
         f"xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))"
         if len(a) == 1
         else (
             f"xxhash64(regexp_replace(try_element_at("
             + _url_hierarchy_expr(a[0])
-            + f", CAST({a[1]} AS INT)), '[/?#]$', ''))"
+            + f", CAST({a[1]} AS INT) + 1), '[/?#]$', ''))"
         )
     ),
     "murmurHash3_64": lambda a: f"xxhash64({', '.join(a)})",

@@ -1727,14 +1727,14 @@ h AS (
   FROM params
 )
 SELECT h.p AS p,
-       CASE
+       round(CASE
          WHEN h.hr < 1 THEN (SELECT v FROM ranked WHERE rn = 1)
          WHEN h.hr >= h.n THEN (SELECT v FROM ranked WHERE rn = h.n)
          ELSE (SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT))
               + (h.hr - FLOOR(h.hr)) *
                 ((SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT) + 1)
                  - (SELECT v FROM ranked WHERE rn = CAST(FLOOR(h.hr) AS INT)))
-       END AS q
+       END, 6) AS q
 FROM h ORDER BY p
 """,
 )
@@ -1749,9 +1749,12 @@ def dialect_quantile_exclusive_roundtrip(spark, sf_dir):
         FROM __dq_events_qex
         """,
     )
+    # round() collapses the ~2-ULP interpolation-order noise between
+    # the Spark fold and the DuckDB relational recomputation — the
+    # driver's typed value-hash has no float tolerance.
     return out.selectExpr(
         "explode(arrays_zip(array(0.25D, 0.5D, 0.9D), qs)) AS z"
-    ).selectExpr("z.`0` AS p", "z.qs AS q")
+    ).selectExpr("z.`0` AS p", "round(z.qs, 6) AS q")
 
 
 # toStartOfWeek week modes (round-10): even modes Sunday-first, odd

@@ -49,85 +49,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-11 ROTATION CANDIDATES: the round-10 oracle-backed additions
-# land first (dialect_sparkbar_roundtrip, dialect_bitmap_roundtrip,
-# dialect_quantile_exclusive_roundtrip, dialect_week_modes_roundtrip
-# — all shipped with green local oracle rows), then the remaining 25
-# r7-era names not refreshed in the
-# r10 fill (alphabetically from dialect_remote_roundtrip onward:
-# dialect_remote_roundtrip, dialect_topk_roundtrip,
-# dialect_tuple_in_roundtrip, dialect_week_format_roundtrip,
-# dialect_with_fill_roundtrip, distinct_projection,
-# embedding_quantize_int8, embedding_random_projection,
-# explode_word_freq, having_filter, json_extract_props,
-# multimodal_features, multimodal_frame_sample, null_handling,
-# pipeline_training_corpus, range_join_conversions, scalar_subquery,
-# select_star, sequence_count_view_purchase, text_bigram_fluency,
-# text_fingerprints, text_gopher_rules, text_language_id,
-# text_quality_scores, text_token_stats), then oldest-green (r8-era)
+# ROUND-12 ROTATION CANDIDATES: any round-11 oracle-backed additions
+# land first, then the remaining 29 r8-era names not refreshed in the
+# r11 fill (alphabetically from dialect_summap_roundtrip onward:
+# dialect_summap_roundtrip, dialect_tukey_outliers_roundtrip,
+# dialect_with_fill_interpolate_roundtrip, filter_eq,
+# funnel_window_3step, grouping_sets, join_anti, join_left_outer,
+# join_semi, like_filters, order_limit, percentile_approx_check,
+# retention_cohort, rollup_agg, sequence_match_view_purchase,
+# set_except, set_intersect, set_union, set_union_all,
+# sink_roundtrip_ordered, sink_roundtrip_zorder,
+# table_partition_pruning, text_bm25_rank, text_keyword_search,
+# text_pii_redact, text_repetition_scores, text_tfidf_topk,
+# tpch_q14_promo_revenue, uniq_exact), then oldest-green (r9-era)
 # fills to 50.
 #
-# ROUND-10 WINDOW (50 names, ALL oracle-bearing). Composition per the
-# r9 staging comment (VERDICT r9 Next #1):
-#    5 round-9 oracle-backed behavioral additions, first driver check
-#   21 r6-era names not refreshed in the r9 fill (the whole remaining
-#      r6 cohort — last green in CORRECTNESS_r06)
-#   24 oldest-green fills: first 24 of the 49 r7-era names
-#      (alphabetical; the remaining 25 rotate r11)
+# ROUND-11 WINDOW (50 names, ALL oracle-bearing). Composition per the
+# r10 staging comment (VERDICT r10 Next #1):
+#    4 round-10 oracle-backed additions, first driver check
+#   25 r7-era names not refreshed in the r10 fill (the whole
+#      remaining r7 cohort — last green in CORRECTNESS_r07)
+#   21 oldest-green fills: first 21 of the 50 r8-era names
+#      (alphabetical; the remaining 29 rotate r12)
 DRIVER_WINDOW = {
-    # -- round-9 behavioral additions, first driver check (5) --
-    "dialect_seqcount_adjacent_roundtrip",
-    "dialect_seqmatch_adjacent_roundtrip",
-    "dialect_seqmatch_time_roundtrip",
-    "dialect_windowfunnel_dedup_roundtrip",
-    "dialect_windowfunnel_strict_roundtrip",
-    # -- r6-era names not refreshed since CORRECTNESS_r06 (21) --
-    "scalar_functions",
-    "string_functions",
-    "sum_group_by",
-    "text_boilerplate_lines",
-    "text_c4_filters",
-    "text_html_extract",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_relation",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_stock",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "unpivot_measures",
-    # -- oldest-green fills: r7 era, first 24 alphabetically (24) --
-    "agg_collect_sorted",
-    "agg_conditional",
-    "agg_correlation",
-    "agg_distinct_multi",
-    "agg_ema_check",
-    "agg_entropy",
-    "agg_histogram",
-    "agg_weighted_median",
-    "ann_ivf_full_probe",
-    "case_when_agg",
-    "checksum_invariance",
-    "cluster_assign_topics",
-    "cross_join_matrix",
-    "cube_agg",
-    "dedup_cross_corpus_lsh",
-    "dedup_minhash_lsh",
-    "dedup_semantic_within_cluster",
-    "dialect_agg_roundtrip",
-    "dialect_array_join_roundtrip",
-    "dialect_asof_roundtrip",
-    "dialect_cast_types_roundtrip",
-    "dialect_limit_by_roundtrip",
-    "dialect_limit_ties_roundtrip",
-    "dialect_relative_num_roundtrip",
+    # -- round-10 oracle-backed additions, first driver check (4) --
+    "dialect_bitmap_roundtrip",
+    "dialect_quantile_exclusive_roundtrip",
+    "dialect_sparkbar_roundtrip",
+    "dialect_week_modes_roundtrip",
+    # -- r7-era names not refreshed since CORRECTNESS_r07 (25) --
+    "dialect_remote_roundtrip",
+    "dialect_topk_roundtrip",
+    "dialect_tuple_in_roundtrip",
+    "dialect_week_format_roundtrip",
+    "dialect_with_fill_roundtrip",
+    "distinct_projection",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "explode_word_freq",
+    "having_filter",
+    "json_extract_props",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "null_handling",
+    "pipeline_training_corpus",
+    "range_join_conversions",
+    "scalar_subquery",
+    "select_star",
+    "sequence_count_view_purchase",
+    "text_bigram_fluency",
+    "text_fingerprints",
+    "text_gopher_rules",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    # -- oldest-green fills: r8 era, first 21 alphabetically (21) --
+    "agg_argmax_argmin",
+    "agg_percentiles",
+    "agg_stats_moments",
+    "ann_pq_recall",
+    "checksum_md5",
+    "count_by_file",
+    "count_plus_two",
+    "count_star",
+    "dedup_minhash_clusters",
+    "dialect_anova_roundtrip",
+    "dialect_bytesize_tuple_roundtrip",
+    "dialect_cramers_roundtrip",
+    "dialect_deltasumts_roundtrip",
+    "dialect_entropy_roundtrip",
+    "dialect_format_reinterpret_roundtrip",
+    "dialect_intervalsweep_roundtrip",
+    "dialect_ks_test_roundtrip",
+    "dialect_mwu_roundtrip",
+    "dialect_rankcorr_roundtrip",
+    "dialect_stacked_combinators_roundtrip",
+    "dialect_sumargminmax_roundtrip",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -3821,7 +3821,7 @@ class TestRound5ProbeTranche7:
         assert r.rows == [[
             "q=1#f", "https://x.com/a", "https://x.com/a",
             "a b+c", "a b", "a%20b",
-            ["https://x.com/a", "https://x.com/a/b"],
+            ["https://x.com", "https://x.com/a", "https://x.com/a/b"],
             ["/a", "/a/b"],
         ]]
 
@@ -8259,14 +8259,19 @@ class TestRound10ProbeTranche2:
         assert r[0] is not None and r[2] is True
 
     def test_url_hash(self, eng):
-        # trailing /?# trimmed before hashing; level form hashes the
-        # N-th hierarchy prefix
+        # trailing /?# trimmed before hashing; level N hashes the
+        # hierarchy prefix where level 0 is the bare scheme://host
+        # (ADVICE r10)
         assert eng.execute(
             "SELECT URLHash('http://x.com/a/') = "
             "URLHash('http://x.com/a') AS a, "
             "URLHash('http://x.com/a/b', 1) = "
-            "URLHash('http://x.com/a/') AS b"
-        ).rows == [[True, True]]
+            "URLHash('http://x.com/a/') AS b, "
+            "URLHash('http://x.com/a/b', 0) = "
+            "URLHash('http://x.com') AS c, "
+            "URLHash('http://x.com', 0) = "
+            "URLHash('http://x.com/') AS d"
+        ).rows == [[True, True, True, True]]
 
     def test_current_schemas_connection_id(self, eng):
         assert eng.execute(
@@ -8529,6 +8534,30 @@ class TestRandDistributions:
         ).rows
         assert r == [[True]]
 
+    def test_negative_binomial_degenerate_p_refuses(self, eng):
+        # p=0 would divide by ln(1)=0, p=1 takes ln(0) — both used
+        # to surface as an opaque ANSI cast overflow; CH raises a
+        # clear argument error (ADVICE r10).
+        for bad in ("0", "1", "0.0", "1.0", "-0.5", "2"):
+            with pytest.raises(ValueError, match="open interval"):
+                transpile(f"SELECT randNegativeBinomial(3, {bad})")
+
+    def test_negative_binomial_column_p_guarded(self, eng):
+        # Non-literal p gets the runtime guard: valid values draw,
+        # degenerate values raise the guided message.
+        r = eng.execute(
+            "SELECT min(nb) >= 0 AS ok FROM (SELECT "
+            "randNegativeBinomial(2, number / 10) AS nb FROM "
+            "(SELECT number + 1 AS number FROM system.numbers "
+            "LIMIT 8))"
+        ).rows
+        assert r == [[True]]
+        with pytest.raises(Exception, match="open interval"):
+            eng.execute(
+                "SELECT randNegativeBinomial(2, number) AS nb FROM "
+                "(SELECT number FROM system.numbers LIMIT 2)"
+            )
+
 
 class TestToStartOfWeekModes:
     """toStartOfWeek(d, mode): CH week modes 0/2 Sunday-first, 1/3
@@ -8552,11 +8581,19 @@ class TestToStartOfWeekModes:
         ]
 
     def test_bare_form_returns_date(self, eng):
-        # CH returns Date; the third review pass aligned the bare
-        # form with the mode forms
+        # CH returns Date and the default mode is 0 (Sunday-first),
+        # so the bare form must agree with toStartOfWeek(d, 0)
+        # (ADVICE r10): 2024-01-18 is a Thursday → Sunday 01-14.
         assert str(eng.execute(
             "SELECT toStartOfWeek(toDate('2024-01-18')) AS r"
-        ).rows[0][0]) == "2024-01-15"
+        ).rows[0][0]) == "2024-01-14"
+
+    def test_bare_form_equals_mode_zero(self, eng):
+        row = eng.execute(
+            "SELECT toStartOfWeek(toDate('2024-01-14')) AS bare, "
+            "toStartOfWeek(toDate('2024-01-14'), 0) AS m0"
+        ).rows[0]
+        assert str(row[0]) == str(row[1]) == "2024-01-14"
 
 
 class TestRound10ProbeTranche3:
