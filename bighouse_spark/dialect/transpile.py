@@ -2498,6 +2498,17 @@ def _to_start_of_week_mode(a: list[str]) -> str:
     )
 
 
+def _bare_weighted_median(a: list[str]) -> str:
+    """Bare quantileXWeighted(x, w) / medianXWeighted(x, w): CH's
+    default level 0.5 over Spark percentile's frequency argument."""
+    if len(a) != 2:
+        raise ValueError(
+            "weighted quantile takes (column, weight); spell levels "
+            "parametrically: quantileExactWeighted(p)(x, w)"
+        )
+    return f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))"
+
+
 def _guard_prob(fn: str, p: str) -> str:
     """Clamp a probability argument to the OPEN interval (0, 1):
     a literal outside it refuses at transpile time with CH's clear
@@ -5245,6 +5256,62 @@ _ARG_REWRITES.update({
     "quantilesExactExclusive": lambda a: _refuse(
         "quantilesExactExclusive needs its levels parametrically: "
         "quantilesExactExclusive(p1, p2, ...)(x)"
+    ),
+    # Bare (default-level 0.5) forms of the rest of the parametric
+    # quantile family — CH serves every quantileX(x[, w]) at the
+    # median; only the name(levels)(args) shape went through the
+    # parametric rewrite, so these fell to UNRESOLVED_ROUTINE
+    # (round-11 sweep of the CH 23.6 aggregate index).
+    "quantile": lambda a: (
+        f"percentile_approx({a[0]}, 0.5)"
+        if len(a) == 1
+        else _refuse(
+            "quantile takes one argument; spell levels "
+            "parametrically: quantile(p)(x)"
+        )
+    ),
+    "quantileExact": lambda a: (
+        f"percentile({a[0]}, 0.5)"
+        if len(a) == 1
+        else _refuse(
+            "quantileExact takes one argument; spell levels "
+            "parametrically: quantileExact(p)(x)"
+        )
+    ),
+    "quantileExactLow": lambda a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(floor(0.5 * (count({a[0]}) - 1)) AS INT) + 1)"
+    ),
+    "quantileExactHigh": lambda a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(ceil(0.5 * (count({a[0]}) - 1)) AS INT) + 1)"
+    ),
+    "quantileTiming": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "quantileTDigest": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    "quantileBFloat16": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # Bare weighted forms: Spark percentile's frequency argument.
+    "quantileExactWeighted": _bare_weighted_median,
+    "quantileInterpolatedWeighted": _bare_weighted_median,
+    "quantileTimingWeighted": _bare_weighted_median,
+    "quantileTDigestWeighted": _bare_weighted_median,
+    "quantileBFloat16Weighted": _bare_weighted_median,
+    "medianExactWeighted": _bare_weighted_median,
+    "medianInterpolatedWeighted": _bare_weighted_median,
+    "medianTimingWeighted": _bare_weighted_median,
+    "medianTDigestWeighted": _bare_weighted_median,
+    "medianBFloat16Weighted": _bare_weighted_median,
+    # medianDeterministic(x, determinator): the determinator only
+    # seeds CH's reservoir sampling — this engine is deterministic.
+    "medianDeterministic": lambda a: (
+        f"percentile_approx({a[0]}, 0.5)"
+    ),
+    "quantiles": lambda a: _refuse(
+        "quantiles needs its levels parametrically: "
+        "quantiles(p1, p2, ...)(x)"
+    ),
+    "quantilesExact": lambda a: _refuse(
+        "quantilesExact needs its levels parametrically: "
+        "quantilesExact(p1, p2, ...)(x)"
     ),
     "translateUTF8": lambda a: f"translate({', '.join(a)})",
     "regexpExtract": lambda a: f"regexp_extract({', '.join(a)})",
@@ -9126,6 +9193,18 @@ def _rewrite_parametric(sql: str) -> str:
                 break
             start, end, params = call
             if end >= len(out) or out[end] != "(":
+                # Bare quantileDeterministic(x, determinator) is
+                # valid CH (default level 0.5); the plural form has
+                # no bare spelling.
+                if det_name == "quantileDeterministic" and (
+                    len(params) == 2
+                ):
+                    out = (
+                        out[:start]
+                        + f"{plain}(0.5)({params[0]})"
+                        + out[end:]
+                    )
+                    continue
                 raise ValueError(
                     f"{det_name}(levels) must be followed by "
                     "(column, determinator)"
@@ -9182,6 +9261,28 @@ def _rewrite_parametric(sql: str) -> str:
             f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
         )),
         # Weighted quantiles → Spark percentile's frequency argument.
+        # Plural (multi-level) forms FIRST: their names embed the
+        # singular spellings, and the table scans in order.
+        ("quantilesExactWeighted", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantilesInterpolatedWeighted", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantilesTimingWeighted", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantilesTDigestWeighted", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantilesBFloat16Weighted", lambda p, a: (
+            f"percentile({a[0]}, array({', '.join(p)}), "
+            f"CAST({a[1]} AS BIGINT))"
+        )),
         ("quantileExactWeighted", lambda p, a: (
             f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
         )),
@@ -9189,6 +9290,12 @@ def _rewrite_parametric(sql: str) -> str:
             f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
         )),
         ("quantileTimingWeighted", lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantileTDigestWeighted", lambda p, a: (
+            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+        )),
+        ("quantileBFloat16Weighted", lambda p, a: (
             f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
         )),
         # Exact discrete quantiles: lower/upper element of the sorted
@@ -9318,6 +9425,16 @@ def _rewrite_parametric(sql: str) -> str:
         ("avgResample", _resample_builder("avg")),
         ("minResample", _resample_builder("min")),
         ("maxResample", _resample_builder("max")),
+        # -WithOverflow keeps CH's wrapping value type; Spark's ANSI
+        # sum raises on overflow instead, so both spell identically
+        # (the sumMapWithOverflow precedent).
+        ("sumMapFilteredWithOverflow", lambda p, a: _map_agg_fold(
+            [
+                f"map_filter({a[0]}, (__k, __v) -> "
+                f"array_contains({p[0]}, __k))"
+            ],
+            "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)",
+        )),
         ("sumMapFiltered", lambda p, a: _map_agg_fold(
             [
                 f"map_filter({a[0]}, (__k, __v) -> "
@@ -9396,6 +9513,22 @@ def _rewrite_parametric(sql: str) -> str:
             "flameGraph",
             "flameGraph() consumes profiler trace samples, which this "
             "engine does not collect",
+        ),
+        (
+            "stochasticLinearRegression",
+            "stochasticLinearRegression() (SGD-fitted linear model "
+            "state) is not served: iterative model fitting belongs "
+            "in Spark MLlib (pyspark.ml.regression.LinearRegression);"
+            " for a closed-form single-feature fit use "
+            "simpleLinearRegression(x, y), which is served",
+        ),
+        (
+            "stochasticLogisticRegression",
+            "stochasticLogisticRegression() (SGD-fitted logistic "
+            "model state) is not served: iterative model fitting "
+            "belongs in Spark MLlib (pyspark.ml.classification."
+            "LogisticRegression); simpleLinearRegression(x, y) "
+            "covers the closed-form linear case",
         ),
     ):
         if _find_call(out, refuse_name) is not None:

@@ -8856,3 +8856,97 @@ class TestRound10ReviewFindings4:
             "tryPunycodeDecode('!!bad??') AS c, "
             "tryBase58Decode('bad!') AS d"
         ).rows == [[None, None, "", ""]]
+
+
+class TestRound11QuantileFamilySweep:
+    """Round-11 sweep of the CH 23.6 aggregate index: bare
+    (default-level 0.5) forms of the parametric quantile family fell
+    to UNRESOLVED_ROUTINE; the weighted TDigest/BFloat16 and plural
+    weighted variants hit the generic parametric guard; and the
+    stochastic-regression aggregates get NAMED refusals pointing at
+    Spark MLlib (VERDICT r10 Next #3)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    N = "(SELECT number FROM system.numbers LIMIT 101)"
+
+    def test_bare_quantile_family_is_median(self, eng):
+        r = eng.execute(
+            "SELECT quantile(number) AS a, quantileExact(number) AS "
+            "b, quantileExactLow(number) AS c, quantileExactHigh("
+            "number) AS d, quantileTiming(number) AS e, "
+            "quantileTDigest(number) AS f, quantileBFloat16(number) "
+            f"AS g FROM {self.N}"
+        ).rows[0]
+        assert [float(v) for v in r] == [50.0] * 7
+
+    def test_bare_weighted_forms(self, eng):
+        r = eng.execute(
+            "SELECT quantileExactWeighted(number, 2) AS a, "
+            "quantileInterpolatedWeighted(number, 2) AS b, "
+            "quantileTimingWeighted(number, 2) AS c, "
+            "quantileTDigestWeighted(number, 2) AS d, "
+            "quantileBFloat16Weighted(number, 2) AS e, "
+            "medianExactWeighted(number, 2) AS f, "
+            "medianTimingWeighted(number, 2) AS g, "
+            "medianTDigestWeighted(number, 2) AS h, "
+            "medianBFloat16Weighted(number, 2) AS i, "
+            "medianInterpolatedWeighted(number, 2) AS j "
+            f"FROM {self.N}"
+        ).rows[0]
+        assert [float(v) for v in r] == [50.0] * 10
+
+    def test_deterministic_forms(self, eng):
+        r = eng.execute(
+            "SELECT quantileDeterministic(number, 42) AS a, "
+            "medianDeterministic(number, 42) AS b, "
+            "quantileDeterministic(0.9)(number, 42) AS c "
+            f"FROM {self.N}"
+        ).rows[0]
+        assert [float(v) for v in r] == [50.0, 50.0, 90.0]
+
+    def test_parametric_weighted_graduations(self, eng):
+        r = eng.execute(
+            "SELECT quantileTDigestWeighted(0.9)(number, 2) AS a, "
+            "quantileBFloat16Weighted(0.9)(number, 2) AS b, "
+            "quantilesExactWeighted(0.25, 0.75)(number, 2) AS c, "
+            "quantilesTDigestWeighted(0.25, 0.75)(number, 2) AS d "
+            f"FROM {self.N}"
+        ).rows[0]
+        assert float(r[0]) == 90.0 and float(r[1]) == 90.0
+        assert [float(x) for x in r[2]] == [25.0, 75.0]
+        assert [float(x) for x in r[3]] == [25.0, 75.0]
+
+    def test_sum_map_filtered_with_overflow(self, eng):
+        assert eng.execute(
+            "SELECT sumMapFilteredWithOverflow([1])("
+            "map(1, 10, 2, 20)) AS m FROM (SELECT 1)"
+        ).rows == [[{1: 10}]]
+
+    def test_plural_bare_forms_refuse_with_guidance(self, eng):
+        for fn in ("quantiles", "quantilesExact"):
+            with pytest.raises(ValueError, match="parametrically"):
+                transpile(f"SELECT {fn}(x) FROM t")
+
+    def test_stochastic_regression_named_refusals(self):
+        with pytest.raises(ValueError, match="MLlib"):
+            transpile(
+                "SELECT stochasticLinearRegression(0.1, 0.0, 5, "
+                "'SGD')(y, x) FROM t"
+            )
+        with pytest.raises(ValueError, match="MLlib"):
+            transpile(
+                "SELECT stochasticLogisticRegression(0.1, 0.0, 5, "
+                "'SGD')(y, x) FROM t"
+            )
+
+    def test_quantile_if_combinator_still_flows(self, eng):
+        r = eng.execute(
+            "SELECT quantileIf(number, number < 51) AS q "
+            f"FROM {self.N}"
+        ).rows[0][0]
+        assert float(r) == 25.0
