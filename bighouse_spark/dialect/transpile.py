@@ -393,6 +393,13 @@ _IF_COMBINATOR_BASES = (
     "quantilesExact", "quantiles", "quantile", "topKWeighted", "topK",
     "skewPop", "skewSamp", "kurtPop", "kurtSamp", "anyHeavy",
     "sumKahan", "groupBitmap",
+    # round-11 combinator-intersection sweep: the exclusive-quantile
+    # and remaining bare quantile members compose with -If too.
+    # Plural names FIRST (they embed the singular spellings and the
+    # loop scans in order).
+    "quantilesExactExclusive", "quantileExactExclusive",
+    "quantileExactLow", "quantileExactHigh",
+    "quantileTiming", "quantileBFloat16",
 )
 
 
@@ -1818,8 +1825,12 @@ def _sparkbar_builder(params: list[str], a: list[str]) -> str:
     floor((x − min) · width / (max − min + 1)) — uniform over
     integer-valued x such as toUnixTimestamp/day numbers; glyph
     rounding is ceil(8·s/max), capability-level vs CH 23.6's
-    renderer (deviation listed in COVERAGE.md). x must be numeric —
-    wrap dates in toUnixTimestamp()."""
+    renderer (deviation listed in COVERAGE.md). x may be numeric,
+    Date (bucketed by day number, CH's own unit) or timestamp
+    (epoch seconds): the typeof CASE keeps every arm analysis-valid
+    for every input type via the string hop — a direct
+    CAST(date AS DOUBLE) is an ANSI analysis error even in an
+    unreached branch (round-11 sweep)."""
     if len(params) not in (1, 3):
         raise ValueError(
             "sparkbar(width) or sparkbar(width, min_x, max_x)"
@@ -1838,19 +1849,33 @@ def _sparkbar_builder(params: list[str], a: list[str]) -> str:
     if len(a) != 2:
         raise ValueError("sparkbar(width)(x, y) takes two arguments")
     x, y = a
-    xe = f"CAST({x} AS DOUBLE)"
+
+    def norm_x(e: str) -> str:
+        # unix_date, not datediff: the builder's output flows back
+        # through the dialect rewrites, and datediff() would be
+        # re-parsed as CH's 3-argument dateDiff.
+        return (
+            f"CASE WHEN typeof({e}) = 'date' THEN "
+            f"CAST(unix_date(CAST(CAST({e} AS STRING) AS DATE)) "
+            f"AS DOUBLE) "
+            f"WHEN typeof({e}) LIKE 'timestamp%' THEN "
+            f"CAST(CAST(CAST({e} AS STRING) AS TIMESTAMP) AS DOUBLE) "
+            f"ELSE CAST(CAST({e} AS STRING) AS DOUBLE) END"
+        )
+
+    xe = norm_x(x)
     ye = f"CAST({y} AS DOUBLE)"
     # The implicit window skips rows any of whose ARGUMENTS is NULL
     # (CH aggregates never see them), so a NULL-y row must not
     # stretch min/max either.
     seen_x = f"CASE WHEN ({y}) IS NOT NULL THEN {xe} END"
     mn = (
-        f"CAST({params[1]} AS DOUBLE)"
+        norm_x(params[1])
         if len(params) == 3
         else f"CAST(min({seen_x}) AS DOUBLE)"
     )
     mx = (
-        f"CAST({params[2]} AS DOUBLE)"
+        norm_x(params[2])
         if len(params) == 3
         else f"CAST(max({seen_x}) AS DOUBLE)"
     )
@@ -2336,7 +2361,8 @@ def _rewrite_double_quoted_identifiers(sql: str) -> str:
 
 
 def _quantile_exclusive_expr(
-    x: str, levels: list[str], single: bool = False
+    x: str, levels: list[str], single: bool = False,
+    arrays: bool = False,
 ) -> str:
     """quantile(s)ExactExclusive — the R-6 estimator (Excel
     PERCENTILE.EXC): over the sorted group of size n, rank
@@ -2367,7 +2393,14 @@ def _quantile_exclusive_expr(
         if single
         else "array(" + ", ".join(cell(p) for p in levels) + ")"
     )
-    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    if arrays:
+        collected = (
+            f"flatten(collect_list(transform({x}, "
+            f"__qe -> CAST(__qe AS DOUBLE))))"
+        )
+    else:
+        collected = f"collect_list(CAST({x} AS DOUBLE))"
+    arr = f"array_sort({collected})"
     return (
         f"element_at(transform(array({arr}), __qa -> {body}), 1)"
     )
@@ -5230,6 +5263,48 @@ _ARG_REWRITES.update({
         f"slice(first({a[0]}), 1, 0), "
         f"(__acc, __b) -> array_union(__acc, __b)))"
     ),
+    # bitmap × -State/-Merge (round-11 combinator-intersection
+    # sweep): a bitmap STATE is its array representation (the
+    # bitmapBuild convention), so groupBitmapState is the distinct
+    # collect, the And/Or/Xor states are the folds WITHOUT the
+    # cardinality, and -Merge re-aggregates stored states to the
+    # base aggregate's value (UInt64 cardinality).
+    "groupBitmapState": lambda a: (
+        f"array_sort(collect_set({a[0]}))"
+    ),
+    "groupBitmapMerge": lambda a: (
+        f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
+        f"AS BIGINT)"
+    ),
+    "groupBitmapOrState": lambda a: (
+        f"array_sort(aggregate(collect_list({a[0]}), "
+        f"slice(first({a[0]}), 1, 0), "
+        f"(__acc, __b) -> array_union(__acc, __b)))"
+    ),
+    "groupBitmapAndState": lambda a: (
+        f"array_sort(aggregate(collect_list({a[0]}), first({a[0]}), "
+        f"(__acc, __b) -> array_intersect(__acc, __b)))"
+    ),
+    "groupBitmapOrMerge": lambda a: (
+        f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
+        f"AS BIGINT)"
+    ),
+    "groupBitmapAndMerge": lambda a: (
+        f"CAST(size(aggregate(collect_list({a[0]}), first({a[0]}), "
+        f"(__acc, __b) -> array_intersect(__acc, __b))) AS BIGINT)"
+    ),
+    "groupBitmapXorState": lambda a: (
+        f"array_sort(aggregate(collect_list({a[0]}), "
+        f"slice(first({a[0]}), 1, 0), "
+        f"(__acc, __b) -> array_except(array_union(__acc, __b), "
+        f"array_intersect(__acc, __b))))"
+    ),
+    "groupBitmapXorMerge": lambda a: (
+        f"CAST(size(aggregate(collect_list({a[0]}), "
+        f"slice(first({a[0]}), 1, 0), "
+        f"(__acc, __b) -> array_except(array_union(__acc, __b), "
+        f"array_intersect(__acc, __b)))) AS BIGINT)"
+    ),
     # arrayFold(fn, arr, acc) → aggregate(arr, acc, fn)
     "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
     # arrayPartialSort(k, arr): first k sorted, rest unspecified —
@@ -5256,6 +5331,16 @@ _ARG_REWRITES.update({
     "quantilesExactExclusive": lambda a: _refuse(
         "quantilesExactExclusive needs its levels parametrically: "
         "quantilesExactExclusive(p1, p2, ...)(x)"
+    ),
+    "quantileExactExclusiveArray": lambda a: (
+        _quantile_exclusive_expr(a[0], ["0.5"], single=True,
+                                 arrays=True)
+        if len(a) == 1
+        else _refuse(
+            "quantileExactExclusiveArray takes one array argument; "
+            "spell levels parametrically: "
+            "quantileExactExclusiveArray(p)(arr)"
+        )
     ),
     # Bare (default-level 0.5) forms of the rest of the parametric
     # quantile family — CH serves every quantileX(x[, w]) at the
@@ -9333,6 +9418,12 @@ def _rewrite_parametric(sql: str) -> str:
         # PERCENTILE.EXC): h = (n+1)·p over the sorted group,
         # clamped to the ends — one sorted collect + interpolation
         # (graduated from the round-9 refusals).
+        ("quantilesExactExclusiveArray", lambda p, a: (
+            _quantile_exclusive_expr(a[0], p, arrays=True)
+        )),
+        ("quantileExactExclusiveArray", lambda p, a: (
+            _quantile_exclusive_expr(a[0], p, single=True, arrays=True)
+        )),
         ("quantilesExactExclusive", lambda p, a: (
             _quantile_exclusive_expr(a[0], p)
         )),

@@ -8950,3 +8950,104 @@ class TestRound11QuantileFamilySweep:
             f"FROM {self.N}"
         ).rows[0][0]
         assert float(r) == 25.0
+
+
+class TestRound11CombinatorIntersections:
+    """VERDICT r10 Next #4: the seams where round-10 families meet
+    combinators — bitmap × -State/-Merge, sparkbar over Date x
+    (formerly an ANSI analysis error; ledger #3), and
+    quantileExactExclusive × -If/-Array."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    N = "(SELECT number FROM system.numbers LIMIT 101)"
+
+    def test_group_bitmap_state_merge_rollup(self, eng):
+        # AggregatingMergeTree-style two-level rollup: build per-key
+        # states, merge to the global cardinality.
+        assert eng.execute(
+            "SELECT groupBitmapMerge(st) AS c FROM ("
+            "SELECT groupBitmapState(number) AS st FROM "
+            "(SELECT number FROM system.numbers LIMIT 10) "
+            "GROUP BY number % 2)"
+        ).rows == [[10]]
+
+    def test_group_bitmap_or_and_xor_states(self, eng):
+        r = eng.execute(
+            "SELECT bitmapToArray(groupBitmapOrState(bm)) AS a, "
+            "bitmapToArray(groupBitmapAndState(bm)) AS b, "
+            "bitmapToArray(groupBitmapXorState(bm)) AS c, "
+            "groupBitmapOrMerge(bm) AS d, "
+            "groupBitmapAndMerge(bm) AS e, "
+            "groupBitmapXorMerge(bm) AS f "
+            "FROM (SELECT bitmapBuild([1, 2]) AS bm "
+            "UNION ALL SELECT bitmapBuild([2, 3]))"
+        ).rows[0]
+        assert list(r[0]) == [1, 2, 3]
+        assert list(r[1]) == [2]
+        assert list(r[2]) == [1, 3]
+        assert [r[3], r[4], r[5]] == [3, 1, 2]
+
+    def test_sparkbar_date_x(self, eng):
+        # Date buckets by day number (CH's unit); the explicit
+        # window form accepts Date bounds too.
+        r = eng.execute(
+            "SELECT sparkbar(5)(d, v) AS a, "
+            "sparkbar(5, toDate('2024-01-14'), toDate('2024-01-20'))"
+            "(d, v) AS b FROM ("
+            "SELECT toDate('2024-01-15') AS d, 10 AS v "
+            "UNION ALL SELECT toDate('2024-01-18'), 5)"
+        ).rows[0]
+        assert r[0] == "█  ▄ " and r[1] == "█ ▄  "
+
+    def test_sparkbar_month_granularity(self, eng):
+        # toStartOfMonth composition: month starts bucket by their
+        # epoch seconds; far-apart months land in distinct buckets.
+        r = eng.execute(
+            "SELECT sparkbar(12)(toStartOfMonth(d), v) AS sb FROM ("
+            "SELECT toDate('2024-01-15') AS d, 10 AS v "
+            "UNION ALL SELECT toDate('2024-02-15'), 5 "
+            "UNION ALL SELECT toDate('2024-06-01'), 20)"
+        ).rows[0][0]
+        assert r == "▄ ▂        █"
+
+    def test_sparkbar_numeric_x_unchanged(self, eng):
+        assert eng.execute(
+            f"SELECT sparkbar(4)(number, 1) AS sb FROM {self.N}"
+        ).rows == [["████"]]
+
+    def test_quantile_exact_exclusive_if(self, eng):
+        r = eng.execute(
+            "SELECT quantileExactExclusiveIf(0.5)(number, "
+            "number < 51) AS a, "
+            "quantileExactExclusiveIf(number, number < 51) AS b, "
+            "quantilesExactExclusiveIf(0.25, 0.75)(number, "
+            f"number < 51) AS c FROM {self.N}"
+        ).rows[0]
+        assert float(r[0]) == 25.0 and float(r[1]) == 25.0
+        assert [float(v) for v in r[2]] == [12.0, 38.0]
+
+    def test_quantile_exact_exclusive_array(self, eng):
+        r = eng.execute(
+            "SELECT quantileExactExclusiveArray(0.5)(arr) AS a, "
+            "quantileExactExclusiveArray(arr) AS b, "
+            "quantilesExactExclusiveArray(0.25, 0.75)(arr) AS c "
+            "FROM (SELECT array(1, 2, 3) AS arr "
+            "UNION ALL SELECT array(4, 5))"
+        ).rows[0]
+        assert float(r[0]) == 3.0 and float(r[1]) == 3.0
+        assert [float(v) for v in r[2]] == [1.5, 4.5]
+
+    def test_new_bare_members_compose_with_if(self, eng):
+        r = eng.execute(
+            "SELECT quantileTimingIf(number, number < 51) AS a, "
+            "quantileBFloat16If(number, number < 51) AS b, "
+            "quantileExactLowIf(number, number < 51) AS c, "
+            f"quantileExactHighIf(number, number < 51) AS d "
+            f"FROM {self.N}"
+        ).rows[0]
+        assert [float(v) for v in r] == [25.0, 25.0, 25.0, 25.0]
