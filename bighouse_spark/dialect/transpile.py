@@ -2394,9 +2394,13 @@ def _quantile_exclusive_expr(
         else "array(" + ", ".join(cell(p) for p in levels) + ")"
     )
     if arrays:
+        # filter NULL elements: the row-wise path skips them via
+        # collect_list, and a NULL inside array_sort would land in
+        # the interpolation window.
         collected = (
-            f"flatten(collect_list(transform({x}, "
-            f"__qe -> CAST(__qe AS DOUBLE))))"
+            f"filter(flatten(collect_list(transform({x}, "
+            f"__qe -> CAST(__qe AS DOUBLE)))), "
+            f"__qv -> __qv IS NOT NULL)"
         )
     else:
         collected = f"collect_list(CAST({x} AS DOUBLE))"
@@ -2552,9 +2556,11 @@ def _guard_prob(fn: str, p: str) -> str:
     try:
         val = float(p.strip())
     except ValueError:
+        # NULL p yields NULL like every CH scalar, never the error.
         return (
-            f"IF(({p}) > 0 AND ({p}) < 1, {p}, "
-            f"CAST(raise_error('{msg}') AS DOUBLE))"
+            f"CASE WHEN ({p}) IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN ({p}) > 0 AND ({p}) < 1 THEN {p} "
+            f"ELSE CAST(raise_error('{msg}') AS DOUBLE) END"
         )
     if not 0.0 < val < 1.0:
         raise ValueError(msg)
@@ -2592,11 +2598,15 @@ def _url_hierarchy_expr(u: str) -> str:
     segs = (
         f"filter(split(parse_url({u}, 'PATH'), '/'), __s -> __s != '')"
     )
+    # NULL url → NULL (the host prepend would otherwise yield
+    # array(NULL): size(NULL) is NULL, _trials clamps it to an empty
+    # sequence, and concat would keep the NULL host element).
     return (
+        f"IF(({u}) IS NULL, CAST(NULL AS ARRAY<STRING>), "
         f"concat(array({host}), "
         f"transform({_trials(f'size({segs})')}, "
         f"__i -> concat({host}, "
-        f"'/', array_join(slice({segs}, 1, __i), '/'))))"
+        f"'/', array_join(slice({segs}, 1, __i), '/')))))"
     )
 
 

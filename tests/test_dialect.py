@@ -9051,3 +9051,38 @@ class TestRound11CombinatorIntersections:
             f"FROM {self.N}"
         ).rows[0]
         assert [float(v) for v in r] == [25.0, 25.0, 25.0, 25.0]
+
+
+class TestRound11ReviewPassNulls:
+    """First round-11 self-review: NULL propagation in the day's
+    additions — URLHierarchy(NULL), NULL probability in the guarded
+    rand draw, NULL elements inside exclusive-quantile arrays."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_url_hierarchy_null_and_hostonly(self, eng):
+        r = eng.execute(
+            "SELECT URLHierarchy(CAST(NULL AS STRING)) AS h, "
+            "URLHierarchy('https://x.com') AS e FROM (SELECT 1)"
+        ).rows[0]
+        assert r[0] is None
+        assert list(r[1]) == ["https://x.com"]
+
+    def test_rand_negative_binomial_null_p(self, eng):
+        assert eng.execute(
+            "SELECT randNegativeBinomial(2, CAST(NULL AS DOUBLE)) "
+            "AS a FROM (SELECT 1)"
+        ).rows == [[None]]
+
+    def test_exclusive_array_skips_null_elements(self, eng):
+        # values 1,3,4,5 → R-6 median 3.5 (the NULL is skipped like
+        # the row-wise path's collect_list does)
+        assert float(eng.execute(
+            "SELECT quantileExactExclusiveArray(arr) AS q FROM ("
+            "SELECT array(1, NULL, 3) AS arr "
+            "UNION ALL SELECT array(4, 5))"
+        ).rows[0][0]) == 3.5
