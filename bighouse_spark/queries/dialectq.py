@@ -1788,3 +1788,138 @@ def dialect_week_modes_roundtrip(spark, sf_dir):
         ORDER BY sun_start, mon_start
         """,
     )
+
+
+# Weighted quantiles through the dialect layer (round-11
+# graduations): parametric and bare quantileExactWeighted → Spark
+# percentile's frequency argument; DuckDB recomputes by expanding
+# each row weight-many times (verified value-exact at these levels).
+# round() collapses interpolation-order ULPs (no driver float
+# tolerance).
+@query(
+    "dialect_quantile_weighted_roundtrip",
+    oracle="""
+WITH expanded AS (
+  SELECT l_quantity FROM lineitem CROSS JOIN UNNEST(range(l_linenumber))
+)
+SELECT round(quantile_cont(l_quantity, 0.5), 6) AS m,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+       round(quantile_cont(l_quantity, 0.5), 6) AS bare_m
+FROM expanded
+""",
+)
+def dialect_quantile_weighted_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_li_qw",
+        """
+        SELECT round(quantileExactWeighted(0.5)(l_quantity,
+                   l_linenumber), 6) AS m,
+               round(arrayElement(quantilesExactWeighted(0.25, 0.9)(
+                   l_quantity, l_linenumber), 1), 6) AS q25,
+               round(arrayElement(quantilesExactWeighted(0.25, 0.9)(
+                   l_quantity, l_linenumber), 2), 6) AS q90,
+               round(quantileExactWeighted(l_quantity,
+                   l_linenumber), 6) AS bare_m
+        FROM __dq_li_qw
+        """,
+    )
+
+
+# bitmap × -State/-Merge rollup (round-11): per-type bitmap states,
+# merged to the global cardinality — the AggregatingMergeTree
+# pattern. DuckDB recomputes both levels with count(DISTINCT).
+@query(
+    "dialect_bitmap_state_merge_roundtrip",
+    oracle="""
+WITH per AS (
+  SELECT event_type,
+         count(DISTINCT user_id % 256) AS per_c
+  FROM events GROUP BY event_type
+)
+SELECT (SELECT CAST(count(DISTINCT user_id % 256) AS BIGINT)
+        FROM events) AS merged_c,
+       CAST(sum(per_c) AS BIGINT) AS sum_c,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM per
+""",
+)
+def dialect_bitmap_state_merge_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_bsm",
+        """
+        SELECT groupBitmapMerge(st) AS merged_c,
+               CAST(sum(per_c) AS Int64) AS sum_c,
+               CAST(count() AS Int64) AS n_types
+        FROM (
+          SELECT event_type,
+                 groupBitmapState(user_id % 256) AS st,
+                 CAST(bitmapCardinality(groupBitmapState(
+                     user_id % 256)) AS Int64) AS per_c
+          FROM __dq_events_bsm GROUP BY event_type
+        )
+        """,
+    )
+
+
+# URLHierarchy through the dialect layer (round-11: hierarchy now
+# includes the bare scheme://host level). The oracle rebuilds the
+# three-level hierarchy with plain string concatenation.
+@query(
+    "dialect_url_hierarchy_roundtrip",
+    oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.com' || '|' ||
+       'https://' || source || '.example.com/' || lang || '|' ||
+       'https://' || source || '.example.com/' || lang || '/d' ||
+       CAST(doc_id AS VARCHAR) AS hier
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""",
+)
+def dialect_url_hierarchy_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_url",
+        """
+        SELECT doc_id,
+               arrayStringConcat(URLHierarchy(concat('https://',
+                   source, '.example.com/', lang, '/d',
+                   toString(doc_id))), '|') AS hier
+        FROM __dq_docs_url WHERE doc_id < 200 ORDER BY doc_id
+        """,
+    )
+
+
+# Bare toStartOfWeek == mode 0 (Sunday-first, CH's default — the
+# ADVICE r10 alignment). DuckDB: dayofweek() is 0=Sunday.
+@query(
+    "dialect_week_bare_roundtrip",
+    oracle="""
+SELECT CAST(o_orderdate AS DATE)
+           - CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderdate < '1995-06-01'
+GROUP BY wk ORDER BY wk
+""",
+)
+def dialect_week_bare_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_wb",
+        """
+        SELECT toStartOfWeek(o_orderdate) AS wk,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_wb WHERE o_orderdate < '1995-06-01'
+        GROUP BY wk ORDER BY wk
+        """,
+    )

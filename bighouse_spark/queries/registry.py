@@ -49,8 +49,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-12 ROTATION CANDIDATES: any round-11 oracle-backed additions
-# land first, then the remaining 29 r8-era names not refreshed in the
+# ROUND-12 ROTATION CANDIDATES: the round-11 oracle-backed additions
+# land first (dialect_quantile_weighted_roundtrip,
+# dialect_bitmap_state_merge_roundtrip,
+# dialect_url_hierarchy_roundtrip, dialect_week_bare_roundtrip — all
+# shipped with green local oracle rows, strict driver-grade
+# bit-exact), then the remaining 29 r8-era names not refreshed in the
 # r11 fill (alphabetically from dialect_summap_roundtrip onward:
 # dialect_summap_roundtrip, dialect_tukey_outliers_roundtrip,
 # dialect_with_fill_interpolate_roundtrip, filter_eq,
