@@ -155,7 +155,8 @@ _FUNC_RENAMES = {
     "base64Encode": "base64",
     "arrayStringConcat": "array_join",
     "arrayDistinct": "array_distinct",
-    "arraySort": "sort_array",
+    # arraySort moved to _ARG_REWRITES (round 11): the keyed
+    # arraySort(f, arr[, arr2]) forms need a Schwartzian rewrite.
     "arrayReverse": "reverse",
     "arrayFlatten": "flatten",
     "arraySlice": "slice",
@@ -288,6 +289,14 @@ _WRAP_FUNCS = {
     "maxMerge": ("max(", ")"),
     "countState": ("count(", ")"),
     "countMerge": ("sum(", ")"),
+    # -MergeState (merge partials, re-emit a state): with the
+    # partial-IS-the-value representation above this is exactly the
+    # -Merge fold; uniq's sketch state merges without estimating.
+    "sumMergeState": ("sum(", ")"),
+    "minMergeState": ("min(", ")"),
+    "maxMergeState": ("max(", ")"),
+    "countMergeState": ("sum(", ")"),
+    "uniqMergeState": ("hll_union_agg(", ")"),
     "avgState": (
         "named_struct('sum', sum(CAST(", " AS DOUBLE)), 'count', count(1))"
     ),
@@ -603,10 +612,24 @@ def _rewrite_suffix_combinators(sql: str) -> str:
                             f"{base}({', '.join(params)})({inner_args})"
                         )
                     elif suffix == "OrNull":
-                        repl = (
+                        e = (
                             f"{base}({', '.join(params)})"
                             f"({', '.join(real)})"
                         )
+                        # count-like bases return 0 (not NULL) over
+                        # zero rows; collect-like return array() —
+                        # CH's -OrNull yields NULL for both.
+                        if name.startswith("uniq") or name == (
+                            "groupBitmap"
+                        ):
+                            repl = f"nullif({e}, 0)"
+                        elif name in (
+                            "topK", "topKWeighted", "groupArray",
+                            "groupUniqArray",
+                        ):
+                            repl = f"IF(size({e}) = 0, NULL, {e})"
+                        else:
+                            repl = e
                     else:  # OrDefault
                         if name not in numeric_default:
                             raise ValueError(
@@ -634,6 +657,20 @@ def _rewrite_suffix_combinators(sql: str) -> str:
                         inner = (
                             f"nullif(count({', '.join(args) or '*'}), 0)"
                         )
+                    elif name.startswith("uniq") or name == (
+                        "groupBitmap"
+                    ):
+                        # 0 over zero rows (round-11 fix: uniqOrNull
+                        # returned 0 where CH yields NULL)
+                        inner = (
+                            f"nullif({base}({', '.join(args)}), 0)"
+                        )
+                    elif name in (
+                        "topK", "topKWeighted", "groupArray",
+                        "groupUniqArray",
+                    ):
+                        e = f"{base}({', '.join(args)})"
+                        inner = f"IF(size({e}) = 0, NULL, {e})"
                     else:
                         inner = f"{base}({', '.join(args)})"
                 else:  # OrDefault
@@ -2576,6 +2613,32 @@ def _trials(n: str) -> str:
     )
 
 
+def _array_sort_builder(a: list[str]) -> str:
+    """arraySort([f,] arr[, arr2]) — plain form → sort_array; keyed
+    forms via a Schwartzian (key, index, value) struct sort: one key
+    evaluation per element, stable on equal keys like CH. The
+    two-array form sorts arr1 by f(x1, x2) pairs (CH docs:
+    arraySort((x, y) -> y, ['hello', 'world'], [2, 1]))."""
+    if len(a) == 1:
+        return f"sort_array({a[0]})"
+    if len(a) == 2:
+        ks = f"transform({a[1]}, {a[0]})"
+    elif len(a) == 3:
+        ks = f"zip_with({a[1]}, {a[2]}, {a[0]})"
+    else:
+        raise ValueError(
+            "arraySort/arrayReverseSort(f, arr1[, arr2]): at most "
+            "two key arrays are transpiled"
+        )
+    arr = a[1]
+    pairs = (
+        f"transform({_trials(f'size({arr})')}, __i -> named_struct("
+        f"'k', element_at({ks}, __i), 'i', __i, "
+        f"'v', element_at({arr}, __i)))"
+    )
+    return f"transform(array_sort({pairs}), __s -> __s.v)"
+
+
 def _agg_matrix(fn: str, a: list[str]) -> str:
     """corrMatrix/covar*Matrix(x1..xn) → Array(Array(Float64)): the
     column list is static, so emit n² aggregate cells."""
@@ -3643,6 +3706,33 @@ def _map_agg_fold(a: list[str], merge: str) -> str:
     )
 
 
+def _sum_map_filtered(p: list[str], a: list[str]) -> str:
+    """sumMapFiltered(keys_to_keep)(...): both CH argument shapes —
+    the (keys, values) two-array form (returns the Tuple-of-arrays
+    struct like sumMap) and the Map-column form. The filter runs
+    per row BEFORE the group fold, so dropped keys never enter the
+    aggregate state (round-11 probe fix: the old path fed map_filter
+    an ARRAY for the two-array form and died in analysis)."""
+    merge = "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
+    if len(a) == 2:
+        filtered = (
+            f"map_filter(map_from_arrays({a[0]}, {a[1]}), "
+            f"(__k, __v) -> array_contains({p[0]}, __k))"
+        )
+        inner = _map_agg_fold([filtered], merge)
+        return (
+            f"named_struct('keys', map_keys({inner}), "
+            f"'values', map_values({inner}))"
+        )
+    return _map_agg_fold(
+        [
+            f"map_filter({a[0]}, (__k, __v) -> "
+            f"array_contains({p[0]}, __k))"
+        ],
+        merge,
+    )
+
+
 def _foreach_intersect(x: str) -> str:
     cl = f"collect_list({x})"
     return (
@@ -4590,9 +4680,14 @@ _ARG_REWRITES: dict = {
         f"/ (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else 80})) "
         f"AS INT), 0))"
     ),
-    # avgMerge folds the (sum, count) pairs avgState emits.
+    # avgMerge folds the (sum, count) pairs avgState emits;
+    # avgMergeState folds them back INTO a (sum, count) pair.
     "avgMerge": lambda a: (
         f"(sum(({a[0]}).sum) / sum(({a[0]}).count))"
+    ),
+    "avgMergeState": lambda a: (
+        f"named_struct('sum', sum(({a[0]}).sum), "
+        f"'count', sum(({a[0]}).count))"
     ),
     # CH debug/plumbing no-ops: materialize() defeats CH
     # constant-folding (meaningless under Catalyst — identity);
@@ -7831,13 +7926,9 @@ _ARG_REWRITES.update({
     "arrayReverseSort": lambda a: (
         f"reverse(sort_array({a[0]}))"
         if len(a) == 1
-        else (_ for _ in ()).throw(
-            ValueError(
-                "arrayReverseSort(f, arr): compose reverse("
-                "arraySort(f, arr)) explicitly"
-            )
-        )
+        else f"reverse({_array_sort_builder(a)})"
     ),
+    "arraySort": _array_sort_builder,
     "defaultValueOfTypeName": _default_value_of_type,
     "defaultValueOfArgumentType": lambda a: (_ for _ in ()).throw(
         ValueError(
@@ -8033,6 +8124,133 @@ _ARG_REWRITES.update({
         ValueError(
             "sumResample needs its parameters: sumResample(start, end, step)(...)"
         )
+    ),
+})
+
+
+def _bin_builder(a: list[str]) -> str:
+    """CH bin(): on strings, each BYTE as 8 bits; on integers, the
+    minimal whole-byte width (bin(53) = '00110101', bin(256) =
+    '0000000100000000'). String dispatch is by literal spelling —
+    a string COLUMN needs bin(hex-trick) spelled explicitly since
+    the argument type is unknown at transpile time."""
+    x = a[0].strip()
+    if x.startswith("'"):
+        return (
+            f"array_join(transform(regexp_extract_all(hex({x}), "
+            f"'..', 0), __h -> lpad(conv(__h, 16, 2), 8, '0')), '')"
+        )
+    # conv(n, 10, 2) ≡ Spark bin(n) (incl. the unsigned-64 view of
+    # negatives) but doesn't re-trigger this rewrite.
+    n = f"conv(CAST({x} AS BIGINT), 10, 2)"
+    return f"lpad({n}, CAST(ceil(length({n}) / 8) * 8 AS INT), '0')"
+
+
+def _array_reduce_in_ranges(a: list[str]) -> str:
+    """arrayReduceInRanges('agg', ranges, arr): arrayReduce over
+    slice() per (offset, length) range. Ranges are CH 1-based tuples
+    → Spark structs (col1, col2); slice shares CH's 1-based +
+    negative-offset semantics."""
+    if len(a) != 3:
+        raise ValueError(
+            "arrayReduceInRanges('agg', [(offset, length), ...], arr)"
+        )
+    inner = _array_reduce(
+        [a[0], f"slice({a[2]}, (__r).col1, (__r).col2)"]
+    )
+    return f"transform({a[1]}, __r -> {inner})"
+
+
+# Round-11 probe tranche: the ~310-spelling sweep's graduations —
+# UTF-8 validity, byte-padded bin, URL port, map/array stragglers,
+# IP OrZero/OrNull fills, cutIPv6, raw JSON pairs, timezone
+# introspection, and the tryIdnaEncode error-absorbing variant.
+_ARG_REWRITES.update({
+    # CH returns UInt8; boolean matches this engine's predicate
+    # convention (isIPv4String, hasToken).
+    "isValidUTF8": lambda a: f"is_valid_utf8({a[0]})",
+    "bin": _bin_builder,
+    "makeDate32": lambda a: f"make_date({', '.join(a)})",
+    # Spark columns carry no zone: the session timezone is the only
+    # honest answer (same contract as timezoneOf).
+    "timezone": lambda a: "current_timezone()",
+    "timeZone": lambda a: "current_timezone()",
+    # Offset (seconds east of UTC) of the session zone at the given
+    # instant: to_utc_timestamp shifts by exactly that offset.
+    "timezoneOffset": lambda a: (
+        f"CAST(unix_timestamp({a[0]}) - unix_timestamp("
+        f"to_utc_timestamp({a[0]}, current_timezone())) AS INT)"
+    ),
+    "timeZoneOffset": lambda a: (
+        f"CAST(unix_timestamp({a[0]}) - unix_timestamp("
+        f"to_utc_timestamp({a[0]}, current_timezone())) AS INT)"
+    ),
+    # port(url[, default]): numeric suffix of the authority; CH
+    # defaults to 0 when the URL carries no explicit port.
+    "port": lambda a: (
+        f"CAST(coalesce(nullif(regexp_extract(parse_url({a[0]}, "
+        f"'AUTHORITY'), ':([0-9]+)$', 1), ''), "
+        + (f"CAST({a[1]} AS STRING)" if len(a) > 1 else "'0'")
+        + ") AS INT)"
+    ),
+    # Last 1-based index where the lambda holds, 0 when none — the
+    # arrayFirstIndex mirror via the reversed boolean mask.
+    "arrayLastIndex": lambda a: (
+        f"CAST(coalesce(nullif(size({a[1]}) - array_position("
+        f"reverse(transform({a[1]}, {a[0]})), true) + 1, "
+        f"size({a[1]}) + 1), 0) AS INT)"
+    ),
+    "mapContainsKeyLike": lambda a: (
+        f"exists(map_keys({a[0]}), __k -> __k LIKE {a[1]})"
+    ),
+    "arrayReduceInRanges": _array_reduce_in_ranges,
+    # Raw JSON pairs: Array(Tuple(key, raw-value)) — strings keep
+    # their quotes, objects/arrays come back verbatim (the same
+    # VARIANT round-trip simpleJSONExtractRaw uses), field names
+    # match JSONExtractKeysAndValues' map_entries shape.
+    "JSONExtractKeysAndValuesRaw": lambda a: (
+        f"transform(json_object_keys({a[0]}), __k -> named_struct("
+        f"'key', __k, 'value', coalesce(to_json(variant_get("
+        f"try_parse_json({a[0]}), concat('$.', __k), 'variant')), "
+        f"'')))"
+    ),
+    # '' on un-encodable input, NULL on NULL (the tryPunycodeDecode
+    # pattern — bh_idna_encode is already NULL-on-error).
+    "tryIdnaEncode": lambda a: (
+        f"IF(({a[0]}) IS NULL, CAST(NULL AS STRING), "
+        f"coalesce(bh_idna_encode({a[0]}), ''))"
+    ),
+    # -- IP conversion OrZero/OrNull fills (the Or* family pattern
+    # above; the bare IPv6 UDFs already yield NULL on bad input) --
+    "IPv4StringToNumOrZero": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["IPv4StringToNum"]([a[0]])
+        + ", CAST(0 AS BIGINT))"
+    ),
+    "toIPv4OrZero": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["toIPv4"]([a[0]])
+        + ", '0.0.0.0')"
+    ),
+    "IPv6StringToNumOrNull": lambda a: f"bh_ipv6_ston({a[0]})",
+    "IPv6StringToNumOrZero": lambda a: (
+        f"coalesce(bh_ipv6_ston({a[0]}), "
+        f"X'00000000000000000000000000000000')"
+    ),
+    "toIPv6OrNull": lambda a: f"bh_ipv6_norm({a[0]})",
+    "toIPv6OrZero": lambda a: f"coalesce(bh_ipv6_norm({a[0]}), '::')",
+    # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
+    # trailing bytes — the IPv4 cut width applies to IPv4-mapped
+    # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # repeat() on BINARY degrades to STRING; unhex(repeat('00', n))
+    # keeps the zero-fill binary.
+    "cutIPv6": lambda a: (
+        f"bh_ipv6_ntos(IF(substring({a[0]}, 1, 12) = "
+        f"X'00000000000000000000FFFF', "
+        f"concat(substring({a[0]}, 1, 16 - CAST({a[2]} AS INT)), "
+        f"unhex(repeat('00', CAST({a[2]} AS INT)))), "
+        f"concat(substring({a[0]}, 1, 16 - CAST({a[1]} AS INT)), "
+        f"unhex(repeat('00', CAST({a[1]} AS INT))))))"
     ),
 })
 
@@ -8558,6 +8776,55 @@ def _split_args_top(s: str) -> list[str]:
     return parts
 
 
+_QUOTED_SPAN = re.compile(
+    r"('(?:[^']|'')*'|`[^`]*`|\"(?:[^\"]|\"\")*\")"
+)
+
+_NAN_INF = re.compile(
+    r"(?<![\w.])(nan|inf)(?![\w.(])", re.IGNORECASE
+)
+
+# CH accepts a parenthesized single lambda parameter ((x) -> ...);
+# Spark's grammar requires the bare form for one parameter.
+_PAREN_LAMBDA = re.compile(r"\(\s*([A-Za-z_]\w*)\s*\)\s*->")
+
+
+def _sub_unquoted(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside string /
+    backtick / double-quote spans."""
+    parts = _QUOTED_SPAN.split(sql)
+    return "".join(
+        p if i % 2 else fn(p) for i, p in enumerate(parts)
+    )
+
+
+def _rewrite_token_spellings(sql: str) -> str:
+    """Token-level CH spellings, applied outside quoted spans:
+
+    * bare ``nan`` / ``inf`` Float64 literals → Spark casts. An
+      identifier position right after AS is left alone — a column
+      aliased ``inf`` keeps its name while ``x != inf`` compares
+      against infinity; ``-inf`` works through the unary minus.
+    * ``(x) ->`` single-parameter lambdas → ``x ->`` (CH accepts the
+      parenthesized form; Spark's grammar does not).
+    """
+
+    def repl(m: re.Match) -> str:
+        left = m.string[: m.start()].rstrip()
+        if re.search(r"(?i)(?:^|[^\w.])as$", left):
+            return m.group(0)
+        return (
+            "CAST('NaN' AS DOUBLE)"
+            if m.group(1).lower() == "nan"
+            else "CAST('Infinity' AS DOUBLE)"
+        )
+
+    return _sub_unquoted(
+        sql,
+        lambda p: _PAREN_LAMBDA.sub(r"\1 ->", _NAN_INF.sub(repl, p)),
+    )
+
+
 def _rewrite_ch_misc(sql: str) -> str:
     """CH statement-level spellings with exact Spark equivalents:
 
@@ -8581,7 +8848,7 @@ def _rewrite_ch_misc(sql: str) -> str:
     * scalar ``WITH expr AS name`` aliases inlined (CTE form
       ``WITH name AS (SELECT ...)`` is standard SQL and untouched).
     """
-    out = sql
+    out = _rewrite_token_spellings(sql)
     # -- CAST(x, 'Type') -------------------------------------------
     pos = 0
     while True:
@@ -9529,20 +9796,10 @@ def _rewrite_parametric(sql: str) -> str:
         # -WithOverflow keeps CH's wrapping value type; Spark's ANSI
         # sum raises on overflow instead, so both spell identically
         # (the sumMapWithOverflow precedent).
-        ("sumMapFilteredWithOverflow", lambda p, a: _map_agg_fold(
-            [
-                f"map_filter({a[0]}, (__k, __v) -> "
-                f"array_contains({p[0]}, __k))"
-            ],
-            "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)",
+        ("sumMapFilteredWithOverflow", lambda p, a: (
+            _sum_map_filtered(p, a)
         )),
-        ("sumMapFiltered", lambda p, a: _map_agg_fold(
-            [
-                f"map_filter({a[0]}, (__k, __v) -> "
-                f"array_contains({p[0]}, __k))"
-            ],
-            "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)",
-        )),
+        ("sumMapFiltered", lambda p, a: _sum_map_filtered(p, a)),
     ):
         pos = 0
         while True:
@@ -9865,7 +10122,11 @@ def _topk_weighted_expr(
     freq = (
         f"aggregate(collect_list(named_struct('k', {col}, 'w', "
         f"CAST({weight} AS BIGINT))), "
-        f"map_filter(map(first({col}), cast(0 as bigint)), (k, v) -> false), "
+        # typed-empty seed: slice of the collected values fixes the
+        # key type without map(first(col), ...), whose NULL key threw
+        # on EMPTY groups (round-11 fix)
+        f"map_from_arrays(slice(collect_list({col}), 1, 0), "
+        f"CAST(array() AS ARRAY<BIGINT>)), "
         f"(m, e) -> map_concat(map_filter(m, (k, v) -> k != e.k), "
         f"map(e.k, coalesce(m[e.k], cast(0 as bigint)) + e.w)))"
     )
@@ -9898,7 +10159,10 @@ def _topk_expr(col: str, k: str) -> str:
     is GROUP BY count ORDER BY LIMIT."""
     freq = (
         f"aggregate(collect_list({col}), "
-        f"map_filter(map(first({col}), cast(0 as bigint)), (k, v) -> false), "
+        # typed-empty seed (see _topk_weighted_expr): no NULL map key
+        # on empty groups
+        f"map_from_arrays(slice(collect_list({col}), 1, 0), "
+        f"CAST(array() AS ARRAY<BIGINT>)), "
         f"(m, e) -> map_concat(map_filter(m, (k, v) -> k != e), "
         f"map(e, coalesce(m[e], cast(0 as bigint)) + 1)))"
     )
@@ -10556,6 +10820,33 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = re.sub(
         r"\bINTERVAL\s+(\d+)\s+QUARTERS?\b",
         lambda m: f"INTERVAL {3 * int(m.group(1))} MONTH",
+        out,
+        flags=re.IGNORECASE,
+    )
+    # INTERVAL <expr> UNIT with a NON-literal quantity (CH allows any
+    # expression; Spark's literal grammar does not) → make_dt_interval
+    # / make_ym_interval. Conservative expr shapes: identifier chains,
+    # one function call, or a parenthesized group. NOTE the day-time
+    # results are DayTimeIntervalType, so date + INTERVAL col DAY
+    # widens to TIMESTAMP (CH keeps Date) — cast back if needed.
+    def _interval_expr(m: re.Match) -> str:
+        e, unit = m.group(1), m.group(2).upper()
+        return {
+            "SECOND": f"make_dt_interval(0, 0, 0, CAST({e} AS DOUBLE))",
+            "MINUTE": f"make_dt_interval(0, 0, CAST({e} AS INT))",
+            "HOUR": f"make_dt_interval(0, CAST({e} AS INT))",
+            "DAY": f"make_dt_interval(CAST({e} AS INT))",
+            "WEEK": f"make_dt_interval(CAST(({e}) * 7 AS INT))",
+            "MONTH": f"make_ym_interval(0, CAST({e} AS INT))",
+            "QUARTER": f"make_ym_interval(0, CAST(({e}) * 3 AS INT))",
+            "YEAR": f"make_ym_interval(CAST({e} AS INT))",
+        }[unit]
+
+    out = re.sub(
+        r"\bINTERVAL\s+((?!\d)(?:[A-Za-z_][\w.]*\s*\([^()]*\)"
+        r"|[A-Za-z_][\w.]*|\([^()]*\)))\s+"
+        r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\b",
+        _interval_expr,
         out,
         flags=re.IGNORECASE,
     )

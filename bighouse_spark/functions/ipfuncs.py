@@ -17,6 +17,28 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def _fmt6(addr):
+    """CH-style rendering: IPv4-mapped addresses keep the dotted
+    quad ('::ffff:1.2.3.4'); Python's str() would hex-group them
+    ('::ffff:102:304')."""
+    v4 = addr.ipv4_mapped
+    if v4 is not None:
+        return "::ffff:" + str(v4)
+    return str(addr)
+
+
+def _ipv4_mapped(x):
+    """Dotted-quad → IPv4-mapped IPv6, None otherwise. The fallback
+    must VALIDATE the quad first: '::ffff:' + an arbitrary token can
+    itself be a legal IPv6 spelling ('bad' is hex group 0x0bad), so
+    the bare concat silently accepted junk (round-11 probe fix)."""
+    try:
+        v4 = ipaddress.IPv4Address(x)
+    except Exception:
+        return None
+    return ipaddress.IPv6Address("::ffff:" + str(v4))
+
+
 @pandas_udf("binary")
 def bh_ipv6_ston(s: pd.Series) -> pd.Series:
     def conv(x):
@@ -25,10 +47,8 @@ def bh_ipv6_ston(s: pd.Series) -> pd.Series:
         try:
             return ipaddress.IPv6Address(x).packed
         except Exception:
-            try:  # CH accepts dotted IPv4 → IPv4-mapped IPv6
-                return ipaddress.IPv6Address("::ffff:" + x).packed
-            except Exception:
-                return None
+            mapped = _ipv4_mapped(x)  # CH accepts dotted IPv4
+            return mapped.packed if mapped is not None else None
 
     return s.map(conv)
 
@@ -39,7 +59,7 @@ def bh_ipv6_ntos(b: pd.Series) -> pd.Series:
         if x is None:
             return None
         try:
-            return str(ipaddress.IPv6Address(bytes(x)))
+            return _fmt6(ipaddress.IPv6Address(bytes(x)))
         except Exception:
             return None
 
@@ -52,9 +72,10 @@ def bh_ipv6_norm(s: pd.Series) -> pd.Series:
         if x is None:
             return None
         try:
-            return str(ipaddress.IPv6Address(x))
+            return _fmt6(ipaddress.IPv6Address(x))
         except Exception:
-            return None
+            mapped = _ipv4_mapped(x)  # CH toIPv6 accepts dotted IPv4
+            return _fmt6(mapped) if mapped is not None else None
 
     return s.map(conv)
 

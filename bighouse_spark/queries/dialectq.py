@@ -1923,3 +1923,144 @@ def dialect_week_bare_roundtrip(spark, sf_dir):
         GROUP BY wk ORDER BY wk
         """,
     )
+
+
+# -OrNull combinators + empty-global-aggregate semantics (round-11
+# fix: uniq/groupArray families returned 0/[] over zero rows where
+# CH yields NULL). The filtered global aggregate produces the empty
+# group; the unfiltered arm proves values are untouched.
+@query(
+    "dialect_or_null_combinators_roundtrip",
+    oracle="""
+SELECT CASE WHEN count(user_id) = 0
+            THEN NULL ELSE count(DISTINCT user_id) END AS u_empty,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE CAST(count(*) AS BIGINT) END AS c_empty,
+       (SELECT count(DISTINCT event_type) FROM events) AS u_full,
+       (SELECT CAST(max(user_id) AS BIGINT) FROM events) AS m_full
+FROM events WHERE value < -1
+""",
+)
+def dialect_or_null_combinators_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_orn",
+        """
+        SELECT uniqExactOrNull(user_id) AS u_empty,
+               countOrNull() AS c_empty,
+               (SELECT uniqExactOrNull(event_type)
+                FROM __dq_events_orn) AS u_full,
+               (SELECT CAST(maxOrNull(user_id) AS Int64)
+                FROM __dq_events_orn) AS m_full
+        FROM __dq_events_orn WHERE value < -1
+        """,
+    )
+
+
+# Keyed arraySort (the round-11 Schwartzian rewrite) + the
+# parenthesized single-param lambda spelling: sort each document's
+# first tokens by (length, value). DuckDB recomputes with
+# unnest + array_agg(ORDER BY).
+@query(
+    "dialect_array_sort_lambda_roundtrip",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')[1:5]) AS w
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       array_agg(w ORDER BY length(w), w) AS sorted_words
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dialect_array_sort_lambda_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_sortl",
+        """
+        SELECT doc_id,
+               arraySort((w) -> (length(w), w),
+                         arraySlice(splitByChar(' ', text), 1, 5))
+                   AS sorted_words
+        FROM __dq_docs_sortl WHERE doc_id < 300 ORDER BY doc_id
+        """,
+    )
+
+
+# INTERVAL <expr> UNIT with a column quantity (round-11: Spark's
+# grammar only takes literals) — ship dates pushed by a per-order
+# day count, monthly buckets by a computed month offset.
+@query(
+    "dialect_interval_expr_roundtrip",
+    oracle="""
+SELECT CAST(CAST(o_orderdate AS DATE)
+           + CAST(CAST(o_orderkey % 30 AS INT) AS BIGINT)
+           * INTERVAL 1 DAY AS DATE) AS shifted,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderdate < '1995-06-01'
+GROUP BY shifted ORDER BY shifted
+""",
+)
+def dialect_interval_expr_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_iv",
+        """
+        SELECT CAST(o_orderdate + INTERVAL (o_orderkey % 30) DAY
+                    AS Date) AS shifted,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_iv WHERE o_orderdate < '1995-06-01'
+        GROUP BY shifted ORDER BY shifted
+        """,
+    )
+
+
+# AggregatingMergeTree three-level fold: -State per type, -MergeState
+# re-rolled by a coarser key, -Merge to finals — the materialized-
+# view compaction pattern, for sum and uniq lanes at once.
+@query(
+    "dialect_merge_state_roundtrip",
+    oracle="""
+WITH per AS (
+  SELECT user_id % 10 AS coarse,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS s,
+         count(DISTINCT event_type) AS u
+  FROM events GROUP BY user_id % 97, user_id % 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_coarse,
+       CAST(sum(s) AS DOUBLE) AS total,
+       CAST(max(u) AS BIGINT) AS max_u
+FROM (SELECT coarse, sum(s) AS s, max(u) AS u
+      FROM per GROUP BY coarse)
+""",
+)
+def dialect_merge_state_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ms",
+        """
+        SELECT CAST(count() AS Int64) AS n_coarse,
+               CAST(sumMerge(s2) AS Float64) AS total,
+               CAST(max(u2) AS Int64) AS max_u
+        FROM (
+          SELECT coarse,
+                 sumMergeState(s) AS s2,
+                 max(u) AS u2
+          FROM (
+            SELECT user_id % 97 AS fine, user_id % 10 AS coarse,
+                   sumState(CAST(value AS Decimal(18, 4))) AS s,
+                   uniqExact(event_type) AS u
+            FROM __dq_events_ms GROUP BY fine, coarse
+          ) GROUP BY coarse
+        )
+        """,
+    )

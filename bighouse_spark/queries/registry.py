@@ -52,8 +52,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND-12 ROTATION CANDIDATES: the round-11 oracle-backed additions
 # land first (dialect_quantile_weighted_roundtrip,
 # dialect_bitmap_state_merge_roundtrip,
-# dialect_url_hierarchy_roundtrip, dialect_week_bare_roundtrip — all
-# shipped with green local oracle rows, strict driver-grade
+# dialect_url_hierarchy_roundtrip, dialect_week_bare_roundtrip,
+# dialect_or_null_combinators_roundtrip,
+# dialect_array_sort_lambda_roundtrip,
+# dialect_interval_expr_roundtrip, dialect_merge_state_roundtrip —
+# all shipped with green local oracle rows, strict driver-grade
 # bit-exact), then the remaining 29 r8-era names not refreshed in the
 # r11 fill (alphabetically from dialect_summap_roundtrip onward:
 # dialect_summap_roundtrip, dialect_tukey_outliers_roundtrip,

@@ -1995,11 +1995,14 @@ class TestRound5FunctionAdditions:
                            True, False]]
 
     def test_ipv4_mapped_ipv6(self, eng):
+        # CH renders IPv4-mapped addresses with the dotted quad
+        # (IPv6NumToString docs example) — round 11 aligned the
+        # formatter; the old pin was Python's hex-group rendering.
         r = eng.execute(
             "SELECT IPv6NumToString(IPv4ToIPv6("
             "IPv4StringToNum('1.2.3.4'))) AS r"
         )
-        assert r.rows == [["::ffff:102:304"]]
+        assert r.rows == [["::ffff:1.2.3.4"]]
 
 
 class TestVectorAndMiscFunctions:
@@ -9086,3 +9089,237 @@ class TestRound11ReviewPassNulls:
             "SELECT array(1, NULL, 3) AS arr "
             "UNION ALL SELECT array(4, 5))"
         ).rows[0][0]) == 3.5
+
+
+class TestRound11ProbeTranche:
+    """Round-11 sweep (~310 spellings, 277 already served): the
+    graduations it found — UTF-8 validity, byte-padded bin, URL
+    port, arrayLastIndex/arrayReduceInRanges/mapContainsKeyLike,
+    raw JSON pairs, timezone introspection, tryIdnaEncode, the IP
+    OrZero/OrNull fills + cutIPv6 — and two real bug fixes:
+    sumMapFiltered's two-array form died in analysis, and
+    IPv6StringToNum('bad') silently parsed as ::ffff:0bad."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_is_valid_utf8(self, eng):
+        assert eng.execute(
+            "SELECT isValidUTF8('abc') AS a, "
+            "isValidUTF8(CAST(NULL AS STRING)) AS b"
+        ).rows == [[True, None]]
+
+    def test_bin_byte_padded(self, eng):
+        # CH bin(): whole-byte width for ints, per-byte bits for
+        # string literals (bin(53)='00110101' per CH docs)
+        assert eng.execute(
+            "SELECT bin(53) AS a, bin(256) AS b, bin('a') AS c, "
+            "bin('ab') AS d, unbin(bin(53)) AS e"
+        ).rows == [[
+            "00110101", "0000000100000000", "01100001",
+            "0110000101100010", "5",
+        ]]
+
+    def test_make_date32(self, eng):
+        assert str(eng.execute(
+            "SELECT makeDate32(2026, 3, 1) AS r"
+        ).rows[0][0]) == "2026-03-01"
+
+    def test_timezone_introspection(self, eng):
+        r = eng.execute(
+            "SELECT timezone() AS a, timeZone() AS b, "
+            "timezoneOffset(now()) AS c"
+        ).rows[0]
+        assert r[0] == r[1]
+        assert "UTC" in r[0]
+        assert r[2] == 0  # session zone is UTC in tests
+
+    def test_url_port(self, eng):
+        assert eng.execute(
+            "SELECT port('https://a.com:8080/x') AS a, "
+            "port('https://a.com/x') AS b, "
+            "port('https://a.com/x', 443) AS c, "
+            "port('https://u:p@a.com:8080/') AS d"
+        ).rows == [[8080, 0, 443, 8080]]
+
+    def test_array_last_index(self, eng):
+        assert eng.execute(
+            "SELECT arrayLastIndex(x -> x = 2, [1,2,2,3]) AS a, "
+            "arrayLastIndex(x -> x = 9, [1,2]) AS b, "
+            "arrayLastIndex(x -> x = 1, emptyArrayUInt8()) AS c, "
+            "arrayFirstIndex(x -> x = 2, [1,2,2,3]) AS d"
+        ).rows == [[3, 0, 0, 2]]
+
+    def test_map_contains_key_like(self, eng):
+        assert eng.execute(
+            "SELECT mapContainsKeyLike(map('abc', 1), 'a%') AS a, "
+            "mapContainsKeyLike(map('abc', 1), 'z%') AS b"
+        ).rows == [[True, False]]
+
+    def test_array_reduce_in_ranges(self, eng):
+        # 1-based (offset, length) ranges like CH
+        assert eng.execute(
+            "SELECT arrayReduceInRanges('sum', [(1, 2), (2, 3)], "
+            "[1,2,3,4,5]) AS r"
+        ).rows == [[[3.0, 9.0]]]
+
+    def test_json_extract_keys_and_values_raw(self, eng):
+        # strings keep quotes, arrays/objects verbatim (CH contract)
+        r = eng.execute(
+            "SELECT JSONExtractKeysAndValuesRaw("
+            "'{\"a\": [1,2], \"b\": \"x\"}') AS r"
+        ).rows[0][0]
+        assert [(e["key"], e["value"]) for e in r] == [
+            ("a", "[1,2]"), ("b", '"x"'),
+        ]
+
+    def test_try_idna_encode(self, eng):
+        assert eng.execute(
+            "SELECT tryIdnaEncode('abc.com') AS a, "
+            "tryIdnaEncode('xx--..bad') AS b, "
+            "tryIdnaEncode(CAST(NULL AS STRING)) AS c"
+        ).rows == [["abc.com", "", None]]
+
+    def test_ip_or_zero_or_null_fills(self, eng):
+        assert eng.execute(
+            "SELECT IPv4StringToNumOrZero('bad') AS a, "
+            "IPv4StringToNumOrZero('1.2.3.4') AS b, "
+            "toIPv4OrZero('bad') AS c, "
+            "IPv6StringToNumOrNull('bad') AS d, "
+            "hex(IPv6StringToNumOrZero('bad')) AS e, "
+            "toIPv6OrZero('bad') AS f"
+        ).rows == [[
+            0, 16909060, "0.0.0.0", None,
+            "00000000000000000000000000000000", "::",
+        ]]
+
+    def test_ipv6_rejects_bare_hex_token(self, eng):
+        # 'bad' must NOT parse via the ::ffff: concat (it is a legal
+        # hex group there); dotted quads still map (CH behavior)
+        assert eng.execute(
+            "SELECT IPv6StringToNumOrNull('bad') AS a, "
+            "IPv6NumToString(IPv6StringToNum('192.168.5.9')) AS b, "
+            "toIPv6('127.0.0.1') AS c"
+        ).rows == [[None, "::ffff:192.168.5.9", "::ffff:127.0.0.1"]]
+
+    def test_cut_ipv6(self, eng):
+        assert eng.execute(
+            "SELECT cutIPv6(IPv6StringToNum("
+            "'2001:db8::8a2e:370:7334'), 2, 0) AS a, "
+            "cutIPv6(IPv6StringToNum('192.168.5.9'), 0, 2) AS b, "
+            "cutIPv6(IPv6StringToNum('::1'), 0, 0) AS c, "
+            "cutIPv6(IPv6StringToNum('::1'), 16, 0) AS d"
+        ).rows == [[
+            "2001:db8::8a2e:370:0", "::ffff:192.168.0.0", "::1", "::",
+        ]]
+
+    def test_sum_map_filtered_both_forms(self, eng):
+        r = eng.execute(
+            "SELECT sumMapFiltered([1, 3])([1, 2, 3], [10, 20, 30]) "
+            "AS a, sumMapFiltered([1])(map(1, 10, 2, 20)) AS b, "
+            "sumMapFilteredWithOverflow([1])([1, 2], [10, 20]) AS c "
+            "FROM numbers(2)"
+        ).rows[0]
+        assert (list(r[0]["keys"]), list(r[0]["values"])) == (
+            [1, 3], [20, 60],
+        )
+        assert r[1] == {1: 20}
+        assert (list(r[2]["keys"]), list(r[2]["values"])) == ([1], [20])
+
+
+class TestRound11ProbeTranche2:
+    """Second round-11 sweep (~95 combinator/window/interval/literal
+    spellings, 82 already served): graduations are -MergeState
+    combinators, keyed arraySort/arrayReverseSort, column-valued
+    INTERVAL quantities, bare nan/inf literals, and parenthesized
+    single-param lambdas. Fixes: the -OrNull combinator returned 0
+    (uniq family) or [] (collect family) over empty groups where CH
+    yields NULL; topK/topKWeighted threw NULL_MAP_KEY on empty
+    groups (the map(first(col), 0) seed)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_merge_state_combinators(self, eng):
+        assert eng.execute(
+            "SELECT sumMerge(s2) AS r FROM (SELECT sumMergeState(s) "
+            "AS s2 FROM (SELECT sumState(number) AS s FROM numbers(4) "
+            "GROUP BY number % 2))"
+        ).rows == [[6]]
+        assert eng.execute(
+            "SELECT avgMerge(s2) AS r FROM (SELECT avgMergeState(s) "
+            "AS s2 FROM (SELECT avgState(number) AS s FROM numbers(4) "
+            "GROUP BY number % 2))"
+        ).rows == [[1.5]]
+        assert eng.execute(
+            "SELECT uniqMerge(s2) AS r FROM (SELECT uniqMergeState(s) "
+            "AS s2 FROM (SELECT uniqState(number % 5) AS s FROM "
+            "numbers(40) GROUP BY number % 2))"
+        ).rows == [[5]]
+
+    def test_or_null_empty_groups_yield_null(self, eng):
+        assert eng.execute(
+            "SELECT uniqOrNull(number) AS a, uniqExactOrNull(number) "
+            "AS b, groupArrayOrNull(number) AS c, "
+            "topKOrNull(2)(number) AS d, countOrNull(number) AS e "
+            "FROM numbers(10) WHERE number < 0"
+        ).rows == [[None, None, None, None, None]]
+        # non-empty groups keep their values
+        assert eng.execute(
+            "SELECT uniqOrNull(number % 3) AS a, "
+            "groupArrayOrNull(number) AS b FROM numbers(4)"
+        ).rows == [[3, [0, 1, 2, 3]]]
+
+    def test_topk_empty_group(self, eng):
+        assert eng.execute(
+            "SELECT topK(2)(number) AS a, "
+            "topKWeighted(2)(number, number) AS b "
+            "FROM numbers(10) WHERE number < 0"
+        ).rows == [[[], []]]
+
+    def test_keyed_array_sort(self, eng):
+        assert eng.execute(
+            "SELECT arraySort((x) -> -x, [1,3,2]) AS a, "
+            "arraySort(x -> x % 10, [25, 11, 33]) AS b, "
+            "arraySort((x, y) -> y, ['hello','world','x'], "
+            "[2, 1, 3]) AS c, "
+            "arrayReverseSort((x) -> x, [1,3,2]) AS d, "
+            "arraySort((x) -> x, emptyArrayUInt8()) AS e"
+        ).rows == [[
+            [3, 2, 1], [11, 33, 25], ["world", "hello", "x"],
+            [3, 2, 1], [],
+        ]]
+
+    def test_interval_expression_quantity(self, eng):
+        r = eng.execute(
+            "SELECT toDate('2026-01-01') + INTERVAL number DAY AS a, "
+            "toDate('2026-01-01') + INTERVAL number MONTH AS b, "
+            "toDateTime('2026-01-01 00:00:00') + "
+            "INTERVAL (number * 2) MINUTE AS c "
+            "FROM numbers(2) ORDER BY a"
+        ).rows
+        assert [str(x[1]) for x in r] == ["2026-01-01", "2026-02-01"]
+        assert str(r[1][0]).startswith("2026-01-02")
+        assert str(r[1][2]) == "2026-01-01 00:02:00"
+
+    def test_nan_inf_literals(self, eng):
+        assert eng.execute(
+            "SELECT isNaN(nan) AS a, isInfinite(inf) AS b, "
+            "isFinite(-inf) AS c, 1.0 != inf AS d, "
+            "ifNotFinite(inf, 7.0) AS e"
+        ).rows == [[True, True, False, True, 7.0]]
+        # quoted spans and AS aliases stay untouched
+        assert eng.execute(
+            "SELECT 'nan and inf stay' AS s, 1 AS inf"
+        ).rows == [["nan and inf stay", 1]]
+
+    def test_paren_single_param_lambda(self, eng):
+        assert eng.execute(
+            "SELECT arrayMap((x) -> x * 2, [1,2]) AS r"
+        ).rows == [[[2, 4]]]
