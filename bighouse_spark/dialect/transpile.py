@@ -8170,11 +8170,33 @@ _ARG_REWRITES.update({
     # convention (isIPv4String, hasToken).
     "isValidUTF8": lambda a: f"is_valid_utf8({a[0]})",
     "bin": _bin_builder,
-    "makeDate32": lambda a: f"make_date({', '.join(a)})",
+    "makeDate32": lambda a: (
+        f"make_date({', '.join(a)})"
+        if len(a) == 3
+        else _refuse(
+            "makeDate32(year, month, day); the (year, day_of_year) "
+            "form spells date_add(make_date(year, 1, 1), doy - 1)"
+        )
+    ),
     # Spark columns carry no zone: the session timezone is the only
-    # honest answer (same contract as timezoneOf).
-    "timezone": lambda a: "current_timezone()",
-    "timeZone": lambda a: "current_timezone()",
+    # honest answer (same contract as timezoneOf). An argument would
+    # be CH's toTimezone cast — refuse rather than drop it.
+    "timezone": lambda a: (
+        "current_timezone()"
+        if not a or a == [""]
+        else _refuse(
+            "timezone() takes no arguments; per-value zone casts "
+            "are not representable (Spark timestamps carry no zone)"
+        )
+    ),
+    "timeZone": lambda a: (
+        "current_timezone()"
+        if not a or a == [""]
+        else _refuse(
+            "timeZone() takes no arguments; per-value zone casts "
+            "are not representable (Spark timestamps carry no zone)"
+        )
+    ),
     # Offset (seconds east of UTC) of the session zone at the given
     # instant: to_utc_timestamp shifts by exactly that offset.
     "timezoneOffset": lambda a: (

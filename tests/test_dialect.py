@@ -9323,3 +9323,16 @@ class TestRound11ProbeTranche2:
         assert eng.execute(
             "SELECT arrayMap((x) -> x * 2, [1,2]) AS r"
         ).rows == [[[2, 4]]]
+
+    def test_round11_review_guards(self, eng):
+        # review pass: timezone(x) silently dropped its argument;
+        # makeDate32's CH (year, day_of_year) form produced an
+        # opaque Spark arity error
+        with pytest.raises(ValueError, match="no arguments"):
+            transpile("SELECT timezone(now())")
+        with pytest.raises(ValueError, match="day_of_year"):
+            transpile("SELECT makeDate32(2026, 42)")
+        assert str(eng.execute(
+            "SELECT toDate('2026-01-01') + INTERVAL number QUARTER "
+            "AS r FROM numbers(2) ORDER BY r DESC LIMIT 1"
+        ).rows[0][0]) == "2026-04-01"
