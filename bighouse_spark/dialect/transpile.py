@@ -8264,6 +8264,30 @@ _ARG_REWRITES.update({
     # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
     # trailing bytes — the IPv4 cut width applies to IPv4-mapped
     # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # -- round-11 tranche 3: named refusals for the last names that
+    # fell to UNRESOLVED_ROUTINE (version- or context-bound) --
+    "variantType": lambda a: _refuse(
+        "variantType(): the Variant column type ships in ClickHouse "
+        ">= 24.1, newer than the reference's pinned CH 23.6 — typed "
+        "columns answer typeof(x) here"
+    ),
+    "variantElement": lambda a: _refuse(
+        "variantElement(): the Variant column type ships in "
+        "ClickHouse >= 24.1, newer than the reference's pinned "
+        "CH 23.6"
+    ),
+    "getClientHTTPHeader": lambda a: _refuse(
+        "getClientHTTPHeader() (CH >= 24.4) reads connection-scoped "
+        "state; HTTP headers are not visible to queries here"
+    ),
+    "structureToCapnProtoSchema": lambda a: _refuse(
+        "structureToCapnProtoSchema(): CapnProto is not in the "
+        "FORMAT surface; see formats.py for the served formats"
+    ),
+    "structureToProtobufSchema": lambda a: _refuse(
+        "structureToProtobufSchema(): Protobuf is not in the "
+        "FORMAT surface; see formats.py for the served formats"
+    ),
     # repeat() on BINARY degrades to STRING; unhex(repeat('00', n))
     # keeps the zero-fill binary.
     "cutIPv6": lambda a: (

@@ -9336,3 +9336,27 @@ class TestRound11ProbeTranche2:
             "SELECT toDate('2026-01-01') + INTERVAL number QUARTER "
             "AS r FROM numbers(2) ORDER BY r DESC LIMIT 1"
         ).rows[0][0]) == "2026-04-01"
+
+
+class TestRound11ProbeTranche3:
+    """Third round-11 sweep (~28 post-23.6 / straggler names): the
+    version-guard posture holds — 18 already served (incl. post-23.6
+    jaroSimilarity, arrayShingles, byteHammingDistance,
+    seriesPeriodDetectFFT), 7 guided refusals confirmed; the 3 names
+    still falling to UNRESOLVED_ROUTINE get named refusals here."""
+
+    def test_variant_family_version_refusal(self):
+        with pytest.raises(ValueError, match="24.1"):
+            transpile("SELECT variantType(x) FROM t")
+        with pytest.raises(ValueError, match="24.1"):
+            transpile("SELECT variantElement(x, 'String') FROM t")
+
+    def test_connection_scoped_refusal(self):
+        with pytest.raises(ValueError, match="connection-scoped"):
+            transpile("SELECT getClientHTTPHeader('traceparent')")
+
+    def test_schema_generator_refusals(self):
+        with pytest.raises(ValueError, match="FORMAT surface"):
+            transpile("SELECT structureToCapnProtoSchema('a UInt64')")
+        with pytest.raises(ValueError, match="FORMAT surface"):
+            transpile("SELECT structureToProtobufSchema('a UInt64')")
