@@ -8895,6 +8895,46 @@ def _rewrite_ch_misc(sql: str) -> str:
       ``WITH name AS (SELECT ...)`` is standard SQL and untouched).
     """
     out = _rewrite_token_spellings(sql)
+    # ANSI OFFSET n ROWS / FETCH {FIRST|NEXT} m ROWS {ONLY|WITH TIES}
+    # (CH supports both spellings) → LIMIT/OFFSET here, BEFORE the
+    # LIMIT BY / WITH TIES rewriters consume the LIMIT forms.
+    def _fetch(m: re.Match) -> str:
+        off = m.group("off")
+        cnt = m.group("cnt")
+        ties = m.group("ties") is not None
+        if ties and off:
+            raise ValueError(
+                "FETCH ... WITH TIES combined with OFFSET is not "
+                "transpiled; spell the window filter explicitly "
+                "(rank() OVER (ORDER BY ...))"
+            )
+        lim = f"LIMIT {cnt} WITH TIES" if ties else f"LIMIT {cnt}"
+        return f"{lim} OFFSET {off}" if off else lim
+
+    out = re.sub(
+        r"(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<cnt>\d+)\s+ROWS?\s+"
+        r"(?:ONLY|(?P<ties>WITH\s+TIES))",
+        _fetch,
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", out,
+        flags=re.IGNORECASE,
+    )
+    def _paste_guard(seg: str) -> str:
+        if re.search(r"\bPASTE\s+JOIN\b", seg, re.IGNORECASE):
+            raise ValueError(
+                "PASTE JOIN ships in ClickHouse >= 24.2, newer than "
+                "the reference's pinned CH 23.6 — and positional "
+                "pairing is block-order dependent; spell the "
+                "deterministic join with row_number() OVER "
+                "(ORDER BY <key>) on both sides"
+            )
+        return seg
+
+    _sub_unquoted(out, _paste_guard)
     # -- CAST(x, 'Type') -------------------------------------------
     pos = 0
     while True:
@@ -9243,12 +9283,37 @@ def _rewrite_limit_by(sql: str) -> str:
     keys = m.group("keys").strip()
     head = sql[: m.start()].rstrip()
     tail = sql[m.end():].strip()  # optional trailing LIMIT m
-    om = re.search(r"\bORDER\s+BY\s+(.+)$", head, re.IGNORECASE | re.DOTALL)
-    if not om:
+    # The ORDER BY must sit at the SAME query level as LIMIT BY: a
+    # depth-0 scan, not re.search — an ORDER BY inside a FROM
+    # subquery previously matched with its trailing ')' and emitted
+    # unbalanced SQL (round-11 fix).
+    order_at = None
+    depth, quote = 0, None
+    for i, c in enumerate(head):
+        if quote:
+            quote = None if c == quote else quote
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "oO"
+            and (i == 0 or not (head[i - 1].isalnum()
+                                or head[i - 1] == "_"))
+        ):
+            om = re.match(r"ORDER\s+BY\s+", head[i:], re.IGNORECASE)
+            if om:
+                order_at = (i, i + om.end())
+    if order_at is None:
         raise ValueError(
-            "LIMIT BY requires an ORDER BY for deterministic semantics"
+            "LIMIT BY requires an ORDER BY at the same query level "
+            "for deterministic semantics (an ORDER BY inside a FROM "
+            "subquery does not survive the outer exchange)"
         )
-    order = om.group(1).strip()
+    order = head[order_at[1]:].strip()
     inner = head
     cond = (
         f"__rn_lb > {off} AND __rn_lb <= {off + int(n)}"
@@ -9467,6 +9532,204 @@ _PARAMETRIC = {
 }
 
 
+# Parametric aggregate dispatch: (name, builder(params, args))
+# pairs scanned in order (longer names first where one embeds
+# another). Module-level so system.functions can enumerate the
+# served parametric spellings.
+_PARAMETRIC_BUILDERS = (
+    # Greenwald-Khanna: accuracy param dropped, t-digest twin.
+    ("quantilesGK", lambda p, a: (
+        f"quantilesTDigest({', '.join(p[1:])})({', '.join(a)})"
+    )),
+    ("quantileGK", lambda p, a: (
+        f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
+    )),
+    # DDSketch-relative-error quantile -> t-digest capability
+    # (first param is the relative error, dropped).
+    ("quantileDD", lambda p, a: (
+        f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
+    )),
+    # Weighted quantiles → Spark percentile's frequency argument.
+    # Plural (multi-level) forms FIRST: their names embed the
+    # singular spellings, and the table scans in order.
+    ("quantilesExactWeighted", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantilesInterpolatedWeighted", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantilesTimingWeighted", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantilesTDigestWeighted", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantilesBFloat16Weighted", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantileExactWeighted", lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantileInterpolatedWeighted", lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantileTimingWeighted", lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantileTDigestWeighted", lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+    )),
+    ("quantileBFloat16Weighted", lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
+    )),
+    # Exact discrete quantiles: lower/upper element of the sorted
+    # group (bounded-group materialization, same memory profile
+    # as CH's quantileExact).
+    ("quantileExactLow", lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
+    )),
+    ("quantileExactHigh", lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(ceil(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
+    )),
+    ("groupArraySorted", lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
+    )),
+    ("groupArraySample", lambda p, a: (
+        f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})"
+    )),
+    ("groupConcat", lambda p, a: (
+        f"array_join(collect_list({a[0]}), {p[0]})"
+    )),
+    # groupUniqArray(max_size)(x): bounded distinct collection.
+    ("groupUniqArray", lambda p, a: (
+        f"slice(collect_set({a[0]}), 1, {p[0]})"
+    )),
+    # Exact INCLUSIVE quantiles are Spark's percentile (type R-7).
+    ("quantileExactInclusive", lambda p, a: (
+        f"percentile({a[0]}, {p[0]})"
+    )),
+    ("quantilesExactInclusive", lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    )),
+    # Exact EXCLUSIVE quantiles are the R-6 estimator (Excel
+    # PERCENTILE.EXC): h = (n+1)·p over the sorted group,
+    # clamped to the ends — one sorted collect + interpolation
+    # (graduated from the round-9 refusals).
+    ("quantilesExactExclusiveArray", lambda p, a: (
+        _quantile_exclusive_expr(a[0], p, arrays=True)
+    )),
+    ("quantileExactExclusiveArray", lambda p, a: (
+        _quantile_exclusive_expr(a[0], p, single=True, arrays=True)
+    )),
+    ("quantilesExactExclusive", lambda p, a: (
+        _quantile_exclusive_expr(a[0], p)
+    )),
+    ("quantileExactExclusive", lambda p, a: (
+        _quantile_exclusive_expr(a[0], p, single=True)
+    )),
+    # Adaptive histogram → histogram_numeric (bin centers +
+    # counts; CH emits (lo, hi, height) triples — capability).
+    ("histogram", lambda p, a: (
+        f"histogram_numeric({a[0]}, CAST({p[0]} AS INT))"
+    )),
+    # exponentialMovingAverage(halflife)(v, t): the decayed
+    # weighted mean at the LATEST sample — weights
+    # 2^(-(t_max - t_i)/halflife) — which is order-free (no
+    # block-order dependence: the weights anchor on max(t), not
+    # arrival order).
+    ("exponentialMovingAverage", _ema_builder),
+    # kolmogorovSmirnovTest('two-sided'[, 'asymp'])(x, idx):
+    # parameterized form — validates the alternative/method.
+    ("kolmogorovSmirnovTest",
+     lambda p, a: _ks_test_builder(a, p)),
+    # mannWhitneyUTest('two-sided'[, continuity])(x, idx).
+    ("mannWhitneyUTest", lambda p, a: _mwu_builder(a, p)),
+    # sequenceNextNode(direction, base)(ts, event, base_cond,
+    # e1[, ...]): next-event lookup after a matched chain.
+    ("sequenceNextNode", _sequence_next_node_builder),
+    # Behavioral SQL spellings (the operator library in
+    # queries/behavioral.py serves the registry twins):
+    ("windowFunnel", _window_funnel_builder),
+    ("sequenceMatch",
+     lambda p, a: _sequence_match_builder(p, a, count=False)),
+    ("sequenceCount",
+     lambda p, a: _sequence_match_builder(p, a, count=True)),
+    # estimateCompressionRatio('lz4'[, block])(x): the wire LZ4
+    # codec as a grouped-agg UDF; other codecs refuse (no zstd
+    # in this build; 'none' is the constant 1 by definition).
+    ("estimateCompressionRatio", lambda p, a: _ecr_builder(p, a)),
+    # t-tests' parameterized (CI) form refuses with guidance;
+    # meanZTest's CI is implemented (normal quantile).
+    ("studentTTest",
+     lambda p, a: _ttest_builder("studentTTest")(a, p)),
+    ("welchTTest",
+     lambda p, a: _ttest_builder("welchTTest")(a, p)),
+    ("meanZTest", _mean_z_builder),
+    # largestTriangleThreeBuckets(n)(x, y): published LTTB
+    # downsampling as an O(N) fold (see _lttb_builder).
+    ("largestTriangleThreeBuckets", _lttb_builder),
+    # groupArrayInsertAt(default[, size])(x, pos): the parametric
+    # form of the sparse position-indexed collect — holes get the
+    # explicit default (the bare 2-arg form leaves NULL holes,
+    # deviation documented there); with size, the result is
+    # exactly size long (positions beyond truncate, CH contract).
+    ("groupArrayInsertAt", lambda p, a: (
+        _refuse(
+            "groupArrayInsertAt(default[, size])(x, pos) — one "
+            "or two parameters, two arguments"
+        )
+        if len(p) not in (1, 2) or len(a) != 2
+        else (
+            # slice-clamp so size 0 yields [] instead of the
+            # descending sequence(0, -1) (the mapPopulateSeries
+            # safe_seq hazard).
+            f"transform(slice(sequence(0, greatest("
+            + (
+                f"CAST({p[1]} AS INT)"
+                if len(p) == 2
+                else f"CAST(max({a[1]}) + 1 AS INT)"
+            )
+            + " - 1, 0)), 1, greatest("
+            + (
+                f"CAST({p[1]} AS INT)"
+                if len(p) == 2
+                else f"CAST(max({a[1]}) + 1 AS INT)"
+            )
+            + f", 0)), __i -> coalesce("
+            f"try_element_at(filter(collect_list(named_struct("
+            f"'p', CAST({a[1]} AS INT), 'v', {a[0]})), "
+            f"__e -> __e.p = CAST(__i AS INT)), 1).v, {p[0]}))"
+        )
+    )),
+    # sparkbar(width[, min, max])(x, y): bucketed block-glyph
+    # bar string (see _sparkbar_builder).
+    ("sparkbar", _sparkbar_builder),
+    # Keep-list map sum: filter each map to the kept keys, then
+    # the sumMap fold.
+    # -Resample combinators: literal buckets expand to plain
+    # conditional aggregates (see _resample_builder).
+    ("countResample", _resample_builder("count")),
+    ("sumResample", _resample_builder("sum")),
+    ("avgResample", _resample_builder("avg")),
+    ("minResample", _resample_builder("min")),
+    ("maxResample", _resample_builder("max")),
+    # -WithOverflow keeps CH's wrapping value type; Spark's ANSI
+    # sum raises on overflow instead, so both spell identically
+    # (the sumMapWithOverflow precedent).
+    ("sumMapFilteredWithOverflow", lambda p, a: (
+        _sum_map_filtered(p, a)
+    )),
+    ("sumMapFiltered", lambda p, a: _sum_map_filtered(p, a)),
+)
+
+
 def _rewrite_parametric(sql: str) -> str:
     out = sql
     # approx_top_sum shares topKWeighted's weighted ranking but NOT
@@ -9655,198 +9918,7 @@ def _rewrite_parametric(sql: str) -> str:
             + out[i:]
         )
     # Table-driven parametric rewrites: name(params)(args) → template.
-    for pname, builder in (
-        # Greenwald-Khanna: accuracy param dropped, t-digest twin.
-        ("quantilesGK", lambda p, a: (
-            f"quantilesTDigest({', '.join(p[1:])})({', '.join(a)})"
-        )),
-        ("quantileGK", lambda p, a: (
-            f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
-        )),
-        # DDSketch-relative-error quantile -> t-digest capability
-        # (first param is the relative error, dropped).
-        ("quantileDD", lambda p, a: (
-            f"quantileTDigest({', '.join(p[1:])})({', '.join(a)})"
-        )),
-        # Weighted quantiles → Spark percentile's frequency argument.
-        # Plural (multi-level) forms FIRST: their names embed the
-        # singular spellings, and the table scans in order.
-        ("quantilesExactWeighted", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantilesInterpolatedWeighted", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantilesTimingWeighted", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantilesTDigestWeighted", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantilesBFloat16Weighted", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}), "
-            f"CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantileExactWeighted", lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantileInterpolatedWeighted", lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantileTimingWeighted", lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantileTDigestWeighted", lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
-        )),
-        ("quantileBFloat16Weighted", lambda p, a: (
-            f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"
-        )),
-        # Exact discrete quantiles: lower/upper element of the sorted
-        # group (bounded-group materialization, same memory profile
-        # as CH's quantileExact).
-        ("quantileExactLow", lambda p, a: (
-            f"element_at(array_sort(collect_list({a[0]})), "
-            f"CAST(floor(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
-        )),
-        ("quantileExactHigh", lambda p, a: (
-            f"element_at(array_sort(collect_list({a[0]})), "
-            f"CAST(ceil(({p[0]}) * (count({a[0]}) - 1)) AS INT) + 1)"
-        )),
-        ("groupArraySorted", lambda p, a: (
-            f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
-        )),
-        ("groupArraySample", lambda p, a: (
-            f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})"
-        )),
-        ("groupConcat", lambda p, a: (
-            f"array_join(collect_list({a[0]}), {p[0]})"
-        )),
-        # groupUniqArray(max_size)(x): bounded distinct collection.
-        ("groupUniqArray", lambda p, a: (
-            f"slice(collect_set({a[0]}), 1, {p[0]})"
-        )),
-        # Exact INCLUSIVE quantiles are Spark's percentile (type R-7).
-        ("quantileExactInclusive", lambda p, a: (
-            f"percentile({a[0]}, {p[0]})"
-        )),
-        ("quantilesExactInclusive", lambda p, a: (
-            f"percentile({a[0]}, array({', '.join(p)}))"
-        )),
-        # Exact EXCLUSIVE quantiles are the R-6 estimator (Excel
-        # PERCENTILE.EXC): h = (n+1)·p over the sorted group,
-        # clamped to the ends — one sorted collect + interpolation
-        # (graduated from the round-9 refusals).
-        ("quantilesExactExclusiveArray", lambda p, a: (
-            _quantile_exclusive_expr(a[0], p, arrays=True)
-        )),
-        ("quantileExactExclusiveArray", lambda p, a: (
-            _quantile_exclusive_expr(a[0], p, single=True, arrays=True)
-        )),
-        ("quantilesExactExclusive", lambda p, a: (
-            _quantile_exclusive_expr(a[0], p)
-        )),
-        ("quantileExactExclusive", lambda p, a: (
-            _quantile_exclusive_expr(a[0], p, single=True)
-        )),
-        # Adaptive histogram → histogram_numeric (bin centers +
-        # counts; CH emits (lo, hi, height) triples — capability).
-        ("histogram", lambda p, a: (
-            f"histogram_numeric({a[0]}, CAST({p[0]} AS INT))"
-        )),
-        # exponentialMovingAverage(halflife)(v, t): the decayed
-        # weighted mean at the LATEST sample — weights
-        # 2^(-(t_max - t_i)/halflife) — which is order-free (no
-        # block-order dependence: the weights anchor on max(t), not
-        # arrival order).
-        ("exponentialMovingAverage", _ema_builder),
-        # kolmogorovSmirnovTest('two-sided'[, 'asymp'])(x, idx):
-        # parameterized form — validates the alternative/method.
-        ("kolmogorovSmirnovTest",
-         lambda p, a: _ks_test_builder(a, p)),
-        # mannWhitneyUTest('two-sided'[, continuity])(x, idx).
-        ("mannWhitneyUTest", lambda p, a: _mwu_builder(a, p)),
-        # sequenceNextNode(direction, base)(ts, event, base_cond,
-        # e1[, ...]): next-event lookup after a matched chain.
-        ("sequenceNextNode", _sequence_next_node_builder),
-        # Behavioral SQL spellings (the operator library in
-        # queries/behavioral.py serves the registry twins):
-        ("windowFunnel", _window_funnel_builder),
-        ("sequenceMatch",
-         lambda p, a: _sequence_match_builder(p, a, count=False)),
-        ("sequenceCount",
-         lambda p, a: _sequence_match_builder(p, a, count=True)),
-        # estimateCompressionRatio('lz4'[, block])(x): the wire LZ4
-        # codec as a grouped-agg UDF; other codecs refuse (no zstd
-        # in this build; 'none' is the constant 1 by definition).
-        ("estimateCompressionRatio", lambda p, a: _ecr_builder(p, a)),
-        # t-tests' parameterized (CI) form refuses with guidance;
-        # meanZTest's CI is implemented (normal quantile).
-        ("studentTTest",
-         lambda p, a: _ttest_builder("studentTTest")(a, p)),
-        ("welchTTest",
-         lambda p, a: _ttest_builder("welchTTest")(a, p)),
-        ("meanZTest", _mean_z_builder),
-        # largestTriangleThreeBuckets(n)(x, y): published LTTB
-        # downsampling as an O(N) fold (see _lttb_builder).
-        ("largestTriangleThreeBuckets", _lttb_builder),
-        # groupArrayInsertAt(default[, size])(x, pos): the parametric
-        # form of the sparse position-indexed collect — holes get the
-        # explicit default (the bare 2-arg form leaves NULL holes,
-        # deviation documented there); with size, the result is
-        # exactly size long (positions beyond truncate, CH contract).
-        ("groupArrayInsertAt", lambda p, a: (
-            _refuse(
-                "groupArrayInsertAt(default[, size])(x, pos) — one "
-                "or two parameters, two arguments"
-            )
-            if len(p) not in (1, 2) or len(a) != 2
-            else (
-                # slice-clamp so size 0 yields [] instead of the
-                # descending sequence(0, -1) (the mapPopulateSeries
-                # safe_seq hazard).
-                f"transform(slice(sequence(0, greatest("
-                + (
-                    f"CAST({p[1]} AS INT)"
-                    if len(p) == 2
-                    else f"CAST(max({a[1]}) + 1 AS INT)"
-                )
-                + " - 1, 0)), 1, greatest("
-                + (
-                    f"CAST({p[1]} AS INT)"
-                    if len(p) == 2
-                    else f"CAST(max({a[1]}) + 1 AS INT)"
-                )
-                + f", 0)), __i -> coalesce("
-                f"try_element_at(filter(collect_list(named_struct("
-                f"'p', CAST({a[1]} AS INT), 'v', {a[0]})), "
-                f"__e -> __e.p = CAST(__i AS INT)), 1).v, {p[0]}))"
-            )
-        )),
-        # sparkbar(width[, min, max])(x, y): bucketed block-glyph
-        # bar string (see _sparkbar_builder).
-        ("sparkbar", _sparkbar_builder),
-        # Keep-list map sum: filter each map to the kept keys, then
-        # the sumMap fold.
-        # -Resample combinators: literal buckets expand to plain
-        # conditional aggregates (see _resample_builder).
-        ("countResample", _resample_builder("count")),
-        ("sumResample", _resample_builder("sum")),
-        ("avgResample", _resample_builder("avg")),
-        ("minResample", _resample_builder("min")),
-        ("maxResample", _resample_builder("max")),
-        # -WithOverflow keeps CH's wrapping value type; Spark's ANSI
-        # sum raises on overflow instead, so both spell identically
-        # (the sumMapWithOverflow precedent).
-        ("sumMapFilteredWithOverflow", lambda p, a: (
-            _sum_map_filtered(p, a)
-        )),
-        ("sumMapFiltered", lambda p, a: _sum_map_filtered(p, a)),
-    ):
+    for pname, builder in _PARAMETRIC_BUILDERS:
         pos = 0
         while True:
             call = _find_call(out, pname, pos)
@@ -12294,3 +12366,69 @@ def _register_source(
         options=options,
     )
     df.createOrReplaceTempView(view)
+
+
+# Aggregate combinator suffixes this dialect composes with the base
+# aggregates (the system.aggregate_function_combinators twin; CH
+# lists combinators separately from function names).
+SERVED_COMBINATORS = (
+    "-If", "-Array", "-ArrayIf", "-ForEach", "-Distinct", "-OrNull",
+    "-OrDefault", "-State", "-Merge", "-MergeState", "-SimpleState",
+    "-Resample",
+)
+
+
+def served_function_names() -> list[tuple[str, str]]:
+    """Every CH spelling with a dedicated dispatch entry, as sorted
+    (name, kind) pairs — the ``system.functions`` introspection twin.
+    Combinator compositions (sumIf, avgOrNull, quantileIf(p)(x, c),
+    ...) are families, not enumerated names: like CH they live in
+    ``system.aggregate_function_combinators`` (SERVED_COMBINATORS)
+    and compose with the aggregate bases. Contextual rewrites that
+    key on statement shape (ARRAY JOIN, WITH FILL, window frames)
+    are clauses, not functions, and are likewise not rows here."""
+    # Names served by bespoke scan loops or passed through to the
+    # identically-spelled Spark builtin (the shared SQL core) — they
+    # have no dict entry to enumerate.
+    bespoke = {
+        "topK": "parametric", "topKWeighted": "parametric",
+        "approx_top_sum": "parametric", "approx_top_k": "parametric",
+        "quantileDeterministic": "parametric",
+        "quantilesDeterministic": "parametric",
+        "CAST": "native", "EXTRACT": "native",
+    }
+    native = (
+        "count", "sum", "min", "max", "avg", "abs", "round", "floor",
+        "ceil", "sqrt", "exp", "ln", "log", "log2", "log10", "pow",
+        "power", "sin", "cos", "tan", "asin", "acos", "atan", "pi",
+        "e", "sign", "greatest", "least", "coalesce", "nullif",
+        "ifNull", "concat", "length", "lower", "upper", "trim",
+        "ltrim", "rtrim", "replace", "reverse", "repeat", "substring",
+        "position", "corr", "covarPop", "covarSamp", "stddevPop",
+        "stddevSamp", "varPop", "varSamp", "gcd", "lcm", "factorial",
+        "now", "transform", "if", "multiIf", "in", "notIn",
+    )
+    out: dict[str, str] = dict(bespoke)
+    for n in native:
+        out.setdefault(n, "native")
+    for n, _ in _PARAMETRIC_BUILDERS:
+        out.setdefault(n, "parametric")
+    for n in _PARAMETRIC:
+        out.setdefault(n, "parametric")
+    for n in _JSON_FUNCS:
+        out.setdefault(n, "json")
+    for n in _CAST_FUNCS:
+        out.setdefault(n, "conversion")
+    for n in _ZERO_ARG:
+        out.setdefault(n.rstrip("()"), "zero_arg")
+    for n in _HASH_FUNCS:
+        out.setdefault(n, "hash")
+    for n in _WRAP_FUNCS:
+        out.setdefault(n, "expression")
+    for n in _ARG_REWRITES:
+        out.setdefault(n, "expression")
+    for n in _FUNC_RENAMES:
+        out.setdefault(n, "rename")
+    for n in _TABLE_FUNCS:
+        out.setdefault(n, "table_function")
+    return sorted(out.items())

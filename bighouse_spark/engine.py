@@ -538,31 +538,28 @@ class BigHouseEngine:
         # system.functions analog: every ClickHouse function spelling
         # the dialect layer maps, with the mapping kind — the
         # introspection a CH user runs to ask "is X supported here?".
-        import importlib
-
-        _tp = importlib.import_module("bighouse_spark.dialect.transpile")
-
-        fn_rows: list[tuple[str, str]] = []
-        for mapping, kind in (
-            (_tp._FUNC_RENAMES, "rename"),
-            (_tp._ARG_REWRITES, "rewrite"),
-            (_tp._ZERO_ARG, "rewrite"),
-            (_tp._WRAP_FUNCS, "rewrite"),
-            (_tp._JSON_FUNCS, "rewrite"),
-            (_tp._PARAMETRIC, "parametric"),
-        ):
-            fn_rows.extend(
-                (name.rstrip("("), kind) for name in mapping
+        # Enumerated by the transpiler itself (round 11: the inline
+        # table walk here missed the parametric builder list, so
+        # windowFunnel et al. were absent).
+        from bighouse_spark.dialect.transpile import (
+            SERVED_COMBINATORS,
+            served_function_names,
+        )
+        if not getattr(self, "_fn_views_registered", False):
+            # static per process — skip the ~1,100-row rebuild on
+            # every refresh
+            self.spark.createDataFrame(
+                served_function_names(), "name string, kind string"
+            ).createOrReplaceTempView("system_functions")
+            # system.aggregate_function_combinators analog: the
+            # suffixes that compose with aggregate bases (CH lists
+            # them apart from function names).
+            self.spark.createDataFrame(
+                [(c,) for c in SERVED_COMBINATORS], "name string"
+            ).createOrReplaceTempView(
+                "system_aggregate_function_combinators"
             )
-        fn_rows.extend(
-            (name, "table_function") for name in _tp._TABLE_FUNCS
-        )
-        fn_rows.extend(
-            [("topK", "parametric"), ("topKWeighted", "parametric")]
-        )
-        self.spark.createDataFrame(
-            sorted(set(fn_rows)), "name string, kind string"
-        ).createOrReplaceTempView("system_functions")
+            self._fn_views_registered = True
 
     _INTO_OUTFILE_RE = re.compile(
         r"^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
@@ -658,8 +655,10 @@ class BigHouseEngine:
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
         re.IGNORECASE,
     )
+    # Dotted names allowed: EXISTS TABLE system.one answers through
+    # the system-view twins (round-11 probe fix).
     _EXISTS_RE = re.compile(
-        r"^\s*EXISTS\s+(?:TABLE\s+)?[`\"]?(\w+)[`\"]?\s*$",
+        r"^\s*EXISTS\s+(?:TABLE\s+)?[`\"]?([\w.]+)[`\"]?\s*$",
         re.IGNORECASE,
     )
     # CH ATTACH TABLE — the reference's init-query workhorse
@@ -2215,9 +2214,20 @@ class BigHouseEngine:
         m_exists = self._EXISTS_RE.match(request.query)
         if m_exists:
             name = m_exists.group(1)
-            found = (
-                name in self._attached or name in self._mviews
-                or self.spark.catalog.tableExists(name)
+            # system.one → the system_one view twin (register the
+            # system views before checking the catalog)
+            alt = name.replace(".", "_")
+            if alt.startswith("system_"):
+                self.refresh_system_views()
+            def _cat_exists(n: str) -> bool:
+                try:
+                    return self.spark.catalog.tableExists(n)
+                except Exception:
+                    return False
+            found = any(
+                n in self._attached or n in self._mviews
+                or _cat_exists(n)
+                for n in ({name, alt})
             )
             return QueryResult(
                 cols=["result"], rows=[[1 if found else 0]],

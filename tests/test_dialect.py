@@ -9360,3 +9360,103 @@ class TestRound11ProbeTranche3:
             transpile("SELECT structureToCapnProtoSchema('a UInt64')")
         with pytest.raises(ValueError, match="FORMAT surface"):
             transpile("SELECT structureToProtobufSchema('a UInt64')")
+
+
+class TestRound11ProbeTranche4:
+    """Fourth round-11 sweep (~30 statement-shape spellings):
+    GROUP/ORDER BY ALL, WITH TOTALS, set-op variants, null-safe
+    comparisons, GLOBAL IN, generateRandom, format() already served.
+    Graduations: ANSI OFFSET ... ROWS / FETCH ... {ONLY|WITH TIES},
+    dotted names in EXISTS TABLE (system.one), a PASTE JOIN version
+    refusal. Fix: the LIMIT BY rewriter matched an ORDER BY inside a
+    FROM subquery (with its trailing paren) and emitted unbalanced
+    SQL — it now requires a same-level ORDER BY."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_offset_fetch(self, eng):
+        assert eng.execute(
+            "SELECT number FROM numbers(10) ORDER BY number "
+            "OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY"
+        ).rows == [[2], [3], [4]]
+        assert eng.execute(
+            "SELECT number FROM numbers(10) ORDER BY number "
+            "FETCH FIRST 2 ROWS ONLY"
+        ).rows == [[0], [1]]
+        assert eng.execute(
+            "SELECT number FROM numbers(10) ORDER BY number "
+            "OFFSET 7 ROWS"
+        ).rows == [[7], [8], [9]]
+
+    def test_fetch_with_ties(self, eng):
+        # 0,0,0,0,1,1,1,2,2,2 — 4th value is 0, its ties end at 4
+        assert eng.execute(
+            "SELECT number % 3 AS k FROM numbers(10) ORDER BY k "
+            "FETCH FIRST 4 ROWS WITH TIES"
+        ).rows == [[0], [0], [0], [0]]
+        # 5 rows: the 5th value (1) pulls in all its ties
+        assert eng.execute(
+            "SELECT number % 3 AS k FROM numbers(10) ORDER BY k "
+            "FETCH FIRST 5 ROWS WITH TIES"
+        ).rows == [[0], [0], [0], [0], [1], [1], [1]]
+        with pytest.raises(ValueError, match="rank"):
+            transpile(
+                "SELECT 1 ORDER BY 1 OFFSET 1 ROWS "
+                "FETCH FIRST 2 ROWS WITH TIES"
+            )
+
+    def test_exists_dotted_system_table(self, eng):
+        assert eng.execute("EXISTS TABLE system.one").rows == [[1]]
+        assert eng.execute(
+            "EXISTS TABLE system.query_log"
+        ).rows == [[1]]
+        assert eng.execute("EXISTS no_such_table_xyz").rows == [[0]]
+
+    def test_paste_join_version_refusal(self):
+        with pytest.raises(ValueError, match="24.2"):
+            transpile(
+                "SELECT * FROM t1 PASTE JOIN t2"
+            )
+
+    def test_limit_by_rejects_subquery_only_order(self, eng):
+        # previously matched the INNER order by (with its trailing
+        # paren) and died in the Spark parser
+        with pytest.raises(ValueError, match="same query level"):
+            transpile(
+                "SELECT k, v FROM (SELECT 1 AS k, 2 AS v "
+                "ORDER BY v) LIMIT 1 BY k"
+            )
+        # same-level ORDER BY over a subquery FROM works
+        assert eng.execute(
+            "SELECT DISTINCT ON (k) k, number FROM "
+            "(SELECT number % 2 AS k, number FROM numbers(4)) "
+            "ORDER BY number"
+        ).rows == [[0, 0], [1, 1]]
+
+    def test_statement_shapes_still_served(self, eng):
+        assert eng.execute(
+            "SELECT number % 2 AS k, count() AS c FROM numbers(4) "
+            "GROUP BY ALL ORDER BY k"
+        ).rows == [[0, 2], [1, 2]]
+        assert eng.execute(
+            "SELECT number % 2 AS k, count() AS c FROM numbers(4) "
+            "GROUP BY k WITH TOTALS ORDER BY k"
+        ).rows == [[None, 4], [0, 2], [1, 2]]
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers(5) "
+            "WHERE number GLOBAL IN (SELECT number FROM numbers(3))"
+        ).rows == [[3]]
+
+
+class TestRound11PasteJoinQuoteSafety:
+    def test_paste_in_string_literal_untouched(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        assert eng.execute(
+            "SELECT 'copy PASTE JOIN text' AS s"
+        ).rows == [["copy PASTE JOIN text"]]

@@ -996,6 +996,23 @@ def test_system_functions_inventory(engine):
         "WHERE kind = 'table_function'"
     )
     assert out.rows[0][0] >= 10
+    # round 11: the view now enumerates the parametric builder list
+    # (windowFunnel et al. were missing) and the combinators get
+    # CH's separate system.aggregate_function_combinators table
+    out = engine.execute(
+        "SELECT count() AS c FROM system.functions WHERE name IN "
+        "('windowFunnel', 'retention', 'sequenceMatch', 'topK', "
+        "'arraySort', 'count')"
+    )
+    assert out.rows == [[6]]
+    out = engine.execute(
+        "SELECT name FROM system.aggregate_function_combinators "
+        "ORDER BY name"
+    )
+    assert ["-If"] in out.rows and ["-State"] in out.rows
+    assert engine.execute(
+        "EXISTS TABLE system.aggregate_function_combinators"
+    ).rows == [[1]]
 
 
 def test_describe_table_spellings(engine, spark, tmp_path):
