@@ -126,6 +126,19 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
                 "String for exact wide values"
             )
         return T.DecimalType(p, sc)
+    m = re.match(r"^decimal(32|64|128)\((\d+)\)$", low)
+    if m:
+        # CH width shorthands carry fixed precision: Decimal32(S) =
+        # Decimal(9, S), Decimal64(S) = Decimal(18, S),
+        # Decimal128(S) = Decimal(38, S).
+        p = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        sc = int(m.group(2))
+        if sc > p:
+            raise ValueError(
+                f"Decimal{m.group(1)}({sc}): scale exceeds the "
+                f"type's {p}-digit precision"
+            )
+        return T.DecimalType(p, sc)
     m = re.match(r"^decimal256\((\d+)\)$", low)
     if m:
         sc = int(m.group(1))

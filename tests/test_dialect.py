@@ -9460,3 +9460,55 @@ class TestRound11PasteJoinQuoteSafety:
         assert eng.execute(
             "SELECT 'copy PASTE JOIN text' AS s"
         ).rows == [["copy PASTE JOIN text"]]
+
+
+class TestRound11ProbeTranche5:
+    """Fifth round-11 sweep (~26 type spellings): the CH type surface
+    — LowCardinality/Nullable/Map/Tuple (incl. named)/Enum8/
+    DateTime64(p, tz)/FixedString/UUID/IPv4/Date32/JSON/Object/
+    Nested/SimpleAggregateFunction in CAST and CREATE TABLE — was
+    already served. Graduation: the Decimal32/64/128(S) width
+    shorthands (fixed precisions 9/18/38) in every type position."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_decimal_width_shorthands(self, eng):
+        r = eng.execute(
+            "SELECT CAST('1.5' AS Decimal64(3)) AS a, "
+            "CAST('1.5' AS Decimal32(2)) AS b, "
+            "CAST('1.5', 'Decimal128(10)') AS c, "
+            "accurateCastOrNull('x', 'Decimal64(3)') AS d"
+        ).rows[0]
+        assert [str(x) for x in r[:3]] == [
+            "1.500", "1.50", "1.5000000000",
+        ]
+        assert r[3] is None
+
+    def test_decimal_shorthand_in_ddl(self, eng, tmp_path):
+        eng.execute(
+            "CREATE TABLE __t11r5_d (id UInt32, v Decimal64(4)) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        types = {r[0]: r[1] for r in eng.execute(
+            "DESCRIBE TABLE __t11r5_d"
+        ).rows}
+        assert types["v"] == "decimal(18,4)"
+        eng.execute("DROP TABLE __t11r5_d")
+
+    def test_decimal_shorthand_scale_guard(self):
+        from bighouse_spark.dialect.schema import ch_type_to_spark
+
+        with pytest.raises(ValueError, match="9-digit"):
+            ch_type_to_spark("Decimal32(12)")
+
+    def test_enum_and_named_tuple_casts(self, eng):
+        r = eng.execute(
+            "SELECT CAST('b' AS Enum8('a' = 1, 'b' = 2)) AS e, "
+            "CAST((1, 'a') AS Tuple(id Int32, name String)) AS t"
+        ).rows[0]
+        assert r[0] == "b"
+        assert (r[1]["id"], r[1]["name"]) == (1, "a")
