@@ -484,6 +484,12 @@ class BigHouseEngine:
         self.spark.sql("SET -v").createOrReplaceTempView(
             "system_settings"
         )
+        # system.databases analog: the single warehouse this engine
+        # serves plus the system views' pseudo-database.
+        self.spark.createDataFrame(
+            [("default", "Atomic"), ("system", "Memory")],
+            "name string, engine string",
+        ).createOrReplaceTempView("system_databases")
         # system.parts analog: one row per backing data file of each
         # attached table (CH: one row per MergeTree part with
         # bytes_on_disk/rows). Row counts come from parquet footers —
@@ -2189,12 +2195,15 @@ class BigHouseEngine:
                 elapsed_sec=time.monotonic() - t0,
             )
         m_chk = re.match(
-            r"^\s*CHECK\s+TABLE\s+[`\"]?(\w+)[`\"]?\s*$",
+            r"^\s*CHECK\s+TABLE\s+[`\"]?([\w.]+)[`\"]?\s*$",
             request.query,
             re.IGNORECASE,
         )
         if m_chk:
             name = m_chk.group(1)
+            if name.startswith("system."):
+                self.refresh_system_views()
+                name = name.replace(".", "_")
             try:
                 # Decode-proving probe: per-column count() forces
                 # every column's data pages to decode — a bare
@@ -2341,11 +2350,16 @@ class BigHouseEngine:
                 elapsed_sec=elapsed,
             )
         m_sct = re.match(
-            r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?[`\"]?(\w+)[`\"]?\s*$",
+            r"^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?[`\"]?([\w.]+)[`\"]?\s*$",
             request.query, re.IGNORECASE,
         )
         if m_sct:
-            return self._show_create_table(m_sct.group(1), t0, request.query)
+            # dotted system.X routes to its view twin (round 11)
+            name = m_sct.group(1)
+            if name.startswith("system."):
+                self.refresh_system_views()
+                name = name.replace(".", "_")
+            return self._show_create_table(name, t0, request.query)
         m_dd = self._DROP_DICT_RE.match(request.query)
         if m_dd:
             self._dicts.pop(m_dd.group(1), None)

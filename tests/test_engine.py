@@ -1812,3 +1812,15 @@ class TestReviewFindingsRound7Engine:
         finally:
             eng.execute("DROP TABLE IF EXISTS rf_null")
             eng.execute("DROP TABLE IF EXISTS rf_null_renamed")
+
+
+def test_round11_introspection_dotted_and_databases(engine):
+    # sixth round-11 probe: dotted system names in SHOW CREATE /
+    # CHECK TABLE, and the system.databases twin
+    assert engine.execute(
+        "SELECT name, engine FROM system.databases ORDER BY name"
+    ).rows == [["default", "Atomic"], ["system", "Memory"]]
+    stmt = engine.execute("SHOW CREATE TABLE system.one").rows[0][0]
+    assert stmt.startswith("CREATE VIEW system_one")
+    assert engine.execute("CHECK TABLE system.one").rows == [[1]]
+    assert engine.execute("EXISTS TABLE system.databases").rows == [[1]]
