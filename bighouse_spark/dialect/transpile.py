@@ -8264,6 +8264,13 @@ _ARG_REWRITES.update({
     # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
     # trailing bytes — the IPv4 cut width applies to IPv4-mapped
     # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # -Array over the collect bases (the generic -Array combinator
+    # covers sum/min/max/avg/uniq): concat all row arrays; the Uniq
+    # form dedups elements (CH order is unspecified — sort to taste).
+    "groupArrayArray": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupUniqArrayArray": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
     # -- round-11 tranche 3: named refusals for the last names that
     # fell to UNRESOLVED_ROUTINE (version- or context-bound) --
     "variantType": lambda a: _refuse(

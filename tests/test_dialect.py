@@ -9512,3 +9512,38 @@ class TestRound11ProbeTranche5:
         ).rows[0]
         assert r[0] == "b"
         assert (r[1]["id"], r[1]["name"]) == (1, "a")
+
+
+class TestRound11ProbeTranche6Fns:
+    """Window/aggregate stragglers from the sixth function probe:
+    exponentialTimeDecayed* windows, RESPECT/IGNORE NULLS, named
+    WINDOW clauses, the -If/-Array intersections all served;
+    nonNegativeDerivative's guided refusal names the lag() spelling.
+    Graduation: groupArrayArray / groupUniqArrayArray (the -Array
+    combinator over the collect bases)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_group_array_array(self, eng):
+        assert eng.execute(
+            "SELECT array_sort(groupArrayArray(a)) AS r, "
+            "array_sort(groupUniqArrayArray(a)) AS u FROM "
+            "(SELECT [1,2] AS a UNION ALL SELECT [2,3])"
+        ).rows == [[[1, 2, 2, 3], [1, 2, 3]]]
+
+    def test_window_straggler_spellings(self, eng):
+        assert eng.execute(
+            "SELECT sum(number) OVER w AS r FROM numbers(3) "
+            "WINDOW w AS (ORDER BY number)"
+        ).rows == [[0], [1], [3]]
+        r = eng.execute(
+            "SELECT last_value(x) IGNORE NULLS OVER (ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+            "FOLLOWING) AS r FROM (SELECT 1 AS i, 5 AS x "
+            "UNION ALL SELECT 2, CAST(NULL AS INT))"
+        ).rows
+        assert r == [[5], [5]]
