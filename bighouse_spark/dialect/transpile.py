@@ -8941,7 +8941,7 @@ def _rewrite_ch_misc(sql: str) -> str:
             )
         return seg
 
-    _sub_unquoted(out, _paste_guard)
+    _sub_unquoted(out, _paste_guard)  # raise-only; output unused
     # -- CAST(x, 'Type') -------------------------------------------
     pos = 0
     while True:
@@ -12388,6 +12388,10 @@ SERVED_COMBINATORS = (
 def served_function_names() -> list[tuple[str, str]]:
     """Every CH spelling with a dedicated dispatch entry, as sorted
     (name, kind) pairs — the ``system.functions`` introspection twin.
+    A row means the engine RECOGNIZES the spelling and gives a
+    dedicated response: usually a rewrite, for a small set a guided
+    refusal naming the supported alternative (the dispatch table does
+    not distinguish them — run the function to see which).
     Combinator compositions (sumIf, avgOrNull, quantileIf(p)(x, c),
     ...) are families, not enumerated names: like CH they live in
     ``system.aggregate_function_combinators`` (SERVED_COMBINATORS)

@@ -189,6 +189,18 @@ class BigHouseEngine:
         # sortWithinPartitions; expression keys are accepted and
         # dropped (sorting is a performance property, not semantics).
         self._ordered: dict[str, list[str]] = {}
+        # Data-skipping indices (ALTER TABLE ... ADD INDEX):
+        # table -> {index_name: (expr, index_type)}. bloom_filter /
+        # tokenbf_v1 / ngrambf_v1 over a plain column turn on parquet
+        # column-chunk bloom filters on every subsequent write (the
+        # real skip structure); minmax is already served by parquet
+        # min/max stats, set by dictionary pages — both recorded for
+        # introspection.
+        self._skip_indices: dict[str, dict[str, tuple[str, str]]] = {}
+        # Table TTL (ALTER TABLE ... MODIFY TTL <expr>): applied at
+        # OPTIMIZE like CH applies TTL at merge time — rows whose TTL
+        # timestamp has passed are dropped by the rewrite.
+        self._ttl: dict[str, str] = {}
         # ENGINE = Null tables: INSERTs fan out to dependent MVs and
         # are then DISCARDED (CH's Null+MV ingestion pattern); reads
         # always see an empty table.
@@ -271,6 +283,10 @@ class BigHouseEngine:
                 self._null_tables.add(new)
             if old in self._ordered:
                 self._ordered[new] = self._ordered.pop(old)
+            if old in self._skip_indices:
+                self._skip_indices[new] = self._skip_indices.pop(old)
+            if old in self._ttl:
+                self._ttl[new] = self._ttl.pop(old)
             for (t, c) in [k for k in self._comments if k[0] == old]:
                 self._comments[(new, c)] = self._comments.pop((t, c))
             self.attach_table(new, path, fmt=fmt, schema=schema)
@@ -541,6 +557,21 @@ class BigHouseEngine:
             [(n, src, pk) for n, (src, pk) in self._dicts.items()],
             "name string, source string, key string",
         ).createOrReplaceTempView("system_dictionaries")
+        # system.data_skipping_indices analog (ALTER ... ADD INDEX),
+        # plus each table's TTL expression (CH shows TTL in
+        # system.tables; one combined maintenance view keeps it
+        # simple).
+        self.spark.createDataFrame(
+            [
+                (t, i, e, ty)
+                for t, m in self._skip_indices.items()
+                for i, (e, ty) in m.items()
+            ],
+            "table string, name string, expr string, type string",
+        ).createOrReplaceTempView("system_data_skipping_indices")
+        self.spark.createDataFrame(
+            list(self._ttl.items()), "table string, ttl string",
+        ).createOrReplaceTempView("system_table_ttl")
         # system.functions analog: every ClickHouse function spelling
         # the dialect layer maps, with the mapping kind — the
         # introspection a CH user runs to ask "is X supported here?".
@@ -609,6 +640,35 @@ class BigHouseEngine:
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"\s+DELETE\s+WHERE\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
+    )
+    # MergeTree maintenance family (round 11): data-skipping indices,
+    # TTL, CLEAR COLUMN, FREEZE snapshots, PROJECTION refusal.
+    _ALTER_INDEX_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(ADD|DROP|MATERIALIZE|CLEAR)\s+INDEX\s+"
+        r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*(.*?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_PROJECTION_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(?:ADD|DROP|MATERIALIZE|CLEAR)\s+PROJECTION\b",
+        re.IGNORECASE,
+    )
+    _ALTER_TTL_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(?:(REMOVE)\s+TTL|MODIFY\s+TTL\s+(.+))\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_CLEAR_COLUMN_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+CLEAR\s+COLUMN\s+(?:IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?"
+        r"(\s+IN\s+PARTITION\b.*)?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_FREEZE_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+FREEZE(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
+        re.IGNORECASE,
     )
     _ALTER_UPDATE_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
@@ -806,16 +866,108 @@ class BigHouseEngine:
             out.append(avail[c.lower()])
         return out or None
 
+    @staticmethod
+    def _type_default_sql(dt) -> str:
+        """CH's type default as a SQL literal (CLEAR COLUMN resets to
+        it): 0 for numerics, '' for strings, epoch for dates, empty
+        containers; NULL where CH has no Spark-expressible default."""
+        from pyspark.sql import types as T
+
+        s = dt.simpleString()
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType,
+                           T.DecimalType)):
+            return f"CAST(0 AS {s})"
+        if isinstance(dt, T.StringType):
+            return "''"
+        if isinstance(dt, T.BooleanType):
+            return "false"
+        if isinstance(dt, T.DateType):
+            return "DATE '1970-01-01'"
+        if isinstance(dt, T.TimestampType):
+            return "TIMESTAMP '1970-01-01 00:00:00'"
+        if isinstance(dt, T.ArrayType):
+            return f"CAST(array() AS {s})"
+        if isinstance(dt, T.MapType):
+            return f"CAST(map() AS {s})"
+        return f"CAST(NULL AS {s})"
+
+    def _freeze_attached(
+        self, name: str, snap: str | None, t0: float, query: str
+    ) -> QueryResult:
+        """``ALTER TABLE ... FREEZE [WITH NAME 'x']`` — CH's local
+        part snapshot: hardlink every data file into a sibling
+        ``<dir>.shadow/<name-or-increment>/`` tree (no data copied;
+        falls back to a real copy across filesystems). The shadow
+        lives OUTSIDE the table directory so partition discovery
+        never mistakes it for data."""
+        import os
+        import shutil
+
+        local = self._attached_path_or_raise(name, "ALTER TABLE FREEZE")
+        base = f"{local.rstrip('/')}.shadow"
+        if snap is None:
+            n = 1
+            while os.path.exists(os.path.join(base, str(n))):
+                n += 1
+            snap = str(n)
+        dest = os.path.join(base, snap)
+        if os.path.exists(dest):
+            raise ValueError(f"FREEZE: snapshot {snap!r} exists")
+        linked = 0
+        for root, _dirs, files in os.walk(local):
+            rel = os.path.relpath(root, local)
+            for f in files:
+                if f.startswith("."):
+                    continue
+                src = os.path.join(root, f)
+                dst_dir = (
+                    dest if rel == "." else os.path.join(dest, rel)
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, f)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                linked += 1
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, "<freeze>", elapsed, linked)
+        )
+        return QueryResult(
+            cols=["shadow_path", "files"], rows=[[dest, linked]],
+            elapsed_sec=elapsed,
+        )
+
     def _table_writer(self, df, name: str, fmt: str, mode: str):
         """A DataFrameWriter honoring the table's declared PARTITION
-        BY layout and ORDER BY in-file sort — every write path goes
-        through here so partition directories and MergeTree-style
-        min/max-prunable file order survive INSERTs, mutations, and
+        BY layout, ORDER BY in-file sort, and bloom-family skip
+        indices — every write path goes through here so partition
+        directories, MergeTree-style min/max-prunable file order,
+        and column-chunk blooms survive INSERTs, mutations, and
         OPTIMIZE."""
         ocols = self._ordered.get(name)
         if ocols and all(c in df.columns for c in ocols):
             df = df.sortWithinPartitions(*ocols)
         writer = df.write.format(fmt).mode(mode)
+        if fmt == "parquet":
+            for _iname, (col, ityp) in self._skip_indices.get(
+                name, {}
+            ).items():
+                if ityp in (
+                    "bloom_filter", "tokenbf_v1", "ngrambf_v1"
+                ) and col in df.columns:
+                    # the dictionary is disabled for bloom columns:
+                    # parquet-mr omits blooms for fully
+                    # dictionary-encoded chunks, and a declared bloom
+                    # index targets high-cardinality point lookups
+                    # where dictionaries fall back to plain anyway
+                    writer = writer.option(
+                        f"parquet.bloom.filter.enabled#{col}", "true"
+                    ).option(
+                        f"parquet.enable.dictionary#{col}", "false"
+                    )
         pcols = self._partitioned.get(name)
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -1349,7 +1501,18 @@ class BigHouseEngine:
                 files_before += 1
                 total_bytes += os.path.getsize(os.path.join(root, f))
         n_out = max(1, math.ceil(total_bytes / self.OPTIMIZE_TARGET_FILE_BYTES))
-        df = self.spark.table(name)
+        ttl = self._ttl.get(name)
+        if ttl:
+            # CH applies TTL at merge time: drop rows whose TTL
+            # timestamp has passed; rows with a NULL TTL are kept.
+            sel = transpile(
+                f"SELECT * FROM {name} WHERE "
+                f"ifNull(({ttl}) > now(), true)",
+                self.spark,
+            )
+            df = self.spark.sql(sel.sql)
+        else:
+            df = self.spark.table(name)
         df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
         result = self._rewrite_attached(name, df, t0, query, "<optimize>")
         files_after = sum(
@@ -1754,6 +1917,131 @@ class BigHouseEngine:
             )
         # CH mutations: whole-part rewrites, async/non-atomic in CH
         # too (docs: "mutations rewrite data parts").
+        if self._ALTER_PROJECTION_RE.match(request.query):
+            raise ValueError(
+                "PROJECTIONs are MergeTree-internal precomputations; "
+                "CREATE MATERIALIZED VIEW <name> ENGINE = "
+                "AggregatingMergeTree AS SELECT ... gives the same "
+                "precomputed read path here"
+            )
+        m_idx = self._ALTER_INDEX_RE.match(request.query)
+        if m_idx:
+            name, op, iname, rest = m_idx.groups()
+            op = op.upper()
+            self._attached_path_or_raise(name, f"ALTER TABLE {op} INDEX")
+            idx = self._skip_indices.setdefault(name, {})
+            if op == "ADD":
+                m = re.match(
+                    r"^(.*?)\s+TYPE\s+(\w+)(?:\s*\([^)]*\))?"
+                    r"(?:\s+GRANULARITY\s+\d+)?\s*$",
+                    rest, re.IGNORECASE | re.DOTALL,
+                )
+                if not m:
+                    raise ValueError(
+                        "ALTER TABLE ADD INDEX <name> <expr> TYPE "
+                        "{bloom_filter|tokenbf_v1|ngrambf_v1|minmax|"
+                        "set} [GRANULARITY n]"
+                    )
+                expr, ityp = m.group(1).strip(), m.group(2).lower()
+                if ityp not in (
+                    "bloom_filter", "tokenbf_v1", "ngrambf_v1",
+                    "minmax", "set",
+                ):
+                    raise ValueError(
+                        f"ADD INDEX: unsupported type {ityp!r} "
+                        "(bloom_filter/tokenbf_v1/ngrambf_v1/minmax/"
+                        "set are served)"
+                    )
+                col = expr.strip().strip('`"')
+                if ityp in (
+                    "bloom_filter", "tokenbf_v1", "ngrambf_v1"
+                ) and not re.match(r"^\w+$", col):
+                    raise ValueError(
+                        "bloom-family skip indices materialize as "
+                        "parquet column-chunk bloom filters, which "
+                        "need a PLAIN COLUMN — index the column "
+                        "itself, not an expression"
+                    )
+                idx[iname] = (col, ityp)
+                return QueryResult(
+                    cols=["table", "index", "type"],
+                    rows=[[name, iname, ityp]],
+                    elapsed_sec=time.monotonic() - t0,
+                )
+            if op == "DROP":
+                idx.pop(iname, None)
+                return QueryResult(
+                    cols=["table", "index"], rows=[[name, iname]],
+                    elapsed_sec=time.monotonic() - t0,
+                )
+            if op == "MATERIALIZE":
+                # rewrite every file so the blooms exist on disk for
+                # data inserted BEFORE the index was added (CH's
+                # MATERIALIZE INDEX backfill)
+                if iname not in idx:
+                    raise ValueError(
+                        f"MATERIALIZE INDEX {iname}: no such index "
+                        f"on {name}"
+                    )
+                return self._rewrite_attached(
+                    name, self.spark.table(name), t0, request.query,
+                    "<materialize index>",
+                )
+            # CLEAR INDEX: parquet stats/blooms are part of the data
+            # files — clearing is a no-op acknowledged like CH
+            return QueryResult(
+                cols=["table", "index"], rows=[[name, iname]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        m_ttl = self._ALTER_TTL_RE.match(request.query)
+        if m_ttl:
+            name, remove, expr = m_ttl.groups()
+            self._attached_path_or_raise(name, "ALTER TABLE TTL")
+            if remove:
+                self._ttl.pop(name, None)
+                return QueryResult(
+                    cols=["table"], rows=[[name]],
+                    elapsed_sec=time.monotonic() - t0,
+                )
+            expr = expr.strip()
+            # validate now (typecheck via LIMIT 0), apply at OPTIMIZE
+            probe = transpile(
+                f"SELECT ifNull(({expr}) > now(), true) AS "
+                f"__ttl_probe FROM {name} LIMIT 0",
+                self.spark,
+            )
+            self.spark.sql(probe.sql).schema  # analysis-only
+            self._ttl[name] = expr
+            return QueryResult(
+                cols=["table", "ttl"], rows=[[name, expr]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        m_clr = self._ALTER_CLEAR_COLUMN_RE.match(request.query)
+        if m_clr:
+            name, col, in_part = m_clr.groups()
+            self._attached_path_or_raise(name, "ALTER TABLE CLEAR COLUMN")
+            if in_part:
+                raise ValueError(
+                    "CLEAR COLUMN ... IN PARTITION is not transpiled; "
+                    "spell the partition filter with ALTER TABLE ... "
+                    "UPDATE <col> = <default> WHERE <partition cond>"
+                )
+            df = self.spark.table(name)
+            if col not in df.columns:
+                raise ValueError(f"CLEAR COLUMN: no column {col!r}")
+            items = [
+                f"{self._type_default_sql(df.schema[c].dataType)} "
+                f"AS `{c}`" if c == col else f"`{c}`"
+                for c in df.columns
+            ]
+            sel = f"SELECT {', '.join(items)} FROM {name}"
+            return self._rewrite_attached(
+                name, self.spark.sql(sel), t0, request.query, sel
+            )
+        m_frz = self._ALTER_FREEZE_RE.match(request.query)
+        if m_frz:
+            name, snap = m_frz.groups()
+            return self._freeze_attached(name, snap, t0, request.query)
         m_del = self._ALTER_DELETE_RE.match(request.query)
         if m_del:
             name, cond = m_del.groups()
@@ -2042,6 +2330,8 @@ class BigHouseEngine:
                 self._attached.pop(name, None)
                 self._null_tables.discard(name)
                 self._partitioned.pop(name, None)
+                self._skip_indices.pop(name, None)
+                self._ttl.pop(name, None)
                 self._ordered.pop(name, None)
                 self.clear_cache()
             elapsed = time.monotonic() - t0
@@ -2426,6 +2716,8 @@ class BigHouseEngine:
                 self._analyzed.discard(name)
             self._attached.pop(name, None)
             self._partitioned.pop(name, None)
+            self._skip_indices.pop(name, None)
+            self._ttl.pop(name, None)
             self._ordered.pop(name, None)
             self._user_views.pop(name, None)
             mv = self._mviews.pop(name, None)

@@ -1824,3 +1824,154 @@ def test_round11_introspection_dotted_and_databases(engine):
     assert stmt.startswith("CREATE VIEW system_one")
     assert engine.execute("CHECK TABLE system.one").rows == [[1]]
     assert engine.execute("EXISTS TABLE system.databases").rows == [[1]]
+
+
+class TestAlterMaintenance:
+    """Round-11 MergeTree-maintenance family: data-skipping indices
+    materialized as parquet column-chunk bloom filters, TTL applied
+    at OPTIMIZE (CH applies TTL at merge time), CLEAR COLUMN resets
+    to the type default, FREEZE hardlink snapshots, PROJECTION
+    guided refusal."""
+
+    @pytest.fixture
+    def tbl(self, engine):
+        engine.execute("DROP TABLE IF EXISTS __alt_m")
+        engine.execute(
+            "CREATE TABLE __alt_m (id UInt32, v String, d DateTime) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        engine.execute(
+            "INSERT INTO __alt_m VALUES "
+            "(1, 'aaa111', '2020-01-01 00:00:00'), "
+            "(2, 'bbb222', '2099-01-01 00:00:00')"
+        )
+        yield "__alt_m"
+        engine.execute("DROP TABLE IF EXISTS __alt_m")
+
+    def test_skip_index_lifecycle_and_bloom_write(self, engine, tbl):
+        assert engine.execute(
+            f"ALTER TABLE {tbl} ADD INDEX ix_v v TYPE bloom_filter "
+            "GRANULARITY 1"
+        ).rows == [[tbl, "ix_v", "bloom_filter"]]
+        engine.execute(f"ALTER TABLE {tbl} MATERIALIZE INDEX ix_v")
+        # per-column writer options proven on disk: the bloom column
+        # is written WITHOUT a dictionary (parquet-mr omits blooms
+        # for fully dictionary-encoded chunks), while the untouched
+        # string-ish timestamp column keeps its dictionary
+        import glob
+
+        import pyarrow.parquet as pq
+
+        path = engine._attached[tbl][0]
+        local = path[7:] if path.startswith("file://") else path
+        encs = {}
+        for f in glob.glob(local + "/**/*.parquet", recursive=True):
+            md = pq.ParquetFile(f).metadata
+            for c in range(md.num_columns):
+                col = md.row_group(0).column(c)
+                encs[col.path_in_schema] = col.encodings
+        assert "PLAIN_DICTIONARY" not in encs["v"]
+        assert engine.execute(
+            "SELECT name, type FROM system.data_skipping_indices "
+            f"WHERE table = '{tbl}'"
+        ).rows == [["ix_v", "bloom_filter"]]
+        engine.execute(f"ALTER TABLE {tbl} DROP INDEX ix_v")
+        assert engine.execute(
+            "SELECT count() AS c FROM system.data_skipping_indices "
+            f"WHERE table = '{tbl}'"
+        ).rows == [[0]]
+
+    def test_bloom_needs_plain_column(self, engine, tbl):
+        with pytest.raises(ValueError, match="PLAIN COLUMN"):
+            engine.execute(
+                f"ALTER TABLE {tbl} ADD INDEX ix_x lower(v) "
+                "TYPE bloom_filter"
+            )
+        # minmax/set accept expressions (recorded for introspection)
+        engine.execute(
+            f"ALTER TABLE {tbl} ADD INDEX ix_e lower(v) TYPE minmax"
+        )
+
+    def test_ttl_applied_at_optimize(self, engine, tbl):
+        engine.execute(
+            f"ALTER TABLE {tbl} MODIFY TTL d + INTERVAL 1 DAY"
+        )
+        assert engine.execute(
+            "SELECT ttl FROM system.table_ttl WHERE table = "
+            f"'{tbl}'"
+        ).rows == [["d + INTERVAL 1 DAY"]]
+        engine.execute(f"OPTIMIZE TABLE {tbl} FINAL")
+        # the 2020 row expired; 2099 survives
+        assert engine.execute(
+            f"SELECT id FROM {tbl} ORDER BY id"
+        ).rows == [[2]]
+        engine.execute(f"ALTER TABLE {tbl} REMOVE TTL")
+        assert engine.execute(
+            "SELECT count() AS c FROM system.table_ttl"
+        ).rows == [[0]]
+
+    def test_ttl_validates_at_alter_time(self, engine, tbl):
+        with pytest.raises(Exception):
+            engine.execute(
+                f"ALTER TABLE {tbl} MODIFY TTL no_such_col + "
+                "INTERVAL 1 DAY"
+            )
+
+    def test_clear_column_resets_to_type_default(self, engine, tbl):
+        engine.execute(f"ALTER TABLE {tbl} CLEAR COLUMN v")
+        assert engine.execute(
+            f"SELECT id, v FROM {tbl} ORDER BY id"
+        ).rows == [[1, ""], [2, ""]]
+        with pytest.raises(ValueError, match="IN PARTITION"):
+            engine.execute(
+                f"ALTER TABLE {tbl} CLEAR COLUMN v IN PARTITION 'x'"
+            )
+
+    def test_freeze_hardlink_snapshot(self, engine, tbl):
+        import os
+
+        shadow, files = engine.execute(
+            f"ALTER TABLE {tbl} FREEZE"
+        ).rows[0]
+        assert files >= 1 and os.path.isdir(shadow)
+        named, _ = engine.execute(
+            f"ALTER TABLE {tbl} FREEZE WITH NAME 'snapA'"
+        ).rows[0]
+        assert named.endswith("/snapA")
+        with pytest.raises(ValueError, match="exists"):
+            engine.execute(
+                f"ALTER TABLE {tbl} FREEZE WITH NAME 'snapA'"
+            )
+        # mutations after FREEZE leave the snapshot intact
+        engine.execute(f"ALTER TABLE {tbl} DELETE WHERE id = 1")
+        assert os.path.isdir(shadow)
+
+    def test_projection_refusal(self, engine, tbl):
+        with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+            engine.execute(
+                f"ALTER TABLE {tbl} ADD PROJECTION p1 "
+                "(SELECT id ORDER BY id)"
+            )
+
+    def test_rename_migrates_maintenance_state(self, engine, tbl):
+        engine.execute(
+            f"ALTER TABLE {tbl} ADD INDEX ix2 v TYPE bloom_filter"
+        )
+        engine.execute(
+            f"ALTER TABLE {tbl} MODIFY TTL d + INTERVAL 30 DAY"
+        )
+        engine.execute(f"RENAME TABLE {tbl} TO __alt_m2")
+        try:
+            assert engine.execute(
+                "SELECT name FROM system.data_skipping_indices "
+                "WHERE table = '__alt_m2'"
+            ).rows == [["ix2"]]
+            assert engine.execute(
+                "SELECT count() AS c FROM system.table_ttl "
+                "WHERE table = '__alt_m2'"
+            ).rows == [[1]]
+        finally:
+            engine.execute("DROP TABLE IF EXISTS __alt_m2")
+        assert engine.execute(
+            "SELECT count() AS c FROM system.data_skipping_indices"
+        ).rows == [[0]]
