@@ -569,3 +569,268 @@ import sys as _sys
 from bighouse_spark.functions._shipping import ship_by_value as _ship
 
 _ship(_sys.modules[__name__])
+
+
+def streaming_sequence_next_node(
+    events: DataFrame,
+    direction: str,
+    base: str,
+    value_col: str,
+    base_cond: str,
+    conds: list[str],
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key ``sequenceNextNode(direction, base)`` across
+    micro-batches — the streaming twin of the batch builder
+    (transpile._sequence_next_node_builder), completing the
+    behavioral-aggregate family (funnel/retention/sequenceMatch
+    already stream).
+
+    All four direction x base pairings stream with O(len(conds))
+    state — never an event buffer:
+
+    * ``forward/head``: the first ``n+1`` qualifying rows decide the
+      answer once and it freezes.
+    * ``forward/first_match``: the earliest ``base AND cond1`` row
+      starts the single candidate chain (CH keys off that position
+      whether or not its chain completes); the next ``n`` rows
+      decide, then the answer freezes.
+    * ``forward/last_match``: every ``base AND cond1`` row RESTARTS
+      the candidate (a later match supersedes); the rolling
+      candidate's forward chain decides the current answer.
+    * ``backward/tail``: recomputed per batch from a ring buffer of
+      the last ``n+1`` rows — the answer legitimately CHANGES as the
+      stream grows and converges to the batch fold (update-mode
+      contract shared by the other twins).
+    * ``backward/first_match`` / ``backward/last_match``: the match
+      bases follow the SCAN direction like the batch builder
+      (walking backward, the "first" match is the LARGEST index):
+      first_match re-evaluates its backward chain against the ring
+      on every match row and overwrites the candidate; last_match
+      keys off the EARLIEST match row and freezes at its arrival
+      (the backward chain needs only rows already in the ring).
+
+    Row flags pack into one bitmask long per ring slot (bit 0 =
+    base, bit k = cond k). NULL timestamps are invisible, values
+    emit as strings — both the batch contract. Rows fold in
+    (micro-batch, within-batch timestamp) order; the exact-order
+    answer is the batch fold (convergence test-pinned on time-split
+    files). Output: (key, next_node, emits) per touched key per
+    batch — ``emits`` is a per-key monotone counter so the FINAL
+    answer is the row with the max ``emits``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    direction = direction.lower()
+    base = base.lower()
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward'/'backward'")
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(
+            "base must be head/tail/first_match/last_match"
+        )
+    if base == "head" and direction != "forward":
+        raise ValueError("base 'head' requires direction 'forward'")
+    if base == "tail" and direction != "backward":
+        raise ValueError("base 'tail' requires direction 'backward'")
+    n = len(conds)
+    if n == 0:
+        raise ValueError(
+            "streaming_sequence_next_node needs at least one condition"
+        )
+    proj = [
+        F.col(key),
+        F.col(ts_col).cast("double").alias("__t"),
+        F.col(value_col).cast("string").alias("__v"),
+        F.coalesce(F.expr(base_cond).cast("boolean"), F.lit(False)).alias(
+            "__b"
+        ),
+    ]
+    for i, c in enumerate(conds, 1):
+        proj.append(
+            F.coalesce(F.expr(c).cast("boolean"), F.lit(False)).alias(
+                f"__c{i}"
+            )
+        )
+    src = events.select(*proj)
+    key_field = src.schema[key]
+    out_schema = StructType(
+        [
+            key_field,
+            StructField("next_node", StringType()),
+            StructField("emits", LongType()),
+        ]
+    )
+    # state: count, frozen, prog, emits, res, cand_set + ring/first
+    # buffer of n+1 (value, bitmask) slots
+    slots = n + 1
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("frozen", LongType()),
+            StructField("prog", LongType()),
+            StructField("emits", LongType()),
+            StructField("cand_set", LongType()),
+            StructField("res", StringType()),
+        ]
+        + [StructField(f"sv{j}", StringType()) for j in range(slots)]
+        + [StructField(f"sm{j}", LongType()) for j in range(slots)]
+    )
+
+    def batch_rows(pdfs) -> list[tuple[str, int]]:
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return []
+        batch = pd.concat(frames).sort_values("__t")
+        out = []
+        bs = batch["__b"].fillna(False).to_numpy(dtype=bool)
+        cs = [
+            batch[f"__c{i}"].fillna(False).to_numpy(dtype=bool)
+            for i in range(1, n + 1)
+        ]
+        vs = batch["__v"].to_numpy(dtype=object)
+        ts = batch["__t"].to_numpy()
+        for i in range(len(batch)):
+            t = float(ts[i])
+            if math.isnan(t):
+                continue
+            m = 1 if bs[i] else 0
+            for k in range(n):
+                if cs[k][i]:
+                    m |= 1 << (k + 1)
+            v = vs[i]
+            out.append((None if v is None or v != v else str(v), m))
+        return out
+
+    def fn(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = list(state.get)
+            count, frozen, prog, emits, cand_set, res = st[:6]
+            sv = list(st[6:6 + slots])
+            sm = list(st[6 + slots:6 + 2 * slots])
+        else:
+            count, frozen, prog, emits, cand_set, res = 0, 0, 0, 0, 0, None
+            sv = [None] * slots
+            sm = [0] * slots
+
+        def chain_ok_head() -> bool:
+            # base AND cond1 at slot 0, cond k at slot k-1
+            if not (sm[0] & 1 and sm[0] & 2):
+                return False
+            return all(sm[k - 1] & (1 << k) for k in range(2, n + 1))
+
+        def chain_ok_tail() -> bool:
+            # base AND cond1 at the ring tail, cond k walking back
+            tail = slots - 1
+            if not (sm[tail] & 1 and sm[tail] & 2):
+                return False
+            return all(
+                sm[tail - (k - 1)] & (1 << k) for k in range(2, n + 1)
+            )
+
+        # The match bases follow the scan direction (the batch
+        # builder's rule): the anchoring match row is the EARLIEST
+        # when (base == first_match) == (direction == forward), else
+        # the LATEST.
+        anchor_earliest = (base == "first_match") == (
+            direction == "forward"
+        )
+        for v, m in batch_rows(pdfs):
+            if direction == "forward":
+                if base == "head":
+                    if frozen:
+                        break
+                    if count < slots:
+                        sv[count], sm[count] = v, m
+                        count += 1
+                        if count == slots:
+                            res = sv[slots - 1] if chain_ok_head() else None
+                            frozen = 1
+                elif anchor_earliest:  # first_match: freeze once
+                    if frozen:
+                        break
+                    count += 1
+                    if prog == 0:
+                        if m & 1 and m & 2:
+                            prog = 1  # anchored at this position
+                    elif prog >= 1:
+                        o = prog  # this row sits at offset o after p
+                        if o <= n - 1:
+                            if m & (1 << (o + 1)):
+                                prog += 1
+                            else:
+                                res, frozen = None, 1
+                        if o == n:
+                            res, frozen = v, 1
+                else:  # last_match: every match RESTARTS the chain
+                    count += 1
+                    if m & 1 and m & 2:
+                        prog, res, cand_set = 1, None, 1
+                        continue
+                    if 1 <= prog <= n:
+                        o = prog
+                        if o <= n - 1:
+                            if m & (1 << (o + 1)):
+                                prog += 1
+                            else:
+                                prog = -1  # dead candidate → NULL
+                        if o == n:
+                            res, prog = v, n + 1
+            else:  # backward: ring push
+                sv = sv[1:] + [v]
+                sm = sm[1:] + [m]
+                count += 1
+                if base != "tail" and m & 1 and m & 2 and not frozen:
+                    if count >= slots and all(
+                        sm[slots - 1 - (k - 1)] & (1 << k)
+                        for k in range(2, n + 1)
+                    ):
+                        res = sv[0]
+                    else:
+                        res = None  # the anchoring match decides,
+                        # even if its chain (or history depth) fails
+                    cand_set = 1
+                    if anchor_earliest:
+                        # last_match anchors on the EARLIEST row —
+                        # later matches must not overwrite
+                        frozen = 1
+
+        if base == "tail":
+            current = (
+                sv[0] if count >= slots and chain_ok_tail() else None
+            )
+        elif direction == "forward" and base == "last_match":
+            current = res if prog == n + 1 else None
+        elif direction == "backward":  # first_match / last_match
+            current = res if cand_set else None
+        else:  # forward head / first_match: frozen result
+            current = res if frozen else None
+        emits += 1
+        state.update(
+            tuple([count, frozen, prog, emits, cand_set, res])
+            + tuple(sv)
+            + tuple(sm)
+        )
+        yield pd.DataFrame(
+            {
+                key: [key_t[0]],
+                "next_node": [current],
+                "emits": [emits],
+            }
+        )
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -509,3 +509,86 @@ def test_streaming_folds_skip_null_timestamps(spark, tmp_path):
     assert spark.sql(
         "SELECT max(matched) FROM t_null_ts_seq"
     ).collect()[0][0] is True
+
+
+def test_streaming_sequence_next_node_converges(spark, tmp_path):
+    """The round-11 fourth behavioral twin: all four direction x base
+    pairings of sequenceNextNode must converge to the batch builder's
+    answer over the same rows, with the two halves of the event log
+    forced into separate micro-batches (state crosses the boundary:
+    ring buffers, frozen results, last-match candidates)."""
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import (
+        streaming_sequence_next_node,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 25
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    d = str(tmp_path / "snn_stream")
+    os.makedirs(d)
+    ev.where(F.col("ts").cast("double") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.2)
+    ev.where(F.col("ts").cast("double") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    eng = BigHouseEngine(spark)
+    spark.read.parquet(d).createOrReplaceTempView("__snn_ev")
+    conds_sql = "event_type = 'view', event_type = 'click'"
+    conds = ["event_type = 'view'", "event_type = 'click'"]
+
+    for i, (direction, base) in enumerate(
+        [
+            ("forward", "head"),
+            ("forward", "first_match"),
+            ("forward", "last_match"),
+            ("backward", "tail"),
+            ("backward", "first_match"),
+            ("backward", "last_match"),
+        ]
+    ):
+        batch = {
+            (row[0], row[1])
+            for row in eng.execute(
+                f"SELECT user_id, sequenceNextNode('{direction}', "
+                f"'{base}')(CAST(ts AS TIMESTAMP), event_type, "
+                f"value >= 0, {conds_sql}) AS nxt "
+                "FROM __snn_ev GROUP BY user_id"
+            ).rows
+        }
+        src = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        qname = f"t_snn_{i}"
+        q = (
+            streaming_sequence_next_node(
+                src, direction, base, "event_type", "value >= 0",
+                conds,
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # final answer per key = the row with the max emits counter
+        out = {
+            (r.user_id, r.next_node)
+            for r in spark.sql(
+                f"SELECT user_id, max_by(next_node, emits) AS "
+                f"next_node FROM {qname} GROUP BY user_id"
+            ).collect()
+        }
+        assert out == batch, (direction, base)
