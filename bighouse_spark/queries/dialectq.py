@@ -2064,3 +2064,64 @@ def dialect_merge_state_roundtrip(spark, sf_dir):
         )
         """,
     )
+
+
+# ANSI OFFSET/FETCH spellings (round-11 graduation) — DuckDB serves
+# the identical grammar, so the oracle is nearly the same text.
+@query(
+    "dialect_offset_fetch_roundtrip",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders ORDER BY o_orderkey
+OFFSET 10 ROWS FETCH NEXT 25 ROWS ONLY
+""",
+)
+def dialect_offset_fetch_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_of",
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS Float64) AS price
+        FROM __dq_orders_of ORDER BY o_orderkey
+        OFFSET 10 ROWS FETCH NEXT 25 ROWS ONLY
+        """,
+    )
+
+
+# groupArrayArray / groupUniqArrayArray (round-11: the -Array
+# combinator over the collect bases) — concat per-doc token arrays
+# per language, dedup the Uniq lane. DuckDB recomputes by
+# unnest + list().
+@query(
+    "dialect_group_array_array_roundtrip",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(str_split(text, ' ')[1:3]) AS w
+  FROM documents WHERE doc_id < 120
+)
+SELECT lang,
+       CAST(count(w) AS BIGINT) AS n_tokens,
+       list_sort(list(w)) AS all_words,
+       list_sort(list(DISTINCT w)) AS uniq_words
+FROM toks GROUP BY lang ORDER BY lang
+""",
+)
+def dialect_group_array_array_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_gaa",
+        """
+        SELECT lang,
+               CAST(length(groupArrayArray(ws)) AS Int64) AS n_tokens,
+               arraySort(groupArrayArray(ws)) AS all_words,
+               arraySort(groupUniqArrayArray(ws)) AS uniq_words
+        FROM (
+          SELECT lang, arraySlice(splitByChar(' ', text), 1, 3) AS ws
+          FROM __dq_docs_gaa WHERE doc_id < 120
+        ) GROUP BY lang ORDER BY lang
+        """,
+    )

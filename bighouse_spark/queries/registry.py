@@ -55,7 +55,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dialect_url_hierarchy_roundtrip, dialect_week_bare_roundtrip,
 # dialect_or_null_combinators_roundtrip,
 # dialect_array_sort_lambda_roundtrip,
-# dialect_interval_expr_roundtrip, dialect_merge_state_roundtrip —
+# dialect_interval_expr_roundtrip, dialect_merge_state_roundtrip,
+# dialect_offset_fetch_roundtrip,
+# dialect_group_array_array_roundtrip —
 # all shipped with green local oracle rows, strict driver-grade
 # bit-exact), then the remaining 29 r8-era names not refreshed in the
 # r11 fill (alphabetically from dialect_summap_roundtrip onward:
