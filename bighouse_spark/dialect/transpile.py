@@ -238,7 +238,8 @@ _ZERO_ARG = {
 # CH(arg) → wrapped Spark expression where a plain rename can't work.
 # toDayOfWeek: CH is Monday=1..Sunday=7; Spark weekday() is Monday=0.
 _WRAP_FUNCS = {
-    "toDayOfWeek": ("(weekday(", ") + 1)"),
+    # toDayOfWeek moved to _ARG_REWRITES (round 11): the 2-arg
+    # MySQL week-mode form needs arity dispatch.
     "toYYYYMM": ("CAST(date_format(", ", 'yyyyMM') AS INT)"),
     "toYYYYMMDD": ("CAST(date_format(", ", 'yyyyMMdd') AS INT)"),
     # CH base64Decode returns String; Spark unbase64 returns BINARY.
@@ -8264,6 +8265,46 @@ _ARG_REWRITES.update({
     # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
     # trailing bytes — the IPv4 cut width applies to IPv4-mapped
     # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # toDayOfWeek(d[, mode]): CH's MySQL-flavor weekday modes —
+    # 0: Mon=1..Sun=7 (default), 1: Mon=0, 2: Sun=1, 3: Sun=0.
+    "toDayOfWeek": lambda a: (
+        f"(weekday({a[0]}) + 1)"
+        if len(a) == 1
+        else {
+            "0": f"(weekday({a[0]}) + 1)",
+            "1": f"weekday({a[0]})",
+            "2": f"dayofweek({a[0]})",
+            "3": f"(dayofweek({a[0]}) - 1)",
+        }.get(
+            a[1].strip() if len(a) == 2 else None,
+            None,
+        )
+        or _refuse(
+            "toDayOfWeek(date[, mode]): literal mode 0-3 (the "
+            "timezone argument is not transpiled — Spark dates "
+            "carry no zone)"
+        )
+    ),
+    # IP OrDefault fills (CH returns the type default, or the
+    # explicit default when given).
+    "toIPv4OrDefault": lambda a: (
+        f"IF({_ipv4_valid(a[0])}, "
+        + _ARG_REWRITES["toIPv4"]([a[0]])
+        + ", " + (a[1] if len(a) > 1 else "'0.0.0.0'") + ")"
+    ),
+    "toIPv6OrDefault": lambda a: (
+        f"coalesce(bh_ipv6_norm({a[0]}), "
+        + (a[1] if len(a) > 1 else "'::'") + ")"
+    ),
+    "IPv6StringToNumOrDefault": lambda a: (
+        f"coalesce(bh_ipv6_ston({a[0]}), "
+        + (
+            a[1]
+            if len(a) > 1
+            else "X'00000000000000000000000000000000'"
+        )
+        + ")"
+    ),
     # -Array over the collect bases (the generic -Array combinator
     # covers sum/min/max/avg/uniq): concat all row arrays; the Uniq
     # form dedups elements (CH order is unspecified — sort to taste).

@@ -9547,3 +9547,39 @@ class TestRound11ProbeTranche6Fns:
             "UNION ALL SELECT 2, CAST(NULL AS INT))"
         ).rows
         assert r == [[5], [5]]
+
+
+class TestRound11ProbeTranche9:
+    """Mini-sweep of Or*-family and date stragglers (char/chr/age/
+    toYearWeek/subtractTupleOfIntervals already served): graduations
+    are toDayOfWeek's MySQL week modes and the IP OrDefault fills."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_to_day_of_week_modes(self, eng):
+        # 2026-03-05 is a Thursday, 2026-03-08 a Sunday
+        assert eng.execute(
+            "SELECT toDayOfWeek(toDate('2026-03-05')) AS a, "
+            "toDayOfWeek(toDate('2026-03-05'), 0) AS b, "
+            "toDayOfWeek(toDate('2026-03-05'), 1) AS c, "
+            "toDayOfWeek(toDate('2026-03-08'), 2) AS d, "
+            "toDayOfWeek(toDate('2026-03-08'), 3) AS e"
+        ).rows == [[4, 4, 3, 1, 0]]
+        with pytest.raises(ValueError, match="mode 0-3"):
+            transpile("SELECT toDayOfWeek(d, 0, 'UTC') FROM t")
+
+    def test_ip_or_default_fills(self, eng):
+        assert eng.execute(
+            "SELECT toIPv4OrDefault('bad') AS a, "
+            "toIPv4OrDefault('bad', '9.9.9.9') AS b, "
+            "toIPv6OrDefault('bad') AS c, "
+            "toIPv6OrDefault('1.2.3.4') AS d, "
+            "hex(IPv6StringToNumOrDefault('bad')) AS e"
+        ).rows == [[
+            "0.0.0.0", "9.9.9.9", "::", "::ffff:1.2.3.4",
+            "00000000000000000000000000000000",
+        ]]
