@@ -1726,7 +1726,7 @@ h AS (
          ((SELECT max(n) FROM ranked) + 1) * p AS hr
   FROM params
 )
-SELECT h.p AS p,
+SELECT CAST(h.p AS DOUBLE) AS p,
        round(CASE
          WHEN h.hr < 1 THEN (SELECT v FROM ranked WHERE rn = 1)
          WHEN h.hr >= h.n THEN (SELECT v FROM ranked WHERE rn = h.n)

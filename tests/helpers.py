@@ -44,6 +44,7 @@ def compare_frames(spark_df, duck_rel, check_names: bool = True) -> None:
     # even when the Python values compare equal here. Catch it locally
     # (r6 judge "What's wrong" #2): every integer-summing oracle must
     # wrap in an outer CAST(sum(...) AS BIGINT).
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     for col, typ in zip(d_cols, duck_rel.types):
         tname = str(typ).upper()
         assert "HUGEINT" not in tname, (
@@ -51,6 +52,25 @@ def compare_frames(spark_df, duck_rel, check_names: bool = True) -> None:
             f"typed hash will mismatch Spark even when values are equal. "
             f"Wrap the aggregate in CAST(... AS BIGINT) in the oracle SQL."
         )
+        # Same driver hazard, decimal flavor (round 11: a VALUES
+        # (0.5) literal is DECIMAL(2,1) in DuckDB and renders
+        # '0.50'-style under a fixed scale while Spark's DOUBLE says
+        # '0.5'): a DECIMAL oracle column paired with a float-ish
+        # Spark column compares equal here after _norm but diverges
+        # under the driver's typed hash.
+        st = s_types.get(col, "")
+        if tname.startswith("DECIMAL") and st in ("double", "float"):
+            raise AssertionError(
+                f"oracle column {col!r} is DuckDB {tname} but Spark "
+                f"{st}: CAST the oracle column to DOUBLE (or both "
+                f"sides to one decimal type)"
+            )
+        if tname in ("DOUBLE", "FLOAT") and st.startswith("decimal"):
+            raise AssertionError(
+                f"oracle column {col!r} is DuckDB {tname} but Spark "
+                f"{st}: CAST the Spark column to Float64 (or both "
+                f"sides to one decimal type)"
+            )
     if check_names:
         assert sorted(s_cols) == sorted(d_cols), (
             f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
