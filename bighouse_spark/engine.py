@@ -2428,7 +2428,14 @@ class BigHouseEngine:
         m_sys = re.match(
             r"^\s*SYSTEM\s+(FLUSH\s+LOGS|DROP\s+QUERY\s+CACHE|"
             r"RELOAD\s+DICTIONAR(?:Y\s+\w+|IES)|DROP\s+MARK\s+CACHE|"
-            r"DROP\s+UNCOMPRESSED\s+CACHE|DROP\s+FILESYSTEM\s+CACHE)"
+            r"DROP\s+UNCOMPRESSED\s+CACHE|DROP\s+FILESYSTEM\s+CACHE|"
+            # background-process toggles: there ARE no background
+            # merges/moves/fetches here (merges are explicit OPTIMIZE,
+            # mutations synchronous) — acknowledged no-ops so ops
+            # tooling scripts run through (round-11 probe)
+            r"(?:STOP|START)\s+(?:TTL\s+)?MERGES(?:\s+\S+)?|"
+            r"(?:STOP|START)\s+(?:MOVES|FETCHES|REPLICATION\s+QUEUES)"
+            r"(?:\s+\S+)?)"
             r"\s*$",
             request.query,
             re.IGNORECASE,
@@ -2442,6 +2449,8 @@ class BigHouseEngine:
                     self._result_cache.clear()
             elif action.startswith("RELOAD DICTIONAR"):
                 pass  # dictGet reads live views — always current
+            elif action.startswith(("STOP", "START")):
+                pass  # no background merges/moves to toggle
             else:  # mark / uncompressed / filesystem cache analogs
                 self.spark.catalog.clearCache()
             elapsed = time.monotonic() - t0

@@ -1975,3 +1975,17 @@ class TestAlterMaintenance:
         assert engine.execute(
             "SELECT count() AS c FROM system.data_skipping_indices"
         ).rows == [[0]]
+
+
+def test_system_background_toggles_ack(engine):
+    # round 11: SYSTEM STOP/START MERGES etc. acknowledge as no-ops
+    # (merges are explicit OPTIMIZE, mutations synchronous)
+    for stmt in (
+        "SYSTEM STOP MERGES",
+        "SYSTEM START MERGES",
+        "SYSTEM STOP TTL MERGES",
+        "SYSTEM STOP MOVES",
+        "SYSTEM START REPLICATION QUEUES",
+        "SYSTEM STOP MERGES some_table",
+    ):
+        assert engine.execute(stmt).rows == [[1]], stmt
