@@ -164,7 +164,8 @@ _FUNC_RENAMES = {
     "indexOf": "array_position",
     "modulo": "mod",
     "medianExact": "median",
-    "countIf": "count_if",
+    # countIf moved to _ARG_REWRITES (round 11): CH's 2-arg
+    # countIf(x, cond) form needs arity dispatch.
     "argMax": "max_by",
     "argMin": "min_by",
     "groupArray": "collect_list",
@@ -3731,6 +3732,32 @@ def _sum_map_filtered(p: list[str], a: list[str]) -> str:
             f"array_contains({p[0]}, __k))"
         ],
         merge,
+    )
+
+
+def _map_agg_if(a: list[str], merge: str) -> str:
+    """-If over sum/min/maxMap: both CH argument shapes with a
+    trailing condition — (map, cond) folds the map rows passing
+    cond; (keys, values, cond) returns the Tuple-of-arrays struct
+    like the two-array sumMap."""
+    if len(a) == 2:
+        return _map_agg_fold(
+            [f"CASE WHEN ({a[1]}) THEN ({a[0]}) END"], merge
+        )
+    if len(a) == 3:
+        inner = _map_agg_fold(
+            [
+                f"CASE WHEN ({a[2]}) THEN "
+                f"map_from_arrays({a[0]}, {a[1]}) END"
+            ],
+            merge,
+        )
+        return (
+            f"named_struct('keys', map_keys({inner}), "
+            f"'values', map_values({inner}))"
+        )
+    raise ValueError(
+        "sum/min/maxMapIf(map, cond) or (keys, values, cond)"
     )
 
 
@@ -8265,6 +8292,82 @@ _ARG_REWRITES.update({
     # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
     # trailing bytes — the IPv4 cut width applies to IPv4-mapped
     # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # countIf(cond) and CH's countIf(x, cond): count of non-NULL x
+    # where cond holds.
+    "countIf": lambda a: (
+        f"count_if({a[0]})"
+        if len(a) == 1
+        else f"count(CASE WHEN ({a[1]}) THEN ({a[0]}) END)"
+        if len(a) == 2
+        else _refuse("countIf(cond) or countIf(x, cond)")
+    ),
+    # -If over the map aggregates (round-11 seam sweep): filter rows
+    # BEFORE the group fold; collect_list skips the NULLed-out rows.
+    "sumMapIf": lambda a: _map_agg_if(
+        a, "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
+    ),
+    "minMapIf": lambda a: _map_agg_if(
+        a, "(__k, __a, __b) -> least(__a, __b)"
+    ),
+    "maxMapIf": lambda a: _map_agg_if(
+        a, "(__k, __a, __b) -> greatest(__a, __b)"
+    ),
+    # -State/-Merge over the map aggregates: the partial IS the
+    # folded map (the sumState convention), so both spell as the
+    # base fold.
+    "sumMapState": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
+    ),
+    "sumMapMerge": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> coalesce(__a, 0) + coalesce(__b, 0)"
+    ),
+    "minMapState": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> least(__a, __b)"
+    ),
+    "minMapMerge": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> least(__a, __b)"
+    ),
+    "maxMapState": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> greatest(__a, __b)"
+    ),
+    "maxMapMerge": lambda a: _map_agg_fold(
+        a, "(__k, __a, __b) -> greatest(__a, __b)"
+    ),
+    # bare groupBitmapXor: the XorState fold's cardinality (the
+    # State/Merge forms existed; the bare spelling was the gap).
+    "groupBitmapXor": lambda a: (
+        f"CAST(size(aggregate(collect_list({a[0]}), "
+        f"slice(first({a[0]}), 1, 0), "
+        f"(__acc, __b) -> array_except(array_union(__acc, __b), "
+        f"array_intersect(__acc, __b)))) AS BIGINT)"
+    ),
+    # -ForEach x -If: NULL out non-matching rows before the
+    # element-wise fold (collect_list skips them).
+    "sumForEachIf": lambda a: _foreach_fold(
+        f"CASE WHEN ({a[1]}) THEN ({a[0]}) END",
+        "(a, b) -> coalesce(a, 0) + coalesce(b, 0)",
+    ),
+    "minForEachIf": lambda a: _foreach_fold(
+        f"CASE WHEN ({a[1]}) THEN ({a[0]}) END",
+        "(a, b) -> least(a, b)",
+    ),
+    "maxForEachIf": lambda a: _foreach_fold(
+        f"CASE WHEN ({a[1]}) THEN ({a[0]}) END",
+        "(a, b) -> greatest(a, b)",
+    ),
+    "avgForEachIf": lambda a: _ARG_REWRITES["avgForEach"](
+        [f"CASE WHEN ({a[1]}) THEN ({a[0]}) END"]
+    ),
+    "avgWeightedIf": lambda a: (
+        f"(sum(CASE WHEN ({a[2]}) THEN ({a[0]}) * ({a[1]}) END) / "
+        f"sum(CASE WHEN ({a[2]}) THEN ({a[1]}) END))"
+    ),
+    "medianArray": lambda a: _refuse(
+        "medianArray/quantileArray estimate over ARRAY ELEMENTS, "
+        "which the t-digest twin cannot fold per-group; flatten "
+        "first (ARRAY JOIN / explode) and aggregate the elements, "
+        "or use quantileExactExclusiveArray for the exact estimator"
+    ),
     # toDayOfWeek(d[, mode]): CH's MySQL-flavor weekday modes —
     # 0: Mon=1..Sun=7 (default), 1: Mon=0, 2: Sun=1, 3: Sun=0.
     "toDayOfWeek": lambda a: (

@@ -9583,3 +9583,66 @@ class TestRound11ProbeTranche9:
             "0.0.0.0", "9.9.9.9", "::", "::ffff:1.2.3.4",
             "00000000000000000000000000000000",
         ]]
+
+
+class TestRound11SeamSweep:
+    """Round-11 tranche 10: combinator x builder seams (the
+    round-10 lesson that dispatch gaps hide at exactly these
+    intersections). Graduations: countIf(x, cond) 2-arg form,
+    -If/-State/-Merge over the map aggregates, the bare
+    groupBitmapXor (its State/Merge forms existed), -ForEachIf,
+    avgWeightedIf; medianArray gets a named refusal."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_count_if_two_arg(self, eng):
+        assert eng.execute(
+            "SELECT countIf(number > 2) AS a, "
+            "countIf(number, number > 2) AS b, "
+            "countIf(IF(number = 3, NULL, number), number > 2) AS c "
+            "FROM numbers(5)"
+        ).rows == [[2, 2, 1]]
+
+    def test_map_agg_if_and_state_merge(self, eng):
+        r = eng.execute(
+            "SELECT minMapIf(map(1, number), number < 3) AS a, "
+            "maxMapIf(map(1, number), number < 3) AS b, "
+            "sumMapIf([1, 2], [number, number], number < 3) AS c "
+            "FROM numbers(5)"
+        ).rows[0]
+        assert r[0] == {1: 0} and r[1] == {1: 2}
+        assert (list(r[2]["keys"]), list(r[2]["values"])) == (
+            [1, 2], [3, 3],
+        )
+        assert eng.execute(
+            "SELECT sumMapMerge(s) AS r FROM (SELECT "
+            "sumMapState(map(1, number)) AS s FROM numbers(3) "
+            "GROUP BY number % 2)"
+        ).rows == [[{1: 3}]]
+
+    def test_group_bitmap_xor_bare(self, eng):
+        assert eng.execute(
+            "SELECT groupBitmapXor(b) AS r FROM "
+            "(SELECT bitmapBuild([1,2]) AS b "
+            "UNION ALL SELECT bitmapBuild([2,3]))"
+        ).rows == [[2]]
+
+    def test_foreach_if_and_avg_weighted_if(self, eng):
+        assert eng.execute(
+            "SELECT sumForEachIf(a, size(a) = 2) AS s, "
+            "avgForEachIf(a, size(a) = 2) AS m FROM "
+            "(SELECT [1, 4] AS a UNION ALL SELECT [3, 8] "
+            "UNION ALL SELECT [9])"
+        ).rows == [[[4, 12], [2.0, 6.0]]]
+        assert eng.execute(
+            "SELECT round(avgWeightedIf(number, number, "
+            "number > 0), 4) AS r FROM numbers(4)"
+        ).rows == [[2.3333]]
+
+    def test_median_array_named_refusal(self):
+        with pytest.raises(ValueError, match="flatten"):
+            transpile("SELECT medianArray(a) FROM t")
