@@ -2493,6 +2493,40 @@ class BigHouseEngine:
                 rows=[["GRANT ALL ON *.* TO default"]],
                 elapsed_sec=time.monotonic() - t0,
             )
+        if re.match(r"^\s*SHOW\s+USERS\s*$", request.query,
+                    re.IGNORECASE):
+            return QueryResult(
+                cols=["name"], rows=[["default"]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        # RBAC family under the trust model: GRANT and SET ROLE are
+        # vacuously true (the one user already holds ALL privileges,
+        # roles add nothing) and acknowledge so provisioning scripts
+        # run through; REVOKE and CREATE USER/ROLE REFUSE — silently
+        # accepting them would misrepresent an isolation boundary
+        # this engine does not enforce.
+        if re.match(r"^\s*(GRANT\b|SET\s+ROLE\b)", request.query,
+                    re.IGNORECASE):
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(request.query, "<rbac ack>", elapsed, 0)
+            )
+            return QueryResult(cols=["ok"], rows=[[1]],
+                               elapsed_sec=elapsed)
+        if re.match(
+            r"^\s*(REVOKE\b|(?:CREATE|ALTER|DROP)\s+"
+            r"(?:USER|ROLE|QUOTA|ROW\s+POLICY|SETTINGS\s+PROFILE)\b)",
+            request.query,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                "this engine runs a trust auth model (one implicit "
+                "all-privileges 'default' user, documented in the "
+                "wire modules): REVOKE and user/role/quota DDL would "
+                "claim an isolation boundary that is not enforced — "
+                "put authentication in front of the server (TLS + "
+                "network policy) instead"
+            )
         m_chk = re.match(
             r"^\s*CHECK\s+TABLE\s+[`\"]?([\w.]+)[`\"]?\s*$",
             request.query,

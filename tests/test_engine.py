@@ -1989,3 +1989,19 @@ def test_system_background_toggles_ack(engine):
         "SYSTEM STOP MERGES some_table",
     ):
         assert engine.execute(stmt).rows == [[1]], stmt
+
+
+def test_rbac_family_trust_model(engine):
+    # GRANT / SET ROLE are vacuous under the all-privileges trust
+    # model and acknowledge; REVOKE and user DDL refuse loudly
+    assert engine.execute("GRANT SELECT ON *.* TO default").rows == [[1]]
+    assert engine.execute("SET ROLE NONE").rows == [[1]]
+    assert engine.execute("SHOW USERS").rows == [["default"]]
+    for stmt in (
+        "REVOKE SELECT ON *.* FROM default",
+        "CREATE USER u IDENTIFIED BY 'x'",
+        "DROP ROLE r",
+        "CREATE ROW POLICY p ON t",
+    ):
+        with pytest.raises(ValueError, match="trust auth model"):
+            engine.execute(stmt)
