@@ -8292,6 +8292,30 @@ _ARG_REWRITES.update({
     # cutIPv6(addr16, bytesToCutForIPv6, bytesToCutForIPv4): zero the
     # trailing bytes — the IPv4 cut width applies to IPv4-mapped
     # addresses (::ffff:a.b.c.d), the IPv6 width otherwise.
+    # Exact/collect -State/-Merge family (round-11 seam sweep #2):
+    # with the partial-is-the-value convention, the exact-distinct
+    # state is the distinct collect and the collect state is the
+    # array itself; -Merge re-folds stored states.
+    # bare -State spellings of the collect-backed parametrics (the
+    # level/k lives in -Merge, not the state)
+    "quantileState": lambda a: f"array_sort(collect_list({a[0]}))",
+    "quantilesState": lambda a: f"array_sort(collect_list({a[0]}))",
+    "medianState": lambda a: f"array_sort(collect_list({a[0]}))",
+    "topKState": lambda a: f"collect_list({a[0]})",
+    "medianMerge": lambda a: _quantile_r7_over(
+        f"array_sort(flatten(collect_list({a[0]})))", "0.5"
+    ),
+    "uniqExactState": lambda a: f"array_sort(collect_set({a[0]}))",
+    "uniqExactMerge": lambda a: (
+        f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
+        f"AS BIGINT)"
+    ),
+    "groupArrayState": lambda a: f"collect_list({a[0]})",
+    "groupArrayMerge": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupUniqArrayState": lambda a: f"array_sort(collect_set({a[0]}))",
+    "groupUniqArrayMerge": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
     # countIf(cond) and CH's countIf(x, cond): count of non-NULL x
     # where cond holds.
     "countIf": lambda a: (
@@ -9878,6 +9902,23 @@ _PARAMETRIC_BUILDERS = (
         _sum_map_filtered(p, a)
     )),
     ("sumMapFiltered", lambda p, a: _sum_map_filtered(p, a)),
+    # -State/-Merge for the collect-backed parametrics (round-11
+    # seam sweep #2): the state is the raw multiset — an EXACT
+    # capability superset of CH's reservoir/space-saving states —
+    # and -Merge folds flattened states to the final value.
+    ("quantilesState", lambda p, a: (
+        f"array_sort(collect_list({a[0]}))"
+    )),
+    ("quantileState", lambda p, a: (
+        f"array_sort(collect_list({a[0]}))"
+    )),
+    ("quantileMerge", lambda p, a: _quantile_r7_over(
+        f"array_sort(flatten(collect_list({a[0]})))", p[0]
+    )),
+    ("topKState", lambda p, a: f"collect_list({a[0]})"),
+    ("topKMerge", lambda p, a: _topk_expr(
+        a[0], p[0], arr=f"flatten(collect_list({a[0]}))"
+    )),
 )
 
 
@@ -10417,7 +10458,26 @@ def _topk_weighted_expr(
     )
 
 
-def _topk_expr(col: str, k: str) -> str:
+def _quantile_r7_over(arr: str, p: str) -> str:
+    """Exact R-7 (Spark percentile's rule) interpolation over an
+    already-sorted array expression: h = (n-1)*p, linear between the
+    floor/ceil elements, NULL on empty input. The array expression
+    repeats textually; Catalyst dedups the underlying aggregate."""
+    h = f"(CAST((size({arr}) - 1) AS DOUBLE) * ({p}))"
+    lo = f"CAST(try_element_at({arr}, CAST(floor({h}) AS INT) + 1) AS DOUBLE)"
+    hi = (
+        f"CAST(coalesce(try_element_at({arr}, "
+        f"CAST(floor({h}) AS INT) + 2), "
+        f"try_element_at({arr}, CAST(floor({h}) AS INT) + 1)) "
+        f"AS DOUBLE)"
+    )
+    return (
+        f"IF(size({arr}) = 0, CAST(NULL AS DOUBLE), "
+        f"{lo} + ({h} - floor({h})) * ({hi} - {lo}))"
+    )
+
+
+def _topk_expr(col: str, k: str, arr: str | None = None) -> str:
     """Exact twin of CH ``topK(k)(x)``: the k most frequent values,
     desc by count, ties asc by value. A frequency map is folded over
     the collected group with an aggregate HOF (the ``first(col)``
@@ -10426,11 +10486,12 @@ def _topk_expr(col: str, k: str) -> str:
     values on one reducer — CH users point topK at low-cardinality
     columns, and so should users of this twin; the distributed shape
     is GROUP BY count ORDER BY LIMIT."""
+    cl = arr if arr is not None else f"collect_list({col})"
     freq = (
-        f"aggregate(collect_list({col}), "
+        f"aggregate({cl}, "
         # typed-empty seed (see _topk_weighted_expr): no NULL map key
         # on empty groups
-        f"map_from_arrays(slice(collect_list({col}), 1, 0), "
+        f"map_from_arrays(slice({cl}, 1, 0), "
         f"CAST(array() AS ARRAY<BIGINT>)), "
         f"(m, e) -> map_concat(map_filter(m, (k, v) -> k != e), "
         f"map(e, coalesce(m[e], cast(0 as bigint)) + 1)))"
@@ -12517,6 +12578,52 @@ def _register_source(
         options=options,
     )
     df.createOrReplaceTempView(view)
+
+
+# -If x -State stackings (round-11 seam sweep #2): the
+# AggregatingMergeTree MV vocabulary — sumIfState(x, cond) et al.
+# Under the partial-is-the-value convention the -If fold IS the
+# state, so every spelling order (IfState / StateIf / the
+# SimpleState flavors) maps to the filtered aggregate; avg keeps its
+# (sum, count) struct state, uniq its HLL sketch.
+def _if_state_entries() -> dict:
+    out = {}
+
+    def _plain(fn):
+        return lambda a: (
+            f"{fn}(CASE WHEN ({a[1]}) THEN ({a[0]}) END)"
+        )
+
+    def _count(a):
+        return (
+            f"count_if({a[0]})"
+            if len(a) == 1
+            else f"count(CASE WHEN ({a[1]}) THEN ({a[0]}) END)"
+        )
+
+    def _avg(a):
+        return (
+            f"named_struct('sum', sum(CASE WHEN ({a[1]}) THEN "
+            f"CAST({a[0]} AS DOUBLE) END), "
+            f"'count', count(CASE WHEN ({a[1]}) THEN 1 END))"
+        )
+
+    def _uniq(a):
+        return f"hll_sketch_agg(CASE WHEN ({a[1]}) THEN ({a[0]}) END)"
+
+    suffixes = ("IfState", "StateIf", "SimpleStateIf", "IfSimpleState")
+    for base in ("sum", "min", "max"):
+        for suf in suffixes:
+            out[base + suf] = _plain(base)
+    for suf in suffixes:
+        out["count" + suf] = _count
+    for suf in ("IfState", "StateIf"):
+        out["avg" + suf] = _avg
+        out["uniq" + suf] = _uniq
+    return out
+
+
+_ARG_REWRITES.update(_if_state_entries())
 
 
 # Aggregate combinator suffixes this dialect composes with the base

@@ -9646,3 +9646,84 @@ class TestRound11SeamSweep:
     def test_median_array_named_refusal(self):
         with pytest.raises(ValueError, match="flatten"):
             transpile("SELECT medianArray(a) FROM t")
+
+
+class TestRound11SeamSweep2:
+    """Round-11 tranche 11: -If x -State stackings and the
+    exact/collect State-Merge family — the AggregatingMergeTree MV
+    vocabulary (sumIfState in a materialized view is the canonical
+    CH rollup pattern). Under the partial-is-the-value convention
+    every stacking order maps to the filtered aggregate; the
+    collect-backed parametrics carry the raw multiset as an EXACT
+    state and -Merge folds flattened states."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_if_state_stackings(self, eng):
+        assert eng.execute(
+            "SELECT sumMerge(s) AS r FROM (SELECT "
+            "sumIfState(number, number % 2 = 0) AS s FROM numbers(6) "
+            "GROUP BY number % 3)"
+        ).rows == [[6]]
+        assert eng.execute(
+            "SELECT sumMerge(s) AS r FROM (SELECT "
+            "sumStateIf(number, number % 2 = 0) AS s FROM numbers(6) "
+            "GROUP BY number % 3)"
+        ).rows == [[6]]
+        assert eng.execute(
+            "SELECT avgMerge(s) AS r FROM (SELECT "
+            "avgIfState(number, number < 4) AS s FROM numbers(6) "
+            "GROUP BY number % 2)"
+        ).rows == [[1.5]]
+        assert eng.execute(
+            "SELECT uniqMerge(s) AS r FROM (SELECT "
+            "uniqIfState(number % 4, number < 8) AS s FROM "
+            "numbers(12) GROUP BY number % 3)"
+        ).rows == [[4]]
+        assert eng.execute(
+            "SELECT countMerge(c) AS r FROM (SELECT "
+            "countIfState(number > 2) AS c FROM numbers(6) "
+            "GROUP BY number % 2)"
+        ).rows == [[3]]
+        assert eng.execute(
+            "SELECT min(s) AS r FROM (SELECT "
+            "minSimpleStateIf(number, number > 1) AS s FROM "
+            "numbers(5) GROUP BY number % 2)"
+        ).rows == [[2]]
+
+    def test_exact_collect_state_merge(self, eng):
+        assert eng.execute(
+            "SELECT uniqExactMerge(s) AS r FROM (SELECT "
+            "uniqExactState(number % 4) AS s FROM numbers(12) "
+            "GROUP BY number % 3)"
+        ).rows == [[4]]
+        assert eng.execute(
+            "SELECT array_sort(groupArrayMerge(s)) AS a, "
+            "array_sort(groupUniqArrayMerge(u)) AS b FROM (SELECT "
+            "groupArrayState(number) AS s, "
+            "groupUniqArrayState(number % 3) AS u FROM numbers(4) "
+            "GROUP BY number % 2)"
+        ).rows == [[[0, 1, 2, 3], [0, 1, 2]]]
+
+    def test_quantile_topk_state_merge(self, eng):
+        # median of 0..10 across two state groups = 5.0 (R-7 exact)
+        assert eng.execute(
+            "SELECT quantileMerge(0.5)(s) AS r FROM (SELECT "
+            "quantileState(0.5)(number) AS s FROM numbers(11) "
+            "GROUP BY number % 2)"
+        ).rows == [[5.0]]
+        # bare-state spelling (the level lives in -Merge)
+        assert eng.execute(
+            "SELECT medianMerge(s) AS r FROM (SELECT "
+            "medianState(number) AS s FROM numbers(11) "
+            "GROUP BY number % 2)"
+        ).rows == [[5.0]]
+        assert eng.execute(
+            "SELECT topKMerge(2)(s) AS r FROM (SELECT "
+            "topKState(2)(number % 3) AS s FROM numbers(9) "
+            "GROUP BY number % 2)"
+        ).rows == [[[0, 1]]]
