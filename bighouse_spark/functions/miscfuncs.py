@@ -13,6 +13,8 @@ them — the built-in expression path stays UDF-free. NOTE: no
 import math
 
 import pandas as pd
+
+import bighouse_spark.compress as _compress
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
@@ -872,9 +874,13 @@ def bh_lz4_ratio(v: pd.Series) -> float:
     serialized as newline-joined UTF-8 (strings/blobs verbatim,
     other types via str). Per-group values collect in the worker,
     the same caveat as every collect-based aggregate; compress in
-    1 MiB blocks like the wire codec so huge groups stay bounded."""
-    from bighouse_spark.compress import MAX_BLOCK, lz4_compress
+    1 MiB blocks like the wire codec so huge groups stay bounded.
 
+    NOTE: ``compress`` is imported at module level and shipped by
+    value below — an executor-side ``from bighouse_spark...`` import
+    inside the UDF body dies with ModuleNotFoundError whenever the
+    worker cannot import the package (round-11 fix; this was the
+    one closure violating the _shipping contract)."""
     vals = v.dropna()
     if not len(vals):
         return float("nan")
@@ -885,8 +891,8 @@ def bh_lz4_ratio(v: pd.Series) -> float:
     if not data:
         return 1.0
     compressed = sum(
-        len(lz4_compress(data[i:i + MAX_BLOCK]))
-        for i in range(0, len(data), MAX_BLOCK)
+        len(_compress.lz4_compress(data[i:i + _compress.MAX_BLOCK]))
+        for i in range(0, len(data), _compress.MAX_BLOCK)
     )
     return len(data) / max(1, compressed)
 
@@ -1079,3 +1085,4 @@ import sys as _sys
 from bighouse_spark.functions._shipping import ship_by_value as _ship
 
 _ship(_sys.modules[__name__])
+_ship(_compress)

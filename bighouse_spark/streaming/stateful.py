@@ -834,3 +834,14 @@ def streaming_sequence_next_node(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Executor-side closures live here (the module-level
+# _running_stats_fn and every applyInPandasWithState body): ship
+# this module's code by value so workers need not import the package
+# (see functions/_shipping.py; round-11 audit).
+import sys as _sys
+
+from bighouse_spark.functions._shipping import ship_by_value as _ship
+
+_ship(_sys.modules[__name__])
