@@ -3708,6 +3708,41 @@ def _map_agg_fold(a: list[str], merge: str) -> str:
     )
 
 
+def _initialize_aggregation(a: list[str]) -> str:
+    """initializeAggregation('nameState', v[, ...]): build the state
+    one row's value would produce. Name must be a literal (CH too).
+    States follow this engine's partial-is-the-value convention."""
+    if len(a) < 2:
+        raise ValueError(
+            "initializeAggregation('aggState', value) takes the "
+            "literal state name and the value"
+        )
+    name = _unquote(a[0]).strip()
+    v = a[1]
+    low = name.lower()
+    if low in ("sumstate", "minstate", "maxstate", "anystate",
+               "anylaststate"):
+        return f"({v})"
+    if low == "countstate":
+        return f"IF(({v}) IS NULL, CAST(0 AS BIGINT), CAST(1 AS BIGINT))"
+    if low == "avgstate":
+        return (
+            f"named_struct('sum', CAST({v} AS DOUBLE), "
+            f"'count', IF(({v}) IS NULL, CAST(0 AS BIGINT), "
+            f"CAST(1 AS BIGINT)))"
+        )
+    if low in ("grouparraystate", "quantilestate", "quantilesstate",
+               "medianstate", "uniqexactstate", "groupuniqarraystate",
+               "topkstate"):
+        return f"IF(({v}) IS NULL, array(), array({v}))"
+    raise ValueError(
+        f"initializeAggregation: state {name!r} has no per-row "
+        "expression here (uniqState's HLL sketch is aggregate-only); "
+        "served: sum/min/max/any/count/avg/groupArray/groupUniqArray/"
+        "quantile(s)/median/topK/uniqExact -State"
+    )
+
+
 def _sum_map_filtered(p: list[str], a: list[str]) -> str:
     """sumMapFiltered(keys_to_keep)(...): both CH argument shapes —
     the (keys, values) two-array form (returns the Tuple-of-arrays
@@ -8296,6 +8331,20 @@ _ARG_REWRITES.update({
     # with the partial-is-the-value convention, the exact-distinct
     # state is the distinct collect and the collect state is the
     # array itself; -Merge re-folds stored states.
+    # initializeAggregation('xState', v): a per-row single-value
+    # state (the MV insert-transform idiom). Literal state names
+    # dispatch under the partial-is-the-value convention; HLL-backed
+    # uniqState has no per-row expression and refuses.
+    "initializeAggregation": lambda a: _initialize_aggregation(a),
+    "finalizeAggregation": lambda a: _refuse(
+        "finalizeAggregation(state): the state's aggregate is not "
+        "recoverable from its value here — use the typed finalizer "
+        "over a single state instead (sumMerge/avgMerge/uniqMerge/"
+        "quantileMerge(p)/uniqExactMerge/groupArrayMerge)"
+    ),
+    # CH window-function aliases of the RESPECT NULLS modifiers.
+    "first_value_respect_nulls": lambda a: f"first_value({a[0]})",
+    "last_value_respect_nulls": lambda a: f"last_value({a[0]})",
     # bare -State spellings of the collect-backed parametrics (the
     # level/k lives in -Merge, not the state)
     "quantileState": lambda a: f"array_sort(collect_list({a[0]}))",

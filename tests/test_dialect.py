@@ -9727,3 +9727,52 @@ class TestRound11SeamSweep2:
             "topKState(2)(number % 3) AS s FROM numbers(9) "
             "GROUP BY number % 2)"
         ).rows == [[[0, 1]]]
+
+
+class TestRound11StateManipulation:
+    """Round-11 tranche 12: CH's state-manipulation functions.
+    initializeAggregation('xState', v) builds per-row states by
+    literal dispatch (the MV insert-transform idiom);
+    finalizeAggregation refuses with the typed-finalizer guidance
+    (the aggregate is not recoverable from a partial-is-the-value
+    state); the RESPECT NULLS window aliases pass through."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_initialize_aggregation_dispatch(self, eng):
+        assert eng.execute(
+            "SELECT sumMerge(s) AS a FROM (SELECT "
+            "initializeAggregation('sumState', number) AS s "
+            "FROM numbers(4))"
+        ).rows == [[6]]
+        assert eng.execute(
+            "SELECT avgMerge(s) AS a FROM (SELECT "
+            "initializeAggregation('avgState', number) AS s "
+            "FROM numbers(4))"
+        ).rows == [[1.5]]
+        assert eng.execute(
+            "SELECT uniqExactMerge(s) AS a FROM (SELECT "
+            "initializeAggregation('uniqExactState', number % 3) "
+            "AS s FROM numbers(9))"
+        ).rows == [[3]]
+        assert eng.execute(
+            "SELECT quantileMerge(0.5)(s) AS a FROM (SELECT "
+            "initializeAggregation('quantileState', number) AS s "
+            "FROM numbers(11))"
+        ).rows == [[5.0]]
+
+    def test_state_manipulation_refusals(self):
+        with pytest.raises(ValueError, match="typed finalizer"):
+            transpile("SELECT finalizeAggregation(s) FROM t")
+        with pytest.raises(ValueError, match="HLL"):
+            transpile("SELECT initializeAggregation('uniqState', 1)")
+
+    def test_respect_nulls_window_aliases(self, eng):
+        assert eng.execute(
+            "SELECT first_value_respect_nulls(number) OVER "
+            "(ORDER BY number) AS r FROM numbers(2)"
+        ).rows == [[0], [0]]
