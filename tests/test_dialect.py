@@ -9776,3 +9776,57 @@ class TestRound11StateManipulation:
             "SELECT first_value_respect_nulls(number) OVER "
             "(ORDER BY number) AS r FROM numbers(2)"
         ).rows == [[0], [0]]
+
+
+class TestRound11StateMergeEquivalence:
+    """The State→Merge two-phase fold must equal the direct
+    aggregate over the same fixture rows — the property that makes
+    the AggregatingMergeTree vocabulary trustworthy, pinned on real
+    data (events at the smoke SF) rather than literals."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        from tests.conftest import SF_SMOKE
+        from bighouse_spark.sources.catalog import load_table
+
+        load_table(spark, SF_SMOKE, "events").createOrReplaceTempView(
+            "__sme_ev"
+        )
+        return BigHouseEngine(spark)
+
+    def test_two_phase_equals_direct(self, eng):
+        direct = eng.execute(
+            "SELECT CAST(sum(user_id) AS Int64) AS s, "
+            "uniqExact(event_type) AS u, "
+            "quantileExactInclusive(0.5)(value) AS q, "
+            "avg(value) AS a FROM __sme_ev"
+        ).rows[0]
+        merged = eng.execute(
+            "SELECT CAST(sumMerge(ss) AS Int64) AS s, "
+            "uniqExactMerge(us) AS u, "
+            "quantileMerge(0.5)(qs) AS q, "
+            "avgMerge(avs) AS a FROM ("
+            "SELECT sumState(user_id) AS ss, "
+            "uniqExactState(event_type) AS us, "
+            "quantileState(value) AS qs, "
+            "avgState(value) AS avs "
+            "FROM __sme_ev GROUP BY user_id % 7)"
+        ).rows[0]
+        assert direct[0] == merged[0]
+        assert direct[1] == merged[1]
+        assert abs(float(direct[2]) - float(merged[2])) < 1e-9
+        assert abs(float(direct[3]) - float(merged[3])) < 1e-9
+
+    def test_if_state_two_phase_equals_filtered_direct(self, eng):
+        direct = eng.execute(
+            "SELECT CAST(sumIf(user_id, value > 0.5) AS Int64) AS s "
+            "FROM __sme_ev"
+        ).rows[0][0]
+        merged = eng.execute(
+            "SELECT CAST(sumMerge(ss) AS Int64) AS s FROM ("
+            "SELECT sumIfState(user_id, value > 0.5) AS ss "
+            "FROM __sme_ev GROUP BY event_type)"
+        ).rows[0][0]
+        assert direct == merged
