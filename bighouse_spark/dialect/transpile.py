@@ -6283,6 +6283,34 @@ _ARG_REWRITES.update({
         f"ELSE array_join(slice(split(parse_url({a[0]}, 'HOST'), "
         f"'\\\\.'), -2, 2), '.') END)"
     ),
+    # RFC 3986 variants (round-11 final probe): CH's *RFC twins
+    # differ only in STRICTER parsing of malformed URLs — for
+    # well-formed input the answers are identical, and parse_url is
+    # already RFC-shaped, so they alias the base spellings. The
+    # WithWWW variants alias too: this parser never www-strips in
+    # the cut (stripping is the NON-www variants' CH-side quirk).
+    "domainRFC": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "domainWithoutWWWRFC": lambda a: (
+        _ARG_REWRITES["domainWithoutWWW"](a)
+    ),
+    "topLevelDomainRFC": lambda a: _ARG_REWRITES["topLevelDomain"](a),
+    "firstSignificantSubdomainRFC": lambda a: (
+        _ARG_REWRITES["firstSignificantSubdomain"](a)
+    ),
+    "cutToFirstSignificantSubdomainRFC": lambda a: (
+        _ARG_REWRITES["cutToFirstSignificantSubdomain"](a)
+    ),
+    "cutToFirstSignificantSubdomainWithWWW": lambda a: (
+        _ARG_REWRITES["cutToFirstSignificantSubdomain"](a)
+    ),
+    "cutToFirstSignificantSubdomainWithWWWRFC": lambda a: (
+        _ARG_REWRITES["cutToFirstSignificantSubdomain"](a)
+    ),
+    "portRFC": lambda a: _ARG_REWRITES["port"](a),
+    # UTF8-suffixed takes: Spark's left/right are character-based
+    # already.
+    "leftUTF8": lambda a: f"left({', '.join(a)})",
+    "rightUTF8": lambda a: f"right({', '.join(a)})",
     # -- UDF-backed: Unicode normalization, geohash --
     "normalizeUTF8NFC": lambda a: f"bh_nfc({a[0]})",
     "normalizeUTF8NFD": lambda a: f"bh_nfd({a[0]})",

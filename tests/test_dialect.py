@@ -9830,3 +9830,33 @@ class TestRound11StateMergeEquivalence:
             "FROM __sme_ev GROUP BY event_type)"
         ).rows[0][0]
         assert direct == merged
+
+
+class TestRound11RfcAndUtf8Aliases:
+    """Final round-11 probe: the RFC 3986 URL-variant twins (strict
+    parsing differs only on malformed input; parse_url is already
+    RFC-shaped) and the WithWWW cuts (this parser never www-strips,
+    which IS the WithWWW contract), plus the character-based
+    left/rightUTF8 takes."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_rfc_and_www_aliases(self, eng):
+        assert eng.execute(
+            "SELECT domainRFC('https://a.com/x') AS a, "
+            "firstSignificantSubdomainRFC("
+            "'https://news.site.com/p') AS b, "
+            "cutToFirstSignificantSubdomainWithWWW("
+            "'https://www.news.site.com/p') AS c, "
+            "portRFC('https://a.com:9000/') AS d"
+        ).rows == [["a.com", "site", "site.com", 9000]]
+
+    def test_utf8_takes(self, eng):
+        assert eng.execute(
+            "SELECT leftUTF8('héllo', 2) AS a, "
+            "rightUTF8('héllo', 2) AS b"
+        ).rows == [["hé", "lo"]]
