@@ -4594,6 +4594,41 @@ def _euclid(a: list) -> str:
     )
 
 
+def _ch_left(a) -> str:
+    """CH left(s, n): n >= 0 → leftmost n chars; n < 0 → all but
+    the LAST |n| chars (Spark's left returns '' for negative n).
+    Emitted as substr forms — the rewrite loop resumes just past the
+    match start, so the replacement must not contain a bare
+    ``left(``/``right(`` token or it would re-match forever."""
+    if len(a) != 2:
+        raise ValueError("left(s, n) takes exactly two arguments")
+    s, n = a[0], a[1].strip()
+    if re.fullmatch(r"\d+", n):
+        return f"substr({s}, 1, {n})"
+    return (
+        f"substr({s}, 1, IF(({n}) < 0, "
+        f"greatest(length({s}) + ({n}), 0), {n}))"
+    )
+
+
+def _ch_right(a) -> str:
+    """CH right(s, n): n >= 0 → rightmost n chars; n < 0 → all but
+    the FIRST |n| chars (= substr(s, 1 - n)). substr-only output,
+    same re-match constraint as :func:`_ch_left`."""
+    if len(a) != 2:
+        raise ValueError("right(s, n) takes exactly two arguments")
+    s, n = a[0], a[1].strip()
+    if re.fullmatch(r"\d+", n):
+        return (
+            f"substr({s}, greatest(length({s}) - {n} + 1, 1), {n})"
+        )
+    return (
+        f"CASE WHEN ({n}) < 0 THEN substr({s}, 1 - ({n})) "
+        f"ELSE substr({s}, greatest(length({s}) - ({n}) + 1, 1), "
+        f"greatest({n}, 0)) END"
+    )
+
+
 _ARG_REWRITES: dict = {
     "toISOWeek": lambda a: f"weekofyear({a[0]})",
     "now64": lambda a: "now()",
@@ -6308,9 +6343,15 @@ _ARG_REWRITES.update({
     ),
     "portRFC": lambda a: _ARG_REWRITES["port"](a),
     # UTF8-suffixed takes: Spark's left/right are character-based
-    # already.
-    "leftUTF8": lambda a: f"left({', '.join(a)})",
-    "rightUTF8": lambda a: f"right({', '.join(a)})",
+    # already — but Spark returns '' for negative lengths where CH
+    # left(s, -n) keeps all but the LAST n chars (and right(s, -n)
+    # all but the FIRST n), so negative lengths are spelled via
+    # substring/length arithmetic. Same mapping for the bare
+    # spellings below.
+    "leftUTF8": lambda a: _ch_left(a),
+    "rightUTF8": lambda a: _ch_right(a),
+    "left": lambda a: _ch_left(a),
+    "right": lambda a: _ch_right(a),
     # -- UDF-backed: Unicode normalization, geohash --
     "normalizeUTF8NFC": lambda a: f"bh_nfc({a[0]})",
     "normalizeUTF8NFD": lambda a: f"bh_nfd({a[0]})",
@@ -9096,6 +9137,23 @@ def _sub_unquoted(sql: str, fn) -> str:
     )
 
 
+def _sub_outside_quotes(pattern, repl, sql: str, flags=0) -> str:
+    """re.sub over the whole statement, but drop matches that START
+    inside a quoted span. Unlike :func:`_sub_unquoted` the match
+    itself may legitimately CONTAIN a quoted span (e.g. a string
+    argument inside ``INTERVAL toUInt8('3') DAY``) — only matches
+    that begin inside a string literal are left alone."""
+    quoted = [m.span() for m in _QUOTED_SPAN.finditer(sql)]
+
+    def guarded(m: re.Match):
+        s = m.start()
+        if any(a <= s < b for a, b in quoted):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, guarded, sql, flags=flags)
+
+
 def _rewrite_token_spellings(sql: str) -> str:
     """Token-level CH spellings, applied outside quoted spans:
 
@@ -9103,9 +9161,42 @@ def _rewrite_token_spellings(sql: str) -> str:
       identifier position right after AS is left alone — a column
       aliased ``inf`` keeps its name while ``x != inf`` compares
       against infinity; ``-inf`` works through the unary minus.
+      A statement that BOTH aliases a column ``nan``/``inf`` AND
+      uses the bare token elsewhere is ambiguous (the later
+      reference would silently become a constant) and is refused
+      with a rename hint — backtick-quote the identifier to keep it.
     * ``(x) ->`` single-parameter lambdas → ``x ->`` (CH accepts the
       parenthesized form; Spark's grammar does not).
     """
+
+    # Alias-collision guard: `SELECT x AS inf ... ORDER BY inf`
+    # would turn the second `inf` into Infinity. Refuse up front.
+    unquoted_all = "".join(
+        p for i, p in enumerate(_QUOTED_SPAN.split(sql)) if i % 2 == 0
+    )
+    for tok in ("nan", "inf"):
+        aliased = re.search(
+            rf"(?i)(?:^|[^\w.])as\s+{tok}(?![\w.])", unquoted_all
+        )
+        if aliased:
+            bare = [
+                m
+                for m in re.finditer(
+                    rf"(?i)(?<![\w.]){tok}(?![\w.(])", unquoted_all
+                )
+                if not re.search(
+                    r"(?i)(?:^|[^\w.])as$",
+                    unquoted_all[: m.start()].rstrip(),
+                )
+            ]
+            if bare:
+                raise ValueError(
+                    f"a column is aliased `{tok}` and the bare token "
+                    f"`{tok}` also appears elsewhere in the statement; "
+                    f"bare {tok} is the CH Float64 literal, so the "
+                    "later reference would silently become a constant "
+                    f"— rename the alias or backtick-quote it (`{tok}`)"
+                )
 
     def repl(m: re.Match) -> str:
         left = m.string[: m.start()].rstrip()
@@ -9163,18 +9254,24 @@ def _rewrite_ch_misc(sql: str) -> str:
         lim = f"LIMIT {cnt} WITH TIES" if ties else f"LIMIT {cnt}"
         return f"{lim} OFFSET {off}" if off else lim
 
-    out = re.sub(
-        r"(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
-        r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<cnt>\d+)\s+ROWS?\s+"
-        r"(?:ONLY|(?P<ties>WITH\s+TIES))",
-        _fetch,
-        out,
-        flags=re.IGNORECASE,
-    )
-    out = re.sub(
-        r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", out,
-        flags=re.IGNORECASE,
-    )
+    def _fetch_seg(seg: str) -> str:
+        seg = re.sub(
+            r"(?:\bOFFSET\s+(?P<off>\d+)\s+ROWS?\s+)?"
+            r"\bFETCH\s+(?:FIRST|NEXT)\s+(?P<cnt>\d+)\s+ROWS?\s+"
+            r"(?:ONLY|(?P<ties>WITH\s+TIES))",
+            _fetch,
+            seg,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", seg,
+            flags=re.IGNORECASE,
+        )
+
+    # _sub_unquoted so the spelling inside a string literal survives
+    # (SELECT 'use OFFSET 5 ROWS FETCH NEXT 3 ROWS ONLY here' must
+    # keep its text verbatim).
+    out = _sub_unquoted(out, _fetch_seg)
     def _paste_guard(seg: str) -> str:
         if re.search(r"\bPASTE\s+JOIN\b", seg, re.IGNORECASE):
             raise ValueError(
@@ -11249,7 +11346,10 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             "YEAR": f"make_ym_interval(CAST({e} AS INT))",
         }[unit]
 
-    out = re.sub(
+    # _sub_outside_quotes (not _sub_unquoted): the match may contain
+    # a quoted span (INTERVAL toUInt8('3') DAY) but must not START
+    # inside one ('wait INTERVAL x DAY' stays verbatim).
+    out = _sub_outside_quotes(
         r"\bINTERVAL\s+((?!\d)(?:[A-Za-z_][\w.]*\s*\([^()]*\)"
         r"|[A-Za-z_][\w.]*|\([^()]*\)))\s+"
         r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\b",

@@ -2556,11 +2556,14 @@ class BigHouseEngine:
         m_exists = self._EXISTS_RE.match(request.query)
         if m_exists:
             name = m_exists.group(1)
-            # system.one → the system_one view twin (register the
-            # system views before checking the catalog)
-            alt = name.replace(".", "_")
-            if alt.startswith("system_"):
+            # system.one → the system_one view twin. The dotted→
+            # underscore mapping applies ONLY to system.* (matching
+            # SHOW CREATE / CHECK TABLE) — EXISTS TABLE a.b must not
+            # return 1 because an unrelated table named a_b exists.
+            candidates = {name}
+            if name.startswith("system."):
                 self.refresh_system_views()
+                candidates.add(name.replace(".", "_"))
             def _cat_exists(n: str) -> bool:
                 try:
                     return self.spark.catalog.tableExists(n)
@@ -2569,7 +2572,7 @@ class BigHouseEngine:
             found = any(
                 n in self._attached or n in self._mviews
                 or _cat_exists(n)
-                for n in ({name, alt})
+                for n in candidates
             )
             return QueryResult(
                 cols=["result"], rows=[[1 if found else 0]],

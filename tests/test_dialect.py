@@ -9860,3 +9860,85 @@ class TestRound11RfcAndUtf8Aliases:
             "SELECT leftUTF8('héllo', 2) AS a, "
             "rightUTF8('héllo', 2) AS b"
         ).rows == [["hé", "lo"]]
+
+
+class TestRound12AdviceFixes:
+    """Round-11 ADVICE findings, pinned: quoted-span safety for the
+    ANSI OFFSET/FETCH and INTERVAL-expression rewrites, the nan/inf
+    alias-collision refusal, CH negative-length left/right semantics,
+    and the EXISTS TABLE dotted-name scope."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_offset_fetch_inside_string_literal_untouched(self, eng):
+        assert eng.execute(
+            "SELECT 'use OFFSET 5 ROWS FETCH NEXT 3 ROWS ONLY here' "
+            "AS s"
+        ).rows == [["use OFFSET 5 ROWS FETCH NEXT 3 ROWS ONLY here"]]
+
+    def test_offset_fetch_outside_string_still_rewrites(self, eng):
+        assert eng.execute(
+            "SELECT number FROM numbers(10) ORDER BY number "
+            "OFFSET 5 ROWS FETCH NEXT 3 ROWS ONLY"
+        ).rows == [[5], [6], [7]]
+
+    def test_interval_expr_inside_string_literal_untouched(self, eng):
+        assert eng.execute(
+            "SELECT 'wait INTERVAL x DAY' AS s"
+        ).rows == [["wait INTERVAL x DAY"]]
+
+    def test_interval_expr_with_quoted_arg_still_rewrites(self, eng):
+        # The match CONTAINS a quoted span but starts outside one.
+        assert str(
+            eng.execute(
+                "SELECT toDate('2024-01-10') + "
+                "INTERVAL toUInt8('3') DAY AS d"
+            ).rows[0][0]
+        ).startswith("2024-01-13")
+
+    def test_nan_inf_alias_plus_bare_use_refused(self, eng):
+        for q in (
+            "SELECT number AS inf FROM numbers(3) ORDER BY inf",
+            "SELECT 1 AS nan, nan + 1 AS y",
+        ):
+            with pytest.raises(Exception, match="alias"):
+                eng.execute(q)
+
+    def test_nan_inf_alias_alone_still_served(self, eng):
+        assert eng.execute("SELECT 1 AS inf, 2 AS nan").rows == [[1, 2]]
+        # ... and bare inf without an alias stays the literal.
+        assert eng.execute("SELECT 1.0 < inf AS ok").rows == [[True]]
+
+    def test_left_right_negative_lengths_match_ch(self, eng):
+        # CH: left(s, -n) = all but last n; right(s, -n) = all but
+        # first n. Column-valued n exercises the IF branch.
+        assert eng.execute(
+            "SELECT left('hello', -2) AS a, right('hello', -2) AS b, "
+            "leftUTF8('héllo', -2) AS c, rightUTF8('héllo', -2) AS d"
+        ).rows == [["hel", "llo", "hél", "llo"]]
+        assert eng.execute(
+            "SELECT left('hello', CAST(number AS INT) - 2) AS a "
+            "FROM numbers(1)"
+        ).rows == [["hel"]]
+
+    def test_left_right_nonnegative_unchanged(self, eng):
+        assert eng.execute(
+            "SELECT left('hello', 2) AS a, right('hello', 0) AS b, "
+            "left('hi', 99) AS c"
+        ).rows == [["he", "", "hi"]]
+
+    def test_exists_table_dotted_no_underscore_false_positive(
+        self, eng
+    ):
+        eng.execute("CREATE TABLE a_b (x Int64) ENGINE = Memory")
+        try:
+            assert eng.execute("EXISTS TABLE a.b").rows == [[0]]
+            assert eng.execute("EXISTS TABLE a_b").rows == [[1]]
+            # system.* keeps the dotted→underscore view twin.
+            assert eng.execute("EXISTS TABLE system.one").rows == [[1]]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS a_b")
