@@ -1971,11 +1971,14 @@ WITH toks AS (
   FROM documents WHERE doc_id < 300
 )
 SELECT doc_id,
-       array_agg(w ORDER BY length(w), w) AS sorted_words
+       array_to_string(array_agg(w ORDER BY length(w), w), '|')
+           AS sorted_words
 FROM toks GROUP BY doc_id ORDER BY doc_id
 """,
 )
 def dialect_array_sort_lambda_roundtrip(spark, sf_dir):
+    # sorted_words is array_join-flattened on BOTH sides: the driver's
+    # pandas canonicalizer cannot sort list cells (window lint).
     return _ch(
         spark,
         sf_dir,
@@ -1983,9 +1986,10 @@ def dialect_array_sort_lambda_roundtrip(spark, sf_dir):
         "__dq_docs_sortl",
         """
         SELECT doc_id,
-               arraySort((w) -> (length(w), w),
-                         arraySlice(splitByChar(' ', text), 1, 5))
-                   AS sorted_words
+               arrayStringConcat(
+                   arraySort((w) -> (length(w), w),
+                             arraySlice(splitByChar(' ', text), 1, 5)),
+                   '|') AS sorted_words
         FROM __dq_docs_sortl WHERE doc_id < 300 ORDER BY doc_id
         """,
     )
@@ -2103,12 +2107,14 @@ WITH toks AS (
 )
 SELECT lang,
        CAST(count(w) AS BIGINT) AS n_tokens,
-       list_sort(list(w)) AS all_words,
-       list_sort(list(DISTINCT w)) AS uniq_words
+       array_to_string(list_sort(list(w)), '|') AS all_words,
+       array_to_string(list_sort(list(DISTINCT w)), '|') AS uniq_words
 FROM toks GROUP BY lang ORDER BY lang
 """,
 )
 def dialect_group_array_array_roundtrip(spark, sf_dir):
+    # all_words/uniq_words array_join-flattened on BOTH sides: the
+    # driver's pandas canonicalizer cannot sort list cells.
     return _ch(
         spark,
         sf_dir,
@@ -2117,8 +2123,10 @@ def dialect_group_array_array_roundtrip(spark, sf_dir):
         """
         SELECT lang,
                CAST(length(groupArrayArray(ws)) AS Int64) AS n_tokens,
-               arraySort(groupArrayArray(ws)) AS all_words,
-               arraySort(groupUniqArrayArray(ws)) AS uniq_words
+               arrayStringConcat(arraySort(groupArrayArray(ws)), '|')
+                   AS all_words,
+               arrayStringConcat(arraySort(groupUniqArrayArray(ws)),
+                                 '|') AS uniq_words
         FROM (
           SELECT lang, arraySlice(splitByChar(' ', text), 1, 3) AS ws
           FROM __dq_docs_gaa WHERE doc_id < 120

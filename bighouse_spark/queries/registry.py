@@ -49,91 +49,88 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-12 ROTATION CANDIDATES: the round-11 oracle-backed additions
-# land first (dialect_quantile_weighted_roundtrip,
-# dialect_bitmap_state_merge_roundtrip,
-# dialect_url_hierarchy_roundtrip, dialect_week_bare_roundtrip,
-# dialect_or_null_combinators_roundtrip,
-# dialect_array_sort_lambda_roundtrip,
-# dialect_interval_expr_roundtrip, dialect_merge_state_roundtrip,
-# dialect_offset_fetch_roundtrip,
-# dialect_group_array_array_roundtrip —
-# all shipped with green local oracle rows, strict driver-grade
-# bit-exact), then the remaining 29 r8-era names not refreshed in the
-# r11 fill (alphabetically from dialect_summap_roundtrip onward:
-# dialect_summap_roundtrip, dialect_tukey_outliers_roundtrip,
-# dialect_with_fill_interpolate_roundtrip, filter_eq,
-# funnel_window_3step, grouping_sets, join_anti, join_left_outer,
-# join_semi, like_filters, order_limit, percentile_approx_check,
-# retention_cohort, rollup_agg, sequence_match_view_purchase,
-# set_except, set_intersect, set_union, set_union_all,
-# sink_roundtrip_ordered, sink_roundtrip_zorder,
-# table_partition_pruning, text_bm25_rank, text_keyword_search,
-# text_pii_redact, text_repetition_scores, text_tfidf_topk,
-# tpch_q14_promo_revenue, uniq_exact), then oldest-green (r9-era)
-# fills to 50.
+# ROUND-13 ROTATION CANDIDATES: any round-12 oracle-backed additions
+# land first, then the remaining 39 r9-era names not refreshed in the
+# r12 fill (alphabetically from curation_stratified_sample onward:
+# curation_stratified_sample, curation_train_val_test_split,
+# date_functions, dedup_embedding_cosine, dedup_exact_groups,
+# dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,
+# dedup_substring_20gram, dedup_url_canonical,
+# dialect_crypto_roundtrip, dialect_ipv4_roundtrip,
+# dialect_retention_roundtrip, dialect_seqnextnode_roundtrip,
+# dialect_windowfunnel_roundtrip, hybrid_keyword_ann,
+# multimodal_resize, pivot_event_counts, quality_constraint_report,
+# tpch_q18_large_orders, tpch_q21_waiting_suppliers,
+# tpch_q22_prospects, tpch_q3_shipping_priority,
+# tpch_q5_local_supplier_volume, tpch_q6_forecast_revenue,
+# tpch_q9_product_profit, uniq_approx_check, uniq_rollup_check,
+# window_daily_rollup, window_first_last_frame,
+# window_gapfill_hourly, window_lag_lead, window_range_frame,
+# window_rank_family, window_running_sum, window_session_10m,
+# window_sliding_1h_30m, window_topk_per_group,
+# window_tumbling_hourly), then oldest-green (r10-era) fills to 50.
 #
-# ROUND-11 WINDOW (50 names, ALL oracle-bearing). Composition per the
-# r10 staging comment (VERDICT r10 Next #1):
-#    4 round-10 oracle-backed additions, first driver check
-#   25 r7-era names not refreshed in the r10 fill (the whole
-#      remaining r7 cohort — last green in CORRECTNESS_r07)
-#   21 oldest-green fills: first 21 of the 50 r8-era names
-#      (alphabetical; the remaining 29 rotate r12)
+# ROUND-12 WINDOW (50 names, ALL oracle-bearing). Composition per the
+# r11 staging comment (VERDICT r11 Next #1):
+#   10 round-11 oracle-backed additions, first driver check
+#   29 r8-era names not refreshed in the r11 fill (the whole
+#      remaining r8 cohort — last green in CORRECTNESS_r08)
+#   11 oldest-green fills: first 11 of the 50 r9-era names
+#      (alphabetical; the remaining 39 rotate r13)
 DRIVER_WINDOW = {
-    # -- round-10 oracle-backed additions, first driver check (4) --
-    "dialect_bitmap_roundtrip",
-    "dialect_quantile_exclusive_roundtrip",
-    "dialect_sparkbar_roundtrip",
-    "dialect_week_modes_roundtrip",
-    # -- r7-era names not refreshed since CORRECTNESS_r07 (25) --
-    "dialect_remote_roundtrip",
-    "dialect_topk_roundtrip",
-    "dialect_tuple_in_roundtrip",
-    "dialect_week_format_roundtrip",
-    "dialect_with_fill_roundtrip",
-    "distinct_projection",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "explode_word_freq",
-    "having_filter",
-    "json_extract_props",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "null_handling",
-    "pipeline_training_corpus",
-    "range_join_conversions",
-    "scalar_subquery",
-    "select_star",
-    "sequence_count_view_purchase",
-    "text_bigram_fluency",
-    "text_fingerprints",
-    "text_gopher_rules",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    # -- oldest-green fills: r8 era, first 21 alphabetically (21) --
-    "agg_argmax_argmin",
-    "agg_percentiles",
-    "agg_stats_moments",
-    "ann_pq_recall",
-    "checksum_md5",
-    "count_by_file",
-    "count_plus_two",
-    "count_star",
-    "dedup_minhash_clusters",
-    "dialect_anova_roundtrip",
-    "dialect_bytesize_tuple_roundtrip",
-    "dialect_cramers_roundtrip",
-    "dialect_deltasumts_roundtrip",
-    "dialect_entropy_roundtrip",
-    "dialect_format_reinterpret_roundtrip",
-    "dialect_intervalsweep_roundtrip",
-    "dialect_ks_test_roundtrip",
-    "dialect_mwu_roundtrip",
-    "dialect_rankcorr_roundtrip",
-    "dialect_stacked_combinators_roundtrip",
-    "dialect_sumargminmax_roundtrip",
+    # -- round-11 oracle-backed additions, first driver check (10) --
+    "dialect_array_sort_lambda_roundtrip",
+    "dialect_bitmap_state_merge_roundtrip",
+    "dialect_group_array_array_roundtrip",
+    "dialect_interval_expr_roundtrip",
+    "dialect_merge_state_roundtrip",
+    "dialect_offset_fetch_roundtrip",
+    "dialect_or_null_combinators_roundtrip",
+    "dialect_quantile_weighted_roundtrip",
+    "dialect_url_hierarchy_roundtrip",
+    "dialect_week_bare_roundtrip",
+    # -- r8-era names not refreshed since CORRECTNESS_r08 (29) --
+    "dialect_summap_roundtrip",
+    "dialect_tukey_outliers_roundtrip",
+    "dialect_with_fill_interpolate_roundtrip",
+    "filter_eq",
+    "funnel_window_3step",
+    "grouping_sets",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "like_filters",
+    "order_limit",
+    "percentile_approx_check",
+    "retention_cohort",
+    "rollup_agg",
+    "sequence_match_view_purchase",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "set_union_all",
+    "sink_roundtrip_ordered",
+    "sink_roundtrip_zorder",
+    "table_partition_pruning",
+    "text_bm25_rank",
+    "text_keyword_search",
+    "text_pii_redact",
+    "text_repetition_scores",
+    "text_tfidf_topk",
+    "tpch_q14_promo_revenue",
+    "uniq_exact",
+    # -- oldest-green fills: r9 era, first 11 alphabetically (11) --
+    "ann_brute_force_topk",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "array_functions",
+    "asof_join_purchase_click",
+    "curation_chunk_documents",
+    "curation_decontaminate",
+    "curation_domain_cap",
+    "curation_incremental_dedup",
+    "curation_mixture_weighted",
+    "curation_pack_sequences",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
