@@ -1441,6 +1441,14 @@ class BigHouseEngine:
         pat = re.compile(r"\bdict(Get\w*|Has)\s*\(", re.IGNORECASE)
         while (m := pat.search(out)) is not None:
             kind = m.group(1)
+            if kind.lower() in (
+                "gethierarchy", "getchildren", "getdescendants"
+            ):
+                raise ValueError(
+                    f"dict{kind}: hierarchical dictionary traversal "
+                    "is not supported; flat dictGet/dictHas over "
+                    "CREATE DICTIONARY sources are served"
+                )
             call = _find_call(out, f"dict{kind}", m.start())
             if call is None:
                 break

@@ -9942,3 +9942,265 @@ class TestRound12AdviceFixes:
             assert eng.execute("EXISTS TABLE system.one").rows == [[1]]
         finally:
             eng.execute("DROP TABLE IF EXISTS a_b")
+
+
+class TestRound12Ch236Tranche:
+    """Round-12 CH 23.6 sweep graduations, value-pinned: the names
+    that previously fell through to UNRESOLVED_ROUTINE
+    (tests/test_ch236_sweep.py is the set-difference gate)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_quarter_arithmetic(self, eng):
+        assert eng.execute(
+            "SELECT addQuarters(toDate('2024-01-15'), 2) AS a, "
+            "subtractQuarters(toDate('2024-01-15'), 1) AS b, "
+            "toDate('2024-01-01') + toIntervalQuarter(1) AS c"
+        ).rows == [[__import__("datetime").date(2024, 7, 15),
+                    __import__("datetime").date(2023, 10, 15),
+                    __import__("datetime").date(2024, 4, 1)]]
+
+    def test_start_of_iso_year(self, eng):
+        import datetime as dt
+
+        # 2021-01-01 is ISO year 2020 (week 53), starting Mon Dec 30.
+        assert eng.execute(
+            "SELECT toStartOfISOYear(toDate('2021-01-01')) AS a, "
+            "toStartOfISOYear(toDate('2024-06-01')) AS b"
+        ).rows == [[dt.date(2019, 12, 30), dt.date(2024, 1, 1)]]
+
+    def test_parse_or_zero_family(self, eng):
+        import datetime as dt
+
+        epoch = dt.datetime(1970, 1, 1)
+        rows = eng.execute(
+            "SELECT parseDateTimeOrZero('garbage', '%Y-%m-%d') AS a, "
+            "parseDateTimeBestEffortOrZero('garbage') AS b, "
+            "parseDateTimeBestEffortOrZero('2024-03-01 10:00:00') AS c"
+        ).rows
+        assert rows == [[epoch, epoch, dt.datetime(2024, 3, 1, 10)]]
+
+    def test_parse_best_effort_us_month_first(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT parseDateTimeBestEffortUS('06/07/2024') AS d"
+        ).rows == [[dt.datetime(2024, 6, 7)]]
+
+    def test_tumble_family(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT tumbleStart(toDateTime('2024-01-01 10:17:00'), "
+            "INTERVAL 10 MINUTE) AS s, "
+            "tumbleEnd(toDateTime('2024-01-01 10:17:00'), "
+            "INTERVAL 10 MINUTE) AS e"
+        ).rows == [[dt.datetime(2024, 1, 1, 10, 10),
+                    dt.datetime(2024, 1, 1, 10, 20)]]
+        with pytest.raises(Exception, match="toStartOfMonth"):
+            eng.execute(
+                "SELECT tumbleStart(now(), INTERVAL 1 MONTH)"
+            )
+        with pytest.raises(Exception, match="OVERLAPPING"):
+            eng.execute(
+                "SELECT hopStart(now(), INTERVAL 5 MINUTE, "
+                "INTERVAL 10 MINUTE)"
+            )
+
+    def test_string_alias_twins(self, eng):
+        assert eng.execute(
+            "SELECT countSubstringsCaseInsensitiveUTF8('aAaA', 'a') "
+            "AS c, hasSubsequenceCaseInsensitive('Hello World', 'HW') "
+            "AS h, mismatches('abc', 'abd') AS m, "
+            "notLike('hello', 'he%') AS n"
+        ).rows == [[4, True, 1, False]]
+
+    def test_extract_all_group_dispatch(self, eng):
+        assert eng.execute(
+            "SELECT extractAll('a1b22c333', '\\\\d+') AS e1, "
+            "extractAll('key=1;key=2', 'key=(\\\\d)') AS e2"
+        ).rows == [[["1", "22", "333"], ["1", "2"]]]
+        with pytest.raises(Exception, match="regexp_extract_all"):
+            eng.execute("SELECT extractAll('x', concat('a', 'b'))")
+
+    def test_json_uint_twins(self, eng):
+        rows = eng.execute(
+            'SELECT visitParamExtractUInt(\'{"a": 42}\', \'a\') AS v, '
+            'JSONExtractUInt(\'{"a": 42}\', \'a\') AS j, '
+            'simpleJSONExtractUInt(\'{"a": 9}\', \'a\') AS s'
+        ).rows
+        assert [int(x) for x in rows[0]] == [42, 42, 9]
+
+    def test_ip_mac_twins(self, eng):
+        assert eng.execute(
+            "SELECT IPv4NumToStringClassC(3232235777) AS c, "
+            "MACStringToNumOrNull('01:02:03:04:05:06') AS m, "
+            "MACStringToNumOrNull('nope') AS bad, "
+            "MACStringToNumOrDefault('nope') AS d"
+        ).rows == [["192.168.1.xxx", 1108152157446, None, 0]]
+
+    def test_uuid_julian_or_variants(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT toUUIDOrDefault('nope', 'fb') AS u, "
+            "fromModifiedJulianDayOrNull(60000) AS ok, "
+            "fromModifiedJulianDayOrNull(99999999) AS bad"
+        ).rows == [["fb", dt.date(2023, 2, 25), None]]
+
+    def test_reinterpret_numeric_identity(self, eng):
+        """CH keeps the in-memory bytes: for integers the low N
+        bytes ARE the value (identity mod 2^bits) — the byte-swap
+        the hex path would produce is wrong for numbers."""
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT reinterpretAsUInt16(17000) AS a, "
+            "reinterpretAsUInt8(-1) AS b, "
+            "reinterpretAsInt8(255) AS c, "
+            "reinterpretAsDate(17000) AS d"
+        ).rows == [[17000, 255, -1, dt.date(2016, 7, 18)]]
+        # runtime numeric (column) takes the same identity path
+        assert eng.execute(
+            "SELECT reinterpretAsUInt16(number + 70000) AS a "
+            "FROM numbers(1)"
+        ).rows == [[70000 - 65536]]
+
+    def test_reinterpret_string_bytes_unchanged(self, eng):
+        assert eng.execute(
+            "SELECT reinterpretAsUInt16('ab') AS b, "
+            "reinterpret('a', 'UInt8') AS r"
+        ).rows == [[25185, 97]]
+
+    def test_bitmap_transform(self, eng):
+        assert eng.execute(
+            "SELECT bitmapToArray(bitmapTransform("
+            "bitmapBuild([1,2,3]), [2], [20])) AS b"
+        ).rows == [[[1, 3, 20]]]
+
+    def test_throw_if(self, eng):
+        assert eng.execute(
+            "SELECT throwIf(1 = 2, 'nope') AS t"
+        ).rows == [[0]]
+        with pytest.raises(Exception, match="boom"):
+            eng.execute("SELECT throwIf(1 = 1, 'boom') AS t")
+
+    def test_zero_arg_introspection(self, eng):
+        rows = eng.execute(
+            "SELECT hostname() AS h, FQDN() AS f, buildId() AS b, "
+            "serverTimeZone() AS tz, emptyArrayDateTime() AS e"
+        ).rows
+        assert rows[0][0] == "bighouse-spark"
+        assert rows[0][1] == "bighouse-spark"
+        assert rows[0][4] == []
+
+    def test_hash_twins_consistent(self, eng):
+        # xxh3 joins the signed-decimal 64-bit twin convention;
+        # sipHash128Reference matches sipHash128's hex twin.
+        rows = eng.execute(
+            "SELECT xxh3('x') AS a, sipHash64('x') AS b, "
+            "sipHash128Reference('x') = sipHash128('x') AS eq"
+        ).rows
+        assert rows[0][0] == rows[0][1]
+        assert rows[0][2] is True
+
+    def test_guided_refusals_name_alternatives(self, eng):
+        for q, pat in (
+            ("SELECT sipHash64Keyed((1, 2), 'x')", "sipHash64"),
+            ("SELECT MD4('x')", "MD5"),
+            ("SELECT BLAKE3('x')", "SHA256"),
+            ("SELECT h3IsValid(1)", "geohash"),
+            ("SELECT regionToCity(1)", "dimension table"),
+            ("SELECT evalMLMethod(x)", "MLlib"),
+            ("SELECT detectTokenLanguage('x')", "detectLanguage"),
+            ("SELECT multiFuzzyMatchAnyIndex('x', 1, ['a'])",
+             "editDistance"),
+            ("SELECT reinterpretAsFloat32('x')", "reinterpretAs"),
+            ("SELECT replicate(1, [1,2])", "array_repeat"),
+        ):
+            with pytest.raises(Exception, match=pat):
+                eng.execute(q)
+
+    def test_random_generators_shape(self, eng):
+        assert eng.execute(
+            "SELECT length(randomFixedString(5)) AS l, "
+            "length(randomStringUTF8(4)) AS u, "
+            "randomStringUTF8(0) AS z"
+        ).rows == [[5, 4, ""]]
+
+
+class TestRound12SeamProbes:
+    """VERDICT r11 Next #3: initializeAggregation x NULL x every
+    served state, folded through the matching -Merge. The probe
+    found anyMerge/anyLastMerge (and the any*State aggregate forms)
+    leaking UNRESOLVED_ROUTINE — fixed in _WRAP_FUNCS."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    SRC = (
+        "(SELECT element_at([NULL, 5.0, 7.0], "
+        "CAST(number + 1 AS INT)) AS x FROM numbers(3))"
+    )
+    SRCI = (
+        "(SELECT element_at([NULL, 5, 5, 7], "
+        "CAST(number + 1 AS INT)) AS x FROM numbers(4))"
+    )
+
+    @pytest.mark.parametrize(
+        "state,merge,want",
+        [
+            ("avgState", "avgMerge(s)", 6.0),
+            ("sumState", "sumMerge(s)", 12.0),
+            ("countState", "countMerge(s)", 2),
+            ("minState", "minMerge(s)", 5.0),
+            ("maxState", "maxMerge(s)", 7.0),
+            ("quantileState", "quantileMerge(0.5)(s)", 6.0),
+            ("anyState", "anyMerge(s)", (5.0, 7.0)),
+            ("anyLastState", "anyLastMerge(s)", (5.0, 7.0)),
+        ],
+    )
+    def test_initialize_aggregation_null_then_merge(
+        self, eng, state, merge, want
+    ):
+        # any/anyLast are "some non-NULL value" — order-free like
+        # CH's over unordered blocks; the rest are exact.
+        got = eng.execute(
+            f"SELECT {merge} AS r FROM (SELECT "
+            f"initializeAggregation('{state}', x) AS s FROM "
+            f"{self.SRC})"
+        ).rows[0][0]
+        assert got is not None
+        allowed = want if isinstance(want, tuple) else (want,)
+        assert any(abs(float(got) - w) < 1e-9 for w in allowed)
+
+    def test_initialize_aggregation_null_array_states(self, eng):
+        assert eng.execute(
+            "SELECT uniqExactMerge(s) AS r FROM (SELECT "
+            "initializeAggregation('uniqExactState', x) AS s FROM "
+            f"{self.SRCI})"
+        ).rows == [[2]]
+        assert eng.execute(
+            "SELECT arraySort(groupArrayMerge(s)) AS r FROM (SELECT "
+            "initializeAggregation('groupArrayState', x) AS s FROM "
+            f"{self.SRC})"
+        ).rows[0][0] == [5.0, 7.0]
+
+    def test_any_state_merge_as_aggregates(self, eng):
+        # The aggregate spellings themselves (not just the
+        # initializeAggregation literals) — the round-12 leak.
+        assert eng.execute(
+            f"SELECT anyState(x) AS a, anyLastState(x) AS b "
+            f"FROM {self.SRC}"
+        ).rows[0] == [5.0, 5.0]
+        assert eng.execute(
+            "SELECT anyMerge(s) AS r FROM (SELECT anyState(x) AS s "
+            f"FROM {self.SRC} GROUP BY x IS NULL)"
+        ).rows == [[5.0]]

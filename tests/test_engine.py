@@ -2005,3 +2005,106 @@ def test_rbac_family_trust_model(engine):
     ):
         with pytest.raises(ValueError, match="trust auth model"):
             engine.execute(stmt)
+
+
+class TestRound12MaintenanceSeams:
+    """VERDICT r11 Next #3: maintenance ALTERs x MVs and bloom
+    skip-indices x mutations/OPTIMIZE (the whole-part rewrite path)."""
+
+    def test_clear_column_and_mutations_rebuild_mvs(self, engine):
+        engine.execute(
+            "CREATE TABLE r12_src (k Int64, v Int64, tag String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        try:
+            engine.execute(
+                "INSERT INTO r12_src VALUES (1, 10, 'a'), "
+                "(2, 20, 'b'), (3, 30, 'a')"
+            )
+            engine.execute(
+                "CREATE MATERIALIZED VIEW r12_mv AS SELECT tag, "
+                "sum(v) AS sv FROM r12_src GROUP BY tag"
+            )
+            assert engine.execute(
+                "SELECT * FROM r12_mv ORDER BY tag"
+            ).rows == [["a", 40], ["b", 20]]
+            # CLEAR COLUMN resets to type default AND dependents see it
+            engine.execute("ALTER TABLE r12_src CLEAR COLUMN v")
+            assert engine.execute(
+                "SELECT * FROM r12_mv ORDER BY tag"
+            ).rows == [["a", 0], ["b", 0]]
+            # UPDATE mutation propagates too
+            engine.execute(
+                "ALTER TABLE r12_src UPDATE tag = 'z' WHERE k = 1"
+            )
+            assert engine.execute(
+                "SELECT * FROM r12_mv ORDER BY tag"
+            ).rows == [["a", 0], ["b", 0], ["z", 0]]
+        finally:
+            engine.execute("DROP VIEW IF EXISTS r12_mv")
+            engine.execute("DROP TABLE IF EXISTS r12_src")
+
+    def test_bloom_property_survives_rewrite_paths(self, engine):
+        """The parquet no-dictionary bloom-column property must hold
+        on every file the mutation/OPTIMIZE whole-part rewrites
+        produce, not just the first MATERIALIZE write."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        engine.execute(
+            "CREATE TABLE r12_bl (k Int64, v Int64, tag String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        try:
+            engine.execute(
+                "INSERT INTO r12_bl VALUES (1, 10, 'a'), "
+                "(2, 20, 'b'), (3, 30, 'a')"
+            )
+            engine.execute(
+                "ALTER TABLE r12_bl ADD INDEX bf_tag tag "
+                "TYPE bloom_filter GRANULARITY 1"
+            )
+            engine.execute("ALTER TABLE r12_bl MATERIALIZE INDEX bf_tag")
+
+            def tag_dictless():
+                path = engine._attached["r12_bl"][0]
+                local = (
+                    path[7:] if path.startswith("file://") else path
+                )
+                flags = set()
+                for f in glob.glob(
+                    local + "/**/*.parquet", recursive=True
+                ):
+                    if os.path.getsize(f) == 0:
+                        continue
+                    md = pq.ParquetFile(f).metadata
+                    for g in range(md.num_row_groups):
+                        for c in range(md.num_columns):
+                            col = md.row_group(g).column(c)
+                            if col.path_in_schema == "tag":
+                                flags.add(
+                                    "PLAIN_DICTIONARY"
+                                    not in col.encodings
+                                    and "RLE_DICTIONARY"
+                                    not in col.encodings
+                                )
+                return flags
+
+            assert tag_dictless() == {True}
+            engine.execute("ALTER TABLE r12_bl DELETE WHERE k = 2")
+            assert tag_dictless() == {True}
+            engine.execute("OPTIMIZE TABLE r12_bl FINAL")
+            assert tag_dictless() == {True}
+            engine.execute(
+                "ALTER TABLE r12_bl UPDATE v = v + 1 WHERE k = 1"
+            )
+            assert tag_dictless() == {True}
+            engine.execute("INSERT INTO r12_bl VALUES (9, 90, 'q')")
+            assert tag_dictless() == {True}
+            assert engine.execute(
+                "SELECT k FROM r12_bl ORDER BY k"
+            ).rows == [[1], [3], [9]]
+        finally:
+            engine.execute("DROP TABLE IF EXISTS r12_bl")

@@ -441,3 +441,22 @@ class TestMySQLStreaming:
             assert c.ping()
         finally:
             c.close()
+
+
+class TestMySQLRbacOverWire:
+    """Round-12 seam probe twin of TestPGRbacOverWire."""
+
+    def test_rbac_statements_over_mysql_wire(self, my):
+        c = MyClient(my.host, my.port)
+        try:
+            cols, rows, err = c.query("SET ROLE admin")
+            assert err is None and rows == [["1"]]
+            _, rows, err = c.query("SHOW GRANTS")
+            assert err is None
+            assert rows == [["GRANT ALL ON *.* TO default"]]
+            _, _, err = c.query("REVOKE SELECT ON *.* FROM bob")
+            assert err is not None and "trust auth model" in err[1]
+            _, rows, err = c.query("SELECT 1 AS x")
+            assert err is None and rows == [["1"]]
+        finally:
+            c.close()

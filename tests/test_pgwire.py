@@ -437,3 +437,43 @@ class TestPGExtendedProtocolSettings(TestPGExtendedProtocol):
             assert err is None and rows[0][0] == K2
         finally:
             c.close()
+
+
+class TestPGRbacOverWire:
+    """Round-12 seam probe: the RBAC acknowledgements travel the PG
+    wire — SET ROLE is NOT swallowed by the per-connection settings
+    path (it has no k=v pair), GRANT/SHOW GRANTS answer, REVOKE
+    refuses with the trust-model message and the connection stays
+    alive for the next query."""
+
+    def test_rbac_statements_over_pg_wire(self, pg):
+        c = PGClient(pg.host, pg.port)
+        try:
+            cols, rows, err = c.query("SET ROLE admin")
+            assert err is None and rows == [["1"]]
+            _, rows, err = c.query("SHOW GRANTS")
+            assert err is None
+            assert rows == [["GRANT ALL ON *.* TO default"]]
+            _, rows, err = c.query("GRANT SELECT ON *.* TO bob")
+            assert err is None and rows == [["1"]]
+            _, _, err = c.query("REVOKE SELECT ON *.* FROM bob")
+            assert err is not None
+            assert "trust auth model" in err[b"M"]
+            # connection survives the refusal
+            _, rows, err = c.query("SELECT 1 AS x")
+            assert err is None and rows == [["1"]]
+        finally:
+            c.close()
+
+    def test_set_role_does_not_pollute_settings(self, pg):
+        # SET ROLE must not leave a bogus per-connection setting that
+        # gets re-injected as SETTINGS role = ... on later SELECTs.
+        c = PGClient(pg.host, pg.port)
+        try:
+            c.query("SET ROLE admin")
+            _, rows, err = c.query(
+                "SELECT number AS n FROM numbers(2) ORDER BY n"
+            )
+            assert err is None and rows == [["0"], ["1"]]
+        finally:
+            c.close()

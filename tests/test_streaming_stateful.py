@@ -592,3 +592,91 @@ def test_streaming_sequence_next_node_converges(spark, tmp_path):
             ).collect()
         }
         assert out == batch, (direction, base)
+
+
+def test_streaming_sequence_next_node_checkpoint_restart(
+    spark, tmp_path
+):
+    """Round-12 seam probe: the sequenceNextNode state must survive a
+    full STOP + RESUME from checkpoint (not just a micro-batch
+    boundary inside one run). foreachBatch is the sink — Spark's
+    memory sink cannot recover from a checkpoint. Two pairings cover
+    both ring directions; the convergence test above covers all six
+    pairings' semantics."""
+    import os
+    import time
+
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.streaming.stateful import (
+        streaming_sequence_next_node,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").where(
+        F.col("user_id") < 20
+    )
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS DOUBLE), 0.5) AS c"
+    ).collect()[0][0]
+    eng = BigHouseEngine(spark)
+    conds = ["event_type = 'view'", "event_type = 'click'"]
+
+    for i, (direction, base) in enumerate(
+        [("forward", "head"), ("backward", "tail")]
+    ):
+        d = str(tmp_path / f"snn_ck_{i}" / "data")
+        ck = str(tmp_path / f"snn_ck_{i}" / "ckpt")
+        os.makedirs(d)
+        out: list = []
+        ev.where(F.col("ts").cast("double") <= cut).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+        def sink(df, epoch):
+            out.extend(
+                (r.user_id, r.next_node, r.emits)
+                for r in df.collect()
+            )
+
+        def run():
+            src = (
+                spark.readStream.schema(spark.read.parquet(d).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q = (
+                streaming_sequence_next_node(
+                    src, direction, base, "event_type",
+                    "value >= 0", conds,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()  # first half, then the query STOPS
+        time.sleep(1.0)
+        ev.where(F.col("ts").cast("double") > cut).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        run()  # RESUME from checkpoint: ring state must carry over
+
+        final: dict = {}
+        for uid, nxt, emits in out:
+            if uid not in final or emits >= final[uid][1]:
+                final[uid] = (nxt, emits)
+        got = {(k, v[0]) for k, v in final.items()}
+        spark.read.parquet(d).createOrReplaceTempView("__snn_ck")
+        batch = {
+            (row[0], row[1])
+            for row in eng.execute(
+                f"SELECT user_id, sequenceNextNode('{direction}', "
+                f"'{base}')(CAST(ts AS TIMESTAMP), event_type, "
+                "value >= 0, event_type = 'view', "
+                "event_type = 'click') AS nxt "
+                "FROM __snn_ck GROUP BY user_id"
+            ).rows
+        }
+        assert got == batch, (direction, base)
