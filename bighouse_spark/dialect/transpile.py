@@ -129,7 +129,6 @@ _FUNC_RENAMES = {
     "fromUnixTimestamp": "from_unixtime",
     "addDays": "date_add",
     "subtractDays": "date_sub",
-    "addMonths": "add_months",
     "lcase": "lower",
     "ucase": "upper",
     "lengthUTF8": "length",
@@ -5095,9 +5094,24 @@ _ARG_REWRITES: dict = {
     ),
     # add*/subtract* date arithmetic (CH spellings; days/months have
     # direct Spark twins above).
-    "addYears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
-    "subtractYears": lambda a: f"add_months({a[0]}, -12 * ({a[1]}))",
-    "subtractMonths": lambda a: f"add_months({a[0]}, -({a[1]}))",
+    # Month-family arithmetic via ym-intervals, NOT add_months:
+    # add_months(TIMESTAMP) truncates to DATE where CH keeps
+    # DateTime; `x + make_ym_interval` keeps DATE→DATE and
+    # TIMESTAMP→TIMESTAMP with the same end-of-month clamping
+    # (round-12 review finding; addQuarters in the sweep tranche
+    # follows the same rule).
+    "addYears": lambda a: (
+        f"({a[0]} + make_ym_interval(CAST({a[1]} AS INT)))"
+    ),
+    "subtractYears": lambda a: (
+        f"({a[0]} - make_ym_interval(CAST({a[1]} AS INT)))"
+    ),
+    "addMonths": lambda a: (
+        f"({a[0]} + make_ym_interval(0, CAST({a[1]} AS INT)))"
+    ),
+    "subtractMonths": lambda a: (
+        f"({a[0]} - make_ym_interval(0, CAST({a[1]} AS INT)))"
+    ),
     "addWeeks": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
     "subtractWeeks": lambda a: f"date_sub({a[0]}, 7 * ({a[1]}))",
     "addHours": lambda a: (
@@ -8743,8 +8757,12 @@ _H3_REFUSAL = (
 # libraries or block-order guarantees that don't ship.
 _ARG_REWRITES.update({
     # -- date/time --
-    "addQuarters": lambda a: f"add_months({a[0]}, 3 * ({a[1]}))",
-    "subtractQuarters": lambda a: f"add_months({a[0]}, -3 * ({a[1]}))",
+    "addQuarters": lambda a: (
+        f"({a[0]} + make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
+    ),
+    "subtractQuarters": lambda a: (
+        f"({a[0]} - make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
+    ),
     "toIntervalQuarter": lambda a: f"make_interval(0, 3 * ({a[0]}))",
     # ISO year starts the Monday of the week containing Jan 4.
     "toStartOfISOYear": lambda a: (

@@ -2133,3 +2133,310 @@ def dialect_group_array_array_roundtrip(spark, sf_dir):
         ) GROUP BY lang ORDER BY lang
         """,
     )
+
+
+# ---------------------------------------------------------------
+# Round-12 oracle rows (staged for the r13 driver window): the CH
+# 23.6 sweep graduations recomputed independently by DuckDB.
+# ---------------------------------------------------------------
+
+
+# Month-family date arithmetic keeps each input type (the round-12
+# review fix): quarters pushed per order, grouped. DuckDB recomputes
+# with its own month-interval arithmetic.
+@query(
+    "dialect_quarter_arithmetic_roundtrip",
+    oracle="""
+SELECT CAST(o_orderdate + to_months(CAST(3 * (o_orderkey % 3) AS INT))
+            AS DATE) AS shifted,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderdate < '1995-09-01'
+GROUP BY shifted ORDER BY shifted
+""",
+)
+def dialect_quarter_arithmetic_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_qa",
+        """
+        SELECT CAST(addQuarters(o_orderdate, o_orderkey % 3) AS Date)
+                   AS shifted,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_qa WHERE o_orderdate < '1995-09-01'
+        GROUP BY shifted ORDER BY shifted
+        """,
+    )
+
+
+# tumbleStart/tumbleEnd fixed-size buckets over the event stream.
+# DuckDB recomputes with time_bucket (its own windowing primitive).
+@query(
+    "dialect_tumble_window_roundtrip",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+           AS w_start,
+       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+           + INTERVAL '10 minutes' AS w_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE user_id < 200
+GROUP BY w_start ORDER BY w_start
+""",
+)
+def dialect_tumble_window_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_tw",
+        """
+        SELECT tumbleStart(CAST(ts AS DateTime), INTERVAL 10 MINUTE)
+                   AS w_start,
+               tumbleEnd(CAST(ts AS DateTime), INTERVAL 10 MINUTE)
+                   AS w_end,
+               CAST(count() AS Int64) AS n
+        FROM __dq_events_tw WHERE user_id < 200
+        GROUP BY w_start, w_end ORDER BY w_start
+        """,
+    )
+
+
+# extractAll with the capture-group dispatch, flattened for the
+# driver's scalar-column lint. DuckDB: regexp_extract_all.
+@query(
+    "dialect_extract_all_roundtrip",
+    oracle="""
+SELECT doc_id,
+       coalesce(array_to_string(
+           regexp_extract_all(text, '[aeiou]+'), '|'), '')
+           AS vowel_runs,
+       coalesce(array_to_string(
+           regexp_extract_all(text, 'th([a-z]+)', 1), '|'), '')
+           AS th_tails
+FROM documents WHERE doc_id < 150 ORDER BY doc_id
+""",
+)
+def dialect_extract_all_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_xa",
+        """
+        SELECT doc_id,
+               arrayStringConcat(extractAll(text, '[aeiou]+'), '|')
+                   AS vowel_runs,
+               arrayStringConcat(extractAll(text, 'th([a-z]+)'), '|')
+                   AS th_tails
+        FROM __dq_docs_xa WHERE doc_id < 150 ORDER BY doc_id
+        """,
+    )
+
+
+# parseDateTimeBestEffortUS: month-first strings rendered from order
+# dates round-trip back to the date. DuckDB: strftime + strptime.
+@query(
+    "dialect_parse_us_roundtrip",
+    oracle="""
+SELECT CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
+            AS DATE) AS d,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey < 3000
+GROUP BY d ORDER BY d
+""",
+)
+def dialect_parse_us_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_us",
+        """
+        SELECT CAST(parseDateTimeBestEffortUS(
+                   formatDateTime(o_orderdate, '%m/%d/%Y')) AS Date)
+                   AS d,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_us WHERE o_orderkey < 3000
+        GROUP BY d ORDER BY d
+        """,
+    )
+
+
+# CH negative-length left/right (all-but-last-n / all-but-first-n)
+# — the ADVICE r11 semantics fix. DuckDB spells the arithmetic
+# directly over customer names.
+@query(
+    "dialect_left_right_negative_roundtrip",
+    oracle="""
+SELECT c_custkey,
+       substring(c_name, 1, greatest(length(c_name) - 3, 0)) AS l,
+       substring(c_name, 4) AS r,
+       left(c_name, 5) AS lp,
+       right(c_name, 5) AS rp
+FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+""",
+)
+def dialect_left_right_negative_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "customer",
+        "__dq_cust_lr",
+        """
+        SELECT c_custkey,
+               left(c_name, -3) AS l,
+               right(c_name, -3) AS r,
+               leftUTF8(c_name, 5) AS lp,
+               rightUTF8(c_name, 5) AS rp
+        FROM __dq_cust_lr WHERE c_custkey < 200 ORDER BY c_custkey
+        """,
+    )
+
+
+# reinterpretAs* numeric identity (the round-12 value fix: integers
+# keep their low bytes, no byte-swap). DuckDB: plain modulus.
+@query(
+    "dialect_reinterpret_numeric_roundtrip",
+    oracle="""
+SELECT CAST(o_orderkey % 65536 AS BIGINT) AS u16,
+       CAST(o_orderkey % 256 AS BIGINT) AS u8,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey < 5000
+GROUP BY u16, u8 ORDER BY u16, u8
+""",
+)
+def dialect_reinterpret_numeric_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_ri",
+        """
+        SELECT reinterpretAsUInt16(o_orderkey) AS u16,
+               reinterpretAsUInt8(o_orderkey) AS u8,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_ri WHERE o_orderkey < 5000
+        GROUP BY u16, u8 ORDER BY u16, u8
+        """,
+    )
+
+
+# JSONExtractUInt over JSON rendered from the events table; both
+# sides re-parse the string they built. DuckDB: json_extract.
+@query(
+    "dialect_json_uint_roundtrip",
+    oracle="""
+SELECT CAST(json_extract_string(
+           '{"uid": ' || CAST(user_id AS VARCHAR) || '}', '$.uid')
+           AS BIGINT) AS uid,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE user_id < 150
+GROUP BY uid ORDER BY uid
+""",
+)
+def dialect_json_uint_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "events",
+        "__dq_events_ju",
+        """
+        SELECT CAST(JSONExtractUInt(
+                   concat('{"uid": ', toString(user_id), '}'), 'uid')
+                   AS Int64) AS uid,
+               CAST(count() AS Int64) AS n
+        FROM __dq_events_ju WHERE user_id < 150
+        GROUP BY uid ORDER BY uid
+        """,
+    )
+
+
+# parseDateTimeBestEffortOrZero maps garbage rows to the epoch
+# instead of raising; valid rows parse. DuckDB recomputes the CASE.
+@query(
+    "dialect_parse_or_zero_roundtrip",
+    oracle="""
+SELECT CAST(CASE WHEN o_orderkey % 3 = 0
+            THEN TIMESTAMP '1970-01-01 00:00:00'
+            ELSE CAST(o_orderdate AS TIMESTAMP) END AS TIMESTAMP)
+           AS parsed,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey < 4000
+GROUP BY parsed ORDER BY parsed
+""",
+)
+def dialect_parse_or_zero_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_pz",
+        """
+        SELECT parseDateTimeBestEffortOrZero(
+                   if(o_orderkey % 3 = 0, 'garbage',
+                      toString(o_orderdate))) AS parsed,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_pz WHERE o_orderkey < 4000
+        GROUP BY parsed ORDER BY parsed
+        """,
+    )
+
+
+# toStartOfISOYear: the Monday of the ISO-week-1 week. DuckDB
+# rebuilds it from its own isoyear extraction.
+@query(
+    "dialect_iso_year_start_roundtrip",
+    oracle="""
+SELECT CAST(date_trunc('week',
+           make_date(CAST(isoyear(o_orderdate) AS INT), 1, 4))
+           AS DATE) AS iso_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY iso_start ORDER BY iso_start
+""",
+)
+def dialect_iso_year_start_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_iy",
+        """
+        SELECT toStartOfISOYear(o_orderdate) AS iso_start,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_iy GROUP BY iso_start ORDER BY iso_start
+        """,
+    )
+
+
+# The case-insensitive string twins over documents: non-overlapping
+# substring counts and byte Hamming distance (mismatches). DuckDB
+# recomputes the count by scan arithmetic and Hamming by per-char
+# list comparison.
+@query(
+    "dialect_string_twins_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(floor((length(lower(text))
+            - length(replace(lower(text), 'the', '')))
+            / 3) AS INT) AS n_the,
+       CAST(len(list_filter(range(1, least(length(lang), 2) + 1),
+            i -> substring(lang, i, 1) != substring('en', i, 1)))
+            + abs(length(lang) - 2) AS INT) AS ham_en
+FROM documents WHERE doc_id < 150 ORDER BY doc_id
+""",
+)
+def dialect_string_twins_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_st",
+        """
+        SELECT doc_id,
+               countSubstringsCaseInsensitiveUTF8(text, 'the')
+                   AS n_the,
+               CAST(mismatches(lang, 'en') AS Int32) AS ham_en
+        FROM __dq_docs_st WHERE doc_id < 150 ORDER BY doc_id
+        """,
+    )

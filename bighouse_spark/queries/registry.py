@@ -49,9 +49,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-13 ROTATION CANDIDATES: any round-12 oracle-backed additions
-# land first, then the remaining 39 r9-era names not refreshed in the
-# r12 fill (alphabetically from curation_stratified_sample onward:
+# ROUND-13 ROTATION CANDIDATES: the round-12 oracle-backed additions
+# land first (dialect_quarter_arithmetic_roundtrip,
+# dialect_tumble_window_roundtrip, dialect_extract_all_roundtrip,
+# dialect_parse_us_roundtrip, dialect_left_right_negative_roundtrip,
+# dialect_reinterpret_numeric_roundtrip, dialect_json_uint_roundtrip,
+# dialect_parse_or_zero_roundtrip, dialect_iso_year_start_roundtrip,
+# dialect_string_twins_roundtrip — all green local oracle rows,
+# never driver-checked), then the remaining 39 r9-era names not
+# refreshed in the r12 fill (alphabetically from
+# curation_stratified_sample onward:
 # curation_stratified_sample, curation_train_val_test_split,
 # date_functions, dedup_embedding_cosine, dedup_exact_groups,
 # dedup_fingerprint, dedup_ngram_jaccard, dedup_simhash,

@@ -10204,3 +10204,61 @@ class TestRound12SeamProbes:
             "SELECT anyMerge(s) AS r FROM (SELECT anyState(x) AS s "
             f"FROM {self.SRC} GROUP BY x IS NULL)"
         ).rows == [[5.0]]
+
+
+class TestRound12ReviewPass:
+    """Adversarial pass over the round's own additions (VERDICT r11
+    Next #6). Real finding: the month-family date arithmetic
+    truncated DateTime to Date through add_months — now ym-interval
+    addition keeps each input type (CH-exact)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_month_family_keeps_datetime(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT addQuarters(toDateTime('2024-01-31 10:00:00'), 1) "
+            "AS a, addYears(toDateTime('2024-02-29 05:00:00'), 1) AS b, "
+            "addMonths(toDateTime('2024-01-31 23:59:59'), 1) AS c"
+        ).rows == [[dt.datetime(2024, 4, 30, 10, 0),
+                    dt.datetime(2025, 2, 28, 5, 0),
+                    dt.datetime(2024, 2, 29, 23, 59, 59)]]
+
+    def test_month_family_keeps_date(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT addMonths(toDate('2024-01-31'), 1) AS a, "
+            "subtractMonths(toDate('2024-03-31'), 1) AS b, "
+            "subtractYears(toDate('2024-02-29'), 1) AS c"
+        ).rows == [[dt.date(2024, 2, 29), dt.date(2024, 2, 29),
+                    dt.date(2023, 2, 28)]]
+
+    def test_extract_all_group_detection_corners(self, eng):
+        # escaped parens are literals, (?:...) is not a capture group
+        assert eng.execute(
+            "SELECT extractAll('a(1)b(2)', '\\\\((\\\\d)\\\\)') AS a, "
+            "extractAll('x(1)', '\\\\(1\\\\)') AS b, "
+            "extractAll('ab12cd34', '(?:[a-z])(\\\\d)') AS c"
+        ).rows == [[["1", "2"], ["(1)"], ["1", "3"]]]
+
+    def test_tumble_plural_and_group_by(self, eng):
+        import datetime as dt
+
+        assert eng.execute(
+            "SELECT tumbleStart(ts, INTERVAL 1 DAY) AS d, count() AS n "
+            "FROM (SELECT toDateTime('2024-01-02 05:00:00') AS ts) "
+            "GROUP BY d"
+        ).rows == [[dt.datetime(2024, 1, 2), 1]]
+
+    def test_null_propagation_round12(self, eng):
+        assert eng.execute(
+            "SELECT notLike(NULL, 'a%') AS a, left('abc', NULL) AS b, "
+            "parseDateTimeBestEffortUS(NULL) AS c, "
+            "MACStringToNumOrNull(NULL) AS d"
+        ).rows == [[None, None, None, None]]
