@@ -2507,6 +2507,28 @@ class BigHouseEngine:
                 cols=["name"], rows=[["default"]],
                 elapsed_sec=time.monotonic() - t0,
             )
+        # Trust-model account listings: the single implicit default
+        # entity per kind (round-12 statement sweep: these parsed
+        # into Spark's SHOW and died with syntax errors).
+        if re.match(
+            r"^\s*SHOW\s+(ROLES|QUOTAS|SETTINGS\s+PROFILES|PROFILES)"
+            r"\s*$",
+            request.query, re.IGNORECASE,
+        ):
+            return QueryResult(
+                cols=["name"], rows=[["default"]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        if re.match(r"^\s*SHOW\s+CLUSTERS\s*$", request.query,
+                    re.IGNORECASE):
+            self.refresh_system_views()
+            return self.execute(QueryRequest(
+                query=("SELECT DISTINCT cluster_name AS cluster "
+                       "FROM system_clusters ORDER BY cluster"),
+                init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
+            ))
         # RBAC family under the trust model: GRANT and SET ROLE are
         # vacuously true (the one user already holds ALL privileges,
         # roles add nothing) and acknowledge so provisioning scripts

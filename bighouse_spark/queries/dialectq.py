@@ -2440,3 +2440,34 @@ def dialect_string_twins_roundtrip(spark, sf_dir):
         FROM __dq_docs_st WHERE doc_id < 150 ORDER BY doc_id
         """,
     )
+
+
+# The canonical un-aliased ARRAY JOIN (element shadows the source
+# column — the round-12 statement-sweep fix) + GROUP BY over the
+# element. DuckDB recomputes with unnest.
+@query(
+    "dialect_array_join_shadow_roundtrip",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(str_split(text, ' ')[1:4]) AS w
+  FROM documents WHERE doc_id < 200
+)
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE w != '' GROUP BY w ORDER BY n DESC, w LIMIT 40
+""",
+)
+def dialect_array_join_shadow_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_ajs",
+        """
+        SELECT w, CAST(count() AS Int64) AS n
+        FROM (
+          SELECT arraySlice(splitByChar(' ', text), 1, 4) AS w
+          FROM __dq_docs_ajs WHERE doc_id < 200
+        ) ARRAY JOIN w
+        WHERE w != '' GROUP BY w ORDER BY n DESC, w LIMIT 40
+        """,
+    )

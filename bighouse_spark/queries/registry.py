@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dialect_parse_us_roundtrip, dialect_left_right_negative_roundtrip,
 # dialect_reinterpret_numeric_roundtrip, dialect_json_uint_roundtrip,
 # dialect_parse_or_zero_roundtrip, dialect_iso_year_start_roundtrip,
-# dialect_string_twins_roundtrip — all green local oracle rows,
+# dialect_string_twins_roundtrip,
+# dialect_array_join_shadow_roundtrip — all green local oracle rows,
 # never driver-checked), then the remaining 39 r9-era names not
 # refreshed in the r12 fill (alphabetically from
 # curation_stratified_sample onward:

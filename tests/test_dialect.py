@@ -10262,3 +10262,159 @@ class TestRound12ReviewPass:
             "parseDateTimeBestEffortUS(NULL) AS c, "
             "MACStringToNumOrNull(NULL) AS d"
         ).rows == [[None, None, None, None]]
+
+
+class TestRound12Ch236Tranche2:
+    """Second sweep pass: typed-conversion OrX fills, window-function
+    spellings, tuple-vector aliases, introspection literals, the
+    bare-parametric-call guard (30 heads previously leaked
+    UNRESOLVED_ROUTINE on the invalid single-call form), and the
+    quantilesBFloat16 plural graduation."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_conversion_orx_fills(self, eng):
+        import datetime as dt
+
+        rows = eng.execute(
+            "SELECT toDate32OrDefault('bad', toDate('2000-01-01')) "
+            "AS a, toDateTime64OrZero('bad') AS b, "
+            "toDateTime64OrNull('bad') AS bn, "
+            "toInt256OrNull('123456789012345678901234') AS c, "
+            "toUInt256OrZero('-5') AS d, toInt256OrZero('junk') AS e"
+        ).rows
+        assert rows[0][0] == dt.date(2000, 1, 1)
+        assert rows[0][1] == dt.datetime(1970, 1, 1)
+        assert rows[0][2] is None
+        assert int(rows[0][3]) == 123456789012345678901234
+        assert int(rows[0][4]) == 0 and int(rows[0][5]) == 0
+
+    def test_window_and_vector_spellings(self, eng):
+        assert eng.execute(
+            "SELECT percentRank() OVER (ORDER BY number) AS p "
+            "FROM numbers(3) ORDER BY p"
+        ).rows == [[0.0], [0.5], [1.0]]
+        v = eng.execute(
+            "SELECT vectorSum((1, 2), (3, 4)) AS v, "
+            "vectorDifference((5, 3), (1, 1)) AS d"
+        ).rows[0]
+        assert list(v[0]) == [4, 6] and list(v[1]) == [4, 2]
+
+    def test_enum_dense_ranked_and_is_zero_or_null(self, eng):
+        assert eng.execute(
+            "SELECT arrayEnumerateDenseRanked([10, 20, 10]) AS e, "
+            "isZeroOrNull(0) AS z, isZeroOrNull(NULL) AS zn, "
+            "isZeroOrNull(3) AS nz"
+        ).rows == [[[1, 2, 1], True, True, False]]
+
+    def test_shard_and_port_literals(self, eng):
+        assert eng.execute(
+            "SELECT shardNum() AS s, shardCount() AS c, "
+            "tcpPort() AS p, getServerPort('http_port') AS h"
+        ).rows == [[1, 1, 9000, 8123]]
+        with pytest.raises(Exception, match="unknown port"):
+            eng.execute("SELECT getServerPort('grpc_port')")
+
+    def test_quantiles_bfloat16_plural_served(self, eng):
+        rows = eng.execute(
+            "SELECT quantilesBFloat16(0.25, 0.75)(number) AS q "
+            "FROM numbers(101)"
+        ).rows
+        lo, hi = rows[0][0]
+        assert 20 <= lo <= 30 and 70 <= hi <= 80
+
+    @pytest.mark.parametrize(
+        "head", ["quantilesTiming", "windowFunnel", "histogram",
+                 "quantileMerge", "sumMapFiltered",
+                 "exponentialMovingAverage", "sparkbar"]
+    )
+    def test_bare_parametric_call_guided(self, eng, head):
+        with pytest.raises(Exception, match="parametric"):
+            eng.execute(f"SELECT {head}(x) FROM numbers(1)")
+
+    def test_bare_parametric_guard_ignores_literals(self, eng):
+        assert eng.execute(
+            "SELECT 'call histogram(x) here' AS s"
+        ).rows == [["call histogram(x) here"]]
+
+    def test_round12_tranche2_refusals(self, eng):
+        for q, pat in (
+            ("SELECT joinGet('t', 'v', 1)", "LEFT JOIN"),
+            ("SELECT lowCardinalityKeys(x)", "storage encoding"),
+            ("SELECT partitionId(1)", "partition"),
+            ("SELECT svg(x)", "geometry"),
+            ("SELECT mapPartialReverseSort(m)", "map_entries"),
+        ):
+            with pytest.raises(Exception, match=pat):
+                eng.execute(q)
+
+
+class TestRound12StatementSweep:
+    """Statement-level sweep findings: the canonical un-aliased
+    `ARRAY JOIN arr` now shadows the source column like CH (Spark
+    reported AMBIGUOUS_REFERENCE before), `GROUP BY ()` maps to the
+    empty grouping set, bare integer predicates coerce, and the
+    trust-model SHOW listings answer."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_array_join_unaliased_shadows_source(self, eng):
+        assert eng.execute(
+            "SELECT number, arr FROM (SELECT number, [1,2] AS arr "
+            "FROM numbers(2)) ARRAY JOIN arr ORDER BY number, arr"
+        ).rows == [[0, 1], [0, 2], [1, 1], [1, 2]]
+        # aggregate over the exploded element
+        assert eng.execute(
+            "SELECT sum(arr) AS s FROM (SELECT [1,2,3] AS arr "
+            "FROM numbers(2)) ARRAY JOIN arr"
+        ).rows == [[12]]
+        # GROUP BY the element
+        assert eng.execute(
+            "SELECT arr, count() AS n FROM (SELECT number, "
+            "[number, number+1] AS arr FROM numbers(3)) "
+            "ARRAY JOIN arr GROUP BY arr ORDER BY arr"
+        ).rows == [[0, 1], [1, 2], [2, 2], [3, 1]]
+
+    def test_array_join_left_and_subquery_scope(self, eng):
+        assert eng.execute(
+            "SELECT number, arr FROM (SELECT number, "
+            "CAST([] AS Array(Int64)) AS arr FROM numbers(2)) "
+            "LEFT ARRAY JOIN arr"
+        ).rows == [[0, None], [1, None]]
+        # a scalar subquery in the select list keeps its own scope
+        assert eng.execute(
+            "SELECT arr, (SELECT max(x) FROM (SELECT 99 AS x)) AS m "
+            "FROM (SELECT [1,2] AS arr FROM numbers(1)) "
+            "ARRAY JOIN arr ORDER BY arr"
+        ).rows == [[1, 99], [2, 99]]
+
+    def test_group_by_empty_tuple(self, eng):
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers(3) GROUP BY ()"
+        ).rows == [[3]]
+        # CH returns ZERO rows for an empty input under GROUP BY ()
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers(3) WHERE number > 99 "
+            "GROUP BY ()"
+        ).rows == []
+
+    def test_bare_integer_predicates(self, eng):
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers(3) WHERE 1"
+        ).rows == [[3]]
+        assert eng.execute(
+            "SELECT count() AS c FROM numbers(3) WHERE 0"
+        ).rows == [[0]]
+
+    def test_trust_model_show_listings(self, eng):
+        assert eng.execute("SHOW QUOTAS").rows == [["default"]]
+        assert eng.execute("SHOW ROLES").rows == [["default"]]
+        assert eng.execute("SHOW CLUSTERS").rows == [["bighouse"]]
