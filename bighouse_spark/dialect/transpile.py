@@ -10194,7 +10194,17 @@ def _qualify_toplevel(seg: str, pat: re.Pattern, name: str) -> str:
 
     def flush() -> None:
         if buf:
-            out.append(pat.sub(f"__aj.{name}", "".join(buf)))
+            txt = "".join(buf)
+
+            def _sub(m: re.Match) -> str:
+                # An alias TARGET (`... AS arr`) defines a new name;
+                # qualifying it would emit `AS __aj.arr` — a syntax
+                # error, not a reference to the exploded element.
+                if re.search(r"(?i)\bAS\s*$", txt[: m.start()]):
+                    return m.group(0)
+                return f"__aj.{name}"
+
+            out.append(pat.sub(_sub, txt))
             buf.clear()
 
     def skip_quoted(j: int) -> int:
@@ -10902,6 +10912,17 @@ def _rewrite_parametric(sql: str) -> str:
             break
         start, end, params = call
         if end >= len(out) or out[end] != "(":
+            # Bare topKWeighted(column, weight): CH serves it with
+            # the default N = 10 (same posture as approx_top_sum).
+            if len(params) == 2:
+                out = (
+                    out[:start]
+                    + _topk_weighted_expr(
+                        params[0].strip(), params[1].strip(), "10",
+                    )
+                    + out[end:]
+                )
+                continue
             raise ValueError(
                 "topKWeighted(k) must be followed by (column, weight)"
             )
@@ -10945,6 +10966,14 @@ def _rewrite_parametric(sql: str) -> str:
             break
         start, end, params = call
         if end >= len(out) or out[end] != "(":
+            # Bare topK(column): CH serves it with the default N = 10.
+            if len(params) == 1:
+                out = (
+                    out[:start]
+                    + _topk_expr(params[0].strip(), "10")
+                    + out[end:]
+                )
+                continue
             raise ValueError("topK(k) must be followed by (column)")
         if not params:
             raise ValueError("topK(k)(column) needs the k parameter")
@@ -11181,8 +11210,7 @@ def _bare_parametric_guard(sql: str) -> None:
         if re.search(rf"(?<![\w.]){re.escape(n)}\s*\(", s):
             raise ValueError(
                 f"{n} is a parametric aggregate: spell "
-                f"{n}(parameters)(arguments) — e.g. "
-                f"{n}(0.5)(x) for quantile levels; the bare "
+                f"{n}(parameters)(arguments); the bare "
                 "single-call form is invalid in ClickHouse too"
             )
 

@@ -10418,3 +10418,50 @@ class TestRound12StatementSweep:
         assert eng.execute("SHOW QUOTAS").rows == [["default"]]
         assert eng.execute("SHOW ROLES").rows == [["default"]]
         assert eng.execute("SHOW CLUSTERS").rows == [["bighouse"]]
+
+
+class TestRound12ReviewPass2:
+    """Adversarial pass over the round-12 second sweep (ad56fac):
+    bare topK/topKWeighted are VALID ClickHouse (N defaults to 10),
+    and the ARRAY JOIN shadow qualifier must not rewrite an alias
+    TARGET (`... AS arr` would become `AS __aj.arr`, a syntax
+    error)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_bare_topk_serves_default_10(self, eng):
+        # 1 appears 3x, 2 appears 2x, 3 once — all fit in N=10.
+        assert eng.execute(
+            "SELECT topK(x) AS top FROM (SELECT "
+            "arrayJoin([1,1,1,2,2,3]) AS x)"
+        ).rows == [[[1, 2, 3]]]
+
+    def test_bare_topk_weighted_serves_default_10(self, eng):
+        # weights: 2 folds 2+2=4, 1 folds 1+1+1=3, 3 folds 3.
+        assert eng.execute(
+            "SELECT topKWeighted(x, x) AS top FROM (SELECT "
+            "arrayJoin([1,1,1,2,2,3]) AS x)"
+        ).rows == [[[2, 1, 3]]]
+
+    def test_array_join_alias_target_not_qualified(self, eng):
+        # `AS arr` defines a new name — the shadow qualifier must
+        # leave the alias target alone while still qualifying the
+        # function argument to the exploded element.
+        assert eng.execute(
+            "SELECT toString(arr) AS arr FROM (SELECT [1,2] AS arr "
+            "FROM numbers(1)) ARRAY JOIN arr ORDER BY arr"
+        ).rows == [["1"], ["2"]]
+
+    def test_bare_parametric_guard_message_is_generic(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match=r"histogram\(parameters\)"):
+            transpile("SELECT histogram(x) FROM t")
+        # no quantile-level example leaks into non-quantile heads
+        with pytest.raises(ValueError) as ei:
+            transpile("SELECT sparkbar(x, y) FROM t")
+        assert "quantile levels" not in str(ei.value)
