@@ -4667,6 +4667,23 @@ def _ch_right(a) -> str:
     )
 
 
+_DT_STR_LIT = re.compile(
+    r"^\s*'(\d{4}-\d{2}-\d{2})([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?'\s*$"
+)
+
+
+def _interval_operand(x: str) -> str:
+    """Type a bare date/datetime string LITERAL for interval
+    arithmetic: CH's add*/subtract* accept string dates
+    ('2024-01-31'), but Spark's `x + INTERVAL` needs a typed
+    DATE/TIMESTAMP operand (add_months coerced strings implicitly;
+    interval addition raises BINARY_OP_DIFF_TYPES)."""
+    m = _DT_STR_LIT.match(x)
+    if not m:
+        return x
+    return ("TIMESTAMP " if m.group(2) else "DATE ") + x.strip()
+
+
 _ARG_REWRITES: dict = {
     "toISOWeek": lambda a: f"weekofyear({a[0]})",
     "now64": lambda a: "now()",
@@ -5106,36 +5123,36 @@ _ARG_REWRITES: dict = {
     # (round-12 review finding; addQuarters in the sweep tranche
     # follows the same rule).
     "addYears": lambda a: (
-        f"({a[0]} + make_ym_interval(CAST({a[1]} AS INT)))"
+        f"({_interval_operand(a[0])} + make_ym_interval(CAST({a[1]} AS INT)))"
     ),
     "subtractYears": lambda a: (
-        f"({a[0]} - make_ym_interval(CAST({a[1]} AS INT)))"
+        f"({_interval_operand(a[0])} - make_ym_interval(CAST({a[1]} AS INT)))"
     ),
     "addMonths": lambda a: (
-        f"({a[0]} + make_ym_interval(0, CAST({a[1]} AS INT)))"
+        f"({_interval_operand(a[0])} + make_ym_interval(0, CAST({a[1]} AS INT)))"
     ),
     "subtractMonths": lambda a: (
-        f"({a[0]} - make_ym_interval(0, CAST({a[1]} AS INT)))"
+        f"({_interval_operand(a[0])} - make_ym_interval(0, CAST({a[1]} AS INT)))"
     ),
     "addWeeks": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
     "subtractWeeks": lambda a: f"date_sub({a[0]}, 7 * ({a[1]}))",
     "addHours": lambda a: (
-        f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} + make_interval(0, 0, 0, 0, {a[1]}))"
     ),
     "subtractHours": lambda a: (
-        f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} - make_interval(0, 0, 0, 0, {a[1]}))"
     ),
     "addMinutes": lambda a: (
-        f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} + make_interval(0, 0, 0, 0, 0, {a[1]}))"
     ),
     "subtractMinutes": lambda a: (
-        f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} - make_interval(0, 0, 0, 0, 0, {a[1]}))"
     ),
     "addSeconds": lambda a: (
-        f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
     ),
     "subtractSeconds": lambda a: (
-        f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
+        f"({_interval_operand(a[0])} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))"
     ),
     # toInterval* constructors → make_interval slot-fills.
     "toIntervalYear": lambda a: f"make_interval({a[0]})",
@@ -8763,10 +8780,10 @@ _H3_REFUSAL = (
 _ARG_REWRITES.update({
     # -- date/time --
     "addQuarters": lambda a: (
-        f"({a[0]} + make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
+        f"({_interval_operand(a[0])} + make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
     ),
     "subtractQuarters": lambda a: (
-        f"({a[0]} - make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
+        f"({_interval_operand(a[0])} - make_ym_interval(0, CAST(3 * ({a[1]}) AS INT)))"
     ),
     "toIntervalQuarter": lambda a: f"make_interval(0, 3 * ({a[0]}))",
     # ISO year starts the Monday of the week containing Jan 4.

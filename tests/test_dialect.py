@@ -10465,3 +10465,19 @@ class TestRound12ReviewPass2:
         with pytest.raises(ValueError) as ei:
             transpile("SELECT sparkbar(x, y) FROM t")
         assert "quantile levels" not in str(ei.value)
+
+    def test_string_literal_date_arithmetic(self, eng):
+        import datetime
+
+        # CH accepts string dates in add*/subtract*; add_months
+        # coerced implicitly but `+ INTERVAL` needs the literal typed
+        # (round-12 review finding: BINARY_OP_DIFF_TYPES before).
+        assert eng.execute(
+            "SELECT addMonths('2024-01-31', 1) AS d"
+        ).rows == [[datetime.date(2024, 2, 29)]]
+        assert eng.execute(
+            "SELECT addHours('2024-01-31 10:00:00', 5) AS d"
+        ).rows == [[datetime.datetime(2024, 1, 31, 15, 0)]]
+        assert eng.execute(
+            "SELECT subtractQuarters('2024-06-15', 2) AS d"
+        ).rows == [[datetime.date(2023, 12, 15)]]
