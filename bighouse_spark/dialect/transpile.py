@@ -4733,11 +4733,20 @@ _ARG_REWRITES: dict = {
     # parser rejects `>>`/`<<` anywhere inside a higher-order
     # function call (transform/filter/aggregate), and this builder
     # gets composed into those (IPv4CIDRToRange).
+    # IPv4 values in this engine are dotted STRINGS (toIPv4
+    # canonicalizes to text), while CH users also pass the UInt32 —
+    # dispatch on castability: numeric → octet math, dotted string →
+    # it already IS the formatted form (CH formats IPv4 the same way).
     "IPv4NumToString": lambda a: (
-        f"concat(CAST(shiftright({a[0]}, 24) & 255 AS STRING), '.', "
-        f"CAST(shiftright({a[0]}, 16) & 255 AS STRING), '.', "
-        f"CAST(shiftright({a[0]}, 8) & 255 AS STRING), '.', "
-        f"CAST(({a[0]}) & 255 AS STRING))"
+        f"(CASE WHEN TRY_CAST({a[0]} AS BIGINT) IS NOT NULL THEN "
+        f"concat(CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 24) "
+        f"& 255 AS STRING), '.', "
+        f"CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 16) "
+        f"& 255 AS STRING), '.', "
+        f"CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 8) "
+        f"& 255 AS STRING), '.', "
+        f"CAST(TRY_CAST({a[0]} AS BIGINT) & 255 AS STRING)) "
+        f"ELSE CAST({a[0]} AS STRING) END)"
     ),
     "IPv4StringToNum": lambda a: (
         f"(CAST(element_at(split({a[0]}, '\\\\.'), 1) AS BIGINT) * 16777216"
@@ -8902,10 +8911,18 @@ _ARG_REWRITES.update({
         )
     ),
     # -- IP / MAC --
+    # Same dual-representation dispatch as IPv4NumToString: numeric
+    # → octet math; dotted-string IPv4 → mask the last octet in text.
     "IPv4NumToStringClassC": lambda a: (
-        f"concat(CAST(shiftright({a[0]}, 24) & 255 AS STRING), '.', "
-        f"CAST(shiftright({a[0]}, 16) & 255 AS STRING), '.', "
-        f"CAST(shiftright({a[0]}, 8) & 255 AS STRING), '.xxx')"
+        f"(CASE WHEN TRY_CAST({a[0]} AS BIGINT) IS NOT NULL THEN "
+        f"concat(CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 24) "
+        f"& 255 AS STRING), '.', "
+        f"CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 16) "
+        f"& 255 AS STRING), '.', "
+        f"CAST(shiftright(TRY_CAST({a[0]} AS BIGINT), 8) "
+        f"& 255 AS STRING), '.xxx') "
+        f"ELSE regexp_replace(CAST({a[0]} AS STRING), "
+        f"'\\\\.[0-9]+$', '.xxx') END)"
     ),
     "MACStringToNumOrNull": lambda a: (
         f"(CASE WHEN ({a[0]}) RLIKE "
@@ -8955,8 +8972,10 @@ _ARG_REWRITES.update({
         f"AS INT)), __x))))"
     ),
     # -- control / introspection --
+    # CH throwIf takes a NUMERIC condition (anything non-zero
+    # throws); Spark's IF wants a boolean, so coerce with CAST.
     "throwIf": lambda a: (
-        f"IF({a[0]}, CAST(raise_error("
+        f"IF(CAST(({a[0]}) AS BOOLEAN), CAST(raise_error("
         + (a[1] if len(a) > 1 else "'throwIf condition met'")
         + ") AS INT), CAST(0 AS INT))"
     ),

@@ -100,9 +100,13 @@ def bh_ipv4_to_ipv6(n: pd.Series) -> pd.Series:
         if x is None or pd.isna(x):
             return None
         try:
-            return ipaddress.IPv6Address(
-                "::ffff:" + str(ipaddress.IPv4Address(int(x)))
-            ).packed
+            # IPv4 values in this engine are dotted strings (toIPv4
+            # canonicalizes to text); CH users also pass the UInt32.
+            if isinstance(x, str) and "." in x:
+                v4 = ipaddress.IPv4Address(x)
+            else:
+                v4 = ipaddress.IPv4Address(int(x))
+            return ipaddress.IPv6Address("::ffff:" + str(v4)).packed
         except Exception:
             return None
 

@@ -10481,3 +10481,36 @@ class TestRound12ReviewPass2:
         assert eng.execute(
             "SELECT subtractQuarters('2024-06-15', 2) AS d"
         ).rows == [[datetime.date(2023, 12, 15)]]
+
+    def test_ipv4_dual_representation_dispatch(self, eng):
+        # IPv4 values here are dotted strings (toIPv4 output); CH
+        # users also pass the raw UInt32 — both must format.
+        assert eng.execute(
+            "SELECT IPv4NumToString(toIPv4('1.2.3.4')) AS r"
+        ).rows == [["1.2.3.4"]]
+        assert eng.execute(
+            "SELECT IPv4NumToString(16909060) AS r"
+        ).rows == [["1.2.3.4"]]
+        assert eng.execute(
+            "SELECT IPv4NumToStringClassC(toIPv4('192.168.5.44')) AS r"
+        ).rows == [["192.168.5.xxx"]]
+        assert eng.execute(
+            "SELECT IPv4NumToStringClassC(3232236844) AS r"
+        ).rows == [["192.168.5.xxx"]]
+        # the chained v4→v6 mapping accepts both representations too
+        assert eng.execute(
+            "SELECT IPv6NumToString(IPv4ToIPv6(toIPv4('1.2.3.4'))) AS r"
+        ).rows == [["::ffff:1.2.3.4"]]
+        assert eng.execute(
+            "SELECT IPv6NumToString(IPv4ToIPv6(16909060)) AS r"
+        ).rows == [["::ffff:1.2.3.4"]]
+
+    def test_throwif_numeric_condition(self, eng):
+        import pytest as _pytest
+
+        assert eng.execute("SELECT throwIf(0) AS r").rows == [[0]]
+        assert eng.execute(
+            "SELECT throwIf(1 > 2, 'no') AS r"
+        ).rows == [[0]]
+        with _pytest.raises(Exception, match="boom"):
+            eng.execute("SELECT throwIf(1, 'boom') AS r")
