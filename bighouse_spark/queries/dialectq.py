@@ -2471,3 +2471,124 @@ def dialect_array_join_shadow_roundtrip(spark, sf_dir):
         WHERE w != '' GROUP BY w ORDER BY n DESC, w LIMIT 40
         """,
     )
+
+
+# Bare topK/topKWeighted (valid CH: N defaults to 10 — the round-12
+# review-pass graduation). l_linenumber frequencies are strictly
+# decreasing in TPC-H, so the rank order is deterministic; DuckDB
+# recomputes the frequency ranking with window SQL.
+@query(
+    "dialect_topk_bare_roundtrip",
+    oracle="""
+WITH freq AS (
+  SELECT l_linenumber AS ln, count(*) AS c,
+         sum(l_quantity) AS wsum
+  FROM lineitem GROUP BY 1
+)
+SELECT array_to_string(list(CAST(ln AS VARCHAR) ORDER BY c DESC, ln),
+                       '|') AS top_by_count,
+       array_to_string(list(CAST(ln AS VARCHAR) ORDER BY wsum DESC,
+                            ln), '|') AS top_by_qty
+FROM freq
+""",
+)
+def dialect_topk_bare_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "lineitem",
+        "__dq_li_topk",
+        """
+        SELECT arrayStringConcat(
+                   arrayMap(__x -> toString(__x),
+                            topK(l_linenumber)), '|') AS top_by_count,
+               arrayStringConcat(
+                   arrayMap(__x -> toString(__x),
+                            topKWeighted(l_linenumber,
+                                         CAST(l_quantity AS Int64))),
+                   '|') AS top_by_qty
+        FROM __dq_li_topk
+        """,
+    )
+
+
+# String-literal date arithmetic (round-12 review fix: interval
+# addition needs the literal typed; add_months' implicit coercion
+# was lost in the month-family move). DuckDB recomputes with typed
+# DATE/TIMESTAMP literals and its own interval arithmetic.
+@query(
+    "dialect_interval_string_roundtrip",
+    oracle="""
+SELECT CAST(DATE '1995-03-14'
+            + to_months(CAST(o_orderkey % 7 AS INT)) AS DATE) AS m,
+       CAST(TIMESTAMP '1995-03-14 06:30:00'
+            + to_hours(CAST(o_orderkey % 31 AS INT))
+            AS TIMESTAMP) AS h,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey < 2000
+GROUP BY m, h ORDER BY m, h
+""",
+)
+def dialect_interval_string_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_is",
+        """
+        SELECT CAST(addMonths('1995-03-14', o_orderkey % 7) AS Date)
+                   AS m,
+               CAST(addHours('1995-03-14 06:30:00', o_orderkey % 31)
+                   AS DateTime) AS h,
+               CAST(count() AS Int64) AS n
+        FROM __dq_orders_is WHERE o_orderkey < 2000
+        GROUP BY m, h ORDER BY m, h
+        """,
+    )
+
+
+# IPv4 formatter dual-representation dispatch (round-12 review fix):
+# the numeric path, the dotted-string path through toIPv4, and the
+# v4→v6 mapping all in one row. DuckDB rebuilds the dotted quad and
+# the '::ffff:' mapped form from integer arithmetic.
+@query(
+    "dialect_ipv4_format_roundtrip",
+    oracle="""
+WITH nums AS (
+  SELECT (o_orderkey * 2654435761) % 4294967296 AS n
+  FROM orders WHERE o_orderkey < 500
+),
+quads AS (
+  SELECT n,
+         CAST(n // 16777216 % 256 AS VARCHAR) || '.' ||
+         CAST(n // 65536 % 256 AS VARCHAR) || '.' ||
+         CAST(n // 256 % 256 AS VARCHAR) || '.' ||
+         CAST(n % 256 AS VARCHAR) AS quad
+  FROM nums
+)
+SELECT quad,
+       CAST(n // 16777216 % 256 AS VARCHAR) || '.' ||
+       CAST(n // 65536 % 256 AS VARCHAR) || '.' ||
+       CAST(n // 256 % 256 AS VARCHAR) || '.xxx' AS classc,
+       '::ffff:' || quad AS mapped
+FROM quads ORDER BY quad
+""",
+)
+def dialect_ipv4_format_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "orders",
+        "__dq_orders_ip",
+        """
+        SELECT IPv4NumToString(n) AS quad,
+               IPv4NumToStringClassC(toIPv4(IPv4NumToString(n)))
+                   AS classc,
+               IPv6NumToString(IPv4ToIPv6(toIPv4(
+                   IPv4NumToString(n)))) AS mapped
+        FROM (
+          SELECT (o_orderkey * 2654435761) % 4294967296 AS n
+          FROM __dq_orders_ip WHERE o_orderkey < 500
+        ) ORDER BY quad
+        """,
+    )
