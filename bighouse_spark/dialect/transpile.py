@@ -127,6 +127,12 @@ _FUNC_RENAMES = {
     "toQuarter": "quarter",
     "toUnixTimestamp": "unix_timestamp",
     "fromUnixTimestamp": "from_unixtime",
+    # CH documents DATABASE() as the case-insensitive alias of
+    # currentDatabase(); \b-guarded renames can't re-match inside
+    # the underscore of current_database.
+    "DATABASE": "current_database",
+    "Database": "current_database",
+    "database": "current_database",
     "addDays": "date_add",
     "subtractDays": "date_sub",
     "lcase": "lower",

@@ -495,11 +495,91 @@ class BigHouseEngine:
             "queries_executed bigint, total_elapsed_sec double, "
             "active_jobs int, active_stages int",
         ).createOrReplaceTempView("system_profile")
-        # system.settings analog: the session's SQL conf (the knobs
-        # the SETTINGS clause maps onto), name/value/meaning.
-        self.spark.sql("SET -v").createOrReplaceTempView(
-            "system_settings"
-        )
+        # system.settings analog in CH's column shape (name / value /
+        # changed / description) so migrating introspection queries
+        # (`SELECT name, value FROM system.settings WHERE changed`)
+        # parse. Rows: the CH-named settings this engine serves
+        # (conf-mapped + engine-enforced), then every Spark SQL conf
+        # under its own name — the engine's real knobs stay reachable
+        # from the same view.
+        def _conf(key: str, default: str) -> str:
+            try:
+                v = self.spark.conf.get(key)
+                return default if v is None else str(v)
+            except Exception:
+                return default
+
+        def _was_set(name: str) -> int:
+            # A bare `SET name = v` lands in the Spark conf under the
+            # raw name (Spark accepts arbitrary keys) — that is this
+            # engine's session-settings store.
+            try:
+                return int(self.spark.conf.get(name) is not None)
+            except Exception:
+                return 0
+
+        shuffle = _conf("spark.sql.shuffle.partitions", "200")
+        ch_rows = [
+            ("max_threads", _conf("max_threads", shuffle),
+             _was_set("max_threads"),
+             "Query parallelism; maps to "
+             "spark.sql.shuffle.partitions."),
+            ("max_parallel_replicas",
+             _conf("max_parallel_replicas", shuffle),
+             _was_set("max_parallel_replicas"),
+             "Maps to spark.sql.shuffle.partitions."),
+            ("max_download_threads",
+             _conf("max_download_threads", "4"),
+             _was_set("max_download_threads"),
+             "Maps to spark.hadoop.fs.s3a.threads.max."),
+            ("max_execution_time",
+             _conf("max_execution_time", "0"),
+             _was_set("max_execution_time"),
+             "Per-query wall-clock cap in seconds; 0 = unlimited."),
+            ("max_result_rows", _conf("max_result_rows", "0"),
+             _was_set("max_result_rows"),
+             "Result-row cap enforced before collect; 0 = "
+             "unlimited."),
+            ("result_overflow_mode",
+             _conf("result_overflow_mode", "throw"),
+             _was_set("result_overflow_mode"),
+             "'throw' raises on max_result_rows overflow, 'break' "
+             "truncates."),
+            ("exact_cityhash", _conf("exact_cityhash", "0"),
+             _was_set("exact_cityhash"),
+             "1 = bit-exact CityHash64 v1.0.2 UDF instead of the "
+             "xxhash64 capability path."),
+            ("max_funnel_group_events",
+             _conf("max_funnel_group_events", "0"),
+             _was_set("max_funnel_group_events"),
+             "strict_order windowFunnel per-group buffer cap; "
+             "0 = unlimited."),
+        ]
+        spark_rows = [
+            (r["key"], r["value"], 0, r["meaning"])
+            for r in self.spark.sql("SET -v")
+            .toDF("key", "value", "meaning", "since")
+            .collect()
+        ]
+        self.spark.createDataFrame(
+            ch_rows + spark_rows,
+            "name string, value string, changed int, "
+            "description string",
+        ).createOrReplaceTempView("system_settings")
+        # system.table_engines analog: the ENGINE names the DDL
+        # surface acknowledges (engine.py CREATE TABLE: the name only
+        # affects CH-side storage internals, which parquet subsumes).
+        self.spark.createDataFrame(
+            [("MergeTree", True, True), ("ReplacingMergeTree", True, True),
+             ("SummingMergeTree", True, True),
+             ("AggregatingMergeTree", True, True),
+             ("Memory", False, False), ("Log", False, False),
+             ("TinyLog", False, False), ("StripeLog", False, False),
+             ("Null", False, False), ("View", False, False),
+             ("MaterializedView", False, False)],
+            "name string, supports_settings boolean, "
+            "supports_sort_order boolean",
+        ).createOrReplaceTempView("system_table_engines")
         # system.databases analog: the single warehouse this engine
         # serves plus the system views' pseudo-database.
         self.spark.createDataFrame(
@@ -682,7 +762,7 @@ class BigHouseEngine:
         re.IGNORECASE,
     )
     _DROP_TRUNCATE_RE = re.compile(
-        r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+        r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(IF\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
         re.IGNORECASE,
     )
@@ -2474,18 +2554,21 @@ class BigHouseEngine:
                 elapsed_sec=time.monotonic() - t0,
             )
         m_shs = re.match(
-            r"^\s*SHOW\s+SETTINGS\s+(?:(I)?LIKE\s+)?'([^']*)'\s*$",
+            r"^\s*SHOW\s+(CHANGED\s+)?SETTINGS\s+(?:(I)?LIKE\s+)?"
+            r"'([^']*)'\s*$",
             request.query,
             re.IGNORECASE,
         )
         if m_shs:
             self.refresh_system_views()
-            ci, pat = m_shs.groups()
+            chg, ci, pat = m_shs.groups()
             cond = (
-                f"lower(key) LIKE lower('{pat}')"
+                f"lower(name) LIKE lower('{pat}')"
                 if ci
-                else f"key LIKE '{pat}'"
+                else f"name LIKE '{pat}'"
             )
+            if chg:
+                cond += " AND changed = 1"
             request = QueryRequest(
                 query=f"SELECT * FROM system_settings WHERE {cond}",
                 init_queries=request.init_queries,
@@ -2529,6 +2612,26 @@ class BigHouseEngine:
                 num_nodes=request.num_nodes, cores=request.cores,
                 query_id=request.query_id,
             ))
+        if re.match(r"^\s*SHOW\s+ENGINES\s*$", request.query,
+                    re.IGNORECASE):
+            self.refresh_system_views()
+            return self.execute(QueryRequest(
+                query=("SELECT * FROM system_table_engines "
+                       "ORDER BY name"),
+                init_queries=request.init_queries,
+                num_nodes=request.num_nodes, cores=request.cores,
+                query_id=request.query_id,
+            ))
+        m_edb = re.match(
+            r"^\s*EXISTS\s+DATABASE\s+[`\"]?(\w+)[`\"]?\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_edb:
+            known = m_edb.group(1).lower() in ("default", "system")
+            return QueryResult(
+                cols=["result"], rows=[[1 if known else 0]],
+                elapsed_sec=time.monotonic() - t0,
+            )
         # RBAC family under the trust model: GRANT and SET ROLE are
         # vacuously true (the one user already holds ALL privileges,
         # roles add nothing) and acknowledge so provisioning scripts
@@ -2757,7 +2860,25 @@ class BigHouseEngine:
             )
         m_dt = self._DROP_TRUNCATE_RE.match(request.query)
         if m_dt:
-            op, name = m_dt.group(1).upper(), m_dt.group(2)
+            op, name = m_dt.group(1).upper(), m_dt.group(3)
+            if_exists = m_dt.group(2) is not None
+            # IF EXISTS silences the unknown-table case (CH
+            # semantics); without it, an unknown name must raise
+            # rather than acknowledge a drop that did nothing.
+            known = (
+                name in self._attached
+                or self.spark.catalog.tableExists(name)
+            )
+            if not known:
+                if if_exists:
+                    return QueryResult(
+                        cols=["ok"], rows=[],
+                        elapsed_sec=time.monotonic() - t0,
+                    )
+                raise ValueError(
+                    f"{op} TABLE {name}: unknown table (spell "
+                    f"{op} TABLE IF EXISTS to ignore)"
+                )
             if op == "TRUNCATE":
                 self._attached_path_or_raise(name, "TRUNCATE TABLE")
                 return self._rewrite_attached(

@@ -189,11 +189,18 @@ def test_system_clusters_and_profile_views(engine, spark):
     prof = spark.sql("SELECT * FROM system_profile").collect()[0]
     assert prof.queries_executed >= 1
     assert prof.total_elapsed_sec > 0
+    # CH's column shape: name/value/changed/description (the Spark
+    # confs ride along under their own names, changed = 0).
     settings = spark.sql(
         "SELECT value FROM system_settings "
-        "WHERE key = 'spark.sql.shuffle.partitions'"
+        "WHERE name = 'spark.sql.shuffle.partitions'"
     ).collect()
     assert len(settings) == 1
+    ch_named = spark.sql(
+        "SELECT name, value, changed FROM system_settings "
+        "WHERE name = 'max_result_rows'"
+    ).collect()
+    assert len(ch_named) == 1 and ch_named[0].changed in (0, 1)
 
 
 def test_insert_into_attached_table(engine, spark, tmp_path):
@@ -2108,3 +2115,52 @@ class TestRound12MaintenanceSeams:
             ).rows == [[1], [3], [9]]
         finally:
             engine.execute("DROP TABLE IF EXISTS r12_bl")
+
+
+class TestRound12StatementSweep2:
+    """Second statement-surface probe: introspection spellings a
+    migrating CH user hits on day one (SHOW ENGINES, EXISTS
+    DATABASE, DATABASE(), CH-shaped system.settings, IF EXISTS on
+    DROP/TRUNCATE)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_database_alias(self, eng):
+        assert eng.execute("SELECT DATABASE() AS d").rows == [["default"]]
+        assert eng.execute("SELECT database() AS d").rows == [["default"]]
+
+    def test_exists_database(self, eng):
+        assert eng.execute("EXISTS DATABASE default").rows == [[1]]
+        assert eng.execute("EXISTS DATABASE system").rows == [[1]]
+        assert eng.execute("EXISTS DATABASE nope").rows == [[0]]
+
+    def test_show_engines(self, eng):
+        rows = eng.execute("SHOW ENGINES").rows
+        names = {r[0] for r in rows}
+        assert {"MergeTree", "Memory", "Null"} <= names
+
+    def test_settings_view_ch_shape(self, eng):
+        eng.execute("SET max_result_rows = 123")
+        r = eng.execute(
+            "SELECT name, value, changed FROM system.settings "
+            "WHERE name = 'max_result_rows'"
+        ).rows
+        assert r == [["max_result_rows", "123", 1]]
+        # SHOW [CHANGED] SETTINGS filters on the CH column
+        assert eng.execute(
+            "SHOW CHANGED SETTINGS LIKE 'max_result%'"
+        ).rows[0][:2] == ["max_result_rows", "123"]
+
+    def test_drop_truncate_if_exists(self, eng):
+        assert eng.execute("TRUNCATE TABLE IF EXISTS __nope").rows == []
+        assert eng.execute("DROP TABLE IF EXISTS __nope").rows == []
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown table"):
+            eng.execute("DROP TABLE __nope")
+        with _pytest.raises(ValueError, match="unknown table"):
+            eng.execute("TRUNCATE TABLE __nope")
