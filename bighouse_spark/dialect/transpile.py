@@ -10005,6 +10005,28 @@ def _rewrite_ch_misc(sql: str) -> str:
             body = body + f" LIMIT 1 BY {keys}"
         out = body
     # -- join strictness -------------------------------------------
+    # CH's canonical order puts strictness FIRST (SEMI LEFT JOIN,
+    # ANTI LEFT JOIN); Spark wants LEFT SEMI/ANTI. RIGHT-sided
+    # semi/anti have no Spark twin — refuse with the swap spelling.
+    if re.search(r"\b(SEMI|ANTI)\s+RIGHT\s+JOIN\b", out, re.IGNORECASE):
+        raise ValueError(
+            "SEMI/ANTI RIGHT JOIN keeps right-table rows, which "
+            "Spark joins cannot spell directly; swap the tables and "
+            "use SEMI/ANTI LEFT JOIN"
+        )
+    out = re.sub(
+        r"\b(SEMI|ANTI)\s+LEFT\s+(?:OUTER\s+)?JOIN\b",
+        lambda m: f"LEFT {m.group(1).upper()} JOIN",
+        out, flags=re.IGNORECASE,
+    )
+    # CH allows an unparenthesized USING list (`USING k1, k2`);
+    # Spark's grammar requires the parens.
+    out = re.sub(
+        r"\bUSING\s+(?!\()"
+        r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
+        lambda m: f"USING ({m.group(1)})",
+        out, flags=re.IGNORECASE,
+    )
     out = re.sub(
         r"\bALL\s+((?:LEFT|RIGHT|INNER|FULL)\s+(?:OUTER\s+)?JOIN|JOIN)\b",
         r"\1", out, flags=re.IGNORECASE,

@@ -10514,3 +10514,51 @@ class TestRound12ReviewPass2:
         ).rows == [[0]]
         with _pytest.raises(Exception, match="boom"):
             eng.execute("SELECT throwIf(1, 'boom') AS r")
+
+
+class TestRound12JoinSpellings:
+    """CH's canonical strictness-first join order (SEMI LEFT JOIN /
+    ANTI LEFT JOIN) and the unparenthesized USING list — both valid
+    CH 23.6 that died with raw parse errors."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng.execute("CREATE TABLE IF NOT EXISTS __js_l "
+                    "(k Int64, v String) ENGINE = Memory")
+        eng.execute("TRUNCATE TABLE __js_l")
+        eng.execute("INSERT INTO __js_l VALUES (1,'a'),(2,'b'),(3,'c')")
+        eng.execute("CREATE TABLE IF NOT EXISTS __js_r "
+                    "(k Int64, w String) ENGINE = Memory")
+        eng.execute("TRUNCATE TABLE __js_r")
+        eng.execute("INSERT INTO __js_r VALUES (1,'x'),(1,'y'),(2,'z')")
+        return eng
+
+    def test_semi_anti_strictness_first(self, eng):
+        assert eng.execute(
+            "SELECT __js_l.k FROM __js_l SEMI LEFT JOIN __js_r "
+            "ON __js_l.k = __js_r.k ORDER BY __js_l.k"
+        ).rows == [[1], [2]]
+        assert eng.execute(
+            "SELECT __js_l.k FROM __js_l ANTI LEFT JOIN __js_r "
+            "ON __js_l.k = __js_r.k ORDER BY __js_l.k"
+        ).rows == [[3]]
+
+    def test_semi_right_refuses_with_swap_hint(self, eng):
+        with pytest.raises(ValueError, match="swap the tables"):
+            eng.execute(
+                "SELECT 1 FROM __js_l SEMI RIGHT JOIN __js_r "
+                "ON __js_l.k = __js_r.k"
+            )
+
+    def test_using_without_parens(self, eng):
+        assert eng.execute(
+            "SELECT k, v, w FROM __js_l JOIN __js_r USING k "
+            "ORDER BY k, w"
+        ).rows == [[1, "a", "x"], [1, "a", "y"], [2, "b", "z"]]
+        assert eng.execute(
+            "SELECT k FROM __js_l SEMI LEFT JOIN __js_r USING k "
+            "ORDER BY k"
+        ).rows == [[1], [2]]
