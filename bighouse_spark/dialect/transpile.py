@@ -9596,6 +9596,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     out, views = _rewrite_table_functions(out, spark, uses_file)
     out = _rewrite_asof_join(out, spark, views)
     out = _rewrite_ch_clauses(out)
+    out = _rewrite_arrayjoin_calls(out)
     out = _rewrite_ch_misc(out)
     out = _rewrite_tuple_ops(out)
     out = _rewrite_limit_by(out)
@@ -10320,6 +10321,140 @@ def _qualify_toplevel(seg: str, pat: re.Pattern, name: str) -> str:
         i += 1
     flush()
     return "".join(out)
+
+
+_AJ_CALL_PAT = re.compile(r"(?<![\w.])arrayJoin\s*\(")
+_AJ_CLAUSE_KW = (
+    r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|"
+    r"ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT)\b"
+)
+
+
+def _paren_depths(s: str) -> tuple[list[int], list[int]]:
+    """Per-index (all-paren depth, subquery-paren depth) for a
+    string whose quoted spans are already masked. Subquery parens
+    are those opening ``(SELECT``/``(WITH`` — an arrayJoin inside
+    one belongs to that scope, not this statement's."""
+    stack: list[bool] = []
+    depth = [0] * (len(s) + 1)
+    sub = [0] * (len(s) + 1)
+    cur_sub = 0
+    for i, c in enumerate(s):
+        depth[i] = len(stack)
+        sub[i] = cur_sub
+        if c == "(":
+            is_sub = bool(re.match(
+                r"\(\s*(SELECT|WITH)\b", s[i:], re.IGNORECASE
+            ))
+            stack.append(is_sub)
+            if is_sub:
+                cur_sub += 1
+        elif c == ")" and stack:
+            if stack.pop():
+                cur_sub -= 1
+    depth[len(s)] = len(stack)
+    sub[len(s)] = cur_sub
+    return depth, sub
+
+
+def _rewrite_arrayjoin_calls(sql: str) -> str:
+    """CH ``arrayJoin(expr)`` beyond the bare select item: Spark's
+    explode is a generator (one per query, top-level select item
+    only), so calls nested in expressions (``arrayJoin(a) +
+    arrayJoin(b)``), combined with GROUP BY, or appearing several
+    times are hoisted into LATERAL VIEWs and substituted by their
+    output columns. IDENTICAL argument texts share one view — CH
+    expands them in lockstep; distinct arguments chain views — CH's
+    cartesian. A single bare select-item call without GROUP BY keeps
+    the plain explode path (stable plans). Only this statement's own
+    calls are hoisted; a call inside a subquery belongs to that
+    scope and is left alone."""
+    if "arrayJoin" not in sql:
+        return sql
+    s = _mask_quoted_spans(sql)
+    depth, sub = _paren_depths(s)
+
+    calls: list[tuple[int, int, int]] = []
+    for m in _AJ_CALL_PAT.finditer(s):
+        if sub[m.start()] != 0:
+            continue
+        j, d = m.end(), 1
+        while j < len(s) and d:
+            if s[j] == "(":
+                d += 1
+            elif s[j] == ")":
+                d -= 1
+            j += 1
+        calls.append((m.start(), m.end(), j))
+    if not calls:
+        return sql
+
+    def _depth0(pat: str, from_pos: int = 0):
+        for km in re.finditer(pat, s, re.IGNORECASE):
+            if km.start() >= from_pos and depth[km.start()] == 0:
+                return km
+        return None
+
+    has_group_by = _depth0(r"\bGROUP\s+BY\b") is not None
+    if len(calls) == 1 and not has_group_by:
+        st, _, en = calls[0]
+        before_ok = re.search(
+            r"(?:\bSELECT(?:\s+DISTINCT)?|,)\s*$", s[:st],
+            re.IGNORECASE,
+        )
+        after_ok = re.match(
+            r"\s*(?:AS\s+\w+\s*)?"
+            r"(?:,|\bFROM\b|\bORDER\b|\bLIMIT\b|\bOFFSET\b|"
+            r"\bSETTINGS\b|\bFORMAT\b|$)",
+            s[en:],
+            re.IGNORECASE,
+        )
+        if before_ok and after_ok:
+            return sql
+    if _depth0(r"\b(UNION|EXCEPT|INTERSECT)\b"):
+        raise ValueError(
+            "arrayJoin() needing generator hoisting is not supported "
+            "across a top-level set operation; apply it inside each "
+            "branch's own subquery (or use the ARRAY JOIN clause)"
+        )
+
+    var_of: dict[str, int] = {}
+    args_in_order: list[str] = []
+    for st, op, en in calls:
+        key = re.sub(r"\s+", " ", sql[op:en - 1].strip())
+        if key not in var_of:
+            var_of[key] = len(var_of)
+            args_in_order.append(sql[op:en - 1])
+    out = sql
+    for st, op, en in reversed(calls):
+        key = re.sub(r"\s+", " ", sql[op:en - 1].strip())
+        out = out[:st] + f"__ajc{var_of[key]}" + out[en:]
+    lateral = " ".join(
+        f"LATERAL VIEW explode({arg}) __ajct{i} AS __ajc{i}"
+        for i, arg in enumerate(args_in_order)
+    )
+
+    s2 = _mask_quoted_spans(out)
+    depth2, _ = _paren_depths(s2)
+
+    def _depth0_in(pat: str, from_pos: int = 0):
+        for km in re.finditer(pat, s2, re.IGNORECASE):
+            if km.start() >= from_pos and depth2[km.start()] == 0:
+                return km
+        return None
+
+    m_from = _depth0_in(r"\bFROM\b")
+    if m_from:
+        m_kw = _depth0_in(_AJ_CLAUSE_KW, m_from.end())
+        at = m_kw.start() if m_kw else len(out)
+        return out[:at].rstrip() + f" {lateral} " + out[at:]
+    m_kw = _depth0_in(_AJ_CLAUSE_KW)
+    at = m_kw.start() if m_kw else len(out)
+    return (
+        out[:at].rstrip()
+        + f" FROM (SELECT 1) __ajc_dual {lateral} "
+        + out[at:]
+    )
 
 
 def _rewrite_array_join_clause(sql: str) -> str:

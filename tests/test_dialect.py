@@ -10562,3 +10562,71 @@ class TestRound12JoinSpellings:
             "SELECT k FROM __js_l SEMI LEFT JOIN __js_r USING k "
             "ORDER BY k"
         ).rows == [[1], [2]]
+
+
+class TestRound12ArrayJoinHoisting:
+    """arrayJoin beyond the bare select item: Spark's explode is a
+    one-per-query generator, so expression-nested / repeated /
+    GROUP-BY'd calls hoist into LATERAL VIEWs. CH semantics pinned:
+    identical arguments expand in LOCKSTEP, distinct arguments
+    produce the cartesian."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_cartesian_of_distinct_args(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,2]) + arrayJoin([10,20]) AS s "
+            "ORDER BY s"
+        ).rows == [[11], [12], [21], [22]]
+
+    def test_lockstep_of_identical_args(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,2]) + arrayJoin([1,2]) AS s "
+            "ORDER BY s"
+        ).rows == [[2], [4]]
+
+    def test_group_by_over_arrayjoin(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,2,2,3]) AS v, count() AS c "
+            "FROM numbers(1) GROUP BY v ORDER BY v"
+        ).rows == [[1, 1], [2, 2], [3, 1]]
+
+    def test_inside_aggregate(self, eng):
+        assert eng.execute(
+            "SELECT sum(arrayJoin([1,2,3])) AS s"
+        ).rows == [[6]]
+
+    def test_nested_in_scalar_function(self, eng):
+        assert eng.execute(
+            "SELECT length(arrayJoin(['ab','c'])) AS l ORDER BY l"
+        ).rows == [[1], [2]]
+
+    def test_two_aliased_generators(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,2]) AS a, arrayJoin([5,6]) AS b "
+            "ORDER BY a, b"
+        ).rows == [[1, 5], [1, 6], [2, 5], [2, 6]]
+
+    def test_bare_single_call_keeps_explode_path(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        sql = transpile("SELECT arrayJoin([3,1,2]) AS x ORDER BY x").sql
+        assert "LATERAL VIEW" not in sql and "explode" in sql
+
+    def test_subquery_calls_left_to_their_scope(self, eng):
+        assert eng.execute(
+            "SELECT count() AS c FROM (SELECT arrayJoin([1,2,3]) AS v)"
+        ).rows == [[3]]
+
+    def test_set_operation_refuses_with_guidance(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="set operation"):
+            transpile(
+                "SELECT arrayJoin([1,2]) + 1 AS x UNION ALL "
+                "SELECT arrayJoin([3]) + 1 AS x"
+            )
