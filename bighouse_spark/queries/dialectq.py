@@ -2592,3 +2592,32 @@ def dialect_ipv4_format_roundtrip(spark, sf_dir):
         ) ORDER BY quad
         """,
     )
+
+
+# arrayJoin hoisting (round-12): distinct arguments expand to CH's
+# cartesian, identical arguments in LOCKSTEP — both in one statement.
+# DuckDB recomputes with explicit cross-joined unnest generators.
+@query(
+    "dialect_arrayjoin_cartesian_roundtrip",
+    oracle="""
+WITH g1 AS (SELECT unnest([1,2,3]) AS x),
+     g2 AS (SELECT unnest([10,20]) AS y)
+SELECT x * y AS p, x + x AS lockstep, CAST(count(*) AS BIGINT) AS n
+FROM documents CROSS JOIN g1 CROSS JOIN g2
+WHERE doc_id < 50 GROUP BY p, lockstep ORDER BY p, lockstep
+""",
+)
+def dialect_arrayjoin_cartesian_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_ajc",
+        """
+        SELECT arrayJoin([1,2,3]) * arrayJoin([10,20]) AS p,
+               arrayJoin([1,2,3]) + arrayJoin([1,2,3]) AS lockstep,
+               CAST(count() AS Int64) AS n
+        FROM __dq_docs_ajc WHERE doc_id < 50
+        GROUP BY p, lockstep ORDER BY p, lockstep
+        """,
+    )
