@@ -3864,12 +3864,36 @@ def _foreach_fold(x: str, merge: str) -> str:
     )
 
 
+def _ho_too_many(fn: str, args: list[str]) -> str:
+    raise ValueError(
+        f"{fn}: lambdas over more than two arrays are not "
+        "transpiled — zip the extra arrays explicitly "
+        "(arrayZip / arrays_zip) and destructure in the lambda"
+    )
+
+
+def _ho_mask_filter(a: list[str]) -> str:
+    """CH two-array predicate over ``a[1]`` (elements kept where the
+    lambda over (a[1], a[2]) pairs is true): Spark's filter only
+    takes one array, so evaluate the pair-lambda via zip_with into a
+    boolean mask and filter by index."""
+    return (
+        f"filter({a[1]}, (__hx, __hi) -> "
+        f"element_at(zip_with({a[1]}, {a[2]}, {a[0]}), __hi + 1))"
+    )
+
+
 def _array_count(args: list[str]) -> str:
     if len(args) == 1:
         return f"size(filter({args[0]}, x -> x != 0))"
     if len(args) == 2:
         return f"size(filter({args[1]}, {args[0]}))"
-    raise ValueError(f"arrayCount() takes 1-2 args, got {args}")
+    if len(args) == 3:
+        return (
+            f"size(filter(zip_with({args[1]}, {args[2]}, {args[0]}), "
+            f"__hb -> __hb))"
+        )
+    return _ho_too_many("arrayCount", args)
 
 
 # CH call shapes that need argument reordering / restructuring, not a
@@ -5050,28 +5074,104 @@ _ARG_REWRITES: dict = {
     # (CH returns the type default / 0).
     "arrayFirst": lambda a: (
         f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+        if len(a) == 2
+        else f"try_element_at({_ho_mask_filter(a)}, 1)"
+        if len(a) == 3
+        else _ho_too_many("arrayFirst", a)
     ),
     "arrayFirstIndex": lambda a: (
         f"CAST(coalesce(array_position("
         f"transform({a[1]}, {a[0]}), true), 0) AS INT)"
+        if len(a) == 2
+        else (
+            f"CAST(coalesce(array_position("
+            f"zip_with({a[1]}, {a[2]}, {a[0]}), true), 0) AS INT)"
+        )
+        if len(a) == 3
+        else _ho_too_many("arrayFirstIndex", a)
     ),
     "arrayLast": lambda a: (
         f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+        if len(a) == 2
+        else f"try_element_at({_ho_mask_filter(a)}, -1)"
+        if len(a) == 3
+        else _ho_too_many("arrayLast", a)
     ),
     "arrayReduce": _array_reduce,
     "mapContains": lambda a: f"map_contains_key({a[0]}, {a[1]})",
     "mapFromArrays": lambda a: f"map_from_arrays({a[0]}, {a[1]})",
-    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
-    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    # Two-array arrayZip emits col1/col2-named structs so CH tuple
+    # element access (`z[1].1` → col1) resolves; 3+ arrays keep
+    # Spark's arrays_zip (0-based field names, documented).
+    "arrayZip": lambda a: (
+        f"zip_with({a[0]}, {a[1]}, "
+        f"(__zx, __zy) -> struct(__zx AS col1, __zy AS col2))"
+        if len(a) == 2
+        else "arrays_zip(" + ", ".join(a) + ")"
+    ),
+    # CH higher-order multi-array forms zip positionally: two arrays
+    # map straight onto Spark's zip_with; the predicate family
+    # composes a zip_with boolean mask (Spark's filter/exists/forall
+    # are single-array). Silent-wrong-value trap before round 12:
+    # transform(arr, (x, y) -> ...) bound y to Spark's ELEMENT INDEX
+    # and dropped the second array entirely.
+    "arrayMap": lambda a: (
+        f"transform({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        if len(a) == 3
+        else _ho_too_many("arrayMap", a)
+    ),
+    "arrayFilter": lambda a: (
+        f"filter({a[1]}, {a[0]})"
+        if len(a) == 2
+        else _ho_mask_filter(a)
+        if len(a) == 3
+        else _ho_too_many("arrayFilter", a)
+    ),
+    "arrayExists": lambda a: (
+        f"exists({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"exists(zip_with({a[1]}, {a[2]}, {a[0]}), __hb -> __hb)"
+        if len(a) == 3
+        else _ho_too_many("arrayExists", a)
+    ),
+    "arrayAll": lambda a: (
+        f"forall({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"forall(zip_with({a[1]}, {a[2]}, {a[0]}), __hb -> __hb)"
+        if len(a) == 3
+        else _ho_too_many("arrayAll", a)
+    ),
     "arrayCount": _array_count,
+    # CH's optional leading lambda (arraySum(x -> x*2, arr)) maps
+    # the elements first; the one-arg form folds the array as-is.
     "arraySum": lambda a: (
         f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        if len(a) == 1
+        else (
+            f"aggregate(transform({a[1]}, {a[0]}), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
     ),
     "arrayAvg": lambda a: (
         f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         f" / size({a[0]}))"
+        if len(a) == 1
+        else (
+            f"(aggregate(transform({a[1]}, {a[0]}), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({a[1]}))"
+        )
+    ),
+    "arrayMin": lambda a: (
+        f"array_min({a[0]})"
+        if len(a) == 1
+        else f"array_min(transform({a[1]}, {a[0]}))"
+    ),
+    "arrayMax": lambda a: (
+        f"array_max({a[0]})"
+        if len(a) == 1
+        else f"array_max(transform({a[1]}, {a[0]}))"
     ),
     "hasAll": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
     "splitByChar": lambda a: f"split({a[1]}, {_sql_regex_literal(a[0])})",
@@ -9941,6 +10041,21 @@ def _rewrite_ch_misc(sql: str) -> str:
             seg,
             flags=re.IGNORECASE,
         )
+        # CH tuple element access `.N` (1-based) → Spark's unnamed
+        # struct fields `colN`: `tuple(1,'a').2` / `t.1`. A dot-digit
+        # whose preceding token STARTS with a digit is a numeric
+        # literal (1.5, 1e2.—) and is left alone; `)`/`]` before the
+        # dot is always an expression result.
+        def _dot_n(m: re.Match) -> str:
+            if m.group(1) not in ")]":
+                i = m.start(1)
+                while i >= 0 and (seg[i].isalnum() or seg[i] == "_"):
+                    i -= 1
+                if seg[i + 1].isdigit():
+                    return m.group(0)
+            return f"{m.group(1)}.col{m.group(2)}"
+
+        seg = re.sub(r"([\)\]\w])\.(\d+)(?![\w.])", _dot_n, seg)
         # CH numeric-literal predicates (`WHERE 1`): Spark's ANSI
         # filter wants a boolean. Bare integer literals only — a
         # general numeric expression can't be re-typed blindly.

@@ -191,7 +191,9 @@ class TestTranspileText:
             "toNullable(d), x > ANY (SELECT k FROM t2) FROM t"
         )
         assert "any_value(x)" in r.sql
-        assert "arrays_zip(a, b)" in r.sql
+        # two-array arrayZip emits col1/col2-named structs (round-12:
+        # CH tuple access z[1].1 resolves against them)
+        assert "zip_with(a, b" in r.sql and "AS col1" in r.sql
         assert "(c)" in r.sql and "assumeNotNull" not in r.sql
         # subquery ANY is rewritten to the scalar-aggregate form
         assert "min(__bh_q0)" in r.sql and "ANY (SELECT" not in r.sql
@@ -10630,3 +10632,85 @@ class TestRound12ArrayJoinHoisting:
                 "SELECT arrayJoin([1,2]) + 1 AS x UNION ALL "
                 "SELECT arrayJoin([3]) + 1 AS x"
             )
+
+
+class TestRound12HigherOrderMultiArray:
+    """CH higher-order functions over MULTIPLE arrays (positional
+    zip) and the optional leading lambda of arraySum/Min/Max/Avg —
+    the arrayMap two-array form silently bound the second lambda
+    parameter to Spark transform's ELEMENT INDEX before round 12
+    (wrong values, no error). Plus `.N` tuple element access."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_two_array_map_zips(self, eng):
+        assert eng.execute(
+            "SELECT arrayMap((x, y) -> x + y, [1,2], [10,20]) AS a"
+        ).rows == [[[11, 22]]]
+
+    def test_two_array_predicates(self, eng):
+        assert eng.execute(
+            "SELECT arrayFilter((x, y) -> y > 0, [1,2,3], [0,1,1]) AS a"
+        ).rows == [[[2, 3]]]
+        assert eng.execute(
+            "SELECT arrayExists((x, y) -> x = y, [1,2], [2,2]) AS e"
+        ).rows == [[True]]
+        assert eng.execute(
+            "SELECT arrayAll((x, y) -> x <= y, [1,2], [2,2]) AS e"
+        ).rows == [[True]]
+        assert eng.execute(
+            "SELECT arrayCount((x, y) -> x = y, [1,2,3], [1,0,3]) AS c"
+        ).rows == [[2]]
+        assert eng.execute(
+            "SELECT arrayFirst((x, y) -> y = 1, [7,8,9], [0,1,1]) AS f"
+        ).rows == [[8]]
+        assert eng.execute(
+            "SELECT arrayLast((x, y) -> y = 1, [7,8,9], [0,1,1]) AS f"
+        ).rows == [[9]]
+        assert eng.execute(
+            "SELECT arrayFirstIndex((x, y) -> y = 1, [7,8,9], "
+            "[0,1,1]) AS i"
+        ).rows == [[2]]
+
+    def test_three_plus_arrays_refuse_with_guidance(self):
+        from bighouse_spark.dialect.transpile import transpile
+
+        with pytest.raises(ValueError, match="arrays_zip"):
+            transpile(
+                "SELECT arrayMap((x,y,z) -> x, [1], [2], [3]) FROM t"
+            )
+
+    def test_leading_lambda_fold_family(self, eng):
+        assert eng.execute(
+            "SELECT arraySum(x -> x * 2, [1,2,3]) AS s"
+        ).rows == [[12.0]]
+        assert eng.execute(
+            "SELECT arrayAvg(x -> x * 2, [1,2,3]) AS m"
+        ).rows == [[4.0]]
+        assert eng.execute(
+            "SELECT arrayMin(x -> -x, [1,2,3]) AS m"
+        ).rows == [[-3]]
+        assert eng.execute(
+            "SELECT arrayMax(x -> x % 3, [3,5,7]) AS m"
+        ).rows == [[2]]
+
+    def test_tuple_dot_n_access(self, eng):
+        assert eng.execute("SELECT tuple(1, 'a').1 AS t").rows == [[1]]
+        assert eng.execute("SELECT (1, 'a').2 AS t").rows == [["a"]]
+        assert eng.execute(
+            "SELECT t.2 AS s FROM (SELECT (7, 'x') AS t)"
+        ).rows == [["x"]]
+        # numeric literals stay literals
+        assert eng.execute("SELECT 2.5e2 AS f").rows == [[250.0]]
+
+    def test_arrayzip_tuple_access_composition(self, eng):
+        assert eng.execute(
+            "SELECT arrayZip([1,2],['a','b'])[2].2 AS z"
+        ).rows == [["b"]]
+        assert eng.execute(
+            "SELECT arrayMap(t -> t.2, arrayZip([1,2],['a','b'])) AS s"
+        ).rows == [[["a", "b"]]]
