@@ -2621,3 +2621,48 @@ def dialect_arrayjoin_cartesian_roundtrip(spark, sf_dir):
         GROUP BY p, lockstep ORDER BY p, lockstep
         """,
     )
+
+
+# Multi-array higher-order functions (round-12 fix: the two-array
+# arrayMap silently bound the second lambda param to Spark's element
+# index). DuckDB recomputes the positional zip with index lambdas
+# over generate_series.
+@query(
+    "dialect_multiarray_lambda_roundtrip",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' ')[1:5],
+                        w -> CAST(length(w) AS DOUBLE)) AS ws
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(ws, x -> x * x)), 0)
+            AS DOUBLE) AS dot_self,
+       CAST(length(list_filter(generate_series(1, length(ws)),
+                               i -> ws[i] = list_reverse(ws)[i]))
+            AS BIGINT) AS palin_hits
+FROM w ORDER BY doc_id
+""",
+)
+def dialect_multiarray_lambda_roundtrip(spark, sf_dir):
+    return _ch(
+        spark,
+        sf_dir,
+        "documents",
+        "__dq_docs_mal",
+        """
+        SELECT doc_id,
+               CAST(arraySum(arrayMap((x, y) -> x * y, ws, ws))
+                   AS Float64) AS dot_self,
+               CAST(arrayCount((x, y) -> x = y, ws, arrayReverse(ws))
+                   AS Int64) AS palin_hits
+        FROM (
+          SELECT doc_id,
+                 arrayMap(w -> CAST(lengthUTF8(w) AS Float64),
+                          arraySlice(splitByChar(' ', text), 1, 5))
+                     AS ws
+          FROM __dq_docs_mal WHERE doc_id < 150
+        ) ORDER BY doc_id
+        """,
+    )

@@ -58,7 +58,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dialect_string_twins_roundtrip,
 # dialect_array_join_shadow_roundtrip, dialect_topk_bare_roundtrip,
 # dialect_interval_string_roundtrip, dialect_ipv4_format_roundtrip,
-# dialect_arrayjoin_cartesian_roundtrip — all green local oracle rows,
+# dialect_arrayjoin_cartesian_roundtrip,
+# dialect_multiarray_lambda_roundtrip — all green local oracle rows,
 # never driver-checked), then the remaining 39 r9-era names not
 # refreshed in the r12 fill (alphabetically from
 # curation_stratified_sample onward:
