@@ -10055,7 +10055,14 @@ def _rewrite_ch_misc(sql: str) -> str:
                     return m.group(0)
             return f"{m.group(1)}.col{m.group(2)}"
 
-        seg = re.sub(r"([\)\]\w])\.(\d+)(?![\w.])", _dot_n, seg)
+        # Iterate to fixpoint: nested access (t.1.1) needs the inner
+        # rewrite (t.col1) in place before the next level's preceding
+        # token stops looking like a numeric literal.
+        while True:
+            new_seg = re.sub(r"([\)\]\w])\.(\d+)(?!\w)", _dot_n, seg)
+            if new_seg == seg:
+                break
+            seg = new_seg
         # CH numeric-literal predicates (`WHERE 1`): Spark's ANSI
         # filter wants a boolean. Bare integer literals only — a
         # general numeric expression can't be re-typed blindly.

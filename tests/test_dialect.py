@@ -10714,3 +10714,11 @@ class TestRound12HigherOrderMultiArray:
         assert eng.execute(
             "SELECT arrayMap(t -> t.2, arrayZip([1,2],['a','b'])) AS s"
         ).rows == [[["a", "b"]]]
+
+    def test_nested_tuple_dot_access(self, eng):
+        assert eng.execute(
+            "SELECT ((1, 2), 'z').1.2 AS t"
+        ).rows == [[2]]
+        assert eng.execute(
+            "SELECT tuple(tuple(5)).1.1 AS t"
+        ).rows == [[5]]
