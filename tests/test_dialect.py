@@ -10722,3 +10722,35 @@ class TestRound12HigherOrderMultiArray:
         assert eng.execute(
             "SELECT tuple(tuple(5)).1.1 AS t"
         ).rows == [[5]]
+
+
+class TestEmptySetAggregates:
+    """Deviations-ledger entry 19: aggregates over an empty (or
+    fully filtered) set return NULL here where CH returns type
+    defaults for non-Nullable inputs; count-family agrees at 0, and
+    the OrDefault spellings give CH's defaults on request."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_null_posture_and_count_agreement(self, eng):
+        r = eng.execute(
+            "SELECT sumIf(x, x > 5) AS s, avgIf(x, x > 5) AS a, "
+            "minIf(x, x > 5) AS m, countIf(x > 5) AS c, "
+            "uniqIf(x, x > 5) AS u "
+            "FROM (SELECT arrayJoin([1,2]) AS x)"
+        ).rows
+        assert r == [[None, None, None, 0, 0]]
+
+    def test_or_default_gives_ch_defaults(self, eng):
+        assert eng.execute(
+            "SELECT sumIfOrDefault(x, x > 5) AS s "
+            "FROM (SELECT arrayJoin([1,2]) AS x)"
+        ).rows == [[0]]
+        assert eng.execute(
+            "SELECT coalesce(sumIf(x, x > 5), 0) AS s "
+            "FROM (SELECT arrayJoin([1,2]) AS x)"
+        ).rows == [[0]]
