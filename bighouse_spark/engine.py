@@ -205,6 +205,11 @@ class BigHouseEngine:
         # are then DISCARDED (CH's Null+MV ingestion pattern); reads
         # always see an empty table.
         self._null_tables: set[str] = set()
+        # raw CH column DDL from CREATE TABLE, kept for nullability-
+        # aware default fills on partial-column INSERTs (the attach
+        # registration only carries a schema string for CSV/partition
+        # reads).
+        self._ch_col_ddl: dict[str, str] = {}
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -690,6 +695,7 @@ class BigHouseEngine:
     )
     _INSERT_TBL_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
+        r"(?:\(\s*([\w`\"\s,]+?)\s*\)\s*)?"
         r"(SELECT\b|WITH\b|VALUES\b)",
         re.IGNORECASE,
     )
@@ -706,6 +712,7 @@ class BigHouseEngine:
     # CH wire-style INSERT with an inline data payload after FORMAT.
     _INSERT_FMT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
+        r"(?:\(\s*([\w`\"\s,]+?)\s*\)\s*)?"
         r"FORMAT\s+(Values|JSONEachRow|CSV|CSVWithNames|TSV|TabSeparated)"
         r"\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
@@ -1321,14 +1328,59 @@ class BigHouseEngine:
             "<insert native tcp>", t0,
         )
 
+    def _missing_col_default(self, name: str, field) -> "object":
+        """Fill expression for a column omitted from an INSERT column
+        list: a column declared ``Nullable(...)`` (or attached with no
+        CH schema string) fills NULL; otherwise CH's TYPE DEFAULT
+        (0 / '' / 1970-01-01 / false / empty container) — CH never
+        writes NULL into a non-Nullable column. Per-column DEFAULT
+        expressions from DDL are not retained (accepted-and-dropped
+        like the MergeTree SETTINGS), so the type default stands in."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from bighouse_spark.dialect.schema import _split_commas
+
+        schema_str = self._ch_col_ddl.get(name) or self._attached[name][2]
+        declared = None
+        if schema_str:
+            for item in _split_commas(schema_str):
+                m = re.match(
+                    r"^\s*(`[^`]+`|\"[^\"]+\"|\S+)\s+(.+?)\s*$", item
+                )
+                if m and m.group(1).strip('`"') == field.name:
+                    declared = m.group(2).strip()
+                    break
+        if declared is None or declared.lower().startswith("nullable("):
+            return F.lit(None).cast(field.dataType)
+        dt = field.dataType
+        if isinstance(dt, T.StringType):
+            return F.lit("")
+        if isinstance(dt, T.DateType):
+            return F.lit("1970-01-01").cast(dt)
+        if isinstance(dt, T.TimestampType):
+            return F.lit("1970-01-01 00:00:00").cast(dt)
+        if isinstance(dt, T.BooleanType):
+            return F.lit(False)
+        if isinstance(dt, T.ArrayType):
+            return F.expr("array()").cast(dt)
+        if isinstance(dt, T.MapType):
+            return F.expr("map()").cast(dt)
+        if isinstance(dt, T.NumericType):
+            return F.lit(0).cast(dt)
+        return F.lit(None).cast(dt)
+
     def _insert_into_attached(
-        self, request: QueryRequest, name: str, body_start: int, t0: float
+        self, request: QueryRequest, name: str, body_start: int,
+        t0: float, cols: str | None = None,
     ) -> QueryResult:
-        """``INSERT INTO <attached> SELECT/VALUES ...`` → append-write
-        to the table's backing storage, then re-attach so subsequent
-        reads see the new files. Columns align positionally (CH
-        INSERT semantics) and are renamed to the target's schema so
-        parquet/orc by-name reads stay consistent across files."""
+        """``INSERT INTO <attached> [(cols)] SELECT/VALUES ...`` →
+        append-write to the table's backing storage, then re-attach so
+        subsequent reads see the new files. Columns align positionally
+        (CH INSERT semantics) and are renamed to the target's schema
+        so parquet/orc by-name reads stay consistent across files; an
+        explicit column list fills the omitted columns with NULL /
+        CH type defaults (see _missing_col_default)."""
         if name not in self._attached:
             raise ValueError(
                 f"INSERT INTO {name}: not an attached table — call "
@@ -1344,6 +1396,29 @@ class BigHouseEngine:
         result = transpile(body, self.spark)
         df = self.spark.sql(result.sql)
         target = self.spark.table(name).schema
+        if cols:
+            names = [
+                c.strip().strip('`"') for c in cols.split(",") if c.strip()
+            ]
+            known = {f.name for f in target.fields}
+            unknown = [c for c in names if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {name} ({cols}): unknown column(s) "
+                    f"{unknown}"
+                )
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(df.columns)} values for "
+                    f"a {len(names)}-column list"
+                )
+            provided = dict(zip(names, df.toDF(*names).columns))
+            src = df.toDF(*names)
+            df = src.select(*[
+                (F.col(f.name) if f.name in provided
+                 else self._missing_col_default(name, f)).alias(f.name)
+                for f in target.fields
+            ])
         if len(df.columns) != len(target.fields):
             raise ValueError(
                 f"INSERT INTO {name}: {len(df.columns)} columns for a "
@@ -1805,20 +1880,39 @@ class BigHouseEngine:
         # sized; bulk loads use INSERT ... SELECT FROM s3()/file().
         m_fmt = self._INSERT_FMT_RE.match(request.query)
         if m_fmt:
-            name, fmt_name, payload = m_fmt.groups()
+            name, fmt_cols, fmt_name, payload = m_fmt.groups()
             fmt_name = fmt_name.lower()
             if name not in self._attached:
                 raise ValueError(
                     f"INSERT INTO {name}: not an attached table"
                 )
-            target = self.spark.table(name).schema
+            full_target = self.spark.table(name).schema
+            target = full_target
+            if fmt_cols:
+                from pyspark.sql import types as T
+
+                listed = [
+                    c.strip().strip('`"')
+                    for c in fmt_cols.split(",") if c.strip()
+                ]
+                by_name = {f.name: f for f in full_target.fields}
+                unknown = [c for c in listed if c not in by_name]
+                if unknown:
+                    raise ValueError(
+                        f"INSERT INTO {name} ({fmt_cols}): unknown "
+                        f"column(s) {unknown}"
+                    )
+                # the payload carries only the listed columns; the
+                # rest fill NULL / CH type defaults after decode
+                target = T.StructType([by_name[c] for c in listed])
             if fmt_name == "values":
                 synth = QueryRequest(
                     query=f"INSERT INTO {name} VALUES {payload}",
                     init_queries=request.init_queries,
                 )
                 return self._insert_into_attached(
-                    synth, name, len(f"INSERT INTO {name} "), t0
+                    synth, name, len(f"INSERT INTO {name} "), t0,
+                    cols=fmt_cols,
                 )
             if fmt_name == "jsoneachrow":
                 import json as _json
@@ -1829,13 +1923,42 @@ class BigHouseEngine:
                     if line.strip()
                 ]
                 from pyspark.sql import functions as F
+                from pyspark.sql import types as T
+
+                # Build SCALAR fields as strings and cast after —
+                # JSON carries dates/decimals as strings and ints
+                # where the table wants doubles, and createDataFrame
+                # type-checks eagerly (FIELD_DATA_TYPE_UNACCEPTABLE).
+                # Nested types keep their target type.
+                def _nested(dt: "T.DataType") -> bool:
+                    return isinstance(
+                        dt, (T.ArrayType, T.MapType, T.StructType)
+                    )
+
+                build = T.StructType([
+                    T.StructField(
+                        f.name,
+                        f.dataType if _nested(f.dataType)
+                        else T.StringType(),
+                        True,
+                    )
+                    for f in target.fields
+                ])
+
+                def _cell(r: dict, f: "T.StructField"):
+                    v = r.get(f.name)
+                    if v is None or _nested(f.dataType):
+                        return v
+                    if isinstance(v, bool):
+                        return "true" if v else "false"
+                    return str(v)
 
                 df = self.spark.createDataFrame(
                     [
-                        tuple(r.get(f.name) for f in target.fields)
+                        tuple(_cell(r, f) for f in target.fields)
                         for r in rows
                     ],
-                    target,
+                    build,
                 )
                 aligned = df.select(
                     *[F.col(f.name).cast(f.dataType) for f in target.fields]
@@ -1859,6 +1982,17 @@ class BigHouseEngine:
                 aligned = df.select(
                     *[F.col(f.name).cast(f.dataType) for f in target.fields]
                 )
+            if fmt_cols:
+                listed_names = {f.name for f in target.fields}
+                aligned = aligned.select(*[
+                    (F.col(f.name) if f.name in listed_names
+                     else self._missing_col_default(name, f))
+                    .alias(f.name)
+                    for f in full_target.fields
+                ]).select(*[
+                    F.col(f.name).cast(f.dataType)
+                    for f in full_target.fields
+                ])
             return self._append_aligned(
                 aligned, name, request.query, f"<insert {fmt_name}>", t0
             )
@@ -1867,7 +2001,8 @@ class BigHouseEngine:
         m_tbl = self._INSERT_TBL_RE.match(request.query)
         if m_tbl:
             return self._insert_into_attached(
-                request, m_tbl.group(1), m_tbl.start(2), t0
+                request, m_tbl.group(1), m_tbl.start(3), t0,
+                cols=m_tbl.group(2),
             )
         # CH column DDL. In CH these are metadata-only (old parts get
         # the column materialized lazily on merge); here they rewrite
@@ -2773,6 +2908,7 @@ class BigHouseEngine:
                 "overwrite",
             ).save(path)
             self.attach_table(name, path, schema=decl_schema)
+            self._ch_col_ddl[name] = cols
             m_eng = re.search(
                 r"ENGINE\s*=\s*(\w+)", request.query, re.IGNORECASE
             )
@@ -3418,6 +3554,13 @@ class BigHouseEngine:
                 "parquet",
             )
         self.attach_table(name, path, fmt=fmt, schema=cols or None)
+        # A fresh ATTACH points the name at NEW storage — any
+        # CREATE-time column DDL (nullability for default fills) is
+        # stale for it; the explicit (schema) clause, if given,
+        # becomes the new record.
+        self._ch_col_ddl.pop(name, None)
+        if cols:
+            self._ch_col_ddl[name] = cols
         if m_tail.group(1):
             try:
                 self._partitioned[name] = self._parse_partition_by(

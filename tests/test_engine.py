@@ -2164,3 +2164,83 @@ class TestRound12StatementSweep2:
             eng.execute("DROP TABLE __nope")
         with _pytest.raises(ValueError, match="unknown table"):
             eng.execute("TRUNCATE TABLE __nope")
+
+
+class TestInsertColumnLists:
+    """CH partial-column INSERT: an explicit column list fills the
+    omitted columns with NULL for Nullable-declared columns and CH
+    TYPE DEFAULTS (0 / '' / 1970-01-01) for non-Nullable ones; the
+    FORMAT payload forms accept the list too, and JSONEachRow casts
+    string dates to the table's DATE/TIMESTAMP columns."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng.execute(
+            "CREATE TABLE IF NOT EXISTS __icl "
+            "(k Int64, v Nullable(String), d Date) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("TRUNCATE TABLE __icl")
+        return eng
+
+    def test_values_with_column_list(self, eng):
+        import datetime
+
+        eng.execute("INSERT INTO __icl (k, d) VALUES (3, '2024-01-03')")
+        assert eng.execute(
+            "SELECT k, v, d FROM __icl"
+        ).rows == [[3, None, datetime.date(2024, 1, 3)]]
+        # reordered list
+        eng.execute("INSERT INTO __icl (d, k) VALUES ('2024-01-04', 4)")
+        assert eng.execute(
+            "SELECT k FROM __icl WHERE d = '2024-01-04'"
+        ).rows == [[4]]
+
+    def test_type_default_fill_for_non_nullable(self, eng):
+        import datetime
+
+        eng.execute("INSERT INTO __icl (v) VALUES ('only')")
+        assert eng.execute(
+            "SELECT k, d FROM __icl WHERE v = 'only'"
+        ).rows == [[0, datetime.date(1970, 1, 1)]]
+
+    def test_format_payloads_with_column_list(self, eng):
+        import datetime
+
+        eng.execute(
+            'INSERT INTO __icl (k, v) FORMAT JSONEachRow '
+            '{"k": 22, "v": "pj"}'
+        )
+        assert eng.execute(
+            "SELECT v, d FROM __icl WHERE k = 22"
+        ).rows == [["pj", datetime.date(1970, 1, 1)]]
+        eng.execute("INSERT INTO __icl (k) FORMAT Values (30)")
+        assert eng.execute(
+            "SELECT v, d FROM __icl WHERE k = 30"
+        ).rows == [[None, datetime.date(1970, 1, 1)]]
+        eng.execute(
+            'INSERT INTO __icl (k, v, d) FORMAT CSV 21,"c",2024-03-02'
+        )
+        assert eng.execute(
+            "SELECT v FROM __icl WHERE k = 21"
+        ).rows == [["c"]]
+
+    def test_jsoneachrow_casts_string_dates(self, eng):
+        import datetime
+
+        eng.execute(
+            'INSERT INTO __icl FORMAT JSONEachRow '
+            '{"k": 20, "v": "j", "d": "2024-03-01"}'
+        )
+        assert eng.execute(
+            "SELECT d FROM __icl WHERE k = 20"
+        ).rows == [[datetime.date(2024, 3, 1)]]
+
+    def test_unknown_column_raises(self, eng):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown column"):
+            eng.execute("INSERT INTO __icl (k, nope) VALUES (1, 2)")
