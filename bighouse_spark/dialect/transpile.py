@@ -2362,6 +2362,66 @@ def _dot_product_builder(a: list[str]) -> str:
     )
 
 
+_DOLLAR_QUOTE_RE = re.compile(
+    r"\$([A-Za-z_][A-Za-z0-9_]*|)\$(.*?)\$\1\$", re.DOTALL
+)
+
+
+def _rewrite_dollar_quoted_strings(sql: str) -> str:
+    """CH dollar-quoted strings (``$$text$$`` / ``$tag$text$tag$``,
+    PostgreSQL-style heredocs) → single-quoted literals with ''
+    escaping. Runs FIRST — the content may hold quotes that would
+    confuse every later quote-aware scan. Spans inside existing
+    single-quoted literals are left alone (quote-parity scan); a
+    lone unmatched ``$tag$`` is left for Spark's parser to report."""
+    if "$" not in sql:
+        return sql
+
+    def _in_quote(s: str, pos: int) -> bool:
+        in_q = False
+        i = 0
+        while i < pos:
+            if s[i] == "'":
+                in_q = not in_q
+            elif s[i] == "\\" and in_q:
+                i += 1
+            i += 1
+        return in_q
+
+    out = sql
+    while True:
+        m = _DOLLAR_QUOTE_RE.search(out)
+        if not m or _in_quote(out, m.start()):
+            break
+        body = m.group(2).replace("'", "''")
+        out = out[: m.start()] + f"'{body}'" + out[m.end():]
+    return out
+
+
+_HEX_BIN_LITERAL_RE = re.compile(r"\b0([xXbB])([0-9A-Fa-f]+)\b")
+
+
+def _rewrite_numeric_base_literals(sql: str) -> str:
+    """CH hex (``0x1F``) and binary (``0b101``) integer literals →
+    decimal; Spark's lexer has neither form. Quote-aware via
+    _sub_unquoted so string contents keep their spelling."""
+    if "0x" not in sql and "0X" not in sql \
+            and "0b" not in sql and "0B" not in sql:
+        return sql
+
+    def _seg(seg: str) -> str:
+        def repl(m: "re.Match[str]") -> str:
+            base, digits = m.group(1).lower(), m.group(2)
+            try:
+                return str(int(digits, 16 if base == "x" else 2))
+            except ValueError:
+                return m.group(0)
+
+        return _HEX_BIN_LITERAL_RE.sub(repl, seg)
+
+    return _sub_unquoted(sql, _seg)
+
+
 def _rewrite_double_quoted_identifiers(sql: str) -> str:
     """`"name"` → `` `name` `` outside single-quoted literals and
     backtick quotes. CH follows the SQL standard (double quotes are
@@ -9612,7 +9672,9 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     # default treats them as string literals, silently returning the
     # literal column name for every row. Convert to backticks first
     # so every later rewrite sees one identifier spelling.
+    out = _rewrite_dollar_quoted_strings(out)
     out = _rewrite_double_quoted_identifiers(out)
+    out = _rewrite_numeric_base_literals(out)
     # CH EXPLAIN flag syntax (`EXPLAIN indexes = 1, header = 0 ...`)
     # → the flags select detail CH-side; Spark's FORMATTED plan
     # carries the scan detail (PushedFilters/PartitionFilters), so

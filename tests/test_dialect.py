@@ -10754,3 +10754,37 @@ class TestEmptySetAggregates:
             "SELECT coalesce(sumIf(x, x > 5), 0) AS s "
             "FROM (SELECT arrayJoin([1,2]) AS x)"
         ).rows == [[0]]
+
+
+class TestRound12LexicalForms:
+    """CH lexical forms Spark's parser lacks: hex/binary integer
+    literals and dollar-quoted (heredoc) strings."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_hex_and_binary_literals(self, eng):
+        assert eng.execute(
+            "SELECT 0x1F AS h, 0X1f AS h2, 0b101 AS b, -0x10 AS n"
+        ).rows == [[31, 31, 5, -16]]
+        # quoted spellings keep their text; invalid binary digits
+        # are left for the parser (not silently misread)
+        assert eng.execute("SELECT '0x1F' AS s").rows == [["0x1F"]]
+
+    def test_dollar_quoted_strings(self, eng):
+        assert eng.execute(
+            "SELECT $$heredoc string$$ AS s"
+        ).rows == [["heredoc string"]]
+        assert eng.execute(
+            "SELECT $tag$nested 'quote'$tag$ AS s"
+        ).rows == [["nested 'quote'"]]
+        # inside a single-quoted literal: NOT a heredoc
+        assert eng.execute(
+            "SELECT '$$not a heredoc$$' AS s"
+        ).rows == [["$$not a heredoc$$"]]
+        assert eng.execute(
+            "SELECT length($$it's$$) AS l"
+        ).rows == [[4]]
