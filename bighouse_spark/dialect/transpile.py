@@ -2378,15 +2378,21 @@ def _rewrite_dollar_quoted_strings(sql: str) -> str:
         return sql
 
     def _in_quote(s: str, pos: int) -> bool:
-        in_q = False
+        # ', " (identifier, converted later) and ` spans all shield
+        # their content from the heredoc rewrite.
+        q: str | None = None
         i = 0
         while i < pos:
-            if s[i] == "'":
-                in_q = not in_q
-            elif s[i] == "\\" and in_q:
-                i += 1
+            c = s[i]
+            if q:
+                if c == q:
+                    q = None
+                elif c == "\\" and q == "'":
+                    i += 1
+            elif c in "'\"`":
+                q = c
             i += 1
-        return in_q
+        return q is not None
 
     out = sql
     while True:
