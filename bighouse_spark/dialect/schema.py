@@ -92,7 +92,12 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
             if typ:  # named tuple element
                 fields.append(T.StructField(name, ch_type_to_spark(typ)))
             else:
-                fields.append(T.StructField(f"_{i + 1}", ch_type_to_spark(part)))
+                # col1/col2… matches Spark's unnamed-struct field
+                # names (struct(), tuple()), so CH positional access
+                # `.N` (transpiled to .colN) works on cast tuples too.
+                fields.append(
+                    T.StructField(f"col{i + 1}", ch_type_to_spark(part))
+                )
         return T.StructType(fields)
     if low.startswith("enum8(") or low.startswith("enum16("):
         # CH stores enums as ints but renders strings; strings here.
@@ -151,6 +156,11 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
         # narrowing, loud overflow at write time if exceeded.
         return T.DecimalType(38, sc)
     if _DATETIME64.match(low):
+        return T.TimestampType()
+    # DateTime('TZ'): the zone parameter is display/storage metadata
+    # in CH; Spark timestamps carry the session zone. Same posture
+    # as DateTime64(p, 'TZ') above.
+    if re.match(r"^datetime\('[^']*'\)$", low):
         return T.TimestampType()
     if _FIXED_STRING.match(low):
         return T.StringType()

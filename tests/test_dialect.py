@@ -10788,3 +10788,13 @@ class TestRound12LexicalForms:
         assert eng.execute(
             "SELECT length($$it's$$) AS l"
         ).rows == [[4]]
+
+    def test_cast_tuple_positional_access(self, eng):
+        # CAST Tuple fields are col1/col2 (matching struct()/tuple())
+        # so positional access composes on cast tuples too.
+        assert eng.execute(
+            "SELECT CAST((1, 'x') AS Tuple(Int64, String)).2 AS n"
+        ).rows == [["x"]]
+        assert eng.execute(
+            "SELECT CAST('2024-01-01 10:00:00' AS DateTime('UTC')) AS d"
+        ).rows[0][0].year == 2024
