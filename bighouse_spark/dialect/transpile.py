@@ -10109,6 +10109,16 @@ def _rewrite_ch_misc(sql: str) -> str:
             seg,
             flags=re.IGNORECASE,
         )
+        # CH's unparenthesized single-column `* EXCEPT col` (the
+        # parenthesized list form is Spark-native). Keyword guard so
+        # the set operator `... EXCEPT SELECT ...` is untouched.
+        seg = re.sub(
+            r"(\*\s+EXCEPT)\s+(?!\()(?!(?:SELECT|ALL|DISTINCT)\b)"
+            r"([A-Za-z_]\w*)",
+            r"\1 (\2)",
+            seg,
+            flags=re.IGNORECASE,
+        )
         # CH tuple element access `.N` (1-based) → Spark's unnamed
         # struct fields `colN`: `tuple(1,'a').2` / `t.1`. A dot-digit
         # whose preceding token STARTS with a digit is a numeric

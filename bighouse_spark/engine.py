@@ -3154,6 +3154,32 @@ class BigHouseEngine:
             views.extend(result.views)
             transpiled = result.sql
             df = self.spark.sql(result.sql)
+            # CH renders interval values as plain numbers in their
+            # own unit (Date - Date → Int32 days, DateTime - DateTime
+            # → seconds, INTERVAL 3 HOUR → 3); Spark's interval cast
+            # to BIGINT yields exactly that unit count (the type's
+            # end field), so top-level interval columns normalize to
+            # CH's numeric rendering.
+            from pyspark.sql import types as _T
+
+            if len(set(df.columns)) == len(df.columns) and any(
+                isinstance(
+                    f.dataType,
+                    (_T.DayTimeIntervalType, _T.YearMonthIntervalType),
+                )
+                for f in df.schema.fields
+            ):
+                from pyspark.sql import functions as _F
+
+                df = df.select(*[
+                    _F.col(f.name).cast("bigint").alias(f.name)
+                    if isinstance(
+                        f.dataType,
+                        (_T.DayTimeIntervalType, _T.YearMonthIntervalType),
+                    )
+                    else _F.col(f.name)
+                    for f in df.schema.fields
+                ])
             cols = df.columns
             timeout_s = None
             raw_timeout = result.dropped_settings.get(

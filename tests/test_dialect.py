@@ -10798,3 +10798,25 @@ class TestRound12LexicalForms:
         assert eng.execute(
             "SELECT CAST('2024-01-01 10:00:00' AS DateTime('UTC')) AS d"
         ).rows[0][0].year == 2024
+
+    def test_unparenthesized_star_except(self, eng):
+        assert eng.execute(
+            "SELECT * EXCEPT number FROM "
+            "(SELECT number, number*2 AS d FROM numbers(1))"
+        ).rows == [[0]]
+        # set operator untouched
+        assert eng.execute("SELECT 1 AS x EXCEPT SELECT 2").rows == [[1]]
+
+    def test_interval_values_render_as_numbers(self, eng):
+        # CH renders intervals as the unit count: Date-Date in days,
+        # DateTime-DateTime in seconds, INTERVAL literals as-is.
+        assert eng.execute(
+            "SELECT toDate('2024-01-10') - toDate('2024-01-01') AS d"
+        ).rows == [[9]]
+        assert eng.execute(
+            "SELECT toDateTime('2024-01-01 00:01:40') - "
+            "toDateTime('2024-01-01 00:00:00') AS s"
+        ).rows == [[100]]
+        assert eng.execute(
+            "SELECT INTERVAL 3 HOUR AS h, INTERVAL 4 MONTH AS m"
+        ).rows == [[3, 4]]
