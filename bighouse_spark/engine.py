@@ -1328,6 +1328,95 @@ class BigHouseEngine:
             "<insert native tcp>", t0,
         )
 
+    @staticmethod
+    def _select_alias_map(sql: str) -> dict[str, str]:
+        """Top-level select-list aliases of ``sql`` → their
+        expressions (quote/paren-aware split between SELECT and the
+        top-level FROM/end). Used by the WHERE-alias fallback."""
+        m = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", sql, re.IGNORECASE)
+        if not m:
+            return {}
+        i, depth, quote = m.end(), 0, None
+        start, items = i, []
+        n = len(sql)
+        while i < n:
+            c = sql[i]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"`":
+                quote = c
+            elif c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif depth == 0:
+                if c == ",":
+                    items.append(sql[start:i])
+                    start = i + 1
+                elif (
+                    re.match(r"FROM\b", sql[i:], re.IGNORECASE)
+                    and (i == 0 or not (sql[i - 1].isalnum()
+                                        or sql[i - 1] in "_`\""))
+                ):
+                    break
+            i += 1
+        items.append(sql[start:i])
+        out: dict[str, str] = {}
+        for item in items:
+            am = re.search(r"\s+AS\s+[`\"]?(\w+)[`\"]?\s*$", item,
+                           re.IGNORECASE)
+            if am:
+                out[am.group(1)] = item[: am.start()].strip()
+        return out
+
+    def _sql_with_alias_fallback(self, sql: str):
+        """``spark.sql`` with ClickHouse's alias-in-WHERE semantics:
+        CH resolves select-list aliases inside WHERE (a day-one
+        migration idiom: ``SELECT f(x) AS s ... WHERE s LIKE ...``);
+        Spark only resolves them in GROUP BY/HAVING/ORDER BY. On an
+        UNRESOLVED_COLUMN whose name is a select alias, substitute
+        the alias expression into the WHERE clause and retry — only
+        names Spark itself could not resolve are substituted, so a
+        real source column always wins (no shadowing)."""
+        from pyspark.errors import AnalysisException
+
+        current = sql
+        for _ in range(8):
+            try:
+                return self.spark.sql(current)
+            except AnalysisException as e:
+                msg = str(e)
+                nm = re.search(
+                    r"UNRESOLVED_COLUMN[^`]*`([\w.]+)`", msg
+                )
+                if not nm:
+                    raise
+                name = nm.group(1)
+                aliases = self._select_alias_map(current)
+                expr = aliases.get(name)
+                if expr is None or f"({expr})" in current:
+                    raise
+                m_where = re.search(r"\bWHERE\b", current, re.IGNORECASE)
+                if not m_where:
+                    raise
+                pat = re.compile(rf"(?<![\w.`]){re.escape(name)}(?![\w(])")
+                head = current[: m_where.end()]
+                tail_src = current[m_where.end():]
+
+                def _sub(m: "re.Match[str]") -> str:
+                    # never rewrite an alias DEFINITION (`AS name`
+                    # in a subquery after WHERE)
+                    if re.search(r"(?i)\bAS\s*$", tail_src[: m.start()]):
+                        return m.group(0)
+                    return f"({expr})"
+
+                tail = pat.sub(_sub, tail_src)
+                if head + tail == current:
+                    raise
+                current = head + tail
+        return self.spark.sql(current)
+
     def _missing_col_default(self, name: str, field) -> "object":
         """Fill expression for a column omitted from an INSERT column
         list: a column declared ``Nullable(...)`` (or attached with no
@@ -3153,7 +3242,7 @@ class BigHouseEngine:
                 set_current_query_id(None)
             views.extend(result.views)
             transpiled = result.sql
-            df = self.spark.sql(result.sql)
+            df = self._sql_with_alias_fallback(result.sql)
             # CH renders interval values as plain numbers in their
             # own unit (Date - Date → Int32 days, DateTime - DateTime
             # → seconds, INTERVAL 3 HOUR → 3); Spark's interval cast

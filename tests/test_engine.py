@@ -2244,3 +2244,53 @@ class TestInsertColumnLists:
 
         with _pytest.raises(ValueError, match="unknown column"):
             eng.execute("INSERT INTO __icl (k, nope) VALUES (1, 2)")
+
+
+class TestAliasInWhere:
+    """CH resolves select-list aliases inside WHERE (day-one
+    migration idiom); Spark only in GROUP BY/HAVING/ORDER BY. The
+    engine retries UNRESOLVED_COLUMN failures with the alias
+    expression substituted into the WHERE tail. A name Spark CAN
+    resolve (real source column) never triggers the fallback —
+    unlike CH's default alias-shadowing, the source column wins
+    (documented in the fallback's docstring)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_alias_resolves_in_where(self, eng):
+        assert eng.execute(
+            "SELECT toString(number) AS s FROM numbers(12) "
+            "WHERE match(s, '^1') ORDER BY s"
+        ).rows == [["1"], ["10"], ["11"]]
+        assert eng.execute(
+            "SELECT number * 2 AS d FROM numbers(5) WHERE d > 4 "
+            "ORDER BY d"
+        ).rows == [[6], [8]]
+
+    def test_multiple_aliases_in_where(self, eng):
+        assert eng.execute(
+            "SELECT number + 1 AS a, number * 2 AS b FROM numbers(5) "
+            "WHERE a > 2 AND b < 8 ORDER BY a"
+        ).rows == [[3, 4], [4, 6]]
+
+    def test_alias_in_where_subquery_position(self, eng):
+        assert eng.execute(
+            "SELECT number * 3 AS t FROM numbers(5) "
+            "WHERE t IN (SELECT 6)"
+        ).rows == [[6]]
+
+    def test_source_column_wins_over_alias(self, eng):
+        assert eng.execute(
+            "SELECT number * 10 AS number FROM numbers(3) "
+            "WHERE number = 1 ORDER BY 1"
+        ).rows == [[10]]
+
+    def test_unknown_name_still_raises(self, eng):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="UNRESOLVED_COLUMN"):
+            eng.execute("SELECT number FROM numbers(3) WHERE nope = 1")
