@@ -2372,35 +2372,30 @@ def _rewrite_dollar_quoted_strings(sql: str) -> str:
     PostgreSQL-style heredocs) → single-quoted literals with ''
     escaping. Runs FIRST — the content may hold quotes that would
     confuse every later quote-aware scan. Spans inside existing
-    single-quoted literals are left alone (quote-parity scan); a
-    lone unmatched ``$tag$`` is left for Spark's parser to report."""
+    single-quoted / double-quoted / backtick spans are left alone
+    (``_QUOTED_SPAN``, the same scanner every other pass uses, so
+    the two can never disagree about quote parity); a match that
+    starts inside one is skipped — NOT a stop — so a genuine heredoc
+    later in the statement (``SELECT '$$', $$a$$``) still converts.
+    A lone unmatched ``$tag$`` is left for Spark's parser to
+    report."""
     if "$" not in sql:
         return sql
 
-    def _in_quote(s: str, pos: int) -> bool:
-        # ', " (identifier, converted later) and ` spans all shield
-        # their content from the heredoc rewrite.
-        q: str | None = None
-        i = 0
-        while i < pos:
-            c = s[i]
-            if q:
-                if c == q:
-                    q = None
-                elif c == "\\" and q == "'":
-                    i += 1
-            elif c in "'\"`":
-                q = c
-            i += 1
-        return q is not None
-
     out = sql
+    pos = 0
     while True:
-        m = _DOLLAR_QUOTE_RE.search(out)
-        if not m or _in_quote(out, m.start()):
+        m = _DOLLAR_QUOTE_RE.search(out, pos)
+        if not m:
             break
+        quoted = [q.span() for q in _QUOTED_SPAN.finditer(out)]
+        if any(a <= m.start() < b for a, b in quoted):
+            pos = m.start() + 1
+            continue
         body = m.group(2).replace("'", "''")
-        out = out[: m.start()] + f"'{body}'" + out[m.end():]
+        lit = f"'{body}'"
+        out = out[: m.start()] + lit + out[m.end():]
+        pos = m.start() + len(lit)
     return out
 
 
@@ -2718,7 +2713,7 @@ def _array_sort_builder(a: list[str]) -> str:
     if len(a) == 2:
         ks = f"transform({a[1]}, {a[0]})"
     elif len(a) == 3:
-        ks = f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        ks = f"zip_with({a[1]}, {_pair_sized(a[1], a[2])}, {a[0]})"
     else:
         raise ValueError(
             "arraySort/arrayReverseSort(f, arr1[, arr2]): at most "
@@ -2946,7 +2941,7 @@ def _array_split_builder(reverse: bool):
         flags = (
             f"transform({arr}, {lam})"
             if len(a) == 2
-            else f"zip_with({arr}, {a[2]}, {lam})"
+            else f"zip_with({arr}, {_pair_sized(arr, a[2])}, {lam})"
         )
         truthy = "coalesce(CAST(__f AS BOOLEAN), false)"
         if reverse:
@@ -3545,7 +3540,7 @@ def _array_fill_builder(a: list[str], reverse: bool) -> str:
     flags = (
         f"transform({arr}, {lam})"
         if len(a) == 2
-        else f"zip_with({arr}, {a[2]}, {lam})"
+        else f"zip_with({arr}, {_pair_sized(arr, a[2])}, {lam})"
     )
     if reverse:
         flags = f"reverse({flags})"
@@ -3938,6 +3933,24 @@ def _ho_too_many(fn: str, args: list[str]) -> str:
     )
 
 
+def _pair_sized(x: str, y: str) -> str:
+    """Second operand of a multi-array lambda zip, length-checked:
+    CH raises SIZES_OF_ARRAYS_DONT_MATCH when the arrays differ in
+    length, while Spark's ``zip_with`` silently null-pads the short
+    one — a silent-wrong-value divergence on malformed input. The
+    CASE keeps NULL inputs NULL (both CH with Nullable arrays and
+    Spark return NULL for a NULL operand) and raises CH's error
+    name otherwise. ``raise_error``'s NullType coerces to the array
+    branch type, and a CASE whose ELSE can throw is never folded
+    away by Catalyst."""
+    return (
+        f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL "
+        f"OR size({x}) = size({y}) THEN {y} "
+        f"ELSE raise_error('SIZES_OF_ARRAYS_DONT_MATCH: multi-array "
+        f"lambda arguments must be arrays of identical length') END)"
+    )
+
+
 def _ho_mask_filter(a: list[str]) -> str:
     """CH two-array predicate over ``a[1]`` (elements kept where the
     lambda over (a[1], a[2]) pairs is true): Spark's filter only
@@ -3945,7 +3958,8 @@ def _ho_mask_filter(a: list[str]) -> str:
     boolean mask and filter by index."""
     return (
         f"filter({a[1]}, (__hx, __hi) -> "
-        f"element_at(zip_with({a[1]}, {a[2]}, {a[0]}), __hi + 1))"
+        f"element_at(zip_with({a[1]}, {_pair_sized(a[1], a[2])}, "
+        f"{a[0]}), __hi + 1))"
     )
 
 
@@ -3956,7 +3970,8 @@ def _array_count(args: list[str]) -> str:
         return f"size(filter({args[1]}, {args[0]}))"
     if len(args) == 3:
         return (
-            f"size(filter(zip_with({args[1]}, {args[2]}, {args[0]}), "
+            f"size(filter(zip_with({args[1]}, "
+            f"{_pair_sized(args[1], args[2])}, {args[0]}), "
             f"__hb -> __hb))"
         )
     return _ho_too_many("arrayCount", args)
@@ -5151,7 +5166,8 @@ _ARG_REWRITES: dict = {
         if len(a) == 2
         else (
             f"CAST(coalesce(array_position("
-            f"zip_with({a[1]}, {a[2]}, {a[0]}), true), 0) AS INT)"
+            f"zip_with({a[1]}, {_pair_sized(a[1], a[2])}, {a[0]}), "
+            f"true), 0) AS INT)"
         )
         if len(a) == 3
         else _ho_too_many("arrayFirstIndex", a)
@@ -5170,7 +5186,7 @@ _ARG_REWRITES: dict = {
     # element access (`z[1].1` → col1) resolves; 3+ arrays keep
     # Spark's arrays_zip (0-based field names, documented).
     "arrayZip": lambda a: (
-        f"zip_with({a[0]}, {a[1]}, "
+        f"zip_with({a[0]}, {_pair_sized(a[0], a[1])}, "
         f"(__zx, __zy) -> struct(__zx AS col1, __zy AS col2))"
         if len(a) == 2
         else "arrays_zip(" + ", ".join(a) + ")"
@@ -5184,7 +5200,7 @@ _ARG_REWRITES: dict = {
     "arrayMap": lambda a: (
         f"transform({a[1]}, {a[0]})"
         if len(a) == 2
-        else f"zip_with({a[1]}, {a[2]}, {a[0]})"
+        else f"zip_with({a[1]}, {_pair_sized(a[1], a[2])}, {a[0]})"
         if len(a) == 3
         else _ho_too_many("arrayMap", a)
     ),
@@ -5198,14 +5214,16 @@ _ARG_REWRITES: dict = {
     "arrayExists": lambda a: (
         f"exists({a[1]}, {a[0]})"
         if len(a) == 2
-        else f"exists(zip_with({a[1]}, {a[2]}, {a[0]}), __hb -> __hb)"
+        else f"exists(zip_with({a[1]}, {_pair_sized(a[1], a[2])}, "
+        f"{a[0]}), __hb -> __hb)"
         if len(a) == 3
         else _ho_too_many("arrayExists", a)
     ),
     "arrayAll": lambda a: (
         f"forall({a[1]}, {a[0]})"
         if len(a) == 2
-        else f"forall(zip_with({a[1]}, {a[2]}, {a[0]}), __hb -> __hb)"
+        else f"forall(zip_with({a[1]}, {_pair_sized(a[1], a[2])}, "
+        f"{a[0]}), __hb -> __hb)"
         if len(a) == 3
         else _ho_too_many("arrayAll", a)
     ),
@@ -10209,31 +10227,37 @@ def _rewrite_ch_misc(sql: str) -> str:
     # CH's canonical order puts strictness FIRST (SEMI LEFT JOIN,
     # ANTI LEFT JOIN); Spark wants LEFT SEMI/ANTI. RIGHT-sided
     # semi/anti have no Spark twin — refuse with the swap spelling.
-    if re.search(r"\b(SEMI|ANTI)\s+RIGHT\s+JOIN\b", out, re.IGNORECASE):
+    # All quote-shielded: a literal 'SEMI RIGHT JOIN' / 'join USING
+    # id' keeps its spelling (r12 shipped these over the raw text —
+    # the same bug class _sub_unquoted exists for).
+    if re.search(r"\b(SEMI|ANTI)\s+RIGHT\s+JOIN\b",
+                 _mask_quoted_spans(out), re.IGNORECASE):
         raise ValueError(
             "SEMI/ANTI RIGHT JOIN keeps right-table rows, which "
             "Spark joins cannot spell directly; swap the tables and "
             "use SEMI/ANTI LEFT JOIN"
         )
-    out = re.sub(
+    out = _sub_outside_quotes(
         r"\b(SEMI|ANTI)\s+LEFT\s+(?:OUTER\s+)?JOIN\b",
         lambda m: f"LEFT {m.group(1).upper()} JOIN",
         out, flags=re.IGNORECASE,
     )
     # CH allows an unparenthesized USING list (`USING k1, k2`);
     # Spark's grammar requires the parens.
-    out = re.sub(
+    out = _sub_outside_quotes(
         r"\bUSING\s+(?!\()"
         r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
         lambda m: f"USING ({m.group(1)})",
         out, flags=re.IGNORECASE,
     )
-    out = re.sub(
+    out = _sub_outside_quotes(
         r"\bALL\s+((?:LEFT|RIGHT|INNER|FULL)\s+(?:OUTER\s+)?JOIN|JOIN)\b",
-        r"\1", out, flags=re.IGNORECASE,
+        lambda m: m.group(1),
+        out, flags=re.IGNORECASE,
     )
     any_m = re.search(
-        r"\bANY\s+((?:LEFT|RIGHT|INNER)\s+)?JOIN\s+", out, re.IGNORECASE
+        r"\bANY\s+((?:LEFT|RIGHT|INNER)\s+)?JOIN\s+",
+        _mask_quoted_spans(out), re.IGNORECASE
     )
     if any_m:
         rest = out[any_m.end():]

