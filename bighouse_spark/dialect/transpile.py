@@ -10199,13 +10199,14 @@ def _rewrite_ch_misc(sql: str) -> str:
             pos = start + 1
         else:
             pos = start + 5  # standard CAST(x AS t) — skip past it
-    # -- LIMIT o, n ------------------------------------------------
-    out = re.sub(
+    # -- LIMIT o, n (quote-shielded) -------------------------------
+    out = _sub_outside_quotes(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", out,
         flags=re.IGNORECASE,
     )
-    # -- DISTINCT ON (k, ...) --------------------------------------
-    m = re.search(r"\bDISTINCT\s+ON\s*\(", out, re.IGNORECASE)
+    # -- DISTINCT ON (k, ...) (masked locate) ----------------------
+    m = re.search(r"\bDISTINCT\s+ON\s*\(", _mask_quoted_spans(out),
+                  re.IGNORECASE)
     if m:
         depth, j = 1, m.end()
         while j < len(out) and depth:
@@ -10695,8 +10696,10 @@ def _rewrite_array_join_clause(sql: str) -> str:
     """
     out = sql
     while True:
+        # masked locate: 'ARRAY JOIN arr' inside a literal is data
         m = re.search(
-            r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", out, re.IGNORECASE
+            r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", _mask_quoted_spans(out),
+            re.IGNORECASE
         )
         if m is None:
             return out
@@ -10778,7 +10781,9 @@ def _rewrite_limit_by(sql: str) -> str:
     trailing ``LIMIT m`` (applied after LIMIT BY, CH semantics) is
     preserved outside the wrapper.
     """
-    m = _LIMIT_BY_RE.search(sql)
+    # masked locate: 'LIMIT 5 BY k' inside a literal is data (the
+    # groups are digits/identifiers — identical in masked and raw)
+    m = _LIMIT_BY_RE.search(_mask_quoted_spans(sql))
     if not m:
         return sql
     n = m.group("n1") or m.group("n2")
@@ -10895,14 +10900,18 @@ def _rewrite_ch_clauses(sql: str) -> str:
       the row set (position differs; sets compare equal).
     """
     out = _rewrite_prewhere(sql)
-    out = re.sub(r"\bFINAL\b", "", out, flags=re.IGNORECASE)
+    # All quote-shielded (round 13): 'FINAL' / 'GLOBAL IN' /
+    # 'SAMPLE 0.5' / 'WITH TOTALS' inside literals keep their text.
+    out = _sub_outside_quotes(
+        r"\bFINAL\b", lambda m: "", out, flags=re.IGNORECASE
+    )
     # CH GLOBAL IN / GLOBAL JOIN: ship-the-subquery-everywhere hint for
     # distributed tables. Spark's optimizer owns the broadcast decision
     # (Catalyst broadcast threshold / AQE), so the keyword is vacuous.
-    out = re.sub(
+    out = _sub_outside_quotes(
         r"\bGLOBAL\s+(?=(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|SEMI|"
         r"ANTI|JOIN|IN\b|NOT\s+IN\b))",
-        "",
+        lambda m: "",
         out,
         flags=re.IGNORECASE,
     )
@@ -10916,14 +10925,18 @@ def _rewrite_ch_clauses(sql: str) -> str:
             return f"TABLESAMPLE ({v * 100:g} PERCENT)"
         return f"TABLESAMPLE ({int(v)} ROWS)"
 
-    out = re.sub(r"\bSAMPLE\s+(\d*\.?\d+)", _sample, out, flags=re.IGNORECASE)
+    out = _sub_outside_quotes(
+        r"\bSAMPLE\s+(\d*\.?\d+)", _sample, out, flags=re.IGNORECASE
+    )
     out = _rewrite_array_join_clause(out)
     m = re.search(
-        r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b", out,
+        r"\bGROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS\b",
+        _mask_quoted_spans(out),
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        keys = m.group(1).strip()
+        # group spans hold on the raw text (the mask keeps offsets)
+        keys = out[m.start(1):m.end(1)].strip()
         out = (
             out[: m.start()]
             + f"GROUP BY GROUPING SETS (({keys}), ())"
@@ -10952,7 +10965,9 @@ def _rewrite_prewhere(sql: str) -> str:
     their own WHEREs."""
     out = sql
     while True:
-        m = re.search(r"\bPREWHERE\b", out, re.IGNORECASE)
+        # masked locate: 'PREWHERE x' inside a literal is data
+        m = re.search(r"\bPREWHERE\b", _mask_quoted_spans(out),
+                      re.IGNORECASE)
         if not m:
             return out
         i, n = m.end(), len(out)
@@ -12436,14 +12451,16 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
     out = _rewrite_length_arrays(sql)
     out = _rewrite_array_literals(out)
     out = _rewrite_subscripts(out)
-    # count() → count(*)  (CH zero-arg count)
-    out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    # count() → count(*)  (CH zero-arg count); quote-shielded
+    out = _sub_outside_quotes(
+        r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE
+    )
     # -SimpleState is the identity combinator (a
     # SimpleAggregateFunction's state IS its value); strip it BEFORE
     # the contextual pass so anySimpleState → any gets the CH-any →
     # any_value treatment.
     if "SimpleState" in out:
-        out = re.sub(
+        out = _sub_outside_quotes(
             r"\b([A-Za-z_]\w*)SimpleState\s*\(", r"\1(", out
         )
     out = _rewrite_contextual(out)
@@ -12491,7 +12508,9 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             out, low = out2, out2.lower()
     # countState() unwraps to a bare count() AFTER the early
     # count() → count(*) pass already ran — repeat it here.
-    out = re.sub(r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE)
+    out = _sub_outside_quotes(
+        r"\bcount\(\s*\)", "count(*)", out, flags=re.IGNORECASE
+    )
     # ORDER BY <expr> COLLATE 'locale': CH's ICU locale sort maps to
     # Spark 4 collations — 'en_US'-style tags normalize to their
     # language ('en'), which Spark's ICU table accepts; unknown tags
@@ -12652,16 +12671,24 @@ def _rewrite_functions(sql: str, exact_cityhash: bool = False) -> str:
             pos = start + 1
         if changed:
             low = out.lower()
+    # Plain-text zero-arg and rename tables, quote-shielded (round
+    # 13): a literal like 'today()' or 'toDate(x)' keeps its spelling.
     for zero, repl in _ZERO_ARG.items():
-        out = out.replace(zero, repl)
+        if zero not in out:
+            continue
+        out = _sub_outside_quotes(
+            re.compile(re.escape(zero)), lambda m, _r=repl: _r, out
+        )
     low = out.lower()
     for ch, sp in _FUNC_RENAMES.items():
         if ch.lower() not in low:
             continue
         if "(" in sp:  # special rewrite like date_trunc
-            out2 = _rename_pattern(ch).sub(sp, out)
+            out2 = _sub_outside_quotes(_rename_pattern(ch), sp, out)
         else:
-            out2 = _rename_pattern(ch).sub(f"{sp}(", out)
+            out2 = _sub_outside_quotes(
+                _rename_pattern(ch), f"{sp}(", out
+            )
         if out2 != out:
             out, low = out2, out2.lower()
     # LAST resort, after every specific rewrite and refusal has had
@@ -12685,12 +12712,15 @@ _QUALIFY_RE = re.compile(
 
 
 def _rewrite_qualify(sql: str) -> str:
-    if not re.search(r"\bQUALIFY\b", sql, re.IGNORECASE):
+    # masked gate + locate: 'QUALIFY rn = 1' in a literal is data
+    masked = _mask_quoted_spans(sql)
+    if not re.search(r"\bQUALIFY\b", masked, re.IGNORECASE):
         return sql
-    m = _QUALIFY_RE.search(sql)
+    m = _QUALIFY_RE.search(masked)
     if m is None:
         return sql
-    cond = m.group(1).strip()
+    # the condition may itself hold literals — slice the raw text
+    cond = sql[m.start(1):m.end(1)].strip()
     head, tail = sql[: m.start()].rstrip(), sql[m.end():].strip()
     out = f"SELECT * FROM ({head}) AS __bh_qf WHERE {cond}"
     return f"{out} {tail}" if tail else out
@@ -12710,15 +12740,18 @@ _LIMIT_TIES_RE = re.compile(
 
 
 def _rewrite_limit_ties(sql: str) -> str:
-    if not re.search(r"\bWITH\s+TIES\b", sql, re.IGNORECASE):
+    # masked gate + locate: 'LIMIT 3 WITH TIES' in a literal is data
+    masked = _mask_quoted_spans(sql)
+    if not re.search(r"\bWITH\s+TIES\b", masked, re.IGNORECASE):
         return sql
-    m = _LIMIT_TIES_RE.search(sql)
+    m = _LIMIT_TIES_RE.search(masked)
     if m is None:
         raise ValueError(
             "WITH TIES: supported form is a final ORDER BY ... LIMIT n "
             "WITH TIES"
         )
-    order, n = m.group(1).strip(), int(m.group(2))
+    # the ORDER BY expression may itself hold literals — slice raw
+    order, n = sql[m.start(1):m.end(1)].strip(), int(m.group(2))
     inner = sql[: m.start()].rstrip()
     return (
         f"SELECT * EXCEPT (__bh_rk) FROM ("
@@ -12802,7 +12835,9 @@ def _detach_interpolate(sql: str) -> tuple[str, list[tuple[str, str]] | None]:
 def _rewrite_with_fill(
     sql: str, spark: SparkSession | None, views: list[str]
 ) -> str:
-    if not re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+    # masked gate: 'WITH FILL FROM 1' inside a literal is data
+    if not re.search(r"\bWITH\s+FILL\b", _mask_quoted_spans(sql),
+                     re.IGNORECASE):
         # A bare INTERPOLATE word (a literal, a column named
         # interpolate) is NOT a clause — pass through untouched; a
         # real misused clause surfaces Spark's parse error.
@@ -13245,10 +13280,26 @@ def _find_call(
 ) -> tuple[int, int, list[str]] | None:
     """First ``fn(...)`` call at or after ``pos`` (absolute offsets).
     ``pos`` lets context-sensitive rewrites skip an occurrence they
-    decided to leave alone without rescanning it forever."""
-    m = _call_pattern(fn).search(sql, pos)
-    if not m:
-        return None
+    decided to leave alone without rescanning it forever.
+
+    Quote-shielded (round 13): a match starting inside a string /
+    backtick / double-quote span is SQL-shaped data, not a call —
+    ``SELECT 'toDate(...)'`` keeps its spelling. This is the shared
+    choke point for every _CAST_FUNCS/_WRAP_FUNCS/builder rewrite,
+    so shielding here covers the whole rename surface at once."""
+    pat = _call_pattern(fn)
+    spans: list[tuple[int, int]] | None = None
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return None
+        if spans is None:  # lazy: most calls never match in-quote
+            spans = [q.span() for q in _QUOTED_SPAN.finditer(sql)]
+        s = m.start()
+        if any(a <= s < b for a, b in spans):
+            pos = s + 1
+            continue
+        break
     i, depth, brackets, quote = m.end(), 1, 0, None
     args, cur = [], []
     while i < len(sql) and depth > 0:

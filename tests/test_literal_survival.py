@@ -1,0 +1,213 @@
+"""Literal-survival fuzz (round 13).
+
+The transpiler is a pipeline of textual rewrites; three rounds in a
+row shipped at least one pass that rewrote content INSIDE string
+literals (r12: OFFSET/FETCH, backtick spans; r12-judge: the engine's
+alias-in-WHERE retry). Round 13 swept the whole pipeline with this
+fuzz and found 15 more sites (function renames like ``toDate`` via
+the shared call scanner, PREWHERE / ARRAY JOIN / WITH TOTALS /
+SAMPLE / GLOBAL / LIMIT o,n / DISTINCT ON / QUALIFY / WITH TIES /
+LIMIT BY / WITH FILL locators) — all now quote-shielded.
+
+The invariant: transpiling a statement whose string literals contain
+SQL-shaped text leaves every literal byte-identical in the output,
+and never raises because of literal CONTENT. Payloads cover every
+rewrite family in the pipeline; the composition test pins that a
+REAL clause still rewrites while its literal twin survives.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bighouse_spark.dialect.transpile import transpile
+
+# One payload per rewrite family (keyword clauses, function renames,
+# parametrics, combinators, lexical forms, generators, hints).
+PAYLOADS = [
+    "SEMI RIGHT JOIN",
+    "ANTI LEFT JOIN",
+    "join USING id",
+    "ANY JOIN t USING (k)",
+    "ALL JOIN",
+    "PASTE JOIN",
+    "FORMAT JSON",
+    "SETTINGS x=1",
+    "LIMIT 5 BY k",
+    "LIMIT 1, 2",
+    "LIMIT 3 WITH TIES",
+    "PREWHERE x",
+    "ARRAY JOIN arr",
+    "LEFT ARRAY JOIN a",
+    "GROUP BY x WITH TOTALS",
+    "GROUP BY ROLLUP(a)",
+    "WITH CUBE",
+    "SAMPLE 0.5",
+    "INTO OUTFILE '/x'",
+    "WITH FILL FROM 1",
+    "INTERPOLATE (x)",
+    "OFFSET 5 ROWS",
+    "FETCH FIRST 3 ROWS ONLY",
+    "INTERVAL 3 DAY",
+    "QUALIFY rn = 1",
+    "DISTINCT ON (k)",
+    "* EXCEPT col",
+    "GLOBAL IN",
+    "x GLOBAL NOT IN y",
+    "FINAL",
+    "nan",
+    "inf",
+    "0x1F",
+    "0b101",
+    "$$here$$",
+    "$tag$x$tag$",
+    "(x) -> x + 1",
+    "arrayJoin([1,2])",
+    "toDate('2024-01-01')",
+    "today()",
+    "hostName()",
+    "now()",
+    "now64(3)",
+    "count() OVER ()",
+    "uniq(x)",
+    "anyLast(x)",
+    "sumIf(a, b)",
+    "countIf(x)",
+    "topK(3)(x)",
+    "quantiles(0.5)(x)",
+    "windowFunnel(10)(t, c)",
+    "sequenceMatch('(?1)')(t, c)",
+    "retention(a, b)",
+    "arrayMap((x, y) -> x, a, b)",
+    "CAST((1,2) AS Tuple(Int64, Int64)).1",
+    "a :: Int64",
+    "tuple(1,2).1",
+    "length([1,2])",
+    "x[1]",
+    "arr[1].2",
+    "WITH t AS (SELECT 1)",
+    "EXCHANGE TABLES",
+    "WHERE w LIKE 'x'",
+]
+
+
+def _lit(p: str) -> str:
+    return p.replace("'", "''")
+
+
+@pytest.mark.parametrize("payload", PAYLOADS)
+def test_literal_content_survives_transpile(payload):
+    lit = _lit(payload)
+    sql = (
+        f"SELECT '{lit}' AS s, number FROM numbers(3) "
+        f"WHERE number = 1"
+    )
+    out = transpile(sql).sql
+    assert f"'{lit}'" in out, (
+        f"literal {payload!r} was rewritten by the transpiler:\n{out}"
+    )
+
+
+@pytest.mark.parametrize("payload", PAYLOADS)
+def test_two_literals_and_a_filter_survive(payload):
+    # the payload twice (projection + comparison) plus a real WHERE:
+    # position-sensitivity (before/after the clause) covered
+    lit = _lit(payload)
+    sql = (
+        f"SELECT '{lit}' AS a, number FROM numbers(3) "
+        f"WHERE number = 1 AND 'x{lit}' != 'never'"
+    )
+    out = transpile(sql).sql
+    assert f"'{lit}'" in out and f"'x{lit}'" in out
+
+
+class TestRealClauseNextToLiteralTwin:
+    """The genuine clause must still rewrite while its in-literal
+    twin survives — shields must not over-mask."""
+
+    def test_prewhere(self):
+        out = transpile(
+            "SELECT 'PREWHERE x' AS s, number FROM numbers(5) "
+            "PREWHERE number > 2"
+        ).sql
+        assert "'PREWHERE x'" in out
+        assert "WHERE (number > 2)" in out or "WHERE number > 2" in out
+        assert "PREWHERE" not in out.replace("'PREWHERE x'", "")
+
+    def test_sample(self):
+        out = transpile(
+            "SELECT 'SAMPLE 0.5' AS s FROM numbers(10) SAMPLE 0.5"
+        ).sql
+        assert "'SAMPLE 0.5'" in out
+        assert "TABLESAMPLE (50 PERCENT)" in out
+
+    def test_totals(self):
+        out = transpile(
+            "SELECT 'WITH TOTALS' AS s, number % 2 AS p, count() AS c "
+            "FROM numbers(4) GROUP BY p WITH TOTALS"
+        ).sql
+        assert "'WITH TOTALS'" in out
+        assert "GROUPING SETS ((p), ())" in out
+
+    def test_global(self):
+        out = transpile(
+            "SELECT 'GLOBAL IN' AS s, number FROM numbers(3) "
+            "WHERE number GLOBAL IN (SELECT 1)"
+        ).sql
+        assert "'GLOBAL IN'" in out
+        # the real hint keyword is erased, the literal twin is not
+        assert "GLOBAL" not in out.replace("'GLOBAL IN'", "")
+
+    def test_limit_offset_form(self):
+        out = transpile(
+            "SELECT 'LIMIT 1, 2' AS s, number FROM numbers(9) "
+            "ORDER BY number LIMIT 1, 2"
+        ).sql
+        assert "'LIMIT 1, 2'" in out
+        assert "LIMIT 2 OFFSET 1" in out
+
+    def test_function_rename(self):
+        out = transpile(
+            "SELECT 'toDate(''2024-01-01'')' AS s, "
+            "toDate('2024-01-02') AS d"
+        ).sql
+        assert "'toDate(''2024-01-01'')'" in out
+        assert "to_date('2024-01-02')" in out
+
+    def test_zero_arg_rename(self):
+        out = transpile("SELECT 'today()' AS s, today() AS d").sql
+        assert "'today()'" in out
+        assert "current_date()" in out
+
+    def test_limit_by(self):
+        out = transpile(
+            "SELECT 'LIMIT 5 BY k' AS s, number % 3 AS k, number AS v "
+            "FROM numbers(9) ORDER BY k, v LIMIT 1 BY k"
+        ).sql
+        assert "'LIMIT 5 BY k'" in out
+        assert "row_number() OVER" in out
+
+    def test_qualify(self):
+        out = transpile(
+            "SELECT 'QUALIFY rn = 1' AS s, number AS n, row_number() "
+            "OVER (ORDER BY number) AS rn FROM numbers(5) "
+            "QUALIFY rn <= 2"
+        ).sql
+        assert "'QUALIFY rn = 1'" in out
+        assert "WHERE rn <= 2" in out
+
+    def test_with_ties(self):
+        out = transpile(
+            "SELECT 'LIMIT 3 WITH TIES' AS s, number FROM numbers(9) "
+            "ORDER BY number LIMIT 3 WITH TIES"
+        ).sql
+        assert "'LIMIT 3 WITH TIES'" in out
+        assert "rank() OVER" in out
+
+    def test_array_join_clause(self):
+        out = transpile(
+            "SELECT 'ARRAY JOIN arr' AS s, x FROM (SELECT 1 AS n) "
+            "ARRAY JOIN [1,2] AS x"
+        ).sql
+        assert "'ARRAY JOIN arr'" in out
+        assert "LATERAL VIEW explode" in out

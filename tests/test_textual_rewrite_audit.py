@@ -53,7 +53,6 @@ AUDITED = {
         # _sub_outside_quotes for their statement-level passes; the
         # remaining direct .sub sites run on extracted clause
         # fragments whose quoted spans were handled upstream
-        "_rewrite_ch_clauses",
         "_rewrite_ch_misc",
         "_rewrite_functions",
         "_rewrite_get_setting",
