@@ -211,3 +211,63 @@ class TestRealClauseNextToLiteralTwin:
         ).sql
         assert "'ARRAY JOIN arr'" in out
         assert "LATERAL VIEW explode" in out
+
+
+# Statement-shaped payloads for the ENGINE router: eng.execute
+# dispatches DDL/INSERT/SET/... by statement shape; a literal
+# containing one of those shapes inside a SELECT must stay data.
+STATEMENT_PAYLOADS = [
+    "INSERT INTO t VALUES (1)",
+    "DROP TABLE x",
+    "TRUNCATE TABLE x",
+    "CREATE TABLE t (k Int64)",
+    "ALTER TABLE t DELETE WHERE 1",
+    "ATTACH TABLE x",
+    "SET max_threads=1",
+    "KILL QUERY WHERE 1",
+    "OPTIMIZE TABLE t FINAL",
+    "CREATE MATERIALIZED VIEW v",
+    "RENAME TABLE a TO b",
+    "EXCHANGE TABLES a AND b",
+    "SHOW TABLES",
+    "EXPLAIN SELECT 1",
+    "GRANT SELECT ON t TO u",
+    "CREATE FUNCTION f AS x -> x",
+    "SYSTEM FLUSH LOGS",
+    "DETACH TABLE x",
+    "CHECK TABLE t",
+    "EXISTS TABLE t",
+]
+
+
+class TestEngineRouterLiteralSurvival:
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        return BigHouseEngine(spark)
+
+    def test_statement_shapes_inside_literals_stay_data(self, eng):
+        for p in STATEMENT_PAYLOADS:
+            lit = p.replace("'", "''")
+            r = eng.execute(f"SELECT '{lit}' AS s, 1 AS n")
+            assert r.rows == [[p, 1]], p
+
+
+class TestLiteralCompositions:
+    """Three payloads composed into one statement — interaction
+    coverage the single-payload sweep can't give (a literal between
+    two other literals, keyword payloads adjacent to each other)."""
+
+    def test_pairwise_compositions(self):
+        # deterministic pairing: payload i with payload (i + 7) mod n
+        n = len(PAYLOADS)
+        for i in range(n):
+            a, b = PAYLOADS[i], PAYLOADS[(i + 7) % n]
+            la, lb = _lit(a), _lit(b)
+            sql = (
+                f"SELECT '{la}' AS a, number, '{lb}' AS b "
+                f"FROM numbers(3) WHERE number = 1 OR '{la}' = '{lb}'"
+            )
+            out = transpile(sql).sql
+            assert f"'{la}'" in out and f"'{lb}'" in out, (a, b, out)
