@@ -11608,8 +11608,12 @@ def _rewrite_parametric(sql: str) -> str:
 
 
 def _mask_quoted_spans(sql: str) -> str:
-    """Blank out string-literal contents (keeps offsets) so scans
-    over the SQL text can't trip on quoted data like '(?1)(?2)'."""
+    """Blank out string-literal AND quoted-identifier contents (keeps
+    offsets) so scans over the SQL text can't trip on quoted data
+    like '(?1)(?2)'. Backtick spans are masked too (round 13): a
+    column named `` `GROUP BY x WITH TOTALS` `` is an identifier,
+    not a clause — every masked locator must skip it. Backslash is
+    an escape inside '/" only; inside backticks it is literal."""
     masked = []
     quote: str | None = None
     skip = False
@@ -11618,11 +11622,11 @@ def _mask_quoted_spans(sql: str) -> str:
             masked.append(" ")
             if skip:
                 skip = False
-            elif c == "\\":
+            elif c == "\\" and quote != "`":
                 skip = True  # \' stays inside the literal
             elif c == quote:
                 quote = None
-        elif c in "'\"":
+        elif c in "'\"`":
             quote = c
             masked.append(" ")
         else:
@@ -11727,12 +11731,12 @@ def _rewrite_array_literals(sql: str) -> str:
                 quote = None
             prev_raw = c
             continue
-        if c in "'\"":
+        if c in "'\"`":
             quote = c
             out.append(c)
         elif c == "[":
             is_subscript = bool(prev_sig) and (
-                prev_sig in ")]'\""
+                prev_sig in ")]'\"`"
                 or (
                     (prev_sig.isalnum() or prev_sig == "_")
                     and "".join(word).lower() not in keywords
@@ -11764,8 +11768,25 @@ def _rewrite_subscripts(sql: str) -> str:
     out-of-range / missing map key (CH returns the type default
     there — NULL is the honest Spark spelling of "no such element").
     """
+    def _ident_walk_back(s: str, k: int) -> int:
+        # identifier walk that steps over backtick-quoted segments
+        # (`tbl`.`col`) as well as plain name characters
+        while k >= 0:
+            if s[k] == "`":
+                k -= 1
+                while k >= 0 and s[k] != "`":
+                    k -= 1
+                k -= 1
+            elif s[k].isalnum() or s[k] in "_.":
+                k -= 1
+            else:
+                break
+        return k
+
     while True:
-        # Forward scan for the first subscript '[' outside strings.
+        # Forward scan for the first subscript '[' outside strings
+        # and backtick identifiers (round 13: `x[1]` as an IDENTIFIER
+        # must keep its spelling; `x`[1] IS a subscript).
         quote = None
         pos = -1
         for i, c in enumerate(sql):
@@ -11773,11 +11794,11 @@ def _rewrite_subscripts(sql: str) -> str:
                 if c == quote:
                     quote = None
                 continue
-            if c in "'\"":
+            if c in "'\"`":
                 quote = c
             elif c == "[":
                 prev = sql[:i].rstrip()
-                if prev and (prev[-1] in ")]" or prev[-1].isalnum()
+                if prev and (prev[-1] in ")]`" or prev[-1].isalnum()
                              or prev[-1] == "_"):
                     pos = i
                     break
@@ -11792,7 +11813,7 @@ def _rewrite_subscripts(sql: str) -> str:
                 if c == quote:
                     quote = None
                 continue
-            if c in "'\"":
+            if c in "'\"`":
                 quote = c
             elif c in "([":
                 depth += 1
@@ -11818,11 +11839,9 @@ def _rewrite_subscripts(sql: str) -> str:
                     d -= 1
                 k -= 1
             # function name / identifier preceding the paren group
-            while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
-                k -= 1
+            k = _ident_walk_back(sql, k)
         else:
-            while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
-                k -= 1
+            k = _ident_walk_back(sql, k)
         start = k + 1
         base, idx = sql[start:pos], sql[pos + 1:end]
         sql = (
@@ -12174,7 +12193,7 @@ def _rewrite_cast_types(sql: str) -> str:
                 if c == quote:
                     quote = None
                 i += 1
-            elif c in "'\"":
+            elif c in "'\"`":
                 quote = c
                 res.append(c)
                 i += 1

@@ -271,3 +271,116 @@ class TestLiteralCompositions:
             )
             out = transpile(sql).sql
             assert f"'{la}'" in out and f"'{lb}'" in out, (a, b, out)
+
+
+# Backtick-quoted IDENTIFIERS shaped like clauses/functions: CH and
+# Spark both allow arbitrary identifier text inside backticks; every
+# masked locator must skip them like string literals (round 13:
+# _mask_quoted_spans gained backtick spans — 6 of these corrupted,
+# 2 raised, before the fix; `x[1]`-as-identifier corrupted via the
+# subscript pass and `a :: Int64` via the postfix-cast scan).
+BACKTICK_PAYLOADS = [
+    "GROUP BY x WITH TOTALS",
+    "PREWHERE x",
+    "ARRAY JOIN arr",
+    "LIMIT 5 BY k",
+    "SAMPLE 0.5",
+    "QUALIFY rn = 1",
+    "DISTINCT ON (k)",
+    "WITH FILL FROM 1",
+    "LIMIT 3 WITH TIES",
+    "GLOBAL IN",
+    "toDate(x)",
+    "arrayJoin([1,2])",
+    "x[1]",
+    "a[1].2",
+    "a :: Int64",
+    "nan",
+    "inf",
+    "0x1F",
+    "$$h$$",
+    "(x) -> x",
+]
+
+
+@pytest.mark.parametrize("payload", BACKTICK_PAYLOADS)
+def test_backtick_identifier_survives_transpile(payload):
+    sql = f"SELECT 1 AS `{payload}`"
+    out = transpile(sql).sql
+    assert f"`{payload}`" in out, (
+        f"backtick identifier {payload!r} was rewritten:\n{out}"
+    )
+
+
+class TestBacktickSubscripts:
+    """`x`[1] IS a subscript (1-based try_element_at); `x[1]` is an
+    identifier. Before round 13 the former silently became an array
+    literal (`x`array(1)) and the latter a rewritten identifier."""
+
+    def test_subscript_after_backtick_base(self):
+        out = transpile(
+            "SELECT `x`[1] AS v FROM (SELECT array(9, 8) AS x)"
+        ).sql
+        assert "try_element_at(`x`, 1)" in out
+
+    def test_qualified_backtick_base(self):
+        out = transpile("SELECT a.`x`[1] AS v").sql
+        assert "try_element_at(a.`x`, 1)" in out
+
+    def test_subscript_runtime_one_based(self, spark):
+        row = spark.sql(
+            transpile(
+                "SELECT `x`[1] AS v FROM (SELECT array(9, 8) AS x)"
+            ).sql
+        ).collect()
+        assert row[0].v == 9
+
+
+class TestTranspileRobustness:
+    """Seeded mutation fuzz: malformed statements must die with a
+    guided ValueError or a parser-level error — never an internal
+    IndexError/KeyError/etc. from a rewrite scanner walking off a
+    mutated statement (the scanners do a lot of manual index math).
+    Deterministic (fixed seed), ~1200 mutants, pure text level."""
+
+    INTERNAL = (
+        IndexError, AttributeError, TypeError, RecursionError,
+        UnboundLocalError, KeyError, ZeroDivisionError, OverflowError,
+    )
+
+    def test_mutated_statements_never_crash_internally(self):
+        import random
+
+        random.seed(13)
+        bases = [
+            "SELECT toDate('2024-01-01') AS d, count() FROM t "
+            "GROUP BY d WITH TOTALS",
+            "SELECT arrayMap((x, y) -> x + y, [1,2], a) AS z FROM t "
+            "PREWHERE k = 'v'",
+            "SELECT `q`[1] AS v, '$$h$$' AS s FROM t "
+            "ARRAY JOIN arr AS e LIMIT 1 BY v",
+            "WITH c AS (SELECT 1 AS n) SELECT topK(3)(x) FROM t "
+            "QUALIFY rn = 1",
+        ]
+        chars = "'`\"()[]$:,.->*<>=% abcdef01"
+        for base in bases:
+            for _ in range(300):
+                s = list(base)
+                for _ in range(random.randint(1, 3)):
+                    op = random.random()
+                    i = random.randrange(len(s))
+                    if op < 0.4:
+                        s[i] = random.choice(chars)
+                    elif op < 0.7:
+                        s.insert(i, random.choice(chars))
+                    else:
+                        del s[i]
+                frag = "".join(s)
+                try:
+                    transpile(frag)
+                except self.INTERNAL as e:
+                    raise AssertionError(
+                        f"internal {type(e).__name__} on {frag!r}"
+                    ) from e
+                except Exception:
+                    pass  # guided ValueError / parse error: fine
