@@ -191,13 +191,14 @@ def parse_schema_string(schema: str) -> T.StructType:
 
 
 def _split_commas(s: str) -> list[str]:
-    """Split on commas not nested inside (), '', or ""."""
+    """Split on commas not nested inside (), '', "", or `` —
+    a backtick-quoted column name may itself contain commas."""
     parts, depth, start, quote = [], 0, 0, None
     for i, c in enumerate(s):
         if quote:
             if c == quote:
                 quote = None
-        elif c in "'\"":
+        elif c in "'\"`":
             quote = c
         elif c == "(":
             depth += 1

@@ -2742,3 +2742,32 @@ def dialect_literal_shield_roundtrip(spark, sf_dir):
             spark,
         ).sql
     )
+
+
+# Backtick-identifier pin (r13 second axis): column ALIASES whose
+# text is clause/function/subscript-shaped must reach the result
+# schema verbatim — before r13, `PREWHERE x` was rewritten as the
+# clause and `x[1]` by the subscript pass (transpile
+# `_mask_quoted_spans` backtick masking). DuckDB spells the same
+# identifiers with ANSI double quotes; the driver compares column
+# NAMES, so a corrupted alias is a schema mismatch.
+@query(
+    "dialect_backtick_ident_roundtrip",
+    oracle="""
+SELECT r_regionkey AS "PREWHERE x", r_name AS "x[1]",
+       length(r_name) AS "GROUP BY n WITH TOTALS"
+FROM region ORDER BY 1
+""",
+)
+def dialect_backtick_ident_roundtrip(spark, sf_dir):
+    t(spark, sf_dir, "region").createOrReplaceTempView("__dq_bt")
+    return spark.sql(
+        transpile(
+            """
+            SELECT r_regionkey AS `PREWHERE x`, r_name AS `x[1]`,
+                   lengthUTF8(r_name) AS `GROUP BY n WITH TOTALS`
+            FROM __dq_bt ORDER BY 1
+            """,
+            spark,
+        ).sql
+    )

@@ -64,8 +64,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND-14 ROTATION CANDIDATES: the round-13 oracle-backed additions
 # land first (dialect_alias_where_literal_roundtrip — the r12
 # judge's literal-corruption reproduction through the ENGINE
-# fallback — and dialect_literal_shield_roundtrip, the quote-shield
-# pin; each green locally, never driver-checked), then the 5 r9-era
+# fallback — and dialect_literal_shield_roundtrip and
+# dialect_backtick_ident_roundtrip, the quote-shield pins; each
+# green locally, never driver-checked), then the 5 r9-era
 # leftovers above, then oldest-green (r10-era) fills to 50.
 DRIVER_WINDOW = {
     # -- round-12 oracle-backed additions, first driver check (16) --

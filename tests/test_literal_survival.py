@@ -384,3 +384,25 @@ class TestTranspileRobustness:
                     ) from e
                 except Exception:
                     pass  # guided ValueError / parse error: fine
+
+
+class TestSchemaStringQuotedNames:
+    """CH schema strings allow quoted column names with arbitrary
+    text; the comma splitter must not split inside a backtick-quoted
+    name (round 13: `a, b` Int64 parsed as two broken items)."""
+
+    def test_comma_inside_backtick_name(self):
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        st = parse_schema_string("`a, b` Int64, c Int64")
+        assert [f.name for f in st.fields] == ["a, b", "c"]
+
+    def test_keyword_shaped_quoted_names(self):
+        from bighouse_spark.dialect.schema import parse_schema_string
+
+        st = parse_schema_string(
+            '`GROUP BY` Int64, "PREWHERE x" String, `x[1]` Date'
+        )
+        assert [f.name for f in st.fields] == [
+            "GROUP BY", "PREWHERE x", "x[1]"
+        ]
