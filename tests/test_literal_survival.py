@@ -406,3 +406,44 @@ class TestSchemaStringQuotedNames:
         assert [f.name for f in st.fields] == [
             "GROUP BY", "PREWHERE x", "x[1]"
         ]
+
+
+class TestHypothesisComposedPayloads:
+    """Property form of the sweep: random compositions of every
+    rewrite family's keyword vocabulary inside a literal must survive
+    byte-identical and never raise. Derandomized (fixed example
+    stream) so CI is deterministic; 300 examples per run."""
+
+    WORDS = [
+        "SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "LIMIT",
+        "OFFSET", "JOIN", "USING", "SEMI", "ANTI", "LEFT", "RIGHT",
+        "ANY", "ALL", "GLOBAL", "ARRAY", "SAMPLE", "FINAL",
+        "PREWHERE", "QUALIFY", "TOTALS", "TIES", "FILL",
+        "INTERPOLATE", "INTERVAL", "DAY", "FORMAT", "SETTINGS",
+        "INTO", "OUTFILE", "toDate", "arrayJoin", "count", "uniq",
+        "topK", "quantiles", "CAST", "Tuple", "nan", "inf", "0x1F",
+        "0b101", "$$", "$tag$", "->", "::", "(x)", "[1]", "(", ")",
+        "[", "]", ",", ".", "*", "..", "{a..b}", "WITH", "AS", "ON",
+        "IN", "NOT", "EXCEPT", "REPLACE", "APPLY", "COLUMNS",
+        "DISTINCT",
+    ]
+
+    def test_composed_keyword_literals_survive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words = self.WORDS
+
+        @settings(max_examples=300, deadline=None, derandomize=True)
+        @given(st.lists(st.sampled_from(words), min_size=1,
+                        max_size=8).map(" ".join))
+        def check(p):
+            lit = p.replace("'", "''")
+            sql = (
+                f"SELECT '{lit}' AS s, number FROM numbers(3) "
+                f"WHERE number = 1"
+            )
+            out = transpile(sql).sql
+            assert f"'{lit}'" in out, (p, out)
+
+        check()
