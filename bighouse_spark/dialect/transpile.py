@@ -9704,7 +9704,8 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     # carries the scan detail (PushedFilters/PartitionFilters), so
     # fold any flag list into the PLAN variant.
     out = re.sub(
-        r"^(EXPLAIN)(\s+(?:SYNTAX|AST|PLAN|PIPELINE|ESTIMATE))?"
+        r"^(EXPLAIN)(\s+(?:SYNTAX|AST|PLAN|PIPELINE|ESTIMATE"
+        r"|QUERY\s+TREE))?"
         r"\s+(?:\w+\s*=\s*\w+\s*,?\s*)+(?=SELECT|WITH)",
         lambda m: f"{m.group(1)}{m.group(2) or ' PLAN'} ",
         out,
@@ -9713,13 +9714,16 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
     # CH EXPLAIN variants → the closest Spark EXPLAIN mode. EXPLAIN
     # SYNTAX (CH: "the query after syntax optimizations") maps to the
     # one transformation this engine owns — the dialect transpile —
-    # and returns the rewritten Spark SQL as a result row.
+    # and returns the rewritten Spark SQL as a result row. QUERY TREE
+    # (CH's analyzer IR, in 23.6) maps to Spark's analyzed logical
+    # plan (EXTENDED carries it) — the same compilation stage.
     ex = re.match(
-        r"^EXPLAIN\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE)\s+(.*)$",
+        r"^EXPLAIN\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE"
+        r"|QUERY\s+TREE)\s+(.*)$",
         out, re.IGNORECASE | re.DOTALL,
     )
     if ex:
-        mode, rest = ex.group(1).upper(), ex.group(2)
+        mode, rest = re.sub(r"\s+", " ", ex.group(1).upper()), ex.group(2)
         inner = transpile(rest, spark)
         if mode == "SYNTAX":
             lit = inner.sql.replace("'", "''")
@@ -9731,6 +9735,7 @@ def transpile(sql: str, spark: SparkSession | None = None) -> TranspileResult:
         spark_mode = {
             "AST": "EXTENDED", "PLAN": "FORMATTED",
             "PIPELINE": "FORMATTED", "ESTIMATE": "COST",
+            "QUERY TREE": "EXTENDED",
         }[mode]
         return TranspileResult(
             sql=f"EXPLAIN {spark_mode} {inner.sql}",

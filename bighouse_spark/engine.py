@@ -869,8 +869,22 @@ class BigHouseEngine:
     )
     _OPTIMIZE_RE = re.compile(
         r"^\s*OPTIMIZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
-        r"(?:\s+ON\s+CLUSTER\s+\S+)?(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"(?:\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+)))?"
+        r"(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
         re.IGNORECASE,
+    )
+    # CH `ALTER TABLE t UPDATE/DELETE ... IN PARTITION p WHERE c`:
+    # restrict the mutation to one partition. Folded into the WHERE
+    # as an ANDed partition-key predicate before the mutation
+    # regexes match (the engine tracks PARTITION BY per table).
+    _IN_PARTITION_RE = re.compile(
+        r"^(\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+        r"(?:UPDATE\s+.+?|DELETE))"
+        r"\s+IN\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+))"
+        r"\s+WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
     )
     _ANALYZE_RE = re.compile(
         r"^\s*ANALYZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
@@ -1056,7 +1070,10 @@ class BigHouseEngine:
                         f"parquet.enable.dictionary#{col}", "false"
                     )
         pcols = self._partitioned.get(name)
-        if pcols:
+        # A partition-scoped rewrite hands in a df WITHOUT the
+        # partition column (it lives in the directory name) — only
+        # partition when the keys are actually present.
+        if pcols and all(c in df.columns for c in pcols):
             writer = writer.partitionBy(*pcols)
         return writer
 
@@ -1533,6 +1550,39 @@ class BigHouseEngine:
             return F.lit(0).cast(dt)
         return F.lit(None).cast(dt)
 
+    def _target_schema(self, name: str):
+        """The table's schema in DECLARED column order.
+
+        Spark's partition discovery lists partition columns LAST in
+        the read schema, so a positional (CH-semantics) INSERT into a
+        partitioned table would TRANSPOSE columns once partition
+        directories exist — ``INSERT INTO t(k,v)-declared VALUES
+        (1, 15)`` landed as k=15, v=1 with no error (found by the
+        round-13 OPTIMIZE PARTITION probe). The recorded CH DDL
+        (CREATE TABLE / ATTACH schema string) restores the declared
+        order; tables attached without one keep the read order (it
+        is the only order on record)."""
+        from pyspark.sql import types as T
+
+        target = self.spark.table(name).schema
+        schema_str = self._ch_col_ddl.get(name) or (
+            self._attached[name][2] if name in self._attached else None
+        )
+        if not schema_str:
+            return target
+        from bighouse_spark.dialect.schema import _split_commas
+
+        names = []
+        for item in _split_commas(schema_str):
+            m = re.match(r"^\s*(`[^`]+`|\"[^\"]+\"|\S+)", item)
+            if m:
+                names.append(m.group(1).strip('`"'))
+        by_name = {f.name: f for f in target.fields}
+        if names and len(names) == len(by_name) \
+                and set(names) == set(by_name):
+            return T.StructType([by_name[c] for c in names])
+        return target
+
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int,
         t0: float, cols: str | None = None,
@@ -1558,7 +1608,7 @@ class BigHouseEngine:
 
         result = transpile(body, self.spark)
         df = self.spark.sql(result.sql)
-        target = self.spark.table(name).schema
+        target = self._target_schema(name)
         if cols:
             names = [
                 c.strip().strip('`"') for c in cols.split(",") if c.strip()
@@ -1797,8 +1847,86 @@ class BigHouseEngine:
             out = out[:start] + repl + out[end:]
         return out
 
+    def _optimize_partition_dir(
+        self, name: str, subdir: str, n_out: int, dedup: bool,
+        files_before: int, t0: float, query: str,
+    ) -> QueryResult:
+        """Compact ONE partition directory in place: read only its
+        files (they carry every column except the partition key — the
+        directory name does), rewrite at the target file size, swap
+        the subdirectory. Dependent MVs rebuild (a compaction renames
+        backing files, which would otherwise re-fold as new rows —
+        same posture as whole-table mutations)."""
+        import shutil
+        import uuid
+
+        path, fmt, schema = self._attached[name]
+        df = self.spark.read.format(fmt).load(subdir)
+        df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
+        tmp = f"{subdir}.mutating-{uuid.uuid4().hex[:8]}"
+        # _table_writer skips partitionBy here (the partition column
+        # is not in df.columns) but keeps ORDER BY sort + blooms.
+        self._table_writer(df, name, fmt, "overwrite").save(tmp)
+        old = f"{subdir}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(subdir, old)
+        shutil.move(tmp, subdir)
+        shutil.rmtree(old)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
+                shutil.rmtree(mv["data"], ignore_errors=True)
+                self._refresh_mv(mv_name)
+        import os
+
+        files_after = sum(
+            1
+            for root, _dirs, files in os.walk(subdir)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, "<optimize-partition>", elapsed, -1)
+        )
+        return QueryResult(
+            cols=["path", "files_before", "files_after"],
+            rows=[[path, files_before, files_after]],
+            elapsed_sec=elapsed,
+        )
+
+    def _partition_col_or_raise(self, name: str, ctx: str) -> str:
+        """The single PARTITION BY column backing a CH partition-id
+        form (``PARTITION 'p'`` / ``IN PARTITION p``): with one
+        partition column, the CH partition id IS the column value."""
+        cols = self._partitioned.get(name) or []
+        if len(cols) != 1:
+            detail = (
+                "not partitioned"
+                if not cols
+                else f"partitioned by {len(cols)} columns "
+                     f"({', '.join(cols)})"
+            )
+            raise ValueError(
+                f"{ctx}: table {name} is {detail}; the PARTITION "
+                "form maps to exactly one PARTITION BY column — "
+                "spell the predicate in WHERE directly instead"
+            )
+        return cols[0]
+
+    def _partition_predicate(
+        self, name: str, quoted: str | None, raw: str | None
+    ) -> str:
+        col = self._partition_col_or_raise(
+            name, "ALTER TABLE ... IN PARTITION"
+        )
+        val = f"'{quoted}'" if quoted is not None else raw
+        return f"`{col}` = {val}"
+
     def _optimize_attached(
-        self, name: str, dedup: bool, t0: float, query: str
+        self, name: str, dedup: bool, t0: float, query: str,
+        partition_val: str | None = None,
     ) -> QueryResult:
         """``OPTIMIZE TABLE <name> [FINAL] [DEDUPLICATE]`` — the CH
         part-merge, re-expressed as small-file compaction: rewrite the
@@ -1818,15 +1946,36 @@ class BigHouseEngine:
         import os
 
         local = self._attached_path_or_raise(name, "OPTIMIZE TABLE")
+        scan_root = local
+        if partition_val is not None:
+            # CH `OPTIMIZE ... PARTITION p` merges ONE partition; here
+            # that is the partition DIRECTORY — only its files are
+            # read, compacted, and swapped (the rest of the table is
+            # untouched, bounding the rewrite like CH bounds the
+            # merge).
+            pcol = self._partition_col_or_raise(
+                name, "OPTIMIZE TABLE ... PARTITION"
+            )
+            scan_root = os.path.join(local, f"{pcol}={partition_val}")
+            if not os.path.isdir(scan_root):
+                raise ValueError(
+                    f"OPTIMIZE TABLE {name} PARTITION "
+                    f"{partition_val!r}: no such partition (expected "
+                    f"directory {pcol}={partition_val})"
+                )
         total_bytes = 0
         files_before = 0
-        for root, _dirs, files in os.walk(local):
+        for root, _dirs, files in os.walk(scan_root):
             for f in files:
                 if f.startswith(("_", ".")):
                     continue  # _SUCCESS, checksums, hidden
                 files_before += 1
                 total_bytes += os.path.getsize(os.path.join(root, f))
         n_out = max(1, math.ceil(total_bytes / self.OPTIMIZE_TARGET_FILE_BYTES))
+        if partition_val is not None:
+            return self._optimize_partition_dir(
+                name, scan_root, n_out, dedup, files_before, t0, query
+            )
         ttl = self._ttl.get(name)
         if ttl:
             # CH applies TTL at merge time: drop rows whose TTL
@@ -2049,7 +2198,7 @@ class BigHouseEngine:
                 raise ValueError(
                     f"INSERT INTO {name}: not an attached table"
                 )
-            full_target = self.spark.table(name).schema
+            full_target = self._target_schema(name)
             target = full_target
             if fmt_cols:
                 from pyspark.sql import types as T
@@ -2428,6 +2577,17 @@ class BigHouseEngine:
         if m_frz:
             name, snap = m_frz.groups()
             return self._freeze_attached(name, snap, t0, request.query)
+        m_inp = self._IN_PARTITION_RE.match(request.query)
+        if m_inp:
+            head, name, pq, praw, cond = m_inp.groups()
+            request = replace(
+                request,
+                query=(
+                    f"{head} WHERE "
+                    f"({self._partition_predicate(name, pq, praw)}) "
+                    f"AND ({cond})"
+                ),
+            )
         m_del = self._ALTER_DELETE_RE.match(request.query)
         if m_del:
             name, cond = m_del.groups()
@@ -3150,8 +3310,12 @@ class BigHouseEngine:
             )
         m_opt = self._OPTIMIZE_RE.match(request.query)
         if m_opt:
-            name, _final, dedup = m_opt.groups()
-            return self._optimize_attached(name, bool(dedup), t0, request.query)
+            name, pq, praw, _final, dedup = m_opt.groups()
+            part_val = pq if pq is not None else praw
+            return self._optimize_attached(
+                name, bool(dedup), t0, request.query,
+                partition_val=part_val,
+            )
         m_an = self._ANALYZE_RE.match(request.query)
         if m_an:
             return self._analyze_table(

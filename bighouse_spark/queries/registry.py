@@ -65,9 +65,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # land first (dialect_alias_where_literal_roundtrip — the r12
 # judge's literal-corruption reproduction through the ENGINE
 # fallback — and dialect_literal_shield_roundtrip and
-# dialect_backtick_ident_roundtrip, the quote-shield pins; each
-# green locally, never driver-checked), then the 5 r9-era
-# leftovers above, then oldest-green (r10-era) fills to 50.
+# dialect_backtick_ident_roundtrip, the quote-shield pins, and
+# sink_partitioned_append, the partitioned-INSERT transposition
+# regression pin; each green locally, never driver-checked), then
+# the 5 r9-era leftovers above, then oldest-green (r10-era) fills
+# to 50.
 DRIVER_WINDOW = {
     # -- round-12 oracle-backed additions, first driver check (16) --
     "dialect_array_join_shadow_roundtrip",

@@ -140,3 +140,46 @@ def table_partition_pruning(spark, sf_dir):
             .alias("total"),
         )
     )
+
+
+# Round-13 regression pin (driver-checkable): a SECOND insert into a
+# partitioned engine table must align to the DECLARED column order.
+# Before the `_target_schema` fix, Spark's partition-last read schema
+# drove the positional alignment, so the second INSERT below
+# transposed (st, okey) — the partition-key string landed in the
+# Int64 column and vice versa, silently (phantom partitions, no
+# error). The aggregate over the re-read diverges loudly from the
+# oracle if that ever regresses.
+@query(
+    "sink_partitioned_append",
+    oracle="""
+SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS s
+FROM orders WHERE o_orderkey < 1000 GROUP BY st ORDER BY st
+""",
+)
+def sink_partitioned_append(spark, sf_dir):
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.queries.registry import t
+
+    eng = BigHouseEngine(spark=spark)
+    eng.execute("DROP TABLE IF EXISTS __q_pt_append")
+    eng.execute(
+        "CREATE TABLE __q_pt_append (st String, okey Int64) "
+        "ENGINE = MergeTree PARTITION BY st ORDER BY okey"
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__q_pt_src")
+    eng.execute(
+        "INSERT INTO __q_pt_append SELECT o_orderstatus, o_orderkey "
+        "FROM __q_pt_src WHERE o_orderkey < 500"
+    )
+    # the regression trigger: partition dirs exist now
+    eng.execute(
+        "INSERT INTO __q_pt_append SELECT o_orderstatus, o_orderkey "
+        "FROM __q_pt_src WHERE o_orderkey >= 500 AND o_orderkey < 1000"
+    )
+    return spark.sql(
+        "SELECT st, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(okey) AS BIGINT) AS s "
+        "FROM __q_pt_append GROUP BY st ORDER BY st"
+    )

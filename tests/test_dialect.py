@@ -1290,6 +1290,16 @@ class TestExplainVariants:
             out = eng.execute(f"{ch} SELECT count() FROM ex_t")
             assert len(out.rows) >= 1 and out.rows[0][0], ch
 
+    def test_explain_query_tree(self, eng):
+        # CH 23.6's analyzer-IR variant → Spark's analyzed logical
+        # plan (EXTENDED carries it) — same compilation stage
+        out = eng.execute("EXPLAIN QUERY TREE SELECT count() FROM ex_t")
+        assert "Logical Plan" in out.rows[0][0]
+        # the spelling inside a literal is data, not an EXPLAIN
+        assert eng.execute(
+            "SELECT 'EXPLAIN QUERY TREE SELECT 1' AS s"
+        ).rows == [["EXPLAIN QUERY TREE SELECT 1"]]
+
 
 class TestQualify:
     def test_qualify_filters_window_result(self, spark):

@@ -2344,3 +2344,102 @@ class TestAliasInWhere:
             "SELECT number AS n, row_number() OVER (ORDER BY number) "
             "AS r FROM numbers(5) QUALIFY r <= 2"
         ).rows == [[0, 1], [1, 2]]
+
+
+class TestRound13PartitionedWrites:
+    """Round-13 probe findings on partitioned tables.
+
+    The big one: Spark's partition discovery lists partition columns
+    LAST in the read schema, and every positional INSERT path aligned
+    to THAT order — so any append AFTER the first insert into a
+    partitioned table silently TRANSPOSED columns
+    (``INSERT INTO t VALUES (1, 15)`` landed as k=15, v=1).
+    ``_target_schema`` restores the declared CH column order from the
+    recorded DDL. Plus the CH partition-scoped maintenance forms:
+    ``ALTER ... UPDATE/DELETE ... IN PARTITION p WHERE c`` and
+    ``OPTIMIZE TABLE ... PARTITION p``."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __pt13")
+        eng.execute(
+            "CREATE TABLE __pt13 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __pt13 VALUES (1, 10), (1, 20), (2, 30)")
+        return eng
+
+    def test_append_keeps_declared_column_order(self, eng):
+        # the regression: this second insert transposed to k=15, v=1
+        eng.execute("INSERT INTO __pt13 VALUES (1, 15)")
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 ORDER BY k, v"
+        ).rows == [[1, 10], [1, 15], [1, 20], [2, 30]]
+
+    def test_all_positional_paths_keep_declared_order(self, eng):
+        eng.execute("INSERT INTO __pt13 (v, k) VALUES (99, 3)")
+        eng.execute("INSERT INTO __pt13 FORMAT CSV 4,50")
+        eng.execute('INSERT INTO __pt13 FORMAT JSONEachRow '
+                    '{"v": 60, "k": 5}')
+        eng.execute("INSERT INTO __pt13 SELECT 7, 70")
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 WHERE k >= 3 ORDER BY k"
+        ).rows == [[3, 99], [4, 50], [5, 60], [7, 70]]
+
+    def test_update_in_partition(self, eng):
+        eng.execute(
+            "ALTER TABLE __pt13 UPDATE v = v + 1 "
+            "IN PARTITION '1' WHERE v >= 10"
+        )
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 ORDER BY k, v"
+        ).rows == [[1, 11], [1, 21], [2, 30]]
+
+    def test_delete_in_partition(self, eng):
+        # the WHERE matches rows in BOTH partitions; IN PARTITION
+        # restricts the delete to one
+        eng.execute(
+            "ALTER TABLE __pt13 DELETE IN PARTITION 1 WHERE v >= 10"
+        )
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 ORDER BY k, v"
+        ).rows == [[2, 30]]
+
+    def test_optimize_partition_scopes_compaction(self, eng):
+        eng.execute("INSERT INTO __pt13 VALUES (1, 15)")
+        r = eng.execute("OPTIMIZE TABLE __pt13 PARTITION '1' FINAL")
+        assert r.cols == ["path", "files_before", "files_after"]
+        assert r.rows[0][1] >= 2 and r.rows[0][2] == 1
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 ORDER BY k, v"
+        ).rows == [[1, 10], [1, 15], [1, 20], [2, 30]]
+
+    def test_optimize_partition_deduplicate(self, eng):
+        eng.execute("INSERT INTO __pt13 VALUES (2, 30)")
+        eng.execute("OPTIMIZE TABLE __pt13 PARTITION 2 FINAL DEDUPLICATE")
+        assert eng.execute(
+            "SELECT k, v FROM __pt13 WHERE k = 2"
+        ).rows == [[2, 30]]
+
+    def test_unknown_partition_raises(self, eng):
+        with pytest.raises(ValueError, match="no such partition"):
+            eng.execute("OPTIMIZE TABLE __pt13 PARTITION '9'")
+
+    def test_unpartitioned_table_refuses_with_guidance(self, eng):
+        eng.execute(
+            "CREATE TABLE IF NOT EXISTS __pt13_flat (k Int64) "
+            "ENGINE = Memory"
+        )
+        with pytest.raises(ValueError, match="not partitioned"):
+            eng.execute(
+                "ALTER TABLE __pt13_flat DELETE IN PARTITION '1' "
+                "WHERE k = 1"
+            )
+
+    def test_in_partition_inside_literal_is_data(self, eng):
+        assert eng.execute(
+            "SELECT 'ALTER TABLE t DELETE IN PARTITION 1 WHERE x' AS s"
+        ).rows == [["ALTER TABLE t DELETE IN PARTITION 1 WHERE x"]]
