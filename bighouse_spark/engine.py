@@ -2337,7 +2337,28 @@ class BigHouseEngine:
             tbl = self.spark.table(name)
             from pyspark.sql import functions as F
 
-            from bighouse_spark.dialect.schema import ch_type_to_spark
+            from bighouse_spark.dialect.schema import (
+                _split_commas,
+                ch_type_to_spark,
+            )
+
+            # The recorded CH DDL (CREATE TABLE / ATTACH schema
+            # string) must track column DDL, or the re-attach after
+            # the storage rewrite pins the PRE-ALTER schema — an
+            # added column was unreadable and positional INSERTs
+            # mis-sized (round-13 probe). Edit the recorded items in
+            # declared order; tables attached without a schema
+            # string keep inferring (None stays None).
+            old_ddl = self._ch_col_ddl.get(name) \
+                or self._attached[name][2]
+            ddl_items = (
+                [it.strip() for it in _split_commas(old_ddl)]
+                if old_ddl else None
+            )
+
+            def _item_name(it: str) -> str:
+                m2 = re.match(r'^\s*(`[^`]+`|"[^"]+"|\S+)', it)
+                return m2.group(1).strip('`"') if m2 else it
 
             if op == "ADD":
                 dm = re.match(
@@ -2356,10 +2377,16 @@ class BigHouseEngine:
                     if default else "NULL"
                 )
                 df = tbl.withColumn(col, F.expr(expr).cast(dt))
+                if ddl_items is not None:
+                    ddl_items.append(f"`{col}` {ch_type}")
             elif op == "DROP":
                 if col not in tbl.columns:
                     raise ValueError(f"DROP COLUMN {col}: no such column")
                 df = tbl.drop(col)
+                if ddl_items is not None:
+                    ddl_items = [
+                        it for it in ddl_items if _item_name(it) != col
+                    ]
             elif op == "RENAME":
                 rm = re.match(r"^TO\s+[`\"]?(\w+)[`\"]?$", rest.strip(),
                               re.IGNORECASE)
@@ -2369,9 +2396,28 @@ class BigHouseEngine:
                         f"{rest!r}"
                     )
                 df = tbl.withColumnRenamed(col, rm.group(1))
+                if ddl_items is not None:
+                    ddl_items = [
+                        re.sub(r'^\s*(`[^`]+`|"[^"]+"|\S+)',
+                               f"`{rm.group(1)}`", it, count=1)
+                        if _item_name(it) == col else it
+                        for it in ddl_items
+                    ]
             else:  # MODIFY: retype in place
                 dt = ch_type_to_spark(rest.strip())
                 df = tbl.withColumn(col, F.col(col).cast(dt))
+                if ddl_items is not None:
+                    ddl_items = [
+                        f"`{col}` {rest.strip()}"
+                        if _item_name(it) == col else it
+                        for it in ddl_items
+                    ]
+            if ddl_items is not None:
+                new_ddl = ", ".join(ddl_items)
+                path, fmt, _old = self._attached[name]
+                self._attached[name] = (path, fmt, new_ddl)
+                if name in self._ch_col_ddl:
+                    self._ch_col_ddl[name] = new_ddl
             return self._rewrite_attached(
                 name, df, t0, request.query, f"<alter {op.lower()} column>"
             )

@@ -2443,3 +2443,48 @@ class TestRound13PartitionedWrites:
         assert eng.execute(
             "SELECT 'ALTER TABLE t DELETE IN PARTITION 1 WHERE x' AS s"
         ).rows == [["ALTER TABLE t DELETE IN PARTITION 1 WHERE x"]]
+
+
+class TestRound13ColumnDdlOnRecordedSchema:
+    """ALTER ADD/DROP/RENAME/MODIFY COLUMN on a table whose CREATE
+    recorded a CH schema string: the records must track the DDL, or
+    the re-attach after the storage rewrite pins the PRE-ALTER
+    schema (round-13 probe: an added column was UNRESOLVED on read
+    and positional INSERTs mis-sized)."""
+
+    @pytest.fixture
+    def eng(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cd13")
+        eng.execute(
+            "CREATE TABLE __cd13 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __cd13 VALUES (1, 10)")
+        return eng
+
+    def test_add_column_readable_and_insertable(self, eng):
+        eng.execute("ALTER TABLE __cd13 ADD COLUMN s String DEFAULT 'd'")
+        assert eng.execute(
+            "SELECT k, v, s FROM __cd13"
+        ).rows == [[1, 10, "d"]]
+        # positional insert sees the post-ALTER declared order
+        eng.execute("INSERT INTO __cd13 VALUES (2, 20, 'x')")
+        assert eng.execute(
+            "SELECT k, v, s FROM __cd13 ORDER BY k"
+        ).rows == [[1, 10, "d"], [2, 20, "x"]]
+
+    def test_drop_rename_modify_track_records(self, eng):
+        eng.execute("ALTER TABLE __cd13 ADD COLUMN s String DEFAULT 'd'")
+        eng.execute("ALTER TABLE __cd13 MODIFY COLUMN v Float64")
+        eng.execute("ALTER TABLE __cd13 RENAME COLUMN s TO t")
+        assert eng.execute(
+            "SELECT k, v, t FROM __cd13"
+        ).rows == [[1, 10.0, "d"]]
+        eng.execute("ALTER TABLE __cd13 DROP COLUMN t")
+        eng.execute("INSERT INTO __cd13 VALUES (3, 30)")
+        assert eng.execute(
+            "SELECT k, v FROM __cd13 ORDER BY k"
+        ).rows == [[1, 10.0], [3, 30.0]]
