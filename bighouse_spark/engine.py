@@ -292,6 +292,12 @@ class BigHouseEngine:
                 self._skip_indices[new] = self._skip_indices.pop(old)
             if old in self._ttl:
                 self._ttl[new] = self._ttl.pop(old)
+            # the declared-order record travels with the table —
+            # leaving it behind fed _target_schema a STALE column
+            # order after RENAME/EXCHANGE (round-13 probe: the first
+            # insert into an exchanged table transposed columns)
+            if old in self._ch_col_ddl:
+                self._ch_col_ddl[new] = self._ch_col_ddl.pop(old)
             for (t, c) in [k for k in self._comments if k[0] == old]:
                 self._comments[(new, c)] = self._comments.pop((t, c))
             self.attach_table(new, path, fmt=fmt, schema=schema)

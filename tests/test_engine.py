@@ -2488,3 +2488,52 @@ class TestRound13ColumnDdlOnRecordedSchema:
         assert eng.execute(
             "SELECT k, v FROM __cd13 ORDER BY k"
         ).rows == [[1, 10.0], [3, 30.0]]
+
+
+class TestRound13ExchangeKeepsDeclaredOrder:
+    """EXCHANGE TABLES / RENAME TABLE must move the declared-order
+    record (`_ch_col_ddl`) with the table — left behind, the first
+    positional INSERT into an exchanged partitioned table read a
+    STALE column order and transposed values (round-13 probe)."""
+
+    def test_insert_after_exchange(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        for t in ("__xk13a", "__xk13b"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+        eng.execute(
+            "CREATE TABLE __xk13a (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "CREATE TABLE __xk13b (s String, n Int64) ENGINE = Memory"
+        )
+        eng.execute("INSERT INTO __xk13a VALUES (1, 10)")
+        eng.execute("INSERT INTO __xk13b VALUES ('a', 1)")
+        eng.execute("EXCHANGE TABLES __xk13a AND __xk13b")
+        eng.execute("INSERT INTO __xk13b VALUES (2, 20)")
+        assert eng.execute(
+            "SELECT k, v FROM __xk13b ORDER BY k"
+        ).rows == [[1, 10], [2, 20]]
+        eng.execute("INSERT INTO __xk13a VALUES ('b', 2)")
+        assert eng.execute(
+            "SELECT s, n FROM __xk13a ORDER BY s"
+        ).rows == [["a", 1], ["b", 2]]
+
+    def test_insert_after_rename(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        for t in ("__rk13a", "__rk13b"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+        eng.execute(
+            "CREATE TABLE __rk13a (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __rk13a VALUES (1, 10)")
+        eng.execute("RENAME TABLE __rk13a TO __rk13b")
+        eng.execute("INSERT INTO __rk13b VALUES (2, 20)")
+        assert eng.execute(
+            "SELECT k, v FROM __rk13b ORDER BY k"
+        ).rows == [[1, 10], [2, 20]]
