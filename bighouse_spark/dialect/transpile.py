@@ -3942,7 +3942,18 @@ def _pair_sized(x: str, y: str) -> str:
     Spark return NULL for a NULL operand) and raises CH's error
     name otherwise. ``raise_error``'s NullType coerces to the array
     branch type, and a CASE whose ELSE can throw is never folded
-    away by Catalyst."""
+    away by Catalyst.
+
+    Constraint (ADVICE r13): ``x`` and ``y`` are interpolated more
+    than once, so the guard and the zipped operand are SEPARATE
+    evaluations. A nondeterministic operand (built with shuffle()/
+    rand()) could pass the length check yet zip a different value —
+    callers pass column references or deterministic expressions,
+    which is every current call site; nested multi-array lambdas
+    also grow the generated SQL ~3x per level. A single-evaluation
+    rewrite (zip into a struct first) would fix both at the cost of
+    reshaping every consumer's lambda; revisit if a nondeterministic
+    array ever reaches a multi-array lambda."""
     return (
         f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL "
         f"OR size({x}) = size({y}) THEN {y} "
@@ -10465,7 +10476,12 @@ _LIMIT_BY_RE = re.compile(
     r"\bLIMIT\s+(?:"
     r"(?P<off1>\d+)\s*,\s*(?P<n1>\d+)"
     r"|(?P<n2>\d+)(?:\s+OFFSET\s+(?P<off2>\d+))?"
-    r")\s+BY\s+(?P<keys>.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
+    # keys group anchored DIRECTLY after BY (leading whitespace
+    # inside the group): on a masked copy a quoted identifier is all
+    # blanks, and a greedy \s+ before the group would swallow it,
+    # shifting the group start past the identifier (round-14 fix).
+    # Callers compute the true keys span themselves and slice raw.
+    r")\s+BY(?P<keys>\s+.+?)(?=\s+LIMIT\s+\d+\s*$|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -10786,16 +10802,28 @@ def _rewrite_limit_by(sql: str) -> str:
     trailing ``LIMIT m`` (applied after LIMIT BY, CH semantics) is
     preserved outside the wrapper.
     """
-    # masked locate: 'LIMIT 5 BY k' inside a literal is data (the
-    # groups are digits/identifiers — identical in masked and raw)
-    m = _LIMIT_BY_RE.search(_mask_quoted_spans(sql))
+    # masked locate: 'LIMIT 5 BY k' inside a literal is data
+    masked = _mask_quoted_spans(sql)
+    m = _LIMIT_BY_RE.search(masked)
     if not m:
         return sql
     n = m.group("n1") or m.group("n2")
     off = int(m.group("off1") or m.group("off2") or 0)
-    keys = m.group("keys").strip()
+    # The keys run from the group start to the optional trailing
+    # LIMIT m (located on the masked text), then slice the RAW text:
+    # the lazy keys group itself collapses on masked spans (a quoted
+    # identifier like `user id` or a literal arg like concat(k,'-x')
+    # masks to blanks, which used to blank the emitted keys — ADVICE
+    # r13, verified corruption).
+    trail = re.search(
+        r"\s+LIMIT\s+\d+\s*$", masked[m.start("keys"):], re.IGNORECASE
+    )
+    keys_end = (
+        m.start("keys") + trail.start() if trail else len(sql)
+    )
+    keys = sql[m.start("keys"):keys_end].strip()
     head = sql[: m.start()].rstrip()
-    tail = sql[m.end():].strip()  # optional trailing LIMIT m
+    tail = sql[keys_end:].strip()  # optional trailing LIMIT m
     # The ORDER BY must sit at the SAME query level as LIMIT BY: a
     # depth-0 scan, not re.search — an ORDER BY inside a FROM
     # subquery previously matched with its trailing ')' and emitted

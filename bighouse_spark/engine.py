@@ -28,7 +28,11 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from bighouse_spark.dialect.transpile import transpile
+from bighouse_spark.dialect.transpile import (
+    _mask_string_literals,
+    _sub_outside_quotes,
+    transpile,
+)
 from bighouse_spark.operators.caching import release_tracked
 
 # Per-thread request nesting depth: engine statements re-enter
@@ -1101,7 +1105,8 @@ class BigHouseEngine:
             elapsed_sec=elapsed,
         )
 
-    def _table_writer(self, df, name: str, fmt: str, mode: str):
+    def _table_writer(self, df, name: str, fmt: str, mode: str,
+                      *, partition_in_path: bool = False):
         """A DataFrameWriter honoring the table's declared PARTITION
         BY layout, ORDER BY in-file sort, and bloom-family skip
         indices — every write path goes through here so partition
@@ -1131,9 +1136,12 @@ class BigHouseEngine:
                     )
         pcols = self._partitioned.get(name)
         # A partition-scoped rewrite hands in a df WITHOUT the
-        # partition column (it lives in the directory name) — only
-        # partition when the keys are actually present.
-        if pcols and all(c in df.columns for c in pcols):
+        # partition column (it lives in the directory name) and says
+        # so EXPLICITLY via partition_in_path — every other write
+        # path must fail loudly on a missing partition column rather
+        # than silently landing an unpartitioned layout inside a
+        # partitioned table root (ADVICE r13).
+        if pcols and not partition_in_path:
             writer = writer.partitionBy(*pcols)
         return writer
 
@@ -1910,23 +1918,62 @@ class BigHouseEngine:
     def _optimize_partition_dir(
         self, name: str, subdir: str, n_out: int, dedup: bool,
         files_before: int, t0: float, query: str,
+        pcol: str | None = None, partition_val: str | None = None,
     ) -> QueryResult:
         """Compact ONE partition directory in place: read only its
         files (they carry every column except the partition key — the
         directory name does), rewrite at the target file size, swap
-        the subdirectory. Dependent MVs rebuild (a compaction renames
-        backing files, which would otherwise re-fold as new rows —
-        same posture as whole-table mutations)."""
+        the subdirectory. CH applies TTL at merge time for
+        partition-scoped merges too, so the recorded TTL filter runs
+        here exactly as in the whole-table path (ADVICE r13).
+        Dependent MVs rebuild (a compaction renames backing files,
+        which would otherwise re-fold as new rows — same posture as
+        whole-table mutations)."""
         import shutil
         import uuid
 
         path, fmt, schema = self._attached[name]
         df = self.spark.read.format(fmt).load(subdir)
+        ttl = self._ttl.get(name)
+        if ttl:
+            from pyspark.sql import functions as F
+
+            injected = False
+            if pcol is not None and pcol not in df.columns:
+                # the TTL expression may reference the partition key,
+                # which lives in the directory name — inject it as
+                # the typed literal for the filter's benefit
+                ptype = self.spark.table(name).schema[pcol].dataType
+                df = df.withColumn(
+                    pcol, F.lit(partition_val).cast(ptype)
+                )
+                injected = True
+            view = f"__bh_optp_{uuid.uuid4().hex}"
+            df.createOrReplaceTempView(view)
+            try:
+                sel = transpile(
+                    f"SELECT * FROM {view} WHERE "
+                    f"ifNull(({ttl}) > now(), true)",
+                    self.spark,
+                )
+                # analysis binds the plan to the underlying relation
+                # at sql() time — dropping the temp view after is
+                # safe, and save-to-tmp runs before the dir swap
+                df = self.spark.sql(sel.sql)
+            finally:
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+            if injected:
+                df = df.drop(pcol)
         df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
         tmp = f"{subdir}.mutating-{uuid.uuid4().hex[:8]}"
-        # _table_writer skips partitionBy here (the partition column
-        # is not in df.columns) but keeps ORDER BY sort + blooms.
-        self._table_writer(df, name, fmt, "overwrite").save(tmp)
+        # partition_in_path: this df deliberately lacks the partition
+        # column (it IS the directory); ORDER BY sort + blooms kept.
+        self._table_writer(
+            df, name, fmt, "overwrite", partition_in_path=True
+        ).save(tmp)
         old = f"{subdir}.old-{uuid.uuid4().hex[:8]}"
         shutil.move(subdir, old)
         shutil.move(tmp, subdir)
@@ -1954,6 +2001,28 @@ class BigHouseEngine:
             cols=["path", "files_before", "files_after"],
             rows=[[path, files_before, files_after]],
             elapsed_sec=elapsed,
+        )
+
+    # Spark's ExternalCatalogUtils.escapePathName charset: these are
+    # %XX-escaped in partition directory names (plus all control
+    # chars). NULL/empty partition values become the Hive default
+    # partition directory.
+    _PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {
+        chr(c) for c in range(0x20)
+    }
+    _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+    @classmethod
+    def _escape_partition_value(cls, val: str) -> str:
+        """The directory-name spelling of a partition VALUE, matching
+        Spark's escapePathName (ADVICE r13: 'a:b' or 'a=b' values
+        land as a%3Ab / a%3Db on disk, and NULL/empty as
+        __HIVE_DEFAULT_PARTITION__ — the raw join found nothing)."""
+        if val == "" or val.upper() == "NULL":
+            return cls._HIVE_DEFAULT_PARTITION
+        return "".join(
+            f"%{ord(c):02X}" if c in cls._PATH_ESCAPE_CHARS else c
+            for c in val
         )
 
     def _partition_col_or_raise(self, name: str, ctx: str) -> str:
@@ -2016,12 +2085,13 @@ class BigHouseEngine:
             pcol = self._partition_col_or_raise(
                 name, "OPTIMIZE TABLE ... PARTITION"
             )
-            scan_root = os.path.join(local, f"{pcol}={partition_val}")
+            dir_val = self._escape_partition_value(partition_val)
+            scan_root = os.path.join(local, f"{pcol}={dir_val}")
             if not os.path.isdir(scan_root):
                 raise ValueError(
                     f"OPTIMIZE TABLE {name} PARTITION "
                     f"{partition_val!r}: no such partition (expected "
-                    f"directory {pcol}={partition_val})"
+                    f"directory {pcol}={dir_val})"
                 )
         total_bytes = 0
         files_before = 0
@@ -2034,7 +2104,8 @@ class BigHouseEngine:
         n_out = max(1, math.ceil(total_bytes / self.OPTIMIZE_TARGET_FILE_BYTES))
         if partition_val is not None:
             return self._optimize_partition_dir(
-                name, scan_root, n_out, dedup, files_before, t0, query
+                name, scan_root, n_out, dedup, files_before, t0, query,
+                pcol=pcol, partition_val=partition_val,
             )
         ttl = self._ttl.get(name)
         if ttl:
@@ -2110,14 +2181,17 @@ class BigHouseEngine:
             # SQL: a CSV value shaped like {word:Word} must be
             # neither substituted nor rejected. Split the payload
             # off, substitute the head, reattach.
+            # Masked locate, raw slice: a VALUES/SELECT literal
+            # containing ' FORMAT CSV ' must not become the payload
+            # split point (round-14 router sweep).
             head, payload = request.query, ""
             m_pl = re.match(
                 r"(?is)^(\s*INSERT\s+INTO\b.*?\bFORMAT\s+\w+)"
                 r"(\s.+)$",
-                request.query,
+                _mask_string_literals(request.query),
             )
             if m_pl:
-                head, payload = m_pl.groups()
+                head, payload = self._raw_groups(m_pl, request.query)
             # Run substitution whenever a placeholder-shaped token
             # exists, even with zero bound params — an unbound
             # {name:Type} must raise CH's UNKNOWN_QUERY_PARAMETER
@@ -2134,9 +2208,15 @@ class BigHouseEngine:
         # inner query and write the rendered result to a local file
         # (clickhouse-local semantics; default format TabSeparated
         # like CH). Result = one row with (path, rows_written).
-        m_of = self._INTO_OUTFILE_RE.match(request.query)
+        # Masked locate, raw slice: ' INTO OUTFILE ' inside a SELECT
+        # literal is data, not a sink clause (round-14 router sweep).
+        m_of = self._INTO_OUTFILE_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_of:
-            inner_sql, out_path, truncate, fmt_name = m_of.groups()
+            inner_sql, out_path, truncate, fmt_name = self._raw_groups(
+                m_of, request.query
+            )
             if request.remote:
                 raise ValueError(
                     "INTO OUTFILE is a client-side feature and is not "
@@ -2210,10 +2290,14 @@ class BigHouseEngine:
         # input('schema') INSERT transform: parse the payload with
         # the declared structure, expose it as a temp view, and
         # re-enter as an ordinary INSERT ... SELECT.
-        m_inp = self._INSERT_INPUT_RE.match(request.query)
+        # Masked locate, raw slice: the SELECT part may hold literals
+        # containing ' FORMAT ' or 'input(' (round-14 router sweep).
+        m_inp = self._INSERT_INPUT_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_inp:
             name, col_list, select_part, schema_str, fmt_name, payload \
-                = m_inp.groups()
+                = self._raw_groups(m_inp, request.query)
             from bighouse_spark.dialect.schema import (
                 parse_schema_string,
             )
@@ -2230,9 +2314,15 @@ class BigHouseEngine:
             view = f"__bh_input_{uuid.uuid4().hex}"
             df.createOrReplaceTempView(view)
             try:
-                select_rw = re.sub(
-                    r"\binput\s*\(\s*'[^']*'\s*\)", view,
-                    select_part, count=1,
+                # masked locate: a literal containing input('..')
+                # before the real call must not be substituted
+                m_call = re.search(
+                    r"\binput\s*\(\s*'[^']*'\s*\)",
+                    _mask_string_literals(select_part),
+                )
+                select_rw = (
+                    select_part[:m_call.start()] + view
+                    + select_part[m_call.end():]
                 )
                 cols = f"({col_list})" if col_list else ""
                 return self._execute_inner(
@@ -2688,10 +2778,6 @@ class BigHouseEngine:
         # (' IN PARTITION ', ' WHERE ') inside an assignment or
         # condition literal must never split the statement
         # (VERDICT r13 "What's wrong" #1/#2, reproduced live there).
-        from bighouse_spark.dialect.transpile import (
-            _mask_string_literals,
-        )
-
         masked_q = _mask_string_literals(request.query)
         m_inp = self._IN_PARTITION_RE.match(masked_q)
         if m_inp:
@@ -2784,16 +2870,20 @@ class BigHouseEngine:
                 request,
                 query=m_cor.group(1) + request.query[m_cor.start(2):],
             )
+        # Masked locate, raw slice: the CTAS paren-balancers (ENGINE/
+        # PARTITION BY/ORDER BY specs) must not count parens inside
+        # string literals, and ' AS SELECT' inside a literal is data
+        # (round-14 router sweep).
         m_ctas = (
             None if self._CREATE_TABLE_HEAD_RE.match(request.query)
-            else self._CTAS_RE.match(request.query)
+            else self._CTAS_RE.match(_mask_string_literals(request.query))
         )
         if m_ctas:
             # CTAS: materialize the SELECT into an engine-owned parquet
             # directory and attach — the result is a real table with
             # the full write surface, same as CREATE TABLE + INSERT.
             if_not_exists, name, part_spec, order_spec, select_sql = (
-                m_ctas.groups()
+                self._raw_groups(m_ctas, request.query)
             )
             if name in self._attached or name in self._mviews:
                 if if_not_exists:
@@ -2825,8 +2915,12 @@ class BigHouseEngine:
                 if ocols:
                     self._ordered[name] = ocols
             self._table_writer(df, name, "parquet", "overwrite").save(path)
+            # masked: 'ENGINE = Null' inside a SELECT literal must
+            # not mark the table as a Null engine (silent data drop,
+            # found round 14)
             m_eng = re.search(
-                r"ENGINE\s*=\s*(\w+)", request.query, re.IGNORECASE
+                r"ENGINE\s*=\s*(\w+)",
+                _mask_string_literals(request.query), re.IGNORECASE,
             )
             self._null_tables.discard(name)
             if m_eng and m_eng.group(1).lower() == "null":
@@ -2844,12 +2938,14 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["table"], rows=[[name]],
                                elapsed_sec=elapsed)
-        m_cv = self._CREATE_VIEW_RE.match(request.query)
+        m_cv = self._CREATE_VIEW_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_cv:
             # CH CREATE VIEW re-evaluates its SELECT per query — a
             # Spark temp view has identical semantics. Session-scoped,
             # like everything in this engine.
-            name, select_sql = m_cv.groups()
+            name, select_sql = self._raw_groups(m_cv, request.query)
             sel = transpile(select_sql, self.spark)
             self.spark.sql(sel.sql).createOrReplaceTempView(name)
             self._user_views[name] = sel.sql
@@ -2920,7 +3016,9 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["exchanged"], rows=[[a, b]],
                                elapsed_sec=elapsed)
-        m_att = self._ATTACH_RE.match(request.query)
+        m_att = self._ATTACH_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_att:
             # ATTACH defines the table from storage — any stale
             # ENGINE=Null flag from a previously dropped/renamed name
@@ -3363,8 +3461,12 @@ class BigHouseEngine:
             ).save(path)
             self.attach_table(name, path, schema=decl_schema)
             self._ch_col_ddl[name] = cols
+            # masked: 'ENGINE = Null' inside a SELECT literal must
+            # not mark the table as a Null engine (silent data drop,
+            # found round 14)
             m_eng = re.search(
-                r"ENGINE\s*=\s*(\w+)", request.query, re.IGNORECASE
+                r"ENGINE\s*=\s*(\w+)",
+                _mask_string_literals(request.query), re.IGNORECASE,
             )
             self._null_tables.discard(name)
             if m_eng and m_eng.group(1).lower() == "null":
@@ -3377,9 +3479,13 @@ class BigHouseEngine:
                                elapsed_sec=elapsed)
         # CH dictionary DDL: the dictionary IS its source view + key;
         # LAYOUT/LIFETIME are in-memory/refresh tuning, dropped.
-        m_dict = self._CREATE_DICT_RE.match(request.query)
+        # Masked locate, raw slice: SOURCE(...) routinely holds path/
+        # table literals whose parens would shift the lazy boundaries.
+        m_dict = self._CREATE_DICT_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_dict:
-            name, pk, source = m_dict.groups()
+            name, pk, source = self._raw_groups(m_dict, request.query)
             sm = re.search(r"TABLE\s*\(?\s*'?([\w.]+)'?", source,
                            re.IGNORECASE)
             if not sm:
@@ -3433,15 +3539,32 @@ class BigHouseEngine:
                 num_nodes=request.num_nodes, cores=request.cores,
                 query_id=request.query_id,
             )
-        m_mv = self._CREATE_MV_RE.match(request.query)
+        m_mv = self._CREATE_MV_RE.match(
+            _mask_string_literals(request.query)
+        )
         if m_mv:
-            name, populate, select_sql = m_mv.groups()
+            name, populate, select_sql = self._raw_groups(
+                m_mv, request.query
+            )
             return self._create_materialized_view(
                 name, bool(populate), select_sql, t0, request.query
             )
         m_opt = self._OPTIMIZE_RE.match(request.query)
         if m_opt:
             name, pq, praw, _final, dedup = m_opt.groups()
+            if praw is not None and praw.upper() in (
+                "FINAL", "DEDUPLICATE"
+            ):
+                # `OPTIMIZE ... PARTITION FINAL`: the token after
+                # PARTITION is the keyword, not a partition id —
+                # invalid in CH too; guide instead of "no such
+                # partition FINAL" (r13 Next #5 probe)
+                raise ValueError(
+                    f"OPTIMIZE TABLE {name} PARTITION: a partition "
+                    "value must precede FINAL/DEDUPLICATE — spell it "
+                    f"OPTIMIZE TABLE {name} PARTITION '<id>' "
+                    f"{praw.upper()}"
+                )
             part_val = pq if pq is not None else praw
             return self._optimize_attached(
                 name, bool(dedup), t0, request.query,
@@ -3531,16 +3654,23 @@ class BigHouseEngine:
         # views can't hold dots) after refreshing them, and map the
         # infinite system.numbers onto Spark's lazy range (LIMIT
         # pushes into the first partition — nothing materializes).
-        if re.search(r"\bsystem\.\w+", request.query):
+        # Quote-shielded (round 14): 'system.parts' inside a string
+        # literal is DATA — the raw re.sub here silently rewrote it
+        # to 'system_parts' (and system.numbers in a literal became
+        # the range subquery text).
+        if re.search(r"\bsystem\.\w+", _mask_string_literals(request.query)):
             numbers_sub = (
                 "(SELECT id AS number FROM range(9223372036854775807))"
             )
-            rewritten = re.sub(
+            rewritten = _sub_outside_quotes(
                 r"\bsystem\.numbers(_mt)?\b", numbers_sub, request.query
             )
-            if re.search(r"\bsystem\.\w+", rewritten):
+            if re.search(r"\bsystem\.\w+",
+                         _mask_string_literals(rewritten)):
                 self.refresh_system_views()
-            rewritten = re.sub(r"\bsystem\.(\w+)", r"system_\1", rewritten)
+            rewritten = _sub_outside_quotes(
+                r"\bsystem\.(\w+)", r"system_\1", rewritten
+            )
             request = QueryRequest(
                 query=rewritten, init_queries=request.init_queries,
                 num_nodes=request.num_nodes, cores=request.cores,
@@ -3548,10 +3678,15 @@ class BigHouseEngine:
             )
         # Cache-hit fast path: checked on the RAW text before transpile
         # so a hit skips view re-registration entirely.
-        use_cache = (
-            re.search(r"use_query_cache\s*=\s*'?(1|true)'?", request.query)
-            is not None
+        # masked locate (the knob may itself appear inside a string
+        # literal); the value is read from the RAW text at the span
+        m_uc = re.search(
+            r"use_query_cache\s*=\s*",
+            _mask_string_literals(request.query),
         )
+        use_cache = m_uc is not None and re.match(
+            r"'?(1|true)\b", request.query[m_uc.end():]
+        ) is not None
         if use_cache and (hit := self._cache_get(request.query)) is not None:
             elapsed = time.monotonic() - t0
             self.query_log.append(
@@ -3969,7 +4104,9 @@ class BigHouseEngine:
         web-disk MergeTree form is refused with guidance: MergeTree
         part files belong to the delegated ClickHouse storage engine;
         this engine's shared storage is parquet/csv/json/orc."""
-        if_not_exists, name, rest = m.groups()
+        # m matched a _mask_string_literals copy — slice raw (the
+        # path/schema groups hold literal content the mask blanked)
+        if_not_exists, name, rest = self._raw_groups(m, query)
         rest = (rest or "").strip()
         if name in self._attached:
             if if_not_exists:
@@ -3997,7 +4134,7 @@ class BigHouseEngine:
             )
             return QueryResult(cols=["attached"], rows=[[name]],
                                elapsed_sec=elapsed)
-        m_from = self._ATTACH_FROM_RE.match(rest)
+        m_from = self._ATTACH_FROM_RE.match(_mask_string_literals(rest))
         if m_from is None:
             if re.search(
                 r"disk\s*\(\s*type\s*=\s*web", rest, re.IGNORECASE
@@ -4013,8 +4150,10 @@ class BigHouseEngine:
                 f"{rest[:60]!r} (expected [(schema)] FROM '<path>' "
                 "[FORMAT <fmt>])"
             )
-        cols, path, fmt_name, tail = m_from.groups()
-        m_tail = self._CREATE_TABLE_TAIL_RE.match(tail or "")
+        cols, path, fmt_name, tail = self._raw_groups(m_from, rest)
+        m_tail = self._CREATE_TABLE_TAIL_RE.match(
+            _mask_string_literals(tail or "")
+        )
         if m_tail is None:
             raise ValueError(
                 f"ATTACH TABLE {name}: unsupported trailing clause "
@@ -4045,18 +4184,19 @@ class BigHouseEngine:
         self._ch_col_ddl.pop(name, None)
         if cols:
             self._ch_col_ddl[name] = cols
-        if m_tail.group(1):
+        tail_part, tail_order = self._raw_groups(m_tail, tail or "")
+        if tail_part:
             try:
                 self._partitioned[name] = self._parse_partition_by(
-                    m_tail.group(1), self.spark.table(name).columns
+                    tail_part, self.spark.table(name).columns
                 )
             except ValueError:
                 self.spark.catalog.dropTempView(name)
                 self._attached.pop(name, None)
                 raise
-        if m_tail.group(2):
+        if tail_order:
             ocols = self._parse_order_by(
-                m_tail.group(2), self.spark.table(name).columns
+                tail_order, self.spark.table(name).columns
             )
             if ocols:
                 self._ordered[name] = ocols

@@ -49,80 +49,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (tests/test_queries_oracle.py runs the identical comparison for
 # every oracle-bearing query each round). See COVERAGE.md.
 #
-# ROUND-13 WINDOW (50 names, ALL oracle-bearing). Composition per
-# the r12 staging comment (VERDICT r12 Next #2):
-#   16 round-12 oracle-backed additions, first driver check (they
-#      pin r12 semantics: arrayjoin_cartesian, multiarray_lambda,
-#      topk_bare, interval_string, ipv4_format are the review-pass
-#      fixes)
-#   34 r9-era names not refreshed since CORRECTNESS_r09 — the first
-#      34 alphabetically of the 39 listed in the r12 staging plan;
-#      the remaining 5 (window_running_sum, window_session_10m,
-#      window_sliding_1h_30m, window_topk_per_group,
-#      window_tumbling_hourly) rotate r14
+# ROUND-14 WINDOW (50 names, ALL oracle-bearing). Composition per
+# the r13 staging plan (VERDICT r13 Next #3):
+#   4 round-13 oracle-backed additions, first driver check — they
+#     pin r13 semantics (the r12 judge's alias-in-WHERE literal
+#     canary, the two quote-shield pins, the partitioned-INSERT
+#     transposition regression pin)
+#   5 r9-era window_* leftovers (last driver row CORRECTNESS_r09)
+#   41 oldest-green fills: the first 41 alphabetically of the 50
+#     names whose last driver row is CORRECTNESS_r10; the remaining
+#     9 (tpch_q17_small_quantity, tpch_q19_disjunctive,
+#     tpch_q1_pricing_summary, tpch_q20_excess_stock,
+#     tpch_q2_min_cost_supplier, tpch_q4_order_priority,
+#     tpch_q7_volume_shipping, tpch_q8_market_share,
+#     unpivot_measures) rotate r15
 #
-# ROUND-14 ROTATION CANDIDATES: the round-13 oracle-backed additions
-# land first (dialect_alias_where_literal_roundtrip — the r12
-# judge's literal-corruption reproduction through the ENGINE
-# fallback — and dialect_literal_shield_roundtrip and
-# dialect_backtick_ident_roundtrip, the quote-shield pins, and
-# sink_partitioned_append, the partitioned-INSERT transposition
-# regression pin; each green locally, never driver-checked), then
-# the 5 r9-era leftovers above, then oldest-green (r10-era) fills
-# to 50.
+# ROUND-15 ROTATION CANDIDATES: any round-14 oracle-backed additions
+# land first (the mutation-router-shield pins if given oracle rows),
+# then the 9 r10-era leftovers above, then oldest-green (r11-era)
+# fills to 50.
 DRIVER_WINDOW = {
-    # -- round-12 oracle-backed additions, first driver check (16) --
-    "dialect_array_join_shadow_roundtrip",
-    "dialect_arrayjoin_cartesian_roundtrip",
-    "dialect_extract_all_roundtrip",
-    "dialect_interval_string_roundtrip",
-    "dialect_ipv4_format_roundtrip",
-    "dialect_iso_year_start_roundtrip",
-    "dialect_json_uint_roundtrip",
-    "dialect_left_right_negative_roundtrip",
-    "dialect_multiarray_lambda_roundtrip",
-    "dialect_parse_or_zero_roundtrip",
-    "dialect_parse_us_roundtrip",
-    "dialect_quarter_arithmetic_roundtrip",
-    "dialect_reinterpret_numeric_roundtrip",
-    "dialect_string_twins_roundtrip",
-    "dialect_topk_bare_roundtrip",
-    "dialect_tumble_window_roundtrip",
-    # -- r9-era names not refreshed since CORRECTNESS_r09 (34) --
-    "curation_stratified_sample",
-    "curation_train_val_test_split",
-    "date_functions",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_20gram",
-    "dedup_url_canonical",
-    "dialect_crypto_roundtrip",
-    "dialect_ipv4_roundtrip",
-    "dialect_retention_roundtrip",
-    "dialect_seqnextnode_roundtrip",
-    "dialect_windowfunnel_roundtrip",
-    "hybrid_keyword_ann",
-    "multimodal_resize",
-    "pivot_event_counts",
-    "quality_constraint_report",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_prospects",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "uniq_approx_check",
-    "uniq_rollup_check",
-    "window_daily_rollup",
-    "window_first_last_frame",
-    "window_gapfill_hourly",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_family",
+    # -- round-13 oracle-backed additions, first driver check (4) --
+    "dialect_alias_where_literal_roundtrip",
+    "dialect_backtick_ident_roundtrip",
+    "dialect_literal_shield_roundtrip",
+    "sink_partitioned_append",
+    # -- r9-era window_* leftovers (5) --
+    "window_running_sum",
+    "window_session_10m",
+    "window_sliding_1h_30m",
+    "window_topk_per_group",
+    "window_tumbling_hourly",
+    # -- oldest-green r10-era fills (41) --
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_correlation",
+    "agg_distinct_multi",
+    "agg_ema_check",
+    "agg_entropy",
+    "agg_histogram",
+    "agg_weighted_median",
+    "ann_ivf_full_probe",
+    "case_when_agg",
+    "checksum_invariance",
+    "cluster_assign_topics",
+    "cross_join_matrix",
+    "cube_agg",
+    "dedup_cross_corpus_lsh",
+    "dedup_minhash_lsh",
+    "dedup_semantic_within_cluster",
+    "dialect_agg_roundtrip",
+    "dialect_array_join_roundtrip",
+    "dialect_asof_roundtrip",
+    "dialect_cast_types_roundtrip",
+    "dialect_limit_by_roundtrip",
+    "dialect_limit_ties_roundtrip",
+    "dialect_relative_num_roundtrip",
+    "dialect_seqcount_adjacent_roundtrip",
+    "dialect_seqmatch_adjacent_roundtrip",
+    "dialect_seqmatch_time_roundtrip",
+    "dialect_windowfunnel_dedup_roundtrip",
+    "dialect_windowfunnel_strict_roundtrip",
+    "scalar_functions",
+    "string_functions",
+    "sum_group_by",
+    "text_boilerplate_lines",
+    "text_c4_filters",
+    "text_html_extract",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_relation",
 }
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

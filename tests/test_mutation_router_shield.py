@@ -220,3 +220,304 @@ class TestMaskStringLiterals:
         masked = _mask_string_literals(raw)
         assert masked.endswith("WHERE k = 1")
         assert "WHERE b" not in masked
+
+
+class TestRouterSweepLiteralSafety:
+    """Round-14 adversarial pass over the engine's statement-router
+    regex table (VERDICT r13 Next #7): every locator that previously
+    scanned RAW request text now locates on a masked copy. Three of
+    these were live silent-corruption bugs found this round."""
+
+    def test_system_dotted_name_in_literal_is_data(self, eng):
+        # was: silently rewritten to 'see system_parts docs'
+        assert eng.execute(
+            "SELECT 'see system.parts docs' AS s"
+        ).rows == [["see system.parts docs"]]
+
+    def test_system_numbers_in_literal_is_data(self, eng):
+        # was: literal replaced with the range() subquery text
+        assert eng.execute(
+            "SELECT 'use system.numbers here' AS s"
+        ).rows == [["use system.numbers here"]]
+
+    def test_system_rewrite_still_fires_unquoted(self, eng):
+        assert eng.execute(
+            "SELECT number FROM system.numbers LIMIT 3"
+        ).rows == [[0], [1], [2]]
+
+    def test_ctas_engine_null_in_literal_keeps_rows(self, eng):
+        # was: table registered as ENGINE=Null -> CTAS kept 0 rows
+        eng.execute("DROP TABLE IF EXISTS __rs14")
+        eng.execute(
+            "CREATE TABLE __rs14 ORDER BY tuple() AS "
+            "SELECT 'ENGINE = Null oops' AS s"
+        )
+        assert eng.execute(
+            "SELECT count(*) AS c FROM __rs14"
+        ).rows == [[1]]
+        eng.execute("DROP TABLE IF EXISTS __rs14")
+
+    def test_real_engine_null_still_detected(self, eng):
+        eng.execute("DROP TABLE IF EXISTS __rs14n")
+        eng.execute(
+            "CREATE TABLE __rs14n ENGINE = Null ORDER BY tuple() AS "
+            "SELECT 1 AS x"
+        )
+        assert eng.execute(
+            "SELECT count(*) AS c FROM __rs14n"
+        ).rows == [[0]]
+        eng.execute("DROP TABLE IF EXISTS __rs14n")
+
+    def test_into_outfile_in_literal_is_data(self, eng):
+        assert eng.execute(
+            "SELECT 'x INTO OUTFILE ', '/tmp/nope' AS p"
+        ).rows == [["x INTO OUTFILE ", "/tmp/nope"]]
+
+    def test_into_outfile_still_works(self, eng, tmp_path):
+        out = str(tmp_path / "o14.tsv")
+        r = eng.execute(
+            f"SELECT 1 AS a INTO OUTFILE '{out}' FORMAT CSV"
+        )
+        assert r.rows[0][0] == out
+        assert open(out).read().strip() == "1"
+
+    def test_insert_values_literal_with_format_keyword(self, eng):
+        eng.execute("DROP TABLE IF EXISTS __rsf14")
+        eng.execute(
+            "CREATE TABLE __rsf14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "INSERT INTO __rsf14 VALUES (1, 'keep FORMAT CSV intact')"
+        )
+        assert eng.execute(
+            "SELECT v FROM __rsf14"
+        ).rows == [["keep FORMAT CSV intact"]]
+        eng.execute("DROP TABLE IF EXISTS __rsf14")
+
+    def test_create_view_literal_with_as_select(self, eng):
+        eng.execute(
+            "CREATE OR REPLACE VIEW __rv14 AS "
+            "SELECT 'CREATE TABLE x AS SELECT 1' AS ddl"
+        )
+        assert eng.execute(
+            "SELECT ddl FROM __rv14"
+        ).rows == [["CREATE TABLE x AS SELECT 1"]]
+
+
+class TestLimitByRawKeys:
+    """ADVICE r13 (medium): _rewrite_limit_by located on the masked
+    text but took the BY keys from the MASKED group, blanking quoted
+    identifiers and literal arguments in the key list."""
+
+    def test_limit_by_backticked_key(self, eng):
+        eng.execute("DROP TABLE IF EXISTS __lb14")
+        eng.execute(
+            "CREATE TABLE __lb14 (`user id` Int64, v Int64) "
+            "ENGINE = MergeTree ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __lb14 VALUES (1, 10), (1, 20), (2, 30)"
+        )
+        r = eng.execute(
+            "SELECT `user id`, v FROM __lb14 ORDER BY v "
+            "LIMIT 1 BY `user id`"
+        )
+        assert sorted(r.rows) == [[1, 10], [2, 30]]
+        eng.execute("DROP TABLE IF EXISTS __lb14")
+
+    def test_limit_by_expression_with_literal(self, eng):
+        r = eng.execute(
+            "SELECT k, v FROM "
+            "(SELECT 1 AS k, 10 AS v UNION ALL SELECT 1, 20 "
+            "UNION ALL SELECT 2, 30) ORDER BY v "
+            "LIMIT 1 BY concat(toString(k), '-x')"
+        )
+        assert sorted(r.rows) == [[1, 10], [2, 30]]
+
+
+class TestPartitionMaintenanceSeams:
+    """ADVICE r13 lows: OPTIMIZE ... PARTITION must apply TTL like
+    the whole-table merge does (CH applies TTL at ANY merge), the
+    partition directory lookup must use Spark's escaped dir names,
+    and a missing partition column on an ordinary write fails LOUD."""
+
+    def test_optimize_partition_applies_ttl(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __ttl14")
+        eng.execute(
+            "CREATE TABLE __ttl14 (k Int64, ts DateTime, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __ttl14 VALUES "
+            "(1, '2000-01-01 00:00:00', 10), "
+            "(1, '2099-01-01 00:00:00', 20), "
+            "(2, '2000-01-01 00:00:00', 30)"
+        )
+        eng.execute(
+            "ALTER TABLE __ttl14 MODIFY TTL ts + INTERVAL 1 DAY"
+        )
+        eng.execute("OPTIMIZE TABLE __ttl14 PARTITION '1' FINAL")
+        # partition 1: the 2000 row expired, the 2099 row kept;
+        # partition 2 untouched (its merge hasn't run)
+        assert eng.execute(
+            "SELECT k, v FROM __ttl14 ORDER BY k, v"
+        ).rows == [[1, 20], [2, 30]]
+        eng.execute("DROP TABLE IF EXISTS __ttl14")
+
+    def test_optimize_partition_ttl_on_partition_key(self, spark):
+        # TTL referencing the partition column itself: the value
+        # lives in the directory name and is injected for the filter
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __ttlk14")
+        eng.execute(
+            "CREATE TABLE __ttlk14 (d Date, v Int64) "
+            "ENGINE = MergeTree PARTITION BY d ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __ttlk14 VALUES "
+            "('2000-01-01', 1), ('2099-01-01', 2)"
+        )
+        eng.execute(
+            "ALTER TABLE __ttlk14 MODIFY TTL d + INTERVAL 30 DAY"
+        )
+        eng.execute(
+            "OPTIMIZE TABLE __ttlk14 PARTITION '2000-01-01' FINAL"
+        )
+        assert eng.execute(
+            "SELECT v FROM __ttlk14 ORDER BY v"
+        ).rows == [[2]]
+        eng.execute("DROP TABLE IF EXISTS __ttlk14")
+
+    def test_optimize_partition_escaped_dir_value(self, spark):
+        # 'a:b' is escaped to a%3Ab in the directory name
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __esc14")
+        eng.execute(
+            "CREATE TABLE __esc14 (g String, v Int64) "
+            "ENGINE = MergeTree PARTITION BY g ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __esc14 VALUES ('a:b', 1), ('a:b', 2), "
+            "('plain', 3)"
+        )
+        r = eng.execute("OPTIMIZE TABLE __esc14 PARTITION 'a:b' FINAL")
+        assert r.rows[0][2] >= 1  # files_after
+        assert eng.execute(
+            "SELECT g, v FROM __esc14 ORDER BY v"
+        ).rows == [["a:b", 1], ["a:b", 2], ["plain", 3]]
+        eng.execute("DROP TABLE IF EXISTS __esc14")
+
+    def test_escape_partition_value_table(self):
+        esc = BigHouseEngine._escape_partition_value
+        assert esc("a:b") == "a%3Ab"
+        assert esc("a=b") == "a%3Db"
+        assert esc("a b") == "a b"
+        assert esc("") == "__HIVE_DEFAULT_PARTITION__"
+        assert esc("NULL") == "__HIVE_DEFAULT_PARTITION__"
+        assert esc("100") == "100"
+
+    def test_insert_missing_partition_column_fails_loud(self, spark):
+        # a df without the partition key on an ORDINARY write path
+        # must raise, not silently write an unpartitioned layout
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __loud14")
+        eng.execute(
+            "CREATE TABLE __loud14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        df = spark.createDataFrame([(5,)], "v long")
+        with pytest.raises(Exception):
+            eng._table_writer(df, "__loud14", "parquet", "append").save(
+                eng._attached["__loud14"][0]
+            )
+        eng.execute("DROP TABLE IF EXISTS __loud14")
+
+
+class TestRound14ProbeTranche:
+    """VERDICT r13 Next #5 probes: composition seams around the
+    round-13 partition-scoped maintenance."""
+
+    def test_optimize_partition_final_token_guided(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __pr14")
+        eng.execute(
+            "CREATE TABLE __pr14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __pr14 VALUES (1, 10)")
+        with pytest.raises(ValueError, match="must precede FINAL"):
+            eng.execute("OPTIMIZE TABLE __pr14 PARTITION FINAL")
+        eng.execute("DROP TABLE IF EXISTS __pr14")
+
+    def test_partition_scoped_update_refreshes_mv(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mv14_src")
+        eng.execute(
+            "CREATE TABLE __mv14_src (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __mv14_src VALUES (1, 10), (1, 20), (2, 30)"
+        )
+        eng.execute(
+            "CREATE MATERIALIZED VIEW __mv14 POPULATE AS "
+            "SELECT k, sum(v) AS s FROM __mv14_src GROUP BY k"
+        )
+        eng.execute(
+            "ALTER TABLE __mv14_src UPDATE v = v + 1 "
+            "IN PARTITION '1' WHERE 1"
+        )
+        assert sorted(eng.execute(
+            "SELECT k, s FROM __mv14"
+        ).rows) == [[1, 32], [2, 30]]
+        eng.execute("DROP TABLE IF EXISTS __mv14")
+        eng.execute("DROP TABLE IF EXISTS __mv14_src")
+
+    def test_insert_select_with_column_list_partitioned(self, spark):
+        # _target_schema x INSERT ... (cols) SELECT: the listed
+        # order, not the declared order, maps the SELECT output
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cl14")
+        eng.execute(
+            "CREATE TABLE __cl14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __cl14 (v, k) SELECT 50, 5")
+        eng.execute("INSERT INTO __cl14 (k, v) SELECT 6, 60")
+        assert eng.execute(
+            "SELECT k, v FROM __cl14 ORDER BY k"
+        ).rows == [[5, 50], [6, 60]]
+        eng.execute("DROP TABLE IF EXISTS __cl14")
+
+    def test_exchange_partitioned_then_optimize_partition(self, spark):
+        # EXCHANGE must carry the PARTITION BY record with each name
+        # so a partition-scoped OPTIMIZE lands on the right layout
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __exa14")
+        eng.execute("DROP TABLE IF EXISTS __exb14")
+        eng.execute(
+            "CREATE TABLE __exa14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "CREATE TABLE __exb14 (g String, v Int64) "
+            "ENGINE = MergeTree PARTITION BY g ORDER BY v"
+        )
+        eng.execute("INSERT INTO __exa14 VALUES (1, 10), (1, 11)")
+        eng.execute("INSERT INTO __exb14 VALUES ('x', 7)")
+        eng.execute("EXCHANGE TABLES __exa14 AND __exb14")
+        # __exb14 now holds the k-partitioned data
+        r = eng.execute("OPTIMIZE TABLE __exb14 PARTITION '1' FINAL")
+        assert r.rows[0][2] == 1
+        assert eng.execute(
+            "SELECT k, v FROM __exb14 ORDER BY v"
+        ).rows == [[1, 10], [1, 11]]
+        # and __exa14 holds the g-partitioned row
+        r2 = eng.execute("OPTIMIZE TABLE __exa14 PARTITION 'x'")
+        assert eng.execute(
+            "SELECT g, v FROM __exa14"
+        ).rows == [["x", 7]]
+        eng.execute("DROP TABLE IF EXISTS __exa14")
+        eng.execute("DROP TABLE IF EXISTS __exb14")
