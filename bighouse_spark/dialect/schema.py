@@ -169,22 +169,137 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
     raise ValueError(f"unsupported ClickHouse type: {ch_type!r}")
 
 
+def _mask_string_literals(sql: str) -> str:
+    """Blank the CONTENT of single-quoted string literals ONLY,
+    keeping the quote delimiters themselves and every identifier-
+    quoting span (`...` / "...") verbatim — offsets preserved, so
+    callers locate on the masked copy and slice the RAW text by
+    span. Canonical home of the router mask (transpile.py re-exports
+    it); lives here because the schema parsers need it too and
+    transpile imports schema, not the reverse."""
+    masked = []
+    quote: str | None = None
+    skip = False
+    for c in sql:
+        if quote == "'":
+            if skip:
+                masked.append(" ")
+                skip = False
+            elif c == "\\":
+                masked.append(" ")
+                skip = True  # \' stays inside the literal
+            elif c == "'":
+                masked.append(c)
+                quote = None
+            else:
+                masked.append(" ")
+        elif quote:  # ` or " identifier span: content kept verbatim
+            masked.append(c)
+            if c == quote:
+                quote = None
+        else:
+            masked.append(c)
+            if c in "'\"`":
+                quote = c
+    return "".join(masked)
+
+
+# Per-column clause keywords CH allows after the type in a column
+# declaration. DEFAULT is honored (recorded by the engine and used
+# for partial-INSERT fills / CLEAR COLUMN); CODEC/COMMENT/TTL are
+# accepted-and-dropped (storage/metadata knobs parquet subsumes);
+# MATERIALIZED/ALIAS/EPHEMERAL are refused with guidance (computed /
+# insert-only columns — different read semantics, not silently a
+# stored column).
+_COL_CLAUSE_RE = re.compile(
+    r"[()]|\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|TTL|COMMENT)\b",
+    re.IGNORECASE,
+)
+
+
+def parse_column_item(item: str) -> tuple[str, str, dict[str, str]]:
+    """One CH column declaration → ``(name, ch_type, clauses)``.
+
+    ``clauses`` maps the upper-cased clause keyword to its raw
+    expression text. Clause keywords are located at paren-depth 0 on
+    a string-literal-masked copy, so ``DEFAULT 'a DEFAULT b'`` or an
+    ``Enum8('TTL' = 1)`` type never split wrong; the expressions are
+    sliced from the raw text.
+    """
+    item = item.strip()
+    m = re.match(r"^(`[^`]+`|\"[^\"]+\"|\S+)(?:\s+(.+))?$", item, re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse schema item: {item!r}")
+    name = m.group(1).strip('`"')
+    if m.group(2) is None:
+        raise ValueError(
+            f"cannot parse schema item: {item!r} (a column needs an "
+            "explicit type — CH's type-inferred `col DEFAULT expr` "
+            "form is not supported)"
+        )
+    rest = item[m.start(2):]
+    depth = 0
+    marks: list[tuple[int, int, str]] = []
+    for mt in _COL_CLAUSE_RE.finditer(_mask_string_literals(rest)):
+        tok = mt.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            marks.append((mt.start(), mt.end(), mt.group(1).upper()))
+    if not marks:
+        return name, rest.strip(), {}
+    ch_type = rest[: marks[0][0]].strip()
+    if not ch_type:
+        raise ValueError(
+            f"cannot parse schema item: {item!r} (a column needs an "
+            "explicit type — CH's type-inferred `col DEFAULT expr` "
+            "form is not supported)"
+        )
+    clauses: dict[str, str] = {}
+    for idx, (s, e, kw) in enumerate(marks):
+        end = marks[idx + 1][0] if idx + 1 < len(marks) else len(rest)
+        clauses[kw] = rest[e:end].strip()
+    return name, ch_type, clauses
+
+
+def parse_schema_defaults(schema: str) -> dict[str, str]:
+    """``col -> DEFAULT expression`` for columns declaring one."""
+    out: dict[str, str] = {}
+    for item in _split_commas(schema):
+        if not item.strip():
+            continue
+        name, _ch_type, clauses = parse_column_item(item)
+        if "DEFAULT" in clauses:
+            out[name] = clauses["DEFAULT"]
+    return out
+
+
 def parse_schema_string(schema: str) -> T.StructType:
     """Parse ``'col Type, col Type, ...'`` into a ``StructType``.
 
-    Column names may be backquoted. All fields are nullable (CSV rows
-    can always be missing values; matches schema-on-read semantics).
+    Column names may be backquoted. Per-column DEFAULT/CODEC/
+    COMMENT/TTL clauses are tolerated (DEFAULT expressions are
+    recorded separately by the engine via ``parse_schema_defaults``);
+    MATERIALIZED/ALIAS/EPHEMERAL columns are refused. All fields are
+    nullable (CSV rows can always be missing values; matches
+    schema-on-read semantics).
     """
     fields = []
     for item in _split_commas(schema):
         item = item.strip()
         if not item:
             continue
-        m = re.match(r"^(`[^`]+`|\"[^\"]+\"|\S+)\s+(.+)$", item)
-        if not m:
-            raise ValueError(f"cannot parse schema item: {item!r}")
-        name = m.group(1).strip('`"')
-        fields.append(T.StructField(name, ch_type_to_spark(m.group(2))))
+        name, ch_type, clauses = parse_column_item(item)
+        bad = {"MATERIALIZED", "ALIAS", "EPHEMERAL"} & clauses.keys()
+        if bad:
+            raise ValueError(
+                f"column {name!r}: {sorted(bad)[0]} columns are not "
+                "served (computed/insert-only semantics); declare a "
+                "stored column and compute in the SELECT instead"
+            )
+        fields.append(T.StructField(name, ch_type_to_spark(ch_type)))
     if not fields:
         raise ValueError("empty schema string")
     return T.StructType(fields)

@@ -215,6 +215,11 @@ class BigHouseEngine:
         # registration only carries a schema string for CSV/partition
         # reads).
         self._ch_col_ddl: dict[str, str] = {}
+        # declared per-column DEFAULT expressions (CH dialect text),
+        # table -> {col: expr}: used to fill columns omitted from an
+        # INSERT and by CLEAR COLUMN, like CH. Travels with the table
+        # through RENAME/EXCHANGE; edited by column DDL.
+        self._column_defaults: dict[str, dict[str, str]] = {}
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -303,6 +308,10 @@ class BigHouseEngine:
             # insert into an exchanged table transposed columns)
             if old in self._ch_col_ddl:
                 self._ch_col_ddl[new] = self._ch_col_ddl.pop(old)
+            if old in self._column_defaults:
+                self._column_defaults[new] = (
+                    self._column_defaults.pop(old)
+                )
             for (t, c) in [k for k in self._comments if k[0] == old]:
                 self._comments[(new, c)] = self._comments.pop((t, c))
             self.attach_table(new, path, fmt=fmt, schema=schema)
@@ -1581,13 +1590,23 @@ class BigHouseEngine:
         list: a column declared ``Nullable(...)`` (or attached with no
         CH schema string) fills NULL; otherwise CH's TYPE DEFAULT
         (0 / '' / 1970-01-01 / false / empty container) — CH never
-        writes NULL into a non-Nullable column. Per-column DEFAULT
-        expressions from DDL are not retained (accepted-and-dropped
-        like the MergeTree SETTINGS), so the type default stands in."""
+        writes NULL into a non-Nullable column. A column declared
+        with an explicit ``DEFAULT <expr>`` fills that expression
+        (round 14; previously accepted-and-dropped)."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         from bighouse_spark.dialect.schema import _split_commas
+
+        declared_default = self._column_defaults.get(name, {}).get(
+            field.name
+        )
+        if declared_default is not None:
+            expr = (
+                transpile(f"SELECT {declared_default}", self.spark)
+                .sql.removeprefix("SELECT ")
+            )
+            return F.expr(expr).cast(field.dataType)
 
         schema_str = self._ch_col_ddl.get(name) or self._attached[name][2]
         declared = None
@@ -2527,12 +2546,18 @@ class BigHouseEngine:
                     if default else "NULL"
                 )
                 df = tbl.withColumn(col, F.expr(expr).cast(dt))
+                if default:
+                    # future partial INSERTs fill with this too (CH)
+                    self._column_defaults.setdefault(name, {})[col] = (
+                        default
+                    )
                 if ddl_items is not None:
                     ddl_items.append(f"`{col}` {ch_type}")
             elif op == "DROP":
                 if col not in tbl.columns:
                     raise ValueError(f"DROP COLUMN {col}: no such column")
                 df = tbl.drop(col)
+                self._column_defaults.get(name, {}).pop(col, None)
                 if ddl_items is not None:
                     ddl_items = [
                         it for it in ddl_items if _item_name(it) != col
@@ -2546,6 +2571,9 @@ class BigHouseEngine:
                         f"{rest!r}"
                     )
                 df = tbl.withColumnRenamed(col, rm.group(1))
+                dflts = self._column_defaults.get(name, {})
+                if col in dflts:
+                    dflts[rm.group(1)] = dflts.pop(col)
                 if ddl_items is not None:
                     ddl_items = [
                         re.sub(r'^\s*(`[^`]+`|"[^"]+"|\S+)',
@@ -2553,12 +2581,23 @@ class BigHouseEngine:
                         if _item_name(it) == col else it
                         for it in ddl_items
                     ]
-            else:  # MODIFY: retype in place
-                dt = ch_type_to_spark(rest.strip())
+            else:  # MODIFY: retype in place (optionally new DEFAULT)
+                from bighouse_spark.dialect.schema import (
+                    parse_column_item,
+                )
+
+                _nm, mod_type, mod_clauses = parse_column_item(
+                    f"`{col}` {rest.strip()}"
+                )
+                dt = ch_type_to_spark(mod_type)
                 df = tbl.withColumn(col, F.col(col).cast(dt))
+                if "DEFAULT" in mod_clauses:
+                    self._column_defaults.setdefault(name, {})[col] = (
+                        mod_clauses["DEFAULT"]
+                    )
                 if ddl_items is not None:
                     ddl_items = [
-                        f"`{col}` {rest.strip()}"
+                        f"`{col}` {mod_type}"
                         if _item_name(it) == col else it
                         for it in ddl_items
                     ]
@@ -2662,10 +2701,13 @@ class BigHouseEngine:
             self._attached_path_or_raise(name, f"ALTER TABLE {op} INDEX")
             idx = self._skip_indices.setdefault(name, {})
             if op == "ADD":
+                # masked locate: the index EXPR may hold literals
+                # containing ' TYPE x' (round-14 router sweep)
                 m = re.match(
                     r"^(.*?)\s+TYPE\s+(\w+)(?:\s*\([^)]*\))?"
                     r"(?:\s+GRANULARITY\s+\d+)?\s*$",
-                    rest, re.IGNORECASE | re.DOTALL,
+                    _mask_string_literals(rest),
+                    re.IGNORECASE | re.DOTALL,
                 )
                 if not m:
                     raise ValueError(
@@ -2673,7 +2715,8 @@ class BigHouseEngine:
                         "{bloom_filter|tokenbf_v1|ngrambf_v1|minmax|"
                         "set} [GRANULARITY n]"
                     )
-                expr, ityp = m.group(1).strip(), m.group(2).lower()
+                expr = rest[m.start(1):m.end(1)].strip()
+                ityp = m.group(2).lower()
                 if ityp not in (
                     "bloom_filter", "tokenbf_v1", "ngrambf_v1",
                     "minmax", "set",
@@ -2760,9 +2803,22 @@ class BigHouseEngine:
             df = self.spark.table(name)
             if col not in df.columns:
                 raise ValueError(f"CLEAR COLUMN: no column {col!r}")
+            # CH resets to the column's declared DEFAULT when one
+            # exists, else the type default (round 14)
+            decl = self._column_defaults.get(name, {}).get(col)
+            if decl is not None:
+                clear_sql = (
+                    f"CAST(("
+                    + transpile(f"SELECT {decl}", self.spark)
+                    .sql.removeprefix("SELECT ")
+                    + f") AS {df.schema[col].dataType.simpleString()})"
+                )
+            else:
+                clear_sql = self._type_default_sql(
+                    df.schema[col].dataType
+                )
             items = [
-                f"{self._type_default_sql(df.schema[c].dataType)} "
-                f"AS `{c}`" if c == col else f"`{c}`"
+                f"{clear_sql} AS `{c}`" if c == col else f"`{c}`"
                 for c in df.columns
             ]
             sel = f"SELECT {', '.join(items)} FROM {name}"
@@ -3050,13 +3106,18 @@ class BigHouseEngine:
                     f"UNDROP TABLE {name}: the name is in use"
                 )
             parked = self._dropped_tables.pop(name)
-            (path, fmt, schema), pcols, ocols, comments = parked
+            (path, fmt, schema), pcols, ocols, comments, col_ddl, \
+                col_defaults = parked
             if pcols:
                 self._partitioned[name] = pcols
             if ocols:
                 self._ordered[name] = ocols
             self._comments.update(comments)
             self.attach_table(name, path, fmt=fmt, schema=schema)
+            if col_ddl:
+                self._ch_col_ddl[name] = col_ddl
+            if col_defaults:
+                self._column_defaults[name] = col_defaults
             elapsed = time.monotonic() - t0
             self.query_log.append(
                 QueryLogEntry(request.query, "<undrop>", elapsed, 0)
@@ -3409,7 +3470,7 @@ class BigHouseEngine:
                 c = q[i]
                 if quote:
                     quote = None if c == quote else quote
-                elif c in "'\"":
+                elif c in "'\"`":
                     quote = c
                 elif c == "(":
                     depth += 1
@@ -3418,7 +3479,9 @@ class BigHouseEngine:
                 i += 1
             cols, tail = q[m_ct.end(): i - 1], q[i:]
             m_tail = (
-                None if depth else self._CREATE_TABLE_TAIL_RE.match(tail)
+                None if depth else self._CREATE_TABLE_TAIL_RE.match(
+                    _mask_string_literals(tail)
+                )
             )
             if m_tail is None:
                 raise ValueError(
@@ -3440,18 +3503,19 @@ class BigHouseEngine:
             schema = parse_schema_string(cols)
             path = tempfile.mkdtemp(prefix=f"bh_tbl_{name}_")
             decl_schema = None
-            if m_tail.group(1):
+            tail_part, tail_order = self._raw_groups(m_tail, tail)
+            if tail_part:
                 self._partitioned[name] = self._parse_partition_by(
-                    m_tail.group(1), [f.name for f in schema.fields]
+                    tail_part, [f.name for f in schema.fields]
                 )
                 # A partitioned dir stores partition values in dir
                 # names, not files — keep the declared schema on the
                 # registration so column order and types (and the
                 # empty-table read) stay exactly as declared.
                 decl_schema = cols
-            if m_tail.group(2):
+            if tail_order:
                 ocols = self._parse_order_by(
-                    m_tail.group(2), [f.name for f in schema.fields]
+                    tail_order, [f.name for f in schema.fields]
                 )
                 if ocols:
                     self._ordered[name] = ocols
@@ -3461,6 +3525,14 @@ class BigHouseEngine:
             ).save(path)
             self.attach_table(name, path, schema=decl_schema)
             self._ch_col_ddl[name] = cols
+            self._column_defaults.pop(name, None)
+            from bighouse_spark.dialect.schema import (
+                parse_schema_defaults,
+            )
+
+            col_defaults = parse_schema_defaults(cols)
+            if col_defaults:
+                self._column_defaults[name] = col_defaults
             # masked: 'ENGINE = Null' inside a SELECT literal must
             # not mark the table as a Null engine (silent data drop,
             # found round 14)
@@ -3617,6 +3689,8 @@ class BigHouseEngine:
                     self._partitioned.get(name),
                     self._ordered.get(name),
                     dropped_comments,
+                    self._ch_col_ddl.get(name),
+                    self._column_defaults.get(name),
                 )
             # Comments describe THIS table's columns — clear them so
             # a different dataset later attached under the same name
@@ -3633,6 +3707,12 @@ class BigHouseEngine:
             self._skip_indices.pop(name, None)
             self._ttl.pop(name, None)
             self._ordered.pop(name, None)
+            # the declared-order / default records die with the
+            # table: leaving them made the first positional INSERT
+            # into a same-named REPLACEMENT table transpose columns
+            # (round-14 probe — the r13 bug class, DROP+recreate axis)
+            self._ch_col_ddl.pop(name, None)
+            self._column_defaults.pop(name, None)
             self._user_views.pop(name, None)
             mv = self._mviews.pop(name, None)
             if mv is not None:
@@ -4182,8 +4262,16 @@ class BigHouseEngine:
         # stale for it; the explicit (schema) clause, if given,
         # becomes the new record.
         self._ch_col_ddl.pop(name, None)
+        self._column_defaults.pop(name, None)
         if cols:
             self._ch_col_ddl[name] = cols
+            from bighouse_spark.dialect.schema import (
+                parse_schema_defaults,
+            )
+
+            col_defaults = parse_schema_defaults(cols)
+            if col_defaults:
+                self._column_defaults[name] = col_defaults
         tail_part, tail_order = self._raw_groups(m_tail, tail or "")
         if tail_part:
             try:

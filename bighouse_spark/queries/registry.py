@@ -64,10 +64,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     tpch_q7_volume_shipping, tpch_q8_market_share,
 #     unpivot_measures) rotate r15
 #
-# ROUND-15 ROTATION CANDIDATES: any round-14 oracle-backed additions
-# land first (the mutation-router-shield pins if given oracle rows),
-# then the 9 r10-era leftovers above, then oldest-green (r11-era)
-# fills to 50.
+# ROUND-15 ROTATION CANDIDATES: the round-14 oracle-backed additions
+# land first — `sink_mutation_literal_roundtrip` (the mutation-router
+# shield pin: keyword-bearing literals in UPDATE assignments +
+# WHERE 1) and `sink_engine_literal_roundtrip` (the ENGINE=Null /
+# system.* literal-corruption pins, both live silent-data bugs found
+# and fixed in r14) and `sink_column_default_roundtrip` (per-column
+# DEFAULT fills, new r14 feature) — then the 9 r10-era leftovers
+# above, then oldest-green (r11-era) fills to 50.
 DRIVER_WINDOW = {
     # -- round-13 oracle-backed additions, first driver check (4) --
     "dialect_alias_where_literal_roundtrip",

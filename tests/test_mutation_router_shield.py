@@ -521,3 +521,184 @@ class TestRound14ProbeTranche:
         ).rows == [["x", 7]]
         eng.execute("DROP TABLE IF EXISTS __exa14")
         eng.execute("DROP TABLE IF EXISTS __exb14")
+
+
+class TestCreateTableLiteralParens:
+    """Round-14 sweep tail: the CREATE TABLE schema paren-scan
+    tracks backticks, the trailing-clause match is masked, and ADD
+    INDEX locates TYPE on a masked copy."""
+
+    def test_create_table_default_literal_with_parens(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cp14")
+        eng.execute(
+            "CREATE TABLE __cp14 (k Int64, v String DEFAULT 'a)b(', "
+            "w String DEFAULT ':-)') ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __cp14 (k) VALUES (1)")
+        assert eng.execute(
+            "SELECT k, v, w FROM __cp14"
+        ).rows == [[1, "a)b(", ":-)"]]
+        eng.execute("DROP TABLE IF EXISTS __cp14")
+
+    def test_create_table_partition_by_after_literal_default(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cp14b")
+        eng.execute(
+            "CREATE TABLE __cp14b (k Int64, v String DEFAULT 'x(') "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __cp14b VALUES (1, 'a'), (2, 'b')")
+        # partition pruning layout proves PARTITION BY was parsed
+        r = eng.execute("OPTIMIZE TABLE __cp14b PARTITION '1'")
+        assert r.rows[0][2] >= 1
+        eng.execute("DROP TABLE IF EXISTS __cp14b")
+
+    def test_add_index_expr_literal_with_type_keyword(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __ix14")
+        eng.execute(
+            "CREATE TABLE __ix14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        r = eng.execute(
+            "ALTER TABLE __ix14 ADD INDEX i1 "
+            "concat(v, ' TYPE bloom_filter x') TYPE minmax"
+        )
+        assert r.rows == [["__ix14", "i1", "minmax"]]
+        eng.execute("DROP TABLE IF EXISTS __ix14")
+
+
+class TestColumnDefaults:
+    """Round-14 feature: per-column DEFAULT expressions in CREATE
+    TABLE / ALTER COLUMN DDL are honored (previously 'String DEFAULT
+    x' failed the schema parser entirely). CH semantics: a column
+    omitted from an INSERT fills its declared DEFAULT; CLEAR COLUMN
+    resets to it; the record travels through RENAME/EXCHANGE and
+    dies with DROP."""
+
+    def test_partial_insert_fills_declared_default(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __df14")
+        eng.execute(
+            "CREATE TABLE __df14 (k Int64, v String DEFAULT 'none', "
+            "n Int64 DEFAULT 7) ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __df14 (k) VALUES (1)")
+        eng.execute("INSERT INTO __df14 (k, v) VALUES (2, 'x')")
+        assert eng.execute(
+            "SELECT k, v, n FROM __df14 ORDER BY k"
+        ).rows == [[1, "none", 7], [2, "x", 7]]
+        eng.execute("DROP TABLE IF EXISTS __df14")
+
+    def test_default_expression_not_just_literal(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dfx14")
+        eng.execute(
+            "CREATE TABLE __dfx14 (k Int64, "
+            "d String DEFAULT concat('v', toString(40 + 2))) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __dfx14 (k) VALUES (1)")
+        assert eng.execute(
+            "SELECT d FROM __dfx14"
+        ).rows == [["v42"]]
+        eng.execute("DROP TABLE IF EXISTS __dfx14")
+
+    def test_clear_column_resets_to_declared_default(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dfc14")
+        eng.execute(
+            "CREATE TABLE __dfc14 (k Int64, v String DEFAULT 'dflt') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __dfc14 VALUES (1, 'real')")
+        eng.execute("ALTER TABLE __dfc14 CLEAR COLUMN v")
+        assert eng.execute(
+            "SELECT v FROM __dfc14"
+        ).rows == [["dflt"]]
+        eng.execute("DROP TABLE IF EXISTS __dfc14")
+
+    def test_alter_add_column_default_fills_future_inserts(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dfa14")
+        eng.execute(
+            "CREATE TABLE __dfa14 (k Int64) ENGINE = MergeTree "
+            "ORDER BY k"
+        )
+        eng.execute("INSERT INTO __dfa14 VALUES (1)")
+        eng.execute(
+            "ALTER TABLE __dfa14 ADD COLUMN tag String DEFAULT 'new'"
+        )
+        eng.execute("INSERT INTO __dfa14 (k) VALUES (2)")
+        assert eng.execute(
+            "SELECT k, tag FROM __dfa14 ORDER BY k"
+        ).rows == [[1, "new"], [2, "new"]]
+        eng.execute("DROP TABLE IF EXISTS __dfa14")
+
+    def test_materialized_column_refused_with_guidance(self, spark):
+        eng = BigHouseEngine(spark)
+        with pytest.raises(ValueError, match="MATERIALIZED"):
+            eng.execute(
+                "CREATE TABLE __dfm14 (k Int64, m Int64 MATERIALIZED "
+                "k * 2) ENGINE = MergeTree ORDER BY k"
+            )
+
+    def test_default_literal_with_clause_keywords(self, spark):
+        # the clause splitter must locate keywords on a masked copy
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dfl14")
+        eng.execute(
+            "CREATE TABLE __dfl14 (k Int64, "
+            "v String DEFAULT 'has DEFAULT and TTL words') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __dfl14 (k) VALUES (1)")
+        assert eng.execute(
+            "SELECT v FROM __dfl14"
+        ).rows == [["has DEFAULT and TTL words"]]
+        eng.execute("DROP TABLE IF EXISTS __dfl14")
+
+
+class TestDroppedRecordsDieWithTable:
+    """Round-14 probe (the r13 transposition class, DROP+recreate
+    axis, reproduced live): the declared-order record survived DROP,
+    so the first positional INSERT into a same-named CTAS
+    REPLACEMENT silently transposed columns."""
+
+    def test_drop_then_ctas_insert_not_transposed(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __st14")
+        eng.execute(
+            "CREATE TABLE __st14 (b Int64, a Int64) "
+            "ENGINE = MergeTree ORDER BY b"
+        )
+        eng.execute("DROP TABLE __st14")
+        eng.execute(
+            "CREATE TABLE __st14 ORDER BY tuple() AS "
+            "SELECT CAST(1 AS BIGINT) AS a, CAST(2 AS BIGINT) AS b"
+        )
+        eng.execute("INSERT INTO __st14 VALUES (10, 20)")
+        assert eng.execute(
+            "SELECT a, b FROM __st14 ORDER BY a"
+        ).rows == [[1, 2], [10, 20]]
+        eng.execute("DROP TABLE IF EXISTS __st14")
+
+    def test_undrop_restores_declared_order_and_defaults(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __ud14")
+        eng.execute(
+            "CREATE TABLE __ud14 (k Int64, v String DEFAULT 'd') "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __ud14 VALUES (1, 'a')")
+        eng.execute("DROP TABLE __ud14")
+        eng.execute("UNDROP TABLE __ud14")
+        # declared order survives (partitioned: the r13 transposition
+        # trigger) and the DEFAULT record still fills
+        eng.execute("INSERT INTO __ud14 VALUES (2, 'b')")
+        eng.execute("INSERT INTO __ud14 (k) VALUES (3)")
+        assert eng.execute(
+            "SELECT k, v FROM __ud14 ORDER BY k"
+        ).rows == [[1, "a"], [2, "b"], [3, "d"]]
+        eng.execute("DROP TABLE IF EXISTS __ud14")
