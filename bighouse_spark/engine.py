@@ -1594,10 +1594,18 @@ class BigHouseEngine:
         with an explicit ``DEFAULT <expr>`` fills that expression
         (round 14; previously accepted-and-dropped)."""
         from pyspark.sql import functions as F
+
+        return F.expr(self._missing_col_default_sql(name, field))
+
+    def _missing_col_default_sql(self, name: str, field) -> str:
+        """SQL-text form of :meth:`_missing_col_default` — also
+        spliced for the ``DEFAULT`` keyword in ``INSERT ... VALUES``
+        (CH spelling, round 14)."""
         from pyspark.sql import types as T
 
         from bighouse_spark.dialect.schema import _split_commas
 
+        s = field.dataType.simpleString()
         declared_default = self._column_defaults.get(name, {}).get(
             field.name
         )
@@ -1606,7 +1614,7 @@ class BigHouseEngine:
                 transpile(f"SELECT {declared_default}", self.spark)
                 .sql.removeprefix("SELECT ")
             )
-            return F.expr(expr).cast(field.dataType)
+            return f"CAST(({expr}) AS {s})"
 
         schema_str = self._ch_col_ddl.get(name) or self._attached[name][2]
         declared = None
@@ -1619,23 +1627,19 @@ class BigHouseEngine:
                     declared = m.group(2).strip()
                     break
         if declared is None or declared.lower().startswith("nullable("):
-            return F.lit(None).cast(field.dataType)
+            return f"CAST(NULL AS {s})"
         dt = field.dataType
         if isinstance(dt, T.StringType):
-            return F.lit("")
+            return "''"
         if isinstance(dt, T.DateType):
-            return F.lit("1970-01-01").cast(dt)
+            return "DATE '1970-01-01'"
         if isinstance(dt, T.TimestampType):
-            return F.lit("1970-01-01 00:00:00").cast(dt)
+            return "TIMESTAMP '1970-01-01 00:00:00'"
         if isinstance(dt, T.BooleanType):
-            return F.lit(False)
-        if isinstance(dt, T.ArrayType):
-            return F.expr("array()").cast(dt)
-        if isinstance(dt, T.MapType):
-            return F.expr("map()").cast(dt)
-        if isinstance(dt, T.NumericType):
-            return F.lit(0).cast(dt)
-        return F.lit(None).cast(dt)
+            return "false"
+        if isinstance(dt, (T.ArrayType, T.MapType, T.NumericType)):
+            return self._type_default_sql(dt)
+        return f"CAST(NULL AS {s})"
 
     def _target_schema(self, name: str):
         """The table's schema in DECLARED column order.
@@ -1670,6 +1674,61 @@ class BigHouseEngine:
             return T.StructType([by_name[c] for c in names])
         return target
 
+    def _expand_values_defaults(
+        self, name: str, body: str, target, cols: str | None
+    ) -> str:
+        """CH allows the bare ``DEFAULT`` keyword as a VALUES cell:
+        ``INSERT INTO t VALUES (1, DEFAULT)`` fills the column's
+        declared default (else its type default). Each depth-1
+        DEFAULT token — located on a string-literal-masked copy, so
+        ``'keep DEFAULT word'`` is data — is replaced by the SQL of
+        the column at its tuple position."""
+        from bighouse_spark.dialect.transpile import (
+            _mask_string_literals,
+        )
+
+        masked = _mask_string_literals(body)
+        if not re.search(r"\bDEFAULT\b", masked, re.IGNORECASE):
+            return body
+        if cols:
+            by_name = {f.name: f for f in target.fields}
+            field_order = [
+                by_name[c.strip().strip('`"')]
+                for c in cols.split(",")
+                if c.strip() and c.strip().strip('`"') in by_name
+            ]
+        else:
+            field_order = list(target.fields)
+        out, last, depth, commas = [], 0, 0, 0
+        for m in re.finditer(r"[(),]|\bDEFAULT\b", masked,
+                             re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+                if depth == 1:
+                    commas = 0
+            elif tok == ")":
+                depth -= 1
+            elif tok == ",":
+                if depth == 1:
+                    commas += 1
+            elif depth == 1:  # a bare DEFAULT cell
+                if commas >= len(field_order):
+                    raise ValueError(
+                        f"INSERT INTO {name}: DEFAULT at position "
+                        f"{commas + 1} exceeds the "
+                        f"{len(field_order)}-column target"
+                    )
+                out.append(body[last:m.start()])
+                out.append(
+                    self._missing_col_default_sql(
+                        name, field_order[commas]
+                    )
+                )
+                last = m.end()
+        out.append(body[last:])
+        return "".join(out)
+
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int,
         t0: float, cols: str | None = None,
@@ -1689,13 +1748,16 @@ class BigHouseEngine:
             )
         path, fmt, schema = self._attached[name]
         body = request.query[body_start:]
+        target = self._target_schema(name)
         if body.upper().startswith("VALUES"):
+            body = self._expand_values_defaults(
+                name, body, target, cols
+            )
             body = f"SELECT * FROM ({body})"
         from pyspark.sql import functions as F
 
         result = transpile(body, self.spark)
         df = self.spark.sql(result.sql)
-        target = self._target_schema(name)
         if cols:
             names = [
                 c.strip().strip('`"') for c in cols.split(",") if c.strip()

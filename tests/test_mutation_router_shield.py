@@ -702,3 +702,69 @@ class TestDroppedRecordsDieWithTable:
             "SELECT k, v FROM __ud14 ORDER BY k"
         ).rows == [[1, "a"], [2, "b"], [3, "d"]]
         eng.execute("DROP TABLE IF EXISTS __ud14")
+
+
+class TestDefaultKeywordInValues:
+    """CH spelling: `INSERT INTO t VALUES (1, DEFAULT)` fills the
+    column's declared default (else type default). Round 14."""
+
+    def test_values_default_uses_declared(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vd14")
+        eng.execute(
+            "CREATE TABLE __vd14 (k Int64, v String DEFAULT 'dd', "
+            "n Int64) ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "INSERT INTO __vd14 VALUES (1, DEFAULT, 5), "
+            "(2, 'x', DEFAULT)"
+        )
+        assert eng.execute(
+            "SELECT k, v, n FROM __vd14 ORDER BY k"
+        ).rows == [[1, "dd", 5], [2, "x", 0]]
+        eng.execute("DROP TABLE IF EXISTS __vd14")
+
+    def test_values_default_word_in_literal_is_data(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vdl14")
+        eng.execute(
+            "CREATE TABLE __vdl14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "INSERT INTO __vdl14 VALUES (1, 'keep DEFAULT word')"
+        )
+        assert eng.execute(
+            "SELECT v FROM __vdl14"
+        ).rows == [["keep DEFAULT word"]]
+        eng.execute("DROP TABLE IF EXISTS __vdl14")
+
+    def test_values_default_with_column_list(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vdc14")
+        eng.execute(
+            "CREATE TABLE __vdc14 (k Int64, v String DEFAULT 'dv', "
+            "n Int64 DEFAULT 9) ENGINE = MergeTree ORDER BY k"
+        )
+        # positional DEFAULT maps to the LISTED column (n), while
+        # the unlisted v fills its declared default too
+        eng.execute(
+            "INSERT INTO __vdc14 (k, n) VALUES (1, DEFAULT)"
+        )
+        assert eng.execute(
+            "SELECT k, v, n FROM __vdc14"
+        ).rows == [[1, "dv", 9]]
+        eng.execute("DROP TABLE IF EXISTS __vdc14")
+
+    def test_values_default_wire_format_payload(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vdw14")
+        eng.execute(
+            "CREATE TABLE __vdw14 (k Int64, v String DEFAULT 'w') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __vdw14 FORMAT Values (3, DEFAULT)")
+        assert eng.execute(
+            "SELECT k, v FROM __vdw14"
+        ).rows == [[3, "w"]]
+        eng.execute("DROP TABLE IF EXISTS __vdw14")
