@@ -2644,6 +2644,16 @@ class BigHouseEngine:
                         for it in ddl_items
                     ]
             else:  # MODIFY: retype in place (optionally new DEFAULT)
+                if re.fullmatch(r"REMOVE\s+DEFAULT", rest.strip(),
+                                re.IGNORECASE):
+                    # metadata-only in CH too: stored values keep
+                    # their bytes; future fills revert to the type
+                    # default
+                    self._column_defaults.get(name, {}).pop(col, None)
+                    return QueryResult(
+                        cols=["table", "column"], rows=[[name, col]],
+                        elapsed_sec=time.monotonic() - t0,
+                    )
                 from bighouse_spark.dialect.schema import (
                     parse_column_item,
                 )

@@ -768,3 +768,20 @@ class TestDefaultKeywordInValues:
             "SELECT k, v FROM __vdw14"
         ).rows == [[3, "w"]]
         eng.execute("DROP TABLE IF EXISTS __vdw14")
+
+    def test_modify_column_remove_default(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __rd14")
+        eng.execute(
+            "CREATE TABLE __rd14 (k Int64, v String DEFAULT 'd') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "ALTER TABLE __rd14 MODIFY COLUMN v REMOVE DEFAULT"
+        )
+        eng.execute("INSERT INTO __rd14 (k) VALUES (1)")
+        # back to the non-Nullable type default ('')
+        assert eng.execute(
+            "SELECT v FROM __rd14"
+        ).rows == [[""]]
+        eng.execute("DROP TABLE IF EXISTS __rd14")
