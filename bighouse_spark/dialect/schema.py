@@ -380,14 +380,20 @@ def render_create_table(
     schema: T.StructType,
     partition_by: list[str] | None = None,
     order_by: list[str] | None = None,
+    defaults: dict[str, str] | None = None,
 ) -> str:
     """ClickHouse-flavor CREATE TABLE DDL for a Spark schema (the
     ``SHOW CREATE TABLE`` statement body, reference introspection
     family B17). ``partition_by`` / ``order_by`` render the engine's
-    honored MergeTree layout — the rendered DDL round-trips through
-    the CREATE TABLE parser including both specs."""
+    honored MergeTree layout, ``defaults`` the recorded per-column
+    DEFAULT expressions — the rendered DDL round-trips through the
+    CREATE TABLE parser including all three."""
+    defaults = defaults or {}
     cols = ",\n".join(
         f"    `{f.name}` {spark_type_to_ch(f.dataType)}"
+        + (
+            f" DEFAULT {defaults[f.name]}" if f.name in defaults else ""
+        )
         for f in schema.fields
     )
     part = (

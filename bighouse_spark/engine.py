@@ -1674,6 +1674,44 @@ class BigHouseEngine:
             return T.StructType([by_name[c] for c in names])
         return target
 
+    def _strip_ddl_default(self, name: str, col: str) -> None:
+        """Remove ``DEFAULT <expr>`` from ``col``'s recorded CH DDL
+        item (MODIFY COLUMN ... REMOVE DEFAULT) so SHOW CREATE and
+        the nullability sniff reflect the post-DDL declaration."""
+        from bighouse_spark.dialect.schema import (
+            _split_commas,
+            parse_column_item,
+        )
+
+        ddl = self._ch_col_ddl.get(name)
+        if not ddl:
+            return
+        items = []
+        for item in _split_commas(ddl):
+            if not item.strip():
+                continue
+            try:
+                nm, typ, clauses = parse_column_item(item)
+            except ValueError:
+                items.append(item.strip())
+                continue
+            if nm == col and "DEFAULT" in clauses:
+                clauses.pop("DEFAULT")
+                rebuilt = f"`{nm}` {typ}" + "".join(
+                    f" {k} {v}" for k, v in clauses.items()
+                )
+                items.append(rebuilt)
+            else:
+                items.append(item.strip())
+        new_ddl = ", ".join(items)
+        self._ch_col_ddl[name] = new_ddl
+        # only when a schema string is already registered — writing
+        # one onto a self-describing parquet attachment would change
+        # its read path
+        if name in self._attached and self._attached[name][2]:
+            path, fmt, _old = self._attached[name]
+            self._attached[name] = (path, fmt, new_ddl)
+
     def _expand_values_defaults(
         self, name: str, body: str, target, cols: str | None
     ) -> str:
@@ -2614,7 +2652,10 @@ class BigHouseEngine:
                         default
                     )
                 if ddl_items is not None:
-                    ddl_items.append(f"`{col}` {ch_type}")
+                    ddl_items.append(
+                        f"`{col}` {ch_type}"
+                        + (f" DEFAULT {default}" if default else "")
+                    )
             elif op == "DROP":
                 if col not in tbl.columns:
                     raise ValueError(f"DROP COLUMN {col}: no such column")
@@ -2648,8 +2689,10 @@ class BigHouseEngine:
                                 re.IGNORECASE):
                     # metadata-only in CH too: stored values keep
                     # their bytes; future fills revert to the type
-                    # default
+                    # default. The recorded DDL item sheds its
+                    # DEFAULT clause so SHOW CREATE stays truthful.
                     self._column_defaults.get(name, {}).pop(col, None)
+                    self._strip_ddl_default(name, col)
                     return QueryResult(
                         cols=["table", "column"], rows=[[name, col]],
                         elapsed_sec=time.monotonic() - t0,
@@ -4477,6 +4520,7 @@ class BigHouseEngine:
                 name, self.spark.table(name).schema,
                 partition_by=self._partitioned.get(name),
                 order_by=self._ordered.get(name),
+                defaults=self._column_defaults.get(name),
             )
         else:
             try:

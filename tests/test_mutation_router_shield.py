@@ -785,3 +785,39 @@ class TestDefaultKeywordInValues:
             "SELECT v FROM __rd14"
         ).rows == [[""]]
         eng.execute("DROP TABLE IF EXISTS __rd14")
+
+    def test_cross_column_default_expression(self, spark):
+        # CH computes defaults over the inserted row; Spark's lateral
+        # column aliases give the same left-to-right semantics
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __xc14")
+        eng.execute(
+            "CREATE TABLE __xc14 (k Int64, s String, "
+            "v String DEFAULT concat(s, '!')) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __xc14 (k, s) VALUES (1, 'hi')")
+        # v's default sees the PROVIDED s
+        eng.execute("INSERT INTO __xc14 (k) VALUES (2)")
+        # ...and the FILLED s ('' type default) when s is omitted too
+        assert eng.execute(
+            "SELECT k, v FROM __xc14 ORDER BY k"
+        ).rows == [[1, "hi!"], [2, "!"]]
+        eng.execute("DROP TABLE IF EXISTS __xc14")
+
+    def test_show_create_tracks_default_lifecycle(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __sc14")
+        eng.execute(
+            "CREATE TABLE __sc14 (k Int64, v String DEFAULT 'd') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        stmt = eng.execute("SHOW CREATE TABLE __sc14").rows[0][0]
+        assert "DEFAULT 'd'" in stmt
+        eng.execute("ALTER TABLE __sc14 ADD COLUMN t2 Int64 DEFAULT 4")
+        stmt = eng.execute("SHOW CREATE TABLE __sc14").rows[0][0]
+        assert "DEFAULT 4" in stmt
+        eng.execute("ALTER TABLE __sc14 MODIFY COLUMN v REMOVE DEFAULT")
+        stmt = eng.execute("SHOW CREATE TABLE __sc14").rows[0][0]
+        assert "DEFAULT 'd'" not in stmt and "DEFAULT 4" in stmt
+        eng.execute("DROP TABLE IF EXISTS __sc14")
