@@ -465,18 +465,23 @@ class BigHouseEngine:
         for tname, db, _, _ in tables:
             if tname in ("system_tables", "system_columns"):
                 continue
+            tbl_defaults = self._column_defaults.get(tname, {})
             try:
                 for c in self.spark.catalog.listColumns(tname):
+                    dflt = tbl_defaults.get(c.name)
                     cols.append((
                         tname, c.name, c.dataType, bool(c.nullable),
                         self._comments.get((tname, c.name), ""),
+                        "DEFAULT" if dflt is not None else "",
+                        dflt or "",
                     ))
             except Exception:
                 continue  # view dropped concurrently; introspection is best-effort
         self.spark.createDataFrame(
             cols,
             "table string, name string, type string, nullable boolean, "
-            "comment string",
+            "comment string, default_kind string, "
+            "default_expression string",
         ).createOrReplaceTempView("system_columns")
         # system.clusters analog (the reference's first smoke query is
         # `SELECT * FROM system.clusters`, run.sh:5-6): one row per

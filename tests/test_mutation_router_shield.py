@@ -821,3 +821,18 @@ class TestDefaultKeywordInValues:
         stmt = eng.execute("SHOW CREATE TABLE __sc14").rows[0][0]
         assert "DEFAULT 'd'" not in stmt and "DEFAULT 4" in stmt
         eng.execute("DROP TABLE IF EXISTS __sc14")
+
+    def test_system_columns_exposes_defaults(self, spark):
+        # CH system.columns has default_kind / default_expression
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __syc14")
+        eng.execute(
+            "CREATE TABLE __syc14 (k Int64, v String DEFAULT 'd') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        r = eng.execute(
+            "SELECT name, default_kind, default_expression "
+            "FROM system.columns WHERE table = '__syc14' ORDER BY name"
+        )
+        assert r.rows == [["k", "", ""], ["v", "DEFAULT", "'d'"]]
+        eng.execute("DROP TABLE IF EXISTS __syc14")
