@@ -220,6 +220,12 @@ class BigHouseEngine:
         # INSERT and by CLEAR COLUMN, like CH. Travels with the table
         # through RENAME/EXCHANGE; edited by column DDL.
         self._column_defaults: dict[str, dict[str, str]] = {}
+        # system.mutations analog: every ALTER UPDATE/DELETE this
+        # engine ran, as (table, mutation_id, command, create_time).
+        # Mutations here are synchronous whole-part rewrites, so a
+        # recorded row is always is_done=1 — CH users poll exactly
+        # that flag.
+        self._mutations: list[tuple] = []
         # Materialized views: name → mutable state dict (see
         # _create_materialized_view). CH MVs are insert-triggered
         # incremental aggregates; here each refresh is a Structured
@@ -483,6 +489,13 @@ class BigHouseEngine:
             "comment string, default_kind string, "
             "default_expression string",
         ).createOrReplaceTempView("system_columns")
+        # system.mutations analog: the engine's synchronous mutation
+        # log (ALTER UPDATE/DELETE), is_done always 1.
+        self.spark.createDataFrame(
+            [m + (1,) for m in self._mutations] or [],
+            "table string, mutation_id string, command string, "
+            "create_time timestamp, is_done int",
+        ).createOrReplaceTempView("system_mutations")
         # system.clusters analog (the reference's first smoke query is
         # `SELECT * FROM system.clusters`, run.sh:5-6): one row per
         # executor from the JVM status tracker — host, task activity,
@@ -976,6 +989,19 @@ class BigHouseEngine:
         if re.fullmatch(r"\d+", c):
             return f"({c} <> 0)"
         return cond
+
+    def _record_mutation(self, table: str, command: str) -> None:
+        """Append a ``system.mutations`` row. Mutations here run
+        synchronously (whole-part rewrite inside execute), so every
+        recorded row reads is_done=1 — the flag CH clients poll."""
+        import datetime
+
+        self._mutations.append((
+            table,
+            f"mutation_{len(self._mutations) + 1}.txt",
+            command,
+            datetime.datetime.now(),
+        ))
 
     def _attached_path_or_raise(self, name: str, op: str) -> str:
         if name not in self._attached:
@@ -2977,6 +3003,7 @@ class BigHouseEngine:
             sel = transpile(
                 f"SELECT * FROM {name} WHERE NOT ({cond})", self.spark
             )
+            self._record_mutation(name, f"DELETE WHERE {cond}")
             return self._rewrite_attached(
                 name, self.spark.sql(sel.sql), t0, request.query, sel.sql
             )
@@ -3006,6 +3033,9 @@ class BigHouseEngine:
             ]
             sel = transpile(
                 f"SELECT {', '.join(items)} FROM {name}", self.spark
+            )
+            self._record_mutation(
+                name, f"UPDATE {assigns} WHERE {cond}"
             )
             return self._rewrite_attached(
                 name, self.spark.sql(sel.sql), t0, request.query, sel.sql

@@ -836,3 +836,28 @@ class TestDefaultKeywordInValues:
         )
         assert r.rows == [["k", "", ""], ["v", "DEFAULT", "'d'"]]
         eng.execute("DROP TABLE IF EXISTS __syc14")
+
+
+class TestSystemMutations:
+    """CH system.mutations analog: every ALTER UPDATE/DELETE is
+    recorded (synchronous engine -> is_done always 1)."""
+
+    def test_mutations_logged_and_done(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mu14")
+        eng.execute(
+            "CREATE TABLE __mu14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __mu14 VALUES (1, 'a'), (2, 'b')")
+        eng.execute("ALTER TABLE __mu14 UPDATE v = 'x' WHERE k = 1")
+        eng.execute("ALTER TABLE __mu14 DELETE WHERE k = 2")
+        r = eng.execute(
+            "SELECT table, command, is_done FROM system.mutations "
+            "WHERE table = '__mu14' ORDER BY mutation_id"
+        )
+        assert len(r.rows) == 2
+        assert r.rows[0][1].startswith("UPDATE v = 'x'")
+        assert r.rows[1][1].startswith("DELETE WHERE")
+        assert all(row[2] == 1 for row in r.rows)
+        eng.execute("DROP TABLE IF EXISTS __mu14")
