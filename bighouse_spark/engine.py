@@ -812,6 +812,20 @@ class BigHouseEngine:
         r"\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$",
         re.IGNORECASE,
     )
+    # CH cross-table partition management — the production backfill
+    # pattern (swap a staged partition in without rewriting the
+    # table): `ALTER TABLE dst ATTACH|REPLACE PARTITION p FROM src`
+    # (dst is the statement table) and `ALTER TABLE src MOVE
+    # PARTITION p TO TABLE dst` (src is the statement table). All
+    # three are O(one partition directory) file operations.
+    _PARTITION_FROM_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+(ATTACH|REPLACE|MOVE)\s+PARTITION\s+(?:ID\s+)?"
+        r"(?:'([^']*)'|(\S+))"
+        r"\s+(?:FROM|TO\s+TABLE)\s+[`\"]?(\w+)[`\"]?\s*$",
+        re.IGNORECASE,
+    )
     _DROP_TRUNCATE_RE = re.compile(
         r"^\s*(DROP|TRUNCATE)\s+TABLE\s+(IF\s+EXISTS\s+)?"
         r"[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?\s*$",
@@ -989,6 +1003,110 @@ class BigHouseEngine:
         if re.fullmatch(r"\d+", c):
             return f"({c} <> 0)"
         return cond
+
+    def _partition_from(
+        self, stmt_table: str, verb: str, partition_val: str,
+        other: str, t0: float, query: str,
+    ) -> QueryResult:
+        """Cross-table partition management (CH backfill pattern):
+        ``ATTACH/REPLACE PARTITION p FROM src`` copy src's partition
+        directory into the statement table (REPLACE clears the
+        destination partition first); ``MOVE PARTITION p TO TABLE
+        dst`` copies then removes the source directory. All three are
+        bounded to ONE partition directory — no table rewrite, which
+        is the point at 100 TB (CH bounds them the same way)."""
+        import os
+        import shutil
+        import uuid
+
+        if verb == "MOVE":
+            src, dst = stmt_table, other
+        else:
+            src, dst = other, stmt_table
+        src_local = self._attached_path_or_raise(
+            src, f"ALTER TABLE ... {verb} PARTITION"
+        )
+        dst_local = self._attached_path_or_raise(
+            dst, f"ALTER TABLE ... {verb} PARTITION"
+        )
+        scol = self._partition_col_or_raise(
+            src, f"{verb} PARTITION (source {src})"
+        )
+        dcol = self._partition_col_or_raise(
+            dst, f"{verb} PARTITION (destination {dst})"
+        )
+        if scol != dcol:
+            raise ValueError(
+                f"{verb} PARTITION: partition keys differ "
+                f"({src} by {scol}, {dst} by {dcol}) — CH requires "
+                "the same partition key on both tables"
+            )
+        s_schema = sorted(
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.table(src).schema.fields
+        )
+        d_schema = sorted(
+            (f.name, f.dataType.simpleString())
+            for f in self.spark.table(dst).schema.fields
+        )
+        if s_schema != d_schema:
+            raise ValueError(
+                f"{verb} PARTITION: {src} and {dst} have different "
+                "structures — CH requires identical columns"
+            )
+        dir_val = self._escape_partition_value(partition_val)
+        src_dir = os.path.join(src_local, f"{scol}={dir_val}")
+        if not os.path.isdir(src_dir):
+            raise ValueError(
+                f"{verb} PARTITION {partition_val!r}: no such "
+                f"partition on {src} (expected directory "
+                f"{scol}={dir_val})"
+            )
+        dst_dir = os.path.join(dst_local, f"{dcol}={dir_val}")
+        if verb == "REPLACE" and os.path.isdir(dst_dir):
+            shutil.rmtree(dst_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        copied = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                s = os.path.join(root, f)
+                d = os.path.join(dst_dir, f)
+                if os.path.exists(d):
+                    d = os.path.join(
+                        dst_dir, f"sw{uuid.uuid4().hex[:8]}-{f}"
+                    )
+                try:
+                    os.link(s, d)  # same-filesystem: no data copy
+                except OSError:
+                    shutil.copy2(s, d)
+                copied += 1
+        if verb == "MOVE":
+            shutil.rmtree(src_dir)
+        self.clear_cache()
+        for nm in {src, dst}:
+            path, fmt, schema = self._attached[nm]
+            self.attach_table(nm, path, fmt=fmt, schema=schema)
+        # data changed under these tables — rebuild dependent MVs
+        # (same posture as mutations: safe direction vs CH's silent
+        # non-propagation)
+        changed = {dst} | ({src} if verb == "MOVE" else set())
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] in changed:
+                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
+                shutil.rmtree(mv["data"], ignore_errors=True)
+                self._refresh_mv(mv_name)
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, f"<{verb.lower()} partition>",
+                          elapsed, copied)
+        )
+        return QueryResult(
+            cols=["source", "destination", "partition", "files"],
+            rows=[[src, dst, partition_val, copied]],
+            elapsed_sec=elapsed,
+        )
 
     def _record_mutation(self, table: str, command: str) -> None:
         """Append a ``system.mutations`` row. Mutations here run
@@ -2761,6 +2879,14 @@ class BigHouseEngine:
         # data rewrite (the reason MergeTree users partition by month;
         # at 100 TB this is the difference between rm -r one dir and
         # rewriting the table).
+        m_pf = self._PARTITION_FROM_RE.match(request.query)
+        if m_pf:
+            name, verb, pq, praw, other = m_pf.groups()
+            return self._partition_from(
+                name, verb.upper(),
+                pq if pq is not None else praw,
+                other, t0, request.query,
+            )
         m_dp = self._DROP_PARTITION_RE.match(request.query)
         if m_dp:
             name, verb, part_val = m_dp.group(1), m_dp.group(2), (

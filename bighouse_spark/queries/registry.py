@@ -70,8 +70,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # WHERE 1) and `sink_engine_literal_roundtrip` (the ENGINE=Null /
 # system.* literal-corruption pins, both live silent-data bugs found
 # and fixed in r14) and `sink_column_default_roundtrip` (per-column
-# DEFAULT fills, new r14 feature) — then the 9 r10-era leftovers
-# above, then oldest-green (r11-era) fills to 50.
+# DEFAULT fills, new r14 feature) and `sink_partition_swap_roundtrip`
+# (REPLACE PARTITION FROM, the r14 cross-table partition surface) —
+# then the 9 r10-era leftovers above, then oldest-green (r11-era)
+# fills to 50.
 DRIVER_WINDOW = {
     # -- round-13 oracle-backed additions, first driver check (4) --
     "dialect_alias_where_literal_roundtrip",

@@ -300,3 +300,58 @@ def sink_column_default_roundtrip(spark, sf_dir):
         "SELECT st, src, CAST(count(*) AS BIGINT) AS n "
         "FROM __q_coldef GROUP BY st, src ORDER BY st"
     )
+
+
+# Round-14 feature pin (staged r15): cross-table partition swap —
+# `ALTER TABLE dst REPLACE PARTITION p FROM src`, the production
+# backfill pattern (bounded to one partition directory, no table
+# rewrite). dst starts with stale rows for partition 'F'; after the
+# swap its content equals src's 'F' slice plus its own untouched
+# partitions — which the oracle recomputes straight from orders.
+@query(
+    "sink_partition_swap_roundtrip",
+    oracle="""
+WITH src AS (
+  SELECT o_orderstatus AS st, o_orderkey AS okey FROM orders
+  WHERE o_orderkey < 600
+), dst_keep AS (
+  SELECT o_orderstatus AS st, o_orderkey AS okey FROM orders
+  WHERE o_orderkey >= 600 AND o_orderkey < 900
+    AND o_orderstatus <> 'F'
+), merged AS (
+  SELECT st, okey FROM src WHERE st = 'F'
+  UNION ALL SELECT st, okey FROM dst_keep
+)
+SELECT st, CAST(count(*) AS BIGINT) AS n, CAST(sum(okey) AS BIGINT) AS s
+FROM merged GROUP BY st ORDER BY st
+""",
+)
+def sink_partition_swap_roundtrip(spark, sf_dir):
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.queries.registry import t
+
+    eng = BigHouseEngine(spark=spark)
+    for name in ("__q_swap_src", "__q_swap_dst"):
+        eng.execute(f"DROP TABLE IF EXISTS {name}")
+        eng.execute(
+            f"CREATE TABLE {name} (st String, okey Int64) "
+            "ENGINE = MergeTree PARTITION BY st ORDER BY okey"
+        )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__q_swap_o")
+    eng.execute(
+        "INSERT INTO __q_swap_src SELECT o_orderstatus, o_orderkey "
+        "FROM __q_swap_o WHERE o_orderkey < 600"
+    )
+    eng.execute(
+        "INSERT INTO __q_swap_dst SELECT o_orderstatus, o_orderkey "
+        "FROM __q_swap_o WHERE o_orderkey >= 600 AND o_orderkey < 900"
+    )
+    eng.execute(
+        "ALTER TABLE __q_swap_dst REPLACE PARTITION 'F' "
+        "FROM __q_swap_src"
+    )
+    return spark.sql(
+        "SELECT st, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(okey) AS BIGINT) AS s "
+        "FROM __q_swap_dst GROUP BY st ORDER BY st"
+    )

@@ -861,3 +861,93 @@ class TestSystemMutations:
         assert r.rows[1][1].startswith("DELETE WHERE")
         assert all(row[2] == 1 for row in r.rows)
         eng.execute("DROP TABLE IF EXISTS __mu14")
+
+
+class TestCrossTablePartitionOps:
+    """CH cross-table partition management (round 14): REPLACE/ATTACH
+    PARTITION ... FROM and MOVE PARTITION ... TO TABLE — the
+    production backfill pattern; all bounded to ONE partition
+    directory (no table rewrite)."""
+
+    @pytest.fixture
+    def pair(self, spark):
+        eng = BigHouseEngine(spark)
+        for t in ("__pa14", "__pb14"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+            eng.execute(
+                f"CREATE TABLE {t} (k Int64, v String) "
+                "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+            )
+        eng.execute(
+            "INSERT INTO __pa14 VALUES (1, 'a1'), (1, 'a2'), (2, 'b')"
+        )
+        eng.execute(
+            "INSERT INTO __pb14 VALUES (1, 'old'), (3, 'keep')"
+        )
+        yield eng
+        for t in ("__pa14", "__pb14"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+
+    def test_replace_partition_from(self, pair):
+        r = pair.execute(
+            "ALTER TABLE __pb14 REPLACE PARTITION '1' FROM __pa14"
+        )
+        assert r.cols == ["source", "destination", "partition", "files"]
+        assert pair.execute(
+            "SELECT k, v FROM __pb14 ORDER BY k, v"
+        ).rows == [[1, "a1"], [1, "a2"], [3, "keep"]]
+        # source untouched
+        assert pair.execute(
+            "SELECT count(*) AS c FROM __pa14"
+        ).rows == [[3]]
+
+    def test_attach_partition_from_appends(self, pair):
+        pair.execute(
+            "ALTER TABLE __pb14 ATTACH PARTITION 1 FROM __pa14"
+        )
+        assert pair.execute(
+            "SELECT v FROM __pb14 WHERE k = 1 ORDER BY v"
+        ).rows == [["a1"], ["a2"], ["old"]]
+
+    def test_move_partition_to_table(self, pair):
+        pair.execute(
+            "ALTER TABLE __pa14 MOVE PARTITION '2' TO TABLE __pb14"
+        )
+        assert pair.execute(
+            "SELECT k, v FROM __pb14 ORDER BY k, v"
+        ).rows == [[1, "old"], [2, "b"], [3, "keep"]]
+        # gone from the source
+        assert pair.execute(
+            "SELECT count(*) AS c FROM __pa14 WHERE k = 2"
+        ).rows == [[0]]
+
+    def test_structure_mismatch_refused(self, pair):
+        pair.execute("DROP TABLE IF EXISTS __pc14")
+        pair.execute(
+            "CREATE TABLE __pc14 (k Int64, other Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY other"
+        )
+        with pytest.raises(ValueError, match="different structures"):
+            pair.execute(
+                "ALTER TABLE __pc14 REPLACE PARTITION '1' FROM __pa14"
+            )
+        pair.execute("DROP TABLE IF EXISTS __pc14")
+
+    def test_missing_source_partition_refused(self, pair):
+        with pytest.raises(ValueError, match="no such partition"):
+            pair.execute(
+                "ALTER TABLE __pb14 REPLACE PARTITION '9' FROM __pa14"
+            )
+
+    def test_replace_refreshes_mv(self, pair):
+        pair.execute(
+            "CREATE MATERIALIZED VIEW __pmv14 POPULATE AS "
+            "SELECT k, count(*) AS n FROM __pb14 GROUP BY k"
+        )
+        pair.execute(
+            "ALTER TABLE __pb14 REPLACE PARTITION '1' FROM __pa14"
+        )
+        assert sorted(pair.execute(
+            "SELECT k, n FROM __pmv14"
+        ).rows) == [[1, 2], [3, 1]]
+        pair.execute("DROP TABLE IF EXISTS __pmv14")

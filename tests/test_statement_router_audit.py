@@ -55,6 +55,9 @@ ALLOWED = {
     ("_execute_inner", "match", "self._DROP_DICT_RE", ""),
     # terminal partition value, $-anchored
     ("_execute_inner", "match", "self._DROP_PARTITION_RE", ""),
+    # anchored; quoted/charset-limited value then FROM/TO TABLE
+    # keyword + identifier + $ — no free span can cross a literal
+    ("_execute_inner", "match", "self._PARTITION_FROM_RE", ""),
     ("_execute_inner", "match", "self._DROP_TRUNCATE_RE", ""),
     ("_execute_inner", "match", "self._DROP_VIEW_RE", ""),
     ("_execute_inner", "match", "self._EXCHANGE_RE", ""),
