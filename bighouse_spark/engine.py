@@ -792,7 +792,8 @@ class BigHouseEngine:
     )
     _ALTER_FREEZE_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
-        r"\s+FREEZE(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
+        r"\s+FREEZE(?:\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+?)))?"
+        r"(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
         re.IGNORECASE,
     )
     # Head only — the assignments/condition split is NOT a regex:
@@ -1216,18 +1217,40 @@ class BigHouseEngine:
         return f"CAST(NULL AS {s})"
 
     def _freeze_attached(
-        self, name: str, snap: str | None, t0: float, query: str
+        self, name: str, snap: str | None, t0: float, query: str,
+        partition_val: str | None = None,
     ) -> QueryResult:
-        """``ALTER TABLE ... FREEZE [WITH NAME 'x']`` — CH's local
-        part snapshot: hardlink every data file into a sibling
-        ``<dir>.shadow/<name-or-increment>/`` tree (no data copied;
-        falls back to a real copy across filesystems). The shadow
-        lives OUTSIDE the table directory so partition discovery
-        never mistakes it for data."""
+        """``ALTER TABLE ... FREEZE [PARTITION p] [WITH NAME 'x']`` —
+        CH's local part snapshot: hardlink every data file into a
+        sibling ``<dir>.shadow/<name-or-increment>/`` tree (no data
+        copied; falls back to a real copy across filesystems).
+        ``PARTITION p`` bounds the snapshot to ONE partition
+        directory (CH semantics). The shadow lives OUTSIDE the table
+        directory so partition discovery never mistakes it for
+        data."""
         import os
         import shutil
 
-        local = self._attached_path_or_raise(name, "ALTER TABLE FREEZE")
+        table_root = self._attached_path_or_raise(
+            name, "ALTER TABLE FREEZE"
+        )
+        walk_root = table_root
+        if partition_val is not None:
+            pcol = self._partition_col_or_raise(
+                name, "ALTER TABLE ... FREEZE PARTITION"
+            )
+            sub = f"{pcol}={self._escape_partition_value(partition_val)}"
+            if not os.path.isdir(os.path.join(table_root, sub)):
+                raise ValueError(
+                    f"FREEZE PARTITION {partition_val!r}: no such "
+                    f"partition on {name} (expected directory {sub})"
+                )
+            # walk only the partition dir, but keep the shadow tree
+            # rooted OUTSIDE the table directory (a `k=1.shadow` dir
+            # inside it would poison partition discovery) and keep
+            # the k=v layer in the snapshot's relative layout
+            walk_root = os.path.join(table_root, sub)
+        local = table_root
         base = f"{local.rstrip('/')}.shadow"
         if snap is None:
             n = 1
@@ -1238,7 +1261,7 @@ class BigHouseEngine:
         if os.path.exists(dest):
             raise ValueError(f"FREEZE: snapshot {snap!r} exists")
         linked = 0
-        for root, _dirs, files in os.walk(local):
+        for root, _dirs, files in os.walk(walk_root):
             rel = os.path.relpath(root, local)
             for f in files:
                 if f.startswith("."):
@@ -3099,8 +3122,11 @@ class BigHouseEngine:
             )
         m_frz = self._ALTER_FREEZE_RE.match(request.query)
         if m_frz:
-            name, snap = m_frz.groups()
-            return self._freeze_attached(name, snap, t0, request.query)
+            name, pq, praw, snap = m_frz.groups()
+            return self._freeze_attached(
+                name, snap, t0, request.query,
+                partition_val=pq if pq is not None else praw,
+            )
         # Mutation routers match on a string-literal-masked copy and
         # re-slice groups from the RAW statement by span — a keyword
         # (' IN PARTITION ', ' WHERE ') inside an assignment or

@@ -951,3 +951,43 @@ class TestCrossTablePartitionOps:
             "SELECT k, n FROM __pmv14"
         ).rows) == [[1, 2], [3, 1]]
         pair.execute("DROP TABLE IF EXISTS __pmv14")
+
+
+class TestFreezePartition:
+    """ALTER TABLE ... FREEZE PARTITION p (CH bounds the snapshot to
+    one partition; the shadow stays outside the table root so
+    partition discovery never sees it)."""
+
+    def test_freeze_partition_scoped(self, spark, tmp_path):
+        import os
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __fp14")
+        eng.execute(
+            "CREATE TABLE __fp14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __fp14 VALUES (1, 'a'), (2, 'b')"
+        )
+        r = eng.execute(
+            "ALTER TABLE __fp14 FREEZE PARTITION '1' WITH NAME 'snap'"
+        )
+        dest = r.rows[0][0]
+        assert dest.endswith("snap")
+        # the snapshot holds ONLY partition 1's layer, under k=1/
+        walked = [
+            os.path.relpath(os.path.join(root, f), dest)
+            for root, _d, files in os.walk(dest) for f in files
+        ]
+        assert walked and all(w.startswith("k=1") for w in walked)
+        # the table still reads clean (shadow outside the root)
+        assert eng.execute(
+            "SELECT count(*) AS c FROM __fp14"
+        ).rows == [[2]]
+        # whole-table freeze still works alongside
+        r2 = eng.execute("ALTER TABLE __fp14 FREEZE")
+        assert r2.rows[0][1] >= 2
+        with pytest.raises(ValueError, match="no such partition"):
+            eng.execute("ALTER TABLE __fp14 FREEZE PARTITION '9'")
+        eng.execute("DROP TABLE IF EXISTS __fp14")
