@@ -3127,6 +3127,47 @@ class BigHouseEngine:
                 name, snap, t0, request.query,
                 partition_val=pq if pq is not None else praw,
             )
+        m_unf = re.match(
+            r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+            r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+UNFREEZE"
+            r"(?:\s+PARTITION\s+(?:ID\s+)?\S+)?"
+            r"\s+WITH\s+NAME\s+'([^']+)'\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_unf:
+            # UNFREEZE removes the named FREEZE snapshot (CH 21.x+).
+            # Snapshots here are whole shadow trees; the PARTITION
+            # spelling removes the same named tree (a partition-
+            # scoped FREEZE already wrote only that partition).
+            import os
+            import shutil
+
+            name, snap = m_unf.groups()
+            local = self._attached_path_or_raise(
+                name, "ALTER TABLE UNFREEZE"
+            )
+            dest = os.path.join(f"{local.rstrip('/')}.shadow", snap)
+            if not os.path.isdir(dest):
+                raise ValueError(
+                    f"UNFREEZE {name}: no snapshot named {snap!r}"
+                )
+            shutil.rmtree(dest)
+            return QueryResult(
+                cols=["unfrozen"], rows=[[snap]],
+                elapsed_sec=time.monotonic() - t0,
+            )
+        if re.match(
+            r"^\s*ALTER\s+TABLE\s+[`\"]?\w+[`\"]?"
+            r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+FETCH\s+PARTITION\b",
+            request.query, re.IGNORECASE,
+        ):
+            raise ValueError(
+                "FETCH PARTITION downloads a part from a ClickHouse "
+                "replica's ZooKeeper path — replication-specific "
+                "storage internals this engine does not serve; copy "
+                "partitions between tables with ALTER TABLE ... "
+                "ATTACH/REPLACE PARTITION <p> FROM <table> instead"
+            )
         # Mutation routers match on a string-literal-masked copy and
         # re-slice groups from the RAW statement by span — a keyword
         # (' IN PARTITION ', ' WHERE ') inside an assignment or

@@ -991,3 +991,31 @@ class TestFreezePartition:
         with pytest.raises(ValueError, match="no such partition"):
             eng.execute("ALTER TABLE __fp14 FREEZE PARTITION '9'")
         eng.execute("DROP TABLE IF EXISTS __fp14")
+
+    def test_unfreeze_removes_snapshot(self, spark):
+        import os
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __uf14")
+        eng.execute(
+            "CREATE TABLE __uf14 (k Int64) ENGINE = MergeTree "
+            "ORDER BY k"
+        )
+        eng.execute("INSERT INTO __uf14 VALUES (1)")
+        dest = eng.execute(
+            "ALTER TABLE __uf14 FREEZE WITH NAME 'bak'"
+        ).rows[0][0]
+        assert os.path.isdir(dest)
+        eng.execute("ALTER TABLE __uf14 UNFREEZE WITH NAME 'bak'")
+        assert not os.path.isdir(dest)
+        with pytest.raises(ValueError, match="no snapshot"):
+            eng.execute("ALTER TABLE __uf14 UNFREEZE WITH NAME 'bak'")
+        eng.execute("DROP TABLE IF EXISTS __uf14")
+
+    def test_fetch_partition_guided_refusal(self, spark):
+        eng = BigHouseEngine(spark)
+        with pytest.raises(ValueError, match="REPLACE PARTITION"):
+            eng.execute(
+                "ALTER TABLE whatever FETCH PARTITION '1' "
+                "FROM '/clickhouse/tables/01/visits'"
+            )

@@ -75,8 +75,12 @@ ALLOWED = {
     ('_execute_inner', 'match', 're', '^(\\s*CREATE\\s+)OR\\s+REPLACE\\'),
     ("_execute_inner", "match", "re", "^\\s*(GRANT\\b|SET\\s+ROLE\\b)"),
     ('_execute_inner', 'match', 're', '^\\s*(REVOKE\\b|(?:CREATE|ALTE'),
-    # ALTER ... MODIFY/RESET SETTING: prefix + tail swallow
+    # ALTER ... MODIFY/RESET SETTING (prefix + tail swallow) and
+    # UNFREEZE (identifier + optional \S+ + terminal quoted name + $)
+    # share this prefix key — both anchored keyword shapes
     ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\'),
+    # FETCH PARTITION guided refusal: prefix-only, raise-only
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?\\w'),
     ('_execute_inner', 'match', 're', '^\\s*CHECK\\s+TABLE\\s+[`\\"]?(['),
     ("_execute_inner", "match", "re", "^\\s*EXISTS\\s+DATABASE\\s+[`\\\""),
     ("_execute_inner", "match", "re", "^\\s*KILL\\s+MUTATION\\b"),
