@@ -1024,6 +1024,16 @@ class BigHouseEngine:
             src, dst = stmt_table, other
         else:
             src, dst = other, stmt_table
+        if src == dst:
+            # REPLACE would rmtree the partition and then copy from
+            # the now-empty directory (silent data loss); MOVE would
+            # copy-then-delete itself. Refuse like CH refuses
+            # self-referential partition manipulation.
+            raise ValueError(
+                f"{verb} PARTITION: source and destination are the "
+                f"same table ({src}) — a self-referential partition "
+                "swap has no effect worth destroying data over"
+            )
         src_local = self._attached_path_or_raise(
             src, f"ALTER TABLE ... {verb} PARTITION"
         )

@@ -953,6 +953,21 @@ class TestCrossTablePartitionOps:
         pair.execute("DROP TABLE IF EXISTS __pmv14")
 
 
+    def test_self_referential_swap_refused(self, pair):
+        # REPLACE FROM the same table would rmtree the partition then
+        # copy from the emptied dir — must refuse, not lose data
+        with pytest.raises(ValueError, match="same table"):
+            pair.execute(
+                "ALTER TABLE __pa14 REPLACE PARTITION '1' FROM __pa14"
+            )
+        with pytest.raises(ValueError, match="same table"):
+            pair.execute(
+                "ALTER TABLE __pa14 MOVE PARTITION '1' TO TABLE __pa14"
+            )
+        assert pair.execute(
+            "SELECT count(*) AS c FROM __pa14"
+        ).rows == [[3]]
+
 class TestFreezePartition:
     """ALTER TABLE ... FREEZE PARTITION p (CH bounds the snapshot to
     one partition; the shadow stays outside the table root so
