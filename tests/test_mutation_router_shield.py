@@ -968,6 +968,25 @@ class TestCrossTablePartitionOps:
             "SELECT count(*) AS c FROM __pa14"
         ).rows == [[3]]
 
+    def test_move_last_partition_leaves_working_empty_table(self, spark):
+        # the source may end up with ZERO partitions — it must still
+        # read (declared schema) and accept new INSERTs
+        eng = BigHouseEngine(spark)
+        for t in ("__ea14", "__eb14"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+            eng.execute(
+                f"CREATE TABLE {t} (k Int64, v String) "
+                "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+            )
+        eng.execute("INSERT INTO __ea14 VALUES (1, 'only')")
+        eng.execute("INSERT INTO __eb14 VALUES (2, 'x')")
+        eng.execute("ALTER TABLE __ea14 MOVE PARTITION '1' TO TABLE __eb14")
+        assert eng.execute("SELECT count(*) AS c FROM __ea14").rows == [[0]]
+        eng.execute("INSERT INTO __ea14 VALUES (3, 'back')")
+        assert eng.execute("SELECT k, v FROM __ea14").rows == [[3, "back"]]
+        for t in ("__ea14", "__eb14"):
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+
 class TestFreezePartition:
     """ALTER TABLE ... FREEZE PARTITION p (CH bounds the snapshot to
     one partition; the shadow stays outside the table root so
