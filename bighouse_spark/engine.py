@@ -792,7 +792,8 @@ class BigHouseEngine:
     )
     _ALTER_FREEZE_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
-        r"\s+FREEZE(?:\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+?)))?"
+        r"\s+FREEZE(?:\s+PARTITION\s+(?:ID\s+)?"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+?)))?"
         r"(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
         re.IGNORECASE,
     )
@@ -810,7 +811,8 @@ class BigHouseEngine:
     _DROP_PARTITION_RE = re.compile(
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?"
-        r"\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$",
+        r"\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))\s*$",
         re.IGNORECASE,
     )
     # CH cross-table partition management — the production backfill
@@ -823,7 +825,7 @@ class BigHouseEngine:
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"\s+(ATTACH|REPLACE|MOVE)\s+PARTITION\s+(?:ID\s+)?"
-        r"(?:'([^']*)'|(\S+))"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))"
         r"\s+(?:FROM|TO\s+TABLE)\s+[`\"]?(\w+)[`\"]?\s*$",
         re.IGNORECASE,
     )
@@ -929,7 +931,8 @@ class BigHouseEngine:
     _OPTIMIZE_RE = re.compile(
         r"^\s*OPTIMIZE\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?"
-        r"(?:\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+)))?"
+        r"(?:\s+PARTITION\s+(?:ID\s+)?"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+)))?"
         r"(?:\s+(FINAL))?(?:\s+(DEDUPLICATE))?\s*$",
         re.IGNORECASE,
     )
@@ -941,7 +944,8 @@ class BigHouseEngine:
         r"^(\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
         r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
         r"(?:UPDATE\s+.+?|DELETE))"
-        r"\s+IN\s+PARTITION\s+(?:ID\s+)?(?:'([^']*)'|(\S+))"
+        r"\s+IN\s+PARTITION\s+(?:ID\s+)?"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))"
         r"\s+WHERE\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -969,6 +973,43 @@ class BigHouseEngine:
         return tuple(
             None if m.group(i) is None else raw[m.start(i):m.end(i)]
             for i in range(1, m.re.groups + 1)
+        )
+
+    @staticmethod
+    def _split_assignment(part: str) -> tuple[str, str]:
+        """One ``col = expr`` UPDATE assignment → ``(col, expr)``,
+        split at the first ``=`` OUTSIDE quote/backtick spans — a
+        backticked column name may itself contain ``=``
+        (``UPDATE `a=b` = 5``), which the old first-raw-``=``
+        partition split inside (round-14 ledger corner)."""
+        quote = None
+        for i, c in enumerate(part):
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"`":
+                quote = c
+            elif c == "=":
+                return part[:i], part[i + 1:]
+        raise ValueError(
+            f"ALTER TABLE UPDATE: malformed assignment {part!r} "
+            "(expected <column> = <expression>)"
+        )
+
+    @staticmethod
+    def _unquote_partition_id(val: str | None) -> str | None:
+        """Inner text of a quoted partition id → its VALUE: collapse
+        CH's ``''`` quote-doubling and backslash escapes (both are
+        valid CH literal spellings — ``PARTITION 'it''s'`` names the
+        partition whose key is ``it's``). Only for groups consumed AS
+        a value (directory lookups); groups spliced back into SQL
+        keep their raw spelling, which the transpiler normalizes."""
+        if val is None:
+            return None
+        return re.sub(
+            r"''|\\(.)",
+            lambda m: "'" if m.group(0) == "''" else m.group(1),
+            val,
         )
 
     @staticmethod
@@ -2917,13 +2958,16 @@ class BigHouseEngine:
             name, verb, pq, praw, other = m_pf.groups()
             return self._partition_from(
                 name, verb.upper(),
-                pq if pq is not None else praw,
+                self._unquote_partition_id(pq) if pq is not None
+                else praw,
                 other, t0, request.query,
             )
         m_dp = self._DROP_PARTITION_RE.match(request.query)
         if m_dp:
-            name, verb, part_val = m_dp.group(1), m_dp.group(2), (
-                m_dp.group(3) or m_dp.group(4)
+            name, verb = m_dp.group(1), m_dp.group(2)
+            part_val = (
+                self._unquote_partition_id(m_dp.group(3))
+                if m_dp.group(3) is not None else m_dp.group(4)
             )
             local = self._attached_path_or_raise(
                 name, f"ALTER TABLE {verb.upper()} PARTITION"
@@ -2943,7 +2987,11 @@ class BigHouseEngine:
             import os
             import shutil
 
-            frag = f"{pcols[0]}={part_val}"
+            # Escaped directory spelling (ADVICE r13): a value like
+            # "a:b" or "it's" lands on disk as a%3Ab / it%27s — the
+            # raw join silently no-opped the DROP for partitions
+            # that exist (found by the round-14 ledger-corner tests).
+            frag = f"{pcols[0]}={self._escape_partition_value(part_val)}"
             live = os.path.join(local, frag)
             # Dot-prefixed so Spark's file listing ignores parked
             # partitions (same convention as _SUCCESS/_temporary).
@@ -3135,7 +3183,8 @@ class BigHouseEngine:
             name, pq, praw, snap = m_frz.groups()
             return self._freeze_attached(
                 name, snap, t0, request.query,
-                partition_val=pq if pq is not None else praw,
+                partition_val=self._unquote_partition_id(pq)
+                if pq is not None else praw,
             )
         m_unf = re.match(
             r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
@@ -3227,7 +3276,7 @@ class BigHouseEngine:
             )
             pairs: dict[str, str] = {}
             for part in _split_top_level(assigns):
-                col, _, expr = part.partition("=")
+                col, expr = self._split_assignment(part)
                 pairs[col.strip().strip('`"')] = expr.strip()
             items = [
                 f"CASE WHEN ({cond}) THEN ({pairs[c]}) ELSE `{c}` END"
@@ -3911,14 +3960,22 @@ class BigHouseEngine:
         )
         if m_dict:
             name, pk, source = self._raw_groups(m_dict, request.query)
-            sm = re.search(r"TABLE\s*\(?\s*'?([\w.]+)'?", source,
-                           re.IGNORECASE)
+            # Masked locate, raw slice: another SOURCE arg's literal
+            # (PASSWORD 'use TABLE x', QUERY '...') could otherwise
+            # feed the sniff a phantom table name — and silently bind
+            # the dictionary to the WRONG source if that name exists
+            # (round-14 ledger corner, closed).
+            sm = re.search(
+                r"TABLE\s*\(?\s*(?:'([^']*)'|([\w.]+))",
+                _mask_string_literals(source), re.IGNORECASE,
+            )
             if not sm:
                 raise ValueError(
                     f"CREATE DICTIONARY {name}: SOURCE must name a "
                     "TABLE (SOURCE(CLICKHOUSE(TABLE 'x')))"
                 )
-            src = sm.group(1).split(".")[-1]
+            g = 1 if sm.group(1) is not None else 2
+            src = source[sm.start(g):sm.end(g)].split(".")[-1]
             if pk not in self.spark.table(src).columns:
                 raise ValueError(
                     f"CREATE DICTIONARY {name}: key {pk!r} not in {src}"
@@ -3990,7 +4047,10 @@ class BigHouseEngine:
                     f"OPTIMIZE TABLE {name} PARTITION '<id>' "
                     f"{praw.upper()}"
                 )
-            part_val = pq if pq is not None else praw
+            part_val = (
+                self._unquote_partition_id(pq) if pq is not None
+                else praw
+            )
             return self._optimize_attached(
                 name, bool(dedup), t0, request.query,
                 partition_val=part_val,
