@@ -1940,10 +1940,16 @@ class BigHouseEngine:
     ) -> str:
         """CH allows the bare ``DEFAULT`` keyword as a VALUES cell:
         ``INSERT INTO t VALUES (1, DEFAULT)`` fills the column's
-        declared default (else its type default). Each depth-1
-        DEFAULT token — located on a string-literal-masked copy, so
-        ``'keep DEFAULT word'`` is data — is replaced by the SQL of
-        the column at its tuple position."""
+        declared default (else its type default). DEFAULT cells are
+        located on a string-literal-masked copy, so ``'keep DEFAULT
+        word'`` is data. The whole VALUES list is rewritten into
+        per-row SELECTs whose items alias the target column names —
+        so a declared default that references OTHER columns
+        (``b Int64 DEFAULT a * 2``) resolves against the same row's
+        values via Spark's lateral column aliases, matching CH's
+        row-scoped default computation. A default reading a column
+        declared AFTER it fails loudly with Spark's unresolved-column
+        error (lateral aliases resolve left-to-right only)."""
         from bighouse_spark.dialect.transpile import (
             _mask_string_literals,
         )
@@ -1960,35 +1966,46 @@ class BigHouseEngine:
             ]
         else:
             field_order = list(target.fields)
-        out, last, depth, commas = [], 0, 0, 0
-        for m in re.finditer(r"[(),]|\bDEFAULT\b", masked,
-                             re.IGNORECASE):
-            tok = m.group(0)
-            if tok == "(":
+        # Tuple/cell boundaries on the masked copy (depth-1 commas;
+        # parens AND brackets nest — an array cell's commas must not
+        # split), cells sliced from the raw text by span.
+        tuples: list[list[tuple[int, int]]] = []
+        cells: list[tuple[int, int]] = []
+        depth = 0
+        cell_start = 0
+        for i, ch in enumerate(masked):
+            if ch in "([":
                 depth += 1
-                if depth == 1:
-                    commas = 0
-            elif tok == ")":
+                if depth == 1 and ch == "(":
+                    cells = []
+                    cell_start = i + 1
+            elif ch in ")]":
                 depth -= 1
-            elif tok == ",":
-                if depth == 1:
-                    commas += 1
-            elif depth == 1:  # a bare DEFAULT cell
-                if commas >= len(field_order):
-                    raise ValueError(
-                        f"INSERT INTO {name}: DEFAULT at position "
-                        f"{commas + 1} exceeds the "
-                        f"{len(field_order)}-column target"
-                    )
-                out.append(body[last:m.start()])
-                out.append(
-                    self._missing_col_default_sql(
-                        name, field_order[commas]
-                    )
+                if depth == 0 and ch == ")":
+                    cells.append((cell_start, i))
+                    tuples.append(cells)
+            elif ch == "," and depth == 1:
+                cells.append((cell_start, i))
+                cell_start = i + 1
+        selects = []
+        for cells in tuples:
+            if len(cells) != len(field_order):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(cells)} values for a "
+                    f"{len(field_order)}-column target"
                 )
-                last = m.end()
-        out.append(body[last:])
-        return "".join(out)
+            items = []
+            for (s, e), f in zip(cells, field_order):
+                cell = body[s:e].strip()
+                if cell.upper() == "DEFAULT":
+                    items.append(
+                        f"{self._missing_col_default_sql(name, f)} "
+                        f"AS `{f.name}`"
+                    )
+                else:
+                    items.append(f"({cell}) AS `{f.name}`")
+            selects.append("SELECT " + ", ".join(items))
+        return " UNION ALL ".join(selects)
 
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int,

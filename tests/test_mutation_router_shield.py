@@ -1190,3 +1190,69 @@ class TestRound14LedgerCorners:
         assert f("a\\\\b") == "a\\b"
         assert f("plain") == "plain"
         assert f(None) is None
+
+
+class TestValuesDefaultCrossColumn:
+    """`INSERT INTO t VALUES (7, DEFAULT)` where the DEFAULT
+    expression references another column: CH computes defaults with
+    row scope; the VALUES list is rewritten into per-row SELECTs so
+    Spark's lateral column aliases see the same row (round-14 probe:
+    the old inline-VALUES splice left the reference unresolvable)."""
+
+    def test_values_default_references_other_column(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vx14")
+        eng.execute(
+            "CREATE TABLE __vx14 (a Int64, b Int64 DEFAULT a * 2) "
+            "ENGINE = MergeTree ORDER BY a"
+        )
+        eng.execute(
+            "INSERT INTO __vx14 VALUES (7, DEFAULT), (8, 9)"
+        )
+        assert eng.execute(
+            "SELECT a, b FROM __vx14 ORDER BY a"
+        ).rows == [[7, 14], [8, 9]]
+        eng.execute("DROP TABLE IF EXISTS __vx14")
+
+    def test_values_default_transitive_left_to_right(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vt14t")
+        eng.execute(
+            "CREATE TABLE __vt14t (a Int64 DEFAULT 3, "
+            "b Int64 DEFAULT a + 1) ENGINE = MergeTree ORDER BY a"
+        )
+        eng.execute("INSERT INTO __vt14t VALUES (DEFAULT, DEFAULT)")
+        assert eng.execute(
+            "SELECT a, b FROM __vt14t"
+        ).rows == [[3, 4]]
+        eng.execute("DROP TABLE IF EXISTS __vt14t")
+
+    def test_array_cell_comma_does_not_shift_default(self, spark):
+        # the old scanner counted an array literal's commas as cell
+        # boundaries, mapping DEFAULT to the wrong column
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __va14")
+        eng.execute(
+            "CREATE TABLE __va14 (k Int64, xs Array(Int64), "
+            "v String DEFAULT 'dd') ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "INSERT INTO __va14 VALUES (1, [10, 20], DEFAULT)"
+        )
+        assert eng.execute(
+            "SELECT k, xs, v FROM __va14"
+        ).rows == [[1, [10, 20], "dd"]]
+        eng.execute("DROP TABLE IF EXISTS __va14")
+
+    def test_values_count_mismatch_raises(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vc14")
+        eng.execute(
+            "CREATE TABLE __vc14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        with pytest.raises(ValueError, match="values for a"):
+            eng.execute(
+                "INSERT INTO __vc14 VALUES (1, 'a', DEFAULT)"
+            )
+        eng.execute("DROP TABLE IF EXISTS __vc14")

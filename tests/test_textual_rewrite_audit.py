@@ -35,6 +35,11 @@ AUDITED = {
         # rewrites the MV's own source-table token (an identifier the
         # engine minted, never user literal text)
         "_refresh_mv",
+        # unescapes the INNER TEXT of an already-extracted quoted
+        # partition id ('' / \' collapse) — the whole input IS
+        # literal content, there is no surrounding SQL to corrupt
+        # (audited 2026-08-16, r14)
+        "_unquote_partition_id",
     },
     "bighouse_spark/dialect/transpile.py": {
         # the shields themselves
