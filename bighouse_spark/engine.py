@@ -1046,6 +1046,138 @@ class BigHouseEngine:
             return f"({c} <> 0)"
         return cond
 
+    def _update_pairs(self, name: str, assigns: str,
+                      columns) -> dict[str, str]:
+        """Parse an ALTER UPDATE assignment list into {col: expr},
+        validating every target against the table's columns — CH
+        raises NO_SUCH_COLUMN_IN_TABLE for an unknown target, and so
+        must we: the old build silently DROPPED unknown assignments
+        and rewrote the table unchanged (round-14 probe, live)."""
+        pairs: dict[str, str] = {}
+        for part in _split_top_level(assigns):
+            col, expr = self._split_assignment(part)
+            pairs[col.strip().strip('`"')] = expr.strip()
+        known = set(columns)
+        unknown = [c for c in pairs if c not in known]
+        if unknown:
+            raise ValueError(
+                f"ALTER TABLE {name} UPDATE: no such column(s) "
+                f"{unknown} in table (columns: {list(columns)})"
+            )
+        return pairs
+
+    def _mutation_in_partition(
+        self, name: str, head: str, pq: str | None, praw: str | None,
+        cond: str, t0: float, query: str,
+    ) -> "QueryResult | None":
+        """``ALTER TABLE t UPDATE/DELETE ... IN PARTITION p WHERE c``
+        bounded to ONE partition directory — ClickHouse rewrites only
+        the named partition's parts, and at 100 TB so must we: the
+        fold-into-WHERE fallback rewrites the WHOLE table to mutate
+        one partition. Returns None to fall back to the fold (table
+        not attached / not single-column-partitioned / partition
+        directory absent — the fold reproduces today's guided errors,
+        and a malformed partition id fails loudly in analysis instead
+        of silently no-opping here)."""
+        import os
+        import shutil
+        import uuid
+
+        if name not in self._attached:
+            return None
+        pcols = self._partitioned.get(name) or []
+        if len(pcols) != 1:
+            return None
+        pcol = pcols[0]
+        path, fmt, schema = self._attached[name]
+        local = path[7:] if path.startswith("file://") else path
+        part_val = (
+            self._unquote_partition_id(pq) if pq is not None else praw
+        )
+        subdir = os.path.join(
+            local, f"{pcol}={self._escape_partition_value(part_val)}"
+        )
+        if not os.path.isdir(subdir):
+            return None
+        masked_head = _mask_string_literals(head)
+        m_up = re.search(r"\bUPDATE\b", masked_head, re.IGNORECASE)
+        is_delete = m_up is None
+        assigns = "" if is_delete else head[m_up.end():].strip()
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.format(fmt).load(subdir)
+        file_cols = list(df.columns)
+        # assignments/conditions may reference the partition key,
+        # which lives in the directory name — inject it as the typed
+        # literal (it cannot change: key-column UPDATEs are refused)
+        ptype = self.spark.table(name).schema[pcol].dataType
+        df = df.withColumn(pcol, F.lit(part_val).cast(ptype))
+        pairs: dict[str, str] = {}
+        if not is_delete:
+            pairs = self._update_pairs(name, assigns, df.columns)
+            if pcol in pairs:
+                raise ValueError(
+                    f"ALTER TABLE {name} UPDATE: cannot UPDATE "
+                    f"partition key column `{pcol}` (ClickHouse "
+                    "refuses key-column mutations; INSERT the rows "
+                    "into their new partition and DELETE them from "
+                    "this one instead)"
+                )
+        cond = self._coerce_mutation_cond(cond)
+        view = f"__bh_mutp_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(view)
+        try:
+            if is_delete:
+                sel = transpile(
+                    f"SELECT * FROM {view} WHERE NOT ({cond})",
+                    self.spark,
+                )
+            else:
+                items = [
+                    f"CASE WHEN ({cond}) THEN ({pairs[c]}) "
+                    f"ELSE `{c}` END AS `{c}`" if c in pairs
+                    else f"`{c}`"
+                    for c in df.columns
+                ]
+                sel = transpile(
+                    f"SELECT {', '.join(items)} FROM {view}",
+                    self.spark,
+                )
+            # files in the directory never carry the partition key —
+            # project back to the file schema before the swap
+            out = self.spark.sql(sel.sql).select(*file_cols)
+            tmp = f"{subdir}.mutating-{uuid.uuid4().hex[:8]}"
+            self._table_writer(
+                out, name, fmt, "overwrite", partition_in_path=True
+            ).save(tmp)
+        finally:
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+        old = f"{subdir}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(subdir, old)
+        shutil.move(tmp, subdir)
+        shutil.rmtree(old)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        # same posture as whole-table mutations: the rewrite renamed
+        # backing files, so dependent MVs rebuild from scratch
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
+                shutil.rmtree(mv["data"], ignore_errors=True)
+                self._refresh_mv(mv_name)
+        self._record_mutation(
+            name,
+            ("DELETE" if is_delete else f"UPDATE {assigns}")
+            + f" IN PARTITION {part_val!r} WHERE {cond}",
+        )
+        elapsed = time.monotonic() - t0
+        self.query_log.append(QueryLogEntry(query, sel.sql, elapsed, -1))
+        return QueryResult(cols=["path"], rows=[[path]],
+                           elapsed_sec=elapsed)
+
     def _partition_from(
         self, stmt_table: str, verb: str, partition_val: str,
         other: str, t0: float, query: str,
@@ -3255,6 +3387,11 @@ class BigHouseEngine:
             head, name, pq, praw, cond = self._raw_groups(
                 m_inp, request.query
             )
+            scoped = self._mutation_in_partition(
+                name, head, pq, praw, cond, t0, request.query
+            )
+            if scoped is not None:
+                return scoped
             request = replace(
                 request,
                 query=(
@@ -3291,10 +3428,9 @@ class BigHouseEngine:
             cond = self._coerce_mutation_cond(
                 request.query[split[1]:].strip()
             )
-            pairs: dict[str, str] = {}
-            for part in _split_top_level(assigns):
-                col, expr = self._split_assignment(part)
-                pairs[col.strip().strip('`"')] = expr.strip()
+            pairs = self._update_pairs(
+                name, assigns, self.spark.table(name).columns
+            )
             items = [
                 f"CASE WHEN ({cond}) THEN ({pairs[c]}) ELSE `{c}` END"
                 f" AS `{c}`" if c in pairs else f"`{c}`"

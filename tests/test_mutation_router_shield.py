@@ -1256,3 +1256,118 @@ class TestValuesDefaultCrossColumn:
                 "INSERT INTO __vc14 VALUES (1, 'a', DEFAULT)"
             )
         eng.execute("DROP TABLE IF EXISTS __vc14")
+
+
+class TestPartitionScopedMutationRewrite:
+    """`ALTER TABLE t UPDATE/DELETE ... IN PARTITION p WHERE c` is
+    bounded to the named partition DIRECTORY (round 14): CH rewrites
+    only that partition's parts, and at 100 TB so must we — the old
+    fold-into-WHERE rewrote the whole table to mutate one partition.
+    Also: assignment targets are validated (CH raises
+    NO_SUCH_COLUMN_IN_TABLE; the old build silently dropped unknown
+    assignments and rewrote the table unchanged)."""
+
+    @pytest.fixture
+    def meng(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __pm14")
+        eng.execute(
+            "CREATE TABLE __pm14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __pm14 VALUES (1, 'a'), (1, 'b'), (2, 'c')"
+        )
+        yield eng
+        eng.execute("DROP TABLE IF EXISTS __pm14")
+
+    @staticmethod
+    def _files(eng, frag):
+        import glob
+        import os
+
+        local = eng._attached["__pm14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        return sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(local, frag, "*.parquet"))
+        )
+
+    def test_scoped_update_leaves_other_partitions_untouched(
+        self, meng
+    ):
+        before = self._files(meng, "k=2")
+        meng.execute(
+            "ALTER TABLE __pm14 UPDATE v = concat(v, '!') "
+            "IN PARTITION '1' WHERE 1"
+        )
+        assert meng.execute(
+            "SELECT k, v FROM __pm14 ORDER BY k, v"
+        ).rows == [[1, "a!"], [1, "b!"], [2, "c"]]
+        # the untargeted partition's files are PHYSICALLY identical
+        # (same names, same mtimes) — the rewrite was bounded
+        assert self._files(meng, "k=2") == before
+
+    def test_scoped_delete_leaves_other_partitions_untouched(
+        self, meng
+    ):
+        before = self._files(meng, "k=2")
+        meng.execute(
+            "ALTER TABLE __pm14 DELETE IN PARTITION '1' "
+            "WHERE v = 'a'"
+        )
+        assert meng.execute(
+            "SELECT k, v FROM __pm14 ORDER BY k, v"
+        ).rows == [[1, "b"], [2, "c"]]
+        assert self._files(meng, "k=2") == before
+
+    def test_scoped_condition_may_reference_partition_key(self, meng):
+        # the key lives in the directory name, not the files — it is
+        # injected as a typed literal for the condition's benefit
+        meng.execute(
+            "ALTER TABLE __pm14 UPDATE v = 'z' "
+            "IN PARTITION '1' WHERE k = 1 AND v = 'a'"
+        )
+        assert meng.execute(
+            "SELECT v FROM __pm14 ORDER BY k, v"
+        ).rows == [["b"], ["z"], ["c"]]
+
+    def test_scoped_update_partition_key_refused(self, meng):
+        with pytest.raises(ValueError, match="partition key column"):
+            meng.execute(
+                "ALTER TABLE __pm14 UPDATE k = 9 "
+                "IN PARTITION '1' WHERE 1"
+            )
+
+    def test_missing_partition_is_correct_noop(self, meng):
+        # falls back to the fold (matches nothing) — same observable
+        # result as CH's cheap no-op, never a silent wrong answer
+        meng.execute(
+            "ALTER TABLE __pm14 UPDATE v = 'q' "
+            "IN PARTITION '77' WHERE 1"
+        )
+        assert meng.execute(
+            "SELECT v FROM __pm14 ORDER BY k, v"
+        ).rows == [["a"], ["b"], ["c"]]
+
+    def test_update_unknown_column_raises(self, meng):
+        with pytest.raises(ValueError, match="no such column"):
+            meng.execute(
+                "ALTER TABLE __pm14 UPDATE nosuch = 5 WHERE 1"
+            )
+        with pytest.raises(ValueError, match="no such column"):
+            meng.execute(
+                "ALTER TABLE __pm14 UPDATE nosuch = 5 "
+                "IN PARTITION '1' WHERE 1"
+            )
+
+    def test_scoped_mutation_recorded_in_system_mutations(self, meng):
+        meng.execute(
+            "ALTER TABLE __pm14 DELETE IN PARTITION '2' WHERE 1"
+        )
+        meng.refresh_system_views()
+        rows = meng.execute(
+            "SELECT command FROM system_mutations "
+            "WHERE table = '__pm14'"
+        ).rows
+        assert any("IN PARTITION" in r[0] for r in rows)
