@@ -71,7 +71,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # system.* literal-corruption pins, both live silent-data bugs found
 # and fixed in r14) and `sink_column_default_roundtrip` (per-column
 # DEFAULT fills, new r14 feature) and `sink_partition_swap_roundtrip`
-# (REPLACE PARTITION FROM, the r14 cross-table partition surface) —
+# (REPLACE PARTITION FROM, the r14 cross-table partition surface)
+# and `sink_partition_scoped_mutation_roundtrip` (IN PARTITION
+# mutations bounded to the partition directory, with the partition
+# key referenced in the condition — the r14 scale-semantics pin) —
 # then the 9 r10-era leftovers above, then oldest-green (r11-era)
 # fills to 50.
 DRIVER_WINDOW = {

@@ -355,3 +355,60 @@ def sink_partition_swap_roundtrip(spark, sf_dir):
         "CAST(sum(okey) AS BIGINT) AS s "
         "FROM __q_swap_dst GROUP BY st ORDER BY st"
     )
+
+
+# Round-14 scale-semantics pin (staged r15): IN PARTITION mutations
+# are bounded to the named partition DIRECTORY (CH rewrites only that
+# partition's parts — at 100 TB the whole-table fold is the
+# difference between one directory and everything). The scoped
+# UPDATE's condition references the partition KEY (which lives in
+# the directory name, injected as a typed literal) — a regression to
+# the fold, a wrong injection, or a partition/file mix-up all
+# diverge from the oracle's plain-SQL recomputation.
+@query(
+    "sink_partition_scoped_mutation_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS st, o_orderkey AS k,
+         o_orderpriority AS pr
+  FROM orders WHERE o_orderkey < 1500
+), u AS (
+  SELECT st, k,
+         CASE WHEN st = 'F' AND k % 2 = 0 THEN pr || '+' ELSE pr END
+         AS pr
+  FROM base
+), d AS (
+  SELECT * FROM u WHERE NOT (st = 'O' AND k % 3 = 0)
+)
+SELECT st, pr, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS s
+FROM d GROUP BY st, pr ORDER BY st, pr
+""",
+)
+def sink_partition_scoped_mutation_roundtrip(spark, sf_dir):
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.queries.registry import t
+
+    eng = BigHouseEngine(spark=spark)
+    eng.execute("DROP TABLE IF EXISTS __q_psm")
+    eng.execute(
+        "CREATE TABLE __q_psm (st String, k Int64, pr String) "
+        "ENGINE = MergeTree PARTITION BY st ORDER BY k"
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__q_psm_src")
+    eng.execute(
+        "INSERT INTO __q_psm SELECT o_orderstatus, o_orderkey, "
+        "o_orderpriority FROM __q_psm_src WHERE o_orderkey < 1500"
+    )
+    eng.execute(
+        "ALTER TABLE __q_psm UPDATE pr = concat(pr, '+') "
+        "IN PARTITION 'F' WHERE st = 'F' AND k % 2 = 0"
+    )
+    eng.execute(
+        "ALTER TABLE __q_psm DELETE IN PARTITION 'O' WHERE k % 3 = 0"
+    )
+    return spark.sql(
+        "SELECT st, pr, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(k) AS BIGINT) AS s "
+        "FROM __q_psm GROUP BY st, pr ORDER BY st, pr"
+    )
