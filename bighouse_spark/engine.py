@@ -644,12 +644,19 @@ class BigHouseEngine:
             if _os.path.isfile(local):
                 entries = [local]
             else:
-                entries = [
-                    _os.path.join(root, f)
-                    for root, _d, files in _os.walk(local)
-                    for f in files
-                    if not f.startswith(("_", "."))
-                ]
+                entries = []
+                for root, _d, files in _os.walk(local):
+                    # detached partitions (.detached) are NOT live
+                    # parts — CH lists them in system.detached_parts,
+                    # served below; prune every dot/underscore dir
+                    _d[:] = [
+                        d for d in _d if not d.startswith(("_", "."))
+                    ]
+                    entries.extend(
+                        _os.path.join(root, f)
+                        for f in files
+                        if not f.startswith(("_", "."))
+                    )
             for fpath in entries:
                 n_rows = -1
                 if fmt == "parquet":
@@ -675,6 +682,31 @@ class BigHouseEngine:
             "table string, name string, partition string, "
             "bytes_on_disk bigint, rows bigint",
         ).createOrReplaceTempView("system_parts")
+        # system.detached_parts analog: partitions parked by
+        # ALTER TABLE ... DETACH PARTITION await re-ATTACH (or manual
+        # removal) under <table>/.detached — the operator's "what is
+        # detached and how big" view, exactly what CH serves.
+        detached = []
+        for tname, (path, fmt, _schema) in self._attached.items():
+            local = path[7:] if path.startswith("file://") else path
+            droot = _os.path.join(local, ".detached")
+            if "://" in local or not _os.path.isdir(droot):
+                continue
+            for frag in sorted(_os.listdir(droot)):
+                pdir = _os.path.join(droot, frag)
+                if not _os.path.isdir(pdir):
+                    continue
+                nbytes = sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for root, _d, files in _os.walk(pdir)
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+                detached.append((tname, frag, int(nbytes)))
+        self.spark.createDataFrame(
+            detached,
+            "table string, partition string, bytes_on_disk bigint",
+        ).createOrReplaceTempView("system_detached_parts")
         # system.dictionaries analog.
         self.spark.createDataFrame(
             [(n, src, pk) for n, (src, pk) in self._dicts.items()],

@@ -1371,3 +1371,42 @@ class TestPartitionScopedMutationRewrite:
             "WHERE table = '__pm14'"
         ).rows
         assert any("IN PARTITION" in r[0] for r in rows)
+
+
+class TestSystemDetachedParts:
+    """system.detached_parts: partitions parked by DETACH PARTITION,
+    with their on-disk size — and system.parts must NOT list parked
+    files as live parts (it walked into .detached before round 14)."""
+
+    def test_detached_parts_lifecycle(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dp14")
+        eng.execute(
+            "CREATE TABLE __dp14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __dp14 VALUES (1, 'a'), (2, 'b')"
+        )
+        eng.execute("ALTER TABLE __dp14 DETACH PARTITION '1'")
+        eng.refresh_system_views()
+        rows = eng.execute(
+            "SELECT partition, bytes_on_disk FROM "
+            "system.detached_parts WHERE table = '__dp14'"
+        ).rows
+        assert len(rows) == 1
+        assert rows[0][0] == "k=1" and rows[0][1] > 0
+        # live parts exclude the parked partition
+        live = eng.execute(
+            "SELECT partition FROM system.parts "
+            "WHERE table = '__dp14'"
+        ).rows
+        assert all("detached" not in r[0] for r in live)
+        assert any(r[0] == "k=2" for r in live)
+        eng.execute("ALTER TABLE __dp14 ATTACH PARTITION '1'")
+        eng.refresh_system_views()
+        assert eng.execute(
+            "SELECT count() AS c FROM system.detached_parts "
+            "WHERE table = '__dp14'"
+        ).rows == [[0]]
+        eng.execute("DROP TABLE IF EXISTS __dp14")
