@@ -1558,6 +1558,16 @@ class BigHouseEngine:
         old = f"{local}.old-{uuid.uuid4().hex[:8]}"
         shutil.move(local, old)
         shutil.move(tmp, local)
+        # Detached partitions (.detached, parked by DETACH PARTITION)
+        # live under the table root but are NOT table data — CH keeps
+        # detached/ through merges and mutations. Before round 14 the
+        # swap silently DESTROYED them on every whole-table mutation,
+        # TRUNCATE, and OPTIMIZE (probe-found, live).
+        import os
+
+        parked = os.path.join(old, ".detached")
+        if os.path.isdir(parked):
+            shutil.move(parked, os.path.join(local, ".detached"))
         shutil.rmtree(old)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)

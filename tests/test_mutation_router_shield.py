@@ -1410,3 +1410,51 @@ class TestSystemDetachedParts:
             "WHERE table = '__dp14'"
         ).rows == [[0]]
         eng.execute("DROP TABLE IF EXISTS __dp14")
+
+
+class TestDetachedSurvivesTableRewrites:
+    """Detached partitions are NOT table data: CH keeps detached/
+    through merges and mutations. The whole-table rewrite swap used
+    to silently DESTROY .detached on every full mutation, TRUNCATE,
+    and OPTIMIZE (round-14 probe, reproduced live — data loss)."""
+
+    def _mk(self, spark, name):
+        eng = BigHouseEngine(spark)
+        eng.execute(f"DROP TABLE IF EXISTS {name}")
+        eng.execute(
+            f"CREATE TABLE {name} (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b')")
+        eng.execute(f"ALTER TABLE {name} DETACH PARTITION '1'")
+        return eng
+
+    def test_survives_full_mutation_then_attach(self, spark):
+        eng = self._mk(spark, "__ds14a")
+        eng.execute("ALTER TABLE __ds14a UPDATE v = 'x' WHERE 1")
+        eng.execute("ALTER TABLE __ds14a ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v FROM __ds14a ORDER BY k"
+        ).rows == [[1, "a"], [2, "x"]]
+        eng.execute("DROP TABLE IF EXISTS __ds14a")
+
+    def test_survives_optimize_final(self, spark):
+        eng = self._mk(spark, "__ds14b")
+        eng.execute("OPTIMIZE TABLE __ds14b FINAL")
+        eng.execute("ALTER TABLE __ds14b ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v FROM __ds14b ORDER BY k"
+        ).rows == [[1, "a"], [2, "b"]]
+        eng.execute("DROP TABLE IF EXISTS __ds14b")
+
+    def test_survives_truncate(self, spark):
+        eng = self._mk(spark, "__ds14c")
+        eng.execute("TRUNCATE TABLE __ds14c")
+        assert eng.execute(
+            "SELECT count() AS c FROM __ds14c"
+        ).rows == [[0]]
+        eng.execute("ALTER TABLE __ds14c ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v FROM __ds14c ORDER BY k"
+        ).rows == [[1, "a"]]
+        eng.execute("DROP TABLE IF EXISTS __ds14c")
