@@ -826,7 +826,7 @@ class BigHouseEngine:
         r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?(?:\s+ON\s+CLUSTER\s+\S+)?"
         r"\s+FREEZE(?:\s+PARTITION\s+(?:ID\s+)?"
         r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+?)))?"
-        r"(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$",
+        r"(?:\s+WITH\s+NAME\s+'((?:[^'\\]|\\.|'')+)')?\s*$",
         re.IGNORECASE,
     )
     # Head only — the assignments/condition split is NOT a regex:
@@ -1131,10 +1131,21 @@ class BigHouseEngine:
         )
         if not os.path.isdir(subdir):
             return None
+        # Verb detection anchored like the routers themselves: the
+        # DELETE form's head ENDS with DELETE; for UPDATE the
+        # assignments start after the anchored head match — a table
+        # literally named "update"/"delete" must not confuse a
+        # free-floating keyword search.
         masked_head = _mask_string_literals(head)
-        m_up = re.search(r"\bUPDATE\b", masked_head, re.IGNORECASE)
-        is_delete = m_up is None
-        assigns = "" if is_delete else head[m_up.end():].strip()
+        is_delete = bool(
+            re.search(r"\bDELETE\s*$", masked_head, re.IGNORECASE)
+        )
+        assigns = ""
+        if not is_delete:
+            m_h = self._ALTER_UPDATE_HEAD_RE.match(masked_head)
+            if m_h is None:
+                return None
+            assigns = head[m_h.end():].strip()
         from pyspark.sql import functions as F
 
         df = self.spark.read.format(fmt).load(subdir)
@@ -1176,30 +1187,28 @@ class BigHouseEngine:
                     self.spark,
                 )
             # files in the directory never carry the partition key —
-            # project back to the file schema before the swap
+            # project back to the file schema before the swap. The
+            # temp dir is a SIBLING of the table root (a failed write
+            # must never leave a `k=1.mutating-xx` directory that
+            # partition discovery parses as a bogus partition value).
             out = self.spark.sql(sel.sql).select(*file_cols)
-            tmp = f"{subdir}.mutating-{uuid.uuid4().hex[:8]}"
-            self._table_writer(
-                out, name, fmt, "overwrite", partition_in_path=True
-            ).save(tmp)
+            tmp = f"{local}.mutp-{uuid.uuid4().hex[:8]}"
+            try:
+                self._table_writer(
+                    out, name, fmt, "overwrite", partition_in_path=True
+                ).save(tmp)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         finally:
             try:
                 self.spark.catalog.dropTempView(view)
             except Exception:
                 pass
-        old = f"{subdir}.old-{uuid.uuid4().hex[:8]}"
-        shutil.move(subdir, old)
-        shutil.move(tmp, subdir)
-        shutil.rmtree(old)
+        self._swap_in(subdir, tmp, local)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
-        # same posture as whole-table mutations: the rewrite renamed
-        # backing files, so dependent MVs rebuild from scratch
-        for mv_name, mv in self._mviews.items():
-            if mv["source"] == name:
-                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
-                shutil.rmtree(mv["data"], ignore_errors=True)
-                self._refresh_mv(mv_name)
+        self._rebuild_dependent_mvs(name)
         self._record_mutation(
             name,
             ("DELETE" if is_delete else f"UPDATE {assigns}")
@@ -1467,6 +1476,14 @@ class BigHouseEngine:
             walk_root = os.path.join(table_root, sub)
         local = table_root
         base = f"{local.rstrip('/')}.shadow"
+        if snap is not None and (os.sep in snap or snap in (".", "..")
+                                 or (os.altsep and os.altsep in snap)):
+            # the snapshot name becomes a directory under the shadow
+            # root — path separators would escape it
+            raise ValueError(
+                f"FREEZE WITH NAME {snap!r}: snapshot names cannot "
+                "contain path separators"
+            )
         if snap is None:
             n = 1
             while os.path.exists(os.path.join(base, str(n))):
@@ -1510,7 +1527,18 @@ class BigHouseEngine:
         and column-chunk blooms survive INSERTs, mutations, and
         OPTIMIZE."""
         ocols = self._ordered.get(name)
-        if ocols and all(c in df.columns for c in ocols):
+        if ocols and partition_in_path:
+            # a partition-scoped rewrite's frame lacks the partition
+            # column (it lives in the directory name) — it is
+            # CONSTANT within the directory, so sorting by the
+            # remaining key columns preserves the declared order
+            # (before round 14 the all-present guard below silently
+            # skipped the sort entirely for ORDER BY keys that
+            # include the partition column)
+            sub = [c for c in ocols if c in df.columns]
+            if sub:
+                df = df.sortWithinPartitions(*sub)
+        elif ocols and all(c in df.columns for c in ocols):
             df = df.sortWithinPartitions(*ocols)
         writer = df.write.format(fmt).mode(mode)
         if fmt == "parquet":
@@ -1541,6 +1569,49 @@ class BigHouseEngine:
             writer = writer.partitionBy(*pcols)
         return writer
 
+    def _rebuild_dependent_mvs(self, name: str) -> None:
+        """A rewrite renames every backing file, which would make the
+        next incremental MV refresh re-fold old rows as "new" (double
+        counting). Rebuild dependent MVs from the post-rewrite table
+        instead — diverges from CH (where mutations silently don't
+        propagate) in the safe direction. Shared by every rewrite
+        tail: whole-table and partition-scoped mutations, compaction,
+        and partition swaps."""
+        import shutil
+
+        for mv_name, mv in self._mviews.items():
+            if mv["source"] == name:
+                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
+                shutil.rmtree(mv["data"], ignore_errors=True)
+                self._refresh_mv(mv_name)
+
+    @staticmethod
+    def _swap_in(live: str, tmp: str, old_base: str, *,
+                 preserve_detached: bool = False) -> None:
+        """Replace directory ``live`` with ``tmp``: rename-swap, then
+        delete the old tree. ``old_base`` anchors the transient
+        ``.old-<hex>`` sibling and must live OUTSIDE any table root —
+        Spark partition discovery would parse a leftover
+        ``k=1.old-ab12`` inside the root as a bogus partition value.
+        With ``preserve_detached``, the .detached parked partitions
+        (DETACH PARTITION) are carried over to the new tree first —
+        CH keeps detached/ through merges and mutations; before
+        round 14 the swap silently DESTROYED them on every
+        whole-table mutation, TRUNCATE, and OPTIMIZE (probe-found,
+        live)."""
+        import os
+        import shutil
+        import uuid
+
+        old = f"{old_base}.old-{uuid.uuid4().hex[:8]}"
+        shutil.move(live, old)
+        shutil.move(tmp, live)
+        if preserve_detached:
+            parked = os.path.join(old, ".detached")
+            if os.path.isdir(parked):
+                shutil.move(parked, os.path.join(live, ".detached"))
+        shutil.rmtree(old)
+
     def _rewrite_attached(self, name: str, df, t0: float, query: str,
                           transpiled: str) -> QueryResult:
         """Materialize ``df`` as the new contents of an attached
@@ -1554,33 +1625,15 @@ class BigHouseEngine:
         path, fmt, schema = self._attached[name]
         local = path[7:] if path.startswith("file://") else path
         tmp = f"{local}.mutating-{uuid.uuid4().hex[:8]}"
-        self._table_writer(df, name, fmt, "overwrite").save(tmp)
-        old = f"{local}.old-{uuid.uuid4().hex[:8]}"
-        shutil.move(local, old)
-        shutil.move(tmp, local)
-        # Detached partitions (.detached, parked by DETACH PARTITION)
-        # live under the table root but are NOT table data — CH keeps
-        # detached/ through merges and mutations. Before round 14 the
-        # swap silently DESTROYED them on every whole-table mutation,
-        # TRUNCATE, and OPTIMIZE (probe-found, live).
-        import os
-
-        parked = os.path.join(old, ".detached")
-        if os.path.isdir(parked):
-            shutil.move(parked, os.path.join(local, ".detached"))
-        shutil.rmtree(old)
+        try:
+            self._table_writer(df, name, fmt, "overwrite").save(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(local, tmp, local, preserve_detached=True)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
-        # A part rewrite renames every backing file, which would make
-        # the next MV refresh re-fold old rows as "new" (double
-        # counting). Rebuild dependent MVs from the post-mutation
-        # table instead — diverges from CH (where mutations silently
-        # don't propagate) in the safe direction.
-        for mv_name, mv in self._mviews.items():
-            if mv["source"] == name:
-                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
-                shutil.rmtree(mv["data"], ignore_errors=True)
-                self._refresh_mv(mv_name)
+        self._rebuild_dependent_mvs(name)
         elapsed = time.monotonic() - t0
         self.query_log.append(QueryLogEntry(query, transpiled, elapsed, -1))
         return QueryResult(cols=["path"], rows=[[path]], elapsed_sec=elapsed)
@@ -2161,25 +2214,44 @@ class BigHouseEngine:
             elif ch == "," and depth == 1:
                 cells.append((cell_start, i))
                 cell_start = i + 1
-        selects = []
+        default_sql: dict[str, str] = {}
+
+        def _dsql(f) -> str:
+            if f.name not in default_sql:
+                default_sql[f.name] = self._missing_col_default_sql(
+                    name, f
+                )
+            return default_sql[f.name]
+
+        # Only tuples that actually hold a DEFAULT cell become
+        # per-row SELECTs; the rest stay batched in ONE VALUES block
+        # — a 10k-row insert with one DEFAULT must not become a
+        # 10k-way UNION ALL (analyzer blowup).
+        plain: list[str] = []
+        selects: list[str] = []
         for cells in tuples:
             if len(cells) != len(field_order):
                 raise ValueError(
                     f"INSERT INTO {name}: {len(cells)} values for a "
                     f"{len(field_order)}-column target"
                 )
-            items = []
-            for (s, e), f in zip(cells, field_order):
-                cell = body[s:e].strip()
-                if cell.upper() == "DEFAULT":
-                    items.append(
-                        f"{self._missing_col_default_sql(name, f)} "
-                        f"AS `{f.name}`"
-                    )
-                else:
-                    items.append(f"({cell}) AS `{f.name}`")
+            texts = [body[s:e].strip() for s, e in cells]
+            if not any(t.upper() == "DEFAULT" for t in texts):
+                plain.append("(" + ", ".join(texts) + ")")
+                continue
+            items = [
+                f"{_dsql(f)} AS `{f.name}`"
+                if t.upper() == "DEFAULT" else f"({t}) AS `{f.name}`"
+                for t, f in zip(texts, field_order)
+            ]
             selects.append("SELECT " + ", ".join(items))
-        return " UNION ALL ".join(selects)
+        branches = []
+        if plain:
+            branches.append(
+                "SELECT * FROM (VALUES " + ", ".join(plain) + ")"
+            )
+        branches.extend(selects)
+        return " UNION ALL ".join(branches)
 
     def _insert_into_attached(
         self, request: QueryRequest, name: str, body_start: int,
@@ -2501,23 +2573,24 @@ class BigHouseEngine:
             if injected:
                 df = df.drop(pcol)
         df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
-        tmp = f"{subdir}.mutating-{uuid.uuid4().hex[:8]}"
+        local_root = path[7:] if path.startswith("file://") else path
+        # sibling of the table root — a failed write must never leave
+        # a `k=1.mutating-xx` dir that partition discovery would
+        # parse as a bogus partition value
+        tmp = f"{local_root}.optp-{uuid.uuid4().hex[:8]}"
         # partition_in_path: this df deliberately lacks the partition
         # column (it IS the directory); ORDER BY sort + blooms kept.
-        self._table_writer(
-            df, name, fmt, "overwrite", partition_in_path=True
-        ).save(tmp)
-        old = f"{subdir}.old-{uuid.uuid4().hex[:8]}"
-        shutil.move(subdir, old)
-        shutil.move(tmp, subdir)
-        shutil.rmtree(old)
+        try:
+            self._table_writer(
+                df, name, fmt, "overwrite", partition_in_path=True
+            ).save(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(subdir, tmp, local_root)
         self.clear_cache()
         self.attach_table(name, path, fmt=fmt, schema=schema)
-        for mv_name, mv in self._mviews.items():
-            if mv["source"] == name:
-                shutil.rmtree(mv["checkpoint"], ignore_errors=True)
-                shutil.rmtree(mv["data"], ignore_errors=True)
-                self._refresh_mv(mv_name)
+        self._rebuild_dependent_mvs(name)
         import os
 
         files_after = sum(
@@ -3211,7 +3284,51 @@ class BigHouseEngine:
                         "already exists (INSERTed since the detach); "
                         "DROP it first or keep the live data"
                     )
-                shutil.move(parked, live)
+                # Column DDL may have run since the DETACH (the
+                # whole-table rewrite skips parked partitions), so
+                # the parked files can carry a STALE schema — a plain
+                # move would hand readers missing columns (silent
+                # NULLs instead of declared defaults) or type
+                # mismatches. Reconcile like CH materializes defaults
+                # for attached parts: fill added columns, drop
+                # removed ones, cast changed types; identical schemas
+                # keep the plain O(1) move.
+                _, fmt_a, _ = self._attached[name]
+                target = self._target_schema(name)
+                want = [
+                    f for f in target.fields if f.name not in pcols
+                ]
+                pf = self.spark.read.format(fmt_a).load(parked)
+                same = list(pf.columns) == [f.name for f in want] and all(
+                    pf.schema[f.name].dataType.simpleString()
+                    == f.dataType.simpleString()
+                    for f in want
+                )
+                if same:
+                    shutil.move(parked, live)
+                else:
+                    from pyspark.sql import functions as F
+
+                    import uuid as _uuid
+
+                    aligned = pf.select(*[
+                        (
+                            F.col(f.name) if f.name in pf.columns
+                            else self._missing_col_default(name, f)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in want
+                    ])
+                    tmp = f"{local}.attp-{_uuid.uuid4().hex[:8]}"
+                    try:
+                        self._table_writer(
+                            aligned, name, fmt_a, "overwrite",
+                            partition_in_path=True,
+                        ).save(tmp)
+                    except BaseException:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    shutil.move(tmp, live)
+                    shutil.rmtree(parked)
                 acted = True
             if acted:
                 self.clear_cache()
@@ -3373,7 +3490,8 @@ class BigHouseEngine:
         if m_frz:
             name, pq, praw, snap = m_frz.groups()
             return self._freeze_attached(
-                name, snap, t0, request.query,
+                name, self._unquote_partition_id(snap), t0,
+                request.query,
                 partition_val=self._unquote_partition_id(pq)
                 if pq is not None else praw,
             )
@@ -3381,7 +3499,7 @@ class BigHouseEngine:
             r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
             r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+UNFREEZE"
             r"(?:\s+PARTITION\s+(?:ID\s+)?\S+)?"
-            r"\s+WITH\s+NAME\s+'([^']+)'\s*$",
+            r"\s+WITH\s+NAME\s+'((?:[^'\\]|\\.|'')+)'\s*$",
             request.query, re.IGNORECASE,
         )
         if m_unf:
@@ -3393,9 +3511,18 @@ class BigHouseEngine:
             import shutil
 
             name, snap = m_unf.groups()
+            snap = self._unquote_partition_id(snap)
             local = self._attached_path_or_raise(
                 name, "ALTER TABLE UNFREEZE"
             )
+            if (os.sep in snap or snap in (".", "..")
+                    or (os.altsep and os.altsep in snap)):
+                # rmtree target — a path-separator name would escape
+                # the shadow root
+                raise ValueError(
+                    f"UNFREEZE WITH NAME {snap!r}: snapshot names "
+                    "cannot contain path separators"
+                )
             dest = os.path.join(f"{local.rstrip('/')}.shadow", snap)
             if not os.path.isdir(dest):
                 raise ValueError(

@@ -1458,3 +1458,189 @@ class TestDetachedSurvivesTableRewrites:
             "SELECT k, v FROM __ds14c ORDER BY k"
         ).rows == [[1, "a"]]
         eng.execute("DROP TABLE IF EXISTS __ds14c")
+
+
+class TestReviewFixesRound14:
+    """Fixes from the round-14 self-review of the partition-scoped
+    mutation / detached-preservation diff."""
+
+    def test_attach_reconciles_schema_after_add_column(self, spark):
+        # column DDL rewrites live storage but skips parked
+        # partitions; a plain re-ATTACH would hand readers stale
+        # files (NULLs instead of the declared default — CH
+        # materializes defaults for attached parts)
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __rc14")
+        eng.execute(
+            "CREATE TABLE __rc14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __rc14 VALUES (1, 'a'), (2, 'b')")
+        eng.execute("ALTER TABLE __rc14 DETACH PARTITION '1'")
+        eng.execute(
+            "ALTER TABLE __rc14 ADD COLUMN c Int64 DEFAULT 5"
+        )
+        eng.execute("ALTER TABLE __rc14 ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v, c FROM __rc14 ORDER BY k"
+        ).rows == [[1, "a", 5], [2, "b", 5]]
+        eng.execute("DROP TABLE IF EXISTS __rc14")
+
+    def test_attach_reconciles_dropped_column(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __rc14d")
+        eng.execute(
+            "CREATE TABLE __rc14d (k Int64, v String, x Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __rc14d VALUES (1, 'a', 7), (2, 'b', 8)"
+        )
+        eng.execute("ALTER TABLE __rc14d DETACH PARTITION '1'")
+        eng.execute("ALTER TABLE __rc14d DROP COLUMN x")
+        eng.execute("ALTER TABLE __rc14d ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v FROM __rc14d ORDER BY k"
+        ).rows == [[1, "a"], [2, "b"]]
+        eng.execute("DROP TABLE IF EXISTS __rc14d")
+
+    def test_scoped_delete_on_table_named_update(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS update")
+        eng.execute(
+            "CREATE TABLE update (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO update VALUES (1, 'a'), (2, 'b')")
+        eng.execute(
+            "ALTER TABLE update DELETE IN PARTITION '1' WHERE 1"
+        )
+        assert eng.execute(
+            "SELECT k, v FROM update"
+        ).rows == [[2, "b"]]
+        eng.execute("DROP TABLE IF EXISTS update")
+
+    def test_freeze_unfreeze_quote_doubled_name(self, spark):
+        import os
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __fz14")
+        eng.execute(
+            "CREATE TABLE __fz14 (k Int64) ENGINE = MergeTree "
+            "ORDER BY k"
+        )
+        eng.execute("INSERT INTO __fz14 VALUES (1)")
+        dest = eng.execute(
+            "ALTER TABLE __fz14 FREEZE WITH NAME 'it''s'"
+        ).rows[0][0]
+        assert os.path.isdir(dest) and dest.endswith("it's")
+        eng.execute("ALTER TABLE __fz14 UNFREEZE WITH NAME 'it''s'")
+        assert not os.path.isdir(dest)
+        eng.execute("DROP TABLE IF EXISTS __fz14")
+
+    def test_snapshot_name_path_separator_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __fz14p")
+        eng.execute(
+            "CREATE TABLE __fz14p (k Int64) ENGINE = MergeTree "
+            "ORDER BY k"
+        )
+        eng.execute("INSERT INTO __fz14p VALUES (1)")
+        with pytest.raises(ValueError, match="path separator"):
+            eng.execute(
+                "ALTER TABLE __fz14p FREEZE WITH NAME '../escape'"
+            )
+        with pytest.raises(ValueError, match="path separator"):
+            eng.execute(
+                "ALTER TABLE __fz14p UNFREEZE WITH NAME '../escape'"
+            )
+        eng.execute("DROP TABLE IF EXISTS __fz14p")
+
+    def test_failed_scoped_mutation_leaves_no_root_residue(
+        self, spark
+    ):
+        import glob
+        import os
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __fr14")
+        eng.execute(
+            "CREATE TABLE __fr14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __fr14 VALUES (1, 'a'), (2, 'b')")
+        with pytest.raises(Exception):
+            # ANSI cast failure at execution time, after the temp
+            # write began
+            eng.execute(
+                "ALTER TABLE __fr14 UPDATE v = toString(toInt64(v)) "
+                "IN PARTITION '1' WHERE 1"
+            )
+        local = eng._attached["__fr14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        # no bogus partition-like dirs in the table root, and the
+        # table still reads its original rows
+        residue = [
+            d for d in os.listdir(local)
+            if ".mutating" in d or ".mutp" in d or ".old" in d
+        ]
+        assert residue == []
+        assert eng.execute(
+            "SELECT k, v FROM __fr14 ORDER BY k"
+        ).rows == [[1, "a"], [2, "b"]]
+        eng.execute("DROP TABLE IF EXISTS __fr14")
+
+    def test_values_default_batches_plain_tuples(self, spark):
+        # one DEFAULT among many rows must not fan the whole insert
+        # into per-row SELECTs
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vb14")
+        eng.execute(
+            "CREATE TABLE __vb14 (k Int64, v String DEFAULT 'd') "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        from pyspark.sql import types as T
+
+        target = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ])
+        body = "VALUES " + ", ".join(
+            f"({i}, 'x{i}')" for i in range(50)
+        ) + ", (99, DEFAULT)"
+        out = eng._expand_values_defaults("__vb14", body, target, None)
+        assert out.count("UNION ALL") == 1  # one VALUES + one SELECT
+        assert "VALUES (0, 'x0')" in out
+        eng.execute(f"INSERT INTO __vb14 {body}")
+        assert eng.execute(
+            "SELECT v FROM __vb14 WHERE k = 99"
+        ).rows == [["d"]]
+        assert eng.execute(
+            "SELECT count() AS c FROM __vb14"
+        ).rows == [[51]]
+        eng.execute("DROP TABLE IF EXISTS __vb14")
+
+    def test_scoped_rewrite_keeps_subset_order_sort(self, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __so14")
+        eng.execute(
+            "CREATE TABLE __so14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY (k, v)"
+        )
+        eng.execute(
+            "INSERT INTO __so14 VALUES (1, 5), (1, 1), (1, 3), (2, 9)"
+        )
+        eng.execute(
+            "ALTER TABLE __so14 UPDATE v = v + 0 "
+            "IN PARTITION '1' WHERE 1"
+        )
+        local = eng._attached["__so14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        for f in glob.glob(f"{local}/k=1/*.parquet"):
+            vs = pq.read_table(f, columns=["v"])["v"].to_pylist()
+            assert vs == sorted(vs), f"file {f} lost the v-order"
+        eng.execute("DROP TABLE IF EXISTS __so14")
