@@ -847,6 +847,16 @@ class BigHouseEngine:
         r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))\s*$",
         re.IGNORECASE,
     )
+    # CH `ALTER TABLE t DROP DETACHED PARTITION p` — remove a parked
+    # partition from .detached without re-attaching it (the cleanup
+    # half of the DETACH lifecycle, shown in system.detached_parts).
+    _DROP_DETACHED_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+        r"(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"\s+DROP\s+DETACHED\s+PARTITION\s+"
+        r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))\s*$",
+        re.IGNORECASE,
+    )
     # CH cross-table partition management — the production backfill
     # pattern (swap a staged partition in without rewriting the
     # table): `ALTER TABLE dst ATTACH|REPLACE PARTITION p FROM src`
@@ -3225,6 +3235,59 @@ class BigHouseEngine:
                 self._unquote_partition_id(pq) if pq is not None
                 else praw,
                 other, t0, request.query,
+            )
+        m_dd = self._DROP_DETACHED_RE.match(request.query)
+        if m_dd:
+            import os
+            import shutil
+
+            name = m_dd.group(1)
+            part_val = (
+                self._unquote_partition_id(m_dd.group(2))
+                if m_dd.group(2) is not None else m_dd.group(3)
+            )
+            local = self._attached_path_or_raise(
+                name, "ALTER TABLE DROP DETACHED PARTITION"
+            )
+            pcols = self._partitioned.get(name)
+            if not pcols or len(pcols) != 1:
+                raise ValueError(
+                    f"ALTER TABLE {name} DROP DETACHED PARTITION: "
+                    "single-column partitioned tables only"
+                )
+            parked_dir = os.path.join(local, ".detached")
+            removed = []
+            if part_val is not None and part_val.upper() == "ALL":
+                if os.path.isdir(parked_dir):
+                    for frag in sorted(os.listdir(parked_dir)):
+                        fp = os.path.join(parked_dir, frag)
+                        if os.path.isdir(fp):
+                            shutil.rmtree(fp)
+                            removed.append(frag)
+            else:
+                frag = (
+                    f"{pcols[0]}="
+                    f"{self._escape_partition_value(part_val)}"
+                )
+                fp = os.path.join(parked_dir, frag)
+                if not os.path.isdir(fp):
+                    raise ValueError(
+                        f"DROP DETACHED PARTITION {part_val!r}: no "
+                        f"detached partition (expected {frag} under "
+                        ".detached — see system.detached_parts)"
+                    )
+                shutil.rmtree(fp)
+                removed.append(frag)
+            elapsed = time.monotonic() - t0
+            self.query_log.append(
+                QueryLogEntry(
+                    request.query, "<drop detached partition>",
+                    elapsed, 0,
+                )
+            )
+            return QueryResult(
+                cols=["dropped"], rows=[[f] for f in removed],
+                elapsed_sec=elapsed,
             )
         m_dp = self._DROP_PARTITION_RE.match(request.query)
         if m_dp:

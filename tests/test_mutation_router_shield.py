@@ -1644,3 +1644,56 @@ class TestReviewFixesRound14:
             vs = pq.read_table(f, columns=["v"])["v"].to_pylist()
             assert vs == sorted(vs), f"file {f} lost the v-order"
         eng.execute("DROP TABLE IF EXISTS __so14")
+
+
+class TestDropDetachedPartition:
+    """`ALTER TABLE t DROP DETACHED PARTITION p` — the cleanup half
+    of the DETACH lifecycle (CH 23.6): remove a parked partition
+    without re-attaching it. `ALL` clears the whole .detached tree."""
+
+    def test_drop_detached_named(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dd14")
+        eng.execute(
+            "CREATE TABLE __dd14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __dd14 VALUES (1, 'a'), (2, 'b')")
+        eng.execute("ALTER TABLE __dd14 DETACH PARTITION '1'")
+        out = eng.execute(
+            "ALTER TABLE __dd14 DROP DETACHED PARTITION '1'"
+        )
+        assert out.rows == [["k=1"]]
+        eng.refresh_system_views()
+        assert eng.execute(
+            "SELECT count() AS c FROM system.detached_parts "
+            "WHERE table = '__dd14'"
+        ).rows == [[0]]
+        # the data is gone — re-attach has nothing to restore
+        eng.execute("ALTER TABLE __dd14 ATTACH PARTITION '1'")
+        assert eng.execute(
+            "SELECT k, v FROM __dd14"
+        ).rows == [[2, "b"]]
+        eng.execute("DROP TABLE IF EXISTS __dd14")
+
+    def test_drop_detached_all_and_missing_raises(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __dda14")
+        eng.execute(
+            "CREATE TABLE __dda14 (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __dda14 VALUES (1, 'a'), (2, 'b'), (3, 'c')"
+        )
+        eng.execute("ALTER TABLE __dda14 DETACH PARTITION '1'")
+        eng.execute("ALTER TABLE __dda14 DETACH PARTITION '2'")
+        out = eng.execute(
+            "ALTER TABLE __dda14 DROP DETACHED PARTITION ALL"
+        )
+        assert sorted(r[0] for r in out.rows) == ["k=1", "k=2"]
+        with pytest.raises(ValueError, match="no detached partition"):
+            eng.execute(
+                "ALTER TABLE __dda14 DROP DETACHED PARTITION '9'"
+            )
+        eng.execute("DROP TABLE IF EXISTS __dda14")
