@@ -55,6 +55,10 @@ ALLOWED = {
     ("_execute_inner", "match", "self._DROP_DICT_RE", ""),
     # terminal partition value, $-anchored
     ("_execute_inner", "match", "self._DROP_PARTITION_RE", ""),
+    # same shape: anchored keyword prefix, terminal partition value
+    # (quoted with ''/\\ escapes or bare token), $-anchored
+    # (audited 2026-08-16, r14)
+    ("_execute_inner", "match", "self._DROP_DETACHED_RE", ""),
     # anchored; quoted/charset-limited value then FROM/TO TABLE
     # keyword + identifier + $ — no free span can cross a literal
     ("_execute_inner", "match", "self._PARTITION_FROM_RE", ""),
