@@ -3944,21 +3944,29 @@ def _pair_sized(x: str, y: str) -> str:
     branch type, and a CASE whose ELSE can throw is never folded
     away by Catalyst.
 
-    Constraint (ADVICE r13): ``x`` and ``y`` are interpolated more
-    than once, so the guard and the zipped operand are SEPARATE
-    evaluations. A nondeterministic operand (built with shuffle()/
-    rand()) could pass the length check yet zip a different value —
-    callers pass column references or deterministic expressions,
-    which is every current call site; nested multi-array lambdas
-    also grow the generated SQL ~3x per level. A single-evaluation
-    rewrite (zip into a struct first) would fix both at the cost of
-    reshaping every consumer's lambda; revisit if a nondeterministic
-    array ever reaches a multi-array lambda."""
+    Both operands are bound ONCE (a single-element named_struct
+    array; the guard and the returned value read the SAME bound
+    fields through the transform lambda), so a nondeterministic
+    operand (shuffle()/rand()) can no longer pass the length check
+    yet zip a DIFFERENT evaluation — the ADVICE r13 double-
+    evaluation hazard — and each operand is interpolated once, so
+    nested multi-array lambdas no longer grow the generated SQL ~3x
+    per level. The lambda variable carries a deterministic
+    per-operand suffix: nested expansions have different operand
+    text, so inner and outer variables never shadow (and the SQL
+    stays byte-stable for plan-hash pins)."""
+    import zlib
+
+    tag = zlib.crc32(f"{x}|{y}".encode()) & 0xFFFF
+    v = f"__ps{tag:04x}"
     return (
-        f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL "
-        f"OR size({x}) = size({y}) THEN {y} "
+        f"element_at(transform("
+        f"array(named_struct('a', {x}, 'b', {y})), "
+        f"{v} -> CASE WHEN {v}.a IS NULL OR {v}.b IS NULL "
+        f"OR size({v}.a) = size({v}.b) THEN {v}.b "
         f"ELSE raise_error('SIZES_OF_ARRAYS_DONT_MATCH: multi-array "
-        f"lambda arguments must be arrays of identical length') END)"
+        f"lambda arguments must be arrays of identical length') END"
+        f"), 1)"
     )
 
 
