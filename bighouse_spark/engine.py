@@ -3491,6 +3491,77 @@ class BigHouseEngine:
                 cols=["table", "index"], rows=[[name, iname]],
                 elapsed_sec=time.monotonic() - t0,
             )
+        m_mttl = re.match(
+            r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+            r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+MATERIALIZE\s+TTL\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_mttl:
+            # CH `ALTER TABLE t MATERIALIZE TTL`: apply the recorded
+            # TTL filter NOW (a part rewrite), instead of waiting for
+            # the next merge/OPTIMIZE.
+            name = m_mttl.group(1)
+            self._attached_path_or_raise(
+                name, "ALTER TABLE MATERIALIZE TTL"
+            )
+            ttl = self._ttl.get(name)
+            if not ttl:
+                raise ValueError(
+                    f"MATERIALIZE TTL: table {name} has no TTL — set "
+                    "one with ALTER TABLE ... MODIFY TTL <expr>"
+                )
+            sel = transpile(
+                f"SELECT * FROM {name} WHERE "
+                f"ifNull(({ttl}) > now(), true)",
+                self.spark,
+            )
+            self._record_mutation(name, "MATERIALIZE TTL")
+            return self._rewrite_attached(
+                name, self.spark.sql(sel.sql), t0, request.query,
+                sel.sql,
+            )
+        m_mob = re.match(
+            r"^\s*ALTER\s+TABLE\s+[`\"]?(\w+)[`\"]?"
+            r"(?:\s+ON\s+CLUSTER\s+\S+)?\s+MODIFY\s+ORDER\s+BY\s+"
+            r"(\((?:[^()]|\([^()]*\))*\)|\S+)\s*$",
+            request.query, re.IGNORECASE,
+        )
+        if m_mob:
+            # CH `MODIFY ORDER BY`: metadata-only — the sorting key
+            # may only be EXTENDED (CH requires appended expressions;
+            # existing parts keep their old order until rewritten,
+            # exactly as here: future writes sort by the new key).
+            name = m_mob.group(1)
+            self._attached_path_or_raise(
+                name, "ALTER TABLE MODIFY ORDER BY"
+            )
+            raw_key = m_mob.group(2).strip()
+            cols = [
+                c.strip().strip('`"')
+                for c in raw_key.strip("()").split(",")
+                if c.strip()
+            ]
+            have = set(self.spark.table(name).columns)
+            bad = [c for c in cols if c not in have]
+            if bad:
+                raise ValueError(
+                    f"MODIFY ORDER BY: unknown column(s) {bad} — "
+                    "expression keys are not supported here (use "
+                    "stored columns, as CREATE TABLE ORDER BY does)"
+                )
+            prev = self._ordered.get(name) or []
+            if prev and cols[:len(prev)] != prev:
+                raise ValueError(
+                    f"MODIFY ORDER BY: the new key must extend the "
+                    f"existing sorting key {prev} (ClickHouse only "
+                    "allows appending to ORDER BY)"
+                )
+            self._ordered[name] = cols
+            return QueryResult(
+                cols=["table", "order_by"],
+                rows=[[name, ", ".join(cols)]],
+                elapsed_sec=time.monotonic() - t0,
+            )
         m_ttl = self._ALTER_TTL_RE.match(request.query)
         if m_ttl:
             name, remove, expr = m_ttl.groups()

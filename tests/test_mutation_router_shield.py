@@ -1697,3 +1697,83 @@ class TestDropDetachedPartition:
                 "ALTER TABLE __dda14 DROP DETACHED PARTITION '9'"
             )
         eng.execute("DROP TABLE IF EXISTS __dda14")
+
+
+class TestMaterializeTtlAndModifyOrderBy:
+    """`ALTER TABLE t MATERIALIZE TTL` applies the recorded TTL as an
+    immediate part rewrite (CH semantics: don't wait for a merge);
+    `MODIFY ORDER BY` extends the sorting key metadata-only (future
+    writes sort by the new key; existing parts keep their order,
+    exactly as CH)."""
+
+    def test_materialize_ttl_drops_expired(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mt14")
+        eng.execute(
+            "CREATE TABLE __mt14 (d DateTime, v Int64) "
+            "ENGINE = MergeTree ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __mt14 VALUES "
+            "(toDateTime('2000-01-01 00:00:00'), 1), "
+            "(toDateTime('2090-01-01 00:00:00'), 2)"
+        )
+        eng.execute(
+            "ALTER TABLE __mt14 MODIFY TTL d + INTERVAL 1 YEAR"
+        )
+        eng.execute("ALTER TABLE __mt14 MATERIALIZE TTL")
+        assert eng.execute(
+            "SELECT v FROM __mt14"
+        ).rows == [[2]]
+        eng.execute("DROP TABLE IF EXISTS __mt14")
+
+    def test_materialize_ttl_without_ttl_raises(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mt14n")
+        eng.execute(
+            "CREATE TABLE __mt14n (v Int64) ENGINE = MergeTree "
+            "ORDER BY v"
+        )
+        with pytest.raises(ValueError, match="no TTL"):
+            eng.execute("ALTER TABLE __mt14n MATERIALIZE TTL")
+        eng.execute("DROP TABLE IF EXISTS __mt14n")
+
+    def test_modify_order_by_extends_key(self, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mo14")
+        eng.execute(
+            "CREATE TABLE __mo14 (a Int64, b Int64) "
+            "ENGINE = MergeTree ORDER BY a"
+        )
+        eng.execute("ALTER TABLE __mo14 MODIFY ORDER BY (a, b)")
+        assert eng._ordered["__mo14"] == ["a", "b"]
+        # future writes sort by the extended key
+        eng.execute(
+            "INSERT INTO __mo14 VALUES (1, 9), (1, 2), (1, 5)"
+        )
+        local = eng._attached["__mo14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        for f in glob.glob(f"{local}/*.parquet"):
+            bs = pq.read_table(f, columns=["b"])["b"].to_pylist()
+            assert bs == sorted(bs)
+        # SHOW CREATE reflects the new key
+        stmt = eng.execute("SHOW CREATE TABLE __mo14").rows[0][0]
+        assert "ORDER BY (a, b)" in stmt
+        eng.execute("DROP TABLE IF EXISTS __mo14")
+
+    def test_modify_order_by_must_extend(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __mo14x")
+        eng.execute(
+            "CREATE TABLE __mo14x (a Int64, b Int64) "
+            "ENGINE = MergeTree ORDER BY a"
+        )
+        with pytest.raises(ValueError, match="extend"):
+            eng.execute("ALTER TABLE __mo14x MODIFY ORDER BY (b)")
+        with pytest.raises(ValueError, match="unknown column"):
+            eng.execute("ALTER TABLE __mo14x MODIFY ORDER BY (a, z)")
+        eng.execute("DROP TABLE IF EXISTS __mo14x")

@@ -76,38 +76,49 @@ ALLOWED = {
     ("_execute_inner", "match", "self._RENAME_RE", ""),
     ("_execute_inner", "match", "self._UNDROP_RE", ""),
     # -- inline re.* literals: all anchored fixed prefixes --
-    ('_execute_inner', 'match', 're', '^(\\s*CREATE\\s+)OR\\s+REPLACE\\'),
+    ('_execute_inner', 'match', 're', '^(\\s*CREATE\\s+)OR\\s+REPLACE\\s+(TABLE\\s+[`\\"]?(\\w+))'),
     ("_execute_inner", "match", "re", "^\\s*(GRANT\\b|SET\\s+ROLE\\b)"),
-    ('_execute_inner', 'match', 're', '^\\s*(REVOKE\\b|(?:CREATE|ALTE'),
-    # ALTER ... MODIFY/RESET SETTING (prefix + tail swallow) and
-    # UNFREEZE (identifier + optional \S+ + terminal quoted name + $)
-    # share this prefix key — both anchored keyword shapes
-    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\'),
+    ('_execute_inner', 'match', 're', '^\\s*(REVOKE\\b|(?:CREATE|ALTER|DROP)\\s+(?:USER|ROLE|QUOTA|ROW\\s+POLICY|SETTINGS\\s+PROFILE)\\b)'),
+    # ALTER ... MODIFY/RESET SETTING: prefix + tail swallow
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\w+)[`\\"]?(?:\\s+ON\\s+CLUSTER\\s+\\S+)?\\s+(?:MODIFY|RESET)\\s+SETTING\\s+.'),
+    # MATERIALIZE TTL: anchored keywords + $, no free span
+    # (audited 2026-08-16, r14)
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\w+)[`\\"]?(?:\\s+ON\\s+CLUSTER\\s+\\S+)?\\s+MATERIALIZE\\s+TTL\\s*$'),
+    # MODIFY ORDER BY: terminal charset/paren-balanced key + $ —
+    # unknown columns raise before any use (audited 2026-08-16, r14)
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\w+)[`\\"]?(?:\\s+ON\\s+CLUSTER\\s+\\S+)?\\s+MODIFY\\s+ORDER\\s+BY\\s+(\\((?:[^'),
+    # UNFREEZE: identifier + optional \S+ + terminal escaped-quoted
+    # name + $
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?(\\w+)[`\\"]?(?:\\s+ON\\s+CLUSTER\\s+\\S+)?\\s+UNFREEZE(?:\\s+PARTITION\\s+(?:I'),
     # FETCH PARTITION guided refusal: prefix-only, raise-only
-    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?\\w'),
-    ('_execute_inner', 'match', 're', '^\\s*CHECK\\s+TABLE\\s+[`\\"]?(['),
-    ("_execute_inner", "match", "re", "^\\s*EXISTS\\s+DATABASE\\s+[`\\\""),
+    ('_execute_inner', 'match', 're', '^\\s*ALTER\\s+TABLE\\s+[`\\"]?\\w+[`\\"]?(?:\\s+ON\\s+CLUSTER\\s+\\S+)?\\s+FETCH\\s+PARTITION\\b'),
+    ('_execute_inner', 'match', 're', '^\\s*CHECK\\s+TABLE\\s+[`\\"]?([\\w.]+)[`\\"]?\\s*$'),
+    ('_execute_inner', 'match', 're', '^\\s*EXISTS\\s+DATABASE\\s+[`\\"]?(\\w+)[`\\"]?\\s*$'),
     ("_execute_inner", "match", "re", "^\\s*KILL\\s+MUTATION\\b"),
     # terminal quoted query_id, $-anchored
-    ("_execute_inner", "match", "re", "^\\s*KILL\\s+QUERY\\s+WHERE\\s+q"),
-    ("_execute_inner", "match", "re", "^\\s*SHOW\\s+(CHANGED\\s+)?SETT"),
-    ("_execute_inner", "match", "re", "^\\s*SHOW\\s+(ROLES|QUOTAS|SET"),
+    ('_execute_inner', 'match', 're', "^\\s*KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']+)'\\s*(?:SYNC|ASYNC)?\\s*$"),
+    ('_execute_inner', 'match', 're', "^\\s*SHOW\\s+(CHANGED\\s+)?SETTINGS\\s+(?:(I)?LIKE\\s+)?'([^']*)'\\s*$"),
+    ('_execute_inner', 'match', 're', '^\\s*SHOW\\s+(ROLES|QUOTAS|SETTINGS\\s+PROFILES|PROFILES)\\s*$'),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+CLUSTERS\\s*$"),
-    ("_execute_inner", "match", "re", "^\\s*SHOW\\s+CREATE\\s+(?:TABLE"),
-    ("_execute_inner", "match", "re", "^\\s*SHOW\\s+CREATE\\s+DATABASE"),
+    ('_execute_inner', 'match', 're', '^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?[`\\"]?([\\w.]+)[`\\"]?\\s*$'),
+    ("_execute_inner", "match", "re", "^\\s*SHOW\\s+CREATE\\s+DATABASE\\b"),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+DICTIONARIES\\s*$"),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+ENGINES\\s*$"),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+GRANTS\\b"),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+PROCESSLIST\\s*$"),
     ("_execute_inner", "match", "re", "^\\s*SHOW\\s+USERS\\s*$"),
-    ('_execute_inner', 'match', 're', '^\\s*SYSTEM\\s+(FLUSH\\s+LOGS|D'),
+    ('_execute_inner', 'match', 're', '^\\s*SYSTEM\\s+(FLUSH\\s+LOGS|DROP\\s+QUERY\\s+CACHE|RELOAD\\s+DICTIONAR(?:Y\\s+\\w+|IES)|DROP\\s+MARK\\s+'),
     # use_query_cache VALUE check: reads request.query at an offset
     # the masked locate produced — the slice starts outside any
     # literal by construction
     ("_execute_inner", "match", "re", "'?(1|true)\\b"),
 }
 
-PAT_PREFIX = 28  # chars of a literal pattern kept in the site key
+# 96 chars: round 14 found that at 28 two distinct ALTER TABLE
+# routers collapsed to one key, letting a NEW router ship invisibly
+# under an old entry's audit note — the prefix must be long enough
+# that every distinct pattern gets its own allowlist row.
+PAT_PREFIX = 96  # chars of a literal pattern kept in the site key
 
 
 def _mentions_request_query(node: ast.AST) -> bool:
