@@ -1158,13 +1158,20 @@ class BigHouseEngine:
             assigns = head[m_h.end():].strip()
         from pyspark.sql import functions as F
 
-        df = self.spark.read.format(fmt).load(subdir)
-        file_cols = list(df.columns)
-        # assignments/conditions may reference the partition key,
-        # which lives in the directory name — inject it as the typed
-        # literal (it cannot change: key-column UPDATEs are refused)
-        ptype = self.spark.table(name).schema[pcol].dataType
-        df = df.withColumn(pcol, F.lit(part_val).cast(ptype))
+        # Read through the TABLE view with a partition-key filter —
+        # partition pruning bounds the scan to the one directory
+        # (PartitionFilters), and the view carries the attach-time
+        # format/schema options, so non-parquet attached tables read
+        # correctly too (a raw format().load(subdir) would not). The
+        # partition key arrives as a real column, so assignments and
+        # conditions may reference it directly (it cannot change:
+        # key-column UPDATEs are refused).
+        df_all = self.spark.table(name)
+        file_cols = [c for c in df_all.columns if c != pcol]
+        ptype = df_all.schema[pcol].dataType
+        df = df_all.filter(
+            F.col(pcol).eqNullSafe(F.lit(part_val).cast(ptype))
+        )
         pairs: dict[str, str] = {}
         if not is_delete:
             pairs = self._update_pairs(name, assigns, df.columns)
