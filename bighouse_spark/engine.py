@@ -2555,21 +2555,28 @@ class BigHouseEngine:
         import uuid
 
         path, fmt, schema = self._attached[name]
-        df = self.spark.read.format(fmt).load(subdir)
+        # Read through the TABLE view with a partition-key filter:
+        # PartitionFilters bound the scan to this one directory, the
+        # view carries the attach-time format/schema options (a raw
+        # format().load(subdir) mis-reads non-parquet attached
+        # tables), and the TTL expression sees the partition key as a
+        # real column.
+        from pyspark.sql import functions as F
+
+        df_all = self.spark.table(name)
+        if pcol is not None:
+            ptype = df_all.schema[pcol].dataType
+            df = df_all.filter(
+                F.col(pcol).eqNullSafe(
+                    F.lit(partition_val).cast(ptype)
+                )
+            )
+            file_cols = [c for c in df_all.columns if c != pcol]
+        else:
+            df = self.spark.read.format(fmt).load(subdir)
+            file_cols = list(df.columns)
         ttl = self._ttl.get(name)
         if ttl:
-            from pyspark.sql import functions as F
-
-            injected = False
-            if pcol is not None and pcol not in df.columns:
-                # the TTL expression may reference the partition key,
-                # which lives in the directory name — inject it as
-                # the typed literal for the filter's benefit
-                ptype = self.spark.table(name).schema[pcol].dataType
-                df = df.withColumn(
-                    pcol, F.lit(partition_val).cast(ptype)
-                )
-                injected = True
             view = f"__bh_optp_{uuid.uuid4().hex}"
             df.createOrReplaceTempView(view)
             try:
@@ -2587,8 +2594,7 @@ class BigHouseEngine:
                     self.spark.catalog.dropTempView(view)
                 except Exception:
                     pass
-            if injected:
-                df = df.drop(pcol)
+        df = df.select(*file_cols)
         df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
         local_root = path[7:] if path.startswith("file://") else path
         # sibling of the table root — a failed write must never leave
