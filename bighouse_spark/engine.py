@@ -1108,6 +1108,101 @@ class BigHouseEngine:
             )
         return pairs
 
+    def _clear_column_sql(self, name: str, col: str) -> str:
+        """Spark-SQL expression a CLEAR COLUMN resets ``col`` to: the
+        column's declared DEFAULT when one exists (CH semantics,
+        round 14), else the type default."""
+        dt = self.spark.table(name).schema[col].dataType
+        decl = self._column_defaults.get(name, {}).get(col)
+        if decl is not None:
+            return (
+                "CAST(("
+                + transpile(f"SELECT {decl}", self.spark)
+                .sql.removeprefix("SELECT ")
+                + f") AS {dt.simpleString()})"
+            )
+        return self._type_default_sql(dt)
+
+    def _clear_column_in_partition(
+        self, name: str, col: str, in_part: str, t0: float,
+        query: str,
+    ) -> QueryResult:
+        """``ALTER TABLE t CLEAR COLUMN c IN PARTITION p`` — reset
+        one column to its default in ONE partition, rewriting only
+        that partition's directory (CH bounds the mutation the same
+        way; previously a guided refusal)."""
+        import os
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        m_ip = re.match(
+            r"\s*IN\s+PARTITION\s+(?:ID\s+)?"
+            r"(?:'((?:[^'\\]|\\.|'')*)'|(\S+))\s*$",
+            in_part, re.IGNORECASE,
+        )
+        if not m_ip:
+            raise ValueError(
+                f"CLEAR COLUMN {col} IN PARTITION: malformed "
+                "partition clause (expected IN PARTITION '<id>')"
+            )
+        part_val = (
+            self._unquote_partition_id(m_ip.group(1))
+            if m_ip.group(1) is not None else m_ip.group(2)
+        )
+        pcol = self._partition_col_or_raise(
+            name, "CLEAR COLUMN ... IN PARTITION"
+        )
+        if col == pcol:
+            raise ValueError(
+                f"CLEAR COLUMN {col}: cannot clear the partition "
+                "key column"
+            )
+        path, fmt, schema = self._attached[name]
+        local = path[7:] if path.startswith("file://") else path
+        subdir = os.path.join(
+            local, f"{pcol}={self._escape_partition_value(part_val)}"
+        )
+        if not os.path.isdir(subdir):
+            raise ValueError(
+                f"CLEAR COLUMN {col} IN PARTITION {part_val!r}: no "
+                "such partition"
+            )
+        df_all = self.spark.table(name)
+        ptype = df_all.schema[pcol].dataType
+        clear_sql = self._clear_column_sql(name, col)
+        file_cols = [c for c in df_all.columns if c != pcol]
+        out = df_all.filter(
+            F.col(pcol).eqNullSafe(F.lit(part_val).cast(ptype))
+        ).select(*[
+            F.expr(clear_sql).cast(df_all.schema[c].dataType)
+            .alias(c) if c == col else F.col(c)
+            for c in file_cols
+        ])
+        tmp = f"{local}.clrp-{uuid.uuid4().hex[:8]}"
+        try:
+            self._table_writer(
+                out, name, fmt, "overwrite", partition_in_path=True
+            ).save(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(subdir, tmp, local)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        self._rebuild_dependent_mvs(name)
+        self._record_mutation(
+            name,
+            f"CLEAR COLUMN {col} IN PARTITION {part_val!r}",
+        )
+        elapsed = time.monotonic() - t0
+        self.query_log.append(
+            QueryLogEntry(query, "<clear-column-partition>", elapsed, -1)
+        )
+        return QueryResult(cols=["path"], rows=[[path]],
+                           elapsed_sec=elapsed)
+
     def _mutation_in_partition(
         self, name: str, head: str, pq: str | None, praw: str | None,
         cond: str, t0: float, query: str,
@@ -3602,29 +3697,14 @@ class BigHouseEngine:
         if m_clr:
             name, col, in_part = m_clr.groups()
             self._attached_path_or_raise(name, "ALTER TABLE CLEAR COLUMN")
-            if in_part:
-                raise ValueError(
-                    "CLEAR COLUMN ... IN PARTITION is not transpiled; "
-                    "spell the partition filter with ALTER TABLE ... "
-                    "UPDATE <col> = <default> WHERE <partition cond>"
-                )
             df = self.spark.table(name)
             if col not in df.columns:
                 raise ValueError(f"CLEAR COLUMN: no column {col!r}")
-            # CH resets to the column's declared DEFAULT when one
-            # exists, else the type default (round 14)
-            decl = self._column_defaults.get(name, {}).get(col)
-            if decl is not None:
-                clear_sql = (
-                    f"CAST(("
-                    + transpile(f"SELECT {decl}", self.spark)
-                    .sql.removeprefix("SELECT ")
-                    + f") AS {df.schema[col].dataType.simpleString()})"
+            if in_part:
+                return self._clear_column_in_partition(
+                    name, col, in_part, t0, request.query
                 )
-            else:
-                clear_sql = self._type_default_sql(
-                    df.schema[col].dataType
-                )
+            clear_sql = self._clear_column_sql(name, col)
             items = [
                 f"{clear_sql} AS `{c}`" if c == col else f"`{c}`"
                 for c in df.columns

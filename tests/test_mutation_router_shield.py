@@ -1777,3 +1777,69 @@ class TestMaterializeTtlAndModifyOrderBy:
         with pytest.raises(ValueError, match="unknown column"):
             eng.execute("ALTER TABLE __mo14x MODIFY ORDER BY (a, z)")
         eng.execute("DROP TABLE IF EXISTS __mo14x")
+
+
+class TestClearColumnInPartition:
+    """CLEAR COLUMN ... IN PARTITION — previously a guided refusal,
+    now a bounded single-partition rewrite (CH semantics: reset to
+    the declared DEFAULT, else the type default)."""
+
+    def test_clear_column_scoped(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cc14")
+        eng.execute(
+            "CREATE TABLE __cc14 (k Int64, v String DEFAULT 'dd') "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __cc14 VALUES (1, 'a'), (1, 'b'), (2, 'c')"
+        )
+        import glob
+        import os
+
+        local = eng._attached["__cc14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        before = sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(local, "k=2", "*.parquet"))
+        )
+        eng.execute(
+            "ALTER TABLE __cc14 CLEAR COLUMN v IN PARTITION '1'"
+        )
+        assert eng.execute(
+            "SELECT k, v FROM __cc14 ORDER BY k, v"
+        ).rows == [[1, "dd"], [1, "dd"], [2, "c"]]
+        after = sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(local, "k=2", "*.parquet"))
+        )
+        assert after == before  # the other partition is untouched
+        eng.execute("DROP TABLE IF EXISTS __cc14")
+
+    def test_clear_partition_key_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cc14k")
+        eng.execute(
+            "CREATE TABLE __cc14k (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __cc14k VALUES (1, 'a')")
+        with pytest.raises(ValueError, match="partition key"):
+            eng.execute(
+                "ALTER TABLE __cc14k CLEAR COLUMN k IN PARTITION '1'"
+            )
+        eng.execute("DROP TABLE IF EXISTS __cc14k")
+
+    def test_clear_missing_partition_raises(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __cc14m")
+        eng.execute(
+            "CREATE TABLE __cc14m (k Int64, v String) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute("INSERT INTO __cc14m VALUES (1, 'a')")
+        with pytest.raises(ValueError, match="no such partition"):
+            eng.execute(
+                "ALTER TABLE __cc14m CLEAR COLUMN v IN PARTITION '9'"
+            )
+        eng.execute("DROP TABLE IF EXISTS __cc14m")
