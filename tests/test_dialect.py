@@ -193,9 +193,12 @@ class TestTranspileText:
         assert "any_value(x)" in r.sql
         # two-array arrayZip emits col1/col2-named structs (round-12:
         # CH tuple access z[1].1 resolves against them)
-        # (round-13: the second operand rides through the
-        # SIZES_OF_ARRAYS_DONT_MATCH length guard)
-        assert "zip_with(a, (CASE WHEN" in r.sql and "AS col1" in r.sql
+        # (round-13/14: the second operand rides through the
+        # SIZES_OF_ARRAYS_DONT_MATCH length guard — now the
+        # struct-bound single-evaluation form)
+        assert "zip_with(a, element_at(transform(" in r.sql
+        assert "SIZES_OF_ARRAYS_DONT_MATCH" in r.sql
+        assert "AS col1" in r.sql
         assert "(c)" in r.sql and "assumeNotNull" not in r.sql
         # subquery ANY is rewritten to the scalar-aggregate form
         assert "min(__bh_q0)" in r.sql and "ANY (SELECT" not in r.sql
