@@ -3264,6 +3264,41 @@ class BigHouseEngine:
             elif op == "DROP":
                 if col not in tbl.columns:
                     raise ValueError(f"DROP COLUMN {col}: no such column")
+                # CH refuses dropping key columns — and silently
+                # keeping the stale record was worse: a dropped
+                # ORDER BY column made _table_writer's all-present
+                # guard skip the file sort ENTIRELY on every future
+                # write (round-14 probe, live).
+                if col in (self._partitioned.get(name) or []):
+                    raise ValueError(
+                        f"DROP COLUMN {col}: column is the table's "
+                        "PARTITION BY key (ClickHouse refuses "
+                        "dropping key columns)"
+                    )
+                if col in (self._ordered.get(name) or []):
+                    raise ValueError(
+                        f"DROP COLUMN {col}: column is part of the "
+                        "ORDER BY key (ClickHouse refuses dropping "
+                        "key columns)"
+                    )
+                ttl = self._ttl.get(name)
+                if ttl and re.search(
+                    rf"\b{re.escape(col)}\b", ttl
+                ):
+                    raise ValueError(
+                        f"DROP COLUMN {col}: column is referenced by "
+                        f"the table TTL ({ttl}) — REMOVE TTL or "
+                        "MODIFY TTL first (ClickHouse refuses too)"
+                    )
+                for iname, (iexpr, _ity) in (
+                    self._skip_indices.get(name) or {}
+                ).items():
+                    if re.search(rf"\b{re.escape(col)}\b", iexpr):
+                        raise ValueError(
+                            f"DROP COLUMN {col}: column is used by "
+                            f"index {iname} — DROP INDEX {iname} "
+                            "first (ClickHouse refuses too)"
+                        )
                 df = tbl.drop(col)
                 self._column_defaults.get(name, {}).pop(col, None)
                 if ddl_items is not None:
@@ -3278,10 +3313,24 @@ class BigHouseEngine:
                         f"RENAME COLUMN {col}: expected TO <name>, got "
                         f"{rest!r}"
                     )
+                if col in (self._partitioned.get(name) or []):
+                    raise ValueError(
+                        f"RENAME COLUMN {col}: column is the table's "
+                        "PARTITION BY key (its name is baked into "
+                        "every partition directory)"
+                    )
                 df = tbl.withColumnRenamed(col, rm.group(1))
                 dflts = self._column_defaults.get(name, {})
                 if col in dflts:
                     dflts[rm.group(1)] = dflts.pop(col)
+                # the sorting-key record follows the rename, so
+                # future writes keep sorting (a stale name silently
+                # skipped the sort — same class as DROP above)
+                ocols = self._ordered.get(name)
+                if ocols and col in ocols:
+                    self._ordered[name] = [
+                        rm.group(1) if c == col else c for c in ocols
+                    ]
                 if ddl_items is not None:
                     ddl_items = [
                         re.sub(r'^\s*(`[^`]+`|"[^"]+"|\S+)',

@@ -1843,3 +1843,77 @@ class TestClearColumnInPartition:
                 "ALTER TABLE __cc14m CLEAR COLUMN v IN PARTITION '9'"
             )
         eng.execute("DROP TABLE IF EXISTS __cc14m")
+
+
+class TestColumnDdlVsKeyRecords:
+    """Column DDL versus the table's key records (round-14 probe):
+    dropping an ORDER BY column left a stale sorting-key record that
+    made every future write silently SKIP the file sort. CH refuses
+    dropping key columns — now so do we; RENAME carries the sorting
+    key record along instead."""
+
+    def test_drop_order_by_column_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __kd14")
+        eng.execute(
+            "CREATE TABLE __kd14 (a Int64, b Int64, v Int64) "
+            "ENGINE = MergeTree ORDER BY (a, b)"
+        )
+        with pytest.raises(ValueError, match="ORDER BY key"):
+            eng.execute("ALTER TABLE __kd14 DROP COLUMN b")
+        eng.execute("ALTER TABLE __kd14 DROP COLUMN v")  # non-key ok
+        eng.execute("DROP TABLE IF EXISTS __kd14")
+
+    def test_drop_partition_column_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __kp14")
+        eng.execute(
+            "CREATE TABLE __kp14 (k Int64, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        with pytest.raises(ValueError, match="PARTITION BY key"):
+            eng.execute("ALTER TABLE __kp14 DROP COLUMN k")
+        with pytest.raises(ValueError, match="PARTITION BY key"):
+            eng.execute("ALTER TABLE __kp14 RENAME COLUMN k TO k2")
+        eng.execute("DROP TABLE IF EXISTS __kp14")
+
+    def test_drop_ttl_and_index_columns_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __kt14")
+        eng.execute(
+            "CREATE TABLE __kt14 (d DateTime, v Int64, w Int64) "
+            "ENGINE = MergeTree ORDER BY v"
+        )
+        eng.execute("ALTER TABLE __kt14 MODIFY TTL d + INTERVAL 1 DAY")
+        with pytest.raises(ValueError, match="TTL"):
+            eng.execute("ALTER TABLE __kt14 DROP COLUMN d")
+        eng.execute(
+            "ALTER TABLE __kt14 ADD INDEX iw w TYPE bloom_filter "
+            "GRANULARITY 1"
+        )
+        with pytest.raises(ValueError, match="index iw"):
+            eng.execute("ALTER TABLE __kt14 DROP COLUMN w")
+        eng.execute("DROP TABLE IF EXISTS __kt14")
+
+    def test_rename_order_by_column_keeps_sort(self, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __kr14")
+        eng.execute(
+            "CREATE TABLE __kr14 (a Int64, v String) "
+            "ENGINE = MergeTree ORDER BY a"
+        )
+        eng.execute("ALTER TABLE __kr14 RENAME COLUMN a TO a2")
+        assert eng._ordered["__kr14"] == ["a2"]
+        eng.execute(
+            "INSERT INTO __kr14 VALUES (5, 'x'), (1, 'y'), (3, 'z')"
+        )
+        local = eng._attached["__kr14"][0]
+        local = local[7:] if local.startswith("file://") else local
+        for f in glob.glob(f"{local}/*.parquet"):
+            az = pq.read_table(f, columns=["a2"])["a2"].to_pylist()
+            assert az == sorted(az)
+        eng.execute("DROP TABLE IF EXISTS __kr14")
