@@ -3299,6 +3299,18 @@ class BigHouseEngine:
                             f"index {iname} — DROP INDEX {iname} "
                             "first (ClickHouse refuses too)"
                         )
+                for ocol, dexpr in (
+                    self._column_defaults.get(name) or {}
+                ).items():
+                    if ocol != col and re.search(
+                        rf"\b{re.escape(col)}\b", dexpr
+                    ):
+                        raise ValueError(
+                            f"DROP COLUMN {col}: column is referenced "
+                            f"by {ocol}'s DEFAULT ({dexpr}) — change "
+                            "that default first (ClickHouse refuses "
+                            "too)"
+                        )
                 df = tbl.drop(col)
                 self._column_defaults.get(name, {}).pop(col, None)
                 if ddl_items is not None:
@@ -3319,6 +3331,35 @@ class BigHouseEngine:
                         "PARTITION BY key (its name is baked into "
                         "every partition directory)"
                     )
+                r_ttl = self._ttl.get(name)
+                if r_ttl and re.search(
+                    rf"\b{re.escape(col)}\b", r_ttl
+                ):
+                    raise ValueError(
+                        f"RENAME COLUMN {col}: column is referenced "
+                        f"by the table TTL ({r_ttl}) — REMOVE TTL or "
+                        "MODIFY TTL first"
+                    )
+                for iname, (iexpr, _ity) in (
+                    self._skip_indices.get(name) or {}
+                ).items():
+                    if re.search(rf"\b{re.escape(col)}\b", iexpr):
+                        raise ValueError(
+                            f"RENAME COLUMN {col}: column is used by "
+                            f"index {iname} — DROP INDEX {iname} "
+                            "first"
+                        )
+                for ocol, dexpr in (
+                    self._column_defaults.get(name) or {}
+                ).items():
+                    if ocol != col and re.search(
+                        rf"\b{re.escape(col)}\b", dexpr
+                    ):
+                        raise ValueError(
+                            f"RENAME COLUMN {col}: column is "
+                            f"referenced by {ocol}'s DEFAULT "
+                            f"({dexpr}) — change that default first"
+                        )
                 df = tbl.withColumnRenamed(col, rm.group(1))
                 dflts = self._column_defaults.get(name, {})
                 if col in dflts:

@@ -1917,3 +1917,26 @@ class TestColumnDdlVsKeyRecords:
             az = pq.read_table(f, columns=["a2"])["a2"].to_pylist()
             assert az == sorted(az)
         eng.execute("DROP TABLE IF EXISTS __kr14")
+
+    def test_drop_column_referenced_by_default_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __kx14")
+        eng.execute(
+            "CREATE TABLE __kx14 (a Int64, b Int64 DEFAULT a * 2) "
+            "ENGINE = MergeTree ORDER BY b"
+        )
+        with pytest.raises(ValueError, match="DEFAULT"):
+            eng.execute("ALTER TABLE __kx14 DROP COLUMN a")
+        eng.execute("DROP TABLE IF EXISTS __kx14")
+
+    def test_rename_ttl_referenced_column_refused(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __ky14")
+        eng.execute(
+            "CREATE TABLE __ky14 (d DateTime, v Int64) "
+            "ENGINE = MergeTree ORDER BY v"
+        )
+        eng.execute("ALTER TABLE __ky14 MODIFY TTL d + INTERVAL 1 DAY")
+        with pytest.raises(ValueError, match="TTL"):
+            eng.execute("ALTER TABLE __ky14 RENAME COLUMN d TO d2")
+        eng.execute("DROP TABLE IF EXISTS __ky14")
