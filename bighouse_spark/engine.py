@@ -1109,19 +1109,28 @@ class BigHouseEngine:
         return pairs
 
     def _clear_column_sql(self, name: str, col: str) -> str:
-        """Spark-SQL expression a CLEAR COLUMN resets ``col`` to: the
-        column's declared DEFAULT when one exists (CH semantics,
-        round 14), else the type default."""
-        dt = self.spark.table(name).schema[col].dataType
-        decl = self._column_defaults.get(name, {}).get(col)
-        if decl is not None:
-            return (
-                "CAST(("
-                + transpile(f"SELECT {decl}", self.spark)
-                .sql.removeprefix("SELECT ")
-                + f") AS {dt.simpleString()})"
-            )
-        return self._type_default_sql(dt)
+        """Spark-SQL expression a CLEAR COLUMN resets ``col`` to —
+        exactly the partial-INSERT fill expression (declared DEFAULT,
+        else NULL for Nullable / the CH type default), one rendering
+        for both surfaces."""
+        field = self.spark.table(name).schema[col]
+        return self._missing_col_default_sql(name, field)
+
+    def _partition_match_col(self, df_all, pcol: str, part_val: str):
+        """Filter Column selecting the rows of partition ``part_val``
+        from the table frame. The default-partition spelling ('' or
+        NULL) must match by IS NULL: Spark parses
+        ``__HIVE_DEFAULT_PARTITION__`` back as a NULL key, and
+        ``lit('NULL')`` would compare as the STRING 'NULL' — an
+        empty match that would let a scoped rewrite replace the
+        default partition with nothing (review-found, round 14)."""
+        from pyspark.sql import functions as F
+
+        if self._escape_partition_value(part_val) \
+                == self._HIVE_DEFAULT_PARTITION:
+            return F.col(pcol).isNull()
+        ptype = df_all.schema[pcol].dataType
+        return F.col(pcol).eqNullSafe(F.lit(part_val).cast(ptype))
 
     def _clear_column_in_partition(
         self, name: str, col: str, in_part: str, t0: float,
@@ -1132,8 +1141,6 @@ class BigHouseEngine:
         that partition's directory (CH bounds the mutation the same
         way; previously a guided refusal)."""
         import os
-        import shutil
-        import uuid
 
         from pyspark.sql import functions as F
 
@@ -1170,28 +1177,16 @@ class BigHouseEngine:
                 "such partition"
             )
         df_all = self.spark.table(name)
-        ptype = df_all.schema[pcol].dataType
         clear_sql = self._clear_column_sql(name, col)
         file_cols = [c for c in df_all.columns if c != pcol]
         out = df_all.filter(
-            F.col(pcol).eqNullSafe(F.lit(part_val).cast(ptype))
+            self._partition_match_col(df_all, pcol, part_val)
         ).select(*[
             F.expr(clear_sql).cast(df_all.schema[c].dataType)
             .alias(c) if c == col else F.col(c)
             for c in file_cols
         ])
-        tmp = f"{local}.clrp-{uuid.uuid4().hex[:8]}"
-        try:
-            self._table_writer(
-                out, name, fmt, "overwrite", partition_in_path=True
-            ).save(tmp)
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        self._swap_in(subdir, tmp, local)
-        self.clear_cache()
-        self.attach_table(name, path, fmt=fmt, schema=schema)
-        self._rebuild_dependent_mvs(name)
+        path = self._write_swap_partition(name, subdir, out, "clrp")
         self._record_mutation(
             name,
             f"CLEAR COLUMN {col} IN PARTITION {part_val!r}",
@@ -1217,7 +1212,6 @@ class BigHouseEngine:
         and a malformed partition id fails loudly in analysis instead
         of silently no-opping here)."""
         import os
-        import shutil
         import uuid
 
         if name not in self._attached:
@@ -1236,21 +1230,22 @@ class BigHouseEngine:
         )
         if not os.path.isdir(subdir):
             return None
-        # Verb detection anchored like the routers themselves: the
-        # DELETE form's head ENDS with DELETE; for UPDATE the
-        # assignments start after the anchored head match — a table
-        # literally named "update"/"delete" must not confuse a
-        # free-floating keyword search.
+        # Verb detection via the ANCHORED update-head match FIRST —
+        # an ends-with-DELETE check alone would misroute `UPDATE
+        # flag = delete` (a column named delete as the last
+        # assignment token) into the DELETE path and wipe the
+        # partition (review-found, round 14). Only a head that does
+        # NOT parse as UPDATE may be the DELETE form.
         masked_head = _mask_string_literals(head)
-        is_delete = bool(
-            re.search(r"\bDELETE\s*$", masked_head, re.IGNORECASE)
-        )
-        assigns = ""
-        if not is_delete:
-            m_h = self._ALTER_UPDATE_HEAD_RE.match(masked_head)
-            if m_h is None:
-                return None
+        m_h = self._ALTER_UPDATE_HEAD_RE.match(masked_head)
+        if m_h is not None:
+            is_delete = False
             assigns = head[m_h.end():].strip()
+        elif re.search(r"\bDELETE\s*$", masked_head, re.IGNORECASE):
+            is_delete = True
+            assigns = ""
+        else:
+            return None
         from pyspark.sql import functions as F
 
         # Read through the TABLE view with a partition-key filter —
@@ -1263,9 +1258,8 @@ class BigHouseEngine:
         # key-column UPDATEs are refused).
         df_all = self.spark.table(name)
         file_cols = [c for c in df_all.columns if c != pcol]
-        ptype = df_all.schema[pcol].dataType
         df = df_all.filter(
-            F.col(pcol).eqNullSafe(F.lit(part_val).cast(ptype))
+            self._partition_match_col(df_all, pcol, part_val)
         )
         pairs: dict[str, str] = {}
         if not is_delete:
@@ -1299,28 +1293,16 @@ class BigHouseEngine:
                     self.spark,
                 )
             # files in the directory never carry the partition key —
-            # project back to the file schema before the swap. The
-            # temp dir is a SIBLING of the table root (a failed write
-            # must never leave a `k=1.mutating-xx` directory that
-            # partition discovery parses as a bogus partition value).
+            # project back to the file schema before the swap
             out = self.spark.sql(sel.sql).select(*file_cols)
-            tmp = f"{local}.mutp-{uuid.uuid4().hex[:8]}"
-            try:
-                self._table_writer(
-                    out, name, fmt, "overwrite", partition_in_path=True
-                ).save(tmp)
-            except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
+            path = self._write_swap_partition(
+                name, subdir, out, "mutp"
+            )
         finally:
             try:
                 self.spark.catalog.dropTempView(view)
             except Exception:
                 pass
-        self._swap_in(subdir, tmp, local)
-        self.clear_cache()
-        self.attach_table(name, path, fmt=fmt, schema=schema)
-        self._rebuild_dependent_mvs(name)
         self._record_mutation(
             name,
             ("DELETE" if is_delete else f"UPDATE {assigns}")
@@ -1588,14 +1570,8 @@ class BigHouseEngine:
             walk_root = os.path.join(table_root, sub)
         local = table_root
         base = f"{local.rstrip('/')}.shadow"
-        if snap is not None and (os.sep in snap or snap in (".", "..")
-                                 or (os.altsep and os.altsep in snap)):
-            # the snapshot name becomes a directory under the shadow
-            # root — path separators would escape it
-            raise ValueError(
-                f"FREEZE WITH NAME {snap!r}: snapshot names cannot "
-                "contain path separators"
-            )
+        if snap is not None:
+            self._check_snapshot_name(snap)
         if snap is None:
             n = 1
             while os.path.exists(os.path.join(base, str(n))):
@@ -1696,6 +1672,48 @@ class BigHouseEngine:
                 shutil.rmtree(mv["checkpoint"], ignore_errors=True)
                 shutil.rmtree(mv["data"], ignore_errors=True)
                 self._refresh_mv(mv_name)
+
+    @staticmethod
+    def _check_snapshot_name(snap: str) -> None:
+        """FREEZE/UNFREEZE snapshot names become directories under
+        the shadow root (UNFREEZE rmtrees the joined path) — path
+        separators would escape it."""
+        import os
+
+        if (os.sep in snap or snap in (".", "..")
+                or (os.altsep and os.altsep in snap)):
+            raise ValueError(
+                f"snapshot name {snap!r}: snapshot names cannot "
+                "contain path separators"
+            )
+
+    def _write_swap_partition(
+        self, name: str, subdir: str, out, tag: str
+    ) -> str:
+        """Shared tail of every partition-scoped rewrite (mutation,
+        CLEAR COLUMN, compaction): write ``out`` to a temp SIBLING of
+        the table root (a failed write must never leave a
+        ``k=1.<tag>-xx`` dir that partition discovery parses as a
+        bogus partition value), swap it into ``subdir``, re-attach,
+        rebuild dependent MVs. Returns the table path."""
+        import shutil
+        import uuid
+
+        path, fmt, schema = self._attached[name]
+        local = path[7:] if path.startswith("file://") else path
+        tmp = f"{local}.{tag}-{uuid.uuid4().hex[:8]}"
+        try:
+            self._table_writer(
+                out, name, fmt, "overwrite", partition_in_path=True
+            ).save(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self._swap_in(subdir, tmp, local)
+        self.clear_cache()
+        self.attach_table(name, path, fmt=fmt, schema=schema)
+        self._rebuild_dependent_mvs(name)
+        return path
 
     @staticmethod
     def _swap_in(live: str, tmp: str, old_base: str, *,
@@ -2635,7 +2653,7 @@ class BigHouseEngine:
     def _optimize_partition_dir(
         self, name: str, subdir: str, n_out: int, dedup: bool,
         files_before: int, t0: float, query: str,
-        pcol: str | None = None, partition_val: str | None = None,
+        pcol: str = "", partition_val: str = "",
     ) -> QueryResult:
         """Compact ONE partition directory in place: read only its
         files (they carry every column except the partition key — the
@@ -2646,7 +2664,6 @@ class BigHouseEngine:
         Dependent MVs rebuild (a compaction renames backing files,
         which would otherwise re-fold as new rows — same posture as
         whole-table mutations)."""
-        import shutil
         import uuid
 
         path, fmt, schema = self._attached[name]
@@ -2656,20 +2673,11 @@ class BigHouseEngine:
         # format().load(subdir) mis-reads non-parquet attached
         # tables), and the TTL expression sees the partition key as a
         # real column.
-        from pyspark.sql import functions as F
-
         df_all = self.spark.table(name)
-        if pcol is not None:
-            ptype = df_all.schema[pcol].dataType
-            df = df_all.filter(
-                F.col(pcol).eqNullSafe(
-                    F.lit(partition_val).cast(ptype)
-                )
-            )
-            file_cols = [c for c in df_all.columns if c != pcol]
-        else:
-            df = self.spark.read.format(fmt).load(subdir)
-            file_cols = list(df.columns)
+        df = df_all.filter(
+            self._partition_match_col(df_all, pcol, partition_val)
+        )
+        file_cols = [c for c in df_all.columns if c != pcol]
         ttl = self._ttl.get(name)
         if ttl:
             view = f"__bh_optp_{uuid.uuid4().hex}"
@@ -2691,24 +2699,9 @@ class BigHouseEngine:
                     pass
         df = df.select(*file_cols)
         df = df.distinct().repartition(n_out) if dedup else df.coalesce(n_out)
-        local_root = path[7:] if path.startswith("file://") else path
-        # sibling of the table root — a failed write must never leave
-        # a `k=1.mutating-xx` dir that partition discovery would
-        # parse as a bogus partition value
-        tmp = f"{local_root}.optp-{uuid.uuid4().hex[:8]}"
         # partition_in_path: this df deliberately lacks the partition
         # column (it IS the directory); ORDER BY sort + blooms kept.
-        try:
-            self._table_writer(
-                df, name, fmt, "overwrite", partition_in_path=True
-            ).save(tmp)
-        except BaseException:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        self._swap_in(subdir, tmp, local_root)
-        self.clear_cache()
-        self.attach_table(name, path, fmt=fmt, schema=schema)
-        self._rebuild_dependent_mvs(name)
+        path = self._write_swap_partition(name, subdir, df, "optp")
         import os
 
         files_after = sum(
@@ -3283,7 +3276,8 @@ class BigHouseEngine:
                     )
                 ttl = self._ttl.get(name)
                 if ttl and re.search(
-                    rf"\b{re.escape(col)}\b", ttl
+                    rf"\b{re.escape(col)}\b",
+                    _mask_string_literals(ttl),
                 ):
                     raise ValueError(
                         f"DROP COLUMN {col}: column is referenced by "
@@ -3293,7 +3287,8 @@ class BigHouseEngine:
                 for iname, (iexpr, _ity) in (
                     self._skip_indices.get(name) or {}
                 ).items():
-                    if re.search(rf"\b{re.escape(col)}\b", iexpr):
+                    if re.search(rf"\b{re.escape(col)}\b",
+                                 _mask_string_literals(iexpr)):
                         raise ValueError(
                             f"DROP COLUMN {col}: column is used by "
                             f"index {iname} — DROP INDEX {iname} "
@@ -3303,7 +3298,8 @@ class BigHouseEngine:
                     self._column_defaults.get(name) or {}
                 ).items():
                     if ocol != col and re.search(
-                        rf"\b{re.escape(col)}\b", dexpr
+                        rf"\b{re.escape(col)}\b",
+                        _mask_string_literals(dexpr),
                     ):
                         raise ValueError(
                             f"DROP COLUMN {col}: column is referenced "
@@ -3333,7 +3329,8 @@ class BigHouseEngine:
                     )
                 r_ttl = self._ttl.get(name)
                 if r_ttl and re.search(
-                    rf"\b{re.escape(col)}\b", r_ttl
+                    rf"\b{re.escape(col)}\b",
+                    _mask_string_literals(r_ttl),
                 ):
                     raise ValueError(
                         f"RENAME COLUMN {col}: column is referenced "
@@ -3343,7 +3340,8 @@ class BigHouseEngine:
                 for iname, (iexpr, _ity) in (
                     self._skip_indices.get(name) or {}
                 ).items():
-                    if re.search(rf"\b{re.escape(col)}\b", iexpr):
+                    if re.search(rf"\b{re.escape(col)}\b",
+                                 _mask_string_literals(iexpr)):
                         raise ValueError(
                             f"RENAME COLUMN {col}: column is used by "
                             f"index {iname} — DROP INDEX {iname} "
@@ -3353,7 +3351,8 @@ class BigHouseEngine:
                     self._column_defaults.get(name) or {}
                 ).items():
                     if ocol != col and re.search(
-                        rf"\b{re.escape(col)}\b", dexpr
+                        rf"\b{re.escape(col)}\b",
+                        _mask_string_literals(dexpr),
                     ):
                         raise ValueError(
                             f"RENAME COLUMN {col}: column is "
@@ -3455,7 +3454,14 @@ class BigHouseEngine:
                 )
             parked_dir = os.path.join(local, ".detached")
             removed = []
-            if part_val is not None and part_val.upper() == "ALL":
+            # only the BARE token is the keyword — the quoted
+            # spelling 'ALL' addresses the partition whose value is
+            # the string ALL, like every other partition router
+            is_all = (
+                m_dd.group(3) is not None
+                and m_dd.group(3).upper() == "ALL"
+            )
+            if is_all:
                 if os.path.isdir(parked_dir):
                     for frag in sorted(os.listdir(parked_dir)):
                         fp = os.path.join(parked_dir, frag)
@@ -3555,19 +3561,35 @@ class BigHouseEngine:
                 # removed ones, cast changed types; identical schemas
                 # keep the plain O(1) move.
                 _, fmt_a, _ = self._attached[name]
-                target = self._target_schema(name)
-                want = [
-                    f for f in target.fields if f.name not in pcols
-                ]
-                pf = self.spark.read.format(fmt_a).load(parked)
-                same = list(pf.columns) == [f.name for f in want] and all(
-                    pf.schema[f.name].dataType.simpleString()
-                    == f.dataType.simpleString()
-                    for f in want
-                )
-                if same:
+                if fmt_a not in ("parquet", "orc"):
+                    # Only self-describing formats can DETECT drift —
+                    # a raw csv/json read infers _c0.. names, making
+                    # the compare always "different" and the
+                    # reconcile below would then replace real data
+                    # with defaults (review-found, round 14). Column
+                    # DDL is REFUSED for csv-attached tables, so
+                    # their parked schema cannot have drifted: the
+                    # plain move is correct.
                     shutil.move(parked, live)
-                else:
+                    acted = True
+                    parked = None
+                if parked is not None:
+                    target = self._target_schema(name)
+                    want = [
+                        f for f in target.fields
+                        if f.name not in pcols
+                    ]
+                    pf = self.spark.read.format(fmt_a).load(parked)
+                    same = list(pf.columns) == [
+                        f.name for f in want
+                    ] and all(
+                        pf.schema[f.name].dataType.simpleString()
+                        == f.dataType.simpleString()
+                        for f in want
+                    )
+                if parked is not None and same:
+                    shutil.move(parked, live)
+                elif parked is not None:
                     from pyspark.sql import functions as F
 
                     import uuid as _uuid
@@ -3832,14 +3854,7 @@ class BigHouseEngine:
             local = self._attached_path_or_raise(
                 name, "ALTER TABLE UNFREEZE"
             )
-            if (os.sep in snap or snap in (".", "..")
-                    or (os.altsep and os.altsep in snap)):
-                # rmtree target — a path-separator name would escape
-                # the shadow root
-                raise ValueError(
-                    f"UNFREEZE WITH NAME {snap!r}: snapshot names "
-                    "cannot contain path separators"
-                )
+            self._check_snapshot_name(snap)
             dest = os.path.join(f"{local.rstrip('/')}.shadow", snap)
             if not os.path.isdir(dest):
                 raise ValueError(

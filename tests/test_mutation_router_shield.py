@@ -1940,3 +1940,97 @@ class TestColumnDdlVsKeyRecords:
         with pytest.raises(ValueError, match="TTL"):
             eng.execute("ALTER TABLE __ky14 RENAME COLUMN d TO d2")
         eng.execute("DROP TABLE IF EXISTS __ky14")
+
+
+class TestSecondReviewFixes:
+    """Round-14 second review pass over the scoped-rewrite work."""
+
+    def test_null_partition_scoped_ops_keep_rows(self, spark):
+        # __HIVE_DEFAULT_PARTITION__ rows read back as NULL keys; the
+        # old eqNullSafe(lit('NULL')) filter matched NOTHING and the
+        # swap replaced the default partition with an empty dir —
+        # silent data loss (review-found)
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __np14")
+        eng.execute(
+            "CREATE TABLE __np14 (k Nullable(String), v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __np14 VALUES (NULL, 1), (NULL, 2), ('a', 3)"
+        )
+        eng.execute(
+            "OPTIMIZE TABLE __np14 PARTITION 'NULL' FINAL"
+        )
+        assert eng.execute(
+            "SELECT v FROM __np14 ORDER BY v"
+        ).rows == [[1], [2], [3]]
+        eng.execute(
+            "ALTER TABLE __np14 UPDATE v = v + 10 "
+            "IN PARTITION 'NULL' WHERE 1"
+        )
+        assert eng.execute(
+            "SELECT v FROM __np14 ORDER BY v"
+        ).rows == [[3], [11], [12]]
+        eng.execute(
+            "ALTER TABLE __np14 DELETE IN PARTITION 'NULL' WHERE v = 11"
+        )
+        assert eng.execute(
+            "SELECT v FROM __np14 ORDER BY v"
+        ).rows == [[3], [12]]
+        eng.execute("DROP TABLE IF EXISTS __np14")
+
+    def test_update_assignment_ending_in_delete_is_update(self, spark):
+        # 'UPDATE flag = delete' ends with the word delete; the old
+        # ends-with check misrouted it into the DELETE path and
+        # WIPED the partition (review-found)
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __vd14x")
+        eng.execute(
+            "CREATE TABLE __vd14x (k Int64, flag Int64, delete Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY flag"
+        )
+        eng.execute("INSERT INTO __vd14x VALUES (1, 0, 7)")
+        eng.execute(
+            "ALTER TABLE __vd14x UPDATE flag = delete "
+            "IN PARTITION '1' WHERE 1"
+        )
+        assert eng.execute(
+            "SELECT k, flag, delete FROM __vd14x"
+        ).rows == [[1, 7, 7]]
+        eng.execute("DROP TABLE IF EXISTS __vd14x")
+
+    def test_drop_detached_quoted_all_is_a_value(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __qa14")
+        eng.execute(
+            "CREATE TABLE __qa14 (k String, v Int64) "
+            "ENGINE = MergeTree PARTITION BY k ORDER BY v"
+        )
+        eng.execute(
+            "INSERT INTO __qa14 VALUES ('ALL', 1), ('other', 2)"
+        )
+        eng.execute("ALTER TABLE __qa14 DETACH PARTITION 'ALL'")
+        eng.execute("ALTER TABLE __qa14 DETACH PARTITION 'other'")
+        out = eng.execute(
+            "ALTER TABLE __qa14 DROP DETACHED PARTITION 'ALL'"
+        )
+        # only the partition VALUED 'ALL' went; 'other' still parked
+        assert out.rows == [["k=ALL"]]
+        eng.execute("ALTER TABLE __qa14 ATTACH PARTITION 'other'")
+        assert eng.execute(
+            "SELECT k, v FROM __qa14"
+        ).rows == [["other", 2]]
+        eng.execute("DROP TABLE IF EXISTS __qa14")
+
+    def test_guard_ignores_column_name_inside_literal(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __gl14")
+        eng.execute(
+            "CREATE TABLE __gl14 (ts Int64, "
+            "note String DEFAULT 'drop ts later', v Int64) "
+            "ENGINE = MergeTree ORDER BY v"
+        )
+        eng.execute("ALTER TABLE __gl14 DROP COLUMN ts")  # legal
+        assert "ts" not in eng.spark.table("__gl14").columns
+        eng.execute("DROP TABLE IF EXISTS __gl14")
