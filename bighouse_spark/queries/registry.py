@@ -74,7 +74,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (REPLACE PARTITION FROM, the r14 cross-table partition surface)
 # and `sink_partition_scoped_mutation_roundtrip` (IN PARTITION
 # mutations bounded to the partition directory, with the partition
-# key referenced in the condition — the r14 scale-semantics pin) —
+# key referenced in the condition — the r14 scale-semantics pin)
+# and `sink_materialize_ttl_roundtrip` (MATERIALIZE TTL part
+# rewrite; per-row fixed-date expiries keep the drop set
+# deterministic for decades) —
 # then the 9 r10-era leftovers above, then oldest-green (r11-era)
 # fills to 50.
 DRIVER_WINDOW = {

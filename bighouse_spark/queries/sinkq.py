@@ -412,3 +412,46 @@ def sink_partition_scoped_mutation_roundtrip(spark, sf_dir):
         "CAST(sum(k) AS BIGINT) AS s "
         "FROM __q_psm GROUP BY st, pr ORDER BY st, pr"
     )
+
+
+# Round-14 pin (staged r15): ALTER TABLE ... MATERIALIZE TTL applies
+# the recorded TTL as an immediate part rewrite. The TTL expression
+# maps each row to a FIXED far-past or far-future expiry (2000 /
+# 2090), so the drop set is deterministic for decades regardless of
+# when the driver runs — even keys expired, odd keys live.
+@query(
+    "sink_materialize_ttl_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS s
+FROM orders
+WHERE o_orderkey < 1200 AND o_orderkey % 2 <> 0
+GROUP BY st ORDER BY st
+""",
+)
+def sink_materialize_ttl_roundtrip(spark, sf_dir):
+    from bighouse_spark.engine import BigHouseEngine
+    from bighouse_spark.queries.registry import t
+
+    eng = BigHouseEngine(spark=spark)
+    eng.execute("DROP TABLE IF EXISTS __q_mttl")
+    eng.execute(
+        "CREATE TABLE __q_mttl (st String, okey Int64) "
+        "ENGINE = MergeTree ORDER BY okey"
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__q_mttl_src")
+    eng.execute(
+        "INSERT INTO __q_mttl SELECT o_orderstatus, o_orderkey "
+        "FROM __q_mttl_src WHERE o_orderkey < 1200"
+    )
+    eng.execute(
+        "ALTER TABLE __q_mttl MODIFY TTL "
+        "if(okey % 2 = 0, toDateTime('2000-01-01 00:00:00'), "
+        "toDateTime('2090-01-01 00:00:00'))"
+    )
+    eng.execute("ALTER TABLE __q_mttl MATERIALIZE TTL")
+    return spark.sql(
+        "SELECT st, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(okey) AS BIGINT) AS s "
+        "FROM __q_mttl GROUP BY st ORDER BY st"
+    )
