@@ -13377,10 +13377,18 @@ def _find_call(
     while i < len(sql) and depth > 0:
         c = sql[i]
         if quote:
-            if c == quote:
-                quote = None
             cur.append(c)
-        elif c in "'\"":
+            if quote == "'" and c == "\\":
+                # CH backslash escape: the next char stays inside
+                # the literal (a \' used to CLOSE the quote here and
+                # a following ')' miscounted as the call's close —
+                # "unbalanced parens" on valid VALUES, round 14)
+                i += 1
+                if i < len(sql):
+                    cur.append(sql[i])
+            elif c == quote:
+                quote = None
+        elif c in "'\"`":
             quote = c
             cur.append(c)
         elif c == "(":

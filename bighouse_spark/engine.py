@@ -783,7 +783,8 @@ class BigHouseEngine:
     _INSERT_FMT_RE = re.compile(
         r"^\s*INSERT\s+INTO\s+(?!FUNCTION\b)[`\"]?(\w+)[`\"]?\s*"
         r"(?:\(\s*([\w`\"\s,]+?)\s*\)\s*)?"
-        r"FORMAT\s+(Values|JSONEachRow|CSV|CSVWithNames|TSV|TabSeparated)"
+        r"FORMAT\s+(Values|JSONEachRow|CSVWithNames|CSV"
+        r"|TSVWithNames|TabSeparatedWithNames|TSV|TabSeparated)"
         r"\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -3143,19 +3144,76 @@ class BigHouseEngine:
                     *[F.col(f.name).cast(f.dataType) for f in target.fields]
                 )
             else:  # csv / tsv (positional)
-                sep = "\t" if fmt_name in ("tsv", "tabseparated") else ","
-                lines = [
-                    line for line in payload.strip().splitlines()
-                    if line.strip()
-                ]
-                if fmt_name == "csvwithnames":
-                    lines = lines[1:]
                 from pyspark.sql import functions as F
 
+                if fmt_name in ("csv", "csvwithnames"):
+                    # RFC-quoted CSV — the old naive split(',') +
+                    # strip-quotes corrupted embedded delimiters,
+                    # doubled quotes, and quoted newlines (a quoted
+                    # field spanning lines became extra rows;
+                    # `q""uote` landed with the doubling intact —
+                    # round-14 probe)
+                    import csv as _csv
+                    import io as _io
+
+                    recs = [
+                        rec
+                        for rec in _csv.reader(
+                            _io.StringIO(payload.strip())
+                        )
+                        if rec
+                    ]
+                    if fmt_name == "csvwithnames":
+                        recs = recs[1:]
+                    data = [
+                        tuple(
+                            None if v in ("", "\\N") else v
+                            for v in rec
+                        )
+                        for rec in recs
+                    ]
+                else:  # tsv family: CH backslash escapes, \N NULL
+                    # strip NEWLINES only — a bare .strip() eats a
+                    # trailing TAB, i.e. the last row's empty final
+                    # cell (tab is whitespace), shifting its fields
+                    lines = [
+                        line
+                        for line in payload.strip("\r\n")
+                        .splitlines()
+                        if line != ""
+                    ]
+                    if fmt_name in (
+                        "tsvwithnames", "tabseparatedwithnames"
+                    ):
+                        lines = lines[1:]
+                    _TSV_UN = {
+                        "t": "\t", "n": "\n", "r": "\r",
+                        "0": "\0", "\\": "\\", "'": "'",
+                    }
+
+                    def _unesc_tsv(v: str):
+                        if v == "\\N" or v == "":
+                            return None
+                        out, i = [], 0
+                        while i < len(v):
+                            if v[i] == "\\" and i + 1 < len(v):
+                                out.append(
+                                    _TSV_UN.get(v[i + 1], v[i + 1])
+                                )
+                                i += 2
+                            else:
+                                out.append(v[i])
+                                i += 1
+                        return "".join(out)
+
+                    data = [
+                        tuple(
+                            _unesc_tsv(v) for v in line.split("\t")
+                        )
+                        for line in lines
+                    ]
                 df = self.spark.createDataFrame(
-                    [tuple(v.strip().strip("'\"") or None
-                           for v in line.split(sep))
-                     for line in lines],
+                    data,
                     ", ".join(f"`{f.name}` string" for f in target.fields),
                 )
                 aligned = df.select(

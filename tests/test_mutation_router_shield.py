@@ -2034,3 +2034,93 @@ class TestSecondReviewFixes:
         eng.execute("ALTER TABLE __gl14 DROP COLUMN ts")  # legal
         assert "ts" not in eng.spark.table("__gl14").columns
         eng.execute("DROP TABLE IF EXISTS __gl14")
+
+
+class TestInsertFormatPayloadParsing:
+    """INSERT ... FORMAT payload decoding inverts the renderers
+    exactly (round-14 probe): the old naive split corrupted RFC-
+    quoted CSV (embedded delimiters/newlines; `q""uote` landed with
+    the doubling intact — silent), ate a trailing TAB (the last
+    row's empty final cell), and did not route the WithNames TSV
+    spellings at all."""
+
+    NASTY = ['a,b', 'q"uote', 'tab\there', 'nl\nline', "quo'te",
+             'back\\slash', 'uni—ç☃']
+
+    @pytest.fixture
+    def feng(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __fmt14")
+        eng.execute(
+            "CREATE TABLE __fmt14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        for i, s in enumerate(self.NASTY):
+            esc = (
+                s.replace("\\", "\\\\").replace("'", "\\'")
+                .replace("\n", "\\n").replace("\t", "\\t")
+            )
+            eng.execute(f"INSERT INTO __fmt14 VALUES ({i}, '{esc}')")
+        yield eng
+        eng.execute("DROP TABLE IF EXISTS __fmt14")
+        eng.execute("DROP TABLE IF EXISTS __fmt14b")
+
+    @pytest.mark.parametrize("fmt", [
+        "CSVWithNames", "CSV", "TSVWithNames", "TSV",
+        "TabSeparatedWithNames", "JSONEachRow",
+    ])
+    def test_rendered_payload_reinserts_identically(self, feng, fmt):
+        from bighouse_spark.formats import (
+            normalize_format,
+            render_result,
+        )
+
+        res = feng.execute("SELECT k, v FROM __fmt14 ORDER BY k")
+        body, _ct = render_result(
+            res.cols, res.rows, normalize_format(fmt)
+        )
+        feng.execute("DROP TABLE IF EXISTS __fmt14b")
+        feng.execute(
+            "CREATE TABLE __fmt14b (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        feng.execute(
+            f"INSERT INTO __fmt14b FORMAT {fmt}\n{body.decode()}"
+        )
+        rt = [
+            r[1] for r in feng.execute(
+                "SELECT k, v FROM __fmt14b ORDER BY k"
+            ).rows
+        ]
+        assert rt == self.NASTY
+
+    def test_values_backslash_quote_escape(self, spark):
+        # the _find_call arg scanner treated \' as the literal's
+        # close, miscounting a following ')' — "unbalanced parens"
+        # on valid CH VALUES (round-14 probe)
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __bq14v")
+        eng.execute(
+            "CREATE TABLE __bq14v (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute("INSERT INTO __bq14v VALUES (4, 'quo\\'te')")
+        assert eng.execute(
+            "SELECT v FROM __bq14v"
+        ).rows == [["quo'te"]]
+        eng.execute("DROP TABLE IF EXISTS __bq14v")
+
+    def test_tsv_trailing_empty_cell_kept(self, spark):
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __te14")
+        eng.execute(
+            "CREATE TABLE __te14 (k Int64, v String) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        # last row ends with an empty final cell: the old bare
+        # .strip() ate the tab and the row mis-sized
+        eng.execute("INSERT INTO __te14 FORMAT TSV\n1\thello\n2\t")
+        assert eng.execute(
+            "SELECT k, v FROM __te14 ORDER BY k"
+        ).rows == [[1, "hello"], [2, None]]
+        eng.execute("DROP TABLE IF EXISTS __te14")
