@@ -1109,6 +1109,37 @@ class BigHouseEngine:
             )
         return pairs
 
+    @staticmethod
+    def _reorder_by_header(
+        name: str, data: list, header: "list[str] | None", target
+    ) -> list:
+        """CH honors a WithNames header: columns map BY NAME
+        (input_format_with_names_use_header=1, the default) — a
+        positional skip would silently TRANSPOSE same-typed columns
+        when the client's header order differs from the table's
+        (round-14 probe). Unknown header names raise, like CH."""
+        if header is None:
+            return data
+        want = [f.name for f in target.fields]
+        if header == want:
+            return data
+        unknown = [h for h in header if h not in want]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {name}: header column(s) {unknown} "
+                f"not in the insert target {want}"
+            )
+        missing = [w for w in want if w not in header]
+        if missing:
+            raise ValueError(
+                f"INSERT INTO {name}: header omits column(s) "
+                f"{missing} — list the insert columns explicitly "
+                f"(INSERT INTO {name} (cols...) FORMAT ...) to fill "
+                "defaults"
+            )
+        idx = [header.index(w) for w in want]
+        return [tuple(rec[i] for i in idx) for rec in data]
+
     def _clear_column_sql(self, name: str, col: str) -> str:
         """Spark-SQL expression a CLEAR COLUMN resets ``col`` to —
         exactly the partial-INSERT fill expression (declared DEFAULT,
@@ -3163,7 +3194,9 @@ class BigHouseEngine:
                         )
                         if rec
                     ]
+                    header = None
                     if fmt_name == "csvwithnames":
+                        header = [h.strip() for h in recs[0]]
                         recs = recs[1:]
                     data = [
                         tuple(
@@ -3172,6 +3205,9 @@ class BigHouseEngine:
                         )
                         for rec in recs
                     ]
+                    data = self._reorder_by_header(
+                        name, data, header, target
+                    )
                 else:  # tsv family: CH backslash escapes, \N NULL
                     # strip NEWLINES only — a bare .strip() eats a
                     # trailing TAB, i.e. the last row's empty final
@@ -3182,9 +3218,13 @@ class BigHouseEngine:
                         .splitlines()
                         if line != ""
                     ]
+                    header = None
                     if fmt_name in (
                         "tsvwithnames", "tabseparatedwithnames"
                     ):
+                        header = [
+                            h.strip() for h in lines[0].split("\t")
+                        ]
                         lines = lines[1:]
                     _TSV_UN = {
                         "t": "\t", "n": "\n", "r": "\r",
@@ -3212,6 +3252,9 @@ class BigHouseEngine:
                         )
                         for line in lines
                     ]
+                    data = self._reorder_by_header(
+                        name, data, header, target
+                    )
                 df = self.spark.createDataFrame(
                     data,
                     ", ".join(f"`{f.name}` string" for f in target.fields),

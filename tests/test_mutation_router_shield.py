@@ -2124,3 +2124,31 @@ class TestInsertFormatPayloadParsing:
             "SELECT k, v FROM __te14 ORDER BY k"
         ).rows == [[1, "hello"], [2, None]]
         eng.execute("DROP TABLE IF EXISTS __te14")
+
+    def test_withnames_header_maps_by_name(self, spark):
+        # CH honors the WithNames header (column order may differ
+        # from the table); a positional skip silently TRANSPOSED
+        # same-typed columns
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __hn14")
+        eng.execute(
+            "CREATE TABLE __hn14 (a String, b String) "
+            "ENGINE = MergeTree ORDER BY a"
+        )
+        eng.execute(
+            'INSERT INTO __hn14 FORMAT CSVWithNames\nb,a\n"bee","ay"'
+        )
+        assert eng.execute(
+            "SELECT a, b FROM __hn14"
+        ).rows == [["ay", "bee"]]
+        eng.execute(
+            "INSERT INTO __hn14 FORMAT TSVWithNames\nb\ta\nB2\tA2"
+        )
+        assert eng.execute(
+            "SELECT a, b FROM __hn14 ORDER BY a"
+        ).rows == [["A2", "B2"], ["ay", "bee"]]
+        with pytest.raises(ValueError, match="header column"):
+            eng.execute(
+                "INSERT INTO __hn14 FORMAT CSVWithNames\nz,a\n1,2"
+            )
+        eng.execute("DROP TABLE IF EXISTS __hn14")
