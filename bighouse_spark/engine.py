@@ -3146,15 +3146,28 @@ class BigHouseEngine:
                         dt, (T.ArrayType, T.MapType, T.StructType)
                     )
 
-                build = T.StructType([
-                    T.StructField(
-                        f.name,
-                        f.dataType if _nested(f.dataType)
-                        else T.StringType(),
-                        True,
-                    )
-                    for f in target.fields
-                ])
+                build = T.StructType(
+                    [
+                        T.StructField(
+                            f.name,
+                            f.dataType if _nested(f.dataType)
+                            else T.StringType(),
+                            True,
+                        )
+                        for f in target.fields
+                    ]
+                    # per-field ABSENT flags: CH distinguishes a
+                    # missing key (fill the declared/type default —
+                    # input_format_defaults_for_omitted_fields=1,
+                    # the default) from an explicit JSON null
+                    + [
+                        T.StructField(
+                            f"__absent_{f.name}", T.BooleanType(),
+                            False,
+                        )
+                        for f in target.fields
+                    ]
+                )
 
                 def _cell(r: dict, f: "T.StructField"):
                     v = r.get(f.name)
@@ -3167,13 +3180,25 @@ class BigHouseEngine:
                 df = self.spark.createDataFrame(
                     [
                         tuple(_cell(r, f) for f in target.fields)
+                        + tuple(
+                            f.name not in r for f in target.fields
+                        )
                         for r in rows
                     ],
                     build,
                 )
-                aligned = df.select(
-                    *[F.col(f.name).cast(f.dataType) for f in target.fields]
-                )
+                aligned = df.select(*[
+                    F.when(
+                        F.col(f"__absent_{f.name}"),
+                        F.expr(
+                            self._missing_col_default_sql(name, f)
+                        ),
+                    )
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in target.fields
+                ])
             else:  # csv / tsv (positional)
                 from pyspark.sql import functions as F
 

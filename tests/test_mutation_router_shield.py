@@ -2152,3 +2152,24 @@ class TestInsertFormatPayloadParsing:
                 "INSERT INTO __hn14 FORMAT CSVWithNames\nz,a\n1,2"
             )
         eng.execute("DROP TABLE IF EXISTS __hn14")
+
+    def test_jsoneachrow_missing_key_fills_default(self, spark):
+        # CH fills omitted JSON fields with the declared/type default
+        # (input_format_defaults_for_omitted_fields=1, the default);
+        # an explicit null stays NULL
+        eng = BigHouseEngine(spark)
+        eng.execute("DROP TABLE IF EXISTS __jm14")
+        eng.execute(
+            "CREATE TABLE __jm14 (k Int64, v String DEFAULT 'dd', "
+            "w Nullable(String)) ENGINE = MergeTree ORDER BY k"
+        )
+        eng.execute(
+            "INSERT INTO __jm14 FORMAT JSONEachRow\n"
+            '{"k": 1}\n'
+            '{"k": 2, "v": "x", "w": null}\n'
+            '{"k": 3, "v": null, "w": "y"}'
+        )
+        assert eng.execute(
+            "SELECT k, v, w FROM __jm14 ORDER BY k"
+        ).rows == [[1, "dd", None], [2, "x", None], [3, None, "y"]]
+        eng.execute("DROP TABLE IF EXISTS __jm14")
