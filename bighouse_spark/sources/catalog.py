@@ -11,6 +11,8 @@ vacuous in Spark — the catalog already is cluster-wide).
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,11 +37,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # microseconds (identical to DuckDB's ns→µs handling).
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Attach-once relation memo (optimization r14, guide §7.3 — driver-side
+# work). Every ``spark.read.parquet`` call runs a schema-inference job
+# (footer read) plus py4j plan construction; a query like tpch_q8 loads
+# 8 tables, so the bench paid ~8 driver jobs per run re-deriving
+# metadata for immutable fixture files. The reference ATTACHes shared
+# tables once per cluster (workflow_query_executor_test.go:85) — the
+# Spark analog is reusing the analyzed base relation per session.
+# ONLY metadata/plan is reused: no rows, no results — every action
+# still scans the parquet input. Safe because the catalog serves the
+# fixed read-only fixture set exclusively (engine-managed mutable
+# tables read their own roots directly, never through here). Keyed
+# weakly by session so a stopped session's relations are dropped.
+_RELATION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_MEMO_LOCK = threading.Lock()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Parquet is self-describing, so schema
     inference is exact and column pruning / predicate pushdown reach
     the scan (the MergeTree-column-file analog)."""
+    key = (os.path.abspath(sf_dir), name)
+    with _MEMO_LOCK:
+        cached = _RELATION_MEMO.get(spark, {}).get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    with _MEMO_LOCK:
+        _RELATION_MEMO.setdefault(spark, {})[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
