@@ -130,19 +130,22 @@ def _lsh_prep(
     bands: int,
     shingle_n: int,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash/LSH front half: (docs(id, shingles, hashes),
+    """Shared MinHash/LSH front half: (docs(id, shingles, sig),
     band_keys(id, band, bucket)).
 
-    (id, shingles) is read by the verify join on top of the band-key
-    consumers; persist it so shingling runs once. At cluster scale
-    this is the standard signature-table materialization
-    (MEMORY_AND_DISK spills instead of OOMing on wide corpora).
-    Shingling is the CPU-heavy step → guard input parallelism before
-    it (no-op on a well-split big input; ~N× on a single-file local
-    table). The signature table persists too: the one-pass aggregate
-    is opaque to Catalyst, so an unmaterialized ``sig`` would be
-    recomputed in full by every element_at reference in the band-key
-    projection."""
+    ONE persisted table carries both the shingle sets (read by the
+    verify join) and the minhash signature (read by the band-key
+    projection) — r14 fused what used to be two sequential cache
+    materializations (docs, then sigs built by re-reading docs) into
+    a single pass, removing one cache-fill job and the interim
+    ``__sh_hashes`` column from storage. At cluster scale this is the
+    standard signature-table materialization (MEMORY_AND_DISK spills
+    instead of OOMing on wide corpora). Shingling is the CPU-heavy
+    step → guard input parallelism before it (no-op on a well-split
+    big input; ~N× on a single-file local table). The persist stays
+    mandatory: the one-pass signature aggregate is opaque to
+    Catalyst, so an unmaterialized ``sig`` would be recomputed in
+    full by every band reference."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     docs = (
@@ -151,6 +154,7 @@ def _lsh_prep(
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
+            key_cols=["id"],
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
@@ -158,29 +162,34 @@ def _lsh_prep(
         .withColumn(
             "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
         )
+        .select(
+            "id",
+            "shingles",
+            F.expr(
+                _minhash_signature_sql("__sh_hashes", num_hashes)
+            ).alias("sig"),
+        )
     )
     docs = tracked_persist(docs)
-    sigs = docs.select(
+    # Band bucket = xxhash64 over the signature SLICE itself (longs),
+    # not over a concat_ws string of the elements: the string shape
+    # cost 2 long→string conversions + a string hash per band per doc
+    # (measured ~260 ms/task on the sf0.1 band stage); hashing the
+    # long-array slice is pure primitive work and keeps the expression
+    # tree O(1) in (bands × rows_per_band). Bucket VALUES change —
+    # they are engine-internal partition keys; equal slices still map
+    # to equal buckets, so the candidate set (and the verified output)
+    # is unchanged.
+    band_keys = docs.select(
         "id",
-        F.expr(_minhash_signature_sql("__sh_hashes", num_hashes)).alias("sig"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})))"
+            )
+        ).alias("band", "bucket"),
     )
-    sigs = tracked_persist(sigs)
-    # Band keys as one SQL expression (same py4j-cost argument as the
-    # signature), reading the materialized sig column.
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))"
-        .format(
-            b=b,
-            els=", ".join(
-                f"element_at(sig, {b * rows_per_band + r + 1})"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    band_keys = sigs.select(
-        "id", F.expr(f"explode(array({band_structs}))").alias("bk")
-    ).select("id", "bk.band", "bk.bucket")
     return docs, band_keys
 
 
@@ -463,6 +472,7 @@ def simhash_pairs(
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
+            key_cols=["id"],
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
@@ -551,6 +561,7 @@ def ngram_jaccard_pairs(
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
+            key_cols=["id"],
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")

@@ -643,7 +643,9 @@ class TestCacheLifecycle:
         minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
         assert self._persistent_rdd_count(spark) > 0, "persist expected"
         released = release_tracked()
-        assert released >= 2  # docs + sigs
+        # r14: docs+sigs were fused into ONE (id, shingles, sig)
+        # persist (one cache-fill pass instead of two).
+        assert released >= 1
         assert self._persistent_rdd_count(spark) == 0
 
     def test_release_tracked_idempotent_and_safe_before_action(self, spark):
