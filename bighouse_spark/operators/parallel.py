@@ -19,12 +19,25 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_parallelism(
-    df: DataFrame, factor: int = 2, bytes_per_partition: int = 256 << 10
+    df: DataFrame,
+    factor: int = 2,
+    bytes_per_partition: int = 256 << 10,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Round-robin repartition iff the DataFrame has fewer partitions
-    than its data volume warrants. ``factor`` adds headroom over the
-    default parallelism for uneven per-row cost (long docs cluster in
-    one chunk).
+    """Repartition iff the DataFrame has fewer partitions than its
+    data volume warrants. ``factor`` adds headroom over the default
+    parallelism for uneven per-row cost (long docs cluster in one
+    chunk).
+
+    ``key_cols`` (r14): when given, repartition by a DETERMINISTIC
+    synthetic key — ``xxhash64`` over those columns — instead of
+    round-robin. Two wins (guide §2.5): round-robin pays a local sort
+    of every map task's input (``sortBeforeRepartition``, required so
+    retried tasks reproduce their row→partition assignment), which a
+    deterministic hash key does not need; and the hash key stays
+    retry-safe by construction. Pick columns that are unique-ish per
+    row (an id, or the full projected column set) so the hash spreads
+    evenly.
 
     The target is capped by the optimizer's size estimate: blowing a
     2 000-row table into 64 partitions costs more in task/Python-worker
@@ -44,5 +57,11 @@ def ensure_min_parallelism(
     except Exception:
         pass  # stats unavailable: keep the parallelism-based target
     if df.rdd.getNumPartitions() < want:
+        if key_cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(
+                want, F.xxhash64(*[F.col(c) for c in key_cols])
+            )
         return df.repartition(want)
     return df

@@ -49,7 +49,8 @@ def brute_force_topk(
     c = ensure_min_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        )
+        ),
+        key_cols=["neighbor_id"],
     )
     sim = cosine_similarity(F.col("__cvec"), F.col("__qvec"))
     if round_digits is not None:
@@ -130,7 +131,8 @@ def lsh_ann_topk(
     c = ensure_min_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        )
+        ),
+        key_cols=["neighbor_id"],
     ).select(
         "neighbor_id",
         "__cvec",
@@ -266,6 +268,15 @@ def ivf_topk(
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series((Mn @ C.T).argmax(axis=1))
 
+    # Guide §4.4: the cell join's implicit isnotnull(__cell) filter was
+    # being pushed below the parallelism exchange, leaving TWO
+    # ArrowEvalPython nodes in the plan — every corpus vector crossed
+    # the Python boundary and ran the centroid matmul twice. The
+    # assignment is deterministic in fact; marking it nondeterministic
+    # only forbids Catalyst from duplicating/reordering it, collapsing
+    # the plan to a single ArrowEvalPython.
+    cell_of = cell_of.asNondeterministic()
+
     @pandas_udf("array<int>")
     def probe_of(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
@@ -276,7 +287,8 @@ def ivf_topk(
     c = ensure_min_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        )
+        ),
+        key_cols=["neighbor_id"],
     ).withColumn("__cell", cell_of(F.col("__cvec")))
     q = (
         queries.select(
@@ -456,7 +468,8 @@ def pq_topk(
     c = ensure_min_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        )
+        ),
+        key_cols=["neighbor_id"],
     ).withColumn("__codes", codes_of(F.col("__cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")

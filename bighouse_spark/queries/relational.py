@@ -42,11 +42,35 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def tpch_q1(spark, sf_dir):
+    from bighouse_spark.operators.parallel import ensure_min_parallelism
+
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # The fixture file is a single parquet row group → a one-task scan
+    # whose partial decimal aggregation serializes ~2 s of CPU onto
+    # one core of 32 (profiled r14: cpuMs≈runMs on the scan stage).
+    # Guard input parallelism AFTER the pushed filter + early
+    # projection so the adaptive repartition ships only the 6 needed
+    # columns; deterministic full-row hash keying avoids round-robin's
+    # map-side sort (guide §2.5). No-op on any well-split input — at
+    # 100 TB the scan already fans out and this adds nothing.
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    filtered = ensure_min_parallelism(
+        li.where(
+            F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+        ).select(cols),
+        key_cols=cols,
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity"), "sum_qty"),
@@ -79,13 +103,23 @@ LIMIT 10
 """,
 )
 def tpch_q3(spark, sf_dir):
+    from bighouse_spark.operators.parallel import ensure_min_parallelism
+
     cust = t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem")
+    # Same single-row-group input-skew guard as tpch_q1: the partial
+    # aggregation on (l_orderkey, o_orderdate) builds a ~|orders|-key
+    # hash table, serialized onto the lone scan task locally. Early
+    # projection keeps the adaptive repartition to the 3 needed
+    # columns; no-op on a well-split input.
+    licols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    li = ensure_min_parallelism(
+        t(spark, sf_dir, "lineitem").select(licols), key_cols=licols
+    )
     return (
         li.join(
             orders.join(
