@@ -68,30 +68,35 @@ SELECT level, count(*) AS n_users FROM (
 def funnel_window_3step(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     hour = F.expr("INTERVAL 1 HOUR")
-    l1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # r14 (guide §2.4 — remove passes): ONE conditional aggregation
+    # yields both the user universe (the old separate
+    # `ev.select("user_id").distinct()` scan) and each user's first
+    # view (`t1`, null when the user never viewed — exactly the old
+    # LEFT JOIN l1 outcome). Level 2 carries t1 through its aggregate
+    # (constant per user) so level 3 needs one broadcast input, not
+    # two. Net: 4 event scans → 3, one aggregation exchange and two
+    # broadcast joins removed; per-level aggregates stay |users|-sized
+    # and broadcastable at any scale.
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
     )
+    l1 = base.where(F.col("t1").isNotNull())
     l2 = (
         ev.where(F.col("event_type") == "click")
         .join(F.broadcast(l1), "user_id")
         .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2"), F.max("t1").alias("t1w"))
     )
     l3 = (
         ev.where(F.col("event_type") == "purchase")
         .join(F.broadcast(l2), "user_id")
-        .join(F.broadcast(l1), "user_id")
-        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t1") + hour))
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t1w") + hour))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    users = ev.select("user_id").distinct()
     level = (
-        users.join(F.broadcast(l1), "user_id", "left")
-        .join(F.broadcast(l2), "user_id", "left")
+        base.join(F.broadcast(l2.select("user_id", "t2")), "user_id", "left")
         .join(F.broadcast(l3), "user_id", "left")
         .select(
             F.when(F.col("t3").isNotNull(), 3)

@@ -260,15 +260,21 @@ ORDER BY custdist DESC, c_count DESC
 def tpch_q13(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(
-            o,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    # r14 (guide §2.3 — aggregate before you shuffle): count orders
+    # per customer BEFORE the join, so the join input is |custkey|
+    # partial counts instead of raw order rows (at 100 TB the orders
+    # side shrinks ~|orders|/|customers|×). Customers with no
+    # matching order coalesce to 0 — identical to the old
+    # LEFT JOIN + count(o_orderkey) result.
+    ocnt = (
+        o.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = c.join(
+        ocnt, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
