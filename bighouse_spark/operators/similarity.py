@@ -52,7 +52,7 @@ def brute_force_topk(
         ),
         key_cols=["neighbor_id"],
     )
-    sim = cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+    sim = cosine_similarity("__cvec", "__qvec")
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -154,7 +154,7 @@ def lsh_ann_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+            cosine_similarity("__cvec", "__qvec"), 6
         ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -307,7 +307,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+            cosine_similarity("__cvec", "__qvec"), 6
         ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -522,7 +522,7 @@ def pq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6
+                cosine_similarity("__cvec", "__qvec"), 6
             ).alias("sim"),
         )
     )

@@ -219,7 +219,7 @@ def dedup_semantic_within_cluster(
     )
     dropped = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") > F.col("id_b")))
-        .where(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.3)
+        .where(cosine_similarity("ea", "eb") >= 0.3)
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
     )

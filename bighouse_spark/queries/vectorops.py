@@ -148,7 +148,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
     )
-    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    sim = cosine_similarity("ea", "eb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(sim >= 0.95)
