@@ -129,6 +129,7 @@ def _lsh_prep(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    input_stats: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash/LSH front half: (docs(id, shingles, sig),
     band_keys(id, band, bucket)).
@@ -155,6 +156,7 @@ def _lsh_prep(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
             key_cols=["id"],
+            input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
@@ -202,6 +204,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 256,
+    input_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding.
 
@@ -224,7 +227,7 @@ def minhash_lsh_pairs(
     their other ``bands − 1`` buckets. ``None`` disables the cap.
     """
     docs, band_keys = _lsh_prep(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n, input_stats
     )
     if max_bucket_size is not None:
         # Hot-bucket cap: rank members within each (band, bucket) and
@@ -314,6 +317,8 @@ def minhash_lsh_pairs_between(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 256,
+    input_stats_a: tuple[int, int] | None = None,
+    input_stats_b: tuple[int, int] | None = None,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate pairs — the bipartite LSH used for
     contamination detection: which documents of corpus A (training
@@ -331,10 +336,10 @@ def minhash_lsh_pairs_between(
     tiny; Catalyst broadcast-joins it under the threshold and the A
     side never shuffles on the bucket keys at all."""
     docs_a, bk_a = _lsh_prep(
-        df_a, text_col, id_col, num_hashes, bands, shingle_n
+        df_a, text_col, id_col, num_hashes, bands, shingle_n, input_stats_a
     )
     docs_b, bk_b = _lsh_prep(
-        df_b, text_col, id_col, num_hashes, bands, shingle_n
+        df_b, text_col, id_col, num_hashes, bands, shingle_n, input_stats_b
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window as _W
@@ -453,6 +458,7 @@ def simhash_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    input_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding.
 
@@ -473,6 +479,7 @@ def simhash_pairs(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
             key_cols=["id"],
+            input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
@@ -538,6 +545,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_df_fraction: float = 0.5,
+    input_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index (no LSH approximation — this is the oracle-checkable exact
@@ -562,6 +570,7 @@ def ngram_jaccard_pairs(
             # byte than a columnar scan: size parallelism accordingly.
             bytes_per_partition=8 << 10,
             key_cols=["id"],
+            input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")

@@ -36,6 +36,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for each row of ``queries``.
 
@@ -51,6 +52,7 @@ def brute_force_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ),
         key_cols=["neighbor_id"],
+        input_stats=corpus_stats,
     )
     sim = cosine_similarity("__cvec", "__qvec")
     if round_digits is not None:
@@ -100,6 +102,7 @@ def lsh_ann_topk(
     tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table SRP LSH.
 
@@ -133,6 +136,7 @@ def lsh_ann_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ),
         key_cols=["neighbor_id"],
+        input_stats=corpus_stats,
     ).select(
         "neighbor_id",
         "__cvec",
@@ -238,6 +242,7 @@ def ivf_topk(
     sample_size: int = 2048,
     kmeans_iters: int = 5,
     seed: int = 42,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k.
 
@@ -289,6 +294,7 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ),
         key_cols=["neighbor_id"],
+        input_stats=corpus_stats,
     ).withColumn("__cell", cell_of(F.col("__cvec")))
     q = (
         queries.select(
@@ -405,6 +411,7 @@ def pq_topk(
     kmeans_iters: int = 5,
     seed: int = 42,
     refine_factor: int | None = 8,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Product-quantization (PQ) approximate cosine top-k with
     asymmetric distance computation (ADC) and optional exact re-rank.
@@ -470,6 +477,7 @@ def pq_topk(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ),
         key_cols=["neighbor_id"],
+        input_stats=corpus_stats,
     ).withColumn("__codes", codes_of(F.col("__cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")

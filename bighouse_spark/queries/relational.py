@@ -63,11 +63,14 @@ def tpch_q1(spark, sf_dir):
         "l_returnflag",
         "l_linestatus",
     ]
+    from bighouse_spark.sources.catalog import table_stats
+
     filtered = ensure_min_parallelism(
         li.where(
             F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
         ).select(cols),
         key_cols=cols,
+        input_stats=table_stats(spark, sf_dir, "lineitem"),
     )
     return (
         filtered
@@ -116,9 +119,13 @@ def tpch_q3(spark, sf_dir):
     # hash table, serialized onto the lone scan task locally. Early
     # projection keeps the adaptive repartition to the 3 needed
     # columns; no-op on a well-split input.
+    from bighouse_spark.sources.catalog import table_stats
+
     licols = ["l_orderkey", "l_extendedprice", "l_discount"]
     li = ensure_min_parallelism(
-        t(spark, sf_dir, "lineitem").select(licols), key_cols=licols
+        t(spark, sf_dir, "lineitem").select(licols),
+        key_cols=licols,
+        input_stats=table_stats(spark, sf_dir, "lineitem"),
     )
     return (
         li.join(

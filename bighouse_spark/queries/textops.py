@@ -100,7 +100,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.6)
+    from bighouse_spark.sources.catalog import table_stats
+
+    return ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.6,
+        input_stats=table_stats(spark, sf_dir, "documents"),
+    )
 
 
 # MinHash + LSH near-dup pairs — the 100 TB scale path. The output is
@@ -142,8 +147,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
+    from bighouse_spark.sources.catalog import table_stats
+
     return minhash_lsh_pairs(
-        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.5
+        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.5,
+        input_stats=table_stats(spark, sf_dir, "documents"),
     )
 
 
@@ -190,7 +198,12 @@ def dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 2
     )
-    return simhash_pairs(docs, shingle_n=2, max_hamming=3, hash_fn="md5_60")
+    from bighouse_spark.sources.catalog import table_stats
+
+    return simhash_pairs(
+        docs, shingle_n=2, max_hamming=3, hash_fn="md5_60",
+        input_stats=table_stats(spark, sf_dir, "documents"),
+    )
 
 
 # Language ID: stopword-marker argmax (ties → alphabetically first,
@@ -486,10 +499,15 @@ def dedup_cross_corpus_lsh(spark, sf_dir):
     from bighouse_spark.operators.dedup import minhash_lsh_pairs_between
 
     docs = t(spark, sf_dir, "documents")
+    from bighouse_spark.sources.catalog import table_stats
+
+    stats = table_stats(spark, sf_dir, "documents")
     return minhash_lsh_pairs_between(
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
         jaccard_threshold=0.5,
+        input_stats_a=stats,
+        input_stats_b=stats,
     )
 
 

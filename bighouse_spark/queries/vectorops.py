@@ -49,9 +49,14 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """,
 )
 def ann_brute_force_topk(spark, sf_dir):
+    from bighouse_spark.sources.catalog import table_stats
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(
+        emb, queries, k=5,
+        corpus_stats=table_stats(spark, sf_dir, "embeddings"),
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
     )
@@ -61,9 +66,14 @@ def ann_brute_force_topk(spark, sf_dir):
 # Bucket assignment depends on generated hyperplanes → rows-only check.
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
+    from bighouse_spark.sources.catalog import table_stats
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = lsh_ann_topk(emb, queries, k=5, bits=4, dim=64)
+    out = lsh_ann_topk(
+        emb, queries, k=5, bits=4, dim=64,
+        corpus_stats=table_stats(spark, sf_dir, "embeddings"),
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
     )
@@ -75,9 +85,14 @@ def ann_lsh_topk(spark, sf_dir):
 # tests/test_operators.py.
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
+    from bighouse_spark.sources.catalog import table_stats
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    out = ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=4,
+        corpus_stats=table_stats(spark, sf_dir, "embeddings"),
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
     )
@@ -114,9 +129,14 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """,
 )
 def ann_ivf_full_probe(spark, sf_dir):
+    from bighouse_spark.sources.catalog import table_stats
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=16)
+    out = ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=16,
+        corpus_stats=table_stats(spark, sf_dir, "embeddings"),
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
     )
@@ -296,8 +316,11 @@ def dedup_minhash_clusters(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
+    from bighouse_spark.sources.catalog import table_stats
+
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.4
+        docs, num_hashes=32, bands=16, shingle_n=3, jaccard_threshold=0.4,
+        input_stats=table_stats(spark, sf_dir, "documents"),
     )
     comp = connected_components(pairs)
     return (

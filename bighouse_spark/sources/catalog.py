@@ -59,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Parquet is self-describing, so schema
     inference is exact and column pruning / predicate pushdown reach
     the scan (the MergeTree-column-file analog)."""
+    # The memo serves the fixed read-only fixture set exclusively
+    # (ADVICE r14: an unknown name must not silently capture a stale
+    # file listing for some other table family).
+    assert name in TABLES, f"unknown catalog table {name!r}"
     key = (os.path.abspath(sf_dir), name)
     with _MEMO_LOCK:
         cached = _RELATION_MEMO.get(spark, {}).get(key)
@@ -95,6 +99,44 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
                 field.name, F.col(field.name).cast(TimestampType())
             )
     return df
+
+
+# Scan-layout metadata memo, sibling of the relation memo above and
+# under the same attach-once contract (metadata only, immutable fixture
+# files, weakly keyed by session). ``ensure_min_parallelism`` used to
+# re-derive the input partition count per query construction via
+# ``df.rdd.getNumPartitions()`` — a full analyze+optimize+physical-plan
+# pass of the subtree, ~70 ms of driver time per guarded query build
+# (VERDICT r14 Next #2). A projection/filter over a catalog table has
+# exactly the base scan's partitioning, so the count is a property of
+# (session confs, table files): derive it once per (session, sf_dir,
+# table) and hand it to the guard as a hint.
+_STATS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def table_stats(spark: SparkSession, sf_dir: str, name: str) -> tuple[int, int]:
+    """(file_bytes, scan_partitions) for one catalog table.
+
+    ``file_bytes`` is the on-disk parquet size (the same quantity
+    Catalyst's relation statistics start from); ``scan_partitions`` is
+    the actual partition count of the base scan under this session's
+    split confs, probed once per session and memoized. Valid for any
+    narrow (filter/project) derivation of the table, which is every
+    ``ensure_min_parallelism`` call site."""
+    assert name in TABLES, f"unknown catalog table {name!r}"
+    key = (os.path.abspath(sf_dir), name)
+    with _MEMO_LOCK:
+        cached = _STATS_MEMO.get(spark, {}).get(key)
+    if cached is not None:
+        return cached
+    nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    parts = load_table(spark, sf_dir, name).rdd.getNumPartitions()
+    stats = (nbytes, parts)
+    with _MEMO_LOCK:
+        _STATS_MEMO.setdefault(spark, {})[key] = stats
+    return stats
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
