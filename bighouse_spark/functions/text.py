@@ -73,6 +73,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+# NGram transformers are stateless config objects; constructing one
+# costs a handful of py4j round trips, so reuse per (n, in, out).
+_NGRAM_CACHE: dict = {}
+
+
 def with_shingles(
     df: "DataFrame",
     text_col: str = "text",
@@ -86,21 +91,25 @@ def with_shingles(
     ``transform(sequence, slice, concat_ws)`` expression is
     interpreted per element (higher-order functions don't codegen).
     Prefer this on the hot shingling paths; ``word_shingles`` stays
-    for contexts that need a pure Column."""
+    for contexts that need a pure Column. Projections are selectExpr
+    strings and the transformer is cached — the per-column DSL chatter
+    was ~120 ms of py4j per construction on the dedup paths (r15)."""
     from pyspark.ml.feature import NGram
 
     w, ng = f"__bh_w_{out_col}", f"__bh_ng_{out_col}"
-    out = NGram(n=n, inputCol=w, outputCol=ng).transform(
-        df.withColumn(w, tokens(F.col(text_col)))
+    ngram = _NGRAM_CACHE.get((n, w, ng))
+    if ngram is None:
+        ngram = _NGRAM_CACHE[(n, w, ng)] = NGram(
+            n=n, inputCol=w, outputCol=ng
+        )
+    out = ngram.transform(
+        df.selectExpr("*", f"split(`{text_col}`, ' ') AS `{w}`")
     )
-    return out.withColumn(
-        out_col,
-        F.array_distinct(
-            F.when(F.size(w) >= n, F.col(ng)).otherwise(
-                F.array(F.concat_ws(" ", w))
-            )
-        ),
-    ).drop(w, ng)
+    return out.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        f"array_distinct(CASE WHEN size(`{w}`) >= {n} THEN `{ng}` "
+        f"ELSE array(concat_ws(' ', `{w}`)) END) AS `{out_col}`",
+    )
 
 
 def language_id(text: Column | str) -> Column:

@@ -19,7 +19,7 @@ key upstream if one entity dominates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,67 +56,82 @@ def asof_join(
     }
     rt_out = right_time + suffix if right_time in left.columns else right_time
 
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_values],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+    # Every projection below is built as selectExpr STRINGS, not the
+    # column DSL: the per-column F.col/F.lit/cast/alias chatter cost
+    # ~750 py4j round trips (~0.2 s) per asof_join construction
+    # (profiled r15); the string form is a handful of calls parsing to
+    # the identical expression trees.
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    l_schema = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    r_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+
+    l_tag = left.selectExpr(
+        *[q(c) for c in left.columns],
+        f"{q(left_time)} AS `__t`",
+        "1 AS `__side`",
+        *[
+            f"CAST(NULL AS {r_schema[c]}) AS {q('__r_' + c)}"
+            for c in right_values
+        ],
+        f"CAST(NULL AS {r_schema[right_time]}) AS `__rt`",
     )
-    r_tag = right.select(
-        *[F.col(c) for c in on],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left.columns if c not in on],
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
-        F.col(right_time).alias("__rt"),
-    ).select(*l_tag.columns)  # align column order for union
+    r_tag = right.selectExpr(
+        *[q(c) for c in on],
+        *[
+            f"CAST(NULL AS {l_schema[c]}) AS {q(c)}"
+            for c in left.columns
+            if c not in on
+        ],
+        f"{q(right_time)} AS `__t`",
+        "0 AS `__side`",
+        *[f"{q(c)} AS {q('__r_' + c)}" for c in right_values],
+        f"{q(right_time)} AS `__rt`",
+    )
 
     # Order right rows before left rows at equal timestamps so a
     # same-instant right row is visible (non-strict). Strict mode
     # orders left first, hiding same-instant rights. Forward direction
     # traverses time descending — "last previous in traversal order"
     # then means "nearest following in time".
-    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_order, side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t_dir = "ASC" if direction == "backward" else "DESC"
+    s_dir = "ASC" if not strict else "DESC"
+    over = (
+        f"OVER (PARTITION BY {', '.join(q(c) for c in on)} "
+        f"ORDER BY `__t` {t_dir}, `__side` {s_dir} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = l_tag.unionByName(r_tag).select(
-        *[F.col(c) for c in left.columns],
-        F.col("__side"),
-        F.col("__t").alias("__lt"),
+    carried = l_tag.unionByName(r_tag).selectExpr(
+        *[q(c) for c in left.columns],
+        "`__side`",
+        "`__t` AS `__lt`",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
+            f"last({q('__r_' + c)}, true) {over} AS {q(out_names[c])}"
             for c in right_values
         ],
-        F.last("__rt", ignorenulls=True).over(w).alias(rt_out),
+        f"last(`__rt`, true) {over} AS {q(rt_out)}",
     )
     out = carried.where(F.col("__side") == 1)
     if tolerance is not None:
-        lt, rt = F.col("__lt"), F.col(rt_out)
         is_ts = str(left.schema[left_time].dataType).startswith("Timestamp")
         if is_ts:
-            gap = F.abs(
-                lt.cast("double") - rt.cast("double")
-            )  # timestamp → epoch seconds
+            # timestamp → epoch seconds
+            gap = f"abs(CAST(`__lt` AS DOUBLE) - CAST({q(rt_out)} AS DOUBLE))"
         else:
-            gap = F.abs(lt - rt)
-        keep = rt.isNotNull() & (gap <= F.lit(tolerance))
-        out = out.select(
-            *[F.col(c) for c in left.columns],
-            F.col("__side"),
-            F.col("__lt"),
+            gap = f"abs(`__lt` - {q(rt_out)})"
+        keep = (
+            f"({q(rt_out)} IS NOT NULL AND {gap} <= {float(tolerance)!r}D)"
+        )
+        out = out.selectExpr(
+            *[q(c) for c in left.columns],
+            "`__side`",
+            "`__lt`",
             *[
-                F.when(keep, F.col(out_names[c]))
-                .otherwise(F.lit(None))
-                .alias(out_names[c])
+                f"CASE WHEN {keep} THEN {q(out_names[c])} END"
+                f" AS {q(out_names[c])}"
                 for c in right_values
             ],
-            F.when(keep, rt).otherwise(F.lit(None)).alias(rt_out),
+            f"CASE WHEN {keep} THEN {q(rt_out)} END AS {q(rt_out)}",
         )
     return out.drop("__side", "__lt")

@@ -151,46 +151,59 @@ def _lsh_prep(
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     docs = (
         ensure_min_parallelism(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+            df.selectExpr(f"`{id_col}` AS id", f"`{text_col}` AS `__t`"),
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
-            bytes_per_partition=8 << 10,
+            # Basis is COMPRESSED parquet bytes (catalog table_stats);
+            # 16 KiB compressed ~ 50-60 KiB of text ~ 50-100 ms of
+            # shingling per task (A/B at sf0.1: 16 KiB beat both the
+            # 8 KiB over-fan and the 48 KiB under-fan).
+            bytes_per_partition=16 << 10,
             key_cols=["id"],
             input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
-        .select("id", "shingles")
-        .where(F.size("shingles") > 0)
-        .withColumn(
-            "__sh_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
-        )
-        .select(
+        # The interim shingle-hash array is inlined into the signature
+        # aggregate (Catalyst's CollapseProject did the same to the
+        # old withColumn form) and the whole projection is ONE parsed
+        # expression — construction is a single py4j round trip.
+        .selectExpr(
             "id",
             "shingles",
-            F.expr(
-                _minhash_signature_sql("__sh_hashes", num_hashes)
-            ).alias("sig"),
+            _minhash_signature_sql(
+                "transform(shingles, s -> xxhash64(s))", num_hashes
+            )
+            + " AS sig",
         )
     )
-    docs = tracked_persist(docs)
+    # The empty-shingle guard is applied ABOVE the persist: placed
+    # before it, Catalyst pushed `size(shingles) > 0` through the
+    # repartition down to the scan, where it re-evaluated the whole
+    # NGram shingling UDF on the (locally single-task) scan side —
+    # every document was shingled twice, once serialized (found in the
+    # r14/r15 plan dumps: Filter(4) carried the UDF below Exchange(6)).
+    # Filtering the persisted table reads the materialized column
+    # instead; the row set (and every consumer's result) is unchanged.
+    docs = tracked_persist(docs).where("size(shingles) > 0")
     # Band bucket = xxhash64 over the signature SLICE itself (longs),
     # not over a concat_ws string of the elements: the string shape
     # cost 2 long→string conversions + a string hash per band per doc
     # (measured ~260 ms/task on the sf0.1 band stage); hashing the
-    # long-array slice is pure primitive work and keeps the expression
-    # tree O(1) in (bands × rows_per_band). Bucket VALUES change —
-    # they are engine-internal partition keys; equal slices still map
-    # to equal buckets, so the candidate set (and the verified output)
-    # is unchanged.
-    band_keys = docs.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})))"
-            )
-        ).alias("band", "bucket"),
+    # long-array slice is pure primitive work. Bucket VALUES are
+    # engine-internal partition keys; equal slices map to equal
+    # buckets, so the candidate set (and the verified output) is
+    # unchanged. The band array is a LITERAL array of per-band
+    # expressions, not transform(sequence(...)): higher-order
+    # functions are interpreted per element (no codegen) and burned
+    # ~4 s of CPU on the sf0.1 band stage (r15 profile); the literal
+    # form is O(bands) expression size and fully codegen'd, with
+    # identical values.
+    slices = ", ".join(
+        f"xxhash64(slice(sig, {b * rows_per_band + 1}, {rows_per_band}))"
+        for b in range(bands)
+    )
+    band_keys = docs.selectExpr(
+        "id", f"posexplode(array({slices})) AS (band, bucket)"
     )
     return docs, band_keys
 
@@ -248,27 +261,23 @@ def minhash_lsh_pairs(
         # one exceeds the cap) was measured SLOWER at sf0.1 (5.1 s vs
         # 1.9 s warm): the existence check is an extra eager job that
         # costs more than the per-bucket sort it tries to skip.
-        from pyspark.sql import Window as _W
-
-        w = _W.partitionBy("band", "bucket").orderBy("id")
-        capped = (
-            band_keys.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= max_bucket_size)
-        )
+        capped = band_keys.selectExpr(
+            "id",
+            "band",
+            "bucket",
+            "row_number() OVER (PARTITION BY band, bucket ORDER BY id)"
+            " AS __rn",
+        ).where(f"__rn <= {int(max_bucket_size)}")
         cand = (
             capped.groupBy("band", "bucket")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .where(F.size("ids") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ids, (x, i) -> "
-                        "transform(slice(ids, i + 2, size(ids)), "
-                        "y -> struct(x AS id_a, y AS id_b))))"
-                    )
-                ).alias("p")
+            .agg(F.expr("sort_array(collect_list(id))").alias("ids"))
+            .where("size(ids) >= 2")
+            .selectExpr(
+                "explode(flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))) AS p"
             )
-            .select("p.id_a", "p.id_b")
+            .selectExpr("p.id_a", "p.id_b")
             .distinct()
         )
     else:
@@ -286,23 +295,27 @@ def minhash_lsh_pairs(
             .distinct()
         )
 
+    # Both verify joins read the SAME projection of the persisted docs
+    # table (rename/alias applied ABOVE the join, not below): the two
+    # build-side subtrees are then canonically identical, so Spark's
+    # ReuseExchange materializes docs' broadcast ONCE instead of twice
+    # (r14's shape renamed below the join — two broadcast builds, two
+    # jobs, two copies in executor memory; at 100 TB that is a full
+    # duplicate broadcast of the signature table).
+    d1 = docs.select("id", "shingles").alias("__bh_va")
+    d2 = docs.select("id", "shingles").alias("__bh_vb")
     verified = (
-        cand.join(docs.withColumnRenamed("shingles", "sh_a"), cand.id_a == docs.id)
-        .drop("id")
-        .join(
-            docs.withColumnRenamed("shingles", "sh_b").withColumnRenamed(
-                "id", "id2"
-            ),
-            cand.id_b == F.col("id2"),
-        )
-        .drop("id2")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        cand.join(d1, cand.id_a == F.col("__bh_va.id"))
+        .join(d2, cand.id_b == F.col("__bh_vb.id"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "size(array_intersect(__bh_va.shingles, __bh_vb.shingles)) / "
+            "size(array_union(__bh_va.shingles, __bh_vb.shingles))"
+            " AS jaccard",
         )
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
     )
     return verified
 
@@ -477,21 +490,30 @@ def simhash_pairs(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
-            bytes_per_partition=8 << 10,
+            # Basis is COMPRESSED parquet bytes (catalog table_stats);
+            # 16 KiB compressed ~ 50-60 KiB of text ~ 50-100 ms of
+            # shingling per task (A/B at sf0.1: 16 KiB beat both the
+            # 8 KiB over-fan and the 48 KiB under-fan).
+            bytes_per_partition=16 << 10,
             key_cols=["id"],
             input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
-        .where(F.size("shingles") > 0)
     )
     # Persist signatures: referenced by both sides of the band
-    # self-join, and the per-bit-count expression is wide.
+    # self-join, and the per-bit-count expression is wide. The
+    # empty-shingle guard rides along as a materialized count and is
+    # applied ABOVE the persist — placed below, Catalyst pushed it to
+    # the scan where it re-evaluated the shingling UDF serialized
+    # before the exchange (same plan defect as _lsh_prep, r15).
     sigs = tracked_persist(
         docs.select(
-            "id", simhash(F.col("shingles"), bits, hash_fn).alias("sig")
+            "id",
+            simhash(F.col("shingles"), bits, hash_fn).alias("sig"),
+            F.size("shingles").alias("__nsh"),
         )
-    )
+    ).where("__nsh > 0").select("id", "sig")
 
     bands = sigs.select(
         "id",
@@ -568,15 +590,23 @@ def ngram_jaccard_pairs(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
-            bytes_per_partition=8 << 10,
+            # Basis is COMPRESSED parquet bytes (catalog table_stats);
+            # 16 KiB compressed ~ 50-60 KiB of text ~ 50-100 ms of
+            # shingling per task (A/B at sf0.1: 16 KiB beat both the
+            # 8 KiB over-fan and the 48 KiB under-fan).
+            bytes_per_partition=16 << 10,
             key_cols=["id"],
             input_stats=input_stats,
         )
         .transform(lambda d: with_shingles(d, text_col="__t", n=shingle_n))
         .select("id", "shingles")
-        .where(F.size("shingles") > 0)
     )
-    docs = tracked_persist(docs)  # feeds n_docs + the inverted index
+    # Empty-shingle guard above the persist, same reasoning as
+    # _lsh_prep: placed below, it was pushed to the scan and
+    # re-evaluated the shingling UDF serialized before the exchange.
+    docs = tracked_persist(docs).where(
+        "size(shingles) > 0"
+    )  # feeds n_docs + the inverted index
     inv_all = docs.select("id", F.explode("shingles").alias("sh"))
 
     # Document frequency per shingle (shingles are array_distinct per

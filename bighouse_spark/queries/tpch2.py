@@ -269,7 +269,10 @@ def tpch_q13(spark, sf_dir):
     ocnt = (
         o.where(F.col("o_orderpriority") != "1-URGENT")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        # count the key column, not count(1): textually faithful to the
+        # oracle's count(o_orderkey) even if a NULL orderkey ever
+        # appeared (ADVICE r14).
+        .agg(F.count("o_orderkey").alias("__n"))
     )
     per_cust = c.join(
         ocnt, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
