@@ -403,7 +403,7 @@ def minhash_lsh_pairs_between(
 
 
 def simhash(
-    shingles: Column, bits: int = 64, hash_fn: str = "xxhash64"
+    shingles: Column | str, bits: int = 64, hash_fn: str = "xxhash64"
 ) -> Column:
     """SimHash from shingle hashes: bit b of the signature is 1 iff
     the count of shingles whose hash has bit b set exceeds half the
@@ -411,9 +411,10 @@ def simhash(
     hash array folding into a per-bit popcount vector (the same
     single-traversal shape as ``_minhash_signature_sql``), then one
     ``zip_with`` against a constant bit-value array to assemble the
-    signature — all JVM-side, O(1) generated-code size. The previous
-    shape built ``bits`` separate filtered arrays (O(bits × shingles)
-    array materializations and a multi-thousand-node codegen unit).
+    signature — all JVM-side, O(1) generated-code size, emitted as a
+    single parsed SQL string (the HOF DSL cost ~100 py4j round trips
+    per lambda; r15). The long-ago previous shape built ``bits``
+    separate filtered arrays (O(bits × shingles) materializations).
 
     ``hash_fn``:
       * ``"xxhash64"`` (default) — fastest, engine-specific.
@@ -422,45 +423,40 @@ def simhash(
         ``('0x'||substr(md5(s),1,15))::BIGINT``, which makes the
         whole simhash pipeline oracle-checkable (pass bits=60).
     """
-    n = F.size(shingles)
+    sh = (
+        "`" + shingles.replace("`", "``") + "`"
+        if isinstance(shingles, str)
+        else shingles._jc.name()
+    )
     if hash_fn == "md5_60":
-        hashes = F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                "long"
-            ),
+        hashes = (
+            f"transform({sh}, s -> "
+            f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
         )
     else:
-        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+        hashes = f"transform({sh}, s -> xxhash64(s))"
     # Signed-long bit values: bit 63 is the sign bit, so its "value"
     # is long-min; summing distinct bit values can never overflow
-    # (every partial sum stays a valid 64-bit pattern).
-    bit_values = F.array(
-        *[
-            F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
-            for b in range(bits)
-        ]
+    # (every partial sum stays a valid 64-bit pattern). shiftleft on
+    # 1L yields the same constants (including long-min at b=63)
+    # without a -9223372036854775808 literal, which SQL cannot parse
+    # as a long.
+    bit_values = "array(" + ", ".join(
+        f"{1 << b}L" if b < 63 else "shiftleft(CAST(1 AS BIGINT), 63)"
+        for b in range(bits)
+    ) + ")"
+    counts = (
+        f"aggregate({hashes}, "
+        f"array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), "
+        f"i -> CAST(getbit(h, i) AS BIGINT)), (a, b) -> a + b))"
     )
-    positions = F.sequence(F.lit(0), F.lit(bits - 1))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(positions, lambda i: F.getbit(h, i).cast("long")),
-            lambda a, b: a + b,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            bit_values,
-            lambda c, v: F.when(c * 2 > n, v).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda s, v: s + v,
+    return F.expr(
+        f"aggregate(zip_with({counts}, {bit_values}, "
+        f"(c, v) -> CASE WHEN c * 2 > size({sh}) THEN v "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (s, v) -> s + v)"
     )
 
 
@@ -510,7 +506,7 @@ def simhash_pairs(
     sigs = tracked_persist(
         docs.select(
             "id",
-            simhash(F.col("shingles"), bits, hash_fn).alias("sig"),
+            simhash("shingles", bits, hash_fn).alias("sig"),
             F.size("shingles").alias("__nsh"),
         )
     ).where("__nsh > 0").select("id", "sig")

@@ -77,19 +77,23 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def _srp_bucket(vec_col, planes: list[list[float]]):
+def _srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     """Sign-random-projection bucket id: bit i = sign(v · plane_i).
-    Computed with zip_with/aggregate — scan-side, no Python."""
-    bucket = F.lit(0).cast("long")
+    Computed with zip_with/aggregate — scan-side, no Python. Emitted
+    as ONE SQL string: the per-bit DSL loop cost ~100 py4j round trips
+    per ``aggregate`` lambda × bits × tables (~1.5 s per lsh_ann_topk
+    construction, r15 profile); the string parses to the identical
+    expression tree in one call. Double literals carry the D suffix so
+    they parse as DOUBLE, not DECIMAL."""
+    terms = []
     for i, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col.cast("array<double>"), plane_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{float(x)!r}D" for x in plane)
+        d = (
+            f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+            f"array({arr}), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"CASE WHEN {d} > 0 THEN {2**i}L ELSE CAST(0 AS BIGINT) END")
+    return "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ")"
 
 
 def lsh_ann_topk(
@@ -118,18 +122,14 @@ def lsh_ann_topk(
     several tables is scored once.
     """
 
-    def bucket_array(vec):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _srp_bucket(
-                        vec, _hyperplanes(dim, bits, seed + t)
-                    ).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
+    def bucket_array_sql(vec_sql: str) -> str:
+        structs = ", ".join(
+            f"struct({t} AS tbl, "
+            f"{_srp_bucket_sql(vec_sql, _hyperplanes(dim, bits, seed + t))}"
+            f" AS bucket)"
+            for t in range(tables)
         )
+        return f"array({structs})"
 
     c = ensure_min_parallelism(
         corpus.select(
@@ -137,16 +137,16 @@ def lsh_ann_topk(
         ),
         key_cols=["neighbor_id"],
         input_stats=corpus_stats,
-    ).select(
+    ).selectExpr(
         "neighbor_id",
         "__cvec",
-        F.explode(bucket_array(F.col("__cvec"))).alias("__bk"),
-    ).select("neighbor_id", "__cvec", "__bk.tbl", "__bk.bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(bucket_array(F.col(vec_col))).alias("__bk"),
-    ).select("query_id", "__qvec", "__bk.tbl", "__bk.bucket")
+        f"explode({bucket_array_sql('`__cvec`')}) AS `__bk`",
+    ).selectExpr("neighbor_id", "__cvec", "__bk.tbl", "__bk.bucket")
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS `__qvec`",
+        f"explode({bucket_array_sql('`' + vec_col + '`')}) AS `__bk`",
+    ).selectExpr("query_id", "__qvec", "__bk.tbl", "__bk.bucket")
 
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
