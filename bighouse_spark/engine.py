@@ -423,335 +423,415 @@ class BigHouseEngine:
         df.createOrReplaceTempView(name)
         self._attached[name] = (path, fmt, schema)
 
-    def refresh_system_views(self) -> None:
+    def refresh_system_views(self, only: "set[str] | None" = None) -> None:
         """Materialize engine bookkeeping as queryable views — the
         ``system.query_log`` analog (reference enables query_log et
         al. in ``ch/config.xml:932-1101``; B17 in SURVEY.md §2).
         Registered as ``system_query_log`` (temp-view names cannot
-        contain dots)."""
-        schema = (
-            "query string, transpiled string, elapsed_sec double, "
-            "row_count bigint, error string, cached boolean"
-        )
-        rows = [
-            (e.query, e.transpiled, e.elapsed_sec, e.row_count, e.error, e.cached)
-            for e in self.query_log
-        ]
-        self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
-            "system_query_log"
-        )
-        # system.one: CH's canonical dummy table (one row, dummy=0) —
-        # the implicit FROM of bare SELECTs and the remote()/cluster()
-        # smoke target.
-        self.spark.sql("SELECT CAST(0 AS TINYINT) AS dummy") \
-            .createOrReplaceTempView("system_one")
-        # system.processes analog: in-flight queries with their
-        # cancellable query ids (KILL QUERY WHERE query_id = '...').
-        with self._inflight_lock:
-            procs = [
-                (qid, sql, time.monotonic() - t0)
-                for qid, (sql, t0) in self._inflight.items()
+        contain dots).
+
+        ``only`` (r15): rebuild just the named views (e.g.
+        ``{"system_parts"}``). A full rebuild cost ~6-9 s of driver
+        time — 2,000+ py4j round trips dominated by per-column
+        catalog introspection, the ``SET -v`` collect and the
+        on-disk parts walk — and ran before EVERY ``system.*``
+        statement, while a statement references one or two views.
+        ``execute()`` passes the referenced names; ``None`` (the
+        manual / SYSTEM FLUSH LOGS surface) or any unknown name
+        rebuilds everything, so laziness can never serve a missing
+        view."""
+
+        def _query_log() -> None:
+            schema = (
+                "query string, transpiled string, elapsed_sec double, "
+                "row_count bigint, error string, cached boolean"
+            )
+            rows = [
+                (e.query, e.transpiled, e.elapsed_sec, e.row_count,
+                 e.error, e.cached)
+                for e in self.query_log
             ]
-        self.spark.createDataFrame(
-            procs, "query_id string, query string, elapsed_sec double"
-        ).createOrReplaceTempView("system_processes")
+            self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+                "system_query_log"
+            )
+
+        def _one() -> None:
+            # system.one: CH's canonical dummy table (one row, dummy=0)
+            # — the implicit FROM of bare SELECTs and the
+            # remote()/cluster() smoke target.
+            self.spark.sql("SELECT CAST(0 AS TINYINT) AS dummy") \
+                .createOrReplaceTempView("system_one")
+
+        def _processes() -> None:
+            # system.processes analog: in-flight queries with their
+            # cancellable query ids (KILL QUERY WHERE query_id = ...).
+            with self._inflight_lock:
+                procs = [
+                    (qid, sql, time.monotonic() - t0)
+                    for qid, (sql, t0) in self._inflight.items()
+                ]
+            self.spark.createDataFrame(
+                procs, "query_id string, query string, elapsed_sec double"
+            ).createOrReplaceTempView("system_processes")
+
         # system.tables / system.columns analogs (CH exposes catalog
         # introspection the same way; Spark's catalog is the source).
-        tables = [
-            (t.name, t.database or "", t.tableType, bool(t.isTemporary))
-            for t in self.spark.catalog.listTables()
-            if not t.name.startswith("__bh_src_")
-            and not t.name.endswith("__bhcat")
-        ]
-        self.spark.createDataFrame(
-            tables, "name string, database string, engine string, "
-            "is_temporary boolean"
-        ).createOrReplaceTempView("system_tables")
-        cols = []
-        for tname, db, _, _ in tables:
-            if tname in ("system_tables", "system_columns"):
-                continue
-            tbl_defaults = self._column_defaults.get(tname, {})
-            try:
-                for c in self.spark.catalog.listColumns(tname):
-                    dflt = tbl_defaults.get(c.name)
+        _tables_memo: list = []
+
+        def _list_tables() -> list:
+            if not _tables_memo:
+                _tables_memo.append([
+                    (t.name, t.database or "", t.tableType,
+                     bool(t.isTemporary))
+                    for t in self.spark.catalog.listTables()
+                    if not t.name.startswith("__bh_src_")
+                    and not t.name.endswith("__bhcat")
+                ])
+            return _tables_memo[0]
+
+        def _tables() -> None:
+            self.spark.createDataFrame(
+                _list_tables(),
+                "name string, database string, engine string, "
+                "is_temporary boolean",
+            ).createOrReplaceTempView("system_tables")
+
+        def _columns() -> None:
+            cols = []
+            for tname, db, _, _ in _list_tables():
+                if tname in ("system_tables", "system_columns"):
+                    continue
+                tbl_defaults = self._column_defaults.get(tname, {})
+                try:
+                    # ONE py4j round trip per table (the schema JSON),
+                    # not one per column: pyspark's
+                    # catalog.listColumns materializes each Column
+                    # field-by-field over the wire and dominated the
+                    # old full refresh (~6 s with a few dozen views).
+                    fields = self.spark.table(tname).schema.fields
+                except Exception:
+                    continue  # dropped concurrently; best-effort
+                for f in fields:
+                    dflt = tbl_defaults.get(f.name)
                     cols.append((
-                        tname, c.name, c.dataType, bool(c.nullable),
-                        self._comments.get((tname, c.name), ""),
+                        tname, f.name, f.dataType.simpleString(),
+                        bool(f.nullable),
+                        self._comments.get((tname, f.name), ""),
                         "DEFAULT" if dflt is not None else "",
                         dflt or "",
                     ))
-            except Exception:
-                continue  # view dropped concurrently; introspection is best-effort
-        self.spark.createDataFrame(
-            cols,
-            "table string, name string, type string, nullable boolean, "
-            "comment string, default_kind string, "
-            "default_expression string",
-        ).createOrReplaceTempView("system_columns")
-        # system.mutations analog: the engine's synchronous mutation
-        # log (ALTER UPDATE/DELETE), is_done always 1.
-        self.spark.createDataFrame(
-            [m + (1,) for m in self._mutations] or [],
-            "table string, mutation_id string, command string, "
-            "create_time timestamp, is_done int",
-        ).createOrReplaceTempView("system_mutations")
-        # system.clusters analog (the reference's first smoke query is
-        # `SELECT * FROM system.clusters`, run.sh:5-6): one row per
-        # executor from the JVM status tracker — host, task activity,
-        # storage-memory use. On local[N] that's the driver executor;
-        # on a real cluster, one row per node, same code path.
-        clusters = []
-        try:
-            jtracker = self.spark.sparkContext._jsc.sc().statusTracker()
-            for ei in jtracker.getExecutorInfos():
-                clusters.append((
-                    "bighouse",  # cluster_name
-                    ei.host(),
-                    int(ei.port()),
-                    int(ei.numRunningTasks()),
-                    int(ei.cacheSize()),
-                ))
-        except Exception:
-            pass  # py4j surface moved; fall through to the driver row
-        if not clusters:
-            clusters = [("bighouse", "driver", 0, 0, 0)]
-        self.spark.createDataFrame(
-            clusters,
-            "cluster_name string, host_name string, port int, "
-            "num_running_tasks int, cache_size bigint",
-        ).createOrReplaceTempView("system_clusters")
-        # processors_profile_log analog (reference
-        # workflow_query_executor_test.go:98-107): per-query wall time
-        # + scheduler counters. Spark's per-operator timings live in
-        # the SQL UI; what's queryable headlessly is the job/stage
-        # counters, exposed per engine-query alongside elapsed_sec.
-        tracker = self.spark.sparkContext.statusTracker()
-        profile = [(
-            len(self.query_log),
-            float(sum(e.elapsed_sec for e in self.query_log)),
-            len(tracker.getActiveJobsIds() or []),
-            len(tracker.getActiveStageIds() or []),
-        )]
-        self.spark.createDataFrame(
-            profile,
-            "queries_executed bigint, total_elapsed_sec double, "
-            "active_jobs int, active_stages int",
-        ).createOrReplaceTempView("system_profile")
-        # system.settings analog in CH's column shape (name / value /
-        # changed / description) so migrating introspection queries
-        # (`SELECT name, value FROM system.settings WHERE changed`)
-        # parse. Rows: the CH-named settings this engine serves
-        # (conf-mapped + engine-enforced), then every Spark SQL conf
-        # under its own name — the engine's real knobs stay reachable
-        # from the same view.
-        def _conf(key: str, default: str) -> str:
+            self.spark.createDataFrame(
+                cols,
+                "table string, name string, type string, "
+                "nullable boolean, comment string, default_kind string, "
+                "default_expression string",
+            ).createOrReplaceTempView("system_columns")
+
+        def _mutations() -> None:
+            # system.mutations analog: the engine's synchronous
+            # mutation log (ALTER UPDATE/DELETE), is_done always 1.
+            self.spark.createDataFrame(
+                [m + (1,) for m in self._mutations] or [],
+                "table string, mutation_id string, command string, "
+                "create_time timestamp, is_done int",
+            ).createOrReplaceTempView("system_mutations")
+
+        def _clusters() -> None:
+            # system.clusters analog (the reference's first smoke
+            # query is `SELECT * FROM system.clusters`, run.sh:5-6):
+            # one row per executor from the JVM status tracker. On
+            # local[N] that's the driver executor; on a real cluster,
+            # one row per node, same code path.
+            clusters = []
             try:
-                v = self.spark.conf.get(key)
-                return default if v is None else str(v)
+                jtracker = self.spark.sparkContext._jsc.sc().statusTracker()
+                for ei in jtracker.getExecutorInfos():
+                    clusters.append((
+                        "bighouse",  # cluster_name
+                        ei.host(),
+                        int(ei.port()),
+                        int(ei.numRunningTasks()),
+                        int(ei.cacheSize()),
+                    ))
             except Exception:
-                return default
+                pass  # py4j surface moved; fall back to the driver row
+            if not clusters:
+                clusters = [("bighouse", "driver", 0, 0, 0)]
+            self.spark.createDataFrame(
+                clusters,
+                "cluster_name string, host_name string, port int, "
+                "num_running_tasks int, cache_size bigint",
+            ).createOrReplaceTempView("system_clusters")
 
-        def _was_set(name: str) -> int:
-            # A bare `SET name = v` lands in the Spark conf under the
-            # raw name (Spark accepts arbitrary keys) — that is this
-            # engine's session-settings store.
-            try:
-                return int(self.spark.conf.get(name) is not None)
-            except Exception:
-                return 0
+        def _profile() -> None:
+            # processors_profile_log analog (reference
+            # workflow_query_executor_test.go:98-107): per-query wall
+            # time + scheduler counters.
+            tracker = self.spark.sparkContext.statusTracker()
+            profile = [(
+                len(self.query_log),
+                float(sum(e.elapsed_sec for e in self.query_log)),
+                len(tracker.getActiveJobsIds() or []),
+                len(tracker.getActiveStageIds() or []),
+            )]
+            self.spark.createDataFrame(
+                profile,
+                "queries_executed bigint, total_elapsed_sec double, "
+                "active_jobs int, active_stages int",
+            ).createOrReplaceTempView("system_profile")
 
-        shuffle = _conf("spark.sql.shuffle.partitions", "200")
-        ch_rows = [
-            ("max_threads", _conf("max_threads", shuffle),
-             _was_set("max_threads"),
-             "Query parallelism; maps to "
-             "spark.sql.shuffle.partitions."),
-            ("max_parallel_replicas",
-             _conf("max_parallel_replicas", shuffle),
-             _was_set("max_parallel_replicas"),
-             "Maps to spark.sql.shuffle.partitions."),
-            ("max_download_threads",
-             _conf("max_download_threads", "4"),
-             _was_set("max_download_threads"),
-             "Maps to spark.hadoop.fs.s3a.threads.max."),
-            ("max_execution_time",
-             _conf("max_execution_time", "0"),
-             _was_set("max_execution_time"),
-             "Per-query wall-clock cap in seconds; 0 = unlimited."),
-            ("max_result_rows", _conf("max_result_rows", "0"),
-             _was_set("max_result_rows"),
-             "Result-row cap enforced before collect; 0 = "
-             "unlimited."),
-            ("result_overflow_mode",
-             _conf("result_overflow_mode", "throw"),
-             _was_set("result_overflow_mode"),
-             "'throw' raises on max_result_rows overflow, 'break' "
-             "truncates."),
-            ("exact_cityhash", _conf("exact_cityhash", "0"),
-             _was_set("exact_cityhash"),
-             "1 = bit-exact CityHash64 v1.0.2 UDF instead of the "
-             "xxhash64 capability path."),
-            ("max_funnel_group_events",
-             _conf("max_funnel_group_events", "0"),
-             _was_set("max_funnel_group_events"),
-             "strict_order windowFunnel per-group buffer cap; "
-             "0 = unlimited."),
-        ]
-        spark_rows = [
-            (r["key"], r["value"], 0, r["meaning"])
-            for r in self.spark.sql("SET -v")
-            .toDF("key", "value", "meaning", "since")
-            .collect()
-        ]
-        self.spark.createDataFrame(
-            ch_rows + spark_rows,
-            "name string, value string, changed int, "
-            "description string",
-        ).createOrReplaceTempView("system_settings")
-        # system.table_engines analog: the ENGINE names the DDL
-        # surface acknowledges (engine.py CREATE TABLE: the name only
-        # affects CH-side storage internals, which parquet subsumes).
-        self.spark.createDataFrame(
-            [("MergeTree", True, True), ("ReplacingMergeTree", True, True),
-             ("SummingMergeTree", True, True),
-             ("AggregatingMergeTree", True, True),
-             ("Memory", False, False), ("Log", False, False),
-             ("TinyLog", False, False), ("StripeLog", False, False),
-             ("Null", False, False), ("View", False, False),
-             ("MaterializedView", False, False)],
-            "name string, supports_settings boolean, "
-            "supports_sort_order boolean",
-        ).createOrReplaceTempView("system_table_engines")
-        # system.databases analog: the single warehouse this engine
-        # serves plus the system views' pseudo-database.
-        self.spark.createDataFrame(
-            [("default", "Atomic"), ("system", "Memory")],
-            "name string, engine string",
-        ).createOrReplaceTempView("system_databases")
-        # system.parts analog: one row per backing data file of each
-        # attached table (CH: one row per MergeTree part with
-        # bytes_on_disk/rows). Row counts come from parquet footers —
-        # no data pages are read. This is the view an operator checks
-        # before/after OPTIMIZE TABLE to see compaction state.
-        import os as _os
+        def _settings() -> None:
+            # system.settings analog in CH's column shape (name /
+            # value / changed / description) so migrating
+            # introspection queries parse. Rows: the CH-named settings
+            # this engine serves, then every Spark SQL conf.
+            def _conf(key: str, default: str) -> str:
+                try:
+                    v = self.spark.conf.get(key)
+                    return default if v is None else str(v)
+                except Exception:
+                    return default
 
-        parts = []
-        for tname, (path, fmt, _schema) in self._attached.items():
-            local = path[7:] if path.startswith("file://") else path
-            if "://" in local:
-                continue  # object storage: listing needs a FS client
-            if _os.path.isfile(local):
-                entries = [local]
-            else:
-                entries = []
-                for root, _d, files in _os.walk(local):
-                    # detached partitions (.detached) are NOT live
-                    # parts — CH lists them in system.detached_parts,
-                    # served below; prune every dot/underscore dir
-                    _d[:] = [
-                        d for d in _d if not d.startswith(("_", "."))
-                    ]
-                    entries.extend(
-                        _os.path.join(root, f)
+            def _was_set(name: str) -> int:
+                # A bare `SET name = v` lands in the Spark conf under
+                # the raw name — this engine's session-settings store.
+                try:
+                    return int(self.spark.conf.get(name) is not None)
+                except Exception:
+                    return 0
+
+            shuffle = _conf("spark.sql.shuffle.partitions", "200")
+            ch_rows = [
+                ("max_threads", _conf("max_threads", shuffle),
+                 _was_set("max_threads"),
+                 "Query parallelism; maps to "
+                 "spark.sql.shuffle.partitions."),
+                ("max_parallel_replicas",
+                 _conf("max_parallel_replicas", shuffle),
+                 _was_set("max_parallel_replicas"),
+                 "Maps to spark.sql.shuffle.partitions."),
+                ("max_download_threads",
+                 _conf("max_download_threads", "4"),
+                 _was_set("max_download_threads"),
+                 "Maps to spark.hadoop.fs.s3a.threads.max."),
+                ("max_execution_time",
+                 _conf("max_execution_time", "0"),
+                 _was_set("max_execution_time"),
+                 "Per-query wall-clock cap in seconds; 0 = unlimited."),
+                ("max_result_rows", _conf("max_result_rows", "0"),
+                 _was_set("max_result_rows"),
+                 "Result-row cap enforced before collect; 0 = "
+                 "unlimited."),
+                ("result_overflow_mode",
+                 _conf("result_overflow_mode", "throw"),
+                 _was_set("result_overflow_mode"),
+                 "'throw' raises on max_result_rows overflow, 'break' "
+                 "truncates."),
+                ("exact_cityhash", _conf("exact_cityhash", "0"),
+                 _was_set("exact_cityhash"),
+                 "1 = bit-exact CityHash64 v1.0.2 UDF instead of the "
+                 "xxhash64 capability path."),
+                ("max_funnel_group_events",
+                 _conf("max_funnel_group_events", "0"),
+                 _was_set("max_funnel_group_events"),
+                 "strict_order windowFunnel per-group buffer cap; "
+                 "0 = unlimited."),
+            ]
+            spark_rows = [
+                (r["key"], r["value"], 0, r["meaning"])
+                for r in self.spark.sql("SET -v")
+                .toDF("key", "value", "meaning", "since")
+                .collect()
+            ]
+            self.spark.createDataFrame(
+                ch_rows + spark_rows,
+                "name string, value string, changed int, "
+                "description string",
+            ).createOrReplaceTempView("system_settings")
+
+        def _table_engines() -> None:
+            # system.table_engines analog: the ENGINE names the DDL
+            # surface acknowledges.
+            self.spark.createDataFrame(
+                [("MergeTree", True, True),
+                 ("ReplacingMergeTree", True, True),
+                 ("SummingMergeTree", True, True),
+                 ("AggregatingMergeTree", True, True),
+                 ("Memory", False, False), ("Log", False, False),
+                 ("TinyLog", False, False), ("StripeLog", False, False),
+                 ("Null", False, False), ("View", False, False),
+                 ("MaterializedView", False, False)],
+                "name string, supports_settings boolean, "
+                "supports_sort_order boolean",
+            ).createOrReplaceTempView("system_table_engines")
+
+        def _databases() -> None:
+            # system.databases analog: the single warehouse this
+            # engine serves plus the system views' pseudo-database.
+            self.spark.createDataFrame(
+                [("default", "Atomic"), ("system", "Memory")],
+                "name string, engine string",
+            ).createOrReplaceTempView("system_databases")
+
+        def _parts() -> None:
+            # system.parts analog: one row per backing data file of
+            # each attached table (CH: one row per MergeTree part).
+            # Row counts come from parquet footers — no data pages.
+            import os as _os
+
+            parts = []
+            for tname, (path, fmt, _schema) in self._attached.items():
+                local = path[7:] if path.startswith("file://") else path
+                if "://" in local:
+                    continue  # object storage: listing needs a client
+                if _os.path.isfile(local):
+                    entries = [local]
+                else:
+                    entries = []
+                    for root, _d, files in _os.walk(local):
+                        # detached partitions (.detached) are NOT live
+                        # parts — CH lists them in
+                        # system.detached_parts, served below; prune
+                        # every dot/underscore dir
+                        _d[:] = [
+                            d for d in _d if not d.startswith(("_", "."))
+                        ]
+                        entries.extend(
+                            _os.path.join(root, f)
+                            for f in files
+                            if not f.startswith(("_", "."))
+                        )
+                for fpath in entries:
+                    n_rows = -1
+                    if fmt == "parquet":
+                        try:
+                            import pyarrow.parquet as _pq
+
+                            n_rows = _pq.ParquetFile(
+                                fpath
+                            ).metadata.num_rows
+                        except Exception:
+                            pass
+                    # CH system.parts names the partition each part
+                    # belongs to; here that's the Hive-style directory
+                    # fragment ('p=3'; '' unpartitioned).
+                    rel_dir = _os.path.dirname(
+                        _os.path.relpath(fpath, local)
+                    ) if not _os.path.isfile(local) else ""
+                    parts.append((
+                        tname, _os.path.basename(fpath),
+                        "" if rel_dir == "." else rel_dir,
+                        int(_os.path.getsize(fpath)), int(n_rows),
+                    ))
+            self.spark.createDataFrame(
+                parts,
+                "table string, name string, partition string, "
+                "bytes_on_disk bigint, rows bigint",
+            ).createOrReplaceTempView("system_parts")
+
+        def _detached_parts() -> None:
+            # system.detached_parts analog: partitions parked by
+            # ALTER TABLE ... DETACH PARTITION await re-ATTACH under
+            # <table>/.detached.
+            import os as _os
+
+            detached = []
+            for tname, (path, fmt, _schema) in self._attached.items():
+                local = path[7:] if path.startswith("file://") else path
+                droot = _os.path.join(local, ".detached")
+                if "://" in local or not _os.path.isdir(droot):
+                    continue
+                for frag in sorted(_os.listdir(droot)):
+                    pdir = _os.path.join(droot, frag)
+                    if not _os.path.isdir(pdir):
+                        continue
+                    nbytes = sum(
+                        _os.path.getsize(_os.path.join(root, f))
+                        for root, _d, files in _os.walk(pdir)
                         for f in files
                         if not f.startswith(("_", "."))
                     )
-            for fpath in entries:
-                n_rows = -1
-                if fmt == "parquet":
-                    try:
-                        import pyarrow.parquet as _pq
+                    detached.append((tname, frag, int(nbytes)))
+            self.spark.createDataFrame(
+                detached,
+                "table string, partition string, bytes_on_disk bigint",
+            ).createOrReplaceTempView("system_detached_parts")
 
-                        n_rows = _pq.ParquetFile(fpath).metadata.num_rows
-                    except Exception:
-                        pass
-                # CH system.parts names the partition each part
-                # belongs to; here that's the Hive-style directory
-                # fragment ('p=3', 'y=2024/m=01'; '' unpartitioned).
-                rel_dir = _os.path.dirname(
-                    _os.path.relpath(fpath, local)
-                ) if not _os.path.isfile(local) else ""
-                parts.append((
-                    tname, _os.path.basename(fpath),
-                    "" if rel_dir == "." else rel_dir,
-                    int(_os.path.getsize(fpath)), int(n_rows),
-                ))
-        self.spark.createDataFrame(
-            parts,
-            "table string, name string, partition string, "
-            "bytes_on_disk bigint, rows bigint",
-        ).createOrReplaceTempView("system_parts")
-        # system.detached_parts analog: partitions parked by
-        # ALTER TABLE ... DETACH PARTITION await re-ATTACH (or manual
-        # removal) under <table>/.detached — the operator's "what is
-        # detached and how big" view, exactly what CH serves.
-        detached = []
-        for tname, (path, fmt, _schema) in self._attached.items():
-            local = path[7:] if path.startswith("file://") else path
-            droot = _os.path.join(local, ".detached")
-            if "://" in local or not _os.path.isdir(droot):
-                continue
-            for frag in sorted(_os.listdir(droot)):
-                pdir = _os.path.join(droot, frag)
-                if not _os.path.isdir(pdir):
-                    continue
-                nbytes = sum(
-                    _os.path.getsize(_os.path.join(root, f))
-                    for root, _d, files in _os.walk(pdir)
-                    for f in files
-                    if not f.startswith(("_", "."))
-                )
-                detached.append((tname, frag, int(nbytes)))
-        self.spark.createDataFrame(
-            detached,
-            "table string, partition string, bytes_on_disk bigint",
-        ).createOrReplaceTempView("system_detached_parts")
-        # system.dictionaries analog.
-        self.spark.createDataFrame(
-            [(n, src, pk) for n, (src, pk) in self._dicts.items()],
-            "name string, source string, key string",
-        ).createOrReplaceTempView("system_dictionaries")
-        # system.data_skipping_indices analog (ALTER ... ADD INDEX),
-        # plus each table's TTL expression (CH shows TTL in
-        # system.tables; one combined maintenance view keeps it
-        # simple).
-        self.spark.createDataFrame(
-            [
-                (t, i, e, ty)
-                for t, m in self._skip_indices.items()
-                for i, (e, ty) in m.items()
-            ],
-            "table string, name string, expr string, type string",
-        ).createOrReplaceTempView("system_data_skipping_indices")
-        self.spark.createDataFrame(
-            list(self._ttl.items()), "table string, ttl string",
-        ).createOrReplaceTempView("system_table_ttl")
-        # system.functions analog: every ClickHouse function spelling
-        # the dialect layer maps, with the mapping kind — the
-        # introspection a CH user runs to ask "is X supported here?".
-        # Enumerated by the transpiler itself (round 11: the inline
-        # table walk here missed the parametric builder list, so
-        # windowFunnel et al. were absent).
-        from bighouse_spark.dialect.transpile import (
-            SERVED_COMBINATORS,
-            served_function_names,
-        )
-        if not getattr(self, "_fn_views_registered", False):
-            # static per process — skip the ~1,100-row rebuild on
-            # every refresh
+        def _dictionaries() -> None:
             self.spark.createDataFrame(
-                served_function_names(), "name string, kind string"
-            ).createOrReplaceTempView("system_functions")
-            # system.aggregate_function_combinators analog: the
-            # suffixes that compose with aggregate bases (CH lists
-            # them apart from function names).
+                [(n, src, pk) for n, (src, pk) in self._dicts.items()],
+                "name string, source string, key string",
+            ).createOrReplaceTempView("system_dictionaries")
+
+        def _maintenance() -> None:
+            # system.data_skipping_indices analog (ALTER ... ADD
+            # INDEX), plus each table's TTL expression.
             self.spark.createDataFrame(
-                [(c,) for c in SERVED_COMBINATORS], "name string"
-            ).createOrReplaceTempView(
-                "system_aggregate_function_combinators"
+                [
+                    (t, i, e, ty)
+                    for t, m in self._skip_indices.items()
+                    for i, (e, ty) in m.items()
+                ],
+                "table string, name string, expr string, type string",
+            ).createOrReplaceTempView("system_data_skipping_indices")
+            self.spark.createDataFrame(
+                list(self._ttl.items()), "table string, ttl string",
+            ).createOrReplaceTempView("system_table_ttl")
+
+        def _functions() -> None:
+            # system.functions analog: every ClickHouse function
+            # spelling the dialect layer maps. Static per process —
+            # registered once, skipped on later refreshes.
+            from bighouse_spark.dialect.transpile import (
+                SERVED_COMBINATORS,
+                served_function_names,
             )
-            self._fn_views_registered = True
+            if not getattr(self, "_fn_views_registered", False):
+                self.spark.createDataFrame(
+                    served_function_names(), "name string, kind string"
+                ).createOrReplaceTempView("system_functions")
+                self.spark.createDataFrame(
+                    [(c,) for c in SERVED_COMBINATORS], "name string"
+                ).createOrReplaceTempView(
+                    "system_aggregate_function_combinators"
+                )
+                self._fn_views_registered = True
+
+        builders: dict[str, list] = {
+            "system_query_log": [_query_log],
+            "system_one": [_one],
+            "system_processes": [_processes],
+            "system_tables": [_tables],
+            "system_columns": [_columns],
+            "system_mutations": [_mutations],
+            "system_clusters": [_clusters],
+            "system_profile": [_profile],
+            "system_settings": [_settings],
+            "system_table_engines": [_table_engines],
+            "system_databases": [_databases],
+            "system_parts": [_parts],
+            "system_detached_parts": [_detached_parts],
+            "system_dictionaries": [_dictionaries],
+            "system_data_skipping_indices": [_maintenance],
+            "system_table_ttl": [_maintenance],
+            "system_functions": [_functions],
+            "system_aggregate_function_combinators": [_functions],
+        }
+        if only is not None and all(n in builders for n in only):
+            todo: list = []
+            for n in only:
+                for b in builders[n]:
+                    if b not in todo:
+                        todo.append(b)
+        else:
+            todo = [
+                _query_log, _one, _processes, _tables, _columns,
+                _mutations, _clusters, _profile, _settings,
+                _table_engines, _databases, _parts, _detached_parts,
+                _dictionaries, _maintenance, _functions,
+            ]
+        for b in todo:
+            b()
 
     _INTO_OUTFILE_RE = re.compile(
         r"^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
@@ -4407,7 +4487,7 @@ class BigHouseEngine:
             # CH lists in-flight queries — exactly the job-group
             # registry (killable query_ids + elapsed). The session's
             # scheduler counters stay available as system_profile.
-            self.refresh_system_views()
+            self.refresh_system_views({"system_processes"})
             request = QueryRequest(
                 query="SELECT * FROM system_processes",
                 init_queries=request.init_queries,
@@ -4490,7 +4570,7 @@ class BigHouseEngine:
             re.IGNORECASE,
         )
         if m_shs:
-            self.refresh_system_views()
+            self.refresh_system_views({"system_settings"})
             chg, ci, pat = m_shs.groups()
             cond = (
                 f"lower(name) LIKE lower('{pat}')"
@@ -4534,7 +4614,7 @@ class BigHouseEngine:
             )
         if re.match(r"^\s*SHOW\s+CLUSTERS\s*$", request.query,
                     re.IGNORECASE):
-            self.refresh_system_views()
+            self.refresh_system_views({"system_clusters"})
             return self.execute(QueryRequest(
                 query=("SELECT DISTINCT cluster_name AS cluster "
                        "FROM system_clusters ORDER BY cluster"),
@@ -4544,7 +4624,7 @@ class BigHouseEngine:
             ))
         if re.match(r"^\s*SHOW\s+ENGINES\s*$", request.query,
                     re.IGNORECASE):
-            self.refresh_system_views()
+            self.refresh_system_views({"system_table_engines"})
             return self.execute(QueryRequest(
                 query=("SELECT * FROM system_table_engines "
                        "ORDER BY name"),
@@ -4598,8 +4678,8 @@ class BigHouseEngine:
         if m_chk:
             name = m_chk.group(1)
             if name.startswith("system."):
-                self.refresh_system_views()
                 name = name.replace(".", "_")
+                self.refresh_system_views({name})
             try:
                 # Decode-proving probe: per-column count() forces
                 # every column's data pages to decode — a bare
@@ -4625,7 +4705,7 @@ class BigHouseEngine:
             # return 1 because an unrelated table named a_b exists.
             candidates = {name}
             if name.startswith("system."):
-                self.refresh_system_views()
+                self.refresh_system_views({name.replace(".", "_")})
                 candidates.add(name.replace(".", "_"))
             def _cat_exists(n: str) -> bool:
                 try:
@@ -4784,8 +4864,8 @@ class BigHouseEngine:
             # dotted system.X routes to its view twin (round 11)
             name = m_sct.group(1)
             if name.startswith("system."):
-                self.refresh_system_views()
                 name = name.replace(".", "_")
+                self.refresh_system_views({name})
             return self._show_create_table(name, t0, request.query)
         m_dd = self._DROP_DICT_RE.match(request.query)
         if m_dd:
@@ -4938,9 +5018,14 @@ class BigHouseEngine:
             rewritten = _sub_outside_quotes(
                 r"\bsystem\.numbers(_mt)?\b", numbers_sub, request.query
             )
-            if re.search(r"\bsystem\.\w+",
-                         _mask_string_literals(rewritten)):
-                self.refresh_system_views()
+            referenced = {
+                "system_" + n
+                for n in re.findall(
+                    r"\bsystem\.(\w+)", _mask_string_literals(rewritten)
+                )
+            }
+            if referenced:
+                self.refresh_system_views(referenced)
             rewritten = _sub_outside_quotes(
                 r"\bsystem\.(\w+)", r"system_\1", rewritten
             )
