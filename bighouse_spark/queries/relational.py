@@ -106,26 +106,23 @@ LIMIT 10
 """,
 )
 def tpch_q3(spark, sf_dir):
-    from bighouse_spark.operators.parallel import ensure_min_parallelism
-
     cust = t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    # Same single-row-group input-skew guard as tpch_q1: the partial
-    # aggregation on (l_orderkey, o_orderdate) builds a ~|orders|-key
-    # hash table, serialized onto the lone scan task locally. Early
-    # projection keeps the adaptive repartition to the 3 needed
-    # columns; no-op on a well-split input.
-    from bighouse_spark.sources.catalog import table_stats
-
-    licols = ["l_orderkey", "l_extendedprice", "l_discount"]
-    li = ensure_min_parallelism(
-        t(spark, sf_dir, "lineitem").select(licols),
-        key_cols=licols,
-        input_stats=table_stats(spark, sf_dir, "lineitem"),
+    # NO parallelism guard here (r15, settling VERDICT r14 Next #3):
+    # the r14 input-skew guard was a measured LOSS on q3 — interleaved
+    # same-session A/B at sf0.1 (plans/r15/ab_q3_guard.py): guarded
+    # min 1.165 / med 1.357 s vs unguarded min 0.945 / med 1.073 s
+    # (14% steal window; the 29%-steal repeat agreed). q3's partial
+    # aggregate is cheap (~0.7 s CPU) so the guard's extra exchange +
+    # AQE stage cost more than the added parallelism buys — unlike
+    # q1, where the decimal aggregate is ~3 s CPU and the guard wins
+    # its A/B ~1.6x (plans/r15/ab_q1_guard.py).
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
         li.join(
