@@ -1,0 +1,310 @@
+"""Focused regression guards for the round-15 optimizations.
+
+Round-15 work was almost entirely driver-side (single-parse SQL
+expressions replacing py4j-heavy DSL trees, attach-once catalog scan
+stats feeding the parallelism guard) plus two plan fixes found by
+reading the dumps (the scan-side shingling duplication, the duplicated
+docs broadcast in the LSH verify join). Values are proven by
+test_queries_oracle.py; these pin the *mechanisms* — and, per VERDICT
+r14 Next #6, prove the latent ``key_cols`` guards on each similarity /
+dedup operator actually fire correctly on an under-split input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bighouse_spark.queries.registry import get
+from tests.conftest import SF_CORRECT
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_persists():
+    yield
+    from bighouse_spark.operators.caching import release_tracked
+
+    release_tracked()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 Next #6: the guards that no-op at fixture scale must be
+# proven per operator on a synthetic single-partition input: the
+# deterministic xxhash64 exchange appears and the result row set is the
+# operator's own (rows preserved through the repartition).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    """512 vectors in ONE partition, big enough that the size-capped
+    guard target exceeds 1 (bytes_per_partition default 256 KiB needs
+    >256 KiB of estimated input: 512 rows x 64 doubles ~ 260 KiB)."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * 13.7 + j) for j in range(64)]) for i in range(1024)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        .coalesce(1)
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    """400 docs in ONE partition: docs 2i and 2i+1 are identical (a
+    guaranteed near-dup pair for every operator) and each pair's
+    vocabulary is unique, so no shingle exceeds ngram's max-df cap."""
+    rows = [
+        (i, " ".join(f"w{i // 2}t{k}" for k in range(30)))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1)
+
+
+def _assert_guard_fired(df, n_expected: int) -> None:
+    plan = physical_plan(df)
+    assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan, plan[:2000]
+    assert df.count() == n_expected
+
+
+class TestLatentGuardsFire:
+    def test_brute_force_guard(self, spark, tiny_corpus):
+        from bighouse_spark.operators.similarity import brute_force_topk
+
+        q = tiny_corpus.where("vec_id < 2")
+        out = brute_force_topk(tiny_corpus, q, k=3)
+        _assert_guard_fired(out, 2 * 3)
+
+    def test_lsh_ann_guard(self, spark, tiny_corpus):
+        from bighouse_spark.operators.similarity import lsh_ann_topk
+
+        q = tiny_corpus.where("vec_id < 2")
+        out = lsh_ann_topk(tiny_corpus, q, k=3, bits=2, tables=2, dim=64)
+        plan = physical_plan(out)
+        assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan
+        assert out.count() > 0  # bucketed recall is probabilistic; rows exist
+
+    def test_ivf_guard(self, spark, tiny_corpus):
+        from bighouse_spark.operators.similarity import ivf_topk
+
+        q = tiny_corpus.where("vec_id < 2")
+        out = ivf_topk(tiny_corpus, q, k=3, n_cells=4, nprobe=4)
+        _assert_guard_fired(out, 2 * 3)  # full probe == exact top-k rows
+
+    def test_pq_guard(self, spark, tiny_corpus):
+        from bighouse_spark.operators.similarity import pq_topk
+
+        q = tiny_corpus.where("vec_id < 2")
+        out = pq_topk(tiny_corpus, q, k=3, dim=64, m=8, n_codes=8)
+        _assert_guard_fired(out, 2 * 3)
+
+    def test_simhash_guard(self, spark, tiny_docs):
+        from bighouse_spark.operators.dedup import simhash_pairs
+
+        out = simhash_pairs(tiny_docs, shingle_n=2, max_hamming=3)
+        plan = physical_plan(out)
+        assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan
+        assert out.count() >= 0  # executes through the guard
+
+    def test_ngram_guard(self, spark, tiny_docs):
+        from bighouse_spark.operators.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(tiny_docs, shingle_n=2, threshold=0.1)
+        plan = physical_plan(out)
+        assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan
+        assert out.count() > 0  # rotating texts share bigrams
+
+    def test_minhash_guard(self, spark, tiny_docs):
+        from bighouse_spark.operators.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(
+            tiny_docs, shingle_n=2, jaccard_threshold=0.1
+        )
+        plan = physical_plan(out)
+        assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan
+        assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Attach-once catalog scan stats (the probe-free guard hint).
+# ---------------------------------------------------------------------------
+
+
+class TestTableStats:
+    def test_stats_match_reality(self, spark):
+        import os
+
+        from bighouse_spark.sources.catalog import load_table, table_stats
+
+        nbytes, parts = table_stats(spark, SF_CORRECT, "lineitem")
+        assert nbytes == os.path.getsize(f"{SF_CORRECT}/lineitem.parquet")
+        assert parts == load_table(
+            spark, SF_CORRECT, "lineitem"
+        ).rdd.getNumPartitions()
+
+    def test_stats_memoized_per_session_and_table(self, spark):
+        from bighouse_spark.sources.catalog import table_stats
+
+        a = table_stats(spark, SF_CORRECT, "orders")
+        assert table_stats(spark, SF_CORRECT, "orders") is a
+        assert table_stats(spark, SF_CORRECT, "customer") is not a
+
+    def test_unknown_table_rejected(self, spark):
+        from bighouse_spark.sources.catalog import load_table, table_stats
+
+        with pytest.raises(AssertionError):
+            table_stats(spark, SF_CORRECT, "not_a_table")
+        with pytest.raises(AssertionError):
+            load_table(spark, SF_CORRECT, "not_a_table")
+
+    def test_hinted_guard_contract(self, spark):
+        """The input_stats fast path honors the guard contract with
+        zero plan probing: fire iff partitions < min(parallelism x
+        factor, ceil(bytes / bytes_per_partition)); strict no-op
+        (same object) otherwise — the 100 TB no-op guarantee."""
+        from bighouse_spark.operators.parallel import ensure_min_parallelism
+        from bighouse_spark.sources.catalog import load_table
+
+        li = load_table(spark, SF_CORRECT, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        # under-split input (1 partition claimed, plenty of bytes)
+        fired = ensure_min_parallelism(
+            li, key_cols=["l_orderkey"], input_stats=(50 << 20, 1)
+        )
+        assert fired is not li
+        plan = physical_plan(fired)
+        assert "xxhash64" in plan and "REPARTITION_BY_NUM" in plan
+        # already-split input: strict no-op
+        assert (
+            ensure_min_parallelism(
+                li, key_cols=["l_orderkey"], input_stats=(50 << 20, 512)
+            )
+            is li
+        )
+        # tiny input: size cap holds the target at 1 -> no-op
+        assert (
+            ensure_min_parallelism(
+                li, key_cols=["l_orderkey"], input_stats=(1 << 10, 1)
+            )
+            is li
+        )
+
+
+# ---------------------------------------------------------------------------
+# Single-parse SQL expressions must stay value-identical to the DSL
+# formulations they replaced.
+# ---------------------------------------------------------------------------
+
+
+class TestSqlExprEquivalence:
+    def test_cosine_matches_dsl(self, spark, tiny_corpus):
+        from bighouse_spark.functions.vectors import cosine_similarity
+
+        def dsl_cos(a, b):
+            def _d(c):
+                return c.cast("array<double>")
+
+            dot_ = F.aggregate(
+                F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            n1 = F.sqrt(
+                F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            n2 = F.sqrt(
+                F.aggregate(_d(b), F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            return dot_ / (n1 * n2)
+
+        pairs = tiny_corpus.alias("a").crossJoin(
+            tiny_corpus.where("vec_id < 3")
+            .select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            )
+            .alias("b")
+        )
+        bad = pairs.select(
+            dsl_cos(F.col("embedding"), F.col("qv")).alias("o"),
+            cosine_similarity("embedding", "qv").alias("n"),
+        ).where("o <> n OR (o IS NULL) <> (n IS NULL)")
+        assert bad.count() == 0
+
+    def test_simhash_matches_dsl(self, spark, tiny_docs):
+        from bighouse_spark.functions.text import with_shingles
+        from bighouse_spark.operators.dedup import simhash
+
+        docs = with_shingles(tiny_docs, text_col="text", n=2)
+
+        def dsl_simhash(shingles, bits=64):
+            n = F.size(shingles)
+            hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+            bit_values = F.array(
+                *[
+                    F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
+                    for b in range(bits)
+                ]
+            )
+            positions = F.sequence(F.lit(0), F.lit(bits - 1))
+            counts = F.aggregate(
+                hashes,
+                F.array_repeat(F.lit(0).cast("long"), bits),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    F.transform(
+                        positions, lambda i: F.getbit(h, i).cast("long")
+                    ),
+                    lambda a, b: a + b,
+                ),
+            )
+            return F.aggregate(
+                F.zip_with(
+                    counts,
+                    bit_values,
+                    lambda c, v: F.when(c * 2 > n, v).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            )
+
+        bad = docs.select(
+            dsl_simhash(F.col("shingles")).alias("o"),
+            simhash("shingles").alias("n"),
+        ).where("o <> n")
+        assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# The two plan fixes from reading the dumps.
+# ---------------------------------------------------------------------------
+
+
+class TestR15PlanShapes:
+    def test_dedup_scan_filter_carries_no_udf(self, spark):
+        """The empty-shingle guard must not be pushed to the scan: the
+        r14 plans re-evaluated the NGram shingling UDF serialized on
+        the scan task (Filter below the repartition Exchange carrying
+        UDF(split(text))). The scan-side filter may keep the wrapper's
+        cheap token-count predicate only."""
+        plan = physical_plan(get("dedup_minhash_lsh").fn(spark, SF_CORRECT))
+        scan_side = plan.split("Scan parquet")[0]
+        # Find filters that sit below the first exchange: take the text
+        # after the LAST Exchange mention up to the scan.
+        below_exchange = scan_side.rsplit("Exchange", 1)[-1]
+        assert "UDF" not in below_exchange
+
+    def test_dedup_single_docs_broadcast(self, spark):
+        """Both verify joins build from one shared docs projection —
+        at most one docs-side BroadcastExchange may survive in the
+        static plan (plus the candidate-pairs broadcast)."""
+        plan = physical_plan(get("dedup_minhash_lsh").fn(spark, SF_CORRECT))
+        assert plan.count("BroadcastExchange") <= 2
