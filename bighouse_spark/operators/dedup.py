@@ -297,11 +297,14 @@ def minhash_lsh_pairs(
 
     # Both verify joins read the SAME projection of the persisted docs
     # table (rename/alias applied ABOVE the join, not below): the two
-    # build-side subtrees are then canonically identical, so Spark's
-    # ReuseExchange materializes docs' broadcast ONCE instead of twice
-    # (r14's shape renamed below the join — two broadcast builds, two
-    # jobs, two copies in executor memory; at 100 TB that is a full
-    # duplicate broadcast of the signature table).
+    # docs-side subtrees are then canonically identical, so whenever
+    # both joins exchange the docs side (the sort-merge shape a large
+    # corpus takes — at sf0.1 the first join broadcasts the tiny
+    # candidate set instead, so only one docs broadcast exists either
+    # way) Spark's ReuseExchange materializes that exchange once.
+    # r14's shape renamed columns BELOW the join (sh_a/sh_b, id2),
+    # making the two subtrees canonically distinct — never reusable —
+    # and projecting the cache through two different alias maps.
     d1 = docs.select("id", "shingles").alias("__bh_va")
     d2 = docs.select("id", "shingles").alias("__bh_vb")
     verified = (

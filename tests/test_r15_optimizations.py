@@ -308,3 +308,29 @@ class TestR15PlanShapes:
         static plan (plus the candidate-pairs broadcast)."""
         plan = physical_plan(get("dedup_minhash_lsh").fn(spark, SF_CORRECT))
         assert plan.count("BroadcastExchange") <= 2
+
+    def test_dedup_docs_subtrees_canonically_shared(self, spark):
+        """The alias-above-join rewrite makes the two docs-side verify
+        inputs canonically identical: in the forced sort-merge shape
+        (what a 100 TB corpus takes) the static planner must collapse
+        the second docs shuffle into a ReusedExchange. r14's
+        sh_a/sh_b/id2 renames below the join made this impossible.
+        (AQE's TableCacheQueryStage path does not dedupe at runtime in
+        Spark 4.1, so the pin runs with AQE off — static plan only.)"""
+        old = {
+            "spark.sql.adaptive.enabled":
+                spark.conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.autoBroadcastJoinThreshold":
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = get("dedup_minhash_lsh").fn(spark, SF_CORRECT)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+            spark.catalog.clearCache()
+        assert plan.count("SortMergeJoin") >= 2
+        assert plan.count("ReusedExchange") >= 1
