@@ -179,7 +179,10 @@ class BigHouseEngine:
         # Serializes queries that mutate session-global conf (the
         # num_nodes/cores knobs): SQLConf is shared across the
         # ThreadingHTTPServer's request threads.
-        self._conf_lock = threading.Lock()
+        # RLock: an MV refresh triggered by an init-query INSERT can
+        # run while the enclosing knob-bearing query already holds
+        # the lock on this thread (see _refresh_mv's state sizing).
+        self._conf_lock = threading.RLock()
         # name → (path, fmt, schema) for attach_table targets, so
         # INSERT INTO <name> can append to the backing storage.
         self._attached: dict[str, tuple[str, str, str | None]] = {}
@@ -2617,6 +2620,16 @@ class BigHouseEngine:
             "data": f"{base}/data",
             "checkpoint": f"{base}/checkpoint",
             "mode": None,  # resolved on first refresh
+            # Streaming-aggregation state partition count, derived
+            # from the SOURCE size at create time (guide §2: scale
+            # partitioning with data, not with the session constant).
+            # The session's shuffle.partitions would pin a tiny MV's
+            # state store to N partitions forever — N sets of state
+            # files read+committed per refresh. One partition per
+            # 64 MiB of source, capped at the session parallelism;
+            # Spark pins the value in the checkpoint metadata so
+            # every later refresh stays consistent by construction.
+            "state_partitions": self._mv_state_partitions(src),
         }
         try:
             self._refresh_mv(name)
@@ -2628,6 +2641,31 @@ class BigHouseEngine:
             QueryLogEntry(query, transpiled, elapsed, -1)
         )
         return QueryResult(cols=["view"], rows=[[name]], elapsed_sec=elapsed)
+
+    def _mv_state_partitions(self, src: str) -> int | None:
+        """State partition count for a new MV checkpoint: one per
+        64 MiB of the source's current backing bytes, in
+        [1, session shuffle partitions]. ``None`` (→ session default)
+        when the backing store is not locally statable (remote URLs)."""
+        import math
+        import os
+
+        path, _fmt, _schema = self._attached.get(src, (None, None, None))
+        if not path:
+            return None
+        local = path[7:] if path.startswith("file://") else path
+        if "://" in local:
+            return None
+        try:
+            total = 0
+            for root, _dirs, files in os.walk(local):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            return max(1, min(cap, math.ceil(total / (64 << 20))))
+        except OSError:
+            return None
 
     def _refresh_mv(self, name: str) -> None:
         """One availableNow refresh of a materialized view: stream the
@@ -2660,6 +2698,19 @@ class BigHouseEngine:
 
         modes = [mv["mode"]] if mv["mode"] else ["complete", "append"]
         last_err: Exception | None = None
+        # Size the streaming-aggregation state to the MV, not the
+        # session: the conf is read at stream start (then pinned in
+        # the checkpoint), so set it for the run and restore. Held
+        # under _conf_lock — same discipline as the num_nodes/cores
+        # knobs — so concurrent requests never see the narrow value.
+        state_parts = mv.get("state_partitions")
+        prev_parts: str | None = None
+        if state_parts:
+            self._conf_lock.acquire()
+            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_parts)
+            )
         try:
             for mode in modes:
                 sink = _sink_complete if mode == "complete" else _sink_append
@@ -2682,6 +2733,11 @@ class BigHouseEngine:
                     if mv["mode"] or "output mode" not in str(e).lower():
                         raise
         finally:
+            if state_parts:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", prev_parts
+                )
+                self._conf_lock.release()
             try:
                 self.spark.catalog.dropTempView(stream_view)
             except Exception:

@@ -64,19 +64,29 @@ def connected_components(
         .select(F.col("a").alias("id"), "label")
     )
     init_labels = labels
+    label_type = dict(labels.dtypes)["label"]
     prev_ckpt = None
     for it in range(max_iterations):
         # Propagate: each vertex takes the min label over itself and
-        # its neighbors' current labels.
+        # its neighbors' current labels. The self rows additionally
+        # carry the round-start label (``old``, null on neighbor
+        # rows, so max() recovers it per vertex) — labels only ever
+        # DECREASE, so convergence below is ``label < old`` over the
+        # checkpointed result itself, replacing the old-vs-new
+        # shuffle join (and its own action) that r15 profiling
+        # measured as ~1/3 of each round's jobs.
         neighbor_labels = (
             edges.join(labels, edges.b == labels.id)
-            .select(F.col("a").alias("id"), "label")
+            .select(
+                F.col("a").alias("id"), "label",
+                F.lit(None).cast(label_type).alias("old"),
+            )
         )
         propagated = (
-            labels.select("id", "label")
+            labels.select("id", "label", F.col("label").alias("old"))
             .union(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # Pointer jumping: label ← label(label). Combined with the
         # neighbor step this converges in O(log diameter) rounds
@@ -94,13 +104,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
+            new_labels.where(F.col("label") < F.col("old"))
             .limit(1)
             .count()
         )
