@@ -334,3 +334,102 @@ class TestR15PlanShapes:
             spark.catalog.clearCache()
         assert plan.count("SortMergeJoin") >= 2
         assert plan.count("ReusedExchange") >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-15 continuation: MV state sized to the source, and the
+# components convergence check that no longer joins old-vs-new.
+# ---------------------------------------------------------------------------
+
+
+class TestMvStateSizing:
+    def test_tiny_source_gets_one_state_partition(self, spark, tmp_path):
+        """A KB-scale source must create its MV checkpoint with ONE
+        streaming-state partition (not the session's shuffle count),
+        the session conf must be restored afterwards, and the view's
+        rows must be the aggregate of the source."""
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        d = str(tmp_path / "mvsrc")
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("a", 3)], ["k", "v"]
+        ).write.parquet(d)
+        eng.attach_table("mvsz_src", d)
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mvsz AS "
+            "SELECT k, sum(v) AS s FROM mvsz_src GROUP BY k"
+        )
+        assert eng._mviews["mvsz"]["state_partitions"] == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        # refresh path: INSERT folds only the new file, conf restored
+        eng.execute("INSERT INTO mvsz_src VALUES ('c', 7)")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        out = eng.execute("SELECT k, s FROM mvsz ORDER BY k")
+        assert out.rows == [["a", 4], ["b", 2], ["c", 7]]
+        eng.execute("DROP TABLE mvsz")
+
+    def test_remote_source_falls_back_to_session_default(self, spark):
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        eng._attached["fake_remote"] = (
+            "s3a://bucket/prefix", "parquet", None,
+        )
+        assert eng._mv_state_partitions("fake_remote") is None
+
+    def test_state_partitions_scale_with_source_bytes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """One partition per 64 MiB, capped at the session conf — the
+        sizing must follow the measured bytes, not a constant."""
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        d = str(tmp_path / "big")
+        eng._attached["sized_src"] = (d, "parquet", None)
+        import os as _os
+
+        monkeypatch.setattr(
+            _os, "walk", lambda p: [(p, [], ["part-0.parquet"])]
+        )
+        monkeypatch.setattr(_os.path, "getsize", lambda p: 200 << 20)
+        got = eng._mv_state_partitions("sized_src")
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # 200 MiB of (pretend) source → ceil(200/64) = 4, unless capped
+        assert got == min(cap, 4)
+
+
+class TestComponentsConvergence:
+    def test_converged_graph_stops_after_one_scan(self, spark):
+        """A star graph is fully labeled by the init step; the first
+        iteration's scan-side check (label < old over the checkpoint
+        itself — no old-vs-new join) must report no change and stop.
+        Output must be exactly (id, component)."""
+        from bighouse_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = [(0, i) for i in range(1, 12)]
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        out = connected_components(pairs)
+        assert out.columns == ["id", "component"]
+        got = {r.id: r.component for r in out.collect()}
+        assert got == {i: 0 for i in range(12)}
+
+    def test_string_ids_supported(self, spark):
+        """The round-start label column is typed from the label
+        column itself — string ids must work unchanged."""
+        from bighouse_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("x", "y")],
+            "id_a string, id_b string",
+        )
+        got = {
+            r.id: r.component for r in connected_components(pairs).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
