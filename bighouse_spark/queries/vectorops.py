@@ -362,33 +362,35 @@ FROM best WHERE rn = 1 GROUP BY cid
 """,
 )
 def cluster_assign_topics(spark, sf_dir):
-    from bighouse_spark.functions.vectors import cosine_similarity
-
     emb = t(spark, sf_dir, "embeddings")
     cents = (
         emb.where(F.col("vec_id") < 8)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
         .collect()
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.cv]).alias("cv"),
-            )
-            for r in cents
-        ]
+    # The centroid literals (8 x 64 doubles) as ONE SQL string: the
+    # F.array/F.struct/F.lit DSL form costs ~520 py4j round trips per
+    # build (~1 s measured warm, r15); the string parses to the same
+    # literal tree in one. Python repr() is the shortest exact
+    # round-trip form of a double; the D suffix keeps Spark from
+    # reading a bare decimal as DECIMAL.
+    cent_sql = "array(%s)" % ", ".join(
+        "named_struct('cid', %dL, 'cv', array(%s))"
+        % (int(r.vec_id), ", ".join(f"{float(x)!r}D" for x in r.cv))
+        for r in cents
     )
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            F.round(cosine_similarity(F.col("e"), c["cv"]), 6).alias("sim"),
-            (-c["cid"]).alias("negid"),
-            c["cid"].alias("cid"),
-        ),
+    cos = (
+        "aggregate(zip_with(e, c.cv, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x) / "
+        "(sqrt(aggregate(e, 0.0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(c.cv, 0.0D, (acc, x) -> acc + x * x)))"
+    )
+    scored = F.expr(
+        f"transform({cent_sql}, c -> named_struct("
+        f"'sim', round({cos}, 6), 'negid', -c.cid, 'cid', c.cid))"
     )
     # array_max on (sim, negid, cid) structs = lexicographic argmax:
     # highest sim, then smallest cid.
@@ -551,31 +553,32 @@ FROM q ORDER BY vec_id
 
 @query("embedding_random_projection", oracle=_RP_ORACLE)
 def embedding_random_projection(spark, sf_dir):
+    # Every expression as ONE selectExpr string: the DSL form (8
+    # aggregates over zip_with against 64-literal arrays) cost ~1.7 s
+    # of py4j round trips per build (measured warm, r15); the strings
+    # parse to the identical trees in a handful of round trips.
     emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    e = F.col("embedding").cast("array<double>")
-    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    q = F.transform(
-        F.col("e"),
-        lambda x: F.round(x * 127.0 / F.col("scale")).cast("bigint"),
-    )
     base = (
-        emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+        emb.selectExpr(
+            "vec_id",
+            "CAST(embedding AS ARRAY<DOUBLE>) AS e",
+            "array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            "x -> abs(x))) AS scale",
+        )
         .where(F.col("scale") > 0)
-        .select("vec_id", q.alias("qv"))
+        .selectExpr(
+            "vec_id",
+            "transform(e, x -> CAST(round(x * 127.0D / scale) AS BIGINT))"
+            " AS qv",
+        )
     )
     projs = [
-        F.aggregate(
-            F.zip_with(
-                "qv",
-                F.array(*[F.lit(x).cast("bigint") for x in _RP_M[j]]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias(f"p{j}")
+        "aggregate(zip_with(qv, array(%s), (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS p%d"
+        % (", ".join(f"CAST({x} AS BIGINT)" for x in _RP_M[j]), j)
         for j in range(8)
     ]
-    return base.select("vec_id", *projs).orderBy("vec_id")
+    return base.selectExpr("vec_id", *projs).orderBy("vec_id")
 
 
 # Executor-side closures live here: ship this module's code by value
