@@ -800,6 +800,8 @@ class BigHouseEngine:
                 )
                 self._fn_views_registered = True
 
+        # Keep in sync with _SYSTEM_VIEW_NAMES (execute() uses it to
+        # recognize underscore-spelled references in statements).
         builders: dict[str, list] = {
             "system_query_log": [_query_log],
             "system_one": [_one],
@@ -835,6 +837,21 @@ class BigHouseEngine:
             ]
         for b in todo:
             b()
+
+    # Every temp-view name refresh_system_views can build — used by
+    # execute() to also refresh views referenced by their registered
+    # underscore spelling (``system_columns``) when a statement mixes
+    # spellings; an underscore token NOT in this set is a user table
+    # and must not trigger a refresh.
+    _SYSTEM_VIEW_NAMES = frozenset({
+        "system_query_log", "system_one", "system_processes",
+        "system_tables", "system_columns", "system_mutations",
+        "system_clusters", "system_profile", "system_settings",
+        "system_table_engines", "system_databases", "system_parts",
+        "system_detached_parts", "system_dictionaries",
+        "system_data_skipping_indices", "system_table_ttl",
+        "system_functions", "system_aggregate_function_combinators",
+    })
 
     _INTO_OUTFILE_RE = re.compile(
         r"^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'"
@@ -2645,8 +2662,13 @@ class BigHouseEngine:
     def _mv_state_partitions(self, src: str) -> int | None:
         """State partition count for a new MV checkpoint: one per
         64 MiB of the source's current backing bytes, in
-        [1, session shuffle partitions]. ``None`` (→ session default)
-        when the backing store is not locally statable (remote URLs)."""
+        [1, cluster default parallelism]. The cap is
+        ``defaultParallelism`` (stable for the session) rather than
+        ``spark.sql.shuffle.partitions``, which a knob-bearing CREATE
+        statement (num_nodes/cores) transiently narrows — a transient
+        request knob must not be pinned into the checkpoint forever.
+        ``None`` (→ session default) when the backing store is not
+        locally statable (remote URLs)."""
         import math
         import os
 
@@ -2662,7 +2684,7 @@ class BigHouseEngine:
                 for f in files:
                     if not f.startswith(("_", ".")):
                         total += os.path.getsize(os.path.join(root, f))
-            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            cap = int(self.spark.sparkContext.defaultParallelism)
             return max(1, min(cap, math.ceil(total / (64 << 20))))
         except OSError:
             return None
@@ -2701,17 +2723,26 @@ class BigHouseEngine:
         # Size the streaming-aggregation state to the MV, not the
         # session: the conf is read at stream start (then pinned in
         # the checkpoint), so set it for the run and restore. Held
-        # under _conf_lock — same discipline as the num_nodes/cores
-        # knobs — so concurrent requests never see the narrow value.
+        # under _conf_lock — the same discipline (and the same
+        # exposure) as the num_nodes/cores knobs: knob-BEARING
+        # requests serialize against this, knob-less requests do not
+        # and can observe the narrow value for the refresh's duration.
         state_parts = mv.get("state_partitions")
         prev_parts: str | None = None
-        if state_parts:
-            self._conf_lock.acquire()
-            prev_parts = self.spark.conf.get("spark.sql.shuffle.partitions")
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(state_parts)
-            )
+        locked = False
         try:
+            if state_parts:
+                # Acquire inside the try: if a py4j call below throws,
+                # the finally must still release, or the RLock leaks
+                # and every later knob-bearing query deadlocks.
+                self._conf_lock.acquire()
+                locked = True
+                prev_parts = self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(state_parts)
+                )
             for mode in modes:
                 sink = _sink_complete if mode == "complete" else _sink_append
                 try:
@@ -2733,11 +2764,14 @@ class BigHouseEngine:
                     if mv["mode"] or "output mode" not in str(e).lower():
                         raise
         finally:
-            if state_parts:
-                self.spark.conf.set(
-                    "spark.sql.shuffle.partitions", prev_parts
-                )
-                self._conf_lock.release()
+            if locked:
+                try:
+                    if prev_parts is not None:
+                        self.spark.conf.set(
+                            "spark.sql.shuffle.partitions", prev_parts
+                        )
+                finally:
+                    self._conf_lock.release()
             try:
                 self.spark.catalog.dropTempView(stream_view)
             except Exception:
@@ -5074,11 +5108,20 @@ class BigHouseEngine:
             rewritten = _sub_outside_quotes(
                 r"\bsystem\.numbers(_mt)?\b", numbers_sub, request.query
             )
+            masked_rw = _mask_string_literals(rewritten)
             referenced = {
                 "system_" + n
-                for n in re.findall(
-                    r"\bsystem\.(\w+)", _mask_string_literals(rewritten)
-                )
+                for n in re.findall(r"\bsystem\.(\w+)", masked_rw)
+            }
+            # A statement can mix spellings (system.tables joined to
+            # the registered system_columns view): underscore-spelled
+            # KNOWN views must refresh too, or the scoped rebuild
+            # leaves them unregistered on a fresh session — the
+            # pre-r15 full rebuild registered everything.
+            referenced |= {
+                m
+                for m in re.findall(r"\bsystem_\w+\b", masked_rw)
+                if m in self._SYSTEM_VIEW_NAMES
             }
             if referenced:
                 self.refresh_system_views(referenced)

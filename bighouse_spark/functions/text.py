@@ -15,8 +15,12 @@ the oracle checks exact.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from bighouse_spark.functions.identifiers import quote_ident
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Real pipelines use fastText/CLD3; the point
@@ -96,19 +100,26 @@ def with_shingles(
     was ~120 ms of py4j per construction on the dedup paths (r15)."""
     from pyspark.ml.feature import NGram
 
-    w, ng = f"__bh_w_{out_col}", f"__bh_ng_{out_col}"
+    # Scratch-column names must stay identifier-safe regardless of
+    # out_col's content: NGram resolves its input/output cols by raw
+    # name (no way to escape a backtick there). A sanitize collision
+    # between two out_cols is harmless — the scratch transformer is
+    # the same, and the real name is applied at the selectExpr alias.
+    safe = re.sub(r"\W", "_", out_col)
+    w, ng = f"__bh_w_{safe}", f"__bh_ng_{safe}"
     ngram = _NGRAM_CACHE.get((n, w, ng))
     if ngram is None:
         ngram = _NGRAM_CACHE[(n, w, ng)] = NGram(
             n=n, inputCol=w, outputCol=ng
         )
+    qw, qng = quote_ident(w), quote_ident(ng)
     out = ngram.transform(
-        df.selectExpr("*", f"split(`{text_col}`, ' ') AS `{w}`")
+        df.selectExpr("*", f"split({quote_ident(text_col)}, ' ') AS {qw}")
     )
     return out.selectExpr(
-        *[f"`{c}`" for c in df.columns],
-        f"array_distinct(CASE WHEN size(`{w}`) >= {n} THEN `{ng}` "
-        f"ELSE array(concat_ws(' ', `{w}`)) END) AS `{out_col}`",
+        *[quote_ident(c) for c in df.columns],
+        f"array_distinct(CASE WHEN size({qw}) >= {n} THEN {qng} "
+        f"ELSE array(concat_ws(' ', {qw})) END) AS {quote_ident(out_col)}",
     )
 
 

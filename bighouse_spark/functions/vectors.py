@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from bighouse_spark.functions.identifiers import quote_ident
+
 
 def _dbl(v: Column | str) -> Column:
     c = F.col(v) if isinstance(v, str) else v
@@ -29,7 +31,7 @@ def _dbl(v: Column | str) -> Column:
 
 
 def _dbl_sql(name: str) -> str:
-    return f"CAST(`{name}` AS ARRAY<DOUBLE>)"
+    return f"CAST({quote_ident(name)} AS ARRAY<DOUBLE>)"
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

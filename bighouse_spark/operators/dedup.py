@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bighouse_spark.functions.identifiers import quote_ident
 from bighouse_spark.functions.text import fingerprint, with_shingles
 from bighouse_spark.operators.caching import tracked_persist
 from bighouse_spark.operators.parallel import ensure_min_parallelism
@@ -151,7 +152,10 @@ def _lsh_prep(
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     docs = (
         ensure_min_parallelism(
-            df.selectExpr(f"`{id_col}` AS id", f"`{text_col}` AS `__t`"),
+            df.selectExpr(
+                f"{quote_ident(id_col)} AS id",
+                f"{quote_ident(text_col)} AS `__t`",
+            ),
             # Shingling + per-shingle seed mixes cost ~100x more per
             # byte than a columnar scan: size parallelism accordingly.
             # Basis is COMPRESSED parquet bytes (catalog table_stats);
@@ -426,11 +430,26 @@ def simhash(
         ``('0x'||substr(md5(s),1,15))::BIGINT``, which makes the
         whole simhash pipeline oracle-checkable (pass bits=60).
     """
-    sh = (
-        "`" + shingles.replace("`", "``") + "`"
-        if isinstance(shingles, str)
-        else shingles._jc.name()
-    )
+    if isinstance(shingles, str):
+        sh = quote_ident(shingles)
+    else:
+        # Spark 4's JVM Column exposes no nullary name()/expr(); the
+        # classic session's expression bridge is the one way back to
+        # parseable SQL text for an arbitrary Column, keeping the
+        # public Column flavor of this API working (internal callers
+        # all use the string fast path).
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is None:
+            raise TypeError(
+                "simhash(Column) needs an active SparkSession to "
+                "render the column as SQL; pass the column name as a "
+                "string instead"
+            )
+        sh = (
+            "(" + session._jsparkSession.expression(shingles._jc).sql() + ")"
+        )
     if hash_fn == "md5_60":
         hashes = (
             f"transform({sh}, s -> "

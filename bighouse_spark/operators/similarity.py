@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bighouse_spark.functions.identifiers import quote_ident
 from bighouse_spark.functions.vectors import cosine_similarity
 from bighouse_spark.operators.parallel import ensure_min_parallelism
 
@@ -143,9 +144,9 @@ def lsh_ann_topk(
         f"explode({bucket_array_sql('`__cvec`')}) AS `__bk`",
     ).selectExpr("neighbor_id", "__cvec", "__bk.tbl", "__bk.bucket")
     q = queries.selectExpr(
-        f"`{id_col}` AS query_id",
-        f"`{vec_col}` AS `__qvec`",
-        f"explode({bucket_array_sql('`' + vec_col + '`')}) AS `__bk`",
+        f"{quote_ident(id_col)} AS query_id",
+        f"{quote_ident(vec_col)} AS `__qvec`",
+        f"explode({bucket_array_sql(quote_ident(vec_col))}) AS `__bk`",
     ).selectExpr("query_id", "__qvec", "__bk.tbl", "__bk.bucket")
 
     cand = (

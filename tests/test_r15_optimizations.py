@@ -41,9 +41,9 @@ def _release_operator_persists():
 
 @pytest.fixture(scope="module")
 def tiny_corpus(spark):
-    """512 vectors in ONE partition, big enough that the size-capped
+    """1024 vectors in ONE partition, big enough that the size-capped
     guard target exceeds 1 (bytes_per_partition default 256 KiB needs
-    >256 KiB of estimated input: 512 rows x 64 doubles ~ 260 KiB)."""
+    >256 KiB of estimated input: 1024 rows x 64 doubles ~ 520 KiB)."""
     import math
 
     rows = [
@@ -396,7 +396,9 @@ class TestMvStateSizing:
         )
         monkeypatch.setattr(_os.path, "getsize", lambda p: 200 << 20)
         got = eng._mv_state_partitions("sized_src")
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Cap = cluster default parallelism (stable), NOT the
+        # request-scoped shuffle.partitions a knob could narrow.
+        cap = int(spark.sparkContext.defaultParallelism)
         # 200 MiB of (pretend) source → ceil(200/64) = 4, unless capped
         assert got == min(cap, 4)
 
@@ -433,3 +435,108 @@ class TestComponentsConvergence:
             r.id: r.component for r in connected_components(pairs).collect()
         }
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+class TestReviewFixes:
+    """Pins for the post-review robustness fixes (r15 second pass)."""
+
+    def test_simhash_accepts_column(self, spark, tiny_docs):
+        """The public ``Column | str`` signature must work for both
+        flavors (the SQL-string rewrite briefly broke the Column
+        branch: Spark 4's JVM Column has no nullary ``name()``)."""
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.functions.text import with_shingles
+        from bighouse_spark.operators.dedup import simhash
+
+        sh = with_shingles(tiny_docs, "text", n=3)
+        a = sh.select("doc_id", simhash("shingles").alias("s"))
+        b = sh.select("doc_id", simhash(F.col("shingles")).alias("s"))
+        assert {(r.doc_id, r.s) for r in a.collect()} == {
+            (r.doc_id, r.s) for r in b.collect()
+        }
+
+    def test_simhash_accepts_computed_column(self, spark, tiny_docs):
+        """A computed Column (not a bare attribute) renders through
+        the session's expression bridge."""
+        from pyspark.sql import functions as F
+
+        from bighouse_spark.operators.dedup import simhash
+
+        got = tiny_docs.select(
+            "doc_id", simhash(F.split("text", " ")).alias("s")
+        ).collect()
+        want = tiny_docs.selectExpr(
+            "doc_id", "split(text, ' ') AS sh"
+        ).select("doc_id", simhash("sh").alias("s")).collect()
+        assert {(r.doc_id, r.s) for r in got} == {
+            (r.doc_id, r.s) for r in want
+        }
+
+    def test_mixed_spelling_system_views_fresh_session(self, spark):
+        """A statement mixing the dotted and the registered underscore
+        spellings must work on a FRESH engine: the scoped refresh has
+        to build the underscore-referenced views too (the pre-r15
+        full rebuild registered everything)."""
+        from bighouse_spark.engine import BigHouseEngine, QueryRequest
+
+        eng = BigHouseEngine(spark)
+        # Make sure no stale registration from other tests can mask a
+        # failure to refresh.
+        for v in ("system_tables", "system_columns"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        out = eng.execute(QueryRequest(query=(
+            "SELECT count() AS c FROM system.tables t "
+            "JOIN system_columns c2 ON c2.table = t.name"
+        )))
+        assert out.rows and out.rows[0][0] >= 0
+
+    def test_mv_state_cap_ignores_request_knobs(self, spark, tmp_path,
+                                                monkeypatch):
+        """The permanent state-partition cap must come from the
+        cluster's defaultParallelism, not the request-scoped
+        shuffle.partitions a knob narrows."""
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        d = str(tmp_path / "knobsized")
+        eng._attached["knob_src"] = (d, "parquet", None)
+        import os as _os
+
+        monkeypatch.setattr(
+            _os, "walk", lambda p: [(p, [], ["part-0.parquet"])]
+        )
+        monkeypatch.setattr(_os.path, "getsize", lambda p: 200 << 20)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try:
+            got = eng._mv_state_partitions("knob_src")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        cap = int(spark.sparkContext.defaultParallelism)
+        assert got == min(cap, 4) and got > 1
+
+    def test_quote_ident_escapes_backticks(self, spark):
+        """Interpolated column names survive embedded backticks — the
+        DSL forms the SQL strings replaced handled any name."""
+        from bighouse_spark.functions.identifiers import quote_ident
+        from bighouse_spark.functions.text import with_shingles
+        from bighouse_spark.functions.vectors import cosine_similarity
+
+        assert quote_ident("a`b") == "`a``b`"
+        df = spark.createDataFrame(
+            [(1, "w x y z")], ["doc_id", "te`xt"]
+        )
+        out = with_shingles(df, "te`xt", n=2, out_col="sh`out")
+        row = out.collect()[0]
+        assert row["sh`out"] == ["w x", "x y", "y z"]
+        vdf = spark.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0])], ["v`a", "v`b"]
+        )
+        sim = vdf.select(
+            cosine_similarity("v`a", "v`b").alias("c")
+        ).collect()[0].c
+        assert abs(sim - 1.0) < 1e-12
