@@ -822,6 +822,12 @@ class BigHouseEngine:
             "system_functions": [_functions],
             "system_aggregate_function_combinators": [_functions],
         }
+        # Loud divergence guard: execute()'s underscore-reference scan
+        # trusts _SYSTEM_VIEW_NAMES to be exactly the buildable set.
+        assert set(builders) == self._SYSTEM_VIEW_NAMES, (
+            "refresh_system_views builders out of sync with "
+            "_SYSTEM_VIEW_NAMES"
+        )
         if only is not None and all(n in builders for n in only):
             todo: list = []
             for n in only:
@@ -2680,10 +2686,22 @@ class BigHouseEngine:
             return None
         try:
             total = 0
-            for root, _dirs, files in os.walk(local):
+            for root, dirs, files in os.walk(local):
+                # Prune metadata/detached dirs (same rule as the
+                # system_parts walker): .detached/ bytes are not data
+                # the streaming source will read.
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
                 for f in files:
                     if not f.startswith(("_", ".")):
                         total += os.path.getsize(os.path.join(root, f))
+            if total == 0:
+                # An empty source says nothing about how big the MV
+                # will grow; pinning 1 state partition into the
+                # checkpoint forever is the degenerate shape this
+                # sizing exists to avoid. Keep the session default.
+                return None
             cap = int(self.spark.sparkContext.defaultParallelism)
             return max(1, min(cap, math.ceil(total / (64 << 20))))
         except OSError:

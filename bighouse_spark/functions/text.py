@@ -16,6 +16,7 @@ the oracle checks exact.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,7 +80,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 # NGram transformers are stateless config objects; constructing one
 # costs a handful of py4j round trips, so reuse per (n, in, out).
-_NGRAM_CACHE: dict = {}
+# Keyed on the owning SparkSession (same pattern as the catalog
+# memos): the wrapper's _java_obj is bound to that session's py4j
+# gateway at construction, so an entry must die with its session or
+# a driver restart serves a dead JVM handle.
+_NGRAM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def with_shingles(
@@ -107,20 +112,30 @@ def with_shingles(
     # the same, and the real name is applied at the selectExpr alias.
     safe = re.sub(r"\W", "_", out_col)
     w, ng = f"__bh_w_{safe}", f"__bh_ng_{safe}"
-    ngram = _NGRAM_CACHE.get((n, w, ng))
+    per_session = _NGRAM_CACHE.setdefault(df.sparkSession, {})
+    ngram = per_session.get((n, w, ng))
     if ngram is None:
-        ngram = _NGRAM_CACHE[(n, w, ng)] = NGram(
+        ngram = per_session[(n, w, ng)] = NGram(
             n=n, inputCol=w, outputCol=ng
         )
     qw, qng = quote_ident(w), quote_ident(ng)
     out = ngram.transform(
         df.selectExpr("*", f"split({quote_ident(text_col)}, ' ') AS {qw}")
     )
-    return out.selectExpr(
-        *[quote_ident(c) for c in df.columns],
+    shingle_expr = (
         f"array_distinct(CASE WHEN size({qw}) >= {n} THEN {qng} "
-        f"ELSE array(concat_ws(' ', {qw})) END) AS {quote_ident(out_col)}",
+        f"ELSE array(concat_ws(' ', {qw})) END) AS {quote_ident(out_col)}"
     )
+    # withColumn semantics: replace out_col in place when it already
+    # exists (else two same-named columns make every later reference
+    # AMBIGUOUS), append otherwise.
+    cols = [
+        shingle_expr if c == out_col else quote_ident(c)
+        for c in df.columns
+    ]
+    if out_col not in df.columns:
+        cols.append(shingle_expr)
+    return out.selectExpr(*cols)
 
 
 def language_id(text: Column | str) -> Column:

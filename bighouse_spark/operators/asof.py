@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bighouse_spark.functions.identifiers import double_lit, quote_ident
+
 
 def asof_join(
     left: DataFrame,
@@ -61,8 +63,7 @@ def asof_join(
     # ~750 py4j round trips (~0.2 s) per asof_join construction
     # (profiled r15); the string form is a handful of calls parsing to
     # the identical expression trees.
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
+    q = quote_ident
 
     l_schema = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     r_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
@@ -121,7 +122,7 @@ def asof_join(
         else:
             gap = f"abs(`__lt` - {q(rt_out)})"
         keep = (
-            f"({q(rt_out)} IS NOT NULL AND {gap} <= {float(tolerance)!r}D)"
+            f"({q(rt_out)} IS NOT NULL AND {gap} <= {double_lit(tolerance)})"
         )
         out = out.selectExpr(
             *[q(c) for c in left.columns],

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bighouse_spark.functions.identifiers import quote_ident
+from bighouse_spark.functions.identifiers import double_lit, quote_ident
 from bighouse_spark.functions.vectors import cosine_similarity
 from bighouse_spark.operators.parallel import ensure_min_parallelism
 
@@ -88,7 +88,7 @@ def _srp_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     they parse as DOUBLE, not DECIMAL."""
     terms = []
     for i, plane in enumerate(planes):
-        arr = ", ".join(f"{float(x)!r}D" for x in plane)
+        arr = ", ".join(double_lit(x) for x in plane)
         d = (
             f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), "
             f"array({arr}), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"

@@ -371,12 +371,15 @@ def cluster_assign_topics(spark, sf_dir):
     # The centroid literals (8 x 64 doubles) as ONE SQL string: the
     # F.array/F.struct/F.lit DSL form costs ~520 py4j round trips per
     # build (~1 s measured warm, r15); the string parses to the same
-    # literal tree in one. Python repr() is the shortest exact
-    # round-trip form of a double; the D suffix keeps Spark from
-    # reading a bare decimal as DECIMAL.
+    # literal tree in one. double_lit renders repr for finite values
+    # (the shortest exact round-trip form; the D suffix keeps Spark
+    # from reading a bare decimal as DECIMAL) and the cast spelling
+    # for NaN/Infinity, which bare repr cannot parse.
+    from bighouse_spark.functions.identifiers import double_lit
+
     cent_sql = "array(%s)" % ", ".join(
         "named_struct('cid', %dL, 'cv', array(%s))"
-        % (int(r.vec_id), ", ".join(f"{float(x)!r}D" for x in r.cv))
+        % (int(r.vec_id), ", ".join(double_lit(x) for x in r.cv))
         for r in cents
     )
     base = emb.select(

@@ -540,3 +540,60 @@ class TestReviewFixes:
             cosine_similarity("v`a", "v`b").alias("c")
         ).collect()[0].c
         assert abs(sim - 1.0) < 1e-12
+
+    def test_double_lit_nonfinite(self, spark):
+        """repr-based double splicing emits 'nanD'/'infD', which do
+        not parse; double_lit must render the cast spelling and stay
+        bit-exact for finite values."""
+        import math
+
+        from bighouse_spark.functions.identifiers import double_lit
+
+        row = spark.sql(
+            f"SELECT {double_lit(float('nan'))} AS n, "
+            f"{double_lit(float('inf'))} AS p, "
+            f"{double_lit(float('-inf'))} AS m, "
+            f"{double_lit(0.1)} AS f"
+        ).collect()[0]
+        assert math.isnan(row.n) and row.p == float("inf")
+        assert row.m == float("-inf") and row.f == 0.1
+
+    def test_with_shingles_replaces_existing_out_col(self, spark):
+        """withColumn semantics: an existing out_col is replaced in
+        place, not duplicated (a duplicate makes every later
+        reference AMBIGUOUS)."""
+        from bighouse_spark.functions.text import with_shingles
+
+        df = spark.createDataFrame(
+            [(1, "a b c", ["stale"])],
+            ["doc_id", "text", "shingles"],
+        )
+        out = with_shingles(df, "text", n=2, out_col="shingles")
+        assert out.columns == ["doc_id", "text", "shingles"]
+        assert out.select("shingles").collect()[0][0] == ["a b", "b c"]
+
+    def test_ngram_cache_keyed_per_session(self, spark):
+        """The NGram transformer memo must be keyed on the owning
+        session (its _java_obj dies with the session's gateway)."""
+        from bighouse_spark.functions import text as textmod
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        textmod.with_shingles(df, "text", n=2)
+        assert spark in textmod._NGRAM_CACHE
+        assert (2, "__bh_w_shingles", "__bh_ng_shingles") in (
+            textmod._NGRAM_CACHE[spark]
+        )
+
+    def test_mv_empty_source_keeps_session_default(self, spark, tmp_path):
+        """An empty source says nothing about eventual MV size: the
+        state-partition count must stay None (session default), not
+        pin 1 into the checkpoint forever."""
+        import os
+
+        from bighouse_spark.engine import BigHouseEngine
+
+        eng = BigHouseEngine(spark)
+        d = str(tmp_path / "emptysrc")
+        os.makedirs(d)
+        eng._attached["empty_src"] = (d, "parquet", None)
+        assert eng._mv_state_partitions("empty_src") is None
